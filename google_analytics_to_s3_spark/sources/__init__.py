@@ -1,0 +1,1 @@
+"""Scans and sinks (SURVEY.md §2.1)."""

@@ -1,0 +1,34 @@
+"""Loaders for the driver-generated testdata tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet each under a scale-factor dir.
+
+``events.ts`` is written as parquet TIMESTAMP(NANOS) which Spark's reader
+rejects; with ``spark.sql.legacy.parquet.nanosAsLong=true`` it loads as
+epoch-nanos LongType. :func:`load_events` normalizes that to an epoch
+*millis* long column ``ts_ms`` (the GA engine's native clock — the
+reference sessionizes on epoch-millis ``received_at_apig``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import ensure_runtime_confs
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_runtime_confs(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts_ms`` (epoch millis, long) alongside raw nanos."""
+    e = load_table(spark, sf_dir, "events")
+    return e.withColumn("ts_ms", F.expr("ts div 1000000"))
