@@ -1,0 +1,29 @@
+"""Every driver query must match its DuckDB oracle at the oracle SF.
+
+This mirrors the grading driver's check (row count + column names +
+order-insensitive values) via tests/oracle.py.
+"""
+
+import pytest
+
+from google_analytics_to_s3_spark.plans import driver_queries as dq
+
+from .oracle import compare
+
+QUERY_NAMES = sorted(dq.QUERIES.keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, sf_oracle, name):
+    df = dq.QUERIES[name](spark, sf_oracle)
+    assert name in dq.ORACLES, f"{name} missing oracle SQL"
+    compare(df, dq.ORACLES[name], sf_oracle)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as ent
+
+    df = ent.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(ent.queries().keys()) >= set(ent.oracle_sql().keys())
