@@ -28,6 +28,9 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # GA querystrings can repeat keys; Python's dict(parse_qsl(...)) in the
+    # reference keeps the last occurrence — mirror that in str_to_map.
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
 }
 
 

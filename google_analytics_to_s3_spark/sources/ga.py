@@ -1,0 +1,113 @@
+"""GA hit sources & sinks (S1-S4) and the collector-envelope decoder
+(L1-L4) as one Catalyst transform.
+
+- :func:`read_enriched_hits` — S1 with the fix the survey prescribes:
+  passing the full ``StructType`` to ``spark.read.json`` back-fills
+  missing keys with nulls, deleting the reference's per-row RDD
+  normalizer (``validate_fields``, main.py:308-315 applied at 1157).
+- :func:`load_session_history` — S2's empty-DataFrame fallback idiom
+  (main.py:317-327).
+- :func:`save_daily_marts` — S4 via native ``partitionBy`` dynamic
+  overwrite instead of string-templated partition dirs
+  (main.py:1343-1359) and without the anti-scale ``repartition(1)``
+  (main.py:1318).
+- :func:`decode_envelope` — the transformation Lambda's record pipeline
+  (L1-L4, functions/transformation/main.py:11-75): base64 envelope →
+  JSON → anonymize ip → parse the GA Measurement-Protocol querystring
+  body → flattened ``body_*`` columns. All native (``unbase64``,
+  ``from_json``, ``str_to_map``, ``url_decode``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..functions.ip import anonymize_ip
+from ..schemas import API_GATEWAY_FIELDS, GA_BODY_FIELDS, hit_schema
+
+ENVELOPE_SCHEMA = (
+    "system_source string, system_version string, message_id string, "
+    "trace_id string, received_at_apig string, ip string, "
+    "user_agent string, body string"
+)
+
+
+def read_enriched_hits(
+    spark: SparkSession, path: str, schema: StructType = hit_schema,
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """S1: schema-on-read JSONL scan; absent keys become nulls natively."""
+    return spark.read.schema(schema).option("mode", mode).json(path)
+
+
+def load_session_history(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """S2: session-history parquet; empty DataFrame if absent."""
+    try:
+        df = spark.read.schema(schema).parquet(path)
+        df.head(1)
+        return df
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
+def append_session_history(df: DataFrame, path: str) -> None:
+    """S3: append today's sessions to the history table."""
+    df.write.mode("append").parquet(path)
+
+
+def save_daily_marts(
+    marts: dict[str, DataFrame], base_path: str, job_date: str
+) -> None:
+    """S4: one partition dir per (type, date), written natively.
+
+    ``job_date`` is ``YYYY-MM-DD``. Output layout matches the
+    reference's Hive-style ``type=X/year=Y/month=M/day=D``
+    (main.py:1352-1359) so Catalyst partition-prunes downstream reads.
+    """
+    year, month, day = job_date.split("-")
+    for name, df in marts.items():
+        (
+            df.write.mode("overwrite")
+            .parquet(f"{base_path}/type={name}/year={year}/month={month}/day={day}")
+        )
+
+
+def decode_envelope(df: DataFrame, body_fields: list[str] | None = None) -> DataFrame:
+    """L1-L4: collector envelope records → flat ``body_*`` hit columns.
+
+    Input: one string column ``value`` holding the base64-encoded JSON
+    envelope (Firehose record ``data``), or the envelope columns
+    already parsed (pass a DataFrame with ``body`` + envelope fields).
+    """
+    body_fields = body_fields or GA_BODY_FIELDS
+    if "value" in df.columns and "body" not in df.columns:
+        env = F.from_json(
+            F.unbase64(F.col("value")).cast("string"), ENVELOPE_SCHEMA
+        )
+        df = df.select(env.alias("env")).select("env.*")
+    # L2: anonymize the client IP before anything persists it.
+    df = df.withColumn("ip", anonymize_ip("ip"))
+    # L3: GA Measurement Protocol querystring → map (parse_qsl semantics:
+    # url-decoded values; '+' means space).
+    kv = F.str_to_map(F.col("body"), F.lit("&"), F.lit("="))
+    df = df.withColumn(
+        "_body_map",
+        F.map_from_arrays(
+            F.map_keys(kv),
+            F.transform(
+                F.map_values(kv),
+                lambda v: F.url_decode(F.regexp_replace(v, r"\+", "%20")),
+            ),
+        ),
+    )
+    # L4: flatten with body_ prefix.
+    cols = [F.col(f) for f in API_GATEWAY_FIELDS]
+    cols += [
+        F.col("_body_map").getItem(f.removeprefix("body_")).alias(f)
+        for f in body_fields
+    ]
+    return df.select(*cols)

@@ -1,0 +1,150 @@
+"""Synthetic GA enriched-hit day, per FIXTURES.md F2's synthesis knobs:
+
+- ≥5 visitors with gaps both < 30 min and ≥ 30 min (incl. the exact
+  60000*30 ms boundary)
+- one visitor spanning two days (split-session case)
+- purchase events carrying body_tr + enhanced-ecommerce pr-slots
+- transaction + item hits, timing/adtiming hits (must be filtered)
+- one bot UA row, UTM/gclid/referrer/direct traffic mix
+
+Deterministic: fixed base epoch, no randomness.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+
+BASE_MS = 1565251200000  # 2019-08-08 10:00:00 +02:00 (Europe/Berlin)
+MIN_MS = 60 * 1000
+
+_SEQ = 0
+
+
+def _hit(cid: str, t_off_min: float, body_t: str, **kw) -> dict:
+    global _SEQ
+    _SEQ += 1
+    hit = {
+        "system_source": "ga",
+        "system_version": "1",
+        "message_id": f"m{_SEQ:04d}",
+        "trace_id": f"Root=1-{_SEQ:08d}",
+        "received_at_apig": str(int(BASE_MS + t_off_min * MIN_MS)),
+        "ip": "203.0.113.0",
+        "user_agent": "Mozilla/5.0",
+        "body_cid": cid,
+        "body_t": body_t,
+        "body_v": "1",
+        "body_tid": "UA-1-1",
+        "body_dl": "http://shop.example/home",
+        "geo_country": "Germany",
+        "geo_continent": "Europe",
+        "device_client_name": "Chrome",
+        "device_device_type": "desktop",
+        "device_is_mobile": False,
+        "device_is_bot": False,
+    }
+    hit.update(kw)
+    return hit
+
+
+def enriched_hits_day() -> list[dict]:
+    global _SEQ
+    _SEQ = 0
+    hits: list[dict] = []
+
+    # v1: UTM-tagged entry, 3 hits, 45-min gap, then a direct session.
+    utm_dl = (
+        "http://shop.example/land?utm_source=newsletter&utm_medium=email"
+        "&utm_campaign=sale&utm_term=shoes&utm_content=v1"
+    )
+    hits += [
+        _hit("v1", 0, "pageview", body_dl=utm_dl),
+        _hit("v1", 10, "pageview", body_dl="http://shop.example/products/shoes"),
+        _hit("v1", 20, "event", body_ec="ui", body_ea="click", body_el="banner"),
+        _hit("v1", 65, "pageview"),  # 45-min gap → session 2, direct
+    ]
+
+    # v2: google-organic entry; purchase with two ecommerce products.
+    hits += [
+        _hit("v2", 5, "pageview", body_dr="https://www.google.com/",
+             body_dl="http://shop.example/land"),
+        _hit("v2", 7, "event", body_pa="detail", body_pr0id="SKU-1",
+             body_pr0nm="Shoes", body_pr0pr="20", body_pr0qt="1",
+             body_pr0ca="Apparel"),
+        _hit("v2", 12, "event", body_pa="purchase", body_tr="35.98",
+             body_ti="T-100", body_cu="EUR",
+             body_pr0id="SKU-1", body_pr0nm="Shoes", body_pr0pr="20",
+             body_pr0qt="1", body_pr0ca="Apparel",
+             body_pr1id="SKU-2", body_pr1nm="Socks", body_pr1pr="7.99",
+             body_pr1qt="2", body_pr1ca="Apparel"),
+    ]
+
+    # v3: referral entry; classic transaction + item hits.
+    hits += [
+        _hit("v3", 3, "pageview", body_dr="https://partner.example/page?x=1",
+             body_dl="http://shop.example/land"),
+        _hit("v3", 8, "transaction", body_ti="T-200", body_tr="49.90",
+             body_ts="4.90", body_tt="7.97", body_cu="EUR"),
+        _hit("v3", 9, "item", body_ti="T-200", body_ic="DD443345-44",
+             body_in="Shoes", body_iv="Apparel", body_ip="20", body_iq="1"),
+        _hit("v3", 11, "timing"),    # must be dropped (P3)
+        _hit("v3", 12, "adtiming"),  # must be dropped (P3)
+    ]
+
+    # v4: gclid entry; second hit at exactly the 30-min boundary → new
+    # session (gap >= 60000*30 starts a session, main.py:417-419).
+    hits += [
+        _hit("v4", 2, "pageview",
+             body_dl="http://shop.example/land?gclid=Cj0KCQ"),
+        _hit("v4", 32, "pageview"),
+    ]
+
+    # v5: bot.
+    hits += [
+        _hit("v5", 6, "pageview", user_agent="Googlebot/2.1",
+             device_is_bot=True, device_client_name="Googlebot",
+             geo_country="(not set)", geo_continent="(not set)"),
+    ]
+
+    # v6: spans midnight Berlin (day job splits the session at the
+    # partition boundary — reference SURVEY §2.10).
+    hits += [
+        _hit("v6", 13.9 * 60, "pageview"),   # 23:54 Berlin
+        _hit("v6", 14.2 * 60, "pageview"),   # 00:12 next day
+    ]
+    return hits
+
+
+def raw_envelope_records(hits: list[dict] | None = None) -> list[str]:
+    """Collector-envelope records as the Firehose transformation Lambda
+    sees them (L1): base64(JSON envelope) with the GA body re-encoded as
+    a Measurement-Protocol querystring."""
+    from urllib.parse import quote
+
+    hits = hits if hits is not None else enriched_hits_day()
+    out = []
+    for h in hits:
+        body = "&".join(
+            f"{k.removeprefix('body_')}={quote(str(v), safe='')}"
+            for k, v in h.items()
+            if k.startswith("body_") and v is not None
+        )
+        env = {
+            "system_source": h["system_source"],
+            "system_version": h["system_version"],
+            "message_id": h["message_id"],
+            "trace_id": h["trace_id"],
+            "received_at_apig": h["received_at_apig"],
+            "ip": "203.0.113.7",
+            "user_agent": h["user_agent"],
+            "body": body,
+        }
+        out.append(base64.b64encode(json.dumps(env).encode()).decode())
+    return out
+
+
+def write_jsonl(hits: list[dict], path: str) -> None:
+    with open(path, "w") as f:
+        for h in hits:
+            f.write(json.dumps(h) + "\n")
