@@ -31,6 +31,14 @@ BENCH_QUERIES = [
     "order_lineitem_left_join",
     "dedup_exact",
     "text_stats",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "text_quality",
+    "knn_cosine",
+    "cosine_dup_pairs",
+    "customer_order_ranks",
+    "sales_rollup",
 ]
 
 

@@ -1,0 +1,99 @@
+"""Text analysis for training-data pipelines: tokenization, quality
+scoring, language ID, fingerprinting. All native Catalyst expressions —
+at 100 TB these run map-side inside whole-stage codegen, no shuffle, no
+Python workers.
+
+Beyond-reference operators (the reference has no document processing);
+designed to the same transform pattern as the GA operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal deterministic stopword lists for the language-ID heuristic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that"],
+    "es": ["el", "los", "las", "y", "es", "un", "una", "que"],
+    "fr": ["le", "les", "et", "est", "une", "des", "du", "dans"],
+    "zh": ["de", "shi", "bu", "le", "ren", "wo", "you", "ta"],
+}
+
+ENGLISH_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+def tokens(text: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def with_text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / repetition quality signals."""
+    toks = tokens(text_col)
+    n_toks = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stop = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_punct = F.length(
+        F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", "")
+    )
+    n_distinct = F.size(F.array_distinct(toks))
+    return df.withColumns(
+        {
+            "n_chars": n_chars,
+            "n_tokens": n_toks,
+            "avg_token_len": (
+                F.length(F.array_join(toks, "")).cast("double")
+                / n_toks.cast("double")
+            ),
+            "stopword_ratio": n_stop.cast("double") / n_toks.cast("double"),
+            "punct_ratio": n_punct.cast("double") / n_chars.cast("double"),
+            "distinct_token_ratio": (
+                n_distinct.cast("double") / n_toks.cast("double")
+            ),
+        }
+    )
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword hit counts (the language-ID signal)."""
+    toks = tokens(text)
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        wl = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+    return out
+
+
+def language_id(text: Column | str) -> Column:
+    """Deterministic argmax over lang_scores with first-wins tie-break in
+    fixed language order (sorted by code)."""
+    scores = lang_scores(text)
+    langs = sorted(scores)
+    expr: Column | None = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        branch = F.when(cond, F.lit(lang))
+        expr = branch if expr is None else expr.when(cond, F.lit(lang))
+    assert expr is not None
+    return expr.otherwise(F.lit(langs[0]))
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Order-insensitive bag-of-words content fingerprint:
+    md5 over the sorted distinct token set."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))

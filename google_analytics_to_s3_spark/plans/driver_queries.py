@@ -22,11 +22,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.ga import map_enum
+from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, with_simhash
 from ..operators.sessionize import (
     sessionize,
     with_session_flags,
 )
-from ..sources.testdata import load_events, load_table
+from ..operators.similarity import cosine_pairs_blocked, knn_brute_force
+from ..operators.text import doc_fingerprint, language_id, with_text_quality
+from ..sources.testdata import load_events, load_parallel, load_table
 
 GAP_MS = 30 * 60 * 1000
 
@@ -488,6 +491,267 @@ FROM documents
 """
 
 # --------------------------------------------------------------------------
+# Training-data ops: MinHash+LSH / SimHash / n-gram Jaccard dedup,
+# text quality + language ID + fingerprint, cosine similarity search.
+# Shared oracle building blocks (tokens/shingles) below; md5-derived
+# hashing keeps Spark and DuckDB values identical.
+# --------------------------------------------------------------------------
+
+_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+_SHINGLES = (
+    "CASE WHEN len(t) >= 3 THEN "
+    "list_transform(range(1, len(t) - 1), "
+    "i -> array_to_string(list_slice(t, i, i + 2), ' ')) "
+    "ELSE [array_to_string(t, ' ')] END"
+)
+
+MINHASH_K = 8
+MINHASH_BANDS = 4
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_parallel(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, k=MINHASH_K, bands=MINHASH_BANDS)
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, {MINHASH_K}), i ->
+           list_min(list_transform(s, x -> md5(x || '#' || CAST(i AS VARCHAR))))
+         ) AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b.b AS band,
+         md5(array_to_string(list_slice(sig, b.b * 2 + 1, b.b * 2 + 2), '|'))
+           AS band_key
+  FROM sig, (SELECT unnest(range(0, {MINHASH_BANDS})) AS b) b
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l
+  JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+              AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b,
+       CAST(len(list_filter(range(0, {MINHASH_K}),
+                            i -> sa.sig[i + 1] = sb.sig[i + 1])) AS DOUBLE)
+         / {MINHASH_K}.0 AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = cand.id_a
+JOIN sig sb ON sb.doc_id = cand.id_b
+"""
+
+_POW2 = "[1,2,4,8,16,32,64,128,256,512,1024,2048,4096,8192,16384,32768]"
+_NIBW = "[8,4,2,1]"
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_simhash(d, bits=16).select(
+        "doc_id", F.col("simhash").cast("long").alias("simhash")
+    )
+
+
+SQL_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, list_transform({_TOKS}, t -> md5(t)) AS hs FROM documents
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(0, 16), b ->
+         CASE WHEN list_sum(list_transform(hs, h ->
+             ((instr('0123456789abcdef', substr(h, b // 4 + 1, 1)) - 1)
+              // ({_NIBW}[(b % 4) + 1])) % 2 * 2 - 1
+           )) > 0
+         THEN {_POW2}[b + 1] ELSE 0 END
+       )) AS BIGINT) AS simhash
+FROM toks
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_parallel(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, block_col="source", n=3)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, source, list_distinct({_SHINGLES}) AS s FROM toks)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(l.s, r.s))) AS DOUBLE) AS jaccard
+FROM sh l
+JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id
+WHERE len(list_intersect(l.s, r.s)) > 0
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    out = with_text_quality(d)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "distinct_token_ratio",
+        language_id("text").alias("lang_pred"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+def _lang_case() -> str:
+    from ..operators.text import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    score = {
+        lang: (
+            "len(list_filter(t, x -> x IN ("
+            + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+            + ")))"
+        )
+        for lang in langs
+    }
+    whens = []
+    for lang in langs:
+        conds = [
+            f"{score[lang]} >= {score[o]}" for o in langs if o != lang
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{langs[0]}' END"
+
+
+SQL_TEXT_QUALITY = f"""
+WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(t) AS INTEGER) AS n_tokens,
+       CAST(length(array_to_string(t, '')) AS DOUBLE)
+         / CAST(len(t) AS DOUBLE) AS avg_token_len,
+       CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       CAST(len(list_distinct(t)) AS DOUBLE)
+         / CAST(len(t) AS DOUBLE) AS distinct_token_ratio,
+       {_lang_case()} AS lang_pred,
+       md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
+FROM toks
+"""
+
+_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform({a}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform({b}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    out = knn_brute_force(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+SQL_KNN_COSINE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         {_COS.format(a='qv', b='e.embedding')} AS score
+  FROM embeddings e, q
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER)
+    AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    out = cosine_pairs_blocked(emb, block_col="label", threshold=0.9)
+    return out.select("id_a", "id_b", F.round("score", 6).alias("score"))
+
+
+SQL_COSINE_DUP_PAIRS = f"""
+SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+       round({_COS.format(a='l.embedding', b='r.embedding')}, 6) AS score
+FROM embeddings l
+JOIN embeddings r ON l.label = r.label AND l.vec_id < r.vec_id
+WHERE {_COS.format(a='l.embedding', b='r.embedding')} >= 0.9
+"""
+
+# --------------------------------------------------------------------------
+# Generic window-function + rollup surface
+# --------------------------------------------------------------------------
+
+def q_customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_order"),
+        F.lead("o_orderkey", 1).over(w).alias("next_order"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(w_run)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+SQL_CUSTOMER_ORDER_RANKS = """
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER w AS INTEGER) AS rn,
+       CAST(rank() OVER w AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+       lag(o_orderkey) OVER w AS prev_order,
+       lead(o_orderkey) OVER w AS next_order,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_spend"),
+    )
+
+
+SQL_SALES_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spend
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -505,6 +769,14 @@ QUERIES: dict = {
     "union_active_users": q_union_active_users,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "text_quality": q_text_quality,
+    "knn_cosine": q_knn_cosine,
+    "cosine_dup_pairs": q_cosine_dup_pairs,
+    "customer_order_ranks": q_customer_order_ranks,
+    "sales_rollup": q_sales_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -521,4 +793,12 @@ ORACLES: dict[str, str] = {
     "union_active_users": SQL_UNION_ACTIVE_USERS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_stats": SQL_TEXT_STATS,
+    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "simhash": SQL_SIMHASH,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+    "text_quality": SQL_TEXT_QUALITY,
+    "knn_cosine": SQL_KNN_COSINE,
+    "cosine_dup_pairs": SQL_COSINE_DUP_PAIRS,
+    "customer_order_ranks": SQL_CUSTOMER_ORDER_RANKS,
+    "sales_rollup": SQL_SALES_ROLLUP,
 }

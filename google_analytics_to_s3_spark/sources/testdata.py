@@ -32,3 +32,16 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts_ms`` (epoch millis, long) alongside raw nanos."""
     e = load_table(spark, sf_dir, "events")
     return e.withColumn("ts_ms", F.expr("ts div 1000000"))
+
+
+def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table and spread it across all cores.
+
+    The testdata tables are single small parquet files → one input
+    partition → compute-heavy per-row operators (minhash, simhash,
+    cosine) would run single-threaded. A cheap repartition unlocks full
+    parallelism; on a real cluster large inputs split naturally and
+    this becomes a no-op choice.
+    """
+    df = load_table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
