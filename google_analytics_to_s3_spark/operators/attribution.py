@@ -18,12 +18,16 @@ def with_touchpoints(
     visitor_col: str = "fullVisitorId",
     ts_col: str = "timestamp",
     source_col: str = "trafficSource_source",
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """W8-W11: ordered touchpoints array, its direct-free variant,
-    first touchpoint, last non-direct touchpoint (else ``(direct)``)."""
+    first touchpoint, last non-direct touchpoint (else ``(direct)``).
+
+    ``tiebreak_cols`` make the accumulation order total when timestamps
+    can collide (the reference orders by timestamp alone)."""
     w_full = (
         Window.partitionBy(visitor_col)
-        .orderBy(F.col(ts_col).asc())
+        .orderBy(F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols])
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     touch = F.collect_list(source_col).over(w_full)

@@ -779,6 +779,13 @@ QUERIES: dict = {
     "sales_rollup": q_sales_rollup,
 }
 
+from .driver_queries_enrich import (  # noqa: E402
+    ORACLES_ENRICH,
+    QUERIES_ENRICH,
+)
+
+QUERIES.update(QUERIES_ENRICH)
+
 ORACLES: dict[str, str] = {
     "sessionize_flags": SQL_SESSIONIZE_FLAGS,
     "sessionize_full": SQL_SESSIONIZE_FULL,
@@ -802,3 +809,5 @@ ORACLES: dict[str, str] = {
     "customer_order_ranks": SQL_CUSTOMER_ORDER_RANKS,
     "sales_rollup": SQL_SALES_ROLLUP,
 }
+
+ORACLES.update(ORACLES_ENRICH)

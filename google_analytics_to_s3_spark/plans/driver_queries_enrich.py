@@ -1,0 +1,530 @@
+"""Driver queries for the enrichment / attribution / reshape operators
+(SURVEY.md §2.3 J2, §2.5 W8-W11, §2.8, §2.9 F2-F10 + L2/L5/L6).
+
+The events table has no IP / user-agent / URL columns, so each query
+derives deterministic synthetic inputs from ``event_id`` with pure
+arithmetic and literal arrays — identically computable in Spark and
+DuckDB — then runs the real operator on the Spark side. The oracle
+recomputes the expected output independently (range join for geo,
+string ops for IP, hand-verified golden truth tables for the UA and
+traffic-source parsers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.geo import GEO_ATTRS, with_geo_columns
+from ..functions.ip import anonymize_ip
+from ..functions.traffic import (
+    is_true_direct,
+    traffic_ad_content,
+    traffic_campaign,
+    traffic_keyword,
+    traffic_medium,
+    traffic_source,
+)
+from ..functions.ua import with_device_columns
+from ..functions.url import landing_page, page_path_levels
+from ..operators.attribution import with_touchpoints
+from ..operators.sessionize import with_session_flags
+from ..operators.unpivot import unpivot_products
+from ..sources.testdata import load_events, load_table
+
+# --------------------------------------------------------------------------
+# Shared synthetic-input helpers (Knuth multiplicative hash — identical
+# BIGINT arithmetic in Spark and DuckDB).
+# --------------------------------------------------------------------------
+
+_MIX = 2654435761
+
+
+def _ip_int(mod: int) -> F.Column:
+    return (F.col("event_id") * F.lit(_MIX)) % F.lit(mod)
+
+
+def _dotted_quad(c: F.Column) -> F.Column:
+    return F.concat_ws(
+        ".",
+        (c / 16777216).cast("long").cast("string"),
+        ((c / 65536).cast("long") % 256).cast("string"),
+        ((c / 256).cast("long") % 256).cast("string"),
+        (c % 256).cast("string"),
+    )
+
+
+_SQL_OCTETS = (
+    "CAST(ip_int // 16777216 AS VARCHAR) || '.' || "
+    "CAST((ip_int // 65536) % 256 AS VARCHAR) || '.' || "
+    "CAST((ip_int // 256) % 256 AS VARCHAR) || '.' || "
+    "CAST(ip_int % 256 AS VARCHAR)"
+)
+
+# --------------------------------------------------------------------------
+# L2: IP anonymization (zero the IPv4 last octet)
+# --------------------------------------------------------------------------
+
+
+def q_anonymize_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir).select("event_id")
+    d = e.withColumn("ip", _dotted_quad(_ip_int(4294967296)))
+    return d.select("event_id", "ip", anonymize_ip("ip").alias("ip_anon"))
+
+
+SQL_ANONYMIZE_IP = f"""
+WITH h AS (
+  SELECT event_id, (event_id * {_MIX}) % 4294967296 AS ip_int FROM events
+)
+SELECT event_id,
+       {_SQL_OCTETS} AS ip,
+       regexp_replace({_SQL_OCTETS}, '\\.[0-9]+$', '.0') AS ip_anon
+FROM h
+"""
+
+# --------------------------------------------------------------------------
+# L6/J2: GeoIP enrichment as a broadcast prefix-bucketed range join.
+# Ranges derived from nation (25 /12-sized blocks); every synthetic IP
+# lands in exactly one block.
+# --------------------------------------------------------------------------
+
+_N_GEO_BLOCK = 1048576  # 2^20 addresses per nation block
+_GEO_SPACE = 25 * _N_GEO_BLOCK
+
+
+def _geo_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nk = F.col("n_nationkey")
+    filler = {
+        a: F.lit("x")
+        for a in GEO_ATTRS
+        if a not in ("geo_continent", "geo_country", "geo_country_iso", "geo_city")
+    }
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            (nk.cast("long") * _N_GEO_BLOCK).alias("ip_start"),
+            ((nk.cast("long") + 1) * _N_GEO_BLOCK).alias("ip_end"),
+            F.col("r_name").alias("geo_continent"),
+            F.col("n_name").alias("geo_country"),
+            F.substring("n_name", 1, 2).alias("geo_country_iso"),
+            F.concat(F.lit("city-"), nk.cast("string")).alias("geo_city"),
+            (nk.cast("double") * 1.5).alias("latitude"),
+            (nk.cast("double") * -2.0).alias("longitude"),
+        )
+        .withColumns(filler)
+    )
+
+
+def q_geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir).select("event_id")
+    hits = e.withColumn("ip", _dotted_quad(_ip_int(_GEO_SPACE)))
+    out = with_geo_columns(hits, _geo_ranges(spark, sf_dir), ip_col="ip")
+    return out.select(
+        "event_id", "ip", "geo_continent", "geo_country",
+        "geo_country_iso", "geo_city", "geo_latitude", "geo_longitude",
+    )
+
+
+SQL_GEO_ENRICH = f"""
+WITH h AS (
+  SELECT event_id, (event_id * {_MIX}) % {_GEO_SPACE} AS ip_int FROM events
+),
+ranges AS (
+  SELECT n_nationkey * {_N_GEO_BLOCK} AS ip_start,
+         (n_nationkey + 1) * {_N_GEO_BLOCK} AS ip_end,
+         r_name, n_name, n_nationkey
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+)
+SELECT event_id,
+       {_SQL_OCTETS} AS ip,
+       coalesce(r.r_name, '(not set)') AS geo_continent,
+       coalesce(r.n_name, '(not set)') AS geo_country,
+       coalesce(substr(r.n_name, 1, 2), '(not set)') AS geo_country_iso,
+       coalesce('city-' || CAST(r.n_nationkey AS VARCHAR), '(not set)')
+         AS geo_city,
+       coalesce(CAST(r.n_nationkey AS DOUBLE) * 1.5, 0.0) AS geo_latitude,
+       coalesce(CAST(r.n_nationkey AS DOUBLE) * -2.0, 0.0) AS geo_longitude
+FROM h LEFT JOIN ranges r ON ip_int >= r.ip_start AND ip_int < r.ip_end
+"""
+
+# --------------------------------------------------------------------------
+# L5: user-agent parse (native-expression impl) over 8 real UA strings.
+# The oracle is a hand-verified golden truth table (also asserted by
+# tests/test_enrich.py::test_ua_golden).
+# --------------------------------------------------------------------------
+
+UA_STRINGS = [
+    # 0: Chrome on Windows
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    # 1: Safari on iPhone
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) "
+    "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 "
+    "Safari/604.1",
+    # 2: Firefox on Linux
+    "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+    # 3: Edge on Windows
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+    # 4: Samsung Internet on Android
+    "Mozilla/5.0 (Linux; Android 13; SAMSUNG SM-G991B) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile "
+    "Safari/537.36",
+    # 5: Googlebot
+    "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+    # 6: curl
+    "curl/8.4.0",
+    # 7: Safari on macOS
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 "
+    "(KHTML, like Gecko) Version/17.0 Safari/605.1.15",
+]
+
+# (is_bot, client_name, client_version, os_name, os_version,
+#  device_type, is_mobile, device_brand) per UA index.
+UA_GOLDEN = [
+    (False, "Chrome", "120.0.0.0", "Windows", "10.0", "desktop", False, "(not set)"),
+    (False, "Safari", "17.1", "iOS", "17_1", "mobile", True, "Apple"),
+    (False, "Firefox", "121.0", "Linux", None, "desktop", False, "(not set)"),
+    (False, "Edge", "120.0.2210.91", "Windows", "10.0", "desktop", False, "(not set)"),
+    (False, "Samsung Internet", "23.0", "Android", "13", "mobile", True, "Samsung"),
+    (True, None, None, None, None, None, None, None),
+    (True, None, None, None, None, None, None, None),
+    (False, "Safari", "17.0", "Mac OS X", "10_15_7", "desktop", False, "Apple"),
+]
+
+_UA_FIELDS = [
+    "device_is_bot", "device_client_name", "device_client_version",
+    "device_os_name", "device_os_version", "device_device_type",
+    "device_is_mobile", "device_device_brand",
+]
+
+
+def q_ua_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir).select("event_id")
+    uas = F.array(*[F.lit(s) for s in UA_STRINGS])
+    d = e.withColumn("ua_idx", (F.col("event_id") % 8).cast("int")).withColumn(
+        "user_agent", F.element_at(uas, F.col("ua_idx") + 1)
+    )
+    out = with_device_columns(d)
+    return out.groupBy("ua_idx", *_UA_FIELDS).agg(F.count("*").alias("n"))
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _ua_values() -> str:
+    rows = []
+    for i, g in enumerate(UA_GOLDEN):
+        rows.append("(" + ", ".join([str(i)] + [_sql_lit(v) for v in g]) + ")")
+    return ",\n  ".join(rows)
+
+
+SQL_UA_PARSE = f"""
+WITH m(ua_idx, device_is_bot, device_client_name, device_client_version,
+       device_os_name, device_os_version, device_device_type,
+       device_is_mobile, device_device_brand) AS (
+  VALUES
+  {_ua_values()}
+)
+SELECT CAST(m.ua_idx AS INTEGER) AS ua_idx,
+       m.device_is_bot, m.device_client_name, m.device_client_version,
+       m.device_os_name, m.device_os_version, m.device_device_type,
+       m.device_is_mobile, m.device_device_brand,
+       count(*) AS n
+FROM events e JOIN m ON e.event_id % 8 = m.ua_idx
+GROUP BY ALL
+"""
+
+# --------------------------------------------------------------------------
+# W8-W11: multi-touch touchpoint accumulation per visitor
+# --------------------------------------------------------------------------
+
+TP_SOURCES = ["google", "(direct)", "facebook", "newsletter", "(direct)"]
+
+
+def q_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir).select("user_id", "event_id", "ts_ms")
+    src = F.element_at(
+        F.array(*[F.lit(s) for s in TP_SOURCES]),
+        (F.col("event_id") % len(TP_SOURCES)).cast("int") + 1,
+    )
+    d = e.withColumn("source", src)
+    out = with_touchpoints(
+        d,
+        visitor_col="user_id",
+        ts_col="ts_ms",
+        source_col="source",
+        tiebreak_cols=("event_id",),
+    )
+    return out.select(
+        "user_id", "touchpoints", "touchpoints_wo_direct",
+        "first_touchpoint", "last_touchpoint",
+    ).distinct()
+
+
+_TP_ARR = "[" + ", ".join(f"'{s}'" for s in TP_SOURCES) + "]"
+
+SQL_TOUCHPOINTS = f"""
+WITH src AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         ({_TP_ARR})[(event_id % {len(TP_SOURCES)}) + 1] AS source
+  FROM events
+),
+agg AS (
+  SELECT user_id, list(source ORDER BY ts_ms, event_id) AS touchpoints
+  FROM src GROUP BY user_id
+)
+SELECT user_id, touchpoints,
+       list_filter(touchpoints, x -> x != '(direct)') AS touchpoints_wo_direct,
+       touchpoints[1] AS first_touchpoint,
+       coalesce(list_filter(touchpoints, x -> x != '(direct)')[-1], '(direct)')
+         AS last_touchpoint
+FROM agg
+"""
+
+# --------------------------------------------------------------------------
+# §2.8: wide→long product unpivot (explode-based, join-free)
+# --------------------------------------------------------------------------
+
+
+def q_unpivot_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir).select("event_id", "user_id")
+    m = lambda n: F.col("event_id") % n  # noqa: E731
+    d = (
+        e.withColumn(
+            "body_pr0id",
+            F.when(m(7) != 0, F.concat(F.lit("sku-"), m(50).cast("string"))),
+        )
+        .withColumn("body_pr0qt", F.when(m(7) != 0, (m(5) + 1).cast("string")))
+        .withColumn("body_pr1id", F.when(m(3) == 0, F.lit("sku-extra")))
+        .withColumn("body_pr1qt", F.when(m(3) == 0, F.lit("1")))
+    )
+    out = unpivot_products(d, n_slots=2, params=["id", "qt"], keep_index=True)
+    return out.select("event_id", "user_id", "pr_index", "prid", "prqt")
+
+
+SQL_UNPIVOT_PRODUCTS = """
+WITH base AS (SELECT event_id, user_id FROM events),
+s0 AS (
+  SELECT event_id, user_id, 0 AS pr_index,
+         'sku-' || CAST(event_id % 50 AS VARCHAR) AS prid,
+         CAST(event_id % 5 + 1 AS VARCHAR) AS prqt
+  FROM base WHERE event_id % 7 != 0
+),
+s1 AS (
+  SELECT event_id, user_id, 1 AS pr_index, 'sku-extra' AS prid, '1' AS prqt
+  FROM base WHERE event_id % 3 = 0
+),
+none AS (
+  SELECT event_id, user_id, CAST(NULL AS INTEGER) AS pr_index,
+         CAST(NULL AS VARCHAR) AS prid, CAST(NULL AS VARCHAR) AS prqt
+  FROM base WHERE event_id % 7 = 0 AND event_id % 3 != 0
+)
+SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM none
+"""
+
+# --------------------------------------------------------------------------
+# Native session_window sessionization (Spark's built-in gap-session
+# operator — the idiomatic alternative to the W1-W5 window chain; also
+# the streaming-mode operator, see streaming/).
+# --------------------------------------------------------------------------
+
+_GAP_MS = 30 * 60 * 1000
+
+
+def q_session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir).select("user_id", "ts_ms")
+    d = e.withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    return (
+        d.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            (F.unix_millis(F.col("w.end")) - F.lit(_GAP_MS)).alias(
+                "session_end_ms"
+            ),
+            "n_events",
+        )
+    )
+
+
+SQL_SESSION_WINDOW_ROLLUP = f"""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+),
+lagged AS (
+  SELECT e.*, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+           AS last_event
+  FROM e
+),
+flagged AS (
+  SELECT *, CASE WHEN last_event IS NULL OR ts_ms - last_event >= {_GAP_MS}
+                 THEN 1 ELSE 0 END AS is_new_session
+  FROM lagged
+),
+numbered AS (
+  SELECT *, sum(is_new_session) OVER (
+      PARTITION BY user_id ORDER BY ts_ms, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, sid
+"""
+
+# --------------------------------------------------------------------------
+# F2-F10: traffic-source attribution truth table over 8 (dl, dr)
+# scenarios; oracle = hand-verified golden values (cross-checked by
+# tests/test_traffic.py against the reference truth tables).
+# --------------------------------------------------------------------------
+
+DL_URLS = [
+    "https://shop.example.com/products/shoes?utm_source=newsletter"
+    "&utm_medium=email&utm_campaign=summer&utm_term=boots&utm_content=ad1",
+    "https://shop.example.com/landing?gclid=abc123",
+    "https://shop.example.com/home",
+    "https://shop.example.com/article",
+    "https://shop.example.com/blog/post",
+    "https://shop.example.com/app",
+    "https://shop.example.com/promo?fbclid=xyz789",
+    "https://shop.example.com/cart",
+]
+
+DR_URLS = [
+    None,
+    None,
+    None,
+    "https://www.google.com/search?q=shoes",
+    "https://news.example.org/daily/story",
+    "android-app://com.example.shop",
+    "https://l.facebook.com/l.php?u=x",
+    "https://googleadservices.com/pagead/aclk",
+]
+
+# Expected values on session-start rows, per scenario (hand-derived from
+# the reference truth tables, main.py:466-716).
+GOLDEN_SOURCE = [
+    "newsletter", "google", "(direct)", "google",
+    "example", "com.example.shop", "facebook", "google",
+]
+GOLDEN_MEDIUM = [
+    "email", "paid", "(none)", "organic",
+    "referral", "referral", "paid", "referral",
+]
+GOLDEN_CAMPAIGN = ["summer"] + ["(not set)"] * 7
+GOLDEN_KEYWORD = [
+    "boots", "(not set)", "(not set)", "(not provided)",
+    "(not set)", "(not set)", "(not set)", "(not set)",
+]
+GOLDEN_CONTENT = ["ad1"] + ["(not set)"] * 7
+GOLDEN_LANDING = [
+    "/products/shoes", "/landing", "/home", "/article",
+    "/blog/post", "/app", "/promo", "/cart",
+]
+GOLDEN_PAGE_L1 = [
+    "/products", "/landing", "/home", "/article",
+    "/blog", "/app", "/promo", "/cart",
+]
+GOLDEN_PAGE_L2 = ["/shoes", "", "", "", "/post", "", "", ""]
+
+
+def q_traffic_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir).select("event_id", "user_id", "ts_ms")
+    flagged = with_session_flags(
+        e, visitor_col="user_id", ts_col="ts_ms", tiebreak_cols=("event_id",)
+    )
+    scen = (F.col("event_id") % 8).cast("int")
+    dls = F.array(*[F.lit(u) for u in DL_URLS])
+    drs = F.array(*[F.lit(u).cast("string") for u in DR_URLS])
+    d = (
+        flagged.withColumn("scen", scen)
+        .withColumn("body_dl", F.element_at(dls, F.col("scen") + 1))
+        .withColumn("body_dr", F.element_at(drs, F.col("scen") + 1))
+    )
+    d = d.withColumn("medium", traffic_medium("is_new_session"))
+    levels = page_path_levels("body_dl")
+    return d.select(
+        "event_id",
+        "scen",
+        "is_new_session",
+        traffic_source("is_new_session").alias("source"),
+        F.col("medium"),
+        traffic_campaign("is_new_session").alias("campaign"),
+        traffic_keyword("is_new_session", medium="medium").alias("keyword"),
+        traffic_ad_content("is_new_session").alias("ad_content"),
+        is_true_direct(traffic_source("is_new_session")).alias("true_direct"),
+        landing_page("is_new_session", "body_dl").alias("landing"),
+        F.get(levels, 0).alias("page_level_1"),
+        F.get(levels, 1).alias("page_level_2"),
+    )
+
+
+def _arr(vals: list[str]) -> str:
+    return "[" + ", ".join("'" + v + "'" for v in vals) + "]"
+
+
+SQL_TRAFFIC_ATTRIBUTION = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+),
+lagged AS (
+  SELECT e.*, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+           AS last_event
+  FROM e
+),
+flagged AS (
+  SELECT *, CASE WHEN last_event IS NULL OR ts_ms - last_event >= {_GAP_MS}
+                 THEN 1 ELSE 0 END AS is_new_session
+  FROM lagged
+),
+t AS (
+  SELECT event_id, CAST(event_id % 8 AS INTEGER) AS scen, is_new_session
+  FROM flagged
+)
+SELECT event_id, scen, is_new_session,
+  CASE WHEN is_new_session = 1 THEN ({_arr(GOLDEN_SOURCE)})[scen + 1]
+       ELSE '(not set)' END AS source,
+  CASE WHEN is_new_session = 1 THEN ({_arr(GOLDEN_MEDIUM)})[scen + 1]
+       ELSE '(none)' END AS medium,
+  CASE WHEN is_new_session = 1 THEN ({_arr(GOLDEN_CAMPAIGN)})[scen + 1]
+       ELSE '(not set)' END AS campaign,
+  CASE WHEN is_new_session = 1 THEN ({_arr(GOLDEN_KEYWORD)})[scen + 1]
+       ELSE '(not set)' END AS keyword,
+  CASE WHEN is_new_session = 1 THEN ({_arr(GOLDEN_CONTENT)})[scen + 1]
+       ELSE '(not set)' END AS ad_content,
+  CASE WHEN is_new_session = 1 AND scen = 2 THEN 'True' END AS true_direct,
+  CASE WHEN is_new_session = 1 THEN ({_arr(GOLDEN_LANDING)})[scen + 1]
+       END AS landing,
+  ({_arr(GOLDEN_PAGE_L1)})[scen + 1] AS page_level_1,
+  ({_arr(GOLDEN_PAGE_L2)})[scen + 1] AS page_level_2
+FROM t
+"""
+
+QUERIES_ENRICH = {
+    "anonymize_ip": q_anonymize_ip,
+    "geo_enrich": q_geo_enrich,
+    "ua_parse": q_ua_parse,
+    "touchpoints": q_touchpoints,
+    "unpivot_products": q_unpivot_products,
+    "session_window_rollup": q_session_window_rollup,
+    "traffic_attribution": q_traffic_attribution,
+}
+
+ORACLES_ENRICH = {
+    "anonymize_ip": SQL_ANONYMIZE_IP,
+    "geo_enrich": SQL_GEO_ENRICH,
+    "ua_parse": SQL_UA_PARSE,
+    "touchpoints": SQL_TOUCHPOINTS,
+    "unpivot_products": SQL_UNPIVOT_PRODUCTS,
+    "session_window_rollup": SQL_SESSION_WINDOW_ROLLUP,
+    "traffic_attribution": SQL_TRAFFIC_ATTRIBUTION,
+}
