@@ -1,0 +1,126 @@
+"""Streaming sessionization must agree with the batch session_window
+computation once the watermark closes all sessions."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from google_analytics_to_s3_spark.sources.testdata import load_events
+from google_analytics_to_s3_spark.streaming.sessions import (
+    read_events_stream,
+    stream_sessionize,
+    write_stream,
+)
+
+SENTINEL_USER = -1
+
+
+def _write_jsonl(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_sessionize_matches_batch(spark, sf_smoke, tmp_path):
+    events = (
+        load_events(spark, sf_smoke)
+        .select("event_id", "user_id", "ts_ms")
+        .filter(F.col("user_id") < 5)
+    )
+    rows = [r.asDict() for r in events.collect()]
+    assert rows, "fixture slice empty"
+    max_ts = max(r["ts_ms"] for r in rows)
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # Batch 1: the real events.
+    _write_jsonl(f"{in_dir}/part-0.json", rows)
+    stream = read_events_stream(spark, in_dir)
+    q = write_stream(
+        stream_sessionize(stream, watermark_delay="1 minutes"), out_dir, ckpt
+    )
+    q.awaitTermination()
+
+    # Batch 2: a far-future sentinel advances the watermark past every
+    # real session's end, flushing them from the state store.
+    _write_jsonl(
+        f"{in_dir}/part-1.json",
+        [
+            {
+                "event_id": 10**12,
+                "user_id": SENTINEL_USER,
+                "ts_ms": max_ts + 10 * 86400000,
+            }
+        ],
+    )
+    q = write_stream(
+        stream_sessionize(read_events_stream(spark, in_dir), watermark_delay="1 minutes"),
+        out_dir,
+        ckpt,
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["user_id"], r["session_start_ms"], r["session_end_ms"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["user_id"] != SENTINEL_USER
+    }
+
+    expected = {
+        (r["user_id"], r["session_start_ms"], r["session_end_ms"], r["n_events"])
+        for r in (
+            events.withColumn("ts", F.timestamp_millis("ts_ms"))
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_millis("w.start").alias("session_start_ms"),
+                (F.unix_millis(F.col("w.end")) - F.lit(30 * 60 * 1000)).alias(
+                    "session_end_ms"
+                ),
+                "n_events",
+            )
+            .collect()
+        )
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_foreach_batch_reuses_batch_transforms(spark, sf_smoke, tmp_path):
+    from google_analytics_to_s3_spark.operators.sessionize import sessionize
+    from google_analytics_to_s3_spark.streaming.sessions import (
+        write_foreach_batch,
+    )
+
+    events = (
+        load_events(spark, sf_smoke)
+        .select("event_id", "user_id", "ts_ms")
+        .filter(F.col("user_id") < 3)
+    )
+    rows = [r.asDict() for r in events.collect()]
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    _write_jsonl(f"{in_dir}/part-0.json", rows)
+
+    def handle(batch_df, batch_id):
+        out = sessionize(
+            batch_df.drop("ts"),
+            visitor_col="user_id",
+            ts_col="ts_ms",
+            tiebreak_cols=("event_id",),
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    q = write_foreach_batch(
+        read_events_stream(spark, in_dir), handle, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == len(rows)
+    assert "visit_id" in got.columns
