@@ -28,9 +28,10 @@ from ..functions.traffic import (
 from ..functions.ua import with_device_columns
 from ..functions.url import landing_page, page_path_levels
 from ..operators.attribution import with_touchpoints
+from ..operators.multimodal import decode_image_meta, with_binary_payload
 from ..operators.sessionize import with_session_flags
 from ..operators.unpivot import unpivot_products
-from ..sources.testdata import load_events, load_table
+from ..sources.testdata import load_events, load_parallel, load_table
 
 # --------------------------------------------------------------------------
 # Shared synthetic-input helpers (Knuth multiplicative hash — identical
@@ -509,7 +510,29 @@ SELECT event_id, scen, is_new_session,
 FROM t
 """
 
+# --------------------------------------------------------------------------
+# Multimodal: binary payload + mapInPandas decode stub (deterministic
+# sha256-derived metadata; operators/multimodal.py).
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_image_meta(with_binary_payload(d))
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       sha256(text) AS payload_sha256,
+       CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER) AS width,
+       CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER) AS height
+FROM documents
+"""
+
+
 QUERIES_ENRICH = {
+    "multimodal_decode": q_multimodal_decode,
     "anonymize_ip": q_anonymize_ip,
     "geo_enrich": q_geo_enrich,
     "ua_parse": q_ua_parse,
@@ -520,6 +543,7 @@ QUERIES_ENRICH = {
 }
 
 ORACLES_ENRICH = {
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "anonymize_ip": SQL_ANONYMIZE_IP,
     "geo_enrich": SQL_GEO_ENRICH,
     "ua_parse": SQL_UA_PARSE,
