@@ -88,6 +88,104 @@ def knn_brute_force(
     )
 
 
+def assign_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    out_col: str = "cid",
+) -> DataFrame:
+    """IVF coarse quantization: nearest-centroid cell id(s) per vector.
+
+    The centroid table is collected to the driver (it is small by
+    construction — IVF cell counts are ~sqrt(corpus)) and baked into
+    the plan as literal arrays, so assignment is pure map-side work:
+    zero shuffle, no join. Ties break to the lowest centroid id.
+    With ``nprobe > 1`` each row fans out to its ``nprobe`` nearest
+    cells (the multi-probe search path).
+    """
+    import math
+
+    cents = [
+        (r[0], [float(x) for x in r[1]])
+        for r in centroids.select(id_col, vec_col).collect()
+    ]
+    if not cents:
+        raise ValueError("empty centroid table")
+    nrm = _norm(F.col(vec_col))
+    structs = []
+    for cid, cv in cents:
+        cnorm = math.sqrt(sum(x * x for x in cv))
+        score = _dot(F.col(vec_col), F.array(*[F.lit(x) for x in cv])) / (
+            nrm * F.lit(cnorm)
+        )
+        structs.append(
+            F.struct(score.alias("s"), F.lit(-int(cid)).alias("negcid"))
+        )
+    # ascending (score, negcid): last = max score, ties -> min cid
+    ranked = F.reverse(F.array_sort(F.array(*structs)))
+    top = F.slice(ranked, 1, min(nprobe, len(cents)))
+    cids = F.transform(top, lambda x: (-x["negcid"]).cast("long"))
+    if nprobe == 1:
+        return df.withColumn(out_col, F.get(cids, 0))
+    return df.withColumn(out_col, F.explode(cids))
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF cells — the scale
+    path next to :func:`knn_brute_force`.
+
+    Corpus rows are assigned to their nearest cell map-side; each query
+    probes its ``nprobe`` nearest cells. The only join is a broadcast
+    equi-join on the cell id, so candidate generation touches
+    |corpus| × (probed fraction) pairs instead of |corpus| × |queries|.
+    """
+    ca = assign_centroids(
+        corpus, centroids, id_col, vec_col, nprobe=1
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+        "cid",
+    )
+    qa = assign_centroids(
+        queries, centroids, id_col, vec_col, nprobe=nprobe
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+        "cid",
+    )
+    scored = (
+        ca.join(F.broadcast(qa), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_pairs_blocked(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -27,7 +27,11 @@ from ..operators.sessionize import (
     sessionize,
     with_session_flags,
 )
-from ..operators.similarity import cosine_pairs_blocked, knn_brute_force
+from ..operators.similarity import (
+    cosine_pairs_blocked,
+    knn_brute_force,
+    knn_ivf,
+)
 from ..operators.text import doc_fingerprint, language_id, with_text_quality
 from ..sources.testdata import load_events, load_parallel, load_table
 
@@ -678,6 +682,56 @@ FROM ranked WHERE rank <= 5
 """
 
 
+IVF_N_CENTROIDS = 8
+IVF_QUERY_MOD = 97
+IVF_K = 3
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: IVF cells via map-side centroid assignment +
+    broadcast cell join (operators/similarity.knn_ivf)."""
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS)
+    qs = emb.filter(F.col("vec_id") % IVF_QUERY_MOD == 0)
+    out = knn_ivf(emb, qs, cents, k=IVF_K, nprobe=1)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+SQL_KNN_IVF = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < {IVF_N_CENTROIDS}
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_COS.format(a='e.embedding', b='c.cv')} DESC, c.cid)
+           AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+corpus_a AS (SELECT vec_id, embedding, cid FROM assigned WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid FROM corpus_a
+  WHERE vec_id % {IVF_QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_COS.format(a='q.qv', b='c.embedding')} AS score
+  FROM corpus_a c JOIN q ON c.cid = q.cid AND c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER)
+    AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+FROM ranked WHERE rank <= {IVF_K}
+"""
+
+
 def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_parallel(spark, sf_dir, "embeddings")
     out = cosine_pairs_blocked(emb, block_col="label", threshold=0.9)
@@ -774,6 +828,7 @@ QUERIES: dict = {
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "text_quality": q_text_quality,
     "knn_cosine": q_knn_cosine,
+    "knn_ivf": q_knn_ivf,
     "cosine_dup_pairs": q_cosine_dup_pairs,
     "customer_order_ranks": q_customer_order_ranks,
     "sales_rollup": q_sales_rollup,
@@ -805,6 +860,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "text_quality": SQL_TEXT_QUALITY,
     "knn_cosine": SQL_KNN_COSINE,
+    "knn_ivf": SQL_KNN_IVF,
     "cosine_dup_pairs": SQL_COSINE_DUP_PAIRS,
     "customer_order_ranks": SQL_CUSTOMER_ORDER_RANKS,
     "sales_rollup": SQL_SALES_ROLLUP,
