@@ -49,6 +49,90 @@ def with_touchpoints(
     return out
 
 
+def touchpoint_summary(
+    df: DataFrame,
+    visitor_col: str = "fullVisitorId",
+    ts_col: str = "timestamp",
+    source_col: str = "trafficSource_source",
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Collapse hits to one state row per visitor: (visitor, ordered
+    touchpoints, max_ts).
+
+    This is the 100 TB replacement for the reference's
+    recompute-over-all-history design (main.py:1265-1273): attribution
+    state becomes an incrementally maintainable summary of size
+    O(touches per visitor), not a re-scan of every historical hit.
+    Single shuffle of (visitor, (ts, source)) pairs; ordering is made
+    explicit via ``array_sort`` over (ts, tiebreaks) structs, so the
+    result does not depend on shuffle arrival order.
+    """
+    key = F.struct(
+        F.col(ts_col).alias("_ts"),
+        *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tiebreak_cols)],
+        F.col(source_col).alias("_src"),
+    )
+    return df.groupBy(visitor_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(key)), lambda s: s["_src"]
+        ).alias("touchpoints"),
+        F.max(ts_col).alias("max_ts"),
+    )
+
+
+def merge_touchpoint_summaries(
+    prev: DataFrame,
+    new: DataFrame,
+    visitor_col: str = "fullVisitorId",
+) -> DataFrame:
+    """Incremental state merge: previous per-visitor summary ∪ a newer
+    batch's summary (all of ``new``'s events at-or-after ``prev``'s —
+    the daily-batch invariant). Full-outer join on the visitor key
+    shuffles only summary rows — the historical hit table is never
+    re-read, unlike the reference's daily history re-scan."""
+    p = prev.select(
+        visitor_col,
+        F.col("touchpoints").alias("_tp_a"),
+        F.col("max_ts").alias("_ts_a"),
+    )
+    n = new.select(
+        visitor_col,
+        F.col("touchpoints").alias("_tp_b"),
+        F.col("max_ts").alias("_ts_b"),
+    )
+    empty = F.array().cast("array<string>")
+    return (
+        p.join(n, visitor_col, "full_outer")
+        .select(
+            visitor_col,
+            F.concat(
+                F.coalesce("_tp_a", empty), F.coalesce("_tp_b", empty)
+            ).alias("touchpoints"),
+            F.greatest("_ts_a", "_ts_b").alias("max_ts"),
+        )
+    )
+
+
+def summary_attribution(summary: DataFrame) -> DataFrame:
+    """Derive the W9-W11 outputs (direct-free variant, first, last
+    non-direct) from a touchpoint summary — same columns as
+    :func:`with_touchpoints` but one row per visitor."""
+    return (
+        summary.withColumn(
+            "touchpoints_wo_direct",
+            F.filter(F.col("touchpoints"), lambda x: x != "(direct)"),
+        )
+        .withColumn("first_touchpoint", F.get(F.col("touchpoints"), 0))
+        .withColumn(
+            "last_touchpoint",
+            F.coalesce(
+                F.get(F.reverse(F.col("touchpoints_wo_direct")), 0),
+                F.lit("(direct)"),
+            ),
+        )
+    )
+
+
 def recompute_touchpoints(
     history: DataFrame,
     today: DataFrame,

@@ -31,8 +31,9 @@ exchange (hash on visitor) for the whole chain — verified via
 ``.explain``: a single Exchange feeds consecutive Window nodes that
 differ only in sort order. At 100 TB the only skew risk is a hot visitor
 (bot traffic); filter bots upstream (the reference keeps them —
-enrichment/filters/ip.py:5-6) or pre-split via `salt_hot_keys` in
-operators/skew.py.
+enrichment/filters/ip.py:5-6) or pre-split via `split_hot_cold` in
+operators/skew.py (gap sessionization of one visitor is inherently
+sequential, so hot keys get a separate coarse plan, not salting).
 """
 
 from __future__ import annotations

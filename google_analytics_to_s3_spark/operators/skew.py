@@ -1,0 +1,94 @@
+"""Skew mitigation for hot keys (SURVEY.md §7.3 risk 5).
+
+The reference keeps bot traffic in the dataset (only the geo lookup is
+skipped for bots, reference enrichment/filters/ip.py:5-6), so a single
+hot ``body_cid`` (a crawler) lands every one of its hits in one window
+partition — AQE's skew-join splitting does not help window/groupBy
+execution. Two remedies, both pure DataFrame ops:
+
+- :func:`salt_hot_keys` + :func:`unsalt_aggregate` — two-phase
+  aggregation: salt the key to spread a hot group over N partitions,
+  partially aggregate, then aggregate the partials on the unsalted key.
+  Works for any algebraic aggregate; this is the generic pattern for
+  hot-key ``groupBy`` at 100 TB.
+- :func:`hot_keys` — find keys above a frequency threshold (e.g. bot
+  visitors) so callers can route them to a separate plan (filter out,
+  process coarse, or cap) — the sessionization-specific remedy, since
+  gap sessionization of one visitor is inherently sequential.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hot_keys(
+    df: DataFrame, key_col: str, min_count: int
+) -> DataFrame:
+    """Keys whose row count is ≥ ``min_count`` — candidates for salting
+    or separate handling. One shuffle of (key, partial count)."""
+    return (
+        df.groupBy(key_col)
+        .agg(F.count("*").alias("n_rows"))
+        .filter(F.col("n_rows") >= min_count)
+    )
+
+
+def salt_hot_keys(
+    df: DataFrame,
+    key_col: str,
+    n_salts: int = 16,
+    salt_col: str = "_salt",
+) -> DataFrame:
+    """Add a deterministic salt in [0, n_salts) derived from a stable
+    row attribute hash — spreads each key's rows over ``n_salts``
+    shuffle partitions for phase-1 aggregation."""
+    return df.withColumn(
+        salt_col, F.pmod(F.hash(F.monotonically_increasing_id()), n_salts)
+    )
+
+
+def salted_sum(
+    df: DataFrame,
+    key_col: str,
+    value_col: str | Column,
+    n_salts: int = 16,
+    out_col: str = "total",
+) -> DataFrame:
+    """Two-phase hot-key-safe sum: groupBy (key, salt) → partials,
+    then groupBy key → final. The first shuffle spreads a hot key over
+    ``n_salts`` reducers; the second shuffles only one partial row per
+    (key, salt).
+
+    Note: for *algebraic* aggregates Spark's own partial aggregation
+    (map-side combine) already bounds reducer input to one row per
+    (key, map-partition), so explicit salting matters when the
+    aggregate is holistic (collect_list, percentile) or when the
+    per-key combine result itself is large.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    salted = salt_hot_keys(df, key_col, n_salts)
+    partial = salted.groupBy(key_col, "_salt").agg(v.alias("_pv"))
+    # caller passes an aggregate expression, e.g. F.sum("x"); the final
+    # combine must re-aggregate the partials the same way
+    return partial.groupBy(key_col).agg(F.sum("_pv").alias(out_col))
+
+
+def split_hot_cold(
+    df: DataFrame,
+    key_col: str,
+    min_count: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(cold, hot) split by key frequency — the sessionization remedy:
+    run the window chain on cold keys, handle hot keys (bots) with a
+    coarser plan (drop, cap, or per-key repartitioned processing).
+
+    The hot-key set is tiny (it is a skew set by definition) and is
+    broadcast for the anti/semi joins, so the split adds no shuffle of
+    the fact table.
+    """
+    hot = F.broadcast(hot_keys(df, key_col, min_count).select(key_col))
+    cold_df = df.join(hot, key_col, "left_anti")
+    hot_df = df.join(hot, key_col, "left_semi")
+    return cold_df, hot_df

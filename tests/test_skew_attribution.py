@@ -1,0 +1,96 @@
+"""Tests for skew utilities and incremental touchpoint state."""
+
+from pyspark.sql import functions as F
+
+from google_analytics_to_s3_spark.operators.attribution import (
+    merge_touchpoint_summaries,
+    summary_attribution,
+    touchpoint_summary,
+    with_touchpoints,
+)
+from google_analytics_to_s3_spark.operators.skew import (
+    hot_keys,
+    salted_sum,
+    split_hot_cold,
+)
+
+
+def _events(spark):
+    rows = []
+    # hot visitor "bot" with 200 hits, cold visitors with a few
+    for i in range(200):
+        rows.append(("bot", 1000 + i, 1.0))
+    for v in ("a", "b", "c"):
+        for i in range(5):
+            rows.append((v, 2000 + i, 2.0))
+    return spark.createDataFrame(rows, ["visitor", "ts", "x"])
+
+
+def test_hot_keys_and_split(spark):
+    df = _events(spark)
+    hot = {r["visitor"] for r in hot_keys(df, "visitor", 100).collect()}
+    assert hot == {"bot"}
+    cold_df, hot_df = split_hot_cold(df, "visitor", 100)
+    assert {r["visitor"] for r in cold_df.select("visitor").distinct().collect()} == {
+        "a", "b", "c"
+    }
+    assert hot_df.count() == 200
+    assert cold_df.count() + hot_df.count() == df.count()
+
+
+def test_salted_sum_matches_plain(spark):
+    df = _events(spark)
+    plain = {
+        r["visitor"]: r["total"]
+        for r in df.groupBy("visitor").agg(F.sum("x").alias("total")).collect()
+    }
+    salted = {
+        r["visitor"]: r["total"]
+        for r in salted_sum(df, "visitor", F.sum("x"), n_salts=8).collect()
+    }
+    assert salted == plain
+
+
+def _touch_rows(day, visitors):
+    rows = []
+    srcs = ["google", "(direct)", "facebook"]
+    for v in visitors:
+        for i in range(3):
+            rows.append((v, day * 100000 + i, srcs[(v + day + i) % 3]))
+    return rows
+
+
+def test_incremental_touchpoints_matches_recompute(spark):
+    cols = ["visitor", "ts", "source"]
+    day1 = spark.createDataFrame(_touch_rows(1, [1, 2, 3]), cols)
+    day2 = spark.createDataFrame(_touch_rows(2, [2, 3, 4]), cols)
+
+    # incremental path: summarize each day, merge states
+    s1 = touchpoint_summary(day1, "visitor", "ts", "source", ("ts",))
+    s2 = touchpoint_summary(day2, "visitor", "ts", "source", ("ts",))
+    merged = summary_attribution(merge_touchpoint_summaries(s1, s2, "visitor"))
+
+    # recompute path: full-history window (the reference's design)
+    full = with_touchpoints(
+        day1.unionByName(day2), "visitor", "ts", "source", ("ts",)
+    ).select(
+        "visitor", "touchpoints", "touchpoints_wo_direct",
+        "first_touchpoint", "last_touchpoint",
+    ).distinct()
+
+    inc = {
+        r["visitor"]: (
+            r["touchpoints"], r["touchpoints_wo_direct"],
+            r["first_touchpoint"], r["last_touchpoint"],
+        )
+        for r in merged.collect()
+    }
+    ref = {
+        r["visitor"]: (
+            r["touchpoints"], r["touchpoints_wo_direct"],
+            r["first_touchpoint"], r["last_touchpoint"],
+        )
+        for r in full.collect()
+    }
+    assert inc == ref
+    assert set(inc) == {1, 2, 3, 4}
