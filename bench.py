@@ -36,9 +36,18 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "text_quality",
     "knn_cosine",
+    "knn_ivf",
     "cosine_dup_pairs",
     "customer_order_ranks",
     "sales_rollup",
+    "anonymize_ip",
+    "geo_enrich",
+    "ua_parse",
+    "touchpoints",
+    "unpivot_products",
+    "session_window_rollup",
+    "traffic_attribution",
+    "multimodal_decode",
 ]
 
 
