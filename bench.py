@@ -33,7 +33,10 @@ BENCH_QUERIES = [
     "text_stats",
     "minhash_lsh_pairs",
     "simhash",
+    "simhash_dup_pairs",
     "ngram_jaccard_pairs",
+    "promo_revenue",
+    "events_cube",
     "text_quality",
     "knn_cosine",
     "knn_ivf",

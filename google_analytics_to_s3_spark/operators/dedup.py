@@ -180,6 +180,66 @@ def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataF
     return df.withColumn("simhash", simhash(text_col, bits=bits))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: banded candidate generation +
+    exact Hamming filter.
+
+    Pigeonhole recall guarantee: two signatures with Hamming distance
+    ≤ ``bands - 1`` must agree on at least one of the ``bands``
+    contiguous bit-bands, so with ``max_hamming < bands`` no qualifying
+    pair is missed. Only (band, band_value, id, signature) ints shuffle
+    — never documents; the Hamming check is one xor+popcount."""
+    if max_hamming >= bands:
+        raise ValueError("recall guarantee requires max_hamming < bands")
+    w = bits // bands
+    mask = (1 << w) - 1
+    sig = df.select(
+        F.col(id_col), simhash(text_col, bits=bits).alias("sh")
+    ).persist()
+    banded = sig.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"shiftright(sh, {b * w}) & {mask}").alias(
+                            "bval"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "sh", "bk.band", "bk.bval")
+    left, right = banded.alias("l"), banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("l.sh").bitwiseXOR(F.col("r.sh"))
+            ).cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

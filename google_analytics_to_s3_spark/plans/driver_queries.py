@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.ga import map_enum
-from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, with_simhash
+from ..operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    with_simhash,
+)
 from ..operators.sessionize import (
     sessionize,
     with_session_flags,
@@ -593,6 +598,30 @@ WHERE len(list_intersect(l.s, r.s)) > 0
 """
 
 
+def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup dedup end-to-end: banded candidates + exact
+    Hamming filter (pigeonhole recall for hamming < bands)."""
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_pairs(d, bits=16, bands=4, max_hamming=2)
+
+
+SQL_SIMHASH_DUP_PAIRS = f"""
+WITH sig AS ({SQL_SIMHASH}),
+bands AS (
+  SELECT doc_id, simhash AS sh, b.b AS band,
+         (simhash >> (b.b * 4)) & 15 AS bval
+  FROM sig, (SELECT unnest(range(0, 4)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.sh AS sa, r.sh AS sb
+  FROM bands l
+  JOIN bands r ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 2
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
     out = with_text_quality(d)
@@ -750,6 +779,72 @@ WHERE {_COS.format(a='l.embedding', b='r.embedding')} >= 0.9
 # Generic window-function + rollup surface
 # --------------------------------------------------------------------------
 
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped fact×dim join (part broadcast) + conditional agg."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= timestamp_ntz'1997-01-01 00:00:00' AND "
+            "l_shipdate < timestamp_ntz'1998-01-01 00:00:00'"
+        )
+    )
+    p = load_table(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", disc))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(disc).cast("double").alias("total_revenue"),
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc)).cast("double")
+            / F.sum(disc).cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+SQL_PROMO_REVENUE = """
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,6)) END) AS DOUBLE)
+         AS promo_revenue,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+            AS DOUBLE) AS total_revenue,
+       100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+"""
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping over (event_type, day) — grouping-sets surface."""
+    e = load_events(spark, sf_dir)
+    day = F.expr("ts_ms div 86400000").alias("day_num")
+    return e.cube(F.col("event_type"), day).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+SQL_EVENTS_CUBE = """
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS day_num, value FROM events
+)
+SELECT event_type, day_num, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM e GROUP BY CUBE (event_type, day_num)
+"""
+
+
 def q_customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -825,7 +920,10 @@ QUERIES: dict = {
     "text_stats": q_text_stats,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard,
+    "promo_revenue": q_promo_revenue,
+    "events_cube": q_events_cube,
     "text_quality": q_text_quality,
     "knn_cosine": q_knn_cosine,
     "knn_ivf": q_knn_ivf,
@@ -857,7 +955,10 @@ ORACLES: dict[str, str] = {
     "text_stats": SQL_TEXT_STATS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "simhash": SQL_SIMHASH,
+    "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+    "promo_revenue": SQL_PROMO_REVENUE,
+    "events_cube": SQL_EVENTS_CUBE,
     "text_quality": SQL_TEXT_QUALITY,
     "knn_cosine": SQL_KNN_COSINE,
     "knn_ivf": SQL_KNN_IVF,

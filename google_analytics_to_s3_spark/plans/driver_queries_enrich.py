@@ -511,6 +511,62 @@ FROM t
 """
 
 # --------------------------------------------------------------------------
+# Structured Streaming sessionization, end-to-end: events → JSONL file
+# source → session_window + watermark → checkpointed parquet sink → read
+# back. A far-future sentinel advances the watermark so every real
+# session flushes; the closed sessions must equal the batch gap-session
+# rollup, so the oracle is the same SQL as session_window_rollup.
+# --------------------------------------------------------------------------
+
+_SENTINEL_USER = -1
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.sessions import (
+        read_events_stream,
+        stream_sessionize,
+        write_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="ga_stream_q_")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    e = load_events(spark, sf_dir).select("event_id", "user_id", "ts_ms")
+    e.write.mode("overwrite").json(in_dir)
+    q = write_stream(
+        stream_sessionize(
+            read_events_stream(spark, in_dir), watermark_delay="1 minutes"
+        ),
+        out_dir,
+        ckpt,
+    )
+    q.awaitTermination()
+
+    max_ts = e.agg(F.max("ts_ms")).first()[0]
+    spark.createDataFrame(
+        [(10**12, _SENTINEL_USER, max_ts + 10 * 86400000)],
+        "event_id long, user_id long, ts_ms long",
+    ).write.mode("append").json(in_dir)
+    q = write_stream(
+        stream_sessionize(
+            read_events_stream(spark, in_dir), watermark_delay="1 minutes"
+        ),
+        out_dir,
+        ckpt,
+    )
+    q.awaitTermination()
+
+    return spark.read.parquet(out_dir).filter(
+        F.col("user_id") != _SENTINEL_USER
+    )
+
+
+# --------------------------------------------------------------------------
 # Multimodal: binary payload + mapInPandas decode stub (deterministic
 # sha256-derived metadata; operators/multimodal.py).
 # --------------------------------------------------------------------------
@@ -533,6 +589,7 @@ FROM documents
 
 QUERIES_ENRICH = {
     "multimodal_decode": q_multimodal_decode,
+    "streaming_sessions": q_streaming_sessions,
     "anonymize_ip": q_anonymize_ip,
     "geo_enrich": q_geo_enrich,
     "ua_parse": q_ua_parse,
@@ -544,6 +601,7 @@ QUERIES_ENRICH = {
 
 ORACLES_ENRICH = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "streaming_sessions": SQL_SESSION_WINDOW_ROLLUP,
     "anonymize_ip": SQL_ANONYMIZE_IP,
     "geo_enrich": SQL_GEO_ENRICH,
     "ua_parse": SQL_UA_PARSE,
