@@ -1,0 +1,104 @@
+"""Custom stateful streaming sessionization via
+``applyInPandasWithState`` — the escape hatch for session semantics
+``session_window`` cannot express (e.g. emitting per-session custom
+payloads, capping session length, or reference-quirk compatibility).
+
+Complements streaming/sessions.py (the native ``session_window``
+operator, preferred when plain gap sessions suffice). State per
+visitor is a single open-session triple (start, last, n) — O(1) per
+key, bounded by the number of active visitors, and the arbitrary-state
+API lets the close condition be any Python predicate.
+
+Scale notes: groups are distributed by the grouping key across
+executors; state lives in the state store (RocksDB-backed on a real
+cluster). Per batch, a visitor's events are sorted in-memory — bounded
+by per-visitor batch volume, not history. A hot key (bot) concentrates
+one group on one task: split hot keys upstream (operators/skew.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+THIRTY_MIN_MS = 30 * 60 * 1000
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("start", LongType()),
+        StructField("last", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def stateful_sessionize(
+    events: DataFrame,
+    visitor_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    gap_ms: int = THIRTY_MIN_MS,
+) -> DataFrame:
+    """Gap sessionization with explicit per-visitor state.
+
+    Emits a session row when a later event closes it (gap ≥ ``gap_ms``).
+    The trailing open session per visitor stays in state until a newer
+    event (or a sentinel/heartbeat) arrives — the same flush semantics
+    as watermark-based append mode.
+    """
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        ts_all: list[int] = []
+        for pdf in pdfs:
+            ts_all.extend(int(t) for t in pdf[ts_col])
+        out = []
+        for ts in sorted(ts_all):
+            if last is None:
+                start, last, n = ts, ts, 1
+            elif ts - last >= gap_ms:
+                out.append((user_id, start, last, n))
+                start, last, n = ts, ts, 1
+            else:
+                last, n = ts, n + 1
+        state.update((start, last, n))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "session_start_ms", "session_end_ms", "n_events",
+                ],
+            )
+
+    return events.groupBy(visitor_col).applyInPandasWithState(
+        fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
