@@ -882,6 +882,57 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (sort-based
+    holistic aggregate)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.9)).alias("p90"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+SQL_ORDER_PERCENTILES = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface over documents — all native,
+    engine-portable semantics."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 10)).alias("head_upper"),
+        F.length(F.trim(F.col("text"))).cast("int").alias("trim_len"),
+        F.reverse(F.substring("text", 1, 8)).alias("head_rev"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("id_padded"),
+        F.expr("replace(text, 'the', '#')").alias("replaced"),
+        F.instr(F.col("text"), "and").cast("int").alias("and_pos"),
+        F.concat_ws("|", F.col("doc_id").cast("string"), F.substring("text", 1, 4)).alias("joined"),
+    )
+
+
+SQL_STRING_FUNCS = """
+SELECT doc_id,
+       upper(substr(text, 1, 10)) AS head_upper,
+       CAST(length(trim(text)) AS INTEGER) AS trim_len,
+       reverse(substr(text, 1, 8)) AS head_rev,
+       lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id_padded,
+       replace(text, 'the', '#') AS replaced,
+       CAST(instr(text, 'and') AS INTEGER) AS and_pos,
+       concat_ws('|', CAST(doc_id AS VARCHAR), substr(text, 1, 4)) AS joined
+FROM documents
+"""
+
+
 def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
@@ -930,6 +981,8 @@ QUERIES: dict = {
     "cosine_dup_pairs": q_cosine_dup_pairs,
     "customer_order_ranks": q_customer_order_ranks,
     "sales_rollup": q_sales_rollup,
+    "order_percentiles": q_order_percentiles,
+    "string_funcs": q_string_funcs,
 }
 
 from .driver_queries_enrich import (  # noqa: E402
@@ -965,6 +1018,8 @@ ORACLES: dict[str, str] = {
     "cosine_dup_pairs": SQL_COSINE_DUP_PAIRS,
     "customer_order_ranks": SQL_CUSTOMER_ORDER_RANKS,
     "sales_rollup": SQL_SALES_ROLLUP,
+    "order_percentiles": SQL_ORDER_PERCENTILES,
+    "string_funcs": SQL_STRING_FUNCS,
 }
 
 ORACLES.update(ORACLES_ENRICH)

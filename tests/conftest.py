@@ -24,6 +24,13 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Alias fixture for property tests (hypothesis forbids reusing a
+    function-scoped fixture across examples; session scope is fine)."""
+    return spark
+
+
+@pytest.fixture(scope="session")
 def sf_smoke():
     return SF_SMOKE
 
