@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "session_window_rollup",
     "traffic_attribution",
     "multimodal_decode",
+    "asof_join",
+    "order_percentiles",
+    "string_funcs",
 ]
 
 

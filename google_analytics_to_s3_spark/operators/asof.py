@@ -1,0 +1,64 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively,
+built as a union + carry-forward window (brief: custom operators as
+compositions of existing DataFrame ops).
+
+For each left row, attach the latest right row with
+``right_ts <= left_ts`` per key (backward as-of) — the
+training-pipeline staple for joining events to the most recent
+dimension snapshot / feature value without leakage.
+
+Scale design: instead of a range join (quadratic per key) or a per-key
+driver loop, both sides are tagged and unioned, then a single
+``last(..., ignoreNulls)`` carry-forward window over
+(key, ts) attaches the right payload. One hash exchange on the key,
+one in-partition sort — the same plan shape as sessionization, and
+the right side never fans out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    payload_col: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: left columns + the ``right_value_cols`` of
+    the latest right row at-or-before the left row's timestamp (null
+    when no such row). Right-side ties on (key, ts) must be resolved
+    upstream (dedupe to one row per key+ts) for determinism.
+    """
+    rv = F.struct(*[F.col(c) for c in right_value_cols])
+    right_t = right.select(
+        *key_cols,
+        F.col(right_ts).alias("_ts"),
+        rv.alias(payload_col),
+        F.lit(1).alias("_is_right"),
+    )
+    left_t = left.select(
+        "*",
+        F.col(left_ts).alias("_ts"),
+        F.lit(None).cast(right_t.schema[payload_col].dataType).alias(
+            payload_col
+        ),
+        F.lit(0).alias("_is_right"),
+    )
+    u = left_t.unionByName(right_t, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts (>= semantics)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_ts").asc(), F.col("_is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(
+        payload_col, F.last(payload_col, ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_is_right") == 0).drop("_ts", "_is_right")
+    return out

@@ -27,6 +27,7 @@ from ..functions.traffic import (
 )
 from ..functions.ua import with_device_columns
 from ..functions.url import landing_page, page_path_levels
+from ..operators.asof import asof_join
 from ..operators.attribution import with_touchpoints
 from ..operators.multimodal import decode_image_meta, with_binary_payload
 from ..operators.sessionize import with_session_flags
@@ -203,7 +204,14 @@ _UA_FIELDS = [
 
 
 def q_ua_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_events(spark, sf_dir).select("event_id")
+    # Regex-heavy map work: spread the single-file scan across cores
+    # (on a cluster, large inputs split naturally and this is a no-op
+    # choice — see sources/testdata.load_parallel).
+    e = (
+        load_events(spark, sf_dir)
+        .select("event_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     uas = F.array(*[F.lit(s) for s in UA_STRINGS])
     d = e.withColumn("ua_idx", (F.col("event_id") % 8).cast("int")).withColumn(
         "user_agent", F.element_at(uas, F.col("ua_idx") + 1)
@@ -511,6 +519,58 @@ FROM t
 """
 
 # --------------------------------------------------------------------------
+# As-of join: each purchase gets the latest at-or-before signup event
+# of the same user. Oracle = DuckDB's native ASOF LEFT JOIN.
+# --------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts_ms"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts_ms")
+        .agg(F.max("event_id").alias("signup_event"))
+    )
+    out = asof_join(
+        purchases,
+        signups,
+        key_cols=["user_id"],
+        left_ts="ts_ms",
+        right_ts="ts_ms",
+        right_value_cols=["signup_event"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.col("_asof.signup_event").alias("signup_event"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+),
+purchases AS (
+  SELECT event_id, user_id, ts_ms FROM e WHERE event_type = 'purchase'
+),
+signups AS (
+  SELECT user_id, ts_ms, max(event_id) AS signup_event
+  FROM e WHERE event_type = 'signup' GROUP BY user_id, ts_ms
+)
+SELECT p.event_id, p.user_id, p.ts_ms, s.signup_event
+FROM purchases p
+ASOF LEFT JOIN signups s
+  ON p.user_id = s.user_id AND p.ts_ms >= s.ts_ms
+"""
+
+
+# --------------------------------------------------------------------------
 # Structured Streaming sessionization, end-to-end: events → JSONL file
 # source → session_window + watermark → checkpointed parquet sink → read
 # back. A far-future sentinel advances the watermark so every real
@@ -590,6 +650,7 @@ FROM documents
 QUERIES_ENRICH = {
     "multimodal_decode": q_multimodal_decode,
     "streaming_sessions": q_streaming_sessions,
+    "asof_join": q_asof_join,
     "anonymize_ip": q_anonymize_ip,
     "geo_enrich": q_geo_enrich,
     "ua_parse": q_ua_parse,
@@ -602,6 +663,7 @@ QUERIES_ENRICH = {
 ORACLES_ENRICH = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "streaming_sessions": SQL_SESSION_WINDOW_ROLLUP,
+    "asof_join": SQL_ASOF_JOIN,
     "anonymize_ip": SQL_ANONYMIZE_IP,
     "geo_enrich": SQL_GEO_ENRICH,
     "ua_parse": SQL_UA_PARSE,
