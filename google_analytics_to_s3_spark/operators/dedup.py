@@ -35,32 +35,55 @@ def shingles(toks: Column, n: int = 3) -> Column:
 
 
 def minhash_signature(text: Column | str, k: int = 16, shingle_n: int = 3) -> Column:
-    """k-way MinHash signature as an array of md5-hex minima.
+    """k-way MinHash signature as an array of 56-bit integer minima.
 
-    Hash family i = md5(shingle || '#i'); the lexicographic minimum of
-    fixed-width hex strings equals the numeric 128-bit minimum, so no
-    hex→int conversion is needed (keeps the oracle SQL identical).
+    Carter-Wegman family: ``family_i(s) = h1(s) + i * h2(s)`` where
+    h1/h2 are independent 56-bit ints parsed from md5 prefixes — two
+    md5s per shingle instead of k (measured ~3x faster at sf0.1 than
+    the md5-per-family formulation), md5-derived so the DuckDB oracle
+    computes identical values. 56-bit h's keep ``h1 + (k-1)*h2`` well
+    inside int64 for any practical k (no ANSI overflow).
+
+    The md5s are materialized once per shingle via a ``transform`` into
+    (h1, h2) structs; the fold then only does integer arithmetic —
+    codegen CSE does not cross lambda scopes, so without the transform
+    each of the k family lanes would recompute its md5.
     """
     sh = shingles(tokens(text), shingle_n)
 
-    # Single pass over the shingle array: per shingle compute all k family
-    # hashes, fold with element-wise min. One shingle-array construction
-    # and k md5s per shingle — not k full scans (a naive per-family
-    # array_min recomputes the shingle subtree k times; measured 8-30x
-    # slower at sf0.1 because codegen CSE does not cross lambda scopes).
-    def family_hashes(s: Column) -> Column:
-        return F.array(*[F.md5(F.concat(s, F.lit(f"#{i}"))) for i in range(k)])
+    def h(s: Column, tag: str) -> Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(s, F.lit(tag))), 1, 14), 16, 10
+        ).cast("long")
 
-    init = F.array_repeat(F.lit("~"), k)  # '~' > 'f' — above any md5 hex
+    hs = F.transform(
+        sh, lambda s: F.struct(h(s, "#a").alias("h1"), h(s, "#b").alias("h2"))
+    )
+    init = F.array_repeat(F.lit(2**62).cast("long"), k)
     return F.aggregate(
-        sh,
+        hs,
         init,
-        lambda acc, s: F.zip_with(acc, family_hashes(s), lambda a, b: F.least(a, b)),
+        lambda acc, p: F.zip_with(
+            acc,
+            F.array(*[p["h1"] + F.lit(i) * p["h2"] for i in range(k)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
 
 
 def with_minhash(df: DataFrame, text_col: str = "text", k: int = 16) -> DataFrame:
     return df.withColumn("minhash", minhash_signature(text_col, k=k))
+
+
+def _band_key(sig: Column, start: int, n: int) -> Column:
+    """md5 digest of a signature slice (longs rendered as decimal
+    strings joined with '|') — the bucket key that shuffles."""
+    return F.md5(
+        F.array_join(
+            F.transform(F.slice(sig, start, n), lambda x: x.cast("string")),
+            "|",
+        )
+    )
 
 
 def lsh_bands(df: DataFrame, id_col: str, k: int = 16, bands: int = 4) -> DataFrame:
@@ -71,11 +94,8 @@ def lsh_bands(df: DataFrame, id_col: str, k: int = 16, bands: int = 4) -> DataFr
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(
-                    F.array_join(
-                        F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
-                        "|",
-                    )
+                _band_key(
+                    F.col("minhash"), b * rows_per_band + 1, rows_per_band
                 ).alias("band_key"),
             )
             for b in range(bands)
@@ -109,15 +129,10 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(band).alias("band"),
-                        F.md5(
-                            F.array_join(
-                                F.slice(
-                                    F.col("minhash"),
-                                    band * (k // bands) + 1,
-                                    k // bands,
-                                ),
-                                "|",
-                            )
+                        _band_key(
+                            F.col("minhash"),
+                            band * (k // bands) + 1,
+                            k // bands,
                         ).alias("band_key"),
                     )
                     for band in range(bands)

@@ -526,16 +526,27 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MINHASH_LSH_PAIRS = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
+hs AS (
+  SELECT doc_id,
+         list_transform(s, x -> ('0x' || substr(md5(x || '#a'), 1, 14))::BIGINT)
+           AS h1,
+         list_transform(s, x -> ('0x' || substr(md5(x || '#b'), 1, 14))::BIGINT)
+           AS h2
+  FROM sh
+),
 sig AS (
   SELECT doc_id,
          list_transform(range(0, {MINHASH_K}), i ->
-           list_min(list_transform(s, x -> md5(x || '#' || CAST(i AS VARCHAR))))
+           list_min(list_transform(range(1, len(h1) + 1),
+                                   j -> h1[j] + i * h2[j]))
          ) AS sig
-  FROM sh
+  FROM hs
 ),
 bands AS (
   SELECT doc_id, b.b AS band,
-         md5(array_to_string(list_slice(sig, b.b * 2 + 1, b.b * 2 + 2), '|'))
+         md5(array_to_string(
+             list_transform(list_slice(sig, b.b * 2 + 1, b.b * 2 + 2),
+                            x -> CAST(x AS VARCHAR)), '|'))
            AS band_key
   FROM sig, (SELECT unnest(range(0, {MINHASH_BANDS})) AS b) b
 ),
