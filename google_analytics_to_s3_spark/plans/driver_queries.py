@@ -429,6 +429,53 @@ LEFT OUTER JOIN (
 """
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (the L1-L4 envelope-decode family):
+    JSON property → typed column → aggregate."""
+    e = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER)
+         AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti + semi join surface (inherited from Spark, declared)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("never_ordered").alias("segment")
+    )
+    with_ = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("ordered").alias("segment")
+    )
+    return without.unionByName(with_)
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, 'never_ordered' AS segment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, 'ordered' AS segment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
 def q_union_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1-shaped union (by name) + distinct."""
     e = load_events(spark, sf_dir)
@@ -978,6 +1025,8 @@ QUERIES: dict = {
     "local_supplier_volume": q_local_supplier_volume,
     "order_lineitem_left_join": q_order_lineitem_left_join,
     "union_active_users": q_union_active_users,
+    "json_props": q_json_props,
+    "customers_without_orders": q_customers_without_orders,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1015,6 +1064,8 @@ ORACLES: dict[str, str] = {
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "order_lineitem_left_join": SQL_ORDER_LINEITEM_LEFT_JOIN,
     "union_active_users": SQL_UNION_ACTIVE_USERS,
+    "json_props": SQL_JSON_PROPS,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_stats": SQL_TEXT_STATS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
