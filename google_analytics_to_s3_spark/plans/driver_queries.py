@@ -191,6 +191,58 @@ GROUP BY user_id, user_session_id
 """
 
 # --------------------------------------------------------------------------
+# P2 + A2: session-rows export — windowed per-session aggregates
+# materialized on session-start rows (the reference's export shape,
+# main.py:452-460 + 929-978).
+# --------------------------------------------------------------------------
+
+def q_export_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    s = _sessionized_events(spark, sf_dir)
+    rev = F.when(
+        F.col("event_type") == "purchase", F.col("value").cast("decimal(38,6)")
+    )
+    w_sess = Window.partitionBy("user_id", "user_session_id")
+    s2 = s.withColumn(
+        "session_revenue", F.sum(rev).over(w_sess).cast("double")
+    ).withColumn("session_hits", F.count("*").over(w_sess))
+    return s2.filter(F.col("is_new_session") == 1).select(
+        F.col("user_id").alias("fullVisitorId"),
+        F.col("user_session_id").alias("visitNumber"),
+        F.md5(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.col("visit_start").cast("string"),
+                F.col("visit_end").cast("string"),
+            )
+        ).alias("visitId"),
+        F.expr("visit_start div 1000").alias("visitStartTime"),
+        (F.col("visit_end") - F.col("visit_start")).alias("duration_ms"),
+        "session_hits",
+        "session_revenue",
+    )
+
+
+SQL_EXPORT_SESSIONS = f"""
+{_SESS_CTE}
+SELECT user_id AS fullVisitorId,
+       user_session_id AS visitNumber,
+       md5(concat(CAST(user_id AS VARCHAR),
+                  CAST(min(ts_ms) OVER w AS VARCHAR),
+                  CAST(max(ts_ms) OVER w AS VARCHAR))) AS visitId,
+       (min(ts_ms) OVER w) // 1000 AS visitStartTime,
+       max(ts_ms) OVER w - min(ts_ms) OVER w AS duration_ms,
+       count(*) OVER w AS session_hits,
+       CAST(sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(38,6)) END) OVER w AS DOUBLE)
+         AS session_revenue
+FROM numbered
+WINDOW w AS (PARTITION BY user_id, user_session_id)
+QUALIFY is_new_session = 1
+"""
+
+# --------------------------------------------------------------------------
 # Flagship: daily engagement mart (sessionize → day-grain rollup)
 # --------------------------------------------------------------------------
 
@@ -1018,6 +1070,7 @@ QUERIES: dict = {
     "sessionize_full": q_sessionize_full,
     "session_stats": q_session_stats,
     "session_revenue": q_session_revenue,
+    "export_sessions": q_export_sessions,
     "daily_engagement": q_daily_engagement,
     "hit_type_mapping": q_hit_type_mapping,
     "pricing_summary": q_pricing_summary,
@@ -1057,6 +1110,7 @@ ORACLES: dict[str, str] = {
     "sessionize_full": SQL_SESSIONIZE_FULL,
     "session_stats": SQL_SESSION_STATS,
     "session_revenue": SQL_SESSION_REVENUE,
+    "export_sessions": SQL_EXPORT_SESSIONS,
     "daily_engagement": SQL_DAILY_ENGAGEMENT,
     "hit_type_mapping": SQL_HIT_TYPE_MAPPING,
     "pricing_summary": SQL_PRICING_SUMMARY,
