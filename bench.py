@@ -20,41 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from google_analytics_to_s3_spark.plans import driver_queries as dq  # noqa: E402
 from google_analytics_to_s3_spark.session import get_spark  # noqa: E402
 
-BENCH_QUERIES = [
-    "sessionize_full",
-    "session_stats",
-    "session_revenue",
-    "daily_engagement",
-    "pricing_summary",
-    "shipping_priority",
-    "local_supplier_volume",
-    "order_lineitem_left_join",
-    "dedup_exact",
-    "text_stats",
-    "minhash_lsh_pairs",
-    "simhash",
-    "simhash_dup_pairs",
-    "ngram_jaccard_pairs",
-    "promo_revenue",
-    "events_cube",
-    "text_quality",
-    "knn_cosine",
-    "knn_ivf",
-    "cosine_dup_pairs",
-    "customer_order_ranks",
-    "sales_rollup",
-    "anonymize_ip",
-    "geo_enrich",
-    "ua_parse",
-    "touchpoints",
-    "unpivot_products",
-    "session_window_rollup",
-    "traffic_attribution",
-    "multimodal_decode",
-    "asof_join",
-    "order_percentiles",
-    "string_funcs",
-]
+# Every registered query, in stable (alphabetical) order, minus the
+# ones that run side-effecting streaming jobs (timed separately by
+# their tests) — keeps the bench in sync with the registry.
+SKIP = {"streaming_sessions"}
+BENCH_QUERIES = sorted(set(dq.QUERIES) - SKIP)
 
 
 def main() -> None:
