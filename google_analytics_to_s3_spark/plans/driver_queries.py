@@ -481,6 +481,26 @@ LEFT OUTER JOIN (
 """
 
 
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting: HyperLogLog++ and a mergeable
+    DataSketches HLL sketch next to the exact count.
+
+    Deliberately has NO DuckDB oracle (sketch implementations differ
+    across engines — the driver records a rows-only check); exact
+    distinct parity is covered by union_active_users/daily_engagement.
+    At 100 TB the sketch column is the point: it pre-aggregates per
+    partition/day and merges without re-scanning history.
+    """
+    e = load_events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+            "hll_users"
+        ),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction (the L1-L4 envelope-decode family):
     JSON property → typed column → aggregate."""
@@ -1080,6 +1100,7 @@ QUERIES: dict = {
     "union_active_users": q_union_active_users,
     "json_props": q_json_props,
     "customers_without_orders": q_customers_without_orders,
+    "approx_distinct": q_approx_distinct,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
