@@ -548,6 +548,68 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped correlated EXISTS → semi join with a non-equi
+    residual condition."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.expr("o_orderdate + INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_late_orders")
+    )
+
+
+SQL_LATE_SHIPMENT_PRIORITY = """
+SELECT o_orderpriority, count(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped HAVING filter + join-back to the dimension."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+SQL_LARGE_VOLUME_CUSTOMERS = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 150
+) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def q_union_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1-shaped union (by name) + distinct."""
     e = load_events(spark, sf_dir)
@@ -1101,6 +1163,8 @@ QUERIES: dict = {
     "json_props": q_json_props,
     "customers_without_orders": q_customers_without_orders,
     "approx_distinct": q_approx_distinct,
+    "late_shipment_priority": q_late_shipment_priority,
+    "large_volume_customers": q_large_volume_customers,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1141,6 +1205,8 @@ ORACLES: dict[str, str] = {
     "union_active_users": SQL_UNION_ACTIVE_USERS,
     "json_props": SQL_JSON_PROPS,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "late_shipment_priority": SQL_LATE_SHIPMENT_PRIORITY,
+    "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_stats": SQL_TEXT_STATS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
