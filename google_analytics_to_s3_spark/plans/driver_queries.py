@@ -481,6 +481,60 @@ LEFT OUTER JOIN (
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot (the inverse of the §2.8 unpivot): per-user
+    event-type counts as columns. Explicit pivot values keep the plan
+    single-pass (no extra distinct-values job)."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events GROUP BY user_id
+"""
+
+
+def q_user_event_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped array aggregation: sorted distinct event types and the
+    ts-ordered first/last event per user."""
+    e = load_events(spark, sf_dir)
+    return e.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.min_by("event_id", F.struct("ts_ms", "event_id")).alias(
+            "first_event"
+        ),
+        F.max_by("event_id", F.struct("ts_ms", "event_id")).alias(
+            "last_event"
+        ),
+    )
+
+
+SQL_USER_EVENT_ARRAYS = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+)
+SELECT user_id,
+       list_sort(list_distinct(list(event_type))) AS event_types,
+       first(event_id ORDER BY ts_ms, event_id) AS first_event,
+       last(event_id ORDER BY ts_ms, event_id) AS last_event
+FROM e GROUP BY user_id
+"""
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counting: HyperLogLog++ and a mergeable
     DataSketches HLL sketch next to the exact count.
@@ -1165,6 +1219,8 @@ QUERIES: dict = {
     "approx_distinct": q_approx_distinct,
     "late_shipment_priority": q_late_shipment_priority,
     "large_volume_customers": q_large_volume_customers,
+    "events_pivot": q_events_pivot,
+    "user_event_arrays": q_user_event_arrays,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1207,6 +1263,8 @@ ORACLES: dict[str, str] = {
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "late_shipment_priority": SQL_LATE_SHIPMENT_PRIORITY,
     "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
+    "events_pivot": SQL_EVENTS_PIVOT,
+    "user_event_arrays": SQL_USER_EVENT_ARRAYS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_stats": SQL_TEXT_STATS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
