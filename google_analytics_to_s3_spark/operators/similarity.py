@@ -88,29 +88,17 @@ def knn_brute_force(
     )
 
 
-def assign_centroids(
+def _assign_from_list(
     df: DataFrame,
-    centroids: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    nprobe: int = 1,
-    out_col: str = "cid",
+    cents: list[tuple[int, list[float]]],
+    vec_col: str,
+    nprobe: int,
+    out_col: str,
 ) -> DataFrame:
-    """IVF coarse quantization: nearest-centroid cell id(s) per vector.
-
-    The centroid table is collected to the driver (it is small by
-    construction — IVF cell counts are ~sqrt(corpus)) and baked into
-    the plan as literal arrays, so assignment is pure map-side work:
-    zero shuffle, no join. Ties break to the lowest centroid id.
-    With ``nprobe > 1`` each row fans out to its ``nprobe`` nearest
-    cells (the multi-probe search path).
-    """
+    """Map-side nearest-centroid assignment from a driver-side centroid
+    list baked into the plan as literals (see assign_centroids)."""
     import math
 
-    cents = [
-        (r[0], [float(x) for x in r[1]])
-        for r in centroids.select(id_col, vec_col).collect()
-    ]
     if not cents:
         raise ValueError("empty centroid table")
     nrm = _norm(F.col(vec_col))
@@ -130,6 +118,125 @@ def assign_centroids(
     if nprobe == 1:
         return df.withColumn(out_col, F.get(cids, 0))
     return df.withColumn(out_col, F.explode(cids))
+
+
+def assign_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    out_col: str = "cid",
+) -> DataFrame:
+    """IVF coarse quantization: nearest-centroid cell id(s) per vector.
+
+    The centroid table is collected to the driver (it is small by
+    construction — IVF cell counts are ~sqrt(corpus)) and baked into
+    the plan as literal arrays, so assignment is pure map-side work:
+    zero shuffle, no join. Ties break to the lowest centroid id.
+    With ``nprobe > 1`` each row fans out to its ``nprobe`` nearest
+    cells (the multi-probe search path).
+    """
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centroids.select(id_col, vec_col).collect()
+    ]
+    return _assign_from_list(df, cents, vec_col, nprobe, out_col)
+
+
+def train_centroids_kmeans(
+    df: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means over the corpus — the trained-centroid upgrade
+    for :func:`knn_ivf` (iterative algorithm as DataFrame ops).
+
+    Deterministic: init = the ``n_centroids`` lowest-id vectors; each
+    iteration assigns map-side (literal centroids — zero shuffle) and
+    recomputes means with one posexplode+groupBy whose accumulators run
+    in decimal (order-independent under partial aggregation). Only
+    (cid, dim, mean) rows — k×d values — ever reach the driver.
+    """
+    base = df.select(id_col, vec_col)
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in base.orderBy(id_col).limit(n_centroids).collect()
+    ]
+    dim = len(cents[0][1])
+    for _ in range(n_iters):
+        assigned = _assign_from_list(base, cents, vec_col, 1, "cid")
+        rows = (
+            assigned.select("cid", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(38,12)"))
+                    / F.count("*")
+                )
+                .cast("double")
+                .alias("m")
+            )
+            .collect()
+        )
+        means: dict[int, list[float]] = {}
+        for r in rows:
+            means.setdefault(int(r["cid"]), [0.0] * dim)[int(r["pos"])] = r["m"]
+        # empty cells keep their previous centroid
+        cents = [
+            (cid, means.get(cid, vec)) for cid, vec in cents
+        ]
+    return cents
+
+
+def knn_ivf_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 1,
+    n_centroids: int = 8,
+    n_iters: int = 3,
+) -> DataFrame:
+    """IVF search over k-means-trained cells (better-balanced than
+    picking arbitrary corpus vectors as centroids)."""
+    cents = train_centroids_kmeans(
+        corpus, n_centroids, n_iters, id_col, vec_col
+    )
+    ca = _assign_from_list(corpus, cents, vec_col, 1, "cid").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+        "cid",
+    )
+    qa = _assign_from_list(queries, cents, vec_col, nprobe, "cid").select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+        "cid",
+    )
+    scored = (
+        ca.join(F.broadcast(qa), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def knn_ivf(

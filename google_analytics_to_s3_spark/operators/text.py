@@ -36,6 +36,29 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-flavored pre-tokenizer pattern, restricted to constructs both
+# Java regex and RE2 support (no lookahead): contractions, letter runs,
+# digit runs, punctuation runs, whitespace runs. Token counts from this
+# approximate BPE pre-tokenization closely enough for length filtering.
+BPE_SPLIT_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """BPE-ish pre-tokenization via regexp_extract_all — the
+    training-pipeline token counter (whitespace counting undercounts
+    punctuation-heavy text)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.regexp_extract_all(c, F.lit(BPE_SPLIT_RE), 0)
+    # drop pure-whitespace matches: they separate words, they are not tokens
+    return F.filter(toks, lambda t: ~t.rlike(r"^\s+$"))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def with_text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword / repetition quality signals."""
     toks = tokens(text_col)

@@ -37,7 +37,13 @@ from ..operators.similarity import (
     knn_brute_force,
     knn_ivf,
 )
-from ..operators.text import doc_fingerprint, language_id, with_text_quality
+from ..operators.text import (
+    bpe_token_count,
+    doc_fingerprint,
+    language_id,
+    token_count,
+    with_text_quality,
+)
 from ..sources.testdata import load_events, load_parallel, load_table
 
 GAP_MS = 30 * 60 * 1000
@@ -844,6 +850,28 @@ WHERE len(list_intersect(l.s, r.s)) > 0
 """
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish-regex token counting (operators/text.py)."""
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").cast("int").alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER)
+         AS ws_tokens,
+       CAST(len(list_filter(
+           regexp_extract_all(text,
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'),
+           t -> NOT regexp_matches(t, '^\s+$'))) AS INTEGER) AS bpe_tokens
+FROM documents
+"""
+
+
 def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup dedup end-to-end: banded candidates + exact
     Hamming filter (pigeonhole recall for hamming < bands)."""
@@ -1225,6 +1253,7 @@ QUERIES: dict = {
     "text_stats": q_text_stats,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
+    "token_counts": q_token_counts,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "promo_revenue": q_promo_revenue,
@@ -1269,6 +1298,7 @@ ORACLES: dict[str, str] = {
     "text_stats": SQL_TEXT_STATS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "simhash": SQL_SIMHASH,
+    "token_counts": SQL_TOKEN_COUNTS,
     "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "promo_revenue": SQL_PROMO_REVENUE,

@@ -1,0 +1,64 @@
+"""K-means centroid training (iterative DataFrame algorithm) and the
+trained-IVF search path."""
+
+from pyspark.sql import functions as F
+
+from google_analytics_to_s3_spark.operators.similarity import (
+    knn_brute_force,
+    knn_ivf_trained,
+    train_centroids_kmeans,
+)
+from google_analytics_to_s3_spark.sources.testdata import load_table
+
+
+def _inertia(df, cents):
+    """Mean cosine similarity of each vector to its assigned centroid
+    (higher = tighter clusters)."""
+    from google_analytics_to_s3_spark.operators.similarity import (
+        _assign_from_list,
+        _dot,
+        _norm,
+    )
+    import math
+
+    assigned = _assign_from_list(df, cents, "embedding", 1, "cid")
+    by_cid = {cid: vec for cid, vec in cents}
+    rows = assigned.select("vec_id", "embedding", "cid").collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    return sum(cos(list(r["embedding"]), by_cid[r["cid"]]) for r in rows) / len(
+        rows
+    )
+
+
+def test_kmeans_deterministic_and_improving(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    c0 = train_centroids_kmeans(emb, n_centroids=4, n_iters=0)
+    c3a = train_centroids_kmeans(emb, n_centroids=4, n_iters=3)
+    c3b = train_centroids_kmeans(emb, n_centroids=4, n_iters=3)
+    assert c3a == c3b  # decimal accumulators -> bit-identical runs
+    assert len(c3a) == 4
+    # training tightens clusters vs the untrained (seed) centroids
+    assert _inertia(emb, c3a) >= _inertia(emb, c0)
+
+
+def test_knn_ivf_trained_recall(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = knn_brute_force(emb, queries, k=3)
+    approx = knn_ivf_trained(
+        emb, queries, k=3, nprobe=2, n_centroids=4, n_iters=2
+    )
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # IVF with multi-probe should recover a solid share of true top-3
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, recall
+    # and every query returns k ranked rows
+    counts = approx.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in counts)

@@ -91,6 +91,45 @@ def test_stream_sessionize_matches_batch(spark, sf_smoke, tmp_path):
     assert len(got) > 0
 
 
+def test_stream_static_broadcast_join(spark, sf_smoke, tmp_path):
+    """Stream-static enrichment: each micro-batch joins the static dim
+    (broadcast — no stream-side shuffle, no state store)."""
+    events = (
+        load_events(spark, sf_smoke)
+        .select("event_id", "user_id", "ts_ms")
+        .filter(F.col("user_id") < 5)
+    )
+    rows = [r.asDict() for r in events.collect()]
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    _write_jsonl(f"{in_dir}/part-0.json", rows)
+
+    dim = spark.read.parquet(f"{sf_smoke}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("user_id"),
+        F.col("n_name").alias("user_nation"),
+    )
+    stream = read_events_stream(spark, in_dir)
+    enriched = stream.join(F.broadcast(dim), "user_id", "left_outer")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == len(rows)
+    nations = {
+        r["user_id"]: r["user_nation"]
+        for r in dim.filter(F.col("user_id") < 5).collect()
+    }
+    for r in got.select("user_id", "user_nation").distinct().collect():
+        assert r["user_nation"] == nations[r["user_id"]]
+
+
 def test_foreach_batch_reuses_batch_transforms(spark, sf_smoke, tmp_path):
     from google_analytics_to_s3_spark.operators.sessionize import sessionize
     from google_analytics_to_s3_spark.streaming.sessions import (
