@@ -453,6 +453,229 @@ GROUP BY n_name
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped scalar aggregate: every predicate lands in
+    PushedFilters and only 4 columns are read — the pushdown showcase."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= timestamp_ntz'1996-01-01 00:00:00' AND "
+            "l_shipdate < timestamp_ntz'1997-01-01 00:00:00'"
+        )
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bidirectional nation-pair trade volume by year.
+
+    The two nation dims are pre-filtered to the pair BEFORE joining, so
+    the broadcast joins themselves prune the fact table; the OR-across-
+    tables pair predicate (which Catalyst cannot push through a join)
+    only sees pre-pruned rows.
+    """
+    pair = ("NATION_1", "NATION_2")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= timestamp_ntz'1996-01-01 00:00:00' AND "
+            "l_shipdate < timestamp_ntz'1998-01-01 00:00:00'"
+        )
+    )
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == pair[0])
+                & (F.col("cust_nation") == pair[1])
+            )
+            | (
+                (F.col("supp_nation") == pair[1])
+                & (F.col("cust_nation") == pair[0])
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(volume).cast("double").alias("revenue"))
+    )
+
+
+SQL_VOLUME_SHIPPING = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: one nation's fraction of a
+    region's PROMO-part volume per order year (conditional-sum ratio)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= timestamp_ntz'1996-01-01 00:00:00' AND "
+            "o_orderdate < timestamp_ntz'1998-01-01 00:00:00'"
+        )
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    all_nations = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            volume.alias("volume"),
+            "nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    return all_nations.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
+                    zero
+                )
+            ).cast("double")
+            / F.sum(F.col("volume")).cast("double")
+        ).alias("mkt_share")
+    )
+
+
+SQL_MARKET_SHARE = """
+SELECT o_year,
+       CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                     ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+       / CAST(sum(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS volume,
+         n2.n_name AS nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+) all_nations
+GROUP BY o_year
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: top-20 customers by returned-item revenue in a
+    quarter (join + agg + deterministic top-k)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= timestamp_ntz'1996-01-01 00:00:00' AND "
+            "o_orderdate < timestamp_ntz'1996-04-01 00:00:00'"
+        )
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 def q_order_lineitem_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1-shaped left-outer equi-join: parent rows survive without children."""
     o = load_table(spark, sf_dir, "orders")
@@ -1240,6 +1463,10 @@ QUERIES: dict = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
+    "forecast_revenue": q_forecast_revenue,
+    "volume_shipping": q_volume_shipping,
+    "market_share": q_market_share,
+    "returned_items": q_returned_items,
     "order_lineitem_left_join": q_order_lineitem_left_join,
     "union_active_users": q_union_active_users,
     "json_props": q_json_props,
@@ -1286,6 +1513,10 @@ ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+    "forecast_revenue": SQL_FORECAST_REVENUE,
+    "volume_shipping": SQL_VOLUME_SHIPPING,
+    "market_share": SQL_MARKET_SHARE,
+    "returned_items": SQL_RETURNED_ITEMS,
     "order_lineitem_left_join": SQL_ORDER_LINEITEM_LEFT_JOIN,
     "union_active_users": SQL_UNION_ACTIVE_USERS,
     "json_props": SQL_JSON_PROPS,
