@@ -1,0 +1,172 @@
+"""Table maintenance for plain parquet directories: size-targeted
+writes and small-file compaction.
+
+The reference pins every output to ONE file per table/day via
+``repartition(1)`` (reference functions/sessionization/main.py:1318) —
+the survey's anti-scale list (§4.2). The opposite failure mode at
+100 TB is the small-file problem: thousands of tasks × thousands of
+Hive partitions → millions of KB-sized files that crush the namenode /
+S3 listing and the next scan's task scheduler. This module is the
+idiomatic middle ground, the moral equivalent of Delta/Iceberg
+``OPTIMIZE`` without a table format:
+
+- :func:`write_sized` — cluster rows by partition key before the write
+  (one task per Hive partition, not tasks × partitions files) and split
+  output at a byte-calibrated ``maxRecordsPerFile``.
+- :func:`compact_parquet_dir` — rewrite partition directories whose
+  files are too small/numerous into ceil(bytes/target) files.
+
+File listing and moves go through the Hadoop FileSystem API (via the
+session's JVM), so the same code runs on file://, hdfs:// and s3a://.
+The swap in :func:`compact_parquet_dir` is delete-then-move — atomic
+enough for a maintenance window, but concurrent readers can observe a
+partial directory; a real lakehouse deployment would use a
+transactional table format (Delta/Iceberg) for that guarantee.
+"""
+
+from __future__ import annotations
+
+import math
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_TARGET_FILE_BYTES = 128 << 20
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath, jvm
+
+
+def list_leaf_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """All data files under ``path`` (recursive) as (uri, bytes)."""
+    fs, jpath, _ = _fs(spark, path)
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        out.append((st.getPath().toString(), int(st.getLen())))
+    return out
+
+
+def estimate_row_bytes(df: DataFrame, sample_rows: int = 10_000) -> float:
+    """On-disk (encoded+compressed) bytes per row, measured by writing a
+    sample to scratch space — the honest estimator; schema-based guesses
+    miss encoding by 10×. At warehouse scale you'd persist this in a
+    catalog instead of re-sampling per write.
+    """
+    spark = df.sparkSession
+    scratch = (
+        spark.conf.get("spark.local.dir", "/tmp")
+        + f"/rowbytes-{uuid.uuid4().hex}"
+    )
+    sample = df.limit(sample_rows)
+    sample.write.mode("overwrite").parquet(scratch)
+    files = list_leaf_files(spark, scratch)
+    n = spark.read.parquet(scratch).count()
+    total = sum(sz for _, sz in files)
+    fs, jpath, _ = _fs(spark, scratch)
+    fs.delete(jpath, True)
+    if n == 0:
+        raise ValueError("cannot estimate row size of an empty DataFrame")
+    return total / n
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    row_bytes: float | None = None,
+    tasks_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> int:
+    """Write parquet with byte-calibrated file sizing. Returns the
+    ``maxRecordsPerFile`` used.
+
+    ``repartition(partition_by)`` clusters each Hive partition into one
+    task, so file count per directory is ceil(rows/records_per_file),
+    not the task count. For skewed partition keys raise
+    ``tasks_per_partition``: rows are salted across that many tasks so
+    one giant date doesn't serialize through a single writer.
+    """
+    if row_bytes is None:
+        row_bytes = estimate_row_bytes(df)
+    max_records = max(1, int(target_file_bytes / row_bytes))
+    out = df
+    if partition_by:
+        keys = [F.col(c) for c in partition_by]
+        if tasks_per_partition > 1:
+            out = out.withColumn(
+                "_salt",
+                F.pmod(
+                    F.monotonically_increasing_id(),
+                    F.lit(tasks_per_partition),
+                ),
+            )
+            keys.append(F.col("_salt"))
+        out = out.repartition(*keys)
+        if tasks_per_partition > 1:
+            out = out.drop("_salt")
+    writer = out.write.mode(mode).option("maxRecordsPerFile", max_records)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return max_records
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    min_files: int = 2,
+) -> dict[str, tuple[int, int]]:
+    """Rewrite every leaf directory holding ≥ ``min_files`` data files
+    into ceil(total_bytes/target) files. Returns
+    ``{dir: (files_before, files_after)}`` for the dirs rewritten.
+
+    Each directory is read/coalesced/rewritten independently, so the
+    job's memory footprint is one directory at a time regardless of
+    table size, and untouched partitions keep their files byte-
+    identical (no churn for downstream incremental consumers).
+    """
+    by_dir: dict[str, list[tuple[str, int]]] = {}
+    for f, sz in list_leaf_files(spark, path):
+        parent = f.rsplit("/", 1)[0]
+        by_dir.setdefault(parent, []).append((f, sz))
+
+    fs, _, jvm = _fs(spark, path)
+    JPath = jvm.org.apache.hadoop.fs.Path
+    result: dict[str, tuple[int, int]] = {}
+    for d, files in sorted(by_dir.items()):
+        if len(files) < min_files:
+            continue
+        total = sum(sz for _, sz in files)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        if n_out >= len(files):
+            continue
+        tmp = f"{d}/_compact-{uuid.uuid4().hex}"
+        (
+            spark.read.parquet(*[f for f, _ in files])
+            .coalesce(n_out)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        new_files = [
+            f for f, _ in list_leaf_files(spark, tmp)
+        ]
+        for f, _ in files:
+            fs.delete(JPath(f), False)
+        for i, f in enumerate(new_files):
+            name = f.rsplit("/", 1)[1]
+            fs.rename(JPath(f), JPath(f"{d}/compacted-{i}-{name}"))
+        fs.delete(JPath(tmp), True)
+        result[d] = (len(files), len(new_files))
+    return result

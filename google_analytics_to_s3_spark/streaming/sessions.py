@@ -90,6 +90,36 @@ def stream_sessionize(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join with bounded state (beyond-reference: the
+    reference joins only within one batch file; Spark can correlate two
+    live streams).
+
+    Both sides carry a watermark and the join predicate bounds
+    ``right_ts`` to [left_ts, left_ts + within], so the state store can
+    expire buffered rows once the watermark passes — state is
+    O(in-flight interval), not O(stream history). Pre-rename the
+    non-key columns of one side; Spark will reject ambiguous names.
+    """
+    l = left.withWatermark(left_ts, watermark_delay)
+    r = right.withWatermark(right_ts, watermark_delay)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, how).drop(r[key])
+
+
 def _duration_ms(spec: str) -> int:
     n, unit = spec.split()
     mult = {

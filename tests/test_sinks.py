@@ -61,3 +61,73 @@ def test_catalog_registration(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS marts_test.sessions")
         spark.sql("DROP DATABASE IF EXISTS marts_test")
+
+
+def test_write_sized_calibrates_file_sizes(spark, sf_smoke, tmp_path):
+    from google_analytics_to_s3_spark.sources.maintenance import (
+        list_leaf_files,
+        write_sized,
+    )
+    from google_analytics_to_s3_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_smoke).select(
+        "event_id", "user_id", "ts_ms", "event_type", "value"
+    )
+    out = str(tmp_path / "sized")
+    target = 4 << 10  # 4 KiB files (the smoke table is ~18 KiB total)
+    write_sized(ev, out, target_file_bytes=target)
+    files = list_leaf_files(spark, out)
+    assert len(files) >= 2  # the table is > one target file
+    # every file lands near target (row granularity + footer slack)
+    assert all(sz <= 4 * target for _, sz in files), files
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()
+
+
+def test_write_sized_partitioned_layout(spark, sf_smoke, tmp_path):
+    from google_analytics_to_s3_spark.sources.maintenance import write_sized
+    from google_analytics_to_s3_spark.sources.testdata import load_events
+    import os
+
+    ev = load_events(spark, sf_smoke).withColumn(
+        "day", (F.col("ts_ms") / 86400000).cast("long")
+    )
+    out = str(tmp_path / "bydate")
+    write_sized(ev, out, partition_by=("day",), target_file_bytes=1 << 20)
+    days = [d for d in os.listdir(out) if d.startswith("day=")]
+    assert len(days) >= 2
+    # one task per partition + 1 MiB target -> exactly one file per dir
+    for d in days:
+        parts = [
+            f for f in os.listdir(f"{out}/{d}") if f.endswith(".parquet")
+        ]
+        assert len(parts) == 1, (d, parts)
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()
+
+
+def test_compact_parquet_dir(spark, sf_smoke, tmp_path):
+    from google_analytics_to_s3_spark.sources.maintenance import (
+        compact_parquet_dir,
+        list_leaf_files,
+    )
+    from google_analytics_to_s3_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_smoke).select(
+        "event_id", "user_id", "ts_ms", "event_type"
+    )
+    out = str(tmp_path / "small")
+    # force the small-file problem: many tiny files
+    ev.repartition(16).write.mode("overwrite").option(
+        "maxRecordsPerFile", 200
+    ).parquet(out)
+    before = list_leaf_files(spark, out)
+    assert len(before) >= 16
+    expect = ev.orderBy("event_id").collect()
+
+    stats = compact_parquet_dir(spark, out, target_file_bytes=256 << 20)
+    after = list_leaf_files(spark, out)
+    assert len(after) < len(before)
+    assert stats and all(b > a for b, a in stats.values())
+    got = spark.read.parquet(out).orderBy("event_id").collect()
+    assert got == expect

@@ -163,3 +163,56 @@ def test_foreach_batch_reuses_batch_transforms(spark, sf_smoke, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == len(rows)
     assert "visit_id" in got.columns
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two live streams (clicks, purchases) correlated within a
+    30-minute interval; watermark + interval bound the join state."""
+    from google_analytics_to_s3_spark.streaming.sessions import (
+        stream_stream_join,
+    )
+
+    t0 = 1_700_000_000_000
+    m = 60_000
+    clicks = [
+        {"event_id": 1, "user_id": 1, "ts_ms": t0},
+        {"event_id": 2, "user_id": 1, "ts_ms": t0 + 40 * m},
+        {"event_id": 3, "user_id": 2, "ts_ms": t0},
+        {"event_id": 4, "user_id": 3, "ts_ms": t0},
+    ]
+    purchases = [
+        # within 30 min of click 1 only
+        {"event_id": 101, "user_id": 1, "ts_ms": t0 + 10 * m},
+        # within 30 min of click 2 only (50m after click 1)
+        {"event_id": 102, "user_id": 1, "ts_ms": t0 + 50 * m},
+        # before any click of user 2 -> no match
+        {"event_id": 103, "user_id": 2, "ts_ms": t0 - 5 * m},
+        # user 4 has no clicks -> no match
+        {"event_id": 104, "user_id": 4, "ts_ms": t0 + 1 * m},
+    ]
+    c_dir, p_dir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    _write_jsonl(f"{c_dir}/part-0.json", clicks)
+    _write_jsonl(f"{p_dir}/part-0.json", purchases)
+
+    c = read_events_stream(spark, c_dir).select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    p = read_events_stream(spark, p_dir).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    joined = stream_stream_join(
+        c, p, key="user_id", left_ts="ts", right_ts="p_ts",
+        within="30 minutes",
+    ).select("user_id", "click_id", "purchase_id")
+
+    out_dir = str(tmp_path / "out")
+    q = write_stream(joined, out_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {(1, 101), (2, 102)}
