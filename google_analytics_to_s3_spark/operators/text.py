@@ -116,6 +116,80 @@ def language_id(text: Column | str) -> Column:
     return expr.otherwise(F.lit(langs[0]))
 
 
+# Unicode-script character classes (Java regex syntax — Spark's rlike /
+# regexp_replace run on the JVM). Script detection is a far stronger
+# language signal than stopwords for non-Latin text and costs one
+# regexp_replace per script, map-side.
+SCRIPT_CLASSES: dict[str, str] = {
+    "arabic": r"\p{script=Arabic}",
+    "cyrillic": r"\p{script=Cyrillic}",
+    "han": r"\p{script=Han}",
+    "hangul": r"\p{script=Hangul}",
+    "kana": r"\p{script=Hiragana}\p{script=Katakana}",
+    "latin": r"\p{script=Latin}",
+}
+
+SCRIPT_TO_LANG: dict[str, str] = {
+    "arabic": "ar",
+    "cyrillic": "ru",
+    "han": "zh",
+    "hangul": "ko",
+    "kana": "ja",
+}
+
+
+def script_counts(text: Column | str) -> dict[str, Column]:
+    """Characters per Unicode script (the script-ID signal)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        name: F.length(F.regexp_replace(c, f"[^{cls}]", ""))
+        for name, cls in SCRIPT_CLASSES.items()
+    }
+
+
+def dominant_script(text: Column | str) -> Column:
+    """Argmax over script_counts; ties break in fixed (sorted) script
+    order; all-zero (e.g. digits-only text) falls back to 'latin'."""
+    counts = script_counts(text)
+    names = sorted(counts)
+    expr: Column | None = None
+    for name in names:
+        cond: Column | None = None
+        for other in names:
+            if other == name:
+                continue
+            ge = counts[name] >= counts[other]
+            cond = ge if cond is None else (cond & ge)
+        assert cond is not None
+        cond = cond & (counts[name] > 0)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    assert expr is not None
+    return expr.otherwise(F.lit("latin"))
+
+
+def language_id_scripted(text: Column | str) -> Column:
+    """Two-stage language ID: non-Latin scripts map straight to their
+    language (han→zh, hangul→ko, kana→ja, cyrillic→ru, arabic→ar);
+    Latin text falls through to the stopword argmax. For Latin-only
+    corpora this agrees with :func:`language_id` exactly, so the
+    text_stats oracle is unaffected."""
+    script = dominant_script(text)
+    expr: Column | None = None
+    for name, lang in sorted(SCRIPT_TO_LANG.items()):
+        branch_cond = script == F.lit(name)
+        expr = (
+            F.when(branch_cond, F.lit(lang))
+            if expr is None
+            else expr.when(branch_cond, F.lit(lang))
+        )
+    assert expr is not None
+    return expr.otherwise(language_id(text))
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Order-insensitive bag-of-words content fingerprint:
     md5 over the sorted distinct token set."""

@@ -120,6 +120,27 @@ def stream_stream_join(
     return l.join(r, cond, how).drop(r[key])
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state — the streaming
+    counterpart of operators/dedup.dedup_exact for at-least-once
+    sources (the reference's Firehose retries can duplicate records;
+    the reference itself never dedups).
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and expires
+    key state once the watermark passes, so state is O(keys per
+    watermark window), not O(stream history) — the property that makes
+    exact dedup viable on an unbounded stream.
+    """
+    return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def _duration_ms(spec: str) -> int:
     n, unit = spec.split()
     mult = {

@@ -216,3 +216,30 @@ def test_stream_stream_interval_join(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == {(1, 101), (2, 102)}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """At-least-once delivery duplicates collapse to one row per key."""
+    from google_analytics_to_s3_spark.streaming.sessions import stream_dedup
+
+    t0 = 1_700_000_000_000
+    rows = [
+        {"event_id": 1, "user_id": 1, "ts_ms": t0},
+        {"event_id": 1, "user_id": 1, "ts_ms": t0},  # exact retry
+        {"event_id": 2, "user_id": 1, "ts_ms": t0 + 60_000},
+        {"event_id": 1, "user_id": 1, "ts_ms": t0 + 1_000},  # late retry
+        {"event_id": 3, "user_id": 2, "ts_ms": t0},
+    ]
+    in_dir = str(tmp_path / "in")
+    _write_jsonl(f"{in_dir}/part-0.json", rows)
+
+    deduped = stream_dedup(
+        read_events_stream(spark, in_dir), keys=["event_id"]
+    ).select("event_id", "user_id", "ts_ms")
+    out_dir = str(tmp_path / "out")
+    q = write_stream(deduped, out_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 3
+    assert {r["event_id"] for r in got.collect()} == {1, 2, 3}

@@ -1,0 +1,62 @@
+"""Unit truth tables for the text operators (script detection,
+language ID, tokenization) over literal rows."""
+
+from pyspark.sql import functions as F
+
+from google_analytics_to_s3_spark.operators.text import (
+    bpe_token_count,
+    dominant_script,
+    language_id,
+    language_id_scripted,
+    token_count,
+)
+
+SCRIPT_CASES = [
+    ("the quick brown fox", "latin", "en"),
+    ("der Hund und die Katze ist nicht da", "latin", "de"),
+    ("el perro y los gatos es un animal que", "latin", "es"),
+    ("le chien et le chat est dans une maison", "latin", "fr"),
+    ("这是一个中文测试句子", "han", "zh"),
+    ("это тест на русском языке", "cyrillic", "ru"),
+    ("هذا اختبار باللغة العربية", "arabic", "ar"),
+    ("한국어 테스트 문장입니다", "hangul", "ko"),
+    ("これはにほんごのテストです", "kana", "ja"),
+    ("12345 67890", "latin", None),  # digits-only falls back to latin
+]
+
+
+def test_script_and_language_truth_table(spark):
+    rows = [(i, t) for i, (t, _, _) in enumerate(SCRIPT_CASES)]
+    df = spark.createDataFrame(rows, ["i", "text"]).select(
+        "i",
+        dominant_script("text").alias("script"),
+        language_id_scripted("text").alias("lang"),
+    )
+    got = {r["i"]: (r["script"], r["lang"]) for r in df.collect()}
+    for i, (_, script, lang) in enumerate(SCRIPT_CASES):
+        assert got[i][0] == script, (i, got[i])
+        if lang is not None:
+            assert got[i][1] == lang, (i, got[i])
+
+
+def test_scripted_agrees_with_stopword_id_on_latin(spark, sf_smoke):
+    from google_analytics_to_s3_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_smoke, "documents").select(
+        language_id("text").alias("a"),
+        language_id_scripted("text").alias("b"),
+    )
+    assert d.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_token_counters(spark):
+    df = spark.createDataFrame(
+        [("Hello, world! It's 2026.",), ("one two three",)], ["text"]
+    ).select(
+        token_count("text").alias("ws"),
+        bpe_token_count("text").alias("bpe"),
+    )
+    rows = df.collect()
+    # "Hello," counts once for whitespace but Hello + , for BPE-ish
+    assert rows[0]["bpe"] > rows[0]["ws"]
+    assert rows[1]["ws"] == 3 and rows[1]["bpe"] == 3

@@ -1,0 +1,70 @@
+"""Physical-plan assertions for the TPC-H-shaped queries: dims must
+broadcast, filters must reach the scans, and nothing may plan a
+cartesian product. These are the properties that survive a 100× data
+scale-up — the row counts alone would not catch a regression to a
+shuffle-everything plan."""
+
+import re
+
+import pytest
+
+from google_analytics_to_s3_spark.plans.driver_queries import (
+    q_forecast_revenue,
+    q_local_supplier_volume,
+    q_market_share,
+    q_returned_items,
+    q_shipping_priority,
+    q_volume_shipping,
+)
+
+
+def _plan(df, mode: str = "simple") -> str:
+    # full (untruncated) explain text, same source as df.explain()
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [
+        q_shipping_priority,
+        q_local_supplier_volume,
+        q_volume_shipping,
+        q_market_share,
+        q_returned_items,
+    ],
+)
+def test_no_cartesian_or_nested_loop(spark, sf_smoke, fn):
+    plan = _plan(fn(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "fn,n_broadcast",
+    [(q_volume_shipping, 3), (q_market_share, 4), (q_returned_items, 1)],
+)
+def test_dims_broadcast(spark, sf_smoke, fn, n_broadcast):
+    plan = _plan(fn(spark, sf_smoke))
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= n_broadcast, plan
+
+
+def test_q6_pushdown_and_pruning(spark, sf_smoke):
+    plan = _plan(q_forecast_revenue(spark, sf_smoke), "formatted")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    # only the 4 referenced columns are read from a 16-column table
+    assert len(m.group(1).split(",")) == 4, m.group(1)
+
+
+def test_volume_shipping_nation_prefilter_reaches_scan(spark, sf_smoke):
+    """The isin() pre-filter must hit the nation scans so the broadcast
+    sides shrink to the pair before the fact join."""
+    plan = _plan(q_volume_shipping(spark, sf_smoke), "formatted")
+    assert re.search(r"PushedFilters: \[.*In\(n_name", plan), plan
