@@ -18,7 +18,7 @@ Parity rules (so the driver's order-insensitive value-hash matches):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.ga import map_enum
@@ -673,6 +673,77 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
+"""
+
+
+def q_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving revenue via a RANGE window frame (the frame kind
+    the reference never uses — SURVEY §2.5 notes only default frames).
+
+    The window input is the per-day aggregate (thousands of rows after
+    a partial-agg groupBy), so the unpartitioned ordered window is a
+    deliberate, safe single-task step — the fact-table scan and the
+    daily rollup before it are fully parallel.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("int")
+        .alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev"))
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.col("rev").cast("double").alias("daily_rev"),
+        F.sum("rev").over(w).cast("double").alias("ma7_rev"),
+    )
+
+
+SQL_MOVING_REVENUE = """
+WITH daily AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS INTEGER)
+           AS day,
+         sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT day,
+       CAST(rev AS DOUBLE) AS daily_rev,
+       CAST(sum(rev) OVER (ORDER BY day
+                           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS ma7_rev
+FROM daily
+"""
+
+
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order cadence: lead/lag, dense_rank and ntile — the
+    ranking surface the reference lacks (SURVEY §2.5: 'no ranking
+    beyond row_number; no ntile/dense_rank/lead'). One hash exchange on
+    the customer; every function shares the same ordered window."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("int")
+        .alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.dense_rank().over(w).cast("int").alias("order_rank"),
+        F.ntile(4).over(w).cast("int").alias("cadence_quartile"),
+    )
+
+
+SQL_ORDER_GAPS = """
+SELECT o_custkey, o_orderkey,
+       CAST(datediff('day',
+              lag(o_orderdate) OVER w, o_orderdate) AS INTEGER)
+         AS days_since_prev,
+       lead(o_orderkey) OVER w AS next_orderkey,
+       CAST(dense_rank() OVER w AS INTEGER) AS order_rank,
+       CAST(ntile(4) OVER w AS INTEGER) AS cadence_quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
@@ -1467,6 +1538,8 @@ QUERIES: dict = {
     "volume_shipping": q_volume_shipping,
     "market_share": q_market_share,
     "returned_items": q_returned_items,
+    "moving_revenue": q_moving_revenue,
+    "order_gaps": q_order_gaps,
     "order_lineitem_left_join": q_order_lineitem_left_join,
     "union_active_users": q_union_active_users,
     "json_props": q_json_props,
@@ -1517,6 +1590,8 @@ ORACLES: dict[str, str] = {
     "volume_shipping": SQL_VOLUME_SHIPPING,
     "market_share": SQL_MARKET_SHARE,
     "returned_items": SQL_RETURNED_ITEMS,
+    "moving_revenue": SQL_MOVING_REVENUE,
+    "order_gaps": SQL_ORDER_GAPS,
     "order_lineitem_left_join": SQL_ORDER_LINEITEM_LEFT_JOIN,
     "union_active_users": SQL_UNION_ACTIVE_USERS,
     "json_props": SQL_JSON_PROPS,
