@@ -314,6 +314,91 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_thresholded(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ ``threshold`` pairs with prefix filtering
+    (the AllPairs/PPJoin candidate-pruning technique) — the scale path
+    for thresholded similarity joins.
+
+    Shingles are put in a canonical rarest-first order (ascending
+    global document frequency); a qualifying pair must share ≥
+    ``ceil(t·|A|)`` shingles, so the smaller-id doc must share one of
+    its first ``|A| - ceil(t·|A|) + 1`` shingles with the other doc —
+    only that prefix is probed against the inverted index. Candidates
+    then get the exact jaccard from an array intersect. Lossless
+    (returns exactly the naive join's ≥ t pairs), but the join input
+    shrinks from every (doc, shingle) pair to the rare-shingle
+    prefixes, which is what keeps bucket sizes bounded at corpus scale.
+    """
+    sh = F.array_distinct(shingles(tokens(text_col), n))
+    bcols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
+    # persist: the tokenize+shingle pass is the expensive map stage and
+    # feeds both the frequency count and the per-doc ordering.
+    base = df.select(*bcols, sh.alias("sh")).filter(F.size("sh") > 0).persist()
+    names = [id_col] + ([block_col] if block_col else [])
+    ex = base.select(*bcols, F.explode("sh").alias("s"))
+    # document frequency per shingle: small after aggregation -> broadcast
+    # back onto the exploded rows (no shuffle of the big side).
+    freq = ex.groupBy("s").agg(F.count("*").alias("df_s"))
+    ordered = (
+        ex.join(F.broadcast(freq), "s")
+        .groupBy(*names)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df_s", "s"))),
+                lambda x: x["s"],
+            ).alias("sh")
+        )
+        .persist()
+    )
+    t = float(threshold)
+    sz = F.size("sh")
+    plen = (sz - F.ceil(F.lit(t) * sz) + 1).cast("int")
+    probe = ordered.select(
+        F.col(id_col).alias("id_a"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+        sz.alias("sz_a"),
+        F.explode(F.slice(F.col("sh"), F.lit(1), plen)).alias("s"),
+    )
+    index = ordered.select(
+        F.col(id_col).alias("id_b"),
+        *([F.col(block_col).alias("blk_b")] if block_col else []),
+        sz.alias("sz_b"),
+        F.explode("sh").alias("s"),
+    )
+    # size-compatibility: J(A,B) >= t forces t·|A| <= |B| <= |A|/t —
+    # a free residual predicate that kills most candidates in the join.
+    cond = (
+        (probe["s"] == index["s"])
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.col("sz_b") >= F.ceil(F.lit(t) * F.col("sz_a")))
+        & (F.col("sz_b") * F.lit(t) <= F.col("sz_a"))
+    )
+    if block_col:
+        cond = cond & (F.col("blk") == F.col("blk_b"))
+    cand = probe.join(index, cond).select("id_a", "id_b").distinct()
+    a = ordered.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = ordered.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def dedup_exact(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -25,6 +25,7 @@ from ..functions.ga import map_enum
 from ..operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_thresholded,
     simhash_pairs,
     with_simhash,
 )
@@ -1144,6 +1145,18 @@ WHERE len(list_intersect(l.s, r.s)) > 0
 """
 
 
+def q_ngram_jaccard_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded Jaccard join via prefix filtering; oracle is the
+    naive all-pairs join + threshold, proving the pruning is lossless."""
+    d = load_parallel(spark, sf_dir, "documents")
+    return ngram_jaccard_thresholded(d, 0.5, block_col="source", n=3)
+
+
+SQL_NGRAM_JACCARD_T = (
+    "SELECT * FROM (" + SQL_NGRAM_JACCARD + ") p WHERE jaccard >= 0.5"
+)
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-ish-regex token counting (operators/text.py)."""
     d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1556,6 +1569,7 @@ QUERIES: dict = {
     "token_counts": q_token_counts,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard,
+    "ngram_jaccard_thresholded": q_ngram_jaccard_t,
     "promo_revenue": q_promo_revenue,
     "events_cube": q_events_cube,
     "text_quality": q_text_quality,
@@ -1607,6 +1621,7 @@ ORACLES: dict[str, str] = {
     "token_counts": SQL_TOKEN_COUNTS,
     "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+    "ngram_jaccard_thresholded": SQL_NGRAM_JACCARD_T,
     "promo_revenue": SQL_PROMO_REVENUE,
     "events_cube": SQL_EVENTS_CUBE,
     "text_quality": SQL_TEXT_QUALITY,

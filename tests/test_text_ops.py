@@ -60,3 +60,28 @@ def test_token_counters(spark):
     # "Hello," counts once for whitespace but Hello + , for BPE-ish
     assert rows[0]["bpe"] > rows[0]["ws"]
     assert rows[1]["ws"] == 3 and rows[1]["bpe"] == 3
+
+
+def test_prefix_filter_is_lossless(spark, sf_smoke):
+    """Thresholded prefix-filtered join returns exactly the naive
+    all-pairs join filtered to >= t, for several thresholds."""
+    from google_analytics_to_s3_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_thresholded,
+    )
+    from google_analytics_to_s3_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_smoke, "documents")
+    naive = ngram_jaccard_pairs(d, block_col="source", n=3)
+    for t in (0.1, 0.5):
+        want = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in naive.filter(F.col("jaccard") >= t).collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_thresholded(
+                d, t, block_col="source", n=3
+            ).collect()
+        }
+        assert got == want, (t, got ^ want)
