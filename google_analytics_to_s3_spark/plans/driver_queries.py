@@ -1157,6 +1157,71 @@ SQL_NGRAM_JACCARD_T = (
 )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling — the reproducible
+    train/eval splitter for training pipelines (seeded `sample()` is
+    not stable across engines or partitionings; a content hash is).
+    Per-source rates: src0 50%, src1 20%, others 10%. Pure map-side.
+    """
+    d = load_parallel(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("smp#"), F.col("doc_id").cast("string"))), 1, 14), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = (
+        F.when(F.col("source") == "src0", F.lit(50))
+        .when(F.col("source") == "src1", F.lit(20))
+        .otherwise(F.lit(10))
+    )
+    return d.filter(bucket < rate).select("doc_id", "source")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, source
+FROM documents
+WHERE ('0x' || substr(md5('smp#' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+      % 100
+    < CASE WHEN source = 'src0' THEN 50
+           WHEN source = 'src1' THEN 20 ELSE 10 END
+"""
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling per stratum (null rates, distinct counts,
+    extremes, length stats) — the data-quality sweep a pipeline runs
+    before training. One partial-agg pass; every stat is algebraic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    return d.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.count_distinct(F.col("lang")).cast("int").alias("n_langs"),
+        (F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)) / n)
+        .cast("double")
+        .alias("null_text_rate"),
+        F.min("n_chars").cast("int").alias("min_chars"),
+        F.max("n_chars").cast("int").alias("max_chars"),
+        F.sum(F.col("n_chars").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_chars"),
+    )
+
+
+SQL_TABLE_PROFILE = """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT lang) AS INTEGER) AS n_langs,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS null_text_rate,
+       CAST(min(n_chars) AS INTEGER) AS min_chars,
+       CAST(max(n_chars) AS INTEGER) AS max_chars,
+       CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS sum_chars
+FROM documents
+GROUP BY source
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-ish-regex token counting (operators/text.py)."""
     d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1567,6 +1632,8 @@ QUERIES: dict = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
     "token_counts": q_token_counts,
+    "stratified_sample": q_stratified_sample,
+    "table_profile": q_table_profile,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "ngram_jaccard_thresholded": q_ngram_jaccard_t,
@@ -1619,6 +1686,8 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "simhash": SQL_SIMHASH,
     "token_counts": SQL_TOKEN_COUNTS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "table_profile": SQL_TABLE_PROFILE,
     "simhash_dup_pairs": SQL_SIMHASH_DUP_PAIRS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "ngram_jaccard_thresholded": SQL_NGRAM_JACCARD_T,
