@@ -1653,8 +1653,13 @@ from .driver_queries_enrich import (  # noqa: E402
     ORACLES_ENRICH,
     QUERIES_ENRICH,
 )
+from .driver_queries_tpch import (  # noqa: E402
+    ORACLES_TPCH,
+    QUERIES_TPCH,
+)
 
 QUERIES.update(QUERIES_ENRICH)
+QUERIES.update(QUERIES_TPCH)
 
 ORACLES: dict[str, str] = {
     "sessionize_flags": SQL_SESSIONIZE_FLAGS,
@@ -1704,3 +1709,4 @@ ORACLES: dict[str, str] = {
 }
 
 ORACLES.update(ORACLES_ENRICH)
+ORACLES.update(ORACLES_TPCH)

@@ -68,3 +68,50 @@ def test_volume_shipping_nation_prefilter_reaches_scan(spark, sf_smoke):
     sides shrink to the pair before the fact join."""
     plan = _plan(q_volume_shipping(spark, sf_smoke), "formatted")
     assert re.search(r"PushedFilters: \[.*In\(n_name", plan), plan
+
+# ---- Q13/Q15/Q17/Q19/Q22 variants (driver_queries_tpch) ----
+
+from google_analytics_to_s3_spark.plans.driver_queries_tpch import (  # noqa: E402
+    q_brand_disjunction_revenue,
+    q_customer_distribution,
+    q_small_qty_revenue,
+    q_top_supplier,
+)
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [
+        q_customer_distribution,
+        q_top_supplier,
+        q_small_qty_revenue,
+        q_brand_disjunction_revenue,
+    ],
+)
+def test_tpch2_no_cartesian_or_nested_loop(spark, sf_smoke, fn):
+    plan = _plan(fn(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_customer_distribution_reuses_join_exchange(spark, sf_smoke):
+    """groupBy(c_custkey) right after the custkey join must NOT add a
+    second shuffle of the joined rows — same key, exchange reused."""
+    plan = _plan(q_customer_distribution(spark, sf_smoke))
+    # exactly: one exchange per input side + one for the tiny final
+    # re-agg on c_count; a 4th would mean the join output was reshuffled
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3, plan
+
+
+def test_top_supplier_broadcasts_winner_not_supplier(spark, sf_smoke):
+    plan = _plan(q_top_supplier(spark, sf_smoke))
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2, plan
+
+
+def test_q19_prefilters_reach_scans(spark, sf_smoke):
+    plan = _plan(q_brand_disjunction_revenue(spark, sf_smoke), "formatted")
+    assert re.search(r"PushedFilters: \[.*In\(p_brand", plan), plan
+    assert re.search(
+        r"PushedFilters: \[.*GreaterThanOrEqual\(l_quantity,1", plan
+    ), plan
+    assert "BroadcastHashJoin" in plan, plan
