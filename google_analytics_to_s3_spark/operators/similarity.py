@@ -293,6 +293,94 @@ def knn_ivf(
     )
 
 
+def rhp_planes(n_bits: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 random hyperplanes (Charikar sign-LSH).
+
+    Derived from a Knuth multiplicative hash of the (plane, dim) index —
+    no RNG state, so Spark and the SQL oracle can bake the exact same
+    literals into their plans.
+    """
+    planes = []
+    for i in range(n_bits):
+        row = []
+        for j in range(dim):
+            h = ((i * dim + j + 1) * 2654435761) % 4294967296
+            row.append(1.0 if (h >> 16) & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def rhp_band_keys(
+    vec_col: Column, n_bits: int = 16, n_bands: int = 4, dim: int = 64
+) -> list[Column]:
+    """Per-band integer bucket keys from hyperplane sign bits.
+
+    bit_i = [dot(v, plane_i) >= 0]; each band packs n_bits/n_bands
+    bits into one small int. All JVM-side column arithmetic.
+    """
+    planes = rhp_planes(n_bits, dim)
+    bits = [
+        F.when(
+            _dot(vec_col, F.array(*[F.lit(x) for x in p])) >= 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        for p in planes
+    ]
+    per_band = n_bits // n_bands
+    keys = []
+    for b in range(n_bands):
+        key = F.lit(0)
+        for p in range(per_band):
+            key = key + bits[b * per_band + p] * F.lit(2 ** p)
+        keys.append(key)
+    return keys
+
+
+def rhp_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via random-hyperplane LSH.
+
+    The scale path next to :func:`cosine_pairs_blocked` when no natural
+    blocking key exists: each vector fans out to ``n_bands`` (band,
+    bucket) rows, candidates come from an equi-join on (band, bucket) —
+    never a cross product — and survivors are verified with the exact
+    cosine. Collisions repeated across bands compute identical scores,
+    so a final ``distinct`` dedupes them. At larger scale, make the
+    join input slim (id, band, key) and re-join vectors by id instead
+    of carrying the arrays through the explode.
+    """
+    keys = rhp_band_keys(F.col(vec_col), n_bits, n_bands, dim)
+    d = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        F.posexplode(F.array(*keys)).alias("band", "key"),
+    )
+    left, right = d.alias("l"), d.alias("r")
+    cand = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.key") == F.col("r.key"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    )
+    score = _dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm"))
+    return (
+        cand.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(score, 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+        .distinct()
+    )
+
+
 def cosine_pairs_blocked(
     df: DataFrame,
     id_col: str = "vec_id",

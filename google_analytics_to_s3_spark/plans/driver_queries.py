@@ -1653,6 +1653,10 @@ from .driver_queries_enrich import (  # noqa: E402
     ORACLES_ENRICH,
     QUERIES_ENRICH,
 )
+from .driver_queries_extra import (  # noqa: E402
+    ORACLES_EXTRA,
+    QUERIES_EXTRA,
+)
 from .driver_queries_tpch import (  # noqa: E402
     ORACLES_TPCH,
     QUERIES_TPCH,
@@ -1660,6 +1664,7 @@ from .driver_queries_tpch import (  # noqa: E402
 
 QUERIES.update(QUERIES_ENRICH)
 QUERIES.update(QUERIES_TPCH)
+QUERIES.update(QUERIES_EXTRA)
 
 ORACLES: dict[str, str] = {
     "sessionize_flags": SQL_SESSIONIZE_FLAGS,
@@ -1710,3 +1715,4 @@ ORACLES: dict[str, str] = {
 
 ORACLES.update(ORACLES_ENRICH)
 ORACLES.update(ORACLES_TPCH)
+ORACLES.update(ORACLES_EXTRA)

@@ -1,0 +1,212 @@
+"""Round-continuation driver queries: embedding sign-LSH dedup, exact
+dedup with a keep-best policy, GROUPING SETS, and hopping (sliding)
+time-window aggregation.
+
+Each follows the oracle-parity conventions of driver_queries.py
+(identical aliases, decimal-exact sums, epoch-ms arithmetic instead of
+timezone-dependent date functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.similarity import rhp_dup_pairs, rhp_planes
+from ..sources.testdata import load_events, load_parallel, load_table
+
+# --------------------------------------------------------------------------
+# Embedding near-dup via random-hyperplane LSH (sign-LSH)
+# --------------------------------------------------------------------------
+
+_RHP_BITS, _RHP_BANDS, _RHP_DIM, _RHP_T = 16, 4, 64, 0.9
+
+# same dot-product spelling as driver_queries._COS so the fold order and
+# double casts match the Spark side exactly
+_DOT_LIT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_NORM = (
+    "sqrt(list_sum(list_transform({a}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    return rhp_dup_pairs(
+        emb, threshold=_RHP_T, n_bits=_RHP_BITS, n_bands=_RHP_BANDS,
+        dim=_RHP_DIM,
+    )
+
+
+def _rhp_oracle_sql() -> str:
+    """DuckDB mirror of the banded sign-LSH join, planes inlined as the
+    identical literals the Spark plan bakes in."""
+    planes = rhp_planes(_RHP_BITS, _RHP_DIM)
+    per_band = _RHP_BITS // _RHP_BANDS
+
+    def lit(p: list[float]) -> str:
+        return "[" + ", ".join(str(x) for x in p) + "]"
+
+    def band_key(b: int) -> str:
+        terms = []
+        for pos in range(per_band):
+            plane = lit(planes[b * per_band + pos])
+            dot = _DOT_LIT.format(a="embedding", b=plane)
+            terms.append(
+                f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END) * {2 ** pos}"
+            )
+        return " + ".join(terms)
+
+    key_rows = "\n  UNION ALL ".join(
+        f"SELECT vec_id, embedding, nrm, {b} AS band, {band_key(b)} AS key "
+        "FROM base"
+        for b in range(_RHP_BANDS)
+    )
+    dot_lr = _DOT_LIT.format(a="l.embedding", b="r.embedding")
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding, {_NORM.format(a='embedding')} AS nrm
+  FROM embeddings
+),
+keys AS (
+  {key_rows}
+)
+SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
+       round({dot_lr} / (l.nrm * r.nrm), 6) AS score
+FROM keys l JOIN keys r
+  ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id
+WHERE round({dot_lr} / (l.nrm * r.nrm), 6) >= {_RHP_T}
+"""
+
+
+SQL_EMBEDDING_LSH_PAIRS = _rhp_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# Exact dedup with keep-best policy (training-data curation staple)
+# --------------------------------------------------------------------------
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-exact dedup keeping one canonical row per group.
+
+    Groups on md5(lower(text)) — the hash, not the text, is the shuffle
+    key, so 100 KB documents shuffle as 32-byte digests once the
+    projection drops the body. Keep policy: longest raw text, then
+    lowest doc_id (deterministic).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.lower(F.col("text")))
+    w = Window.partitionBy(key).orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(Window.partitionBy(key)))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars", "n_copies")
+    )
+
+
+SQL_DEDUP_KEEP_BEST = """
+SELECT doc_id, lang, source, n_chars,
+       count(*) OVER (PARTITION BY md5(lower(text))) AS n_copies
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY md5(lower(text)) ORDER BY n_chars DESC, doc_id ASC) = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS (between cube and rollup on the agg lattice)
+# --------------------------------------------------------------------------
+
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_events(spark, sf_dir)
+    e.withColumn("day", F.expr("ts_ms div 86400000")).createOrReplaceTempView(
+        "events_gs"
+    )
+    return spark.sql(
+        """
+        SELECT event_type, day,
+               CAST(grouping_id(event_type, day) AS BIGINT) AS gid,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+        """
+    )
+
+
+SQL_EVENTS_GROUPING_SETS = """
+SELECT event_type, ts_ms // 86400000 AS day,
+       CAST(GROUPING(event_type, "day") AS BIGINT) AS gid,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM (SELECT event_type, value, epoch_ms(ts) AS ts_ms FROM events)
+GROUP BY GROUPING SETS ((event_type, "day"), (event_type), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# Hopping (sliding) time window: 10-minute window, 5-minute slide
+# --------------------------------------------------------------------------
+
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window aggregation with Spark's native ``window()``
+    (the batch form of the streaming hopping window). Each event lands
+    in exactly window/slide = 2 windows; the oracle mirrors that with
+    an explicit 2-element unnest. Window starts are compared as epoch
+    millis — ``window.start`` casts to epoch seconds independent of the
+    session timezone.
+    """
+    e = load_events(spark, sf_dir).withColumn(
+        "t", F.timestamp_millis(F.col("ts_ms"))
+    )
+    return (
+        e.groupBy(
+            F.window("t", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            (F.col("w.start").cast("long") * 1000).alias("ws_ms"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_HOPPING_WINDOW = """
+SELECT ws_ms, event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM (
+  SELECT event_type, value,
+         unnest([ts_ms - (ts_ms % 300000),
+                 ts_ms - (ts_ms % 300000) - 300000]) AS ws_ms
+  FROM (SELECT event_type, value, epoch_ms(ts) AS ts_ms FROM events)
+)
+GROUP BY ws_ms, event_type
+"""
+
+
+QUERIES_EXTRA: dict = {
+    "embedding_lsh_pairs": q_embedding_lsh_pairs,
+    "dedup_keep_best": q_dedup_keep_best,
+    "events_grouping_sets": q_events_grouping_sets,
+    "hopping_window": q_hopping_window,
+}
+
+ORACLES_EXTRA: dict[str, str] = {
+    "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "events_grouping_sets": SQL_EVENTS_GROUPING_SETS,
+    "hopping_window": SQL_HOPPING_WINDOW,
+}
