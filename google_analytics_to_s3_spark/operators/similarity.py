@@ -293,6 +293,53 @@ def knn_ivf(
     )
 
 
+def planted_copies(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    id_offset: int = 1_000_000,
+    dim: int = 64,
+) -> DataFrame:
+    """Corpus ∪ deterministic near-duplicate copies (cosine ≈ 0.999996).
+
+    The testdata embeddings have no natural near-dups (max pairwise
+    cosine ≈ 0.51), so dedup queries plant one: each vector gets a copy
+    (id + offset) with every component scaled by 1 ± 0.005 via a Knuth
+    hash of (id, dim) — pure integer-and-double arithmetic that the
+    DuckDB oracle reproduces bit-for-bit (:data:`PLANTED_UNION_SQL`
+    must stay in lockstep with this function).
+    """
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    base_id = F.col(id_col)
+
+    def scale(v: Column, j: Column) -> Column:
+        h = ((base_id * dim + j) * F.lit(2654435761)) % F.lit(4294967296)
+        return v.cast("double") * (1 + (h % 11 - 5) / F.lit(1000.0))
+
+    copies = df.withColumn(vec_col, F.zip_with(F.col(vec_col), idx, scale))
+    copies = copies.withColumn(id_col, F.col(id_col) + F.lit(id_offset))
+    orig = df.withColumn(
+        vec_col, F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    )
+    return orig.unionByName(copies)
+
+
+# oracle mirror of planted_copies — identical literals and fold order
+PLANTED_UNION_SQL = """
+SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding,
+       label
+FROM embeddings
+UNION ALL
+SELECT vec_id + 1000000,
+       list_transform(list_zip(embedding, range(0, 64)),
+         p -> CAST(p[1] AS DOUBLE)
+              * (1 + (((vec_id * 64 + p[2]) * 2654435761 % 4294967296) % 11
+                      - 5) / 1000.0)),
+       label
+FROM embeddings
+"""
+
+
 def rhp_planes(n_bits: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 random hyperplanes (Charikar sign-LSH).
 

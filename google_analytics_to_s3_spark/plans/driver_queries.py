@@ -34,9 +34,11 @@ from ..operators.sessionize import (
     with_session_flags,
 )
 from ..operators.similarity import (
+    PLANTED_UNION_SQL,
     cosine_pairs_blocked,
     knn_brute_force,
     knn_ivf,
+    planted_copies,
 )
 from ..operators.text import (
     bpe_token_count,
@@ -1408,17 +1410,21 @@ FROM ranked WHERE rank <= {IVF_K}
 
 
 def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_parallel(spark, sf_dir, "embeddings")
-    out = cosine_pairs_blocked(emb, block_col="label", threshold=0.9)
+    """Label-blocked near-dup pairs over the corpus ∪ planted copies
+    (the raw testdata has no pairs above 0.52, so the copies make the
+    dedup semantics observable — every planted pair must be found)."""
+    emb = planted_copies(load_parallel(spark, sf_dir, "embeddings"))
+    out = cosine_pairs_blocked(emb, block_col="label", threshold=0.99)
     return out.select("id_a", "id_b", F.round("score", 6).alias("score"))
 
 
 SQL_COSINE_DUP_PAIRS = f"""
+WITH planted AS ({PLANTED_UNION_SQL})
 SELECT l.vec_id AS id_a, r.vec_id AS id_b,
        round({_COS.format(a='l.embedding', b='r.embedding')}, 6) AS score
-FROM embeddings l
-JOIN embeddings r ON l.label = r.label AND l.vec_id < r.vec_id
-WHERE {_COS.format(a='l.embedding', b='r.embedding')} >= 0.9
+FROM planted l
+JOIN planted r ON l.label = r.label AND l.vec_id < r.vec_id
+WHERE {_COS.format(a='l.embedding', b='r.embedding')} >= 0.99
 """
 
 # --------------------------------------------------------------------------

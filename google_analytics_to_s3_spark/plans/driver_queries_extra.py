@@ -12,14 +12,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.similarity import rhp_dup_pairs, rhp_planes
+from ..operators.similarity import (
+    PLANTED_UNION_SQL,
+    planted_copies,
+    rhp_dup_pairs,
+    rhp_planes,
+)
 from ..sources.testdata import load_events, load_parallel, load_table
 
 # --------------------------------------------------------------------------
 # Embedding near-dup via random-hyperplane LSH (sign-LSH)
 # --------------------------------------------------------------------------
 
-_RHP_BITS, _RHP_BANDS, _RHP_DIM, _RHP_T = 16, 4, 64, 0.9
+_RHP_BITS, _RHP_BANDS, _RHP_DIM, _RHP_T = 16, 4, 64, 0.99
 
 # same dot-product spelling as driver_queries._COS so the fold order and
 # double casts match the Spark side exactly
@@ -34,7 +39,12 @@ _NORM = (
 
 
 def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_parallel(spark, sf_dir, "embeddings")
+    """Sign-LSH near-dup over corpus ∪ planted copies: with 4×4-bit
+    bands and planted cosine ≈ 0.999996, per-pair miss probability is
+    ~(1 - 0.9964)⁴ ≈ 2e-10 — the banding must surface every planted
+    pair, and the exact-cosine verification must reject everything
+    else (max organic pairwise cosine ≈ 0.51)."""
+    emb = planted_copies(load_parallel(spark, sf_dir, "embeddings"))
     return rhp_dup_pairs(
         emb, threshold=_RHP_T, n_bits=_RHP_BITS, n_bands=_RHP_BANDS,
         dim=_RHP_DIM,
@@ -67,9 +77,10 @@ def _rhp_oracle_sql() -> str:
     )
     dot_lr = _DOT_LIT.format(a="l.embedding", b="r.embedding")
     return f"""
-WITH base AS (
+WITH planted AS ({PLANTED_UNION_SQL}),
+base AS (
   SELECT vec_id, embedding, {_NORM.format(a='embedding')} AS nrm
-  FROM embeddings
+  FROM planted
 ),
 keys AS (
   {key_rows}

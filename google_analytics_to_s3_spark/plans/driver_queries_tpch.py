@@ -255,9 +255,15 @@ def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare in exact integer cents (``cents*cnt > sum_cents``), so the
     avg threshold is order-independent in both engines. The NOT EXISTS
     becomes a left-anti shuffle join on custkey; nation broadcasts.
+    Dormancy = no order since 1998-01-01 (Q22's "no orders for 7
+    years"; the anti-join side is date-prefiltered at the scan).
     """
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.expr("o_orderdate >= timestamp_ntz'1998-01-01 00:00:00'"))
+        .select("o_custkey")
+    )
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
     thresh = (
@@ -288,7 +294,9 @@ SELECT n_name, count(*) AS numcust,
 FROM customer, nation, thresh
 WHERE c_nationkey = n_nationkey
   AND CAST(round(c_acctbal * 100) AS BIGINT) * cnt > sum_cents
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-01-01')
 GROUP BY n_name
 """
 
