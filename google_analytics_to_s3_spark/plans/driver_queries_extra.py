@@ -208,7 +208,62 @@ GROUP BY ws_ms, event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Near-dup clustering: connected components of the 1-NN graph
+# --------------------------------------------------------------------------
+
+def q_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster embeddings by connected components of the (undirected)
+    nearest-neighbor graph — pairs → groups, the step a dedup pipeline
+    needs to keep one canonical item per cluster. Iterative min-label
+    propagation (operators/graph.py); the oracle is a recursive-CTE
+    transitive closure, proving the fixpoint is the true component."""
+    from ..operators.graph import connected_components
+    from ..operators.similarity import knn_brute_force
+
+    # cap the clustered slice: exact 1-NN is O(n²) pair work — the
+    # right graph builder at corpus scale is the LSH/IVF candidate
+    # join; the clustering itself is size-agnostic
+    emb = load_parallel(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 1000
+    )
+    edges = knn_brute_force(emb, emb, k=1).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    comps = connected_components(edges, id_out="vec_id", comp_out="component")
+    return comps.select("vec_id", "component")
+
+
+_COS_LR = _DOT_LIT.format(a="l.embedding", b="r.embedding") + (
+    " / ({nl} * {nr})".format(
+        nl=_NORM.format(a="l.embedding"), nr=_NORM.format(a="r.embedding")
+    )
+)
+
+SQL_KNN_COMPONENTS = f"""
+WITH RECURSIVE emb AS (
+  SELECT * FROM embeddings WHERE vec_id < 1000
+),
+nn AS (
+  SELECT l.vec_id AS src, r.vec_id AS dst
+  FROM emb l JOIN emb r ON l.vec_id <> r.vec_id
+  QUALIFY row_number() OVER (
+    PARTITION BY l.vec_id ORDER BY {_COS_LR} DESC, r.vec_id ASC) <= 1
+),
+edges AS (
+  SELECT src, dst FROM nn UNION SELECT dst, src FROM nn
+),
+reach(id, root) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS vec_id, min(root) AS component FROM reach GROUP BY id
+"""
+
+
 QUERIES_EXTRA: dict = {
+    "knn_components": q_knn_components,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "dedup_keep_best": q_dedup_keep_best,
     "events_grouping_sets": q_events_grouping_sets,
@@ -216,6 +271,7 @@ QUERIES_EXTRA: dict = {
 }
 
 ORACLES_EXTRA: dict[str, str] = {
+    "knn_components": SQL_KNN_COMPONENTS,
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "events_grouping_sets": SQL_EVENTS_GROUPING_SETS,
