@@ -209,6 +209,102 @@ GROUP BY ws_ms, event_type
 
 
 # --------------------------------------------------------------------------
+# Time-series gap filling + forward fill (IGNORE NULLS window)
+# --------------------------------------------------------------------------
+
+def q_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize a per-user daily series: generate the missing days
+    with sequence+explode (the distributed spine — no driver-side
+    calendar), then forward-fill with last(..., ignorenulls=True).
+
+    Scale: the spine explode is map-side from the per-user (min, max)
+    aggregate; the left join and the fill window both partition on
+    user_id, so the join's exchange is reused by the window.
+    """
+    e = load_events(spark, sf_dir)
+    daily = (
+        e.withColumn("day", F.expr("ts_ms div 86400000"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = spans.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("v").isNull().alias("is_gap"),
+    )
+
+
+SQL_GAP_FILL_FFILL = """
+WITH e AS (SELECT user_id, value, epoch_ms(ts) AS ts_ms FROM events),
+daily AS (
+  SELECT user_id, ts_ms // 86400000 AS day,
+         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+  FROM e GROUP BY user_id, day
+),
+spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily
+          GROUP BY user_id),
+spine AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM spans),
+j AS (SELECT s.user_id, s.day, d.v
+      FROM spine s LEFT JOIN daily d USING (user_id, day))
+SELECT user_id, day,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       (v IS NULL) AS is_gap
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# Ranking-function completeness: percent_rank / cume_dist / nth_value
+# --------------------------------------------------------------------------
+
+def q_order_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
+    )
+
+
+SQL_ORDER_RANK_STATS = """
+SELECT o_custkey, o_orderkey,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd,
+       nth_value(o_orderkey, 2) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# --------------------------------------------------------------------------
 # Near-dup clustering: connected components of the 1-NN graph
 # --------------------------------------------------------------------------
 
@@ -264,6 +360,8 @@ SELECT id AS vec_id, min(root) AS component FROM reach GROUP BY id
 
 QUERIES_EXTRA: dict = {
     "knn_components": q_knn_components,
+    "gap_fill_ffill": q_gap_fill_ffill,
+    "order_rank_stats": q_order_rank_stats,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "dedup_keep_best": q_dedup_keep_best,
     "events_grouping_sets": q_events_grouping_sets,
@@ -272,6 +370,8 @@ QUERIES_EXTRA: dict = {
 
 ORACLES_EXTRA: dict[str, str] = {
     "knn_components": SQL_KNN_COMPONENTS,
+    "gap_fill_ffill": SQL_GAP_FILL_FFILL,
+    "order_rank_stats": SQL_ORDER_RANK_STATS,
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "events_grouping_sets": SQL_EVENTS_GROUPING_SETS,
