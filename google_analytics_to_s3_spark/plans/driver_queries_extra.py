@@ -24,7 +24,10 @@ from ..sources.testdata import load_events, load_parallel, load_table
 # Embedding near-dup via random-hyperplane LSH (sign-LSH)
 # --------------------------------------------------------------------------
 
-_RHP_BITS, _RHP_BANDS, _RHP_DIM, _RHP_T = 16, 4, 64, 0.99
+# 4 bands × 8 bits: 256 buckets per band keeps candidate pairs ~bucket²
+# small even after planting doubles the corpus; per-planted-pair miss
+# probability (1 - 0.999¹⁶... see docstring) ≈ 2.6e-9
+_RHP_BITS, _RHP_BANDS, _RHP_DIM, _RHP_T = 32, 4, 64, 0.99
 
 # same dot-product spelling as driver_queries._COS so the fold order and
 # double casts match the Spark side exactly
@@ -39,9 +42,10 @@ _NORM = (
 
 
 def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH near-dup over corpus ∪ planted copies: with 4×4-bit
-    bands and planted cosine ≈ 0.999996, per-pair miss probability is
-    ~(1 - 0.9964)⁴ ≈ 2e-10 — the banding must surface every planted
+    """Sign-LSH near-dup over corpus ∪ planted copies: with 4×8-bit
+    bands and planted cosine ≈ 0.999996 (per-bit agreement 0.9991,
+    per-band 0.9991⁸ ≈ 0.9928), per-pair miss probability is
+    (1 - 0.9928)⁴ ≈ 2.6e-9 — the banding must surface every planted
     pair, and the exact-cosine verification must reject everything
     else (max organic pairwise cosine ≈ 0.51)."""
     emb = planted_copies(load_parallel(spark, sf_dir, "embeddings"))
