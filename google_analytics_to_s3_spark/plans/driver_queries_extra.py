@@ -213,6 +213,40 @@ GROUP BY ws_ms, event_type
 
 
 # --------------------------------------------------------------------------
+# Skew-safe two-phase aggregation in the graded surface
+# --------------------------------------------------------------------------
+
+def q_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted sum over a deliberately hot key (only a handful
+    of event_type values → every key is a hot key): groupBy
+    (key, salt16) partials, then groupBy key. Decimal accumulators make
+    the result bit-identical to the oracle's single-phase GROUP BY —
+    demonstrating that the skew mitigation is semantics-free.
+    """
+    from ..operators.skew import salted_sum
+
+    e = load_events(spark, sf_dir)
+    out = salted_sum(
+        e,
+        "event_type",
+        F.sum(F.col("value").cast("decimal(38,6)")),
+        n_salts=16,
+        out_col="total",
+    )
+    return out.select(
+        "event_type", F.col("total").cast("double").alias("total_value")
+    )
+
+
+SQL_SALTED_EVENT_TOTALS = """
+SELECT event_type,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Time-series gap filling + forward fill (IGNORE NULLS window)
 # --------------------------------------------------------------------------
 
@@ -366,6 +400,7 @@ QUERIES_EXTRA: dict = {
     "knn_components": q_knn_components,
     "gap_fill_ffill": q_gap_fill_ffill,
     "order_rank_stats": q_order_rank_stats,
+    "salted_event_totals": q_salted_event_totals,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "dedup_keep_best": q_dedup_keep_best,
     "events_grouping_sets": q_events_grouping_sets,
@@ -376,6 +411,7 @@ ORACLES_EXTRA: dict[str, str] = {
     "knn_components": SQL_KNN_COMPONENTS,
     "gap_fill_ffill": SQL_GAP_FILL_FFILL,
     "order_rank_stats": SQL_ORDER_RANK_STATS,
+    "salted_event_totals": SQL_SALTED_EVENT_TOTALS,
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "events_grouping_sets": SQL_EVENTS_GROUPING_SETS,
