@@ -251,13 +251,18 @@ GROUP BY event_type
 # --------------------------------------------------------------------------
 
 def q_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regularize a per-user daily series: generate the missing days
-    with sequence+explode (the distributed spine — no driver-side
-    calendar), then forward-fill with last(..., ignorenulls=True).
+    """Regularize a per-user daily series with forward fill.
 
-    Scale: the spine explode is map-side from the per-user (min, max)
-    aggregate; the left join and the fill window both partition on
-    user_id, so the join's exchange is reused by the window.
+    Join-free formulation: instead of building a day spine and
+    left-joining the observations back (a two-key join that at scale
+    plans an SMJ on (user, day) PLUS a window re-exchange on user),
+    each observed day looks at ``lead(day)`` and explodes
+    ``sequence(day, next_day - 1)``, carrying its value across the gap
+    it fills. Two exchanges of already-aggregated (user, day) rows —
+    the daily groupBy, then the user-only window — and a map-side
+    explode; raw events shuffle once, and nothing joins. The oracle
+    states the same semantics declaratively with a spine join +
+    ``last_value IGNORE NULLS``.
     """
     e = load_events(spark, sf_dir)
     daily = (
@@ -269,23 +274,23 @@ def q_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v")
         )
     )
-    spans = daily.groupBy("user_id").agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
+    w = Window.partitionBy("user_id").orderBy("day")
+    seg = daily.withColumn("nxt", F.lead("day").over(w))
+    filled = seg.select(
+        "user_id",
+        "v",
+        F.col("day").alias("d_obs"),
+        F.explode(
+            F.sequence(
+                "day", F.coalesce(F.col("nxt") - 1, F.col("day"))
+            )
+        ).alias("day"),
     )
-    spine = spans.select(
-        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
-    )
-    j = spine.join(daily, ["user_id", "day"], "left")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return j.select(
+    return filled.select(
         "user_id",
         "day",
-        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
-        F.col("v").isNull().alias("is_gap"),
+        F.col("v").alias("filled_value"),
+        (F.col("day") != F.col("d_obs")).alias("is_gap"),
     )
 
 
