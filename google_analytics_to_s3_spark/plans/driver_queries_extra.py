@@ -112,14 +112,20 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection drops the body. Keep policy: longest raw text, then
     lowest doc_id (deterministic).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    key = F.md5(F.lower(F.col("text")))
-    w = Window.partitionBy(key).orderBy(
+    # materialize the key ONCE: inline `partitionBy(md5(...))` in each
+    # window makes Spark treat the two computed keys as distinct
+    # expressions and shuffle twice; a named column shares one exchange
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "dup_key", F.md5(F.lower(F.col("text")))
+    )
+    w = Window.partitionBy("dup_key").orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()
     )
     return (
         docs.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_copies", F.count("*").over(Window.partitionBy(key)))
+        .withColumn(
+            "n_copies", F.count("*").over(Window.partitionBy("dup_key"))
+        )
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "n_chars", "n_copies")
     )

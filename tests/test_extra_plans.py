@@ -1,0 +1,45 @@
+"""Physical-plan assertions for the round-continuation queries: the
+properties that survive a 100× scale-up (shuffle counts, join-freedom,
+two-phase structure), not just row equality."""
+
+import re
+
+from google_analytics_to_s3_spark.plans.driver_queries_extra import (
+    q_dedup_keep_best,
+    q_gap_fill_ffill,
+    q_hopping_window,
+    q_salted_event_totals,
+)
+
+
+def _plan(df, mode: str = "simple") -> str:
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_gap_fill_is_join_free(spark, sf_smoke):
+    plan = _plan(q_gap_fill_ffill(spark, sf_smoke))
+    assert "Join" not in plan, plan
+    # daily agg on (user, day) + window on user — nothing else
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+
+
+def test_hopping_window_is_join_free_single_exchange(spark, sf_smoke):
+    plan = _plan(q_hopping_window(spark, sf_smoke))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_salted_totals_is_two_phase(spark, sf_smoke):
+    plan = _plan(q_salted_event_totals(spark, sf_smoke))
+    # phase 1 shuffles (key, salt), phase 2 shuffles key only
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    assert re.search(r"hashpartitioning\(event_type[^)]*_salt", plan), plan
+
+
+def test_dedup_keep_best_single_exchange(spark, sf_smoke):
+    # both windows share the md5 partition key: one exchange total
+    plan = _plan(q_dedup_keep_best(spark, sf_smoke))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan, plan
