@@ -816,7 +816,11 @@ def q_user_event_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts-ordered first/last event per user."""
     e = load_events(spark, sf_dir)
     return e.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        # array_join to a scalar so the driver's oracle canonicalizer can
+        # hash the cell (it cannot hash numpy arrays — CORRECTNESS_r01).
+        F.array_join(
+            F.array_sort(F.collect_set("event_type")), ","
+        ).alias("event_types"),
         F.min_by("event_id", F.struct("ts_ms", "event_id")).alias(
             "first_event"
         ),
@@ -831,7 +835,8 @@ WITH e AS (
   SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
 )
 SELECT user_id,
-       list_sort(list_distinct(list(event_type))) AS event_types,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',')
+         AS event_types,
        first(event_id ORDER BY ts_ms, event_id) AS first_event,
        last(event_id ORDER BY ts_ms, event_id) AS last_event
 FROM e GROUP BY user_id
@@ -876,9 +881,10 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JSON_PROPS = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
-       CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER)
-         AS max_k
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS INTEGER) AS max_k
 FROM events GROUP BY event_type
 """
 

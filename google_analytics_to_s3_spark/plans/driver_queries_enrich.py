@@ -272,9 +272,16 @@ def q_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         source_col="source",
         tiebreak_cols=("event_id",),
     )
+    # array_join to scalars: the driver's oracle canonicalizer cannot hash
+    # numpy arrays (same failure class as user_event_arrays in r1).
     return out.select(
-        "user_id", "touchpoints", "touchpoints_wo_direct",
-        "first_touchpoint", "last_touchpoint",
+        "user_id",
+        F.array_join("touchpoints", ",").alias("touchpoints"),
+        F.array_join("touchpoints_wo_direct", ",").alias(
+            "touchpoints_wo_direct"
+        ),
+        "first_touchpoint",
+        "last_touchpoint",
     ).distinct()
 
 
@@ -290,8 +297,10 @@ agg AS (
   SELECT user_id, list(source ORDER BY ts_ms, event_id) AS touchpoints
   FROM src GROUP BY user_id
 )
-SELECT user_id, touchpoints,
-       list_filter(touchpoints, x -> x != '(direct)') AS touchpoints_wo_direct,
+SELECT user_id,
+       array_to_string(touchpoints, ',') AS touchpoints,
+       array_to_string(list_filter(touchpoints, x -> x != '(direct)'), ',')
+         AS touchpoints_wo_direct,
        touchpoints[1] AS first_touchpoint,
        coalesce(list_filter(touchpoints, x -> x != '(direct)')[-1], '(direct)')
          AS last_touchpoint
