@@ -56,6 +56,10 @@ def main() -> None:
         t0 = time.perf_counter()
         dq.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # several dedup/similarity operators persist() intermediates the
+        # caller owns; drop them so a 68-query loop doesn't accumulate
+        # cached blocks until storage eviction churn sets in
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

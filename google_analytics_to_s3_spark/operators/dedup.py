@@ -11,6 +11,14 @@ designed shuffle-consciously for 100 TB:
   skew splitting (hot buckets = near-duplicate clusters).
 - All hashes are md5-derived so results are engine-portable (the
   DuckDB oracles compute identical values).
+
+Cache ownership: the pair-generating operators ``persist()`` an
+intermediate that feeds both sides of a self-join (and sometimes a size
+table). The returned DataFrame is lazy, so the operator cannot unpersist
+it — CALLERS own cleanup: after materializing the result, call
+``spark.catalog.clearCache()`` (what bench.py does per query) or keep a
+handle and ``unpersist()`` it. Long-lived drivers that skip this
+accumulate cached blocks until storage eviction.
 """
 
 from __future__ import annotations

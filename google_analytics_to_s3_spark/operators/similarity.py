@@ -13,6 +13,12 @@ Scale design:
 - ``cosine_pairs_blocked`` is the IVF-flavored variant: an equi-join on
   a coarse blocking key bounds the pair count; swap the key for an LSH
   hyperplane bucket or a learned centroid id at scale.
+
+Defaults at scale: ``knn_ivf`` is the production entry point;
+``knn_brute_force`` is the exact-recall yardstick and fails fast above
+``max_corpus_rows``. Cache ownership: ``cosine_pairs_blocked``
+persists its join input — callers clear it after materializing (see
+the note in operators/dedup.py).
 """
 
 from __future__ import annotations
@@ -49,12 +55,29 @@ def knn_brute_force(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_corpus_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self-matches excluded).
+
+    This is the EXACT-RECALL YARDSTICK, not the scale default: it scores
+    corpus × queries pairs, so cost grows multiplicatively. For
+    production-size corpora use :func:`knn_ivf` (optionally with
+    :func:`kmeans_centroids`-trained cells) — sub-linear candidate sets,
+    same output contract. ``max_corpus_rows`` guards against misuse:
+    the call fails fast (one cheap count job) rather than launching an
+    unbounded cross product; pass ``None`` to bypass for benchmarks.
 
     Returns (query_id, neighbor_id, score, rank); ties broken by
     neighbor id for determinism.
     """
+    if max_corpus_rows is not None:
+        n = corpus.count()
+        if n > max_corpus_rows:
+            raise ValueError(
+                f"knn_brute_force: corpus has {n} rows > cap "
+                f"{max_corpus_rows}; use knn_ivf for corpora this size "
+                "or pass max_corpus_rows=None to force"
+            )
     # Precompute norms per row BEFORE the join: O(n+q) norm work instead
     # of O(n*q), and the pair loop is a single dot product.
     q = queries.select(
@@ -397,34 +420,55 @@ def rhp_dup_pairs(
     blocking key exists: each vector fans out to ``n_bands`` (band,
     bucket) rows, candidates come from an equi-join on (band, bucket) —
     never a cross product — and survivors are verified with the exact
-    cosine. Collisions repeated across bands compute identical scores,
-    so a final ``distinct`` dedupes them. At larger scale, make the
-    join input slim (id, band, key) and re-join vectors by id instead
-    of carrying the arrays through the explode.
+    cosine.
+
+    The band exchange is SLIM: only (id, band, key) rows shuffle —
+    three ints per banded row — never the embedding array. Candidate
+    pairs are deduped across bands while still id-only, then the two
+    vectors are fetched by equi-join on id, so each embedding crosses
+    the wire once per side and each surviving pair's cosine is computed
+    exactly once (not once per colliding band).
     """
     keys = rhp_band_keys(F.col(vec_col), n_bits, n_bands, dim)
-    d = df.select(
+    slim = df.select(
+        F.col(id_col),
+        F.posexplode(F.array(*keys)).alias("band", "key"),
+    )
+    left, right = slim.alias("l"), slim.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    vecs = df.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("nrm"),
-        F.posexplode(F.array(*keys)).alias("band", "key"),
     )
-    left, right = d.alias("l"), d.alias("r")
-    cand = left.join(
-        right,
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.key") == F.col("r.key"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    a = vecs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
-    score = _dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm"))
+    b = vecs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    score = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        cand.select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.round(score, 6).alias("score"),
-        )
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(score, 6).alias("score"))
         .filter(F.col("score") >= threshold)
-        .distinct()
     )
 
 

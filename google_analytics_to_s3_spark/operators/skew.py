@@ -40,12 +40,24 @@ def salt_hot_keys(
     key_col: str,
     n_salts: int = 16,
     salt_col: str = "_salt",
+    salt_source_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Add a deterministic salt in [0, n_salts) derived from a stable
-    row attribute hash — spreads each key's rows over ``n_salts``
-    shuffle partitions for phase-1 aggregation."""
+    """Add a deterministic salt in [0, n_salts) derived from a hash of
+    stable row attributes — spreads each key's rows over ``n_salts``
+    shuffle partitions for phase-1 aggregation.
+
+    The salt MUST be a pure function of row content, never of
+    ``monotonically_increasing_id``/``rand``: those are recomputed with
+    different values when a stage is retried after a fetch failure, so a
+    row could land in a different phase-1 group on retry and be double-
+    counted or dropped (the SPARK-23207 class of bug). Defaults to
+    hashing every column; pass ``salt_source_cols`` to hash a subset
+    (e.g. a unique id). Identical rows share a salt — harmless for
+    aggregation, they just stay grouped.
+    """
+    cols = salt_source_cols if salt_source_cols is not None else df.columns
     return df.withColumn(
-        salt_col, F.pmod(F.hash(F.monotonically_increasing_id()), n_salts)
+        salt_col, F.pmod(F.hash(*[F.col(c) for c in cols]), n_salts)
     )
 
 
@@ -55,6 +67,7 @@ def salted_sum(
     value_col: str | Column,
     n_salts: int = 16,
     out_col: str = "total",
+    salt_source_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-phase hot-key-safe sum: groupBy (key, salt) → partials,
     then groupBy key → final. The first shuffle spreads a hot key over
@@ -68,7 +81,9 @@ def salted_sum(
     per-key combine result itself is large.
     """
     v = F.col(value_col) if isinstance(value_col, str) else value_col
-    salted = salt_hot_keys(df, key_col, n_salts)
+    salted = salt_hot_keys(
+        df, key_col, n_salts, salt_source_cols=salt_source_cols
+    )
     partial = salted.groupBy(key_col, "_salt").agg(v.alias("_pv"))
     # caller passes an aggregate expression, e.g. F.sum("x"); the final
     # combine must re-aggregate the partials the same way

@@ -79,3 +79,24 @@ def test_lsh_plan_is_equijoin_no_cartesian(spark, planted):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_lsh_band_exchange_is_slim(spark, planted):
+    """The (band, key) candidate exchange must shuffle (id, band, key)
+    only — never the embedding arrays (n_bands × dim doubles/vector)."""
+    df = rhp_dup_pairs(planted, threshold=0.99)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # any exchange (hash or broadcast — AQE may pick either) whose rows
+    # include a band column must not also carry the vectors
+    band_exchanges = [
+        blk
+        for blk in re.split(r"\(\d+\) (?:Broadcast)?Exchange", plan)[1:]
+        if re.search(r"\bband#", blk[:400])
+    ]
+    assert band_exchanges, plan
+    for blk in band_exchanges:
+        head = blk[:400]  # the Input/Arguments lines of this node
+        assert "embedding" not in head, head
+        assert not re.search(r"\bv#", head), head
