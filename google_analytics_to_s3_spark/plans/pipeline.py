@@ -63,8 +63,29 @@ def prepare_hits(df: DataFrame) -> DataFrame:
     )
 
 
-def sessionized_hits(df: DataFrame) -> DataFrame:
-    """W1-W7 + P3 + A2, in reference stage order."""
+def sessionized_hits(
+    df: DataFrame, hot_visitor_min_hits: int | None = None
+) -> DataFrame:
+    """W1-W7 + P3 + A2, in reference stage order.
+
+    ``hot_visitor_min_hits`` enables the bot-skew remedy (SURVEY §7.3
+    risk 5): visitors with at least that many hits are split out via
+    ``split_hot_cold`` and sessionized in their own branch. Gap
+    sessionization is inherently sequential per visitor, so a hot key
+    cannot be salted — but isolating bots means (a) the cold branch's
+    visitor exchange is balanced again and (b) each bot hashes into its
+    own exchange where the handful of hot keys spread over all reducers
+    with no normal traffic queued behind them. Windows are per-visitor
+    and each visitor lives wholly in one branch, so the union equals the
+    single-pass output row-for-row (asserted in
+    tests/test_skew_attribution.py). Costs one extra counting pass over
+    the source; the hot-key set is broadcast.
+    """
+    if hot_visitor_min_hits is not None:
+        from ..operators.skew import split_hot_cold
+
+        cold, hot = split_hot_cold(df, "body_cid", hot_visitor_min_hits)
+        return sessionized_hits(cold).unionByName(sessionized_hits(hot))
     df = with_session_flags(
         df, visitor_col="body_cid", ts_col="received_ms",
         tiebreak_cols=("message_id",),
@@ -113,11 +134,13 @@ def product_hits(df: DataFrame) -> DataFrame:
     )
 
 
-def hit_export(df: DataFrame) -> DataFrame:
+def hit_export(
+    df: DataFrame, hot_visitor_min_hits: int | None = None
+) -> DataFrame:
     """Full hit-grain GA360 export (P1)."""
     return export_table(
         df.transform(prepare_hits)
-        .transform(sessionized_hits)
+        .transform(lambda d: sessionized_hits(d, hot_visitor_min_hits))
         .transform(attributed_hits)
         .transform(product_hits)
     )
@@ -126,11 +149,12 @@ def hit_export(df: DataFrame) -> DataFrame:
 def run_daily_pipeline(
     hits: DataFrame,
     session_history: DataFrame | None = None,
+    hot_visitor_min_hits: int | None = None,
 ) -> dict[str, DataFrame]:
     """The six marts (main.py:1285-1290): sessions (multichannel, with
     touchpoints over history ∪ today), pageviews, events, products,
     transactions, items."""
-    export = hit_export(hits)
+    export = hit_export(hits, hot_visitor_min_hits)
     today_sessions = export_sessions(export)
     if session_history is not None:
         sessions = recompute_touchpoints(session_history, today_sessions)

@@ -76,6 +76,40 @@ def save_daily_marts(
         )
 
 
+def read_concatenated_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str = ENVELOPE_SCHEMA,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """S7: repair-and-read Firehose-style concatenated JSON.
+
+    Kinesis Firehose writes records back-to-back with no delimiter, so a
+    delivered object looks like ``{...}{...}{...}``. The reference
+    repairs this before parsing by rewriting ``}{`` to ``}\\n{`` and
+    splitting lines (enrichment/adapters/sns_reader.py:36-44, the
+    ``frh_json`` + ``split_files`` stages); this is the same repair as a
+    native plan: text scan → ``regexp_replace`` → ``split``/``explode``
+    → ``from_json``. Everything stays in codegen; the scan parallelizes
+    per file-split like any text read.
+
+    Matches the reference's naive semantics exactly — a literal ``}{``
+    INSIDE a JSON string value also splits (and the fragments then fail
+    to parse). GA Measurement Protocol bodies are url-encoded so the
+    sequence cannot occur in practice; kept bug-compatible for parity.
+    """
+    lines = spark.read.text(path)
+    records = lines.select(
+        F.explode(
+            F.split(F.regexp_replace("value", r"\}\{", "}\n{"), "\n")
+        ).alias("value")
+    ).filter(F.length(F.trim(F.col("value"))) > 0)
+    parsed = records.select(
+        F.from_json("value", schema, {"mode": mode}).alias("r")
+    )
+    return parsed.select("r.*")
+
+
 def decode_envelope(df: DataFrame, body_fields: list[str] | None = None) -> DataFrame:
     """L1-L4: collector envelope records → flat ``body_*`` hit columns.
 

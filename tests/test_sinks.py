@@ -131,3 +131,42 @@ def test_compact_parquet_dir(spark, sf_smoke, tmp_path):
     assert stats and all(b > a for b, a in stats.values())
     got = spark.read.parquet(out).orderBy("event_id").collect()
     assert got == expect
+
+
+def test_concatenated_json_repair_matches_reference(spark, tmp_path):
+    """S7 `}{` repair: output records byte-identical to the reference's
+    frh_json + split_files + json_decode pipeline (sns_reader.py:30-45)
+    applied to the same fixture."""
+    import json
+    import re
+
+    from google_analytics_to_s3_spark.sources.ga import (
+        read_concatenated_json,
+    )
+
+    # one Firehose object: three records glued, then a clean JSONL line
+    glued = (
+        '{"message_id":"m1","ip":"1.2.3.4","body":"v=1&t=pageview"}'
+        '{"message_id":"m2","ip":"5.6.7.8","body":"v=1&t=event"}'
+        '{"message_id":"m3","ip":"9.9.9.9","body":"v=1"}'
+    )
+    clean = '{"message_id":"m4","ip":"8.8.8.8","body":"v=2"}'
+    p = tmp_path / "firehose.json"
+    p.write_text(glued + "\n" + clean + "\n")
+
+    # reference pipeline, reimplemented verbatim-semantics:
+    payload = p.read_text()
+    repaired = re.sub("}{", "}\n{", payload, flags=re.UNICODE)
+    expected = [json.loads(x) for x in repaired.splitlines() if x.strip()]
+
+    got = (
+        read_concatenated_json(
+            spark, str(p), "message_id string, ip string, body string"
+        )
+        .orderBy("message_id")
+        .collect()
+    )
+    assert [r.asDict() for r in got] == sorted(
+        expected, key=lambda d: d["message_id"]
+    )
+    assert len(got) == 4

@@ -94,3 +94,61 @@ def test_incremental_touchpoints_matches_recompute(spark):
     }
     assert inc == ref
     assert set(inc) == {1, 2, 3, 4}
+
+
+def _hits(spark):
+    """Minimal pipeline-shaped hits: one bot visitor (300 hits) drowning
+    three normal visitors, with a session gap planted for visitor 'a'."""
+    rows = []
+    for i in range(300):
+        rows.append((f"m{i:04d}", "bot", "pageview", 1_000_000 + i * 1000, None, None))
+    for j, v in enumerate(("a", "b", "c")):
+        for i in range(4):
+            # 'a' gets a >30min gap between hit 1 and 2
+            gap = 40 * 60 * 1000 if (v == "a" and i >= 2) else 0
+            rows.append(
+                (f"n{v}{i}", v, "pageview", 5_000_000 + j * 100 + i * 1000 + gap, None, None)
+            )
+    return spark.createDataFrame(
+        rows,
+        "message_id string, body_cid string, body_t string, "
+        "received_ms long, body_tr string, body_pa string",
+    )
+
+
+def test_sessionize_hot_cold_split_identical_output(spark):
+    from google_analytics_to_s3_spark.plans.pipeline import sessionized_hits
+
+    df = _hits(spark)
+    base = sessionized_hits(df)
+    split = sessionized_hits(df, hot_visitor_min_hits=100)
+
+    key = ["message_id"]
+    cols = sorted(base.columns)
+    assert sorted(split.columns) == cols
+    b = [tuple(r[c] for c in cols) for r in base.orderBy(*key).collect()]
+    s = [tuple(r[c] for c in cols) for r in split.orderBy(*key).collect()]
+    assert b == s
+    # visitor 'a' really has 2 sessions (the planted gap matters)
+    a_sessions = {
+        r["user_session_id"]
+        for r in split.filter(F.col("body_cid") == "a").collect()
+    }
+    assert a_sessions == {1, 2}
+
+
+def test_sessionize_hot_cold_split_plan(spark):
+    """The split must broadcast the tiny hot-key set (no fact-table
+    shuffle for the anti/semi joins) and sessionize in two branches."""
+    from google_analytics_to_s3_spark.plans.pipeline import sessionized_hits
+
+    df = _hits(spark)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        sessionized_hits(df, hot_visitor_min_hits=100)
+        ._jdf.queryExecution(),
+        "simple",
+    )
+    assert "LeftAnti, BuildRight" in plan.replace("BuildRight, false", "BuildRight"), plan
+    assert "LeftSemi" in plan, plan
+    assert plan.count("Window") >= 2  # one chain per branch
+    assert "CartesianProduct" not in plan
