@@ -30,5 +30,36 @@ def register_marts(spark: SparkSession, marts: dict[str, DataFrame]) -> None:
         df.createOrReplaceTempView(view)
 
 
+def save_marts_as_tables(
+    spark: SparkSession,
+    marts: dict[str, DataFrame],
+    database: str = "ga",
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> list[str]:
+    """S11, durable half: persist the marts as catalog tables
+    (``saveAsTable``) so they survive the session — the Spark-native
+    equivalent of the reference's Glue-crawler-registered tables that
+    Athena queries (collector-ga.yaml:614-635). Temp views
+    (:func:`register_marts`) remain the zero-copy path for same-session
+    SQL; catalog tables are the cross-session/BI-tool path.
+
+    Parquet via the session catalog (Hive-style warehouse dir or a
+    configured metastore). Pass ``partition_by`` (e.g. ``("year",
+    "month", "day")`` when the marts carry date columns) so downstream
+    reads partition-prune. Returns the fully-qualified table names.
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    saved = []
+    for name, df in marts.items():
+        table = f"{database}.{'events_mart' if name == 'events' else name}"
+        writer = df.write.mode(mode).format("parquet")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.saveAsTable(table)
+        saved.append(table)
+    return saved
+
+
 def sql(spark: SparkSession, query: str) -> DataFrame:
     return spark.sql(query)

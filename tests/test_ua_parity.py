@@ -1,0 +1,221 @@
+"""UA-parse parity evidence (L5): native heuristic vs reference semantics.
+
+The reference parses UAs with the ``user_agents`` library (ua-parser
+regexes) in a per-record Lambda (reference enrichment/filters/
+user_agent.py:14-32, bot short-circuit :35-39). Our default path is the
+native expression heuristic in functions/ua.py; the pandas-UDF parity
+path wraps the same library but is import-gated (lib absent here).
+
+This fixture locks the native heuristic's output on a ~50-UA corpus and
+annotates each row with the ua-parser family the reference would
+produce (from the public ua-parser core test corpus). ``None`` ref
+fields mean "not asserted" (unverifiable without the lib installed).
+
+DOCUMENTED DIVERGENCE SURFACE (native vs reference):
+
+1. Mobile browser families: ua-parser splits mobile variants into their
+   own families — "Mobile Safari", "Chrome Mobile", "Chrome Mobile
+   iOS", "Firefox Mobile", "Firefox iOS", "Edge Mobile". The native
+   heuristic reports the engine family ("Safari", "Chrome", "Firefox",
+   "Edge") and carries mobility in device_device_type/device_is_mobile
+   instead. Join on (client_name, device_type) to recover the split.
+2. Firefox iOS (FxiOS/) is not in the native browser table; it falls
+   through to "Safari" (the engine actually rendering). ua-parser says
+   "Firefox iOS".
+3. Version granularity: native extracts the full token
+   ("115.0.0.0", "10_15_7"); ua-parser truncates to major.minor.patch
+   and dots underscores ("115.0.0", "10.15.7"). Consumers comparing
+   versions should split on [._] — both forms are prefix-compatible.
+4. Bot policy: the native BOT_RE intentionally ALSO flags CLI fetchers
+   (curl, wget) and monitors as bots; ua-parser only flags rows whose
+   device family is "Spider", so curl/wget are NOT bots to the
+   reference. This widens bot exclusion — the conservative choice for
+   training-data hygiene; use the pandas path for byte-parity.
+5. OS "Linux": ua-parser reports distro-less Android above Linux the
+   same way we do (Android wins), but for desktop Linux ua-parser may
+   report "Ubuntu"/"Fedora" from distro tokens; native always "Linux".
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from google_analytics_to_s3_spark.functions.ua import with_device_columns
+
+# (ua, native: client, os, dtype, is_bot, ref: client_family, is_bot)
+# ref fields None => not asserted (no lib in env to verify against).
+CORPUS = [
+    # --- Chrome desktop ---
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/115.0.0.0 Safari/537.36",
+     "Chrome", "Windows", "desktop", False, "Chrome", False),
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+     "Chrome", "Mac OS X", "desktop", False, "Chrome", False),
+    ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/114.0.0.0 Safari/537.36",
+     "Chrome", "Linux", "desktop", False, "Chrome", False),
+    ("Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/110.0.0.0 Safari/537.36",
+     "Chrome", "Chrome OS", "desktop", False, "Chrome", False),
+    # --- Chrome mobile/tablet (divergence 1: ua-parser "Chrome Mobile") ---
+    ("Mozilla/5.0 (Linux; Android 13; Pixel 7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/115.0.0.0 Mobile Safari/537.36",
+     "Chrome", "Android", "mobile", False, "Chrome Mobile", False),
+    ("Mozilla/5.0 (Linux; Android 12; SM-T870) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/113.0.0.0 Safari/537.36",
+     "Chrome", "Android", "tablet", False, "Chrome", False),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_5 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/115.0.5790.130 Mobile/15E148 Safari/604.1",
+     "Chrome", "iOS", "mobile", False, "Chrome Mobile iOS", False),
+    # --- Safari (divergence 1: mobile → "Mobile Safari") ---
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.5 Safari/605.1.15",
+     "Safari", "Mac OS X", "desktop", False, "Safari", False),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1",
+     "Safari", "iOS", "mobile", False, "Mobile Safari", False),
+    ("Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1",
+     "Safari", "iOS", "tablet", False, "Mobile Safari", False),
+    ("Mozilla/5.0 (iPod touch; CPU iPhone OS 15_7 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/15.6 Mobile/15E148 Safari/604.1",
+     "Safari", "iOS", "mobile", False, "Mobile Safari", False),
+    # --- Firefox ---
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:109.0) Gecko/20100101 Firefox/115.0",
+     "Firefox", "Windows", "desktop", False, "Firefox", False),
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10.15; rv:109.0) Gecko/20100101 Firefox/114.0",
+     "Firefox", "Mac OS X", "desktop", False, "Firefox", False),
+    ("Mozilla/5.0 (X11; Ubuntu; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/113.0",
+     "Firefox", "Linux", "desktop", False, None, False),  # div. 5: ref "Firefox" + OS "Ubuntu"
+    ("Mozilla/5.0 (Android 13; Mobile; rv:109.0) Gecko/115.0 Firefox/115.0",
+     "Firefox", "Android", "mobile", False, "Firefox Mobile", False),
+    # div. 2: FxiOS not in the native table → engine family "Safari"
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_5 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) FxiOS/115.0 Mobile/15E148 Safari/605.1.15",
+     "Safari", "iOS", "mobile", False, "Firefox iOS", False),
+    # --- Edge ---
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/115.0.0.0 Safari/537.36 Edg/115.0.1901.183",
+     "Edge", "Windows", "desktop", False, "Edge", False),
+    ("Mozilla/5.0 (Linux; Android 10; HD1913) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/115.0.0.0 Mobile Safari/537.36 EdgA/115.0.1901.188",
+     "Edge", "Android", "mobile", False, None, False),  # ref "Edge Mobile"
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_5 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) EdgiOS/115.0.1901.183 Version/16.0 Mobile/15E148 Safari/604.1",
+     "Edge", "iOS", "mobile", False, None, False),  # ref "Edge Mobile"
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64; Trident/7.0; rv:11.0) like Gecko",
+     "IE", "Windows", "desktop", False, "IE", False),
+    ("Mozilla/5.0 (compatible; MSIE 10.0; Windows NT 6.1; Trident/6.0)",
+     "IE", "Windows", "desktop", False, "IE", False),
+    # --- Opera ---
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/114.0.0.0 Safari/537.36 OPR/100.0.0.0",
+     "Opera", "Windows", "desktop", False, "Opera", False),
+    ("Opera/9.80 (Windows NT 6.1; WOW64) Presto/2.12.388 Version/12.18",
+     "Opera", "Windows", "desktop", False, "Opera", False),
+    # --- Samsung Internet ---
+    ("Mozilla/5.0 (Linux; Android 13; SM-S918B) AppleWebKit/537.36 (KHTML, like Gecko) SamsungBrowser/21.0 Chrome/110.0.5481.154 Mobile Safari/537.36",
+     "Samsung Internet", "Android", "mobile", False, "Samsung Internet", False),
+    ("Mozilla/5.0 (Linux; Android 12; SM-X906C) AppleWebKit/537.36 (KHTML, like Gecko) SamsungBrowser/20.0 Chrome/106.0.5249.126 Safari/537.36",
+     "Samsung Internet", "Android", "tablet", False, "Samsung Internet", False),
+    # --- Windows Phone / misc mobile ---
+    ("Mozilla/5.0 (Windows Phone 10.0; Android 6.0.1; Microsoft; Lumia 950) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/52.0.2743.116 Mobile Safari/537.36 Edge/15.14977",
+     "Edge", "Android", "mobile", False, None, False),
+    ("Mozilla/5.0 (Linux; Android 11; Kindle Fire HDX) AppleWebKit/537.36 (KHTML, like Gecko) Silk/94.2.5 like Chrome/94.0.4606.71 Safari/537.36",
+     "Chrome", "Android", "tablet", False, None, False),  # ref "Amazon Silk"
+    # --- bots: both engines agree (Spider device family in ua-parser) ---
+    ("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+     None, None, None, True, None, True),
+    ("Mozilla/5.0 (compatible; bingbot/2.0; +http://www.bing.com/bingbot.htm)",
+     None, None, None, True, None, True),
+    ("Mozilla/5.0 (compatible; YandexBot/3.0; +http://yandex.com/bots)",
+     None, None, None, True, None, True),
+    ("Mozilla/5.0 (compatible; AhrefsBot/7.0; +http://ahrefs.com/robot/)",
+     None, None, None, True, None, True),
+    ("Mozilla/5.0 (compatible; SemrushBot/7~bl; +http://www.semrush.com/bot.html)",
+     None, None, None, True, None, True),
+    ("Mozilla/5.0 (compatible; Yahoo! Slurp; http://help.yahoo.com/help/us/ysearch/slurp)",
+     None, None, None, True, None, True),
+    ("Screaming Frog SEO Spider/18.0", None, None, None, True, None, True),
+    ("facebookexternalhit/1.1 (+http://www.facebook.com/externalhit_uatext.php)",
+     "(not set)", "(not set)", "desktop", False, None, None),  # no bot token either side
+    # --- divergence 4: CLI fetchers — native bot, reference NOT bot ---
+    ("curl/8.1.2", None, None, None, True, "curl", False),
+    ("Wget/1.21.3 (linux-gnu)", None, None, None, True, "Wget", False),
+    ("Datadog/Synthetics monitor", None, None, None, True, None, False),
+    # --- not bots on either side ---
+    ("python-requests/2.31.0", "(not set)", "(not set)", "desktop", False, "Python Requests", False),
+    ("PostmanRuntime/7.32.3", "(not set)", "(not set)", "desktop", False, None, False),
+    ("okhttp/4.11.0", "(not set)", "(not set)", "desktop", False, None, False),
+    # --- older / odd ---
+    ("Mozilla/5.0 (Windows NT 6.1; WOW64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/49.0.2623.112 Safari/537.36",
+     "Chrome", "Windows", "desktop", False, "Chrome", False),
+    ("Mozilla/5.0 (Macintosh; PPC Mac OS X 10_4_11) AppleWebKit/533.19.4 (KHTML, like Gecko) Version/4.1.3 Safari/533.19.4",
+     "Safari", "Mac OS X", "desktop", False, "Safari", False),
+    ("Mozilla/5.0 (Linux; U; Android 4.4.2; en-us; SM-G900T Build/KOT49H) AppleWebKit/534.30 (KHTML, like Gecko) Version/4.0 Mobile Safari/534.30",
+     "Safari", "Android", "mobile", False, "Android", False),
+    ("Mozilla/5.0 (PlayStation 5/SmartTV) AppleWebKit/605.1.15 (KHTML, like Gecko)",
+     "(not set)", "(not set)", "desktop", False, None, False),
+    ("Roku4640X/DVP-7.70 (297.70E04154A)", "(not set)", "(not set)", "desktop", False, None, False),
+    ("Mozilla/5.0 (SMART-TV; Linux; Tizen 6.0) AppleWebKit/537.36 (KHTML, like Gecko) Version/6.0 TV Safari/537.36",
+     "Safari", "Linux", "desktop", False, None, False),
+    ("Dalvik/2.1.0 (Linux; U; Android 13; Pixel 6 Build/TQ3A.230805.001)",
+     "(not set)", "Android", "tablet", False, None, False),  # no Mobile token → tablet heuristic
+    ("Mozilla/5.0 (Mobile; rv:26.0) Gecko/26.0 Firefox/26.0",
+     "Firefox", "(not set)", "mobile", False, "Firefox Mobile", False),
+]
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    df = spark.createDataFrame(
+        [(i, ua) for i, (ua, *_rest) in enumerate(CORPUS)],
+        "idx int, user_agent string",
+    )
+    rows = with_device_columns(df).orderBy("idx").collect()
+    return {r["idx"]: r for r in rows}
+
+
+def test_native_truth_table(parsed):
+    """Every corpus row parses to the expected native values."""
+    for i, (ua, client, os_name, dtype, bot, _rc, _rb) in enumerate(CORPUS):
+        r = parsed[i]
+        assert r["device_is_bot"] == bot, (ua, r["device_is_bot"])
+        if bot:
+            # bot short-circuit: all other device_* fields null
+            assert r["device_client_name"] is None, ua
+            assert r["device_os_name"] is None, ua
+            continue
+        if client is not None:
+            assert r["device_client_name"] == client, (ua, r["device_client_name"])
+        if os_name is not None:
+            assert r["device_os_name"] == os_name, (ua, r["device_os_name"])
+        if dtype is not None:
+            assert r["device_device_type"] == dtype, (ua, r["device_device_type"])
+            assert r["device_is_mobile"] == (dtype == "mobile"), ua
+
+
+def test_documented_bot_divergence_is_exactly_cli_fetchers(parsed):
+    """Divergence 4: rows where native flags a bot but the reference
+    would not are exactly the CLI-fetcher/monitor rows."""
+    div = {
+        CORPUS[i][0]
+        for i in parsed
+        if parsed[i]["device_is_bot"] and CORPUS[i][6] is False
+    }
+    assert div == {
+        "curl/8.1.2",
+        "Wget/1.21.3 (linux-gnu)",
+        "Datadog/Synthetics monitor",
+    }
+
+
+def test_family_divergences_match_documented_classes(parsed):
+    """Divergences 1-2: whenever the annotated ua-parser family differs
+    from the native family, it is one of the documented mobile-split or
+    FxiOS cases — never a cross-engine misidentification."""
+    splits = {
+        "Mobile Safari": "Safari",
+        "Chrome Mobile": "Chrome",
+        "Chrome Mobile iOS": "Chrome",
+        "Firefox Mobile": "Firefox",
+        "Firefox iOS": "Safari",     # div. 2
+        "Android": "Safari",         # legacy AOSP browser renders WebKit
+        "curl": None,
+        "Wget": None,
+        "Python Requests": "(not set)",
+    }
+    for i, (ua, _c, _o, _d, bot, ref_client, _rb) in enumerate(CORPUS):
+        if bot or ref_client is None:
+            continue
+        native = parsed[i]["device_client_name"]
+        if ref_client != native:
+            assert splits.get(ref_client) == native, (ua, ref_client, native)
+            # the mobility the reference encodes in the family name is
+            # preserved in our device_type column
+            if ref_client.endswith(("Mobile", "Mobile iOS", "iOS")):
+                assert parsed[i]["device_device_type"] in ("mobile", "tablet"), ua
