@@ -1665,6 +1665,10 @@ from .driver_queries_enrich import (  # noqa: E402
     ORACLES_ENRICH,
     QUERIES_ENRICH,
 )
+from .driver_queries_exports import (  # noqa: E402
+    ORACLES as ORACLES_EXPORTS,
+    QUERIES as QUERIES_EXPORTS,
+)
 from .driver_queries_extra import (  # noqa: E402
     ORACLES_EXTRA,
     QUERIES_EXTRA,
@@ -1677,6 +1681,7 @@ from .driver_queries_tpch import (  # noqa: E402
 QUERIES.update(QUERIES_ENRICH)
 QUERIES.update(QUERIES_TPCH)
 QUERIES.update(QUERIES_EXTRA)
+QUERIES.update(QUERIES_EXPORTS)
 
 ORACLES: dict[str, str] = {
     "sessionize_flags": SQL_SESSIONIZE_FLAGS,
@@ -1728,3 +1733,4 @@ ORACLES: dict[str, str] = {
 ORACLES.update(ORACLES_ENRICH)
 ORACLES.update(ORACLES_TPCH)
 ORACLES.update(ORACLES_EXTRA)
+ORACLES.update(ORACLES_EXPORTS)
