@@ -428,6 +428,11 @@ def rhp_dup_pairs(
     vectors are fetched by equi-join on id, so each embedding crosses
     the wire once per side and each surviving pair's cosine is computed
     exactly once (not once per colliding band).
+
+    The source projection feeds three plan branches (band keys + both
+    join sides); recompute beats persist here — vectors are cheap to
+    re-scan and caching 64-double arrays costs more than it saves
+    (measured at sf0.1).
     """
     keys = rhp_band_keys(F.col(vec_col), n_bits, n_bands, dim)
     slim = df.select(
