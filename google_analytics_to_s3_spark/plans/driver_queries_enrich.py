@@ -656,7 +656,83 @@ FROM documents
 """
 
 
+def q_incremental_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB attribution design, oracle-proven: split events at the
+    median day into history/today, collapse each half to O(visitors)
+    touchpoint summaries, merge the summaries (full-outer join of state
+    rows — the historical hit table is never re-read), and derive
+    W8-W11. The oracle recomputes attribution over ALL events in one
+    pass, so a green row proves incremental == recompute (the
+    reference's design, main.py:1265-1273) on real data.
+    """
+    from ..operators.attribution import (
+        merge_touchpoint_summaries,
+        summary_attribution,
+        touchpoint_summary,
+    )
+
+    e = load_events(spark, sf_dir).select("user_id", "event_id", "ts_ms")
+    src = F.element_at(
+        F.array(*[F.lit(s) for s in TP_SOURCES]),
+        (F.col("event_id") % len(TP_SOURCES)).cast("int") + 1,
+    )
+    d = e.withColumn("source", src).withColumn(
+        "day", F.expr("ts_ms div 86400000")
+    )
+    bounds = d.agg(
+        F.expr("(min(day) + max(day) + 1) div 2").alias("_split")
+    )
+    d = d.join(F.broadcast(bounds))
+    hist = d.filter(F.col("day") < F.col("_split"))
+    today = d.filter(F.col("day") >= F.col("_split"))
+    args = dict(
+        visitor_col="user_id", ts_col="ts_ms", source_col="source",
+        tiebreak_cols=("event_id",),
+    )
+    merged = merge_touchpoint_summaries(
+        touchpoint_summary(hist, **args),
+        touchpoint_summary(today, **args),
+        visitor_col="user_id",
+    )
+    out = summary_attribution(merged)
+    return out.select(
+        "user_id",
+        F.array_join("touchpoints", ",").alias("touchpoints"),
+        F.array_join("touchpoints_wo_direct", ",").alias(
+            "touchpoints_wo_direct"
+        ),
+        "first_touchpoint",
+        "last_touchpoint",
+        "max_ts",
+    )
+
+
+SQL_INCREMENTAL_ATTRIBUTION = f"""
+WITH src AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         ({_TP_ARR})[(event_id % {len(TP_SOURCES)}) + 1] AS source
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+         list(source ORDER BY ts_ms, event_id) AS touchpoints,
+         max(ts_ms) AS max_ts
+  FROM src GROUP BY user_id
+)
+SELECT user_id,
+       array_to_string(touchpoints, ',') AS touchpoints,
+       array_to_string(list_filter(touchpoints, x -> x != '(direct)'), ',')
+         AS touchpoints_wo_direct,
+       touchpoints[1] AS first_touchpoint,
+       coalesce(list_filter(touchpoints, x -> x != '(direct)')[-1],
+                '(direct)') AS last_touchpoint,
+       max_ts
+FROM agg
+"""
+
+
 QUERIES_ENRICH = {
+    "incremental_attribution": q_incremental_attribution,
     "multimodal_decode": q_multimodal_decode,
     "streaming_sessions": q_streaming_sessions,
     "asof_join": q_asof_join,
@@ -670,6 +746,7 @@ QUERIES_ENRICH = {
 }
 
 ORACLES_ENRICH = {
+    "incremental_attribution": SQL_INCREMENTAL_ATTRIBUTION,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "streaming_sessions": SQL_SESSION_WINDOW_ROLLUP,
     "asof_join": SQL_ASOF_JOIN,
