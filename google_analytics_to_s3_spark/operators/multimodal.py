@@ -32,7 +32,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -150,4 +152,130 @@ def sample_frames(
 
     return df.select(id_col, payload_col).mapInPandas(
         _sample, schema=FRAME_SCHEMA
+    )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("payload_sha256", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Image resize: binary → binary map at a fixed target geometry.
+
+    Stub resize: the output payload is the input repeated/truncated to
+    ``target_w * target_h`` bytes (1 byte/pixel stand-in) — a real
+    implementation decodes, resamples, and re-encodes in the same
+    ``mapInPandas`` body. Deterministic, so downstream exact-dedup over
+    resized payloads is testable.
+    """
+    if use_real_decoder:
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as e:  # pragma: no cover - lib absent here
+            raise NotImplementedError(
+                "real image resize needs PIL, which is not installed; "
+                "use the deterministic stub (use_real_decoder=False)"
+            ) from e
+    size = target_w * target_h
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, digests = [], []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload) or b"\x00"
+                out = (raw * (size // len(raw) + 1))[:size]
+                payloads.append(out)
+                digests.append(hashlib.sha256(out).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": pd.Series(payloads, dtype=object),
+                    "payload_sha256": pd.Series(digests, dtype=object),
+                    "width": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _resize, schema=RESIZED_SCHEMA
+    )
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_windows", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    window_bytes: int = 64,
+    sample_rate_hz: int = 16_000,
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Audio feature extraction: payload → fixed-rate windowed feature
+    vector (``array<double>``) + duration metadata.
+
+    Stub features: per-window mean byte value (an "energy envelope") —
+    a real implementation computes MFCC/log-mel per window with a DSP
+    library in the same body. The Spark-side contract is the real
+    one: bounded Arrow batches, one array column out, duration derived
+    from payload length at ``sample_rate_hz`` (1 byte/sample stand-in).
+    The feature column feeds the existing embedding operators
+    (knn/LSH dedup) unchanged.
+    """
+    if use_real_decoder:
+        try:
+            import soundfile  # noqa: F401
+        except ImportError as e:  # pragma: no cover - lib absent here
+            raise NotImplementedError(
+                "real audio decode needs soundfile/libsndfile, which is "
+                "not installed; use the stub (use_real_decoder=False)"
+            ) from e
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_windows, durations, feats = [], [], []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload)
+                wins = [
+                    raw[i : i + window_bytes]
+                    for i in range(0, len(raw), window_bytes)
+                ] or [b""]
+                feats.append(
+                    [sum(w) / len(w) if w else 0.0 for w in wins]
+                )
+                n_windows.append(len(wins))
+                durations.append(len(raw) * 1000 // sample_rate_hz)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_windows": pd.Series(n_windows, dtype="int32"),
+                    "duration_ms": pd.Series(durations, dtype="int64"),
+                    "features": pd.Series(feats, dtype=object),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _extract, schema=AUDIO_FEATURE_SCHEMA
     )

@@ -52,3 +52,58 @@ def test_sample_frames_fanout(spark, docs_df):
 def test_real_decoder_gated(spark, docs_df):
     with pytest.raises(NotImplementedError):
         decode_image_meta(docs_df, use_real_decoder=True).collect()
+
+
+def test_resize_image_geometry_and_determinism(spark, sf_smoke):
+    from google_analytics_to_s3_spark.operators.multimodal import (
+        resize_image,
+        with_binary_payload,
+    )
+    from google_analytics_to_s3_spark.sources.testdata import load_table
+
+    docs = with_binary_payload(
+        load_table(spark, sf_smoke, "documents").limit(20)
+    )
+    out = resize_image(docs, 8, 4).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(r["payload"]) == 32  # 8*4 bytes, exact target size
+        assert (r["width"], r["height"]) == (8, 4)
+    # deterministic: same input -> same digests
+    again = {r["doc_id"]: r["payload_sha256"]
+             for r in resize_image(docs, 8, 4).collect()}
+    assert again == {r["doc_id"]: r["payload_sha256"] for r in out}
+
+
+def test_audio_features_shape_and_values(spark):
+    from google_analytics_to_s3_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(128))), (2, b"\x10" * 100), (3, b"")],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in
+            extract_audio_features(df, window_bytes=64).collect()}
+    assert rows[1]["n_windows"] == 2
+    assert rows[1]["features"][0] == sum(range(64)) / 64
+    assert rows[1]["features"][1] == sum(range(64, 128)) / 64
+    assert rows[2]["n_windows"] == 2  # 64 + 36 bytes
+    assert rows[2]["features"] == [16.0, 16.0]
+    assert rows[3]["n_windows"] == 1 and rows[3]["features"] == [0.0]
+    assert rows[1]["duration_ms"] == 128 * 1000 // 16000
+    # feature vectors feed the cosine helpers unchanged
+    from google_analytics_to_s3_spark.operators.similarity import cosine
+    import pyspark.sql.functions as F
+
+    feats = extract_audio_features(df, window_bytes=64).filter(
+        F.col("doc_id") < 3
+    )
+    sim = (
+        feats.alias("a").crossJoin(feats.alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(cosine(F.col("a.features"), F.col("b.features")).alias("c"))
+        .collect()
+    )
+    assert 0.0 < sim[0]["c"] <= 1.0
