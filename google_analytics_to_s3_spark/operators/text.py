@@ -194,3 +194,30 @@ def doc_fingerprint(text: Column | str) -> Column:
     """Order-insensitive bag-of-words content fingerprint:
     md5 over the sorted distinct token set."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
+
+
+def char_entropy(text: Column | str) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — the
+    classic gibberish/boilerplate quality signal (low → repeated
+    padding, high → random noise; natural language sits ~3.5-4.5).
+
+    Pure Catalyst higher-order functions, no explode: the histogram is
+    built per row as transform-over-sorted-distinct-chars (O(distinct ×
+    len) inside codegen — distinct ≤ alphabet size), so nothing
+    shuffles and the whole expression pipelines into the scan. The
+    summation folds over SORTED distinct chars, making the double
+    accumulation order engine-portable (the DuckDB oracle sums in the
+    same order)."""
+    t = F.col(text) if isinstance(text, str) else text
+    n = F.length(t)
+    chars = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substr(t, i, F.lit(1))
+    )
+    ds = F.array_sort(F.array_distinct(chars))
+    counts = F.transform(
+        ds, lambda d: F.size(F.filter(chars, lambda c: c == d))
+    )
+    terms = F.transform(counts, lambda k: (k / n) * F.log2(k / n))
+    return F.when(
+        n > 0, -F.aggregate(terms, F.lit(0.0), lambda a, v: a + v)
+    ).otherwise(F.lit(0.0))

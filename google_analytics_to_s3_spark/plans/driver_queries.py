@@ -1609,6 +1609,54 @@ FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality scoring (operators/text.char_entropy):
+    per-doc Shannon entropy next to length/distinct counts — all
+    higher-order-function expressions, zero shuffle."""
+    from ..operators.text import char_entropy
+
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.length("text")
+    chars = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substr(F.col("text"), i, F.lit(1))
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_chars"),
+        F.size(F.array_distinct(chars)).alias("n_distinct_chars"),
+        F.round(char_entropy("text"), 6).alias("entropy_bits"),
+    )
+
+
+SQL_CHAR_ENTROPY = """
+WITH c AS (
+  SELECT doc_id, text, length(text) AS n,
+         list_transform(range(1, length(text) + 1),
+                        i -> substring(text, CAST(i AS INTEGER), 1)) AS chars
+  FROM documents
+),
+d AS (
+  SELECT doc_id, n, chars,
+         list_sort(list_distinct(chars)) AS ds
+  FROM c
+),
+e AS (
+  SELECT doc_id, n,
+         CAST(len(ds) AS INTEGER) AS n_distinct_chars,
+         list_transform(ds, x -> len(list_filter(chars, ch -> ch = x)))
+           AS counts
+  FROM d
+)
+SELECT doc_id,
+       CAST(n AS INTEGER) AS n_chars,
+       n_distinct_chars,
+       round(CASE WHEN n > 0 THEN -list_sum(
+                 list_transform(counts, k -> (k / n) * log2(k / n)))
+             ELSE 0.0 END, 6) AS entropy_bits
+FROM e
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1659,6 +1707,7 @@ QUERIES: dict = {
     "sales_rollup": q_sales_rollup,
     "order_percentiles": q_order_percentiles,
     "string_funcs": q_string_funcs,
+    "char_entropy": q_char_entropy,
 }
 
 from .driver_queries_enrich import (  # noqa: E402
@@ -1728,6 +1777,7 @@ ORACLES: dict[str, str] = {
     "sales_rollup": SQL_SALES_ROLLUP,
     "order_percentiles": SQL_ORDER_PERCENTILES,
     "string_funcs": SQL_STRING_FUNCS,
+    "char_entropy": SQL_CHAR_ENTROPY,
 }
 
 ORACLES.update(ORACLES_ENRICH)

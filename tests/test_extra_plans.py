@@ -43,3 +43,27 @@ def test_dedup_keep_best_single_exchange(spark, sf_smoke):
     plan = _plan(q_dedup_keep_best(spark, sf_smoke))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_export_mart_plan_single_visitor_exchange(spark, sf_oracle):
+    """The full-pipeline export marts must keep the W1-W7 property: ONE
+    hash exchange on the visitor feeds every window; the null-backfilled
+    266-col synthesis must not defeat column pruning at the scan."""
+    from google_analytics_to_s3_spark.plans.driver_queries_exports import (
+        q_export_pageviews,
+    )
+
+    df = q_export_pageviews(spark, sf_oracle)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    visitor_exchanges = re.findall(r"hashpartitioning\(body_cid", plan)
+    assert len(visitor_exchanges) == 1, plan
+    assert "CartesianProduct" not in plan
+    # scan reads only the columns the synthesis actually consumes
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols <= {"event_id", "user_id", "event_type", "ts"}, read_cols
