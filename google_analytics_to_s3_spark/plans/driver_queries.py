@@ -1657,6 +1657,59 @@ FROM e
 """
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation, the composition a data
+    pipeline actually runs: quality gate (token count + distinct-token
+    ratio) → language ID → content-fingerprint dedup keeping the lowest
+    doc_id → per-language corpus stats. Everything map-side until the
+    fingerprint window and the final tiny aggregate; the document text
+    itself never shuffles (only fingerprints and counts)."""
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    q = (
+        with_text_quality(d)
+        .withColumn("lang_pred", language_id("text"))
+        .withColumn("fingerprint", doc_fingerprint("text"))
+        .withColumn("n_chars", F.length("text"))
+    )
+    kept = q.filter(
+        (F.col("n_tokens") >= 5) & (F.col("distinct_token_ratio") >= 0.3)
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    best = kept.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return best.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens_total"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )
+
+
+SQL_CORPUS_CURATION = f"""
+WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+q AS (
+  SELECT doc_id, text,
+         CAST(len(t) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(t)) AS DOUBLE)
+           / CAST(len(t) AS DOUBLE) AS dtr,
+         {_lang_case()} AS lang_pred,
+         md5(array_to_string(list_sort(list_distinct(t)), ' '))
+           AS fingerprint
+  FROM toks
+),
+kept AS (SELECT * FROM q WHERE n_tokens >= 5 AND dtr >= 0.3),
+best AS (
+  SELECT * FROM kept
+  QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+)
+SELECT lang_pred,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars_total
+FROM best GROUP BY lang_pred
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1708,6 +1761,7 @@ QUERIES: dict = {
     "order_percentiles": q_order_percentiles,
     "string_funcs": q_string_funcs,
     "char_entropy": q_char_entropy,
+    "corpus_curation": q_corpus_curation,
 }
 
 from .driver_queries_enrich import (  # noqa: E402
@@ -1778,6 +1832,7 @@ ORACLES: dict[str, str] = {
     "order_percentiles": SQL_ORDER_PERCENTILES,
     "string_funcs": SQL_STRING_FUNCS,
     "char_entropy": SQL_CHAR_ENTROPY,
+    "corpus_curation": SQL_CORPUS_CURATION,
 }
 
 ORACLES.update(ORACLES_ENRICH)
