@@ -45,6 +45,8 @@ from ..operators.text import (
     doc_fingerprint,
     language_id,
     token_count,
+    winnow_dup_pairs,
+    winnow_fingerprints_pandas,
     with_text_quality,
 )
 from ..sources.testdata import load_events, load_parallel, load_table
@@ -1710,6 +1712,126 @@ FROM best GROUP BY lang_pred
 """
 
 
+WINNOW_K = 8  # char-gram width (8 keeps fingerprints discriminating)
+WINNOW_W = 4  # winnow window
+WINNOW_MAX_DF = 10  # absolute stop-fingerprint cap: join fan-out ≤ df²
+WINNOW_MIN_SHARED = 2
+
+
+def _win_hash_sql(k: int) -> str:
+    """Horner-with-stepwise-mod rolling hash over chars i..i+k-1 —
+    the exact integer arithmetic of operators.text.rolling_gram_hashes."""
+    expr = "CAST(ascii(substr(c, i, 1)) AS BIGINT)"
+    for j in range(1, k):
+        expr = (
+            f"(({expr}) * 257"
+            f" + CAST(ascii(substr(c, i + {j}, 1)) AS BIGINT))"
+            " % 2147483647"
+        )
+    return expr
+
+
+_WIN_HASH = _win_hash_sql(WINNOW_K)
+_WIN_FPS = f"""
+WITH d AS (SELECT doc_id, lower(text) AS c, length(lower(text)) AS n
+           FROM documents),
+h AS (
+  SELECT doc_id,
+         CASE WHEN n >= {WINNOW_K}
+              THEN list_transform(range(1, n - {WINNOW_K - 2}),
+                                  i -> {_WIN_HASH})
+              ELSE [] END AS hs
+  FROM d
+),
+fp AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {WINNOW_W}
+              THEN list_distinct(list_transform(
+                     range(1, len(hs) - {WINNOW_W - 2}),
+                     i -> list_min(list_slice(hs, i, i + {WINNOW_W - 1}))))
+              ELSE [] END AS fps,
+         len(hs) AS n_grams
+  FROM h
+)
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints, per-doc summary,
+    via the Arrow-vectorized path (the pure-Catalyst expression is
+    parity-tested against it in tests/test_text_ops.py). The digest
+    column proves the exact fingerprint SET matches the oracle, not
+    just its size; n_grams is the closed form n-k+1, map-side native."""
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.length(F.lower("text"))
+    d = d.withColumn(
+        "fps", winnow_fingerprints_pandas("text", k=WINNOW_K, w=WINNOW_W)
+    )
+    return d.select(
+        "doc_id",
+        F.when(n >= WINNOW_K, n - (WINNOW_K - 1))
+        .otherwise(F.lit(0))
+        .alias("n_grams"),
+        F.size("fps").alias("n_fingerprints"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort("fps"), lambda x: x.cast("string")
+                ),
+                " ",
+            )
+        ).alias("fp_digest"),
+    )
+
+
+SQL_WINNOW_FINGERPRINTS = f"""{_WIN_FPS}
+SELECT doc_id,
+       CAST(n_grams AS INTEGER) AS n_grams,
+       CAST(len(fps) AS INTEGER) AS n_fingerprints,
+       md5(array_to_string(list_sort(fps), ' ')) AS fp_digest
+FROM fp
+"""
+
+
+def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-dup pairs via shared winnowing fingerprints with
+    a stop-fingerprint DF cap (boilerplate 7-char substrings appear in
+    hundreds of docs and would dominate the inverted index)."""
+    d = load_parallel(spark, sf_dir, "documents")
+    return winnow_dup_pairs(
+        d,
+        k=WINNOW_K,
+        w=WINNOW_W,
+        min_shared=WINNOW_MIN_SHARED,
+        max_df=WINNOW_MAX_DF,
+        max_df_inv=None,
+    )
+
+
+SQL_WINNOW_DUP_PAIRS = f"""{_WIN_FPS},
+ex AS (
+  SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS fp FROM fp
+),
+rare AS (
+  SELECT * FROM ex
+  QUALIFY count(*) OVER (PARTITION BY fp) <= {WINNOW_MAX_DF}
+),
+j AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared,
+         CAST(min(a.n_fp) AS INTEGER) AS n_fp_a,
+         CAST(min(b.n_fp) AS INTEGER) AS n_fp_b
+  FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared, n_fp_a, n_fp_b,
+       CAST(n_shared AS DOUBLE) / CAST(least(n_fp_a, n_fp_b) AS DOUBLE)
+         AS overlap
+FROM j
+WHERE n_shared >= {WINNOW_MIN_SHARED}
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1762,6 +1884,8 @@ QUERIES: dict = {
     "string_funcs": q_string_funcs,
     "char_entropy": q_char_entropy,
     "corpus_curation": q_corpus_curation,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_dup_pairs": q_winnow_dup_pairs,
 }
 
 from .driver_queries_enrich import (  # noqa: E402
@@ -1833,6 +1957,8 @@ ORACLES: dict[str, str] = {
     "string_funcs": SQL_STRING_FUNCS,
     "char_entropy": SQL_CHAR_ENTROPY,
     "corpus_curation": SQL_CORPUS_CURATION,
+    "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "winnow_dup_pairs": SQL_WINNOW_DUP_PAIRS,
 }
 
 ORACLES.update(ORACLES_ENRICH)

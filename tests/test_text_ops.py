@@ -85,3 +85,51 @@ def test_prefix_filter_is_lossless(spark, sf_smoke):
             ).collect()
         }
         assert got == want, (t, got ^ want)
+
+
+def test_winnow_native_arrow_parity(spark):
+    """The pure-Catalyst winnow expression and the Arrow fast path must
+    produce the same fingerprint SET (np.unique sorts; array_distinct
+    keeps first-occurrence order — compare sorted)."""
+    from google_analytics_to_s3_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_fingerprints_pandas,
+    )
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(100)
+        .select(
+            F.array_sort(winnow_fingerprints("text", k=8, w=4)).alias("a"),
+            F.array_sort(
+                winnow_fingerprints_pandas("text", k=8, w=4)
+            ).alias("b"),
+        )
+    )
+    assert d.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_winnow_guarantee_and_edges(spark):
+    """Winnowing's core property: two docs sharing a substring of
+    length >= k+w-1 share at least one fingerprint. Plus short-text
+    edge cases."""
+    from google_analytics_to_s3_spark.operators.text import (
+        winnow_fingerprints_pandas,
+    )
+
+    rows = [
+        ("a", "xxxx one shared common phrase here yyyy"),
+        ("b", "qq one shared common phrase here pp zz"),
+        ("short", "tiny"),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: set(r["f"] or [])
+        for r in df.select(
+            "doc_id",
+            winnow_fingerprints_pandas("text", k=8, w=4).alias("f"),
+        ).collect()
+    }
+    assert got["a"] & got["b"], "shared >=11-char substring must collide"
+    assert got["short"] == set() and got["empty"] == set()
