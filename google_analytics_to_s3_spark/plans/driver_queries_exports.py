@@ -103,10 +103,23 @@ def _ga_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(*cols)
 
 
+# The analyzed 266-col pipeline DataFrame is reused across the five
+# mart queries: re-analyzing the wide plan costs ~3-5 s per query
+# (measured at sf0.1: 6.9 s rebuild vs 1.0-1.6 s on the shared base —
+# analyzer/codegen fixed cost, not data). Keyed by session identity +
+# sf_dir; the session ref in the value keeps id() stable.
+_EXPORT_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def _export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import hit_export
 
-    return hit_export(_ga_hits(spark, sf_dir))
+    key = (id(spark), sf_dir)
+    hit = _EXPORT_CACHE.get(key)
+    if hit is None or hit[0] is not spark:
+        hit = (spark, hit_export(_ga_hits(spark, sf_dir)))
+        _EXPORT_CACHE[key] = hit
+    return hit[1]
 
 
 # Shared oracle prefix: synthesis + W1-W3 on ALL rows, P3 filter, then
