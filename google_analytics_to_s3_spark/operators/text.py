@@ -336,6 +336,22 @@ def winnow_fingerprints_pandas(
     return _winnow(F.col(text_col))
 
 
+def winnow_signature(
+    text_col: str = "text", k: int = 8, w: int = 4
+) -> Column:
+    """Content signature: md5 over the sorted winnow fingerprint set.
+    Two docs share a signature iff their winnowed substring profiles
+    are identical — a high-threshold near-dup key (robust to the exact
+    byte layout of repeated content, stricter than MinHash banding).
+    Used as the state key of the streaming near-dup ledger."""
+    fps = winnow_fingerprints_pandas(text_col, k=k, w=w)
+    return F.md5(
+        F.array_join(
+            F.transform(F.array_sort(fps), lambda x: x.cast("string")), " "
+        )
+    )
+
+
 def winnow_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

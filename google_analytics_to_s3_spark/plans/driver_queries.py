@@ -47,6 +47,7 @@ from ..operators.text import (
     token_count,
     winnow_dup_pairs,
     winnow_fingerprints_pandas,
+    winnow_signature,
     with_text_quality,
 )
 from ..sources.testdata import load_events, load_parallel, load_table
@@ -1732,9 +1733,12 @@ def _win_hash_sql(k: int) -> str:
 
 
 _WIN_HASH = _win_hash_sql(WINNOW_K)
-_WIN_FPS = f"""
-WITH d AS (SELECT doc_id, lower(text) AS c, length(lower(text)) AS n
-           FROM documents),
+def _win_fps_frag(src: str = "documents") -> str:
+    """CTE fragment d/h/fp computing winnow fingerprint lists over
+    ``src`` — composable after other CTEs (no leading WITH)."""
+    return f"""
+d AS (SELECT doc_id, lower(text) AS c, length(lower(text)) AS n
+      FROM {src}),
 h AS (
   SELECT doc_id,
          CASE WHEN n >= {WINNOW_K}
@@ -1784,7 +1788,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_WINNOW_FINGERPRINTS = f"""{_WIN_FPS}
+SQL_WINNOW_FINGERPRINTS = f"""WITH {_win_fps_frag()}
 SELECT doc_id,
        CAST(n_grams AS INTEGER) AS n_grams,
        CAST(len(fps) AS INTEGER) AS n_fingerprints,
@@ -1808,7 +1812,7 @@ def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_WINNOW_DUP_PAIRS = f"""{_WIN_FPS},
+SQL_WINNOW_DUP_PAIRS = f"""WITH {_win_fps_frag()},
 ex AS (
   SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS fp FROM fp
 ),
@@ -1829,6 +1833,52 @@ SELECT id_a, id_b, n_shared, n_fp_a, n_fp_b,
          AS overlap
 FROM j
 WHERE n_shared >= {WINNOW_MIN_SHARED}
+"""
+
+
+def q_neardup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch semantics of the streaming near-dup ledger
+    (streaming/neardup.py — parity asserted in
+    tests/test_neardup_stream.py): every doc mapped to the canonical
+    (min-id) doc of its winnow-signature group. Copies are planted
+    deterministically (doc_id % 17 == 3, re-tagged +100000) so the
+    corpus has observable duplicates; the oracle plants with the
+    identical literal arithmetic."""
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 17 == 3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    full = d.unionByName(copies)
+    keyed = full.select(
+        "doc_id",
+        winnow_signature("text", k=WINNOW_K, w=WINNOW_W).alias("sig"),
+    )
+    wmin = Window.partitionBy("sig")
+    return keyed.select(
+        "doc_id",
+        "sig",
+        F.min("doc_id").over(wmin).alias("canonical_id"),
+        (F.col("doc_id") == F.min("doc_id").over(wmin)).alias("is_novel"),
+    )
+
+
+SQL_NEARDUP_LEDGER = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id % 17 = 3
+),
+{_win_fps_frag("corpus")},
+sigs AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(fps), ' ')) AS sig
+  FROM fp
+)
+SELECT doc_id, sig,
+       min(doc_id) OVER (PARTITION BY sig) AS canonical_id,
+       doc_id = min(doc_id) OVER (PARTITION BY sig) AS is_novel
+FROM sigs
 """
 
 
@@ -1886,6 +1936,7 @@ QUERIES: dict = {
     "corpus_curation": q_corpus_curation,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_dup_pairs": q_winnow_dup_pairs,
+    "neardup_ledger": q_neardup_ledger,
 }
 
 from .driver_queries_enrich import (  # noqa: E402
@@ -1959,6 +2010,7 @@ ORACLES: dict[str, str] = {
     "corpus_curation": SQL_CORPUS_CURATION,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "winnow_dup_pairs": SQL_WINNOW_DUP_PAIRS,
+    "neardup_ledger": SQL_NEARDUP_LEDGER,
 }
 
 ORACLES.update(ORACLES_ENRICH)

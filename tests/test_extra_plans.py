@@ -67,3 +67,21 @@ def test_export_mart_plan_single_visitor_exchange(spark, sf_oracle):
     assert m, plan
     read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert read_cols <= {"event_id", "user_id", "event_type", "ts"}, read_cols
+
+
+def test_winnow_pair_join_is_slim_and_equi(spark, sf_smoke):
+    """The winnow inverted-index self-join must stay an equi-join on the
+    8-byte fingerprint (no cartesian/BNLJ), and no exchange may carry
+    the document text — only (id, n_fp, fp) plus window bookkeeping."""
+    from google_analytics_to_s3_spark.plans.driver_queries import (
+        q_winnow_dup_pairs,
+    )
+
+    plan = _plan(q_winnow_dup_pairs(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+    # the fp equi-join is present
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+                     plan), plan

@@ -1,0 +1,92 @@
+"""Streaming near-dup ledger must agree with the batch canonical
+mapping when originals arrive before their copies, and must keep
+canonical provenance ACROSS micro-batches (the state-store property
+dropDuplicates cannot give you)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from google_analytics_to_s3_spark.operators.text import winnow_signature
+from google_analytics_to_s3_spark.streaming.neardup import (
+    stream_neardup_ledger,
+)
+
+
+def _write_jsonl(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_ledger_matches_batch(spark, tmp_path):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+    )
+    originals = [r.asDict() for r in docs.collect()]
+    copies = [
+        {"doc_id": r["doc_id"] + 100000, "text": r["text"]}
+        for r in originals
+        if r["doc_id"] % 5 == 0
+    ]
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir, exist_ok=True)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(in_dir)
+    )
+
+    def run_once():
+        q = (
+            stream_neardup_ledger(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: originals; batch 2: copies (state must remember batch 1)
+    _write_jsonl(f"{in_dir}/part-0.json", originals)
+    run_once()
+    _write_jsonl(f"{in_dir}/part-1.json", copies)
+    run_once()
+
+    got = {
+        (r["doc_id"], r["canonical_id"], r["is_novel"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    all_rows = spark.createDataFrame(
+        originals + copies, "doc_id long, text string"
+    )
+    w = Window.partitionBy("sig")
+    expected = {
+        (r["doc_id"], r["canonical_id"], r["is_novel"])
+        for r in all_rows.select(
+            "doc_id", winnow_signature("text").alias("sig")
+        )
+        .select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("canonical_id"),
+            (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_novel"),
+        )
+        .collect()
+    }
+    assert got == expected
+    # every planted copy was flagged non-novel (exact canonical id is
+    # covered by the set equality above — the original itself may be a
+    # signature-dup of an earlier doc)
+    flagged = {d for d, _, novel in got if not novel}
+    assert {c["doc_id"] for c in copies} <= flagged
