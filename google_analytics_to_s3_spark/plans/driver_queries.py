@@ -1882,6 +1882,157 @@ FROM sigs
 """
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered, time-bounded funnel view → click → purchase:
+    a click counts only within 24 h after the user's first view, a
+    purchase only within 24 h after the first qualifying click (the
+    bound is what makes conversion a real measure — without it every
+    long-lived user trivially completes every step). Cascading
+    preceding-frame window minima — all three steps share ONE user-hash
+    exchange (the orderBy is inside the window, no global sort), then a
+    per-user flag rollup and a single global aggregate. The canonical
+    GA downstream query."""
+    e = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts_ms"
+    )
+    before = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    x = e.withColumn(
+        "v_before",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_ms"))).over(
+            before
+        ),
+    ).withColumn(
+        "click_ok",
+        F.when(
+            (F.col("event_type") == "click")
+            & F.col("v_before").isNotNull()
+            & (F.col("ts_ms") - F.col("v_before") <= 86400000),
+            F.col("ts_ms"),
+        ),
+    )
+    z = x.withColumn("c_before", F.min("click_ok").over(before))
+    u = z.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("s1"),
+        F.max(
+            F.when(F.col("click_ok").isNotNull(), 1).otherwise(0)
+        ).alias("s2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("c_before").isNotNull()
+                & (F.col("ts_ms") - F.col("c_before") <= 86400000),
+                1,
+            ).otherwise(0)
+        ).alias("s3"),
+    )
+    return u.agg(
+        F.count("*").alias("n_users"),
+        F.sum("s1").cast("bigint").alias("n_viewed"),
+        F.sum("s2").cast("bigint").alias("n_clicked_after_view"),
+        F.sum("s3").cast("bigint").alias("n_purchased_after_funnel"),
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+),
+x AS (
+  SELECT *,
+    min(CASE WHEN event_type = 'view' THEN ts_ms END) OVER
+      (PARTITION BY user_id ORDER BY ts_ms, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v_before
+  FROM e
+),
+y AS (
+  SELECT *,
+    CASE WHEN event_type = 'click' AND v_before IS NOT NULL
+              AND ts_ms - v_before <= 86400000
+         THEN ts_ms END AS click_ok
+  FROM x
+),
+z AS (
+  SELECT *,
+    min(click_ok) OVER
+      (PARTITION BY user_id ORDER BY ts_ms, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c_before
+  FROM y
+),
+u AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+    max(CASE WHEN click_ok IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+    max(CASE WHEN event_type = 'purchase' AND c_before IS NOT NULL
+              AND ts_ms - c_before <= 86400000
+             THEN 1 ELSE 0 END) AS s3
+  FROM z GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(s1) AS BIGINT) AS n_viewed,
+       CAST(sum(s2) AS BIGINT) AS n_clicked_after_view,
+       CAST(sum(s3) AS BIGINT) AS n_purchased_after_funnel
+FROM u
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention: cohort = user's first active epoch-day
+    (integer div — session-TZ-proof), retained@d = distinct users
+    active exactly d days after their cohort day. One user-hash
+    exchange for the cohort window, then the cohort-day aggregate."""
+    e = load_events(spark, sf_dir).select("user_id", "ts_ms")
+    day = F.expr("ts_ms div 86400000")
+    w = Window.partitionBy("user_id")
+    x = e.withColumn("day", day).withColumn(
+        "cohort_day", F.min("day").over(w)
+    )
+    d = F.col("day") - F.col("cohort_day")
+    return (
+        x.groupBy("cohort_day")
+        .agg(
+            F.countDistinct("user_id").alias("cohort_size"),
+            F.countDistinct(F.when(d == 1, F.col("user_id"))).alias(
+                "retained_d1"
+            ),
+            F.countDistinct(F.when(d == 7, F.col("user_id"))).alias(
+                "retained_d7"
+            ),
+            F.countDistinct(F.when(d == 14, F.col("user_id"))).alias(
+                "retained_d14"
+            ),
+        )
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+),
+x AS (
+  SELECT user_id,
+         ts_ms // 86400000 AS day,
+         min(ts_ms // 86400000) OVER (PARTITION BY user_id) AS cohort_day
+  FROM e
+)
+SELECT cohort_day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size,
+       CAST(count(DISTINCT CASE WHEN day - cohort_day = 1
+                                THEN user_id END) AS BIGINT) AS retained_d1,
+       CAST(count(DISTINCT CASE WHEN day - cohort_day = 7
+                                THEN user_id END) AS BIGINT) AS retained_d7,
+       CAST(count(DISTINCT CASE WHEN day - cohort_day = 14
+                                THEN user_id END) AS BIGINT)
+         AS retained_d14
+FROM x GROUP BY cohort_day
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1937,6 +2088,8 @@ QUERIES: dict = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_dup_pairs": q_winnow_dup_pairs,
     "neardup_ledger": q_neardup_ledger,
+    "funnel_conversion": q_funnel_conversion,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 from .driver_queries_enrich import (  # noqa: E402
@@ -2011,6 +2164,8 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "winnow_dup_pairs": SQL_WINNOW_DUP_PAIRS,
     "neardup_ledger": SQL_NEARDUP_LEDGER,
+    "funnel_conversion": SQL_FUNNEL_CONVERSION,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
 }
 
 ORACLES.update(ORACLES_ENRICH)

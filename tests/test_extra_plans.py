@@ -85,3 +85,30 @@ def test_winnow_pair_join_is_slim_and_equi(spark, sf_smoke):
     # the fp equi-join is present
     assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
                      plan), plan
+
+
+def test_funnel_single_user_exchange(spark, sf_smoke):
+    """Cascading funnel windows share one user-hash exchange (same
+    partition + order spec); the flag rollup reuses it, so the whole
+    funnel is exchange-once plus the final singleton aggregate."""
+    from google_analytics_to_s3_spark.plans.driver_queries import (
+        q_funnel_conversion,
+    )
+
+    plan = _plan(q_funnel_conversion(spark, sf_smoke))
+    assert "Join" not in plan, plan
+    assert (
+        len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1
+    ), plan
+
+
+def test_retention_single_user_exchange(spark, sf_smoke):
+    from google_analytics_to_s3_spark.plans.driver_queries import (
+        q_retention_cohorts,
+    )
+
+    plan = _plan(q_retention_cohorts(spark, sf_smoke))
+    assert "Join" not in plan, plan
+    assert (
+        len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1
+    ), plan
