@@ -2033,6 +2033,57 @@ FROM x GROUP BY cohort_day
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-flow transition matrix (GA's \"users flow\"): per-user
+    next-event via lead over the user exchange, then the global
+    (from, to) count + row-normalized transition probability — a
+    first-order Markov model of the event stream. Probability sums via
+    a window over the tiny (5×5) transition table, no second pass over
+    events."""
+    e = load_events(spark, sf_dir).select("event_id", "user_id",
+                                          "event_type", "ts_ms")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    pairs = e.withColumn(
+        "next_type", F.lead("event_type").over(w)
+    ).filter(F.col("next_type").isNotNull())
+    counts = pairs.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wrow).cast("double")
+        ).alias("p"),
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts_ms, event_id) AS to_type
+  FROM e
+),
+counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE)
+         / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+FROM counts
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2090,6 +2141,7 @@ QUERIES: dict = {
     "neardup_ledger": q_neardup_ledger,
     "funnel_conversion": q_funnel_conversion,
     "retention_cohorts": q_retention_cohorts,
+    "event_transitions": q_event_transitions,
 }
 
 from .driver_queries_enrich import (  # noqa: E402
@@ -2166,6 +2218,7 @@ ORACLES: dict[str, str] = {
     "neardup_ledger": SQL_NEARDUP_LEDGER,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "retention_cohorts": SQL_RETENTION_COHORTS,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
 }
 
 ORACLES.update(ORACLES_ENRICH)
