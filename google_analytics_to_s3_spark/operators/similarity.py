@@ -23,6 +23,8 @@ the note in operators/dedup.py).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -504,3 +506,145 @@ def cosine_pairs_blocked(
         F.col(f"r.{id_col}").alias("id_b"),
         score.alias("score"),
     ).filter(F.col("score") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance (ADC) — the classic
+# 100 TB embedding-compression path (Jégou et al., TPAMI'11): vectors
+# compress 64×4 B floats → m=8 one-byte codes, and search scans codes
+# with per-block lookup tables instead of touching raw vectors.
+#
+# All distance arithmetic happens on floor(x · 2^20) int64 grids:
+# float→double widening and the double product are IEEE-exact, floor is
+# tie-free, and integer sums are order-independent — so any SQL engine
+# reproduces codes, quantization error, and ADC scores bit-for-bit
+# (the numpy argmin and a dist-then-id sort break ties identically).
+# --------------------------------------------------------------------------
+
+PQ_M = 8          # sub-vector blocks
+PQ_K = 16         # centroids per block
+PQ_SCALE = 1 << 20
+
+
+def pq_quantized(vec_col: Column | str) -> Column:
+    """floor(x · 2^20) as int64 per dimension — the exact grid every PQ
+    computation runs on."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        c, lambda x: F.floor(x.cast("double") * PQ_SCALE).cast("long")
+    )
+
+
+def pq_codebook(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = PQ_K,
+):
+    """Deterministic codebook: the quantized vectors of ids 0..k-1
+    (first-k init — the standard k-means seeding; swap in
+    train_centroids_kmeans output for trained codebooks). Bounded k×dim
+    driver pull, same pattern as the IVF centroid pull."""
+
+    rows = (
+        df.filter(F.col(id_col) < k)
+        .orderBy(id_col)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    assert len(rows) == k, f"need ids 0..{k-1} present, got {len(rows)}"
+    vecs = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    return np.floor(vecs * PQ_SCALE).astype(np.int64)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+) -> DataFrame:
+    """Encode each vector as m nearest-centroid codes (+ total squared
+    quantization error on the integer grid). Arrow-vectorized: the
+    (k, m, sub) codebook rides the UDF closure (k·dim ints — tiny);
+    per batch it is one broadcasting subtract + argmin, no state, no
+    shuffle. Ties break to the smallest centroid id (np.argmin
+    first-occurrence == ORDER BY dist, cid)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    k, dim = codebook.shape
+    sub = dim // m
+    cb = codebook.reshape(k, m, sub)  # (k, m, sub)
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("codes", ArrayType(IntegerType())),
+                StructField("qerr", LongType()),
+            ]
+        )
+    )
+    def _encode(vecs: pd.Series) -> pd.DataFrame:
+        codes_out, err_out = [], []
+        for v in vecs:
+            qv = np.floor(
+                np.asarray(v, dtype=np.float64) * PQ_SCALE
+            ).astype(np.int64).reshape(m, sub)
+            # (k, m, sub) - (m, sub) -> (k, m, sub); integer sums are
+            # order-independent, so axis-sum order cannot diverge
+            d = ((cb - qv) ** 2).sum(axis=2)  # (k, m)
+            codes = d.argmin(axis=0)  # (m,) first-min ties
+            codes_out.append([int(c) for c in codes])
+            err_out.append(int(d[codes, np.arange(m)].sum()))
+        return pd.DataFrame({"codes": codes_out, "qerr": err_out})
+
+    enc = df.select(
+        F.col(id_col), _encode(F.col(vec_col)).alias("e")
+    )
+    return enc.select(id_col, F.col("e.codes").alias("codes"),
+                      F.col("e.qerr").alias("qerr"))
+
+
+def pq_adc_lut(codebook, query_q, m: int = PQ_M):
+    """Asymmetric-distance lookup table: lut[b][j] = squared distance
+    from the query's block b to centroid j — computed once on the
+    driver (m·k ints), applied as literal arrays in a native
+    expression."""
+    k, dim = codebook.shape
+    sub = dim // m
+    cb = codebook.reshape(k, m, sub)
+
+    qq = np.asarray(query_q, dtype=np.int64).reshape(m, sub)
+    d = ((cb - qq) ** 2).sum(axis=2)  # (k, m)
+    return [[int(d[j, b]) for j in range(k)] for b in range(m)]
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    lut,
+    id_col: str = "vec_id",
+    k_top: int = 20,
+) -> DataFrame:
+    """Top-k by ADC score over the code table — a NATIVE projection
+    (element_at into literal per-block LUT arrays summed across blocks)
+    plus a k-row ordered limit; the raw vectors are never read. This is
+    the PQ payoff: the scan touches m bytes + m array lookups per row."""
+    adist = None
+    for b, row in enumerate(lut):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in row]),
+            F.element_at("codes", b + 1) + 1,
+        )
+        adist = term if adist is None else adist + term
+    assert adist is not None
+    return (
+        encoded.select(F.col(id_col), adist.alias("adist"))
+        .orderBy("adist", id_col)
+        .limit(k_top)
+    )

@@ -2084,6 +2084,99 @@ FROM counts
 """
 
 
+# Shared oracle fragment: quantized grid, first-16 codebook, per-block
+# distances, first-min code assignment — the exact integer arithmetic
+# of operators/similarity.py pq_*.
+_PQ_FRAG = """
+q AS (SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+      FROM embeddings),
+cb AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 16),
+blocks AS (SELECT unnest(range(0, 8)) AS b),
+pairs AS (
+  SELECT q.vec_id, blocks.b, cb.cid,
+         CAST(list_sum(list_transform(range(1, 9),
+           j -> (qv[blocks.b * 8 + j] - cv[blocks.b * 8 + j])
+              * (qv[blocks.b * 8 + j] - cv[blocks.b * 8 + j])))
+           AS BIGINT) AS dist
+  FROM q CROSS JOIN blocks CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, b, cid AS code, dist
+  FROM pairs
+  QUALIFY row_number() OVER (PARTITION BY vec_id, b
+                             ORDER BY dist, cid) = 1
+)
+"""
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (operators/similarity.py): every
+    embedding as 8 one-byte codes + integer-grid quantization error.
+    The code string proves the exact per-block assignments match the
+    oracle's independent argmin."""
+    from ..operators.similarity import pq_codebook, pq_encode
+
+    e = load_parallel(spark, sf_dir, "embeddings")
+    enc = pq_encode(e, pq_codebook(e))
+    return enc.select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), " "
+        ).alias("code_str"),
+        "qerr",
+    )
+
+
+SQL_PQ_CODES = f"""WITH {_PQ_FRAG}
+SELECT vec_id,
+       string_agg(CAST(code AS VARCHAR), ' ' ORDER BY b) AS code_str,
+       CAST(sum(dist) AS BIGINT) AS qerr
+FROM best GROUP BY vec_id
+"""
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-20 neighbors of vec_id 17: scan the code table with
+    literal per-block lookup arrays (native projection — raw vectors
+    never read after encoding), deterministic (adist, id) tie-break."""
+    import numpy as np
+
+    from ..operators.similarity import (
+        PQ_SCALE,
+        pq_adc_lut,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    e = load_parallel(spark, sf_dir, "embeddings")
+    cb = pq_codebook(e)
+    qrow = e.filter(F.col("vec_id") == 17).select("embedding").first()
+    query_q = np.floor(
+        np.asarray(qrow[0], dtype=np.float64) * PQ_SCALE
+    ).astype(np.int64)
+    return pq_adc_topk(pq_encode(e, cb), pq_adc_lut(cb, query_q), k_top=20)
+
+
+SQL_PQ_ADC_TOPK = f"""WITH {_PQ_FRAG},
+qv17 AS (SELECT qv AS qq FROM q WHERE vec_id = 17),
+lut AS (
+  SELECT cb.cid, blocks.b,
+         CAST(list_sum(list_transform(range(1, 9),
+           j -> (qq[blocks.b * 8 + j] - cv[blocks.b * 8 + j])
+              * (qq[blocks.b * 8 + j] - cv[blocks.b * 8 + j])))
+           AS BIGINT) AS d
+  FROM cb CROSS JOIN blocks CROSS JOIN qv17
+)
+SELECT best.vec_id, CAST(sum(lut.d) AS BIGINT) AS adist
+FROM best JOIN lut ON best.b = lut.b AND best.code = lut.cid
+GROUP BY best.vec_id
+ORDER BY adist, vec_id LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2142,6 +2235,8 @@ QUERIES: dict = {
     "funnel_conversion": q_funnel_conversion,
     "retention_cohorts": q_retention_cohorts,
     "event_transitions": q_event_transitions,
+    "pq_codes": q_pq_codes,
+    "pq_adc_topk": q_pq_adc_topk,
 }
 
 from .driver_queries_enrich import (  # noqa: E402
@@ -2219,6 +2314,8 @@ ORACLES: dict[str, str] = {
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "event_transitions": SQL_EVENT_TRANSITIONS,
+    "pq_codes": SQL_PQ_CODES,
+    "pq_adc_topk": SQL_PQ_ADC_TOPK,
 }
 
 ORACLES.update(ORACLES_ENRICH)
