@@ -648,3 +648,38 @@ def pq_adc_topk(
         .orderBy("adist", id_col)
         .limit(k_top)
     )
+
+
+def pq_train_codebook(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iters: int = 3,
+):
+    """Trained PQ codebook: independent Lloyd's k-means per sub-vector
+    block (the textbook PQ training), reusing
+    :func:`train_centroids_kmeans` on each block's slice. Row j of the
+    returned (k, dim) grid concatenates block b's centroid j — the
+    layout :func:`pq_encode` reshapes back to (k, m, sub). Driver cost
+    is m × (k·sub) centroid pulls; all heavy work stays distributed."""
+    dim = len(df.select(vec_col).first()[0])
+    sub = dim // m
+    blocks = []
+    for b in range(m):
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), b * sub + 1, sub).alias(vec_col),
+        )
+        cents = train_centroids_kmeans(
+            sliced, n_centroids=k, n_iters=n_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+        blocks.append([cv for _, cv in cents])  # (k, sub) floats
+    rows = [
+        [x for b in range(m) for x in blocks[b][j]] for j in range(k)
+    ]
+    return np.floor(
+        np.asarray(rows, dtype=np.float64) * PQ_SCALE
+    ).astype(np.int64)

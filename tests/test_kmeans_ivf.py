@@ -62,3 +62,39 @@ def test_knn_ivf_trained_recall(spark, sf_smoke):
     # and every query returns k ranked rows
     counts = approx.groupBy("query_id").count().collect()
     assert all(r["count"] == 3 for r in counts)
+
+
+def test_pq_trained_codebook_beats_first_k(spark):
+    """Per-block Lloyd's training must reduce total quantization error
+    vs the first-k init codebook (the property that justifies
+    training); codes stay valid one-byte values."""
+    from pyspark.sql import functions as F
+
+    from google_analytics_to_s3_spark.operators.similarity import (
+        PQ_K,
+        pq_codebook,
+        pq_encode,
+        pq_train_codebook,
+    )
+
+    e = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+
+    def total_err(cb):
+        return (
+            pq_encode(e, cb)
+            .agg(F.sum("qerr").alias("s"))
+            .first()["s"]
+        )
+
+    cb_trained = pq_train_codebook(e, n_iters=2)
+    err_init = total_err(pq_codebook(e))
+    err_trained = total_err(cb_trained)
+    assert err_trained < err_init, (err_trained, err_init)
+
+    codes = pq_encode(e, cb_trained).select(
+        F.explode("codes").alias("c")
+    )
+    mn, mx = codes.agg(F.min("c"), F.max("c")).first()
+    assert 0 <= mn and mx < PQ_K
