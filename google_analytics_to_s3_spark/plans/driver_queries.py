@@ -2177,6 +2177,65 @@ ORDER BY adist, vec_id LIMIT 20
 """
 
 
+def q_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours from a user's first view to their first later purchase —
+    p25/median/p75 over converting users (F.percentile == DuckDB
+    quantile_cont exactly). One user-hash exchange for the per-user
+    min-pair, then a singleton holistic aggregate."""
+    e = load_events(spark, sf_dir).select("user_id", "event_type", "ts_ms")
+    u = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts_ms"))
+        ).alias("t_view")
+    )
+    # first purchase AFTER the first view (earlier purchases excluded)
+    j = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(u, "user_id")
+        .filter(F.col("ts_ms") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min("ts_ms").alias("t_purchase"),
+        )
+    )
+    hours = (
+        (F.col("t_purchase") - F.col("t_view")).cast("double") / 3600000.0
+    )
+    return j.select(hours.alias("h")).agg(
+        F.count("*").alias("n_converted"),
+        F.percentile("h", F.lit(0.25)).alias("p25_hours"),
+        F.percentile("h", F.lit(0.5)).alias("median_hours"),
+        F.percentile("h", F.lit(0.75)).alias("p75_hours"),
+    )
+
+
+SQL_TIME_TO_CONVERSION = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+),
+u AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts_ms END) AS t_view
+  FROM e GROUP BY user_id
+),
+j AS (
+  SELECT e.user_id, min(u.t_view) AS t_view, min(e.ts_ms) AS t_purchase
+  FROM e JOIN u ON e.user_id = u.user_id
+  WHERE e.event_type = 'purchase' AND e.ts_ms > u.t_view
+  GROUP BY e.user_id
+),
+h AS (
+  SELECT CAST(t_purchase - t_view AS DOUBLE) / 3600000.0 AS h FROM j
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       quantile_cont(h, 0.25) AS p25_hours,
+       quantile_cont(h, 0.5) AS median_hours,
+       quantile_cont(h, 0.75) AS p75_hours
+FROM h
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2237,6 +2296,7 @@ QUERIES: dict = {
     "event_transitions": q_event_transitions,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
+    "time_to_conversion": q_time_to_conversion,
 }
 
 from .driver_queries_enrich import (  # noqa: E402
@@ -2316,6 +2376,7 @@ ORACLES: dict[str, str] = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "pq_codes": SQL_PQ_CODES,
     "pq_adc_topk": SQL_PQ_ADC_TOPK,
+    "time_to_conversion": SQL_TIME_TO_CONVERSION,
 }
 
 ORACLES.update(ORACLES_ENRICH)
