@@ -68,3 +68,45 @@ def test_session_invariants(spark_prop, events):
         assert sorted(r["event_sequence"] for r in rs) == list(
             range(1, len(rs) + 1)
         )
+
+
+# --- winnowing guarantee (Schleimer/Wilkerson/Aiken §2) -------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ALPHA = "abcdef "
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    prefix_a=st.text(_ALPHA, max_size=20),
+    suffix_a=st.text(_ALPHA, max_size=20),
+    prefix_b=st.text(_ALPHA, max_size=20),
+    suffix_b=st.text(_ALPHA, max_size=20),
+    shared=st.text("xyzuvw", min_size=11, max_size=25),
+)
+def test_winnow_shared_substring_guarantee(
+    spark_prop, prefix_a, suffix_a, prefix_b, suffix_b, shared
+):
+    """Any two texts sharing a substring of length >= k+w-1 (= 11 at
+    k=8, w=4) must share at least one winnow fingerprint — the paper's
+    detection guarantee. The shared block uses a disjoint alphabet so
+    the guarantee isn't satisfied by accident."""
+    from google_analytics_to_s3_spark.operators.text import (
+        winnow_fingerprints_pandas,
+    )
+
+    rows = [
+        ("a", prefix_a + shared + suffix_a),
+        ("b", prefix_b + shared + suffix_b),
+    ]
+    df = spark_prop.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: set(r["f"])
+        for r in df.select(
+            "doc_id",
+            winnow_fingerprints_pandas("text", k=8, w=4).alias("f"),
+        ).collect()
+    }
+    assert got["a"] & got["b"], rows
