@@ -112,3 +112,45 @@ def test_retention_single_user_exchange(spark, sf_smoke):
     assert (
         len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1
     ), plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_oracle):
+    """Runtime bloom-filter semi-join pruning: with a selective build
+    side, Catalyst injects bloom_filter_agg on the dim side and
+    might_contain on the fact scan — rows that cannot join are dropped
+    BEFORE the shuffle. The application-side threshold defaults to
+    10 GB (a fact-scan size local testdata never reaches — at the
+    target scale it triggers untouched); it is lowered here only to
+    make the injection observable."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        o = spark.read.parquet(f"{sf_oracle}/orders.parquet").filter(
+            "o_totalprice > 400000"
+        )
+        fact = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+        j = (
+            fact.join(o, fact.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
