@@ -25,6 +25,13 @@ a batch operator (operators/text.py:winnow_dup_pairs,
 operators/similarity.py sign-LSH). Documented trade: the signature key
 catches exact and profile-identical near-dups on the stream; fuzzier
 matches are a nightly batch sweep.
+
+On clusters, Spark 4's ``transformWithStateInPandas`` is the upgrade
+path: per-signature ValueState with a TTL bounds the dedup horizon so
+state stops growing with stream lifetime. Its Python worker needs
+``google.protobuf``, which this container lacks (verified: the driver
+worker crashes on import), so this repo ships and tests the
+``applyInPandasWithState`` form only.
 """
 
 from __future__ import annotations
