@@ -81,3 +81,100 @@ def connected_components(
         "(graph diameter too large — raise max_iters or use "
         "star-contraction)"
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_out: str = "id",
+    comp_out: str = "component",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    adversarial-diameter upgrade to :func:`connected_components`:
+    converges in O(log n) rounds on ANY graph shape, where min-label
+    propagation needs diameter rounds (a 1 000-hop chain — a crawl
+    frontier, a linked-list-shaped join graph — stalls propagation but
+    costs star contraction ~10 rounds).
+
+    Per round: large-star hangs every neighbor v > u onto
+    m = min(Γ(u) ∪ {u}); small-star re-hangs the smaller neighbors of
+    each local maximum. Both are one groupBy-min plus one equi-join on
+    the node id — the same primitives, partitioning, and skew behavior
+    as the propagation variant. Fixpoint detection is an exact
+    ``exceptAll`` emptiness check per round pair (at extreme scale swap
+    for a (count, sum) checksum pre-filter); ``localCheckpoint``
+    truncates lineage each round as usual.
+
+    Output contract matches :func:`connected_components`: (id,
+    component = min reachable node id) for every node in ``edges``.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    e_cnt = e.count()
+    for _ in range(max_iters):
+        # large-star: group the full neighborhood of u, hang larger
+        # neighbors onto the local min
+        bidir = e.union(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = bidir.groupBy("a").agg(F.min("b").alias("mn"))
+        lg = (
+            bidir.join(mins, "a")
+            .withColumn("m", F.least("a", "mn"))
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # small-star: direct every edge large→small, re-hang each
+        # node's smaller neighbors (and itself) onto their min
+        d = lg.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        mins_d = d.groupBy("a").agg(F.min("b").alias("mn"))
+        joined = d.join(mins_d, "a")
+        sm = (
+            joined.filter(F.col("b") != F.col("mn"))
+            .select(F.col("b").alias("a"), F.col("mn").alias("b"))
+            .unionByName(
+                joined.select(
+                    F.col("a"), F.col("mn").alias("b")
+                ).distinct()
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        # both sides are DISTINCT sets: equal counts + empty one-sided
+        # except ⟺ set equality, so the (joining) except runs only on
+        # the final round(s) where counts already match
+        sm_cnt = sm.count()
+        changed = (
+            1
+            if sm_cnt != e_cnt
+            else sm.exceptAll(e).limit(1).count()
+        )
+        e, e_cnt = sm, sm_cnt
+        if changed == 0:
+            labels = (
+                e.select(F.col("a").alias("id"), F.col("b").alias("comp"))
+                .unionByName(
+                    e.select(
+                        F.col("b").alias("id"), F.col("b").alias("comp")
+                    )
+                )
+                .groupBy("id")
+                .agg(F.min("comp").alias("comp"))
+            )
+            return labels.select(
+                F.col("id").alias(id_out), F.col("comp").alias(comp_out)
+            )
+    raise RuntimeError(
+        f"connected_components_star: no fixpoint after {max_iters} "
+        "round pairs"
+    )

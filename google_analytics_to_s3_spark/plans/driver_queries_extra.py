@@ -407,8 +407,30 @@ SELECT id AS vec_id, min(root) AS component FROM reach GROUP BY id
 """
 
 
+def q_knn_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as q_knn_components but via alternating
+    large-star/small-star contraction (operators/graph.py,
+    Kiveris et al. SoCC'14) — O(log n) rounds on any diameter. Shares
+    the recursive-CTE oracle: both fixpoints must be the true
+    transitive closure."""
+    from ..operators.graph import connected_components_star
+    from ..operators.similarity import knn_brute_force
+
+    emb = load_parallel(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 1000
+    )
+    edges = knn_brute_force(emb, emb, k=1).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    comps = connected_components_star(
+        edges, id_out="vec_id", comp_out="component"
+    )
+    return comps.select("vec_id", "component")
+
+
 QUERIES_EXTRA: dict = {
     "knn_components": q_knn_components,
+    "knn_components_star": q_knn_components_star,
     "gap_fill_ffill": q_gap_fill_ffill,
     "order_rank_stats": q_order_rank_stats,
     "salted_event_totals": q_salted_event_totals,
@@ -420,6 +442,7 @@ QUERIES_EXTRA: dict = {
 
 ORACLES_EXTRA: dict[str, str] = {
     "knn_components": SQL_KNN_COMPONENTS,
+    "knn_components_star": SQL_KNN_COMPONENTS,
     "gap_fill_ffill": SQL_GAP_FILL_FFILL,
     "order_rank_stats": SQL_ORDER_RANK_STATS,
     "salted_event_totals": SQL_SALTED_EVENT_TOTALS,

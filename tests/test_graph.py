@@ -35,3 +35,56 @@ def test_bridge_merges_components(spark):
 def test_convergence_guard_raises(spark):
     with pytest.raises(RuntimeError, match="no fixpoint"):
         _components(spark, [(i, i + 1) for i in range(30)], max_iters=3)
+
+
+def test_star_matches_propagation(spark):
+    """Star contraction and min-label propagation must agree on the
+    real 1-NN graph."""
+    from pyspark.sql import functions as F
+
+    from google_analytics_to_s3_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+    from google_analytics_to_s3_spark.operators.similarity import (
+        knn_brute_force,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") < 300)
+    edges = knn_brute_force(emb, emb, k=1).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    ).localCheckpoint()
+    a = {
+        (r["id"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    b = {
+        (r["id"], r["component"])
+        for r in connected_components_star(edges).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_star_handles_long_chain_where_propagation_stalls(spark):
+    """A 60-hop chain needs 60 propagation rounds (the raise-path) but
+    only O(log n) star rounds — the documented reason the variant
+    exists."""
+    import pytest
+
+    from google_analytics_to_s3_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src long, dst long"
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components_star(chain).collect()
+    }
+    assert got == {(i, 0) for i in range(61)}
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(chain, max_iters=10)
