@@ -145,3 +145,43 @@ def decode_envelope(df: DataFrame, body_fields: list[str] | None = None) -> Data
         for f in body_fields
     ]
     return df.select(*cols)
+
+
+def read_json_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+) -> tuple[DataFrame, DataFrame]:
+    """S1 hardening: schema-on-read with a corrupt-row side channel.
+
+    FAILFAST (the default scan, sources above) kills a 100 TB job on one
+    bad object; silent PERMISSIVE nulls corrupt rows invisibly. The
+    production contract is quarantine: parse PERMISSIVE with
+    ``columnNameOfCorruptRecord``, return (good_rows, quarantined_raw)
+    so the pipeline loads clean data and ships the rejects to a
+    dead-letter sink for replay. One scan feeds both outputs (Spark
+    requires the parsed frame cached to filter on the corrupt-record
+    column — documented engine restriction, SPARK-21610); callers
+    unpersist after materializing both sides.
+    """
+    from pyspark.sql.types import StringType, StructField
+
+    corrupt_col = "_corrupt_record"
+    if isinstance(schema, StructType):
+        full = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType())]
+        )
+    else:
+        full = f"{schema}, {corrupt_col} string"
+    base = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .cache()
+    )
+    good = base.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantined = base.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw")
+    )
+    return good, quarantined

@@ -170,3 +170,33 @@ def test_concatenated_json_repair_matches_reference(spark, tmp_path):
         expected, key=lambda d: d["message_id"]
     )
     assert len(got) == 4
+
+
+def test_quarantine_reader_splits_good_and_bad(spark, tmp_path):
+    """PERMISSIVE + corrupt-record quarantine: good rows parse to the
+    schema, malformed lines land verbatim in the dead-letter side."""
+    import json as _json
+
+    from google_analytics_to_s3_spark.sources.ga import (
+        read_json_with_quarantine,
+    )
+
+    p = tmp_path / "mixed.json"
+    lines = [
+        _json.dumps({"id": 1, "name": "ok"}),
+        '{"id": 2, "name": "unterminated',
+        _json.dumps({"id": 3, "name": "fine"}),
+        "not json at all",
+    ]
+    p.write_text("\n".join(lines) + "\n")
+
+    good, bad = read_json_with_quarantine(
+        spark, str(p), "id long, name string"
+    )
+    assert {(r["id"], r["name"]) for r in good.collect()} == {
+        (1, "ok"),
+        (3, "fine"),
+    }
+    raws = [r["raw"] for r in bad.collect()]
+    assert sorted(raws) == sorted([lines[1], "not json at all"])
+    spark.catalog.clearCache()
