@@ -469,3 +469,44 @@ def char_entropy(text: Column | str) -> Column:
     return F.when(
         n > 0, -F.aggregate(terms, F.lit(0.0), lambda a, v: a + v)
     ).otherwise(F.lit(0.0))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Sliding-window document chunking — the context-length prep step
+    of a training pipeline: each doc becomes ceil-stride windows of
+    ``chunk_tokens`` tokens overlapping by ``overlap`` (the last chunk
+    keeps the tail). Pure map-side Catalyst (tokenize once, explode a
+    chunk-index sequence, slice per index) — no shuffle, rows fan out
+    ~n/stride per doc, and the slice start arithmetic is exact integer
+    math any engine reproduces. Output: (id, chunk_idx, n_chunk_tokens,
+    chunk_text)."""
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    d = df.withColumn("_toks", tokens(text_col)).withColumn(
+        "_n", F.size("_toks")
+    )
+    n_chunks = F.when(F.col("_n") <= chunk_tokens, F.lit(1)).otherwise(
+        F.expr(
+            f"((_n - {chunk_tokens}) + {stride - 1}) div {stride} + 1"
+        ).cast("int")
+    )
+    ch = d.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        "_toks",
+    )
+    sliced = F.slice(
+        F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_tokens
+    )
+    return ch.select(
+        id_col,
+        "chunk_idx",
+        F.size(sliced).alias("n_chunk_tokens"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+    )

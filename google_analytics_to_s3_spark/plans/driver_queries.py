@@ -42,6 +42,7 @@ from ..operators.similarity import (
 )
 from ..operators.text import (
     bpe_token_count,
+    chunk_documents,
     doc_fingerprint,
     language_id,
     token_count,
@@ -2236,6 +2237,48 @@ FROM h
 """
 
 
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/text.py:chunk_documents) —
+    context-length prep for training: 32-token windows, 8-token
+    overlap, tail-keeping ceil-stride count, all map-side."""
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(
+        d, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+n AS (SELECT doc_id, t, len(t) AS n FROM toks),
+c AS (
+  SELECT doc_id, t,
+         CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+              ELSE (n - {CHUNK_TOKENS} + {_CHUNK_STRIDE - 1})
+                   // {_CHUNK_STRIDE} + 1 END AS n_chunks
+  FROM n
+),
+ex AS (
+  SELECT doc_id, t,
+         CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_idx
+  FROM c
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(list_slice(t, chunk_idx * {_CHUNK_STRIDE} + 1,
+                           chunk_idx * {_CHUNK_STRIDE} + {CHUNK_TOKENS}))
+            AS INTEGER) AS n_chunk_tokens,
+       array_to_string(
+         list_slice(t, chunk_idx * {_CHUNK_STRIDE} + 1,
+                    chunk_idx * {_CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')
+         AS chunk_text
+FROM ex
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2297,6 +2340,7 @@ QUERIES: dict = {
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "time_to_conversion": q_time_to_conversion,
+    "chunk_documents": q_chunk_documents,
 }
 
 from .driver_queries_enrich import (  # noqa: E402
@@ -2377,6 +2421,7 @@ ORACLES: dict[str, str] = {
     "pq_codes": SQL_PQ_CODES,
     "pq_adc_topk": SQL_PQ_ADC_TOPK,
     "time_to_conversion": SQL_TIME_TO_CONVERSION,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
 }
 
 ORACLES.update(ORACLES_ENRICH)
