@@ -29,9 +29,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts_ms`` (epoch millis, long) alongside raw nanos."""
+    """events with ``ts_ms`` (epoch millis, long) alongside the raw ``ts``.
+
+    The driver's testdata has shipped ``ts`` as parquet TIMESTAMP(NANOS)
+    (read as epoch-nanos long under ``nanosAsLong``) and as plain
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ / TIMESTAMP). Normalize all
+    three to the same epoch-millis long the oracle's ``epoch_ms(ts)``
+    produces. The NTZ path must NOT cast through TIMESTAMP — that would
+    re-interpret the wall-clock value in the session timezone
+    (Europe/Berlin for GA parity) and shift the epoch; ``timestampdiff``
+    against the NTZ epoch is timezone-free, matching DuckDB's naive
+    ``epoch_ms``.
+    """
     e = load_table(spark, sf_dir, "events")
-    return e.withColumn("ts_ms", F.expr("ts div 1000000"))
+    ts_type = dict(e.dtypes)["ts"]
+    if ts_type == "bigint":
+        ts_ms = F.expr("ts div 1000000")
+    elif ts_type == "timestamp_ntz":
+        ts_ms = F.expr(
+            "timestampdiff(MILLISECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    else:  # timestamp (ltz): absolute instant, unix_millis is exact
+        ts_ms = F.expr("unix_millis(ts)")
+    return e.withColumn("ts_ms", ts_ms)
 
 
 def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
