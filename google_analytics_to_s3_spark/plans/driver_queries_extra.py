@@ -24,10 +24,15 @@ from ..sources.testdata import load_events, load_parallel, load_table
 # Embedding near-dup via random-hyperplane LSH (sign-LSH)
 # --------------------------------------------------------------------------
 
-# 4 bands × 8 bits: 256 buckets per band keeps candidate pairs ~bucket²
-# small even after planting doubles the corpus; per-planted-pair miss
-# probability (1 - 0.999¹⁶... see docstring) ≈ 2.6e-9
-_RHP_BITS, _RHP_BANDS, _RHP_DIM, _RHP_T = 32, 4, 64, 0.99
+# 4 bands × 16 bits: 65 536 buckets per band. At 8 bits/band the 4 000
+# planted-corpus vectors averaged ~16 per bucket → 607 k candidate pairs
+# to exact-verify for only 2 000 true dups; 16 bits/band cuts random
+# collisions ~256× (measured: ~5 k candidates) so the verify join is
+# negligible. Recall still certain: per-bit planted-pair agreement
+# ≈ 0.9991 → per-band 0.9991¹⁶ ≈ 0.9857 → miss ≈ (1-0.9857)⁴ ≈ 4e-8.
+# Bucket count per band should scale ~corpus size at 100 TB — that is
+# this same constant, not a design change.
+_RHP_BITS, _RHP_BANDS, _RHP_DIM, _RHP_T = 64, 4, 64, 0.99
 
 # same dot-product spelling as driver_queries._COS so the fold order and
 # double casts match the Spark side exactly
