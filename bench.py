@@ -49,17 +49,29 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # This host shows ±2-3x per-query timing noise under sustained
+    # all-core load (CPU quota throttling): min-of-N reps reports the
+    # query's actual cost instead of whichever rep hit a throttle window.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in dq.QUERIES:
             continue
-        t0 = time.perf_counter()
-        dq.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # several dedup/similarity operators persist() intermediates the
-        # caller owns; drop them so a 68-query loop doesn't accumulate
-        # cached blocks until storage eviction churn sets in
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            dq.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            # several dedup/similarity operators persist() intermediates
+            # the caller owns; drop them so an 86-query loop doesn't
+            # accumulate cached blocks until storage eviction churn
+            # sets in (and so each rep re-measures the full compute)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

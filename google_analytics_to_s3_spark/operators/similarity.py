@@ -478,15 +478,23 @@ def rhp_dup_pairs(
     exactly once (not once per colliding band).
 
     The source projection feeds three plan branches (band keys + both
-    join sides); recompute beats persist here — vectors are cheap to
-    re-scan and caching 64-double arrays costs more than it saves
-    (measured at sf0.1).
+    vector-fetch sides); both derived tables are persisted because every
+    branch would otherwise re-evaluate the interpreted plane dots and
+    any expression-defined vec_col (planted_copies) from scratch —
+    measured 2x end-to-end at sf0.1. Cache ownership: the caller clears
+    after materializing.
     """
     keys = rhp_band_keys(F.col(vec_col), n_bits, n_bands, dim)
+    # persist the banded rows: the self-join would otherwise evaluate
+    # the n_bits interpreted plane-dots once PER SIDE (2x the dominant
+    # cost), and any expression-defined vec_col (e.g. planted_copies'
+    # zip_with) would recompute under each branch. The cached form is
+    # three ints per banded row — O(n_bands * corpus) — and the caller
+    # owns the cache (bench/tests clearCache after materializing).
     slim = df.select(
         F.col(id_col),
         F.posexplode(F.array(*keys)).alias("band", "key"),
-    )
+    ).persist()
     left, right = slim.alias("l"), slim.alias("r")
     cand = (
         left.join(
@@ -505,7 +513,7 @@ def rhp_dup_pairs(
         F.col(id_col),
         F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("nrm"),
-    )
+    ).persist()
     a = vecs.select(
         F.col(id_col).alias("id_a"),
         F.col("v").alias("va"),
