@@ -1,0 +1,267 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Four curation stages a 100 TB text pipeline runs between ingestion and
+tokenization, each expressed as native Catalyst plans with DuckDB-
+reproducible arithmetic (see plans/driver_queries_curation.py for the
+oracle mirrors):
+
+- PII detection + redaction (regex scan/replace — emails, phones,
+  IPv4), the compliance pass every crawl corpus needs.
+- Gopher/C4-flavored heuristic quality signals (word stats, repetition,
+  alpha fraction) with a keep/drop verdict — the cheap filter that runs
+  before any model-based scoring.
+- Benchmark-contamination screening: word n-gram overlap between the
+  corpus and a held-out eval set, the decontamination join every
+  training run needs (inverted-index equi-join on shingle digests,
+  never an all-pairs comparison).
+- Corpus-statistics typicality scoring (CCNet-style): a char-bigram
+  language model trained ON the corpus scores each document by mean
+  within-corpus bigram probability; outliers (mojibake, binary spill,
+  wrong-language text) score low. The probability accumulator runs on
+  a floor(p * 2^30) integer grid so partial-aggregation order cannot
+  perturb the result and any SQL engine reproduces it bit-for-bit.
+
+Scale notes: every stage is one or two hash-partitioned aggregations
+over (doc_id, token)-grain rows; only fixed-width digests / small ints
+shuffle (document text never leaves the scan stage except inside the
+map-side projection); the bigram model is O(alphabet^2) rows and is
+broadcast. The synthetic documents table has no natural PII, so the
+PII query plants deterministic addresses/numbers first — mirrored
+literally in the oracle — exactly like similarity.planted_copies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+from .text import tokens
+
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) both accept
+# (no lookaround, no \b): good-enough recall for crawl-corpus hygiene;
+# swap in a dedicated scrubber for regulated data.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+IPV4_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+# (pattern, replacement) in application order — emails first so their
+# digit runs can't be half-eaten by the later numeric patterns.
+PII_RULES: list[tuple[str, str]] = [
+    (EMAIL_RE, "[EMAIL]"),
+    (PHONE_RE, "[PHONE]"),
+    (IPV4_RE, "[IP]"),
+]
+
+
+def plant_pii(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Append deterministic PII to a synthetic corpus (test scaffold).
+
+    Every doc_id % 3 gets an email, % 5 a phone, % 7 an IPv4 — pure
+    integer/string arithmetic the SQL oracle reproduces exactly
+    (PLANT_PII_SQL must stay in lockstep).
+    """
+    i = F.col(id_col)
+    s = i.cast("string")
+    planted = F.concat(
+        F.col(text_col),
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit(" contact user"), s, F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((i % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 7 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (i % 256).cast("string"),
+                F.lit("."),
+                ((i * 7) % 256).cast("string"),
+                F.lit("."),
+                ((i * 13) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return df.withColumn(text_col, planted)
+
+
+# oracle mirror of plant_pii — identical literals and concat order
+PLANT_PII_SQL = """
+text
+|| CASE WHEN doc_id % 3 = 0
+        THEN ' contact user' || doc_id || '@example.com now'
+        ELSE '' END
+|| CASE WHEN doc_id % 5 = 0
+        THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        ELSE '' END
+|| CASE WHEN doc_id % 7 = 0
+        THEN ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+             || '.' || ((doc_id * 13) % 256)
+        ELSE '' END
+"""
+
+
+def pii_signals(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per-document PII counts + redacted text.
+
+    Counts are taken on the raw text; redaction applies the rules in
+    PII_RULES order. One map-side projection — no shuffle at all.
+    """
+    c = F.col(text_col)
+    red = c
+    for pat, rep in PII_RULES:
+        red = F.regexp_replace(red, pat, rep)
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(c, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(c, F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_count(c, F.lit(IPV4_RE)).alias("n_ips"),
+        red.alias("redacted"),
+    )
+
+
+def quality_signals(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Gopher/C4-flavored heuristic quality columns + keep verdict.
+
+    One explode over words then two hash aggregations ((doc, word) →
+    doc); only (doc_id, word, count) rows shuffle. Signals: word count,
+    distinct-word ratio (low = repetitive), top-word fraction (high =
+    boilerplate/keyword stuffing), mean word length (extremes =
+    non-linguistic), alphabetic-word fraction (low = markup/binary
+    spill). Thresholds are the documented Gopher-rule shapes scaled to
+    corpus stats; tune per corpus.
+    """
+    w = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    hist = w.groupBy(id_col, "word").agg(F.count("*").alias("c"))
+    sig = hist.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+        F.sum(F.length("word") * F.col("c")).alias("char_sum"),
+        F.sum(F.when(F.col("word").rlike("^[a-z]+$"), F.col("c"))
+              .otherwise(F.lit(0))).alias("alpha_cnt"),
+    )
+    n = F.col("n_words").cast("double")
+    return sig.select(
+        F.col(id_col),
+        F.col("n_words"),
+        F.col("n_distinct"),
+        F.round(F.col("n_distinct").cast("double") / n, 6)
+         .alias("distinct_ratio"),
+        F.round(F.col("top_cnt").cast("double") / n, 6).alias("top_word_frac"),
+        F.round(F.col("char_sum").cast("double") / n, 6).alias("mean_word_len"),
+        F.round(F.col("alpha_cnt").cast("double") / n, 6).alias("alpha_frac"),
+        (
+            (F.col("n_words") >= 30)
+            & (F.col("top_cnt").cast("double") / n <= 0.15)
+            & (F.col("n_distinct").cast("double") / n >= 0.45)
+        ).alias("keep"),
+    )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """(corpus doc, eval doc, shared n-gram count) decontamination join.
+
+    Each side reduces to DISTINCT word n-gram digests (56-bit md5
+    prefixes — the corpus text never shuffles); candidates come from an
+    equi-join on the digest. The eval side is small by definition and
+    broadcast. Output: one row per contaminated (doc, eval doc) pair
+    with the shared-shingle count — the standard eval-overlap report.
+    """
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        sh = F.array_distinct(shingles(tokens(F.col(text_col)), n))
+        return df.select(
+            F.col(id_col).alias(out_id), F.explode(sh).alias("s")
+        ).select(
+            out_id,
+            F.conv(F.substring(F.md5("s"), 1, 14), 16, 10)
+             .cast("long").alias("h"),
+        )
+
+    c = grams(corpus, "doc_id")
+    e = grams(eval_docs, "eval_doc_id")
+    return (
+        c.join(F.broadcast(e), "h")
+        .filter(F.col("doc_id") != F.col("eval_doc_id"))
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+# Integer grid for the bigram-probability accumulator: floor(p * 2^30).
+# p = cnt/total is one IEEE-exact double division; scaling by a power
+# of two is exponent arithmetic (no rounding); floor is tie-free — so
+# the quantized value is identical in any engine, and the per-document
+# SUM is integer (order-independent under partial aggregation).
+LM_SCALE = 1 << 30
+
+
+def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Corpus-statistics typicality score per document (CCNet shape).
+
+    Trains a char-bigram model on the corpus itself (P(c2|c1) =
+    bigram_count / first_char_count — O(alphabet²) rows, broadcast) and
+    scores each document by its mean within-corpus bigram probability.
+    Low scores flag statistical outliers: mojibake, binary spill,
+    wrong-language contamination. Plan: one explode to (doc, bigram)
+    rows, (doc, bigram) and (bigram) hash aggregations, broadcast
+    model join, integer-grid accumulate (see LM_SCALE).
+    """
+    c = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - 1),
+        lambda i: c.substr(i, F.lit(2)),
+    )
+    bi = df.select(F.col(id_col), F.explode(grams).alias("bg"))
+    doc_bi = bi.groupBy(id_col, "bg").agg(F.count("*").alias("c"))
+    model = bi.groupBy("bg").agg(F.count("*").alias("bg_cnt"))
+    first_totals = model.groupBy(
+        F.substring("bg", 1, 1).alias("c1")
+    ).agg(F.sum("bg_cnt").alias("c1_cnt"))
+    model_q = (
+        model.withColumn("c1", F.substring("bg", 1, 1))
+        .join(F.broadcast(first_totals), "c1")
+        .select(
+            "bg",
+            F.floor(
+                F.col("bg_cnt").cast("double")
+                / F.col("c1_cnt").cast("double")
+                * F.lit(float(LM_SCALE))
+            ).alias("q"),
+        )
+    )
+    return (
+        doc_bi.join(F.broadcast(model_q), "bg")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("c") * F.col("q")).alias("qsum"),
+            F.sum("c").alias("n_bigrams"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_bigrams"),
+            F.round(
+                F.col("qsum").cast("double")
+                / (F.col("n_bigrams").cast("double") * F.lit(float(LM_SCALE))),
+                6,
+            ).alias("typicality"),
+        )
+    )

@@ -2351,6 +2351,10 @@ from .driver_queries_exports import (  # noqa: E402
     ORACLES as ORACLES_EXPORTS,
     QUERIES as QUERIES_EXPORTS,
 )
+from .driver_queries_curation import (  # noqa: E402
+    ORACLES_CURATION,
+    QUERIES_CURATION,
+)
 from .driver_queries_extra import (  # noqa: E402
     ORACLES_EXTRA,
     QUERIES_EXTRA,
@@ -2364,6 +2368,7 @@ QUERIES.update(QUERIES_ENRICH)
 QUERIES.update(QUERIES_TPCH)
 QUERIES.update(QUERIES_EXTRA)
 QUERIES.update(QUERIES_EXPORTS)
+QUERIES.update(QUERIES_CURATION)
 
 ORACLES: dict[str, str] = {
     "sessionize_flags": SQL_SESSIONIZE_FLAGS,
@@ -2428,6 +2433,7 @@ ORACLES.update(ORACLES_ENRICH)
 ORACLES.update(ORACLES_TPCH)
 ORACLES.update(ORACLES_EXTRA)
 ORACLES.update(ORACLES_EXPORTS)
+ORACLES.update(ORACLES_CURATION)
 
 # --------------------------------------------------------------------------
 # Registry ordering.

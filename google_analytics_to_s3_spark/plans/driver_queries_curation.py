@@ -1,0 +1,182 @@
+"""Corpus-curation driver queries: PII scan/redact, heuristic quality
+filter, benchmark-contamination screen, bigram-LM typicality.
+
+Oracle-parity conventions as driver_queries.py: identical column
+aliases, 64-bit integer sums (DuckDB SUM widens to HUGEINT — cast),
+md5-derived digests, integer-grid probability accumulation, round(_, 6)
+on derived doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.curation import (
+    PLANT_PII_SQL,
+    bigram_lm_scores,
+    contamination_pairs,
+    pii_signals,
+    plant_pii,
+    quality_signals,
+)
+from ..sources.testdata import load_parallel
+
+_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+# eval-set membership for the contamination screen: a deterministic
+# slice of the corpus standing in for a benchmark's prompts
+_EVAL_MOD = 97
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII counts + redacted text over the planted corpus.
+
+    The synthetic documents contain no natural PII, so the query plants
+    deterministic emails/phones/IPs first (operators/curation.plant_pii,
+    mirrored literally in the oracle) — the regex scan and the ordered
+    redaction chain are the operators under test.
+    """
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    out = pii_signals(plant_pii(d))
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        "redacted",
+    )
+
+
+SQL_PII_SCAN = f"""
+WITH planted AS (
+  SELECT doc_id, {PLANT_PII_SQL} AS text FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+       len(regexp_extract_all(text,
+           '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4}}')) AS n_phones,
+       len(regexp_extract_all(text,
+           '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}')) AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+             '[EMAIL]', 'g'),
+           '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4}}', '[PHONE]', 'g'),
+         '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}', '[IP]', 'g') AS redacted
+FROM planted
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_signals(d)
+
+
+SQL_QUALITY_FILTER = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+w AS (SELECT doc_id, unnest(t) AS word FROM toks),
+h AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+s AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS top_cnt,
+         CAST(sum(length(word) * c) AS BIGINT) AS char_sum,
+         CAST(sum(CASE WHEN regexp_matches(word, '^[a-z]+$')
+                       THEN c ELSE 0 END) AS BIGINT) AS alpha_cnt
+  FROM h GROUP BY 1
+)
+SELECT doc_id, n_words, n_distinct,
+       round(n_distinct::DOUBLE / n_words, 6) AS distinct_ratio,
+       round(top_cnt::DOUBLE / n_words, 6) AS top_word_frac,
+       round(char_sum::DOUBLE / n_words, 6) AS mean_word_len,
+       round(alpha_cnt::DOUBLE / n_words, 6) AS alpha_frac,
+       (n_words >= 30 AND top_cnt::DOUBLE / n_words <= 0.15
+        AND n_distinct::DOUBLE / n_words >= 0.45) AS keep
+FROM s
+"""
+
+
+def q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus × eval-slice 4-gram overlap (decontamination report)."""
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = d.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    pairs = contamination_pairs(d, ev, n=4)
+    return pairs.select(
+        "doc_id", "eval_doc_id", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
+SQL_CONTAMINATION_SCREEN = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= 4 THEN
+             list_transform(range(1, len(t) - 2),
+                            i -> array_to_string(list_slice(t, i, i + 3), ' '))
+           ELSE [array_to_string(t, ' ')] END)) AS s
+  FROM toks
+),
+hs AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 14))::BIGINT AS h FROM sh
+)
+SELECT c.doc_id AS doc_id, e.doc_id AS eval_doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM hs c
+JOIN (SELECT * FROM hs WHERE doc_id % {_EVAL_MOD} = 0) e USING (h)
+WHERE c.doc_id <> e.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_lm_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_scores(d)
+
+
+SQL_LM_TYPICALITY = """
+WITH bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text)),
+                               i -> substr(text, i, 2))) AS bg
+  FROM documents
+),
+doc_bi AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2),
+model AS (SELECT bg, count(*) AS bg_cnt FROM bi GROUP BY 1),
+firsts AS (
+  SELECT substr(bg, 1, 1) AS c1, CAST(sum(bg_cnt) AS BIGINT) AS c1_cnt
+  FROM model GROUP BY 1
+),
+mq AS (
+  SELECT bg,
+         CAST(floor(bg_cnt::DOUBLE / c1_cnt::DOUBLE * 1073741824.0)
+              AS BIGINT) AS q
+  FROM model JOIN firsts ON substr(bg, 1, 1) = c1
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(c * q) AS BIGINT)::DOUBLE
+             / (CAST(sum(c) AS BIGINT)::DOUBLE * 1073741824.0), 6)
+         AS typicality
+FROM doc_bi JOIN mq USING (bg)
+GROUP BY doc_id
+"""
+
+
+QUERIES_CURATION = {
+    "pii_scan": q_pii_scan,
+    "quality_filter": q_quality_filter,
+    "contamination_screen": q_contamination_screen,
+    "lm_typicality": q_lm_typicality,
+}
+
+ORACLES_CURATION = {
+    "pii_scan": SQL_PII_SCAN,
+    "quality_filter": SQL_QUALITY_FILTER,
+    "contamination_screen": SQL_CONTAMINATION_SCREEN,
+    "lm_typicality": SQL_LM_TYPICALITY,
+}

@@ -1,0 +1,99 @@
+"""Corpus-curation operators: PII scan/redact, quality filter,
+contamination screen, bigram-LM typicality."""
+
+import pyspark.sql.functions as F
+
+from google_analytics_to_s3_spark.operators.curation import (
+    bigram_lm_scores,
+    contamination_pairs,
+    pii_signals,
+    plant_pii,
+    quality_signals,
+)
+
+
+def test_pii_detect_and_redact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "write to alice.smith+x@corp.example.org or bob@ex.io"),
+            (2, "call +1-555-0099 from 192.168.1.200 please"),
+            (3, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pii_signals(df).collect()}
+    assert rows[1]["n_emails"] == 2 and rows[1]["n_phones"] == 0
+    assert rows[2]["n_phones"] == 1 and rows[2]["n_ips"] == 1
+    assert rows[3]["n_emails"] == rows[3]["n_phones"] == rows[3]["n_ips"] == 0
+    assert rows[1]["redacted"] == "write to [EMAIL] or [EMAIL]"
+    assert rows[2]["redacted"] == "call [PHONE] from [IP] please"
+    assert rows[3]["redacted"] == "no pii here at all"
+
+
+def test_plant_pii_deterministic_and_detectable(spark):
+    df = spark.createDataFrame(
+        [(i, "plain words only") for i in range(106)], ["doc_id", "text"]
+    )
+    sig = pii_signals(plant_pii(df))
+    agg = sig.agg(
+        F.sum("n_emails").alias("e"),
+        F.sum("n_phones").alias("p"),
+        F.sum("n_ips").alias("i"),
+    ).collect()[0]
+    # ids 0..105: 36 multiples of 3, 22 of 5, 16 of 7
+    assert (agg["e"], agg["p"], agg["i"]) == (36, 22, 16)
+    # redaction strips every planted item
+    red = sig.select(F.col("doc_id"), F.col("redacted").alias("text"))
+    again = pii_signals(red).agg(
+        F.sum("n_emails") + F.sum("n_phones") + F.sum("n_ips")
+    ).collect()[0][0]
+    assert again == 0
+
+
+def test_quality_signals_flags_repetition(spark):
+    good = " ".join(f"w{i}" for i in range(60))  # 60 distinct words
+    bad = "spam " * 60  # one word repeated
+    df = spark.createDataFrame(
+        [(1, good), (2, bad.strip()), (3, "tiny doc")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in quality_signals(df).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[1]["n_words"] == 60 and rows[1]["distinct_ratio"] == 1.0
+    assert rows[2]["keep"] is False  # top_word_frac == 1.0
+    assert rows[2]["top_word_frac"] == 1.0
+    assert rows[3]["keep"] is False  # too short
+    assert rows[3]["mean_word_len"] == 3.5
+
+
+def test_contamination_excludes_self_and_counts_distinct_grams(spark):
+    a = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (1, a),  # eval doc
+            (2, "x y " + a),  # contains all of a's 4-grams
+            (3, "alpha beta gamma nope more words here"),  # none shared
+        ],
+        ["doc_id", "text"],
+    )
+    ev = df.filter(F.col("doc_id") == 1)
+    got = {
+        (r["doc_id"], r["eval_doc_id"]): r["n_shared"]
+        for r in contamination_pairs(df, ev, n=4).collect()
+    }
+    assert got == {(2, 1): 3}  # a has 3 distinct 4-grams, no self pair
+
+
+def test_bigram_lm_typicality_orders_outliers_last(spark):
+    typical = "the cat sat on the mat and the cat sat again"
+    df = spark.createDataFrame(
+        [(i, typical) for i in range(9)] + [(9, "zzqq jjxx vvkk wwyy")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    scores = [rows[i]["typicality"] for i in range(10)]
+    assert all(0.0 < s <= 1.0 for s in scores)
+    # the mojibake-ish doc is the statistical outlier
+    assert scores[9] == min(scores)
+    # margin, not just ordering: the outlier's own bigrams are in the
+    # model too (tiny alphabet), so the gap is real but bounded
+    assert scores[0] > 1.2 * scores[9]
