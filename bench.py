@@ -52,14 +52,19 @@ def main() -> None:
     # This host shows ±2-3x per-query timing noise under sustained
     # all-core load (CPU quota throttling): min-of-N reps reports the
     # query's actual cost instead of whichever rep hit a throttle window.
+    # The wall-clock budget drops to single-rep if the run falls behind,
+    # so extra reps can never push the bench past an external timeout.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    bench_start = time.perf_counter()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in dq.QUERIES:
             continue
         best = None
-        for _ in range(reps):
+        n_reps = reps if time.perf_counter() - bench_start < budget else 1
+        for _ in range(n_reps):
             t0 = time.perf_counter()
             dq.QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
