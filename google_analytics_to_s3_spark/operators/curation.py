@@ -1,6 +1,6 @@
 """Corpus-curation operators for LLM training-data pipelines.
 
-Four curation stages a 100 TB text pipeline runs between ingestion and
+The curation stages a 100 TB text pipeline runs between ingestion and
 tokenization, each expressed as native Catalyst plans with DuckDB-
 reproducible arithmetic (see plans/driver_queries_curation.py for the
 oracle mirrors):
@@ -20,6 +20,10 @@ oracle mirrors):
   wrong-language text) score low. The probability accumulator runs on
   a floor(p * 2^30) integer grid so partial-aggregation order cannot
   perturb the result and any SQL engine reproduces it bit-for-bit.
+- Training-data assembly: GPT-style concat-and-chunk sequence packing
+  (per-shard window cumsum, integer-exact pack layout) and
+  deterministic temperature-mixture sampling with a hash-stable
+  train/val split.
 
 Scale notes: every stage is one or two hash-partitioned aggregations
 over (doc_id, token)-grain rows; only fixed-width digests / small ints
@@ -264,4 +268,107 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
                 6,
             ).alias("typicality"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data assembly: sequence packing + mixture sampling
+# --------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    part_col: str = "source",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing metadata.
+
+    Documents are concatenated in deterministic (partition, id) order
+    and the token stream is chunked into ``budget``-token training
+    sequences; each document lands at (pack_id, offset_in_pack) and may
+    straddle one pack boundary (``spans_boundary``) — the standard
+    trade that keeps packing a pure window computation instead of a
+    stateful bin-packer. Packing runs independently PER ``part_col``
+    (source shard), so the cumulative-sum window partitions by shard —
+    no global sort, arbitrarily many shards pack in parallel at 100 TB.
+    All arithmetic is integer (token counts), so any engine reproduces
+    the layout exactly.
+    """
+    from pyspark.sql import Window
+
+    from .text import token_count
+
+    n = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = df.select(
+        F.col(id_col), F.col(part_col), n.cast("long").alias("n_tokens")
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start")
+    d = d.withColumn("start", start)
+    # integer `div`, not float division: at 100 TB the token offset
+    # exceeds 2^53 and double division would corrupt pack ids
+    pack = F.expr(f"start div {budget}")
+    end_pack = F.expr(f"(start + n_tokens - 1) div {budget}")
+    return d.select(
+        id_col,
+        part_col,
+        "n_tokens",
+        pack.alias("pack_id"),
+        (F.col("start") % budget).alias("offset_in_pack"),
+        (pack != end_pack).alias("spans_boundary"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "lang",
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic mixture sampling + train/val split per document.
+
+    The temperature-rebalancing step of corpus assembly: each stratum
+    (language/source) keeps a target fraction of its documents, chosen
+    by an md5-derived hash of the id — reproducible on any engine and
+    stable under re-runs/backfills (no RNG state). A second independent
+    hash assigns train/val. Pure map-side projection; no shuffle.
+
+    Returns the kept rows with (sample_hash, split) attached.
+    """
+    from .text import token_count
+
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 14), 16, 10
+    ).cast("long") % 1_000_000
+    h2 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#split"))),
+            1, 14,
+        ), 16, 10,
+    ).cast("long") % 100
+    rate = None
+    for k, v in sorted(rates.items()):
+        cond = F.when(F.col(stratum_col) == k, F.lit(int(v * 1_000_000)))
+        rate = cond if rate is None else rate.when(
+            F.col(stratum_col) == k, F.lit(int(v * 1_000_000))
+        )
+    rate = rate.otherwise(F.lit(0))
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(stratum_col),
+            token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+            h.alias("sample_hash"),
+            F.when(h2 < val_pct, F.lit("val")).otherwise(F.lit("train"))
+             .alias("split"),
+        )
+        .filter(F.col("sample_hash") < rate)
     )

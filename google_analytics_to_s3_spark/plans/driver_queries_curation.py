@@ -16,6 +16,8 @@ from ..operators.curation import (
     PLANT_PII_SQL,
     bigram_lm_scores,
     contamination_pairs,
+    mixture_sample,
+    pack_sequences,
     pii_signals,
     plant_pii,
     quality_signals,
@@ -167,11 +169,82 @@ GROUP BY doc_id
 """
 
 
+_PACK_BUDGET = 512
+
+# temperature-rebalanced per-language keep rates (mixture assembly)
+_MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing layout, one window per source shard."""
+    d = load_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return pack_sequences(d, budget=_PACK_BUDGET)
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - n_tokens AS start
+  FROM d
+)
+SELECT doc_id, source, n_tokens,
+       start // {_PACK_BUDGET} AS pack_id,
+       start % {_PACK_BUDGET} AS offset_in_pack,
+       (start // {_PACK_BUDGET})
+         <> ((start + n_tokens - 1) // {_PACK_BUDGET}) AS spans_boundary
+FROM c
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling + train/val split (kept rows)."""
+    d = load_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    return mixture_sample(d, _MIX_RATES)
+
+
+def _mix_rate_sql() -> str:
+    whens = "\n    ".join(
+        f"WHEN lang = '{k}' THEN {int(v * 1_000_000)}"
+        for k, v in sorted(_MIX_RATES.items())
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+           % 1000000 AS sample_hash,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 14))
+           ::BIGINT % 100 AS h2
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, sample_hash,
+       CASE WHEN h2 < 5 THEN 'val' ELSE 'train' END AS split
+FROM d
+WHERE sample_hash < {_mix_rate_sql()}
+"""
+
+
 QUERIES_CURATION = {
     "pii_scan": q_pii_scan,
     "quality_filter": q_quality_filter,
     "contamination_screen": q_contamination_screen,
     "lm_typicality": q_lm_typicality,
+    "pack_sequences": q_pack_sequences,
+    "mixture_sample": q_mixture_sample,
 }
 
 ORACLES_CURATION = {
@@ -179,4 +252,6 @@ ORACLES_CURATION = {
     "quality_filter": SQL_QUALITY_FILTER,
     "contamination_screen": SQL_CONTAMINATION_SCREEN,
     "lm_typicality": SQL_LM_TYPICALITY,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
 }

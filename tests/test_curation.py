@@ -97,3 +97,48 @@ def test_bigram_lm_typicality_orders_outliers_last(spark):
     # margin, not just ordering: the outlier's own bigrams are in the
     # model too (tiny alphabet), so the gap is real but bounded
     assert scores[0] > 1.2 * scores[9]
+
+
+def test_pack_sequences_layout(spark):
+    from google_analytics_to_s3_spark.operators.curation import pack_sequences
+
+    docs = [
+        (1, "s", " ".join(["w"] * 300)),
+        (2, "s", " ".join(["w"] * 300)),
+        (3, "s", " ".join(["w"] * 100)),
+        (10, "t", " ".join(["w"] * 600)),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+    rows = {r["doc_id"]: r for r in
+            pack_sequences(df, budget=512).collect()}
+    # shard s: doc1 at 0 (fits), doc2 at 300 (straddles 512), doc3 at 600
+    assert (rows[1]["pack_id"], rows[1]["offset_in_pack"],
+            rows[1]["spans_boundary"]) == (0, 0, False)
+    assert (rows[2]["pack_id"], rows[2]["spans_boundary"]) == (0, True)
+    assert (rows[3]["pack_id"], rows[3]["offset_in_pack"]) == (1, 88)
+    # shard t packs independently from offset 0
+    assert (rows[10]["pack_id"], rows[10]["offset_in_pack"],
+            rows[10]["spans_boundary"]) == (0, 0, True)
+
+
+def test_mixture_sample_rates_and_split(spark):
+    from google_analytics_to_s3_spark.operators.curation import mixture_sample
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh", "some words here")
+         for i in range(2000)],
+        ["doc_id", "lang", "text"],
+    )
+    out = mixture_sample(df, {"en": 1.0, "zh": 0.25}).cache()
+    by_lang = {r["lang"]: r["n"] for r in
+               out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang["en"] == 1000            # rate 1.0 keeps everything
+    assert 150 < by_lang["zh"] < 350        # ~25% of 1000, hash-binomial
+    splits = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert splits["val"] < splits["train"]  # ~5% val
+    # determinism: same inputs -> identical kept set
+    again = mixture_sample(df, {"en": 1.0, "zh": 0.25})
+    assert out.exceptAll(again).count() == 0
+    out.unpersist()
