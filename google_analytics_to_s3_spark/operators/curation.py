@@ -372,3 +372,51 @@ def mixture_sample(
         )
         .filter(F.col("sample_hash") < rate)
     )
+
+
+def vocab_stats(
+    df: DataFrame,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Corpus vocabulary + per-document OOV rate.
+
+    Stage one builds the vocabulary (words with corpus frequency >=
+    min_count — one hash aggregation over (word) after a map-side
+    partial agg). Stage two re-joins the word stream against the
+    vocabulary to compute each document's out-of-vocabulary token rate
+    — the tokenizer-coverage report run before committing to a vocab.
+    The vocab is broadcast (it is the distinct-word set, orders of
+    magnitude smaller than the corpus); document text never shuffles.
+
+    Returns (vocab, per_doc) DataFrames.
+    """
+    w = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    vocab = (
+        w.groupBy("word")
+        .agg(F.count("*").alias("corpus_count"))
+        .filter(F.col("corpus_count") >= min_count)
+    )
+    per_doc = (
+        w.join(F.broadcast(vocab.select("word")).withColumn(
+            "in_vocab", F.lit(1)), "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+             .alias("n_oov"),
+        )
+        .select(
+            F.col(id_col),
+            "n_words",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double")
+                / F.col("n_words").cast("double"), 6
+            ).alias("oov_rate"),
+        )
+    )
+    return vocab, per_doc

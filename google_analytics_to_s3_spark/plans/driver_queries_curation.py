@@ -21,6 +21,7 @@ from ..operators.curation import (
     pii_signals,
     plant_pii,
     quality_signals,
+    vocab_stats,
 )
 from ..sources.testdata import load_parallel
 
@@ -238,6 +239,109 @@ WHERE sample_hash < {_mix_rate_sql()}
 """
 
 
+_VOCAB_MIN_COUNT = 5
+
+
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus-derived vocabulary."""
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    _, per_doc = vocab_stats(d, min_count=_VOCAB_MIN_COUNT)
+    return per_doc
+
+
+SQL_VOCAB_OOV = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+w AS (SELECT doc_id, unnest(t) AS word FROM toks),
+vocab AS (
+  SELECT word FROM w GROUP BY word HAVING count(*) >= {_VOCAB_MIN_COUNT}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               ::DOUBLE / CAST(count(*) AS BIGINT)::DOUBLE, 6) AS oov_rate
+FROM w LEFT JOIN vocab v USING (word)
+GROUP BY doc_id
+"""
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end assembly: quality-keep → PII-redact → mixture sample →
+    per-(lang, split) corpus summary.
+
+    Chains the curation stages the way a real corpus build does, so the
+    oracle proves the COMPOSITION (filter interplay, redacted token
+    counts feeding the sampler), not just each stage alone.
+    """
+    d = load_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    kept = quality_signals(d).filter(F.col("keep")).select("doc_id")
+    red = pii_signals(plant_pii(d)).select(
+        "doc_id", F.col("redacted").alias("text")
+    )
+    assembled = (
+        d.select("doc_id", "lang").join(kept, "doc_id").join(red, "doc_id")
+    )
+    m = mixture_sample(assembled, _MIX_RATES)
+    return m.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+SQL_CURATION_PIPELINE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+w AS (SELECT doc_id, unnest(t) AS word FROM toks),
+h AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+q AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS top_cnt
+  FROM h GROUP BY 1
+),
+kept AS (
+  SELECT doc_id FROM q
+  WHERE n_words >= 30 AND top_cnt::DOUBLE / n_words <= 0.15
+        AND n_distinct::DOUBLE / n_words >= 0.45
+),
+red AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace({PLANT_PII_SQL},
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+               '[EMAIL]', 'g'),
+             '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4}}', '[PHONE]', 'g'),
+           '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}', '[IP]', 'g') AS text
+  FROM documents
+),
+assembled AS (
+  SELECT d.doc_id, d.lang, r.text
+  FROM documents d JOIN kept USING (doc_id) JOIN red r USING (doc_id)
+),
+m AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+           % 1000000 AS sample_hash,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 14))
+           ::BIGINT % 100 AS h2
+  FROM assembled
+)
+SELECT lang,
+       CASE WHEN h2 < 5 THEN 'val' ELSE 'train' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM m
+WHERE sample_hash < {_mix_rate_sql()}
+GROUP BY 1, 2
+"""
+
+
 QUERIES_CURATION = {
     "pii_scan": q_pii_scan,
     "quality_filter": q_quality_filter,
@@ -245,6 +349,8 @@ QUERIES_CURATION = {
     "lm_typicality": q_lm_typicality,
     "pack_sequences": q_pack_sequences,
     "mixture_sample": q_mixture_sample,
+    "vocab_oov": q_vocab_oov,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 ORACLES_CURATION = {
@@ -254,4 +360,6 @@ ORACLES_CURATION = {
     "lm_typicality": SQL_LM_TYPICALITY,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "vocab_oov": SQL_VOCAB_OOV,
+    "curation_pipeline": SQL_CURATION_PIPELINE,
 }

@@ -142,3 +142,23 @@ def test_mixture_sample_rates_and_split(spark):
     again = mixture_sample(df, {"en": 1.0, "zh": 0.25})
     assert out.exceptAll(again).count() == 0
     out.unpersist()
+
+
+def test_vocab_stats_min_count_and_oov(spark):
+    from google_analytics_to_s3_spark.operators.curation import vocab_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana"),
+            (2, "apple apple banana cherry"),
+            (3, "apple banana banana dragonfruit"),
+        ],
+        ["doc_id", "text"],
+    )
+    vocab, per_doc = vocab_stats(df, min_count=3)
+    v = {r["word"]: r["corpus_count"] for r in vocab.collect()}
+    assert v == {"apple": 6, "banana": 4}  # cherry/dragonfruit below cut
+    rows = {r["doc_id"]: r for r in per_doc.collect()}
+    assert rows[1]["n_oov"] == 0 and rows[1]["oov_rate"] == 0.0
+    assert rows[2]["n_oov"] == 1 and rows[2]["oov_rate"] == 0.25
+    assert rows[3]["n_words"] == 4 and rows[3]["n_oov"] == 1
