@@ -1,0 +1,65 @@
+"""Physical-plan assertions for the corpus-curation queries: the
+shuffle/broadcast properties that survive a 100x scale-up."""
+
+import re
+
+from google_analytics_to_s3_spark.plans.driver_queries_curation import (
+    q_contamination_screen,
+    q_lm_typicality,
+    q_mixture_sample,
+    q_pack_sequences,
+    q_pii_scan,
+    q_vocab_oov,
+)
+
+
+def _plan(df, mode: str = "simple") -> str:
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_pii_scan_is_map_side_only(spark, sf_smoke):
+    plan = _plan(q_pii_scan(spark, sf_smoke))
+    assert "Join" not in plan, plan
+    # the only exchange is load_parallel's round-robin spread
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_mixture_sample_is_map_side_only(spark, sf_smoke):
+    plan = _plan(q_mixture_sample(spark, sf_smoke))
+    assert "Join" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_pack_sequences_partitions_by_shard(spark, sf_smoke):
+    plan = _plan(q_pack_sequences(spark, sf_smoke))
+    assert "Join" not in plan, plan
+    # the cumsum window partitions by source shard — never a global sort
+    assert re.search(r"hashpartitioning\(source", plan), plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_contamination_eval_side_broadcast(spark, sf_smoke):
+    plan = _plan(q_contamination_screen(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # no exchange carries the document text — only digests shuffle
+    for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in frag, plan
+
+
+def test_lm_typicality_model_broadcast(spark, sf_smoke):
+    plan = _plan(q_lm_typicality(spark, sf_smoke))
+    # both the O(alphabet^2) model join and the first-char totals join
+    # must broadcast; (doc, bigram) rows shuffle for aggregation only
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_vocab_oov_vocab_broadcast(spark, sf_smoke):
+    plan = _plan(q_vocab_oov(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
