@@ -453,6 +453,42 @@ def rhp_band_keys(
     return keys
 
 
+def rhp_band_keys_pandas(
+    vec_col: str = "embedding", n_bits: int = 16, n_bands: int = 4,
+    dim: int = 64,
+) -> Column:
+    """Arrow-vectorized band keys — one numpy matmul per batch against
+    the same deterministic ±1 planes, parity-tested against the native
+    :func:`rhp_band_keys` expression.
+
+    The native form evaluates n_bits interpreted plane dots per vector
+    (higher-order functions are CodegenFallback, ~1 µs per boxed
+    element op — the dominant cost of the banded-LSH query). The sign
+    of each dot is what matters, and signs agree between numpy's
+    pairwise summation and the sequential fold unless a dot sits within
+    float ulp of zero — impossible outside adversarial inputs for ±1
+    planes over real-valued embeddings. A stateless map-side projection
+    (vector in, n_bands small ints out): scale behavior identical to
+    the native expression; only the per-batch engine differs.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = np.array(rhp_planes(n_bits, dim), dtype=np.float64)  # bits×dim
+    per_band = n_bits // n_bands
+    weights = (2 ** np.arange(per_band, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _keys(vecs: pd.Series) -> pd.Series:
+        arrs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in vecs]
+        )  # rows×dim
+        bits = (arrs @ planes.T >= 0).astype(np.int64)  # rows×bits
+        keys = bits.reshape(len(arrs), n_bands, per_band) @ weights
+        return pd.Series(list(keys))
+
+    return _keys(F.col(vec_col))
+
+
 def rhp_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -461,6 +497,7 @@ def rhp_dup_pairs(
     n_bits: int = 16,
     n_bands: int = 4,
     dim: int = 64,
+    use_arrow_keys: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via random-hyperplane LSH.
 
@@ -484,16 +521,19 @@ def rhp_dup_pairs(
     measured 2x end-to-end at sf0.1. Cache ownership: the caller clears
     after materializing.
     """
-    keys = rhp_band_keys(F.col(vec_col), n_bits, n_bands, dim)
+    if use_arrow_keys:
+        key_arr = rhp_band_keys_pandas(vec_col, n_bits, n_bands, dim)
+    else:
+        key_arr = F.array(*rhp_band_keys(F.col(vec_col), n_bits, n_bands, dim))
     # persist the banded rows: the self-join would otherwise evaluate
-    # the n_bits interpreted plane-dots once PER SIDE (2x the dominant
-    # cost), and any expression-defined vec_col (e.g. planted_copies'
-    # zip_with) would recompute under each branch. The cached form is
-    # three ints per banded row — O(n_bands * corpus) — and the caller
-    # owns the cache (bench/tests clearCache after materializing).
+    # the n_bits plane-dots once PER SIDE (2x the dominant cost), and
+    # any expression-defined vec_col (e.g. planted_copies' zip_with)
+    # would recompute under each branch. The cached form is three ints
+    # per banded row — O(n_bands * corpus) — and the caller owns the
+    # cache (bench/tests clearCache after materializing).
     slim = df.select(
         F.col(id_col),
-        F.posexplode(F.array(*keys)).alias("band", "key"),
+        F.posexplode(key_arr).alias("band", "key"),
     ).persist()
     left, right = slim.alias("l"), slim.alias("r")
     cand = (

@@ -100,3 +100,26 @@ def test_lsh_band_exchange_is_slim(spark, planted):
         head = blk[:400]  # the Input/Arguments lines of this node
         assert "embedding" not in head, head
         assert not re.search(r"\bv#", head), head
+
+
+def test_rhp_band_keys_arrow_native_parity(spark, sf_smoke):
+    """The numpy-matmul band keys must equal the native interpreted
+    plane-dot keys on real embeddings (sign parity)."""
+    import pyspark.sql.functions as F
+
+    from google_analytics_to_s3_spark.operators.similarity import (
+        planted_copies,
+        rhp_band_keys,
+        rhp_band_keys_pandas,
+    )
+    from google_analytics_to_s3_spark.sources.testdata import load_table
+
+    emb = planted_copies(load_table(spark, sf_smoke, "embeddings"))
+    native = F.array(*rhp_band_keys(F.col("embedding"), 64, 4, 64))
+    arrow = rhp_band_keys_pandas("embedding", 64, 4, 64)
+    diff = (
+        emb.select("vec_id", native.alias("a"), arrow.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert diff == 0
