@@ -485,8 +485,17 @@ def chunk_documents(
     chunk-index sequence, slice per index) — no shuffle, rows fan out
     ~n/stride per doc, and the slice start arithmetic is exact integer
     math any engine reproduces. Output: (id, chunk_idx, n_chunk_tokens,
-    chunk_text)."""
-    assert 0 <= overlap < chunk_tokens
+    chunk_text). Reserves the temp column names ``_toks``/``_n`` (input
+    columns with those names are replaced; repo-wide underscore
+    convention for operator-internal columns)."""
+    if not 0 <= overlap < chunk_tokens:
+        # a bare assert is stripped under python -O, and overlap >=
+        # chunk_tokens would make the stride non-positive (runaway
+        # chunk-index sequence) instead of a clear error
+        raise ValueError(
+            f"require 0 <= overlap < chunk_tokens, got overlap={overlap} "
+            f"chunk_tokens={chunk_tokens}"
+        )
     stride = chunk_tokens - overlap
     d = df.withColumn("_toks", tokens(text_col)).withColumn(
         "_n", F.size("_toks")
