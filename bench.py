@@ -50,33 +50,37 @@ def main() -> None:
     ).save()
 
     # This host shows ±2-3x per-query timing noise under sustained
-    # all-core load (CPU quota throttling): min-of-N reps reports the
-    # query's actual cost instead of whichever rep hit a throttle window.
-    # The wall-clock budget drops to single-rep if the run falls behind,
-    # so extra reps can never push the bench past an external timeout.
+    # all-core load (CPU quota throttling): min-over-N full PASSES
+    # reports each query's actual cost instead of whichever run hit a
+    # throttle window. Passes (not back-to-back reps) because throttle
+    # windows span seconds — consecutive reps of one query land in the
+    # same window, while a later pass decorrelates. The wall-clock
+    # budget skips extra passes if the run falls behind, so reps can
+    # never push the bench past an external timeout.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     bench_start = time.perf_counter()
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        if name not in dq.QUERIES:
-            continue
-        best = None
-        n_reps = reps if time.perf_counter() - bench_start < budget else 1
-        for _ in range(n_reps):
+    for _pass in range(reps):
+        if _pass > 0 and time.perf_counter() - bench_start > budget:
+            break
+        for name in BENCH_QUERIES:
+            if name not in dq.QUERIES:
+                continue
             t0 = time.perf_counter()
             dq.QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
             # several dedup/similarity operators persist() intermediates
-            # the caller owns; drop them so an 86-query loop doesn't
+            # the caller owns; drop them so the query loop doesn't
             # accumulate cached blocks until storage eviction churn
-            # sets in (and so each rep re-measures the full compute)
+            # sets in (and so each pass re-measures the full compute)
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+    timings = {k: round(v, 3) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(
