@@ -519,3 +519,120 @@ def chunk_documents(
         F.size(sliced).alias("n_chunk_tokens"),
         F.array_join(sliced, " ").alias("chunk_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# IR scoring: TF-IDF + BM25 — corpus search/relevance over documents
+# --------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF.
+
+    idf = ln((N+1)/(df+1)) + 1 (sklearn's smooth variant). Plan: one
+    explode to (doc, word), a (doc, word) count, a word-level document
+    frequency derived FROM that count (no second pass over text), and
+    two broadcast joins (df table = vocabulary-sized; N = one row).
+    Only (doc_id, word, count) rows shuffle. ln() is reproduced
+    bit-for-bit by DuckDB on this data (char_entropy precedent), and
+    the final score is round(_, 6).
+    """
+    from pyspark.sql import Window
+
+    w = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+    tf = w.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = df.select(F.count("*").alias("n_docs"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") + 1.0)
+        / (F.col("df").cast("double") + 1.0)
+    ) + 1.0
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "word",
+            "tf",
+            F.round(F.col("tf").cast("double") * idf, 6).alias("tfidf"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under BM25 (Robertson).
+
+    One pass builds per-doc term frequencies as conditional aggregates
+    (no per-term joins); corpus stats (N, avgdl, per-term document
+    frequencies) reduce to a single broadcast row. The per-term score
+    sum is written in sorted(terms) order on both engines so float
+    addition order is fixed. At scale this is the scoring stage of a
+    distributed search: everything after the explode is a hash
+    aggregation plus a map-side projection against one broadcast row.
+    """
+    ts = sorted(terms)
+    w = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+    per_doc = w.groupBy(id_col).agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("word") == t, 1).otherwise(0))
+            .alias(f"tf_{i}")
+            for i, t in enumerate(ts)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("dl_sum"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .alias(f"df_{i}")
+            for i in range(len(ts))
+        ],
+    )
+    joined = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("dl_sum").cast("double") / F.col("n_docs").cast("double")
+    score = F.lit(0.0)
+    for i in range(len(ts)):
+        tf = F.col(f"tf_{i}").cast("double")
+        dfre = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs").cast("double") - dfre + 0.5) / (dfre + 0.5)
+            + 1.0
+        )
+        denom = tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+        score = score + idf * (tf * (k1 + 1.0)) / denom
+    from pyspark.sql import Window
+
+    # global top-k via orderBy+limit (planned as distributed
+    # TakeOrdered — per-partition heaps, no single-reducer window over
+    # the whole corpus); the rank window then runs over k rows only
+    topk = (
+        joined.select(
+            F.col(id_col), F.col("dl"),
+            F.round(score, 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    win = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return topk.withColumn("rank", F.row_number().over(win))

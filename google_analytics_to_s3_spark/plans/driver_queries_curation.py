@@ -342,6 +342,96 @@ GROUP BY 1, 2
 """
 
 
+_BM25_TERMS = ["data", "query", "spark"]  # kept sorted
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tfidf_top_terms
+
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(d, k=3)
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+w AS (SELECT doc_id, unnest(t) AS word FROM toks),
+tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+       FROM w GROUP BY 1, 2),
+dfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.word AS word, tf,
+         round(tf::DOUBLE
+               * (ln((n_docs::DOUBLE + 1.0) / (df::DOUBLE + 1.0)) + 1.0),
+               6) AS tfidf
+  FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n
+)
+SELECT doc_id, word, tf, tfidf, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS INTEGER)
+         AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bm25_search
+
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_search(d, _BM25_TERMS, k=20)
+
+
+def _bm25_oracle_sql() -> str:
+    ts = sorted(_BM25_TERMS)
+    tf_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN word = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS tf_{i}"
+        for i, t in enumerate(ts)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{i}"
+        for i in range(len(ts))
+    )
+    # same literal fold order as the Spark expression: 0.0 + term0 + ...
+    terms_sql = " ".join(
+        f"+ ln((n_docs::DOUBLE - df_{i}::DOUBLE + 0.5)"
+        f" / (df_{i}::DOUBLE + 0.5) + 1.0)"
+        f" * (tf_{i}::DOUBLE * 2.2)"
+        f" / (tf_{i}::DOUBLE + 1.2 * (1.0 - 0.75"
+        f" + 0.75 * dl::DOUBLE / (dl_sum::DOUBLE / n_docs::DOUBLE)))"
+        for i in range(len(ts))
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+w AS (SELECT doc_id, unnest(t) AS word FROM toks),
+pd AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM w GROUP BY doc_id
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS dl_sum,
+         {df_cols}
+  FROM pd
+)
+SELECT doc_id, dl, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER)
+         AS rank
+FROM (
+  SELECT doc_id, dl, round(0.0 {terms_sql}, 6) AS score
+  FROM pd CROSS JOIN st
+)
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+SQL_BM25_SEARCH = _bm25_oracle_sql()
+
+
 QUERIES_CURATION = {
     "pii_scan": q_pii_scan,
     "quality_filter": q_quality_filter,
@@ -351,6 +441,8 @@ QUERIES_CURATION = {
     "mixture_sample": q_mixture_sample,
     "vocab_oov": q_vocab_oov,
     "curation_pipeline": q_curation_pipeline,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_search": q_bm25_search,
 }
 
 ORACLES_CURATION = {
@@ -362,4 +454,6 @@ ORACLES_CURATION = {
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "vocab_oov": SQL_VOCAB_OOV,
     "curation_pipeline": SQL_CURATION_PIPELINE,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "bm25_search": SQL_BM25_SEARCH,
 }

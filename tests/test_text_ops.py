@@ -133,3 +133,41 @@ def test_winnow_guarantee_and_edges(spark):
     }
     assert got["a"] & got["b"], "shared >=11-char substring must collide"
     assert got["short"] == set() and got["empty"] == set()
+
+
+def test_tfidf_top_terms_finds_distinctive_words(spark):
+    from google_analytics_to_s3_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common unicorn"),
+            (2, "common common common"),
+            (3, "common common common"),
+        ],
+        ["doc_id", "text"],
+    )
+    top = {r["doc_id"]: r for r in
+           tfidf_top_terms(df, k=1).collect()}
+    # equal tf in doc 1, but 'unicorn' is rare (df=1 vs 3) -> higher idf
+    assert top[1]["word"] == "unicorn"
+    assert top[2]["word"] == "common" and top[3]["word"] == "common"
+
+
+def test_bm25_search_ranks_matching_docs_first(spark):
+    from google_analytics_to_s3_spark.operators.text import bm25_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark data query spark data"),   # all three terms
+            (2, "spark filler filler filler"),    # one term
+            (3, "nothing relevant here at all"),  # none
+            (4, "data query other words again"),  # two terms
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_search(df, ["data", "query", "spark"], k=4).collect()
+    order = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert order[0] == 1            # most term mass wins
+    assert order[-1] == 3           # no-match doc last
+    scores = {r["doc_id"]: r["score"] for r in rows}
+    assert scores[3] == 0.0 and scores[1] > scores[4] > scores[2]
