@@ -178,3 +178,72 @@ def connected_components_star(
         f"connected_components_star: no fixpoint after {max_iters} "
         "round pairs"
     )
+
+
+# PageRank integer grid: ranks live as floor(r * 2^40) int64 "micro
+# ranks". Per-node contributions use integer division by out-degree and
+# integer sums (order-independent under partial aggregation); the one
+# float op per iteration — damping×sum — is an exact-rounded double
+# product of values < 2^41 (far inside the 2^53 exact-integer range),
+# floored back onto the grid. Any SQL engine reproduces every iteration
+# bit-for-bit.
+PR_SCALE = 1 << 40
+PR_DAMP = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic damped PageRank over a directed edge list.
+
+    The plan unrolls ``n_iters`` rounds of: per-node contribution
+    (rank div out-degree, map-side after one degree join), incoming-sum
+    (one hash aggregation on dst), damp + teleport (map-side). The edge
+    list with degree attached is persisted and every round's join
+    reuses its partitioning — per-round cost is one shuffle of the
+    (nodes-sized) rank table, the graph itself never re-shuffles. Every
+    node is assumed to have out-degree ≥ 1 (true for symmetrized
+    graphs); dangling-mass handling would add one scalar aggregate per
+    round.
+
+    Returns (node, rank_q) with rank_q on the PR_SCALE integer grid.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
+    ed = edges.join(deg, src).select(
+        F.col(src).alias("c_src"), F.col(dst).alias("c_dst"), "deg"
+    ).persist()
+    n = nodes.count()
+    init_q = PR_SCALE // n
+    base_q = int(0.15 * PR_SCALE / n)
+    r = nodes.select("node", F.lit(init_q).cast("long").alias("rank_q"))
+    for _ in range(n_iters):
+        contrib = ed.join(
+            r, ed.c_src == F.col("node")
+        ).select(
+            F.col("c_dst").alias("node_out"),
+            F.expr("rank_q div deg").alias("c"),
+        )
+        summed = contrib.groupBy("node_out").agg(F.sum("c").alias("s"))
+        r = (
+            nodes.join(summed, nodes.node == summed.node_out, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base_q)
+                    + F.floor(
+                        F.lit(PR_DAMP)
+                        * F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                    )
+                ).cast("long").alias("rank_q"),
+            )
+        )
+        r = r.localCheckpoint(eager=False)
+    return r

@@ -342,6 +342,103 @@ GROUP BY 1, 2
 """
 
 
+_PR_SCALE = 1 << 40
+
+
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-iteration PageRank over the part co-purchase
+    graph (parts sharing an order), top-20 by rank.
+
+    An iterative DataFrame algorithm with a FULL value oracle: the
+    integer-grid arithmetic (operators/graph.pagerank) lets a SQL
+    engine replay every iteration bit-for-bit as chained CTEs — the
+    strongest correctness check an iterative operator can get.
+    """
+    from ..operators.graph import pagerank
+    from ..sources.testdata import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    r = pagerank(edges, n_iters=3)
+    return (
+        r.select(
+            F.col("node").alias("part_key"),
+            "rank_q",
+            F.round(
+                F.col("rank_q").cast("double") / F.lit(float(_PR_SCALE)), 9
+            ).alias("rank"),
+        )
+        .orderBy(F.col("rank_q").desc(), F.col("part_key").asc())
+        .limit(20)
+    )
+
+
+def _pagerank_oracle_sql() -> str:
+    s = float(_PR_SCALE)
+    it = """
+r{i} AS (
+  SELECT nd.node,
+         CAST(floor(0.15 * {s} / n_nodes) AS BIGINT)
+           + CAST(floor(0.85 * COALESCE(sm.s, 0)::DOUBLE) AS BIGINT)
+           AS rank_q
+  FROM nodes nd CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst AS node_out,
+           CAST(sum(r.rank_q // d.deg) AS BIGINT) AS s
+    FROM edges e
+    JOIN deg d ON e.src = d.src
+    JOIN r{prev} r ON e.src = r.node
+    GROUP BY 1
+  ) sm ON nd.node = sm.node_out
+)"""
+    iters = ",".join(
+        it.format(i=i, prev=i - 1, s=s) for i in (1, 2, 3)
+    )
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+),
+edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+r0 AS (
+  SELECT node, CAST({_PR_SCALE} // n_nodes AS BIGINT) AS rank_q
+  FROM nodes CROSS JOIN n
+),{iters}
+SELECT node AS part_key, rank_q,
+       round(rank_q::DOUBLE / {s}, 9) AS rank
+FROM r3
+ORDER BY rank_q DESC, node ASC
+LIMIT 20
+"""
+
+
+SQL_PART_PAGERANK = _pagerank_oracle_sql()
+
+
 _BM25_TERMS = ["data", "query", "spark"]  # kept sorted
 
 
@@ -443,6 +540,7 @@ QUERIES_CURATION = {
     "curation_pipeline": q_curation_pipeline,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_search": q_bm25_search,
+    "part_pagerank": q_part_pagerank,
 }
 
 ORACLES_CURATION = {
@@ -456,4 +554,5 @@ ORACLES_CURATION = {
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "bm25_search": SQL_BM25_SEARCH,
+    "part_pagerank": SQL_PART_PAGERANK,
 }

@@ -88,3 +88,23 @@ def test_star_handles_long_chain_where_propagation_stalls(spark):
     assert got == {(i, 0) for i in range(61)}
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(chain, max_iters=10)
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    import pyspark.sql.functions as F
+
+    from google_analytics_to_s3_spark.operators.graph import (
+        PR_SCALE,
+        pagerank,
+    )
+
+    # star: node 0 linked to 1..5, symmetric -> hub gets max rank
+    edges = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    r = {row["node"]: row["rank_q"] for row in pagerank(df, 3).collect()}
+    assert max(r, key=r.get) == 0
+    leaves = [r[i] for i in range(1, 6)]
+    assert len(set(leaves)) == 1  # symmetric leaves tie exactly
+    # total mass stays ~1.0 (integer-floor losses only shrink it)
+    total = sum(r.values()) / PR_SCALE
+    assert 0.97 < total <= 1.0
