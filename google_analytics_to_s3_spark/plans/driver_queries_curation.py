@@ -23,7 +23,7 @@ from ..operators.curation import (
     quality_signals,
     vocab_stats,
 )
-from ..sources.testdata import load_parallel
+from ..sources.testdata import load_events, load_parallel
 
 _TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
 
@@ -439,6 +439,64 @@ LIMIT 20
 SQL_PART_PAGERANK = _pagerank_oracle_sql()
 
 
+def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flags over daily event volumes (median/MAD).
+
+    The monitoring query every ingest pipeline runs: per (event_type,
+    day) counts, per-type median and median-absolute-deviation (exact
+    sort-based percentiles — the quantile_cont parity proven by
+    order_percentiles), and a deviation flag. Two tiny broadcast joins
+    (the per-type stats tables have one row per event type); the only
+    real shuffle is the daily count aggregation. Integer counts make
+    the interpolated medians exact halves — engine-identical.
+    """
+    e = load_events(spark, sf_dir).select(
+        "event_type", F.expr("ts_ms div 86400000").alias("day_num")
+    )
+    daily = e.groupBy("event_type", "day_num").agg(
+        F.count("*").alias("n")
+    )
+    med = daily.groupBy("event_type").agg(
+        F.percentile(F.col("n"), F.lit(0.5)).alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("n").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type", "day_num", "n", "med", "mad",
+            (F.col("adev") > 2.0 * F.col("mad")).alias("is_anomaly"),
+        )
+    )
+
+
+SQL_EVENT_ANOMALIES = """
+WITH daily AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS day_num,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(n, 0.5) AS med FROM daily GROUP BY 1
+),
+dev AS (
+  SELECT d.event_type, d.day_num, d.n, m.med,
+         abs(d.n::DOUBLE - m.med) AS adev
+  FROM daily d JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_type, d.day_num, d.n, d.med, a.mad,
+       (d.adev > 2.0 * a.mad) AS is_anomaly
+FROM dev d JOIN mad a USING (event_type)
+"""
+
+
 _BM25_TERMS = ["data", "query", "spark"]  # kept sorted
 
 
@@ -541,6 +599,7 @@ QUERIES_CURATION = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_search": q_bm25_search,
     "part_pagerank": q_part_pagerank,
+    "event_anomalies": q_event_anomalies,
 }
 
 ORACLES_CURATION = {
@@ -555,4 +614,5 @@ ORACLES_CURATION = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "bm25_search": SQL_BM25_SEARCH,
     "part_pagerank": SQL_PART_PAGERANK,
+    "event_anomalies": SQL_EVENT_ANOMALIES,
 }
