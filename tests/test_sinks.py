@@ -200,3 +200,50 @@ def test_quarantine_reader_splits_good_and_bad(spark, tmp_path):
     raws = [r["raw"] for r in bad.collect()]
     assert sorted(raws) == sorted([lines[1], "not json at all"])
     spark.catalog.clearCache()
+
+
+def test_zorder_write_tightens_file_stats_on_both_dims(spark, tmp_path):
+    """Z-order clustering must shrink per-file min/max spans on BOTH
+    clustered columns vs an unclustered write — the property that makes
+    parquet row-group pruning work for 2-D filters."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from google_analytics_to_s3_spark.sources.maintenance import (
+        write_zordered,
+    )
+
+    # 2-D grid occupied uniformly: the adversarial case for single-
+    # column sorting (sorting by x leaves y spans at full width)
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, ["x", "y"]).repartition(8)
+
+    plain = str(tmp_path / "plain")
+    zord = str(tmp_path / "zord")
+    df.write.mode("overwrite").parquet(plain)
+    write_zordered(df, ["x", "y"], zord, n_files=8)
+
+    def span_sum(path, col):
+        total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = min(
+                md.row_group(i).column(
+                    [md.schema.column(j).name
+                     for j in range(md.num_columns)].index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(
+                    [md.schema.column(j).name
+                     for j in range(md.num_columns)].index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            total += hi - lo
+        return total
+
+    for col in ("x", "y"):
+        assert span_sum(zord, col) < 0.7 * span_sum(plain, col), col
