@@ -211,11 +211,16 @@ def pagerank(
 
     Returns (node, rank_q) with rank_q on the PR_SCALE integer grid.
     """
+    # persist the input FIRST: nodes, degrees and the degree-joined
+    # edge table all derive from it, and an expression-defined edge
+    # list (e.g. a co-occurrence self-join) would otherwise be
+    # recomputed three times before the iterations even start
+    edges = edges.persist()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-    )
+    ).persist()
     deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
     ed = edges.join(deg, src).select(
         F.col(src).alias("c_src"), F.col(dst).alias("c_dst"), "deg"
