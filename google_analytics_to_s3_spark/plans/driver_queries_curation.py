@@ -439,6 +439,76 @@ LIMIT 20
 SQL_PART_PAGERANK = _pagerank_oracle_sql()
 
 
+# Linear probabilistic counting (Whang et al. 1990): m bit-buckets,
+# occupancy v -> estimate -m*ln(1-v/m). With an md5-derived bucket hash
+# the sketch is DETERMINISTIC, so unlike HLL (engine-specific sketch
+# layouts, rows-only check) any SQL engine reproduces estimate values
+# exactly — the driver gets a full value-checked approximate-distinct
+# row next to approx_distinct's native-HLL one.
+_LC_M = 4096
+
+
+def q_linear_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate distinct users per event type, value-exact
+    across engines.
+
+    Plan: (event_type, bucket) distinct pairs — the md5 bucket is the
+    shuffle key content, never raw ids beyond the first partial agg —
+    then occupancy per type and the closed-form estimate. The bucket
+    table IS the sketch: unioning days = unioning bucket sets, so the
+    100 TB pattern (pre-aggregate per day, merge without re-scan)
+    falls out of plain distinct-union semantics.
+    """
+    e = load_events(spark, sf_dir).select("event_type", "user_id")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 14),
+               16, 10).cast("long") % _LC_M
+    )
+    occ = (
+        e.select("event_type", bucket.alias("b"))
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("occupied"))
+    )
+    m = float(_LC_M)
+    est = F.round(
+        -F.lit(m) * F.log(
+            (F.lit(m) - F.col("occupied").cast("double")) / F.lit(m)
+        ), 6,
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        occ.join(exact, "event_type")
+        .select("event_type", "occupied", est.alias("lc_estimate"),
+                "exact_users")
+    )
+
+
+SQL_LINEAR_COUNT_USERS = f"""
+WITH b AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT
+           % {_LC_M} AS b
+  FROM events
+),
+occ AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS occupied
+  FROM b GROUP BY 1
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1
+)
+SELECT event_type, occupied,
+       round(-{_LC_M}.0 * ln(({_LC_M}.0 - occupied::DOUBLE) / {_LC_M}.0), 6)
+         AS lc_estimate,
+       exact_users
+FROM occ JOIN exact USING (event_type)
+"""
+
+
 def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust anomaly flags over daily event volumes (median/MAD).
 
@@ -600,6 +670,7 @@ QUERIES_CURATION = {
     "bm25_search": q_bm25_search,
     "part_pagerank": q_part_pagerank,
     "event_anomalies": q_event_anomalies,
+    "linear_count_users": q_linear_count_users,
 }
 
 ORACLES_CURATION = {
@@ -615,4 +686,5 @@ ORACLES_CURATION = {
     "bm25_search": SQL_BM25_SEARCH,
     "part_pagerank": SQL_PART_PAGERANK,
     "event_anomalies": SQL_EVENT_ANOMALIES,
+    "linear_count_users": SQL_LINEAR_COUNT_USERS,
 }
