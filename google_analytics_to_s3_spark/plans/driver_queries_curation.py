@@ -1,10 +1,14 @@
-"""Corpus-curation driver queries: PII scan/redact, heuristic quality
-filter, benchmark-contamination screen, bigram-LM typicality.
+"""Corpus-curation + corpus-analytics driver queries: PII scan/redact,
+heuristic quality filter, benchmark-contamination screen, bigram-LM
+typicality, sequence packing, mixture sampling, vocabulary/OOV, the
+composed curation pipeline, TF-IDF/BM25 scoring, deterministic
+PageRank, median/MAD anomaly flags, and a linear-counting distinct
+sketch.
 
 Oracle-parity conventions as driver_queries.py: identical column
 aliases, 64-bit integer sums (DuckDB SUM widens to HUGEINT — cast),
-md5-derived digests, integer-grid probability accumulation, round(_, 6)
-on derived doubles.
+md5-derived digests, integer-grid accumulation for iterative/statistical
+values, round(_, 6) on derived doubles.
 """
 
 from __future__ import annotations
