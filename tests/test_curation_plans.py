@@ -63,3 +63,53 @@ def test_vocab_oov_vocab_broadcast(spark, sf_smoke):
     plan = _plan(q_vocab_oov(spark, sf_smoke))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_tfidf_df_table_broadcast(spark, sf_smoke):
+    from google_analytics_to_s3_spark.plans.driver_queries_curation import (
+        q_tfidf_top_terms,
+    )
+
+    plan = _plan(q_tfidf_top_terms(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bm25_single_agg_plus_broadcast_stats(spark, sf_smoke):
+    from google_analytics_to_s3_spark.plans.driver_queries_curation import (
+        q_bm25_search,
+    )
+
+    plan = _plan(q_bm25_search(spark, sf_smoke))
+    # corpus stats reach the per-doc rows via a broadcast nested-loop of
+    # a SINGLE row (that is the one legitimate BNLJ shape) — never a
+    # shuffle join; top-k must be TakeOrdered, not a global window sort
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_linear_count_distinct_buckets_only(spark, sf_smoke):
+    from google_analytics_to_s3_spark.plans.driver_queries_curation import (
+        q_linear_count_users,
+    )
+
+    plan = _plan(q_linear_count_users(spark, sf_smoke))
+    # the sketch shuffle carries (event_type, bucket) — never user_id
+    # past the partial aggregate
+    assert "CartesianProduct" not in plan, plan
+    import re
+
+    for frag in re.findall(
+        r"Exchange hashpartitioning\(([^)]*)\)", plan
+    ):
+        assert "b#" in frag or "event_type" in frag, plan
+
+
+def test_event_anomalies_stats_broadcast(spark, sf_smoke):
+    from google_analytics_to_s3_spark.plans.driver_queries_curation import (
+        q_event_anomalies,
+    )
+
+    plan = _plan(q_event_anomalies(spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
