@@ -279,3 +279,43 @@ def extract_audio_features(
     return df.select(id_col, payload_col).mapInPandas(
         _extract, schema=AUDIO_FEATURE_SCHEMA
     )
+
+
+def detect_shot_boundaries(
+    frames: DataFrame,
+    threshold: int = 16384,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shot-boundary detection over sampled frames.
+
+    The classic video-segmentation pass: a frame starts a new shot when
+    its feature distance to the previous frame exceeds a threshold.
+    Feature here is the stub frame "energy" — the first 16 bits of the
+    frame digest (deterministic, oracle-reproducible); a real codec
+    build would swap in a histogram/SSIM distance, the windowed plan is
+    identical. Native Catalyst after the Arrow fan-out: one window over
+    (doc, frame_idx) — frames of one document are already co-located.
+    """
+    from pyspark.sql import Window
+
+    energy = F.conv(
+        F.substring("frame_sha256", 1, 4), 16, 10
+    ).cast("long")
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    d = frames.select(
+        F.col(id_col), "frame_idx", energy.alias("energy")
+    ).withColumn("prev_e", F.lag("energy").over(w))
+    d = d.withColumn(
+        "is_boundary",
+        F.col("prev_e").isNull()
+        | (F.abs(F.col("energy") - F.col("prev_e")) > threshold),
+    )
+    wdoc = Window.partitionBy(id_col)
+    return d.select(
+        id_col,
+        "frame_idx",
+        "energy",
+        "is_boundary",
+        F.sum(F.col("is_boundary").cast("long")).over(wdoc)
+         .alias("n_shots"),
+    )

@@ -513,6 +513,62 @@ FROM occ JOIN exact USING (event_type)
 """
 
 
+_SHOT_THRESHOLD = 16384
+
+
+def q_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video shot segmentation over stub frames: Arrow mapInPandas
+    frame fan-out (operators/multimodal.sample_frames) feeding a native
+    windowed boundary detector — the full oracle replays the byte
+    slicing and sha256 digests in SQL."""
+    from ..operators.multimodal import (
+        detect_shot_boundaries,
+        sample_frames,
+        with_binary_payload,
+    )
+
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = sample_frames(with_binary_payload(d))
+    return detect_shot_boundaries(frames, threshold=_SHOT_THRESHOLD)
+
+
+SQL_SHOT_BOUNDARIES = f"""
+WITH f AS (
+  -- the documents are ASCII (asserted: octet_length == length), so
+  -- slicing the VARCHAR equals the engine's byte slicing of the
+  -- utf-8 payload, and sha256(VARCHAR) hashes those same bytes
+  SELECT doc_id,
+         CAST(unnest(range(0, least(4, greatest(1,
+              CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT)))))
+           AS INTEGER) AS frame_idx,
+         text
+  FROM documents
+),
+e AS (
+  SELECT doc_id, frame_idx,
+         ('0x' || substr(sha256(substring(text, frame_idx * 16 + 1, 16)),
+                         1, 4))::BIGINT AS energy
+  FROM f
+),
+b AS (
+  SELECT doc_id, frame_idx, energy,
+         lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+           AS prev_e
+  FROM e
+),
+fl AS (
+  SELECT doc_id, frame_idx, energy,
+         (prev_e IS NULL OR abs(energy - prev_e) > {_SHOT_THRESHOLD})
+           AS is_boundary
+  FROM b
+)
+SELECT doc_id, frame_idx, energy, is_boundary,
+       CAST(sum(CASE WHEN is_boundary THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id) AS BIGINT) AS n_shots
+FROM fl
+"""
+
+
 def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust anomaly flags over daily event volumes (median/MAD).
 
@@ -675,6 +731,7 @@ QUERIES_CURATION = {
     "part_pagerank": q_part_pagerank,
     "event_anomalies": q_event_anomalies,
     "linear_count_users": q_linear_count_users,
+    "shot_boundaries": q_shot_boundaries,
 }
 
 ORACLES_CURATION = {
@@ -691,4 +748,5 @@ ORACLES_CURATION = {
     "part_pagerank": SQL_PART_PAGERANK,
     "event_anomalies": SQL_EVENT_ANOMALIES,
     "linear_count_users": SQL_LINEAR_COUNT_USERS,
+    "shot_boundaries": SQL_SHOT_BOUNDARIES,
 }

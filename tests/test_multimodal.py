@@ -107,3 +107,32 @@ def test_audio_features_shape_and_values(spark):
         .collect()
     )
     assert 0.0 < sim[0]["c"] <= 1.0
+
+
+def test_shot_boundaries_semantics(spark):
+    import pyspark.sql.functions as F
+
+    from google_analytics_to_s3_spark.operators.multimodal import (
+        detect_shot_boundaries,
+    )
+
+    frames = spark.createDataFrame(
+        [
+            (1, 0, "aa" * 32),   # energy 0xaaaa
+            (1, 1, "ab" * 32),   # different digest-derived energy
+            (2, 0, "cc" * 32),
+        ],
+        ["doc_id", "frame_idx", "frame_sha256"],
+    )
+    out = detect_shot_boundaries(frames, threshold=0).collect()
+    rows = {(r["doc_id"], r["frame_idx"]): r for r in out}
+    # frame 0 always opens a shot
+    assert rows[(1, 0)]["is_boundary"] and rows[(2, 0)]["is_boundary"]
+    # threshold 0: any energy change is a boundary
+    assert rows[(1, 1)]["is_boundary"] == (
+        rows[(1, 1)]["energy"] != rows[(1, 0)]["energy"]
+    )
+    assert rows[(1, 0)]["n_shots"] == rows[(1, 1)]["n_shots"]
+    # huge threshold: only frame 0 is a boundary
+    calm = detect_shot_boundaries(frames, threshold=1 << 20)
+    assert calm.filter(F.col("is_boundary")).count() == 2
