@@ -513,6 +513,147 @@ FROM occ JOIN exact USING (event_type)
 """
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user-journey paths: the event-type sequence of each
+    (user, day), counted across the corpus — the flow-report staple.
+
+    Order inside a path is made deterministic by sorting (ts, event_id)
+    structs BEFORE concatenation (array_sort is a per-row op; nothing
+    about the groupBy's arrival order leaks into the result — the
+    property that makes path analytics safe under AQE/retries). Only
+    (user, day, type, ts) rows shuffle; top-20 is TakeOrdered.
+    """
+    e = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type",
+        F.expr("ts_ms div 86400000").alias("day"), "ts_ms",
+    )
+    paths = (
+        e.groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts_ms", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+SQL_SESSION_PATHS = """
+WITH s AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+         string_agg(event_type, '>' ORDER BY epoch_ms(ts), event_id)
+           AS path
+  FROM events GROUP BY 1, 2
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM s GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
+"""
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-purchased parts (support ≥ 2 orders):
+    support / confidence / lift — the market-basket report.
+
+    Candidate pairs come from the order-grain self-join (equi-join on
+    the order key — pair work ∝ per-order basket size squared, never
+    corpus²); per-part order counts and the order total are broadcast.
+    Counts are DISTINCT-order based so multi-line orders don't inflate
+    support; the ratio arithmetic is written in one fixed order on
+    both engines.
+    """
+    from ..sources.testdata import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("co_cnt"))
+        .filter(F.col("co_cnt") >= 2)
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.count("*").alias("cnt")
+    )
+    n = li.select(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    ca = per_part.select(
+        F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")
+    )
+    cb = per_part.select(
+        F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")
+    )
+    d = F.col("co_cnt").cast("double")
+    return (
+        co.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "co_cnt",
+            F.round(d / F.col("n_orders").cast("double"), 6)
+             .alias("support"),
+            F.round(d / F.col("cnt_a").cast("double"), 6)
+             .alias("confidence"),
+            F.round(
+                (d * F.col("n_orders").cast("double"))
+                / (F.col("cnt_a").cast("double")
+                   * F.col("cnt_b").cast("double")), 6,
+            ).alias("lift"),
+        )
+    )
+
+
+SQL_BASKET_RULES = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+co AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS co_cnt
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+pp AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM li GROUP BY 1
+),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li)
+SELECT co.part_a, co.part_b, co.co_cnt,
+       round(co_cnt::DOUBLE / n_orders::DOUBLE, 6) AS support,
+       round(co_cnt::DOUBLE / ca.cnt::DOUBLE, 6) AS confidence,
+       round((co_cnt::DOUBLE * n_orders::DOUBLE)
+             / (ca.cnt::DOUBLE * cb.cnt::DOUBLE), 6) AS lift
+FROM co
+JOIN pp ca ON co.part_a = ca.l_partkey
+JOIN pp cb ON co.part_b = cb.l_partkey
+CROSS JOIN n
+"""
+
+
 _SHOT_THRESHOLD = 16384
 
 
@@ -732,6 +873,8 @@ QUERIES_CURATION = {
     "event_anomalies": q_event_anomalies,
     "linear_count_users": q_linear_count_users,
     "shot_boundaries": q_shot_boundaries,
+    "session_paths": q_session_paths,
+    "basket_rules": q_basket_rules,
 }
 
 ORACLES_CURATION = {
@@ -749,4 +892,6 @@ ORACLES_CURATION = {
     "event_anomalies": SQL_EVENT_ANOMALIES,
     "linear_count_users": SQL_LINEAR_COUNT_USERS,
     "shot_boundaries": SQL_SHOT_BOUNDARIES,
+    "session_paths": SQL_SESSION_PATHS,
+    "basket_rules": SQL_BASKET_RULES,
 }
