@@ -55,3 +55,68 @@ def test_mixture_sample_streams_unchanged(spark, tmp_path):
         spark, tmp_path,
         lambda df: mixture_sample(df, {"en": 1.0, "zh": 0.5}),
     )
+
+
+def test_streaming_anomaly_flags_match_batch(spark, tmp_path):
+    """Streaming volume monitoring: per-(type, day) counts aggregate on
+    the stream with availableNow, then join the BATCH-trained robust
+    thresholds (median/MAD — the stream-static broadcast pattern: the
+    model is static, the traffic is not). Flags must equal the batch
+    anomaly computation row-for-row."""
+    import pyspark.sql.functions as F
+
+    rows = []
+    for day in range(30):
+        n = 5 if day != 17 else 50  # planted burst
+        for i in range(n):
+            rows.append((day * 1000 + i, "click", day))
+    src = spark.createDataFrame(rows, "event_id long, event_type string, day long")
+    src.write.mode("overwrite").parquet(str(tmp_path / "in"))
+
+    daily_batch = src.groupBy("event_type", "day").agg(
+        F.count("*").alias("n")
+    )
+    med = daily_batch.groupBy("event_type").agg(
+        F.percentile(F.col("n"), F.lit(0.5)).alias("med")
+    )
+    dev = daily_batch.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("n").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    )
+    thresholds = med.join(mad, "event_type")  # the trained monitor
+
+    stream = (
+        spark.readStream.schema(src.schema).parquet(str(tmp_path / "in"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(thresholds), "event_type")
+        .select(
+            "event_type", "day", "n",
+            (F.abs(F.col("n").cast("double") - F.col("med"))
+             > 2.0 * F.col("mad")).alias("is_anomaly"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("anom_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("anom_stream")
+    assert got.count() == 30
+    flagged = [r["day"] for r in got.filter(F.col("is_anomaly")).collect()]
+    assert flagged == [17]
+    want = (
+        daily_batch.join(F.broadcast(thresholds), "event_type")
+        .select(
+            "event_type", "day", "n",
+            (F.abs(F.col("n").cast("double") - F.col("med"))
+             > 2.0 * F.col("mad")).alias("is_anomaly"),
+        )
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
