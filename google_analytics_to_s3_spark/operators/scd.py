@@ -1,0 +1,49 @@
+"""Slowly-changing-dimension (type 2) versioning from a change stream.
+
+The warehouse pattern the reference's mart users eventually need: turn
+an append-only stream of (key, attribute, effective_date) observations
+into versioned dimension rows with validity intervals — change
+detection (drop consecutive duplicates), interval construction
+(valid_from / valid_to via lead), and a current-row flag.
+
+Scale shape: two windows over the SAME key partitioning — one exchange
+total; no joins, no state. Determinism: observations are ordered by
+(effective date, tiebreak id), so re-runs and backfills rebuild
+byte-identical history — the property that makes SCD2 rebuilds safe to
+run incrementally per partition at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_versions(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    eff_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Versioned dimension rows from observations.
+
+    Emits one row per (key, run-of-equal-attribute): valid_from = first
+    effective date of the run, valid_to = next version's valid_from
+    (NULL for the current row), is_current flag, version_n sequence.
+    """
+    w = Window.partitionBy(key_col).orderBy(eff_col, tiebreak_col)
+    changed = df.withColumn("_prev", F.lag(attr_col).over(w)).filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col))
+    )
+    wv = Window.partitionBy(key_col).orderBy(eff_col, tiebreak_col)
+    return (
+        changed.select(
+            F.col(key_col),
+            F.col(attr_col),
+            F.col(eff_col).alias("valid_from"),
+            F.lead(eff_col).over(wv).alias("valid_to"),
+            F.row_number().over(wv).alias("version_n"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

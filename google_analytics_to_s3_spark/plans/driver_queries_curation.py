@@ -654,6 +654,41 @@ CROSS JOIN n
 """
 
 
+def q_scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 version history of each customer's order priority: change
+    detection + validity intervals + current flag, rebuilt
+    deterministically from the order stream (operators/scd.py)."""
+    from ..operators.scd import scd2_versions
+    from ..sources.testdata import load_table
+
+    obs = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    return scd2_versions(
+        obs, "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+
+
+SQL_SCD2_CUSTOMER_PRIORITY = """
+WITH ch AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey FROM (
+    SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+           lag(o_orderpriority) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS prev
+    FROM orders
+  ) WHERE prev IS NULL OR prev <> o_orderpriority
+)
+SELECT o_custkey, o_orderpriority,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       CAST(row_number() OVER w AS INTEGER) AS version_n,
+       (lead(o_orderdate) OVER w IS NULL) AS is_current
+FROM ch
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 _SHOT_THRESHOLD = 16384
 
 
@@ -875,6 +910,7 @@ QUERIES_CURATION = {
     "shot_boundaries": q_shot_boundaries,
     "session_paths": q_session_paths,
     "basket_rules": q_basket_rules,
+    "scd2_customer_priority": q_scd2_customer_priority,
 }
 
 ORACLES_CURATION = {
@@ -894,4 +930,5 @@ ORACLES_CURATION = {
     "shot_boundaries": SQL_SHOT_BOUNDARIES,
     "session_paths": SQL_SESSION_PATHS,
     "basket_rules": SQL_BASKET_RULES,
+    "scd2_customer_priority": SQL_SCD2_CUSTOMER_PRIORITY,
 }

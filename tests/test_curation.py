@@ -162,3 +162,27 @@ def test_vocab_stats_min_count_and_oov(spark):
     assert rows[1]["n_oov"] == 0 and rows[1]["oov_rate"] == 0.0
     assert rows[2]["n_oov"] == 1 and rows[2]["oov_rate"] == 0.25
     assert rows[3]["n_words"] == 4 and rows[3]["n_oov"] == 1
+
+
+def test_scd2_versions_runs_and_intervals(spark):
+    from google_analytics_to_s3_spark.operators.scd import scd2_versions
+
+    obs = spark.createDataFrame(
+        [
+            (1, "A", 10, 100),
+            (1, "A", 20, 101),  # no change -> folded into v1
+            (1, "B", 30, 102),  # change -> v2
+            (1, "A", 40, 103),  # back to A -> v3 (runs, not distinct)
+            (2, "X", 10, 200),
+        ],
+        ["k", "attr", "eff", "tb"],
+    )
+    rows = {(r["k"], r["version_n"]): r for r in
+            scd2_versions(obs, "k", "attr", "eff", "tb").collect()}
+    assert len(rows) == 4
+    v1, v2, v3 = rows[(1, 1)], rows[(1, 2)], rows[(1, 3)]
+    assert (v1["attr"], v1["valid_from"], v1["valid_to"]) == ("A", 10, 30)
+    assert (v2["attr"], v2["valid_from"], v2["valid_to"]) == ("B", 30, 40)
+    assert (v3["attr"], v3["valid_to"], v3["is_current"]) == ("A", None, True)
+    assert not v1["is_current"] and not v2["is_current"]
+    assert rows[(2, 1)]["is_current"]
