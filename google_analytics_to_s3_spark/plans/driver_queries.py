@@ -2464,20 +2464,25 @@ _DRIVER_PRIORITY = [
     "salted_event_totals", "events_grouping_sets", "hopping_window",
     "customer_distribution", "top_supplier", "small_qty_revenue",
     "brand_disjunction_revenue", "sales_opportunity",
-    # (a) round-3 corpus-curation suite, never driver-checked
+    # (a) round-3 corpus-curation + analytics suite, never driver-checked
     "pii_scan", "quality_filter", "contamination_screen",
     "lm_typicality", "pack_sequences", "mixture_sample", "vocab_oov",
-    "curation_pipeline",
+    "curation_pipeline", "scd2_customer_priority", "tfidf_top_terms",
+    "part_pagerank", "bm25_search", "linear_count_users",
     # (b) erred in r02 on the ts dtype change — fixed, need green rows
     # (json_props / user_event_arrays additionally never had a green
     # row: r01 recorded them red/crashed, both fixed in r02)
     "sessionize_flags", "sessionize_full", "session_stats",
-    "session_revenue", "export_sessions", "daily_engagement",
-    "json_props", "events_pivot", "user_event_arrays", "events_cube",
-    # hit_type_mapping / union_active_users / approx_distinct /
-    # anonymize_ip / geo_enrich / asof_join / multimodal_decode /
-    # streaming_sessions also lack an r02 row but carry green r01
-    # evidence — they follow the prefix
+    "json_props", "user_event_arrays",
+    # session_revenue / export_sessions / daily_engagement /
+    # events_pivot / events_cube / hit_type_mapping /
+    # union_active_users / approx_distinct / anonymize_ip / geo_enrich
+    # / asof_join / multimodal_decode / streaming_sessions also lack an
+    # r02 row but carry green r01 evidence, and the ts fix itself is
+    # proven by the many events queries inside the prefix — they
+    # follow it, as do the newest analytics queries (event_anomalies,
+    # shot_boundaries, session_paths, basket_rules) slated for the
+    # round-4 rotation
 ]
 
 
