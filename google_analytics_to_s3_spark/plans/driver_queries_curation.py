@@ -689,6 +689,128 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+# a shingle this common across documents is boilerplate, not content
+_BOILER_DF = 5
+
+
+def q_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a doc's distinct
+    3-gram shingles that are high-document-frequency across the corpus
+    — the C4-style boilerplate-removal signal (navigation chrome,
+    license headers, templates score high).
+
+    Plan: distinct (doc, shingle-digest) rows → corpus doc-frequency
+    per digest (one agg) → broadcast the boilerplate digest set back
+    over the per-doc rows. Text never shuffles; the boilerplate set is
+    vocabulary-sized.
+    """
+    from ..operators.dedup import shingles
+    from ..operators.text import tokens
+
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles(tokens(F.col("text")), 3))
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 14), 16, 10)
+         .cast("long").alias("h"),
+    )
+    boiler = (
+        sh.groupBy("h").agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= _BOILER_DF)
+        .select("h")
+        .withColumn("is_boiler", F.lit(1))
+    )
+    return (
+        sh.join(F.broadcast(boiler), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)))
+             .alias("n_boiler"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_boiler",
+            F.round(
+                F.col("n_boiler").cast("double")
+                / F.col("n_shingles").cast("double"), 6,
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+SQL_BOILERPLATE_FRACTION = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(list_distinct(
+           CASE WHEN len(t) >= 3 THEN
+             list_transform(range(1, len(t) - 1),
+                            i -> array_to_string(list_slice(t, i, i + 2), ' '))
+           ELSE [array_to_string(t, ' ')] END))), 1, 14))::BIGINT AS h
+  FROM toks
+),
+boiler AS (
+  SELECT h FROM sh GROUP BY h HAVING count(*) >= {_BOILER_DF}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       round(CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               ::DOUBLE / CAST(count(*) AS BIGINT)::DOUBLE, 6)
+         AS boiler_frac
+FROM sh LEFT JOIN boiler b USING (h)
+GROUP BY doc_id
+"""
+
+
+_HIST_BINS = 10
+
+
+def q_value_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histograms per event type — the profiling
+    companion to table_profile. Bin edges derive from broadcast
+    per-type min/max; the bin index is one fixed-order float expression
+    (exact-rounded identically in any engine), top bin closed."""
+    e = load_events(spark, sf_dir).select("event_type", "value")
+    stats = e.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    binned = e.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("mn")) * F.lit(float(_HIST_BINS))
+                / (F.col("mx") - F.col("mn"))
+            ),
+            F.lit(_HIST_BINS - 1),
+        ).cast("long").alias("bin"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count("*").alias("n")
+    )
+
+
+SQL_VALUE_HISTOGRAMS = f"""
+WITH stats AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx
+  FROM events GROUP BY 1
+),
+binned AS (
+  SELECT e.event_type,
+         least(CAST(floor((e.value - s.mn) * {_HIST_BINS}.0 / (s.mx - s.mn))
+                    AS BIGINT), {_HIST_BINS - 1}) AS bin
+  FROM events e JOIN stats s USING (event_type)
+)
+SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+FROM binned GROUP BY 1, 2
+"""
+
+
 _SHOT_THRESHOLD = 16384
 
 
@@ -911,6 +1033,8 @@ QUERIES_CURATION = {
     "session_paths": q_session_paths,
     "basket_rules": q_basket_rules,
     "scd2_customer_priority": q_scd2_customer_priority,
+    "boilerplate_fraction": q_boilerplate_fraction,
+    "value_histograms": q_value_histograms,
 }
 
 ORACLES_CURATION = {
@@ -931,4 +1055,6 @@ ORACLES_CURATION = {
     "session_paths": SQL_SESSION_PATHS,
     "basket_rules": SQL_BASKET_RULES,
     "scd2_customer_priority": SQL_SCD2_CUSTOMER_PRIORITY,
+    "boilerplate_fraction": SQL_BOILERPLATE_FRACTION,
+    "value_histograms": SQL_VALUE_HISTOGRAMS,
 }
