@@ -689,6 +689,73 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card rollup: corpus composition at (lang, source),
+    (lang) and total grain in ONE pass — docs, token mass, quality
+    keep-rate — the summary table a corpus release ships with.
+
+    GROUPING SETS share a single scan+aggregation of the per-doc
+    signals; keep flags come from quality_signals (same single
+    exchange); token counts are integers so every grain is exact.
+    """
+    d = load_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    from ..operators.curation import quality_signals
+    from ..operators.text import token_count
+
+    per_doc = d.select(
+        "doc_id", "lang", "source",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    ).join(
+        quality_signals(d).select("doc_id", "keep"), "doc_id"
+    )
+    per_doc.createOrReplaceTempView("dataset_card_docs")
+    return spark.sql(
+        """
+        SELECT lang, source,
+               CAST(grouping_id(lang, source) AS BIGINT) AS gid,
+               count(*) AS n_docs,
+               sum(n_tokens) AS total_tokens,
+               sum(CASE WHEN keep THEN 1 ELSE 0 END) AS kept_docs,
+               round(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS keep_rate
+        FROM dataset_card_docs
+        GROUP BY GROUPING SETS ((lang, source), (lang), ())
+        """
+    )
+
+
+SQL_DATASET_CARD = f"""
+WITH toks AS (SELECT doc_id, lang, source, {_TOKS} AS t FROM documents),
+w AS (SELECT doc_id, unnest(t) AS word FROM toks),
+h AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+q AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS top_cnt
+  FROM h GROUP BY 1
+),
+per_doc AS (
+  SELECT t.doc_id, t.lang, t.source,
+         CAST(len(t.t) AS BIGINT) AS n_tokens,
+         (q.n_words >= 30 AND q.top_cnt::DOUBLE / q.n_words <= 0.15
+          AND q.n_distinct::DOUBLE / q.n_words >= 0.45) AS keep
+  FROM toks t JOIN q USING (doc_id)
+)
+SELECT lang, source,
+       CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS DOUBLE), 6) AS keep_rate
+FROM per_doc
+GROUP BY GROUPING SETS ((lang, source), (lang), ())
+"""
+
+
 # a shingle this common across documents is boilerplate, not content
 _BOILER_DF = 5
 
@@ -1035,6 +1102,7 @@ QUERIES_CURATION = {
     "scd2_customer_priority": q_scd2_customer_priority,
     "boilerplate_fraction": q_boilerplate_fraction,
     "value_histograms": q_value_histograms,
+    "dataset_card": q_dataset_card,
 }
 
 ORACLES_CURATION = {
@@ -1057,4 +1125,5 @@ ORACLES_CURATION = {
     "scd2_customer_priority": SQL_SCD2_CUSTOMER_PRIORITY,
     "boilerplate_fraction": SQL_BOILERPLATE_FRACTION,
     "value_histograms": SQL_VALUE_HISTOGRAMS,
+    "dataset_card": SQL_DATASET_CARD,
 }
