@@ -195,15 +195,18 @@ WITH d AS (
   FROM documents
 ),
 c AS (
+  -- windowed sum(BIGINT) widens to HUGEINT in DuckDB; cast back so the
+  -- derived pack_id / offset hash as int64 like the Spark side
   SELECT doc_id, source, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND CURRENT ROW) - n_tokens AS start
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - n_tokens
+              AS BIGINT) AS start
   FROM d
 )
 SELECT doc_id, source, n_tokens,
-       start // {_PACK_BUDGET} AS pack_id,
-       start % {_PACK_BUDGET} AS offset_in_pack,
+       CAST(start // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(start % {_PACK_BUDGET} AS BIGINT) AS offset_in_pack,
        (start // {_PACK_BUDGET})
          <> ((start + n_tokens - 1) // {_PACK_BUDGET}) AS spans_boundary
 FROM c
@@ -847,15 +850,20 @@ def q_value_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = e.groupBy("event_type").agg(
         F.min("value").alias("mn"), F.max("value").alias("mx")
     )
+    # degenerate-span guard: a type with a single distinct value would
+    # hit 0/0 (NaN -> engine-divergent floor); pin those rows to bin 0
     binned = e.join(F.broadcast(stats), "event_type").select(
         "event_type",
-        F.least(
-            F.floor(
-                (F.col("value") - F.col("mn")) * F.lit(float(_HIST_BINS))
-                / (F.col("mx") - F.col("mn"))
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("mn")) * F.lit(float(_HIST_BINS))
+                    / (F.col("mx") - F.col("mn"))
+                ),
+                F.lit(_HIST_BINS - 1),
             ),
-            F.lit(_HIST_BINS - 1),
-        ).cast("long").alias("bin"),
+        ).otherwise(F.lit(0)).cast("long").alias("bin"),
     )
     return binned.groupBy("event_type", "bin").agg(
         F.count("*").alias("n")
@@ -868,9 +876,12 @@ WITH stats AS (
   FROM events GROUP BY 1
 ),
 binned AS (
+  -- same degenerate-span guard as the Spark side: mx == mn -> bin 0
   SELECT e.event_type,
-         least(CAST(floor((e.value - s.mn) * {_HIST_BINS}.0 / (s.mx - s.mn))
-                    AS BIGINT), {_HIST_BINS - 1}) AS bin
+         CASE WHEN s.mx > s.mn THEN
+           least(CAST(floor((e.value - s.mn) * {_HIST_BINS}.0 / (s.mx - s.mn))
+                      AS BIGINT), {_HIST_BINS - 1})
+         ELSE 0 END AS bin
   FROM events e JOIN stats s USING (event_type)
 )
 SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n

@@ -186,3 +186,45 @@ def test_scd2_versions_runs_and_intervals(spark):
     assert (v3["attr"], v3["valid_to"], v3["is_current"]) == ("A", None, True)
     assert not v1["is_current"] and not v2["is_current"]
     assert rows[(2, 1)]["is_current"]
+
+
+def test_value_histograms_degenerate_span(spark, tmp_path):
+    """A constant-valued event_type must land all rows in bin 0 on BOTH
+    engines (the unguarded formula hits 0/0 -> NaN, which Spark and
+    DuckDB floor differently)."""
+    import datetime
+
+    from google_analytics_to_s3_spark.plans.driver_queries_curation import (
+        SQL_VALUE_HISTOGRAMS,
+        q_value_histograms,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(t0, "constant", 7.5, i) for i in range(5)] + [
+        (t0, "varying", float(i), i) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value", "user_id"])
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+    out = {
+        (r["event_type"], r["bin"]): r["n"]
+        for r in q_value_histograms(spark, str(tmp_path)).collect()
+    }
+    assert out[("constant", 0)] == 5
+    assert ("constant", None) not in out
+    assert sum(n for (t, _), n in out.items() if t == "varying") == 20
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    ora = {
+        (t, b): n
+        for t, b, n in con.execute(SQL_VALUE_HISTOGRAMS).fetchall()
+    }
+    assert ora == out
