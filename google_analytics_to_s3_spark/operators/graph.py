@@ -201,13 +201,18 @@ def pagerank(
 
     The plan unrolls ``n_iters`` rounds of: per-node contribution
     (rank div out-degree, map-side after one degree join), incoming-sum
-    (one hash aggregation on dst), damp + teleport (map-side). The edge
-    list with degree attached is persisted and every round's join
-    reuses its partitioning — per-round cost is one shuffle of the
-    (nodes-sized) rank table, the graph itself never re-shuffles. Every
-    node is assumed to have out-degree ≥ 1 (true for symmetrized
-    graphs); dangling-mass handling would add one scalar aggregate per
-    round.
+    (one hash aggregation on dst), dangling-mass redistribution (one
+    1-row aggregate over the zero-out-degree nodes, broadcast onto the
+    update), damp + teleport (map-side). The edge list with degree
+    attached is persisted and every round's join reuses its
+    partitioning — per-round cost is one shuffle of the (nodes-sized)
+    rank table plus the scalar dangling aggregate; the graph itself
+    never re-shuffles. The dangling share stays on the integer grid
+    (``dmass div n``), so any SQL engine replays it bit-for-bit.
+
+    The final ranks are materialized (eager local checkpoint) before
+    returning, and all persisted intermediates are unpersisted — the
+    returned DataFrame owns no cached blocks.
 
     Returns (node, rank_q) with rank_q on the PR_SCALE integer grid.
     """
@@ -225,11 +230,16 @@ def pagerank(
     ed = edges.join(deg, src).select(
         F.col(src).alias("c_src"), F.col(dst).alias("c_dst"), "deg"
     ).persist()
+    # dangling nodes (out-degree 0): appear as dst but never as src —
+    # their mass is redistributed uniformly each round
+    dang = nodes.join(
+        edges.select(F.col(src).alias("node")).distinct(), "node", "left_anti"
+    ).persist()
     n = nodes.count()
     init_q = PR_SCALE // n
     base_q = int(0.15 * PR_SCALE / n)
     r = nodes.select("node", F.lit(init_q).cast("long").alias("rank_q"))
-    for _ in range(n_iters):
+    for i in range(n_iters):
         contrib = ed.join(
             r, ed.c_src == F.col("node")
         ).select(
@@ -237,18 +247,32 @@ def pagerank(
             F.expr("rank_q div deg").alias("c"),
         )
         summed = contrib.groupBy("node_out").agg(F.sum("c").alias("s"))
+        # scalar dangling-mass aggregate: 1 row, broadcast onto the
+        # update (the repo's standard broadcast-crossJoin stats shape);
+        # integer div keeps the share on the grid
+        share = (
+            r.join(dang, "node")
+            .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).alias("dmass"))
+            .select(F.expr(f"dmass div {n}").cast("long").alias("d_share"))
+        )
         r = (
             nodes.join(summed, nodes.node == summed.node_out, "left")
+            .crossJoin(F.broadcast(share))
             .select(
                 "node",
                 (
                     F.lit(base_q)
                     + F.floor(
                         F.lit(PR_DAMP)
-                        * F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                        * (
+                            F.coalesce(F.col("s"), F.lit(0))
+                            + F.col("d_share")
+                        ).cast("double")
                     )
                 ).cast("long").alias("rank_q"),
             )
         )
-        r = r.localCheckpoint(eager=False)
+        r = r.localCheckpoint(eager=(i == n_iters - 1))
+    for cached in (ed, dang, nodes, edges):
+        cached.unpersist()
     return r

@@ -403,9 +403,15 @@ def _pagerank_oracle_sql() -> str:
 r{i} AS (
   SELECT nd.node,
          CAST(floor(0.15 * {s} / n_nodes) AS BIGINT)
-           + CAST(floor(0.85 * COALESCE(sm.s, 0)::DOUBLE) AS BIGINT)
+           + CAST(floor(0.85 * (COALESCE(sm.s, 0) + dm.d_share)::DOUBLE)
+                  AS BIGINT)
            AS rank_q
   FROM nodes nd CROSS JOIN n
+  CROSS JOIN (
+    SELECT CAST(COALESCE(sum(r.rank_q), 0)
+                // (SELECT n_nodes FROM n) AS BIGINT) AS d_share
+    FROM r{prev} r JOIN dang dg ON r.node = dg.node
+  ) dm
   LEFT JOIN (
     SELECT e.dst AS node_out,
            CAST(sum(r.rank_q // d.deg) AS BIGINT) AS s
@@ -429,6 +435,7 @@ edges AS (
   SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
 ),
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+dang AS (SELECT node FROM nodes EXCEPT SELECT DISTINCT src FROM edges),
 deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
 n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
 r0 AS (

@@ -108,3 +108,35 @@ def test_pagerank_hub_ranks_highest(spark):
     # total mass stays ~1.0 (integer-floor losses only shrink it)
     total = sum(r.values()) / PR_SCALE
     assert 0.97 < total <= 1.0
+
+
+def test_pagerank_dangling_sink_mass_redistributed(spark):
+    from google_analytics_to_s3_spark.operators.graph import (
+        PR_DAMP,
+        PR_SCALE,
+        pagerank,
+    )
+
+    # 0 -> 1 -> 2, node 2 is a sink (out-degree 0): its mass must be
+    # redistributed, not silently dropped
+    df = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    got = {r["node"]: r["rank_q"] for r in pagerank(df, 3).collect()}
+
+    # replay the documented integer-grid recurrence in pure Python
+    n = 3
+    base = int(0.15 * PR_SCALE / n)
+    rank = {v: PR_SCALE // n for v in range(3)}
+    out = {0: [1], 1: [2], 2: []}
+    for _ in range(3):
+        share = rank[2] // n
+        inc = {v: 0 for v in range(3)}
+        for u, vs in out.items():
+            for v in vs:
+                inc[v] += rank[u] // len(vs)
+        rank = {
+            v: base + int(PR_DAMP * float(inc[v] + share))
+            for v in range(3)
+        }
+    assert got == rank
+    # mass conserved up to integer-floor loss
+    assert 0.97 < sum(got.values()) / PR_SCALE <= 1.0
