@@ -523,6 +523,136 @@ FROM occ JOIN exact USING (event_type)
 """
 
 
+# Deterministic HyperLogLog (Flajolet et al. 2007): md5-derived 56-bit
+# hash, p=10 (m=1024 registers), register = leading-zero rank of the
+# remaining 46 bits. Unlike the engine-native HLL sketches (layouts
+# differ per engine -> rows-only check forever), every term here is an
+# integer or a single-literal-order float, so DuckDB replays the
+# estimate bit-for-bit: a FULL value oracle for an approximate-distinct
+# sketch. The register table (event_type, bucket, mj) IS the sketch —
+# merging days = max-merging registers, the 100 TB pre-aggregate
+# pattern. Small-range (raw <= 2.5m, empty registers) falls back to
+# linear counting, mirrored on both engines.
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P  # 1024 registers
+_HLL_WBITS = 56 - _HLL_P  # 46 value bits -> rho in [1, 47]
+_HLL_RMAX = _HLL_WBITS + 1
+# alpha_m * m^2 * 2^47 folded into ONE python double, embedded
+# identically in both engines (single division at the end stays exact)
+_HLL_NUM = 0.7213 / (1.0 + 1.079 / _HLL_M) * float(_HLL_M * _HLL_M) * float(
+    1 << _HLL_RMAX
+)
+
+
+def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-HLL approximate distinct users per event type,
+    value-exact across engines (the checkable twin of the native
+    ``approx_count_distinct`` sketch, which is rows-only by nature).
+
+    Plan shape: one partial-aggregated shuffle of (event_type, bucket,
+    rho) register rows — raw user ids never travel past the map side —
+    then a per-type fold to the closed-form estimate. Exact counts ride
+    along for calibration.
+    """
+    e = load_events(spark, sf_dir).select("event_type", "user_id")
+    regs = (
+        e.select(
+            "event_type",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 14),
+                16, 10,
+            ).cast("long").alias("h"),
+        )
+        .select(
+            "event_type",
+            (F.col("h") % _HLL_M).alias("bucket"),
+            F.expr(f"h div {_HLL_M}").alias("w"),
+        )
+        .select(
+            "event_type", "bucket",
+            F.when(
+                F.col("w") > 0,
+                F.lit(_HLL_RMAX) - F.length(F.expr("bin(w)")),
+            ).otherwise(F.lit(_HLL_RMAX)).cast("int").alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("occupied"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RMAX} - mj)")
+        ).alias("s_occ"),
+    )
+    s = (
+        F.col("s_occ")
+        + (F.lit(_HLL_M) - F.col("occupied")) * F.lit(1 << _HLL_RMAX)
+    ).cast("double")
+    raw = F.lit(_HLL_NUM) / s
+    v = F.lit(_HLL_M) - F.col("occupied")
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (v > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        agg.join(exact, "event_type")
+        .select(
+            "event_type", "occupied",
+            F.round(est, 6).alias("hll_estimate"), "exact_users",
+        )
+    )
+
+
+SQL_HLL_USERS = f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT AS h
+  FROM events
+),
+d AS (
+  SELECT event_type, h % {_HLL_M} AS bucket, h // {_HLL_M} AS w FROM h
+),
+r AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN w > 0 THEN {_HLL_RMAX} - length(bin(w))
+             ELSE {_HLL_RMAX} END) AS mj
+  FROM d GROUP BY 1, 2
+),
+a AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS occupied,
+         CAST(sum(CAST(1 AS BIGINT) << ({_HLL_RMAX} - mj)) AS BIGINT)
+           AS s_occ
+  FROM r GROUP BY 1
+),
+e AS (
+  SELECT event_type, occupied,
+         (s_occ + ({_HLL_M} - occupied)
+                  * CAST({1 << _HLL_RMAX} AS BIGINT))::DOUBLE AS s
+  FROM a
+),
+est AS (
+  SELECT event_type, occupied,
+         CASE WHEN ({_HLL_NUM!r} / s) <= {2.5 * _HLL_M!r}
+                   AND ({_HLL_M} - occupied) > 0
+              THEN {float(_HLL_M)!r}
+                   * ln({float(_HLL_M)!r}
+                        / ({_HLL_M} - occupied)::DOUBLE)
+              ELSE {_HLL_NUM!r} / s END AS raw
+  FROM e
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1
+)
+SELECT event_type, occupied, round(raw, 6) AS hll_estimate, exact_users
+FROM est JOIN exact USING (event_type)
+"""
+
+
 def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 user-journey paths: the event-type sequence of each
     (user, day), counted across the corpus — the flow-report staple.
@@ -1114,6 +1244,7 @@ QUERIES_CURATION = {
     "part_pagerank": q_part_pagerank,
     "event_anomalies": q_event_anomalies,
     "linear_count_users": q_linear_count_users,
+    "hll_users": q_hll_users,
     "shot_boundaries": q_shot_boundaries,
     "session_paths": q_session_paths,
     "basket_rules": q_basket_rules,
@@ -1137,6 +1268,7 @@ ORACLES_CURATION = {
     "part_pagerank": SQL_PART_PAGERANK,
     "event_anomalies": SQL_EVENT_ANOMALIES,
     "linear_count_users": SQL_LINEAR_COUNT_USERS,
+    "hll_users": SQL_HLL_USERS,
     "shot_boundaries": SQL_SHOT_BOUNDARIES,
     "session_paths": SQL_SESSION_PATHS,
     "basket_rules": SQL_BASKET_RULES,

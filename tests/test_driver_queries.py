@@ -32,3 +32,17 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(ent.queries().keys()) >= set(ent.oracle_sql().keys())
+
+
+def test_native_hll_sketches(spark, sf_oracle):
+    """The engine-native sketch demo (retired from the graded registry:
+    its values are engine-specific). The deterministic graded twin is
+    hll_users; here we pin that the native estimates stay within HLL
+    error bounds of the exact counts."""
+    rows = dq.q_approx_distinct(spark, sf_oracle).collect()
+    assert len(rows) > 0
+    for r in rows:
+        for est in (r["approx_users"], r["hll_users"]):
+            assert abs(est - r["exact_users"]) <= max(
+                5, 0.15 * r["exact_users"]
+            ), r
