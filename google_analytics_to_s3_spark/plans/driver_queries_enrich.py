@@ -26,7 +26,12 @@ from ..functions.traffic import (
     traffic_source,
 )
 from ..functions.ua import with_device_columns
-from ..functions.url import landing_page, page_path_levels
+from ..functions.url import (
+    landing_page,
+    page_path_levels,
+    url_host,
+    url_query_param,
+)
 from ..operators.asof import asof_join
 from ..operators.attribution import with_touchpoints
 from ..operators.multimodal import decode_image_meta, with_binary_payload
@@ -731,6 +736,161 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# F8-F10/F13: URL decomposition (page-path levels, host, query params)
+# as ONE driver query with a full oracle. The testdata has no URL
+# column, so deterministic catalog URLs are synthesized from `part`
+# (p_type's three words -> three path segments) and the real
+# functions/url.py expressions run on the Spark side; the oracle
+# re-parses the identical URLs with DuckDB string functions.
+# --------------------------------------------------------------------------
+
+
+def q_page_path_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 page_path_levels + F10 host + F13 query-param extraction
+    (functions/url.py; reference main.py:329-376, 479-497) rolled up by
+    path prefix. Pure projections + one hash aggregate — map-side
+    partials, no skew, scale-trivial."""
+    p = load_table(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("https://shop.example.com/"),
+        F.regexp_replace(F.lower(F.col("p_type")), " ", "/"),
+        F.lit("/p"), F.col("p_partkey").cast("string"),
+        F.lit("?brand="), F.regexp_replace(F.col("p_brand"), "#", "-"),
+        F.lit("&size="), F.col("p_size").cast("string"),
+    )
+    d = p.select(F.col("p_partkey").alias("part_key"), url.alias("url"))
+    lv = page_path_levels("url")
+    rows = d.select(
+        "part_key",
+        url_host("url").alias("host"),
+        F.get(lv, 0).alias("level1"),
+        F.get(lv, 1).alias("level2"),
+        F.get(lv, 2).alias("level3"),
+        F.get(lv, 3).alias("level4"),
+        url_query_param("url", "brand").alias("brand"),
+        url_query_param("url", "size").cast("int").alias("size"),
+    )
+    return rows.groupBy("level1", "level2", "level3").agg(
+        F.count("*").alias("n_parts"),
+        F.count_distinct("level4").alias("n_pages"),
+        F.count_distinct("brand").alias("n_brands"),
+        F.sum("size").cast("long").alias("sum_size"),
+        F.min("host").alias("host"),
+    )
+
+
+SQL_PAGE_PATH_LEVELS = """
+WITH u AS (
+  SELECT p_partkey,
+         'https://shop.example.com/' || replace(lower(p_type), ' ', '/')
+           || '/p' || CAST(p_partkey AS VARCHAR)
+           || '?brand=' || replace(p_brand, '#', '-')
+           || '&size=' || CAST(p_size AS VARCHAR) AS url
+  FROM part
+),
+parsed AS (
+  SELECT p_partkey,
+         split_part(url, '/', 3) AS host,
+         split_part(url, '?', 1) AS pathful,
+         split_part(url, '?', 2) AS qs
+  FROM u
+),
+lv AS (
+  -- pad missing segments with '' (page_path_levels semantics), not '/'
+  SELECT p_partkey, host,
+         CASE WHEN split_part(pathful, '/', 4) <> ''
+              THEN '/' || split_part(pathful, '/', 4) ELSE '' END AS level1,
+         CASE WHEN split_part(pathful, '/', 5) <> ''
+              THEN '/' || split_part(pathful, '/', 5) ELSE '' END AS level2,
+         CASE WHEN split_part(pathful, '/', 6) <> ''
+              THEN '/' || split_part(pathful, '/', 6) ELSE '' END AS level3,
+         CASE WHEN split_part(pathful, '/', 7) <> ''
+              THEN '/' || split_part(pathful, '/', 7) ELSE '' END AS level4,
+         split_part(split_part(qs, 'brand=', 2), '&', 1) AS brand,
+         CAST(split_part(qs, 'size=', 2) AS INTEGER) AS size
+  FROM parsed
+)
+SELECT level1, level2, level3,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT level4) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT brand) AS BIGINT) AS n_brands,
+       CAST(sum(size) AS BIGINT) AS sum_size,
+       min(host) AS host
+FROM lv GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# L1-L4: the collector-envelope decode path (base64 JSON envelope ->
+# anonymized ip -> url-decoded GA querystring body -> flat body_*
+# columns) end-to-end with a full oracle. The envelope is synthesized
+# deterministically from events, round-tripped through the REAL
+# sources/ga.decode_envelope transform; the oracle computes the
+# expected flat rows directly.
+# --------------------------------------------------------------------------
+
+_ENV_BODY_FIELDS = [
+    "body_v", "body_t", "body_cid", "body_el", "body_ev", "body_dp",
+]
+
+
+def q_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1-L4 (sources/ga.py decode_envelope; reference
+    functions/transformation/main.py:11-75): base64(JSON envelope) with
+    a url-encoded Measurement-Protocol body ('+' for space, %2F
+    escapes) decoded back to flat hit columns. Map-side only — the
+    decode never shuffles."""
+    from ..sources.ga import decode_envelope
+
+    e = load_events(spark, sf_dir)
+    body = F.concat(
+        F.lit("v=1&t="), F.col("event_type"),
+        F.lit("&cid=u"), F.col("user_id").cast("string"),
+        F.lit("&el=hello+world"),
+        F.lit("&ev="), (F.col("user_id") % 97).cast("string"),
+        F.lit("&dp=%2Fhome%2Fpage"),
+    )
+    env = F.to_json(F.struct(
+        F.lit("apig").alias("system_source"),
+        F.lit("1.0").alias("system_version"),
+        F.concat(F.lit("m-"), F.col("event_id").cast("string")).alias(
+            "message_id"
+        ),
+        F.concat(F.lit("t-"), F.col("event_id").cast("string")).alias(
+            "trace_id"
+        ),
+        F.col("ts_ms").cast("string").alias("received_at_apig"),
+        _dotted_quad(_ip_int(4294967296)).alias("ip"),
+        F.lit("Mozilla/5.0").alias("user_agent"),
+        body.alias("body"),
+    ))
+    raw = e.select(F.base64(env.cast("binary")).alias("value"))
+    return decode_envelope(raw, body_fields=_ENV_BODY_FIELDS).select(
+        "trace_id", "message_id", "ip", "received_at_apig",
+        "body_t", "body_cid", "body_el", "body_ev", "body_dp",
+    )
+
+
+SQL_ENVELOPE_DECODE = f"""
+WITH h AS (
+  SELECT event_id, event_type, user_id, epoch_ms(ts) AS ts_ms,
+         (event_id * {_MIX}) % 4294967296 AS ip_int
+  FROM events
+)
+SELECT 't-' || CAST(event_id AS VARCHAR) AS trace_id,
+       'm-' || CAST(event_id AS VARCHAR) AS message_id,
+       regexp_replace({_SQL_OCTETS}, '\\.[0-9]+$', '.0') AS ip,
+       CAST(ts_ms AS VARCHAR) AS received_at_apig,
+       event_type AS body_t,
+       'u' || CAST(user_id AS VARCHAR) AS body_cid,
+       'hello world' AS body_el,
+       CAST(user_id % 97 AS VARCHAR) AS body_ev,
+       '/home/page' AS body_dp
+FROM h
+"""
+
+
 QUERIES_ENRICH = {
     "incremental_attribution": q_incremental_attribution,
     "multimodal_decode": q_multimodal_decode,
@@ -743,6 +903,8 @@ QUERIES_ENRICH = {
     "unpivot_products": q_unpivot_products,
     "session_window_rollup": q_session_window_rollup,
     "traffic_attribution": q_traffic_attribution,
+    "page_path_levels": q_page_path_levels,
+    "envelope_decode": q_envelope_decode,
 }
 
 ORACLES_ENRICH = {
@@ -757,4 +919,6 @@ ORACLES_ENRICH = {
     "unpivot_products": SQL_UNPIVOT_PRODUCTS,
     "session_window_rollup": SQL_SESSION_WINDOW_ROLLUP,
     "traffic_attribution": SQL_TRAFFIC_ATTRIBUTION,
+    "page_path_levels": SQL_PAGE_PATH_LEVELS,
+    "envelope_decode": SQL_ENVELOPE_DECODE,
 }
