@@ -2453,38 +2453,40 @@ ORACLES.update(ORACLES_CURATION)
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # (a) reference-core, never driver-checked
-    "traffic_attribution", "touchpoints", "unpivot_products", "ua_parse",
-    "session_window_rollup", "incremental_attribution",
-    "export_pageviews", "export_events_mart", "export_products",
-    "export_transactions", "export_items",
-    # (a) LLM-pipeline / analytics ops, never driver-checked
-    "embedding_lsh_pairs", "knn_components", "knn_components_star",
-    "dedup_keep_best", "funnel_conversion", "retention_cohorts",
-    "event_transitions", "pq_codes", "pq_adc_topk", "time_to_conversion",
-    "chunk_documents", "gap_fill_ffill", "order_rank_stats",
-    "salted_event_totals", "events_grouping_sets", "hopping_window",
-    "customer_distribution", "top_supplier", "small_qty_revenue",
-    "brand_disjunction_revenue", "sales_opportunity",
-    # (a) round-3 corpus-curation + analytics suite, never driver-checked
-    "pii_scan", "quality_filter", "contamination_screen",
-    "lm_typicality", "pack_sequences", "mixture_sample", "vocab_oov",
-    "curation_pipeline", "scd2_customer_priority", "tfidf_top_terms",
-    "part_pagerank", "bm25_search", "linear_count_users",
-    # (b) erred in r02 on the ts dtype change — fixed, need green rows
-    # (json_props / user_event_arrays additionally never had a green
-    # row: r01 recorded them red/crashed, both fixed in r02)
-    "sessionize_flags", "sessionize_full", "session_stats",
-    "json_props", "user_event_arrays",
-    # session_revenue / export_sessions / daily_engagement /
-    # events_pivot / events_cube / hit_type_mapping /
-    # union_active_users / approx_distinct / anonymize_ip / geo_enrich
-    # / asof_join / multimodal_decode / streaming_sessions also lack an
-    # r02 row but carry green r01 evidence, and the ts fix itself is
-    # proven by the many events queries inside the prefix — they
-    # follow it, as do the newest analytics queries (event_anomalies,
-    # shot_boundaries, session_paths, basket_rules) slated for the
-    # round-4 rotation
+    # round-4 rotation:
+    # (a) changed this round — pack_sequences' oracle got the missing
+    # BIGINT casts (its r3 red row was an oracle dtype bug, values were
+    # identical); value_histograms gained the degenerate-span guard;
+    # part_pagerank now redistributes dangling-node mass (oracle
+    # extended to match)
+    "pack_sequences", "value_histograms", "part_pagerank",
+    # (b) new this round — deterministic md5-HLL sketch (full-oracle
+    # replacement for the retired rows-only approx_distinct), URL
+    # decomposition (F8-F10/F13), envelope decode (L1-L4)
+    "hll_users", "page_path_levels", "envelope_decode",
+    # (c) registered in r3 after the prefix froze, never driver-checked
+    "basket_rules", "boilerplate_fraction", "dataset_card",
+    "event_anomalies", "session_paths", "shot_boundaries",
+    # (d) green in r1 only — no row since the r2 ts-dtype err; re-verify
+    "anonymize_ip", "asof_join", "daily_engagement", "events_cube",
+    "events_pivot", "export_sessions", "geo_enrich", "hit_type_mapping",
+    "multimodal_decode", "session_revenue", "streaming_sessions",
+    "union_active_users",
+    # (e) last green in r2 — oldest remaining evidence, re-verify
+    "char_entropy", "corpus_curation", "cosine_dup_pairs",
+    "customer_order_ranks", "customers_without_orders", "dedup_exact",
+    "forecast_revenue", "knn_cosine", "knn_ivf",
+    "large_volume_customers", "late_shipment_priority",
+    "local_supplier_volume", "market_share", "minhash_lsh_pairs",
+    "moving_revenue", "neardup_ledger", "ngram_jaccard_pairs",
+    "ngram_jaccard_thresholded", "order_gaps",
+    "order_lineitem_left_join", "order_percentiles", "pricing_summary",
+    "promo_revenue", "returned_items", "sales_rollup",
+    "shipping_priority",
+    # the 11 remaining r2-green queries (simhash*, stratified_sample,
+    # string_funcs, table_profile, text_quality, text_stats,
+    # token_counts, volume_shipping, winnow_*) follow the prefix and
+    # rotate in next round; every r3-green query keeps its fresh row
 ]
 
 

@@ -186,20 +186,31 @@ def zorder_value(
     """Interleaved-bit Morton (Z-order) key over integer columns.
 
     Each column is range-normalized to ``bits`` bits with integer
-    arithmetic (floor((x-min)*(2^bits-1) div (max-min)) — exact, no
-    floats), then bit b of column i lands at output bit
-    ``b*ncols + i``. Pure codegen integer ops. Column ranges must fit
-    (max-min)*(2^bits-1) inside int64 — true for any 47-bit-range
-    column at the default 16 bits.
+    arithmetic ((x-min)*(2^bits-1) div (max-min) — exact, no floats),
+    then bit b of column i lands at output bit ``b*ncols + i``. Pure
+    codegen integer ops. Column ranges must fit (max-min)*(2^bits-1)
+    inside int64 — true for any 47-bit-range column at the default 16
+    bits. ``ncols*bits`` must stay within int64's 63 value bits (the
+    top output-bit weight is ``1 << (bits*ncols - 1)``); callers that
+    cluster many columns should lower ``bits`` (write_zordered does so
+    automatically).
     """
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"zorder key needs {n * bits} bits ({n} cols x {bits}) but "
+            "int64 holds 63; lower bits to at most "
+            f"{63 // n} for {n} columns"
+        )
     top = (1 << bits) - 1
     norms = []
     for c, mn, mx in zip(cols, mins, maxs):
         span = max(int(mx) - int(mn), 1)
         norms.append(
-            ((c.cast("long") - F.lit(int(mn))) * F.lit(top) / F.lit(span)
-             ).cast("long")
+            F.call_function(
+                "div", (c.cast("long") - F.lit(int(mn))) * F.lit(top),
+                F.lit(span),
+            )
         )
     z = F.lit(0).cast("long")
     for b in range(bits):
@@ -227,6 +238,7 @@ def write_zordered(
     range-partitioning on the key balances file sizes even when the
     key-space is occupied unevenly.
     """
+    bits = min(bits, 63 // max(len(cols), 1))
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]

@@ -247,3 +247,28 @@ def test_zorder_write_tightens_file_stats_on_both_dims(spark, tmp_path):
 
     for col in ("x", "y"):
         assert span_sum(zord, col) < 0.7 * span_sum(plain, col), col
+
+
+def test_zorder_value_int_div_and_bit_budget(spark):
+    """The normalization is exact integer arithmetic (no float '/'), and
+    a key wider than int64's 63 value bits is rejected loudly."""
+    import pytest
+
+    from google_analytics_to_s3_spark.sources.maintenance import (
+        zorder_value,
+    )
+
+    df = spark.createDataFrame([(0,), (5,), (10,)], ["x"])
+    got = [
+        r["z"]
+        for r in df.select(
+            zorder_value([F.col("x")], [0], [10], bits=4).alias("z")
+        ).collect()
+    ]
+    # exact: (x * 15) div 10 -> 0, 7, 15 (float '/'+cast would give 7 too,
+    # but e.g. x=9 -> 13.5 truncates identically only because both floor;
+    # the guarantee under test is the div stays integer end-to-end)
+    assert got == [0, 7, 15]
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_value([F.col("x")] * 4, [0] * 4, [10] * 4, bits=16)
