@@ -32,9 +32,19 @@ def scd2_versions(
     effective date of the run, valid_to = next version's valid_from
     (NULL for the current row), is_current flag, version_n sequence.
     """
+    # null-safe change detection: `_prev != attr` is NULL when either
+    # side is NULL, silently folding runs that touch a NULL attribute —
+    # use an explicit first-row marker + eqNullSafe so NULL is an
+    # ordinary attribute value (NULL->'a', 'a'->NULL, NULL-runs all
+    # version correctly)
     w = Window.partitionBy(key_col).orderBy(eff_col, tiebreak_col)
-    changed = df.withColumn("_prev", F.lag(attr_col).over(w)).filter(
-        F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col))
+    changed = (
+        df.withColumn("_prev", F.lag(attr_col).over(w))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(
+            (F.col("_rn") == 1)
+            | ~F.col("_prev").eqNullSafe(F.col(attr_col))
+        )
     )
     wv = Window.partitionBy(key_col).orderBy(eff_col, tiebreak_col)
     return (

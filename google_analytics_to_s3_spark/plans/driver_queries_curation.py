@@ -811,13 +811,18 @@ def q_scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SCD2_CUSTOMER_PRIORITY = """
 WITH ch AS (
+  -- null-safe change detection (mirrors operators/scd.py: first-row
+  -- marker + IS DISTINCT FROM, so NULL attributes version correctly)
   SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey FROM (
     SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
            lag(o_orderpriority) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ) AS prev
+           ) AS prev,
+           row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS rn
     FROM orders
-  ) WHERE prev IS NULL OR prev <> o_orderpriority
+  ) WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority
 )
 SELECT o_custkey, o_orderpriority,
        o_orderdate AS valid_from,

@@ -228,3 +228,30 @@ def test_value_histograms_degenerate_span(spark, tmp_path):
         for t, b, n in con.execute(SQL_VALUE_HISTOGRAMS).fetchall()
     }
     assert ora == out
+
+
+def test_scd2_versions_null_attribute_transitions(spark):
+    """NULL is an ordinary attribute value: NULL->a, a->NULL and runs
+    of NULLs must version like any other change (the naive `prev !=
+    attr` predicate silently drops them)."""
+    from google_analytics_to_s3_spark.operators.scd import scd2_versions
+
+    obs = spark.createDataFrame(
+        [
+            (1, None, 10, 100),  # v1: starts NULL
+            (1, None, 20, 101),  # run of NULLs -> folded
+            (1, "A", 30, 102),   # v2: NULL -> A
+            (1, None, 40, 103),  # v3: A -> NULL
+            (2, "X", 10, 200),   # v1
+            (2, None, 20, 201),  # v2: X -> NULL
+        ],
+        "k int, attr string, eff int, tb int",
+    )
+    rows = {(r["k"], r["version_n"]): r for r in
+            scd2_versions(obs, "k", "attr", "eff", "tb").collect()}
+    assert len(rows) == 5
+    assert rows[(1, 1)]["attr"] is None
+    assert (rows[(1, 1)]["valid_from"], rows[(1, 1)]["valid_to"]) == (10, 30)
+    assert rows[(1, 2)]["attr"] == "A"
+    assert rows[(1, 3)]["attr"] is None and rows[(1, 3)]["is_current"]
+    assert rows[(2, 2)]["attr"] is None and rows[(2, 2)]["is_current"]
