@@ -136,3 +136,31 @@ def test_shot_boundaries_semantics(spark):
     # huge threshold: only frame 0 is a boundary
     calm = detect_shot_boundaries(frames, threshold=1 << 20)
     assert calm.filter(F.col("is_boundary")).count() == 2
+
+
+def test_all_real_decoder_gates_and_schema_contract(spark, docs_df):
+    """Every gated codec op (a) raises a clean NotImplementedError when
+    the real decoder is requested in this lib-less environment, and
+    (b) produces, on the stub path, EXACTLY the documented schema the
+    real decoder is contracted to produce — so flipping
+    use_real_decoder=True when PIL/soundfile appear cannot change any
+    downstream plan."""
+    from google_analytics_to_s3_spark.operators.multimodal import (
+        AUDIO_FEATURE_SCHEMA,
+        IMAGE_META_SCHEMA,
+        RESIZED_SCHEMA,
+        extract_audio_features,
+        resize_image,
+    )
+
+    gated = [
+        (decode_image_meta, {}, IMAGE_META_SCHEMA),
+        (resize_image, {"target_w": 4, "target_h": 4}, RESIZED_SCHEMA),
+        (extract_audio_features, {}, AUDIO_FEATURE_SCHEMA),
+    ]
+    for op, kwargs, schema in gated:
+        with pytest.raises(NotImplementedError, match="not installed"):
+            op(docs_df, use_real_decoder=True, **kwargs)
+        out = op(docs_df, use_real_decoder=False, **kwargs)
+        assert out.schema == schema, op.__name__
+        assert out.count() == len(DOCS), op.__name__
