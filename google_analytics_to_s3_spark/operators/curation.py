@@ -174,6 +174,53 @@ def quality_signals(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style n-gram repetition signals (Rae et al. 2021 §A1.1):
+    per document, the fraction of 2-/3-gram occurrences claimed by the
+    single most frequent gram (``top{n}_frac`` — high = template/chant
+    text) and the fraction of occurrences whose gram repeats at all
+    (``dup{n}_frac`` — high = loops and boilerplate). The word-level
+    complement of :func:`quality_signals`'s top-word fraction.
+
+    Plan shape per n: one explode over shingles, then (doc, gram) →
+    doc hash aggregations — only (doc_id, gram, count) rows shuffle,
+    text never does. The n=2 and n=3 legs join on ``id_col`` AFTER
+    both aggregations, so the join reuses the aggregation partitioning
+    (no extra exchange at any scale). Docs shorter than n yield one
+    whole-doc shingle: top_frac = 1, dup_frac = 0.
+    """
+
+    def leg(n: int) -> DataFrame:
+        g = df.select(
+            F.col(id_col),
+            F.explode(shingles(tokens(F.col(text_col)), n)).alias("gram"),
+        )
+        hist = g.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+        agg = hist.groupBy(id_col).agg(
+            F.sum("c").alias("total"),
+            F.max("c").alias("top"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+             .alias("dup"),
+        )
+        t = F.col("total").cast("double")
+        return agg.select(
+            F.col(id_col),
+            F.col("total").alias(f"n{n}_grams"),
+            F.round(F.col("top").cast("double") / t, 6).alias(
+                f"top{n}_frac"
+            ),
+            F.round(F.col("dup").cast("double") / t, 6).alias(
+                f"dup{n}_frac"
+            ),
+        )
+
+    return leg(2).join(leg(3), id_col)
+
+
 def contamination_pairs(
     corpus: DataFrame,
     eval_docs: DataFrame,

@@ -2462,8 +2462,10 @@ _DRIVER_PRIORITY = [
     "pack_sequences", "value_histograms", "part_pagerank",
     # (b) new this round — deterministic md5-HLL sketch (full-oracle
     # replacement for the retired rows-only approx_distinct), URL
-    # decomposition (F8-F10/F13), envelope decode (L1-L4)
+    # decomposition (F8-F10/F13), envelope decode (L1-L4), Gopher
+    # n-gram repetition signals, Bloom-filter semi-join pruning
     "hll_users", "page_path_levels", "envelope_decode",
+    "repetition_signals", "bloom_probe",
     # (c) registered in r3 after the prefix froze, never driver-checked
     "basket_rules", "boilerplate_fraction", "dataset_card",
     "event_anomalies", "session_paths", "shot_boundaries",
@@ -2481,12 +2483,12 @@ _DRIVER_PRIORITY = [
     "moving_revenue", "neardup_ledger", "ngram_jaccard_pairs",
     "ngram_jaccard_thresholded", "order_gaps",
     "order_lineitem_left_join", "order_percentiles", "pricing_summary",
-    "promo_revenue", "returned_items", "sales_rollup",
-    "shipping_priority",
-    # the 11 remaining r2-green queries (simhash*, stratified_sample,
-    # string_funcs, table_profile, text_quality, text_stats,
-    # token_counts, volume_shipping, winnow_*) follow the prefix and
-    # rotate in next round; every r3-green query keeps its fresh row
+    "promo_revenue", "returned_items",
+    # the 13 remaining r2-green queries (sales_rollup,
+    # shipping_priority, simhash*, stratified_sample, string_funcs,
+    # table_profile, text_quality, text_stats, token_counts,
+    # volume_shipping, winnow_*) follow the prefix and rotate in next
+    # round; every r3-green query keeps its fresh row
 ]
 
 

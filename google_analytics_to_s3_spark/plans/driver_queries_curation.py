@@ -901,6 +901,55 @@ GROUP BY GROUPING SETS ((lang, source), (lang), ())
 """
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document n-gram repetition signals
+    (operators/curation.repetition_signals): top-2/3-gram fraction +
+    duplicate-2/3-gram fraction per document."""
+    from ..operators.curation import repetition_signals
+
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_signals(d)
+
+
+def _rep_leg_sql(n: int) -> str:
+    if n == 2:
+        grams = (
+            "CASE WHEN len(t) >= 2 THEN "
+            "list_transform(range(1, len(t)), "
+            "i -> array_to_string(list_slice(t, i, i + 1), ' ')) "
+            "ELSE [array_to_string(t, ' ')] END"
+        )
+    else:
+        grams = (
+            "CASE WHEN len(t) >= 3 THEN "
+            "list_transform(range(1, len(t) - 1), "
+            "i -> array_to_string(list_slice(t, i, i + 2), ' ')) "
+            "ELSE [array_to_string(t, ' ')] END"
+        )
+    return f"""
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n{n}_grams,
+         round(CAST(max(c) AS BIGINT)::DOUBLE
+               / CAST(sum(c) AS BIGINT)::DOUBLE, 6) AS top{n}_frac,
+         round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)::DOUBLE
+               / CAST(sum(c) AS BIGINT)::DOUBLE, 6) AS dup{n}_frac
+  FROM (
+    SELECT doc_id, gram, count(*) AS c FROM (
+      SELECT doc_id, unnest({grams}) AS gram
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    ) GROUP BY 1, 2
+  ) GROUP BY doc_id
+"""
+
+
+SQL_REPETITION_SIGNALS = f"""
+WITH a2 AS ({_rep_leg_sql(2)}),
+a3 AS ({_rep_leg_sql(3)})
+SELECT doc_id, n2_grams, top2_frac, dup2_frac, n3_grams, top3_frac, dup3_frac
+FROM a2 JOIN a3 USING (doc_id)
+"""
+
+
 # a shingle this common across documents is boilerplate, not content
 _BOILER_DF = 5
 
@@ -1250,6 +1299,7 @@ QUERIES_CURATION = {
     "event_anomalies": q_event_anomalies,
     "linear_count_users": q_linear_count_users,
     "hll_users": q_hll_users,
+    "repetition_signals": q_repetition_signals,
     "shot_boundaries": q_shot_boundaries,
     "session_paths": q_session_paths,
     "basket_rules": q_basket_rules,
@@ -1274,6 +1324,7 @@ ORACLES_CURATION = {
     "event_anomalies": SQL_EVENT_ANOMALIES,
     "linear_count_users": SQL_LINEAR_COUNT_USERS,
     "hll_users": SQL_HLL_USERS,
+    "repetition_signals": SQL_REPETITION_SIGNALS,
     "shot_boundaries": SQL_SHOT_BOUNDARIES,
     "session_paths": SQL_SESSION_PATHS,
     "basket_rules": SQL_BASKET_RULES,

@@ -433,7 +433,123 @@ def q_knn_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select("vec_id", "component")
 
 
+# --------------------------------------------------------------------------
+# Deterministic Bloom-filter semi-join pruning. The filter is built as
+# a DISTINCT bit-position table (bounded by m = 8192 rows REGARDLESS of
+# build-side cardinality) and broadcast to the probe side — the
+# runtime-filter pattern Spark applies physically
+# (spark.sql.optimizer.runtime.bloomFilter.enabled) expressed as an
+# explicit, engine-portable operator: md5-derived positions make every
+# bit, hit and false positive identical in any SQL engine.
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 8192
+_BLOOM_K = 3
+_BLOOM_T = 350_000.0  # build side: customers with an order this large
+
+
+def _bloom_pos(key, i: int) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"b{i}-"), key.cast("string"))), 1, 14
+            ),
+            16, 10,
+        ).cast("long") % _BLOOM_M
+    )
+
+
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe of every customer against the
+    big-spender build set, next to exact membership (so the driver row
+    also pins the false-positive behavior).
+
+    Scale shape: the build side collapses to <= m distinct bit rows
+    before any join; the probe is a broadcast hash join on the bit
+    position. At 100 TB the bit table stays 8192 rows while a hash
+    semi-join's build side would grow with the data.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    members = (
+        o.filter(F.col("o_totalprice") > _BLOOM_T)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bits = (
+        members.select(
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        *[_bloom_pos(F.col("k"), i) for i in range(_BLOOM_K)]
+                    )
+                )
+            ).alias("pos")
+        ).distinct()
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    arr = F.array_distinct(
+        F.array(*[_bloom_pos(F.col("c_custkey"), i) for i in range(_BLOOM_K)])
+    )
+    probe = c.select(
+        "c_custkey", F.size(arr).alias("n_pos"), F.explode(arr).alias("pos")
+    )
+    hits = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("nhit"), F.first("n_pos").alias("n_pos"))
+    )
+    return (
+        c.join(hits, "c_custkey", "left")
+        .join(
+            members.select(F.col("k").alias("c_custkey"))
+            .withColumn("_m", F.lit(1)),
+            "c_custkey", "left",
+        )
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("nhit") == F.col("n_pos"), F.lit(False)).alias(
+                "bloom_hit"
+            ),
+            F.col("_m").isNotNull().alias("is_member"),
+        )
+    )
+
+
+SQL_BLOOM_PROBE = f"""
+WITH members AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > {_BLOOM_T}
+),
+idx AS (SELECT unnest(range(0, {_BLOOM_K})) AS i),
+bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5('b' || CAST(i AS VARCHAR) || '-'
+                              || CAST(k AS VARCHAR)), 1, 14))::BIGINT
+           % {_BLOOM_M} AS pos
+  FROM members CROSS JOIN idx
+),
+probe AS (
+  SELECT DISTINCT c_custkey,
+         ('0x' || substr(md5('b' || CAST(i AS VARCHAR) || '-'
+                              || CAST(c_custkey AS VARCHAR)), 1, 14))::BIGINT
+           % {_BLOOM_M} AS pos
+  FROM customer CROSS JOIN idx
+),
+counts AS (
+  SELECT c_custkey,
+         count(*) AS n_pos,
+         sum(CASE WHEN pos IN (SELECT pos FROM bits) THEN 1 ELSE 0 END)
+           AS nhit
+  FROM probe GROUP BY 1
+)
+SELECT c.c_custkey,
+       (ct.nhit = ct.n_pos) AS bloom_hit,
+       (c.c_custkey IN (SELECT k FROM members)) AS is_member
+FROM customer c JOIN counts ct USING (c_custkey)
+"""
+
+
 QUERIES_EXTRA: dict = {
+    "bloom_probe": q_bloom_probe,
     "knn_components": q_knn_components,
     "knn_components_star": q_knn_components_star,
     "gap_fill_ffill": q_gap_fill_ffill,
@@ -446,6 +562,7 @@ QUERIES_EXTRA: dict = {
 }
 
 ORACLES_EXTRA: dict[str, str] = {
+    "bloom_probe": SQL_BLOOM_PROBE,
     "knn_components": SQL_KNN_COMPONENTS,
     "knn_components_star": SQL_KNN_COMPONENTS,
     "gap_fill_ffill": SQL_GAP_FILL_FFILL,
