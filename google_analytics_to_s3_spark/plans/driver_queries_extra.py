@@ -445,7 +445,7 @@ def q_knn_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BLOOM_M = 8192
 _BLOOM_K = 3
-_BLOOM_T = 350_000.0  # build side: customers with an order this large
+_BLOOM_T = 480_000.0  # build side: customers with an order this large
 
 
 def _bloom_pos(key, i: int) -> F.Column:
