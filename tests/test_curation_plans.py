@@ -113,3 +113,32 @@ def test_event_anomalies_stats_broadcast(spark, sf_smoke):
     plan = _plan(q_event_anomalies(spark, sf_smoke))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_repetition_signals_shuffles_grams_not_text(spark, sf_smoke):
+    from google_analytics_to_s3_spark.plans.driver_queries_curation import (
+        q_repetition_signals,
+    )
+
+    plan = _plan(q_repetition_signals(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    # per leg: (doc, gram) partial-agg exchange then doc exchange; the
+    # 2-gram/3-gram join reuses the doc_id partitioning — document text
+    # itself must never be a shuffle key
+    for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in frag, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 4, plan
+
+
+def test_hll_users_register_exchange_only(spark, sf_smoke):
+    from google_analytics_to_s3_spark.plans.driver_queries_curation import (
+        q_hll_users,
+    )
+
+    plan = _plan(q_hll_users(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    # the sketch leg's shuffle carries (event_type, bucket) register
+    # rows; the raw 56-bit hash must be folded before any exchange
+    # (the exact-count calibration leg legitimately shuffles user_id)
+    for frag in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "h#" not in frag, plan

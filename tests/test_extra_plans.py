@@ -154,3 +154,15 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_oracle):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bloom_probe_bit_table_broadcast(spark, sf_smoke):
+    from google_analytics_to_s3_spark.plans.driver_queries_extra import (
+        q_bloom_probe,
+    )
+
+    plan = _plan(q_bloom_probe(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the bit-position table (<= m rows at ANY scale) must broadcast
+    assert "BroadcastHashJoin" in plan, plan
