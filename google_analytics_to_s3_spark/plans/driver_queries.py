@@ -2465,7 +2465,7 @@ _DRIVER_PRIORITY = [
     # decomposition (F8-F10/F13), envelope decode (L1-L4), Gopher
     # n-gram repetition signals, Bloom-filter semi-join pruning
     "hll_users", "page_path_levels", "envelope_decode",
-    "repetition_signals", "bloom_probe",
+    "repetition_signals", "bloom_probe", "source_caps",
     # (c) registered in r3 after the prefix froze, never driver-checked
     "basket_rules", "boilerplate_fraction", "dataset_card",
     "event_anomalies", "session_paths", "shot_boundaries",
@@ -2483,8 +2483,8 @@ _DRIVER_PRIORITY = [
     "moving_revenue", "neardup_ledger", "ngram_jaccard_pairs",
     "ngram_jaccard_thresholded", "order_gaps",
     "order_lineitem_left_join", "order_percentiles", "pricing_summary",
-    "promo_revenue", "returned_items",
-    # the 13 remaining r2-green queries (sales_rollup,
+    "promo_revenue",
+    # the 14 remaining r2-green queries (returned_items, sales_rollup,
     # shipping_priority, simhash*, stratified_sample, string_funcs,
     # table_profile, text_quality, text_stats, token_counts,
     # volume_shipping, winnow_*) follow the prefix and rotate in next

@@ -13,7 +13,7 @@ values, round(_, 6) on derived doubles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.curation import (
@@ -950,6 +950,45 @@ FROM a2 JOIN a3 USING (doc_id)
 """
 
 
+# RefinedWeb/C4-style per-domain cap: at most K docs kept per source
+_SOURCE_CAP = 15
+
+
+def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps — the corpus-assembly step that stops
+    mega-domains from dominating a crawl mix. Keeps at most
+    ``_SOURCE_CAP`` docs per source by deterministic priority (longest
+    text, then doc_id).
+
+    One hash exchange on ``source``; the window is the standard
+    top-k-per-key shape (per-partition sort, no global sort). A skewed
+    mega-source still sorts only its own partition — combine with
+    salting only if a single source outgrows an executor, which the cap
+    itself prevents downstream.
+    """
+    d = load_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("src_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("src_rank") <= _SOURCE_CAP)
+        .select("doc_id", "source", "n_chars", "src_rank")
+    )
+
+
+SQL_SOURCE_CAPS = f"""
+SELECT doc_id, source, n_chars,
+       CAST(row_number() OVER (
+         PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+       ) AS INTEGER) AS src_rank
+FROM documents
+QUALIFY src_rank <= {_SOURCE_CAP}
+"""
+
+
 # a shingle this common across documents is boilerplate, not content
 _BOILER_DF = 5
 
@@ -1300,6 +1339,7 @@ QUERIES_CURATION = {
     "linear_count_users": q_linear_count_users,
     "hll_users": q_hll_users,
     "repetition_signals": q_repetition_signals,
+    "source_caps": q_source_caps,
     "shot_boundaries": q_shot_boundaries,
     "session_paths": q_session_paths,
     "basket_rules": q_basket_rules,
@@ -1325,6 +1365,7 @@ ORACLES_CURATION = {
     "linear_count_users": SQL_LINEAR_COUNT_USERS,
     "hll_users": SQL_HLL_USERS,
     "repetition_signals": SQL_REPETITION_SIGNALS,
+    "source_caps": SQL_SOURCE_CAPS,
     "shot_boundaries": SQL_SHOT_BOUNDARIES,
     "session_paths": SQL_SESSION_PATHS,
     "basket_rules": SQL_BASKET_RULES,
