@@ -255,3 +255,45 @@ def test_scd2_versions_null_attribute_transitions(spark):
     assert rows[(1, 2)]["attr"] == "A"
     assert rows[(1, 3)]["attr"] is None and rows[(1, 3)]["is_current"]
     assert rows[(2, 2)]["attr"] is None and rows[(2, 2)]["is_current"]
+
+
+def test_hll_users_raw_path_parity_and_accuracy(spark, tmp_path):
+    """With ~20k distinct users every register fills (V=0), forcing the
+    raw-HLL branch that sf0.01 (150 users -> linear counting) never
+    exercises: both engines must agree bit-for-bit AND stay within the
+    ~3.25% relative-error envelope of p=10 HLL."""
+    import datetime
+
+    import duckdb
+
+    from google_analytics_to_s3_spark.plans.driver_queries_curation import (
+        SQL_HLL_USERS,
+        q_hll_users,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    n = 20_000
+    rows = [(t0, "view", 1.0, i) for i in range(n)]
+    spark.createDataFrame(
+        rows, ["ts", "event_type", "value", "user_id"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+    got = q_hll_users(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["occupied"] == 1024  # raw branch: no empty registers
+    assert abs(r["hll_estimate"] - n) / n < 0.1
+    assert r["exact_users"] == n
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    ora = con.execute(SQL_HLL_USERS).fetchall()
+    assert len(ora) == 1
+    assert ora[0][1] == r["occupied"]
+    assert ora[0][2] == r["hll_estimate"]
+    assert ora[0][3] == r["exact_users"]
