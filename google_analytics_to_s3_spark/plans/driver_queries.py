@@ -2181,6 +2181,61 @@ ORDER BY adist, vec_id LIMIT 20
 """
 
 
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed ANN (operators/similarity.knn_ivfpq): coarse
+    cells prune candidates, asymmetric distance on the PQ integer grid
+    ranks them — candidates scan 8-byte codes, never raw vectors. Full
+    integer-exact oracle replays cell assignment, encoding and ADC."""
+    from ..operators.similarity import knn_ivfpq, pq_codebook
+
+    e = load_parallel(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < IVF_N_CENTROIDS)
+    qs = e.filter(F.col("vec_id") % IVF_QUERY_MOD == 0)
+    return knn_ivfpq(e, qs, cents, pq_codebook(e), k=IVF_K, nprobe=1)
+
+
+SQL_KNN_IVFPQ = f"""WITH {_PQ_FRAG},
+cent AS (
+  SELECT vec_id AS ccid, embedding AS ccv FROM embeddings
+  WHERE vec_id < {IVF_N_CENTROIDS}
+),
+assigned2 AS (
+  SELECT e.vec_id, c.ccid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_COS.format(a='e.embedding', b='c.ccv')} DESC, c.ccid)
+           AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, ccid FROM assigned2 WHERE rn = 1),
+qs AS (
+  SELECT q.vec_id AS query_id, q.qv AS qq, cells.ccid
+  FROM q JOIN cells ON q.vec_id = cells.vec_id
+  WHERE q.vec_id % {IVF_QUERY_MOD} = 0
+),
+cand AS (
+  SELECT qs.query_id, cells.vec_id AS neighbor_id, qs.qq
+  FROM cells JOIN qs ON cells.ccid = qs.ccid AND cells.vec_id != qs.query_id
+),
+dists AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(sum(list_sum(list_transform(range(1, 9),
+           j -> (c.qq[best.b * 8 + j] - cb.cv[best.b * 8 + j])
+              * (c.qq[best.b * 8 + j] - cb.cv[best.b * 8 + j]))))
+           AS BIGINT) AS adist
+  FROM cand c
+  JOIN best ON best.vec_id = c.neighbor_id
+  JOIN cb ON cb.cid = best.code
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY adist, neighbor_id) AS INTEGER) AS rank
+  FROM dists
+)
+SELECT query_id, neighbor_id, adist, rank FROM ranked WHERE rank <= {IVF_K}
+"""
+
+
 def q_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hours from a user's first view to their first later purchase —
     p25/median/p75 over converting users (F.percentile == DuckDB
@@ -2341,6 +2396,7 @@ QUERIES: dict = {
     "event_transitions": q_event_transitions,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
+    "knn_ivfpq": q_knn_ivfpq,
     "time_to_conversion": q_time_to_conversion,
     "chunk_documents": q_chunk_documents,
 }
@@ -2427,6 +2483,7 @@ ORACLES: dict[str, str] = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "pq_codes": SQL_PQ_CODES,
     "pq_adc_topk": SQL_PQ_ADC_TOPK,
+    "knn_ivfpq": SQL_KNN_IVFPQ,
     "time_to_conversion": SQL_TIME_TO_CONVERSION,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
 }
@@ -2465,7 +2522,7 @@ _DRIVER_PRIORITY = [
     # decomposition (F8-F10/F13), envelope decode (L1-L4), Gopher
     # n-gram repetition signals, Bloom-filter semi-join pruning
     "hll_users", "page_path_levels", "envelope_decode",
-    "repetition_signals", "bloom_probe", "source_caps",
+    "repetition_signals", "bloom_probe", "source_caps", "knn_ivfpq",
     # (c) registered in r3 after the prefix froze, never driver-checked
     "basket_rules", "boilerplate_fraction", "dataset_card",
     "event_anomalies", "session_paths", "shot_boundaries",
@@ -2483,8 +2540,7 @@ _DRIVER_PRIORITY = [
     "moving_revenue", "neardup_ledger", "ngram_jaccard_pairs",
     "ngram_jaccard_thresholded", "order_gaps",
     "order_lineitem_left_join", "order_percentiles", "pricing_summary",
-    "promo_revenue",
-    # the 14 remaining r2-green queries (returned_items, sales_rollup,
+    # the 15 remaining r2-green queries (promo_revenue, returned_items, sales_rollup,
     # shipping_priority, simhash*, stratified_sample, string_funcs,
     # table_profile, text_quality, text_stats, token_counts,
     # volume_shipping, winnow_*) follow the prefix and rotate in next
