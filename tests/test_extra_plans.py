@@ -166,3 +166,15 @@ def test_bloom_probe_bit_table_broadcast(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     # the bit-position table (<= m rows at ANY scale) must broadcast
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_knn_ivfpq_broadcast_and_no_cartesian(spark, sf_smoke):
+    from google_analytics_to_s3_spark.plans.driver_queries import (
+        q_knn_ivfpq,
+    )
+
+    plan = _plan(q_knn_ivfpq(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the probed-query side broadcasts onto the encoded corpus cells
+    assert "BroadcastHashJoin" in plan, plan
