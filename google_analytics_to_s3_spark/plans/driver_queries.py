@@ -2523,6 +2523,7 @@ _DRIVER_PRIORITY = [
     # n-gram repetition signals, Bloom-filter semi-join pruning
     "hll_users", "page_path_levels", "envelope_decode",
     "repetition_signals", "bloom_probe", "source_caps", "knn_ivfpq",
+    "action_revenue",
     # (c) registered in r3 after the prefix froze, never driver-checked
     "basket_rules", "boilerplate_fraction", "dataset_card",
     "event_anomalies", "session_paths", "shot_boundaries",
@@ -2539,8 +2540,9 @@ _DRIVER_PRIORITY = [
     "local_supplier_volume", "market_share", "minhash_lsh_pairs",
     "moving_revenue", "neardup_ledger", "ngram_jaccard_pairs",
     "ngram_jaccard_thresholded", "order_gaps",
-    "order_lineitem_left_join", "order_percentiles", "pricing_summary",
-    # the 15 remaining r2-green queries (promo_revenue, returned_items, sales_rollup,
+    "order_lineitem_left_join", "order_percentiles",
+    # the 16 remaining r2-green queries (pricing_summary, promo_revenue,
+    # returned_items, sales_rollup,
     # shipping_priority, simhash*, stratified_sample, string_funcs,
     # table_profile, text_quality, text_stats, token_counts,
     # volume_shipping, winnow_*) follow the prefix and rotate in next

@@ -891,7 +891,72 @@ FROM h
 """
 
 
+# --------------------------------------------------------------------------
+# F11 + F12: ecommerce action-type enum + typed product revenue with a
+# full oracle. Product-action params are synthesized deterministically
+# from event_id (integer qty/price strings -> every revenue term is an
+# exact dyadic double, so the SUM is order-independent).
+# --------------------------------------------------------------------------
+
+_PA_ACTIONS = [
+    "click", "detail", "add", "checkout", "purchase", "refund",
+    "checkout_option", "view",
+]
+
+
+def q_action_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 action_type (functions/ga.py; reference main.py:793-809) and
+    F12 product_revenue (main.py:811-817) end-to-end: map the GA
+    product-action string to its enum code, type the qty/price strings,
+    and roll purchase revenue up per action code. 'view' exercises the
+    unknown->'0' branch; non-purchase actions keep NULL revenue."""
+    from ..functions.ga import action_type, product_revenue
+
+    e = load_events(spark, sf_dir).select("event_id")
+    pa = F.element_at(
+        F.array(*[F.lit(a) for a in _PA_ACTIONS]),
+        (F.col("event_id") % 8 + 1).cast("int"),
+    )
+    d = e.select(
+        "event_id",
+        pa.alias("body_pa"),
+        (F.col("event_id") % 5 + 1).cast("string").alias("prqt"),
+        (F.col("event_id") % 97).cast("string").alias("prpr"),
+    ).withColumn("action_type", action_type("body_pa"))
+    return d.groupBy("action_type").agg(
+        F.count("*").alias("n"),
+        F.sum(product_revenue("action_type", "prqt", "prpr")).alias(
+            "revenue"
+        ),
+    )
+
+
+_PA_CASE = (
+    "CASE ['click','detail','add','checkout','purchase','refund',"
+    "'checkout_option','view'][CAST(event_id % 8 AS INTEGER) + 1] "
+    "WHEN 'click' THEN '1' WHEN 'detail' THEN '2' WHEN 'add' THEN '3' "
+    "WHEN 'checkout' THEN '5' WHEN 'purchase' THEN '6' "
+    "WHEN 'refund' THEN '7' WHEN 'checkout_option' THEN '8' "
+    "ELSE '0' END"
+)
+
+SQL_ACTION_REVENUE = f"""
+WITH d AS (
+  SELECT {_PA_CASE} AS action_type,
+         event_id % 5 + 1 AS qty,
+         event_id % 97 AS price
+  FROM events
+)
+SELECT action_type, CAST(count(*) AS BIGINT) AS n,
+       sum(CASE WHEN action_type = '6'
+                THEN CAST(qty AS DOUBLE) * CAST(price AS DOUBLE) END)
+         AS revenue
+FROM d GROUP BY action_type
+"""
+
+
 QUERIES_ENRICH = {
+    "action_revenue": q_action_revenue,
     "incremental_attribution": q_incremental_attribution,
     "multimodal_decode": q_multimodal_decode,
     "streaming_sessions": q_streaming_sessions,
@@ -908,6 +973,7 @@ QUERIES_ENRICH = {
 }
 
 ORACLES_ENRICH = {
+    "action_revenue": SQL_ACTION_REVENUE,
     "incremental_attribution": SQL_INCREMENTAL_ATTRIBUTION,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "streaming_sessions": SQL_SESSION_WINDOW_ROLLUP,
