@@ -180,6 +180,92 @@ def connected_components_star(
     )
 
 
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_out: str = "id",
+    count_out: str = "n_triangles",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph —
+    the local clustering signal a dedup/community pipeline uses to tell
+    tight near-clique duplicate clusters from incidental chains (a
+    triangle-free component is a path/star, not a dup cluster).
+
+    Algorithm: degree-ordered wedge counting (the standard
+    compact-forward / MapReduce scheme, cf. Suri & Vassilvitskii, WWW'11
+    "Counting Triangles and the Curse of the Last Reducer"). Each
+    undirected edge is oriented from its lower-(degree, id) endpoint to
+    the higher one, so every triangle is generated exactly once as a
+    wedge at its smallest vertex and wedge fan-out is bounded by
+    O(m^{3/2}) TOTAL regardless of degree skew — a star hub of degree d
+    produces 0 wedges instead of d² because all its edges point INTO it.
+
+    Plan shape: one degree aggregation, one self-join of the oriented
+    edge list on the wedge pivot, one semi-join of candidate wedges
+    against the oriented edge set, one explode + hash agg for the
+    per-node rollup. Only (src, dst) id pairs ever shuffle.
+
+    Returns (id, n_triangles) for every node of ``edges`` (0 for nodes
+    in no triangle). Output rows = node count; order-insensitive.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    und = und.persist()
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .union(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient each edge low→high in (deg, id) order; the rank is encoded
+    # into one comparable struct so ties (equal degree) break on id and
+    # the orientation is a strict total order
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = und.join(da, "a").join(db, "b")
+    fwd_ab = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(fwd_ab, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(fwd_ab, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    oriented = oriented.persist()
+    # wedges at the pivot: lo→u, lo→v (u ≠ v, canonical u < v); closing
+    # edge u–v may be oriented either way, so probe the undirected set
+    l = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("u"))
+    r = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("v"))
+    wedges = l.join(r, "p").filter(F.col("u") < F.col("v"))
+    tri = wedges.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "inner",
+    ).select("p", "u", "v")
+    per_node = (
+        tri.select(
+            F.explode(F.array("p", "u", "v")).alias(id_out)
+        )
+        .groupBy(id_out)
+        .agg(F.count("*").alias(count_out))
+    )
+    nodes = deg.select(F.col("n").alias(id_out))
+    out = nodes.join(per_node, id_out, "left").select(
+        id_out,
+        F.coalesce(F.col(count_out), F.lit(0)).cast("long").alias(count_out),
+    )
+    out = out.localCheckpoint(eager=True)
+    oriented.unpersist()
+    und.unpersist()
+    return out
+
+
 # PageRank integer grid: ranks live as floor(r * 2^40) int64 "micro
 # ranks". Per-node contributions use integer division by out-degree and
 # integer sums (order-independent under partial aggregation); the one

@@ -548,8 +548,78 @@ FROM customer c JOIN counts ct USING (c_custkey)
 """
 
 
+# --------------------------------------------------------------------------
+# Per-node triangle counts over the 3-NN embedding graph. Triangles are
+# the local-clustering signal that separates near-clique duplicate
+# clusters from incidental chains; the operator is the degree-ordered
+# wedge counter (Suri & Vassilvitskii WWW'11) whose total wedge fan-out
+# is O(m^{3/2}) regardless of degree skew.
+# --------------------------------------------------------------------------
+
+_TRI_K = 3
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation counts on the undirected 3-NN
+    graph of the first 1000 embeddings (same capped slice and
+    brute-force edge builder as knn_components — at corpus scale the
+    edge list comes from the LSH/IVF candidate join instead).
+
+    The oracle recomputes the same edges with QUALIFY and counts
+    triangles by the canonical a<b<c three-way join — every wedge the
+    Spark plan closes must appear exactly once there.
+    """
+    from ..operators.graph import triangle_counts
+    from ..operators.similarity import knn_brute_force
+
+    emb = load_parallel(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 1000
+    )
+    edges = knn_brute_force(emb, emb, k=_TRI_K).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return triangle_counts(edges, id_out="vec_id", count_out="n_triangles")
+
+
+SQL_GRAPH_TRIANGLES = f"""
+WITH emb AS (
+  SELECT * FROM embeddings WHERE vec_id < 1000
+),
+nn AS (
+  SELECT l.vec_id AS src, r.vec_id AS dst
+  FROM emb l JOIN emb r ON l.vec_id <> r.vec_id
+  QUALIFY row_number() OVER (
+    PARTITION BY l.vec_id ORDER BY {_COS_LR} DESC, r.vec_id ASC)
+    <= {_TRI_K}
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM nn
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+nodes AS (
+  SELECT a AS vec_id FROM und UNION SELECT b FROM und
+),
+per_node AS (
+  SELECT v AS vec_id, count(*) AS c FROM (
+    SELECT x AS v FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY 1
+)
+SELECT n.vec_id,
+       CAST(coalesce(p.c, 0) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN per_node p USING (vec_id)
+"""
+
+
 QUERIES_EXTRA: dict = {
     "bloom_probe": q_bloom_probe,
+    "graph_triangles": q_graph_triangles,
     "knn_components": q_knn_components,
     "knn_components_star": q_knn_components_star,
     "gap_fill_ffill": q_gap_fill_ffill,
@@ -563,6 +633,7 @@ QUERIES_EXTRA: dict = {
 
 ORACLES_EXTRA: dict[str, str] = {
     "bloom_probe": SQL_BLOOM_PROBE,
+    "graph_triangles": SQL_GRAPH_TRIANGLES,
     "knn_components": SQL_KNN_COMPONENTS,
     "knn_components_star": SQL_KNN_COMPONENTS,
     "gap_fill_ffill": SQL_GAP_FILL_FFILL,

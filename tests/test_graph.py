@@ -140,3 +140,30 @@ def test_pagerank_dangling_sink_mass_redistributed(spark):
     assert got == rank
     # mass conserved up to integer-floor loss
     assert 0.97 < sum(got.values()) / PR_SCALE <= 1.0
+
+
+def test_triangle_counts_k4_plus_chain(spark):
+    from google_analytics_to_s3_spark.operators.graph import triangle_counts
+
+    # K4 on {0,1,2,3}: C(4,3)=4 triangles, every node in exactly 3.
+    # Chain 10-11-12: triangle-free, all zeros. Edge 3-10 bridges the
+    # two (creates no triangle). Duplicate + reversed edges must not
+    # double-count.
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(10, 11), (11, 12), (3, 10)] + [(1, 0), (2, 1), (0, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 10: 0, 11: 0, 12: 0}
+
+
+def test_triangle_counts_star_hub_no_blowup(spark):
+    from google_analytics_to_s3_spark.operators.graph import triangle_counts
+
+    # star hub of degree 50 with one rim edge: exactly 1 triangle; the
+    # degree orientation points every spoke INTO the hub so the hub
+    # generates no wedges itself
+    edges = [(0, i) for i in range(1, 51)] + [(1, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got[0] == 1 and got[1] == 1 and got[2] == 1
+    assert sum(got.values()) == 3
