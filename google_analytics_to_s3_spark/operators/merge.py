@@ -1,0 +1,69 @@
+"""CDC merge (upsert/delete compaction) — MERGE INTO semantics as pure
+DataFrame ops. Beyond-reference capability: the reference only ever
+APPENDS its session-history parquet (main.py:1320-1325) and recomputes
+from scratch; a mart maintained at 100 TB needs the incremental path —
+apply a (small) change batch of upserts and tombstones to a (huge) base
+snapshot without rewriting semantics into the storage layer.
+
+Scale design — the base table NEVER shuffles:
+
+- The change batch is first compacted to one winner row per key (latest
+  ``version``) with a window over the CHANGES ONLY — the small side.
+- Superseded base rows are removed with a LEFT ANTI join against the
+  broadcast distinct change-key set; surviving change rows (non-
+  tombstones) are unioned on. Base rows therefore stream map-side
+  through the anti join: no exchange, no sort, no window over the base.
+- If the change batch is too large to broadcast, pass
+  ``broadcast_keys=False`` and the anti join degrades to a shuffled
+  hash join — still key-partitioned, never a sort of the base.
+
+This is exactly how Delta/Iceberg MERGE executes its find-and-replace
+phase (minus file-level pruning, which belongs to the table format, cf.
+``sources/maintenance.py`` for the clustering that enables it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def compact_changes(
+    changes: DataFrame,
+    key_cols: list[str],
+    version_col: str = "version",
+) -> DataFrame:
+    """One winner per key: highest ``version`` wins; ties broken by the
+    full row's order in the window (callers should make versions unique
+    per key — enforced nowhere because CDC feeds commonly guarantee it).
+    Runs only on the change batch, so the window is cheap by contract.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    version_col: str = "version",
+    deleted_col: str = "is_deleted",
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """Apply a CDC batch (upserts + tombstones) to a base snapshot.
+
+    ``changes`` must carry the base columns plus ``version_col`` (batch
+    ordering per key) and boolean ``deleted_col`` (tombstone marker).
+    Returns the next snapshot with the base's exact schema.
+    """
+    latest = compact_changes(changes, key_cols, version_col)
+    keys = latest.select(*key_cols).distinct()
+    if broadcast_keys:
+        keys = F.broadcast(keys)
+    survivors = base.join(keys, key_cols, "left_anti")
+    upserts = latest.filter(~F.col(deleted_col)).select(*base.columns)
+    return survivors.unionByName(upserts)

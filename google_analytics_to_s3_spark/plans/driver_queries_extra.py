@@ -617,9 +617,97 @@ FROM nodes n LEFT JOIN per_node p USING (vec_id)
 """
 
 
+# --------------------------------------------------------------------------
+# CDC merge (MERGE INTO semantics): apply a deterministic change batch
+# of upserts + tombstones + inserts to the orders snapshot. The base
+# table never shuffles — superseded rows leave via a broadcast LEFT
+# ANTI join; the change batch alone pays the latest-version window.
+# --------------------------------------------------------------------------
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/merge.merge_upsert over orders with a synthesized CDC
+    batch: v2 beats v1 on overlapping keys (%100==3 ⊂ %10==3), %10==7
+    keys are tombstoned, %1000==1 keys insert under a fresh keyspace.
+    Rolled up per status so the row hash pins every branch: updated
+    ('U'), re-updated ('V'), deleted (absent), inserted ('N'), and
+    untouched rows at their original price."""
+    from ..operators.merge import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+
+    def ch(flt, key, st, pr, v, dele):
+        return o.filter(flt).select(
+            key.alias("o_orderkey"),
+            st.alias("o_orderstatus"),
+            pr.alias("o_totalprice"),
+            F.lit(v).alias("version"),
+            F.lit(dele).alias("is_deleted"),
+        )
+
+    changes = (
+        ch(k % 10 == 3, k, F.lit("U"), F.col("o_totalprice") + 100, 1, False)
+        .unionByName(ch(k % 100 == 3, k, F.lit("V"),
+                        F.col("o_totalprice") + 200, 2, False))
+        .unionByName(ch(k % 10 == 7, k, F.col("o_orderstatus"),
+                        F.col("o_totalprice"), 1, True))
+        .unionByName(ch(k % 1000 == 1, k + 100_000_000, F.lit("N"),
+                        F.col("o_totalprice"), 1, False))
+    )
+    merged = merge_upsert(
+        o, changes, key_cols=["o_orderkey"],
+        version_col="version", deleted_col="is_deleted",
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+SQL_MERGE_UPSERT = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+ch AS (
+  SELECT o_orderkey, 'U' AS st, o_totalprice + 100 AS pr,
+         1 AS v, FALSE AS del
+  FROM base WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey, 'V', o_totalprice + 200, 2, FALSE
+  FROM base WHERE o_orderkey % 100 = 3
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 1, TRUE
+  FROM base WHERE o_orderkey % 10 = 7
+  UNION ALL
+  SELECT o_orderkey + 100000000, 'N', o_totalprice, 1, FALSE
+  FROM base WHERE o_orderkey % 1000 = 1
+),
+latest AS (
+  SELECT * FROM ch
+  QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) = 1
+),
+merged AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM base
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+  UNION ALL
+  SELECT o_orderkey, st, pr FROM latest WHERE NOT del
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM merged GROUP BY 1
+"""
+
+
 QUERIES_EXTRA: dict = {
     "bloom_probe": q_bloom_probe,
     "graph_triangles": q_graph_triangles,
+    "merge_upsert": q_merge_upsert,
     "knn_components": q_knn_components,
     "knn_components_star": q_knn_components_star,
     "gap_fill_ffill": q_gap_fill_ffill,
@@ -634,6 +722,7 @@ QUERIES_EXTRA: dict = {
 ORACLES_EXTRA: dict[str, str] = {
     "bloom_probe": SQL_BLOOM_PROBE,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
+    "merge_upsert": SQL_MERGE_UPSERT,
     "knn_components": SQL_KNN_COMPONENTS,
     "knn_components_star": SQL_KNN_COMPONENTS,
     "gap_fill_ffill": SQL_GAP_FILL_FFILL,

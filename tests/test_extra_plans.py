@@ -178,3 +178,37 @@ def test_knn_ivfpq_broadcast_and_no_cartesian(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     # the probed-query side broadcasts onto the encoded corpus cells
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_merge_upsert_semantics_and_plan(spark, sf_smoke):
+    """MERGE semantics on a hand-built frame (latest version wins,
+    tombstones drop, absent-key tombstone is a no-op, inserts land) and
+    the scale contract: the base side meets the change keys in a
+    BROADCAST left-anti join — the base never shuffles."""
+    from google_analytics_to_s3_spark.operators.merge import merge_upsert
+    from google_analytics_to_s3_spark.plans.driver_queries_extra import (
+        q_merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "val"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b1", 1, False),
+            (2, "b2", 2, False),   # latest wins
+            (3, "c", 1, True),     # tombstone
+            (9, "x", 1, True),     # tombstone for absent key: no-op
+            (4, "d", 1, False),    # insert
+        ],
+        ["k", "val", "version", "is_deleted"],
+    )
+    got = {
+        r["k"]: r["val"]
+        for r in merge_upsert(base, changes, ["k"]).collect()
+    }
+    assert got == {1: "a", 2: "b2", 4: "d"}
+
+    plan = _plan(q_merge_upsert(spark, sf_smoke))
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+    assert "SortMergeJoin" not in plan, plan
