@@ -704,10 +704,75 @@ FROM merged GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Histogram quantile sketch: approximate P50/P90/P99 of the lineitem
+# price per return flag from a 256-bin cumulative histogram — O(bins)
+# state per group instead of percentile()'s per-group value
+# materialization. Every step is integer or bit-identical IEEE-double,
+# so the sketch carries a full value oracle.
+# --------------------------------------------------------------------------
+
+_HQ_BINS = 256
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/stats.histogram_quantiles over l_extendedprice grouped
+    by l_returnflag. The only data-sized shuffle emits ≤ 3×256 (flag,
+    bin) rows; the exact-percentile twin (order_percentiles) is the
+    accuracy yardstick pinned in tests."""
+    from ..operators.stats import histogram_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    return histogram_quantiles(
+        li, "l_extendedprice", ["l_returnflag"], n_bins=_HQ_BINS,
+        percentiles=(50, 90, 99),
+    )
+
+
+SQL_QUANTILE_SKETCH = f"""
+WITH stats AS (
+  SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+         max(CAST(l_extendedprice AS DOUBLE)) AS mx
+  FROM lineitem
+),
+binned AS (
+  SELECT l_returnflag,
+         CAST(CASE WHEN s.mx > s.mn THEN least(
+                floor((CAST(l_extendedprice AS DOUBLE) - s.mn)
+                      * {float(_HQ_BINS)} / (s.mx - s.mn)),
+                {_HQ_BINS - 1})
+              ELSE 0 END AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM lineitem CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, bin,
+         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY l_returnflag) AS n_rows
+  FROM binned
+),
+hit AS (
+  SELECT l_returnflag, p, min(bin) AS bin, min(n_rows) AS n_rows
+  FROM cum CROSS JOIN (SELECT unnest([50, 90, 99]) AS p)
+  WHERE cum >= (p * n_rows + 99) // 100
+  GROUP BY 1, 2
+)
+SELECT l_returnflag, CAST(p AS INT) AS p, bin,
+       s.mn + CAST(bin AS DOUBLE) * (s.mx - s.mn) / {float(_HQ_BINS)}
+         AS est_lo,
+       CAST(n_rows AS BIGINT) AS n_rows
+FROM hit CROSS JOIN stats s
+"""
+
+
 QUERIES_EXTRA: dict = {
     "bloom_probe": q_bloom_probe,
     "graph_triangles": q_graph_triangles,
     "merge_upsert": q_merge_upsert,
+    "quantile_sketch": q_quantile_sketch,
     "knn_components": q_knn_components,
     "knn_components_star": q_knn_components_star,
     "gap_fill_ffill": q_gap_fill_ffill,
@@ -723,6 +788,7 @@ ORACLES_EXTRA: dict[str, str] = {
     "bloom_probe": SQL_BLOOM_PROBE,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "merge_upsert": SQL_MERGE_UPSERT,
+    "quantile_sketch": SQL_QUANTILE_SKETCH,
     "knn_components": SQL_KNN_COMPONENTS,
     "knn_components_star": SQL_KNN_COMPONENTS,
     "gap_fill_ffill": SQL_GAP_FILL_FFILL,

@@ -212,3 +212,47 @@ def test_merge_upsert_semantics_and_plan(spark, sf_smoke):
     plan = _plan(q_merge_upsert(spark, sf_smoke))
     assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_quantile_sketch_accuracy_and_plan(spark, sf_smoke):
+    """The sketch estimate must land within one bin width of the exact
+    percentile (its documented error bound), and the plan must stay
+    sort-free over the fact table: stats meet the scan as a broadcast,
+    no SortMergeJoin anywhere."""
+    import pyspark.sql.functions as F
+
+    from google_analytics_to_s3_spark.plans.driver_queries_extra import (
+        _HQ_BINS,
+        q_quantile_sketch,
+    )
+    from google_analytics_to_s3_spark.sources.testdata import load_table
+
+    got = {
+        (r["l_returnflag"], r["p"]): r["est_lo"]
+        for r in q_quantile_sketch(spark, sf_smoke).collect()
+    }
+    li = load_table(spark, sf_smoke, "lineitem")
+    mn, mx = li.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice")
+    ).first()
+    width = (mx - mn) / _HQ_BINS
+    exact = {
+        (r["l_returnflag"], p): r[f"p{p}"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.percentile(F.col("l_extendedprice"), F.lit(p / 100.0))
+                .alias(f"p{p}")
+                for p in (50, 90, 99)
+            ]
+        )
+        .collect()
+        for p in (50, 90, 99)
+    }
+    assert set(got) == set(exact)
+    for key, est in got.items():
+        assert abs(est - exact[key]) <= width, (key, est, exact[key], width)
+
+    plan = _plan(q_quantile_sketch(spark, sf_smoke))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
