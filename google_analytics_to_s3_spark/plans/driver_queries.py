@@ -2520,7 +2520,10 @@ _DRIVER_PRIORITY = [
     # (b) new this round — deterministic md5-HLL sketch (full-oracle
     # replacement for the retired rows-only approx_distinct), URL
     # decomposition (F8-F10/F13), envelope decode (L1-L4), Gopher
-    # n-gram repetition signals, Bloom-filter semi-join pruning
+    # n-gram repetition signals, Bloom-filter semi-join pruning,
+    # per-source caps, IVF+PQ ANN, ecommerce action enum (F11/F12),
+    # degree-ordered triangle counting, CDC merge/upsert, and the
+    # histogram quantile sketch
     "hll_users", "page_path_levels", "envelope_decode",
     "repetition_signals", "bloom_probe", "source_caps", "knn_ivfpq",
     "action_revenue", "graph_triangles", "merge_upsert",
