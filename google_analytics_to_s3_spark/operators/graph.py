@@ -288,8 +288,9 @@ def pagerank(
     The plan unrolls ``n_iters`` rounds of: per-node contribution
     (rank div out-degree, map-side after one degree join), incoming-sum
     (one hash aggregation on dst), dangling-mass redistribution (one
-    1-row aggregate over the zero-out-degree nodes, broadcast onto the
-    update), damp + teleport (map-side). The edge list with degree
+    1-row aggregate over the rank rows flagged dangling at build time —
+    a filter, not a join, so it adds no per-round exchange, broadcast
+    onto the update), damp + teleport (map-side). The edge list with degree
     attached is persisted and every round's join reuses its
     partitioning — per-round cost is one shuffle of the (nodes-sized)
     rank table plus the scalar dangling aggregate; the graph itself
@@ -311,20 +312,31 @@ def pagerank(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-    ).persist()
+    )
     deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
     ed = edges.join(deg, src).select(
         F.col(src).alias("c_src"), F.col(dst).alias("c_dst"), "deg"
     ).persist()
     # dangling nodes (out-degree 0): appear as dst but never as src —
-    # their mass is redistributed uniformly each round
-    dang = nodes.join(
-        edges.select(F.col(src).alias("node")).distinct(), "node", "left_anti"
+    # their mass is redistributed uniformly each round. The flag is
+    # attached to the node table ONCE, so the per-round dangling
+    # aggregate is a filter over the rank table — no join, no exchange
+    # beyond the final 1-row reduce.
+    nodes = nodes.join(
+        edges.select(F.col(src).alias("node"))
+        .distinct()
+        .withColumn("_out", F.lit(1)),
+        "node",
+        "left",
+    ).select(
+        "node", F.col("_out").isNull().alias("is_dang")
     ).persist()
     n = nodes.count()
     init_q = PR_SCALE // n
     base_q = int(0.15 * PR_SCALE / n)
-    r = nodes.select("node", F.lit(init_q).cast("long").alias("rank_q"))
+    r = nodes.select(
+        "node", "is_dang", F.lit(init_q).cast("long").alias("rank_q")
+    )
     for i in range(n_iters):
         contrib = ed.join(
             r, ed.c_src == F.col("node")
@@ -337,7 +349,7 @@ def pagerank(
         # update (the repo's standard broadcast-crossJoin stats shape);
         # integer div keeps the share on the grid
         share = (
-            r.join(dang, "node")
+            r.filter("is_dang")
             .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).alias("dmass"))
             .select(F.expr(f"dmass div {n}").cast("long").alias("d_share"))
         )
@@ -346,6 +358,7 @@ def pagerank(
             .crossJoin(F.broadcast(share))
             .select(
                 "node",
+                "is_dang",
                 (
                     F.lit(base_q)
                     + F.floor(
@@ -359,6 +372,6 @@ def pagerank(
             )
         )
         r = r.localCheckpoint(eager=(i == n_iters - 1))
-    for cached in (ed, dang, nodes, edges):
+    for cached in (ed, nodes, edges):
         cached.unpersist()
-    return r
+    return r.select("node", "rank_q")
