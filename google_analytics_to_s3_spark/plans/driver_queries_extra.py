@@ -768,11 +768,91 @@ FROM hit CROSS JOIN stats s
 """
 
 
+# --------------------------------------------------------------------------
+# Entity resolution: blocked edit-distance fuzzy matching. Planted
+# single-character deletions over part names must be recovered through
+# prefix/suffix blocking + an exact levenshtein verify — the
+# record-linkage gap between exact dedup and the shingle families.
+# --------------------------------------------------------------------------
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/linkage.fuzzy_match_pairs over distinct entity labels
+    (part name + '#' + 6 md5 hex chars of the key — the hash suffix
+    makes entities unique the way real author/org names are, while
+    TPC-H p_name alone has only ~64 distinct values) ∪ planted typo
+    copies (char 5 deleted, fresh keyspace). The deletion corrupts the
+    prefix block only, so every planted pair must surface via its
+    suffix block; the shared-p_name prefix blocks are exactly the
+    non-discriminative oversized blocks purging exists for."""
+    from ..operators.linkage import fuzzy_match_pairs
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat(
+            F.col("p_name"),
+            F.lit("#"),
+            F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 6),
+        ).alias("label"),
+    )
+    corrupt = p.filter(F.col("p_partkey") % 20 == 0).select(
+        (F.col("p_partkey") + 10_000_000).alias("p_partkey"),
+        F.concat(
+            F.substring("label", 1, 4), F.substring("label", 6, 10_000)
+        ).alias("label"),
+    )
+    return fuzzy_match_pairs(
+        p.unionByName(corrupt),
+        id_col="p_partkey",
+        name_col="label",
+        max_dist=1,
+        block_chars=4,
+        max_block_size=50,
+    )
+
+
+SQL_FUZZY_MATCH = """
+WITH lbl AS (
+  SELECT p_partkey,
+         p_name || '#' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 6)
+           AS label
+  FROM part
+),
+base AS (
+  SELECT p_partkey AS id, lower(label) AS nm FROM lbl
+  UNION ALL
+  SELECT p_partkey + 10000000,
+         lower(substr(label, 1, 4) || substr(label, 6))
+  FROM lbl WHERE p_partkey % 20 = 0
+),
+keyed AS (
+  SELECT id, nm, 'p:' || substr(nm, 1, 4) AS blk FROM base
+  UNION ALL
+  SELECT id, nm, 's:' || substr(nm, -4, 4) FROM base
+),
+kept AS (
+  SELECT k.* FROM keyed k
+  JOIN (SELECT blk FROM keyed GROUP BY blk HAVING count(*) <= 50) ok
+    USING (blk)
+),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+         l.nm AS name_a, r.nm AS name_b
+  FROM kept l JOIN kept r ON l.blk = r.blk AND l.id < r.id
+)
+SELECT id_a, id_b, name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS INT) AS dist
+FROM cand
+WHERE levenshtein(name_a, name_b) <= 1
+"""
+
+
 QUERIES_EXTRA: dict = {
     "bloom_probe": q_bloom_probe,
     "graph_triangles": q_graph_triangles,
     "merge_upsert": q_merge_upsert,
     "quantile_sketch": q_quantile_sketch,
+    "fuzzy_match": q_fuzzy_match,
     "knn_components": q_knn_components,
     "knn_components_star": q_knn_components_star,
     "gap_fill_ffill": q_gap_fill_ffill,
@@ -789,6 +869,7 @@ ORACLES_EXTRA: dict[str, str] = {
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "merge_upsert": SQL_MERGE_UPSERT,
     "quantile_sketch": SQL_QUANTILE_SKETCH,
+    "fuzzy_match": SQL_FUZZY_MATCH,
     "knn_components": SQL_KNN_COMPONENTS,
     "knn_components_star": SQL_KNN_COMPONENTS,
     "gap_fill_ffill": SQL_GAP_FILL_FFILL,

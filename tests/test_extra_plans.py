@@ -256,3 +256,33 @@ def test_quantile_sketch_accuracy_and_plan(spark, sf_smoke):
     plan = _plan(q_quantile_sketch(spark, sf_smoke))
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_fuzzy_match_block_purging_keeps_recall(spark):
+    """A pair sharing one purged (oversized) block must still match via
+    its other pass; a pair whose only shared block is purged drops —
+    pair work stays bounded by max_block_size²."""
+    from google_analytics_to_s3_spark.operators.linkage import (
+        fuzzy_match_pairs,
+    )
+
+    # 20 filler rows share the prefix block 'p:aaaa' (size 22 > cap ->
+    # purged) and have unique suffixes; the planted pair differs at a
+    # MID-string position, so it shares both prefix (purged) and
+    # suffix 'zz99' (size 2, survives) blocks
+    # the doubled digit block keeps fillers pairwise >= distance 2
+    rows = [(i, f"aaaa-{i:04d}{i:04d}-x") for i in range(20)]
+    rows += [(100, "aaaa-b-zz99"), (101, "aaaa-c-zz99")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = fuzzy_match_pairs(
+        df, max_dist=1, block_chars=4, max_block_size=10
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert pairs == {(100, 101)}
+    # with no purging the same pair arrives via the prefix block too —
+    # and the quadratic filler candidates appear only as pair WORK,
+    # never as matches (unique suffixes keep them > distance 1)
+    got_all = fuzzy_match_pairs(
+        df, max_dist=1, block_chars=4, max_block_size=10_000
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got_all} == {(100, 101)}
