@@ -847,8 +847,74 @@ WHERE levenshtein(name_a, name_b) <= 1
 """
 
 
+# --------------------------------------------------------------------------
+# Distributed BPE merge training over the documents corpus. The corpus
+# pays one word-count aggregation; each merge round is an explode +
+# hash agg + 1-row broadcast over the vocab-sized word table. The
+# oracle replays every round as chained CTEs — pair counts, argmax
+# (ties broken lexicographically) and the greedy left-to-right merge
+# (plain replace()) are engine-portable by construction.
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/bpe: learn 3 BPE merges from documents.text (Sennrich
+    ACL'16). Parity with a pure-Python BPE implementation is pinned in
+    tests/test_extra_plans.py; here the DuckDB oracle replays the
+    identical rounds bit-for-bit."""
+    from ..operators.bpe import bpe_train_merges, word_frequencies
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    return bpe_train_merges(
+        word_frequencies(docs), n_merges=_BPE_ROUNDS
+    )
+
+
+def _bpe_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
+    parts = ["""
+WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents
+  ) WHERE length(word) BETWEEN 2 AND 12 GROUP BY 1
+),
+s0 AS (
+  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq, freq
+  FROM words
+)"""]
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(f""",
+c{r} AS (
+  SELECT u.a AS a, u.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_transform(range(1, len(s)),
+                  i -> struct_pack(a := s[i], b := s[i + 1]))) AS u,
+           freq
+    FROM (SELECT string_split(trim(seq), ' ') AS s, freq FROM {prev})
+  ) GROUP BY 1, 2
+),
+b{r} AS (SELECT a, b, cnt FROM c{r} ORDER BY cnt DESC, a, b LIMIT 1),
+s{r} AS (
+  SELECT replace(seq, ' ' || b{r}.a || ' ' || b{r}.b || ' ',
+                 ' ' || b{r}.a || b{r}.b || ' ') AS seq, freq
+  FROM {prev} CROSS JOIN b{r}
+)""")
+    selects = "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_round, a, b, cnt FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n" + selects
+
+
+SQL_BPE_MERGES = _bpe_oracle_sql()
+
+
 QUERIES_EXTRA: dict = {
     "bloom_probe": q_bloom_probe,
+    "bpe_merges": q_bpe_merges,
     "graph_triangles": q_graph_triangles,
     "merge_upsert": q_merge_upsert,
     "quantile_sketch": q_quantile_sketch,
@@ -866,6 +932,7 @@ QUERIES_EXTRA: dict = {
 
 ORACLES_EXTRA: dict[str, str] = {
     "bloom_probe": SQL_BLOOM_PROBE,
+    "bpe_merges": SQL_BPE_MERGES,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "merge_upsert": SQL_MERGE_UPSERT,
     "quantile_sketch": SQL_QUANTILE_SKETCH,

@@ -286,3 +286,46 @@ def test_fuzzy_match_block_purging_keeps_recall(spark):
         df, max_dist=1, block_chars=4, max_block_size=10_000
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in got_all} == {(100, 101)}
+
+
+def test_bpe_merges_match_reference_algorithm(spark):
+    """The distributed BPE must reproduce the classic sequential
+    algorithm (Sennrich ACL'16) exactly — including round 4, which
+    merges a token produced by an earlier round, exercising the
+    greedy left-to-right replace semantics."""
+    from collections import Counter
+
+    from google_analytics_to_s3_spark.operators.bpe import bpe_train_merges
+
+    def py_bpe(wordfreq, n):
+        seqs = {tuple(w): f for w, f in wordfreq.items()}
+        merges = []
+        for r in range(1, n + 1):
+            cnt = Counter()
+            for syms, f in seqs.items():
+                for i in range(len(syms) - 1):
+                    cnt[(syms[i], syms[i + 1])] += f
+            (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((r, a, b, c))
+            new = {}
+            for syms, f in seqs.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new[tuple(out)] = new.get(tuple(out), 0) + f
+            seqs = new
+        return merges
+
+    wf = {"lower": 5, "low": 7, "newest": 6, "widest": 3, "newer": 4,
+          "lowest": 2}
+    df = spark.createDataFrame(list(wf.items()), ["word", "freq"])
+    got = [
+        (r["merge_round"], r["a"], r["b"], r["cnt"])
+        for r in bpe_train_merges(df, 4).orderBy("merge_round").collect()
+    ]
+    assert got == py_bpe(wf, 4)
