@@ -1,0 +1,42 @@
+"""Partitioning-invariance: results must be bit-identical regardless of
+shuffle parallelism — the property that makes the integer-grid /
+decimal-accumulator design real. A query whose result depends on
+partition count would pass its oracle at one setting and fail under
+AQE re-planning at scale; these are the value-sensitive shapes
+(floating aggregation, iterative grids, sketch buckets, argmax ties,
+top-k)."""
+
+import pytest
+
+from google_analytics_to_s3_spark.plans import driver_queries as dq
+
+SENSITIVE = [
+    "bpe_merges",         # per-round argmax over weighted counts
+    "quantile_sketch",    # double binning + cumulative ranks
+    "hll_users",          # register-max buckets
+    "lm_typicality",      # integer-grid probability accumulation
+    "pq_adc_topk",        # integer-grid distances + top-k ties
+    "part_pagerank",      # unrolled integer-grid iterations
+    "merge_upsert",       # decimal sums after anti-join/union
+    "fuzzy_match",        # block purging thresholds
+]
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(str(r[c]) for c in cols) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_result_invariant_under_parallelism(spark, sf_smoke, name):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = _rows(dq.QUERIES[name](spark, sf_smoke))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = _rows(dq.QUERIES[name](spark, sf_smoke))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b, f"{name}: result depends on shuffle partitioning"
