@@ -329,3 +329,25 @@ def test_bpe_merges_match_reference_algorithm(spark):
         for r in bpe_train_merges(df, 4).orderBy("merge_round").collect()
     ]
     assert got == py_bpe(wf, 4)
+
+
+def test_r4_prefix_newcomer_plan_shapes(spark, sf_smoke):
+    """The round-4 prefix newcomers keep the repo's plan invariants: no
+    cartesian/BNLJ anywhere; the map-side decodes stay exchange-free;
+    the enum/cap rollups stay single-exchange."""
+    from google_analytics_to_s3_spark.plans import driver_queries as dq
+
+    bounds = {
+        "envelope_decode": 0,   # L1-L4 decode: pure projection
+        "action_revenue": 1,    # enum + revenue rollup
+        "source_caps": 1,       # per-source keep-rank + cap
+        "page_path_levels": 2,  # URL rollup w/ count_distinct expand
+        "hll_users": 4,
+        "repetition_signals": 4,
+    }
+    for name, max_ex in bounds.items():
+        plan = _plan(dq.QUERIES[name](spark, sf_smoke))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        n = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n <= max_ex, f"{name}: {n} exchanges > {max_ex}\n{plan}"
