@@ -351,3 +351,45 @@ def test_r4_prefix_newcomer_plan_shapes(spark, sf_smoke):
         assert "BroadcastNestedLoopJoin" not in plan, name
         n = len(re.findall(r"Exchange hashpartitioning", plan))
         assert n <= max_ex, f"{name}: {n} exchanges > {max_ex}\n{plan}"
+
+
+def test_merge_upsert_matches_python_model_property(spark):
+    """Property: for any base table and CDC batch (unique version per
+    key inside the batch), merge_upsert equals the dict-replay model."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from google_analytics_to_s3_spark.operators.merge import merge_upsert
+
+    keys = st.integers(min_value=0, max_value=12)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        base=st.dictionaries(keys, st.text("ab", max_size=2), max_size=8),
+        changes=st.dictionaries(
+            keys,
+            st.tuples(st.text("cd", max_size=2), st.booleans()),
+            max_size=8,
+        ),
+    )
+    def check(base, changes):
+        model = dict(base)
+        for k, (val, dele) in changes.items():
+            if dele:
+                model.pop(k, None)
+            else:
+                model[k] = val
+        bdf = spark.createDataFrame(
+            list(base.items()), "k INT, val STRING"
+        )
+        cdf = spark.createDataFrame(
+            [(k, v, 1, d) for k, (v, d) in changes.items()],
+            "k INT, val STRING, version INT, is_deleted BOOLEAN",
+        )
+        got = {
+            r["k"]: r["val"]
+            for r in merge_upsert(bdf, cdf, ["k"]).collect()
+        }
+        assert got == model, (base, changes, got, model)
+
+    check()
