@@ -20,7 +20,7 @@ value oracle (unlike t-digest/KLL whose merge order is engine-owned).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -102,4 +102,106 @@ def histogram_quantiles(
             / F.lit(float(n_bins))
         ).alias("est_lo"),
         "n_rows",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) — the
+# frequency member of the repo's sketch quartet (Bloom: membership,
+# HLL: distinct, histogram: quantiles, CMS: point frequency). State is
+# d×w integer counters REGARDLESS of key cardinality; estimates
+# overcount only (min over d rows), with error <= 2N/w at probability
+# 1-2^-d. md5-derived positions make every counter — and every
+# overcount — bit-identical in any SQL engine, so the sketch carries a
+# full value oracle (unlike engine-native CMS whose hash seeds are
+# implementation-owned).
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 3
+CMS_WIDTH = 1024
+
+
+def cms_pos(key: Column, row: int, width: int = CMS_WIDTH) -> Column:
+    """Deterministic counter position of ``key`` in sketch row ``row``
+    (same md5-prefix construction as the Bloom/HLL queries)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"c{row}-"), key.cast("string"))),
+                1,
+                14,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def count_min_build(
+    items: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(row, pos, cnt) counter table — ≤ depth×width rows at ANY input
+    size. One explode (depth rows per item) + one hash aggregation;
+    mergeable across shards/batches by summing matching counters."""
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    keyed = items.select(
+        F.col(key_col).alias("_k"), w.alias("_w")
+    ).select(
+        "_w",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        cms_pos(F.col("_k"), r, width).alias("pos"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_rp"),
+    )
+    return keyed.groupBy(
+        F.col("_rp.row").alias("row"), F.col("_rp.pos").alias("pos")
+    ).agg(F.sum("_w").alias("cnt"))
+
+
+def count_min_estimate(
+    probes: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    est_col: str = "est",
+) -> DataFrame:
+    """Point-frequency estimates: min over the ``depth`` counters each
+    probe key hashes to. The sketch (≤ depth×width rows) broadcasts;
+    the probe side never shuffles beyond its own (key, row) fan-out."""
+    fan = probes.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        cms_pos(F.col(key_col), r, width).alias("pos"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_rp"),
+    ).select(key_col, "_rp.row", "_rp.pos")
+    hit = fan.join(F.broadcast(sketch), ["row", "pos"], "left").select(
+        key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("_c")
+    )
+    return hit.groupBy(key_col).agg(
+        F.min("_c").cast("long").alias(est_col)
     )

@@ -2527,7 +2527,7 @@ _DRIVER_PRIORITY = [
     "hll_users", "page_path_levels", "envelope_decode",
     "repetition_signals", "bloom_probe", "source_caps", "knn_ivfpq",
     "action_revenue", "graph_triangles", "merge_upsert",
-    "quantile_sketch", "fuzzy_match", "bpe_merges",
+    "quantile_sketch", "fuzzy_match", "bpe_merges", "cms_counts",
     # (c) registered in r3 after the prefix froze, never driver-checked
     "basket_rules", "boilerplate_fraction", "dataset_card",
     "event_anomalies", "session_paths", "shot_boundaries",

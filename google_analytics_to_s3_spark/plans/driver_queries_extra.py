@@ -912,9 +912,109 @@ s{r} AS (
 SQL_BPE_MERGES = _bpe_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# Count-min frequency sketch over document words, probed next to exact
+# counts — the frequency member of the sketch quartet (Bloom:
+# membership, HLL: distinct, histogram: quantiles). d×w integer state
+# regardless of vocabulary size; md5 positions make every counter and
+# every overcount engine-identical, so the driver row pins the
+# estimate-vs-exact behavior the same way bloom_probe pins false
+# positives.
+# --------------------------------------------------------------------------
+
+
+_CMS_NARROW = 16
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/stats count_min_build/estimate: sketch the corpus word
+    frequencies and estimate EVERY word's count next to its exact
+    frequency, at two widths — 1024 (collision-free at this vocab:
+    est == exact) and 16 (pigeonhole-forced collisions: deterministic
+    overcounts, est >= exact always). One driver row pins both
+    regimes, the way bloom_probe pins false positives."""
+    from ..operators.bpe import word_frequencies
+    from ..operators.stats import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    words = word_frequencies(load_parallel(spark, sf_dir, "documents"))
+    probes = words.select("word")
+    wide = count_min_estimate(
+        probes,
+        count_min_build(words, "word", weight_col="freq"),
+        "word",
+        est_col="est_wide",
+    )
+    narrow = count_min_estimate(
+        probes,
+        count_min_build(
+            words, "word", weight_col="freq", width=_CMS_NARROW
+        ),
+        "word",
+        width=_CMS_NARROW,
+        est_col="est_narrow",
+    )
+    return (
+        words.join(wide, "word")
+        .join(narrow, "word")
+        .select(
+            "word", "est_wide", "est_narrow",
+            F.col("freq").alias("exact"),
+        )
+    )
+
+
+_CMS_POS = (
+    "('0x' || substr(md5('c' || CAST({r} AS VARCHAR) || '-' || {w}),"
+    " 1, 14))::BIGINT % {m}"
+)
+
+SQL_CMS_COUNTS = f"""
+WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents
+  ) WHERE length(word) BETWEEN 2 AND 12 GROUP BY 1
+),
+idx AS (SELECT unnest(range(0, 3)) AS r),
+cells_w AS (
+  SELECT r AS row, {_CMS_POS.format(r='r', w='word', m=1024)} AS pos,
+         CAST(sum(freq) AS BIGINT) AS cnt
+  FROM words CROSS JOIN idx GROUP BY 1, 2
+),
+cells_n AS (
+  SELECT r AS row, {_CMS_POS.format(r='r', w='word', m=_CMS_NARROW)} AS pos,
+         CAST(sum(freq) AS BIGINT) AS cnt
+  FROM words CROSS JOIN idx GROUP BY 1, 2
+),
+est_w AS (
+  SELECT p.word, min(coalesce(c.cnt, 0)) AS est_wide
+  FROM words p CROSS JOIN idx
+  LEFT JOIN cells_w c
+    ON c.row = idx.r
+   AND c.pos = {_CMS_POS.format(r='idx.r', w='p.word', m=1024)}
+  GROUP BY 1
+),
+est_n AS (
+  SELECT p.word, min(coalesce(c.cnt, 0)) AS est_narrow
+  FROM words p CROSS JOIN idx
+  LEFT JOIN cells_n c
+    ON c.row = idx.r
+   AND c.pos = {_CMS_POS.format(r='idx.r', w='p.word', m=_CMS_NARROW)}
+  GROUP BY 1
+)
+SELECT w.word, CAST(est_wide AS BIGINT) AS est_wide,
+       CAST(est_narrow AS BIGINT) AS est_narrow, w.freq AS exact
+FROM words w JOIN est_w USING (word) JOIN est_n USING (word)
+"""
+
+
 QUERIES_EXTRA: dict = {
     "bloom_probe": q_bloom_probe,
     "bpe_merges": q_bpe_merges,
+    "cms_counts": q_cms_counts,
     "graph_triangles": q_graph_triangles,
     "merge_upsert": q_merge_upsert,
     "quantile_sketch": q_quantile_sketch,
@@ -933,6 +1033,7 @@ QUERIES_EXTRA: dict = {
 ORACLES_EXTRA: dict[str, str] = {
     "bloom_probe": SQL_BLOOM_PROBE,
     "bpe_merges": SQL_BPE_MERGES,
+    "cms_counts": SQL_CMS_COUNTS,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "merge_upsert": SQL_MERGE_UPSERT,
     "quantile_sketch": SQL_QUANTILE_SKETCH,
