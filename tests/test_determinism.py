@@ -19,6 +19,8 @@ SENSITIVE = [
     "part_pagerank",      # unrolled integer-grid iterations
     "merge_upsert",       # decimal sums after anti-join/union
     "fuzzy_match",        # block purging thresholds
+    "cms_counts",         # sketch counters + min-over-rows
+    "graph_triangles",    # kNN tie-breaks + wedge counting
 ]
 
 
