@@ -16,11 +16,17 @@ weighted word table:
 3. the best pair (max count; ties broken lexicographically so every
    engine agrees) is a 1-row aggregate CROSS-JOIN-broadcast onto the
    table — no driver collect;
-4. the merge applies as a plain string `replace(' a b ', ' ab ')`:
-   left-to-right non-overlapping replacement is exactly BPE's greedy
-   merge order, and every SQL engine implements replace() with those
-   semantics — which is what makes the whole computation carry a full
-   value oracle (chained CTEs replay each round bit-for-bit).
+4. the merge applies as a plain string replace over a WRAPPED-token
+   representation: every symbol is stored as ``" sym "`` (own leading
+   and trailing space), so adjacent tokens share no characters and the
+   pair pattern ``" a  b "`` consumes exactly its two tokens. With a
+   single shared delimiter space, replace's no-rescan-after-replacement
+   rule would skip the second of two immediately adjacent occurrences
+   (``[h,a,h,a]`` with pair (h,a) must become ``[ha,ha]``, not
+   ``[ha,h,a]``); with wrapped tokens, left-to-right non-overlapping
+   replacement IS the classic greedy merge, in every SQL engine —
+   which is what makes the whole computation carry a full value oracle
+   (chained CTEs replay each round bit-for-bit).
 
 Scale notes: rounds are unrolled plans over the vocab table; each
 round is one explode + one hash agg + one broadcast. At web scale the
@@ -64,15 +70,13 @@ def bpe_train_merges(words: DataFrame, n_merges: int = 3) -> DataFrame:
     never a driver collect.
     """
     seqs = words.select(
-        F.concat(
-            F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")
-        ).alias("seq"),
+        F.regexp_replace("word", "(.)", " $1 ").alias("seq"),
         "freq",
     )
     out = None
     for r in range(1, n_merges + 1):
         pairs = (
-            seqs.withColumn("s", F.split(F.trim(F.col("seq")), " "))
+            seqs.withColumn("s", F.split(F.trim(F.col("seq")), "  "))
             .select(
                 F.explode(
                     F.expr(
@@ -95,7 +99,7 @@ def bpe_train_merges(words: DataFrame, n_merges: int = 3) -> DataFrame:
             seqs.crossJoin(F.broadcast(best.select("a", "b")))
             .select(
                 F.expr(
-                    "replace(seq, concat(' ', a, ' ', b, ' '), "
+                    "replace(seq, concat(' ', a, '  ', b, ' '), "
                     "concat(' ', a, b, ' '))"
                 ).alias("seq"),
                 "freq",

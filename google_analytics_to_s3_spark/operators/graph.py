@@ -206,8 +206,10 @@ def triangle_counts(
     against the oriented edge set, one explode + hash agg for the
     per-node rollup. Only (src, dst) id pairs ever shuffle.
 
-    Returns (id, n_triangles) for every node of ``edges`` (0 for nodes
-    in no triangle). Output rows = node count; order-insensitive.
+    Returns (id, n_triangles) for every node incident to at least one
+    non-self-loop edge (0 for nodes in no triangle; self-loops are
+    discarded first, so a node appearing ONLY in self-loops has no
+    output row). Output rows = node count; order-insensitive.
     """
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -306,8 +308,10 @@ def pagerank(
     # persist the input FIRST: nodes, degrees and the degree-joined
     # edge table all derive from it, and an expression-defined edge
     # list (e.g. a co-occurrence self-join) would otherwise be
-    # recomputed three times before the iterations even start
-    edges = edges.persist()
+    # recomputed three times before the iterations even start. The
+    # select creates a NEW plan to persist so the cleanup below never
+    # unpersists a DataFrame object the caller may have cached.
+    edges = edges.select(F.col(src), F.col(dst)).persist()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))

@@ -8,9 +8,15 @@ Method: multi-pass blocking (Hernández & Stolfo's merge/purge idea
 adapted to hash blocks): every record lands in one block per pass —
 pass 1 keys on the name's first ``k`` chars, pass 2 on its last ``k``
 — then candidate pairs form ONLY within a block, and an exact
-``levenshtein`` verify keeps pairs within the distance threshold. A
-single edit (insert/delete/substitute) can corrupt at most one of the
-two keys, so any pair within distance 1 shares at least one block.
+``levenshtein`` verify keeps pairs within the distance threshold. For
+names longer than ``2 * block_chars`` a single edit
+(insert/delete/substitute) cannot touch both key windows at once —
+the prefix window covers positions 1..k and the suffix window the
+last k characters, and an edit before the suffix window leaves those
+last k characters unchanged — so any such pair within distance 1
+shares at least one block. Shorter names offer no such guarantee (one
+edit can corrupt both keys of a 4-char name); shrink ``block_chars``
+or pre-filter short strings into an exact/enumerated path.
 
 **Block purging** (Papadakis et al., "Blocking for Entity Resolution",
 the standard defense): a block whose size exceeds ``max_block_size``

@@ -65,5 +65,10 @@ def merge_upsert(
     if broadcast_keys:
         keys = F.broadcast(keys)
     survivors = base.join(keys, key_cols, "left_anti")
-    upserts = latest.filter(~F.col(deleted_col)).select(*base.columns)
+    # NULL in deleted_col (nullable CDC feeds) means "not a tombstone":
+    # a bare `~col` filter would drop the row from the upsert side
+    # while its key still anti-joins the base row away — silent loss
+    upserts = latest.filter(
+        ~F.coalesce(F.col(deleted_col), F.lit(False))
+    ).select(*base.columns)
     return survivors.unionByName(upserts)

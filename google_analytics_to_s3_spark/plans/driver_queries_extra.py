@@ -781,10 +781,13 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     (part name + '#' + 6 md5 hex chars of the key — the hash suffix
     makes entities unique the way real author/org names are, while
     TPC-H p_name alone has only ~64 distinct values) ∪ planted typo
-    copies (char 5 deleted, fresh keyspace). The deletion corrupts the
-    prefix block only, so every planted pair must surface via its
-    suffix block; the shared-p_name prefix blocks are exactly the
-    non-discriminative oversized blocks purging exists for."""
+    copies (char 5 deleted, fresh keyspace). The deletion sits between
+    the two key windows — chars 1-4 and the final 4 hash chars both
+    survive — so each planted pair lands in both its blocks; what the
+    row pins is that recovery survives PURGING: the shared-p_name
+    prefix blocks are exactly the non-discriminative oversized blocks
+    the cap discards, leaving the suffix path to carry every planted
+    pair (plus the threshold behavior of the cap itself)."""
     from ..operators.linkage import fuzzy_match_pairs
 
     p = load_table(spark, sf_dir, "part").select(
@@ -881,7 +884,9 @@ WITH words AS (
   ) WHERE length(word) BETWEEN 2 AND 12 GROUP BY 1
 ),
 s0 AS (
-  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq, freq
+  -- wrapped tokens (" s "): adjacent tokens share no characters, so
+  -- the pair replace is exactly the classic greedy left-to-right merge
+  SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS seq, freq
   FROM words
 )"""]
     for r in range(1, rounds + 1):
@@ -893,12 +898,12 @@ c{r} AS (
     SELECT unnest(list_transform(range(1, len(s)),
                   i -> struct_pack(a := s[i], b := s[i + 1]))) AS u,
            freq
-    FROM (SELECT string_split(trim(seq), ' ') AS s, freq FROM {prev})
+    FROM (SELECT string_split(trim(seq), '  ') AS s, freq FROM {prev})
   ) GROUP BY 1, 2
 ),
 b{r} AS (SELECT a, b, cnt FROM c{r} ORDER BY cnt DESC, a, b LIMIT 1),
 s{r} AS (
-  SELECT replace(seq, ' ' || b{r}.a || ' ' || b{r}.b || ' ',
+  SELECT replace(seq, ' ' || b{r}.a || '  ' || b{r}.b || ' ',
                  ' ' || b{r}.a || b{r}.b || ' ') AS seq, freq
   FROM {prev} CROSS JOIN b{r}
 )""")
@@ -939,7 +944,11 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_min_estimate,
     )
 
-    words = word_frequencies(load_parallel(spark, sf_dir, "documents"))
+    # the corpus-sized aggregation feeds four consumers (two builds,
+    # probes, final join): materialize the vocab-sized result once
+    words = word_frequencies(
+        load_parallel(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=True)
     probes = words.select("word")
     wide = count_min_estimate(
         probes,

@@ -42,6 +42,18 @@ class StreamingUpsertSink:
         version_col: str = "version",
         deleted_col: str = "is_deleted",
     ) -> None:
+        # commit markers use driver-local os.* I/O while the data write
+        # goes through Spark: on an object-store path the marker checks
+        # would silently see an empty _commits dir and reset the
+        # snapshot every batch. Fail loudly instead; an object-store
+        # deployment swaps _committed/_mark for the Hadoop FS API
+        # (jvm FileSystem.get), the data path is unchanged.
+        if "://" in path:
+            raise ValueError(
+                "StreamingUpsertSink commit markers require a local "
+                f"filesystem path, got {path!r}; wire the marker I/O "
+                "through the Hadoop FileSystem API for object stores"
+            )
         self.spark = spark
         self.path = path
         self.key_cols = key_cols

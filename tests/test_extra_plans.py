@@ -200,14 +200,16 @@ def test_merge_upsert_semantics_and_plan(spark, sf_smoke):
             (3, "c", 1, True),     # tombstone
             (9, "x", 1, True),     # tombstone for absent key: no-op
             (4, "d", 1, False),    # insert
+            (5, "e", 1, None),     # NULL tombstone flag = upsert, not
+                                   # a silent delete
         ],
-        ["k", "val", "version", "is_deleted"],
+        "k INT, val STRING, version INT, is_deleted BOOLEAN",
     )
     got = {
         r["k"]: r["val"]
         for r in merge_upsert(base, changes, ["k"]).collect()
     }
-    assert got == {1: "a", 2: "b2", 4: "d"}
+    assert got == {1: "a", 2: "b2", 4: "d", 5: "e"}
 
     plan = _plan(q_merge_upsert(spark, sf_smoke))
     assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
@@ -329,6 +331,18 @@ def test_bpe_merges_match_reference_algorithm(spark):
         for r in bpe_train_merges(df, 4).orderBy("merge_round").collect()
     ]
     assert got == py_bpe(wf, 4)
+
+    # immediately adjacent occurrences of the merged pair: [h,a,h,a]
+    # must become [ha,ha] in one round (a single-space-delimited
+    # replace would skip the second occurrence), and runs of a
+    # self-pair ([a,a,a] -> [aa,a]) must merge leftmost-greedy
+    wf2 = {"haha": 9, "hahaha": 4, "aaa": 5, "aaaa": 2, "ha": 1}
+    df2 = spark.createDataFrame(list(wf2.items()), ["word", "freq"])
+    got2 = [
+        (r["merge_round"], r["a"], r["b"], r["cnt"])
+        for r in bpe_train_merges(df2, 3).orderBy("merge_round").collect()
+    ]
+    assert got2 == py_bpe(wf2, 3)
 
 
 def test_r4_prefix_newcomer_plan_shapes(spark, sf_smoke):
