@@ -407,3 +407,28 @@ def test_merge_upsert_matches_python_model_property(spark):
         assert got == model, (base, changes, got, model)
 
     check()
+
+
+def test_count_min_sketch_merges_across_shards(spark):
+    """The CMS mergeability claim: building per shard and summing
+    matching counters equals building over the union — the property
+    that makes the sketch a partial-aggregation / streaming citizen."""
+    import pyspark.sql.functions as F
+
+    from google_analytics_to_s3_spark.operators.stats import (
+        count_min_build,
+    )
+
+    rows = [(i, f"w{i % 7}", 1) for i in range(50)]
+    df = spark.createDataFrame(rows, ["i", "k", "w"])
+    whole = count_min_build(df, "k", weight_col="w")
+    h1 = count_min_build(df.filter("i < 20"), "k", weight_col="w")
+    h2 = count_min_build(df.filter("i >= 20"), "k", weight_col="w")
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("row", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    a = {(r["row"], r["pos"]): r["cnt"] for r in whole.collect()}
+    b = {(r["row"], r["pos"]): r["cnt"] for r in merged.collect()}
+    assert a == b
