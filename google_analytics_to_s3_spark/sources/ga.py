@@ -54,6 +54,27 @@ def load_session_history(
         return spark.createDataFrame([], schema)
 
 
+def load_own_session_history(
+    spark: SparkSession, path: str
+) -> DataFrame | None:
+    """Session history written by THIS engine: parquet is
+    self-describing, so read it without a declared schema — the mart's
+    deliberately typed columns (double revenue, yMMdd string date)
+    differ from the reference's ``session_schema`` constant, and
+    forcing that schema (or unioning an empty frame built from it)
+    coerces today's string defaults into ANSI cast errors. Returns
+    None when the table doesn't exist yet (first run) so callers skip
+    the history union entirely — the reference-parity S2 loader above
+    stays for reading histories that actually follow session_schema.
+    """
+    try:
+        df = spark.read.parquet(path)
+        df.head(1)
+        return df
+    except Exception:
+        return None
+
+
 def append_session_history(df: DataFrame, path: str) -> None:
     """S3: append today's sessions to the history table."""
     df.write.mode("append").parquet(path)
