@@ -147,7 +147,15 @@ def recompute_touchpoints(
 
     Scale note: this is the reference's recompute-the-world design; at
     100 TB keep an incremental per-visitor summary instead (see
-    plans/pipeline.py docstring)."""
+    plans/pipeline.py docstring).
+
+    ``history`` must share ``today``'s column TYPES: unionByName
+    coerces mismatched columns to a common type, and under ANSI a
+    string-vs-numeric mismatch turns ``''`` defaults into runtime cast
+    errors. History written by this engine round-trips correctly via
+    ``sources/ga.load_own_session_history`` (self-describing parquet);
+    the reference-schema loader is only for histories that really
+    follow ``session_schema``."""
     drop_cols = [
         "touchpoints", "touchpoints_wo_direct",
         "first_touchpoint", "last_touchpoint",
