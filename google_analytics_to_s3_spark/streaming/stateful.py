@@ -102,3 +102,103 @@ def stateful_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas variant — the successor API to
+# applyInPandasWithState: typed named state slots (ValueState /
+# ListState / MapState) instead of one opaque tuple, event-time timers,
+# and per-key TTL, all backed by the same RocksDB state store. The
+# sessionizer below keeps the exact emit semantics of
+# stateful_sessionize so the two APIs are interchangeable (pinned
+# against the batch computation in tests/test_stateful_streaming.py).
+# ---------------------------------------------------------------------------
+
+
+from pyspark.sql.streaming import StatefulProcessor  # noqa: E402
+
+
+class SessionStatefulProcessor(StatefulProcessor):
+    """StatefulProcessor for gap sessionization: one ValueState slot
+    (start, last, n) per visitor; a later event whose gap exceeds the
+    threshold closes and emits the open session. Module-level class —
+    the processor is pickled to the state-server worker."""
+
+    def __init__(self, gap_ms: int = THIRTY_MIN_MS, ts_col: str = "ts_ms"):
+        self.gap_ms = gap_ms
+        self.ts_col = ts_col
+
+    def init(self, handle) -> None:
+        self.state = handle.getValueState("open_session", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        if self.state.exists():
+            start, last, n = self.state.get()
+        else:
+            start = last = None
+            n = 0
+        ts_all: list[int] = []
+        for pdf in rows:
+            ts_all.extend(int(t) for t in pdf[self.ts_col])
+        out = []
+        for ts in sorted(ts_all):
+            if last is None:
+                start, last, n = ts, ts, 1
+            elif ts - last >= self.gap_ms:
+                out.append((user_id, start, last, n))
+                start, last, n = ts, ts, 1
+            else:
+                last, n = ts, n + 1
+        self.state.update((start, last, n))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "session_start_ms", "session_end_ms",
+                    "n_events",
+                ],
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_sessionize_tws(
+    events: DataFrame,
+    visitor_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    gap_ms: int = THIRTY_MIN_MS,
+) -> DataFrame:
+    """Gap sessionization on the transformWithStateInPandas API —
+    output contract identical to :func:`stateful_sessionize`.
+
+    Requires the ``protobuf`` package (the TWS state-server protocol
+    speaks protobuf); absent it, raises NotImplementedError instead of
+    crashing the streaming query mid-run. The processor's emit logic
+    itself is protobuf-free and parity-tested directly
+    (tests/test_stateful_streaming.py), so environments with protobuf
+    get a fully exercised algorithm on the new API's plumbing.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the protobuf package "
+            "(not installed here); use stateful_sessionize "
+            "(applyInPandasWithState) — identical output contract"
+        ) from e
+    return events.groupBy(visitor_col).transformWithStateInPandas(
+        statefulProcessor=SessionStatefulProcessor(
+            gap_ms=gap_ms, ts_col=ts_col
+        ),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="None",
+    )
