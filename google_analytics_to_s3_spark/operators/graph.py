@@ -379,3 +379,63 @@ def pagerank(
     for cached in (ed, nodes, edges):
         cached.unpersist()
     return r.select("node", "rank_q")
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    n_rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    id_out: str = "id",
+    deg_out: str = "core_degree",
+) -> DataFrame:
+    """Bounded-round k-core peeling: repeatedly delete nodes of degree
+    < k (and their edges). The k-core is the density filter a dedup
+    pipeline runs AFTER clustering — connected components find groups,
+    the core separates tight near-clique duplicate communities from
+    incidental chains/trees that connect through a single bridge doc
+    (a tree has NO 2-core; a dup clique survives whole).
+
+    Contract: exactly ``n_rounds`` peeling rounds, which equals the
+    true k-core whenever peeling has converged by then (each round
+    strictly shrinks the node set until fixpoint; convergence on a
+    given graph is pinned by comparing n_rounds and n_rounds+1 — see
+    tests). Bounded rounds keep the plan — and the chained-CTE oracle —
+    deterministic in shape, the same trade PageRank makes with its
+    unrolled iterations.
+
+    Per round: one degree aggregation + two semi-joins of the edge
+    list against the surviving-node set; only (a, b) id pairs ever
+    shuffle, and ``localCheckpoint`` truncates the growing lineage.
+    Returns (id, core_degree) for nodes of the surviving subgraph.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    e = und
+    for _ in range(n_rounds):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .union(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        e = (
+            e.join(keep.select(F.col("n").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("n").alias("b")), "b", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        e.select(F.col("a").alias(id_out))
+        .union(e.select(F.col("b").alias(id_out)))
+        .groupBy(id_out)
+        .agg(F.count("*").cast("long").alias(deg_out))
+    )

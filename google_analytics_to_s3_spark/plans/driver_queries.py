@@ -2528,6 +2528,7 @@ _DRIVER_PRIORITY = [
     "repetition_signals", "bloom_probe", "source_caps", "knn_ivfpq",
     "action_revenue", "graph_triangles", "merge_upsert",
     "quantile_sketch", "fuzzy_match", "bpe_merges", "cms_counts",
+    "k_core",
     # (c) registered in r3 after the prefix froze, never driver-checked
     "basket_rules", "boilerplate_fraction", "dataset_card",
     "event_anomalies", "session_paths", "shot_boundaries",

@@ -1020,10 +1020,109 @@ FROM words w JOIN est_w USING (word) JOIN est_n USING (word)
 """
 
 
+# --------------------------------------------------------------------------
+# k-core peeling: the density filter separating near-clique communities
+# from tree/chain structure (a tree has no 2-core). The homogeneous
+# organic graphs here make every fixed k trivial (3-NN: all survive
+# k<=3, none k>=4), so the driver graph plants known cores on the
+# customer id domain — a 200-node chain carrying a K6 on ids 0-5 and a
+# K4 on ids 10-13. The 3-core must peel the whole chain in round one
+# and keep exactly the two cliques; bounded rounds keep plan and
+# oracle deterministic, and convergence at this round count is pinned
+# in tests.
+# --------------------------------------------------------------------------
+
+_KCORE_K, _KCORE_ROUNDS = 3, 4
+
+
+def _kcore_planted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = (
+        load_table(spark, sf_dir, "customer")
+        .select((F.col("c_custkey") % 200).alias("n"))
+        .distinct()
+    )
+    chain = nodes.filter(F.col("n") < 199).select(
+        F.col("n").alias("src"), (F.col("n") + 1).alias("dst")
+    )
+    six = nodes.filter(F.col("n") <= 5)
+    k6 = (
+        six.alias("x")
+        .join(six.alias("y"), F.col("x.n") < F.col("y.n"))
+        .select(F.col("x.n").alias("src"), F.col("y.n").alias("dst"))
+    )
+    four = nodes.filter((F.col("n") >= 10) & (F.col("n") <= 13))
+    k4 = (
+        four.alias("x")
+        .join(four.alias("y"), F.col("x.n") < F.col("y.n"))
+        .select(F.col("x.n").alias("src"), F.col("y.n").alias("dst"))
+    )
+    return chain.unionByName(k6).unionByName(k4)
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/graph.k_core on the planted chain+K6+K4 graph:
+    surviving (node, core_degree) after 4 rounds of degree-<3 peeling
+    — exactly the two cliques, every chain node gone. The oracle
+    replays every peeling round as chained materialized CTEs."""
+    from ..operators.graph import k_core
+
+    edges = _kcore_planted_edges(spark, sf_dir)
+    return k_core(
+        edges, k=_KCORE_K, n_rounds=_KCORE_ROUNDS, id_out="node"
+    )
+
+
+def _k_core_oracle_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    head = """
+WITH nodes AS (
+  SELECT DISTINCT c_custkey % 200 AS n FROM customer
+),
+planted AS (
+  SELECT n AS src, n + 1 AS dst FROM nodes WHERE n < 199
+  UNION ALL
+  SELECT x.n, y.n FROM nodes x JOIN nodes y ON x.n < y.n
+  WHERE x.n <= 5 AND y.n <= 5
+  UNION ALL
+  SELECT x.n, y.n FROM nodes x JOIN nodes y ON x.n < y.n
+  WHERE x.n BETWEEN 10 AND 13 AND y.n BETWEEN 10 AND 13
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM planted
+)"""
+    parts = [head]
+    # MATERIALIZED: each round references its predecessor three times;
+    # default CTE inlining would expand e0 3^rounds times and exhaust
+    # file handles re-scanning the parquet
+    for r in range(1, rounds + 1):
+        p = f"e{r - 1}"
+        parts.append(f""",
+k{r} AS MATERIALIZED (
+  SELECT n FROM (
+    SELECT a AS n FROM {p} UNION ALL SELECT b FROM {p}
+  ) GROUP BY 1 HAVING count(*) >= {k}
+),
+e{r} AS MATERIALIZED (
+  SELECT * FROM {p}
+  WHERE a IN (SELECT n FROM k{r}) AND b IN (SELECT n FROM k{r})
+)""")
+    tail = f"""
+SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM (
+  SELECT a AS node FROM e{rounds}
+  UNION ALL SELECT b FROM e{rounds}
+) GROUP BY 1
+"""
+    return "".join(parts) + tail
+
+
+SQL_K_CORE = _k_core_oracle_sql()
+
+
 QUERIES_EXTRA: dict = {
     "bloom_probe": q_bloom_probe,
     "bpe_merges": q_bpe_merges,
     "cms_counts": q_cms_counts,
+    "k_core": q_k_core,
     "graph_triangles": q_graph_triangles,
     "merge_upsert": q_merge_upsert,
     "quantile_sketch": q_quantile_sketch,
@@ -1043,6 +1142,7 @@ ORACLES_EXTRA: dict[str, str] = {
     "bloom_probe": SQL_BLOOM_PROBE,
     "bpe_merges": SQL_BPE_MERGES,
     "cms_counts": SQL_CMS_COUNTS,
+    "k_core": SQL_K_CORE,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "merge_upsert": SQL_MERGE_UPSERT,
     "quantile_sketch": SQL_QUANTILE_SKETCH,

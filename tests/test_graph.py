@@ -167,3 +167,29 @@ def test_triangle_counts_star_hub_no_blowup(spark):
     got = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got[0] == 1 and got[1] == 1 and got[2] == 1
     assert sum(got.values()) == 3
+
+
+def test_k_core_peels_chain_keeps_cliques(spark):
+    from google_analytics_to_s3_spark.operators.graph import k_core
+
+    # chain 0-1-...-20 + K4 on {30,31,32,33} + spoke 33-34
+    edges = [(i, i + 1) for i in range(20)]
+    edges += [(a, b) for a in range(30, 34) for b in range(30, 34) if a < b]
+    edges += [(33, 34)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r["id"], r["core_degree"])
+        for r in k_core(df, k=3, n_rounds=4).collect()
+    }
+    assert got == {(30, 3), (31, 3), (32, 3), (33, 3)}
+    # convergence margin: one more round changes nothing
+    got5 = {
+        (r["id"], r["core_degree"])
+        for r in k_core(df, k=3, n_rounds=5).collect()
+    }
+    assert got5 == got
+    # an open chain has NO 2-core — it peels from both ends, two nodes
+    # per round, so given enough rounds only the clique remains (the
+    # bounded-round contract: n_rounds must cover the peel depth)
+    got2 = {r["id"] for r in k_core(df, k=2, n_rounds=12).collect()}
+    assert got2 == {30, 31, 32, 33}
