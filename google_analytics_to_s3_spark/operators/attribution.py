@@ -133,6 +133,134 @@ def summary_attribution(summary: DataFrame) -> DataFrame:
     )
 
 
+def attribution_credits(
+    touches: DataFrame,
+    conversions: DataFrame,
+    visitor_col: str = "fullVisitorId",
+    ts_col: str = "timestamp",
+    source_col: str = "trafficSource_source",
+    value_col: str = "conv_value",
+    tiebreak_cols: tuple[str, ...] = (),
+    halflife_ms: int = 86_400_000,
+    decay_cap: int = 20,
+    direct_token: str = "(direct)",
+) -> DataFrame:
+    """Multi-touch attribution credit assignment — distribute each
+    visitor's conversion value over their ordered touchpoints under the
+    six standard GA attribution models (first touch, last touch, last
+    non-direct, linear, position-based/U-shaped, time decay).
+
+    Beyond-reference capability: the reference stops at the touchpoint
+    arrays themselves (functions/sessionization/main.py:995-1010); the
+    models here are the analyses those arrays exist to feed.
+
+    Model semantics (per visitor with ``n`` touches and conversion
+    value ``v``):
+
+    - ``credit_first``        — all of ``v`` to touch 1.
+    - ``credit_last``         — all of ``v`` to touch ``n``.
+    - ``credit_last_nd``      — all of ``v`` to the last touch whose
+      source is not ``direct_token``; if every touch is direct, the
+      final touch keeps it (GA's last-non-direct-click fallback).
+    - ``credit_linear``       — ``v / n`` to every touch.
+    - ``credit_position``     — U-shaped: 40% to the first touch, 40%
+      to the last, the remaining 20% split evenly over the middle;
+      degenerate cases n=1 → 100%, n=2 → 50/50.
+    - ``credit_decay``        — time decay with half-life
+      ``halflife_ms``: touch ``i`` weighs ``2^(cap - k_i)`` where
+      ``k_i = min((t_last - t_i) // halflife_ms, cap)``. Weights are
+      exact BIGINTs (integer div + shiftleft — never a float pow), so
+      the per-visitor weight total is an order-independent integer sum
+      and the credit ratio is bit-reproducible in any engine.
+
+    Every credit is rounded to 6 decimals and cast DECIMAL(38,6) at
+    the TOUCH grain — downstream sums over these decimals are exact
+    and shuffle-order-independent (the repo-wide determinism
+    convention; see PERF.md).
+
+    Scale: one hash exchange on the visitor key feeds all window
+    computations; ``conversions`` (one row per converting visitor)
+    joins on that same key. No global sorts, no data-sized state —
+    per-visitor windows are bounded by touches-per-visitor.
+
+    ``touches``: (visitor, ts, source [, tiebreaks]) — one row per
+    touch. ``conversions``: (visitor, value) — one row per visitor.
+    Returns the touch grain with ``touch_idx``, ``n_touches`` and the
+    six ``credit_*`` DECIMAL(38,6) columns.
+    """
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in tiebreak_cols
+    ]
+    w_ord = Window.partitionBy(visitor_col).orderBy(*order)
+    w_all = (
+        Window.partitionBy(visitor_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    # join first: non-converting visitors drop before any window work,
+    # and the join's visitor-hash exchange is the same partitioning the
+    # windows need — one shuffle total for the touch side
+    d = (
+        touches.join(conversions, visitor_col)
+        .withColumn("touch_idx", F.row_number().over(w_ord))
+        .withColumn("n_touches", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "_k",
+            F.least(
+                F.expr(
+                    f"(max({ts_col}) OVER (PARTITION BY {visitor_col}) "
+                    f"- {ts_col}) div {halflife_ms}"
+                ),
+                F.lit(decay_cap).cast("long"),
+            ),
+        )
+        .withColumn(
+            "_w", F.expr(f"shiftleft(1L, int({decay_cap} - _k))")
+        )
+        .withColumn("_w_total", F.sum("_w").over(w_all))
+        .withColumn(
+            "_last_nd_idx",
+            F.max(
+                F.when(
+                    F.col(source_col) != direct_token, F.col("touch_idx")
+                )
+            ).over(w_all),
+        )
+    )
+    v = F.col(value_col)
+    n = F.col("n_touches")
+    idx = F.col("touch_idx")
+    first = F.when(idx == 1, v).otherwise(F.lit(0.0))
+    last = F.when(idx == n, v).otherwise(F.lit(0.0))
+    last_nd = F.when(
+        F.coalesce(F.col("_last_nd_idx"), n) == idx, v
+    ).otherwise(F.lit(0.0))
+    linear = v / n
+    position = (
+        F.when(n == 1, v)
+        .when(n == 2, v * 0.5)
+        .when((idx == 1) | (idx == n), v * 0.4)
+        .otherwise(v * 0.2 / (n - 2))
+    )
+    decay = v * F.col("_w") / F.col("_w_total")
+    dec = lambda c: F.round(c, 6).cast("decimal(38,6)")  # noqa: E731
+    return (
+        d.select(
+            visitor_col,
+            ts_col,
+            source_col,
+            "touch_idx",
+            "n_touches",
+            dec(first).alias("credit_first"),
+            dec(last).alias("credit_last"),
+            dec(last_nd).alias("credit_last_nd"),
+            dec(linear).alias("credit_linear"),
+            dec(position).alias("credit_position"),
+            dec(decay).alias("credit_decay"),
+        )
+    )
+
+
 def recompute_touchpoints(
     history: DataFrame,
     today: DataFrame,

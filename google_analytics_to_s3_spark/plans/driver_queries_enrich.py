@@ -313,6 +313,133 @@ FROM agg
 """
 
 # --------------------------------------------------------------------------
+# Multi-touch attribution models over the touchpoint sequences (the
+# analyses the reference's W8-W11 arrays exist to feed).
+# --------------------------------------------------------------------------
+
+_ATTR_HALFLIFE_MS = 86_400_000  # 1 day
+_ATTR_DECAY_CAP = 20
+
+
+def q_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/attribution.attribution_credits: distribute each
+    converting visitor's purchase value over their ordered touchpoints
+    under six attribution models (first/last/last-non-direct/linear/
+    U-shaped/time-decay), rolled up per (source, cohort). Time-decay
+    weights are exact BIGINTs (integer div + shiftleft), per-touch
+    credits DECIMAL(38,6) — the sums here are order-independent."""
+    from ..operators.attribution import attribution_credits
+
+    e = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts_ms", "event_type", "value"
+    )
+    src = F.element_at(
+        F.array(*[F.lit(s) for s in TP_SOURCES]),
+        (F.col("event_id") % len(TP_SOURCES)).cast("int") + 1,
+    )
+    touches = e.select(
+        "user_id", "event_id", "ts_ms", src.alias("source")
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("conv_value")
+        )
+    )
+    credits = attribution_credits(
+        touches,
+        conv,
+        visitor_col="user_id",
+        ts_col="ts_ms",
+        source_col="source",
+        value_col="conv_value",
+        tiebreak_cols=("event_id",),
+        halflife_ms=_ATTR_HALFLIFE_MS,
+        decay_cap=_ATTR_DECAY_CAP,
+    )
+    dbl = lambda c: F.sum(c).cast("double")  # noqa: E731
+    return (
+        credits.withColumn("cohort", F.col("user_id") % 7)
+        .groupBy("source", "cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            dbl("credit_first").alias("credit_first"),
+            dbl("credit_last").alias("credit_last"),
+            dbl("credit_last_nd").alias("credit_last_nd"),
+            dbl("credit_linear").alias("credit_linear"),
+            dbl("credit_position").alias("credit_position"),
+            dbl("credit_decay").alias("credit_decay"),
+        )
+    )
+
+
+SQL_ATTRIBUTION_MODELS = f"""
+WITH src AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         ({_TP_ARR})[(event_id % {len(TP_SOURCES)}) + 1] AS source,
+         event_type, value
+  FROM events
+),
+conv AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS conv_value
+  FROM src WHERE event_type = 'purchase' GROUP BY user_id
+),
+t1 AS (
+  SELECT s.user_id, s.ts_ms, s.source, c.conv_value,
+         row_number() OVER (PARTITION BY s.user_id
+                            ORDER BY s.ts_ms, s.event_id) AS touch_idx,
+         count(*) OVER (PARTITION BY s.user_id) AS n_touches,
+         least((max(s.ts_ms) OVER (PARTITION BY s.user_id) - s.ts_ms)
+                 // {_ATTR_HALFLIFE_MS},
+               {_ATTR_DECAY_CAP}) AS k
+  FROM src s JOIN conv c USING (user_id)
+),
+t2 AS (
+  SELECT *,
+         CAST(1 AS BIGINT) << ({_ATTR_DECAY_CAP} - k) AS w,
+         sum(CAST(1 AS BIGINT) << ({_ATTR_DECAY_CAP} - k))
+           OVER (PARTITION BY user_id) AS w_total,
+         max(CASE WHEN source != '(direct)' THEN touch_idx END)
+           OVER (PARTITION BY user_id) AS last_nd_idx
+  FROM t1
+),
+cr AS (
+  SELECT user_id, source,
+    CAST(round(CASE WHEN touch_idx = 1 THEN conv_value ELSE 0.0 END, 6)
+         AS DECIMAL(38,6)) AS credit_first,
+    CAST(round(CASE WHEN touch_idx = n_touches THEN conv_value
+               ELSE 0.0 END, 6) AS DECIMAL(38,6)) AS credit_last,
+    CAST(round(CASE WHEN coalesce(last_nd_idx, n_touches) = touch_idx
+               THEN conv_value ELSE 0.0 END, 6)
+         AS DECIMAL(38,6)) AS credit_last_nd,
+    CAST(round(conv_value / n_touches, 6) AS DECIMAL(38,6))
+      AS credit_linear,
+    CAST(round(CASE WHEN n_touches = 1 THEN conv_value
+                    WHEN n_touches = 2 THEN conv_value * 0.5
+                    WHEN touch_idx = 1 OR touch_idx = n_touches
+                      THEN conv_value * 0.4
+                    ELSE conv_value * 0.2 / (n_touches - 2) END, 6)
+         AS DECIMAL(38,6)) AS credit_position,
+    CAST(round(conv_value * w / w_total, 6) AS DECIMAL(38,6))
+      AS credit_decay
+  FROM t2
+)
+SELECT source, user_id % 7 AS cohort,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(credit_first) AS DOUBLE) AS credit_first,
+       CAST(sum(credit_last) AS DOUBLE) AS credit_last,
+       CAST(sum(credit_last_nd) AS DOUBLE) AS credit_last_nd,
+       CAST(sum(credit_linear) AS DOUBLE) AS credit_linear,
+       CAST(sum(credit_position) AS DOUBLE) AS credit_position,
+       CAST(sum(credit_decay) AS DOUBLE) AS credit_decay
+FROM cr GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------------
 # §2.8: wide→long product unpivot (explode-based, join-free)
 # --------------------------------------------------------------------------
 
@@ -965,6 +1092,7 @@ QUERIES_ENRICH = {
     "geo_enrich": q_geo_enrich,
     "ua_parse": q_ua_parse,
     "touchpoints": q_touchpoints,
+    "attribution_models": q_attribution_models,
     "unpivot_products": q_unpivot_products,
     "session_window_rollup": q_session_window_rollup,
     "traffic_attribution": q_traffic_attribution,
@@ -982,6 +1110,7 @@ ORACLES_ENRICH = {
     "geo_enrich": SQL_GEO_ENRICH,
     "ua_parse": SQL_UA_PARSE,
     "touchpoints": SQL_TOUCHPOINTS,
+    "attribution_models": SQL_ATTRIBUTION_MODELS,
     "unpivot_products": SQL_UNPIVOT_PRODUCTS,
     "session_window_rollup": SQL_SESSION_WINDOW_ROLLUP,
     "traffic_attribution": SQL_TRAFFIC_ATTRIBUTION,

@@ -152,3 +152,72 @@ def test_sessionize_hot_cold_split_plan(spark):
     assert "LeftSemi" in plan, plan
     assert plan.count("Window") >= 2  # one chain per branch
     assert "CartesianProduct" not in plan
+
+
+def _credits(spark):
+    from google_analytics_to_s3_spark.operators.attribution import (
+        attribution_credits,
+    )
+
+    # v1: 4 touches (middle split observable), mixed direct;
+    # v2: all-direct (last-non-direct fallback); v3: single touch
+    touches = spark.createDataFrame(
+        [
+            ("v1", 0, "google"),
+            ("v1", 1_000, "(direct)"),
+            ("v1", 86_400_000, "facebook"),
+            ("v1", 172_800_000, "(direct)"),
+            ("v2", 0, "(direct)"),
+            ("v2", 10, "(direct)"),
+            ("v3", 0, "newsletter"),
+        ],
+        ["visitor", "ts", "source"],
+    )
+    conv = spark.createDataFrame(
+        [("v1", 100.0), ("v2", 10.0), ("v3", 7.0)],
+        ["visitor", "conv_value"],
+    )
+    out = attribution_credits(
+        touches,
+        conv,
+        visitor_col="visitor",
+        ts_col="ts",
+        source_col="source",
+        halflife_ms=86_400_000,
+        decay_cap=20,
+    )
+    return {
+        (r["visitor"], r["touch_idx"]): r for r in out.collect()
+    }
+
+
+def test_attribution_credit_models(spark):
+    rows = _credits(spark)
+    f = lambda v, i, c: float(rows[(v, i)][c])  # noqa: E731
+
+    # every model conserves the conversion value per visitor
+    for v, total in (("v1", 100.0), ("v2", 10.0), ("v3", 7.0)):
+        n = max(i for (vv, i) in rows if vv == v)
+        for model in (
+            "credit_first", "credit_last", "credit_last_nd",
+            "credit_linear", "credit_position", "credit_decay",
+        ):
+            s = sum(f(v, i, model) for i in range(1, n + 1))
+            assert abs(s - total) < 1e-4, (v, model, s)
+
+    # first/last/U-shape on the 4-touch visitor
+    assert f("v1", 1, "credit_first") == 100.0
+    assert f("v1", 4, "credit_last") == 100.0
+    assert [f("v1", i, "credit_position") for i in range(1, 5)] == [
+        40.0, 10.0, 10.0, 40.0,
+    ]
+    # last non-direct goes to touch 3 (facebook), not the direct tail
+    assert f("v1", 3, "credit_last_nd") == 100.0
+    # all-direct visitor: fallback credits the final touch
+    assert f("v2", 2, "credit_last_nd") == 10.0
+    # time decay: strictly newer touches never get less credit
+    d = [f("v1", i, "credit_decay") for i in range(1, 5)]
+    assert d[0] < d[2] and d[2] <= d[3]
+    # single touch: everything everywhere
+    for model in ("credit_linear", "credit_position", "credit_decay"):
+        assert f("v3", 1, model) == 7.0
