@@ -604,6 +604,66 @@ def cosine_pairs_blocked(
     ).filter(F.col("score") >= threshold)
 
 
+def semdedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023 "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the corpus
+    by nearest centroid, then drop every vector that has a
+    lower-id cluster-mate within ``threshold`` cosine — pairwise
+    comparison happens only INSIDE clusters, which is the paper's trick
+    for making semantic dedup sub-quadratic at web scale.
+
+    Returns every input row with its cluster id and a ``is_kept``
+    flag (kept = no lower-id near-duplicate in the same cluster; the
+    lowest id of each duplicate neighborhood survives, deterministic
+    in every engine).
+
+    Scale: centroid assignment is map-side (broadcast literals, zero
+    shuffle — see :func:`assign_centroids`); the only exchange hashes
+    (id, cluster, vector) by cluster; the self-join's work is
+    Σ cluster_size² — bounded by choosing k ≈ corpus/√corpus, NOT
+    corpus². Raise k as the corpus grows (same invariant as the LSH
+    band count, plans/driver_queries_extra.py:28-33).
+    """
+    a = assign_centroids(
+        df, centroids, id_col=id_col, vec_col=vec_col, out_col="cid"
+    )
+    d = a.select(
+        F.col(id_col),
+        F.col("cid"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    ).persist()
+    left, right = d.alias("l"), d.alias("r")
+    score = _dot(F.col("l.v"), F.col("r.v")) / (
+        F.col("l.nrm") * F.col("r.nrm")
+    )
+    dropped = (
+        left.join(
+            right,
+            (F.col("l.cid") == F.col("r.cid"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .filter(score >= threshold)
+        .select(F.col(f"r.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        d.join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cid"),
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Product quantization (PQ) + asymmetric distance (ADC) — the classic
 # 100 TB embedding-compression path (Jégou et al., TPAMI'11): vectors

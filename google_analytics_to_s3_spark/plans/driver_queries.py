@@ -1444,6 +1444,55 @@ WHERE {_COS.format(a='l.embedding', b='r.embedding')} >= 0.99
 # Generic window-function + rollup surface
 # --------------------------------------------------------------------------
 
+SEMDEDUP_N_CENTROIDS = 8
+SEMDEDUP_THRESHOLD = 0.99
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.semdedup (Abbas et al. 2023): cluster-scoped
+    semantic dedup over the corpus ∪ planted copies — the planted pair
+    (x, x+1M) lands in one cluster at cosine 0.999996, so every copy
+    must be flagged not-kept unless its twin crossed a cluster
+    boundary (deterministic either way; the oracle replays the exact
+    assignment arithmetic)."""
+    from ..operators.similarity import planted_copies, semdedup
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    corpus = planted_copies(emb)
+    cents = emb.filter(F.col("vec_id") < SEMDEDUP_N_CENTROIDS)
+    return semdedup(corpus, cents, threshold=SEMDEDUP_THRESHOLD)
+
+
+SQL_SEMDEDUP = f"""
+WITH planted AS ({PLANTED_UNION_SQL}),
+cent AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id < {SEMDEDUP_N_CENTROIDS}
+),
+assigned AS (
+  SELECT pl.vec_id, pl.embedding, c.cid,
+         row_number() OVER (PARTITION BY pl.vec_id
+             ORDER BY {{cos_pc}} DESC, c.cid) AS rn
+  FROM planted pl CROSS JOIN cent c
+),
+a AS (SELECT vec_id, embedding, CAST(cid AS BIGINT) AS cid
+      FROM assigned WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT r.vec_id
+  FROM a l JOIN a r ON l.cid = r.cid AND l.vec_id < r.vec_id
+  WHERE {{cos_lr}} >= {SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS is_kept
+FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+SQL_SEMDEDUP = SQL_SEMDEDUP.format(
+    cos_pc=_COS.format(a="pl.embedding", b="c.cv"),
+    cos_lr=_COS.format(a="l.embedding", b="r.embedding"),
+)
+
+
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-shaped fact×dim join (part broadcast) + conditional agg."""
     l = load_table(spark, sf_dir, "lineitem").filter(
@@ -2382,6 +2431,7 @@ QUERIES: dict = {
     "knn_cosine": q_knn_cosine,
     "knn_ivf": q_knn_ivf,
     "cosine_dup_pairs": q_cosine_dup_pairs,
+    "semdedup": q_semdedup,
     "customer_order_ranks": q_customer_order_ranks,
     "sales_rollup": q_sales_rollup,
     "order_percentiles": q_order_percentiles,
@@ -2469,6 +2519,7 @@ ORACLES: dict[str, str] = {
     "knn_cosine": SQL_KNN_COSINE,
     "knn_ivf": SQL_KNN_IVF,
     "cosine_dup_pairs": SQL_COSINE_DUP_PAIRS,
+    "semdedup": SQL_SEMDEDUP,
     "customer_order_ranks": SQL_CUSTOMER_ORDER_RANKS,
     "sales_rollup": SQL_SALES_ROLLUP,
     "order_percentiles": SQL_ORDER_PERCENTILES,

@@ -98,3 +98,36 @@ def test_pq_trained_codebook_beats_first_k(spark):
     )
     mn, mx = codes.agg(F.min("c"), F.max("c")).first()
     assert 0 <= mn and mx < PQ_K
+
+
+def test_semdedup_two_clusters(spark):
+    """SemDeDup on a planted two-cluster corpus: within-cluster dups
+    drop (lowest id survives), cross-cluster look-alikes are never
+    compared — the clustering IS the candidate filter."""
+    from google_analytics_to_s3_spark.operators.similarity import semdedup
+
+    def vec(axis, eps):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 4) % 8] = eps
+        return v
+
+    rows = [
+        # cluster 0: ids 0,1,2 mutually ~identical; id 3 orthogonal-ish
+        (0, vec(0, 0.00)), (1, vec(0, 0.01)), (2, vec(0, 0.02)),
+        (3, [0.0, 0.0, 0.7, 0.0, 0.7, 0.0, 0.0, 0.0]),
+        # cluster 1: ids 10,11 near-dups
+        (10, vec(1, 0.00)), (11, vec(1, 0.01)),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(0, vec(0, 0.0)), (1, vec(1, 0.0))], ["vec_id", "embedding"]
+    )
+    out = {
+        r["vec_id"]: (r["cid"], r["is_kept"])
+        for r in semdedup(emb, cents, threshold=0.99).collect()
+    }
+    assert out[0] == (0, True)       # lowest id of the dup group
+    assert out[1][1] is False and out[2][1] is False
+    assert out[3][1] is True         # same cluster, below threshold
+    assert out[10] == (1, True) and out[11][1] is False
