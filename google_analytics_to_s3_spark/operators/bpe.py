@@ -61,6 +61,55 @@ def word_frequencies(
     return w.groupBy("word").agg(F.count("*").alias("freq"))
 
 
+def bpe_apply(
+    words: DataFrame,
+    merges: DataFrame,
+    n_merges: int,
+    word_col: str = "word",
+) -> DataFrame:
+    """Encode words with a trained merge table — the tokenizer-apply
+    step that turns the learned BPE into token sequences.
+
+    Applies the ``n_merges`` learned merges in round order via the same
+    wrapped-token replace as training (so encode ∘ train is exactly the
+    classic greedy BPE). Each round is a 1-row broadcast joined with
+    ``lit(True)`` LEFT OUTER — a round with no learned merge (vocab
+    exhausted early) passes rows through unchanged instead of wiping
+    the table the way a bare crossJoin against an empty side would.
+
+    Returns the input plus ``tokens`` (array<string>) and ``n_tokens``.
+    Scale: the corpus-sized encode is usually a broadcast-join of this
+    VOCAB-sized result back onto documents — encode the vocab once,
+    never re-derive per document.
+    """
+    seqs = words.withColumn(
+        "_seq", F.regexp_replace(word_col, "(.)", " $1 ")
+    )
+    for r in range(1, n_merges + 1):
+        m_r = merges.filter(F.col("merge_round") == r).select(
+            F.col("a").alias("_ma"), F.col("b").alias("_mb")
+        )
+        seqs = (
+            seqs.join(F.broadcast(m_r), F.lit(True), "left")
+            .withColumn(
+                "_seq",
+                F.when(
+                    F.col("_ma").isNotNull(),
+                    F.expr(
+                        "replace(_seq, concat(' ', _ma, '  ', _mb, ' '), "
+                        "concat(' ', _ma, _mb, ' '))"
+                    ),
+                ).otherwise(F.col("_seq")),
+            )
+            .drop("_ma", "_mb")
+        )
+    return (
+        seqs.withColumn("tokens", F.split(F.trim(F.col("_seq")), "  "))
+        .withColumn("n_tokens", F.size("tokens"))
+        .drop("_seq")
+    )
+
+
 def bpe_train_merges(words: DataFrame, n_merges: int = 3) -> DataFrame:
     """Learn ``n_merges`` BPE merges from a (word, freq) table.
 

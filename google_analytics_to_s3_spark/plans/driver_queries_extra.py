@@ -917,6 +917,63 @@ s{r} AS (
 SQL_BPE_MERGES = _bpe_oracle_sql()
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/bpe.bpe_apply: train 3 merges, then ENCODE the vocab
+    with them — tokenizer train + apply end-to-end, with the greedy
+    left-to-right merge replayed round-for-round by the oracle."""
+    from ..operators.bpe import (
+        bpe_apply,
+        bpe_train_merges,
+        word_frequencies,
+    )
+
+    words = word_frequencies(load_parallel(spark, sf_dir, "documents"))
+    merges = bpe_train_merges(words, n_merges=_BPE_ROUNDS)
+    enc = bpe_apply(words, merges, _BPE_ROUNDS)
+    return enc.select(
+        "word",
+        "freq",
+        F.array_join("tokens", " ").alias("tokens"),
+        "n_tokens",
+    )
+
+
+def _bpe_encode_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
+    # reuse the training CTE chain (words, s0..sN, b1..bN), then run
+    # the encode chain e0..eN applying each round's winning pair to the
+    # word-carrying table; LEFT JOIN ON TRUE mirrors bpe_apply's
+    # empty-round passthrough
+    train = _bpe_oracle_sql(rounds)
+    # _bpe_oracle_sql ends with the UNION ALL of b{r} selects; keep
+    # only the WITH chain
+    head = train[: train.index("\nSELECT 1 AS merge_round, a, b, cnt")]
+    parts = [head]
+    parts.append(""",
+e0 AS (
+  SELECT word, freq, regexp_replace(word, '(.)', ' \\1 ', 'g') AS seq
+  FROM words
+)""")
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+e{r} AS (
+  SELECT word, freq,
+         CASE WHEN b.a IS NOT NULL
+              THEN replace(seq, ' ' || b.a || '  ' || b.b || ' ',
+                           ' ' || b.a || b.b || ' ')
+              ELSE seq END AS seq
+  FROM e{r - 1} LEFT JOIN b{r} b ON TRUE
+)""")
+    parts.append(f"""
+SELECT word, CAST(freq AS BIGINT) AS freq,
+       array_to_string(string_split(trim(seq), '  '), ' ') AS tokens,
+       CAST(len(string_split(trim(seq), '  ')) AS INT) AS n_tokens
+FROM e{rounds}""")
+    return "".join(parts)
+
+
+SQL_BPE_ENCODE = _bpe_encode_oracle_sql()
+
+
 # --------------------------------------------------------------------------
 # Count-min frequency sketch over document words, probed next to exact
 # counts — the frequency member of the sketch quartet (Bloom:
@@ -1121,6 +1178,7 @@ SQL_K_CORE = _k_core_oracle_sql()
 QUERIES_EXTRA: dict = {
     "bloom_probe": q_bloom_probe,
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "cms_counts": q_cms_counts,
     "k_core": q_k_core,
     "graph_triangles": q_graph_triangles,
@@ -1141,6 +1199,7 @@ QUERIES_EXTRA: dict = {
 ORACLES_EXTRA: dict[str, str] = {
     "bloom_probe": SQL_BLOOM_PROBE,
     "bpe_merges": SQL_BPE_MERGES,
+    "bpe_encode": SQL_BPE_ENCODE,
     "cms_counts": SQL_CMS_COUNTS,
     "k_core": SQL_K_CORE,
     "graph_triangles": SQL_GRAPH_TRIANGLES,

@@ -432,3 +432,37 @@ def test_count_min_sketch_merges_across_shards(spark):
     a = {(r["row"], r["pos"]): r["cnt"] for r in whole.collect()}
     b = {(r["row"], r["pos"]): r["cnt"] for r in merged.collect()}
     assert a == b
+
+
+def test_bpe_apply_known_merges(spark):
+    """Encode with trained merges reproduces classic greedy BPE, and a
+    round with no learned merge passes rows through (no crossJoin
+    wipe-out)."""
+    from google_analytics_to_s3_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train_merges,
+    )
+
+    words = spark.createDataFrame(
+        [("haha", 2), ("hahah", 1)], ["word", "freq"]
+    )
+    merges = bpe_train_merges(words, n_merges=2)
+    got = {
+        (r["merge_round"], r["a"], r["b"]): r["cnt"]
+        for r in merges.collect()
+    }
+    assert got == {(1, "h", "a"): 6, (2, "ha", "ha"): 3}
+
+    enc = {
+        r["word"]: (r["tokens"], r["n_tokens"])
+        for r in bpe_apply(words, merges, 2).collect()
+    }
+    assert enc["haha"] == (["haha"], 1)
+    assert enc["hahah"] == (["haha", "h"], 2)
+
+    # ask for 3 rounds with only 2 learned: round 3 is a no-op
+    enc3 = {
+        r["word"]: r["tokens"]
+        for r in bpe_apply(words, merges, 3).collect()
+    }
+    assert enc3 == {"haha": ["haha"], "hahah": ["haha", "h"]}
