@@ -21,6 +21,62 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    granularity: int,
+    key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Interval (range-containment) join: every event row paired with
+    every interval row whose half-open window ``[start, end)`` contains
+    the event's timestamp — the other range operator Spark lacks
+    natively (as-of is "latest before"; this is "all containing").
+
+    Scale design: a raw ``ON ts BETWEEN start AND end`` theta-join is a
+    BroadcastNestedLoopJoin — O(|events| × |intervals|) compares and a
+    non-shuffleable plan. Instead both sides are mapped onto a time
+    GRID of ``granularity`` units: each interval explodes into the
+    buckets it covers (fan-out = ceil(length / granularity), bounded by
+    choosing granularity near the typical interval length), each event
+    lands in exactly one bucket, and the join becomes an EQUI-join on
+    (bucket, *key_cols) + an exact residual range predicate. Every
+    (event, interval) pair meets in exactly one bucket — the event's —
+    so no post-join dedup is needed. Catalyst gets a hashable key:
+    shuffle or broadcast hash join, AQE-skew-splittable, never a BNLJ.
+
+    ``granularity`` trades interval fan-out against bucket selectivity;
+    at 100 TB pick it so the exploded interval side stays ≪ the event
+    side (e.g. daily buckets for day-scale promo windows).
+    """
+    ev = events.withColumn(
+        "_bkt", F.expr(f"{ts_col} div {granularity}")
+    )
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_col} div {granularity}"),
+                F.expr(f"({end_col} - 1) div {granularity}"),
+            )
+        ),
+    )
+    for k in key_cols:
+        iv = iv.withColumnRenamed(k, f"_iv_{k}")
+    cond = (
+        (ev["_bkt"] == iv["_bkt"])
+        & (F.col(ts_col) >= F.col(start_col))
+        & (F.col(ts_col) < F.col(end_col))
+    )
+    for k in key_cols:
+        cond = cond & (ev[k] == iv[f"_iv_{k}"])
+    return ev.join(iv, cond).drop(
+        "_bkt", *[f"_iv_{k}" for k in key_cols]
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

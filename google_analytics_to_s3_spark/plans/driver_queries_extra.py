@@ -851,6 +851,78 @@ WHERE levenshtein(name_a, name_b) <= 1
 
 
 # --------------------------------------------------------------------------
+# Interval (range-containment) join: events × overlapping promo windows
+# via the grid-bucketed equi-join (operators/asof.interval_join) — the
+# raw BETWEEN theta-join would be a BroadcastNestedLoopJoin.
+# --------------------------------------------------------------------------
+
+_IV_BASE_MS = 1_704_067_200_000   # 2024-01-01 00:00:00
+_IV_SPACING_MS = 129_600_000      # 36 h
+_IV_LENGTH_MS = 172_800_000       # 48 h (adjacent promos overlap 12 h)
+_IV_N_PROMOS = 20
+_IV_GRAN_MS = 43_200_000          # 12 h grid
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/asof.interval_join: attach every containing promo
+    window to each event (windows overlap, so events can match twice),
+    rolled up per promo. The equi-join key is the 12 h time grid — the
+    plan is a hash join, never a nested-loop range scan."""
+    from ..operators.asof import interval_join
+
+    iv = spark.range(_IV_N_PROMOS).select(
+        F.col("id").alias("promo_id"),
+        (F.lit(_IV_BASE_MS) + F.col("id") * _IV_SPACING_MS).alias(
+            "start_ms"
+        ),
+        (
+            F.lit(_IV_BASE_MS)
+            + F.col("id") * _IV_SPACING_MS
+            + _IV_LENGTH_MS
+        ).alias("end_ms"),
+    )
+    ev = load_events(spark, sf_dir).select(
+        "ts_ms", "user_id", "event_type", "value"
+    )
+    j = interval_join(
+        ev, iv, "ts_ms", "start_ms", "end_ms", granularity=_IV_GRAN_MS
+    )
+    return j.groupBy("promo_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(38,6)"),
+            )
+        )
+        .cast("double")
+        .alias("purchase_revenue"),
+    )
+
+
+SQL_INTERVAL_JOIN = f"""
+WITH iv AS (
+  SELECT CAST(i AS BIGINT) AS promo_id,
+         {_IV_BASE_MS} + i * {_IV_SPACING_MS} AS start_ms,
+         {_IV_BASE_MS} + i * {_IV_SPACING_MS} + {_IV_LENGTH_MS} AS end_ms
+  FROM range(0, {_IV_N_PROMOS}) t(i)
+),
+ev AS (
+  SELECT epoch_ms(ts) AS ts_ms, user_id, event_type, value FROM events
+)
+SELECT promo_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
+         AS purchase_revenue
+FROM ev JOIN iv ON ev.ts_ms >= iv.start_ms AND ev.ts_ms < iv.end_ms
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Distributed BPE merge training over the documents corpus. The corpus
 # pays one word-count aggregation; each merge round is an explode +
 # hash agg + 1-row broadcast over the vocab-sized word table. The
@@ -1185,6 +1257,7 @@ QUERIES_EXTRA: dict = {
     "merge_upsert": q_merge_upsert,
     "quantile_sketch": q_quantile_sketch,
     "fuzzy_match": q_fuzzy_match,
+    "interval_join": q_interval_join,
     "knn_components": q_knn_components,
     "knn_components_star": q_knn_components_star,
     "gap_fill_ffill": q_gap_fill_ffill,
@@ -1206,6 +1279,7 @@ ORACLES_EXTRA: dict[str, str] = {
     "merge_upsert": SQL_MERGE_UPSERT,
     "quantile_sketch": SQL_QUANTILE_SKETCH,
     "fuzzy_match": SQL_FUZZY_MATCH,
+    "interval_join": SQL_INTERVAL_JOIN,
     "knn_components": SQL_KNN_COMPONENTS,
     "knn_components_star": SQL_KNN_COMPONENTS,
     "gap_fill_ffill": SQL_GAP_FILL_FFILL,

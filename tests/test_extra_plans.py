@@ -466,3 +466,32 @@ def test_bpe_apply_known_merges(spark):
         for r in bpe_apply(words, merges, 3).collect()
     }
     assert enc3 == {"haha": ["haha"], "hahah": ["haha", "h"]}
+
+
+def test_interval_join_semantics_and_plan(spark, sf_smoke):
+    """interval_join: containment semantics (half-open, overlap
+    fan-out, boundary exactness) and a hash-join plan — the grid
+    bucketing must keep Catalyst off the nested-loop path."""
+    from google_analytics_to_s3_spark.operators.asof import interval_join
+    from google_analytics_to_s3_spark.plans.driver_queries_extra import (
+        q_interval_join,
+    )
+
+    ev = spark.createDataFrame(
+        [(0, 50), (1, 100), (2, 150), (3, 199), (4, 200), (5, 250)],
+        ["eid", "ts"],
+    )
+    iv = spark.createDataFrame(
+        [(0, 100, 200), (1, 150, 300)], ["ivid", "lo", "hi"]
+    )
+    out = interval_join(ev, iv, "ts", "lo", "hi", granularity=40)
+    got = sorted((r["eid"], r["ivid"]) for r in out.collect())
+    # 50 matches nothing; 100 only iv0 (start inclusive); 150 both
+    # (overlap fan-out); 199 both; 200 only iv1 (end exclusive)
+    assert got == [
+        (1, 0), (2, 0), (2, 1), (3, 0), (3, 1), (4, 1), (5, 1),
+    ]
+
+    plan = _plan(q_interval_join(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
