@@ -318,6 +318,92 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+DSIR_SCALE = 1 << 20
+DSIR_BUCKETS = 4096
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    scale: int = DSIR_SCALE,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS'23
+    DSIR): score every raw document by how much its hashed-unigram
+    distribution looks like the ``target`` corpus — the standard
+    pretraining-data reweighting/selection step.
+
+    Per bucket ``b`` (md5-hashed words into ``n_buckets``), the model
+    weight is the smoothed log-likelihood ratio
+    ``ln((target_count+1)/(raw_count+1))`` on a ``floor(·scale)``
+    integer grid; a document's score is the feature-count-weighted mean
+    of its buckets' weights. Positive → target-like, negative →
+    background-like.
+
+    Determinism: the only transcendental (ln) is evaluated ONCE per
+    model bucket and immediately floored to the integer grid; document
+    accumulation is pure BIGINT sums, so partial-aggregation order
+    cannot perturb scores and any SQL engine reproduces them.
+
+    Scale: two corpus-sized word aggregations (raw + target); the
+    model is ≤ ``n_buckets`` rows, broadcast; nothing else shuffles
+    but (doc, bucket, count) rows. Raise ``n_buckets`` with vocabulary
+    size the way DSIR does (the paper uses 10k for unigrams).
+    """
+
+    def feats(df: DataFrame) -> DataFrame:
+        word = F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+")
+        ).alias("word")
+        w = df.select(F.col(id_col), word).filter(F.length("word") > 0)
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("g-"), F.col("word"))), 1, 14),
+                16,
+                10,
+            ).cast("long")
+            % n_buckets
+        )
+        return w.select(F.col(id_col), bucket.alias("b"))
+
+    raw_f = feats(raw)
+    n_r = raw_f.groupBy("b").agg(F.count("*").alias("cr"))
+    n_t = feats(target).groupBy("b").agg(F.count("*").alias("ct"))
+    model = (
+        n_r.join(n_t, "b", "left")
+        .select(
+            "b",
+            F.floor(
+                F.lit(float(scale))
+                * F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("cr") + 1).cast("double")
+                )
+            ).alias("q"),
+        )
+    )
+    doc_counts = raw_f.groupBy(id_col, "b").agg(F.count("*").alias("c"))
+    return (
+        doc_counts.join(F.broadcast(model), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("q")).alias("_qsum"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_feats"),
+            F.round(
+                F.col("_qsum").cast("double")
+                / (F.col("n_feats").cast("double") * F.lit(float(scale))),
+                6,
+            ).alias("dsir_score"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-data assembly: sequence packing + mixture sampling
 # --------------------------------------------------------------------------

@@ -174,6 +174,58 @@ GROUP BY doc_id
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/curation.dsir_weights (Xie et al. NeurIPS'23):
+    importance weights for every document against the English subset
+    as the target distribution — hashed-unigram log-likelihood ratios
+    on an integer grid, BIGINT-accumulated (order-independent)."""
+    from ..operators.curation import dsir_weights
+
+    d = load_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    return dsir_weights(d, d.filter(F.col("lang") == "en"))
+
+
+SQL_DSIR_WEIGHTS = """
+WITH rawf AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('g-' || word), 1, 14))::BIGINT % 4096 AS b
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents
+  ) WHERE length(word) > 0
+),
+tgtf AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('g-' || word), 1, 14))::BIGINT % 4096 AS b
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents WHERE lang = 'en'
+  ) WHERE length(word) > 0
+),
+nr AS (SELECT b, count(*) AS cr FROM rawf GROUP BY 1),
+nt AS (SELECT b, count(*) AS ct FROM tgtf GROUP BY 1),
+model AS (
+  SELECT nr.b,
+         CAST(floor(1048576.0 * ln(
+             CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+             / CAST(cr + 1 AS DOUBLE))) AS BIGINT) AS q
+  FROM nr LEFT JOIN nt ON nr.b = nt.b
+),
+dc AS (SELECT doc_id, b, count(*) AS c FROM rawf GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_feats,
+       round(CAST(sum(c * q) AS BIGINT)::DOUBLE
+             / (CAST(sum(c) AS BIGINT)::DOUBLE * 1048576.0), 6)
+         AS dsir_score
+FROM dc JOIN model USING (b)
+GROUP BY 1
+"""
+
+
 _PACK_BUDGET = 512
 
 # temperature-rebalanced per-language keep rates (mixture assembly)
@@ -1328,6 +1380,7 @@ QUERIES_CURATION = {
     "quality_filter": q_quality_filter,
     "contamination_screen": q_contamination_screen,
     "lm_typicality": q_lm_typicality,
+    "dsir_weights": q_dsir_weights,
     "pack_sequences": q_pack_sequences,
     "mixture_sample": q_mixture_sample,
     "vocab_oov": q_vocab_oov,
@@ -1354,6 +1407,7 @@ ORACLES_CURATION = {
     "quality_filter": SQL_QUALITY_FILTER,
     "contamination_screen": SQL_CONTAMINATION_SCREEN,
     "lm_typicality": SQL_LM_TYPICALITY,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "vocab_oov": SQL_VOCAB_OOV,

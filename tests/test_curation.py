@@ -297,3 +297,25 @@ def test_hll_users_raw_path_parity_and_accuracy(spark, tmp_path):
     assert ora[0][1] == r["occupied"]
     assert ora[0][2] == r["hll_estimate"]
     assert ora[0][3] == r["exact_users"]
+
+
+def test_dsir_weights_separate_target_from_background(spark):
+    """DSIR: documents drawn from the target word distribution must
+    outscore background documents, and scores are finite/deterministic."""
+    from google_analytics_to_s3_spark.operators.curation import dsir_weights
+
+    en = "the quick brown fox jumps over the lazy dog and runs home"
+    de = "der schnelle braune fuchs springt ueber den faulen hund heim"
+    rows = [
+        (0, "en", en), (1, "en", en + " again and again"),
+        (2, "de", de), (3, "de", de + " nochmal und nochmal"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_weights(
+            d, d.filter("lang = 'en'")
+        ).collect()
+    }
+    assert len(out) == 4
+    assert min(out[0], out[1]) > max(out[2], out[3]), out
