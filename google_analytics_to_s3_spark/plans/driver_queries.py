@@ -1444,6 +1444,73 @@ WHERE {_COS.format(a='l.embedding', b='r.embedding')} >= 0.99
 # Generic window-function + rollup surface
 # --------------------------------------------------------------------------
 
+def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality evaluation: recall@k of the IVF index (nprobe
+    1) against the exact brute-force yardstick on the same query set —
+    the eval harness an ANN deployment runs before trusting the index.
+    Per-query hit counts are exact integers; both sides' rankings use
+    the identical score arithmetic, so the oracle replays everything."""
+    from ..operators.similarity import knn_brute_force, knn_ivf
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < IVF_N_CENTROIDS)
+    qs = emb.filter(F.col("vec_id") % IVF_QUERY_MOD == 0)
+    approx = knn_ivf(emb, qs, cents, k=IVF_K, nprobe=1).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    exact = knn_brute_force(emb, qs, k=IVF_K).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.lit(float(IVF_K)), 6
+            ).alias("recall"),
+        )
+    )
+
+
+SQL_KNN_RECALL = f"""
+WITH approx AS (
+  SELECT query_id, neighbor_id FROM ({{ivf_sql}})
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % {IVF_QUERY_MOD} = 0
+),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         {_COS.format(a='qv', b='e.embedding')} AS score
+  FROM embeddings e, q
+  WHERE e.vec_id != q.query_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= {IVF_K}
+)
+SELECT e.query_id,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / {float(IVF_K)}, 6) AS recall
+FROM exact e
+LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY 1
+"""
+
+SQL_KNN_RECALL = SQL_KNN_RECALL.format(ivf_sql=SQL_KNN_IVF)
+
+
 SEMDEDUP_N_CENTROIDS = 8
 SEMDEDUP_THRESHOLD = 0.99
 
@@ -2432,6 +2499,7 @@ QUERIES: dict = {
     "knn_ivf": q_knn_ivf,
     "cosine_dup_pairs": q_cosine_dup_pairs,
     "semdedup": q_semdedup,
+    "knn_recall": q_knn_recall,
     "customer_order_ranks": q_customer_order_ranks,
     "sales_rollup": q_sales_rollup,
     "order_percentiles": q_order_percentiles,
@@ -2520,6 +2588,7 @@ ORACLES: dict[str, str] = {
     "knn_ivf": SQL_KNN_IVF,
     "cosine_dup_pairs": SQL_COSINE_DUP_PAIRS,
     "semdedup": SQL_SEMDEDUP,
+    "knn_recall": SQL_KNN_RECALL,
     "customer_order_ranks": SQL_CUSTOMER_ORDER_RANKS,
     "sales_rollup": SQL_SALES_ROLLUP,
     "order_percentiles": SQL_ORDER_PERCENTILES,
@@ -2580,6 +2649,12 @@ _DRIVER_PRIORITY = [
     "action_revenue", "graph_triangles", "merge_upsert",
     "quantile_sketch", "fuzzy_match", "bpe_merges", "cms_counts",
     "k_core",
+    # (b2) new in the round-4 continuation — six-model multi-touch
+    # attribution, SemDeDup cluster-scoped semantic dedup, BPE encode
+    # (tokenizer apply), grid-bucketed interval join, DSIR importance
+    # weights
+    "attribution_models", "semdedup", "bpe_encode", "interval_join",
+    "dsir_weights", "knn_recall",
     # (c) registered in r3 after the prefix froze, never driver-checked
     "basket_rules", "boilerplate_fraction", "dataset_card",
     "event_anomalies", "session_paths", "shot_boundaries",

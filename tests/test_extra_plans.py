@@ -495,3 +495,31 @@ def test_interval_join_semantics_and_plan(spark, sf_smoke):
     plan = _plan(q_interval_join(spark, sf_smoke))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_attribution_models_single_visitor_exchange(spark, sf_smoke):
+    """attribution_models: the touch side pays ONE visitor-hash
+    exchange feeding join + all windows; credit math is pure
+    projection. No global sort, no nested-loop join."""
+    from google_analytics_to_s3_spark.plans.driver_queries_enrich import (
+        q_attribution_models,
+    )
+
+    plan = _plan(q_attribution_models(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # windows must not induce a global range partitioning
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_semdedup_no_nested_loop(spark, sf_smoke):
+    """semdedup: centroid assignment is map-side literals (no join);
+    the only join is the cluster-key equi self-join + the left anti
+    flag join — never a cartesian/BNLJ pairwise scan."""
+    from google_analytics_to_s3_spark.plans.driver_queries import (
+        q_semdedup,
+    )
+
+    plan = _plan(q_semdedup(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -120,3 +120,44 @@ def test_streaming_anomaly_flags_match_batch(spark, tmp_path):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_count_min_sketch_streams_unchanged(spark, tmp_path):
+    """count_min_build is a pure explode + hash aggregation, so the
+    SAME function is the streaming sketch: counters accumulate across
+    micro-batches (forced via maxFilesPerTrigger=1) and the final
+    complete-mode table equals the batch sketch — the mergeability
+    contract, exercised through the streaming engine."""
+    from google_analytics_to_s3_spark.operators.stats import (
+        count_min_build,
+    )
+
+    rows = [(i, f"w{i % 7}") for i in range(300)]
+    batch_src = spark.createDataFrame(rows, ["i", "word"])
+    # two files -> at least two micro-batches
+    batch_src.filter("i % 2 = 0").write.mode("overwrite").parquet(
+        str(tmp_path / "in" / "a.parquet")
+    )
+    batch_src.filter("i % 2 = 1").write.mode("append").parquet(
+        str(tmp_path / "in" / "b.parquet")
+    )
+    stream_src = (
+        spark.readStream.schema(batch_src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    q = (
+        count_min_build(stream_src, "word", width=32)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("cms_stream")
+    want = count_min_build(batch_src, "word", width=32)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
