@@ -428,3 +428,156 @@ def dedup_exact(
         "_rk", F.row_number().over(Window.partitionBy("_h").orderBy(id_col))
     )
     return ranked.filter(F.col("_rk") == 1).drop("_h", "_rk")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring detection (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL'22), distributed.
+
+    The paper's suffix array is replaced by a hashed k-gram inverted
+    index — the formulation that shards: every length-``k`` token
+    window is digested (56-bit md5, engine-portable); a digest seen in
+    ``>= min_docs`` distinct documents marks duplicated text; flagged
+    windows whose token ranges overlap or touch merge into MAXIMAL
+    duplicated spans per document (gaps-and-islands over start
+    positions: a new island starts when the gap to the previous
+    flagged start exceeds ``k``). Exact for duplicate runs of >= k
+    tokens, modulo 56-bit collisions.
+
+    Returns one row per input document: ``n_tokens``, ``n_dup_spans``,
+    ``dup_tokens`` (union size of duplicated token ranges),
+    ``dup_frac``.
+
+    Scale notes: the only data-sized exchange is (digest, doc, pos) —
+    one hash agg for document frequency, one equi-join back (flagged
+    digests ∝ duplicated mass, not corpus). The span-merge window runs
+    over flagged positions only. Document text never shuffles. The
+    (doc, pos, digest) projection is persisted because it feeds both
+    the frequency agg and the join-back — caller owns cache cleanup
+    (module convention above).
+    """
+    toks = tokens(text_col)
+    d = df.select(F.col(id_col), toks.alias("t"))
+    kg = d.filter(F.size("t") >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - k),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, k))),
+            )
+        ).alias("pos", "g"),
+    )
+    dig = kg.select(
+        id_col,
+        "pos",
+        F.conv(F.substring("g", 1, 14), 16, 10).cast("long").alias("h"),
+    ).persist()
+    dup = (
+        dig.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    flagged = dig.join(dup, "h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = flagged.withColumn(
+        "_new",
+        F.coalesce(
+            (F.col("pos") - F.lag("pos").over(w) > k).cast("int"), F.lit(0)
+        ),
+    ).withColumn("_isl", F.sum("_new").over(w))
+    spans = isl.groupBy(id_col, "_isl").agg(
+        F.min("pos").alias("s"), F.max("pos").alias("e")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").alias("_n_spans"),
+        F.sum(F.col("e") - F.col("s") + k).alias("_dup_tokens"),
+    )
+    base = df.select(F.col(id_col), F.size(toks).cast("long").alias("n_tokens"))
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("_n_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("_dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce("_dup_tokens", F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_iters: int = 25,
+) -> DataFrame:
+    """End-to-end MinHash fuzzy dedup — the composition production
+    corpus builds run (candidates are estimates; clusters need exact
+    verification; pairs aren't groups until a transitive closure):
+
+      LSH band candidates (:func:`minhash_lsh_pairs`)
+      → exact shingle-Jaccard verification ``>= threshold``
+      → connected components (min-label propagation,
+        :func:`..graph.connected_components`)
+      → canonical keep-lowest-id per cluster.
+
+    Returns one row per input document: ``component`` (lowest doc id
+    reachable through verified near-duplicate pairs; own id for unique
+    docs) and ``is_canonical`` (the row a dedup keep-pass retains).
+
+    Scale notes: inherits the LSH exchange bound (band digests only),
+    the verification join carries shingle arrays for CANDIDATE pairs
+    only (∝ near-dup mass), and components iterate over the verified
+    edge set (≪ corpus). The final left join is corpus-sized on the id
+    column alone.
+    """
+    from .graph import connected_components
+
+    cand = minhash_lsh_pairs(df, id_col, text_col, k=k, bands=bands).select(
+        "id_a", "id_b"
+    )
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(tokens(text_col), shingle_n)).alias("sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(inter.cast("double") / union.cast("double") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(
+        verified,
+        src="id_a",
+        dst="id_b",
+        id_out=id_col,
+        comp_out="_comp",
+        max_iters=max_iters,
+    )
+    return (
+        df.select(id_col)
+        .join(comps, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_comp", F.col(id_col)).cast("long").alias("component"),
+            (F.coalesce("_comp", F.col(id_col)) == F.col(id_col)).alias(
+                "is_canonical"
+            ),
+        )
+    )

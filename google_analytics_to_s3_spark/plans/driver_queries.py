@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 
 from ..functions.ga import map_enum
 from ..operators.dedup import (
+    duplicate_spans,
+    fuzzy_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     ngram_jaccard_thresholded,
@@ -1114,6 +1116,137 @@ SELECT id_a, id_b,
 FROM cand
 JOIN sig sa ON sa.doc_id = cand.id_a
 JOIN sig sb ON sb.doc_id = cand.id_b
+"""
+
+_DUP_SPAN_K = 15
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (operators/dedup.duplicate_spans,
+    Lee et al. ACL'22 re-expressed as a hashed-k-gram inverted index):
+    per-doc maximal >= 15-token spans shared with another document."""
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicate_spans(d, k=_DUP_SPAN_K)
+
+
+SQL_DUP_SPANS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+kg AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(
+              list_slice(t, i, i + {_DUP_SPAN_K} - 1), ' ')), 1, 14))::BIGINT
+           AS h
+  FROM toks, unnest(range(1, len(t) - {_DUP_SPAN_K} + 2)) AS u(i)
+  WHERE len(t) >= {_DUP_SPAN_K}
+),
+dup AS (
+  SELECT h FROM kg GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+flag AS (SELECT doc_id, pos FROM kg WHERE h IN (SELECT h FROM dup)),
+gaps AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {_DUP_SPAN_K} THEN 1 ELSE 0 END AS new_isl
+  FROM flag
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS g
+  FROM gaps
+),
+spans AS (
+  SELECT doc_id, g, min(pos) AS s, max(pos) AS e
+  FROM isl GROUP BY doc_id, g
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_dup_spans,
+         CAST(sum(e - s + {_DUP_SPAN_K}) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(p.dup_tokens, 0) AS dup_tokens,
+       round(coalesce(p.dup_tokens, 0)::DOUBLE / len(t.t)::DOUBLE, 6)
+         AS dup_frac
+FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+"""
+
+_FUZZY_DEDUP_T = 0.6
+
+
+def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash fuzzy dedup (operators/dedup.fuzzy_dedup):
+    LSH candidates -> exact-jaccard verify >= 0.6 -> connected
+    components -> canonical keep-lowest-id. The oracle recomputes the
+    identical signature/band pipeline and closes the verified pairs
+    with a recursive CTE — the Spark fixpoint must equal the true
+    transitive closure."""
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    return fuzzy_dedup(
+        d, threshold=_FUZZY_DEDUP_T, k=MINHASH_K, bands=MINHASH_BANDS
+    )
+
+
+SQL_FUZZY_DEDUP = f"""
+WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
+hs AS (
+  SELECT doc_id,
+         list_transform(s, x -> ('0x' || substr(md5(x || '#a'), 1, 14))::BIGINT)
+           AS h1,
+         list_transform(s, x -> ('0x' || substr(md5(x || '#b'), 1, 14))::BIGINT)
+           AS h2
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, {MINHASH_K}), i ->
+           list_min(list_transform(range(1, len(h1) + 1),
+                                   j -> h1[j] + i * h2[j]))
+         ) AS sig
+  FROM hs
+),
+bands AS (
+  SELECT doc_id, b.b AS band,
+         md5(array_to_string(
+             list_transform(list_slice(sig, b.b * 2 + 1, b.b * 2 + 2),
+                            x -> CAST(x AS VARCHAR)), '|'))
+           AS band_key
+  FROM sig, (SELECT unnest(range(0, {MINHASH_BANDS})) AS b) b
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l
+  JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+              AND l.doc_id < r.doc_id
+),
+shd AS (SELECT doc_id, list_distinct(s) AS sd FROM sh),
+ver AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN shd a ON a.doc_id = cand.id_a
+  JOIN shd b ON b.doc_id = cand.id_b
+  WHERE len(list_intersect(a.sd, b.sd))::DOUBLE
+        / (len(a.sd) + len(b.sd) - len(list_intersect(a.sd, b.sd)))::DOUBLE
+        >= {_FUZZY_DEDUP_T}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM ver
+  UNION SELECT id_b, id_a FROM ver
+),
+reach(id, root) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id AS doc_id, min(root) AS component FROM reach GROUP BY id)
+SELECT d.doc_id,
+       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+       coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 """
 
 _POW2 = "[1,2,4,8,16,32,64,128,256,512,1024,2048,4096,8192,16384,32768]"
@@ -2517,6 +2650,8 @@ QUERIES: dict = {
     "knn_ivfpq": q_knn_ivfpq,
     "time_to_conversion": q_time_to_conversion,
     "chunk_documents": q_chunk_documents,
+    "dup_spans": q_dup_spans,
+    "fuzzy_dedup": q_fuzzy_dedup,
 }
 
 from .driver_queries_enrich import (  # noqa: E402
@@ -2574,6 +2709,8 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_stats": SQL_TEXT_STATS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "dup_spans": SQL_DUP_SPANS,
+    "fuzzy_dedup": SQL_FUZZY_DEDUP,
     "simhash": SQL_SIMHASH,
     "token_counts": SQL_TOKEN_COUNTS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
@@ -2655,6 +2792,11 @@ _DRIVER_PRIORITY = [
     # weights
     "attribution_models", "semdedup", "bpe_encode", "interval_join",
     "dsir_weights", "knn_recall",
+    # (b3) round-4 continuation, second batch — exact duplicated-span
+    # detection (Lee et al. substring dedup as a hashed-k-gram
+    # inverted index) and the end-to-end MinHash fuzzy-dedup
+    # composition (LSH -> verify -> components -> canonical)
+    "dup_spans", "fuzzy_dedup",
     # (c) registered in r3 after the prefix froze, never driver-checked
     "basket_rules", "boilerplate_fraction", "dataset_card",
     "event_anomalies", "session_paths", "shot_boundaries",

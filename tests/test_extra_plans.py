@@ -523,3 +523,61 @@ def test_semdedup_no_nested_loop(spark, sf_smoke):
     plan = _plan(q_semdedup(spark, sf_smoke))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dup_spans_plan_and_full_doc_span(spark, sf_smoke):
+    """dup_spans: no cartesian/BNLJ; the digest-frequency agg and the
+    flag join-back are equi-shapes; and a doc fully duplicated in
+    another doc reports dup_frac 1.0 (the span merge reaches both
+    ends)."""
+    from google_analytics_to_s3_spark.operators.dedup import (
+        duplicate_spans,
+    )
+    from google_analytics_to_s3_spark.plans.driver_queries import (
+        q_dup_spans,
+    )
+
+    plan = _plan(q_dup_spans(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    words = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(0, words), (1, words + " tail only here"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in duplicate_spans(df, k=15).collect()
+    }
+    assert out[0]["dup_frac"] == 1.0
+    assert out[0]["n_dup_spans"] == 1
+    assert out[1]["dup_tokens"] == 20  # shared prefix, maximal merge
+    assert out[2]["n_dup_spans"] == 0 and out[2]["dup_frac"] == 0.0
+
+
+def test_fuzzy_dedup_transitive_closure(spark, sf_smoke):
+    """fuzzy_dedup: A~B and B~C (but A!~C directly) must land in ONE
+    component via the closure, canonical = lowest id; plan stays free
+    of cartesian/BNLJ."""
+    from google_analytics_to_s3_spark.operators.dedup import fuzzy_dedup
+    from google_analytics_to_s3_spark.plans.driver_queries import (
+        q_fuzzy_dedup,
+    )
+
+    plan = _plan(q_fuzzy_dedup(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    chain = [
+        (10, base + " one two"),
+        (20, base + " one three"),   # near 10
+        (30, base + " four three"),  # near 20, farther from 10
+        (40, "totally different words nothing shared at all here now"),
+    ]
+    df = spark.createDataFrame(chain, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fuzzy_dedup(df, threshold=0.5).collect()}
+    assert out[10]["component"] == 10 and out[10]["is_canonical"]
+    assert out[20]["component"] == 10 and not out[20]["is_canonical"]
+    assert out[30]["component"] == 10 and not out[30]["is_canonical"]
+    assert out[40]["component"] == 40 and out[40]["is_canonical"]
