@@ -924,3 +924,73 @@ def pq_train_codebook(
     return np.floor(
         np.asarray(rows, dtype=np.float64) * PQ_SCALE
     ).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (dimension reduction)
+# --------------------------------------------------------------------------
+
+JL_SCALE = 1 << 20  # component quantization grid (exact in double)
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """Deterministic ±1 from md5("i#j") first-nibble parity — the
+    Achlioptas sign-matrix entry, engine-portable (the DuckDB oracle
+    computes the identical value from the identical digest)."""
+    import hashlib
+
+    h = hashlib.md5(f"{i}#{j}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 1 else -1
+
+
+def random_projection(
+    df: DataFrame,
+    d_out: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d_in: int = EMBED_DIM,
+) -> DataFrame:
+    """JL random projection to ``d_out`` dims (Achlioptas ±1 matrix,
+    "Database-friendly random projections", PODS'01) — the standard
+    shrink step before ANN indexing / pairwise similarity at scale.
+
+    Entirely map-side: the sign matrix is resolved to plan-time
+    literals (it depends only on (i, j), not on data), each output
+    component is a ``zip_with``+``aggregate`` fold over the input
+    array, and nothing shuffles. Values are exact: inputs quantize to
+    a 2^20 integer grid (float→double is exact, ×2^20 of a float is
+    exact in double), the signed sums are BIGINT, and the final
+    ÷(2^20·√d_out) happens once per component with √d_out restricted
+    to exact integers (d_out must be a perfect square) — so the DuckDB
+    oracle reproduces every bit.
+
+    Scale notes: output is d_out doubles per row regardless of d_in;
+    cost is O(d_in · d_out) integer multiply-adds per row inside one
+    projection — no join against a model table, no shuffle, no UDF.
+    """
+    root = int(d_out ** 0.5)
+    if root * root != d_out:
+        raise ValueError(
+            f"d_out must be a perfect square for exact ÷sqrt scaling, "
+            f"got {d_out}"
+        )
+    q = F.transform(
+        F.col(vec_col),
+        lambda v: F.round(v.cast("double") * F.lit(JL_SCALE)).cast("long"),
+    )
+    comps = []
+    for j in range(d_out):
+        signs = F.array(
+            *[F.lit(_jl_sign(i, j)).cast("long") for i in range(d_in)]
+        )
+        acc = F.aggregate(
+            F.zip_with(q, signs, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        comps.append(
+            F.round(
+                acc.cast("double") / F.lit(float(JL_SCALE * root)), 6
+            ).alias(f"p{j}")
+        )
+    return df.select(F.col(id_col), F.array(*comps).alias("projected"))

@@ -2794,9 +2794,10 @@ _DRIVER_PRIORITY = [
     "dsir_weights", "knn_recall",
     # (b3) round-4 continuation, second batch — exact duplicated-span
     # detection (Lee et al. substring dedup as a hashed-k-gram
-    # inverted index) and the end-to-end MinHash fuzzy-dedup
-    # composition (LSH -> verify -> components -> canonical)
-    "dup_spans", "fuzzy_dedup",
+    # inverted index), the end-to-end MinHash fuzzy-dedup
+    # composition (LSH -> verify -> components -> canonical), and the
+    # JL random projection (64->16, bit-exact integer-grid oracle)
+    "dup_spans", "fuzzy_dedup", "embedding_project",
     # (c) registered in r3 after the prefix froze, never driver-checked
     "basket_rules", "boilerplate_fraction", "dataset_card",
     "event_anomalies", "session_paths", "shot_boundaries",

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (
     PLANTED_UNION_SQL,
     planted_copies,
+    random_projection,
     rhp_dup_pairs,
     rhp_planes,
 )
@@ -1247,7 +1248,50 @@ SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM (
 SQL_K_CORE = _k_core_oracle_sql()
 
 
+def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64→16 dims
+    (operators/similarity.random_projection, Achlioptas PODS'01 ±1
+    matrix) in long (vec_id, dim, val) form — map-side only, the
+    shrink step that precedes ANN indexing at corpus scale. Values are
+    bit-exact across engines: 2^20 integer-grid quantization, BIGINT
+    signed sums, one final ÷(2^20·√16)."""
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    p = random_projection(emb, d_out=16)
+    return p.select(
+        "vec_id", F.posexplode("projected").alias("dim", "val")
+    ).select(
+        "vec_id", F.col("dim").cast("long").alias("dim"), "val"
+    )
+
+
+SQL_EMBEDDING_PROJECT = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        v -> CAST(round(v::DOUBLE * 1048576) AS BIGINT)) AS q
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS i, q[u.i] AS v
+  FROM q, unnest(range(1, 65)) AS u(i)
+),
+sgn AS (
+  SELECT a.i, b.j,
+         CASE WHEN ('0x' || substr(md5(a.i::VARCHAR || '#' || b.j::VARCHAR),
+                                   1, 1))::BIGINT % 2 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(range(0, 64)) AS i) a,
+       (SELECT unnest(range(0, 16)) AS j) b
+)
+SELECT e.vec_id, sgn.j AS dim,
+       round(CAST(sum(e.v * sgn.s) AS BIGINT)::DOUBLE / 4194304.0, 6) AS val
+FROM e JOIN sgn ON sgn.i = e.i
+GROUP BY 1, 2
+"""
+
+
 QUERIES_EXTRA: dict = {
+    "embedding_project": q_embedding_project,
     "bloom_probe": q_bloom_probe,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
@@ -1270,6 +1314,7 @@ QUERIES_EXTRA: dict = {
 }
 
 ORACLES_EXTRA: dict[str, str] = {
+    "embedding_project": SQL_EMBEDDING_PROJECT,
     "bloom_probe": SQL_BLOOM_PROBE,
     "bpe_merges": SQL_BPE_MERGES,
     "bpe_encode": SQL_BPE_ENCODE,

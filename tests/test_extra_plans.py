@@ -581,3 +581,53 @@ def test_fuzzy_dedup_transitive_closure(spark, sf_smoke):
     assert out[20]["component"] == 10 and not out[20]["is_canonical"]
     assert out[30]["component"] == 10 and not out[30]["is_canonical"]
     assert out[40]["component"] == 40 and out[40]["is_canonical"]
+
+
+def test_random_projection_map_side_and_distance_preserving(spark, sf_smoke):
+    """embedding_project: the projection is pure map-side (zero
+    exchanges in the whole query plan), and the JL guarantee holds on
+    real data — pairwise squared distances before/after projecting
+    64→16 correlate strongly."""
+    import numpy as np
+
+    from google_analytics_to_s3_spark.operators.similarity import (
+        random_projection,
+    )
+    from google_analytics_to_s3_spark.plans.driver_queries import QUERIES
+    from google_analytics_to_s3_spark.sources.testdata import load_parallel
+
+    # the loader's round-robin spread is allowed; the projection itself
+    # must not induce any hash exchange (no join, no agg)
+    plan = _plan(QUERIES["embedding_project"](spark, sf_smoke))
+    assert "Exchange hashpartitioning" not in plan, plan
+
+    # filter, not limit: limit over round-robin partitions picks a
+    # different row set per job, and emb is collected twice below
+    emb = load_parallel(spark, sf_smoke, "embeddings").filter(
+        "vec_id < 60"
+    )
+    orig = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in emb.collect()
+    }
+    proj = {
+        r["vec_id"]: np.array(r["projected"], dtype=float)
+        for r in random_projection(emb, d_out=16).collect()
+    }
+    # random embeddings concentrate pairwise distances, so correlation
+    # is uninformative — pin the actual JL guarantee instead: squared
+    # distances are preserved UNBIASEDLY (mean ratio ≈ 1) with bounded
+    # per-pair distortion at d_out=16
+    ids = sorted(orig)
+    ratios = []
+    for a in range(len(ids)):
+        for b in range(a + 1, min(a + 4, len(ids))):
+            u, v = ids[a], ids[b]
+            d_o = float(np.sum((orig[u] - orig[v]) ** 2))
+            d_p = float(np.sum((proj[u] - proj[v]) ** 2))
+            ratios.append(d_p / d_o)
+    ratios = np.array(ratios)
+    assert 0.8 < ratios.mean() < 1.2, f"JL biased: mean {ratios.mean()}"
+    assert ratios.min() > 0.1 and ratios.max() < 4.0, (
+        f"JL distortion out of range: [{ratios.min()}, {ratios.max()}]"
+    )
