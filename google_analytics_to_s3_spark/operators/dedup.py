@@ -430,6 +430,50 @@ def dedup_exact(
     return ranked.filter(F.col("_rk") == 1).drop("_h", "_rk")
 
 
+def _dup_span_table(
+    df: DataFrame, k: int, id_col: str, text_col: str, min_docs: int
+) -> DataFrame:
+    """(id, s, e) maximal duplicated-span table shared by
+    :func:`duplicate_spans` and :func:`remove_duplicate_spans` — s/e
+    are the first/last flagged k-gram START positions; the covered
+    token range is [s, e + k - 1]. Persists the (id, pos, digest)
+    projection (feeds the frequency agg and the join-back); caller
+    owns cache cleanup."""
+    toks = tokens(text_col)
+    d = df.select(F.col(id_col), toks.alias("t"))
+    kg = d.filter(F.size("t") >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - k),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, k))),
+            )
+        ).alias("pos", "g"),
+    )
+    dig = kg.select(
+        id_col,
+        "pos",
+        F.conv(F.substring("g", 1, 14), 16, 10).cast("long").alias("h"),
+    ).persist()
+    dup = (
+        dig.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    flagged = dig.join(dup, "h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = flagged.withColumn(
+        "_new",
+        F.coalesce(
+            (F.col("pos") - F.lag("pos").over(w) > k).cast("int"), F.lit(0)
+        ),
+    ).withColumn("_isl", F.sum("_new").over(w))
+    return isl.groupBy(id_col, "_isl").agg(
+        F.min("pos").alias("s"), F.max("pos").alias("e")
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     k: int = 15,
@@ -463,38 +507,7 @@ def duplicate_spans(
     (module convention above).
     """
     toks = tokens(text_col)
-    d = df.select(F.col(id_col), toks.alias("t"))
-    kg = d.filter(F.size("t") >= k).select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - k),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, k))),
-            )
-        ).alias("pos", "g"),
-    )
-    dig = kg.select(
-        id_col,
-        "pos",
-        F.conv(F.substring("g", 1, 14), 16, 10).cast("long").alias("h"),
-    ).persist()
-    dup = (
-        dig.groupBy("h")
-        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("h")
-    )
-    flagged = dig.join(dup, "h").select(id_col, "pos")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    isl = flagged.withColumn(
-        "_new",
-        F.coalesce(
-            (F.col("pos") - F.lag("pos").over(w) > k).cast("int"), F.lit(0)
-        ),
-    ).withColumn("_isl", F.sum("_new").over(w))
-    spans = isl.groupBy(id_col, "_isl").agg(
-        F.min("pos").alias("s"), F.max("pos").alias("e")
-    )
+    spans = _dup_span_table(df, k, id_col, text_col, min_docs)
     per_doc = spans.groupBy(id_col).agg(
         F.count("*").alias("_n_spans"),
         F.sum(F.col("e") - F.col("s") + k).alias("_dup_tokens"),
@@ -510,6 +523,60 @@ def duplicate_spans(
             / F.col("n_tokens").cast("double"),
             6,
         ).alias("dup_frac"),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """The removal half of substring dedup (Lee et al. ACL'22): strip
+    every duplicated >= k-token span from every document, keeping the
+    unique text. Conservative all-occurrence removal — the variant a
+    contamination/boilerplate scrub wants; a keep-one-occurrence
+    policy needs a global occurrence order and is a different op.
+
+    Returns one row per input document: ``cleaned`` (tokens outside
+    every duplicated span, space-joined; '' when the whole doc is
+    duplicated), ``n_tokens``, ``n_kept``.
+
+    Scale notes: on top of :func:`_dup_span_table`'s exchanges, spans
+    aggregate to one array per affected doc (spans ∝ duplicated mass)
+    and broadcast-or-hash join back onto the corpus by id; the token
+    filter is then pure map-side (``F.filter`` with an ``exists`` over
+    the span array — no explode of the corpus for reassembly).
+    """
+    spans = _dup_span_table(df, k, id_col, text_col, min_docs)
+    span_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("_spans")
+    )
+    toks = tokens(text_col)
+    joined = df.select(F.col(id_col), toks.alias("_t")).join(
+        span_arr, id_col, "left"
+    )
+    sp = F.coalesce(
+        "_spans", F.array().cast("array<struct<s:int,e:int>>")
+    )
+    idx = F.sequence(F.lit(0), F.size("_t") - 1)
+    kept = F.filter(
+        F.zip_with(
+            "_t", idx, lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+        ),
+        lambda p: ~F.exists(
+            sp,
+            lambda r: (p["i"] >= r["s"]) & (p["i"] <= r["e"] + F.lit(k - 1)),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(F.transform(kept, lambda p: p["t"]), " ").alias(
+            "cleaned"
+        ),
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
     )
 
 

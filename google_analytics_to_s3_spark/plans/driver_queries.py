@@ -25,6 +25,7 @@ from ..functions.ga import map_enum
 from ..operators.dedup import (
     duplicate_spans,
     fuzzy_dedup,
+    remove_duplicate_spans,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     ngram_jaccard_thresholded,
@@ -1173,6 +1174,69 @@ SELECT t.doc_id,
          AS dup_frac
 FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
 """
+
+def q_dup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal half of substring dedup
+    (operators/dedup.remove_duplicate_spans): strip every duplicated
+    >= 15-token span, return the cleaned text + kept-token counts."""
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicate_spans(d, k=_DUP_SPAN_K)
+
+
+SQL_DUP_SPANS_REMOVED = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+kg AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(
+              list_slice(t, i, i + {_DUP_SPAN_K} - 1), ' ')), 1, 14))::BIGINT
+           AS h
+  FROM toks, unnest(range(1, len(t) - {_DUP_SPAN_K} + 2)) AS u(i)
+  WHERE len(t) >= {_DUP_SPAN_K}
+),
+dup AS (
+  SELECT h FROM kg GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+flag AS (SELECT doc_id, pos FROM kg WHERE h IN (SELECT h FROM dup)),
+gaps AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {_DUP_SPAN_K} THEN 1 ELSE 0 END AS new_isl
+  FROM flag
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS g
+  FROM gaps
+),
+spans AS (
+  SELECT doc_id, g, min(pos) AS s, max(pos) AS e
+  FROM isl GROUP BY doc_id, g
+),
+pos AS (
+  SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tok
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+),
+keep AS (
+  SELECT p.doc_id, p.pos, p.tok
+  FROM pos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = p.doc_id
+      AND p.pos BETWEEN s.s AND s.e + {_DUP_SPAN_K} - 1)
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM keep GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.cleaned, '') AS cleaned,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       coalesce(a.n_kept, 0) AS n_kept
+FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+"""
+
 
 _FUZZY_DEDUP_T = 0.6
 
@@ -2651,6 +2715,7 @@ QUERIES: dict = {
     "time_to_conversion": q_time_to_conversion,
     "chunk_documents": q_chunk_documents,
     "dup_spans": q_dup_spans,
+    "dup_spans_removed": q_dup_spans_removed,
     "fuzzy_dedup": q_fuzzy_dedup,
 }
 
@@ -2710,6 +2775,7 @@ ORACLES: dict[str, str] = {
     "text_stats": SQL_TEXT_STATS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "dup_spans": SQL_DUP_SPANS,
+    "dup_spans_removed": SQL_DUP_SPANS_REMOVED,
     "fuzzy_dedup": SQL_FUZZY_DEDUP,
     "simhash": SQL_SIMHASH,
     "token_counts": SQL_TOKEN_COUNTS,
@@ -2797,7 +2863,7 @@ _DRIVER_PRIORITY = [
     # inverted index), the end-to-end MinHash fuzzy-dedup
     # composition (LSH -> verify -> components -> canonical), and the
     # JL random projection (64->16, bit-exact integer-grid oracle)
-    "dup_spans", "fuzzy_dedup", "embedding_project",
+    "dup_spans", "dup_spans_removed", "fuzzy_dedup", "embedding_project",
     # (c) registered in r3 after the prefix froze, never driver-checked
     "basket_rules", "boilerplate_fraction", "dataset_card",
     "event_anomalies", "session_paths", "shot_boundaries",

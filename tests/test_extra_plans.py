@@ -631,3 +631,37 @@ def test_random_projection_map_side_and_distance_preserving(spark, sf_smoke):
     assert ratios.min() > 0.1 and ratios.max() < 4.0, (
         f"JL distortion out of range: [{ratios.min()}, {ratios.max()}]"
     )
+
+
+def test_remove_duplicate_spans_consistent_with_detection(spark, sf_smoke):
+    """The removal half drops EXACTLY the token mass the detection half
+    reports: n_tokens - n_kept == dup_tokens doc-by-doc on real data;
+    planted full-dup doc comes back empty, clean doc untouched."""
+    from google_analytics_to_s3_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+    from google_analytics_to_s3_spark.sources.testdata import load_parallel
+
+    d = load_parallel(spark, sf_smoke, "documents").select("doc_id", "text")
+    det = {r["doc_id"]: r for r in duplicate_spans(d, k=15).collect()}
+    spark.catalog.clearCache()
+    rem = {r["doc_id"]: r for r in remove_duplicate_spans(d, k=15).collect()}
+    spark.catalog.clearCache()
+    assert det.keys() == rem.keys()
+    for i in det:
+        assert (
+            rem[i]["n_tokens"] - rem[i]["n_kept"] == det[i]["dup_tokens"]
+        ), i
+
+    words = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(0, words), (1, words), (2, "unique short text")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in remove_duplicate_spans(df, k=15).collect()
+    }
+    assert out[0]["cleaned"] == "" and out[0]["n_kept"] == 0
+    assert out[1]["cleaned"] == ""
+    assert out[2]["cleaned"] == "unique short text"
