@@ -541,7 +541,13 @@ def remove_duplicate_spans(
 
     Returns one row per input document: ``cleaned`` (tokens outside
     every duplicated span, space-joined; '' when the whole doc is
-    duplicated), ``n_tokens``, ``n_kept``.
+    duplicated), ``n_tokens``, ``n_kept``. Matching is case-folded
+    (the hash side normalizes like every dedup op here) but the kept
+    text preserves the ORIGINAL casing — lowercasing never moves
+    whitespace, so the original-case token at position i is exactly
+    the text the normalized k-grams matched. Whitespace runs collapse
+    to single spaces (the token grain; byte-exact reassembly would
+    need offset tracking, a different op).
 
     Scale notes: on top of :func:`_dup_span_table`'s exchanges, spans
     aggregate to one array per affected doc (spans ∝ duplicated mass)
@@ -553,7 +559,7 @@ def remove_duplicate_spans(
     span_arr = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("s", "e")).alias("_spans")
     )
-    toks = tokens(text_col)
+    toks = tokens(text_col, lowercase=False)
     joined = df.select(F.col(id_col), toks.alias("_t")).join(
         span_arr, id_col, "left"
     )
@@ -610,8 +616,6 @@ def fuzzy_dedup(
     edge set (≪ corpus). The final left join is corpus-sized on the id
     column alone.
     """
-    from .graph import connected_components
-
     cand = minhash_lsh_pairs(df, id_col, text_col, k=k, bands=bands).select(
         "id_a", "id_b"
     )
@@ -629,7 +633,15 @@ def fuzzy_dedup(
         .filter(inter.cast("double") / union.cast("double") >= threshold)
         .select("id_a", "id_b")
     )
-    comps = connected_components(
+    # star contraction, not min-label propagation: propagation needs
+    # diameter rounds and a template evolving across >max_iters crawl
+    # snapshots (each version near-dup of its neighbor) forms exactly
+    # such a chain — the O(log n)-round variant converges on any shape
+    # for ~the same per-round primitives. Values are identical (both
+    # fixpoints are the min-id transitive closure).
+    from .graph import connected_components_star
+
+    comps = connected_components_star(
         verified,
         src="id_a",
         dst="id_b",

@@ -967,6 +967,8 @@ def random_projection(
     Scale notes: output is d_out doubles per row regardless of d_in;
     cost is O(d_in · d_out) integer multiply-adds per row inside one
     projection — no join against a model table, no shuffle, no UDF.
+    A wrong-width input row fails the job loudly (``raise_error``)
+    instead of zip_with null-padding its way to an all-NULL vector.
     """
     root = int(d_out ** 0.5)
     if root * root != d_out:
@@ -974,23 +976,45 @@ def random_projection(
             f"d_out must be a perfect square for exact ÷sqrt scaling, "
             f"got {d_out}"
         )
-    q = F.transform(
-        F.col(vec_col),
-        lambda v: F.round(v.cast("double") * F.lit(JL_SCALE)).cast("long"),
+    # The whole projection is ONE F.expr string, parsed JVM-side in a
+    # single py4j call: the Column-object formulation (16 sign arrays ×
+    # 64 F.lit each + nested lambdas) spent ~4 s per query just on
+    # py4j round-trips BUILDING the plan — measured, execution itself
+    # is ~1 s. The quantized array is let-bound via the 1-element
+    # transform trick (HOFs run interpreted; CSE does not cross lambda
+    # scopes — see minhash_signature), so quantization happens once,
+    # not d_out times. A wrong-width row hits raise_error instead of
+    # zip_with null-padding its way to an all-NULL vector.
+    scale = float(JL_SCALE * root)
+
+    def signs_sql(j: int) -> str:
+        return (
+            "array("
+            + ",".join(f"{_jl_sign(i, j)}L" for i in range(d_in))
+            + ")"
+        )
+
+    def comp_sql(j: int) -> str:
+        return (
+            "round(cast(aggregate(zip_with(qq, "
+            + signs_sql(j)
+            + ", (a, b) -> a * b), 0L, (acc, x) -> acc + x) as double)"
+            + f" / {scale}D, 6)"
+        )
+
+    qexpr = (
+        f"transform(`{vec_col}`, "
+        f"v -> cast(round(cast(v as double) * {JL_SCALE}) as bigint))"
     )
-    comps = []
-    for j in range(d_out):
-        signs = F.array(
-            *[F.lit(_jl_sign(i, j)).cast("long") for i in range(d_in)]
-        )
-        acc = F.aggregate(
-            F.zip_with(q, signs, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        comps.append(
-            F.round(
-                acc.cast("double") / F.lit(float(JL_SCALE * root)), 6
-            ).alias(f"p{j}")
-        )
-    return df.select(F.col(id_col), F.array(*comps).alias("projected"))
+    proj = (
+        "element_at(transform(array(" + qexpr + "), qq -> array("
+        + ",".join(comp_sql(j) for j in range(d_out))
+        + ")), 1)"
+    )
+    guarded = (
+        f"CASE WHEN size(`{vec_col}`) = {d_in} THEN {proj} "
+        f"ELSE raise_error(concat("
+        f"'random_projection: expected {d_in}-dim vector, got ', "
+        f"cast(size(`{vec_col}`) as string))) END"
+    )
+    return df.select(F.col(id_col), F.expr(guarded).alias("projected"))

@@ -1077,8 +1077,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, k=MINHASH_K, bands=MINHASH_BANDS)
 
 
-SQL_MINHASH_LSH_PAIRS = f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+_MINHASH_RPB = MINHASH_K // MINHASH_BANDS
+
+# Shared CTE chain (tokens -> shingles -> signatures -> bands -> LSH
+# candidate pairs) interpolated into every oracle that consumes MinHash
+# candidates — one copy, so a k/bands change cannot silently diverge.
+_MINHASH_CAND_CTES = f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
 hs AS (
   SELECT doc_id,
@@ -1099,7 +1103,8 @@ sig AS (
 bands AS (
   SELECT doc_id, b.b AS band,
          md5(array_to_string(
-             list_transform(list_slice(sig, b.b * 2 + 1, b.b * 2 + 2),
+             list_transform(list_slice(sig, b.b * {_MINHASH_RPB} + 1,
+                                       b.b * {_MINHASH_RPB} + {_MINHASH_RPB}),
                             x -> CAST(x AS VARCHAR)), '|'))
            AS band_key
   FROM sig, (SELECT unnest(range(0, {MINHASH_BANDS})) AS b) b
@@ -1109,7 +1114,10 @@ cand AS (
   FROM bands l
   JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
               AND l.doc_id < r.doc_id
-)
+)"""
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH {_MINHASH_CAND_CTES}
 SELECT id_a, id_b,
        CAST(len(list_filter(range(0, {MINHASH_K}),
                             i -> sa.sig[i + 1] = sb.sig[i + 1])) AS DOUBLE)
@@ -1130,8 +1138,10 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(d, k=_DUP_SPAN_K)
 
 
-SQL_DUP_SPANS = f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+# Shared CTE chain (tokens -> flagged k-gram starts -> maximal merged
+# spans) for the two substring-dedup oracles — single copy, mirroring
+# operators/dedup._dup_span_table.
+_DUP_SPAN_CTES = f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 kg AS (
   SELECT doc_id, i - 1 AS pos,
          ('0x' || substr(md5(array_to_string(
@@ -1159,7 +1169,10 @@ isl AS (
 spans AS (
   SELECT doc_id, g, min(pos) AS s, max(pos) AS e
   FROM isl GROUP BY doc_id, g
-),
+)"""
+
+SQL_DUP_SPANS = f"""
+WITH {_DUP_SPAN_CTES},
 per_doc AS (
   SELECT doc_id,
          CAST(count(*) AS BIGINT) AS n_dup_spans,
@@ -1184,38 +1197,16 @@ def q_dup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DUP_SPANS_REMOVED = f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-kg AS (
-  SELECT doc_id, i - 1 AS pos,
-         ('0x' || substr(md5(array_to_string(
-              list_slice(t, i, i + {_DUP_SPAN_K} - 1), ' ')), 1, 14))::BIGINT
-           AS h
-  FROM toks, unnest(range(1, len(t) - {_DUP_SPAN_K} + 2)) AS u(i)
-  WHERE len(t) >= {_DUP_SPAN_K}
-),
-dup AS (
-  SELECT h FROM kg GROUP BY h HAVING count(DISTINCT doc_id) >= 2
-),
-flag AS (SELECT doc_id, pos FROM kg WHERE h IN (SELECT h FROM dup)),
-gaps AS (
-  SELECT doc_id, pos,
-         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                   > {_DUP_SPAN_K} THEN 1 ELSE 0 END AS new_isl
-  FROM flag
-),
-isl AS (
-  SELECT doc_id, pos,
-         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
-                            ROWS UNBOUNDED PRECEDING) AS g
-  FROM gaps
-),
-spans AS (
-  SELECT doc_id, g, min(pos) AS s, max(pos) AS e
-  FROM isl GROUP BY doc_id, g
+WITH {_DUP_SPAN_CTES},
+rawtoks AS (
+  -- reassembly preserves ORIGINAL casing (matching is case-folded);
+  -- lowercasing never moves whitespace, so positions line up
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
 ),
 pos AS (
   SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tok
-  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+  FROM rawtoks, unnest(range(1, len(t) + 1)) AS u(i)
 ),
 keep AS (
   SELECT p.doc_id, p.pos, p.tok
@@ -1255,38 +1246,7 @@ def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_FUZZY_DEDUP = f"""
-WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
-hs AS (
-  SELECT doc_id,
-         list_transform(s, x -> ('0x' || substr(md5(x || '#a'), 1, 14))::BIGINT)
-           AS h1,
-         list_transform(s, x -> ('0x' || substr(md5(x || '#b'), 1, 14))::BIGINT)
-           AS h2
-  FROM sh
-),
-sig AS (
-  SELECT doc_id,
-         list_transform(range(0, {MINHASH_K}), i ->
-           list_min(list_transform(range(1, len(h1) + 1),
-                                   j -> h1[j] + i * h2[j]))
-         ) AS sig
-  FROM hs
-),
-bands AS (
-  SELECT doc_id, b.b AS band,
-         md5(array_to_string(
-             list_transform(list_slice(sig, b.b * 2 + 1, b.b * 2 + 2),
-                            x -> CAST(x AS VARCHAR)), '|'))
-           AS band_key
-  FROM sig, (SELECT unnest(range(0, {MINHASH_BANDS})) AS b) b
-),
-cand AS (
-  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM bands l
-  JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
-              AND l.doc_id < r.doc_id
-),
+WITH RECURSIVE {_MINHASH_CAND_CTES},
 shd AS (SELECT doc_id, list_distinct(s) AS sd FROM sh),
 ver AS (
   SELECT id_a, id_b

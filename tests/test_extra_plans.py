@@ -656,12 +656,14 @@ def test_remove_duplicate_spans_consistent_with_detection(spark, sf_smoke):
 
     words = " ".join(f"w{i}" for i in range(20))
     df = spark.createDataFrame(
-        [(0, words), (1, words), (2, "unique short text")],
+        [(0, words), (1, words.upper()), (2, "Unique Short Text")],
         "doc_id long, text string",
     )
     out = {
         r["doc_id"]: r for r in remove_duplicate_spans(df, k=15).collect()
     }
+    # matching is case-folded (0 and 1 dup each other despite casing)…
     assert out[0]["cleaned"] == "" and out[0]["n_kept"] == 0
     assert out[1]["cleaned"] == ""
-    assert out[2]["cleaned"] == "unique short text"
+    # …but kept text preserves the ORIGINAL casing
+    assert out[2]["cleaned"] == "Unique Short Text"
