@@ -660,3 +660,81 @@ def fuzzy_dedup(
             ),
         )
     )
+
+
+def dedup_against_reference(
+    new_docs: DataFrame,
+    reference: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental (cross-corpus) near-dup screen: flag each NEW
+    document that is a verified near-duplicate of the EXISTING corpus
+    — the admission check an incremental corpus build runs per crawl
+    batch, where re-deduping the whole corpus from scratch would be
+    O(corpus) per batch instead of O(batch).
+
+    Same candidate/verify machinery as :func:`fuzzy_dedup` but across
+    two tables: LSH band buckets of the new batch equi-join the
+    reference's band buckets; candidates are verified with exact
+    shingle Jaccard >= ``threshold``; no transitive closure (a new doc
+    either matches the reference or it doesn't — components are the
+    WITHIN-corpus problem).
+
+    Returns one row per new document: ``matched_ref`` (lowest matching
+    reference id, NULL if unique) and ``is_dup``.
+
+    Scale notes: only band digests shuffle for candidate generation;
+    the reference side's bands can be precomputed once and reused
+    across batches (the "index"); shingle arrays travel for candidate
+    pairs only. Signature frames persist (feed bands + verification)
+    — caller owns cache cleanup (module convention above).
+    """
+    def prep(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.array_distinct(shingles(tokens(text_col), shingle_n)).alias(
+                "sh"
+            ),
+            minhash_signature(text_col, k=k).alias("minhash"),
+        ).persist()
+
+    new_p, ref_p = prep(new_docs), prep(reference)
+    nb = lsh_bands(new_p, id_col, k=k, bands=bands).alias("n")
+    rb = lsh_bands(ref_p, id_col, k=k, bands=bands).alias("r")
+    cand = (
+        nb.join(
+            rb,
+            (F.col("n.band") == F.col("r.band"))
+            & (F.col("n.band_key") == F.col("r.band_key")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"r.{id_col}").alias("ref_id"),
+        )
+        .distinct()
+    )
+    a = new_p.select(F.col(id_col).alias("new_id"), F.col("sh").alias("sh_a"))
+    b = ref_p.select(F.col(id_col).alias("ref_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    matched = (
+        cand.join(a, "new_id")
+        .join(b, "ref_id")
+        .filter(inter.cast("double") / union.cast("double") >= threshold)
+        .groupBy("new_id")
+        .agg(F.min("ref_id").alias("matched_ref"))
+    )
+    return (
+        new_docs.select(F.col(id_col))
+        .join(matched, new_docs[id_col] == matched["new_id"], "left")
+        .select(
+            id_col,
+            F.col("matched_ref").cast("long").alias("matched_ref"),
+            F.col("matched_ref").isNotNull().alias("is_dup"),
+        )
+    )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.ga import map_enum
 from ..operators.dedup import (
+    dedup_against_reference,
     duplicate_spans,
     fuzzy_dedup,
     remove_duplicate_spans,
@@ -1079,10 +1080,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_RPB = MINHASH_K // MINHASH_BANDS
 
-# Shared CTE chain (tokens -> shingles -> signatures -> bands -> LSH
-# candidate pairs) interpolated into every oracle that consumes MinHash
-# candidates — one copy, so a k/bands change cannot silently diverge.
-_MINHASH_CAND_CTES = f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+# Shared CTE chains interpolated into every oracle that consumes
+# MinHash machinery — one copy, so a k/bands change cannot silently
+# diverge. _MINHASH_BAND_CTES ends at the per-doc band buckets;
+# _MINHASH_CAND_CTES adds the within-corpus candidate self-join.
+_MINHASH_BAND_CTES = f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
 hs AS (
   SELECT doc_id,
@@ -1108,13 +1110,18 @@ bands AS (
                             x -> CAST(x AS VARCHAR)), '|'))
            AS band_key
   FROM sig, (SELECT unnest(range(0, {MINHASH_BANDS})) AS b) b
-),
+)"""
+
+_MINHASH_CAND_CTES = (
+    _MINHASH_BAND_CTES
+    + """,
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
   FROM bands l
   JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
               AND l.doc_id < r.doc_id
 )"""
+)
 
 SQL_MINHASH_LSH_PAIRS = f"""
 WITH {_MINHASH_CAND_CTES}
@@ -1272,6 +1279,52 @@ SELECT d.doc_id,
        coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 """
+
+# deterministic batch/reference split for the incremental dedup screen:
+# every 5th doc plays the "new crawl batch", the rest the standing corpus
+_XDEDUP_MOD = 5
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus near-dup screen
+    (operators/dedup.dedup_against_reference): each doc of the "new
+    batch" slice (doc_id % 5 == 0) is admitted or flagged against the
+    standing corpus (the other docs) via LSH candidates + exact
+    shingle-Jaccard verification — O(batch), not O(corpus), per batch."""
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % _XDEDUP_MOD == 0)
+    ref = d.filter(F.col("doc_id") % _XDEDUP_MOD != 0)
+    return dedup_against_reference(
+        new, ref, threshold=_FUZZY_DEDUP_T, k=MINHASH_K, bands=MINHASH_BANDS
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH {_MINHASH_BAND_CTES},
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+  FROM bands n
+  JOIN bands r ON n.band = r.band AND n.band_key = r.band_key
+  WHERE n.doc_id % {_XDEDUP_MOD} = 0 AND r.doc_id % {_XDEDUP_MOD} <> 0
+),
+shd AS (SELECT doc_id, list_distinct(s) AS sd FROM sh),
+matched AS (
+  SELECT new_id, min(ref_id) AS matched_ref
+  FROM cand
+  JOIN shd a ON a.doc_id = cand.new_id
+  JOIN shd b ON b.doc_id = cand.ref_id
+  WHERE len(list_intersect(a.sd, b.sd))::DOUBLE
+        / (len(a.sd) + len(b.sd) - len(list_intersect(a.sd, b.sd)))::DOUBLE
+        >= {_FUZZY_DEDUP_T}
+  GROUP BY new_id
+)
+SELECT d.doc_id,
+       CAST(m.matched_ref AS BIGINT) AS matched_ref,
+       m.matched_ref IS NOT NULL AS is_dup
+FROM documents d LEFT JOIN matched m ON d.doc_id = m.new_id
+WHERE d.doc_id % {_XDEDUP_MOD} = 0
+"""
+
 
 _POW2 = "[1,2,4,8,16,32,64,128,256,512,1024,2048,4096,8192,16384,32768]"
 _NIBW = "[8,4,2,1]"
@@ -2677,6 +2730,7 @@ QUERIES: dict = {
     "dup_spans": q_dup_spans,
     "dup_spans_removed": q_dup_spans_removed,
     "fuzzy_dedup": q_fuzzy_dedup,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 from .driver_queries_enrich import (  # noqa: E402
@@ -2737,6 +2791,7 @@ ORACLES: dict[str, str] = {
     "dup_spans": SQL_DUP_SPANS,
     "dup_spans_removed": SQL_DUP_SPANS_REMOVED,
     "fuzzy_dedup": SQL_FUZZY_DEDUP,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "simhash": SQL_SIMHASH,
     "token_counts": SQL_TOKEN_COUNTS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
@@ -2823,7 +2878,8 @@ _DRIVER_PRIORITY = [
     # inverted index), the end-to-end MinHash fuzzy-dedup
     # composition (LSH -> verify -> components -> canonical), and the
     # JL random projection (64->16, bit-exact integer-grid oracle)
-    "dup_spans", "dup_spans_removed", "fuzzy_dedup", "embedding_project",
+    "dup_spans", "dup_spans_removed", "fuzzy_dedup", "dedup_incremental",
+    "embedding_project",
     # (c) registered in r3 after the prefix froze, never driver-checked
     "basket_rules", "boilerplate_fraction", "dataset_card",
     "event_anomalies", "session_paths", "shot_boundaries",

@@ -667,3 +667,42 @@ def test_remove_duplicate_spans_consistent_with_detection(spark, sf_smoke):
     assert out[1]["cleaned"] == ""
     # …but kept text preserves the ORIGINAL casing
     assert out[2]["cleaned"] == "Unique Short Text"
+
+
+def test_dedup_incremental_cross_side_only(spark, sf_smoke):
+    """dedup_against_reference flags ONLY new-vs-reference matches:
+    two near-identical docs inside the batch do not flag each other,
+    a batch doc matching the corpus flags with the lowest ref id; plan
+    stays equi-join only."""
+    from google_analytics_to_s3_spark.operators.dedup import (
+        dedup_against_reference,
+    )
+    from google_analytics_to_s3_spark.plans.driver_queries import (
+        q_dedup_incremental,
+    )
+
+    plan = _plan(q_dedup_incremental(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    new = spark.createDataFrame(
+        [
+            (100, base + " one"),        # matches ref 1 and ref 2
+            (101, "x y z q r s t u v w totally fresh content here"),
+            (102, "x y z q r s t u v w totally fresh content here"),
+            # 101/102 dup EACH OTHER but nothing in the reference
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(1, base + " two"), (2, base + " three"), (3, "unrelated words")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_against_reference(new, ref, threshold=0.5).collect()
+    }
+    assert out[100]["is_dup"] and out[100]["matched_ref"] == 1
+    assert not out[101]["is_dup"] and out[101]["matched_ref"] is None
+    assert not out[102]["is_dup"]
