@@ -21,6 +21,10 @@ SENSITIVE = [
     "fuzzy_match",        # block purging thresholds
     "cms_counts",         # sketch counters + min-over-rows
     "graph_triangles",    # kNN tie-breaks + wedge counting
+    "dup_spans",          # island merge over flagged positions
+    "fuzzy_dedup",        # star-contraction fixpoint + min ids
+    "dedup_incremental",  # cross-side min(ref_id) after LSH join
+    "embedding_project",  # BIGINT folds inside one projection
 ]
 
 
