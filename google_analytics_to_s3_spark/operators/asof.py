@@ -118,3 +118,50 @@ def asof_join(
     )
     out = carried.filter(F.col("_is_right") == 0).drop("_ts", "_is_right")
     return out
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 8,
+    big_salt_col: str | None = None,
+) -> DataFrame:
+    """Skew-mitigating equi-join: pre-split hot join keys across
+    ``salt`` reducers by replicating the SMALL side salt× and salting
+    the big side deterministically, joining on (key, _salt).
+
+    AQE's skew-join split handles most skew at the partition grain;
+    this is the manual lever for the case AQE cannot fix — a single
+    hot KEY whose rows exceed one reducer's memory even after
+    partition splitting (a null-ish default key, a bot user, an
+    'unknown' category). Result set is EXACTLY the plain equi-join's
+    (inner), pinned by the oracle.
+
+    The big side's salt must be deterministic for oracle replay —
+    derived from ``big_salt_col`` (md5-mod, engine-portable) rather
+    than a random number; any roughly-uniform per-row column works
+    (row id, event id). Join fan-out: small side carries salt× rows
+    total — keep ``salt`` ≲ 64 and the small side actually small
+    (dims, stats tables), which is exactly the skew-join regime.
+    """
+    if big_salt_col is None:
+        raise ValueError("salted_join needs big_salt_col for a "
+                         "deterministic per-row salt")
+    sb = big.withColumn(
+        "_salt",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.col(big_salt_col).cast("string")), 1, 14
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(salt),
+        ).cast("int"),
+    )
+    ss = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return sb.join(ss, [key, "_salt"]).drop("_salt")

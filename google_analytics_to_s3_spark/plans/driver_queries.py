@@ -1280,6 +1280,47 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 """
 
+# literal event-type dim for the skew-salted join demo (5 keys over 10k+
+# rows each = the hot-key regime); integer weights keep parity exact
+_SALT_DIM = [
+    ("click", 2), ("error", 0), ("purchase", 10), ("signup", 5), ("view", 1)
+]
+_SALT_N = 8
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators/asof.salted_join): events
+    (5 hot keys) enriched against a small dim with the key pre-split
+    across 8 salted reducers — result pinned EXACTLY equal to the
+    plain join by the oracle. The manual lever for single-hot-key
+    skew beyond AQE's partition-grain splitting."""
+    from ..operators.asof import salted_join
+
+    e = load_events(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    dim = spark.createDataFrame(_SALT_DIM, "event_type string, weight int")
+    j = salted_join(e, dim, key="event_type", salt=_SALT_N,
+                    big_salt_col="event_id")
+    return j.select(
+        "event_id",
+        "event_type",
+        F.col("weight").cast("long").alias("weight"),
+        F.round(F.col("value") * F.col("weight"), 6).alias("weighted_value"),
+    )
+
+
+_SALT_DIM_SQL = ", ".join(f"('{t}', {w})" for t, w in _SALT_DIM)
+
+SQL_SALTED_JOIN = f"""
+WITH dim(event_type, weight) AS (VALUES {_SALT_DIM_SQL})
+SELECT e.event_id, e.event_type,
+       CAST(d.weight AS BIGINT) AS weight,
+       round(e.value * d.weight, 6) AS weighted_value
+FROM events e JOIN dim d USING (event_type)
+"""
+
+
 # deterministic batch/reference split for the incremental dedup screen:
 # every 5th doc plays the "new crawl batch", the rest the standing corpus
 _XDEDUP_MOD = 5
@@ -2731,6 +2772,7 @@ QUERIES: dict = {
     "dup_spans_removed": q_dup_spans_removed,
     "fuzzy_dedup": q_fuzzy_dedup,
     "dedup_incremental": q_dedup_incremental,
+    "salted_join": q_salted_join,
 }
 
 from .driver_queries_enrich import (  # noqa: E402
@@ -2792,6 +2834,7 @@ ORACLES: dict[str, str] = {
     "dup_spans_removed": SQL_DUP_SPANS_REMOVED,
     "fuzzy_dedup": SQL_FUZZY_DEDUP,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "salted_join": SQL_SALTED_JOIN,
     "simhash": SQL_SIMHASH,
     "token_counts": SQL_TOKEN_COUNTS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
@@ -2879,7 +2922,7 @@ _DRIVER_PRIORITY = [
     # composition (LSH -> verify -> components -> canonical), and the
     # JL random projection (64->16, bit-exact integer-grid oracle)
     "dup_spans", "dup_spans_removed", "fuzzy_dedup", "dedup_incremental",
-    "embedding_project",
+    "embedding_project", "salted_join",
     # (c) registered in r3 after the prefix froze, never driver-checked
     "basket_rules", "boilerplate_fraction", "dataset_card",
     "event_anomalies", "session_paths", "shot_boundaries",

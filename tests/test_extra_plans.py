@@ -706,3 +706,48 @@ def test_dedup_incremental_cross_side_only(spark, sf_smoke):
     assert out[100]["is_dup"] and out[100]["matched_ref"] == 1
     assert not out[101]["is_dup"] and out[101]["matched_ref"] is None
     assert not out[102]["is_dup"]
+
+
+def test_salted_join_splits_hot_keys_and_matches_plain_join(spark, sf_smoke):
+    """salted_join: with broadcast off, the shuffle key is
+    (key, _salt) — a hot key fans across `salt` reducers instead of
+    one; and the result multiset equals the plain equi-join exactly."""
+    from google_analytics_to_s3_spark.operators.asof import salted_join
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 != 9 else f"cold{i % 3}", float(i))
+         for i in range(200)],
+        "row_id long, k string, v double",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("cold0", 2), ("cold2", 3)], "k string, w int"
+    )
+    j = salted_join(big, small, key="k", salt=4, big_salt_col="row_id")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(salted_join(big, small, key="k", salt=4,
+                                 big_salt_col="row_id"))
+        assert re.search(r"hashpartitioning\(k[^)]*_salt", plan), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    got = sorted((r["row_id"], r["k"], r["w"]) for r in j.collect())
+    want = sorted(
+        (r["row_id"], r["k"], r["w"])
+        for r in big.join(small, "k").collect()
+    )
+    assert got == want
+    # hot key really splits: 4 distinct salts on the big side
+    from pyspark.sql import functions as F
+    salted = big.withColumn(
+        "_salt",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("row_id").cast("string")), 1, 14),
+                   16, 10).cast("long"),
+            F.lit(4),
+        ),
+    )
+    n_salts = salted.filter("k = 'hot'").select("_salt").distinct().count()
+    assert n_salts == 4
