@@ -2917,10 +2917,12 @@ _DRIVER_PRIORITY = [
     "attribution_models", "semdedup", "bpe_encode", "interval_join",
     "dsir_weights", "knn_recall",
     # (b3) round-4 continuation, second batch — exact duplicated-span
-    # detection (Lee et al. substring dedup as a hashed-k-gram
-    # inverted index), the end-to-end MinHash fuzzy-dedup
-    # composition (LSH -> verify -> components -> canonical), and the
-    # JL random projection (64->16, bit-exact integer-grid oracle)
+    # detection + removal (Lee et al. substring dedup as a hashed-
+    # k-gram inverted index), the end-to-end MinHash fuzzy-dedup
+    # composition (LSH -> verify -> star components -> canonical),
+    # the incremental batch-vs-reference dedup screen, the JL random
+    # projection (64->16, bit-exact integer-grid oracle), and the
+    # skew-salted equi-join (result pinned == plain join)
     "dup_spans", "dup_spans_removed", "fuzzy_dedup", "dedup_incremental",
     "embedding_project", "salted_join",
     # (c) registered in r3 after the prefix froze, never driver-checked
