@@ -553,3 +553,56 @@ def vocab_stats(
         )
     )
     return vocab, per_doc
+
+
+def upsample_mixture(
+    df: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Deterministic mixture UPSAMPLING — the rates>1 half of
+    temperature rebalancing that :func:`mixture_sample` (keep-rates
+    <= 1) cannot express: a stratum with rate 2.5 emits every doc
+    twice plus a third copy for the hash-chosen half, so epoch
+    composition matches the target mixture without RNG state.
+
+    Each doc emits ``floor(rate)`` copies + 1 more iff an md5-derived
+    fraction of the id < frac(rate); rate 0 drops the stratum. Copies
+    are numbered (``copy_n``) so downstream shuffles/packing can
+    treat them as distinct rows.
+
+    Pure map-side: one ``explode`` of a per-row sequence; fan-out =
+    the mixture rate itself (bounded by design — a corpus rebalance
+    uses single-digit rates). No shuffle, no RNG, replayable on any
+    engine.
+    """
+    grid = 1_000_000
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#up"))),
+                1, 14,
+            ), 16, 10,
+        ).cast("long")
+        % grid
+    )
+    ncopies = None
+    for k, v in sorted(rates.items()):
+        base = int(v)
+        frac = int(round((v - base) * grid))
+        n = F.lit(base) + (h < F.lit(frac)).cast("int")
+        cond = F.col(stratum_col) == k
+        ncopies = (
+            F.when(cond, n) if ncopies is None else ncopies.when(cond, n)
+        )
+    ncopies = ncopies.otherwise(F.lit(0))
+    return (
+        df.select(F.col(id_col), F.col(stratum_col), ncopies.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            id_col,
+            stratum_col,
+            F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("copy_n"),
+        )
+    )

@@ -25,6 +25,7 @@ from ..operators.curation import (
     pii_signals,
     plant_pii,
     quality_signals,
+    upsample_mixture,
     vocab_stats,
 )
 from ..sources.testdata import load_events, load_parallel
@@ -1375,7 +1376,46 @@ LIMIT 20
 SQL_BM25_SEARCH = _bm25_oracle_sql()
 
 
+# upsampling rates: en slight, de 2.5x, fr downsampled half, es 3x,
+# zh dropped (no rates row / otherwise-0 — equivalent on both engines)
+_UP_RATES = {"en": 1.25, "de": 2.5, "fr": 0.5, "es": 3.0}
+
+
+def q_upsample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture UPSAMPLING (operators/curation.upsample_mixture): the
+    rates>1 half of temperature rebalancing — floor(rate) copies per
+    doc + one hash-chosen extra for the fractional part, numbered
+    copy_n; rate<1 degrades to deterministic downsampling, absent
+    strata drop."""
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = upsample_mixture(d, _UP_RATES)
+    return out.select(
+        "doc_id", "lang", F.col("copy_n").cast("long").alias("copy_n")
+    )
+
+
+_UP_RATES_SQL = ", ".join(
+    f"('{k}', {int(v)}, {int(round((v - int(v)) * 1_000_000))})"
+    for k, v in sorted(_UP_RATES.items())
+)
+
+SQL_UPSAMPLE_MIXTURE = f"""
+WITH rates(lang, base, frac) AS (VALUES {_UP_RATES_SQL}),
+d AS (
+  SELECT doc_id, lang,
+         base + CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || '#up'),
+                                          1, 14))::BIGINT % 1000000 < frac
+                     THEN 1 ELSE 0 END AS n
+  FROM documents JOIN rates USING (lang)
+)
+SELECT doc_id, lang, CAST(u.c AS BIGINT) AS copy_n
+FROM d, unnest(range(1, n + 1)) AS u(c)
+WHERE n > 0
+"""
+
+
 QUERIES_CURATION = {
+    "upsample_mixture": q_upsample_mixture,
     "pii_scan": q_pii_scan,
     "quality_filter": q_quality_filter,
     "contamination_screen": q_contamination_screen,
@@ -1403,6 +1443,7 @@ QUERIES_CURATION = {
 }
 
 ORACLES_CURATION = {
+    "upsample_mixture": SQL_UPSAMPLE_MIXTURE,
     "pii_scan": SQL_PII_SCAN,
     "quality_filter": SQL_QUALITY_FILTER,
     "contamination_screen": SQL_CONTAMINATION_SCREEN,

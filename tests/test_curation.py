@@ -319,3 +319,39 @@ def test_dsir_weights_separate_target_from_background(spark):
     }
     assert len(out) == 4
     assert min(out[0], out[1]) > max(out[2], out[3]), out
+
+
+def test_upsample_mixture_copies_and_determinism(spark):
+    """upsample_mixture: integer rates give exact copy counts, the
+    fractional part picks a stable hash-subset (re-run identical),
+    rate<1 downsamples, absent stratum drops."""
+    from google_analytics_to_s3_spark.operators.curation import (
+        upsample_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr", "zh"][i % 4]) for i in range(400)],
+        "doc_id long, lang string",
+    )
+    rates = {"en": 2.0, "de": 1.5, "fr": 0.5}
+    out = upsample_mixture(df, rates).collect()
+    again = upsample_mixture(df, rates).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # exact integer rate: every en doc exactly twice, numbered 1..2
+    en_docs = {r["doc_id"] for r in by_lang["en"]}
+    assert len(by_lang["en"]) == 2 * len(en_docs) == 200
+    assert {r["copy_n"] for r in by_lang["en"]} == {1, 2}
+    # fractional: de between 1x and 2x, roughly 1.5x
+    n_de_docs = len({r["doc_id"] for r in by_lang["de"]})
+    assert n_de_docs == 100
+    assert 100 < len(by_lang["de"]) < 200
+    # downsample: fr docs appear at most once, roughly half
+    fr = by_lang["fr"]
+    assert len(fr) == len({r["doc_id"] for r in fr})
+    assert 20 < len(fr) < 80
+    # absent stratum drops entirely
+    assert "zh" not in by_lang
