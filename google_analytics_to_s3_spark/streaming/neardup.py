@@ -112,3 +112,104 @@ def stream_neardup_ledger(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-static reference screen (the streaming twin of
+# operators/dedup.dedup_against_reference)
+# --------------------------------------------------------------------------
+
+def build_reference_index(
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+):
+    """(bands_df, shingles_df) for a standing corpus — the static side
+    of :func:`reference_screen`. Persist both to parquet once per
+    corpus version; every ingest micro-batch reuses them unchanged
+    (that is the point: the index is amortized across batches)."""
+    from ..operators.dedup import (
+        lsh_bands,
+        minhash_signature,
+        shingles,
+    )
+    from ..operators.text import tokens
+
+    sig = reference.select(
+        F.col(id_col).alias("ref_id"),
+        minhash_signature(text_col, k=k).alias("minhash"),
+    )
+    bands_df = lsh_bands(sig, "ref_id", k=k, bands=bands)
+    shingles_df = reference.select(
+        F.col(id_col).alias("ref_id"),
+        F.array_distinct(shingles(tokens(text_col), shingle_n)).alias(
+            "ref_sh"
+        ),
+    )
+    return bands_df, shingles_df
+
+
+def reference_screen(
+    new_docs: DataFrame,
+    ref_bands: DataFrame,
+    ref_shingles: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Screen arriving documents against a STATIC reference corpus —
+    stateless, so the identical plan runs as a batch job or a
+    Structured Streaming query (stream-static equi-joins are append-
+    mode safe; no watermark, no state store). Complements the
+    stateful ledger above, which dedups WITHIN the stream: this
+    catches "we already have this document in the training set".
+
+    Emits verified matches (doc_id, ref_id, jaccard). A pair sharing
+    several band buckets emits once per shared band (identical
+    jaccard): collapsing those would need ``distinct()``, which on a
+    stream means a state store — against the whole point of the
+    stateless screen. The consumer dedups per micro-batch
+    (foreachBatch ``dropDuplicates``/min-aggregate) when it picks the
+    canonical match.
+
+    Scale notes per micro-batch: band computation is map-side on the
+    batch only; the joins touch the static index partitions matching
+    the batch's band keys; shingle arrays travel for candidate pairs
+    only. The reference index is built ONCE per corpus version
+    (:func:`build_reference_index`), not per batch.
+    """
+    from ..operators.dedup import (
+        lsh_bands,
+        minhash_signature,
+        shingles,
+    )
+    from ..operators.text import tokens
+
+    prepped = new_docs.select(
+        F.col(id_col),
+        F.array_distinct(shingles(tokens(text_col), shingle_n)).alias("sh"),
+        minhash_signature(text_col, k=k).alias("minhash"),
+    )
+    nb = lsh_bands(prepped.select(id_col, "minhash"), id_col, k=k,
+                   bands=bands)
+    cand = nb.join(ref_bands, ["band", "band_key"]).select(
+        F.col(id_col), "ref_id"
+    )
+    inter = F.size(F.array_intersect("sh", "ref_sh"))
+    union = F.size("sh") + F.size("ref_sh") - inter
+    return (
+        cand.join(prepped.select(id_col, "sh"), id_col)
+        .join(ref_shingles, "ref_id")
+        .withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / union.cast("double"), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(id_col, "ref_id", "jaccard")
+    )
