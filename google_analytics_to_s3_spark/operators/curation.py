@@ -606,3 +606,90 @@ def upsample_mixture(
             F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("copy_n"),
         )
     )
+
+
+LOGREG_W_GRID = 1 << 20   # weight grid (power of two: exact scaling)
+LOGREG_X_GRID = 1_000_000  # feature grid (matches the module's 1e6 grids)
+
+
+def logreg_train_scores(
+    features: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    rounds: int = 3,
+    lr_den: int = 4,
+    id_col: str = "doc_id",
+):
+    """Distributed logistic-regression training (full-batch gradient
+    descent) with EXACT cross-engine arithmetic — the learned quality
+    classifier of a curation pipeline (fastText-style filtering à la
+    GPT-3/LLaMA data work), reduced to the only Spark shapes that
+    scale: per round, ONE aggregate over the feature table computes
+    the gradient; the (few) weights come back to the driver and
+    re-enter the next round's plan as literals — the k×d "driver
+    pull" pattern of the k-means trainer (similarity.py), here d×1.
+
+    Exactness: true sigmoid needs exp(), whose libm/JVM ULP
+    differences would break oracle parity — replaced by the
+    hard-sigmoid surrogate clamp(z/4 + 1/2, 0, 1), which is rational,
+    so every value stays on an integer grid: features on 1e6
+    (callers build them with integer div), weights on 2^20, the
+    per-row activation uses floor(z/2^22) — a power-of-two divide is
+    EXACT in double, so floor is bit-identical everywhere — gradient
+    sums are BIGINT (order-independent), and the weight update uses
+    TRUNCATING integer division (Python // floors; SQL engines'
+    integer '/' truncates — the update divides via abs to match what
+    the oracle's `//` computes on negative gradients). Headroom:
+    |err·x| <= 1e12/row, so int64 holds ~9e6 rows per partition-free
+    sum — beyond that, pre-scale the error grid down.
+
+    Labels must be 0/1 integers; ``features[feature_cols]`` integer
+    columns on the 1e6 grid (bias column included by the caller).
+
+    Returns ``(weights, scored)``: the final integer-grid weights and
+    a per-row DataFrame with the final score ``z`` (BIGINT),
+    ``pred`` (z > 0) — scoring is one map-side projection.
+    """
+    S, X = LOGREG_W_GRID, LOGREG_X_GRID
+    w = [0] * len(feature_cols)
+    feats = features.persist()
+    for _ in range(rounds):
+        z = None
+        for wj, c in zip(w, feature_cols):
+            term = F.lit(wj) * F.col(c)
+            z = term if z is None else z + term
+        h = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(X),
+                F.floor(z / F.lit(float(4 * S))).cast("long")
+                + F.lit(X // 2),
+            ),
+        )
+        err = h - F.col(label_col) * F.lit(X)
+        aggs = [
+            F.sum(err * F.col(c)).alias(f"g{j}")
+            for j, c in enumerate(feature_cols)
+        ] + [F.count("*").alias("n")]
+        row = feats.agg(*aggs).first()
+        n = row["n"]
+
+        def tdiv(a: int, b: int) -> int:
+            """Truncating int division (SQL semantics), b > 0."""
+            q = abs(a) // b
+            return q if a >= 0 else -q
+
+        for j in range(len(w)):
+            g = int(row[f"g{j}"])
+            w[j] -= tdiv(tdiv(g, X) * S, X * n * lr_den)
+    z = None
+    for wj, c in zip(w, feature_cols):
+        term = F.lit(wj) * F.col(c)
+        z = term if z is None else z + term
+    scored = feats.select(
+        F.col(id_col),
+        z.cast("long").alias("z"),
+        (z > 0).alias("pred"),
+        F.col(label_col).cast("long").alias("label"),
+    )
+    return w, scored

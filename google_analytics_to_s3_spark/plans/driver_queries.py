@@ -2925,6 +2925,7 @@ _DRIVER_PRIORITY = [
     # skew-salted equi-join (result pinned == plain join)
     "dup_spans", "dup_spans_removed", "fuzzy_dedup", "dedup_incremental",
     "embedding_project", "salted_join", "upsample_mixture",
+    "logreg_quality",
     # (c) registered in r3 after the prefix froze, never driver-checked
     "basket_rules", "boilerplate_fraction", "dataset_card",
     "event_anomalies", "session_paths", "shot_boundaries",

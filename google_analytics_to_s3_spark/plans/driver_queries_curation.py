@@ -1376,6 +1376,113 @@ LIMIT 20
 SQL_BM25_SEARCH = _bm25_oracle_sql()
 
 
+_LR_MARK = "spamspam"
+_LR_NMARK = 16
+_LR_ROUNDS = 3
+
+
+def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality classifier
+    (operators/curation.logreg_train_scores): full-batch GD logistic
+    regression with the hard-sigmoid surrogate, every value on an
+    integer grid so the chained-CTE oracle replays all three training
+    rounds to the bit. The corpus has no natural spam, so half the
+    docs (doc_id % 2 = 0) get a planted boilerplate marker (the
+    plant_pii precedent); features are bias, distinct-token ratio and
+    marker frequency — the classifier must learn to flag the planted
+    half."""
+    from ..operators.curation import logreg_train_scores
+    from ..operators.text import tokens
+
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(f" {_LR_MARK}" * _LR_NMARK),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    t = tokens("text")
+    X = 1_000_000
+    feats = planted.select(
+        "doc_id",
+        F.lit(X).cast("long").alias("x0"),
+        F.call_function(
+            "div", F.lit(X) * F.size(F.array_distinct(t)), F.size(t)
+        ).alias("x1"),
+        F.call_function(
+            "div",
+            F.lit(X)
+            * F.size(F.filter(t, lambda x: x == F.lit(_LR_MARK))),
+            F.size(t),
+        ).alias("x2"),
+        (F.col("doc_id") % 2 == 0).cast("long").alias("y"),
+    )
+    _, scored = logreg_train_scores(
+        feats, ["x0", "x1", "x2"], "y", rounds=_LR_ROUNDS
+    )
+    return scored
+
+
+def _lr_round_sql(prev_w: str, rnd: str, nxt_w: str) -> str:
+    """One GD round: gradient aggregate against weights ``prev_w``,
+    then the truncating-div update into ``nxt_w`` — mirrors
+    logreg_train_scores round-for-round."""
+    return f"""{rnd} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(err * x0) AS BIGINT) AS g0,
+         CAST(sum(err * x1) AS BIGINT) AS g1,
+         CAST(sum(err * x2) AS BIGINT) AS g2
+  FROM (
+    SELECT f.*,
+           greatest(0, least(1000000,
+             CAST(floor((w.c0 * x0 + w.c1 * x1 + w.c2 * x2) / 4194304.0)
+                  AS BIGINT) + 500000)) - y * 1000000 AS err
+    FROM feats f, {prev_w} w
+  )
+),
+{nxt_w} AS (
+  SELECT w.c0 - ((g0 // 1000000) * 1048576) // (1000000 * n * 4) AS c0,
+         w.c1 - ((g1 // 1000000) * 1048576) // (1000000 * n * 4) AS c1,
+         w.c2 - ((g2 // 1000000) * 1048576) // (1000000 * n * 4) AS c2
+  FROM {prev_w} w, {rnd}
+)"""
+
+
+SQL_LOGREG_QUALITY = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN text || repeat(' {_LR_MARK}', {_LR_NMARK})
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, {_TOKS} AS t FROM planted),
+feats AS (
+  SELECT doc_id,
+         CAST(1000000 AS BIGINT) AS x0,
+         (1000000 * len(list_distinct(t))) // len(t) AS x1,
+         (1000000 * len(list_filter(t, x -> x = '{_LR_MARK}'))) // len(t)
+           AS x2,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS y
+  FROM toks
+),
+w0 AS (SELECT CAST(0 AS BIGINT) AS c0, CAST(0 AS BIGINT) AS c1,
+              CAST(0 AS BIGINT) AS c2),
+{_lr_round_sql('w0', 'r1', 'w1')},
+{_lr_round_sql('w1', 'r2', 'w2')},
+{_lr_round_sql('w2', 'r3', 'w3')}
+SELECT f.doc_id,
+       CAST(w.c0 * x0 + w.c1 * x1 + w.c2 * x2 AS BIGINT) AS z,
+       (w.c0 * x0 + w.c1 * x1 + w.c2 * x2) > 0 AS pred,
+       CAST(y AS BIGINT) AS label
+FROM feats f, w3 w
+"""
+
+
 # upsampling rates: en slight, de 2.5x, fr downsampled half, es 3x,
 # zh dropped (no rates row / otherwise-0 — equivalent on both engines)
 _UP_RATES = {"en": 1.25, "de": 2.5, "fr": 0.5, "es": 3.0}
@@ -1416,6 +1523,7 @@ WHERE n > 0
 
 QUERIES_CURATION = {
     "upsample_mixture": q_upsample_mixture,
+    "logreg_quality": q_logreg_quality,
     "pii_scan": q_pii_scan,
     "quality_filter": q_quality_filter,
     "contamination_screen": q_contamination_screen,
@@ -1444,6 +1552,7 @@ QUERIES_CURATION = {
 
 ORACLES_CURATION = {
     "upsample_mixture": SQL_UPSAMPLE_MIXTURE,
+    "logreg_quality": SQL_LOGREG_QUALITY,
     "pii_scan": SQL_PII_SCAN,
     "quality_filter": SQL_QUALITY_FILTER,
     "contamination_screen": SQL_CONTAMINATION_SCREEN,

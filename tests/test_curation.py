@@ -355,3 +355,64 @@ def test_upsample_mixture_copies_and_determinism(spark):
     assert 20 < len(fr) < 80
     # absent stratum drops entirely
     assert "zh" not in by_lang
+
+
+def test_logreg_quality_learns_planted_signal(spark, sf_smoke):
+    """The integer-grid GD must actually LEARN: marker-frequency weight
+    ends positive, distinct-ratio weight negative (planted docs repeat
+    the marker), and the scored predictions separate the planted half
+    perfectly on the smoke corpus."""
+    import pyspark.sql.functions as F
+
+    from google_analytics_to_s3_spark.plans.driver_queries import QUERIES
+    from google_analytics_to_s3_spark.plans.driver_queries_curation import (
+        q_logreg_quality,
+    )
+    from google_analytics_to_s3_spark.operators.curation import (
+        logreg_train_scores,
+    )
+    from google_analytics_to_s3_spark.operators.text import tokens
+    from google_analytics_to_s3_spark.sources.testdata import load_parallel
+
+    scored = q_logreg_quality(spark, sf_smoke)
+    acc = scored.select(
+        F.avg(
+            (F.col("pred").cast("long") == F.col("label")).cast("double")
+        )
+    ).first()[0]
+    # sf0.001 is ~10x smaller than the oracle SF (where separation is
+    # perfect, acc 1.0 verified against the oracle); three rounds on
+    # the tiny corpus land ~0.9 — assert clear separation, not
+    # perfection
+    assert acc >= 0.85, acc
+
+    # weight signs: rebuild the same features and inspect the weights
+    d = load_parallel(spark, sf_smoke, "documents").select(
+        "doc_id", "text"
+    )
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" spamspam" * 16)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    t = tokens("text")
+    X = 1_000_000
+    feats = planted.select(
+        "doc_id",
+        F.lit(X).cast("long").alias("x0"),
+        F.call_function(
+            "div", F.lit(X) * F.size(F.array_distinct(t)), F.size(t)
+        ).alias("x1"),
+        F.call_function(
+            "div",
+            F.lit(X) * F.size(F.filter(t, lambda x: x == F.lit("spamspam"))),
+            F.size(t),
+        ).alias("x2"),
+        (F.col("doc_id") % 2 == 0).cast("long").alias("y"),
+    )
+    w, _ = logreg_train_scores(feats, ["x0", "x1", "x2"], "y", rounds=3)
+    spark.catalog.clearCache()
+    assert w[2] > 0, w     # marker frequency pushes toward "planted"
+    assert w[1] < 0, w     # high distinct ratio pushes toward "clean"

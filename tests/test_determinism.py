@@ -25,6 +25,7 @@ SENSITIVE = [
     "fuzzy_dedup",        # star-contraction fixpoint + min ids
     "dedup_incremental",  # cross-side min(ref_id) after LSH join
     "embedding_project",  # BIGINT folds inside one projection
+    "logreg_quality",     # per-round gradient sums + trunc-div updates
 ]
 
 
