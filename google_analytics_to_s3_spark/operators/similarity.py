@@ -1018,3 +1018,110 @@ def random_projection(
         f"cast(size(`{vec_col}`) as string))) END"
     )
     return df.select(F.col(id_col), F.expr(guarded).alias("projected"))
+
+
+# --------------------------------------------------------------------------
+# IVF index persistence — build once, query many
+# --------------------------------------------------------------------------
+
+def save_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index: k-means centroids +
+    corpus assignments written as parquet PARTITIONED BY the cell id —
+    so a later query's ``nprobe`` cell selection becomes storage-level
+    partition PRUNING (the scan never opens unprobed cells' files).
+    The in-session operators re-train/re-assign per query; this is the
+    production shape where the corpus is indexed once per version and
+    queried many times.
+
+    Layout: ``{path}/centroids`` (cid, vec — k rows),
+    ``{path}/assignments`` (id, vec, norm, cid; partitioned by cid).
+    """
+    cents = train_centroids_kmeans(
+        corpus, n_centroids, n_iters, id_col, vec_col
+    )
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents],
+        f"cid int, {vec_col} array<float>",
+    )
+    cent_df.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = _assign_from_list(corpus, cents, vec_col, 1, "cid").select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("c_norm"),
+        "cid",
+    )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(
+        f"{path}/assignments"
+    )
+
+
+def knn_ivf_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Top-k cosine search against a :func:`save_ivf_index` index.
+
+    The (small, k×d) centroid table is collected once and baked into
+    the query-assignment projection as literals; the probed cell ids
+    — known driver-side because queries are small by contract — form
+    a literal ``cid IN (...)`` predicate on the partitioned
+    assignments scan, so unprobed cells are pruned BEFORE any I/O
+    (verify: PartitionFilters in the scan node). Everything after the
+    pruned scan is the same broadcast equi-join + per-query top-k as
+    :func:`knn_ivf`.
+    """
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = [
+        (int(r["cid"]), [float(x) for x in r[vec_col]]) for r in cent_rows
+    ]
+    qa = _assign_from_list(queries, cents, vec_col, nprobe, "cid").select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+        "cid",
+    )
+    probed = sorted(
+        {int(r["cid"]) for r in qa.select("cid").distinct().collect()}
+    )
+    ca = (
+        spark.read.parquet(f"{path}/assignments")
+        .filter(F.col("cid").isin(probed))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            "c_norm",
+            "cid",
+        )
+    )
+    scored = (
+        ca.join(F.broadcast(qa), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -131,3 +131,45 @@ def test_semdedup_two_clusters(spark):
     assert out[1][1] is False and out[2][1] is False
     assert out[3][1] is True         # same cluster, below threshold
     assert out[10] == (1, True) and out[11][1] is False
+
+
+def test_ivf_index_roundtrip_and_partition_pruning(spark, sf_smoke, tmp_path):
+    """save_ivf_index → knn_ivf_indexed returns exactly what the
+    in-session trained IVF returns (same deterministic k-means), and
+    the probed-cell predicate reaches the scan as a PARTITION filter —
+    unprobed cells are pruned before I/O."""
+    from pyspark.sql import functions as F
+
+    from google_analytics_to_s3_spark.operators.similarity import (
+        knn_ivf_indexed,
+        knn_ivf_trained,
+        save_ivf_index,
+    )
+    from google_analytics_to_s3_spark.sources.testdata import load_parallel
+
+    emb = load_parallel(spark, sf_smoke, "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivf")
+    save_ivf_index(emb, idx, n_centroids=8, n_iters=2)
+
+    got_df = knn_ivf_indexed(spark, idx, queries, k=3, nprobe=2)
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in got_df.collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in knn_ivf_trained(
+            emb, queries, k=3, nprobe=2, n_centroids=8, n_iters=2
+        ).collect()
+    )
+    assert got == want and got
+
+    plan = got_df.sparkSession._jvm.PythonSQLUtils.explainString(
+        got_df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*cid", plan)
+    assert m, plan
