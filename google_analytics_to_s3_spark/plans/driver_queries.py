@@ -2926,6 +2926,10 @@ _DRIVER_PRIORITY = [
     "dup_spans", "dup_spans_removed", "fuzzy_dedup", "dedup_incremental",
     "embedding_project", "salted_join", "upsample_mixture",
     "logreg_quality",
+    # (b4) round-4 continuation, third batch — contiguous global index
+    # (two-pass bucket-offset pattern) and the deterministic seed-stable
+    # pre-training shuffle
+    "global_index", "shuffle_shards",
     # (c) registered in r3 after the prefix froze, never driver-checked
     "basket_rules", "boilerplate_fraction", "dataset_card",
     "event_anomalies", "session_paths", "shot_boundaries",

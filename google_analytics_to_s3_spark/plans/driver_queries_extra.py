@@ -1290,7 +1290,63 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Distributed row indexing (operators/indexing.py)
+# --------------------------------------------------------------------------
+
+
+def q_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0..n-1 global index over documents via the two-pass
+    bucket-count/offset pattern; the oracle is the single-engine
+    ROW_NUMBER over the identical (md5-bucket, key) order, proving the
+    distributed composition equals the global sort it replaces."""
+    from ..operators.indexing import assign_global_index
+
+    d = load_parallel(spark, sf_dir, "documents")
+    return assign_global_index(
+        d.select("doc_id"), "doc_id", buckets=16
+    ).select("doc_id", "global_idx")
+
+
+SQL_GLOBAL_INDEX = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+                    ::BIGINT % 16,
+                  doc_id) - 1 AS BIGINT) AS global_idx
+FROM documents
+"""
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pre-training shuffle: seed-stable (shard, pos) for
+    every document; oracle recomputes the same md5-order row numbers."""
+    from ..operators.indexing import shuffle_shards
+
+    d = load_parallel(spark, sf_dir, "documents")
+    return shuffle_shards(
+        d.select("doc_id"), "doc_id", shards=8, seed="r4"
+    ).select("doc_id", "shard", "pos")
+
+
+SQL_SHUFFLE_SHARDS = """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('r4#' || CAST(doc_id AS VARCHAR)), 1, 14))
+           ::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(h % 8 AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+            AS BIGINT) AS pos
+FROM h
+"""
+
+
 QUERIES_EXTRA: dict = {
+    "global_index": q_global_index,
+    "shuffle_shards": q_shuffle_shards,
     "embedding_project": q_embedding_project,
     "bloom_probe": q_bloom_probe,
     "bpe_merges": q_bpe_merges,
@@ -1314,6 +1370,8 @@ QUERIES_EXTRA: dict = {
 }
 
 ORACLES_EXTRA: dict[str, str] = {
+    "global_index": SQL_GLOBAL_INDEX,
+    "shuffle_shards": SQL_SHUFFLE_SHARDS,
     "embedding_project": SQL_EMBEDDING_PROJECT,
     "bloom_probe": SQL_BLOOM_PROBE,
     "bpe_merges": SQL_BPE_MERGES,

@@ -1,0 +1,81 @@
+"""Distributed row-indexing operators: contiguous global index and the
+deterministic training shuffle (operators/indexing.py)."""
+
+from pyspark.sql import functions as F
+
+from google_analytics_to_s3_spark.operators.indexing import (
+    assign_global_index,
+    shuffle_shards,
+)
+from google_analytics_to_s3_spark.sources.testdata import load_parallel
+
+
+def test_global_index_contiguous_and_deterministic(spark, sf_smoke):
+    d = load_parallel(spark, sf_smoke, "documents").select("doc_id")
+    n = d.count()
+    out = assign_global_index(d, "doc_id", buckets=16)
+    idx = sorted(r["global_idx"] for r in out.collect())
+    assert idx == list(range(n))
+    # deterministic across independent invocations
+    again = {
+        r["doc_id"]: r["global_idx"]
+        for r in assign_global_index(d, "doc_id", buckets=16).collect()
+    }
+    assert all(again[r["doc_id"]] == r["global_idx"] for r in out.collect())
+    # bucket count must not change the CONTIGUITY contract, only the order
+    idx8 = sorted(
+        r["global_idx"]
+        for r in assign_global_index(d, "doc_id", buckets=8).collect()
+    )
+    assert idx8 == list(range(n))
+
+
+def test_global_index_respects_bucket_key_order(spark, sf_smoke):
+    d = load_parallel(spark, sf_smoke, "documents").select("doc_id")
+    out = assign_global_index(d, "doc_id", buckets=16)
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14),
+               16, 10).cast("long") % 16
+    )
+    rows = (
+        out.withColumn("_b", b)
+        .orderBy("global_idx")
+        .select("_b", "doc_id")
+        .collect()
+    )
+    keys = [(r["_b"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_shuffle_shards_partitioned_permutation(spark, sf_smoke):
+    d = load_parallel(spark, sf_smoke, "documents").select("doc_id")
+    n = d.count()
+    out = shuffle_shards(d, "doc_id", shards=8, seed="s0").collect()
+    assert len(out) == n
+    # every shard's positions are contiguous from 0
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # same seed -> identical placement; new seed -> a different shuffle
+    same = shuffle_shards(d, "doc_id", shards=8, seed="s0").collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in same} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out
+    }
+    other = shuffle_shards(d, "doc_id", shards=8, seed="s1").collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in other} != {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out
+    }
+
+
+def test_indexing_plans_have_no_cartesian(spark, sf_smoke):
+    d = load_parallel(spark, sf_smoke, "documents").select("doc_id")
+    for df in (
+        assign_global_index(d, "doc_id", buckets=16),
+        shuffle_shards(d, "doc_id", shards=8),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
