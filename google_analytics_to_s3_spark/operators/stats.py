@@ -205,3 +205,185 @@ def count_min_estimate(
     return hit.groupBy(key_col).agg(
         F.min("_c").cast("long").alias(est_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with SET OPERATIONS — the
+# Theta-sketch member of the quartet's missing axis: HLL/linear-count
+# answer "how many distinct", but only a value-keeping sketch answers
+# "how many distinct IN COMMON" (audience overlap, cross-segment
+# reach). Beyer et al., SIGMOD 2007; Dasgupta et al.'s Theta sketches
+# generalize the same estimator. State is k 56-bit hashes per group;
+# union of sketches = k smallest of the merged hash sets, so sketches
+# from shards/days merge losslessly; intersection is estimated from
+# the union sketch by inclusion sampling (the Theta-sketch rule).
+# md5-derived hashes make every sketch row — and thus every estimate —
+# bit-identical in any SQL engine: full value oracle.
+# ---------------------------------------------------------------------------
+
+# 56-bit md5-prefix hash domain (matches the repo-wide
+# ('0x' || substr(md5(x), 1, 14))::BIGINT convention).
+KMV_SPACE = float(1 << 56)
+
+
+def _h56(col: Column) -> Column:
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 14), 16, 10
+    ).cast("long")
+
+
+def kmv_sketches(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 128,
+    prune_factor: int | None = None,
+) -> DataFrame:
+    """(group, h, r): the k smallest DISTINCT key hashes per group.
+
+    Plan: one distinct on (group, hash) — the only data-sized shuffle —
+    then a per-group window rank. The rank's local sort is over each
+    group's distinct set; at extreme per-group cardinality pass
+    ``prune_factor`` (e.g. 8): a per-group ``approx_count_distinct``
+    sets a hash threshold ``SPACE * prune_factor * k / n_est`` and only
+    hashes below it reach the sort. Pruning cannot change the result
+    while >= k distinct hashes survive (the k smallest are all below
+    any threshold that admits k rows); a group that ends up truncated
+    (< k survivors with an active threshold) raises rather than
+    returning a silently biased sketch — with factor 8 over HLL's ±5%
+    error that is a Chernoff-tail event.
+    """
+    g = F.col(group_col)
+    pairs = df.select(
+        g.alias("grp"), _h56(F.col(key_col)).alias("h")
+    ).distinct()
+
+    est = None
+    if prune_factor is not None:
+        est = df.groupBy(g.alias("grp")).agg(
+            F.approx_count_distinct(key_col).alias("_n_est")
+        ).withColumn(
+            "_thr",
+            F.least(
+                F.lit(KMV_SPACE),
+                F.lit(KMV_SPACE * prune_factor * k)
+                / F.greatest(F.col("_n_est"), F.lit(1)).cast("double"),
+            ),
+        )
+        pairs = pairs.join(F.broadcast(est), "grp").filter(
+            F.col("h").cast("double") < F.col("_thr")
+        )
+
+    w = Window.partitionBy("grp").orderBy("h")
+    sk = pairs.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= k
+    )
+    if est is not None:
+        # a pruned group may lose rows it needed — or vanish entirely —
+        # so audit against the pre-filter group list, not the survivors
+        survivors = sk.groupBy("grp").agg(F.count("*").alias("_n_sk"))
+        bad = (
+            est.join(survivors, "grp", "left")
+            .filter(
+                (F.col("_thr") < F.lit(KMV_SPACE))
+                & (F.coalesce("_n_sk", F.lit(0)) < k)
+            )
+        )
+        if bad.limit(1).count():
+            raise ValueError(
+                "kmv prune truncated a sketch; raise prune_factor"
+            )
+    return sk.select("grp", "h", "r")
+
+
+def _kmv_est(n_col: Column, hk_col: Column, k: int) -> Column:
+    """Distinct estimate from a sketch: exact count while the sketch is
+    unsaturated (n < k rows hold EVERY distinct hash), else the KMV
+    estimator (k-1) * SPACE / h_k. Double mult+div is IEEE-exact and
+    engine-identical."""
+    return F.when(n_col < k, n_col.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / hk_col.cast("double")
+    )
+
+
+def kmv_overlap(
+    sketches: DataFrame,
+    k: int = 128,
+) -> DataFrame:
+    """Pairwise audience overlap from per-group KMV sketches.
+
+    For every unordered group pair (a < b): the union sketch is the k
+    smallest hashes of the two sketches merged (exactly the sketch the
+    union stream would have produced — the KMV merge theorem), and the
+    intersection estimate is the Theta-sketch inclusion rule:
+    ``matches / |union sketch|`` of the union estimate, where matches
+    counts union-sketch hashes present in BOTH input sketches.
+
+    Everything here is sketch-sized (groups × k rows): the pair table
+    and the per-side hash sets broadcast; no data-sized work. Returns
+    (type_a, type_b, est_a, est_b, n_union, matches, est_union,
+    est_jaccard, est_intersection).
+    """
+    sk = sketches.select("grp", "h")
+    singles = sketches.groupBy("grp").agg(
+        F.count("*").alias("n"), F.max("h").alias("hk")
+    )
+    gs = singles.select("grp", _kmv_est(F.col("n"), F.col("hk"), k).alias("est"))
+
+    # group-domain × group-domain — bounded by the (tiny) group
+    # cardinality, same contract as the repo's 1-row stats crossJoins
+    pairs = (
+        gs.select(F.col("grp").alias("ta"), F.col("est").alias("est_a"))
+        .crossJoin(
+            F.broadcast(
+                gs.select(F.col("grp").alias("tb"), F.col("est").alias("est_b"))
+            )
+        )
+        .filter(F.col("ta") < F.col("tb"))
+    )
+
+    mem_a = pairs.select("ta", "tb").join(
+        F.broadcast(sk.withColumnRenamed("grp", "ta")), "ta"
+    )
+    mem_b = pairs.select("ta", "tb").join(
+        F.broadcast(sk.withColumnRenamed("grp", "tb")), "tb"
+    )
+    merged = mem_a.select("ta", "tb", "h").union(
+        mem_b.select("ta", "tb", "h")
+    ).distinct()
+    wu = Window.partitionBy("ta", "tb").orderBy("h")
+    uni = merged.withColumn("r", F.row_number().over(wu)).filter(
+        F.col("r") <= k
+    )
+
+    in_a = uni.join(
+        F.broadcast(sk.select(F.col("grp").alias("ta"), "h")), ["ta", "h"],
+        "left_semi",
+    )
+    both = in_a.join(
+        F.broadcast(sk.select(F.col("grp").alias("tb"), "h")), ["tb", "h"],
+        "left_semi",
+    )
+    m = both.groupBy("ta", "tb").agg(F.count("*").alias("matches"))
+
+    ustats = uni.groupBy("ta", "tb").agg(
+        F.count("*").alias("n_union"), F.max("h").alias("hk")
+    )
+    out = (
+        ustats.join(F.broadcast(m), ["ta", "tb"], "left")
+        .join(F.broadcast(pairs), ["ta", "tb"])
+        .withColumn("matches", F.coalesce("matches", F.lit(0)))
+        .withColumn("est_union", _kmv_est(F.col("n_union"), F.col("hk"), k))
+    )
+    jac = F.col("matches").cast("double") / F.col("n_union").cast("double")
+    return out.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.round("est_a", 4).alias("est_a"),
+        F.round("est_b", 4).alias("est_b"),
+        F.col("n_union").cast("long").alias("n_union"),
+        F.col("matches").cast("long").alias("matches"),
+        F.round("est_union", 4).alias("est_union"),
+        F.round(jac, 6).alias("est_jaccard"),
+        F.round(jac * F.col("est_union"), 4).alias("est_intersection"),
+    )

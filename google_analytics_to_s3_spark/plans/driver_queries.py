@@ -2927,9 +2927,10 @@ _DRIVER_PRIORITY = [
     "embedding_project", "salted_join", "upsample_mixture",
     "logreg_quality",
     # (b4) round-4 continuation, third batch — contiguous global index
-    # (two-pass bucket-offset pattern) and the deterministic seed-stable
-    # pre-training shuffle
-    "global_index", "shuffle_shards",
+    # (two-pass bucket-offset pattern), the deterministic seed-stable
+    # pre-training shuffle, and KMV set-operation sketches (audience
+    # overlap via the Theta-sketch intersection rule)
+    "global_index", "shuffle_shards", "kmv_overlap",
     # (c) registered in r3 after the prefix froze, never driver-checked
     "basket_rules", "boilerplate_fraction", "dataset_card",
     "event_anomalies", "session_paths", "shot_boundaries",

@@ -1344,9 +1344,106 @@ FROM h
 """
 
 
+# --------------------------------------------------------------------------
+# KMV distinct sketch with set operations (operators/stats.py)
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SPACE_LIT = "72057594037927936.0"  # 2^56 as an exact double literal
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-active-audience overlap between every event-type pair from
+    k-minimum-values sketches over (user, epoch-day) — Beyer et al.
+    2007 sketches, Theta-sketch intersection rule. The user@day grain
+    keeps the per-type audiences partially (not totally) overlapping,
+    so both the saturated estimator and a non-trivial Jaccard are
+    exercised. The oracle replays the identical sketch construction,
+    union-merge and inclusion estimator in SQL — every hash, rank, and
+    IEEE-double estimate must agree."""
+    from ..operators.stats import kmv_overlap, kmv_sketches
+
+    e = load_events(spark, sf_dir).select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("@"),
+            F.expr("ts_ms div 86400000").cast("string"),
+        ).alias("user_day"),
+    )
+    sk = kmv_sketches(e, "event_type", "user_day", k=_KMV_K)
+    return kmv_overlap(sk, k=_KMV_K)
+
+
+_KMV_EST_U = (
+    f"CASE WHEN us.n_union < {_KMV_K} THEN CAST(us.n_union AS DOUBLE) "
+    f"ELSE CAST({_KMV_K - 1} AS DOUBLE) * CAST({_KMV_SPACE_LIT} AS DOUBLE)"
+    f" / CAST(us.hk AS DOUBLE) END"
+)
+
+SQL_KMV_OVERLAP = f"""
+WITH pairs0 AS (
+  SELECT DISTINCT event_type AS grp,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '@' ||
+                             CAST(epoch_ms(ts) // 86400000 AS VARCHAR)),
+                         1, 14))::BIGINT AS h
+  FROM events
+),
+sk AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS r
+  FROM pairs0
+  QUALIFY r <= {_KMV_K}
+),
+singles AS (
+  SELECT grp,
+         CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+              ELSE CAST({_KMV_K - 1} AS DOUBLE)
+                   * CAST({_KMV_SPACE_LIT} AS DOUBLE)
+                   / CAST(max(h) AS DOUBLE) END AS est
+  FROM sk GROUP BY grp
+),
+prs AS (
+  SELECT a.grp AS ta, b.grp AS tb, a.est AS est_a, b.est AS est_b
+  FROM singles a, singles b WHERE a.grp < b.grp
+),
+merged AS (
+  SELECT DISTINCT p.ta, p.tb, s.h
+  FROM prs p JOIN sk s ON s.grp = p.ta OR s.grp = p.tb
+),
+uni AS (
+  SELECT ta, tb, h, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS r
+  FROM merged QUALIFY r <= {_KMV_K}
+),
+m AS (
+  SELECT u.ta, u.tb, count(*) AS matches
+  FROM uni u
+  WHERE EXISTS (SELECT 1 FROM sk x WHERE x.grp = u.ta AND x.h = u.h)
+    AND EXISTS (SELECT 1 FROM sk y WHERE y.grp = u.tb AND y.h = u.h)
+  GROUP BY u.ta, u.tb
+),
+ustats AS (
+  SELECT ta, tb, count(*) AS n_union, max(h) AS hk FROM uni GROUP BY ta, tb
+)
+SELECT us.ta AS type_a, us.tb AS type_b,
+       round(p.est_a, 4) AS est_a, round(p.est_b, 4) AS est_b,
+       CAST(us.n_union AS BIGINT) AS n_union,
+       CAST(COALESCE(m.matches, 0) AS BIGINT) AS matches,
+       round({_KMV_EST_U}, 4) AS est_union,
+       round(CAST(COALESCE(m.matches, 0) AS DOUBLE)
+             / CAST(us.n_union AS DOUBLE), 6) AS est_jaccard,
+       round(CAST(COALESCE(m.matches, 0) AS DOUBLE)
+             / CAST(us.n_union AS DOUBLE) * ({_KMV_EST_U}), 4)
+         AS est_intersection
+FROM ustats us
+JOIN prs p ON p.ta = us.ta AND p.tb = us.tb
+LEFT JOIN m ON m.ta = us.ta AND m.tb = us.tb
+"""
+
+
 QUERIES_EXTRA: dict = {
     "global_index": q_global_index,
     "shuffle_shards": q_shuffle_shards,
+    "kmv_overlap": q_kmv_overlap,
     "embedding_project": q_embedding_project,
     "bloom_probe": q_bloom_probe,
     "bpe_merges": q_bpe_merges,
@@ -1372,6 +1469,7 @@ QUERIES_EXTRA: dict = {
 ORACLES_EXTRA: dict[str, str] = {
     "global_index": SQL_GLOBAL_INDEX,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
+    "kmv_overlap": SQL_KMV_OVERLAP,
     "embedding_project": SQL_EMBEDDING_PROJECT,
     "bloom_probe": SQL_BLOOM_PROBE,
     "bpe_merges": SQL_BPE_MERGES,
