@@ -26,6 +26,9 @@ SENSITIVE = [
     "dedup_incremental",  # cross-side min(ref_id) after LSH join
     "embedding_project",  # BIGINT folds inside one projection
     "logreg_quality",     # per-round gradient sums + trunc-div updates
+    "global_index",       # bucket-count collect + offset join
+    "shuffle_shards",     # hash-ordered window ranks
+    "kmv_overlap",        # k-min ranks + IEEE-double estimators
 ]
 
 

@@ -751,3 +751,46 @@ def test_salted_join_splits_hot_keys_and_matches_plain_join(spark, sf_smoke):
     )
     n_salts = salted.filter("k = 'hot'").select("_salt").distinct().count()
     assert n_salts == 4
+
+
+def test_global_index_plan_broadcast_offsets(spark, sf_smoke):
+    """global_index: offsets arrive via broadcast (the data never
+    shuffles for the tiny offset table) and the window's bucket
+    partitioning is a hash exchange — no global range sort."""
+    from google_analytics_to_s3_spark.plans.driver_queries_extra import (
+        q_global_index,
+    )
+
+    plan = _plan(q_global_index(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_shuffle_shards_single_exchange(spark, sf_smoke):
+    """shuffle_shards: one hash exchange on the shard key feeds the
+    window; no join, no global sort."""
+    from google_analytics_to_s3_spark.plans.driver_queries_extra import (
+        q_shuffle_shards,
+    )
+
+    plan = _plan(q_shuffle_shards(spark, sf_smoke))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_kmv_overlap_data_sized_work_is_one_distinct(spark, sf_smoke):
+    """kmv_overlap: the only data-sized shuffle is the (group, hash)
+    distinct + the per-group rank; every pairwise stage is
+    sketch-sized and broadcast. No cartesian scan (the group-domain
+    crossJoin is a broadcast of a groups-row aggregate)."""
+    from google_analytics_to_s3_spark.plans.driver_queries_extra import (
+        q_kmv_overlap,
+    )
+
+    plan = _plan(q_kmv_overlap(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    # all pairwise joins ride broadcasts
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
