@@ -693,3 +693,53 @@ def logreg_train_scores(
         F.col(label_col).cast("long").alias("label"),
     )
     return w, scored
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "ws0",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-
+    Spirakis A-Res key (IPL 2006): each row gets ``u^(1/w)`` for an
+    md5-derived uniform ``u`` and weight ``w``; the k largest keys are
+    a weight-proportional sample — exactly, not approximately, and
+    deterministically (fixing the seed fixes the sample on any engine).
+
+    The complement of :func:`mixture_sample`: that one keeps a FRACTION
+    per stratum; this one keeps an exact COUNT with per-row weights
+    (sample 10 M docs proportional to quality score). The top-k is
+    orderBy+limit — Spark compiles it to TakeOrderedAndProject, a
+    per-partition heap + driver merge of k rows, never a global sort
+    exchange. Weights must be > 0 (u^(1/w) -> pow of a (0,1) uniform).
+
+    Returns (id, weight, sample_key) for the k selected rows, ordered.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + "#"),
+                               F.col(id_col).cast("string"))),
+                1, 14,
+            ), 16, 10,
+        ).cast("double")
+        / F.lit(float(1 << 56))
+    )
+    w = F.col(weight_col).cast("double")
+    key = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.select(
+            F.col(id_col),
+            w.alias("weight"),
+            key.alias("_key"),
+        )
+        .orderBy(F.col("_key").desc(), id_col)
+        .limit(k)
+        .select(
+            id_col,
+            "weight",
+            F.round("_key", 6).alias("sample_key"),
+        )
+    )

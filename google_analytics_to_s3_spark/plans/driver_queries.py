@@ -2930,7 +2930,7 @@ _DRIVER_PRIORITY = [
     # (two-pass bucket-offset pattern), the deterministic seed-stable
     # pre-training shuffle, and KMV set-operation sketches (audience
     # overlap via the Theta-sketch intersection rule)
-    "global_index", "shuffle_shards", "kmv_overlap",
+    "global_index", "shuffle_shards", "kmv_overlap", "weighted_sample",
     # (c) registered in r3 after the prefix froze, never driver-checked
     "basket_rules", "boilerplate_fraction", "dataset_card",
     "event_anomalies", "session_paths", "shot_boundaries",

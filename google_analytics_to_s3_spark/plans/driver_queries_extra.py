@@ -1440,10 +1440,45 @@ LEFT JOIN m ON m.ta = us.ta AND m.tb = us.tb
 """
 
 
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (operators/curation.py)
+# --------------------------------------------------------------------------
+
+_WS_K = 200
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis A-Res top-k: 200 documents sampled without
+    replacement, inclusion proportional to n_chars. The oracle replays
+    the identical u^(1/w) keys and takes the same top-k — the sample
+    must match row-for-row, proving the TakeOrdered path equals the
+    total-order definition."""
+    from ..operators.curation import weighted_sample
+
+    d = load_parallel(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    return weighted_sample(d, "n_chars", _WS_K, seed="ws0")
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH s AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         pow(('0x' || substr(md5('ws0#' || CAST(doc_id AS VARCHAR)),
+                             1, 14))::BIGINT / 72057594037927936.0,
+             1.0 / CAST(n_chars AS DOUBLE)) AS key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, weight, round(key, 6) AS sample_key
+FROM s ORDER BY key DESC, doc_id LIMIT {_WS_K}
+"""
+
+
 QUERIES_EXTRA: dict = {
     "global_index": q_global_index,
     "shuffle_shards": q_shuffle_shards,
     "kmv_overlap": q_kmv_overlap,
+    "weighted_sample": q_weighted_sample,
     "embedding_project": q_embedding_project,
     "bloom_probe": q_bloom_probe,
     "bpe_merges": q_bpe_merges,
@@ -1470,6 +1505,7 @@ ORACLES_EXTRA: dict[str, str] = {
     "global_index": SQL_GLOBAL_INDEX,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
     "kmv_overlap": SQL_KMV_OVERLAP,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "embedding_project": SQL_EMBEDDING_PROJECT,
     "bloom_probe": SQL_BLOOM_PROBE,
     "bpe_merges": SQL_BPE_MERGES,

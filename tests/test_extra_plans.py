@@ -794,3 +794,26 @@ def test_kmv_overlap_data_sized_work_is_one_distinct(spark, sf_smoke):
     # all pairwise joins ride broadcasts
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_weighted_sample_takeordered_and_weight_bias(spark, sf_smoke):
+    """weighted_sample: top-k compiles to TakeOrderedAndProject (heap,
+    not a global sort exchange), and the E-S keys actually bias the
+    sample toward heavy rows (sample mean weight > corpus mean)."""
+    from google_analytics_to_s3_spark.plans.driver_queries_extra import (
+        q_weighted_sample,
+    )
+    from google_analytics_to_s3_spark.sources.testdata import load_parallel
+
+    df = q_weighted_sample(spark, sf_smoke)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+    rows = df.collect()
+    corpus = load_parallel(spark, sf_smoke, "documents").filter(
+        "n_chars > 0"
+    )
+    corpus_mean = corpus.agg({"n_chars": "avg"}).first()[0]
+    sample_mean = sum(r["weight"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
