@@ -2928,9 +2928,11 @@ _DRIVER_PRIORITY = [
     "logreg_quality",
     # (b4) round-4 continuation, third batch — contiguous global index
     # (two-pass bucket-offset pattern), the deterministic seed-stable
-    # pre-training shuffle, and KMV set-operation sketches (audience
-    # overlap via the Theta-sketch intersection rule)
+    # pre-training shuffle, KMV set-operation sketches (audience
+    # overlap via the Theta-sketch intersection rule), E-S weighted
+    # sampling, and driver-checked Z-order clustering keys
     "global_index", "shuffle_shards", "kmv_overlap", "weighted_sample",
+    "zorder_keys",
     # (c) registered in r3 after the prefix froze, never driver-checked
     "basket_rules", "boilerplate_fraction", "dataset_card",
     "event_anomalies", "session_paths", "shot_boundaries",

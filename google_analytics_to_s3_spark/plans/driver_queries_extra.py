@@ -1474,7 +1474,66 @@ FROM s ORDER BY key DESC, doc_id LIMIT {_WS_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Z-order (Morton) clustering keys (sources/maintenance.py)
+# --------------------------------------------------------------------------
+
+_Z_BITS = 8
+
+
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys over (user_id, epoch-second) for every event — the
+    clustering key write_zordered files by. Mins/maxs come from one
+    1-row aggregate (the only driver pull); the oracle recomputes the
+    identical integer normalization and bit interleave, so every key
+    must match bit-for-bit."""
+    from ..sources.maintenance import zorder_value
+
+    e = load_events(spark, sf_dir).select(
+        "event_id", "user_id", F.expr("ts_ms div 1000").alias("ts_s")
+    )
+    row = e.agg(
+        F.min("user_id"), F.max("user_id"), F.min("ts_s"), F.max("ts_s")
+    ).first()
+    z = zorder_value(
+        [F.col("user_id"), F.col("ts_s")],
+        [row[0], row[2]],
+        [row[1], row[3]],
+        bits=_Z_BITS,
+    )
+    return e.select("event_id", z.alias("zkey"))
+
+
+def _zorder_oracle_sql() -> str:
+    top = (1 << _Z_BITS) - 1
+    terms = []
+    for b in range(_Z_BITS):
+        for i, nc in enumerate(("nu", "nt")):
+            terms.append(f"(({nc} >> {b}) & 1) * {1 << (b * 2 + i)}")
+    return f"""
+WITH stats AS (
+  SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+         min(epoch_ms(ts) // 1000) AS mnt, max(epoch_ms(ts) // 1000) AS mxt
+  FROM events
+),
+norm AS (
+  SELECT event_id,
+         (user_id - s.mnu) * {top}
+           // greatest(s.mxu - s.mnu, 1) AS nu,
+         (epoch_ms(ts) // 1000 - s.mnt) * {top}
+           // greatest(s.mxt - s.mnt, 1) AS nt
+  FROM events, stats s
+)
+SELECT event_id, CAST({' + '.join(terms)} AS BIGINT) AS zkey
+FROM norm
+"""
+
+
+SQL_ZORDER_KEYS = _zorder_oracle_sql()
+
+
 QUERIES_EXTRA: dict = {
+    "zorder_keys": q_zorder_keys,
     "global_index": q_global_index,
     "shuffle_shards": q_shuffle_shards,
     "kmv_overlap": q_kmv_overlap,
@@ -1502,6 +1561,7 @@ QUERIES_EXTRA: dict = {
 }
 
 ORACLES_EXTRA: dict[str, str] = {
+    "zorder_keys": SQL_ZORDER_KEYS,
     "global_index": SQL_GLOBAL_INDEX,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
     "kmv_overlap": SQL_KMV_OVERLAP,
