@@ -48,6 +48,7 @@ def assign_global_index(
     key_col: str,
     buckets: int = 64,
     out_col: str = "global_idx",
+    validate: bool = False,
 ) -> DataFrame:
     """Contiguous 0..n-1 index, globally ordered by (md5-bucket, key).
 
@@ -57,16 +58,24 @@ def assign_global_index(
     plus a within-bucket ``row_number``. The window and the join share
     the hash-partitioning on ``_bucket``, so the data makes exactly one
     exchange. ``key_col`` must be unique (it is the order tiebreak and
-    the hash input); duplicate keys would make the order, and thus the
-    index, ambiguous.
+    the hash input); duplicate keys would make the order — and thus
+    the index — run-dependent. ``validate=True`` folds an exact
+    ``countDistinct`` into the counts pass and raises on duplicates
+    (one extra aggregate over the same exchange; off by default).
     """
     b = _md5_long(F.col(key_col).cast("string")) % buckets
     dfb = df.withColumn("_bucket", b)
 
-    counts = {
-        r["_bucket"]: r["n"]
-        for r in dfb.groupBy("_bucket").agg(F.count("*").alias("n")).collect()
-    }
+    aggs = [F.count("*").alias("n")]
+    if validate:
+        aggs.append(F.countDistinct(key_col).alias("nd"))
+    count_rows = dfb.groupBy("_bucket").agg(*aggs).collect()
+    if validate and any(r["n"] != r["nd"] for r in count_rows):
+        raise ValueError(
+            f"assign_global_index: {key_col} has duplicate values; "
+            "the global order would be ambiguous"
+        )
+    counts = {r["_bucket"]: r["n"] for r in count_rows}
     offsets, acc = [], 0
     for bk in sorted(counts):
         offsets.append((bk, acc))

@@ -387,3 +387,21 @@ def kmv_overlap(
         F.round(jac, 6).alias("est_jaccard"),
         F.round(jac * F.col("est_union"), 4).alias("est_intersection"),
     )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 128) -> DataFrame:
+    """Lossless union of two KMV sketch tables: per group, the k
+    smallest hashes of the merged sets — by the KMV merge theorem,
+    byte-identical to the sketch built over the concatenated streams.
+    This is the incremental-ingest primitive: keep a standing sketch
+    per day/shard and fold new batches in without re-scanning history;
+    work is sketch-sized (≤ 2k rows per group enter the rank)."""
+    u = (
+        a.select("grp", "h").union(b.select("grp", "h")).distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        u.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select("grp", "h", "r")
+    )

@@ -95,3 +95,81 @@ def test_kmv_estimates_within_bounds(spark, sf_smoke):
         assert abs(row["est_intersection"] - true_inter) <= max(
             5, 3 * tol * true_union
         ), row
+
+
+def test_kmv_merge_equals_whole_stream_sketch(spark, sf_smoke):
+    """Merge theorem, batch form: sketch(first half) ⊎ sketch(second
+    half) == sketch(everything)."""
+    from google_analytics_to_s3_spark.operators.stats import kmv_merge
+
+    e = load_events(spark, sf_smoke).select("event_type", "user_id",
+                                            "event_id")
+    a = kmv_sketches(e.filter("event_id % 2 = 0"),
+                     "event_type", "user_id", k=K)
+    b = kmv_sketches(e.filter("event_id % 2 = 1"),
+                     "event_type", "user_id", k=K)
+    whole = kmv_sketches(e, "event_type", "user_id", k=K)
+    assert _sk_rows(kmv_merge(a, b, k=K)) == _sk_rows(whole)
+
+
+def test_kmv_streaming_incremental_ingest(spark, tmp_path, sf_smoke):
+    """The incremental-ingest pattern: foreachBatch folds each
+    micro-batch's sketch into a standing sketch table with kmv_merge;
+    after the stream drains, the standing sketch equals the one-shot
+    batch sketch — no history re-scan, sketch-sized state only."""
+    from google_analytics_to_s3_spark.operators.stats import kmv_merge
+
+    e = load_events(spark, sf_smoke).select(
+        "event_type", "user_id", "event_id"
+    )
+    src = str(tmp_path / "in")
+    e.filter("event_id % 2 = 0").write.mode("overwrite").parquet(
+        src + "/a.parquet"
+    )
+    e.filter("event_id % 2 = 1").write.mode("append").parquet(
+        src + "/b.parquet"
+    )
+    standing = str(tmp_path / "sketch")
+
+    def fold(batch_df, batch_id):
+        sk = kmv_sketches(batch_df, "event_type", "user_id", k=K)
+        try:
+            prev = spark.read.parquet(standing)
+            sk = kmv_merge(prev, sk, k=K)
+        except Exception:
+            pass
+        sk.write.mode("overwrite").parquet(standing + ".next")
+        spark.read.parquet(standing + ".next").write.mode(
+            "overwrite"
+        ).parquet(standing)
+
+    q = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(standing)
+    want = kmv_sketches(e, "event_type", "user_id", k=K)
+    assert _sk_rows(got) == _sk_rows(want)
+
+
+def test_global_index_validate_rejects_duplicates(spark):
+    from google_analytics_to_s3_spark.operators.indexing import (
+        assign_global_index,
+    )
+
+    dup = spark.createDataFrame([(1,), (2,), (2,)], ["k"])
+    with pytest.raises(ValueError, match="duplicate"):
+        assign_global_index(dup, "k", buckets=4, validate=True)
+    ok = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    idx = sorted(
+        r["global_idx"]
+        for r in assign_global_index(ok, "k", buckets=4,
+                                     validate=True).collect()
+    )
+    assert idx == [0, 1, 2]
