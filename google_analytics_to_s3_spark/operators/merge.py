@@ -72,3 +72,48 @@ def merge_upsert(
         ~F.coalesce(F.col(deleted_col), F.lit(False))
     ).select(*base.columns)
     return survivors.unionByName(upserts)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    change_col: str = "change_type",
+) -> DataFrame:
+    """Changeset between two snapshots: one row per key that was
+    inserted, deleted, or updated (unchanged keys are dropped).
+
+    The reverse of ``merge_upsert`` — that one applies a change feed to
+    a snapshot; this one RECOVERS the feed from two snapshots, the
+    table-diff every lakehouse migration/backfill audit needs. Each
+    side reduces to (key, 56-bit md5 digest of the compare columns)
+    before the full-outer equi-join on the key, so payloads never
+    shuffle — only keys + fixed-width digests — and the join is a plain
+    hash join at any width. Compare columns are joined with a '|'
+    delimiter and a NULL sentinel; values containing the delimiter can
+    alias (use digest-safe columns or pre-escape for adversarial data).
+    Doubles are deliberately NOT auto-supported in compare_cols: cast
+    them to an exact grain first (string formatting of floats is
+    engine-specific).
+    """
+    def digest(df: DataFrame, out: str) -> DataFrame:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+            for c in compare_cols
+        ]
+        d = F.conv(
+            F.substring(F.md5(F.concat_ws("|", *parts)), 1, 14), 16, 10
+        ).cast("long")
+        return df.select(*key_cols, d.alias(out))
+
+    o = digest(old, "_dig_old")
+    n = digest(new, "_dig_new")
+    joined = o.join(n, key_cols, "full_outer")
+    return joined.select(
+        *key_cols,
+        F.when(F.col("_dig_old").isNull(), F.lit("insert"))
+        .when(F.col("_dig_new").isNull(), F.lit("delete"))
+        .when(F.col("_dig_old") != F.col("_dig_new"), F.lit("update"))
+        .alias(change_col),
+    ).filter(F.col(change_col).isNotNull())

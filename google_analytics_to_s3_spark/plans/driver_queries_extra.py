@@ -1532,7 +1532,63 @@ FROM norm
 SQL_ZORDER_KEYS = _zorder_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# Snapshot diff / change-feed recovery (operators/merge.py)
+# --------------------------------------------------------------------------
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two customer snapshots with planted mutations (5% deleted,
+    5% segment-churned, 5% cloned under new keys — md5-chosen, mirrored
+    literally in the oracle). The oracle states the EXPECTED changeset
+    directly from the mutation rules, so the digest/full-outer
+    machinery must recover exactly the planted feed — no more (no
+    false updates from digest collisions) and no less."""
+    from ..operators.merge import snapshot_diff
+
+    c = load_table(spark, sf_dir, "customer")
+    hv = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 14),
+               16, 10).cast("long") % 20
+    )
+    old = c.withColumn("_hv", hv)
+    new = (
+        old.filter(F.col("_hv") != 0)
+        .withColumn(
+            "c_mktsegment",
+            F.when(F.col("_hv") == 1, F.lit("CHURNED"))
+             .otherwise(F.col("c_mktsegment")),
+        )
+        .unionByName(
+            old.filter(F.col("_hv") == 2).withColumn(
+                "c_custkey", F.col("c_custkey") + F.lit(1000000000)
+            )
+        )
+    )
+    return snapshot_diff(
+        old, new, ["c_custkey"],
+        ["c_name", "c_nationkey", "c_mktsegment"],
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH h AS (
+  SELECT c_custkey,
+         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 14))::BIGINT
+           % 20 AS hv
+  FROM customer
+)
+SELECT c_custkey, 'delete' AS change_type FROM h WHERE hv = 0
+UNION ALL
+SELECT c_custkey, 'update' AS change_type FROM h WHERE hv = 1
+UNION ALL
+SELECT c_custkey + 1000000000 AS c_custkey, 'insert' AS change_type
+FROM h WHERE hv = 2
+"""
+
+
 QUERIES_EXTRA: dict = {
+    "snapshot_diff": q_snapshot_diff,
     "zorder_keys": q_zorder_keys,
     "global_index": q_global_index,
     "shuffle_shards": q_shuffle_shards,
@@ -1561,6 +1617,7 @@ QUERIES_EXTRA: dict = {
 }
 
 ORACLES_EXTRA: dict[str, str] = {
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "zorder_keys": SQL_ZORDER_KEYS,
     "global_index": SQL_GLOBAL_INDEX,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,

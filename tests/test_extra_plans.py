@@ -817,3 +817,51 @@ def test_weighted_sample_takeordered_and_weight_bias(spark, sf_smoke):
     corpus_mean = corpus.agg({"n_chars": "avg"}).first()[0]
     sample_mean = sum(r["weight"] for r in rows) / len(rows)
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_snapshot_diff_roundtrips_through_merge_upsert(spark, sf_smoke):
+    """diff then apply == new: the changeset snapshot_diff recovers,
+    fed through merge_upsert as a CDC batch, must reproduce the new
+    snapshot exactly — the two operators are true inverses."""
+    from google_analytics_to_s3_spark.operators.merge import (
+        merge_upsert,
+        snapshot_diff,
+    )
+    from google_analytics_to_s3_spark.sources.testdata import load_table
+    import pyspark.sql.functions as F
+
+    old = load_table(spark, sf_smoke, "customer")
+    hv = F.pmod(F.col("c_custkey") * 7 + 3, F.lit(10))
+    new = (
+        old.filter(hv != 0)
+        .withColumn(
+            "c_mktsegment",
+            F.when(hv == 1, F.lit("CHURNED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+    )
+    diff = snapshot_diff(
+        old, new, ["c_custkey"],
+        ["c_name", "c_nationkey", "c_mktsegment"],
+    )
+    upserts = diff.filter("change_type != 'delete'").join(
+        new, "c_custkey"
+    ).select(
+        *new.columns,
+        F.lit(1).alias("v"),
+        F.lit(False).alias("is_deleted"),
+    )
+    deletes = diff.filter("change_type = 'delete'").select(
+        "c_custkey",
+        *[F.lit(None).cast(old.schema[c].dataType).alias(c)
+          for c in old.columns if c != "c_custkey"],
+        F.lit(1).alias("v"),
+        F.lit(True).alias("is_deleted"),
+    )
+    applied = merge_upsert(
+        old, upserts.unionByName(deletes), ["c_custkey"], "v",
+        "is_deleted",
+    )
+    assert applied.exceptAll(new).count() == 0
+    assert new.exceptAll(applied).count() == 0
