@@ -79,3 +79,40 @@ def test_indexing_plans_have_no_cartesian(spark, sf_smoke):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_new_operators_handle_empty_and_degenerate_inputs(spark):
+    """Empty frames and identical snapshots must yield empty results,
+    not errors — the shapes a scheduled pipeline hits on quiet days."""
+    from google_analytics_to_s3_spark.operators.merge import snapshot_diff
+    from google_analytics_to_s3_spark.operators.stats import (
+        kmv_overlap,
+        kmv_sketches,
+    )
+
+    empty = spark.createDataFrame([], "grp STRING, k STRING")
+    sk = kmv_sketches(empty, "grp", "k", k=8)
+    assert sk.count() == 0
+    assert kmv_overlap(sk, k=8).count() == 0
+
+    e_idx = spark.createDataFrame([], "k LONG")
+    assert assign_global_index(e_idx, "k", buckets=4).count() == 0
+    assert shuffle_shards(e_idx, "k", shards=4).count() == 0
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id LONG, payload STRING"
+    )
+    assert snapshot_diff(snap, snap, ["id"], ["payload"]).count() == 0
+    # single-group sketch: overlap has no pairs, not a crash
+    one = spark.createDataFrame([("g", "x"), ("g", "y")],
+                                "grp STRING, k STRING")
+    assert kmv_overlap(
+        kmv_sketches(one, "grp", "k", k=8), k=8
+    ).count() == 0
+    # weighted sample k larger than the corpus returns everything
+    from google_analytics_to_s3_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    tiny = spark.createDataFrame([(1, 10), (2, 20)], "doc_id LONG, w LONG")
+    assert weighted_sample(tiny, "w", 100).count() == 2
