@@ -1587,7 +1587,43 @@ FROM h WHERE hv = 2
 """
 
 
+# --------------------------------------------------------------------------
+# Point-in-time rolling features (operators/features.py)
+# --------------------------------------------------------------------------
+
+
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 1-day and 7-day activity features (count +
+    BIGINT-cents value sum) over each user's own history — the
+    leakage-free feature construction. RANGE frames make equal
+    timestamps unambiguous, so the oracle must match bit-for-bit."""
+    from ..operators.features import DAY_MS, rolling_features
+
+    e = load_events(spark, sf_dir)
+    return rolling_features(
+        e, {"1d": DAY_MS, "7d": 7 * DAY_MS}
+    )
+
+
+SQL_ROLLING_FEATURES = """
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+       CAST(count(*) OVER w1 AS BIGINT) AS n_1d,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w1 AS BIGINT)
+         AS cents_1d,
+       CAST(count(*) OVER w7 AS BIGINT) AS n_7d,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w7 AS BIGINT)
+         AS cents_7d
+FROM events
+WINDOW
+  w1 AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+         RANGE BETWEEN 86399999 PRECEDING AND CURRENT ROW),
+  w7 AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+         RANGE BETWEEN 604799999 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES_EXTRA: dict = {
+    "rolling_features": q_rolling_features,
     "snapshot_diff": q_snapshot_diff,
     "zorder_keys": q_zorder_keys,
     "global_index": q_global_index,
@@ -1617,6 +1653,7 @@ QUERIES_EXTRA: dict = {
 }
 
 ORACLES_EXTRA: dict[str, str] = {
+    "rolling_features": SQL_ROLLING_FEATURES,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "zorder_keys": SQL_ZORDER_KEYS,
     "global_index": SQL_GLOBAL_INDEX,

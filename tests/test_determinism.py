@@ -29,6 +29,7 @@ SENSITIVE = [
     "global_index",       # bucket-count collect + offset join
     "shuffle_shards",     # hash-ordered window ranks
     "kmv_overlap",        # k-min ranks + IEEE-double estimators
+    "rolling_features",   # RANGE-frame sums on the cents grid
 ]
 
 

@@ -865,3 +865,48 @@ def test_snapshot_diff_roundtrips_through_merge_upsert(spark, sf_smoke):
     )
     assert applied.exceptAll(new).count() == 0
     assert new.exceptAll(applied).count() == 0
+
+
+def test_rolling_features_single_exchange_all_horizons(spark, sf_smoke):
+    """rolling_features: every horizon shares the user partitioning +
+    ts ordering, so the whole feature set costs ONE hash exchange and
+    one in-partition sort — no per-horizon re-shuffle, no join."""
+    from google_analytics_to_s3_spark.plans.driver_queries_extra import (
+        q_rolling_features,
+    )
+
+    plan = _plan(q_rolling_features(spark, sf_smoke))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_rolling_features_point_in_time_semantics(spark):
+    """A hand-built history pins the leakage-free window edges: the
+    horizon includes the event itself and exactly h ms of history —
+    an event h ms older falls out; equal timestamps co-count."""
+    from google_analytics_to_s3_spark.operators.features import (
+        rolling_features,
+    )
+
+    rows = [
+        # (event_id, user_id, ts_ms, value)
+        (1, 1, 0, 1.0),
+        (2, 1, 999, 1.0),       # inside the 1000ms horizon of t=999
+        (3, 1, 1000, 1.0),      # t=1000: window is [1, 1000], excludes t=0
+        (4, 1, 1000, 1.0),      # tie with event 3: co-counted via RANGE
+        (5, 2, 1000, 2.5),      # other user: isolated
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, ts_ms LONG, value DOUBLE"
+    )
+    got = {
+        r["event_id"]: (r["n_w"], r["cents_w"])
+        for r in rolling_features(df, {"w": 1000}).collect()
+    }
+    assert got[1] == (1, 100)
+    assert got[2] == (2, 200)          # [0, 999] includes both
+    # [1, 1000]: event 1 at t=0 excluded; ties 3+4 both included
+    assert got[3] == (3, 300)
+    assert got[4] == (3, 300)
+    assert got[5] == (1, 250)
