@@ -2932,7 +2932,7 @@ _DRIVER_PRIORITY = [
     # overlap via the Theta-sketch intersection rule), E-S weighted
     # sampling, and driver-checked Z-order clustering keys
     "global_index", "shuffle_shards", "kmv_overlap", "weighted_sample",
-    "zorder_keys", "snapshot_diff", "rolling_features",
+    "zorder_keys", "snapshot_diff", "rolling_features", "ab_lift",
     # (c) registered in r3 after the prefix froze, never driver-checked
     "basket_rules", "boilerplate_fraction", "dataset_card",
     "event_anomalies", "session_paths", "shot_boundaries",

@@ -1622,7 +1622,111 @@ WINDOW
 """
 
 
+# --------------------------------------------------------------------------
+# A/B experiment analysis (deterministic hash assignment + lift)
+# --------------------------------------------------------------------------
+
+
+def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic experiment readout: users hash into control/
+    treatment (md5 — the assignment any engine can replay for audit),
+    then ONE conditional aggregation produces per-arm reach,
+    converters (a high-value purchase, value > 150 — every user has
+    SOME purchase in this data, so the plain definition would saturate
+    at rate 1.0 in both arms), purchase revenue (BIGINT cents) and the
+    relative conversion lift. The whole analysis is a single hash aggregate
+    over (arm, user) distincts plus a 1-row reduce — scale-flat."""
+    e = load_events(spark, sf_dir).select("user_id", "event_type", "value")
+    arm = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("exp1#"),
+                                          F.col("user_id").cast("string"))),
+                           1, 14), 16, 10).cast("long") % 2
+    )
+    per_user = (
+        e.withColumn("arm", arm)
+        .groupBy("arm", "user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 150),
+                    1,
+                ).otherwise(0)
+            ).alias("converted"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("cents"),
+        )
+    )
+    def side(a: int, name: str):
+        return [
+            F.sum(F.when(F.col("arm") == a, 1).otherwise(0))
+             .cast("long").alias(f"users_{name}"),
+            F.sum(F.when(F.col("arm") == a, F.col("converted"))
+                  .otherwise(0)).cast("long").alias(f"conv_{name}"),
+            F.sum(F.when(F.col("arm") == a, F.col("cents"))
+                  .otherwise(0)).cast("long").alias(f"cents_{name}"),
+        ]
+
+    wide = per_user.agg(*side(0, "control"), *side(1, "treatment"))
+    rate_c = F.col("conv_control").cast("double") / F.col("users_control")
+    rate_t = F.col("conv_treatment").cast("double") / F.col("users_treatment")
+    return wide.select(
+        "users_control", "conv_control", "cents_control",
+        "users_treatment", "conv_treatment", "cents_treatment",
+        F.round(rate_c, 6).alias("rate_control"),
+        F.round(rate_t, 6).alias("rate_treatment"),
+        F.round((rate_t - rate_c) / rate_c, 6).alias("rel_lift"),
+    )
+
+
+SQL_AB_LIFT = """
+WITH per_user AS (
+  SELECT ('0x' || substr(md5('exp1#' || CAST(user_id AS VARCHAR)),
+                         1, 14))::BIGINT % 2 AS arm,
+         user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 150
+             THEN 1 ELSE 0 END) AS converted,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 100) AS BIGINT)
+                  ELSE 0 END) AS cents
+  FROM events GROUP BY 1, 2
+),
+wide AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS users_control,
+    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+      AS conv_control,
+    CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT)
+      AS cents_control,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS users_treatment,
+    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+      AS conv_treatment,
+    CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT)
+      AS cents_treatment
+  FROM per_user
+)
+SELECT users_control, conv_control, cents_control,
+       users_treatment, conv_treatment, cents_treatment,
+       round(CAST(conv_control AS DOUBLE) / users_control, 6)
+         AS rate_control,
+       round(CAST(conv_treatment AS DOUBLE) / users_treatment, 6)
+         AS rate_treatment,
+       round((CAST(conv_treatment AS DOUBLE) / users_treatment
+              - CAST(conv_control AS DOUBLE) / users_control)
+             / (CAST(conv_control AS DOUBLE) / users_control), 6)
+         AS rel_lift
+FROM wide
+"""
+
+
 QUERIES_EXTRA: dict = {
+    "ab_lift": q_ab_lift,
     "rolling_features": q_rolling_features,
     "snapshot_diff": q_snapshot_diff,
     "zorder_keys": q_zorder_keys,
@@ -1653,6 +1757,7 @@ QUERIES_EXTRA: dict = {
 }
 
 ORACLES_EXTRA: dict[str, str] = {
+    "ab_lift": SQL_AB_LIFT,
     "rolling_features": SQL_ROLLING_FEATURES,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "zorder_keys": SQL_ZORDER_KEYS,
