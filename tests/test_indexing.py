@@ -116,3 +116,27 @@ def test_new_operators_handle_empty_and_degenerate_inputs(spark):
 
     tiny = spark.createDataFrame([(1, 10), (2, 20)], "doc_id LONG, w LONG")
     assert weighted_sample(tiny, "w", 100).count() == 2
+
+
+def test_shuffle_shards_writer_roundtrip(spark, sf_smoke, tmp_path):
+    """The documented serving contract: write partitionBy(shard), read
+    one shard back, stream in pos order — the example order is exactly
+    what the in-memory shuffle assigned, on every rerun."""
+    d = load_parallel(spark, sf_smoke, "documents").select("doc_id")
+    out = shuffle_shards(d, "doc_id", shards=4, seed="io")
+    path = str(tmp_path / "shards")
+    out.write.partitionBy("shard").mode("overwrite").parquet(path)
+
+    reread = spark.read.parquet(path)
+    want = {
+        (r["shard"], r["pos"]): r["doc_id"] for r in out.collect()
+    }
+    got = {
+        (r["shard"], r["pos"]): r["doc_id"] for r in reread.collect()
+    }
+    assert got == want
+    # per-shard pos sequences stream gap-free from 0
+    one = (
+        reread.filter("shard = 0").orderBy("pos").select("pos").collect()
+    )
+    assert [r["pos"] for r in one] == list(range(len(one)))
