@@ -1725,7 +1725,126 @@ FROM wide
 """
 
 
+# --------------------------------------------------------------------------
+# Data-quality constraint report (operators/dq.py)
+# --------------------------------------------------------------------------
+
+
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish-gate constraint report over three tables. The events
+    side gets deterministic planted corruption (md5-chosen NULL users
+    and a bogus event type — mirrored literally in the oracle, like
+    plant_pii) so the checker proves nonzero counting, not just
+    all-green; orders/lineitem run clean uniqueness / nullability /
+    range / referential checks. One scan per table + one anti-join."""
+    from ..operators.dq import (
+        accepted_values,
+        check_table,
+        in_range,
+        not_null,
+        ref_integrity,
+        unique,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    hv = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 14),
+               16, 10).cast("long") % 50
+    )
+    e = (
+        load_events(spark, sf_dir)
+        .withColumn(
+            "user_id", F.when(hv == 0, F.lit(None)).otherwise(F.col("user_id"))
+        )
+        .withColumn(
+            "event_type",
+            F.when(hv == 1, F.lit("bogus")).otherwise(F.col("event_type")),
+        )
+    )
+    report = (
+        check_table(o, "orders", [
+            unique("o_orderkey"),
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0.0, 1e9),
+        ])
+        .unionByName(check_table(li, "lineitem", [
+            not_null("l_orderkey"),
+            in_range("l_discount", 0.0, 1.0),
+        ]))
+        .unionByName(check_table(e, "events", [
+            not_null("user_id"),
+            accepted_values(
+                "event_type",
+                ["click", "view", "purchase", "signup", "error"],
+            ),
+        ]))
+        .unionByName(ref_integrity(li, o, "l_orderkey", "o_orderkey",
+                                   "lineitem"))
+    )
+    return report
+
+
+SQL_DQ_REPORT = """
+WITH ev AS (
+  SELECT CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 14))
+                     ::BIGINT % 50 = 0
+              THEN NULL ELSE user_id END AS user_id,
+         CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 14))
+                     ::BIGINT % 50 = 1
+              THEN 'bogus' ELSE event_type END AS event_type
+  FROM events
+),
+rows0 AS (
+  SELECT 'orders' AS "table", 'unique(o_orderkey)' AS "constraint",
+         CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+           AS violations
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'not_null(o_custkey)',
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'in_range(o_totalprice,0.0,1000000000.0)',
+         CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                        AND (o_totalprice < 0.0 OR o_totalprice > 1e9)
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem', 'not_null(l_orderkey)',
+         CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'in_range(l_discount,0.0,1.0)',
+         CAST(sum(CASE WHEN l_discount IS NOT NULL
+                        AND (l_discount < 0.0 OR l_discount > 1.0)
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'events', 'not_null(user_id)',
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM ev
+  UNION ALL
+  SELECT 'events', 'accepted_values(event_type)',
+         CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                        ('click', 'view', 'purchase', 'signup', 'error')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM ev
+  UNION ALL
+  SELECT 'lineitem', 'ref_integrity(l_orderkey->o_orderkey)',
+         CAST((SELECT count(*) FROM lineitem l
+               WHERE l.l_orderkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey))
+              AS BIGINT)
+)
+SELECT "table", "constraint", violations, violations = 0 AS passed
+FROM rows0
+"""
+
+
 QUERIES_EXTRA: dict = {
+    "dq_report": q_dq_report,
     "ab_lift": q_ab_lift,
     "rolling_features": q_rolling_features,
     "snapshot_diff": q_snapshot_diff,
@@ -1757,6 +1876,7 @@ QUERIES_EXTRA: dict = {
 }
 
 ORACLES_EXTRA: dict[str, str] = {
+    "dq_report": SQL_DQ_REPORT,
     "ab_lift": SQL_AB_LIFT,
     "rolling_features": SQL_ROLLING_FEATURES,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

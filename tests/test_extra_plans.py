@@ -910,3 +910,44 @@ def test_rolling_features_point_in_time_semantics(spark):
     assert got[3] == (3, 300)
     assert got[4] == (3, 300)
     assert got[5] == (1, 250)
+
+
+def test_dq_checks_single_scan_and_planted_violations(spark, sf_smoke):
+    """check_table folds all of a table's constraints into ONE
+    aggregate (a single scan — no per-check job), and the checker
+    counts planted violations exactly."""
+    import pyspark.sql.functions as F
+
+    from google_analytics_to_s3_spark.operators.dq import (
+        check_table,
+        in_range,
+        not_null,
+        ref_integrity,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (2, 99.0), (None, -1.0)],
+        "k LONG, v DOUBLE",
+    )
+    rep = check_table(df, "t", [
+        unique("k"), not_null("k"), not_null("v"), in_range("v", 0, 10),
+    ])
+    plan = _plan(rep)
+    # one scan, one aggregate chain — no join/union of per-check jobs
+    assert plan.count("Scan ") == 1, plan
+    got = {r["constraint"]: r["violations"] for r in rep.collect()}
+    assert got == {
+        "unique(k)": 1,          # k=2 twice -> one extra row
+        "not_null(k)": 1,
+        "not_null(v)": 1,
+        "in_range(v,0,10)": 2,   # -1 and 99
+    }
+    assert all(
+        (r["violations"] == 0) == r["passed"] for r in rep.collect()
+    )
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk LONG")
+    child = spark.createDataFrame([(1,), (3,), (None,)], "fk LONG")
+    ri = ref_integrity(child, parent, "fk", "pk", "c").collect()[0]
+    assert ri["violations"] == 1 and not ri["passed"]
