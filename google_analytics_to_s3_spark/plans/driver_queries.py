@@ -2933,7 +2933,7 @@ _DRIVER_PRIORITY = [
     # sampling, and driver-checked Z-order clustering keys
     "global_index", "shuffle_shards", "kmv_overlap", "weighted_sample",
     "zorder_keys", "snapshot_diff", "rolling_features", "ab_lift",
-    "dq_report",
+    "dq_report", "hopping_distinct",
     # (c) registered in r3 after the prefix froze, never driver-checked
     "basket_rules", "boilerplate_fraction", "dataset_card",
     "event_anomalies", "session_paths", "shot_boundaries",

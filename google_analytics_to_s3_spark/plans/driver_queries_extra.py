@@ -1843,7 +1843,84 @@ FROM rows0
 """
 
 
+# --------------------------------------------------------------------------
+# Sliding-window distinct users (exact + linear-count sketch, side by side)
+# --------------------------------------------------------------------------
+
+_HD_M = 4096  # linear-counting bucket count per (window, type)
+
+
+def q_hopping_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per event type, daily — the
+    windowed-distinct rollup that is cheap to say and expensive to run
+    at scale. Each event fans out to its 7 covering windows (map-side
+    explode); then BOTH answers come from one grouped aggregation: the
+    exact countDistinct (the expensive path — per-window user sets
+    shuffle) and the linear-counting estimate over md5 buckets (the
+    bounded path: ≤ m buckets per window no matter how many users).
+    Shipping them side by side makes the sketch's error visible —
+    and the oracle replays both, so the estimate must match to the
+    last rounded digit."""
+    e = load_events(spark, sf_dir).select(
+        "event_type",
+        F.col("user_id"),
+        F.expr("ts_ms div 86400000").alias("day"),
+    )
+    fan = e.select(
+        "event_type", "user_id", "day",
+        F.explode(F.array(*[F.lit(i) for i in range(7)])).alias("_i"),
+    ).select(
+        "event_type", "user_id",
+        (F.col("day") - F.col("_i")).alias("win_day"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 14),
+               16, 10).cast("long") % _HD_M
+    )
+    m = float(_HD_M)
+    agg = (
+        fan.withColumn("b", bucket)
+        .groupBy("win_day", "event_type")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("exact_users"),
+            F.countDistinct("b").cast("long").alias("occupied"),
+        )
+    )
+    est = F.round(
+        -F.lit(m) * F.log(
+            (F.lit(m) - F.col("occupied").cast("double")) / F.lit(m)
+        ), 6,
+    )
+    return agg.select(
+        "win_day", "event_type", "exact_users", "occupied",
+        est.alias("est_users"),
+    )
+
+
+SQL_HOPPING_DISTINCT = f"""
+WITH fan AS (
+  SELECT event_type, user_id,
+         epoch_ms(ts) // 86400000 - i.i AS win_day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT
+           % {_HD_M} AS b
+  FROM events
+  CROSS JOIN (SELECT unnest(range(0, 7)) AS i) i
+),
+agg AS (
+  SELECT win_day, event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+         CAST(count(DISTINCT b) AS BIGINT) AS occupied
+  FROM fan GROUP BY 1, 2
+)
+SELECT win_day, event_type, exact_users, occupied,
+       round(-{_HD_M}.0 * ln(({_HD_M}.0 - CAST(occupied AS DOUBLE))
+                             / {_HD_M}.0), 6) AS est_users
+FROM agg
+"""
+
+
 QUERIES_EXTRA: dict = {
+    "hopping_distinct": q_hopping_distinct,
     "dq_report": q_dq_report,
     "ab_lift": q_ab_lift,
     "rolling_features": q_rolling_features,
@@ -1876,6 +1953,7 @@ QUERIES_EXTRA: dict = {
 }
 
 ORACLES_EXTRA: dict[str, str] = {
+    "hopping_distinct": SQL_HOPPING_DISTINCT,
     "dq_report": SQL_DQ_REPORT,
     "ab_lift": SQL_AB_LIFT,
     "rolling_features": SQL_ROLLING_FEATURES,
