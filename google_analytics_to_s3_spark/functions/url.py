@@ -93,3 +93,67 @@ def page_path_levels(url: Column | str) -> Column:
 def landing_page(is_new_session: Column | str, url: Column | str) -> Column:
     """F9 (main.py:711-716): URL path on session start, else null."""
     return F.when(_c(is_new_session) == 1, F.coalesce(url_path(url), F.lit("")))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (tracking-parameter-invariant page identity)
+# ---------------------------------------------------------------------------
+
+#: Query keys that identify a *visit*, not a *page* — ad-click and
+#: campaign attribution parameters. Dropping them is what lets pageview
+#: dedup collapse the N utm-tagged spellings of one page into one key.
+TRACKING_PARAM_PREFIXES = ("utm_",)
+TRACKING_PARAM_KEYS = (
+    "gclid", "fbclid", "msclkid", "dclid", "mc_cid", "mc_eid", "igshid",
+)
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical page identity for a raw URL, as one native expression.
+
+    Rules (each a well-known URL-normalization step):
+      - scheme and host lowercased; the port is dropped (``parse_url
+        HOST`` never includes it — acceptable because the collector
+        only ever sees the default port);
+      - trailing ``/`` stripped from the path (empty path → ``/``);
+      - the fragment dropped (``parse_url QUERY`` never includes it);
+      - tracking parameters removed (``utm_*`` prefixes and the click-id
+        keys in :data:`TRACKING_PARAM_KEYS`);
+      - surviving query parameters re-emitted in key-sorted order, so
+        ``?a=1&b=2`` and ``?b=2&a=1`` canonicalize identically.
+
+    Pure projection — ``parse_url`` + map/array higher-order functions,
+    no UDF, no shuffle; safe to apply in the scan stage of a 100 TB
+    pageview table before the dedup groupBy.
+    """
+    u = _c(url)
+    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("")), "/+$", ""
+    )
+    path = F.when(F.length(path) == 0, F.lit("/")).otherwise(path)
+
+    def _keep(k: Column, v: Column) -> Column:
+        is_tracking = reduce(
+            or_,
+            [k.startswith(p) for p in TRACKING_PARAM_PREFIXES]
+            + [k == key for key in TRACKING_PARAM_KEYS],
+        )
+        return ~is_tracking
+
+    qmap = F.str_to_map(
+        F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit("")),
+        F.lit("&"), F.lit("="),
+    )
+    kept = F.array_sort(F.map_entries(F.map_filter(qmap, _keep)))
+    qs = F.array_join(
+        F.transform(kept, lambda e: F.concat(e.key, F.lit("="), e.value)),
+        "&",
+    )
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(F.length(qs) > 0, F.concat(F.lit("?"), qs)).otherwise(
+            F.lit("")
+        ),
+    )

@@ -1,0 +1,73 @@
+"""User-erasure (right-to-be-forgotten) propagation across a mart tree.
+
+The operational requirement behind the reference's PII posture
+(anonymize_ip, functions/sessionization/main.py:168-178; the PII scan
+in operators/curation.py): when a deletion request arrives, the user's
+rows must disappear from the raw table AND every derived mart, and the
+run must produce an auditable per-table report.
+
+Scale shape: the request list is tiny relative to the data (thousands
+of keys vs billions of rows), so every purge is a **broadcast**
+anti-join — the fact tables never shuffle — and every report line is a
+single conditional-aggregation pass over one table (no second scan for
+the purged-row count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def erase_users(df: DataFrame, requests: DataFrame, key: str) -> DataFrame:
+    """``df`` minus every row whose ``key`` appears in ``requests``.
+
+    ``requests`` must be a one-column DataFrame of keys (deduplication
+    not required). Broadcast ``left_anti`` — no shuffle of ``df``.
+    """
+    req = F.broadcast(
+        requests.select(F.col(requests.columns[0]).alias(key)).distinct()
+    )
+    return df.join(req, on=key, how="left_anti")
+
+
+def erasure_report(
+    tables: list[tuple[str, DataFrame, str]],
+    requests: DataFrame,
+) -> DataFrame:
+    """Audit report for an erasure run: one row per (name, df, key) in
+    ``tables`` with total / purged / kept row counts and the number of
+    distinct requested users actually present.
+
+    One conditional-aggregation pass per table: rows are flagged by a
+    broadcast left join against the request list, then counted once —
+    ``rows_kept`` is derived, not re-scanned.
+    """
+    req_col = requests.columns[0]
+    req = requests.select(F.col(req_col).alias("_erase_key")).distinct()
+    reports = []
+    for name, df, key in tables:
+        flagged = df.join(
+            F.broadcast(req.withColumn("_hit", F.lit(1))),
+            df[key] == F.col("_erase_key"),
+            "left",
+        )
+        reports.append(
+            flagged.agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).alias("rows_total"),
+                F.coalesce(F.sum("_hit"), F.lit(0))
+                .cast("long")
+                .alias("rows_purged"),
+                (F.count(F.lit(1)) - F.coalesce(F.sum("_hit"), F.lit(0)))
+                .cast("long")
+                .alias("rows_kept"),
+                F.count_distinct(
+                    F.when(F.col("_hit") == 1, df[key])
+                ).cast("long").alias("users_purged"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -2795,8 +2795,13 @@ from .driver_queries_tpch import (  # noqa: E402
     ORACLES_TPCH,
     QUERIES_TPCH,
 )
+from .driver_queries_identity import (  # noqa: E402
+    ORACLES_IDENTITY,
+    QUERIES_IDENTITY,
+)
 
 QUERIES.update(QUERIES_ENRICH)
+QUERIES.update(QUERIES_IDENTITY)
 QUERIES.update(QUERIES_TPCH)
 QUERIES.update(QUERIES_EXTRA)
 QUERIES.update(QUERIES_EXPORTS)
@@ -2870,6 +2875,7 @@ ORACLES: dict[str, str] = {
 }
 
 ORACLES.update(ORACLES_ENRICH)
+ORACLES.update(ORACLES_IDENTITY)
 ORACLES.update(ORACLES_TPCH)
 ORACLES.update(ORACLES_EXTRA)
 ORACLES.update(ORACLES_EXPORTS)
@@ -2937,6 +2943,13 @@ _DRIVER_PRIORITY = [
     # (c) registered in r3 after the prefix froze, never driver-checked
     "basket_rules", "boilerplate_fraction", "dataset_card",
     "event_anomalies", "session_paths", "shot_boundaries",
+    # (b5) round-4 continuation, fourth batch — canonical-URL pageview
+    # dedup (parser verified against an arithmetic oracle) and Markov
+    # removal-effect attribution (the data-driven model) take the two
+    # remaining top-50 slots; identity stitching, user erasure and any
+    # later additions queue for the r5 rotation
+    "url_dedup", "markov_attribution", "identity_stitching",
+    "user_erasure",
     # (d) green in r1 only — no row since the r2 ts-dtype err; re-verify
     "anonymize_ip", "asof_join", "daily_engagement", "events_cube",
     "events_pivot", "export_sessions", "geo_enrich", "hit_type_mapping",
