@@ -21,7 +21,7 @@ rearranged), following driver_queries_exports.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.url import canonical_url
@@ -302,14 +302,184 @@ FROM up
 """
 
 
+# --------------------------------------------------------------------------
+# Markov removal-effect ("data-driven") attribution
+# --------------------------------------------------------------------------
+
+_MK_CHANNELS = ["google", "(direct)", "facebook", "newsletter"]
+_MK_TP = ["google", "(direct)", "facebook", "newsletter", "(direct)"]
+_MK_ARR = "[" + ", ".join(f"'{s}'" for s in _MK_TP) + "]"
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GA4-style data-driven attribution (operators/markov.py): per-user
+    journeys → first-order chain with absorbing conv/null → per-channel
+    removal effect and attributed conversions.
+
+    The data-sized work is one visitor window + one hash agg down to a
+    ≤30-row transition matrix; the absorption solve runs driver-side on
+    an integer grid (bounded pull, k-means-centroid contract) and the
+    oracle replays the identical K-round integer iteration as chained
+    CTEs, so every grid value must agree exactly. The rounded double
+    columns are computed by SPARK expressions over the grid integers
+    (the repo's proven round-parity pairing with the DuckDB oracle —
+    Python's banker's round is deliberately avoided). Assumes ≥1
+    conversion and ≥1 positive removal gain — true by construction of
+    the journey synthesis."""
+    from ..operators.markov import channel_transitions, removal_effects
+
+    e = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts_ms", "event_type"
+    )
+    src = F.element_at(
+        F.array(*[F.lit(s) for s in _MK_TP]),
+        (F.col("event_id") % len(_MK_TP)).cast("int") + 1,
+    )
+    conv = F.max((F.col("event_type") == "purchase").cast("int")).over(
+        Window.partitionBy("user_id")
+    )
+    touches = e.select(
+        "user_id", "event_id", "ts_ms", src.alias("source"),
+        conv.alias("converted"),
+    )
+    trans_df = channel_transitions(
+        touches, "user_id", "ts_ms", "source", "event_id", "converted"
+    )
+    trans = [(r["s"], r["t"], r["cnt"]) for r in trans_df.collect()]
+    n_conv = sum(c for _s, t, c in trans if t == "conv")
+    grids = removal_effects(trans, _MK_CHANNELS)
+    pb = grids["base"]["p"]
+    sum_gain = sum(pb - grids[ch]["p"] for ch in _MK_CHANNELS)
+    rows = [
+        (ch, grids[ch]["n_in"], pb, grids[ch]["p"])
+        for ch in _MK_CHANNELS
+    ]
+    grid_df = spark.createDataFrame(
+        rows,
+        "channel string, n_in long, p_conv_grid long, p_removed_grid long",
+    )
+    gain = (F.col("p_conv_grid") - F.col("p_removed_grid")).cast("double")
+    return grid_df.select(
+        "channel", "n_in", "p_conv_grid", "p_removed_grid",
+        F.round(gain / F.col("p_conv_grid").cast("double"), 6).alias(
+            "removal_effect"
+        ),
+        F.round(
+            F.lit(float(n_conv)) * gain / F.lit(float(sum_gain)), 6
+        ).alias("attributed_conv"),
+    )
+
+
+def _markov_oracle_sql() -> str:
+    from ..operators.markov import MARKOV_Q, MARKOV_SQUARINGS
+
+    scen = "['base', " + ", ".join(f"'{c}'" for c in _MK_CHANNELS) + "]"
+    # AS MATERIALIZED throughout: DuckDB otherwise re-inlines the whole
+    # upstream pipeline into every squaring round (measured: superlinear
+    # planning blowup; materialized the chain runs in ~0.1 s)
+    its = []
+    for k in range(1, MARKOV_SQUARINGS + 1):
+        its.append(f"""m{k} AS MATERIALIZED (
+  SELECT a.scen, a.s, b.t,
+         CAST(sum(a.q * b.q) // {MARKOV_Q} AS BIGINT) AS q
+  FROM m{k - 1} a JOIN m{k - 1} b ON a.scen = b.scen AND a.t = b.s
+  GROUP BY 1, 2, 3
+)""")
+    chain = ",\n".join(its)
+    return f"""
+WITH t0 AS MATERIALIZED (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         ({_MK_ARR})[(event_id % {len(_MK_TP)}) + 1] AS source,
+         event_type
+  FROM events
+),
+cu AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM t0 GROUP BY 1
+),
+seq AS MATERIALIZED (
+  SELECT t0.user_id, source,
+         lead(source) OVER (PARTITION BY t0.user_id
+                            ORDER BY ts_ms, event_id) AS nxt,
+         row_number() OVER (PARTITION BY t0.user_id
+                            ORDER BY ts_ms, event_id) AS rn,
+         converted
+  FROM t0 JOIN cu USING (user_id)
+),
+tm AS MATERIALIZED (
+  SELECT s, t, CAST(sum(c) AS BIGINT) AS cnt FROM (
+    SELECT 'start' AS s, source AS t, count(*) AS c
+    FROM seq WHERE rn = 1 GROUP BY 1, 2
+    UNION ALL
+    SELECT source, nxt, count(*) FROM seq WHERE nxt IS NOT NULL
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT source,
+           CASE WHEN converted = 1 THEN 'conv' ELSE 'null' END, count(*)
+    FROM seq WHERE nxt IS NULL GROUP BY 1, 2
+  ) GROUP BY 1, 2
+),
+rt AS (SELECT s, sum(cnt) AS total FROM tm GROUP BY 1),
+sc AS MATERIALIZED (SELECT unnest({scen}) AS scen),
+m0 AS MATERIALIZED (
+  -- row totals keep null/removed mass (leaked probability); dropped
+  -- transitions: t = 'null' always, t = scen under removal
+  SELECT sc.scen, tm.s, tm.t,
+         CAST(tm.cnt * {MARKOV_Q} // rt.total AS BIGINT) AS q
+  FROM sc CROSS JOIN tm JOIN rt ON tm.s = rt.s
+  WHERE tm.t <> 'null' AND tm.t <> sc.scen
+  UNION ALL
+  SELECT sc.scen, 'conv', 'conv', {MARKOV_Q} FROM sc
+),
+{chain},
+fin AS (
+  SELECT scen, q AS p FROM m{MARKOV_SQUARINGS}
+  WHERE s = 'start' AND t = 'conv'
+),
+base AS (SELECT p AS pb FROM fin WHERE scen = 'base'),
+rem AS (
+  SELECT scen AS channel, p AS p_removed FROM fin WHERE scen <> 'base'
+),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_conv FROM tm WHERE t = 'conv'
+),
+nin AS (
+  SELECT t AS channel, CAST(sum(cnt) AS BIGINT) AS n_in
+  FROM tm WHERE t NOT IN ('conv', 'null') GROUP BY 1
+),
+sg AS (
+  SELECT CAST(sum(b.pb - r.p_removed) AS BIGINT) AS sum_gain
+  FROM rem r CROSS JOIN base b
+)
+SELECT r.channel, n.n_in,
+       b.pb AS p_conv_grid,
+       r.p_removed AS p_removed_grid,
+       round(CAST(b.pb - r.p_removed AS DOUBLE)
+             / CAST(b.pb AS DOUBLE), 6) AS removal_effect,
+       round(CAST(t.n_conv AS DOUBLE)
+             * CAST(b.pb - r.p_removed AS DOUBLE)
+             / CAST(s.sum_gain AS DOUBLE), 6) AS attributed_conv
+FROM rem r
+JOIN nin n USING (channel)
+CROSS JOIN base b CROSS JOIN tot t CROSS JOIN sg s
+"""
+
+
+SQL_MARKOV_ATTRIBUTION = _markov_oracle_sql()
+
+
 QUERIES_IDENTITY: dict = {
     "url_dedup": q_url_dedup,
     "identity_stitching": q_identity_stitching,
     "user_erasure": q_user_erasure,
+    "markov_attribution": q_markov_attribution,
 }
 
 ORACLES_IDENTITY: dict[str, str] = {
     "url_dedup": SQL_URL_DEDUP,
     "identity_stitching": SQL_IDENTITY_STITCHING,
     "user_erasure": SQL_USER_ERASURE,
+    "markov_attribution": SQL_MARKOV_ATTRIBUTION,
 }
