@@ -57,3 +57,32 @@ def scd2_versions(
         )
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def scd2_asof_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    key_col: str,
+    ts_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Enrich a fact stream with the dimension version valid at fact
+    time: join on the dimension key, keep the version whose
+    ``[valid_from, valid_to)`` interval contains ``ts_col`` (open-ended
+    current rows match everything from valid_from on).
+
+    Scale shape: a plain equi-join on the dimension key — the interval
+    test is a post-join filter, never a range/BNLJ join — with per-key
+    fan-out bounded by that key's version count (small by SCD2
+    construction: one row per attribute CHANGE). At most one version
+    matches per fact row (intervals partition the timeline), so no
+    post-join dedup is needed.
+    """
+    v = versions.select(
+        F.col(key_col).alias("_vk"),
+        *[c for c in versions.columns if c != key_col],
+    )
+    cond = (facts[key_col] == v["_vk"]) & (
+        facts[ts_col] >= v["valid_from"]
+    ) & (v["valid_to"].isNull() | (facts[ts_col] < v["valid_to"]))
+    return facts.join(v, cond, how).drop("_vk")

@@ -405,3 +405,106 @@ def kmv_merge(a: DataFrame, b: DataFrame, k: int = 128) -> DataFrame:
         .filter(F.col("r") <= k)
         .select("grp", "h", "r")
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals.
+#
+# The scale-correct bootstrap: classical resampling draws n rows WITH
+# replacement — impossible to coordinate across executors — but for
+# large n the multinomial row-counts converge to independent
+# Poisson(1), so each row can decide its own per-replicate multiplicity
+# from a hash, with NO coordination and NO shuffle beyond the final
+# B-row aggregation (Chamandy et al., "Estimating Uncertainty for
+# Massive Data Streams", Google 2012). Deterministic here: the
+# multiplicity is the inverse-CDF of Poisson(1) evaluated on a 40-bit
+# md5 grid, so every replicate is bit-identical in any engine.
+# ---------------------------------------------------------------------------
+
+# P(X<=k)*2^40 for X~Poisson(1), k=0..5 (multiplicity capped at 6)
+POISSON1_CDF_GRID = [
+    404487723187, 808975446375, 1011219307969,
+    1078633928500, 1095487583633, 1098858314660,
+]
+_BOOT_SPACE = 1 << 40
+
+
+def bootstrap_multiplicity(key: Column, rep: Column) -> Column:
+    """Deterministic Poisson(1) draw for (row key, replicate index)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", F.lit("boot"), key, rep)), 1, 10
+            ),
+            16, 10,
+        ).cast("long")
+        % _BOOT_SPACE
+    )
+    out = F.lit(len(POISSON1_CDF_GRID))
+    for k in range(len(POISSON1_CDF_GRID) - 1, -1, -1):
+        out = F.when(u < POISSON1_CDF_GRID[k], F.lit(k)).otherwise(out)
+    return out
+
+
+BOOT_VALUE_GRID = 1 << 20
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_reps: int = 64,
+    lo_rank: int = 2,
+    hi_rank: int = 63,
+) -> DataFrame:
+    """Percentile-bootstrap CI for ``mean(value_col)``: one row with the
+    point estimate and the [lo_rank, hi_rank] order statistics of the
+    ``n_reps`` replicate means (ranks are 1-based over the ascending
+    replicate list; the 64-rep default brackets ~95%).
+
+    Shape: rows fan out ×n_reps map-side (explode of a literal array),
+    weighted sums aggregate straight down to n_reps rows, and the final
+    percentile step sorts a n_reps-length array — driver-scale work
+    bounded by B, never by the data.
+
+    Exactness: values are quantized to the binary ``BOOT_VALUE_GRID``
+    (``floor(v * 2^20)`` — a power-of-two scale, so the quantization
+    itself is float-exact), all sums are BIGINT (order-independent),
+    and each mean is ONE double division — bit-identical in any engine,
+    unlike DECIMAL division whose result-scale rules are engine-local.
+    """
+    reps = F.explode(
+        F.array(*[F.lit(b) for b in range(n_reps)])
+    ).alias("rep")
+    vg = F.floor(
+        F.col(value_col).cast("double") * F.lit(BOOT_VALUE_GRID)
+    ).cast("long")
+    fan = df.select(F.col(key_col).alias("_k"), vg.alias("_v"), reps)
+    w = bootstrap_multiplicity(F.col("_k"), F.col("rep"))
+    per_rep = (
+        fan.withColumn("_w", w)
+        .groupBy("rep")
+        .agg(
+            (
+                F.sum(F.col("_v") * F.col("_w")).cast("double")
+                / (F.sum("_w") * F.lit(BOOT_VALUE_GRID)).cast("double")
+            ).alias("mean_b")
+        )
+    )
+    point = df.select(vg.alias("_v")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("_v").cast("double")
+            / (F.count(F.lit(1)) * F.lit(BOOT_VALUE_GRID)).cast("double")
+        ).alias("point_est"),
+    )
+    boots = per_rep.agg(
+        F.array_sort(F.collect_list("mean_b")).alias("_ms")
+    ).select(
+        F.round(F.element_at("_ms", lo_rank), 6).alias("boot_lo"),
+        F.round(F.element_at("_ms", hi_rank), 6).alias("boot_hi"),
+    )
+    return point.crossJoin(boots).select(
+        "n", F.round("point_est", 6).alias("point_est"),
+        "boot_lo", "boot_hi",
+    )

@@ -636,3 +636,71 @@ def bm25_search(
     )
     win = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return topk.withColumn("rank", F.row_number().over(win))
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (zero-shuffle scan operator)
+# ---------------------------------------------------------------------------
+
+def phrase_hits(toks: Column, words: list[str]) -> Column:
+    """1-based start positions of exact consecutive-token matches of
+    ``words`` inside the token array ``toks``, overlapping matches
+    included.
+
+    This is the scan-local formulation of phrase search: instead of a
+    positional inverted index (k-way self-join on (doc, pos) — k join
+    legs, k shuffles), the candidate window positions are enumerated
+    per document with ``sequence`` + ``filter`` higher-order functions,
+    so the whole operator is ONE map-side projection inside the parquet
+    scan stage — no exchange at any corpus size. A persisted postings
+    index only wins when the phrase vocabulary is queried repeatedly
+    against a frozen corpus (the build-once-query-many regime of the
+    persisted IVF index in operators/similarity.py); for one-shot
+    search, scan-local is strictly better.
+    """
+    if not words:
+        raise ValueError("phrase_hits: empty phrase")
+    k = len(words)
+    idx = F.sequence(F.lit(1), F.size(toks) - k + 1)
+
+    def _match(i: Column) -> Column:
+        conds = [
+            F.element_at(toks, (i + j).cast("int")) == F.lit(w)
+            for j, w in enumerate(words)
+        ]
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    return F.when(
+        F.size(toks) >= k, F.filter(idx, _match)
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def phrase_search(
+    df: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Docs matching any of ``phrases`` (space-tokenized): one output
+    row per (phrase, matching doc) with match count and first 1-based
+    position. One scan branch per phrase, each fully map-side."""
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(id_col, toks.alias("_toks"))
+    outs = []
+    for phrase in phrases:
+        hits = phrase_hits(F.col("_toks"), phrase.split())
+        outs.append(
+            base.select(
+                F.lit(phrase).alias("phrase"),
+                F.col(id_col),
+                F.size(hits).cast("long").alias("n_matches"),
+                F.element_at(hits, 1).cast("long").alias("first_pos"),
+            ).filter(F.col("n_matches") > 0)
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.url import canonical_url
-from ..sources.testdata import load_events
+from ..sources.testdata import load_events, load_parallel, load_table
 
 __all__ = ["QUERIES_IDENTITY", "ORACLES_IDENTITY"]
 
@@ -470,11 +470,200 @@ CROSS JOIN base b CROSS JOIN tot t CROSS JOIN sg s
 SQL_MARKOV_ATTRIBUTION = _markov_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# Positional phrase search (scan-local, zero-shuffle)
+# --------------------------------------------------------------------------
+
+_PHRASES = ["table hash", "slow hash batch"]
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval over the corpus, overlapping matches
+    included — the sequence+filter HOF formulation (operators/text.py
+    phrase_hits): candidate start positions are enumerated inside the
+    scan projection, so the operator is map-side at any corpus size
+    (vs the k-way positional-index self-join it replaces)."""
+    from ..operators.text import phrase_search
+
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_search(d, _PHRASES)
+
+
+def _phrase_oracle_sql() -> str:
+    legs = []
+    for phrase in _PHRASES:
+        words = phrase.split()
+        k = len(words)
+        cond = " AND ".join(
+            (f"l[i] = '{w}'" if j == 0 else f"l[i + {j}] = '{w}'")
+            for j, w in enumerate(words)
+        )
+        legs.append(f"""SELECT '{phrase}' AS phrase, doc_id,
+       CAST(len(hits) AS BIGINT) AS n_matches,
+       CAST(hits[1] AS BIGINT) AS first_pos
+FROM (
+  SELECT doc_id,
+         list_filter(range(1, greatest(len(l) - {k} + 2, 1)),
+                     i -> {cond}) AS hits
+  FROM d
+) WHERE len(hits) > 0""")
+    body = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+{body}
+"""
+
+
+SQL_PHRASE_SEARCH = _phrase_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval
+# --------------------------------------------------------------------------
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% percentile-bootstrap CI for mean purchase value via the
+    coordination-free Poisson bootstrap (operators/stats.py): 64
+    deterministic hash-replicates fan out map-side, BIGINT sums on the
+    binary value grid, one double division per replicate."""
+    from ..operators.stats import bootstrap_mean_ci
+
+    e = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "value")
+    return bootstrap_mean_ci(e, "event_id", "value")
+
+
+def _bootstrap_oracle_sql() -> str:
+    from ..operators.stats import BOOT_VALUE_GRID, POISSON1_CDF_GRID
+
+    cases = " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(POISSON1_CDF_GRID)
+    )
+    return f"""
+WITH src AS (
+  SELECT event_id,
+         CAST(floor(CAST(value AS DOUBLE) * {BOOT_VALUE_GRID}) AS BIGINT)
+           AS v
+  FROM events WHERE event_type = 'purchase'
+),
+fan AS (
+  SELECT event_id, v, r.rep,
+         ('0x' || substr(md5('boot-' || CAST(event_id AS VARCHAR)
+                              || '-' || CAST(r.rep AS VARCHAR)), 1, 10)
+         )::BIGINT % {1 << 40} AS u
+  FROM src CROSS JOIN (SELECT unnest(range(0, 64)) AS rep) r
+),
+wts AS (SELECT v, rep, CASE {cases} ELSE 6 END AS w FROM fan),
+per AS (
+  SELECT rep,
+         CAST(sum(v * w) AS DOUBLE)
+           / CAST(sum(w) * {BOOT_VALUE_GRID} AS DOUBLE) AS mean_b
+  FROM wts GROUP BY rep
+),
+pt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS DOUBLE)
+           / CAST(count(*) * {BOOT_VALUE_GRID} AS DOUBLE) AS point_est
+  FROM src
+),
+bs AS (SELECT list(mean_b ORDER BY mean_b) AS ms FROM per)
+SELECT n, round(point_est, 6) AS point_est,
+       round(ms[2], 6) AS boot_lo, round(ms[63], 6) AS boot_hi
+FROM pt CROSS JOIN bs
+"""
+
+
+SQL_BOOTSTRAP_CI = _bootstrap_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# SCD2 as-of enrichment (facts × dimension versions at fact time)
+# --------------------------------------------------------------------------
+
+def q_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each shipped lineitem enriched with the customer's order-priority
+    VERSION valid on the ship date (operators/scd.py scd2_asof_join:
+    equi-join on the key, interval test as a post-join filter — never a
+    range/BNLJ join), rolled up by priority-at-ship-time. The point of
+    SCD2: the rollup reflects what the dimension said THEN, not now."""
+    from ..operators.scd import scd2_asof_join, scd2_versions
+
+    orders = load_table(spark, sf_dir, "orders")
+    versions = scd2_versions(
+        orders.select(
+            "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+        ),
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey",
+    ).select("o_custkey", "o_orderpriority", "valid_from", "valid_to")
+    facts = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey", "l_quantity", "l_shipdate")
+    )
+    j = scd2_asof_join(facts, versions, "o_custkey", "l_shipdate")
+    return j.groupBy(
+        F.col("o_orderpriority").alias("priority_at_ship")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+    )
+
+
+SQL_SCD2_ASOF_ENRICH = """
+WITH ch AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey FROM (
+    SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+           lag(o_orderpriority) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS prev,
+           row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS rn
+    FROM orders
+  ) WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority
+),
+v AS (
+  SELECT o_custkey, o_orderpriority,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS valid_to
+  FROM ch
+),
+f AS (
+  SELECT o.o_custkey, l.l_quantity, l.l_shipdate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+j AS (
+  SELECT f.l_quantity, f.o_custkey, v.o_orderpriority
+  FROM f JOIN v ON f.o_custkey = v.o_custkey
+    AND f.l_shipdate >= v.valid_from
+    AND (v.valid_to IS NULL OR f.l_shipdate < v.valid_to)
+)
+SELECT o_orderpriority AS priority_at_ship,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM j GROUP BY 1
+"""
+
+
 QUERIES_IDENTITY: dict = {
     "url_dedup": q_url_dedup,
     "identity_stitching": q_identity_stitching,
     "user_erasure": q_user_erasure,
     "markov_attribution": q_markov_attribution,
+    "phrase_search": q_phrase_search,
+    "bootstrap_ci": q_bootstrap_ci,
+    "scd2_asof_enrich": q_scd2_asof_enrich,
 }
 
 ORACLES_IDENTITY: dict[str, str] = {
@@ -482,4 +671,7 @@ ORACLES_IDENTITY: dict[str, str] = {
     "identity_stitching": SQL_IDENTITY_STITCHING,
     "user_erasure": SQL_USER_ERASURE,
     "markov_attribution": SQL_MARKOV_ATTRIBUTION,
+    "phrase_search": SQL_PHRASE_SEARCH,
+    "bootstrap_ci": SQL_BOOTSTRAP_CI,
+    "scd2_asof_enrich": SQL_SCD2_ASOF_ENRICH,
 }
