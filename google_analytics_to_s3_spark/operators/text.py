@@ -704,3 +704,101 @@ def phrase_search(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Windowed co-occurrence + PMI (corpus association statistics)
+# ---------------------------------------------------------------------------
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+) -> DataFrame:
+    """(w1, w2, n_pair) counts of unordered token pairs co-occurring
+    within ``window`` positions, across the corpus.
+
+    Map-side pair enumeration: for each distance d ∈ 1..window the pair
+    list is ``arrays_zip(slice(toks, 1, n-d), slice(toks, d+1, n-d))``
+    — a pure projection; the only exchange is the final (w1, w2) hash
+    aggregation over pairs, whose fan-out is ``window ×`` the token
+    count (linear, never doc-length²)."""
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(toks.alias("_t"), F.size(toks).alias("_n"))
+    outs = []
+    for d in range(1, window + 1):
+        ln = F.greatest(F.col("_n") - d, F.lit(0))
+        z = F.arrays_zip(
+            F.slice(F.col("_t"), 1, ln), F.slice(F.col("_t"), d + 1, ln)
+        )
+        outs.append(
+            base.select(F.explode(z).alias("_p")).select(
+                F.least(F.col("_p.0"), F.col("_p.1")).alias("w1"),
+                F.greatest(F.col("_p.0"), F.col("_p.1")).alias("w2"),
+            )
+        )
+    pairs = outs[0]
+    for o in outs[1:]:
+        pairs = pairs.unionByName(o)
+    return pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    )
+
+
+def pmi_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    min_pair: int = 40,
+) -> DataFrame:
+    """(w1, w2, n_pair, pmi): pointwise mutual information of windowed
+    co-occurrences, ``pmi = ln(c_ab·N_w² / (N_pair·c_a·c_b))`` as ONE
+    fixed-order double expression over exact integer counts (the
+    repo's ln-parity convention — hopping_distinct, dsir_weights).
+
+    Unigram table and the two scalar totals are broadcast (vocab-sized
+    and 1-row); the pair table is the only data-sized aggregation."""
+    toks = F.split(F.col(text_col), " ")
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # both scalar totals fall out of doc LENGTHS alone (Σ n and
+    # Σ_d max(n-d, 0) per doc) — one cheap scan, no second pair fan-out
+    n = F.size(toks)
+    pair_slots = None
+    for d in range(1, window + 1):
+        g = F.greatest(n - d, F.lit(0)).cast("long")
+        pair_slots = g if pair_slots is None else pair_slots + g
+    totals = df.select(
+        n.cast("long").alias("_n"), pair_slots.alias("_ps")
+    ).agg(
+        F.sum("_n").cast("long").alias("n_w"),
+        F.sum("_ps").cast("long").alias("n_pairs_total"),
+    )
+    pairs = cooccurrence_pairs(df, text_col, window).filter(
+        F.col("n_pair") >= min_pair
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("_c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("_c2"))
+    j = (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.log(
+        (
+            F.col("n_pair").cast("double")
+            * F.col("n_w").cast("double")
+            * F.col("n_w").cast("double")
+        )
+        / (
+            F.col("n_pairs_total").cast("double")
+            * F.col("_c1").cast("double")
+            * F.col("_c2").cast("double")
+        )
+    )
+    return j.select(
+        "w1", "w2", "n_pair", F.round(pmi, 6).alias("pmi")
+    )

@@ -656,6 +656,144 @@ FROM j GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Windowed PMI word associations
+# --------------------------------------------------------------------------
+
+_PMI_WINDOW = 3
+_PMI_MIN = 40
+
+
+def q_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus association mining: pointwise mutual information over
+    token pairs co-occurring within 3 positions (operators/text.py
+    pmi_scores). Pair enumeration is a map-side arrays_zip projection
+    (fan-out = window × token count, linear); unigram table and the
+    scalar totals broadcast; one ln per surviving pair in the repo's
+    fixed-order double convention."""
+    from ..operators.text import pmi_scores
+
+    d = load_parallel(spark, sf_dir, "documents").select("text")
+    return pmi_scores(d, "text", window=_PMI_WINDOW, min_pair=_PMI_MIN)
+
+
+def _pmi_oracle_sql() -> str:
+    legs = []
+    for d in range(1, _PMI_WINDOW + 1):
+        legs.append(
+            f"SELECT unnest(list_zip(l[1:len(l) - {d}], "
+            f"l[{d + 1}:len(l)])) AS p FROM d WHERE len(l) > {d}"
+        )
+    branches = "\n    UNION ALL\n    ".join(legs)
+    gsum = " + ".join(
+        f"greatest(len(l) - {d}, 0)" for d in range(1, _PMI_WINDOW + 1)
+    )
+    return f"""
+WITH d AS (SELECT string_split(text, ' ') AS l FROM documents),
+pr AS (
+  SELECT least(p[1], p[2]) AS w1, greatest(p[1], p[2]) AS w2 FROM (
+    {branches}
+  )
+),
+pairs AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM pr GROUP BY 1, 2 HAVING count(*) >= {_PMI_MIN}
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(l) AS w FROM d
+  ) GROUP BY 1
+),
+totals AS (
+  SELECT CAST(sum(len(l)) AS BIGINT) AS n_w,
+         CAST(sum({gsum}) AS BIGINT) AS n_pairs_total
+  FROM d
+)
+SELECT p.w1, p.w2, p.n_pair,
+       round(ln((CAST(p.n_pair AS DOUBLE) * CAST(t.n_w AS DOUBLE)
+                 * CAST(t.n_w AS DOUBLE))
+                / (CAST(t.n_pairs_total AS DOUBLE)
+                   * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6)
+         AS pmi
+FROM pairs p
+JOIN uni u1 ON p.w1 = u1.w
+JOIN uni u2 ON p.w2 = u2.w
+CROSS JOIN totals t
+"""
+
+
+SQL_WORD_PMI = _pmi_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# Item-item collaborative filtering
+# --------------------------------------------------------------------------
+
+_CF_K = 5
+_CF_MIN_CO = 2
+_CF_USER_CAP = 200
+
+
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based CF (operators/recsys.py): top-5 cosine neighbors per
+    part over distinct (customer, part) purchase vectors — the
+    customer-history-grain companion to the order-grain basket_rules.
+    Pair work is per-user-basket², bounded by the hyperactive-user cap;
+    ranking is one window over the item partitioning."""
+    from ..operators.recsys import item_cosine_topk
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    ui = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_custkey", "l_partkey"
+    )
+    return item_cosine_topk(
+        ui, "o_custkey", "l_partkey",
+        k=_CF_K, min_co=_CF_MIN_CO, max_items_per_user=_CF_USER_CAP,
+    )
+
+
+SQL_ITEM_SIMILARITY = f"""
+WITH ui AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+szs AS (SELECT u, count(*) AS nu FROM ui GROUP BY u),
+ui2 AS (
+  SELECT ui.u, ui.i FROM ui JOIN szs USING (u)
+  WHERE nu <= {_CF_USER_CAP}
+),
+co AS (
+  SELECT a.i AS ia, b.i AS ib, CAST(count(*) AS BIGINT) AS co_users
+  FROM ui2 a JOIN ui2 b ON a.u = b.u AND a.i < b.i
+  GROUP BY 1, 2 HAVING count(*) >= {_CF_MIN_CO}
+),
+cnt AS (SELECT i, count(*) AS n_users FROM ui2 GROUP BY i),
+sc AS (
+  SELECT ia, ib, co_users,
+         CAST(co_users AS DOUBLE)
+           / sqrt(CAST(ca.n_users * cb.n_users AS DOUBLE)) AS c
+  FROM co
+  JOIN cnt ca ON co.ia = ca.i
+  JOIN cnt cb ON co.ib = cb.i
+),
+sym AS (
+  SELECT ia AS item, ib AS rec_item, co_users, c FROM sc
+  UNION ALL
+  SELECT ib, ia, co_users, c FROM sc
+)
+SELECT item, rec_item, co_users, round(c, 6) AS cos,
+       CAST(row_number() OVER w AS INTEGER) AS rank
+FROM sym
+WINDOW w AS (PARTITION BY item ORDER BY c DESC, rec_item ASC)
+QUALIFY row_number() OVER w <= {_CF_K}
+"""
+
+
 QUERIES_IDENTITY: dict = {
     "url_dedup": q_url_dedup,
     "identity_stitching": q_identity_stitching,
@@ -664,6 +802,8 @@ QUERIES_IDENTITY: dict = {
     "phrase_search": q_phrase_search,
     "bootstrap_ci": q_bootstrap_ci,
     "scd2_asof_enrich": q_scd2_asof_enrich,
+    "word_pmi": q_word_pmi,
+    "item_similarity": q_item_similarity,
 }
 
 ORACLES_IDENTITY: dict[str, str] = {
@@ -674,4 +814,6 @@ ORACLES_IDENTITY: dict[str, str] = {
     "phrase_search": SQL_PHRASE_SEARCH,
     "bootstrap_ci": SQL_BOOTSTRAP_CI,
     "scd2_asof_enrich": SQL_SCD2_ASOF_ENRICH,
+    "word_pmi": SQL_WORD_PMI,
+    "item_similarity": SQL_ITEM_SIMILARITY,
 }
