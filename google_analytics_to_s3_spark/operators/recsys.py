@@ -29,22 +29,51 @@ def item_cosine_topk(
     k: int = 5,
     min_co: int = 2,
     max_items_per_user: int = 200,
+    recency_col: str | None = None,
+    keep_per_user: int | None = None,
 ) -> DataFrame:
     """(item, rec_item, co_users, cos, rank): the ``k`` highest-cosine
     neighbors per item (ties broken by neighbor id), from distinct
-    user-item interactions. Users holding more than
-    ``max_items_per_user`` distinct items are dropped whole (documented
-    CF practice; keeps pair work bounded).
+    user-item interactions.
+
+    Pair-work bounding, in order of strength: with ``recency_col`` +
+    ``keep_per_user`` every user keeps only their ``keep_per_user``
+    most-recent items (ties by item id) — pair work becomes
+    ``users × keep²`` EXACTLY, the standard recent-history truncation
+    of production CF. Otherwise users above ``max_items_per_user``
+    distinct items are dropped whole (whale pruning).
     """
-    ui = interactions.select(
-        F.col(user_col).alias("u"), F.col(item_col).alias("i")
-    ).distinct()
-    sizes = ui.groupBy("u").agg(F.count(F.lit(1)).alias("_nu"))
-    ui = (
-        ui.join(sizes, "u")
-        .filter(F.col("_nu") <= max_items_per_user)
-        .select("u", "i")
-    )
+    if recency_col is not None:
+        if keep_per_user is None:
+            raise ValueError("keep_per_user required with recency_col")
+        ui0 = interactions.select(
+            F.col(user_col).alias("u"),
+            F.col(item_col).alias("i"),
+            F.col(recency_col).alias("_ts"),
+        ).groupBy("u", "i").agg(F.max("_ts").alias("_ts"))
+        w = Window.partitionBy("u").orderBy(
+            F.col("_ts").desc(), F.col("i").asc()
+        )
+        ui = (
+            ui0.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= keep_per_user)
+            .select("u", "i")
+        )
+    else:
+        ui = interactions.select(
+            F.col(user_col).alias("u"), F.col(item_col).alias("i")
+        ).distinct()
+        sizes = ui.groupBy("u").agg(F.count(F.lit(1)).alias("_nu"))
+        ui = (
+            ui.join(sizes, "u")
+            .filter(F.col("_nu") <= max_items_per_user)
+            .select("u", "i")
+        )
+    # the pruned interaction set feeds BOTH pair-join sides and the
+    # item-count aggregate — persist so the prune lineage runs once
+    # (without this the plan re-derives it 4×; caller-owned cache,
+    # released by spark.catalog.clearCache() as with rhp_dup_pairs)
+    ui = ui.persist()
     a, b = ui.alias("a"), ui.alias("b")
     co = (
         a.join(

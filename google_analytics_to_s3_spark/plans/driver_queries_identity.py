@@ -731,41 +731,49 @@ SQL_WORD_PMI = _pmi_oracle_sql()
 
 _CF_K = 5
 _CF_MIN_CO = 2
-_CF_USER_CAP = 200
+_CF_KEEP = 15
 
 
 def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-based CF (operators/recsys.py): top-5 cosine neighbors per
-    part over distinct (customer, part) purchase vectors — the
-    customer-history-grain companion to the order-grain basket_rules.
-    Pair work is per-user-basket², bounded by the hyperactive-user cap;
-    ranking is one window over the item partitioning."""
+    part over (customer, part) purchase vectors truncated to each
+    customer's 15 most-recently-shipped parts — the customer-history-
+    grain companion to the order-grain basket_rules. Recency truncation
+    makes pair work users × 15² EXACTLY (random co-purchase data is
+    pathologically dense: every user × every part — the prune is what
+    keeps the pair aggregation linear in users at any SF); ranking is
+    one window over the item partitioning."""
     from ..operators.recsys import item_cosine_topk
 
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
+        "l_orderkey", "l_partkey", "l_shipdate"
     )
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
     ui = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
-        "o_custkey", "l_partkey"
+        "o_custkey", "l_partkey", "l_shipdate"
     )
     return item_cosine_topk(
         ui, "o_custkey", "l_partkey",
-        k=_CF_K, min_co=_CF_MIN_CO, max_items_per_user=_CF_USER_CAP,
+        k=_CF_K, min_co=_CF_MIN_CO,
+        recency_col="l_shipdate", keep_per_user=_CF_KEEP,
     )
 
 
 SQL_ITEM_SIMILARITY = f"""
-WITH ui AS (
-  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+WITH ui0 AS (
+  SELECT o.o_custkey AS u, l.l_partkey AS i, max(l.l_shipdate) AS ts
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
 ),
-szs AS (SELECT u, count(*) AS nu FROM ui GROUP BY u),
 ui2 AS (
-  SELECT ui.u, ui.i FROM ui JOIN szs USING (u)
-  WHERE nu <= {_CF_USER_CAP}
+  SELECT u, i FROM (
+    SELECT u, i,
+           row_number() OVER (PARTITION BY u ORDER BY ts DESC, i ASC)
+             AS rn
+    FROM ui0
+  ) WHERE rn <= {_CF_KEEP}
 ),
 co AS (
   SELECT a.i AS ia, b.i AS ib, CAST(count(*) AS BIGINT) AS co_users

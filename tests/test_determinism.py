@@ -30,6 +30,11 @@ SENSITIVE = [
     "shuffle_shards",     # hash-ordered window ranks
     "kmv_overlap",        # k-min ranks + IEEE-double estimators
     "rolling_features",   # RANGE-frame sums on the cents grid
+    "markov_attribution",  # collected matrix + integer-grid squarings
+    "identity_stitching",  # star-contraction fixpoint + min ids
+    "bootstrap_ci",       # replicate means + order statistics
+    "item_similarity",    # double cosine + top-k ties
+    "word_pmi",           # ln over integer count ratios
 ]
 
 
