@@ -109,3 +109,48 @@ class TestPhraseSearchPlan:
         plan = _plan(phrase_search(df, ["a b"]))
         # scan-local: no Exchange anywhere in the single-phrase plan
         assert "Exchange" not in plan, plan
+
+
+class TestIdentityPlans:
+    """Plan-shape guards for the identity/analytics batch."""
+
+    def test_url_dedup_single_aggregation(self, spark, sf_smoke):
+        from google_analytics_to_s3_spark.plans import driver_queries as dq
+
+        plan = _plan(dq.QUERIES["url_dedup"](spark, sf_smoke))
+        # map-side canonicalization + ONE hash aggregation: the only
+        # exchanges are the partial→final agg pair (2 with distinct
+        # expansion), never a join
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange") <= 2, plan
+
+    def test_user_erasure_broadcasts_requests(self, spark, sf_smoke):
+        from google_analytics_to_s3_spark.plans import driver_queries as dq
+
+        plan = _plan(dq.QUERIES["user_erasure"](spark, sf_smoke))
+        # every purge check is a broadcast join; the fact side must
+        # never sort-merge against the request list
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_word_pmi_unigram_joins_broadcast(self, spark, sf_smoke):
+        from google_analytics_to_s3_spark.plans import driver_queries as dq
+
+        plan = _plan(dq.QUERIES["word_pmi"](spark, sf_smoke))
+        # pair table joins the vocab-sized unigram table twice — both
+        # must broadcast; the only BNLJ is the 1-row totals crossJoin
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_item_similarity_no_cartesian(self, spark, sf_smoke):
+        from google_analytics_to_s3_spark.plans import driver_queries as dq
+
+        plan = _plan(dq.QUERIES["item_similarity"](spark, sf_smoke))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        # the pruned interaction set is cached once and re-read, not
+        # re-derived per consumer
+        assert "InMemoryTableScan" in plan, plan
+        spark.catalog.clearCache()
