@@ -2950,7 +2950,8 @@ _DRIVER_PRIORITY = [
     # later additions queue for the r5 rotation
     "url_dedup", "markov_attribution", "identity_stitching",
     "user_erasure", "phrase_search", "bootstrap_ci", "scd2_asof_enrich",
-    "word_pmi", "item_similarity",
+    "word_pmi", "item_similarity", "cusum_changepoints", "k_anonymity",
+    "seasonal_anomalies",
     # (d) green in r1 only — no row since the r2 ts-dtype err; re-verify
     "anonymize_ip", "asof_join", "daily_engagement", "events_cube",
     "events_pivot", "export_sessions", "geo_enrich", "hit_type_mapping",

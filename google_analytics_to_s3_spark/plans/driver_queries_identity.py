@@ -802,6 +802,232 @@ QUALIFY row_number() OVER w <= {_CF_K}
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint detection over the daily revenue series
+# --------------------------------------------------------------------------
+
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint localization on daily purchase revenue: the
+    classic CUSUM statistic S_d = Σ_{≤d}(y - μ), kept EXACT by scaling
+    with the day count (S'_d = nd·cumsum(y) - d·total, all BIGINT cents
+    — no float mean ever enters); the changepoint estimate is
+    argmax |S'| (earliest day on ties).
+
+    The global-order window runs over the AGGREGATED daily series —
+    its cardinality is the number of days, not events, so the single
+    sort partition is bounded at any SF (same contract as
+    forecast_revenue). The three scalar lookups (totals, max |S'|,
+    argmax day) are 1-row broadcasts."""
+    e = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.expr("ts_ms div 86400000").alias("day"),
+        F.floor(F.col("value").cast("double") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = e.groupBy("day").agg(
+        F.sum("cents").cast("long").alias("rev_cents")
+    )
+    tot = daily.agg(
+        F.sum("rev_cents").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_nd"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.crossJoin(F.broadcast(tot)).select(
+        "day", "rev_cents",
+        (
+            F.col("_nd") * F.sum("rev_cents").over(w)
+            - F.row_number().over(Window.orderBy("day")) * F.col("_total")
+        ).cast("long").alias("cusum_scaled"),
+    )
+    mx = cum.agg(
+        F.max(F.abs(F.col("cusum_scaled"))).cast("long").alias("_mx")
+    )
+    cp = cum.crossJoin(F.broadcast(mx)).filter(
+        F.abs(F.col("cusum_scaled")) == F.col("_mx")
+    ).agg(F.min("day").cast("long").alias("_cp"))
+    return (
+        cum.crossJoin(F.broadcast(cp))
+        .select(
+            "day", "rev_cents", "cusum_scaled",
+            (F.col("day") == F.col("_cp")).alias("is_changepoint"),
+        )
+    )
+
+
+SQL_CUSUM_CHANGEPOINTS = """
+WITH e AS (
+  SELECT epoch_ms(ts) // 86400000 AS day,
+         CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+daily AS (
+  SELECT day, CAST(sum(cents) AS BIGINT) AS rev_cents
+  FROM e GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(rev_cents) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS nd
+  FROM daily
+),
+cum AS (
+  SELECT day, rev_cents,
+         CAST(nd * sum(rev_cents) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - row_number() OVER (ORDER BY day) * total
+           AS BIGINT) AS cusum_scaled
+  FROM daily CROSS JOIN tot
+),
+mx AS (SELECT CAST(max(abs(cusum_scaled)) AS BIGINT) AS m FROM cum),
+cp AS (
+  SELECT CAST(min(day) AS BIGINT) AS cpd
+  FROM cum CROSS JOIN mx WHERE abs(cusum_scaled) = m
+)
+SELECT day, rev_cents, cusum_scaled, (day = cpd) AS is_changepoint
+FROM cum CROSS JOIN cp
+"""
+
+
+# --------------------------------------------------------------------------
+# k-anonymity risk report with one-step generalization
+# --------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy risk report over the customer dimension: group sizes for
+    the quasi-identifier (mktsegment, nationkey, acctbal-in-1000s),
+    the at-risk flag (< k members), and whether ONE generalization step
+    (coarsening the balance bucket 1000 → 5000) already clears the
+    group — the generalization-ladder check of k-anonymization.
+    Two hash aggregations (fine + coarse grain) and one join on the
+    coarse key; the erasure companion is user_erasure."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey",
+        F.floor(F.col("c_acctbal").cast("double") / 1000)
+        .cast("long")
+        .alias("bal_kb"),
+    )
+    fine = c.groupBy("c_mktsegment", "c_nationkey", "bal_kb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fine")
+    )
+    # `div` truncates toward zero, exactly like the oracle's `//`
+    # (DuckDB integer // is truncating, verified on negative bal_kb)
+    coarse = (
+        c.withColumn(
+            "bal_5kb", F.expr("bal_kb div 5").cast("long")
+        )
+        .groupBy("c_mktsegment", "c_nationkey", "bal_5kb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_coarse"))
+    )
+    j = fine.withColumn(
+        "bal_5kb", F.expr("bal_kb div 5").cast("long")
+    ).join(coarse, ["c_mktsegment", "c_nationkey", "bal_5kb"])
+    return j.select(
+        "c_mktsegment", "c_nationkey", "bal_kb", "n_fine", "n_coarse",
+        (F.col("n_fine") < _KANON_K).alias("at_risk"),
+        (
+            (F.col("n_fine") < _KANON_K)
+            & (F.col("n_coarse") >= _KANON_K)
+        ).alias("fixed_by_generalization"),
+    )
+
+
+SQL_K_ANONYMITY = f"""
+WITH c AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT)
+           AS bal_kb
+  FROM customer
+),
+fine AS (
+  SELECT c_mktsegment, c_nationkey, bal_kb,
+         CAST(count(*) AS BIGINT) AS n_fine
+  FROM c GROUP BY 1, 2, 3
+),
+coarse AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(bal_kb // 5 AS BIGINT) AS bal_5kb,
+         CAST(count(*) AS BIGINT) AS n_coarse
+  FROM c GROUP BY 1, 2, 3
+)
+SELECT f.c_mktsegment, f.c_nationkey, f.bal_kb, f.n_fine, co.n_coarse,
+       (f.n_fine < {_KANON_K}) AS at_risk,
+       (f.n_fine < {_KANON_K} AND co.n_coarse >= {_KANON_K})
+         AS fixed_by_generalization
+FROM fine f
+JOIN coarse co
+  ON f.c_mktsegment = co.c_mktsegment
+ AND f.c_nationkey = co.c_nationkey
+ AND CAST(f.bal_kb // 5 AS BIGINT) = co.bal_5kb
+"""
+
+
+# --------------------------------------------------------------------------
+# Day-of-week seasonal anomaly flags
+# --------------------------------------------------------------------------
+
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_anomalies with the seasonal conditioning a weekly-cycled
+    metric needs: median/MAD baselines per (event_type, day-of-week)
+    instead of per type — a Monday spike is judged against Mondays.
+    Same exact sort-based percentiles (quantile_cont parity), same
+    tiny broadcast stats joins; the only data-sized shuffle is the
+    daily count aggregation."""
+    e = load_events(spark, sf_dir).select(
+        "event_type", F.expr("ts_ms div 86400000").alias("day_num")
+    )
+    daily = e.groupBy("event_type", "day_num").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).withColumn("dow", (F.col("day_num") % 7).cast("long"))
+    med = daily.groupBy("event_type", "dow").agg(
+        F.percentile(F.col("n"), F.lit(0.5)).alias("med")
+    )
+    dev = daily.join(F.broadcast(med), ["event_type", "dow"]).withColumn(
+        "adev", F.abs(F.col("n").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type", "dow").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    )
+    return dev.join(F.broadcast(mad), ["event_type", "dow"]).select(
+        "event_type", "day_num", "dow", "n", "med", "mad",
+        (F.col("adev") > 2.0 * F.col("mad")).alias("is_anomaly"),
+    )
+
+
+SQL_SEASONAL_ANOMALIES = """
+WITH daily AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS day_num,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+d2 AS (
+  SELECT *, CAST(day_num % 7 AS BIGINT) AS dow FROM daily
+),
+med AS (
+  SELECT event_type, dow, quantile_cont(n, 0.5) AS med
+  FROM d2 GROUP BY 1, 2
+),
+dev AS (
+  SELECT d.event_type, d.day_num, d.dow, d.n, m.med,
+         abs(CAST(d.n AS DOUBLE) - m.med) AS adev
+  FROM d2 d JOIN med m ON d.event_type = m.event_type AND d.dow = m.dow
+),
+mad AS (
+  SELECT event_type, dow, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY 1, 2
+)
+SELECT v.event_type, v.day_num, v.dow, v.n, v.med, a.mad,
+       (v.adev > 2.0 * a.mad) AS is_anomaly
+FROM dev v JOIN mad a ON v.event_type = a.event_type AND v.dow = a.dow
+"""
+
 QUERIES_IDENTITY: dict = {
     "url_dedup": q_url_dedup,
     "identity_stitching": q_identity_stitching,
@@ -812,6 +1038,9 @@ QUERIES_IDENTITY: dict = {
     "scd2_asof_enrich": q_scd2_asof_enrich,
     "word_pmi": q_word_pmi,
     "item_similarity": q_item_similarity,
+    "cusum_changepoints": q_cusum_changepoints,
+    "k_anonymity": q_k_anonymity,
+    "seasonal_anomalies": q_seasonal_anomalies,
 }
 
 ORACLES_IDENTITY: dict[str, str] = {
@@ -824,4 +1053,7 @@ ORACLES_IDENTITY: dict[str, str] = {
     "scd2_asof_enrich": SQL_SCD2_ASOF_ENRICH,
     "word_pmi": SQL_WORD_PMI,
     "item_similarity": SQL_ITEM_SIMILARITY,
+    "cusum_changepoints": SQL_CUSUM_CHANGEPOINTS,
+    "k_anonymity": SQL_K_ANONYMITY,
+    "seasonal_anomalies": SQL_SEASONAL_ANOMALIES,
 }
