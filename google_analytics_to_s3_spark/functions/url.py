@@ -6,10 +6,13 @@ Replaces the reference's Python UDF helpers (F8-F10, F13 in SURVEY.md
 no Python workers, CSE-able, codegen-friendly.
 
 Known intentional divergences from the reference UDFs (documented, all
-pathological inputs): duplicate query keys resolve via ``parse_url``
-(first occurrence) instead of Python-dict last-wins; relative URLs
-(no scheme) parse as empty host/path instead of urlparse's lenient
-splitting.
+pathological inputs): relative URLs (no scheme) parse as empty
+host/path instead of urlparse's lenient splitting. Duplicate query
+keys: the ``parse_url``-based helpers (``url_query_param``,
+``query_keys``) resolve first-occurrence, while :func:`canonical_url`
+goes through ``str_to_map`` and resolves LAST-wins (matching the
+reference's Python-dict behavior) — see its docstring for the session
+conf this depends on.
 """
 
 from __future__ import annotations
@@ -120,7 +123,15 @@ def canonical_url(url: Column | str) -> Column:
       - tracking parameters removed (``utm_*`` prefixes and the click-id
         keys in :data:`TRACKING_PARAM_KEYS`);
       - surviving query parameters re-emitted in key-sorted order, so
-        ``?a=1&b=2`` and ``?b=2&a=1`` canonicalize identically.
+        ``?a=1&b=2`` and ``?b=2&a=1`` canonicalize identically;
+      - duplicate query keys resolve LAST-wins (``?a=1&a=2`` → ``a=2``,
+        matching the reference's Python-dict semantics).
+
+    CONF DEPENDENCY: the last-wins rule relies on
+    ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (set by
+    ``session.get_spark``); under Spark's default ``EXCEPTION`` policy
+    ``str_to_map`` throws at runtime on duplicate keys. Sessions not
+    built through this repo's factory must set the conf themselves.
 
     Pure projection — ``parse_url`` + map/array higher-order functions,
     no UDF, no shuffle; safe to apply in the scan stage of a 100 TB

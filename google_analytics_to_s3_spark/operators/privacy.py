@@ -42,30 +42,47 @@ def erasure_report(
     One conditional-aggregation pass per table: rows are flagged by a
     broadcast left join against the request list, then counted once —
     ``rows_kept`` is derived, not re-scanned.
+
+    The internal join/flag column names are chosen per-table to never
+    collide with the fact table's own columns; an empty ``tables`` list
+    yields an empty (correctly-typed) report.
     """
     req_col = requests.columns[0]
-    req = requests.select(F.col(req_col).alias("_erase_key")).distinct()
     reports = []
     for name, df, key in tables:
+        # Collision-proof internal names: extend a reserved prefix until
+        # it is not a prefix of any existing column.
+        prefix = "_erase"
+        while any(c.startswith(prefix) for c in df.columns):
+            prefix += "_x"
+        kcol, hcol = f"{prefix}_key", f"{prefix}_hit"
+        req = requests.select(F.col(req_col).alias(kcol)).distinct()
         flagged = df.join(
-            F.broadcast(req.withColumn("_hit", F.lit(1))),
-            df[key] == F.col("_erase_key"),
+            F.broadcast(req.withColumn(hcol, F.lit(1))),
+            df[key] == F.col(kcol),
             "left",
         )
         reports.append(
             flagged.agg(
                 F.lit(name).alias("table_name"),
                 F.count(F.lit(1)).alias("rows_total"),
-                F.coalesce(F.sum("_hit"), F.lit(0))
+                F.coalesce(F.sum(hcol), F.lit(0))
                 .cast("long")
                 .alias("rows_purged"),
-                (F.count(F.lit(1)) - F.coalesce(F.sum("_hit"), F.lit(0)))
+                (F.count(F.lit(1)) - F.coalesce(F.sum(hcol), F.lit(0)))
                 .cast("long")
                 .alias("rows_kept"),
                 F.count_distinct(
-                    F.when(F.col("_hit") == 1, df[key])
+                    F.when(F.col(hcol) == 1, df[key])
                 ).cast("long").alias("users_purged"),
             )
+        )
+    if not reports:
+        spark = requests.sparkSession
+        return spark.createDataFrame(
+            [],
+            "table_name string, rows_total long, rows_purged long, "
+            "rows_kept long, users_purged long",
         )
     out = reports[0]
     for r in reports[1:]:

@@ -481,13 +481,24 @@ def bootstrap_mean_ci(
     ).cast("long")
     fan = df.select(F.col(key_col).alias("_k"), vg.alias("_v"), reps)
     w = bootstrap_multiplicity(F.col("_k"), F.col("rep"))
+    # A replicate whose drawn weights are all zero has no resample and
+    # no defined mean; it is dropped BEFORE the division (HAVING
+    # sum(w) > 0) on both engines — without the guard the 0/0 result is
+    # engine-local (NULL vs inf) and silently shifts the rank order
+    # statistics. Only plausible on tiny inputs, but tiny inputs are
+    # exactly what the oracle runs on.
     per_rep = (
         fan.withColumn("_w", w)
         .groupBy("rep")
         .agg(
+            F.sum(F.col("_v") * F.col("_w")).alias("_sv"),
+            F.sum("_w").alias("_sw"),
+        )
+        .filter(F.col("_sw") > 0)
+        .select(
             (
-                F.sum(F.col("_v") * F.col("_w")).cast("double")
-                / (F.sum("_w") * F.lit(BOOT_VALUE_GRID)).cast("double")
+                F.col("_sv").cast("double")
+                / (F.col("_sw") * F.lit(BOOT_VALUE_GRID)).cast("double")
             ).alias("mean_b")
         )
     )
@@ -498,11 +509,16 @@ def bootstrap_mean_ci(
             / (F.count(F.lit(1)) * F.lit(BOOT_VALUE_GRID)).cast("double")
         ).alias("point_est"),
     )
+    # Ranks clamped to the surviving replicate count (and >= 1) so a
+    # thinned replicate list degrades to wider-but-defined bounds
+    # instead of an out-of-range error / NULL.
+    lo_idx = F.greatest(F.lit(1), F.least(F.lit(lo_rank), F.size("_ms")))
+    hi_idx = F.greatest(F.lit(1), F.least(F.lit(hi_rank), F.size("_ms")))
     boots = per_rep.agg(
         F.array_sort(F.collect_list("mean_b")).alias("_ms")
     ).select(
-        F.round(F.element_at("_ms", lo_rank), 6).alias("boot_lo"),
-        F.round(F.element_at("_ms", hi_rank), 6).alias("boot_hi"),
+        F.round(F.try_element_at("_ms", lo_idx), 6).alias("boot_lo"),
+        F.round(F.try_element_at("_ms", hi_idx), 6).alias("boot_hi"),
     )
     return point.crossJoin(boots).select(
         "n", F.round("point_est", 6).alias("point_est"),

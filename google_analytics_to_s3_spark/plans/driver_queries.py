@@ -2897,6 +2897,39 @@ ORACLES.update(ORACLES_CURATION)
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
+    # ---------------- round-5 rotation ----------------
+    # Goal: close the driver-green evidence gap to 157/157 (VERDICT r4
+    # item 1). The 50-slot prefix is, in order:
+    # (r5-a) the 10 queries registered after the r4 prefix froze —
+    # never driver-checked, all locally oracle-green
+    "identity_stitching", "user_erasure", "phrase_search",
+    "bootstrap_ci", "scd2_asof_enrich", "word_pmi", "item_similarity",
+    "cusum_changepoints", "k_anonymity", "seasonal_anomalies",
+    # (r5-b) the 7 queries whose latest driver row is the r2 ts-dtype
+    # err (green in r1; the datagen fix landed in r3)
+    "daily_engagement", "session_revenue", "export_sessions",
+    "hit_type_mapping", "union_active_users", "events_pivot",
+    "events_cube",
+    # (r5-c) the 5 queries green in r1 only — oldest evidence
+    "anonymize_ip", "asof_join", "geo_enrich", "multimodal_decode",
+    "streaming_sessions",
+    # (r5-d) 28 of the 37 r2-green queries (next-oldest evidence); the
+    # remaining 9 rotate in r6
+    "char_entropy", "corpus_curation", "cosine_dup_pairs",
+    "customer_order_ranks", "customers_without_orders", "dedup_exact",
+    "forecast_revenue", "knn_cosine", "knn_ivf",
+    "large_volume_customers", "late_shipment_priority",
+    "local_supplier_volume", "market_share", "minhash_lsh_pairs",
+    "moving_revenue", "neardup_ledger", "ngram_jaccard_pairs",
+    "ngram_jaccard_thresholded", "order_gaps",
+    "order_lineitem_left_join", "order_percentiles", "pricing_summary",
+    "promo_revenue", "returned_items", "sales_rollup",
+    "shipping_priority", "simhash", "simhash_dup_pairs",
+    # (r5-e) the 9 r2-green queries past slot 50 — first in the r6 queue
+    "stratified_sample", "string_funcs", "table_profile",
+    "text_quality", "text_stats", "token_counts", "volume_shipping",
+    "winnow_fingerprints", "winnow_dup_pairs",
+    # ---------------- r4 rotation (all green r4) ----------------
     # round-4 rotation:
     # (a) changed this round — pack_sequences' oracle got the missing
     # BIGINT casts (its r3 red row was an oracle dtype bug, values were

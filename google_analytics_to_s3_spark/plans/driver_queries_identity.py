@@ -134,8 +134,13 @@ FROM raw GROUP BY 1
 # Cross-device identity stitching
 # --------------------------------------------------------------------------
 
-_DEV_BASE = 1000       # device node ids: 1000 + user_id*3 + event_id%3
-_KIOSK_BASE = 100_000  # shared-device node ids: 100000 + event_id%3
+# Device node ids must sit strictly above every possible user_id so that
+# id < _DEV_BASE cleanly separates login nodes from device nodes; the
+# shipped testdata reaches user_id 1499 at sf0.1 and grows with SF, so
+# the bases are set far above any realistic id space (and
+# q_identity_stitching asserts the invariant at runtime).
+_DEV_BASE = 10_000_000     # device node ids: base + user_id*3 + event_id%3
+_KIOSK_BASE = 100_000_000  # shared-device node ids: base + event_id%3
 
 
 def _stitch_edges(e: DataFrame) -> DataFrame:
@@ -143,7 +148,19 @@ def _stitch_edges(e: DataFrame) -> DataFrame:
     personal devices; ~1% of events happen on one of 3 shared kiosks,
     which is what makes stitching non-trivial (kiosks merge otherwise
     unrelated users into one person-cluster — the over-merge a real
-    deployment must then window or threshold away)."""
+    deployment must then window or threshold away).
+
+    Invariant: user ids must sit strictly below _DEV_BASE (and device
+    ids below _KIOSK_BASE) so the id ranges never collide. Checked
+    here with a single-row bounded aggregate pull."""
+    mx = e.agg(F.max("user_id")).first()[0]
+    if mx is not None and (
+        mx >= _DEV_BASE or _DEV_BASE + mx * 3 + 2 >= _KIOSK_BASE
+    ):
+        raise ValueError(
+            f"max(user_id)={mx} overlaps the node-id bases "
+            f"(_DEV_BASE={_DEV_BASE}, _KIOSK_BASE={_KIOSK_BASE})"
+        )
     own = e.select(
         F.col("user_id").alias("src"),
         (F.lit(_DEV_BASE) + F.col("user_id") * 3 + F.col("event_id") % 3)
@@ -359,14 +376,20 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, n_in long, p_conv_grid long, p_removed_grid long",
     )
     gain = (F.col("p_conv_grid") - F.col("p_removed_grid")).cast("double")
+    # Degenerate-journey guard: with zero total removal gain (e.g. a
+    # corpus where no channel is ever on a converting path) attribution
+    # is defined as 0 for every channel rather than a 0/0.
+    attributed = (
+        F.round(F.lit(float(n_conv)) * gain / F.lit(float(sum_gain)), 6)
+        if sum_gain > 0
+        else F.lit(0.0)
+    )
     return grid_df.select(
         "channel", "n_in", "p_conv_grid", "p_removed_grid",
         F.round(gain / F.col("p_conv_grid").cast("double"), 6).alias(
             "removal_effect"
         ),
-        F.round(
-            F.lit(float(n_conv)) * gain / F.lit(float(sum_gain)), 6
-        ).alias("attributed_conv"),
+        attributed.alias("attributed_conv"),
     )
 
 
@@ -440,7 +463,11 @@ fin AS (
 ),
 base AS (SELECT p AS pb FROM fin WHERE scen = 'base'),
 rem AS (
-  SELECT scen AS channel, p AS p_removed FROM fin WHERE scen <> 'base'
+  -- LEFT JOIN + coalesce: a channel whose removal disconnects start
+  -- from conv entirely has no surviving grid row (sparse zero)
+  SELECT sc.scen AS channel, coalesce(f.p, 0) AS p_removed
+  FROM sc LEFT JOIN fin f ON f.scen = sc.scen
+  WHERE sc.scen <> 'base'
 ),
 tot AS (
   SELECT CAST(sum(cnt) AS BIGINT) AS n_conv FROM tm WHERE t = 'conv'
@@ -453,16 +480,18 @@ sg AS (
   SELECT CAST(sum(b.pb - r.p_removed) AS BIGINT) AS sum_gain
   FROM rem r CROSS JOIN base b
 )
-SELECT r.channel, n.n_in,
+SELECT r.channel, CAST(coalesce(n.n_in, 0) AS BIGINT) AS n_in,
        b.pb AS p_conv_grid,
        r.p_removed AS p_removed_grid,
        round(CAST(b.pb - r.p_removed AS DOUBLE)
              / CAST(b.pb AS DOUBLE), 6) AS removal_effect,
-       round(CAST(t.n_conv AS DOUBLE)
-             * CAST(b.pb - r.p_removed AS DOUBLE)
-             / CAST(s.sum_gain AS DOUBLE), 6) AS attributed_conv
+       CASE WHEN s.sum_gain > 0
+            THEN round(CAST(t.n_conv AS DOUBLE)
+                       * CAST(b.pb - r.p_removed AS DOUBLE)
+                       / CAST(s.sum_gain AS DOUBLE), 6)
+            ELSE 0.0 END AS attributed_conv
 FROM rem r
-JOIN nin n USING (channel)
+LEFT JOIN nin n USING (channel)
 CROSS JOIN base b CROSS JOIN tot t CROSS JOIN sg s
 """
 
@@ -556,10 +585,11 @@ fan AS (
 ),
 wts AS (SELECT v, rep, CASE {cases} ELSE 6 END AS w FROM fan),
 per AS (
+  -- HAVING sum(w) > 0 mirrors the operator's all-zero-replicate guard
   SELECT rep,
          CAST(sum(v * w) AS DOUBLE)
            / CAST(sum(w) * {BOOT_VALUE_GRID} AS DOUBLE) AS mean_b
-  FROM wts GROUP BY rep
+  FROM wts GROUP BY rep HAVING sum(w) > 0
 ),
 pt AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
@@ -569,7 +599,8 @@ pt AS (
 ),
 bs AS (SELECT list(mean_b ORDER BY mean_b) AS ms FROM per)
 SELECT n, round(point_est, 6) AS point_est,
-       round(ms[2], 6) AS boot_lo, round(ms[63], 6) AS boot_hi
+       round(ms[greatest(1, least(2, len(ms)))], 6) AS boot_lo,
+       round(ms[greatest(1, least(63, len(ms)))], 6) AS boot_hi
 FROM pt CROSS JOIN bs
 """
 

@@ -53,6 +53,16 @@ class TestBootstrap:
         b = bootstrap_mean_ci(df, "k", "v").first()
         assert a == b
 
+    def test_tiny_input_no_nulls(self, spark):
+        # with n=1, ~1/e of the 64 replicates draw weight 0 and are
+        # dropped pre-division; the clamped ranks must still yield
+        # defined (non-null) bounds equal to the only value present
+        df = spark.createDataFrame([(1, 5.0)], "k long, v double")
+        r = bootstrap_mean_ci(df, "k", "v").first()
+        assert r["n"] == 1
+        assert r["boot_lo"] is not None and r["boot_hi"] is not None
+        assert r["boot_lo"] == r["boot_hi"] == r["point_est"] == 5.0
+
 
 class TestScd2AsofJoin:
     def _versions(self, spark):

@@ -102,3 +102,46 @@ class TestErasure:
         df, requests = self._tables(spark)
         rep = erasure_report([("t", df, "who")], requests).first()
         assert rep["rows_kept"] == erase_users(df, requests, "who").count()
+
+    def test_report_survives_reserved_column_names(self, spark):
+        # a fact table that already owns the operator's old internal
+        # names must not produce ambiguous references or wrong counts
+        df = spark.createDataFrame(
+            [(i, f"u{i % 4}", "x", 9) for i in range(20)],
+            "id long, who string, _erase_key string, _erase_hit long",
+        )
+        requests = spark.createDataFrame([("u1",)], "who string")
+        r = erasure_report([("t", df, "who")], requests).first()
+        assert r["rows_purged"] == 5 and r["users_purged"] == 1
+
+    def test_report_empty_table_list(self, spark):
+        _, requests = self._tables(spark)
+        rep = erasure_report([], requests)
+        assert rep.count() == 0
+        assert rep.columns == [
+            "table_name", "rows_total", "rows_purged", "rows_kept",
+            "users_purged",
+        ]
+
+    def test_stitch_edges_rejects_colliding_user_ids(self, spark):
+        # device node ids live above _DEV_BASE; a user_id at/above the
+        # base would silently merge unrelated users (ADVICE r4), so the
+        # edge builder asserts the separation invariant
+        import pytest as _pytest
+
+        from google_analytics_to_s3_spark.plans.driver_queries_identity \
+            import _DEV_BASE, _stitch_edges
+
+        bad = spark.createDataFrame(
+            [(1, 7), (2, _DEV_BASE + 5)], "event_id long, user_id long"
+        )
+        with _pytest.raises(ValueError, match="node-id bases"):
+            _stitch_edges(bad)
+
+    def test_duplicate_query_keys_last_wins(self, spark):
+        # canonical_url resolves ?a=1&a=2 last-wins under the session's
+        # LAST_WIN mapKeyDedupPolicy (set in session.get_spark)
+        assert (
+            _canon(spark, "http://a.example/p?a=1&a=2")
+            == "http://a.example/p?a=2"
+        )
