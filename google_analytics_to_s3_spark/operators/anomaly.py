@@ -1,0 +1,93 @@
+"""Time-series monitoring operators: robust (median/MAD) anomaly
+flags and exact CUSUM single-changepoint localization.
+
+The monitoring layer the reference runs operationally as a freshness
+alarm (collector-ga.yaml CloudWatch metric wiring) generalized to the
+statistical checks an ingest pipeline actually needs. Both operators
+work over PRE-AGGREGATED series (per-key daily counts, daily revenue)
+— the data-sized shuffle is the aggregation the caller already did;
+everything here moves only series-sized tables.
+
+Scale contracts:
+  - :func:`mad_anomaly_flags`: two exact sort-based percentiles per
+    group plus two broadcast joins of group-sized stats tables (one
+    row per group — event types × 7 at most); the series itself never
+    re-shuffles beyond the two stats groupBys.
+  - :func:`cusum_changepoint`: the global-order window runs over the
+    aggregated series whose cardinality is the number of periods (days),
+    bounded at any SF — the same single-sort-partition contract as
+    forecast_revenue. The three scalar lookups (totals, max |S|,
+    argmax) are 1-row broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def mad_anomaly_flags(
+    series: DataFrame,
+    group_cols: list[str],
+    value_col: str = "n",
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Median/MAD outlier flags for ``value_col`` within each group.
+
+    Returns ``series`` plus ``med``, ``adev``, ``mad`` and
+    ``is_anomaly`` (|value - med| > threshold * MAD). Percentiles are
+    exact (sort-based ``F.percentile``), so integer inputs yield exact
+    interpolated halves — engine-identical with DuckDB's
+    ``quantile_cont`` (the repo's proven percentile-parity pairing).
+    """
+    med = series.groupBy(*group_cols).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("med")
+    )
+    dev = series.join(F.broadcast(med), group_cols).withColumn(
+        "adev", F.abs(F.col(value_col).cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy(*group_cols).agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    )
+    return dev.join(F.broadcast(mad), group_cols).withColumn(
+        "is_anomaly", F.col("adev") > F.lit(threshold) * F.col("mad")
+    )
+
+
+def cusum_changepoint(
+    series: DataFrame, order_col: str, value_col: str
+) -> DataFrame:
+    """Single-changepoint localization via the classic CUSUM statistic
+    S_d = Σ_{≤d}(y - μ), kept EXACT by scaling with the period count
+    (S'_d = n·cumsum(y) - d·total, all BIGINT — no float mean ever
+    enters); the changepoint estimate is argmax |S'| (earliest period
+    on ties).
+
+    ``value_col`` must be integral (cents, counts). Returns the series
+    plus ``cusum_scaled`` and ``is_changepoint``.
+    """
+    tot = series.agg(
+        F.sum(value_col).cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_nd"),
+    )
+    w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = series.crossJoin(F.broadcast(tot)).select(
+        order_col, value_col,
+        (
+            F.col("_nd") * F.sum(value_col).over(w)
+            - F.row_number().over(Window.orderBy(order_col))
+            * F.col("_total")
+        ).cast("long").alias("cusum_scaled"),
+    )
+    mx = cum.agg(
+        F.max(F.abs(F.col("cusum_scaled"))).cast("long").alias("_mx")
+    )
+    cp = cum.crossJoin(F.broadcast(mx)).filter(
+        F.abs(F.col("cusum_scaled")) == F.col("_mx")
+    ).agg(F.min(order_col).cast("long").alias("_cp"))
+    return cum.crossJoin(F.broadcast(cp)).select(
+        order_col, value_col, "cusum_scaled",
+        (F.col(order_col) == F.col("_cp")).alias("is_changepoint"),
+    )

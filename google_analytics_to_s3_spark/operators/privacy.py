@@ -15,7 +15,7 @@ the purged-row count).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -88,3 +88,46 @@ def erasure_report(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    stable_cols: list[str],
+    fine_col: str,
+    coarse_col: str,
+    coarse_expr: Column,
+    k: int,
+) -> DataFrame:
+    """k-anonymity risk report with a one-step generalization-ladder
+    check.
+
+    The quasi-identifier is ``stable_cols + [fine_col]``;
+    ``coarse_expr`` (an expression over ``df``'s columns, typically a
+    coarsening of ``fine_col``) defines the next rung of the
+    generalization ladder. Output: one row per fine quasi-identifier
+    group with ``n_fine``/``n_coarse`` member counts, ``at_risk``
+    (< k members) and ``fixed_by_generalization`` (the coarse group
+    alone already clears k).
+
+    Shape: two hash aggregations (fine + coarse grain) and one
+    equi-join on the coarse key — group-sized tables only; at 100 TB
+    the quasi-identifier cardinality, not the row count, bounds the
+    join.
+    """
+    fine = (
+        df.withColumn(coarse_col, coarse_expr)
+        .groupBy(*stable_cols, fine_col, coarse_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_fine"))
+    )
+    coarse = (
+        df.withColumn(coarse_col, coarse_expr)
+        .groupBy(*stable_cols, coarse_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_coarse"))
+    )
+    return fine.join(coarse, [*stable_cols, coarse_col]).select(
+        *stable_cols, fine_col, "n_fine", "n_coarse",
+        (F.col("n_fine") < k).alias("at_risk"),
+        ((F.col("n_fine") < k) & (F.col("n_coarse") >= k)).alias(
+            "fixed_by_generalization"
+        ),
+    )

@@ -1234,33 +1234,23 @@ def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     The monitoring query every ingest pipeline runs: per (event_type,
     day) counts, per-type median and median-absolute-deviation (exact
     sort-based percentiles — the quantile_cont parity proven by
-    order_percentiles), and a deviation flag. Two tiny broadcast joins
-    (the per-type stats tables have one row per event type); the only
-    real shuffle is the daily count aggregation. Integer counts make
-    the interpolated medians exact halves — engine-identical.
+    order_percentiles), and a deviation flag. Thin wiring over
+    operators/anomaly.py:mad_anomaly_flags (see its docstring for the
+    broadcast-stats shape); the only real shuffle is the daily count
+    aggregation. Integer counts make the interpolated medians exact
+    halves — engine-identical.
     """
+    from ..operators.anomaly import mad_anomaly_flags
+
     e = load_events(spark, sf_dir).select(
         "event_type", F.expr("ts_ms div 86400000").alias("day_num")
     )
     daily = e.groupBy("event_type", "day_num").agg(
         F.count("*").alias("n")
     )
-    med = daily.groupBy("event_type").agg(
-        F.percentile(F.col("n"), F.lit(0.5)).alias("med")
-    )
-    dev = daily.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("n").cast("double") - F.col("med"))
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
-    )
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .select(
-            "event_type", "day_num", "n", "med", "mad",
-            (F.col("adev") > 2.0 * F.col("mad")).alias("is_anomaly"),
-        )
-    )
+    return mad_anomaly_flags(
+        daily, ["event_type"], "n", threshold=2.0
+    ).select("event_type", "day_num", "n", "med", "mad", "is_anomaly")
 
 
 SQL_EVENT_ANOMALIES = """

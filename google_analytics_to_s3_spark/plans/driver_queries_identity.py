@@ -846,11 +846,11 @@ def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no float mean ever enters); the changepoint estimate is
     argmax |S'| (earliest day on ties).
 
-    The global-order window runs over the AGGREGATED daily series —
-    its cardinality is the number of days, not events, so the single
-    sort partition is bounded at any SF (same contract as
-    forecast_revenue). The three scalar lookups (totals, max |S'|,
-    argmax day) are 1-row broadcasts."""
+    Thin wiring over operators/anomaly.py:cusum_changepoint — see its
+    docstring for the bounded-sort-partition and 1-row-broadcast scale
+    contracts."""
+    from ..operators.anomaly import cusum_changepoint
+
     e = load_events(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
     ).select(
@@ -862,33 +862,7 @@ def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy("day").agg(
         F.sum("cents").cast("long").alias("rev_cents")
     )
-    tot = daily.agg(
-        F.sum("rev_cents").cast("long").alias("_total"),
-        F.count(F.lit(1)).cast("long").alias("_nd"),
-    )
-    w = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = daily.crossJoin(F.broadcast(tot)).select(
-        "day", "rev_cents",
-        (
-            F.col("_nd") * F.sum("rev_cents").over(w)
-            - F.row_number().over(Window.orderBy("day")) * F.col("_total")
-        ).cast("long").alias("cusum_scaled"),
-    )
-    mx = cum.agg(
-        F.max(F.abs(F.col("cusum_scaled"))).cast("long").alias("_mx")
-    )
-    cp = cum.crossJoin(F.broadcast(mx)).filter(
-        F.abs(F.col("cusum_scaled")) == F.col("_mx")
-    ).agg(F.min("day").cast("long").alias("_cp"))
-    return (
-        cum.crossJoin(F.broadcast(cp))
-        .select(
-            "day", "rev_cents", "cusum_scaled",
-            (F.col("day") == F.col("_cp")).alias("is_changepoint"),
-        )
-    )
+    return cusum_changepoint(daily, "day", "rev_cents")
 
 
 SQL_CUSUM_CHANGEPOINTS = """
@@ -937,36 +911,25 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the at-risk flag (< k members), and whether ONE generalization step
     (coarsening the balance bucket 1000 → 5000) already clears the
     group — the generalization-ladder check of k-anonymization.
-    Two hash aggregations (fine + coarse grain) and one join on the
-    coarse key; the erasure companion is user_erasure."""
+    Thin wiring over operators/privacy.py:k_anonymity_report; the
+    erasure companion is user_erasure. `div` truncates toward zero,
+    exactly like the oracle's `//` (DuckDB integer // is truncating,
+    verified on negative bal_kb)."""
+    from ..operators.privacy import k_anonymity_report
+
     c = load_table(spark, sf_dir, "customer").select(
         "c_mktsegment", "c_nationkey",
         F.floor(F.col("c_acctbal").cast("double") / 1000)
         .cast("long")
         .alias("bal_kb"),
     )
-    fine = c.groupBy("c_mktsegment", "c_nationkey", "bal_kb").agg(
-        F.count(F.lit(1)).cast("long").alias("n_fine")
-    )
-    # `div` truncates toward zero, exactly like the oracle's `//`
-    # (DuckDB integer // is truncating, verified on negative bal_kb)
-    coarse = (
-        c.withColumn(
-            "bal_5kb", F.expr("bal_kb div 5").cast("long")
-        )
-        .groupBy("c_mktsegment", "c_nationkey", "bal_5kb")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_coarse"))
-    )
-    j = fine.withColumn(
-        "bal_5kb", F.expr("bal_kb div 5").cast("long")
-    ).join(coarse, ["c_mktsegment", "c_nationkey", "bal_5kb"])
-    return j.select(
-        "c_mktsegment", "c_nationkey", "bal_kb", "n_fine", "n_coarse",
-        (F.col("n_fine") < _KANON_K).alias("at_risk"),
-        (
-            (F.col("n_fine") < _KANON_K)
-            & (F.col("n_coarse") >= _KANON_K)
-        ).alias("fixed_by_generalization"),
+    return k_anonymity_report(
+        c,
+        stable_cols=["c_mktsegment", "c_nationkey"],
+        fine_col="bal_kb",
+        coarse_col="bal_5kb",
+        coarse_expr=F.expr("bal_kb div 5").cast("long"),
+        k=_KANON_K,
     )
 
 
@@ -1008,27 +971,21 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """event_anomalies with the seasonal conditioning a weekly-cycled
     metric needs: median/MAD baselines per (event_type, day-of-week)
     instead of per type — a Monday spike is judged against Mondays.
-    Same exact sort-based percentiles (quantile_cont parity), same
-    tiny broadcast stats joins; the only data-sized shuffle is the
+    Thin wiring over operators/anomaly.py:mad_anomaly_flags grouped by
+    (event_type, day-of-week); the only data-sized shuffle is the
     daily count aggregation."""
+    from ..operators.anomaly import mad_anomaly_flags
+
     e = load_events(spark, sf_dir).select(
         "event_type", F.expr("ts_ms div 86400000").alias("day_num")
     )
     daily = e.groupBy("event_type", "day_num").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     ).withColumn("dow", (F.col("day_num") % 7).cast("long"))
-    med = daily.groupBy("event_type", "dow").agg(
-        F.percentile(F.col("n"), F.lit(0.5)).alias("med")
-    )
-    dev = daily.join(F.broadcast(med), ["event_type", "dow"]).withColumn(
-        "adev", F.abs(F.col("n").cast("double") - F.col("med"))
-    )
-    mad = dev.groupBy("event_type", "dow").agg(
-        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
-    )
-    return dev.join(F.broadcast(mad), ["event_type", "dow"]).select(
-        "event_type", "day_num", "dow", "n", "med", "mad",
-        (F.col("adev") > 2.0 * F.col("mad")).alias("is_anomaly"),
+    return mad_anomaly_flags(
+        daily, ["event_type", "dow"], "n", threshold=2.0
+    ).select(
+        "event_type", "day_num", "dow", "n", "med", "mad", "is_anomaly"
     )
 
 
