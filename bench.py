@@ -83,17 +83,28 @@ def main() -> None:
     timings = {k: round(v, 3) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(payload))
+    # The driver's BENCH_r{N}.json keeps only a truncated tail of this
+    # line; persist the COMPLETE per-query timing set next to it so
+    # round-over-round diffs cover every query (committed per round as
+    # the PERF.md evidence base).
+    try:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_FULL_latest.json",
         )
-    )
+        with open(full_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout line is still authoritative
     spark.stop()
 
 

@@ -68,3 +68,37 @@ class TestItemCosine:
             item_cosine_topk(
                 _interactions(spark), "u", "i", recency_col="ts"
             )
+
+    def test_topk_tie_break_partitioning_invariant(self, spark):
+        # Planted tie that CROSSES the k boundary: item 1 has three
+        # neighbors (2, 3, 4) all at identical cosine — with k=2 the
+        # survivor set depends entirely on the documented rec_item-asc
+        # tie break, so it must not vary with the physical partitioning.
+        #
+        # 4 users all share item 1 with each of 2,3,4 symmetrically:
+        #   u1:{1,2}, u2:{1,3}, u3:{1,4}, u4:{1,2,3,4}
+        # co(1,x) = 2 and |U_x| = 2 for x in {2,3,4} → equal cosine.
+        rows = [
+            (1, 1), (1, 2),
+            (2, 1), (2, 3),
+            (3, 1), (3, 4),
+            (4, 1), (4, 2), (4, 3), (4, 4),
+        ]
+        df = spark.createDataFrame(rows, "u long, i long")
+        expected = None
+        for nparts in (1, 3, 7):
+            out = item_cosine_topk(
+                df.repartition(nparts), "u", "i", k=2, min_co=1
+            )
+            item1 = sorted(
+                (r["rank"], r["rec_item"], r["cos"])
+                for r in out.filter(F.col("item") == 1).collect()
+            )
+            spark.catalog.clearCache()
+            # ties resolve by rec_item asc: ranks 1,2 → neighbors 2,3
+            assert [t[1] for t in item1] == [2, 3], item1
+            assert item1[0][2] == item1[1][2]  # genuinely tied
+            if expected is None:
+                expected = item1
+            else:
+                assert item1 == expected
