@@ -743,3 +743,47 @@ def weighted_sample(
             F.round("_key", 6).alias("sample_key"),
         )
     )
+
+
+SPLIT_HASH_SPACE = 100
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    bounds: dict[str, int] | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed key — the
+    leakage-safe dataset split: membership depends only on the key, so
+    re-runs, incremental appends, and different partitionings all send
+    the same document to the same split (no row ever migrates between
+    train and test across pipeline versions).
+
+    ``bounds`` maps split name -> exclusive upper percentile in
+    ascending order (default train<80, val<90, test<100). Pure
+    map-side projection (md5 prefix -> bucket 0..99), zero shuffle;
+    the split column is a partition/filter key downstream.
+    """
+    if bounds is None:
+        bounds = {"train": 80, "val": 90, "test": 100}
+    items = sorted(bounds.items(), key=lambda kv: kv[1])
+    if items[-1][1] != SPLIT_HASH_SPACE:
+        raise ValueError(f"last bound must be {SPLIT_HASH_SPACE}")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split-"),
+                               F.col(key_col).cast("string"))),
+                1, 10,
+            ),
+            16, 10,
+        ).cast("long")
+        % SPLIT_HASH_SPACE
+    )
+    expr = F.lit(items[-1][0])
+    for name, ub in reversed(items[:-1]):
+        expr = F.when(bucket < ub, F.lit(name)).otherwise(expr)
+    # single when-chain evaluated over one md5 — cheapest-first order
+    out = expr
+    return df.withColumn(split_col, out)

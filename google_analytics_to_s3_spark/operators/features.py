@@ -74,3 +74,44 @@ def rolling_features(
             F.sum("_cents").over(w).cast("long").alias(f"cents_{name}")
         )
     return base.select(*cols)
+
+
+def rfm_segments(
+    per_user: DataFrame,
+    user_col: str,
+    recency_col: str,
+    frequency_col: str,
+    monetary_col: str,
+    tiles: int = 5,
+) -> DataFrame:
+    """RFM quintile segmentation over a per-user metric table: each
+    dimension gets an ``ntile(tiles)`` score (higher = better customer
+    — more recent, more frequent, higher spend), plus the combined
+    ``segment`` label "R-F-M".
+
+    Determinism: every ntile orders by (metric ASC, user ASC) — the
+    user tiebreak makes tile boundaries reproducible across engines
+    and partitionings (ntile's n-mod-k front-loading rule is standard
+    SQL, identical in Spark and DuckDB once the order is total).
+
+    Scale shape: the input is already per-user (the caller's one
+    data-sized aggregation); three ntile windows each need a global
+    order over the USER-sized table. At billions of users swap ntile
+    for a percentile-bucket join (quantile_sketch cutpoints +
+    broadcast range lookup) — documented escape hatch, same output
+    contract.
+    """
+    wr = Window.orderBy(F.col(recency_col).asc(), F.col(user_col).asc())
+    wf = Window.orderBy(F.col(frequency_col).asc(), F.col(user_col).asc())
+    wm = Window.orderBy(F.col(monetary_col).asc(), F.col(user_col).asc())
+    return per_user.select(
+        user_col, recency_col, frequency_col, monetary_col,
+        F.ntile(tiles).over(wr).cast("int").alias("r_score"),
+        F.ntile(tiles).over(wf).cast("int").alias("f_score"),
+        F.ntile(tiles).over(wm).cast("int").alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat_ws(
+            "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ),
+    )

@@ -524,3 +524,71 @@ def bootstrap_mean_ci(
         "n", F.round("point_est", 6).alias("point_est"),
         "boot_lo", "boot_hi",
     )
+
+
+CHI2_CRIT_95 = {1: 3.841459, 2: 5.991465, 3: 7.814728, 4: 9.487729}
+
+
+def srm_check(
+    assignments: DataFrame,
+    arm_col: str,
+    expected_weights: dict[str, float],
+) -> DataFrame:
+    """Sample-ratio-mismatch check for an A/B assignment table: the
+    chi-square goodness-of-fit of observed arm counts against the
+    configured split, the guardrail every experimentation platform
+    runs BEFORE reading a lift number (a biased assignment invalidates
+    q_ab_lift's readout entirely).
+
+    ``assignments`` is one row per unit (deduplication is the caller's
+    contract); ``expected_weights`` maps every arm to its design
+    weight (normalized here). Output: one row per arm with observed /
+    expected counts and the chi2 contribution, plus the global
+    ``chi2`` and ``srm_alarm`` (95% critical value for k-1 dof)
+    replicated on each row.
+
+    Shape: one data-sized hash aggregation down to k arm counts;
+    everything after runs on the k-row table (windows over k rows, a
+    broadcast-sized literal join). Integer counts, one double division
+    per term, round(6) — engine-exact.
+    """
+    arms = sorted(expected_weights)
+    wsum = float(sum(expected_weights.values()))
+    k = len(arms)
+    if k < 2:
+        raise ValueError("srm_check needs >= 2 arms")
+    crit = CHI2_CRIT_95.get(k - 1)
+    if crit is None:
+        raise ValueError(f"no tabulated 95% critical value for dof {k - 1}")
+    counts = assignments.groupBy(
+        F.col(arm_col).alias("arm")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    spark = assignments.sparkSession
+    wtab = F.broadcast(spark.createDataFrame(
+        [(a, expected_weights[a] / wsum) for a in arms],
+        "arm string, w double",
+    ))
+    # right join keeps arms with zero observations (n_obs -> 0)
+    j = counts.join(wtab, "arm", "right").select(
+        "arm", F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+        "w",
+    )
+    wall = Window.partitionBy()
+    scored = j.select(
+        "arm", "n_obs",
+        (F.sum("n_obs").over(wall).cast("double") * F.col("w"))
+        .alias("n_exp"),
+    ).select(
+        "arm", "n_obs", F.round("n_exp", 6).alias("n_exp"),
+        (
+            (F.col("n_obs").cast("double") - F.col("n_exp"))
+            * (F.col("n_obs").cast("double") - F.col("n_exp"))
+            / F.col("n_exp")
+        ).alias("_term"),
+    )
+    return scored.select(
+        "arm", "n_obs", "n_exp",
+        F.round("_term", 6).alias("chi2_term"),
+        F.round(F.sum("_term").over(wall), 6).alias("chi2"),
+        (F.sum("_term").over(wall) > F.lit(crit)).alias("srm_alarm"),
+    )

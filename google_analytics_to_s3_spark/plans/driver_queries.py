@@ -2795,6 +2795,10 @@ from .driver_queries_tpch import (  # noqa: E402
     ORACLES_TPCH,
     QUERIES_TPCH,
 )
+from .driver_queries_analytics import (  # noqa: E402
+    ORACLES_ANALYTICS,
+    QUERIES_ANALYTICS,
+)
 from .driver_queries_identity import (  # noqa: E402
     ORACLES_IDENTITY,
     QUERIES_IDENTITY,
@@ -2806,6 +2810,7 @@ QUERIES.update(QUERIES_TPCH)
 QUERIES.update(QUERIES_EXTRA)
 QUERIES.update(QUERIES_EXPORTS)
 QUERIES.update(QUERIES_CURATION)
+QUERIES.update(QUERIES_ANALYTICS)
 
 ORACLES: dict[str, str] = {
     "sessionize_flags": SQL_SESSIONIZE_FLAGS,
@@ -2880,6 +2885,7 @@ ORACLES.update(ORACLES_TPCH)
 ORACLES.update(ORACLES_EXTRA)
 ORACLES.update(ORACLES_EXPORTS)
 ORACLES.update(ORACLES_CURATION)
+ORACLES.update(ORACLES_ANALYTICS)
 
 # --------------------------------------------------------------------------
 # Registry ordering.
@@ -2929,6 +2935,10 @@ _DRIVER_PRIORITY = [
     "stratified_sample", "string_funcs", "table_profile",
     "text_quality", "text_stats", "token_counts", "volume_shipping",
     "winnow_fingerprints", "winnow_dup_pairs",
+    # (r5-f) registered in r5 after this prefix was laid out — locally
+    # oracle-green, second in the r6 queue behind (r5-e)
+    "sequence_mining", "rfm_segments", "dataset_split", "pruning_stats",
+    "bounce_exit", "ab_srm",
     # ---------------- r4 rotation (all green r4) ----------------
     # round-4 rotation:
     # (a) changed this round — pack_sequences' oracle got the missing

@@ -1,0 +1,419 @@
+"""Driver queries: round-5 analytics batch — sequential pattern
+mining, RFM segmentation, deterministic dataset splits, zone-map
+pruning stats, GA bounce/exit rates, and the A/B sample-ratio-mismatch
+guardrail.
+
+Each is thin wiring over an operator module (operators/sequence.py,
+operators/features.py, operators/curation.py, sources/maintenance.py,
+operators/sessionize.py, operators/stats.py) with a full DuckDB value
+oracle. The GA-reporting members (bounce/exit rates) extend the
+reference's session marts (reference functions/sessionization/
+main.py:1009-1080 computes session rows but stops short of the
+page-grain bounce/exit report every GA property ships with); the rest
+are the training-data-pipeline analytics the assignment's §"beyond
+the reference" list calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.sessionize import sessionize
+from ..sources.testdata import load_events, load_parallel
+
+__all__ = ["QUERIES_ANALYTICS", "ORACLES_ANALYTICS"]
+
+GAP_MS = 30 * 60 * 1000  # same session gap as the W1-W7 queries
+
+
+# --------------------------------------------------------------------------
+# Sequential pattern mining (contiguous 3-grams, distinct-user support)
+# --------------------------------------------------------------------------
+
+_SEQ_MIN_SUPPORT = 5
+
+
+def q_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent consecutive event-type 3-grams with distinct-user
+    support (operators/sequence.py) — the behavior-flow refinement of
+    event_transitions: bigram transition COUNTS say which hop is
+    common; pattern SUPPORT says how many users walk a whole path."""
+    from ..operators.sequence import sequential_patterns
+
+    e = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts_ms"
+    )
+    return sequential_patterns(
+        e, "user_id", "event_type", ["ts_ms", "event_id"],
+        n=3, min_support=_SEQ_MIN_SUPPORT,
+    )
+
+
+SQL_SEQUENCE_MINING = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+  FROM events
+),
+led AS (
+  SELECT user_id AS u, event_type AS p1,
+         lead(event_type, 1) OVER w AS p2,
+         lead(event_type, 2) OVER w AS p3
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+)
+SELECT p1, p2, p3,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_users
+FROM led WHERE p3 IS NOT NULL
+GROUP BY 1, 2, 3
+HAVING count(DISTINCT u) >= {_SEQ_MIN_SUPPORT}
+"""
+
+
+# --------------------------------------------------------------------------
+# RFM quintile segmentation
+# --------------------------------------------------------------------------
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM customer segmentation over purchase events
+    (operators/features.py:rfm_segments): per-user last-purchase day /
+    purchase count / BIGINT-cents spend, each scored into quintiles
+    with a deterministic (metric, user) order."""
+    from ..operators.features import rfm_segments
+
+    p = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        F.expr("ts_ms div 86400000").alias("day"),
+        F.floor(F.col("value").cast("double") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    per_user = p.groupBy("user_id").agg(
+        F.max("day").cast("long").alias("r_day"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum("cents").cast("long").alias("monetary_cents"),
+    )
+    return rfm_segments(
+        per_user, "user_id", "r_day", "frequency", "monetary_cents"
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH p AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+         CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+pu AS (
+  SELECT user_id, CAST(max(day) AS BIGINT) AS r_day,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(cents) AS BIGINT) AS monetary_cents
+  FROM p GROUP BY 1
+),
+sc AS (
+  SELECT user_id, r_day, frequency, monetary_cents,
+         CAST(ntile(5) OVER (ORDER BY r_day ASC, user_id ASC)
+              AS INTEGER) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id ASC)
+              AS INTEGER) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY monetary_cents ASC, user_id ASC)
+              AS INTEGER) AS m_score
+  FROM pu
+)
+SELECT user_id, r_day, frequency, monetary_cents,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR)
+         || '-' || CAST(m_score AS VARCHAR) AS segment
+FROM sc
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash-based dataset split
+# --------------------------------------------------------------------------
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split summary over the documents corpus
+    (operators/curation.py:hash_split): per (source, split) document
+    and character counts under the 80/10/10 md5 split — the
+    leakage-safe assignment whose membership survives re-runs and
+    incremental appends."""
+    from ..operators.curation import hash_split
+
+    d = load_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return (
+        hash_split(d, "doc_id")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+SQL_DATASET_SPLIT = """
+WITH b AS (
+  SELECT source, n_chars,
+         ('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 10)
+         )::BIGINT % 100 AS bucket
+  FROM documents
+),
+s AS (
+  SELECT source, n_chars,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Zone-map pruning stats
+# --------------------------------------------------------------------------
+
+_PRUNE_MIN = 350.0
+
+
+def q_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day zone-map statistics for the events ``value`` column plus
+    the skip flag for a ``value >= 350`` scan
+    (sources/maintenance.py:partition_stats) — the measured answer to
+    "would clustering this table let the hot predicate skip I/O?"."""
+    from ..sources.maintenance import partition_stats
+
+    e = load_events(spark, sf_dir).select(
+        F.expr("ts_ms div 86400000").alias("day"), "value"
+    )
+    return partition_stats(e, "day", "value", predicate_min=_PRUNE_MIN)
+
+
+SQL_PRUNING_STATS = f"""
+SELECT epoch_ms(ts) // 86400000 AS part,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       min(CAST(value AS DOUBLE)) AS min_val,
+       max(CAST(value AS DOUBLE)) AS max_val,
+       coalesce(max(CAST(value AS DOUBLE)) < {_PRUNE_MIN}, TRUE)
+         AS skippable
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# GA bounce / exit rates per page
+# --------------------------------------------------------------------------
+
+def q_bounce_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The page-grain GA report the reference's session marts feed:
+    per page, view/exit counts with exit rate (share of this page's
+    views that ended a session) and landing/bounce counts with bounce
+    rate (share of sessions landing here that had exactly one event).
+
+    Pages come from the props JSON (k % 10 — ten stable page ids);
+    sessions are the same 30-min-gap sessionization as W1-W7
+    (operators/sessionize.py). One user exchange feeds sessionize and
+    both in-session windows; the two page-grain aggregates join on a
+    10-row key."""
+    e = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts_ms",
+        (F.get_json_object("props", "$.k").cast("int") % 10)
+        .alias("page"),
+    )
+    s = sessionize(
+        e, visitor_col="user_id", ts_col="ts_ms",
+        tiebreak_cols=("event_id",),
+    )
+    ws = Window.partitionBy("user_id", "user_session_id").orderBy(
+        "ts_ms", "event_id"
+    )
+    wsd = Window.partitionBy("user_id", "user_session_id").orderBy(
+        F.col("ts_ms").desc(), F.col("event_id").desc()
+    )
+    wn = Window.partitionBy("user_id", "user_session_id")
+    s2 = s.select(
+        "page",
+        F.row_number().over(ws).alias("rn"),
+        F.row_number().over(wsd).alias("rnd"),
+        F.count(F.lit(1)).over(wn).alias("n_ev"),
+    )
+    landing = s2.filter(F.col("rn") == 1).groupBy("page").agg(
+        F.count(F.lit(1)).cast("long").alias("n_landings"),
+        F.sum((F.col("n_ev") == 1).cast("long"))
+        .cast("long")
+        .alias("n_bounces"),
+    )
+    pages = s2.groupBy("page").agg(
+        F.count(F.lit(1)).cast("long").alias("n_views"),
+        F.sum((F.col("rnd") == 1).cast("long"))
+        .cast("long")
+        .alias("n_exits"),
+    )
+    out = pages.join(landing, "page", "left")
+    n_land = F.coalesce(F.col("n_landings"), F.lit(0)).cast("long")
+    return out.select(
+        "page", "n_views", "n_exits",
+        F.round(
+            F.col("n_exits").cast("double")
+            / F.col("n_views").cast("double"),
+            6,
+        ).alias("exit_rate"),
+        n_land.alias("n_landings"),
+        F.coalesce(F.col("n_bounces"), F.lit(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.when(
+            n_land > 0,
+            F.round(
+                F.col("n_bounces").cast("double") / n_land.cast("double"),
+                6,
+            ),
+        ).alias("bounce_rate"),
+    )
+
+
+SQL_BOUNCE_EXIT = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS page
+  FROM events
+),
+lagged AS (
+  SELECT e.*,
+         lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+           AS last_event
+  FROM e
+),
+numbered AS (
+  SELECT *,
+         CAST(sum(CASE WHEN last_event IS NULL
+                        OR ts_ms - last_event >= {GAP_MS}
+                   THEN 1 ELSE 0 END) OVER (
+             PARTITION BY user_id ORDER BY ts_ms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS user_session_id
+  FROM lagged
+),
+sess AS (
+  SELECT page,
+         row_number() OVER ws AS rn,
+         row_number() OVER wsd AS rnd,
+         count(*) OVER (PARTITION BY user_id, user_session_id) AS n_ev
+  FROM numbered
+  WINDOW ws AS (PARTITION BY user_id, user_session_id
+                ORDER BY ts_ms, event_id),
+         wsd AS (PARTITION BY user_id, user_session_id
+                 ORDER BY ts_ms DESC, event_id DESC)
+),
+landing AS (
+  SELECT page, CAST(count(*) AS BIGINT) AS n_landings,
+         CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces
+  FROM sess WHERE rn = 1 GROUP BY 1
+),
+pages AS (
+  SELECT page, CAST(count(*) AS BIGINT) AS n_views,
+         CAST(sum(CASE WHEN rnd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exits
+  FROM sess GROUP BY 1
+)
+SELECT p.page, p.n_views, p.n_exits,
+       round(CAST(p.n_exits AS DOUBLE) / CAST(p.n_views AS DOUBLE), 6)
+         AS exit_rate,
+       CAST(coalesce(l.n_landings, 0) AS BIGINT) AS n_landings,
+       CAST(coalesce(l.n_bounces, 0) AS BIGINT) AS n_bounces,
+       CASE WHEN coalesce(l.n_landings, 0) > 0
+            THEN round(CAST(l.n_bounces AS DOUBLE)
+                       / CAST(l.n_landings AS DOUBLE), 6)
+       END AS bounce_rate
+FROM pages p LEFT JOIN landing l USING (page)
+"""
+
+
+# --------------------------------------------------------------------------
+# A/B sample-ratio-mismatch guardrail
+# --------------------------------------------------------------------------
+
+def q_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square sample-ratio-mismatch check for a 50/50 md5-hash
+    assignment of distinct users (operators/stats.py:srm_check) — the
+    guardrail that must pass before q_ab_lift's readout means
+    anything."""
+    from ..operators.stats import srm_check
+
+    u = load_events(spark, sf_dir).select("user_id").distinct()
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("arm-"),
+                               F.col("user_id").cast("string"))),
+                1, 10,
+            ),
+            16, 10,
+        ).cast("long") % 2 == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    return srm_check(
+        u.select(arm.alias("arm")), "arm",
+        {"control": 1.0, "treatment": 1.0},
+    )
+
+
+SQL_AB_SRM = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+a AS (
+  SELECT CASE WHEN ('0x' || substr(md5('arm-' || CAST(user_id AS VARCHAR)),
+                                   1, 10))::BIGINT % 2 = 0
+              THEN 'control' ELSE 'treatment' END AS arm
+  FROM u
+),
+c AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_obs FROM a GROUP BY 1),
+wt AS (SELECT unnest(['control', 'treatment']) AS arm, 0.5 AS w),
+j AS (
+  SELECT wt.arm, CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_obs, wt.w
+  FROM wt LEFT JOIN c USING (arm)
+),
+x AS (
+  SELECT arm, n_obs,
+         CAST(sum(n_obs) OVER () AS DOUBLE) * w AS n_exp_raw
+  FROM j
+),
+t AS (
+  SELECT arm, n_obs, round(n_exp_raw, 6) AS n_exp,
+         (CAST(n_obs AS DOUBLE) - n_exp_raw)
+           * (CAST(n_obs AS DOUBLE) - n_exp_raw) / n_exp_raw AS term
+  FROM x
+)
+SELECT arm, n_obs, n_exp, round(term, 6) AS chi2_term,
+       round(sum(term) OVER (), 6) AS chi2,
+       (sum(term) OVER () > 3.841459) AS srm_alarm
+FROM t
+"""
+
+
+QUERIES_ANALYTICS: dict = {
+    "sequence_mining": q_sequence_mining,
+    "rfm_segments": q_rfm_segments,
+    "dataset_split": q_dataset_split,
+    "pruning_stats": q_pruning_stats,
+    "bounce_exit": q_bounce_exit,
+    "ab_srm": q_ab_srm,
+}
+
+ORACLES_ANALYTICS: dict[str, str] = {
+    "sequence_mining": SQL_SEQUENCE_MINING,
+    "rfm_segments": SQL_RFM_SEGMENTS,
+    "dataset_split": SQL_DATASET_SPLIT,
+    "pruning_stats": SQL_PRUNING_STATS,
+    "bounce_exit": SQL_BOUNCE_EXIT,
+    "ab_srm": SQL_AB_SRM,
+}

@@ -254,3 +254,39 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def partition_stats(
+    df: DataFrame,
+    part_col: str,
+    stat_col: str,
+    predicate_min: float | None = None,
+) -> DataFrame:
+    """Per-partition zone-map statistics (the min/max/null/count table
+    Delta and Iceberg keep per file) plus, optionally, whether a
+    ``stat_col >= predicate_min`` scan could SKIP the partition
+    entirely — the data-skipping estimate that turns clustering
+    (write_zordered) into measured I/O savings.
+
+    Shape: one hash aggregation to partition-key grain; the stats
+    table is partition-count-sized (days, not rows) and feeds planning
+    decisions, never a data join. At 100 TB this is the query you run
+    to decide WHETHER a clustering rewrite pays for itself: the skip
+    fraction under the workload's hot predicate is the answer.
+    """
+    v = F.col(stat_col).cast("double")
+    out = df.groupBy(F.col(part_col).alias("part")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(v.isNull().cast("long")).cast("long").alias("n_nulls"),
+        F.min(v).alias("min_val"),
+        F.max(v).alias("max_val"),
+    )
+    if predicate_min is not None:
+        out = out.withColumn(
+            "skippable",
+            F.coalesce(
+                F.col("max_val") < F.lit(float(predicate_min)),
+                F.lit(True),  # all-null partition: nothing can match
+            ),
+        )
+    return out

@@ -1,0 +1,168 @@
+"""Unit coverage for the round-5 analytics operators: sequential
+patterns, RFM segmentation, hash splits, zone-map pruning stats, and
+the SRM guardrail."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from google_analytics_to_s3_spark.operators.curation import hash_split
+from google_analytics_to_s3_spark.operators.features import rfm_segments
+from google_analytics_to_s3_spark.operators.sequence import (
+    sequential_patterns,
+)
+from google_analytics_to_s3_spark.operators.stats import srm_check
+from google_analytics_to_s3_spark.sources.maintenance import (
+    partition_stats,
+)
+
+
+class TestSequentialPatterns:
+    def _events(self, spark):
+        # user 1 walks a->b->c twice (2 occurrences, 1 user);
+        # user 2 walks a->b->c once; user 3 walks b->c->a
+        rows = [
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "c"),
+            (1, 4, "a"), (1, 5, "b"), (1, 6, "c"),
+            (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),
+            (3, 1, "b"), (3, 2, "c"), (3, 3, "a"),
+        ]
+        return spark.createDataFrame(rows, "u long, t long, ev string")
+
+    def test_support_is_distinct_users(self, spark):
+        out = {
+            (r["p1"], r["p2"], r["p3"]): (r["n_occurrences"], r["n_users"])
+            for r in sequential_patterns(
+                self._events(spark), "u", "ev", ["t"], n=3
+            ).collect()
+        }
+        assert out[("a", "b", "c")] == (3, 2)  # 3 occurrences, 2 users
+        assert out[("b", "c", "a")] == (2, 2)  # u1 crosses, u3 direct
+
+    def test_min_support_filters(self, spark):
+        out = sequential_patterns(
+            self._events(spark), "u", "ev", ["t"], n=3, min_support=2
+        )
+        pats = {(r["p1"], r["p2"], r["p3"]) for r in out.collect()}
+        assert pats == {("a", "b", "c"), ("b", "c", "a")}
+
+    def test_bigrams(self, spark):
+        out = {
+            (r["p1"], r["p2"]): r["n_users"]
+            for r in sequential_patterns(
+                self._events(spark), "u", "ev", ["t"], n=2
+            ).collect()
+        }
+        assert out[("a", "b")] == 2 and out[("c", "a")] == 2
+
+    def test_n_validation(self, spark):
+        with pytest.raises(ValueError, match="n must be"):
+            sequential_patterns(self._events(spark), "u", "ev", ["t"], n=1)
+
+
+class TestRfmSegments:
+    def test_quintiles_and_segment(self, spark):
+        # 10 users with strictly increasing metrics: tiles are exact
+        rows = [(u, u, u * 2, u * 100) for u in range(1, 11)]
+        pu = spark.createDataFrame(
+            rows, "user_id long, r_day long, frequency long, "
+            "monetary_cents long"
+        )
+        out = {r["user_id"]: r for r in rfm_segments(
+            pu, "user_id", "r_day", "frequency", "monetary_cents"
+        ).collect()}
+        # user 1 is worst on every axis, user 10 best
+        assert out[1]["segment"] == "1-1-1"
+        assert out[10]["segment"] == "5-5-5"
+        # 10 rows / 5 tiles = 2 per tile on each axis
+        assert out[2]["r_score"] == 1 and out[3]["r_score"] == 2
+
+    def test_tie_break_deterministic(self, spark):
+        # all metrics equal: tiles assigned purely by user id order
+        pu = spark.createDataFrame(
+            [(u, 7, 7, 7) for u in range(1, 6)],
+            "user_id long, r_day long, frequency long, monetary_cents long",
+        )
+        for nparts in (1, 4):
+            out = {r["user_id"]: r["r_score"] for r in rfm_segments(
+                pu.repartition(nparts), "user_id", "r_day", "frequency",
+                "monetary_cents",
+            ).collect()}
+            assert out == {1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
+
+
+class TestHashSplit:
+    def test_deterministic_and_complete(self, spark):
+        df = spark.range(1000).withColumnRenamed("id", "k")
+        a = hash_split(df, "k").groupBy("split").count().collect()
+        b = hash_split(df, "k").groupBy("split").count().collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        counts = {r["split"]: r["count"] for r in a}
+        assert sum(counts.values()) == 1000
+        # 80/10/10 within loose tolerance
+        assert 700 < counts["train"] < 900
+        assert 50 < counts["val"] < 160
+        assert 50 < counts["test"] < 160
+
+    def test_membership_stable_under_append(self, spark):
+        # the split of the first 100 keys is unchanged by adding more
+        base = hash_split(spark.range(100).withColumnRenamed("id", "k"),
+                          "k")
+        grown = hash_split(spark.range(500).withColumnRenamed("id", "k"),
+                           "k").filter(F.col("k") < 100)
+        assert sorted(map(tuple, base.collect())) == sorted(
+            map(tuple, grown.collect())
+        )
+
+    def test_bounds_validation(self, spark):
+        with pytest.raises(ValueError, match="last bound"):
+            hash_split(spark.range(1), "id", bounds={"a": 50, "b": 99})
+
+
+class TestPartitionStats:
+    def test_stats_and_skip_flag(self, spark):
+        rows = [(0, 1.0), (0, 5.0), (1, 50.0), (1, None), (2, None)]
+        df = spark.createDataFrame(rows, "d long, v double")
+        out = {r["part"]: r for r in partition_stats(
+            df, "d", "v", predicate_min=10.0
+        ).collect()}
+        assert out[0]["skippable"] is True      # max 5 < 10
+        assert out[1]["skippable"] is False     # max 50 >= 10
+        assert out[2]["skippable"] is True      # all-null partition
+        assert out[0]["n_rows"] == 2 and out[1]["n_nulls"] == 1
+
+    def test_no_predicate_no_flag(self, spark):
+        df = spark.createDataFrame([(0, 1.0)], "d long, v double")
+        assert "skippable" not in partition_stats(df, "d", "v").columns
+
+
+class TestSrmCheck:
+    def test_balanced_no_alarm(self, spark):
+        rows = [("a",)] * 500 + [("b",)] * 510
+        df = spark.createDataFrame(rows, "arm string")
+        out = {r["arm"]: r for r in srm_check(
+            df, "arm", {"a": 1.0, "b": 1.0}
+        ).collect()}
+        assert out["a"]["srm_alarm"] is False
+        assert out["a"]["n_exp"] == 505.0
+        assert out["a"]["chi2"] == out["b"]["chi2"]
+
+    def test_skewed_alarms(self, spark):
+        rows = [("a",)] * 600 + [("b",)] * 400
+        df = spark.createDataFrame(rows, "arm string")
+        out = srm_check(df, "arm", {"a": 1.0, "b": 1.0}).first()
+        # chi2 = (100)^2/500 * 2 = 40 >> 3.84
+        assert out["chi2"] == 40.0 and out["srm_alarm"] is True
+
+    def test_zero_count_arm_kept(self, spark):
+        df = spark.createDataFrame([("a",)] * 10, "arm string")
+        out = {r["arm"]: r["n_obs"] for r in srm_check(
+            df, "arm", {"a": 1.0, "b": 1.0}
+        ).collect()}
+        assert out == {"a": 10, "b": 0}
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("a",)], "arm string")
+        with pytest.raises(ValueError, match=">= 2 arms"):
+            srm_check(df, "arm", {"a": 1.0})
+        with pytest.raises(ValueError, match="critical value"):
+            srm_check(df, "arm", {str(i): 1.0 for i in range(9)})
