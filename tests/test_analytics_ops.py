@@ -166,3 +166,65 @@ class TestSrmCheck:
             srm_check(df, "arm", {"a": 1.0})
         with pytest.raises(ValueError, match="critical value"):
             srm_check(df, "arm", {str(i): 1.0 for i in range(9)})
+
+
+def _plan(df, mode: str = "simple") -> str:
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+class TestAnalyticsPlans:
+    """Plan-shape guards for the round-5 analytics batch."""
+
+    def test_sequence_mining_single_user_exchange(self, spark, sf_smoke):
+        from google_analytics_to_s3_spark.plans import driver_queries as dq
+
+        plan = _plan(dq.QUERIES["sequence_mining"](spark, sf_smoke))
+        # one user-hash exchange feeds the lead window; the support agg
+        # adds its partial/final pair (+1 for the distinct-user expand)
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange") <= 3, plan
+
+    def test_dataset_split_map_side_assignment(self, spark, sf_smoke):
+        from google_analytics_to_s3_spark.plans import driver_queries as dq
+
+        plan = _plan(dq.QUERIES["dataset_split"](spark, sf_smoke))
+        # split assignment is a projection; only the 2-key agg shuffles
+        # (+1 round-robin from the load_parallel scan repartition)
+        assert "Join" not in plan, plan
+        assert plan.count("hashpartitioning") <= 1, plan
+
+    def test_pruning_stats_one_aggregation(self, spark, sf_smoke):
+        from google_analytics_to_s3_spark.plans import driver_queries as dq
+
+        plan = _plan(dq.QUERIES["pruning_stats"](spark, sf_smoke))
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange") <= 1, plan
+
+    def test_bounce_exit_shares_session_exchange(self, spark, sf_smoke):
+        from google_analytics_to_s3_spark.plans import driver_queries as dq
+
+        plan = _plan(dq.QUERIES["bounce_exit"](spark, sf_smoke))
+        # the page-grain join moves 10-row tables; the event stream
+        # must never sort-merge or cartesian
+        assert "CartesianProduct" not in plan, plan
+        # sessionize + both in-session windows share the user exchange;
+        # the only hashpartitioning keys are user_id-rooted or the
+        # 10-key page aggregates
+        assert plan.count("hashpartitioning(user_id") <= 2, plan
+
+    def test_ab_srm_single_data_pass(self, spark, sf_smoke):
+        from google_analytics_to_s3_spark.plans import driver_queries as dq
+
+        plan = _plan(dq.QUERIES["ab_srm"](spark, sf_smoke))
+        # one distinct-users aggregation is the only data-sized work;
+        # the weight table joins broadcast on the 2-row side
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_rfm_user_sized_windows(self, spark, sf_smoke):
+        from google_analytics_to_s3_spark.plans import driver_queries as dq
+
+        plan = _plan(dq.QUERIES["rfm_segments"](spark, sf_smoke))
+        assert "Join" not in plan, plan
