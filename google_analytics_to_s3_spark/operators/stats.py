@@ -552,6 +552,23 @@ def srm_check(
     broadcast-sized literal join). Integer counts, one double division
     per term, round(6) — engine-exact.
     """
+    counts = assignments.groupBy(
+        F.col(arm_col).alias("arm")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    return srm_from_counts(counts, expected_weights)
+
+
+def srm_from_counts(
+    counts: DataFrame,
+    expected_weights: dict[str, float],
+) -> DataFrame:
+    """:func:`srm_check` finalization over a PRE-AGGREGATED
+    ``(arm, n_obs)`` table — the entry point a streaming guardrail
+    uses: arm counts accumulate natively under complete-mode streaming
+    aggregation (or a foreachBatch fold), and this k-row chi-square
+    finalization runs against the standing counts each trigger.
+    Everything here moves k rows.
+    """
     arms = sorted(expected_weights)
     wsum = float(sum(expected_weights.values()))
     k = len(arms)
@@ -560,10 +577,7 @@ def srm_check(
     crit = CHI2_CRIT_95.get(k - 1)
     if crit is None:
         raise ValueError(f"no tabulated 95% critical value for dof {k - 1}")
-    counts = assignments.groupBy(
-        F.col(arm_col).alias("arm")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
-    spark = assignments.sparkSession
+    spark = counts.sparkSession
     wtab = F.broadcast(spark.createDataFrame(
         [(a, expected_weights[a] / wsum) for a in arms],
         "arm string, w double",

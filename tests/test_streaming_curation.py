@@ -161,3 +161,49 @@ def test_count_min_sketch_streams_unchanged(spark, tmp_path):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_srm_guardrail_streams_unchanged(spark, tmp_path):
+    """The SRM guardrail's data-sized half is a plain arm-count
+    aggregation, which streams natively in complete mode; the k-row
+    chi-square finalization (srm_from_counts) then runs against the
+    standing counts exactly as it would against a batch aggregate —
+    the streaming guardrail equals the one-shot batch check."""
+    from google_analytics_to_s3_spark.operators.stats import (
+        srm_check,
+        srm_from_counts,
+    )
+
+    rows = [(i, "a" if i % 5 < 3 else "b") for i in range(400)]
+    batch_src = spark.createDataFrame(rows, ["i", "arm"])
+    batch_src.filter("i % 2 = 0").write.mode("overwrite").parquet(
+        str(tmp_path / "in" / "a.parquet")
+    )
+    batch_src.filter("i % 2 = 1").write.mode("append").parquet(
+        str(tmp_path / "in" / "b.parquet")
+    )
+    stream_src = (
+        spark.readStream.schema(batch_src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    counts = stream_src.groupBy(F.col("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("srm_counts_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_srm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    weights = {"a": 1.0, "b": 1.0}
+    got = srm_from_counts(spark.table("srm_counts_stream"), weights)
+    want = srm_check(batch_src, "arm", weights)
+    assert got.count() == want.count() == 2
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # 240/160 split is a real mismatch: the alarm must fire
+    assert all(r["srm_alarm"] for r in got.collect())
