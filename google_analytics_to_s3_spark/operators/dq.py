@@ -21,7 +21,7 @@ missing publish gate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -117,4 +117,70 @@ def ref_integrity(
         F.lit(f"ref_integrity({fk}->{pk})").alias("constraint"),
         "violations",
         (F.col("violations") == 0).alias("passed"),
+    )
+
+
+def psi_report(
+    df: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    period_col: str,
+    alarm_threshold: float = 0.1,
+) -> DataFrame:
+    """Population-stability-index drift report — the distribution-shift
+    companion to the row-count constraints above: per group, PSI
+    between period 0 (reference) and period 1 (current) over a bucketed
+    value distribution, PSI = Σ_b (p1_b - p0_b) · ln(p1_b / p0_b).
+
+    ``period_col`` must be 0/1 (reference/current); buckets are the
+    caller's discretization (an integer expression — deciles, integer
+    div, histogram bins). Laplace-smoothed proportions
+    ``(n_b + 1) / (N + B)`` keep empty buckets finite and make every
+    proportion an exact rational of BIGINTs — one double division and
+    one ln per bucket, the repo's proven ln-round(6) parity pairing.
+
+    Shape: one data-sized hash aggregation to (group, bucket, period)
+    grain; the PSI sum and bucket-count window run over the
+    groups × buckets table. The alarm compares the UNROUNDED psi so
+    both engines branch on the same double.
+    """
+    counts = df.groupBy(
+        F.col(group_col).alias("grp"),
+        F.col(bucket_col).alias("bucket"),
+    ).agg(
+        F.sum(F.when(F.col(period_col) == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col(period_col) == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    wg = Window.partitionBy("grp")
+    prop = counts.select(
+        "grp", "bucket", "n0", "n1",
+        F.sum("n0").over(wg).alias("t0"),
+        F.sum("n1").over(wg).alias("t1"),
+        F.count(F.lit(1)).over(wg).alias("nb"),
+    ).select(
+        "grp", "n0", "n1",
+        (
+            (F.col("n0") + 1).cast("double")
+            / (F.col("t0") + F.col("nb")).cast("double")
+        ).alias("p0"),
+        (
+            (F.col("n1") + 1).cast("double")
+            / (F.col("t1") + F.col("nb")).cast("double")
+        ).alias("p1"),
+    )
+    psi = prop.groupBy("grp").agg(
+        F.sum("n0").cast("long").alias("n_ref"),
+        F.sum("n1").cast("long").alias("n_cur"),
+        F.sum(
+            (F.col("p1") - F.col("p0")) * F.log(F.col("p1") / F.col("p0"))
+        ).alias("_psi"),
+    )
+    return psi.select(
+        F.col("grp").alias(group_col), "n_ref", "n_cur",
+        F.round("_psi", 6).alias("psi"),
+        (F.col("_psi") > F.lit(alarm_threshold)).alias("drift_alarm"),
     )

@@ -606,3 +606,73 @@ def srm_from_counts(
         F.round(F.sum("_term").over(wall), 6).alias("chi2"),
         (F.sum("_term").over(wall) > F.lit(crit)).alias("srm_alarm"),
     )
+
+
+def cuped_lift(
+    per_user: DataFrame,
+    arm_col: str,
+    pre_col: str,
+    post_col: str,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM
+    2013): adjust each unit's post-period metric by its own pre-period
+    covariate, Y' = Y - theta*(X - E[X]) with theta = cov(X, Y)/var(X),
+    and report per-arm adjusted means plus the pooled theta and
+    variance-reduction factor (the squared X-Y correlation).
+
+    ``per_user`` is one row per unit with integral (cents/count)
+    ``pre_col`` / ``post_col`` — integral inputs make every sufficient
+    statistic (n, Sx, Sy, Sxy, Sxx, Syy per arm) an exact BIGINT, so
+    theta and the adjusted means are the same one-shot double
+    expressions in any engine (the bootstrap/histogram parity recipe).
+    Since the adjustment is linear, adjusted arm means need only
+    arm-level sums: mean(Y'_a) = mean(Y_a) - theta*(mean(X_a) - E[X]).
+
+    Shape: ONE hash aggregation down to k arm rows carrying the
+    sufficient statistics; all CUPED algebra runs on that k-row table
+    (a window over k rows). Degenerate var(X) == 0 or var(Y) == 0
+    yields theta = 0 / var_reduction = 0 (no adjustment) instead of a
+    0/0.
+    """
+    x = F.col(pre_col).cast("long")
+    y = F.col(post_col).cast("long")
+    per_arm = per_user.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * y).cast("long").alias("sxy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(y * y).cast("long").alias("syy"),
+    )
+    wall = Window.partitionBy()
+    d = F.col
+    pooled = per_arm.select(
+        "arm", "n", "sx", "sy",
+        F.sum("n").over(wall).cast("double").alias("gn"),
+        F.sum("sx").over(wall).cast("double").alias("gsx"),
+        F.sum("sy").over(wall).cast("double").alias("gsy"),
+        F.sum("sxy").over(wall).cast("double").alias("gsxy"),
+        F.sum("sxx").over(wall).cast("double").alias("gsxx"),
+        F.sum("syy").over(wall).cast("double").alias("gsyy"),
+    )
+    mean_x = d("gsx") / d("gn")
+    mean_y = d("gsy") / d("gn")
+    cov = d("gsxy") / d("gn") - mean_x * mean_y
+    var_x = d("gsxx") / d("gn") - mean_x * mean_x
+    var_y = d("gsyy") / d("gn") - mean_y * mean_y
+    theta = F.when(var_x > 0, cov / var_x).otherwise(F.lit(0.0))
+    vr = F.when(
+        (var_x > 0) & (var_y > 0), cov * cov / (var_x * var_y)
+    ).otherwise(F.lit(0.0))
+    arm_mean_y = d("sy").cast("double") / d("n").cast("double")
+    arm_mean_x = d("sx").cast("double") / d("n").cast("double")
+    return pooled.select(
+        "arm", "n",
+        F.round(arm_mean_x, 6).alias("mean_pre"),
+        F.round(arm_mean_y, 6).alias("mean_post"),
+        F.round(
+            arm_mean_y - theta * (arm_mean_x - mean_x), 6
+        ).alias("mean_post_adj"),
+        F.round(theta, 6).alias("theta"),
+        F.round(vr, 6).alias("var_reduction"),
+    )

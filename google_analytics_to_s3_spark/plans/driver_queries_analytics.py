@@ -400,6 +400,291 @@ FROM t
 """
 
 
+# --------------------------------------------------------------------------
+# LSH index-quality evaluation (recall/precision vs exact Jaccard)
+# --------------------------------------------------------------------------
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-index evaluation, the knn_recall twin for MinHash LSH:
+    candidate pairs from the banded index vs the EXACT corpus-wide
+    Jaccard >= 0.5 ground truth (the prefix-filtered thresholded join,
+    which is lossless), summarized as recall and precision. This is
+    the measurement that justifies (bands, rows-per-band) before
+    trusting the index on a 100 TB corpus.
+
+    Shape: both inputs are the already-bounded pair pipelines; the
+    summary is two 1-row aggregates and a broadcast cross join."""
+    from ..operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_thresholded,
+    )
+    from .driver_queries import MINHASH_BANDS, MINHASH_K
+
+    d = load_parallel(spark, sf_dir, "documents")
+    truth = ngram_jaccard_thresholded(
+        d, 0.5, block_col=None, n=3
+    ).select("id_a", "id_b")
+    cand = minhash_lsh_pairs(
+        d, k=MINHASH_K, bands=MINHASH_BANDS
+    ).select("id_a", "id_b")
+    hits = truth.join(
+        cand.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hits"),
+    )
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    return hits.crossJoin(F.broadcast(nc)).select(
+        "n_true", "n_cand", "n_hits",
+        F.when(
+            F.col("n_true") > 0,
+            F.round(
+                F.col("n_hits").cast("double")
+                / F.col("n_true").cast("double"), 6,
+            ),
+        ).alias("recall"),
+        F.when(
+            F.col("n_cand") > 0,
+            F.round(
+                F.col("n_hits").cast("double")
+                / F.col("n_cand").cast("double"), 6,
+            ),
+        ).alias("prec"),
+    )
+
+
+def _lsh_recall_oracle_sql() -> str:
+    from .driver_queries import _MINHASH_CAND_CTES
+
+    return f"""
+WITH {_MINHASH_CAND_CTES},
+dsh AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+tru AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM dsh l JOIN dsh r ON l.doc_id < r.doc_id
+  WHERE CAST(len(list_intersect(l.ds, r.ds)) AS DOUBLE)
+        / CAST(len(l.ds) + len(r.ds)
+               - len(list_intersect(l.ds, r.ds)) AS DOUBLE) >= 0.5
+),
+h AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_true,
+         CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM tru t LEFT JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand)
+SELECT n_true, n_cand, n_hits,
+       CASE WHEN n_true > 0
+            THEN round(CAST(n_hits AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+       END AS recall,
+       CASE WHEN n_cand > 0
+            THEN round(CAST(n_hits AS DOUBLE) / CAST(n_cand AS DOUBLE), 6)
+       END AS prec
+FROM h CROSS JOIN nc
+"""
+
+
+# --------------------------------------------------------------------------
+# PSI distribution-drift report
+# --------------------------------------------------------------------------
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between the first and second
+    half of the observed day range, per event type, over the decile
+    buckets of the props ``k`` value (operators/dq.py:psi_report) —
+    the standing distribution-shift monitor behind every model-input
+    table. The split day comes from one 1-row broadcast aggregate."""
+    from ..operators.dq import psi_report
+
+    e = load_events(spark, sf_dir).select(
+        "event_type",
+        F.expr("ts_ms div 86400000").alias("day"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    bounds = e.agg(
+        F.min("day").cast("long").alias("_mn"),
+        F.max("day").cast("long").alias("_mx"),
+    )
+    e2 = e.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.expr("k div 10").cast("long").alias("bucket"),
+        (F.col("day") >= F.expr("(_mn + _mx + 1) div 2"))
+        .cast("int")
+        .alias("period"),
+    )
+    return psi_report(e2, "event_type", "bucket", "period")
+
+
+SQL_PSI_DRIFT = """
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+),
+b AS (
+  SELECT CAST(min(day) AS BIGINT) AS mn, CAST(max(day) AS BIGINT) AS mx
+  FROM e
+),
+p AS (
+  SELECT event_type, CAST(k // 10 AS BIGINT) AS bucket,
+         CASE WHEN day >= (mn + mx + 1) // 2 THEN 1 ELSE 0 END AS period
+  FROM e CROSS JOIN b
+),
+counts AS (
+  SELECT event_type AS grp, bucket,
+         CAST(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n0,
+         CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1
+  FROM p GROUP BY 1, 2
+),
+pr AS (
+  SELECT grp, n0, n1,
+         CAST(n0 + 1 AS DOUBLE)
+           / CAST(sum(n0) OVER (PARTITION BY grp)
+                  + count(*) OVER (PARTITION BY grp) AS DOUBLE) AS p0,
+         CAST(n1 + 1 AS DOUBLE)
+           / CAST(sum(n1) OVER (PARTITION BY grp)
+                  + count(*) OVER (PARTITION BY grp) AS DOUBLE) AS p1
+  FROM counts
+),
+s AS (
+  SELECT grp, CAST(sum(n0) AS BIGINT) AS n_ref,
+         CAST(sum(n1) AS BIGINT) AS n_cur,
+         sum((p1 - p0) * ln(p1 / p0)) AS psi_raw
+  FROM pr GROUP BY 1
+)
+SELECT grp AS event_type, n_ref, n_cur, round(psi_raw, 6) AS psi,
+       (psi_raw > 0.1) AS drift_alarm
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# CUPED variance-reduced experiment readout
+# --------------------------------------------------------------------------
+
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout (operators/stats.py:cuped_lift):
+    each user's pre-period purchase cents (first half of the day
+    range) serve as the covariate for their post-period spend; the
+    same md5 arm assignment as ab_srm. Sufficient statistics are
+    exact BIGINTs at the arm grain, so the whole readout is one hash
+    aggregation plus 2-row algebra."""
+    from ..operators.stats import cuped_lift
+
+    e = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        F.expr("ts_ms div 86400000").alias("day"),
+        F.floor(F.col("value").cast("double") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    bounds = e.agg(
+        F.min("day").cast("long").alias("_mn"),
+        F.max("day").cast("long").alias("_mx"),
+    )
+    mid = F.expr("(_mn + _mx + 1) div 2")
+    per_user = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") < mid, F.col("cents"))
+                  .otherwise(F.lit(0)))
+            .cast("long")
+            .alias("pre"),
+            F.sum(F.when(F.col("day") >= mid, F.col("cents"))
+                  .otherwise(F.lit(0)))
+            .cast("long")
+            .alias("post"),
+        )
+    )
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("arm-"),
+                               F.col("user_id").cast("string"))),
+                1, 10,
+            ),
+            16, 10,
+        ).cast("long") % 2 == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    return cuped_lift(
+        per_user.withColumn("arm", arm), "arm", "pre", "post"
+    )
+
+
+SQL_AB_CUPED = """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+         CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT (CAST(min(day) AS BIGINT) + CAST(max(day) AS BIGINT) + 1) // 2
+           AS mid
+  FROM e
+),
+pu AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN day < mid THEN cents ELSE 0 END) AS BIGINT)
+           AS pre,
+         CAST(sum(CASE WHEN day >= mid THEN cents ELSE 0 END) AS BIGINT)
+           AS post
+  FROM e CROSS JOIN b GROUP BY user_id
+),
+a AS (
+  SELECT CASE WHEN ('0x' || substr(md5('arm-' || CAST(user_id AS VARCHAR)),
+                                   1, 10))::BIGINT % 2 = 0
+              THEN 'control' ELSE 'treatment' END AS arm,
+         pre, post
+  FROM pu
+),
+pa AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pre) AS BIGINT) AS sx,
+         CAST(sum(post) AS BIGINT) AS sy,
+         CAST(sum(pre * post) AS BIGINT) AS sxy,
+         CAST(sum(pre * pre) AS BIGINT) AS sxx,
+         CAST(sum(post * post) AS BIGINT) AS syy
+  FROM a GROUP BY 1
+),
+pl AS (
+  SELECT arm, n, sx, sy,
+         CAST(sum(n) OVER () AS DOUBLE) AS nn,
+         CAST(sum(sx) OVER () AS DOUBLE) AS gsx,
+         CAST(sum(sy) OVER () AS DOUBLE) AS gsy,
+         CAST(sum(sxy) OVER () AS DOUBLE) AS gsxy,
+         CAST(sum(sxx) OVER () AS DOUBLE) AS gsxx,
+         CAST(sum(syy) OVER () AS DOUBLE) AS gsyy
+  FROM pa
+),
+fin AS (
+  SELECT arm, n,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS amx,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS amy,
+         gsx / nn AS mx,
+         gsxy / nn - (gsx / nn) * (gsy / nn) AS cov,
+         gsxx / nn - (gsx / nn) * (gsx / nn) AS varx,
+         gsyy / nn - (gsy / nn) * (gsy / nn) AS vary
+  FROM pl
+)
+SELECT arm, n,
+       round(amx, 6) AS mean_pre,
+       round(amy, 6) AS mean_post,
+       round(amy - (CASE WHEN varx > 0 THEN cov / varx ELSE 0 END)
+                   * (amx - mx), 6) AS mean_post_adj,
+       round(CASE WHEN varx > 0 THEN cov / varx ELSE 0 END, 6) AS theta,
+       round(CASE WHEN varx > 0 AND vary > 0
+                  THEN cov * cov / (varx * vary) ELSE 0 END, 6)
+         AS var_reduction
+FROM fin
+"""
+
+
 QUERIES_ANALYTICS: dict = {
     "sequence_mining": q_sequence_mining,
     "rfm_segments": q_rfm_segments,
@@ -407,6 +692,9 @@ QUERIES_ANALYTICS: dict = {
     "pruning_stats": q_pruning_stats,
     "bounce_exit": q_bounce_exit,
     "ab_srm": q_ab_srm,
+    "lsh_recall": q_lsh_recall,
+    "psi_drift": q_psi_drift,
+    "ab_cuped": q_ab_cuped,
 }
 
 ORACLES_ANALYTICS: dict[str, str] = {
@@ -416,4 +704,7 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "pruning_stats": SQL_PRUNING_STATS,
     "bounce_exit": SQL_BOUNCE_EXIT,
     "ab_srm": SQL_AB_SRM,
+    "lsh_recall": _lsh_recall_oracle_sql(),
+    "psi_drift": SQL_PSI_DRIFT,
+    "ab_cuped": SQL_AB_CUPED,
 }

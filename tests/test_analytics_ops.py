@@ -228,3 +228,81 @@ class TestAnalyticsPlans:
 
         plan = _plan(dq.QUERIES["rfm_segments"](spark, sf_smoke))
         assert "Join" not in plan, plan
+
+
+class TestPsiReport:
+    def test_identical_periods_zero_psi(self, spark):
+        from google_analytics_to_s3_spark.operators.dq import psi_report
+
+        rows = [("g", b, p) for b in range(5) for p in (0, 1)
+                for _ in range(10)]
+        df = spark.createDataFrame(rows, "g string, bucket long, p int")
+        r = psi_report(df, "g", "bucket", "p").first()
+        assert r["psi"] == 0.0 and r["drift_alarm"] is False
+        assert r["n_ref"] == r["n_cur"] == 50
+
+    def test_shifted_distribution_alarms(self, spark):
+        from google_analytics_to_s3_spark.operators.dq import psi_report
+
+        # reference mass on bucket 0, current mass on bucket 4
+        rows = ([("g", 0, 0)] * 50 + [("g", 4, 1)] * 50)
+        df = spark.createDataFrame(rows, "g string, bucket long, p int")
+        r = psi_report(df, "g", "bucket", "p").first()
+        assert r["psi"] > 1.0 and r["drift_alarm"] is True
+
+    def test_groups_scored_independently(self, spark):
+        from google_analytics_to_s3_spark.operators.dq import psi_report
+
+        rows = ([("stable", b % 3, p) for b in range(30) for p in (0, 1)]
+                + [("shifted", 0, 0)] * 30 + [("shifted", 1, 1)] * 30)
+        df = spark.createDataFrame(rows, "g string, bucket long, p int")
+        out = {r["g"]: r for r in psi_report(df, "g", "bucket", "p")
+               .collect()}
+        assert out["stable"]["drift_alarm"] is False
+        assert out["shifted"]["drift_alarm"] is True
+
+
+class TestCupedLift:
+    def test_perfect_covariate_kills_variance(self, spark):
+        from google_analytics_to_s3_spark.operators.stats import cuped_lift
+
+        # post = 2*pre exactly: rho^2 = 1, adjusted means both collapse
+        # to theta-corrected values with zero residual noise
+        rows = [("a" if u % 2 == 0 else "b", u * 10, u * 20)
+                for u in range(1, 41)]
+        df = spark.createDataFrame(rows, "arm string, pre long, post long")
+        out = {r["arm"]: r for r in cuped_lift(
+            df, "arm", "pre", "post"
+        ).collect()}
+        assert out["a"]["theta"] == 2.0
+        assert out["a"]["var_reduction"] == 1.0
+        # adjusted means equalize: both equal the grand mean of post
+        assert out["a"]["mean_post_adj"] == out["b"]["mean_post_adj"]
+
+    def test_useless_covariate_changes_nothing(self, spark):
+        from google_analytics_to_s3_spark.operators.stats import cuped_lift
+
+        # constant pre: var(X)=0 -> theta=0, adjusted == raw
+        rows = [("a", 5, 10 + u) for u in range(10)] + [
+            ("b", 5, 30 + u) for u in range(10)]
+        df = spark.createDataFrame(rows, "arm string, pre long, post long")
+        out = {r["arm"]: r for r in cuped_lift(
+            df, "arm", "pre", "post"
+        ).collect()}
+        for a in ("a", "b"):
+            assert out[a]["theta"] == 0.0
+            assert out[a]["mean_post_adj"] == out[a]["mean_post"]
+            assert out[a]["var_reduction"] == 0.0
+
+    def test_lift_direction_preserved(self, spark):
+        from google_analytics_to_s3_spark.operators.stats import cuped_lift
+
+        # balanced covariate, true +10 treatment effect: the adjusted
+        # lift must stay positive
+        rows = [("a", u % 7, 20 + (u % 7)) for u in range(50)] + [
+            ("b", u % 7, 30 + (u % 7)) for u in range(50)]
+        df = spark.createDataFrame(rows, "arm string, pre long, post long")
+        out = {r["arm"]: r for r in cuped_lift(
+            df, "arm", "pre", "post"
+        ).collect()}
+        assert out["b"]["mean_post_adj"] - out["a"]["mean_post_adj"] > 9.0
