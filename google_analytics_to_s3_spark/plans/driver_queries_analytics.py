@@ -413,7 +413,11 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     trusting the index on a 100 TB corpus.
 
     Shape: both inputs are the already-bounded pair pipelines; the
-    summary is two 1-row aggregates and a broadcast cross join."""
+    summary is two 1-row aggregates and a broadcast cross join. This
+    deliberately pays for BOTH pipelines — at 100 TB the eval runs on
+    a fixed sample of the corpus (hash_split a few hundred thousand
+    docs), not the full table; the exact join is the ground truth and
+    exists only here."""
     from ..operators.dedup import (
         minhash_lsh_pairs,
         ngram_jaccard_thresholded,
