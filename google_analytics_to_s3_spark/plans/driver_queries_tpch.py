@@ -1,4 +1,5 @@
-"""Additional TPC-H-shaped driver queries (Q13/Q15/Q17/Q19/Q22 variants).
+"""Additional TPC-H-shaped driver queries (Q13/Q15/Q17/Q19/Q22, plus
+Q21/Q2-shaped decorrelation variants added in round 5).
 
 The testdata schema (TESTDATA.md) lacks ``partsupp``, ``l_shipmode``,
 ``l_commitdate``/``l_receiptdate``, ``p_container`` and ``c_phone``, so
@@ -20,6 +21,11 @@ the registry does not cover:
   reach the scans (the classic Q19 pushdown rewrite).
 - Q22  sales_opportunity       — scalar aggregate threshold (global avg
   acctbal, exact in cents) + anti join, grouped by nation.
+- Q21  blocking_supplier       — the EXISTS/NOT-EXISTS pair over other
+  lineitems of the same order, decorrelated into one order-grain
+  aggregation (unique-last-shipper test) — the fact scans once.
+- Q2   min_cost_supplier       — correlated per-part MIN subquery as a
+  row_number window over the aggregated (part, supplier) table.
 
 Oracle-parity conventions follow driver_queries.py: identical aliases,
 decimal(38,6) sums cast back to double, exact integer threshold
@@ -30,7 +36,7 @@ Scale notes (the 100 TB reasoning, per query, in each docstring).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
@@ -301,12 +307,169 @@ GROUP BY n_name
 """
 
 
+def q_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped "suppliers who kept orders waiting", expressed
+    Spark-first: the EXISTS / NOT EXISTS pair over other lineitems of
+    the same order decorrelates into ONE order-grain aggregation + a
+    window-free re-join — no correlated subqueries, no double scan of
+    the fact per predicate. A multi-supplier order is "blocked" by its
+    supplier iff that supplier is the UNIQUE last shipper
+    (l_shipdate = max over the order). l_commitdate/l_receiptdate are
+    absent from the testdata schema, so last-to-ship stands in for
+    failed-commit (same plan shape, same decorrelation).
+
+    Scale: two hash aggregations at order grain + a broadcast join of
+    the supplier/nation dims; the lineitem fact shuffles once on
+    l_orderkey and both aggregations reuse that exchange.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per = l.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.max("l_shipdate").alias("mx"),
+    )
+    last = l.join(per, "l_orderkey").filter(
+        (F.col("n_supp") >= 2) & (F.col("l_shipdate") == F.col("mx"))
+    )
+    blk = (
+        last.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("s_suppkey"),
+            F.count_distinct("l_suppkey").alias("n_last"),
+        )
+        .filter(F.col("n_last") == 1)
+    )
+    cnt = blk.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("numwait")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    return cnt.join(F.broadcast(sup), "s_suppkey").join(
+        F.broadcast(nat), "s_nationkey"
+    ).select("s_name", "n_name", "numwait")
+
+
+SQL_BLOCKING_SUPPLIER = """
+WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+per AS (
+  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+         max(l_shipdate) AS mx
+  FROM l GROUP BY 1
+),
+last AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM l JOIN per USING (l_orderkey)
+  WHERE n_supp >= 2 AND l_shipdate = mx
+),
+blk AS (
+  SELECT l_orderkey, min(l_suppkey) AS s_suppkey,
+         count(DISTINCT l_suppkey) AS n_last
+  FROM last GROUP BY 1
+),
+cnt AS (
+  SELECT s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+  FROM blk WHERE n_last = 1 GROUP BY 1
+)
+SELECT s.s_name, n.n_name, c.numwait
+FROM cnt c
+JOIN supplier s USING (s_suppkey)
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped "cheapest supplier per part" (the testdata has
+    no partsupp, so observed lineitem unit price stands in for
+    ps_supplycost): per (part, supplier) the BIGINT-cents price and
+    quantity sums, then the per-part argmin WITHOUT a correlated min
+    subquery or self-join — a row_number window over the part
+    partitioning, ties by supplier key. The unit price is ONE double
+    division of two exact BIGINTs, so the ordering (and every tie) is
+    engine-identical.
+
+    Scale: one (part, supp) hash aggregation, one part-hash window
+    over the aggregated (part x supp) table, broadcast dim joins. The
+    classic correlated-subquery plan would scan the fact twice; this
+    scans once.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qc"),
+    )
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("pc").cast("long").alias("cost_cents"),
+        F.sum("qc").cast("long").alias("qty_cents"),
+    ).select(
+        "l_partkey", "l_suppkey", "cost_cents", "qty_cents",
+        (F.col("cost_cents").cast("double")
+         / F.col("qty_cents").cast("double")).alias("unit_price"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_price").asc(), F.col("l_suppkey").asc()
+    )
+    best = ps.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return best.join(F.broadcast(part), "l_partkey").join(
+        F.broadcast(sup), "l_suppkey"
+    ).select(
+        F.col("l_partkey").alias("p_partkey"), "p_brand",
+        F.col("l_suppkey").alias("s_suppkey"), "s_name",
+        F.round("unit_price", 6).alias("unit_price"),
+    )
+
+
+SQL_MIN_COST_SUPPLIER = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cost_cents,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS qty_cents
+  FROM lineitem GROUP BY 1, 2
+),
+up AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(cost_cents AS DOUBLE) / CAST(qty_cents AS DOUBLE)
+           AS unit_price
+  FROM ps
+),
+best AS (
+  SELECT l_partkey, l_suppkey, unit_price
+  FROM up
+  QUALIFY row_number() OVER (
+      PARTITION BY l_partkey
+      ORDER BY unit_price ASC, l_suppkey ASC) = 1
+)
+SELECT b.l_partkey AS p_partkey, p.p_brand,
+       b.l_suppkey AS s_suppkey, s.s_name,
+       round(b.unit_price, 6) AS unit_price
+FROM best b
+JOIN part p ON p.p_partkey = b.l_partkey
+JOIN supplier s ON s.s_suppkey = b.l_suppkey
+"""
+
+
 QUERIES_TPCH: dict = {
     "customer_distribution": q_customer_distribution,
     "top_supplier": q_top_supplier,
     "small_qty_revenue": q_small_qty_revenue,
     "brand_disjunction_revenue": q_brand_disjunction_revenue,
     "sales_opportunity": q_sales_opportunity,
+    "blocking_supplier": q_blocking_supplier,
+    "min_cost_supplier": q_min_cost_supplier,
 }
 
 ORACLES_TPCH: dict[str, str] = {
@@ -315,4 +478,6 @@ ORACLES_TPCH: dict[str, str] = {
     "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
     "brand_disjunction_revenue": SQL_BRAND_DISJUNCTION_REVENUE,
     "sales_opportunity": SQL_SALES_OPPORTUNITY,
+    "blocking_supplier": SQL_BLOCKING_SUPPLIER,
+    "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
 }
