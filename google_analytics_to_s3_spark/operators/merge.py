@@ -117,3 +117,41 @@ def snapshot_diff(
         .when(F.col("_dig_old") != F.col("_dig_new"), F.lit("update"))
         .alias(change_col),
     ).filter(F.col(change_col).isNotNull())
+
+
+def merge_rollup(
+    states: list[DataFrame],
+    key_cols: list[str],
+    sum_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+) -> DataFrame:
+    """Algebraic partial-aggregate merge — incremental materialized-view
+    maintenance for distributive aggregates: any number of partial
+    rollup states (yesterday's mart + today's delta, or N shard-local
+    marts) combine into the state a full recompute would produce,
+    because SUM/COUNT merge by adding and MIN/MAX by re-min/maxing.
+    COUNTs are just SUM columns of an already-counted state; AVG must
+    be carried as (sum, count) and derived at read time — the caller's
+    contract (a stored avg is NOT mergeable).
+
+    This is the 100 TB pattern that replaces recomputing history:
+    production scans ONLY the delta, merges it into the standing mart,
+    and the equality with full recompute is what the driver query +
+    tests pin. One union + one hash aggregation on the key; state
+    tables are aggregate-sized, so the exchange is mart-sized, not
+    fact-sized.
+    """
+    if not states:
+        raise ValueError("merge_rollup needs >= 1 state")
+    u = states[0]
+    for st in states[1:]:
+        u = u.unionByName(st)
+    aggs = (
+        [F.sum(c).cast("long").alias(c) for c in (sum_cols or [])]
+        + [F.min(c).alias(c) for c in (min_cols or [])]
+        + [F.max(c).alias(c) for c in (max_cols or [])]
+    )
+    if not aggs:
+        raise ValueError("no aggregate columns given")
+    return u.groupBy(*key_cols).agg(*aggs)

@@ -2939,7 +2939,7 @@ _DRIVER_PRIORITY = [
     # oracle-green, second in the r6 queue behind (r5-e)
     "sequence_mining", "rfm_segments", "dataset_split", "pruning_stats",
     "bounce_exit", "ab_srm", "lsh_recall", "psi_drift", "ab_cuped",
-    "blocking_supplier", "min_cost_supplier",
+    "blocking_supplier", "min_cost_supplier", "incremental_rollup",
     # ---------------- r4 rotation (all green r4) ----------------
     # round-4 rotation:
     # (a) changed this round — pack_sequences' oracle got the missing

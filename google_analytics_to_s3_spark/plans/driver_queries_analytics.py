@@ -689,6 +689,77 @@ FROM fin
 """
 
 
+# --------------------------------------------------------------------------
+# Incremental rollup maintenance (partial-aggregate merge == recompute)
+# --------------------------------------------------------------------------
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (operators/merge.py:merge_rollup): the per-event-type revenue mart
+    built as TWO partial states (first / second half of the day range,
+    standing for yesterday's mart + today's delta) merged
+    algebraically — the oracle recomputes from scratch, so the green
+    row IS the merge == recompute proof. avg is derived from the
+    merged (sum, count), never stored."""
+    from ..operators.merge import merge_rollup
+
+    e = load_events(spark, sf_dir).select(
+        "event_type",
+        F.expr("ts_ms div 86400000").alias("day"),
+        F.floor(F.col("value").cast("double") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    bounds = e.agg(
+        F.min("day").cast("long").alias("_mn"),
+        F.max("day").cast("long").alias("_mx"),
+    )
+    mid = F.expr("(_mn + _mx + 1) div 2")
+    eb = e.crossJoin(F.broadcast(bounds))
+
+    def _partial(part: DataFrame) -> DataFrame:
+        return part.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+
+    state = _partial(eb.filter(F.col("day") < mid))
+    delta = _partial(eb.filter(F.col("day") >= mid))
+    merged = merge_rollup(
+        [state, delta],
+        key_cols=["event_type"],
+        sum_cols=["n_events", "rev_cents"],
+        min_cols=["min_cents"],
+        max_cols=["max_cents"],
+    )
+    return merged.select(
+        "event_type", "n_events", "rev_cents", "min_cents", "max_cents",
+        F.round(
+            F.col("rev_cents").cast("double")
+            / (F.col("n_events") * 100).cast("double"), 6,
+        ).alias("avg_value"),
+    )
+
+
+SQL_INCREMENTAL_ROLLUP = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS rev_cents,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents,
+       round(CAST(sum(cents) AS DOUBLE)
+             / CAST(count(*) * 100 AS DOUBLE), 6) AS avg_value
+FROM e GROUP BY 1
+"""
+
+
 QUERIES_ANALYTICS: dict = {
     "sequence_mining": q_sequence_mining,
     "rfm_segments": q_rfm_segments,
@@ -699,6 +770,7 @@ QUERIES_ANALYTICS: dict = {
     "lsh_recall": q_lsh_recall,
     "psi_drift": q_psi_drift,
     "ab_cuped": q_ab_cuped,
+    "incremental_rollup": q_incremental_rollup,
 }
 
 ORACLES_ANALYTICS: dict[str, str] = {
@@ -711,4 +783,5 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "lsh_recall": _lsh_recall_oracle_sql(),
     "psi_drift": SQL_PSI_DRIFT,
     "ab_cuped": SQL_AB_CUPED,
+    "incremental_rollup": SQL_INCREMENTAL_ROLLUP,
 }

@@ -306,3 +306,44 @@ class TestCupedLift:
             df, "arm", "pre", "post"
         ).collect()}
         assert out["b"]["mean_post_adj"] - out["a"]["mean_post_adj"] > 9.0
+
+
+class TestMergeRollup:
+    def test_three_way_fold_equals_full(self, spark):
+        from google_analytics_to_s3_spark.operators.merge import (
+            merge_rollup,
+        )
+
+        rows = [(f"t{i % 3}", i, i * 10) for i in range(60)]
+        df = spark.createDataFrame(rows, "k string, a long, b long")
+
+        def part(lo, hi):
+            return df.filter(
+                (F.col("a") >= lo) & (F.col("a") < hi)
+            ).groupBy("k").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("b").cast("long").alias("sb"),
+                F.min("b").cast("long").alias("mn"),
+                F.max("b").cast("long").alias("mx"),
+            )
+
+        merged = merge_rollup(
+            [part(0, 20), part(20, 45), part(45, 60)],
+            key_cols=["k"], sum_cols=["n", "sb"],
+            min_cols=["mn"], max_cols=["mx"],
+        )
+        full = part(0, 60)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+
+    def test_validation(self, spark):
+        from google_analytics_to_s3_spark.operators.merge import (
+            merge_rollup,
+        )
+
+        with pytest.raises(ValueError, match=">= 1 state"):
+            merge_rollup([], key_cols=["k"], sum_cols=["n"])
+        df = spark.createDataFrame([("a", 1)], "k string, n long")
+        with pytest.raises(ValueError, match="no aggregate"):
+            merge_rollup([df], key_cols=["k"])
