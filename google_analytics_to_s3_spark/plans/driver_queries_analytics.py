@@ -222,8 +222,9 @@ def q_bounce_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pages come from the props JSON (k % 10 — ten stable page ids);
     sessions are the same 30-min-gap sessionization as W1-W7
     (operators/sessionize.py). One user exchange feeds sessionize and
-    both in-session windows; the two page-grain aggregates join on a
-    10-row key."""
+    both in-session windows, and ALL four metrics come from ONE
+    page-grain conditional aggregation — no join, no second pass
+    (plan-asserted)."""
     e = load_events(spark, sf_dir).select(
         "event_id", "user_id", "ts_ms",
         (F.get_json_object("props", "$.k").cast("int") % 10)
@@ -246,20 +247,18 @@ def q_bounce_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wsd).alias("rnd"),
         F.count(F.lit(1)).over(wn).alias("n_ev"),
     )
-    landing = s2.filter(F.col("rn") == 1).groupBy("page").agg(
-        F.count(F.lit(1)).cast("long").alias("n_landings"),
-        F.sum((F.col("n_ev") == 1).cast("long"))
-        .cast("long")
-        .alias("n_bounces"),
-    )
-    pages = s2.groupBy("page").agg(
+    out = s2.groupBy("page").agg(
         F.count(F.lit(1)).cast("long").alias("n_views"),
         F.sum((F.col("rnd") == 1).cast("long"))
         .cast("long")
         .alias("n_exits"),
+        F.sum((F.col("rn") == 1).cast("long"))
+        .cast("long")
+        .alias("n_landings"),
+        F.sum(((F.col("rn") == 1) & (F.col("n_ev") == 1)).cast("long"))
+        .cast("long")
+        .alias("n_bounces"),
     )
-    out = pages.join(landing, "page", "left")
-    n_land = F.coalesce(F.col("n_landings"), F.lit(0)).cast("long")
     return out.select(
         "page", "n_views", "n_exits",
         F.round(
@@ -267,14 +266,12 @@ def q_bounce_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_views").cast("double"),
             6,
         ).alias("exit_rate"),
-        n_land.alias("n_landings"),
-        F.coalesce(F.col("n_bounces"), F.lit(0))
-        .cast("long")
-        .alias("n_bounces"),
+        "n_landings", "n_bounces",
         F.when(
-            n_land > 0,
+            F.col("n_landings") > 0,
             F.round(
-                F.col("n_bounces").cast("double") / n_land.cast("double"),
+                F.col("n_bounces").cast("double")
+                / F.col("n_landings").cast("double"),
                 6,
             ),
         ).alias("bounce_rate"),
@@ -314,28 +311,25 @@ sess AS (
          wsd AS (PARTITION BY user_id, user_session_id
                  ORDER BY ts_ms DESC, event_id DESC)
 ),
-landing AS (
-  SELECT page, CAST(count(*) AS BIGINT) AS n_landings,
-         CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_bounces
-  FROM sess WHERE rn = 1 GROUP BY 1
-),
 pages AS (
   SELECT page, CAST(count(*) AS BIGINT) AS n_views,
          CAST(sum(CASE WHEN rnd = 1 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_exits
+           AS n_exits,
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_landings,
+         CAST(sum(CASE WHEN rn = 1 AND n_ev = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_bounces
   FROM sess GROUP BY 1
 )
-SELECT p.page, p.n_views, p.n_exits,
-       round(CAST(p.n_exits AS DOUBLE) / CAST(p.n_views AS DOUBLE), 6)
+SELECT page, n_views, n_exits,
+       round(CAST(n_exits AS DOUBLE) / CAST(n_views AS DOUBLE), 6)
          AS exit_rate,
-       CAST(coalesce(l.n_landings, 0) AS BIGINT) AS n_landings,
-       CAST(coalesce(l.n_bounces, 0) AS BIGINT) AS n_bounces,
-       CASE WHEN coalesce(l.n_landings, 0) > 0
-            THEN round(CAST(l.n_bounces AS DOUBLE)
-                       / CAST(l.n_landings AS DOUBLE), 6)
+       n_landings, n_bounces,
+       CASE WHEN n_landings > 0
+            THEN round(CAST(n_bounces AS DOUBLE)
+                       / CAST(n_landings AS DOUBLE), 6)
        END AS bounce_rate
-FROM pages p LEFT JOIN landing l USING (page)
+FROM pages
 """
 
 

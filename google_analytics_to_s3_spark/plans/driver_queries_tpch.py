@@ -318,18 +318,23 @@ def q_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent from the testdata schema, so last-to-ship stands in for
     failed-commit (same plan shape, same decorrelation).
 
-    Scale: two hash aggregations at order grain + a broadcast join of
-    the supplier/nation dims; the lineitem fact shuffles once on
-    l_orderkey and both aggregations reuse that exchange.
+    Scale: the order-grain context (distinct-supplier count, max ship
+    date) comes from WINDOWS over the l_orderkey partitioning, not an
+    aggregate re-joined to the fact — the fact is scanned ONCE and
+    shuffled ONCE on the order key; the follow-up blocked-order
+    aggregation reuses that partitioning (no new exchange). Then one
+    supplier-grain aggregation + broadcast dim joins.
     """
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    per = l.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.max("l_shipdate").alias("mx"),
+    wo = Window.partitionBy("l_orderkey")
+    ctx = l.select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        F.size(F.collect_set("l_suppkey").over(wo)).alias("n_supp"),
+        F.max("l_shipdate").over(wo).alias("mx"),
     )
-    last = l.join(per, "l_orderkey").filter(
+    last = ctx.filter(
         (F.col("n_supp") >= 2) & (F.col("l_shipdate") == F.col("mx"))
     )
     blk = (

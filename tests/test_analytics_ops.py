@@ -206,13 +206,13 @@ class TestAnalyticsPlans:
         from google_analytics_to_s3_spark.plans import driver_queries as dq
 
         plan = _plan(dq.QUERIES["bounce_exit"](spark, sf_smoke))
-        # the page-grain join moves 10-row tables; the event stream
-        # must never sort-merge or cartesian
-        assert "CartesianProduct" not in plan, plan
-        # sessionize + both in-session windows share the user exchange;
-        # the only hashpartitioning keys are user_id-rooted or the
-        # 10-key page aggregates
-        assert plan.count("hashpartitioning(user_id") <= 2, plan
+        # all four metrics fold into ONE page-grain conditional
+        # aggregation over one scan: no joins at all, one user exchange
+        # (sessionize + both in-session windows share it) + the final
+        # page aggregation
+        assert "Join" not in plan, plan
+        assert plan.count("FileScan") == 1, plan
+        assert plan.count("hashpartitioning(user_id") == 1, plan
 
     def test_ab_srm_single_data_pass(self, spark, sf_smoke):
         from google_analytics_to_s3_spark.plans import driver_queries as dq

@@ -115,3 +115,30 @@ def test_q19_prefilters_reach_scans(spark, sf_smoke):
         r"PushedFilters: \[.*GreaterThanOrEqual\(l_quantity,1", plan
     ), plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_blocking_supplier_single_fact_scan(spark, sf_smoke):
+    """The Q21-shaped decorrelation must scan lineitem ONCE (windows,
+    not agg-rejoin) and move it through a single order-key exchange."""
+    from google_analytics_to_s3_spark.plans.driver_queries_tpch import (
+        q_blocking_supplier,
+    )
+
+    plan = _plan(q_blocking_supplier(spark, sf_smoke))
+    assert plan.count("FileScan") == 3, plan  # lineitem + 2 dims
+    assert plan.count("hashpartitioning(l_orderkey") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_min_cost_supplier_no_self_join(spark, sf_smoke):
+    """The Q2-shaped per-part argmin runs as a window over the
+    aggregated (part, supplier) table: one fact scan, no fact-fact
+    join, dims broadcast."""
+    from google_analytics_to_s3_spark.plans.driver_queries_tpch import (
+        q_min_cost_supplier,
+    )
+
+    plan = _plan(q_min_cost_supplier(spark, sf_smoke))
+    assert plan.count("FileScan") == 3, plan  # lineitem + 2 dims
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
