@@ -2940,6 +2940,7 @@ _DRIVER_PRIORITY = [
     "sequence_mining", "rfm_segments", "dataset_split", "pruning_stats",
     "bounce_exit", "ab_srm", "lsh_recall", "psi_drift", "ab_cuped",
     "blocking_supplier", "min_cost_supplier", "incremental_rollup",
+    "variant_extract",
     # ---------------- r4 rotation (all green r4) ----------------
     # round-4 rotation:
     # (a) changed this round — pack_sequences' oracle got the missing

@@ -754,6 +754,45 @@ FROM e GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# VARIANT semi-structured extraction (Spark 4 binary JSON path)
+# --------------------------------------------------------------------------
+
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-4 VARIANT upgrade of json_props (L1-L4 family):
+    ``parse_json`` decodes each props payload ONCE into the binary
+    variant encoding, then every ``variant_get`` path probe reads the
+    pre-parsed tree — at 100 TB the difference between N string
+    re-parses per row (get_json_object) and one. Same typed results,
+    so the DuckDB JSON oracle carries full values."""
+    e = load_events(spark, sf_dir)
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.count_distinct("k").cast("long").alias("n_distinct_k"),
+            F.min("k").cast("int").alias("min_k"),
+        )
+    )
+
+
+SQL_VARIANT_EXTRACT = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS BIGINT) AS sum_k,
+       CAST(count(DISTINCT CAST(json_extract_string(props, '$.k')
+                                AS INTEGER)) AS BIGINT) AS n_distinct_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS INTEGER) AS min_k
+FROM events GROUP BY 1
+"""
+
+
 QUERIES_ANALYTICS: dict = {
     "sequence_mining": q_sequence_mining,
     "rfm_segments": q_rfm_segments,
@@ -765,6 +804,7 @@ QUERIES_ANALYTICS: dict = {
     "psi_drift": q_psi_drift,
     "ab_cuped": q_ab_cuped,
     "incremental_rollup": q_incremental_rollup,
+    "variant_extract": q_variant_extract,
 }
 
 ORACLES_ANALYTICS: dict[str, str] = {
@@ -778,4 +818,5 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "psi_drift": SQL_PSI_DRIFT,
     "ab_cuped": SQL_AB_CUPED,
     "incremental_rollup": SQL_INCREMENTAL_ROLLUP,
+    "variant_extract": SQL_VARIANT_EXTRACT,
 }

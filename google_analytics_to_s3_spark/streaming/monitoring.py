@@ -94,3 +94,36 @@ def check_freshness(
     if newest is None:
         return (False, None)
     return (now_ms - newest <= max_age_seconds * 1000, newest)
+
+
+def observe_scan_metrics(df, name: str = "scan_metrics",
+                         value_col: str | None = None):
+    """Attach zero-extra-scan pipeline metrics via Spark's Observation
+    API: row count, null count and min/max of ``value_col`` are
+    computed AS the job runs — no second aggregation pass over a
+    100 TB input just to fill a metrics dashboard (the anti-pattern is
+    ``df.count()`` next to ``df.write``, which doubles the scan).
+
+    Returns ``(observation, observed_df)``. For batch, read
+    ``observation.get`` after the action; for a STREAMING DataFrame the
+    engine requires the string-name form of ``observe`` (Observation
+    handles are batch-only), so ``observation`` is None and the named
+    metrics surface per micro-batch in
+    ``StreamingQueryProgress.observedMetrics`` — one metric definition
+    serves both engines.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    if value_col is not None:
+        v = F.col(value_col)
+        metrics += [
+            F.sum(v.isNull().cast("long")).alias("n_nulls"),
+            F.min(v).alias("min_val"),
+            F.max(v).alias("max_val"),
+        ]
+    if df.isStreaming:
+        return None, df.observe(name, *metrics)
+    obs = Observation(name)
+    return obs, df.observe(obs, *metrics)

@@ -61,3 +61,58 @@ def test_check_freshness(spark, tmp_path):
     stale_now = mtime + 3601 * 1000
     fresh2, _ = check_freshness(spark, out, 3600, stale_now)
     assert not fresh2
+
+
+class TestObserveScanMetrics:
+    def test_batch_metrics_no_second_scan(self, spark):
+        from google_analytics_to_s3_spark.streaming.monitoring import (
+            observe_scan_metrics,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, 9.0)], "id long, v double"
+        )
+        obs, out = observe_scan_metrics(df, "m1", value_col="v")
+        out.write.format("noop").mode("overwrite").save()
+        got = obs.get
+        assert got["n_rows"] == 3 and got["n_nulls"] == 1
+        assert got["min_val"] == 5.0 and got["max_val"] == 9.0
+
+    def test_rows_only(self, spark):
+        from google_analytics_to_s3_spark.streaming.monitoring import (
+            observe_scan_metrics,
+        )
+
+        obs, out = observe_scan_metrics(spark.range(7), "m2")
+        out.write.format("noop").mode("overwrite").save()
+        assert obs.get["n_rows"] == 7
+
+    def test_streaming_observed_metrics(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from google_analytics_to_s3_spark.streaming.monitoring import (
+            observe_scan_metrics,
+        )
+
+        src = spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "id long, v double"
+        )
+        src.write.mode("overwrite").parquet(str(tmp_path / "in"))
+        stream = spark.readStream.schema(src.schema).parquet(
+            str(tmp_path / "in")
+        )
+        _, observed = observe_scan_metrics(stream, "m3", value_col="v")
+        q = (
+            observed.groupBy().agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("memory").queryName("obs_stream")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        progress = [p for p in q.recentProgress
+                    if p.observedMetrics.get("m3")]
+        assert progress, "no observed metrics in any progress event"
+        m = progress[-1].observedMetrics["m3"]
+        assert m["n_rows"] == 20 and m["max_val"] == 19.0
