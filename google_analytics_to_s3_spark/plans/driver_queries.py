@@ -182,6 +182,71 @@ GROUP BY user_id, user_session_id
 """
 
 # --------------------------------------------------------------------------
+# GA hits-per-session quota (Universal Analytics processes at most 500
+# hits per session; the overflow is dropped, not re-sessionized —
+# https://developers.google.com/analytics "Data Limits", the quota the
+# reference's collector inherits from the platform it mirrors)
+# --------------------------------------------------------------------------
+
+_SESSION_HIT_CAP = 2   # 500 in production GA; the testdata's 30-min
+#                       gap yields 1-4-event sessions at every SF, so
+#                       cap=2 is the value that actually exercises the
+#                       drop path (a cap no session reaches would test
+#                       nothing)
+
+
+def q_session_hit_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session kept/dropped hit counts under the UA 500-hits quota
+    (scaled to {cap} for the testdata): events past position {cap}
+    within a session are DROPPED (the platform rule), never split into
+    a new session. The in-session position is one extra row_number
+    over the (visitor, session) window the session bounds already
+    need — same exchange, no new shuffle."""
+    s = _sessionized_events(spark, sf_dir)
+    pos = F.row_number().over(
+        Window.partitionBy("user_id", "user_session_id").orderBy(
+            "ts_ms", "event_id"
+        )
+    )
+    return (
+        s.withColumn("pos", pos)
+        .groupBy("user_id", "user_session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.sum((F.col("pos") <= _SESSION_HIT_CAP).cast("long"))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum((F.col("pos") > _SESSION_HIT_CAP).cast("long"))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
+q_session_hit_cap.__doc__ = q_session_hit_cap.__doc__.replace(
+    "{cap}", str(_SESSION_HIT_CAP)
+)
+
+
+SQL_SESSION_HIT_CAP = f"""
+{_SESS_CTE},
+pos AS (
+  SELECT user_id, user_session_id,
+         row_number() OVER (PARTITION BY user_id, user_session_id
+                            ORDER BY ts_ms, event_id) AS p
+  FROM numbered
+)
+SELECT user_id, user_session_id,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN p <= {_SESSION_HIT_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN p > {_SESSION_HIT_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped
+FROM pos
+GROUP BY user_id, user_session_id
+"""
+
+# --------------------------------------------------------------------------
 # A2: per-session conditional purchase revenue (typed; exact decimal sum)
 # --------------------------------------------------------------------------
 
@@ -2712,6 +2777,7 @@ QUERIES: dict = {
     "sessionize_flags": q_sessionize_flags,
     "sessionize_full": q_sessionize_full,
     "session_stats": q_session_stats,
+    "session_hit_cap": q_session_hit_cap,
     "session_revenue": q_session_revenue,
     "export_sessions": q_export_sessions,
     "daily_engagement": q_daily_engagement,
@@ -2816,6 +2882,7 @@ ORACLES: dict[str, str] = {
     "sessionize_flags": SQL_SESSIONIZE_FLAGS,
     "sessionize_full": SQL_SESSIONIZE_FULL,
     "session_stats": SQL_SESSION_STATS,
+    "session_hit_cap": SQL_SESSION_HIT_CAP,
     "session_revenue": SQL_SESSION_REVENUE,
     "export_sessions": SQL_EXPORT_SESSIONS,
     "daily_engagement": SQL_DAILY_ENGAGEMENT,
@@ -2940,7 +3007,7 @@ _DRIVER_PRIORITY = [
     "sequence_mining", "rfm_segments", "dataset_split", "pruning_stats",
     "bounce_exit", "ab_srm", "lsh_recall", "psi_drift", "ab_cuped",
     "blocking_supplier", "min_cost_supplier", "incremental_rollup",
-    "variant_extract",
+    "variant_extract", "session_hit_cap",
     # ---------------- r4 rotation (all green r4) ----------------
     # round-4 rotation:
     # (a) changed this round — pack_sequences' oracle got the missing
