@@ -19,7 +19,7 @@ execution. Two remedies, both pure DataFrame ops:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -107,3 +107,55 @@ def split_hot_cold(
     cold_df = df.join(hot, key_col, "left_anti")
     hot_df = df.join(hot, key_col, "left_semi")
     return cold_df, hot_df
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Key-distribution skew diagnostics — the measurement that decides
+    WHETHER :func:`salt_hot_keys` / AQE skew handling is worth wiring:
+    the ``top_k`` heaviest keys with their row share, the total row and
+    distinct-key counts, and the share a perfectly uniform key would
+    have (1/n_keys) for comparison.
+
+    One data-sized hash aggregation to key grain; the top-k is a
+    distributed TakeOrderedAndProject heap (orderBy+limit — never a
+    global sort of the key-count table), ordered by (count desc, key
+    asc) so ties are deterministic; ranks are then a window over the
+    k surviving rows. The
+    hot-key share vs uniform share ratio IS the salting decision: a
+    top key at 100× uniform makes its window/groupBy partition the
+    straggler at any cluster size.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = counts.agg(
+        F.sum("n").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_nkeys"),
+    )
+    # TakeOrderedAndProject top-k (orderBy+limit), never a global sort
+    # of the key-count table; the rank window then runs on k rows.
+    top = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(
+        top_k
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "key", "n",
+            F.round(
+                F.col("n").cast("double") / F.col("_total").cast("double"),
+                6,
+            ).alias("share"),
+            F.round(
+                F.lit(1.0) / F.col("_nkeys").cast("double"), 6
+            ).alias("uniform_share"),
+            F.col("_total").alias("total_rows"),
+            F.col("_nkeys").alias("n_keys"),
+        )
+    )

@@ -3007,7 +3007,7 @@ _DRIVER_PRIORITY = [
     "sequence_mining", "rfm_segments", "dataset_split", "pruning_stats",
     "bounce_exit", "ab_srm", "lsh_recall", "psi_drift", "ab_cuped",
     "blocking_supplier", "min_cost_supplier", "incremental_rollup",
-    "variant_extract", "session_hit_cap",
+    "variant_extract", "session_hit_cap", "skew_report", "dau_wau_mau",
     # ---------------- r4 rotation (all green r4) ----------------
     # round-4 rotation:
     # (a) changed this round — pack_sequences' oracle got the missing

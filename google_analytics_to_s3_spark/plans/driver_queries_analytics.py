@@ -793,6 +793,134 @@ FROM events GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Key-skew diagnostics
+# --------------------------------------------------------------------------
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostics for the event stream's user key
+    (operators/skew.py:skew_report): the 10 heaviest users with row
+    share vs the uniform share — the measurement that decides whether
+    the sessionization/window partitioning needs salting or hot-key
+    routing (salted_join / salted_event_totals are the remedies; this
+    is the detector)."""
+    from ..operators.skew import skew_report
+
+    e = load_events(spark, sf_dir).select("user_id")
+    return skew_report(e, "user_id", top_k=10)
+
+
+SQL_SKEW_REPORT = """
+WITH counts AS (
+  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM counts
+),
+top AS (
+  SELECT key, n, CAST(row_number() OVER (ORDER BY n DESC, key ASC)
+                      AS INTEGER) AS rank
+  FROM counts
+  QUALIFY rank <= 10
+)
+SELECT t.rank, t.key, t.n,
+       round(CAST(t.n AS DOUBLE) / CAST(tt.total_rows AS DOUBLE), 6)
+         AS share,
+       round(1.0 / CAST(tt.n_keys AS DOUBLE), 6) AS uniform_share,
+       tt.total_rows, tt.n_keys
+FROM top t CROSS JOIN tot tt
+"""
+
+
+# --------------------------------------------------------------------------
+# DAU / WAU / MAU engagement + stickiness
+# --------------------------------------------------------------------------
+
+def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical engagement mart: per day, distinct users active
+    that day (DAU), in the trailing 7 days (WAU), in the trailing 28
+    days (MAU), and the DAU/MAU stickiness ratio.
+
+    Scale shape: events first reduce to distinct (user, day) — the
+    only event-sized exchange; each active-day row then fans out to
+    the ≤ 1+7+28 trailing windows it contributes to (map-side explode
+    of a literal range) and one (window_end, horizon) distinct-count
+    aggregation finishes it. Windowed COUNT DISTINCT without ever
+    holding a 28-day user set per partition. Emitted days are those
+    with MAU coverage ≥ the horizon (no partial leading windows)."""
+    e = load_events(spark, sf_dir).select(
+        "user_id", F.expr("ts_ms div 86400000").alias("day")
+    )
+    ud = e.distinct()
+    bounds = ud.agg(
+        F.min("day").cast("long").alias("_mn"),
+        F.max("day").cast("long").alias("_mx"),
+    )
+    offs = F.explode(
+        F.array(*[F.lit(i) for i in range(28)])
+    ).alias("off")
+    fan = ud.select("user_id", "day", offs).select(
+        "user_id",
+        (F.col("day") + F.col("off")).alias("wend"),
+        "off",
+    )
+    per = fan.groupBy("wend").agg(
+        F.count_distinct(F.when(F.col("off") == 0, F.col("user_id")))
+        .cast("long")
+        .alias("dau"),
+        F.count_distinct(F.when(F.col("off") < 7, F.col("user_id")))
+        .cast("long")
+        .alias("wau"),
+        F.count_distinct("user_id").cast("long").alias("mau"),
+    )
+    return (
+        per.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("wend") >= F.col("_mn") + 27)
+            & (F.col("wend") <= F.col("_mx"))
+        )
+        .select(
+            F.col("wend").alias("day"), "dau", "wau", "mau",
+            F.round(
+                F.col("dau").cast("double") / F.col("mau").cast("double"),
+                6,
+            ).alias("stickiness"),
+        )
+    )
+
+
+SQL_DAU_WAU_MAU = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+),
+b AS (
+  SELECT CAST(min(day) AS BIGINT) AS mn, CAST(max(day) AS BIGINT) AS mx
+  FROM ud
+),
+fan AS (
+  SELECT user_id, day + o.off AS wend, o.off
+  FROM ud CROSS JOIN (SELECT unnest(range(0, 28)) AS off) o
+),
+per AS (
+  SELECT wend,
+         CAST(count(DISTINCT CASE WHEN off = 0 THEN user_id END)
+              AS BIGINT) AS dau,
+         CAST(count(DISTINCT CASE WHEN off < 7 THEN user_id END)
+              AS BIGINT) AS wau,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM fan GROUP BY 1
+)
+SELECT p.wend AS day, p.dau, p.wau, p.mau,
+       round(CAST(p.dau AS DOUBLE) / CAST(p.mau AS DOUBLE), 6)
+         AS stickiness
+FROM per p CROSS JOIN b
+WHERE p.wend >= b.mn + 27 AND p.wend <= b.mx
+"""
+
+
 QUERIES_ANALYTICS: dict = {
     "sequence_mining": q_sequence_mining,
     "rfm_segments": q_rfm_segments,
@@ -805,6 +933,8 @@ QUERIES_ANALYTICS: dict = {
     "ab_cuped": q_ab_cuped,
     "incremental_rollup": q_incremental_rollup,
     "variant_extract": q_variant_extract,
+    "skew_report": q_skew_report,
+    "dau_wau_mau": q_dau_wau_mau,
 }
 
 ORACLES_ANALYTICS: dict[str, str] = {
@@ -819,4 +949,6 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "ab_cuped": SQL_AB_CUPED,
     "incremental_rollup": SQL_INCREMENTAL_ROLLUP,
     "variant_extract": SQL_VARIANT_EXTRACT,
+    "skew_report": SQL_SKEW_REPORT,
+    "dau_wau_mau": SQL_DAU_WAU_MAU,
 }
