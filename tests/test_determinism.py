@@ -35,6 +35,15 @@ SENSITIVE = [
     "bootstrap_ci",       # replicate means + order statistics
     "item_similarity",    # double cosine + top-k ties
     "word_pmi",           # ln over integer count ratios
+    # round-5 additions
+    "rfm_segments",       # global ntile windows (tie-broken by user)
+    "lsh_recall",         # two pair pipelines + ratio of counts
+    "psi_drift",          # double PSI sum over bucket proportions
+    "ab_cuped",           # pooled moments from windowed BIGINT sums
+    "skew_report",        # TakeOrdered top-k under count ties
+    "sequence_mining",    # lead chain over (ts, event_id) total order
+    "bounce_exit",        # session-window row_numbers + rate doubles
+    "incremental_rollup",  # split-derived partial states re-merged
 ]
 
 
