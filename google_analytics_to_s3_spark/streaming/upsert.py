@@ -109,3 +109,54 @@ class StreamingUpsertSink:
             os.path.join(self.path, f"v={batch_id}")
         )
         self._mark(batch_id)
+
+
+class StreamingRollupSink(StreamingUpsertSink):
+    """``foreachBatch`` callable: standing AGGREGATE-mart maintenance
+    from an append stream — the streaming twin of
+    ``operators/merge.merge_rollup`` (incremental materialized-view
+    maintenance), on the same versioned-directory exactly-once scheme
+    as the CDC upsert sink (same commit markers, same replay
+    idempotence in ``batch_id``).
+
+    Each micro-batch is reduced to a PARTIAL rollup state by
+    ``partial_fn`` (one aggregation of the batch), then merged with
+    the latest committed mart via ``merge_rollup`` — so per trigger
+    the work is O(batch) + O(mart), never a rescan of history. The
+    equality with a full batch recompute is pinned in
+    tests/test_streaming_curation.py.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        partial_fn,
+        sum_cols: list[str] | None = None,
+        min_cols: list[str] | None = None,
+        max_cols: list[str] | None = None,
+    ) -> None:
+        super().__init__(spark, path, key_cols)
+        self.partial_fn = partial_fn
+        self.sum_cols = sum_cols or []
+        self.min_cols = min_cols or []
+        self.max_cols = max_cols or []
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.merge import merge_rollup
+
+        partial = self.partial_fn(batch_df)
+        base = self.read_snapshot(before=batch_id, schema_of=partial)
+        states = [partial] if base is None else [base, partial]
+        nxt = merge_rollup(
+            states,
+            key_cols=self.key_cols,
+            sum_cols=self.sum_cols,
+            min_cols=self.min_cols,
+            max_cols=self.max_cols,
+        )
+        nxt.write.mode("overwrite").parquet(
+            os.path.join(self.path, f"v={batch_id}")
+        )
+        self._mark(batch_id)

@@ -207,3 +207,71 @@ def test_srm_guardrail_streams_unchanged(spark, tmp_path):
     assert want.exceptAll(got).count() == 0
     # 240/160 split is a real mismatch: the alarm must fire
     assert all(r["srm_alarm"] for r in got.collect())
+
+
+def test_rollup_mart_streams_unchanged(spark, tmp_path):
+    """StreamingRollupSink: per-batch partial aggregation + algebraic
+    merge into the standing mart (versioned exactly-once dirs) must
+    equal the one-shot batch rollup of the same rows — the incremental
+    materialized-view contract, exercised through the engine across
+    multiple micro-batches."""
+    from google_analytics_to_s3_spark.streaming.upsert import (
+        StreamingRollupSink,
+    )
+
+    rows = [(i, f"t{i % 3}", i * 7 % 50) for i in range(300)]
+    batch_src = spark.createDataFrame(rows, ["i", "k", "v"])
+    for part in range(3):  # three files -> multiple micro-batches
+        batch_src.filter(F.col("i") % 3 == part).write.mode(
+            "append"
+        ).parquet(str(tmp_path / "in" / f"p{part}.parquet"))
+
+    def partial(df):
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("sv"),
+            F.min("v").cast("long").alias("mn"),
+            F.max("v").cast("long").alias("mx"),
+        )
+
+    sink = StreamingRollupSink(
+        spark, str(tmp_path / "mart"), key_cols=["k"],
+        partial_fn=partial, sum_cols=["n", "sv"],
+        min_cols=["mn"], max_cols=["mx"],
+    )
+    stream = (
+        spark.readStream.schema(batch_src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sink.read_snapshot()
+    want = partial(batch_src)
+    assert got is not None
+    assert sorted(map(tuple, got.select(*want.columns).collect())) == \
+        sorted(map(tuple, want.collect()))
+    # replay idempotence (crash between write and commit): re-running a
+    # batch id against the sink re-derives the same snapshot from the
+    # same base. Driven manually because the engine's file->batch
+    # assignment order is not observable from outside.
+    sink2 = StreamingRollupSink(
+        spark, str(tmp_path / "mart2"), key_cols=["k"],
+        partial_fn=partial, sum_cols=["n", "sv"],
+        min_cols=["mn"], max_cols=["mx"],
+    )
+    b0 = batch_src.filter(F.col("i") < 150)
+    b1 = batch_src.filter(F.col("i") >= 150)
+    sink2(b0, 0)
+    sink2(b1, 1)
+    once = sorted(map(tuple, sink2.read_snapshot()
+                      .select(*want.columns).collect()))
+    sink2(b1, 1)  # replay
+    again = sorted(map(tuple, sink2.read_snapshot()
+                       .select(*want.columns).collect()))
+    assert once == again == sorted(map(tuple, want.collect()))
