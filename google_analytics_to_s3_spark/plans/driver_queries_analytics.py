@@ -921,6 +921,136 @@ WHERE p.wend >= b.mn + 27 AND p.wend <= b.mx
 """
 
 
+# --------------------------------------------------------------------------
+# New vs returning users per day
+# --------------------------------------------------------------------------
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GA "New vs Returning" daily report: per day, active users
+    split by whether this is their first-ever active day. First-seen
+    days come from one user-grain min() aggregate joined back onto the
+    distinct (user, day) table on the user key — the same exchange the
+    distinct already produced, then one day-grain aggregation."""
+    e = load_events(spark, sf_dir).select(
+        "user_id", F.expr("ts_ms div 86400000").alias("day")
+    )
+    ud = e.distinct()
+    first = ud.groupBy("user_id").agg(
+        F.min("day").cast("long").alias("first_day")
+    )
+    return (
+        ud.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_users"),
+            F.sum((F.col("day") == F.col("first_day")).cast("long"))
+            .cast("long")
+            .alias("new_users"),
+            F.sum((F.col("day") > F.col("first_day")).cast("long"))
+            .cast("long")
+            .alias("returning_users"),
+        )
+        .select(
+            "day", "active_users", "new_users", "returning_users",
+            F.round(
+                F.col("new_users").cast("double")
+                / F.col("active_users").cast("double"), 6,
+            ).alias("new_share"),
+        )
+    )
+
+
+SQL_NEW_VS_RETURNING = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+),
+f AS (
+  SELECT user_id, CAST(min(day) AS BIGINT) AS first_day
+  FROM ud GROUP BY 1
+)
+SELECT ud.day,
+       CAST(count(*) AS BIGINT) AS active_users,
+       CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS new_users,
+       CAST(sum(CASE WHEN ud.day > f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS returning_users,
+       round(CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS new_share
+FROM ud JOIN f USING (user_id)
+GROUP BY ud.day
+"""
+
+
+# --------------------------------------------------------------------------
+# LTV accumulation curve by acquisition cohort
+# --------------------------------------------------------------------------
+
+def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per acquisition cohort: users cohorted by
+    first-purchase week, revenue accumulated by weeks-since-
+    acquisition — the LTV payback curve every growth team reads.
+    BIGINT-cents sums; the cumulative window runs over the tiny
+    (cohort × week-index) grid, and the user-grain first-purchase
+    join reuses the purchase aggregation's user exchange."""
+    p = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        F.expr("ts_ms div 86400000 div 7").alias("week"),
+        F.floor(F.col("value").cast("double") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    first = p.groupBy("user_id").agg(
+        F.min("week").cast("long").alias("cohort_week")
+    )
+    wk = (
+        p.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_index"),
+        )
+        .agg(
+            F.sum("cents").cast("long").alias("rev_cents"),
+            F.count_distinct("user_id").cast("long").alias("n_buyers"),
+        )
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_index")
+    return wk.select(
+        "cohort_week",
+        F.col("week_index").cast("long").alias("week_index"),
+        "rev_cents", "n_buyers",
+        F.sum("rev_cents").over(w).cast("long").alias("cum_rev_cents"),
+    )
+
+
+SQL_LTV_CURVE = """
+WITH p AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 // 7 AS week,
+         CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+f AS (
+  SELECT user_id, CAST(min(week) AS BIGINT) AS cohort_week
+  FROM p GROUP BY 1
+),
+wk AS (
+  SELECT f.cohort_week,
+         CAST(p.week - f.cohort_week AS BIGINT) AS week_index,
+         CAST(sum(p.cents) AS BIGINT) AS rev_cents,
+         CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_buyers
+  FROM p JOIN f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_index, rev_cents, n_buyers,
+       CAST(sum(rev_cents) OVER (PARTITION BY cohort_week
+                                 ORDER BY week_index
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_rev_cents
+FROM wk
+"""
+
+
 QUERIES_ANALYTICS: dict = {
     "sequence_mining": q_sequence_mining,
     "rfm_segments": q_rfm_segments,
@@ -935,6 +1065,8 @@ QUERIES_ANALYTICS: dict = {
     "variant_extract": q_variant_extract,
     "skew_report": q_skew_report,
     "dau_wau_mau": q_dau_wau_mau,
+    "new_vs_returning": q_new_vs_returning,
+    "ltv_curve": q_ltv_curve,
 }
 
 ORACLES_ANALYTICS: dict[str, str] = {
@@ -951,4 +1083,6 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "variant_extract": SQL_VARIANT_EXTRACT,
     "skew_report": SQL_SKEW_REPORT,
     "dau_wau_mau": SQL_DAU_WAU_MAU,
+    "new_vs_returning": SQL_NEW_VS_RETURNING,
+    "ltv_curve": SQL_LTV_CURVE,
 }
