@@ -25,7 +25,64 @@ import argparse
 from pyspark.sql import functions as F
 
 
+def _query_main(argv: list[str]) -> None:
+    """``query`` subcommand: run any registered analytics query.
+
+        python -m google_analytics_to_s3_spark query list
+        python -m google_analytics_to_s3_spark query pricing_summary \\
+            --sf-dir /root/testdata/sf0.01 --limit 20
+        python -m google_analytics_to_s3_spark query rfm_segments \\
+            --sf-dir /data/tables --out /data/marts/rfm
+    """
+    p = argparse.ArgumentParser(
+        prog="python -m google_analytics_to_s3_spark query",
+        description="Run a registered query from the analytics registry.",
+    )
+    p.add_argument("name", help="query name, or 'list' to enumerate")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="directory holding the parquet tables")
+    p.add_argument("--limit", type=int, default=20,
+                   help="rows to show when --out is not given")
+    p.add_argument("--out", default=None,
+                   help="write the full result as parquet here instead "
+                        "of showing rows")
+    p.add_argument("--master", default=None,
+                   help="Spark master override (default: session config)")
+    args = p.parse_args(argv)
+
+    from .plans import driver_queries as dq
+
+    if args.name == "list":
+        for n in sorted(dq.QUERIES):
+            print(n)
+        return
+    if args.name not in dq.QUERIES:
+        raise SystemExit(
+            f"unknown query {args.name!r}; "
+            f"run 'query list' for the {len(dq.QUERIES)} available"
+        )
+
+    from .session import get_spark
+
+    spark = (
+        get_spark(master=args.master) if args.master else get_spark()
+    )
+    df = dq.QUERIES[args.name](spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print({"query": args.name, "out": args.out, "rows": df.count()})
+    else:
+        df.show(args.limit, truncate=False)
+
+
 def main(argv: list[str] | None = None) -> None:
+    if argv is None:
+        import sys as _sys
+
+        argv = _sys.argv[1:]
+    argv = list(argv)
+    if argv and argv[0] == "query":
+        return _query_main(argv[1:])
     p = argparse.ArgumentParser(
         prog="python -m google_analytics_to_s3_spark",
         description="Run the daily GA sessionization/export job.",

@@ -62,3 +62,40 @@ def test_cli_two_day_run(spark, tmp_path):
     h = spark.read.parquet(hist)
     assert h.filter(f"to_date(timestamp) = '{DAY1}'").count() > 0
     assert h.filter(f"to_date(timestamp) = '{DAY2}'").count() > 0
+
+
+class TestQuerySubcommand:
+    def test_list_names(self, capsys):
+        from google_analytics_to_s3_spark.__main__ import main
+
+        main(["query", "list"])
+        out = capsys.readouterr().out.splitlines()
+        assert "pricing_summary" in out and "rfm_segments" in out
+        assert len(out) > 150
+
+    def test_unknown_query_exits(self):
+        import pytest as _pytest
+
+        from google_analytics_to_s3_spark.__main__ import main
+
+        with _pytest.raises(SystemExit, match="unknown query"):
+            main(["query", "nope_nope"])
+
+    def test_run_and_write(self, spark, tmp_path, capsys):
+        # `spark` fixture keeps the session alive; get_spark() inside
+        # the CLI returns the same active session
+        from google_analytics_to_s3_spark.__main__ import main
+
+        out = tmp_path / "mart"
+        main(["query", "hit_type_mapping",
+              "--sf-dir", "/root/testdata/sf0.001",
+              "--out", str(out)])
+        assert "rows" in capsys.readouterr().out
+        assert spark.read.parquet(str(out)).count() > 0
+
+    def test_show_limit(self, spark, capsys):
+        from google_analytics_to_s3_spark.__main__ import main
+
+        main(["query", "pricing_summary",
+              "--sf-dir", "/root/testdata/sf0.001", "--limit", "3"])
+        assert "l_returnflag" in capsys.readouterr().out
