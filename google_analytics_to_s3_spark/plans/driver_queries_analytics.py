@@ -1051,6 +1051,60 @@ FROM wk
 """
 
 
+# --------------------------------------------------------------------------
+# Per-label embedding centroids (class prototypes)
+# --------------------------------------------------------------------------
+
+_CENT_GRID = 1 << 20  # power-of-two scale: float*2^20 and floor are exact
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class prototypes over the embedding corpus: the per-label
+    element-wise centroid in long (label, dim) form — the summary a
+    semantic-dedup / classifier-eval pipeline derives before comparing
+    classes or seeding clusters.
+
+    Exactness: each float component scales by the power-of-two grid
+    (exact product) and floors to BIGINT; sums are order-independent
+    integers and the mean is ONE double division — the repo's proven
+    integer-grid recipe. Shape: posexplode is a map-side fan-out ×dim;
+    the single shuffle groups on (label, dim) — labels × 64 cells."""
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    g = F.floor(F.col("val").cast("double") * _CENT_GRID).cast("long")
+    return (
+        ex.select("label", "dim", g.alias("gv"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("gv").cast("long").alias("_s"),
+        )
+        .select(
+            "label", F.col("dim").cast("int").alias("dim"), "n_vecs",
+            F.round(
+                F.col("_s").cast("double")
+                / (F.col("n_vecs") * F.lit(_CENT_GRID)).cast("double"),
+                6,
+            ).alias("centroid"),
+        )
+    )
+
+
+SQL_LABEL_CENTROIDS = f"""
+SELECT label,
+       CAST(s.i - 1 AS INTEGER) AS dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(CAST(floor(CAST(embedding[s.i] AS DOUBLE)
+                                 * {_CENT_GRID}) AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) * {_CENT_GRID} AS DOUBLE), 6) AS centroid
+FROM embeddings,
+     LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) s
+GROUP BY 1, 2
+"""
+
+
 QUERIES_ANALYTICS: dict = {
     "sequence_mining": q_sequence_mining,
     "rfm_segments": q_rfm_segments,
@@ -1067,6 +1121,7 @@ QUERIES_ANALYTICS: dict = {
     "dau_wau_mau": q_dau_wau_mau,
     "new_vs_returning": q_new_vs_returning,
     "ltv_curve": q_ltv_curve,
+    "label_centroids": q_label_centroids,
 }
 
 ORACLES_ANALYTICS: dict[str, str] = {
@@ -1085,4 +1140,5 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "dau_wau_mau": SQL_DAU_WAU_MAU,
     "new_vs_returning": SQL_NEW_VS_RETURNING,
     "ltv_curve": SQL_LTV_CURVE,
+    "label_centroids": SQL_LABEL_CENTROIDS,
 }
