@@ -6,14 +6,24 @@ Beyond-reference capability (the reference is clickstream-only); part
 of the training-data-pipeline surface alongside operators/dedup.py and
 operators/text.py.
 
-The real codec libraries (PIL / libav / soundfile) are NOT in this
-container, so the byte-level decode is STUBBED: metadata is derived
-deterministically from the payload's sha256 digest. Everything
-Spark-side — the binary column handling, Arrow batch transfer, schemas,
-partition-preserving plumbing, and the 1→N frame fan-out shape — is
-real and tested. A real decoder drops into the same ``mapInPandas``
-body behind ``use_real_decoder=True`` (raises ``NotImplementedError``
-until the library exists).
+Two tiers of decode honesty:
+
+- **REAL decoders (pure numpy, this module, r5)** for byte-level
+  -trivial uncompressed containers: NetPBM P5/P6 images
+  (``decode_ppm_meta`` — header parse + pixel stats, ``resize_ppm`` —
+  true nearest-neighbor resample + re-encode) and PCM16 WAV audio
+  (``decode_wav_features`` — RIFF chunk walk, real duration + RMS
+  energy windows). Malformed payloads quarantine into a
+  ``decode_error`` column instead of failing the task. The
+  ``ppm_decode`` driver query value-oracles the image path end-to-end.
+- **Digest stubs** for compressed formats (JPEG/MP4/FLAC need
+  PIL / libav / soundfile, which are NOT in this container):
+  metadata derives deterministically from the payload's sha256.
+  Everything Spark-side — binary column handling, Arrow batch
+  transfer, schemas, partition-preserving plumbing, the 1→N frame
+  fan-out shape — is real and tested; a codec drops into the same
+  ``mapInPandas`` body behind ``use_real_decoder=True`` (raises
+  ``NotImplementedError`` until the library exists).
 
 Scale notes: ``mapInPandas`` streams Arrow record batches — payloads
 never materialize on the driver and per-executor memory is bounded by
@@ -318,4 +328,277 @@ def detect_shot_boundaries(
         "is_boundary",
         F.sum(F.col("is_boundary").cast("long")).over(wdoc)
          .alias("n_shots"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders for uncompressed container formats — pure numpy, no
+# external codec library. PPM/PGM (NetPBM) images and PCM16 WAV audio
+# are byte-level-trivial formats whose decode is exact arithmetic, so
+# these paths are genuinely real (header parse + pixel/sample math),
+# not digest stubs: the stub paths above remain for compressed formats
+# (JPEG/MP4/FLAC need PIL/libav and stay honestly gated).
+# ---------------------------------------------------------------------------
+
+import struct
+
+import numpy as np
+
+
+def _parse_ppm(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    """Parse a binary NetPBM payload (P6 RGB or P5 gray): returns
+    (width, height, channels, uint8 array of shape h*w*c). Raises
+    ValueError on anything that is not a well-formed P5/P6."""
+    if not raw.startswith((b"P6", b"P5")):
+        raise ValueError("not a binary NetPBM (P5/P6) payload")
+    channels = 3 if raw[:2] == b"P6" else 1
+    # header = magic, width, height, maxval as whitespace-separated
+    # ASCII tokens ('#' comments allowed), then ONE whitespace byte
+    # before the raster
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(raw) and raw[pos : pos + 1].isspace():
+            pos += 1
+        if raw[pos : pos + 1] == b"#":
+            while pos < len(raw) and raw[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and not raw[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(raw[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    n = w * h * channels
+    raster = raw[pos : pos + n]
+    if len(raster) != n:
+        raise ValueError(
+            f"truncated raster: need {n} bytes, have {len(raster)}"
+        )
+    return w, h, channels, np.frombuffer(raster, dtype=np.uint8)
+
+
+def encode_ppm(pixels: "np.ndarray", w: int, h: int,
+               channels: int) -> bytes:
+    """Re-encode a uint8 pixel array as binary NetPBM (P6/P5)."""
+    magic = b"P6" if channels == 3 else b"P5"
+    header = magic + f"\n{w} {h}\n255\n".encode("ascii")
+    return header + pixels.astype(np.uint8).tobytes()
+
+
+PPM_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("mean_px", DoubleType()),
+        StructField("payload_sha256", StringType()),
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def decode_ppm_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image decode for NetPBM payloads: width/height/channels
+    from the parsed header, mean pixel value from the raster (exact
+    integer sum, one double division, round(6)). Malformed payloads
+    land in ``decode_error`` instead of failing the batch — the
+    quarantine contract a 100 TB ingest needs (one corrupt file must
+    not kill a 10k-file task)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "channels", "mean_px",
+                "payload_sha256", "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                rows["doc_id"].append(doc_id)
+                rows["payload_sha256"].append(
+                    hashlib.sha256(raw).hexdigest()
+                )
+                try:
+                    w, h, c, px = _parse_ppm(raw)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["channels"].append(c)
+                    rows["mean_px"].append(
+                        round(int(px.sum(dtype=np.int64)) / px.size, 6)
+                    )
+                    rows["decode_error"].append(None)
+                except ValueError as e:
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["channels"].append(None)
+                    rows["mean_px"].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "width": pd.Series(rows["width"], dtype="Int32"),
+                "height": pd.Series(rows["height"], dtype="Int32"),
+                "channels": pd.Series(rows["channels"], dtype="Int32"),
+                "mean_px": pd.Series(rows["mean_px"], dtype="float64"),
+                "payload_sha256": pd.Series(rows["payload_sha256"],
+                                            dtype=object),
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _decode, schema=PPM_META_SCHEMA
+    )
+
+
+def resize_ppm(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL image resize for NetPBM payloads: decode → nearest-neighbor
+    resample (integer source-index grid ``floor(i * src / dst)`` — the
+    deterministic resampling any engine reproduces) → re-encode P6/P5.
+    Same output contract as :func:`resize_image`; malformed payloads
+    are dropped (decode_ppm_meta reports them)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, digests, ws, hs = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, c, px = _parse_ppm(bytes(payload))
+                except ValueError:
+                    continue
+                img = px.reshape(h, w, c)
+                yi = (np.arange(target_h) * h) // target_h
+                xi = (np.arange(target_w) * w) // target_w
+                out = img[yi][:, xi]
+                enc = encode_ppm(out.reshape(-1), target_w, target_h, c)
+                ids.append(doc_id)
+                payloads.append(enc)
+                digests.append(hashlib.sha256(enc).hexdigest())
+                ws.append(target_w)
+                hs.append(target_h)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "payload": pd.Series(payloads, dtype=object),
+                "payload_sha256": pd.Series(digests, dtype=object),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _resize, schema=RESIZED_SCHEMA
+    )
+
+
+WAV_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate_hz", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_windows", IntegerType()),
+        StructField("rms_windows", ArrayType(DoubleType())),
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def _parse_wav_pcm16(raw: bytes) -> tuple[int, "np.ndarray"]:
+    """Parse a RIFF/WAVE container with 16-bit PCM mono samples:
+    returns (sample_rate_hz, int16 sample array). Walks the chunk list
+    properly (fmt / data in any order, unknown chunks skipped)."""
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", raw, pos + 4)
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, n_ch, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt != 1 or n_ch != 1 or bits != 16:
+                raise ValueError(
+                    f"only PCM16 mono supported (fmt={fmt}, ch={n_ch}, "
+                    f"bits={bits})"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(
+                body[: len(body) - (len(body) % 2)], dtype="<i2"
+            )
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, samples
+
+
+def decode_wav_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    window_samples: int = 256,
+) -> DataFrame:
+    """REAL audio decode for PCM16 WAV payloads: sample rate and
+    duration from the parsed container, per-window RMS energy from the
+    samples (BIGINT sum of squares → one sqrt per window, round(6)) —
+    the energy envelope a speech-data curation pass filters on.
+    Malformed payloads land in ``decode_error``; the feature array
+    feeds the existing embedding operators unchanged."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate_hz", "n_samples", "duration_ms",
+                "n_windows", "rms_windows", "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                out["doc_id"].append(doc_id)
+                try:
+                    rate, samples = _parse_wav_pcm16(bytes(payload))
+                    n = len(samples)
+                    wins = []
+                    for i in range(0, n, window_samples):
+                        w = samples[i : i + window_samples].astype(
+                            np.int64
+                        )
+                        wins.append(
+                            round(float(np.sqrt((w * w).sum() / len(w))),
+                                  6)
+                        )
+                    out["sample_rate_hz"].append(rate)
+                    out["n_samples"].append(n)
+                    out["duration_ms"].append(n * 1000 // rate)
+                    out["n_windows"].append(len(wins))
+                    out["rms_windows"].append(wins)
+                    out["decode_error"].append(None)
+                except ValueError as e:
+                    out["sample_rate_hz"].append(None)
+                    out["n_samples"].append(None)
+                    out["duration_ms"].append(None)
+                    out["n_windows"].append(None)
+                    out["rms_windows"].append(None)
+                    out["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "sample_rate_hz": pd.Series(out["sample_rate_hz"],
+                                            dtype="Int32"),
+                "n_samples": pd.Series(out["n_samples"], dtype="Int64"),
+                "duration_ms": pd.Series(out["duration_ms"],
+                                         dtype="Int64"),
+                "n_windows": pd.Series(out["n_windows"], dtype="Int32"),
+                "rms_windows": pd.Series(out["rms_windows"],
+                                         dtype=object),
+                "decode_error": pd.Series(out["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _extract, schema=WAV_FEATURE_SCHEMA
     )

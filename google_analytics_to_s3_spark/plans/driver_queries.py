@@ -3008,7 +3008,7 @@ _DRIVER_PRIORITY = [
     "bounce_exit", "ab_srm", "lsh_recall", "psi_drift", "ab_cuped",
     "blocking_supplier", "min_cost_supplier", "incremental_rollup",
     "variant_extract", "session_hit_cap", "skew_report", "dau_wau_mau",
-    "new_vs_returning", "ltv_curve", "label_centroids",
+    "new_vs_returning", "ltv_curve", "label_centroids", "ppm_decode",
     # ---------------- r4 rotation (all green r4) ----------------
     # round-4 rotation:
     # (a) changed this round — pack_sequences' oracle got the missing

@@ -1105,6 +1105,72 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# REAL image decode with a full value oracle
+# --------------------------------------------------------------------------
+
+def q_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL multimodal decode path, driver-checked end-to-end: a
+    deterministic NetPBM image is synthesized per event (pixel (y,x,c)
+    = (seed + y*31 + x*7 + c*13) % 256 — testing/fixtures.make_ppm),
+    the binary payload round-trips through the Arrow mapInPandas
+    decoder (operators/multimodal.decode_ppm_meta: header parse +
+    pixel math, no digest stubbing), and the oracle recomputes
+    width/height/mean from the same arithmetic — so a green row proves
+    the decoder actually reads the bytes."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.multimodal import PPM_META_SCHEMA, decode_ppm_meta
+    from ..testing.fixtures import make_ppm
+
+    e = load_events(spark, sf_dir).select("event_id")
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_ppm(2 + int(i) % 5, 2 + int(i) % 4,
+                             int(i) % 256)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(
+        _synth, schema="doc_id long, payload binary"
+    )
+    meta = decode_ppm_meta(payloads)
+    assert meta.schema == PPM_META_SCHEMA
+    return meta.select("doc_id", "width", "height", "channels",
+                       "mean_px")
+
+
+SQL_PPM_DECODE = """
+WITH e AS (
+  SELECT event_id, 2 + event_id % 5 AS w, 2 + event_id % 4 AS h,
+         event_id % 256 AS seed
+  FROM events
+),
+px AS (
+  SELECT event_id, w, h,
+         (seed + y.y * 31 + x.x * 7 + c.c * 13) % 256 AS v
+  FROM e,
+  LATERAL (SELECT unnest(range(0, h)) AS y) y,
+  LATERAL (SELECT unnest(range(0, w)) AS x) x,
+  LATERAL (SELECT unnest(range(0, 3)) AS c) c
+)
+SELECT event_id AS doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS mean_px
+FROM px GROUP BY 1, 2, 3
+"""
+
+
 QUERIES_ANALYTICS: dict = {
     "sequence_mining": q_sequence_mining,
     "rfm_segments": q_rfm_segments,
@@ -1122,6 +1188,7 @@ QUERIES_ANALYTICS: dict = {
     "new_vs_returning": q_new_vs_returning,
     "ltv_curve": q_ltv_curve,
     "label_centroids": q_label_centroids,
+    "ppm_decode": q_ppm_decode,
 }
 
 ORACLES_ANALYTICS: dict[str, str] = {
@@ -1141,4 +1208,5 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "new_vs_returning": SQL_NEW_VS_RETURNING,
     "ltv_curve": SQL_LTV_CURVE,
     "label_centroids": SQL_LABEL_CENTROIDS,
+    "ppm_decode": SQL_PPM_DECODE,
 }

@@ -148,3 +148,44 @@ def write_jsonl(hits: list[dict], path: str) -> None:
     with open(path, "w") as f:
         for h in hits:
             f.write(json.dumps(h) + "\n")
+
+
+def make_ppm(width: int, height: int, seed: int, channels: int = 3) -> bytes:
+    """Deterministic binary NetPBM payload (P6 RGB / P5 gray): pixel
+    (y, x, c) = (seed + y*31 + x*7 + c*13) % 256 — pure arithmetic, so
+    tests can recompute any pixel or mean independently."""
+    import numpy as np
+
+    from ..operators.multimodal import encode_ppm
+
+    y, x, c = np.meshgrid(
+        np.arange(height), np.arange(width), np.arange(channels),
+        indexing="ij",
+    )
+    px = ((seed + y * 31 + x * 7 + c * 13) % 256).astype(np.uint8)
+    return encode_ppm(px.reshape(-1), width, height, channels)
+
+
+def make_wav_pcm16(
+    n_samples: int, seed: int, sample_rate_hz: int = 16_000
+) -> bytes:
+    """Deterministic PCM16 mono RIFF/WAVE payload: sample i =
+    ((seed + i * 257) % 2001) - 1000 — bounded, sign-varying, exactly
+    recomputable."""
+    import struct
+
+    import numpy as np
+
+    samples = (((seed + np.arange(n_samples) * 257) % 2001) - 1000).astype(
+        "<i2"
+    )
+    data = samples.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate_hz, sample_rate_hz * 2, 2, 16
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
