@@ -602,3 +602,120 @@ def decode_wav_features(
     return df.select(id_col, payload_col).mapInPandas(
         _extract, schema=WAV_FEATURE_SCHEMA
     )
+
+
+Y4M_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("fps", DoubleType()),
+        StructField("y_mean", DoubleType()),
+        StructField("frame_sha256", StringType()),
+    ]
+)
+
+
+def _parse_y4m(raw: bytes) -> tuple[int, int, int, int, int, list[bytes]]:
+    """Parse a YUV4MPEG2 (y4m) uncompressed video container: returns
+    (width, height, fps_num, fps_den, bytes_per_frame, frames).
+    Supports the C444 (w*h*3) and C420 (w*h*3//2) colorspaces."""
+    eol = raw.find(b"\x0a")
+    if eol < 0 or not raw.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    fn, fd, cs = 25, 1, b"420"
+    for tok in raw[9:eol].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            fn, fd = (int(x) for x in val.split(b":"))
+        elif tag == b"C":
+            cs = val
+    if w is None or h is None:
+        raise ValueError("missing W/H in y4m header")
+    if cs.startswith(b"444"):
+        fsize = w * h * 3
+    elif cs.startswith(b"420"):
+        fsize = w * h * 3 // 2
+    else:
+        raise ValueError(f"unsupported colorspace C{cs.decode()}")
+    frames, pos = [], eol + 1
+    while pos < len(raw):
+        nl = raw.find(b"\x0a", pos)
+        if nl < 0 or not raw[pos:nl].startswith(b"FRAME"):
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        body = raw[nl + 1 : nl + 1 + fsize]
+        if len(body) != fsize:
+            raise ValueError(
+                f"truncated frame {len(frames)}: need {fsize} bytes"
+            )
+        frames.append(body)
+        pos = nl + 1 + fsize
+    return w, h, fn, fd, fsize, frames
+
+
+def sample_y4m_frames(
+    df: DataFrame,
+    every_k: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL video frame sampling for YUV4MPEG2 payloads: parse the
+    container, keep every ``every_k``-th frame (frame 0 always), and
+    emit per-frame rows with the real Y-plane mean (exact integer sum,
+    one division) and digest — the 1→N fan-out shape of
+    :func:`sample_frames` with an actual decoder behind it. Malformed
+    payloads are dropped (decode-audit via decode_ppm_meta's pattern
+    belongs to the metadata pass, not the fan-out)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "doc_id", "frame_idx", "width", "height", "n_frames",
+                "fps", "y_mean", "frame_sha256")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, fn, fd, _fs, frames = _parse_y4m(
+                        bytes(payload)
+                    )
+                except ValueError:
+                    continue
+                for i in range(0, len(frames), every_k):
+                    y = np.frombuffer(
+                        frames[i][: w * h], dtype=np.uint8
+                    )
+                    cols["doc_id"].append(doc_id)
+                    cols["frame_idx"].append(i)
+                    cols["width"].append(w)
+                    cols["height"].append(h)
+                    cols["n_frames"].append(len(frames))
+                    cols["fps"].append(round(fn / fd, 6))
+                    cols["y_mean"].append(
+                        round(int(y.sum(dtype=np.int64)) / y.size, 6)
+                    )
+                    cols["frame_sha256"].append(
+                        hashlib.sha256(frames[i]).hexdigest()
+                    )
+            yield pd.DataFrame({
+                "doc_id": pd.Series(cols["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(cols["frame_idx"], dtype="int32"),
+                "width": pd.Series(cols["width"], dtype="int32"),
+                "height": pd.Series(cols["height"], dtype="int32"),
+                "n_frames": pd.Series(cols["n_frames"], dtype="int32"),
+                "fps": pd.Series(cols["fps"], dtype="float64"),
+                "y_mean": pd.Series(cols["y_mean"], dtype="float64"),
+                "frame_sha256": pd.Series(cols["frame_sha256"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _sample, schema=Y4M_FRAME_SCHEMA
+    )

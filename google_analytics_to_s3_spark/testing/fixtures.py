@@ -189,3 +189,26 @@ def make_wav_pcm16(
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def make_y4m(
+    width: int, height: int, n_frames: int, seed: int,
+    fps: tuple[int, int] = (25, 1),
+) -> bytes:
+    """Deterministic YUV4MPEG2 (C444) payload: pixel (f, p, i) =
+    (seed + f * 17 + p * 31 + i) % 256 for plane p in Y/U/V — exactly
+    recomputable per frame."""
+    import numpy as np
+
+    head = (
+        f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} C444\n"
+    ).encode("ascii")
+    out = [head]
+    n = width * height
+    for f in range(n_frames):
+        body = np.concatenate([
+            (seed + f * 17 + p * 31 + np.arange(n)) % 256
+            for p in range(3)
+        ]).astype(np.uint8)
+        out.append(b"FRAME\n" + body.tobytes())
+    return b"".join(out)

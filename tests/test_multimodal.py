@@ -322,3 +322,62 @@ class TestRealWavDecode:
         ) + patched[8:]
         rate, samples = _parse_wav_pcm16(patched)
         assert rate == 16000 and len(samples) == 10
+
+
+class TestRealY4mSampling:
+    def _df(self, spark, payloads):
+        return spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(payloads)],
+            "doc_id long, payload binary",
+        )
+
+    def test_stride_and_metadata(self, spark):
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            sample_y4m_frames,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_y4m
+
+        df = self._df(spark, [make_y4m(4, 2, 5, 11, fps=(30, 1))])
+        out = sorted(
+            sample_y4m_frames(df, every_k=2).collect(),
+            key=lambda r: r["frame_idx"],
+        )
+        assert [r["frame_idx"] for r in out] == [0, 2, 4]
+        r = out[0]
+        assert (r["width"], r["height"], r["n_frames"], r["fps"]) == (
+            4, 2, 5, 30.0,
+        )
+
+    def test_y_mean_recomputed(self, spark):
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            sample_y4m_frames,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_y4m
+
+        df = self._df(spark, [make_y4m(3, 2, 2, 5)])
+        out = {r["frame_idx"]: r["y_mean"] for r in
+               sample_y4m_frames(df, every_k=1).collect()}
+        for f in (0, 1):
+            exp = sum((5 + f * 17 + i) % 256 for i in range(6)) / 6
+            assert out[f] == round(exp, 6)
+
+    def test_malformed_dropped(self, spark):
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            sample_y4m_frames,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_y4m
+
+        good = make_y4m(2, 2, 2, 1)
+        df = self._df(spark, [good, b"RIFFnot a video", good[:-3]])
+        out = sample_y4m_frames(df, every_k=1).collect()
+        assert {r["doc_id"] for r in out} == {0}
+
+    def test_c420_frame_size(self, spark):
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_y4m,
+        )
+
+        raw = (b"YUV4MPEG2 W2 H2 F25:1 C420\n"
+               + b"FRAME\n" + bytes(range(6)))
+        w, h, fn, fd, fs, frames = _parse_y4m(raw)
+        assert (w, h, fs, len(frames)) == (2, 2, 6, 1)
