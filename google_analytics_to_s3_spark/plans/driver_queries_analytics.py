@@ -1171,6 +1171,193 @@ FROM px GROUP BY 1, 2, 3
 """
 
 
+# --------------------------------------------------------------------------
+# REAL audio + video decode with full value oracles
+# --------------------------------------------------------------------------
+
+_WAV_MOD = 20  # 1-in-20 events get a synthetic WAV (bounds oracle size)
+
+
+def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL audio path driver-checked: a PCM16 WAV container is
+    synthesized per sampled event (sample i = ((seed + i*257) % 2001)
+    - 1000 — testing/fixtures.make_wav_pcm16), parsed by the RIFF
+    chunk walker, and the per-window RMS energies are recomputed
+    arithmetically by the oracle — a green row proves the decoder
+    reads the actual sample bytes."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.multimodal import decode_wav_features
+    from ..testing.fixtures import make_wav_pcm16
+
+    e = load_events(spark, sf_dir).select("event_id").filter(
+        F.col("event_id") % _WAV_MOD == 0
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_wav_pcm16(800 + (int(i) % 5) * 400,
+                                   int(i) % 1000)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(
+        _synth, schema="doc_id long, payload binary"
+    )
+    return decode_wav_features(payloads, window_samples=400).select(
+        "doc_id", "sample_rate_hz", "n_samples", "duration_ms",
+        "n_windows", "rms_windows",
+    )
+
+
+SQL_WAV_DECODE = f"""
+WITH e AS (
+  SELECT event_id, 800 + (event_id % 5) * 400 AS n,
+         event_id % 1000 AS seed
+  FROM events WHERE event_id % {_WAV_MOD} = 0
+),
+w AS (
+  SELECT event_id, n, seed, CAST(wi.w AS BIGINT) AS w
+  FROM e, LATERAL (SELECT unnest(range(0, (n + 399) // 400)) AS w) wi
+),
+s AS (
+  SELECT event_id, n, w.w,
+         ((seed + i.i * 257) % 2001) - 1000 AS v
+  FROM w, LATERAL (SELECT unnest(range(w.w * 400,
+                                       least(n, (w.w + 1) * 400))) AS i) i
+),
+r AS (
+  SELECT event_id, n, w,
+         round(sqrt(CAST(sum(v * v) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE)), 6) AS rms
+  FROM s GROUP BY 1, 2, 3
+)
+SELECT event_id AS doc_id,
+       CAST(16000 AS INTEGER) AS sample_rate_hz,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+       CAST(count(*) AS INTEGER) AS n_windows,
+       list(rms ORDER BY w) AS rms_windows
+FROM r GROUP BY event_id, n
+"""
+
+
+_Y4M_MOD = 20
+_SHOT_JUMP = 97  # planted scene-change luma jump at frame 3
+_SHOT_THRESH = 20.0
+
+
+def q_y4m_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL video path driver-checked, with an actual shot
+    detector: per sampled event a 6-frame YUV4MPEG2 clip is
+    synthesized whose luma jumps by a planted offset at frame 3
+    (scene change); frames round-trip through the y4m parser
+    (operators/multimodal.sample_y4m_frames), and shot boundaries are
+    flagged where |Δ y_mean| between consecutive sampled frames
+    exceeds the threshold — the standard luma-delta detector, running
+    on REAL decoded pixel statistics. The oracle replays the per-frame
+    pixel arithmetic. The synthesis keeps luma strictly below 256 (no
+    byte wraparound), so consecutive frames drift by exactly +1 and
+    ONLY the planted jump crosses the threshold; frame geometry (w*h)
+    divides 10^6 so the rounded means can never straddle an engine
+    rounding tie."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from ..operators.multimodal import sample_y4m_frames
+
+    e = load_events(spark, sf_dir).select("event_id").filter(
+        F.col("event_id") % _Y4M_MOD == 0
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                w, h = 4 + (eid % 3) * 2, 2 + (eid % 2) * 2  # wh | 10^6
+                seed = eid % 64
+                head = (
+                    f"YUV4MPEG2 W{w} H{h} F25:1 C444\n".encode("ascii")
+                )
+                parts = [head]
+                n = w * h
+                for f in range(6):
+                    jump = _SHOT_JUMP if f >= 3 else 0
+                    # max luma 63+97+5+31 = 196 < 256: no wraparound
+                    body = _np.concatenate([
+                        seed + jump + f + p * 20 + (_np.arange(n) % 32)
+                        for p in range(3)
+                    ]).astype(_np.uint8)
+                    parts.append(b"FRAME\n" + body.tobytes())
+                payloads.append(b"".join(parts))
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": payloads,
+            })
+
+    payloads = e.mapInPandas(
+        _synth, schema="doc_id long, payload binary"
+    )
+    frames = sample_y4m_frames(payloads, every_k=1)
+    wd = Window.partitionBy("doc_id").orderBy("frame_idx")
+    return frames.select(
+        "doc_id", "frame_idx", "width", "height", "y_mean",
+        F.lag("y_mean").over(wd).alias("_prev"),
+    ).select(
+        "doc_id", "frame_idx", "width", "height", "y_mean",
+        F.coalesce(
+            F.abs(F.col("y_mean") - F.col("_prev"))
+            > F.lit(_SHOT_THRESH),
+            F.lit(False),
+        ).alias("is_shot_boundary"),
+    )
+
+
+SQL_Y4M_SHOTS = f"""
+WITH e AS (
+  SELECT event_id,
+         4 + (event_id % 3) * 2 AS w,
+         2 + (event_id % 2) * 2 AS h,
+         event_id % 64 AS seed
+  FROM events WHERE event_id % {_Y4M_MOD} = 0
+),
+fr AS (
+  SELECT event_id, w, h, seed, CAST(f.f AS BIGINT) AS f
+  FROM e, LATERAL (SELECT unnest(range(0, 6)) AS f) f
+),
+px AS (
+  SELECT event_id, w, h, f,
+         seed + CASE WHEN f >= 3 THEN {_SHOT_JUMP} ELSE 0 END
+          + f + (i.i % 32) AS v
+  FROM fr, LATERAL (SELECT unnest(range(0, w * h)) AS i) i
+),
+ym AS (
+  SELECT event_id, w, h, f,
+         round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           AS y_mean
+  FROM px GROUP BY 1, 2, 3, 4
+)
+SELECT event_id AS doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       y_mean,
+       coalesce(abs(y_mean - lag(y_mean) OVER (
+           PARTITION BY event_id ORDER BY f)) > {_SHOT_THRESH}, FALSE)
+         AS is_shot_boundary
+FROM ym
+"""
+
+
 QUERIES_ANALYTICS: dict = {
     "sequence_mining": q_sequence_mining,
     "rfm_segments": q_rfm_segments,
@@ -1189,6 +1376,8 @@ QUERIES_ANALYTICS: dict = {
     "ltv_curve": q_ltv_curve,
     "label_centroids": q_label_centroids,
     "ppm_decode": q_ppm_decode,
+    "wav_decode": q_wav_decode,
+    "y4m_shots": q_y4m_shots,
 }
 
 ORACLES_ANALYTICS: dict[str, str] = {
@@ -1209,4 +1398,6 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "ltv_curve": SQL_LTV_CURVE,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "ppm_decode": SQL_PPM_DECODE,
+    "wav_decode": SQL_WAV_DECODE,
+    "y4m_shots": SQL_Y4M_SHOTS,
 }
