@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -94,8 +95,41 @@ class _GaSynthReader(DataSourceReader):
             )
 
 
+class _GaSynthStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the source: each micro-batch is one synthetic
+    day. Offsets are the day index, so the exactly-once replay
+    contract is trivial to honor — ``readBetweenOffsets`` regenerates
+    any [start, end) range bit-identically (the property a restarted
+    checkpointed query relies on; unit-pinned in tests)."""
+
+    def __init__(self, options: dict) -> None:
+        self.events_per_day = int(options.get("events_per_day", 1000))
+        self.n_users = int(options.get("n_users", 100))
+
+    def initialOffset(self) -> dict:
+        return {"day_off": 0}
+
+    def _day_rows(self, day_off: int) -> list[tuple]:
+        # materialized list, not a generator: the simple stream reader
+        # prefetches rows driver-side and pickles them to executors
+        p = _DayPartition(day_off, self.events_per_day)
+        return list(_GaSynthReader(
+            {"days": 1, "events_per_day": self.events_per_day,
+             "n_users": self.n_users}
+        ).read(p))
+
+    def read(self, start: dict):
+        day_off = start["day_off"]
+        return self._day_rows(day_off), {"day_off": day_off + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for d in range(start["day_off"], end["day_off"]):
+            yield from self._day_rows(d)
+
+
 class GaSynthDataSource(DataSource):
-    """``format("ga_synth")``: deterministic per-day event splits."""
+    """``format("ga_synth")``: deterministic per-day event splits
+    (batch) / one-day micro-batches (streaming)."""
 
     @classmethod
     def name(cls) -> str:
@@ -106,6 +140,11 @@ class GaSynthDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _GaSynthReader(self.options)
+
+    def simpleStreamReader(
+        self, schema: StructType
+    ) -> SimpleDataSourceStreamReader:
+        return _GaSynthStreamReader(self.options)
 
 
 def register_ga_synth(spark) -> None:

@@ -59,3 +59,63 @@ class TestGaSynthSource:
         df = _read(spark, days=5, events_per_day=20)
         one = df.filter(F.col("day") == 19_701)
         assert one.count() == 20
+
+
+class TestGaSynthStreaming:
+    def test_one_day_per_microbatch(self, spark, tmp_path):
+        register_ga_synth(spark)
+        stream = (
+            spark.readStream.format("ga_synth")
+            .option("events_per_day", 50).load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("ga_synth_stream").outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            import time
+
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if spark.table("ga_synth_stream").count() >= 100:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        got = spark.table("ga_synth_stream")
+        assert got.count() >= 100
+        per_day = {r["day"]: r["n"] for r in
+                   got.groupBy("day").count()
+                   .withColumnRenamed("count", "n").collect()}
+        # each fully-delivered day carries exactly events_per_day rows
+        full_days = [d for d, n in per_day.items() if n == 50]
+        assert len(full_days) >= 2
+        assert min(per_day) == 19_700  # starts at the fixed base day
+
+    def test_replay_between_offsets_bit_identical(self):
+        from google_analytics_to_s3_spark.sources.pydatasource import (
+            _GaSynthStreamReader,
+        )
+
+        r = _GaSynthStreamReader({"events_per_day": 30})
+        once, _nxt = r.read({"day_off": 2})
+        replay = r.readBetweenOffsets({"day_off": 2}, {"day_off": 3})
+        assert list(once) == list(replay)
+
+    def test_stream_matches_batch_rows(self):
+        # streaming day k == batch partition k: one generator, two APIs
+        from google_analytics_to_s3_spark.sources.pydatasource import (
+            _DayPartition,
+            _GaSynthReader,
+            _GaSynthStreamReader,
+        )
+
+        batch = list(_GaSynthReader(
+            {"days": 3, "events_per_day": 20}
+        ).read(_DayPartition(1, 20)))
+        stream, _ = _GaSynthStreamReader(
+            {"events_per_day": 20}
+        ).read({"day_off": 1})
+        assert batch == list(stream)
