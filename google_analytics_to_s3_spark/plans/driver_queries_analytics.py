@@ -855,10 +855,6 @@ def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.expr("ts_ms div 86400000").alias("day")
     )
     ud = e.distinct()
-    bounds = ud.agg(
-        F.min("day").cast("long").alias("_mn"),
-        F.max("day").cast("long").alias("_mx"),
-    )
     offs = F.explode(
         F.array(*[F.lit(i) for i in range(28)])
     ).alias("off")
@@ -876,9 +872,19 @@ def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("wau"),
         F.count_distinct("user_id").cast("long").alias("mau"),
     )
+    # day bounds derived from the (days+27)-row window table itself
+    # (min(wend) = first day, max(wend) = last day + 27) via a global
+    # window over that TINY table — keeps the plan a single branch
+    # with ONE fact scan (an agg-and-crossjoin would recompute the
+    # whole fan-out on a second scan; plan-asserted)
+    wall = Window.partitionBy()
+    per2 = per.select(
+        "wend", "dau", "wau", "mau",
+        F.min("wend").over(wall).cast("long").alias("_mn"),
+        (F.max("wend").over(wall) - 27).cast("long").alias("_mx"),
+    )
     return (
-        per.crossJoin(F.broadcast(bounds))
-        .filter(
+        per2.filter(
             (F.col("wend") >= F.col("_mn") + 27)
             & (F.col("wend") <= F.col("_mx"))
         )
@@ -928,18 +934,19 @@ WHERE p.wend >= b.mn + 27 AND p.wend <= b.mx
 def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GA "New vs Returning" daily report: per day, active users
     split by whether this is their first-ever active day. First-seen
-    days come from one user-grain min() aggregate joined back onto the
-    distinct (user, day) table on the user key — the same exchange the
-    distinct already produced, then one day-grain aggregation."""
+    days come from a min() WINDOW over the user partitioning of the
+    already-distinct (user, day) table — one fact scan total (the
+    agg-and-rejoin formulation reads the fact twice; plan-asserted),
+    then one day-grain aggregation."""
     e = load_events(spark, sf_dir).select(
         "user_id", F.expr("ts_ms div 86400000").alias("day")
     )
     ud = e.distinct()
-    first = ud.groupBy("user_id").agg(
-        F.min("day").cast("long").alias("first_day")
-    )
+    first_day = F.min("day").over(
+        Window.partitionBy("user_id")
+    ).cast("long")
     return (
-        ud.join(first, "user_id")
+        ud.withColumn("first_day", first_day)
         .groupBy("day")
         .agg(
             F.count(F.lit(1)).cast("long").alias("active_users"),
@@ -990,8 +997,10 @@ def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-purchase week, revenue accumulated by weeks-since-
     acquisition — the LTV payback curve every growth team reads.
     BIGINT-cents sums; the cumulative window runs over the tiny
-    (cohort × week-index) grid, and the user-grain first-purchase
-    join reuses the purchase aggregation's user exchange."""
+    (cohort × week-index) grid, and the acquisition week comes from a
+    min() WINDOW over the purchase rows' user partitioning — one fact
+    scan total (plan-asserted), not an aggregate re-joined to a second
+    read of the fact."""
     p = load_events(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
     ).select(
@@ -1001,11 +1010,11 @@ def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    first = p.groupBy("user_id").agg(
-        F.min("week").cast("long").alias("cohort_week")
-    )
+    cohort = F.min("week").over(
+        Window.partitionBy("user_id")
+    ).cast("long")
     wk = (
-        p.join(first, "user_id")
+        p.withColumn("cohort_week", cohort)
         .groupBy(
             "cohort_week",
             (F.col("week") - F.col("cohort_week")).alias("week_index"),

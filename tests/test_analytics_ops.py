@@ -347,3 +347,29 @@ class TestMergeRollup:
         df = spark.createDataFrame([("a", 1)], "k string, n long")
         with pytest.raises(ValueError, match="no aggregate"):
             merge_rollup([df], key_cols=["k"])
+
+
+class TestEngagementPlans:
+    """Single-fact-scan guards for the engagement marts (the
+    agg-and-rejoin formulations read the fact twice)."""
+
+    def test_new_vs_returning_one_scan(self, spark, sf_smoke):
+        from google_analytics_to_s3_spark.plans import driver_queries as dq
+
+        plan = _plan(dq.QUERIES["new_vs_returning"](spark, sf_smoke))
+        assert plan.count("FileScan") == 1, plan
+        assert "Join" not in plan, plan
+
+    def test_ltv_curve_one_scan(self, spark, sf_smoke):
+        from google_analytics_to_s3_spark.plans import driver_queries as dq
+
+        plan = _plan(dq.QUERIES["ltv_curve"](spark, sf_smoke))
+        assert plan.count("FileScan") == 1, plan
+        assert "Join" not in plan, plan
+
+    def test_dau_wau_mau_one_scan(self, spark, sf_smoke):
+        from google_analytics_to_s3_spark.plans import driver_queries as dq
+
+        plan = _plan(dq.QUERIES["dau_wau_mau"](spark, sf_smoke))
+        assert plan.count("FileScan") == 1, plan
+        assert "Join" not in plan, plan
