@@ -3009,7 +3009,7 @@ _DRIVER_PRIORITY = [
     "blocking_supplier", "min_cost_supplier", "incremental_rollup",
     "variant_extract", "session_hit_cap", "skew_report", "dau_wau_mau",
     "new_vs_returning", "ltv_curve", "label_centroids", "ppm_decode",
-    "wav_decode", "y4m_shots",
+    "wav_decode", "y4m_shots", "session_timelines",
     # ---------------- r4 rotation (all green r4) ----------------
     # round-4 rotation:
     # (a) changed this round — pack_sequences' oracle got the missing

@@ -1367,6 +1367,86 @@ FROM ym
 """
 
 
+# --------------------------------------------------------------------------
+# Serialized session timelines (session-replay export payloads)
+# --------------------------------------------------------------------------
+
+def q_session_timelines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-replay export: one row per session with the ordered
+    event timeline serialized as a compact JSON array — the payload a
+    debugging/replay UI fetches per visit (the reference's session
+    marts keep only aggregates; this is the raw-sequence export).
+
+    The JSON is BUILT with string functions (identical concat
+    arithmetic in both engines) rather than to_json, whose whitespace
+    conventions are engine-local. Ordering inside the array is pinned
+    by array_sort over (ts, event_id)-prefixed structs; the array
+    aggregation itself needs no in-partition order. One user exchange
+    (sessionize) + one session-grain aggregation."""
+    e = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts_ms"
+    )
+    s = sessionize(
+        e, visitor_col="user_id", ts_col="ts_ms",
+        tiebreak_cols=("event_id",),
+    )
+    item = F.struct(
+        F.col("ts_ms").alias("t"), F.col("event_id").alias("i"),
+        F.col("event_type").alias("e"),
+    )
+    per = s.groupBy("user_id", "user_session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts_ms").alias("visit_start"),
+        F.array_sort(F.collect_list(item)).alias("_items"),
+    )
+    ev_json = F.transform(
+        F.col("_items"),
+        lambda x: F.concat(
+            F.lit('{"t":'), x["t"].cast("string"),
+            F.lit(',"e":"'), x["e"], F.lit('"}'),
+        ),
+    )
+    return per.select(
+        "user_id", "user_session_id", "n_events", "visit_start",
+        F.concat(
+            F.lit("["), F.array_join(ev_json, ","), F.lit("]")
+        ).alias("timeline_json"),
+    )
+
+
+SQL_SESSION_TIMELINES = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+  FROM events
+),
+lagged AS (
+  SELECT e.*,
+         lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+           AS last_event
+  FROM e
+),
+numbered AS (
+  SELECT *,
+         CAST(sum(CASE WHEN last_event IS NULL
+                        OR ts_ms - last_event >= {GAP_MS}
+                   THEN 1 ELSE 0 END) OVER (
+             PARTITION BY user_id ORDER BY ts_ms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS user_session_id
+  FROM lagged
+)
+SELECT user_id, user_session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts_ms) AS visit_start,
+       '[' || string_agg(
+           '{{"t":' || CAST(ts_ms AS VARCHAR) || ',"e":"'
+             || event_type || '"}}', ','
+           ORDER BY ts_ms, event_id) || ']' AS timeline_json
+FROM numbered
+GROUP BY user_id, user_session_id
+"""
+
+
 QUERIES_ANALYTICS: dict = {
     "sequence_mining": q_sequence_mining,
     "rfm_segments": q_rfm_segments,
@@ -1387,6 +1467,7 @@ QUERIES_ANALYTICS: dict = {
     "ppm_decode": q_ppm_decode,
     "wav_decode": q_wav_decode,
     "y4m_shots": q_y4m_shots,
+    "session_timelines": q_session_timelines,
 }
 
 ORACLES_ANALYTICS: dict[str, str] = {
@@ -1409,4 +1490,5 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "ppm_decode": SQL_PPM_DECODE,
     "wav_decode": SQL_WAV_DECODE,
     "y4m_shots": SQL_Y4M_SHOTS,
+    "session_timelines": SQL_SESSION_TIMELINES,
 }
