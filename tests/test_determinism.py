@@ -44,6 +44,12 @@ SENSITIVE = [
     "sequence_mining",    # lead chain over (ts, event_id) total order
     "bounce_exit",        # session-window row_numbers + rate doubles
     "incremental_rollup",  # split-derived partial states re-merged
+    "session_timelines",  # array_sort-pinned JSON element order
+    "label_centroids",    # integer-grid sums + one division per cell
+    "min_cost_supplier",  # per-part argmin under unit-price ties
+    "blocking_supplier",  # unique-last-shipper under shipdate ties
+    "dau_wau_mau",        # windowed distinct counts + bound filter
+    "ppm_decode",         # Arrow-batch decode over any partitioning
 ]
 
 
