@@ -2953,6 +2953,15 @@ ORACLES.update(ORACLES_EXTRA)
 ORACLES.update(ORACLES_EXPORTS)
 ORACLES.update(ORACLES_CURATION)
 ORACLES.update(ORACLES_ANALYTICS)
+# fill the lsh_recall oracle template with the shared MinHash CTE chain
+# (defined above; kept in one copy so k/bands changes cannot diverge)
+from .driver_queries_analytics import (  # noqa: E402
+    LSH_RECALL_ORACLE_TEMPLATE,
+)
+
+ORACLES["lsh_recall"] = LSH_RECALL_ORACLE_TEMPLATE.format(
+    minhash_cand_ctes=_MINHASH_CAND_CTES
+)
 
 # --------------------------------------------------------------------------
 # Registry ordering.

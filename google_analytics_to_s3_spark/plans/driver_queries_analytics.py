@@ -1,17 +1,25 @@
-"""Driver queries: round-5 analytics batch — sequential pattern
-mining, RFM segmentation, deterministic dataset splits, zone-map
-pruning stats, GA bounce/exit rates, and the A/B sample-ratio-mismatch
-guardrail.
+"""Driver queries: the round-5 analytics batch.
 
-Each is thin wiring over an operator module (operators/sequence.py,
-operators/features.py, operators/curation.py, sources/maintenance.py,
-operators/sessionize.py, operators/stats.py) with a full DuckDB value
-oracle. The GA-reporting members (bounce/exit rates) extend the
-reference's session marts (reference functions/sessionization/
-main.py:1009-1080 computes session rows but stops short of the
-page-grain bounce/exit report every GA property ships with); the rest
-are the training-data-pipeline analytics the assignment's §"beyond
-the reference" list calls for.
+Families (each thin wiring over an operator module, each with a full
+DuckDB value oracle):
+
+- behavior/sequence: sequence_mining, bounce_exit, session_timelines
+- customer analytics: rfm_segments, new_vs_returning, ltv_curve,
+  dau_wau_mau
+- experimentation: ab_srm (guardrail), ab_cuped (variance reduction)
+- monitoring/DQ: psi_drift, skew_report, pruning_stats,
+  incremental_rollup
+- training-data pipeline: dataset_split, lsh_recall, label_centroids
+- semi-structured / multimodal: variant_extract (Spark-4 VARIANT),
+  ppm_decode / wav_decode / y4m_shots (REAL uncompressed-container
+  decoders value-oracled end-to-end)
+
+The GA-reporting members extend the reference's session marts
+(reference functions/sessionization/main.py:1009-1080 computes session
+rows but stops short of the page-grain bounce/exit report or the
+engagement marts every GA property ships with); the rest are the
+training-data-pipeline analytics the assignment's "beyond the
+reference" list calls for.
 """
 
 from __future__ import annotations
@@ -451,11 +459,13 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_recall_oracle_sql() -> str:
-    from .driver_queries import _MINHASH_CAND_CTES
-
-    return f"""
-WITH {_MINHASH_CAND_CTES},
+# Oracle TEMPLATE: the MinHash candidate CTE chain lives in
+# driver_queries.py (single copy shared by every MinHash oracle);
+# importing it here at module scope would be circular (driver_queries
+# imports this module), so driver_queries fills the placeholder right
+# after merging the registries.
+LSH_RECALL_ORACLE_TEMPLATE = """
+WITH {minhash_cand_ctes},
 dsh AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
 tru AS (
   SELECT l.doc_id AS id_a, r.doc_id AS id_b
@@ -1477,7 +1487,6 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "pruning_stats": SQL_PRUNING_STATS,
     "bounce_exit": SQL_BOUNCE_EXIT,
     "ab_srm": SQL_AB_SRM,
-    "lsh_recall": _lsh_recall_oracle_sql(),
     "psi_drift": SQL_PSI_DRIFT,
     "ab_cuped": SQL_AB_CUPED,
     "incremental_rollup": SQL_INCREMENTAL_ROLLUP,
