@@ -3019,6 +3019,27 @@ _DRIVER_PRIORITY = [
     "variant_extract", "session_hit_cap", "skew_report", "dau_wau_mau",
     "new_vs_returning", "ltv_curve", "label_centroids", "ppm_decode",
     "wav_decode", "y4m_shots", "session_timelines",
+    # (r6-queue) after the 9 (r5-e) + 23 (r5-f) entries above, the
+    # next-stalest evidence is the 48 queries whose latest driver row
+    # is r3 — queued here ahead of the r4-green block below so the r6
+    # prefix self-assembles oldest-first (the rotation discipline the
+    # r4 verdict established)
+    "sessionize_flags", "sessionize_full", "session_stats",
+    "json_props", "user_event_arrays", "funnel_conversion",
+    "retention_cohorts", "event_transitions", "pq_codes",
+    "pq_adc_topk", "time_to_conversion", "chunk_documents",
+    "incremental_attribution", "ua_parse", "touchpoints",
+    "unpivot_products", "session_window_rollup", "traffic_attribution",
+    "customer_distribution", "top_supplier", "small_qty_revenue",
+    "brand_disjunction_revenue", "sales_opportunity", "knn_components",
+    "knn_components_star", "gap_fill_ffill", "order_rank_stats",
+    "salted_event_totals", "embedding_lsh_pairs", "dedup_keep_best",
+    "events_grouping_sets", "hopping_window", "export_pageviews",
+    "export_events_mart", "export_products", "export_transactions",
+    "export_items", "pii_scan", "quality_filter",
+    "contamination_screen", "lm_typicality", "mixture_sample",
+    "vocab_oov", "curation_pipeline", "tfidf_top_terms", "bm25_search",
+    "linear_count_users", "scd2_customer_priority",
     # ---------------- r4 rotation (all green r4) ----------------
     # round-4 rotation:
     # (a) changed this round — pack_sequences' oracle got the missing
