@@ -119,3 +119,79 @@ class TestGaSynthStreaming:
             {"events_per_day": 20}
         ).read({"day_off": 1})
         assert batch == list(stream)
+
+    def test_stream_sessionizes_like_batch(self, spark, tmp_path):
+        """Integration: the custom streaming source feeds the native
+        session_window aggregation, and the complete-mode result equals
+        the same aggregation run in batch over the same generated days
+        — custom source x streaming sessionization, end to end."""
+        register_ga_synth(spark)
+        opts = {"events_per_day": 120, "n_users": 10}
+
+        def sessions(df):
+            ev = df.select(
+                "user_id",
+                F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+            )
+            return ev.groupBy(
+                "user_id", F.session_window("ts", "30 minutes")
+            ).agg(F.count(F.lit(1)).alias("n_events")).select(
+                "user_id",
+                F.col("session_window.start").alias("s"),
+                F.col("session_window.end").alias("e"),
+                "n_events",
+            )
+
+        stream = (
+            spark.readStream.format("ga_synth")
+            .option("events_per_day", opts["events_per_day"])
+            .option("n_users", opts["n_users"]).load()
+        )
+        q = (
+            sessions(stream)
+            .writeStream.format("memory").queryName("ga_synth_sess")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+            .start()
+        )
+        try:
+            import time
+
+            # wait until at least 2 full days have been delivered
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                n_days = (
+                    spark.table("ga_synth_sess")
+                    .select(F.expr("date_trunc('DAY', s)").alias("d"))
+                    .distinct().count()
+                )
+                if n_days >= 3:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        got = spark.table("ga_synth_sess")
+        # batch twin over the FULLY delivered days only (the last day
+        # may be mid-delivery when the query stops)
+        full_days = [
+            r["d"] for r in got.select(
+                F.expr("CAST(date_trunc('DAY', s) AS DATE)").alias("d")
+            ).distinct().collect()
+        ]
+        full_days = sorted(full_days)[:-1]
+        assert len(full_days) >= 2
+        batch = (
+            spark.read.format("ga_synth")
+            .option("days", len(full_days) + 1)
+            .option("events_per_day", opts["events_per_day"])
+            .option("n_users", opts["n_users"]).load()
+        )
+        want = sessions(batch).filter(
+            F.expr("CAST(date_trunc('DAY', s) AS DATE)").isin(full_days)
+        )
+        got_f = got.filter(
+            F.expr("CAST(date_trunc('DAY', s) AS DATE)").isin(full_days)
+        )
+        assert sorted(map(tuple, got_f.collect())) == sorted(
+            map(tuple, want.collect())
+        )
