@@ -781,9 +781,9 @@ def hash_split(
         ).cast("long")
         % SPLIT_HASH_SPACE
     )
+    # one when-chain over a single md5 evaluation (CSE folds the
+    # repeated bucket references)
     expr = F.lit(items[-1][0])
     for name, ub in reversed(items[:-1]):
         expr = F.when(bucket < ub, F.lit(name)).otherwise(expr)
-    # single when-chain evaluated over one md5 — cheapest-first order
-    out = expr
-    return df.withColumn(split_col, out)
+    return df.withColumn(split_col, expr)
