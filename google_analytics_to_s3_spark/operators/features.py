@@ -115,3 +115,55 @@ def rfm_segments(
             "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ),
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    prior_weight: int = 10,
+) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing — the
+    category→number featurization every tabular model pipeline needs,
+    built LEAKAGE-CORRECT: each row's own target is excluded from its
+    category mean (plain mean encoding leaks the label and inflates
+    validation scores), and categories shrink toward the global mean
+    with ``prior_weight`` pseudo-observations (rare categories must
+    not memorize their few labels).
+
+    encode(row) = (cat_sum - y + prior_weight * global_mean)
+                  / (cat_n - 1 + prior_weight)
+
+    Exactness: ``target_col`` must be integral (cents / 0-1 labels);
+    category sums are BIGINT, the global mean enters as an exact
+    ratio (sum/n multiplied through), so the encoding is ONE double
+    division per row of integer-combined terms — engine-identical.
+    Shape: one hash aggregation to category grain, broadcast back
+    (category cardinality ≪ rows), encoding map-side; the global
+    stats are a 1-row broadcast.
+    """
+    y = F.col(target_col).cast("long")
+    cat = df.groupBy(F.col(category_col).alias("_cat")).agg(
+        F.sum(y).cast("long").alias("_cs"),
+        F.count(F.lit(1)).cast("long").alias("_cn"),
+    )
+    glob = df.agg(
+        F.sum(y).cast("long").alias("_gs"),
+        F.count(F.lit(1)).cast("long").alias("_gn"),
+    )
+    joined = (
+        df.join(
+            F.broadcast(cat),
+            df[category_col] == F.col("_cat"),
+        )
+        .crossJoin(F.broadcast(glob))
+    )
+    # multiply the prior through by _gn to stay integral:
+    # ((cs - y) * gn + w * gs) / ((cn - 1 + w) * gn)
+    w = F.lit(prior_weight)
+    num = (F.col("_cs") - y) * F.col("_gn") + w * F.col("_gs")
+    den = (F.col("_cn") - 1 + w) * F.col("_gn")
+    return joined.drop("_cat").withColumn(
+        f"{category_col}_enc",
+        F.round(num.cast("double") / den.cast("double"), 6),
+    ).drop("_cs", "_cn", "_gs", "_gn")

@@ -802,3 +802,44 @@ def pmi_scores(
     return j.select(
         "w1", "w2", "n_pair", F.round(pmi, 6).alias("pmi")
     )
+
+
+HASHING_TRICK_DIM = 1024
+
+
+def hashed_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = HASHING_TRICK_DIM,
+) -> DataFrame:
+    """Hashing-trick bag-of-words (Weinberger et al., ICML 2009): each
+    token hashes to one of ``dim`` feature indices (md5 prefix — the
+    engine-portable hash every sketch in this repo uses) and counts
+    sum per (doc, index) — the fixed-width, vocabulary-free text
+    featurization that needs NO fitted dictionary, which is what makes
+    it the scale path (a count-vectorizer's vocab is cluster state; a
+    hash function is not).
+
+    Output is the sparse long form (doc, feature_idx, count) — the
+    shape a downstream learner or the JL/IVF embedding operators
+    consume. One explode + one hash aggregation; map-side partial
+    aggregation absorbs token repeats before the shuffle.
+    """
+    toks = tokens(text_col)
+    ex = df.select(
+        F.col(id_col), F.explode(toks).alias("_tok")
+    )
+    idx = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("hf-"), F.col("_tok"))),
+                        1, 14),
+            16, 10,
+        ).cast("long")
+        % dim
+    )
+    return (
+        ex.select(id_col, idx.alias("feature_idx"))
+        .groupBy(id_col, "feature_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+    )

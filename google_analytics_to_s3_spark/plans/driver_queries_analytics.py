@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.sessionize import sessionize
-from ..sources.testdata import load_events, load_parallel
+from ..sources.testdata import (
+    load_events,
+    load_parallel,
+    load_table,
+)
 
 __all__ = ["QUERIES_ANALYTICS", "ORACLES_ANALYTICS"]
 
@@ -1457,6 +1461,124 @@ GROUP BY user_id, user_session_id
 """
 
 
+# --------------------------------------------------------------------------
+# ML feature preparation: LOO target encoding, rank normalization,
+# hashing-trick features
+# --------------------------------------------------------------------------
+
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the customer market segment
+    against account-balance cents
+    (operators/features.py:target_encode_loo) — the leakage-correct
+    category featurization (each row's own label excluded, smoothed
+    toward the global mean). Output keeps the key + encoding only."""
+    from ..operators.features import target_encode_loo
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    return target_encode_loo(
+        c, "c_mktsegment", "bal_cents", prior_weight=10
+    ).select("c_custkey", "c_mktsegment", "c_mktsegment_enc")
+
+
+SQL_TARGET_ENCODING = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(floor(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) AS y
+  FROM customer
+),
+cat AS (
+  SELECT c_mktsegment, CAST(sum(y) AS BIGINT) AS cs,
+         CAST(count(*) AS BIGINT) AS cn
+  FROM c GROUP BY 1
+),
+g AS (
+  SELECT CAST(sum(y) AS BIGINT) AS gs, CAST(count(*) AS BIGINT) AS gn
+  FROM c
+)
+SELECT c.c_custkey, c.c_mktsegment,
+       round(CAST((cat.cs - c.y) * g.gn + 10 * g.gs AS DOUBLE)
+             / CAST((cat.cn - 1 + 10) * g.gn AS DOUBLE), 6)
+         AS c_mktsegment_enc
+FROM c JOIN cat USING (c_mktsegment) CROSS JOIN g
+"""
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank transform (quantile normalization) of order totals within
+    each priority class: percent_rank over the (priority, price, key)
+    total order — the outlier-robust featurization for heavy-tailed
+    monetary columns. Deterministic under price ties via the key
+    tiebreak; one exchange on the priority key."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.floor(F.col("o_totalprice").cast("double") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("price_cents").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey", "o_orderpriority", "price_cents",
+        F.round(F.percent_rank().over(w), 6).alias("price_qnorm"),
+    )
+
+
+SQL_QUANTILE_NORMALIZE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
+         AS price_cents,
+       round(percent_rank() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY CAST(floor(CAST(o_totalprice AS DOUBLE) * 100)
+                         AS BIGINT) ASC, o_orderkey ASC), 6)
+         AS price_qnorm
+FROM orders
+"""
+
+
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words over the documents corpus
+    (operators/text.py:hashed_features): vocabulary-free fixed-width
+    featurization, sparse (doc, feature_idx, count) form — summarized
+    here at feature grain (df + total count per index) so the output
+    stays bounded by the 1024-dim space at any corpus size."""
+    from ..operators.text import hashed_features
+
+    d = load_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    sparse = hashed_features(d)
+    return sparse.groupBy("feature_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("count").cast("long").alias("total_count"),
+    )
+
+
+SQL_HASHED_FEATURES = r"""
+WITH toks AS (SELECT doc_id,
+              string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents),
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+hf AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('hf-' || tok), 1, 14))::BIGINT % 1024
+           AS feature_idx,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM ex GROUP BY 1, 2
+)
+SELECT feature_idx,
+       CAST(count(*) AS BIGINT) AS doc_freq,
+       CAST(sum(cnt) AS BIGINT) AS total_count
+FROM hf GROUP BY 1
+"""
+
+
 QUERIES_ANALYTICS: dict = {
     "sequence_mining": q_sequence_mining,
     "rfm_segments": q_rfm_segments,
@@ -1478,6 +1600,9 @@ QUERIES_ANALYTICS: dict = {
     "wav_decode": q_wav_decode,
     "y4m_shots": q_y4m_shots,
     "session_timelines": q_session_timelines,
+    "target_encoding": q_target_encoding,
+    "quantile_normalize": q_quantile_normalize,
+    "hashed_features": q_hashed_features,
 }
 
 ORACLES_ANALYTICS: dict[str, str] = {
@@ -1500,4 +1625,7 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "wav_decode": SQL_WAV_DECODE,
     "y4m_shots": SQL_Y4M_SHOTS,
     "session_timelines": SQL_SESSION_TIMELINES,
+    "target_encoding": SQL_TARGET_ENCODING,
+    "quantile_normalize": SQL_QUANTILE_NORMALIZE,
+    "hashed_features": SQL_HASHED_FEATURES,
 }

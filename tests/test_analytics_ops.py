@@ -373,3 +373,60 @@ class TestEngagementPlans:
         plan = _plan(dq.QUERIES["dau_wau_mau"](spark, sf_smoke))
         assert plan.count("FileScan") == 1, plan
         assert "Join" not in plan, plan
+
+
+class TestTargetEncodeLoo:
+    def test_leave_one_out_excludes_own_label(self, spark):
+        from google_analytics_to_s3_spark.operators.features import (
+            target_encode_loo,
+        )
+
+        # category "a": targets 10, 20; global mean = (10+20+90)/3 = 40
+        rows = [(1, "a", 10), (2, "a", 20), (3, "b", 90)]
+        df = spark.createDataFrame(rows, "id long, cat string, y long")
+        out = {r["id"]: r["cat_enc"] for r in target_encode_loo(
+            df, "cat", "y", prior_weight=2
+        ).collect()}
+        # row 1: ((30-10)*3 + 2*120) / ((2-1+2)*3) = 300/9
+        assert out[1] == round(300 / 9, 6)
+        # row 2: ((30-20)*3 + 2*120) / 9 = 270/9 = 30.0
+        assert out[2] == 30.0
+        # row 3 (singleton category): falls back to the smoothed prior
+        # ((90-90)*3 + 2*120)/((1-1+2)*3) = 240/6 = 40 = global mean
+        assert out[3] == 40.0
+
+    def test_no_leakage_direction(self, spark):
+        from google_analytics_to_s3_spark.operators.features import (
+            target_encode_loo,
+        )
+
+        # within one category, the row with the LARGER label must get
+        # the SMALLER encoding (its own high label is excluded)
+        rows = [(i, "a", 10) for i in range(9)] + [(9, "a", 100)]
+        df = spark.createDataFrame(rows, "id long, cat string, y long")
+        out = {r["id"]: r["cat_enc"] for r in target_encode_loo(
+            df, "cat", "y"
+        ).collect()}
+        assert out[9] < out[0]
+
+
+class TestHashedFeatures:
+    def test_counts_and_width(self, spark):
+        from google_analytics_to_s3_spark.operators.text import (
+            hashed_features,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b a"), (2, "a c")], "doc_id long, text string"
+        )
+        out = hashed_features(df, dim=64).collect()
+        assert all(0 <= r["feature_idx"] < 64 for r in out)
+        # token "a" hashes identically in both docs; doc 1 counts it 2x
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], {})[r["feature_idx"]] = (
+                r["count"]
+            )
+        shared = set(by_doc[1]) & set(by_doc[2])
+        assert any(by_doc[1][i] == 2 and by_doc[2][i] == 1
+                   for i in shared)
