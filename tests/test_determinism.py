@@ -50,6 +50,9 @@ SENSITIVE = [
     "blocking_supplier",  # unique-last-shipper under shipdate ties
     "dau_wau_mau",        # windowed distinct counts + bound filter
     "ppm_decode",         # Arrow-batch decode over any partitioning
+    "target_encoding",    # broadcast category stats + row division
+    "quantile_normalize",  # percent_rank under price ties
+    "hashed_features",    # md5 feature indexing + count sums
 ]
 
 
