@@ -3041,7 +3041,12 @@ _DRIVER_PRIORITY = [
     "contamination_screen", "lm_typicality", "mixture_sample",
     "vocab_oov", "curation_pipeline", "tfidf_top_terms", "bm25_search",
     "linear_count_users", "scd2_customer_priority",
-    # ---------------- r4 rotation (all green r4) ----------------
+    # ---------------- r4 rotation (historical) ----------------
+    # Kept verbatim as the r4 ordering record; names already listed
+    # above are inert here (dict insertion order keeps the FIRST
+    # occurrence), so this block only appends the r4-green queries
+    # not yet queued — they carry the freshest evidence and rotate
+    # last.
     # round-4 rotation:
     # (a) changed this round — pack_sequences' oracle got the missing
     # BIGINT casts (its r3 red row was an oracle dtype bug, values were
