@@ -142,6 +142,10 @@ def target_encode_loo(
     (category cardinality ≪ rows), encoding map-side; the global
     stats are a 1-row broadcast.
     """
+    if prior_weight < 1:
+        # with zero prior a singleton category's LOO denominator is
+        # (1 - 1 + 0) = 0; the smoothing weight doubles as the guard
+        raise ValueError("prior_weight must be >= 1")
     y = F.col(target_col).cast("long")
     cat = df.groupBy(F.col(category_col).alias("_cat")).agg(
         F.sum(y).cast("long").alias("_cs"),

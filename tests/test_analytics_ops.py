@@ -430,3 +430,13 @@ class TestHashedFeatures:
         shared = set(by_doc[1]) & set(by_doc[2])
         assert any(by_doc[1][i] == 2 and by_doc[2][i] == 1
                    for i in shared)
+
+
+def test_target_encode_rejects_zero_prior(spark):
+    from google_analytics_to_s3_spark.operators.features import (
+        target_encode_loo,
+    )
+
+    df = spark.createDataFrame([(1, "a", 5)], "id long, cat string, y long")
+    with pytest.raises(ValueError, match="prior_weight"):
+        target_encode_loo(df, "cat", "y", prior_weight=0)
