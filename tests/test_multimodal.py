@@ -381,3 +381,19 @@ class TestRealY4mSampling:
                + b"FRAME\n" + bytes(range(6)))
         w, h, fn, fd, fs, frames = _parse_y4m(raw)
         assert (w, h, fs, len(frames)) == (2, 2, 6, 1)
+
+
+def test_real_decoder_arg_validation(spark):
+    import pytest as _pytest
+
+    from google_analytics_to_s3_spark.operators.multimodal import (
+        resize_ppm,
+        sample_y4m_frames,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))],
+                               "doc_id long, payload binary")
+    with _pytest.raises(ValueError, match="every_k"):
+        sample_y4m_frames(df, every_k=0)
+    with _pytest.raises(ValueError, match="geometry"):
+        resize_ppm(df, 0, 4)
