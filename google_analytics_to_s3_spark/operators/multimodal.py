@@ -466,6 +466,8 @@ def resize_ppm(
     deterministic resampling any engine reproduces) → re-encode P6/P5.
     Same output contract as :func:`resize_image`; malformed payloads
     are dropped (decode_ppm_meta reports them)."""
+    if target_w < 1 or target_h < 1:
+        raise ValueError("target geometry must be >= 1x1")
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -675,6 +677,8 @@ def sample_y4m_frames(
     :func:`sample_frames` with an actual decoder behind it. Malformed
     payloads are dropped (decode-audit via decode_ppm_meta's pattern
     belongs to the metadata pass, not the fan-out)."""
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
