@@ -3020,6 +3020,7 @@ _DRIVER_PRIORITY = [
     "new_vs_returning", "ltv_curve", "label_centroids", "ppm_decode",
     "wav_decode", "y4m_shots", "session_timelines",
     "target_encoding", "quantile_normalize", "hashed_features",
+    "langid_eval",
     # (r6-queue) after the 9 (r5-e) + 23 (r5-f) entries above, the
     # next-stalest evidence is the 48 queries whose latest driver row
     # is r3 — queued here ahead of the r4-green block below so the r6

@@ -1579,6 +1579,84 @@ FROM hf GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Language-ID evaluation (heuristic vs stored labels)
+# --------------------------------------------------------------------------
+
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation harness for the stopword language-ID heuristic
+    (operators/text.py:language_id) against the corpus's stored lang
+    labels: per true label, document count, correct predictions and
+    accuracy — the same measure-your-operator pattern as knn_recall
+    and lsh_recall, for the text stack. The oracle regenerates the
+    stopword scores and the first-wins argmax from the same literal
+    word lists (single copy, imported here)."""
+    from ..operators.text import language_id
+
+    d = load_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    pred = language_id(F.col("text"))
+    return (
+        d.withColumn("pred", pred)
+        .groupBy(F.col("lang").alias("true_lang"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("pred") == F.col("lang")).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "true_lang", "n_docs", "n_correct",
+            F.round(
+                F.col("n_correct").cast("double")
+                / F.col("n_docs").cast("double"), 6,
+            ).alias("accuracy"),
+        )
+    )
+
+
+def _langid_oracle_sql() -> str:
+    from ..operators.text import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    score_cols = ",\n         ".join(
+        "CAST(len(list_filter(t, x -> x IN ({}))) AS BIGINT) AS s_{}"
+        .format(", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]), lang)
+        for lang in langs
+    )
+    branches = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in langs if other != lang
+        )
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{langs[0]}' END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, lang,
+         {score_cols}
+  FROM toks
+),
+pred AS (SELECT doc_id, lang, {case} AS p FROM sc)
+SELECT lang AS true_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN p = lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(CAST(sum(CASE WHEN p = lang THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS accuracy
+FROM pred GROUP BY 1
+"""
+
+
+SQL_LANGID_EVAL = _langid_oracle_sql()
+
+
 QUERIES_ANALYTICS: dict = {
     "sequence_mining": q_sequence_mining,
     "rfm_segments": q_rfm_segments,
@@ -1603,6 +1681,7 @@ QUERIES_ANALYTICS: dict = {
     "target_encoding": q_target_encoding,
     "quantile_normalize": q_quantile_normalize,
     "hashed_features": q_hashed_features,
+    "langid_eval": q_langid_eval,
 }
 
 ORACLES_ANALYTICS: dict[str, str] = {
@@ -1628,4 +1707,5 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "target_encoding": SQL_TARGET_ENCODING,
     "quantile_normalize": SQL_QUANTILE_NORMALIZE,
     "hashed_features": SQL_HASHED_FEATURES,
+    "langid_eval": SQL_LANGID_EVAL,
 }
