@@ -91,6 +91,28 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(payload))
+    # The driver's BENCH_r{N}.json keeps only the LAST ~2000 chars of
+    # stdout and parses a JSON line found there; with 180+ queries the
+    # full line above is ~5 KB, so its head gets truncated and nothing
+    # parses (r2-r5 all recorded parsed=null). Emit a compact summary
+    # as the FINAL line — same metric/value plus the slowest queries —
+    # sized to always fit inside the tail window, so the driver-side
+    # record parses again. The complete per-query dict lives in the
+    # first line and in BENCH_FULL_latest.json.
+    slowest = dict(sorted(
+        timings.items(), key=lambda kv: kv[1], reverse=True
+    )[:25])
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "queries_truncated_to": "slowest 25 (full set: line 1 / "
+                                "BENCH_FULL_latest.json)",
+        "sf": payload["sf"],
+    }
+    print(json.dumps(compact))
     # The driver's BENCH_r{N}.json keeps only a truncated tail of this
     # line; persist the COMPLETE per-query timing set next to it so
     # round-over-round diffs cover every query (committed per round as

@@ -770,6 +770,15 @@ def hash_split(
     items = sorted(bounds.items(), key=lambda kv: kv[1])
     if items[-1][1] != SPLIT_HASH_SPACE:
         raise ValueError(f"last bound must be {SPLIT_HASH_SPACE}")
+    # bounds must be strictly increasing positive ints: a duplicate or
+    # non-positive bound would silently produce an EMPTY split (the
+    # when-chain is keyed on strictly increasing thresholds)
+    ubs = [ub for _, ub in items]
+    if ubs[0] <= 0 or any(a >= b for a, b in zip(ubs, ubs[1:])):
+        raise ValueError(
+            f"bounds must be strictly increasing and positive, got "
+            f"{dict(items)}"
+        )
     bucket = (
         F.conv(
             F.substring(

@@ -21,10 +21,10 @@ engine reproduces), counts as BIGINT. At 100 TB the per-user history
 sort is the only super-linear cost; horizon count adds projections,
 not exchanges.
 
-Cf. reference nightly job (mydatastack/google-analytics-to-s3
-sql/session_agg.sql) which computes per-session aggregates only at
-session grain — this generalizes to arbitrary trailing horizons at
-event grain.
+Cf. the reference's windowed session-revenue aggregate
+(functions/sessionization/main.py:452-461), which sums value at
+session grain only — this generalizes to arbitrary trailing horizons
+at event grain.
 """
 
 from __future__ import annotations

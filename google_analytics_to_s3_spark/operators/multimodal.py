@@ -369,6 +369,8 @@ def _parse_ppm(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
         fields.append(int(raw[start:pos]))
     pos += 1  # the single whitespace after maxval
     w, h, maxval = fields
+    if w <= 0 or h <= 0:
+        raise ValueError(f"non-positive dimensions {w}x{h}")
     if maxval != 255:
         raise ValueError(f"only maxval=255 supported, got {maxval}")
     n = w * h * channels
@@ -525,6 +527,10 @@ def _parse_wav_pcm16(raw: bytes) -> tuple[int, "np.ndarray"]:
         (size,) = struct.unpack_from("<I", raw, pos + 4)
         body = raw[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(
+                    f"truncated fmt chunk ({len(body)} bytes, need 16)"
+                )
             fmt, n_ch, rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
             if fmt != 1 or n_ch != 1 or bits != 16:
@@ -532,6 +538,8 @@ def _parse_wav_pcm16(raw: bytes) -> tuple[int, "np.ndarray"]:
                     f"only PCM16 mono supported (fmt={fmt}, ch={n_ch}, "
                     f"bits={bits})"
                 )
+            if rate <= 0:
+                raise ValueError(f"invalid sample rate {rate}")
         elif cid == b"data":
             samples = np.frombuffer(
                 body[: len(body) - (len(body) % 2)], dtype="<i2"
@@ -580,7 +588,12 @@ def decode_wav_features(
                     out["n_windows"].append(len(wins))
                     out["rms_windows"].append(wins)
                     out["decode_error"].append(None)
-                except ValueError as e:
+                # struct.error covers unpack_from on payloads shorter
+                # than an advertised chunk; the parser validates rate>0
+                # so the duration division cannot raise — the broad net
+                # keeps the documented "one corrupt file never fails
+                # the batch" quarantine contract honest.
+                except (ValueError, struct.error) as e:
                     out["sample_rate_hz"].append(None)
                     out["n_samples"].append(None)
                     out["duration_ms"].append(None)
@@ -643,6 +656,10 @@ def _parse_y4m(raw: bytes) -> tuple[int, int, int, int, int, list[bytes]]:
             cs = val
     if w is None or h is None:
         raise ValueError("missing W/H in y4m header")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"non-positive dimensions W{w} H{h}")
+    if fd <= 0 or fn <= 0:
+        raise ValueError(f"invalid frame rate F{fn}:{fd}")
     if cs.startswith(b"444"):
         fsize = w * h * 3
     elif cs.startswith(b"420"):
@@ -690,7 +707,7 @@ def sample_y4m_frames(
                     w, h, fn, fd, _fs, frames = _parse_y4m(
                         bytes(payload)
                     )
-                except ValueError:
+                except (ValueError, struct.error):
                     continue
                 for i in range(0, len(frames), every_k):
                     y = np.frombuffer(

@@ -578,14 +578,35 @@ def srm_from_counts(
     if crit is None:
         raise ValueError(f"no tabulated 95% critical value for dof {k - 1}")
     spark = counts.sparkSession
-    wtab = F.broadcast(spark.createDataFrame(
-        [(a, expected_weights[a] / wsum) for a in arms],
-        "arm string, w double",
-    ))
-    # right join keeps arms with zero observations (n_obs -> 0)
-    j = counts.join(wtab, "arm", "right").select(
-        "arm", F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
-        "w",
+    # FULL-OUTER semantics with ZERO joins: the design is a driver-side
+    # dict, so the weight lookup is a literal when-chain over the
+    # observed counts — arms OBSERVED but absent from the design (a
+    # config bug, exactly what an SRM guardrail must surface) get
+    # expected weight 0 instead of being silently dropped — and arms
+    # in the design with zero observations enter via a k-row literal
+    # union (n_obs -> 0). The follow-up k-row merge aggregation is the
+    # only extra node; a full outer join here would be un-broadcastable
+    # and cost a SortMergeJoin.
+    w_expr = F.lit(0.0)
+    for a in arms:
+        w_expr = F.when(
+            F.col("arm") == a, F.lit(expected_weights[a] / wsum)
+        ).otherwise(w_expr)
+    design = spark.createDataFrame(
+        [(a, 0, expected_weights[a] / wsum) for a in arms],
+        "arm string, n_obs long, w double",
+    )
+    j = (
+        counts.select(
+            "arm", F.col("n_obs").cast("long").alias("n_obs"),
+            w_expr.alias("w"),
+        )
+        .unionByName(design)
+        .groupBy("arm")
+        .agg(
+            F.sum("n_obs").cast("long").alias("n_obs"),
+            F.max("w").alias("w"),
+        )
     )
     wall = Window.partitionBy()
     scored = j.select(
@@ -594,11 +615,16 @@ def srm_from_counts(
         .alias("n_exp"),
     ).select(
         "arm", "n_obs", F.round("n_exp", 6).alias("n_exp"),
-        (
+        # chi-square term; an observed arm with expected count 0 has a
+        # mathematically infinite contribution, so the alarm fires
+        F.when(
+            F.col("n_exp") > 0,
             (F.col("n_obs").cast("double") - F.col("n_exp"))
             * (F.col("n_obs").cast("double") - F.col("n_exp"))
-            / F.col("n_exp")
-        ).alias("_term"),
+            / F.col("n_exp"),
+        ).when(
+            F.col("n_obs") > 0, F.lit(float("inf"))
+        ).otherwise(F.lit(0.0)).alias("_term"),
     )
     return scored.select(
         "arm", "n_obs", "n_exp",

@@ -1413,11 +1413,18 @@ def q_session_timelines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_ms").alias("visit_start"),
         F.array_sort(F.collect_list(item)).alias("_items"),
     )
+    # JSON string escaping (backslash first, then quote) so an
+    # event_type containing '"' or '\' still yields valid JSON; the
+    # oracle applies the identical two literal replaces.
+    esc = lambda c: F.replace(  # noqa: E731
+        F.replace(c, F.lit("\\"), F.lit("\\\\")),
+        F.lit('"'), F.lit('\\"'),
+    )
     ev_json = F.transform(
         F.col("_items"),
         lambda x: F.concat(
             F.lit('{"t":'), x["t"].cast("string"),
-            F.lit(',"e":"'), x["e"], F.lit('"}'),
+            F.lit(',"e":"'), esc(x["e"]), F.lit('"}'),
         ),
     )
     return per.select(
@@ -1454,7 +1461,8 @@ SELECT user_id, user_session_id,
        min(ts_ms) AS visit_start,
        '[' || string_agg(
            '{{"t":' || CAST(ts_ms AS VARCHAR) || ',"e":"'
-             || event_type || '"}}', ','
+             || replace(replace(event_type, '\', '\\'), '"', '\"')
+             || '"}}', ','
            ORDER BY ts_ms, event_id) || ']' AS timeline_json
 FROM numbered
 GROUP BY user_id, user_session_id

@@ -151,23 +151,30 @@ def _stitch_edges(e: DataFrame) -> DataFrame:
     deployment must then window or threshold away).
 
     Invariant: user ids must sit strictly below _DEV_BASE (and device
-    ids below _KIOSK_BASE) so the id ranges never collide. Checked
-    here with a single-row bounded aggregate pull."""
-    mx = e.agg(F.max("user_id")).first()[0]
-    if mx is not None and (
-        mx >= _DEV_BASE or _DEV_BASE + mx * 3 + 2 >= _KIOSK_BASE
-    ):
-        raise ValueError(
-            f"max(user_id)={mx} overlaps the node-id bases "
-            f"(_DEV_BASE={_DEV_BASE}, _KIOSK_BASE={_KIOSK_BASE})"
-        )
+    ids below _KIOSK_BASE) so the id ranges never collide. Enforced
+    LAZILY inside the projection (when/otherwise + raise_error), so
+    building the plan costs nothing — plan-shape tests and registry
+    enumeration never trigger a scan — and any violating row fails
+    the job the moment the query actually executes."""
+    # combined bound: user_id < _DEV_BASE keeps login/device ranges
+    # apart, and _DEV_BASE + uid*3 + 2 < _KIOSK_BASE keeps device ids
+    # below the kiosk range; with the shipped bases the tighter bound
+    # is _DEV_BASE itself.
+    uid_bound = min(_DEV_BASE, (_KIOSK_BASE - _DEV_BASE - 2) // 3)
+    checked_uid = F.when(
+        F.col("user_id") < F.lit(uid_bound), F.col("user_id")
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("user_id "), F.col("user_id").cast("string"),
+        F.lit(f" overlaps the node-id bases (_DEV_BASE={_DEV_BASE}, "
+              f"_KIOSK_BASE={_KIOSK_BASE})"),
+    )))
     own = e.select(
-        F.col("user_id").alias("src"),
+        checked_uid.alias("src"),
         (F.lit(_DEV_BASE) + F.col("user_id") * 3 + F.col("event_id") % 3)
         .alias("dst"),
     )
     kiosk = e.filter(F.col("event_id") % 101 == 0).select(
-        F.col("user_id").alias("src"),
+        checked_uid.alias("src"),
         (F.lit(_KIOSK_BASE) + F.col("event_id") % 3).alias("dst"),
     )
     return own.unionByName(kiosk).distinct()

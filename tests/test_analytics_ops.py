@@ -116,6 +116,16 @@ class TestHashSplit:
     def test_bounds_validation(self, spark):
         with pytest.raises(ValueError, match="last bound"):
             hash_split(spark.range(1), "id", bounds={"a": 50, "b": 99})
+        # duplicate bound would silently empty split 'b'
+        with pytest.raises(ValueError, match="strictly increasing"):
+            hash_split(spark.range(1), "id",
+                       bounds={"a": 50, "b": 50, "c": 100})
+        with pytest.raises(ValueError, match="strictly increasing"):
+            hash_split(spark.range(1), "id",
+                       bounds={"a": 0, "b": 100})
+        with pytest.raises(ValueError, match="strictly increasing"):
+            hash_split(spark.range(1), "id",
+                       bounds={"a": -5, "b": 100})
 
 
 class TestPartitionStats:
@@ -166,6 +176,23 @@ class TestSrmCheck:
             srm_check(df, "arm", {"a": 1.0})
         with pytest.raises(ValueError, match="critical value"):
             srm_check(df, "arm", {str(i): 1.0 for i in range(9)})
+
+    def test_unexpected_arm_fires_alarm(self, spark):
+        # An observed arm ABSENT from the design (a config bug) must
+        # surface in the report with n_exp=0 and force the alarm —
+        # its chi-square contribution is mathematically infinite —
+        # never be silently dropped from the totals.
+        rows = [("a",)] * 500 + [("b",)] * 500 + [("rogue",)] * 7
+        df = spark.createDataFrame(rows, "arm string")
+        out = {r["arm"]: r for r in srm_check(
+            df, "arm", {"a": 1.0, "b": 1.0}
+        ).collect()}
+        assert set(out) == {"a", "b", "rogue"}
+        assert out["rogue"]["n_exp"] == 0.0
+        assert out["rogue"]["chi2_term"] == float("inf")
+        assert all(r["srm_alarm"] for r in out.values())
+        # the rogue units still count toward the per-arm expectations
+        assert out["a"]["n_exp"] == 503.5
 
 
 def _plan(df, mode: str = "simple") -> str:
