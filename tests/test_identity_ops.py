@@ -125,8 +125,10 @@ class TestErasure:
 
     def test_stitch_edges_rejects_colliding_user_ids(self, spark):
         # device node ids live above _DEV_BASE; a user_id at/above the
-        # base would silently merge unrelated users (ADVICE r4), so the
-        # edge builder asserts the separation invariant
+        # base would silently merge unrelated users (ADVICE r4). The
+        # invariant is enforced LAZILY (ADVICE r5: construction must
+        # not run a scan): building the plan succeeds, executing it
+        # fails on the violating row.
         import pytest as _pytest
 
         from google_analytics_to_s3_spark.plans.driver_queries_identity \
@@ -135,8 +137,23 @@ class TestErasure:
         bad = spark.createDataFrame(
             [(1, 7), (2, _DEV_BASE + 5)], "event_id long, user_id long"
         )
-        with _pytest.raises(ValueError, match="node-id bases"):
-            _stitch_edges(bad)
+        edges = _stitch_edges(bad)  # plan construction: no job, no error
+        with _pytest.raises(Exception, match="node-id bases"):
+            edges.collect()
+
+    def test_stitch_edges_construction_is_lazy(self, spark):
+        # merely building the edge plan must not trigger a Spark job
+        # (plan-shape tests and registry enumeration depend on it)
+        from google_analytics_to_s3_spark.plans.driver_queries_identity \
+            import _stitch_edges
+
+        tracker = spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        df = spark.createDataFrame(
+            [(1, 7)], "event_id long, user_id long"
+        )
+        _stitch_edges(df)
+        assert tracker.getJobIdsForGroup(None) == before
 
     def test_duplicate_query_keys_last_wins(self, spark):
         # canonical_url resolves ?a=1&a=2 last-wins under the session's
