@@ -121,3 +121,285 @@ def shuffle_shards(
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .drop("_h")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantile ranks — ntile / percent_rank without a
+# global-order window.
+#
+# ``Window.orderBy(...)`` with no partition key plans an Exchange
+# SinglePartition: one reducer sorts the whole table — the r5 verdict's
+# two flagged scale-killers (rfm_segments, quantile_normalize). The
+# exact replacement used here:
+#
+#   1. ONE sketch pass: percentile_approx cutpoints for every ranked
+#      metric (all metrics share the single aggregation job).
+#   2. Heavy tie values — a metric value spanning >= 2 cutpoint slots
+#      (~>= n/buckets rows) — get their OWN singleton bucket range,
+#      subdivided by percentile_approx over the TIEBREAK column
+#      (one more shared conditional-agg pass, only when ties exist),
+#      so massive ties (e.g. frequency == 1 for half the corpus) can
+#      never collapse into one straggler bucket.
+#   3. Bucket id = a literal when-chain in ascending (metric, tie)
+#      order — a pure map-side expression, deterministic on any
+#      engine, immune to sampling/row-order nondeterminism (unlike
+#      repartitionByRange, whose bounds re-sample per job).
+#   4. ONE counts pass: groupBy(bucket).count() -> driver prefix sums
+#      (<= groups x buckets tiny rows) -> offsets as an array literal.
+#   5. Final plan: row_number over Window.partitionBy(bucket) — a
+#      hash exchange + in-partition sort of n/buckets rows. Global
+#      rank = offset[bucket] + row_number; ntile / percent_rank are
+#      exact integer arithmetic on (rank, n) literals.
+#
+# The sketch accuracy only shapes bucket BALANCE, never rank
+# correctness: whatever the cutpoints, bucket order respects the
+# total (metric, tie) order and the counts pass measures true sizes.
+# ---------------------------------------------------------------------------
+
+
+def _cutpoint_plan(
+    df: DataFrame,
+    specs: list[tuple[str, str]],
+    buckets: int,
+    accuracy: int,
+) -> list[list[tuple]]:
+    """Shared sketch pass(es) for :func:`exact_ntiles` /
+    :func:`exact_group_percent_rank`. For each ``(metric, tie)`` spec
+    returns the ordered bucket-region list: items are
+    ``("le", cut)`` (metric <= cut), ``("eq_le", v, ucut)``
+    (metric == v and tie <= ucut), ``("eq", v)`` (metric == v
+    remainder) — evaluated as a cascading when-chain, so each region
+    implicitly excludes all earlier ones. Metrics must be non-null.
+    """
+    probs = [i / buckets for i in range(1, buckets)]
+    stats = df.agg(*[
+        F.percentile_approx(m, probs, accuracy).alias(f"_cp{i}")
+        for i, (m, _t) in enumerate(specs)
+    ]).first()
+
+    raw = [list(stats[f"_cp{i}"] or []) for i in range(len(specs))]
+    # multiplicity > 1 in the raw cutpoint list marks a heavy value
+    heavy: list[list[tuple]] = []
+    sub_aggs, sub_keys = [], []
+    for i, ((m, t), cps) in enumerate(zip(specs, raw)):
+        hv = []
+        for v in sorted(set(cps)):
+            mult = cps.count(v)
+            if mult > 1:
+                hv.append((v, mult))
+                sp = [j / (mult + 1) for j in range(1, mult + 1)]
+                sub_keys.append((i, v))
+                sub_aggs.append(
+                    F.percentile_approx(
+                        F.when(F.col(m) == v, F.col(t)), sp, accuracy
+                    ).alias(f"_sub{len(sub_aggs)}")
+                )
+        heavy.append(hv)
+
+    subs: dict[tuple, list] = {}
+    if sub_aggs:
+        row = df.agg(*sub_aggs).first()
+        for j, key in enumerate(sub_keys):
+            subs[key] = list(row[f"_sub{j}"] or [])
+
+    plans = []
+    for i, ((m, t), cps) in enumerate(zip(specs, raw)):
+        heavy_vals = {v for v, _ in heavy[i]}
+        regions: list[tuple] = []
+        for v in sorted(set(cps)):
+            if v in heavy_vals:
+                # strictly-below region, then the heavy value itself
+                # split by tie cutpoints, then its remainder
+                regions.append(("lt", v))
+                for ucut in sorted(set(subs.get((i, v), []))):
+                    regions.append(("eq_le", v, ucut))
+                regions.append(("eq", v))
+            else:
+                regions.append(("le", v))
+        plans.append(regions)
+    return plans
+
+
+def _bucket_expr(
+    metric: str, tie: str, regions: list[tuple]
+) -> Column:
+    """Cascading when-chain mapping each row to its 0-based bucket id
+    (region ids ascend with the (metric, tie) total order)."""
+    expr = None
+    m, t = F.col(metric), F.col(tie)
+    for bid, reg in enumerate(regions):
+        if reg[0] == "le":
+            cond = m <= F.lit(reg[1])
+        elif reg[0] == "lt":
+            cond = m < F.lit(reg[1])
+        elif reg[0] == "eq_le":
+            cond = (m == F.lit(reg[1])) & (t <= F.lit(reg[2]))
+        else:  # "eq"
+            cond = m == F.lit(reg[1])
+        expr = F.when(cond, bid) if expr is None else expr.when(cond, bid)
+    last = len(regions)
+    return (
+        F.lit(0) if expr is None else expr.otherwise(last)
+    ).cast("int")
+
+
+def _ntile_from_rank(rank: Column, n: int, tiles: int) -> Column:
+    """Standard SQL ntile front-loading from a 1-based global rank:
+    the first n % tiles tiles get ceil(n/tiles) rows. Exact integer
+    arithmetic (floor division on longs)."""
+    base, rem = divmod(n, tiles)
+    head = rem * (base + 1)
+    safe_base = max(base, 1)  # n < tiles: head covers every rank
+    return (
+        F.when(
+            rank <= F.lit(head),
+            F.floor((rank - 1) / F.lit(base + 1)) + 1,
+        )
+        .otherwise(
+            F.lit(rem) + F.floor((rank - 1 - head) / F.lit(safe_base)) + 1
+        )
+        .cast("int")
+    )
+
+
+def exact_ntiles(
+    df: DataFrame,
+    specs: list[tuple[str, str, str]],
+    tiles: int = 5,
+    buckets: int = 64,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """ntile(tiles) OVER (ORDER BY metric, tie) for EVERY
+    ``(metric_col, tie_col, out_col)`` spec — bit-identical to the SQL
+    window (front-loading rule included) with NO global-order sort:
+    see the module-level recipe. All specs share the sketch and
+    counts jobs; the final plan holds one bucket-hash exchange +
+    in-partition sort per spec (n/buckets rows each), never an
+    Exchange SinglePartition.
+
+    Preconditions: metrics non-null; (metric, tie) a total order
+    (tie unique). n must stay below 2^52 (exact double floor-div).
+    """
+    if not specs:
+        raise ValueError("specs must name at least one metric")
+    plans = _cutpoint_plan(
+        df, [(m, t) for m, t, _o in specs], buckets, accuracy
+    )
+    work = df
+    bcols = []
+    for i, ((m, t, _o), regions) in enumerate(zip(specs, plans)):
+        bc = f"_b{i}"
+        work = work.withColumn(bc, _bucket_expr(m, t, regions))
+        bcols.append(bc)
+
+    # one counts pass for all specs: explode (spec_idx, bucket) pairs
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("s"), F.col(bc).alias("b"))
+        for i, bc in enumerate(bcols)
+    ]))
+    counts = (
+        work.select(pairs.alias("p"))
+        .groupBy("p.s", "p.b")
+        .count()
+        .collect()
+    )
+    per_spec: dict[int, dict[int, int]] = {}
+    for r in counts:
+        per_spec.setdefault(r["s"], {})[r["b"]] = r["count"]
+    n_total = sum(per_spec.get(0, {}).values())
+
+    out = work
+    for i, (m, t, o) in enumerate(specs):
+        cmap = per_spec.get(i, {})
+        max_b = len(plans[i])  # bucket ids run 0..len(regions)
+        offsets, acc = [], 0
+        for b in range(max_b + 1):
+            offsets.append(acc)
+            acc += cmap.get(b, 0)
+        off = F.element_at(
+            F.array(*[F.lit(x) for x in offsets]), F.col(bcols[i]) + 1
+        )
+        w = Window.partitionBy(bcols[i]).orderBy(
+            F.col(m).asc(), F.col(t).asc()
+        )
+        rank = (off + F.row_number().over(w)).cast("long")
+        out = out.withColumn(o, _ntile_from_rank(rank, n_total, tiles))
+    return out.drop(*bcols)
+
+
+def exact_group_percent_rank(
+    df: DataFrame,
+    order_col: str,
+    tie_col: str,
+    group_cols: tuple[str, ...] | list[str],
+    out_col: str = "pct_rank",
+    buckets: int = 64,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """percent_rank() OVER (PARTITION BY group ORDER BY order, tie)
+    without a per-group single-reducer sort — the fix for low-
+    cardinality groups (the r5 verdict's `quantile_normalize`: 5
+    priority classes = 5 reducers sorting 20% of the table each).
+
+    Same recipe as :func:`exact_ntiles`, with the bucket cutpoints
+    sketched GLOBALLY (shared across groups — each (group, bucket)
+    cell is at most one bucket's rows) and offsets/group-sizes looked
+    up from literal maps keyed by the group. percent_rank =
+    (rank - 1) / (n_group - 1), exactly the SQL definition (0.0 for a
+    single-row group).
+
+    Preconditions: ``order_col`` non-null; (order, tie) total within
+    each group; group values non-null; group cardinality x buckets
+    must be driver-collectable (the counts pass) — this is the
+    documented low-cardinality contract, NOT a correctness cliff:
+    the collect is |groups| x buckets rows regardless of data size.
+    """
+    group_cols = list(group_cols)
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    (regions,) = _cutpoint_plan(
+        df, [(order_col, tie_col)], buckets, accuracy
+    )
+    work = df.withColumn("_b", _bucket_expr(order_col, tie_col, regions))
+
+    sep = "\x1f"
+    gkey = F.concat_ws(
+        sep, *[F.col(g).cast("string") for g in group_cols]
+    )
+    counts = (
+        work.groupBy(*group_cols, "_b").count().collect()
+    )
+    by_group: dict[str, dict[int, int]] = {}
+    for r in counts:
+        k = sep.join(str(r[g]) for g in group_cols)
+        by_group.setdefault(k, {})[r["_b"]] = r["count"]
+
+    off_entries: list = []
+    n_entries: list = []
+    for k, cmap in sorted(by_group.items()):
+        acc = 0
+        for b in sorted(cmap):
+            off_entries.append(F.lit(f"{k}{sep}{b}"))
+            off_entries.append(F.lit(acc))
+            acc += cmap[b]
+        n_entries.append(F.lit(k))
+        n_entries.append(F.lit(acc))
+
+    off = F.element_at(
+        F.create_map(*off_entries) if off_entries else F.create_map(),
+        F.concat_ws(sep, gkey, F.col("_b").cast("string")),
+    ).cast("long")
+    n_group = F.element_at(
+        F.create_map(*n_entries) if n_entries else F.create_map(),
+        gkey,
+    ).cast("long")
+
+    w = Window.partitionBy(*group_cols, "_b").orderBy(
+        F.col(order_col).asc(), F.col(tie_col).asc()
+    )
+    rank = off + F.row_number().over(w)
+    pr = F.when(
+        n_group > 1,
+        (rank - 1).cast("double") / (n_group - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return work.withColumn(out_col, pr).drop("_b")

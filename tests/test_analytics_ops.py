@@ -250,11 +250,15 @@ class TestAnalyticsPlans:
         assert "SortMergeJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
 
-    def test_rfm_user_sized_windows(self, spark, sf_smoke):
+    def test_rfm_no_global_sort(self, spark, sf_smoke):
         from google_analytics_to_s3_spark.plans import driver_queries as dq
 
         plan = _plan(dq.QUERIES["rfm_segments"](spark, sf_smoke))
         assert "Join" not in plan, plan
+        # the r5 verdict's flagged scale-killer: three ntile windows
+        # with no partition key = three single-reducer sorts. The
+        # exact_ntiles rewrite must keep every Exchange distributed.
+        assert "SinglePartition" not in plan, plan
 
 
 class TestPsiReport:

@@ -140,3 +140,174 @@ def test_shuffle_shards_writer_roundtrip(spark, sf_smoke, tmp_path):
         reread.filter("shard = 0").orderBy("pos").select("pos").collect()
     )
     assert [r["pos"] for r in one] == list(range(len(one)))
+
+
+class TestExactNtiles:
+    """exact_ntiles must be BIT-IDENTICAL to the SQL ntile window
+    (front-loading rule, tiebreaks, heavy ties) while keeping every
+    global-order sort out of the plan."""
+
+    def _check(self, spark, rows, tiles, buckets=8):
+        from pyspark.sql import Window
+
+        from google_analytics_to_s3_spark.operators.indexing import (
+            exact_ntiles,
+        )
+
+        df = spark.createDataFrame(rows, "k long, m long")
+        got = exact_ntiles(
+            df, [("m", "k", "score")], tiles=tiles, buckets=buckets
+        )
+        w = Window.orderBy(F.col("m").asc(), F.col("k").asc())
+        want = df.select(
+            "k", "m", F.ntile(tiles).over(w).cast("int").alias("score")
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_unique_values(self, spark):
+        rows = [(k, (k * 37) % 101) for k in range(101)]
+        self._check(spark, rows, tiles=5)
+
+    def test_heavy_ties(self, spark):
+        # half the corpus shares one metric value: the tie must be
+        # subdivided by the key cutpoints, and the ntile boundaries
+        # inside the tied run must match SQL exactly
+        rows = [(k, 7) for k in range(50)] + [
+            (50 + k, k % 9) for k in range(53)
+        ]
+        self._check(spark, rows, tiles=5)
+
+    def test_all_tied(self, spark):
+        rows = [(k, 1) for k in range(23)]
+        self._check(spark, rows, tiles=5)
+
+    def test_n_smaller_than_tiles(self, spark):
+        rows = [(k, 100 - k) for k in range(3)]
+        self._check(spark, rows, tiles=5)
+
+    def test_front_loading_exact(self, spark):
+        # n = 11, k = 5 -> tile sizes 3,2,2,2,2 (first n%k tiles get
+        # the extra row)
+        from google_analytics_to_s3_spark.operators.indexing import (
+            exact_ntiles,
+        )
+
+        df = spark.createDataFrame(
+            [(k, k) for k in range(11)], "k long, m long"
+        )
+        out = exact_ntiles(df, [("m", "k", "s")], tiles=5, buckets=4)
+        sizes = {
+            r["s"]: r["n"]
+            for r in out.groupBy("s").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        assert sizes == {1: 3, 2: 2, 3: 2, 4: 2, 5: 2}
+
+    def test_multi_spec_shares_passes(self, spark):
+        from pyspark.sql import Window
+
+        from google_analytics_to_s3_spark.operators.indexing import (
+            exact_ntiles,
+        )
+
+        rows = [(k, (k * 13) % 17, (k * 7) % 5) for k in range(60)]
+        df = spark.createDataFrame(rows, "k long, a long, b long")
+        got = exact_ntiles(
+            df, [("a", "k", "sa"), ("b", "k", "sb")], tiles=4,
+            buckets=8,
+        )
+        wa = Window.orderBy(F.col("a").asc(), F.col("k").asc())
+        wb = Window.orderBy(F.col("b").asc(), F.col("k").asc())
+        want = df.select(
+            "k", "a", "b",
+            F.ntile(4).over(wa).cast("int").alias("sa"),
+            F.ntile(4).over(wb).cast("int").alias("sb"),
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_no_global_sort_in_plan(self, spark):
+        from google_analytics_to_s3_spark.operators.indexing import (
+            exact_ntiles,
+        )
+
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("m")
+        )
+        out = exact_ntiles(df, [("m", "k", "s")], tiles=5, buckets=8)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "SinglePartition" not in plan, plan
+        assert "Join" not in plan, plan
+
+
+class TestExactGroupPercentRank:
+    def test_matches_sql_percent_rank(self, spark):
+        from pyspark.sql import Window
+
+        from google_analytics_to_s3_spark.operators.indexing import (
+            exact_group_percent_rank,
+        )
+
+        rows = [
+            (k, f"g{k % 3}", (k * 31) % 40) for k in range(120)
+        ] + [(200, "solo", 5)]  # single-row group -> 0.0
+        df = spark.createDataFrame(rows, "k long, g string, v long")
+        got = exact_group_percent_rank(
+            df, "v", "k", ["g"], out_col="pr", buckets=8
+        )
+        w = Window.partitionBy("g").orderBy(
+            F.col("v").asc(), F.col("k").asc()
+        )
+        want = df.select(
+            "k", "g", "v", F.percent_rank().over(w).alias("pr")
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_heavy_ties_within_group(self, spark):
+        from pyspark.sql import Window
+
+        from google_analytics_to_s3_spark.operators.indexing import (
+            exact_group_percent_rank,
+        )
+
+        rows = [(k, "a" if k % 2 else "b", 7) for k in range(80)] + [
+            (100 + k, "a", k % 4) for k in range(20)
+        ]
+        df = spark.createDataFrame(rows, "k long, g string, v long")
+        got = exact_group_percent_rank(
+            df, "v", "k", ["g"], out_col="pr", buckets=8
+        )
+        w = Window.partitionBy("g").orderBy(
+            F.col("v").asc(), F.col("k").asc()
+        )
+        want = df.select(
+            "k", "g", "v", F.percent_rank().over(w).alias("pr")
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_no_single_partition_exchange(self, spark):
+        from google_analytics_to_s3_spark.operators.indexing import (
+            exact_group_percent_rank,
+        )
+
+        df = spark.range(100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") % 11).alias("v"),
+        )
+        out = exact_group_percent_rank(df, "v", "k", ["g"], "pr", 8)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "SinglePartition" not in plan, plan
+        assert "Join" not in plan, plan
