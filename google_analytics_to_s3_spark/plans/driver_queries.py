@@ -2979,7 +2979,33 @@ ORACLES["lsh_recall"] = LSH_RECALL_ORACLE_TEMPLATE.format(
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # ---------------- round-5 rotation ----------------
+    # ---------------- round-6 rotation ----------------
+    # Goal (VERDICT r5 items 1 + 5): close driver-green evidence to
+    # 184/184 and refresh the stalest core rows. The 50-slot prefix:
+    # (r6-a) the 9 r2-green queries that sat past slot 50 in r5
+    "stratified_sample", "string_funcs", "table_profile",
+    "text_quality", "text_stats", "token_counts", "volume_shipping",
+    "winnow_fingerprints", "winnow_dup_pairs",
+    # (r6-b) the 27 queries registered in r5 after the prefix froze —
+    # never driver-checked, all locally oracle-green
+    "sequence_mining", "rfm_segments", "dataset_split", "pruning_stats",
+    "bounce_exit", "ab_srm", "lsh_recall", "psi_drift", "ab_cuped",
+    "blocking_supplier", "min_cost_supplier", "incremental_rollup",
+    "variant_extract", "session_hit_cap", "skew_report", "dau_wau_mau",
+    "new_vs_returning", "ltv_curve", "label_centroids", "ppm_decode",
+    "wav_decode", "y4m_shots", "session_timelines",
+    "target_encoding", "quantile_normalize", "hashed_features",
+    "langid_eval",
+    # (r6-c) 14 slots for the engine's signature computations whose
+    # latest driver row is r3 (the oldest remaining evidence):
+    # sessionization, traffic attribution, touchpoints, unpivot, UA
+    # parse and the five type-split export marts
+    "sessionize_flags", "sessionize_full", "session_stats",
+    "traffic_attribution", "touchpoints", "unpivot_products",
+    "ua_parse", "export_pageviews", "export_events_mart",
+    "export_products", "export_transactions", "export_items",
+    "json_props", "user_event_arrays",
+    # ---------------- round-5 rotation (historical) ----------------
     # Goal: close the driver-green evidence gap to 157/157 (VERDICT r4
     # item 1). The 50-slot prefix is, in order:
     # (r5-a) the 10 queries registered after the r4 prefix froze —
