@@ -2979,7 +2979,53 @@ ORACLES["lsh_recall"] = LSH_RECALL_ORACLE_TEMPLATE.format(
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # ---------------- round-6 rotation ----------------
+    # ---------------- round-7 rotation ----------------
+    # Goal (VERDICT r6 items 1 + 2): the 50-slot prefix is strictly
+    # oldest-evidence-first.
+    # (r7-a) wav_decode — the only registry query never driver-green
+    # (r6 red was the array-column canonicalizer crash; the output is
+    # now a %.6f-joined string, mirroring q_user_event_arrays)
+    "wav_decode",
+    # (r7-b) the 34 queries whose latest driver-green row is r3
+    "funnel_conversion", "retention_cohorts", "event_transitions",
+    "pq_codes", "pq_adc_topk", "time_to_conversion", "chunk_documents",
+    "incremental_attribution", "session_window_rollup",
+    "customer_distribution", "top_supplier", "small_qty_revenue",
+    "brand_disjunction_revenue", "sales_opportunity", "knn_components",
+    "knn_components_star", "gap_fill_ffill", "order_rank_stats",
+    "salted_event_totals", "embedding_lsh_pairs", "dedup_keep_best",
+    "events_grouping_sets", "hopping_window", "pii_scan",
+    "quality_filter", "contamination_screen", "lm_typicality",
+    "mixture_sample", "vocab_oov", "curation_pipeline",
+    "tfidf_top_terms", "bm25_search", "linear_count_users",
+    "scd2_customer_priority",
+    # (r7-c) the 15 oldest r4-green rows (first checked in the r4
+    # prefix; the remaining 35 r4 rows queue below for r8)
+    "pack_sequences", "value_histograms", "part_pagerank", "hll_users",
+    "page_path_levels", "envelope_decode", "repetition_signals",
+    "bloom_probe", "source_caps", "knn_ivfpq", "action_revenue",
+    "graph_triangles", "merge_upsert", "quantile_sketch", "fuzzy_match",
+    # (r8-queue) the remaining 35 r4-green rows, oldest-first, so the
+    # r8 prefix self-assembles by dropping the 50 entries above
+    "bpe_merges", "cms_counts", "k_core", "attribution_models",
+    "semdedup", "bpe_encode", "interval_join", "dsir_weights",
+    "knn_recall", "dup_spans", "dup_spans_removed", "fuzzy_dedup",
+    "dedup_incremental", "embedding_project", "salted_join",
+    "upsample_mixture", "logreg_quality", "global_index",
+    "shuffle_shards", "kmv_overlap", "weighted_sample", "zorder_keys",
+    "snapshot_diff", "rolling_features", "ab_lift", "dq_report",
+    "hopping_distinct", "basket_rules", "boilerplate_fraction",
+    "dataset_card", "event_anomalies", "session_paths",
+    "shot_boundaries", "url_dedup", "markov_attribution",
+    # (r8-queue, r5-green block) the 50 r5-green rows follow
+    "identity_stitching", "user_erasure", "phrase_search",
+    "bootstrap_ci", "scd2_asof_enrich", "word_pmi", "item_similarity",
+    "cusum_changepoints", "k_anonymity", "seasonal_anomalies",
+    "daily_engagement", "session_revenue", "export_sessions",
+    "hit_type_mapping", "union_active_users", "events_pivot",
+    "events_cube", "anonymize_ip", "asof_join", "geo_enrich",
+    "multimodal_decode", "streaming_sessions",
+    # ---------------- round-6 rotation (historical) ----------------
     # Goal (VERDICT r5 items 1 + 5): close driver-green evidence to
     # 184/184 and refresh the stalest core rows. The 50-slot prefix:
     # (r6-a) the 9 r2-green queries that sat past slot 50 in r5

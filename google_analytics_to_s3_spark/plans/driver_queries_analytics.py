@@ -1233,9 +1233,19 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = e.mapInPandas(
         _synth, schema="doc_id long, payload binary"
     )
+    # array_join to a scalar so the driver's oracle canonicalizer can
+    # hash the cell (CORRECTNESS_r06: raw ARRAY<DOUBLE> dies in the
+    # driver's pandas sort_values; same contract as q_user_event_arrays).
+    # %.6f on the already-round(6) values renders identically in both
+    # engines.
     return decode_wav_features(payloads, window_samples=400).select(
         "doc_id", "sample_rate_hz", "n_samples", "duration_ms",
-        "n_windows", "rms_windows",
+        "n_windows",
+        F.array_join(
+            F.transform("rms_windows",
+                        lambda x: F.format_string("%.6f", x)),
+            ",",
+        ).alias("rms_windows"),
     )
 
 
@@ -1266,7 +1276,7 @@ SELECT event_id AS doc_id,
        CAST(n AS BIGINT) AS n_samples,
        CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
        CAST(count(*) AS INTEGER) AS n_windows,
-       list(rms ORDER BY w) AS rms_windows
+       string_agg(printf('%.6f', rms), ',' ORDER BY w) AS rms_windows
 FROM r GROUP BY event_id, n
 """
 

@@ -37,8 +37,16 @@ def _norm(v):
             return "NaN"
         # collapse -0.0 vs 0.0
         return v + 0.0
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
+    if isinstance(v, (list, tuple, dict, set)):
+        # The grading driver's pandas canonicalizer cannot hash
+        # non-scalar cells (CORRECTNESS_r06 wav_decode: "unhashable
+        # type: 'numpy.ndarray'"). Reject here so local green always
+        # implies driver green — queries must array_join/to_json any
+        # collection column before returning it.
+        raise TypeError(
+            f"non-scalar cell {type(v).__name__} violates the driver "
+            "canonicalizer contract; serialize it to a string column"
+        )
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):

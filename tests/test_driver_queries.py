@@ -13,9 +13,27 @@ from .oracle import compare
 QUERY_NAMES = sorted(dq.QUERIES.keys())
 
 
+def _assert_driver_safe_schema(name, df):
+    """The driver's pandas canonicalizer hashes every cell; ArrayType/
+    MapType/StructType columns crash it (CORRECTNESS_r06 wav_decode).
+    Structurally forbid them in every registered query's output."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"{name}: non-scalar output columns {bad} violate the driver "
+        "canonicalizer contract — array_join/to_json them"
+    )
+
+
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, sf_oracle, name):
     df = dq.QUERIES[name](spark, sf_oracle)
+    _assert_driver_safe_schema(name, df)
     if name not in dq.ORACLES:
         # deliberately oracle-less (e.g. engine-specific sketches): the
         # driver records a rows-only check — mirror that
