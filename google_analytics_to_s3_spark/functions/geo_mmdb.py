@@ -28,9 +28,11 @@ lib, which is not installed in this environment):
   (Typed-schema delta, documented: the reference emits the STRING
   '(not set)' for lat/lon in its fallback row; the ranges table is
   double-typed, so unmatched rows get 0.0 — functions/geo.py:97-98.)
-- :func:`mmdb_to_ranges` — the import-gated wrapper: opens the mmdb
-  with ``maxminddb`` (raises ImportError with install guidance when
-  absent) and builds the broadcast-ready DataFrame.
+- :func:`mmdb_to_ranges` — opens the mmdb with ``maxminddb`` when
+  installed, else the spec-derived pure reader
+  (functions/mmdb_format.py), and builds the broadcast-ready
+  DataFrame; raises loudly when a non-empty database converts to
+  zero ranges.
 """
 
 from __future__ import annotations
@@ -80,15 +82,29 @@ def record_to_geo_row(record: dict) -> dict | None:
 
 def network_to_bounds(network: str) -> tuple[int, int] | None:
     """CIDR string → (ip_start inclusive, ip_end exclusive) as ints.
-    None for IPv6 or unparseable networks."""
+
+    IPv6 networks that EMBED IPv4 space are converted, not dropped:
+    GeoLite2-City ships as an ip_version=6 database whose IPv4 content
+    sits under ``::ffff:0:0/96`` (IPv4-mapped) or ``::/96``
+    (IPv4-compatible), and iterators may yield those subtrees as IPv6
+    CIDRs — dropping them would silently empty the converter (r6
+    ADVICE). Any other IPv6 network returns None (the ranges table and
+    ``ipv4_to_long`` are IPv4 — same practical scope as the
+    reference, whose GA collector records dotted-quad client IPs)."""
     try:
         net = ipaddress.ip_network(network, strict=False)
     except ValueError:
         return None
-    if net.version != 4:
+    if net.version == 4:
+        start = int(net.network_address)
+        return start, start + net.num_addresses
+    if net.prefixlen < 96:
         return None
-    start = int(net.network_address)
-    return start, start + net.num_addresses
+    base = int(net.network_address)
+    if net.network_address.ipv4_mapped is not None or base >> 32 == 0:
+        start = base & 0xFFFFFFFF
+        return start, start + net.num_addresses
+    return None
 
 
 def ranges_rows_from_entries(
@@ -111,6 +127,23 @@ def ranges_rows_from_entries(
         )
 
 
+def iter_mmdb_entries(mmdb_path: str) -> Iterator[tuple[str, dict]]:
+    """Every (network_cidr, record) in the file: via the ``maxminddb``
+    package when installed (battle-tested, memory-mapped), else the
+    spec-derived pure-Python reader (functions/mmdb_format.py) — the
+    converter runs for real either way."""
+    try:
+        import maxminddb
+    except ImportError:
+        from .mmdb_format import iter_mmdb
+
+        yield from iter_mmdb(mmdb_path)
+        return
+    with maxminddb.open_database(mmdb_path) as reader:
+        for network, record in reader:
+            yield str(network), record
+
+
 def mmdb_to_ranges(spark: SparkSession, mmdb_path: str) -> DataFrame:
     """Convert a GeoLite2-City mmdb file into the broadcast ranges
     DataFrame ``with_geo_columns`` consumes. One driver-side pass over
@@ -118,20 +151,23 @@ def mmdb_to_ranges(spark: SparkSession, mmdb_path: str) -> DataFrame:
     step, not a per-query cost; persist the result as parquet and
     broadcast it thereafter).
 
-    Requires the ``maxminddb`` package (same dependency as the
-    reference's Lambda); import is gated so environments without it
-    keep every other geo path usable.
-    """
-    try:
-        import maxminddb
-    except ImportError as e:  # pragma: no cover - env-specific
-        raise ImportError(
-            "mmdb_to_ranges needs the 'maxminddb' package "
-            "(pip install maxminddb) — the synthetic-ranges path "
-            "(functions/geo.py) works without it"
-        ) from e
-    with maxminddb.open_database(mmdb_path) as reader:
-        rows = list(ranges_rows_from_entries(
-            (str(network), record) for network, record in reader
-        ))
+    Raises when a NON-empty database converts to zero rows — the
+    signature of an iterator yielding network forms the converter
+    mishandles (r6 ADVICE: an all-IPv6-rendered database silently
+    produced an empty ranges table)."""
+    seen = 0
+
+    def _counting() -> Iterator[tuple[str, dict]]:
+        nonlocal seen
+        for entry in iter_mmdb_entries(mmdb_path):
+            seen += 1
+            yield entry
+
+    rows = list(ranges_rows_from_entries(_counting()))
+    if seen and not rows:
+        raise ValueError(
+            f"mmdb_to_ranges: {seen} networks in {mmdb_path} yielded "
+            "0 IPv4 ranges — the database renders networks in a form "
+            "network_to_bounds does not recognize"
+        )
     return spark.createDataFrame(rows, RANGES_SCHEMA)

@@ -83,6 +83,7 @@ def rfm_segments(
     frequency_col: str,
     monetary_col: str,
     tiles: int = 5,
+    **ranking_kwargs,
 ) -> DataFrame:
     """RFM quintile segmentation over a per-user metric table: each
     dimension gets an ``ntile(tiles)`` score (higher = better customer
@@ -117,6 +118,7 @@ def rfm_segments(
             (monetary_col, user_col, "m_score"),
         ],
         tiles=tiles,
+        **ranking_kwargs,
     )
     return scored.withColumn(
         "segment",
@@ -180,3 +182,86 @@ def target_encode_loo(
         f"{category_col}_enc",
         F.round(num.cast("double") / den.cast("double"), 6),
     ).drop("_cs", "_cn", "_gs", "_gn")
+
+
+def robust_outlier_bounds(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    group_cols: tuple[str, ...] | list[str],
+    k: float = 3.0,
+    consistency: float = 1.4826,
+    **ranking_kwargs,
+) -> DataFrame:
+    """Median/MAD robust outlier detection + winsorization per group —
+    the heavy-tail-safe alternative to mean/stddev z-scores (one whale
+    order shifts a mean; it cannot shift a median).
+
+    Per group: ``med = quantile_disc(value, 0.5)`` and
+    ``mad = quantile_disc(|value - med|, 0.5)`` (both the SQL-window
+    discrete quantile: the value at rank ceil(n/2) in (value, tie)
+    order), via :func:`..indexing.exact_group_quantile_disc` — so no
+    global-order sort and a |groups|-row driver collect at any data
+    size. A row is flagged when ``|value - med| > k * consistency *
+    mad`` (consistency 1.4826 scales MAD to sigma under normality) and
+    ``value_winsor`` clamps to the same bounds.
+
+    The per-group medians/MADs return as tiny dicts and re-enter as
+    broadcast joins on the raw group columns — never a stringified
+    literal-map key, so boolean/decimal/timestamp group columns are
+    safe (the r6 ADVICE rendering-drift class).
+
+    Exactness: with an integral ``value_col`` med/mad/dev are exact
+    longs; the flag threshold and winsor bounds are one IEEE double
+    product each — engine-identical. Adds columns: ``_med``, ``_mad``,
+    ``is_outlier``, ``value_winsor``.
+    """
+    from .indexing import exact_group_quantile_disc
+
+    group_cols = list(group_cols)
+    # count once; both quantile passes see the same row count (the
+    # med broadcast-join is inner over groups present in the dict, so
+    # it preserves every row)
+    if "known_n" not in ranking_kwargs:
+        ranking_kwargs["known_n"] = df.count()
+    spark = df.sparkSession
+    gtypes = {f.name: f.dataType for f in df.schema.fields}
+    vtype = gtypes[value_col]
+
+    def _small_df(d: dict, out_name: str):
+        from pyspark.sql import types as T
+
+        fields = [T.StructField(g, gtypes[g]) for g in group_cols]
+        fields.append(T.StructField(out_name, vtype))
+        rows = [(*key, val) for key, val in sorted(d.items())]
+        return spark.createDataFrame(rows, T.StructType(fields))
+
+    med = exact_group_quantile_disc(
+        df, value_col, tie_col, group_cols, 0.5, **ranking_kwargs
+    )
+    with_med = df.join(
+        F.broadcast(_small_df(med, "_med")), group_cols
+    ).withColumn("_dev", F.abs(F.col(value_col) - F.col("_med")))
+
+    mad = exact_group_quantile_disc(
+        with_med, "_dev", tie_col, group_cols, 0.5, **ranking_kwargs
+    )
+    out = with_med.join(
+        F.broadcast(_small_df(mad, "_mad")), group_cols
+    )
+    thr = F.lit(float(k) * float(consistency)) * F.col("_mad").cast(
+        "double"
+    )
+    dev = F.col("_dev").cast("double")
+    medd = F.col("_med").cast("double")
+    return (
+        out.withColumn("is_outlier", dev > thr)
+        .withColumn(
+            "value_winsor",
+            F.greatest(
+                medd - thr,
+                F.least(medd + thr, F.col(value_col).cast("double")),
+            ),
+        )
+        .drop("_dev")
+    )

@@ -127,6 +127,27 @@ def shuffle_shards(
 # Exact distributed quantile ranks — ntile / percent_rank without a
 # global-order window.
 #
+# EXECUTION CONTRACT (read before calling):
+#
+# * Plan-construction EXECUTES Spark jobs (a count, and above the
+#   small-n threshold a sketch pass + a counts pass). Treat these
+#   builders as actions, not lazy transformations.
+# * The input's lineage MUST be deterministic across re-scans: the
+#   counts pass and the final job each scan it, and desynced scans
+#   (rand()/sample without a seed, a streaming source, files appended
+#   mid-query) yield silently wrong ranks. Immutable parquet scans —
+#   every caller in this repo — satisfy this for free. For
+#   nondeterministic lineage pass ``cache_input=True``, which persists
+#   the bucketed frame (MEMORY_AND_DISK) so both passes observe
+#   identical data; the caller owns the eventual ``unpersist``.
+# * Below ``small_n_threshold`` rows (one cheap count job — parquet
+#   count-star folds to metadata) the builders fall back to the plain
+#   SQL window: identical output (pinned by the property tests in
+#   tests/test_indexing.py), single-reducer sort acceptable at that
+#   size. The sketch path below engages only at scale, so small inputs
+#   don't pay its 3-4 extra jobs (the r6 bench regressions on
+#   rfm_segments / quantile_normalize).
+#
 # ``Window.orderBy(...)`` with no partition key plans an Exchange
 # SinglePartition: one reducer sorts the whole table — the r5 verdict's
 # two flagged scale-killers (rfm_segments, quantile_normalize). The
@@ -177,6 +198,20 @@ def _cutpoint_plan(
         for i, (m, _t) in enumerate(specs)
     ]).first()
 
+    # percentile_approx requires a numeric tiebreak; for non-numeric
+    # tie columns (string GA client ids) skip the heavy-value
+    # subdivision — the heavy value keeps one straggler bucket, which
+    # costs balance, never correctness (the counts pass measures true
+    # sizes whatever the regions are).
+    numeric = {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    }
+    dtypes = dict(df.dtypes)
+
+    def _tie_numeric(t: str) -> bool:
+        dt = dtypes.get(t, "")
+        return dt in numeric or dt.startswith("decimal")
+
     raw = [list(stats[f"_cp{i}"] or []) for i in range(len(specs))]
     # multiplicity > 1 in the raw cutpoint list marks a heavy value
     heavy: list[list[tuple]] = []
@@ -185,7 +220,7 @@ def _cutpoint_plan(
         hv = []
         for v in sorted(set(cps)):
             mult = cps.count(v)
-            if mult > 1:
+            if mult > 1 and _tie_numeric(t):
                 hv.append((v, mult))
                 sp = [j / (mult + 1) for j in range(1, mult + 1)]
                 sub_keys.append((i, v))
@@ -262,26 +297,48 @@ def _ntile_from_rank(rank: Column, n: int, tiles: int) -> Column:
     )
 
 
+DEFAULT_SMALL_N = 4_000_000
+
+
 def exact_ntiles(
     df: DataFrame,
     specs: list[tuple[str, str, str]],
     tiles: int = 5,
     buckets: int = 64,
     accuracy: int = 10_000,
+    small_n_threshold: int = DEFAULT_SMALL_N,
+    cache_input: bool = False,
+    known_n: int | None = None,
 ) -> DataFrame:
     """ntile(tiles) OVER (ORDER BY metric, tie) for EVERY
     ``(metric_col, tie_col, out_col)`` spec — bit-identical to the SQL
-    window (front-loading rule included) with NO global-order sort:
-    see the module-level recipe. All specs share the sketch and
-    counts jobs; the final plan holds one bucket-hash exchange +
-    in-partition sort per spec (n/buckets rows each), never an
-    Exchange SinglePartition.
+    window (front-loading rule included) with NO global-order sort at
+    scale: see the module-level recipe and EXECUTION CONTRACT. All
+    specs share the sketch and counts jobs; the final plan holds one
+    bucket-hash exchange + in-partition sort per spec (n/buckets rows
+    each), never an Exchange SinglePartition.
+
+    Below ``small_n_threshold`` rows the plain ntile window runs
+    instead (identical output; a <4M-row single-reducer sort is
+    cheaper than the sketch machinery's extra jobs). Set it to 0 to
+    force the sketch path (the plan tests do).
 
     Preconditions: metrics non-null; (metric, tie) a total order
-    (tie unique). n must stay below 2^52 (exact double floor-div).
+    (tie unique); deterministic input lineage unless
+    ``cache_input=True`` (see EXECUTION CONTRACT). n must stay below
+    2^52 (exact double floor-div).
     """
     if not specs:
         raise ValueError("specs must name at least one metric")
+    n_rows = df.count() if known_n is None else known_n
+    if small_n_threshold and n_rows <= small_n_threshold:
+        out = df
+        for m, t, o in specs:
+            w = Window.orderBy(F.col(m).asc(), F.col(t).asc())
+            out = out.withColumn(
+                o, F.ntile(tiles).over(w).cast("int")
+            )
+        return out
     plans = _cutpoint_plan(
         df, [(m, t) for m, t, _o in specs], buckets, accuracy
     )
@@ -291,6 +348,8 @@ def exact_ntiles(
         bc = f"_b{i}"
         work = work.withColumn(bc, _bucket_expr(m, t, regions))
         bcols.append(bc)
+    if cache_input:
+        work = work.persist()
 
     # one counts pass for all specs: explode (spec_idx, bucket) pairs
     pairs = F.explode(F.array(*[
@@ -327,53 +386,71 @@ def exact_ntiles(
     return out.drop(*bcols)
 
 
-def exact_group_ranks(
+def _group_ranks_impl(
     df: DataFrame,
     order_col: str,
     tie_col: str,
-    group_cols: tuple[str, ...] | list[str],
-    rank_col: str = "_rank",
-    n_col: str = "_n_group",
-    buckets: int = 64,
-    accuracy: int = 10_000,
-) -> DataFrame:
-    """row_number() OVER (PARTITION BY group ORDER BY order, tie) plus
-    the group's row count — the shared primitive behind
-    :func:`exact_group_percent_rank` and
-    :func:`exact_group_quantile_disc`, with no per-group
-    single-reducer sort (the fix for low-cardinality groups: a plain
-    window partitioned by a 5-value column is 5 reducers sorting 20%
-    of the table each).
-
-    Same recipe as :func:`exact_ntiles`, with the bucket cutpoints
-    sketched GLOBALLY (shared across groups — each (group, bucket)
-    cell is at most one bucket's rows) and offsets/group-sizes looked
-    up from literal maps keyed by the group.
-
-    Preconditions: ``order_col`` non-null; (order, tie) total within
-    each group; group values non-null; group cardinality x buckets
-    must be driver-collectable (the counts pass) — this is the
-    documented low-cardinality contract, NOT a correctness cliff:
-    the collect is |groups| x buckets rows regardless of data size.
-    """
-    group_cols = list(group_cols)
+    group_cols: list[str],
+    rank_col: str,
+    n_col: str,
+    buckets: int,
+    accuracy: int,
+    small_n_threshold: int,
+    cache_input: bool,
+    known_n: int | None = None,
+) -> tuple[DataFrame, int | None]:
+    """Shared engine for :func:`exact_group_percent_rank` /
+    :func:`exact_group_quantile_disc`: returns the ranked frame plus
+    the group count measured by the counts pass (``None`` on the
+    small-n plain-window path, which has no counts pass).
+    ``known_n`` skips the gating count job when the caller already
+    knows the row count (multi-call composites like
+    robust_outlier_bounds)."""
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
+    n_rows = df.count() if known_n is None else known_n
+    if small_n_threshold and n_rows <= small_n_threshold:
+        wg = Window.partitionBy(*group_cols)
+        w = wg.orderBy(F.col(order_col).asc(), F.col(tie_col).asc())
+        return (
+            df.withColumn(
+                rank_col, F.row_number().over(w).cast("long")
+            ).withColumn(n_col, F.count("*").over(wg).cast("long")),
+            None,
+        )
     (regions,) = _cutpoint_plan(
         df, [(order_col, tie_col)], buckets, accuracy
     )
     work = df.withColumn("_b", _bucket_expr(order_col, tie_col, regions))
+    if cache_input:
+        work = work.persist()
 
+    # The offset/size literal maps are keyed by the SPARK-rendered
+    # group key (collected from the counts pass itself), never a
+    # Python re-stringification: str(True) != CAST(true AS STRING),
+    # and any drift between the two rendered silently-null lookups
+    # (r6 ADVICE finding). The raw group values ride along only to
+    # detect separator collisions.
     sep = "\x1f"
     gkey = F.concat_ws(
         sep, *[F.col(g).cast("string") for g in group_cols]
     )
     counts = (
-        work.groupBy(*group_cols, "_b").count().collect()
+        work.groupBy(gkey.alias("_gkey"), *group_cols, "_b")
+        .count()
+        .collect()
     )
+    seen_tuples: dict[str, tuple] = {}
     by_group: dict[str, dict[int, int]] = {}
     for r in counts:
-        k = sep.join(str(r[g]) for g in group_cols)
+        k = r["_gkey"]
+        gt = tuple(r[g] for g in group_cols)
+        if seen_tuples.setdefault(k, gt) != gt:
+            raise ValueError(
+                "exact_group_ranks: distinct group tuples "
+                f"{seen_tuples[k]!r} and {gt!r} collide on the \\x1f "
+                "separator — group values must not contain \\x1f"
+            )
         by_group.setdefault(k, {})[r["_b"]] = r["count"]
 
     off_entries: list = []
@@ -387,25 +464,85 @@ def exact_group_ranks(
         n_entries.append(F.lit(k))
         n_entries.append(F.lit(acc))
 
-    off = F.element_at(
+    # fail LOUDLY on a missing map entry (a desynced re-scan or a
+    # group unseen by the counts pass), never default silently
+    off_raw = F.element_at(
         F.create_map(*off_entries) if off_entries else F.create_map(),
         F.concat_ws(sep, gkey, F.col("_b").cast("string")),
     ).cast("long")
-    n_group = F.element_at(
+    off = F.when(off_raw.isNotNull(), off_raw).otherwise(
+        F.raise_error(F.concat(
+            F.lit("exact_group_ranks: no offset for group key '"),
+            gkey,
+            F.lit("' — input changed between the counts pass and the "
+                  "final job (see EXECUTION CONTRACT; pass "
+                  "cache_input=True for nondeterministic lineage)"),
+        ))
+    )
+    n_raw = F.element_at(
         F.create_map(*n_entries) if n_entries else F.create_map(),
         gkey,
     ).cast("long")
+    n_group = F.when(n_raw.isNotNull(), n_raw).otherwise(
+        F.raise_error(F.concat(
+            F.lit("exact_group_ranks: no size for group key '"),
+            gkey, F.lit("' — desynced input (see EXECUTION CONTRACT)"),
+        ))
+    )
 
     w = Window.partitionBy(*group_cols, "_b").orderBy(
         F.col(order_col).asc(), F.col(tie_col).asc()
     )
-    return (
+    ranked = (
         work.withColumn(
             rank_col, (off + F.row_number().over(w)).cast("long")
         )
         .withColumn(n_col, n_group)
         .drop("_b")
     )
+    return ranked, len(by_group)
+
+
+def exact_group_ranks(
+    df: DataFrame,
+    order_col: str,
+    tie_col: str,
+    group_cols: tuple[str, ...] | list[str],
+    rank_col: str = "_rank",
+    n_col: str = "_n_group",
+    buckets: int = 64,
+    accuracy: int = 10_000,
+    small_n_threshold: int = DEFAULT_SMALL_N,
+    cache_input: bool = False,
+    known_n: int | None = None,
+) -> DataFrame:
+    """row_number() OVER (PARTITION BY group ORDER BY order, tie) plus
+    the group's row count — the shared primitive behind
+    :func:`exact_group_percent_rank` and
+    :func:`exact_group_quantile_disc`, with no per-group
+    single-reducer sort at scale (the fix for low-cardinality groups:
+    a plain window partitioned by a 5-value column is 5 reducers
+    sorting 20% of the table each). See the module EXECUTION CONTRACT
+    for the small-n fast path, eager jobs, and the deterministic-input
+    precondition.
+
+    Same recipe as :func:`exact_ntiles`, with the bucket cutpoints
+    sketched GLOBALLY (shared across groups — each (group, bucket)
+    cell is at most one bucket's rows) and offsets/group-sizes looked
+    up from literal maps keyed by the Spark-rendered group key.
+
+    Preconditions: ``order_col`` non-null; (order, tie) total within
+    each group; group values non-null and free of ``\\x1f``; group
+    cardinality x buckets must be driver-collectable (the counts
+    pass) — this is the documented low-cardinality contract, NOT a
+    correctness cliff: the collect is |groups| x buckets rows
+    regardless of data size.
+    """
+    ranked, _ = _group_ranks_impl(
+        df, order_col, tie_col, list(group_cols), rank_col, n_col,
+        buckets, accuracy, small_n_threshold, cache_input, known_n,
+    )
+    return ranked
 
 
 def exact_group_percent_rank(
@@ -416,6 +553,9 @@ def exact_group_percent_rank(
     out_col: str = "pct_rank",
     buckets: int = 64,
     accuracy: int = 10_000,
+    small_n_threshold: int = DEFAULT_SMALL_N,
+    cache_input: bool = False,
+    known_n: int | None = None,
 ) -> DataFrame:
     """percent_rank() OVER (PARTITION BY group ORDER BY order, tie)
     via :func:`exact_group_ranks`: (rank - 1) / (n_group - 1), exactly
@@ -424,6 +564,8 @@ def exact_group_percent_rank(
         df, order_col, tie_col, group_cols,
         rank_col="_egr_rank", n_col="_egr_n",
         buckets=buckets, accuracy=accuracy,
+        small_n_threshold=small_n_threshold, cache_input=cache_input,
+        known_n=known_n,
     )
     pr = F.when(
         F.col("_egr_n") > 1,
@@ -441,55 +583,61 @@ def exact_group_quantile_disc(
     q: float,
     buckets: int = 64,
     accuracy: int = 10_000,
+    small_n_threshold: int = DEFAULT_SMALL_N,
+    cache_input: bool = False,
+    known_n: int | None = None,
 ) -> dict[tuple, int]:
-    """EXACT discrete quantile per group — SQL ``quantile_disc(x, q)``
-    (the smallest value whose cumulative row share reaches q, i.e. the
-    value at rank ceil(q * n) in value order) — computed with the
-    :func:`exact_group_ranks` machinery and returned as a driver-side
-    ``{group_tuple: value}`` dict, the broadcast-ready form for
-    literal-map enrichment (robust z-scores, MAD thresholds,
-    winsorization bounds).
+    """EXACT discrete quantile per group — SQL-window semantics: the
+    value at 1-based rank ``ceil(q * n)`` in (value, tie) order, i.e.
+    the smallest value whose cumulative row share reaches q — computed
+    with the :func:`exact_group_ranks` machinery and returned as a
+    driver-side ``{group_tuple: value}`` dict, the broadcast-ready
+    form for literal-map enrichment (consumed by
+    :func:`..features.robust_outlier_bounds` for median/MAD
+    winsorization).
 
-    No global sort anywhere: the filter ``rank == ceil(q*n)`` selects
-    |groups| rows out of the bucket-ranked table. Same preconditions
-    as :func:`exact_group_ranks`; q in (0, 1]."""
+    No global sort and no unbounded collect anywhere: the target rank
+    is exact long arithmetic (q as a reduced fraction over 10^9), the
+    filter ``rank == target`` selects EXACTLY one row per group (ranks
+    are contiguous 1..n within a group by construction), and the
+    collect is |groups| rows. A size mismatch against the counts-pass
+    group count means the preconditions were violated (desynced
+    nondeterministic input) and raises rather than repairing silently.
+    Same preconditions as :func:`exact_group_ranks`; q in (0, 1];
+    n * q-numerator must stay below 2^63 (q=0.5 -> n below 2^62)."""
     if not 0 < q <= 1:
         raise ValueError(f"q must be in (0, 1], got {q}")
     import math
 
     group_cols = list(group_cols)
-    ranked = exact_group_ranks(
+    ranked, n_groups = _group_ranks_impl(
         df, order_col, tie_col, group_cols,
         rank_col="_egq_rank", n_col="_egq_n",
         buckets=buckets, accuracy=accuracy,
+        small_n_threshold=small_n_threshold, cache_input=cache_input,
+        known_n=known_n,
     )
-    # ceil(q*n) in exact integer arithmetic when q is a simple ratio:
-    # express q as a fraction over 10^9 (enough for any practical q)
-    qn = int(round(q * 1_000_000_000))
-    target = F.ceil(
-        (F.col("_egq_n") * qn - 1) / F.lit(1_000_000_000) + 1e-18
-    ).cast("long")
-    # robust and simple: ceil(q*n) computed per-row via float is exact
-    # for n < 2^40 at q granularity 1e-9; fall back to python ceil in
-    # the collect for the dict keys below
+    # target = ceil(n * num / den) in pure long arithmetic
+    num = int(round(q * 1_000_000_000))
+    den = 1_000_000_000
+    g = math.gcd(num, den)
+    num, den = num // g, den // g
+    target = F.expr(
+        f"CAST((_egq_n * {num}L + {den - 1}L) DIV {den}L AS LONG)"
+    )
     hits = ranked.filter(F.col("_egq_rank") == target).select(
         *group_cols, F.col(order_col).alias("_egq_val")
     ).collect()
     out = {
         tuple(r[g] for g in group_cols): r["_egq_val"] for r in hits
     }
-    # groups whose ceil target was missed by float edge cases: none
-    # expected, but verify against the ranked groups for safety
-    if len(out) != df.select(*group_cols).distinct().count():
-        # exact driver-side recompute path (tiny: |groups| values)
-        ranked2 = ranked.select(
-            *group_cols, "_egq_rank", "_egq_n", order_col
+    if len(out) != len(hits) or (
+        n_groups is not None and len(out) != n_groups
+    ):
+        raise RuntimeError(
+            "exact_group_quantile_disc: expected exactly one rank-"
+            f"target row per group, got {len(hits)} rows for "
+            f"{len(out)} groups (counts pass saw {n_groups}) — the "
+            "input desynced between passes (see EXECUTION CONTRACT)"
         )
-        rows = ranked2.collect()
-        out = {}
-        for r in rows:
-            key = tuple(r[g] for g in group_cols)
-            tgt = math.ceil(q * r["_egq_n"])
-            if r["_egq_rank"] == tgt:
-                out[key] = r[order_col]
     return out

@@ -1684,7 +1684,82 @@ FROM pred GROUP BY 1
 SQL_LANGID_EVAL = _langid_oracle_sql()
 
 
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD winsorization of order totals within each priority
+    class — the heavy-tail-robust outlier screen
+    (operators/features.py:robust_outlier_bounds, consuming
+    operators/indexing.py:exact_group_quantile_disc twice: median,
+    then MAD). Exact integer med/mad/dev; one IEEE double product for
+    the threshold; the oracle replays the rank-ceil(n/2) discrete
+    quantile with explicit windows, so the semantics — not an
+    engine's quantile builtin — are what's pinned."""
+    from ..operators.features import robust_outlier_bounds
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.floor(F.col("o_totalprice").cast("double") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    out = robust_outlier_bounds(
+        o, "price_cents", "o_orderkey", ["o_orderpriority"], k=3.0
+    )
+    return out.select(
+        "o_orderkey", "o_orderpriority", "price_cents",
+        F.col("_med").alias("med_cents"),
+        F.col("_mad").alias("mad_cents"),
+        "is_outlier",
+        F.round(F.col("value_winsor"), 6).alias("price_winsor"),
+    )
+
+
+SQL_ROBUST_OUTLIERS = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
+           AS price_cents
+  FROM orders
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+              ORDER BY price_cents, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM o
+),
+m AS (
+  SELECT o_orderpriority, price_cents AS med
+  FROM r WHERE rn = (n + 1) // 2
+),
+d AS (
+  SELECT o.*, m.med, abs(o.price_cents - m.med) AS dev
+  FROM o JOIN m USING (o_orderpriority)
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+              ORDER BY dev, o_orderkey) AS rn2,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n2
+  FROM d
+),
+mad AS (
+  SELECT o_orderpriority, dev AS mad
+  FROM r2 WHERE rn2 = (n2 + 1) // 2
+)
+SELECT d.o_orderkey, d.o_orderpriority, d.price_cents,
+       d.med AS med_cents, mad.mad AS mad_cents,
+       CAST(d.dev AS DOUBLE) > 3.0 * 1.4826 * CAST(mad.mad AS DOUBLE)
+         AS is_outlier,
+       round(greatest(CAST(d.med AS DOUBLE)
+                        - 3.0 * 1.4826 * CAST(mad.mad AS DOUBLE),
+                      least(CAST(d.med AS DOUBLE)
+                              + 3.0 * 1.4826 * CAST(mad.mad AS DOUBLE),
+                            CAST(d.price_cents AS DOUBLE))), 6)
+         AS price_winsor
+FROM d JOIN mad USING (o_orderpriority)
+"""
+
+
 QUERIES_ANALYTICS: dict = {
+    "robust_outliers": q_robust_outliers,
     "sequence_mining": q_sequence_mining,
     "rfm_segments": q_rfm_segments,
     "dataset_split": q_dataset_split,
@@ -1712,6 +1787,7 @@ QUERIES_ANALYTICS: dict = {
 }
 
 ORACLES_ANALYTICS: dict[str, str] = {
+    "robust_outliers": SQL_ROBUST_OUTLIERS,
     "sequence_mining": SQL_SEQUENCE_MINING,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "dataset_split": SQL_DATASET_SPLIT,

@@ -212,3 +212,123 @@ def make_y4m(
         ]).astype(np.uint8)
         out.append(b"FRAME\n" + body.tobytes())
     return b"".join(out)
+
+
+def make_mmdb(
+    entries: list[tuple[str, dict]],
+    ip_version: int = 6,
+    database_type: str = "GeoLite2-City-Test",
+) -> bytes:
+    """Serialize a minimal, spec-conformant MaxMind DB file (the
+    PUBLIC format: https://maxmind.github.io/MaxMind-DB/) from
+    (cidr, record) pairs — the fixture behind the end-to-end
+    mmdb_to_ranges tests, readable by both functions/mmdb_format.py
+    and the real ``maxminddb`` package when present.
+
+    record_size 32 (8-byte nodes), no pointer compression (records
+    with identical content are still written once and shared by data
+    offset). ip_version 6 mirrors how GeoLite2 actually ships
+    (IPv4 content embedded as ::ffff:0:0/96-mapped networks)."""
+    import ipaddress
+    import struct
+
+    depth = 32 if ip_version == 4 else 128
+    # ---- binary search tree ------------------------------------------------
+    # node = [left, right]; entries: None | ("node", i) | ("data", key)
+    nodes: list[list] = [[None, None]]
+    data_keys: dict[int, dict] = {}
+    for cidr, record in entries:
+        net = ipaddress.ip_network(cidr, strict=True)
+        if (net.version == 4) != (ip_version == 4):
+            raise ValueError(f"{cidr} does not match ip_version {ip_version}")
+        addr = int(net.network_address)
+        key = id(record)
+        data_keys[key] = record
+        cur = 0
+        for i in range(net.prefixlen):
+            bit = (addr >> (depth - 1 - i)) & 1
+            slot = nodes[cur][bit]
+            if i == net.prefixlen - 1:
+                if slot is not None:
+                    raise ValueError(f"{cidr} overlaps an existing entry")
+                nodes[cur][bit] = ("data", key)
+            else:
+                if slot is None:
+                    nodes.append([None, None])
+                    slot = ("node", len(nodes) - 1)
+                    nodes[cur][bit] = slot
+                elif slot[0] != "node":
+                    raise ValueError(f"{cidr} nests under an existing entry")
+                cur = slot[1]
+
+    # ---- data section ------------------------------------------------------
+    def enc(value) -> bytes:
+        if isinstance(value, bool):
+            return bytes([(0 << 5) | (1 if value else 0), 14 - 7])
+        if isinstance(value, str):
+            raw = value.encode("utf-8")
+            if len(raw) >= 29:
+                raise ValueError("fixture strings must stay short")
+            return bytes([(2 << 5) | len(raw)]) + raw
+        if isinstance(value, float):
+            return bytes([(3 << 5) | 8]) + struct.pack(">d", value)
+        if isinstance(value, int):
+            if value < 0:
+                raise ValueError("negative ints not supported in fixture")
+            raw = value.to_bytes((value.bit_length() + 7) // 8 or 1, "big")
+            if value == 0:
+                raw = b""
+            if len(raw) <= 2:
+                return bytes([(5 << 5) | len(raw)]) + raw  # uint16
+            if len(raw) <= 4:
+                return bytes([(6 << 5) | len(raw)]) + raw  # uint32
+            return bytes([(0 << 5) | len(raw), 9 - 7]) + raw  # uint64
+        if isinstance(value, dict):
+            out = bytes([(7 << 5) | len(value)])
+            for k, v in value.items():
+                out += enc(k) + enc(v)
+            return out
+        if isinstance(value, list):
+            out = bytes([(0 << 5) | len(value), 11 - 7])
+            for v in value:
+                out += enc(v)
+            return out
+        raise TypeError(f"unsupported fixture value {type(value).__name__}")
+
+    data = b""
+    offsets: dict[int, int] = {}
+    for key, record in data_keys.items():
+        offsets[key] = len(data)
+        data += enc(record)
+
+    # ---- serialize nodes ---------------------------------------------------
+    node_count = len(nodes)
+
+    def record_value(slot) -> int:
+        if slot is None:
+            return node_count
+        if slot[0] == "node":
+            return slot[1]
+        return node_count + 16 + offsets[slot[1]]
+
+    tree = b"".join(
+        struct.pack(">II", record_value(left), record_value(right))
+        for left, right in nodes
+    )
+
+    # ---- metadata ----------------------------------------------------------
+    meta = {
+        "binary_format_major_version": 2,
+        "binary_format_minor_version": 0,
+        "build_epoch": 1_700_000_000,
+        "database_type": database_type,
+        "description": {"en": "fixture"},
+        "ip_version": ip_version,
+        "languages": ["en"],
+        "node_count": node_count,
+        "record_size": 32,
+    }
+    return (
+        tree + b"\x00" * 16 + data
+        + b"\xab\xcd\xefMaxMind.com" + enc(meta)
+    )

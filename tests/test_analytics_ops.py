@@ -251,13 +251,37 @@ class TestAnalyticsPlans:
         assert "CartesianProduct" not in plan, plan
 
     def test_rfm_no_global_sort(self, spark, sf_smoke):
-        from google_analytics_to_s3_spark.plans import driver_queries as dq
+        from google_analytics_to_s3_spark.operators.features import (
+            rfm_segments,
+        )
+        from google_analytics_to_s3_spark.sources.testdata import (
+            load_table,
+        )
 
-        plan = _plan(dq.QUERIES["rfm_segments"](spark, sf_smoke))
-        assert "Join" not in plan, plan
+        per_user = (
+            load_table(spark, sf_smoke, "orders")
+            .groupBy(F.col("o_custkey").alias("user"))
+            .agg(
+                F.max("o_orderdate").cast("string").alias("rec"),
+                F.count("*").alias("freq"),
+                F.sum(F.floor(F.col("o_totalprice") * 100))
+                .cast("long")
+                .alias("mon"),
+            )
+            .withColumn(
+                "rec",
+                F.datediff(F.to_date(F.col("rec")), F.lit("1992-01-01")),
+            )
+        )
         # the r5 verdict's flagged scale-killer: three ntile windows
-        # with no partition key = three single-reducer sorts. The
+        # with no partition key = three single-reducer sorts. Above the
+        # small-n threshold (forced here with threshold=0) the
         # exact_ntiles rewrite must keep every Exchange distributed.
+        plan = _plan(rfm_segments(
+            per_user, "user", "rec", "freq", "mon",
+            small_n_threshold=0,
+        ))
+        assert "Join" not in plan, plan
         assert "SinglePartition" not in plan, plan
 
 
