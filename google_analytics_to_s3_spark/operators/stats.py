@@ -702,3 +702,91 @@ def cuped_lift(
         F.round(theta, 6).alias("theta"),
         F.round(vr, 6).alias("var_reduction"),
     )
+
+
+def kaplan_meier(
+    subjects: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Kaplan-Meier survival estimator with right censoring — the
+    standard time-to-event curve (time-to-churn, time-to-conversion)
+    no GA-style mart computes correctly by naive means: censored
+    subjects (still active at observation end) must stay in the
+    risk set until their censoring time, not be dropped or counted
+    as events.
+
+    Input: ONE ROW PER SUBJECT with an integral ``duration_col``
+    (periods observed, >= 1) and ``event_col`` 1 = event occurred
+    (churned/converted) at that duration, 0 = censored there.
+
+    Per group, for each duration t that has >= 1 event:
+        n_at_risk(t) = #subjects with duration >= t
+        d(t)         = #events at exactly t
+        S(t)         = prod_{t' <= t, d>0} (1 - d(t')/n(t'))
+    computed as ``exp(sum(ln(1 - d/n)))`` over the ascending-duration
+    window (the repo's documented ln-parity convention, rounded to 6);
+    a timepoint where the whole risk set dies (d == n) pins S at 0.0
+    exactly in both engines (Spark ln(0) is NULL, DuckDB -inf — the
+    case must not reach ln).
+
+    Scale shape: one hash aggregation compacts subjects to
+    (group, duration) grain — the window then runs over |durations|
+    rows per group, never subject rows, so the per-group single
+    reducer touches a domain-sized table (bounded by the observation
+    span, e.g. days).  No collect, no global sort.
+    """
+    group_cols = list(group_cols)
+    ev = F.col(event_col).cast("long")
+    g = subjects.groupBy(
+        *group_cols, F.col(duration_col).cast("long").alias("t")
+    ).agg(
+        F.sum(ev).alias("d"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    w_desc = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = g.withColumn("n_at_risk", F.sum("m").over(w_desc))
+    w_asc = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # ln terms only for event timepoints that leave survivors; a
+    # d == n timepoint zeroes the curve from there on
+    term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")),
+        F.log(
+            F.lit(1.0)
+            - F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    wiped = F.max(
+        (F.col("d") == F.col("n_at_risk")).cast("int")
+    ).over(w_asc)
+    surv = F.when(wiped == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(term).over(w_asc))
+    )
+    return (
+        at_risk.withColumn("survival", F.round(surv, 6))
+        .withColumn(
+            "hazard",
+            F.round(
+                F.col("d").cast("double")
+                / F.col("n_at_risk").cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            *group_cols,
+            F.col("t"),
+            F.col("n_at_risk"),
+            F.col("d").alias("d_events"),
+            "hazard", "survival",
+        )
+    )

@@ -2982,10 +2982,11 @@ _DRIVER_PRIORITY = [
     # ---------------- round-7 rotation ----------------
     # Goal (VERDICT r6 items 1 + 2): the 50-slot prefix is strictly
     # oldest-evidence-first.
-    # (r7-a) wav_decode — the only registry query never driver-green
-    # (r6 red was the array-column canonicalizer crash; the output is
-    # now a %.6f-joined string, mirroring q_user_event_arrays)
-    "wav_decode",
+    # (r7-a) never-driver-checked first: wav_decode (r6 red was the
+    # array-column canonicalizer crash; the output is now a
+    # %.6f-joined string, mirroring q_user_event_arrays) plus the two
+    # queries registered this round
+    "wav_decode", "robust_outliers", "survival_curve",
     # (r7-b) the 34 queries whose latest driver-green row is r3
     "funnel_conversion", "retention_cohorts", "event_transitions",
     "pq_codes", "pq_adc_topk", "time_to_conversion", "chunk_documents",
@@ -2999,14 +3000,15 @@ _DRIVER_PRIORITY = [
     "mixture_sample", "vocab_oov", "curation_pipeline",
     "tfidf_top_terms", "bm25_search", "linear_count_users",
     "scd2_customer_priority",
-    # (r7-c) the 15 oldest r4-green rows (first checked in the r4
-    # prefix; the remaining 35 r4 rows queue below for r8)
+    # (r7-c) the 13 oldest r4-green rows (first checked in the r4
+    # prefix; the remaining 37 r4 rows queue below for r8)
     "pack_sequences", "value_histograms", "part_pagerank", "hll_users",
     "page_path_levels", "envelope_decode", "repetition_signals",
     "bloom_probe", "source_caps", "knn_ivfpq", "action_revenue",
-    "graph_triangles", "merge_upsert", "quantile_sketch", "fuzzy_match",
-    # (r8-queue) the remaining 35 r4-green rows, oldest-first, so the
+    "graph_triangles", "merge_upsert",
+    # (r8-queue) the remaining 37 r4-green rows, oldest-first, so the
     # r8 prefix self-assembles by dropping the 50 entries above
+    "quantile_sketch", "fuzzy_match",
     "bpe_merges", "cms_counts", "k_core", "attribution_models",
     "semdedup", "bpe_encode", "interval_join", "dsir_weights",
     "knn_recall", "dup_spans", "dup_spans_removed", "fuzzy_dedup",

@@ -1758,8 +1758,83 @@ FROM d JOIN mad USING (o_orderpriority)
 """
 
 
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-churn curves per weekly acquisition
+    cohort (operators/stats.py:kaplan_meier): a user's duration is
+    their active span in days; users whose last event is within 14
+    days of corpus end are CENSORED (still alive), not churned — the
+    right-censoring correctness naive churn marts miss. The oracle
+    replays the estimator with explicit windows (risk set via
+    descending cumulative count, survival via the repo's ln-parity
+    convention)."""
+    from ..operators.stats import kaplan_meier
+
+    e = load_events(spark, sf_dir).select(
+        "user_id", F.expr("ts_ms div 86400000").alias("day")
+    )
+    u = e.groupBy("user_id").agg(
+        F.min("day").alias("f"), F.max("day").alias("l")
+    )
+    mx = e.agg(F.max("day").alias("maxd"))
+    s = u.crossJoin(F.broadcast(mx)).select(
+        F.concat(
+            F.lit("w"), F.expr("CAST(f div 7 AS STRING)")
+        ).alias("cohort"),
+        (F.col("l") - F.col("f") + 1).cast("long").alias("dur"),
+        (F.col("maxd") - F.col("l") >= 14).cast("int").alias("ev"),
+    )
+    return kaplan_meier(s, "dur", "ev", ["cohort"])
+
+
+SQL_SURVIVAL_CURVE = """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+),
+u AS (
+  SELECT user_id, min(day) AS f, max(day) AS l FROM e GROUP BY 1
+),
+mx AS (SELECT max(day) AS maxd FROM e),
+s AS (
+  SELECT 'w' || CAST(f // 7 AS VARCHAR) AS cohort,
+         l - f + 1 AS t,
+         CASE WHEN maxd - l >= 14 THEN 1 ELSE 0 END AS ev
+  FROM u CROSS JOIN mx
+),
+g AS (
+  SELECT cohort, t, CAST(sum(ev) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS m
+  FROM s GROUP BY 1, 2
+),
+r AS (
+  SELECT *, CAST(sum(m) OVER (PARTITION BY cohort ORDER BY t DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+  FROM g
+),
+k AS (
+  SELECT *,
+    CASE WHEN max(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+           OVER wasc = 1
+         THEN 0.0
+         ELSE exp(sum(CASE WHEN d > 0 AND d < n_at_risk
+                           THEN ln(1.0 - CAST(d AS DOUBLE)
+                                     / CAST(n_at_risk AS DOUBLE))
+                           ELSE 0.0 END) OVER wasc)
+    END AS surv
+  FROM r
+  WINDOW wasc AS (PARTITION BY cohort ORDER BY t ASC
+                  ROWS UNBOUNDED PRECEDING)
+)
+SELECT cohort, CAST(t AS BIGINT) AS t, n_at_risk, d AS d_events,
+       round(CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 6)
+         AS hazard,
+       round(surv, 6) AS survival
+FROM k WHERE d > 0
+"""
+
+
 QUERIES_ANALYTICS: dict = {
     "robust_outliers": q_robust_outliers,
+    "survival_curve": q_survival_curve,
     "sequence_mining": q_sequence_mining,
     "rfm_segments": q_rfm_segments,
     "dataset_split": q_dataset_split,
@@ -1788,6 +1863,7 @@ QUERIES_ANALYTICS: dict = {
 
 ORACLES_ANALYTICS: dict[str, str] = {
     "robust_outliers": SQL_ROBUST_OUTLIERS,
+    "survival_curve": SQL_SURVIVAL_CURVE,
     "sequence_mining": SQL_SEQUENCE_MINING,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "dataset_split": SQL_DATASET_SPLIT,

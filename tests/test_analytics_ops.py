@@ -495,3 +495,75 @@ def test_target_encode_rejects_zero_prior(spark):
     df = spark.createDataFrame([(1, "a", 5)], "id long, cat string, y long")
     with pytest.raises(ValueError, match="prior_weight"):
         target_encode_loo(df, "cat", "y", prior_weight=0)
+
+
+class TestKaplanMeier:
+    def _km(self, spark, rows, groups=("g",)):
+        from google_analytics_to_s3_spark.operators.stats import (
+            kaplan_meier,
+        )
+
+        df = spark.createDataFrame(rows, "g string, dur long, ev int")
+        return {
+            (r["g"], r["t"]): r
+            for r in kaplan_meier(df, "dur", "ev", list(groups)).collect()
+        }
+
+    def test_textbook_curve(self, spark):
+        # classic toy set: events at t=1 (2 of 5), t=3 (1 of 2),
+        # censored at t=2 and t=3
+        rows = [
+            ("g", 1, 1), ("g", 1, 1), ("g", 2, 0), ("g", 3, 1),
+            ("g", 3, 0),
+        ]
+        out = self._km(spark, rows)
+        # t=1: n=5, d=2 -> S = 3/5 = 0.6
+        assert out[("g", 1)]["n_at_risk"] == 5
+        assert out[("g", 1)]["d_events"] == 2
+        assert out[("g", 1)]["survival"] == 0.6
+        assert out[("g", 1)]["hazard"] == 0.4
+        # t=3: n=2, d=1 -> S = 0.6 * 1/2 = 0.3
+        assert out[("g", 3)]["n_at_risk"] == 2
+        assert out[("g", 3)]["survival"] == 0.3
+        # censoring-only timepoints emit no row
+        assert ("g", 2) not in out
+
+    def test_censoring_keeps_risk_set(self, spark):
+        # without censoring handling, the t=2 subject would vanish
+        # from n_at_risk at t=2
+        rows = [("g", 1, 1), ("g", 2, 0), ("g", 2, 0), ("g", 3, 1)]
+        out = self._km(spark, rows)
+        assert out[("g", 1)]["n_at_risk"] == 4
+        assert out[("g", 3)]["n_at_risk"] == 1
+        # S(3) = (3/4) * (0/1) = 0 — full wipeout at the last point
+        assert out[("g", 3)]["survival"] == 0.0
+
+    def test_total_wipeout_is_exact_zero_not_null(self, spark):
+        rows = [("g", 1, 1), ("g", 1, 1)]
+        out = self._km(spark, rows)
+        assert out[("g", 1)]["survival"] == 0.0
+
+    def test_groups_independent(self, spark):
+        rows = [("a", 1, 1), ("a", 2, 1), ("b", 1, 1), ("b", 5, 0)]
+        out = self._km(spark, rows)
+        assert out[("a", 1)]["n_at_risk"] == 2
+        assert out[("b", 1)]["n_at_risk"] == 2
+        assert out[("b", 1)]["survival"] == 0.5
+        assert ("b", 5) not in out  # censored only
+
+    def test_window_runs_on_compacted_grain(self, spark):
+        """The windows must run AFTER the (group, duration) groupBy:
+        the plan's Window sees |durations| rows, not subjects. Guard:
+        exactly one Aggregate below the first Window in the plan."""
+        from google_analytics_to_s3_spark.operators.stats import (
+            kaplan_meier,
+        )
+
+        df = spark.createDataFrame(
+            [("g", (i % 7) + 1, i % 2) for i in range(500)],
+            "g string, dur long, ev int",
+        )
+        out = kaplan_meier(df, "dur", "ev", ["g"])
+        assert out.count() <= 7
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.index("Aggregate") > plan.index("Window")
