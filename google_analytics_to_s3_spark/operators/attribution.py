@@ -294,3 +294,145 @@ def recompute_touchpoints(
         h.unionByName(t), visitor_col=visitor_col,
         ts_col=ts_col, source_col=source_col,
     )
+
+
+def shapley_attribution(
+    journeys: DataFrame,
+    channel_col: str,
+    user_col: str,
+    conv_col: str,
+    channels: list[str],
+) -> DataFrame:
+    """Shapley-value channel attribution — the coalition-game model
+    completing the repo's attribution suite (six heuristic models in
+    :func:`attribution_credits`, the data-driven removal-effect model
+    in operators/markov.py; cf. the reference's last-interaction-only
+    attribution, functions/sessionization/main.py:553-561).
+
+    The characteristic function is the industry-standard conversion
+    rate per OBSERVED channel coalition: a user's coalition is the SET
+    of distinct channels they touched (order-free, encoded as a
+    bitmask over the fixed ``channels`` list), and
+    ``v(S) = conversions(S) / journeys(S)`` with unobserved coalitions
+    contributing ``v = 0`` (documented plug-in; with it the exact
+    Shapley sum is computable without any model fitting — at the cost
+    that a channel can carry a NEGATIVE value when coalitions
+    containing it are unobserved while their complements convert;
+    tests pin that artifact explicitly). Then
+
+        phi_i = sum over S not containing i of
+                |S|! (n-|S|-1)! / n! * (v(S + i) - v(S))
+
+    evaluated RELATIONALLY: the 2^n subset lattice is a
+    ``spark.range`` frame, popcount is an explicit bit-sum (engine-
+    portable, no bit_count dependency), the factorial weights enter as
+    exact integer literals over the common denominator n!, and the
+    only division is v's rate plus the final /n! — one double product
+    per (channel, subset) pair, rounded 6 as per the repo's parity
+    convention.
+
+    Scale shape: the ONLY data-sized operations are the per-user
+    bitmask aggregation (one hash agg via bit_or) and the coalition
+    rollup (2^n <= tiny rows out). The lattice math is O(n * 2^n)
+    rows — n is bounded by the channel taxonomy (document: n <= 16),
+    never by data. No collect anywhere.
+
+    Output: one row per channel — ``channel``, ``n_journeys``
+    (journeys touching it), ``shap`` (round 6).
+    """
+    n = len(channels)
+    if not 1 <= n <= 16:
+        raise ValueError("channels list must have 1..16 entries")
+    if len(set(channels)) != n:
+        raise ValueError("channels must be distinct")
+    spark = journeys.sparkSession
+    import math
+
+    idx = F.array(*[F.lit(c) for c in channels])
+    powers = F.array(*[F.lit(1 << i) for i in range(n)])
+    # channel -> bit via the fixed list order; an unknown channel
+    # (array_position = 0) fails LAZILY at execution — no eager
+    # validation scan at plan-construction time
+    pos = F.array_position(idx, F.col(channel_col)).cast("int")
+    bit = F.when(pos > 0, F.element_at(powers, pos)).otherwise(
+        F.raise_error(F.concat(
+            F.lit("shapley_attribution: channel '"),
+            F.col(channel_col),
+            F.lit("' is outside the channels list"),
+        ))
+    )
+    masked = journeys.select(
+        F.col(user_col).alias("_u"),
+        bit.alias("_b"),
+        F.col(conv_col).cast("int").alias("_c"),
+    )
+    per_user = masked.groupBy("_u").agg(
+        F.expr("bit_or(_b)").alias("mask"),
+        F.max("_c").alias("conv"),
+    )
+    coal = per_user.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n_j"),
+        F.sum("conv").alias("n_c"),
+    )
+
+    lattice = spark.range(2 ** n).select(F.col("id").alias("s"))
+    v = (
+        lattice.join(F.broadcast(coal), F.col("s") == F.col("mask"), "left")
+        .select(
+            "s",
+            F.coalesce(
+                F.col("n_c").cast("double") / F.col("n_j").cast("double"),
+                F.lit(0.0),
+            ).alias("v"),
+        )
+    )
+
+    # weights w(s_size) * n! as exact integers
+    wnum = [
+        math.factorial(k) * math.factorial(n - 1 - k) for k in range(n)
+    ]
+    nfact = math.factorial(n)
+    wnum_arr = F.array(*[F.lit(x) for x in wnum])
+    popcnt = sum(
+        (F.shiftright(F.col("s"), j) % 2).cast("int") for j in range(n)
+    )
+
+    chans = spark.range(n).select(
+        F.col("id").cast("int").alias("ci"),
+        F.element_at(idx, F.col("id").cast("int") + 1).alias("channel"),
+    )
+    pairs = (
+        chans.crossJoin(F.broadcast(v.withColumnRenamed("v", "v_s")))
+        .filter(F.expr("shiftright(s, ci)") % 2 == 0)
+        .withColumn(
+            "s_with", F.col("s") + F.element_at(powers, F.col("ci") + 1)
+        )
+    )
+    v2 = v.select(
+        F.col("s").alias("s_with"), F.col("v").alias("v_sw")
+    )
+    contrib = pairs.join(F.broadcast(v2), "s_with").select(
+        "channel", "ci",
+        (
+            (F.col("v_sw") - F.col("v_s"))
+            * F.element_at(wnum_arr, popcnt + 1).cast("double")
+        ).alias("term"),
+    )
+    phi = contrib.groupBy("channel", "ci").agg(
+        F.round(F.sum("term") / F.lit(float(nfact)), 6).alias("shap")
+    )
+
+    touched = (
+        per_user.crossJoin(F.broadcast(chans.select("ci")))
+        .filter(F.expr("shiftright(mask, ci)") % 2 == 1)
+        .groupBy("ci")
+        .agg(F.count(F.lit(1)).alias("n_journeys"))
+    )
+    return (
+        phi.join(F.broadcast(touched), "ci", "left")
+        .select(
+            "channel",
+            F.coalesce(F.col("n_journeys"), F.lit(0)).alias("n_journeys"),
+            "shap",
+        )
+    )

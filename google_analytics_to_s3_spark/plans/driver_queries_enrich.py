@@ -1082,7 +1082,97 @@ FROM d GROUP BY action_type
 """
 
 
+_SHAP_CHANNELS = ["(direct)", "facebook", "google", "newsletter"]
+
+
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution
+    (operators/attribution.py:shapley_attribution): each user's
+    coalition is the set of channels their events touched (the same
+    deterministic event_id->source mapping as attribution_models /
+    touchpoints), conversion = any purchase; the exact Shapley sum
+    runs over the 16-coalition lattice with integer factorial weights.
+    Completes the attribution suite: 6 heuristic models + Markov
+    removal effect + the coalition-game model."""
+    from ..operators.attribution import shapley_attribution
+
+    e = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type"
+    )
+    src = F.element_at(
+        F.array(*[F.lit(s) for s in TP_SOURCES]),
+        (F.col("event_id") % len(TP_SOURCES)).cast("int") + 1,
+    )
+    journeys = e.select(
+        "user_id",
+        src.alias("channel"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    return shapley_attribution(
+        journeys, "channel", "user_id", "conv", _SHAP_CHANNELS
+    )
+
+
+SQL_SHAPLEY_ATTRIBUTION = f"""
+WITH src AS (
+  SELECT user_id, ({_TP_ARR})[(event_id % {len(TP_SOURCES)}) + 1]
+           AS source,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c
+  FROM events
+),
+ch(ci, channel) AS (
+  VALUES (0, '(direct)'), (1, 'facebook'), (2, 'google'),
+         (3, 'newsletter')
+),
+tagged AS (
+  SELECT s.user_id, ch.ci, s.c
+  FROM src s JOIN ch ON s.source = ch.channel
+),
+pu AS (
+  SELECT user_id, bit_or(1 << ci) AS mask, max(c) AS conv
+  FROM tagged GROUP BY 1
+),
+coal AS (
+  SELECT mask, count(*) AS n_j, sum(conv) AS n_c FROM pu GROUP BY 1
+),
+lat AS (SELECT s FROM generate_series(0, 15) t(s)),
+v AS (
+  SELECT s, coalesce(CAST(n_c AS DOUBLE) / CAST(n_j AS DOUBLE), 0.0)
+           AS v
+  FROM lat LEFT JOIN coal ON lat.s = coal.mask
+),
+pairs AS (
+  SELECT ch.ci, ch.channel, v.s, v.v AS v_s,
+         v.s + (1 << ch.ci) AS s_with,
+         ((v.s >> 0) & 1) + ((v.s >> 1) & 1) + ((v.s >> 2) & 1)
+           + ((v.s >> 3) & 1) AS pc
+  FROM ch CROSS JOIN v
+  WHERE ((v.s >> ch.ci) & 1) = 0
+),
+contrib AS (
+  SELECT p.channel, p.ci,
+         (v2.v - p.v_s) * CAST([6, 2, 2, 6][p.pc + 1] AS DOUBLE)
+           AS term
+  FROM pairs p JOIN v v2 ON p.s_with = v2.s
+),
+phi AS (
+  SELECT channel, ci, round(sum(term) / 24.0, 6) AS shap
+  FROM contrib GROUP BY 1, 2
+),
+touched AS (
+  SELECT ci, count(*) AS n_journeys
+  FROM pu CROSS JOIN ch
+  WHERE ((mask >> ci) & 1) = 1 GROUP BY 1
+)
+SELECT p.channel,
+       CAST(coalesce(t.n_journeys, 0) AS BIGINT) AS n_journeys,
+       p.shap
+FROM phi p LEFT JOIN touched t USING (ci)
+"""
+
+
 QUERIES_ENRICH = {
+    "shapley_attribution": q_shapley_attribution,
     "action_revenue": q_action_revenue,
     "incremental_attribution": q_incremental_attribution,
     "multimodal_decode": q_multimodal_decode,
@@ -1111,6 +1201,7 @@ ORACLES_ENRICH = {
     "ua_parse": SQL_UA_PARSE,
     "touchpoints": SQL_TOUCHPOINTS,
     "attribution_models": SQL_ATTRIBUTION_MODELS,
+    "shapley_attribution": SQL_SHAPLEY_ATTRIBUTION,
     "unpivot_products": SQL_UNPIVOT_PRODUCTS,
     "session_window_rollup": SQL_SESSION_WINDOW_ROLLUP,
     "traffic_attribution": SQL_TRAFFIC_ATTRIBUTION,

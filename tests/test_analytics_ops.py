@@ -567,3 +567,91 @@ class TestKaplanMeier:
         assert out.count() <= 7
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert plan.index("Aggregate") > plan.index("Window")
+
+
+class TestShapleyAttribution:
+    def _run(self, spark, rows, channels):
+        from google_analytics_to_s3_spark.operators.attribution import (
+            shapley_attribution,
+        )
+
+        df = spark.createDataFrame(rows, "u long, ch string, conv int")
+        return {
+            r["channel"]: r
+            for r in shapley_attribution(
+                df, "ch", "u", "conv", channels
+            ).collect()
+        }
+
+    def test_two_channel_textbook_game(self, spark):
+        # v(A)=2/4, v(B)=1/4, v(AB)=2/2=1.0
+        # phi_A = 1/2*(0.5-0) + 1/2*(1.0-0.25) = 0.625
+        # phi_B = 1/2*(0.25-0) + 1/2*(1.0-0.5)  = 0.375
+        rows = []
+        for u in range(4):  # {A} journeys, 2 convert
+            rows.append((u, "A", 1 if u < 2 else 0))
+        for u in range(10, 14):  # {B} journeys, 1 converts
+            rows.append((u, "B", 1 if u == 10 else 0))
+        for u in (20, 21):  # {A,B} journeys, both convert
+            rows += [(u, "A", 0), (u, "B", 1)]
+        out = self._run(spark, rows, ["A", "B"])
+        assert out["A"]["shap"] == 0.625
+        assert out["B"]["shap"] == 0.375
+        assert out["A"]["n_journeys"] == 6
+        assert out["B"]["n_journeys"] == 6
+
+    def test_efficiency_with_full_coverage(self, spark):
+        # when every coalition is observed, sum(phi) == v(grand)
+        rows = []
+        u = 0
+        specs = {("A",): (3, 1), ("B",): (3, 2), ("A", "B"): (4, 3)}
+        for chans, (n, c) in specs.items():
+            for i in range(n):
+                for ch in chans:
+                    rows.append((u, ch, 1 if i < c else 0))
+                u += 1
+        out = self._run(spark, rows, ["A", "B"])
+        total = out["A"]["shap"] + out["B"]["shap"]
+        assert abs(total - 0.75) < 1e-9  # v(AB) = 3/4
+
+    def test_untouched_channel_gets_zero_marginal_base(self, spark):
+        # channel C never appears: its phi uses only v-diffs of 0
+        rows = [(1, "A", 1), (2, "A", 0)]
+        out = self._run(spark, rows, ["A", "B", "C"])
+        assert out["A"]["n_journeys"] == 2
+        assert out["B"]["n_journeys"] == 0 and out["C"]["n_journeys"] == 0
+        # with unobserved coalitions plugged 0, only S=empty gives A a
+        # diff: phi_A = w(0)*(v(A)-0) = 2!/3! * 0.5
+        assert out["A"]["shap"] == round(2 / 6 * 0.5, 6)
+        # the plug-in's documented artifact: an untouched channel gets
+        # a NEGATIVE marginal against each observed coalition —
+        # phi_B = w(1)*(v(AB)=0 - v(A)=0.5) = -1/12 — rather than 0.
+        # Pinning it keeps the plug-in semantics explicit.
+        assert out["B"]["shap"] == round(-1 / 12, 6)
+        assert out["C"]["shap"] == round(-1 / 12, 6)
+
+    def test_unknown_channel_raises_at_execution(self, spark):
+        from google_analytics_to_s3_spark.operators.attribution import (
+            shapley_attribution,
+        )
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import SparkRuntimeException
+
+        df = spark.createDataFrame(
+            [(1, "mystery", 0)], "u long, ch string, conv int"
+        )
+        out = shapley_attribution(df, "ch", "u", "conv", ["A"])
+        with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
+                           match="outside the channels list"):
+            out.collect()
+
+    def test_channel_list_validation(self, spark):
+        from google_analytics_to_s3_spark.operators.attribution import (
+            shapley_attribution,
+        )
+
+        df = spark.createDataFrame([(1, "A", 0)], "u long, ch string, conv int")
+        with pytest.raises(ValueError, match="1..16"):
+            shapley_attribution(df, "ch", "u", "conv", [])
+        with pytest.raises(ValueError, match="distinct"):
+            shapley_attribution(df, "ch", "u", "conv", ["A", "A"])
