@@ -422,11 +422,13 @@ def shapley_attribution(
         F.round(F.sum("term") / F.lit(float(nfact)), 6).alias("shap")
     )
 
+    # journeys-per-channel from the <=2^n-row coalition table — never
+    # a second pass over the user-sized frame
     touched = (
-        per_user.crossJoin(F.broadcast(chans.select("ci")))
+        coal.crossJoin(F.broadcast(chans.select("ci")))
         .filter(F.expr("shiftright(mask, ci)") % 2 == 1)
         .groupBy("ci")
-        .agg(F.count(F.lit(1)).alias("n_journeys"))
+        .agg(F.sum("n_j").alias("n_journeys"))
     )
     return (
         phi.join(F.broadcast(touched), "ci", "left")

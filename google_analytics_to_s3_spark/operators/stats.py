@@ -790,3 +790,103 @@ def kaplan_meier(
             "hazard", "survival",
         )
     )
+
+
+def msprt_monitor(
+    obs: DataFrame,
+    period_col: str,
+    arm_col: str,
+    conv_col: str,
+    treatment: str,
+    control: str,
+    tau2: float = 0.01,
+) -> DataFrame:
+    """Always-valid sequential A/B monitoring via the mixture
+    Sequential Probability Ratio Test (mSPRT, Johari et al., "Peeking
+    at A/B Tests", KDD'17 — public literature): the anytime-valid
+    companion to the fixed-horizon ab_lift / ab_srm / ab_cuped suite.
+    Peeking at a classic t-test every day inflates false positives;
+    the mSPRT p-value is valid at EVERY look by construction.
+
+    Input: one row per observation with an integral ``period_col``
+    (day), an arm label, and a 0/1 ``conv_col``. Per period, over the
+    CUMULATIVE two-sample stats (normal approximation, pooled
+    binomial variance, N(0, tau2) mixture prior):
+
+        V_n      = p(1-p) (1/n_t + 1/n_c)     (pooled p, cumulative)
+        Lambda_n = sqrt(V_n/(V_n+tau2))
+                   * exp(theta^2 tau2 / (2 V_n (V_n+tau2)))
+        p_n      = min(1, 1 / max_{m<=n} Lambda_m)   (monotone)
+
+    Degenerate periods (an arm still empty, or a pooled rate of 0/1
+    making V_n = 0) pin Lambda at 1 — no evidence — instead of
+    dividing by zero.
+
+    Scale shape: ONE hash aggregation compacts observations to
+    (period, arm) grain; every window after that runs over the
+    period-grain table (bounded by the observation span — the repo's
+    moving_revenue convention for day-grain global-order windows).
+    Output per period: n_t, n_c, conv_t, conv_c, lift (round 6),
+    lambda_sprt (round 6), p_always_valid (round 6).
+    """
+    per = (
+        obs.filter(F.col(arm_col).isin([treatment, control]))
+        .groupBy(
+            F.col(period_col).cast("long").alias("period"),
+            F.col(arm_col).alias("_arm"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col(conv_col).cast("long")).alias("_s"),
+        )
+    )
+    t = F.when(F.col("_arm") == treatment, F.col("_n"))
+    c = F.when(F.col("_arm") == control, F.col("_n"))
+    ts = F.when(F.col("_arm") == treatment, F.col("_s"))
+    cs = F.when(F.col("_arm") == control, F.col("_s"))
+    byp = per.groupBy("period").agg(
+        F.coalesce(F.sum(t), F.lit(0)).alias("dn_t"),
+        F.coalesce(F.sum(c), F.lit(0)).alias("dn_c"),
+        F.coalesce(F.sum(ts), F.lit(0)).alias("ds_t"),
+        F.coalesce(F.sum(cs), F.lit(0)).alias("ds_c"),
+    )
+    w = (
+        Window.orderBy("period")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = byp.select(
+        "period",
+        F.sum("dn_t").over(w).alias("n_t"),
+        F.sum("dn_c").over(w).alias("n_c"),
+        F.sum("ds_t").over(w).alias("s_t"),
+        F.sum("ds_c").over(w).alias("s_c"),
+    )
+    n_t = F.col("n_t").cast("double")
+    n_c = F.col("n_c").cast("double")
+    p_t = F.col("s_t").cast("double") / n_t
+    p_c = F.col("s_c").cast("double") / n_c
+    pool = (F.col("s_t") + F.col("s_c")).cast("double") / (n_t + n_c)
+    v = pool * (F.lit(1.0) - pool) * (F.lit(1.0) / n_t + F.lit(1.0) / n_c)
+    theta = p_t - p_c
+    lam = F.when(
+        (F.col("n_t") > 0) & (F.col("n_c") > 0) & (v > 0),
+        F.sqrt(v / (v + F.lit(tau2)))
+        * F.exp(
+            theta * theta * F.lit(tau2)
+            / (F.lit(2.0) * v * (v + F.lit(tau2)))
+        ),
+    ).otherwise(F.lit(1.0))
+    scored = cum.withColumn("_lam", lam)
+    run_max = F.max("_lam").over(w)
+    return scored.select(
+        "period", "n_t", "n_c",
+        F.col("s_t").alias("conv_t"),
+        F.col("s_c").alias("conv_c"),
+        F.round(
+            F.when((F.col("n_t") > 0) & (F.col("n_c") > 0), theta)
+            .otherwise(F.lit(0.0)), 6,
+        ).alias("lift"),
+        F.round(F.col("_lam"), 6).alias("lambda_sprt"),
+        F.round(F.least(F.lit(1.0), F.lit(1.0) / run_max), 6)
+          .alias("p_always_valid"),
+    )

@@ -1832,9 +1832,105 @@ FROM k WHERE d > 0
 """
 
 
+def q_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B monitor
+    (operators/stats.py:msprt_monitor) over a synthetic null
+    experiment: arms by user-id parity, observation = (user, day)
+    activity with conversion = any purchase that day. Since the
+    assignment is null, the always-valid p should hover near 1 — and
+    the oracle replays every cumulative statistic and the mixture
+    likelihood ratio exactly (round-6 ln/exp parity convention)."""
+    from ..operators.stats import msprt_monitor
+
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        F.expr("ts_ms div 86400000").alias("day"),
+        "event_type",
+    )
+    obs = (
+        e.groupBy("user_id", "day")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int"))
+            .alias("conv")
+        )
+        .select(
+            "day",
+            F.when(F.col("user_id") % 2 == 0, "t")
+            .otherwise("c")
+            .alias("arm"),
+            "conv",
+        )
+    )
+    return msprt_monitor(obs, "day", "arm", "conv", "t", "c", tau2=0.01)
+
+
+_MSPRT_TAU2 = 0.01
+
+SQL_MSPRT_MONITOR = f"""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS day, event_type
+  FROM events
+),
+obs AS (
+  SELECT day,
+         CASE WHEN user_id % 2 = 0 THEN 't' ELSE 'c' END AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS conv
+  FROM e GROUP BY day, user_id
+),
+byp AS (
+  SELECT day AS period,
+         CAST(sum(CASE WHEN arm = 't' THEN 1 ELSE 0 END) AS BIGINT)
+           AS dn_t,
+         CAST(sum(CASE WHEN arm = 'c' THEN 1 ELSE 0 END) AS BIGINT)
+           AS dn_c,
+         CAST(sum(CASE WHEN arm = 't' THEN conv ELSE 0 END) AS BIGINT)
+           AS ds_t,
+         CAST(sum(CASE WHEN arm = 'c' THEN conv ELSE 0 END) AS BIGINT)
+           AS ds_c
+  FROM obs GROUP BY 1
+),
+cum AS (
+  SELECT period,
+         CAST(sum(dn_t) OVER w AS BIGINT) AS n_t,
+         CAST(sum(dn_c) OVER w AS BIGINT) AS n_c,
+         CAST(sum(ds_t) OVER w AS BIGINT) AS s_t,
+         CAST(sum(ds_c) OVER w AS BIGINT) AS s_c
+  FROM byp
+  WINDOW w AS (ORDER BY period ROWS UNBOUNDED PRECEDING)
+),
+sc AS (
+  SELECT *,
+    CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+      - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS theta,
+    (CAST(s_t + s_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE))
+      * (1.0 - CAST(s_t + s_c AS DOUBLE) / CAST(n_t + n_c AS DOUBLE))
+      * (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE)) AS v
+  FROM cum
+),
+lamt AS (
+  SELECT period, n_t, n_c, s_t, s_c, theta,
+    CASE WHEN n_t > 0 AND n_c > 0 AND v > 0
+         THEN sqrt(v / (v + {_MSPRT_TAU2}))
+              * exp(theta * theta * {_MSPRT_TAU2}
+                    / (2.0 * v * (v + {_MSPRT_TAU2})))
+         ELSE 1.0 END AS lam
+  FROM sc
+)
+SELECT period, n_t, n_c, s_t AS conv_t, s_c AS conv_c,
+       round(CASE WHEN n_t > 0 AND n_c > 0 THEN theta
+                  ELSE 0.0 END, 6) AS lift,
+       round(lam, 6) AS lambda_sprt,
+       round(least(1.0, 1.0 / max(lam) OVER (ORDER BY period
+               ROWS UNBOUNDED PRECEDING)), 6) AS p_always_valid
+FROM lamt
+"""
+
+
 QUERIES_ANALYTICS: dict = {
     "robust_outliers": q_robust_outliers,
     "survival_curve": q_survival_curve,
+    "msprt_monitor": q_msprt_monitor,
     "sequence_mining": q_sequence_mining,
     "rfm_segments": q_rfm_segments,
     "dataset_split": q_dataset_split,
@@ -1864,6 +1960,7 @@ QUERIES_ANALYTICS: dict = {
 ORACLES_ANALYTICS: dict[str, str] = {
     "robust_outliers": SQL_ROBUST_OUTLIERS,
     "survival_curve": SQL_SURVIVAL_CURVE,
+    "msprt_monitor": SQL_MSPRT_MONITOR,
     "sequence_mining": SQL_SEQUENCE_MINING,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "dataset_split": SQL_DATASET_SPLIT,

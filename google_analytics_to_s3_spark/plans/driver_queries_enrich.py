@@ -1160,8 +1160,8 @@ phi AS (
   FROM contrib GROUP BY 1, 2
 ),
 touched AS (
-  SELECT ci, count(*) AS n_journeys
-  FROM pu CROSS JOIN ch
+  SELECT ci, sum(n_j) AS n_journeys
+  FROM coal CROSS JOIN ch
   WHERE ((mask >> ci) & 1) = 1 GROUP BY 1
 )
 SELECT p.channel,

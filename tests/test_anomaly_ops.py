@@ -102,3 +102,100 @@ class TestKAnonymityReport:
         # coarse group for x has only 3 members: still at risk
         assert rep[("x", 1)]["at_risk"] is True
         assert rep[("x", 1)]["fixed_by_generalization"] is False
+
+
+class TestMsprtMonitor:
+    def _obs(self, spark, rows):
+        return spark.createDataFrame(rows, "day long, arm string, conv int")
+
+    def test_formula_matches_independent_python(self, spark):
+        import math
+
+        from google_analytics_to_s3_spark.operators.stats import (
+            msprt_monitor,
+        )
+
+        # day 1: t 60/100, c 50/100; day 2 adds t 30/100, c 55/100
+        rows = []
+        for d, (st, sc) in [(1, (60, 50)), (2, (30, 55))]:
+            rows += [(d, "t", 1)] * st + [(d, "t", 0)] * (100 - st)
+            rows += [(d, "c", 1)] * sc + [(d, "c", 0)] * (100 - sc)
+        out = {
+            r["period"]: r
+            for r in msprt_monitor(
+                self._obs(spark, rows), "day", "arm", "conv",
+                "t", "c", tau2=0.01,
+            ).collect()
+        }
+
+        def lam(nt, nc, st, sc, tau2=0.01):
+            p = (st + sc) / (nt + nc)
+            v = p * (1 - p) * (1 / nt + 1 / nc)
+            th = st / nt - sc / nc
+            return math.sqrt(v / (v + tau2)) * math.exp(
+                th * th * tau2 / (2 * v * (v + tau2))
+            )
+
+        l1, l2 = lam(100, 100, 60, 50), lam(200, 200, 90, 105)
+        assert out[1]["n_t"] == 100 and out[1]["conv_t"] == 60
+        assert out[1]["lambda_sprt"] == round(l1, 6)
+        assert out[1]["p_always_valid"] == round(min(1.0, 1 / l1), 6)
+        assert out[2]["n_t"] == 200 and out[2]["conv_c"] == 105
+        assert out[2]["lambda_sprt"] == round(l2, 6)
+        # always-valid p is MONOTONE: day-2 keeps day-1's max lambda
+        assert out[2]["p_always_valid"] == round(
+            min(1.0, 1 / max(l1, l2)), 6
+        )
+        assert out[2]["p_always_valid"] <= out[1]["p_always_valid"]
+
+    def test_degenerate_periods_no_evidence(self, spark):
+        from google_analytics_to_s3_spark.operators.stats import (
+            msprt_monitor,
+        )
+
+        # day 1 has only treatment data; day 2 both arms all-converting
+        rows = [(1, "t", 1), (1, "t", 0)] + [
+            (2, "t", 1), (2, "t", 1), (2, "c", 1), (2, "c", 1),
+        ]
+        out = {
+            r["period"]: r
+            for r in msprt_monitor(
+                self._obs(spark, rows), "day", "arm", "conv", "t", "c"
+            ).collect()
+        }
+        assert out[1]["lambda_sprt"] == 1.0
+        assert out[1]["p_always_valid"] == 1.0
+        assert out[1]["lift"] == 0.0
+        # day 2: pooled rate 5/6 -> v > 0, fine; but if all convert,
+        # v = 0 -> lambda 1.0
+        rows2 = [(1, "t", 1), (1, "c", 1)]
+        out2 = msprt_monitor(
+            self._obs(spark, rows2), "day", "arm", "conv", "t", "c"
+        ).collect()[0]
+        assert out2["lambda_sprt"] == 1.0 and out2["p_always_valid"] == 1.0
+
+    def test_strong_effect_drives_p_down(self, spark):
+        from google_analytics_to_s3_spark.operators.stats import (
+            msprt_monitor,
+        )
+
+        rows = [(1, "t", 1)] * 400 + [(1, "t", 0)] * 100 + [
+            (1, "c", 1)
+        ] * 100 + [(1, "c", 0)] * 400
+        out = msprt_monitor(
+            self._obs(spark, rows), "day", "arm", "conv", "t", "c"
+        ).collect()[0]
+        assert out["lift"] == 0.6
+        assert out["p_always_valid"] < 0.001
+
+    def test_other_arms_ignored(self, spark):
+        from google_analytics_to_s3_spark.operators.stats import (
+            msprt_monitor,
+        )
+
+        rows = [(1, "t", 1), (1, "c", 0), (1, "holdout", 1)]
+        out = msprt_monitor(
+            self._obs(spark, rows), "day", "arm", "conv", "t", "c"
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["n_t"] == 1 and out[0]["n_c"] == 1
