@@ -890,3 +890,151 @@ def msprt_monitor(
         F.round(F.least(F.lit(1.0), F.lit(1.0) / run_max), 6)
           .alias("p_always_valid"),
     )
+
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """EXACT ROC-AUC (equivalently the Mann-Whitney U statistic) per
+    group, with correct tie handling — the model-eval primitive a
+    training pipeline needs to score its quality/uplift classifiers
+    (the distributed logreg in operators/curation.py emits scores;
+    this grades them) without sampling or sklearn.
+
+    Tie-aware rank algebra at SCORE grain, never row grain: aggregate
+    to (group, score) -> (n, n_pos); ascending-score cumulative counts
+    give each tie block's average rank as the exact integer
+    ``2*avg_rank = 2*cum_before + n + 1``; then
+
+        AUC = (2*S - P*(P+1)) / (2*P*N),   2S = sum(p * 2*avg_rank)
+
+    — all BIGINT until the single final division (round 6), so any
+    engine reproduces it bit-for-bit. Groups with no positives or no
+    negatives yield NULL auc (undefined), not a crash.
+
+    Scale shape: one hash aggregation compacts rows to the score
+    domain; the window and final rollup run over (group, |distinct
+    scores|) rows. Precondition: 2*S must stay below 2^63 —
+    n_rows * (n_pos + ...) ~ n^2 per group; for n per group beyond
+    ~2^31 aggregate scores to a coarser grid first.
+    """
+    group_cols = list(group_cols)
+    lab = F.col(label_col).cast("long")
+    g1 = df.groupBy(
+        *group_cols, F.col(score_col).alias("_score")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(lab).alias("_p"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("_score").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = g1.withColumn(
+        "_r2",  # p * (2 * cum_before + n + 1)
+        F.col("_p") * (
+            2 * (F.sum("_n").over(w) - F.col("_n"))
+            + F.col("_n") + F.lit(1)
+        ),
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.sum("_r2").alias("_s2"),
+        F.sum("_p").alias("_pos"),
+        (F.sum("_n") - F.sum("_p")).alias("_neg"),
+    )
+    auc = F.when(
+        (F.col("_pos") > 0) & (F.col("_neg") > 0),
+        F.round(
+            (
+                F.col("_s2") - F.col("_pos") * (F.col("_pos") + 1)
+            ).cast("double")
+            / (F.lit(2.0) * F.col("_pos").cast("double")
+               * F.col("_neg").cast("double")),
+            6,
+        ),
+    )
+    return agg.select(
+        *group_cols,
+        F.col("_pos").alias("n_pos"),
+        F.col("_neg").alias("n_neg"),
+        auc.alias("auc"),
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error — the other
+    half of the model-eval pair with :func:`binary_auc` (AUC ranks;
+    calibration asks whether score 0.8 MEANS 80%). Scores must lie in
+    [0, 1]; out-of-range rows fail loudly at execution.
+
+    Equal-width bins: ``bin = least(floor(score * n_bins), n_bins-1)``
+    (the 1.0 edge folds into the last bin). Per bin: count, mean
+    score (confidence), positive rate (accuracy); plus every row
+    carries the overall ``ece = sum_b (n_b / N) * |acc_b - conf_b|``
+    — one extra 1-row broadcast, so the report stays a single frame.
+
+    Determinism: scores enter the sums on the repo's integer
+    micro-grid (``round(score * 10^6)`` as BIGINT — quantization
+    <= 5e-7, invisible at round-6 output), which makes every
+    aggregate an order-independent integer sum; even the ECE
+    numerator stays integral (``|pos*10^6 - ssum|`` per bin), so the
+    whole report is exact integer algebra until three final round-6
+    divisions — bit-identical on any engine and any partitioning.
+
+    Scale shape: one hash aggregation to <= n_bins rows; everything
+    after is literal-sized.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    GRID = 1_000_000
+    s = F.col(score_col).cast("double")
+    guarded = F.when(
+        (s >= 0.0) & (s <= 1.0), s
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit("calibration_report: score outside [0, 1]: "),
+            s.cast("string"),
+        ))
+    )
+    b = F.least(
+        F.floor(guarded * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    bins = df.select(
+        b.alias("bin"),
+        F.round(guarded * GRID).cast("long").alias("_sq"),
+        F.col(label_col).cast("long").alias("_y"),
+    ).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_sq").alias("_ssum"),
+        F.sum("_y").alias("_pos"),
+    )
+    nd = F.col("n").cast("double")
+    conf = F.col("_ssum").cast("double") / F.lit(float(GRID)) / nd
+    acc = F.col("_pos").cast("double") / nd
+    scored = bins.select(
+        "bin", "n",
+        F.round(conf, 6).alias("confidence"),
+        F.round(acc, 6).alias("accuracy"),
+        F.abs(F.col("_pos") * GRID - F.col("_ssum")).alias("_wq"),
+        F.col("n").alias("_nn"),
+    )
+    tot = scored.agg(
+        F.round(
+            F.sum("_wq").cast("double")
+            / (F.lit(float(GRID)) * F.sum("_nn").cast("double")),
+            6,
+        ).alias("ece")
+    )
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select("bin", "n", "confidence", "accuracy", "ece")
+    )

@@ -1927,10 +1927,115 @@ FROM lamt
 """
 
 
+def q_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC (operators/stats.py:binary_auc): does
+    order value predict urgent priority, scored per order status —
+    pure BIGINT rank algebra at score grain until one final division,
+    so the oracle matches bit-for-bit including the tie blocks."""
+    from ..operators.stats import binary_auc
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice").cast("double") * 100)
+        .cast("long")
+        .alias("score"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+    )
+    return binary_auc(o, "score", "y", ["o_orderstatus"])
+
+
+SQL_BINARY_AUC = """
+WITH o AS (
+  SELECT o_orderstatus,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
+           AS score,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+g1 AS (
+  SELECT o_orderstatus, score, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS p
+  FROM o GROUP BY 1, 2
+),
+r AS (
+  SELECT *,
+         p * (2 * (CAST(sum(n) OVER w AS BIGINT) - n) + n + 1) AS r2
+  FROM g1
+  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY score
+               ROWS UNBOUNDED PRECEDING)
+),
+a AS (
+  SELECT o_orderstatus, CAST(sum(r2) AS BIGINT) AS s2,
+         CAST(sum(p) AS BIGINT) AS pos,
+         CAST(sum(n) - sum(p) AS BIGINT) AS neg
+  FROM r GROUP BY 1
+)
+SELECT o_orderstatus, pos AS n_pos, neg AS n_neg,
+       CASE WHEN pos > 0 AND neg > 0
+            THEN round(CAST(s2 - pos * (pos + 1) AS DOUBLE)
+                       / (2.0 * CAST(pos AS DOUBLE)
+                          * CAST(neg AS DOUBLE)), 6)
+       END AS auc
+FROM a
+"""
+
+
+def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE (operators/stats.py:
+    calibration_report) for a deterministic synthetic scorer against
+    the purchase label. The operator keeps every aggregate on the
+    integer micro-grid, so the oracle reproduces confidence/accuracy/
+    ECE bit-for-bit including bin edges."""
+    from ..operators.stats import calibration_report
+
+    e = load_events(spark, sf_dir).select(
+        (
+            ((F.col("user_id") * 37 + F.col("event_id")) % 1001)
+            / F.lit(1000.0)
+        ).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return calibration_report(e, "score", "y", n_bins=10)
+
+
+SQL_CALIBRATION_REPORT = """
+WITH e AS (
+  SELECT ((user_id * 37 + event_id) % 1001) / 1000.0 AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+b AS (
+  SELECT least(CAST(floor(score * 10) AS INTEGER), 9) AS bin,
+         CAST(round(score * 1000000) AS BIGINT) AS sq, y
+  FROM e
+),
+g AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(sq) AS BIGINT) AS ssum,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM b GROUP BY 1
+),
+t AS (
+  SELECT CAST(sum(abs(pos * 1000000 - ssum)) AS BIGINT) AS wq,
+         CAST(sum(n) AS BIGINT) AS nn
+  FROM g
+)
+SELECT bin, n,
+       round(CAST(ssum AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6)
+         AS confidence,
+       round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy,
+       round(CAST(t.wq AS DOUBLE)
+             / (1000000.0 * CAST(t.nn AS DOUBLE)), 6) AS ece
+FROM g CROSS JOIN t
+"""
+
+
 QUERIES_ANALYTICS: dict = {
     "robust_outliers": q_robust_outliers,
     "survival_curve": q_survival_curve,
     "msprt_monitor": q_msprt_monitor,
+    "binary_auc": q_binary_auc,
+    "calibration_report": q_calibration_report,
     "sequence_mining": q_sequence_mining,
     "rfm_segments": q_rfm_segments,
     "dataset_split": q_dataset_split,
@@ -1961,6 +2066,8 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "robust_outliers": SQL_ROBUST_OUTLIERS,
     "survival_curve": SQL_SURVIVAL_CURVE,
     "msprt_monitor": SQL_MSPRT_MONITOR,
+    "binary_auc": SQL_BINARY_AUC,
+    "calibration_report": SQL_CALIBRATION_REPORT,
     "sequence_mining": SQL_SEQUENCE_MINING,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "dataset_split": SQL_DATASET_SPLIT,

@@ -199,3 +199,100 @@ class TestMsprtMonitor:
         ).collect()
         assert len(out) == 1
         assert out[0]["n_t"] == 1 and out[0]["n_c"] == 1
+
+
+class TestBinaryAuc:
+    def _auc(self, spark, rows, groups=("g",)):
+        from google_analytics_to_s3_spark.operators.stats import (
+            binary_auc,
+        )
+
+        df = spark.createDataFrame(rows, "g string, s double, y int")
+        return {
+            r["g"]: r
+            for r in binary_auc(df, "s", "y", list(groups)).collect()
+        }
+
+    def test_sklearn_reference_example(self, spark):
+        # scores .1 .4 .35 .8 / labels 0 0 1 1 -> AUC 0.75
+        rows = [("g", 0.1, 0), ("g", 0.4, 0), ("g", 0.35, 1),
+                ("g", 0.8, 1)]
+        assert self._auc(spark, rows)["g"]["auc"] == 0.75
+
+    def test_all_tied_is_half(self, spark):
+        rows = [("g", 1.0, y) for y in (0, 0, 1, 1, 1)]
+        out = self._auc(spark, rows)["g"]
+        assert out["auc"] == 0.5
+        assert out["n_pos"] == 3 and out["n_neg"] == 2
+
+    def test_perfect_and_inverted(self, spark):
+        rows = [("p", float(i), 1 if i >= 5 else 0) for i in range(10)]
+        rows += [("i", float(i), 1 if i < 5 else 0) for i in range(10)]
+        out = self._auc(spark, rows)
+        assert out["p"]["auc"] == 1.0 and out["i"]["auc"] == 0.0
+
+    def test_partial_ties_average_rank(self, spark):
+        # scores: 1(y=0), 2(y=0), 2(y=1), 3(y=1)
+        # ranks: 1, 2.5, 2.5, 4 -> S = 2.5 + 4 = 6.5
+        # AUC = (6.5 - 3) / (2*2) = 0.875
+        rows = [("g", 1.0, 0), ("g", 2.0, 0), ("g", 2.0, 1),
+                ("g", 3.0, 1)]
+        assert self._auc(spark, rows)["g"]["auc"] == 0.875
+
+    def test_single_class_group_is_null(self, spark):
+        rows = [("g", 1.0, 1), ("g", 2.0, 1)]
+        out = self._auc(spark, rows)["g"]
+        assert out["auc"] is None and out["n_neg"] == 0
+
+
+class TestCalibrationReport:
+    def test_perfectly_calibrated_bins(self, spark):
+        from google_analytics_to_s3_spark.operators.stats import (
+            calibration_report,
+        )
+
+        # bin [0.2,0.3): 10 rows at score 0.25, 25% positive... use
+        # 4 rows, 1 positive -> acc 0.25 == conf -> zero ECE share;
+        # bin [0.6,0.7): 0.65 scores, 20 rows, 13 pos -> acc 0.65
+        rows = [(0.25, 1)] + [(0.25, 0)] * 3
+        rows += [(0.65, 1)] * 13 + [(0.65, 0)] * 7
+        df = spark.createDataFrame(rows, "s double, y int")
+        out = {r["bin"]: r for r in calibration_report(
+            df, "s", "y", n_bins=10
+        ).collect()}
+        assert out[2]["confidence"] == 0.25 and out[2]["accuracy"] == 0.25
+        assert out[6]["confidence"] == 0.65 and out[6]["accuracy"] == 0.65
+        assert out[2]["ece"] == 0.0
+
+    def test_miscalibration_measured(self, spark):
+        from google_analytics_to_s3_spark.operators.stats import (
+            calibration_report,
+        )
+
+        # all scores 0.9 but only 40% positive: ECE = 0.5
+        rows = [(0.9, 1)] * 4 + [(0.9, 0)] * 6
+        df = spark.createDataFrame(rows, "s double, y int")
+        r = calibration_report(df, "s", "y").first()
+        assert r["bin"] == 9
+        assert r["confidence"] == 0.9 and r["accuracy"] == 0.4
+        assert r["ece"] == 0.5
+
+    def test_edge_one_folds_into_last_bin(self, spark):
+        from google_analytics_to_s3_spark.operators.stats import (
+            calibration_report,
+        )
+
+        df = spark.createDataFrame([(1.0, 1), (0.0, 0)], "s double, y int")
+        bins = {r["bin"] for r in calibration_report(df, "s", "y").collect()}
+        assert bins == {0, 9}
+
+    def test_out_of_range_raises(self, spark):
+        import pytest
+
+        from google_analytics_to_s3_spark.operators.stats import (
+            calibration_report,
+        )
+
+        df = spark.createDataFrame([(1.5, 1)], "s double, y int")
+        with pytest.raises(Exception, match="outside"):
+            calibration_report(df, "s", "y").collect()
