@@ -16,8 +16,13 @@ Two tiers of decode honesty:
   energy windows). Malformed payloads quarantine into a
   ``decode_error`` column instead of failing the task. The
   ``ppm_decode`` driver query value-oracles the image path end-to-end.
-- **Digest stubs** for compressed formats (JPEG/MP4/FLAC need
-  PIL / libav / soundfile, which are NOT in this container):
+- **REAL compressed decode for PNG (r7)**: stdlib zlib inflate + the
+  five spec scanline filters (``decode_png_meta``; ``png_decode``
+  driver query value-oracles it with all filter types cycling). The
+  honest gate moved: only entropy-coded/DSP formats remain stubbed.
+- **Digest stubs** for the remaining compressed formats (JPEG/MP4/
+  FLAC need PIL / libav / soundfile, which are NOT in this
+  container):
   metadata derives deterministically from the payload's sha256.
   Everything Spark-side — binary column handling, Arrow batch
   transfer, schemas, partition-preserving plumbing, the 1→N frame
@@ -739,4 +744,174 @@ def sample_y4m_frames(
 
     return df.select(id_col, payload_col).mapInPandas(
         _sample, schema=Y4M_FRAME_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed-image decode: PNG. The container everyone assumed
+# needed PIL actually needs only stdlib zlib + the five scanline
+# filters from the PUBLIC PNG specification (RFC 2083 / W3C PNG) —
+# so the "compressed formats stay gated" boundary moves: PNG decode
+# is now real; JPEG/MP4/FLAC (entropy coding + DSP) remain honestly
+# PIL/libav-gated.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colortype -> channels
+
+
+def _png_unfilter(ftype: int, row: "np.ndarray", prev: "np.ndarray",
+                  bpp: int) -> "np.ndarray":
+    """Reconstruct one scanline per the PNG filter spec. ``row`` is
+    the filtered bytes (int16 workspace), ``prev`` the RECONSTRUCTED
+    prior scanline, ``bpp`` bytes per pixel."""
+    n = row.shape[0]
+    out = np.empty(n, dtype=np.uint8)
+    if ftype == 0:  # None
+        out[:] = row
+    elif ftype == 1:  # Sub
+        for i in range(n):
+            left = out[i - bpp] if i >= bpp else 0
+            out[i] = (row[i] + left) & 0xFF
+    elif ftype == 2:  # Up
+        out[:] = (row + prev) & 0xFF
+    elif ftype == 3:  # Average
+        for i in range(n):
+            left = int(out[i - bpp]) if i >= bpp else 0
+            out[i] = (row[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+    elif ftype == 4:  # Paeth
+        for i in range(n):
+            a = int(out[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                pred = a
+            elif pb <= pc:
+                pred = b
+            else:
+                pred = c
+            out[i] = (row[i] + pred) & 0xFF
+    else:
+        raise ValueError(f"invalid PNG filter type {ftype}")
+    return out
+
+
+def _parse_png(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    """Parse an 8-bit non-interlaced PNG (gray / gray+alpha / RGB /
+    RGBA): returns (width, height, channels, uint8 array of h*w*c).
+    Raises ValueError on malformed files and on the unsupported
+    corners (16-bit, palette, Adam7) so they quarantine cleanly."""
+    import zlib
+
+    if not raw.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 8 <= len(raw):
+        (length,) = struct.unpack(">I", raw[pos:pos + 4])
+        ctype = raw[pos + 4:pos + 8]
+        body = raw[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + length  # length + type + body + crc
+    if ihdr is None or not seen_iend or not idat:
+        raise ValueError("missing IHDR/IDAT/IEND chunk")
+    w, h, depth, colortype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"non-positive dimensions {w}x{h}")
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported, got depth {depth}")
+    if colortype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG colortype {colortype}")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlacing not supported")
+    c = _PNG_CHANNELS[colortype]
+    stride = w * c
+    try:
+        plain = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    if len(plain) != h * (stride + 1):
+        raise ValueError(
+            f"PNG scanline data is {len(plain)} bytes, "
+            f"expected {h * (stride + 1)}"
+        )
+    data = np.frombuffer(plain, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    work = data[:, 1:].astype(np.int16)
+    for y in range(h):
+        prev = _png_unfilter(int(data[y, 0]), work[y], prev, c)
+        out[y] = prev
+    return w, h, c, out.reshape(-1)
+
+
+PNG_META_SCHEMA = PPM_META_SCHEMA  # same shape: real decode metadata
+
+
+def decode_png_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL compressed-image decode for PNG payloads: inflate + the
+    five scanline filters, width/height/channels from IHDR, mean
+    pixel from the RECONSTRUCTED raster (exact integer sum, one
+    double division, round 6). Same quarantine contract as
+    decode_ppm_meta: malformed or unsupported files land in
+    ``decode_error``, never fail the batch."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "channels", "mean_px",
+                "payload_sha256", "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                rows["doc_id"].append(doc_id)
+                rows["payload_sha256"].append(
+                    hashlib.sha256(raw).hexdigest()
+                )
+                try:
+                    w, h, c, px = _parse_png(raw)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["channels"].append(c)
+                    rows["mean_px"].append(
+                        round(int(px.sum(dtype=np.int64)) / px.size, 6)
+                    )
+                    rows["decode_error"].append(None)
+                except ValueError as e:
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["channels"].append(None)
+                    rows["mean_px"].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "width": pd.Series(rows["width"], dtype="Int32"),
+                "height": pd.Series(rows["height"], dtype="Int32"),
+                "channels": pd.Series(rows["channels"], dtype="Int32"),
+                "mean_px": pd.Series(rows["mean_px"], dtype="float64"),
+                "payload_sha256": pd.Series(rows["payload_sha256"],
+                                            dtype=object),
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _decode, schema=PNG_META_SCHEMA
     )

@@ -1194,6 +1194,68 @@ FROM px GROUP BY 1, 2, 3
 """
 
 
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode, driver-checked end-to-end: a true
+    PNG (stdlib-zlib deflate, correct CRCs, per-row filters cycling
+    through all five spec filter types — testing/fixtures.make_png) is
+    synthesized per event with the same deterministic pixel rule as
+    ppm_decode, inflated and filter-reconstructed by
+    operators/multimodal.decode_png_meta, and the oracle recomputes
+    the raster arithmetic — a green row proves the inflate + Sub/Up/
+    Average/Paeth reconstruction reads the actual pixels."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.multimodal import PNG_META_SCHEMA, decode_png_meta
+    from ..testing.fixtures import make_png
+
+    e = load_events(spark, sf_dir).select("event_id")
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_png(2 + int(i) % 5, 2 + int(i) % 4,
+                             int(i) % 256)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(
+        _synth, schema="doc_id long, payload binary"
+    )
+    meta = decode_png_meta(payloads)
+    assert meta.schema == PNG_META_SCHEMA
+    return meta.select("doc_id", "width", "height", "channels",
+                       "mean_px")
+
+
+SQL_PNG_DECODE = """
+WITH e AS (
+  SELECT event_id, 2 + event_id % 5 AS w, 2 + event_id % 4 AS h,
+         event_id % 256 AS seed
+  FROM events
+),
+px AS (
+  SELECT event_id, w, h,
+         (seed + y.y * 31 + x.x * 7 + c.c * 13) % 256 AS v
+  FROM e,
+  LATERAL (SELECT unnest(range(0, h)) AS y) y,
+  LATERAL (SELECT unnest(range(0, w)) AS x) x,
+  LATERAL (SELECT unnest(range(0, 3)) AS c) c
+)
+SELECT event_id AS doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS mean_px
+FROM px GROUP BY 1, 2, 3
+"""
+
+
 # --------------------------------------------------------------------------
 # REAL audio + video decode with full value oracles
 # --------------------------------------------------------------------------
@@ -2036,6 +2098,7 @@ QUERIES_ANALYTICS: dict = {
     "msprt_monitor": q_msprt_monitor,
     "binary_auc": q_binary_auc,
     "calibration_report": q_calibration_report,
+    "png_decode": q_png_decode,
     "sequence_mining": q_sequence_mining,
     "rfm_segments": q_rfm_segments,
     "dataset_split": q_dataset_split,
@@ -2068,6 +2131,7 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "msprt_monitor": SQL_MSPRT_MONITOR,
     "binary_auc": SQL_BINARY_AUC,
     "calibration_report": SQL_CALIBRATION_REPORT,
+    "png_decode": SQL_PNG_DECODE,
     "sequence_mining": SQL_SEQUENCE_MINING,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "dataset_split": SQL_DATASET_SPLIT,

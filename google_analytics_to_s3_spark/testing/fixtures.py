@@ -332,3 +332,86 @@ def make_mmdb(
         tree + b"\x00" * 16 + data
         + b"\xab\xcd\xefMaxMind.com" + enc(meta)
     )
+
+
+def make_png(
+    w: int,
+    h: int,
+    seed: int,
+    channels: int = 3,
+    filters: list[int] | None = None,
+) -> bytes:
+    """Serialize a REAL 8-bit PNG (stdlib zlib; correct CRCs) with the
+    same deterministic pixel rule as make_ppm — pixel (y, x, c) =
+    (seed + y*31 + x*7 + c*13) % 256 — so oracles recompute the
+    raster arithmetically. ``filters`` picks the per-row filter type
+    (0..4, cycling); defaults to cycling through all five so decoder
+    tests exercise every reconstruction path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    y_i, x_i, c_i = np.meshgrid(
+        np.arange(h), np.arange(w), np.arange(channels), indexing="ij"
+    )
+    px = ((seed + y_i * 31 + x_i * 7 + c_i * 13) % 256).astype(np.uint8)
+    rows = px.reshape(h, w * channels)
+    filters = filters if filters is not None else [0, 1, 2, 3, 4]
+    bpp = channels
+
+    def filt_row(ft: int, cur: "np.ndarray", prev: "np.ndarray") -> bytes:
+        cur16 = cur.astype(np.int16)
+        out = np.empty_like(cur)
+        if ft == 0:
+            out[:] = cur
+        elif ft == 1:
+            left = np.concatenate([np.zeros(bpp, np.int16),
+                                   cur16[:-bpp]])
+            out[:] = (cur16 - left) & 0xFF
+        elif ft == 2:
+            out[:] = (cur16 - prev.astype(np.int16)) & 0xFF
+        elif ft == 3:
+            left = np.concatenate([np.zeros(bpp, np.int16),
+                                   cur16[:-bpp]])
+            out[:] = (cur16 - ((left + prev.astype(np.int16)) >> 1)) & 0xFF
+        elif ft == 4:
+            prev16 = prev.astype(np.int16)
+            n = cur.shape[0]
+            ob = np.empty(n, dtype=np.uint8)
+            for i in range(n):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev16[i])
+                c = int(prev16[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                ob[i] = (int(cur[i]) - pred) & 0xFF
+            out = ob
+        else:
+            raise ValueError(f"bad filter {ft}")
+        return bytes([ft]) + out.tobytes()
+
+    scan = b""
+    prev = np.zeros(w * channels, dtype=np.uint8)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        scan += filt_row(ft, rows[y], prev)
+        prev = rows[y]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(
+            ">I", crc
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )

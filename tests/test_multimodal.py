@@ -397,3 +397,92 @@ def test_real_decoder_arg_validation(spark):
         sample_y4m_frames(df, every_k=0)
     with _pytest.raises(ValueError, match="geometry"):
         resize_ppm(df, 0, 4)
+
+
+class TestPngDecode:
+    def test_real_decode_all_filters(self, spark):
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            decode_png_meta,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_png
+
+        rows = []
+        for i, filters in enumerate(([0], [1], [2], [3], [4], None)):
+            rows.append((i, bytearray(make_png(6, 5, 11 + i, 3, filters))))
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {r["doc_id"]: r for r in decode_png_meta(df).collect()}
+        for i in range(6):
+            y, x, c = np.meshgrid(
+                np.arange(5), np.arange(6), np.arange(3), indexing="ij"
+            )
+            want = ((11 + i + y * 31 + x * 7 + c * 13) % 256)
+            assert out[i]["width"] == 6 and out[i]["height"] == 5
+            assert out[i]["channels"] == 3
+            assert out[i]["decode_error"] is None
+            assert out[i]["mean_px"] == round(
+                float(want.sum()) / want.size, 6
+            )
+
+    def test_gray_and_alpha_channels(self, spark):
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            decode_png_meta,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_png
+
+        rows = [
+            (1, bytearray(make_png(4, 4, 7, 1))),
+            (2, bytearray(make_png(4, 4, 7, 2))),
+            (4, bytearray(make_png(4, 4, 7, 4))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {r["doc_id"]: r["channels"]
+               for r in decode_png_meta(df).collect()}
+        assert out == {1: 1, 2: 2, 4: 4}
+
+    def test_quarantine_not_crash(self, spark):
+        import struct
+        import zlib
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            decode_png_meta,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_png
+
+        good = make_png(3, 3, 1)
+
+        def chunk(ctype, body):
+            crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+            return (struct.pack(">I", len(body)) + ctype + body
+                    + struct.pack(">I", crc))
+
+        sixteen_bit = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+            + chunk(b"IEND", b"")
+        )
+        interlaced = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + chunk(b"IEND", b"")
+        )
+        rows = [
+            (0, bytearray(good)),
+            (1, bytearray(b"not a png at all")),
+            (2, bytearray(good[:20])),           # truncated
+            (3, bytearray(sixteen_bit)),
+            (4, bytearray(interlaced)),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {r["doc_id"]: r for r in decode_png_meta(df).collect()}
+        assert out[0]["decode_error"] is None and out[0]["width"] == 3
+        assert "signature" in out[1]["decode_error"]
+        assert out[2]["decode_error"] is not None
+        assert "16" in out[3]["decode_error"] or "depth" in out[3][
+            "decode_error"]
+        assert "nterlac" in out[4]["decode_error"]
+        # every row survived — the quarantine contract
+        assert len(out) == 5
