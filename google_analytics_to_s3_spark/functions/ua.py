@@ -87,13 +87,67 @@ def device_type(ua: Column) -> Column:
     )
 
 
-def with_device_columns(df: DataFrame, ua_col: str = "user_agent") -> DataFrame:
+def _ua_parser_family(ua: Column, browser: Column) -> Column:
+    """Map the native engine family onto the ua-parser taxonomy the
+    reference's ``user_agents`` lib emits (mobile splits, FxiOS,
+    legacy AOSP, Amazon Silk, CLI clients) — closes divergences 1-2
+    of the documented surface; version granularity (div. 3) and bot
+    policy (div. 4) intentionally stay native."""
+    return (
+        F.when(ua.contains("FxiOS"), "Firefox iOS")
+        .when(ua.contains("CriOS"), "Chrome Mobile iOS")
+        .when(ua.rlike(r"Silk/"), "Amazon Silk")
+        .when(ua.contains("python-requests"), "Python Requests")
+        .when(
+            (browser == "Chrome")
+            & ua.contains("Android") & ua.contains("Mobile"),
+            "Chrome Mobile",
+        )
+        .when(
+            (browser == "Firefox")
+            & (ua.contains("Android") | ua.contains("Mobile")),
+            "Firefox Mobile",
+        )
+        .when(
+            (browser == "Edge")
+            & (ua.rlike(r"Edg(?:A|iOS)/") | ua.contains("Mobile")),
+            "Edge Mobile",
+        )
+        .when((browser == "Opera") & ua.contains("Mobile"), "Opera Mobile")
+        .when(
+            (browser == "Safari")
+            & ua.contains("Android") & ua.contains("Version/"),
+            "Android",  # legacy AOSP browser
+        )
+        .when(
+            (browser == "Safari") & ua.rlike(r"(?:iPhone|iPad|iPod)"),
+            "Mobile Safari",
+        )
+        .otherwise(browser)
+    )
+
+
+def with_device_columns(
+    df: DataFrame,
+    ua_col: str = "user_agent",
+    ua_parser_families: bool = False,
+) -> DataFrame:
     """Native-expression UA parse → the 12 ``device_*`` fields of the
     enriched-hit schema. Bots get only the bot flag (reference
-    user_agent.py:35-39: bots short-circuit)."""
+    user_agent.py:35-39: bots short-circuit).
+
+    ``ua_parser_families=True`` renames the client family into the
+    reference's ua-parser taxonomy ("Mobile Safari", "Chrome Mobile",
+    "Firefox iOS", "Android", "Amazon Silk", …) — still pure native
+    expressions, raising measured exact-family agreement on the
+    parity corpus from 17/29 to 27/29 (tests/test_ua_parity.py);
+    the default keeps the engine-family taxonomy the existing marts
+    and oracles pin."""
     ua = F.col(ua_col)
     bot = is_bot(ua)
     browser, browser_ver = _first_match(ua, _BROWSERS, NOT_SET)
+    if ua_parser_families:
+        browser = _ua_parser_family(ua, browser)
     os_name, os_ver = _first_match(ua, _OSES, NOT_SET)
     dtype = device_type(ua)
     nb = lambda c: F.when(~bot, c)  # noqa: E731  null for bots

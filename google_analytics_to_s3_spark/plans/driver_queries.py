@@ -2988,7 +2988,7 @@ _DRIVER_PRIORITY = [
     # queries registered this round
     "wav_decode", "robust_outliers", "survival_curve",
     "shapley_attribution", "msprt_monitor", "binary_auc",
-    "calibration_report", "png_decode",
+    "calibration_report", "png_decode", "ua_parse_families",
     # (r7-b) the 34 queries whose latest driver-green row is r3
     "funnel_conversion", "retention_cohorts", "event_transitions",
     "pq_codes", "pq_adc_topk", "time_to_conversion", "chunk_documents",
@@ -3002,14 +3002,13 @@ _DRIVER_PRIORITY = [
     "mixture_sample", "vocab_oov", "curation_pipeline",
     "tfidf_top_terms", "bm25_search", "linear_count_users",
     "scd2_customer_priority",
-    # (r7-c) the 8 oldest r4-green rows (first checked in the r4
-    # prefix; the remaining 42 r4 rows queue below for r8)
+    # (r7-c) the 7 oldest r4-green rows (first checked in the r4
+    # prefix; the remaining 43 r4 rows queue below for r8)
     "pack_sequences", "value_histograms", "part_pagerank", "hll_users",
     "page_path_levels", "envelope_decode", "repetition_signals",
-    "bloom_probe",
-    # (r8-queue) the remaining 42 r4-green rows, oldest-first, so the
+    # (r8-queue) the remaining 43 r4-green rows, oldest-first, so the
     # r8 prefix self-assembles by dropping the 50 entries above
-    "source_caps", "knn_ivfpq", "action_revenue",
+    "bloom_probe", "source_caps", "knn_ivfpq", "action_revenue",
     "graph_triangles", "merge_upsert", "quantile_sketch", "fuzzy_match",
     "bpe_merges", "cms_counts", "k_core", "attribution_models",
     "semdedup", "bpe_encode", "interval_join", "dsir_weights",

@@ -225,6 +225,46 @@ def q_ua_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("ua_idx", *_UA_FIELDS).agg(F.count("*").alias("n"))
 
 
+# ua-parser-taxonomy family per UA index (functions/ua.py
+# _ua_parser_family; parity corpus tests/test_ua_parity.py): only the
+# mobile-split rows differ from UA_GOLDEN's engine families.
+UA_GOLDEN_FAMILIES = [
+    "Chrome", "Mobile Safari", "Firefox", "Edge",
+    "Samsung Internet", None, None, "Safari",
+]
+
+
+def q_ua_parse_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ua-parser-taxonomy client families
+    (with_device_columns(ua_parser_families=True)): driver-visible
+    evidence for the mobile-split renames that raise exact-family
+    agreement with the reference's ``user_agents`` lib to 27/29 on
+    the parity corpus (reference enrichment/filters/
+    user_agent.py:14-32)."""
+    e = (
+        load_events(spark, sf_dir)
+        .select("event_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    uas = F.array(*[F.lit(s) for s in UA_STRINGS])
+    d = e.withColumn("ua_idx", (F.col("event_id") % 8).cast("int")).withColumn(
+        "user_agent", F.element_at(uas, F.col("ua_idx") + 1)
+    )
+    out = with_device_columns(d, ua_parser_families=True)
+    return out.groupBy(
+        "ua_idx", "device_is_bot", "device_client_name"
+    ).agg(F.count("*").alias("n"))
+
+
+def _ua_family_values() -> str:
+    rows = []
+    for i, (g, fam) in enumerate(zip(UA_GOLDEN, UA_GOLDEN_FAMILIES)):
+        rows.append(
+            "(" + ", ".join([str(i), _sql_lit(g[0]), _sql_lit(fam)]) + ")"
+        )
+    return ",\n  ".join(rows)
+
+
 def _sql_lit(v) -> str:
     if v is None:
         return "NULL"
@@ -251,6 +291,18 @@ SELECT CAST(m.ua_idx AS INTEGER) AS ua_idx,
        m.device_is_bot, m.device_client_name, m.device_client_version,
        m.device_os_name, m.device_os_version, m.device_device_type,
        m.device_is_mobile, m.device_device_brand,
+       count(*) AS n
+FROM events e JOIN m ON e.event_id % 8 = m.ua_idx
+GROUP BY ALL
+"""
+
+SQL_UA_PARSE_FAMILIES = f"""
+WITH m(ua_idx, device_is_bot, device_client_name) AS (
+  VALUES
+  {_ua_family_values()}
+)
+SELECT CAST(m.ua_idx AS INTEGER) AS ua_idx,
+       m.device_is_bot, m.device_client_name,
        count(*) AS n
 FROM events e JOIN m ON e.event_id % 8 = m.ua_idx
 GROUP BY ALL
@@ -1173,6 +1225,7 @@ FROM phi p LEFT JOIN touched t USING (ci)
 
 QUERIES_ENRICH = {
     "shapley_attribution": q_shapley_attribution,
+    "ua_parse_families": q_ua_parse_families,
     "action_revenue": q_action_revenue,
     "incremental_attribution": q_incremental_attribution,
     "multimodal_decode": q_multimodal_decode,
@@ -1199,6 +1252,7 @@ ORACLES_ENRICH = {
     "anonymize_ip": SQL_ANONYMIZE_IP,
     "geo_enrich": SQL_GEO_ENRICH,
     "ua_parse": SQL_UA_PARSE,
+    "ua_parse_families": SQL_UA_PARSE_FAMILIES,
     "touchpoints": SQL_TOUCHPOINTS,
     "attribution_models": SQL_ATTRIBUTION_MODELS,
     "shapley_attribution": SQL_SHAPLEY_ATTRIBUTION,
