@@ -915,3 +915,213 @@ def decode_png_meta(
     return df.select(id_col, payload_col).mapInPandas(
         _decode, schema=PNG_META_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed animation decode: GIF (LZW). Like PNG above, the
+# format needs no external codec — LZW decompression per the PUBLIC
+# GIF89a specification plus a palette lookup. Gives the frame-sampling
+# path a REAL compressed multi-frame container (y4m is uncompressed).
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes,
+                    expected: int) -> "np.ndarray":
+    """Decode one GIF LZW-compressed index stream (codes packed
+    LSB-first, table growth + width bumps per spec) into ``expected``
+    palette indices."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit reader state
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended before EOI")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) > expected:
+            raise ValueError("LZW produced more pixels than the frame")
+    if len(out) != expected:
+        raise ValueError(
+            f"LZW produced {len(out)} pixels, expected {expected}"
+        )
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def _parse_gif(raw: bytes) -> tuple[int, int, list["np.ndarray"], list[int]]:
+    """Parse a GIF87a/89a payload: returns (width, height,
+    [h*w*3 uint8 RGB per frame], [delay_cs per frame]). Supported:
+    global color table, full-canvas frames, multiple frames, graphic
+    control delays. Unsupported corners raise ValueError for the
+    quarantine contract: local color tables, interlaced frames,
+    partial-canvas frames."""
+    if not raw.startswith((b"GIF87a", b"GIF89a")):
+        raise ValueError("not a GIF payload (bad signature)")
+    if len(raw) < 13:
+        raise ValueError("truncated GIF header")
+    w, h = struct.unpack("<HH", raw[6:10])
+    packed = raw[10]
+    if w <= 0 or h <= 0:
+        raise ValueError(f"non-positive dimensions {w}x{h}")
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table")
+    gct_size = 2 << (packed & 0x07)
+    pos = 13
+    palette = np.frombuffer(
+        raw[pos:pos + 3 * gct_size], dtype=np.uint8
+    ).reshape(gct_size, 3)
+    if palette.shape[0] != gct_size:
+        raise ValueError("truncated global color table")
+    pos += 3 * gct_size
+
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    next_delay = 0
+    while pos < len(raw):
+        b = raw[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if pos + 2 > len(raw):
+                raise ValueError("truncated extension")
+            label = raw[pos + 1]
+            pos += 2
+            blocks = bytearray()
+            while True:
+                if pos >= len(raw):
+                    raise ValueError("truncated extension sub-blocks")
+                n = raw[pos]
+                pos += 1
+                if n == 0:
+                    break
+                blocks.extend(raw[pos:pos + n])
+                pos += n
+            if label == 0xF9 and len(blocks) >= 3:
+                next_delay = struct.unpack("<H", bytes(blocks[1:3]))[0]
+            continue
+        if b == 0x2C:  # image descriptor
+            left, top, fw, fh = struct.unpack("<HHHH", raw[pos + 1:pos + 9])
+            ipacked = raw[pos + 9]
+            pos += 10
+            if (left, top, fw, fh) != (0, 0, w, h):
+                raise ValueError("partial-canvas GIF frames unsupported")
+            if ipacked & 0x80:
+                raise ValueError("local color tables unsupported")
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF frames unsupported")
+            min_code = raw[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                raise ValueError(f"bad LZW min code size {min_code}")
+            data = bytearray()
+            while True:
+                if pos >= len(raw):
+                    raise ValueError("truncated image sub-blocks")
+                n = raw[pos]
+                pos += 1
+                if n == 0:
+                    break
+                data.extend(raw[pos:pos + n])
+                pos += n
+            idx = _gif_lzw_decode(min_code, bytes(data), w * h)
+            if int(idx.max(initial=0)) >= gct_size:
+                raise ValueError("palette index out of range")
+            frames.append(palette[idx].reshape(-1))
+            delays.append(next_delay)
+            next_delay = 0
+            continue
+        raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF contains no frames")
+    return w, h, frames, delays
+
+
+def sample_gif_frames(
+    df: DataFrame,
+    every_k: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL compressed-animation frame sampling for GIF payloads: LZW
+    decode + palette lookup, keep every ``every_k``-th frame (frame 0
+    always), emit per-frame rows with the real RGB mean (exact
+    integer sum, one division), the frame delay, and digest — the
+    same 1→N fan-out contract as :func:`sample_y4m_frames`; malformed
+    payloads are dropped."""
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "doc_id", "frame_idx", "width", "height", "n_frames",
+                "delay_cs", "rgb_mean", "frame_sha256")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, frames, delays = _parse_gif(bytes(payload))
+                except (ValueError, struct.error):
+                    continue
+                for i in range(0, len(frames), every_k):
+                    px = frames[i]
+                    cols["doc_id"].append(doc_id)
+                    cols["frame_idx"].append(i)
+                    cols["width"].append(w)
+                    cols["height"].append(h)
+                    cols["n_frames"].append(len(frames))
+                    cols["delay_cs"].append(delays[i])
+                    cols["rgb_mean"].append(
+                        round(int(px.sum(dtype=np.int64)) / px.size, 6)
+                    )
+                    cols["frame_sha256"].append(
+                        hashlib.sha256(px.tobytes()).hexdigest()
+                    )
+            yield pd.DataFrame({
+                "doc_id": pd.Series(cols["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(cols["frame_idx"], dtype="int32"),
+                "width": pd.Series(cols["width"], dtype="int32"),
+                "height": pd.Series(cols["height"], dtype="int32"),
+                "n_frames": pd.Series(cols["n_frames"], dtype="int32"),
+                "delay_cs": pd.Series(cols["delay_cs"], dtype="int32"),
+                "rgb_mean": pd.Series(cols["rgb_mean"], dtype="float64"),
+                "frame_sha256": pd.Series(cols["frame_sha256"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _sample,
+        schema=(
+            "doc_id long, frame_idx int, width int, height int, "
+            "n_frames int, delay_cs int, rgb_mean double, "
+            "frame_sha256 string"
+        ),
+    )

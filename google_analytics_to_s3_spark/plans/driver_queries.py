@@ -2989,6 +2989,7 @@ _DRIVER_PRIORITY = [
     "wav_decode", "robust_outliers", "survival_curve",
     "shapley_attribution", "msprt_monitor", "binary_auc",
     "calibration_report", "png_decode", "ua_parse_families",
+    "gif_frames",
     # (r7-b) the 34 queries whose latest driver-green row is r3
     "funnel_conversion", "retention_cohorts", "event_transitions",
     "pq_codes", "pq_adc_topk", "time_to_conversion", "chunk_documents",
@@ -3002,12 +3003,13 @@ _DRIVER_PRIORITY = [
     "mixture_sample", "vocab_oov", "curation_pipeline",
     "tfidf_top_terms", "bm25_search", "linear_count_users",
     "scd2_customer_priority",
-    # (r7-c) the 7 oldest r4-green rows (first checked in the r4
-    # prefix; the remaining 43 r4 rows queue below for r8)
+    # (r7-c) the 6 oldest r4-green rows (first checked in the r4
+    # prefix; the remaining 44 r4 rows queue below for r8)
     "pack_sequences", "value_histograms", "part_pagerank", "hll_users",
-    "page_path_levels", "envelope_decode", "repetition_signals",
-    # (r8-queue) the remaining 43 r4-green rows, oldest-first, so the
+    "page_path_levels", "envelope_decode",
+    # (r8-queue) the remaining 44 r4-green rows, oldest-first, so the
     # r8 prefix self-assembles by dropping the 50 entries above
+    "repetition_signals",
     "bloom_probe", "source_caps", "knn_ivfpq", "action_revenue",
     "graph_triangles", "merge_upsert", "quantile_sketch", "fuzzy_match",
     "bpe_merges", "cms_counts", "k_core", "attribution_models",

@@ -1256,6 +1256,78 @@ FROM px GROUP BY 1, 2, 3
 """
 
 
+_GIF_MOD = 10
+
+
+def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-animation decode driver-checked end-to-end: a
+    valid GIF89a (LZW streams, global palette, per-frame delays —
+    testing/fixtures.make_gif) is synthesized per sampled event,
+    LZW-decoded and palette-expanded by
+    operators/multimodal.sample_gif_frames (every 2nd frame), and the
+    oracle replays the palette arithmetic — a green row proves the
+    LZW bit unpacking and palette lookup read the actual pixels."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.multimodal import sample_gif_frames
+    from ..testing.fixtures import make_gif
+
+    e = load_events(spark, sf_dir).select("event_id").filter(
+        F.col("event_id") % _GIF_MOD == 0
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_gif(2 + int(i) % 4, 2 + int(i) % 3,
+                             int(i) % 256, 1 + int(i) % 3)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(
+        _synth, schema="doc_id long, payload binary"
+    )
+    return sample_gif_frames(payloads, every_k=2).select(
+        "doc_id", "frame_idx", "width", "height", "n_frames",
+        "delay_cs", "rgb_mean",
+    )
+
+
+SQL_GIF_FRAMES = f"""
+WITH e AS (
+  SELECT event_id, 2 + event_id % 4 AS w, 2 + event_id % 3 AS h,
+         1 + event_id % 3 AS nf, event_id % 256 AS seed
+  FROM events WHERE event_id % {_GIF_MOD} = 0
+),
+fr AS (
+  SELECT e.*, CAST(ff.f AS INTEGER) AS f
+  FROM e, LATERAL (SELECT unnest(range(0, nf)) AS f) ff
+  WHERE ff.f % 2 = 0
+),
+px AS (
+  SELECT event_id, w, h, nf, f,
+         (seed + f * 17 + y.y * 31 + x.x * 7) % 256 AS i
+  FROM fr,
+  LATERAL (SELECT unnest(range(0, h)) AS y) y,
+  LATERAL (SELECT unnest(range(0, w)) AS x) x
+)
+SELECT event_id AS doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(4 + f AS INTEGER) AS delay_cs,
+       round(CAST(sum(i + (3 * i) % 256 + (7 * i) % 256) AS DOUBLE)
+             / CAST(3 * w * h AS DOUBLE), 6) AS rgb_mean
+FROM px GROUP BY event_id, f, w, h, nf
+"""
+
+
 # --------------------------------------------------------------------------
 # REAL audio + video decode with full value oracles
 # --------------------------------------------------------------------------
@@ -2099,6 +2171,7 @@ QUERIES_ANALYTICS: dict = {
     "binary_auc": q_binary_auc,
     "calibration_report": q_calibration_report,
     "png_decode": q_png_decode,
+    "gif_frames": q_gif_frames,
     "sequence_mining": q_sequence_mining,
     "rfm_segments": q_rfm_segments,
     "dataset_split": q_dataset_split,
@@ -2132,6 +2205,7 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "binary_auc": SQL_BINARY_AUC,
     "calibration_report": SQL_CALIBRATION_REPORT,
     "png_decode": SQL_PNG_DECODE,
+    "gif_frames": SQL_GIF_FRAMES,
     "sequence_mining": SQL_SEQUENCE_MINING,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "dataset_split": SQL_DATASET_SPLIT,

@@ -415,3 +415,59 @@ def make_png(
         + chunk(b"IDAT", zlib.compress(scan))
         + chunk(b"IEND", b"")
     )
+
+
+def make_gif(w: int, h: int, seed: int, n_frames: int = 3) -> bytes:
+    """Serialize a REAL GIF89a animation (valid LZW per the public
+    spec — clear-code-per-pixel streams, so no compressor dictionary
+    is needed) with deterministic content the oracles can replay
+    arithmetically: global palette[i] = (i, (3*i)%256, (7*i)%256),
+    frame f pixel (y, x) index = (seed + f*17 + y*31 + x*7) % 256,
+    frame delay = (4 + f) centiseconds."""
+    import struct
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
+    for i in range(256):
+        out += bytes([i, (3 * i) % 256, (7 * i) % 256])
+
+    for f in range(n_frames):
+        # graphic control extension: delay
+        out += bytes([0x21, 0xF9, 4, 0])
+        out += struct.pack("<H", 4 + f)
+        out += bytes([0, 0])
+        # image descriptor: full canvas
+        out += bytes([0x2C])
+        out += struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0])  # no LCT, no interlace
+        out += bytes([8])  # LZW min code size
+        # LZW: CLEAR before every pixel keeps the table empty and the
+        # code width pinned at 9 bits
+        acc = nbits = 0
+        stream = bytearray()
+
+        def emit(code: int):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += 9
+            while nbits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(256)  # initial clear
+        for y in range(h):
+            for x in range(w):
+                emit((seed + f * 17 + y * 31 + x * 7) % 256)
+                emit(256)
+        emit(257)  # EOI
+        if nbits:
+            stream.append(acc & 0xFF)
+        for i in range(0, len(stream), 255):
+            block = stream[i:i + 255]
+            out += bytes([len(block)]) + block
+        out += bytes([0])
+    out += bytes([0x3B])
+    return bytes(out)

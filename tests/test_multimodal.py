@@ -486,3 +486,120 @@ class TestPngDecode:
         assert "nterlac" in out[4]["decode_error"]
         # every row survived — the quarantine contract
         assert len(out) == 5
+
+
+class TestGifDecode:
+    def test_fixture_roundtrip(self, spark):
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            sample_gif_frames,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_gif
+
+        rows = [(1, bytearray(make_gif(4, 3, 5, 3))),
+                (2, bytearray(b"not a gif")),
+                (3, bytearray(make_gif(2, 2, 9, 1)))]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = sample_gif_frames(df, every_k=2).collect()
+        got = {(r["doc_id"], r["frame_idx"]): r for r in out}
+        # doc 1: frames 0 and 2 sampled; doc 2 dropped; doc 3: frame 0
+        assert set(got) == {(1, 0), (1, 2), (3, 0)}
+        r = got[(1, 0)]
+        assert (r["width"], r["height"], r["n_frames"]) == (4, 3, 3)
+        assert r["delay_cs"] == 4
+        y, x = np.meshgrid(np.arange(3), np.arange(4), indexing="ij")
+        idx = (5 + y * 31 + x * 7) % 256
+        want = (idx + (3 * idx) % 256 + (7 * idx) % 256).sum() / (3 * 4 * 3)
+        assert r["rgb_mean"] == round(float(want), 6)
+
+    def test_lzw_dictionary_growth_paths(self):
+        """The fixture's clear-per-pixel streams never grow the LZW
+        table; round-trip a REAL compressor (reference implementation
+        here) to exercise table growth, width bumps, and the KwKwK
+        code==len(table) case."""
+        import random
+
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _gif_lzw_decode,
+        )
+
+        def lzw_encode(min_code: int, seq: list[int]) -> bytes:
+            clear, eoi = 1 << min_code, (1 << min_code) + 1
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+            acc = nbits = 0
+            out = bytearray()
+
+            def emit(code: int):
+                nonlocal acc, nbits
+                acc |= code << nbits
+                nbits += width
+                while nbits >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+
+            emit(clear)
+            cur = b""
+            for s in seq:
+                nxt = cur + bytes([s])
+                if nxt in table:
+                    cur = nxt
+                    continue
+                emit(table[cur])
+                table[nxt] = next_code
+                next_code += 1
+                # the decoder bumps width when ITS table hits 2^width;
+                # its table size == next_code - ... mirror the spec
+                if next_code == (1 << width) + 1 and width < 12:
+                    pass
+                if next_code - 1 == (1 << width) and width < 12:
+                    width += 1
+                cur = bytes([s])
+            if cur:
+                emit(table[cur])
+            emit(eoi)
+            if nbits:
+                out.append(acc & 0xFF)
+            return bytes(out)
+
+        rng = random.Random(7)
+        for min_code, n in ((2, 40), (4, 300), (8, 2000)):
+            # repetitive sequences force KwKwK and growth
+            seq = []
+            while len(seq) < n:
+                run = [rng.randrange(1 << min_code)] * rng.randint(1, 6)
+                seq.extend(run)
+            seq = seq[:n]
+            data = lzw_encode(min_code, seq)
+            got = _gif_lzw_decode(min_code, data, n)
+            assert got.tolist() == seq, (min_code, n)
+
+    def test_quarantine_unsupported_features(self):
+        import struct
+
+        import pytest as _pytest
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_gif,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_gif
+
+        good = bytearray(make_gif(3, 3, 1, 1))
+        with _pytest.raises(ValueError, match="signature"):
+            _parse_gif(b"PNG89a" + bytes(good[6:]))
+        # flip the interlace bit of the image descriptor
+        bad = bytearray(good)
+        desc = bad.index(0x2C, 13 + 768)
+        bad[desc + 9] |= 0x40
+        with _pytest.raises(ValueError, match="nterlac"):
+            _parse_gif(bytes(bad))
+        # partial canvas
+        bad2 = bytearray(good)
+        bad2[desc + 5:desc + 7] = struct.pack("<H", 2)
+        with _pytest.raises(ValueError, match="partial-canvas"):
+            _parse_gif(bytes(bad2))
