@@ -925,6 +925,23 @@ def decode_png_meta(
 # ---------------------------------------------------------------------------
 
 
+_LZW_BASE_TABLES: dict[int, list[bytes]] = {}
+
+
+def _lzw_base_table(clear: int) -> list[bytes]:
+    """Initial LZW string table for a given clear code (= 2^min_code
+    size): the single-byte roots plus the clear/EOI placeholders.
+    Cached module-wide — bytes entries are immutable so every decode
+    shares them; a CLEAR reset is then a shallow list copy instead of
+    ``clear`` fresh bytes() allocations (the profiled hot spot: GIF
+    encoders emit CLEAR every time the table fills)."""
+    base = _LZW_BASE_TABLES.get(clear)
+    if base is None:
+        base = [bytes([i]) for i in range(clear)] + [b"", b""]
+        _LZW_BASE_TABLES[clear] = base
+    return base
+
+
 def _gif_lzw_decode(min_code_size: int, data: bytes,
                     expected: int) -> "np.ndarray":
     """Decode one GIF LZW-compressed index stream (codes packed
@@ -932,13 +949,14 @@ def _gif_lzw_decode(min_code_size: int, data: bytes,
     palette indices."""
     clear = 1 << min_code_size
     eoi = clear + 1
+    base = _lzw_base_table(clear)
     out = bytearray()
     # bit reader state
     acc = 0
     nbits = 0
     pos = 0
     width = min_code_size + 1
-    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table: list[bytes] = list(base)
     prev: bytes | None = None
     while True:
         while nbits < width:
@@ -951,7 +969,7 @@ def _gif_lzw_decode(min_code_size: int, data: bytes,
         acc >>= width
         nbits -= width
         if code == clear:
-            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            table = list(base)
             width = min_code_size + 1
             prev = None
             continue

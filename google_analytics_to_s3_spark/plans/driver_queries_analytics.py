@@ -1132,6 +1132,20 @@ GROUP BY 1, 2
 # REAL image decode with a full value oracle
 # --------------------------------------------------------------------------
 
+
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin the synth-input ids across the session's cores.
+
+    The decode queries synthesize one container per event id; the ids
+    come from ONE parquet split at test SFs (file << maxPartitionBytes),
+    so without this every Arrow decode batch lands on a single core —
+    a 14.8 s single-threaded png_decode at sf0.1 vs ~1 s spread. The
+    shuffle moves only the BIGINT id column. On a real corpus the
+    payload scan arrives multi-split and this is a near-no-op
+    (partitions already ≈ parallelism)."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def q_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL multimodal decode path, driver-checked end-to-end: a
     deterministic NetPBM image is synthesized per event (pixel (y,x,c)
@@ -1148,7 +1162,7 @@ def q_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import PPM_META_SCHEMA, decode_ppm_meta
     from ..testing.fixtures import make_ppm
 
-    e = load_events(spark, sf_dir).select("event_id")
+    e = _spread(load_events(spark, sf_dir).select("event_id"), spark)
 
     def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
         for pdf in batches:
@@ -1210,7 +1224,7 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import PNG_META_SCHEMA, decode_png_meta
     from ..testing.fixtures import make_png
 
-    e = load_events(spark, sf_dir).select("event_id")
+    e = _spread(load_events(spark, sf_dir).select("event_id"), spark)
 
     def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
         for pdf in batches:
@@ -1274,8 +1288,11 @@ def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import sample_gif_frames
     from ..testing.fixtures import make_gif
 
-    e = load_events(spark, sf_dir).select("event_id").filter(
-        F.col("event_id") % _GIF_MOD == 0
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _GIF_MOD == 0
+        ),
+        spark,
     )
 
     def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
@@ -1349,8 +1366,11 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_wav_features
     from ..testing.fixtures import make_wav_pcm16
 
-    e = load_events(spark, sf_dir).select("event_id").filter(
-        F.col("event_id") % _WAV_MOD == 0
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _WAV_MOD == 0
+        ),
+        spark,
     )
 
     def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
@@ -1441,8 +1461,11 @@ def q_y4m_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.multimodal import sample_y4m_frames
 
-    e = load_events(spark, sf_dir).select("event_id").filter(
-        F.col("event_id") % _Y4M_MOD == 0
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _Y4M_MOD == 0
+        ),
+        spark,
     )
 
     def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
