@@ -265,3 +265,100 @@ def robust_outlier_bounds(
         )
         .drop("_dev")
     )
+
+
+def categorical_feature_scores(
+    df: "DataFrame",
+    features: dict[str, "Column"],
+    label: "Column",
+) -> "DataFrame":
+    """Chi-square / mutual-information relevance of categorical
+    features against a label — the filter-style feature-selection
+    pass a model-prep pipeline runs before training.
+
+    ``features`` maps feature name -> categorical expression;
+    ``label`` is any categorical expression. One map-side long-form
+    stack (every row emits |features| (name, value, label) triples),
+    ONE shuffle (the groupBy counts — partial aggregation makes the
+    shuffle |distinct triples|, not |rows| x |features|), then all
+    statistics are windows over the tiny counts table, partitioned by
+    feature (never a single global partition).
+
+    Per feature: ``n``, ``n_values``, ``n_labels``,
+    ``dof = (V-1)(L-1)``, ``chi2 = sum (O-E)^2/E`` with
+    ``E = row_tot * col_tot / n``, ``mi`` in nats
+    (``sum (O/n) ln(n O / (rt ct))``), and Cramer's
+    ``v = sqrt(chi2 / (n min(V-1, L-1)))`` (NULL when min = 0).
+    All counts are exact integers; the divisions/log happen once per
+    counts-table row in double, identically expressible in the SQL
+    oracle. NULL feature values count as a real category via a
+    sentinel — dropping them would bias marginals.
+    """
+    stacked = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(name).alias("feature"),
+                    F.coalesce(expr.cast("string"), F.lit("<null>"))
+                    .alias("val"),
+                )
+                for name, expr in features.items()
+            ])
+        ).alias("_f"),
+        F.coalesce(label.cast("string"), F.lit("<null>")).alias("_y"),
+    ).select(
+        F.col("_f.feature").alias("feature"),
+        F.col("_f.val").alias("val"),
+        "_y",
+    )
+    counts = stacked.groupBy("feature", "val", "_y").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    wf = Window.partitionBy("feature")
+    wv = Window.partitionBy("feature", "val")
+    wy = Window.partitionBy("feature", "_y")
+    n = F.sum("o").over(wf)
+    rt = F.sum("o").over(wv)
+    ct = F.sum("o").over(wy)
+    od = F.col("o").cast("double")
+    e = rt.cast("double") * ct.cast("double") / n.cast("double")
+    chi_term = (od - e) * (od - e) / e
+    mi_term = od / n.cast("double") * F.log(
+        n.cast("double") * od / (rt.cast("double") * ct.cast("double"))
+    )
+    per_cell = counts.select(
+        "feature",
+        "val",
+        "_y",
+        n.alias("n"),
+        chi_term.alias("_chi"),
+        mi_term.alias("_mi"),
+    )
+    agg = per_cell.groupBy("feature").agg(
+        F.first("n").alias("n"),
+        F.count_distinct("val").alias("n_values"),
+        F.count_distinct("_y").alias("n_labels"),
+        F.sum("_chi").alias("_chi2"),
+        F.sum("_mi").alias("_mi_sum"),
+    )
+    dof = (F.col("n_values") - 1) * (F.col("n_labels") - 1)
+    mindim = F.least(F.col("n_values") - 1, F.col("n_labels") - 1)
+    return agg.select(
+        "feature",
+        "n",
+        "n_values",
+        "n_labels",
+        dof.cast("int").alias("dof"),
+        F.round("_chi2", 6).alias("chi2"),
+        F.round("_mi_sum", 6).alias("mi"),
+        F.round(
+            F.when(
+                mindim > 0,
+                F.sqrt(
+                    F.col("_chi2")
+                    / (F.col("n").cast("double") * mindim.cast("double"))
+                ),
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

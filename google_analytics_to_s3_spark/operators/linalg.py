@@ -1,0 +1,186 @@
+"""Distributed exact covariance / correlation of a vector column, and
+PCA on top of it.
+
+The scale pattern is the textbook one for tall-skinny X (n rows,
+d dims, n >> d): each partition computes its LOCAL Gram matrix
+``G_p = X_p^T X_p`` plus the column sums with one Arrow batch pass
+(``mapInPandas`` + numpy — d*d work per row batch, zero Python
+per-row overhead), emits it long-form (d*(d+1)/2 + d + 1 tiny rows),
+and ONE aggregation sums the partials. Nothing bigger than
+d*(d+1)/2 * n_partitions rows ever shuffles; the n-row input is read
+exactly once. Eigen-decomposition of the resulting d x d matrix is
+driver-side numpy — bounded by d, not n (same bounded-collect
+contract as the IVF centroids in ``operators/similarity.py``).
+
+Exactness contract (what lets a SQL oracle reproduce float sums
+bit-for-bit): values are quantized to an integer grid
+``q = sign(v) * floor(|v| * scale + 0.5)`` — explicit round-half-away
+written the same way in numpy and in the oracle SQL, so both engines
+run identical double ops — and all sums are integer (accumulated as
+DECIMAL(38,0) in Spark / HUGEINT in DuckDB; the local int64 partials
+are safe while ``rows_per_partition * (max|v|*scale)^2 < 2^63``,
+which a 100 TB deployment tunes with ``scale``). The final
+covariance/correlation is one exact-integer expression divided out
+in double and rounded.
+
+cov[i,j]  = (n*S_ij - S_i*S_j) / (n^2 * scale^2)
+corr[i,j] = (n*S_ij - S_i*S_j)
+            / sqrt((n*S_ii - S_i^2) * (n*S_jj - S_j^2))
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["quantized_gram", "covariance_matrix", "pca_power_iteration"]
+
+
+def quantized_gram(
+    df: DataFrame, vec_col: str, dim: int, scale: int = 1000
+) -> DataFrame:
+    """Long-form exact Gram of the quantized vector column.
+
+    Returns one row per (i, j), i <= j < dim: ``(i, j, s)`` with
+    ``s = sum_rows(q_i * q_j)`` as DECIMAL(38,0), plus the moment rows
+    ``(i, -1, sum q_i)`` and ``(-1, -1, n)``. Rows with a NULL or
+    wrong-length vector are rejected loudly (they would silently bias
+    every covariance).
+    """
+    import numpy as np
+    import pandas as pd
+
+    iu = np.triu_indices(dim)
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gram = np.zeros((dim, dim), dtype=np.int64)
+        sums = np.zeros(dim, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            vecs = pdf[vec_col].to_list()
+            for v in vecs:
+                if v is None or len(v) != dim:
+                    raise ValueError(
+                        f"{vec_col}: expected dense length-{dim} vector, "
+                        f"got {None if v is None else len(v)}"
+                    )
+            x = np.asarray(vecs, dtype=np.float64)
+            if x.size == 0:
+                continue
+            q = (np.sign(x) * np.floor(np.abs(x) * scale + 0.5)).astype(
+                np.int64
+            )
+            gram += q.T @ q
+            sums += q.sum(axis=0)
+            n += q.shape[0]
+        out_i = np.concatenate([iu[0], np.arange(dim), [-1]])
+        out_j = np.concatenate([iu[1], np.full(dim, -1), [-1]])
+        out_s = np.concatenate([gram[iu], sums, [n]])
+        yield pd.DataFrame({"i": out_i, "j": out_j, "s": out_s})
+
+    partials = df.select(vec_col).mapInPandas(
+        _partial, schema="i int, j int, s long"
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("s")
+    )
+
+
+def covariance_matrix(
+    df: DataFrame, vec_col: str, dim: int, scale: int = 1000
+) -> DataFrame:
+    """Exact covariance + Pearson correlation per (i, j), i <= j.
+
+    Output: ``(i, j, cov, corr)`` — d*(d+1)/2 rows, cov/corr rounded
+    to 6 decimals; ``corr`` NULL for a zero-variance dimension. The
+    moment rows collected to the driver are exactly d + 1 values
+    (bounded by the vector width, not the row count)."""
+    g = quantized_gram(df, vec_col, dim, scale).persist()
+    try:
+        moments = {
+            int(r["i"]): int(r["s"])
+            for r in g.filter(F.col("j") == -1).collect()
+        }
+        n = moments.pop(-1)
+        if n == 0:
+            raise ValueError("covariance of an empty vector column")
+        sums = [moments[i] for i in range(dim)]
+        pairs = g.filter(F.col("j") >= 0)
+        si = F.element_at(
+            F.array(*[F.lit(s) for s in sums]), F.col("i") + 1
+        ).cast("decimal(38,0)")
+        sj = F.element_at(
+            F.array(*[F.lit(s) for s in sums]), F.col("j") + 1
+        ).cast("decimal(38,0)")
+        # exact integer numerator; the only doubles are the final
+        # divisions (identical expressions in the oracle)
+        num = (F.lit(n).cast("decimal(38,0)") * F.col("s") - si * sj)
+        den_cov = float(n) * float(n) * float(scale) * float(scale)
+        diag = {
+            (int(r["i"])): int(r["s"])
+            for r in pairs.filter(F.col("i") == F.col("j")).collect()
+        }
+        var_num = [n * diag[i] - sums[i] * sums[i] for i in range(dim)]
+        vi = F.element_at(
+            F.array(*[F.lit(v) for v in var_num]), F.col("i") + 1
+        )
+        vj = F.element_at(
+            F.array(*[F.lit(v) for v in var_num]), F.col("j") + 1
+        )
+        return pairs.select(
+            "i",
+            "j",
+            F.round(num.cast("double") / F.lit(den_cov), 6).alias("cov"),
+            F.round(
+                F.when(
+                    (vi > 0) & (vj > 0),
+                    num.cast("double")
+                    / F.sqrt(vi.cast("double") * vj.cast("double")),
+                ),
+                6,
+            ).alias("corr"),
+        )
+    finally:
+        g.unpersist()
+
+
+def pca_power_iteration(
+    cov: "list[list[float]]", k: int, iters: int = 200
+) -> tuple:
+    """Top-k eigenpairs of a small (driver-side) covariance matrix by
+    deterministic power iteration with Hotelling deflation.
+
+    Input is the d x d matrix (d bounded — the distributed part
+    already reduced n rows to d*(d+1)/2 numbers); start vector is the
+    fixed e_argmax(diag) + 1e-3 ramp, so the result is reproducible
+    run-to-run with no RNG. Returns ``(eigvals, eigvecs)`` with
+    eigvecs[:, m] the m-th component, sign-fixed so the
+    largest-magnitude entry is positive."""
+    import numpy as np
+
+    a = np.asarray(cov, dtype=np.float64)
+    d = a.shape[0]
+    if a.shape != (d, d) or k < 1 or k > d:
+        raise ValueError(f"bad shapes: cov {a.shape}, k={k}")
+    work = a.copy()
+    vals = []
+    vecs = []
+    for _ in range(k):
+        v = np.full(d, 1e-3)
+        v[int(np.argmax(np.diag(work)))] = 1.0
+        v /= np.linalg.norm(v)
+        for _ in range(iters):
+            w = work @ v
+            nw = np.linalg.norm(w)
+            if nw == 0.0:
+                break
+            v = w / nw
+        lam = float(v @ work @ v)
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        vals.append(lam)
+        vecs.append(v)
+        work = work - lam * np.outer(v, v)
+    return np.array(vals), np.stack(vecs, axis=1)

@@ -2869,6 +2869,10 @@ from .driver_queries_identity import (  # noqa: E402
     ORACLES_IDENTITY,
     QUERIES_IDENTITY,
 )
+from .driver_queries_ml import (  # noqa: E402
+    ORACLES_ML,
+    QUERIES_ML,
+)
 
 QUERIES.update(QUERIES_ENRICH)
 QUERIES.update(QUERIES_IDENTITY)
@@ -2877,6 +2881,7 @@ QUERIES.update(QUERIES_EXTRA)
 QUERIES.update(QUERIES_EXPORTS)
 QUERIES.update(QUERIES_CURATION)
 QUERIES.update(QUERIES_ANALYTICS)
+QUERIES.update(QUERIES_ML)
 
 ORACLES: dict[str, str] = {
     "sessionize_flags": SQL_SESSIONIZE_FLAGS,
@@ -2953,6 +2958,7 @@ ORACLES.update(ORACLES_EXTRA)
 ORACLES.update(ORACLES_EXPORTS)
 ORACLES.update(ORACLES_CURATION)
 ORACLES.update(ORACLES_ANALYTICS)
+ORACLES.update(ORACLES_ML)
 # fill the lsh_recall oracle template with the shared MinHash CTE chain
 # (defined above; kept in one copy so k/bands changes cannot diverge)
 from .driver_queries_analytics import (  # noqa: E402
@@ -2990,6 +2996,10 @@ _DRIVER_PRIORITY = [
     "shapley_attribution", "msprt_monitor", "binary_auc",
     "calibration_report", "png_decode", "ua_parse_families",
     "gif_frames",
+    # plus the four registered later in r7 (spatial grid join,
+    # integer-grid covariance, chi2/MI feature selection)
+    "spatial_radius_pairs", "spatial_nearest", "covariance_matrix",
+    "feature_chi2",
     # (r7-b) the 34 queries whose latest driver-green row is r3
     "funnel_conversion", "retention_cohorts", "event_transitions",
     "pq_codes", "pq_adc_topk", "time_to_conversion", "chunk_documents",
@@ -3003,8 +3013,9 @@ _DRIVER_PRIORITY = [
     "mixture_sample", "vocab_oov", "curation_pipeline",
     "tfidf_top_terms", "bm25_search", "linear_count_users",
     "scd2_customer_priority",
-    # (r7-c) the 6 oldest r4-green rows (first checked in the r4
-    # prefix; the remaining 44 r4 rows queue below for r8)
+    # (r7-c) the oldest r4-green rows round out the 50-slot prefix
+    # (with the four late-r7 registrations above, only the first two
+    # fit; the rest queue below for r8)
     "pack_sequences", "value_histograms", "part_pagerank", "hll_users",
     "page_path_levels", "envelope_decode",
     # (r8-queue) the remaining 44 r4-green rows, oldest-first, so the

@@ -1,0 +1,282 @@
+"""Driver queries: the round-7 ML-infrastructure batch.
+
+Three families the "beyond the reference" training-data list implies
+but nothing in the registry covered yet, each thin wiring over an
+operator module with a full DuckDB value oracle:
+
+- spatial: ``spatial_radius_pairs`` / ``spatial_nearest`` — the
+  grid-bucketed planar radius join (operators/spatial.py). The
+  oracle is the naive cross-product distance filter; the Spark plan
+  is the 3x3-cell broadcast hash join (plan-asserted BNLJ-free in
+  tests/test_spatial.py) — a green row proves the grid decomposition
+  is lossless.
+- linear algebra: ``covariance_matrix`` — the partition-local Gram
+  pattern (operators/linalg.py) on the 64-dim embeddings table,
+  integer-grid exact.
+- feature selection: ``feature_chi2`` — chi-square / mutual
+  information / Cramer's V of categorical event features against an
+  engagement label (operators/features.py).
+
+Coordinates for the spatial queries are synthesized deterministically
+from ids (multiplicative hash onto a 10000x10000 integer plane), the
+same convention as the decode queries' payload synthesis — the
+testdata has no native lat/lon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.features import categorical_feature_scores
+from ..operators.linalg import covariance_matrix
+from ..operators.spatial import nearest_within, radius_join
+from ..sources.testdata import load_events, load_table
+
+__all__ = ["QUERIES_ML", "ORACLES_ML"]
+
+_R = 150  # search radius on the 10000x10000 synthetic plane
+_PX, _PY = 7919, 104729  # point coordinate hash multipliers
+_QX, _QY = 6151, 13007  # POI coordinate hash multipliers
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_events(spark, sf_dir).select(
+        F.col("event_id").alias("pid"),
+        (F.col("event_id") * _PX % 10000).alias("x"),
+        (F.col("event_id") * _PY % 10000).alias("y"),
+    )
+
+
+def _pois(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("poi_id"),
+        (F.col("s_suppkey") * _QX % 10000).alias("x"),
+        (F.col("s_suppkey") * _QY % 10000).alias("y"),
+    )
+
+
+def q_spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (event point, supplier POI) pair within planar distance
+    150 — the grid join's survivors with their exact integer squared
+    distance."""
+    return radius_join(_points(spark, sf_dir), _pois(spark, sf_dir), _R)
+
+
+SQL_SPATIAL_RADIUS_PAIRS = f"""
+WITH p AS (
+  SELECT event_id AS pid,
+         event_id * {_PX} % 10000 AS x,
+         event_id * {_PY} % 10000 AS y
+  FROM events
+),
+q AS (
+  SELECT s_suppkey AS poi_id,
+         s_suppkey * {_QX} % 10000 AS x,
+         s_suppkey * {_QY} % 10000 AS y
+  FROM supplier
+)
+SELECT p.pid, q.poi_id,
+       (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS dist2
+FROM p, q
+WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+      <= {_R * _R}
+"""
+
+
+def q_spatial_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded nearest POI per event point (ties -> smallest
+    poi_id), NULL when nothing is within range, plus the in-radius
+    count — every point appears exactly once."""
+    return nearest_within(
+        _points(spark, sf_dir), _pois(spark, sf_dir), _R
+    )
+
+
+SQL_SPATIAL_NEAREST = f"""
+WITH p AS (
+  SELECT event_id AS pid,
+         event_id * {_PX} % 10000 AS x,
+         event_id * {_PY} % 10000 AS y
+  FROM events
+),
+q AS (
+  SELECT s_suppkey AS poi_id,
+         s_suppkey * {_QX} % 10000 AS x,
+         s_suppkey * {_QY} % 10000 AS y
+  FROM supplier
+),
+cand AS (
+  SELECT p.pid, q.poi_id,
+         (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS dist2
+  FROM p, q
+  WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+        <= {_R * _R}
+),
+best AS (
+  SELECT pid, poi_id AS nearest_poi, dist2 AS nearest_dist2,
+         n_in_radius
+  FROM (
+    SELECT pid, poi_id, dist2,
+           count(*) OVER (PARTITION BY pid) AS n_in_radius,
+           row_number() OVER (PARTITION BY pid
+                              ORDER BY dist2, poi_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT p.pid, best.nearest_poi, best.nearest_dist2,
+       COALESCE(best.n_in_radius, 0) AS n_in_radius
+FROM p LEFT JOIN best USING (pid)
+"""
+
+
+_COV_DIM = 64
+_COV_SCALE = 1000
+
+
+def q_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 64x64 covariance/correlation of the embeddings table on
+    the 1e-3 integer grid — 2080 upper-triangle rows from one Arrow
+    Gram pass."""
+    return covariance_matrix(
+        load_table(spark, sf_dir, "embeddings"),
+        "embedding",
+        dim=_COV_DIM,
+        scale=_COV_SCALE,
+    )
+
+
+SQL_COVARIANCE_MATRIX = f"""
+WITH qv AS (
+  SELECT vec_id, CAST(s.i AS INTEGER) - 1 AS i,
+         CAST(CASE WHEN embedding[CAST(s.i AS INTEGER)] < 0
+                   THEN -floor(abs(embedding[CAST(s.i AS INTEGER)]
+                                   * {_COV_SCALE}.0) + 0.5)
+                   ELSE floor(abs(embedding[CAST(s.i AS INTEGER)]
+                                  * {_COV_SCALE}.0) + 0.5)
+              END AS BIGINT) AS q
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) s
+),
+nn AS (SELECT count(*) AS n FROM embeddings),
+m AS (
+  SELECT i, sum(q) AS si, sum(q * q) AS sii
+  FROM qv GROUP BY i
+),
+p AS (
+  SELECT a.i AS i, b.i AS j, sum(a.q * b.q) AS sij
+  FROM qv a JOIN qv b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT p.i, p.j,
+       round(CAST(nn.n * p.sij - mi.si * mj.si AS DOUBLE)
+             / ({_COV_SCALE}.0 * {_COV_SCALE}.0 * nn.n * nn.n), 6)
+         AS cov,
+       round(CASE WHEN nn.n * mi.sii - mi.si * mi.si > 0
+                   AND nn.n * mj.sii - mj.si * mj.si > 0
+                  THEN CAST(nn.n * p.sij - mi.si * mj.si AS DOUBLE)
+                       / sqrt(CAST(nn.n * mi.sii - mi.si * mi.si
+                                   AS DOUBLE)
+                              * CAST(nn.n * mj.sii - mj.si * mj.si
+                                     AS DOUBLE))
+             END, 6) AS corr
+FROM p
+JOIN m mi ON mi.i = p.i
+JOIN m mj ON mj.i = p.j
+CROSS JOIN nn
+"""
+
+
+def q_feature_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which event features predict high-value engagement: chi2 / MI /
+    Cramer's V of event_type, hour-of-day and day-of-week against the
+    value >= 50 label."""
+    e = load_events(spark, sf_dir)
+    return categorical_feature_scores(
+        e,
+        features={
+            "event_type": F.col("event_type"),
+            "hour": F.expr("ts_ms div 3600000 % 24"),
+            "dow": F.expr("(ts_ms div 86400000 + 4) % 7"),
+        },
+        label=F.when(F.col("value") >= 50, "hi").otherwise("lo"),
+    )
+
+
+SQL_FEATURE_CHI2 = """
+WITH e AS (
+  SELECT COALESCE(CAST(event_type AS VARCHAR), '<null>') AS event_type,
+         CAST(epoch_ms(ts) // 3600000 % 24 AS VARCHAR) AS hour,
+         CAST((epoch_ms(ts) // 86400000 + 4) % 7 AS VARCHAR) AS dow,
+         CASE WHEN value >= 50 THEN 'hi' ELSE 'lo' END AS y
+  FROM events
+),
+stacked AS (
+  SELECT 'event_type' AS feature, event_type AS val, y FROM e
+  UNION ALL SELECT 'hour', hour, y FROM e
+  UNION ALL SELECT 'dow', dow, y FROM e
+),
+c AS (
+  SELECT feature, val, y, count(*) AS o
+  FROM stacked GROUP BY 1, 2, 3
+),
+t AS (
+  SELECT feature, val, y, o,
+         sum(o) OVER (PARTITION BY feature) AS n,
+         sum(o) OVER (PARTITION BY feature, val) AS rt,
+         sum(o) OVER (PARTITION BY feature, y) AS ct
+  FROM c
+)
+SELECT feature,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(count(DISTINCT val) AS BIGINT) AS n_values,
+       CAST(count(DISTINCT y) AS BIGINT) AS n_labels,
+       CAST((count(DISTINCT val) - 1) * (count(DISTINCT y) - 1)
+            AS INTEGER) AS dof,
+       round(sum((CAST(o AS DOUBLE)
+                  - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 * (CAST(o AS DOUBLE)
+                    - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                 / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                    / CAST(n AS DOUBLE))), 6) AS chi2,
+       round(sum(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+                 * ln(CAST(n AS DOUBLE) * CAST(o AS DOUBLE)
+                      / (CAST(rt AS DOUBLE)
+                         * CAST(ct AS DOUBLE)))), 6) AS mi,
+       round(CASE WHEN least(count(DISTINCT val) - 1,
+                             count(DISTINCT y) - 1) > 0
+                  THEN sqrt(sum((CAST(o AS DOUBLE)
+                                 - CAST(rt AS DOUBLE)
+                                   * CAST(ct AS DOUBLE)
+                                   / CAST(n AS DOUBLE))
+                                * (CAST(o AS DOUBLE)
+                                   - CAST(rt AS DOUBLE)
+                                     * CAST(ct AS DOUBLE)
+                                     / CAST(n AS DOUBLE))
+                                / (CAST(rt AS DOUBLE)
+                                   * CAST(ct AS DOUBLE)
+                                   / CAST(n AS DOUBLE)))
+                            / (CAST(max(n) AS DOUBLE)
+                               * least(count(DISTINCT val) - 1,
+                                       count(DISTINCT y) - 1)))
+             END, 6) AS cramers_v
+FROM t
+GROUP BY feature
+"""
+
+
+QUERIES_ML = {
+    "spatial_radius_pairs": q_spatial_radius_pairs,
+    "spatial_nearest": q_spatial_nearest,
+    "covariance_matrix": q_covariance_matrix,
+    "feature_chi2": q_feature_chi2,
+}
+
+ORACLES_ML = {
+    "spatial_radius_pairs": SQL_SPATIAL_RADIUS_PAIRS,
+    "spatial_nearest": SQL_SPATIAL_NEAREST,
+    "covariance_matrix": SQL_COVARIANCE_MATRIX,
+    "feature_chi2": SQL_FEATURE_CHI2,
+}

@@ -1,0 +1,248 @@
+"""Round-7 ML-infrastructure operators: grid spatial join, quantized
+Gram covariance, PCA, categorical feature scores.
+
+The driver-facing value oracles live in test_driver_queries (the four
+registry entries verify against DuckDB there); these tests pin the
+operator semantics the oracle can't see — losslessness of the grid
+decomposition vs brute force (including negative coordinates), plan
+shape (no BNLJ/cartesian anywhere in a spatial plan), tie-break
+determinism, Gram validation, and PCA vs numpy.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from google_analytics_to_s3_spark.operators.features import (
+    categorical_feature_scores,
+)
+from google_analytics_to_s3_spark.operators.linalg import (
+    covariance_matrix,
+    pca_power_iteration,
+    quantized_gram,
+)
+from google_analytics_to_s3_spark.operators.spatial import (
+    nearest_within,
+    radius_join,
+)
+
+
+def _mk_points(spark, coords, idc="pid"):
+    return spark.createDataFrame(
+        [(i, int(x), int(y)) for i, (x, y) in enumerate(coords)],
+        f"{idc} long, x long, y long",
+    )
+
+
+def _brute_pairs(pts, pois, r):
+    out = set()
+    for i, (px, py) in enumerate(pts):
+        for j, (qx, qy) in enumerate(pois):
+            d2 = (px - qx) ** 2 + (py - qy) ** 2
+            if d2 <= r * r:
+                out.add((i, j, d2))
+    return out
+
+
+def test_radius_join_matches_brute_force_with_negatives(spark):
+    rng = np.random.RandomState(7)
+    pts = [tuple(v) for v in rng.randint(-500, 500, size=(200, 2))]
+    pois = [tuple(v) for v in rng.randint(-500, 500, size=(40, 2))]
+    r = 120
+    got = {
+        (row["pid"], row["poi_id"], row["dist2"])
+        for row in radius_join(
+            _mk_points(spark, pts),
+            _mk_points(spark, pois, idc="poi_id"),
+            r,
+        ).collect()
+    }
+    assert got == _brute_pairs(pts, pois, r)
+
+
+def test_radius_join_boundary_inclusive(spark):
+    # dist exactly == r must be kept (<=, not <)
+    pts = _mk_points(spark, [(0, 0)])
+    pois = _mk_points(spark, [(3, 4), (3, 5)], idc="poi_id")
+    rows = radius_join(pts, pois, 5).collect()
+    assert [(r["poi_id"], r["dist2"]) for r in rows] == [(0, 25)]
+
+
+def test_nearest_tie_breaks_to_smallest_poi_id(spark):
+    pts = _mk_points(spark, [(0, 0), (9000, 9000)])
+    # POIs 1 and 2 equidistant from point 0; POI 0 farther but in range
+    pois = spark.createDataFrame(
+        [(0, 8, 0), (1, 5, 0), (2, 0, 5), (3, 9005, 9005)],
+        "poi_id long, x long, y long",
+    )
+    rows = {
+        r["pid"]: r
+        for r in nearest_within(pts, pois, 10).collect()
+    }
+    assert rows[0]["nearest_poi"] == 1
+    assert rows[0]["nearest_dist2"] == 25
+    assert rows[0]["n_in_radius"] == 3
+    assert rows[1]["nearest_poi"] == 3
+
+
+def test_nearest_keeps_unmatched_points(spark):
+    pts = _mk_points(spark, [(0, 0), (5000, 5000)])
+    pois = _mk_points(spark, [(2, 2)], idc="poi_id")
+    rows = {r["pid"]: r for r in nearest_within(pts, pois, 10).collect()}
+    assert rows[1]["nearest_poi"] is None
+    assert rows[1]["n_in_radius"] == 0
+
+
+def test_spatial_plan_has_no_nested_loop(spark):
+    pts = _mk_points(spark, [(0, 0)])
+    pois = _mk_points(spark, [(1, 1)], idc="poi_id")
+    for df in (
+        radius_join(pts, pois, 10),
+        nearest_within(pts, pois, 10),
+        radius_join(pts, pois, 10, broadcast_pois=False),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_radius_join_rejects_bad_radius(spark):
+    pts = _mk_points(spark, [(0, 0)])
+    with pytest.raises(ValueError, match="radius"):
+        radius_join(pts, pts.withColumnRenamed("pid", "poi_id"), 0)
+
+
+# ---------------------------------------------------------------------------
+# linalg
+# ---------------------------------------------------------------------------
+
+
+def _mk_vecs(spark, mat):
+    return spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_covariance_matches_numpy_exact(spark):
+    rng = np.random.RandomState(3)
+    x = rng.uniform(-0.6, 0.6, size=(50, 5)).astype(np.float32)
+    got = {
+        (r["i"], r["j"]): (r["cov"], r["corr"])
+        for r in covariance_matrix(
+            _mk_vecs(spark, x), "embedding", dim=5, scale=1000
+        ).collect()
+    }
+    q = np.sign(x.astype(np.float64)) * np.floor(
+        np.abs(x.astype(np.float64)) * 1000 + 0.5
+    )
+    n = q.shape[0]
+    for i in range(5):
+        for j in range(i, 5):
+            num = n * int(q[:, i] @ q[:, j]) - int(q[:, i].sum()) * int(
+                q[:, j].sum()
+            )
+            cov = num / (n * n * 1000.0 * 1000.0)
+            vi = n * int(q[:, i] @ q[:, i]) - int(q[:, i].sum()) ** 2
+            vj = n * int(q[:, j] @ q[:, j]) - int(q[:, j].sum()) ** 2
+            corr = num / np.sqrt(float(vi) * float(vj))
+            assert got[(i, j)][0] == pytest.approx(round(cov, 6), abs=1e-9)
+            assert got[(i, j)][1] == pytest.approx(round(corr, 6), abs=1e-9)
+
+
+def test_covariance_zero_variance_dim_gives_null_corr(spark):
+    mat = [[0.5, 1.0], [0.5, 2.0], [0.5, 3.0]]
+    rows = {
+        (r["i"], r["j"]): r
+        for r in covariance_matrix(
+            _mk_vecs(spark, mat), "embedding", dim=2, scale=1000
+        ).collect()
+    }
+    assert rows[(0, 0)]["cov"] == 0.0
+    assert rows[(0, 0)]["corr"] is None
+    assert rows[(0, 1)]["corr"] is None
+    assert rows[(1, 1)]["corr"] == 1.0
+
+
+def test_quantized_gram_rejects_ragged_vectors(spark):
+    df = spark.createDataFrame(
+        [(0, [0.1, 0.2]), (1, [0.3])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="length-2"):
+        quantized_gram(df, "embedding", dim=2).collect()
+
+
+def test_pca_power_iteration_matches_numpy():
+    rng = np.random.RandomState(11)
+    a = rng.randn(6, 6)
+    cov = a @ a.T  # PSD with distinct eigenvalues (a.s.)
+    vals, vecs = pca_power_iteration(cov.tolist(), k=3)
+    ref_vals, ref_vecs = np.linalg.eigh(cov)
+    ref_vals = ref_vals[::-1]
+    ref_vecs = ref_vecs[:, ::-1]
+    assert np.allclose(vals, ref_vals[:3], rtol=1e-8)
+    for m in range(3):
+        # eigenvectors equal up to sign
+        assert abs(float(vecs[:, m] @ ref_vecs[:, m])) == pytest.approx(
+            1.0, abs=1e-6
+        )
+
+
+def test_pca_rejects_bad_k():
+    with pytest.raises(ValueError, match="k="):
+        pca_power_iteration([[1.0, 0.0], [0.0, 1.0]], k=3)
+
+
+# ---------------------------------------------------------------------------
+# categorical feature scores
+# ---------------------------------------------------------------------------
+
+
+def test_independent_feature_scores_zero(spark):
+    # perfectly independent 2x2 contingency: chi2 = mi = v = 0
+    rows = []
+    for val, y, cnt in [("a", "hi", 10), ("a", "lo", 10),
+                        ("b", "hi", 5), ("b", "lo", 5)]:
+        rows += [(val, y)] * cnt
+    df = spark.createDataFrame(rows, "f string, y string")
+    out = categorical_feature_scores(
+        df, features={"f": F.col("f")}, label=F.col("y")
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n"], r["n_values"], r["n_labels"], r["dof"]) == (30, 2, 2, 1)
+    assert r["chi2"] == 0.0
+    assert r["mi"] == 0.0
+    assert r["cramers_v"] == 0.0
+
+
+def test_deterministic_feature_scores_exact(spark):
+    # hand-computed 2x2: [[30, 10], [10, 30]]
+    rows = []
+    for val, y, cnt in [("a", "hi", 30), ("a", "lo", 10),
+                        ("b", "hi", 10), ("b", "lo", 30)]:
+        rows += [(val, y)] * cnt
+    df = spark.createDataFrame(rows, "f string, y string")
+    r = categorical_feature_scores(
+        df, features={"f": F.col("f")}, label=F.col("y")
+    ).collect()[0]
+    # chi2 = sum (O-E)^2/E with every E = 20 -> 4 * 100/20 = 20
+    assert r["chi2"] == pytest.approx(20.0, abs=1e-6)
+    # mi = 2*(0.375 ln 1.5) + 2*(0.125 ln 0.5) nats
+    expect_mi = 2 * (0.375 * np.log(1.5)) + 2 * (0.125 * np.log(0.5))
+    assert r["mi"] == pytest.approx(round(expect_mi, 6), abs=1e-9)
+    assert r["cramers_v"] == pytest.approx(round(np.sqrt(20 / 80), 6),
+                                           abs=1e-9)
+
+
+def test_null_feature_value_is_a_category(spark):
+    df = spark.createDataFrame(
+        [("a", "hi"), (None, "lo"), (None, "hi"), ("a", "lo")],
+        "f string, y string",
+    )
+    r = categorical_feature_scores(
+        df, features={"f": F.col("f")}, label=F.col("y")
+    ).collect()[0]
+    assert r["n"] == 4
+    assert r["n_values"] == 2  # "a" and "<null>"
