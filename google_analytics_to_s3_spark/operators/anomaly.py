@@ -91,3 +91,84 @@ def cusum_changepoint(
         order_col, value_col, "cusum_scaled",
         (F.col(order_col) == F.col("_cp")).alias("is_changepoint"),
     )
+
+
+def acf(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    max_lag: int,
+) -> DataFrame:
+    """Exact autocorrelation function of a pre-aggregated integer
+    series at lags ``1..max_lag`` — the seasonality detector that
+    tells the monitoring layer WHICH period (weekly? daily?) the
+    mad/CUSUM checks should condition on.
+
+    ``series`` is one row per period with an INTEGER ``value_col``
+    (cents-grain, the repo's order-independent sum contract); rows
+    need not be contiguous — lag pairing is positional over the
+    ``time_col`` order, the standard ACF-on-observed-points reading.
+
+    Exactness: with S = sum x, n = rows, H_k/T_k the overlap head/
+    tail sums, everything is the n^2-scaled integer algebra
+
+        n^2 * num_k = n^2 * sum(x_t * x_{t+k})
+                      - n * S * (H_k + T_k) + (n - k) * S^2
+        n^2 * den   = n^2 * sum(x^2) - n * S^2
+        acf_k       = num_k / den      (ONE double division, round 6)
+
+    accumulated as DECIMAL(38,0) (HUGEINT-class — n * x^2 * n^2
+    overflows int64 on real revenue series). The global-order window
+    runs over the aggregated series whose cardinality is the period
+    count — the same bounded single-sort-partition contract as
+    :func:`cusum_changepoint`.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    w = Window.orderBy(time_col)
+    dec = F.col(value_col).cast("decimal(38,0)")
+    base = series.select(
+        F.col(time_col).alias("_t"),
+        dec.alias("_x"),
+        *[
+            F.lead(dec, k).over(w).alias(f"_x{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("s"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+    ]
+    for k in range(1, max_lag + 1):
+        xk = F.col(f"_x{k}")
+        aggs += [
+            F.sum(F.col("_x") * xk).alias(f"cross_{k}"),
+            F.sum(F.when(xk.isNotNull(), F.col("_x"))).alias(f"head_{k}"),
+            F.sum(xk).alias(f"tail_{k}"),
+        ]
+    g = base.agg(*aggs)
+    n = F.col("n").cast("decimal(38,0)")
+    s = F.col("s")
+    den = (n * n * F.col("sxx") - n * s * s).cast("double")
+    lags = []
+    for k in range(1, max_lag + 1):
+        num = (
+            n * n * F.col(f"cross_{k}")
+            - n * s * (F.col(f"head_{k}") + F.col(f"tail_{k}"))
+            + (n - F.lit(k)) * s * s
+        ).cast("double")
+        lags.append(
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.round(
+                    F.when(den > 0, num / den), 6
+                ).alias("acf"),
+                (F.col("n") - k).cast("long").alias("n_pairs"),
+            )
+        )
+    return (
+        g.select(F.explode(F.array(*lags)).alias("_l"))
+        .select("_l.lag", "_l.acf", "_l.n_pairs")
+        .filter(F.col("n_pairs") > 0)
+    )

@@ -184,3 +184,80 @@ def psi_report(
         F.round("_psi", 6).alias("psi"),
         (F.col("_psi") > F.lit(alarm_threshold)).alias("drift_alarm"),
     )
+
+
+# first-significant-digit probabilities log10(1 + 1/d), materialized as
+# double literals so Spark and any SQL oracle consume the SAME 9
+# constants instead of racing libm log implementations
+BENFORD_P = {
+    1: 0.3010299956639812, 2: 0.17609125905568124,
+    3: 0.12493873660829993, 4: 0.09691001300805642,
+    5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+# chi-square 95% critical value at 8 dof (9 digits - 1)
+BENFORD_CRIT_95 = 15.507313
+
+MAX_BENFORD_DIGITS = 19  # BIGINT width; first digit via power-of-10 floor
+
+
+def benford_report(df: DataFrame, amount_col: str) -> DataFrame:
+    """First-significant-digit distribution of a positive integer
+    amount column vs Benford's law — the fraud/DQ screen for
+    financial facts (synthetic or truncated amount feeds flunk it
+    loudly).
+
+    One conditional aggregation over the scan (zero joins, zero extra
+    passes): the first digit comes from a when-chain over the 19
+    possible BIGINT widths (pure integer compares — no float log10,
+    whose x == 10^k edge rounding differs across engines), the nine
+    observed counts pivot map-side, and chi2 against the tabulated
+    ``BENFORD_P`` literals is driver-free arithmetic on the 9-row
+    result. Rows with non-positive amounts are counted out loudly in
+    ``n_skipped`` rather than silently dropped.
+
+    Output: one row per digit 1..9 (absent digits appear with
+    observed = 0): ``(digit, observed, n, expected_p, chi2,
+    benford_alarm, n_skipped)`` — chi2/alarm constant across the nine
+    rows of the report.
+    """
+    work = df.select(F.col(amount_col).cast("bigint").alias("_amt"))
+    amt = F.col("_amt")
+    cases = " ".join(
+        f"WHEN _amt >= {10 ** k} THEN _amt div {10 ** k}"
+        for k in range(MAX_BENFORD_DIGITS - 1, -1, -1)
+    )
+    first = F.expr(f"CASE {cases} END")
+    agg = work.agg(
+        *[
+            F.sum(F.when(first == d, 1).otherwise(0)).alias(f"o_{d}")
+            for d in range(1, 10)
+        ],
+        F.sum(F.when((amt <= 0) | amt.isNull(), 1).otherwise(0)).alias(
+            "n_skipped"
+        ),
+    )
+    n = sum(F.col(f"o_{d}") for d in range(1, 10)).alias("_n")
+    agg = agg.withColumn("_n", n)
+    chi2 = sum(
+        (F.col(f"o_{d}").cast("double") - F.col("_n") * BENFORD_P[d])
+        * (F.col(f"o_{d}").cast("double") - F.col("_n") * BENFORD_P[d])
+        / (F.col("_n") * BENFORD_P[d])
+        for d in range(1, 10)
+    )
+    agg = agg.withColumn("_chi2", F.round(chi2, 6))
+    rows = F.array(*[
+        F.struct(
+            F.lit(d).alias("digit"),
+            F.col(f"o_{d}").cast("long").alias("observed"),
+            F.col("_n").cast("long").alias("n"),
+            F.lit(BENFORD_P[d]).alias("expected_p"),
+            F.col("_chi2").alias("chi2"),
+            (F.col("_chi2") > BENFORD_CRIT_95).alias("benford_alarm"),
+            F.col("n_skipped").cast("long").alias("n_skipped"),
+        )
+        for d in range(1, 10)
+    ])
+    return agg.select(F.explode(rows).alias("_r")).select("_r.*")

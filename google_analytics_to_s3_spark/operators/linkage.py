@@ -96,3 +96,106 @@ def fuzzy_match_pairs(
         "name_b",
         F.levenshtein("name_a", "name_b").alias("dist"),
     ).filter(F.col("dist") <= max_dist)
+
+
+def fs_field_u(df: DataFrame, field: str) -> "tuple[int, int]":
+    """Fellegi-Sunter u-probability numerator/denominator for one
+    field: the probability two RANDOM records agree on it, estimated
+    from the value-frequency distribution — ``sum c_v*(c_v-1)`` over
+    ``n*(n-1)`` (without-replacement pairing). Returned as the exact
+    integer rational so the caller (and any SQL oracle) performs the
+    ONE double division identically. NULL field values form their own
+    agreement class, same as the scorer's null-safe equality."""
+    row = (
+        df.groupBy(field)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1)).alias("num"),
+            F.sum("c").alias("n"),
+        )
+        .first()
+    )
+    num, n = int(row["num"]), int(row["n"])
+    if n < 2:
+        raise ValueError(f"u-probability needs >= 2 rows, got {n}")
+    return num, n * (n - 1)
+
+
+def fs_link_scores(
+    records: DataFrame,
+    block_col: str,
+    fields: dict[str, float],
+    u_probs: dict[str, "tuple[int, int]"],
+    id_col: str = "id",
+    threshold: float = 0.0,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over blocked
+    candidate pairs (Fellegi & Sunter, JASA 1969 — the model behind
+    Splink and every production probabilistic linker).
+
+    ``fields`` maps field name -> assumed m-probability (the chance
+    true duplicates agree on the field — a fixed model parameter);
+    ``u_probs`` maps field name -> the exact (num, den) rational from
+    :func:`fs_field_u`. Each candidate pair (same ``block_col`` value,
+    ``id_a < id_b``) scores
+
+        sum over fields of log2(m/u)        if the pair agrees
+                          log2((1-m)/(1-u)) otherwise
+
+    and pairs below ``threshold`` are dropped. Agreement is null-safe
+    equality. Output: ``(id_a, id_b, score)`` + one ``agree_<field>``
+    flag per field.
+
+    Scale contract: pairs form ONLY within blocks (one equi-join on
+    the block key), and blocks larger than ``max_block_size`` are
+    purged before the join — same quadratic-blowup defense, same
+    recall caveat as :func:`fuzzy_match_pairs`. The u estimation is
+    two hash aggregations per field on the records table; m/u enter
+    the pair projection as literals, so the score is a pure map-side
+    expression on the joined candidates.
+    """
+    if set(fields) != set(u_probs):
+        raise ValueError("fields and u_probs must cover the same keys")
+    import math
+
+    sides = []
+    for side in ("a", "b"):
+        sides.append(
+            records.select(
+                F.col(id_col).alias(f"_id_{side}"),
+                F.col(block_col).alias("_blk"),
+                *[
+                    F.col(f).alias(f"_{f}_{side}")
+                    for f in fields
+                ],
+            )
+        )
+    counts = records.groupBy(block_col).agg(
+        F.count(F.lit(1)).alias("_bc")
+    ).filter(F.col("_bc") <= max_block_size).select(
+        F.col(block_col).alias("_blk")
+    )
+    a = sides[0].join(F.broadcast(counts), "_blk")
+    b = sides[1].join(F.broadcast(counts), "_blk")
+    pairs = a.join(b, "_blk").filter(F.col("_id_a") < F.col("_id_b"))
+    score = F.lit(0.0)
+    agree_cols = []
+    for f, m in fields.items():
+        num, den = u_probs[f]
+        u = num / den  # the one double division, mirrored in oracles
+        if not (0.0 < u < 1.0 and 0.0 < m < 1.0):
+            raise ValueError(f"degenerate m/u for field {f}: m={m} u={u}")
+        agree = F.col(f"_{f}_a").eqNullSafe(F.col(f"_{f}_b"))
+        w_agree = math.log(m / u) / math.log(2.0)
+        w_disagree = math.log((1.0 - m) / (1.0 - u)) / math.log(2.0)
+        score = score + F.when(agree, F.lit(w_agree)).otherwise(
+            F.lit(w_disagree)
+        )
+        agree_cols.append(agree.alias(f"agree_{f}"))
+    return pairs.select(
+        F.col("_id_a").alias("id_a"),
+        F.col("_id_b").alias("id_b"),
+        F.round(score, 6).alias("score"),
+        *agree_cols,
+    ).filter(F.col("score") >= threshold)

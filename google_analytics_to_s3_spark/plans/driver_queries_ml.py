@@ -280,3 +280,209 @@ ORACLES_ML = {
     "covariance_matrix": SQL_COVARIANCE_MATRIX,
     "feature_chi2": SQL_FEATURE_CHI2,
 }
+
+
+_ACF_LAGS = 7
+
+
+def q_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality screen for the monitoring stack: exact ACF of the
+    daily revenue series (BIGINT cents grain) at lags 1..7 — a weekly
+    cycle shows up as the lag-7 peak."""
+    from ..operators.anomaly import acf
+
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("ts_ms div 86400000").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    return acf(daily, "day", "cents", _ACF_LAGS)
+
+
+SQL_REVENUE_ACF = f"""
+WITH d AS (
+  SELECT epoch_ms(ts) // 86400000 AS day,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT row_number() OVER (ORDER BY day) AS rn,
+         CAST(cents AS HUGEINT) AS x
+  FROM d
+),
+tot AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS s,
+         sum(x * x) AS sxx
+  FROM r
+),
+k AS (SELECT CAST(unnest(range(1, {_ACF_LAGS} + 1)) AS HUGEINT) AS lag),
+p AS (
+  SELECT k.lag,
+         sum(a.x * b.x) AS cross_s,
+         sum(a.x) AS head_s,
+         sum(b.x) AS tail_s,
+         count(*) AS n_pairs
+  FROM k
+  JOIN r a ON true
+  JOIN r b ON b.rn = a.rn + k.lag
+  GROUP BY 1
+)
+SELECT CAST(lag AS INTEGER) AS lag,
+       round(CASE WHEN n * n * sxx - n * s * s > 0
+                  THEN CAST(n * n * cross_s - n * s * (head_s + tail_s)
+                            + (n - lag) * s * s AS DOUBLE)
+                       / CAST(n * n * sxx - n * s * s AS DOUBLE)
+             END, 6) AS acf,
+       CAST(n_pairs AS BIGINT) AS n_pairs
+FROM p, tot
+WHERE n_pairs > 0
+"""
+
+
+def q_benford_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals at cents grain —
+    the financial-fact DQ gate."""
+    from ..operators.dq import benford_report
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return benford_report(o, "cents")
+
+
+def _benford_sql() -> str:
+    from ..operators.dq import BENFORD_CRIT_95, BENFORD_P
+
+    digit_case = " ".join(
+        f"WHEN cents >= {10 ** k} THEN cents // {10 ** k}"
+        for k in range(18, -1, -1)
+    )
+    obs = ", ".join(
+        f"sum(CASE WHEN first_d = {d} THEN 1 ELSE 0 END) AS o_{d}"
+        for d in range(1, 10)
+    )
+    n_expr = " + ".join(f"o_{d}" for d in range(1, 10))
+    chi_terms = " + ".join(
+        f"(CAST(o_{d} AS DOUBLE) - n * {BENFORD_P[d]!r})"
+        f" * (CAST(o_{d} AS DOUBLE) - n * {BENFORD_P[d]!r})"
+        f" / (n * {BENFORD_P[d]!r})"
+        for d in range(1, 10)
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT {d} AS digit, CAST(o_{d} AS BIGINT) AS observed, "
+        f"CAST(n AS BIGINT) AS n, {BENFORD_P[d]!r} AS expected_p, "
+        f"chi2, chi2 > {BENFORD_CRIT_95!r} AS benford_alarm, "
+        f"CAST(n_skipped AS BIGINT) AS n_skipped FROM c"
+        for d in range(1, 10)
+    )
+    return f"""
+WITH amounts AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+f AS (
+  SELECT cents, CASE {digit_case} END AS first_d FROM amounts
+),
+a AS (
+  SELECT {obs},
+         sum(CASE WHEN cents <= 0 OR cents IS NULL THEN 1 ELSE 0 END)
+           AS n_skipped
+  FROM f
+),
+b AS (SELECT *, CAST({n_expr} AS DOUBLE) AS n FROM a),
+c AS (SELECT *, round({chi_terms}, 6) AS chi2 FROM b)
+{branches}
+"""
+
+
+SQL_BENFORD_DQ = _benford_sql()
+
+QUERIES_ML["revenue_acf"] = q_revenue_acf
+QUERIES_ML["benford_dq"] = q_benford_dq
+ORACLES_ML["revenue_acf"] = SQL_REVENUE_ACF
+ORACLES_ML["benford_dq"] = SQL_BENFORD_DQ
+
+
+_FS_M = {"seg": 0.95, "bucket": 0.85, "digit": 0.9}
+_FS_THRESHOLD = 2.0
+_FS_MAX_BLOCK = 10_000
+
+
+def _fs_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bucket"),
+        F.expr("right(c_name, 1)").alias("digit"),
+    )
+
+
+def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic duplicate screen over customers:
+    nation-blocked candidate pairs scored on segment / balance-bucket
+    / name-digit agreement with data-estimated u-probabilities; pairs
+    at log2-odds >= 2 survive."""
+    from ..operators.linkage import fs_field_u, fs_link_scores
+
+    r = _fs_records(spark, sf_dir)
+    u = {f: fs_field_u(r, f) for f in _FS_M}
+    return fs_link_scores(
+        r, "blk", _FS_M, u,
+        id_col="id", threshold=_FS_THRESHOLD,
+        max_block_size=_FS_MAX_BLOCK,
+    )
+
+
+def _fs_sql() -> str:
+    u_ctes = ",\n".join(
+        f"""u_{f} AS (
+  SELECT CAST(sum(c * (c - 1)) AS DOUBLE)
+         / (CAST(n2.n AS DOUBLE) * (n2.n - 1)) AS u
+  FROM (SELECT {f}, count(*) AS c FROM r GROUP BY 1) fc
+  CROSS JOIN (SELECT count(*) AS n FROM r) n2
+  GROUP BY n2.n
+)"""
+        for f in _FS_M
+    )
+    terms = " + ".join(
+        f"""CASE WHEN a.{f} IS NOT DISTINCT FROM b.{f}
+             THEN ln({_FS_M[f]!r} / u_{f}.u) / ln(2.0)
+             ELSE ln({1.0 - _FS_M[f]!r} / (1.0 - u_{f}.u)) / ln(2.0)
+        END"""
+        for f in _FS_M
+    )
+    agrees = ", ".join(
+        f"a.{f} IS NOT DISTINCT FROM b.{f} AS agree_{f}" for f in _FS_M
+    )
+    u_joins = " ".join(f"CROSS JOIN u_{f}" for f in _FS_M)
+    return f"""
+WITH r AS (
+  SELECT c_custkey AS id, c_nationkey AS blk, c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bucket,
+         right(c_name, 1) AS digit
+  FROM customer
+),
+bc AS (
+  SELECT blk FROM r GROUP BY blk
+  HAVING count(*) <= {_FS_MAX_BLOCK}
+),
+{u_ctes}
+SELECT * FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round({terms}, 6) AS score,
+         {agrees}
+  FROM r a
+  JOIN bc ON a.blk = bc.blk
+  JOIN r b ON a.blk = b.blk AND a.id < b.id
+  {u_joins}
+)
+WHERE score >= {_FS_THRESHOLD!r}
+"""
+
+
+SQL_FS_LINKAGE = _fs_sql()
+
+QUERIES_ML["fs_linkage"] = q_fs_linkage
+ORACLES_ML["fs_linkage"] = SQL_FS_LINKAGE

@@ -246,3 +246,127 @@ def test_null_feature_value_is_a_category(spark):
     ).collect()[0]
     assert r["n"] == 4
     assert r["n_values"] == 2  # "a" and "<null>"
+
+
+# ---------------------------------------------------------------------------
+# acf / benford / fellegi-sunter
+# ---------------------------------------------------------------------------
+
+
+def test_acf_matches_numpy(spark):
+    rng = np.random.RandomState(5)
+    xs = rng.randint(100, 10000, size=40).tolist()
+    df = spark.createDataFrame(
+        [(t, int(x)) for t, x in enumerate(xs)], "t long, x long"
+    )
+    from google_analytics_to_s3_spark.operators.anomaly import acf
+
+    got = {r["lag"]: r["acf"] for r in acf(df, "t", "x", 5).collect()}
+    x = np.array(xs, dtype=np.float64)
+    m = x.mean()
+    den = ((x - m) ** 2).sum()
+    for k in range(1, 6):
+        expect = ((x[:-k] - m) * (x[k:] - m)).sum() / den
+        assert got[k] == pytest.approx(expect, abs=1e-6)
+
+
+def test_acf_perfect_period(spark):
+    # strict period-2 alternation: acf(2) == 1, acf(1) == -1
+    df = spark.createDataFrame(
+        [(t, 100 if t % 2 == 0 else 200) for t in range(20)],
+        "t long, x long",
+    )
+    from google_analytics_to_s3_spark.operators.anomaly import acf
+
+    got = {r["lag"]: r["acf"] for r in acf(df, "t", "x", 2).collect()}
+    # full-variance normalization: a perfect period yields (n-k)/n,
+    # the standard ACF taper, not 1.0
+    assert got[2] == pytest.approx(18 / 20, abs=1e-6)
+    assert got[1] == pytest.approx(-19 / 20, abs=1e-6)
+
+
+def test_acf_rejects_bad_lag(spark):
+    df = spark.createDataFrame([(0, 1)], "t long, x long")
+    from google_analytics_to_s3_spark.operators.anomaly import acf
+
+    with pytest.raises(ValueError, match="max_lag"):
+        acf(df, "t", "x", 0)
+
+
+def test_benford_conforming_and_flat_series(spark):
+    from google_analytics_to_s3_spark.operators.dq import benford_report
+
+    # a geometric series is Benford-conforming; a flat one is not
+    geo = spark.createDataFrame(
+        [(int(1.07 ** i * 100),) for i in range(1, 300)], "amt long"
+    )
+    flat = spark.createDataFrame(
+        [(500 + i,) for i in range(300)], "amt long"
+    )
+    g = benford_report(geo, "amt").collect()
+    f = benford_report(flat, "amt").collect()
+    assert len(g) == 9 and len(f) == 9
+    assert not g[0]["benford_alarm"]
+    assert f[0]["benford_alarm"]
+    assert sum(r["observed"] for r in g) == 299
+    # flat 500..799: first digits only 5/6/7 -> six digits observed 0
+    assert sum(1 for r in f if r["observed"] == 0) == 6
+
+
+def test_benford_skips_nonpositive_loudly(spark):
+    from google_analytics_to_s3_spark.operators.dq import benford_report
+
+    df = spark.createDataFrame(
+        [(123,), (0,), (-5,), (None,)], "amt long"
+    )
+    rows = benford_report(df, "amt").collect()
+    assert rows[0]["n_skipped"] == 3
+    assert rows[0]["n"] == 1
+
+
+def test_fs_linkage_scores_and_purge(spark):
+    from google_analytics_to_s3_spark.operators.linkage import (
+        fs_field_u,
+        fs_link_scores,
+    )
+
+    rows = [
+        # block 1: ids 1/2 agree on both fields; 3 disagrees
+        (1, 1, "a", "x"), (2, 1, "a", "x"), (3, 1, "b", "y"),
+        # block 2: two records, partial agreement
+        (4, 2, "a", "y"), (5, 2, "a", "x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, blk int, f1 string, f2 string")
+    u = {f: fs_field_u(df, f) for f in ("f1", "f2")}
+    assert u["f1"] == (4 * 3, 5 * 4)  # four "a"s, one "b"
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in fs_link_scores(
+            df, "blk", {"f1": 0.9, "f2": 0.9}, u, threshold=-100.0
+        ).collect()
+    }
+    import math
+
+    u1 = u["f1"][0] / u["f1"][1]
+    u2 = u["f2"][0] / u["f2"][1]
+    w1, w2 = math.log(0.9 / u1) / math.log(2), math.log(0.9 / u2) / math.log(2)
+    assert out[(1, 2)]["score"] == pytest.approx(round(w1 + w2, 6), abs=1e-9)
+    assert out[(1, 2)]["agree_f1"] and out[(1, 2)]["agree_f2"]
+    assert out[(4, 5)]["score"] == pytest.approx(
+        round(w1 + math.log(0.1 / (1 - u2)) / math.log(2), 6), abs=1e-9
+    )
+    assert (1, 4) not in out  # cross-block pairs never form
+    # purge: with max_block_size=2 the 3-record block vanishes
+    purged = fs_link_scores(
+        df, "blk", {"f1": 0.9, "f2": 0.9}, u,
+        threshold=-100.0, max_block_size=2,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in purged} == {(4, 5)}
+
+
+def test_fs_rejects_mismatched_fields(spark):
+    from google_analytics_to_s3_spark.operators.linkage import fs_link_scores
+
+    df = spark.createDataFrame([(1, 1, "a")], "id long, blk int, f1 string")
+    with pytest.raises(ValueError, match="same keys"):
+        fs_link_scores(df, "blk", {"f1": 0.9}, {"f2": (1, 2)})
