@@ -261,3 +261,121 @@ def benford_report(df: DataFrame, amount_col: str) -> DataFrame:
         for d in range(1, 10)
     ])
     return agg.select(F.explode(rows).alias("_r")).select("_r.*")
+
+
+KS_C95 = 1.358  # Kolmogorov critical coefficient at alpha = 0.05
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    buckets: int = 64,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift test on an INTEGER
+    value column — the distribution-shape companion to the binned PSI
+    report (``psi_report`` sees only bucket masses; KS sees the whole
+    CDF).
+
+    D = max over observed values of |F_a(v) - F_b(v)| is computed as
+    the exact integer |n_b * cum_a(v) - n_a * cum_b(v)| maximized over
+    the DISTINCT-value table, with the single division at the end.
+    The cumulative counts use the same two-pass bucket-offset pattern
+    as ``assign_global_index``: per-value counts (one hash shuffle),
+    range-bucket subtotals prefix-summed on the driver (``buckets``
+    rows — bounded), then a window partitioned BY BUCKET — never a
+    single global sort partition, which is what makes the statistic
+    computable at corpus scale. Same deterministic-input contract as
+    the indexing module (two jobs observe the input).
+
+    Output: ONE row — ``(n_a, n_b, d_stat, d_at_value, ks_alarm)``
+    with ``d_at_value`` the smallest value attaining D and the alarm
+    at the classic 95% threshold ``1.358 * sqrt((n_a+n_b)/(n_a*n_b))``.
+    """
+    v = F.col(value_col).cast("long")
+    g = F.col(group_col)
+    per_value = (
+        df.filter(g.isin(group_a, group_b) & v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).alias("_ca"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).alias("_cb"),
+        )
+    )
+    bounds = per_value.agg(
+        F.min("_v").alias("lo"), F.max("_v").alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        raise ValueError(
+            f"ks_two_sample: no rows in groups "
+            f"{group_a!r}/{group_b!r}"
+        )
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    width = max(1, (hi - lo) // buckets + 1)
+    # persisted across the subtotal job and the (lazy) final job so
+    # both observe identical data — the cached table is the DISTINCT
+    # value histogram, orders smaller than the input; evicted LRU
+    pv = per_value.withColumn("_bucket", ((F.col("_v") - lo) / width)
+                              .cast("long")).persist()
+    sub = pv.groupBy("_bucket").agg(
+        F.sum("_ca").alias("sa"), F.sum("_cb").alias("sb")
+    ).collect()
+    offs, acc_a, acc_b = [], 0, 0
+    for r in sorted(sub, key=lambda r: r["_bucket"]):
+        offs.append((int(r["_bucket"]), acc_a, acc_b))
+        acc_a += int(r["sa"])
+        acc_b += int(r["sb"])
+    n_a, n_b = acc_a, acc_b
+    if n_a == 0 or n_b == 0:
+        raise ValueError(
+            f"ks_two_sample: empty sample (n_a={n_a}, n_b={n_b})"
+        )
+    off_df = df.sparkSession.createDataFrame(
+        offs, schema="_bucket LONG, _oa LONG, _ob LONG"
+    )
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        pv.join(F.broadcast(off_df), "_bucket")
+        .select(
+            "_v",
+            (F.col("_oa") + F.sum("_ca").over(w)).alias("_cuma"),
+            (F.col("_ob") + F.sum("_cb").over(w)).alias("_cumb"),
+        )
+        .select(
+            "_v",
+            F.abs(
+                F.lit(n_b) * F.col("_cuma")
+                - F.lit(n_a) * F.col("_cumb")
+            ).alias("_dnum"),
+        )
+    )
+    best = cum.agg(
+        F.max("_dnum").alias("dnum"),
+        F.min_by("_v", F.struct(-F.col("_dnum"), F.col("_v")))
+        .alias("d_at_value"),
+    )
+    import math
+
+    # math.sqrt, not ** 0.5: pow(x, .5) may differ from sqrt by an ulp
+    # and the oracle computes sqrt()
+    thresh = KS_C95 * math.sqrt((n_a + n_b) / (n_a * n_b))
+    return best.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.round(
+            F.col("dnum").cast("double") / (float(n_a) * float(n_b)),
+            6,
+        ).alias("d_stat"),
+        F.col("d_at_value").cast("long").alias("d_at_value"),
+        (
+            F.col("dnum").cast("double")
+            / (float(n_a) * float(n_b))
+            > F.lit(thresh)
+        ).alias("ks_alarm"),
+    )

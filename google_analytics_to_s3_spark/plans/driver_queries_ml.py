@@ -486,3 +486,70 @@ SQL_FS_LINKAGE = _fs_sql()
 
 QUERIES_ML["fs_linkage"] = q_fs_linkage
 ORACLES_ML["fs_linkage"] = SQL_FS_LINKAGE
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift screen: does the event-value distribution
+    differ between alternating days (even vs odd epoch day)? Exact D
+    over the cents-grain value CDFs via bucketed prefix sums — no
+    single-reducer sort at any scale."""
+    from ..operators.dq import ks_two_sample
+
+    e = load_events(spark, sf_dir).select(
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.expr("ts_ms div 86400000 % 2 = 0"), "even")
+        .otherwise("odd")
+        .alias("grp"),
+    )
+    return ks_two_sample(e, "cents", "grp", "even", "odd")
+
+
+SQL_KS_DRIFT = """
+WITH e AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+         CASE WHEN epoch_ms(ts) // 86400000 % 2 = 0
+              THEN 'even' ELSE 'odd' END AS grp
+  FROM events
+  WHERE value IS NOT NULL
+),
+pv AS (
+  SELECT cents AS v,
+         sum(CASE WHEN grp = 'even' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN grp = 'odd' THEN 1 ELSE 0 END) AS cb
+  FROM e GROUP BY 1
+),
+n AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM pv),
+c AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cuma,
+         sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cumb
+  FROM pv
+),
+d AS (
+  SELECT v, abs(n.n_b * cuma - n.n_a * cumb) AS dnum
+  FROM c CROSS JOIN n
+),
+best AS (
+  SELECT max(dnum) AS dnum,
+         min(v) FILTER (WHERE dnum = (SELECT max(dnum) FROM d))
+           AS d_at_value
+  FROM d
+)
+SELECT CAST(n.n_a AS BIGINT) AS n_a,
+       CAST(n.n_b AS BIGINT) AS n_b,
+       round(CAST(best.dnum AS DOUBLE)
+             / (CAST(n.n_a AS DOUBLE) * CAST(n.n_b AS DOUBLE)), 6)
+         AS d_stat,
+       CAST(best.d_at_value AS BIGINT) AS d_at_value,
+       CAST(best.dnum AS DOUBLE)
+       / (CAST(n.n_a AS DOUBLE) * CAST(n.n_b AS DOUBLE))
+       > 1.358 * sqrt((n.n_a + n.n_b)
+                      / (CAST(n.n_a AS DOUBLE) * CAST(n.n_b AS DOUBLE)))
+         AS ks_alarm
+FROM best CROSS JOIN n
+"""
+
+QUERIES_ML["ks_drift"] = q_ks_drift
+ORACLES_ML["ks_drift"] = SQL_KS_DRIFT

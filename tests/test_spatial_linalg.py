@@ -370,3 +370,65 @@ def test_fs_rejects_mismatched_fields(spark):
     df = spark.createDataFrame([(1, 1, "a")], "id long, blk int, f1 string")
     with pytest.raises(ValueError, match="same keys"):
         fs_link_scores(df, "blk", {"f1": 0.9}, {"f2": (1, 2)})
+
+
+def test_ks_two_sample_matches_brute_force(spark):
+    from google_analytics_to_s3_spark.operators.dq import ks_two_sample
+
+    rng = np.random.RandomState(9)
+    a = rng.randint(0, 300, size=400)
+    b = np.clip(rng.randint(0, 300, size=350) + 30, 0, None)  # shifted
+    rows = [(int(v), "a") for v in a] + [(int(v), "b") for v in b]
+    df = spark.createDataFrame(rows, "v long, g string")
+    got = ks_two_sample(df, "v", "g", "a", "b", buckets=16).collect()[0]
+    # brute force D over the pooled support
+    support = sorted(set(a) | set(b))
+    na, nb = len(a), len(b)
+    best, best_v = -1, None
+    for v in support:
+        dnum = abs(nb * int((a <= v).sum()) - na * int((b <= v).sum()))
+        if dnum > best:
+            best, best_v = dnum, v
+    assert got["n_a"] == na and got["n_b"] == nb
+    assert got["d_stat"] == pytest.approx(round(best / (na * nb), 6),
+                                          abs=1e-9)
+    assert got["d_at_value"] == best_v
+    assert bool(got["ks_alarm"]) == (
+        best / (na * nb)
+        > 1.358 * np.sqrt((na + nb) / (na * nb))
+    )
+
+
+def test_ks_identical_distributions_zero(spark):
+    from google_analytics_to_s3_spark.operators.dq import ks_two_sample
+
+    rows = [(v, g) for v in range(50) for g in ("a", "b")]
+    df = spark.createDataFrame(rows, "v long, g string")
+    got = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+    assert got["d_stat"] == 0.0
+    assert not got["ks_alarm"]
+
+
+def test_ks_raises_on_empty_group(spark):
+    from google_analytics_to_s3_spark.operators.dq import ks_two_sample
+
+    df = spark.createDataFrame([(1, "a")], "v long, g string")
+    with pytest.raises(ValueError, match="empty sample"):
+        ks_two_sample(df, "v", "g", "a", "b")
+
+
+def test_ks_plan_has_no_single_partition_sort(spark):
+    from google_analytics_to_s3_spark.operators.dq import ks_two_sample
+
+    rows = [(v % 97, "a" if v % 2 else "b") for v in range(500)]
+    df = spark.createDataFrame(rows, "v long, g string")
+    out = ks_two_sample(df, "v", "g", "a", "b", buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the cumulative window must sort WITHIN bucket partitions only; a
+    # global sort renders as "Sort [...], true". (The one
+    # SinglePartition exchange in the plan is the final scalar
+    # max-aggregate — one partial row per partition, scale-safe.)
+    for line in plan.splitlines():
+        if "Sort [" in line:
+            assert "], true," not in line, line
+    assert plan.count("SinglePartition") == 1
