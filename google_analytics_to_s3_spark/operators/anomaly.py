@@ -172,3 +172,66 @@ def acf(
         .select("_l.lag", "_l.acf", "_l.n_pairs")
         .filter(F.col("n_pairs") > 0)
     )
+
+
+def holt_forecast(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over a pre-aggregated
+    period series: one-step-ahead fits for every observed period plus
+    an ``horizon``-step forecast — the first true forecaster in the
+    monitoring stack (mad/CUSUM/seasonal flag the past; this projects
+    forward).
+
+    The recursion
+
+        s_t = alpha * x_t + (1 - alpha) * (s_{t-1} + b_{t-1})
+        b_t = beta * (s_t - s_{t-1}) + (1 - beta) * b_{t-1}
+
+    is inherently sequential, so it runs on the DRIVER over the
+    collected period series — the same bounded-pull contract as the
+    Markov transition matrix (``operators/markov.py``): the input is
+    period-grain (days), bounded at any data size; the distributed
+    work is the aggregation that produced it. Initialization:
+    ``s_1 = x_1``, ``b_1 = x_2 - x_1`` (the textbook choice).
+    ``(1 - alpha)`` is computed, never a pre-folded literal, so a SQL
+    replay spelling ``(1 - 0.3)`` reproduces the doubles bit-for-bit.
+
+    Output: one row per period from the second onward
+    ``(time, kind='fit', actual, predicted)`` with the one-step-ahead
+    prediction ``s_{t-1} + b_{t-1}``, then ``horizon`` rows
+    ``(last_time + h, kind='forecast', actual=NULL,
+    s_n + h * b_n)``; ``predicted`` rounded to 6 decimals. Needs >= 2
+    periods."""
+    if horizon < 0:
+        raise ValueError(f"horizon must be >= 0, got {horizon}")
+    rows = sorted(
+        ((int(r[time_col]), int(r[value_col]))
+         for r in series.select(time_col, value_col).collect()),
+    )
+    if len(rows) < 2:
+        raise ValueError(
+            f"holt_forecast needs >= 2 periods, got {len(rows)}"
+        )
+    s = float(rows[0][1])
+    b = float(rows[1][1]) - float(rows[0][1])
+    out = []
+    for t, x in rows[1:]:
+        pred = s + b
+        s_new = alpha * float(x) + (1 - alpha) * (s + b)
+        b = beta * (s_new - s) + (1 - beta) * b
+        s = s_new
+        out.append((t, "fit", x, round(pred, 6)))
+    last_t = rows[-1][0]
+    for h in range(1, horizon + 1):
+        out.append((last_t + h, "forecast", None, round(s + h * b, 6)))
+    return series.sparkSession.createDataFrame(
+        out,
+        schema=f"{time_col} long, kind string, actual long, "
+               "predicted double",
+    )

@@ -1038,3 +1038,73 @@ def calibration_report(
         scored.crossJoin(F.broadcast(tot))
         .select("bin", "n", "confidence", "accuracy", "ece")
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    group_cols: "tuple[str, ...] | list[str]",
+    top_share: float = 0.1,
+    **ranking_kwargs,
+) -> DataFrame:
+    """Exact Gini coefficient + top-share concentration of an integer
+    value column per group — the revenue-concentration mart ("10% of
+    users drive X% of revenue") every LTV analysis reaches for.
+
+    With ranks 1..n ascending by ``(value, tie)`` (a total order —
+    ``tie_col`` unique within group) the Gini index is the exact
+    integer algebra
+
+        G = (2 * sum(rank * x) - (n + 1) * sum(x)) / (n * sum(x))
+
+    and the top-share is ``sum(x where rank > n - floor(top_share*n))
+    / sum(x)`` — the revenue share of the top ``top_share`` fraction
+    of rows (floor'd count, so tiny groups take 0 top rows). Ranks
+    come from :func:`~..operators.indexing.exact_group_ranks` — no
+    per-group single-reducer sort at any scale; sums accumulate as
+    DECIMAL(38,0) (rank * cents overflows int64 on real data). One
+    output row per group: ``(group..., n, total, gini, top_n,
+    top_value_share)``; ``gini`` NULL when the group total is 0.
+    """
+    from .indexing import exact_group_ranks
+
+    gcols = list(group_cols)
+    ranked = exact_group_ranks(
+        df, value_col, tie_col, gcols,
+        rank_col="_rank", n_col="_n", **ranking_kwargs,
+    )
+    dec = F.col(value_col).cast("decimal(38,0)")
+    topk = F.floor(F.lit(float(top_share)) * F.col("_n")).cast("long")
+    agg = ranked.groupBy(*gcols).agg(
+        F.max("_n").cast("long").alias("n"),
+        F.sum(dec).alias("_total"),
+        F.sum(F.col("_rank").cast("decimal(38,0)") * dec).alias("_rx"),
+        F.sum(
+            F.when(F.col("_rank") > F.col("_n") - topk, dec).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("_top"),
+        F.max(topk).alias("top_n"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    gini = (
+        (F.lit(2).cast("decimal(38,0)") * F.col("_rx")
+         - (n + 1) * F.col("_total")).cast("double")
+        / (n * F.col("_total")).cast("double")
+    )
+    return agg.select(
+        *gcols,
+        "n",
+        F.col("_total").cast("long").alias("total"),
+        F.round(F.when(F.col("_total") > 0, gini), 6).alias("gini"),
+        "top_n",
+        F.round(
+            F.when(
+                F.col("_total") > 0,
+                F.col("_top").cast("double")
+                / F.col("_total").cast("double"),
+            ),
+            6,
+        ).alias("top_value_share"),
+    )

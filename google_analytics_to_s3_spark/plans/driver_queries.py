@@ -2996,12 +2996,12 @@ _DRIVER_PRIORITY = [
     "shapley_attribution", "msprt_monitor", "binary_auc",
     "calibration_report", "png_decode", "ua_parse_families",
     "gif_frames",
-    # plus the eight registered later in r7 (spatial grid join,
+    # plus the ten registered later in r7 (spatial grid join,
     # integer-grid covariance, chi2/MI feature selection, ACF,
     # Benford DQ, Fellegi-Sunter linkage)
     "spatial_radius_pairs", "spatial_nearest", "covariance_matrix",
     "feature_chi2", "revenue_acf", "benford_dq", "fs_linkage",
-    "ks_drift",
+    "ks_drift", "gini_concentration", "holt_forecast",
     # (r7-b) the 34 queries whose latest driver-green row is r3
     "funnel_conversion", "retention_cohorts", "event_transitions",
     "pq_codes", "pq_adc_topk", "time_to_conversion", "chunk_documents",

@@ -553,3 +553,127 @@ FROM best CROSS JOIN n
 
 QUERIES_ML["ks_drift"] = q_ks_drift
 ORACLES_ML["ks_drift"] = SQL_KS_DRIFT
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per event type: exact Gini + top-decile
+    user share over per-user cents totals, ranks via the
+    sketch-bucketed exact ranking (no per-group global sort)."""
+    from ..operators.stats import gini_concentration
+
+    e = load_events(spark, sf_dir)
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    return gini_concentration(
+        per_user, "cents", "user_id", ["event_type"], top_share=0.1
+    )
+
+
+SQL_GINI_CONCENTRATION = """
+WITH pu AS (
+  SELECT event_type, user_id,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, user_id, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, user_id) AS rnk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM pu
+),
+a AS (
+  SELECT event_type,
+         max(n) AS n,
+         sum(CAST(cents AS HUGEINT)) AS total,
+         sum(CAST(rnk AS HUGEINT) * cents) AS rx,
+         sum(CASE WHEN rnk > n - floor(0.1 * n)
+                  THEN CAST(cents AS HUGEINT)
+                  ELSE 0 END) AS top_sum,
+         max(CAST(floor(0.1 * n) AS BIGINT)) AS top_n
+  FROM r GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(total AS BIGINT) AS total,
+       round(CASE WHEN total > 0
+                  THEN CAST(2 * rx - (n + 1) * total AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * total AS DOUBLE)
+             END, 6) AS gini,
+       top_n,
+       round(CASE WHEN total > 0
+                  THEN CAST(top_sum AS DOUBLE) / CAST(total AS DOUBLE)
+             END, 6) AS top_value_share
+FROM a
+"""
+
+QUERIES_ML["gini_concentration"] = q_gini_concentration
+ORACLES_ML["gini_concentration"] = SQL_GINI_CONCENTRATION
+
+
+_HOLT_ALPHA, _HOLT_BETA, _HOLT_H = 0.3, 0.1, 7
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast of daily revenue (cents grain):
+    one-step-ahead fits for each observed day + a 7-day projection.
+    The distributed work is the day aggregation; the O(days)
+    recursion replays on the driver under the bounded-series
+    contract."""
+    from ..operators.anomaly import holt_forecast
+
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("ts_ms div 86400000").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    return holt_forecast(
+        daily, "day", "cents",
+        alpha=_HOLT_ALPHA, beta=_HOLT_BETA, horizon=_HOLT_H,
+    )
+
+
+SQL_HOLT_FORECAST = f"""
+WITH RECURSIVE d AS (
+  SELECT row_number() OVER (ORDER BY day) AS rn, day, cents
+  FROM (
+    SELECT epoch_ms(ts) // 86400000 AS day,
+           sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+    FROM events GROUP BY 1
+  )
+),
+nn AS (SELECT count(*) AS cnt FROM d),
+rec AS (
+  SELECT CAST(1 AS BIGINT) AS rn, d.day,
+         CAST(d.cents AS DOUBLE) AS s,
+         (SELECT CAST(cents AS DOUBLE) FROM d WHERE rn = 2)
+           - CAST(d.cents AS DOUBLE) AS b,
+         CAST(NULL AS DOUBLE) AS pred
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.rn, d.day,
+         {_HOLT_ALPHA} * CAST(d.cents AS DOUBLE)
+           + (1 - {_HOLT_ALPHA}) * (rec.s + rec.b) AS s,
+         {_HOLT_BETA} * (({_HOLT_ALPHA} * CAST(d.cents AS DOUBLE)
+                          + (1 - {_HOLT_ALPHA}) * (rec.s + rec.b))
+                         - rec.s)
+           + (1 - {_HOLT_BETA}) * rec.b AS b,
+         rec.s + rec.b AS pred
+  FROM rec JOIN d ON d.rn = rec.rn + 1
+)
+SELECT d.day, 'fit' AS kind, d.cents AS actual,
+       round(rec.pred, 6) AS predicted
+FROM rec JOIN d ON d.rn = rec.rn
+WHERE rec.rn >= 2
+UNION ALL
+SELECT last.day + h.h AS day, 'forecast' AS kind,
+       CAST(NULL AS BIGINT) AS actual,
+       round(last.s + h.h * last.b, 6) AS predicted
+FROM (SELECT rec.* FROM rec CROSS JOIN nn WHERE rec.rn = nn.cnt) last
+CROSS JOIN (SELECT unnest(range(1, {_HOLT_H} + 1)) AS h) h
+"""
+
+QUERIES_ML["holt_forecast"] = q_holt_forecast
+ORACLES_ML["holt_forecast"] = SQL_HOLT_FORECAST

@@ -432,3 +432,89 @@ def test_ks_plan_has_no_single_partition_sort(spark):
         if "Sort [" in line:
             assert "], true," not in line, line
     assert plan.count("SinglePartition") == 1
+
+
+def test_gini_extremes(spark):
+    from google_analytics_to_s3_spark.operators.stats import (
+        gini_concentration,
+    )
+
+    rows = (
+        # group "eq": perfectly equal -> gini 0
+        [("eq", i, 100) for i in range(10)]
+        # group "one": one row owns everything -> gini (n-1)/n
+        + [("one", i, 0) for i in range(9)]
+        + [("one", 9, 1000)]
+        # group "zero": all zeros -> gini NULL
+        + [("zero", i, 0) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "g string, uid long, x long")
+    got = {
+        r["g"]: r
+        for r in gini_concentration(
+            df, "x", "uid", ["g"], top_share=0.1
+        ).collect()
+    }
+    assert got["eq"]["gini"] == 0.0
+    assert got["eq"]["top_n"] == 1
+    assert got["eq"]["top_value_share"] == 0.1
+    assert got["one"]["gini"] == pytest.approx(0.9, abs=1e-9)
+    assert got["one"]["top_value_share"] == 1.0
+    assert got["zero"]["gini"] is None
+
+
+def test_gini_matches_brute_force(spark):
+    from google_analytics_to_s3_spark.operators.stats import (
+        gini_concentration,
+    )
+
+    rng = np.random.RandomState(2)
+    xs = rng.randint(0, 5000, size=200).tolist()
+    df = spark.createDataFrame(
+        [("g", i, int(x)) for i, x in enumerate(xs)],
+        "g string, uid long, x long",
+    )
+    got = gini_concentration(df, "x", "uid", ["g"]).collect()[0]
+    order = sorted(range(len(xs)), key=lambda i: (xs[i], i))
+    n, tot = len(xs), sum(xs)
+    rx = sum((r + 1) * xs[i] for r, i in enumerate(order))
+    expect = (2 * rx - (n + 1) * tot) / (n * tot)
+    assert got["gini"] == pytest.approx(round(expect, 6), abs=1e-9)
+    top = sum(xs[i] for i in order[-(n // 10):])
+    assert got["top_value_share"] == pytest.approx(
+        round(top / tot, 6), abs=1e-9
+    )
+
+
+def test_holt_forecast_linear_series_is_exact(spark):
+    from google_analytics_to_s3_spark.operators.anomaly import (
+        holt_forecast,
+    )
+
+    # an exactly linear series: level/trend lock on immediately and
+    # every fit + forecast is exact
+    df = spark.createDataFrame(
+        [(t, 1000 + 50 * t) for t in range(10)], "t long, x long"
+    )
+    out = holt_forecast(df, "t", "x", alpha=0.5, beta=0.5, horizon=3)
+    rows = {(r["t"], r["kind"]): r for r in out.collect()}
+    for t in range(1, 10):
+        assert rows[(t, "fit")]["predicted"] == pytest.approx(
+            1000 + 50 * t, abs=1e-6
+        )
+        assert rows[(t, "fit")]["actual"] == 1000 + 50 * t
+    for h in range(1, 4):
+        assert rows[(9 + h, "forecast")]["predicted"] == pytest.approx(
+            1000 + 50 * (9 + h), abs=1e-6
+        )
+        assert rows[(9 + h, "forecast")]["actual"] is None
+
+
+def test_holt_forecast_needs_two_periods(spark):
+    from google_analytics_to_s3_spark.operators.anomaly import (
+        holt_forecast,
+    )
+
+    df = spark.createDataFrame([(0, 5)], "t long, x long")
+    with pytest.raises(ValueError, match=">= 2 periods"):
+        holt_forecast(df, "t", "x")
