@@ -184,3 +184,100 @@ def pca_power_iteration(
         vecs.append(v)
         work = work - lam * np.outer(v, v)
     return np.array(vals), np.stack(vecs, axis=1)
+
+
+def ols_closed_form(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+) -> DataFrame:
+    """Distributed ordinary-least-squares fit of an INTEGER response on
+    two INTEGER regressors plus an intercept — exact normal equations.
+
+    The whole regression reduces to ten sufficient statistics
+    (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2², Σx1y, Σx2y, Σy²) gathered in
+    ONE hash aggregation with map-side combine — the textbook
+    scale-flat shape (the n-row table is scanned once; everything
+    after is arithmetic on one row). Because inputs are integers, the
+    sums are exact DECIMAL(38,0) and the 3x3 normal system
+    ``A beta = b`` is solved in closed form by Cramer's rule with the
+    determinants still in exact integer arithmetic — only the final
+    beta divisions and R² happen in double (fixed order, round 6), so
+    a SQL oracle on HUGEINT replays the fit bit-for-bit.
+
+    Overflow contract: Cramer determinants multiply three sums, so
+    they need ``(max sum)^3 < 10^38`` — callers at extreme scale
+    rescale the regressors (the covariance-matrix ``scale`` contract).
+    For d > 2 use :func:`quantized_gram` + a driver-side bounded
+    solve; this closed form exists because d=2 covers the
+    slope/seasonality regressions marts actually run, with a full
+    value oracle.
+
+    Output (one row): n, beta0 (intercept), beta1, beta2, r2.
+    """
+    d0 = F.lit(0).cast("decimal(38,0)")
+
+    def dec(c) -> Column:
+        return c.cast("decimal(38,0)")
+
+    y, x1, x2 = F.col(y_col), F.col(x1_col), F.col(x2_col)
+    s = df.agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(dec(x1)).alias("s1"),
+        F.sum(dec(x2)).alias("s2"),
+        F.sum(dec(y)).alias("sy"),
+        F.sum(dec(x1) * dec(x1)).alias("s11"),
+        F.sum(dec(x1) * dec(x2)).alias("s12"),
+        F.sum(dec(x2) * dec(x2)).alias("s22"),
+        F.sum(dec(x1) * dec(y)).alias("s1y"),
+        F.sum(dec(x2) * dec(y)).alias("s2y"),
+        F.sum(dec(y) * dec(y)).alias("syy"),
+    ).select(dec(F.col("_cnt")).alias("n"), *[
+        F.coalesce(F.col(c), d0).alias(c)
+        for c in ("s1", "s2", "sy", "s11", "s12", "s22",
+                  "s1y", "s2y", "syy")
+    ])
+
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    sy, s11, s12 = F.col("sy"), F.col("s11"), F.col("s12")
+    s22, s1y, s2y, syy = (
+        F.col("s22"), F.col("s1y"), F.col("s2y"), F.col("syy")
+    )
+
+    def det3(a, b, c, d, e, f, g, h, i) -> Column:
+        # row-major 3x3 determinant, kept in DECIMAL(38,0)
+        return (
+            a * (e * i - f * h)
+            - b * (d * i - f * g)
+            + c * (d * h - e * g)
+        )
+
+    det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    det0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    det1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    det2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+
+    b0 = det0.cast("double") / det.cast("double")
+    b1 = det1.cast("double") / det.cast("double")
+    b2 = det2.cast("double") / det.cast("double")
+    # SSE = Σy² - b0Σy - b1Σx1y - b2Σx2y ; SST = Σy² - (Σy)²/n —
+    # unrounded betas, one fixed expression order in both engines.
+    sse = (
+        syy.cast("double") - b0 * sy.cast("double")
+        - b1 * s1y.cast("double") - b2 * s2y.cast("double")
+    )
+    sst = (
+        syy.cast("double")
+        - sy.cast("double") * sy.cast("double") / n.cast("double")
+    )
+    ok = det != d0
+    return s.select(
+        n.cast("long").alias("n"),
+        F.round(F.when(ok, b0), 6).alias("beta0"),
+        F.round(F.when(ok, b1), 6).alias("beta1"),
+        F.round(F.when(ok, b2), 6).alias("beta2"),
+        F.round(
+            F.when(ok & (sst != F.lit(0.0)), F.lit(1.0) - sse / sst), 6
+        ).alias("r2"),
+    )

@@ -131,3 +131,61 @@ def k_anonymity_report(
             "fixed_by_generalization"
         ),
     )
+
+
+_DP_GRID = 1 << 20  # uniform-draw granularity (matches the bootstrap grid)
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: "list[str] | tuple[str, ...]",
+    epsilon: float = 0.5,
+    threshold: int = 10,
+    seed: str = "dp",
+) -> DataFrame:
+    """Differentially-private count release per group: true counts get
+    Laplace(1/epsilon) noise (sensitivity 1 when each privacy unit
+    contributes one row per group — the caller pre-aggregates to the
+    privacy unit first, e.g. distinct users), are rounded to
+    integers, and groups whose NOISY count falls below ``threshold``
+    are suppressed — the stability-based release for unknown group
+    domains (thresholding on the noisy value, never the true one, so
+    the release decision itself is private).
+
+    The noise is the exact inverse-CDF transform of a deterministic
+    md5-grid uniform (the ``bootstrap_multiplicity`` convention):
+    ``u = (h % 2^20 + 0.5) / 2^20`` from the group key, then
+    ``-1/eps * sign(u - .5) * ln(1 - 2|u - .5|)``. Determinism makes
+    the release auditable/replayable cross-engine (one fixed-order
+    ``ln``, the psi/pmi contract); the half-step offset keeps the log
+    argument >= 2^-20, bounding |noise| <= ~13.9/eps. A deterministic
+    seed means ONE release per seed — re-running does not spend extra
+    privacy budget, but callers must rotate ``seed`` (and account for
+    it) when they genuinely re-release.
+
+    Shape: one hash aggregation + a map-side projection. Output:
+    ``(group..., released_count)`` — true counts never leave the plan.
+    """
+    gcols = list(group_cols)
+    counts = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("_true")
+    )
+    key = F.concat_ws(
+        "\x1f", F.lit(seed), *[F.col(c).cast("string") for c in gcols]
+    )
+    g = (
+        F.conv(F.substring(F.md5(key), 1, 10), 16, 10).cast("long")
+        % _DP_GRID
+    )
+    u = (g.cast("double") + F.lit(0.5)) / F.lit(float(_DP_GRID))
+    c = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / epsilon)
+        * F.signum(c)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c))
+    )
+    released = F.round(F.col("_true").cast("double") + noise).cast("long")
+    return (
+        counts.select(*gcols, released.alias("released_count"))
+        .filter(F.col("released_count") >= threshold)
+    )

@@ -159,3 +159,109 @@ def skew_report(
             F.col("_nkeys").alias("n_keys"),
         )
     )
+
+
+def misra_gries_candidates(
+    df: DataFrame, key_col: str, k: int
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries of ``key_col`` — the
+    bounded-state candidate generator for :func:`exact_heavy_hitters`.
+
+    Each input partition is folded into at most ``k`` (key, weight)
+    counters with one Arrow pass (batch-level ``value_counts`` merged
+    into the running summary, then pruned by subtracting the (k+1)-th
+    largest weight — the mergeable-summaries form of MG, Agarwal et
+    al. PODS'12, so the per-batch work is C-speed pandas, never a
+    Python per-row loop). Guarantee used downstream: an item whose
+    count in the partition exceeds ``n_p / (k + 1)`` always survives
+    that partition's summary.
+
+    Output: ``(key, _rows)`` — candidate keys carry ``_rows = 0``; one
+    sentinel row per partition (NULL key) carries the exact partition
+    row count, so the caller recovers total n without a second scan.
+    Output size is bounded by ``partitions * (k + 1)`` rows no matter
+    how large the input.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ktype = df.schema[key_col].dataType.simpleString()
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        rows = 0
+        for pdf in batches:
+            rows += len(pdf)
+            vc = pdf[key_col].value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > k:
+                kth = acc.nlargest(k + 1).iloc[-1]
+                acc = acc[acc > kth]
+        keys = [] if acc is None else list(acc.index)
+        yield pd.DataFrame(
+            {key_col: keys + [None], "_rows": [0] * len(keys) + [rows]}
+        )
+
+    return df.select(key_col).mapInPandas(
+        fold, schema=f"{key_col} {ktype}, _rows long"
+    )
+
+
+def exact_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    phi: float,
+    k: int | None = None,
+) -> DataFrame:
+    """EXACT phi-heavy hitters (every key with ``count > phi * n`` and
+    nothing else) without ever shuffling the full key domain — the
+    sketch-then-verify pattern (the ranking machinery's sibling): at
+    100 TB with ~user-cardinality keys, ``groupBy(key)`` shuffles n
+    rows to count mostly-cold keys; here the shuffle carries only
+    ``partitions * k`` candidate rows plus the candidates' own hits.
+
+    Pass 1: :func:`misra_gries_candidates` with ``k = ceil(1/phi)``
+    (pigeonhole: a key with global count > phi*n has count
+    > phi * n_p > n_p/(k+1) in at least one partition, so the union of
+    per-partition summaries is a SUPERSET of the true heavy hitters —
+    no false negatives by construction). Pass 2: broadcast-semi-join
+    the tiny candidate set back and count ONLY those keys exactly,
+    then filter ``count > phi * n`` — false positives die here, so the
+    output is exact and independent of MG internals. The summary is
+    persisted: both the candidate set and the exact total n come from
+    the same single scan.
+    """
+    if not (0.0 < phi < 1.0):
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    import math
+
+    k = k if k is not None else max(8, math.ceil(1.0 / phi))
+    summary = misra_gries_candidates(df, key_col, k).persist()
+    candidates = (
+        summary.filter(F.col(key_col).isNotNull())
+        .select(key_col).distinct()
+    )
+    total = summary.agg(F.sum("_rows").cast("long").alias("_total"))
+    counts = (
+        df.join(F.broadcast(candidates), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("n_rows").cast("double")
+            > F.lit(float(phi)) * F.col("_total").cast("double")
+        )
+        .select(
+            key_col,
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double")
+                / F.col("_total").cast("double"),
+                6,
+            ).alias("share"),
+            F.col("_total").alias("total_rows"),
+        )
+    )

@@ -1108,3 +1108,66 @@ def gini_concentration(
             6,
         ).alias("top_value_share"),
     )
+
+
+def did_lift(
+    df: DataFrame,
+    value_col: str,
+    treat_col: str,
+    post_col: str,
+    group_cols: "tuple[str, ...] | list[str]" = (),
+) -> DataFrame:
+    """Difference-in-differences estimate from exact sufficient
+    statistics — the quasi-experimental readout (Card & Krueger 1994)
+    for launches that could not be randomized: the treatment effect is
+    the post-minus-pre change in the treated group minus the same
+    change in the control group, cancelling shared time trends.
+
+    ``df`` is at analysis-unit-x-period grain with an INTEGER metric
+    (cents — the caller quantizes, same contract as ``cuped_lift``),
+    ``treat_col``/``post_col`` 0/1 ints. One conditional hash
+    aggregation per group produces the four cell (n, sum) pairs; the
+    estimate is pure arithmetic on those 8 numbers — scale-flat like
+    ``ab_lift``, no second scan, no join. Cells are divided in double
+    in a fixed order so a SQL oracle replays the result bit-for-bit.
+
+    Output per group: the four cell sizes, the four cell means
+    (round 6), and ``did`` = (m_t1 - m_t0) - (m_c1 - m_c0) (round 6;
+    NULL when any cell is empty). At 100 TB the pre-aggregation to
+    unit grain is the only data-sized shuffle.
+    """
+    gcols = list(group_cols)
+    t, p = F.col(treat_col), F.col(post_col)
+    v = F.col(value_col).cast("long")
+
+    def cell(ti: int, pi: int, name: str):
+        m = (t == ti) & (p == pi)
+        return [
+            F.sum(F.when(m, 1).otherwise(0)).cast("long")
+             .alias(f"n_{name}"),
+            F.sum(F.when(m, v).otherwise(F.lit(0).cast("long")))
+             .cast("long").alias(f"_s_{name}"),
+        ]
+
+    agg = df.groupBy(*gcols).agg(
+        *cell(0, 0, "c0"), *cell(0, 1, "c1"),
+        *cell(1, 0, "t0"), *cell(1, 1, "t1"),
+    )
+
+    def mean(name: str) -> Column:
+        return F.when(
+            F.col(f"n_{name}") > 0,
+            F.col(f"_s_{name}").cast("double")
+            / F.col(f"n_{name}").cast("double"),
+        )
+
+    did = (mean("t1") - mean("t0")) - (mean("c1") - mean("c0"))
+    return agg.select(
+        *gcols,
+        "n_c0", "n_c1", "n_t0", "n_t1",
+        F.round(mean("c0"), 6).alias("mean_c0"),
+        F.round(mean("c1"), 6).alias("mean_c1"),
+        F.round(mean("t0"), 6).alias("mean_t0"),
+        F.round(mean("t1"), 6).alias("mean_t1"),
+        F.round(did, 6).alias("did"),
+    )

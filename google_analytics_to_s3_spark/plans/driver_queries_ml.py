@@ -677,3 +677,258 @@ CROSS JOIN (SELECT unnest(range(1, {_HOLT_H} + 1)) AS h) h
 
 QUERIES_ML["holt_forecast"] = q_holt_forecast
 ORACLES_ML["holt_forecast"] = SQL_HOLT_FORECAST
+
+
+# ---------------------------------------------------------------------------
+# round-7 continuation batch: quasi-experiments (DiD), exact heavy
+# hitters (sketch-then-verify), DP count release, closed-form OLS
+# ---------------------------------------------------------------------------
+
+_DID_CUT_DAY = 19738  # 2024-01-16: pre = Jan 1-15, post = Jan 16-30
+
+
+def q_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences per event type: units are
+    (event_type, user), the md5 arm stands in for a staggered rollout
+    flag, the period split is mid-January; metric = period cents.
+    One unit-grain aggregation + one conditional aggregation
+    (operators/stats.did_lift) — scale-flat."""
+    from ..operators.stats import did_lift
+
+    e = load_events(spark, sf_dir)
+    treat = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("did#"),
+                               F.col("user_id").cast("string"))), 1, 14
+            ), 16, 10,
+        ).cast("long") % 2
+    )
+    unit = e.groupBy(
+        "event_type",
+        F.col("user_id").alias("uid"),
+        treat.alias("treat"),
+        (F.expr("ts_ms div 86400000") >= _DID_CUT_DAY)
+        .cast("int").alias("post"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    return did_lift(
+        unit, "cents", "treat", "post", ["event_type"]
+    ).orderBy("event_type")
+
+
+SQL_DID_LIFT = f"""
+WITH unit AS (
+  SELECT event_type,
+         user_id AS uid,
+         ('0x' || substr(md5('did#' || CAST(user_id AS VARCHAR)),
+                         1, 14))::BIGINT % 2 AS treat,
+         CASE WHEN epoch_ms(ts) // 86400000 >= {_DID_CUT_DAY}
+              THEN 1 ELSE 0 END AS post,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2, 3, 4
+),
+cells AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN treat=0 AND post=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+         CAST(sum(CASE WHEN treat=0 AND post=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c1,
+         CAST(sum(CASE WHEN treat=1 AND post=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+         CAST(sum(CASE WHEN treat=1 AND post=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t1,
+         sum(CASE WHEN treat=0 AND post=0 THEN cents ELSE 0 END) AS s_c0,
+         sum(CASE WHEN treat=0 AND post=1 THEN cents ELSE 0 END) AS s_c1,
+         sum(CASE WHEN treat=1 AND post=0 THEN cents ELSE 0 END) AS s_t0,
+         sum(CASE WHEN treat=1 AND post=1 THEN cents ELSE 0 END) AS s_t1
+  FROM unit GROUP BY 1
+)
+SELECT event_type, n_c0, n_c1, n_t0, n_t1,
+       round(CASE WHEN n_c0 > 0 THEN CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE) END, 6) AS mean_c0,
+       round(CASE WHEN n_c1 > 0 THEN CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE) END, 6) AS mean_c1,
+       round(CASE WHEN n_t0 > 0 THEN CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE) END, 6) AS mean_t0,
+       round(CASE WHEN n_t1 > 0 THEN CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE) END, 6) AS mean_t1,
+       round(((CASE WHEN n_t1 > 0 THEN CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE) END)
+              - (CASE WHEN n_t0 > 0 THEN CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE) END))
+             - ((CASE WHEN n_c1 > 0 THEN CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE) END)
+                - (CASE WHEN n_c0 > 0 THEN CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE) END)), 6) AS did
+FROM cells ORDER BY event_type
+"""
+
+QUERIES_ML["did_lift"] = q_did_lift
+ORACLES_ML["did_lift"] = SQL_DID_LIFT
+
+
+_HH_PHI = 0.015
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-heavy hitters over a synthesized linear-skew key
+    (floor(sqrt(event_id % 10000)) — key j carries share ~(2j+1)/1e4
+    at EVERY scale factor, the same id-synthesis convention as the
+    spatial queries). The Spark plan is Misra-Gries candidate
+    generation + broadcast exact verify (operators/skew.py); the
+    oracle is the plain GROUP BY ... HAVING over the full key domain —
+    a green row proves the sketch pass is lossless."""
+    from ..operators.skew import exact_heavy_hitters
+
+    e = load_events(spark, sf_dir).select(
+        F.floor(F.sqrt((F.col("event_id") % 10000).cast("double")))
+        .cast("long").alias("skey")
+    )
+    return exact_heavy_hitters(e, "skey", phi=_HH_PHI).orderBy("skey")
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH k AS (
+  SELECT CAST(floor(sqrt(CAST(event_id % 10000 AS DOUBLE))) AS BIGINT)
+         AS skey
+  FROM events
+),
+c AS (SELECT skey, CAST(count(*) AS BIGINT) AS n_rows FROM k GROUP BY 1),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total_rows FROM k)
+SELECT skey, n_rows,
+       round(CAST(n_rows AS DOUBLE) / CAST(total_rows AS DOUBLE), 6)
+         AS share,
+       total_rows
+FROM c CROSS JOIN t
+WHERE CAST(n_rows AS DOUBLE) > {_HH_PHI} * CAST(total_rows AS DOUBLE)
+ORDER BY skey
+"""
+
+QUERIES_ML["heavy_hitters"] = q_heavy_hitters
+ORACLES_ML["heavy_hitters"] = SQL_HEAVY_HITTERS
+
+
+_DP_EPS, _DP_THRESHOLD = 0.5, 50
+
+
+def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private (event_type, day) activity release:
+    deterministic md5-grid Laplace(1/0.5) noise + noisy-threshold
+    suppression (operators/privacy.dp_noisy_counts). The oracle
+    replays the identical noise arithmetic — the release is auditable
+    by construction."""
+    from ..operators.privacy import dp_noisy_counts
+
+    e = load_events(spark, sf_dir).select(
+        "event_type", F.expr("ts_ms div 86400000").alias("day")
+    )
+    return dp_noisy_counts(
+        e, ["event_type", "day"],
+        epsilon=_DP_EPS, threshold=_DP_THRESHOLD, seed="dp",
+    ).orderBy("event_type", "day")
+
+
+SQL_DP_RELEASE = f"""
+WITH g AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         CAST(count(*) AS BIGINT) AS true_n
+  FROM events GROUP BY 1, 2
+),
+n AS (
+  SELECT event_type, day, true_n,
+         (('0x' || substr(md5('dp' || chr(31) || event_type
+                              || chr(31) || CAST(day AS VARCHAR)),
+                          1, 10))::BIGINT % 1048576) AS grid
+  FROM g
+),
+r AS (
+  SELECT event_type, day,
+         CAST(round(CAST(true_n AS DOUBLE)
+                    + (-1.0 / {_DP_EPS}) * sign(u05)
+                      * ln(1.0 - 2.0 * abs(u05))) AS BIGINT)
+           AS released_count
+  FROM (SELECT *, (CAST(grid AS DOUBLE) + 0.5) / 1048576.0 - 0.5
+                  AS u05 FROM n)
+)
+SELECT event_type, day, released_count
+FROM r WHERE released_count >= {_DP_THRESHOLD}
+ORDER BY event_type, day
+"""
+
+QUERIES_ML["dp_release"] = q_dp_release
+ORACLES_ML["dp_release"] = SQL_DP_RELEASE
+
+
+def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS of order revenue (cents) on total quantity +
+    line count across all orders — the normal-equation pattern
+    (operators/linalg.ols_closed_form): one unit-grain aggregation,
+    one sufficient-statistics reduce, Cramer's rule on exact integer
+    determinants."""
+    from ..operators.linalg import ols_closed_form
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+         .alias("y"),
+        F.sum(F.floor("l_quantity").cast("long")).alias("x1"),
+        F.count(F.lit(1)).cast("long").alias("x2"),
+    )
+    return ols_closed_form(per_order, "y", "x1", "x2")
+
+
+SQL_OLS_REGRESSION = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS y,
+         sum(CAST(floor(l_quantity) AS BIGINT)) AS x1,
+         CAST(count(*) AS BIGINT) AS x2
+  FROM lineitem GROUP BY 1
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x1) AS HUGEINT) AS s1,
+         CAST(sum(x2) AS HUGEINT) AS s2,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+         CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+         CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+         CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+         CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM per_order
+),
+d AS (
+  SELECT *,
+         n * (s11 * s22 - s12 * s12)
+           - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2) AS det,
+         sy * (s11 * s22 - s12 * s12)
+           - s1 * (s1y * s22 - s12 * s2y)
+           + s2 * (s1y * s12 - s11 * s2y) AS det0,
+         n * (s1y * s22 - s12 * s2y)
+           - sy * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s2y - s1y * s2) AS det1,
+         n * (s11 * s2y - s1y * s12)
+           - s1 * (s1 * s2y - s1y * s2)
+           + sy * (s1 * s12 - s11 * s2) AS det2
+  FROM s
+),
+b AS (
+  SELECT *,
+         CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS b0,
+         CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS b1,
+         CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS b2
+  FROM d
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CASE WHEN det <> 0 THEN b0 END, 6) AS beta0,
+       round(CASE WHEN det <> 0 THEN b1 END, 6) AS beta1,
+       round(CASE WHEN det <> 0 THEN b2 END, 6) AS beta2,
+       round(CASE WHEN det <> 0
+                  AND (CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                         / CAST(n AS DOUBLE)) <> 0.0
+                  THEN 1.0 - (CAST(syy AS DOUBLE)
+                              - b0 * CAST(sy AS DOUBLE)
+                              - b1 * CAST(s1y AS DOUBLE)
+                              - b2 * CAST(s2y AS DOUBLE))
+                             / (CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+             END, 6) AS r2
+FROM b
+"""
+
+QUERIES_ML["ols_regression"] = q_ols_regression
+ORACLES_ML["ols_regression"] = SQL_OLS_REGRESSION

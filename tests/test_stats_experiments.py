@@ -1,0 +1,200 @@
+"""Unit/property tests for the round-7 continuation operators:
+difference-in-differences, exact heavy hitters (Misra-Gries
+candidates + exact verify), DP noisy-count release, closed-form OLS.
+"""
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- DiD
+
+
+def test_did_lift_matches_direct_means(spark):
+    from google_analytics_to_s3_spark.operators.stats import did_lift
+
+    # (treat, post, value) cells with known means:
+    # c0: 10, 20 -> 15 ; c1: 30 -> 30 ; t0: 40, 60 -> 50 ; t1: 90 -> 90
+    rows = [
+        (0, 0, 10), (0, 0, 20), (0, 1, 30),
+        (1, 0, 40), (1, 0, 60), (1, 1, 90),
+    ]
+    df = spark.createDataFrame(rows, "treat int, post int, v long")
+    out = did_lift(df, "v", "treat", "post").collect()[0]
+    assert (out.n_c0, out.n_c1, out.n_t0, out.n_t1) == (2, 1, 2, 1)
+    assert out.mean_c0 == 15.0 and out.mean_t1 == 90.0
+    # (90 - 50) - (30 - 15) = 25
+    assert out.did == 25.0
+
+
+def test_did_lift_null_on_empty_cell(spark):
+    from google_analytics_to_s3_spark.operators.stats import did_lift
+
+    df = spark.createDataFrame(
+        [(0, 0, 10), (0, 1, 30), (1, 0, 40)],  # no (1,1) cell
+        "treat int, post int, v long",
+    )
+    out = did_lift(df, "v", "treat", "post").collect()[0]
+    assert out.mean_t1 is None and out.did is None
+
+
+# ------------------------------------------------------ heavy hitters
+
+
+hh_keys = st.lists(
+    st.integers(min_value=0, max_value=30),
+    min_size=1,
+    max_size=300,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(hh_keys)
+def test_exact_heavy_hitters_matches_exact_groupby(spark_prop, keys):
+    from google_analytics_to_s3_spark.operators.skew import (
+        exact_heavy_hitters,
+    )
+
+    phi = 0.1
+    df = spark_prop.createDataFrame(
+        [(k,) for k in keys], "skey long"
+    ).repartition(4)
+    got = {
+        (r.skey, r.n_rows)
+        for r in exact_heavy_hitters(df, "skey", phi=phi).collect()
+    }
+    n = len(keys)
+    counts = {}
+    for k in keys:
+        counts[k] = counts.get(k, 0) + 1
+    want = {(k, c) for k, c in counts.items() if c > phi * n}
+    assert got == want
+
+
+def test_exact_heavy_hitters_share_and_total(spark):
+    from google_analytics_to_s3_spark.operators.skew import (
+        exact_heavy_hitters,
+    )
+
+    df = spark.createDataFrame(
+        [(1,)] * 60 + [(2,)] * 30 + [(i,) for i in range(100, 110)],
+        "skey long",
+    ).repartition(8)
+    rows = {r.skey: r for r in
+            exact_heavy_hitters(df, "skey", phi=0.2).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].total_rows == 100 and rows[1].share == 0.6
+
+
+def test_misra_gries_candidates_bounded_and_superset(spark):
+    from google_analytics_to_s3_spark.operators.skew import (
+        misra_gries_candidates,
+    )
+
+    # hot key 0 (40%), k=4 partitions x k counters bound the summary
+    data = [(0,)] * 200 + [(i % 50 + 1,) for i in range(300)]
+    df = spark.createDataFrame(data, "skey long").repartition(4)
+    summ = misra_gries_candidates(df, "skey", k=5).collect()
+    cands = {r.skey for r in summ if r.skey is not None}
+    assert 0 in cands  # global heavy hitter always survives
+    assert len(cands) <= 4 * 5
+    assert sum(r._rows for r in summ) == 500  # exact total, one scan
+
+
+def test_exact_heavy_hitters_plan_broadcasts_candidates(spark):
+    from google_analytics_to_s3_spark.operators.skew import (
+        exact_heavy_hitters,
+    )
+
+    df = spark.range(1000).select((F.col("id") % 7).alias("skey"))
+    plan = exact_heavy_hitters(df, "skey", phi=0.05)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+# ----------------------------------------------------------- DP release
+
+
+def test_dp_noisy_counts_deterministic_and_bounded(spark):
+    from google_analytics_to_s3_spark.operators.privacy import (
+        dp_noisy_counts,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 4).cast("string").alias("g")
+    )
+    eps = 0.5
+    a = sorted(map(tuple, dp_noisy_counts(
+        df, ["g"], epsilon=eps, threshold=0, seed="s1").collect()))
+    b = sorted(map(tuple, dp_noisy_counts(
+        df, ["g"], epsilon=eps, threshold=0, seed="s1").collect()))
+    assert a == b  # same seed -> identical release (auditable)
+    # |noise| <= ln(2^20)/eps + rounding slack
+    bound = math.log(1 << 20) / eps + 1
+    for _, released in a:
+        assert abs(released - 500) <= bound
+
+
+def test_dp_noisy_counts_suppresses_small_groups(spark):
+    from google_analytics_to_s3_spark.operators.privacy import (
+        dp_noisy_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("big",)] * 500 + [("tiny",)] * 2, "g string"
+    )
+    out = dp_noisy_counts(df, ["g"], epsilon=0.5, threshold=100,
+                          seed="s2").collect()
+    assert [r.g for r in out] == ["big"]
+
+
+def test_dp_noisy_counts_seed_changes_noise(spark):
+    from google_analytics_to_s3_spark.operators.privacy import (
+        dp_noisy_counts,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 6).cast("string").alias("g")
+    )
+    a = dict(map(tuple, dp_noisy_counts(
+        df, ["g"], epsilon=0.5, threshold=0, seed="sA").collect()))
+    b = dict(map(tuple, dp_noisy_counts(
+        df, ["g"], epsilon=0.5, threshold=0, seed="sB").collect()))
+    assert a != b  # fresh seed -> fresh draw (budget accounting real)
+
+
+# ------------------------------------------------------------------ OLS
+
+
+def test_ols_closed_form_recovers_exact_fit(spark):
+    from google_analytics_to_s3_spark.operators.linalg import (
+        ols_closed_form,
+    )
+
+    # y = 7 + 2*x1 + 5*x2 exactly -> betas exact, r2 == 1
+    rows = [
+        (x1, x2, 7 + 2 * x1 + 5 * x2)
+        for x1 in range(0, 20)
+        for x2 in range(0, 5)
+    ]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+    out = ols_closed_form(df, "y", "x1", "x2").collect()[0]
+    assert out.n == 100
+    assert out.beta0 == 7.0 and out.beta1 == 2.0 and out.beta2 == 5.0
+    assert out.r2 == 1.0
+
+
+def test_ols_closed_form_singular_gives_nulls(spark):
+    from google_analytics_to_s3_spark.operators.linalg import (
+        ols_closed_form,
+    )
+
+    # x2 = 2*x1 -> collinear -> det == 0 -> NULL betas
+    rows = [(x, 2 * x, 3 * x + 1) for x in range(10)]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+    out = ols_closed_form(df, "y", "x1", "x2").collect()[0]
+    assert out.beta0 is None and out.r2 is None
