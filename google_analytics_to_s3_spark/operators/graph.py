@@ -26,7 +26,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -438,4 +438,87 @@ def k_core(
         .union(e.select(F.col("b").alias(id_out)))
         .groupBy(id_out)
         .agg(F.count("*").cast("long").alias(deg_out))
+    )
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    label_col: str = "label",
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 2,
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002 in its
+    discrete majority-vote form): seed labels spread over the graph
+    for a FIXED number of synchronous rounds; each round every
+    non-seed node takes the majority label among its labeled
+    neighbors (ties broken by smallest label — fully deterministic),
+    keeps its previous label when no neighbor is labeled, and seed
+    nodes never change. The classifier-free way to extend a partial
+    labelling (known brands, known languages, resolved identities)
+    across a relation graph.
+
+    ``nodes`` is the full node domain ``(node, label)`` with NULL for
+    unseeded rows; ``edges`` one direction of an undirected relation
+    (mirrored internally, self-loops dropped).
+
+    Scale shape: each round is one edge-sized join + one hash
+    aggregation to (node, label) grain + one argmax window over that
+    aggregated table — the bounded-round contract of
+    :func:`pagerank`/:func:`k_core` (rounds is a small constant, never
+    data-dependent). No collect anywhere; label tables are node-sized.
+    Synchronous updates make the result independent of partitioning —
+    what lets a SQL oracle replay every round verbatim.
+    """
+    und = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    und = und.union(
+        und.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+    ).localCheckpoint(eager=False)
+
+    seeds = nodes.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("_seed")
+    )
+    labels = seeds.select(
+        "_n", F.col("_seed").alias("_lbl")
+    )
+    for _ in range(rounds):
+        votes = (
+            und.join(
+                labels.filter(F.col("_lbl").isNotNull()).select(
+                    F.col("_n").alias("_a"), "_lbl"
+                ),
+                "_a",
+            )
+            .groupBy(F.col("_b").alias("_n"), "_lbl")
+            .agg(F.count(F.lit(1)).alias("_votes"))
+        )
+        w = Window.partitionBy("_n").orderBy(
+            F.col("_votes").desc(), F.col("_lbl").asc()
+        )
+        picks = (
+            votes.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("_n", F.col("_lbl").alias("_pick"))
+        )
+        labels = (
+            seeds.join(
+                labels.select("_n", F.col("_lbl").alias("_prev")),
+                "_n", "left",
+            )
+            .join(picks, "_n", "left")
+            .select(
+                "_n",
+                F.when(F.col("_seed").isNotNull(), F.col("_seed"))
+                .otherwise(F.coalesce("_pick", "_prev"))
+                .alias("_lbl"),
+            )
+        )
+    return labels.select(
+        F.col("_n").alias(node_col), F.col("_lbl").alias(label_col)
     )

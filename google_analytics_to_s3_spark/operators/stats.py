@@ -1171,3 +1171,191 @@ def did_lift(
         F.round(mean("t1"), 6).alias("mean_t1"),
         F.round(did, 6).alias("did"),
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic-HLL register helpers (the mergeable form of the
+# hll_users sketch — registers are a mart, re-aggregation is max-merge)
+# --------------------------------------------------------------------------
+
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024 registers
+HLL_WBITS = 56 - HLL_P  # 46 value bits -> rho in [1, 47]
+HLL_RMAX = HLL_WBITS + 1
+# alpha_m * m^2 * 2^47 folded into ONE python double, embedded
+# identically in both engines (single division at the end stays exact)
+HLL_NUM = 0.7213 / (1.0 + 1.079 / HLL_M) * float(HLL_M * HLL_M) * float(
+    1 << HLL_RMAX
+)
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: "list[str] | tuple[str, ...]",
+) -> DataFrame:
+    """Deterministic-HLL register table per group: ``(group...,
+    bucket, mj)`` with ``mj`` the max leading-zero rank of the 56-bit
+    md5 hash of ``key_col`` in that bucket (the ``hll_users``
+    construction, factored out so registers can be PERSISTED as a
+    mart). Registers are mergeable by ``max(mj)`` over any grouping —
+    the COUNT DISTINCT analogue of ``merge_rollup``'s algebraic
+    partials. One partial-aggregated shuffle; raw keys never travel
+    past the map side; output ≤ groups x 1024 rows.
+    """
+    gcols = list(group_cols)
+    return (
+        df.select(
+            *gcols,
+            F.conv(
+                F.substring(F.md5(F.col(key_col).cast("string")), 1, 14),
+                16, 10,
+            ).cast("long").alias("_h"),
+        )
+        .select(
+            *gcols,
+            (F.col("_h") % HLL_M).alias("bucket"),
+            F.expr(f"_h div {HLL_M}").alias("_w"),
+        )
+        .select(
+            *gcols, "bucket",
+            F.when(
+                F.col("_w") > 0,
+                F.lit(HLL_RMAX) - F.length(F.expr("bin(_w)")),
+            ).otherwise(F.lit(HLL_RMAX)).cast("int").alias("rho"),
+        )
+        .groupBy(*gcols, "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: "list[str] | tuple[str, ...]",
+    out_col: str = "hll_estimate",
+) -> DataFrame:
+    """Fold a (possibly re-grouped) register table to the closed-form
+    HLL estimate per group — ``registers`` has columns ``(group...,
+    bucket, mj)`` where the same bucket may appear many times (e.g.
+    day-grain registers being rolled up to week grain): the merge is
+    ``max(mj)`` per (group, bucket), exactly the union semantics of
+    the sketch. Small-range linear-counting correction as in
+    ``hll_users``. All arithmetic replayable in SQL (integer register
+    sums, one double division, one fixed-order ln).
+    """
+    gcols = list(group_cols)
+    merged = registers.groupBy(*gcols, "bucket").agg(
+        F.max("mj").alias("mj")
+    )
+    agg = merged.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("occupied"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - mj)")
+        ).alias("_s_occ"),
+    )
+    s = (
+        F.col("_s_occ")
+        + (F.lit(HLL_M) - F.col("occupied")) * F.lit(1 << HLL_RMAX)
+    ).cast("double")
+    raw = F.lit(HLL_NUM) / s
+    v = F.lit(HLL_M) - F.col("occupied")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *gcols, "occupied", F.round(est, 6).alias(out_col)
+    )
+
+
+NDCG_GRID = 1 << 40
+
+
+def ndcg_weights(k: int) -> list[int]:
+    """Integer position weights ``round(2^40 / log2(pos + 1))`` for
+    pos 1..k — Python-computed literals embedded identically in both
+    engines, so DCG sums are EXACT BIGINT arithmetic (the repo's
+    integer-grid convention: a distributed double sum is
+    order-nondeterministic, an integer sum is not)."""
+    import math
+
+    return [round(NDCG_GRID / math.log2(p + 1)) for p in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    query_cols: "list[str] | tuple[str, ...]",
+    score_col: str,
+    rel_col: str,
+    tie_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact NDCG@k per query — the graded ranking-quality metric
+    (Järvelin & Kekäläinen TOIS'02) completing the model-eval family
+    (``binary_auc`` ranks binary labels; NDCG scores a retrieval
+    ranking against graded relevance).
+
+    ``df`` has one row per (query, candidate): the model's
+    ``score_col``, the judged integer ``rel_col`` (0..5), and a unique
+    ``tie_col`` making both orderings total. Gains are ``2^rel - 1``
+    (BIGINT); position discounts are the :func:`ndcg_weights` integer
+    literals, so DCG@k and ideal-DCG@k accumulate as exact integer
+    sums on the 2^40 grid — one double division at the end.
+
+    Plan: both row_numbers (model order, ideal order) share ONE
+    exchange on the query key (two sorts, no second shuffle), then a
+    hash aggregation to query grain. Output: ``(query..., n_candidates,
+    dcg, idcg, ndcg)`` (dcg/idcg on the value scale, round 6; ndcg
+    NULL when all judgments are 0).
+    """
+    gcols = list(query_cols)
+    ws = ndcg_weights(k)
+    warr = F.array(*[F.lit(w).cast("long") for w in ws])
+    w_model = Window.partitionBy(*gcols).orderBy(
+        F.col(score_col).desc(), F.col(tie_col).asc()
+    )
+    w_ideal = Window.partitionBy(*gcols).orderBy(
+        F.col(rel_col).desc(), F.col(tie_col).asc()
+    )
+    gain = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({rel_col} AS INT))"
+        " - CAST(1 AS BIGINT)"
+    )
+    ranked = df.select(
+        *gcols,
+        gain.alias("_gain"),
+        F.row_number().over(w_model).alias("_pos"),
+        F.row_number().over(w_ideal).alias("_ipos"),
+    )
+    zero = F.lit(0).cast("long")
+    agg = ranked.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(
+            F.when(
+                F.col("_pos") <= k,
+                F.col("_gain") * F.element_at(warr, F.col("_pos")),
+            ).otherwise(zero)
+        ).alias("_dcg_s"),
+        F.sum(
+            F.when(
+                F.col("_ipos") <= k,
+                F.col("_gain") * F.element_at(warr, F.col("_ipos")),
+            ).otherwise(zero)
+        ).alias("_idcg_s"),
+    )
+    grid = F.lit(float(NDCG_GRID))
+    return agg.select(
+        *gcols,
+        "n_candidates",
+        F.round(F.col("_dcg_s").cast("double") / grid, 6).alias("dcg"),
+        F.round(F.col("_idcg_s").cast("double") / grid, 6).alias("idcg"),
+        F.round(
+            F.when(
+                F.col("_idcg_s") > 0,
+                F.col("_dcg_s").cast("double")
+                / F.col("_idcg_s").cast("double"),
+            ),
+            6,
+        ).alias("ndcg"),
+    )

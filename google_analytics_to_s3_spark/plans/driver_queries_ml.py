@@ -932,3 +932,257 @@ FROM b
 
 QUERIES_ML["ols_regression"] = q_ols_regression
 ORACLES_ML["ols_regression"] = SQL_OLS_REGRESSION
+
+
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-mart rollup: day-grain HLL register tables merged to
+    weekly distinct-user estimates by register max — the COUNT
+    DISTINCT analogue of incremental_rollup (the mart stores 1024
+    integers per day; the week readout never rescans raw events).
+    Exact weekly distincts ride along for calibration."""
+    from ..operators.stats import hll_estimate, hll_registers
+
+    e = load_events(spark, sf_dir).select(
+        F.expr("ts_ms div 86400000").alias("day"), "user_id"
+    )
+    day_regs = hll_registers(e, "user_id", ["day"])  # the persistable mart
+    week_regs = day_regs.select(
+        F.expr("day div 7").alias("week"), "bucket", "mj"
+    )
+    est = hll_estimate(week_regs, ["week"], out_col="hll_users")
+    exact = e.groupBy(F.expr("day div 7").alias("week")).agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return est.join(exact, "week").orderBy("week")
+
+
+def _hll_rollup_sql() -> str:
+    from ..operators.stats import HLL_M, HLL_NUM, HLL_RMAX
+
+    return f"""
+WITH h AS (
+  SELECT epoch_ms(ts) // 86400000 AS day, user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT
+           AS h
+  FROM events
+),
+day_regs AS (
+  SELECT day, h % {HLL_M} AS bucket,
+         max(CASE WHEN h // {HLL_M} > 0
+                  THEN {HLL_RMAX} - length(bin(h // {HLL_M}))
+                  ELSE {HLL_RMAX} END) AS mj
+  FROM h GROUP BY 1, 2
+),
+week_regs AS (
+  SELECT day // 7 AS week, bucket, max(mj) AS mj
+  FROM day_regs GROUP BY 1, 2
+),
+a AS (
+  SELECT week,
+         CAST(count(*) AS BIGINT) AS occupied,
+         CAST(sum(CAST(1 AS BIGINT) << ({HLL_RMAX} - mj)) AS BIGINT)
+           AS s_occ
+  FROM week_regs GROUP BY 1
+),
+est AS (
+  SELECT week, occupied,
+         CASE WHEN ({HLL_NUM!r} / ((s_occ + ({HLL_M} - occupied)
+                    * CAST({1 << HLL_RMAX} AS BIGINT))::DOUBLE))
+                   <= {2.5 * HLL_M!r}
+                   AND ({HLL_M} - occupied) > 0
+              THEN {float(HLL_M)!r}
+                   * ln({float(HLL_M)!r}
+                        / ({HLL_M} - occupied)::DOUBLE)
+              ELSE {HLL_NUM!r}
+                   / ((s_occ + ({HLL_M} - occupied)
+                       * CAST({1 << HLL_RMAX} AS BIGINT))::DOUBLE)
+         END AS raw
+  FROM a
+),
+exact AS (
+  SELECT epoch_ms(ts) // 86400000 // 7 AS week,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1
+)
+SELECT week, occupied, round(raw, 6) AS hll_users, exact_users
+FROM est JOIN exact USING (week)
+ORDER BY week
+"""
+
+
+SQL_HLL_ROLLUP = _hll_rollup_sql()
+QUERIES_ML["hll_rollup"] = q_hll_rollup
+ORACLES_ML["hll_rollup"] = SQL_HLL_ROLLUP
+
+
+_NDCG_K = 10
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per document source: a deterministic pseudo-model score
+    is ranked against md5-grid graded relevance judgments (0..3) —
+    the metric machinery is the thing under test (the calibration
+    convention: judgments synthesized, arithmetic exact)."""
+    from ..operators.stats import ndcg_at_k
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("m1#"),
+                                   F.col("doc_id").cast("string"))), 1, 10
+                ), 16, 10,
+            ).cast("long") % 1000000
+        ).alias("score"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("rel#"),
+                                   F.col("doc_id").cast("string"))), 1, 10
+                ), 16, 10,
+            ).cast("long") % 4
+        ).cast("int").alias("rel"),
+    )
+    return ndcg_at_k(
+        d, ["source"], "score", "rel", "doc_id", k=_NDCG_K
+    ).orderBy("source")
+
+
+def _ndcg_sql() -> str:
+    from ..operators.stats import NDCG_GRID, ndcg_weights
+
+    ws = ndcg_weights(_NDCG_K)
+    arr = "[" + ", ".join(f"{w}::BIGINT" for w in ws) + "]"
+    return f"""
+WITH d AS (
+  SELECT source, doc_id,
+         ('0x' || substr(md5('m1#' || CAST(doc_id AS VARCHAR)),
+                         1, 10))::BIGINT % 1000000 AS score,
+         ('0x' || substr(md5('rel#' || CAST(doc_id AS VARCHAR)),
+                         1, 10))::BIGINT % 4 AS rel
+  FROM documents
+),
+r AS (
+  SELECT source,
+         (CAST(1 AS BIGINT) << rel) - 1 AS gain,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, doc_id ASC) AS pos,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY rel DESC, doc_id ASC) AS ipos
+  FROM d
+),
+a AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN pos <= {_NDCG_K}
+                  THEN gain * {arr}[pos] ELSE 0 END) AS BIGINT) AS dcg_s,
+         CAST(sum(CASE WHEN ipos <= {_NDCG_K}
+                  THEN gain * {arr}[ipos] ELSE 0 END) AS BIGINT) AS idcg_s
+  FROM r GROUP BY 1
+)
+SELECT source, n_candidates,
+       round(CAST(dcg_s AS DOUBLE) / {float(NDCG_GRID)!r}, 6) AS dcg,
+       round(CAST(idcg_s AS DOUBLE) / {float(NDCG_GRID)!r}, 6) AS idcg,
+       round(CASE WHEN idcg_s > 0
+                  THEN CAST(dcg_s AS DOUBLE) / CAST(idcg_s AS DOUBLE)
+             END, 6) AS ndcg
+FROM a ORDER BY source
+"""
+
+
+SQL_NDCG_EVAL = _ndcg_sql()
+QUERIES_ML["ndcg_eval"] = q_ndcg_eval
+ORACLES_ML["ndcg_eval"] = SQL_NDCG_EVAL
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised brand inference over the part co-purchase
+    graph: every 5th part is seeded with its true brand, two
+    synchronous majority-vote rounds spread the labels
+    (operators/graph.label_propagation); the oracle replays both
+    rounds as chained CTEs."""
+    from ..operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    nodes = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.when(F.col("p_partkey") % 5 == 0, F.col("p_brand"))
+        .alias("label"),
+    )
+    return label_propagation(nodes, edges, rounds=2).orderBy("node")
+
+
+SQL_LABEL_PROPAGATION = """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+),
+und AS (
+  SELECT s AS a, d AS b FROM e0
+  UNION ALL
+  SELECT d AS a, s AS b FROM e0
+),
+seeds AS (
+  SELECT p_partkey AS n,
+         CASE WHEN p_partkey % 5 = 0 THEN p_brand END AS seed
+  FROM part
+),
+l0 AS (SELECT n, seed AS lbl FROM seeds),
+v1 AS (
+  SELECT und.b AS n, l0.lbl, count(*) AS votes
+  FROM und JOIN l0 ON l0.n = und.a
+  WHERE l0.lbl IS NOT NULL GROUP BY 1, 2
+),
+p1 AS (
+  SELECT n, lbl AS pick FROM (
+    SELECT n, lbl, row_number() OVER (
+      PARTITION BY n ORDER BY votes DESC, lbl ASC) AS rk
+    FROM v1) WHERE rk = 1
+),
+l1 AS (
+  SELECT seeds.n,
+         CASE WHEN seeds.seed IS NOT NULL THEN seeds.seed
+              ELSE coalesce(p1.pick, l0.lbl) END AS lbl
+  FROM seeds
+  LEFT JOIN l0 ON l0.n = seeds.n
+  LEFT JOIN p1 ON p1.n = seeds.n
+),
+v2 AS (
+  SELECT und.b AS n, l1.lbl, count(*) AS votes
+  FROM und JOIN l1 ON l1.n = und.a
+  WHERE l1.lbl IS NOT NULL GROUP BY 1, 2
+),
+p2 AS (
+  SELECT n, lbl AS pick FROM (
+    SELECT n, lbl, row_number() OVER (
+      PARTITION BY n ORDER BY votes DESC, lbl ASC) AS rk
+    FROM v2) WHERE rk = 1
+),
+l2 AS (
+  SELECT seeds.n,
+         CASE WHEN seeds.seed IS NOT NULL THEN seeds.seed
+              ELSE coalesce(p2.pick, l1.lbl) END AS lbl
+  FROM seeds
+  LEFT JOIN l1 ON l1.n = seeds.n
+  LEFT JOIN p2 ON p2.n = seeds.n
+)
+SELECT n AS node, lbl AS label FROM l2 ORDER BY node
+"""
+
+QUERIES_ML["label_propagation"] = q_label_propagation
+ORACLES_ML["label_propagation"] = SQL_LABEL_PROPAGATION

@@ -198,3 +198,129 @@ def test_ols_closed_form_singular_gives_nulls(spark):
     df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
     out = ols_closed_form(df, "y", "x1", "x2").collect()[0]
     assert out.beta0 is None and out.r2 is None
+
+
+# ----------------------------------------------------- HLL mart rollup
+
+
+def test_hll_register_rollup_equals_direct_sketch(spark):
+    """Merging day-grain registers by max == sketching the union raw:
+    the property that makes the register table a valid mart."""
+    from google_analytics_to_s3_spark.operators.stats import (
+        hll_estimate, hll_registers,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") % 7).alias("day"),
+        (F.col("id") % 900).alias("uid"),
+    )
+    day_regs = hll_registers(df, "uid", ["day"])
+    rolled = hll_estimate(
+        day_regs.select(F.lit(0).alias("g"), "bucket", "mj"), ["g"]
+    ).collect()[0]
+    direct = hll_estimate(
+        hll_registers(df.select(F.lit(0).alias("g"), "uid"), "uid", ["g"]),
+        ["g"],
+    ).collect()[0]
+    assert rolled.occupied == direct.occupied
+    assert rolled.hll_estimate == direct.hll_estimate
+    # calibration: within 10% of the true 900 at m=1024
+    assert abs(rolled.hll_estimate - 900) / 900 < 0.1
+
+
+# --------------------------------------------------------------- NDCG
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    from google_analytics_to_s3_spark.operators.stats import ndcg_at_k
+
+    rows = [("q", i, 100 - i, max(0, 3 - i)) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "q string, tid long, score long, rel int"
+    )
+    out = ndcg_at_k(df, ["q"], "score", "rel", "tid", k=10).collect()[0]
+    assert out.ndcg == 1.0 and out.n_candidates == 20
+    assert out.dcg == out.idcg > 0
+
+
+def test_ndcg_reversed_ranking_below_one_and_exact(spark):
+    import math
+
+    from google_analytics_to_s3_spark.operators.stats import (
+        ndcg_at_k, ndcg_weights,
+    )
+
+    # rel 3 at the WORST model position among 5 candidates
+    rows = [("q", i, i, 3 if i == 0 else 0) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "q string, tid long, score long, rel int"
+    )
+    out = ndcg_at_k(df, ["q"], "score", "rel", "tid", k=10).collect()[0]
+    ws = ndcg_weights(10)
+    assert out.ndcg == round(ws[4] / ws[0], 6)
+    assert math.isclose(out.ndcg, 1 / math.log2(6), abs_tol=1e-6)
+
+
+def test_ndcg_all_zero_relevance_is_null(spark):
+    from google_analytics_to_s3_spark.operators.stats import ndcg_at_k
+
+    df = spark.createDataFrame(
+        [("q", 1, 5, 0), ("q", 2, 3, 0)],
+        "q string, tid long, score long, rel int",
+    )
+    assert ndcg_at_k(df, ["q"], "score", "rel", "tid").collect()[0].ndcg \
+        is None
+
+
+# ------------------------------------------------- label propagation
+
+
+def test_label_propagation_spreads_and_seeds_fixed(spark):
+    from google_analytics_to_s3_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # path graph 1-2-3-4-5; seeds: 1 -> A, 5 -> B
+    nodes = spark.createDataFrame(
+        [(1, "A"), (2, None), (3, None), (4, None), (5, "B")],
+        "node long, label string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r.node: r.label for r in
+           label_propagation(nodes, edges, rounds=2).collect()}
+    # round1: 2<-A, 4<-B, 3 votes {} ; round2: 3 votes {A(from 2), B(from 4)} -> tie -> A
+    assert got == {1: "A", 2: "A", 3: "A", 4: "B", 5: "B"}
+
+
+def test_label_propagation_majority_beats_tiebreak(spark):
+    from google_analytics_to_s3_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # node 10 has two B-seeded neighbors and one A-seeded: majority B
+    nodes = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "B"), (10, None)],
+        "node long, label string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10)], "src long, dst long"
+    )
+    got = {r.node: r.label for r in
+           label_propagation(nodes, edges, rounds=1).collect()}
+    assert got[10] == "B"
+
+
+def test_label_propagation_isolated_node_stays_null(spark):
+    from google_analytics_to_s3_spark.operators.graph import (
+        label_propagation,
+    )
+
+    nodes = spark.createDataFrame(
+        [(1, "A"), (2, None), (99, None)], "node long, label string"
+    )
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r.node: r.label for r in
+           label_propagation(nodes, edges, rounds=3).collect()}
+    assert got[99] is None and got[2] == "A"
