@@ -18,11 +18,14 @@ Two tiers of decode honesty:
   ``ppm_decode`` driver query value-oracles the image path end-to-end.
 - **REAL compressed decode for PNG (r7)**: stdlib zlib inflate + the
   five spec scanline filters (``decode_png_meta``; ``png_decode``
-  driver query value-oracles it with all filter types cycling). The
-  honest gate moved: only entropy-coded/DSP formats remain stubbed.
-- **Digest stubs** for the remaining compressed formats (JPEG/MP4/
-  FLAC need PIL / libav / soundfile, which are NOT in this
-  container):
+  driver query value-oracles it with all filter types cycling).
+- **REAL baseline JPEG decode (r7)**: T.81 marker walk + canonical
+  Huffman entropy decode (DC prediction, ZRL/EOB, byte unstuffing) +
+  dequant/dezigzag/matrix IDCT (``decode_jpeg_meta``; the
+  ``jpeg_decode`` driver query value-oracles the whole pipeline as
+  integer arithmetic). Gates left: progressive/subsampled JPEG.
+- **Digest stubs** for the remaining compressed formats (MP3/MP4/
+  FLAC need libav / soundfile, which are NOT in this container):
   metadata derives deterministically from the payload's sha256.
   Everything Spark-side — binary column handling, Arrow batch
   transfer, schemas, partition-preserving plumbing, the 1→N frame
@@ -752,8 +755,8 @@ def sample_y4m_frames(
 # needed PIL actually needs only stdlib zlib + the five scanline
 # filters from the PUBLIC PNG specification (RFC 2083 / W3C PNG) —
 # so the "compressed formats stay gated" boundary moves: PNG decode
-# is now real; JPEG/MP4/FLAC (entropy coding + DSP) remain honestly
-# PIL/libav-gated.
+# is real; baseline JPEG followed later in r7 (below); MP4/FLAC (DSP)
+# remain honestly libav-gated.
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -1142,4 +1145,302 @@ def sample_gif_frames(
             "n_frames int, delay_cs int, rgb_mean double, "
             "frame_sha256 string"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed-image decode: baseline JPEG (ITU-T T.81 / ISO
+# 10918-1, public spec). Grayscale sequential-DCT: marker walk,
+# canonical Huffman decode of the entropy-coded segment (0xFF00
+# unstuffing, DC prediction, ZRL/EOB runs), dequantization, dezigzag,
+# and a vectorized matrix IDCT — pure stdlib + numpy. The remaining
+# honest gates shrink to chroma-subsampled/progressive JPEG and the
+# DSP formats (MP3/MP4), which stay PIL/libav-gated.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_zigzag() -> list:
+    order = []
+    for s in range(15):
+        rows = range(min(s, 7), max(0, s - 7) - 1, -1)
+        if s % 2:
+            rows = reversed(list(rows))
+        for r in rows:
+            order.append((r, s - r))
+    return order
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+# IDCT basis A[x, u] = c(u)/2 * cos((2x+1) u pi / 16); f = A F A^T
+_JPEG_IDCT_A = None
+
+
+def _jpeg_idct_matrix() -> "np.ndarray":
+    global _JPEG_IDCT_A
+    if _JPEG_IDCT_A is None:
+        import math
+
+        a = np.empty((8, 8), dtype=np.float64)
+        for x in range(8):
+            for u in range(8):
+                cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+                a[x, u] = 0.5 * cu * math.cos(
+                    (2 * x + 1) * u * math.pi / 16.0
+                )
+        _JPEG_IDCT_A = a
+    return _JPEG_IDCT_A
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    unstuffing; raises ValueError at markers/EOF inside a block."""
+
+    def __init__(self, raw: bytes, pos: int):
+        self.raw = raw
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.raw):
+                raise ValueError("entropy data truncated")
+            b = self.raw[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.raw):
+                    raise ValueError("entropy data truncated at 0xFF")
+                m = self.raw[self.pos]
+                if m == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{m:02X} inside scan"
+                    )
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff_table(bits: list, vals: list) -> dict:
+    """{(length, code): symbol} canonical table per T.81 C.2."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                raise ValueError("DHT counts exceed symbol list")
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _parse_jpeg(raw: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Decode a grayscale baseline JPEG: returns (width, height,
+    uint8 pixel array of h*w). Raises ValueError on malformed input
+    and on honest unsupported corners (progressive, multi-component,
+    12-bit, restart intervals) so they quarantine cleanly."""
+    if len(raw) < 4 or raw[0:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload (bad SOI)")
+    pos = 2
+    qtables: dict[int, list] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    sof = None
+    scan_pos = None
+    comp_spec = None
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = raw[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seglen,) = struct.unpack(">H", raw[pos + 2:pos + 4])
+        body = raw[pos + 4:pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                if p + 65 > len(body):
+                    raise ValueError("truncated DQT")
+                qtables[tq] = list(body[p + 1:p + 65])
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[0:6])
+            if prec != 8:
+                raise ValueError(f"{prec}-bit JPEG not supported")
+            if ncomp != 1:
+                raise ValueError(
+                    f"{ncomp}-component JPEG not supported (grayscale "
+                    "baseline only)"
+                )
+            cid, sampling, tq = body[6], body[7], body[8]
+            if sampling != 0x11:
+                raise ValueError("chroma subsampling not supported")
+            sof = (w, h, cid, tq)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}) "
+                "not supported"
+            )
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 15
+                bits = list(body[p + 1:p + 17])
+                nvals = sum(bits)
+                vals = list(body[p + 17:p + 17 + nvals])
+                if len(vals) != nvals:
+                    raise ValueError("truncated DHT")
+                table = _jpeg_huff_table(bits, vals)
+                (dc_tables if cls == 0 else ac_tables)[tid] = table
+                p += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            raise ValueError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("multi-component scan not supported")
+            comp_spec = (body[1], body[2] >> 4, body[2] & 15)
+            scan_pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if sof is None or scan_pos is None or comp_spec is None:
+        raise ValueError("missing SOF0/SOS segment")
+    w, h, cid, tq = sof
+    if w <= 0 or h <= 0:
+        raise ValueError(f"non-positive dimensions {w}x{h}")
+    if tq not in qtables:
+        raise ValueError(f"missing quant table {tq}")
+    _, dc_id, ac_id = comp_spec
+    if dc_id not in dc_tables or ac_id not in ac_tables:
+        raise ValueError("missing Huffman table for scan")
+    q = np.zeros((8, 8), dtype=np.float64)
+    for zzpos, (r, c) in enumerate(_JPEG_ZZ):
+        q[r, c] = qtables[tq][zzpos]
+    dc_t, ac_t = dc_tables[dc_id], ac_tables[ac_id]
+
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    reader = _JpegBitReader(raw, scan_pos)
+    a = _jpeg_idct_matrix()
+    img = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            coefs = np.zeros((8, 8), dtype=np.float64)
+            s = _jpeg_huff_decode(reader, dc_t)
+            diff = _jpeg_extend(reader.bits(s), s) if s else 0
+            pred += diff
+            coefs[0, 0] = pred
+            k = 1
+            while k <= 63:
+                rs = _jpeg_huff_decode(reader, ac_t)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run overflows block")
+                rr, cc = _JPEG_ZZ[k]
+                coefs[rr, cc] = _jpeg_extend(reader.bits(s), s)
+                k += 1
+            block = a @ (coefs * q) @ a.T + 128.0
+            img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                np.rint(block), 0, 255
+            ).astype(np.uint8)
+    return w, h, img[:h, :w].reshape(-1)
+
+
+JPEG_META_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("y_sum", LongType()),
+    StructField("mean_px", DoubleType()),
+    StructField("payload_sha256", StringType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_jpeg_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL baseline-JPEG decode for binary payload columns: Huffman
+    entropy decode + dequant + IDCT per ``_parse_jpeg``, emitting
+    dimensions, the exact integer pixel sum, and the mean (one double
+    division, round 6). Same quarantine contract as the other decoders:
+    malformed or unsupported files land in ``decode_error``."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "y_sum", "mean_px",
+                "payload_sha256", "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                rows["doc_id"].append(doc_id)
+                rows["payload_sha256"].append(
+                    hashlib.sha256(raw).hexdigest()
+                )
+                try:
+                    w, h, px = _parse_jpeg(raw)
+                    ps = int(px.sum(dtype=np.int64))
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["y_sum"].append(ps)
+                    rows["mean_px"].append(round(ps / px.size, 6))
+                    rows["decode_error"].append(None)
+                except ValueError as e:
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["y_sum"].append(None)
+                    rows["mean_px"].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "width": pd.Series(rows["width"], dtype="Int32"),
+                "height": pd.Series(rows["height"], dtype="Int32"),
+                "y_sum": pd.Series(rows["y_sum"], dtype="Int64"),
+                "mean_px": pd.Series(rows["mean_px"], dtype="float64"),
+                "payload_sha256": pd.Series(rows["payload_sha256"],
+                                            dtype=object),
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _decode, schema=JPEG_META_SCHEMA
     )

@@ -2253,3 +2253,77 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "hashed_features": SQL_HASHED_FEATURES,
     "langid_eval": SQL_LANGID_EVAL,
 }
+
+
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL entropy-coded image path driver-checked: a true
+    grayscale baseline JPEG (standard-composition Huffman tables,
+    DC-predicted entropy-coded MCUs with byte stuffing, flat quant —
+    testing/fixtures.make_jpeg_baseline) is synthesized per event
+    from planted quantized coefficients, decoded by the full T.81
+    pipeline (operators/multimodal._parse_jpeg: marker walk, Huffman
+    decode, dequant, dezigzag, matrix IDCT), and the oracle replays
+    the decoded pixel sums as PURE INTEGER arithmetic — with a flat
+    quant of 8 the DC term contributes exactly ``64*(128+dc)`` per
+    block and each AC template a pinned integer constant (fixture
+    margin test keeps every pixel > 1e-2 from a rounding boundary).
+    A green row proves the Huffman/DC-prediction/IDCT path reads the
+    actual coefficients."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.multimodal import JPEG_META_SCHEMA, decode_jpeg_meta
+    from ..testing.fixtures import make_jpeg_baseline
+
+    e = _spread(load_events(spark, sf_dir).select("event_id"), spark)
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_jpeg_baseline(int(i) % 1000)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(
+        _synth, schema="doc_id long, payload binary"
+    )
+    meta = decode_jpeg_meta(payloads)
+    assert meta.schema == JPEG_META_SCHEMA
+    return meta.select("doc_id", "width", "height", "y_sum", "mean_px")
+
+
+def _jpeg_decode_sql() -> str:
+    from ..testing.fixtures import (
+        JPEG_AC_TEMPLATES, jpeg_template_round_sums,
+    )
+
+    rs = jpeg_template_round_sums()
+    n_t = len(JPEG_AC_TEMPLATES)
+    rs_arr = "[" + ", ".join(f"{v}::BIGINT" for v in rs) + "]"
+    return f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed FROM events
+),
+blocks AS (
+  SELECT event_id, seed, CAST(b.b AS BIGINT) AS b,
+         ((seed * 7 + b.b * 13) % 121) - 60 AS dc,
+         (seed + b.b) % {n_t} AS t
+  FROM e, LATERAL (SELECT unnest(range(0, 4)) AS b) b
+)
+SELECT event_id AS doc_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(sum(64 * (128 + dc) + {rs_arr}[t + 1]) AS BIGINT) AS y_sum,
+       round(CAST(sum(64 * (128 + dc) + {rs_arr}[t + 1]) AS DOUBLE)
+             / 256.0, 6) AS mean_px
+FROM blocks GROUP BY event_id
+"""
+
+
+SQL_JPEG_DECODE = _jpeg_decode_sql()
+QUERIES_ANALYTICS["jpeg_decode"] = q_jpeg_decode
+ORACLES_ANALYTICS["jpeg_decode"] = SQL_JPEG_DECODE

@@ -471,3 +471,218 @@ def make_gif(w: int, h: int, seed: int, n_frames: int = 3) -> bytes:
         out += bytes([0])
     out += bytes([0x3B])
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# REAL baseline JPEG synthesis (ITU-T T.81 / ISO 10918-1, public spec):
+# grayscale sequential-DCT files with PLANTED quantized coefficients,
+# standard Annex-K-style Huffman tables carried in the file's own DHT
+# (JPEG is self-describing — the embedded tables, not their provenance,
+# define the entropy coding), a flat quant table of 8s so the DC term
+# contributes exact integers, and AC templates whose reference-IDCT
+# pixel contributions stay far from .5 rounding boundaries — which is
+# what lets a SQL oracle replay the decoded pixel sums as pure integer
+# arithmetic (per-template rounded-sum constants).
+# ---------------------------------------------------------------------------
+
+JPEG_Q = 8  # flat luminance quant value
+
+# planted AC templates, {zigzag position: quantized coef}; T0 is
+# DC-only, T4 exercises a >15 zero run (ZRL path)
+JPEG_AC_TEMPLATES: list[dict[int, int]] = [
+    {},
+    {1: 4},
+    {2: -3},
+    {1: 2, 5: -2},
+    {3: 5, 27: -4},
+]
+
+# standard-composition Huffman tables (BITS, HUFFVAL) for DC/AC
+# luminance — Annex K shape; validity (canonical, prefix-free) is what
+# the decoder needs, and both encoder and decoder read them from the
+# file's DHT segment.
+JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+JPEG_DC_VALS = list(range(12))
+JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+JPEG_AC_VALS = (
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA]
+)
+
+
+def jpeg_zigzag() -> list[tuple[int, int]]:
+    """Zigzag position -> (row, col), generated by the diagonal walk."""
+    order = []
+    for s in range(15):
+        rows = range(min(s, 7), max(0, s - 7) - 1, -1)
+        if s % 2:  # odd diagonals run the other way
+            rows = reversed(list(rows))
+        for r in rows:
+            order.append((r, s - r))
+    return order
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman {symbol: (code, length)} per T.81 C.2."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def ref_idct_block(coefs: "dict[int, int]", q: int = JPEG_Q):
+    """Reference textbook IDCT (T.81 A.3.3 double loop) of a sparse
+    quantized-coefficient block — the independent implementation the
+    decoder's vectorized matrix IDCT is checked against. Returns the
+    8x8 float contribution WITHOUT the +128 level shift."""
+    import math
+
+    import numpy as np
+
+    zz = jpeg_zigzag()
+    out = np.zeros((8, 8), dtype=np.float64)
+    for pos, coef in coefs.items():
+        u_r, v_c = zz[pos]
+        cu = (1.0 / math.sqrt(2.0)) if u_r == 0 else 1.0
+        cv = (1.0 / math.sqrt(2.0)) if v_c == 0 else 1.0
+        f = float(coef * q)
+        for x in range(8):
+            for y in range(8):
+                out[x, y] += (
+                    0.25 * cu * cv * f
+                    * math.cos((2 * x + 1) * u_r * math.pi / 16.0)
+                    * math.cos((2 * y + 1) * v_c * math.pi / 16.0)
+                )
+    return out
+
+
+def jpeg_template_round_sums() -> list[int]:
+    """Per-template integer constants ``sum(rint(t_i))`` over the 64
+    reference-IDCT AC pixel contributions — with a flat quant table
+    the decoded block sum is ``64 * (128 + dc) + RS[template]``
+    exactly (DC-only part is integer; AC fractions stay > 1e-6 away
+    from .5, asserted in tests), so oracles replay pixel sums with no
+    transcendentals."""
+    import numpy as np
+
+    return [
+        int(np.rint(ref_idct_block(t)).sum(dtype=np.int64))
+        for t in JPEG_AC_TEMPLATES
+    ]
+
+
+def jpeg_block_plan(seed: int, n_blocks: int) -> list[dict[int, int]]:
+    """The planted quantized-coefficient blocks for ``seed``: block b
+    gets DC ``((seed * 7 + b * 13) % 121) - 60`` and AC template
+    ``(seed + b) % 5`` — integer-replayable in SQL."""
+    blocks = []
+    for b in range(n_blocks):
+        coefs = dict(JPEG_AC_TEMPLATES[(seed + b) % len(JPEG_AC_TEMPLATES)])
+        coefs[0] = ((seed * 7 + b * 13) % 121) - 60
+        blocks.append(coefs)
+    return blocks
+
+
+def make_jpeg_baseline(seed: int, w: int = 16, h: int = 16) -> bytes:
+    """Serialize a REAL grayscale baseline JPEG (SOI/DQT/SOF0/DHT/SOS,
+    huffman-entropy-coded MCUs with DC prediction, 0xFF byte stuffing,
+    EOI) whose quantized coefficients are :func:`jpeg_block_plan`.
+    ``w``/``h`` must be multiples of 8."""
+    import struct as _struct
+
+    if w % 8 or h % 8:
+        raise ValueError("fixture dimensions must be multiples of 8")
+    dc_codes = _huff_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_codes = _huff_codes(JPEG_AC_BITS, JPEG_AC_VALS)
+
+    out = bytearray(b"\xFF\xD8")  # SOI
+    # DQT: table 0, zigzag order (flat, so order is moot)
+    out += b"\xFF\xDB" + _struct.pack(">H", 67) + b"\x00"
+    out += bytes([JPEG_Q] * 64)
+    # SOF0: 8-bit, 1 component, no subsampling
+    out += b"\xFF\xC0" + _struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += bytes([1, 0x11, 0])
+    # DHT: DC class 0 id 0, then AC class 1 id 0
+    for cls, bits, vals in ((0, JPEG_DC_BITS, JPEG_DC_VALS),
+                            (1, JPEG_AC_BITS, JPEG_AC_VALS)):
+        out += b"\xFF\xC4" + _struct.pack(">H", 19 + len(vals))
+        out += bytes([cls << 4]) + bytes(bits) + bytes(vals)
+    # SOS
+    out += b"\xFF\xDA" + _struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+
+    bitbuf: list[int] = []  # bits, MSB first
+
+    def put(code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            bitbuf.append((code >> i) & 1)
+
+    def size_of(v: int) -> int:
+        return abs(v).bit_length()
+
+    def value_bits(v: int, size: int) -> int:
+        return v if v >= 0 else v + (1 << size) - 1
+
+    blocks = jpeg_block_plan(seed, (w // 8) * (h // 8))
+    pred = 0
+    for coefs in blocks:
+        dc = coefs.get(0, 0)
+        diff = dc - pred
+        pred = dc
+        s = size_of(diff)
+        code, length = dc_codes[s]
+        put(code, length)
+        if s:
+            put(value_bits(diff, s), s)
+        acs = sorted((p, c) for p, c in coefs.items() if p > 0)
+        k = 1
+        for pos, coef in acs:
+            run = pos - k
+            while run > 15:
+                zc, zl = ac_codes[0xF0]  # ZRL
+                put(zc, zl)
+                run -= 16
+            s = size_of(coef)
+            code, length = ac_codes[(run << 4) | s]
+            put(code, length)
+            put(value_bits(coef, s), s)
+            k = pos + 1
+        if k <= 63:
+            ec, el = ac_codes[0x00]  # EOB
+            put(ec, el)
+    # pad to byte with 1s, byte-stuff 0xFF
+    while len(bitbuf) % 8:
+        bitbuf.append(1)
+    for i in range(0, len(bitbuf), 8):
+        byte = 0
+        for bit in bitbuf[i:i + 8]:
+            byte = (byte << 1) | bit
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)

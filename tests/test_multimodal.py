@@ -603,3 +603,130 @@ class TestGifDecode:
         bad2[desc + 5:desc + 7] = struct.pack("<H", 2)
         with _pytest.raises(ValueError, match="partial-canvas"):
             _parse_gif(bytes(bad2))
+
+
+class TestJpegDecode:
+    """REAL baseline-JPEG decode: T.81 Huffman + dequant + IDCT."""
+
+    def test_fixture_roundtrip_against_reference_idct(self):
+        """Decoder (vectorized matrix IDCT) reproduces the fixture's
+        independent textbook-loop IDCT for every template/DC mix."""
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_jpeg,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            jpeg_block_plan, make_jpeg_baseline, ref_idct_block,
+        )
+
+        for seed in (0, 1, 7, 42, 120, 999):
+            w, h, px = _parse_jpeg(make_jpeg_baseline(seed, 16, 16))
+            assert (w, h) == (16, 16)
+            img = px.reshape(h, w)
+            for b, coefs in enumerate(jpeg_block_plan(seed, 4)):
+                by, bx = divmod(b, 2)
+                want = np.clip(
+                    np.rint(ref_idct_block(coefs) + 128.0), 0, 255
+                ).astype(np.uint8)
+                got = img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                assert (want == got).all(), (seed, b)
+
+    def test_ac_templates_margin_and_no_clamp(self):
+        """The oracle's integer replay requires every AC pixel
+        contribution to sit > 1e-2 from a .5 rounding boundary and the
+        DC range to never clamp — pinned here so template edits can't
+        silently break the arithmetic contract."""
+        import numpy as np
+
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            JPEG_AC_TEMPLATES, ref_idct_block,
+        )
+
+        for t in JPEG_AC_TEMPLATES:
+            contrib = ref_idct_block(t)
+            frac = np.abs(np.abs(contrib - np.floor(contrib)) - 0.5)
+            if t:  # T0 is all-zero: distance is exactly 0.5
+                assert frac.min() > 1e-2
+            # dc in [-60, 60]: 128 - 60 - max|t| > 0, 128 + 60 + max|t| < 255
+            assert np.abs(contrib).max() + 60 + 128 < 255
+            assert 128 - 60 - np.abs(contrib).max() > 0
+
+    def test_larger_geometry_and_zrl_path(self):
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_jpeg,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_jpeg_baseline,
+        )
+
+        # 32x24 -> 12 blocks; seeds cycle all 5 templates incl. the
+        # ZRL one (zigzag gap > 15 in T4)
+        w, h, px = _parse_jpeg(make_jpeg_baseline(3, 32, 24))
+        assert (w, h) == (32, 24) and px.size == 32 * 24
+
+    def test_quarantine_unsupported_and_malformed(self, spark):
+        import pandas as pd
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            decode_jpeg_meta,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_jpeg_baseline,
+        )
+
+        good = make_jpeg_baseline(5)
+        progressive = bytearray(good)
+        idx = good.find(b"\xFF\xC0")
+        progressive[idx + 1] = 0xC2  # SOF2: progressive
+        cases = [
+            (1, good),
+            (2, b"\x00\x01not a jpeg"),
+            (3, bytes(progressive)),
+            (4, good[:40]),  # truncated in headers
+            (5, good[:-20]),  # truncated entropy data
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [c[0] for c in cases],
+                          "payload": [c[1] for c in cases]})
+        )
+        rows = {r.doc_id: r for r in decode_jpeg_meta(df).collect()}
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            jpeg_block_plan, jpeg_template_round_sums,
+        )
+
+        assert rows[1].decode_error is None and rows[1].width == 16
+        rs = jpeg_template_round_sums()
+        want = sum(
+            64 * (128 + p[0]) + rs[(5 + b) % 5]
+            for b, p in enumerate(jpeg_block_plan(5, 4))
+        )
+        assert rows[1].y_sum == want
+        assert "not a JPEG" in rows[2].decode_error
+        assert "non-baseline" in rows[3].decode_error
+        assert rows[4].decode_error is not None
+        assert rows[5].decode_error is not None
+        # the batch never fails: every row came back
+        assert len(rows) == 5
+
+    def test_dc_prediction_across_blocks(self):
+        """DC coefficients are DIFFERENTIALLY coded: decoding must
+        accumulate the prediction, not read absolute values."""
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_jpeg,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            jpeg_block_plan, make_jpeg_baseline,
+        )
+
+        seed = 11
+        w, h, px = _parse_jpeg(make_jpeg_baseline(seed, 16, 16))
+        img = px.reshape(h, w)
+        plan = jpeg_block_plan(seed, 4)
+        # block DCs differ -> distinct block means prove the chain
+        means = [img[8 * (b // 2):8 * (b // 2) + 8,
+                     8 * (b % 2):8 * (b % 2) + 8].mean() for b in range(4)]
+        dcs = [p[0] for p in plan]
+        order_means = sorted(range(4), key=lambda b: means[b])
+        order_dcs = sorted(range(4), key=lambda b: dcs[b])
+        assert order_means == order_dcs
