@@ -235,3 +235,165 @@ def holt_forecast(
         schema=f"{time_col} long, kind string, actual long, "
                "predicted double",
     )
+
+
+def holt_winters_forecast(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    season: int = 7,
+    horizon: int = 7,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) — the
+    seasonal upgrade of :func:`holt_forecast` for series where a
+    Monday is structurally unlike a Sunday (every traffic series).
+
+    Textbook init over the first two seasons (needs >= 2*season
+    periods): ``s = mean(season 1)``, ``b = (mean(season 2) -
+    mean(season 1)) / season``, ``c_i = x_i - s``. Then for each later
+    period::
+
+        pred_t = s + b + c[t-season]
+        s_t    = alpha * (x_t - c[t-season]) + (1 - alpha) * (s + b)
+        b_t    = beta * (s_t - s) + (1 - beta) * b
+        c_t    = gamma * (x_t - s_t) + (1 - gamma) * c[t-season]
+
+    Seasonal alignment is POSITIONAL (row rank in time order), so the
+    caller supplies a gapless period series (gap-fill first if
+    needed). The recursion runs on the DRIVER over the collected
+    period series — the bounded-pull contract of ``holt_forecast`` /
+    the Markov matrix; smoothing factors enter as ``(1 - alpha)``
+    expressions, never pre-folded, so a SQL recursive CTE carrying the
+    season as a list column replays every double bit-for-bit.
+
+    Output: ``(time, kind='fit', actual, predicted)`` for periods
+    after the two init seasons, then ``horizon <= season`` forecast
+    rows ``(last_time + h, 'forecast', NULL, s + h*b + c[h])``.
+    """
+    if not (0 < horizon <= season):
+        raise ValueError(
+            f"horizon must be in [1, season], got {horizon}"
+        )
+    rows = sorted(
+        (int(r[time_col]), int(r[value_col]))
+        for r in series.select(time_col, value_col).collect()
+    )
+    if len(rows) < 2 * season:
+        raise ValueError(
+            f"holt_winters needs >= {2 * season} periods, got {len(rows)}"
+        )
+    xs = [float(x) for _, x in rows]
+    s = sum(xs[0:season]) / float(season)
+    b = (sum(xs[season:2 * season]) / float(season) - s) / float(season)
+    cs = [xs[i] - s for i in range(season)]
+    out = []
+    for i in range(season, len(rows)):
+        t, x = rows[i][0], xs[i]
+        c_old = cs[0]
+        pred = s + b + c_old
+        s_new = alpha * (x - c_old) + (1 - alpha) * (s + b)
+        b = beta * (s_new - s) + (1 - beta) * b
+        c_new = gamma * (x - s_new) + (1 - gamma) * c_old
+        s = s_new
+        cs = cs[1:] + [c_new]
+        if i >= 2 * season:
+            out.append((t, "fit", rows[i][1], round(pred, 6)))
+        elif i >= season:
+            # warm-up season: state advances, fits not reported (the
+            # init seasons parameterized them)
+            pass
+    last_t = rows[-1][0]
+    for h in range(1, horizon + 1):
+        out.append(
+            (last_t + h, "forecast", None,
+             round(s + h * b + cs[h - 1], 6))
+        )
+    return series.sparkSession.createDataFrame(
+        out,
+        schema=f"{time_col} long, kind string, actual long, "
+               "predicted double",
+    )
+
+
+def theil_sen_trend(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend of a pre-aggregated period series: the
+    MEDIAN of all pairwise slopes ``(x_j - x_i) / (t_j - t_i)`` —
+    breakdown point 29%, the estimator that shrugs off the outlier
+    days that wreck OLS trend lines.
+
+    Bounded-series contract (CUSUM/ACF): the input is period grain, so
+    the pair table is ~n²/2 rows of a BOUNDED n (30 days -> 435
+    pairs); the self-join is an equi-join on a constant key with the
+    small side broadcast (never a BNLJ), and the median window runs
+    over the pair table. Median = average of the two middle values in
+    ``(slope, t_i, t_j)`` order (exact doubles, same divisions both
+    engines). Intercept = median of ``x_i - slope * t_i`` over the n
+    points. Output one row: ``(n_points, n_pairs, slope, intercept)``
+    (round 6).
+    """
+    pts = series.select(
+        F.col(time_col).cast("long").alias("_t"),
+        F.col(value_col).cast("long").alias("_x"),
+        F.lit(1).alias("_k"),
+    )
+    a, bb = pts.alias("a"), pts.alias("b")
+    pairs = (
+        a.join(F.broadcast(bb), "_k")
+        .filter(F.col("a._t") < F.col("b._t"))
+        .select(
+            F.col("a._t").alias("ti"), F.col("b._t").alias("tj"),
+            (
+                (F.col("b._x") - F.col("a._x")).cast("double")
+                / (F.col("b._t") - F.col("a._t")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = Window.orderBy("slope", "ti", "tj")
+    ranked = pairs.select(
+        "slope", F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))
+        ).alias("_np"),
+    )
+    # odd n: the single middle rank satisfies 2rn == n+1; even n: the
+    # two middles satisfy 2rn == n and 2rn == n+2; avg = sum/count
+    med_slope = ranked.filter(
+        (F.col("_rn") * 2 == F.col("_np"))
+        | (F.col("_rn") * 2 == F.col("_np") + 1)
+        | (F.col("_rn") * 2 == F.col("_np") + 2)
+    ).agg(
+        (F.sum("slope") / F.count(F.lit(1))).alias("slope"),
+        F.max("_np").alias("n_pairs"),
+    )
+    resid = pts.crossJoin(F.broadcast(med_slope)).select(
+        (F.col("_x").cast("double")
+         - F.col("slope") * F.col("_t").cast("double")).alias("r"),
+        "_t", "slope", "n_pairs",
+    )
+    w2 = Window.orderBy("r", "_t")
+    ranked2 = resid.select(
+        "r", "slope", "n_pairs",
+        F.row_number().over(w2).alias("_rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))
+        ).alias("_n"),
+    )
+    return ranked2.filter(
+        (F.col("_rn") * 2 == F.col("_n"))
+        | (F.col("_rn") * 2 == F.col("_n") + 1)
+        | (F.col("_rn") * 2 == F.col("_n") + 2)
+    ).agg(
+        F.max("_n").cast("long").alias("n_points"),
+        F.max("n_pairs").cast("long").alias("n_pairs"),
+        F.round(F.max("slope"), 6).alias("slope"),
+        F.round(
+            F.sum("r") / F.count(F.lit(1)), 6
+        ).alias("intercept"),
+    )

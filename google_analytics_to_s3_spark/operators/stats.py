@@ -1359,3 +1359,58 @@ def ndcg_at_k(
             6,
         ).alias("ndcg"),
     )
+
+
+def ips_policy_value(
+    df: DataFrame,
+    logged_action_col: str,
+    target_action_col: str,
+    reward_col: str,
+    propensity: float,
+    group_cols: "list[str] | tuple[str, ...]" = (),
+) -> DataFrame:
+    """Offline (off-policy) evaluation of a TARGET decision policy on
+    logged randomized traffic — inverse-propensity scoring (Horvitz-
+    Thompson; Li et al. WSDM'11 for the bandit form): every logged
+    row where the target policy would have chosen the SAME action as
+    the logging policy contributes its reward weighted by
+    ``1/propensity``; rows where the policies disagree contribute 0.
+
+        IPS   = sum(match * r) / (propensity * n)
+        SNIPS = sum(match * r) / sum(match)     (self-normalized)
+
+    ``propensity`` is the (uniform) logging probability of each
+    action — the md5-arm assignment convention makes it a known
+    constant, which keeps the estimator exact: integer reward sums,
+    two divisions at the end. One conditional hash aggregation per
+    group; scale-flat like ``ab_lift``. Output per group: n, n_match,
+    ips_value, snips_value (round 6; SNIPS NULL when no rows match).
+    """
+    if not (0.0 < propensity <= 1.0):
+        raise ValueError(f"propensity must be in (0, 1], got {propensity}")
+    gcols = list(group_cols)
+    match = (
+        F.col(logged_action_col) == F.col(target_action_col)
+    ).cast("long")
+    r = F.col(reward_col).cast("long")
+    agg = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(match).cast("long").alias("n_match"),
+        F.sum(match * r).cast("long").alias("_mr"),
+    )
+    return agg.select(
+        *gcols, "n", "n_match",
+        F.round(
+            F.col("_mr").cast("double")
+            / (F.lit(float(propensity)) * F.col("n").cast("double")),
+            6,
+        ).alias("ips_value"),
+        F.round(
+            F.when(
+                F.col("n_match") > 0,
+                F.col("_mr").cast("double")
+                / F.col("n_match").cast("double"),
+            ),
+            6,
+        ).alias("snips_value"),
+    )

@@ -1186,3 +1186,216 @@ SELECT n AS node, lbl AS label FROM l2 ORDER BY node
 
 QUERIES_ML["label_propagation"] = q_label_propagation
 ORACLES_ML["label_propagation"] = SQL_LABEL_PROPAGATION
+
+
+_HW_A, _HW_B, _HW_G, _HW_M, _HW_H = 0.3, 0.1, 0.2, 7, 7
+
+
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters forecast of daily revenue with a weekly
+    season: fits after the two init weeks + a 7-day projection. The
+    oracle replays the triple recursion as a recursive CTE carrying
+    the 7-slot seasonal state as a list column."""
+    from ..operators.anomaly import holt_winters_forecast
+
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("ts_ms div 86400000").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    return holt_winters_forecast(
+        daily, "day", "cents",
+        alpha=_HW_A, beta=_HW_B, gamma=_HW_G,
+        season=_HW_M, horizon=_HW_H,
+    )
+
+
+SQL_HOLT_WINTERS = f"""
+WITH RECURSIVE d AS (
+  SELECT row_number() OVER (ORDER BY day) AS rn, day, cents
+  FROM (
+    SELECT epoch_ms(ts) // 86400000 AS day,
+           sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+    FROM events GROUP BY 1
+  )
+),
+nn AS (SELECT count(*) AS cnt FROM d),
+init AS (
+  SELECT CAST({_HW_M} AS BIGINT) AS rn,
+         (SELECT sum(CAST(cents AS DOUBLE)) FROM d
+          WHERE rn <= {_HW_M}) / {float(_HW_M)!r} AS s,
+         ((SELECT sum(CAST(cents AS DOUBLE)) FROM d
+           WHERE rn > {_HW_M} AND rn <= {2 * _HW_M}) / {float(_HW_M)!r}
+          - (SELECT sum(CAST(cents AS DOUBLE)) FROM d
+             WHERE rn <= {_HW_M}) / {float(_HW_M)!r})
+           / {float(_HW_M)!r} AS b,
+         (SELECT list(CAST(cents AS DOUBLE)
+                      - (SELECT sum(CAST(cents AS DOUBLE)) FROM d
+                         WHERE rn <= {_HW_M}) / {float(_HW_M)!r}
+                      ORDER BY rn)
+          FROM d WHERE rn <= {_HW_M}) AS cs,
+         CAST(NULL AS DOUBLE) AS pred
+),
+rec AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT d.rn,
+         {_HW_A} * (CAST(d.cents AS DOUBLE) - rec.cs[1])
+           + (1 - {_HW_A}) * (rec.s + rec.b) AS s,
+         {_HW_B} * (({_HW_A} * (CAST(d.cents AS DOUBLE) - rec.cs[1])
+                     + (1 - {_HW_A}) * (rec.s + rec.b)) - rec.s)
+           + (1 - {_HW_B}) * rec.b AS b,
+         list_append(
+           rec.cs[2:{_HW_M}],
+           {_HW_G} * (CAST(d.cents AS DOUBLE)
+                      - ({_HW_A} * (CAST(d.cents AS DOUBLE) - rec.cs[1])
+                         + (1 - {_HW_A}) * (rec.s + rec.b)))
+             + (1 - {_HW_G}) * rec.cs[1]
+         ) AS cs,
+         rec.s + rec.b + rec.cs[1] AS pred
+  FROM rec JOIN d ON d.rn = rec.rn + 1
+)
+SELECT d.day, 'fit' AS kind, d.cents AS actual,
+       round(rec.pred, 6) AS predicted
+FROM rec JOIN d ON d.rn = rec.rn
+WHERE rec.rn > {2 * _HW_M}
+UNION ALL
+SELECT last.day + h.h AS day, 'forecast' AS kind,
+       CAST(NULL AS BIGINT) AS actual,
+       round(last.s + h.h * last.b
+             + last.cs[CAST(h.h AS INTEGER)], 6) AS predicted
+FROM (
+  SELECT rec.s, rec.b, rec.cs, d.day
+  FROM rec JOIN d ON d.rn = rec.rn CROSS JOIN nn
+  WHERE rec.rn = nn.cnt
+) last
+CROSS JOIN (SELECT unnest(range(1, {_HW_H} + 1)) AS h) h
+"""
+
+QUERIES_ML["holt_winters"] = q_holt_winters
+ORACLES_ML["holt_winters"] = SQL_HOLT_WINTERS
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue (median pairwise slope
+    + median-residual intercept) — the outlier-proof companion of
+    ols_regression, on the bounded day series."""
+    from ..operators.anomaly import theil_sen_trend
+
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("ts_ms div 86400000").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    return theil_sen_trend(daily, "day", "cents")
+
+
+SQL_THEIL_SEN = """
+WITH d AS (
+  SELECT epoch_ms(ts) // 86400000 AS day,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT a.day AS ti, b.day AS tj,
+         CAST(b.cents - a.cents AS DOUBLE)
+           / CAST(b.day - a.day AS DOUBLE) AS slope
+  FROM d a JOIN d b ON a.day < b.day
+),
+r AS (
+  SELECT slope, ti, tj,
+         row_number() OVER (ORDER BY slope, ti, tj) AS rn,
+         count(*) OVER () AS np
+  FROM p
+),
+ms AS (
+  SELECT sum(slope) / count(*) AS slope,
+         CAST(max(np) AS BIGINT) AS n_pairs
+  FROM r WHERE rn * 2 = np OR rn * 2 = np + 1 OR rn * 2 = np + 2
+),
+res AS (
+  SELECT CAST(d.cents AS DOUBLE) - ms.slope * CAST(d.day AS DOUBLE) AS r,
+         d.day, ms.slope, ms.n_pairs
+  FROM d CROSS JOIN ms
+),
+r2 AS (
+  SELECT r, slope, n_pairs,
+         row_number() OVER (ORDER BY r, day) AS rn,
+         count(*) OVER () AS n
+  FROM res
+)
+SELECT CAST(max(n) AS BIGINT) AS n_points,
+       max(n_pairs) AS n_pairs,
+       round(max(slope), 6) AS slope,
+       round(sum(r) / count(*), 6) AS intercept
+FROM r2 WHERE rn * 2 = n OR rn * 2 = n + 1 OR rn * 2 = n + 2
+"""
+
+QUERIES_ML["theil_sen"] = q_theil_sen
+ORACLES_ML["theil_sen"] = SQL_THEIL_SEN
+
+
+_IPS_K = 4  # uniform logging policy over 4 arms -> propensity 1/4
+
+
+def q_offline_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation per event type: the logged randomized arm
+    (md5 of the event id, uniform over 4) is scored against a
+    user-context target policy (md5 of the user id) via IPS/SNIPS
+    (operators/stats.ips_policy_value)."""
+    from ..operators.stats import ips_policy_value
+
+    e = load_events(spark, sf_dir).select(
+        "event_type",
+        (
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit("log#"),
+                               F.col("event_id").cast("string"))), 1, 14
+            ), 16, 10).cast("long") % _IPS_K
+        ).alias("logged_arm"),
+        (
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit("tgt#"),
+                               F.col("user_id").cast("string"))), 1, 14
+            ), 16, 10).cast("long") % _IPS_K
+        ).alias("target_arm"),
+        F.floor(F.col("value") * 100).cast("long").alias("reward"),
+    )
+    return ips_policy_value(
+        e, "logged_arm", "target_arm", "reward",
+        propensity=1.0 / _IPS_K, group_cols=["event_type"],
+    ).orderBy("event_type")
+
+
+SQL_OFFLINE_POLICY = f"""
+WITH e AS (
+  SELECT event_type,
+         ('0x' || substr(md5('log#' || CAST(event_id AS VARCHAR)),
+                         1, 14))::BIGINT % {_IPS_K} AS logged_arm,
+         ('0x' || substr(md5('tgt#' || CAST(user_id AS VARCHAR)),
+                         1, 14))::BIGINT % {_IPS_K} AS target_arm,
+         CAST(floor(value * 100) AS BIGINT) AS reward
+  FROM events
+),
+a AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN logged_arm = target_arm THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_match,
+         CAST(sum(CASE WHEN logged_arm = target_arm THEN reward
+                  ELSE 0 END) AS BIGINT) AS mr
+  FROM e GROUP BY 1
+)
+SELECT event_type, n, n_match,
+       round(CAST(mr AS DOUBLE)
+             / ({1.0 / _IPS_K!r} * CAST(n AS DOUBLE)), 6) AS ips_value,
+       round(CASE WHEN n_match > 0
+                  THEN CAST(mr AS DOUBLE) / CAST(n_match AS DOUBLE)
+             END, 6) AS snips_value
+FROM a ORDER BY event_type
+"""
+
+QUERIES_ML["offline_policy"] = q_offline_policy
+ORACLES_ML["offline_policy"] = SQL_OFFLINE_POLICY

@@ -296,3 +296,75 @@ class TestCalibrationReport:
         df = spark.createDataFrame([(1.5, 1)], "s double, y int")
         with pytest.raises(Exception, match="outside"):
             calibration_report(df, "s", "y").collect()
+
+
+class TestHoltWinters:
+    def test_flat_seasonal_series_predicts_exactly(self, spark):
+        """A perfectly periodic series (no trend) is predicted exactly
+        after init: residual-free recursion keeps every c_i fixed."""
+        from google_analytics_to_s3_spark.operators.anomaly import (
+            holt_winters_forecast,
+        )
+
+        season = [100, 200, 300, 150, 250, 120, 180]
+        rows = [(d, season[d % 7]) for d in range(28)]
+        df = spark.createDataFrame(rows, "day long, cents long")
+        out = holt_winters_forecast(df, "day", "cents").collect()
+        fits = [r for r in out if r.kind == "fit"]
+        fc = [r for r in out if r.kind == "forecast"]
+        assert len(fits) == 14 and len(fc) == 7
+        for r in fits:
+            assert r.predicted == float(r.actual)
+        for h, r in enumerate(sorted(fc, key=lambda r: r.day), start=1):
+            assert r.day == 27 + h
+            assert r.predicted == float(season[(28 + h - 1) % 7])
+
+    def test_needs_two_seasons(self, spark):
+        import pytest
+
+        from google_analytics_to_s3_spark.operators.anomaly import (
+            holt_winters_forecast,
+        )
+
+        df = spark.createDataFrame(
+            [(d, 10) for d in range(13)], "day long, cents long"
+        )
+        with pytest.raises(ValueError, match=">= 14"):
+            holt_winters_forecast(df, "day", "cents")
+
+
+class TestTheilSen:
+    def test_exact_line_recovered(self, spark):
+        from google_analytics_to_s3_spark.operators.anomaly import (
+            theil_sen_trend,
+        )
+
+        rows = [(d, 50 + 3 * d) for d in range(20)]
+        df = spark.createDataFrame(rows, "day long, cents long")
+        out = theil_sen_trend(df, "day", "cents").collect()[0]
+        assert out.slope == 3.0 and out.intercept == 50.0
+        assert out.n_points == 20 and out.n_pairs == 190
+
+    def test_outliers_do_not_move_the_slope(self, spark):
+        from google_analytics_to_s3_spark.operators.anomaly import (
+            theil_sen_trend,
+        )
+
+        rows = [(d, 50 + 3 * d) for d in range(21)]
+        rows[5] = (5, 10_000_000)  # one wrecked day
+        rows[15] = (15, -10_000_000)
+        df = spark.createDataFrame(rows, "day long, cents long")
+        out = theil_sen_trend(df, "day", "cents").collect()[0]
+        assert out.slope == 3.0  # median shrugs; OLS would be wrecked
+
+    def test_no_bnlj_in_plan(self, spark):
+        from google_analytics_to_s3_spark.operators.anomaly import (
+            theil_sen_trend,
+        )
+
+        df = spark.createDataFrame(
+            [(d, d * 2) for d in range(10)], "day long, cents long"
+        )
+        plan = theil_sen_trend(df, "day", "cents")._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "CartesianProduct" not in plan

@@ -4,6 +4,8 @@ This mirrors the grading driver's check (row count + column names +
 order-insensitive values) via tests/oracle.py.
 """
 
+import os
+
 import pytest
 
 from google_analytics_to_s3_spark.plans import driver_queries as dq
@@ -11,6 +13,15 @@ from google_analytics_to_s3_spark.plans import driver_queries as dq
 from .oracle import compare
 
 QUERY_NAMES = sorted(dq.QUERIES.keys())
+
+# The full oracle sweep outgrew single-run sandbox timeouts (210+
+# queries x ~2.5 s). SPARK_GRAFT_QUERY_SHARD="i/n" runs the i-th of n
+# interleaved slices so CI/judges can split the sweep across
+# processes; unset runs everything.
+_shard = os.environ.get("SPARK_GRAFT_QUERY_SHARD")
+if _shard:
+    _i, _n = (int(x) for x in _shard.split("/"))
+    QUERY_NAMES = QUERY_NAMES[_i::_n]
 
 
 def _assert_driver_safe_schema(name, df):

@@ -324,3 +324,49 @@ def test_label_propagation_isolated_node_stays_null(spark):
     got = {r.node: r.label for r in
            label_propagation(nodes, edges, rounds=3).collect()}
     assert got[99] is None and got[2] == "A"
+
+
+# ------------------------------------------------------------ IPS/SNIPS
+
+
+def test_ips_policy_value_arithmetic(spark):
+    from google_analytics_to_s3_spark.operators.stats import (
+        ips_policy_value,
+    )
+
+    # 4 rows, 2 matches with rewards 10 and 30, propensity 0.5
+    rows = [(0, 0, 10), (1, 1, 30), (0, 1, 99), (1, 0, 99)]
+    df = spark.createDataFrame(rows, "logged int, target int, r long")
+    out = ips_policy_value(df, "logged", "target", "r", 0.5).collect()[0]
+    assert out.n == 4 and out.n_match == 2
+    assert out.ips_value == 40 / (0.5 * 4)  # 20.0
+    assert out.snips_value == 20.0
+
+
+def test_ips_policy_no_match_snips_null(spark):
+    from google_analytics_to_s3_spark.operators.stats import (
+        ips_policy_value,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1, 5), (1, 0, 7)], "logged int, target int, r long"
+    )
+    out = ips_policy_value(df, "logged", "target", "r", 0.25).collect()[0]
+    assert out.ips_value == 0.0 and out.snips_value is None
+
+
+def test_ips_identity_policy_recovers_mean_over_propensity(spark):
+    from pyspark.sql import functions as FF
+
+    from google_analytics_to_s3_spark.operators.stats import (
+        ips_policy_value,
+    )
+
+    # target == logged everywhere -> IPS = mean(r)/p-scaled identity:
+    # sum(r)/(p*n); SNIPS = mean(r)
+    df = spark.range(100).select(
+        (FF.col("id") % 3).alias("a"), (FF.col("id") % 3).alias("b"),
+        (FF.col("id") * 2).alias("r"),
+    )
+    out = ips_policy_value(df, "a", "b", "r", 1.0).collect()[0]
+    assert out.ips_value == out.snips_value == 99.0
