@@ -843,3 +843,92 @@ def hashed_features(
         .groupBy(id_col, "feature_idx")
         .agg(F.count(F.lit(1)).cast("long").alias("count"))
     )
+
+
+def build_positional_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Positional postings table ``(term_bucket, term, doc_id, pos)``
+    — the build-once-query-many companion of the scan-local
+    :func:`phrase_hits` (exactly the trade documented there: the
+    index only pays when a frozen corpus serves many queries, the
+    regime of the persisted IVF index in operators/similarity.py).
+
+    ``term_bucket = md5(term) % n_buckets`` exists to be the PARTITION
+    key when the index is persisted (``.write.partitionBy(
+    "term_bucket")``): a phrase query touches k terms -> k buckets, so
+    the scan prunes to k/n_buckets of the index files before any row
+    is read. Build is one posexplode projection — the only shuffle is
+    the optional write-side repartition.
+    """
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col), F.posexplode(toks).alias("_p", "term")
+    ).select(
+        (
+            F.conv(F.substring(F.md5(F.col("term")), 1, 14), 16, 10)
+            .cast("long") % n_buckets
+        ).alias("term_bucket"),
+        "term",
+        id_col,
+        (F.col("_p") + 1).cast("long").alias("pos"),  # 1-based
+    )
+
+
+def phrase_query_index(
+    index: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact phrase retrieval FROM a positional index: the classic
+    k-way positional self-join — leg j keeps postings of word j with
+    candidate start ``pos - j``, an inner join on (doc, start) per
+    additional leg. Output matches :func:`phrase_search` row-for-row
+    (``(phrase, doc_id, n_matches, first_pos)``, overlapping matches
+    included), pinned by tests — the two formulations are the same
+    operator at different points in the build/query cost trade.
+
+    Every leg filters on ``(term_bucket, term)`` so a
+    partitionBy(term_bucket)-persisted index prunes to the k touched
+    buckets (the nprobe analogue). k-1 joins shuffle only the touched
+    terms' postings, never the corpus.
+    """
+    outs = []
+    for phrase in phrases:
+        words = phrase.split()
+        if not words:
+            raise ValueError("phrase_query_index: empty phrase")
+        legs = []
+        for j, w in enumerate(words):
+            b = int(
+                __import__("hashlib").md5(w.encode()).hexdigest()[:14],
+                16,
+            ) % n_buckets
+            legs.append(
+                index.filter(
+                    (F.col("term_bucket") == b) & (F.col("term") == w)
+                ).select(
+                    F.col(id_col),
+                    (F.col("pos") - j).alias("_start"),
+                )
+            )
+        hits = legs[0]
+        for leg in legs[1:]:
+            hits = hits.join(leg, [id_col, "_start"])
+        outs.append(
+            hits.groupBy(id_col).agg(
+                F.count(F.lit(1)).cast("long").alias("n_matches"),
+                F.min("_start").cast("long").alias("first_pos"),
+            ).select(
+                F.lit(phrase).alias("phrase"),
+                id_col, "n_matches", "first_pos",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -1984,3 +1984,75 @@ ORACLES_EXTRA: dict[str, str] = {
     "events_grouping_sets": SQL_EVENTS_GROUPING_SETS,
     "hopping_window": SQL_HOPPING_WINDOW,
 }
+
+
+_H_BITS = 8
+
+
+def q_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering keys over (user_id, epoch-second) —
+    the locality upgrade of zorder_keys (consecutive keys are always
+    grid-adjacent cells). Mins/maxs from one 1-row aggregate (the
+    zorder_keys contract); the oracle replays all 8 quadrant-walk
+    rounds as chained CTEs, so every key must match bit-for-bit."""
+    from ..sources.maintenance import with_hilbert_key
+
+    e = load_events(spark, sf_dir).select(
+        "event_id", "user_id", F.expr("ts_ms div 1000").alias("ts_s")
+    )
+    row = e.agg(
+        F.min("user_id"), F.max("user_id"), F.min("ts_s"), F.max("ts_s")
+    ).first()
+    return with_hilbert_key(
+        e, "user_id", "ts_s",
+        [row[0], row[2]], [row[1], row[3]], bits=_H_BITS,
+    ).select("event_id", "hkey")
+
+
+def _hilbert_oracle_sql() -> str:
+    top = (1 << _H_BITS) - 1
+    n = 1 << _H_BITS
+    ctes = []
+    prev = "l0"
+    for i, b in enumerate(range(_H_BITS - 1, -1, -1)):
+        s = 1 << b
+        cur = f"l{i + 1}"
+        ctes.append(f"""{cur} AS (
+  SELECT event_id,
+         d + {s * s} * CAST(xor(3 * rx, ry) AS BIGINT) AS d,
+         CASE WHEN ry = 0
+              THEN CASE WHEN rx = 1 THEN {n - 1} - y ELSE y END
+              ELSE x END AS x,
+         CASE WHEN ry = 0
+              THEN CASE WHEN rx = 1 THEN {n - 1} - x ELSE x END
+              ELSE y END AS y
+  FROM (SELECT event_id, d, x, y,
+               CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+        FROM {prev})
+)""")
+        prev = cur
+    body = ",\n".join(ctes)
+    return f"""
+WITH stats AS (
+  SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+         min(epoch_ms(ts) // 1000) AS mnt, max(epoch_ms(ts) // 1000) AS mxt
+  FROM events
+),
+l0 AS (
+  SELECT event_id,
+         CAST(0 AS BIGINT) AS d,
+         (user_id - s.mnu) * {top}
+           // greatest(s.mxu - s.mnu, 1) AS x,
+         (epoch_ms(ts) // 1000 - s.mnt) * {top}
+           // greatest(s.mxt - s.mnt, 1) AS y
+  FROM events, stats s
+),
+{body}
+SELECT event_id, d AS hkey FROM {prev}
+"""
+
+
+SQL_HILBERT_KEYS = _hilbert_oracle_sql()
+QUERIES_EXTRA["hilbert_keys"] = q_hilbert_keys
+ORACLES_EXTRA["hilbert_keys"] = SQL_HILBERT_KEYS

@@ -1052,3 +1052,20 @@ ORACLES_IDENTITY: dict[str, str] = {
     "k_anonymity": SQL_K_ANONYMITY,
     "seasonal_anomalies": SQL_SEASONAL_ANOMALIES,
 }
+
+
+def q_phrase_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME phrase retrieval as phrase_search, answered from a
+    positional inverted index (build + k-way positional self-join,
+    operators/text.build_positional_index / phrase_query_index) —
+    the build-once-query-many formulation. Shares phrase_search's
+    oracle verbatim: a green row pins index == scan-local."""
+    from ..operators.text import build_positional_index, phrase_query_index
+
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = build_positional_index(d)
+    return phrase_query_index(idx, _PHRASES)
+
+
+QUERIES_IDENTITY["phrase_index_search"] = q_phrase_index_search
+ORACLES_IDENTITY["phrase_index_search"] = SQL_PHRASE_SEARCH

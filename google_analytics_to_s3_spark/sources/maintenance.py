@@ -290,3 +290,93 @@ def partition_stats(
             ),
         )
     return out
+
+
+def hilbert_xy2d(bits: int, x: int, y: int) -> int:
+    """Reference Hilbert distance of integer cell (x, y) on the
+    2^bits x 2^bits grid — the public-domain xy2d loop (Wikipedia
+    "Hilbert curve"), used by tests to pin the DataFrame version."""
+    n = 1 << bits
+    d = 0
+    s = n >> 1
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def with_hilbert_key(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    mins: "list[int]",
+    maxs: "list[int]",
+    bits: int = 8,
+    out_col: str = "hkey",
+) -> DataFrame:
+    """Hilbert-curve clustering key over two integer columns — the
+    locality upgrade of :func:`zorder_value`: consecutive key values
+    are ALWAYS grid-adjacent cells (Morton order jumps at quadrant
+    seams), so files clustered by key range cover tighter rectangles
+    and min/max pruning discards more.
+
+    Same integer range normalization as z-order ((v-min)*(2^bits-1)
+    div span — no floats), then ``bits`` unrolled rounds of the xy2d
+    quadrant walk. The rotation carries (x, y) state across rounds, so
+    this is a DataFrame transform (one ``withColumns`` projection per
+    round — Catalyst collapses all of them into a single codegen
+    stage), not a pure Column like the stateless Morton interleave.
+    The key is d < 4^bits — int64-safe for any bits <= 31; the default
+    8 gives a 256x256 grid, plenty for file-level clustering.
+    """
+    if not (1 <= bits <= 31):
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    top = (1 << bits) - 1
+    n = 1 << bits
+
+    def norm(c: str, mn: int, mx: int):
+        span = max(int(mx) - int(mn), 1)
+        return F.call_function(
+            "div",
+            (F.col(c).cast("long") - F.lit(int(mn))) * F.lit(top),
+            F.lit(span),
+        )
+
+    out = df.withColumns({
+        "_hx": norm(x_col, mins[0], maxs[0]),
+        "_hy": norm(y_col, mins[1], maxs[1]),
+        "_hd": F.lit(0).cast("long"),
+    })
+    for b in range(bits - 1, -1, -1):
+        s = 1 << b
+        rx = F.when(
+            F.col("_hx").bitwiseAND(F.lit(s)) > 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        ry = F.when(
+            F.col("_hy").bitwiseAND(F.lit(s)) > 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        reflect = (rx == 1) & (ry == 0)
+        out = out.withColumns({
+            "_hd": F.col("_hd")
+            + F.lit(s * s) * (F.lit(3) * rx).bitwiseXOR(ry).cast("long"),
+            "_hx": F.when(
+                ry == 0,
+                F.when(reflect, F.lit(n - 1) - F.col("_hy"))
+                .otherwise(F.col("_hy")),
+            ).otherwise(F.col("_hx")),
+            "_hy": F.when(
+                ry == 0,
+                F.when(reflect, F.lit(n - 1) - F.col("_hx"))
+                .otherwise(F.col("_hx")),
+            ).otherwise(F.col("_hy")),
+        })
+    return out.withColumn(out_col, F.col("_hd")).drop(
+        "_hx", "_hy", "_hd"
+    )

@@ -951,3 +951,62 @@ def test_dq_checks_single_scan_and_planted_violations(spark, sf_smoke):
     child = spark.createDataFrame([(1,), (3,), (None,)], "fk LONG")
     ri = ref_integrity(child, parent, "fk", "pk", "c").collect()[0]
     assert ri["violations"] == 1 and not ri["passed"]
+
+
+class TestHilbertKeys:
+    def test_reference_is_a_bijection_with_unit_steps(self):
+        """xy2d over the full 16x16 grid hits every d exactly once AND
+        consecutive d values are Manhattan-adjacent cells — the
+        locality property that makes Hilbert beat Morton for file
+        clustering (Morton jumps at quadrant seams)."""
+        from google_analytics_to_s3_spark.sources.maintenance import (
+            hilbert_xy2d,
+        )
+
+        bits = 4
+        n = 1 << bits
+        inv = {}
+        for x in range(n):
+            for y in range(n):
+                inv[hilbert_xy2d(bits, x, y)] = (x, y)
+        assert sorted(inv) == list(range(n * n))
+        for d in range(n * n - 1):
+            (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+    def test_dataframe_matches_reference(self, spark):
+        from google_analytics_to_s3_spark.sources.maintenance import (
+            hilbert_xy2d, with_hilbert_key,
+        )
+
+        bits = 5
+        n = 1 << bits
+        rows = [(x * n + y, x, y) for x in range(n) for y in range(n)]
+        df = spark.createDataFrame(rows, "rid long, x long, y long")
+        # mins/maxs spanning exactly the grid -> normalization is
+        # identity
+        out = {
+            r.rid: r.hkey
+            for r in with_hilbert_key(
+                df, "x", "y", [0, 0], [n - 1, n - 1], bits=bits
+            ).collect()
+        }
+        for x in range(n):
+            for y in range(n):
+                assert out[x * n + y] == hilbert_xy2d(bits, x, y)
+
+    def test_single_codegen_stage(self, spark):
+        """All 8 unrolled rounds collapse into one projection — no
+        exchange, no extra stages."""
+        from google_analytics_to_s3_spark.sources.maintenance import (
+            with_hilbert_key,
+        )
+
+        from pyspark.sql import functions as F
+
+        df = spark.range(100).select(
+            F.col("id").alias("x"), (F.col("id") * 3 % 97).alias("y")
+        )
+        q = with_hilbert_key(df, "x", "y", [0, 0], [99, 96], bits=8)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan

@@ -171,3 +171,52 @@ def test_bm25_search_ranks_matching_docs_first(spark):
     assert order[-1] == 3           # no-match doc last
     scores = {r["doc_id"]: r["score"] for r in rows}
     assert scores[3] == 0.0 and scores[1] > scores[4] > scores[2]
+
+
+class TestPositionalIndex:
+    def test_index_query_equals_scan_local(self, spark):
+        """The k-way positional-index join and the scan-local HOF give
+        identical results — same operator, different cost point."""
+        from google_analytics_to_s3_spark.operators.text import (
+            build_positional_index, phrase_query_index, phrase_search,
+        )
+
+        rows = [
+            (1, "a b c a b c a b"),
+            (2, "b c b c"),
+            (3, "a a a a"),
+            (4, "x y z"),
+            (5, "a"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        phrases = ["a b", "b c b", "a a a", "q z"]
+        want = sorted(map(tuple, phrase_search(df, phrases).collect()))
+        idx = build_positional_index(df)
+        got = sorted(map(tuple,
+                         phrase_query_index(idx, phrases).collect()))
+        assert got == want
+        # overlapping matches counted: 'a a a' in doc 3 has 2 starts
+        assert ("a a a", 3, 2, 1) in got
+
+    def test_persisted_index_prunes_partitions(self, spark, tmp_path):
+        """partitionBy(term_bucket) + the per-term bucket filter ->
+        the scan reads only the touched buckets (the nprobe analogue)."""
+        from google_analytics_to_s3_spark.operators.text import (
+            build_positional_index, phrase_query_index,
+        )
+
+        rows = [(i, f"w{i % 40} common w{(i + 1) % 40}")
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        path = str(tmp_path / "pidx")
+        build_positional_index(df).write.partitionBy(
+            "term_bucket"
+        ).parquet(path)
+        idx = spark.read.parquet(path)
+        q = phrase_query_index(idx, ["w3 common"])
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        # partition filter on term_bucket made it into the scan
+        assert "term_bucket" in plan
+        got = {(r.doc_id, r.n_matches) for r in q.collect()}
+        want = {(i, 1) for i in range(200) if i % 40 == 3}
+        assert got == want
