@@ -1414,3 +1414,101 @@ def ips_policy_value(
             6,
         ).alias("snips_value"),
     )
+
+
+def split_conformal_intervals(
+    df: DataFrame,
+    group_cols: "list[str] | tuple[str, ...]",
+    pred_col: str,
+    actual_col: str,
+    split_col: str,
+    tie_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split conformal prediction (Vovk et al.; Lei et al. JASA'18):
+    distribution-free prediction intervals with finite-sample
+    coverage. On the CALIBRATION split (``split_col`` = 0) the
+    nonconformity scores ``|actual - pred|`` are ranked per group and
+    ``q_hat`` is the score at rank ``ceil((n_cal + 1) * (1 - alpha))``
+    (the finite-sample-corrected order statistic; q_hat = +inf -> NULL
+    when the rank exceeds n_cal, i.e. the calibration set is too small
+    for the requested coverage). ``pred +/- q_hat`` then covers a
+    fresh point with probability >= 1 - alpha — no distributional
+    assumption on the model or the noise.
+
+    The TEST split (= 1) rides along for an honest empirical coverage
+    readout. One exchange on the group key feeds the per-group score
+    ranking (groups process in parallel — the touchpoints window
+    contract); everything else is conditional aggregation. ``tie_col``
+    totalizes the score order so both engines rank identically.
+    Output per group: ``(group..., n_cal, n_test, q_hat, coverage)``
+    (round 6; coverage NULL when the test split is empty).
+    """
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    gcols = list(group_cols)
+    score = F.abs(
+        F.col(actual_col).cast("double") - F.col(pred_col).cast("double")
+    )
+    cal = df.filter(F.col(split_col) == 0).select(
+        *gcols, score.alias("_s"), F.col(tie_col).alias("_tie")
+    )
+    w = Window.partitionBy(*gcols).orderBy("_s", "_tie")
+    ranked = cal.select(
+        *gcols, "_s",
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(*gcols)
+        ).alias("_ncal"),
+    )
+    # target rank: ceil((n+1)(1-alpha)) in exact integer arithmetic on
+    # a 10^9 grid (no float ceil disagreements); (a + b - 1) div b is
+    # ceil for positive operands in both engines (n_cal < ~9e9 keeps
+    # the product inside int64)
+    one_m_a = round((1.0 - alpha) * 10**9)
+    target = F.expr(
+        f"((_ncal + 1) * {one_m_a} + 999999999) div 1000000000"
+    )
+    qhat = ranked.filter(F.col("_rk") == target).groupBy(*gcols).agg(
+        F.max("_s").alias("_qhat"),
+        F.max("_ncal").cast("long").alias("n_cal"),
+    )
+    ncal_only = cal.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cal")
+    )
+    # groups whose calibration set is too small never match the rank
+    # filter; recover them with NULL q_hat via a left join from the
+    # full group list
+    qhat_full = ncal_only.join(
+        qhat.drop("n_cal"), gcols, "left"
+    )
+    test = df.filter(F.col(split_col) == 1).select(
+        *gcols, score.alias("_s")
+    )
+    cov = (
+        test.join(F.broadcast(qhat_full), gcols, "inner")
+        .groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("_s") <= F.col("_qhat"), 1).otherwise(0)
+            ).cast("long").alias("_cov"),
+        )
+    )
+    return (
+        qhat_full.join(cov, gcols, "left")
+        .select(
+            *gcols,
+            "n_cal",
+            F.coalesce("n_test", F.lit(0).cast("long")).alias("n_test"),
+            F.round(F.col("_qhat"), 6).alias("q_hat"),
+            F.round(
+                F.when(
+                    (F.col("n_test") > 0) & F.col("_qhat").isNotNull(),
+                    F.col("_cov").cast("double")
+                    / F.col("n_test").cast("double"),
+                ),
+                6,
+            ).alias("coverage"),
+        )
+    )

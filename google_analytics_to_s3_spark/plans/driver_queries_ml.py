@@ -1399,3 +1399,111 @@ FROM a ORDER BY event_type
 
 QUERIES_ML["offline_policy"] = q_offline_policy
 ORACLES_ML["offline_policy"] = SQL_OFFLINE_POLICY
+
+
+_CONF_ALPHA = 0.1
+
+
+def q_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per event type: the
+    calibration-mean predictor gets a distribution-free +/- q_hat
+    band at 90% nominal coverage, and the held-out split reports the
+    empirical coverage (operators/stats.split_conformal_intervals).
+    Split = md5 grid (80/20)."""
+    from ..operators.stats import split_conformal_intervals
+
+    e = load_events(spark, sf_dir).select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(
+            (
+                F.conv(F.substring(
+                    F.md5(F.concat(F.lit("cal#"),
+                                   F.col("event_id").cast("string"))),
+                    1, 14,
+                ), 16, 10).cast("long") % 5
+            ) == 0,
+            1,
+        ).otherwise(0).alias("split"),
+    )
+    means = (
+        e.filter(F.col("split") == 0)
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum("cents").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("pred")
+        )
+    )
+    joined = e.join(F.broadcast(means), "event_type")
+    return split_conformal_intervals(
+        joined, ["event_type"], "pred", "cents", "split", "event_id",
+        alpha=_CONF_ALPHA,
+    ).orderBy("event_type")
+
+
+def _conformal_sql() -> str:
+    one_m_a = round((1.0 - _CONF_ALPHA) * 10**9)
+    return f"""
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents,
+         CASE WHEN ('0x' || substr(md5('cal#' || CAST(event_id AS VARCHAR)),
+                                   1, 14))::BIGINT % 5 = 0
+              THEN 1 ELSE 0 END AS split
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pred
+  FROM e WHERE split = 0 GROUP BY 1
+),
+cal AS (
+  SELECT e.event_type, abs(CAST(cents AS DOUBLE) - pred) AS s, event_id
+  FROM e JOIN m USING (event_type) WHERE split = 0
+),
+r AS (
+  SELECT event_type, s,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY s, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS ncal
+  FROM cal
+),
+q AS (
+  SELECT event_type, max(s) AS qhat
+  FROM r
+  WHERE rk = ((ncal + 1) * {one_m_a} + 999999999) // 1000000000
+  GROUP BY 1
+),
+qf AS (
+  SELECT nc.event_type, nc.n_cal, q.qhat
+  FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal
+        FROM cal GROUP BY 1) nc
+  LEFT JOIN q USING (event_type)
+),
+t AS (
+  SELECT e.event_type, abs(CAST(cents AS DOUBLE) - pred) AS s
+  FROM e JOIN m USING (event_type) WHERE split = 1
+),
+cov AS (
+  SELECT t.event_type,
+         CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN t.s <= qf.qhat THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM t JOIN qf USING (event_type) GROUP BY 1
+)
+SELECT qf.event_type, qf.n_cal,
+       coalesce(cov.n_test, 0) AS n_test,
+       round(qf.qhat, 6) AS q_hat,
+       round(CASE WHEN cov.n_test > 0 AND qf.qhat IS NOT NULL
+                  THEN CAST(cov.c AS DOUBLE) / CAST(cov.n_test AS DOUBLE)
+             END, 6) AS coverage
+FROM qf LEFT JOIN cov USING (event_type)
+ORDER BY event_type
+"""
+
+
+SQL_CONFORMAL_INTERVALS = _conformal_sql()
+QUERIES_ML["conformal_intervals"] = q_conformal_intervals
+ORACLES_ML["conformal_intervals"] = SQL_CONFORMAL_INTERVALS

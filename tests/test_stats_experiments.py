@@ -370,3 +370,65 @@ def test_ips_identity_policy_recovers_mean_over_propensity(spark):
     )
     out = ips_policy_value(df, "a", "b", "r", 1.0).collect()[0]
     assert out.ips_value == out.snips_value == 99.0
+
+
+# -------------------------------------------------------- conformal
+
+
+def test_conformal_exact_rank_semantics(spark):
+    """q_hat is EXACTLY the ceil((n+1)(1-alpha))-th smallest score."""
+    from google_analytics_to_s3_spark.operators.stats import (
+        split_conformal_intervals,
+    )
+
+    # 9 calibration rows, scores 1..9; alpha=0.1 ->
+    # rank ceil(10*0.9) = 9 -> q_hat = 9.0
+    rows = [("g", i, 0, i, 0) for i in range(1, 10)]
+    rows += [("g", 100, 0, 5, 1)]  # one test row, score 5 <= 9
+    df = spark.createDataFrame(
+        rows, "g string, tid long, pred long, actual long, split int"
+    )
+    out = split_conformal_intervals(
+        df, ["g"], "pred", "actual", "split", "tid", alpha=0.1
+    ).collect()[0]
+    assert out.n_cal == 9 and out.q_hat == 9.0
+    assert out.n_test == 1 and out.coverage == 1.0
+
+
+def test_conformal_small_calibration_yields_null(spark):
+    from google_analytics_to_s3_spark.operators.stats import (
+        split_conformal_intervals,
+    )
+
+    # 3 cal rows at alpha=0.1 -> rank ceil(4*0.9)=4 > 3 -> NULL q_hat
+    rows = [("g", i, 0, i, 0) for i in range(3)]
+    rows += [("g", 50, 0, 1, 1)]
+    df = spark.createDataFrame(
+        rows, "g string, tid long, pred long, actual long, split int"
+    )
+    out = split_conformal_intervals(
+        df, ["g"], "pred", "actual", "split", "tid", alpha=0.1
+    ).collect()[0]
+    assert out.q_hat is None and out.coverage is None
+
+
+def test_conformal_coverage_on_deterministic_noise(spark):
+    """Empirical coverage lands near 1-alpha when cal and test draw
+    the same (hash-deterministic) noise distribution."""
+    from pyspark.sql import functions as FF
+
+    from google_analytics_to_s3_spark.operators.stats import (
+        split_conformal_intervals,
+    )
+
+    df = spark.range(2000).select(
+        FF.lit("g").alias("g"),
+        FF.col("id").alias("tid"),
+        FF.lit(0).alias("pred"),
+        (FF.xxhash64("id") % 1000).alias("actual"),
+        (FF.col("id") % 5 == 0).cast("int").alias("split"),
+    )
+    out = split_conformal_intervals(
+        df, ["g"], "pred", "actual", "split", "tid", alpha=0.1
+    ).collect()[0]
+    assert 0.85 <= out.coverage <= 0.97
