@@ -1260,10 +1260,12 @@ def _jpeg_extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def _parse_jpeg(raw: bytes) -> tuple[int, int, "np.ndarray"]:
-    """Decode a grayscale baseline JPEG: returns (width, height,
-    uint8 pixel array of h*w). Raises ValueError on malformed input
-    and on honest unsupported corners (progressive, multi-component,
+def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    """Decode a baseline JPEG — grayscale or 4:4:4 YCbCr (interleaved
+    MCUs, per-component quant/Huffman tables and DC predictors, JFIF
+    color conversion): returns (width, height, channels, uint8 array
+    of h*w*channels). Raises ValueError on malformed input and on the
+    honest unsupported corners (progressive, chroma-subsampled,
     12-bit, restart intervals) so they quarantine cleanly."""
     if len(raw) < 4 or raw[0:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload (bad SOI)")
@@ -1298,15 +1300,18 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, "np.ndarray"]:
             prec, h, w, ncomp = struct.unpack(">BHHB", body[0:6])
             if prec != 8:
                 raise ValueError(f"{prec}-bit JPEG not supported")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise ValueError(
                     f"{ncomp}-component JPEG not supported (grayscale "
-                    "baseline only)"
+                    "or 4:4:4 YCbCr baseline only)"
                 )
-            cid, sampling, tq = body[6], body[7], body[8]
-            if sampling != 0x11:
-                raise ValueError("chroma subsampling not supported")
-            sof = (w, h, cid, tq)
+            comps = []
+            for ci in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * ci:9 + 3 * ci]
+                if sampling != 0x11:
+                    raise ValueError("chroma subsampling not supported")
+                comps.append((cid, tq))
+            sof = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -1329,65 +1334,95 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, "np.ndarray"]:
             raise ValueError("restart intervals not supported")
         elif marker == 0xDA:  # SOS
             ns = body[0]
-            if ns != 1:
-                raise ValueError("multi-component scan not supported")
-            comp_spec = (body[1], body[2] >> 4, body[2] & 15)
+            comp_spec = {}
+            for ci in range(ns):
+                comp_spec[body[1 + 2 * ci]] = (
+                    body[2 + 2 * ci] >> 4, body[2 + 2 * ci] & 15
+                )
             scan_pos = pos + 2 + seglen
             break
         pos += 2 + seglen
     if sof is None or scan_pos is None or comp_spec is None:
         raise ValueError("missing SOF0/SOS segment")
-    w, h, cid, tq = sof
+    w, h, comps = sof
     if w <= 0 or h <= 0:
         raise ValueError(f"non-positive dimensions {w}x{h}")
-    if tq not in qtables:
-        raise ValueError(f"missing quant table {tq}")
-    _, dc_id, ac_id = comp_spec
-    if dc_id not in dc_tables or ac_id not in ac_tables:
-        raise ValueError("missing Huffman table for scan")
-    q = np.zeros((8, 8), dtype=np.float64)
-    for zzpos, (r, c) in enumerate(_JPEG_ZZ):
-        q[r, c] = qtables[tq][zzpos]
-    dc_t, ac_t = dc_tables[dc_id], ac_tables[ac_id]
+    if len(comp_spec) != len(comps):
+        raise ValueError("scan component count != frame component count")
 
+    # per-component (quant matrix, DC table, AC table)
+    a = _jpeg_idct_matrix()
+    plan = []
+    for cid, tq in comps:
+        if tq not in qtables:
+            raise ValueError(f"missing quant table {tq}")
+        if cid not in comp_spec:
+            raise ValueError(f"scan is missing component {cid}")
+        dc_id, ac_id = comp_spec[cid]
+        if dc_id not in dc_tables or ac_id not in ac_tables:
+            raise ValueError("missing Huffman table for scan")
+        q = np.zeros((8, 8), dtype=np.float64)
+        for zzpos, (r, c) in enumerate(_JPEG_ZZ):
+            q[r, c] = qtables[tq][zzpos]
+        plan.append((q, dc_tables[dc_id], ac_tables[ac_id]))
+
+    def decode_block(reader, q, dc_t, ac_t, pred):
+        coefs = np.zeros((8, 8), dtype=np.float64)
+        s = _jpeg_huff_decode(reader, dc_t)
+        diff = _jpeg_extend(reader.bits(s), s) if s else 0
+        pred += diff
+        coefs[0, 0] = pred
+        k = 1
+        while k <= 63:
+            rs = _jpeg_huff_decode(reader, ac_t)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run overflows block")
+            rr, cc = _JPEG_ZZ[k]
+            coefs[rr, cc] = _jpeg_extend(reader.bits(s), s)
+            k += 1
+        return a @ (coefs * q) @ a.T + 128.0, pred
+
+    ncomp = len(comps)
     bw, bh = (w + 7) // 8, (h + 7) // 8
     reader = _JpegBitReader(raw, scan_pos)
-    a = _jpeg_idct_matrix()
-    img = np.empty((bh * 8, bw * 8), dtype=np.uint8)
-    pred = 0
+    planes = np.empty((ncomp, bh * 8, bw * 8), dtype=np.float64)
+    preds = [0] * ncomp
     for by in range(bh):
         for bx in range(bw):
-            coefs = np.zeros((8, 8), dtype=np.float64)
-            s = _jpeg_huff_decode(reader, dc_t)
-            diff = _jpeg_extend(reader.bits(s), s) if s else 0
-            pred += diff
-            coefs[0, 0] = pred
-            k = 1
-            while k <= 63:
-                rs = _jpeg_huff_decode(reader, ac_t)
-                r, s = rs >> 4, rs & 15
-                if s == 0:
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC run overflows block")
-                rr, cc = _JPEG_ZZ[k]
-                coefs[rr, cc] = _jpeg_extend(reader.bits(s), s)
-                k += 1
-            block = a @ (coefs * q) @ a.T + 128.0
-            img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
-                np.rint(block), 0, 255
-            ).astype(np.uint8)
-    return w, h, img[:h, :w].reshape(-1)
+            # interleaved MCU: one 8x8 block per component (4:4:4)
+            for ci, (q, dc_t, ac_t) in enumerate(plan):
+                block, preds[ci] = decode_block(
+                    reader, q, dc_t, ac_t, preds[ci]
+                )
+                planes[ci, by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+    planes = planes[:, :h, :w]
+    if ncomp == 1:
+        px = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, px.reshape(-1)
+    # JFIF YCbCr -> RGB (floats carried unrounded from the IDCT so the
+    # only rounding is the final per-channel one)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ], axis=-1)
+    px = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return w, h, 3, px.reshape(-1)
 
 
 JPEG_META_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("width", IntegerType()),
     StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
     StructField("y_sum", LongType()),
     StructField("mean_px", DoubleType()),
     StructField("payload_sha256", StringType()),
@@ -1407,8 +1442,8 @@ def decode_jpeg_meta(
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in (
-                "doc_id", "width", "height", "y_sum", "mean_px",
-                "payload_sha256", "decode_error")}
+                "doc_id", "width", "height", "channels", "y_sum",
+                "mean_px", "payload_sha256", "decode_error")}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload)
                 rows["doc_id"].append(doc_id)
@@ -1416,16 +1451,18 @@ def decode_jpeg_meta(
                     hashlib.sha256(raw).hexdigest()
                 )
                 try:
-                    w, h, px = _parse_jpeg(raw)
+                    w, h, c, px = _parse_jpeg(raw)
                     ps = int(px.sum(dtype=np.int64))
                     rows["width"].append(w)
                     rows["height"].append(h)
+                    rows["channels"].append(c)
                     rows["y_sum"].append(ps)
                     rows["mean_px"].append(round(ps / px.size, 6))
                     rows["decode_error"].append(None)
                 except ValueError as e:
                     rows["width"].append(None)
                     rows["height"].append(None)
+                    rows["channels"].append(None)
                     rows["y_sum"].append(None)
                     rows["mean_px"].append(None)
                     rows["decode_error"].append(str(e))
@@ -1433,6 +1470,7 @@ def decode_jpeg_meta(
                 "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
                 "width": pd.Series(rows["width"], dtype="Int32"),
                 "height": pd.Series(rows["height"], dtype="Int32"),
+                "channels": pd.Series(rows["channels"], dtype="Int32"),
                 "y_sum": pd.Series(rows["y_sum"], dtype="Int64"),
                 "mean_px": pd.Series(rows["mean_px"], dtype="float64"),
                 "payload_sha256": pd.Series(rows["payload_sha256"],

@@ -608,15 +608,22 @@ def jpeg_block_plan(seed: int, n_blocks: int) -> list[dict[int, int]]:
     return blocks
 
 
-def make_jpeg_baseline(seed: int, w: int = 16, h: int = 16) -> bytes:
-    """Serialize a REAL grayscale baseline JPEG (SOI/DQT/SOF0/DHT/SOS,
-    huffman-entropy-coded MCUs with DC prediction, 0xFF byte stuffing,
-    EOI) whose quantized coefficients are :func:`jpeg_block_plan`.
+def make_jpeg_baseline(
+    seed: int, w: int = 16, h: int = 16, channels: int = 1
+) -> bytes:
+    """Serialize a REAL baseline JPEG (SOI/DQT/SOF0/DHT/SOS,
+    huffman-entropy-coded MCUs with per-component DC prediction, 0xFF
+    byte stuffing, EOI) whose quantized coefficients are
+    :func:`jpeg_block_plan` (component c uses ``seed + 1000*c``).
+    ``channels`` is 1 (grayscale) or 3 (interleaved 4:4:4 YCbCr, all
+    components sharing quant table 0 and the DC0/AC0 Huffman tables).
     ``w``/``h`` must be multiples of 8."""
     import struct as _struct
 
     if w % 8 or h % 8:
         raise ValueError("fixture dimensions must be multiples of 8")
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
     dc_codes = _huff_codes(JPEG_DC_BITS, JPEG_DC_VALS)
     ac_codes = _huff_codes(JPEG_AC_BITS, JPEG_AC_VALS)
 
@@ -624,16 +631,23 @@ def make_jpeg_baseline(seed: int, w: int = 16, h: int = 16) -> bytes:
     # DQT: table 0, zigzag order (flat, so order is moot)
     out += b"\xFF\xDB" + _struct.pack(">H", 67) + b"\x00"
     out += bytes([JPEG_Q] * 64)
-    # SOF0: 8-bit, 1 component, no subsampling
-    out += b"\xFF\xC0" + _struct.pack(">HBHHB", 11, 8, h, w, 1)
-    out += bytes([1, 0x11, 0])
+    # SOF0: 8-bit, no subsampling on any component
+    out += b"\xFF\xC0" + _struct.pack(
+        ">HBHHB", 8 + 3 * channels, 8, h, w, channels
+    )
+    for ci in range(channels):
+        out += bytes([ci + 1, 0x11, 0])
     # DHT: DC class 0 id 0, then AC class 1 id 0
     for cls, bits, vals in ((0, JPEG_DC_BITS, JPEG_DC_VALS),
                             (1, JPEG_AC_BITS, JPEG_AC_VALS)):
         out += b"\xFF\xC4" + _struct.pack(">H", 19 + len(vals))
         out += bytes([cls << 4]) + bytes(bits) + bytes(vals)
     # SOS
-    out += b"\xFF\xDA" + _struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xFF\xDA" + _struct.pack(">H", 6 + 2 * channels)
+    out += bytes([channels])
+    for ci in range(channels):
+        out += bytes([ci + 1, 0x00])
+    out += bytes([0, 63, 0])
 
     bitbuf: list[int] = []  # bits, MSB first
 
@@ -647,33 +661,39 @@ def make_jpeg_baseline(seed: int, w: int = 16, h: int = 16) -> bytes:
     def value_bits(v: int, size: int) -> int:
         return v if v >= 0 else v + (1 << size) - 1
 
-    blocks = jpeg_block_plan(seed, (w // 8) * (h // 8))
-    pred = 0
-    for coefs in blocks:
-        dc = coefs.get(0, 0)
-        diff = dc - pred
-        pred = dc
-        s = size_of(diff)
-        code, length = dc_codes[s]
-        put(code, length)
-        if s:
-            put(value_bits(diff, s), s)
-        acs = sorted((p, c) for p, c in coefs.items() if p > 0)
-        k = 1
-        for pos, coef in acs:
-            run = pos - k
-            while run > 15:
-                zc, zl = ac_codes[0xF0]  # ZRL
-                put(zc, zl)
-                run -= 16
-            s = size_of(coef)
-            code, length = ac_codes[(run << 4) | s]
+    n_blocks = (w // 8) * (h // 8)
+    plans = [
+        jpeg_block_plan(seed + 1000 * ci, n_blocks)
+        for ci in range(channels)
+    ]
+    preds = [0] * channels
+    for b in range(n_blocks):
+        for ci in range(channels):  # interleaved MCU (4:4:4)
+            coefs = plans[ci][b]
+            dc = coefs.get(0, 0)
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            s = size_of(diff)
+            code, length = dc_codes[s]
             put(code, length)
-            put(value_bits(coef, s), s)
-            k = pos + 1
-        if k <= 63:
-            ec, el = ac_codes[0x00]  # EOB
-            put(ec, el)
+            if s:
+                put(value_bits(diff, s), s)
+            acs = sorted((p, c) for p, c in coefs.items() if p > 0)
+            k = 1
+            for pos, coef in acs:
+                run = pos - k
+                while run > 15:
+                    zc, zl = ac_codes[0xF0]  # ZRL
+                    put(zc, zl)
+                    run -= 16
+                s = size_of(coef)
+                code, length = ac_codes[(run << 4) | s]
+                put(code, length)
+                put(value_bits(coef, s), s)
+                k = pos + 1
+            if k <= 63:
+                ec, el = ac_codes[0x00]  # EOB
+                put(ec, el)
     # pad to byte with 1s, byte-stuff 0xFF
     while len(bitbuf) % 8:
         bitbuf.append(1)

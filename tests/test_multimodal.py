@@ -621,8 +621,8 @@ class TestJpegDecode:
         )
 
         for seed in (0, 1, 7, 42, 120, 999):
-            w, h, px = _parse_jpeg(make_jpeg_baseline(seed, 16, 16))
-            assert (w, h) == (16, 16)
+            w, h, c, px = _parse_jpeg(make_jpeg_baseline(seed, 16, 16))
+            assert (w, h, c) == (16, 16, 1)
             img = px.reshape(h, w)
             for b, coefs in enumerate(jpeg_block_plan(seed, 4)):
                 by, bx = divmod(b, 2)
@@ -662,8 +662,8 @@ class TestJpegDecode:
 
         # 32x24 -> 12 blocks; seeds cycle all 5 templates incl. the
         # ZRL one (zigzag gap > 15 in T4)
-        w, h, px = _parse_jpeg(make_jpeg_baseline(3, 32, 24))
-        assert (w, h) == (32, 24) and px.size == 32 * 24
+        w, h, c, px = _parse_jpeg(make_jpeg_baseline(3, 32, 24))
+        assert (w, h, c) == (32, 24, 1) and px.size == 32 * 24
 
     def test_quarantine_unsupported_and_malformed(self, spark):
         import pandas as pd
@@ -720,7 +720,7 @@ class TestJpegDecode:
         )
 
         seed = 11
-        w, h, px = _parse_jpeg(make_jpeg_baseline(seed, 16, 16))
+        w, h, c, px = _parse_jpeg(make_jpeg_baseline(seed, 16, 16))
         img = px.reshape(h, w)
         plan = jpeg_block_plan(seed, 4)
         # block DCs differ -> distinct block means prove the chain
@@ -730,3 +730,57 @@ class TestJpegDecode:
         order_means = sorted(range(4), key=lambda b: means[b])
         order_dcs = sorted(range(4), key=lambda b: dcs[b])
         assert order_means == order_dcs
+
+    def test_color_444_roundtrip_against_reference(self):
+        """3-component interleaved MCUs: per-component DC prediction +
+        JFIF YCbCr->RGB. Expected pixels from the fixture's textbook
+        IDCT planes through the same published conversion constants."""
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_jpeg,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            jpeg_block_plan, make_jpeg_baseline, ref_idct_block,
+        )
+
+        for seed in (0, 9, 42):
+            w, h, c, px = _parse_jpeg(
+                make_jpeg_baseline(seed, 16, 16, channels=3)
+            )
+            assert (w, h, c) == (16, 16, 3)
+            img = px.reshape(h, w, 3)
+            planes = np.empty((3, 16, 16), dtype=np.float64)
+            for ci in range(3):
+                for b, coefs in enumerate(
+                    jpeg_block_plan(seed + 1000 * ci, 4)
+                ):
+                    by, bx = divmod(b, 2)
+                    planes[ci, by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] \
+                        = ref_idct_block(coefs) + 128.0
+            y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+            want = np.clip(np.rint(np.stack([
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ], axis=-1)), 0, 255).astype(np.uint8)
+            assert (want == img).all(), seed
+
+    def test_color_channels_reported_in_meta(self, spark):
+        import pandas as pd
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            decode_jpeg_meta,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_jpeg_baseline,
+        )
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2],
+            "payload": [make_jpeg_baseline(7),
+                        make_jpeg_baseline(7, channels=3)],
+        }))
+        rows = {r.doc_id: r for r in decode_jpeg_meta(df).collect()}
+        assert rows[1].channels == 1 and rows[2].channels == 3
+        assert rows[2].decode_error is None
