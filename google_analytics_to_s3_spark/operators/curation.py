@@ -796,3 +796,100 @@ def hash_split(
     for name, ub in reversed(items[:-1]):
         expr = F.when(bucket < ub, F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_cols: "list[str] | tuple[str, ...]",
+    value_col: str,
+    budget: int,
+    id_col: str,
+    seed: str = "ney",
+) -> "tuple[DataFrame, DataFrame]":
+    """Neyman-optimal stratified sampling: stratum h gets sample share
+    proportional to ``N_h * S_h`` (size x std-dev) — the allocation
+    that minimizes the variance of the estimated population mean at a
+    fixed budget (Neyman 1934), vs the proportional allocation
+    ``stratified_sample`` hardcodes.
+
+    Pass 1 is one hash aggregation: per-stratum N and the exact
+    integer sufficient statistics for the sample variance
+    (``(n*Σx² - (Σx)²) / (n*(n-1))`` on DECIMAL(38), one sqrt).
+    Allocation ``round(budget * N_h S_h / Σ N_h S_h)`` is clamped to
+    ``N_h``; degenerate strata (n<2 or zero variance) allocate 0.
+    Sampling is the deterministic md5-grid Bernoulli thinning at rate
+    ``alloc_h / N_h`` on a 10^6 grid — map-side, reproducible across
+    engines/partitionings (realized sizes are Binomial around the
+    allocation; exact-size sampling would need a per-stratum rank).
+
+    Returns ``(sampled_df, allocation_table)``; the allocation table
+    (stratum..., n_rows, stddev, alloc, rate_ppm) is broadcast back
+    for the filter — the fact table never shuffles.
+    """
+    scols = list(stratum_cols)
+    v = F.col(value_col).cast("decimal(38,0)")
+    stats = df.groupBy(*scols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(v).alias("_sx"),
+        F.sum(v * v).alias("_sxx"),
+    )
+    n = F.col("n_rows").cast("decimal(38,0)")
+    var = F.when(
+        F.col("n_rows") > 1,
+        (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+        / (n * (n - 1)).cast("double"),
+    )
+    # std-dev quantized to a 10^6 integer grid BEFORE the cross-stratum
+    # total: the total is then an exact BIGINT sum (a cross-row sum of
+    # irrational doubles would be addition-order-dependent and could
+    # flip a round() boundary between engines)
+    stats = stats.select(
+        *scols, "n_rows",
+        F.coalesce(
+            F.round(F.sqrt(F.greatest(var, F.lit(0.0))) * 1e6)
+            .cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("_sdq"),
+    )
+    total = stats.agg(
+        F.sum(F.col("n_rows") * F.col("_sdq")).cast("long").alias("_tot")
+    )
+    alloc = (
+        stats.crossJoin(F.broadcast(total))
+        .select(
+            *scols, "n_rows",
+            (F.col("_sdq").cast("double") / F.lit(1e6)).alias("stddev"),
+            F.least(
+                F.col("n_rows"),
+                F.when(
+                    F.col("_tot") > 0,
+                    F.round(
+                        F.lit(float(budget))
+                        * (F.col("n_rows") * F.col("_sdq")).cast("double")
+                        / F.col("_tot").cast("double")
+                    ).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ).alias("alloc"),
+        )
+        .withColumn(
+            "rate_ppm",
+            F.round(
+                F.col("alloc").cast("double")
+                / F.col("n_rows").cast("double") * 1e6
+            ).cast("long"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.lit(seed),
+                                  F.col(id_col).cast("string"))), 1, 14
+            ), 16, 10,
+        ).cast("long") % 1000000
+    )
+    sampled = (
+        df.join(F.broadcast(alloc.select(*scols, "rate_ppm")), scols)
+        .filter(u < F.col("rate_ppm"))
+        .drop("rate_ppm")
+    )
+    return sampled, alloc

@@ -1512,3 +1512,69 @@ def split_conformal_intervals(
             ).alias("coverage"),
         )
     )
+
+
+_Z_95 = 1.959964  # two-sided 5%
+_Z_99 = 2.575829  # two-sided 1%
+_Z_POW80 = 0.841621  # one-sided 20% (80% power)
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    arm_col: str,
+    converted_col: str,
+    group_cols: "list[str] | tuple[str, ...]" = (),
+) -> DataFrame:
+    """Two-proportion z-test + minimum-detectable-effect readout — the
+    decision layer on top of ``ab_lift`` (which reports rates) and
+    ``srm_check`` (which validates the split): is the observed rate
+    delta significant, and what delta COULD this sample have detected?
+
+    ``df`` is unit grain with ``arm_col`` 0/1 and ``converted_col``
+    0/1. One conditional aggregation produces the four integer
+    sufficient statistics; z uses the pooled-variance form, flags
+    compare |z| against the tabulated 1.96/2.58 critical literals
+    (the srm_check convention — no inverse CDFs), and ``mde_80`` is
+    the absolute rate delta detectable at 80% power / 5% alpha with
+    the CURRENT arm sizes (``(z_a + z_b) * sqrt(p(1-p)(1/n0+1/n1))``).
+    sqrt is IEEE-correctly-rounded, so the doubles replay in any
+    engine. Output per group: counts, rates, z, significance flags,
+    mde_80 (round 6; NULL z when either arm is empty or the pooled
+    rate is degenerate).
+    """
+    gcols = list(group_cols)
+    arm = F.col(arm_col)
+    conv = F.col(converted_col).cast("long")
+    agg = df.groupBy(*gcols).agg(
+        F.sum(F.when(arm == 0, 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(arm == 0, conv).otherwise(F.lit(0).cast("long")))
+        .cast("long").alias("conv_c"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(arm == 1, conv).otherwise(F.lit(0).cast("long")))
+        .cast("long").alias("conv_t"),
+    )
+    n_c, n_t = F.col("n_c").cast("double"), F.col("n_t").cast("double")
+    p_c = F.col("conv_c").cast("double") / n_c
+    p_t = F.col("conv_t").cast("double") / n_t
+    pp = (
+        (F.col("conv_c") + F.col("conv_t")).cast("double")
+        / (F.col("n_c") + F.col("n_t")).cast("double")
+    )
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n_c + F.lit(1.0) / n_t)
+    )
+    ok = (
+        (F.col("n_c") > 0) & (F.col("n_t") > 0)
+        & (pp > 0) & (pp < 1)
+    )
+    z = (p_t - p_c) / se
+    mde = F.lit(_Z_95 + _Z_POW80) * se
+    return agg.select(
+        *gcols, "n_c", "conv_c", "n_t", "conv_t",
+        F.round(F.when(F.col("n_c") > 0, p_c), 6).alias("rate_c"),
+        F.round(F.when(F.col("n_t") > 0, p_t), 6).alias("rate_t"),
+        F.round(F.when(ok, z), 6).alias("z"),
+        F.when(ok, F.abs(z) > _Z_95).alias("sig_95"),
+        F.when(ok, F.abs(z) > _Z_99).alias("sig_99"),
+        F.round(F.when(ok, mde), 6).alias("mde_80"),
+    )

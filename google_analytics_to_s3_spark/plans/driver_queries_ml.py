@@ -1507,3 +1507,164 @@ ORDER BY event_type
 SQL_CONFORMAL_INTERVALS = _conformal_sql()
 QUERIES_ML["conformal_intervals"] = q_conformal_intervals
 ORACLES_ML["conformal_intervals"] = SQL_CONFORMAL_INTERVALS
+
+
+def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test + MDE on the ab_lift experiment readout
+    (same md5 arms, same high-value-purchase conversion): is the lift
+    significant, and what lift was detectable at this n
+    (operators/stats.two_proportion_ztest)?"""
+    from ..operators.stats import two_proportion_ztest
+
+    e = load_events(spark, sf_dir).select("user_id", "event_type", "value")
+    arm = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("exp1#"),
+                                          F.col("user_id").cast("string"))),
+                           1, 14), 16, 10).cast("long") % 2
+    )
+    per_user = (
+        e.withColumn("arm", arm)
+        .groupBy("arm", "user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 150), 1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return two_proportion_ztest(per_user, "arm", "converted")
+
+
+SQL_AB_ZTEST = """
+WITH per_user AS (
+  SELECT ('0x' || substr(md5('exp1#' || CAST(user_id AS VARCHAR)),
+                         1, 14))::BIGINT % 2 AS arm,
+         user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 150
+             THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1, 2
+),
+a AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+      AS conv_c,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+      AS conv_t
+  FROM per_user
+),
+b AS (
+  SELECT *,
+         CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS p_c,
+         CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS p_t,
+         CAST(conv_c + conv_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE) AS pp
+  FROM a
+),
+c AS (
+  SELECT *,
+         sqrt(pp * (1.0 - pp)
+              * (1.0 / CAST(n_c AS DOUBLE)
+                 + 1.0 / CAST(n_t AS DOUBLE))) AS se,
+         (n_c > 0 AND n_t > 0 AND pp > 0 AND pp < 1) AS ok
+  FROM b
+)
+SELECT n_c, conv_c, n_t, conv_t,
+       round(CASE WHEN n_c > 0 THEN p_c END, 6) AS rate_c,
+       round(CASE WHEN n_t > 0 THEN p_t END, 6) AS rate_t,
+       round(CASE WHEN ok THEN (p_t - p_c) / se END, 6) AS z,
+       CASE WHEN ok THEN abs((p_t - p_c) / se) > 1.959964 END AS sig_95,
+       CASE WHEN ok THEN abs((p_t - p_c) / se) > 2.575829 END AS sig_99,
+       round(CASE WHEN ok THEN (1.959964 + 0.841621) * se END, 6)
+         AS mde_80
+FROM c
+"""
+
+QUERIES_ML["ab_ztest"] = q_ab_ztest
+ORACLES_ML["ab_ztest"] = SQL_AB_ZTEST
+
+
+_NEY_BUDGET = 100
+
+
+def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling of documents by source on
+    the n_chars metric: allocation table + realized deterministic
+    sample sizes (operators/curation.neyman_allocation)."""
+    from ..operators.curation import neyman_allocation
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    sampled, alloc = neyman_allocation(
+        d, ["source"], "n_chars", budget=_NEY_BUDGET, id_col="doc_id"
+    )
+    realized = sampled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("sampled_n")
+    )
+    return (
+        alloc.join(realized, "source", "left")
+        .select(
+            "source", "n_rows", F.round("stddev", 6).alias("stddev"),
+            "alloc", "rate_ppm",
+            F.coalesce("sampled_n", F.lit(0).cast("long"))
+            .alias("sampled_n"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_NEYMAN_SAMPLE = f"""
+WITH s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS sxx
+  FROM documents GROUP BY 1
+),
+q AS (
+  SELECT source, n_rows,
+         CAST(round(sqrt(greatest(
+           CASE WHEN n_rows > 1
+                THEN CAST(n_rows * sxx - sx * sx AS DOUBLE)
+                     / CAST(n_rows * CAST(n_rows - 1 AS HUGEINT)
+                            AS DOUBLE)
+                ELSE 0.0 END, 0.0)) * 1e6) AS BIGINT) AS sdq
+  FROM s
+),
+t AS (SELECT CAST(sum(n_rows * sdq) AS BIGINT) AS tot FROM q),
+alloc AS (
+  SELECT source, n_rows,
+         CAST(sdq AS DOUBLE) / 1e6 AS stddev,
+         least(n_rows,
+               CASE WHEN tot > 0
+                    THEN CAST(round({float(_NEY_BUDGET)!r}
+                              * CAST(n_rows * sdq AS DOUBLE)
+                              / CAST(tot AS DOUBLE)) AS BIGINT)
+                    ELSE 0 END) AS alloc
+  FROM q CROSS JOIN t
+),
+alloc2 AS (
+  SELECT *,
+         CAST(round(CAST(alloc AS DOUBLE)
+                    / CAST(n_rows AS DOUBLE) * 1e6) AS BIGINT)
+           AS rate_ppm
+  FROM alloc
+),
+realized AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS sampled_n
+  FROM documents d JOIN alloc2 USING (source)
+  WHERE ('0x' || substr(md5('ney#' || CAST(doc_id AS VARCHAR)),
+                        1, 14))::BIGINT % 1000000 < rate_ppm
+  GROUP BY 1
+)
+SELECT a.source, a.n_rows, round(a.stddev, 6) AS stddev, a.alloc,
+       a.rate_ppm, coalesce(r.sampled_n, 0) AS sampled_n
+FROM alloc2 a LEFT JOIN realized r USING (source)
+ORDER BY a.source
+"""
+
+QUERIES_ML["neyman_sample"] = q_neyman_sample
+ORACLES_ML["neyman_sample"] = SQL_NEYMAN_SAMPLE

@@ -432,3 +432,73 @@ def test_conformal_coverage_on_deterministic_noise(spark):
         df, ["g"], "pred", "actual", "split", "tid", alpha=0.1
     ).collect()[0]
     assert 0.85 <= out.coverage <= 0.97
+
+
+# ------------------------------------------------------------- z-test
+
+
+def test_ztest_detects_planted_large_lift(spark):
+    from google_analytics_to_s3_spark.operators.stats import (
+        two_proportion_ztest,
+    )
+
+    rows = [(0, 1 if i < 100 else 0) for i in range(1000)]   # 10%
+    rows += [(1, 1 if i < 300 else 0) for i in range(1000)]  # 30%
+    df = spark.createDataFrame(rows, "arm int, converted int")
+    out = two_proportion_ztest(df, "arm", "converted").collect()[0]
+    assert out.rate_c == 0.1 and out.rate_t == 0.3
+    assert out.sig_95 and out.sig_99 and out.z > 10
+    assert 0 < out.mde_80 < 0.2  # this n could detect ~4.4pp
+
+
+def test_ztest_null_on_degenerate(spark):
+    from google_analytics_to_s3_spark.operators.stats import (
+        two_proportion_ztest,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0)] * 10 + [(1, 0)] * 10, "arm int, converted int"
+    )
+    out = two_proportion_ztest(df, "arm", "converted").collect()[0]
+    assert out.z is None and out.sig_95 is None  # pooled rate 0
+
+
+# --------------------------------------------------------- Neyman
+
+
+def test_neyman_allocates_by_size_times_spread(spark):
+    from google_analytics_to_s3_spark.operators.curation import (
+        neyman_allocation,
+    )
+
+    # stratum A: high variance; B same size, near-zero variance ->
+    # nearly all budget goes to A
+    rows = [("A", i, (i * 37) % 1000) for i in range(500)]
+    rows += [("B", 1000 + i, 500) for i in range(500)]
+    df = spark.createDataFrame(rows, "s string, rid long, v long")
+    sampled, alloc = neyman_allocation(
+        df, ["s"], "v", budget=100, id_col="rid"
+    )
+    a = {r.s: r for r in alloc.collect()}
+    assert a["A"].alloc >= 95 and a["B"].alloc <= 5
+    assert a["B"].stddev == 0.0
+    # deterministic: same seed -> same sample
+    ids1 = sorted(r.rid for r in sampled.collect())
+    ids2 = sorted(r.rid for r in
+                  neyman_allocation(df, ["s"], "v", budget=100,
+                                    id_col="rid")[0].collect())
+    assert ids1 == ids2
+
+
+def test_neyman_alloc_capped_at_stratum_size(spark):
+    from google_analytics_to_s3_spark.operators.curation import (
+        neyman_allocation,
+    )
+
+    rows = [("A", i, i % 7) for i in range(10)]
+    rows += [("B", 100 + i, (i * 13) % 1000) for i in range(200)]
+    df = spark.createDataFrame(rows, "s string, rid long, v long")
+    _, alloc = neyman_allocation(df, ["s"], "v", budget=500,
+                                 id_col="rid")
+    a = {r.s: r for r in alloc.collect()}
+    assert a["A"].alloc <= 10 and a["B"].alloc <= 200
