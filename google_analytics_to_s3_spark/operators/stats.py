@@ -1578,3 +1578,110 @@ def two_proportion_ztest(
         F.when(ok, F.abs(z) > _Z_99).alias("sig_99"),
         F.round(F.when(ok, mde), 6).alias("mde_80"),
     )
+
+
+_CHI2_1DOF_95 = 3.841459
+_CHI2_1DOF_99 = 6.634897
+_LR_GRID = 10**9
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    arm_col: str,
+    group_cols: "list[str] | tuple[str, ...]" = (),
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel-Haenszel) — does arm 1's
+    survival curve differ from arm 0's? The hypothesis-test companion
+    of :func:`kaplan_meier`, with right censoring handled the same
+    way (censored subjects leave the risk set without counting as
+    events).
+
+    At every distinct event time t: d_j events out of n_j at risk,
+    d_1j/n_1j in arm 1; O1 = sum d_1j (exact integer), E1 = sum
+    d_j * n_1j / n_j, V = sum d_j (n_1j/n_j)(1 - n_1j/n_j)(n_j - d_j)
+    / (n_j - 1); chi2 = (O1 - E1)^2 / V. The per-time double terms
+    are quantized to a 10^9 integer grid BEFORE summation (the Neyman
+    convention: a cross-row double sum is addition-order-dependent;
+    integer sums are not), so the statistic replays bit-for-bit in
+    SQL at 1e-9 resolution per event time.
+
+    Plan: one aggregation to (group, arm, duration) grain, risk sets
+    via a descending cumulative window over that BOUNDED table (the
+    kaplan_meier contract: durations are period-grain), one reduce.
+    Output per group: subjects/events per arm, o1, e1, v, chi2
+    (round 6), sig_95/sig_99 vs the tabulated 1-dof chi-square
+    critical values (NULL when V = 0).
+    """
+    gcols = list(group_cols)
+    arm = F.col(arm_col).cast("int")
+    ev = F.col(event_col).cast("long")
+    at = df.groupBy(
+        *gcols, F.col(duration_col).alias("_t")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_all"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).cast("long")
+        .alias("_n_1"),
+        F.sum(ev).cast("long").alias("_d_all"),
+        F.sum(F.when(arm == 1, ev).otherwise(F.lit(0).cast("long")))
+        .cast("long").alias("_d_1"),
+    )
+    w = (
+        Window.partitionBy(*gcols) if gcols else Window.partitionBy(
+            F.lit(1)
+        )
+    ).orderBy(F.col("_t").desc())
+    risk = at.select(
+        *gcols, "_t", "_d_all", "_d_1",
+        F.sum("_n_all").over(w).alias("_nj"),
+        F.sum("_n_1").over(w).alias("_n1j"),
+    ).filter(F.col("_d_all") > 0)
+    n1 = F.col("_n1j").cast("double")
+    nj = F.col("_nj").cast("double")
+    dj = F.col("_d_all").cast("double")
+    term_e = dj * n1 / nj
+    term_v = F.when(
+        F.col("_nj") > 1,
+        dj * (n1 / nj) * (F.lit(1.0) - n1 / nj)
+        * (nj - dj) / (nj - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    g = F.lit(float(_LR_GRID))
+    agg = risk.groupBy(*gcols).agg(
+        F.sum("_d_1").cast("long").alias("o1"),
+        F.sum(F.round(term_e * g).cast("long")).alias("_e1q"),
+        F.sum(F.round(term_v * g).cast("long")).alias("_vq"),
+    )
+    counts = df.groupBy(*gcols).agg(
+        F.sum(F.when(arm == 0, 1).otherwise(0)).cast("long")
+        .alias("n_arm0"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).cast("long")
+        .alias("n_arm1"),
+        F.sum(F.when(arm == 0, ev).otherwise(F.lit(0).cast("long")))
+        .cast("long").alias("events_arm0"),
+        F.sum(F.when(arm == 1, ev).otherwise(F.lit(0).cast("long")))
+        .cast("long").alias("events_arm1"),
+    )
+    # LEFT join: groups with zero event times still report their
+    # counts, with o1 = 0 and NULL statistics (the global agg always
+    # returns exactly one row — NULL sums when no event time exists —
+    # so the 1-row broadcast cross is safe there)
+    joined = (
+        counts.join(agg, gcols, "left") if gcols
+        else counts.crossJoin(F.broadcast(agg))
+    )
+    e1 = F.col("_e1q").cast("double") / g
+    v = F.col("_vq").cast("double") / g
+    chi2 = (F.col("o1").cast("double") - e1) * (
+        F.col("o1").cast("double") - e1
+    ) / v
+    ok = F.col("_vq") > 0
+    return joined.select(
+        *gcols, "n_arm0", "n_arm1", "events_arm0", "events_arm1",
+        F.coalesce("o1", F.lit(0).cast("long")).alias("o1"),
+        F.round(e1, 6).alias("e1"),
+        F.round(v, 6).alias("v"),
+        F.round(F.when(ok, chi2), 6).alias("chi2"),
+        F.when(ok, chi2 > _CHI2_1DOF_95).alias("sig_95"),
+        F.when(ok, chi2 > _CHI2_1DOF_99).alias("sig_99"),
+    )

@@ -1668,3 +1668,120 @@ ORDER BY a.source
 
 QUERIES_ML["neyman_sample"] = q_neyman_sample
 ORACLES_ML["neyman_sample"] = SQL_NEYMAN_SAMPLE
+
+
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between md5 arms on time-to-first-purchase:
+    duration runs from a user's first event to their first purchase
+    (event) or to their last active day (censored — the user left
+    without converting). Null-true arms, so the test exercises the
+    full censoring machinery without a planted effect
+    (operators/stats.logrank_test)."""
+    from ..operators.stats import logrank_test
+
+    e = load_events(spark, sf_dir).select(
+        "user_id", "event_type", F.expr("ts_ms div 86400000").alias("day")
+    )
+    u = e.groupBy("user_id").agg(
+        F.min("day").alias("f"),
+        F.max("day").alias("l"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("day"))
+        ).alias("p"),
+    )
+    s = u.select(
+        (
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit("lr#"),
+                               F.col("user_id").cast("string"))), 1, 14
+            ), 16, 10).cast("long") % 2
+        ).cast("int").alias("arm"),
+        (
+            F.coalesce(F.col("p"), F.col("l")) - F.col("f") + 1
+        ).cast("long").alias("dur"),
+        F.col("p").isNotNull().cast("int").alias("ev"),
+    )
+    return logrank_test(s, "dur", "ev", "arm")
+
+
+SQL_LOGRANK_TEST = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) // 86400000 AS day
+  FROM events
+),
+u AS (
+  SELECT user_id, min(day) AS f, max(day) AS l,
+         min(CASE WHEN event_type = 'purchase' THEN day END) AS p
+  FROM e GROUP BY 1
+),
+s AS (
+  SELECT CAST(('0x' || substr(md5('lr#' || CAST(user_id AS VARCHAR)),
+                              1, 14))::BIGINT % 2 AS INTEGER) AS arm,
+         CAST(coalesce(p, l) - f + 1 AS BIGINT) AS dur,
+         CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM u
+),
+at AS (
+  SELECT dur AS t,
+         CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+         CAST(sum(ev) AS BIGINT) AS d_all,
+         CAST(sum(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT) AS d_1
+  FROM s GROUP BY 1
+),
+risk AS (
+  SELECT t, d_all, d_1,
+         sum(n_all) OVER (ORDER BY t DESC) AS nj,
+         sum(n_1) OVER (ORDER BY t DESC) AS n1j
+  FROM at
+),
+terms AS (
+  SELECT d_1,
+         CAST(round(CAST(d_all AS DOUBLE) * CAST(n1j AS DOUBLE)
+                    / CAST(nj AS DOUBLE) * 1000000000.0) AS BIGINT)
+           AS eq,
+         CAST(round(CASE WHEN nj > 1
+              THEN CAST(d_all AS DOUBLE)
+                   * (CAST(n1j AS DOUBLE) / CAST(nj AS DOUBLE))
+                   * (1.0 - CAST(n1j AS DOUBLE) / CAST(nj AS DOUBLE))
+                   * (CAST(nj AS DOUBLE) - CAST(d_all AS DOUBLE))
+                   / (CAST(nj AS DOUBLE) - 1.0)
+              ELSE 0.0 END * 1000000000.0) AS BIGINT) AS vq
+  FROM risk WHERE d_all > 0
+),
+agg AS (
+  SELECT CAST(sum(d_1) AS BIGINT) AS o1,
+         CAST(sum(eq) AS BIGINT) AS e1q,
+         CAST(sum(vq) AS BIGINT) AS vq
+  FROM terms
+),
+counts AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_arm0,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_arm1,
+    CAST(sum(CASE WHEN arm = 0 THEN ev ELSE 0 END) AS BIGINT)
+      AS events_arm0,
+    CAST(sum(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT)
+      AS events_arm1
+  FROM s
+)
+SELECT n_arm0, n_arm1, events_arm0, events_arm1, o1,
+       round(CAST(e1q AS DOUBLE) / 1000000000.0, 6) AS e1,
+       round(CAST(vq AS DOUBLE) / 1000000000.0, 6) AS v,
+       round(CASE WHEN vq > 0 THEN
+         (CAST(o1 AS DOUBLE) - CAST(e1q AS DOUBLE) / 1000000000.0)
+         * (CAST(o1 AS DOUBLE) - CAST(e1q AS DOUBLE) / 1000000000.0)
+         / (CAST(vq AS DOUBLE) / 1000000000.0) END, 6) AS chi2,
+       CASE WHEN vq > 0 THEN
+         (CAST(o1 AS DOUBLE) - CAST(e1q AS DOUBLE) / 1000000000.0)
+         * (CAST(o1 AS DOUBLE) - CAST(e1q AS DOUBLE) / 1000000000.0)
+         / (CAST(vq AS DOUBLE) / 1000000000.0) > 3.841459 END AS sig_95,
+       CASE WHEN vq > 0 THEN
+         (CAST(o1 AS DOUBLE) - CAST(e1q AS DOUBLE) / 1000000000.0)
+         * (CAST(o1 AS DOUBLE) - CAST(e1q AS DOUBLE) / 1000000000.0)
+         / (CAST(vq AS DOUBLE) / 1000000000.0) > 6.634897 END AS sig_99
+FROM counts CROSS JOIN agg
+"""
+
+QUERIES_ML["logrank_test"] = q_logrank_test
+ORACLES_ML["logrank_test"] = SQL_LOGRANK_TEST

@@ -502,3 +502,52 @@ def test_neyman_alloc_capped_at_stratum_size(spark):
                                  id_col="rid")
     a = {r.s: r for r in alloc.collect()}
     assert a["A"].alloc <= 10 and a["B"].alloc <= 200
+
+
+# ------------------------------------------------------------ log-rank
+
+
+def test_logrank_detects_planted_hazard_difference(spark):
+    from google_analytics_to_s3_spark.operators.stats import logrank_test
+
+    # arm 0 fails early (durations 1-3), arm 1 late (8-10): strongly
+    # significant
+    rows = [(0, 1 + i % 3, 1) for i in range(60)]
+    rows += [(1, 8 + i % 3, 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "arm int, dur long, ev int")
+    out = logrank_test(df, "dur", "ev", "arm").collect()[0]
+    assert out.sig_99 and out.chi2 > 50
+    assert out.o1 == 60 and out.events_arm0 == 60
+
+
+def test_logrank_identical_arms_not_significant(spark):
+    from google_analytics_to_s3_spark.operators.stats import logrank_test
+
+    rows = [(a, 1 + i % 5, 1) for a in (0, 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "arm int, dur long, ev int")
+    out = logrank_test(df, "dur", "ev", "arm").collect()[0]
+    assert out.chi2 is not None and out.chi2 < 0.001
+    assert out.sig_95 is False
+
+
+def test_logrank_all_censored_is_null(spark):
+    from google_analytics_to_s3_spark.operators.stats import logrank_test
+
+    rows = [(a, 1 + i % 5, 0) for a in (0, 1) for i in range(20)]
+    df = spark.createDataFrame(rows, "arm int, dur long, ev int")
+    out = logrank_test(df, "dur", "ev", "arm").collect()[0]
+    assert out.chi2 is None and out.o1 == 0
+
+
+def test_logrank_censoring_shrinks_risk_set_not_events(spark):
+    from google_analytics_to_s3_spark.operators.stats import logrank_test
+
+    # censored subjects at t=2 leave the risk set for t=3 without
+    # being events: E1 at t=3 must use the reduced n
+    rows = [(0, 1, 1)] * 5 + [(1, 2, 0)] * 5 + [(1, 3, 1)] * 5
+    df = spark.createDataFrame(rows, "arm int, dur long, ev int")
+    out = logrank_test(df, "dur", "ev", "arm").collect()[0]
+    # t=1: d=5 (arm0), n=15, n1=10 -> E1 += 5*10/15 = 10/3
+    # t=3: d=5 (arm1), n=5, n1=5  -> E1 += 5*5/5   = 5
+    assert out.e1 == round(10 / 3 + 5, 6)
+    assert out.o1 == 5 and out.events_arm0 == 5
