@@ -1685,3 +1685,118 @@ def logrank_test(
         F.when(ok, chi2 > _CHI2_1DOF_95).alias("sig_95"),
         F.when(ok, chi2 > _CHI2_1DOF_99).alias("sig_99"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    arm_col: str,
+    buckets: int = 64,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test on an INTEGER value
+    column between arms 0/1 — the nonparametric A/B readout for the
+    heavy-tailed metrics (revenue) where the t/z tests' mean focus
+    misleads. Tie-corrected normal approximation.
+
+    Exactness at scale: everything reduces to the DISTINCT-value
+    histogram (one hash shuffle). Rank sums use average ranks —
+    ``avg_rank(v) = cum_lt(v) + (c(v)+1)/2`` — kept on the x2 integer
+    grid (``2*cum_lt + c + 1``), so R1, U1, and the tie term
+    ``sum(c^3 - c)`` are EXACT DECIMAL(38) sums; cumulative counts
+    use the ks_two_sample bucket-offset pattern (driver prefix sum
+    over ``buckets`` subtotals, window partitioned BY BUCKET — no
+    single global sort partition). Variance and z are one fixed-order
+    double expression from those integers. Same deterministic-input
+    contract as ks_two_sample (two jobs observe the input).
+
+    Output: ONE row ``(n_0, n_1, u1, z, sig_95, sig_99)`` (u1 on the
+    half-integer grid, z round 6; NULL z when an arm is empty or all
+    values tie).
+    """
+    v = F.col(value_col).cast("long")
+    arm = F.col(arm_col).cast("int")
+    per_value = (
+        df.filter(v.isNotNull() & arm.isin(0, 1))
+        .groupBy(v.alias("_v"))
+        .agg(
+            F.sum(F.when(arm == 0, 1).otherwise(0)).alias("_c0"),
+            F.sum(F.when(arm == 1, 1).otherwise(0)).alias("_c1"),
+        )
+    )
+    bounds = per_value.agg(
+        F.min("_v").alias("lo"), F.max("_v").alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        raise ValueError("mann_whitney_u: no rows")
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    width = max(1, (hi - lo) // buckets + 1)
+    pv = per_value.withColumn(
+        "_bucket", ((F.col("_v") - lo) / width).cast("long")
+    ).persist()
+    sub = pv.groupBy("_bucket").agg(
+        F.sum("_c0").alias("s0"), F.sum("_c1").alias("s1")
+    ).collect()
+    offs, acc = [], 0
+    n0 = n1 = 0
+    for r in sorted(sub, key=lambda r: r["_bucket"]):
+        offs.append((int(r["_bucket"]), acc))
+        acc += int(r["s0"]) + int(r["s1"])
+        n0 += int(r["s0"])
+        n1 += int(r["s1"])
+    if n0 == 0 or n1 == 0:
+        raise ValueError(f"mann_whitney_u: empty arm (n0={n0}, n1={n1})")
+    off_df = df.sparkSession.createDataFrame(
+        offs, schema="_bucket LONG, _off LONG"
+    )
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ct = (F.col("_c0") + F.col("_c1")).cast("decimal(38,0)")
+    terms = (
+        pv.join(F.broadcast(off_df), "_bucket")
+        .select(
+            "_c1",
+            (
+                F.col("_off")
+                + F.sum(F.col("_c0") + F.col("_c1")).over(w)
+                - (F.col("_c0") + F.col("_c1"))
+            ).alias("_cum_lt"),
+            ct.alias("_ct"),
+        )
+    )
+    agg = terms.agg(
+        F.sum(
+            F.col("_c1").cast("decimal(38,0)")
+            * (F.lit(2).cast("decimal(38,0)")
+               * F.col("_cum_lt").cast("decimal(38,0)")
+               + F.col("_ct") + 1)
+        ).alias("_r1x2"),
+        F.sum(F.col("_ct") * F.col("_ct") * F.col("_ct") - F.col("_ct"))
+        .alias("_tie"),
+    )
+    import math
+
+    n = n0 + n1
+    u1_x2 = F.col("_r1x2").cast("double") - F.lit(float(n1) * (n1 + 1))
+    u1 = u1_x2 / F.lit(2.0)
+    mu = F.lit(float(n0) * float(n1) / 2.0)
+    var = (
+        F.lit(float(n0) * float(n1) / 12.0)
+        * (
+            F.lit(float(n + 1))
+            - F.col("_tie").cast("double")
+            / F.lit(float(n) * (n - 1))
+        )
+    )
+    ok = var > 0
+    z = (u1 - mu) / F.sqrt(var)
+    return agg.select(
+        F.lit(n0).cast("long").alias("n_0"),
+        F.lit(n1).cast("long").alias("n_1"),
+        F.round(u1, 6).alias("u1"),
+        F.round(F.when(ok, z), 6).alias("z"),
+        F.when(ok, F.abs(z) > _Z_95).alias("sig_95"),
+        F.when(ok, F.abs(z) > _Z_99).alias("sig_99"),
+    )

@@ -1785,3 +1785,87 @@ FROM counts CROSS JOIN agg
 
 QUERIES_ML["logrank_test"] = q_logrank_test
 ORACLES_ML["logrank_test"] = SQL_LOGRANK_TEST
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sum test of per-user purchase revenue between the md5
+    experiment arms — the nonparametric companion of ab_ztest for the
+    heavy-tailed metric (operators/stats.mann_whitney_u)."""
+    from ..operators.stats import mann_whitney_u
+
+    e = load_events(spark, sf_dir)
+    arm = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("exp1#"),
+                                          F.col("user_id").cast("string"))),
+                           1, 14), 16, 10).cast("long") % 2
+    )
+    per_user = (
+        e.withColumn("arm", arm)
+        .groupBy("arm", "user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("cents")
+        )
+    )
+    return mann_whitney_u(per_user, "cents", "arm")
+
+
+SQL_MANN_WHITNEY = """
+WITH pu AS (
+  SELECT ('0x' || substr(md5('exp1#' || CAST(user_id AS VARCHAR)),
+                         1, 14))::BIGINT % 2 AS arm,
+         user_id,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 100) AS BIGINT)
+                  ELSE 0 END) AS cents
+  FROM events GROUP BY 1, 2
+),
+per_value AS (
+  SELECT cents AS v,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM pu GROUP BY 1
+),
+cum AS (
+  SELECT v, c0, c1,
+         sum(c0 + c1) OVER (ORDER BY v) - (c0 + c1) AS cum_lt
+  FROM per_value
+),
+agg AS (
+  SELECT CAST(sum(CAST(c1 AS HUGEINT)
+                  * (2 * CAST(cum_lt AS HUGEINT) + (c0 + c1) + 1))
+              AS HUGEINT) AS r1x2,
+         CAST(sum(CAST(c0 + c1 AS HUGEINT) * (c0 + c1) * (c0 + c1)
+                  - (c0 + c1)) AS HUGEINT) AS tie,
+         CAST(sum(c0) AS BIGINT) AS n0,
+         CAST(sum(c1) AS BIGINT) AS n1
+  FROM cum
+),
+fin AS (
+  SELECT n0, n1,
+         (CAST(r1x2 AS DOUBLE)
+          - CAST(n1 * (n1 + 1) AS DOUBLE)) / 2.0 AS u1,
+         CAST(n0 * n1 AS DOUBLE) / 2.0 AS mu,
+         CAST(n0 * n1 AS DOUBLE) / 12.0
+           * (CAST(n0 + n1 + 1 AS DOUBLE)
+              - CAST(tie AS DOUBLE)
+                / CAST((n0 + n1) * CAST(n0 + n1 - 1 AS HUGEINT)
+                       AS DOUBLE)) AS var
+  FROM agg
+)
+SELECT n0 AS n_0, n1 AS n_1,
+       round(u1, 6) AS u1,
+       round(CASE WHEN var > 0 THEN (u1 - mu) / sqrt(var) END, 6) AS z,
+       CASE WHEN var > 0
+            THEN abs((u1 - mu) / sqrt(var)) > 1.959964 END AS sig_95,
+       CASE WHEN var > 0
+            THEN abs((u1 - mu) / sqrt(var)) > 2.575829 END AS sig_99
+FROM fin
+"""
+
+QUERIES_ML["mann_whitney"] = q_mann_whitney
+ORACLES_ML["mann_whitney"] = SQL_MANN_WHITNEY

@@ -551,3 +551,54 @@ def test_logrank_censoring_shrinks_risk_set_not_events(spark):
     # t=3: d=5 (arm1), n=5, n1=5  -> E1 += 5*5/5   = 5
     assert out.e1 == round(10 / 3 + 5, 6)
     assert out.o1 == 5 and out.events_arm0 == 5
+
+
+# --------------------------------------------------------- Mann-Whitney
+
+
+def test_mann_whitney_matches_scipy_free_reference(spark):
+    """Pin U, z against a hand-computed tie-corrected reference."""
+    from google_analytics_to_s3_spark.operators.stats import (
+        mann_whitney_u,
+    )
+
+    # arm0: [1, 2, 2, 5]; arm1: [2, 3, 5, 5, 8]
+    rows = [(0, 1), (0, 2), (0, 2), (0, 5),
+            (1, 2), (1, 3), (1, 5), (1, 5), (1, 8)]
+    df = spark.createDataFrame(rows, "arm int, v long")
+    out = mann_whitney_u(df, "v", "arm").collect()[0]
+    # avg ranks: 1->1; 2,2,2 -> 3; 3 -> 5; 5,5,5 -> 7; 8 -> 9
+    # R1 = 3 + 5 + 7 + 7 + 9 = 31 ; U1 = 31 - 5*6/2 = 16
+    assert out.u1 == 16.0
+    import math
+
+    n0, n1, n = 4, 5, 9
+    tie = (3**3 - 3) + (3**3 - 3)
+    var = n0 * n1 / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+    z = (16.0 - n0 * n1 / 2.0) / math.sqrt(var)
+    assert out.z == round(z, 6)
+
+
+def test_mann_whitney_separated_arms_significant(spark):
+    from google_analytics_to_s3_spark.operators.stats import (
+        mann_whitney_u,
+    )
+
+    rows = [(0, i) for i in range(100)] + [(1, 1000 + i)
+                                           for i in range(100)]
+    df = spark.createDataFrame(rows, "arm int, v long").repartition(8)
+    out = mann_whitney_u(df, "v", "arm").collect()[0]
+    assert out.sig_99 and out.z > 10
+    assert out.u1 == 100.0 * 100.0  # arm1 wins every comparison
+
+
+def test_mann_whitney_all_tied_null(spark):
+    from google_analytics_to_s3_spark.operators.stats import (
+        mann_whitney_u,
+    )
+
+    df = spark.createDataFrame(
+        [(a, 7) for a in (0, 1) for _ in range(10)], "arm int, v long"
+    )
+    out = mann_whitney_u(df, "v", "arm").collect()[0]
+    assert out.z is None  # zero variance: every value ties
