@@ -284,6 +284,7 @@ def pagerank(
     n_iters: int = 3,
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
 ) -> DataFrame:
     """Deterministic damped PageRank over a directed edge list.
 
@@ -316,8 +317,17 @@ def pagerank(
     # re-exchanging the (often wide-partitioned) upstream self-join
     # output — measured ~25% off the cold-path cost at sf0.1, identical
     # results.
+    # optional edge weights (weighted PageRank, the TextRank form):
+    # a node's rank splits proportionally to outgoing weight —
+    # ``rank_q * w div strength`` stays on the integer grid (the
+    # unweighted path is the weight-1 special case of the same
+    # expression, so one code path serves both)
+    wcol = (
+        F.col(weight).cast("long") if weight is not None
+        else F.lit(1).cast("long")
+    )
     edges = (
-        edges.select(F.col(src), F.col(dst))
+        edges.select(F.col(src), F.col(dst), wcol.alias("_w"))
         .repartition(F.col(src))
         .persist()
     )
@@ -331,9 +341,10 @@ def pagerank(
         .groupBy("node")
         .agg((F.max("_s") == 0).alias("is_dang"))
     ).persist()
-    deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
+    deg = edges.groupBy(src).agg(F.sum("_w").alias("deg"))
     ed = edges.join(deg, src).select(
-        F.col(src).alias("c_src"), F.col(dst).alias("c_dst"), "deg"
+        F.col(src).alias("c_src"), F.col(dst).alias("c_dst"),
+        "_w", "deg",
     ).persist()
     n = nodes.count()
     init_q = PR_SCALE // n
@@ -346,7 +357,7 @@ def pagerank(
             r, ed.c_src == F.col("node")
         ).select(
             F.col("c_dst").alias("node_out"),
-            F.expr("rank_q div deg").alias("c"),
+            F.expr("(rank_q * _w) div deg").alias("c"),
         )
         summed = contrib.groupBy("node_out").agg(F.sum("c").alias("s"))
         # scalar dangling-mass aggregate: 1 row, broadcast onto the

@@ -1568,3 +1568,111 @@ ORACLES_CURATION = {
     "value_histograms": SQL_VALUE_HISTOGRAMS,
     "dataset_card": SQL_DATASET_CARD,
 }
+
+
+_TR_MIN_PAIR = 40  # co-occurrence support floor for the keyword graph
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04):
+    PageRank over the word co-occurrence graph (window 2, support
+    >= 40) — a pure composition of two existing operators
+    (operators/text.cooccurrence_pairs -> operators/graph.pagerank on
+    the integer grid), so the iterative keyword scores carry the same
+    full bit-exact oracle as part_pagerank. Top-20 keywords."""
+    from ..operators.graph import pagerank
+    from ..operators.text import cooccurrence_pairs
+
+    d = load_parallel(spark, sf_dir, "documents").select("text")
+    pairs = (
+        cooccurrence_pairs(d, "text", window=2)
+        .filter(
+            (F.col("n_pair") >= _TR_MIN_PAIR)
+            & (F.col("w1") != F.col("w2"))
+        )
+        .select("w1", "w2", "n_pair")
+    )
+    edges = pairs.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst"), "n_pair"
+    ).union(
+        pairs.select(F.col("w2").alias("src"), F.col("w1").alias("dst"),
+                     "n_pair")
+    )
+    r = pagerank(edges, n_iters=3, weight="n_pair")
+    return (
+        r.select(
+            F.col("node").alias("keyword"),
+            "rank_q",
+            F.round(
+                F.col("rank_q").cast("double") / F.lit(float(_PR_SCALE)),
+                9,
+            ).alias("rank"),
+        )
+        .orderBy(F.col("rank_q").desc(), F.col("keyword").asc())
+        .limit(20)
+    )
+
+
+def _textrank_oracle_sql() -> str:
+    s = float(_PR_SCALE)
+    it = """
+r{i} AS (
+  SELECT nd.node,
+         CAST(floor(0.15 * {s} / n_nodes) AS BIGINT)
+           + CAST(floor(0.85 * (COALESCE(sm.s, 0) + dm.d_share)::DOUBLE)
+                  AS BIGINT)
+           AS rank_q
+  FROM nodes nd CROSS JOIN n
+  CROSS JOIN (
+    SELECT CAST(COALESCE(sum(r.rank_q), 0)
+                // (SELECT n_nodes FROM n) AS BIGINT) AS d_share
+    FROM r{prev} r JOIN dang dg ON r.node = dg.node
+  ) dm
+  LEFT JOIN (
+    SELECT e.dst AS node_out,
+           CAST(sum((r.rank_q * e.w) // d.deg) AS BIGINT) AS s
+    FROM edges e
+    JOIN deg d ON e.src = d.src
+    JOIN r{prev} r ON e.src = r.node
+    GROUP BY 1
+  ) sm ON nd.node = sm.node_out
+)"""
+    iters = ",".join(it.format(i=i, prev=i - 1, s=s) for i in (1, 2, 3))
+    return f"""
+WITH tok AS (
+  SELECT string_split(text, ' ') AS l FROM documents
+),
+raw AS (
+  SELECT least(l[i], l[i + 1]) AS w1, greatest(l[i], l[i + 1]) AS w2
+  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(l), 1))) AS i) q
+  UNION ALL
+  SELECT least(l[i], l[i + 2]), greatest(l[i], l[i + 2])
+  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(l) - 1, 1)))
+                     AS i) q
+),
+e0 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS w FROM raw GROUP BY 1, 2
+  HAVING count(*) >= {_TR_MIN_PAIR} AND w1 <> w2
+),
+edges AS (SELECT w1 AS src, w2 AS dst, w FROM e0
+          UNION ALL SELECT w2, w1, w FROM e0),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+dang AS (SELECT node FROM nodes EXCEPT SELECT DISTINCT src FROM edges),
+deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg
+        FROM edges GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+r0 AS (
+  SELECT node, CAST({_PR_SCALE} // n_nodes AS BIGINT) AS rank_q
+  FROM nodes CROSS JOIN n
+),{iters}
+SELECT node AS keyword, rank_q,
+       round(rank_q::DOUBLE / {s}, 9) AS rank
+FROM r3
+ORDER BY rank_q DESC, node ASC
+LIMIT 20
+"""
+
+
+SQL_TEXTRANK_KEYWORDS = _textrank_oracle_sql()
+QUERIES_CURATION["textrank_keywords"] = q_textrank_keywords
+ORACLES_CURATION["textrank_keywords"] = SQL_TEXTRANK_KEYWORDS

@@ -193,3 +193,25 @@ def test_k_core_peels_chain_keeps_cliques(spark):
     # bounded-round contract: n_rounds must cover the peel depth)
     got2 = {r["id"] for r in k_core(df, k=2, n_rounds=12).collect()}
     assert got2 == {30, 31, 32, 33}
+
+
+def test_weighted_pagerank_mass_follows_weights(spark):
+    """Edge weights split a node's rank proportionally: hub h points
+    at a with weight 9 and b with weight 1 -> a outranks b; the
+    weight-1 path stays identical to the historical unweighted
+    behavior (pinned by part_pagerank's unchanged oracle)."""
+    from pyspark.sql import functions as F
+
+    from google_analytics_to_s3_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("h", "a", 9), ("h", "b", 1), ("a", "h", 1), ("b", "h", 1)],
+        "src string, dst string, w long",
+    )
+    r = {x.node: x.rank_q for x in
+         pagerank(edges, n_iters=3, weight="w").collect()}
+    assert r["a"] > r["b"]
+    # unweighted: a and b tie exactly
+    ru = {x.node: x.rank_q for x in
+          pagerank(edges.drop("w"), n_iters=3).collect()}
+    assert ru["a"] == ru["b"]
