@@ -265,3 +265,70 @@ def exact_heavy_hitters(
             F.col("_total").alias("total_rows"),
         )
     )
+
+
+def merge_mg_summaries(
+    standing: DataFrame,
+    batch_summary: DataFrame,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Merge two Misra-Gries summary TABLES ``(key, weight)`` into one
+    bounded to ``k`` counters — the mergeable-summaries rule (Agarwal
+    et al. PODS'12): add weights per key, then subtract the (k+1)-th
+    largest weight from everyone and drop the non-positive. Error adds
+    across merges but stays <= total/(k+1), so the union of a standing
+    summary and per-batch summaries keeps the heavy-hitter superset
+    guarantee — this is what lets :func:`exact_heavy_hitters`'s
+    candidate pass run INCREMENTALLY over a stream (merge per
+    micro-batch, exact-verify on demand).
+
+    Both inputs are already bounded (<= k and <= partitions x k rows),
+    so every step here is small-table work: one union + hash agg, one
+    TakeOrdered (k+1) for the pruning threshold, one broadcast.
+    """
+    merged = (
+        standing.select(F.col(key_col), F.col("weight"))
+        .unionByName(batch_summary.select(F.col(key_col), "weight"))
+        .groupBy(key_col)
+        .agg(F.sum("weight").cast("long").alias("weight"))
+    )
+    kth = (
+        merged.orderBy(F.col("weight").desc(), F.col(key_col).asc())
+        .limit(k + 1)
+        .agg(
+            F.when(F.count(F.lit(1)) > k, F.min("weight"))
+            .otherwise(F.lit(0)).cast("long").alias("_kth")
+        )
+    )
+    return (
+        merged.crossJoin(F.broadcast(kth))
+        .select(
+            key_col,
+            (F.col("weight") - F.col("_kth")).cast("long").alias("weight"),
+        )
+        .filter(F.col("weight") > 0)
+    )
+
+
+def mg_batch_summary(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """One batch's MG summary as a ``(key, weight)`` table — the
+    per-partition :func:`misra_gries_candidates` summaries merged down
+    to <= k rows via :func:`merge_mg_summaries` against an empty
+    standing table."""
+    cands = (
+        misra_gries_candidates(df, key_col, k)
+        .filter(F.col(key_col).isNotNull())
+        .select(key_col)
+        .distinct()
+    )
+    # recount the batch's candidate keys exactly (cheap — the batch is
+    # small by definition), then prune to k; exact candidate weights
+    # are a valid MG summary (zero error for kept keys, dropped keys
+    # bounded by the per-partition guarantee)
+    counts = (
+        df.join(F.broadcast(cands), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+    return merge_mg_summaries(counts.limit(0), counts, key_col, k)

@@ -602,3 +602,59 @@ def test_mann_whitney_all_tied_null(spark):
     )
     out = mann_whitney_u(df, "v", "arm").collect()[0]
     assert out.z is None  # zero variance: every value ties
+
+
+# -------------------------------------------- streaming heavy hitters
+
+
+def test_mg_summary_merge_keeps_superset_guarantee(spark):
+    """Per-batch MG summaries merged across 'micro-batches' retain
+    every true heavy hitter — the incremental candidate pass — and a
+    final exact verify over the union recovers exactly the true
+    phi-heavy hitters."""
+    from pyspark.sql import functions as F
+
+    from google_analytics_to_s3_spark.operators.skew import (
+        merge_mg_summaries, mg_batch_summary,
+    )
+
+    k = 10
+    batches, all_rows = [], []
+    for b in range(3):
+        rows = [(0,)] * 300  # hot key in every batch
+        rows += [(1 + (i + b * 7) % 40,) for i in range(500)]
+        if b == 2:
+            rows += [(99,)] * 250  # late-arriving second hot key
+        batches.append(rows)
+        all_rows += rows
+    standing = None
+    for rows in batches:
+        df = spark.createDataFrame(rows, "skey long").repartition(4)
+        summ = mg_batch_summary(df, "skey", k)
+        standing = summ if standing is None else merge_mg_summaries(
+            standing, summ, "skey", k
+        )
+        standing = standing.localCheckpoint()
+    summary = {r.skey: r.weight for r in standing.collect()}
+    n = len(all_rows)
+    assert len(summary) <= k
+    assert 0 in summary and 99 in summary  # both hot keys survived
+    # weights are lower bounds within the merged error budget
+    true = {}
+    for (v,) in [(r[0],) for r in all_rows]:
+        true[v] = true.get(v, 0) + 1
+    for key, w in summary.items():
+        assert w <= true[key]
+        assert true[key] - w <= n / (k + 1) * 3  # 3 merge stages
+    # exact verify over the full corpus: candidates -> true HH set
+    full = spark.createDataFrame(all_rows, "skey long")
+    cands = [int(x) for x in summary]
+    phi = 0.1
+    got = {
+        r.skey
+        for r in full.filter(F.col("skey").isin(cands))
+        .groupBy("skey").count()
+        .filter(F.col("count") > phi * n).collect()
+    }
+    want = {key for key, c in true.items() if c > phi * n}
+    assert got == want and want == {0}
