@@ -1676,3 +1676,145 @@ LIMIT 20
 SQL_TEXTRANK_KEYWORDS = _textrank_oracle_sql()
 QUERIES_CURATION["textrank_keywords"] = q_textrank_keywords
 ORACLES_CURATION["textrank_keywords"] = SQL_TEXTRANK_KEYWORDS
+
+
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity scoring of the label_propagation brand partition
+    over the part co-purchase graph — composition #2 on the shared
+    graph (operators/graph.community_modularity): top-20 communities
+    by contribution plus the exact partition-wide Q on every row."""
+    from ..operators.graph import community_modularity, label_propagation
+    from ..sources.testdata import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.when(F.col("p_partkey") % 5 == 0, F.col("p_brand"))
+        .alias("label"),
+    )
+    labels = label_propagation(nodes, edges, rounds=2)
+    out = community_modularity(edges, labels)
+    return out.orderBy(
+        F.col("contribution").desc(), F.col("label").asc()
+    ).limit(20)
+
+
+def _modularity_oracle_sql() -> str:
+    # reuse the label-propagation round replay, then score the partition
+    return """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+),
+und AS (
+  SELECT s AS a, d AS b FROM e0
+  UNION ALL
+  SELECT d AS a, s AS b FROM e0
+),
+seeds AS (
+  SELECT p_partkey AS n,
+         CASE WHEN p_partkey % 5 = 0 THEN p_brand END AS seed
+  FROM part
+),
+l0 AS (SELECT n, seed AS lbl FROM seeds),
+v1 AS (
+  SELECT und.b AS n, l0.lbl, count(*) AS votes
+  FROM und JOIN l0 ON l0.n = und.a
+  WHERE l0.lbl IS NOT NULL GROUP BY 1, 2
+),
+p1 AS (
+  SELECT n, lbl AS pick FROM (
+    SELECT n, lbl, row_number() OVER (
+      PARTITION BY n ORDER BY votes DESC, lbl ASC) AS rk
+    FROM v1) WHERE rk = 1
+),
+l1 AS (
+  SELECT seeds.n,
+         CASE WHEN seeds.seed IS NOT NULL THEN seeds.seed
+              ELSE coalesce(p1.pick, l0.lbl) END AS lbl
+  FROM seeds
+  LEFT JOIN l0 ON l0.n = seeds.n
+  LEFT JOIN p1 ON p1.n = seeds.n
+),
+v2 AS (
+  SELECT und.b AS n, l1.lbl, count(*) AS votes
+  FROM und JOIN l1 ON l1.n = und.a
+  WHERE l1.lbl IS NOT NULL GROUP BY 1, 2
+),
+p2 AS (
+  SELECT n, lbl AS pick FROM (
+    SELECT n, lbl, row_number() OVER (
+      PARTITION BY n ORDER BY votes DESC, lbl ASC) AS rk
+    FROM v2) WHERE rk = 1
+),
+l2 AS (
+  SELECT seeds.n,
+         CASE WHEN seeds.seed IS NOT NULL THEN seeds.seed
+              ELSE coalesce(p2.pick, l1.lbl) END AS lbl
+  FROM seeds
+  LEFT JOIN l1 ON l1.n = seeds.n
+  LEFT JOIN p2 ON p2.n = seeds.n
+),
+lab AS (SELECT n, lbl FROM l2 WHERE lbl IS NOT NULL),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+ej AS (
+  SELECT la.lbl AS la, lb.lbl AS lb
+  FROM e0 JOIN lab la ON la.n = e0.s JOIN lab lb ON lb.n = e0.d
+),
+e_in AS (
+  SELECT la AS lbl, CAST(count(*) AS BIGINT) AS e_in
+  FROM ej WHERE la = lb GROUP BY 1
+),
+deg AS (
+  SELECT lbl, CAST(count(*) AS BIGINT) AS deg_sum FROM (
+    SELECT la AS lbl FROM ej UNION ALL SELECT lb FROM ej
+  ) GROUP BY 1
+),
+nn AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_nodes
+       FROM lab GROUP BY 1),
+per AS (
+  SELECT nn.lbl AS label, nn.n_nodes,
+         coalesce(e_in.e_in, 0) AS e_in,
+         coalesce(deg.deg_sum, 0) AS deg_sum,
+         m.m,
+         4 * CAST(m.m AS HUGEINT) * coalesce(e_in.e_in, 0)
+           - CAST(coalesce(deg.deg_sum, 0) AS HUGEINT)
+             * coalesce(deg.deg_sum, 0) AS term
+  FROM nn LEFT JOIN deg ON deg.lbl = nn.lbl
+  LEFT JOIN e_in ON e_in.lbl = nn.lbl
+  CROSS JOIN m
+),
+tot AS (SELECT CAST(sum(term) AS HUGEINT) AS tot FROM per)
+SELECT label, n_nodes, e_in, deg_sum,
+       round(CASE WHEN m > 0 THEN CAST(term AS DOUBLE)
+                  / CAST(4 * CAST(m AS HUGEINT) * m AS DOUBLE) END, 6)
+         AS contribution,
+       round(CASE WHEN m > 0 THEN CAST(tot AS DOUBLE)
+                  / CAST(4 * CAST(m AS HUGEINT) * m AS DOUBLE) END, 6)
+         AS modularity
+FROM per CROSS JOIN tot
+ORDER BY contribution DESC, label ASC
+LIMIT 20
+"""
+
+
+SQL_COMMUNITY_MODULARITY = _modularity_oracle_sql()
+QUERIES_CURATION["community_modularity"] = q_community_modularity
+ORACLES_CURATION["community_modularity"] = SQL_COMMUNITY_MODULARITY

@@ -215,3 +215,46 @@ def test_weighted_pagerank_mass_follows_weights(spark):
     ru = {x.node: x.rank_q for x in
           pagerank(edges.drop("w"), n_iters=3).collect()}
     assert ru["a"] == ru["b"]
+
+
+def test_modularity_exact_on_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge, true partition:
+    m = 13; per clique e_in = 6, deg = 13 -> Q = 2*(4*13*6 - 169)/676."""
+    from google_analytics_to_s3_spark.operators.graph import (
+        community_modularity,
+    )
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a + 10, b + 10) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(
+        c1 + c2 + [(0, 10)], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(i, "A") for i in range(4)] + [(i + 10, "B") for i in range(4)],
+        "node long, label string",
+    )
+    rows = {r.label: r for r in
+            community_modularity(edges, labels).collect()}
+    q = 2 * (4 * 13 * 6 - 13 * 13) / (4 * 13 * 13)
+    assert rows["A"].e_in == 6 and rows["A"].deg_sum == 13
+    assert rows["A"].modularity == round(q, 6)
+    assert rows["A"].contribution == round((4 * 13 * 6 - 169) / 676, 6)
+
+
+def test_modularity_random_split_near_zero(spark):
+    from pyspark.sql import functions as F
+
+    from google_analytics_to_s3_spark.operators.graph import (
+        community_modularity,
+    )
+
+    edges = spark.range(400).select(
+        (F.xxhash64("id") % 50).alias("src"),
+        (F.xxhash64("id", F.lit(1)) % 50).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    labels = spark.range(50).select(
+        F.col("id").alias("node"),
+        (F.col("id") % 2).cast("string").alias("label"),
+    )
+    q = community_modularity(edges, labels).collect()[0].modularity
+    assert abs(q) < 0.15  # random bisection has no structure
