@@ -189,3 +189,58 @@ def dp_noisy_counts(
         counts.select(*gcols, released.alias("released_count"))
         .filter(F.col("released_count") >= threshold)
     )
+
+
+_LDIV_GRID = 10**9
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: "list[str] | tuple[str, ...]",
+    sensitive_col: str,
+    l_min: int = 2,
+) -> DataFrame:
+    """l-diversity risk report (Machanavajjhala et al. ICDE'06) — the
+    k-anonymity upgrade: a group can be k-anonymous yet leak the
+    sensitive attribute when everyone in it shares one value. Per
+    quasi-identifier group: size, DISTINCT sensitive values
+    (distinct l), and Shannon entropy of the sensitive distribution
+    (entropy l-diversity), flagging groups below ``l_min``.
+
+    Exactness: the entropy terms ``-p ln p`` are quantized to a 10^9
+    integer grid per (group, sensitive-value) row BEFORE the
+    cross-value sum (the repo's addition-order-free convention; one
+    fixed-order ln per value — the psi/pmi contract). Two hash
+    aggregations: (quasi..., sensitive) grain, then quasi grain.
+
+    Output: ``(quasi..., n_rows, distinct_sensitive, entropy,
+    is_diverse)`` with entropy round 6 and ``is_diverse = distinct >=
+    l_min``.
+    """
+    qcols = list(quasi_cols)
+    per_val = df.groupBy(
+        *qcols, F.col(sensitive_col).alias("_sv")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    totals = per_val.groupBy(*qcols).agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("distinct_sensitive"),
+    )
+    withp = per_val.join(totals.select(*qcols, "n_rows"), qcols)
+    p = F.col("_c").cast("double") / F.col("n_rows").cast("double")
+    term_q = F.round(
+        -p * F.log(p) * F.lit(float(_LDIV_GRID))
+    ).cast("long")
+    ent = withp.groupBy(*qcols).agg(
+        F.sum(term_q).alias("_hq")
+    )
+    return (
+        totals.join(ent, qcols)
+        .select(
+            *qcols, "n_rows", "distinct_sensitive",
+            F.round(
+                F.col("_hq").cast("double") / F.lit(float(_LDIV_GRID)),
+                6,
+            ).alias("entropy"),
+            (F.col("distinct_sensitive") >= l_min).alias("is_diverse"),
+        )
+    )

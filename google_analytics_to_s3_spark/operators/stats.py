@@ -1800,3 +1800,59 @@ def mann_whitney_u(
         F.when(ok, F.abs(z) > _Z_95).alias("sig_95"),
         F.when(ok, F.abs(z) > _Z_99).alias("sig_99"),
     )
+
+
+def dr_policy_value(
+    df: DataFrame,
+    logged_action_col: str,
+    target_action_col: str,
+    reward_col: str,
+    baseline_col: str,
+    propensity: float,
+    group_cols: "list[str] | tuple[str, ...]" = (),
+) -> DataFrame:
+    """Doubly-robust off-policy value (Dudík et al. ICML'11) — the
+    variance-reduced upgrade of :func:`ips_policy_value`: a reward
+    MODEL's prediction under the target action anchors the estimate,
+    and the IPS term corrects only the model's residual on matched
+    rows::
+
+        DR = mean(baseline) + sum(match * (r - baseline)) / (p * n)
+
+    Unbiased when EITHER the propensity or the model is right.
+    ``baseline_col`` must be an INTEGER prediction (the caller
+    quantizes — cents grain like the reward), which keeps both sums
+    exact BIGINT; one conditional aggregation, two divisions at the
+    end. Output per group: n, n_match, dr_value, ips_value (round 6,
+    the IPS companion for the variance comparison).
+    """
+    if not (0.0 < propensity <= 1.0):
+        raise ValueError(f"propensity must be in (0, 1], got {propensity}")
+    gcols = list(group_cols)
+    match = (
+        F.col(logged_action_col) == F.col(target_action_col)
+    ).cast("long")
+    r = F.col(reward_col).cast("long")
+    b = F.col(baseline_col).cast("long")
+    agg = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(match).cast("long").alias("n_match"),
+        F.sum(b).cast("long").alias("_bsum"),
+        F.sum(match * (r - b)).cast("long").alias("_corr"),
+        F.sum(match * r).cast("long").alias("_mr"),
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        *gcols, "n", "n_match",
+        F.round(
+            F.col("_bsum").cast("double") / nd
+            + F.col("_corr").cast("double")
+            / (F.lit(float(propensity)) * nd),
+            6,
+        ).alias("dr_value"),
+        F.round(
+            F.col("_mr").cast("double")
+            / (F.lit(float(propensity)) * nd),
+            6,
+        ).alias("ips_value"),
+    )

@@ -1869,3 +1869,139 @@ FROM fin
 
 QUERIES_ML["mann_whitney"] = q_mann_whitney
 ORACLES_ML["mann_whitney"] = SQL_MANN_WHITNEY
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity of the customer table: quasi-identifier =
+    (mktsegment, nationkey), sensitive = account-balance sign bucket
+    (operators/privacy.l_diversity_report) — the leak k-anonymity
+    misses when a whole group shares one sensitive value."""
+    from ..operators.privacy import l_diversity_report
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey",
+        F.when(F.col("c_acctbal") < 0, F.lit("debt"))
+        .when(F.col("c_acctbal") < 5000, F.lit("low"))
+        .otherwise(F.lit("high")).alias("bal_bucket"),
+    )
+    return l_diversity_report(
+        c, ["c_mktsegment", "c_nationkey"], "bal_bucket", l_min=3
+    ).orderBy("c_mktsegment", "c_nationkey")
+
+
+SQL_L_DIVERSITY = """
+WITH c AS (
+  SELECT c_mktsegment, c_nationkey,
+         CASE WHEN c_acctbal < 0 THEN 'debt'
+              WHEN c_acctbal < 5000 THEN 'low'
+              ELSE 'high' END AS bal_bucket
+  FROM customer
+),
+per_val AS (
+  SELECT c_mktsegment, c_nationkey, bal_bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM c GROUP BY 1, 2, 3
+),
+totals AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS distinct_sensitive
+  FROM per_val GROUP BY 1, 2
+),
+ent AS (
+  SELECT p.c_mktsegment, p.c_nationkey,
+         CAST(sum(CAST(round(
+           -(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE))
+           * ln(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE))
+           * 1000000000.0) AS BIGINT)) AS BIGINT) AS hq
+  FROM per_val p
+  JOIN totals t ON p.c_mktsegment = t.c_mktsegment
+               AND p.c_nationkey = t.c_nationkey
+  GROUP BY 1, 2
+)
+SELECT t.c_mktsegment, t.c_nationkey, t.n_rows, t.distinct_sensitive,
+       round(CAST(e.hq AS DOUBLE) / 1000000000.0, 6) AS entropy,
+       t.distinct_sensitive >= 3 AS is_diverse
+FROM totals t
+JOIN ent e ON t.c_mktsegment = e.c_mktsegment
+          AND t.c_nationkey = e.c_nationkey
+ORDER BY t.c_mktsegment, t.c_nationkey
+"""
+
+QUERIES_ML["l_diversity"] = q_l_diversity
+ORACLES_ML["l_diversity"] = SQL_L_DIVERSITY
+
+
+def q_dr_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust off-policy value next to its IPS companion: the
+    reward model is each event type's integer mean cents (computed
+    once, broadcast back as the baseline), arms as in offline_policy
+    (operators/stats.dr_policy_value)."""
+    from ..operators.stats import dr_policy_value
+
+    e = load_events(spark, sf_dir).select(
+        "event_type",
+        (
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit("log#"),
+                               F.col("event_id").cast("string"))), 1, 14
+            ), 16, 10).cast("long") % 4
+        ).alias("logged_arm"),
+        (
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit("tgt#"),
+                               F.col("user_id").cast("string"))), 1, 14
+            ), 16, 10).cast("long") % 4
+        ).alias("target_arm"),
+        F.floor(F.col("value") * 100).cast("long").alias("reward"),
+    )
+    model = e.groupBy(F.col("event_type").alias("_et")).agg(
+        F.expr("sum(reward) div count(1)").cast("long").alias("baseline")
+    )
+    j = e.join(
+        F.broadcast(model), e.event_type == model._et
+    ).drop("_et")
+    return dr_policy_value(
+        j, "logged_arm", "target_arm", "reward", "baseline",
+        propensity=0.25, group_cols=["event_type"],
+    ).orderBy("event_type")
+
+
+SQL_DR_POLICY = """
+WITH e AS (
+  SELECT event_type,
+         ('0x' || substr(md5('log#' || CAST(event_id AS VARCHAR)),
+                         1, 14))::BIGINT % 4 AS logged_arm,
+         ('0x' || substr(md5('tgt#' || CAST(user_id AS VARCHAR)),
+                         1, 14))::BIGINT % 4 AS target_arm,
+         CAST(floor(value * 100) AS BIGINT) AS reward
+  FROM events
+),
+model AS (
+  SELECT event_type, CAST(sum(reward) // count(*) AS BIGINT) AS baseline
+  FROM e GROUP BY 1
+),
+j AS (SELECT e.*, m.baseline FROM e JOIN model m USING (event_type)),
+a AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN logged_arm = target_arm THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_match,
+         CAST(sum(baseline) AS BIGINT) AS bsum,
+         CAST(sum(CASE WHEN logged_arm = target_arm
+                  THEN reward - baseline ELSE 0 END) AS BIGINT) AS corr,
+         CAST(sum(CASE WHEN logged_arm = target_arm THEN reward
+                  ELSE 0 END) AS BIGINT) AS mr
+  FROM j GROUP BY 1
+)
+SELECT event_type, n, n_match,
+       round(CAST(bsum AS DOUBLE) / CAST(n AS DOUBLE)
+             + CAST(corr AS DOUBLE) / (0.25 * CAST(n AS DOUBLE)), 6)
+         AS dr_value,
+       round(CAST(mr AS DOUBLE) / (0.25 * CAST(n AS DOUBLE)), 6)
+         AS ips_value
+FROM a ORDER BY event_type
+"""
+
+QUERIES_ML["dr_policy"] = q_dr_policy
+ORACLES_ML["dr_policy"] = SQL_DR_POLICY

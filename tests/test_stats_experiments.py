@@ -658,3 +658,62 @@ def test_mg_summary_merge_keeps_superset_guarantee(spark):
     }
     want = {key for key, c in true.items() if c > phi * n}
     assert got == want and want == {0}
+
+
+# ---------------------------------------------------- l-diversity / DR
+
+
+def test_l_diversity_flags_homogeneous_group(spark):
+    from google_analytics_to_s3_spark.operators.privacy import (
+        l_diversity_report,
+    )
+
+    rows = [("g1", "a")] * 10                      # homogeneous: leak
+    rows += [("g2", "a")] * 5 + [("g2", "b")] * 5  # 2-diverse
+    df = spark.createDataFrame(rows, "q string, s string")
+    out = {r.q: r for r in
+           l_diversity_report(df, ["q"], "s", l_min=2).collect()}
+    assert not out["g1"].is_diverse and out["g1"].entropy == 0.0
+    assert out["g2"].is_diverse
+    import math
+
+    assert out["g2"].entropy == round(math.log(2), 6)
+
+
+def test_dr_policy_perfect_model_equals_baseline_mean(spark):
+    """When the model is exact (baseline == reward), the correction
+    term vanishes and DR = mean reward regardless of propensity —
+    the double-robustness property, on its model side."""
+    from google_analytics_to_s3_spark.operators.stats import (
+        dr_policy_value,
+    )
+
+    rows = [(i % 4, (i * 7) % 4, 100 + i % 50, 100 + i % 50)
+            for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "logged int, target int, r long, b long"
+    )
+    out = dr_policy_value(
+        df, "logged", "target", "r", "b", propensity=0.25
+    ).collect()[0]
+    mean_r = sum(100 + i % 50 for i in range(400)) / 400
+    assert out.dr_value == round(mean_r, 6)
+
+
+def test_dr_policy_zero_model_reduces_to_ips(spark):
+    from google_analytics_to_s3_spark.operators.stats import (
+        dr_policy_value, ips_policy_value,
+    )
+
+    rows = [(i % 4, (i * 13) % 4, (i * 31) % 200, 0)
+            for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "logged int, target int, r long, b long"
+    )
+    dr = dr_policy_value(
+        df, "logged", "target", "r", "b", propensity=0.25
+    ).collect()[0]
+    ips = ips_policy_value(
+        df, "logged", "target", "r", propensity=0.25
+    ).collect()[0]
+    assert dr.dr_value == ips.ips_value == dr.ips_value
