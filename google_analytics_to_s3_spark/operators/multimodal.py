@@ -24,8 +24,13 @@ Two tiers of decode honesty:
   dequant/dezigzag/matrix IDCT (``decode_jpeg_meta``; the
   ``jpeg_decode`` driver query value-oracles the whole pipeline as
   integer arithmetic). Gates left: progressive/subsampled JPEG.
-- **Digest stubs** for the remaining compressed formats (MP3/MP4/
-  FLAC need libav / soundfile, which are NOT in this container):
+- **REAL FLAC decode (r7)**: mono fixed-predictor subset — frame
+  sync + CRC-8/16 verification, UTF-8 frame numbers, Rice residual
+  decode (incl. escape partitions), predictor reconstruction
+  (``decode_flac_features``; lossless, so the ``flac_decode`` driver
+  query's oracle is exact). LPC subframes/multi-channel quarantine.
+- **Digest stubs** for the remaining compressed formats (MP3/MP4
+  need libav / soundfile, which are NOT in this container):
   metadata derives deterministically from the payload's sha256.
   Everything Spark-side — binary column handling, Arrow batch
   transfer, schemas, partition-preserving plumbing, the 1→N frame
@@ -1481,4 +1486,320 @@ def decode_jpeg_meta(
 
     return df.select(id_col, payload_col).mapInPandas(
         _decode, schema=JPEG_META_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed-audio decode: FLAC (free public spec / RFC 9639),
+# mono fixed-predictor subset — STREAMINFO parse, frame sync with
+# CRC-8/CRC-16 verification, UTF-8 frame numbers, subframe decode
+# (CONSTANT / VERBATIM / FIXED 0-4) with genuine Rice residual
+# decoding and predictor reconstruction. FLAC is lossless, so decoded
+# samples equal the planted ones EXACTLY — decode oracles are pure
+# integer arithmetic. LPC subframes and multi-channel stay honestly
+# gated (quarantined with a named error).
+# ---------------------------------------------------------------------------
+
+
+class _FlacBitReader:
+    def __init__(self, raw: bytes, pos: int):
+        self.raw = raw
+        self.pos = pos
+        self.n = 0  # bits consumed of raw[pos]
+
+    def bit(self) -> int:
+        if self.pos >= len(self.raw):
+            raise ValueError("FLAC bitstream truncated")
+        b = (self.raw[self.pos] >> (7 - self.n)) & 1
+        self.n += 1
+        if self.n == 8:
+            self.n = 0
+            self.pos += 1
+        return b
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bit() == 0:
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("runaway unary code (corrupt rice data)")
+        return q
+
+    def align(self) -> None:
+        if self.n:
+            self.n = 0
+            self.pos += 1
+
+
+def _flac_crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
+                else (crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+_FLAC_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_FLAC_BS_TABLE = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+
+
+def _read_utf8_number(raw: bytes, pos: int) -> tuple[int, int]:
+    b0 = raw[pos]
+    if b0 < 0x80:
+        return b0, pos + 1
+    n_cont = 0
+    for mask, bits in ((0xE0, 0xC0), (0xF0, 0xE0), (0xF8, 0xF0),
+                       (0xFC, 0xF8), (0xFE, 0xFC), (0xFF, 0xFE)):
+        n_cont += 1
+        if b0 & mask == bits:
+            val = b0 & (0xFF >> (n_cont + 2))
+            for i in range(1, n_cont + 1):
+                c = raw[pos + i]
+                if c & 0xC0 != 0x80:
+                    raise ValueError("bad UTF-8 continuation in frame no")
+                val = (val << 6) | (c & 0x3F)
+            return val, pos + n_cont + 1
+    raise ValueError("bad UTF-8 coded frame number")
+
+
+def _parse_flac(raw: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Decode a mono fixed-predictor-subset FLAC stream: returns
+    (sample_rate_hz, n_samples, int32 sample array). Raises
+    ValueError on malformed input and on honest unsupported corners
+    (LPC subframes, multi-channel, CRC mismatches)."""
+    if len(raw) < 42 or raw[0:4] != b"fLaC":
+        raise ValueError("not a FLAC payload (bad magic)")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(raw):
+            raise ValueError("truncated FLAC metadata")
+        hdr = raw[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        blen = int.from_bytes(raw[pos + 1:pos + 4], "big")
+        body = raw[pos + 4:pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("truncated FLAC metadata block")
+        if btype == 0:
+            streaminfo = body
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) < 34:
+        raise ValueError("missing STREAMINFO")
+    sr = int.from_bytes(streaminfo[10:13], "big") >> 4
+    n_channels = ((streaminfo[12] >> 1) & 0x7) + 1
+    bps = (((streaminfo[12] & 1) << 4) | (streaminfo[13] >> 4)) + 1
+    total = (
+        (streaminfo[13] & 0x0F) << 32
+    ) | int.from_bytes(streaminfo[14:18], "big")
+    if n_channels != 1:
+        raise ValueError(
+            f"{n_channels}-channel FLAC not supported (mono subset)"
+        )
+    if bps != 16:
+        raise ValueError(f"{bps}-bit FLAC not supported (16-bit subset)")
+    if total <= 0:
+        raise ValueError("STREAMINFO reports zero samples")
+
+    samples = np.empty(total, dtype=np.int32)
+    got = 0
+    while got < total:
+        frame_start = pos
+        if pos + 5 > len(raw):
+            raise ValueError("truncated FLAC frame header")
+        sync = (raw[pos] << 6) | (raw[pos + 1] >> 2)
+        if sync != 0b11111111111110:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        bs_code = raw[pos + 2] >> 4
+        sr_code = raw[pos + 2] & 0x0F
+        ch_code = raw[pos + 3] >> 4
+        ss_code = (raw[pos + 3] >> 1) & 0x7
+        if ch_code != 0:
+            raise ValueError("multi-channel frame not supported")
+        if ss_code != 0b100:
+            raise ValueError("non-16-bit frame not supported")
+        pos += 4
+        _, pos = _read_utf8_number(raw, pos)
+        if bs_code == 0b0110:
+            bs = raw[pos] + 1
+            pos += 1
+        elif bs_code == 0b0111:
+            bs = int.from_bytes(raw[pos:pos + 2], "big") + 1
+            pos += 2
+        elif bs_code in _FLAC_BS_TABLE:
+            bs = _FLAC_BS_TABLE[bs_code]
+        else:
+            raise ValueError(f"reserved blocksize code {bs_code}")
+        if sr_code in (0b1100, 0b1101, 0b1110):
+            pos += 1 if sr_code == 0b1100 else 2
+        crc8 = raw[pos]
+        if _flac_crc8(raw[frame_start:pos]) != crc8:
+            raise ValueError("frame header CRC-8 mismatch")
+        pos += 1
+
+        br = _FlacBitReader(raw, pos)
+        if br.bit() != 0:
+            raise ValueError("subframe sync bit set")
+        sf_type = br.bits(6)
+        wasted = br.bit()
+        if wasted:
+            raise ValueError("wasted-bits subframes not supported")
+        block = np.empty(bs, dtype=np.int64)
+
+        def s16(v: int) -> int:
+            return v - 0x10000 if v >= 0x8000 else v
+
+        if sf_type == 0b000000:  # CONSTANT
+            block[:] = s16(br.bits(16))
+        elif sf_type == 0b000001:  # VERBATIM
+            for i in range(bs):
+                block[i] = s16(br.bits(16))
+        elif 0b001000 <= sf_type <= 0b001100:  # FIXED order 0-4
+            order = sf_type & 0x07
+            for i in range(order):
+                block[i] = s16(br.bits(16))
+            method = br.bits(2)
+            if method not in (0, 1):
+                raise ValueError("reserved residual coding method")
+            pbits = 4 if method == 0 else 5
+            esc = (1 << pbits) - 1
+            part_order = br.bits(4)
+            n_parts = 1 << part_order
+            if bs % n_parts:
+                raise ValueError("partition size does not divide block")
+            res = []
+            for p in range(n_parts):
+                cnt = bs // n_parts - (order if p == 0 else 0)
+                param = br.bits(pbits)
+                if param == esc:
+                    rawbits = br.bits(5)
+                    for _ in range(cnt):
+                        v = br.bits(rawbits)
+                        half = 1 << (rawbits - 1)
+                        res.append(v - (1 << rawbits) if v >= half else v)
+                else:
+                    for _ in range(cnt):
+                        q = br.unary()
+                        z = (q << param) | (br.bits(param) if param else 0)
+                        res.append(
+                            (z >> 1) if z % 2 == 0 else -((z + 1) >> 1)
+                        )
+            coefs = _FLAC_FIXED_COEFS[order]
+            for i in range(order, bs):
+                pred = sum(
+                    c * int(block[i - j - 1]) for j, c in enumerate(coefs)
+                )
+                block[i] = pred + res[i - order]
+        elif sf_type >= 0b100000:
+            raise ValueError("LPC subframes not supported (fixed subset)")
+        else:
+            raise ValueError(f"reserved subframe type {sf_type:#08b}")
+
+        br.align()
+        pos = br.pos
+        crc16 = int.from_bytes(raw[pos:pos + 2], "big")
+        if _flac_crc16(raw[frame_start:pos]) != crc16:
+            raise ValueError("frame CRC-16 mismatch")
+        pos += 2
+        take = min(bs, total - got)
+        samples[got:got + take] = block[:take].astype(np.int32)
+        got += take
+    return sr, int(total), samples
+
+
+def decode_flac_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    window_samples: int = 256,
+) -> DataFrame:
+    """REAL compressed-audio decode for FLAC payloads (mono
+    fixed-predictor subset, ``_parse_flac``): sample rate / duration
+    from STREAMINFO, per-window RMS energy from the losslessly
+    reconstructed samples — the same feature contract as
+    ``decode_wav_features``, so a curation pipeline treats WAV and
+    FLAC sources identically. Unsupported corners (LPC,
+    multi-channel) and corrupt streams (CRC mismatches) quarantine
+    into ``decode_error``."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate_hz", "n_samples", "duration_ms",
+                "n_windows", "rms_windows", "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                out["doc_id"].append(doc_id)
+                try:
+                    rate, n, samples = _parse_flac(bytes(payload))
+                    wins = []
+                    for i in range(0, n, window_samples):
+                        w = samples[i: i + window_samples].astype(
+                            np.int64
+                        )
+                        wins.append(
+                            round(float(np.sqrt((w * w).sum() / len(w))),
+                                  6)
+                        )
+                    out["sample_rate_hz"].append(rate)
+                    out["n_samples"].append(n)
+                    out["duration_ms"].append(n * 1000 // rate)
+                    out["n_windows"].append(len(wins))
+                    out["rms_windows"].append(wins)
+                    out["decode_error"].append(None)
+                except (ValueError, IndexError, struct.error) as e:
+                    out["sample_rate_hz"].append(None)
+                    out["n_samples"].append(None)
+                    out["duration_ms"].append(None)
+                    out["n_windows"].append(None)
+                    out["rms_windows"].append(None)
+                    out["decode_error"].append(
+                        str(e) or type(e).__name__
+                    )
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "sample_rate_hz": pd.Series(out["sample_rate_hz"],
+                                            dtype="Int32"),
+                "n_samples": pd.Series(out["n_samples"], dtype="Int64"),
+                "duration_ms": pd.Series(out["duration_ms"],
+                                         dtype="Int64"),
+                "n_windows": pd.Series(out["n_windows"], dtype="Int32"),
+                "rms_windows": pd.Series(out["rms_windows"],
+                                         dtype=object),
+                "decode_error": pd.Series(out["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _extract, schema=WAV_FEATURE_SCHEMA
     )

@@ -2327,3 +2327,96 @@ FROM blocks GROUP BY event_id
 SQL_JPEG_DECODE = _jpeg_decode_sql()
 QUERIES_ANALYTICS["jpeg_decode"] = q_jpeg_decode
 ORACLES_ANALYTICS["jpeg_decode"] = SQL_JPEG_DECODE
+
+
+_FLAC_MOD = 10
+
+
+def q_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL compressed-audio path driver-checked: a true FLAC
+    stream is synthesized per sampled event (testing/fixtures.
+    make_flac — Rice-coded FIXED-predictor frames, verbatim frames, a
+    constant tail block, correct CRCs), decoded by the full bit-level
+    pipeline (operators/multimodal._parse_flac), and the per-window
+    RMS energies are recomputed arithmetically by the oracle. FLAC is
+    LOSSLESS, so the planted sample rule replays exactly — a green
+    row proves the Rice/predictor/CRC path reconstructs the actual
+    samples. Same serialization contract as wav_decode (%.6f-joined
+    scalar string)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.multimodal import decode_flac_features
+    from ..testing.fixtures import make_flac
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 0
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_flac(int(i) % 1000,
+                              n_samples=800 + (int(i) % 5) * 400)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(
+        _synth, schema="doc_id long, payload binary"
+    )
+    return decode_flac_features(payloads, window_samples=400).select(
+        "doc_id", "sample_rate_hz", "n_samples", "duration_ms",
+        "n_windows",
+        F.array_join(
+            F.transform("rms_windows",
+                        lambda x: F.format_string("%.6f", x)),
+            ",",
+        ).alias("rms_windows"),
+    )
+
+
+# the fixture's block layout: 512-sample blocks cycling
+# (fixed2, verbatim, constant); fixed/verbatim carry the WAV sample
+# rule, constant blocks carry seed % 512 — the oracle replays the
+# layout arithmetically (FLAC is lossless, so equality is exact)
+SQL_FLAC_DECODE = f"""
+WITH e AS (
+  SELECT event_id, 800 + (event_id % 5) * 400 AS n,
+         event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 0
+),
+w AS (
+  SELECT event_id, n, seed, CAST(wi.w AS BIGINT) AS w
+  FROM e, LATERAL (SELECT unnest(range(0, (n + 399) // 400)) AS w) wi
+),
+s AS (
+  SELECT event_id, n, w.w,
+         CASE WHEN ((i.i // 512) % 3) = 2 THEN seed % 512
+              ELSE ((seed + i.i * 257) % 2001) - 1000 END AS v
+  FROM w, LATERAL (SELECT unnest(range(w.w * 400,
+                                       least(n, (w.w + 1) * 400))) AS i) i
+),
+r AS (
+  SELECT event_id, n, w,
+         round(sqrt(CAST(sum(v * v) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE)), 6) AS rms
+  FROM s GROUP BY 1, 2, 3
+)
+SELECT event_id AS doc_id,
+       CAST(16000 AS INTEGER) AS sample_rate_hz,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+       CAST(count(*) AS INTEGER) AS n_windows,
+       string_agg(printf('%.6f', rms), ',' ORDER BY w) AS rms_windows
+FROM r GROUP BY event_id, n
+"""
+
+QUERIES_ANALYTICS["flac_decode"] = q_flac_decode
+ORACLES_ANALYTICS["flac_decode"] = SQL_FLAC_DECODE

@@ -706,3 +706,205 @@ def make_jpeg_baseline(
             out.append(0x00)
     out += b"\xFF\xD9"  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# REAL FLAC synthesis (the free public spec, xiph.org / RFC 9639):
+# mono 16-bit streams whose frames carry CONSTANT, VERBATIM, and
+# FIXED-predictor subframes with genuine Rice-coded residuals, correct
+# UTF-8 frame numbers and CRC-8/CRC-16 — the deterministic sample rule
+# matches make_wav_pcm16, and FLAC is lossless, so decode oracles are
+# exact integer arithmetic by construction.
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        for i in range(bits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                self.acc = 0
+                self.n = 0
+
+    def write_unary(self, q: int) -> None:
+        for _ in range(q):
+            self.write(0, 1)
+        self.write(1, 1)
+
+    def align(self) -> None:
+        while self.n:
+            self.write(0, 1)
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _utf8_coded_number(n: int) -> bytes:
+    # FLAC frame numbers use UTF-8-style coding (spec 9.1.5)
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    if n < 0x800:
+        out = [0xC0 | (n >> 6), 0x80 | (n & 0x3F)]
+    elif n < 0x10000:
+        out = [0xE0 | (n >> 12), 0x80 | ((n >> 6) & 0x3F),
+               0x80 | (n & 0x3F)]
+    else:
+        out = [0xF0 | (n >> 18), 0x80 | ((n >> 12) & 0x3F),
+               0x80 | ((n >> 6) & 0x3F), 0x80 | (n & 0x3F)]
+    return bytes(out)
+
+
+def _rice_encode(bw: "_BitWriter", residuals: "list[int]", param: int) -> None:
+    for r in residuals:
+        # standard zigzag: non-negative -> 2r, negative -> -2r - 1
+        z = 2 * r if r >= 0 else -2 * r - 1
+        bw.write_unary(z >> param)
+        if param:
+            bw.write(z & ((1 << param) - 1), param)
+
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def make_flac(
+    seed: int,
+    n_samples: int = 1200,
+    sample_rate_hz: int = 16_000,
+    block_size: int = 512,
+    subframe_cycle: "tuple[str, ...]" = ("fixed2", "verbatim", "constant"),
+    rice_escape: bool = False,
+) -> bytes:
+    """Serialize a REAL mono 16-bit FLAC stream. Sample i =
+    ``((seed + i*257) % 2001) - 1000`` for fixed/verbatim blocks (the
+    make_wav_pcm16 rule), and the constant ``seed % 512`` for blocks
+    whose cycle slot is 'constant' — every subframe type the decoder
+    supports appears, with genuine Rice-coded FIXED-predictor
+    residuals, UTF-8 frame numbers, and correct CRC-8/CRC-16.
+    """
+    import struct as _struct
+
+    def sample(i: int) -> int:
+        return ((seed + i * 257) % 2001) - 1000
+
+    out = bytearray(b"fLaC")
+    # STREAMINFO (34 bytes), last-metadata-block flag set
+    si = _BitWriter()
+    si.write(block_size, 16)  # min block size
+    si.write(block_size, 16)  # max block size
+    si.write(0, 24)  # min frame size unknown
+    si.write(0, 24)  # max frame size unknown
+    si.write(sample_rate_hz, 20)
+    si.write(0, 3)   # channels - 1 (mono)
+    si.write(15, 5)  # bits per sample - 1 (16)
+    si.write(n_samples, 36)
+    md5 = b"\x00" * 16  # unset (legal: 0 means unknown)
+    out += bytes([0x80]) + (34).to_bytes(3, "big") + bytes(si.buf) + md5
+
+    frame_no = 0
+    pos = 0
+    while pos < n_samples:
+        bs = min(block_size, n_samples - pos)
+        kind = subframe_cycle[frame_no % len(subframe_cycle)]
+        if kind == "constant":
+            samples = [seed % 512] * bs
+        else:
+            samples = [sample(pos + i) for i in range(bs)]
+
+        hdr = _BitWriter()
+        hdr.write(0b11111111111110, 14)  # sync
+        hdr.write(0, 1)  # reserved
+        hdr.write(0, 1)  # fixed blocksize stream
+        hdr.write(0b0111, 4)   # blocksize: 16 bit at end (bs - 1)
+        hdr.write(0b0000, 4)   # sample rate: from STREAMINFO
+        hdr.write(0b0000, 4)   # channels: mono
+        hdr.write(0b100, 3)    # sample size: 16 bit
+        hdr.write(0, 1)        # reserved
+        head = bytes(hdr.buf) + _utf8_coded_number(frame_no)
+        head += _struct.pack(">H", bs - 1)
+        head += bytes([_crc8(head)])
+
+        body = _BitWriter()
+        if kind == "constant":
+            body.write(0, 1)  # zero bit
+            body.write(0b000000, 6)  # constant subframe
+            body.write(0, 1)  # no wasted bits
+            body.write(samples[0] & 0xFFFF, 16)
+        elif kind == "verbatim":
+            body.write(0, 1)
+            body.write(0b000001, 6)  # verbatim
+            body.write(0, 1)
+            for s_ in samples:
+                body.write(s_ & 0xFFFF, 16)
+        else:  # fixed order 2
+            order = 2
+            body.write(0, 1)
+            body.write(0b001000 | order, 6)  # fixed, order
+            body.write(0, 1)
+            for s_ in samples[:order]:  # warm-up, unencoded
+                body.write(s_ & 0xFFFF, 16)
+            coefs = _FIXED_COEFS[order]
+            residuals = [
+                samples[i] - sum(
+                    c * samples[i - j - 1] for j, c in enumerate(coefs)
+                )
+                for i in range(order, bs)
+            ]
+            # residual method 0 (4-bit rice), partition order 0
+            body.write(0b00, 2)
+            body.write(0, 4)  # partition order 0
+            if rice_escape:
+                # escape code: raw two's-complement residuals at a
+                # fixed width (exercises the decoder's escape branch)
+                body.write(0b1111, 4)
+                width = max(
+                    (abs(r) + (r >= 0)).bit_length() + 1
+                    for r in residuals
+                ) if residuals else 2
+                body.write(width, 5)
+                for r in residuals:
+                    body.write(r & ((1 << width) - 1), width)
+            else:
+                zmax = max((2 * r if r >= 0 else -2 * r - 1)
+                           for r in residuals) if residuals else 0
+                param = max(0, zmax.bit_length() - 1)
+                if param > 14:
+                    raise ValueError("rice parameter overflow in fixture")
+                body.write(param, 4)
+                _rice_encode(body, residuals, param)
+        body.align()
+        frame = head + bytes(body.buf)
+        frame += _struct.pack(">H", _crc16(frame))
+        out += frame
+        pos += bs
+        frame_no += 1
+    return bytes(out)

@@ -784,3 +784,81 @@ class TestJpegDecode:
         rows = {r.doc_id: r for r in decode_jpeg_meta(df).collect()}
         assert rows[1].channels == 1 and rows[2].channels == 3
         assert rows[2].decode_error is None
+
+
+class TestFlacDecode:
+    """REAL FLAC decode: fixed-predictor subset, Rice residuals,
+    CRC-verified frames. Lossless -> sample equality is exact."""
+
+    def _expected(self, seed, n):
+        import numpy as np
+
+        def sample(i):
+            return ((seed + i * 257) % 2001) - 1000
+
+        exp = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            exp[i] = seed % 512 if (i // 512) % 3 == 2 else sample(i)
+        return exp
+
+    def test_roundtrip_all_subframe_types(self):
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_flac,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_flac
+
+        for seed in (0, 7, 999):
+            for n in (800, 1200, 2400):
+                sr, total, s = _parse_flac(make_flac(seed, n_samples=n))
+                assert (sr, total) == (16000, n)
+                assert (s == self._expected(seed, n)).all(), (seed, n)
+
+    def test_rice_escape_partition_roundtrip(self):
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_flac,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_flac
+
+        _, _, s = _parse_flac(
+            make_flac(42, n_samples=600, rice_escape=True)
+        )
+        assert (s == self._expected(42, 600)[:600]).all()
+
+    def test_compression_is_real(self):
+        """The fixed-predictor frame Rice-codes below raw PCM size —
+        the stream is genuinely compressed, not verbatim-in-disguise."""
+        from google_analytics_to_s3_spark.testing.fixtures import make_flac
+
+        raw = make_flac(7, n_samples=2400)
+        assert len(raw) < 2400 * 2  # 16-bit PCM would be 4800 B + headers
+
+    def test_quarantine_unsupported_and_corrupt(self, spark):
+        import pandas as pd
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            decode_flac_features,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_flac
+
+        good = make_flac(5, n_samples=800)
+        bad_crc = bytearray(good)
+        bad_crc[-1] ^= 0xFF  # corrupt the final frame CRC-16
+        cases = [
+            (1, good),
+            (2, b"RIFFnot a flac"),
+            (3, bytes(bad_crc)),
+            (4, good[:60]),  # truncated after metadata
+        ]
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [c[0] for c in cases],
+            "payload": [c[1] for c in cases],
+        }))
+        rows = {r.doc_id: r for r in decode_flac_features(df).collect()}
+        assert rows[1].decode_error is None
+        assert rows[1].n_samples == 800 and rows[1].sample_rate_hz == 16000
+        assert "not a FLAC" in rows[2].decode_error
+        assert "CRC" in rows[3].decode_error
+        assert rows[4].decode_error is not None
+        assert len(rows) == 4  # quarantine never fails the batch
