@@ -3213,6 +3213,20 @@ _DRIVER_PRIORITY = [
     # table_profile, text_quality, text_stats, token_counts,
     # volume_shipping, winnow_*) follow the prefix and rotate in next
     # round; every r3-green query keeps its fresh row
+    # ---------------- r7-continuation registrations ----------------
+    # Registered AFTER the r7 prefix froze — never driver-checked.
+    # r8 prefix assembly: these 23 + the 4 r3-stale stragglers
+    # (tfidf_top_terms, bm25_search, linear_count_users,
+    # scd2_customer_priority) + the oldest r4 rows = the 50 slots.
+    # Listed here (past slot 50) only so the rotation record is
+    # explicit; their position does not affect the r7 check.
+    "did_lift", "heavy_hitters", "dp_release", "ols_regression",
+    "hll_rollup", "ndcg_eval", "label_propagation", "jpeg_decode",
+    "holt_winters", "theil_sen", "offline_policy",
+    "phrase_index_search", "hilbert_keys", "conformal_intervals",
+    "ab_ztest", "neyman_sample", "logrank_test", "mann_whitney",
+    "textrank_keywords", "community_modularity", "l_diversity",
+    "dr_policy", "flac_decode",
 ]
 
 
