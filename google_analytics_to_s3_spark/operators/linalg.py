@@ -191,6 +191,7 @@ def ols_closed_form(
     y_col: str,
     x1_col: str,
     x2_col: str,
+    group_cols: "list[str] | tuple[str, ...]" = (),
 ) -> DataFrame:
     """Distributed ordinary-least-squares fit of an INTEGER response on
     two INTEGER regressors plus an intercept — exact normal equations.
@@ -214,15 +215,19 @@ def ols_closed_form(
     slope/seasonality regressions marts actually run, with a full
     value oracle.
 
-    Output (one row): n, beta0 (intercept), beta1, beta2, r2.
+    Output (one row per group, or one row total): group...,
+    n, beta0 (intercept), beta1, beta2, r2. With ``group_cols`` the
+    same single aggregation runs at group grain — thousands of
+    per-segment regressions for the price of one shuffle.
     """
+    gcols = list(group_cols)
     d0 = F.lit(0).cast("decimal(38,0)")
 
     def dec(c) -> Column:
         return c.cast("decimal(38,0)")
 
     y, x1, x2 = F.col(y_col), F.col(x1_col), F.col(x2_col)
-    s = df.agg(
+    s = df.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("_cnt"),
         F.sum(dec(x1)).alias("s1"),
         F.sum(dec(x2)).alias("s2"),
@@ -233,7 +238,7 @@ def ols_closed_form(
         F.sum(dec(x1) * dec(y)).alias("s1y"),
         F.sum(dec(x2) * dec(y)).alias("s2y"),
         F.sum(dec(y) * dec(y)).alias("syy"),
-    ).select(dec(F.col("_cnt")).alias("n"), *[
+    ).select(*gcols, dec(F.col("_cnt")).alias("n"), *[
         F.coalesce(F.col(c), d0).alias(c)
         for c in ("s1", "s2", "sy", "s11", "s12", "s22",
                   "s1y", "s2y", "syy")
@@ -273,6 +278,7 @@ def ols_closed_form(
     )
     ok = det != d0
     return s.select(
+        *gcols,
         n.cast("long").alias("n"),
         F.round(F.when(ok, b0), 6).alias("beta0"),
         F.round(F.when(ok, b1), 6).alias("beta1"),

@@ -1707,7 +1707,13 @@ def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_partkey") % 5 == 0, F.col("p_brand"))
         .alias("label"),
     )
-    labels = label_propagation(nodes, edges, rounds=2)
+    # the co-purchase self-join feeds LPA AND the scorer (twice each
+    # side of the edge join), and the LPA label chain is consumed by
+    # both endpoint joins: checkpoint both once, lazily
+    edges = edges.localCheckpoint(eager=False)
+    labels = label_propagation(nodes, edges, rounds=2).localCheckpoint(
+        eager=False
+    )
     out = community_modularity(edges, labels)
     return out.orderBy(
         F.col("contribution").desc(), F.col("label").asc()
