@@ -119,3 +119,129 @@ def item_cosine_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+ALS_GRID = 10**6
+
+
+def als_rank1(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    rounds: int = 2,
+) -> DataFrame:
+    """Rank-1 alternating least squares (the Koren/Hu-style implicit
+    factor model at k=1 — the popularity-times-affinity baseline every
+    recommender eval needs): item factors start at 1, then each
+    alternation solves the EXACT scalar least-squares update in closed
+    form::
+
+        u_i = sum_j r_ij v_j / sum_j v_j^2     (users given items)
+        v_j = sum_i r_ij u_i / sum_i u_i^2     (items given users)
+
+    Exactness at scale: factors live on a 10^6 integer grid — every
+    numerator/denominator is an exact DECIMAL(38) sum of
+    integer-rating x integer-factor products, and each update is ONE
+    double division quantized back to the grid (round-half-up), so a
+    SQL oracle replays all rounds bit-for-bit and distributed
+    addition order cannot perturb anything (the repo's grid
+    convention; a float-factor ALS would be order-nondeterministic).
+
+    Plan: each half-round is one broadcast-or-shuffle equi-join of the
+    ratings table with the (tiny, entity-grain) factor table + one
+    hash aggregation — 2*rounds data-sized shuffles total, factor
+    tables checkpointed per round. Returns the item-factor table
+    ``(item, v_q, v_factor)`` with the training RMSE of the final
+    model on every row (exact grid arithmetic).
+    """
+    r = ratings.select(
+        F.col(user_col).alias("_u"),
+        F.col(item_col).alias("_i"),
+        F.col(rating_col).cast("long").alias("_r"),
+    ).localCheckpoint(eager=False)
+    v = r.select("_i").distinct().withColumn(
+        "_vq", F.lit(ALS_GRID).cast("long")
+    )
+    u = None
+    for _ in range(rounds):
+        num_den_u = (
+            r.join(v, "_i")
+            .groupBy("_u")
+            .agg(
+                F.sum(
+                    F.col("_r").cast("decimal(38,0)")
+                    * F.col("_vq").cast("decimal(38,0)")
+                ).alias("_num"),
+                F.sum(
+                    F.col("_vq").cast("decimal(38,0)")
+                    * F.col("_vq").cast("decimal(38,0)")
+                ).alias("_den"),
+            )
+        )
+        # dimensional check: num = sum r*f_q = G * sum r*f,
+        # den = sum f_q^2 = G^2 * sum f^2 -> f_new = num*G/den and the
+        # grid value f_new_q = f_new * G = num * G^2 / den
+        u = num_den_u.select(
+            "_u",
+            F.round(
+                F.col("_num").cast("double")
+                * F.lit(float(ALS_GRID) * float(ALS_GRID))
+                / F.col("_den").cast("double")
+            ).cast("long").alias("_uq"),
+        ).localCheckpoint(eager=False)
+        num_den_v = (
+            r.join(u, "_u")
+            .groupBy("_i")
+            .agg(
+                F.sum(
+                    F.col("_r").cast("decimal(38,0)")
+                    * F.col("_uq").cast("decimal(38,0)")
+                ).alias("_num"),
+                F.sum(
+                    F.col("_uq").cast("decimal(38,0)")
+                    * F.col("_uq").cast("decimal(38,0)")
+                ).alias("_den"),
+            )
+        )
+        v = num_den_v.select(
+            "_i",
+            F.round(
+                F.col("_num").cast("double")
+                * F.lit(float(ALS_GRID) * float(ALS_GRID))
+                / F.col("_den").cast("double")
+            ).cast("long").alias("_vq"),
+        ).localCheckpoint(eager=False)
+    # training RMSE of the final (u, v): residuals on the 10^12 grid
+    pred = (
+        r.join(u, "_u").join(v, "_i")
+        .select(
+            (
+                F.col("_r").cast("decimal(38,0)")
+                * F.lit(ALS_GRID).cast("decimal(38,0)")
+                * F.lit(ALS_GRID).cast("decimal(38,0)")
+                - F.col("_uq").cast("decimal(38,0)")
+                * F.col("_vq").cast("decimal(38,0)")
+            ).alias("_e12"),
+        )
+    )
+    sse = pred.agg(
+        F.sum(F.col("_e12") * F.col("_e12")).alias("_sse"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    ).select(
+        F.round(
+            F.sqrt(
+                F.col("_sse").cast("double")
+                / F.col("_n").cast("double")
+            ) / F.lit(float(ALS_GRID) * float(ALS_GRID)),
+            6,
+        ).alias("train_rmse")
+    )
+    return v.crossJoin(F.broadcast(sse)).select(
+        F.col("_i").alias(item_col),
+        F.col("_vq").alias("v_q"),
+        F.round(
+            F.col("_vq").cast("double") / F.lit(float(ALS_GRID)), 6
+        ).alias("v_factor"),
+        "train_rmse",
+    )

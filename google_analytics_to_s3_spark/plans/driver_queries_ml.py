@@ -2005,3 +2005,83 @@ FROM a ORDER BY event_type
 
 QUERIES_ML["dr_policy"] = q_dr_policy
 ORACLES_ML["dr_policy"] = SQL_DR_POLICY
+
+
+def q_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 ALS over the (customer, part, quantity) purchase matrix
+    — matrix factorization with a full bit-exact oracle thanks to the
+    10^6 factor grid (operators/recsys.als_rank1): item factors plus
+    the final training RMSE."""
+    from ..operators.recsys import als_rank1
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    r = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.floor("l_quantity").cast("long").alias("qty"),
+    )
+    return als_rank1(r, "user_id", "item_id", "qty", rounds=2).orderBy(
+        "item_id"
+    )
+
+
+SQL_ALS_RANK1 = """
+WITH r AS (
+  SELECT o_custkey AS u, l_partkey AS i,
+         CAST(floor(l_quantity) AS BIGINT) AS rr
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS vq FROM r),
+u1 AS (
+  SELECT u, CAST(round(CAST(sum(CAST(rr AS HUGEINT) * vq) AS DOUBLE)
+                       * 1000000000000.0
+                       / CAST(sum(CAST(vq AS HUGEINT) * vq) AS DOUBLE))
+            AS BIGINT) AS uq
+  FROM r JOIN v0 USING (i) GROUP BY u
+),
+v1 AS (
+  SELECT i, CAST(round(CAST(sum(CAST(rr AS HUGEINT) * uq) AS DOUBLE)
+                       * 1000000000000.0
+                       / CAST(sum(CAST(uq AS HUGEINT) * uq) AS DOUBLE))
+            AS BIGINT) AS vq
+  FROM r JOIN u1 USING (u) GROUP BY i
+),
+u2 AS (
+  SELECT u, CAST(round(CAST(sum(CAST(rr AS HUGEINT) * vq) AS DOUBLE)
+                       * 1000000000000.0
+                       / CAST(sum(CAST(vq AS HUGEINT) * vq) AS DOUBLE))
+            AS BIGINT) AS uq
+  FROM r JOIN v1 USING (i) GROUP BY u
+),
+v2 AS (
+  SELECT i, CAST(round(CAST(sum(CAST(rr AS HUGEINT) * uq) AS DOUBLE)
+                       * 1000000000000.0
+                       / CAST(sum(CAST(uq AS HUGEINT) * uq) AS DOUBLE))
+            AS BIGINT) AS vq
+  FROM r JOIN u2 USING (u) GROUP BY i
+),
+e AS (
+  SELECT CAST(rr AS HUGEINT) * 1000000 * 1000000
+         - CAST(u2.uq AS HUGEINT) * v2.vq AS e12
+  FROM r JOIN u2 USING (u) JOIN v2 USING (i)
+),
+sse AS (
+  SELECT round(sqrt(CAST(sum(e12 * e12) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE))
+               / (1000000.0 * 1000000.0), 6) AS train_rmse
+  FROM e
+)
+SELECT i AS item_id, vq AS v_q,
+       round(CAST(vq AS DOUBLE) / 1000000.0, 6) AS v_factor,
+       train_rmse
+FROM v2 CROSS JOIN sse
+ORDER BY item_id
+"""
+
+QUERIES_ML["als_rank1"] = q_als_rank1
+ORACLES_ML["als_rank1"] = SQL_ALS_RANK1

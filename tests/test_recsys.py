@@ -102,3 +102,40 @@ class TestItemCosine:
                 expected = item1
             else:
                 assert item1 == expected
+
+
+class TestAlsRank1:
+    def test_exact_rank1_matrix_recovered(self, spark):
+        """On exactly rank-1 ratings r_ij = a_i * b_j the alternations
+        converge to the true factors up to the grid: training RMSE
+        collapses to ~0 and item factors are proportional to b."""
+        from google_analytics_to_s3_spark.operators.recsys import (
+            als_rank1,
+        )
+
+        a = {u: 1 + u % 5 for u in range(30)}
+        b = {i: 1 + i % 7 for i in range(20)}
+        rows = [(u, i, a[u] * b[i]) for u in range(30) for i in range(20)]
+        df = spark.createDataFrame(rows, "u long, i long, r long")
+        out = als_rank1(df, "u", "i", "r", rounds=2).collect()
+        assert out[0].train_rmse < 0.01
+        facs = {r.i: r.v_factor for r in out}
+        ratio = facs[0] / b[0]
+        for i, bi in b.items():
+            assert abs(facs[i] / bi - ratio) < 1e-3
+
+    def test_als_deterministic_across_partitionings(self, spark):
+        """Integer-grid factors are invariant to input partitioning —
+        the property a float ALS cannot give."""
+        from google_analytics_to_s3_spark.operators.recsys import (
+            als_rank1,
+        )
+
+        rows = [(u, i, 1 + (u * 7 + i * 13) % 40)
+                for u in range(40) for i in range(15)]
+        df = spark.createDataFrame(rows, "u long, i long, r long")
+        one = sorted(map(tuple, als_rank1(
+            df.coalesce(1), "u", "i", "r").collect()))
+        many = sorted(map(tuple, als_rank1(
+            df.repartition(16), "u", "i", "r").collect()))
+        assert one == many
