@@ -245,3 +245,70 @@ def als_rank1(
         ).alias("v_factor"),
         "train_rmse",
     )
+
+
+RRF_GRID = 1 << 40
+
+
+def reciprocal_rank_fusion(
+    rankings: "list[DataFrame]",
+    query_cols: "list[str] | tuple[str, ...]",
+    item_col: str,
+    score_col: str = "score",
+    k: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) of N rankers:
+    each ranker contributes ``1 / (k + rank)`` per item and the fused
+    list orders by the sum — the robust zero-tuning way to ensemble a
+    BM25 list with an embedding list (scores never need to be
+    commensurable, only the RANKS matter).
+
+    The contribution weights are ``round(2^40 / (k + rank))`` integer
+    literals-by-construction (the NDCG grid convention), so fused
+    scores are exact BIGINT sums — deterministic under any addition
+    order. Per ranker: one row_number window over (query, score desc,
+    item asc); fusion is one union + hash aggregation; the final
+    top-n is a per-query window over the fused table. Output:
+    ``(query..., item, n_rankers, fused_q, rrf_score, fused_rank)``.
+    """
+    gcols = list(query_cols)
+    legs = []
+    for df in rankings:
+        w = Window.partitionBy(*gcols).orderBy(
+            F.col(score_col).desc(), F.col(item_col).asc()
+        )
+        legs.append(
+            df.select(
+                *gcols, item_col,
+                F.row_number().over(w).alias("_rk"),
+            ).select(
+                *gcols, item_col,
+                F.round(
+                    F.lit(float(RRF_GRID))
+                    / (F.lit(k).cast("double") + F.col("_rk"))
+                ).cast("long").alias("_w"),
+            )
+        )
+    un = legs[0]
+    for leg in legs[1:]:
+        un = un.unionByName(leg)
+    fused = un.groupBy(*gcols, item_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rankers"),
+        F.sum("_w").alias("fused_q"),
+    )
+    w2 = Window.partitionBy(*gcols).orderBy(
+        F.col("fused_q").desc(), F.col(item_col).asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w2))
+        .filter(F.col("fused_rank") <= top_n)
+        .select(
+            *gcols, item_col, "n_rankers", "fused_q",
+            F.round(
+                F.col("fused_q").cast("double") / F.lit(float(RRF_GRID)),
+                6,
+            ).alias("rrf_score"),
+            "fused_rank",
+        )
+    )

@@ -2085,3 +2085,139 @@ ORDER BY item_id
 
 QUERIES_ML["als_rank1"] = q_als_rank1
 ORACLES_ML["als_rank1"] = SQL_ALS_RANK1
+
+
+_RRF_K, _RRF_TOP = 60, 5
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two deterministic pseudo-rankers over
+    documents per source (operators/recsys.reciprocal_rank_fusion):
+    the rank-only ensembling used to merge BM25 with embedding
+    retrieval — exact BIGINT fused scores on the 2^40 grid."""
+    from ..operators.recsys import reciprocal_rank_fusion
+
+    d = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+
+    def ranker(tag: str) -> DataFrame:
+        return d.select(
+            "source", "doc_id",
+            (
+                F.conv(F.substring(
+                    F.md5(F.concat(F.lit(tag),
+                                   F.col("doc_id").cast("string"))), 1, 10
+                ), 16, 10).cast("long") % 1000000
+            ).alias("score"),
+        )
+
+    return reciprocal_rank_fusion(
+        [ranker("m1#"), ranker("m2#")],
+        ["source"], "doc_id", "score", k=_RRF_K, top_n=_RRF_TOP,
+    ).orderBy("source", "fused_rank")
+
+
+def _rrf_sql() -> str:
+    from ..operators.recsys import RRF_GRID
+
+    leg = """
+  SELECT source, doc_id,
+         CAST(round({grid} / ({k} + CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5('{tag}' || CAST(doc_id AS VARCHAR)),
+                                    1, 10))::BIGINT % 1000000 DESC,
+                    doc_id ASC) AS DOUBLE))) AS BIGINT) AS w
+  FROM documents"""
+    legs = " UNION ALL ".join(
+        leg.format(grid=float(RRF_GRID), k=float(_RRF_K), tag=t)
+        for t in ("m1#", "m2#")
+    )
+    return f"""
+WITH un AS ({legs}),
+fused AS (
+  SELECT source, doc_id,
+         CAST(count(*) AS BIGINT) AS n_rankers,
+         CAST(sum(w) AS BIGINT) AS fused_q
+  FROM un GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY fused_q DESC, doc_id ASC)
+           AS fused_rank
+  FROM fused
+)
+SELECT source, doc_id, n_rankers, fused_q,
+       round(CAST(fused_q AS DOUBLE) / {float(RRF_GRID)!r}, 6)
+         AS rrf_score,
+       fused_rank
+FROM ranked WHERE fused_rank <= {_RRF_TOP}
+ORDER BY source, fused_rank
+"""
+
+
+SQL_RRF_FUSION = _rrf_sql()
+QUERIES_ML["rrf_fusion"] = q_rrf_fusion
+ORACLES_ML["rrf_fusion"] = SQL_RRF_FUSION
+
+
+def q_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: the Fellegi-Sunter pair screen
+    (fs_linkage's exact scores/threshold) feeds star-contraction
+    connected components — scored PAIRS become entity CLUSTERS, the
+    composition a dedupe pipeline actually ships. Output: one row per
+    member of a non-singleton cluster (entity_id, component,
+    cluster_size)."""
+    from ..operators.graph import connected_components_star
+    from ..operators.linkage import fs_field_u, fs_link_scores
+
+    r = _fs_records(spark, sf_dir)
+    u = {f: fs_field_u(r, f) for f in _FS_M}
+    pairs = fs_link_scores(
+        r, "blk", _FS_M, u,
+        id_col="id", threshold=_FS_THRESHOLD,
+        max_block_size=_FS_MAX_BLOCK,
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components_star(pairs, id_out="entity_id",
+                                     comp_out="component")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "component")
+        .filter(F.col("cluster_size") > 1)
+        .select("entity_id", "component", "cluster_size")
+        .orderBy("component", "entity_id")
+    )
+
+
+def _linkage_clusters_sql() -> str:
+    # the fs_linkage pair SQL (verbatim construction) + a recursive
+    # min-label closure (the identity_stitching oracle pattern)
+    base = SQL_FS_LINKAGE.strip().rstrip()
+    return f"""
+WITH RECURSIVE fs_pairs AS ({base}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM fs_pairs
+  UNION
+  SELECT id_b, id_a FROM fs_pairs
+),
+reach(id, root) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+),
+lab AS (SELECT id, min(root) AS component FROM reach GROUP BY id),
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM lab GROUP BY 1
+)
+SELECT lab.id AS entity_id, lab.component, sizes.cluster_size
+FROM lab JOIN sizes USING (component)
+WHERE sizes.cluster_size > 1
+ORDER BY component, entity_id
+"""
+
+
+SQL_LINKAGE_CLUSTERS = _linkage_clusters_sql()
+QUERIES_ML["linkage_clusters"] = q_linkage_clusters
+ORACLES_ML["linkage_clusters"] = SQL_LINKAGE_CLUSTERS
