@@ -2420,3 +2420,130 @@ FROM r GROUP BY event_id, n
 
 QUERIES_ANALYTICS["flac_decode"] = q_flac_decode
 ORACLES_ANALYTICS["flac_decode"] = SQL_FLAC_DECODE
+
+
+def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification eval over the embedding corpus:
+    every vector is assigned to the closest label centroid and the
+    confusion matrix comes back with per-true-label accuracy — the
+    Rocchio-classifier readout that scores whether the label space is
+    linearly separable in embedding space.
+
+    Exactness: vectors quantize to the label_centroids grid;
+    per-(vector, label) squared distances to the RATIONAL centroid
+    s_c/n_c are compared via the exact integer form ``A_c = n_c^2|x|^2
+    - 2 n_c (x.s_c) + |s_c|^2`` divided once in double by n_c^2 (one
+    fixed division per candidate; argmin tie-breaks on the smaller
+    label). Shape: centroid build is the label_centroids aggregation;
+    scoring is a fan-out join bounded by n_vectors x dims x |labels|
+    — the honest nearest-centroid cost, never vectors x vectors."""
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id", "label", "dim",
+        F.floor(F.col("val").cast("double") * _CENT_GRID)
+        .cast("long").alias("q"),
+    ).localCheckpoint(eager=False)
+    cent = ex.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.sum("q").cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    csum = cent.groupBy("clabel").agg(
+        F.sum(F.col("s") * F.col("s")).alias("s2"),
+        F.max("n").cast("decimal(38,0)").alias("nc"),
+    )
+    xs = ex.groupBy("vec_id", "label").agg(
+        F.sum(
+            F.col("q").cast("decimal(38,0)") * F.col("q").cast("decimal(38,0)")
+        ).alias("x2")
+    )
+    dots = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(F.col("q").cast("decimal(38,0)") * F.col("s"))
+             .alias("xs"))
+    )
+    scored = (
+        dots.join(xs, ["vec_id", "label"])
+        .join(F.broadcast(csum), "clabel")
+        .select(
+            "vec_id", "label", "clabel",
+            (
+                (F.col("nc") * F.col("nc") * F.col("x2")
+                 - F.lit(2).cast("decimal(38,0)") * F.col("nc")
+                 * F.col("xs")
+                 + F.col("s2")).cast("double")
+                / (F.col("nc") * F.col("nc")).cast("double")
+            ).alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist2").asc(), F.col("clabel").asc()
+    )
+    assigned = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+    )
+    return (
+        assigned.groupBy(
+            F.col("label").alias("true_label"),
+            F.col("clabel").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+SQL_CENTROID_CLASSIFY = f"""
+WITH ex AS (
+  SELECT vec_id, label, CAST(s.i - 1 AS INTEGER) AS dim,
+         CAST(floor(CAST(embedding[s.i] AS DOUBLE) * {_CENT_GRID})
+              AS BIGINT) AS q
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) s
+),
+cent AS (
+  SELECT label AS clabel, dim,
+         CAST(sum(q) AS HUGEINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM ex GROUP BY 1, 2
+),
+csum AS (
+  SELECT clabel, CAST(sum(s * s) AS HUGEINT) AS s2,
+         CAST(max(n) AS HUGEINT) AS nc
+  FROM cent GROUP BY 1
+),
+xs AS (
+  SELECT vec_id, label, CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT)
+         AS x2
+  FROM ex GROUP BY 1, 2
+),
+dots AS (
+  SELECT ex.vec_id, ex.label, cent.clabel,
+         CAST(sum(CAST(ex.q AS HUGEINT) * cent.s) AS HUGEINT) AS xsum
+  FROM ex JOIN cent USING (dim)
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT d.vec_id, d.label, d.clabel,
+         CAST(c.nc * c.nc * x.x2 - 2 * c.nc * d.xsum + c.s2 AS DOUBLE)
+           / CAST(c.nc * c.nc AS DOUBLE) AS dist2
+  FROM dots d
+  JOIN xs x ON x.vec_id = d.vec_id AND x.label = d.label
+  JOIN csum c USING (clabel)
+),
+assigned AS (
+  SELECT vec_id, label, clabel,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist2 ASC, clabel ASC) AS rk
+  FROM scored
+)
+SELECT label AS true_label, clabel AS pred_label,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM assigned WHERE rk = 1
+GROUP BY 1, 2
+ORDER BY true_label, pred_label
+"""
+
+QUERIES_ANALYTICS["centroid_classify"] = q_centroid_classify
+ORACLES_ANALYTICS["centroid_classify"] = SQL_CENTROID_CLASSIFY
