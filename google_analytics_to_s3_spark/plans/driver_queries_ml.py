@@ -25,7 +25,7 @@ testdata has no native lat/lon.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.features import categorical_feature_scores
@@ -2221,3 +2221,126 @@ ORDER BY component, entity_id
 SQL_LINKAGE_CLUSTERS = _linkage_clusters_sql()
 QUERIES_ML["linkage_clusters"] = q_linkage_clusters
 ORACLES_ML["linkage_clusters"] = SQL_LINKAGE_CLUSTERS
+
+
+def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition of daily revenue: robust linear trend
+    (the theil_sen coefficients, reported grain), day-of-week seasonal
+    medians of the detrended series, and the remainder — per day:
+    (day, cents, trend, seasonal, remainder). Bounded day series (the
+    CUSUM contract); medians by the theil_sen even/odd rank rule."""
+    from ..operators.anomaly import theil_sen_trend
+
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("ts_ms div 86400000").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+    ).localCheckpoint(eager=False)
+    fit = theil_sen_trend(daily, "day", "cents").select(
+        "slope", "intercept"
+    )
+    det = daily.crossJoin(F.broadcast(fit)).select(
+        "day", "cents", "slope", "intercept",
+        (
+            F.col("cents").cast("double")
+            - (F.col("slope") * F.col("day").cast("double")
+               + F.col("intercept"))
+        ).alias("_det"),
+        (F.col("day") % 7).alias("_dow"),
+    )
+    w = Window.partitionBy("_dow").orderBy("_det", "day")
+    ranked = det.select(
+        "*",
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("_dow")).alias("_n"),
+    )
+    med = ranked.filter(
+        (F.col("_rk") * 2 == F.col("_n"))
+        | (F.col("_rk") * 2 == F.col("_n") + 1)
+        | (F.col("_rk") * 2 == F.col("_n") + 2)
+    ).groupBy("_dow").agg(
+        (F.sum("_det") / F.count(F.lit(1))).alias("_seasonal")
+    )
+    return (
+        det.join(F.broadcast(med), "_dow")
+        .select(
+            "day", "cents",
+            F.round(
+                F.col("slope") * F.col("day").cast("double")
+                + F.col("intercept"), 6,
+            ).alias("trend"),
+            F.round("_seasonal", 6).alias("seasonal"),
+            F.round(F.col("_det") - F.col("_seasonal"), 6)
+            .alias("remainder"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_TS_DECOMPOSE = """
+WITH d AS (
+  SELECT epoch_ms(ts) // 86400000 AS day,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT a.day AS ti, b.day AS tj,
+         CAST(b.cents - a.cents AS DOUBLE)
+           / CAST(b.day - a.day AS DOUBLE) AS slope
+  FROM d a JOIN d b ON a.day < b.day
+),
+r AS (
+  SELECT slope, ti, tj,
+         row_number() OVER (ORDER BY slope, ti, tj) AS rn,
+         count(*) OVER () AS np
+  FROM p
+),
+ms AS (
+  SELECT sum(slope) / count(*) AS slope
+  FROM r WHERE rn * 2 = np OR rn * 2 = np + 1 OR rn * 2 = np + 2
+),
+res AS (
+  SELECT CAST(d.cents AS DOUBLE) - ms.slope * CAST(d.day AS DOUBLE) AS r,
+         d.day, ms.slope
+  FROM d CROSS JOIN ms
+),
+r2 AS (
+  SELECT r, slope, row_number() OVER (ORDER BY r, day) AS rn,
+         count(*) OVER () AS n
+  FROM res
+),
+fit AS (
+  SELECT round(max(slope), 6) AS slope,
+         round(sum(r) / count(*), 6) AS intercept
+  FROM r2 WHERE rn * 2 = n OR rn * 2 = n + 1 OR rn * 2 = n + 2
+),
+det AS (
+  SELECT d.day, d.cents, fit.slope, fit.intercept,
+         CAST(d.cents AS DOUBLE)
+           - (fit.slope * CAST(d.day AS DOUBLE) + fit.intercept) AS dt,
+         d.day % 7 AS dow
+  FROM d CROSS JOIN fit
+),
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY dow ORDER BY dt, day) AS rn,
+         count(*) OVER (PARTITION BY dow) AS n
+  FROM det
+),
+med AS (
+  SELECT dow, sum(dt) / count(*) AS seasonal
+  FROM rk WHERE rn * 2 = n OR rn * 2 = n + 1 OR rn * 2 = n + 2
+  GROUP BY 1
+)
+SELECT det.day, det.cents,
+       round(det.slope * CAST(det.day AS DOUBLE) + det.intercept, 6)
+         AS trend,
+       round(med.seasonal, 6) AS seasonal,
+       round(det.dt - med.seasonal, 6) AS remainder
+FROM det JOIN med USING (dow)
+ORDER BY det.day
+"""
+
+QUERIES_ML["ts_decompose"] = q_ts_decompose
+ORACLES_ML["ts_decompose"] = SQL_TS_DECOMPOSE
