@@ -2344,3 +2344,85 @@ ORDER BY det.day
 
 QUERIES_ML["ts_decompose"] = q_ts_decompose
 ORACLES_ML["ts_decompose"] = SQL_TS_DECOMPOSE
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the pseudo-model from
+    calibration_report's family: md5-grid scores vs a correlated
+    deterministic outcome, fit via the exact minimax closed form over
+    10 score bins (operators/stats.isotonic_calibrate)."""
+    from ..operators.stats import isotonic_calibrate
+
+    e = load_events(spark, sf_dir).select(
+        (
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit("sc#"),
+                               F.col("event_id").cast("string"))), 1, 10
+            ), 16, 10).cast("long") % 1000000
+        ).alias("score"),
+        "event_id",
+    ).select(
+        "score",
+        # outcome correlated with score: positive when a second hash
+        # lands under a score-dependent threshold
+        (
+            (
+                F.conv(F.substring(
+                    F.md5(F.concat(F.lit("y#"),
+                                   F.col("event_id").cast("string"))),
+                    1, 10,
+                ), 16, 10).cast("long") % 1000000
+            ) < (F.col("score") / 2 + 100000)
+        ).cast("long").alias("y"),
+    )
+    return isotonic_calibrate(e, "score", "y", n_bins=10).orderBy("bin")
+
+
+SQL_ISOTONIC_CALIBRATION = """
+WITH e AS (
+  SELECT ('0x' || substr(md5('sc#' || CAST(event_id AS VARCHAR)),
+                         1, 10))::BIGINT % 1000000 AS score,
+         event_id
+  FROM events
+),
+l AS (
+  SELECT score,
+         CASE WHEN ('0x' || substr(md5('y#' || CAST(event_id AS VARCHAR)),
+                                   1, 10))::BIGINT % 1000000
+                   < (score / 2 + 100000)
+              THEN 1 ELSE 0 END AS y
+  FROM e
+),
+b AS (
+  SELECT least(9, score // 100000) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM l GROUP BY 1
+),
+pre AS (
+  SELECT bin, n, pos,
+         sum(n) OVER (ORDER BY bin) AS cn,
+         sum(pos) OVER (ORDER BY bin) AS cp
+  FROM b
+),
+ranges AS (
+  SELECT j.bin AS j, k.bin AS k,
+         CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+           / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS avg_jk
+  FROM pre j JOIN pre k ON j.bin <= k.bin
+),
+inner_mn AS (
+  SELECT i.bin AS i, r.j, min(r.avg_jk) AS mn
+  FROM pre i JOIN ranges r ON r.j <= i.bin AND r.k >= i.bin
+  GROUP BY 1, 2
+),
+iso AS (SELECT i, max(mn) AS iso FROM inner_mn GROUP BY 1)
+SELECT pre.bin, pre.n,
+       round(CAST(pre.pos AS DOUBLE) / CAST(pre.n AS DOUBLE), 6) AS rate,
+       round(iso.iso, 6) AS iso_rate
+FROM pre JOIN iso ON iso.i = pre.bin
+ORDER BY pre.bin
+"""
+
+QUERIES_ML["isotonic_calibration"] = q_isotonic_calibration
+ORACLES_ML["isotonic_calibration"] = SQL_ISOTONIC_CALIBRATION

@@ -717,3 +717,60 @@ def test_dr_policy_zero_model_reduces_to_ips(spark):
         df, "logged", "target", "r", propensity=0.25
     ).collect()[0]
     assert dr.dr_value == ips.ips_value == dr.ips_value
+
+
+# ------------------------------------------------------------ isotonic
+
+
+def test_isotonic_minimax_equals_pav(spark):
+    """The minimax closed form == the sequential PAV fit (reference
+    implementation inline), on a violating sequence."""
+    from google_analytics_to_s3_spark.operators.stats import (
+        isotonic_calibrate,
+    )
+
+    # bins 0..4 with rates [0.1, 0.5, 0.3, 0.2, 0.9] and weights
+    rates = [(0, 100, 10), (1, 100, 50), (2, 100, 30),
+             (3, 100, 20), (4, 100, 90)]
+    rows = []
+    for b, n, pos in rates:
+        rows += [(b * 200000 + 1, 1)] * pos + [(b * 200000 + 1, 0)] * (n - pos)
+    df = spark.createDataFrame(rows, "score long, y int")
+    out = {r.bin: r.iso_rate for r in
+           isotonic_calibrate(df, "score", "y", n_bins=5).collect()}
+
+    # reference PAV
+    blocks = [[n, pos] for _, n, pos in rates]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][1] / blocks[i][0] > blocks[i + 1][1] / blocks[i + 1][0]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            del blocks[i + 1]
+            i = max(0, i - 1)
+        else:
+            i += 1
+    fit = []
+    bi = 0
+    for n, pos in blocks:
+        for _ in range(n // 100):
+            fit.append(pos / n)
+    for b in range(5):
+        assert out[b] == round(fit[b], 6), (b, out[b], fit[b])
+    # monotone by construction
+    assert all(out[b] <= out[b + 1] for b in range(4))
+
+
+def test_isotonic_already_monotone_is_identity(spark):
+    from google_analytics_to_s3_spark.operators.stats import (
+        isotonic_calibrate,
+    )
+
+    rows = []
+    for b, pos in [(0, 10), (1, 30), (2, 60)]:
+        rows += [(b * 333334, 1)] * pos + [(b * 333334, 0)] * (100 - pos)
+    df = spark.createDataFrame(rows, "score long, y int")
+    out = {r.bin: r for r in
+           isotonic_calibrate(df, "score", "y", n_bins=3).collect()}
+    for b in range(3):
+        assert out[b].iso_rate == out[b].rate
