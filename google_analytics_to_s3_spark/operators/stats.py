@@ -1950,3 +1950,86 @@ def isotonic_calibrate(
             F.round("_iso", 6).alias("iso_rate"),
         )
     )
+
+
+def eb_beta_binomial_smooth(
+    df: DataFrame,
+    group_cols: "list[str] | tuple[str, ...]",
+    n_col: str,
+    pos_col: str,
+) -> DataFrame:
+    """Empirical-Bayes beta-binomial smoothing of per-group rates —
+    the CTR/conversion shrinkage every ranking-by-rate mart needs
+    (small groups get pulled to the prior instead of winning on
+    3-of-3 luck). Method-of-moments prior from the group rates::
+
+        m  = mean(rate),  v = var(rate)
+        c  = m(1-m)/v - 1          (prior strength alpha+beta)
+        alpha = m*c, beta = (1-m)*c
+        smoothed = (pos + alpha) / (n + alpha + beta)
+
+    The prior moments are ONE 1-row aggregate over group-grain rates;
+    exactness: rates quantized to the 10^9 grid before the cross-group
+    mean/var sums (the addition-order-free convention), prior scalars
+    broadcast back, one fixed-order double expression per group.
+    Degenerate variance (all rates equal) yields c = NULL and
+    ``smoothed = rate`` (no shrinkage). Output per group: ``(group...,
+    n, pos, rate, smoothed)``, round 6.
+    """
+    gcols = list(group_cols)
+    g = 10**9
+    base = df.select(
+        *gcols,
+        F.col(n_col).cast("long").alias("n"),
+        F.col(pos_col).cast("long").alias("pos"),
+    ).withColumn(
+        "_rq",
+        F.round(
+            F.col("pos").cast("double") / F.col("n").cast("double")
+            * F.lit(float(g))
+        ).cast("long"),
+    )
+    pri = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_k"),
+        F.sum("_rq").cast("decimal(38,0)").alias("_s"),
+        F.sum(
+            F.col("_rq").cast("decimal(38,0)")
+            * F.col("_rq").cast("decimal(38,0)")
+        ).alias("_s2"),
+    ).select(
+        "_k",
+        (F.col("_s").cast("double") / F.col("_k").cast("double")
+         / F.lit(float(g))).alias("_m"),
+        F.when(
+            F.col("_k") > 1,
+            (
+                F.col("_k").cast("double") * F.col("_s2").cast("double")
+                - F.col("_s").cast("double") * F.col("_s").cast("double")
+            )
+            / (F.col("_k").cast("double")
+               * (F.col("_k").cast("double") - F.lit(1.0)))
+            / F.lit(float(g) * float(g)),
+        ).alias("_v"),
+    )
+    m, v = F.col("_m"), F.col("_v")
+    c = F.when(
+        v > 0, m * (F.lit(1.0) - m) / v - F.lit(1.0)
+    )
+    pri = pri.select(
+        "_m", "_v",
+        F.when(c > 0, c).alias("_c"),
+    )
+    out = base.crossJoin(F.broadcast(pri))
+    alpha = F.col("_m") * F.col("_c")
+    beta = (F.lit(1.0) - F.col("_m")) * F.col("_c")
+    rate = F.col("pos").cast("double") / F.col("n").cast("double")
+    smoothed = F.when(
+        F.col("_c").isNotNull(),
+        (F.col("pos").cast("double") + alpha)
+        / (F.col("n").cast("double") + alpha + beta),
+    ).otherwise(rate)
+    return out.select(
+        *gcols, "n", "pos",
+        F.round(rate, 6).alias("rate"),
+        F.round(smoothed, 6).alias("smoothed"),
+    )

@@ -2426,3 +2426,170 @@ ORDER BY pre.bin
 
 QUERIES_ML["isotonic_calibration"] = q_isotonic_calibration
 ORACLES_ML["isotonic_calibration"] = SQL_ISOTONIC_CALIBRATION
+
+
+def q_eb_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-user high-value-purchase rates
+    (operators/stats.eb_beta_binomial_smooth): small-sample users pull
+    toward the method-of-moments beta prior instead of topping the
+    leaderboard on 2-of-2 luck."""
+    from ..operators.stats import eb_beta_binomial_smooth
+
+    e = load_events(spark, sf_dir)
+    per_user = e.groupBy(F.col("user_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 150), 1,
+            ).otherwise(0)
+        ).cast("long").alias("n_highval"),
+    )
+    return eb_beta_binomial_smooth(
+        per_user, ["user_id"], "n_events", "n_highval"
+    ).orderBy("user_id")
+
+
+SQL_EB_SMOOTHING = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' AND value > 150
+                  THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM events GROUP BY 1
+),
+base AS (
+  SELECT user_id, n, pos,
+         CAST(round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                    * 1000000000.0) AS BIGINT) AS rq
+  FROM per_user
+),
+pri AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(CAST(rq AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(rq AS HUGEINT) * CAST(rq AS HUGEINT)) AS HUGEINT) AS s2
+  FROM base
+),
+pm AS (
+  SELECT k,
+         CAST(s AS DOUBLE) / CAST(k AS DOUBLE) / 1000000000.0 AS m,
+         CASE WHEN k > 1 THEN
+           (CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+           / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0))
+           / 1e18
+         END AS v
+  FROM pri
+),
+pc AS (
+  SELECT m, v,
+         CASE WHEN v > 0 AND (m * (1.0 - m) / v - 1.0) > 0
+              THEN m * (1.0 - m) / v - 1.0 END AS c
+  FROM pm
+)
+SELECT user_id, n, pos,
+       round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+       round(CASE WHEN c IS NOT NULL THEN
+               (CAST(pos AS DOUBLE) + m * c)
+               / (CAST(n AS DOUBLE) + m * c + (1.0 - m) * c)
+             ELSE CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+         AS smoothed
+FROM base CROSS JOIN pc
+ORDER BY user_id
+"""
+
+QUERIES_ML["eb_smoothing"] = q_eb_smoothing
+ORACLES_ML["eb_smoothing"] = SQL_EB_SMOOTHING
+
+
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling one-step-ahead backtest: MAE + MAPE of the Holt linear
+    and Holt-Winters seasonal forecasters' published fit rows over the
+    SAME days — the model-selection readout (seasonal should win when
+    a weekly cycle exists). Pure composition over the two operators'
+    outputs; exact integer |error| sums on the rounded-fit grain."""
+    from ..operators.anomaly import holt_forecast, holt_winters_forecast
+
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("ts_ms div 86400000").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+    ).localCheckpoint(eager=False)
+
+    def errors(df: DataFrame, name: str) -> DataFrame:
+        # |error| terms quantized to integer grids BEFORE the
+        # cross-day sums (the addition-order-free convention)
+        f = df.filter(F.col("kind") == "fit")
+        ae = F.abs(F.col("actual").cast("double") - F.col("predicted"))
+        return f.select(
+            F.lit(name).alias("model"),
+            F.col("day"),
+            F.round(ae * 1e6).cast("long").alias("_aeq"),
+            F.round(ae / F.col("actual").cast("double") * 1e9)
+            .cast("long").alias("_apeq"),
+        )
+    h = errors(
+        holt_forecast(daily, "day", "cents", alpha=0.3, beta=0.1,
+                      horizon=0),
+        "holt",
+    )
+    hw = errors(
+        holt_winters_forecast(daily, "day", "cents", alpha=0.3, beta=0.1,
+                              gamma=0.2, season=7, horizon=7),
+        "holt_winters",
+    )
+    # compare on the COMMON fit days (HW starts after 2 seasons)
+    common = hw.select("day").distinct()
+    both = h.join(common, "day").unionByName(hw.join(common, "day"))
+    return (
+        both.groupBy("model")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(
+                F.sum("_aeq").cast("double")
+                / F.count(F.lit(1)).cast("double") / F.lit(1e6), 6
+            ).alias("mae"),
+            F.round(
+                F.sum("_apeq").cast("double")
+                / F.count(F.lit(1)).cast("double") / F.lit(1e9), 6
+            ).alias("mape"),
+        )
+        .orderBy("model")
+    )
+
+
+SQL_FORECAST_BACKTEST = f"""
+WITH h AS (
+  SELECT day, actual, predicted FROM ({SQL_HOLT_FORECAST}) WHERE kind = 'fit'
+),
+hw AS (
+  SELECT day, actual, predicted FROM ({SQL_HOLT_WINTERS}) WHERE kind = 'fit'
+),
+common AS (SELECT DISTINCT day FROM hw),
+allp AS (
+  SELECT 'holt' AS model,
+         CAST(round(abs(CAST(actual AS DOUBLE) - predicted) * 1e6)
+              AS BIGINT) AS aeq,
+         CAST(round(abs(CAST(actual AS DOUBLE) - predicted)
+                    / CAST(actual AS DOUBLE) * 1e9) AS BIGINT) AS apeq
+  FROM h JOIN common USING (day)
+  UNION ALL
+  SELECT 'holt_winters',
+         CAST(round(abs(CAST(actual AS DOUBLE) - predicted) * 1e6)
+              AS BIGINT),
+         CAST(round(abs(CAST(actual AS DOUBLE) - predicted)
+                    / CAST(actual AS DOUBLE) * 1e9) AS BIGINT)
+  FROM hw JOIN common USING (day)
+)
+SELECT model,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(CAST(sum(aeq) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             / 1e6, 6) AS mae,
+       round(CAST(sum(apeq) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             / 1e9, 6) AS mape
+FROM allp GROUP BY 1 ORDER BY model
+"""
+
+QUERIES_ML["forecast_backtest"] = q_forecast_backtest
+ORACLES_ML["forecast_backtest"] = SQL_FORECAST_BACKTEST

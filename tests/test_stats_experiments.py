@@ -774,3 +774,36 @@ def test_isotonic_already_monotone_is_identity(spark):
            isotonic_calibrate(df, "score", "y", n_bins=3).collect()}
     for b in range(3):
         assert out[b].iso_rate == out[b].rate
+
+
+# --------------------------------------------------------------- EB
+
+
+def test_eb_smoothing_pulls_small_groups_to_prior(spark):
+    from google_analytics_to_s3_spark.operators.stats import (
+        eb_beta_binomial_smooth,
+    )
+
+    # many medium groups at ~20%, one tiny 2-of-2 group: raw rate 1.0
+    # must shrink far toward the prior; big groups barely move
+    rows = [(f"g{i}", 100, 20 + i % 5) for i in range(20)]
+    rows.append(("lucky", 2, 2))
+    df = spark.createDataFrame(rows, "g string, n long, pos long")
+    out = {r.g: r for r in
+           eb_beta_binomial_smooth(df, ["g"], "n", "pos").collect()}
+    assert out["lucky"].rate == 1.0
+    assert out["lucky"].smoothed < 0.6  # pulled hard toward ~0.25
+    assert abs(out["g0"].smoothed - out["g0"].rate) < 0.05
+
+
+def test_eb_smoothing_degenerate_variance_identity(spark):
+    from google_analytics_to_s3_spark.operators.stats import (
+        eb_beta_binomial_smooth,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i}", 10, 3) for i in range(5)], "g string, n long, pos long"
+    )
+    out = eb_beta_binomial_smooth(df, ["g"], "n", "pos").collect()
+    for r in out:
+        assert r.smoothed == r.rate == 0.3
