@@ -2593,3 +2593,99 @@ FROM allp GROUP BY 1 ORDER BY model
 
 QUERIES_ML["forecast_backtest"] = q_forecast_backtest
 ORACLES_ML["forecast_backtest"] = SQL_FORECAST_BACKTEST
+
+
+def q_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / lift table for the isotonic_calibration
+    pseudo-model: per score decile (descending), the cumulative share
+    of all positives captured and the lift vs random targeting — the
+    campaign-targeting readout that completes the model-eval family
+    (AUC ranks, ECE calibrates, gains TARGETS). Bounded-bin cumulative
+    window over one hash aggregation."""
+    e = load_events(spark, sf_dir).select(
+        (
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit("sc#"),
+                               F.col("event_id").cast("string"))), 1, 10
+            ), 16, 10).cast("long") % 1000000
+        ).alias("score"),
+        "event_id",
+    ).select(
+        "score",
+        (
+            (
+                F.conv(F.substring(
+                    F.md5(F.concat(F.lit("y#"),
+                                   F.col("event_id").cast("string"))),
+                    1, 10,
+                ), 16, 10).cast("long") % 1000000
+            ) < (F.col("score") / 2 + 100000)
+        ).cast("long").alias("y"),
+    )
+    b = e.groupBy(
+        F.least(F.lit(9), F.expr("score div 100000")).alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy(F.lit(1))
+    return b.select(
+        "decile", "n", "pos",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("pos").over(w).alias("cum_pos"),
+        F.round(
+            F.sum("pos").over(w).cast("double")
+            / F.sum("pos").over(tot).cast("double"), 6
+        ).alias("capture"),
+        F.round(
+            (
+                F.sum("pos").over(w).cast("double")
+                / F.sum("pos").over(tot).cast("double")
+            )
+            / (
+                F.sum("n").over(w).cast("double")
+                / F.sum("n").over(tot).cast("double")
+            ),
+            6,
+        ).alias("lift"),
+    ).orderBy(F.col("decile").desc())
+
+
+SQL_CUMULATIVE_GAINS = """
+WITH e AS (
+  SELECT ('0x' || substr(md5('sc#' || CAST(event_id AS VARCHAR)),
+                         1, 10))::BIGINT % 1000000 AS score,
+         event_id
+  FROM events
+),
+l AS (
+  SELECT score,
+         CASE WHEN ('0x' || substr(md5('y#' || CAST(event_id AS VARCHAR)),
+                                   1, 10))::BIGINT % 1000000
+                   < (score / 2 + 100000)
+              THEN 1 ELSE 0 END AS y
+  FROM e
+),
+b AS (
+  SELECT least(9, score // 100000) AS decile,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM l GROUP BY 1
+)
+SELECT decile, n, pos,
+       sum(n) OVER (ORDER BY decile DESC) AS cum_n,
+       sum(pos) OVER (ORDER BY decile DESC) AS cum_pos,
+       round(CAST(sum(pos) OVER (ORDER BY decile DESC) AS DOUBLE)
+             / CAST(sum(pos) OVER () AS DOUBLE), 6) AS capture,
+       round((CAST(sum(pos) OVER (ORDER BY decile DESC) AS DOUBLE)
+              / CAST(sum(pos) OVER () AS DOUBLE))
+             / (CAST(sum(n) OVER (ORDER BY decile DESC) AS DOUBLE)
+                / CAST(sum(n) OVER () AS DOUBLE)), 6) AS lift
+FROM b ORDER BY decile DESC
+"""
+
+QUERIES_ML["cumulative_gains"] = q_cumulative_gains
+ORACLES_ML["cumulative_gains"] = SQL_CUMULATIVE_GAINS
