@@ -1824,3 +1824,111 @@ LIMIT 20
 SQL_COMMUNITY_MODULARITY = _modularity_oracle_sql()
 QUERIES_CURATION["community_modularity"] = q_community_modularity
 ORACLES_CURATION["community_modularity"] = SQL_COMMUNITY_MODULARITY
+
+
+_AP3_MINSUP = 2  # distinct-order support floor for triples
+
+
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori level 3: frequent part TRIPLES by distinct-order
+    support — the depth step beyond basket_rules' pairs. Candidate
+    generation is the textbook prefix join of frequent pairs sharing
+    their first item ((a,b) x (a,c), b < c), pruned by the third
+    subset (b,c) before counting — the Apriori property keeps the
+    candidate set tiny; support counting is one semi-join-shaped
+    equi-join of candidates against the order-item table on the order
+    key. Never an order-basket cube: work ∝ frequent-pair mass."""
+    from ..sources.testdata import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().localCheckpoint(eager=False)
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"),
+            F.col("b.l_partkey").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+        .filter(F.col("sup") >= _AP3_MINSUP)
+        .select("x", "y")
+        .localCheckpoint(eager=False)
+    )
+    p1, p2 = pairs.alias("p1"), pairs.alias("p2")
+    cand = (
+        p1.join(
+            p2,
+            (F.col("p1.x") == F.col("p2.x"))
+            & (F.col("p1.y") < F.col("p2.y")),
+        )
+        .select(
+            F.col("p1.x").alias("pa"),
+            F.col("p1.y").alias("pb"),
+            F.col("p2.y").alias("pc"),
+        )
+        # Apriori prune: the third subset (pb, pc) must be frequent too
+        .join(
+            pairs.select(
+                F.col("x").alias("pb"), F.col("y").alias("pc")
+            ),
+            ["pb", "pc"],
+            "left_semi",
+        )
+    )
+    t1 = li.select(F.col("l_orderkey").alias("o"),
+                   F.col("l_partkey").alias("pa"))
+    t2 = li.select(F.col("l_orderkey").alias("o"),
+                   F.col("l_partkey").alias("pb"))
+    t3 = li.select(F.col("l_orderkey").alias("o"),
+                   F.col("l_partkey").alias("pc"))
+    counted = (
+        cand.join(t1, "pa")
+        .join(t2, ["o", "pb"])
+        .join(t3, ["o", "pc"])
+        .groupBy("pa", "pb", "pc")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= _AP3_MINSUP)
+    )
+    return counted.orderBy(
+        F.col("support").desc(), "pa", "pb", "pc"
+    ).limit(50)
+
+
+SQL_FREQUENT_TRIPLES = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+pairs AS (
+  SELECT a.p AS x, b.p AS y
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING count(*) >= {_AP3_MINSUP}
+),
+cand AS (
+  SELECT p1.x AS pa, p1.y AS pb, p2.y AS pc
+  FROM pairs p1
+  JOIN pairs p2 ON p1.x = p2.x AND p1.y < p2.y
+  WHERE EXISTS (SELECT 1 FROM pairs q
+                WHERE q.x = p1.y AND q.y = p2.y)
+),
+counted AS (
+  SELECT c.pa, c.pb, c.pc, CAST(count(*) AS BIGINT) AS support
+  FROM cand c
+  JOIN li t1 ON t1.p = c.pa
+  JOIN li t2 ON t2.o = t1.o AND t2.p = c.pb
+  JOIN li t3 ON t3.o = t1.o AND t3.p = c.pc
+  GROUP BY 1, 2, 3
+  HAVING count(*) >= {_AP3_MINSUP}
+)
+SELECT * FROM counted
+ORDER BY support DESC, pa, pb, pc
+LIMIT 50
+"""
+
+QUERIES_CURATION["frequent_triples"] = q_frequent_triples
+ORACLES_CURATION["frequent_triples"] = SQL_FREQUENT_TRIPLES
