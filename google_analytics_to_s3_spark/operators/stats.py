@@ -2033,3 +2033,65 @@ def eb_beta_binomial_smooth(
         F.round(rate, 6).alias("rate"),
         F.round(smoothed, 6).alias("smoothed"),
     )
+
+
+def did_event_study(
+    df: DataFrame,
+    value_col: str,
+    treat_col: str,
+    period_col: str,
+    cutoff: int,
+) -> DataFrame:
+    """Event-study expansion of :func:`did_lift`: instead of one
+    pooled post-minus-pre estimate, the per-PERIOD treatment-control
+    gap relative to the average pre-period gap — the plot that shows
+    pre-trends (the DiD identifying assumption) and effect dynamics
+    after launch.
+
+    ``df`` is unit-x-period grain with an INTEGER metric; one
+    conditional aggregation to (period, arm) cells, per-period gap
+    ``mean_t - mean_c``, baseline = average PRE-period gap with the
+    per-period gaps quantized to a 10^6 grid before the cross-period
+    mean (addition-order-free). Output per period: ``(period,
+    is_post, n_c, n_t, gap, effect)`` where ``effect = gap -
+    pre_baseline`` (round 6; periods missing an arm get NULL gap and
+    are excluded from the baseline).
+    """
+    t = F.col(treat_col)
+    v = F.col(value_col).cast("long")
+    cells = df.groupBy(F.col(period_col).alias("period")).agg(
+        F.sum(F.when(t == 0, 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(t == 0, v).otherwise(F.lit(0).cast("long")))
+        .cast("long").alias("_sc"),
+        F.sum(F.when(t == 1, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(t == 1, v).otherwise(F.lit(0).cast("long")))
+        .cast("long").alias("_st"),
+    )
+    gap = F.when(
+        (F.col("n_c") > 0) & (F.col("n_t") > 0),
+        F.col("_st").cast("double") / F.col("n_t").cast("double")
+        - F.col("_sc").cast("double") / F.col("n_c").cast("double"),
+    )
+    g = cells.select(
+        "period", "n_c", "n_t",
+        gap.alias("_gap"),
+        (F.col("period") >= cutoff).alias("is_post"),
+        F.round(gap * 1e6).cast("long").alias("_gapq"),
+    ).localCheckpoint(eager=False)
+    base = g.filter(
+        (~F.col("is_post")) & F.col("_gapq").isNotNull()
+    ).agg(
+        (
+            F.sum("_gapq").cast("double")
+            / F.count(F.lit(1)).cast("double") / F.lit(1e6)
+        ).alias("_base")
+    )
+    return (
+        g.crossJoin(F.broadcast(base))
+        .select(
+            "period", "is_post", "n_c", "n_t",
+            F.round("_gap", 6).alias("gap"),
+            F.round(F.col("_gap") - F.col("_base"), 6).alias("effect"),
+        )
+        .orderBy("period")
+    )

@@ -2689,3 +2689,77 @@ FROM b ORDER BY decile DESC
 
 QUERIES_ML["cumulative_gains"] = q_cumulative_gains
 ORACLES_ML["cumulative_gains"] = SQL_CUMULATIVE_GAINS
+
+
+def q_did_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study view of the did_lift experiment: per-day
+    treatment-control revenue gap relative to the pre-period baseline
+    (operators/stats.did_event_study). Null-true md5 arms make this
+    the placebo check — effects should hover near zero on BOTH sides
+    of the cutoff (the pre-trend test a pooled DiD cannot show)."""
+    from ..operators.stats import did_event_study
+
+    e = load_events(spark, sf_dir)
+    treat = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("did#"),
+                           F.col("user_id").cast("string"))), 1, 14
+        ), 16, 10).cast("long") % 2
+    )
+    unit = e.groupBy(
+        F.col("user_id").alias("uid"),
+        treat.alias("treat"),
+        F.expr("ts_ms div 86400000").alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    return did_event_study(unit, "cents", "treat", "day", _DID_CUT_DAY)
+
+
+SQL_DID_EVENT_STUDY = f"""
+WITH unit AS (
+  SELECT user_id AS uid,
+         ('0x' || substr(md5('did#' || CAST(user_id AS VARCHAR)),
+                         1, 14))::BIGINT % 2 AS treat,
+         epoch_ms(ts) // 86400000 AS day,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2, 3
+),
+cells AS (
+  SELECT day AS period,
+         CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_c,
+         CAST(sum(CASE WHEN treat = 0 THEN cents ELSE 0 END) AS BIGINT)
+           AS sc,
+         CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_t,
+         CAST(sum(CASE WHEN treat = 1 THEN cents ELSE 0 END) AS BIGINT)
+           AS st
+  FROM unit GROUP BY 1
+),
+g AS (
+  SELECT period, n_c, n_t,
+         CASE WHEN n_c > 0 AND n_t > 0
+              THEN CAST(st AS DOUBLE) / CAST(n_t AS DOUBLE)
+                   - CAST(sc AS DOUBLE) / CAST(n_c AS DOUBLE) END AS gap,
+         period >= {_DID_CUT_DAY} AS is_post,
+         CAST(round((CASE WHEN n_c > 0 AND n_t > 0
+              THEN CAST(st AS DOUBLE) / CAST(n_t AS DOUBLE)
+                   - CAST(sc AS DOUBLE) / CAST(n_c AS DOUBLE) END)
+              * 1e6) AS BIGINT) AS gapq
+  FROM cells
+),
+base AS (
+  SELECT CAST(sum(gapq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+         AS b
+  FROM g WHERE NOT is_post AND gapq IS NOT NULL
+)
+SELECT period, is_post, n_c, n_t,
+       round(gap, 6) AS gap,
+       round(gap - base.b, 6) AS effect
+FROM g CROSS JOIN base
+ORDER BY period
+"""
+
+QUERIES_ML["did_event_study"] = q_did_event_study
+ORACLES_ML["did_event_study"] = SQL_DID_EVENT_STUDY

@@ -807,3 +807,41 @@ def test_eb_smoothing_degenerate_variance_identity(spark):
     out = eb_beta_binomial_smooth(df, ["g"], "n", "pos").collect()
     for r in out:
         assert r.smoothed == r.rate == 0.3
+
+
+# --------------------------------------------------------- event study
+
+
+def test_event_study_recovers_planted_dynamic_effect(spark):
+    from google_analytics_to_s3_spark.operators.stats import (
+        did_event_study,
+    )
+
+    # pre periods 0-4: constant gap 10 (parallel trends);
+    # post periods 5-9: treated jumps by +50 at t=5, +100 later
+    rows = []
+    for day in range(10):
+        for u in range(20):
+            rows.append((0, day, 100))
+            bump = 0 if day < 5 else (50 if day == 5 else 100)
+            rows.append((1, day, 110 + bump))
+    df = spark.createDataFrame(rows, "treat int, day long, v long")
+    out = {r.period: r for r in
+           did_event_study(df, "v", "treat", "day", 5).collect()}
+    for d in range(5):
+        assert out[d].effect == 0.0 and not out[d].is_post
+    assert out[5].effect == 50.0 and out[5].is_post
+    assert out[9].effect == 100.0
+
+
+def test_event_study_missing_arm_period_is_null(spark):
+    from google_analytics_to_s3_spark.operators.stats import (
+        did_event_study,
+    )
+
+    rows = [(0, 0, 10), (1, 0, 12), (0, 1, 10)]  # day 1 has no treated
+    df = spark.createDataFrame(rows, "treat int, day long, v long")
+    out = {r.period: r for r in
+           did_event_study(df, "v", "treat", "day", 1).collect()}
+    assert out[1].gap is None and out[1].effect is None
+    assert out[0].gap == 2.0
