@@ -3215,9 +3215,11 @@ _DRIVER_PRIORITY = [
     # round; every r3-green query keeps its fresh row
     # ---------------- r7-continuation registrations ----------------
     # Registered AFTER the r7 prefix froze — never driver-checked.
-    # r8 prefix assembly: these 23 + the 4 r3-stale stragglers
+    # r8 prefix assembly: these 34 + the 4 r3-stale stragglers
     # (tfidf_top_terms, bm25_search, linear_count_users,
     # scd2_customer_priority) + the oldest r4 rows = the 50 slots.
+    # (34 + 4 + the oldest r4 rows overflow one 50-slot prefix;
+    # r8 takes the first 50, r9 inherits the remainder.)
     # Listed here (past slot 50) only so the rotation record is
     # explicit; their position does not affect the r7 check.
     "did_lift", "heavy_hitters", "dp_release", "ols_regression",
@@ -3226,7 +3228,10 @@ _DRIVER_PRIORITY = [
     "phrase_index_search", "hilbert_keys", "conformal_intervals",
     "ab_ztest", "neyman_sample", "logrank_test", "mann_whitney",
     "textrank_keywords", "community_modularity", "l_diversity",
-    "dr_policy", "flac_decode",
+    "dr_policy", "flac_decode", "als_rank1", "rrf_fusion",
+    "linkage_clusters", "centroid_classify", "ts_decompose",
+    "isotonic_calibration", "eb_smoothing", "forecast_backtest",
+    "cumulative_gains", "frequent_triples", "did_event_study",
 ]
 
 
