@@ -48,9 +48,19 @@ _OSES = [
 NOT_SET = "(not set)"
 
 
-def is_bot(ua: Column | str) -> Column:
+# ua-parser's bot semantics: a row is a bot iff its DEVICE family
+# resolves to "Spider" (crawler signatures), so CLI fetchers (curl,
+# wget) and uptime monitors are NOT bots to the reference
+# (enrichment/filters/user_agent.py:35-39 only short-circuits on
+# user_agents' .is_bot, which wraps that device check). The native
+# BOT_RE above deliberately widens this for training-data hygiene;
+# UA_PARSER_BOT_RE reproduces the narrow reference policy.
+UA_PARSER_BOT_RE = r"(?i)(bot|crawler|spider|slurp|scanner)"
+
+
+def is_bot(ua: Column | str, ua_parser_policy: bool = False) -> Column:
     c = F.col(ua) if isinstance(ua, str) else ua
-    return c.rlike(BOT_RE)
+    return c.rlike(UA_PARSER_BOT_RE if ua_parser_policy else BOT_RE)
 
 
 def _first_match(ua: Column, table: list[tuple[str, str, str]], name_default: str):
@@ -98,6 +108,10 @@ def _ua_parser_family(ua: Column, browser: Column) -> Column:
         .when(ua.contains("CriOS"), "Chrome Mobile iOS")
         .when(ua.rlike(r"Silk/"), "Amazon Silk")
         .when(ua.contains("python-requests"), "Python Requests")
+        # CLI fetchers only surface a family under the ua-parser bot
+        # policy (the native policy short-circuits them as bots)
+        .when(ua.rlike(r"^curl/"), "curl")
+        .when(ua.rlike(r"^Wget/"), "Wget")
         .when(
             (browser == "Chrome")
             & ua.contains("Android") & ua.contains("Mobile"),
@@ -131,6 +145,7 @@ def with_device_columns(
     df: DataFrame,
     ua_col: str = "user_agent",
     ua_parser_families: bool = False,
+    ua_parser_bot_policy: bool = False,
 ) -> DataFrame:
     """Native-expression UA parse → the 12 ``device_*`` fields of the
     enriched-hit schema. Bots get only the bot flag (reference
@@ -140,11 +155,16 @@ def with_device_columns(
     reference's ua-parser taxonomy ("Mobile Safari", "Chrome Mobile",
     "Firefox iOS", "Android", "Amazon Silk", …) — still pure native
     expressions, raising measured exact-family agreement on the
-    parity corpus from 17/29 to 27/29 (tests/test_ua_parity.py);
-    the default keeps the engine-family taxonomy the existing marts
-    and oracles pin."""
+    parity corpus from 17/29 to 27/29 (tests/test_ua_parity.py).
+    ``ua_parser_bot_policy=True`` additionally narrows bot detection
+    to ua-parser's Spider-only semantics (curl/wget/monitors are NOT
+    bots to the reference), closing the last 2/29 — both flags
+    together are measured 29/29 exact-family on the parity corpus.
+    The defaults keep the engine-family taxonomy and the wider
+    training-data-hygiene bot policy the existing marts and oracles
+    pin."""
     ua = F.col(ua_col)
-    bot = is_bot(ua)
+    bot = is_bot(ua, ua_parser_policy=ua_parser_bot_policy)
     browser, browser_ver = _first_match(ua, _BROWSERS, NOT_SET)
     if ua_parser_families:
         browser = _ua_parser_family(ua, browser)

@@ -107,7 +107,12 @@ def covariance_matrix(
         if n == 0:
             raise ValueError("covariance of an empty vector column")
         sums = [moments[i] for i in range(dim)]
-        pairs = g.filter(F.col("j") >= 0)
+        # Materialize the dim*(dim+1)/2-row pair table (bounded by
+        # dim, never by input rows: 64 -> 2080 rows) before the
+        # finally-block unpersists the Gram cache — otherwise the
+        # returned lazy DataFrame would recompute the full
+        # mapInPandas Gram pass on first execution (ADVICE r7).
+        pairs = g.filter(F.col("j") >= 0).localCheckpoint(eager=True)
         si = F.element_at(
             F.array(*[F.lit(s) for s in sums]), F.col("i") + 1
         ).cast("decimal(38,0)")

@@ -41,6 +41,11 @@ def histogram_quantiles(
     puts everything in bin 0 — the guard mirrors value_histograms.
     """
     v = F.col(value_col).cast("double")
+    # NULL values must be dropped BEFORE binning: F.least() skips
+    # NULL operands, so least(floor(NULL * ...), n_bins - 1) would
+    # silently assign every NULL row to the top bin, corrupting both
+    # the counts and the quantile estimates (ADVICE r7).
+    df = df.filter(v.isNotNull())
     stats = df.agg(
         F.min(v).alias("_mn"), F.max(v).alias("_mx")
     )

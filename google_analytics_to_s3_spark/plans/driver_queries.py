@@ -2985,253 +2985,114 @@ ORACLES["lsh_recall"] = LSH_RECALL_ORACLE_TEMPLATE.format(
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # ---------------- round-7 rotation ----------------
-    # Goal (VERDICT r6 items 1 + 2): the 50-slot prefix is strictly
-    # oldest-evidence-first.
-    # (r7-a) never-driver-checked first: wav_decode (r6 red was the
-    # array-column canonicalizer crash; the output is now a
-    # %.6f-joined string, mirroring q_user_event_arrays) plus the two
-    # queries registered this round
-    "wav_decode", "robust_outliers", "survival_curve",
-    "shapley_attribution", "msprt_monitor", "binary_auc",
-    "calibration_report", "png_decode", "ua_parse_families",
-    "gif_frames",
-    # plus the ten registered later in r7 (spatial grid join,
-    # integer-grid covariance, chi2/MI feature selection, ACF,
-    # Benford DQ, Fellegi-Sunter linkage)
-    "spatial_radius_pairs", "spatial_nearest", "covariance_matrix",
-    "feature_chi2", "revenue_acf", "benford_dq", "fs_linkage",
-    "ks_drift", "gini_concentration", "holt_forecast",
-    # (r7-b) the 34 queries whose latest driver-green row is r3
-    "funnel_conversion", "retention_cohorts", "event_transitions",
-    "pq_codes", "pq_adc_topk", "time_to_conversion", "chunk_documents",
-    "incremental_attribution", "session_window_rollup",
-    "customer_distribution", "top_supplier", "small_qty_revenue",
-    "brand_disjunction_revenue", "sales_opportunity", "knn_components",
-    "knn_components_star", "gap_fill_ffill", "order_rank_stats",
-    "salted_event_totals", "embedding_lsh_pairs", "dedup_keep_best",
-    "events_grouping_sets", "hopping_window", "pii_scan",
-    "quality_filter", "contamination_screen", "lm_typicality",
-    "mixture_sample", "vocab_oov", "curation_pipeline",
+    # ---------------- round-8 rotation ----------------
+    # Goal (VERDICT r7 items 1 + 4): this list is now DUPLICATE-FREE
+    # and strictly evidence-age-ordered, rebuilt from the actual
+    # CORRECTNESS_r{1..7}.json records (never-checked first, then
+    # latest-green round ascending). The r7 list physically appended
+    # the 34 r7-continuation registrations at the END, which would
+    # have made the r8 driver re-check rows it just greened; fixed by
+    # construction here.
+    # (r8-a) the one red row: covariance_matrix failed r7 on a
+    # signed-zero canonicalization artifact (DuckDB round() -> -0.0,
+    # Spark BigDecimal round -> 0.0); oracle now appends "+ 0" and
+    # tests/oracle.py preserves -0.0, so this re-check is the proof.
+    "covariance_matrix",
+    # (r8-b) the 34 r7-continuation registrations — never
+    # driver-checked (all locally oracle-green; judge re-verified).
+
+    "did_lift", "heavy_hitters", "dp_release", "ols_regression",
+    "hll_rollup", "ndcg_eval", "label_propagation", "jpeg_decode",
+    "holt_winters", "theil_sen", "offline_policy", "phrase_index_search",
+    "hilbert_keys", "conformal_intervals", "ab_ztest", "neyman_sample",
+    "logrank_test", "mann_whitney", "textrank_keywords",
+    "community_modularity", "l_diversity", "dr_policy", "flac_decode",
+    "als_rank1", "rrf_fusion", "linkage_clusters", "centroid_classify",
+    "ts_decompose", "isotonic_calibration", "eb_smoothing",
+    "forecast_backtest", "cumulative_gains", "frequent_triples",
+    "did_event_study",
+    # (r8-c) the 4 rows whose latest driver-green evidence is r3 —
+    # the oldest checked evidence in the registry.
+
     "tfidf_top_terms", "bm25_search", "linear_count_users",
     "scd2_customer_priority",
-    # (r7-c) the oldest r4-green rows round out the 50-slot prefix
-    # (with the four late-r7 registrations above, only the first two
-    # fit; the rest queue below for r8)
+    # (r8-d) queries registered during r8 slot in HERE as they are
+    # added (never-checked beats stale-green), pushing the r4 block
+    # below toward the r9 queue. survival_curve also re-enters here:
+    # its r7 green row was vacuous (0 rows — the day-grain churn
+    # horizon can never fire on this corpus, ADVICE r7) and the
+    # query was rewritten to hour grain, so the old evidence no
+    # longer covers the shipped semantics.
+    "survival_curve",
+
+    # (r8-e) oldest green evidence: the 50 r4-green rows. The first
+    # ~11 fill the remaining prefix slots; the rest queue for r9.
+
     "pack_sequences", "value_histograms", "part_pagerank", "hll_users",
-    "page_path_levels", "envelope_decode",
-    # (r8-queue) the remaining 44 r4-green rows, oldest-first, so the
-    # r8 prefix self-assembles by dropping the 50 entries above
-    "repetition_signals",
+    "page_path_levels", "envelope_decode", "repetition_signals",
     "bloom_probe", "source_caps", "knn_ivfpq", "action_revenue",
     "graph_triangles", "merge_upsert", "quantile_sketch", "fuzzy_match",
-    "bpe_merges", "cms_counts", "k_core", "attribution_models",
-    "semdedup", "bpe_encode", "interval_join", "dsir_weights",
-    "knn_recall", "dup_spans", "dup_spans_removed", "fuzzy_dedup",
-    "dedup_incremental", "embedding_project", "salted_join",
-    "upsample_mixture", "logreg_quality", "global_index",
-    "shuffle_shards", "kmv_overlap", "weighted_sample", "zorder_keys",
-    "snapshot_diff", "rolling_features", "ab_lift", "dq_report",
-    "hopping_distinct", "basket_rules", "boilerplate_fraction",
-    "dataset_card", "event_anomalies", "session_paths",
-    "shot_boundaries", "url_dedup", "markov_attribution",
-    # (r8-queue, r5-green block) the 50 r5-green rows follow
-    "identity_stitching", "user_erasure", "phrase_search",
-    "bootstrap_ci", "scd2_asof_enrich", "word_pmi", "item_similarity",
+    "bpe_merges", "cms_counts", "k_core", "attribution_models", "semdedup",
+    "bpe_encode", "interval_join", "dsir_weights", "knn_recall",
+    "dup_spans", "dup_spans_removed", "fuzzy_dedup", "dedup_incremental",
+    "embedding_project", "salted_join", "upsample_mixture",
+    "logreg_quality", "global_index", "shuffle_shards", "kmv_overlap",
+    "weighted_sample", "zorder_keys", "snapshot_diff", "rolling_features",
+    "ab_lift", "dq_report", "hopping_distinct", "basket_rules",
+    "boilerplate_fraction", "dataset_card", "event_anomalies",
+    "session_paths", "shot_boundaries", "url_dedup", "markov_attribution",
+    # (r9-queue) 50 r5-green rows, oldest-first.
+
+    "identity_stitching", "user_erasure", "phrase_search", "bootstrap_ci",
+    "scd2_asof_enrich", "word_pmi", "item_similarity",
     "cusum_changepoints", "k_anonymity", "seasonal_anomalies",
     "daily_engagement", "session_revenue", "export_sessions",
     "hit_type_mapping", "union_active_users", "events_pivot",
     "events_cube", "anonymize_ip", "asof_join", "geo_enrich",
-    "multimodal_decode", "streaming_sessions",
-    # ---------------- round-6 rotation (historical) ----------------
-    # Goal (VERDICT r5 items 1 + 5): close driver-green evidence to
-    # 184/184 and refresh the stalest core rows. The 50-slot prefix:
-    # (r6-a) the 9 r2-green queries that sat past slot 50 in r5
-    "stratified_sample", "string_funcs", "table_profile",
-    "text_quality", "text_stats", "token_counts", "volume_shipping",
-    "winnow_fingerprints", "winnow_dup_pairs",
-    # (r6-b) the 27 queries registered in r5 after the prefix froze —
-    # never driver-checked, all locally oracle-green
-    "sequence_mining", "rfm_segments", "dataset_split", "pruning_stats",
-    "bounce_exit", "ab_srm", "lsh_recall", "psi_drift", "ab_cuped",
-    "blocking_supplier", "min_cost_supplier", "incremental_rollup",
-    "variant_extract", "session_hit_cap", "skew_report", "dau_wau_mau",
-    "new_vs_returning", "ltv_curve", "label_centroids", "ppm_decode",
-    "wav_decode", "y4m_shots", "session_timelines",
-    "target_encoding", "quantile_normalize", "hashed_features",
-    "langid_eval",
-    # (r6-c) 14 slots for the engine's signature computations whose
-    # latest driver row is r3 (the oldest remaining evidence):
-    # sessionization, traffic attribution, touchpoints, unpivot, UA
-    # parse and the five type-split export marts
-    "sessionize_flags", "sessionize_full", "session_stats",
-    "traffic_attribution", "touchpoints", "unpivot_products",
-    "ua_parse", "export_pageviews", "export_events_mart",
-    "export_products", "export_transactions", "export_items",
-    "json_props", "user_event_arrays",
-    # ---------------- round-5 rotation (historical) ----------------
-    # Goal: close the driver-green evidence gap to 157/157 (VERDICT r4
-    # item 1). The 50-slot prefix is, in order:
-    # (r5-a) the 10 queries registered after the r4 prefix froze —
-    # never driver-checked, all locally oracle-green
-    "identity_stitching", "user_erasure", "phrase_search",
-    "bootstrap_ci", "scd2_asof_enrich", "word_pmi", "item_similarity",
-    "cusum_changepoints", "k_anonymity", "seasonal_anomalies",
-    # (r5-b) the 7 queries whose latest driver row is the r2 ts-dtype
-    # err (green in r1; the datagen fix landed in r3)
-    "daily_engagement", "session_revenue", "export_sessions",
-    "hit_type_mapping", "union_active_users", "events_pivot",
-    "events_cube",
-    # (r5-c) the 5 queries green in r1 only — oldest evidence
-    "anonymize_ip", "asof_join", "geo_enrich", "multimodal_decode",
-    "streaming_sessions",
-    # (r5-d) 28 of the 37 r2-green queries (next-oldest evidence); the
-    # remaining 9 rotate in r6
-    "char_entropy", "corpus_curation", "cosine_dup_pairs",
-    "customer_order_ranks", "customers_without_orders", "dedup_exact",
-    "forecast_revenue", "knn_cosine", "knn_ivf",
-    "large_volume_customers", "late_shipment_priority",
-    "local_supplier_volume", "market_share", "minhash_lsh_pairs",
-    "moving_revenue", "neardup_ledger", "ngram_jaccard_pairs",
-    "ngram_jaccard_thresholded", "order_gaps",
+    "multimodal_decode", "streaming_sessions", "char_entropy",
+    "corpus_curation", "cosine_dup_pairs", "customer_order_ranks",
+    "customers_without_orders", "dedup_exact", "forecast_revenue",
+    "knn_cosine", "knn_ivf", "large_volume_customers",
+    "late_shipment_priority", "local_supplier_volume", "market_share",
+    "minhash_lsh_pairs", "moving_revenue", "neardup_ledger",
+    "ngram_jaccard_pairs", "ngram_jaccard_thresholded", "order_gaps",
     "order_lineitem_left_join", "order_percentiles", "pricing_summary",
-    "promo_revenue", "returned_items", "sales_rollup",
-    "shipping_priority", "simhash", "simhash_dup_pairs",
-    # (r5-e) the 9 r2-green queries past slot 50 — first in the r6 queue
-    "stratified_sample", "string_funcs", "table_profile",
-    "text_quality", "text_stats", "token_counts", "volume_shipping",
-    "winnow_fingerprints", "winnow_dup_pairs",
-    # (r5-f) registered in r5 after this prefix was laid out — locally
-    # oracle-green, second in the r6 queue behind (r5-e)
-    "sequence_mining", "rfm_segments", "dataset_split", "pruning_stats",
-    "bounce_exit", "ab_srm", "lsh_recall", "psi_drift", "ab_cuped",
-    "blocking_supplier", "min_cost_supplier", "incremental_rollup",
-    "variant_extract", "session_hit_cap", "skew_report", "dau_wau_mau",
-    "new_vs_returning", "ltv_curve", "label_centroids", "ppm_decode",
-    "wav_decode", "y4m_shots", "session_timelines",
+    "promo_revenue", "returned_items", "sales_rollup", "shipping_priority",
+    "simhash", "simhash_dup_pairs",
+    # (r9-queue) 49 r6-green rows.
+
+    "stratified_sample", "string_funcs", "table_profile", "text_quality",
+    "text_stats", "token_counts", "volume_shipping", "winnow_fingerprints",
+    "winnow_dup_pairs", "sequence_mining", "rfm_segments", "dataset_split",
+    "pruning_stats", "bounce_exit", "ab_srm", "lsh_recall", "psi_drift",
+    "ab_cuped", "blocking_supplier", "min_cost_supplier",
+    "incremental_rollup", "variant_extract", "session_hit_cap",
+    "skew_report", "dau_wau_mau", "new_vs_returning", "ltv_curve",
+    "label_centroids", "ppm_decode", "y4m_shots", "session_timelines",
     "target_encoding", "quantile_normalize", "hashed_features",
-    "langid_eval",
-    # (r6-queue) after the 9 (r5-e) + 23 (r5-f) entries above, the
-    # next-stalest evidence is the 48 queries whose latest driver row
-    # is r3 — queued here ahead of the r4-green block below so the r6
-    # prefix self-assembles oldest-first (the rotation discipline the
-    # r4 verdict established)
-    "sessionize_flags", "sessionize_full", "session_stats",
-    "json_props", "user_event_arrays", "funnel_conversion",
-    "retention_cohorts", "event_transitions", "pq_codes",
-    "pq_adc_topk", "time_to_conversion", "chunk_documents",
-    "incremental_attribution", "ua_parse", "touchpoints",
-    "unpivot_products", "session_window_rollup", "traffic_attribution",
-    "customer_distribution", "top_supplier", "small_qty_revenue",
-    "brand_disjunction_revenue", "sales_opportunity", "knn_components",
-    "knn_components_star", "gap_fill_ffill", "order_rank_stats",
-    "salted_event_totals", "embedding_lsh_pairs", "dedup_keep_best",
-    "events_grouping_sets", "hopping_window", "export_pageviews",
-    "export_events_mart", "export_products", "export_transactions",
-    "export_items", "pii_scan", "quality_filter",
-    "contamination_screen", "lm_typicality", "mixture_sample",
-    "vocab_oov", "curation_pipeline", "tfidf_top_terms", "bm25_search",
-    "linear_count_users", "scd2_customer_priority",
-    # ---------------- r4 rotation (historical) ----------------
-    # Kept verbatim as the r4 ordering record; names already listed
-    # above are inert here (dict insertion order keeps the FIRST
-    # occurrence), so this block only appends the r4-green queries
-    # not yet queued — they carry the freshest evidence and rotate
-    # last.
-    # round-4 rotation:
-    # (a) changed this round — pack_sequences' oracle got the missing
-    # BIGINT casts (its r3 red row was an oracle dtype bug, values were
-    # identical); value_histograms gained the degenerate-span guard;
-    # part_pagerank now redistributes dangling-node mass (oracle
-    # extended to match)
-    "pack_sequences", "value_histograms", "part_pagerank",
-    # (b) new this round — deterministic md5-HLL sketch (full-oracle
-    # replacement for the retired rows-only approx_distinct), URL
-    # decomposition (F8-F10/F13), envelope decode (L1-L4), Gopher
-    # n-gram repetition signals, Bloom-filter semi-join pruning,
-    # per-source caps, IVF+PQ ANN, ecommerce action enum (F11/F12),
-    # degree-ordered triangle counting, CDC merge/upsert, and the
-    # histogram quantile sketch
-    "hll_users", "page_path_levels", "envelope_decode",
-    "repetition_signals", "bloom_probe", "source_caps", "knn_ivfpq",
-    "action_revenue", "graph_triangles", "merge_upsert",
-    "quantile_sketch", "fuzzy_match", "bpe_merges", "cms_counts",
-    "k_core",
-    # (b2) new in the round-4 continuation — six-model multi-touch
-    # attribution, SemDeDup cluster-scoped semantic dedup, BPE encode
-    # (tokenizer apply), grid-bucketed interval join, DSIR importance
-    # weights
-    "attribution_models", "semdedup", "bpe_encode", "interval_join",
-    "dsir_weights", "knn_recall",
-    # (b3) round-4 continuation, second batch — exact duplicated-span
-    # detection + removal (Lee et al. substring dedup as a hashed-
-    # k-gram inverted index), the end-to-end MinHash fuzzy-dedup
-    # composition (LSH -> verify -> star components -> canonical),
-    # the incremental batch-vs-reference dedup screen, the JL random
-    # projection (64->16, bit-exact integer-grid oracle), and the
-    # skew-salted equi-join (result pinned == plain join)
-    "dup_spans", "dup_spans_removed", "fuzzy_dedup", "dedup_incremental",
-    "embedding_project", "salted_join", "upsample_mixture",
-    "logreg_quality",
-    # (b4) round-4 continuation, third batch — contiguous global index
-    # (two-pass bucket-offset pattern), the deterministic seed-stable
-    # pre-training shuffle, KMV set-operation sketches (audience
-    # overlap via the Theta-sketch intersection rule), E-S weighted
-    # sampling, and driver-checked Z-order clustering keys
-    "global_index", "shuffle_shards", "kmv_overlap", "weighted_sample",
-    "zorder_keys", "snapshot_diff", "rolling_features", "ab_lift",
-    "dq_report", "hopping_distinct",
-    # (c) registered in r3 after the prefix froze, never driver-checked
-    "basket_rules", "boilerplate_fraction", "dataset_card",
-    "event_anomalies", "session_paths", "shot_boundaries",
-    # (b5) round-4 continuation, fourth batch — canonical-URL pageview
-    # dedup (parser verified against an arithmetic oracle) and Markov
-    # removal-effect attribution (the data-driven model) take the two
-    # remaining top-50 slots; identity stitching, user erasure and any
-    # later additions queue for the r5 rotation
-    "url_dedup", "markov_attribution", "identity_stitching",
-    "user_erasure", "phrase_search", "bootstrap_ci", "scd2_asof_enrich",
-    "word_pmi", "item_similarity", "cusum_changepoints", "k_anonymity",
-    "seasonal_anomalies",
-    # (d) green in r1 only — no row since the r2 ts-dtype err; re-verify
-    "anonymize_ip", "asof_join", "daily_engagement", "events_cube",
-    "events_pivot", "export_sessions", "geo_enrich", "hit_type_mapping",
-    "multimodal_decode", "session_revenue", "streaming_sessions",
-    "union_active_users",
-    # (e) last green in r2 — oldest remaining evidence, re-verify
-    "char_entropy", "corpus_curation", "cosine_dup_pairs",
-    "customer_order_ranks", "customers_without_orders", "dedup_exact",
-    "forecast_revenue", "knn_cosine", "knn_ivf",
-    "large_volume_customers", "late_shipment_priority",
-    "local_supplier_volume", "market_share", "minhash_lsh_pairs",
-    "moving_revenue", "neardup_ledger", "ngram_jaccard_pairs",
-    "ngram_jaccard_thresholded", "order_gaps",
-    "order_lineitem_left_join", "order_percentiles",
-    # the 16 remaining r2-green queries (pricing_summary, promo_revenue,
-    # returned_items, sales_rollup,
-    # shipping_priority, simhash*, stratified_sample, string_funcs,
-    # table_profile, text_quality, text_stats, token_counts,
-    # volume_shipping, winnow_*) follow the prefix and rotate in next
-    # round; every r3-green query keeps its fresh row
-    # ---------------- r7-continuation registrations ----------------
-    # Registered AFTER the r7 prefix froze — never driver-checked.
-    # r8 prefix assembly: these 34 + the 4 r3-stale stragglers
-    # (tfidf_top_terms, bm25_search, linear_count_users,
-    # scd2_customer_priority) + the oldest r4 rows = the 50 slots.
-    # (34 + 4 + the oldest r4 rows overflow one 50-slot prefix;
-    # r8 takes the first 50, r9 inherits the remainder.)
-    # Listed here (past slot 50) only so the rotation record is
-    # explicit; their position does not affect the r7 check.
-    "did_lift", "heavy_hitters", "dp_release", "ols_regression",
-    "hll_rollup", "ndcg_eval", "label_propagation", "jpeg_decode",
-    "holt_winters", "theil_sen", "offline_policy",
-    "phrase_index_search", "hilbert_keys", "conformal_intervals",
-    "ab_ztest", "neyman_sample", "logrank_test", "mann_whitney",
-    "textrank_keywords", "community_modularity", "l_diversity",
-    "dr_policy", "flac_decode", "als_rank1", "rrf_fusion",
-    "linkage_clusters", "centroid_classify", "ts_decompose",
-    "isotonic_calibration", "eb_smoothing", "forecast_backtest",
-    "cumulative_gains", "frequent_triples", "did_event_study",
+    "langid_eval", "sessionize_flags", "sessionize_full", "session_stats",
+    "traffic_attribution", "touchpoints", "unpivot_products", "ua_parse",
+    "export_pageviews", "export_events_mart", "export_products",
+    "export_transactions", "export_items", "json_props",
+    "user_event_arrays",
+    # (freshest) 49 r7-green rows — checked last round, lowest
+    # priority for re-verification.
+
+    "wav_decode", "robust_outliers",
+    "shapley_attribution", "msprt_monitor", "binary_auc",
+    "calibration_report", "png_decode", "ua_parse_families", "gif_frames",
+    "spatial_radius_pairs", "spatial_nearest", "feature_chi2",
+    "revenue_acf", "benford_dq", "fs_linkage", "ks_drift",
+    "gini_concentration", "holt_forecast", "funnel_conversion",
+    "retention_cohorts", "event_transitions", "pq_codes", "pq_adc_topk",
+    "time_to_conversion", "chunk_documents", "incremental_attribution",
+    "session_window_rollup", "customer_distribution", "top_supplier",
+    "small_qty_revenue", "brand_disjunction_revenue", "sales_opportunity",
+    "knn_components", "knn_components_star", "gap_fill_ffill",
+    "order_rank_stats", "salted_event_totals", "embedding_lsh_pairs",
+    "dedup_keep_best", "events_grouping_sets", "hopping_window",
+    "pii_scan", "quality_filter", "contamination_screen", "lm_typicality",
+    "mixture_sample", "vocab_oov", "curation_pipeline",
 ]
 
 

@@ -1918,43 +1918,48 @@ FROM d JOIN mad USING (o_orderpriority)
 def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier time-to-churn curves per weekly acquisition
     cohort (operators/stats.py:kaplan_meier): a user's duration is
-    their active span in days; users whose last event is within 14
-    days of corpus end are CENSORED (still alive), not churned — the
-    right-censoring correctness naive churn marts miss. The oracle
-    replays the estimator with explicit windows (risk set via
-    descending cumulative count, survival via the repo's ln-parity
-    convention)."""
+    their active span in HOURS; users whose last event is within 24
+    hours of corpus end are CENSORED (still alive), not churned — the
+    right-censoring correctness naive churn marts miss. Hour grain
+    because the bench corpus keeps every user active to within 2
+    DAYS of corpus end, so any day-grain horizon yields a vacuous
+    0-row curve (ADVICE r7: CORRECTNESS_r07 recorded 0 rows from
+    both engines — a green row that proved nothing). At 24 h the
+    curve is non-degenerate at every shipped SF (1/15, 17/150,
+    156/1500 churned). The oracle replays the estimator with
+    explicit windows (risk set via descending cumulative count,
+    survival via the repo's ln-parity convention)."""
     from ..operators.stats import kaplan_meier
 
     e = load_events(spark, sf_dir).select(
-        "user_id", F.expr("ts_ms div 86400000").alias("day")
+        "user_id", F.expr("ts_ms div 3600000").alias("hr")
     )
     u = e.groupBy("user_id").agg(
-        F.min("day").alias("f"), F.max("day").alias("l")
+        F.min("hr").alias("f"), F.max("hr").alias("l")
     )
-    mx = e.agg(F.max("day").alias("maxd"))
+    mx = e.agg(F.max("hr").alias("maxh"))
     s = u.crossJoin(F.broadcast(mx)).select(
         F.concat(
-            F.lit("w"), F.expr("CAST(f div 7 AS STRING)")
+            F.lit("w"), F.expr("CAST(f div 168 AS STRING)")
         ).alias("cohort"),
         (F.col("l") - F.col("f") + 1).cast("long").alias("dur"),
-        (F.col("maxd") - F.col("l") >= 14).cast("int").alias("ev"),
+        (F.col("maxh") - F.col("l") >= 24).cast("int").alias("ev"),
     )
     return kaplan_meier(s, "dur", "ev", ["cohort"])
 
 
 SQL_SURVIVAL_CURVE = """
 WITH e AS (
-  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+  SELECT user_id, epoch_ms(ts) // 3600000 AS hr FROM events
 ),
 u AS (
-  SELECT user_id, min(day) AS f, max(day) AS l FROM e GROUP BY 1
+  SELECT user_id, min(hr) AS f, max(hr) AS l FROM e GROUP BY 1
 ),
-mx AS (SELECT max(day) AS maxd FROM e),
+mx AS (SELECT max(hr) AS maxh FROM e),
 s AS (
-  SELECT 'w' || CAST(f // 7 AS VARCHAR) AS cohort,
+  SELECT 'w' || CAST(f // 168 AS VARCHAR) AS cohort,
          l - f + 1 AS t,
-         CASE WHEN maxd - l >= 14 THEN 1 ELSE 0 END AS ev
+         CASE WHEN maxh - l >= 24 THEN 1 ELSE 0 END AS ev
   FROM u CROSS JOIN mx
 ),
 g AS (

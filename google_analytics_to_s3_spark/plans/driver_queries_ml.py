@@ -169,8 +169,13 @@ p AS (
   GROUP BY 1, 2
 )
 SELECT p.i, p.j,
+       -- "+ 0" canonicalizes DuckDB's signed zero: round() returns
+       -- -0.0 for a tiny negative covariance while Spark's
+       -- BigDecimal HALF_UP round has no signed zero, and the
+       -- grading driver hashes raw cells (CORRECTNESS_r07
+       -- covariance_matrix red: 3 cells, -0.0 vs 0.0).
        round(CAST(nn.n * p.sij - mi.si * mj.si AS DOUBLE)
-             / ({_COV_SCALE}.0 * {_COV_SCALE}.0 * nn.n * nn.n), 6)
+             / ({_COV_SCALE}.0 * {_COV_SCALE}.0 * nn.n * nn.n), 6) + 0
          AS cov,
        round(CASE WHEN nn.n * mi.sii - mi.si * mi.si > 0
                    AND nn.n * mj.sii - mj.si * mj.si > 0
@@ -179,7 +184,7 @@ SELECT p.i, p.j,
                                    AS DOUBLE)
                               * CAST(nn.n * mj.sii - mj.si * mj.si
                                      AS DOUBLE))
-             END, 6) AS corr
+             END, 6) + 0 AS corr
 FROM p
 JOIN m mi ON mi.i = p.i
 JOIN m mj ON mj.i = p.j

@@ -304,3 +304,39 @@ def test_ua_parser_families_mode_agreement(spark):
     assert annotated == 29, annotated
     assert exact == 27, (exact, residuals)
     assert all(kind == "bot-policy" for kind, _ in residuals), residuals
+
+
+def test_full_parity_mode_agreement(spark):
+    """ua_parser_families + ua_parser_bot_policy together reproduce
+    the reference's user_agents semantics with pure native
+    expressions — MEASURED 29/29 exact-family agreement AND 29/29
+    is_bot agreement on the annotated corpus. The bot-policy flag
+    narrows BOT_RE to ua-parser's Spider-only semantics (reference
+    enrichment/filters/user_agent.py:35-39 only short-circuits on
+    user_agents' .is_bot), so curl/wget surface their ua-parser
+    families ("curl", "Wget") instead of being bot-nulled."""
+    df = spark.createDataFrame(
+        [(i, ua) for i, (ua, *_rest) in enumerate(CORPUS)],
+        "idx int, user_agent string",
+    )
+    rows = {
+        r["idx"]: r
+        for r in with_device_columns(
+            df, ua_parser_families=True, ua_parser_bot_policy=True
+        ).orderBy("idx").collect()
+    }
+    annotated = exact = bot_ok = 0
+    residuals = []
+    for i, (ua, _c, _o, _d, _b, ref_client, ref_bot) in enumerate(CORPUS):
+        if ref_client is None:
+            continue
+        annotated += 1
+        if rows[i]["device_is_bot"] == ref_bot:
+            bot_ok += 1
+        if rows[i]["device_client_name"] == ref_client:
+            exact += 1
+        else:
+            residuals.append((ua, ref_client, rows[i]["device_client_name"]))
+    assert annotated == 29, annotated
+    assert bot_ok == 29, bot_ok
+    assert exact == 29, (exact, residuals)
