@@ -23,7 +23,9 @@ Two tiers of decode honesty:
   Huffman entropy decode (DC prediction, ZRL/EOB, byte unstuffing) +
   dequant/dezigzag/matrix IDCT (``decode_jpeg_meta``; the
   ``jpeg_decode`` driver query value-oracles the whole pipeline as
-  integer arithmetic). Gates left: progressive/subsampled JPEG.
+  integer arithmetic); r8 adds chroma-subsampled (4:2:0 / 4:2:2)
+  color via the general interleaved-MCU grid + JFIF nearest-neighbor
+  upsampling. Gates left: progressive JPEG.
 - **REAL FLAC decode (r7)**: mono fixed-predictor subset — frame
   sync + CRC-8/16 verification, UTF-8 frame numbers, Rice residual
   decode (incl. escape partitions), predictor reconstruction
@@ -1159,8 +1161,10 @@ def sample_gif_frames(
 # canonical Huffman decode of the entropy-coded segment (0xFF00
 # unstuffing, DC prediction, ZRL/EOB runs), dequantization, dezigzag,
 # and a vectorized matrix IDCT — pure stdlib + numpy. The remaining
-# honest gates shrink to chroma-subsampled/progressive JPEG and the
-# DSP formats (MP3/MP4), which stay PIL/libav-gated.
+# honest gates shrink to progressive JPEG and the DSP formats
+# (MP3/MP4), which stay PIL/libav-gated; chroma-subsampled baseline
+# (4:2:0/4:2:2) decodes for real as of r8 (general MCU grid + JFIF
+# nearest-neighbor upsampling).
 # ---------------------------------------------------------------------------
 
 
@@ -1266,12 +1270,16 @@ def _jpeg_extend(v: int, size: int) -> int:
 
 
 def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
-    """Decode a baseline JPEG — grayscale or 4:4:4 YCbCr (interleaved
-    MCUs, per-component quant/Huffman tables and DC predictors, JFIF
-    color conversion): returns (width, height, channels, uint8 array
-    of h*w*channels). Raises ValueError on malformed input and on the
-    honest unsupported corners (progressive, chroma-subsampled,
-    12-bit, restart intervals) so they quarantine cleanly."""
+    """Decode a baseline JPEG — grayscale or YCbCr at any integer
+    sampling-factor grid, including the 4:2:0 most real crawls ship
+    and 4:2:2 (general interleaved MCUs: h_i*v_i blocks per component
+    per MCU, nearest-neighbor chroma upsampling per JFIF, per-
+    component quant/Huffman tables and DC predictors, JFIF color
+    conversion): returns (width, height, channels, uint8 array of
+    h*w*channels). Raises ValueError on malformed input and on the
+    honest unsupported corners (progressive, 12-bit, restart
+    intervals, sampling factors outside 1/2/4) so they quarantine
+    cleanly."""
     if len(raw) < 4 or raw[0:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload (bad SOI)")
     pos = 2
@@ -1313,9 +1321,12 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
             comps = []
             for ci in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * ci:9 + 3 * ci]
-                if sampling != 0x11:
-                    raise ValueError("chroma subsampling not supported")
-                comps.append((cid, tq))
+                hs, vs = sampling >> 4, sampling & 15
+                if hs not in (1, 2, 4) or vs not in (1, 2, 4):
+                    raise ValueError(
+                        f"sampling factor {hs}x{vs} not supported"
+                    )
+                comps.append((cid, tq, hs, vs))
             sof = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -1355,10 +1366,10 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
     if len(comp_spec) != len(comps):
         raise ValueError("scan component count != frame component count")
 
-    # per-component (quant matrix, DC table, AC table)
+    # per-component (quant matrix, DC table, AC table, h, v)
     a = _jpeg_idct_matrix()
     plan = []
-    for cid, tq in comps:
+    for cid, tq, hs, vs in comps:
         if tq not in qtables:
             raise ValueError(f"missing quant table {tq}")
         if cid not in comp_spec:
@@ -1369,7 +1380,7 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
         q = np.zeros((8, 8), dtype=np.float64)
         for zzpos, (r, c) in enumerate(_JPEG_ZZ):
             q[r, c] = qtables[tq][zzpos]
-        plan.append((q, dc_tables[dc_id], ac_tables[ac_id]))
+        plan.append((q, dc_tables[dc_id], ac_tables[ac_id], hs, vs))
 
     def decode_block(reader, q, dc_t, ac_t, pred):
         coefs = np.zeros((8, 8), dtype=np.float64)
@@ -1395,19 +1406,40 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
         return a @ (coefs * q) @ a.T + 128.0, pred
 
     ncomp = len(comps)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    hmax = max(hs for _q, _d, _a, hs, _v in plan)
+    vmax = max(vs for _q, _d, _a, _h, vs in plan)
+    # MCU grid: each MCU covers 8*hmax x 8*vmax pixels; component i
+    # contributes hs*vs 8x8 blocks per MCU in row-major order (T.81
+    # A.2.3 interleaved data ordering).
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     reader = _JpegBitReader(raw, scan_pos)
-    planes = np.empty((ncomp, bh * 8, bw * 8), dtype=np.float64)
+    comp_planes = [
+        np.empty((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
+        for _q, _d, _a, hs, vs in plan
+    ]
     preds = [0] * ncomp
-    for by in range(bh):
-        for bx in range(bw):
-            # interleaved MCU: one 8x8 block per component (4:4:4)
-            for ci, (q, dc_t, ac_t) in enumerate(plan):
-                block, preds[ci] = decode_block(
-                    reader, q, dc_t, ac_t, preds[ci]
-                )
-                planes[ci, by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
-    planes = planes[:, :h, :w]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (q, dc_t, ac_t, hs, vs) in enumerate(plan):
+                for v in range(vs):
+                    for hsub in range(hs):
+                        block, preds[ci] = decode_block(
+                            reader, q, dc_t, ac_t, preds[ci]
+                        )
+                        r0 = (my * vs + v) * 8
+                        c0 = (mx * hs + hsub) * 8
+                        comp_planes[ci][r0:r0 + 8, c0:c0 + 8] = block
+    # JFIF nearest-neighbor upsample of subsampled components to the
+    # full-resolution grid, then crop to the frame dimensions
+    planes = np.empty((ncomp, h, w), dtype=np.float64)
+    for ci, (_q, _d, _a, hs, vs) in enumerate(plan):
+        p = comp_planes[ci]
+        if hs != hmax:
+            p = np.repeat(p, hmax // hs, axis=1)
+        if vs != vmax:
+            p = np.repeat(p, vmax // vs, axis=0)
+        planes[ci] = p[:h, :w]
     if ncomp == 1:
         px = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
         return w, h, 1, px.reshape(-1)

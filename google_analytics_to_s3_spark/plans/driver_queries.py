@@ -3023,7 +3023,7 @@ _DRIVER_PRIORITY = [
     # horizon can never fire on this corpus, ADVICE r7) and the
     # query was rewritten to hour grain, so the old evidence no
     # longer covers the shipped semantics.
-    "survival_curve",
+    "survival_curve", "jpeg_decode_420",
 
     # (r8-e) oldest green evidence: the 50 r4-green rows. The first
     # ~11 fill the remaining prefix slots; the rest queue for r9.

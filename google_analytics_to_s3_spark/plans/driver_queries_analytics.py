@@ -2334,6 +2334,91 @@ QUERIES_ANALYTICS["jpeg_decode"] = q_jpeg_decode
 ORACLES_ANALYTICS["jpeg_decode"] = SQL_JPEG_DECODE
 
 
+def q_jpeg_decode_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4:2:0 chroma-subsampled color path driver-checked — the
+    JPEG variant real crawls actually ship (VERDICT r7 item 7): a
+    32x32 3-component baseline JPEG with Y at 2x2 sampling factors
+    is synthesized per event (testing/fixtures.make_jpeg_baseline
+    subsampling="420"), so the decoder must walk the general
+    interleaved-MCU grid (4 Y blocks then Cb then Cr per MCU, T.81
+    A.2.3), keep three DC predictor chains, and JFIF-upsample the
+    chroma planes. Chroma is planted DC-only zero, which makes the
+    decoded RGB exactly the replicated Y channel (0-offset color
+    conversion), so the oracle replays the pixel sum as PURE INTEGER
+    arithmetic: 3 * sum_b(64*(128+dc_b) + RS[t_b]) over the 16 Y
+    blocks — nonzero-chroma pixel-exactness is covered by
+    tests/test_multimodal.py (textbook-IDCT reference). A green row
+    proves the subsampled MCU ordering, per-component prediction and
+    upsampling plumbing read the actual coefficients."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.multimodal import decode_jpeg_meta
+    from ..testing.fixtures import make_jpeg_baseline
+
+    e = _spread(load_events(spark, sf_dir).select("event_id"), spark)
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_jpeg_baseline(
+                        int(i) % 1000, 32, 32, channels=3,
+                        subsampling="420", chroma_dc=(0, 0),
+                    )
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(
+        _synth, schema="doc_id long, payload binary"
+    )
+    meta = decode_jpeg_meta(payloads)
+    return meta.select(
+        "doc_id", "width", "height", "channels", "y_sum", "mean_px"
+    )
+
+
+def _jpeg_decode_420_sql() -> str:
+    from ..testing.fixtures import (
+        JPEG_AC_TEMPLATES, jpeg_template_round_sums,
+    )
+
+    rs = jpeg_template_round_sums()
+    n_t = len(JPEG_AC_TEMPLATES)
+    rs_arr = "[" + ", ".join(f"{v}::BIGINT" for v in rs) + "]"
+    # 32x32 Y plane = 16 blocks; zero-chroma 4:2:0 makes each RGB
+    # channel the rounded Y plane, so the 3-channel pixel sum is
+    # exactly 3x the grayscale integer replay.
+    return f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed FROM events
+),
+blocks AS (
+  SELECT event_id, seed, CAST(b.b AS BIGINT) AS b,
+         ((seed * 7 + b.b * 13) % 121) - 60 AS dc,
+         (seed + b.b) % {n_t} AS t
+  FROM e, LATERAL (SELECT unnest(range(0, 16)) AS b) b
+)
+SELECT event_id AS doc_id,
+       CAST(32 AS INTEGER) AS width,
+       CAST(32 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(3 * sum(64 * (128 + dc) + {rs_arr}[t + 1]) AS BIGINT)
+         AS y_sum,
+       round(CAST(3 * sum(64 * (128 + dc) + {rs_arr}[t + 1]) AS DOUBLE)
+             / 3072.0, 6) AS mean_px
+FROM blocks GROUP BY event_id
+"""
+
+
+SQL_JPEG_DECODE_420 = _jpeg_decode_420_sql()
+QUERIES_ANALYTICS["jpeg_decode_420"] = q_jpeg_decode_420
+ORACLES_ANALYTICS["jpeg_decode_420"] = SQL_JPEG_DECODE_420
+
+
 _FLAC_MOD = 10
 
 

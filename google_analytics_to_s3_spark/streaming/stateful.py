@@ -182,7 +182,8 @@ def stateful_sessionize_tws(
     Requires the ``protobuf`` package (the TWS state-server protocol
     speaks protobuf); absent it, raises NotImplementedError instead of
     crashing the streaming query mid-run. (Probe log: re-checked each
-    round; as of round 7 the sandbox still has no protobuf, so the
+    round; as of round 8 the sandbox still has no protobuf
+    (`import google.protobuf` -> ModuleNotFoundError), so the
     skip in tests/test_stateful_streaming.py remains the honest
     state.) The processor's emit logic
     itself is protobuf-free and parity-tested directly

@@ -609,21 +609,39 @@ def jpeg_block_plan(seed: int, n_blocks: int) -> list[dict[int, int]]:
 
 
 def make_jpeg_baseline(
-    seed: int, w: int = 16, h: int = 16, channels: int = 1
+    seed: int, w: int = 16, h: int = 16, channels: int = 1,
+    subsampling: str = "444", chroma_dc: "tuple[int, int] | None" = None,
 ) -> bytes:
     """Serialize a REAL baseline JPEG (SOI/DQT/SOF0/DHT/SOS,
     huffman-entropy-coded MCUs with per-component DC prediction, 0xFF
     byte stuffing, EOI) whose quantized coefficients are
     :func:`jpeg_block_plan` (component c uses ``seed + 1000*c``).
-    ``channels`` is 1 (grayscale) or 3 (interleaved 4:4:4 YCbCr, all
+    ``channels`` is 1 (grayscale) or 3 (interleaved YCbCr, all
     components sharing quant table 0 and the DC0/AC0 Huffman tables).
-    ``w``/``h`` must be multiples of 8."""
+    ``subsampling`` is "444" (every component 1x1), "422" (Y 2x1) or
+    "420" (Y 2x2) — T.81 A.2.3 interleaved MCU ordering, so a "420"
+    MCU is 4 Y blocks then Cb then Cr. Component block plans index
+    blocks in that component's OWN raster order (Y at w/8 grid,
+    chroma at its subsampled grid), so oracles replay per component.
+    ``chroma_dc``, if given, replaces the chroma plan with DC-only
+    blocks of those constants (AC zero) — (0, 0) makes the decoded
+    RGB exactly the replicated Y channel, keeping pixel sums on the
+    integer oracle grid. ``w``/``h`` must be multiples of the MCU
+    span (8, or 16 on the subsampled axes)."""
     import struct as _struct
 
-    if w % 8 or h % 8:
-        raise ValueError("fixture dimensions must be multiples of 8")
+    factors = {
+        "444": (1, 1), "422": (2, 1), "420": (2, 2),
+    }.get(subsampling)
+    if factors is None:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
     if channels not in (1, 3):
         raise ValueError("channels must be 1 or 3")
+    if channels == 1:
+        factors = (1, 1)
+    hs, vs = factors
+    if w % (8 * hs) or h % (8 * vs):
+        raise ValueError("fixture dimensions must cover whole MCUs")
     dc_codes = _huff_codes(JPEG_DC_BITS, JPEG_DC_VALS)
     ac_codes = _huff_codes(JPEG_AC_BITS, JPEG_AC_VALS)
 
@@ -631,12 +649,13 @@ def make_jpeg_baseline(
     # DQT: table 0, zigzag order (flat, so order is moot)
     out += b"\xFF\xDB" + _struct.pack(">H", 67) + b"\x00"
     out += bytes([JPEG_Q] * 64)
-    # SOF0: 8-bit, no subsampling on any component
+    # SOF0: 8-bit; Y carries the sampling factors, chroma is 1x1
     out += b"\xFF\xC0" + _struct.pack(
         ">HBHHB", 8 + 3 * channels, 8, h, w, channels
     )
     for ci in range(channels):
-        out += bytes([ci + 1, 0x11, 0])
+        samp = (hs << 4) | vs if ci == 0 else 0x11
+        out += bytes([ci + 1, samp, 0])
     # DHT: DC class 0 id 0, then AC class 1 id 0
     for cls, bits, vals in ((0, JPEG_DC_BITS, JPEG_DC_VALS),
                             (1, JPEG_AC_BITS, JPEG_AC_VALS)):
@@ -661,39 +680,62 @@ def make_jpeg_baseline(
     def value_bits(v: int, size: int) -> int:
         return v if v >= 0 else v + (1 << size) - 1
 
-    n_blocks = (w // 8) * (h // 8)
-    plans = [
-        jpeg_block_plan(seed + 1000 * ci, n_blocks)
-        for ci in range(channels)
-    ]
-    preds = [0] * channels
-    for b in range(n_blocks):
-        for ci in range(channels):  # interleaved MCU (4:4:4)
-            coefs = plans[ci][b]
-            dc = coefs.get(0, 0)
-            diff = dc - preds[ci]
-            preds[ci] = dc
-            s = size_of(diff)
-            code, length = dc_codes[s]
+    def put_block(coefs: "dict[int, int]", ci: int) -> None:
+        dc = coefs.get(0, 0)
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        s = size_of(diff)
+        code, length = dc_codes[s]
+        put(code, length)
+        if s:
+            put(value_bits(diff, s), s)
+        acs = sorted((p, c) for p, c in coefs.items() if p > 0)
+        k = 1
+        for pos, coef in acs:
+            run = pos - k
+            while run > 15:
+                zc, zl = ac_codes[0xF0]  # ZRL
+                put(zc, zl)
+                run -= 16
+            s = size_of(coef)
+            code, length = ac_codes[(run << 4) | s]
             put(code, length)
-            if s:
-                put(value_bits(diff, s), s)
-            acs = sorted((p, c) for p, c in coefs.items() if p > 0)
-            k = 1
-            for pos, coef in acs:
-                run = pos - k
-                while run > 15:
-                    zc, zl = ac_codes[0xF0]  # ZRL
-                    put(zc, zl)
-                    run -= 16
-                s = size_of(coef)
-                code, length = ac_codes[(run << 4) | s]
-                put(code, length)
-                put(value_bits(coef, s), s)
-                k = pos + 1
-            if k <= 63:
-                ec, el = ac_codes[0x00]  # EOB
-                put(ec, el)
+            put(value_bits(coef, s), s)
+            k = pos + 1
+        if k <= 63:
+            ec, el = ac_codes[0x00]  # EOB
+            put(ec, el)
+
+    # Per-component block plans on each component's OWN raster grid:
+    # Y at (w/8, h/8), chroma at the subsampled (w/(8*hs), h/(8*vs)).
+    ybw, ybh = w // 8, h // 8
+    cbw, cbh = w // (8 * hs), h // (8 * vs)
+    y_plan = jpeg_block_plan(seed, ybw * ybh)
+    if channels == 3:
+        if chroma_dc is not None:
+            c_plans = [
+                [{0: chroma_dc[ci]} for _ in range(cbw * cbh)]
+                for ci in range(2)
+            ]
+        else:
+            c_plans = [
+                jpeg_block_plan(seed + 1000 * (ci + 1), cbw * cbh)
+                for ci in range(2)
+            ]
+    preds = [0] * channels
+    # T.81 A.2.3 interleaved ordering: per MCU, component 0's hs*vs
+    # blocks row-major, then one block per chroma component.
+    for my in range(cbh if channels == 3 else ybh):
+        for mx in range(cbw if channels == 3 else ybw):
+            if channels == 1:
+                put_block(y_plan[my * ybw + mx], 0)
+                continue
+            for v in range(vs):
+                for hsub in range(hs):
+                    yy, yx = my * vs + v, mx * hs + hsub
+                    put_block(y_plan[yy * ybw + yx], 0)
+            put_block(c_plans[0][my * cbw + mx], 1)
+            put_block(c_plans[1][my * cbw + mx], 2)
     # pad to byte with 1s, byte-stuff 0xFF
     while len(bitbuf) % 8:
         bitbuf.append(1)

@@ -785,6 +785,102 @@ class TestJpegDecode:
         assert rows[1].channels == 1 and rows[2].channels == 3
         assert rows[2].decode_error is None
 
+    def test_chroma_subsampled_roundtrip_against_reference(self):
+        """4:2:0 and 4:2:2 baseline color (the variants real crawls
+        actually ship): general interleaved-MCU ordering (T.81 A.2.3
+        — Y's hs*vs blocks row-major, then one block per chroma
+        component, DC prediction per component across the whole scan)
+        plus JFIF nearest-neighbor chroma upsampling. Expected pixels
+        come from the fixture's independent textbook IDCT on each
+        component's OWN grid, np.repeat-upsampled, through the same
+        published conversion constants — pixel-exact."""
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_jpeg,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            jpeg_block_plan, make_jpeg_baseline, ref_idct_block,
+        )
+
+        def ref_rgb(seed, w, h, sub, chroma_dc=None):
+            hs, vs = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[sub]
+            ybw, ybh = w // 8, h // 8
+            cbw, cbh = w // (8 * hs), h // (8 * vs)
+            yplane = np.empty((h, w))
+            yplan = jpeg_block_plan(seed, ybw * ybh)
+            for by in range(ybh):
+                for bx in range(ybw):
+                    yplane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                        ref_idct_block(yplan[by * ybw + bx]) + 128.0
+                    )
+            cplanes = []
+            for ci in range(2):
+                p = np.empty((cbh * 8, cbw * 8))
+                if chroma_dc is not None:
+                    plan = [{0: chroma_dc[ci]}] * (cbw * cbh)
+                else:
+                    plan = jpeg_block_plan(seed + 1000 * (ci + 1),
+                                           cbw * cbh)
+                for by in range(cbh):
+                    for bx in range(cbw):
+                        p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                            ref_idct_block(plan[by * cbw + bx]) + 128.0
+                        )
+                p = np.repeat(np.repeat(p, vs, axis=0), hs, axis=1)
+                cplanes.append(p[:h, :w])
+            y, cb, cr = yplane, cplanes[0] - 128.0, cplanes[1] - 128.0
+            return np.clip(np.rint(np.stack([
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ], axis=-1)), 0, 255).astype(np.uint8)
+
+        cases = [
+            (5, 32, 16, "420", None),
+            (9, 32, 16, "422", None),
+            (11, 48, 32, "420", (13, -9)),
+            (7, 32, 32, "420", (0, 0)),
+        ]
+        for seed, w, h, sub, cdc in cases:
+            raw = make_jpeg_baseline(
+                seed, w, h, channels=3, subsampling=sub, chroma_dc=cdc
+            )
+            dw, dh, dc_, px = _parse_jpeg(raw)
+            assert (dw, dh, dc_) == (w, h, 3), (seed, sub)
+            want = ref_rgb(seed, w, h, sub, cdc)
+            assert (px.reshape(h, w, 3) == want).all(), (seed, sub)
+        # chroma_dc=(0,0): zero chroma offset means RGB is exactly the
+        # replicated Y channel — the integer grid the driver oracle
+        # replays (jpeg_decode_420)
+        raw = make_jpeg_baseline(
+            7, 32, 32, channels=3, subsampling="420", chroma_dc=(0, 0)
+        )
+        _w, _h, _c, px = _parse_jpeg(raw)
+        rgb = px.reshape(32, 32, 3)
+        assert (rgb[:, :, 0] == rgb[:, :, 1]).all()
+        assert (rgb[:, :, 0] == rgb[:, :, 2]).all()
+
+    def test_subsampling_factor_gate_narrowed(self):
+        """Factors outside {1,2,4} still quarantine with a named
+        error (the honest gate after the 4:2:0/4:2:2 extension)."""
+        import pytest as _pytest
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_jpeg,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_jpeg_baseline,
+        )
+
+        raw = bytearray(make_jpeg_baseline(5, 16, 16, channels=3))
+        idx = raw.find(b"\xFF\xC0")
+        # component 0's sampling byte sits 10 bytes past the marker
+        # (marker 2 + len 2 + prec 1 + h 2 + w 2 + ncomp 1 + cid 1)
+        raw[idx + 11] = 0x31  # 3x1: unsupported factor
+        with _pytest.raises(ValueError, match="sampling factor"):
+            _parse_jpeg(bytes(raw))
+
 
 class TestFlacDecode:
     """REAL FLAC decode: fixed-predictor subset, Rice residuals,
