@@ -397,3 +397,63 @@ def theil_sen_trend(
             F.sum("r") / F.count(F.lit(1)), 6
         ).alias("intercept"),
     )
+
+
+def burst_windows(
+    series: DataFrame,
+    group_col: str,
+    t_col: str,
+    count_col: str,
+    sigma: float = 2.0,
+) -> DataFrame:
+    """Burst detection over a PRE-AGGREGATED per-period count series
+    (the practical two-state reading of Kleinberg's burst model: a
+    period is "bursting" when its rate exceeds the group's baseline
+    by ``sigma`` population standard deviations; consecutive bursting
+    periods merge into one burst window). Input grain is
+    (group, period) — the caller already did the event-sized
+    aggregation, so every window here moves only series-sized tables
+    (|groups| x |periods| rows, bounded at any SF; the same contract
+    as cusum_changepoint).
+
+    The run-merge uses the classic gaps-and-islands key
+    ``t - dense_rank(t)`` over flagged periods only, partitioned by
+    group — no global sort. Output: one row per burst,
+    ``(group, burst_start, burst_end, n_periods, total_events,
+    peak_t, peak_count, baseline_mean)``."""
+    g = F.col(group_col)
+    stats = series.groupBy(group_col).agg(
+        F.avg(F.col(count_col).cast("double")).alias("_mu"),
+        F.stddev_pop(F.col(count_col).cast("double")).alias("_sd"),
+    )
+    flagged = (
+        series.join(F.broadcast(stats), group_col)
+        .filter(
+            # sd > 0 guard: a zero-variance series satisfies
+            # cnt >= mu + sigma*0 on EVERY period, which would merge
+            # the whole series into one vacuous "burst"
+            (F.col("_sd") > 0.0)
+            & (
+                F.col(count_col).cast("double")
+                >= F.col("_mu") + sigma * F.col("_sd")
+            )
+        )
+    )
+    rank_w = Window.partitionBy(group_col).orderBy(t_col)
+    runs = flagged.withColumn(
+        "_island", F.col(t_col) - F.row_number().over(rank_w)
+    )
+    return (
+        runs.groupBy(group_col, "_island")
+        .agg(
+            F.min(t_col).alias("burst_start"),
+            F.max(t_col).alias("burst_end"),
+            F.count(F.lit(1)).cast("long").alias("n_periods"),
+            F.sum(count_col).cast("long").alias("total_events"),
+            F.max_by(t_col, F.struct(F.col(count_col), -F.col(t_col)))
+            .alias("peak_t"),
+            F.max(count_col).cast("long").alias("peak_count"),
+            F.round(F.first("_mu"), 6).alias("baseline_mean"),
+        )
+        .drop("_island")
+    )

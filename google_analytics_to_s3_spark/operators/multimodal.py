@@ -1835,3 +1835,91 @@ def decode_flac_features(
     return df.select(id_col, payload_col).mapInPandas(
         _extract, schema=WAV_FEATURE_SCHEMA
     )
+
+
+DHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("phash_hi", LongType()),
+    StructField("phash_lo", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def dhash_images(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL-decoded NetPBM
+    payloads — the image near-duplicate key a training-data pipeline
+    buckets on before any pairwise comparison (the image analogue of
+    the MinHash band key: candidate work proportional to duplicate
+    mass, never corpus²).
+
+    Pipeline per payload, all inside one Arrow ``mapInPandas`` batch:
+    parse the P5/P6 raster (``_parse_ppm`` — the real decoder, not a
+    metadata shortcut), grayscale by exact integer channel sum,
+    average-pool to the canonical 9x8 dHash grid by integer block
+    sums (exact: requires width % 9 == 0 and height % 8 == 0, other
+    geometries quarantine — resampling arbitrary sizes would make
+    the hash engine-dependent), then emit the 64 left<right
+    comparison bits split into two 32-bit halves ``(phash_hi,
+    phash_lo)`` so the values stay on the exact BIGINT grid in both
+    engines (a single 64-bit word would need unsigned wraparound).
+    Bit (y, x) of the logical hash is ``grid[y][x] < grid[y][x+1]``
+    at position ``y*8 + x``; rows 0-3 pack into ``phash_lo``, rows
+    4-7 into ``phash_hi``. Same quarantine contract as the other
+    decoders: malformed payloads land in ``decode_error``, the batch
+    never fails."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "phash_hi", "phash_lo",
+                "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    w, h, c, px = _parse_ppm(bytes(payload))
+                    if w % 9 or h % 8:
+                        raise ValueError(
+                            f"dhash needs width%9==0 and height%8==0, "
+                            f"got {w}x{h}"
+                        )
+                    img = px.reshape(h, w, c).astype(np.int64).sum(axis=2)
+                    bw, bh = w // 9, h // 8
+                    grid = img.reshape(8, bh, 9, bw).sum(axis=(1, 3))
+                    bits = (grid[:, :-1] < grid[:, 1:])
+                    lo = hi = 0
+                    for y in range(4):
+                        for x in range(8):
+                            if bits[y, x]:
+                                lo |= 1 << (y * 8 + x)
+                    for y in range(4, 8):
+                        for x in range(8):
+                            if bits[y, x]:
+                                hi |= 1 << ((y - 4) * 8 + x)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["phash_hi"].append(hi)
+                    rows["phash_lo"].append(lo)
+                    rows["decode_error"].append(None)
+                except ValueError as e:
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["phash_hi"].append(None)
+                    rows["phash_lo"].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "width": pd.Series(rows["width"], dtype="Int32"),
+                "height": pd.Series(rows["height"], dtype="Int32"),
+                "phash_hi": pd.Series(rows["phash_hi"], dtype="Int64"),
+                "phash_lo": pd.Series(rows["phash_lo"], dtype="Int64"),
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _hash, schema=DHASH_SCHEMA
+    )

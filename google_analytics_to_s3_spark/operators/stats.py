@@ -2100,3 +2100,168 @@ def did_event_study(
         )
         .orderBy("period")
     )
+
+
+# Abramowitz & Stegun 26.2.17 normal-CDF tail series — the published
+# 5-term rational approximation (|error| < 7.5e-8), elementary ops
+# only (exp/sqrt), so a DuckDB oracle replays it with the SAME
+# expression and round(..., 6) parity holds cross-engine. Used where
+# a test needs an actual p-value (BH FDR ordering thresholds);
+# plain z-threshold tests keep the pinned-constant convention of
+# two_proportion_ztest.
+_AS_B = (0.319381530, -0.356563782, 1.781477937,
+         -1.821255978, 1.330274429)
+_AS_P = 0.2316419
+_SQRT_2PI = 2.5066282746310002
+
+
+def normal_sf(z: Column) -> Column:
+    """Upper-tail P(Z > z) for z >= 0 via A&S 26.2.17."""
+    k = 1.0 / (1.0 + _AS_P * z)
+    poly = (
+        _AS_B[0] * k + _AS_B[1] * k ** 2 + _AS_B[2] * k ** 3
+        + _AS_B[3] * k ** 4 + _AS_B[4] * k ** 5
+    )
+    return F.exp(-z * z / 2.0) / _SQRT_2PI * poly
+
+
+def as_sql_normal_sf(z_expr: str) -> str:
+    """The SAME A&S series as ANSI SQL over an expression string —
+    oracle twin of :func:`normal_sf` (keep in lockstep)."""
+    k = f"(1.0 / (1.0 + {_AS_P} * ({z_expr})))"
+    poly = (
+        f"({_AS_B[0]} * {k} + {_AS_B[1]} * {k}^2 + {_AS_B[2]} * {k}^3"
+        f" + {_AS_B[3]} * {k}^4 + {_AS_B[4]} * {k}^5)"
+    )
+    return (
+        f"(exp(-(({z_expr})^2) / 2.0) / {_SQRT_2PI} * {poly})"
+    )
+
+
+def bh_fdr(
+    hypotheses: DataFrame,
+    p_col: str = "p_value",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over a HYPOTHESIS table
+    (one row per hypothesis — domain-bounded: the caller aggregates
+    raw data to hypothesis grain first, so the window below sorts
+    |hypotheses| rows, never input rows). Emits per-hypothesis rank,
+    the BH critical value ``alpha * rank / m``, the monotone adjusted
+    p-value ``min_{j>=i}(p_(j) * m / j)`` (capped at 1), and the
+    step-up rejection flag (reject all ranks <= the largest rank with
+    p <= crit, NOT just rows individually below their threshold)."""
+    m = Window.partitionBy()
+    asc = Window.partitionBy().orderBy(
+        F.col(p_col).asc(), *[F.col(c) for c in hypotheses.columns
+                              if c != p_col]
+    )
+    ranked = hypotheses.select(
+        "*",
+        F.row_number().over(asc).alias("p_rank"),
+        F.count(F.lit(1)).over(m).alias("m"),
+    )
+    # adjusted p: running min of p*m/rank from the LARGEST p down
+    desc = Window.partitionBy().orderBy(F.col("p_rank").desc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = ranked.withColumn(
+        "p_adj",
+        F.least(
+            F.lit(1.0),
+            F.min(
+                F.col(p_col) * F.col("m") / F.col("p_rank")
+            ).over(desc),
+        ),
+    )
+    # step-up: reject ranks <= max{rank : p <= alpha*rank/m}
+    crit = F.col("p_rank").cast("double") * alpha / F.col("m")
+    ranked = ranked.withColumn("bh_crit", crit)
+    kmax = Window.partitionBy()
+    ranked = ranked.withColumn(
+        "_kmax",
+        F.max(
+            F.when(F.col(p_col) <= F.col("bh_crit"), F.col("p_rank"))
+        ).over(kmax),
+    )
+    return ranked.select(
+        *[c for c in hypotheses.columns],
+        "p_rank",
+        F.round("bh_crit", 6).alias("bh_crit"),
+        F.round("p_adj", 6).alias("p_adj"),
+        F.coalesce(
+            F.col("p_rank") <= F.col("_kmax"), F.lit(False)
+        ).alias("rejected"),
+    )
+
+
+def chi2_uniformity(
+    df: DataFrame,
+    group_cols: list[str],
+    bin_col: str,
+    n_bins: int,
+) -> DataFrame:
+    """Chi-square goodness-of-fit against the UNIFORM distribution
+    over ``n_bins`` known bins, per group (seasonality screen: does
+    activity concentrate in particular hours?). One hash aggregation
+    to (group, bin) grain, then a bounded per-group rollup — no
+    per-row state, partitioning-invariant at any input scale. Bins
+    absent from the data still contribute (0 - E)^2/E, handled in
+    closed form without generating rows: chi2 = sum((O-E)^2/E over
+    observed) + (n_bins - observed_bins) * E."""
+    counts = df.groupBy(*group_cols, bin_col).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    g = counts.groupBy(*group_cols).agg(
+        F.sum("o").alias("n"),
+        F.count(F.lit(1)).alias("bins_seen"),
+        F.sum(F.col("o") * F.col("o")).alias("sum_o2"),
+    )
+    e = F.col("n").cast("double") / float(n_bins)
+    # sum((o-e)^2/e) over ALL bins = sum_o2/e - 2*n + n_bins*e
+    #   (observed part) + missing bins contribute e each, which the
+    #   n_bins*e term already covers after expanding the square.
+    chi2 = (
+        F.col("sum_o2").cast("double") / e
+        - 2.0 * F.col("n").cast("double")
+        + float(n_bins) * e
+    )
+    return g.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        F.col("bins_seen").cast("long").alias("bins_seen"),
+        F.round(chi2, 6).alias("chi2"),
+        F.lit(n_bins - 1).cast("long").alias("dof"),
+        # 99th percentile of chi2_23 = 41.638 (pinned constant, the
+        # two_proportion_ztest convention) — callers with a different
+        # n_bins compare against their own pinned quantile
+        F.round(chi2 / float(n_bins - 1), 6).alias("chi2_per_dof"),
+    )
+
+
+def behavior_entropy(
+    df: DataFrame,
+    entity_col: str,
+    action_col: str,
+) -> DataFrame:
+    """Per-entity Shannon entropy (nats) of the action distribution —
+    the predictability screen for bot/script detection and curation
+    (a user who only ever fires one event type carries 0 entropy).
+    Two hash aggregations: (entity, action) grain then entity grain;
+    entropy via sum(c*ln(c)) rearrangement so each group needs one
+    pass and no per-action state: H = ln(n) - sum(c*ln(c))/n."""
+    counts = df.groupBy(entity_col, action_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_entity = counts.groupBy(entity_col).agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_actions"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("clogc"),
+    )
+    n = F.col("n").cast("double")
+    h = F.log(n) - F.col("clogc") / n
+    return per_entity.select(
+        entity_col,
+        F.col("n").cast("long").alias("n_events"),
+        F.col("n_actions").cast("long").alias("n_distinct_actions"),
+        F.round(F.greatest(h, F.lit(0.0)), 6).alias("entropy_nats"),
+    )

@@ -932,3 +932,115 @@ def phrase_query_index(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def token_frequencies(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus token frequency table ``(token, freq)`` — one explode +
+    one hash aggregation; the vocabulary table is orders smaller than
+    the corpus (Heaps' law), so downstream vocabulary statistics move
+    vocab-sized data only."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def good_turing_smoothing(freqs: DataFrame) -> DataFrame:
+    """Simple Good-Turing discounting over a token FREQUENCY table
+    (``token_frequencies`` output — vocab grain, not corpus grain):
+    the frequency-of-frequencies N_r, the Turing-discounted count
+    r* = (r+1) * N_{r+1} / N_r where N_{r+1} is observed, and each
+    class's total probability mass (r* N_r / N). The unseen-mass row
+    (r=0, the classic N_1/N estimate) is included. The
+    frequency-of-frequencies table is tiny (hundreds of rows for any
+    corpus), so the r+1 self-join broadcasts."""
+    nr = freqs.groupBy(F.col("freq").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    total = nr.agg(
+        F.sum(F.col("r") * F.col("n_r")).alias("_n")
+    )
+    nxt = nr.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    base = nr.join(F.broadcast(nxt), "r", "left")
+    unseen = (
+        nr.filter(F.col("r") == 1)
+        .select(
+            F.lit(0).cast("long").alias("r"),
+            F.lit(None).cast("long").alias("n_r"),
+            F.col("n_r").alias("n_r1"),
+        )
+    )
+    n = F.col("_n").cast("double")
+    r_star = F.when(
+        F.col("r") == 0,
+        F.col("n_r1").cast("double") / n,  # unseen: N_1/N as mass
+    ).otherwise(
+        (F.col("r") + 1).cast("double")
+        * F.col("n_r1").cast("double") / F.col("n_r").cast("double")
+    )
+    return (
+        base.unionByName(unseen)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "r",
+            "n_r",
+            F.round(
+                F.when(F.col("r") > 0, r_star), 6
+            ).alias("r_star"),
+            F.round(
+                F.when(
+                    F.col("r") == 0,
+                    F.col("n_r1").cast("double") / n,
+                ).otherwise(
+                    F.when(
+                        F.col("n_r1").isNotNull(),
+                        r_star * F.col("n_r").cast("double") / n,
+                    )
+                ),
+                6,
+            ).alias("prob_mass"),
+        )
+    )
+
+
+def zipf_alpha(freqs: DataFrame, fmin: int = 1) -> DataFrame:
+    """Power-law (Zipf) exponent of a token frequency distribution by
+    the Clauset-Shalizi-Newman discrete MLE approximation:
+    alpha = 1 + n / sum(ln(f_i / (fmin - 0.5))) over tokens with
+    f_i >= fmin — one aggregation over the vocab-sized frequency
+    table, no ordering anywhere. Emits alpha, its standard error
+    (alpha-1)/sqrt(n), and the tail share covered."""
+    sel = freqs.filter(F.col("freq") >= fmin)
+    tot = freqs.agg(F.sum("freq").alias("_all"))
+    agg = sel.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.sum(
+            F.log(F.col("freq").cast("double") / (fmin - 0.5))
+        ).alias("_lsum"),
+    )
+    alpha = (
+        1.0
+        + F.col("n_types").cast("double") / F.col("_lsum")
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.lit(fmin).cast("long").alias("fmin"),
+        "n_types",
+        "n_tokens",
+        F.round(alpha, 6).alias("alpha"),
+        F.round(
+            (alpha - 1.0)
+            / F.sqrt(F.col("n_types").cast("double")),
+            6,
+        ).alias("alpha_se"),
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.col("_all").cast("double"),
+            6,
+        ).alias("tail_token_share"),
+    )

@@ -2873,6 +2873,10 @@ from .driver_queries_ml import (  # noqa: E402
     ORACLES_ML,
     QUERIES_ML,
 )
+from .driver_queries_r8 import (  # noqa: E402
+    ORACLES_R8,
+    QUERIES_R8,
+)
 
 QUERIES.update(QUERIES_ENRICH)
 QUERIES.update(QUERIES_IDENTITY)
@@ -2882,6 +2886,7 @@ QUERIES.update(QUERIES_EXPORTS)
 QUERIES.update(QUERIES_CURATION)
 QUERIES.update(QUERIES_ANALYTICS)
 QUERIES.update(QUERIES_ML)
+QUERIES.update(QUERIES_R8)
 
 ORACLES: dict[str, str] = {
     "sessionize_flags": SQL_SESSIONIZE_FLAGS,
@@ -2959,6 +2964,7 @@ ORACLES.update(ORACLES_EXPORTS)
 ORACLES.update(ORACLES_CURATION)
 ORACLES.update(ORACLES_ANALYTICS)
 ORACLES.update(ORACLES_ML)
+ORACLES.update(ORACLES_R8)
 # fill the lsh_recall oracle template with the shared MinHash CTE chain
 # (defined above; kept in one copy so k/bands changes cannot diverge)
 from .driver_queries_analytics import (  # noqa: E402
@@ -3024,6 +3030,12 @@ _DRIVER_PRIORITY = [
     # query was rewritten to hour grain, so the old evidence no
     # longer covers the shipped semantics.
     "survival_curve", "jpeg_decode_420",
+    # the round-8 batch (driver_queries_r8.py): image perceptual-hash
+    # dedup, BH FDR, vocabulary statistics, burst windows, W1 drift,
+    # seasonality chi2, behavioral entropy
+    "phash_dedup", "fdr_screen", "good_turing", "zipf_alpha",
+    "burst_detection", "wasserstein_drift", "hourly_seasonality",
+    "user_entropy",
 
     # (r8-e) oldest green evidence: the 50 r4-green rows. The first
     # ~11 fill the remaining prefix slots; the rest queue for r9.
