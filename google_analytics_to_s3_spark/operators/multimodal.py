@@ -26,11 +26,13 @@ Two tiers of decode honesty:
   integer arithmetic); r8 adds chroma-subsampled (4:2:0 / 4:2:2)
   color via the general interleaved-MCU grid + JFIF nearest-neighbor
   upsampling. Gates left: progressive JPEG.
-- **REAL FLAC decode (r7)**: mono fixed-predictor subset — frame
+- **REAL FLAC decode (r7)**: fixed-predictor subset — frame
   sync + CRC-8/16 verification, UTF-8 frame numbers, Rice residual
   decode (incl. escape partitions), predictor reconstruction
   (``decode_flac_features``; lossless, so the ``flac_decode`` driver
-  query's oracle is exact). LPC subframes/multi-channel quarantine.
+  query's oracle is exact); r8 adds STEREO (all four channel
+  assignments incl. mid/side reconstruction, side subframes at
+  bps+1). LPC subframes / >2 channels quarantine.
 - **Digest stubs** for the remaining compressed formats (MP3/MP4
   need libav / soundfile, which are NOT in this container):
   metadata derives deterministically from the payload's sha256.
@@ -1238,6 +1240,24 @@ class _JpegBitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def consume_restart(self, n: int) -> None:
+        """Byte-align, then consume the expected RSTn marker (T.81
+        E.1.4: restart markers cycle 0xD0..0xD7 and interrupt the
+        entropy stream on byte boundaries; the pad bits before them
+        are discarded)."""
+        self.acc = 0
+        self.n = 0  # drop pad bits of the current byte
+        if self.pos + 2 > len(self.raw):
+            raise ValueError("entropy data truncated at restart")
+        if self.raw[self.pos] != 0xFF or \
+                self.raw[self.pos + 1] != 0xD0 + (n % 8):
+            raise ValueError(
+                f"expected restart marker RST{n % 8} at {self.pos}, "
+                f"got 0x{self.raw[self.pos]:02X}"
+                f"{self.raw[self.pos + 1]:02X}"
+            )
+        self.pos += 2
+
 
 def _jpeg_huff_table(bits: list, vals: list) -> dict:
     """{(length, code): symbol} canonical table per T.81 C.2."""
@@ -1276,10 +1296,12 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
     per MCU, nearest-neighbor chroma upsampling per JFIF, per-
     component quant/Huffman tables and DC predictors, JFIF color
     conversion): returns (width, height, channels, uint8 array of
-    h*w*channels). Raises ValueError on malformed input and on the
-    honest unsupported corners (progressive, 12-bit, restart
-    intervals, sampling factors outside 1/2/4) so they quarantine
-    cleanly."""
+    h*w*channels). Restart intervals (DRI + cycling RSTn markers
+    with DC-predictor resets, T.81 E.1.4) are supported — real crawl
+    JPEGs routinely carry them for error resilience. Raises
+    ValueError on malformed input and on the honest unsupported
+    corners (progressive, 12-bit, sampling factors outside 1/2/4)
+    so they quarantine cleanly."""
     if len(raw) < 4 or raw[0:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload (bad SOI)")
     pos = 2
@@ -1289,6 +1311,7 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
     sof = None
     scan_pos = None
     comp_spec = None
+    restart_interval = 0
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -1346,8 +1369,10 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
                 table = _jpeg_huff_table(bits, vals)
                 (dc_tables if cls == 0 else ac_tables)[tid] = table
                 p += 17 + nvals
-        elif marker == 0xDD:  # DRI
-            raise ValueError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI (T.81 B.2.4.4)
+            if len(body) != 2:
+                raise ValueError("malformed DRI segment")
+            restart_interval = struct.unpack(">H", body)[0]
         elif marker == 0xDA:  # SOS
             ns = body[0]
             comp_spec = {}
@@ -1419,8 +1444,19 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
         for _q, _d, _a, hs, vs in plan
     ]
     preds = [0] * ncomp
+    mcu_no = 0
+    rst_no = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            # DRI: every restart_interval MCUs the entropy stream
+            # byte-aligns, an RSTn marker (cycling 0..7) interrupts,
+            # and ALL DC predictors reset (T.81 E.1.4 / F.2.1.3.1)
+            if restart_interval and mcu_no and \
+                    mcu_no % restart_interval == 0:
+                reader.consume_restart(rst_no)
+                rst_no = (rst_no + 1) % 8
+                preds = [0] * ncomp
+            mcu_no += 1
             for ci, (q, dc_t, ac_t, hs, vs) in enumerate(plan):
                 for v in range(vs):
                     for hsub in range(hs):
@@ -1523,13 +1559,15 @@ def decode_jpeg_meta(
 
 # ---------------------------------------------------------------------------
 # REAL compressed-audio decode: FLAC (free public spec / RFC 9639),
-# mono fixed-predictor subset — STREAMINFO parse, frame sync with
-# CRC-8/CRC-16 verification, UTF-8 frame numbers, subframe decode
-# (CONSTANT / VERBATIM / FIXED 0-4) with genuine Rice residual
-# decoding and predictor reconstruction. FLAC is lossless, so decoded
-# samples equal the planted ones EXACTLY — decode oracles are pure
-# integer arithmetic. LPC subframes and multi-channel stay honestly
-# gated (quarantined with a named error).
+# fixed-predictor subset, mono + stereo — STREAMINFO parse, frame
+# sync with CRC-8/CRC-16 verification, UTF-8 frame numbers, subframe
+# decode (CONSTANT / VERBATIM / FIXED 0-4) with genuine Rice residual
+# decoding and predictor reconstruction; all four stereo channel
+# assignments (independent, left/side, right/side, mid/side — side
+# subframes at bps+1, mid via the (mid<<1)|(side&1) reconstruction).
+# FLAC is lossless, so decoded samples equal the planted ones EXACTLY
+# — decode oracles are pure integer arithmetic. LPC subframes and
+# >2-channel streams stay honestly gated (named errors).
 # ---------------------------------------------------------------------------
 
 
@@ -1623,11 +1661,81 @@ def _read_utf8_number(raw: bytes, pos: int) -> tuple[int, int]:
     raise ValueError("bad UTF-8 coded frame number")
 
 
+def _flac_subframe(br: "_FlacBitReader", bs: int, bits: int) -> "np.ndarray":
+    """Decode one subframe (CONSTANT / VERBATIM / FIXED 0-4 with
+    genuine Rice residuals incl. escape partitions) at ``bits``
+    bits per sample — side channels of decorrelated stereo carry
+    bps+1 (RFC 9639 §9.2.2), which is why this is parameterized."""
+    if br.bit() != 0:
+        raise ValueError("subframe sync bit set")
+    sf_type = br.bits(6)
+    wasted = br.bit()
+    if wasted:
+        raise ValueError("wasted-bits subframes not supported")
+    block = np.empty(bs, dtype=np.int64)
+    half = 1 << (bits - 1)
+    full = 1 << bits
+
+    def sgn(v: int) -> int:
+        return v - full if v >= half else v
+
+    if sf_type == 0b000000:  # CONSTANT
+        block[:] = sgn(br.bits(bits))
+    elif sf_type == 0b000001:  # VERBATIM
+        for i in range(bs):
+            block[i] = sgn(br.bits(bits))
+    elif 0b001000 <= sf_type <= 0b001100:  # FIXED order 0-4
+        order = sf_type & 0x07
+        for i in range(order):
+            block[i] = sgn(br.bits(bits))
+        method = br.bits(2)
+        if method not in (0, 1):
+            raise ValueError("reserved residual coding method")
+        pbits = 4 if method == 0 else 5
+        esc = (1 << pbits) - 1
+        part_order = br.bits(4)
+        n_parts = 1 << part_order
+        if bs % n_parts:
+            raise ValueError("partition size does not divide block")
+        res = []
+        for p in range(n_parts):
+            cnt = bs // n_parts - (order if p == 0 else 0)
+            param = br.bits(pbits)
+            if param == esc:
+                rawbits = br.bits(5)
+                for _ in range(cnt):
+                    v = br.bits(rawbits)
+                    h2 = 1 << (rawbits - 1)
+                    res.append(v - (1 << rawbits) if v >= h2 else v)
+            else:
+                for _ in range(cnt):
+                    q = br.unary()
+                    z = (q << param) | (br.bits(param) if param else 0)
+                    res.append(
+                        (z >> 1) if z % 2 == 0 else -((z + 1) >> 1)
+                    )
+        coefs = _FLAC_FIXED_COEFS[order]
+        for i in range(order, bs):
+            pred = sum(
+                c * int(block[i - j - 1]) for j, c in enumerate(coefs)
+            )
+            block[i] = pred + res[i - order]
+    elif sf_type >= 0b100000:
+        raise ValueError("LPC subframes not supported (fixed subset)")
+    else:
+        raise ValueError(f"reserved subframe type {sf_type:#08b}")
+    return block
+
+
 def _parse_flac(raw: bytes) -> tuple[int, int, "np.ndarray"]:
-    """Decode a mono fixed-predictor-subset FLAC stream: returns
-    (sample_rate_hz, n_samples, int32 sample array). Raises
-    ValueError on malformed input and on honest unsupported corners
-    (LPC subframes, multi-channel, CRC mismatches)."""
+    """Decode a fixed-predictor-subset FLAC stream, mono or stereo —
+    all four stereo decorrelation modes (independent, left/side,
+    right/side, mid/side with the (mid<<1)|(side&1) reconstruction;
+    side subframes at bps+1, RFC 9639 §9.2.2): returns
+    (sample_rate_hz, n_samples, int32 array — shape (n,) mono,
+    (n, 2) stereo). Raises ValueError on malformed input and on
+    honest unsupported corners (LPC subframes, >2 channels, CRC
+    mismatches)."""
     if len(raw) < 42 or raw[0:4] != b"fLaC":
         raise ValueError("not a FLAC payload (bad magic)")
     pos = 4
@@ -1655,16 +1763,19 @@ def _parse_flac(raw: bytes) -> tuple[int, int, "np.ndarray"]:
     total = (
         (streaminfo[13] & 0x0F) << 32
     ) | int.from_bytes(streaminfo[14:18], "big")
-    if n_channels != 1:
+    if n_channels not in (1, 2):
         raise ValueError(
-            f"{n_channels}-channel FLAC not supported (mono subset)"
+            f"{n_channels}-channel FLAC not supported (mono/stereo "
+            "subset)"
         )
     if bps != 16:
         raise ValueError(f"{bps}-bit FLAC not supported (16-bit subset)")
     if total <= 0:
         raise ValueError("STREAMINFO reports zero samples")
 
-    samples = np.empty(total, dtype=np.int32)
+    samples = np.empty(
+        (total,) if n_channels == 1 else (total, 2), dtype=np.int32
+    )
     got = 0
     while got < total:
         frame_start = pos
@@ -1677,8 +1788,24 @@ def _parse_flac(raw: bytes) -> tuple[int, int, "np.ndarray"]:
         sr_code = raw[pos + 2] & 0x0F
         ch_code = raw[pos + 3] >> 4
         ss_code = (raw[pos + 3] >> 1) & 0x7
-        if ch_code != 0:
-            raise ValueError("multi-channel frame not supported")
+        if ch_code == 0b0000:
+            frame_ch, mode = 1, "mono"
+        elif ch_code == 0b0001:
+            frame_ch, mode = 2, "independent"
+        elif ch_code == 0b1000:
+            frame_ch, mode = 2, "left_side"
+        elif ch_code == 0b1001:
+            frame_ch, mode = 2, "right_side"
+        elif ch_code == 0b1010:
+            frame_ch, mode = 2, "mid_side"
+        else:
+            raise ValueError(
+                f"channel assignment {ch_code:#06b} not supported"
+            )
+        if frame_ch != n_channels:
+            raise ValueError(
+                "frame channel assignment disagrees with STREAMINFO"
+            )
         if ss_code != 0b100:
             raise ValueError("non-16-bit frame not supported")
         pos += 4
@@ -1701,62 +1828,29 @@ def _parse_flac(raw: bytes) -> tuple[int, int, "np.ndarray"]:
         pos += 1
 
         br = _FlacBitReader(raw, pos)
-        if br.bit() != 0:
-            raise ValueError("subframe sync bit set")
-        sf_type = br.bits(6)
-        wasted = br.bit()
-        if wasted:
-            raise ValueError("wasted-bits subframes not supported")
-        block = np.empty(bs, dtype=np.int64)
-
-        def s16(v: int) -> int:
-            return v - 0x10000 if v >= 0x8000 else v
-
-        if sf_type == 0b000000:  # CONSTANT
-            block[:] = s16(br.bits(16))
-        elif sf_type == 0b000001:  # VERBATIM
-            for i in range(bs):
-                block[i] = s16(br.bits(16))
-        elif 0b001000 <= sf_type <= 0b001100:  # FIXED order 0-4
-            order = sf_type & 0x07
-            for i in range(order):
-                block[i] = s16(br.bits(16))
-            method = br.bits(2)
-            if method not in (0, 1):
-                raise ValueError("reserved residual coding method")
-            pbits = 4 if method == 0 else 5
-            esc = (1 << pbits) - 1
-            part_order = br.bits(4)
-            n_parts = 1 << part_order
-            if bs % n_parts:
-                raise ValueError("partition size does not divide block")
-            res = []
-            for p in range(n_parts):
-                cnt = bs // n_parts - (order if p == 0 else 0)
-                param = br.bits(pbits)
-                if param == esc:
-                    rawbits = br.bits(5)
-                    for _ in range(cnt):
-                        v = br.bits(rawbits)
-                        half = 1 << (rawbits - 1)
-                        res.append(v - (1 << rawbits) if v >= half else v)
-                else:
-                    for _ in range(cnt):
-                        q = br.unary()
-                        z = (q << param) | (br.bits(param) if param else 0)
-                        res.append(
-                            (z >> 1) if z % 2 == 0 else -((z + 1) >> 1)
-                        )
-            coefs = _FLAC_FIXED_COEFS[order]
-            for i in range(order, bs):
-                pred = sum(
-                    c * int(block[i - j - 1]) for j, c in enumerate(coefs)
-                )
-                block[i] = pred + res[i - order]
-        elif sf_type >= 0b100000:
-            raise ValueError("LPC subframes not supported (fixed subset)")
+        if mode == "mono":
+            block = _flac_subframe(br, bs, 16)
         else:
-            raise ValueError(f"reserved subframe type {sf_type:#08b}")
+            # side subframes carry bps+1 bits (RFC 9639 §9.2.2)
+            b0_bits = 17 if mode == "right_side" else 16
+            b1_bits = 16 if mode == "right_side" else (
+                17 if mode in ("left_side", "mid_side") else 16
+            )
+            sub0 = _flac_subframe(br, bs, b0_bits)
+            sub1 = _flac_subframe(br, bs, b1_bits)
+            if mode == "independent":
+                left, right = sub0, sub1
+            elif mode == "left_side":
+                left = sub0
+                right = sub0 - sub1
+            elif mode == "right_side":
+                right = sub1
+                left = sub1 + sub0
+            else:  # mid_side
+                mid2 = (sub0 << 1) | (sub1 & 1)
+                left = (mid2 + sub1) >> 1
+                right = (mid2 - sub1) >> 1
+            block = np.stack([left, right], axis=1)
 
         br.align()
         pos = br.pos
@@ -1799,8 +1893,10 @@ def decode_flac_features(
                         w = samples[i: i + window_samples].astype(
                             np.int64
                         )
+                        # w.size, not len(w): stereo windows RMS over
+                        # both channels' samples (mono unchanged)
                         wins.append(
-                            round(float(np.sqrt((w * w).sum() / len(w))),
+                            round(float(np.sqrt((w * w).sum() / w.size)),
                                   6)
                         )
                     out["sample_rate_hz"].append(rate)

@@ -3035,7 +3035,7 @@ _DRIVER_PRIORITY = [
     # seasonality chi2, behavioral entropy
     "phash_dedup", "fdr_screen", "good_turing", "zipf_alpha",
     "burst_detection", "wasserstein_drift", "hourly_seasonality",
-    "user_entropy",
+    "user_entropy", "flac_decode_stereo",
 
     # (r8-e) oldest green evidence: the 50 r4-green rows. The first
     # ~11 fill the remaining prefix slots; the rest queue for r9.

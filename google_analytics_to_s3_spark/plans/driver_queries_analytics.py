@@ -2512,6 +2512,102 @@ QUERIES_ANALYTICS["flac_decode"] = q_flac_decode
 ORACLES_ANALYTICS["flac_decode"] = SQL_FLAC_DECODE
 
 
+def q_flac_decode_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO FLAC driver-checked — mid/side decorrelation, the mode
+    real encoders pick most (r8): the fixture plants independent L/R
+    sample rules, encodes mid = (L+R)>>1 and side = L-R (side at 17
+    bits per RFC 9639), and the decoder must run TWO subframe decodes
+    per frame plus the (mid<<1)|(side&1) reconstruction to get either
+    channel right. Per-window RMS pools both channels (w.size).
+    Lossless, so the oracle replays both planted rules exactly.
+    Disjoint event sample from mono flac_decode (id % 10 == 1)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.multimodal import decode_flac_features
+    from ..testing.fixtures import make_flac
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 1
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_flac(int(i) % 1000,
+                              n_samples=800 + (int(i) % 5) * 400,
+                              channels=2, stereo_mode="mid_side")
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(
+        _synth, schema="doc_id long, payload binary"
+    )
+    return decode_flac_features(payloads, window_samples=400).select(
+        "doc_id", "sample_rate_hz", "n_samples", "duration_ms",
+        "n_windows",
+        F.array_join(
+            F.transform("rms_windows",
+                        lambda x: F.format_string("%.6f", x)),
+            ",",
+        ).alias("rms_windows"),
+    )
+
+
+# stereo layout: same 512-block cycle; left carries the WAV rule /
+# seed % 512 constants, right carries the (seed*3, *181, % 1801)
+# rule / (seed*3) % 512 — RMS pools both channels (2 rows per frame
+# via the channel unnest, so count(*) is w.size)
+SQL_FLAC_DECODE_STEREO = f"""
+WITH e AS (
+  SELECT event_id, 800 + (event_id % 5) * 400 AS n,
+         event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 1
+),
+w AS (
+  SELECT event_id, n, seed, CAST(wi.w AS BIGINT) AS w
+  FROM e, LATERAL (SELECT unnest(range(0, (n + 399) // 400)) AS w) wi
+),
+s AS (
+  SELECT event_id, n, w.w,
+         CASE WHEN c.c = 0 THEN
+           CASE WHEN ((i.i // 512) % 3) = 2 THEN seed % 512
+                ELSE ((seed + i.i * 257) % 2001) - 1000 END
+         ELSE
+           CASE WHEN ((i.i // 512) % 3) = 2 THEN (seed * 3) % 512
+                ELSE ((seed * 3 + i.i * 181) % 1801) - 900 END
+         END AS v
+  FROM w,
+       LATERAL (SELECT unnest(range(w.w * 400,
+                                    least(n, (w.w + 1) * 400))) AS i) i,
+       LATERAL (SELECT unnest(range(0, 2)) AS c) c
+),
+r AS (
+  SELECT event_id, n, w,
+         round(sqrt(CAST(sum(v * v) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE)), 6) AS rms
+  FROM s GROUP BY 1, 2, 3
+)
+SELECT event_id AS doc_id,
+       CAST(16000 AS INTEGER) AS sample_rate_hz,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+       CAST(count(*) AS INTEGER) AS n_windows,
+       string_agg(printf('%.6f', rms), ',' ORDER BY w) AS rms_windows
+FROM r GROUP BY event_id, n
+"""
+
+QUERIES_ANALYTICS["flac_decode_stereo"] = q_flac_decode_stereo
+ORACLES_ANALYTICS["flac_decode_stereo"] = SQL_FLAC_DECODE_STEREO
+
+
 def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid classification eval over the embedding corpus:
     every vector is assigned to the closest label centroid and the

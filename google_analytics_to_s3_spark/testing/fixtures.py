@@ -611,6 +611,7 @@ def jpeg_block_plan(seed: int, n_blocks: int) -> list[dict[int, int]]:
 def make_jpeg_baseline(
     seed: int, w: int = 16, h: int = 16, channels: int = 1,
     subsampling: str = "444", chroma_dc: "tuple[int, int] | None" = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Serialize a REAL baseline JPEG (SOI/DQT/SOF0/DHT/SOS,
     huffman-entropy-coded MCUs with per-component DC prediction, 0xFF
@@ -626,8 +627,12 @@ def make_jpeg_baseline(
     ``chroma_dc``, if given, replaces the chroma plan with DC-only
     blocks of those constants (AC zero) — (0, 0) makes the decoded
     RGB exactly the replicated Y channel, keeping pixel sums on the
-    integer oracle grid. ``w``/``h`` must be multiples of the MCU
-    span (8, or 16 on the subsampled axes)."""
+    integer oracle grid. ``restart_interval`` > 0 emits a DRI
+    segment and genuine cycling RSTn markers every that many MCUs
+    (byte-aligned, DC predictors reset — T.81 E.1.4), so decoders
+    must implement the restart protocol, not skip it. ``w``/``h``
+    must be multiples of the MCU span (8, or 16 on the subsampled
+    axes)."""
     import struct as _struct
 
     factors = {
@@ -661,6 +666,8 @@ def make_jpeg_baseline(
                             (1, JPEG_AC_BITS, JPEG_AC_VALS)):
         out += b"\xFF\xC4" + _struct.pack(">H", 19 + len(vals))
         out += bytes([cls << 4]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xFF\xDD" + _struct.pack(">HH", 4, restart_interval)
     # SOS
     out += b"\xFF\xDA" + _struct.pack(">H", 6 + 2 * channels)
     out += bytes([channels])
@@ -673,6 +680,21 @@ def make_jpeg_baseline(
     def put(code: int, length: int) -> None:
         for i in range(length - 1, -1, -1):
             bitbuf.append((code >> i) & 1)
+
+    def flush_entropy() -> None:
+        """Pad the pending bits to a byte with 1s, byte-stuff 0xFF,
+        and append to the stream (restart markers and EOI must land
+        OUTSIDE the stuffed entropy bytes)."""
+        while len(bitbuf) % 8:
+            bitbuf.append(1)
+        for i in range(0, len(bitbuf), 8):
+            byte = 0
+            for bit in bitbuf[i:i + 8]:
+                byte = (byte << 1) | bit
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        bitbuf.clear()
 
     def size_of(v: int) -> int:
         return abs(v).bit_length()
@@ -723,10 +745,19 @@ def make_jpeg_baseline(
                 for ci in range(2)
             ]
     preds = [0] * channels
+    mcu_no = 0
+    rst_no = 0
     # T.81 A.2.3 interleaved ordering: per MCU, component 0's hs*vs
     # blocks row-major, then one block per chroma component.
     for my in range(cbh if channels == 3 else ybh):
         for mx in range(cbw if channels == 3 else ybw):
+            if restart_interval and mcu_no and \
+                    mcu_no % restart_interval == 0:
+                flush_entropy()
+                out += bytes([0xFF, 0xD0 + rst_no])
+                rst_no = (rst_no + 1) % 8
+                preds = [0] * channels
+            mcu_no += 1
             if channels == 1:
                 put_block(y_plan[my * ybw + mx], 0)
                 continue
@@ -736,16 +767,7 @@ def make_jpeg_baseline(
                     put_block(y_plan[yy * ybw + yx], 0)
             put_block(c_plans[0][my * cbw + mx], 1)
             put_block(c_plans[1][my * cbw + mx], 2)
-    # pad to byte with 1s, byte-stuff 0xFF
-    while len(bitbuf) % 8:
-        bitbuf.append(1)
-    for i in range(0, len(bitbuf), 8):
-        byte = 0
-        for bit in bitbuf[i:i + 8]:
-            byte = (byte << 1) | bit
-        out.append(byte)
-        if byte == 0xFF:
-            out.append(0x00)
+    flush_entropy()
     out += b"\xFF\xD9"  # EOI
     return bytes(out)
 
@@ -838,6 +860,64 @@ _FIXED_COEFS = {
 }
 
 
+def _flac_write_subframe(
+    body: "_BitWriter", samples: "list[int]", kind: str, bits: int = 16
+) -> None:
+    """Emit one subframe at ``bits`` bits/sample (side channels of
+    decorrelated stereo carry bps+1, RFC 9639)."""
+    bs = len(samples)
+    mask = (1 << bits) - 1
+    if kind == "constant":
+        body.write(0, 1)  # zero bit
+        body.write(0b000000, 6)  # constant subframe
+        body.write(0, 1)  # no wasted bits
+        body.write(samples[0] & mask, bits)
+    elif kind == "verbatim":
+        body.write(0, 1)
+        body.write(0b000001, 6)  # verbatim
+        body.write(0, 1)
+        for s_ in samples:
+            body.write(s_ & mask, bits)
+    elif kind in ("fixed2", "rice_escape"):  # fixed order 2
+        order = 2
+        body.write(0, 1)
+        body.write(0b001000 | order, 6)  # fixed, order
+        body.write(0, 1)
+        for s_ in samples[:order]:  # warm-up, unencoded
+            body.write(s_ & mask, bits)
+        coefs = _FIXED_COEFS[order]
+        residuals = [
+            samples[i] - sum(
+                c * samples[i - j - 1] for j, c in enumerate(coefs)
+            )
+            for i in range(order, bs)
+        ]
+        # residual method 0 (4-bit rice), partition order 0
+        body.write(0b00, 2)
+        body.write(0, 4)  # partition order 0
+        if kind == "rice_escape":
+            # escape code: raw two's-complement residuals at a
+            # fixed width (exercises the decoder's escape branch)
+            body.write(0b1111, 4)
+            width = max(
+                (abs(r) + (r >= 0)).bit_length() + 1
+                for r in residuals
+            ) if residuals else 2
+            body.write(width, 5)
+            for r in residuals:
+                body.write(r & ((1 << width) - 1), width)
+        else:
+            zmax = max((2 * r if r >= 0 else -2 * r - 1)
+                       for r in residuals) if residuals else 0
+            param = max(0, zmax.bit_length() - 1)
+            if param > 14:
+                raise ValueError("rice parameter overflow in fixture")
+            body.write(param, 4)
+            _rice_encode(body, residuals, param)
+    else:
+        raise ValueError(f"unknown fixture subframe kind {kind!r}")
+
+
 def make_flac(
     seed: int,
     n_samples: int = 1200,
@@ -845,18 +925,37 @@ def make_flac(
     block_size: int = 512,
     subframe_cycle: "tuple[str, ...]" = ("fixed2", "verbatim", "constant"),
     rice_escape: bool = False,
+    channels: int = 1,
+    stereo_mode: str = "independent",
 ) -> bytes:
-    """Serialize a REAL mono 16-bit FLAC stream. Sample i =
-    ``((seed + i*257) % 2001) - 1000`` for fixed/verbatim blocks (the
-    make_wav_pcm16 rule), and the constant ``seed % 512`` for blocks
-    whose cycle slot is 'constant' — every subframe type the decoder
-    supports appears, with genuine Rice-coded FIXED-predictor
-    residuals, UTF-8 frame numbers, and correct CRC-8/CRC-16.
-    """
+    """Serialize a REAL 16-bit FLAC stream, mono or stereo. Left
+    sample i = ``((seed + i*257) % 2001) - 1000`` for fixed/verbatim
+    blocks (the make_wav_pcm16 rule; the right channel uses
+    ``((seed*3 + i*181) % 1801) - 900``), and the constant
+    ``seed % 512`` (right: ``(seed*3) % 512``) for blocks whose cycle
+    slot is 'constant' — every subframe type the decoder supports
+    appears, with genuine Rice-coded FIXED-predictor residuals, UTF-8
+    frame numbers, and correct CRC-8/CRC-16. ``channels=2`` with
+    ``stereo_mode`` in {"independent", "left_side", "right_side",
+    "mid_side"} emits the matching channel assignment with REAL
+    decorrelation (mid = (L+R)>>1 floor, side = L-R; side subframes
+    at 17 bits per RFC 9639)."""
     import struct as _struct
+
+    if channels not in (1, 2):
+        raise ValueError("channels must be 1 or 2")
+    modes = {
+        "independent": 0b0001, "left_side": 0b1000,
+        "right_side": 0b1001, "mid_side": 0b1010,
+    }
+    if channels == 2 and stereo_mode not in modes:
+        raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
 
     def sample(i: int) -> int:
         return ((seed + i * 257) % 2001) - 1000
+
+    def sample_r(i: int) -> int:
+        return ((seed * 3 + i * 181) % 1801) - 900
 
     out = bytearray(b"fLaC")
     # STREAMINFO (34 bytes), last-metadata-block flag set
@@ -866,7 +965,7 @@ def make_flac(
     si.write(0, 24)  # min frame size unknown
     si.write(0, 24)  # max frame size unknown
     si.write(sample_rate_hz, 20)
-    si.write(0, 3)   # channels - 1 (mono)
+    si.write(channels - 1, 3)
     si.write(15, 5)  # bits per sample - 1 (16)
     si.write(n_samples, 36)
     md5 = b"\x00" * 16  # unset (legal: 0 means unknown)
@@ -877,10 +976,14 @@ def make_flac(
     while pos < n_samples:
         bs = min(block_size, n_samples - pos)
         kind = subframe_cycle[frame_no % len(subframe_cycle)]
+        if kind == "fixed2" and rice_escape:
+            kind = "rice_escape"
         if kind == "constant":
-            samples = [seed % 512] * bs
+            left = [seed % 512] * bs
+            right = [(seed * 3) % 512] * bs
         else:
-            samples = [sample(pos + i) for i in range(bs)]
+            left = [sample(pos + i) for i in range(bs)]
+            right = [sample_r(pos + i) for i in range(bs)]
 
         hdr = _BitWriter()
         hdr.write(0b11111111111110, 14)  # sync
@@ -888,7 +991,7 @@ def make_flac(
         hdr.write(0, 1)  # fixed blocksize stream
         hdr.write(0b0111, 4)   # blocksize: 16 bit at end (bs - 1)
         hdr.write(0b0000, 4)   # sample rate: from STREAMINFO
-        hdr.write(0b0000, 4)   # channels: mono
+        hdr.write(0b0000 if channels == 1 else modes[stereo_mode], 4)
         hdr.write(0b100, 3)    # sample size: 16 bit
         hdr.write(0, 1)        # reserved
         head = bytes(hdr.buf) + _utf8_coded_number(frame_no)
@@ -896,53 +999,23 @@ def make_flac(
         head += bytes([_crc8(head)])
 
         body = _BitWriter()
-        if kind == "constant":
-            body.write(0, 1)  # zero bit
-            body.write(0b000000, 6)  # constant subframe
-            body.write(0, 1)  # no wasted bits
-            body.write(samples[0] & 0xFFFF, 16)
-        elif kind == "verbatim":
-            body.write(0, 1)
-            body.write(0b000001, 6)  # verbatim
-            body.write(0, 1)
-            for s_ in samples:
-                body.write(s_ & 0xFFFF, 16)
-        else:  # fixed order 2
-            order = 2
-            body.write(0, 1)
-            body.write(0b001000 | order, 6)  # fixed, order
-            body.write(0, 1)
-            for s_ in samples[:order]:  # warm-up, unencoded
-                body.write(s_ & 0xFFFF, 16)
-            coefs = _FIXED_COEFS[order]
-            residuals = [
-                samples[i] - sum(
-                    c * samples[i - j - 1] for j, c in enumerate(coefs)
-                )
-                for i in range(order, bs)
-            ]
-            # residual method 0 (4-bit rice), partition order 0
-            body.write(0b00, 2)
-            body.write(0, 4)  # partition order 0
-            if rice_escape:
-                # escape code: raw two's-complement residuals at a
-                # fixed width (exercises the decoder's escape branch)
-                body.write(0b1111, 4)
-                width = max(
-                    (abs(r) + (r >= 0)).bit_length() + 1
-                    for r in residuals
-                ) if residuals else 2
-                body.write(width, 5)
-                for r in residuals:
-                    body.write(r & ((1 << width) - 1), width)
-            else:
-                zmax = max((2 * r if r >= 0 else -2 * r - 1)
-                           for r in residuals) if residuals else 0
-                param = max(0, zmax.bit_length() - 1)
-                if param > 14:
-                    raise ValueError("rice parameter overflow in fixture")
-                body.write(param, 4)
-                _rice_encode(body, residuals, param)
+        if channels == 1:
+            _flac_write_subframe(body, left, kind, 16)
+        else:
+            side = [l_ - r_ for l_, r_ in zip(left, right)]
+            mid = [(l_ + r_) >> 1 for l_, r_ in zip(left, right)]
+            if stereo_mode == "independent":
+                _flac_write_subframe(body, left, kind, 16)
+                _flac_write_subframe(body, right, kind, 16)
+            elif stereo_mode == "left_side":
+                _flac_write_subframe(body, left, kind, 16)
+                _flac_write_subframe(body, side, kind, 17)
+            elif stereo_mode == "right_side":
+                _flac_write_subframe(body, side, kind, 17)
+                _flac_write_subframe(body, right, kind, 16)
+            else:  # mid_side
+                _flac_write_subframe(body, mid, kind, 16)
+                _flac_write_subframe(body, side, kind, 17)
         body.align()
         frame = head + bytes(body.buf)
         frame += _struct.pack(">H", _crc16(frame))

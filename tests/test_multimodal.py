@@ -861,6 +861,54 @@ class TestJpegDecode:
         assert (rgb[:, :, 0] == rgb[:, :, 1]).all()
         assert (rgb[:, :, 0] == rgb[:, :, 2]).all()
 
+    def test_restart_intervals_decode_identically(self):
+        """DRI support (T.81 E.1.4): a stream with genuine cycling
+        RSTn markers and DC-predictor resets decodes pixel-identical
+        to the same coefficient plan without restarts — including an
+        interval of 1 over 12 MCUs (the RST number must wrap past 7)
+        and a subsampled-MCU geometry. The DC reset is load-bearing:
+        the encoder re-bases every restart segment, so a decoder that
+        skipped markers without resetting predictors would produce
+        wrong DC levels everywhere after the first restart."""
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_jpeg,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_jpeg_baseline,
+        )
+
+        cases = [
+            (3, 32, 24, 1, "444", 2),
+            (5, 32, 32, 3, "444", 1),
+            (7, 32, 32, 3, "420", 3),
+            (11, 48, 16, 1, "444", 1),  # 12 MCUs: RST wraps past 7
+        ]
+        for seed, w, h, ch, sub, dri in cases:
+            base = _parse_jpeg(make_jpeg_baseline(
+                seed, w, h, ch, subsampling=sub))
+            got = _parse_jpeg(make_jpeg_baseline(
+                seed, w, h, ch, subsampling=sub, restart_interval=dri))
+            assert base[:3] == got[:3]
+            assert (base[3] == got[3]).all(), (seed, sub, dri)
+
+    def test_restart_marker_sequence_violation_quarantines(self):
+        import pytest as _pytest
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_jpeg,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_jpeg_baseline,
+        )
+
+        raw = bytearray(
+            make_jpeg_baseline(3, 32, 24, 1, restart_interval=2)
+        )
+        idx = raw.find(b"\xFF\xD0")
+        raw[idx + 1] = 0xD5  # out-of-sequence restart number
+        with _pytest.raises(ValueError, match="expected restart"):
+            _parse_jpeg(bytes(raw))
+
     def test_subsampling_factor_gate_narrowed(self):
         """Factors outside {1,2,4} still quarantine with a named
         error (the honest gate after the 4:2:0/4:2:2 extension)."""
@@ -880,6 +928,100 @@ class TestJpegDecode:
         raw[idx + 11] = 0x31  # 3x1: unsupported factor
         with _pytest.raises(ValueError, match="sampling factor"):
             _parse_jpeg(bytes(raw))
+
+
+class TestFlacStereo:
+    """Stereo FLAC: all four channel assignments decode to the exact
+    planted L/R samples (lossless), side subframes at 17 bits."""
+
+    def _expect(self, seed, n, block_size=512):
+        import numpy as np
+
+        L = np.empty(n, dtype=np.int64)
+        R = np.empty(n, dtype=np.int64)
+        pos, fno = 0, 0
+        cycle = ("fixed2", "verbatim", "constant")
+        while pos < n:
+            bs = min(block_size, n - pos)
+            if cycle[fno % 3] == "constant":
+                L[pos:pos + bs] = seed % 512
+                R[pos:pos + bs] = (seed * 3) % 512
+            else:
+                i = np.arange(pos, pos + bs)
+                L[pos:pos + bs] = ((seed + i * 257) % 2001) - 1000
+                R[pos:pos + bs] = ((seed * 3 + i * 181) % 1801) - 900
+            pos += bs
+            fno += 1
+        return L, R
+
+    def test_all_four_channel_assignments_exact(self):
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_flac,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_flac
+
+        for mode in ("independent", "left_side", "right_side",
+                     "mid_side"):
+            sr, n, s = _parse_flac(
+                make_flac(7, channels=2, stereo_mode=mode)
+            )
+            assert s.shape == (1200, 2)
+            L, R = self._expect(7, 1200)
+            assert (s[:, 0] == L).all(), mode
+            assert (s[:, 1] == R).all(), mode
+
+    def test_mid_side_reconstruction_is_load_bearing(self):
+        """mid = (L+R)>>1 floors away the LSB; the (mid<<1)|(side&1)
+        reconstruction must recover it. Verify on an odd-sum pair."""
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_flac,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_flac
+
+        sr, n, s = _parse_flac(
+            make_flac(1, n_samples=512, channels=2,
+                      stereo_mode="mid_side",
+                      subframe_cycle=("verbatim",))
+        )
+        L, R = self._expect(1, 512)
+        odd = (L + R) % 2 == 1
+        assert odd.any()  # the LSB path is actually exercised
+        assert (s[:, 0] == L).all() and (s[:, 1] == R).all()
+
+    def test_mono_regression_and_escape_stereo(self):
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_flac,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_flac
+
+        sr, n, s = _parse_flac(make_flac(5))
+        assert s.shape == (1200,)
+        L, _ = self._expect(5, 1200)
+        assert (s == L).all()
+        sr, n, s = _parse_flac(
+            make_flac(9, channels=2, stereo_mode="mid_side",
+                      rice_escape=True)
+        )
+        L, R = self._expect(9, 1200)
+        assert (s[:, 0] == L).all() and (s[:, 1] == R).all()
+
+    def test_three_channel_still_quarantines(self, spark):
+        import pandas as pd
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            decode_flac_features,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_flac
+
+        raw = bytearray(make_flac(3))
+        # STREAMINFO channels-1 lives in byte 12 bits 3-1 (after the
+        # 4-byte magic and 4-byte block header => offset 8 + 12)
+        raw[8 + 12] = (raw[8 + 12] & ~0x0E) | (2 << 1)  # 3 channels
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1], "payload": [bytes(raw)],
+        }))
+        r = decode_flac_features(df).collect()[0]
+        assert "3-channel" in r["decode_error"]
 
 
 class TestFlacDecode:
