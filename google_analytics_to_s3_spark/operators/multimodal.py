@@ -32,7 +32,8 @@ Two tiers of decode honesty:
   (``decode_flac_features``; lossless, so the ``flac_decode`` driver
   query's oracle is exact); r8 adds STEREO (all four channel
   assignments incl. mid/side reconstruction, side subframes at
-  bps+1). LPC subframes / >2 channels quarantine.
+  bps+1) and REAL LPC subframes (quantized predictor + floor
+  shift, r8). >2 channels / non-16-bit quarantine.
 - **Digest stubs** for the remaining compressed formats (MP3/MP4
   need libav / soundfile, which are NOT in this container):
   metadata derives deterministically from the payload's sha256.
@@ -1566,8 +1567,10 @@ def decode_jpeg_meta(
 # assignments (independent, left/side, right/side, mid/side — side
 # subframes at bps+1, mid via the (mid<<1)|(side&1) reconstruction).
 # FLAC is lossless, so decoded samples equal the planted ones EXACTLY
-# — decode oracles are pure integer arithmetic. LPC subframes and
-# >2-channel streams stay honestly gated (named errors).
+# — decode oracles are pure integer arithmetic. LPC subframes decode
+# for real as of r8 (quantized-coefficient dot product with the
+# arithmetic floor shift, RFC 9639 §9.2.5); >2-channel and
+# non-16-bit streams stay honestly gated (named errors).
 # ---------------------------------------------------------------------------
 
 
@@ -1720,8 +1723,55 @@ def _flac_subframe(br: "_FlacBitReader", bs: int, bits: int) -> "np.ndarray":
                 c * int(block[i - j - 1]) for j, c in enumerate(coefs)
             )
             block[i] = pred + res[i - order]
-    elif sf_type >= 0b100000:
-        raise ValueError("LPC subframes not supported (fixed subset)")
+    elif sf_type >= 0b100000:  # LPC, order = (type & 0x1F) + 1
+        order = (sf_type & 0x1F) + 1
+        for i in range(order):
+            block[i] = sgn(br.bits(bits))
+        prec = br.bits(4)
+        if prec == 0b1111:
+            raise ValueError("invalid LPC precision code 1111")
+        prec += 1
+        shift = br.bits(5)
+        if shift >= 16:  # 5-bit two's complement; negative reserved
+            raise ValueError("negative LPC shift is reserved")
+        qcoefs = []
+        for _ in range(order):
+            c = br.bits(prec)
+            qcoefs.append(c - (1 << prec) if c >= (1 << (prec - 1))
+                          else c)
+        method = br.bits(2)
+        if method not in (0, 1):
+            raise ValueError("reserved residual coding method")
+        pbits = 4 if method == 0 else 5
+        esc = (1 << pbits) - 1
+        part_order = br.bits(4)
+        n_parts = 1 << part_order
+        if bs % n_parts:
+            raise ValueError("partition size does not divide block")
+        res = []
+        for p in range(n_parts):
+            cnt = bs // n_parts - (order if p == 0 else 0)
+            param = br.bits(pbits)
+            if param == esc:
+                rawbits = br.bits(5)
+                for _ in range(cnt):
+                    v = br.bits(rawbits)
+                    h2 = 1 << (rawbits - 1)
+                    res.append(v - (1 << rawbits) if v >= h2 else v)
+            else:
+                for _ in range(cnt):
+                    q = br.unary()
+                    z = (q << param) | (br.bits(param) if param else 0)
+                    res.append(
+                        (z >> 1) if z % 2 == 0 else -((z + 1) >> 1)
+                    )
+        # prediction: floor-shifted quantized dot product (RFC 9639
+        # §9.2.5: arithmetic >> of the accumulated sum, exact ints)
+        for i in range(order, bs):
+            acc = sum(
+                qcoefs[j] * int(block[i - j - 1]) for j in range(order)
+            )
+            block[i] = (acc >> shift) + res[i - order]
     else:
         raise ValueError(f"reserved subframe type {sf_type:#08b}")
     return block
@@ -1734,8 +1784,8 @@ def _parse_flac(raw: bytes) -> tuple[int, int, "np.ndarray"]:
     side subframes at bps+1, RFC 9639 §9.2.2): returns
     (sample_rate_hz, n_samples, int32 array — shape (n,) mono,
     (n, 2) stereo). Raises ValueError on malformed input and on
-    honest unsupported corners (LPC subframes, >2 channels, CRC
-    mismatches)."""
+    honest unsupported corners (>2 channels, non-16-bit, CRC
+    mismatches); LPC subframes decode for real (r8)."""
     if len(raw) < 42 or raw[0:4] != b"fLaC":
         raise ValueError("not a FLAC payload (bad magic)")
     pos = 4
@@ -1875,8 +1925,8 @@ def decode_flac_features(
     from STREAMINFO, per-window RMS energy from the losslessly
     reconstructed samples — the same feature contract as
     ``decode_wav_features``, so a curation pipeline treats WAV and
-    FLAC sources identically. Unsupported corners (LPC,
-    multi-channel) and corrupt streams (CRC mismatches) quarantine
+    FLAC sources identically. Unsupported corners (>2
+    channels, non-16-bit) and corrupt streams (CRC mismatches) quarantine
     into ``decode_error``."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -878,6 +878,36 @@ def _flac_write_subframe(
         body.write(0, 1)
         for s_ in samples:
             body.write(s_ & mask, bits)
+    elif kind == "lpc":
+        # REAL LPC subframe: order-2 quantized predictor qcoefs
+        # [3, -1] at precision 5, shift 1 (pred ~ 1.5*prev -
+        # 0.5*prev2) — residual = sample - (dot >> shift), the
+        # decoder must replay the floor shift exactly
+        order, prec, shift, qcoefs = 2, 5, 1, [3, -1]
+        body.write(0, 1)
+        body.write(0b100000 | (order - 1), 6)
+        body.write(0, 1)  # no wasted bits
+        for s_ in samples[:order]:
+            body.write(s_ & mask, bits)
+        body.write(prec - 1, 4)
+        body.write(shift, 5)
+        for c in qcoefs:
+            body.write(c & ((1 << prec) - 1), prec)
+        residuals = [
+            samples[i] - (sum(
+                qcoefs[j] * samples[i - j - 1] for j in range(order)
+            ) >> shift)
+            for i in range(order, bs)
+        ]
+        body.write(0b00, 2)
+        body.write(0, 4)  # partition order 0
+        zmax = max((2 * r if r >= 0 else -2 * r - 1)
+                   for r in residuals) if residuals else 0
+        param = max(0, zmax.bit_length() - 1)
+        if param > 14:
+            raise ValueError("rice parameter overflow in fixture")
+        body.write(param, 4)
+        _rice_encode(body, residuals, param)
     elif kind in ("fixed2", "rice_escape"):  # fixed order 2
         order = 2
         body.write(0, 1)

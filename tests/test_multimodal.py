@@ -1005,6 +1005,49 @@ class TestFlacStereo:
         L, R = self._expect(9, 1200)
         assert (s[:, 0] == L).all() and (s[:, 1] == R).all()
 
+    def test_lpc_subframes_decode_exactly(self):
+        """REAL LPC subframes (r8): quantized order-2 predictor
+        [3, -1] at precision 5, shift 1 — the decoder must replay
+        the arithmetic FLOOR shift of the accumulated dot product
+        (RFC 9639 §9.2.5; a truncating shift would be off by one on
+        negative accumulations, which the planted sign-varying rule
+        hits). Mixed LPC/FIXED cycles and LPC-inside-mid/side both
+        pinned exact."""
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_flac,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_flac
+
+        def left(seed, n, cycle, block_size=512):
+            out = np.empty(n, dtype=np.int64)
+            pos, fno = 0, 0
+            while pos < n:
+                bs = min(block_size, n - pos)
+                if cycle[fno % len(cycle)] == "constant":
+                    out[pos:pos + bs] = seed % 512
+                else:
+                    i = np.arange(pos, pos + bs)
+                    out[pos:pos + bs] = ((seed + i * 257) % 2001) - 1000
+                pos += bs
+                fno += 1
+            return out
+
+        cyc = ("lpc", "fixed2", "lpc")
+        sr, n, s = _parse_flac(make_flac(11, subframe_cycle=cyc))
+        assert (s == left(11, 1200, cyc)).all()
+        # negative accumulations really occur (floor-shift coverage)
+        sr, n, s = _parse_flac(
+            make_flac(13, channels=2, stereo_mode="mid_side",
+                      subframe_cycle=("lpc",))
+        )
+        L = left(13, 1200, ("lpc",))
+        R = np.array(
+            [((13 * 3 + i * 181) % 1801) - 900 for i in range(1200)]
+        )
+        assert (s[:, 0] == L).all() and (s[:, 1] == R).all()
+
     def test_three_channel_still_quarantines(self, spark):
         import pandas as pd
 
