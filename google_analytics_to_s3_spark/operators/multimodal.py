@@ -25,7 +25,12 @@ Two tiers of decode honesty:
   ``jpeg_decode`` driver query value-oracles the whole pipeline as
   integer arithmetic); r8 adds chroma-subsampled (4:2:0 / 4:2:2)
   color via the general interleaved-MCU grid + JFIF nearest-neighbor
-  upsampling. Gates left: progressive JPEG.
+  upsampling, restart intervals, AND full PROGRESSIVE (SOF2)
+  decode — multi-scan spectral selection / successive
+  approximation with EOB-run and G.1.2.3 refinement protocols,
+  pinned pixel-identical to the baseline decode of the same
+  coefficients. Gates left: 12-bit, arithmetic coding, lossless/
+  hierarchical SOFs.
 - **REAL FLAC decode (r7)**: fixed-predictor subset — frame
   sync + CRC-8/16 verification, UTF-8 frame numbers, Rice residual
   decode (incl. escape partitions), predictor reconstruction
@@ -1164,10 +1169,10 @@ def sample_gif_frames(
 # canonical Huffman decode of the entropy-coded segment (0xFF00
 # unstuffing, DC prediction, ZRL/EOB runs), dequantization, dezigzag,
 # and a vectorized matrix IDCT — pure stdlib + numpy. The remaining
-# honest gates shrink to progressive JPEG and the DSP formats
-# (MP3/MP4), which stay PIL/libav-gated; chroma-subsampled baseline
-# (4:2:0/4:2:2) decodes for real as of r8 (general MCU grid + JFIF
-# nearest-neighbor upsampling).
+# honest gates shrink to the DSP formats (MP3/MP4, PIL/libav-gated)
+# and the rare JPEG corners (12-bit, arithmetic coding, lossless/
+# hierarchical); chroma-subsampled baseline (4:2:0/4:2:2), restart
+# intervals, and PROGRESSIVE (SOF2) all decode for real as of r8.
 # ---------------------------------------------------------------------------
 
 
@@ -1290,19 +1295,41 @@ def _jpeg_extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _jpeg_next_marker(raw: bytes, pos: int) -> int:
+    """Advance to the next real marker after a scan's entropy data
+    (skip fill bytes and anything that is not FF + non-stuff/non-RST)."""
+    n = len(raw)
+    while pos + 1 < n:
+        if raw[pos] == 0xFF and raw[pos + 1] != 0x00 and not (
+            0xD0 <= raw[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    raise ValueError("ran off the end looking for a marker")
+
+
 def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
-    """Decode a baseline JPEG — grayscale or YCbCr at any integer
-    sampling-factor grid, including the 4:2:0 most real crawls ship
-    and 4:2:2 (general interleaved MCUs: h_i*v_i blocks per component
-    per MCU, nearest-neighbor chroma upsampling per JFIF, per-
-    component quant/Huffman tables and DC predictors, JFIF color
-    conversion): returns (width, height, channels, uint8 array of
-    h*w*channels). Restart intervals (DRI + cycling RSTn markers
-    with DC-predictor resets, T.81 E.1.4) are supported — real crawl
-    JPEGs routinely carry them for error resilience. Raises
-    ValueError on malformed input and on the honest unsupported
-    corners (progressive, 12-bit, sampling factors outside 1/2/4)
-    so they quarantine cleanly."""
+    """Decode a JPEG — baseline (SOF0) or PROGRESSIVE (SOF2) —
+    grayscale or YCbCr at any integer sampling-factor grid, including
+    the 4:2:0 most real crawls ship and 4:2:2 (general interleaved
+    MCUs: h_i*v_i blocks per component per MCU, nearest-neighbor
+    chroma upsampling per JFIF, per-component quant/Huffman tables
+    and DC predictors, JFIF color conversion): returns (width,
+    height, channels, uint8 array of h*w*channels).
+
+    Progressive streams (T.81 annex G, the libjpeg-default encoding
+    of most web JPEGs) decode for real: multi-scan coefficient
+    accumulation with spectral selection (Ss..Se), successive
+    approximation (Ah/Al) for both DC (bit-plane refinement) and AC
+    (EOB-run coding in first scans; the correction-bit protocol of
+    G.1.2.3 in refinement scans), interleaved or single-component DC
+    scans, single-component AC scans on each component's own block
+    grid, and table redefinition between scans. Restart intervals
+    (DRI + cycling RSTn markers with predictor/EOB-run resets, T.81
+    E.1.4) are supported in both modes. Raises ValueError on
+    malformed input and on the honest unsupported corners (12-bit,
+    lossless/hierarchical/arithmetic SOFs, sampling factors outside
+    1/2/4) so they quarantine cleanly."""
     if len(raw) < 4 or raw[0:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload (bad SOI)")
     pos = 2
@@ -1310,15 +1337,19 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     sof = None
-    scan_pos = None
-    comp_spec = None
+    progressive = False
     restart_interval = 0
-    while pos + 4 <= len(raw):
+    scan_jobs = []  # progressive: decoded below once dims are known
+    baseline_scan = None
+
+    while pos + 2 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = raw[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(raw):
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack(">H", raw[pos + 2:pos + 4])
         body = raw[pos + 4:pos + 2 + seglen]
         if len(body) != seglen - 2:
@@ -1333,14 +1364,15 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
                     raise ValueError("truncated DQT")
                 qtables[tq] = list(body[p + 1:p + 65])
                 p += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack(">BHHB", body[0:6])
             if prec != 8:
                 raise ValueError(f"{prec}-bit JPEG not supported")
             if ncomp not in (1, 3):
                 raise ValueError(
                     f"{ncomp}-component JPEG not supported (grayscale "
-                    "or 4:4:4 YCbCr baseline only)"
+                    "or YCbCr only)"
                 )
             comps = []
             for ci in range(ncomp):
@@ -1352,11 +1384,11 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
                     )
                 comps.append((cid, tq, hs, vs))
             sof = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}) "
-                "not supported"
+                f"unsupported SOF marker 0xFF{marker:02X} (baseline "
+                "SOF0 and progressive SOF2 only)"
             )
         elif marker == 0xC4:  # DHT
             p = 0
@@ -1375,102 +1407,180 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
                 raise ValueError("malformed DRI segment")
             restart_interval = struct.unpack(">H", body)[0]
         elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
-            comp_spec = {}
+            scan_comps = []
             for ci in range(ns):
-                comp_spec[body[1 + 2 * ci]] = (
-                    body[2 + 2 * ci] >> 4, body[2 + 2 * ci] & 15
+                scan_comps.append(
+                    (body[1 + 2 * ci],
+                     body[2 + 2 * ci] >> 4, body[2 + 2 * ci] & 15)
                 )
-            scan_pos = pos + 2 + seglen
-            break
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+            entry = pos + 2 + seglen
+            if not progressive:
+                baseline_scan = (scan_comps, entry)
+                break  # baseline: single scan, decode below
+            # progressive: decode this scan NOW (tables may be
+            # redefined later), recording a job with table snapshots
+            scan_jobs.append((
+                scan_comps, ss, se, ah, al, entry,
+                dict(dc_tables), dict(ac_tables), restart_interval,
+            ))
+            # skip the entropy data to the next marker
+            pos = _jpeg_next_marker(raw, entry)
+            continue
         pos += 2 + seglen
-    if sof is None or scan_pos is None or comp_spec is None:
-        raise ValueError("missing SOF0/SOS segment")
+
+    if sof is None:
+        raise ValueError("missing SOF0/SOF2 segment")
     w, h, comps = sof
     if w <= 0 or h <= 0:
         raise ValueError(f"non-positive dimensions {w}x{h}")
-    if len(comp_spec) != len(comps):
-        raise ValueError("scan component count != frame component count")
 
-    # per-component (quant matrix, DC table, AC table, h, v)
     a = _jpeg_idct_matrix()
-    plan = []
-    for cid, tq, hs, vs in comps:
-        if tq not in qtables:
-            raise ValueError(f"missing quant table {tq}")
-        if cid not in comp_spec:
-            raise ValueError(f"scan is missing component {cid}")
-        dc_id, ac_id = comp_spec[cid]
-        if dc_id not in dc_tables or ac_id not in ac_tables:
-            raise ValueError("missing Huffman table for scan")
-        q = np.zeros((8, 8), dtype=np.float64)
-        for zzpos, (r, c) in enumerate(_JPEG_ZZ):
-            q[r, c] = qtables[tq][zzpos]
-        plan.append((q, dc_tables[dc_id], ac_tables[ac_id], hs, vs))
-
-    def decode_block(reader, q, dc_t, ac_t, pred):
-        coefs = np.zeros((8, 8), dtype=np.float64)
-        s = _jpeg_huff_decode(reader, dc_t)
-        diff = _jpeg_extend(reader.bits(s), s) if s else 0
-        pred += diff
-        coefs[0, 0] = pred
-        k = 1
-        while k <= 63:
-            rs = _jpeg_huff_decode(reader, ac_t)
-            r, s = rs >> 4, rs & 15
-            if s == 0:
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                break  # EOB
-            k += r
-            if k > 63:
-                raise ValueError("AC run overflows block")
-            rr, cc = _JPEG_ZZ[k]
-            coefs[rr, cc] = _jpeg_extend(reader.bits(s), s)
-            k += 1
-        return a @ (coefs * q) @ a.T + 128.0, pred
-
     ncomp = len(comps)
-    hmax = max(hs for _q, _d, _a, hs, _v in plan)
-    vmax = max(vs for _q, _d, _a, _h, vs in plan)
+    hmax = max(hs for _c, _t, hs, _v in comps)
+    vmax = max(vs for _c, _t, _h, vs in comps)
     # MCU grid: each MCU covers 8*hmax x 8*vmax pixels; component i
     # contributes hs*vs 8x8 blocks per MCU in row-major order (T.81
     # A.2.3 interleaved data ordering).
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    reader = _JpegBitReader(raw, scan_pos)
-    comp_planes = [
-        np.empty((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
-        for _q, _d, _a, hs, vs in plan
-    ]
-    preds = [0] * ncomp
-    mcu_no = 0
-    rst_no = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            # DRI: every restart_interval MCUs the entropy stream
-            # byte-aligns, an RSTn marker (cycling 0..7) interrupts,
-            # and ALL DC predictors reset (T.81 E.1.4 / F.2.1.3.1)
-            if restart_interval and mcu_no and \
-                    mcu_no % restart_interval == 0:
-                reader.consume_restart(rst_no)
-                rst_no = (rst_no + 1) % 8
-                preds = [0] * ncomp
-            mcu_no += 1
-            for ci, (q, dc_t, ac_t, hs, vs) in enumerate(plan):
-                for v in range(vs):
-                    for hsub in range(hs):
-                        block, preds[ci] = decode_block(
-                            reader, q, dc_t, ac_t, preds[ci]
-                        )
-                        r0 = (my * vs + v) * 8
-                        c0 = (mx * hs + hsub) * 8
-                        comp_planes[ci][r0:r0 + 8, c0:c0 + 8] = block
+    # natural-order quant matrices and per-component geometry
+    qmats = []
+    geom = []  # (hs, vs, bw_own, bh_own) — own grid for 1-comp scans
+    for cid, tq, hs, vs in comps:
+        if tq not in qtables:
+            raise ValueError(f"missing quant table {tq}")
+        q = np.zeros((8, 8), dtype=np.float64)
+        for zzpos, (r, c) in enumerate(_JPEG_ZZ):
+            q[r, c] = qtables[tq][zzpos]
+        qmats.append(q)
+        cw = (w * hs + hmax - 1) // hmax
+        ch = (h * vs + vmax - 1) // vmax
+        geom.append((hs, vs, (cw + 7) // 8, (ch + 7) // 8))
+
+    comp_planes: list = [None] * ncomp
+
+    if not progressive:
+        if baseline_scan is None:
+            raise ValueError("missing SOS segment")
+        scan_comps, entry = baseline_scan
+        spec = {cid: (d, ac) for cid, d, ac in scan_comps}
+        if len(spec) != ncomp:
+            raise ValueError(
+                "scan component count != frame component count"
+            )
+        plan = []
+        for ci, (cid, tq, hs, vs) in enumerate(comps):
+            if cid not in spec:
+                raise ValueError(f"scan is missing component {cid}")
+            dc_id, ac_id = spec[cid]
+            if dc_id not in dc_tables or ac_id not in ac_tables:
+                raise ValueError("missing Huffman table for scan")
+            plan.append((qmats[ci], dc_tables[dc_id],
+                         ac_tables[ac_id], hs, vs))
+
+        def decode_block(reader, q, dc_t, ac_t, pred):
+            coefs = np.zeros((8, 8), dtype=np.float64)
+            s = _jpeg_huff_decode(reader, dc_t)
+            diff = _jpeg_extend(reader.bits(s), s) if s else 0
+            pred += diff
+            coefs[0, 0] = pred
+            k = 1
+            while k <= 63:
+                rs = _jpeg_huff_decode(reader, ac_t)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run overflows block")
+                rr, cc = _JPEG_ZZ[k]
+                coefs[rr, cc] = _jpeg_extend(reader.bits(s), s)
+                k += 1
+            return a @ (coefs * q) @ a.T + 128.0, pred
+
+        reader = _JpegBitReader(raw, entry)
+        for ci, (_q, _d, _a2, hs, vs) in enumerate(plan):
+            comp_planes[ci] = np.empty(
+                (mcuy * vs * 8, mcux * hs * 8), dtype=np.float64
+            )
+        preds = [0] * ncomp
+        mcu_no = 0
+        rst_no = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                # DRI: every restart_interval MCUs the stream
+                # byte-aligns, an RSTn marker (cycling 0..7)
+                # interrupts, and ALL DC predictors reset
+                if restart_interval and mcu_no and \
+                        mcu_no % restart_interval == 0:
+                    reader.consume_restart(rst_no)
+                    rst_no = (rst_no + 1) % 8
+                    preds = [0] * ncomp
+                mcu_no += 1
+                for ci, (q, dc_t, ac_t, hs, vs) in enumerate(plan):
+                    for v in range(vs):
+                        for hsub in range(hs):
+                            block, preds[ci] = decode_block(
+                                reader, q, dc_t, ac_t, preds[ci]
+                            )
+                            r0 = (my * vs + v) * 8
+                            c0 = (mx * hs + hsub) * 8
+                            comp_planes[ci][r0:r0 + 8,
+                                            c0:c0 + 8] = block
+    else:
+        if not scan_jobs:
+            raise ValueError("progressive JPEG with no scans")
+        # zigzag-order coefficient accumulators at MCU-padded dims
+        coefs = [
+            np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+            for hs, vs, _bw, _bh in geom
+        ]
+        cid_to_ci = {cid: ci for ci, (cid, _t, _h, _v) in
+                     enumerate(comps)}
+        for (scan_comps, ss, se, ah, al, entry,
+             dcs, acs, rst_int) in scan_jobs:
+            reader = _JpegBitReader(raw, entry)
+            members = []
+            for cid, dc_id, ac_id in scan_comps:
+                if cid not in cid_to_ci:
+                    raise ValueError(f"scan names unknown component {cid}")
+                members.append((cid_to_ci[cid], dc_id, ac_id))
+            if ss == 0:
+                _jpeg_prog_dc_scan(
+                    reader, members, se, ah, al, coefs, geom, dcs,
+                    mcux, mcuy, rst_int,
+                )
+            else:
+                _jpeg_prog_ac_scan(
+                    reader, members, ss, se, ah, al, coefs, geom,
+                    acs, rst_int,
+                )
+        # dequantize + IDCT every block, vectorized per component
+        zzr = np.array([r for r, _c in _JPEG_ZZ])
+        zzc = np.array([c for _r, c in _JPEG_ZZ])
+        for ci, (hs, vs, _bw, _bh) in enumerate(geom):
+            bh, bw = coefs[ci].shape[:2]
+            nat = np.zeros((bh, bw, 8, 8), dtype=np.float64)
+            nat[:, :, zzr, zzc] = coefs[ci]
+            nat *= qmats[ci]
+            # batched a @ M @ a.T
+            out = np.einsum("ij,xyjk,lk->xyil", a, nat, a) + 128.0
+            comp_planes[ci] = (
+                out.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+            )
+
     # JFIF nearest-neighbor upsample of subsampled components to the
     # full-resolution grid, then crop to the frame dimensions
     planes = np.empty((ncomp, h, w), dtype=np.float64)
-    for ci, (_q, _d, _a, hs, vs) in enumerate(plan):
+    for ci, (hs, vs, _bw, _bh) in enumerate(geom):
         p = comp_planes[ci]
         if hs != hmax:
             p = np.repeat(p, hmax // hs, axis=1)
@@ -1490,6 +1600,158 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
     ], axis=-1)
     px = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
     return w, h, 3, px.reshape(-1)
+
+
+def _jpeg_prog_dc_scan(
+    reader, members, se, ah, al, coefs, geom, dc_tables,
+    mcux, mcuy, rst_int,
+):
+    """Progressive DC scan (T.81 G.1.2.1): first pass (Ah=0) is the
+    usual differential decode of the top bits, stored << Al; refinement
+    passes (Ah>0) read ONE bit per block into bit position Al.
+    Interleaved (all components, MCU order) or single-component (own
+    block grid) traversal; restarts reset predictors."""
+    if se != 0:
+        raise ValueError("DC scan must have Se = 0")
+    for _ci, dc_id, _ac in members:
+        if ah == 0 and dc_id not in dc_tables:
+            raise ValueError("missing DC Huffman table for scan")
+    preds = {ci: 0 for ci, _d, _a in members}
+    rst_no = 0
+    unit_no = 0
+
+    def unit(ci, dc_id, by, bx):
+        tgt = coefs[ci]
+        if ah == 0:
+            s = _jpeg_huff_decode(reader, dc_tables[dc_id])
+            diff = _jpeg_extend(reader.bits(s), s) if s else 0
+            preds[ci] += diff
+            tgt[by, bx, 0] = preds[ci] << al
+        else:
+            if reader.bit():
+                tgt[by, bx, 0] |= 1 << al
+
+    def restart_check():
+        nonlocal rst_no, unit_no
+        if rst_int and unit_no and unit_no % rst_int == 0:
+            reader.consume_restart(rst_no)
+            rst_no = (rst_no + 1) % 8
+            for k in preds:
+                preds[k] = 0
+        unit_no += 1
+
+    if len(members) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                restart_check()
+                for ci, dc_id, _ac in members:
+                    hs, vs, _bw, _bh = geom[ci]
+                    for v in range(vs):
+                        for hh in range(hs):
+                            unit(ci, dc_id, my * vs + v, mx * hs + hh)
+    else:
+        ci, dc_id, _ac = members[0]
+        _hs, _vs, bw_own, bh_own = geom[ci]
+        for by in range(bh_own):
+            for bx in range(bw_own):
+                restart_check()
+                unit(ci, dc_id, by, bx)
+
+
+def _jpeg_prog_ac_scan(
+    reader, members, ss, se, ah, al, coefs, geom, ac_tables, rst_int,
+):
+    """Progressive AC scan (T.81 G.1.2.2 / G.1.2.3): non-interleaved
+    by spec (one component, its own block grid). First passes (Ah=0)
+    code (run, size) pairs with EOB-RUN symbols (r<15, s=0 encodes
+    2^r + bits(r) all-zero-from-here blocks); refinement passes carry
+    one correction bit per already-nonzero coefficient and introduce
+    newly-significant +-1<<Al coefficients, the G.1.2.3 protocol."""
+    if len(members) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    ci, _dc, ac_id = members[0]
+    if ac_id not in ac_tables:
+        raise ValueError("missing AC Huffman table for scan")
+    ac_t = ac_tables[ac_id]
+    _hs, _vs, bw_own, bh_own = geom[ci]
+    tgt = coefs[ci]
+    eob_run = 0
+    rst_no = 0
+    unit_no = 0
+    bitv = 1 << al
+
+    def refine_nz(data, k):
+        if reader.bit():
+            if (int(data[k]) & bitv) == 0:
+                data[k] += bitv if data[k] > 0 else -bitv
+
+    for by in range(bh_own):
+        for bx in range(bw_own):
+            if rst_int and unit_no and unit_no % rst_int == 0:
+                reader.consume_restart(rst_no)
+                rst_no = (rst_no + 1) % 8
+                eob_run = 0
+            unit_no += 1
+            data = tgt[by, bx]
+            if ah == 0:  # first pass for this band
+                if eob_run:
+                    eob_run -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _jpeg_huff_decode(reader, ac_t)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:
+                            eob_run = (1 << r) - 1
+                            if r:
+                                eob_run += reader.bits(r)
+                            break
+                        k += 16  # ZRL
+                    else:
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run overflows band")
+                        data[k] = _jpeg_extend(
+                            reader.bits(s), s
+                        ) << al
+                        k += 1
+            else:  # refinement pass (G.1.2.3)
+                if eob_run:
+                    eob_run -= 1
+                    for k in range(ss, se + 1):
+                        if data[k] != 0:
+                            refine_nz(data, k)
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _jpeg_huff_decode(reader, ac_t)
+                    r, s = rs >> 4, rs & 15
+                    newval = 0
+                    if s == 0:
+                        if r < 15:
+                            eob_run = (1 << r) - 1
+                            if r:
+                                eob_run += reader.bits(r)
+                            r = 64  # consume the rest as corrections
+                        # r == 15: run of 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "AC refinement magnitude must be 1"
+                            )
+                        newval = bitv if reader.bit() else -bitv
+                    while k <= se:
+                        if data[k] != 0:
+                            refine_nz(data, k)
+                        else:
+                            if r == 0:
+                                if newval:
+                                    data[k] = newval
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
 
 
 JPEG_META_SCHEMA = StructType([

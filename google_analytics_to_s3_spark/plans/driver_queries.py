@@ -3017,11 +3017,6 @@ _DRIVER_PRIORITY = [
     "ts_decompose", "isotonic_calibration", "eb_smoothing",
     "forecast_backtest", "cumulative_gains", "frequent_triples",
     "did_event_study",
-    # (r8-c) the 4 rows whose latest driver-green evidence is r3 —
-    # the oldest checked evidence in the registry.
-
-    "tfidf_top_terms", "bm25_search", "linear_count_users",
-    "scd2_customer_priority",
     # (r8-d) queries registered during r8 slot in HERE as they are
     # added (never-checked beats stale-green), pushing the r4 block
     # below toward the r9 queue. survival_curve also re-enters here:
@@ -3035,7 +3030,14 @@ _DRIVER_PRIORITY = [
     # seasonality chi2, behavioral entropy
     "phash_dedup", "fdr_screen", "good_turing", "zipf_alpha",
     "burst_detection", "wasserstein_drift", "hourly_seasonality",
-    "user_entropy", "flac_decode_stereo",
+    "user_entropy", "flac_decode_stereo", "jpeg_decode_progressive",
+    # (r8-c) the rows whose latest driver-green evidence is r3 — the
+    # oldest CHECKED evidence; they sit after the never-checked r8
+    # registrations (never-checked beats stale-green) and the 12
+    # r8-d entries above push the 50-slot prefix to exactly 1 + 34 +
+    # 12 + 3; scd2_customer_priority overflows to the r9 queue.
+    "tfidf_top_terms", "bm25_search", "linear_count_users",
+    "scd2_customer_priority",
 
     # (r8-e) oldest green evidence: the 50 r4-green rows. The first
     # ~11 fill the remaining prefix slots; the rest queue for r9.

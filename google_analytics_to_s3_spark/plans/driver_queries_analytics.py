@@ -2419,6 +2419,54 @@ QUERIES_ANALYTICS["jpeg_decode_420"] = q_jpeg_decode_420
 ORACLES_ANALYTICS["jpeg_decode_420"] = SQL_JPEG_DECODE_420
 
 
+def q_jpeg_decode_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG (SOF2) driver-checked — the libjpeg-default
+    encoding of most web JPEGs, the last decode gate closed in r8:
+    the same planted coefficients as jpeg_decode are re-encoded
+    through a real multi-scan progressive script (interleaved DC
+    first pass at Al=1, spectral-selection AC first passes with
+    EOB-RUN coding, DC bit-plane refinement, the T.81 G.1.2.3 AC
+    correction-bit refinement with buffered bits and cross-block EOB
+    runs), so the decoded pixel sums replay on the SAME integer grid
+    as the baseline oracle. A green row proves the multi-scan
+    coefficient accumulation reconstructs the exact coefficients —
+    any refinement-protocol bug shifts a bit plane and lands off the
+    grid."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.multimodal import decode_jpeg_meta
+    from ..testing.fixtures import make_jpeg_progressive
+
+    e = _spread(load_events(spark, sf_dir).select("event_id"), spark)
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_jpeg_progressive(int(i) % 1000)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(
+        _synth, schema="doc_id long, payload binary"
+    )
+    meta = decode_jpeg_meta(payloads)
+    return meta.select("doc_id", "width", "height", "y_sum", "mean_px")
+
+
+# identical integer replay to SQL_JPEG_DECODE: the progressive
+# encoding carries the same quantized coefficients, and the decode
+# must reconstruct them exactly
+SQL_JPEG_DECODE_PROGRESSIVE = SQL_JPEG_DECODE
+
+QUERIES_ANALYTICS["jpeg_decode_progressive"] = q_jpeg_decode_progressive
+ORACLES_ANALYTICS["jpeg_decode_progressive"] = SQL_JPEG_DECODE_PROGRESSIVE
+
+
 _FLAC_MOD = 10
 
 

@@ -503,6 +503,19 @@ JPEG_AC_TEMPLATES: list[dict[int, int]] = [
 # file's DHT segment.
 JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 JPEG_DC_VALS = list(range(12))
+# Progressive AC table: the baseline Annex-K table has no EOBn
+# symbols (r<<4, r>=1) that progressive EOB-run coding needs, so the
+# progressive fixture defines its own canonical table — every symbol
+# it can emit (EOB0..EOB14, ZRL, all (r,s) pairs s=1..10) at a
+# uniform 9 bits (176 of 512 slots; the all-ones code stays unused,
+# as T.81 C.2 requires).
+JPEG_PROG_AC_VALS = (
+    [r << 4 for r in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+JPEG_PROG_AC_BITS = [0] * 16
+JPEG_PROG_AC_BITS[8] = len(JPEG_PROG_AC_VALS)  # all codes 9 bits
+
 JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
 JPEG_AC_VALS = (
     [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
@@ -1052,4 +1065,285 @@ def make_flac(
         out += frame
         pos += bs
         frame_no += 1
+    return bytes(out)
+
+
+def make_jpeg_progressive(
+    seed: int, w: int = 16, h: int = 16, channels: int = 1,
+    subsampling: str = "444", chroma_dc: "tuple[int, int] | None" = None,
+    al: int = 1, band_split: int = 5,
+) -> bytes:
+    """Serialize a REAL progressive JPEG (SOF2, T.81 annex G) carrying
+    the SAME quantized coefficients as :func:`make_jpeg_baseline` for
+    this seed/geometry — so ``_parse_jpeg(progressive) ==
+    _parse_jpeg(baseline)`` pixel-for-pixel is the correctness oracle.
+
+    Scan script (the libjpeg-style shape):
+      1. DC first scan, interleaved, Ah=0 Al=``al``
+      2. per component: AC first Ss=1..``band_split`` at Al=``al``,
+         then Ss=``band_split``+1..63 at Al=``al`` (spectral selection
+         + successive approximation; EOB-RUN coded)
+      3. DC refinement, interleaved, Ah=``al`` Al=``al``-1 ... down
+         to 0 (one bit per block per pass)
+      4. per component: AC refinement scans over the same two bands,
+         the G.1.2.3 correction-bit protocol with buffered bits and
+         cross-block EOB runs
+    """
+    import struct as _struct
+
+    factors = {
+        "444": (1, 1), "422": (2, 1), "420": (2, 2),
+    }.get(subsampling)
+    if factors is None:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if channels == 1:
+        factors = (1, 1)
+    hs, vs = factors
+    if w % (8 * hs) or h % (8 * vs):
+        raise ValueError("fixture dimensions must cover whole MCUs")
+    if not (1 <= al <= 3):
+        raise ValueError("al must be 1..3 for this fixture")
+    dc_codes = _huff_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_codes = _huff_codes(JPEG_PROG_AC_BITS, JPEG_PROG_AC_VALS)
+
+    out = bytearray(b"\xFF\xD8")  # SOI
+    out += b"\xFF\xDB" + _struct.pack(">H", 67) + b"\x00"
+    out += bytes([JPEG_Q] * 64)
+    out += b"\xFF\xC2" + _struct.pack(  # SOF2: progressive
+        ">HBHHB", 8 + 3 * channels, 8, h, w, channels
+    )
+    for ci in range(channels):
+        samp = (hs << 4) | vs if ci == 0 else 0x11
+        out += bytes([ci + 1, samp, 0])
+    for cls, bits, vals in ((0, JPEG_DC_BITS, JPEG_DC_VALS),
+                            (1, JPEG_PROG_AC_BITS, JPEG_PROG_AC_VALS)):
+        out += b"\xFF\xC4" + _struct.pack(">H", 19 + len(vals))
+        out += bytes([cls << 4]) + bytes(bits) + bytes(vals)
+
+    # per-component block coefficient plans on each component's OWN
+    # raster grid — same planting rule as make_jpeg_baseline
+    ybw, ybh = w // 8, h // 8
+    cbw, cbh = w // (8 * hs), h // (8 * vs)
+    plans = [
+        [jpeg_block_plan(seed, ybw * ybh), ybw, ybh],
+    ]
+    if channels == 3:
+        for ci in range(2):
+            if chroma_dc is not None:
+                cplan = [{0: chroma_dc[ci]} for _ in range(cbw * cbh)]
+            else:
+                cplan = jpeg_block_plan(seed + 1000 * (ci + 1),
+                                        cbw * cbh)
+            plans.append([cplan, cbw, cbh])
+
+    bitbuf: "list[int]" = []
+
+    def put(code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            bitbuf.append((code >> i) & 1)
+
+    def flush_entropy() -> None:
+        while len(bitbuf) % 8:
+            bitbuf.append(1)
+        for i in range(0, len(bitbuf), 8):
+            byte = 0
+            for bit in bitbuf[i:i + 8]:
+                byte = (byte << 1) | bit
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        bitbuf.clear()
+
+    def sos_header(comp_ids: "list[int]", ss: int, se: int,
+                   ah: int, al_: int) -> None:
+        out.extend(b"\xFF\xDA")
+        out.extend(_struct.pack(">H", 6 + 2 * len(comp_ids)))
+        out.append(len(comp_ids))
+        for cid in comp_ids:
+            out.append(cid)
+            out.append(0x00)  # DC table 0 / AC table 0
+        out.append(ss)
+        out.append(se)
+        out.append((ah << 4) | al_)
+
+    def size_of(v: int) -> int:
+        return abs(v).bit_length()
+
+    def value_bits(v: int, size: int) -> int:
+        return v if v >= 0 else v + (1 << size) - 1
+
+    def tz(v: int, shift: int) -> int:
+        """Toward-zero shift (T.81 G.1.2.2 AC point transform)."""
+        return -((-v) >> shift) if v < 0 else v >> shift
+
+    def coef_at(plan_blocks, b: int, k: int) -> int:
+        return plan_blocks[b].get(k, 0)
+
+    # ---- scan 1: DC first, interleaved, Al = al ----
+    sos_header(list(range(1, channels + 1)), 0, 0, 0, al)
+    preds = [0] * channels
+    mcux, mcuy = cbw, cbh
+    if channels == 1:
+        mcux, mcuy = ybw, ybh
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(channels):
+                plan_blocks, bw_c, _bh_c = plans[ci]
+                if ci == 0 and channels == 3:
+                    blocks = [
+                        (my * vs + v) * bw_c + (mx * hs + hh)
+                        for v in range(vs) for hh in range(hs)
+                    ]
+                else:
+                    blocks = [my * bw_c + mx]
+                for b in blocks:
+                    t = coef_at(plan_blocks, b, 0) >> al
+                    diff = t - preds[ci]
+                    preds[ci] = t
+                    s = size_of(diff)
+                    code, length = dc_codes[s]
+                    put(code, length)
+                    if s:
+                        put(value_bits(diff, s), s)
+    flush_entropy()
+
+    # ---- AC first scans per component, two spectral bands ----
+    bands = [(1, band_split), (band_split + 1, 63)]
+
+    def ac_first_scan(ci: int, ss: int, se: int, al_: int) -> None:
+        sos_header([ci + 1], ss, se, 0, al_)
+        plan_blocks, bw_c, bh_c = plans[ci]
+        eobrun = 0
+
+        def emit_eobrun() -> None:
+            nonlocal eobrun
+            if eobrun == 0:
+                return
+            nbits = eobrun.bit_length() - 1
+            code, length = ac_codes[nbits << 4]
+            put(code, length)
+            if nbits:
+                put(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+
+        for b in range(bw_c * bh_c):
+            r = 0
+            for k in range(ss, se + 1):
+                t = tz(coef_at(plan_blocks, b, k), al_)
+                if t == 0:
+                    r += 1
+                    continue
+                emit_eobrun()
+                while r > 15:
+                    zc, zl = ac_codes[0xF0]
+                    put(zc, zl)
+                    r -= 16
+                s = size_of(t)
+                code, length = ac_codes[(r << 4) | s]
+                put(code, length)
+                put(value_bits(t, s), s)
+                r = 0
+            if r > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+        emit_eobrun()
+        flush_entropy()
+
+    for ci in range(channels):
+        for ss, se in bands:
+            ac_first_scan(ci, ss, se, al)
+
+    # ---- DC refinement passes: Ah = a, Al = a-1, down to 0 ----
+    for a in range(al, 0, -1):
+        sos_header(list(range(1, channels + 1)), 0, 0, a, a - 1)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(channels):
+                    plan_blocks, bw_c, _bh_c = plans[ci]
+                    if ci == 0 and channels == 3:
+                        blocks = [
+                            (my * vs + v) * bw_c + (mx * hs + hh)
+                            for v in range(vs) for hh in range(hs)
+                        ]
+                    else:
+                        blocks = [my * bw_c + mx]
+                    for b in blocks:
+                        put((coef_at(plan_blocks, b, 0) >> (a - 1)) & 1,
+                            1)
+        flush_entropy()
+
+    # ---- AC refinement scans (G.1.2.3) per component, per band ----
+    def ac_refine_scan(ci: int, ss: int, se: int, ah: int,
+                       al_: int) -> None:
+        sos_header([ci + 1], ss, se, ah, al_)
+        plan_blocks, bw_c, bh_c = plans[ci]
+        eobrun = 0
+        pending: "list[int]" = []  # correction bits riding the EOB run
+
+        def emit_eobrun() -> None:
+            nonlocal eobrun
+            if eobrun == 0:
+                return
+            nbits = eobrun.bit_length() - 1
+            code, length = ac_codes[nbits << 4]
+            put(code, length)
+            if nbits:
+                put(eobrun & ((1 << nbits) - 1), nbits)
+            for bit in pending:
+                put(bit, 1)
+            pending.clear()
+            eobrun = 0
+
+        for b in range(bw_c * bh_c):
+            absv = {}
+            eob_k = ss - 1  # last newly-significant position
+            for k in range(ss, se + 1):
+                t = abs(coef_at(plan_blocks, b, k)) >> al_
+                absv[k] = t
+                if t == 1:
+                    eob_k = k
+            r = 0
+            br: "list[int]" = []  # bits since last emitted symbol
+            for k in range(ss, se + 1):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob_k:
+                    emit_eobrun()
+                    zc, zl = ac_codes[0xF0]
+                    put(zc, zl)
+                    r -= 16
+                    for bit in br:
+                        put(bit, 1)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                # newly significant: |coef| >> al_ == 1
+                emit_eobrun()
+                code, length = ac_codes[(r << 4) | 1]
+                put(code, length)
+                put(1 if coef_at(plan_blocks, b, k) >= 0 else 0, 1)
+                for bit in br:
+                    put(bit, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    emit_eobrun()
+        emit_eobrun()
+        flush_entropy()
+
+    for a in range(al, 0, -1):
+        for ci in range(channels):
+            for ss, se in bands:
+                ac_refine_scan(ci, ss, se, a, a - 1)
+
+    out += b"\xFF\xD9"  # EOI
     return bytes(out)

@@ -676,15 +676,22 @@ class TestJpegDecode:
         )
 
         good = make_jpeg_baseline(5)
+        # SOF2 now DECODES (r8) — a forged SOF2 marker on a BASELINE
+        # scan header is instead rejected as malformed progressive
+        # (the single baseline scan claims Ss=0..Se=63, illegal for a
+        # progressive DC scan)
         progressive = bytearray(good)
         idx = good.find(b"\xFF\xC0")
-        progressive[idx + 1] = 0xC2  # SOF2: progressive
+        progressive[idx + 1] = 0xC2  # SOF2 marker, baseline scan
+        lossless = bytearray(good)
+        lossless[idx + 1] = 0xC3  # SOF3: lossless, still gated
         cases = [
             (1, good),
             (2, b"\x00\x01not a jpeg"),
-            (3, bytes(progressive)),
+            (3, bytes(lossless)),
             (4, good[:40]),  # truncated in headers
             (5, good[:-20]),  # truncated entropy data
+            (6, bytes(progressive)),
         ]
         df = spark.createDataFrame(
             pd.DataFrame({"doc_id": [c[0] for c in cases],
@@ -703,11 +710,12 @@ class TestJpegDecode:
         )
         assert rows[1].y_sum == want
         assert "not a JPEG" in rows[2].decode_error
-        assert "non-baseline" in rows[3].decode_error
+        assert "unsupported SOF" in rows[3].decode_error
         assert rows[4].decode_error is not None
         assert rows[5].decode_error is not None
+        assert "Se = 0" in rows[6].decode_error
         # the batch never fails: every row came back
-        assert len(rows) == 5
+        assert len(rows) == 6
 
     def test_dc_prediction_across_blocks(self):
         """DC coefficients are DIFFERENTIALLY coded: decoding must
@@ -908,6 +916,56 @@ class TestJpegDecode:
         raw[idx + 1] = 0xD5  # out-of-sequence restart number
         with _pytest.raises(ValueError, match="expected restart"):
             _parse_jpeg(bytes(raw))
+
+    def test_progressive_equals_baseline_pixel_for_pixel(self):
+        """PROGRESSIVE decode (SOF2, T.81 annex G — the libjpeg
+        default for web JPEGs): the progressive fixture re-encodes
+        the SAME planted coefficients as the baseline fixture through
+        a real multi-scan script (interleaved DC first pass at Al,
+        per-component spectral-selection AC first passes with EOB-RUN
+        coding, DC bit-plane refinements, and the G.1.2.3 AC
+        correction-bit refinement protocol with buffered bits and
+        cross-block EOB runs), so decoded pixels must equal the
+        baseline decode EXACTLY. Covers grayscale, 4:4:4 / 4:2:2 /
+        4:2:0 color, zero-chroma, and a two-level successive
+        approximation (al=2: two DC and two AC refinement rounds)."""
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_jpeg,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_jpeg_baseline, make_jpeg_progressive,
+        )
+
+        cases = [
+            (3, 16, 16, 1, "444", None, 1),
+            (5, 32, 24, 1, "444", None, 1),
+            (7, 16, 16, 3, "444", None, 1),
+            (9, 32, 32, 3, "420", None, 1),
+            (11, 32, 16, 3, "422", None, 1),
+            (13, 32, 32, 3, "420", (0, 0), 1),
+            (17, 16, 16, 1, "444", None, 2),
+        ]
+        for seed, w, h, ch, sub, cdc, al in cases:
+            base = _parse_jpeg(make_jpeg_baseline(
+                seed, w, h, ch, subsampling=sub, chroma_dc=cdc))
+            prog = _parse_jpeg(make_jpeg_progressive(
+                seed, w, h, ch, subsampling=sub, chroma_dc=cdc, al=al))
+            assert base[:3] == prog[:3]
+            assert (base[3] == prog[3]).all(), (seed, sub, al)
+
+    def test_progressive_truncated_scan_quarantines(self):
+        import pytest as _pytest
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_jpeg,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_jpeg_progressive,
+        )
+
+        raw = make_jpeg_progressive(3, 16, 16, 1)
+        with _pytest.raises(ValueError):
+            _parse_jpeg(raw[:-40])  # EOI + last refinement scan gone
 
     def test_subsampling_factor_gate_narrowed(self):
         """Factors outside {1,2,4} still quarantine with a named
