@@ -1044,3 +1044,84 @@ def zipf_alpha(freqs: DataFrame, fmin: int = 1) -> DataFrame:
             6,
         ).alias("tail_token_share"),
     )
+
+
+def stupid_backoff_scores(
+    docs: DataFrame,
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Stupid-backoff bigram LM scoring (Brants et al. 2007 — the
+    count-based quality signal web-scale pipelines use where a real
+    LM is too expensive): score(w2|w1) = c(w1,w2)/c(w1) when the
+    bigram was seen in the TRAIN corpus, else alpha * c(w2)/N
+    (backoff to the unigram). Emits per-document bigram count, mean
+    log score, and the backoff rate (share of bigrams that fell back
+    — high backoff = out-of-domain text).
+
+    Scale shape: counts are vocab-/bigram-vocab-sized aggregations
+    (orders smaller than the corpus, Heaps' law); scoring is two hash
+    joins of the doc-bigram table against those count tables, then
+    one per-doc aggregation. Unseen-unigram bigrams score as alpha *
+    1/N (add-one floor) so logs stay finite."""
+    def bigrams(df: DataFrame) -> DataFrame:
+        toks = df.select(id_col, tokens(F.col(text_col)).alias("t"))
+        return toks.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                    " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("bg"),
+        ).select(id_col, "bg.w1", "bg.w2")
+
+    train_toks = train.select(
+        F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    uni = train_toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("cw")
+    )
+    total = train_toks.count()  # scalar: one distributed count
+    bi = bigrams(train).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    scored = (
+        bigrams(docs)
+        .join(bi, ["w1", "w2"], "left")
+        .join(
+            uni.select(F.col("w").alias("w1"),
+                       F.col("cw").alias("cw1")),
+            "w1", "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"),
+                       F.col("cw").alias("cw2")),
+            "w2", "left",
+        )
+        .select(
+            id_col,
+            F.when(
+                F.col("cb").isNotNull(),
+                F.log(F.col("cb").cast("double")
+                      / F.col("cw1").cast("double")),
+            ).otherwise(
+                F.log(
+                    F.lit(float(alpha))
+                    * F.coalesce(F.col("cw2"), F.lit(1)).cast("double")
+                    / F.lit(float(total))
+                )
+            ).alias("lp"),
+            F.col("cb").isNull().cast("int").alias("backed_off"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("mean_log_score"),
+        F.round(
+            F.sum("backed_off").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("backoff_rate"),
+    )

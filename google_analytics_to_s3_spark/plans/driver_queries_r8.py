@@ -1,6 +1,6 @@
 """Driver queries: the round-8 batch.
 
-Eight operator families the training-data list still lacked, each
+The operator families the training-data list still lacked, each
 thin wiring over an operator module with a full DuckDB value oracle:
 
 - ``phash_dedup`` — perceptual dHash near-dup bucketing over
@@ -27,6 +27,10 @@ thin wiring over an operator module with a full DuckDB value oracle:
 - ``user_entropy`` — per-user Shannon entropy of the event-type
   distribution (operators/stats.behavior_entropy), the
   predictability screen for bot/script curation.
+- ``lm_backoff_score`` — stupid-backoff bigram LM quality scoring
+  (operators/text.stupid_backoff_scores): counts train on the
+  even-doc half so the odd half genuinely exercises the backoff
+  path.
 
 Scale notes: every query aggregates to a bounded grain before any
 window (hypotheses, (type, day), (type, hour), vocab, distinct
@@ -633,3 +637,75 @@ FROM p
 
 QUERIES_R8["user_entropy"] = q_user_entropy
 ORACLES_R8["user_entropy"] = SQL_USER_ENTROPY
+
+
+# -------------------------------------------------------------------
+# lm_backoff_score
+# -------------------------------------------------------------------
+
+
+def q_lm_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM quality scoring (Brants et al. 2007 —
+    the count-based web-scale stand-in for model perplexity): counts
+    train on the even-doc_id half of the corpus, every document is
+    scored against them, so the odd half genuinely exercises the
+    backoff path (its backoff_rate is the out-of-domain signal).
+    Vocab-sized count tables, two hash joins, one per-doc
+    aggregation (operators/text.stupid_backoff_scores)."""
+    from ..operators.text import stupid_backoff_scores
+
+    d = load_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).filter(F.col("text").isNotNull())
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    return stupid_backoff_scores(d, train)
+
+
+SQL_LM_BACKOFF_SCORE = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+tr_toks AS (
+  SELECT unnest(t) AS w FROM d WHERE doc_id % 2 = 0
+),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM tr_toks GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tr_toks),
+tr_bg AS (
+  SELECT p[1] AS w1, p[2] AS w2 FROM (
+    SELECT unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS p
+    FROM d WHERE doc_id % 2 = 0 AND len(t) > 1
+  )
+),
+bi AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM tr_bg GROUP BY 1, 2
+),
+doc_bg AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+    SELECT doc_id, unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS p
+    FROM d WHERE len(t) > 1
+  )
+),
+scored AS (
+  SELECT doc_id,
+         CASE WHEN bi.cb IS NOT NULL
+              THEN ln(CAST(bi.cb AS DOUBLE) / CAST(u1.cw AS DOUBLE))
+              ELSE ln(0.4 * CAST(coalesce(u2.cw, 1) AS DOUBLE) / tot.n)
+         END AS lp,
+         CASE WHEN bi.cb IS NULL THEN 1 ELSE 0 END AS backed_off
+  FROM doc_bg
+  LEFT JOIN bi USING (w1, w2)
+  LEFT JOIN (SELECT w AS w1, cw FROM uni) u1 USING (w1)
+  LEFT JOIN (SELECT w AS w2, cw FROM uni) u2 USING (w2)
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(lp), 6) AS mean_log_score,
+       round(CAST(sum(backed_off) AS DOUBLE) / count(*), 6)
+         AS backoff_rate
+FROM scored GROUP BY 1
+"""
+
+QUERIES_R8["lm_backoff_score"] = q_lm_backoff_score
+ORACLES_R8["lm_backoff_score"] = SQL_LM_BACKOFF_SCORE

@@ -146,6 +146,39 @@ class TestWassersteinTwoSample:
         assert r["w1_normalized"] == pytest.approx(1.0)
 
 
+class TestWassersteinBruteForceAndPlan:
+    def test_matches_brute_force_random(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(17)
+        a = rng.randint(0, 300, size=400)
+        b = np.clip(rng.randint(0, 300, size=350) + 30, 0, None)
+        rows = [(int(v), "a") for v in a] + [(int(v), "b") for v in b]
+        df = spark.createDataFrame(rows, "v long, g string")
+        got = wasserstein_two_sample(df, "v", "g", "a", "b",
+                                     buckets=16).collect()[0]
+        support = sorted(set(a) | set(b))
+        na, nb = len(a), len(b)
+        w1 = 0.0
+        for i, v in enumerate(support[:-1]):
+            fa = (a <= v).sum() / na
+            fb = (b <= v).sum() / nb
+            w1 += abs(fa - fb) * (support[i + 1] - v)
+        assert got["w1"] == pytest.approx(round(w1, 6), abs=2e-6)
+
+    def test_prefix_sum_windows_stay_bucket_partitioned(self, spark):
+        """100 TB contract: the cumulative-count windows partition BY
+        BUCKET (driver-prefix-summed offsets), never a single global
+        sort partition. The only SinglePartition exchange in the plan
+        is the final 1-row total (map-side partial agg)."""
+        rows = [(v % 977, "a" if v % 2 else "b") for v in range(4000)]
+        df = spark.createDataFrame(rows, "v long, g string")
+        out = wasserstein_two_sample(df, "v", "g", "a", "b", buckets=32)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(_bucket" in plan, plan
+        assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
 class TestGoodTuring:
     def test_textbook_counts(self, spark):
         """freqs: 3 tokens seen once, 1 token seen twice ->
