@@ -2331,3 +2331,74 @@ def dhash_images(
     return df.select(id_col, payload_col).mapInPandas(
         _hash, schema=DHASH_SCHEMA
     )
+
+
+def phash_near_pairs(
+    hashed: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Image near-duplicate pairs at HASH grain: band the 64-bit
+    dHash into four 16-bit keys, self-join per band, then exact
+    Hamming verify (pigeonhole: hamming <= 3 < 4 bands guarantees at
+    least one equal band, so banding is lossless for the threshold).
+
+    Input is ``dhash_images`` output; the operator first collapses
+    to the DISTINCT-hash table with document counts, so all pairwise
+    work scales with distinct perceptual hashes (the number of
+    visually distinct images), never with document count — the same
+    candidate-mass contract as the MinHash/SimHash text paths.
+    Output: one row per near pair, ``(phash_hi_a, phash_lo_a,
+    phash_hi_b, phash_lo_b, hamming, docs_a, docs_b)`` with pair
+    order fixed by (hi, lo)."""
+    hh = (
+        hashed.filter(F.col("phash_hi").isNotNull())
+        .groupBy("phash_hi", "phash_lo")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    bands = []
+    for i, (col, sh) in enumerate([
+        ("phash_lo", 0), ("phash_lo", 16),
+        ("phash_hi", 0), ("phash_hi", 16),
+    ]):
+        bands.append(
+            hh.select(
+                "phash_hi", "phash_lo", "n_docs",
+                F.lit(i).alias("band"),
+                F.shiftright(F.col(col), sh)
+                .bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    a = banded.select(
+        F.col("band"), F.col("key"),
+        F.col("phash_hi").alias("hi_a"), F.col("phash_lo").alias("lo_a"),
+        F.col("n_docs").alias("docs_a"),
+    )
+    b = banded.select(
+        F.col("band"), F.col("key"),
+        F.col("phash_hi").alias("hi_b"), F.col("phash_lo").alias("lo_b"),
+        F.col("n_docs").alias("docs_b"),
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(
+            (F.col("hi_a") < F.col("hi_b"))
+            | ((F.col("hi_a") == F.col("hi_b"))
+               & (F.col("lo_a") < F.col("lo_b")))
+        )
+        .select("hi_a", "lo_a", "hi_b", "lo_b", "docs_a", "docs_b")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    )
+    return cand.select(
+        F.col("hi_a").alias("phash_hi_a"),
+        F.col("lo_a").alias("phash_lo_a"),
+        F.col("hi_b").alias("phash_hi_b"),
+        F.col("lo_b").alias("phash_lo_b"),
+        ham.cast("int").alias("hamming"),
+        "docs_a", "docs_b",
+    ).filter(F.col("hamming") <= max_hamming)

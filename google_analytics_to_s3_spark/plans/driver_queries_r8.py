@@ -709,3 +709,103 @@ FROM scored GROUP BY 1
 
 QUERIES_R8["lm_backoff_score"] = q_lm_backoff_score
 ORACLES_R8["lm_backoff_score"] = SQL_LM_BACKOFF_SCORE
+
+
+# -------------------------------------------------------------------
+# phash_near_dups
+# -------------------------------------------------------------------
+
+
+def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-duplicate pairs on the perceptual hash (the stage
+    after phash_dedup's exact bucketing): 4x16-bit banded LSH over
+    the DISTINCT-hash table (pairwise work scales with visually
+    distinct images, never documents) + exact Hamming <= 3 verify —
+    lossless by pigeonhole (operators/multimodal.phash_near_pairs).
+    The planted pixel rule's mod-256 wraps give the 40 seed classes
+    32 distinct hashes with 70 near pairs at the threshold, so both
+    the banding recall and the verify are genuinely exercised. The
+    oracle brute-forces all distinct-hash pairs (fine at oracle
+    scale; the Spark plan is the banded one)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.multimodal import dhash_images, phash_near_pairs
+    from ..testing.fixtures import make_ppm
+
+    from .driver_queries_analytics import _spread
+
+    e = _spread(load_events(spark, sf_dir).select("event_id"), spark)
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_ppm(_PH_W, _PH_H, int(i) % _PH_SEEDS, channels=1)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(
+        _synth, schema="doc_id long, payload binary"
+    )
+    return phash_near_pairs(dhash_images(payloads), max_hamming=3)
+
+
+SQL_PHASH_NEAR_DUPS = f"""
+WITH e AS (
+  SELECT event_id, event_id % {_PH_SEEDS} AS seed FROM events
+),
+seeds AS (SELECT DISTINCT seed FROM e),
+px AS (
+  SELECT seed, CAST(y.y AS BIGINT) AS y, CAST(x.x AS BIGINT) AS x,
+         (seed + y.y * 31 + x.x * 7) % 256 AS v
+  FROM seeds,
+       LATERAL (SELECT unnest(range(0, {_PH_H})) AS y) y,
+       LATERAL (SELECT unnest(range(0, {_PH_W})) AS x) x
+),
+grid AS (
+  SELECT seed, y // 2 AS gy, x // 2 AS gx,
+         CAST(sum(v) AS BIGINT) AS s
+  FROM px GROUP BY 1, 2, 3
+),
+bits AS (
+  SELECT seed, gy, gx,
+         CASE WHEN s < lead(s) OVER (PARTITION BY seed, gy ORDER BY gx)
+              THEN 1 ELSE 0 END AS bit
+  FROM grid
+),
+hashes AS (
+  SELECT seed,
+         CAST(sum(CASE WHEN gy < 4 AND gx < 8
+                  THEN CAST(bit AS BIGINT) * (CAST(1 AS BIGINT)
+                       << CAST(gy * 8 + gx AS INTEGER))
+                  ELSE 0 END) AS BIGINT) AS phash_lo,
+         CAST(sum(CASE WHEN gy >= 4 AND gx < 8
+                  THEN CAST(bit AS BIGINT) * (CAST(1 AS BIGINT)
+                       << CAST((gy - 4) * 8 + gx AS INTEGER))
+                  ELSE 0 END) AS BIGINT) AS phash_hi
+  FROM bits GROUP BY 1
+),
+hh AS (
+  SELECT phash_hi, phash_lo, CAST(count(*) AS BIGINT) AS n_docs
+  FROM e JOIN hashes USING (seed)
+  GROUP BY 1, 2
+)
+SELECT a.phash_hi AS phash_hi_a, a.phash_lo AS phash_lo_a,
+       b.phash_hi AS phash_hi_b, b.phash_lo AS phash_lo_b,
+       CAST(bit_count(xor(a.phash_lo, b.phash_lo))
+            + bit_count(xor(a.phash_hi, b.phash_hi)) AS INTEGER)
+         AS hamming,
+       a.n_docs AS docs_a, b.n_docs AS docs_b
+FROM hh a JOIN hh b
+  ON (a.phash_hi < b.phash_hi
+      OR (a.phash_hi = b.phash_hi AND a.phash_lo < b.phash_lo))
+WHERE bit_count(xor(a.phash_lo, b.phash_lo))
+      + bit_count(xor(a.phash_hi, b.phash_hi)) <= 3
+"""
+
+QUERIES_R8["phash_near_dups"] = q_phash_near_dups
+ORACLES_R8["phash_near_dups"] = SQL_PHASH_NEAR_DUPS
