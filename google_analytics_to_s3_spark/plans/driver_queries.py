@@ -3034,9 +3034,10 @@ _DRIVER_PRIORITY = [
     "lm_backoff_score", "phash_near_dups",
     # (r8-c) the rows whose latest driver-green evidence is r3 — the
     # oldest CHECKED evidence; they sit after the never-checked r8
-    # registrations (never-checked beats stale-green) and the 12
-    # r8-d entries above push the 50-slot prefix to exactly 1 + 34 +
-    # 12 + 3; scd2_customer_priority overflows to the r9 queue.
+    # registrations (never-checked beats stale-green). With 14 r8-d
+    # entries the 50-slot prefix is 1 + 34 + 14 + tfidf_top_terms;
+    # bm25_search, linear_count_users and scd2_customer_priority
+    # overflow to the r9 queue (all three have green r3 rows).
     "tfidf_top_terms", "bm25_search", "linear_count_users",
     "scd2_customer_priority",
 
