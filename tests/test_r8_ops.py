@@ -259,3 +259,65 @@ class TestDhashImages:
         assert "dhash needs" in rows[1]["decode_error"]
         assert rows[2]["decode_error"] is not None
         assert rows[1]["phash_lo"] is None
+
+
+class TestPhashNearPairs:
+    def test_pigeonhole_recall_at_threshold(self, spark):
+        """hamming <= 3 across 4 bands ALWAYS shares a band (found);
+        4 flipped bits spread one-per-band share none (correctly
+        outside the operator's contract)."""
+        import pandas as pd
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            phash_near_pairs,
+        )
+
+        base_lo, base_hi = 0x12345678, 0x0BCDEF01
+        # 3 bits flipped, one in each of bands 0, 1, 2
+        near_lo = base_lo ^ 0x1 ^ 0x10000
+        near_hi = base_hi ^ 0x1
+        # 4 bits flipped, one per band -> no shared band
+        far_lo = base_lo ^ 0x1 ^ 0x10000
+        far_hi = base_hi ^ 0x1 ^ 0x10000
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "phash_hi": [base_hi, near_hi, far_hi],
+            "phash_lo": [base_lo, near_lo, far_lo],
+            "decode_error": [None, None, None],
+        }))
+        pairs = phash_near_pairs(df, max_hamming=3).collect()
+        keyed = {
+            tuple(sorted([(r["phash_hi_a"], r["phash_lo_a"]),
+                          (r["phash_hi_b"], r["phash_lo_b"])])): r
+            for r in pairs
+        }
+        near_key = tuple(sorted([(base_hi, base_lo),
+                                 (near_hi, near_lo)]))
+        assert near_key in keyed
+        assert keyed[near_key]["hamming"] == 3
+        far_key = tuple(sorted([(base_hi, base_lo), (far_hi, far_lo)]))
+        assert far_key not in keyed  # hamming 4 > threshold
+        # near vs far differ in exactly 1 bit (band 3) -> found
+        nf_key = tuple(sorted([(near_hi, near_lo), (far_hi, far_lo)]))
+        assert nf_key in keyed and keyed[nf_key]["hamming"] == 1
+
+    def test_distinct_hash_grain(self, spark):
+        """Pairwise work runs at distinct-hash grain: 100 docs in two
+        hash classes produce ONE pair row carrying both doc counts."""
+        import pandas as pd
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            phash_near_pairs,
+        )
+
+        rows = {"doc_id": [], "phash_hi": [], "phash_lo": [],
+                "decode_error": []}
+        for i in range(100):
+            rows["doc_id"].append(i)
+            rows["phash_hi"].append(7)
+            rows["phash_lo"].append(0 if i % 2 else 1)
+            rows["decode_error"].append(None)
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        pairs = phash_near_pairs(df, max_hamming=3).collect()
+        assert len(pairs) == 1
+        assert pairs[0]["docs_a"] + pairs[0]["docs_b"] == 100
