@@ -3031,7 +3031,7 @@ _DRIVER_PRIORITY = [
     "phash_dedup", "fdr_screen", "good_turing", "zipf_alpha",
     "burst_detection", "wasserstein_drift", "hourly_seasonality",
     "user_entropy", "flac_decode_stereo", "jpeg_decode_progressive",
-    "lm_backoff_score", "phash_near_dups",
+    "lm_backoff_score", "phash_near_dups", "image_dedup_clusters",
     # (r8-c) the rows whose latest driver-green evidence is r3 — the
     # oldest CHECKED evidence; they sit after the never-checked r8
     # registrations (never-checked beats stale-green). With 14 r8-d

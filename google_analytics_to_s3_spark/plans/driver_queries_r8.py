@@ -809,3 +809,155 @@ WHERE bit_count(xor(a.phash_lo, b.phash_lo))
 
 QUERIES_R8["phash_near_dups"] = q_phash_near_dups
 ORACLES_R8["phash_near_dups"] = SQL_PHASH_NEAR_DUPS
+
+
+# -------------------------------------------------------------------
+# image_dedup_clusters
+# -------------------------------------------------------------------
+
+
+def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END image dedup pipeline in one plan — REAL decode
+    -> perceptual dHash -> banded near-pair search (hash grain) ->
+    star-contraction connected components -> cluster table: each
+    visually-near group of images becomes one cluster with its
+    representative (min encoded hash), hash count and document mass —
+    exactly the text fuzzy_dedup composition, lifted to images. Node
+    ids encode (hi, lo) order-preservingly into SIGNED 64-bit range
+    as (hi - 2^31) * 2^32 + lo — the unsigned hi*2^32 + lo form
+    overflows BIGINT for hi >= 2^31; hashes with no near neighbor
+    are their own singleton cluster. The oracle replays decode arithmetic, brute-force pairs
+    and a recursive min-label closure."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.graph import connected_components_star
+    from ..operators.multimodal import dhash_images, phash_near_pairs
+    from ..testing.fixtures import make_ppm
+
+    from .driver_queries_analytics import _spread
+
+    e = _spread(load_events(spark, sf_dir).select("event_id"), spark)
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_ppm(_PH_W, _PH_H, int(i) % _PH_SEEDS, channels=1)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(
+        _synth, schema="doc_id long, payload binary"
+    )
+    hashed = dhash_images(payloads)
+    hh = (
+        hashed.filter(F.col("decode_error").isNull())
+        .groupBy("phash_hi", "phash_lo")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn(
+            "node",
+            (F.col("phash_hi") - F.lit(1 << 31)) * F.lit(1 << 32)
+            + F.col("phash_lo"),
+        )
+    )
+    pairs = phash_near_pairs(hashed, max_hamming=1).select(
+        ((F.col("phash_hi_a") - F.lit(1 << 31)) * F.lit(1 << 32)
+         + F.col("phash_lo_a")).alias("src"),
+        ((F.col("phash_hi_b") - F.lit(1 << 31)) * F.lit(1 << 32)
+         + F.col("phash_lo_b")).alias("dst"),
+    )
+    labels = connected_components_star(pairs)
+    clustered = hh.join(
+        labels, hh.node == labels.id, "left"
+    ).select(
+        "phash_hi", "phash_lo", "n_docs",
+        F.coalesce(F.col("component"), F.col("node"))
+        .alias("cluster_id"),
+    )
+    sizes = clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_hashes"),
+        F.sum("n_docs").cast("long").alias("cluster_docs"),
+    )
+    return clustered.join(sizes, "cluster_id").select(
+        "phash_hi", "phash_lo", "n_docs", "cluster_id",
+        "cluster_hashes", "cluster_docs",
+    )
+
+
+SQL_IMAGE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE e AS (
+  SELECT event_id, event_id % {_PH_SEEDS} AS seed FROM events
+),
+seeds AS (SELECT DISTINCT seed FROM e),
+px AS (
+  SELECT seed, CAST(y.y AS BIGINT) AS y, CAST(x.x AS BIGINT) AS x,
+         (seed + y.y * 31 + x.x * 7) % 256 AS v
+  FROM seeds,
+       LATERAL (SELECT unnest(range(0, {_PH_H})) AS y) y,
+       LATERAL (SELECT unnest(range(0, {_PH_W})) AS x) x
+),
+grid AS (
+  SELECT seed, y // 2 AS gy, x // 2 AS gx,
+         CAST(sum(v) AS BIGINT) AS s
+  FROM px GROUP BY 1, 2, 3
+),
+bits AS (
+  SELECT seed, gy, gx,
+         CASE WHEN s < lead(s) OVER (PARTITION BY seed, gy ORDER BY gx)
+              THEN 1 ELSE 0 END AS bit
+  FROM grid
+),
+hashes AS (
+  SELECT seed,
+         CAST(sum(CASE WHEN gy < 4 AND gx < 8
+                  THEN CAST(bit AS BIGINT) * (CAST(1 AS BIGINT)
+                       << CAST(gy * 8 + gx AS INTEGER))
+                  ELSE 0 END) AS BIGINT) AS phash_lo,
+         CAST(sum(CASE WHEN gy >= 4 AND gx < 8
+                  THEN CAST(bit AS BIGINT) * (CAST(1 AS BIGINT)
+                       << CAST((gy - 4) * 8 + gx AS INTEGER))
+                  ELSE 0 END) AS BIGINT) AS phash_hi
+  FROM bits GROUP BY 1
+),
+hh AS (
+  SELECT phash_hi, phash_lo,
+         (phash_hi - (CAST(1 AS BIGINT) << 31))
+           * (CAST(1 AS BIGINT) << 32) + phash_lo AS node,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM e JOIN hashes USING (seed)
+  GROUP BY 1, 2, 3
+),
+edges AS (
+  SELECT a.node AS src, b.node AS dst
+  FROM hh a JOIN hh b ON a.node <> b.node
+  WHERE bit_count(xor(a.phash_lo, b.phash_lo))
+        + bit_count(xor(a.phash_hi, b.phash_hi)) <= 1
+),
+reach(id, root) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT ed.dst, r.root FROM reach r JOIN edges ed ON ed.src = r.id
+),
+lab AS (SELECT id, min(root) AS component FROM reach GROUP BY id),
+clustered AS (
+  SELECT hh.phash_hi, hh.phash_lo, hh.n_docs,
+         coalesce(lab.component, hh.node) AS cluster_id
+  FROM hh LEFT JOIN lab ON lab.id = hh.node
+),
+sizes AS (
+  SELECT cluster_id,
+         CAST(count(*) AS BIGINT) AS cluster_hashes,
+         CAST(sum(n_docs) AS BIGINT) AS cluster_docs
+  FROM clustered GROUP BY 1
+)
+SELECT c.phash_hi, c.phash_lo, c.n_docs, c.cluster_id,
+       s.cluster_hashes, s.cluster_docs
+FROM clustered c JOIN sizes s USING (cluster_id)
+"""
+
+QUERIES_R8["image_dedup_clusters"] = q_image_dedup_clusters
+ORACLES_R8["image_dedup_clusters"] = SQL_IMAGE_DEDUP_CLUSTERS
