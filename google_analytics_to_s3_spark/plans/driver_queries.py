@@ -3034,10 +3034,10 @@ _DRIVER_PRIORITY = [
     "lm_backoff_score", "phash_near_dups", "image_dedup_clusters",
     # (r8-c) the rows whose latest driver-green evidence is r3 — the
     # oldest CHECKED evidence; they sit after the never-checked r8
-    # registrations (never-checked beats stale-green). With 14 r8-d
-    # entries the 50-slot prefix is 1 + 34 + 14 + tfidf_top_terms;
-    # bm25_search, linear_count_users and scd2_customer_priority
-    # overflow to the r9 queue (all three have green r3 rows).
+    # registrations (never-checked beats stale-green). With 15 r8-d
+    # entries the 50-slot prefix is exactly 1 + 34 + 15; all four r3
+    # stragglers overflow to the r9 queue (each has a green r3 row,
+    # so nothing never-checked is displaced).
     "tfidf_top_terms", "bm25_search", "linear_count_users",
     "scd2_customer_priority",
 
