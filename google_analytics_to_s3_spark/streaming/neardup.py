@@ -213,3 +213,99 @@ def reference_screen(
         .filter(F.col("jaccard") >= threshold)
         .select(id_col, "ref_id", "jaccard")
     )
+
+
+def build_image_reference_index(
+    reference_payloads: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Banded perceptual-hash index over a standing IMAGE corpus —
+    the static side of :func:`image_reference_screen`: REAL-decode +
+    dHash every reference image (operators/multimodal.dhash_images),
+    collapse to the distinct-hash table, and explode the 64-bit hash
+    into four 16-bit band keys. Persist to parquet once per corpus
+    version (partition by ``band`` so each micro-batch's join prunes
+    to the band partitions it actually touches)."""
+    from ..operators.multimodal import dhash_images
+
+    hashed = (
+        dhash_images(reference_payloads, id_col, payload_col)
+        .filter(F.col("decode_error").isNull())
+        .groupBy("phash_hi", "phash_lo")
+        .agg(F.min(id_col).alias("ref_id"))
+    )
+    bands = []
+    for i, (col, sh) in enumerate([
+        ("phash_lo", 0), ("phash_lo", 16),
+        ("phash_hi", 0), ("phash_hi", 16),
+    ]):
+        bands.append(
+            hashed.select(
+                F.col("ref_id"),
+                F.col("phash_hi").alias("ref_hi"),
+                F.col("phash_lo").alias("ref_lo"),
+                F.lit(i).alias("band"),
+                F.shiftright(F.col(col), sh)
+                .bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            )
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def image_reference_screen(
+    new_payloads: DataFrame,
+    ref_band_index: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Screen arriving IMAGES against a static reference corpus — the
+    perceptual twin of :func:`reference_screen`, stateless by the
+    same design: dHash the micro-batch (Arrow ``mapInPandas`` works
+    unchanged on streaming DataFrames), explode its four band keys,
+    stream-static equi-join the banded index, exact Hamming verify
+    (lossless for ``max_hamming`` < 4 by pigeonhole). Append-mode
+    safe: no watermark, no state store; the identical plan runs
+    batch or streaming. A pair sharing several bands emits once per
+    shared band (identical hamming) — the consumer dedups per
+    micro-batch, same contract as the text screen.
+
+    Emits ``(doc_id, ref_id, hamming)`` per verified near-match."""
+    from ..operators.multimodal import dhash_images
+
+    hashed = dhash_images(new_payloads, id_col, payload_col).filter(
+        F.col("decode_error").isNull()
+    )
+    bands = []
+    for i, (col, sh) in enumerate([
+        ("phash_lo", 0), ("phash_lo", 16),
+        ("phash_hi", 0), ("phash_hi", 16),
+    ]):
+        bands.append(
+            hashed.select(
+                F.col(id_col),
+                F.col("phash_hi").alias("hi"),
+                F.col("phash_lo").alias("lo"),
+                F.lit(i).alias("band"),
+                F.shiftright(F.col(col), sh)
+                .bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    ham = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.col("ref_lo")))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.col("ref_hi")))
+    )
+    return (
+        banded.join(ref_band_index, ["band", "key"])
+        .select(
+            id_col, "ref_id", ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

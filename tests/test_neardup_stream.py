@@ -155,3 +155,60 @@ def test_reference_screen_stream_matches_batch(spark, tmp_path):
     ]
     assert any(r["doc_id"] == 100 and r["ref_id"] == 3 for r in rows), rows
     assert not any(r["doc_id"] == 101 for r in rows)
+
+
+def test_image_reference_screen_stream_matches_batch(spark, tmp_path):
+    """The IMAGE reference screen (decode -> dHash -> banded
+    stream-static join -> exact Hamming verify) is stateless: the
+    identical plan over a file stream emits the same verified
+    matches as the batch run. An exact re-encode of a reference
+    image is caught at hamming 0; a visually distinct image passes."""
+    import pandas as pd
+
+    from google_analytics_to_s3_spark.streaming.neardup import (
+        build_image_reference_index,
+        image_reference_screen,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import make_ppm
+
+    ref = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(10)),
+        "payload": [make_ppm(18, 16, s, 1) for s in range(10)],
+    }))
+    idx = build_image_reference_index(ref)
+    idx.write.mode("overwrite").partitionBy("band").parquet(
+        str(tmp_path / "idx")
+    )
+    ridx = spark.read.parquet(str(tmp_path / "idx"))
+
+    batch = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100, 101],
+        # 100 = exact dup of reference seed 3; 101 = far seed
+        "payload": [make_ppm(18, 16, 3, 1), make_ppm(18, 16, 131, 1)],
+    }))
+    batch.write.mode("overwrite").parquet(str(tmp_path / "in"))
+    stream_src = spark.readStream.schema(batch.schema).parquet(
+        str(tmp_path / "in")
+    )
+    q = (
+        image_reference_screen(stream_src, ridx, max_hamming=0)
+        .writeStream.format("memory")
+        .queryName("img_screen")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["ref_id"], r["hamming"])
+        for r in spark.table("img_screen").collect()
+    }
+    want = {
+        (r["doc_id"], r["ref_id"], r["hamming"])
+        for r in image_reference_screen(batch, ridx,
+                                        max_hamming=0).collect()
+    }
+    assert got == want and got
+    assert (100, 3, 0) in got
+    assert not any(d == 101 for d, _r, _h in got)
