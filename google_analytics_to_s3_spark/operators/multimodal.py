@@ -1837,39 +1837,68 @@ def decode_jpeg_meta(
 
 
 class _FlacBitReader:
+    """Bit reader over the FLAC stream (no byte stuffing, unlike
+    JPEG). Field reads extract whole bit ranges with one
+    ``int.from_bytes`` instead of a per-bit state machine — the
+    entropy decode is bit-serial by nature, so this is the hot path
+    of the whole FLAC pipeline (bench: ~2x on verbatim/warm-up-heavy
+    streams)."""
+
     def __init__(self, raw: bytes, pos: int):
         self.raw = raw
-        self.pos = pos
-        self.n = 0  # bits consumed of raw[pos]
-
-    def bit(self) -> int:
-        if self.pos >= len(self.raw):
-            raise ValueError("FLAC bitstream truncated")
-        b = (self.raw[self.pos] >> (7 - self.n)) & 1
-        self.n += 1
-        if self.n == 8:
-            self.n = 0
-            self.pos += 1
-        return b
+        self.bitpos = pos << 3
+        self._maxbit = len(raw) << 3
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        bp = self.bitpos
+        if bp + k > self._maxbit:
+            raise ValueError("FLAC bitstream truncated")
+        start = bp >> 3
+        end = (bp + k + 7) >> 3
+        chunk = int.from_bytes(self.raw[start:end], "big")
+        shift = ((end - start) << 3) - (bp - (start << 3)) - k
+        self.bitpos = bp + k
+        return (chunk >> shift) & ((1 << k) - 1)
+
+    def bit(self) -> int:
+        bp = self.bitpos
+        if bp >= self._maxbit:
+            raise ValueError("FLAC bitstream truncated")
+        self.bitpos = bp + 1
+        return (self.raw[bp >> 3] >> (7 - (bp & 7))) & 1
 
     def unary(self) -> int:
+        # count leading zero bits; scan within the current byte, then
+        # whole zero bytes, byte-at-a-time
         q = 0
-        while self.bit() == 0:
-            q += 1
+        raw = self.raw
+        bp = self.bitpos
+        while True:
+            if bp >= self._maxbit:
+                raise ValueError("FLAC bitstream truncated")
+            byte = raw[bp >> 3]
+            rem = 8 - (bp & 7)
+            window = byte & ((1 << rem) - 1)
+            if window:
+                lead = rem - window.bit_length()
+                q += lead
+                self.bitpos = bp + lead + 1  # consume the 1 bit
+                if q > 1 << 20:
+                    raise ValueError(
+                        "runaway unary code (corrupt rice data)"
+                    )
+                return q
+            q += rem
+            bp += rem
             if q > 1 << 20:
                 raise ValueError("runaway unary code (corrupt rice data)")
-        return q
+
+    @property
+    def pos(self) -> int:
+        return (self.bitpos + 7) >> 3
 
     def align(self) -> None:
-        if self.n:
-            self.n = 0
-            self.pos += 1
+        self.bitpos = (self.bitpos + 7) & ~7
 
 
 def _flac_crc8(data: bytes) -> int:

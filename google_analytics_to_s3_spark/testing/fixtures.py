@@ -802,18 +802,19 @@ class _BitWriter:
         self.n = 0
 
     def write(self, value: int, bits: int) -> None:
-        for i in range(bits - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.buf.append(self.acc)
-                self.acc = 0
-                self.n = 0
+        # whole-field accumulate (not per-bit): fixture synthesis sits
+        # in the decode driver queries' hot path at sf0.1
+        acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        n = self.n + bits
+        while n >= 8:
+            n -= 8
+            self.buf.append((acc >> n) & 0xFF)
+        self.acc = acc & ((1 << n) - 1)
+        self.n = n
 
     def write_unary(self, q: int) -> None:
-        for _ in range(q):
-            self.write(0, 1)
-        self.write(1, 1)
+        # q zero bits then a 1: value 1 in a (q+1)-bit field
+        self.write(1, q + 1)
 
     def align(self) -> None:
         while self.n:
