@@ -621,6 +621,39 @@ def jpeg_block_plan(seed: int, n_blocks: int) -> list[dict[int, int]]:
     return blocks
 
 
+class _JpegBitWriter:
+    """Entropy bit writer with inline 0xFF byte stuffing — whole-field
+    accumulate (the per-bit list version dominated decode-query
+    synthesis time at sf0.1). Markers are appended to ``out``
+    directly by the caller, so they bypass stuffing."""
+
+    def __init__(self, out: bytearray) -> None:
+        self.out = out
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        acc = (self.acc << length) | (code & ((1 << length) - 1))
+        n = self.n + length
+        out = self.out
+        while n >= 8:
+            n -= 8
+            b = (acc >> n) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        self.acc = acc & ((1 << n) - 1)
+        self.n = n
+
+    def flush(self) -> None:
+        """Pad the pending bits to a byte with 1s (stuffing applies
+        to the padded byte too, per T.81 F.1.2.3)."""
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+
+
+
 def make_jpeg_baseline(
     seed: int, w: int = 16, h: int = 16, channels: int = 1,
     subsampling: str = "444", chroma_dc: "tuple[int, int] | None" = None,
@@ -688,26 +721,11 @@ def make_jpeg_baseline(
         out += bytes([ci + 1, 0x00])
     out += bytes([0, 63, 0])
 
-    bitbuf: list[int] = []  # bits, MSB first
-
-    def put(code: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            bitbuf.append((code >> i) & 1)
-
-    def flush_entropy() -> None:
-        """Pad the pending bits to a byte with 1s, byte-stuff 0xFF,
-        and append to the stream (restart markers and EOI must land
-        OUTSIDE the stuffed entropy bytes)."""
-        while len(bitbuf) % 8:
-            bitbuf.append(1)
-        for i in range(0, len(bitbuf), 8):
-            byte = 0
-            for bit in bitbuf[i:i + 8]:
-                byte = (byte << 1) | bit
-            out.append(byte)
-            if byte == 0xFF:
-                out.append(0x00)
-        bitbuf.clear()
+    _w = _JpegBitWriter(out)
+    put = _w.put
+    # restart markers and EOI must land OUTSIDE the stuffed entropy
+    # bytes: flush pads to a byte boundary first
+    flush_entropy = _w.flush
 
     def size_of(v: int) -> int:
         return abs(v).bit_length()
@@ -1139,23 +1157,9 @@ def make_jpeg_progressive(
                                         cbw * cbh)
             plans.append([cplan, cbw, cbh])
 
-    bitbuf: "list[int]" = []
-
-    def put(code: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            bitbuf.append((code >> i) & 1)
-
-    def flush_entropy() -> None:
-        while len(bitbuf) % 8:
-            bitbuf.append(1)
-        for i in range(0, len(bitbuf), 8):
-            byte = 0
-            for bit in bitbuf[i:i + 8]:
-                byte = (byte << 1) | bit
-            out.append(byte)
-            if byte == 0xFF:
-                out.append(0x00)
-        bitbuf.clear()
+    _w = _JpegBitWriter(out)
+    put = _w.put
+    flush_entropy = _w.flush
 
     def sos_header(comp_ids: "list[int]", ss: int, se: int,
                    ah: int, al_: int) -> None:
