@@ -321,3 +321,24 @@ class TestPhashNearPairs:
         pairs = phash_near_pairs(df, max_hamming=3).collect()
         assert len(pairs) == 1
         assert pairs[0]["docs_a"] + pairs[0]["docs_b"] == 100
+
+
+class TestHistogramQuantilesNulls:
+    def test_nulls_dropped_not_top_binned(self, spark):
+        """ADVICE r7: F.least() skips NULL operands, so NULL values
+        used to land in the TOP bin (least(floor(NULL*...), n-1) =
+        n-1), corrupting counts and estimates. NULLs must be dropped
+        before binning: with 3 real values and 5 NULLs, n_rows is 3
+        and the p50 estimate reflects only the real values."""
+        from google_analytics_to_s3_spark.operators.stats import (
+            histogram_quantiles,
+        )
+
+        rows = [("g", 1.0), ("g", 2.0), ("g", 3.0)] + [("g", None)] * 5
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = histogram_quantiles(df, "v", ["g"], n_bins=4,
+                                  percentiles=(50,))
+        r = out.collect()[0]
+        assert r["n_rows"] == 3
+        # rank ceil(.5*3)=2 -> value 2.0 -> bin floor((2-1)*4/2)=2
+        assert r["bin"] == 2
