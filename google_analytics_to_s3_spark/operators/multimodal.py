@@ -38,7 +38,9 @@ Two tiers of decode honesty:
   query's oracle is exact); r8 adds STEREO (all four channel
   assignments incl. mid/side reconstruction, side subframes at
   bps+1) and REAL LPC subframes (quantized predictor + floor
-  shift, r8). >2 channels / non-16-bit quarantine.
+  shift, r8) + wasted-bits subframes (width-narrowed coding with
+  the shift-back reconstruction, r8). >2 channels / non-16-bit
+  bps quarantine.
 - **Digest stubs** for the remaining compressed formats (MP3/MP4
   need libav / soundfile, which are NOT in this container):
   metadata derives deterministically from the payload's sha256.
@@ -1327,9 +1329,10 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
     grid, and table redefinition between scans. Restart intervals
     (DRI + cycling RSTn markers with predictor/EOB-run resets, T.81
     E.1.4) are supported in both modes. Raises ValueError on
-    malformed input and on the honest unsupported corners (12-bit,
-    lossless/hierarchical/arithmetic SOFs, sampling factors outside
-    1/2/4) so they quarantine cleanly."""
+    malformed input and on the honest unsupported corners (12-bit
+    samples, lossless/hierarchical/arithmetic SOFs, sampling factors
+    outside 1/2/4) so they quarantine cleanly; 16-bit DQT entries
+    (Pq=1) parse per T.81 B.2.4.1."""
     if len(raw) < 4 or raw[0:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload (bad SOI)")
     pos = 2
@@ -1354,16 +1357,24 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
         body = raw[pos + 4:pos + 2 + seglen]
         if len(body) != seglen - 2:
             raise ValueError("truncated JPEG segment")
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (Pq=0: 8-bit entries, Pq=1: 16-bit)
             p = 0
             while p < len(body):
                 pq, tq = body[p] >> 4, body[p] & 15
-                if pq != 0:
-                    raise ValueError("16-bit quant tables not supported")
-                if p + 65 > len(body):
+                if pq not in (0, 1):
+                    raise ValueError(f"invalid DQT precision {pq}")
+                step = 1 + pq
+                if p + 1 + 64 * step > len(body):
                     raise ValueError("truncated DQT")
-                qtables[tq] = list(body[p + 1:p + 65])
-                p += 65
+                if pq == 0:
+                    qtables[tq] = list(body[p + 1:p + 65])
+                else:
+                    qtables[tq] = [
+                        int.from_bytes(body[p + 1 + 2 * i:
+                                            p + 3 + 2 * i], "big")
+                        for i in range(64)
+                    ]
+                p += 1 + 64 * step
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack(">BHHB", body[0:6])
@@ -1963,9 +1974,12 @@ def _flac_subframe(br: "_FlacBitReader", bs: int, bits: int) -> "np.ndarray":
     if br.bit() != 0:
         raise ValueError("subframe sync bit set")
     sf_type = br.bits(6)
-    wasted = br.bit()
-    if wasted:
-        raise ValueError("wasted-bits subframes not supported")
+    wasted = 0
+    if br.bit():  # wasted-bits flag: k >= 1, coded as unary(k - 1)
+        wasted = br.unary() + 1
+        if wasted >= bits:
+            raise ValueError("wasted bits exceed sample width")
+        bits -= wasted
     block = np.empty(bs, dtype=np.int64)
     half = 1 << (bits - 1)
     full = 1 << bits
@@ -2014,7 +2028,7 @@ def _flac_subframe(br: "_FlacBitReader", bs: int, bits: int) -> "np.ndarray":
                 c * int(block[i - j - 1]) for j, c in enumerate(coefs)
             )
             block[i] = pred + res[i - order]
-    elif sf_type >= 0b100000:  # LPC, order = (type & 0x1F) + 1
+    elif sf_type >= 0b100000:  # LPC, order = (sf_type & 0x1F) + 1
         order = (sf_type & 0x1F) + 1
         for i in range(order):
             block[i] = sgn(br.bits(bits))
@@ -2065,7 +2079,9 @@ def _flac_subframe(br: "_FlacBitReader", bs: int, bits: int) -> "np.ndarray":
             block[i] = (acc >> shift) + res[i - order]
     else:
         raise ValueError(f"reserved subframe type {sf_type:#08b}")
-    return block
+    # wasted-bits reconstruction: samples were coded at bits-k and
+    # shift left by k (RFC 9639 §9.2.3)
+    return block << wasted if wasted else block
 
 
 def _parse_flac(raw: bytes) -> tuple[int, int, "np.ndarray"]:

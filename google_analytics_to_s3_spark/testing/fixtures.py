@@ -657,7 +657,7 @@ class _JpegBitWriter:
 def make_jpeg_baseline(
     seed: int, w: int = 16, h: int = 16, channels: int = 1,
     subsampling: str = "444", chroma_dc: "tuple[int, int] | None" = None,
-    restart_interval: int = 0,
+    restart_interval: int = 0, dqt_16bit: bool = False,
 ) -> bytes:
     """Serialize a REAL baseline JPEG (SOI/DQT/SOF0/DHT/SOS,
     huffman-entropy-coded MCUs with per-component DC prediction, 0xFF
@@ -697,9 +697,15 @@ def make_jpeg_baseline(
     ac_codes = _huff_codes(JPEG_AC_BITS, JPEG_AC_VALS)
 
     out = bytearray(b"\xFF\xD8")  # SOI
-    # DQT: table 0, zigzag order (flat, so order is moot)
-    out += b"\xFF\xDB" + _struct.pack(">H", 67) + b"\x00"
-    out += bytes([JPEG_Q] * 64)
+    # DQT: table 0, zigzag order (flat, so order is moot); Pq=1
+    # writes the same values as 16-bit entries (T.81 B.2.4.1)
+    if dqt_16bit:
+        out += b"\xFF\xDB" + _struct.pack(">H", 131) + b"\x10"
+        for _ in range(64):
+            out += _struct.pack(">H", JPEG_Q)
+    else:
+        out += b"\xFF\xDB" + _struct.pack(">H", 67) + b"\x00"
+        out += bytes([JPEG_Q] * 64)
     # SOF0: 8-bit; Y carries the sampling factors, chroma is 1x1
     out += b"\xFF\xC0" + _struct.pack(
         ">HBHHB", 8 + 3 * channels, 8, h, w, channels
@@ -893,21 +899,36 @@ _FIXED_COEFS = {
 
 
 def _flac_write_subframe(
-    body: "_BitWriter", samples: "list[int]", kind: str, bits: int = 16
+    body: "_BitWriter", samples: "list[int]", kind: str, bits: int = 16,
+    wasted: int = 0,
 ) -> None:
     """Emit one subframe at ``bits`` bits/sample (side channels of
-    decorrelated stereo carry bps+1, RFC 9639)."""
+    decorrelated stereo carry bps+1, RFC 9639). ``wasted`` > 0 emits
+    a REAL wasted-bits header (flag 1 + unary(k-1)) and codes
+    ``samples >> wasted`` at ``bits - wasted`` — every sample must be
+    divisible by 2**wasted (the fixture plants scaled rules)."""
+    if wasted:
+        assert all(s_ % (1 << wasted) == 0 for s_ in samples)
+        samples = [s_ >> wasted for s_ in samples]
+        bits -= wasted
     bs = len(samples)
     mask = (1 << bits) - 1
+    def wasted_header() -> None:
+        if wasted:
+            body.write(1, 1)
+            body.write(1, wasted)  # unary(wasted - 1)
+        else:
+            body.write(0, 1)
+
     if kind == "constant":
         body.write(0, 1)  # zero bit
         body.write(0b000000, 6)  # constant subframe
-        body.write(0, 1)  # no wasted bits
+        wasted_header()
         body.write(samples[0] & mask, bits)
     elif kind == "verbatim":
         body.write(0, 1)
         body.write(0b000001, 6)  # verbatim
-        body.write(0, 1)
+        wasted_header()
         for s_ in samples:
             body.write(s_ & mask, bits)
     elif kind == "lpc":
@@ -918,7 +939,7 @@ def _flac_write_subframe(
         order, prec, shift, qcoefs = 2, 5, 1, [3, -1]
         body.write(0, 1)
         body.write(0b100000 | (order - 1), 6)
-        body.write(0, 1)  # no wasted bits
+        wasted_header()
         for s_ in samples[:order]:
             body.write(s_ & mask, bits)
         body.write(prec - 1, 4)
@@ -944,7 +965,7 @@ def _flac_write_subframe(
         order = 2
         body.write(0, 1)
         body.write(0b001000 | order, 6)  # fixed, order
-        body.write(0, 1)
+        wasted_header()
         for s_ in samples[:order]:  # warm-up, unencoded
             body.write(s_ & mask, bits)
         coefs = _FIXED_COEFS[order]
@@ -989,6 +1010,7 @@ def make_flac(
     rice_escape: bool = False,
     channels: int = 1,
     stereo_mode: str = "independent",
+    wasted_bits: int = 0,
 ) -> bytes:
     """Serialize a REAL 16-bit FLAC stream, mono or stereo. Left
     sample i = ``((seed + i*257) % 2001) - 1000`` for fixed/verbatim
@@ -1046,6 +1068,12 @@ def make_flac(
         else:
             left = [sample(pos + i) for i in range(bs)]
             right = [sample_r(pos + i) for i in range(bs)]
+        if wasted_bits:
+            # plant pre-scaled samples so the wasted-bits contract
+            # (divisible by 2**k) holds and decode returns the scaled
+            # values exactly
+            left = [s_ << wasted_bits for s_ in left]
+            right = [s_ << wasted_bits for s_ in right]
 
         hdr = _BitWriter()
         hdr.write(0b11111111111110, 14)  # sync
@@ -1061,23 +1089,24 @@ def make_flac(
         head += bytes([_crc8(head)])
 
         body = _BitWriter()
+        wb = wasted_bits
         if channels == 1:
-            _flac_write_subframe(body, left, kind, 16)
+            _flac_write_subframe(body, left, kind, 16, wb)
         else:
             side = [l_ - r_ for l_, r_ in zip(left, right)]
             mid = [(l_ + r_) >> 1 for l_, r_ in zip(left, right)]
             if stereo_mode == "independent":
-                _flac_write_subframe(body, left, kind, 16)
-                _flac_write_subframe(body, right, kind, 16)
+                _flac_write_subframe(body, left, kind, 16, wb)
+                _flac_write_subframe(body, right, kind, 16, wb)
             elif stereo_mode == "left_side":
-                _flac_write_subframe(body, left, kind, 16)
-                _flac_write_subframe(body, side, kind, 17)
+                _flac_write_subframe(body, left, kind, 16, wb)
+                _flac_write_subframe(body, side, kind, 17, wb)
             elif stereo_mode == "right_side":
-                _flac_write_subframe(body, side, kind, 17)
-                _flac_write_subframe(body, right, kind, 16)
+                _flac_write_subframe(body, side, kind, 17, wb)
+                _flac_write_subframe(body, right, kind, 16, wb)
             else:  # mid_side
-                _flac_write_subframe(body, mid, kind, 16)
-                _flac_write_subframe(body, side, kind, 17)
+                _flac_write_subframe(body, mid, kind, 16, wb)
+                _flac_write_subframe(body, side, kind, 17, wb)
         body.align()
         frame = head + bytes(body.buf)
         frame += _struct.pack(">H", _crc16(frame))

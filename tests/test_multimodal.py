@@ -1201,3 +1201,63 @@ class TestFlacDecode:
         assert "CRC" in rows[3].decode_error
         assert rows[4].decode_error is not None
         assert len(rows) == 4  # quarantine never fails the batch
+
+
+class TestSmallGateClosures:
+    """r8 gate closures: 16-bit DQT entries and FLAC wasted-bits
+    subframes — both decode for real now, pinned exact."""
+
+    def test_16bit_dqt_decodes_identically(self):
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_jpeg,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_jpeg_baseline,
+        )
+
+        for seed in (3, 7, 42):
+            a = _parse_jpeg(make_jpeg_baseline(seed, 16, 16, 3))
+            b = _parse_jpeg(
+                make_jpeg_baseline(seed, 16, 16, 3, dqt_16bit=True)
+            )
+            assert a[:3] == b[:3]
+            assert (a[3] == b[3]).all(), seed
+
+    def test_flac_wasted_bits_reconstruct_scaled_samples(self):
+        """The wasted-bits header (flag + unary(k-1)) narrows the
+        coded sample width by k and the decoder shifts back: planted
+        samples scaled by 2^k round-trip exactly, incl. in stereo
+        subframes at bps+1."""
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_flac,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_flac,
+        )
+
+        def expect_left(seed, n, mult, block_size=512):
+            out = np.empty(n, dtype=np.int64)
+            pos, fno = 0, 0
+            cyc = ("fixed2", "verbatim", "constant")
+            while pos < n:
+                bs = min(block_size, n - pos)
+                if cyc[fno % 3] == "constant":
+                    out[pos:pos + bs] = (seed % 512) * mult
+                else:
+                    i = np.arange(pos, pos + bs)
+                    out[pos:pos + bs] = (
+                        ((seed + i * 257) % 2001) - 1000
+                    ) * mult
+                pos += bs
+                fno += 1
+            return out
+
+        sr, n, s = _parse_flac(make_flac(5, wasted_bits=2))
+        assert (s == expect_left(5, 1200, 4)).all()
+        sr, n, s = _parse_flac(
+            make_flac(9, channels=2, stereo_mode="independent",
+                      wasted_bits=3)
+        )
+        assert (s[:, 0] == expect_left(9, 1200, 8)).all()
