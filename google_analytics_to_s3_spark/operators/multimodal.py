@@ -1994,6 +1994,8 @@ def _flac_subframe(br: "_FlacBitReader", bs: int, bits: int) -> "np.ndarray":
             block[i] = sgn(br.bits(bits))
     elif 0b001000 <= sf_type <= 0b001100:  # FIXED order 0-4
         order = sf_type & 0x07
+        if order > bs:
+            raise ValueError("predictor order exceeds block size")
         for i in range(order):
             block[i] = sgn(br.bits(bits))
         method = br.bits(2)
@@ -2030,6 +2032,8 @@ def _flac_subframe(br: "_FlacBitReader", bs: int, bits: int) -> "np.ndarray":
             block[i] = pred + res[i - order]
     elif sf_type >= 0b100000:  # LPC, order = (sf_type & 0x1F) + 1
         order = (sf_type & 0x1F) + 1
+        if order > bs:
+            raise ValueError("predictor order exceeds block size")
         for i in range(order):
             block[i] = sgn(br.bits(bits))
         prec = br.bits(4)

@@ -912,6 +912,10 @@ def _flac_write_subframe(
         samples = [s_ >> wasted for s_ in samples]
         bits -= wasted
     bs = len(samples)
+    if kind in ("fixed2", "rice_escape", "lpc") and bs <= 2:
+        # a predictor of order 2 is illegal when the (tail) block is
+        # shorter than its warm-up — real encoders fall back too
+        kind = "verbatim"
     mask = (1 << bits) - 1
     def wasted_header() -> None:
         if wasted:
