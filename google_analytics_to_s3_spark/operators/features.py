@@ -362,3 +362,82 @@ def categorical_feature_scores(
             6,
         ).alias("cramers_v"),
     )
+
+
+def trimmed_group_stats(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    group_cols: "tuple[str, ...] | list[str]",
+    trim: float = 0.05,
+    **ranking_kwargs,
+) -> DataFrame:
+    """Exact trimmed and winsorized means per group — the robust
+    location estimates a revenue/latency mart wants when a single
+    whale row shifts the mean (median/MAD covers dispersion;
+    trimming covers the mean itself).
+
+    Cut points are the EXACT SQL-window discrete quantiles at
+    ``trim`` and ``1 - trim`` (value at 1-based rank ceil(q*n) in
+    (value, tie) order) via :func:`..indexing.exact_group_quantile_disc`
+    — no global sort, |groups|-row collects, any data size. The cuts
+    re-enter as a broadcast join on the raw group columns (never a
+    stringified key). Per group:
+
+    - ``trimmed_mean``: mean over rows with lo <= value <= hi;
+    - ``winsor_mean``: mean over ALL rows with value clamped to
+      [lo, hi];
+
+    both as exact integer sums with one double division when
+    ``value_col`` is integral (the repo's cross-engine convention).
+    """
+    from .indexing import exact_group_quantile_disc
+
+    group_cols = list(group_cols)
+    if not 0 < trim < 0.5:
+        raise ValueError(f"trim must be in (0, 0.5), got {trim}")
+    if "known_n" not in ranking_kwargs:
+        ranking_kwargs["known_n"] = df.count()
+    spark = df.sparkSession
+    gtypes = {f.name: f.dataType for f in df.schema.fields}
+    vtype = gtypes[value_col]
+
+    def _small_df(d: dict, out_name: str):
+        from pyspark.sql import types as T
+
+        fields = [T.StructField(g, gtypes[g]) for g in group_cols]
+        fields.append(T.StructField(out_name, vtype))
+        rows = [(*key, val) for key, val in sorted(d.items())]
+        return spark.createDataFrame(rows, T.StructType(fields))
+
+    lo = exact_group_quantile_disc(
+        df, value_col, tie_col, group_cols, trim, **ranking_kwargs
+    )
+    hi = exact_group_quantile_disc(
+        df, value_col, tie_col, group_cols, 1.0 - trim,
+        **ranking_kwargs
+    )
+    v = F.col(value_col)
+    enriched = (
+        df.join(F.broadcast(_small_df(lo, "_lo")), group_cols)
+        .join(F.broadcast(_small_df(hi, "_hi")), group_cols)
+    )
+    kept = (v >= F.col("_lo")) & (v <= F.col("_hi"))
+    clamped = F.greatest(F.col("_lo"), F.least(F.col("_hi"), v))
+    return enriched.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.first("_lo").alias("lo_cut"),
+        F.first("_hi").alias("hi_cut"),
+        F.round(
+            F.sum(v.cast("double")) / F.count(F.lit(1)), 6
+        ).alias("mean"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.round(
+            F.sum(F.when(kept, v).otherwise(F.lit(0)).cast("double"))
+            / F.sum(kept.cast("long")).cast("double"),
+            6,
+        ).alias("trimmed_mean"),
+        F.round(
+            F.sum(clamped.cast("double")) / F.count(F.lit(1)), 6
+        ).alias("winsor_mean"),
+    )

@@ -3032,6 +3032,9 @@ _DRIVER_PRIORITY = [
     "burst_detection", "wasserstein_drift", "hourly_seasonality",
     "user_entropy", "flac_decode_stereo", "jpeg_decode_progressive",
     "lm_backoff_score", "phash_near_dups", "image_dedup_clusters",
+    # trimmed_stats is registered late in r8 (slot 51+): it inherits
+    # the r9 never-checked block by the standing rotation policy
+    "trimmed_stats",
     # (r8-c) the rows whose latest driver-green evidence is r3 — the
     # oldest CHECKED evidence; they sit after the never-checked r8
     # registrations (never-checked beats stale-green). With 15 r8-d

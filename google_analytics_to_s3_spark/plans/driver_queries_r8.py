@@ -961,3 +961,67 @@ FROM clustered c JOIN sizes s USING (cluster_id)
 
 QUERIES_R8["image_dedup_clusters"] = q_image_dedup_clusters
 ORACLES_R8["image_dedup_clusters"] = SQL_IMAGE_DEDUP_CLUSTERS
+
+
+# -------------------------------------------------------------------
+# trimmed_stats
+# -------------------------------------------------------------------
+
+
+def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5%-trimmed and winsorized mean event value per type
+    (operators/features.trimmed_group_stats) — the robust-location
+    companion to robust_outliers, and a second consumer of the
+    bucketed exact-rank machinery: cut points are the value at rank
+    ceil(n/20) / ceil(19n/20) in (cents, event_id) order, never a
+    global sort. Integer cents keep every sum exact."""
+    from ..operators.features import trimmed_group_stats
+
+    e = load_events(spark, sf_dir).select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    ).filter(F.col("cents").isNotNull())
+    return trimmed_group_stats(
+        e, "cents", "event_id", ["event_type"], trim=0.05,
+        cache_input=True,
+    )
+
+
+SQL_TRIMMED_STATS = """
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rnk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+),
+cuts AS (
+  SELECT event_type,
+         min(CASE WHEN rnk = (n + 19) // 20 THEN cents END) AS lo,
+         min(CASE WHEN rnk = (n * 19 + 19) // 20 THEN cents END) AS hi
+  FROM r GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       min(lo) AS lo_cut,
+       min(hi) AS hi_cut,
+       round(CAST(sum(cents) AS DOUBLE) / count(*), 6) AS mean,
+       CAST(sum(CASE WHEN cents BETWEEN lo AND hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       round(CAST(sum(CASE WHEN cents BETWEEN lo AND hi
+                      THEN cents ELSE 0 END) AS DOUBLE)
+             / sum(CASE WHEN cents BETWEEN lo AND hi
+                   THEN 1 ELSE 0 END), 6) AS trimmed_mean,
+       round(CAST(sum(greatest(lo, least(hi, cents))) AS DOUBLE)
+             / count(*), 6) AS winsor_mean
+FROM e JOIN cuts USING (event_type)
+GROUP BY 1
+"""
+
+QUERIES_R8["trimmed_stats"] = q_trimmed_stats
+ORACLES_R8["trimmed_stats"] = SQL_TRIMMED_STATS
