@@ -1212,85 +1212,141 @@ def _jpeg_idct_matrix() -> "np.ndarray":
 
 
 class _JpegBitReader:
-    """MSB-first bit reader over the entropy-coded segment with 0xFF00
-    unstuffing; raises ValueError at markers/EOF inside a block."""
+    """Entropy reader over one scan's coded segment. The constructor
+    PRE-UNSTUFFS: it copies bytes from ``pos`` until the first real
+    marker, dropping 0xFF00 stuffing and recording each RSTn
+    marker's (unstuffed offset, number) — after that, every bit/field
+    read is plain arithmetic over a contiguous buffer (one
+    ``int.from_bytes`` per field, the FLAC-reader shape) and Huffman
+    decoding can peek 16 bits at once for the LUT fast path."""
 
     def __init__(self, raw: bytes, pos: int):
-        self.raw = raw
-        self.pos = pos
-        self.acc = 0
-        self.n = 0
-
-    def bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.raw):
-                raise ValueError("entropy data truncated")
-            b = self.raw[self.pos]
-            self.pos += 1
+        buf = bytearray()
+        marks = []  # (unstuffed_byte_offset, rst_number)
+        i, n = pos, len(raw)
+        while i < n:
+            b = raw[i]
             if b == 0xFF:
-                if self.pos >= len(self.raw):
-                    raise ValueError("entropy data truncated at 0xFF")
-                m = self.raw[self.pos]
+                if i + 1 >= n:
+                    break
+                m = raw[i + 1]
                 if m == 0x00:
-                    self.pos += 1  # stuffed byte
-                else:
-                    raise ValueError(
-                        f"unexpected marker 0xFF{m:02X} inside scan"
-                    )
-            self.acc = b
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+                    buf.append(0xFF)
+                    i += 2
+                    continue
+                if 0xD0 <= m <= 0xD7:
+                    marks.append((len(buf), m - 0xD0))
+                    i += 2
+                    continue
+                break  # a real marker terminates the scan data
+            buf.append(b)
+            i += 1
+        self.buf = bytes(buf)
+        self._marks = marks
+        self._mark_idx = 0
+        self.bitpos = 0
+        self._maxbit = len(buf) << 3
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        bp = self.bitpos
+        if bp + k > self._maxbit:
+            raise ValueError("entropy data truncated")
+        start = bp >> 3
+        end = (bp + k + 7) >> 3
+        chunk = int.from_bytes(self.buf[start:end], "big")
+        shift = ((end - start) << 3) - (bp - (start << 3)) - k
+        self.bitpos = bp + k
+        return (chunk >> shift) & ((1 << k) - 1)
+
+    def bit(self) -> int:
+        bp = self.bitpos
+        if bp >= self._maxbit:
+            raise ValueError("entropy data truncated")
+        self.bitpos = bp + 1
+        return (self.buf[bp >> 3] >> (7 - (bp & 7))) & 1
+
+    def peek16(self) -> "tuple[int, int]":
+        """(next 16 bits MSB-first padded with 1s, bits available)."""
+        bp = self.bitpos
+        avail = self._maxbit - bp
+        if avail <= 0:
+            return 0xFFFF, 0
+        take = 16 if avail >= 16 else avail
+        start = bp >> 3
+        end = (bp + take + 7) >> 3
+        chunk = int.from_bytes(self.buf[start:end], "big")
+        total = (end - start) << 3
+        off = bp - (start << 3)
+        v = (chunk >> (total - off - take)) & ((1 << take) - 1)
+        if take < 16:
+            v = (v << (16 - take)) | ((1 << (16 - take)) - 1)
+        return v, take
+
+    def skip(self, k: int) -> None:
+        self.bitpos += k
 
     def consume_restart(self, n: int) -> None:
         """Byte-align, then consume the expected RSTn marker (T.81
-        E.1.4: restart markers cycle 0xD0..0xD7 and interrupt the
-        entropy stream on byte boundaries; the pad bits before them
-        are discarded)."""
-        self.acc = 0
-        self.n = 0  # drop pad bits of the current byte
-        if self.pos + 2 > len(self.raw):
-            raise ValueError("entropy data truncated at restart")
-        if self.raw[self.pos] != 0xFF or \
-                self.raw[self.pos + 1] != 0xD0 + (n % 8):
+        E.1.4) — recorded during the unstuffing pre-scan, so here we
+        verify the NEXT recorded marker sits exactly at the aligned
+        position and carries the expected cycle number."""
+        self.bitpos = (self.bitpos + 7) & ~7
+        at = self.bitpos >> 3
+        if self._mark_idx >= len(self._marks):
             raise ValueError(
-                f"expected restart marker RST{n % 8} at {self.pos}, "
-                f"got 0x{self.raw[self.pos]:02X}"
-                f"{self.raw[self.pos + 1]:02X}"
+                f"expected restart marker RST{n % 8}, found none"
             )
-        self.pos += 2
+        off, num = self._marks[self._mark_idx]
+        if off != at or num != n % 8:
+            raise ValueError(
+                f"expected restart marker RST{n % 8} at unstuffed "
+                f"offset {at}, got RST{num} at {off}"
+            )
+        self._mark_idx += 1
 
 
-def _jpeg_huff_table(bits: list, vals: list) -> dict:
-    """{(length, code): symbol} canonical table per T.81 C.2."""
-    table = {}
+def _jpeg_huff_table(bits: list, vals: list) -> "list":
+    """16-bit-peek LUT decoder table per T.81 C.2: entry i holds
+    (symbol, code_length) for every 16-bit window whose prefix is
+    that code; length 0 marks invalid prefixes. Built once per
+    DISTINCT (bits, vals) via an LRU cache — real corpora share the
+    Annex-K tables across millions of files, and the fixtures share
+    theirs across every payload in a batch."""
+    return _jpeg_fast_table(tuple(bits), tuple(vals))
+
+
+def _jpeg_fast_table(bits: tuple, vals: tuple) -> "list":
+    import functools
+
+    return _jpeg_fast_table_cached(bits, vals)
+
+
+@__import__("functools").lru_cache(maxsize=64)
+def _jpeg_fast_table_cached(bits: tuple, vals: tuple) -> "list":
+    lut = [(0, 0)] * (1 << 16)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             if k >= len(vals):
                 raise ValueError("DHT counts exceed symbol list")
-            table[(length, code)] = vals[k]
+            base = code << (16 - length)
+            entry = (vals[k], length)
+            for i in range(base, base + (1 << (16 - length))):
+                lut[i] = entry
             code += 1
             k += 1
         code <<= 1
-    return table
+    return lut
 
 
-def _jpeg_huff_decode(reader: _JpegBitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in scan")
+def _jpeg_huff_decode(reader: _JpegBitReader, table: "list") -> int:
+    window, avail = reader.peek16()
+    sym, ln = table[window]
+    if ln == 0 or ln > avail:
+        raise ValueError("invalid or truncated Huffman code in scan")
+    reader.skip(ln)
+    return sym
 
 
 def _jpeg_extend(v: int, size: int) -> int:
