@@ -39,8 +39,9 @@ Two tiers of decode honesty:
   assignments incl. mid/side reconstruction, side subframes at
   bps+1) and REAL LPC subframes (quantized predictor + floor
   shift, r8) + wasted-bits subframes (width-narrowed coding with
-  the shift-back reconstruction, r8). >2 channels / non-16-bit
-  bps quarantine.
+  the shift-back reconstruction, r8) + up to 8 INDEPENDENT
+  channels (r8; decorrelation modes are 2-channel by spec).
+  Non-16-bit bps quarantines.
 - **Digest stubs** for the remaining compressed formats (MP3/MP4
   need libav / soundfile, which are NOT in this container):
   metadata derives deterministically from the payload's sha256.
@@ -2151,8 +2152,9 @@ def _parse_flac(raw: bytes) -> tuple[int, int, "np.ndarray"]:
     side subframes at bps+1, RFC 9639 §9.2.2): returns
     (sample_rate_hz, n_samples, int32 array — shape (n,) mono,
     (n, 2) stereo). Raises ValueError on malformed input and on
-    honest unsupported corners (>2 channels, non-16-bit, CRC
-    mismatches); LPC subframes decode for real (r8)."""
+    honest unsupported corners (non-16-bit bps, CRC mismatches,
+    STREAMINFO/frame channel disagreement); LPC subframes and up
+    to 8 independent channels decode for real (r8)."""
     if len(raw) < 42 or raw[0:4] != b"fLaC":
         raise ValueError("not a FLAC payload (bad magic)")
     pos = 4
@@ -2180,18 +2182,16 @@ def _parse_flac(raw: bytes) -> tuple[int, int, "np.ndarray"]:
     total = (
         (streaminfo[13] & 0x0F) << 32
     ) | int.from_bytes(streaminfo[14:18], "big")
-    if n_channels not in (1, 2):
-        raise ValueError(
-            f"{n_channels}-channel FLAC not supported (mono/stereo "
-            "subset)"
-        )
+    if not 1 <= n_channels <= 8:
+        raise ValueError(f"invalid channel count {n_channels}")
     if bps != 16:
         raise ValueError(f"{bps}-bit FLAC not supported (16-bit subset)")
     if total <= 0:
         raise ValueError("STREAMINFO reports zero samples")
 
     samples = np.empty(
-        (total,) if n_channels == 1 else (total, 2), dtype=np.int32
+        (total,) if n_channels == 1 else (total, n_channels),
+        dtype=np.int32,
     )
     got = 0
     while got < total:
@@ -2207,8 +2207,8 @@ def _parse_flac(raw: bytes) -> tuple[int, int, "np.ndarray"]:
         ss_code = (raw[pos + 3] >> 1) & 0x7
         if ch_code == 0b0000:
             frame_ch, mode = 1, "mono"
-        elif ch_code == 0b0001:
-            frame_ch, mode = 2, "independent"
+        elif ch_code <= 0b0111:  # N independent channels
+            frame_ch, mode = ch_code + 1, "independent"
         elif ch_code == 0b1000:
             frame_ch, mode = 2, "left_side"
         elif ch_code == 0b1001:
@@ -2247,17 +2247,18 @@ def _parse_flac(raw: bytes) -> tuple[int, int, "np.ndarray"]:
         br = _FlacBitReader(raw, pos)
         if mode == "mono":
             block = _flac_subframe(br, bs, 16)
+        elif mode == "independent":
+            block = np.stack(
+                [_flac_subframe(br, bs, 16) for _ in range(frame_ch)],
+                axis=1,
+            )
         else:
             # side subframes carry bps+1 bits (RFC 9639 §9.2.2)
             b0_bits = 17 if mode == "right_side" else 16
-            b1_bits = 16 if mode == "right_side" else (
-                17 if mode in ("left_side", "mid_side") else 16
-            )
+            b1_bits = 16 if mode == "right_side" else 17
             sub0 = _flac_subframe(br, bs, b0_bits)
             sub1 = _flac_subframe(br, bs, b1_bits)
-            if mode == "independent":
-                left, right = sub0, sub1
-            elif mode == "left_side":
+            if mode == "left_side":
                 left = sub0
                 right = sub0 - sub1
             elif mode == "right_side":
@@ -2292,8 +2293,8 @@ def decode_flac_features(
     from STREAMINFO, per-window RMS energy from the losslessly
     reconstructed samples — the same feature contract as
     ``decode_wav_features``, so a curation pipeline treats WAV and
-    FLAC sources identically. Unsupported corners (>2
-    channels, non-16-bit) and corrupt streams (CRC mismatches) quarantine
+    FLAC sources identically. Unsupported corners (non-16-bit
+    bps) and corrupt streams (CRC mismatches) quarantine
     into ``decode_error``."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

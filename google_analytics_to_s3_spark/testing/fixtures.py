@@ -1030,20 +1030,32 @@ def make_flac(
     at 17 bits per RFC 9639)."""
     import struct as _struct
 
-    if channels not in (1, 2):
-        raise ValueError("channels must be 1 or 2")
+    if not 1 <= channels <= 8:
+        raise ValueError("channels must be 1..8")
     modes = {
         "independent": 0b0001, "left_side": 0b1000,
         "right_side": 0b1001, "mid_side": 0b1010,
     }
     if channels == 2 and stereo_mode not in modes:
         raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
+    if channels > 2 and stereo_mode != "independent":
+        raise ValueError(">2 channels are independent-only (spec)")
+
+    # per-channel planted rules: channel c uses seed*(2c+1) with its
+    # own (prime, modulus) pair; c=0 is the WAV rule, c=1 matches the
+    # historical stereo right-channel rule
+    _PRIMES = (257, 181, 163, 149, 139, 127, 113, 109)
+    _MODS = (2001, 1801, 1601, 1401, 1201, 1001, 801, 601)
+
+    def chan_sample(c: int, i: int) -> int:
+        m = _MODS[c]
+        return ((seed * (2 * c + 1) + i * _PRIMES[c]) % m) - (m - 1) // 2
 
     def sample(i: int) -> int:
-        return ((seed + i * 257) % 2001) - 1000
+        return chan_sample(0, i)
 
     def sample_r(i: int) -> int:
-        return ((seed * 3 + i * 181) % 1801) - 900
+        return chan_sample(1, i)
 
     out = bytearray(b"fLaC")
     # STREAMINFO (34 bytes), last-metadata-block flag set
@@ -1067,17 +1079,22 @@ def make_flac(
         if kind == "fixed2" and rice_escape:
             kind = "rice_escape"
         if kind == "constant":
-            left = [seed % 512] * bs
-            right = [(seed * 3) % 512] * bs
+            chans = [
+                [(seed * (2 * c + 1)) % 512] * bs
+                for c in range(max(channels, 2))
+            ]
         else:
-            left = [sample(pos + i) for i in range(bs)]
-            right = [sample_r(pos + i) for i in range(bs)]
+            chans = [
+                [chan_sample(c, pos + i) for i in range(bs)]
+                for c in range(max(channels, 2))
+            ]
+        left, right = chans[0], chans[1]
         if wasted_bits:
             # plant pre-scaled samples so the wasted-bits contract
             # (divisible by 2**k) holds and decode returns the scaled
             # values exactly
-            left = [s_ << wasted_bits for s_ in left]
-            right = [s_ << wasted_bits for s_ in right]
+            chans = [[s_ << wasted_bits for s_ in ch] for ch in chans]
+            left, right = chans[0], chans[1]
 
         hdr = _BitWriter()
         hdr.write(0b11111111111110, 14)  # sync
@@ -1085,7 +1102,12 @@ def make_flac(
         hdr.write(0, 1)  # fixed blocksize stream
         hdr.write(0b0111, 4)   # blocksize: 16 bit at end (bs - 1)
         hdr.write(0b0000, 4)   # sample rate: from STREAMINFO
-        hdr.write(0b0000 if channels == 1 else modes[stereo_mode], 4)
+        if channels == 1:
+            hdr.write(0b0000, 4)
+        elif channels == 2:
+            hdr.write(modes[stereo_mode], 4)
+        else:
+            hdr.write(channels - 1, 4)  # N independent channels
         hdr.write(0b100, 3)    # sample size: 16 bit
         hdr.write(0, 1)        # reserved
         head = bytes(hdr.buf) + _utf8_coded_number(frame_no)
@@ -1096,6 +1118,9 @@ def make_flac(
         wb = wasted_bits
         if channels == 1:
             _flac_write_subframe(body, left, kind, 16, wb)
+        elif channels > 2:
+            for c in range(channels):
+                _flac_write_subframe(body, chans[c], kind, 16, wb)
         else:
             side = [l_ - r_ for l_, r_ in zip(left, right)]
             mid = [(l_ + r_) >> 1 for l_, r_ in zip(left, right)]

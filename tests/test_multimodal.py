@@ -1106,8 +1106,47 @@ class TestFlacStereo:
         )
         assert (s[:, 0] == L).all() and (s[:, 1] == R).all()
 
-    def test_three_channel_still_quarantines(self, spark):
+    def test_multichannel_independent_decodes_exactly(self):
+        """r8: 3-8 INDEPENDENT channels decode for real (channel c
+        plants its own (prime, modulus) rule); a STREAMINFO/frame
+        channel-count mismatch still quarantines."""
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_flac,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_flac
+
+        primes = (257, 181, 163, 149, 139, 127, 113, 109)
+        mods = (2001, 1801, 1601, 1401, 1201, 1001, 801, 601)
+
+        def chan(seed, n, c, bs=512):
+            out = np.empty(n, dtype=np.int64)
+            pos, fno = 0, 0
+            cyc = ("fixed2", "verbatim", "constant")
+            while pos < n:
+                blk = min(bs, n - pos)
+                if cyc[fno % 3] == "constant":
+                    out[pos:pos + blk] = (seed * (2 * c + 1)) % 512
+                else:
+                    i = np.arange(pos, pos + blk)
+                    m = mods[c]
+                    out[pos:pos + blk] = (
+                        (seed * (2 * c + 1) + i * primes[c]) % m
+                    ) - (m - 1) // 2
+                pos += blk
+                fno += 1
+            return out
+
+        for nch in (3, 8):
+            sr, n, s = _parse_flac(make_flac(7, channels=nch))
+            assert s.shape == (1200, nch)
+            for c in range(nch):
+                assert (s[:, c] == chan(7, 1200, c)).all(), (nch, c)
+
+    def test_channel_count_mismatch_quarantines(self, spark):
         import pandas as pd
+        import pytest as _pytest
 
         from google_analytics_to_s3_spark.operators.multimodal import (
             decode_flac_features,
@@ -1116,13 +1155,14 @@ class TestFlacStereo:
 
         raw = bytearray(make_flac(3))
         # STREAMINFO channels-1 lives in byte 12 bits 3-1 (after the
-        # 4-byte magic and 4-byte block header => offset 8 + 12)
-        raw[8 + 12] = (raw[8 + 12] & ~0x0E) | (2 << 1)  # 3 channels
+        # 4-byte magic and 4-byte block header => offset 8 + 12);
+        # forging 3 channels now disagrees with the mono frames
+        raw[8 + 12] = (raw[8 + 12] & ~0x0E) | (2 << 1)
         df = spark.createDataFrame(pd.DataFrame({
             "doc_id": [1], "payload": [bytes(raw)],
         }))
         r = decode_flac_features(df).collect()[0]
-        assert "3-channel" in r["decode_error"]
+        assert "disagrees" in r["decode_error"]
 
 
 class TestFlacDecode:
