@@ -40,8 +40,8 @@ Two tiers of decode honesty:
   bps+1) and REAL LPC subframes (quantized predictor + floor
   shift, r8) + wasted-bits subframes (width-narrowed coding with
   the shift-back reconstruction, r8) + up to 8 INDEPENDENT
-  channels (r8; decorrelation modes are 2-channel by spec).
-  Non-16-bit bps quarantines.
+  channels + 8/12/16/20/24-bit depths (r8; decorrelation modes
+  are 2-channel by spec).
 - **Digest stubs** for the remaining compressed formats (MP3/MP4
   need libav / soundfile, which are NOT in this container):
   metadata derives deterministically from the payload's sha256.
@@ -2152,9 +2152,9 @@ def _parse_flac(raw: bytes) -> tuple[int, int, "np.ndarray"]:
     side subframes at bps+1, RFC 9639 §9.2.2): returns
     (sample_rate_hz, n_samples, int32 array — shape (n,) mono,
     (n, 2) stereo). Raises ValueError on malformed input and on
-    honest unsupported corners (non-16-bit bps, CRC mismatches,
-    STREAMINFO/frame channel disagreement); LPC subframes and up
-    to 8 independent channels decode for real (r8)."""
+    honest unsupported corners (CRC mismatches, STREAMINFO/frame
+    disagreements, reserved codes); LPC subframes, up to 8
+    independent channels and 8-24-bit depths decode for real (r8)."""
     if len(raw) < 42 or raw[0:4] != b"fLaC":
         raise ValueError("not a FLAC payload (bad magic)")
     pos = 4
@@ -2184,8 +2184,8 @@ def _parse_flac(raw: bytes) -> tuple[int, int, "np.ndarray"]:
     ) | int.from_bytes(streaminfo[14:18], "big")
     if not 1 <= n_channels <= 8:
         raise ValueError(f"invalid channel count {n_channels}")
-    if bps != 16:
-        raise ValueError(f"{bps}-bit FLAC not supported (16-bit subset)")
+    if bps not in (8, 12, 16, 20, 24):
+        raise ValueError(f"invalid FLAC bits-per-sample {bps}")
     if total <= 0:
         raise ValueError("STREAMINFO reports zero samples")
 
@@ -2223,8 +2223,14 @@ def _parse_flac(raw: bytes) -> tuple[int, int, "np.ndarray"]:
             raise ValueError(
                 "frame channel assignment disagrees with STREAMINFO"
             )
-        if ss_code != 0b100:
-            raise ValueError("non-16-bit frame not supported")
+        # sample-size code (RFC 9639 frame header): must agree with
+        # STREAMINFO (0b000 = "from STREAMINFO" also accepted)
+        _SS = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24}
+        if ss_code != 0 and _SS.get(ss_code) != bps:
+            raise ValueError(
+                f"frame sample-size code {ss_code:#05b} disagrees "
+                f"with STREAMINFO bps {bps}"
+            )
         pos += 4
         _, pos = _read_utf8_number(raw, pos)
         if bs_code == 0b0110:
@@ -2246,16 +2252,16 @@ def _parse_flac(raw: bytes) -> tuple[int, int, "np.ndarray"]:
 
         br = _FlacBitReader(raw, pos)
         if mode == "mono":
-            block = _flac_subframe(br, bs, 16)
+            block = _flac_subframe(br, bs, bps)
         elif mode == "independent":
             block = np.stack(
-                [_flac_subframe(br, bs, 16) for _ in range(frame_ch)],
+                [_flac_subframe(br, bs, bps) for _ in range(frame_ch)],
                 axis=1,
             )
         else:
             # side subframes carry bps+1 bits (RFC 9639 §9.2.2)
-            b0_bits = 17 if mode == "right_side" else 16
-            b1_bits = 16 if mode == "right_side" else 17
+            b0_bits = bps + 1 if mode == "right_side" else bps
+            b1_bits = bps if mode == "right_side" else bps + 1
             sub0 = _flac_subframe(br, bs, b0_bits)
             sub1 = _flac_subframe(br, bs, b1_bits)
             if mode == "left_side":
@@ -2293,8 +2299,8 @@ def decode_flac_features(
     from STREAMINFO, per-window RMS energy from the losslessly
     reconstructed samples — the same feature contract as
     ``decode_wav_features``, so a curation pipeline treats WAV and
-    FLAC sources identically. Unsupported corners (non-16-bit
-    bps) and corrupt streams (CRC mismatches) quarantine
+    FLAC sources identically. Unsupported corners (corrupt
+    streams) and corrupt streams (CRC mismatches) quarantine
     into ``decode_error``."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -979,13 +979,19 @@ def _flac_write_subframe(
             )
             for i in range(order, bs)
         ]
-        # residual method 0 (4-bit rice), partition order 0
-        body.write(0b00, 2)
+        # residual coding: method 0 (4-bit rice) when the parameter
+        # fits, else method 1 (5-bit rice2 — needed at 24-bit depths)
+        zmax0 = max((2 * r if r >= 0 else -2 * r - 1)
+                    for r in residuals) if residuals else 0
+        param0 = max(0, zmax0.bit_length() - 1)
+        method = 0 if param0 <= 14 else 1
+        pbits = 4 if method == 0 else 5
+        body.write(method, 2)
         body.write(0, 4)  # partition order 0
         if kind == "rice_escape":
             # escape code: raw two's-complement residuals at a
             # fixed width (exercises the decoder's escape branch)
-            body.write(0b1111, 4)
+            body.write((1 << pbits) - 1, pbits)
             width = max(
                 (abs(r) + (r >= 0)).bit_length() + 1
                 for r in residuals
@@ -994,13 +1000,10 @@ def _flac_write_subframe(
             for r in residuals:
                 body.write(r & ((1 << width) - 1), width)
         else:
-            zmax = max((2 * r if r >= 0 else -2 * r - 1)
-                       for r in residuals) if residuals else 0
-            param = max(0, zmax.bit_length() - 1)
-            if param > 14:
+            if param0 > 30:
                 raise ValueError("rice parameter overflow in fixture")
-            body.write(param, 4)
-            _rice_encode(body, residuals, param)
+            body.write(param0, pbits)
+            _rice_encode(body, residuals, param0)
     else:
         raise ValueError(f"unknown fixture subframe kind {kind!r}")
 
@@ -1015,6 +1018,7 @@ def make_flac(
     channels: int = 1,
     stereo_mode: str = "independent",
     wasted_bits: int = 0,
+    bps: int = 16,
 ) -> bytes:
     """Serialize a REAL 16-bit FLAC stream, mono or stereo. Left
     sample i = ``((seed + i*257) % 2001) - 1000`` for fixed/verbatim
@@ -1047,9 +1051,16 @@ def make_flac(
     _PRIMES = (257, 181, 163, 149, 139, 127, 113, 109)
     _MODS = (2001, 1801, 1601, 1401, 1201, 1001, 801, 601)
 
+    if bps not in (8, 16, 24):
+        raise ValueError("fixture bps must be 8, 16 or 24")
+    # depth scaling keeps planted values inside the sample range:
+    # 24-bit scales the 16-bit rules x256, 8-bit divides the modulus
+    bscale = 256 if bps == 24 else 1
+
     def chan_sample(c: int, i: int) -> int:
-        m = _MODS[c]
-        return ((seed * (2 * c + 1) + i * _PRIMES[c]) % m) - (m - 1) // 2
+        m = _MODS[c] if bps != 8 else 201
+        base = ((seed * (2 * c + 1) + i * _PRIMES[c]) % m) - (m - 1) // 2
+        return base * bscale
 
     def sample(i: int) -> int:
         return chan_sample(0, i)
@@ -1066,7 +1077,7 @@ def make_flac(
     si.write(0, 24)  # max frame size unknown
     si.write(sample_rate_hz, 20)
     si.write(channels - 1, 3)
-    si.write(15, 5)  # bits per sample - 1 (16)
+    si.write(bps - 1, 5)
     si.write(n_samples, 36)
     md5 = b"\x00" * 16  # unset (legal: 0 means unknown)
     out += bytes([0x80]) + (34).to_bytes(3, "big") + bytes(si.buf) + md5
@@ -1079,8 +1090,9 @@ def make_flac(
         if kind == "fixed2" and rice_escape:
             kind = "rice_escape"
         if kind == "constant":
+            cmod = 512 if bps != 8 else 100
             chans = [
-                [(seed * (2 * c + 1)) % 512] * bs
+                [((seed * (2 * c + 1)) % cmod) * bscale] * bs
                 for c in range(max(channels, 2))
             ]
         else:
@@ -1108,7 +1120,7 @@ def make_flac(
             hdr.write(modes[stereo_mode], 4)
         else:
             hdr.write(channels - 1, 4)  # N independent channels
-        hdr.write(0b100, 3)    # sample size: 16 bit
+        hdr.write({8: 0b001, 16: 0b100, 24: 0b110}[bps], 3)
         hdr.write(0, 1)        # reserved
         head = bytes(hdr.buf) + _utf8_coded_number(frame_no)
         head += _struct.pack(">H", bs - 1)
@@ -1117,25 +1129,25 @@ def make_flac(
         body = _BitWriter()
         wb = wasted_bits
         if channels == 1:
-            _flac_write_subframe(body, left, kind, 16, wb)
+            _flac_write_subframe(body, left, kind, bps, wb)
         elif channels > 2:
             for c in range(channels):
-                _flac_write_subframe(body, chans[c], kind, 16, wb)
+                _flac_write_subframe(body, chans[c], kind, bps, wb)
         else:
             side = [l_ - r_ for l_, r_ in zip(left, right)]
             mid = [(l_ + r_) >> 1 for l_, r_ in zip(left, right)]
             if stereo_mode == "independent":
-                _flac_write_subframe(body, left, kind, 16, wb)
-                _flac_write_subframe(body, right, kind, 16, wb)
+                _flac_write_subframe(body, left, kind, bps, wb)
+                _flac_write_subframe(body, right, kind, bps, wb)
             elif stereo_mode == "left_side":
-                _flac_write_subframe(body, left, kind, 16, wb)
-                _flac_write_subframe(body, side, kind, 17, wb)
+                _flac_write_subframe(body, left, kind, bps, wb)
+                _flac_write_subframe(body, side, kind, bps + 1, wb)
             elif stereo_mode == "right_side":
-                _flac_write_subframe(body, side, kind, 17, wb)
-                _flac_write_subframe(body, right, kind, 16, wb)
+                _flac_write_subframe(body, side, kind, bps + 1, wb)
+                _flac_write_subframe(body, right, kind, bps, wb)
             else:  # mid_side
-                _flac_write_subframe(body, mid, kind, 16, wb)
-                _flac_write_subframe(body, side, kind, 17, wb)
+                _flac_write_subframe(body, mid, kind, bps, wb)
+                _flac_write_subframe(body, side, kind, bps + 1, wb)
         body.align()
         frame = head + bytes(body.buf)
         frame += _struct.pack(">H", _crc16(frame))

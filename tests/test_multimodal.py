@@ -1301,3 +1301,66 @@ class TestSmallGateClosures:
                       wasted_bits=3)
         )
         assert (s[:, 0] == expect_left(9, 1200, 8)).all()
+
+
+class TestFlacBitDepths:
+    """r8: 8- and 24-bit FLAC decode for real (frame ss_code checked
+    against STREAMINFO; 24-bit residuals force the 5-bit Rice2
+    coding method; stereo side subframes run at bps+1 = 25)."""
+
+    def test_depths_roundtrip_exactly(self):
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_flac,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_flac
+
+        def chan(seed, n, c, bps, bs=512):
+            primes, modsv = (257, 181), (2001, 1801)
+            scale = 256 if bps == 24 else 1
+            m = modsv[c] if bps != 8 else 201
+            cmod = 512 if bps != 8 else 100
+            out = np.empty(n, dtype=np.int64)
+            pos, fno = 0, 0
+            cyc = ("fixed2", "verbatim", "constant")
+            while pos < n:
+                blk = min(bs, n - pos)
+                if cyc[fno % 3] == "constant":
+                    out[pos:pos + blk] = (
+                        (seed * (2 * c + 1)) % cmod
+                    ) * scale
+                else:
+                    i = np.arange(pos, pos + blk)
+                    out[pos:pos + blk] = (
+                        ((seed * (2 * c + 1) + i * primes[c]) % m)
+                        - (m - 1) // 2
+                    ) * scale
+                pos += blk
+                fno += 1
+            return out
+
+        for bps in (8, 24):
+            sr, n, s = _parse_flac(make_flac(7, bps=bps))
+            assert (s == chan(7, 1200, 0, bps)).all(), bps
+        sr, n, s = _parse_flac(
+            make_flac(9, channels=2, stereo_mode="mid_side", bps=24)
+        )
+        assert (s[:, 0] == chan(9, 1200, 0, 24)).all()
+        assert (s[:, 1] == chan(9, 1200, 1, 24)).all()
+
+    def test_sample_size_disagreement_quarantines(self):
+        import pytest as _pytest
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_flac,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_flac
+
+        raw = bytearray(make_flac(3))
+        # first frame header byte 3 carries the sample-size code in
+        # bits 3-1; find the frame sync and flip 16-bit -> 24-bit
+        idx = raw.find(b"\xff\xf8")
+        raw[idx + 3] = (raw[idx + 3] & ~0x0E) | (0b110 << 1)
+        with _pytest.raises(ValueError, match="disagrees|CRC"):
+            _parse_flac(bytes(raw))
