@@ -2991,62 +2991,27 @@ ORACLES["lsh_recall"] = LSH_RECALL_ORACLE_TEMPLATE.format(
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # ---------------- round-8 rotation ----------------
-    # Goal (VERDICT r7 items 1 + 4): this list is now DUPLICATE-FREE
-    # and strictly evidence-age-ordered, rebuilt from the actual
-    # CORRECTNESS_r{1..7}.json records (never-checked first, then
-    # latest-green round ascending). The r7 list physically appended
-    # the 34 r7-continuation registrations at the END, which would
-    # have made the r8 driver re-check rows it just greened; fixed by
-    # construction here.
-    # (r8-a) the one red row: covariance_matrix failed r7 on a
-    # signed-zero canonicalization artifact (DuckDB round() -> -0.0,
-    # Spark BigDecimal round -> 0.0); oracle now appends "+ 0" and
-    # tests/oracle.py preserves -0.0, so this re-check is the proof.
-    "covariance_matrix",
-    # (r8-b) the 34 r7-continuation registrations — never
-    # driver-checked (all locally oracle-green; judge re-verified).
-
-    "did_lift", "heavy_hitters", "dp_release", "ols_regression",
-    "hll_rollup", "ndcg_eval", "label_propagation", "jpeg_decode",
-    "holt_winters", "theil_sen", "offline_policy", "phrase_index_search",
-    "hilbert_keys", "conformal_intervals", "ab_ztest", "neyman_sample",
-    "logrank_test", "mann_whitney", "textrank_keywords",
-    "community_modularity", "l_diversity", "dr_policy", "flac_decode",
-    "als_rank1", "rrf_fusion", "linkage_clusters", "centroid_classify",
-    "ts_decompose", "isotonic_calibration", "eb_smoothing",
-    "forecast_backtest", "cumulative_gains", "frequent_triples",
-    "did_event_study",
-    # (r8-d) queries registered during r8 slot in HERE as they are
-    # added (never-checked beats stale-green), pushing the r4 block
-    # below toward the r9 queue. survival_curve also re-enters here:
-    # its r7 green row was vacuous (0 rows — the day-grain churn
-    # horizon can never fire on this corpus, ADVICE r7) and the
-    # query was rewritten to hour grain, so the old evidence no
-    # longer covers the shipped semantics.
-    "survival_curve", "jpeg_decode_420",
-    # the round-8 batch (driver_queries_r8.py): image perceptual-hash
-    # dedup, BH FDR, vocabulary statistics, burst windows, W1 drift,
-    # seasonality chi2, behavioral entropy
-    "phash_dedup", "fdr_screen", "good_turing", "zipf_alpha",
-    "burst_detection", "wasserstein_drift", "hourly_seasonality",
-    "user_entropy", "flac_decode_stereo", "jpeg_decode_progressive",
-    "lm_backoff_score", "phash_near_dups", "image_dedup_clusters",
-    # trimmed_stats is registered late in r8 (slot 51+): it inherits
-    # the r9 never-checked block by the standing rotation policy
-    "trimmed_stats",
-    # (r8-c) the rows whose latest driver-green evidence is r3 — the
-    # oldest CHECKED evidence; they sit after the never-checked r8
-    # registrations (never-checked beats stale-green). With 15 r8-d
-    # entries the 50-slot prefix is exactly 1 + 34 + 15; all four r3
-    # stragglers overflow to the r9 queue (each has a green r3 row,
-    # so nothing never-checked is displaced).
+    # ---------------- round-9 rotation ----------------
+    # Rebuilt from CORRECTNESS_r{1..8}.json per the r8 verdict (task
+    # 1b): never-checked/red first, then latest-green round ascending,
+    # relative order within a round block preserved. The r8 prefix
+    # (the rows the driver just greened) moves to the END — freshest
+    # evidence, lowest re-check priority.
+    # (r9-a) the three rows without green driver evidence:
+    # trimmed_stats was registered at slot 51 in r8 (never checked);
+    # ts_decompose / cumulative_gains were r8 reds on double/HUGEINT
+    # representation drift (values judge-verified identical) — both
+    # now emit pure BIGINTs (1e6 grid + HUGEINT casts), so this
+    # re-check is the proof the class is dead.
+    "trimmed_stats", "ts_decompose", "cumulative_gains",
+    # (r9-b) queries registered during r9 slot in HERE as they are
+    # added (never-checked beats stale-green), pushing the tail of
+    # the r4 block below toward the r10 queue.
+    # (r9-c) the 4 rows whose latest green is r3 — oldest evidence.
     "tfidf_top_terms", "bm25_search", "linear_count_users",
     "scd2_customer_priority",
-
-    # (r8-e) oldest green evidence: the 50 r4-green rows. The first
-    # ~11 fill the remaining prefix slots; the rest queue for r9.
-
+    # (r9-d) the 50 r4-green rows; the first ~43 fill the remaining
+    # prefix slots, the rest head the r10 queue.
     "pack_sequences", "value_histograms", "part_pagerank", "hll_users",
     "page_path_levels", "envelope_decode", "repetition_signals",
     "bloom_probe", "source_caps", "knn_ivfpq", "action_revenue",
@@ -3060,8 +3025,7 @@ _DRIVER_PRIORITY = [
     "ab_lift", "dq_report", "hopping_distinct", "basket_rules",
     "boilerplate_fraction", "dataset_card", "event_anomalies",
     "session_paths", "shot_boundaries", "url_dedup", "markov_attribution",
-    # (r9-queue) 50 r5-green rows, oldest-first.
-
+    # (r10-queue) 50 r5-green rows, oldest-first.
     "identity_stitching", "user_erasure", "phrase_search", "bootstrap_ci",
     "scd2_asof_enrich", "word_pmi", "item_similarity",
     "cusum_changepoints", "k_anonymity", "seasonal_anomalies",
@@ -3078,8 +3042,7 @@ _DRIVER_PRIORITY = [
     "order_lineitem_left_join", "order_percentiles", "pricing_summary",
     "promo_revenue", "returned_items", "sales_rollup", "shipping_priority",
     "simhash", "simhash_dup_pairs",
-    # (r9-queue) 49 r6-green rows.
-
+    # (r10-queue) 49 r6-green rows.
     "stratified_sample", "string_funcs", "table_profile", "text_quality",
     "text_stats", "token_counts", "volume_shipping", "winnow_fingerprints",
     "winnow_dup_pairs", "sequence_mining", "rfm_segments", "dataset_split",
@@ -3094,24 +3057,38 @@ _DRIVER_PRIORITY = [
     "export_pageviews", "export_events_mart", "export_products",
     "export_transactions", "export_items", "json_props",
     "user_event_arrays",
-    # (freshest) 49 r7-green rows — checked last round, lowest
+    # (queue) 48 r7-green rows.
+    "wav_decode", "robust_outliers", "shapley_attribution",
+    "msprt_monitor", "binary_auc", "calibration_report", "png_decode",
+    "ua_parse_families", "gif_frames", "spatial_radius_pairs",
+    "spatial_nearest", "feature_chi2", "revenue_acf", "benford_dq",
+    "fs_linkage", "ks_drift", "gini_concentration", "holt_forecast",
+    "funnel_conversion", "retention_cohorts", "event_transitions",
+    "pq_codes", "pq_adc_topk", "time_to_conversion", "chunk_documents",
+    "incremental_attribution", "session_window_rollup",
+    "customer_distribution", "top_supplier", "small_qty_revenue",
+    "brand_disjunction_revenue", "sales_opportunity", "knn_components",
+    "knn_components_star", "gap_fill_ffill", "order_rank_stats",
+    "salted_event_totals", "embedding_lsh_pairs", "dedup_keep_best",
+    "events_grouping_sets", "hopping_window", "pii_scan", "quality_filter",
+    "contamination_screen", "lm_typicality", "mixture_sample", "vocab_oov",
+    "curation_pipeline",
+    # (freshest) 48 r8-green rows — checked last round, lowest
     # priority for re-verification.
-
-    "wav_decode", "robust_outliers",
-    "shapley_attribution", "msprt_monitor", "binary_auc",
-    "calibration_report", "png_decode", "ua_parse_families", "gif_frames",
-    "spatial_radius_pairs", "spatial_nearest", "feature_chi2",
-    "revenue_acf", "benford_dq", "fs_linkage", "ks_drift",
-    "gini_concentration", "holt_forecast", "funnel_conversion",
-    "retention_cohorts", "event_transitions", "pq_codes", "pq_adc_topk",
-    "time_to_conversion", "chunk_documents", "incremental_attribution",
-    "session_window_rollup", "customer_distribution", "top_supplier",
-    "small_qty_revenue", "brand_disjunction_revenue", "sales_opportunity",
-    "knn_components", "knn_components_star", "gap_fill_ffill",
-    "order_rank_stats", "salted_event_totals", "embedding_lsh_pairs",
-    "dedup_keep_best", "events_grouping_sets", "hopping_window",
-    "pii_scan", "quality_filter", "contamination_screen", "lm_typicality",
-    "mixture_sample", "vocab_oov", "curation_pipeline",
+    "covariance_matrix", "did_lift", "heavy_hitters", "dp_release",
+    "ols_regression", "hll_rollup", "ndcg_eval", "label_propagation",
+    "jpeg_decode", "holt_winters", "theil_sen", "offline_policy",
+    "phrase_index_search", "hilbert_keys", "conformal_intervals",
+    "ab_ztest", "neyman_sample", "logrank_test", "mann_whitney",
+    "textrank_keywords", "community_modularity", "l_diversity",
+    "dr_policy", "flac_decode", "als_rank1", "rrf_fusion",
+    "linkage_clusters", "centroid_classify", "isotonic_calibration",
+    "eb_smoothing", "forecast_backtest", "frequent_triples",
+    "did_event_study", "survival_curve", "jpeg_decode_420", "phash_dedup",
+    "fdr_screen", "good_turing", "zipf_alpha", "burst_detection",
+    "wasserstein_drift", "hourly_seasonality", "user_entropy",
+    "flac_decode_stereo", "jpeg_decode_progressive", "lm_backoff_score",
+    "phash_near_dups", "image_dedup_clusters",
 ]
 
 

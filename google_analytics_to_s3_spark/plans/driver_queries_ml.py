@@ -668,7 +668,7 @@ rec AS (
          rec.s + rec.b AS pred
   FROM rec JOIN d ON d.rn = rec.rn + 1
 )
-SELECT d.day, 'fit' AS kind, d.cents AS actual,
+SELECT d.day, 'fit' AS kind, CAST(d.cents AS BIGINT) AS actual,
        round(rec.pred, 6) AS predicted
 FROM rec JOIN d ON d.rn = rec.rn
 WHERE rec.rn >= 2
@@ -1261,7 +1261,7 @@ rec AS (
          rec.s + rec.b + rec.cs[1] AS pred
   FROM rec JOIN d ON d.rn = rec.rn + 1
 )
-SELECT d.day, 'fit' AS kind, d.cents AS actual,
+SELECT d.day, 'fit' AS kind, CAST(d.cents AS BIGINT) AS actual,
        round(rec.pred, 6) AS predicted
 FROM rec JOIN d ON d.rn = rec.rn
 WHERE rec.rn > {2 * _HW_M}
@@ -2233,7 +2233,13 @@ def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the theil_sen coefficients, reported grain), day-of-week seasonal
     medians of the detrended series, and the remainder — per day:
     (day, cents, trend, seasonal, remainder). Bounded day series (the
-    CUSUM contract); medians by the theil_sen even/odd rank rule."""
+    CUSUM contract); medians by the theil_sen even/odd rank rule.
+
+    Driver contract (CORRECTNESS_r08): trend/seasonal/remainder are
+    emitted on the 1e6 BIGINT grid (the did_event_study gapq pattern)
+    so the driver hashes pure integers — the r8 red was a double/
+    HUGEINT representation gap, not a value mismatch (Spark and DuckDB
+    agree repr-level at sf0.001/0.01/0.1)."""
     from ..operators.anomaly import theil_sen_trend
 
     e = load_events(spark, sf_dir)
@@ -2272,12 +2278,13 @@ def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "day", "cents",
             F.round(
-                F.col("slope") * F.col("day").cast("double")
-                + F.col("intercept"), 6,
-            ).alias("trend"),
-            F.round("_seasonal", 6).alias("seasonal"),
-            F.round(F.col("_det") - F.col("_seasonal"), 6)
-            .alias("remainder"),
+                (F.col("slope") * F.col("day").cast("double")
+                 + F.col("intercept")) * 1e6
+            ).cast("long").alias("trend"),
+            F.round(F.col("_seasonal") * 1e6).cast("long")
+            .alias("seasonal"),
+            F.round((F.col("_det") - F.col("_seasonal")) * 1e6)
+            .cast("long").alias("remainder"),
         )
         .orderBy("day")
     )
@@ -2338,11 +2345,11 @@ med AS (
   FROM rk WHERE rn * 2 = n OR rn * 2 = n + 1 OR rn * 2 = n + 2
   GROUP BY 1
 )
-SELECT det.day, det.cents,
-       round(det.slope * CAST(det.day AS DOUBLE) + det.intercept, 6)
-         AS trend,
-       round(med.seasonal, 6) AS seasonal,
-       round(det.dt - med.seasonal, 6) AS remainder
+SELECT det.day, CAST(det.cents AS BIGINT) AS cents,
+       CAST(round((det.slope * CAST(det.day AS DOUBLE) + det.intercept)
+                  * 1e6) AS BIGINT) AS trend,
+       CAST(round(med.seasonal * 1e6) AS BIGINT) AS seasonal,
+       CAST(round((det.dt - med.seasonal) * 1e6) AS BIGINT) AS remainder
 FROM det JOIN med USING (dow)
 ORDER BY det.day
 """
@@ -2606,7 +2613,12 @@ def q_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     of all positives captured and the lift vs random targeting — the
     campaign-targeting readout that completes the model-eval family
     (AUC ranks, ECE calibrates, gains TARGETS). Bounded-bin cumulative
-    window over one hash aggregation."""
+    window over one hash aggregation.
+
+    Driver contract (CORRECTNESS_r08): capture/lift emitted on the
+    1e6 BIGINT grid and the cumulative sums cast BIGINT (DuckDB window
+    sum over BIGINT yields HUGEINT) so the driver hashes pure integers
+    — the r8 red was representation drift, values were identical."""
     e = load_events(spark, sf_dir).select(
         (
             F.conv(F.substring(
@@ -2639,12 +2651,12 @@ def q_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = Window.partitionBy(F.lit(1))
     return b.select(
         "decile", "n", "pos",
-        F.sum("n").over(w).alias("cum_n"),
-        F.sum("pos").over(w).alias("cum_pos"),
+        F.sum("n").over(w).cast("long").alias("cum_n"),
+        F.sum("pos").over(w).cast("long").alias("cum_pos"),
         F.round(
             F.sum("pos").over(w).cast("double")
-            / F.sum("pos").over(tot).cast("double"), 6
-        ).alias("capture"),
+            / F.sum("pos").over(tot).cast("double") * 1e6
+        ).cast("long").alias("capture"),
         F.round(
             (
                 F.sum("pos").over(w).cast("double")
@@ -2653,9 +2665,9 @@ def q_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (
                 F.sum("n").over(w).cast("double")
                 / F.sum("n").over(tot).cast("double")
-            ),
-            6,
-        ).alias("lift"),
+            )
+            * 1e6
+        ).cast("long").alias("lift"),
     ).orderBy(F.col("decile").desc())
 
 
@@ -2681,14 +2693,16 @@ b AS (
   FROM l GROUP BY 1
 )
 SELECT decile, n, pos,
-       sum(n) OVER (ORDER BY decile DESC) AS cum_n,
-       sum(pos) OVER (ORDER BY decile DESC) AS cum_pos,
-       round(CAST(sum(pos) OVER (ORDER BY decile DESC) AS DOUBLE)
-             / CAST(sum(pos) OVER () AS DOUBLE), 6) AS capture,
-       round((CAST(sum(pos) OVER (ORDER BY decile DESC) AS DOUBLE)
+       CAST(sum(n) OVER (ORDER BY decile DESC) AS BIGINT) AS cum_n,
+       CAST(sum(pos) OVER (ORDER BY decile DESC) AS BIGINT) AS cum_pos,
+       CAST(round(CAST(sum(pos) OVER (ORDER BY decile DESC) AS DOUBLE)
+             / CAST(sum(pos) OVER () AS DOUBLE) * 1e6) AS BIGINT)
+         AS capture,
+       CAST(round((CAST(sum(pos) OVER (ORDER BY decile DESC) AS DOUBLE)
               / CAST(sum(pos) OVER () AS DOUBLE))
              / (CAST(sum(n) OVER (ORDER BY decile DESC) AS DOUBLE)
-                / CAST(sum(n) OVER () AS DOUBLE)), 6) AS lift
+                / CAST(sum(n) OVER () AS DOUBLE)) * 1e6) AS BIGINT)
+         AS lift
 FROM b ORDER BY decile DESC
 """
 
