@@ -377,7 +377,13 @@ def _benford_sql() -> str:
     )
     branches = " UNION ALL ".join(
         f"SELECT {d} AS digit, CAST(o_{d} AS BIGINT) AS observed, "
-        f"CAST(n AS BIGINT) AS n, {BENFORD_P[d]!r} AS expected_p, "
+        f"CAST(n AS BIGINT) AS n, "
+        # A bare float literal parses as DECIMAL(18,17) in DuckDB (the
+        # r8 representation-drift class), and DECIMAL→DOUBLE rounds
+        # through the scaled integer, flipping the last bit vs the
+        # Python float. Casting the repr STRING uses the exact
+        # string→double parser, bit-identical to the Spark literal.
+        f"CAST('{BENFORD_P[d]!r}' AS DOUBLE) AS expected_p, "
         f"chi2, chi2 > {BENFORD_CRIT_95!r} AS benford_alarm, "
         f"CAST(n_skipped AS BIGINT) AS n_skipped FROM c"
         for d in range(1, 10)
