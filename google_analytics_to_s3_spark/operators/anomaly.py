@@ -416,12 +416,13 @@ def burst_windows(
     (|groups| x |periods| rows, bounded at any SF; the same contract
     as cusum_changepoint).
 
-    The run-merge uses the classic gaps-and-islands key
-    ``t - dense_rank(t)`` over flagged periods only, partitioned by
-    group — no global sort. Output: one row per burst,
-    ``(group, burst_start, burst_end, n_periods, total_events,
-    peak_t, peak_count, baseline_mean)``."""
-    g = F.col(group_col)
+    The run-merge uses the gaps-and-islands key
+    ``t - row_number(t)`` over flagged periods only, partitioned by
+    group — no global sort. Contract: (group, period) rows are UNIQUE
+    and ``t_col`` is an integer period grid (consecutive periods
+    differ by exactly 1), otherwise the island key fragments runs.
+    Output: one row per burst, ``(group, burst_start, burst_end,
+    n_periods, total_events, peak_t, peak_count, baseline_mean)``."""
     stats = series.groupBy(group_col).agg(
         F.avg(F.col(count_col).cast("double")).alias("_mu"),
         F.stddev_pop(F.col(count_col).cast("double")).alias("_sd"),

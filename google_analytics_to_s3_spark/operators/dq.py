@@ -266,6 +266,17 @@ def benford_report(df: DataFrame, amount_col: str) -> DataFrame:
 KS_C95 = 1.358  # Kolmogorov critical coefficient at alpha = 0.05
 
 
+def _finalize_summary(df: DataFrame, pv: DataFrame, result: DataFrame) -> DataFrame:
+    """Materialize a 1-row summary plan and release the per-value
+    histogram cache — returning the lazy plan would leak one cached
+    histogram per invocation across repeated bench passes (the pv
+    persist exists so the subtotal job and the final job observe
+    identical data; after the final row is collected it is dead)."""
+    row = result.first()
+    pv.unpersist()
+    return df.sparkSession.createDataFrame([row], schema=result.schema)
+
+
 def ks_two_sample(
     df: DataFrame,
     value_col: str,
@@ -274,6 +285,22 @@ def ks_two_sample(
     group_b: str,
     buckets: int = 64,
 ) -> DataFrame:
+    """One materialized row — see :func:`_ks_two_sample_lazy` for the
+    algorithm and plan contract."""
+    pv, result = _ks_two_sample_lazy(
+        df, value_col, group_col, group_a, group_b, buckets
+    )
+    return _finalize_summary(df, pv, result)
+
+
+def _ks_two_sample_lazy(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    buckets: int = 64,
+) -> "tuple[DataFrame, DataFrame]":
     """Exact two-sample Kolmogorov-Smirnov drift test on an INTEGER
     value column — the distribution-shape companion to the binned PSI
     report (``psi_report`` sees only bucket masses; KS sees the whole
@@ -365,7 +392,7 @@ def ks_two_sample(
     # math.sqrt, not ** 0.5: pow(x, .5) may differ from sqrt by an ulp
     # and the oracle computes sqrt()
     thresh = KS_C95 * math.sqrt((n_a + n_b) / (n_a * n_b))
-    return best.select(
+    result = best.select(
         F.lit(n_a).cast("long").alias("n_a"),
         F.lit(n_b).cast("long").alias("n_b"),
         F.round(
@@ -379,6 +406,7 @@ def ks_two_sample(
             > F.lit(thresh)
         ).alias("ks_alarm"),
     )
+    return pv, result
 
 
 def wasserstein_two_sample(
@@ -389,6 +417,22 @@ def wasserstein_two_sample(
     group_b: str,
     buckets: int = 64,
 ) -> DataFrame:
+    """One materialized row — see :func:`_wasserstein_two_sample_lazy`
+    for the algorithm and plan contract."""
+    pv, result = _wasserstein_two_sample_lazy(
+        df, value_col, group_col, group_a, group_b, buckets
+    )
+    return _finalize_summary(df, pv, result)
+
+
+def _wasserstein_two_sample_lazy(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    buckets: int = 64,
+) -> "tuple[DataFrame, DataFrame]":
     """Exact two-sample Wasserstein-1 (earth-mover) distance on an
     INTEGER value column — the magnitude companion to ``ks_two_sample``
     (KS reports the worst CDF gap; W1 integrates ALL of it, so a
@@ -485,7 +529,7 @@ def wasserstein_two_sample(
     total = contrib.agg(F.sum("_term").alias("num"))
     span = float(hi - lo) if hi > lo else 1.0
     denom = float(n_a) * float(n_b)
-    return total.select(
+    result = total.select(
         F.lit(n_a).cast("long").alias("n_a"),
         F.lit(n_b).cast("long").alias("n_b"),
         F.round(F.col("num").cast("double") / denom, 6).alias("w1"),
@@ -493,3 +537,4 @@ def wasserstein_two_sample(
             F.col("num").cast("double") / denom / span, 6
         ).alias("w1_normalized"),
     )
+    return pv, result

@@ -1899,8 +1899,10 @@ def decode_jpeg_meta(
 # FLAC is lossless, so decoded samples equal the planted ones EXACTLY
 # — decode oracles are pure integer arithmetic. LPC subframes decode
 # for real as of r8 (quantized-coefficient dot product with the
-# arithmetic floor shift, RFC 9639 §9.2.5); >2-channel and
-# non-16-bit streams stay honestly gated (named errors).
+# arithmetic floor shift, RFC 9639 §9.2.5), as do up to 8 independent
+# channels and 8/12/16/20/24-bit depths and wasted-bits streams; the
+# remaining honest gates (named errors) are depths outside that set
+# (e.g. 32-bit) and reserved channel-assignment/blocksize codes.
 # ---------------------------------------------------------------------------
 
 
@@ -2070,6 +2072,11 @@ def _flac_subframe(br: "_FlacBitReader", bs: int, bits: int) -> "np.ndarray":
             param = br.bits(pbits)
             if param == esc:
                 rawbits = br.bits(5)
+                if rawbits == 0:
+                    # legal escape: 0-bit raw width codes an all-zero
+                    # residual partition (RFC 9639 §9.2.7.2)
+                    res.extend([0] * cnt)
+                    continue
                 for _ in range(cnt):
                     v = br.bits(rawbits)
                     h2 = 1 << (rawbits - 1)
@@ -2120,6 +2127,11 @@ def _flac_subframe(br: "_FlacBitReader", bs: int, bits: int) -> "np.ndarray":
             param = br.bits(pbits)
             if param == esc:
                 rawbits = br.bits(5)
+                if rawbits == 0:
+                    # legal escape: 0-bit raw width codes an all-zero
+                    # residual partition (RFC 9639 §9.2.7.2)
+                    res.extend([0] * cnt)
+                    continue
                 for _ in range(cnt):
                     v = br.bits(rawbits)
                     h2 = 1 << (rawbits - 1)
@@ -2294,14 +2306,15 @@ def decode_flac_features(
     payload_col: str = "payload",
     window_samples: int = 256,
 ) -> DataFrame:
-    """REAL compressed-audio decode for FLAC payloads (mono
-    fixed-predictor subset, ``_parse_flac``): sample rate / duration
-    from STREAMINFO, per-window RMS energy from the losslessly
-    reconstructed samples — the same feature contract as
-    ``decode_wav_features``, so a curation pipeline treats WAV and
-    FLAC sources identically. Unsupported corners (corrupt
-    streams) and corrupt streams (CRC mismatches) quarantine
-    into ``decode_error``."""
+    """REAL compressed-audio decode for FLAC payloads
+    (``_parse_flac``: CONSTANT/VERBATIM/FIXED/LPC subframes, up to 8
+    channels, all four stereo assignments, 8-24-bit depths, wasted
+    bits): sample rate / duration from STREAMINFO, per-window RMS
+    energy from the losslessly reconstructed samples — the same
+    feature contract as ``decode_wav_features``, so a curation
+    pipeline treats WAV and FLAC sources identically. Unsupported
+    corners and corrupt streams (CRC mismatches) quarantine into
+    ``decode_error`` with named messages."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -2127,14 +2127,19 @@ def normal_sf(z: Column) -> Column:
 
 def as_sql_normal_sf(z_expr: str) -> str:
     """The SAME A&S series as ANSI SQL over an expression string —
-    oracle twin of :func:`normal_sf` (keep in lockstep)."""
+    the single oracle twin of :func:`normal_sf` (driver queries must
+    import this, never re-render the series, so the two SQL and one
+    Spark rendering cannot drift). power() is used rather than ``^``
+    so the rendering matches Spark's ``**``-free float arithmetic
+    exactly (fdr_screen is driver-green against this form)."""
     k = f"(1.0 / (1.0 + {_AS_P} * ({z_expr})))"
     poly = (
-        f"({_AS_B[0]} * {k} + {_AS_B[1]} * {k}^2 + {_AS_B[2]} * {k}^3"
-        f" + {_AS_B[3]} * {k}^4 + {_AS_B[4]} * {k}^5)"
+        f"({_AS_B[0]} * {k} + {_AS_B[1]} * power({k}, 2)"
+        f" + {_AS_B[2]} * power({k}, 3) + {_AS_B[3]} * power({k}, 4)"
+        f" + {_AS_B[4]} * power({k}, 5))"
     )
     return (
-        f"(exp(-(({z_expr})^2) / 2.0) / {_SQRT_2PI} * {poly})"
+        f"(exp(-(({z_expr}) * ({z_expr})) / 2.0) / {_SQRT_2PI} * {poly})"
     )
 
 

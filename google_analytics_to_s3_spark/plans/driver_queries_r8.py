@@ -230,15 +230,10 @@ def q_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_normal_sf(z: str) -> str:
-    from ..operators.stats import _AS_B, _AS_P, _SQRT_2PI
+    # single canonical SQL rendering lives next to normal_sf itself
+    from ..operators.stats import as_sql_normal_sf
 
-    k = f"(1.0 / (1.0 + {_AS_P} * ({z})))"
-    poly = (
-        f"({_AS_B[0]} * {k} + {_AS_B[1]} * power({k}, 2)"
-        f" + {_AS_B[2]} * power({k}, 3) + {_AS_B[3]} * power({k}, 4)"
-        f" + {_AS_B[4]} * power({k}, 5))"
-    )
-    return f"(exp(-(({z}) * ({z})) / 2.0) / {_SQRT_2PI} * {poly})"
+    return as_sql_normal_sf(z)
 
 
 def _sql_fdr_screen() -> str:

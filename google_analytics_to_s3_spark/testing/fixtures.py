@@ -912,7 +912,7 @@ def _flac_write_subframe(
         samples = [s_ >> wasted for s_ in samples]
         bits -= wasted
     bs = len(samples)
-    if kind in ("fixed2", "rice_escape", "lpc") and bs <= 2:
+    if kind in ("fixed2", "rice_escape", "escape0", "lpc") and bs <= 2:
         # a predictor of order 2 is illegal when the (tail) block is
         # shorter than its warm-up — real encoders fall back too
         kind = "verbatim"
@@ -965,7 +965,7 @@ def _flac_write_subframe(
             raise ValueError("rice parameter overflow in fixture")
         body.write(param, 4)
         _rice_encode(body, residuals, param)
-    elif kind in ("fixed2", "rice_escape"):  # fixed order 2
+    elif kind in ("fixed2", "rice_escape", "escape0"):  # fixed order 2
         order = 2
         body.write(0, 1)
         body.write(0b001000 | order, 6)  # fixed, order
@@ -988,17 +988,26 @@ def _flac_write_subframe(
         pbits = 4 if method == 0 else 5
         body.write(method, 2)
         body.write(0, 4)  # partition order 0
-        if kind == "rice_escape":
+        if kind in ("rice_escape", "escape0"):
             # escape code: raw two's-complement residuals at a
-            # fixed width (exercises the decoder's escape branch)
+            # fixed width (exercises the decoder's escape branch);
+            # all-zero residuals legally use width 0 and carry NO
+            # payload bits (RFC 9639 §9.2.7.2 — real encoders emit
+            # this for silent/linear partitions)
             body.write((1 << pbits) - 1, pbits)
-            width = max(
-                (abs(r) + (r >= 0)).bit_length() + 1
-                for r in residuals
-            ) if residuals else 2
-            body.write(width, 5)
-            for r in residuals:
-                body.write(r & ((1 << width) - 1), width)
+            if kind == "escape0":
+                assert all(r == 0 for r in residuals), (
+                    "escape0 requires linear planted samples"
+                )
+                body.write(0, 5)
+            else:
+                width = max(
+                    (abs(r) + (r >= 0)).bit_length() + 1
+                    for r in residuals
+                ) if residuals else 2
+                body.write(width, 5)
+                for r in residuals:
+                    body.write(r & ((1 << width) - 1), width)
         else:
             if param0 > 30:
                 raise ValueError("rice parameter overflow in fixture")
@@ -1093,6 +1102,16 @@ def make_flac(
             cmod = 512 if bps != 8 else 100
             chans = [
                 [((seed * (2 * c + 1)) % cmod) * bscale] * bs
+                for c in range(max(channels, 2))
+            ]
+        elif kind == "escape0":
+            # linear-in-block ramp: order-2 fixed residuals are
+            # exactly zero, encoded as a 0-width escape partition
+            # (slope 0 at 8-bit to stay inside the sample range)
+            slope = 0 if bps == 8 else bscale
+            chans = [
+                [(((seed * (2 * c + 1)) % 257) - 128) * bscale
+                 + i * slope for i in range(bs)]
                 for c in range(max(channels, 2))
             ]
         else:

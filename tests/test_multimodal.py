@@ -1205,6 +1205,43 @@ class TestFlacDecode:
         )
         assert (s == self._expected(42, 600)[:600]).all()
 
+    def test_rice_escape_zero_width_partition(self):
+        """RFC 9639 allows a 0-bit raw width for the escape code —
+        an all-zero residual partition with NO payload bits. Real
+        encoders emit it for silent/linear blocks; the decoder must
+        not treat width 0 as an error (pre-fix: ValueError from
+        ``1 << (rawbits - 1)``)."""
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_flac,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_flac
+
+        for seed, n in ((0, 600), (7, 1200), (42, 700)):
+            sr, total, s = _parse_flac(
+                make_flac(seed, n_samples=n, subframe_cycle=("escape0",))
+            )
+            assert (sr, total) == (16000, n)
+            base = (seed % 257) - 128
+            exp = np.concatenate([
+                base + np.arange(min(512, n - p), dtype=np.int64)
+                for p in range(0, n, 512)
+            ])
+            assert (s == exp).all(), (seed, n)
+        # the zero-width path through stereo decorrelation and
+        # wasted-bits reconstruction
+        _, _, s2 = _parse_flac(
+            make_flac(9, n_samples=700, subframe_cycle=("escape0",),
+                      channels=2, stereo_mode="mid_side")
+        )
+        assert s2.shape == (700, 2)
+        _, _, s3 = _parse_flac(
+            make_flac(9, n_samples=700, subframe_cycle=("escape0",),
+                      bps=24, wasted_bits=2)
+        )
+        assert int(s3[1] - s3[0]) == 256 << 2  # scaled linear slope
+
     def test_compression_is_real(self):
         """The fixed-predictor frame Rice-codes below raw PCM size —
         the stream is genuinely compressed, not verbatim-in-disguise."""

@@ -171,12 +171,24 @@ class TestWassersteinBruteForceAndPlan:
         BUCKET (driver-prefix-summed offsets), never a single global
         sort partition. The only SinglePartition exchange in the plan
         is the final 1-row total (map-side partial agg)."""
+        from google_analytics_to_s3_spark.operators.dq import (
+            _wasserstein_two_sample_lazy,
+        )
+
         rows = [(v % 977, "a" if v % 2 else "b") for v in range(4000)]
         df = spark.createDataFrame(rows, "v long, g string")
-        out = wasserstein_two_sample(df, "v", "g", "a", "b", buckets=32)
-        plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "hashpartitioning(_bucket" in plan, plan
-        assert plan.count("Exchange SinglePartition") <= 1, plan
+        # audit the LAZY plan: the public function materializes the
+        # 1-row summary (and unpersists the histogram), so its
+        # returned plan is a literal scan
+        pv, out = _wasserstein_two_sample_lazy(
+            df, "v", "g", "a", "b", buckets=32
+        )
+        try:
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "hashpartitioning(_bucket" in plan, plan
+            assert plan.count("Exchange SinglePartition") <= 1, plan
+        finally:
+            pv.unpersist()
 
 
 class TestGoodTuring:

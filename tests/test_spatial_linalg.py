@@ -418,20 +418,28 @@ def test_ks_raises_on_empty_group(spark):
 
 
 def test_ks_plan_has_no_single_partition_sort(spark):
-    from google_analytics_to_s3_spark.operators.dq import ks_two_sample
+    from google_analytics_to_s3_spark.operators.dq import (
+        _ks_two_sample_lazy,
+    )
 
     rows = [(v % 97, "a" if v % 2 else "b") for v in range(500)]
     df = spark.createDataFrame(rows, "v long, g string")
-    out = ks_two_sample(df, "v", "g", "a", "b", buckets=8)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    # the cumulative window must sort WITHIN bucket partitions only; a
-    # global sort renders as "Sort [...], true". (The one
-    # SinglePartition exchange in the plan is the final scalar
-    # max-aggregate — one partial row per partition, scale-safe.)
-    for line in plan.splitlines():
-        if "Sort [" in line:
-            assert "], true," not in line, line
-    assert plan.count("SinglePartition") == 1
+    # audit the LAZY plan: the public function materializes the 1-row
+    # summary (and unpersists the histogram), so its returned plan is
+    # a literal scan
+    pv, out = _ks_two_sample_lazy(df, "v", "g", "a", "b", buckets=8)
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the cumulative window must sort WITHIN bucket partitions
+        # only; a global sort renders as "Sort [...], true". (The one
+        # SinglePartition exchange in the plan is the final scalar
+        # max-aggregate — one partial row per partition, scale-safe.)
+        for line in plan.splitlines():
+            if "Sort [" in line:
+                assert "], true," not in line, line
+        assert plan.count("SinglePartition") == 1
+    finally:
+        pv.unpersist()
 
 
 def test_gini_extremes(spark):
