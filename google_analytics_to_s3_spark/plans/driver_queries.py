@@ -2877,6 +2877,10 @@ from .driver_queries_r8 import (  # noqa: E402
     ORACLES_R8,
     QUERIES_R8,
 )
+from .driver_queries_r9 import (  # noqa: E402
+    ORACLES_R9,
+    QUERIES_R9,
+)
 
 QUERIES.update(QUERIES_ENRICH)
 QUERIES.update(QUERIES_IDENTITY)
@@ -2887,6 +2891,7 @@ QUERIES.update(QUERIES_CURATION)
 QUERIES.update(QUERIES_ANALYTICS)
 QUERIES.update(QUERIES_ML)
 QUERIES.update(QUERIES_R8)
+QUERIES.update(QUERIES_R9)
 
 ORACLES: dict[str, str] = {
     "sessionize_flags": SQL_SESSIONIZE_FLAGS,
@@ -2965,6 +2970,7 @@ ORACLES.update(ORACLES_CURATION)
 ORACLES.update(ORACLES_ANALYTICS)
 ORACLES.update(ORACLES_ML)
 ORACLES.update(ORACLES_R8)
+ORACLES.update(ORACLES_R9)
 # fill the lsh_recall oracle template with the shared MinHash CTE chain
 # (defined above; kept in one copy so k/bands changes cannot diverge)
 from .driver_queries_analytics import (  # noqa: E402
@@ -3007,6 +3013,7 @@ _DRIVER_PRIORITY = [
     # (r9-b) queries registered during r9 slot in HERE as they are
     # added (never-checked beats stale-green), pushing the tail of
     # the r4 block below toward the r10 queue.
+    "flac_decode_lpc",
     # (r9-c) the 4 rows whose latest green is r3 — oldest evidence.
     "tfidf_top_terms", "bm25_search", "linear_count_users",
     "scd2_customer_priority",

@@ -897,6 +897,18 @@ _FIXED_COEFS = {
     4: [4, -6, 4, -1],
 }
 
+# LPC subframe presets: (order, precision_bits, shift, qcoefs,
+# rice_partition_order). lpc is the historical order-2 smooth
+# predictor; lpc4/lpc8 use sign-varying coefficient histories in the
+# shape a real `flac -8` analysis produces (|c| < 2**(prec-1)), and
+# lpc8 also exercises Rice partition order 2 (4 partitions per
+# block, each with its own parameter).
+_LPC_PRESETS = {
+    "lpc": (2, 5, 1, [3, -1], 0),
+    "lpc4": (4, 6, 2, [7, -6, 2, -1], 1),
+    "lpc8": (8, 7, 5, [26, -39, 42, -38, 28, -17, 8, -2], 2),
+}
+
 
 def _flac_write_subframe(
     body: "_BitWriter", samples: "list[int]", kind: str, bits: int = 16,
@@ -912,7 +924,7 @@ def _flac_write_subframe(
         samples = [s_ >> wasted for s_ in samples]
         bits -= wasted
     bs = len(samples)
-    if kind in ("fixed2", "rice_escape", "escape0", "lpc") and bs <= 2:
+    if kind in ("fixed2", "rice_escape", "escape0") and bs <= 2:
         # a predictor of order 2 is illegal when the (tail) block is
         # shorter than its warm-up — real encoders fall back too
         kind = "verbatim"
@@ -935,12 +947,24 @@ def _flac_write_subframe(
         wasted_header()
         for s_ in samples:
             body.write(s_ & mask, bits)
-    elif kind == "lpc":
-        # REAL LPC subframe: order-2 quantized predictor qcoefs
-        # [3, -1] at precision 5, shift 1 (pred ~ 1.5*prev -
-        # 0.5*prev2) — residual = sample - (dot >> shift), the
-        # decoder must replay the floor shift exactly
-        order, prec, shift, qcoefs = 2, 5, 1, [3, -1]
+    elif kind in _LPC_PRESETS:
+        # REAL LPC subframe with quantized predictor coefficients —
+        # residual = sample - (dot >> shift), the decoder must replay
+        # the arithmetic floor shift exactly (RFC 9639 §9.2.5).
+        # Presets: order-2 smooth, order-4 and order-8 with
+        # SIGN-VARYING coefficient histories (the flac -8 shape),
+        # optionally with Rice partition order > 0 so the
+        # multi-partition residual path is exercised.
+        order, prec, shift, qcoefs, part_order = _LPC_PRESETS[kind]
+        if bs <= order:
+            # tail block shorter than the warm-up: encode verbatim
+            # (mirrors the fixed2 fallback above)
+            body.write(0, 1)
+            body.write(0b000001, 6)
+            wasted_header()
+            for s_ in samples:
+                body.write(s_ & mask, bits)
+            return
         body.write(0, 1)
         body.write(0b100000 | (order - 1), 6)
         wasted_header()
@@ -956,15 +980,36 @@ def _flac_write_subframe(
             ) >> shift)
             for i in range(order, bs)
         ]
-        body.write(0b00, 2)
-        body.write(0, 4)  # partition order 0
-        zmax = max((2 * r if r >= 0 else -2 * r - 1)
-                   for r in residuals) if residuals else 0
-        param = max(0, zmax.bit_length() - 1)
-        if param > 14:
-            raise ValueError("rice parameter overflow in fixture")
-        body.write(param, 4)
-        _rice_encode(body, residuals, param)
+        if bs % (1 << part_order) or bs // (1 << part_order) <= order:
+            part_order = 0  # tail blocks fall back to one partition
+        n_parts = 1 << part_order
+
+        def _split():
+            taken = 0
+            for p in range(n_parts):
+                cnt = bs // n_parts - (order if p == 0 else 0)
+                yield residuals[taken:taken + cnt]
+                taken += cnt
+
+        def _param(part):
+            zmax = max((2 * r if r >= 0 else -2 * r - 1)
+                       for r in part) if part else 0
+            return max(0, zmax.bit_length() - 1)
+
+        # method 0 (4-bit rice) when every partition's parameter
+        # fits, else method 1 (5-bit rice2 — 24-bit depths need it)
+        method = 0 if max(
+            (_param(p_) for p_ in _split()), default=0
+        ) <= 14 else 1
+        pbits = 4 if method == 0 else 5
+        body.write(method, 2)
+        body.write(part_order, 4)
+        for part in _split():
+            param = _param(part)
+            if param > 30:
+                raise ValueError("rice parameter overflow in fixture")
+            body.write(param, pbits)
+            _rice_encode(body, part, param)
     elif kind in ("fixed2", "rice_escape", "escape0"):  # fixed order 2
         order = 2
         body.write(0, 1)

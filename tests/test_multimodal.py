@@ -1106,6 +1106,64 @@ class TestFlacStereo:
         )
         assert (s[:, 0] == L).all() and (s[:, 1] == R).all()
 
+    def test_lpc_order4_order8_decode_exactly(self):
+        """r9: LPC orders 4 and 8 with SIGN-VARYING quantized
+        coefficient sets (the `flac -8` shape: [7,-6,2,-1]/2^2 and
+        [26,-39,42,-38,28,-17,8,-2]/2^5) decode sample-exact, and
+        lpc4/lpc8 carry Rice partition orders 1/2 — the first
+        coverage of the multi-partition residual path (per-partition
+        parameters, first partition short by `order`, RFC 9639
+        §9.2.7). 24-bit lpc8 residuals exceed the 4-bit parameter
+        range and must select coding method 1 (rice2)."""
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_flac,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_flac
+
+        def left(seed, n, cycle, block_size=512):
+            out = np.empty(n, dtype=np.int64)
+            pos, fno = 0, 0
+            while pos < n:
+                bs = min(block_size, n - pos)
+                if cycle[fno % len(cycle)] == "constant":
+                    out[pos:pos + bs] = seed % 512
+                else:
+                    i = np.arange(pos, pos + bs)
+                    out[pos:pos + bs] = ((seed + i * 257) % 2001) - 1000
+                pos += bs
+                fno += 1
+            return out
+
+        for cyc in (("lpc4",), ("lpc8",), ("lpc4", "lpc8", "lpc")):
+            for seed, n in ((0, 800), (7, 2400), (999, 515)):
+                sr, total, s = _parse_flac(
+                    make_flac(seed, n_samples=n, subframe_cycle=cyc)
+                )
+                assert (s == left(seed, n, cyc)).all(), (cyc, seed, n)
+        # high-order LPC through stereo decorrelation and 24-bit
+        # (method-1 rice2 parameters) and wasted-bits reconstruction
+        _, _, s2 = _parse_flac(
+            make_flac(13, channels=2, stereo_mode="mid_side",
+                      subframe_cycle=("lpc8", "lpc4"))
+        )
+        L = left(13, 1200, ("lpc8", "lpc4"))
+        R = np.array(
+            [((13 * 3 + i * 181) % 1801) - 900 for i in range(1200)]
+        )
+        assert (s2[:, 0] == L).all() and (s2[:, 1] == R).all()
+        _, _, s3 = _parse_flac(
+            make_flac(5, n_samples=1100, subframe_cycle=("lpc8",),
+                      bps=24)
+        )
+        assert (s3 == left(5, 1100, ("lpc8",)) * 256).all()
+        _, _, s4 = _parse_flac(
+            make_flac(5, n_samples=1100, subframe_cycle=("lpc4",),
+                      wasted_bits=3)
+        )
+        assert (s4 == left(5, 1100, ("lpc4",)) << 3).all()
+
     def test_multichannel_independent_decodes_exactly(self):
         """r8: 3-8 INDEPENDENT channels decode for real (channel c
         plants its own (prime, modulus) rule); a STREAMINFO/frame
