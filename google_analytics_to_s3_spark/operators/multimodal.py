@@ -536,18 +536,57 @@ WAV_FEATURE_SCHEMA = StructType(
         StructField("duration_ms", LongType()),
         StructField("n_windows", IntegerType()),
         StructField("rms_windows", ArrayType(DoubleType())),
+        # exact per-window sum of squared samples: the integer twin
+        # of rms_windows — driver oracles read THIS (a rounded-RMS
+        # double can tie-break differently across engines at .6f
+        # precision on 24-bit magnitudes)
+        StructField("energy_windows", ArrayType(LongType())),
         StructField("decode_error", StringType()),
     ]
 )
 
 
-def _parse_wav_pcm16(raw: bytes) -> tuple[int, "np.ndarray"]:
-    """Parse a RIFF/WAVE container with 16-bit PCM mono samples:
-    returns (sample_rate_hz, int16 sample array). Walks the chunk list
-    properly (fmt / data in any order, unknown chunks skipped)."""
+def _mulaw_expand(codes: "np.ndarray") -> "np.ndarray":
+    """G.711 mu-law byte -> 16-bit linear, the exact closed-form
+    expansion (ITU-T G.711; bias 0x84): complement the code, shift
+    the mantissa into place under the bias, scale by the segment,
+    remove the bias with the sign."""
+    u = (~codes.astype(np.int64)) & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t = t << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84)
+
+
+def _alaw_expand(codes: "np.ndarray") -> "np.ndarray":
+    """G.711 A-law byte -> 16-bit linear, the exact closed-form
+    expansion (ITU-T G.711; even-bit inversion 0x55): segment 0 is
+    linear, higher segments shift the 0x108-offset mantissa."""
+    a = codes.astype(np.int64) ^ 0x55
+    seg = (a & 0x70) >> 4
+    mant = (a & 0x0F) << 4
+    t = np.where(
+        seg == 0, mant + 8,
+        (mant + 0x108) << np.maximum(seg - 1, 0),
+    )
+    return np.where(a & 0x80, t, -t)
+
+
+def _parse_wav(raw: bytes) -> tuple[int, "np.ndarray"]:
+    """Parse a RIFF/WAVE container with mono samples: returns
+    (sample_rate_hz, int64 sample array). Walks the chunk list
+    properly (fmt / data in any order, unknown chunks skipped).
+
+    Formats decoded for real (r9): PCM (fmt 1) at 8 (unsigned,
+    offset 128), 16, 24 (packed 3-byte LE) and 32 bits, and the
+    G.711 companded telephony formats mu-law (fmt 7) and A-law
+    (fmt 6) via the exact closed-form expansions — all integer, so
+    decode oracles replay them exactly. Honest gates (named errors):
+    other format tags (IEEE float 3, extensible 0xFFFE, ADPCM) and
+    multi-channel streams."""
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, rate, samples = 12, None, None
+    pos, rate, data = 12, None, None
+    fmt = bits = None
     while pos + 8 <= len(raw):
         cid = raw[pos : pos + 4]
         (size,) = struct.unpack_from("<I", raw, pos + 4)
@@ -559,21 +598,62 @@ def _parse_wav_pcm16(raw: bytes) -> tuple[int, "np.ndarray"]:
                 )
             fmt, n_ch, rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
-            if fmt != 1 or n_ch != 1 or bits != 16:
+            if n_ch != 1:
+                raise ValueError(f"only mono supported (ch={n_ch})")
+            if fmt == 1:
+                if bits not in (8, 16, 24, 32):
+                    raise ValueError(
+                        f"PCM bit depth {bits} not supported "
+                        "(8/16/24/32)"
+                    )
+            elif fmt in (6, 7):
+                if bits != 8:
+                    raise ValueError(
+                        f"G.711 requires 8-bit codes, got {bits}"
+                    )
+            else:
                 raise ValueError(
-                    f"only PCM16 mono supported (fmt={fmt}, ch={n_ch}, "
-                    f"bits={bits})"
+                    f"WAV format tag {fmt} not supported "
+                    "(PCM=1, A-law=6, mu-law=7)"
                 )
             if rate <= 0:
                 raise ValueError(f"invalid sample rate {rate}")
         elif cid == b"data":
-            samples = np.frombuffer(
-                body[: len(body) - (len(body) % 2)], dtype="<i2"
-            )
+            data = body
         pos += 8 + size + (size % 2)  # chunks are word-aligned
-    if rate is None or samples is None:
+    if rate is None or data is None:
         raise ValueError("missing fmt or data chunk")
+    if fmt == 1 and bits == 16:
+        samples = np.frombuffer(
+            data[: len(data) - (len(data) % 2)], dtype="<i2"
+        ).astype(np.int64)
+    elif fmt == 1 and bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(
+            np.int64
+        ) - 128
+    elif fmt == 1 and bits == 24:
+        usable = len(data) - (len(data) % 3)
+        b = np.frombuffer(data[:usable], dtype=np.uint8).reshape(-1, 3)
+        v = (
+            b[:, 0].astype(np.int64)
+            | (b[:, 1].astype(np.int64) << 8)
+            | (b[:, 2].astype(np.int64) << 16)
+        )
+        samples = np.where(v >= 1 << 23, v - (1 << 24), v)
+    elif fmt == 1 and bits == 32:
+        samples = np.frombuffer(
+            data[: len(data) - (len(data) % 4)], dtype="<i4"
+        ).astype(np.int64)
+    elif fmt == 7:
+        samples = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+    else:  # fmt == 6
+        samples = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
     return rate, samples
+
+
+# historical name: the decoder began as a PCM16-only parser; callers
+# and tests still reference it
+_parse_wav_pcm16 = _parse_wav
 
 
 def decode_wav_features(
@@ -582,37 +662,42 @@ def decode_wav_features(
     payload_col: str = "payload",
     window_samples: int = 256,
 ) -> DataFrame:
-    """REAL audio decode for PCM16 WAV payloads: sample rate and
-    duration from the parsed container, per-window RMS energy from the
-    samples (BIGINT sum of squares → one sqrt per window, round(6)) —
-    the energy envelope a speech-data curation pass filters on.
-    Malformed payloads land in ``decode_error``; the feature array
-    feeds the existing embedding operators unchanged."""
+    """REAL audio decode for WAV payloads (``_parse_wav``: PCM
+    8/16/24/32-bit plus G.711 mu-law/A-law telephony codes): sample
+    rate and duration from the parsed container, per-window RMS
+    energy from the decoded integer samples (BIGINT sum of squares →
+    one sqrt per window, round(6)) — the energy envelope a
+    speech-data curation pass filters on. Malformed payloads land in
+    ``decode_error``; the feature array feeds the existing embedding
+    operators unchanged."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in (
                 "doc_id", "sample_rate_hz", "n_samples", "duration_ms",
-                "n_windows", "rms_windows", "decode_error")}
+                "n_windows", "rms_windows", "energy_windows",
+                "decode_error")}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 out["doc_id"].append(doc_id)
                 try:
                     rate, samples = _parse_wav_pcm16(bytes(payload))
                     n = len(samples)
-                    wins = []
+                    wins, energies = [], []
                     for i in range(0, n, window_samples):
                         w = samples[i : i + window_samples].astype(
                             np.int64
                         )
+                        sq = int((w * w).sum())
+                        energies.append(sq)
                         wins.append(
-                            round(float(np.sqrt((w * w).sum() / len(w))),
-                                  6)
+                            round(float(np.sqrt(sq / len(w))), 6)
                         )
                     out["sample_rate_hz"].append(rate)
                     out["n_samples"].append(n)
                     out["duration_ms"].append(n * 1000 // rate)
                     out["n_windows"].append(len(wins))
                     out["rms_windows"].append(wins)
+                    out["energy_windows"].append(energies)
                     out["decode_error"].append(None)
                 # struct.error covers unpack_from on payloads shorter
                 # than an advertised chunk; the parser validates rate>0
@@ -625,6 +710,7 @@ def decode_wav_features(
                     out["duration_ms"].append(None)
                     out["n_windows"].append(None)
                     out["rms_windows"].append(None)
+                    out["energy_windows"].append(None)
                     out["decode_error"].append(str(e))
             yield pd.DataFrame({
                 "doc_id": pd.Series(out["doc_id"], dtype="int64"),
@@ -636,6 +722,8 @@ def decode_wav_features(
                 "n_windows": pd.Series(out["n_windows"], dtype="Int32"),
                 "rms_windows": pd.Series(out["rms_windows"],
                                          dtype=object),
+                "energy_windows": pd.Series(out["energy_windows"],
+                                            dtype=object),
                 "decode_error": pd.Series(out["decode_error"],
                                           dtype=object),
             })
@@ -2320,27 +2408,30 @@ def decode_flac_features(
         for pdf in batches:
             out = {k: [] for k in (
                 "doc_id", "sample_rate_hz", "n_samples", "duration_ms",
-                "n_windows", "rms_windows", "decode_error")}
+                "n_windows", "rms_windows", "energy_windows",
+                "decode_error")}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 out["doc_id"].append(doc_id)
                 try:
                     rate, n, samples = _parse_flac(bytes(payload))
-                    wins = []
+                    wins, energies = [], []
                     for i in range(0, n, window_samples):
                         w = samples[i: i + window_samples].astype(
                             np.int64
                         )
                         # w.size, not len(w): stereo windows RMS over
                         # both channels' samples (mono unchanged)
+                        sq = int((w * w).sum())
+                        energies.append(sq)
                         wins.append(
-                            round(float(np.sqrt((w * w).sum() / w.size)),
-                                  6)
+                            round(float(np.sqrt(sq / w.size)), 6)
                         )
                     out["sample_rate_hz"].append(rate)
                     out["n_samples"].append(n)
                     out["duration_ms"].append(n * 1000 // rate)
                     out["n_windows"].append(len(wins))
                     out["rms_windows"].append(wins)
+                    out["energy_windows"].append(energies)
                     out["decode_error"].append(None)
                 except (ValueError, IndexError, struct.error) as e:
                     out["sample_rate_hz"].append(None)
@@ -2348,6 +2439,7 @@ def decode_flac_features(
                     out["duration_ms"].append(None)
                     out["n_windows"].append(None)
                     out["rms_windows"].append(None)
+                    out["energy_windows"].append(None)
                     out["decode_error"].append(
                         str(e) or type(e).__name__
                     )
@@ -2361,6 +2453,8 @@ def decode_flac_features(
                 "n_windows": pd.Series(out["n_windows"], dtype="Int32"),
                 "rms_windows": pd.Series(out["rms_windows"],
                                          dtype=object),
+                "energy_windows": pd.Series(out["energy_windows"],
+                                            dtype=object),
                 "decode_error": pd.Series(out["decode_error"],
                                           dtype=object),
             })

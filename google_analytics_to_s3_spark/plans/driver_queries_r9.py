@@ -116,3 +116,116 @@ FROM r GROUP BY event_id, n
 
 QUERIES_R9["flac_decode_lpc"] = q_flac_decode_lpc
 ORACLES_R9["flac_decode_lpc"] = SQL_FLAC_DECODE_LPC
+
+
+def q_wav_decode_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-16-bit WAV driver-checked (r9, narrowing the r8 gate):
+    payloads cycle G.711 mu-law (fmt 7), G.711 A-law (fmt 6) and
+    24-bit PCM by event id, decoded by the widened ``_parse_wav``
+    (exact closed-form companding expansions, validated against
+    CPython's audioop for all 256 codes — tests/test_multimodal.py).
+    The oracle replays the expansions in pure integer SQL, so a
+    green row proves the actual G.711 segment/mantissa math and the
+    3-byte sign reconstruction, not just the container walk.
+    Disjoint event sample (id % 10 == 3) from wav_decode."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.multimodal import decode_wav_features
+    from ..testing.fixtures import make_wav
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 3
+        ),
+        spark,
+    )
+    _FMTS = ("ulaw", "alaw", "pcm24")
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_wav(400 + (int(i) % 4) * 300, int(i) % 1000,
+                             fmt=_FMTS[(int(i) // 10) % 3])
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(
+        _synth, schema="doc_id long, payload binary"
+    )
+    # energy_windows (exact BIGINT sum of squares), not the rounded
+    # RMS doubles: 24-bit magnitudes hit .6f round-half ties where
+    # Python's banker rounding and DuckDB's half-away disagree by one
+    # ulp — the integer readout carries the identical information
+    # with zero representation risk
+    return decode_wav_features(payloads, window_samples=400).select(
+        "doc_id", "sample_rate_hz", "n_samples", "duration_ms",
+        "n_windows",
+        F.array_join(
+            F.transform("energy_windows",
+                        lambda x: x.cast("string")),
+            ",",
+        ).alias("energy_windows"),
+    )
+
+
+# the oracle's decoded value v(i) per format (all integer):
+#   mu-law: u = 255 - code; t = (u%16*8 + 132) << ((u//16)%8);
+#           v = 132 - t if u >= 128 else t - 132
+#   A-law:  a = code XOR 85; seg = (a//16)%8; m = a%16;
+#           t = m*16+8 if seg = 0 else (m*16+264) << (seg-1);
+#           v = t if a >= 128 else -t
+#   pcm24:  the 16-bit rule scaled by 4096
+SQL_WAV_DECODE_G711 = f"""
+WITH e AS (
+  SELECT event_id, 400 + (event_id % 4) * 300 AS n,
+         event_id % 1000 AS seed,
+         (event_id // 10) % 3 AS f
+  FROM events WHERE event_id % {_FLAC_MOD} = 3
+),
+w AS (
+  SELECT event_id, n, seed, f, CAST(wi.w AS BIGINT) AS w
+  FROM e, LATERAL (SELECT unnest(range(0, (n + 399) // 400)) AS w) wi
+),
+s AS (
+  SELECT event_id, n, w.w,
+         CASE
+           WHEN f = 0 THEN (
+             CASE WHEN u >= 128
+                  THEN 132 - ((u % 16 * 8 + 132) << ((u // 16) % 8))
+                  ELSE ((u % 16 * 8 + 132) << ((u // 16) % 8)) - 132
+             END)
+           WHEN f = 1 THEN (
+             CASE WHEN a >= 128 THEN ta ELSE -ta END)
+           ELSE (((seed + i.i * 257) % 2001) - 1000) * 4096
+         END AS v
+  FROM w,
+       LATERAL (SELECT unnest(range(w.w * 400,
+                                    least(n, (w.w + 1) * 400))) AS i) i,
+       LATERAL (SELECT 255 - (seed + i.i * 57) % 256 AS u,
+                       xor((seed * 3 + i.i * 91) % 256, 85) AS a) g,
+       LATERAL (SELECT CASE WHEN (a // 16) % 8 = 0 THEN a % 16 * 16 + 8
+                            ELSE (a % 16 * 16 + 264)
+                                 << ((a // 16) % 8 - 1) END AS ta) h
+),
+r AS (
+  SELECT event_id, n, w,
+         CAST(sum(v * v) AS BIGINT) AS energy
+  FROM s GROUP BY 1, 2, 3
+)
+SELECT event_id AS doc_id,
+       CAST(16000 AS INTEGER) AS sample_rate_hz,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+       CAST(count(*) AS INTEGER) AS n_windows,
+       string_agg(CAST(energy AS VARCHAR), ',' ORDER BY w)
+         AS energy_windows
+FROM r GROUP BY event_id, n
+"""
+
+QUERIES_R9["wav_decode_g711"] = q_wav_decode_g711
+ORACLES_R9["wav_decode_g711"] = SQL_WAV_DECODE_G711

@@ -191,6 +191,65 @@ def make_wav_pcm16(
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
+def make_wav(
+    n_samples: int, seed: int, sample_rate_hz: int = 16_000,
+    fmt: str = "pcm16",
+) -> bytes:
+    """Deterministic mono RIFF/WAVE payload in any decoder-supported
+    format. Planted rules (exactly recomputable, all integer):
+
+    - ``pcm16``: sample i = ((seed + i*257) % 2001) - 1000 (the
+      make_wav_pcm16 rule)
+    - ``pcm8``: stored byte (seed + i*37) % 256, decoded value
+      byte - 128
+    - ``pcm24`` / ``pcm32``: the pcm16 rule scaled by 2**12 / 2**20
+    - ``ulaw`` / ``alaw``: stored G.711 code (seed + i*57) % 256 /
+      (seed*3 + i*91) % 256, decoded by the closed-form expansions
+    """
+    import struct
+
+    import numpy as np
+
+    i = np.arange(n_samples)
+    base = ((seed + i * 257) % 2001) - 1000
+    if fmt == "pcm16":
+        tag, bits, data = 1, 16, base.astype("<i2").tobytes()
+    elif fmt == "pcm8":
+        tag, bits = 1, 8
+        data = ((seed + i * 37) % 256).astype(np.uint8).tobytes()
+    elif fmt == "pcm24":
+        tag, bits = 1, 24
+        v = (base * 4096).astype(np.int64) & 0xFFFFFF
+        b = np.empty((n_samples, 3), dtype=np.uint8)
+        b[:, 0] = v & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = (v >> 16) & 0xFF
+        data = b.tobytes()
+    elif fmt == "pcm32":
+        tag, bits = 1, 32
+        data = (base * 1048576).astype("<i4").tobytes()
+    elif fmt == "ulaw":
+        tag, bits = 7, 8
+        data = ((seed + i * 57) % 256).astype(np.uint8).tobytes()
+    elif fmt == "alaw":
+        tag, bits = 6, 8
+        data = ((seed * 3 + i * 91) % 256).astype(np.uint8).tobytes()
+    else:
+        raise ValueError(f"unknown wav fixture format {fmt!r}")
+    align = bits // 8
+    hdr = struct.pack(
+        "<HHIIHH", tag, 1, sample_rate_hz, sample_rate_hz * align,
+        align, bits,
+    )
+    pad = b"\x00" if len(data) % 2 else b""
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(hdr)) + hdr
+        + b"data" + struct.pack("<I", len(data)) + data + pad
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
 def make_y4m(
     width: int, height: int, n_frames: int, seed: int,
     fps: tuple[int, int] = (25, 1),

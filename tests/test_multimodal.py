@@ -323,6 +323,72 @@ class TestRealWavDecode:
         rate, samples = _parse_wav_pcm16(patched)
         assert rate == 16000 and len(samples) == 10
 
+    def test_g711_and_depth_formats_decode_exactly(self):
+        """r9: mu-law/A-law telephony codes expand via the exact
+        G.711 closed forms — cross-checked against CPython's audioop
+        (the Sun g711.c tables) for ALL 256 codes — and 8/24/32-bit
+        PCM decode the planted integer rules exactly (24-bit sign
+        bit at bit 23 exercised by negative samples)."""
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _alaw_expand,
+            _mulaw_expand,
+            _parse_wav,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_wav
+
+        try:
+            import audioop  # stdlib until 3.12; removed in 3.13
+        except ImportError:
+            audioop = None
+        codes = np.arange(256, dtype=np.uint8)
+        if audioop is not None:
+            ref_u = np.frombuffer(
+                audioop.ulaw2lin(bytes(codes), 2), dtype="<i2"
+            ).astype(np.int64)
+            ref_a = np.frombuffer(
+                audioop.alaw2lin(bytes(codes), 2), dtype="<i2"
+            ).astype(np.int64)
+            assert (_mulaw_expand(codes) == ref_u).all()
+            assert (_alaw_expand(codes) == ref_a).all()
+        # spec anchor points hold without audioop: code 0xFF is
+        # +-0 region top, 0x7F the most-negative-side zero
+        assert int(_mulaw_expand(np.array([0xFF], dtype=np.uint8))[0]) == 0
+        assert int(_mulaw_expand(np.array([0x7F], dtype=np.uint8))[0]) == 0
+        for fmt in ("pcm8", "pcm16", "pcm24", "pcm32", "ulaw", "alaw"):
+            for seed, n in ((0, 400), (7, 1001)):
+                rate, s = _parse_wav(make_wav(n, seed, fmt=fmt))
+                i = np.arange(n)
+                base = ((seed + i * 257) % 2001) - 1000
+                if fmt == "pcm16":
+                    exp = base
+                elif fmt == "pcm8":
+                    exp = (seed + i * 37) % 256 - 128
+                elif fmt == "pcm24":
+                    exp = base * 4096
+                elif fmt == "pcm32":
+                    exp = base * 1048576
+                elif fmt == "ulaw":
+                    exp = _mulaw_expand(
+                        ((seed + i * 57) % 256).astype(np.uint8)
+                    )
+                else:
+                    exp = _alaw_expand(
+                        ((seed * 3 + i * 91) % 256).astype(np.uint8)
+                    )
+                assert rate == 16000 and (s == exp).all(), (fmt, seed)
+        # honest gates: float32 tag and stereo still quarantine
+        import pytest as _pt
+        b = bytearray(make_wav(10, 1))
+        b[20] = 3  # fmt tag -> IEEE float
+        with _pt.raises(ValueError, match="format tag 3"):
+            _parse_wav(bytes(b))
+        b = bytearray(make_wav(10, 1))
+        b[22] = 2  # channels -> 2
+        with _pt.raises(ValueError, match="only mono"):
+            _parse_wav(bytes(b))
+
 
 class TestRealY4mSampling:
     def _df(self, spark, payloads):
