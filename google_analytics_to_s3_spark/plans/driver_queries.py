@@ -3013,7 +3013,7 @@ _DRIVER_PRIORITY = [
     # (r9-b) queries registered during r9 slot in HERE as they are
     # added (never-checked beats stale-green), pushing the tail of
     # the r4 block below toward the r10 queue.
-    "flac_decode_lpc", "wav_decode_g711",
+    "flac_decode_lpc", "wav_decode_g711", "vorbis_decode",
     # (r9-c) the 4 rows whose latest green is r3 — oldest evidence.
     "tfidf_top_terms", "bm25_search", "linear_count_users",
     "scd2_customer_priority",

@@ -1,4 +1,4 @@
-"""Driver queries: the round-9 batch.
+"""Driver queries: the round-9 batch (compressed-audio close-outs).
 
 - ``flac_decode_lpc`` — high-order LPC FLAC decode driver-checked:
   order-8 and order-4 quantized predictors with sign-varying
@@ -9,6 +9,14 @@
   proves the quantized-dot-product floor shift, the multi-partition
   residual path, and the per-partition Rice parameters all
   reconstruct the true samples.
+- ``wav_decode_g711`` — mu-law / A-law telephony WAV plus 24-bit PCM
+  (operators/multimodal._parse_wav, r9): exact closed-form G.711
+  expansions replayed by the oracle in pure integer SQL.
+- ``vorbis_decode`` — the Ogg/Vorbis byte path (operators/vorbis,
+  r9): Ogg CRC framing with page-spanning packets, self-describing
+  codebooks with canonical Huffman assignment, floor1 integer
+  amplitude synthesis, residue VQ accumulation; the oracle replays
+  the §7.2.4 integer synthesis and VQ bit-count sums in SQL.
 
 Scale notes: one Arrow ``mapInPandas`` synth pass + one decode pass
 per query, ids round-robined across cores (``_spread``); per-payload
@@ -229,3 +237,134 @@ FROM r GROUP BY event_id, n
 
 QUERIES_R9["wav_decode_g711"] = q_wav_decode_g711
 ORACLES_R9["wav_decode_g711"] = SQL_WAV_DECODE_G711
+
+
+def q_vorbis_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Ogg/Vorbis byte-path decode driver-checked (r9 — the
+    compressed-audio increment the r8 verdict ordered): a true
+    minimal Vorbis stream is synthesized per sampled event
+    (testing/fixtures.make_ogg_vorbis — Ogg pages with real CRC-32,
+    id/comment/setup headers, three self-describing codebooks,
+    floor1 + residue-type-2 configs) and decoded by
+    operators/vorbis.parse_vorbis: page walk + CRC verify + packet
+    reassembly (even ids span a packet across two pages), canonical
+    Huffman codeword assignment, floor1 post decode with the §7.2.4
+    INTEGER amplitude synthesis, residue VQ accumulation. The oracle
+    replays the planted packet rules through the same integer
+    synthesis in pure SQL — a green row proves the actual Huffman /
+    bitpack / render_point / room arithmetic, not just framing.
+    Disjoint event sample (id % 10 == 4)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.vorbis import decode_vorbis_features
+    from ..testing.fixtures import make_ogg_vorbis
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 4
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_ogg_vorbis(
+                        int(i) % 1000,
+                        n_packets=4 + int(i) % 5,
+                        span_page=(int(i) % 20 == 4),
+                    )
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(
+        _synth, schema="doc_id long, payload binary"
+    )
+    return decode_vorbis_features(payloads).select(
+        "doc_id", "sample_rate_hz", "channels", "blocksize0",
+        "n_codebooks", "n_audio_packets", "window_samples",
+        "floor_post_sum", "floor_post_count", "residue_sum",
+        "residue_nonzero",
+    )
+
+
+# the oracle replays the fixture's planted packet rules
+# (fixtures.vorbis_packet_rules) through the floor1 §7.2.4 integer
+# synthesis with the fixture's fixed X list [0, 128, 40, 90]:
+# render_point is the integer slope interpolation, the room rules
+# place the decoded val around the prediction; residue sums are
+# bit_count of the planted VQ entries over class-1 partitions
+SQL_VORBIS_DECODE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         4 + event_id % 5 AS npk
+  FROM events WHERE event_id % {_FLAC_MOD} = 4
+),
+k AS (
+  SELECT event_id, seed, npk, CAST(kk.k AS BIGINT) AS k
+  FROM e, LATERAL (SELECT unnest(range(0, npk)) AS k) kk
+),
+y AS (
+  SELECT event_id, npk, seed, k,
+         (seed + 11 * k) % 256 AS y0,
+         (seed * 3 + 17 * k) % 256 AS y1,
+         (seed + 29 * k) % 64 AS y2,
+         (seed * 5 + 13 * k) % 64 AS y3
+  FROM k
+),
+f2t AS (
+  SELECT *, CASE WHEN y2 = 0 THEN p2
+                 WHEN y2 >= 2 * least(256 - p2, p2) THEN
+                   CASE WHEN 256 - p2 > p2 THEN y2 - p2 + p2
+                        ELSE p2 - (y2 - (256 - p2)) - 1 END
+                 WHEN y2 % 2 = 1 THEN p2 - (y2 + 1) // 2
+                 ELSE p2 + y2 // 2 END AS f2
+  FROM y, LATERAL (
+    SELECT CASE WHEN y1 >= y0 THEN y0 + ((y1 - y0) * 40) // 128
+                ELSE y0 - ((y0 - y1) * 40) // 128 END AS p2) q
+),
+f3t AS (
+  SELECT *, CASE WHEN y3 = 0 THEN p3
+                 WHEN y3 >= 2 * least(256 - p3, p3) THEN
+                   CASE WHEN 256 - p3 > p3 THEN y3 - p3 + p3
+                        ELSE p3 - (y3 - (256 - p3)) - 1 END
+                 WHEN y3 % 2 = 1 THEN p3 - (y3 + 1) // 2
+                 ELSE p3 + y3 // 2 END AS f3
+  FROM f2t, LATERAL (
+    SELECT CASE WHEN y1 >= f2 THEN f2 + ((y1 - f2) * 50) // 88
+                ELSE f2 - ((f2 - y1) * 50) // 88 END AS p3) q
+),
+res AS (
+  SELECT event_id, k,
+         CAST(sum(CASE WHEN (seed + k + p.p) % 2 = 1 THEN
+             bit_count((seed + 3 * k + 5 * p.p) % 16)
+             + bit_count((seed * 7 + k + p.p) % 16)
+           ELSE 0 END) AS BIGINT) AS rsum
+  FROM k, LATERAL (SELECT unnest(range(0, 8)) AS p) p
+  GROUP BY 1, 2
+),
+per_pkt AS (
+  SELECT f.event_id, f.npk, f.y0 + f.y1 + f.f2 + f.f3 AS psum, r.rsum
+  FROM f3t f JOIN res r ON f.event_id = r.event_id AND f.k = r.k
+)
+SELECT event_id AS doc_id,
+       CAST(16000 AS INTEGER) AS sample_rate_hz,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(256 AS INTEGER) AS blocksize0,
+       CAST(3 AS INTEGER) AS n_codebooks,
+       CAST(npk AS INTEGER) AS n_audio_packets,
+       CAST(256 * npk AS BIGINT) AS window_samples,
+       CAST(sum(psum) AS BIGINT) AS floor_post_sum,
+       CAST(4 * npk AS BIGINT) AS floor_post_count,
+       CAST(sum(rsum) AS BIGINT) AS residue_sum,
+       CAST(sum(rsum) AS BIGINT) AS residue_nonzero
+FROM per_pkt GROUP BY event_id, npk
+"""
+
+QUERIES_R9["vorbis_decode"] = q_vorbis_decode
+ORACLES_R9["vorbis_decode"] = SQL_VORBIS_DECODE

@@ -1545,3 +1545,257 @@ def make_jpeg_progressive(
 
     out += b"\xFF\xD9"  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Ogg/Vorbis fixture (Vorbis I spec + RFC 3533): a REAL minimal
+# stream — id/comment/setup headers with three self-describing
+# codebooks, floor1 and residue-type-2 configs, and audio packets
+# whose floor posts and residue VQ entries follow seeded integer
+# rules an oracle can replay exactly.
+# ---------------------------------------------------------------------------
+
+
+class _LsbBitWriter:
+    """Vorbis bitpacker: values LSB-first (spec §2)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.bit = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits):
+            if self.bit == 0:
+                self.buf.append(0)
+            if (value >> i) & 1:
+                self.buf[-1] |= 1 << self.bit
+            self.bit = (self.bit + 1) % 8
+
+    def write_codeword(self, word: int, length: int) -> None:
+        """Huffman codewords are walked root->leaf, MSB of the word
+        first — emit bit-by-bit in walk order through the LSB-first
+        packer."""
+        for b in range(length - 1, -1, -1):
+            self.write((word >> b) & 1, 1)
+
+    def bytes(self) -> bytearray:
+        return self.buf
+
+
+def _vorbis_pack_float(x: int, exp: int = 788) -> int:
+    """Inverse of the spec's float32_unpack for small non-negative
+    integers: value = mantissa * 2**(exp-788)."""
+    return (exp << 21) | x
+
+
+def _ogg_page(
+    body_packets: "list[bytes]", seq: int, *, bos: bool = False,
+    eos: bool = False, cont: bool = False, serial: int = 0x5041524B,
+    granule: int = 0, open_tail: bool = False,
+) -> bytes:
+    """Serialize one Ogg page. ``open_tail`` leaves the final packet
+    unterminated (its lacing ends on 255) — the caller continues it
+    on the next page with ``cont=True``."""
+    import struct as _struct
+
+    from ..operators.vorbis import _ogg_crc32
+
+    lacing = bytearray()
+    body = bytearray()
+    for i, pk in enumerate(body_packets):
+        body += pk
+        n = len(pk)
+        while n >= 255:
+            lacing.append(255)
+            n -= 255
+        is_last = i == len(body_packets) - 1
+        if not (is_last and open_tail and len(pk) % 255 == 0):
+            lacing.append(n)
+    htype = (1 if cont else 0) | (2 if bos else 0) | (4 if eos else 0)
+    head = bytearray(b"OggS")
+    head += bytes([0, htype])
+    head += _struct.pack("<q", granule)
+    head += _struct.pack("<I", serial)
+    head += _struct.pack("<I", seq)
+    head += b"\x00\x00\x00\x00"  # CRC placeholder
+    head += bytes([len(lacing)]) + lacing
+    page = bytes(head) + bytes(body)
+    crc = _ogg_crc32(page)
+    return page[:22] + _struct.pack("<I", crc) + page[26:]
+
+
+def _vorbis_headers() -> "tuple[bytes, bytes, bytes]":
+    import struct as _struct
+
+    # --- identification header ---
+    w = _LsbBitWriter()
+    w.write(0, 32)          # version
+    w.write(1, 8)           # channels
+    w.write(16_000, 32)     # sample rate
+    w.write(0, 32)          # bitrate max
+    w.write(0, 32)          # bitrate nominal
+    w.write(0, 32)          # bitrate min
+    w.write(8, 4)           # blocksize0 = 256
+    w.write(8, 4)           # blocksize1 = 256
+    w.write(1, 1)           # framing
+    ident = b"\x01vorbis" + bytes(w.bytes())
+
+    # --- comment header ---
+    w = _LsbBitWriter()
+    vendor = b"spark-fixture"
+    w.write(len(vendor), 32)
+    for b in vendor:
+        w.write(b, 8)
+    w.write(0, 32)          # zero user comments
+    w.write(1, 1)           # framing
+    comment = b"\x03vorbis" + bytes(w.bytes())
+
+    # --- setup header ---
+    w = _LsbBitWriter()
+    w.write(2, 8)  # codebook_count - 1 -> 3 codebooks
+
+    def codebook(dim, lengths, lookup_tail=None):
+        w.write(0x564342, 24)
+        w.write(dim, 16)
+        w.write(len(lengths), 24)
+        w.write(0, 1)  # unordered
+        w.write(0, 1)  # not sparse
+        for ln in lengths:
+            w.write(ln - 1, 5)
+        if lookup_tail is None:
+            w.write(0, 4)
+        else:
+            lookup_tail()
+
+    # book 0: floor post values, 64 entries all length 6, no lookup
+    codebook(1, [6] * 64)
+    # book 1: residue classbook, 2 entries length 1, no lookup
+    codebook(1, [1, 1])
+
+    # book 2: residue VQ, dim 4, 16 entries length 4, lookup type 1
+    # with integer multiplicands {0,1}: entry e decodes to the bit
+    # vector of e (lookup1_values(16, 4) = 2)
+    def lookup1():
+        w.write(1, 4)
+        w.write(_vorbis_pack_float(0), 32)   # minimum = 0.0
+        w.write(_vorbis_pack_float(1), 32)   # delta = 1.0
+        w.write(0, 4)                        # value_bits - 1 -> 1
+        w.write(0, 1)                        # sequence_p = 0
+        w.write(0, 1)                        # multiplicand 0
+        w.write(1, 1)                        # multiplicand 1
+
+    codebook(4, [4] * 16, lookup1)
+
+    w.write(0, 6)    # time_count - 1
+    w.write(0, 16)   # time transform 0 placeholder
+    w.write(0, 6)    # floor_count - 1
+    w.write(1, 16)   # floor type 1
+    w.write(1, 5)    # partitions
+    w.write(0, 4)    # partition class 0
+    w.write(1, 3)    # class dim - 1 -> 2
+    w.write(0, 2)    # subclasses -> direct book
+    w.write(1, 8)    # subclass book + 1 -> book 0
+    w.write(0, 2)    # multiplier - 1 -> range 256
+    w.write(7, 4)    # rangebits -> X in [0, 128]
+    w.write(40, 7)   # post X 2
+    w.write(90, 7)   # post X 3
+    w.write(0, 6)    # residue_count - 1
+    w.write(2, 16)   # residue type 2
+    w.write(0, 24)   # begin
+    w.write(64, 24)  # end
+    w.write(7, 24)   # partition_size - 1 -> 8
+    w.write(1, 6)    # classifications - 1 -> 2
+    w.write(1, 8)    # classbook -> book 1
+    w.write(0, 3)    # class 0 cascade low bits (no passes)
+    w.write(0, 1)    # no high bits
+    w.write(1, 3)    # class 1 cascade low bits (pass 0)
+    w.write(0, 1)    # no high bits
+    w.write(2, 8)    # class 1 pass-0 book -> book 2
+    w.write(0, 6)    # mapping_count - 1
+    w.write(0, 16)   # mapping type 0
+    w.write(0, 1)    # one submap
+    w.write(0, 1)    # no coupling
+    w.write(0, 2)    # reserved
+    w.write(0, 8)    # time config (unused)
+    w.write(0, 8)    # floor 0
+    w.write(0, 8)    # residue 0
+    w.write(0, 6)    # mode_count - 1
+    w.write(0, 1)    # blockflag 0
+    w.write(0, 16)   # window type
+    w.write(0, 16)   # transform type
+    w.write(0, 8)    # mapping 0
+    w.write(1, 1)    # framing
+    setup = b"\x05vorbis" + bytes(w.bytes())
+    return ident, comment, setup
+
+
+def vorbis_packet_rules(seed: int, k: int) -> "dict":
+    """The planted integer rules for audio packet k — shared by the
+    encoder, the tests and the SQL oracle."""
+    return {
+        "y0": (seed + 11 * k) % 256,
+        "y1": (seed * 3 + 17 * k) % 256,
+        "y2": (seed + 29 * k) % 64,
+        "y3": (seed * 5 + 13 * k) % 64,
+        "classes": [(seed + k + p) % 2 for p in range(8)],
+        "entries": [
+            ((seed + 3 * k + 5 * p) % 16, (seed * 7 + k + p) % 16)
+            for p in range(8)
+        ],
+    }
+
+
+def _vorbis_audio_packet(seed: int, k: int) -> bytes:
+    r = vorbis_packet_rules(seed, k)
+    w = _LsbBitWriter()
+    w.write(0, 1)            # audio packet type
+    # mode number: ilog(mode_count - 1) = ilog(0) = 0 bits
+    # floor1, channel 0
+    w.write(1, 1)            # nonzero
+    w.write(r["y0"], 8)      # ilog(255) = 8 raw bits
+    w.write(r["y1"], 8)
+    w.write_codeword(r["y2"], 6)   # book 0: entry i <-> 6-bit word i
+    w.write_codeword(r["y3"], 6)
+    # residue type 2, 8 partitions of size 8, classbook dim 1:
+    # decode order interleaves (classword p, vq partition p)
+    for p in range(8):
+        cls = r["classes"][p]
+        w.write_codeword(cls, 1)   # book 1: entry i <-> 1-bit word i
+        if cls == 1:
+            e1, e2 = r["entries"][p]
+            w.write_codeword(e1, 4)  # book 2: entry i <-> 4-bit word i
+            w.write_codeword(e2, 4)
+    return bytes(w.bytes())
+
+
+def make_ogg_vorbis(
+    seed: int, n_packets: int = 6, span_page: bool = False
+) -> bytes:
+    """Serialize a REAL minimal Ogg/Vorbis stream (module comment).
+    ``span_page=True`` pads the first audio packet to 300 bytes so it
+    spans two pages via a 255 lacing value and a continued page —
+    exercising the packet-reassembly path (trailing padding bits in
+    a packet are legal; the decoder reads only what the spec
+    grammar consumes)."""
+    ident, comment, setup = _vorbis_headers()
+    pages = [
+        _ogg_page([ident], 0, bos=True),
+        _ogg_page([comment, setup], 1),
+    ]
+    packets = [_vorbis_audio_packet(seed, k) for k in range(n_packets)]
+    seq = 2
+    if span_page and packets:
+        first = packets[0] + b"\x00" * (300 - len(packets[0]))
+        head, tail = first[:255], first[255:]
+        pages.append(_ogg_page([head], seq, open_tail=True))
+        seq += 1
+        pages.append(_ogg_page([tail], seq, cont=True))
+        seq += 1
+        packets = packets[1:]
+    for k, pk in enumerate(packets):
+        pages.append(
+            _ogg_page([pk], seq, eos=(k == len(packets) - 1),
+                      granule=256 * (k + 1))
+        )
+        seq += 1
+    return b"".join(pages)
