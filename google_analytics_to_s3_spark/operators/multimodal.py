@@ -907,17 +907,51 @@ def _png_unfilter(ftype: int, row: "np.ndarray", prev: "np.ndarray",
     return out
 
 
+# Adam7 pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_scanline_pixels(
+    rows: "np.ndarray", pw: int, c_raw: int, depth: int
+) -> "np.ndarray":
+    """Unfiltered scanline bytes (ph, stride) -> per-pixel sample
+    values (ph, pw, c_raw) at the declared bit depth (16-bit is
+    big-endian per spec; sub-byte depths pack MSB-first)."""
+    ph = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(ph, -1)[:, : pw * c_raw].reshape(
+            ph, pw, c_raw
+        )
+    if depth == 16:
+        flat = rows.reshape(ph, -1).astype(np.uint16)
+        vals = (flat[:, 0::2] << 8) | flat[:, 1::2]
+        return vals[:, : pw * c_raw].reshape(ph, pw, c_raw)
+    # depth 1/2/4: MSB-first packed indices (palette path, c_raw 1)
+    bits = np.unpackbits(rows, axis=1)
+    per = bits.reshape(ph, -1, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (per * weights).sum(axis=2)
+    return vals[:, :pw].reshape(ph, pw, 1)
+
+
 def _parse_png(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
-    """Parse an 8-bit non-interlaced PNG (gray / gray+alpha / RGB /
-    RGBA): returns (width, height, channels, uint8 array of h*w*c).
-    Raises ValueError on malformed files and on the unsupported
-    corners (16-bit, palette, Adam7) so they quarantine cleanly."""
+    """Parse a PNG: returns (width, height, channels, integer array
+    of h*w*c). Decoded for real (r9 widened): 8-bit and 16-bit
+    gray / gray+alpha / RGB / RGBA, palette images (colortype 3) at
+    1/2/4/8-bit index depth via the PLTE chunk, and Adam7
+    interlacing (all seven passes independently filtered and
+    scattered onto the output grid). Honest gates (named errors):
+    sub-byte grayscale, missing PLTE, nonstandard compression."""
     import zlib
 
     if not raw.startswith(_PNG_SIG):
         raise ValueError("not a PNG payload (bad signature)")
     pos = len(_PNG_SIG)
     ihdr = None
+    plte = None
     idat = bytearray()
     seen_iend = False
     while pos + 8 <= len(raw):
@@ -928,6 +962,8 @@ def _parse_png(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
             ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
@@ -941,33 +977,74 @@ def _parse_png(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
     )
     if w <= 0 or h <= 0:
         raise ValueError(f"non-positive dimensions {w}x{h}")
-    if depth != 8:
-        raise ValueError(f"only 8-bit PNG supported, got depth {depth}")
-    if colortype not in _PNG_CHANNELS:
-        raise ValueError(f"unsupported PNG colortype {colortype}")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7 interlacing not supported")
-    c = _PNG_CHANNELS[colortype]
-    stride = w * c
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    if colortype == 3:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(
+                f"illegal palette bit depth {depth} (1/2/4/8)"
+            )
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette image missing valid PLTE chunk")
+        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        c_raw, c_out = 1, 3
+    elif colortype in _PNG_CHANNELS:
+        if depth not in (8, 16):
+            raise ValueError(
+                f"bit depth {depth} not supported for colortype "
+                f"{colortype} (8/16)"
+            )
+        palette = None
+        c_raw = c_out = _PNG_CHANNELS[colortype]
+    else:
+        raise ValueError(f"unsupported PNG colortype {colortype}")
     try:
         plain = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    if len(plain) != h * (stride + 1):
+
+    bpp = max(1, c_raw * depth // 8)
+    dtype = np.uint16 if depth == 16 else np.uint8
+    out = np.zeros((h, w, c_out), dtype=dtype)
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    at = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * c_raw * depth + 7) // 8
+        need = ph * (stride + 1)
+        chunk = plain[at:at + need]
+        if len(chunk) != need:
+            raise ValueError(
+                f"PNG scanline data ends early ({len(plain) - at} "
+                f"bytes left, pass needs {need})"
+            )
+        at += need
+        data = np.frombuffer(chunk, dtype=np.uint8).reshape(
+            ph, stride + 1
+        )
+        recon = np.empty((ph, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        work = data[:, 1:].astype(np.int16)
+        for y in range(ph):
+            prev = _png_unfilter(int(data[y, 0]), work[y], prev, bpp)
+            recon[y] = prev
+        vals = _png_scanline_pixels(recon, pw, c_raw, depth)
+        if palette is not None:
+            if int(vals.max(initial=0)) >= palette.shape[0]:
+                raise ValueError("palette index out of range")
+            vals = palette[vals.reshape(ph, pw)]
+        out[y0::dy, x0::dx, :] = vals
+    if at != len(plain):
         raise ValueError(
             f"PNG scanline data is {len(plain)} bytes, "
-            f"expected {h * (stride + 1)}"
+            f"expected {at}"
         )
-    data = np.frombuffer(plain, dtype=np.uint8).reshape(h, stride + 1)
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    work = data[:, 1:].astype(np.int16)
-    for y in range(h):
-        prev = _png_unfilter(int(data[y, 0]), work[y], prev, c)
-        out[y] = prev
-    return w, h, c, out.reshape(-1)
+    return w, h, c_out, out.reshape(-1)
 
 
 PNG_META_SCHEMA = PPM_META_SCHEMA  # same shape: real decode metadata
@@ -1105,35 +1182,57 @@ def _gif_lzw_decode(min_code_size: int, data: bytes,
     return np.frombuffer(bytes(out), dtype=np.uint8)
 
 
+def _gif_deinterlace_rows(fh: int) -> list[int]:
+    """GIF 4-pass interlace row transmission order (spec appendix E):
+    rows 0,8,16.. then 4,12.. then 2,6.. then 1,3,5.."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, fh, step))
+    return order
+
+
 def _parse_gif(raw: bytes) -> tuple[int, int, list["np.ndarray"], list[int]]:
     """Parse a GIF87a/89a payload: returns (width, height,
-    [h*w*3 uint8 RGB per frame], [delay_cs per frame]). Supported:
-    global color table, full-canvas frames, multiple frames, graphic
-    control delays. Unsupported corners raise ValueError for the
-    quarantine contract: local color tables, interlaced frames,
-    partial-canvas frames."""
+    [h*w*3 uint8 RGB per composited frame], [delay_cs per frame]).
+
+    Decoded for real (r9 widened): global AND local color tables,
+    interlaced frames (4-pass row reorder), partial-canvas frames
+    composited onto the running canvas, GCE transparency (the
+    transparent index preserves the underlying canvas pixel), and
+    disposal methods 0/1 (leave in place) and 2 (restore the frame
+    rect to the background color). Honest gates (named errors):
+    disposal 3 (restore-to-previous) and frames without any color
+    table."""
     if not raw.startswith((b"GIF87a", b"GIF89a")):
         raise ValueError("not a GIF payload (bad signature)")
     if len(raw) < 13:
         raise ValueError("truncated GIF header")
     w, h = struct.unpack("<HH", raw[6:10])
     packed = raw[10]
+    bg_index = raw[11]
     if w <= 0 or h <= 0:
         raise ValueError(f"non-positive dimensions {w}x{h}")
-    if not packed & 0x80:
-        raise ValueError("GIF without a global color table")
-    gct_size = 2 << (packed & 0x07)
+    palette = None
     pos = 13
-    palette = np.frombuffer(
-        raw[pos:pos + 3 * gct_size], dtype=np.uint8
-    ).reshape(gct_size, 3)
-    if palette.shape[0] != gct_size:
-        raise ValueError("truncated global color table")
-    pos += 3 * gct_size
+    if packed & 0x80:
+        gct_size = 2 << (packed & 0x07)
+        palette = np.frombuffer(
+            raw[pos:pos + 3 * gct_size], dtype=np.uint8
+        ).reshape(-1, 3)
+        if palette.shape[0] != gct_size:
+            raise ValueError("truncated global color table")
+        pos += 3 * gct_size
+    if palette is not None and bg_index < palette.shape[0]:
+        bg_rgb = palette[bg_index]
+    else:
+        bg_rgb = np.zeros(3, dtype=np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
 
     frames: list[np.ndarray] = []
     delays: list[int] = []
     next_delay = 0
+    next_transparent = None
+    next_disposal = 0
     while pos < len(raw):
         b = raw[pos]
         if b == 0x3B:  # trailer
@@ -1153,19 +1252,42 @@ def _parse_gif(raw: bytes) -> tuple[int, int, list["np.ndarray"], list[int]]:
                     break
                 blocks.extend(raw[pos:pos + n])
                 pos += n
-            if label == 0xF9 and len(blocks) >= 3:
+            if label == 0xF9 and len(blocks) >= 4:
+                gpacked = blocks[0]
                 next_delay = struct.unpack("<H", bytes(blocks[1:3]))[0]
+                next_disposal = (gpacked >> 2) & 0x07
+                next_transparent = (
+                    blocks[3] if gpacked & 0x01 else None
+                )
             continue
         if b == 0x2C:  # image descriptor
             left, top, fw, fh = struct.unpack("<HHHH", raw[pos + 1:pos + 9])
             ipacked = raw[pos + 9]
             pos += 10
-            if (left, top, fw, fh) != (0, 0, w, h):
-                raise ValueError("partial-canvas GIF frames unsupported")
-            if ipacked & 0x80:
-                raise ValueError("local color tables unsupported")
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIF frames unsupported")
+            if left + fw > w or top + fh > h or fw == 0 or fh == 0:
+                raise ValueError("GIF frame rect outside the canvas")
+            if next_disposal == 3:
+                raise ValueError(
+                    "GIF disposal method 3 (restore previous) "
+                    "unsupported"
+                )
+            if next_disposal > 3:
+                raise ValueError(
+                    f"reserved GIF disposal method {next_disposal}"
+                )
+            frame_pal = palette
+            if ipacked & 0x80:  # local color table
+                lct_size = 2 << (ipacked & 0x07)
+                frame_pal = np.frombuffer(
+                    raw[pos:pos + 3 * lct_size], dtype=np.uint8
+                ).reshape(-1, 3)
+                if frame_pal.shape[0] != lct_size:
+                    raise ValueError("truncated local color table")
+                pos += 3 * lct_size
+            if frame_pal is None:
+                raise ValueError(
+                    "GIF frame has neither global nor local color table"
+                )
             min_code = raw[pos]
             pos += 1
             if not 2 <= min_code <= 11:
@@ -1180,12 +1302,31 @@ def _parse_gif(raw: bytes) -> tuple[int, int, list["np.ndarray"], list[int]]:
                     break
                 data.extend(raw[pos:pos + n])
                 pos += n
-            idx = _gif_lzw_decode(min_code, bytes(data), w * h)
-            if int(idx.max(initial=0)) >= gct_size:
+            idx = _gif_lzw_decode(min_code, bytes(data), fw * fh)
+            if int(idx.max(initial=0)) >= frame_pal.shape[0]:
                 raise ValueError("palette index out of range")
-            frames.append(palette[idx].reshape(-1))
+            grid = idx.reshape(fh, fw)
+            if ipacked & 0x40:  # interlaced: undo transmission order
+                dest = np.empty_like(grid)
+                for src_row, dst_row in enumerate(
+                    _gif_deinterlace_rows(fh)
+                ):
+                    dest[dst_row] = grid[src_row]
+                grid = dest
+            rect = canvas[top:top + fh, left:left + fw]
+            rgb = frame_pal[grid]
+            if next_transparent is not None:
+                mask = grid != next_transparent
+                rect[mask] = rgb[mask]
+            else:
+                rect[:] = rgb
+            frames.append(canvas.reshape(-1).copy())
             delays.append(next_delay)
+            if next_disposal == 2:  # restore rect to background
+                canvas[top:top + fh, left:left + fw] = bg_rgb
             next_delay = 0
+            next_transparent = None
+            next_disposal = 0
             continue
         raise ValueError(f"unknown GIF block 0x{b:02x}")
     if not frames:

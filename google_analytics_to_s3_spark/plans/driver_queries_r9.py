@@ -17,6 +17,13 @@
   codebooks with canonical Huffman assignment, floor1 integer
   amplitude synthesis, residue VQ accumulation; the oracle replays
   the §7.2.4 integer synthesis and VQ bit-count sums in SQL.
+- ``png_decode_ext`` — 16-bit samples, 1/2/4/8-bit palette images
+  and Adam7 interlacing (``_parse_png``, r9 widened); exact BIGINT
+  pixel sums against the planted rules.
+- ``gif_decode_ext`` — local color tables, interlaced frames and
+  partial-canvas compositing (``_parse_gif``, r9 widened); the
+  oracle derives each pixel's last-writing frame from the nested
+  rect geometry.
 
 Scale notes: one Arrow ``mapInPandas`` synth pass + one decode pass
 per query, ids round-robined across cores (``_spread``); per-payload
@@ -368,3 +375,195 @@ FROM per_pkt GROUP BY event_id, npk
 
 QUERIES_R9["vorbis_decode"] = q_vorbis_decode
 ORACLES_R9["vorbis_decode"] = SQL_VORBIS_DECODE
+
+
+def q_png_decode_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r9-widened PNG paths driver-checked: payloads cycle 16-bit
+    RGB, 4-bit palette, Adam7-interlaced 8-bit RGB and 8-bit palette
+    by event id (testing/fixtures.make_png_ext), decoded by the full
+    ``_parse_png`` (inflate + per-pass unfiltering + bit unpacking +
+    PLTE lookup + pass scatter). The readout is the exact BIGINT
+    pixel-sum (no doubles — the wav_decode_g711 doctrine), which the
+    oracle recomputes from the planted rules; interlacing must be
+    invisible in the values (it only permutes transmission order).
+    Disjoint event sample (id % 10 == 5)."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from ..operators.multimodal import _parse_png
+    from ..testing.fixtures import make_png_ext
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 5
+        ),
+        spark,
+    )
+    _MODES = ("rgb16", "palette4", "adam7", "palette8")
+
+    def _decode(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "channels", "px_sum",
+                "px_count")}
+            for i in pdf["event_id"]:
+                i = int(i)
+                raw = make_png_ext(
+                    3 + i % 13, 2 + i % 7, i % 1000,
+                    _MODES[(i // 10) % 4],
+                )
+                w, h, c, px = _parse_png(raw)
+                out["doc_id"].append(i)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["px_sum"].append(int(px.sum(dtype=_np.int64)))
+                out["px_count"].append(int(px.size))
+            yield _pd.DataFrame(out)
+
+    return e.mapInPandas(
+        _decode,
+        schema="doc_id long, width int, height int, channels int, "
+               "px_sum long, px_count long",
+    ).select("doc_id", "width", "height", "channels", "px_sum",
+             "px_count")
+
+
+# mode by (id//10)%4: 0=rgb16 (8-bit rule x 257), 1=palette4
+# (16-entry planted palette), 2=adam7 (plain 8-bit rule — interlace
+# only permutes transmission), 3=palette8 (256-entry palette)
+SQL_PNG_DECODE_EXT = f"""
+WITH e AS (
+  SELECT event_id, 3 + event_id % 13 AS w, 2 + event_id % 7 AS h,
+         event_id % 1000 AS seed, (event_id // 10) % 4 AS m
+  FROM events WHERE event_id % {_FLAC_MOD} = 5
+),
+px AS (
+  SELECT event_id, w, h, m,
+         CASE
+           WHEN m = 0 THEN ((seed + y.y*31 + x.x*7 + c.c*13) % 256) * 257
+           WHEN m = 2 THEN (seed + y.y*31 + x.x*7 + c.c*13) % 256
+           WHEN m = 1 THEN CASE c.c
+             WHEN 0 THEN (((seed + y.y*31 + x.x*7) % 16) * 17 + seed) % 256
+             WHEN 1 THEN (((seed + y.y*31 + x.x*7) % 16) * 29 + seed*3) % 256
+             ELSE (((seed + y.y*31 + x.x*7) % 16) * 53 + seed*7) % 256 END
+           ELSE CASE c.c
+             WHEN 0 THEN (((seed + y.y*31 + x.x*7) % 256) * 17 + seed) % 256
+             WHEN 1 THEN (((seed + y.y*31 + x.x*7) % 256) * 29 + seed*3) % 256
+             ELSE (((seed + y.y*31 + x.x*7) % 256) * 53 + seed*7) % 256 END
+         END AS v
+  FROM e,
+       LATERAL (SELECT unnest(range(0, h)) AS y) y,
+       LATERAL (SELECT unnest(range(0, w)) AS x) x,
+       LATERAL (SELECT unnest(range(0, 3)) AS c) c
+)
+SELECT event_id AS doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(w * h * 3 AS BIGINT) AS px_count
+FROM px GROUP BY event_id, w, h
+"""
+
+QUERIES_R9["png_decode_ext"] = q_png_decode_ext
+ORACLES_R9["png_decode_ext"] = SQL_PNG_DECODE_EXT
+
+
+def q_gif_decode_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r9-widened GIF paths driver-checked: 3-frame GIF89a
+    streams where frame 0 is full-canvas INTERLACED, frame 1 is a
+    PARTIAL rect with a LOCAL color table, frame 2 a smaller
+    interlaced partial rect (testing/fixtures.make_gif_ext, no
+    transparency so the compositing rule is pure last-writer). One
+    row per (doc, frame) with the exact BIGINT RGB sum of the
+    COMPOSITED canvas; the oracle computes each pixel's last-writing
+    frame from the nested rect geometry and replays the palette
+    rules. Disjoint event sample (id % 10 == 6)."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from ..operators.multimodal import _parse_gif
+    from ..testing.fixtures import make_gif_ext
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 6
+        ),
+        spark,
+    )
+
+    def _decode(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_idx", "width", "height", "n_frames",
+                "delay_cs", "rgb_sum")}
+            for i in pdf["event_id"]:
+                i = int(i)
+                w, h, frames, delays = _parse_gif(
+                    make_gif_ext(4 + i % 9, 3 + i % 5, i % 1000, 3)
+                )
+                for f, px in enumerate(frames):
+                    out["doc_id"].append(i)
+                    out["frame_idx"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_frames"].append(len(frames))
+                    out["delay_cs"].append(delays[f])
+                    out["rgb_sum"].append(int(px.sum(dtype=_np.int64)))
+            yield _pd.DataFrame(out)
+
+    return e.mapInPandas(
+        _decode,
+        schema="doc_id long, frame_idx int, width int, height int, "
+               "n_frames int, delay_cs int, rgb_sum long",
+    )
+
+
+# last-writer geometry: frame g >= 1 covers (y, x) iff
+# y >= min(g, h-1) and x >= min(2g, w-1); frame 0 covers everything.
+# Frame 1 carries the LOCAL palette rule, frames 0/2 the global one.
+SQL_GIF_DECODE_EXT = f"""
+WITH e AS (
+  SELECT event_id, 4 + event_id % 9 AS w, 3 + event_id % 5 AS h,
+         event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 6
+),
+fr AS (
+  SELECT event_id, w, h, seed, CAST(ff.f AS BIGINT) AS f
+  FROM e, LATERAL (SELECT unnest(range(0, 3)) AS f) ff
+),
+px AS (
+  SELECT event_id, w, h, f,
+         CASE WHEN g = 1 THEN
+                (idx*11 + seed + 1) % 256 + (idx*23 + seed*3 + 1) % 256
+                + (idx*41 + seed*7 + 1) % 256
+              ELSE idx + (3*idx) % 256 + (7*idx) % 256
+         END AS v
+  FROM fr,
+       LATERAL (SELECT unnest(range(0, h)) AS y) y,
+       LATERAL (SELECT unnest(range(0, w)) AS x) x,
+       LATERAL (SELECT CASE
+           WHEN f >= 2 AND y.y >= least(2, h - 1)
+                AND x.x >= least(4, w - 1) THEN 2
+           WHEN f >= 1 AND y.y >= least(1, h - 1)
+                AND x.x >= least(2, w - 1) THEN 1
+           ELSE 0 END AS g) g,
+       LATERAL (SELECT (seed + g.g*17 + y.y*31 + x.x*7) % 256 AS idx) i
+)
+SELECT event_id AS doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_frames,
+       CAST(4 + f AS INTEGER) AS delay_cs,
+       CAST(sum(v) AS BIGINT) AS rgb_sum
+FROM px GROUP BY event_id, w, h, f
+"""
+
+QUERIES_R9["gif_decode_ext"] = q_gif_decode_ext
+ORACLES_R9["gif_decode_ext"] = SQL_GIF_DECODE_EXT

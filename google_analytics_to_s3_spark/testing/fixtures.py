@@ -393,6 +393,45 @@ def make_mmdb(
     )
 
 
+def _png_filter_row(
+    ft: int, cur: "np.ndarray", prev: "np.ndarray", bpp: int
+) -> bytes:
+    """Apply one PNG filter (spec §9) to a reconstructed byte
+    scanline; ``bpp`` is BYTES per pixel (left-neighbor offset)."""
+    import numpy as np
+
+    cur16 = cur.astype(np.int16)
+    out = np.empty_like(cur)
+    if ft == 0:
+        out[:] = cur
+    elif ft == 1:
+        left = np.concatenate([np.zeros(bpp, np.int16), cur16[:-bpp]])
+        out[:] = (cur16 - left) & 0xFF
+    elif ft == 2:
+        out[:] = (cur16 - prev.astype(np.int16)) & 0xFF
+    elif ft == 3:
+        left = np.concatenate([np.zeros(bpp, np.int16), cur16[:-bpp]])
+        out[:] = (cur16 - ((left + prev.astype(np.int16)) >> 1)) & 0xFF
+    elif ft == 4:
+        prev16 = prev.astype(np.int16)
+        n = cur.shape[0]
+        ob = np.empty(n, dtype=np.uint8)
+        for i in range(n):
+            a = int(cur[i - bpp]) if i >= bpp else 0
+            b = int(prev16[i])
+            c = int(prev16[i - bpp]) if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (
+                b if pb <= pc else c
+            )
+            ob[i] = (int(cur[i]) - pred) & 0xFF
+        out = ob
+    else:
+        raise ValueError(f"bad filter {ft}")
+    return bytes([ft]) + out.tobytes()
+
+
 def make_png(
     w: int,
     h: int,
@@ -418,47 +457,12 @@ def make_png(
     px = ((seed + y_i * 31 + x_i * 7 + c_i * 13) % 256).astype(np.uint8)
     rows = px.reshape(h, w * channels)
     filters = filters if filters is not None else [0, 1, 2, 3, 4]
-    bpp = channels
-
-    def filt_row(ft: int, cur: "np.ndarray", prev: "np.ndarray") -> bytes:
-        cur16 = cur.astype(np.int16)
-        out = np.empty_like(cur)
-        if ft == 0:
-            out[:] = cur
-        elif ft == 1:
-            left = np.concatenate([np.zeros(bpp, np.int16),
-                                   cur16[:-bpp]])
-            out[:] = (cur16 - left) & 0xFF
-        elif ft == 2:
-            out[:] = (cur16 - prev.astype(np.int16)) & 0xFF
-        elif ft == 3:
-            left = np.concatenate([np.zeros(bpp, np.int16),
-                                   cur16[:-bpp]])
-            out[:] = (cur16 - ((left + prev.astype(np.int16)) >> 1)) & 0xFF
-        elif ft == 4:
-            prev16 = prev.astype(np.int16)
-            n = cur.shape[0]
-            ob = np.empty(n, dtype=np.uint8)
-            for i in range(n):
-                a = int(cur[i - bpp]) if i >= bpp else 0
-                b = int(prev16[i])
-                c = int(prev16[i - bpp]) if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (
-                    b if pb <= pc else c
-                )
-                ob[i] = (int(cur[i]) - pred) & 0xFF
-            out = ob
-        else:
-            raise ValueError(f"bad filter {ft}")
-        return bytes([ft]) + out.tobytes()
 
     scan = b""
     prev = np.zeros(w * channels, dtype=np.uint8)
     for y in range(h):
         ft = filters[y % len(filters)]
-        scan += filt_row(ft, rows[y], prev)
+        scan += _png_filter_row(ft, rows[y], prev, channels)
         prev = rows[y]
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
@@ -1799,3 +1803,230 @@ def make_ogg_vorbis(
         )
         seq += 1
     return b"".join(pages)
+
+
+def png_palette_rules(seed: int, depth: int) -> "tuple":
+    """Planted palette rules shared by the encoder, tests and SQL
+    oracles: palette size 2**depth (<=256); entry i =
+    ((i*17 + seed) % 256, (i*29 + seed*3) % 256, (i*53 + seed*7)
+    % 256); pixel (y, x) index = (seed + y*31 + x*7) % size."""
+    size = 1 << depth
+    pal = [((i * 17 + seed) % 256, (i * 29 + seed * 3) % 256,
+            (i * 53 + seed * 7) % 256) for i in range(size)]
+    return size, pal
+
+
+def make_png_ext(
+    w: int,
+    h: int,
+    seed: int,
+    mode: str = "rgb16",
+    channels: int = 3,
+    filters: "list[int] | None" = None,
+) -> bytes:
+    """Serialize a REAL PNG exercising the r9-widened decoder paths.
+
+    Modes:
+    - ``gray16`` / ``rgb16``: 16-bit samples, value (y, x, c) =
+      ((seed + y*31 + x*7 + c*13) % 256) * 257 (big-endian pairs)
+    - ``palette1/2/4/8``: colortype 3 at that index depth with the
+      ``png_palette_rules`` palette, indices packed MSB-first
+    - ``adam7``: 8-bit ``channels``-channel image with the make_png
+      pixel rule, Adam7-interlaced (each pass filtered on its own)
+    - ``adam7_rgb16``: both at once
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    filters = filters if filters is not None else [0, 1, 2, 3, 4]
+    interlace = mode.startswith("adam7")
+    if mode.startswith("palette"):
+        depth = int(mode[len("palette"):])
+        colortype, c_raw = 3, 1
+        size, pal = png_palette_rules(seed, depth)
+        y_i, x_i = np.meshgrid(np.arange(h), np.arange(w),
+                               indexing="ij")
+        vals = ((seed + y_i * 31 + x_i * 7) % size).reshape(h, w, 1)
+    elif mode in ("gray16", "rgb16", "adam7_rgb16"):
+        depth = 16
+        c_raw = 1 if mode == "gray16" else 3
+        colortype = {1: 0, 3: 2}[c_raw]
+        y_i, x_i, c_i = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(c_raw), indexing="ij"
+        )
+        vals = ((seed + y_i * 31 + x_i * 7 + c_i * 13) % 256) * 257
+    elif mode == "adam7":
+        depth = 8
+        c_raw = channels
+        colortype = {1: 0, 2: 4, 3: 2, 4: 6}[c_raw]
+        y_i, x_i, c_i = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(c_raw), indexing="ij"
+        )
+        vals = (seed + y_i * 31 + x_i * 7 + c_i * 13) % 256
+    else:
+        raise ValueError(f"unknown make_png_ext mode {mode!r}")
+
+    def pack_rows(sub: "np.ndarray") -> "np.ndarray":
+        """(ph, pw, c_raw) values -> (ph, stride) bytes."""
+        ph, pw = sub.shape[0], sub.shape[1]
+        if depth == 8:
+            return sub.reshape(ph, pw * c_raw).astype(np.uint8)
+        if depth == 16:
+            flat = sub.reshape(ph, pw * c_raw).astype(np.uint16)
+            out = np.empty((ph, pw * c_raw * 2), dtype=np.uint8)
+            out[:, 0::2] = flat >> 8
+            out[:, 1::2] = flat & 0xFF
+            return out
+        idx = sub.reshape(ph, pw).astype(np.uint8)
+        bits = np.unpackbits(
+            idx.reshape(ph, pw, 1), axis=2
+        )[:, :, 8 - depth:]
+        flat = bits.reshape(ph, pw * depth)
+        pad = (-flat.shape[1]) % 8
+        if pad:
+            flat = np.concatenate(
+                [flat, np.zeros((ph, pad), dtype=np.uint8)], axis=1
+            )
+        return np.packbits(flat, axis=1)
+
+    bpp = max(1, c_raw * depth // 8)
+    passes = (
+        ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        if interlace else ((0, 0, 1, 1),)
+    )
+    scan = b""
+    for x0, y0, dx, dy in passes:
+        sub = vals[y0::dy, x0::dx, :]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        rows = pack_rows(sub)
+        prev = np.zeros(rows.shape[1], dtype=np.uint8)
+        for y in range(rows.shape[0]):
+            ft = filters[y % len(filters)]
+            scan += _png_filter_row(ft, rows[y], prev, bpp)
+            prev = rows[y]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(
+            ">I", crc
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, colortype, 0, 0, 1 if interlace else 0
+    )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if colortype == 3:
+        out += chunk(b"PLTE", bytes(b for rgb in pal for b in rgb))
+    return out + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+
+
+def gif_ext_frame_geom(w: int, h: int, f: int) -> "tuple[int, int, int, int]":
+    """Planted frame-f rect for make_gif_ext: nested shrinking rects
+    so the 'last writer' of any canvas pixel is the largest frame
+    index whose rect covers it — SQL-oracle friendly."""
+    left = min(2 * f, w - 1)
+    top = min(f, h - 1)
+    return left, top, w - left, h - top
+
+
+def gif_ext_palette(seed: int, f: int, local: bool) -> "list[tuple]":
+    """Planted palettes for make_gif_ext: the global table reuses the
+    make_gif rule; local tables (odd frames) perturb it by frame."""
+    if not local:
+        return [(i, (3 * i) % 256, (7 * i) % 256) for i in range(256)]
+    return [((i * 11 + seed + f) % 256, (i * 23 + seed * 3 + f) % 256,
+             (i * 41 + seed * 7 + f) % 256) for i in range(256)]
+
+
+def make_gif_ext(
+    w: int,
+    h: int,
+    seed: int,
+    n_frames: int = 3,
+    transparent: bool = False,
+    disposal2_last: bool = False,
+) -> bytes:
+    """Serialize a REAL GIF89a exercising the r9-widened decoder
+    paths: frame 0 is full-canvas and INTERLACED (4-pass row
+    transmission order); frames f >= 1 are PARTIAL-canvas at
+    ``gif_ext_frame_geom`` rects, odd frames carry a LOCAL color
+    table (``gif_ext_palette``), even frames > 0 are interlaced.
+    Frame-f pixel at CANVAS coords (y, x) has index
+    ``(seed + f*17 + y*31 + x*7) % 256`` (canvas coords, so oracles
+    need no rect-relative translation). ``transparent=True`` marks
+    index ``seed % 256`` transparent on frames >= 1;
+    ``disposal2_last=True`` sets disposal 2 on the second-to-last
+    frame (the next frame then composites over restored
+    background)."""
+    import struct
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x07, 1, 0])  # GCT, 256 entries, bg index 1
+    for rgb in gif_ext_palette(seed, 0, False):
+        out += bytes(rgb)
+
+    for f in range(n_frames):
+        left, top, fw, fh = (
+            (0, 0, w, h) if f == 0 else gif_ext_frame_geom(w, h, f)
+        )
+        local = f % 2 == 1
+        interlaced = f % 2 == 0
+        gpacked = 0
+        if transparent and f >= 1:
+            gpacked |= 0x01
+        if disposal2_last and f == n_frames - 2:
+            gpacked |= 2 << 2
+        out += bytes([0x21, 0xF9, 4, gpacked])
+        out += struct.pack("<H", 4 + f)
+        out += bytes([seed % 256 if transparent and f >= 1 else 0, 0])
+        out += bytes([0x2C])
+        out += struct.pack("<HHHH", left, top, fw, fh)
+        ipacked = (0x80 | 0x07 if local else 0) | (0x40 if interlaced
+                                                   else 0)
+        out += bytes([ipacked])
+        if local:
+            for rgb in gif_ext_palette(seed, f, True):
+                out += bytes(rgb)
+        out += bytes([8])  # LZW min code size
+        acc = nbits = 0
+        stream = bytearray()
+
+        def emit(code: int):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += 9
+            while nbits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        # row transmission order: interlaced frames send the 4-pass
+        # permutation of the frame-local rows
+        if interlaced:
+            row_order = []
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                row_order.extend(range(start, fh, step))
+        else:
+            row_order = list(range(fh))
+        emit(256)
+        for ry in row_order:
+            y = top + ry
+            for rx in range(fw):
+                x = left + rx
+                emit((seed + f * 17 + y * 31 + x * 7) % 256)
+                emit(256)
+        emit(257)
+        if nbits:
+            stream.append(acc & 0xFF)
+        for i in range(0, len(stream), 255):
+            block = stream[i:i + 255]
+            out += bytes([len(block)]) + block
+        out += bytes([0])
+    out += bytes([0x3B])
+    return bytes(out)

@@ -523,35 +523,84 @@ class TestPngDecode:
             return (struct.pack(">I", len(body)) + ctype + body
                     + struct.pack(">I", crc))
 
-        sixteen_bit = (
+        # r9: 16-bit and Adam7 now DECODE (see
+        # test_extended_png_paths); the remaining honest gates are
+        # sub-byte grayscale and palette images without PLTE
+        gray4 = (
             b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
-            + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 4))
             + chunk(b"IEND", b"")
         )
-        interlaced = (
+        no_plte = (
             b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
-            + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 6))
             + chunk(b"IEND", b"")
         )
         rows = [
             (0, bytearray(good)),
             (1, bytearray(b"not a png at all")),
             (2, bytearray(good[:20])),           # truncated
-            (3, bytearray(sixteen_bit)),
-            (4, bytearray(interlaced)),
+            (3, bytearray(gray4)),
+            (4, bytearray(no_plte)),
         ]
         df = spark.createDataFrame(rows, "doc_id long, payload binary")
         out = {r["doc_id"]: r for r in decode_png_meta(df).collect()}
         assert out[0]["decode_error"] is None and out[0]["width"] == 3
         assert "signature" in out[1]["decode_error"]
         assert out[2]["decode_error"] is not None
-        assert "16" in out[3]["decode_error"] or "depth" in out[3][
-            "decode_error"]
-        assert "nterlac" in out[4]["decode_error"]
+        assert "depth 4" in out[3]["decode_error"]
+        assert "PLTE" in out[4]["decode_error"]
         # every row survived — the quarantine contract
         assert len(out) == 5
+
+    def test_extended_png_paths(self, spark):
+        """r9 gate closures: 16-bit samples, palette images at every
+        index depth, and Adam7 interlacing all decode exactly (the
+        fixture-level matrix lives in the make_png_ext verification;
+        this pins the Spark operator surface end-to-end)."""
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_png,
+            decode_png_meta,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_png_ext,
+            png_palette_rules,
+        )
+
+        # 16-bit: mean is exactly 257x the 8-bit rule mean
+        w16, h16, c16, px16 = _parse_png(make_png_ext(13, 7, 5, "rgb16"))
+        y, x, ci = np.meshgrid(
+            np.arange(7), np.arange(13), np.arange(3), indexing="ij"
+        )
+        exp = ((5 + y * 31 + x * 7 + ci * 13) % 256) * 257
+        assert (px16.reshape(7, 13, 3) == exp).all()
+        # Adam7 transmits the same pixels in pass order
+        _, _, _, px_i = _parse_png(make_png_ext(13, 7, 5, "adam7"))
+        assert (px_i.reshape(7, 13, 3) == exp // 257).all()
+        # palette at sub-byte depth
+        for depth in (1, 2, 4, 8):
+            W, H, C, px = _parse_png(
+                make_png_ext(17, 3, 9, f"palette{depth}")
+            )
+            size, pal = png_palette_rules(9, depth)
+            yy, xx = np.meshgrid(np.arange(3), np.arange(17),
+                                 indexing="ij")
+            idx = (9 + yy * 31 + xx * 7) % size
+            assert (W, H, C) == (17, 3, 3)
+            assert (px.reshape(3, 17, 3)
+                    == np.array(pal, dtype=np.uint8)[idx]).all()
+        # operator surface
+        df = spark.createDataFrame(
+            [(1, bytearray(make_png_ext(13, 7, 5, "adam7_rgb16")))],
+            "doc_id long, payload binary",
+        )
+        row = decode_png_meta(df).collect()[0]
+        assert row["decode_error"] is None
+        assert row["mean_px"] == round(float(exp.sum()) / exp.size, 6)
 
 
 class TestGifDecode:
@@ -646,8 +695,6 @@ class TestGifDecode:
             assert got.tolist() == seq, (min_code, n)
 
     def test_quarantine_unsupported_features(self):
-        import struct
-
         import pytest as _pytest
 
         from google_analytics_to_s3_spark.operators.multimodal import (
@@ -658,17 +705,69 @@ class TestGifDecode:
         good = bytearray(make_gif(3, 3, 1, 1))
         with _pytest.raises(ValueError, match="signature"):
             _parse_gif(b"PNG89a" + bytes(good[6:]))
-        # flip the interlace bit of the image descriptor
+        # r9: interlace / LCT / partial canvas now decode (see
+        # test_extended_gif_paths); disposal 3 is the remaining gate
         bad = bytearray(good)
+        # splice a GCE with disposal method 3 before the descriptor
         desc = bad.index(0x2C, 13 + 768)
-        bad[desc + 9] |= 0x40
-        with _pytest.raises(ValueError, match="nterlac"):
+        gce = bytes([0x21, 0xF9, 4, 3 << 2, 0, 0, 0, 0])
+        bad[desc:desc] = gce
+        with _pytest.raises(ValueError, match="disposal method 3"):
             _parse_gif(bytes(bad))
-        # partial canvas
-        bad2 = bytearray(good)
-        bad2[desc + 5:desc + 7] = struct.pack("<H", 2)
-        with _pytest.raises(ValueError, match="partial-canvas"):
-            _parse_gif(bytes(bad2))
+
+    def test_extended_gif_paths(self):
+        """r9 gate closures: local color tables, interlaced frames,
+        partial-canvas compositing, transparency and disposal-2
+        restore all decode to the independently recomputed canvas
+        (rule recomputation mirrors the spec compositing model, not
+        the decoder's code path)."""
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_gif,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            gif_ext_frame_geom,
+            gif_ext_palette,
+            make_gif_ext,
+        )
+
+        def expected(w, h, seed, n, transparent=False,
+                     disposal2_last=False):
+            gpal = np.array(gif_ext_palette(seed, 0, False),
+                            dtype=np.uint8)
+            canvas = np.broadcast_to(gpal[1], (h, w, 3)).copy()
+            frames, T = [], seed % 256
+            for f in range(n):
+                left, top, fw, fh = (
+                    (0, 0, w, h) if f == 0
+                    else gif_ext_frame_geom(w, h, f)
+                )
+                pal = np.array(gif_ext_palette(seed, f, f % 2 == 1),
+                               dtype=np.uint8)
+                for ry in range(fh):
+                    for rx in range(fw):
+                        yy, xx = top + ry, left + rx
+                        idx = (seed + f * 17 + yy * 31 + xx * 7) % 256
+                        if transparent and f >= 1 and idx == T:
+                            continue
+                        canvas[yy, xx] = pal[idx]
+                frames.append(canvas.reshape(-1).copy())
+                if disposal2_last and f == n - 2:
+                    canvas[top:top + fh, left:left + fw] = gpal[1]
+            return frames
+
+        for w, h in ((8, 6), (13, 9)):
+            for kw in ({}, {"transparent": True},
+                       {"disposal2_last": True}):
+                W, H, frames, delays = _parse_gif(
+                    make_gif_ext(w, h, 7, 4, **kw)
+                )
+                exp = expected(w, h, 7, 4, **kw)
+                assert (W, H) == (w, h) and len(frames) == 4
+                for f in range(4):
+                    assert (frames[f] == exp[f]).all(), (w, h, kw, f)
+                assert delays == [4, 5, 6, 7]
 
 
 class TestJpegDecode:
