@@ -43,7 +43,9 @@ Two tiers of decode honesty:
   channels + 8/12/16/20/24-bit depths (r8; decorrelation modes
   are 2-channel by spec).
 - **Digest stubs** for the remaining compressed formats (MP3/MP4
-  need libav / soundfile, which are NOT in this container):
+  need libav / soundfile, which are NOT in this container; the
+  Ogg/Vorbis BYTE path — framing, codebooks, floor1/residue
+  integers — decodes natively in ``operators/vorbis.py`` as of r9):
   metadata derives deterministically from the payload's sha256.
   Everything Spark-side — binary column handling, Arrow batch
   transfer, schemas, partition-preserving plumbing, the 1→N frame
@@ -359,11 +361,13 @@ def detect_shot_boundaries(
 
 # ---------------------------------------------------------------------------
 # REAL decoders for uncompressed container formats — pure numpy, no
-# external codec library. PPM/PGM (NetPBM) images and PCM16 WAV audio
-# are byte-level-trivial formats whose decode is exact arithmetic, so
-# these paths are genuinely real (header parse + pixel/sample math),
-# not digest stubs: the stub paths above remain for compressed formats
-# (JPEG/MP4/FLAC need PIL/libav and stay honestly gated).
+# external codec library. PPM/PGM (NetPBM) images and WAV audio (PCM
+# 8/16/24/32-bit + G.711 mu-law/A-law as of r9) are byte-level
+# formats whose decode is exact arithmetic, so these paths are
+# genuinely real (header parse + pixel/sample math), not digest
+# stubs: the stub paths above remain only for MP3/MP4 (libav-gated);
+# PNG/GIF/JPEG/FLAC and the Vorbis byte path decode for real below
+# and in operators/vorbis.py.
 # ---------------------------------------------------------------------------
 
 import struct
@@ -861,8 +865,8 @@ def sample_y4m_frames(
 # needed PIL actually needs only stdlib zlib + the five scanline
 # filters from the PUBLIC PNG specification (RFC 2083 / W3C PNG) —
 # so the "compressed formats stay gated" boundary moves: PNG decode
-# is real; baseline JPEG followed later in r7 (below); MP4/FLAC (DSP)
-# remain honestly libav-gated.
+# is real; baseline JPEG followed later in r7 (below) and FLAC in
+# r7-r9; only MP3/MP4 remain honestly libav-gated.
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -1401,10 +1405,11 @@ def sample_gif_frames(
 # canonical Huffman decode of the entropy-coded segment (0xFF00
 # unstuffing, DC prediction, ZRL/EOB runs), dequantization, dezigzag,
 # and a vectorized matrix IDCT — pure stdlib + numpy. The remaining
-# honest gates shrink to the DSP formats (MP3/MP4, PIL/libav-gated)
-# and the rare JPEG corners (12-bit, arithmetic coding, lossless/
-# hierarchical); chroma-subsampled baseline (4:2:0/4:2:2), restart
-# intervals, and PROGRESSIVE (SOF2) all decode for real as of r8.
+# honest gates shrink to MP3/MP4 (libav-gated; the Vorbis byte path
+# decodes natively in operators/vorbis.py as of r9) and the rare
+# JPEG corners (12-bit, arithmetic coding, lossless/hierarchical);
+# chroma-subsampled baseline (4:2:0/4:2:2), restart intervals, and
+# PROGRESSIVE (SOF2) all decode for real as of r8.
 # ---------------------------------------------------------------------------
 
 
