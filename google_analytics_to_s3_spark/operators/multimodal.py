@@ -1620,10 +1620,11 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
     grid, and table redefinition between scans. Restart intervals
     (DRI + cycling RSTn markers with predictor/EOB-run resets, T.81
     E.1.4) are supported in both modes. Raises ValueError on
-    malformed input and on the honest unsupported corners (12-bit
-    samples, lossless/hierarchical/arithmetic SOFs, sampling factors
+    malformed input and on the honest unsupported corners
+    (lossless/hierarchical/arithmetic SOFs, sampling factors
     outside 1/2/4) so they quarantine cleanly; 16-bit DQT entries
-    (Pq=1) parse per T.81 B.2.4.1."""
+    (Pq=1) parse per T.81 B.2.4.1; 12-bit samples decode for real via
+    SOF1/SOF2 (level shift 2048, clamp 0..4095, uint16 output), r9."""
     if len(raw) < 4 or raw[0:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload (bad SOI)")
     pos = 2
@@ -1666,11 +1667,19 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
                         for i in range(64)
                     ]
                 p += 1 + 64 * step
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2
+            # progressive — SOF1 decodes exactly like SOF0 (it only
+            # relaxes baseline's table-count/precision limits)
             progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack(">BHHB", body[0:6])
-            if prec != 8:
-                raise ValueError(f"{prec}-bit JPEG not supported")
+            if prec not in (8, 12):
+                raise ValueError(f"{prec}-bit JPEG not supported (8/12)")
+            if prec == 12 and marker == 0xC0:
+                raise ValueError(
+                    "12-bit samples are illegal in baseline SOF0 "
+                    "(use SOF1/SOF2)"
+                )
             if ncomp not in (1, 3):
                 raise ValueError(
                     f"{ncomp}-component JPEG not supported (grayscale "
@@ -1685,12 +1694,12 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
                         f"sampling factor {hs}x{vs} not supported"
                     )
                 comps.append((cid, tq, hs, vs))
-            sof = (w, h, comps)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+            sof = (w, h, comps, prec)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"unsupported SOF marker 0xFF{marker:02X} (baseline "
-                "SOF0 and progressive SOF2 only)"
+                f"unsupported SOF marker 0xFF{marker:02X} (sequential "
+                "SOF0/SOF1 and progressive SOF2 only)"
             )
         elif marker == 0xC4:  # DHT
             p = 0
@@ -1737,9 +1746,12 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
 
     if sof is None:
         raise ValueError("missing SOF0/SOF2 segment")
-    w, h, comps = sof
+    w, h, comps, prec = sof
     if w <= 0 or h <= 0:
         raise ValueError(f"non-positive dimensions {w}x{h}")
+    lvl = float(1 << (prec - 1))   # level shift (T.81 A.3.1)
+    maxv = (1 << prec) - 1
+    out_dtype = np.uint8 if prec == 8 else np.uint16
 
     a = _jpeg_idct_matrix()
     ncomp = len(comps)
@@ -1806,7 +1818,7 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
                 rr, cc = _JPEG_ZZ[k]
                 coefs[rr, cc] = _jpeg_extend(reader.bits(s), s)
                 k += 1
-            return a @ (coefs * q) @ a.T + 128.0, pred
+            return a @ (coefs * q) @ a.T + lvl, pred
 
         reader = _JpegBitReader(raw, entry)
         for ci, (_q, _d, _a2, hs, vs) in enumerate(plan):
@@ -1874,7 +1886,7 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
             nat[:, :, zzr, zzc] = coefs[ci]
             nat *= qmats[ci]
             # batched a @ M @ a.T
-            out = np.einsum("ij,xyjk,lk->xyil", a, nat, a) + 128.0
+            out = np.einsum("ij,xyjk,lk->xyil", a, nat, a) + lvl
             comp_planes[ci] = (
                 out.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
             )
@@ -1890,17 +1902,18 @@ def _parse_jpeg(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
             p = np.repeat(p, vmax // vs, axis=0)
         planes[ci] = p[:h, :w]
     if ncomp == 1:
-        px = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        px = np.clip(np.rint(planes[0]), 0, maxv).astype(out_dtype)
         return w, h, 1, px.reshape(-1)
     # JFIF YCbCr -> RGB (floats carried unrounded from the IDCT so the
-    # only rounding is the final per-channel one)
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    # only rounding is the final per-channel one; chroma centered at
+    # the level-shift midpoint, 128 or 2048)
+    y, cb, cr = planes[0], planes[1] - lvl, planes[2] - lvl
     rgb = np.stack([
         y + 1.402 * cr,
         y - 0.344136 * cb - 0.714136 * cr,
         y + 1.772 * cb,
     ], axis=-1)
-    px = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    px = np.clip(np.rint(rgb), 0, maxv).astype(out_dtype)
     return w, h, 3, px.reshape(-1)
 
 

@@ -24,6 +24,9 @@
   partial-canvas compositing (``_parse_gif``, r9 widened); the
   oracle derives each pixel's last-writing frame from the nested
   rect geometry.
+- ``jpeg_decode_12bit`` — 12-bit extended-sequential JPEG (SOF1,
+  level shift 2048, uint16 raster); the oracle is the jpeg_decode
+  integer arithmetic with the DC term at 64*(2048+dc).
 
 Scale notes: one Arrow ``mapInPandas`` synth pass + one decode pass
 per query, ids round-robined across cores (``_spread``); per-payload
@@ -567,3 +570,78 @@ FROM px GROUP BY event_id, w, h, f
 
 QUERIES_R9["gif_decode_ext"] = q_gif_decode_ext
 ORACLES_R9["gif_decode_ext"] = SQL_GIF_DECODE_EXT
+
+
+def q_jpeg_decode_12bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-bit JPEG driver-checked (r9, closing the precision gate):
+    extended-sequential SOF1 streams with 12-bit samples (level
+    shift 2048, clamp 0..4095, uint16 raster) carrying the SAME
+    planted quantized coefficients as jpeg_decode — per pixel the
+    unclamped IDCT output is exactly the 8-bit value + 1920, so the
+    oracle is the jpeg_decode integer arithmetic with the DC term at
+    64*(2048+dc) and identical AC template constants. Integer-only
+    readout. Disjoint event sample (id % 10 == 7)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.multimodal import decode_jpeg_meta
+    from ..testing.fixtures import make_jpeg_baseline
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 7
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_jpeg_baseline(int(i) % 1000, precision=12)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(
+        _synth, schema="doc_id long, payload binary"
+    )
+    return decode_jpeg_meta(payloads).select(
+        "doc_id", "width", "height", "y_sum"
+    )
+
+
+def _jpeg_decode_12bit_sql() -> str:
+    from ..testing.fixtures import (
+        JPEG_AC_TEMPLATES,
+        jpeg_template_round_sums,
+    )
+
+    rs = jpeg_template_round_sums()
+    n_t = len(JPEG_AC_TEMPLATES)
+    rs_arr = "[" + ", ".join(f"{v}::BIGINT" for v in rs) + "]"
+    return f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed FROM events
+  WHERE event_id % {{mod}} = 7
+),
+blocks AS (
+  SELECT event_id, seed, CAST(b.b AS BIGINT) AS b,
+         ((seed * 7 + b.b * 13) % 121) - 60 AS dc,
+         (seed + b.b) % {n_t} AS t
+  FROM e, LATERAL (SELECT unnest(range(0, 4)) AS b) b
+)
+SELECT event_id AS doc_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(sum(64 * (2048 + dc) + {rs_arr}[t + 1]) AS BIGINT) AS y_sum
+FROM blocks GROUP BY event_id
+""".replace("{mod}", str(_FLAC_MOD))
+
+
+SQL_JPEG_DECODE_12BIT = _jpeg_decode_12bit_sql()
+
+QUERIES_R9["jpeg_decode_12bit"] = q_jpeg_decode_12bit
+ORACLES_R9["jpeg_decode_12bit"] = SQL_JPEG_DECODE_12BIT

@@ -721,6 +721,7 @@ def make_jpeg_baseline(
     seed: int, w: int = 16, h: int = 16, channels: int = 1,
     subsampling: str = "444", chroma_dc: "tuple[int, int] | None" = None,
     restart_interval: int = 0, dqt_16bit: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """Serialize a REAL baseline JPEG (SOI/DQT/SOF0/DHT/SOS,
     huffman-entropy-coded MCUs with per-component DC prediction, 0xFF
@@ -769,9 +770,13 @@ def make_jpeg_baseline(
     else:
         out += b"\xFF\xDB" + _struct.pack(">H", 67) + b"\x00"
         out += bytes([JPEG_Q] * 64)
-    # SOF0: 8-bit; Y carries the sampling factors, chroma is 1x1
-    out += b"\xFF\xC0" + _struct.pack(
-        ">HBHHB", 8 + 3 * channels, 8, h, w, channels
+    if precision not in (8, 12):
+        raise ValueError("fixture precision must be 8 or 12")
+    # SOF0 (8-bit) or SOF1 extended sequential (12-bit — T.81 forbids
+    # 12-bit in baseline); Y carries the sampling factors, chroma 1x1
+    out += (b"\xFF\xC0" if precision == 8 else b"\xFF\xC1")
+    out += _struct.pack(
+        ">HBHHB", 8 + 3 * channels, precision, h, w, channels
     )
     for ci in range(channels):
         samp = (hs << 4) | vs if ci == 0 else 0x11
@@ -1287,7 +1292,7 @@ def make_flac(
 def make_jpeg_progressive(
     seed: int, w: int = 16, h: int = 16, channels: int = 1,
     subsampling: str = "444", chroma_dc: "tuple[int, int] | None" = None,
-    al: int = 1, band_split: int = 5,
+    al: int = 1, band_split: int = 5, precision: int = 8,
 ) -> bytes:
     """Serialize a REAL progressive JPEG (SOF2, T.81 annex G) carrying
     the SAME quantized coefficients as :func:`make_jpeg_baseline` for
@@ -1327,8 +1332,10 @@ def make_jpeg_progressive(
     out = bytearray(b"\xFF\xD8")  # SOI
     out += b"\xFF\xDB" + _struct.pack(">H", 67) + b"\x00"
     out += bytes([JPEG_Q] * 64)
+    if precision not in (8, 12):
+        raise ValueError("fixture precision must be 8 or 12")
     out += b"\xFF\xC2" + _struct.pack(  # SOF2: progressive
-        ">HBHHB", 8 + 3 * channels, 8, h, w, channels
+        ">HBHHB", 8 + 3 * channels, precision, h, w, channels
     )
     for ci in range(channels):
         samp = (hs << 4) | vs if ci == 0 else 0x11

@@ -251,3 +251,37 @@ def test_gif_compositing_matches_spec_model(
     assert (W, H) == (w, h) and len(frames) == n
     for f in range(n):
         assert (frames[f] == exp[f]).all(), f
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10**6),
+    channels=st.sampled_from([1, 3]),
+    sub=st.sampled_from(["444", "420"]),
+    progressive=st.booleans(),
+)
+def test_jpeg_12bit_is_8bit_plus_1920(seed, channels, sub, progressive):
+    """ANY planted coefficient seed decodes at 12-bit to exactly the
+    8-bit pixels + 1920 on unclamped pixels (identical IDCT floats,
+    level shift 2048 vs 128), in both sequential and progressive
+    modes."""
+    from google_analytics_to_s3_spark.operators.multimodal import (
+        _parse_jpeg,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_jpeg_baseline,
+        make_jpeg_progressive,
+    )
+
+    if channels == 1:
+        sub = "444"
+    mk = make_jpeg_progressive if progressive else make_jpeg_baseline
+    b8 = _parse_jpeg(mk(seed, 32, 32, channels, subsampling=sub))
+    b12 = _parse_jpeg(
+        mk(seed, 32, 32, channels, subsampling=sub, precision=12)
+    )
+    assert b12[3].dtype == np.uint16
+    p8, p12 = b8[3].astype(np.int64), b12[3].astype(np.int64)
+    un = (p8 > 0) & (p8 < 255)
+    assert un.mean() > 0.5
+    assert (p12[un] == p8[un] + 1920).all()
