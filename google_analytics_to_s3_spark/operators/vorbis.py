@@ -31,7 +31,9 @@ Honestly gated (named errors, the quarantine contract of
 float synthesis chain (floor1_inverse_dB_table curve, IMDCT,
 windowing, overlap-add — the spec defines the dB table as a table,
 so "exact" PCM is not reproducible without shipping it), and
-channel-coupling magnitude/angle inversion beyond passthrough.
+(square-polar channel coupling — §4.3.5 magnitude/angle inversion
+— decodes for real as of this round; it is an exact integer
+transform on the residue vectors).
 
 100 TB design: one Arrow ``mapInPandas`` pass, per-payload cost,
 embarrassingly parallel; all heavy loops are bounded by packet/
@@ -482,16 +484,15 @@ def _parse_setup_header(packet: bytes, s: _VorbisSetup) -> None:
         if mtype != 0:
             raise ValueError(f"reserved mapping type {mtype}")
         submaps = (br.read(4) + 1) if br.read1() else 1
-        steps = 0
+        couplings = []
         if br.read1():
             steps = br.read(8) + 1
             for _ in range(steps):
-                br.read(_ilog(s.channels - 1))
-                br.read(_ilog(s.channels - 1))
-            if steps:
-                raise ValueError(
-                    "channel coupling not supported (passthrough only)"
-                )
+                mag = br.read(_ilog(s.channels - 1))
+                ang = br.read(_ilog(s.channels - 1))
+                if mag == ang or mag >= s.channels or ang >= s.channels:
+                    raise ValueError("illegal coupling channel pair")
+                couplings.append((mag, ang))
         if br.read(2) != 0:
             raise ValueError("nonzero mapping reserved bits")
         mux = [0] * s.channels
@@ -501,7 +502,8 @@ def _parse_setup_header(packet: bytes, s: _VorbisSetup) -> None:
         for _ in range(submaps):
             br.read(8)  # unused time config
             sub.append({"floor": br.read(8), "residue": br.read(8)})
-        s.mappings.append({"submaps": submaps, "mux": mux, "sub": sub})
+        s.mappings.append({"submaps": submaps, "mux": mux,
+                           "sub": sub, "couplings": couplings})
     s.modes = []
     for _ in range(br.read(6) + 1):
         blockflag = br.read1()
@@ -678,31 +680,53 @@ def _decode_audio_packet(packet: bytes, s: _VorbisSetup) -> dict:
         floors.append(
             _decode_floor1(br, s.floors[sub["floor"]], s.codebooks)
         )
-    # nonzero-vector bookkeeping (no coupling, so direct)
+    # nonzero-vector bookkeeping: a coupled pair decodes if EITHER
+    # half has a nonzero floor (spec §4.3.4 step 4)
     do_decode = [f is not None for f in floors]
-    residues = []
+    for mag, ang in mapping["couplings"]:
+        if do_decode[mag] or do_decode[ang]:
+            do_decode[mag] = do_decode[ang] = True
+    chan_vecs: list = [None] * s.channels
     for sm in range(mapping["submaps"]):
-        ch_active = [
-            do_decode[ch]
-            for ch in range(s.channels) if mapping["mux"][ch] == sm
+        sm_channels = [
+            ch for ch in range(s.channels) if mapping["mux"][ch] == sm
         ]
+        ch_active = [do_decode[ch] for ch in sm_channels]
         res = s.residues[mapping["sub"][sm]["residue"]]
-        residues.append(
-            _decode_residue(
-                br, res, s.codebooks, n // 2, len(ch_active), ch_active
-            )
+        group = _decode_residue(
+            br, res, s.codebooks, n // 2, len(sm_channels), ch_active
         )
+        for ch, vec in zip(sm_channels, group):
+            chan_vecs[ch] = vec
+    # inverse channel coupling (spec §4.3.5, square-polar): exact
+    # integer transform on the integer-valued residue vectors
+    for mag, ang in reversed(mapping["couplings"]):
+        M, A = chan_vecs[mag], chan_vecs[ang]
+        for j in range(len(M)):
+            m, a_ = M[j], A[j]
+            if m > 0:
+                if a_ > 0:
+                    new_m, new_a = m, m - a_
+                else:
+                    new_m, new_a = m + a_, m
+            else:
+                if a_ > 0:
+                    new_m, new_a = m, m + a_
+                else:
+                    new_m, new_a = m - a_, m
+            M[j], A[j] = new_m, new_a
     post_sum = sum(sum(f) for f in floors if f is not None)
     post_count = sum(len(f) for f in floors if f is not None)
     res_sum = 0
     res_nonzero = 0
-    for group in residues:
-        for vec in group:
-            for v in vec:
-                iv = int(round(v))
-                res_sum += iv
-                if iv:
-                    res_nonzero += 1
+    for vec in chan_vecs:
+        if vec is None:
+            continue
+        for v in vec:
+            iv = int(round(v))
+            res_sum += iv
+            if iv:
+                res_nonzero += 1
     return {
         "n": n, "mode": mode_no, "post_sum": int(post_sum),
         "post_count": post_count, "res_sum": res_sum,

@@ -27,6 +27,10 @@
 - ``jpeg_decode_12bit`` — 12-bit extended-sequential JPEG (SOF1,
   level shift 2048, uint16 raster); the oracle is the jpeg_decode
   integer arithmetic with the DC term at 64*(2048+dc).
+- ``vorbis_decode_stereo`` — stereo Vorbis with square-polar channel
+  coupling (§4.3.5 inverse, exact integers): interleaved type-2
+  residue + per-channel floors; the oracle replays the interleave
+  and the coupling CASE arithmetic.
 
 Scale notes: one Arrow ``mapInPandas`` synth pass + one decode pass
 per query, ids round-robined across cores (``_spread``); per-payload
@@ -645,3 +649,151 @@ SQL_JPEG_DECODE_12BIT = _jpeg_decode_12bit_sql()
 
 QUERIES_R9["jpeg_decode_12bit"] = q_jpeg_decode_12bit
 ORACLES_R9["jpeg_decode_12bit"] = SQL_JPEG_DECODE_12BIT
+
+
+def q_vorbis_decode_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO Vorbis with square-polar channel coupling
+    driver-checked (r9): streams carry a (magnitude=0, angle=1)
+    coupling step, per-channel floor1 posts (channel 1 at seed+499),
+    and a type-2 residue whose planted slots land interleaved on the
+    2-channel vector — so the decoder must run the §4.3.5 inverse
+    coupling (an exact integer transform) to recover the per-channel
+    values. The oracle replays the interleave, the bit-vector VQ
+    entries and the coupling CASE arithmetic in SQL. Disjoint event
+    sample (id % 10 == 8)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.vorbis import decode_vorbis_features
+    from ..testing.fixtures import make_ogg_vorbis
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 8
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_ogg_vorbis(int(i) % 1000,
+                                    n_packets=3 + int(i) % 4,
+                                    stereo=True)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(
+        _synth, schema="doc_id long, payload binary"
+    )
+    return decode_vorbis_features(payloads).select(
+        "doc_id", "sample_rate_hz", "channels", "n_audio_packets",
+        "window_samples", "floor_post_sum", "floor_post_count",
+        "residue_sum", "residue_nonzero",
+    )
+
+
+# floor posts: channel 0 at `seed`, channel 1 at `seed + 499`
+# (VORBIS_STEREO_SEED_SHIFT), both through the §7.2.4 synthesis.
+# residue: slot 8p+w of the interleaved vector carries bit w of e1
+# (w<4) / bit w-4 of e2 (w>=4) on class-1 partitions; magnitude
+# m = slot 2j, angle a = slot 2j+1; inverse coupling (m,a ∈ {0,1}):
+# (1,1)->(1,0), (1,0)->(1,1), (0,1)->(0,1), (0,0)->(0,0)
+SQL_VORBIS_DECODE_STEREO = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         3 + event_id % 4 AS npk
+  FROM events WHERE event_id % {_FLAC_MOD} = 8
+),
+k AS (
+  SELECT event_id, seed, npk, CAST(kk.k AS BIGINT) AS k
+  FROM e, LATERAL (SELECT unnest(range(0, npk)) AS k) kk
+),
+ch AS (
+  SELECT event_id, npk, k,
+         seed + c.c * 499 AS cseed, seed AS seed0
+  FROM k, LATERAL (SELECT unnest(range(0, 2)) AS c) c
+),
+y AS (
+  SELECT event_id, npk, k, seed0,
+         (cseed + 11 * k) % 256 AS y0,
+         (cseed * 3 + 17 * k) % 256 AS y1,
+         (cseed + 29 * k) % 64 AS y2,
+         (cseed * 5 + 13 * k) % 64 AS y3
+  FROM ch
+),
+f2t AS (
+  SELECT *, CASE WHEN y2 = 0 THEN p2
+                 WHEN y2 >= 2 * least(256 - p2, p2) THEN
+                   CASE WHEN 256 - p2 > p2 THEN y2 - p2 + p2
+                        ELSE p2 - (y2 - (256 - p2)) - 1 END
+                 WHEN y2 % 2 = 1 THEN p2 - (y2 + 1) // 2
+                 ELSE p2 + y2 // 2 END AS f2
+  FROM y, LATERAL (
+    SELECT CASE WHEN y1 >= y0 THEN y0 + ((y1 - y0) * 40) // 128
+                ELSE y0 - ((y0 - y1) * 40) // 128 END AS p2) q
+),
+f3t AS (
+  SELECT *, CASE WHEN y3 = 0 THEN p3
+                 WHEN y3 >= 2 * least(256 - p3, p3) THEN
+                   CASE WHEN 256 - p3 > p3 THEN y3 - p3 + p3
+                        ELSE p3 - (y3 - (256 - p3)) - 1 END
+                 WHEN y3 % 2 = 1 THEN p3 - (y3 + 1) // 2
+                 ELSE p3 + y3 // 2 END AS f3
+  FROM f2t, LATERAL (
+    SELECT CASE WHEN y1 >= f2 THEN f2 + ((y1 - f2) * 50) // 88
+                ELSE f2 - ((f2 - y1) * 50) // 88 END AS p3) q
+),
+posts AS (
+  SELECT event_id, npk,
+         CAST(sum(y0 + y1 + f2 + f3) AS BIGINT) AS psum
+  FROM f3t GROUP BY 1, 2
+),
+pairs AS (
+  SELECT event_id, k.k, j.j,
+         CASE WHEN (seed + k.k + (2 * j.j) // 8) % 2 = 1 THEN
+           CASE WHEN (2 * j.j) % 8 < 4
+                THEN ((seed + 3 * k.k + 5 * ((2 * j.j) // 8)) % 16
+                      >> ((2 * j.j) % 8)) & 1
+                ELSE ((seed * 7 + k.k + (2 * j.j) // 8) % 16
+                      >> ((2 * j.j) % 8 - 4)) & 1 END
+           ELSE 0 END AS m,
+         CASE WHEN (seed + k.k + (2 * j.j + 1) // 8) % 2 = 1 THEN
+           CASE WHEN (2 * j.j + 1) % 8 < 4
+                THEN ((seed + 3 * k.k + 5 * ((2 * j.j + 1) // 8)) % 16
+                      >> ((2 * j.j + 1) % 8)) & 1
+                ELSE ((seed * 7 + k.k + (2 * j.j + 1) // 8) % 16
+                      >> ((2 * j.j + 1) % 8 - 4)) & 1 END
+           ELSE 0 END AS a
+  FROM k, LATERAL (SELECT unnest(range(0, 32)) AS j) j
+),
+coupled AS (
+  SELECT event_id,
+         CAST(sum(CASE WHEN m = 1 AND a = 1 THEN 1
+                       WHEN m = 1 AND a = 0 THEN 2
+                       WHEN m = 0 AND a = 1 THEN 1
+                       ELSE 0 END) AS BIGINT) AS rsum,
+         CAST(sum(CASE WHEN m = 1 AND a = 1 THEN 1
+                       WHEN m = 1 AND a = 0 THEN 2
+                       WHEN m = 0 AND a = 1 THEN 1
+                       ELSE 0 END) AS BIGINT) AS rnz
+  FROM pairs GROUP BY 1
+)
+SELECT p.event_id AS doc_id,
+       CAST(16000 AS INTEGER) AS sample_rate_hz,
+       CAST(2 AS INTEGER) AS channels,
+       CAST(p.npk AS INTEGER) AS n_audio_packets,
+       CAST(256 * p.npk AS BIGINT) AS window_samples,
+       p.psum AS floor_post_sum,
+       CAST(8 * p.npk AS BIGINT) AS floor_post_count,
+       c.rsum AS residue_sum,
+       c.rnz AS residue_nonzero
+FROM posts p JOIN coupled c ON p.event_id = c.event_id
+"""
+
+QUERIES_R9["vorbis_decode_stereo"] = q_vorbis_decode_stereo
+ORACLES_R9["vorbis_decode_stereo"] = SQL_VORBIS_DECODE_STEREO

@@ -1635,13 +1635,13 @@ def _ogg_page(
     return page[:22] + _struct.pack("<I", crc) + page[26:]
 
 
-def _vorbis_headers() -> "tuple[bytes, bytes, bytes]":
+def _vorbis_headers(stereo: bool = False) -> "tuple[bytes, bytes, bytes]":
     import struct as _struct
 
     # --- identification header ---
     w = _LsbBitWriter()
     w.write(0, 32)          # version
-    w.write(1, 8)           # channels
+    w.write(2 if stereo else 1, 8)  # channels
     w.write(16_000, 32)     # sample rate
     w.write(0, 32)          # bitrate max
     w.write(0, 32)          # bitrate nominal
@@ -1725,7 +1725,15 @@ def _vorbis_headers() -> "tuple[bytes, bytes, bytes]":
     w.write(0, 6)    # mapping_count - 1
     w.write(0, 16)   # mapping type 0
     w.write(0, 1)    # one submap
-    w.write(0, 1)    # no coupling
+    if stereo:
+        # square-polar coupling: one step, magnitude ch0 / angle ch1
+        # (ilog(channels-1) = 1 bit per channel number)
+        w.write(1, 1)
+        w.write(0, 8)    # coupling_steps - 1
+        w.write(0, 1)    # magnitude = 0
+        w.write(1, 1)    # angle = 1
+    else:
+        w.write(0, 1)    # no coupling
     w.write(0, 2)    # reserved
     w.write(0, 8)    # time config (unused)
     w.write(0, 8)    # floor 0
@@ -1756,19 +1764,29 @@ def vorbis_packet_rules(seed: int, k: int) -> "dict":
     }
 
 
-def _vorbis_audio_packet(seed: int, k: int) -> bytes:
+VORBIS_STEREO_SEED_SHIFT = 499  # channel-1 floor rule: seed + 499
+
+
+def _vorbis_audio_packet(seed: int, k: int, stereo: bool = False) -> bytes:
     r = vorbis_packet_rules(seed, k)
     w = _LsbBitWriter()
     w.write(0, 1)            # audio packet type
     # mode number: ilog(mode_count - 1) = ilog(0) = 0 bits
-    # floor1, channel 0
-    w.write(1, 1)            # nonzero
-    w.write(r["y0"], 8)      # ilog(255) = 8 raw bits
-    w.write(r["y1"], 8)
-    w.write_codeword(r["y2"], 6)   # book 0: entry i <-> 6-bit word i
-    w.write_codeword(r["y3"], 6)
+
+    def floor_posts(rr):
+        w.write(1, 1)            # nonzero
+        w.write(rr["y0"], 8)     # ilog(255) = 8 raw bits
+        w.write(rr["y1"], 8)
+        w.write_codeword(rr["y2"], 6)  # book 0: entry i <-> word i
+        w.write_codeword(rr["y3"], 6)
+
+    floor_posts(r)
+    if stereo:
+        floor_posts(vorbis_packet_rules(seed + VORBIS_STEREO_SEED_SHIFT, k))
     # residue type 2, 8 partitions of size 8, classbook dim 1:
-    # decode order interleaves (classword p, vq partition p)
+    # decode order interleaves (classword p, vq partition p); in
+    # stereo the SAME planted slots land on the interleaved 2-channel
+    # vector (slot 2j -> magnitude ch, slot 2j+1 -> angle ch)
     for p in range(8):
         cls = r["classes"][p]
         w.write_codeword(cls, 1)   # book 1: entry i <-> 1-bit word i
@@ -1780,7 +1798,8 @@ def _vorbis_audio_packet(seed: int, k: int) -> bytes:
 
 
 def make_ogg_vorbis(
-    seed: int, n_packets: int = 6, span_page: bool = False
+    seed: int, n_packets: int = 6, span_page: bool = False,
+    stereo: bool = False,
 ) -> bytes:
     """Serialize a REAL minimal Ogg/Vorbis stream (module comment).
     ``span_page=True`` pads the first audio packet to 300 bytes so it
@@ -1788,12 +1807,15 @@ def make_ogg_vorbis(
     exercising the packet-reassembly path (trailing padding bits in
     a packet are legal; the decoder reads only what the spec
     grammar consumes)."""
-    ident, comment, setup = _vorbis_headers()
+    ident, comment, setup = _vorbis_headers(stereo=stereo)
     pages = [
         _ogg_page([ident], 0, bos=True),
         _ogg_page([comment, setup], 1),
     ]
-    packets = [_vorbis_audio_packet(seed, k) for k in range(n_packets)]
+    packets = [
+        _vorbis_audio_packet(seed, k, stereo=stereo)
+        for k in range(n_packets)
+    ]
     seq = 2
     if span_page and packets:
         first = packets[0] + b"\x00" * (300 - len(packets[0]))

@@ -250,3 +250,73 @@ class TestVorbisSparkOperator:
         assert "capture" in rows[2]["decode_error"]
         assert "CRC" in rows[3]["decode_error"]
         assert rows[3]["floor_post_sum"] is None
+
+
+class TestStereoCoupling:
+    def test_square_polar_inversion_matches_recomputation(self):
+        """Stereo streams with one (mag=0, ang=1) coupling step:
+        residue slots land interleaved on the 2-channel vector and
+        the §4.3.5 inverse transform applies — verified against an
+        independent integer recomputation of the planted slots."""
+        from google_analytics_to_s3_spark.operators.vorbis import (
+            parse_vorbis,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            VORBIS_STEREO_SEED_SHIFT,
+            make_ogg_vorbis,
+        )
+
+        for seed in (0, 7, 123, 999):
+            d = parse_vorbis(
+                make_ogg_vorbis(seed, n_packets=5, stereo=True)
+            )
+            post = res = nz = 0
+            for k in range(5):
+                r = vorbis_packet_rules(seed, k)
+                r1 = vorbis_packet_rules(
+                    seed + VORBIS_STEREO_SEED_SHIFT, k
+                )
+
+                def psum(rr):
+                    def rp(x0, y0, x1, y1, x):
+                        dy = y1 - y0
+                        off = (abs(dy) * (x - x0)) // (x1 - x0)
+                        return y0 - off if dy < 0 else y0 + off
+
+                    def fp(p, v, rng=256):
+                        hr, lr = rng - p, p
+                        room = 2 * min(hr, lr)
+                        if v == 0:
+                            return p
+                        if v >= room:
+                            return (v - lr + p if hr > lr
+                                    else p - (v - hr) - 1)
+                        return (p - (v + 1) // 2 if v % 2
+                                else p + v // 2)
+
+                    p2 = rp(0, rr["y0"], 128, rr["y1"], 40)
+                    f2 = fp(p2, rr["y2"])
+                    p3 = rp(40, f2, 128, rr["y1"], 90)
+                    f3 = fp(p3, rr["y3"])
+                    return rr["y0"] + rr["y1"] + f2 + f3
+
+                post += psum(r) + psum(r1)
+                v = [0] * 64
+                for p in range(8):
+                    if r["classes"][p] == 1:
+                        e1, e2 = r["entries"][p]
+                        for w in range(4):
+                            v[8 * p + w] = (e1 >> w) & 1
+                            v[8 * p + 4 + w] = (e2 >> w) & 1
+                for j in range(32):
+                    m, a = v[2 * j], v[2 * j + 1]
+                    if m > 0:
+                        nm, na = (m, m - a) if a > 0 else (m + a, m)
+                    else:
+                        nm, na = (m, m + a) if a > 0 else (m - a, m)
+                    res += nm + na
+                    nz += (nm != 0) + (na != 0)
+            assert d["channels"] == 2
+            assert d["floor_post_sum"] == post
+            assert d["residue_sum"] == res
+            assert d["residue_nonzero"] == nz
