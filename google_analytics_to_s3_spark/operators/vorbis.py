@@ -27,7 +27,7 @@ bit-reproducible packed floats — decodes for real:
   §8.6.2-8.6.5).
 
 Honestly gated (named errors, the quarantine contract of
-``operators/multimodal``): floor type 0 (LSP), residue type 0, the
+``operators/multimodal``): floor type 0 (LSP), the
 float synthesis chain (floor1_inverse_dB_table curve, IMDCT,
 windowing, overlap-add — the spec defines the dB table as a table,
 so "exact" PCM is not reproducible without shipping it), and
@@ -472,10 +472,8 @@ def _parse_setup_header(packet: bytes, s: _VorbisSetup) -> None:
     s.residues = []
     for _ in range(br.read(6) + 1):
         rtype = br.read(16)
-        if rtype in (1, 2):
+        if rtype in (0, 1, 2):
             s.residues.append(_parse_residue(br, rtype))
-        elif rtype == 0:
-            raise ValueError("residue type 0 not supported (1/2 only)")
         else:
             raise ValueError(f"reserved residue type {rtype}")
     s.mappings = []
@@ -639,13 +637,23 @@ def _decode_residue(
                             "residue value book has no lookup table"
                         )
                     off = begin + pi * psize
-                    i = 0
-                    while i < psize:
-                        entry = book.decode_entry(br)
-                        vec = book.vectors[entry]
-                        for d in range(book.dim):
-                            vecs[ch][off + i] += vec[d]
-                            i += 1
+                    if rtype == 0:
+                        # §8.6.3: interleaved scatter — entry i of
+                        # step = psize/dim writes component d at
+                        # off + i + d*step
+                        step = psize // book.dim
+                        for i in range(step):
+                            vec = book.vectors[book.decode_entry(br)]
+                            for d in range(book.dim):
+                                vecs[ch][off + i + d * step] += vec[d]
+                    else:
+                        i = 0
+                        while i < psize:
+                            entry = book.decode_entry(br)
+                            vec = book.vectors[entry]
+                            for d in range(book.dim):
+                                vecs[ch][off + i] += vec[d]
+                                i += 1
                 pi += 1
     if rtype == 2 and n_channels > 1:
         # de-interleave back to per-channel vectors

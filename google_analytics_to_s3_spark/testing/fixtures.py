@@ -1635,7 +1635,9 @@ def _ogg_page(
     return page[:22] + _struct.pack("<I", crc) + page[26:]
 
 
-def _vorbis_headers(stereo: bool = False) -> "tuple[bytes, bytes, bytes]":
+def _vorbis_headers(
+    stereo: bool = False, residue_type: int = 2
+) -> "tuple[bytes, bytes, bytes]":
     import struct as _struct
 
     # --- identification header ---
@@ -1711,7 +1713,7 @@ def _vorbis_headers(stereo: bool = False) -> "tuple[bytes, bytes, bytes]":
     w.write(40, 7)   # post X 2
     w.write(90, 7)   # post X 3
     w.write(0, 6)    # residue_count - 1
-    w.write(2, 16)   # residue type 2
+    w.write(residue_type, 16)  # residue type (0/1/2)
     w.write(0, 24)   # begin
     w.write(64, 24)  # end
     w.write(7, 24)   # partition_size - 1 -> 8
@@ -1799,7 +1801,7 @@ def _vorbis_audio_packet(seed: int, k: int, stereo: bool = False) -> bytes:
 
 def make_ogg_vorbis(
     seed: int, n_packets: int = 6, span_page: bool = False,
-    stereo: bool = False,
+    stereo: bool = False, residue_type: int = 2,
 ) -> bytes:
     """Serialize a REAL minimal Ogg/Vorbis stream (module comment).
     ``span_page=True`` pads the first audio packet to 300 bytes so it
@@ -1807,7 +1809,9 @@ def make_ogg_vorbis(
     exercising the packet-reassembly path (trailing padding bits in
     a packet are legal; the decoder reads only what the spec
     grammar consumes)."""
-    ident, comment, setup = _vorbis_headers(stereo=stereo)
+    ident, comment, setup = _vorbis_headers(
+        stereo=stereo, residue_type=residue_type
+    )
     pages = [
         _ogg_page([ident], 0, bos=True),
         _ogg_page([comment, setup], 1),

@@ -320,3 +320,79 @@ class TestStereoCoupling:
             assert d["floor_post_sum"] == post
             assert d["residue_sum"] == res
             assert d["residue_nonzero"] == nz
+
+
+class TestResidueFormats:
+    def test_type0_interleaved_scatter_placement(self):
+        """Residue type 0 (§8.6.3) scatters entry i's component d at
+        offset + i + d*step — placement-sensitive check directly on
+        _decode_residue (the stream-level sums are placement-
+        invariant, so only a vector-level test can catch a wrong
+        stride)."""
+        from google_analytics_to_s3_spark.operators.vorbis import (
+            _Codebook,
+            _decode_residue,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            _LsbBitWriter,
+        )
+
+        # classbook: 2 entries len 1 (dim 1); value book: 16 entries
+        # len 4, vector of entry e = bits of e (LSB-first digits)
+        classbook = _Codebook(1, 2, [1, 1], 0, None)
+        vecs = [tuple((e >> d) & 1 for d in range(4))
+                for e in range(16)]
+        valbook = _Codebook(4, 16, [4] * 16, 1, vecs)
+        books = [classbook, valbook]
+        res = {"type": 0, "begin": 0, "end": 8, "psize": 8,
+               "nclass": 2, "classbook": 0,
+               "books": [[None] * 8,
+                         [1] + [None] * 7]}
+        w = _LsbBitWriter()
+        w.write_codeword(1, 1)      # partition class 1
+        w.write_codeword(0b0011, 4)  # entry 3 -> bits (1,1,0,0)
+        w.write_codeword(0b0101, 4)  # entry 5 -> bits (1,0,1,0)
+        from google_analytics_to_s3_spark.operators.vorbis import _VBits
+        out = _decode_residue(
+            _VBits(bytes(w.bytes())), res, books, 8, 1, [True]
+        )
+        # step = psize/dim = 2; entry0(=3) components at 0,2,4,6;
+        # entry1(=5) at 1,3,5,7
+        got = [int(v) for v in out[0]]
+        e3 = [(3 >> d) & 1 for d in range(4)]
+        e5 = [(5 >> d) & 1 for d in range(4)]
+        exp = [0] * 8
+        for d in range(4):
+            exp[0 + d * 2] = e3[d]
+            exp[1 + d * 2] = e5[d]
+        assert got == exp, (got, exp)
+        # the same bits through type 1 place sequentially instead
+        res1 = dict(res, type=1)
+        w2 = _LsbBitWriter()
+        w2.write_codeword(1, 1)
+        w2.write_codeword(0b0011, 4)
+        w2.write_codeword(0b0101, 4)
+        out1 = _decode_residue(
+            _VBits(bytes(w2.bytes())), res1, books, 8, 1, [True]
+        )
+        assert [int(v) for v in out1[0]] == e3 + e5
+        assert got != e3 + e5  # the two formats genuinely differ
+
+    def test_type0_and_type1_streams_parse(self):
+        """Full streams with residue types 0/1 parse end-to-end; the
+        (placement-invariant) sums match the type-2 stream."""
+        from google_analytics_to_s3_spark.operators.vorbis import (
+            parse_vorbis,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_ogg_vorbis,
+        )
+
+        for seed in (0, 7, 999):
+            base = parse_vorbis(make_ogg_vorbis(seed, n_packets=4))
+            for rt in (0, 1):
+                d = parse_vorbis(
+                    make_ogg_vorbis(seed, n_packets=4, residue_type=rt)
+                )
+                assert d["residue_sum"] == base["residue_sum"]
+                assert d["floor_post_sum"] == base["floor_post_sum"]
