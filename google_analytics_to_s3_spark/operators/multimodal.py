@@ -2218,23 +2218,37 @@ class _FlacBitReader:
         self.bitpos = (self.bitpos + 7) & ~7
 
 
+def _crc_table(poly: int, width: int) -> list[int]:
+    mask = (1 << width) - 1
+    top = 1 << (width - 1)
+    tbl = []
+    for i in range(256):
+        r = i << (width - 8)
+        for _ in range(8):
+            r = ((r << 1) ^ poly) & mask if r & top else (r << 1) & mask
+        tbl.append(r)
+    return tbl
+
+
+_FLAC_CRC8_TBL = _crc_table(0x07, 8)
+_FLAC_CRC16_TBL = _crc_table(0x8005, 16)
+
+
 def _flac_crc8(data: bytes) -> int:
     crc = 0
+    tbl = _FLAC_CRC8_TBL
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
-                else (crc << 1) & 0xFF
+        crc = tbl[crc ^ b]
     return crc
 
 
 def _flac_crc16(data: bytes) -> int:
+    # table-driven (frame-sized inputs made the bit-serial loop ~30%
+    # of whole-stream decode time)
     crc = 0
+    tbl = _FLAC_CRC16_TBL
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
-                else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFF00) ^ tbl[(crc >> 8) ^ b]
     return crc
 
 
@@ -2336,11 +2350,15 @@ def _flac_subframe(br: "_FlacBitReader", bs: int, bits: int) -> "np.ndarray":
                         (z >> 1) if z % 2 == 0 else -((z + 1) >> 1)
                     )
         coefs = _FLAC_FIXED_COEFS[order]
+        # reconstruct on a Python list: per-sample numpy scalar reads
+        # cost ~10x a list index in this serial recurrence
+        out = [int(block[j]) for j in range(order)]
         for i in range(order, bs):
-            pred = sum(
-                c * int(block[i - j - 1]) for j, c in enumerate(coefs)
-            )
-            block[i] = pred + res[i - order]
+            pred = 0
+            for j, c in enumerate(coefs):
+                pred += c * out[i - j - 1]
+            out.append(pred + res[i - order])
+        block[:bs] = out
     elif sf_type >= 0b100000:  # LPC, order = (sf_type & 0x1F) + 1
         order = (sf_type & 0x1F) + 1
         if order > bs:
@@ -2391,12 +2409,17 @@ def _flac_subframe(br: "_FlacBitReader", bs: int, bits: int) -> "np.ndarray":
                         (z >> 1) if z % 2 == 0 else -((z + 1) >> 1)
                     )
         # prediction: floor-shifted quantized dot product (RFC 9639
-        # §9.2.5: arithmetic >> of the accumulated sum, exact ints)
+        # §9.2.5: arithmetic >> of the accumulated sum, exact ints);
+        # Python-list recurrence — numpy scalar indexing dominates at
+        # order 8 otherwise (bench: flac_decode_lpc 8.9 -> ~3 s)
+        out = [int(block[j]) for j in range(order)]
+        rng = range(order)
         for i in range(order, bs):
-            acc = sum(
-                qcoefs[j] * int(block[i - j - 1]) for j in range(order)
-            )
-            block[i] = (acc >> shift) + res[i - order]
+            acc = 0
+            for j in rng:
+                acc += qcoefs[j] * out[i - j - 1]
+            out.append((acc >> shift) + res[i - order])
+        block[:bs] = out
     else:
         raise ValueError(f"reserved subframe type {sf_type:#08b}")
     # wasted-bits reconstruction: samples were coded at bits-k and
