@@ -29,8 +29,9 @@ Two tiers of decode honesty:
   decode — multi-scan spectral selection / successive
   approximation with EOB-run and G.1.2.3 refinement protocols,
   pinned pixel-identical to the baseline decode of the same
-  coefficients. Gates left: 12-bit, arithmetic coding, lossless/
-  hierarchical SOFs.
+  coefficients; 12-bit extended-sequential (SOF1) and 12-bit
+  progressive decode as of r9 (level shift 2048, uint16 raster).
+  Gates left: arithmetic coding, lossless/hierarchical SOFs.
 - **REAL FLAC decode (r7)**: fixed-predictor subset — frame
   sync + CRC-8/16 verification, UTF-8 frame numbers, Rice residual
   decode (incl. escape partitions), predictor reconstruction
@@ -1407,9 +1408,9 @@ def sample_gif_frames(
 # and a vectorized matrix IDCT — pure stdlib + numpy. The remaining
 # honest gates shrink to MP3/MP4 (libav-gated; the Vorbis byte path
 # decodes natively in operators/vorbis.py as of r9) and the rare
-# JPEG corners (12-bit, arithmetic coding, lossless/hierarchical);
+# JPEG corners (arithmetic coding, lossless/hierarchical);
 # chroma-subsampled baseline (4:2:0/4:2:2), restart intervals, and
-# PROGRESSIVE (SOF2) all decode for real as of r8.
+# PROGRESSIVE (SOF2) decode for real as of r8, 12-bit as of r9.
 # ---------------------------------------------------------------------------
 
 
