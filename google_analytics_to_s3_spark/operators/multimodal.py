@@ -576,6 +576,47 @@ def _alaw_expand(codes: "np.ndarray") -> "np.ndarray":
     return np.where(a & 0x80, t, -t)
 
 
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+    449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+    1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+    3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+    9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+    22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibbles(
+    nibbles, pred: int, index: int
+) -> tuple[list[int], int, int]:
+    """The IMA ADPCM reference decode step (validated bit-exact
+    against CPython's audioop for the full nibble space —
+    tests/test_multimodal.py): diff = step/8 + bit-gated step/4,
+    step/2, step; sign bit 8; predictor clamped to int16, index
+    clamped to 0..88."""
+    out = []
+    steps, adj = _IMA_STEPS, _IMA_INDEX_ADJ
+    for nb in nibbles:
+        step = steps[index]
+        diff = step >> 3
+        if nb & 1:
+            diff += step >> 2
+        if nb & 2:
+            diff += step >> 1
+        if nb & 4:
+            diff += step
+        pred = pred - diff if nb & 8 else pred + diff
+        pred = -32768 if pred < -32768 else (32767 if pred > 32767
+                                             else pred)
+        index += adj[nb & 7]
+        index = 0 if index < 0 else (88 if index > 88 else index)
+        out.append(pred)
+    return out, pred, index
+
+
 def _parse_wav(raw: bytes) -> tuple[int, "np.ndarray"]:
     """Parse a RIFF/WAVE container with mono samples: returns
     (sample_rate_hz, int64 sample array). Walks the chunk list
@@ -584,10 +625,12 @@ def _parse_wav(raw: bytes) -> tuple[int, "np.ndarray"]:
     Formats decoded for real (r9): PCM (fmt 1) at 8 (unsigned,
     offset 128), 16, 24 (packed 3-byte LE) and 32 bits, and the
     G.711 companded telephony formats mu-law (fmt 7) and A-law
-    (fmt 6) via the exact closed-form expansions — all integer, so
-    decode oracles replay them exactly. Honest gates (named errors):
-    other format tags (IEEE float 3, extensible 0xFFFE, ADPCM) and
-    multi-channel streams."""
+    (fmt 6) via the exact closed-form expansions, and mono IMA/DVI
+    ADPCM (fmt 0x11: per-block predictor/index headers + the
+    reference nibble recursion, validated against audioop) — all
+    integer, so decode oracles replay them exactly. Honest gates
+    (named errors): other format tags (IEEE float 3, extensible
+    0xFFFE, MS ADPCM 2) and multi-channel streams."""
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, rate, data = 12, None, None
@@ -616,10 +659,20 @@ def _parse_wav(raw: bytes) -> tuple[int, "np.ndarray"]:
                     raise ValueError(
                         f"G.711 requires 8-bit codes, got {bits}"
                     )
+            elif fmt == 0x11:  # IMA/DVI ADPCM
+                if bits != 4:
+                    raise ValueError(
+                        f"IMA ADPCM requires 4-bit samples, got {bits}"
+                    )
+                (block_align,) = struct.unpack_from("<H", body, 12)
+                if block_align < 5:
+                    raise ValueError(
+                        f"IMA ADPCM block align {block_align} too small"
+                    )
             else:
                 raise ValueError(
                     f"WAV format tag {fmt} not supported "
-                    "(PCM=1, A-law=6, mu-law=7)"
+                    "(PCM=1, A-law=6, mu-law=7, IMA ADPCM=0x11)"
                 )
             if rate <= 0:
                 raise ValueError(f"invalid sample rate {rate}")
@@ -651,8 +704,31 @@ def _parse_wav(raw: bytes) -> tuple[int, "np.ndarray"]:
         ).astype(np.int64)
     elif fmt == 7:
         samples = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
-    else:  # fmt == 6
+    elif fmt == 6:
         samples = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
+    else:  # fmt == 0x11, IMA ADPCM (mono): per-block 4-byte header
+        # (int16 predictor = first output sample, uint8 step index,
+        # reserved), then two nibbles per byte, LOW nibble first
+        # (the MS/IMA WAV layout; audioop packs high-first, which
+        # the validation test accounts for)
+        out: list[int] = []
+        for at in range(0, len(data) - (len(data) % block_align),
+                        block_align):
+            blk = data[at:at + block_align]
+            (pred,) = struct.unpack_from("<h", blk, 0)
+            index = blk[2]
+            if index > 88:
+                raise ValueError(
+                    f"IMA ADPCM step index {index} out of range"
+                )
+            out.append(pred)
+            nibbles = []
+            for b in blk[4:]:
+                nibbles.append(b & 0x0F)
+                nibbles.append(b >> 4)
+            dec, _p, _i = _ima_decode_nibbles(nibbles, pred, index)
+            out.extend(dec)
+        samples = np.array(out, dtype=np.int64)
     return rate, samples
 
 

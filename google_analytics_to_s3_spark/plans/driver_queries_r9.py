@@ -31,6 +31,9 @@
   coupling (§4.3.5 inverse, exact integers): interleaved type-2
   residue + per-channel floors; the oracle replays the interleave
   and the coupling CASE arithmetic.
+- ``wav_decode_adpcm`` — mono IMA/DVI ADPCM (fmt 0x11) with the
+  reference nibble recursion (audioop-validated); the oracle unrolls
+  all 8 per-block recursion steps in SQL.
 
 Scale notes: one Arrow ``mapInPandas`` synth pass + one decode pass
 per query, ids round-robined across cores (``_spread``); per-payload
@@ -797,3 +800,111 @@ FROM posts p JOIN coupled c ON p.event_id = c.event_id
 
 QUERIES_R9["vorbis_decode_stereo"] = q_vorbis_decode_stereo
 ORACLES_R9["vorbis_decode_stereo"] = SQL_VORBIS_DECODE_STEREO
+
+
+def q_wav_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA/DVI ADPCM WAV driver-checked (r9): mono fmt-0x11 streams
+    with 8-byte blocks (int16 predictor + step index header, 8
+    nibbles low-first), decoded by the reference nibble recursion
+    (validated bit-exact against CPython's audioop —
+    tests/test_multimodal.py). The oracle UNROLLS the 8 recursion
+    steps per block in pure SQL (step-table lookup, bit-gated diff,
+    int16/index clamps), so a green row proves the actual stateful
+    decode arithmetic. Integer energy readout. Disjoint event sample
+    (id % 10 == 9)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.multimodal import decode_wav_features
+    from ..testing.fixtures import make_wav
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 9
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_wav(2 + int(i) % 3, int(i) % 1000, fmt="ima")
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(
+        _synth, schema="doc_id long, payload binary"
+    )
+    return decode_wav_features(payloads, window_samples=400).select(
+        "doc_id", "sample_rate_hz", "n_samples", "n_windows",
+        F.array_join(
+            F.transform("energy_windows",
+                        lambda x: x.cast("string")),
+            ",",
+        ).alias("energy_windows"),
+    )
+
+
+def _wav_adpcm_sql() -> str:
+    from ..operators.multimodal import _IMA_INDEX_ADJ, _IMA_STEPS
+
+    steps_arr = "[" + ", ".join(str(v) for v in _IMA_STEPS) + "]"
+    adj_arr = "[" + ", ".join(str(v) for v in _IMA_INDEX_ADJ) + "]"
+    # unroll the 8 nibble steps as chained LATERALs; step j consumes
+    # nibble nb_j = (seed + 11*b + 13*j) % 16 and carries (p_j, i_j)
+    laterals = []
+    energy_terms = ["p0 * p0"]
+    for j in range(8):
+        pj, ij, nj = f"p{j}", f"i{j}", f"nb{j}"
+        laterals.append(
+            f"LATERAL (SELECT (seed + 11 * b + 13 * {j}) % 16 AS {nj},"
+            f" st[{ij} + 1] AS s{j}) q{j}a,\n"
+            f"       LATERAL (SELECT (s{j} >> 3)"
+            f" + CASE WHEN {nj} & 1 = 1 THEN s{j} >> 2 ELSE 0 END"
+            f" + CASE WHEN {nj} & 2 = 2 THEN s{j} >> 1 ELSE 0 END"
+            f" + CASE WHEN {nj} & 4 = 4 THEN s{j} ELSE 0 END AS d{j})"
+            f" q{j}b,\n"
+            f"       LATERAL (SELECT least(32767, greatest(-32768,"
+            f" CASE WHEN {nj} & 8 = 8 THEN {pj} - d{j}"
+            f" ELSE {pj} + d{j} END)) AS p{j + 1},"
+            f" least(88, greatest(0,"
+            f" {ij} + adj[({nj} & 7) + 1])) AS i{j + 1}) q{j}c"
+        )
+        energy_terms.append(f"p{j + 1} * p{j + 1}")
+    return f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         2 + event_id % 3 AS nblocks
+  FROM events WHERE event_id % {{mod}} = 9
+),
+blk AS (
+  SELECT event_id, seed, nblocks, CAST(bb.b AS BIGINT) AS b,
+         {steps_arr} AS st, {adj_arr} AS adj,
+         ((seed * 3 + 101 * bb.b) % 2001) - 1000 AS p0,
+         (seed + 7 * bb.b) % 89 AS i0
+  FROM e, LATERAL (SELECT unnest(range(0, nblocks)) AS b) bb
+),
+dec AS (
+  SELECT event_id, nblocks,
+         {' + '.join(energy_terms)} AS block_energy
+  FROM blk,
+       {','.join(laterals)}
+)
+SELECT event_id AS doc_id,
+       CAST(16000 AS INTEGER) AS sample_rate_hz,
+       CAST(9 * nblocks AS BIGINT) AS n_samples,
+       CAST(1 AS INTEGER) AS n_windows,
+       CAST(CAST(sum(block_energy) AS BIGINT) AS VARCHAR)
+         AS energy_windows
+FROM dec GROUP BY event_id, nblocks
+""".replace("{mod}", str(_FLAC_MOD))
+
+
+SQL_WAV_DECODE_ADPCM = _wav_adpcm_sql()
+
+QUERIES_R9["wav_decode_adpcm"] = q_wav_decode_adpcm
+ORACLES_R9["wav_decode_adpcm"] = SQL_WAV_DECODE_ADPCM

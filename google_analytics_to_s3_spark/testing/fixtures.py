@@ -234,6 +234,36 @@ def make_wav(
     elif fmt == "alaw":
         tag, bits = 6, 8
         data = ((seed * 3 + i * 91) % 256).astype(np.uint8).tobytes()
+    elif fmt == "ima":
+        # mono IMA ADPCM: n_samples means BLOCKS here (each block is
+        # block_align bytes: int16 predictor + uint8 index + reserved
+        # + (block_align-4)*2 nibbles, low nibble first). Planted
+        # rules: header predictor ((seed*3 + 101*b) % 2001) - 1000,
+        # index (seed + 7*b) % 89, nibble j of block b
+        # (seed + 11*b + 13*j) % 16.
+        tag, bits = 0x11, 4
+        block_align = 8
+        blocks = bytearray()
+        for b in range(n_samples):
+            pred = ((seed * 3 + 101 * b) % 2001) - 1000
+            index = (seed + 7 * b) % 89
+            blocks += struct.pack("<hBB", pred, index, 0)
+            for jj in range(0, (block_align - 4) * 2, 2):
+                lo = (seed + 11 * b + 13 * jj) % 16
+                hi = (seed + 11 * b + 13 * (jj + 1)) % 16
+                blocks.append(lo | (hi << 4))
+        data = bytes(blocks)
+        hdr = struct.pack(
+            "<HHIIHHH", tag, 1, sample_rate_hz,
+            sample_rate_hz * block_align // 8, block_align, bits, 2,
+        )
+        pad = b"\x00" if len(data) % 2 else b""
+        chunks = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(hdr)) + hdr
+            + b"data" + struct.pack("<I", len(data)) + data + pad
+        )
+        return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
     else:
         raise ValueError(f"unknown wav fixture format {fmt!r}")
     align = bits // 8

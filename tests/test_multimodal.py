@@ -1624,3 +1624,72 @@ class TestFlacBitDepths:
         raw[idx + 3] = (raw[idx + 3] & ~0x0E) | (0b110 << 1)
         with _pytest.raises(ValueError, match="disagrees|CRC"):
             _parse_flac(bytes(raw))
+
+
+class TestImaAdpcm:
+    def test_core_loop_matches_audioop_bitexact(self):
+        """The IMA nibble recursion (step table, bit-gated diff,
+        clamps) matches CPython's audioop over random nibble streams
+        — an independent implementation of the same reference
+        algorithm."""
+        import random
+
+        import pytest as _pt
+
+        audioop = _pt.importorskip("audioop")
+        import array
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _ima_decode_nibbles,
+        )
+
+        rng = random.Random(1)
+        for _ in range(30):
+            n = rng.randrange(2, 300) * 2
+            nibbles = [rng.randrange(16) for _ in range(n)]
+            packed = bytes(
+                (nibbles[i] << 4) | nibbles[i + 1]
+                for i in range(0, n, 2)
+            )
+            ref, _state = audioop.adpcm2lin(packed, 2, None)
+            arr = array.array("h")
+            arr.frombytes(ref)
+            mine, _p, _i = _ima_decode_nibbles(nibbles, 0, 0)
+            assert mine == list(arr)
+
+    def test_wav_blocks_decode_with_per_block_state(self):
+        """fmt-0x11 WAV: per-block predictor/index headers seed the
+        recursion; low-nibble-first layout; audioop (seeded with each
+        block's state) is the independent per-block oracle."""
+        import array
+
+        import pytest as _pt
+
+        audioop = _pt.importorskip("audioop")
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_wav,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_wav
+
+        for seed in (0, 7, 999):
+            nblocks = 5
+            rate, s = _parse_wav(make_wav(nblocks, seed, fmt="ima"))
+            assert rate == 16000 and len(s) == nblocks * 9
+            exp = []
+            for b in range(nblocks):
+                pred = ((seed * 3 + 101 * b) % 2001) - 1000
+                index = (seed + 7 * b) % 89
+                nibbles = []
+                for jj in range(0, 8, 2):
+                    nibbles.append((seed + 11 * b + 13 * jj) % 16)
+                    nibbles.append((seed + 11 * b + 13 * (jj + 1)) % 16)
+                packed = bytes(
+                    (nibbles[i] << 4) | nibbles[i + 1]
+                    for i in range(0, 8, 2)
+                )
+                dec, _st = audioop.adpcm2lin(packed, 2, (pred, index))
+                arr = array.array("h")
+                arr.frombytes(dec)
+                exp.extend([pred] + list(arr))
+            assert list(s) == exp, seed
