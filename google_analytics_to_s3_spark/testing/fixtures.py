@@ -1666,7 +1666,8 @@ def _ogg_page(
 
 
 def _vorbis_headers(
-    stereo: bool = False, residue_type: int = 2
+    stereo: bool = False, residue_type: int = 2,
+    long_blocks: bool = False,
 ) -> "tuple[bytes, bytes, bytes]":
     import struct as _struct
 
@@ -1679,7 +1680,7 @@ def _vorbis_headers(
     w.write(0, 32)          # bitrate nominal
     w.write(0, 32)          # bitrate min
     w.write(8, 4)           # blocksize0 = 256
-    w.write(8, 4)           # blocksize1 = 256
+    w.write(9 if long_blocks else 8, 4)  # blocksize1 = 512 / 256
     w.write(1, 1)           # framing
     ident = b"\x01vorbis" + bytes(w.bytes())
 
@@ -1770,11 +1771,22 @@ def _vorbis_headers(
     w.write(0, 8)    # time config (unused)
     w.write(0, 8)    # floor 0
     w.write(0, 8)    # residue 0
-    w.write(0, 6)    # mode_count - 1
-    w.write(0, 1)    # blockflag 0
-    w.write(0, 16)   # window type
-    w.write(0, 16)   # transform type
-    w.write(0, 8)    # mapping 0
+    if long_blocks:
+        # two modes: short (blockflag 0) and long (blockflag 1),
+        # both over the same mapping — packets then spend
+        # ilog(1) = 1 bit on mode select
+        w.write(1, 6)    # mode_count - 1
+        for bf in (0, 1):
+            w.write(bf, 1)   # blockflag
+            w.write(0, 16)   # window type
+            w.write(0, 16)   # transform type
+            w.write(0, 8)    # mapping 0
+    else:
+        w.write(0, 6)    # mode_count - 1
+        w.write(0, 1)    # blockflag 0
+        w.write(0, 16)   # window type
+        w.write(0, 16)   # transform type
+        w.write(0, 8)    # mapping 0
     w.write(1, 1)    # framing
     setup = b"\x05vorbis" + bytes(w.bytes())
     return ident, comment, setup
@@ -1799,11 +1811,21 @@ def vorbis_packet_rules(seed: int, k: int) -> "dict":
 VORBIS_STEREO_SEED_SHIFT = 499  # channel-1 floor rule: seed + 499
 
 
-def _vorbis_audio_packet(seed: int, k: int, stereo: bool = False) -> bytes:
+def _vorbis_audio_packet(
+    seed: int, k: int, stereo: bool = False, long_blocks: bool = False
+) -> bytes:
     r = vorbis_packet_rules(seed, k)
     w = _LsbBitWriter()
     w.write(0, 1)            # audio packet type
-    # mode number: ilog(mode_count - 1) = ilog(0) = 0 bits
+    if long_blocks:
+        # mode select (1 bit with two modes); odd packets take the
+        # long-block mode, which then carries two window flags
+        mode = k % 2
+        w.write(mode, 1)
+        if mode:
+            w.write(0, 1)    # previous-window flag
+            w.write(0, 1)    # next-window flag
+    # else: mode number is ilog(0) = 0 bits
 
     def floor_posts(rr):
         w.write(1, 1)            # nonzero
@@ -1832,6 +1854,7 @@ def _vorbis_audio_packet(seed: int, k: int, stereo: bool = False) -> bytes:
 def make_ogg_vorbis(
     seed: int, n_packets: int = 6, span_page: bool = False,
     stereo: bool = False, residue_type: int = 2,
+    long_blocks: bool = False,
 ) -> bytes:
     """Serialize a REAL minimal Ogg/Vorbis stream (module comment).
     ``span_page=True`` pads the first audio packet to 300 bytes so it
@@ -1840,14 +1863,16 @@ def make_ogg_vorbis(
     a packet are legal; the decoder reads only what the spec
     grammar consumes)."""
     ident, comment, setup = _vorbis_headers(
-        stereo=stereo, residue_type=residue_type
+        stereo=stereo, residue_type=residue_type,
+        long_blocks=long_blocks,
     )
     pages = [
         _ogg_page([ident], 0, bos=True),
         _ogg_page([comment, setup], 1),
     ]
     packets = [
-        _vorbis_audio_packet(seed, k, stereo=stereo)
+        _vorbis_audio_packet(seed, k, stereo=stereo,
+                             long_blocks=long_blocks)
         for k in range(n_packets)
     ]
     seq = 2

@@ -396,3 +396,30 @@ class TestResidueFormats:
                 )
                 assert d["residue_sum"] == base["residue_sum"]
                 assert d["floor_post_sum"] == base["floor_post_sum"]
+
+
+class TestLongBlocks:
+    def test_mode_select_and_long_windows(self):
+        """Two-mode streams (short/long blockflag): packets spend one
+        bit on mode select, long-block packets carry two window
+        flags and contribute blocksize1 samples; the residue config
+        covers the same slots either way so value sums are
+        mode-invariant."""
+        from google_analytics_to_s3_spark.operators.vorbis import (
+            parse_vorbis,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_ogg_vorbis,
+        )
+
+        for seed in (0, 7, 999):
+            base = parse_vorbis(make_ogg_vorbis(seed, n_packets=6))
+            d = parse_vorbis(
+                make_ogg_vorbis(seed, n_packets=6, long_blocks=True)
+            )
+            assert (d["blocksize0"], d["blocksize1"]) == (256, 512)
+            assert d["window_samples"] == sum(
+                512 if k % 2 else 256 for k in range(6)
+            )
+            assert d["floor_post_sum"] == base["floor_post_sum"]
+            assert d["residue_sum"] == base["residue_sum"]
