@@ -1088,8 +1088,22 @@ def _parse_png(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
 
     bpp = max(1, c_raw * depth // 8)
     dtype = np.uint16 if depth == 16 else np.uint8
-    out = np.zeros((h, w, c_out), dtype=dtype)
     passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    # total scanline byte need BEFORE any allocation: corrupted IHDR
+    # dimensions (e.g. a flipped length byte making h ~4e9) must fail
+    # here as a ValueError, not as a giant np.zeros MemoryError
+    total_need = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            total_need += ph * ((pw * c_raw * depth + 7) // 8 + 1)
+    if total_need != len(plain):
+        raise ValueError(
+            f"PNG scanline data is {len(plain)} bytes, "
+            f"IHDR geometry needs {total_need}"
+        )
+    out = np.zeros((h, w, c_out), dtype=dtype)
     at = 0
     for x0, y0, dx, dy in passes:
         pw = (w - x0 + dx - 1) // dx
@@ -2434,7 +2448,15 @@ def _flac_subframe(br: "_FlacBitReader", bs: int, bits: int) -> "np.ndarray":
             pred = 0
             for j, c in enumerate(coefs):
                 pred += c * out[i - j - 1]
-            out.append(pred + res[i - order])
+            v = pred + res[i - order]
+            if v > 0x400000000 or v < -0x400000000:
+                # a valid stream stays within bits+wasted (<= 26 bits
+                # + headroom); corrupt residuals otherwise inflate the
+                # recurrence into unbounded ints (numpy OverflowError
+                # escapes the quarantine net, and the big-int math
+                # cost explodes)
+                raise ValueError("sample overflow — corrupt stream")
+            out.append(v)
         block[:bs] = out
     elif sf_type >= 0b100000:  # LPC, order = (sf_type & 0x1F) + 1
         order = (sf_type & 0x1F) + 1
@@ -2495,7 +2517,10 @@ def _flac_subframe(br: "_FlacBitReader", bs: int, bits: int) -> "np.ndarray":
             acc = 0
             for j in rng:
                 acc += qcoefs[j] * out[i - j - 1]
-            out.append((acc >> shift) + res[i - order])
+            v = (acc >> shift) + res[i - order]
+            if v > 0x400000000 or v < -0x400000000:
+                raise ValueError("sample overflow — corrupt stream")
+            out.append(v)
         block[:bs] = out
     else:
         raise ValueError(f"reserved subframe type {sf_type:#08b}")

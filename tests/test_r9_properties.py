@@ -58,6 +58,11 @@ def test_lpc_flac_roundtrips_across_option_grid(
         # cannot honor a forced width (real encoders pick wasted bits
         # PER subframe) — pin the combination out of the grid
         mode = "independent"
+    if wasted and bps == 8:
+        # shifting the planted 8-bit rule (+-100) by 2 exceeds the
+        # 8-bit sample range — an invalid fixture combination, not a
+        # decoder path (the overflow guard correctly rejects it)
+        wasted = 0
     raw = make_flac(
         seed, n_samples=n, subframe_cycle=cyc, channels=channels,
         stereo_mode=mode, bps=bps, wasted_bits=wasted,
@@ -285,3 +290,64 @@ def test_jpeg_12bit_is_8bit_plus_1920(seed, channels, sub, progressive):
     un = (p8 > 0) & (p8 < 255)
     assert un.mean() > 0.5
     assert (p12[un] == p8[un] + 1920).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=1000),
+    fmt=st.sampled_from(["vorbis", "vorbis_stereo", "wav_ima",
+                         "wav_ulaw", "flac_lpc", "png_ext", "gif_ext"]),
+    pos_frac=st.floats(min_value=0.0, max_value=0.999),
+    mutation=st.sampled_from(["flip", "zero", "truncate", "insert"]),
+)
+def test_corrupted_payloads_never_crash_the_decoders(
+    seed, fmt, pos_frac, mutation
+):
+    """Crawl robustness: ANY single-site corruption of a valid
+    payload (bit flip, zeroed byte, truncation, byte insertion)
+    either still decodes or raises a quarantine-contract exception
+    (ValueError/struct.error/IndexError) — never an unhandled crash
+    or hang. This is the property the mapInPandas quarantine nets
+    rely on."""
+    import struct
+
+    from google_analytics_to_s3_spark.operators import multimodal as mm
+    from google_analytics_to_s3_spark.operators.vorbis import (
+        parse_vorbis,
+    )
+    from google_analytics_to_s3_spark.testing import fixtures as fx
+
+    build = {
+        "vorbis": lambda: (fx.make_ogg_vorbis(seed, n_packets=3),
+                           parse_vorbis),
+        "vorbis_stereo": lambda: (
+            fx.make_ogg_vorbis(seed, n_packets=3, stereo=True),
+            parse_vorbis),
+        "wav_ima": lambda: (fx.make_wav(4, seed, fmt="ima"),
+                            mm._parse_wav),
+        "wav_ulaw": lambda: (fx.make_wav(300, seed, fmt="ulaw"),
+                             mm._parse_wav),
+        "flac_lpc": lambda: (
+            fx.make_flac(seed, n_samples=700,
+                         subframe_cycle=("lpc8", "lpc4")),
+            mm._parse_flac),
+        "png_ext": lambda: (fx.make_png_ext(9, 7, seed, "palette4"),
+                            mm._parse_png),
+        "gif_ext": lambda: (fx.make_gif_ext(6, 5, seed, 3),
+                            mm._parse_gif),
+    }
+    raw, parse = build[fmt]()
+    raw = bytearray(raw)
+    pos = min(len(raw) - 1, int(len(raw) * pos_frac))
+    if mutation == "flip":
+        raw[pos] ^= 1 << (seed % 8)
+    elif mutation == "zero":
+        raw[pos] = 0
+    elif mutation == "truncate":
+        raw = raw[:pos]
+    else:
+        raw.insert(pos, (seed * 7) % 256)
+    try:
+        parse(bytes(raw))
+    except (ValueError, IndexError, struct.error):
+        pass  # the quarantine contract
