@@ -628,9 +628,11 @@ def _parse_wav(raw: bytes) -> tuple[int, "np.ndarray"]:
     (fmt 6) via the exact closed-form expansions, and mono IMA/DVI
     ADPCM (fmt 0x11: per-block predictor/index headers + the
     reference nibble recursion, validated against audioop) — all
-    integer, so decode oracles replay them exactly. Honest gates
-    (named errors): other format tags (IEEE float 3, extensible
-    0xFFFE, MS ADPCM 2) and multi-channel streams."""
+    integer, so decode oracles replay them exactly; IEEE float32
+    (fmt 3) decodes to Q15 integers by an exact scale, and
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) unwraps to its SubFormat tag.
+    Honest gates (named errors): MS ADPCM (fmt 2) and multi-channel
+    streams."""
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, rate, data = 12, None, None
@@ -648,6 +650,17 @@ def _parse_wav(raw: bytes) -> tuple[int, "np.ndarray"]:
             (bits,) = struct.unpack_from("<H", body, 14)
             if n_ch != 1:
                 raise ValueError(f"only mono supported (ch={n_ch})")
+            if fmt == 0xFFFE:
+                # WAVE_FORMAT_EXTENSIBLE: the actual format is the
+                # first uint16 of the SubFormat GUID in the extension
+                # (the rest is the fixed ksmedia.h GUID tail)
+                if len(body) < 26:
+                    raise ValueError(
+                        "extensible fmt chunk missing SubFormat GUID"
+                    )
+                (fmt,) = struct.unpack_from("<H", body, 24)
+                if fmt == 0xFFFE:
+                    raise ValueError("nested extensible format tag")
             if fmt == 1:
                 if bits not in (8, 16, 24, 32):
                     raise ValueError(
@@ -658,6 +671,12 @@ def _parse_wav(raw: bytes) -> tuple[int, "np.ndarray"]:
                 if bits != 8:
                     raise ValueError(
                         f"G.711 requires 8-bit codes, got {bits}"
+                    )
+            elif fmt == 3:  # IEEE float
+                if bits != 32:
+                    raise ValueError(
+                        f"IEEE-float WAV requires 32-bit samples, "
+                        f"got {bits}"
                     )
             elif fmt == 0x11:  # IMA/DVI ADPCM
                 if bits != 4:
@@ -672,7 +691,8 @@ def _parse_wav(raw: bytes) -> tuple[int, "np.ndarray"]:
             else:
                 raise ValueError(
                     f"WAV format tag {fmt} not supported "
-                    "(PCM=1, A-law=6, mu-law=7, IMA ADPCM=0x11)"
+                    "(PCM=1, float=3, A-law=6, mu-law=7, "
+                    "IMA ADPCM=0x11)"
                 )
             if rate <= 0:
                 raise ValueError(f"invalid sample rate {rate}")
@@ -702,6 +722,17 @@ def _parse_wav(raw: bytes) -> tuple[int, "np.ndarray"]:
         samples = np.frombuffer(
             data[: len(data) - (len(data) % 4)], dtype="<i4"
         ).astype(np.int64)
+    elif fmt == 3:
+        # IEEE float32 in [-1, 1): decoded to Q15 integers by an
+        # EXACT scale (x * 32768 with float64 rounding via rint);
+        # payloads whose samples are multiples of 2**-15 — the usual
+        # int16-provenance case — reconstruct losslessly
+        f = np.frombuffer(
+            data[: len(data) - (len(data) % 4)], dtype="<f4"
+        ).astype(np.float64)
+        if not np.isfinite(f).all():
+            raise ValueError("non-finite float WAV sample")
+        samples = np.rint(f * 32768.0).astype(np.int64)
     elif fmt == 7:
         samples = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
     elif fmt == 6:

@@ -3015,7 +3015,7 @@ _DRIVER_PRIORITY = [
     # the r4 block below toward the r10 queue.
     "flac_decode_lpc", "wav_decode_g711", "vorbis_decode",
     "png_decode_ext", "gif_decode_ext", "jpeg_decode_12bit",
-    "vorbis_decode_stereo", "wav_decode_adpcm",
+    "vorbis_decode_stereo", "wav_decode_adpcm", "wav_decode_float",
     # (r9-c) the 4 rows whose latest green is r3 — oldest evidence.
     "tfidf_top_terms", "bm25_search", "linear_count_users",
     "scd2_customer_priority",

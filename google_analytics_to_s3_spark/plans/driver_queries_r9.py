@@ -34,6 +34,9 @@
 - ``wav_decode_adpcm`` — mono IMA/DVI ADPCM (fmt 0x11) with the
   reference nibble recursion (audioop-validated); the oracle unrolls
   all 8 per-block recursion steps in SQL.
+- ``wav_decode_float`` — IEEE float32 (Q15-exact scale) and
+  WAVE_FORMAT_EXTENSIBLE unwrapping; planted multiples of 2**-15
+  make one integer oracle cover all variants.
 
 Scale notes: one Arrow ``mapInPandas`` synth pass + one decode pass
 per query, ids round-robined across cores (``_spread``); per-payload
@@ -908,3 +911,87 @@ SQL_WAV_DECODE_ADPCM = _wav_adpcm_sql()
 
 QUERIES_R9["wav_decode_adpcm"] = q_wav_decode_adpcm
 ORACLES_R9["wav_decode_adpcm"] = SQL_WAV_DECODE_ADPCM
+
+
+def q_wav_decode_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IEEE-float and WAVE_FORMAT_EXTENSIBLE WAV driver-checked
+    (r9): payloads cycle plain float32, extensible-wrapped PCM16 and
+    extensible-wrapped float32 by event id. Planted float samples
+    are exact multiples of 2**-15, so the Q15 decode reconstructs
+    the SAME integers as the PCM16 rule — one oracle covers all
+    three variants, proving the float scale and the SubFormat GUID
+    unwrap carry no value drift. Event sample id % 20 == 15."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.multimodal import decode_wav_features
+    from ..testing.fixtures import make_wav
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % 20 == 15
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["event_id"]:
+                i = int(i)
+                variant = (i // 20) % 3
+                payloads.append(make_wav(
+                    300 + (i % 4) * 200, i % 1000,
+                    fmt="pcm16" if variant == 1 else "float32",
+                    extensible=variant > 0,
+                ))
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": payloads,
+            })
+
+    payloads = e.mapInPandas(
+        _synth, schema="doc_id long, payload binary"
+    )
+    return decode_wav_features(payloads, window_samples=400).select(
+        "doc_id", "sample_rate_hz", "n_samples", "n_windows",
+        F.array_join(
+            F.transform("energy_windows",
+                        lambda x: x.cast("string")),
+            ",",
+        ).alias("energy_windows"),
+    )
+
+
+SQL_WAV_DECODE_FLOAT = """
+WITH e AS (
+  SELECT event_id, 300 + (event_id % 4) * 200 AS n,
+         event_id % 1000 AS seed
+  FROM events WHERE event_id % 20 = 15
+),
+w AS (
+  SELECT event_id, n, seed, CAST(wi.w AS BIGINT) AS w
+  FROM e, LATERAL (SELECT unnest(range(0, (n + 399) // 400)) AS w) wi
+),
+s AS (
+  SELECT event_id, n, w.w,
+         ((seed + i.i * 257) % 2001) - 1000 AS v
+  FROM w, LATERAL (SELECT unnest(range(w.w * 400,
+                                       least(n, (w.w + 1) * 400))) AS i) i
+),
+r AS (
+  SELECT event_id, n, w, CAST(sum(v * v) AS BIGINT) AS energy
+  FROM s GROUP BY 1, 2, 3
+)
+SELECT event_id AS doc_id,
+       CAST(16000 AS INTEGER) AS sample_rate_hz,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(count(*) AS INTEGER) AS n_windows,
+       string_agg(CAST(energy AS VARCHAR), ',' ORDER BY w)
+         AS energy_windows
+FROM r GROUP BY event_id, n
+"""
+
+QUERIES_R9["wav_decode_float"] = q_wav_decode_float
+ORACLES_R9["wav_decode_float"] = SQL_WAV_DECODE_FLOAT

@@ -193,7 +193,7 @@ def make_wav_pcm16(
 
 def make_wav(
     n_samples: int, seed: int, sample_rate_hz: int = 16_000,
-    fmt: str = "pcm16",
+    fmt: str = "pcm16", extensible: bool = False,
 ) -> bytes:
     """Deterministic mono RIFF/WAVE payload in any decoder-supported
     format. Planted rules (exactly recomputable, all integer):
@@ -234,6 +234,13 @@ def make_wav(
     elif fmt == "alaw":
         tag, bits = 6, 8
         data = ((seed * 3 + i * 91) % 256).astype(np.uint8).tobytes()
+    elif fmt == "float32":
+        # the pcm16 rule as exact float32 multiples of 2**-15 —
+        # Q15 reconstruction is lossless
+        tag, bits = 3, 32
+        data = (base.astype(np.float64) / 32768.0).astype(
+            "<f4"
+        ).tobytes()
     elif fmt == "ima":
         # mono IMA ADPCM: n_samples means BLOCKS here (each block is
         # block_align bytes: int16 predictor + uint8 index + reserved
@@ -267,10 +274,23 @@ def make_wav(
     else:
         raise ValueError(f"unknown wav fixture format {fmt!r}")
     align = bits // 8
-    hdr = struct.pack(
-        "<HHIIHH", tag, 1, sample_rate_hz, sample_rate_hz * align,
-        align, bits,
-    )
+    if extensible:
+        # WAVE_FORMAT_EXTENSIBLE wrapper: tag 0xFFFE + cbSize 22 +
+        # valid bits + channel mask + SubFormat GUID (real tag in
+        # the first uint16, ksmedia.h tail)
+        hdr = struct.pack(
+            "<HHIIHHHHI", 0xFFFE, 1, sample_rate_hz,
+            sample_rate_hz * align, align, bits, 22, bits, 0x4,
+        ) + struct.pack("<H", tag) + bytes.fromhex(
+            # Data1 tail + Data2 + Data3 + Data4 of the ksmedia.h
+            # media-subtype GUID {xxxx0000-0000-0010-8000-00AA00389B71}
+            "0000" "0000" "1000" "800000aa00389b71"
+        )
+    else:
+        hdr = struct.pack(
+            "<HHIIHH", tag, 1, sample_rate_hz, sample_rate_hz * align,
+            align, bits,
+        )
     pad = b"\x00" if len(data) % 2 else b""
     chunks = (
         b"WAVE"

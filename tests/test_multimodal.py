@@ -378,11 +378,12 @@ class TestRealWavDecode:
                         ((seed * 3 + i * 91) % 256).astype(np.uint8)
                     )
                 assert rate == 16000 and (s == exp).all(), (fmt, seed)
-        # honest gates: float32 tag and stereo still quarantine
+        # honest gates: MS ADPCM tag and stereo still quarantine
+        # (fmt 3 IEEE float decodes for real since later in r9)
         import pytest as _pt
         b = bytearray(make_wav(10, 1))
-        b[20] = 3  # fmt tag -> IEEE float
-        with _pt.raises(ValueError, match="format tag 3"):
+        b[20] = 2  # fmt tag -> MS ADPCM
+        with _pt.raises(ValueError, match="format tag 2"):
             _parse_wav(bytes(b))
         b = bytearray(make_wav(10, 1))
         b[22] = 2  # channels -> 2
@@ -1693,3 +1694,45 @@ class TestImaAdpcm:
                 arr.frombytes(dec)
                 exp.extend([pred] + list(arr))
             assert list(s) == exp, seed
+
+
+class TestWavFloatAndExtensible:
+    def test_float32_q15_lossless_and_extensible_unwrap(self):
+        """IEEE-float WAV (fmt 3) decodes to Q15 integers by an exact
+        scale (planted multiples of 2**-15 reconstruct losslessly);
+        WAVE_FORMAT_EXTENSIBLE (0xFFFE) unwraps to the SubFormat tag
+        for every wrapped format and decodes identically to the
+        plain-tag stream."""
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_wav,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import make_wav
+
+        for seed, n in ((0, 400), (7, 1001)):
+            i = np.arange(n)
+            base = ((seed + i * 257) % 2001) - 1000
+            rate, s = _parse_wav(make_wav(n, seed, fmt="float32"))
+            assert rate == 16000 and (s == base).all()
+            for fmt in ("pcm16", "float32", "ulaw", "pcm24", "alaw"):
+                a = _parse_wav(make_wav(n, seed, fmt=fmt))
+                b = _parse_wav(
+                    make_wav(n, seed, fmt=fmt, extensible=True)
+                )
+                assert a[0] == b[0] and (a[1] == b[1]).all(), fmt
+        # gates: non-finite floats and nested extensible quarantine
+        import struct
+
+        import pytest as _pt
+        raw = bytearray(make_wav(8, 1, fmt="float32"))
+        data_at = raw.index(b"data") + 8
+        raw[data_at:data_at + 4] = struct.pack("<f", float("nan"))
+        with _pt.raises(ValueError, match="non-finite"):
+            _parse_wav(bytes(raw))
+        raw2 = bytearray(make_wav(8, 1, fmt="pcm16", extensible=True))
+        # SubFormat tag -> 0xFFFE (nested)
+        fmt_at = raw2.index(b"fmt ") + 8
+        raw2[fmt_at + 24:fmt_at + 26] = struct.pack("<H", 0xFFFE)
+        with _pt.raises(ValueError, match="nested extensible"):
+            _parse_wav(bytes(raw2))
