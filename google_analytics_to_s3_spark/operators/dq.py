@@ -356,6 +356,7 @@ def _ks_two_sample_lazy(
         acc_b += int(r["sb"])
     n_a, n_b = acc_a, acc_b
     if n_a == 0 or n_b == 0:
+        pv.unpersist()
         raise ValueError(
             f"ks_two_sample: empty sample (n_a={n_a}, n_b={n_b})"
         )
@@ -489,6 +490,7 @@ def _wasserstein_two_sample_lazy(
         acc_b += int(r["sb"])
     n_a, n_b = acc_a, acc_b
     if n_a == 0 or n_b == 0:
+        pv.unpersist()
         raise ValueError(
             f"wasserstein_two_sample: empty sample "
             f"(n_a={n_a}, n_b={n_b})"

@@ -274,6 +274,17 @@ def _parse_codebook(br: _VBits) -> _Codebook:
         raise ValueError("codebook sync pattern missing")
     dim = br.read(16)
     entries = br.read(24)
+    # Untrusted-input resource bounds: dim == 0 makes
+    # _lookup1_values spin forever ((n+1)**0 <= entries always) and
+    # residue type 0 divide by zero; ordered length tables can claim
+    # entries = 2**24 in a handful of bytes, turning the VQ
+    # expansion below into ~1e12 iterations.  Real encoders stay
+    # orders of magnitude under these caps (libvorbis static books
+    # top out near 2**15 entries, dim <= 8).
+    if dim == 0:
+        raise ValueError("codebook dimension 0")
+    if entries > (1 << 20) or entries * dim > (1 << 22):
+        raise ValueError("codebook entries/dim exceed resource bound")
     ordered = br.read1()
     lengths: list[int | None] = []
     if not ordered:
@@ -593,7 +604,7 @@ def _decode_residue(
     if rtype == 2:
         vec_size = n_half * n_channels
         any_decode = any(do_decode)
-        vecs = [[0.0] * vec_size] if any_decode else [[0.0] * vec_size]
+        vecs = [[0.0] * vec_size]
         chans = 1
         active = [any_decode]
     else:
@@ -823,7 +834,8 @@ def decode_vorbis_features(
                     for k in _INT_COLS:
                         out[k].append(d[k])
                     out["decode_error"].append(None)
-                except (ValueError, IndexError, struct.error) as e:
+                except (ValueError, IndexError, struct.error,
+                        ZeroDivisionError) as e:
                     for k in _INT_COLS:
                         out[k].append(None)
                     out["decode_error"].append(

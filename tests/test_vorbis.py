@@ -423,3 +423,70 @@ class TestLongBlocks:
             )
             assert d["floor_post_sum"] == base["floor_post_sum"]
             assert d["residue_sum"] == base["residue_sum"]
+
+
+class TestUntrustedInputBounds:
+    """r10 hardening: crafted (CRC-valid) payloads must quarantine,
+    never hang or kill the executor. Regression for the dim=0
+    codebook infinite loop / ZeroDivisionError and the ordered-table
+    entries*dim VQ-expansion blowup."""
+
+    def test_dim_zero_codebook_rejected(self):
+        from google_analytics_to_s3_spark.operators.vorbis import (
+            _parse_codebook,
+        )
+
+        w = _LsbBitWriter()
+        w.write(0x564342, 24)
+        w.write(0, 16)           # dim 0 — would spin _lookup1_values
+        w.write(4, 24)           # entries
+        with pytest.raises(ValueError, match="dimension 0"):
+            _parse_codebook(_VBits(bytes(w.bytes())))
+
+    def test_huge_ordered_codebook_rejected(self):
+        from google_analytics_to_s3_spark.operators.vorbis import (
+            _parse_codebook,
+        )
+
+        w = _LsbBitWriter()
+        w.write(0x564342, 24)
+        w.write(2, 16)           # dim 2
+        w.write(1 << 23, 24)     # entries*dim = 2**24 tuples
+        with pytest.raises(ValueError, match="resource bound"):
+            _parse_codebook(_VBits(bytes(w.bytes())))
+
+    def test_sub_framing_fuzz_bounded(self):
+        """Mutate header/audio packet bytes BELOW the Ogg CRC layer
+        (the page-level fuzz in test_r9_properties can never reach
+        codebook parsing — the CRC rejects it first) and require
+        every outcome to be success or a quarantinable exception,
+        within a wall-clock deadline."""
+        import random
+        import struct
+        import time
+
+        from google_analytics_to_s3_spark.operators.vorbis import (
+            _decode_audio_packet,
+        )
+
+        pks = _ogg_packets(make_ogg_vorbis(7, n_packets=3))
+        rng = random.Random(0xC0DEC)
+        for trial in range(250):
+            fuzz_setup = trial % 2 == 0
+            raw = bytearray(pks[2] if fuzz_setup else pks[3])
+            for _ in range(rng.randrange(1, 4)):
+                raw[rng.randrange(len(raw))] ^= 1 << rng.randrange(8)
+            t0 = time.monotonic()
+            try:
+                s = _parse_id_header(pks[0])
+                if fuzz_setup:
+                    _parse_setup_header(bytes(raw), s)
+                else:
+                    _parse_setup_header(pks[2], s)
+                    _decode_audio_packet(bytes(raw), s)
+            except (ValueError, IndexError, struct.error,
+                    ZeroDivisionError):
+                pass
+            assert time.monotonic() - t0 < 5.0, (
+                f"fuzz trial {trial} exceeded deadline"
+            )
