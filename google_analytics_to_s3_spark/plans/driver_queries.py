@@ -2997,54 +2997,29 @@ ORACLES["lsh_recall"] = LSH_RECALL_ORACLE_TEMPLATE.format(
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # ---------------- round-9 rotation ----------------
-    # Rebuilt from CORRECTNESS_r{1..8}.json per the r8 verdict (task
-    # 1b): never-checked/red first, then latest-green round ascending,
-    # relative order within a round block preserved. The r8 prefix
-    # (the rows the driver just greened) moves to the END — freshest
-    # evidence, lowest re-check priority.
-    # (r9-a) the three rows without green driver evidence:
-    # trimmed_stats was registered at slot 51 in r8 (never checked);
-    # ts_decompose / cumulative_gains were r8 reds on double/HUGEINT
-    # representation drift (values judge-verified identical) — both
-    # now emit pure BIGINTs (1e6 grid + HUGEINT casts), so this
-    # re-check is the proof the class is dead.
-    "trimmed_stats", "ts_decompose", "cumulative_gains",
-    # (r9-b) queries registered during r9 slot in HERE as they are
-    # added (never-checked beats stale-green), pushing the tail of
-    # the r4 block below toward the r10 queue.
-    "flac_decode_lpc", "wav_decode_g711", "vorbis_decode",
-    "png_decode_ext", "gif_decode_ext", "jpeg_decode_12bit",
-    "vorbis_decode_stereo", "wav_decode_adpcm", "wav_decode_float",
-    # (r9-c) the 4 rows whose latest green is r3 — oldest evidence.
-    "tfidf_top_terms", "bm25_search", "linear_count_users",
-    "scd2_customer_priority",
-    # (r9-d) the 50 r4-green rows; the first ~43 fill the remaining
-    # prefix slots, the rest head the r10 queue.
-    "pack_sequences", "value_histograms", "part_pagerank", "hll_users",
-    "page_path_levels", "envelope_decode", "repetition_signals",
-    "bloom_probe", "source_caps", "knn_ivfpq", "action_revenue",
-    "graph_triangles", "merge_upsert", "quantile_sketch", "fuzzy_match",
-    "bpe_merges", "cms_counts", "k_core", "attribution_models", "semdedup",
-    "bpe_encode", "interval_join", "dsir_weights", "knn_recall",
-    "dup_spans", "dup_spans_removed", "fuzzy_dedup", "dedup_incremental",
-    "embedding_project", "salted_join", "upsample_mixture",
-    "logreg_quality", "global_index", "shuffle_shards", "kmv_overlap",
-    "weighted_sample", "zorder_keys", "snapshot_diff", "rolling_features",
-    "ab_lift", "dq_report", "hopping_distinct", "basket_rules",
-    "boilerplate_fraction", "dataset_card", "event_anomalies",
-    "session_paths", "shot_boundaries", "url_dedup", "markov_attribution",
-    # (r10-queue) 50 r5-green rows, oldest-first.
+    # ---------------- round-10 rotation ----------------
+    # Rebuilt from CORRECTNESS_r{1..9}.json per the r9 verdict (task
+    # 1): all 261 rows green, zero never-checked, so the order is
+    # purely latest-green-round ascending (relative order within a
+    # round block preserved from the r9 list). New r10 registrations
+    # slot in at the HEAD below as they are added.
+    # (r10-new) queries registered during r10 go here:
+    # (r10-queue) 16 r4-green rows.
+    "kmv_overlap", "weighted_sample", "zorder_keys", "snapshot_diff",
+    "rolling_features", "ab_lift", "dq_report", "hopping_distinct",
+    "basket_rules", "boilerplate_fraction", "dataset_card",
+    "event_anomalies", "session_paths", "shot_boundaries", "url_dedup",
+    "markov_attribution",
+    # (r10-queue) 50 r5-green rows.
     "identity_stitching", "user_erasure", "phrase_search", "bootstrap_ci",
-    "scd2_asof_enrich", "word_pmi", "item_similarity",
-    "cusum_changepoints", "k_anonymity", "seasonal_anomalies",
-    "daily_engagement", "session_revenue", "export_sessions",
-    "hit_type_mapping", "union_active_users", "events_pivot",
-    "events_cube", "anonymize_ip", "asof_join", "geo_enrich",
-    "multimodal_decode", "streaming_sessions", "char_entropy",
-    "corpus_curation", "cosine_dup_pairs", "customer_order_ranks",
-    "customers_without_orders", "dedup_exact", "forecast_revenue",
-    "knn_cosine", "knn_ivf", "large_volume_customers",
+    "scd2_asof_enrich", "word_pmi", "item_similarity", "cusum_changepoints",
+    "k_anonymity", "seasonal_anomalies", "daily_engagement",
+    "session_revenue", "export_sessions", "hit_type_mapping",
+    "union_active_users", "events_pivot", "events_cube", "anonymize_ip",
+    "asof_join", "geo_enrich", "multimodal_decode", "streaming_sessions",
+    "char_entropy", "corpus_curation", "cosine_dup_pairs",
+    "customer_order_ranks", "customers_without_orders", "dedup_exact",
+    "forecast_revenue", "knn_cosine", "knn_ivf", "large_volume_customers",
     "late_shipment_priority", "local_supplier_volume", "market_share",
     "minhash_lsh_pairs", "moving_revenue", "neardup_ledger",
     "ngram_jaccard_pairs", "ngram_jaccard_thresholded", "order_gaps",
@@ -3066,38 +3041,50 @@ _DRIVER_PRIORITY = [
     "export_pageviews", "export_events_mart", "export_products",
     "export_transactions", "export_items", "json_props",
     "user_event_arrays",
-    # (queue) 48 r7-green rows.
-    "wav_decode", "robust_outliers", "shapley_attribution",
-    "msprt_monitor", "binary_auc", "calibration_report", "png_decode",
-    "ua_parse_families", "gif_frames", "spatial_radius_pairs",
-    "spatial_nearest", "feature_chi2", "revenue_acf", "benford_dq",
-    "fs_linkage", "ks_drift", "gini_concentration", "holt_forecast",
-    "funnel_conversion", "retention_cohorts", "event_transitions",
-    "pq_codes", "pq_adc_topk", "time_to_conversion", "chunk_documents",
-    "incremental_attribution", "session_window_rollup",
-    "customer_distribution", "top_supplier", "small_qty_revenue",
-    "brand_disjunction_revenue", "sales_opportunity", "knn_components",
-    "knn_components_star", "gap_fill_ffill", "order_rank_stats",
-    "salted_event_totals", "embedding_lsh_pairs", "dedup_keep_best",
-    "events_grouping_sets", "hopping_window", "pii_scan", "quality_filter",
-    "contamination_screen", "lm_typicality", "mixture_sample", "vocab_oov",
-    "curation_pipeline",
-    # (freshest) 48 r8-green rows — checked last round, lowest
-    # priority for re-verification.
+    # (r10-queue) 48 r7-green rows.
+    "wav_decode", "robust_outliers", "shapley_attribution", "msprt_monitor",
+    "binary_auc", "calibration_report", "png_decode", "ua_parse_families",
+    "gif_frames", "spatial_radius_pairs", "spatial_nearest", "feature_chi2",
+    "revenue_acf", "benford_dq", "fs_linkage", "ks_drift",
+    "gini_concentration", "holt_forecast", "funnel_conversion",
+    "retention_cohorts", "event_transitions", "pq_codes", "pq_adc_topk",
+    "time_to_conversion", "chunk_documents", "incremental_attribution",
+    "session_window_rollup", "customer_distribution", "top_supplier",
+    "small_qty_revenue", "brand_disjunction_revenue", "sales_opportunity",
+    "knn_components", "knn_components_star", "gap_fill_ffill",
+    "order_rank_stats", "salted_event_totals", "embedding_lsh_pairs",
+    "dedup_keep_best", "events_grouping_sets", "hopping_window", "pii_scan",
+    "quality_filter", "contamination_screen", "lm_typicality",
+    "mixture_sample", "vocab_oov", "curation_pipeline",
+    # (r10-queue) 48 r8-green rows.
     "covariance_matrix", "did_lift", "heavy_hitters", "dp_release",
     "ols_regression", "hll_rollup", "ndcg_eval", "label_propagation",
     "jpeg_decode", "holt_winters", "theil_sen", "offline_policy",
     "phrase_index_search", "hilbert_keys", "conformal_intervals",
     "ab_ztest", "neyman_sample", "logrank_test", "mann_whitney",
-    "textrank_keywords", "community_modularity", "l_diversity",
-    "dr_policy", "flac_decode", "als_rank1", "rrf_fusion",
-    "linkage_clusters", "centroid_classify", "isotonic_calibration",
-    "eb_smoothing", "forecast_backtest", "frequent_triples",
-    "did_event_study", "survival_curve", "jpeg_decode_420", "phash_dedup",
-    "fdr_screen", "good_turing", "zipf_alpha", "burst_detection",
-    "wasserstein_drift", "hourly_seasonality", "user_entropy",
-    "flac_decode_stereo", "jpeg_decode_progressive", "lm_backoff_score",
-    "phash_near_dups", "image_dedup_clusters",
+    "textrank_keywords", "community_modularity", "l_diversity", "dr_policy",
+    "flac_decode", "als_rank1", "rrf_fusion", "linkage_clusters",
+    "centroid_classify", "isotonic_calibration", "eb_smoothing",
+    "forecast_backtest", "frequent_triples", "did_event_study",
+    "survival_curve", "jpeg_decode_420", "phash_dedup", "fdr_screen",
+    "good_turing", "zipf_alpha", "burst_detection", "wasserstein_drift",
+    "hourly_seasonality", "user_entropy", "flac_decode_stereo",
+    "jpeg_decode_progressive", "lm_backoff_score", "phash_near_dups",
+    "image_dedup_clusters",
+    # (r10-queue) 50 r9-green rows.
+    "trimmed_stats", "ts_decompose", "cumulative_gains", "flac_decode_lpc",
+    "wav_decode_g711", "vorbis_decode", "png_decode_ext", "gif_decode_ext",
+    "jpeg_decode_12bit", "vorbis_decode_stereo", "wav_decode_adpcm",
+    "wav_decode_float", "tfidf_top_terms", "bm25_search",
+    "linear_count_users", "scd2_customer_priority", "pack_sequences",
+    "value_histograms", "part_pagerank", "hll_users", "page_path_levels",
+    "envelope_decode", "repetition_signals", "bloom_probe", "source_caps",
+    "knn_ivfpq", "action_revenue", "graph_triangles", "merge_upsert",
+    "quantile_sketch", "fuzzy_match", "bpe_merges", "cms_counts", "k_core",
+    "attribution_models", "semdedup", "bpe_encode", "interval_join",
+    "dsir_weights", "knn_recall", "dup_spans", "dup_spans_removed",
+    "fuzzy_dedup", "dedup_incremental", "embedding_project", "salted_join",
+    "upsample_mixture", "logreg_quality", "global_index", "shuffle_shards",
 ]
 
 
