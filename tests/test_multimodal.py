@@ -325,10 +325,12 @@ class TestRealWavDecode:
 
     def test_g711_and_depth_formats_decode_exactly(self):
         """r9: mu-law/A-law telephony codes expand via the exact
-        G.711 closed forms — cross-checked against CPython's audioop
-        (the Sun g711.c tables) for ALL 256 codes — and 8/24/32-bit
-        PCM decode the planted integer rules exactly (24-bit sign
-        bit at bit 23 exercised by negative samples)."""
+        G.711 closed forms — cross-checked against the frozen Sun
+        g711.c tables (generated once from CPython 3.11's audioop,
+        pinned in golden_g711_adpcm before audioop's 3.13 removal)
+        for ALL 256 codes — and 8/24/32-bit PCM decode the planted
+        integer rules exactly (24-bit sign bit at bit 23 exercised
+        by negative samples)."""
         import numpy as np
 
         from google_analytics_to_s3_spark.operators.multimodal import (
@@ -337,22 +339,14 @@ class TestRealWavDecode:
             _parse_wav,
         )
         from google_analytics_to_s3_spark.testing.fixtures import make_wav
+        from tests.golden_g711_adpcm import ALAW_TABLE, ULAW_TABLE
 
-        try:
-            import audioop  # stdlib until 3.12; removed in 3.13
-        except ImportError:
-            audioop = None
         codes = np.arange(256, dtype=np.uint8)
-        if audioop is not None:
-            ref_u = np.frombuffer(
-                audioop.ulaw2lin(bytes(codes), 2), dtype="<i2"
-            ).astype(np.int64)
-            ref_a = np.frombuffer(
-                audioop.alaw2lin(bytes(codes), 2), dtype="<i2"
-            ).astype(np.int64)
-            assert (_mulaw_expand(codes) == ref_u).all()
-            assert (_alaw_expand(codes) == ref_a).all()
-        # spec anchor points hold without audioop: code 0xFF is
+        ref_u = np.array(ULAW_TABLE, dtype=np.int64)
+        ref_a = np.array(ALAW_TABLE, dtype=np.int64)
+        assert (_mulaw_expand(codes) == ref_u).all()
+        assert (_alaw_expand(codes) == ref_a).all()
+        # spec anchor points hold independently: code 0xFF is
         # +-0 region top, 0x7F the most-negative-side zero
         assert int(_mulaw_expand(np.array([0xFF], dtype=np.uint8))[0]) == 0
         assert int(_mulaw_expand(np.array([0x7F], dtype=np.uint8))[0]) == 0
@@ -1632,67 +1626,43 @@ class TestImaAdpcm:
         """The IMA nibble recursion (step table, bit-gated diff,
         clamps) matches CPython's audioop over random nibble streams
         — an independent implementation of the same reference
-        algorithm."""
-        import random
-
-        import pytest as _pt
-
-        audioop = _pt.importorskip("audioop")
+        algorithm. The audioop outputs are frozen as sha256 digests
+        in golden_g711_adpcm (audioop is removed in Python 3.13)."""
         import array
+        import hashlib
+        import random
 
         from google_analytics_to_s3_spark.operators.multimodal import (
             _ima_decode_nibbles,
         )
+        from tests.golden_g711_adpcm import ADPCM_CORE_SHA256
 
         rng = random.Random(1)
-        for _ in range(30):
+        for case, want in enumerate(ADPCM_CORE_SHA256):
             n = rng.randrange(2, 300) * 2
             nibbles = [rng.randrange(16) for _ in range(n)]
-            packed = bytes(
-                (nibbles[i] << 4) | nibbles[i + 1]
-                for i in range(0, n, 2)
-            )
-            ref, _state = audioop.adpcm2lin(packed, 2, None)
-            arr = array.array("h")
-            arr.frombytes(ref)
             mine, _p, _i = _ima_decode_nibbles(nibbles, 0, 0)
-            assert mine == list(arr)
+            got = hashlib.sha256(
+                array.array("h", mine).tobytes()
+            ).hexdigest()
+            assert got == want, f"case {case}"
 
     def test_wav_blocks_decode_with_per_block_state(self):
         """fmt-0x11 WAV: per-block predictor/index headers seed the
-        recursion; low-nibble-first layout; audioop (seeded with each
-        block's state) is the independent per-block oracle."""
-        import array
-
-        import pytest as _pt
-
-        audioop = _pt.importorskip("audioop")
-
+        recursion; low-nibble-first layout; the per-block oracle is
+        audioop seeded with each block's state, frozen as literal
+        sample lists in golden_g711_adpcm (audioop is removed in
+        Python 3.13)."""
         from google_analytics_to_s3_spark.operators.multimodal import (
             _parse_wav,
         )
         from google_analytics_to_s3_spark.testing.fixtures import make_wav
+        from tests.golden_g711_adpcm import ADPCM_WAV_EXPECTED
 
-        for seed in (0, 7, 999):
+        for seed, exp in ADPCM_WAV_EXPECTED.items():
             nblocks = 5
             rate, s = _parse_wav(make_wav(nblocks, seed, fmt="ima"))
             assert rate == 16000 and len(s) == nblocks * 9
-            exp = []
-            for b in range(nblocks):
-                pred = ((seed * 3 + 101 * b) % 2001) - 1000
-                index = (seed + 7 * b) % 89
-                nibbles = []
-                for jj in range(0, 8, 2):
-                    nibbles.append((seed + 11 * b + 13 * jj) % 16)
-                    nibbles.append((seed + 11 * b + 13 * (jj + 1)) % 16)
-                packed = bytes(
-                    (nibbles[i] << 4) | nibbles[i + 1]
-                    for i in range(0, 8, 2)
-                )
-                dec, _st = audioop.adpcm2lin(packed, 2, (pred, index))
-                arr = array.array("h")
-                arr.frombytes(dec)
-                exp.extend([pred] + list(arr))
             assert list(s) == exp, seed
 
 

@@ -1,6 +1,6 @@
 """Property-based tests (hypothesis) for the round-9 surface: FLAC
 LPC roundtrips across the order/partition/depth grid, WAV format
-roundtrips against closed-form rules (and audioop where available),
+roundtrips against closed-form rules (and frozen audioop goldens),
 Vorbis decode vs independent integer recomputation over random
 seeds/packet counts, and PNG extended-path roundtrips over random
 geometries."""
