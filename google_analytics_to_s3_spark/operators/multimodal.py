@@ -1325,10 +1325,10 @@ def _parse_gif(raw: bytes) -> tuple[int, int, list["np.ndarray"], list[int]]:
     interlaced frames (4-pass row reorder), partial-canvas frames
     composited onto the running canvas, GCE transparency (the
     transparent index preserves the underlying canvas pixel), and
-    disposal methods 0/1 (leave in place) and 2 (restore the frame
-    rect to the background color). Honest gates (named errors):
-    disposal 3 (restore-to-previous) and frames without any color
-    table."""
+    disposal methods 0/1 (leave in place), 2 (restore the frame
+    rect to the background color), and 3 (restore the frame rect to
+    the pre-render canvas, r10). Honest gate (named error): frames
+    without any color table."""
     if not raw.startswith((b"GIF87a", b"GIF89a")):
         raise ValueError("not a GIF payload (bad signature)")
     if len(raw) < 13:
@@ -1392,11 +1392,6 @@ def _parse_gif(raw: bytes) -> tuple[int, int, list["np.ndarray"], list[int]]:
             pos += 10
             if left + fw > w or top + fh > h or fw == 0 or fh == 0:
                 raise ValueError("GIF frame rect outside the canvas")
-            if next_disposal == 3:
-                raise ValueError(
-                    "GIF disposal method 3 (restore previous) "
-                    "unsupported"
-                )
             if next_disposal > 3:
                 raise ValueError(
                     f"reserved GIF disposal method {next_disposal}"
@@ -1440,6 +1435,9 @@ def _parse_gif(raw: bytes) -> tuple[int, int, list["np.ndarray"], list[int]]:
                     dest[dst_row] = grid[src_row]
                 grid = dest
             rect = canvas[top:top + fh, left:left + fw]
+            # disposal 3: the rect reverts to its PRE-render pixels
+            # after this frame displays, so snapshot it first
+            prev_rect = rect.copy() if next_disposal == 3 else None
             rgb = frame_pal[grid]
             if next_transparent is not None:
                 mask = grid != next_transparent
@@ -1450,6 +1448,8 @@ def _parse_gif(raw: bytes) -> tuple[int, int, list["np.ndarray"], list[int]]:
             delays.append(next_delay)
             if next_disposal == 2:  # restore rect to background
                 canvas[top:top + fh, left:left + fw] = bg_rgb
+            elif next_disposal == 3:  # restore rect to previous
+                canvas[top:top + fh, left:left + fw] = prev_rect
             next_delay = 0
             next_transparent = None
             next_disposal = 0

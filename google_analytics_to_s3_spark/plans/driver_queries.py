@@ -3003,7 +3003,10 @@ _DRIVER_PRIORITY = [
     # purely latest-green-round ascending (relative order within a
     # round block preserved from the r9 list). New r10 registrations
     # slot in at the HEAD below as they are added.
-    # (r10-new) queries registered during r10 go here:
+    # (r10-new) queries registered or materially changed during r10:
+    # gif_decode_ext grew disposal-3 coverage (4 frames now), so its
+    # r9 green no longer certifies the current query — re-check first.
+    "gif_decode_ext",
     # (r10-queue) 16 r4-green rows.
     "kmv_overlap", "weighted_sample", "zorder_keys", "snapshot_diff",
     "rolling_features", "ab_lift", "dq_report", "hopping_distinct",

@@ -20,10 +20,11 @@
 - ``png_decode_ext`` — 16-bit samples, 1/2/4/8-bit palette images
   and Adam7 interlacing (``_parse_png``, r9 widened); exact BIGINT
   pixel sums against the planted rules.
-- ``gif_decode_ext`` — local color tables, interlaced frames and
-  partial-canvas compositing (``_parse_gif``, r9 widened); the
-  oracle derives each pixel's last-writing frame from the nested
-  rect geometry.
+- ``gif_decode_ext`` — local color tables, interlaced frames,
+  partial-canvas compositing (``_parse_gif``, r9 widened) and
+  disposal 3 restore-to-previous (r10); the oracle derives each
+  pixel's VISIBLE writer from the nested rect geometry (frame 2's
+  write reverts after display).
 - ``jpeg_decode_12bit`` — 12-bit extended-sequential JPEG (SOF1,
   level shift 2048, uint16 raster); the oracle is the jpeg_decode
   integer arithmetic with the DC term at 64*(2048+dc).
@@ -486,15 +487,18 @@ ORACLES_R9["png_decode_ext"] = SQL_PNG_DECODE_EXT
 
 
 def q_gif_decode_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The r9-widened GIF paths driver-checked: 3-frame GIF89a
-    streams where frame 0 is full-canvas INTERLACED, frame 1 is a
-    PARTIAL rect with a LOCAL color table, frame 2 a smaller
-    interlaced partial rect (testing/fixtures.make_gif_ext, no
-    transparency so the compositing rule is pure last-writer). One
-    row per (doc, frame) with the exact BIGINT RGB sum of the
-    COMPOSITED canvas; the oracle computes each pixel's last-writing
-    frame from the nested rect geometry and replays the palette
-    rules. Disjoint event sample (id % 10 == 6)."""
+    """The r9/r10-widened GIF paths driver-checked: 4-frame GIF89a
+    streams where frame 0 is full-canvas INTERLACED, frames 1/3 are
+    PARTIAL rects with LOCAL color tables, frame 2 a smaller
+    interlaced partial rect carrying DISPOSAL 3 (restore-to-
+    previous, r10) so frame 3 composites over the canvas as it was
+    BEFORE frame 2 rendered (testing/fixtures.make_gif_ext, no
+    transparency so the compositing rule is last-visible-writer).
+    One row per (doc, frame) with the exact BIGINT RGB sum of the
+    COMPOSITED canvas; the oracle computes each pixel's visible
+    writer from the nested rect geometry — frame 2 is visible ONLY
+    at display time 2 — and replays the palette rules. Disjoint
+    event sample (id % 10 == 6)."""
     from collections.abc import Iterator as _It
 
     import numpy as _np
@@ -518,7 +522,8 @@ def q_gif_decode_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in pdf["event_id"]:
                 i = int(i)
                 w, h, frames, delays = _parse_gif(
-                    make_gif_ext(4 + i % 9, 3 + i % 5, i % 1000, 3)
+                    make_gif_ext(4 + i % 9, 3 + i % 5, i % 1000, 4,
+                                 disposal3_last=True)
                 )
                 for f, px in enumerate(frames):
                     out["doc_id"].append(i)
@@ -537,9 +542,12 @@ def q_gif_decode_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# last-writer geometry: frame g >= 1 covers (y, x) iff
+# visible-writer geometry: frame g >= 1 covers (y, x) iff
 # y >= min(g, h-1) and x >= min(2g, w-1); frame 0 covers everything.
-# Frame 1 carries the LOCAL palette rule, frames 0/2 the global one.
+# Frame 2 carries DISPOSAL 3 (restore-to-previous), so its write is
+# visible ONLY at display time f = 2 — at f = 3 the canvas under
+# frame 3's rect is what frames 0/1 left. Frames 1/3 carry the LOCAL
+# palette rule, frames 0/2 the global one.
 SQL_GIF_DECODE_EXT = f"""
 WITH e AS (
   SELECT event_id, 4 + event_id % 9 AS w, 3 + event_id % 5 AS h,
@@ -548,20 +556,22 @@ WITH e AS (
 ),
 fr AS (
   SELECT event_id, w, h, seed, CAST(ff.f AS BIGINT) AS f
-  FROM e, LATERAL (SELECT unnest(range(0, 3)) AS f) ff
+  FROM e, LATERAL (SELECT unnest(range(0, 4)) AS f) ff
 ),
 px AS (
   SELECT event_id, w, h, f,
-         CASE WHEN g = 1 THEN
-                (idx*11 + seed + 1) % 256 + (idx*23 + seed*3 + 1) % 256
-                + (idx*41 + seed*7 + 1) % 256
+         CASE WHEN g IN (1, 3) THEN
+                (idx*11 + seed + g) % 256 + (idx*23 + seed*3 + g) % 256
+                + (idx*41 + seed*7 + g) % 256
               ELSE idx + (3*idx) % 256 + (7*idx) % 256
          END AS v
   FROM fr,
        LATERAL (SELECT unnest(range(0, h)) AS y) y,
        LATERAL (SELECT unnest(range(0, w)) AS x) x,
        LATERAL (SELECT CASE
-           WHEN f >= 2 AND y.y >= least(2, h - 1)
+           WHEN f >= 3 AND y.y >= least(3, h - 1)
+                AND x.x >= least(6, w - 1) THEN 3
+           WHEN f = 2 AND y.y >= least(2, h - 1)
                 AND x.x >= least(4, w - 1) THEN 2
            WHEN f >= 1 AND y.y >= least(1, h - 1)
                 AND x.x >= least(2, w - 1) THEN 1
@@ -572,7 +582,7 @@ SELECT event_id AS doc_id,
        CAST(f AS INTEGER) AS frame_idx,
        CAST(w AS INTEGER) AS width,
        CAST(h AS INTEGER) AS height,
-       CAST(3 AS INTEGER) AS n_frames,
+       CAST(4 AS INTEGER) AS n_frames,
        CAST(4 + f AS INTEGER) AS delay_cs,
        CAST(sum(v) AS BIGINT) AS rgb_sum
 FROM px GROUP BY event_id, w, h, f

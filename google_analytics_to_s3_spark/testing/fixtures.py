@@ -2057,6 +2057,7 @@ def make_gif_ext(
     n_frames: int = 3,
     transparent: bool = False,
     disposal2_last: bool = False,
+    disposal3_last: bool = False,
 ) -> bytes:
     """Serialize a REAL GIF89a exercising the r9-widened decoder
     paths: frame 0 is full-canvas and INTERLACED (4-pass row
@@ -2069,7 +2070,9 @@ def make_gif_ext(
     index ``seed % 256`` transparent on frames >= 1;
     ``disposal2_last=True`` sets disposal 2 on the second-to-last
     frame (the next frame then composites over restored
-    background)."""
+    background); ``disposal3_last=True`` sets disposal 3 instead
+    (the next frame composites over the PRE-render canvas, i.e. the
+    second-to-last frame's write is reverted, r10)."""
     import struct
 
     out = bytearray()
@@ -2090,6 +2093,8 @@ def make_gif_ext(
             gpacked |= 0x01
         if disposal2_last and f == n_frames - 2:
             gpacked |= 2 << 2
+        if disposal3_last and f == n_frames - 2:
+            gpacked |= 3 << 2
         out += bytes([0x21, 0xF9, 4, gpacked])
         out += struct.pack("<H", 4 + f)
         out += bytes([seed % 256 if transparent and f >= 1 else 0, 0])

@@ -700,14 +700,23 @@ class TestGifDecode:
         good = bytearray(make_gif(3, 3, 1, 1))
         with _pytest.raises(ValueError, match="signature"):
             _parse_gif(b"PNG89a" + bytes(good[6:]))
-        # r9: interlace / LCT / partial canvas now decode (see
-        # test_extended_gif_paths); disposal 3 is the remaining gate
-        bad = bytearray(good)
-        # splice a GCE with disposal method 3 before the descriptor
-        desc = bad.index(0x2C, 13 + 768)
+        # r9: interlace / LCT / partial canvas decode; r10: disposal
+        # 3 decodes too (see test_extended_gif_paths) — on a single
+        # frame the post-display restore is invisible, so the
+        # spliced stream decodes identically to the plain one
+        d3 = bytearray(good)
+        desc = d3.index(0x2C, 13 + 768)
         gce = bytes([0x21, 0xF9, 4, 3 << 2, 0, 0, 0, 0])
+        d3[desc:desc] = gce
+        _, _, plain_frames, _ = _parse_gif(bytes(good))
+        _, _, d3_frames, _ = _parse_gif(bytes(d3))
+        assert len(d3_frames) == len(plain_frames) == 1
+        assert (d3_frames[0] == plain_frames[0]).all()
+        # reserved disposal methods (4-7) still quarantine
+        bad = bytearray(good)
+        gce = bytes([0x21, 0xF9, 4, 4 << 2, 0, 0, 0, 0])
         bad[desc:desc] = gce
-        with _pytest.raises(ValueError, match="disposal method 3"):
+        with _pytest.raises(ValueError, match="reserved GIF disposal"):
             _parse_gif(bytes(bad))
 
     def test_extended_gif_paths(self):
@@ -728,7 +737,7 @@ class TestGifDecode:
         )
 
         def expected(w, h, seed, n, transparent=False,
-                     disposal2_last=False):
+                     disposal2_last=False, disposal3_last=False):
             gpal = np.array(gif_ext_palette(seed, 0, False),
                             dtype=np.uint8)
             canvas = np.broadcast_to(gpal[1], (h, w, 3)).copy()
@@ -738,6 +747,7 @@ class TestGifDecode:
                     (0, 0, w, h) if f == 0
                     else gif_ext_frame_geom(w, h, f)
                 )
+                pre = canvas[top:top + fh, left:left + fw].copy()
                 pal = np.array(gif_ext_palette(seed, f, f % 2 == 1),
                                dtype=np.uint8)
                 for ry in range(fh):
@@ -750,11 +760,14 @@ class TestGifDecode:
                 frames.append(canvas.reshape(-1).copy())
                 if disposal2_last and f == n - 2:
                     canvas[top:top + fh, left:left + fw] = gpal[1]
+                if disposal3_last and f == n - 2:
+                    canvas[top:top + fh, left:left + fw] = pre
             return frames
 
         for w, h in ((8, 6), (13, 9)):
             for kw in ({}, {"transparent": True},
-                       {"disposal2_last": True}):
+                       {"disposal2_last": True},
+                       {"disposal3_last": True}):
                 W, H, frames, delays = _parse_gif(
                     make_gif_ext(w, h, 7, 4, **kw)
                 )
