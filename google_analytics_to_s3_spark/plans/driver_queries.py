@@ -2881,6 +2881,10 @@ from .driver_queries_r9 import (  # noqa: E402
     ORACLES_R9,
     QUERIES_R9,
 )
+from .driver_queries_r10 import (  # noqa: E402
+    ORACLES_R10,
+    QUERIES_R10,
+)
 
 QUERIES.update(QUERIES_ENRICH)
 QUERIES.update(QUERIES_IDENTITY)
@@ -2892,6 +2896,7 @@ QUERIES.update(QUERIES_ANALYTICS)
 QUERIES.update(QUERIES_ML)
 QUERIES.update(QUERIES_R8)
 QUERIES.update(QUERIES_R9)
+QUERIES.update(QUERIES_R10)
 
 ORACLES: dict[str, str] = {
     "sessionize_flags": SQL_SESSIONIZE_FLAGS,
@@ -2971,6 +2976,7 @@ ORACLES.update(ORACLES_ANALYTICS)
 ORACLES.update(ORACLES_ML)
 ORACLES.update(ORACLES_R8)
 ORACLES.update(ORACLES_R9)
+ORACLES.update(ORACLES_R10)
 # fill the lsh_recall oracle template with the shared MinHash CTE chain
 # (defined above; kept in one copy so k/bands changes cannot diverge)
 from .driver_queries_analytics import (  # noqa: E402
@@ -3006,7 +3012,7 @@ _DRIVER_PRIORITY = [
     # (r10-new) queries registered or materially changed during r10:
     # gif_decode_ext grew disposal-3 coverage (4 frames now), so its
     # r9 green no longer certifies the current query — re-check first.
-    "gif_decode_ext",
+    "mp3_decode", "mp3_decode_stereo", "gif_decode_ext",
     # (r10-queue) 16 r4-green rows.
     "kmv_overlap", "weighted_sample", "zorder_keys", "snapshot_diff",
     "rolling_features", "ab_lift", "dq_report", "hopping_distinct",

@@ -1,0 +1,221 @@
+"""Round-10 driver queries: MP3 (MPEG-1 Layer III) byte-path decode.
+
+- ``mp3_decode`` — mono 44.1 kHz/160 kbps streams with planted
+  integer spectra (testing/fixtures.make_mp3): frame sync + header,
+  side info, the BIT RESERVOIR (main_data_begin back-pointers into
+  the previous frames' slack), scfsi scalefactor sharing, Huffman
+  big-values pairs (Table B.7 table 1 + the empty table 0 across
+  real region boundaries) and count1 table-B quadruples, and exact
+  quarter-log2 requant exponents. Half the payloads carry an ID3v2
+  tag the decoder must skip. The DuckDB oracle replays every planted
+  rule in closed form — including part2_3_length bit accounting and
+  the reservoir pointer sums — so a green row proves the decoder
+  inverts the encoder bit-exactly (operators/mp3.py).
+- ``mp3_decode_stereo`` — the LR-stereo twin (32-byte side info,
+  granule-major channel-minor field order, per-channel scfsi).
+
+Same planted-rule discipline as the FLAC (r7-r9) and Vorbis (r9)
+byte paths; no MP3 surface exists in the reference repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_events
+from .driver_queries_analytics import _FLAC_MOD, _spread
+
+QUERIES_R10: dict = {}
+ORACLES_R10: dict[str, str] = {}
+
+
+def _q_mp3(spark: SparkSession, sf_dir: str, mod: int,
+           stereo: bool) -> DataFrame:
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.mp3 import decode_mp3_features
+    from ..testing.fixtures import make_mp3
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == mod
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_mp3(int(i) % 1000,
+                             n_frames=2 + int(i) % 3,
+                             stereo=stereo,
+                             id3=int(i) % 2 == 0)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_mp3_features(payloads).drop("decode_error")
+
+
+def q_mp3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q_mp3(spark, sf_dir, 3, stereo=False)
+
+
+def q_mp3_decode_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q_mp3(spark, sf_dir, 4, stereo=True)
+
+
+q_mp3_decode.__doc__ = __doc__
+q_mp3_decode_stereo.__doc__ = __doc__
+
+
+def _mp3_oracle_sql(mod: int, nch: int) -> str:
+    """Closed-form replay of the make_mp3 planted rules. Every output
+    column is INTEGER/BIGINT (sums CAST AS BIGINT — never HUGEINT).
+
+    Table B.8 44.1 kHz long-block band edges (operators/mp3.py
+    _SFB_BOUNDS_44100); band 21 is the scalefactor-less rest region."""
+    bounds = [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90,
+              110, 134, 162, 196, 238, 288, 342, 418, 576]
+    sfb_rows = ", ".join(
+        f"({b}, {bounds[b]}, {bounds[b + 1]})" for b in range(21)
+    )
+    return f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed, 2 + event_id % 3 AS nf
+  FROM events WHERE event_id % {_FLAC_MOD} = {mod}
+),
+sfb(band, lo, hi) AS (VALUES {sfb_rows}),
+g AS (
+  SELECT e.event_id, e.seed, e.nf, f.f, gr.gr, ch.ch,
+         48 + (e.seed*3 + f.f*7 + gr.gr*11 + ch.ch*5) % 16 AS bv,
+         120 + (e.seed*7 + f.f*13 + gr.gr*29 + ch.ch*3) % 100 AS gg,
+         (e.seed + f.f + gr.gr + ch.ch) % 2 AS sfs,
+         4 + (e.seed + f.f + gr.gr + ch.ch) % 4 AS nq,
+         (e.seed + f.f*3 + ch.ch) % 16 AS scfsi
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.nf)) AS f) f,
+       LATERAL (SELECT unnest(range(0, 2)) AS gr) gr,
+       LATERAL (SELECT unnest(range(0, {nch})) AS ch) ch
+),
+-- effective scalefactors: granule 1 reuses granule 0 for
+-- scfsi-shared groups (and transmits 0 bits for them)
+sf AS (
+  SELECT g.event_id, g.f, g.gr, g.ch, s.band, s.lo, s.hi,
+         CASE WHEN g.gr = 1 AND sh.shared = 1
+              THEN (g.seed + 3*s.band + 5*g.f + 7*g.ch) % 4
+              ELSE (g.seed + 3*s.band + 17*g.gr + 5*g.f
+                    + 7*g.ch) % 4 END AS sfac,
+         CASE WHEN g.gr = 1 AND sh.shared = 1 THEN 0 ELSE 2
+              END AS txbits
+  FROM g, sfb s,
+       LATERAL (SELECT CASE WHEN s.band < 6 THEN (g.scfsi // 8) % 2
+                            WHEN s.band < 11 THEN (g.scfsi // 4) % 2
+                            WHEN s.band < 16 THEN (g.scfsi // 2) % 2
+                            ELSE g.scfsi % 2 END AS shared) sh
+),
+-- spectral lines: the table-1 regions [0, 90) (lines [90, 2bv) are
+-- table 0 = zero), then the count1 quadruple lines [2bv, 2bv+4nq)
+lines AS (
+  SELECT g.event_id, g.f, g.gr, g.ch, g.gg, g.sfs, i.i,
+         ((g.seed + 5*g.f + 3*g.gr + 7*i.i + 11*g.ch) % 3) - 1 AS v,
+         0 AS is_c1
+  FROM g, LATERAL (SELECT unnest(range(0, 90)) AS i) i
+  UNION ALL
+  SELECT g.event_id, g.f, g.gr, g.ch, g.gg, g.sfs, i.i,
+         ((g.seed + 11*g.f + 7*g.gr + 3*i.i + 5*g.ch) % 3) - 1 AS v,
+         1 AS is_c1
+  FROM g, LATERAL (SELECT unnest(range(2*g.bv, 2*g.bv + 4*g.nq)) AS i) i
+),
+lv AS (
+  SELECT l.*, COALESCE(sf.sfac, 0) AS sfac
+  FROM lines l LEFT JOIN sf
+    ON sf.event_id = l.event_id AND sf.f = l.f AND sf.gr = l.gr
+   AND sf.ch = l.ch AND l.i >= sf.lo AND l.i < sf.hi
+),
+-- part2_3_length accounting: transmitted scalefactor bits + pair
+-- codeword/sign bits (45 table-1 pairs; big_values >= 48 always)
+-- + count1 bits (4 per quad + one sign per nonzero)
+pairbits AS (
+  SELECT g.event_id, g.f, g.gr, g.ch,
+         sum(CASE WHEN p.x = 0 AND p.y = 0 THEN 1
+                  WHEN p.x = 1 AND p.y = 0 THEN 2
+                  ELSE 3 END + p.x + p.y) AS hb
+  FROM g,
+       LATERAL (SELECT unnest(range(0, 45)) AS k) k,
+       LATERAL (SELECT
+         abs(((g.seed + 5*g.f + 3*g.gr + 14*k.k + 11*g.ch) % 3) - 1) AS x,
+         abs(((g.seed + 5*g.f + 3*g.gr + 14*k.k + 7 + 11*g.ch) % 3) - 1) AS y
+       ) p
+  GROUP BY 1, 2, 3, 4
+),
+granbits AS (
+  SELECT g.event_id, g.f, g.gr, g.ch,
+         (SELECT sum(sf.txbits) FROM sf
+           WHERE sf.event_id = g.event_id AND sf.f = g.f
+             AND sf.gr = g.gr AND sf.ch = g.ch)
+         + pb.hb
+         + 4 * g.nq
+         + (SELECT sum(abs(l.v)) FROM lines l
+             WHERE l.event_id = g.event_id AND l.f = g.f
+               AND l.gr = g.gr AND l.ch = g.ch AND l.is_c1 = 1)
+         AS p23
+  FROM g JOIN pairbits pb
+    ON pb.event_id = g.event_id AND pb.f = g.f AND pb.gr = g.gr
+   AND pb.ch = g.ch
+),
+framebits AS (
+  SELECT gb.event_id, gb.f, sum(gb.p23) AS bits
+  FROM granbits gb GROUP BY 1, 2
+),
+resv AS (
+  SELECT fb.event_id,
+         sum(CASE WHEN fb.f >= 1
+                  THEN least((fb.bits + 7) // 8,
+                             64 + (e.seed + 37*fb.f) % 128)
+                  ELSE 0 END) AS mdb
+  FROM framebits fb JOIN e ON e.event_id = fb.event_id
+  GROUP BY 1
+),
+agg AS (
+  SELECT lv.event_id,
+         sum(abs(lv.v)) AS abs_sum,
+         sum(lv.v) AS signed_sum,
+         sum(CASE WHEN lv.is_c1 = 1 THEN abs(lv.v) ELSE 0 END) AS c1_abs,
+         sum(CASE WHEN lv.v > 0 THEN 1 WHEN lv.v < 0 THEN -1 ELSE 0 END
+             * ((lv.gg - 210) - 2*(lv.sfs + 1)*lv.sfac)) AS exp_sum,
+         sum(CASE WHEN lv.v <> 0 THEN 1 ELSE 0 END) AS nonzero
+  FROM lv GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(44100 AS INTEGER) AS sample_rate_hz,
+       CAST(160 AS INTEGER) AS bitrate_kbps,
+       CAST({nch} AS INTEGER) AS channels,
+       CAST(e.nf AS INTEGER) AS n_frames,
+       CAST((SELECT sum(g.bv) FROM g WHERE g.event_id = e.event_id)
+            AS BIGINT) AS big_values_sum,
+       CAST(a.abs_sum AS BIGINT) AS spectral_abs_sum,
+       CAST(a.signed_sum AS BIGINT) AS spectral_signed_sum,
+       CAST(a.c1_abs AS BIGINT) AS count1_abs_sum,
+       CAST((SELECT sum(sf.sfac) FROM sf WHERE sf.event_id = e.event_id)
+            AS BIGINT) AS scalefac_sum,
+       CAST(a.exp_sum AS BIGINT) AS requant_exp_sum,
+       CAST(a.nonzero AS BIGINT) AS nonzero_lines,
+       CAST(r.mdb AS BIGINT) AS reservoir_bytes,
+       CAST((SELECT sum(gb.p23) FROM granbits gb
+              WHERE gb.event_id = e.event_id) AS BIGINT) AS part23_bits
+FROM e JOIN agg a ON a.event_id = e.event_id
+       JOIN resv r ON r.event_id = e.event_id
+"""
+
+
+QUERIES_R10["mp3_decode"] = q_mp3_decode
+ORACLES_R10["mp3_decode"] = _mp3_oracle_sql(3, 1)
+QUERIES_R10["mp3_decode_stereo"] = q_mp3_decode_stereo
+ORACLES_R10["mp3_decode_stereo"] = _mp3_oracle_sql(4, 2)

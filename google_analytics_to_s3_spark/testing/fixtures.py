@@ -2143,3 +2143,197 @@ def make_gif_ext(
         out += bytes([0])
     out += bytes([0x3B])
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1 Layer III) fixture encoder — r10
+# ---------------------------------------------------------------------------
+
+def mp3_granule_rules(seed: int, f: int, gr: int, ch: int) -> dict:
+    """Planted per-granule parameters for make_mp3. Shared by the
+    fixture encoder, the unit tests' independent recomputation and
+    the driver oracle's closed-form replay (operators/mp3.py decodes
+    these back out of the real bitstream).
+
+    Spectrum: lines i in [0, 90) carry v(i) = ((seed + 5f + 3gr +
+    7i + 11ch) % 3) - 1 via Huffman table 1 (regions 0/1); lines
+    [90, 2*big_values) are zero via table 0 (region 2); the count1
+    region appends nq quadruples at lines [2bv, 2bv + 4nq) with
+    w(i) = ((seed + 11f + 7gr + 3i + 5ch) % 3) - 1.
+    Scalefactors (scalefac_compress 9 -> slen 2,2): sf(b) = (seed +
+    3b + 17gr + 5f + 7ch) % 4, with granule 1 reusing granule 0's
+    values for scfsi-shared band groups."""
+    return {
+        "big_values": 48 + (seed * 3 + f * 7 + gr * 11 + ch * 5) % 16,
+        "global_gain": 120 + (seed * 7 + f * 13 + gr * 29 + ch * 3) % 100,
+        "scalefac_compress": 9,
+        "table_select": [1, 1, 0],
+        "region0_count": 8,
+        "region1_count": 3,
+        "preflag": 0,
+        "scalefac_scale": (seed + f + gr + ch) % 2,
+        "nq": 4 + (seed + f + gr + ch) % 4,
+    }
+
+
+def mp3_scfsi(seed: int, f: int, ch: int) -> "list[int]":
+    """Planted per-frame scfsi group bits (group 0 = MSB)."""
+    word = (seed + f * 3 + ch) % 16
+    return [(word >> (3 - i)) & 1 for i in range(4)]
+
+
+def mp3_sf_rule(seed: int, f: int, gr: int, ch: int, band: int) -> int:
+    return (seed + 3 * band + 17 * gr + 5 * f + 7 * ch) % 4
+
+
+def mp3_spec_rule(seed: int, f: int, gr: int, ch: int, i: int) -> int:
+    return ((seed + 5 * f + 3 * gr + 7 * i + 11 * ch) % 3) - 1
+
+
+def mp3_count1_rule(seed: int, f: int, gr: int, ch: int, i: int) -> int:
+    return ((seed + 11 * f + 7 * gr + 3 * i + 5 * ch) % 3) - 1
+
+
+_MP3_HUFF1 = {(0, 0): "1", (1, 0): "01", (0, 1): "001", (1, 1): "000"}
+_MP3_SCFSI_GROUPS = [range(0, 6), range(6, 11), range(11, 16),
+                     range(16, 21)]
+
+
+def _mp3_write_granule(w: "_BitWriter", seed: int, f: int, gr: int,
+                       ch: int, scfsi: "list[int]") -> int:
+    """Write one granule's main data (scalefactors + Huffman
+    spectrum), returning the exact bit count (= part2_3_length)."""
+    r = mp3_granule_rules(seed, f, gr, ch)
+    bits = 0
+    for group_i, bands in enumerate(_MP3_SCFSI_GROUPS):
+        if gr == 1 and scfsi[group_i]:
+            continue  # shared with granule 0: not transmitted
+        for b in bands:
+            w.write(mp3_sf_rule(seed, f, gr, ch, b), 2)
+            bits += 2
+    bv = r["big_values"]
+    for k in range(bv):
+        i0, i1 = 2 * k, 2 * k + 1
+        if i0 >= 90:
+            break  # region 2 is Huffman table 0: zero pairs, no bits
+        x = mp3_spec_rule(seed, f, gr, ch, i0)
+        y = mp3_spec_rule(seed, f, gr, ch, i1)
+        code = _MP3_HUFF1[(abs(x), abs(y))]
+        for c in code:
+            w.write(int(c), 1)
+        bits += len(code)
+        for v in (x, y):
+            if v:
+                w.write(1 if v < 0 else 0, 1)
+                bits += 1
+    line = 2 * bv
+    for q in range(r["nq"]):
+        vals = [mp3_count1_rule(seed, f, gr, ch, line + j)
+                for j in range(4)]
+        quad = sum(abs(v) << (3 - j) for j, v in enumerate(vals))
+        w.write((~quad) & 0xF, 4)  # count1 table B: complement code
+        bits += 4
+        for v in vals:
+            if v:
+                w.write(1 if v < 0 else 0, 1)
+                bits += 1
+        line += 4
+    return bits
+
+
+def make_mp3(
+    seed: int,
+    n_frames: int = 3,
+    stereo: bool = False,
+    reservoir: bool = True,
+    id3: bool = False,
+) -> bytes:
+    """Serialize a REAL MPEG-1 Layer III stream (ISO/IEC 11172-3):
+    44.1 kHz, 160 kbit/s, mono (or LR stereo), long blocks, Huffman
+    tables 1/0 + count1 table B, planted integer spectra and
+    scalefactors per ``mp3_granule_rules``. ``reservoir=True``
+    exercises the bit reservoir: frame f >= 1 places the first
+    min(blob_len, 64 + (seed + 37f) % 128) bytes of its main data at
+    the END of frame f-1's main-data region and points back at them
+    with main_data_begin. ``id3=True`` prepends a 42-byte ID3v2.3
+    tag the decoder must skip."""
+    nch = 2 if stereo else 1
+    side_bytes = 32 if stereo else 17
+    # per-frame main-data blobs + the exact part2_3_length values
+    blobs: "list[bytes]" = []
+    part23: "list[list[list[int]]]" = []
+    for f in range(n_frames):
+        w = _BitWriter()
+        p_f = []
+        scfsi_f = [mp3_scfsi(seed, f, ch) for ch in range(nch)]
+        for gr in range(2):
+            p_g = []
+            for ch in range(nch):
+                p_g.append(
+                    _mp3_write_granule(w, seed, f, gr, ch, scfsi_f[ch])
+                )
+            p_f.append(p_g)
+        part23.append(p_f)
+        w.align()
+        blobs.append(bytes(w.buf))
+    # reservoir layout
+    mdb = [0] * n_frames
+    if reservoir:
+        for f in range(1, n_frames):
+            mdb[f] = min(len(blobs[f]), 64 + (seed + 37 * f) % 128)
+    out = bytearray()
+    if id3:
+        body = bytes((seed + 7 * j) % 256 for j in range(32))
+        out += b"ID3\x03\x00\x00" + bytes([0, 0, 0, 32]) + body
+    regions: "list[bytearray]" = []
+    caps: "list[int]" = []
+    for f in range(n_frames):
+        pad = (seed + f) % 2
+        frame_len = (144 * 160000) // 44100 + pad
+        cap = frame_len - 4 - side_bytes
+        rest = blobs[f][mdb[f]:]
+        if len(rest) > cap:
+            raise ValueError("fixture main data exceeds frame capacity")
+        region = bytearray(cap)
+        region[:len(rest)] = rest
+        if f >= 1 and mdb[f]:
+            tail = blobs[f][:mdb[f]]
+            prev_used = len(blobs[f - 1]) - mdb[f - 1]
+            if prev_used + len(tail) > caps[f - 1]:
+                raise ValueError("fixture reservoir tail does not fit")
+            regions[f - 1][caps[f - 1] - len(tail):] = tail
+        regions.append(region)
+        caps.append(cap)
+    for f in range(n_frames):
+        pad = (seed + f) % 2
+        hdr = bytes([
+            0xFF, 0xFB,
+            (10 << 4) | (0 << 2) | (pad << 1),
+            ((0b11 if nch == 1 else 0b00) << 6) | 0b100,
+        ])
+        w = _BitWriter()
+        w.write(mdb[f], 9)
+        w.write(0, 5 if nch == 1 else 3)  # private bits
+        for ch in range(nch):
+            for bit in mp3_scfsi(seed, f, ch):
+                w.write(bit, 1)
+        for gr in range(2):
+            for ch in range(nch):
+                r = mp3_granule_rules(seed, f, gr, ch)
+                w.write(part23[f][gr][ch], 12)
+                w.write(r["big_values"], 9)
+                w.write(r["global_gain"], 8)
+                w.write(r["scalefac_compress"], 4)
+                w.write(0, 1)  # window_switching: long blocks
+                for t in r["table_select"]:
+                    w.write(t, 5)
+                w.write(r["region0_count"], 4)
+                w.write(r["region1_count"], 3)
+                w.write(r["preflag"], 1)
+                w.write(r["scalefac_scale"], 1)
+                w.write(1, 1)  # count1 table B
+        w.align()
+        side = bytes(w.buf)
+        assert len(side) == side_bytes
+        out += hdr + side + regions[f]
+    return bytes(out)

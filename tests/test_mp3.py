@@ -1,0 +1,249 @@
+"""MPEG-1 Layer III byte-path decoder (operators/mp3.py, r10).
+
+Layer-by-layer: MSB-first bitpacking, header field/gate parsing,
+side-info roundtrip, scfsi scalefactor sharing, Huffman big-values +
+count1 decode against independent recomputation of the planted
+fixture rules, the bit reservoir (layout equivalence and underflow),
+ID3v2 skip, named-error gates, sub-framing fuzz, and the Spark
+quarantine wrapper."""
+
+import struct
+
+import pytest
+
+from google_analytics_to_s3_spark.operators.mp3 import (
+    _MBits,
+    _SFB_BOUNDS_44100,
+    _parse_header,
+    _parse_side_info,
+    decode_mp3_features,
+    parse_mp3,
+)
+from google_analytics_to_s3_spark.testing.fixtures import (
+    make_mp3,
+    mp3_count1_rule,
+    mp3_granule_rules,
+    mp3_scfsi,
+    mp3_sf_rule,
+    mp3_spec_rule,
+)
+
+
+class TestBits:
+    def test_msb_first_read(self):
+        br = _MBits(bytes([0b10110100, 0xFF]))
+        assert br.read(3) == 0b101
+        assert br.read1() == 1
+        assert br.read(8) == 0b01001111
+        with pytest.raises(ValueError, match="truncated"):
+            br.read(5)
+
+
+class TestHeader:
+    def _hdr(self, b1=0xFB, b2=0xA0, b3=0xC4):
+        return bytes([0xFF, b1, b2, b3])
+
+    def test_fields(self):
+        h = _parse_header(self._hdr())
+        assert (h["kbps"], h["rate"], h["nch"]) == (160, 44100, 1)
+        assert h["frame_len"] == (144 * 160000) // 44100
+        h = _parse_header(self._hdr(b2=0xA2, b3=0x04))
+        assert h["padding"] == 1 and h["nch"] == 2
+        assert h["frame_len"] == (144 * 160000) // 44100 + 1
+
+    def test_gates(self):
+        with pytest.raises(ValueError, match="sync"):
+            _parse_header(bytes([0xFE, 0xFB, 0xA0, 0xC4]))
+        with pytest.raises(ValueError, match="MPEG-1"):
+            _parse_header(bytes([0xFF, 0xF3, 0xA0, 0xC4]))  # MPEG-2
+        with pytest.raises(ValueError, match="Layer III"):
+            _parse_header(bytes([0xFF, 0xFD, 0xA0, 0xC4]))  # Layer II
+        with pytest.raises(ValueError, match="CRC-protected"):
+            _parse_header(bytes([0xFF, 0xFA, 0xA0, 0xC4]))
+        with pytest.raises(ValueError, match="bitrate"):
+            _parse_header(self._hdr(b2=0x00))  # free format
+        with pytest.raises(ValueError, match="bitrate"):
+            _parse_header(self._hdr(b2=0xF0))  # forbidden
+        with pytest.raises(ValueError, match="sample-rate"):
+            _parse_header(self._hdr(b2=0xAC))
+        with pytest.raises(ValueError, match="joint-stereo"):
+            _parse_header(self._hdr(b3=0x44))
+        with pytest.raises(ValueError, match="dual-channel"):
+            _parse_header(self._hdr(b3=0x84))
+
+
+class TestSideInfo:
+    def test_fixture_side_info_roundtrip(self):
+        """Parse the side info the fixture wrote and compare every
+        field to the planted rules."""
+        raw = make_mp3(13, n_frames=2, reservoir=False)
+        hdr = _parse_header(raw[:4])
+        side = _parse_side_info(raw[4:], hdr["nch"])
+        assert side["main_data_begin"] == 0
+        assert side["scfsi"][0] == mp3_scfsi(13, 0, 0)
+        for gr in range(2):
+            g = side["granules"][gr][0]
+            r = mp3_granule_rules(13, 0, gr, 0)
+            for k in ("big_values", "global_gain", "scalefac_compress",
+                      "table_select", "region0_count", "region1_count",
+                      "preflag", "scalefac_scale"):
+                assert g[k] == r[k] if k in r else True
+            assert g["big_values"] == r["big_values"]
+            assert g["global_gain"] == r["global_gain"]
+
+    def test_gates(self):
+        raw = bytearray(make_mp3(5, n_frames=1, reservoir=False))
+        hdr = _parse_header(raw[:4])
+        # flip window_switching on granule 0: bit offset within side
+        # info = 9 + 5 + 4 + 12 + 9 + 8 + 4 = 51
+        byte, bit = divmod(51, 8)
+        raw[4 + byte] ^= 0x80 >> bit
+        with pytest.raises(ValueError, match="window_switching"):
+            _parse_side_info(bytes(raw[4:]), hdr["nch"])
+        with pytest.raises(ValueError, match="truncated MP3 side"):
+            _parse_side_info(b"\x00" * 10, 1)
+
+
+class TestDecode:
+    def test_planted_chain_recovered(self):
+        """End-to-end: decode features equal an independent replay of
+        the planted rules (scalefactors with scfsi sharing, spectra,
+        count1, exact quarter-log2 requant exponents)."""
+        bounds = _SFB_BOUNDS_44100
+        hlen = {(0, 0): 1, (1, 0): 2, (0, 1): 3, (1, 1): 3}
+        for seed, nf, stereo in ((0, 1, False), (7, 3, False),
+                                 (42, 2, True), (999, 4, False)):
+            nch = 2 if stereo else 1
+            d = parse_mp3(make_mp3(seed, n_frames=nf, stereo=stereo))
+            exp_abs = exp_sfsum = exp_exp = exp_p23 = 0
+            for f in range(nf):
+                for gr in range(2):
+                    for ch in range(nch):
+                        r = mp3_granule_rules(seed, f, gr, ch)
+                        scfsi = mp3_scfsi(seed, f, ch)
+                        groups = [range(0, 6), range(6, 11),
+                                  range(11, 16), range(16, 21)]
+                        sf, sfbits = [0] * 21, 0
+                        for gi, bands in enumerate(groups):
+                            for b in bands:
+                                if gr == 1 and scfsi[gi]:
+                                    sf[b] = mp3_sf_rule(seed, f, 0, ch, b)
+                                else:
+                                    sf[b] = mp3_sf_rule(seed, f, gr, ch, b)
+                                    sfbits += 2
+                        spec = {}
+                        hb = 0
+                        for k in range(min(r["big_values"], 45)):
+                            x = mp3_spec_rule(seed, f, gr, ch, 2 * k)
+                            y = mp3_spec_rule(seed, f, gr, ch, 2 * k + 1)
+                            spec[2 * k], spec[2 * k + 1] = x, y
+                            hb += (hlen[(abs(x), abs(y))]
+                                   + (x != 0) + (y != 0))
+                        base = 2 * r["big_values"]
+                        for q in range(r["nq"]):
+                            nz = 0
+                            for j in range(4):
+                                i = base + 4 * q + j
+                                v = mp3_count1_rule(seed, f, gr, ch, i)
+                                spec[i] = v
+                                nz += v != 0
+                            hb += 4 + nz
+                        exp_p23 += sfbits + hb
+                        exp_sfsum += sum(sf)
+                        gg, mult = r["global_gain"], 2 * (
+                            r["scalefac_scale"] + 1)
+                        for i, v in spec.items():
+                            if not v:
+                                continue
+                            band = 0
+                            while bounds[band + 1] <= i:
+                                band += 1
+                            sfac = sf[band] if band < 21 else 0
+                            exp_exp += ((1 if v > 0 else -1)
+                                        * ((gg - 210) - mult * sfac))
+                            exp_abs += 1
+            assert d["spectral_abs_sum"] == exp_abs
+            assert d["nonzero_lines"] == exp_abs
+            assert d["scalefac_sum"] == exp_sfsum
+            assert d["requant_exp_sum"] == exp_exp
+            assert d["part23_bits"] == exp_p23
+            assert d["channels"] == nch and d["n_frames"] == nf
+
+    def test_reservoir_layout_equivalence(self):
+        """The reservoir layout only moves bytes across frame
+        boundaries — every decoded feature except the reservoir
+        byte count is identical to the flat (main_data_begin = 0)
+        layout, and the pointer sum is the planted rule."""
+        for seed in (1, 7, 999):
+            flat = parse_mp3(make_mp3(seed, n_frames=4, reservoir=False))
+            res = parse_mp3(make_mp3(seed, n_frames=4, reservoir=True))
+            assert flat["reservoir_bytes"] == 0
+            assert res["reservoir_bytes"] > 0
+            for k in flat:
+                if k != "reservoir_bytes":
+                    assert flat[k] == res[k], (seed, k)
+
+    def test_reservoir_underflow_quarantines(self):
+        """main_data_begin pointing before the start of the stream
+        (frame 0 with a nonzero pointer) is a named error."""
+        raw = bytearray(make_mp3(3, n_frames=1, reservoir=False))
+        raw[4] |= 0x80  # set the top bit of main_data_begin
+        with pytest.raises(ValueError, match="reservoir underflow"):
+            parse_mp3(bytes(raw))
+
+    def test_id3v2_skip(self):
+        plain = parse_mp3(make_mp3(11, n_frames=2))
+        tagged = parse_mp3(make_mp3(11, n_frames=2, id3=True))
+        assert plain == tagged
+        with pytest.raises(ValueError, match="ID3v2 tag exceeds"):
+            parse_mp3(b"ID3\x03\x00\x00\x00\x00\x7f\x7f")
+
+    def test_mid_stream_mode_change_gate(self):
+        mono = make_mp3(5, n_frames=1, reservoir=False)
+        stereo = make_mp3(5, n_frames=1, stereo=True, reservoir=False)
+        with pytest.raises(ValueError, match="changed mid-stream"):
+            parse_mp3(mono + stereo)
+
+    def test_sub_framing_fuzz_bounded(self):
+        """Mutate 1-3 bytes anywhere in a real stream; every outcome
+        must be success or a quarantinable exception within a
+        deadline (the framing has no CRC, so unlike Vorbis this
+        reaches side-info/Huffman parsing directly)."""
+        import random
+        import time
+
+        base = make_mp3(7, n_frames=3)
+        rng = random.Random(0x3333)
+        for trial in range(300):
+            raw = bytearray(base)
+            for _ in range(rng.randrange(1, 4)):
+                raw[rng.randrange(len(raw))] ^= 1 << rng.randrange(8)
+            t0 = time.monotonic()
+            try:
+                parse_mp3(bytes(raw))
+            except (ValueError, IndexError, struct.error,
+                    ZeroDivisionError):
+                pass
+            assert time.monotonic() - t0 < 5.0, trial
+
+
+class TestSparkWrapper:
+    def test_features_and_quarantine(self, spark):
+        good = make_mp3(42, n_frames=2)
+        bad = bytearray(good)
+        bad[1] = 0xF3  # MPEG-2 version bits
+        df = spark.createDataFrame(
+            [(0, bytearray(good)), (1, bad),
+             (2, bytearray(b"not an mp3"))],
+            "doc_id long, payload binary",
+        )
+        rows = {r["doc_id"]: r for r in
+                decode_mp3_features(df).collect()}
+        exp = parse_mp3(good)
+        assert rows[0]["decode_error"] is None
+        assert rows[0]["spectral_abs_sum"] == exp["spectral_abs_sum"]
+        assert rows[0]["requant_exp_sum"] == exp["requant_exp_sum"]
+        assert rows[0]["reservoir_bytes"] == exp["reservoir_bytes"]
+        assert "MPEG-1" in rows[1]["decode_error"]
+        assert rows[1]["spectral_abs_sum"] is None
+        assert rows[2]["decode_error"] is not None
