@@ -24,16 +24,19 @@ bit-reproducible packed floats — decodes for real:
 - Audio packets (§4.3): mode select, floor1 decode to its INTEGER
   post vector (§7.2.3 — amplitude values before any dB-table
   synthesis), residue decode to its VQ-sum vector (types 1 and 2,
-  §8.6.2-8.6.5).
+  §8.6.2-8.6.5), square-polar channel coupling (§4.3.5, an exact
+  integer transform, r9).
+- The float synthesis chain (r10): floor1 amplitude/step2 flags +
+  render_line curve synthesis (§7.2.4-7.2.5, §9.2.6), the
+  floor1_inverse_dB_table (generated closed form, §10.1), direct
+  IMDCT (§4.3.7), the Vorbis window (§4.3.1) and overlap-add, with
+  an exact-integer PCM grid readout (``synthesize_vorbis_pcm``).
 
 Honestly gated (named errors, the quarantine contract of
-``operators/multimodal``): floor type 0 (LSP), the
-float synthesis chain (floor1_inverse_dB_table curve, IMDCT,
-windowing, overlap-add — the spec defines the dB table as a table,
-so "exact" PCM is not reproducible without shipping it), and
-(square-polar channel coupling — §4.3.5 magnitude/angle inversion
-— decodes for real as of this round; it is an exact integer
-transform on the residue vectors).
+``operators/multimodal``): floor type 0 (LSP), and — in the PCM
+synthesis path only — multi-channel output and long/short window
+transitions (the integer feature path handles stereo coupling and
+both block sizes).
 
 100 TB design: one Arrow ``mapInPandas`` pass, per-payload cost,
 embarrassingly parallel; all heavy loops are bounded by packet/
@@ -536,28 +539,17 @@ def _render_point(x0: int, y0: int, x1: int, y1: int, x: int) -> int:
     return y0 - off if dy < 0 else y0 + off
 
 
-def _decode_floor1(br: _VBits, floor: dict, books) -> list[int] | None:
-    """Returns the synthesized final_Y post vector (exact integers),
-    or None for an unused (zero-energy) channel."""
-    if not br.read1():
-        return None
+def _floor1_amplitude(floor: dict, y: list[int]
+                      ) -> tuple[list[int], list[bool]]:
+    """Amplitude value synthesis (§7.2.4), pure integers. Returns
+    (final_Y, step2_flags) — a post's flag is set when its
+    transmitted value is nonzero (and posts 0/1 are always set, plus
+    the prediction neighbors of any nonzero post); only flagged
+    posts become breakpoints in curve synthesis."""
     frange = _FLOOR1_RANGES[floor["multiplier"]]
-    ybits = _ilog(frange - 1)
-    y = [br.read(ybits), br.read(ybits)]
-    for i in range(floor["partitions"]):
-        cls = floor["classes"][floor["class_list"][i]]
-        cbits = cls["subbits"]
-        csub = (1 << cbits) - 1
-        cval = 0
-        if cbits:
-            cval = books[cls["master"]].decode_entry(br)
-        for _ in range(cls["dim"]):
-            book = cls["books"][cval & csub]
-            cval >>= cbits
-            y.append(books[book].decode_entry(br) if book >= 0 else 0)
-    # amplitude value synthesis (§7.2.4), pure integers
     x_list = floor["x_list"]
     final = [y[0], y[1]]
+    flags = [True, True] + [False] * (len(x_list) - 2)
     for i in range(2, len(x_list)):
         # neighbors among positions 0..i-1: largest x below, smallest
         # x above (x values are unique by the setup check)
@@ -578,16 +570,100 @@ def _decode_floor1(br: _VBits, floor: dict, books) -> list[int] | None:
         room = 2 * min(highroom, lowroom)
         if val == 0:
             final.append(predicted)
-        elif val >= room:
-            if highroom > lowroom:
-                final.append(val - lowroom + predicted)
-            else:
-                final.append(predicted - (val - highroom) - 1)
-        elif val % 2:
-            final.append(predicted - ((val + 1) // 2))
         else:
-            final.append(predicted + val // 2)
-    return final
+            flags[lo] = flags[hi] = flags[i] = True
+            if val >= room:
+                if highroom > lowroom:
+                    final.append(val - lowroom + predicted)
+                else:
+                    final.append(predicted - (val - highroom) - 1)
+            elif val % 2:
+                final.append(predicted - ((val + 1) // 2))
+            else:
+                final.append(predicted + val // 2)
+    return final, flags
+
+
+def _decode_floor1(br: _VBits, floor: dict, books) -> list[int] | None:
+    """Returns the synthesized final_Y post vector (exact integers),
+    or None for an unused (zero-energy) channel."""
+    y = _read_floor1_posts(br, floor, books)
+    if y is None:
+        return None
+    return _floor1_amplitude(floor, y)[0]
+
+
+def _read_floor1_posts(br: _VBits, floor: dict, books
+                       ) -> list[int] | None:
+    """§7.2.3: the transmitted post values (before amplitude
+    synthesis), or None for an unused channel."""
+    if not br.read1():
+        return None
+    frange = _FLOOR1_RANGES[floor["multiplier"]]
+    ybits = _ilog(frange - 1)
+    y = [br.read(ybits), br.read(ybits)]
+    for i in range(floor["partitions"]):
+        cls = floor["classes"][floor["class_list"][i]]
+        cbits = cls["subbits"]
+        csub = (1 << cbits) - 1
+        cval = 0
+        if cbits:
+            cval = books[cls["master"]].decode_entry(br)
+        for _ in range(cls["dim"]):
+            book = cls["books"][cval & csub]
+            cval >>= cbits
+            y.append(books[book].decode_entry(br) if book >= 0 else 0)
+    return y
+
+
+def _render_line(x0: int, y0: int, x1: int, y1: int,
+                 v: list[int], n: int) -> None:
+    """§9.2.6 render_line: the spec's exact integer Bresenham —
+    truncating base slope with error accumulation — writing y values
+    into v for x in [x0, min(x1, n))."""
+    dy = y1 - y0
+    adx = x1 - x0
+    base = abs(dy) // adx
+    if dy < 0:
+        base = -base
+        sy = base - 1
+    else:
+        sy = base + 1
+    ady = abs(dy) - abs(base) * adx
+    if x0 < n:
+        v[x0] = y0
+    y = y0
+    err = 0
+    for x in range(x0 + 1, min(x1, n)):
+        err += ady
+        if err >= adx:
+            err -= adx
+            y += sy
+        else:
+            y += base
+        v[x] = y
+
+
+def _floor1_curve(floor: dict, final: list[int], flags: list[bool],
+                  n_half: int) -> list[int]:
+    """Curve synthesis (§7.2.5): piecewise render_line through the
+    FLAGGED posts in x order, values scaled by the multiplier into
+    the 0..255 dB-table index domain, flat fill past the last post."""
+    mult = floor["multiplier"]
+    posts = sorted(
+        (x, final[i] * mult) for i, x in enumerate(floor["x_list"])
+        if flags[i]
+    )
+    v = [0] * n_half
+    lx, ly = posts[0]
+    for hx, hy in posts[1:]:
+        if hx > lx:
+            _render_line(lx, ly, hx, hy, v, n_half)
+        lx, ly = hx, hy
+    if lx < n_half:
+        for x in range(lx, n_half):
+            v[x] = ly
+    return [min(255, max(0, yv)) for yv in v]
 
 
 # ---------------------------------------------------------------------------
@@ -859,3 +935,208 @@ def decode_vorbis_features(
     return df.select(id_col, payload_col).mapInPandas(
         _extract, schema=VORBIS_FEATURE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Float synthesis chain (r10): floor1 dB curve -> spectrum -> IMDCT
+# -> Vorbis window -> overlap-add -> PCM grid readout
+# ---------------------------------------------------------------------------
+#
+# The floor1_inverse_dB_table (spec §10.1) is generated, not
+# memorized: table[i] = 10 ** (-7 * (255 - i) / 256) — both published
+# endpoints check out (table[255] = 1.0, table[0] = 1.0649863e-07 =
+# 10 ** (-7 * 255/256)) and the constant per-step ratio matches the
+# published values to float32 precision. The fixture oracle replays
+# the same closed form, so planted-rule parity is exact; float32
+# rounding of the spec literals only matters for real-encoder
+# parity, which this container cannot test (no sample corpus).
+
+_SYNTH_CACHE: dict = {}
+
+
+def _inverse_db_table():
+    import numpy as np
+
+    t = _SYNTH_CACHE.get("db")
+    if t is None:
+        t = 10.0 ** ((np.arange(256) - 255) * 7.0 / 256.0)
+        _SYNTH_CACHE["db"] = t
+    return t
+
+
+def _imdct_matrix(n: int):
+    """Direct IMDCT (spec §4.3.7): out[j] = sum_k X[k] *
+    cos(pi/(2n) * (2j + 1 + n/2) * (2k + 1)). O(n^2) as a cached
+    matrix — exact for the verification blocksizes (256/512); a
+    production path would swap in an FFT-based O(n log n) IMDCT,
+    which changes summation order and therefore the last float ulp,
+    so the oracle-checked readout pins the direct form."""
+    import numpy as np
+
+    M = _SYNTH_CACHE.get(("imdct", n))
+    if M is None:
+        j = 2 * np.arange(n, dtype=np.int64) + 1 + n // 2
+        k = 2 * np.arange(n // 2, dtype=np.int64) + 1
+        M = np.cos((np.pi / (2 * n)) * np.outer(j, k))
+        _SYNTH_CACHE[("imdct", n)] = M
+    return M
+
+
+def _vorbis_window(n: int):
+    """§4.3.1: w(j) = sin((pi/2) * sin^2(pi (j + 0.5) / n))."""
+    import numpy as np
+
+    w = _SYNTH_CACHE.get(("win", n))
+    if w is None:
+        s = np.sin(np.pi * (np.arange(n) + 0.5) / n)
+        w = np.sin((0.5 * np.pi) * (s * s))
+        _SYNTH_CACHE[("win", n)] = w
+    return w
+
+
+def _packet_spectrum_mono(packet: bytes, s: _VorbisSetup):
+    """Audio packet -> (n, float64 spectrum of length n/2):
+    floor1 curve (dB indices -> inverse-dB gains) times the residue
+    vector (§4.3.6 dot product)."""
+    import numpy as np
+
+    br = _VBits(packet)
+    if br.read1() != 0:
+        raise ValueError("audio packet type flag set")
+    mode_no = br.read(_ilog(len(s.modes) - 1))
+    if mode_no >= len(s.modes):
+        raise ValueError(f"mode {mode_no} out of range")
+    mode = s.modes[mode_no]
+    n = s.blocksize1 if mode["blockflag"] else s.blocksize0
+    if mode["blockflag"]:
+        br.read1()
+        br.read1()
+    mapping = s.mappings[mode["mapping"]]
+    floor = s.floors[mapping["sub"][mapping["mux"][0]]["floor"]]
+    y = _read_floor1_posts(br, floor, s.codebooks)
+    res = s.residues[mapping["sub"][0]["residue"]]
+    group = _decode_residue(
+        br, res, s.codebooks, n // 2, 1, [y is not None]
+    )
+    if y is None:
+        return n, np.zeros(n // 2)
+    final, flags = _floor1_amplitude(floor, y)
+    curve = _floor1_curve(floor, final, flags, n // 2)
+    gains = _inverse_db_table()[curve]
+    return n, gains * np.asarray(group[0], dtype=np.float64)
+
+
+def synthesize_vorbis_pcm(raw: bytes, grid: int = 10_000) -> dict:
+    """Full PCM synthesis for a mono, single-blocksize stream:
+    packets -> floor curve x residue -> IMDCT -> window ->
+    overlap-add; the first packet primes the lap buffer (no output),
+    every later packet emits n/2 samples. The readout quantizes each
+    sample to a 1/`grid` BIGINT lattice with half-up rounding
+    (floor(x * grid + 0.5)) so the driver compare is exact-integer.
+
+    Honestly gated (named errors): multi-channel synthesis (the
+    square-polar coupling itself is decoded in the integer path) and
+    long/short window transitions (blocksize0 != blocksize1); floor
+    type 0 is gated at setup parse."""
+    import numpy as np
+
+    packets = _ogg_packets(raw)
+    if len(packets) < 3:
+        raise ValueError("need id/comment/setup header packets")
+    s = _parse_id_header(packets[0])
+    _parse_comment_header(packets[1])
+    _parse_setup_header(packets[2], s)
+    if s.channels != 1:
+        raise ValueError("PCM synthesis supports mono streams only")
+    if s.blocksize0 != s.blocksize1:
+        raise ValueError(
+            "long/short window transitions unsupported in PCM synthesis"
+        )
+    n = s.blocksize0
+    half = n // 2
+    M = _imdct_matrix(n)
+    w = _vorbis_window(n)
+    prev_right = None
+    gsum = 0
+    gabs = 0
+    peak = 0
+    n_pcm = 0
+    n_packets = 0
+    for pk in packets[3:]:
+        _n, spec = _packet_spectrum_mono(pk, s)
+        z = (M @ spec) * w
+        if prev_right is not None:
+            out = prev_right + z[:half]
+            g = np.floor(out * grid + 0.5).astype(np.int64)
+            gsum += int(g.sum())
+            ga = np.abs(g)
+            gabs += int(ga.sum())
+            peak = max(peak, int(ga.max(initial=0)))
+            n_pcm += half
+        prev_right = z[half:]
+        n_packets += 1
+    if n_packets == 0:
+        raise ValueError("no audio packets")
+    return {
+        "sample_rate_hz": s.rate,
+        "channels": 1,
+        "n_packets": n_packets,
+        "n_pcm": n_pcm,
+        "pcm_grid_sum": gsum,
+        "pcm_abs_grid_sum": gabs,
+        "pcm_peak_grid": peak,
+    }
+
+
+_PCM_INT32 = ("sample_rate_hz", "channels", "n_packets")
+_PCM_INT64 = ("n_pcm", "pcm_grid_sum", "pcm_abs_grid_sum",
+              "pcm_peak_grid")
+
+
+def decode_vorbis_pcm(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    grid: int = 10_000,
+) -> DataFrame:
+    """Arrow `mapInPandas` PCM-synthesis wrapper, same quarantine
+    contract as decode_vorbis_features: per-payload cost,
+    embarrassingly parallel, one bad payload never fails the batch."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: [] for k in
+                ("doc_id", "decode_error", *_PCM_INT32, *_PCM_INT64)
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                out["doc_id"].append(doc_id)
+                try:
+                    d = synthesize_vorbis_pcm(bytes(payload), grid=grid)
+                    for k in (*_PCM_INT32, *_PCM_INT64):
+                        out[k].append(d[k])
+                    out["decode_error"].append(None)
+                except (ValueError, IndexError, struct.error,
+                        ZeroDivisionError) as e:
+                    for k in (*_PCM_INT32, *_PCM_INT64):
+                        out[k].append(None)
+                    out["decode_error"].append(
+                        str(e) or type(e).__name__
+                    )
+            cols = {"doc_id": pd.Series(out["doc_id"], dtype="int64")}
+            for k in _PCM_INT32:
+                cols[k] = pd.Series(out[k], dtype="Int32")
+            for k in _PCM_INT64:
+                cols[k] = pd.Series(out[k], dtype="Int64")
+            cols["decode_error"] = pd.Series(
+                out["decode_error"], dtype="object"
+            )
+            yield pd.DataFrame(cols)
+
+    schema = ("doc_id long, "
+              + ", ".join(f"{k} int" for k in _PCM_INT32) + ", "
+              + ", ".join(f"{k} long" for k in _PCM_INT64)
+              + ", decode_error string")
+    return df.select(
+        df[id_col].cast("long").alias(id_col), payload_col
+    ).mapInPandas(_run, schema=schema)

@@ -3012,7 +3012,8 @@ _DRIVER_PRIORITY = [
     # (r10-new) queries registered or materially changed during r10:
     # gif_decode_ext grew disposal-3 coverage (4 frames now), so its
     # r9 green no longer certifies the current query — re-check first.
-    "mp3_decode", "mp3_decode_stereo", "gif_decode_ext",
+    "mp3_decode", "mp3_decode_stereo", "vorbis_decode_pcm",
+    "gif_decode_ext",
     # (r10-queue) 16 r4-green rows.
     "kmv_overlap", "weighted_sample", "zorder_keys", "snapshot_diff",
     "rolling_features", "ab_lift", "dq_report", "hopping_distinct",

@@ -219,3 +219,94 @@ QUERIES_R10["mp3_decode"] = q_mp3_decode
 ORACLES_R10["mp3_decode"] = _mp3_oracle_sql(3, 1)
 QUERIES_R10["mp3_decode_stereo"] = q_mp3_decode_stereo
 ORACLES_R10["mp3_decode_stereo"] = _mp3_oracle_sql(4, 2)
+
+
+def q_vorbis_decode_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vorbis FLOAT SYNTHESIS driver-checked (r10): flat-floor
+    single-tone streams (testing/fixtures.make_ogg_vorbis pcm_tone)
+    run the full PCM chain — floor1 amplitude/step2/render_line
+    curve, the generated floor1_inverse_dB_table, direct IMDCT,
+    Vorbis window, overlap-add — and the readout quantizes every
+    output sample to a 1e-4 BIGINT lattice (half-up). The oracle
+    recomputes each sample in closed form with DuckDB's own trig:
+    out(t) = A(k-1) cos(theta(128+t, k0(k-1))) w(128+t)
+           + A(k)   cos(theta(t,     k0(k)))   w(t),
+    A = 10^(-7(255-Y)/256), theta(j,k0) = pi/512 (2j+1+128)(2k0+1),
+    w(j) = sin(pi/2 sin^2(pi(j+0.5)/256)) — identical operation
+    order, so agreement is exact up to sub-lattice trig ulps
+    (operators/vorbis.py synthesize_vorbis_pcm). Event sample
+    id % 10 == 5."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.vorbis import decode_vorbis_pcm
+    from ..testing.fixtures import make_ogg_vorbis
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 5
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_ogg_vorbis(int(i) % 1000,
+                                    n_packets=3 + int(i) % 3,
+                                    pcm_tone=True)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_vorbis_pcm(payloads).drop("decode_error")
+
+
+SQL_VORBIS_DECODE_PCM = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed, 3 + event_id % 3 AS np
+  FROM events WHERE event_id % {_FLAC_MOD} = 5
+),
+-- one row per output sample: boundary b in [1, np) laps packet b-1's
+-- right half (j = 128 + t) with packet b's left half (j = t)
+v AS (
+  SELECT e.event_id,
+         (pow(10, -7 * (255 - (180 + (e.seed + 11*(bb.b - 1)) % 76))
+                  / 256.0)
+          * cos((pi()/512.0) * ((2*(128 + tt.t) + 1 + 128)
+                 * (2*((e.seed + 7*(bb.b - 1)) % 64) + 1)))
+          * sin((0.5*pi()) * (sin(pi()*((128 + tt.t) + 0.5)/256.0)
+                              * sin(pi()*((128 + tt.t) + 0.5)/256.0))))
+         +
+         (pow(10, -7 * (255 - (180 + (e.seed + 11*bb.b) % 76)) / 256.0)
+          * cos((pi()/512.0) * ((2*tt.t + 1 + 128)
+                 * (2*((e.seed + 7*bb.b) % 64) + 1)))
+          * sin((0.5*pi()) * (sin(pi()*(tt.t + 0.5)/256.0)
+                              * sin(pi()*(tt.t + 0.5)/256.0))))
+         AS x
+  FROM e,
+       LATERAL (SELECT unnest(range(1, e.np)) AS b) bb,
+       LATERAL (SELECT unnest(range(0, 128)) AS t) tt
+),
+g AS (
+  SELECT event_id, CAST(floor(x * 10000.0 + 0.5) AS BIGINT) AS gv
+  FROM v
+)
+SELECT e.event_id AS doc_id,
+       CAST(16000 AS INTEGER) AS sample_rate_hz,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(e.np AS INTEGER) AS n_packets,
+       CAST((e.np - 1) * 128 AS BIGINT) AS n_pcm,
+       CAST(sum(g.gv) AS BIGINT) AS pcm_grid_sum,
+       CAST(sum(abs(g.gv)) AS BIGINT) AS pcm_abs_grid_sum,
+       CAST(max(abs(g.gv)) AS BIGINT) AS pcm_peak_grid
+FROM e JOIN g ON g.event_id = e.event_id
+GROUP BY e.event_id, e.np
+"""
+
+QUERIES_R10["vorbis_decode_pcm"] = q_vorbis_decode_pcm
+ORACLES_R10["vorbis_decode_pcm"] = SQL_VORBIS_DECODE_PCM

@@ -1831,6 +1831,43 @@ def vorbis_packet_rules(seed: int, k: int) -> "dict":
 VORBIS_STEREO_SEED_SHIFT = 499  # channel-1 floor rule: seed + 499
 
 
+def vorbis_pcm_rules(seed: int, k: int) -> "dict":
+    """Planted rules for the pcm_tone packets (r10): a FLAT floor at
+    dB index Y (both transmitted posts equal, the two interior posts
+    sent as 0 so they take the flat prediction) and a SINGLE residue
+    tone at coded slot k0 with VQ amplitude 1 — so the synthesized
+    PCM is one windowed IMDCT basis vector per packet, replayable in
+    closed form (amplitude 10^(-7(255-Y)/256), cosine argument
+    pi/(2n) * (2j+1+n/2) * (2*k0+1))."""
+    return {
+        "Y": 180 + (seed + 11 * k) % 76,
+        "k0": (seed + 7 * k) % 64,
+    }
+
+
+def _vorbis_pcm_packet(seed: int, k: int) -> bytes:
+    r = vorbis_pcm_rules(seed, k)
+    w = _LsbBitWriter()
+    w.write(0, 1)                # audio packet type
+    # mode 0 of 1 -> ilog(0) = 0 bits
+    w.write(1, 1)                # floor nonzero
+    w.write(r["Y"], 8)           # post 0
+    w.write(r["Y"], 8)           # post 1 (flat line)
+    w.write_codeword(0, 6)       # post 2: val 0 -> predicted (= Y)
+    w.write_codeword(0, 6)       # post 3: val 0 -> predicted (= Y)
+    p0 = r["k0"] // 8
+    pos = r["k0"] % 8
+    for p in range(8):
+        cls = 1 if p == p0 else 0
+        w.write_codeword(cls, 1)
+        if cls == 1:
+            e1 = (1 << pos) if pos < 4 else 0
+            e2 = (1 << (pos - 4)) if pos >= 4 else 0
+            w.write_codeword(e1, 4)
+            w.write_codeword(e2, 4)
+    return bytes(w.bytes())
+
+
 def _vorbis_audio_packet(
     seed: int, k: int, stereo: bool = False, long_blocks: bool = False
 ) -> bytes:
@@ -1874,14 +1911,16 @@ def _vorbis_audio_packet(
 def make_ogg_vorbis(
     seed: int, n_packets: int = 6, span_page: bool = False,
     stereo: bool = False, residue_type: int = 2,
-    long_blocks: bool = False,
+    long_blocks: bool = False, pcm_tone: bool = False,
 ) -> bytes:
     """Serialize a REAL minimal Ogg/Vorbis stream (module comment).
     ``span_page=True`` pads the first audio packet to 300 bytes so it
     spans two pages via a 255 lacing value and a continued page —
     exercising the packet-reassembly path (trailing padding bits in
     a packet are legal; the decoder reads only what the spec
-    grammar consumes)."""
+    grammar consumes). ``pcm_tone=True`` (mono, short blocks only)
+    plants the flat-floor single-tone packets of
+    ``vorbis_pcm_rules`` for the PCM-synthesis driver oracle."""
     ident, comment, setup = _vorbis_headers(
         stereo=stereo, residue_type=residue_type,
         long_blocks=long_blocks,
@@ -1890,11 +1929,18 @@ def make_ogg_vorbis(
         _ogg_page([ident], 0, bos=True),
         _ogg_page([comment, setup], 1),
     ]
-    packets = [
-        _vorbis_audio_packet(seed, k, stereo=stereo,
-                             long_blocks=long_blocks)
-        for k in range(n_packets)
-    ]
+    if pcm_tone:
+        if stereo or long_blocks:
+            raise ValueError("pcm_tone fixtures are mono short-block")
+        packets = [
+            _vorbis_pcm_packet(seed, k) for k in range(n_packets)
+        ]
+    else:
+        packets = [
+            _vorbis_audio_packet(seed, k, stereo=stereo,
+                                 long_blocks=long_blocks)
+            for k in range(n_packets)
+        ]
     seq = 2
     if span_page and packets:
         first = packets[0] + b"\x00" * (300 - len(packets[0]))

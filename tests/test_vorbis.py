@@ -490,3 +490,129 @@ class TestUntrustedInputBounds:
             assert time.monotonic() - t0 < 5.0, (
                 f"fuzz trial {trial} exceeded deadline"
             )
+
+
+class TestPcmSynthesis:
+    """r10: floor1 curve -> IMDCT -> window -> overlap-add. Verified
+    against closed-form recomputation through CPython's math module
+    (a third trig implementation, independent of numpy AND DuckDB)."""
+
+    def test_inverse_db_table_endpoints(self):
+        from google_analytics_to_s3_spark.operators.vorbis import (
+            _inverse_db_table,
+        )
+
+        t = _inverse_db_table()
+        assert t[255] == 1.0
+        # spec §10.1 published first entry: 1.0649863e-07 (float32)
+        assert abs(t[0] - 1.0649863e-07) < 1e-13
+        assert all(t[i] < t[i + 1] for i in range(255))
+
+    def test_render_line_matches_spec_bresenham(self):
+        from google_analytics_to_s3_spark.operators.vorbis import (
+            _render_line,
+        )
+
+        # hand case: (0, 0) -> (5, 12): base=2, ady=2, sy=3; the
+        # error term crosses adx=5 at x=3 (err 2,4,6->1,3)
+        v = [0] * 5
+        _render_line(0, 0, 5, 12, v, 5)
+        assert v == [0, 2, 4, 7, 9]
+        # negative slope: (0, 10) -> (4, 1): dy=-9, base=-2(trunc)
+        v = [0] * 4
+        _render_line(0, 10, 4, 1, v, 4)
+        assert v[0] == 10 and v[-1] > 1 >= v[-1] - 3
+        # endpoints are exact on a lattice-aligned line
+        v = [0] * 8
+        _render_line(0, 0, 8, 16, v, 8)
+        assert v == [0, 2, 4, 6, 8, 10, 12, 14]
+
+    def test_floor1_curve_flat_and_step2_flags(self):
+        """Flat transmitted posts with zero interior values leave the
+        interior posts UNFLAGGED, so the curve is the flat line
+        through posts 0/1 only."""
+        from google_analytics_to_s3_spark.operators.vorbis import (
+            _floor1_amplitude,
+            _floor1_curve,
+        )
+
+        floor = {"multiplier": 1, "x_list": [0, 128, 40, 90]}
+        final, flags = _floor1_amplitude(floor, [200, 200, 0, 0])
+        assert final == [200, 200, 200, 200]
+        assert flags == [True, True, False, False]
+        curve = _floor1_curve(floor, final, flags, 128)
+        assert curve == [200] * 128
+        # a nonzero interior post flags itself and its neighbors and
+        # bends the curve
+        final, flags = _floor1_amplitude(floor, [200, 200, 10, 0])
+        assert flags[2] and final[2] == 205
+        curve = _floor1_curve(floor, final, flags, 128)
+        assert curve[40] == 205 and curve[0] == 200
+
+    def test_pcm_matches_closed_form(self):
+        import math
+
+        from google_analytics_to_s3_spark.operators.vorbis import (
+            synthesize_vorbis_pcm,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_ogg_vorbis,
+            vorbis_pcm_rules,
+        )
+
+        n, half, grid = 256, 128, 10_000
+
+        def term(seed, k, j):
+            r = vorbis_pcm_rules(seed, k)
+            amp = 10.0 ** (-7 * (255 - r["Y"]) / 256)
+            s = math.sin(math.pi * (j + 0.5) / n)
+            w = math.sin((0.5 * math.pi) * (s * s))
+            return (amp * math.cos(
+                (math.pi / (2 * n)) * ((2 * j + 1 + half)
+                                       * (2 * r["k0"] + 1))
+            )) * w
+
+        for seed, P in ((0, 2), (7, 4), (999, 6)):
+            d = synthesize_vorbis_pcm(
+                make_ogg_vorbis(seed, n_packets=P, pcm_tone=True)
+            )
+            gs = ga = pk = 0
+            for b in range(1, P):
+                for t in range(half):
+                    x = term(seed, b - 1, half + t) + term(seed, b, t)
+                    g = math.floor(x * grid + 0.5)
+                    gs += g
+                    ga += abs(g)
+                    pk = max(pk, abs(g))
+            assert d["pcm_grid_sum"] == gs, (seed, P)
+            assert d["pcm_abs_grid_sum"] == ga
+            assert d["pcm_peak_grid"] == pk
+            assert d["n_pcm"] == (P - 1) * half
+
+    def test_gates_and_wrapper(self, spark):
+        from google_analytics_to_s3_spark.operators.vorbis import (
+            decode_vorbis_pcm,
+            synthesize_vorbis_pcm,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_ogg_vorbis,
+        )
+
+        with pytest.raises(ValueError, match="mono"):
+            synthesize_vorbis_pcm(make_ogg_vorbis(1, stereo=True))
+        with pytest.raises(ValueError, match="transitions"):
+            synthesize_vorbis_pcm(make_ogg_vorbis(1, long_blocks=True))
+        good = make_ogg_vorbis(42, n_packets=3, pcm_tone=True)
+        bad = bytearray(good)
+        bad[-2] ^= 0x55  # break the last page CRC
+        df = spark.createDataFrame(
+            [(0, bytearray(good)), (1, bad)],
+            "doc_id long, payload binary",
+        )
+        rows = {r["doc_id"]: r for r in decode_vorbis_pcm(df).collect()}
+        exp = synthesize_vorbis_pcm(good)
+        assert rows[0]["decode_error"] is None
+        assert rows[0]["pcm_grid_sum"] == exp["pcm_grid_sum"]
+        assert rows[0]["pcm_peak_grid"] == exp["pcm_peak_grid"]
+        assert "CRC" in rows[1]["decode_error"]
+        assert rows[1]["pcm_grid_sum"] is None
