@@ -43,11 +43,14 @@ Two tiers of decode honesty:
   the shift-back reconstruction, r8) + up to 8 INDEPENDENT
   channels + 8/12/16/20/24-bit depths (r8; decorrelation modes
   are 2-channel by spec).
-- **Digest stubs** for the remaining compressed formats (MP4 needs
-  libav, which is NOT in this container; the Ogg/Vorbis BYTE path
-  decodes natively in ``operators/vorbis.py`` as of r9 and the MP3
-  integer byte path in ``operators/mp3.py`` as of r10): metadata
-  derives deterministically from the payload's sha256.
+- **Digest stubs** for the remaining compressed formats (the MP4
+  CONTAINER demuxes for real in ``operators/mp4.py`` as of r10 —
+  box walk, sample tables, chained JPEG/.mp3 sample decode — but
+  AAC/H.264 SAMPLE payloads need libav, which is NOT in this
+  container; the Ogg/Vorbis BYTE path decodes natively in
+  ``operators/vorbis.py`` as of r9 and the MP3 integer byte path in
+  ``operators/mp3.py`` as of r10): metadata derives
+  deterministically from the payload's sha256.
   Everything Spark-side — binary column handling, Arrow batch
   transfer, schemas, partition-preserving plumbing, the 1→N frame
   fan-out shape — is real and tested; a codec drops into the same
@@ -366,7 +369,8 @@ def detect_shot_boundaries(
 # 8/16/24/32-bit + G.711 mu-law/A-law as of r9) are byte-level
 # formats whose decode is exact arithmetic, so these paths are
 # genuinely real (header parse + pixel/sample math), not digest
-# stubs: the stub paths above remain only for MP4 (libav-gated);
+# stubs: the stub paths above remain only for MP4 codec payloads
+# (libav-gated; the container itself demuxes in operators/mp4.py);
 # PNG/GIF/JPEG/FLAC and the Vorbis byte path decode for real below
 # and in operators/vorbis.py.
 # ---------------------------------------------------------------------------
@@ -974,8 +978,9 @@ def sample_y4m_frames(
 # filters from the PUBLIC PNG specification (RFC 2083 / W3C PNG) —
 # so the "compressed formats stay gated" boundary moves: PNG decode
 # is real; baseline JPEG followed later in r7 (below) and FLAC in
-# r7-r9, MP3's integer byte path in operators/mp3.py in r10; only
-# MP4 remains honestly libav-gated.
+# r7-r9, MP3's integer byte path in operators/mp3.py in r10, and the
+# MP4 container demux in operators/mp4.py in r10; only MP4 CODEC
+# payloads (AAC/H.264) remain honestly libav-gated.
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -1528,9 +1533,10 @@ def sample_gif_frames(
 # canonical Huffman decode of the entropy-coded segment (0xFF00
 # unstuffing, DC prediction, ZRL/EOB runs), dequantization, dezigzag,
 # and a vectorized matrix IDCT — pure stdlib + numpy. The remaining
-# honest gates shrink to MP4 (libav-gated; the Vorbis byte path
-# decodes natively in operators/vorbis.py as of r9, MP3's integer
-# byte path in operators/mp3.py as of r10) and the rare
+# honest gates shrink to MP4 codec payloads (AAC/H.264, libav-gated;
+# the container demuxes for real in operators/mp4.py as of r10, the
+# Vorbis byte path decodes natively in operators/vorbis.py as of r9,
+# MP3's integer byte path in operators/mp3.py as of r10) and the rare
 # JPEG corners (arithmetic coding, lossless/hierarchical);
 # chroma-subsampled baseline (4:2:0/4:2:2), restart intervals, and
 # PROGRESSIVE (SOF2) decode for real as of r8, 12-bit as of r9.

@@ -310,3 +310,266 @@ GROUP BY e.event_id, e.np
 
 QUERIES_R10["vorbis_decode_pcm"] = q_vorbis_decode_pcm
 ORACLES_R10["vorbis_decode_pcm"] = SQL_VORBIS_DECODE_PCM
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF (r10): container demux + chained A/V sample decode.
+# ---------------------------------------------------------------------------
+
+def _mp4_payload_query(spark: SparkSession, sf_dir: str, mod: int,
+                       maker: str, decoder) -> DataFrame:
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..testing import fixtures as _fx
+
+    make = getattr(_fx, maker)
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == mod
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make(int(i) % 1000) for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decoder(payloads).drop("decode_error")
+
+
+def q_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF demux driver-checked: containers synthesized per
+    event (testing/fixtures.make_mp4 — 1-3 tracks, two-run stsc,
+    interleaved chunk layout, constant/per-sample stsz, stco/co64,
+    v0/v1 full boxes, moov-first and mdat-first layouts, an unknown
+    top-level box to skip) are parsed by the full box walk + §8.7
+    sample resolution (operators/mp4.py), and the oracle replays
+    every planted structural value — including the mdat-relative
+    per-sample offset sum, which only comes out right if stsc runs ×
+    chunk offsets × stsz prefix sums are all resolved exactly."""
+    from ..operators.mp4 import demux_mp4_features
+    return _mp4_payload_query(spark, sf_dir, 6, "make_mp4",
+                              demux_mp4_features)
+
+
+def q_mp4_decode_av(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 demux CHAINED into real codec decode: each container's
+    'jpeg' video samples are true baseline JPEGs decoded by the T.81
+    pipeline and its '.mp3' audio samples are true single-frame
+    MPEG-1 Layer III streams decoded by the Layer III path; 'avc1'
+    tracks demux but count as gated. The oracle replays the decoded
+    pixel sums (64*(128+dc) + template constants) and the MP3
+    spectral/requant/part2_3 sums in closed form — a green row proves
+    sample extraction feeds the codecs the exact payload bytes."""
+    from ..operators.mp4 import decode_mp4_av_features
+    return _mp4_payload_query(spark, sf_dir, 7, "make_mp4_av",
+                              decode_mp4_av_features)
+
+
+SQL_MP4_DEMUX = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 6
+),
+tr AS (
+  SELECT e.event_id, e.seed, t.t,
+         3 + (e.seed + t.t) % 4 AS ns,
+         CASE WHEN t.t = 0 AND e.seed % 4 = 0 THEN 1 ELSE 0 END AS is_const
+  FROM e, LATERAL (SELECT unnest(range(0, 1 + e.seed % 3)) AS t) t
+),
+smp AS (
+  SELECT tr.event_id, tr.seed, tr.t, tr.is_const, s.s,
+         CASE WHEN tr.is_const = 1 THEN 64 + tr.seed % 32
+              ELSE 40 + (tr.seed*7 + 97*tr.t + 13*s.s) % 200 END AS sz,
+         CASE WHEN s.s < 2 THEN 0 ELSE s.s - 1 END AS c
+  FROM tr, LATERAL (SELECT unnest(range(0, tr.ns)) AS s) s
+),
+-- interleaved chunk layout: chunks ordered by (chunk_index, track);
+-- exclusive prefix sum of chunk bytes = mdat-relative chunk offset
+cho AS (
+  SELECT event_id, t, c, sum(sz) AS cbytes FROM smp GROUP BY 1, 2, 3
+),
+cho2 AS (
+  SELECT *, COALESCE(sum(cbytes) OVER (
+           PARTITION BY event_id ORDER BY c, t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS coff
+  FROM cho
+),
+soff AS (
+  SELECT smp.event_id,
+         c2.coff + CASE WHEN smp.s = 1 THEN
+             CASE WHEN smp.is_const = 1 THEN 64 + smp.seed % 32
+                  ELSE 40 + (smp.seed*7 + 97*smp.t) % 200 END
+           ELSE 0 END AS roff
+  FROM smp JOIN cho2 c2
+    ON c2.event_id = smp.event_id AND c2.t = smp.t AND c2.c = smp.c
+),
+trk AS (
+  SELECT tr.event_id,
+         CAST(sum(tr.ns) AS BIGINT) AS n_samples,
+         CAST(sum(tr.ns - 1) AS BIGINT) AS n_chunks,
+         CAST(sum(tr.t + 1) AS BIGINT) AS track_id_sum,
+         CAST(sum(CASE WHEN tr.t % 2 = 0 THEN 16 + tr.t ELSE 0 END)
+              AS BIGINT) AS width_sum,
+         CAST(sum(CASE WHEN tr.t % 2 = 0 THEN 9 + tr.t ELSE 0 END)
+              AS BIGINT) AS height_sum,
+         CAST(sum(1000 + tr.t) AS BIGINT) AS timescale_sum,
+         CAST(sum((tr.ns - 1) * (100 + (tr.seed + tr.t) % 50)
+                  + 7 + tr.seed % 9) AS BIGINT) AS stts_time_sum,
+         string_agg(CASE WHEN tr.t % 2 = 0 THEN 'vide' ELSE 'soun' END,
+                    '+' ORDER BY CASE WHEN tr.t % 2 = 0 THEN 'vide'
+                                      ELSE 'soun' END) AS handlers
+  FROM tr GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(600 AS BIGINT) AS movie_timescale,
+       CAST(90000 + e.seed AS BIGINT) AS movie_duration,
+       CAST(5 AS BIGINT) AS n_top_boxes,
+       CAST(1 + e.seed % 3 AS BIGINT) AS n_tracks,
+       trk.n_samples, trk.n_chunks,
+       CAST((SELECT sum(smp.sz) FROM smp
+              WHERE smp.event_id = e.event_id) AS BIGINT) AS sample_bytes,
+       CAST((SELECT sum(soff.roff) FROM soff
+              WHERE soff.event_id = e.event_id) AS BIGINT)
+         AS sample_rel_offset_sum,
+       trk.track_id_sum, trk.width_sum, trk.height_sum,
+       trk.timescale_sum, trk.stts_time_sum,
+       CAST(CASE WHEN e.seed % 5 = 0 THEN 1 + e.seed % 3 ELSE 0 END
+            AS BIGINT) AS n_co64_tracks,
+       'isom' AS brand,
+       trk.handlers
+FROM e JOIN trk ON trk.event_id = e.event_id
+"""
+
+
+def _mp4_av_oracle_sql() -> str:
+    from ..testing.fixtures import (
+        JPEG_AC_TEMPLATES, jpeg_template_round_sums,
+    )
+
+    rs = jpeg_template_round_sums()
+    n_t = len(JPEG_AC_TEMPLATES)
+    rs_arr = "[" + ", ".join(f"{v}::BIGINT" for v in rs) + "]"
+    return f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         2 + event_id % 1000 % 2 AS nv,
+         2 + event_id % 1000 % 3 AS na
+  FROM events WHERE event_id % {_FLAC_MOD} = 7
+),
+-- video: per sample, 4 planted JPEG blocks (jpeg_block_plan replay)
+jb AS (
+  SELECT e.event_id,
+         64 * (128 + ((sj.sj*7 + b.b*13) % 121) - 60)
+         + {rs_arr}[(sj.sj + b.b) % {n_t} + 1] AS bsum
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.nv)) AS s) s,
+       LATERAL (SELECT (e.seed*31 + 7*s.s) % 1000 AS sj) sj,
+       LATERAL (SELECT unnest(range(0, 4)) AS b) b
+),
+-- audio: single-frame mono MP3 per sample (mp3_granule_rules replay,
+-- f = 0; granule 1 shares scfsi-flagged scalefactor groups)
+ag AS (
+  SELECT e.event_id, e.seed, sa.sa, gr.gr,
+         48 + (sa.sa*3 + gr.gr*11) % 16 AS bv,
+         120 + (sa.sa*7 + gr.gr*29) % 100 AS gg,
+         (sa.sa + gr.gr) % 2 AS sfs,
+         4 + (sa.sa + gr.gr) % 4 AS nq,
+         sa.sa % 16 AS scfsi
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.na)) AS s) s,
+       LATERAL (SELECT (e.seed*17 + 5*s.s) % 1000 AS sa) sa,
+       LATERAL (SELECT unnest(range(0, 2)) AS gr) gr
+),
+sfb(band, lo, hi) AS (VALUES
+  (0,0,4),(1,4,8),(2,8,12),(3,12,16),(4,16,20),(5,20,24),(6,24,30),
+  (7,30,36),(8,36,44),(9,44,52),(10,52,62),(11,62,74),(12,74,90),
+  (13,90,110),(14,110,134),(15,134,162),(16,162,196),(17,196,238),
+  (18,238,288),(19,288,342),(20,342,418)),
+asf AS (
+  SELECT ag.event_id, ag.sa, ag.gr, s.band, s.lo, s.hi,
+         CASE WHEN ag.gr = 1 AND sh.shared = 1
+              THEN (ag.sa + 3*s.band) % 4
+              ELSE (ag.sa + 3*s.band + 17*ag.gr) % 4 END AS sfac,
+         CASE WHEN ag.gr = 1 AND sh.shared = 1 THEN 0 ELSE 2
+              END AS txbits
+  FROM ag, sfb s,
+       LATERAL (SELECT CASE WHEN s.band < 6 THEN (ag.scfsi // 8) % 2
+                            WHEN s.band < 11 THEN (ag.scfsi // 4) % 2
+                            WHEN s.band < 16 THEN (ag.scfsi // 2) % 2
+                            ELSE ag.scfsi % 2 END AS shared) sh
+),
+alines AS (
+  SELECT ag.event_id, ag.sa, ag.gr, ag.gg, ag.sfs, i.i,
+         ((ag.sa + 3*ag.gr + 7*i.i) % 3) - 1 AS v, 0 AS is_c1
+  FROM ag, LATERAL (SELECT unnest(range(0, 90)) AS i) i
+  UNION ALL
+  SELECT ag.event_id, ag.sa, ag.gr, ag.gg, ag.sfs, i.i,
+         ((ag.sa + 7*ag.gr + 3*i.i) % 3) - 1 AS v, 1 AS is_c1
+  FROM ag, LATERAL (SELECT unnest(range(2*ag.bv, 2*ag.bv + 4*ag.nq)) AS i) i
+),
+alv AS (
+  SELECT l.*, COALESCE(asf.sfac, 0) AS sfac
+  FROM alines l LEFT JOIN asf
+    ON asf.event_id = l.event_id AND asf.sa = l.sa AND asf.gr = l.gr
+   AND l.i >= asf.lo AND l.i < asf.hi
+),
+apair AS (
+  SELECT ag.event_id, ag.sa, ag.gr,
+         sum(CASE WHEN p.x = 0 AND p.y = 0 THEN 1
+                  WHEN p.x = 1 AND p.y = 0 THEN 2
+                  ELSE 3 END + p.x + p.y) AS hb
+  FROM ag,
+       LATERAL (SELECT unnest(range(0, 45)) AS k) k,
+       LATERAL (SELECT
+         abs(((ag.sa + 3*ag.gr + 14*k.k) % 3) - 1) AS x,
+         abs(((ag.sa + 3*ag.gr + 14*k.k + 7) % 3) - 1) AS y) p
+  GROUP BY 1, 2, 3
+),
+agran AS (
+  SELECT ag.event_id, ag.sa, ag.gr,
+         (SELECT sum(asf.txbits) FROM asf
+           WHERE asf.event_id = ag.event_id AND asf.sa = ag.sa
+             AND asf.gr = ag.gr)
+         + ap.hb + 4 * ag.nq
+         + (SELECT sum(abs(l.v)) FROM alines l
+             WHERE l.event_id = ag.event_id AND l.sa = ag.sa
+               AND l.gr = ag.gr AND l.is_c1 = 1) AS p23
+  FROM ag JOIN apair ap
+    ON ap.event_id = ag.event_id AND ap.sa = ag.sa AND ap.gr = ag.gr
+),
+aagg AS (
+  SELECT alv.event_id,
+         sum(abs(alv.v)) AS abs_sum,
+         sum(CASE WHEN alv.v > 0 THEN 1 WHEN alv.v < 0 THEN -1 ELSE 0 END
+             * ((alv.gg - 210) - 2*(alv.sfs + 1)*alv.sfac)) AS exp_sum,
+         sum(CASE WHEN alv.v <> 0 THEN 1 ELSE 0 END) AS nonzero
+  FROM alv GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.nv AS BIGINT) AS n_video_samples,
+       CAST(e.na AS BIGINT) AS n_audio_samples,
+       CAST(CASE WHEN e.seed % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS gated_tracks,
+       CAST((SELECT sum(jb.bsum) FROM jb
+              WHERE jb.event_id = e.event_id) AS BIGINT) AS jpeg_y_sum,
+       CAST(256 * e.nv AS BIGINT) AS jpeg_px,
+       CAST(a.abs_sum AS BIGINT) AS mp3_abs_sum,
+       CAST(a.exp_sum AS BIGINT) AS mp3_exp_sum,
+       CAST(a.nonzero AS BIGINT) AS mp3_nonzero,
+       CAST((SELECT sum(g.p23) FROM agran g
+              WHERE g.event_id = e.event_id) AS BIGINT) AS mp3_part23_bits
+FROM e JOIN aagg a ON a.event_id = e.event_id
+"""
+
+
+QUERIES_R10["mp4_demux"] = q_mp4_demux
+ORACLES_R10["mp4_demux"] = SQL_MP4_DEMUX
+QUERIES_R10["mp4_decode_av"] = q_mp4_decode_av
+ORACLES_R10["mp4_decode_av"] = _mp4_av_oracle_sql()

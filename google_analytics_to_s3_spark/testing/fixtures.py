@@ -2383,3 +2383,252 @@ def make_mp3(
         assert len(side) == side_bytes
         out += hdr + side + regions[f]
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF fixtures (ISO/IEC 14496-12, public spec).
+# mp4_rules is the single source of truth for the planted container
+# geometry — shared by the fixture serializer, the unit tests and the
+# driver oracle's closed-form SQL replay (operators/mp4.py demuxes
+# these back out of the real box structure).
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+
+
+def _mbox(typ: str, payload: bytes) -> bytes:
+    return _struct.pack(">I", 8 + len(payload)) + typ.encode("ascii") + payload
+
+
+def _mfull(typ: str, version: int, payload: bytes) -> bytes:
+    return _mbox(typ, bytes([version, 0, 0, 0]) + payload)
+
+
+_MP4_MATRIX = _struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0,
+                           0, 0, 0x40000000)
+
+
+def mp4_rules(seed: int) -> dict:
+    """Planted container geometry for make_mp4: 1-3 tracks, 3-6
+    samples each, chunk 0 holds two samples and later chunks one
+    (a real two-run stsc), one constant-size stsz track on
+    seed % 4 == 0, co64 on seed % 5 == 0, version-1 mvhd/tkhd/mdhd on
+    seed % 3 == 0, moov-before-mdat on even seeds. All closed-form."""
+    ntr = 1 + seed % 3
+    tracks = []
+    for t in range(ntr):
+        ns = 3 + (seed + t) % 4
+        const = t == 0 and seed % 4 == 0
+        if const:
+            sizes = [64 + seed % 32] * ns
+        else:
+            sizes = [40 + (seed * 7 + 97 * t + 13 * s) % 200
+                     for s in range(ns)]
+        delta1 = 100 + (seed + t) % 50
+        delta2 = 7 + seed % 9
+        vide = t % 2 == 0
+        tracks.append({
+            "ns": ns, "sizes": sizes, "const": const,
+            "stts": [(ns - 1, delta1), (1, delta2)],
+            "handler": "vide" if vide else "soun",
+            "track_id": t + 1, "timescale": 1000 + t,
+            "duration": (ns - 1) * delta1 + delta2,
+            "width": 16 + t if vide else 0,
+            "height": 9 + t if vide else 0,
+            "format": "rawb",
+        })
+    return {"ntr": ntr, "tracks": tracks, "co64": seed % 5 == 0,
+            "v1": seed % 3 == 0, "moov_first": seed % 2 == 0,
+            "movie_timescale": 600, "movie_duration": 90000 + seed}
+
+
+def _mp4_chunks(tr: dict) -> "list[list[int]]":
+    """Sample indices per chunk: chunk 0 = samples 0,1; chunk c>=1 =
+    sample c+1 (the fixture's fixed two-run stsc shape)."""
+    ns = tr["ns"]
+    return [[0, 1]] + [[s] for s in range(2, ns)]
+
+
+def _mp4_layout(tracks: "list[dict]") -> "tuple[list[list[int]], int]":
+    """mdat-relative chunk offsets per track: chunk instances ordered
+    by (chunk_index, track_index) — a real interleaved layout."""
+    per_track: "list[list[int]]" = [
+        [0] * len(_mp4_chunks(tr)) for tr in tracks
+    ]
+    rel = 0
+    max_c = max(len(_mp4_chunks(tr)) for tr in tracks)
+    for c in range(max_c):
+        for t, tr in enumerate(tracks):
+            chunks = _mp4_chunks(tr)
+            if c < len(chunks):
+                per_track[t][c] = rel
+                rel += sum(tr["sizes"][s] for s in chunks[c])
+    return per_track, rel
+
+
+def _mp4_moov(rules: dict, tracks: "list[dict]",
+              chunk_abs: "list[list[int]]") -> bytes:
+    v1 = rules["v1"]
+    tdur_w = 8 if v1 else 4
+    mvhd = _mfull(
+        "mvhd", 1 if v1 else 0,
+        b"\x00" * (16 if v1 else 8)
+        + _struct.pack(">I", rules["movie_timescale"])
+        + rules["movie_duration"].to_bytes(tdur_w, "big")
+        + _struct.pack(">I", 0x00010000) + _struct.pack(">H", 0x0100)
+        + b"\x00" * 10 + _MP4_MATRIX + b"\x00" * 24
+        + _struct.pack(">I", len(tracks) + 1),
+    )
+    traks = []
+    for t, tr in enumerate(tracks):
+        tkhd = _mfull(
+            "tkhd", 1 if v1 else 0,
+            b"\x00" * (16 if v1 else 8)
+            + _struct.pack(">I", tr["track_id"]) + b"\x00" * 4
+            + tr["duration"].to_bytes(tdur_w, "big")
+            + b"\x00" * 8 + _struct.pack(">hhhh", 0, 0, 0, 0)
+            + _MP4_MATRIX
+            + _struct.pack(">II", tr["width"] << 16, tr["height"] << 16),
+        )
+        mdhd = _mfull(
+            "mdhd", 1 if v1 else 0,
+            b"\x00" * (16 if v1 else 8)
+            + _struct.pack(">I", tr["timescale"])
+            + tr["duration"].to_bytes(tdur_w, "big")
+            + _struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+        hdlr = _mfull("hdlr", 0, b"\x00" * 4
+                      + tr["handler"].encode("ascii") + b"\x00" * 12
+                      + b"fixture\x00")
+        entry = (_struct.pack(">I", 16) + tr["format"].encode("ascii")
+                 + b"\x00" * 6 + _struct.pack(">H", 1))
+        stsd = _mfull("stsd", 0, _struct.pack(">I", 1) + entry)
+        stts = _mfull("stts", 0, _struct.pack(">I", len(tr["stts"]))
+                      + b"".join(_struct.pack(">II", c, d)
+                                 for c, d in tr["stts"]))
+        chunks = _mp4_chunks(tr)
+        if len(chunks) > 1:
+            runs = [(1, len(chunks[0])), (2, 1)]
+        else:
+            runs = [(1, len(chunks[0]))]
+        stsc = _mfull("stsc", 0, _struct.pack(">I", len(runs))
+                      + b"".join(_struct.pack(">III", f, n, 1)
+                                 for f, n in runs))
+        if tr["const"]:
+            stsz = _mfull("stsz", 0,
+                          _struct.pack(">II", tr["sizes"][0], tr["ns"]))
+        else:
+            stsz = _mfull("stsz", 0, _struct.pack(">II", 0, tr["ns"])
+                          + b"".join(_struct.pack(">I", sz)
+                                     for sz in tr["sizes"]))
+        if rules["co64"]:
+            stco = _mfull("co64", 0, _struct.pack(">I", len(chunk_abs[t]))
+                          + b"".join(_struct.pack(">Q", o)
+                                     for o in chunk_abs[t]))
+        else:
+            stco = _mfull("stco", 0, _struct.pack(">I", len(chunk_abs[t]))
+                          + b"".join(_struct.pack(">I", o)
+                                     for o in chunk_abs[t]))
+        stbl = _mbox("stbl", stsd + stts + stsc + stsz + stco)
+        minf = _mbox("minf", stbl)
+        mdia = _mbox("mdia", mdhd + hdlr + minf)
+        traks.append(_mbox("trak", tkhd + mdia))
+    return _mbox("moov", mvhd + b"".join(traks))
+
+
+def _mp4_assemble(rules: dict, tracks: "list[dict]",
+                  payloads: "list[list[bytes]]") -> bytes:
+    """Serialize ftyp / free / unknown / moov / mdat in the layout the
+    rules pick; two-pass so stco holds ABSOLUTE file offsets."""
+    chunk_rel, mdat_len = _mp4_layout(tracks)
+    mdat_body = bytearray(mdat_len)
+    for t, tr in enumerate(tracks):
+        for c, samples in enumerate(_mp4_chunks(tr)):
+            off = chunk_rel[t][c]
+            for s in samples:
+                mdat_body[off:off + tr["sizes"][s]] = payloads[t][s]
+                off += tr["sizes"][s]
+    ftyp = _mbox("ftyp", b"isom" + _struct.pack(">I", 0x200)
+                 + b"isom" + b"mp42")
+    free = _mbox("free", b"\x00" * 16)
+    unk = _mbox("xyz ", bytes(12))  # unknown box: must be skipped
+    mdat = _mbox("mdat", bytes(mdat_body))
+    # moov size does not depend on the offset VALUES (fixed widths),
+    # so measure with relative offsets, then rebuild with absolute.
+    probe = _mp4_moov(rules, tracks, chunk_rel)
+    if rules["moov_first"]:
+        mdat_start = len(ftyp) + len(free) + len(probe) + len(unk) + 8
+    else:
+        mdat_start = len(ftyp) + len(unk) + 8
+    chunk_abs = [[o + mdat_start for o in offs] for offs in chunk_rel]
+    moov = _mp4_moov(rules, tracks, chunk_abs)
+    assert len(moov) == len(probe)
+    if rules["moov_first"]:
+        return ftyp + free + moov + unk + mdat
+    return ftyp + unk + mdat + free + moov
+
+
+def make_mp4(seed: int) -> bytes:
+    """Serialize a REAL ISO-BMFF container per :func:`mp4_rules`,
+    with deterministic filler sample payloads (content is irrelevant
+    to the structural demux; sizes/offsets are the planted truth)."""
+    rules = mp4_rules(seed)
+    payloads = [
+        [bytes((seed + 31 * t + 7 * s + j) % 256
+               for j in range(tr["sizes"][s]))
+         for s in range(tr["ns"])]
+        for t, tr in enumerate(rules["tracks"])
+    ]
+    return _mp4_assemble(rules, rules["tracks"], payloads)
+
+
+def mp4_av_rules(seed: int) -> dict:
+    """Planted A/V geometry for make_mp4_av: one 'jpeg' video track
+    (samples are REAL baseline JPEGs, per-sample seed
+    (seed*31 + 7*s) % 1000), one '.mp3' audio track (samples are REAL
+    single-frame MPEG-1 Layer III streams, per-sample seed
+    (seed*17 + 5*s) % 1000), plus a gated 'avc1' track on
+    seed % 3 == 0 (demuxes, never decodes)."""
+    return {
+        "ns_v": 2 + seed % 2,
+        "ns_a": 2 + seed % 3,
+        "gated": seed % 3 == 0,
+        "v_seed": [(seed * 31 + 7 * s) % 1000 for s in range(2 + seed % 2)],
+        "a_seed": [(seed * 17 + 5 * s) % 1000 for s in range(2 + seed % 3)],
+    }
+
+
+def make_mp4_av(seed: int) -> bytes:
+    """A REAL MP4 whose video samples are real baseline JPEGs and
+    audio samples are real single-frame MP3s (reservoir off — each
+    sample is self-contained, as MP4 audio samples must be)."""
+    r = mp4_av_rules(seed)
+    v_payloads = [make_jpeg_baseline(sj) for sj in r["v_seed"]]
+    a_payloads = [make_mp3(sa, n_frames=1, reservoir=False)
+                  for sa in r["a_seed"]]
+    tracks = [
+        {"ns": r["ns_v"], "sizes": [len(p) for p in v_payloads],
+         "const": False, "stts": [(r["ns_v"], 3000)], "handler": "vide",
+         "track_id": 1, "timescale": 90000,
+         "duration": 3000 * r["ns_v"], "width": 16, "height": 16,
+         "format": "jpeg"},
+        {"ns": r["ns_a"], "sizes": [len(p) for p in a_payloads],
+         "const": False, "stts": [(r["ns_a"], 1152)], "handler": "soun",
+         "track_id": 2, "timescale": 44100,
+         "duration": 1152 * r["ns_a"], "width": 0, "height": 0,
+         "format": ".mp3"},
+    ]
+    payloads = [v_payloads, a_payloads]
+    if r["gated"]:
+        g_payloads = [bytes((seed + j) % 256 for j in range(50 + seed % 20))
+                      for _ in range(2)]
+        tracks.append(
+            {"ns": 2, "sizes": [len(p) for p in g_payloads],
+             "const": False, "stts": [(2, 1000)], "handler": "vide",
+             "track_id": 3, "timescale": 600, "duration": 2000,
+             "width": 32, "height": 32, "format": "avc1"})
+        payloads.append(g_payloads)
+    rules = {"ntr": len(tracks), "tracks": tracks, "co64": False,
+             "v1": False, "moov_first": seed % 2 == 0,
+             "movie_timescale": 600, "movie_duration": 1000 + seed}
+    return _mp4_assemble(rules, tracks, payloads)
