@@ -57,7 +57,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["parse_mp3", "decode_mp3_features"]
+__all__ = ["parse_mp3", "decode_mp3_features",
+           "parse_mp3_synth", "decode_mp3_synth_features"]
 
 
 # ---------------------------------------------------------------------------
@@ -377,6 +378,8 @@ def _decode_granule(br: _MBits, g: dict, scfsi_ch: list[int], gr: int,
         "exp_sum": exp_sum,
         "nonzero": nonzero,
         "n_lines": line,
+        "spectrum": spectrum,
+        "gg": gg, "mult": mult, "pre": pre,
     }
 
 
@@ -404,21 +407,18 @@ def _skip_id3v2(raw: bytes) -> int:
     return 10 + size
 
 
-def parse_mp3(raw: bytes) -> dict:
-    """Full stream walk: optional ID3v2 skip, then every frame's
+def _walk_granules(raw: bytes):
+    """Shared stream walk: optional ID3v2 skip, then every frame's
     header, side info, bit reservoir resolution and main-data decode.
-    Returns exact-integer stream features."""
+    Yields (hdr, mdb, gr, ch, side_granule, decoded) per
+    granule-channel in stream order (mdb is reported once per frame,
+    on its (gr 0, ch 0) row)."""
     pos = _skip_id3v2(raw)
     if pos >= len(raw):
         raise ValueError("no MP3 frames after ID3 tag")
     reservoir = bytearray()
     first = None
     n_frames = 0
-    big_values_sum = 0
-    abs_sum = signed_sum = count1_abs = 0
-    sf_sum = exp_sum = nonzero = 0
-    reservoir_bytes = 0
-    part23_bits = 0
     while pos < len(raw):
         if len(raw) - pos < 4:
             raise ValueError("trailing garbage shorter than a header")
@@ -444,15 +444,7 @@ def parse_mp3(raw: bytes) -> dict:
                 d = _decode_granule(br, g, side["scfsi"][ch], gr,
                                     prev_sf[ch], hdr["rate"])
                 prev_sf[ch] = d["sf"]
-                big_values_sum += g["big_values"]
-                abs_sum += d["abs_sum"]
-                signed_sum += d["signed_sum"]
-                count1_abs += d["count1_abs"]
-                sf_sum += d["sf_sum"]
-                exp_sum += d["exp_sum"]
-                nonzero += d["nonzero"]
-                part23_bits += g["part2_3_length"]
-        reservoir_bytes += mdb
+                yield hdr, mdb if (gr, ch) == (0, 0) else 0, gr, ch, g, d
         n_frames += 1
         pos += hdr["frame_len"]
         # scale discipline: main_data_begin is 9 bits (<= 511), so
@@ -461,6 +453,32 @@ def parse_mp3(raw: bytes) -> dict:
             del reservoir[:len(reservoir) - 1024]
     if n_frames == 0:
         raise ValueError("no MP3 frames decoded")
+
+
+def parse_mp3(raw: bytes) -> dict:
+    """Integer byte-path stream features (module docstring) — one
+    pass of :func:`_walk_granules` with exact-integer accumulators."""
+    first = None
+    n_frames = 0
+    big_values_sum = 0
+    abs_sum = signed_sum = count1_abs = 0
+    sf_sum = exp_sum = nonzero = 0
+    reservoir_bytes = 0
+    part23_bits = 0
+    for hdr, mdb, gr, ch, g, d in _walk_granules(raw):
+        if first is None:
+            first = hdr
+        if (gr, ch) == (0, 0):
+            n_frames += 1
+            reservoir_bytes += mdb
+        big_values_sum += g["big_values"]
+        abs_sum += d["abs_sum"]
+        signed_sum += d["signed_sum"]
+        count1_abs += d["count1_abs"]
+        sf_sum += d["sf_sum"]
+        exp_sum += d["exp_sum"]
+        nonzero += d["nonzero"]
+        part23_bits += g["part2_3_length"]
     return {
         "sample_rate_hz": first["rate"],
         "bitrate_kbps": first["kbps"],
@@ -527,6 +545,173 @@ def decode_mp3_features(
               + ", ".join(
                   f"{k} {'int' if k in _SMALL_INT else 'long'}"
                   for k in _INT_COLS)
+              + ", decode_error string")
+    return df.select(
+        df[id_col].cast("long").alias(id_col), payload_col
+    ).mapInPandas(_run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Float synthesis: requantize -> alias reduction -> IMDCT-36 ->
+# window -> overlap-add -> frequency inversion (ISO/IEC 11172-3
+# §2.4.3.4). Everything below is FORMULA-derivable from the public
+# spec — the Table B.9 alias coefficients are the spec's eight ci
+# constants, the long-block IMDCT window is sin(pi/36 (i+1/2)), and
+# the IMDCT basis is cos(pi/72 (2i+1+18)(2k+1)) — so a DuckDB oracle
+# can recompute every output sample with its own trig in the same
+# operation order. The one remaining synthesis stage, the 32-band
+# polyphase filterbank, needs the 512-entry Table B.3 D window, which
+# is a designed prototype filter with NO closed form — embedding it
+# from memory would be unverifiable, so it stays an honest gate and
+# this path emits SUBBAND-DOMAIN samples (the polyphase input).
+# ---------------------------------------------------------------------------
+
+import math
+
+_ALIAS_CI = (-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142,
+             -0.0037)  # Table B.9
+_ALIAS_CS = tuple(1.0 / math.sqrt(1.0 + c * c) for c in _ALIAS_CI)
+_ALIAS_CA = tuple(c / math.sqrt(1.0 + c * c) for c in _ALIAS_CI)
+
+_IMDCT36 = None
+_IMDCT_WIN = None
+
+
+def _imdct36_matrix():
+    """36x18 long-block IMDCT basis, window folded in:
+    A[i, k] = cos(pi/72 (2i+1+18)(2k+1)) * sin(pi/36 (i+1/2))."""
+    global _IMDCT36, _IMDCT_WIN
+    if _IMDCT36 is None:
+        import numpy as np
+        i = np.arange(36.0)[:, None]
+        k = np.arange(18.0)[None, :]
+        _IMDCT_WIN = np.sin(math.pi / 36.0 * (np.arange(36.0) + 0.5))
+        _IMDCT36 = (np.cos(math.pi / 72.0 * (2 * i + 1 + 18) * (2 * k + 1))
+                    * _IMDCT_WIN[:, None])
+    return _IMDCT36
+
+
+def _requantize(d: dict) -> "object":
+    """xr = sign(is) |is|^(4/3) 2^(E/4) over the decoded lines
+    (§2.4.3.4), E the exact integer exponent parse_mp3 reports."""
+    import numpy as np
+
+    xr = np.zeros(576)
+    sf = d["sf"]
+    gg, mult, pre = d["gg"], d["mult"], d["pre"]
+    bounds = _SFB_BOUNDS_44100
+    band = 0
+    for i in range(d["n_lines"]):
+        while bounds[band + 1] <= i:
+            band += 1
+        v = d["spectrum"][i]
+        if v == 0:
+            continue
+        sfac = sf[band] if band < 21 else 0
+        e = (gg - 210) - mult * (sfac + pre * _PRETAB[band])
+        mag = float(abs(v)) ** (4.0 / 3.0) * 2.0 ** (e / 4.0)
+        xr[i] = mag if v > 0 else -mag
+    return xr
+
+
+def _alias_reduce(xr) -> None:
+    """§2.4.3.4 butterflies across each of the 31 long-block subband
+    boundaries, in place."""
+    for sb in range(1, 32):
+        base = 18 * sb
+        for i in range(8):
+            a = xr[base - 1 - i]
+            b = xr[base + i]
+            xr[base - 1 - i] = a * _ALIAS_CS[i] - b * _ALIAS_CA[i]
+            xr[base + i] = b * _ALIAS_CS[i] + a * _ALIAS_CA[i]
+
+
+def parse_mp3_synth(raw: bytes, grid: float = 1e4) -> dict:
+    """Decode the stream and run the synthesis chain down to the
+    32-subband time domain: per granule, requantize, alias-reduce,
+    36-point IMDCT with the sin window, overlap-add with the previous
+    granule's tail, and frequency-invert odd samples of odd subbands.
+    Each output sample is quantized to a 1/grid lattice (half-up) so
+    the readout is BIGINT-exact and DuckDB-replayable. Gates are
+    exactly parse_mp3's (long blocks only — window_switching already
+    gates short/mixed blocks upstream)."""
+    import numpy as np
+
+    A = _imdct36_matrix()
+    first = None
+    n_granules = 0
+    prev: dict[int, object] = {}
+    grid_sum = 0
+    abs_grid_sum = 0
+    peak_grid = 0
+    inv_mask = np.ones((32, 18))
+    inv_mask[1::2, 1::2] = -1.0
+    for hdr, _mdb, gr, ch, _g, d in _walk_granules(raw):
+        if first is None:
+            first = hdr
+        xr = _requantize(d)
+        _alias_reduce(xr)
+        z = (A @ xr.reshape(32, 18).T).T  # (32 subbands, 36 samples)
+        tail = prev.get(ch)
+        if tail is None:
+            tail = np.zeros((32, 18))
+        out = (z[:, :18] + tail) * inv_mask
+        prev[ch] = z[:, 18:]
+        q = np.floor(out * grid + 0.5).astype(np.int64)
+        grid_sum += int(q.sum())
+        abs_grid_sum += int(np.abs(q).sum())
+        peak_grid = max(peak_grid, int(np.abs(q).max()))
+        n_granules += 1
+    return {
+        "sample_rate_hz": first["rate"],
+        "channels": first["nch"],
+        "n_granules": n_granules,
+        "n_sb_samples": n_granules * 32 * 18,
+        "sb_grid_sum": grid_sum,
+        "sb_abs_grid_sum": abs_grid_sum,
+        "sb_peak_grid": peak_grid,
+    }
+
+
+_SYNTH_INT = ("sample_rate_hz", "channels", "n_granules",
+              "n_sb_samples", "sb_grid_sum", "sb_abs_grid_sum",
+              "sb_peak_grid")
+
+
+def decode_mp3_synth_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow `mapInPandas` wrapper over :func:`parse_mp3_synth` —
+    same per-payload quarantine contract as decode_mp3_features."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: [] for k in ("doc_id", "decode_error", *_SYNTH_INT)
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                out["doc_id"].append(doc_id)
+                try:
+                    d = parse_mp3_synth(bytes(payload))
+                    for k in _SYNTH_INT:
+                        out[k].append(d[k])
+                    out["decode_error"].append(None)
+                except (ValueError, IndexError, struct.error,
+                        OverflowError, ZeroDivisionError) as e:
+                    for k in _SYNTH_INT:
+                        out[k].append(None)
+                    out["decode_error"].append(str(e) or type(e).__name__)
+            cols = {"doc_id": pd.Series(out["doc_id"], dtype="int64")}
+            for k in _SYNTH_INT:
+                cols[k] = pd.Series(out[k], dtype="Int64")
+            cols["decode_error"] = pd.Series(out["decode_error"],
+                                             dtype="object")
+            yield pd.DataFrame(cols)
+
+    schema = ("doc_id long, "
+              + ", ".join(f"{k} long" for k in _SYNTH_INT)
               + ", decode_error string")
     return df.select(
         df[id_col].cast("long").alias(id_col), payload_col

@@ -3012,7 +3012,7 @@ _DRIVER_PRIORITY = [
     # (r10-new) queries registered or materially changed during r10:
     # gif_decode_ext grew disposal-3 coverage (4 frames now), so its
     # r9 green no longer certifies the current query — re-check first.
-    "mp4_demux", "mp4_decode_av",
+    "mp4_demux", "mp4_decode_av", "mp3_decode_synth",
     "mp3_decode", "mp3_decode_stereo", "vorbis_decode_pcm",
     "gif_decode_ext",
     # (r10-queue) 16 r4-green rows.

@@ -573,3 +573,123 @@ QUERIES_R10["mp4_demux"] = q_mp4_demux
 ORACLES_R10["mp4_demux"] = SQL_MP4_DEMUX
 QUERIES_R10["mp4_decode_av"] = q_mp4_decode_av
 ORACLES_R10["mp4_decode_av"] = _mp4_av_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# MP3 float synthesis (r10): requantize -> alias butterflies ->
+# IMDCT-36 -> sin window -> overlap-add -> frequency inversion,
+# emitted as 1e-4-lattice subband-domain samples (the polyphase
+# filterbank input; Table B.3's designed D window has no closed form,
+# so that last stage stays an honest gate).
+# ---------------------------------------------------------------------------
+
+def q_mp3_decode_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse planted spectra (fixtures.mp3_synth_granule_rules: four
+    ±2^(E/4) lines per granule at i ∈ {0,9,18,27}) make each granule
+    exactly five IMDCT inputs after the sb0|sb1 alias butterfly, so
+    the DuckDB oracle recomputes EVERY output subband sample with its
+    own trig in the same operation order; the fixture margin sweep
+    (tests/test_mp3.py) pins every reachable sample > 1.7e-4 lattice
+    units from a rounding boundary. Event lane id % 10 == 8."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.mp3 import decode_mp3_synth_features
+    from ..testing.fixtures import make_mp3
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 8
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_mp3(int(i) % 1000, n_frames=2 + int(i) % 3,
+                             synth=True)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_mp3_synth_features(payloads).drop("decode_error")
+
+
+SQL_MP3_DECODE_SYNTH = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed, 2 + event_id % 3 AS nf
+  FROM events WHERE event_id % {_FLAC_MOD} = 8
+),
+gg AS (
+  SELECT e.event_id, e.seed, e.nf, G.G, G.G // 2 AS f, G.G % 2 AS gr
+  FROM e, LATERAL (SELECT unnest(range(0, 2*e.nf)) AS G) G
+),
+par AS (
+  SELECT gg.*, 198 + (seed*7 + f*13 + gr*29) % 12 AS g_gain,
+         2 * ((seed + f + gr) % 2 + 1) AS mult,
+         (seed + 3*f) % 16 AS word
+  FROM gg
+),
+-- the four planted lines i = 9j -> xr_j = ±2^(E/4); scalefactor band
+-- 2j, scfsi group sharing folds granule 1 back onto granule 0
+xr AS (
+  SELECT par.event_id, par.G, j.j,
+    (CASE WHEN (par.seed + par.f + par.gr + j.j) % 2 = 0
+          THEN 1 ELSE -1 END)
+    * pow(2.0, (par.g_gain - 210 - par.mult *
+        ((par.seed + 3*(2*j.j)
+          + 17*(CASE WHEN par.gr = 1 AND sh.bit = 1 THEN 0
+                     ELSE par.gr END)
+          + 5*par.f) % 4)) / 4.0) AS x
+  FROM par,
+       LATERAL (SELECT unnest(range(0, 4)) AS j) j,
+       LATERAL (SELECT CASE WHEN 2*j.j < 6 THEN (par.word // 8) % 2
+                            ELSE (par.word // 4) % 2 END AS bit) sh
+),
+-- five IMDCT inputs per granule after the §2.4.3.4 alias butterfly
+-- at the sb0|sb1 boundary (cs0 = 1/sqrt(1.36), ca0 = -0.6/sqrt(1.36))
+coef AS (
+  SELECT event_id, G, 0 AS sb, 0 AS k, x AS c FROM xr WHERE j = 0
+  UNION ALL SELECT event_id, G, 0, 9, x FROM xr WHERE j = 1
+  UNION ALL SELECT event_id, G, 0, 17, -x * (-0.6/sqrt(1.36))
+    FROM xr WHERE j = 2
+  UNION ALL SELECT event_id, G, 1, 0, x * (1.0/sqrt(1.36))
+    FROM xr WHERE j = 2
+  UNION ALL SELECT event_id, G, 1, 9, x FROM xr WHERE j = 3
+),
+sv AS (
+  SELECT coef.event_id, coef.G, coef.sb, i.i,
+         sum(coef.c * cos(pi()/72.0*(2*i.i + 1 + 18)*(2*coef.k + 1)))
+         * sin(pi()/36.0*(i.i + 0.5)) AS s
+  FROM coef, LATERAL (SELECT unnest(range(0, 36)) AS i) i
+  GROUP BY 1, 2, 3, 4
+),
+o AS (
+  SELECT cur.event_id,
+         CAST(floor(
+           (CASE WHEN cur.sb = 1 AND cur.i % 2 = 1 THEN -1 ELSE 1 END)
+           * (cur.s + COALESCE(pv.s, 0)) * 10000.0 + 0.5) AS BIGINT) AS q
+  FROM sv cur LEFT JOIN sv pv
+    ON pv.event_id = cur.event_id AND pv.G = cur.G - 1
+   AND pv.sb = cur.sb AND pv.i = cur.i + 18
+  WHERE cur.i < 18
+)
+SELECT e.event_id AS doc_id,
+       CAST(44100 AS BIGINT) AS sample_rate_hz,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(2*e.nf AS BIGINT) AS n_granules,
+       CAST(2*e.nf*32*18 AS BIGINT) AS n_sb_samples,
+       CAST(sum(o.q) AS BIGINT) AS sb_grid_sum,
+       CAST(sum(abs(o.q)) AS BIGINT) AS sb_abs_grid_sum,
+       CAST(max(abs(o.q)) AS BIGINT) AS sb_peak_grid
+FROM e JOIN o ON o.event_id = e.event_id
+GROUP BY e.event_id, e.nf
+"""
+
+QUERIES_R10["mp3_decode_synth"] = q_mp3_decode_synth
+ORACLES_R10["mp3_decode_synth"] = SQL_MP3_DECODE_SYNTH

@@ -2240,16 +2240,48 @@ def mp3_count1_rule(seed: int, f: int, gr: int, ch: int, i: int) -> int:
     return ((seed + 11 * f + 7 * gr + 3 * i + 5 * ch) % 3) - 1
 
 
+def mp3_synth_granule_rules(seed: int, f: int, gr: int) -> dict:
+    """SPARSE planted granule for the synthesis driver query
+    (mono): big_values = 18 so lines [0, 36) are table-1 coded, the
+    only nonzero lines are i in {0, 9, 18, 27} with value
+    ±1 (sign rule (seed + f + gr + i/9) % 2), and no count1 region —
+    so after alias reduction at the sb0|sb1 boundary the granule has
+    exactly FIVE nonzero IMDCT inputs, each a pure 2^(E/4), and the
+    DuckDB oracle can replay every output sample with its own trig.
+    global_gain is pinned near 210 so |xr| lands in [2^-6, 1]."""
+    return {
+        "big_values": 18,
+        "global_gain": 198 + (seed * 7 + f * 13 + gr * 29) % 12,
+        "scalefac_compress": 9,
+        "table_select": [1, 1, 0],
+        "region0_count": 8,
+        "region1_count": 3,
+        "preflag": 0,
+        "scalefac_scale": (seed + f + gr) % 2,
+        "nq": 0,
+    }
+
+
+def mp3_synth_spec_rule(seed: int, f: int, gr: int, i: int) -> int:
+    if i >= 36 or i % 9:
+        return 0
+    return 1 if (seed + f + gr + i // 9) % 2 == 0 else -1
+
+
 _MP3_HUFF1 = {(0, 0): "1", (1, 0): "01", (0, 1): "001", (1, 1): "000"}
 _MP3_SCFSI_GROUPS = [range(0, 6), range(6, 11), range(11, 16),
                      range(16, 21)]
 
 
 def _mp3_write_granule(w: "_BitWriter", seed: int, f: int, gr: int,
-                       ch: int, scfsi: "list[int]") -> int:
+                       ch: int, scfsi: "list[int]",
+                       synth: bool = False) -> int:
     """Write one granule's main data (scalefactors + Huffman
     spectrum), returning the exact bit count (= part2_3_length)."""
-    r = mp3_granule_rules(seed, f, gr, ch)
+    if synth:
+        r = mp3_synth_granule_rules(seed, f, gr)
+    else:
+        r = mp3_granule_rules(seed, f, gr, ch)
     bits = 0
     for group_i, bands in enumerate(_MP3_SCFSI_GROUPS):
         if gr == 1 and scfsi[group_i]:
@@ -2262,8 +2294,12 @@ def _mp3_write_granule(w: "_BitWriter", seed: int, f: int, gr: int,
         i0, i1 = 2 * k, 2 * k + 1
         if i0 >= 90:
             break  # region 2 is Huffman table 0: zero pairs, no bits
-        x = mp3_spec_rule(seed, f, gr, ch, i0)
-        y = mp3_spec_rule(seed, f, gr, ch, i1)
+        if synth:
+            x = mp3_synth_spec_rule(seed, f, gr, i0)
+            y = mp3_synth_spec_rule(seed, f, gr, i1)
+        else:
+            x = mp3_spec_rule(seed, f, gr, ch, i0)
+            y = mp3_spec_rule(seed, f, gr, ch, i1)
         code = _MP3_HUFF1[(abs(x), abs(y))]
         for c in code:
             w.write(int(c), 1)
@@ -2293,6 +2329,7 @@ def make_mp3(
     stereo: bool = False,
     reservoir: bool = True,
     id3: bool = False,
+    synth: bool = False,
 ) -> bytes:
     """Serialize a REAL MPEG-1 Layer III stream (ISO/IEC 11172-3):
     44.1 kHz, 160 kbit/s, mono (or LR stereo), long blocks, Huffman
@@ -2303,6 +2340,8 @@ def make_mp3(
     the END of frame f-1's main-data region and points back at them
     with main_data_begin. ``id3=True`` prepends a 42-byte ID3v2.3
     tag the decoder must skip."""
+    if synth and stereo:
+        raise ValueError("synth fixtures are mono")
     nch = 2 if stereo else 1
     side_bytes = 32 if stereo else 17
     # per-frame main-data blobs + the exact part2_3_length values
@@ -2316,7 +2355,8 @@ def make_mp3(
             p_g = []
             for ch in range(nch):
                 p_g.append(
-                    _mp3_write_granule(w, seed, f, gr, ch, scfsi_f[ch])
+                    _mp3_write_granule(w, seed, f, gr, ch, scfsi_f[ch],
+                                       synth=synth)
                 )
             p_f.append(p_g)
         part23.append(p_f)
@@ -2365,7 +2405,10 @@ def make_mp3(
                 w.write(bit, 1)
         for gr in range(2):
             for ch in range(nch):
-                r = mp3_granule_rules(seed, f, gr, ch)
+                if synth:
+                    r = mp3_synth_granule_rules(seed, f, gr)
+                else:
+                    r = mp3_granule_rules(seed, f, gr, ch)
                 w.write(part23[f][gr][ch], 12)
                 w.write(r["big_values"], 9)
                 w.write(r["global_gain"], 8)

@@ -247,3 +247,98 @@ class TestSparkWrapper:
         assert "MPEG-1" in rows[1]["decode_error"]
         assert rows[1]["spectral_abs_sum"] is None
         assert rows[2]["decode_error"] is not None
+
+
+class TestSynthesis:
+    """Float synthesis chain (requantize -> alias -> IMDCT -> window
+    -> overlap-add -> frequency inversion), checked against an
+    INDEPENDENT sequential-math replay of the planted sparse rules
+    (the same closed form the DuckDB oracle runs)."""
+
+    @staticmethod
+    def _replay(seed, nf):
+        import math
+        CS0 = 1.0 / math.sqrt(1.36)
+        CA0 = -0.6 / math.sqrt(1.36)
+
+        def sfeff(f, gr, band):
+            word = (seed + 3 * f) % 16
+            bit = (word >> (3 - (0 if band < 6 else 1))) & 1
+            gre = 0 if (gr == 1 and bit) else gr
+            return (seed + 3 * band + 17 * gre + 5 * f) % 4
+
+        def S(G, sb, i):
+            f, gr = G // 2, G % 2
+            gg = 198 + (seed * 7 + f * 13 + gr * 29) % 12
+            mult = 2 * ((seed + f + gr) % 2 + 1)
+
+            def xr(j):
+                E = gg - 210 - mult * sfeff(f, gr, 2 * j)
+                sgn = 1 if (seed + f + gr + j) % 2 == 0 else -1
+                return sgn * 2.0 ** (E / 4.0)
+
+            coefs = ([(0, xr(0)), (9, xr(1)), (17, -xr(2) * CA0)]
+                     if sb == 0 else [(0, xr(2) * CS0), (9, xr(3))])
+            tot = 0.0
+            for k, c in coefs:
+                tot += c * math.cos(
+                    math.pi / 72 * (2 * i + 1 + 18) * (2 * k + 1))
+            return tot * math.sin(math.pi / 36 * (i + 0.5))
+
+        gs = ags = pk = 0
+        margin = 1.0
+        for G in range(2 * nf):
+            for sb in (0, 1):
+                for t in range(18):
+                    inv = -1.0 if (sb == 1 and t % 2 == 1) else 1.0
+                    prev = S(G - 1, sb, 18 + t) if G >= 1 else 0.0
+                    o = inv * (S(G, sb, t) + prev)
+                    latt = o * 1e4 + 0.5
+                    margin = min(margin, abs(latt - round(latt)))
+                    q = int(math.floor(latt))
+                    gs += q
+                    ags += abs(q)
+                    pk = max(pk, abs(q))
+        return gs, ags, pk, margin
+
+    def test_synth_matches_independent_replay(self):
+        from google_analytics_to_s3_spark.operators.mp3 import (
+            parse_mp3_synth,
+        )
+        for seed in range(0, 200, 3):
+            nf = 2 + seed % 3
+            d = parse_mp3_synth(make_mp3(seed, n_frames=nf, synth=True))
+            gs, ags, pk, margin = self._replay(seed, nf)
+            assert (gs, ags, pk) == (d["sb_grid_sum"],
+                                     d["sb_abs_grid_sum"],
+                                     d["sb_peak_grid"]), seed
+            # every sample must sit far from a lattice boundary, so
+            # cross-engine trig ulps can never flip a rounding
+            assert margin > 1e-5, (seed, margin)
+            assert d["n_sb_samples"] == 2 * nf * 32 * 18
+
+    def test_synth_dense_stream_runs(self):
+        """The synthesis chain is general: it also runs the DENSE
+        (non-synth) fixtures — spectrum magnitudes stay finite and
+        sample counts line up."""
+        from google_analytics_to_s3_spark.operators.mp3 import (
+            parse_mp3_synth,
+        )
+        d = parse_mp3_synth(make_mp3(9, n_frames=2))
+        assert d["n_granules"] == 4
+        assert d["sb_abs_grid_sum"] > 0
+
+    def test_synth_wrapper_quarantine(self, spark):
+        from google_analytics_to_s3_spark.operators.mp3 import (
+            decode_mp3_synth_features,
+        )
+        good = make_mp3(12, n_frames=2, synth=True)
+        df = spark.createDataFrame(
+            [(0, bytearray(good)), (1, bytearray(b"nope"))],
+            "doc_id long, payload binary",
+        )
+        rows = {r["doc_id"]: r for r in
+                decode_mp3_synth_features(df).collect()}
+        assert rows[0]["decode_error"] is None
+        assert rows[0]["sb_abs_grid_sum"] > 0
+        assert rows[1]["decode_error"] is not None
