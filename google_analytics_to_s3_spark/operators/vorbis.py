@@ -994,10 +994,15 @@ def _vorbis_window(n: int):
     return w
 
 
-def _packet_spectrum_mono(packet: bytes, s: _VorbisSetup):
-    """Audio packet -> (n, float64 spectrum of length n/2):
-    floor1 curve (dB indices -> inverse-dB gains) times the residue
-    vector (§4.3.6 dot product)."""
+def _packet_spectra(packet: bytes, s: _VorbisSetup):
+    """Audio packet -> (n, [per-channel float64 spectra of length
+    n/2]): per-channel floor1 curves (dB indices -> inverse-dB
+    gains), submap residue decode, the EXACT integer inverse
+    square-polar coupling (§4.3.5 — residue vectors are
+    integer-valued, so the transform is lossless), then the §4.3.6
+    floor x residue dot product per channel. A channel whose floor is
+    unused renders as silence even when its coupled partner forced
+    its residue to decode (§4.3.4 step 4 bookkeeping)."""
     import numpy as np
 
     br = _VBits(packet)
@@ -1012,32 +1017,74 @@ def _packet_spectrum_mono(packet: bytes, s: _VorbisSetup):
         br.read1()
         br.read1()
     mapping = s.mappings[mode["mapping"]]
-    floor = s.floors[mapping["sub"][mapping["mux"][0]]["floor"]]
-    y = _read_floor1_posts(br, floor, s.codebooks)
-    res = s.residues[mapping["sub"][0]["residue"]]
-    group = _decode_residue(
-        br, res, s.codebooks, n // 2, 1, [y is not None]
-    )
-    if y is None:
-        return n, np.zeros(n // 2)
-    final, flags = _floor1_amplitude(floor, y)
-    curve = _floor1_curve(floor, final, flags, n // 2)
-    gains = _inverse_db_table()[curve]
-    return n, gains * np.asarray(group[0], dtype=np.float64)
+    curves = []
+    for ch in range(s.channels):
+        floor = s.floors[mapping["sub"][mapping["mux"][ch]]["floor"]]
+        y = _read_floor1_posts(br, floor, s.codebooks)
+        if y is None:
+            curves.append(None)
+        else:
+            final, flags = _floor1_amplitude(floor, y)
+            curves.append(_floor1_curve(floor, final, flags, n // 2))
+    do_decode = [c is not None for c in curves]
+    for mag, ang in mapping["couplings"]:
+        if do_decode[mag] or do_decode[ang]:
+            do_decode[mag] = do_decode[ang] = True
+    chan_vecs: list = [None] * s.channels
+    for sm in range(mapping["submaps"]):
+        sm_channels = [
+            ch for ch in range(s.channels) if mapping["mux"][ch] == sm
+        ]
+        ch_active = [do_decode[ch] for ch in sm_channels]
+        res = s.residues[mapping["sub"][sm]["residue"]]
+        group = _decode_residue(
+            br, res, s.codebooks, n // 2, len(sm_channels), ch_active
+        )
+        for ch, vec in zip(sm_channels, group):
+            chan_vecs[ch] = vec
+    for mag, ang in reversed(mapping["couplings"]):
+        M, A = chan_vecs[mag], chan_vecs[ang]
+        for j in range(len(M)):
+            m, a_ = M[j], A[j]
+            if m > 0:
+                if a_ > 0:
+                    new_m, new_a = m, m - a_
+                else:
+                    new_m, new_a = m + a_, m
+            else:
+                if a_ > 0:
+                    new_m, new_a = m, m + a_
+                else:
+                    new_m, new_a = m - a_, m
+            M[j], A[j] = new_m, new_a
+    table = _inverse_db_table()
+    spectra = []
+    for ch in range(s.channels):
+        if curves[ch] is None:
+            spectra.append(np.zeros(n // 2))
+        else:
+            spectra.append(
+                table[curves[ch]]
+                * np.asarray(chan_vecs[ch], dtype=np.float64)
+            )
+    return n, spectra
 
 
 def synthesize_vorbis_pcm(raw: bytes, grid: int = 10_000) -> dict:
-    """Full PCM synthesis for a mono, single-blocksize stream:
-    packets -> floor curve x residue -> IMDCT -> window ->
-    overlap-add; the first packet primes the lap buffer (no output),
-    every later packet emits n/2 samples. The readout quantizes each
-    sample to a 1/`grid` BIGINT lattice with half-up rounding
-    (floor(x * grid + 0.5)) so the driver compare is exact-integer.
+    """Full PCM synthesis for a single-blocksize stream, ANY channel
+    count (coupled stereo included — the inverse square-polar
+    transform happens on the exact integer residue vectors before the
+    floor multiply): packets -> per-channel floor curve x residue ->
+    IMDCT -> window -> overlap-add per channel; the first packet
+    primes the lap buffers (no output), every later packet emits n/2
+    samples per channel. The readout quantizes each sample to a
+    1/`grid` BIGINT lattice with half-up rounding (floor(x * grid +
+    0.5)) so the driver compare is exact-integer; grid sums
+    accumulate across channels.
 
-    Honestly gated (named errors): multi-channel synthesis (the
-    square-polar coupling itself is decoded in the integer path) and
-    long/short window transitions (blocksize0 != blocksize1); floor
-    type 0 is gated at setup parse."""
+    Honestly gated (named errors): long/short window transitions
+    (blocksize0 != blocksize1); floor type 0 is gated at setup
+    parse."""
     import numpy as np
 
     packets = _ogg_packets(raw)
@@ -1046,8 +1093,6 @@ def synthesize_vorbis_pcm(raw: bytes, grid: int = 10_000) -> dict:
     s = _parse_id_header(packets[0])
     _parse_comment_header(packets[1])
     _parse_setup_header(packets[2], s)
-    if s.channels != 1:
-        raise ValueError("PCM synthesis supports mono streams only")
     if s.blocksize0 != s.blocksize1:
         raise ValueError(
             "long/short window transitions unsupported in PCM synthesis"
@@ -1056,30 +1101,31 @@ def synthesize_vorbis_pcm(raw: bytes, grid: int = 10_000) -> dict:
     half = n // 2
     M = _imdct_matrix(n)
     w = _vorbis_window(n)
-    prev_right = None
+    prev_right: list = [None] * s.channels
     gsum = 0
     gabs = 0
     peak = 0
     n_pcm = 0
     n_packets = 0
     for pk in packets[3:]:
-        _n, spec = _packet_spectrum_mono(pk, s)
-        z = (M @ spec) * w
-        if prev_right is not None:
-            out = prev_right + z[:half]
-            g = np.floor(out * grid + 0.5).astype(np.int64)
-            gsum += int(g.sum())
-            ga = np.abs(g)
-            gabs += int(ga.sum())
-            peak = max(peak, int(ga.max(initial=0)))
-            n_pcm += half
-        prev_right = z[half:]
+        _n, spectra = _packet_spectra(pk, s)
+        for ch in range(s.channels):
+            z = (M @ spectra[ch]) * w
+            if prev_right[ch] is not None:
+                out = prev_right[ch] + z[:half]
+                g = np.floor(out * grid + 0.5).astype(np.int64)
+                gsum += int(g.sum())
+                ga = np.abs(g)
+                gabs += int(ga.sum())
+                peak = max(peak, int(ga.max(initial=0)))
+                n_pcm += half
+            prev_right[ch] = z[half:]
         n_packets += 1
     if n_packets == 0:
         raise ValueError("no audio packets")
     return {
         "sample_rate_hz": s.rate,
-        "channels": 1,
+        "channels": s.channels,
         "n_packets": n_packets,
         "n_pcm": n_pcm,
         "pcm_grid_sum": gsum,

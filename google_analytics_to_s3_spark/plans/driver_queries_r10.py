@@ -693,3 +693,97 @@ GROUP BY e.event_id, e.nf
 
 QUERIES_R10["mp3_decode_synth"] = q_mp3_decode_synth
 ORACLES_R10["mp3_decode_synth"] = SQL_MP3_DECODE_SYNTH
+
+
+def q_vorbis_decode_pcm_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO Vorbis float synthesis driver-checked (r10): coupled
+    streams whose tones are planted PRE-coupling ((M,A) = (1,1) for a
+    ch0 tone, (0,1) for a ch1 tone, disjoint coefficient ranges), so
+    the decoder must run the exact integer inverse square-polar
+    transform, per-channel flat floor1 curves, IMDCT, window and
+    overlap-add to land every sample on the oracle's trig replay
+    (1e-4 BIGINT lattice; margin sweep over all 1000 seeds bottoms
+    out at 2.7e-6 lattice units). Event lane id % 10 == 9."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.vorbis import decode_vorbis_pcm
+    from ..testing.fixtures import make_ogg_vorbis
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 9
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_ogg_vorbis(int(i) % 1000,
+                                    n_packets=3 + int(i) % 3,
+                                    pcm_tone=True, stereo=True)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_vorbis_pcm(payloads).drop("decode_error")
+
+
+SQL_VORBIS_DECODE_PCM_STEREO = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed, 3 + event_id % 3 AS np
+  FROM events WHERE event_id % {_FLAC_MOD} = 9
+),
+-- per (channel c, boundary b, sample t): previous packet's right lap
+-- + current packet's left half; flat-floor amplitudes and tone slots
+-- per vorbis_pcm_stereo_rules (ch1 rules shift the seed by 499)
+v AS (
+  SELECT e.event_id,
+         (pow(10, -7 * (255 - (180 + (e.seed + 499*cc.c
+                                      + 11*(bb.b - 1)) % 76)) / 256.0)
+          * cos((pi()/512.0) * ((2*(128 + tt.t) + 1 + 128)
+                 * (2*(CASE WHEN cc.c = 0
+                       THEN (e.seed + 7*(bb.b - 1)) % 16
+                       ELSE 16 + (e.seed*5 + 13*(bb.b - 1)) % 16 END)
+                    + 1)))
+          * sin((0.5*pi()) * (sin(pi()*((128 + tt.t) + 0.5)/256.0)
+                              * sin(pi()*((128 + tt.t) + 0.5)/256.0))))
+         +
+         (pow(10, -7 * (255 - (180 + (e.seed + 499*cc.c
+                                      + 11*bb.b) % 76)) / 256.0)
+          * cos((pi()/512.0) * ((2*tt.t + 1 + 128)
+                 * (2*(CASE WHEN cc.c = 0
+                       THEN (e.seed + 7*bb.b) % 16
+                       ELSE 16 + (e.seed*5 + 13*bb.b) % 16 END)
+                    + 1)))
+          * sin((0.5*pi()) * (sin(pi()*(tt.t + 0.5)/256.0)
+                              * sin(pi()*(tt.t + 0.5)/256.0))))
+         AS x
+  FROM e,
+       LATERAL (SELECT unnest(range(0, 2)) AS c) cc,
+       LATERAL (SELECT unnest(range(1, e.np)) AS b) bb,
+       LATERAL (SELECT unnest(range(0, 128)) AS t) tt
+),
+g AS (
+  SELECT event_id, CAST(floor(x * 10000.0 + 0.5) AS BIGINT) AS gv
+  FROM v
+)
+SELECT e.event_id AS doc_id,
+       CAST(16000 AS INTEGER) AS sample_rate_hz,
+       CAST(2 AS INTEGER) AS channels,
+       CAST(e.np AS INTEGER) AS n_packets,
+       CAST((e.np - 1) * 128 * 2 AS BIGINT) AS n_pcm,
+       CAST(sum(g.gv) AS BIGINT) AS pcm_grid_sum,
+       CAST(sum(abs(g.gv)) AS BIGINT) AS pcm_abs_grid_sum,
+       CAST(max(abs(g.gv)) AS BIGINT) AS pcm_peak_grid
+FROM e JOIN g ON g.event_id = e.event_id
+GROUP BY e.event_id, e.np
+"""
+
+QUERIES_R10["vorbis_decode_pcm_stereo"] = q_vorbis_decode_pcm_stereo
+ORACLES_R10["vorbis_decode_pcm_stereo"] = SQL_VORBIS_DECODE_PCM_STEREO

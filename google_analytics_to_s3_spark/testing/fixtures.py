@@ -1845,6 +1845,47 @@ def vorbis_pcm_rules(seed: int, k: int) -> "dict":
     }
 
 
+def vorbis_pcm_stereo_rules(seed: int, k: int) -> "dict":
+    """Planted rules for STEREO pcm_tone packets (r10): flat floors
+    per channel (dB indices Y0/Y1) and one tone per channel in
+    DISJOINT coefficient ranges (ch0 in [0,16), ch1 in [16,32)),
+    planted PRE-coupling so the decoder's inverse square-polar
+    transform must run to recover them: coefficient k0 carries
+    (M,A) = (1,1) -> (ch0,ch1) = (1,0) and k1 carries (0,1) ->
+    (0,1). A coupling-order bug shows up as a wrong tone."""
+    return {
+        "Y0": 180 + (seed + 11 * k) % 76,
+        "Y1": 180 + (seed + VORBIS_STEREO_SEED_SHIFT + 11 * k) % 76,
+        "k0": (seed + 7 * k) % 16,
+        "k1": 16 + (seed * 5 + 13 * k) % 16,
+    }
+
+
+def _vorbis_pcm_packet_stereo(seed: int, k: int) -> bytes:
+    r = vorbis_pcm_stereo_rules(seed, k)
+    w = _LsbBitWriter()
+    w.write(0, 1)                # audio packet type
+    for y in (r["Y0"], r["Y1"]):
+        w.write(1, 1)            # floor nonzero
+        w.write(y, 8)
+        w.write(y, 8)
+        w.write_codeword(0, 6)
+        w.write_codeword(0, 6)
+    # interleaved type-2 slots: ch = slot % 2, coefficient = slot // 2
+    slots = {2 * r["k0"], 2 * r["k0"] + 1, 2 * r["k1"] + 1}
+    for p in range(8):
+        part = sorted(s_ for s_ in slots if 8 * p <= s_ < 8 * (p + 1))
+        cls = 1 if part else 0
+        w.write_codeword(cls, 1)
+        if cls:
+            e1 = sum(1 << (s_ - 8 * p) for s_ in part if s_ - 8 * p < 4)
+            e2 = sum(1 << (s_ - 8 * p - 4) for s_ in part
+                     if s_ - 8 * p >= 4)
+            w.write_codeword(e1, 4)
+            w.write_codeword(e2, 4)
+    return bytes(w.bytes())
+
+
 def _vorbis_pcm_packet(seed: int, k: int) -> bytes:
     r = vorbis_pcm_rules(seed, k)
     w = _LsbBitWriter()
@@ -1930,11 +1971,17 @@ def make_ogg_vorbis(
         _ogg_page([comment, setup], 1),
     ]
     if pcm_tone:
-        if stereo or long_blocks:
-            raise ValueError("pcm_tone fixtures are mono short-block")
-        packets = [
-            _vorbis_pcm_packet(seed, k) for k in range(n_packets)
-        ]
+        if long_blocks:
+            raise ValueError("pcm_tone fixtures are short-block")
+        if stereo:
+            packets = [
+                _vorbis_pcm_packet_stereo(seed, k)
+                for k in range(n_packets)
+            ]
+        else:
+            packets = [
+                _vorbis_pcm_packet(seed, k) for k in range(n_packets)
+            ]
     else:
         packets = [
             _vorbis_audio_packet(seed, k, stereo=stereo,

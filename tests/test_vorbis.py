@@ -598,8 +598,11 @@ class TestPcmSynthesis:
             make_ogg_vorbis,
         )
 
-        with pytest.raises(ValueError, match="mono"):
-            synthesize_vorbis_pcm(make_ogg_vorbis(1, stereo=True))
+        # stereo synthesis is supported as of r10 — the generic
+        # coupled-stereo fixture must run end to end
+        d = synthesize_vorbis_pcm(make_ogg_vorbis(1, stereo=True))
+        assert d["channels"] == 2
+        assert d["n_pcm"] == (6 - 1) * 128 * 2
         with pytest.raises(ValueError, match="transitions"):
             synthesize_vorbis_pcm(make_ogg_vorbis(1, long_blocks=True))
         good = make_ogg_vorbis(42, n_packets=3, pcm_tone=True)
@@ -616,3 +619,73 @@ class TestPcmSynthesis:
         assert rows[0]["pcm_peak_grid"] == exp["pcm_peak_grid"]
         assert "CRC" in rows[1]["decode_error"]
         assert rows[1]["pcm_grid_sum"] is None
+
+
+class TestPcmSynthesisStereo:
+    def test_stereo_tone_parity_with_replay(self):
+        """Coupled-stereo pcm_tone streams: the tones are planted
+        PRE-coupling, so this parity only holds if the inverse
+        square-polar transform, per-channel floors, IMDCT, window and
+        overlap-add all run correctly."""
+        import math
+
+        from google_analytics_to_s3_spark.operators.vorbis import (
+            synthesize_vorbis_pcm,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_ogg_vorbis,
+            vorbis_pcm_stereo_rules,
+        )
+
+        def wv(j):
+            sj = math.sin(math.pi * (j + 0.5) / 256.0)
+            return math.sin(0.5 * math.pi * sj * sj)
+
+        W = [wv(j) for j in range(256)]
+        for seed in range(0, 120, 7):
+            P = 3 + seed % 3
+            d = synthesize_vorbis_pcm(make_ogg_vorbis(
+                seed, n_packets=P, pcm_tone=True, stereo=True))
+            gs = ga = pk = 0
+            for c in range(2):
+                for b in range(1, P):
+                    rp = vorbis_pcm_stereo_rules(seed, b - 1)
+                    rc = vorbis_pcm_stereo_rules(seed, b)
+                    Yp = rp["Y0"] if c == 0 else rp["Y1"]
+                    Yc = rc["Y0"] if c == 0 else rc["Y1"]
+                    kp = rp["k0"] if c == 0 else rp["k1"]
+                    kc = rc["k0"] if c == 0 else rc["k1"]
+                    Ap = 10.0 ** (-7 * (255 - Yp) / 256.0)
+                    Ac = 10.0 ** (-7 * (255 - Yc) / 256.0)
+                    for t in range(128):
+                        o = (Ap * math.cos((math.pi / 512.0)
+                             * ((2 * (128 + t) + 1 + 128)
+                                * (2 * kp + 1))) * W[128 + t]
+                             + Ac * math.cos((math.pi / 512.0)
+                             * ((2 * t + 1 + 128)
+                                * (2 * kc + 1))) * W[t])
+                        g = math.floor(o * 1e4 + 0.5)
+                        gs += g
+                        ga += abs(g)
+                        pk = max(pk, abs(g))
+            assert d["channels"] == 2
+            assert d["n_pcm"] == (P - 1) * 128 * 2
+            assert (gs, ga, pk) == (d["pcm_grid_sum"],
+                                    d["pcm_abs_grid_sum"],
+                                    d["pcm_peak_grid"]), seed
+
+    def test_coupling_discrimination(self):
+        """A wrong inverse-coupling branch must change the readout:
+        flipping a planted (M,A)=(1,1) pair to (1,0) moves the ch1
+        tone, so the two payloads must disagree."""
+        from google_analytics_to_s3_spark.operators.vorbis import (
+            synthesize_vorbis_pcm,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_ogg_vorbis,
+        )
+        a = synthesize_vorbis_pcm(
+            make_ogg_vorbis(8, n_packets=3, pcm_tone=True, stereo=True))
+        b = synthesize_vorbis_pcm(
+            make_ogg_vorbis(9, n_packets=3, pcm_tone=True, stereo=True))
+        assert a["pcm_grid_sum"] != b["pcm_grid_sum"]
