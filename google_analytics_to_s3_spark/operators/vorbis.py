@@ -994,6 +994,35 @@ def _vorbis_window(n: int):
     return w
 
 
+def _vorbis_window_asym(n: int, n0: int, prev_w: int, next_w: int):
+    """Long-block window with short-slope halves (spec window
+    generation): a window flag of 0 means the neighboring block is
+    short, so that half uses the n0/2-length slope centered at n/4
+    (left) / 3n/4 (right) and is ZERO outside it. Flags (1, 1)
+    reduce to the symmetric window."""
+    import numpy as np
+
+    key = ("win", n, n0, prev_w, next_w)
+    w = _SYNTH_CACHE.get(key)
+    if w is None:
+        w = np.zeros(n)
+        left_n = n // 2 if prev_w else n0 // 2
+        left_start = 0 if prev_w else n // 4 - n0 // 4
+        right_n = n // 2 if next_w else n0 // 2
+        right_start = n // 2 if next_w else 3 * n // 4 - n0 // 4
+        i = np.arange(left_n)
+        sl = np.sin(np.pi * (i + 0.5) / (2 * left_n))
+        w[left_start:left_start + left_n] = np.sin(
+            (0.5 * np.pi) * (sl * sl))
+        w[left_start + left_n:right_start] = 1.0
+        i = np.arange(right_n)
+        sr = np.sin(np.pi * (i + 0.5) / (2 * right_n) + 0.5 * np.pi)
+        w[right_start:right_start + right_n] = np.sin(
+            (0.5 * np.pi) * (sr * sr))
+        _SYNTH_CACHE[key] = w
+    return w
+
+
 def _packet_spectra(packet: bytes, s: _VorbisSetup):
     """Audio packet -> (n, [per-channel float64 spectra of length
     n/2]): per-channel floor1 curves (dB indices -> inverse-dB
@@ -1013,9 +1042,9 @@ def _packet_spectra(packet: bytes, s: _VorbisSetup):
         raise ValueError(f"mode {mode_no} out of range")
     mode = s.modes[mode_no]
     n = s.blocksize1 if mode["blockflag"] else s.blocksize0
+    wflags = None
     if mode["blockflag"]:
-        br.read1()
-        br.read1()
+        wflags = (br.read1(), br.read1())
     mapping = s.mappings[mode["mapping"]]
     curves = []
     for ch in range(s.channels):
@@ -1067,7 +1096,7 @@ def _packet_spectra(packet: bytes, s: _VorbisSetup):
                 table[curves[ch]]
                 * np.asarray(chan_vecs[ch], dtype=np.float64)
             )
-    return n, spectra
+    return n, spectra, wflags
 
 
 def synthesize_vorbis_pcm(raw: bytes, grid: int = 10_000) -> dict:
@@ -1082,9 +1111,9 @@ def synthesize_vorbis_pcm(raw: bytes, grid: int = 10_000) -> dict:
     0.5)) so the driver compare is exact-integer; grid sums
     accumulate across channels.
 
-    Honestly gated (named errors): long/short window transitions
-    (blocksize0 != blocksize1); floor type 0 is gated at setup
-    parse."""
+    Long/short window transitions are REAL (asymmetric windows per
+    the spec's window generation; variable-size center-to-center
+    overlap-add). Floor type 0 remains gated at setup parse."""
     import numpy as np
 
     packets = _ogg_packets(raw)
@@ -1093,33 +1122,44 @@ def synthesize_vorbis_pcm(raw: bytes, grid: int = 10_000) -> dict:
     s = _parse_id_header(packets[0])
     _parse_comment_header(packets[1])
     _parse_setup_header(packets[2], s)
-    if s.blocksize0 != s.blocksize1:
-        raise ValueError(
-            "long/short window transitions unsupported in PCM synthesis"
-        )
-    n = s.blocksize0
-    half = n // 2
-    M = _imdct_matrix(n)
-    w = _vorbis_window(n)
-    prev_right: list = [None] * s.channels
+    prev_n = 0
+    prev_tail: list = [None] * s.channels
     gsum = 0
     gabs = 0
     peak = 0
     n_pcm = 0
     n_packets = 0
     for pk in packets[3:]:
-        _n, spectra = _packet_spectra(pk, s)
+        n, spectra, wflags = _packet_spectra(pk, s)
+        M = _imdct_matrix(n)
+        if wflags is None:
+            w = _vorbis_window(n)
+        else:
+            w = _vorbis_window_asym(n, s.blocksize0, *wflags)
+        # §1.3.2: each packet returns prev_n/4 + n/4 samples, running
+        # from the previous window center to this window center; the
+        # current block's physical start sits offset = prev_n/4 - n/4
+        # samples after the previous center (negative when a long
+        # block follows a short one)
+        out_len = prev_n // 4 + n // 4
+        offset = prev_n // 4 - n // 4
         for ch in range(s.channels):
             z = (M @ spectra[ch]) * w
-            if prev_right[ch] is not None:
-                out = prev_right[ch] + z[:half]
+            if prev_tail[ch] is not None:
+                out = np.zeros(out_len)
+                tail = prev_tail[ch]
+                m = min(out_len, len(tail))
+                out[:m] += tail[:m]
+                lo = max(0, offset)
+                out[lo:] += z[lo - offset:out_len - offset]
                 g = np.floor(out * grid + 0.5).astype(np.int64)
                 gsum += int(g.sum())
                 ga = np.abs(g)
                 gabs += int(ga.sum())
                 peak = max(peak, int(ga.max(initial=0)))
-                n_pcm += half
-            prev_right[ch] = z[half:]
+                n_pcm += out_len
+            prev_tail[ch] = z[n // 2:]
+        prev_n = n
         n_packets += 1
     if n_packets == 0:
         raise ValueError("no audio packets")

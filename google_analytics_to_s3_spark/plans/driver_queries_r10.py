@@ -787,3 +787,121 @@ GROUP BY e.event_id, e.np
 
 QUERIES_R10["vorbis_decode_pcm_stereo"] = q_vorbis_decode_pcm_stereo
 ORACLES_R10["vorbis_decode_pcm_stereo"] = SQL_VORBIS_DECODE_PCM_STEREO
+
+
+def q_vorbis_decode_pcm_trans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LONG/SHORT window-transition Vorbis float synthesis
+    driver-checked (r10): packets alternate 256/512 blocks, so every
+    boundary runs the asymmetric long-block window (short slopes
+    centered at n/4 and 3n/4, zero outside) and the spec's
+    center-to-center variable-size overlap-add — each boundary
+    returns (prev_n + n)/4 = 192 samples. Flat-floor single-tone
+    packets keep the oracle a pure trig replay (margin sweep over all
+    1000 seeds bottoms at 6.4e-7 lattice units). Lane id % 10 == 1."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.vorbis import decode_vorbis_pcm
+    from ..testing.fixtures import make_ogg_vorbis
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 1
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_ogg_vorbis(int(i) % 1000,
+                                    n_packets=3 + int(i) % 3,
+                                    pcm_tone=True, long_blocks=True)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_vorbis_pcm(payloads).drop("decode_error")
+
+
+SQL_VORBIS_DECODE_PCM_TRANS = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed, 3 + event_id % 3 AS np
+  FROM events WHERE event_id % {_FLAC_MOD} = 1
+),
+-- boundary b: previous packet size sp, current size sc (alternating
+-- 256/512); every boundary emits sp/4 + sc/4 = 192 samples
+bt AS (
+  SELECT e.event_id, e.seed, b.b, y.y,
+         CASE WHEN (b.b - 1) % 2 = 0 THEN 256 ELSE 512 END AS sp,
+         CASE WHEN b.b % 2 = 0 THEN 256 ELSE 512 END AS sc
+  FROM e,
+       LATERAL (SELECT unnest(range(1, e.np)) AS b) b,
+       LATERAL (SELECT unnest(range(0, 192)) AS y) y
+),
+t AS (
+  SELECT bt.event_id, bt.sp, bt.sc,
+         bt.sp // 2 + bt.y AS jp,
+         bt.y - (bt.sp // 4 - bt.sc // 4) AS jc,
+         180 + (bt.seed + 11*(bt.b - 1)) % 76 AS yp,
+         180 + (bt.seed + 11*bt.b) % 76 AS yc,
+         (bt.seed + 7*(bt.b - 1)) % 64 AS kp,
+         (bt.seed + 7*bt.b) % 64 AS kc
+  FROM bt
+),
+v AS (
+  SELECT t.event_id,
+    (CASE WHEN t.jp < t.sp THEN
+       pow(10, -7*(255 - t.yp)/256.0)
+       * cos(pi()/(2*t.sp) * (2*t.jp + 1 + t.sp // 2) * (2*t.kp + 1))
+       * (CASE WHEN t.sp = 256 THEN
+            sin(0.5*pi() * (sin(pi()*(t.jp + 0.5)/256.0)
+                            * sin(pi()*(t.jp + 0.5)/256.0)))
+          WHEN t.jp < 64 OR t.jp >= 448 THEN 0.0
+          WHEN t.jp < 192 THEN
+            sin(0.5*pi() * (sin(pi()*((t.jp - 64) + 0.5)/256.0)
+                            * sin(pi()*((t.jp - 64) + 0.5)/256.0)))
+          WHEN t.jp < 320 THEN 1.0
+          ELSE
+            sin(0.5*pi() * (sin(pi()*((t.jp - 320) + 0.5)/256.0
+                                + 0.5*pi())
+                            * sin(pi()*((t.jp - 320) + 0.5)/256.0
+                                  + 0.5*pi()))) END)
+     ELSE 0.0 END)
+    +
+    (CASE WHEN t.jc >= 0 AND t.jc < t.sc // 2 THEN
+       pow(10, -7*(255 - t.yc)/256.0)
+       * cos(pi()/(2*t.sc) * (2*t.jc + 1 + t.sc // 2) * (2*t.kc + 1))
+       * (CASE WHEN t.sc = 256 THEN
+            sin(0.5*pi() * (sin(pi()*(t.jc + 0.5)/256.0)
+                            * sin(pi()*(t.jc + 0.5)/256.0)))
+          WHEN t.jc < 64 THEN 0.0
+          WHEN t.jc < 192 THEN
+            sin(0.5*pi() * (sin(pi()*((t.jc - 64) + 0.5)/256.0)
+                            * sin(pi()*((t.jc - 64) + 0.5)/256.0)))
+          ELSE 1.0 END)
+     ELSE 0.0 END) AS x
+  FROM t
+),
+g AS (
+  SELECT event_id, CAST(floor(x * 10000.0 + 0.5) AS BIGINT) AS gv
+  FROM v
+)
+SELECT e.event_id AS doc_id,
+       CAST(16000 AS INTEGER) AS sample_rate_hz,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(e.np AS INTEGER) AS n_packets,
+       CAST((e.np - 1) * 192 AS BIGINT) AS n_pcm,
+       CAST(sum(g.gv) AS BIGINT) AS pcm_grid_sum,
+       CAST(sum(abs(g.gv)) AS BIGINT) AS pcm_abs_grid_sum,
+       CAST(max(abs(g.gv)) AS BIGINT) AS pcm_peak_grid
+FROM e JOIN g ON g.event_id = e.event_id
+GROUP BY e.event_id, e.np
+"""
+
+QUERIES_R10["vorbis_decode_pcm_trans"] = q_vorbis_decode_pcm_trans
+ORACLES_R10["vorbis_decode_pcm_trans"] = SQL_VORBIS_DECODE_PCM_TRANS

@@ -1909,6 +1909,38 @@ def _vorbis_pcm_packet(seed: int, k: int) -> bytes:
     return bytes(w.bytes())
 
 
+def _vorbis_pcm_packet_trans(seed: int, k: int) -> bytes:
+    """pcm_tone packet for the long/short TRANSITION stream: same
+    planted flat-floor/single-tone rules as the mono packet
+    (vorbis_pcm_rules), but with the two-mode select bit (packet k
+    takes mode k%2) and, on long blocks, the two window flags (0, 0 —
+    both neighbors short, which is true in the alternating stream)."""
+    r = vorbis_pcm_rules(seed, k)
+    w = _LsbBitWriter()
+    w.write(0, 1)                # audio packet type
+    mode = k % 2
+    w.write(mode, 1)             # mode select (two modes -> 1 bit)
+    if mode:
+        w.write(0, 1)            # previous-window flag: short
+        w.write(0, 1)            # next-window flag: short
+    w.write(1, 1)                # floor nonzero
+    w.write(r["Y"], 8)
+    w.write(r["Y"], 8)
+    w.write_codeword(0, 6)
+    w.write_codeword(0, 6)
+    p0 = r["k0"] // 8
+    pos = r["k0"] % 8
+    for p in range(8):
+        cls = 1 if p == p0 else 0
+        w.write_codeword(cls, 1)
+        if cls == 1:
+            e1 = (1 << pos) if pos < 4 else 0
+            e2 = (1 << (pos - 4)) if pos >= 4 else 0
+            w.write_codeword(e1, 4)
+            w.write_codeword(e2, 4)
+    return bytes(w.bytes())
+
+
 def _vorbis_audio_packet(
     seed: int, k: int, stereo: bool = False, long_blocks: bool = False
 ) -> bytes:
@@ -1971,11 +2003,16 @@ def make_ogg_vorbis(
         _ogg_page([comment, setup], 1),
     ]
     if pcm_tone:
-        if long_blocks:
-            raise ValueError("pcm_tone fixtures are short-block")
+        if stereo and long_blocks:
+            raise ValueError("pcm_tone is stereo OR long_blocks")
         if stereo:
             packets = [
                 _vorbis_pcm_packet_stereo(seed, k)
+                for k in range(n_packets)
+            ]
+        elif long_blocks:
+            packets = [
+                _vorbis_pcm_packet_trans(seed, k)
                 for k in range(n_packets)
             ]
         else:

@@ -603,8 +603,11 @@ class TestPcmSynthesis:
         d = synthesize_vorbis_pcm(make_ogg_vorbis(1, stereo=True))
         assert d["channels"] == 2
         assert d["n_pcm"] == (6 - 1) * 128 * 2
-        with pytest.raises(ValueError, match="transitions"):
-            synthesize_vorbis_pcm(make_ogg_vorbis(1, long_blocks=True))
+        # long/short transitions are supported as of r10: packets
+        # alternate 256/512, so every boundary returns
+        # (prev_n + n)/4 = 192 samples
+        d = synthesize_vorbis_pcm(make_ogg_vorbis(1, long_blocks=True))
+        assert d["n_pcm"] == (6 - 1) * 192
         good = make_ogg_vorbis(42, n_packets=3, pcm_tone=True)
         bad = bytearray(good)
         bad[-2] ^= 0x55  # break the last page CRC
@@ -689,3 +692,88 @@ class TestPcmSynthesisStereo:
         b = synthesize_vorbis_pcm(
             make_ogg_vorbis(9, n_packets=3, pcm_tone=True, stereo=True))
         assert a["pcm_grid_sum"] != b["pcm_grid_sum"]
+
+
+class TestPcmSynthesisTransitions:
+    def test_alternating_blocks_parity_with_replay(self):
+        """Long/short transition streams: asymmetric long windows
+        (zero outside the short slopes) + variable-size
+        center-to-center overlap-add, against an independent
+        sequential-math replay."""
+        import math
+
+        from google_analytics_to_s3_spark.operators.vorbis import (
+            synthesize_vorbis_pcm,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_ogg_vorbis,
+            vorbis_pcm_rules,
+        )
+
+        def w256(j):
+            sj = math.sin(math.pi * (j + 0.5) / 256.0)
+            return math.sin(0.5 * math.pi * sj * sj)
+
+        def w512(j):
+            if j < 64 or j >= 448:
+                return 0.0
+            if j < 192:
+                sj = math.sin(math.pi * ((j - 64) + 0.5) / 256.0)
+                return math.sin(0.5 * math.pi * sj * sj)
+            if j < 320:
+                return 1.0
+            sj = math.sin(math.pi * ((j - 320) + 0.5) / 256.0
+                          + 0.5 * math.pi)
+            return math.sin(0.5 * math.pi * sj * sj)
+
+        for seed in range(0, 120, 11):
+            P = 3 + seed % 3
+            d = synthesize_vorbis_pcm(make_ogg_vorbis(
+                seed, n_packets=P, pcm_tone=True, long_blocks=True))
+            gs = ga = pk = 0
+            for b in range(1, P):
+                sp = 256 if (b - 1) % 2 == 0 else 512
+                sc = 256 if b % 2 == 0 else 512
+                rp = vorbis_pcm_rules(seed, b - 1)
+                rc = vorbis_pcm_rules(seed, b)
+                Ap = 10.0 ** (-7 * (255 - rp["Y"]) / 256.0)
+                Ac = 10.0 ** (-7 * (255 - rc["Y"]) / 256.0)
+                off = sp // 4 - sc // 4
+                for y in range(sp // 4 + sc // 4):
+                    o = 0.0
+                    jp = sp // 2 + y
+                    if jp < sp:
+                        wv = w256(jp) if sp == 256 else w512(jp)
+                        o += Ap * math.cos(
+                            math.pi / (2 * sp) * (2 * jp + 1 + sp // 2)
+                            * (2 * rp["k0"] + 1)) * wv
+                    jc = y - off
+                    if 0 <= jc < sc // 2:
+                        wv = w256(jc) if sc == 256 else w512(jc)
+                        o += Ac * math.cos(
+                            math.pi / (2 * sc) * (2 * jc + 1 + sc // 2)
+                            * (2 * rc["k0"] + 1)) * wv
+                    g = math.floor(o * 1e4 + 0.5)
+                    gs += g
+                    ga += abs(g)
+                    pk = max(pk, abs(g))
+            assert d["n_pcm"] == (P - 1) * 192
+            assert (gs, ga, pk) == (d["pcm_grid_sum"],
+                                    d["pcm_abs_grid_sum"],
+                                    d["pcm_peak_grid"]), seed
+
+    def test_asym_window_power_complement(self):
+        """The short slope of a long window and the adjacent short
+        window's slope must be power-complementary (lapped-transform
+        invariant): w_long(64 + i)^2 + w_short(128 + i)^2 == 1."""
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.vorbis import (
+            _vorbis_window,
+            _vorbis_window_asym,
+        )
+        wl = _vorbis_window_asym(512, 256, 0, 0)
+        ws = _vorbis_window(256)
+        i = np.arange(128)
+        s = wl[64 + i] ** 2 + ws[128 + i] ** 2
+        assert np.allclose(s, 1.0, atol=1e-12)
