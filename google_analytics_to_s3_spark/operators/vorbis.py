@@ -475,11 +475,11 @@ def _parse_setup_header(packet: bytes, s: _VorbisSetup) -> None:
     for _ in range(br.read(6) + 1):
         ftype = br.read(16)
         if ftype == 1:
-            s.floors.append(_parse_floor1(br))
+            f = _parse_floor1(br)
+            f["ftype"] = 1
+            s.floors.append(f)
         elif ftype == 0:
-            raise ValueError(
-                "floor type 0 (LSP) not supported (floor1 only)"
-            )
+            s.floors.append(_parse_floor0(br, len(s.codebooks)))
         else:
             raise ValueError(f"reserved floor type {ftype}")
     s.residues = []
@@ -523,6 +523,128 @@ def _parse_setup_header(packet: bytes, s: _VorbisSetup) -> None:
         s.modes.append({"blockflag": blockflag, "mapping": br.read(8)})
     if br.read1() != 1:
         raise ValueError("setup header framing bit unset")
+
+
+# ---------------------------------------------------------------------------
+# Floor type 0 (LSP) — spec §6. Config (§6.2), packet decode (§6.2.2:
+# amplitude + VQ coefficient reads with 'last' accumulation) and the
+# LSP curve synthesis (§6.2.3: Bark-scale map, p/q line-spectral
+# products, exp amplitude). Everything is closed-form transcendental
+# (atan/cos/exp/sqrt), so a DuckDB oracle replays every value with
+# its own math in the same operation order; real-encoder parity is
+# untestable in this container (no sample corpus), the same caveat as
+# the floor1 inverse-dB table.
+# ---------------------------------------------------------------------------
+
+
+def _parse_floor0(br: _VBits, n_books_total: int) -> dict:
+    """§6.2 floor0 config. Gated malformations get named errors."""
+    order = br.read(8)
+    rate = br.read(16)
+    bark = br.read(16)
+    amp_bits = br.read(6)
+    amp_offset = br.read(8)
+    if order < 1:
+        raise ValueError("floor0 order must be >= 1")
+    if rate < 1 or bark < 1:
+        raise ValueError("floor0 rate/bark_map_size must be >= 1")
+    nb = br.read(4) + 1
+    books = []
+    for _ in range(nb):
+        b = br.read(8)
+        if b >= n_books_total:
+            raise ValueError("floor0 book number out of range")
+        books.append(b)
+    return {"ftype": 0, "order": order, "rate": rate, "bark": bark,
+            "amp_bits": amp_bits, "amp_offset": amp_offset,
+            "books": books}
+
+
+def _read_floor0_data(br: _VBits, floor: dict, books):
+    """§6.2.2: amplitude, then LSP coefficients via VQ vector reads,
+    each vector offset by the running 'last' scalar. Returns
+    (amplitude, coefficients[:order]) or None when amplitude == 0
+    (the channel is silent this frame)."""
+    amplitude = br.read(floor["amp_bits"])
+    if amplitude == 0:
+        return None
+    booknum = br.read(_ilog(len(floor["books"])))
+    if booknum >= len(floor["books"]):
+        raise ValueError("floor0 packet book number out of range")
+    book = books[floor["books"][booknum]]
+    if book.vectors is None:
+        raise ValueError("floor0 coefficient book has no lookup table")
+    coeffs: list = []
+    last = 0.0
+    while len(coeffs) < floor["order"]:
+        vec = book.vectors[book.decode_entry(br)]
+        for v in vec:
+            coeffs.append(v + last)
+        last = coeffs[-1]
+    return amplitude, coeffs[:floor["order"]]
+
+
+def _floor0_curve(floor: dict, amplitude: int, coeffs: list,
+                  n_half: int):
+    """§6.2.3 LSP -> LINEAR curve (floor0 outputs linear gains
+    directly, unlike floor1's dB-table indices): Bark-scale bin map,
+    then per distinct map value the p/q line-spectral products and
+    exp((amp * offset) / ((2^bits - 1) sqrt(p + q)) - offset)."""
+    import math
+
+    import numpy as np
+
+    order = floor["order"]
+    bark_sz = floor["bark"]
+    rate = floor["rate"]
+
+    def bark(x: float) -> float:
+        return (13.1 * math.atan(0.00074 * x)
+                + 2.24 * math.atan(1.85e-8 * x * x) + 1e-4 * x)
+
+    key = ("f0map", rate, bark_sz, n_half)
+    fmap = _SYNTH_CACHE.get(key)
+    if fmap is None:
+        denom = bark(0.5 * rate)
+        fmap = [
+            min(bark_sz - 1,
+                int(bark(rate * i / (2.0 * n_half)) * bark_sz / denom))
+            for i in range(n_half)
+        ]
+        _SYNTH_CACHE[key] = fmap
+    cos_c = [math.cos(c) for c in coeffs]
+    scale = float((1 << floor["amp_bits"]) - 1)
+    off = float(floor["amp_offset"])
+    out = np.zeros(n_half)
+    cache: dict = {}
+    for i in range(n_half):
+        m = fmap[i]
+        lin = cache.get(m)
+        if lin is None:
+            w = math.pi * m / bark_sz
+            cw = math.cos(w)
+            if order % 2:
+                p = 1.0 - cw * cw
+                for j in range((order - 3) // 2 + 1):
+                    d = cos_c[2 * j + 1] - cw
+                    p *= 4.0 * d * d
+                q = 0.25
+                for j in range((order - 1) // 2 + 1):
+                    d = cos_c[2 * j] - cw
+                    q *= 4.0 * d * d
+            else:
+                p = (1.0 - cw) / 2.0
+                q = (1.0 + cw) / 2.0
+                for j in range(order // 2):
+                    d = cos_c[2 * j + 1] - cw
+                    p *= 4.0 * d * d
+                    d = cos_c[2 * j] - cw
+                    q *= 4.0 * d * d
+            lin = math.exp((amplitude * off) / (scale * math.sqrt(p + q))
+                           - off)
+            cache[m] = lin
+        out[i] = lin
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -771,9 +893,13 @@ def _decode_audio_packet(packet: bytes, s: _VorbisSetup) -> dict:
     floors = []
     for ch in range(s.channels):
         sub = mapping["sub"][mapping["mux"][ch]]
-        floors.append(
-            _decode_floor1(br, s.floors[sub["floor"]], s.codebooks)
-        )
+        fl = s.floors[sub["floor"]]
+        if fl.get("ftype") == 0:
+            d0 = _read_floor0_data(br, fl, s.codebooks)
+            # floor0 has no integer posts; report presence only
+            floors.append(None if d0 is None else [])
+        else:
+            floors.append(_decode_floor1(br, fl, s.codebooks))
     # nonzero-vector bookkeeping: a coupled pair decodes if EITHER
     # half has a nonzero floor (spec §4.3.4 step 4)
     do_decode = [f is not None for f in floors]
@@ -1046,16 +1172,25 @@ def _packet_spectra(packet: bytes, s: _VorbisSetup):
     if mode["blockflag"]:
         wflags = (br.read1(), br.read1())
     mapping = s.mappings[mode["mapping"]]
-    curves = []
+    table = _inverse_db_table()
+    gains = []
     for ch in range(s.channels):
         floor = s.floors[mapping["sub"][mapping["mux"][ch]]["floor"]]
-        y = _read_floor1_posts(br, floor, s.codebooks)
-        if y is None:
-            curves.append(None)
+        if floor.get("ftype") == 0:
+            d0 = _read_floor0_data(br, floor, s.codebooks)
+            if d0 is None:
+                gains.append(None)
+            else:
+                gains.append(_floor0_curve(floor, d0[0], d0[1], n // 2))
         else:
-            final, flags = _floor1_amplitude(floor, y)
-            curves.append(_floor1_curve(floor, final, flags, n // 2))
-    do_decode = [c is not None for c in curves]
+            y = _read_floor1_posts(br, floor, s.codebooks)
+            if y is None:
+                gains.append(None)
+            else:
+                final, flags = _floor1_amplitude(floor, y)
+                curve = _floor1_curve(floor, final, flags, n // 2)
+                gains.append(table[curve])
+    do_decode = [g is not None for g in gains]
     for mag, ang in mapping["couplings"]:
         if do_decode[mag] or do_decode[ang]:
             do_decode[mag] = do_decode[ang] = True
@@ -1086,14 +1221,13 @@ def _packet_spectra(packet: bytes, s: _VorbisSetup):
                 else:
                     new_m, new_a = m - a_, m
             M[j], A[j] = new_m, new_a
-    table = _inverse_db_table()
     spectra = []
     for ch in range(s.channels):
-        if curves[ch] is None:
+        if gains[ch] is None:
             spectra.append(np.zeros(n // 2))
         else:
             spectra.append(
-                table[curves[ch]]
+                gains[ch]
                 * np.asarray(chan_vecs[ch], dtype=np.float64)
             )
     return n, spectra, wflags

@@ -905,3 +905,119 @@ GROUP BY e.event_id, e.np
 
 QUERIES_R10["vorbis_decode_pcm_trans"] = q_vorbis_decode_pcm_trans
 ORACLES_R10["vorbis_decode_pcm_trans"] = SQL_VORBIS_DECODE_PCM_TRANS
+
+
+def q_vorbis_decode_pcm_floor0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLOOR TYPE 0 (LSP) Vorbis float synthesis driver-checked
+    (r10): packets carry a floor0 amplitude + VQ-coded LSP
+    coefficient vector ('last' accumulation across reads), and the
+    decoder renders the §6.2.3 curve — Bark-scale bin map (atan
+    formula + truncation), even-order line-spectral p/q products,
+    exp((amp*offset)/((2^bits-1)sqrt(p+q)) - offset) — times a single
+    residue tone. The oracle recomputes the whole transcendental
+    chain (atan/cos/sqrt/exp) in identical operation order; fixture
+    constants pin p+q >= 0.0325 over the exact planted grid so exp
+    stays grid-safe (margin sweep bottoms at 6.0e-7 lattice units
+    over all 1000 seeds). Lane id % 10 == 2."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.vorbis import decode_vorbis_pcm
+    from ..testing.fixtures import make_ogg_vorbis
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 2
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_ogg_vorbis(int(i) % 1000,
+                                    n_packets=3 + int(i) % 3,
+                                    pcm_tone=True, floor0=True)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_vorbis_pcm(payloads).drop("decode_error")
+
+
+_F0_BARK_DENOM = ("(13.1*atan(0.00074*8000.0)"
+                  " + 2.24*atan(0.0000000185*8000.0*8000.0)"
+                  " + 0.0001*8000.0)")
+
+SQL_VORBIS_DECODE_PCM_FLOOR0 = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed, 3 + event_id % 3 AS np
+  FROM events WHERE event_id % {_FLAC_MOD} = 2
+),
+-- per packet: replay the floor0 chain (coefficients -> Bark bin ->
+-- LSP p/q products -> exp amplitude) and the tone slot
+pk AS (
+  SELECT e.event_id, e.np, kk.k, rr.k0, ll.lin
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.np)) AS k) kk,
+       LATERAL (SELECT 1 + (e.seed + 11*kk.k) % 15 AS amp,
+                       (e.seed + 5*kk.k) % 4 AS d0,
+                       (e.seed*3 + 7*kk.k) % 4 AS d1,
+                       1 + (e.seed + 7*kk.k) % 63 AS k0) rr,
+       LATERAL (SELECT 33.0/64 + (3.0/64)*rr.d0 AS c0) c0q,
+       LATERAL (SELECT c0q.c0 + 33.0/64 + (3.0/64)*rr.d1 AS c1) c1q,
+       LATERAL (SELECT (16000.0*rr.k0)/256.0 AS x) xq,
+       LATERAL (SELECT 13.1*atan(0.00074*xq.x)
+                       + 2.24*atan(0.0000000185*xq.x*xq.x)
+                       + 0.0001*xq.x AS bk) bq,
+       LATERAL (SELECT least(63, CAST(floor(
+                  bq.bk * 64 / {_F0_BARK_DENOM}) AS INTEGER)) AS m) mq,
+       LATERAL (SELECT cos(pi()*mq.m/64.0) AS cw) wq,
+       LATERAL (SELECT
+          (1.0-wq.cw)/2.0
+            * (4.0*(cos(c1q.c1)-wq.cw)*(cos(c1q.c1)-wq.cw))
+          + (1.0+wq.cw)/2.0
+            * (4.0*(cos(c0q.c0)-wq.cw)*(cos(c0q.c0)-wq.cw)) AS pq) pqq,
+       LATERAL (SELECT exp((rr.amp*10.0)/(63.0*sqrt(pqq.pq))
+                           - 10.0) AS lin) ll
+),
+v AS (
+  SELECT pc.event_id,
+         (pp.lin
+          * cos((pi()/512.0) * ((2*(128 + tt.t) + 1 + 128)
+                 * (2*pp.k0 + 1)))
+          * sin((0.5*pi()) * (sin(pi()*((128 + tt.t) + 0.5)/256.0)
+                              * sin(pi()*((128 + tt.t) + 0.5)/256.0))))
+         +
+         (pc.lin
+          * cos((pi()/512.0) * ((2*tt.t + 1 + 128) * (2*pc.k0 + 1)))
+          * sin((0.5*pi()) * (sin(pi()*(tt.t + 0.5)/256.0)
+                              * sin(pi()*(tt.t + 0.5)/256.0))))
+         AS x
+  FROM pk pc
+  JOIN pk pp ON pp.event_id = pc.event_id AND pp.k = pc.k - 1,
+       LATERAL (SELECT unnest(range(0, 128)) AS t) tt
+  WHERE pc.k >= 1
+),
+g AS (
+  SELECT event_id, CAST(floor(x * 10000.0 + 0.5) AS BIGINT) AS gv
+  FROM v
+)
+SELECT e.event_id AS doc_id,
+       CAST(16000 AS INTEGER) AS sample_rate_hz,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(e.np AS INTEGER) AS n_packets,
+       CAST((e.np - 1) * 128 AS BIGINT) AS n_pcm,
+       CAST(sum(g.gv) AS BIGINT) AS pcm_grid_sum,
+       CAST(sum(abs(g.gv)) AS BIGINT) AS pcm_abs_grid_sum,
+       CAST(max(abs(g.gv)) AS BIGINT) AS pcm_peak_grid
+FROM e JOIN g ON g.event_id = e.event_id
+GROUP BY e.event_id, e.np
+"""
+
+QUERIES_R10["vorbis_decode_pcm_floor0"] = q_vorbis_decode_pcm_floor0
+ORACLES_R10["vorbis_decode_pcm_floor0"] = SQL_VORBIS_DECODE_PCM_FLOOR0

@@ -1685,9 +1685,15 @@ def _ogg_page(
     return page[:22] + _struct.pack("<I", crc) + page[26:]
 
 
+# packed floats for the floor0 coefficient book (value =
+# mantissa * 2^(exponent - 788)): 33/64 and 3/64
+_VORBIS_F0_MIN = ((788 - 6) << 21) | 33
+_VORBIS_F0_DELTA = ((788 - 6) << 21) | 3
+
+
 def _vorbis_headers(
     stereo: bool = False, residue_type: int = 2,
-    long_blocks: bool = False,
+    long_blocks: bool = False, floor0: bool = False,
 ) -> "tuple[bytes, bytes, bytes]":
     import struct as _struct
 
@@ -1731,8 +1737,28 @@ def _vorbis_headers(
         else:
             lookup_tail()
 
-    # book 0: floor post values, 64 entries all length 6, no lookup
-    codebook(1, [6] * 64)
+    if floor0:
+        # book 0 (floor0 variant): LSP coefficient VQ, dim 1, 4
+        # entries all length 2 (canonical identity words), lookup
+        # type 1 with value_bits=2 multiplicands {0,1,2,3}: entry d
+        # decodes to 33/64 + (3/64)*d — dyadic values sitting near
+        # Bark-grid midpoints, which keeps the LSP products p+q
+        # bounded BELOW 0.0325 over the whole planted grid (swept
+        # exactly in tests), so exp() stays in a grid-safe range
+        def lookup1_f0():
+            w.write(1, 4)
+            # minimum = 33/64, delta = 3/64 (packed floats)
+            w.write(_VORBIS_F0_MIN, 32)
+            w.write(_VORBIS_F0_DELTA, 32)
+            w.write(1, 4)                        # value_bits - 1 -> 2
+            w.write(0, 1)                        # sequence_p = 0
+            for mv in range(4):                  # multiplicands 0..3
+                w.write(mv, 2)
+
+        codebook(1, [2] * 4, lookup1_f0)
+    else:
+        # book 0: floor post values, 64 entries all length 6, no lookup
+        codebook(1, [6] * 64)
     # book 1: residue classbook, 2 entries length 1, no lookup
     codebook(1, [1, 1])
 
@@ -1753,16 +1779,26 @@ def _vorbis_headers(
     w.write(0, 6)    # time_count - 1
     w.write(0, 16)   # time transform 0 placeholder
     w.write(0, 6)    # floor_count - 1
-    w.write(1, 16)   # floor type 1
-    w.write(1, 5)    # partitions
-    w.write(0, 4)    # partition class 0
-    w.write(1, 3)    # class dim - 1 -> 2
-    w.write(0, 2)    # subclasses -> direct book
-    w.write(1, 8)    # subclass book + 1 -> book 0
-    w.write(0, 2)    # multiplier - 1 -> range 256
-    w.write(7, 4)    # rangebits -> X in [0, 128]
-    w.write(40, 7)   # post X 2
-    w.write(90, 7)   # post X 3
+    if floor0:
+        w.write(0, 16)      # floor type 0 (LSP)
+        w.write(2, 8)       # order
+        w.write(16000, 16)  # floor0_rate
+        w.write(64, 16)     # bark_map_size
+        w.write(6, 6)       # amplitude bits
+        w.write(10, 8)      # amplitude offset
+        w.write(0, 4)       # number_of_books - 1
+        w.write(0, 8)       # coefficient book -> book 0
+    else:
+        w.write(1, 16)   # floor type 1
+        w.write(1, 5)    # partitions
+        w.write(0, 4)    # partition class 0
+        w.write(1, 3)    # class dim - 1 -> 2
+        w.write(0, 2)    # subclasses -> direct book
+        w.write(1, 8)    # subclass book + 1 -> book 0
+        w.write(0, 2)    # multiplier - 1 -> range 256
+        w.write(7, 4)    # rangebits -> X in [0, 128]
+        w.write(40, 7)   # post X 2
+        w.write(90, 7)   # post X 3
     w.write(0, 6)    # residue_count - 1
     w.write(residue_type, 16)  # residue type (0/1/2)
     w.write(0, 24)   # begin
@@ -1909,6 +1945,43 @@ def _vorbis_pcm_packet(seed: int, k: int) -> bytes:
     return bytes(w.bytes())
 
 
+def vorbis_pcm_floor0_rules(seed: int, k: int) -> "dict":
+    """Planted rules for floor0 pcm_tone packets (r10): amplitude in
+    [1, 15], two dim-1 VQ reads d0/d1 giving LSP coefficients
+    c0 = 33/64 + (3/64)*d0 and (via the spec's 'last' accumulation)
+    c1 = c0 + 33/64 + (3/64)*d1; single residue tone at k0 >= 1
+    (Bark bin 0 maps to omega = 0, where the even-order p term
+    vanishes identically — excluded to keep p+q bounded)."""
+    return {
+        "amp": 1 + (seed + 11 * k) % 15,
+        "d0": (seed + 5 * k) % 4,
+        "d1": (seed * 3 + 7 * k) % 4,
+        "k0": 1 + (seed + 7 * k) % 63,
+    }
+
+
+def _vorbis_pcm_packet_floor0(seed: int, k: int) -> bytes:
+    r = vorbis_pcm_floor0_rules(seed, k)
+    w = _LsbBitWriter()
+    w.write(0, 1)                # audio packet type
+    # mode 0 of 1 -> 0 bits
+    w.write(r["amp"], 6)         # floor0 amplitude (nonzero)
+    w.write(0, 1)                # booknumber: ilog(1) = 1 bit
+    w.write_codeword(r["d0"], 2)
+    w.write_codeword(r["d1"], 2)
+    p0 = r["k0"] // 8
+    pos = r["k0"] % 8
+    for p in range(8):
+        cls = 1 if p == p0 else 0
+        w.write_codeword(cls, 1)
+        if cls == 1:
+            e1 = (1 << pos) if pos < 4 else 0
+            e2 = (1 << (pos - 4)) if pos >= 4 else 0
+            w.write_codeword(e1, 4)
+            w.write_codeword(e2, 4)
+    return bytes(w.bytes())
+
+
 def _vorbis_pcm_packet_trans(seed: int, k: int) -> bytes:
     """pcm_tone packet for the long/short TRANSITION stream: same
     planted flat-floor/single-tone rules as the mono packet
@@ -1985,6 +2058,7 @@ def make_ogg_vorbis(
     seed: int, n_packets: int = 6, span_page: bool = False,
     stereo: bool = False, residue_type: int = 2,
     long_blocks: bool = False, pcm_tone: bool = False,
+    floor0: bool = False,
 ) -> bytes:
     """Serialize a REAL minimal Ogg/Vorbis stream (module comment).
     ``span_page=True`` pads the first audio packet to 300 bytes so it
@@ -1996,16 +2070,23 @@ def make_ogg_vorbis(
     ``vorbis_pcm_rules`` for the PCM-synthesis driver oracle."""
     ident, comment, setup = _vorbis_headers(
         stereo=stereo, residue_type=residue_type,
-        long_blocks=long_blocks,
+        long_blocks=long_blocks, floor0=floor0,
     )
     pages = [
         _ogg_page([ident], 0, bos=True),
         _ogg_page([comment, setup], 1),
     ]
     if pcm_tone:
+        if floor0 and (stereo or long_blocks):
+            raise ValueError("floor0 pcm_tone is mono short-block")
         if stereo and long_blocks:
             raise ValueError("pcm_tone is stereo OR long_blocks")
-        if stereo:
+        if floor0:
+            packets = [
+                _vorbis_pcm_packet_floor0(seed, k)
+                for k in range(n_packets)
+            ]
+        elif stereo:
             packets = [
                 _vorbis_pcm_packet_stereo(seed, k)
                 for k in range(n_packets)
