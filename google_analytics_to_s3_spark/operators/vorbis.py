@@ -1037,7 +1037,7 @@ def decode_vorbis_features(
                         out[k].append(d[k])
                     out["decode_error"].append(None)
                 except (ValueError, IndexError, struct.error,
-                        ZeroDivisionError) as e:
+                        ZeroDivisionError, OverflowError) as e:
                     for k in _INT_COLS:
                         out[k].append(None)
                     out["decode_error"].append(
@@ -1337,7 +1337,7 @@ def decode_vorbis_pcm(
                         out[k].append(d[k])
                     out["decode_error"].append(None)
                 except (ValueError, IndexError, struct.error,
-                        ZeroDivisionError) as e:
+                        ZeroDivisionError, OverflowError) as e:
                     for k in (*_PCM_INT32, *_PCM_INT64):
                         out[k].append(None)
                     out["decode_error"].append(

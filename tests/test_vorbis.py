@@ -478,10 +478,20 @@ class TestUntrustedInputBounds:
             _decode_audio_packet,
         )
 
-        pks = _ogg_packets(make_ogg_vorbis(7, n_packets=3))
+        from google_analytics_to_s3_spark.operators.vorbis import (
+            _packet_spectra,
+        )
+
+        streams = [
+            _ogg_packets(make_ogg_vorbis(7, n_packets=3)),
+            # floor0 + PCM-synthesis surfaces (r10): exp/sqrt chain
+            _ogg_packets(make_ogg_vorbis(7, n_packets=3,
+                                         pcm_tone=True, floor0=True)),
+        ]
         rng = random.Random(0xC0DEC)
-        for trial in range(250):
-            fuzz_setup = trial % 2 == 0
+        for trial in range(400):
+            pks = streams[trial % 2]
+            fuzz_setup = trial % 4 < 2
             raw = bytearray(pks[2] if fuzz_setup else pks[3])
             for _ in range(rng.randrange(1, 4)):
                 raw[rng.randrange(len(raw))] ^= 1 << rng.randrange(8)
@@ -493,8 +503,12 @@ class TestUntrustedInputBounds:
                 else:
                     _parse_setup_header(pks[2], s)
                     _decode_audio_packet(bytes(raw), s)
+                    # the float synthesis path must obey the same
+                    # quarantine contract (exp overflow -> named
+                    # exception, never a hang or batch-killer)
+                    _packet_spectra(bytes(raw), s)
             except (ValueError, IndexError, struct.error,
-                    ZeroDivisionError):
+                    ZeroDivisionError, OverflowError):
                 pass
             assert time.monotonic() - t0 < 5.0, (
                 f"fuzz trial {trial} exceeded deadline"
