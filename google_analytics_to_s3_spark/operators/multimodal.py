@@ -2277,9 +2277,9 @@ def decode_jpeg_meta(
 # — decode oracles are pure integer arithmetic. LPC subframes decode
 # for real as of r8 (quantized-coefficient dot product with the
 # arithmetic floor shift, RFC 9639 §9.2.5), as do up to 8 independent
-# channels and 8/12/16/20/24-bit depths and wasted-bits streams; the
-# remaining honest gates (named errors) are depths outside that set
-# (e.g. 32-bit) and reserved channel-assignment/blocksize codes.
+# channels and 8/12/16/20/24/32-bit depths and wasted-bits streams;
+# the remaining honest gates (named errors) are the reserved
+# channel-assignment/blocksize codes.
 # ---------------------------------------------------------------------------
 
 
@@ -2607,7 +2607,7 @@ def _parse_flac(raw: bytes) -> tuple[int, int, "np.ndarray"]:
     ) | int.from_bytes(streaminfo[14:18], "big")
     if not 1 <= n_channels <= 8:
         raise ValueError(f"invalid channel count {n_channels}")
-    if bps not in (8, 12, 16, 20, 24):
+    if bps not in (8, 12, 16, 20, 24, 32):
         raise ValueError(f"invalid FLAC bits-per-sample {bps}")
     if total <= 0:
         raise ValueError("STREAMINFO reports zero samples")
@@ -2648,7 +2648,8 @@ def _parse_flac(raw: bytes) -> tuple[int, int, "np.ndarray"]:
             )
         # sample-size code (RFC 9639 frame header): must agree with
         # STREAMINFO (0b000 = "from STREAMINFO" also accepted)
-        _SS = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24}
+        _SS = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24,
+               0b111: 32}
         if ss_code != 0 and _SS.get(ss_code) != bps:
             raise ValueError(
                 f"frame sample-size code {ss_code:#05b} disagrees "

@@ -1021,3 +1021,85 @@ GROUP BY e.event_id, e.np
 
 QUERIES_R10["vorbis_decode_pcm_floor0"] = q_vorbis_decode_pcm_floor0
 ORACLES_R10["vorbis_decode_pcm_floor0"] = SQL_VORBIS_DECODE_PCM_FLOOR0
+
+
+def q_flac_decode_32bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit FLAC decode driver-checked (r10, closing the last FLAC
+    depth gate): frame sample-size code 0b111, verbatim subframes at
+    32 raw bits, Rice-coded fixed-predictor residuals over
+    2^15-scaled planted samples. FLAC is lossless, so the oracle
+    replays the planted rule exactly; the readout is the INTEGER
+    per-window energy (BIGINT sum of squares — scale 2^15 keeps every
+    window sum inside BIGINT), avoiding the %.6f tie class entirely.
+    Lane id % 10 == 3 (mono, same shape as flac_decode)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.multimodal import decode_flac_features
+    from ..testing.fixtures import make_flac
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 3
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_flac(int(i) % 1000,
+                              n_samples=800 + (int(i) % 5) * 400,
+                              bps=32)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_flac_features(payloads, window_samples=400).select(
+        "doc_id", "sample_rate_hz", "n_samples", "duration_ms",
+        "n_windows",
+        F.array_join(
+            F.transform("energy_windows", lambda x: x.cast("string")),
+            ",",
+        ).alias("energy_windows"),
+    )
+
+
+SQL_FLAC_DECODE_32BIT = f"""
+WITH e AS (
+  SELECT event_id, 800 + (event_id % 5) * 400 AS n,
+         event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 3
+),
+w AS (
+  SELECT event_id, n, seed, CAST(wi.w AS BIGINT) AS w
+  FROM e, LATERAL (SELECT unnest(range(0, (n + 399) // 400)) AS w) wi
+),
+s AS (
+  SELECT event_id, n, w.w,
+         CAST(CASE WHEN ((i.i // 512) % 3) = 2 THEN seed % 512
+              ELSE ((seed + i.i * 257) % 2001) - 1000 END
+              AS BIGINT) * 32768 AS v
+  FROM w, LATERAL (SELECT unnest(range(w.w * 400,
+                                       least(n, (w.w + 1) * 400))) AS i) i
+),
+r AS (
+  SELECT event_id, n, w, CAST(sum(v * v) AS BIGINT) AS energy
+  FROM s GROUP BY 1, 2, 3
+)
+SELECT event_id AS doc_id,
+       CAST(16000 AS INTEGER) AS sample_rate_hz,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+       CAST(count(*) AS INTEGER) AS n_windows,
+       string_agg(CAST(energy AS VARCHAR), ',' ORDER BY w)
+         AS energy_windows
+FROM r GROUP BY event_id, n
+"""
+
+QUERIES_R10["flac_decode_32bit"] = q_flac_decode_32bit
+ORACLES_R10["flac_decode_32bit"] = SQL_FLAC_DECODE_32BIT

@@ -1223,11 +1223,13 @@ def make_flac(
     _PRIMES = (257, 181, 163, 149, 139, 127, 113, 109)
     _MODS = (2001, 1801, 1601, 1401, 1201, 1001, 801, 601)
 
-    if bps not in (8, 16, 24):
-        raise ValueError("fixture bps must be 8, 16 or 24")
+    if bps not in (8, 16, 24, 32):
+        raise ValueError("fixture bps must be 8, 16, 24 or 32")
     # depth scaling keeps planted values inside the sample range:
-    # 24-bit scales the 16-bit rules x256, 8-bit divides the modulus
-    bscale = 256 if bps == 24 else 1
+    # 24-bit scales the 16-bit rules x256; 32-bit x32768 (2^15, so
+    # per-window sums of squares stay inside BIGINT for the oracle);
+    # 8-bit divides the modulus
+    bscale = {8: 1, 16: 1, 24: 256, 32: 32768}[bps]
 
     def chan_sample(c: int, i: int) -> int:
         m = _MODS[c] if bps != 8 else 201
@@ -1302,7 +1304,7 @@ def make_flac(
             hdr.write(modes[stereo_mode], 4)
         else:
             hdr.write(channels - 1, 4)  # N independent channels
-        hdr.write({8: 0b001, 16: 0b100, 24: 0b110}[bps], 3)
+        hdr.write({8: 0b001, 16: 0b100, 24: 0b110, 32: 0b111}[bps], 3)
         hdr.write(0, 1)        # reserved
         head = bytes(hdr.buf) + _utf8_coded_number(frame_no)
         head += _struct.pack(">H", bs - 1)

@@ -1719,3 +1719,48 @@ class TestWavFloatAndExtensible:
         raw2[fmt_at + 24:fmt_at + 26] = struct.pack("<H", 0xFFFE)
         with _pt.raises(ValueError, match="nested extensible"):
             _parse_wav(bytes(raw2))
+
+
+class TestFlac32Bit:
+    def test_32bit_lossless_replay(self):
+        """32-bit FLAC (ss_code 0b111): decoded samples equal the
+        planted 2^15-scaled rules exactly."""
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_flac,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_flac,
+        )
+        for seed in (0, 7, 123, 999):
+            n = 1200
+            sr, total, samples = _parse_flac(
+                make_flac(seed, n_samples=n, bps=32))
+            exp = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                if (i // 512) % 3 == 2:
+                    exp[i] = (seed % 512) * 32768
+                else:
+                    exp[i] = (((seed + i * 257) % 2001) - 1000) * 32768
+            assert sr == 16000 and total == n
+            assert np.array_equal(samples.astype(np.int64), exp), seed
+
+    def test_32bit_stereo_side_at_33_bits(self):
+        """Decorrelated stereo at 32 bps carries 33-bit side
+        subframes — the widest path RFC 9639 allows."""
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_flac,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_flac,
+        )
+        ind = _parse_flac(make_flac(9, n_samples=600, bps=32,
+                                    channels=2,
+                                    stereo_mode="independent"))[2]
+        mid = _parse_flac(make_flac(9, n_samples=600, bps=32,
+                                    channels=2,
+                                    stereo_mode="mid_side"))[2]
+        assert np.array_equal(ind, mid)
