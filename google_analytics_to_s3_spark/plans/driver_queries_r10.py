@@ -1103,3 +1103,78 @@ FROM r GROUP BY event_id, n
 
 QUERIES_R10["flac_decode_32bit"] = q_flac_decode_32bit
 ORACLES_R10["flac_decode_32bit"] = SQL_FLAC_DECODE_32BIT
+
+
+def q_mp4_demux_frag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAGMENTED MP4 (DASH/CMAF) demux driver-checked (r10):
+    moov carries empty sample tables + mvex/trex defaults; samples
+    live in moof fragments whose truns resolve through the full
+    trun -> tfhd -> trex default cascade (fixtures cycle all three
+    size sources and both duration sources), with default-base-is-
+    moof AND explicit-base-data-offset addressing both exercised. The
+    oracle replays every planted value including the per-sample
+    mdat-relative offset sum. Lane id % 10 == 4."""
+    from ..operators.mp4 import demux_mp4_frag_features
+    return _mp4_payload_query(spark, sf_dir, 4, "make_mp4_frag",
+                              demux_mp4_frag_features)
+
+
+SQL_MP4_DEMUX_FRAG = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         1 + event_id % 1000 % 2 AS ntr,
+         2 + event_id % 1000 % 3 AS nfrag
+  FROM events WHERE event_id % {_FLAC_MOD} = 4
+),
+tf AS (
+  SELECT e.event_id, e.seed, e.ntr, e.nfrag, f.f, t.t,
+         2 + (e.seed + f.f + t.t) % 3 AS ns,
+         (e.seed + f.f + t.t) % 3 AS size_mode,
+         (e.seed + f.f + t.t) % 2 AS dur_mode
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.nfrag)) AS f) f,
+       LATERAL (SELECT unnest(range(0, e.ntr)) AS t) t
+),
+smp AS (
+  SELECT tf.event_id, tf.f, tf.t, s.s,
+         CASE WHEN tf.size_mode = 0
+              THEN 50 + (tf.seed*3 + 13*s.s + 7*tf.f + 97*tf.t) % 150
+              WHEN tf.size_mode = 1
+              THEN 70 + (tf.seed + 11*tf.f + 5*tf.t) % 100
+              ELSE 64 + tf.seed % 32 + tf.t END AS sz,
+         CASE WHEN tf.dur_mode = 0
+              THEN 30 + (tf.seed + s.s + tf.f) % 20
+              ELSE 500 + tf.t END AS dur
+  FROM tf, LATERAL (SELECT unnest(range(0, tf.ns)) AS s) s
+),
+soff AS (
+  SELECT event_id,
+         COALESCE(sum(sz) OVER (
+            PARTITION BY event_id, f ORDER BY t, s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS roff,
+         sz, dur
+  FROM smp
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.ntr AS BIGINT) AS n_tracks,
+       CAST(e.nfrag AS BIGINT) AS n_fragments,
+       CAST(e.nfrag * (e.nfrag + 1) // 2 AS BIGINT) AS seq_sum,
+       CAST((SELECT count(*) FROM smp
+              WHERE smp.event_id = e.event_id) AS BIGINT) AS n_samples,
+       CAST((SELECT sum(s2.sz) FROM smp s2
+              WHERE s2.event_id = e.event_id) AS BIGINT) AS sample_bytes,
+       CAST((SELECT sum(s3.roff) FROM soff s3
+              WHERE s3.event_id = e.event_id) AS BIGINT)
+         AS sample_rel_offset_sum,
+       CAST((SELECT sum(1000*t2.f + 37*t2.t + t2.seed % 100) FROM tf t2
+              WHERE t2.event_id = e.event_id) AS BIGINT) AS tfdt_sum,
+       CAST((SELECT sum(s4.dur) FROM smp s4
+              WHERE s4.event_id = e.event_id) AS BIGINT) AS duration_sum,
+       CAST(e.ntr * (e.ntr + 1) // 2 AS BIGINT) AS track_id_sum,
+       'isom' AS brand
+FROM e
+"""
+
+QUERIES_R10["mp4_demux_frag"] = q_mp4_demux_frag
+ORACLES_R10["mp4_demux_frag"] = SQL_MP4_DEMUX_FRAG

@@ -2842,3 +2842,163 @@ def make_mp4_av(seed: int) -> bytes:
              "v1": False, "moov_first": seed % 2 == 0,
              "movie_timescale": 600, "movie_duration": 1000 + seed}
     return _mp4_assemble(rules, tracks, payloads)
+
+
+def mp4_frag_rules(seed: int) -> dict:
+    """Planted geometry for make_mp4_frag (fragmented/DASH shape):
+    1-2 tracks, 2-4 moof+mdat fragments; per (fragment f, track t)
+    run of 2-4 samples whose SIZES come from trun per-sample fields
+    (mode 0), the tfhd default (mode 1) or the trex default (mode 2),
+    with mode = (seed+f+t) % 3 — exercising the full default cascade;
+    durations come from trun (even seed+f+t) or trex (odd). Track 0
+    uses an explicit tfhd base_data_offset on seed % 4 == 0 files,
+    everything else uses default-base-is-moof."""
+    ntr = 1 + seed % 2
+    nfrag = 2 + seed % 3
+    tracks = []
+    for t in range(ntr):
+        tracks.append({
+            "track_id": t + 1,
+            "trex_duration": 500 + t,
+            "trex_size": 64 + seed % 32 + t,
+            "handler": "vide" if t % 2 == 0 else "soun",
+        })
+    frags = []
+    for f in range(nfrag):
+        trafs = []
+        for t in range(ntr):
+            ns = 2 + (seed + f + t) % 3
+            size_mode = (seed + f + t) % 3
+            dur_mode = (seed + f + t) % 2
+            if size_mode == 0:
+                sizes = [50 + (seed * 3 + 13 * s2 + 7 * f + 97 * t) % 150
+                         for s2 in range(ns)]
+            elif size_mode == 1:
+                sizes = [70 + (seed + 11 * f + 5 * t) % 100] * ns
+            else:
+                sizes = [tracks[t]["trex_size"]] * ns
+            if dur_mode == 0:
+                durs = [30 + (seed + s2 + f) % 20 for s2 in range(ns)]
+            else:
+                durs = [tracks[t]["trex_duration"]] * ns
+            trafs.append({
+                "ns": ns, "sizes": sizes, "durs": durs,
+                "size_mode": size_mode, "dur_mode": dur_mode,
+                "tfdt": 1000 * f + 37 * t + seed % 100,
+            })
+        frags.append({"seq": f + 1, "trafs": trafs})
+    return {"ntr": ntr, "nfrag": nfrag, "tracks": tracks,
+            "frags": frags, "explicit_base": seed % 4 == 0,
+            "tfdt_v1": seed % 3 == 0}
+
+
+def make_mp4_frag(seed: int) -> bytes:
+    """Serialize a REAL fragmented MP4 per :func:`mp4_frag_rules`:
+    ftyp, moov (empty sample tables + mvex/trex defaults), then
+    moof+mdat pairs whose truns resolve through the default cascade."""
+    r = mp4_frag_rules(seed)
+    ftyp = _mbox("ftyp", b"isom" + _struct.pack(">I", 0x200)
+                 + b"iso6" + b"msdh")
+    traks = []
+    for t in r["tracks"]:
+        tkhd = _mfull(
+            "tkhd", 0,
+            b"\x00" * 8 + _struct.pack(">I", t["track_id"])
+            + b"\x00" * 4 + _struct.pack(">I", 0)
+            + b"\x00" * 8 + _struct.pack(">hhhh", 0, 0, 0, 0)
+            + _MP4_MATRIX + _struct.pack(">II", 0, 0))
+        mdhd = _mfull("mdhd", 0, b"\x00" * 8
+                      + _struct.pack(">I", 1000)
+                      + _struct.pack(">I", 0)
+                      + _struct.pack(">HH", 0x55C4, 0))
+        hdlr = _mfull("hdlr", 0, b"\x00" * 4
+                      + t["handler"].encode("ascii") + b"\x00" * 12
+                      + b"fixture\x00")
+        entry = (_struct.pack(">I", 16) + b"rawb"
+                 + b"\x00" * 6 + _struct.pack(">H", 1))
+        stbl = _mbox(
+            "stbl",
+            _mfull("stsd", 0, _struct.pack(">I", 1) + entry)
+            + _mfull("stts", 0, _struct.pack(">I", 0))
+            + _mfull("stsc", 0, _struct.pack(">I", 0))
+            + _mfull("stsz", 0, _struct.pack(">II", 0, 0))
+            + _mfull("stco", 0, _struct.pack(">I", 0)))
+        traks.append(_mbox("trak", tkhd + _mbox(
+            "mdia", mdhd + hdlr + _mbox("minf", stbl))))
+    trexes = b"".join(
+        _mfull("trex", 0, _struct.pack(
+            ">IIIII", t["track_id"], 1, t["trex_duration"],
+            t["trex_size"], 0))
+        for t in r["tracks"]
+    )
+    mvhd = _mfull("mvhd", 0, b"\x00" * 8 + _struct.pack(">I", 600)
+                  + _struct.pack(">I", 0)
+                  + _struct.pack(">I", 0x00010000)
+                  + _struct.pack(">H", 0x0100) + b"\x00" * 10
+                  + _MP4_MATRIX + b"\x00" * 24
+                  + _struct.pack(">I", len(r["tracks"]) + 1))
+    moov = _mbox("moov", mvhd + b"".join(traks) + _mbox("mvex", trexes))
+    out = bytearray(ftyp + moov)
+    for fr in r["frags"]:
+        moof_start = len(out)
+        # traf payload layout inside the fragment's mdat: track order
+        rel = 0
+        traf_boxes = []
+        mdat_body = bytearray()
+        for t, tf in enumerate(fr["trafs"]):
+            track = r["tracks"][t]
+            tfhd_flags = 0x020000
+            tfhd_body = _struct.pack(">I", track["track_id"])
+            if r["explicit_base"] and t == 0:
+                tfhd_flags = 0x000001  # explicit base_data_offset
+                tfhd_body += _struct.pack(">Q", moof_start)
+            if tf["size_mode"] == 1:
+                tfhd_flags |= 0x000010
+                tfhd_body += _struct.pack(">I", tf["sizes"][0])
+            tfhd = _mbox("tfhd", bytes([0]) + tfhd_flags.to_bytes(3, "big")
+                         + tfhd_body)
+            tv = 1 if r["tfdt_v1"] else 0
+            tfdt = _mfull("tfdt", tv,
+                          tf["tfdt"].to_bytes(8 if tv else 4, "big"))
+            trun_flags = 0x000001
+            per = b""
+            if tf["dur_mode"] == 0:
+                trun_flags |= 0x000100
+            if tf["size_mode"] == 0:
+                trun_flags |= 0x000200
+            for s2 in range(tf["ns"]):
+                if tf["dur_mode"] == 0:
+                    per += _struct.pack(">I", tf["durs"][s2])
+                if tf["size_mode"] == 0:
+                    per += _struct.pack(">I", tf["sizes"][s2])
+            # data_offset patched below once moof size is known
+            trun = _mbox("trun", bytes([0])
+                         + trun_flags.to_bytes(3, "big")
+                         + _struct.pack(">I", tf["ns"])
+                         + _struct.pack(">i", 0) + per)
+            traf_boxes.append((tfhd + tfdt, trun, rel))
+            for s2 in range(tf["ns"]):
+                sz = tf["sizes"][s2]
+                mdat_body += bytes((seed + rel + j) % 256
+                                   for j in range(sz))
+                rel += sz
+        # assemble moof twice: sizes don't depend on the offset VALUES
+        def build(offsets):
+            trafs = b""
+            for (head, trun, _rel), off in zip(traf_boxes, offsets):
+                patched = bytearray(trun)
+                # box hdr(8) + version/flags(4) + sample_count(4)
+                _struct.pack_into(">i", patched, 16, off)
+                trafs += _mbox("traf", head + bytes(patched))
+            return _mbox("moof", _mfull(
+                "mfhd", 0, _struct.pack(">I", fr["seq"])) + trafs)
+        probe = build([0] * len(traf_boxes))
+        # data_offset is relative to the traf's base: moof start for
+        # default-base-is-moof, or the explicit base (= moof start in
+        # this fixture) — either way mdat body begins at moof_len + 8
+        offsets = [len(probe) + 8 + rel0
+                   for (_h, _t, rel0) in traf_boxes]
+        moof = build(offsets)
+        assert len(moof) == len(probe)
+        out += moof + _mbox("mdat", bytes(mdat_body))
+    return bytes(out)

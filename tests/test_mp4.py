@@ -103,7 +103,8 @@ class TestDemux:
 
     def test_gates(self):
         raw = bytearray(make_mp4(3))
-        with pytest.raises(ValueError, match="fragmented"):
+        # a moof on a non-fragmented file (no mvex/trex defaults)
+        with pytest.raises(ValueError, match="moof before moov/mvex"):
             parse_mp4(bytes(raw) + struct.pack(">I", 8) + b"moof")
         # no ftyp
         size0 = struct.unpack(">I", raw[:4])[0]
@@ -205,3 +206,106 @@ class TestSparkWrappers:
         assert row["decode_error"] is None
         assert row["jpeg_y_sum"] == exp["jpeg_y_sum"]
         assert row["mp3_abs_sum"] == exp["mp3_abs_sum"]
+
+
+class TestFragmented:
+    def test_planted_fragments_recovered(self):
+        from google_analytics_to_s3_spark.operators.mp4 import (
+            mp4_frag_features,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_mp4_frag,
+            mp4_frag_rules,
+        )
+        for seed in range(0, 80):
+            f = mp4_frag_features(make_mp4_frag(seed))
+            r = mp4_frag_rules(seed)
+            flat = [tf for fr in r["frags"] for tf in fr["trafs"]]
+            assert f["n_tracks"] == r["ntr"]
+            assert f["n_fragments"] == r["nfrag"]
+            assert f["seq_sum"] == sum(fr["seq"] for fr in r["frags"])
+            assert f["n_samples"] == sum(tf["ns"] for tf in flat)
+            assert f["sample_bytes"] == sum(
+                sum(tf["sizes"]) for tf in flat)
+            assert f["tfdt_sum"] == sum(tf["tfdt"] for tf in flat)
+            assert f["duration_sum"] == sum(
+                sum(tf["durs"]) for tf in flat)
+            # independent offset replay: runs laid in track order
+            tot = 0
+            for fr in r["frags"]:
+                rel = 0
+                for tf in fr["trafs"]:
+                    for sz in tf["sizes"]:
+                        tot += rel
+                        rel += sz
+            assert f["sample_rel_offset_sum"] == tot, seed
+
+    def test_default_cascade_and_base_modes_covered(self):
+        """The 80-seed sweep must actually hit every size source
+        (trun/tfhd/trex), both duration sources, both base-offset
+        modes and both tfdt versions."""
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            mp4_frag_rules,
+        )
+        size_modes = set()
+        dur_modes = set()
+        bases = set()
+        tfdts = set()
+        for seed in range(80):
+            r = mp4_frag_rules(seed)
+            bases.add(r["explicit_base"])
+            tfdts.add(r["tfdt_v1"])
+            for fr in r["frags"]:
+                for tf in fr["trafs"]:
+                    size_modes.add(tf["size_mode"])
+                    dur_modes.add(tf["dur_mode"])
+        assert size_modes == {0, 1, 2}
+        assert dur_modes == {0, 1}
+        assert bases == {True, False}
+        assert tfdts == {True, False}
+
+    def test_frag_gates(self):
+        import struct as _s
+
+        from google_analytics_to_s3_spark.operators.mp4 import (
+            mp4_frag_features,
+            parse_mp4,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_mp4,
+            make_mp4_frag,
+        )
+        # a non-fragmented file through the frag readout
+        with pytest.raises(ValueError, match="no moof"):
+            mp4_frag_features(make_mp4(5))
+        # unknown track_ID in a traf
+        raw = bytearray(make_mp4_frag(2))
+        idx = bytes(raw).find(b"tfhd")
+        _s.pack_into(">I", raw, idx + 8, 99)
+        with pytest.raises(ValueError, match="trex defaults"):
+            parse_mp4(bytes(raw))
+
+    def test_frag_corruption_fuzz_bounded(self):
+        import random
+        import struct as _s
+        import time
+
+        from google_analytics_to_s3_spark.operators.mp4 import (
+            mp4_frag_features,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_mp4_frag,
+        )
+        base = make_mp4_frag(13)
+        rng = random.Random(0x5555)
+        for trial in range(200):
+            raw = bytearray(base)
+            for _ in range(rng.randrange(1, 4)):
+                raw[rng.randrange(len(raw))] ^= 1 << rng.randrange(8)
+            t0 = time.monotonic()
+            try:
+                mp4_frag_features(bytes(raw))
+            except (ValueError, IndexError, _s.error,
+                    OverflowError, MemoryError):
+                pass
+            assert time.monotonic() - t0 < 5.0, trial
