@@ -1178,3 +1178,141 @@ FROM e
 
 QUERIES_R10["mp4_demux_frag"] = q_mp4_demux_frag
 ORACLES_R10["mp4_demux_frag"] = SQL_MP4_DEMUX_FRAG
+
+
+def q_mp4_decode_av_frag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained codec decode from FRAGMENTED MP4s (r10): the real
+    JPEG and single-frame MP3 samples live in moof fragments, so a
+    green row proves trun resolution (default-base-is-moof, per-run
+    prefix sums) hands the codecs the exact payload bytes across
+    fragment boundaries. Same decoded-sum oracle discipline as
+    mp4_decode_av. Lane id % 10 == 5."""
+    from ..operators.mp4 import decode_mp4_av_features
+    return _mp4_payload_query(spark, sf_dir, 5, "make_mp4_av_frag",
+                              decode_mp4_av_features)
+
+
+def _mp4_av_frag_oracle_sql() -> str:
+    from ..testing.fixtures import (
+        JPEG_AC_TEMPLATES, jpeg_template_round_sums,
+    )
+
+    rs = jpeg_template_round_sums()
+    n_t = len(JPEG_AC_TEMPLATES)
+    rs_arr = "[" + ", ".join(f"{v}::BIGINT" for v in rs) + "]"
+    return f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed, 2 + event_id % 1000 % 2 AS nf
+  FROM events WHERE event_id % {_FLAC_MOD} = 5
+),
+cnt AS (
+  SELECT e.event_id, e.seed,
+         CAST(sum(1 + (e.seed + f.f) % 2) AS BIGINT) AS nv,
+         CAST(sum(1 + (e.seed + 3*f.f + 1) % 2) AS BIGINT) AS na
+  FROM e, LATERAL (SELECT unnest(range(0, e.nf)) AS f) f
+  GROUP BY 1, 2
+),
+jb AS (
+  SELECT c.event_id,
+         64 * (128 + ((sj.sj*7 + b.b*13) % 121) - 60)
+         + {rs_arr}[(sj.sj + b.b) % {n_t} + 1] AS bsum
+  FROM cnt c,
+       LATERAL (SELECT unnest(range(0, c.nv)) AS j) j,
+       LATERAL (SELECT (c.seed*31 + 7*j.j) % 1000 AS sj) sj,
+       LATERAL (SELECT unnest(range(0, 4)) AS b) b
+),
+ag AS (
+  SELECT c.event_id, c.seed, sa.sa, gr.gr,
+         48 + (sa.sa*3 + gr.gr*11) % 16 AS bv,
+         120 + (sa.sa*7 + gr.gr*29) % 100 AS gg,
+         (sa.sa + gr.gr) % 2 AS sfs,
+         4 + (sa.sa + gr.gr) % 4 AS nq,
+         sa.sa % 16 AS scfsi
+  FROM cnt c,
+       LATERAL (SELECT unnest(range(0, c.na)) AS j) j,
+       LATERAL (SELECT (c.seed*17 + 5*j.j) % 1000 AS sa) sa,
+       LATERAL (SELECT unnest(range(0, 2)) AS gr) gr
+),
+sfb(band, lo, hi) AS (VALUES
+  (0,0,4),(1,4,8),(2,8,12),(3,12,16),(4,16,20),(5,20,24),(6,24,30),
+  (7,30,36),(8,36,44),(9,44,52),(10,52,62),(11,62,74),(12,74,90),
+  (13,90,110),(14,110,134),(15,134,162),(16,162,196),(17,196,238),
+  (18,238,288),(19,288,342),(20,342,418)),
+asf AS (
+  SELECT ag.event_id, ag.sa, ag.gr, s.band, s.lo, s.hi,
+         CASE WHEN ag.gr = 1 AND sh.shared = 1
+              THEN (ag.sa + 3*s.band) % 4
+              ELSE (ag.sa + 3*s.band + 17*ag.gr) % 4 END AS sfac,
+         CASE WHEN ag.gr = 1 AND sh.shared = 1 THEN 0 ELSE 2
+              END AS txbits
+  FROM ag, sfb s,
+       LATERAL (SELECT CASE WHEN s.band < 6 THEN (ag.scfsi // 8) % 2
+                            WHEN s.band < 11 THEN (ag.scfsi // 4) % 2
+                            WHEN s.band < 16 THEN (ag.scfsi // 2) % 2
+                            ELSE ag.scfsi % 2 END AS shared) sh
+),
+alines AS (
+  SELECT ag.event_id, ag.sa, ag.gr, ag.gg, ag.sfs, i.i,
+         ((ag.sa + 3*ag.gr + 7*i.i) % 3) - 1 AS v, 0 AS is_c1
+  FROM ag, LATERAL (SELECT unnest(range(0, 90)) AS i) i
+  UNION ALL
+  SELECT ag.event_id, ag.sa, ag.gr, ag.gg, ag.sfs, i.i,
+         ((ag.sa + 7*ag.gr + 3*i.i) % 3) - 1 AS v, 1 AS is_c1
+  FROM ag, LATERAL (SELECT unnest(range(2*ag.bv, 2*ag.bv + 4*ag.nq)) AS i) i
+),
+alv AS (
+  SELECT l.*, COALESCE(asf.sfac, 0) AS sfac
+  FROM alines l LEFT JOIN asf
+    ON asf.event_id = l.event_id AND asf.sa = l.sa AND asf.gr = l.gr
+   AND l.i >= asf.lo AND l.i < asf.hi
+),
+apair AS (
+  SELECT ag.event_id, ag.sa, ag.gr,
+         sum(CASE WHEN p.x = 0 AND p.y = 0 THEN 1
+                  WHEN p.x = 1 AND p.y = 0 THEN 2
+                  ELSE 3 END + p.x + p.y) AS hb
+  FROM ag,
+       LATERAL (SELECT unnest(range(0, 45)) AS k) k,
+       LATERAL (SELECT
+         abs(((ag.sa + 3*ag.gr + 14*k.k) % 3) - 1) AS x,
+         abs(((ag.sa + 3*ag.gr + 14*k.k + 7) % 3) - 1) AS y) p
+  GROUP BY 1, 2, 3
+),
+agran AS (
+  SELECT ag.event_id, ag.sa, ag.gr,
+         (SELECT sum(asf.txbits) FROM asf
+           WHERE asf.event_id = ag.event_id AND asf.sa = ag.sa
+             AND asf.gr = ag.gr)
+         + ap.hb + 4 * ag.nq
+         + (SELECT sum(abs(l.v)) FROM alines l
+             WHERE l.event_id = ag.event_id AND l.sa = ag.sa
+               AND l.gr = ag.gr AND l.is_c1 = 1) AS p23
+  FROM ag JOIN apair ap
+    ON ap.event_id = ag.event_id AND ap.sa = ag.sa AND ap.gr = ag.gr
+),
+aagg AS (
+  SELECT alv.event_id,
+         sum(abs(alv.v)) AS abs_sum,
+         sum(CASE WHEN alv.v > 0 THEN 1 WHEN alv.v < 0 THEN -1 ELSE 0 END
+             * ((alv.gg - 210) - 2*(alv.sfs + 1)*alv.sfac)) AS exp_sum,
+         sum(CASE WHEN alv.v <> 0 THEN 1 ELSE 0 END) AS nonzero
+  FROM alv GROUP BY 1
+)
+SELECT c.event_id AS doc_id,
+       CAST(c.nv AS BIGINT) AS n_video_samples,
+       CAST(c.na AS BIGINT) AS n_audio_samples,
+       CAST(0 AS BIGINT) AS gated_tracks,
+       CAST((SELECT sum(jb.bsum) FROM jb
+              WHERE jb.event_id = c.event_id) AS BIGINT) AS jpeg_y_sum,
+       CAST(256 * c.nv AS BIGINT) AS jpeg_px,
+       CAST(a.abs_sum AS BIGINT) AS mp3_abs_sum,
+       CAST(a.exp_sum AS BIGINT) AS mp3_exp_sum,
+       CAST(a.nonzero AS BIGINT) AS mp3_nonzero,
+       CAST((SELECT sum(g.p23) FROM agran g
+              WHERE g.event_id = c.event_id) AS BIGINT) AS mp3_part23_bits
+FROM cnt c JOIN aagg a ON a.event_id = c.event_id
+"""
+
+
+QUERIES_R10["mp4_decode_av_frag"] = q_mp4_decode_av_frag
+ORACLES_R10["mp4_decode_av_frag"] = _mp4_av_frag_oracle_sql()

@@ -3002,3 +3002,104 @@ def make_mp4_frag(seed: int) -> bytes:
         assert len(moof) == len(probe)
         out += moof + _mbox("mdat", bytes(mdat_body))
     return bytes(out)
+
+
+def mp4_av_frag_rules(seed: int) -> dict:
+    """Planted A/V geometry for make_mp4_av_frag: a fragmented MP4
+    whose video track carries REAL baseline JPEGs and audio track
+    REAL single-frame MP3s, split across 2-3 moof fragments with 1-2
+    samples per track per fragment. Global sample j of a track uses
+    the same per-sample seed rules as make_mp4_av."""
+    nfrag = 2 + seed % 2
+    nv = [1 + (seed + f) % 2 for f in range(nfrag)]
+    na = [1 + (seed + 3 * f + 1) % 2 for f in range(nfrag)]
+    tot_v, tot_a = sum(nv), sum(na)
+    return {
+        "nfrag": nfrag, "nv": nv, "na": na,
+        "v_seed": [(seed * 31 + 7 * j) % 1000 for j in range(tot_v)],
+        "a_seed": [(seed * 17 + 5 * j) % 1000 for j in range(tot_a)],
+    }
+
+
+def make_mp4_av_frag(seed: int) -> bytes:
+    r = mp4_av_frag_rules(seed)
+    v_payloads = [make_jpeg_baseline(sj) for sj in r["v_seed"]]
+    a_payloads = [make_mp3(sa, n_frames=1, reservoir=False)
+                  for sa in r["a_seed"]]
+    ftyp = _mbox("ftyp", b"isom" + _struct.pack(">I", 0x200)
+                 + b"iso6" + b"msdh")
+    traks = []
+    for track_id, handler, fmt, ts in ((1, "vide", "jpeg", 90000),
+                                       (2, "soun", ".mp3", 44100)):
+        tkhd = _mfull(
+            "tkhd", 0,
+            b"\x00" * 8 + _struct.pack(">I", track_id) + b"\x00" * 4
+            + _struct.pack(">I", 0) + b"\x00" * 8
+            + _struct.pack(">hhhh", 0, 0, 0, 0) + _MP4_MATRIX
+            + _struct.pack(">II", 16 << 16 if fmt == "jpeg" else 0,
+                           16 << 16 if fmt == "jpeg" else 0))
+        mdhd = _mfull("mdhd", 0, b"\x00" * 8 + _struct.pack(">I", ts)
+                      + _struct.pack(">I", 0)
+                      + _struct.pack(">HH", 0x55C4, 0))
+        hdlr = _mfull("hdlr", 0, b"\x00" * 4 + handler.encode("ascii")
+                      + b"\x00" * 12 + b"fixture\x00")
+        entry = (_struct.pack(">I", 16) + fmt.encode("ascii")
+                 + b"\x00" * 6 + _struct.pack(">H", 1))
+        stbl = _mbox(
+            "stbl",
+            _mfull("stsd", 0, _struct.pack(">I", 1) + entry)
+            + _mfull("stts", 0, _struct.pack(">I", 0))
+            + _mfull("stsc", 0, _struct.pack(">I", 0))
+            + _mfull("stsz", 0, _struct.pack(">II", 0, 0))
+            + _mfull("stco", 0, _struct.pack(">I", 0)))
+        traks.append(_mbox("trak", tkhd + _mbox(
+            "mdia", mdhd + hdlr + _mbox("minf", stbl))))
+    trexes = b"".join(
+        _mfull("trex", 0, _struct.pack(">IIIII", tid, 1, dur, 0, 0))
+        for tid, dur in ((1, 3000), (2, 1152)))
+    mvhd = _mfull("mvhd", 0, b"\x00" * 8 + _struct.pack(">I", 600)
+                  + _struct.pack(">I", 0)
+                  + _struct.pack(">I", 0x00010000)
+                  + _struct.pack(">H", 0x0100) + b"\x00" * 10
+                  + _MP4_MATRIX + b"\x00" * 24 + _struct.pack(">I", 3))
+    out = bytearray(ftyp + _mbox(
+        "moov", mvhd + b"".join(traks) + _mbox("mvex", trexes)))
+    vi = ai = 0
+    for f in range(r["nfrag"]):
+        runs = [(1, [v_payloads[vi + i] for i in range(r["nv"][f])]),
+                (2, [a_payloads[ai + i] for i in range(r["na"][f])])]
+        vi += r["nv"][f]
+        ai += r["na"][f]
+        mdat_body = bytearray()
+        trafs = []
+        rel = 0
+        for tid, payloads in runs:
+            sizes = [len(p) for p in payloads]
+            tfhd = _mbox("tfhd", bytes([0])
+                         + (0x020000).to_bytes(3, "big")
+                         + _struct.pack(">I", tid))
+            trun = _mbox("trun", bytes([0])
+                         + (0x000201).to_bytes(3, "big")
+                         + _struct.pack(">I", len(payloads))
+                         + _struct.pack(">i", 0)
+                         + b"".join(_struct.pack(">I", sz)
+                                    for sz in sizes))
+            trafs.append((tfhd, trun, rel))
+            for pl in payloads:
+                mdat_body += pl
+                rel += len(pl)
+
+        def build(offsets):
+            bs = b""
+            for (tfhd, trun, _r0), off in zip(trafs, offsets):
+                patched = bytearray(trun)
+                _struct.pack_into(">i", patched, 16, off)
+                bs += _mbox("traf", tfhd + bytes(patched))
+            return _mbox("moof", _mfull(
+                "mfhd", 0, _struct.pack(">I", f + 1)) + bs)
+
+        probe = build([0] * len(trafs))
+        moof = build([len(probe) + 8 + r0 for (_a, _b, r0) in trafs])
+        assert len(moof) == len(probe)
+        out += moof + _mbox("mdat", bytes(mdat_body))
+    return bytes(out)

@@ -309,3 +309,27 @@ class TestFragmented:
                     OverflowError, MemoryError):
                 pass
             assert time.monotonic() - t0 < 5.0, trial
+
+    def test_av_frag_chained_decode_parity(self):
+        """Real JPEG/MP3 samples inside moof fragments decode to the
+        same sums as the standalone decoders."""
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_mp4_av_frag,
+            mp4_av_frag_rules,
+        )
+        rs = jpeg_template_round_sums()
+        for seed in range(0, 30):
+            r = mp4_av_frag_rules(seed)
+            d = mp4_decode_av(make_mp4_av_frag(seed))
+            assert d["n_video_samples"] == sum(r["nv"])
+            assert d["n_audio_samples"] == sum(r["na"])
+            yj = 0
+            for sj in r["v_seed"]:
+                for b in range(4):
+                    dc = ((sj * 7 + b * 13) % 121) - 60
+                    yj += 64 * (128 + dc) + rs[(sj + b) % 5]
+            assert d["jpeg_y_sum"] == yj
+            exp = [parse_mp3(make_mp3(sa, n_frames=1, reservoir=False))
+                   for sa in r["a_seed"]]
+            assert d["mp3_abs_sum"] == sum(
+                m["spectral_abs_sum"] for m in exp)
