@@ -30,14 +30,22 @@ so that xr = sign(is) * |is|^(4/3) * 2^(E/4) (§2.4.3.4) — rather
 than as irrational 2^(E/4) floats; every readout column is
 exact-integer and DuckDB-replayable.
 
+MPEG-2 (LSF, ISO/IEC 13818-3) decodes as of r10: version bits 10,
+halved frame constant, the LSF bitrate/rate tables, 9/17-byte side
+info (8-bit main_data_begin, ONE granule, no scfsi, no preflag,
+9-bit scalefac_compress — the field widths sum exactly to the spec's
+side-info sizes, pinning the layout), the first scalefac_compress
+class (< 400: slen quadruple over (6,5,5,5) band groups) and the
+22.05 kHz Table B.2 band widths.
+
 Honestly gated (named ValueError, quarantined by the Spark wrapper —
-one bad payload never fails the batch): MPEG-2/2.5 headers, Layers
+one bad payload never fails the batch): MPEG-2.5 headers, Layers
 I/II, free-form and reserved bitrates, CRC-protected frames,
 joint/dual-channel stereo, short/mixed blocks (window_switching),
 big-value Huffman tables other than 0/1 (the spec's other 30 code
-tables incl. the linbits ESC tables), count1 table A, and sfb-width
-tables for rates other than 44100 Hz (only the Table B.8 44.1 kHz
-long-block widths are embedded).
+tables incl. the linbits ESC tables), count1 table A, LSF
+scalefac_compress classes >= 400 (intensity-oriented), and sfb-width
+tables for rates other than 44.1/22.05 kHz.
 
 Payloads are synthesized by testing/fixtures.make_mp3, which PLANTS
 deterministic integer spectra/scalefactors; the DuckDB oracle
@@ -101,8 +109,15 @@ class _MBits:
 _BITRATE_KBPS = [None, 32, 40, 48, 56, 64, 80, 96, 112, 128,
                  160, 192, 224, 256, 320, None]
 
+# ISO/IEC 13818-3: MPEG-2 (LSF) Layer III bitrate table.
+_BITRATE_KBPS_LSF = [None, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+                     96, 112, 128, 144, 160, None]
+
 # §2.4.2.3: sampling_frequency index (MPEG-1); index 3 reserved.
 _SAMPLE_RATES = [44100, 48000, 32000, None]
+
+# ISO/IEC 13818-3: MPEG-2 rates are the MPEG-1 rates halved.
+_SAMPLE_RATES_LSF = [22050, 24000, 16000, None]
 
 # Table B.6: scalefac_compress -> (slen1, slen2).
 _SLEN = [(0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2),
@@ -117,6 +132,17 @@ _SFB_BOUNDS_44100 = [0]
 for _wd in _SFB_WIDTHS_44100:
     _SFB_BOUNDS_44100.append(_SFB_BOUNDS_44100[-1] + _wd)
 assert _SFB_BOUNDS_44100[-1] == 576
+
+# ISO/IEC 13818-3 Table B.2: long-block scalefactor band widths at
+# 22.05 kHz (LSF) — 21 scalefactored bands + the rest region.
+_SFB_WIDTHS_22050 = [6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 20, 24,
+                     28, 32, 38, 46, 52, 60, 68, 58, 54]
+_SFB_BOUNDS_22050 = [0]
+for _wd in _SFB_WIDTHS_22050:
+    _SFB_BOUNDS_22050.append(_SFB_BOUNDS_22050[-1] + _wd)
+assert _SFB_BOUNDS_22050[-1] == 576
+
+_SFB_BOUNDS = {44100: _SFB_BOUNDS_44100, 22050: _SFB_BOUNDS_22050}
 
 # Table B.6 pretab (preflag emphasis per band, bands 0-21).
 _PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3,
@@ -159,8 +185,11 @@ def _parse_header(b: bytes) -> dict:
     if (word >> 21) & 0x7FF != 0x7FF:
         raise ValueError("MP3 frame sync missing")
     version = (word >> 19) & 0x3
-    if version != 0b11:
-        raise ValueError(f"only MPEG-1 supported (version bits {version:02b})")
+    if version == 0b00:
+        raise ValueError("MPEG-2.5 unsupported (version bits 00)")
+    if version == 0b01:
+        raise ValueError("reserved MPEG version bits 01")
+    lsf = version == 0b10  # MPEG-2 low-sampling-frequency profile
     layer = (word >> 17) & 0x3
     if layer != 0b01:
         raise ValueError(f"only Layer III supported (layer bits {layer:02b})")
@@ -168,11 +197,11 @@ def _parse_header(b: bytes) -> dict:
     if protection == 0:
         raise ValueError("CRC-protected MP3 frames unsupported")
     bitrate_index = (word >> 12) & 0xF
-    kbps = _BITRATE_KBPS[bitrate_index]
+    kbps = (_BITRATE_KBPS_LSF if lsf else _BITRATE_KBPS)[bitrate_index]
     if kbps is None:
         raise ValueError(f"free/reserved bitrate index {bitrate_index}")
     sr_index = (word >> 10) & 0x3
-    rate = _SAMPLE_RATES[sr_index]
+    rate = (_SAMPLE_RATES_LSF if lsf else _SAMPLE_RATES)[sr_index]
     if rate is None:
         raise ValueError("reserved sample-rate index 3")
     padding = (word >> 9) & 0x1
@@ -182,25 +211,38 @@ def _parse_header(b: bytes) -> dict:
     if mode == 0b10:
         raise ValueError("dual-channel MP3 unsupported")
     nch = 1 if mode == 0b11 else 2
-    # §2.4.3.1: Layer III frame length in bytes.
-    frame_len = (144 * kbps * 1000) // rate + padding
+    # §2.4.3.1: Layer III frame length in bytes (LSF frames carry 576
+    # samples instead of 1152, so the constant halves to 72).
+    frame_len = ((72 if lsf else 144) * kbps * 1000) // rate + padding
     return {
         "kbps": kbps, "rate": rate, "padding": padding,
         "mode": mode, "nch": nch, "frame_len": frame_len,
+        "lsf": lsf,
     }
 
 
-def _parse_side_info(b: bytes, nch: int) -> dict:
-    """§2.4.1.7 (MPEG-1): 17 bytes mono / 32 bytes stereo."""
-    need = 17 if nch == 1 else 32
+def _parse_side_info(b: bytes, nch: int, lsf: bool = False) -> dict:
+    """§2.4.1.7 (MPEG-1: 17/32 bytes, 9-bit main_data_begin, scfsi,
+    two granules) and ISO 13818-3 LSF (9/17 bytes, 8-bit
+    main_data_begin, NO scfsi, ONE granule, 9-bit scalefac_compress,
+    no preflag bit — the field widths sum exactly to the 9/17-byte
+    sizes, which pins the layout)."""
+    if lsf:
+        need = 9 if nch == 1 else 17
+    else:
+        need = 17 if nch == 1 else 32
     if len(b) < need:
         raise ValueError("truncated MP3 side info")
     br = _MBits(b[:need])
-    main_data_begin = br.read(9)
-    br.read(5 if nch == 1 else 3)  # private_bits
-    scfsi = [[br.read1() for _ in range(4)] for _ in range(nch)]
+    main_data_begin = br.read(8 if lsf else 9)
+    if lsf:
+        br.read(1 if nch == 1 else 2)  # private_bits
+        scfsi = [[0, 0, 0, 0] for _ in range(nch)]
+    else:
+        br.read(5 if nch == 1 else 3)  # private_bits
+        scfsi = [[br.read1() for _ in range(4)] for _ in range(nch)]
     granules: list[list[dict]] = []
-    for _gr in range(2):
+    for _gr in range(1 if lsf else 2):
         chs = []
         for _ch in range(nch):
             g: dict = {}
@@ -209,7 +251,7 @@ def _parse_side_info(b: bytes, nch: int) -> dict:
             if g["big_values"] * 2 > 576:
                 raise ValueError(f"big_values {g['big_values']} exceeds 288")
             g["global_gain"] = br.read(8)
-            g["scalefac_compress"] = br.read(4)
+            g["scalefac_compress"] = br.read(9 if lsf else 4)
             ws = br.read1()
             if ws:
                 raise ValueError(
@@ -218,7 +260,7 @@ def _parse_side_info(b: bytes, nch: int) -> dict:
             g["table_select"] = [br.read(5) for _ in range(3)]
             g["region0_count"] = br.read(4)
             g["region1_count"] = br.read(3)
-            g["preflag"] = br.read1()
+            g["preflag"] = 0 if lsf else br.read1()
             g["scalefac_scale"] = br.read1()
             g["count1table_select"] = br.read1()
             if g["count1table_select"] != 1:
@@ -252,6 +294,28 @@ def _read_scalefactors(br: _MBits, g: dict, scfsi_ch: list[int],
             for b in bands:
                 sf[b] = br.read(slen) if slen else 0
                 bits += slen
+    return sf, bits
+
+
+def _read_scalefactors_lsf(br: _MBits, g: dict) -> tuple[list[int], int]:
+    """ISO 13818-3 §2.4.3.2, non-intensity channels, first
+    scalefac_compress class (< 400): slen = ((sc/16)/5, (sc/16)%5,
+    (sc%16)/4, sc%4) over band groups of (6, 5, 5, 5) long-block
+    scalefactor bands. The 400-499 and 500-511 classes are honestly
+    gated (named error)."""
+    sc = g["scalefac_compress"]
+    if sc >= 400:
+        raise ValueError(
+            f"LSF scalefac_compress class {sc} >= 400 unsupported"
+        )
+    slen = (sc // 16 // 5, (sc // 16) % 5, (sc % 16) // 4, sc % 4)
+    groups = (6, 5, 5, 5)
+    sf = []
+    bits = 0
+    for n, sl in zip(groups, slen):
+        for _ in range(n):
+            sf.append(br.read(sl) if sl else 0)
+            bits += sl
     return sf, bits
 
 
@@ -300,17 +364,22 @@ def _decode_count1_quad(br: _MBits) -> tuple[list[int], int]:
 
 
 def _decode_granule(br: _MBits, g: dict, scfsi_ch: list[int], gr: int,
-                    prev_sf: list[int] | None, rate: int) -> dict:
+                    prev_sf: list[int] | None, rate: int,
+                    lsf: bool = False) -> dict:
     """Decode one granule's main data: scalefactors then the
     big_values / count1 Huffman spectrum, exactly part2_3_length
     bits. Returns integer features + the scalefactors (for scfsi)."""
     start = br.pos
-    sf, _sf_bits = _read_scalefactors(br, g, scfsi_ch, gr, prev_sf)
-    if rate != 44100:
+    if lsf:
+        sf, _sf_bits = _read_scalefactors_lsf(br, g)
+    else:
+        sf, _sf_bits = _read_scalefactors(br, g, scfsi_ch, gr, prev_sf)
+    bounds = _SFB_BOUNDS.get(rate)
+    if bounds is None:
         raise ValueError(
-            f"sfb width table for {rate} Hz not embedded (44.1 kHz only)"
+            f"sfb width table for {rate} Hz not embedded"
+            " (44.1/22.05 kHz only)"
         )
-    bounds = _SFB_BOUNDS_44100
     r0 = g["region0_count"] + 1
     r1 = r0 + g["region1_count"] + 1
     if r1 >= len(bounds):
@@ -425,12 +494,13 @@ def _walk_granules(raw: bytes):
         hdr = _parse_header(raw[pos:pos + 4])
         if first is None:
             first = hdr
-        elif (hdr["rate"], hdr["nch"]) != (first["rate"], first["nch"]):
+        elif (hdr["rate"], hdr["nch"], hdr["lsf"]) != (
+                first["rate"], first["nch"], first["lsf"]):
             raise ValueError("sample rate / channel mode changed mid-stream")
         frame = raw[pos:pos + hdr["frame_len"]]
         if len(frame) < hdr["frame_len"]:
             raise ValueError("truncated MP3 frame")
-        side = _parse_side_info(frame[4:], hdr["nch"])
+        side = _parse_side_info(frame[4:], hdr["nch"], lsf=hdr["lsf"])
         mdb = side["main_data_begin"]
         if mdb > len(reservoir):
             raise ValueError("bit reservoir underflow")
@@ -438,11 +508,12 @@ def _walk_granules(raw: bytes):
         reservoir.extend(frame[4 + side["side_bytes"]:])
         br = _MBits(bytes(reservoir), start_bit=start_byte * 8)
         prev_sf: list[list[int] | None] = [None] * hdr["nch"]
-        for gr in range(2):
+        for gr in range(len(side["granules"])):
             for ch in range(hdr["nch"]):
                 g = side["granules"][gr][ch]
                 d = _decode_granule(br, g, side["scfsi"][ch], gr,
-                                    prev_sf[ch], hdr["rate"])
+                                    prev_sf[ch], hdr["rate"],
+                                    lsf=hdr["lsf"])
                 prev_sf[ch] = d["sf"]
                 yield hdr, mdb if (gr, ch) == (0, 0) else 0, gr, ch, g, d
         n_frames += 1

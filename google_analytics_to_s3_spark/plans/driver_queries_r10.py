@@ -1316,3 +1316,162 @@ FROM cnt c JOIN aagg a ON a.event_id = c.event_id
 
 QUERIES_R10["mp4_decode_av_frag"] = q_mp4_decode_av_frag
 ORACLES_R10["mp4_decode_av_frag"] = _mp4_av_frag_oracle_sql()
+
+
+def q_mp3_decode_lsf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-2 (LSF) Layer III driver-checked (r10): 22.05 kHz mono
+    streams with ONE granule per frame, 9-byte side info (8-bit
+    main_data_begin, no scfsi, no preflag — the field widths sum
+    exactly to 9 bytes, pinning the layout), 9-bit scalefac_compress
+    with the first-class four-slen derivation over (6,5,5,5) band
+    groups, the 22.05 kHz Table B.2 band widths, and the same bit
+    reservoir mechanics. The oracle replays every planted rule incl.
+    slen-truncated scalefactors, part2_3 accounting and reservoir
+    pointers. Lane id % 10 == 7."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.mp3 import decode_mp3_features
+    from ..testing.fixtures import make_mp3_lsf
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 7
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_mp3_lsf(int(i) % 1000, n_frames=2 + int(i) % 3)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_mp3_features(payloads).drop("decode_error")
+
+
+def _mp3_lsf_oracle_sql() -> str:
+    bounds = [0]
+    for w in (6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32,
+              38, 46, 52, 60, 68, 58, 54):
+        bounds.append(bounds[-1] + w)
+    sfb_rows = ", ".join(
+        f"({b}, {bounds[b]}, {bounds[b + 1]})" for b in range(21)
+    )
+    return f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed, 2 + event_id % 3 AS nf
+  FROM events WHERE event_id % {_FLAC_MOD} = 7
+),
+sfb(band, lo, hi) AS (VALUES {sfb_rows}),
+g AS (
+  SELECT e.event_id, e.seed, e.nf, f.f,
+         (e.seed*7 + f.f*3) % 400 AS sc,
+         48 + (e.seed*3 + f.f*7) % 16 AS bv,
+         120 + (e.seed*7 + f.f*13) % 100 AS gg,
+         (e.seed + f.f) % 2 AS sfs,
+         4 + (e.seed + f.f) % 4 AS nq
+  FROM e, LATERAL (SELECT unnest(range(0, e.nf)) AS f) f
+),
+gs AS (
+  SELECT g.*,
+         (g.sc // 16) // 5 AS s0, (g.sc // 16) % 5 AS s1,
+         (g.sc % 16) // 4 AS s2, g.sc % 4 AS s3
+  FROM g
+),
+-- slen-truncated transmitted scalefactors over (6,5,5,5) groups
+sf AS (
+  SELECT gs.event_id, gs.f, b.band, b.lo, b.hi,
+         ((gs.seed + 3*b.band + 5*gs.f) % 16)
+           % (1 << (CASE WHEN b.band < 6 THEN gs.s0
+                         WHEN b.band < 11 THEN gs.s1
+                         WHEN b.band < 16 THEN gs.s2
+                         ELSE gs.s3 END)) AS sfac
+  FROM gs, sfb b
+),
+lines AS (
+  SELECT g.event_id, g.f, g.gg, g.sfs, i.i,
+         ((g.seed + 5*g.f + 7*i.i) % 3) - 1 AS v, 0 AS is_c1
+  FROM g, LATERAL (SELECT unnest(range(0, 2*g.bv)) AS i) i
+  UNION ALL
+  SELECT g.event_id, g.f, g.gg, g.sfs, i.i,
+         ((g.seed + 11*g.f + 3*i.i) % 3) - 1 AS v, 1 AS is_c1
+  FROM g, LATERAL (SELECT unnest(range(2*g.bv, 2*g.bv + 4*g.nq)) AS i) i
+),
+lv AS (
+  SELECT l.*, COALESCE(sf.sfac, 0) AS sfac
+  FROM lines l LEFT JOIN sf
+    ON sf.event_id = l.event_id AND sf.f = l.f
+   AND l.i >= sf.lo AND l.i < sf.hi
+),
+pairbits AS (
+  SELECT g.event_id, g.f,
+         sum(CASE WHEN p.x = 0 AND p.y = 0 THEN 1
+                  WHEN p.x = 1 AND p.y = 0 THEN 2
+                  ELSE 3 END + p.x + p.y) AS hb
+  FROM g,
+       LATERAL (SELECT unnest(range(0, g.bv)) AS k) k,
+       LATERAL (SELECT
+         abs(((g.seed + 5*g.f + 14*k.k) % 3) - 1) AS x,
+         abs(((g.seed + 5*g.f + 14*k.k + 7) % 3) - 1) AS y) p
+  GROUP BY 1, 2
+),
+granbits AS (
+  SELECT gs.event_id, gs.f,
+         6*gs.s0 + 5*gs.s1 + 5*gs.s2 + 5*gs.s3
+         + pb.hb + 4 * gs.nq
+         + (SELECT sum(abs(l.v)) FROM lines l
+             WHERE l.event_id = gs.event_id AND l.f = gs.f
+               AND l.is_c1 = 1) AS p23
+  FROM gs JOIN pairbits pb
+    ON pb.event_id = gs.event_id AND pb.f = gs.f
+),
+resv AS (
+  SELECT gb.event_id,
+         sum(CASE WHEN gb.f >= 1
+                  THEN least((gb.p23 + 7) // 8,
+                             64 + (e.seed + 37*gb.f) % 128)
+                  ELSE 0 END) AS mdb
+  FROM granbits gb JOIN e ON e.event_id = gb.event_id
+  GROUP BY 1
+),
+agg AS (
+  SELECT lv.event_id,
+         sum(abs(lv.v)) AS abs_sum,
+         sum(lv.v) AS signed_sum,
+         sum(CASE WHEN lv.is_c1 = 1 THEN abs(lv.v) ELSE 0 END) AS c1_abs,
+         sum(CASE WHEN lv.v > 0 THEN 1 WHEN lv.v < 0 THEN -1 ELSE 0 END
+             * ((lv.gg - 210) - 2*(lv.sfs + 1)*lv.sfac)) AS exp_sum,
+         sum(CASE WHEN lv.v <> 0 THEN 1 ELSE 0 END) AS nonzero
+  FROM lv GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(22050 AS INTEGER) AS sample_rate_hz,
+       CAST(64 AS INTEGER) AS bitrate_kbps,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(e.nf AS INTEGER) AS n_frames,
+       CAST((SELECT sum(g.bv) FROM g WHERE g.event_id = e.event_id)
+            AS BIGINT) AS big_values_sum,
+       CAST(a.abs_sum AS BIGINT) AS spectral_abs_sum,
+       CAST(a.signed_sum AS BIGINT) AS spectral_signed_sum,
+       CAST(a.c1_abs AS BIGINT) AS count1_abs_sum,
+       CAST((SELECT sum(sf.sfac) FROM sf WHERE sf.event_id = e.event_id)
+            AS BIGINT) AS scalefac_sum,
+       CAST(a.exp_sum AS BIGINT) AS requant_exp_sum,
+       CAST(a.nonzero AS BIGINT) AS nonzero_lines,
+       CAST(r.mdb AS BIGINT) AS reservoir_bytes,
+       CAST((SELECT sum(gb.p23) FROM granbits gb
+              WHERE gb.event_id = e.event_id) AS BIGINT) AS part23_bits
+FROM e JOIN agg a ON a.event_id = e.event_id
+       JOIN resv r ON r.event_id = e.event_id
+"""
+
+
+QUERIES_R10["mp3_decode_lsf"] = q_mp3_decode_lsf
+ORACLES_R10["mp3_decode_lsf"] = _mp3_lsf_oracle_sql()

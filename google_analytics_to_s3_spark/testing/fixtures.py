@@ -3103,3 +3103,144 @@ def make_mp4_av_frag(seed: int) -> bytes:
         assert len(moof) == len(probe)
         out += moof + _mbox("mdat", bytes(mdat_body))
     return bytes(out)
+
+
+def mp3_lsf_granule_rules(seed: int, f: int) -> dict:
+    """Planted per-frame (ONE granule) parameters for LSF (MPEG-2)
+    make_mp3 streams: 9-bit scalefac_compress < 400 (the first LSF
+    class), big_values pairs ALL table-1 coded (the 22.05 kHz region
+    bounds put every planted line inside regions 0/1), nq count1
+    quads. Scalefactor band b transmits
+    ((seed + 3b + 5f) % 16) % 2^slen(group(b))."""
+    return {
+        "scalefac_compress": (seed * 7 + f * 3) % 400,
+        "big_values": 48 + (seed * 3 + f * 7) % 16,
+        "global_gain": 120 + (seed * 7 + f * 13) % 100,
+        "scalefac_scale": (seed + f) % 2,
+        "nq": 4 + (seed + f) % 4,
+        "table_select": [1, 1, 0],
+        "region0_count": 8,
+        "region1_count": 3,
+    }
+
+
+def mp3_lsf_slen(sc: int) -> "tuple[int, int, int, int]":
+    return (sc // 16 // 5, (sc // 16) % 5, (sc % 16) // 4, sc % 4)
+
+
+def mp3_lsf_sf_rule(seed: int, f: int, band: int) -> int:
+    """Pre-truncation scalefactor value; the transmitted value is
+    this mod 2^slen of the band's group."""
+    return (seed + 3 * band + 5 * f) % 16
+
+
+def mp3_lsf_spec_rule(seed: int, f: int, i: int) -> int:
+    return ((seed + 5 * f + 7 * i) % 3) - 1
+
+
+def mp3_lsf_count1_rule(seed: int, f: int, i: int) -> int:
+    return ((seed + 11 * f + 3 * i) % 3) - 1
+
+
+_MP3_LSF_GROUPS = (6, 5, 5, 5)
+
+
+def _mp3_lsf_write_granule(w: "_BitWriter", seed: int, f: int) -> int:
+    """Write one LSF granule's main data; returns part2_3_length."""
+    r = mp3_lsf_granule_rules(seed, f)
+    slen = mp3_lsf_slen(r["scalefac_compress"])
+    bits = 0
+    band = 0
+    for n, sl in zip(_MP3_LSF_GROUPS, slen):
+        for _ in range(n):
+            if sl:
+                w.write(mp3_lsf_sf_rule(seed, f, band) % (1 << sl), sl)
+                bits += sl
+            band += 1
+    for k in range(r["big_values"]):
+        x = mp3_lsf_spec_rule(seed, f, 2 * k)
+        y = mp3_lsf_spec_rule(seed, f, 2 * k + 1)
+        code = _MP3_HUFF1[(abs(x), abs(y))]
+        for c in code:
+            w.write(int(c), 1)
+        bits += len(code)
+        for v in (x, y):
+            if v:
+                w.write(1 if v < 0 else 0, 1)
+                bits += 1
+    line = 2 * r["big_values"]
+    for _q in range(r["nq"]):
+        vals = [mp3_lsf_count1_rule(seed, f, line + j) for j in range(4)]
+        quad = sum(abs(v) << (3 - j) for j, v in enumerate(vals))
+        w.write((~quad) & 0xF, 4)
+        bits += 4
+        for v in vals:
+            if v:
+                w.write(1 if v < 0 else 0, 1)
+                bits += 1
+        line += 4
+    return bits
+
+
+def make_mp3_lsf(seed: int, n_frames: int = 3,
+                 reservoir: bool = True) -> bytes:
+    """Serialize a REAL MPEG-2 (LSF) Layer III stream: 22.05 kHz,
+    64 kbit/s, mono, ONE granule per frame, 9-byte side info with
+    8-bit main_data_begin, 9-bit scalefac_compress (< 400 class, the
+    four-slen derivation), no scfsi, no preflag. Same bit-reservoir
+    exercise as make_mp3."""
+    blobs: "list[bytes]" = []
+    part23: "list[int]" = []
+    for f in range(n_frames):
+        w = _BitWriter()
+        part23.append(_mp3_lsf_write_granule(w, seed, f))
+        w.align()
+        blobs.append(bytes(w.buf))
+    mdb = [0] * n_frames
+    if reservoir:
+        for f in range(1, n_frames):
+            mdb[f] = min(len(blobs[f]), 64 + (seed + 37 * f) % 128)
+    out = bytearray()
+    regions: "list[bytearray]" = []
+    caps: "list[int]" = []
+    frame_len = (72 * 64000) // 22050  # no padding (216 would recur)
+    for f in range(n_frames):
+        cap = frame_len - 4 - 9
+        rest = blobs[f][mdb[f]:]
+        if len(rest) > cap:
+            raise ValueError("fixture main data exceeds frame capacity")
+        region = bytearray(cap)
+        region[:len(rest)] = rest
+        if f >= 1 and mdb[f]:
+            tail = blobs[f][:mdb[f]]
+            prev_used = len(blobs[f - 1]) - mdb[f - 1]
+            if prev_used + len(tail) > caps[f - 1]:
+                raise ValueError("fixture reservoir tail does not fit")
+            regions[f - 1][caps[f - 1] - len(tail):] = tail
+        regions.append(region)
+        caps.append(cap)
+    for f in range(n_frames):
+        # sync(11) version 10, layer 01, prot 1 -> 0xFF 0xF3; bitrate
+        # index 8 (64 kbps LSF), rate index 0 (22050), no padding
+        hdr = bytes([0xFF, 0xF3, (8 << 4) | (0 << 2) | (0 << 1),
+                     (0b11 << 6) | 0b100])
+        w = _BitWriter()
+        w.write(mdb[f], 8)
+        w.write(0, 1)            # private bit (mono)
+        r = mp3_lsf_granule_rules(seed, f)
+        w.write(part23[f], 12)
+        w.write(r["big_values"], 9)
+        w.write(r["global_gain"], 8)
+        w.write(r["scalefac_compress"], 9)
+        w.write(0, 1)            # window_switching: long blocks
+        for t in r["table_select"]:
+            w.write(t, 5)
+        w.write(r["region0_count"], 4)
+        w.write(r["region1_count"], 3)
+        w.write(r["scalefac_scale"], 1)
+        w.write(1, 1)            # count1 table B
+        w.align()
+        side = bytes(w.buf)
+        assert len(side) == 9
+        out += hdr + side + regions[f]
+    return bytes(out)

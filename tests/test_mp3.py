@@ -54,8 +54,15 @@ class TestHeader:
     def test_gates(self):
         with pytest.raises(ValueError, match="sync"):
             _parse_header(bytes([0xFE, 0xFB, 0xA0, 0xC4]))
-        with pytest.raises(ValueError, match="MPEG-1"):
-            _parse_header(bytes([0xFF, 0xF3, 0xA0, 0xC4]))  # MPEG-2
+        # MPEG-2 (LSF) parses as of r10: halved frame constant,
+        # LSF bitrate/rate tables
+        h2 = _parse_header(bytes([0xFF, 0xF3, 0xA0, 0xC4]))
+        assert h2["lsf"] and h2["rate"] == 22050 and h2["kbps"] == 96
+        assert h2["frame_len"] == (72 * 96000) // 22050
+        with pytest.raises(ValueError, match="MPEG-2.5"):
+            _parse_header(bytes([0xFF, 0xE3, 0xA0, 0xC4]))
+        with pytest.raises(ValueError, match="reserved MPEG"):
+            _parse_header(bytes([0xFF, 0xEB, 0xA0, 0xC4]))
         with pytest.raises(ValueError, match="Layer III"):
             _parse_header(bytes([0xFF, 0xFD, 0xA0, 0xC4]))  # Layer II
         with pytest.raises(ValueError, match="CRC-protected"):
@@ -231,7 +238,7 @@ class TestSparkWrapper:
     def test_features_and_quarantine(self, spark):
         good = make_mp3(42, n_frames=2)
         bad = bytearray(good)
-        bad[1] = 0xF3  # MPEG-2 version bits
+        bad[1] = 0xE3  # MPEG-2.5 version bits (00)
         df = spark.createDataFrame(
             [(0, bytearray(good)), (1, bad),
              (2, bytearray(b"not an mp3"))],
@@ -244,7 +251,7 @@ class TestSparkWrapper:
         assert rows[0]["spectral_abs_sum"] == exp["spectral_abs_sum"]
         assert rows[0]["requant_exp_sum"] == exp["requant_exp_sum"]
         assert rows[0]["reservoir_bytes"] == exp["reservoir_bytes"]
-        assert "MPEG-1" in rows[1]["decode_error"]
+        assert "MPEG-2.5" in rows[1]["decode_error"]
         assert rows[1]["spectral_abs_sum"] is None
         assert rows[2]["decode_error"] is not None
 
@@ -342,3 +349,83 @@ class TestSynthesis:
         assert rows[0]["decode_error"] is None
         assert rows[0]["sb_abs_grid_sum"] > 0
         assert rows[1]["decode_error"] is not None
+
+
+class TestLsf:
+    def test_lsf_planted_chain_recovered(self):
+        """MPEG-2 (LSF) streams against an independent replay of the
+        planted rules: slen-truncated scalefactors over (6,5,5,5)
+        groups, 22.05 kHz band bounds, one granule per frame, 8-bit
+        reservoir pointers."""
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_mp3_lsf,
+            mp3_lsf_count1_rule,
+            mp3_lsf_granule_rules,
+            mp3_lsf_sf_rule,
+            mp3_lsf_slen,
+            mp3_lsf_spec_rule,
+        )
+
+        bounds = [0]
+        for w in (6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 20, 24, 28,
+                  32, 38, 46, 52, 60, 68, 58, 54):
+            bounds.append(bounds[-1] + w)
+        for seed in (0, 5, 77, 399, 512, 999):
+            nf = 2 + seed % 3
+            d = parse_mp3(make_mp3_lsf(seed, n_frames=nf))
+            sf_sum = exp = nz = 0
+            for f in range(nf):
+                r = mp3_lsf_granule_rules(seed, f)
+                slen = mp3_lsf_slen(r["scalefac_compress"])
+                sf = []
+                for b in range(21):
+                    sl = slen[0 if b < 6 else 1 if b < 11 else
+                              2 if b < 16 else 3]
+                    sf.append(mp3_lsf_sf_rule(seed, f, b) % (1 << sl)
+                              if sl else 0)
+                sf_sum += sum(sf)
+                gg = r["global_gain"]
+                mult = 2 * (r["scalefac_scale"] + 1)
+                spec = {}
+                for i in range(2 * r["big_values"]):
+                    spec[i] = mp3_lsf_spec_rule(seed, f, i)
+                for i in range(2 * r["big_values"],
+                               2 * r["big_values"] + 4 * r["nq"]):
+                    spec[i] = mp3_lsf_count1_rule(seed, f, i)
+                band = 0
+                for i in sorted(spec):
+                    v = spec[i]
+                    if v == 0:
+                        continue
+                    while bounds[band + 1] <= i:
+                        band += 1
+                    e = (gg - 210) - mult * (sf[band] if band < 21
+                                             else 0)
+                    exp += (1 if v > 0 else -1) * e
+                    nz += 1
+            assert d["sample_rate_hz"] == 22050
+            assert d["n_frames"] == nf
+            assert d["scalefac_sum"] == sf_sum, seed
+            assert d["requant_exp_sum"] == exp, seed
+            assert d["nonzero_lines"] == nz, seed
+
+    def test_lsf_gates(self):
+        """scalefac_compress >= 400 classes and non-22.05 LSF rates
+        stay named gates."""
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_mp3_lsf,
+        )
+        raw = bytearray(make_mp3_lsf(3, n_frames=1, reservoir=False))
+        # rate index 1 (24000): byte 2 bits 3:2
+        raw[2] = (raw[2] & ~0x0C) | (1 << 2)
+        with pytest.raises(ValueError, match="not embedded"):
+            parse_mp3(bytes(raw))
+
+    def test_lsf_mixed_with_mpeg1_gate(self):
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_mp3_lsf,
+        )
+        a = make_mp3(5, n_frames=1, reservoir=False)
+        b = make_mp3_lsf(5, n_frames=1, reservoir=False)
+        with pytest.raises(ValueError, match="changed mid-stream"):
+            parse_mp3(a + b)
