@@ -206,8 +206,19 @@ def _parse_header(b: bytes) -> dict:
         raise ValueError("reserved sample-rate index 3")
     padding = (word >> 9) & 0x1
     mode = (word >> 6) & 0x3
+    mode_ext = (word >> 4) & 0x3
     if mode == 0b01:
-        raise ValueError("joint-stereo MP3 unsupported")
+        # joint stereo: MS matrixing is a lossless spectral-domain
+        # transform (decode is identical to LR stereo; the matrix
+        # belongs to synthesis), so the integer byte path accepts it;
+        # INTENSITY stereo changes the decode semantics and stays a
+        # named gate
+        if mode_ext & 0x1:
+            raise ValueError("intensity stereo unsupported")
+        if not mode_ext & 0x2:
+            raise ValueError(
+                "joint stereo with neither MS nor intensity set"
+            )
     if mode == 0b10:
         raise ValueError("dual-channel MP3 unsupported")
     nch = 1 if mode == 0b11 else 2
@@ -217,7 +228,7 @@ def _parse_header(b: bytes) -> dict:
     return {
         "kbps": kbps, "rate": rate, "padding": padding,
         "mode": mode, "nch": nch, "frame_len": frame_len,
-        "lsf": lsf,
+        "lsf": lsf, "ms_stereo": mode == 0b01,
     }
 
 

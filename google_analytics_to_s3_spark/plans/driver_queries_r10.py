@@ -1475,3 +1475,43 @@ FROM e JOIN agg a ON a.event_id = e.event_id
 
 QUERIES_R10["mp3_decode_lsf"] = q_mp3_decode_lsf
 ORACLES_R10["mp3_decode_lsf"] = _mp3_lsf_oracle_sql()
+
+
+def q_mp3_decode_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MS JOINT-STEREO MP3 driver-checked (r10): mode bits 01 with
+    mode_extension MS=1/intensity=0. MS matrixing is a lossless
+    spectral transform that belongs to synthesis, so the integer byte
+    path decodes the M/S channels exactly like LR stereo — the oracle
+    is the stereo closed form; intensity stereo remains a named gate.
+    Lane id % 10 == 9."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.mp3 import decode_mp3_features
+    from ..testing.fixtures import make_mp3
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 9
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_mp3(int(i) % 1000, n_frames=2 + int(i) % 3,
+                             stereo=True, ms_stereo=True)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_mp3_features(payloads).drop("decode_error")
+
+
+QUERIES_R10["mp3_decode_ms"] = q_mp3_decode_ms
+ORACLES_R10["mp3_decode_ms"] = _mp3_oracle_sql(9, 2)

@@ -2497,6 +2497,7 @@ def make_mp3(
     reservoir: bool = True,
     id3: bool = False,
     synth: bool = False,
+    ms_stereo: bool = False,
 ) -> bytes:
     """Serialize a REAL MPEG-1 Layer III stream (ISO/IEC 11172-3):
     44.1 kHz, 160 kbit/s, mono (or LR stereo), long blocks, Huffman
@@ -2509,6 +2510,8 @@ def make_mp3(
     tag the decoder must skip."""
     if synth and stereo:
         raise ValueError("synth fixtures are mono")
+    if ms_stereo and not stereo:
+        raise ValueError("ms_stereo requires stereo=True")
     nch = 2 if stereo else 1
     side_bytes = 32 if stereo else 17
     # per-frame main-data blobs + the exact part2_3_length values
@@ -2559,10 +2562,12 @@ def make_mp3(
         caps.append(cap)
     for f in range(n_frames):
         pad = (seed + f) % 2
+        mode = 0b11 if nch == 1 else (0b01 if ms_stereo else 0b00)
+        mode_ext = 0b10 if ms_stereo else 0b00  # MS on, intensity off
         hdr = bytes([
             0xFF, 0xFB,
             (10 << 4) | (0 << 2) | (pad << 1),
-            ((0b11 if nch == 1 else 0b00) << 6) | 0b100,
+            (mode << 6) | (mode_ext << 4) | 0b100,
         ])
         w = _BitWriter()
         w.write(mdb[f], 9)

@@ -73,7 +73,11 @@ class TestHeader:
             _parse_header(self._hdr(b2=0xF0))  # forbidden
         with pytest.raises(ValueError, match="sample-rate"):
             _parse_header(self._hdr(b2=0xAC))
-        with pytest.raises(ValueError, match="joint-stereo"):
+        # joint stereo: MS-only accepted (r10), intensity gated
+        assert _parse_header(self._hdr(b3=0x64))["ms_stereo"]
+        with pytest.raises(ValueError, match="intensity"):
+            _parse_header(self._hdr(b3=0x54))
+        with pytest.raises(ValueError, match="neither MS nor"):
             _parse_header(self._hdr(b3=0x44))
         with pytest.raises(ValueError, match="dual-channel"):
             _parse_header(self._hdr(b3=0x84))
@@ -219,10 +223,16 @@ class TestDecode:
         import random
         import time
 
-        base = make_mp3(7, n_frames=3)
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_mp3_lsf,
+        )
+
+        bases = [make_mp3(7, n_frames=3),
+                 make_mp3_lsf(7, n_frames=3),
+                 make_mp3(7, n_frames=2, stereo=True, ms_stereo=True)]
         rng = random.Random(0x3333)
-        for trial in range(300):
-            raw = bytearray(base)
+        for trial in range(420):
+            raw = bytearray(bases[trial % 3])
             for _ in range(rng.randrange(1, 4)):
                 raw[rng.randrange(len(raw))] ^= 1 << rng.randrange(8)
             t0 = time.monotonic()
@@ -429,3 +439,25 @@ class TestLsf:
         b = make_mp3_lsf(5, n_frames=1, reservoir=False)
         with pytest.raises(ValueError, match="changed mid-stream"):
             parse_mp3(a + b)
+
+
+class TestMsStereo:
+    def test_ms_accepted_intensity_gated(self):
+        from google_analytics_to_s3_spark.operators.mp3 import (
+            _parse_header,
+        )
+        # mode 01, mode_ext 10 (MS only) accepted
+        h = _parse_header(bytes([0xFF, 0xFB, 0xA0, 0x60]))
+        assert h["nch"] == 2 and h["ms_stereo"]
+        # intensity bit set -> gate
+        with pytest.raises(ValueError, match="intensity"):
+            _parse_header(bytes([0xFF, 0xFB, 0xA0, 0x50]))
+        with pytest.raises(ValueError, match="neither MS nor"):
+            _parse_header(bytes([0xFF, 0xFB, 0xA0, 0x40]))
+
+    def test_ms_features_equal_lr(self):
+        for seed in (3, 42):
+            lr = parse_mp3(make_mp3(seed, n_frames=2, stereo=True))
+            ms = parse_mp3(make_mp3(seed, n_frames=2, stereo=True,
+                                    ms_stereo=True))
+            assert lr == ms
