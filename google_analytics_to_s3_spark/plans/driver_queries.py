@@ -3015,7 +3015,7 @@ _DRIVER_PRIORITY = [
     "mp4_demux", "mp4_decode_av", "mp3_decode_synth",
     "vorbis_decode_pcm_stereo", "vorbis_decode_pcm_trans",
     "vorbis_decode_pcm_floor0", "flac_decode_32bit",
-    "mp4_demux_frag", "mp4_decode_av_frag", "mp3_decode_lsf", "mp3_decode_ms",
+    "mp4_demux_frag", "mp4_decode_av_frag", "mp3_decode_lsf", "mp3_decode_ms", "bmp_decode",
     "mp3_decode", "mp3_decode_stereo", "vorbis_decode_pcm",
     "gif_decode_ext",
     # (r10-queue) 16 r4-green rows.
@@ -3087,7 +3087,7 @@ _DRIVER_PRIORITY = [
     "image_dedup_clusters",
     # (r10-queue) 50 r9-green rows.
     "trimmed_stats", "ts_decompose", "cumulative_gains", "flac_decode_lpc",
-    "wav_decode_g711", "vorbis_decode", "png_decode_ext", "gif_decode_ext",
+    "wav_decode_g711", "vorbis_decode", "png_decode_ext",
     "jpeg_decode_12bit", "vorbis_decode_stereo", "wav_decode_adpcm",
     "wav_decode_float", "tfidf_top_terms", "bm25_search",
     "linear_count_users", "scd2_customer_priority", "pack_sequences",

@@ -1515,3 +1515,74 @@ def q_mp3_decode_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_R10["mp3_decode_ms"] = q_mp3_decode_ms
 ORACLES_R10["mp3_decode_ms"] = _mp3_oracle_sql(9, 2)
+
+
+def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode driver-checked (r10): per event one of four
+    variants — 24-bit bottom-up, 24-bit top-down (negative height),
+    8-bit paletted, RLE8 (absolute chunks + encoded runs + EOL/EOB
+    markers) — all on a width-13 raster so the 4-byte row padding is
+    non-trivial. The oracle replays the planted pixel/palette rules
+    as exact integers. Lane id % 10 == 0."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.multimodal import decode_bmp_meta
+    from ..testing.fixtures import make_bmp
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 0
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_bmp(int(i) % 1000, variant=int(i) % 4)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_bmp_meta(payloads).drop("decode_error")
+
+
+SQL_BMP_DECODE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed, event_id % 4 AS variant
+  FROM events WHERE event_id % {_FLAC_MOD} = 0
+),
+px AS (
+  SELECT e.event_id,
+         CASE WHEN e.variant < 2
+              THEN (e.seed + 7*x.x + 13*y.y + 5*c.c) % 256
+              ELSE CASE c.c
+                   WHEN 0 THEN (e.seed*5
+                     + 17*((e.seed + 3*x.x + 11*y.y) % 16)) % 256
+                   WHEN 1 THEN (e.seed*3
+                     + 29*((e.seed + 3*x.x + 11*y.y) % 16)) % 256
+                   ELSE (e.seed*7
+                     + 23*((e.seed + 3*x.x + 11*y.y) % 16)) % 256
+                   END END AS v
+  FROM e,
+       LATERAL (SELECT unnest(range(0, 7)) AS y) y,
+       LATERAL (SELECT unnest(range(0, 13)) AS x) x,
+       LATERAL (SELECT unnest(range(0, 3)) AS c) c
+)
+SELECT e.event_id AS doc_id,
+       CAST(13 AS INTEGER) AS width,
+       CAST(7 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS bpp_channels,
+       CAST(sum(px.v) AS BIGINT) AS rgb_sum,
+       round(CAST(sum(px.v) AS DOUBLE) / 273.0, 6) AS mean_px
+FROM e JOIN px ON px.event_id = e.event_id
+GROUP BY e.event_id
+"""
+
+QUERIES_R10["bmp_decode"] = q_bmp_decode
+ORACLES_R10["bmp_decode"] = SQL_BMP_DECODE

@@ -3249,3 +3249,76 @@ def make_mp3_lsf(seed: int, n_frames: int = 3,
         assert len(side) == 9
         out += hdr + side + regions[f]
     return bytes(out)
+
+
+def bmp_pixel_rule(seed: int, x: int, y: int, c: int) -> int:
+    """Planted RGB value for 24/32-bit BMP fixtures (c: 0=R 1=G 2=B)."""
+    return (seed + 7 * x + 13 * y + 5 * c) % 256
+
+
+def bmp_index_rule(seed: int, x: int, y: int) -> int:
+    return (seed + 3 * x + 11 * y) % 16
+
+
+def bmp_palette_rule(seed: int, i: int) -> "tuple[int, int, int]":
+    """Planted palette RGB for entry i."""
+    return ((seed * 5 + 17 * i) % 256, (seed * 3 + 29 * i) % 256,
+            (seed * 7 + 23 * i) % 256)
+
+
+def make_bmp(seed: int, variant: int, w: int = 13, h: int = 7) -> bytes:
+    """Serialize a REAL BMP: variant 0 = 24-bit bottom-up, 1 = 24-bit
+    TOP-DOWN (negative height), 2 = 8-bit paletted, 3 = RLE8 (rows
+    y % 3 == 0 as one ABSOLUTE chunk, others as count-1 encoded runs
+    — both RLE modes exercised). w defaults to 13 so the 4-byte row
+    padding path is non-trivial."""
+    if variant in (0, 1):
+        bpp, comp, pal = 24, 0, b""
+        stride = (w * 3 + 3) & ~3
+        body = bytearray()
+        ys = range(h) if variant == 1 else range(h - 1, -1, -1)
+        for y in ys:
+            row = bytearray()
+            for x in range(w):
+                r, g, b = (bmp_pixel_rule(seed, x, y, c) for c in range(3))
+                row += bytes([b, g, r])
+            row += b"\x00" * (stride - len(row))
+            body += row
+        height = -h if variant == 1 else h
+    else:
+        bpp = 8
+        pal = bytearray()
+        for i in range(16):
+            r, g, b = bmp_palette_rule(seed, i)
+            pal += bytes([b, g, r, 0])
+        pal = bytes(pal)
+        height = h
+        if variant == 2:
+            comp = 0
+            stride = (w + 3) & ~3
+            body = bytearray()
+            for y in range(h - 1, -1, -1):
+                row = bytes(bmp_index_rule(seed, x, y) for x in range(w))
+                body = body + row + b"\x00" * (stride - w)
+        else:
+            comp = 1
+            body = bytearray()
+            for y in range(h - 1, -1, -1):  # RLE8 is bottom-up
+                if y % 3 == 0:
+                    chunk = bytes(bmp_index_rule(seed, x, y)
+                                  for x in range(w))
+                    body += bytes([0, len(chunk)]) + chunk
+                    if len(chunk) & 1:
+                        body += b"\x00"
+                else:
+                    for x in range(w):
+                        body += bytes([1, bmp_index_rule(seed, x, y)])
+                body += b"\x00\x00"  # end of line
+            body += b"\x00\x01"      # end of bitmap
+    data_off = 14 + 40 + len(pal)
+    info = (_struct.pack("<IiihhIIiiII", 40, w, height, 1, bpp, comp,
+                         len(body), 2835, 2835,
+                         16 if bpp == 8 else 0, 0))
+    filehdr = (b"BM" + _struct.pack("<IHHI", data_off + len(body),
+                                    0, 0, data_off))
+    return bytes(filehdr + info + pal + body)

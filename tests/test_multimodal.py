@@ -1764,3 +1764,71 @@ class TestFlac32Bit:
                                     channels=2,
                                     stereo_mode="mid_side"))[2]
         assert np.array_equal(ind, mid)
+
+
+class TestBmp:
+    def test_all_variants_pixel_exact(self):
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_bmp,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            bmp_index_rule,
+            bmp_palette_rule,
+            bmp_pixel_rule,
+            make_bmp,
+        )
+        for seed in (0, 9, 250, 999):
+            for variant in range(4):
+                w, h, c, px = _parse_bmp(make_bmp(seed, variant))
+                assert (w, h, c) == (13, 7, 3)
+                exp = np.zeros((7, 13, 3), dtype=np.int64)
+                for y in range(7):
+                    for x in range(13):
+                        if variant < 2:
+                            for cc in range(3):
+                                exp[y, x, cc] = bmp_pixel_rule(
+                                    seed, x, y, cc)
+                        else:
+                            exp[y, x] = bmp_palette_rule(
+                                seed, bmp_index_rule(seed, x, y))
+                assert np.array_equal(px.astype(np.int64), exp), (
+                    seed, variant)
+
+    def test_gates_and_corruption(self):
+        import random
+        import time
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_bmp,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_bmp,
+        )
+        import pytest as _pt
+
+        raw = bytearray(make_bmp(5, 0))
+        raw[28] = 16  # 16-bit depth
+        with _pt.raises(ValueError, match="bit depth"):
+            _parse_bmp(bytes(raw))
+        raw = bytearray(make_bmp(5, 3))
+        # inject a delta escape (00 02) right after the data offset
+        off = int.from_bytes(raw[10:14], "little")
+        raw[off:off + 2] = b"\x00\x02"
+        with _pt.raises(ValueError, match="delta"):
+            _parse_bmp(bytes(raw))
+        # corruption fuzz under the deadline contract
+        rng = random.Random(0x6666)
+        for variant in range(4):
+            base = make_bmp(17, variant)
+            for _ in range(120):
+                b = bytearray(base)
+                for _m in range(rng.randrange(1, 4)):
+                    b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+                t0 = time.monotonic()
+                try:
+                    _parse_bmp(bytes(b))
+                except (ValueError, IndexError):
+                    pass
+                assert time.monotonic() - t0 < 5.0
