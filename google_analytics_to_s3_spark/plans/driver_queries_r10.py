@@ -1586,3 +1586,65 @@ GROUP BY e.event_id
 
 QUERIES_R10["bmp_decode"] = q_bmp_decode
 ORACLES_R10["bmp_decode"] = SQL_BMP_DECODE
+
+
+def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF decode driver-checked (r10): per event one
+    of four variants — grayscale/RGB x uncompressed/PackBits, the RGB
+    ones BIG-endian (MM) so every field read is endian-parameterized
+    — each with three RowsPerStrip=3 strips. The oracle replays the
+    planted sample rules as exact integers. Lane id % 10 == 1."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.multimodal import decode_tiff_meta
+    from ..testing.fixtures import make_tiff
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 1
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_tiff(int(i) % 1000, variant=int(i) % 4)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_tiff_meta(payloads).drop("decode_error")
+
+
+SQL_TIFF_DECODE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed, event_id % 4 AS variant,
+         CASE WHEN event_id % 4 IN (1, 3) THEN 3 ELSE 1 END AS spp
+  FROM events WHERE event_id % {_FLAC_MOD} = 1
+),
+px AS (
+  SELECT e.event_id,
+         (e.seed + 11*x.x + 17*y.y + 7*c.c) % 256 AS v
+  FROM e,
+       LATERAL (SELECT unnest(range(0, 7)) AS y) y,
+       LATERAL (SELECT unnest(range(0, 11)) AS x) x,
+       LATERAL (SELECT unnest(range(0, e.spp)) AS c) c
+)
+SELECT e.event_id AS doc_id,
+       CAST(11 AS INTEGER) AS width,
+       CAST(7 AS INTEGER) AS height,
+       CAST(e.spp AS INTEGER) AS channels,
+       CAST(sum(px.v) AS BIGINT) AS px_sum,
+       round(CAST(sum(px.v) AS DOUBLE) / (77.0 * e.spp), 6) AS mean_px
+FROM e JOIN px ON px.event_id = e.event_id
+GROUP BY e.event_id, e.spp
+"""
+
+QUERIES_R10["tiff_decode"] = q_tiff_decode
+ORACLES_R10["tiff_decode"] = SQL_TIFF_DECODE

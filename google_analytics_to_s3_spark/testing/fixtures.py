@@ -3322,3 +3322,114 @@ def make_bmp(seed: int, variant: int, w: int = 13, h: int = 7) -> bytes:
     filehdr = (b"BM" + _struct.pack("<IHHI", data_off + len(body),
                                     0, 0, data_off))
     return bytes(filehdr + info + pal + body)
+
+
+def tiff_pixel_rule(seed: int, x: int, y: int, c: int) -> int:
+    """Planted sample value for TIFF fixtures (c < channels)."""
+    return (seed + 11 * x + 17 * y + 7 * c) % 256
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Real PackBits: repeat runs for >= 3 equal bytes, literal runs
+    otherwise (TIFF 6.0 §9)."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, row[i]])
+            i += run
+        else:
+            lit = i
+            while (i < n and i - lit < 128
+                   and not (i + 2 < n and row[i] == row[i + 1]
+                            == row[i + 2])):
+                i += 1
+            out += bytes([i - lit - 1]) + row[lit:i]
+    return bytes(out)
+
+
+def make_tiff(seed: int, variant: int, w: int = 11, h: int = 7) -> bytes:
+    """Serialize a REAL baseline TIFF per tiff_pixel_rule: variant 0 =
+    grayscale uncompressed little-endian, 1 = RGB uncompressed
+    BIG-endian, 2 = grayscale PackBits little-endian, 3 = RGB
+    PackBits big-endian. RowsPerStrip = 3 -> three strips, so strip
+    assembly is exercised; the MM variants exercise endian-aware
+    field reads throughout."""
+    bo = "big" if variant in (1, 3) else "little"
+    spp = 3 if variant in (1, 3) else 1
+    packed = variant in (2, 3)
+    rps = 3
+
+    def b2(v):
+        return v.to_bytes(2, bo)
+
+    def b4(v):
+        return v.to_bytes(4, bo)
+
+    rows = [bytes(tiff_pixel_rule(seed, x, y, c)
+                  for x in range(w) for c in range(spp))
+            for y in range(h)]
+    strips = []
+    for y0 in range(0, h, rps):
+        data = b"".join(rows[y0:y0 + rps])
+        strips.append(_packbits_encode(data) if packed else data)
+    n_strips = len(strips)
+
+    def entry(tag, typ, count, value_bytes):
+        pad = value_bytes + b"\x00" * (4 - len(value_bytes))
+        return b2(tag) + b2(typ) + b4(count) + pad[:4]
+
+    # layout: header(8) + IFD + [bits offset area][strip tables][strips]
+    n_entries = 10
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_entries + 4
+    extra_off = ifd_off + ifd_size
+    extra = bytearray()
+
+    def alloc(data):
+        nonlocal extra
+        off = extra_off + len(extra)
+        extra += data
+        if len(extra) & 1:
+            extra += b"\x00"
+        return off
+
+    if spp == 3:
+        bits_off = alloc(b2(8) + b2(8) + b2(8))
+        bits_entry = entry(258, 3, 3, b4(bits_off))
+    else:
+        bits_entry = entry(258, 3, 1, b2(8))
+    strip_offsets = []
+    pos_after_tables = None
+    # strip offset/count tables (LONG arrays; >1 strip so always
+    # out-of-line)
+    counts_off = alloc(b"".join(b4(len(s)) for s in strips))
+    offsets_off = alloc(b4(0) * n_strips)  # patched below
+    data_start = extra_off + len(extra)
+    run = data_start
+    for s in strips:
+        strip_offsets.append(run)
+        run += len(s)
+    # patch the offsets table
+    table = b"".join(b4(o) for o in strip_offsets)
+    extra[offsets_off - extra_off:offsets_off - extra_off + len(table)] \
+        = table
+    entries = b"".join([
+        entry(256, 3, 1, b2(w)),
+        entry(257, 3, 1, b2(h)),
+        bits_entry,
+        entry(259, 3, 1, b2(32773 if packed else 1)),
+        entry(262, 3, 1, b2(2 if spp == 3 else 1)),
+        entry(273, 4, n_strips, b4(offsets_off)),
+        entry(277, 3, 1, b2(spp)),
+        entry(278, 3, 1, b2(rps)),
+        entry(279, 4, n_strips, b4(counts_off)),
+        entry(284, 3, 1, b2(1)),
+    ])
+    hdr = (b"II" if bo == "little" else b"MM") + b2(42) + b4(ifd_off)
+    ifd = b2(n_entries) + entries + b4(0)
+    return hdr + ifd + bytes(extra) + b"".join(strips)

@@ -1832,3 +1832,68 @@ class TestBmp:
                 except (ValueError, IndexError):
                     pass
                 assert time.monotonic() - t0 < 5.0
+
+
+class TestTiff:
+    def test_all_variants_pixel_exact_both_endians(self):
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_tiff,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_tiff,
+            tiff_pixel_rule,
+        )
+        for seed in (0, 9, 250, 999):
+            for variant in range(4):
+                w, h, c, px = _parse_tiff(make_tiff(seed, variant))
+                spp = 3 if variant in (1, 3) else 1
+                assert (w, h, c) == (11, 7, spp)
+                exp = np.zeros((7, 11, spp), dtype=np.int64)
+                for y in range(7):
+                    for x in range(11):
+                        for cc in range(spp):
+                            exp[y, x, cc] = tiff_pixel_rule(
+                                seed, x, y, cc)
+                assert np.array_equal(px.astype(np.int64), exp), (
+                    seed, variant)
+
+    def test_packbits_spec_cases(self):
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _packbits_decode,
+        )
+        # literal run, repeat run, 128 noop — TIFF 6.0 §9 semantics
+        assert _packbits_decode(bytes([2, 1, 2, 3]), 3) == b"\x01\x02\x03"
+        assert _packbits_decode(bytes([257 - 4, 9]), 4) == b"\x09" * 4
+        assert _packbits_decode(bytes([128, 0, 7]), 1) == b"\x07"
+
+    def test_gates_and_corruption(self):
+        import random
+        import time
+
+        import pytest as _pt
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_tiff,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_tiff,
+        )
+        raw = bytearray(make_tiff(5, 0))
+        raw[0:2] = b"XX"
+        with _pt.raises(ValueError, match="byte-order"):
+            _parse_tiff(bytes(raw))
+        rng = random.Random(0x7777)
+        for variant in range(4):
+            base = make_tiff(17, variant)
+            for _ in range(120):
+                b = bytearray(base)
+                for _m in range(rng.randrange(1, 4)):
+                    b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+                t0 = time.monotonic()
+                try:
+                    _parse_tiff(bytes(b))
+                except (ValueError, IndexError):
+                    pass
+                assert time.monotonic() - t0 < 5.0
