@@ -1648,3 +1648,119 @@ GROUP BY e.event_id, e.spp
 
 QUERIES_R10["tiff_decode"] = q_tiff_decode
 ORACLES_R10["tiff_decode"] = SQL_TIFF_DECODE
+
+
+# ---------------------------------------------------------------------------
+# WARC (ISO 28500) — the Common Crawl record format (r10).
+# ---------------------------------------------------------------------------
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC archive reading driver-checked (r10): per event one
+    archive (1 warcinfo + 2-4 request/response pairs); even seeds use
+    the Common Crawl record-per-gzip-member layout (stdlib zlib
+    member splitting), odd seeds plain concatenation. Record grammar,
+    Content-Length payload slicing and the HTTP response parse are
+    all proven by the byte-exact body sums. Lane id % 10 == 2."""
+    from ..operators.warc import extract_warc_features
+    return _mp4_payload_query(spark, sf_dir, 2, "make_warc",
+                              extract_warc_features)
+
+
+SQL_WARC_EXTRACT = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed, 2 + event_id % 1000 % 3 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 2
+),
+resp AS (
+  SELECT e.event_id, e.seed, i.i,
+         CASE (e.seed + i.i) % 3 WHEN 0 THEN 200 WHEN 1 THEN 404
+              ELSE 301 END AS status,
+         50 + (e.seed + 11*i.i) % 100 AS blen
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+),
+bbytes AS (
+  SELECT r.event_id, sum((r.seed + 13*r.i + j.j) % 256) AS bsum
+  FROM resp r, LATERAL (SELECT unnest(range(0, r.blen)) AS j) j
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(1 + 2*e.n AS BIGINT) AS n_records,
+       CAST(e.n AS BIGINT) AS n_responses,
+       CAST(e.n AS BIGINT) AS n_requests,
+       CAST(1 AS BIGINT) AS n_warcinfo,
+       CAST((SELECT sum(r.status) FROM resp r
+              WHERE r.event_id = e.event_id) AS BIGINT) AS status_sum,
+       CAST((SELECT sum(r.blen) FROM resp r
+              WHERE r.event_id = e.event_id) AS BIGINT) AS body_len_sum,
+       CAST(b.bsum AS BIGINT) AS body_byte_sum,
+       CAST(2 * (SELECT sum(20 + length(CAST(e.seed AS VARCHAR))
+                            + 1 + length(CAST(r.i AS VARCHAR)))
+                  FROM resp r WHERE r.event_id = e.event_id)
+            AS BIGINT) AS uri_len_sum,
+       CAST(5 + 12*e.n AS BIGINT) AS header_count_sum,
+       CAST(2*e.n AS BIGINT) AS http_header_sum
+FROM e JOIN bbytes b ON b.event_id = e.event_id
+"""
+
+QUERIES_R10["warc_extract"] = q_warc_extract
+ORACLES_R10["warc_extract"] = SQL_WARC_EXTRACT
+
+
+def q_warc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WARC 1→N crawl explode driver-checked (r10): each archive
+    fans out to one row per HTTP response — the exact row shape the
+    dedup / language-ID / quality stages consume downstream. The
+    oracle emits the same N rows per archive in closed form.
+    Lane id % 10 == 3."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.warc import warc_documents
+    from ..testing.fixtures import make_warc
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 3
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_warc(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return warc_documents(payloads)
+
+
+SQL_WARC_DOCUMENTS = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed, 2 + event_id % 1000 % 3 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 3
+),
+resp AS (
+  SELECT e.event_id, e.seed, i.i,
+         CASE (e.seed + i.i) % 3 WHEN 0 THEN 200 WHEN 1 THEN 404
+              ELSE 301 END AS status,
+         50 + (e.seed + 11*i.i) % 100 AS blen
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+)
+SELECT r.event_id AS doc_id,
+       CAST(r.i AS BIGINT) AS rec_no,
+       'https://example.com/' || CAST(r.seed AS VARCHAR) || '/'
+         || CAST(r.i AS VARCHAR) AS uri,
+       CAST(r.status AS BIGINT) AS status,
+       CAST(r.blen AS BIGINT) AS body_len,
+       CAST((SELECT sum((r.seed + 13*r.i + j.j) % 256)
+              FROM (SELECT unnest(range(0, r.blen)) AS j) j)
+            AS BIGINT) AS body_byte_sum
+FROM resp r
+"""
+
+QUERIES_R10["warc_documents"] = q_warc_documents
+ORACLES_R10["warc_documents"] = SQL_WARC_DOCUMENTS

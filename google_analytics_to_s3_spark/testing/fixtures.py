@@ -3433,3 +3433,70 @@ def make_tiff(seed: int, variant: int, w: int = 11, h: int = 7) -> bytes:
     hdr = (b"II" if bo == "little" else b"MM") + b2(42) + b4(ifd_off)
     ifd = b2(n_entries) + entries + b4(0)
     return hdr + ifd + bytes(extra) + b"".join(strips)
+
+
+def warc_rules(seed: int) -> dict:
+    """Planted WARC geometry: 1 warcinfo + n request/response pairs;
+    response i carries status by (seed+i) % 3 over (200, 404, 301), a
+    body of 50 + (seed + 11i) % 100 bytes with byte j =
+    (seed + 13i + j) % 256, and target URI
+    'https://example.com/<seed>/<i>'. Even seeds gzip each record as
+    its own member (the Common Crawl layout); odd seeds concatenate
+    plain records."""
+    n = 2 + seed % 3
+    return {
+        "n_pairs": n,
+        "gzipped": seed % 2 == 0,
+        "status": [(200, 404, 301)[(seed + i) % 3] for i in range(n)],
+        "body_len": [50 + (seed + 11 * i) % 100 for i in range(n)],
+    }
+
+
+def make_warc(seed: int) -> bytes:
+    import gzip as _gzip
+    import io as _io
+
+    r = warc_rules(seed)
+
+    def record(rtype: str, extra: "list[tuple[str, str]]",
+               payload: bytes) -> bytes:
+        head = [b"WARC/1.0",
+                f"WARC-Type: {rtype}".encode(),
+                f"WARC-Record-ID: <urn:uuid:{seed:08x}-{rtype}>".encode(),
+                b"WARC-Date: 2026-08-15T00:00:00Z"]
+        head += [f"{k}: {v}".encode() for k, v in extra]
+        head.append(f"Content-Length: {len(payload)}".encode())
+        return b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+    recs = [record("warcinfo", [("Content-Type",
+                                 "application/warc-fields")],
+                   b"software: fixture\r\n")]
+    for i in range(r["n_pairs"]):
+        uri = f"https://example.com/{seed}/{i}"
+        recs.append(record(
+            "request", [("WARC-Target-URI", uri),
+                        ("Content-Type",
+                         "application/http;msgtype=request")],
+            f"GET /{seed}/{i} HTTP/1.1\r\nHost: example.com\r\n\r\n"
+            .encode()))
+        body = bytes((seed + 13 * i + j) % 256
+                     for j in range(r["body_len"][i]))
+        status = r["status"][i]
+        http = (f"HTTP/1.1 {status} X\r\n"
+                f"Content-Type: application/octet-stream\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+                ).encode() + body
+        recs.append(record(
+            "response", [("WARC-Target-URI", uri),
+                         ("Content-Type",
+                          "application/http;msgtype=response")],
+            http))
+    if not r["gzipped"]:
+        return b"".join(recs)
+    out = bytearray()
+    for rec in recs:
+        buf = _io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(rec)
+        out += buf.getvalue()
+    return bytes(out)
