@@ -3500,3 +3500,54 @@ def make_warc(seed: int) -> bytes:
             gz.write(rec)
         out += buf.getvalue()
     return bytes(out)
+
+
+def webdataset_rules(seed: int) -> dict:
+    """Planted WebDataset shard: n samples, sample i = <key>.jpg (a
+    REAL baseline JPEG with per-sample seed (seed*41 + 9i) % 1000) +
+    <key>.cls (label (seed + 7i) % 1000) + <key>.txt of
+    20 + (seed + 5i) % 60 bytes, byte j = (seed + 3i + j) % 256; keys
+    'sample<i:04d>'."""
+    n = 2 + seed % 3
+    return {
+        "n": n,
+        "j_seed": [(seed * 41 + 9 * i) % 1000 for i in range(n)],
+        "label": [(seed + 7 * i) % 1000 for i in range(n)],
+        "txt_len": [20 + (seed + 5 * i) % 60 for i in range(n)],
+    }
+
+
+def _tar_member(name: str, data: bytes) -> bytes:
+    hdr = bytearray(512)
+    nb = name.encode()
+    hdr[0:len(nb)] = nb
+    hdr[100:108] = b"0000644\x00"
+    hdr[108:116] = b"0000000\x00"
+    hdr[116:124] = b"0000000\x00"
+    hdr[124:136] = (f"{len(data):011o}\x00").encode()
+    hdr[136:148] = b"00000000000\x00"
+    hdr[148:156] = b" " * 8  # checksum placeholder
+    hdr[156] = ord("0")
+    hdr[257:263] = b"ustar\x00"
+    hdr[263:265] = b"00"
+    chk = sum(hdr)
+    hdr[148:156] = (f"{chk:06o}\x00 ").encode()
+    pad = (512 - len(data) % 512) % 512
+    return bytes(hdr) + data + b"\x00" * pad
+
+
+def make_webdataset(seed: int) -> bytes:
+    """A REAL ustar WebDataset shard per :func:`webdataset_rules`."""
+    r = webdataset_rules(seed)
+    out = bytearray()
+    for i in range(r["n"]):
+        key = f"sample{i:04d}"
+        out += _tar_member(f"{key}.jpg",
+                           make_jpeg_baseline(r["j_seed"][i]))
+        out += _tar_member(f"{key}.cls",
+                           str(r["label"][i]).encode())
+        txt = bytes((seed + 3 * i + j) % 256
+                    for j in range(r["txt_len"][i]))
+        out += _tar_member(f"{key}.txt", txt)
+    out += b"\x00" * 1024
+    return bytes(out)
