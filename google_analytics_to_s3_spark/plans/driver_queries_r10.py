@@ -1842,3 +1842,193 @@ FROM smp s JOIN jp ON jp.event_id = s.event_id AND jp.i = s.i
 
 QUERIES_R10["webdataset_decode"] = q_webdataset_decode
 ORACLES_R10["webdataset_decode"] = _webdataset_oracle_sql()
+
+
+def q_avi_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI (RIFF) demux driver-checked (r10): word-aligned chunk walk,
+    hdrl/strl headers, interleaved ##dc/##wb movi chunks routed by
+    stream prefix, and an idx1 index VALIDATED entry-by-entry against
+    the actual layout — the oracle replays every planted field incl.
+    the movi-relative chunk offset sum (which only comes out right if
+    the walk honors RIFF's odd-size padding). Lane id % 10 == 8."""
+    from ..operators.avi import demux_avi_features
+    return _mp4_payload_query(spark, sf_dir, 8, "make_avi",
+                              demux_avi_features)
+
+
+SQL_AVI_DEMUX = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         3 + event_id % 1000 % 2 AS nv,
+         3 + (event_id % 1000 + 1) % 2 AS na
+  FROM events WHERE event_id % {_FLAC_MOD} = 8
+),
+ch AS (
+  SELECT e.event_id, c.c, s.s,
+         40 + (e.seed*3 + 13*c.c + 97*s.s) % 160 AS sz
+  FROM e,
+       LATERAL (SELECT unnest(range(0, greatest(e.nv, e.na))) AS c) c,
+       LATERAL (SELECT unnest(range(0, 2)) AS s) s
+  WHERE (s.s = 0 AND c.c < e.nv) OR (s.s = 1 AND c.c < e.na)
+),
+-- movi layout: round-robin (chunk index, stream), 8-byte headers,
+-- odd sizes padded to even
+cho AS (
+  SELECT event_id, c, s, sz,
+         COALESCE(sum(8 + sz + (sz % 2)) OVER (
+            PARTITION BY event_id ORDER BY c, s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS roff
+  FROM ch
+)
+SELECT e.event_id AS doc_id,
+       CAST(2 AS BIGINT) AS n_streams,
+       CAST(e.nv AS BIGINT) AS total_frames,
+       CAST(33333 + e.seed % 1000 AS BIGINT) AS us_per_frame,
+       CAST(320 + e.seed % 16 AS BIGINT) AS width,
+       CAST(240 + e.seed % 16 AS BIGINT) AS height,
+       CAST(e.nv + e.na AS BIGINT) AS n_chunks,
+       CAST(e.nv + e.na AS BIGINT) AS n_idx,
+       CAST((SELECT sum(ch.sz) FROM ch
+              WHERE ch.event_id = e.event_id) AS BIGINT) AS chunk_bytes,
+       CAST((SELECT sum(cho.roff) FROM cho
+              WHERE cho.event_id = e.event_id) AS BIGINT)
+         AS chunk_rel_offset_sum,
+       CAST(30 + e.seed % 10 + 44100 AS BIGINT) AS rate_sum,
+       CAST(2 AS BIGINT) AS scale_sum,
+       CAST(e.nv + e.na AS BIGINT) AS length_sum,
+       chr(0) || chr(0) || chr(0) || chr(0) || '+rawv' AS handlers
+FROM e
+"""
+
+QUERIES_R10["avi_demux"] = q_avi_demux
+ORACLES_R10["avi_demux"] = SQL_AVI_DEMUX
+
+
+def q_avi_decode_av(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI demux CHAINED into real codec decode (r10): MJPG chunks
+    are true baseline JPEGs, the 0x0055 audio stream's chunks true
+    single-frame MP3s; the oracle replays the decoded sums in closed
+    form, so a green row proves chunk extraction feeds the codecs the
+    exact payload bytes. Lane id % 10 == 9."""
+    from ..operators.avi import decode_avi_av_features
+    return _mp4_payload_query(spark, sf_dir, 9, "make_avi_av",
+                              decode_avi_av_features)
+
+
+def _avi_av_oracle_sql() -> str:
+    from ..testing.fixtures import (
+        JPEG_AC_TEMPLATES, jpeg_template_round_sums,
+    )
+
+    rs = jpeg_template_round_sums()
+    n_t = len(JPEG_AC_TEMPLATES)
+    rs_arr = "[" + ", ".join(f"{v}::BIGINT" for v in rs) + "]"
+    return f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         2 + event_id % 1000 % 2 AS nv,
+         2 + (event_id % 1000 + 1) % 2 AS na
+  FROM events WHERE event_id % {_FLAC_MOD} = 9
+),
+jb AS (
+  SELECT e.event_id,
+         64 * (128 + ((sj.sj*7 + b.b*13) % 121) - 60)
+         + {rs_arr}[(sj.sj + b.b) % {n_t} + 1] AS bsum
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.nv)) AS c) c,
+       LATERAL (SELECT (e.seed*43 + 11*c.c) % 1000 AS sj) sj,
+       LATERAL (SELECT unnest(range(0, 4)) AS b) b
+),
+-- single-frame mono MP3 per audio chunk (mp3_granule_rules, f = 0)
+al AS (
+  SELECT e.event_id,
+         sum(abs(((sa.sa + 3*gr.gr + 7*i.i) % 3) - 1)) AS abs_sum
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.na)) AS c) c,
+       LATERAL (SELECT (e.seed*19 + 3*c.c) % 1000 AS sa) sa,
+       LATERAL (SELECT unnest(range(0, 2)) AS gr) gr,
+       LATERAL (SELECT unnest(range(0, 90)) AS i) i
+  GROUP BY 1
+),
+ac AS (
+  SELECT e.event_id,
+         sum(abs(((sa.sa + 7*gr.gr + 3*i.i) % 3) - 1)) AS c1_sum
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.na)) AS c) c,
+       LATERAL (SELECT (e.seed*19 + 3*c.c) % 1000 AS sa) sa,
+       LATERAL (SELECT unnest(range(0, 2)) AS gr) gr,
+       LATERAL (SELECT 48 + (sa.sa*3 + gr.gr*11) % 16 AS bv,
+                       4 + (sa.sa + gr.gr) % 4 AS nq) g,
+       LATERAL (SELECT unnest(range(2*g.bv, 2*g.bv + 4*g.nq)) AS i) i
+  GROUP BY 1
+),
+-- part2_3 accounting (same closed form as mp4_decode_av's oracle)
+ag AS (
+  SELECT e.event_id, sa.sa, gr.gr,
+         48 + (sa.sa*3 + gr.gr*11) % 16 AS bv,
+         4 + (sa.sa + gr.gr) % 4 AS nq,
+         sa.sa % 16 AS scfsi
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.na)) AS c) c,
+       LATERAL (SELECT (e.seed*19 + 3*c.c) % 1000 AS sa) sa,
+       LATERAL (SELECT unnest(range(0, 2)) AS gr) gr
+),
+sfbits AS (
+  SELECT ag.event_id, ag.sa, ag.gr,
+         sum(CASE WHEN ag.gr = 1 AND sh.shared = 1 THEN 0 ELSE 2 END)
+           AS bits
+  FROM ag,
+       LATERAL (SELECT unnest(range(0, 21)) AS band) b,
+       LATERAL (SELECT CASE WHEN b.band < 6 THEN (ag.scfsi // 8) % 2
+                            WHEN b.band < 11 THEN (ag.scfsi // 4) % 2
+                            WHEN b.band < 16 THEN (ag.scfsi // 2) % 2
+                            ELSE ag.scfsi % 2 END AS shared) sh
+  GROUP BY 1, 2, 3
+),
+hb AS (
+  SELECT ag.event_id, ag.sa, ag.gr,
+         sum(CASE WHEN p.x = 0 AND p.y = 0 THEN 1
+                  WHEN p.x = 1 AND p.y = 0 THEN 2
+                  ELSE 3 END + p.x + p.y) AS bits
+  FROM ag,
+       LATERAL (SELECT unnest(range(0, 45)) AS k) k,
+       LATERAL (SELECT
+         abs(((ag.sa + 3*ag.gr + 14*k.k) % 3) - 1) AS x,
+         abs(((ag.sa + 3*ag.gr + 14*k.k + 7) % 3) - 1) AS y) p
+  GROUP BY 1, 2, 3
+),
+c1b AS (
+  SELECT ag.event_id, ag.sa, ag.gr,
+         4*ag.nq + sum(abs(((ag.sa + 7*ag.gr + 3*i.i) % 3) - 1)) AS bits
+  FROM ag,
+       LATERAL (SELECT unnest(range(2*ag.bv, 2*ag.bv + 4*ag.nq)) AS i) i
+  GROUP BY 1, 2, 3, ag.nq
+),
+p23 AS (
+  SELECT s.event_id,
+         sum(s.bits + h.bits + c.bits) AS total
+  FROM sfbits s
+  JOIN hb h ON h.event_id = s.event_id AND h.sa = s.sa AND h.gr = s.gr
+  JOIN c1b c ON c.event_id = s.event_id AND c.sa = s.sa
+   AND c.gr = s.gr
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.nv AS BIGINT) AS n_video_chunks,
+       CAST(e.na AS BIGINT) AS n_audio_chunks,
+       CAST(0 AS BIGINT) AS gated_streams,
+       CAST((SELECT sum(jb.bsum) FROM jb
+              WHERE jb.event_id = e.event_id) AS BIGINT) AS jpeg_y_sum,
+       CAST(256 * e.nv AS BIGINT) AS jpeg_px,
+       CAST(al.abs_sum + ac.c1_sum AS BIGINT) AS mp3_abs_sum,
+       CAST(p.total AS BIGINT) AS mp3_part23_bits
+FROM e
+JOIN al ON al.event_id = e.event_id
+JOIN ac ON ac.event_id = e.event_id
+JOIN p23 p ON p.event_id = e.event_id
+"""
+
+
+QUERIES_R10["avi_decode_av"] = q_avi_decode_av
+ORACLES_R10["avi_decode_av"] = _avi_av_oracle_sql()

@@ -3551,3 +3551,128 @@ def make_webdataset(seed: int) -> bytes:
         out += _tar_member(f"{key}.txt", txt)
     out += b"\x00" * 1024
     return bytes(out)
+
+
+def avi_rules(seed: int) -> dict:
+    """Planted AVI geometry (structural variant): a vids + an auds
+    stream, 3-6 interleaved chunks per stream with closed-form sizes
+    40 + (seed*3 + 13*c + 97*s) % 160, planted avih/strh fields, and
+    an idx1 covering every chunk."""
+    nv = 3 + seed % 2
+    na = 3 + (seed + 1) % 2
+    return {
+        "nv": nv, "na": na,
+        "v_sizes": [40 + (seed * 3 + 13 * c) % 160 for c in range(nv)],
+        "a_sizes": [40 + (seed * 3 + 13 * c + 97) % 160
+                    for c in range(na)],
+        "us_per_frame": 33333 + seed % 1000,
+        "width": 320 + seed % 16,
+        "height": 240 + seed % 16,
+        "v_rate": 30 + seed % 10,
+        "a_rate": 44100,
+    }
+
+
+def _riff_chunk(fcc: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) & 1 else b""
+    return fcc + _struct.pack("<I", len(data)) + data + pad
+
+
+def _riff_list(kind: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + payload)
+
+
+def _make_avi_from(streams: "list[dict]", us_per_frame: int,
+                   width: int, height: int,
+                   payload_lists: "list[list[bytes]]") -> bytes:
+    nstr = len(streams)
+    total_frames = len(payload_lists[0])
+    avih = _riff_chunk(b"avih", _struct.pack(
+        "<14I", us_per_frame, 0, 0, 0x10, total_frames, 0, nstr,
+        0x100000, width, height, 0, 0, 0, 0))
+    strls = []
+    for st in streams:
+        strh = _riff_chunk(b"strh", _struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh",
+            st["type"], st["handler"], 0, 0, 0, 0,
+            st["scale"], st["rate"], 0, st["length"], 0x100000, 0, 0,
+            0, 0, width if st["type"] == b"vids" else 0,
+            height if st["type"] == b"vids" else 0))
+        if st["type"] == b"auds":
+            strf = _riff_chunk(b"strf", _struct.pack(
+                "<HHIIHH", st["wformat"], 1, st["rate"], 16000, 1, 16))
+        else:
+            strf = _riff_chunk(b"strf", _struct.pack(
+                "<IiihhIIiiII", 40, width, height, 1, 24,
+                0x47504A4D, width * height * 3, 0, 0, 0, 0))
+        strls.append(_riff_list(b"strl", strh + strf))
+    hdrl = _riff_list(b"hdrl", avih + b"".join(strls))
+    # interleave chunks round-robin; record layout for idx1
+    movi_payload = bytearray()
+    idx_entries = []
+    order = []
+    mx = max(len(p) for p in payload_lists)
+    for c in range(mx):
+        for sid, plist in enumerate(payload_lists):
+            if c < len(plist):
+                order.append((sid, plist[c]))
+    for sid, data in order:
+        fcc = (f"{sid:02d}" + ("dc" if streams[sid]["type"] == b"vids"
+                               else "wb")).encode()
+        off = len(movi_payload)
+        movi_payload += _riff_chunk(fcc, data)
+        idx_entries.append((fcc, off, len(data)))
+    movi = _riff_list(b"movi", bytes(movi_payload))
+    idx1 = _riff_chunk(b"idx1", b"".join(
+        fcc + _struct.pack("<III", 0x10, off, size)
+        for fcc, off, size in idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return _riff_chunk(b"RIFF", body)
+
+
+def make_avi(seed: int) -> bytes:
+    """Structural AVI per :func:`avi_rules` (filler chunk payloads;
+    sizes/offsets are the planted truth)."""
+    r = avi_rules(seed)
+    streams = [
+        {"type": b"vids", "handler": b"rawv", "scale": 1,
+         "rate": r["v_rate"], "length": r["nv"]},
+        {"type": b"auds", "handler": b"\x00\x00\x00\x00",
+         "wformat": 1, "scale": 1, "rate": r["a_rate"],
+         "length": r["na"]},
+    ]
+    pv = [bytes((seed + 5 * c + j) % 256 for j in range(sz))
+          for c, sz in enumerate(r["v_sizes"])]
+    pa = [bytes((seed + 7 * c + j) % 256 for j in range(sz))
+          for c, sz in enumerate(r["a_sizes"])]
+    return _make_avi_from(streams, r["us_per_frame"], r["width"],
+                          r["height"], [pv, pa])
+
+
+def avi_av_rules(seed: int) -> dict:
+    """Planted A/V AVI: MJPG chunks are REAL baseline JPEGs
+    (per-chunk seed (seed*43 + 11*c) % 1000), audio chunks REAL
+    single-frame MP3s (wFormatTag 0x0055, per-chunk seed
+    (seed*19 + 3*c) % 1000)."""
+    nv = 2 + seed % 2
+    na = 2 + (seed + 1) % 2
+    return {
+        "nv": nv, "na": na,
+        "v_seed": [(seed * 43 + 11 * c) % 1000 for c in range(nv)],
+        "a_seed": [(seed * 19 + 3 * c) % 1000 for c in range(na)],
+    }
+
+
+def make_avi_av(seed: int) -> bytes:
+    r = avi_av_rules(seed)
+    streams = [
+        {"type": b"vids", "handler": b"MJPG", "scale": 1,
+         "rate": 30, "length": r["nv"]},
+        {"type": b"auds", "handler": b"\x00\x00\x00\x00",
+         "wformat": 0x0055, "scale": 1, "rate": 44100,
+         "length": r["na"]},
+    ]
+    pv = [make_jpeg_baseline(sj) for sj in r["v_seed"]]
+    pa = [make_mp3(sa, n_frames=1, reservoir=False)
+          for sa in r["a_seed"]]
+    return _make_avi_from(streams, 33333, 16, 16, [pv, pa])
