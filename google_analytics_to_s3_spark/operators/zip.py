@@ -1,0 +1,140 @@
+"""ZIP reader (PKWARE APPNOTE layout, public): the other ubiquitous
+bundle format for crawled corpora. Real byte path:
+
+- end-of-central-directory (EOCD) located by scanning the trailing
+  64 KiB for the PK\\x05\\x06 signature (comment-tolerant, the way
+  every reader does it), central-directory walk (PK\\x01\\x02
+  entries: name, method, flags, CRC-32, sizes, local offset);
+- local headers (PK\\x03\\x04) re-read per entry — their
+  name/extra lengths decide where the data really starts;
+- method 0 (stored) and method 8 (raw deflate via stdlib zlib,
+  ``wbits=-MAX_WBITS``) decompression with BOTH the uncompressed
+  size and the CRC-32 VERIFIED against the central directory;
+- grammar cross-validated both directions against CPython's
+  ``zipfile`` in pytest (same discipline as the tar reader).
+
+Honest gates (named ValueError, per-payload quarantine in the Spark
+wrappers): encrypted entries (flag bit 0), ZIP64, compression
+methods other than stored/deflate. No ZIP surface exists in the
+reference repo (beyond-reference LLM-pipeline surface, SURVEY §2.12).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+__all__ = ["parse_zip", "zip_features", "extract_zip_features"]
+
+
+def parse_zip(raw: bytes) -> list[dict]:
+    """Central-directory walk -> [{name, method, data}] with size and
+    CRC-32 verified per entry."""
+    tail = raw[-(65536 + 22):] if len(raw) > 65558 else raw
+    eocd_rel = tail.rfind(b"PK\x05\x06")
+    if eocd_rel < 0:
+        raise ValueError("ZIP end-of-central-directory missing")
+    eocd = len(raw) - len(tail) + eocd_rel
+    if eocd + 22 > len(raw):
+        raise ValueError("truncated EOCD record")
+    n_entries, cd_size, cd_off = struct.unpack(
+        "<HII", raw[eocd + 10:eocd + 20])
+    total_entries = struct.unpack("<H", raw[eocd + 8:eocd + 10])[0]
+    if total_entries == 0xFFFF or cd_off == 0xFFFFFFFF:
+        raise ValueError("ZIP64 archives unsupported")
+    if cd_off + cd_size > len(raw):
+        raise ValueError("central directory overruns the file")
+    entries = []
+    pos = cd_off
+    for _ in range(n_entries):
+        if raw[pos:pos + 4] != b"PK\x01\x02":
+            raise ValueError("central-directory signature missing")
+        (flags, method, _t, _d, crc, csize, usize, nlen, elen, clen,
+         ) = struct.unpack("<HHHHIIIHHH", raw[pos + 8:pos + 34])
+        lho = struct.unpack("<I", raw[pos + 42:pos + 46])[0]
+        name = raw[pos + 46:pos + 46 + nlen].decode("utf-8", "replace")
+        pos += 46 + nlen + elen + clen
+        if flags & 0x1:
+            raise ValueError("encrypted ZIP entries unsupported")
+        if method not in (0, 8):
+            raise ValueError(f"ZIP compression method {method} "
+                             "unsupported")
+        if csize == 0xFFFFFFFF or usize == 0xFFFFFFFF:
+            raise ValueError("ZIP64 entry sizes unsupported")
+        # the LOCAL header's own name/extra lengths position the data
+        if raw[lho:lho + 4] != b"PK\x03\x04":
+            raise ValueError("local-header signature missing")
+        lnlen, lelen = struct.unpack("<HH", raw[lho + 26:lho + 30])
+        data_start = lho + 30 + lnlen + lelen
+        if data_start + csize > len(raw):
+            raise ValueError("ZIP entry data overruns the file")
+        blob = raw[data_start:data_start + csize]
+        if method == 8:
+            try:
+                data = zlib.decompress(blob, wbits=-zlib.MAX_WBITS)
+            except zlib.error as e:
+                raise ValueError(f"corrupt deflate stream: {e}") from e
+        else:
+            data = blob
+        if len(data) != usize:
+            raise ValueError("ZIP entry size mismatch")
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise ValueError("ZIP entry CRC-32 mismatch")
+        entries.append({"name": name, "method": method, "data": data})
+    return entries
+
+
+def zip_features(raw: bytes) -> dict:
+    entries = parse_zip(raw)
+    return {
+        "n_entries": len(entries),
+        "n_deflated": sum(1 for e in entries if e["method"] == 8),
+        "n_stored": sum(1 for e in entries if e["method"] == 0),
+        "uncompressed_sum": sum(len(e["data"]) for e in entries),
+        "byte_sum": sum(sum(e["data"]) for e in entries),
+        "name_len_sum": sum(len(e["name"]) for e in entries),
+    }
+
+
+_ZIP_INT = ("n_entries", "n_deflated", "n_stored", "uncompressed_sum",
+            "byte_sum", "name_len_sum")
+
+
+def extract_zip_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow `mapInPandas` wrapper over :func:`zip_features`."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", *_ZIP_INT, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                out["doc_id"].append(doc_id)
+                try:
+                    d = zip_features(bytes(payload))
+                    for k in _ZIP_INT:
+                        out[k].append(d[k])
+                    out["decode_error"].append(None)
+                except (ValueError, IndexError, struct.error,
+                        zlib.error, OverflowError, MemoryError) as e:
+                    for k in _ZIP_INT:
+                        out[k].append(None)
+                    out["decode_error"].append(str(e) or
+                                               type(e).__name__)
+            cols = {"doc_id": pd.Series(out["doc_id"], dtype="int64")}
+            for k in _ZIP_INT:
+                cols[k] = pd.Series(out[k], dtype="Int64")
+            cols["decode_error"] = pd.Series(out["decode_error"],
+                                             dtype="object")
+            yield pd.DataFrame(cols)
+
+    schema = ("doc_id long, " + ", ".join(f"{k} long" for k in _ZIP_INT)
+              + ", decode_error string")
+    return df.select(
+        df[id_col].cast("long").alias(id_col), payload_col
+    ).mapInPandas(_run, schema=schema)

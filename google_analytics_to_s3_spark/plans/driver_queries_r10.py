@@ -2032,3 +2032,49 @@ JOIN p23 p ON p.event_id = e.event_id
 
 QUERIES_R10["avi_decode_av"] = q_avi_decode_av
 ORACLES_R10["avi_decode_av"] = _avi_av_oracle_sql()
+
+
+def q_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP reading driver-checked (r10): EOCD scan, central-directory
+    walk, local-header data positioning, stored + raw-deflate
+    members with the uncompressed size AND CRC-32 verified per entry
+    (grammar cross-validated both directions against CPython's
+    zipfile in pytest). Byte-exact member sums prove the inflate
+    path. Lane id % 10 == 0."""
+    from ..operators.zip import extract_zip_features
+    return _mp4_payload_query(spark, sf_dir, 0, "make_zip",
+                              extract_zip_features)
+
+
+SQL_ZIP_EXTRACT = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed, 3 + event_id % 1000 % 3 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 0
+),
+m AS (
+  SELECT e.event_id, e.seed, i.i,
+         25 + (e.seed + 9*i.i) % 120 AS len,
+         CASE WHEN (e.seed + i.i) % 2 = 0 THEN 1 ELSE 0 END AS defl
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+),
+b AS (
+  SELECT m.event_id, sum((m.seed + 17*m.i + j.j) % 251) AS bsum
+  FROM m, LATERAL (SELECT unnest(range(0, m.len)) AS j) j
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.n AS BIGINT) AS n_entries,
+       CAST((SELECT sum(m.defl) FROM m
+              WHERE m.event_id = e.event_id) AS BIGINT) AS n_deflated,
+       CAST((SELECT sum(1 - m.defl) FROM m
+              WHERE m.event_id = e.event_id) AS BIGINT) AS n_stored,
+       CAST((SELECT sum(m.len) FROM m
+              WHERE m.event_id = e.event_id) AS BIGINT)
+         AS uncompressed_sum,
+       CAST(b.bsum AS BIGINT) AS byte_sum,
+       CAST(10 * e.n AS BIGINT) AS name_len_sum
+FROM e JOIN b ON b.event_id = e.event_id
+"""
+
+QUERIES_R10["zip_extract"] = q_zip_extract
+ORACLES_R10["zip_extract"] = SQL_ZIP_EXTRACT

@@ -3676,3 +3676,49 @@ def make_avi_av(seed: int) -> bytes:
     pa = [make_mp3(sa, n_frames=1, reservoir=False)
           for sa in r["a_seed"]]
     return _make_avi_from(streams, 33333, 16, 16, [pv, pa])
+
+
+def zip_rules(seed: int) -> dict:
+    """Planted ZIP: 3-5 members named doc<i:03d>.txt; member i has
+    25 + (seed + 9i) % 120 bytes with byte j = (seed + 17i + j) % 251
+    (a prime modulus so deflate sees non-trivial entropy), deflated
+    when (seed + i) % 2 == 0 else stored."""
+    n = 3 + seed % 3
+    return {
+        "n": n,
+        "lens": [25 + (seed + 9 * i) % 120 for i in range(n)],
+        "deflated": [(seed + i) % 2 == 0 for i in range(n)],
+    }
+
+
+def make_zip(seed: int) -> bytes:
+    import zlib as _zlib
+
+    r = zip_rules(seed)
+    out = bytearray()
+    cd = bytearray()
+    for i in range(r["n"]):
+        name = f"doc{i:03d}.txt".encode()
+        data = bytes((seed + 17 * i + j) % 251
+                     for j in range(r["lens"][i]))
+        crc = _zlib.crc32(data) & 0xFFFFFFFF
+        if r["deflated"][i]:
+            co = _zlib.compressobj(9, _zlib.DEFLATED, -_zlib.MAX_WBITS)
+            blob = co.compress(data) + co.flush()
+            method = 8
+        else:
+            blob = data
+            method = 0
+        lho = len(out)
+        out += (b"PK\x03\x04" + _struct.pack(
+            "<HHHHHIIIHH", 20, 0, method, 0, 0, crc, len(blob),
+            len(data), len(name), 0) + name + blob)
+        cd += (b"PK\x01\x02" + _struct.pack(
+            "<HHHHHHIIIHHHHHII", 20, 20, 0, method, 0, 0, crc,
+            len(blob), len(data), len(name), 0, 0, 0, 0, 0, lho)
+            + name)
+    cd_off = len(out)
+    out += cd
+    out += (b"PK\x05\x06" + _struct.pack(
+        "<HHHHIIH", 0, 0, r["n"], r["n"], len(cd), cd_off, 0))
+    return bytes(out)
