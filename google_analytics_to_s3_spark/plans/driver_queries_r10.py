@@ -2078,3 +2078,73 @@ FROM e JOIN b ON b.event_id = e.event_id
 
 QUERIES_R10["zip_extract"] = q_zip_extract
 ORACLES_R10["zip_extract"] = SQL_ZIP_EXTRACT
+
+
+def q_crawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The container→explode→dedup INTEGRATION path driver-checked
+    (r10): WARC archives with planted cross-archive duplicate bodies
+    fan out through warc_documents, then exact-dedup groups form on
+    the content identity (body_len, body_byte_sum — the planted
+    60+k lengths make the key collision-exact). Output: one row per
+    distinct document with its copy count and distinct-archive count
+    — the first stage every crawl corpus goes through, run end to
+    end on REAL WARC bytes. Lane id % 10 == 4."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.warc import warc_documents
+    from ..testing.fixtures import make_warc_dedup
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 4
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_warc_dedup(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    docs = warc_documents(payloads)
+    return docs.groupBy("body_len", "body_byte_sum").agg(
+        F.count("*").alias("n_copies"),
+        F.countDistinct("doc_id").alias("n_archives"),
+        F.min("uri").alias("uri"),
+    )
+
+
+SQL_CRAWL_DEDUP = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         2 + event_id % 1000 % 3 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 4
+),
+docs AS (
+  SELECT e.event_id, (e.seed + 7*i.i) % 40 AS k
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+),
+keyed AS (
+  SELECT d.event_id, d.k, 60 + d.k AS body_len,
+         (SELECT sum((d.k*3 + j.j) % 256)
+            FROM (SELECT unnest(range(0, 60 + d.k)) AS j) j)
+           AS body_byte_sum
+  FROM docs d
+)
+SELECT CAST(body_len AS BIGINT) AS body_len,
+       CAST(body_byte_sum AS BIGINT) AS body_byte_sum,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_archives,
+       'https://example.com/dup/' || CAST(k AS VARCHAR) AS uri
+FROM keyed
+GROUP BY body_len, body_byte_sum, k
+"""
+
+QUERIES_R10["crawl_dedup"] = q_crawl_dedup
+ORACLES_R10["crawl_dedup"] = SQL_CRAWL_DEDUP

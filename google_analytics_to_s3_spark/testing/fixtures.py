@@ -3722,3 +3722,37 @@ def make_zip(seed: int) -> bytes:
     out += (b"PK\x05\x06" + _struct.pack(
         "<HHHHIIH", 0, 0, r["n"], r["n"], len(cd), cd_off, 0))
     return bytes(out)
+
+
+def make_warc_dedup(seed: int) -> bytes:
+    """WARC variant with PLANTED CROSS-ARCHIVE DUPLICATES for the
+    crawl-dedup integration query: response i's body depends only on
+    k = (seed + 7*i) % 40 (length 60 + k, byte j = (k*3 + j) % 256),
+    so archives sharing a k carry byte-identical documents. Plain
+    (ungzipped) layout; 2-4 responses."""
+    import gzip as _gzip  # noqa: F401  (parity with make_warc imports)
+
+    n = 2 + seed % 3
+
+    def record(rtype: str, extra: "list[tuple[str, str]]",
+               payload: bytes) -> bytes:
+        head = [b"WARC/1.0",
+                f"WARC-Type: {rtype}".encode(),
+                f"WARC-Record-ID: <urn:uuid:{seed:08x}-{rtype}>".encode(),
+                b"WARC-Date: 2026-08-15T00:00:00Z"]
+        head += [f"{k}: {v}".encode() for k, v in extra]
+        head.append(f"Content-Length: {len(payload)}".encode())
+        return b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+    recs = []
+    for i in range(n):
+        k = (seed + 7 * i) % 40
+        body = bytes((k * 3 + j) % 256 for j in range(60 + k))
+        uri = f"https://example.com/dup/{k}"
+        http = (f"HTTP/1.1 200 X\r\nContent-Length: {len(body)}"
+                "\r\n\r\n").encode() + body
+        recs.append(record(
+            "response", [("WARC-Target-URI", uri),
+                         ("Content-Type",
+                          "application/http;msgtype=response")], http))
+    return b"".join(recs)

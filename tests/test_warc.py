@@ -116,3 +116,28 @@ class TestSparkWrappers:
             assert row["status"] == r["status"][i]
             assert row["body_len"] == r["body_len"][i]
             assert row["uri"] == f"https://example.com/{seed}/{i}"
+
+
+class TestCrawlDedup:
+    def test_planted_cross_archive_duplicates_group(self, spark):
+        """The integration path: WARC bytes -> document explode ->
+        exact dedup recovers the planted duplicate structure."""
+        from google_analytics_to_s3_spark.operators.warc import (
+            warc_documents as wd,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_warc_dedup,
+        )
+        rows = [(s, bytearray(make_warc_dedup(s))) for s in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        docs = wd(df)
+        from pyspark.sql import functions as F
+        groups = {r["body_len"]: r for r in docs.groupBy("body_len")
+                  .agg(F.count("*").alias("n")).collect()}
+        # independent replay of the planted k multiset
+        import collections
+        exp = collections.Counter()
+        for s in range(12):
+            for i in range(2 + s % 3):
+                exp[60 + (s + 7 * i) % 40] += 1
+        assert {k: v["n"] for k, v in groups.items()} == dict(exp)
