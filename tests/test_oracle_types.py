@@ -99,6 +99,11 @@ AUDITED_DOUBLE_COLUMNS = {
     'interval_join': ['purchase_revenue'],
     'isotonic_calibration': ['iso_rate', 'rate'],
     'item_similarity': ['cos'],
+    # bmp/tiff mean_px: integer_sum / 273.0 (resp. / (77*spp)) —
+    # denominators coprime to 2*10^6, so the 6th-decimal round can
+    # never land on a tie; expression verbatim-identical both engines
+    'bmp_decode': ['mean_px'],
+    'tiff_decode': ['mean_px'],
     'jpeg_decode': ['mean_px'],
     'jpeg_decode_420': ['mean_px'],
     'jpeg_decode_progressive': ['mean_px'],
