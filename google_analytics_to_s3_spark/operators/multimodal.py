@@ -3297,3 +3297,167 @@ def decode_tiff_meta(
     return df.select(id_col, payload_col).mapInPandas(
         _decode, schema=TIFF_META_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL ICO decode (Windows icon resource, public layout): ICONDIR +
+# 16-byte directory entries, per-image payloads that are either
+# whole PNG files (modern icons — chained through the REAL PNG
+# pipeline above) or BITMAPINFOHEADER DIBs with the icon quirks:
+# biHeight DOUBLED (XOR color rows + the 1-bit AND transparency
+# mask, both bottom-up, rows padded to 4 bytes). Gates (named
+# errors): cursor resources (type 2), DIB depths other than 24/32,
+# compressed DIBs.
+# ---------------------------------------------------------------------------
+
+
+def _parse_ico_dib(raw: bytes) -> "tuple[int, int, np.ndarray, int]":
+    """ICO-embedded DIB -> (w, h, HxWx3 RGB raster, n_transparent
+    pixels per the AND mask)."""
+    if len(raw) < 40:
+        raise ValueError("truncated ICO DIB header")
+    hsize = int.from_bytes(raw[0:4], "little")
+    if hsize != 40:
+        raise ValueError(f"ICO DIB header size {hsize} unsupported")
+    w = int.from_bytes(raw[4:8], "little", signed=True)
+    h2 = int.from_bytes(raw[8:12], "little", signed=True)
+    bpp = int.from_bytes(raw[14:16], "little")
+    comp = int.from_bytes(raw[16:20], "little")
+    if comp != 0:
+        raise ValueError("compressed ICO DIB unsupported")
+    if bpp not in (24, 32):
+        raise ValueError(f"ICO DIB depth {bpp} unsupported")
+    if h2 % 2 or h2 <= 0 or w <= 0:
+        raise ValueError("ICO DIB height must be positive and doubled")
+    h = h2 // 2
+    if w * h > 1_000_000:
+        raise ValueError("ICO DIB dimensions exceed resource bound")
+    bypp = bpp // 8
+    xor_stride = (w * bypp + 3) & ~3
+    and_stride = ((w + 31) // 32) * 4
+    need = 40 + xor_stride * h + and_stride * h
+    if need > len(raw):
+        raise ValueError("truncated ICO DIB pixel data")
+    xor = np.frombuffer(raw, dtype=np.uint8, count=xor_stride * h,
+                        offset=40).reshape(h, xor_stride)
+    px = xor[:, :w * bypp].reshape(h, w, bypp)[::-1]
+    rgb = px[:, :, :3][:, :, ::-1].copy()  # BGR(X) -> RGB
+    mask = np.frombuffer(raw, dtype=np.uint8, count=and_stride * h,
+                         offset=40 + xor_stride * h
+                         ).reshape(h, and_stride)[::-1]
+    bits = np.unpackbits(mask, axis=1)[:, :w]
+    return w, h, rgb, int(bits.sum())
+
+
+def _parse_ico(raw: bytes) -> list[dict]:
+    """ICONDIR walk -> [{w, h, kind, rgb_sum, n_transparent}]."""
+    if len(raw) < 6:
+        raise ValueError("truncated ICONDIR")
+    reserved = int.from_bytes(raw[0:2], "little")
+    rtype = int.from_bytes(raw[2:4], "little")
+    count = int.from_bytes(raw[4:6], "little")
+    if reserved != 0:
+        raise ValueError("ICONDIR reserved field nonzero")
+    if rtype == 2:
+        raise ValueError("cursor resources (.cur) unsupported")
+    if rtype != 1:
+        raise ValueError(f"ICONDIR type {rtype} invalid")
+    if count == 0 or count > 1024:
+        raise ValueError("ICONDIR image count invalid")
+    images = []
+    for i in range(count):
+        e = 6 + 16 * i
+        if e + 16 > len(raw):
+            raise ValueError("truncated ICONDIR entry")
+        size = int.from_bytes(raw[e + 8:e + 12], "little")
+        off = int.from_bytes(raw[e + 12:e + 16], "little")
+        if off + size > len(raw):
+            raise ValueError("ICO image data overruns the file")
+        blob = raw[off:off + size]
+        if blob[:8] == _PNG_SIG:
+            w, h, c, px = _parse_png(blob)
+            # _parse_png returns a flat per-sample vector
+            samples = px.reshape(h, w, c)
+            if c == 1:
+                rgb_sum = int(samples.sum(dtype=np.int64)) * 3
+            else:
+                rgb_sum = int(samples[:, :, :3].sum(dtype=np.int64))
+            images.append({"w": w, "h": h, "kind": "png",
+                           "rgb_sum": rgb_sum, "n_transparent": 0})
+        else:
+            w, h, rgb, ntr = _parse_ico_dib(blob)
+            images.append({"w": w, "h": h, "kind": "dib",
+                           "rgb_sum": int(rgb.sum(dtype=np.int64)),
+                           "n_transparent": ntr})
+    return images
+
+
+ICO_META_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_images", IntegerType()),
+    StructField("n_png", IntegerType()),
+    StructField("n_dib", IntegerType()),
+    StructField("width_sum", LongType()),
+    StructField("height_sum", LongType()),
+    StructField("rgb_sum", LongType()),
+    StructField("transparent_sum", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_ico_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow `mapInPandas` wrapper over :func:`_parse_ico` — PNG
+    members chained through the real PNG pipeline, DIB members with
+    the doubled-height XOR/AND layout; per-payload quarantine."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_images", "n_png", "n_dib", "width_sum",
+                "height_sum", "rgb_sum", "transparent_sum",
+                "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    imgs = _parse_ico(bytes(payload))
+                    rows["n_images"].append(len(imgs))
+                    rows["n_png"].append(
+                        sum(1 for im in imgs if im["kind"] == "png"))
+                    rows["n_dib"].append(
+                        sum(1 for im in imgs if im["kind"] == "dib"))
+                    rows["width_sum"].append(
+                        sum(im["w"] for im in imgs))
+                    rows["height_sum"].append(
+                        sum(im["h"] for im in imgs))
+                    rows["rgb_sum"].append(
+                        sum(im["rgb_sum"] for im in imgs))
+                    rows["transparent_sum"].append(
+                        sum(im["n_transparent"] for im in imgs))
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError) as e:
+                    for k in ("n_images", "n_png", "n_dib",
+                              "width_sum", "height_sum", "rgb_sum",
+                              "transparent_sum"):
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_images": pd.Series(rows["n_images"], dtype="Int32"),
+                "n_png": pd.Series(rows["n_png"], dtype="Int32"),
+                "n_dib": pd.Series(rows["n_dib"], dtype="Int32"),
+                "width_sum": pd.Series(rows["width_sum"],
+                                       dtype="Int64"),
+                "height_sum": pd.Series(rows["height_sum"],
+                                        dtype="Int64"),
+                "rgb_sum": pd.Series(rows["rgb_sum"], dtype="Int64"),
+                "transparent_sum": pd.Series(rows["transparent_sum"],
+                                             dtype="Int64"),
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _decode, schema=ICO_META_SCHEMA
+    )

@@ -3015,7 +3015,7 @@ _DRIVER_PRIORITY = [
     "mp4_demux", "mp4_decode_av", "mp3_decode_synth",
     "vorbis_decode_pcm_stereo", "vorbis_decode_pcm_trans",
     "vorbis_decode_pcm_floor0", "flac_decode_32bit",
-    "mp4_demux_frag", "mp4_decode_av_frag", "mp3_decode_lsf", "mp3_decode_ms", "bmp_decode", "tiff_decode", "warc_extract", "warc_documents", "webdataset_decode", "avi_demux", "avi_decode_av", "zip_extract", "crawl_dedup",
+    "mp4_demux_frag", "mp4_decode_av_frag", "mp3_decode_lsf", "mp3_decode_ms", "bmp_decode", "tiff_decode", "warc_extract", "warc_documents", "webdataset_decode", "avi_demux", "avi_decode_av", "zip_extract", "crawl_dedup", "ico_decode",
     "mp3_decode", "mp3_decode_stereo", "vorbis_decode_pcm",
     "gif_decode_ext",
     # (r10-queue) 16 r4-green rows.

@@ -2148,3 +2148,82 @@ GROUP BY body_len, body_byte_sum, k
 
 QUERIES_R10["crawl_dedup"] = q_crawl_dedup
 ORACLES_R10["crawl_dedup"] = SQL_CRAWL_DEDUP
+
+
+def q_ico_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICO (favicon) decode driver-checked (r10): per event a 2-3
+    image icon mixing PNG members (chained through the REAL PNG
+    pipeline — zlib inflate, all five scanline filters) and 24-bit
+    doubled-height DIB members (bottom-up XOR rows + the 1-bit AND
+    transparency mask). The oracle replays the planted pixel and mask
+    rules as exact integers. Lane id % 10 == 5."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.multimodal import decode_ico_meta
+    from ..testing.fixtures import make_ico
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 5
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_ico(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_ico_meta(payloads).drop("decode_error")
+
+
+SQL_ICO_DECODE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed, 2 + event_id % 1000 % 2 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 5
+),
+img AS (
+  SELECT e.event_id, e.seed, i.i,
+         CASE WHEN (e.seed + i.i) % 2 = 0 THEN 1 ELSE 0 END AS is_png,
+         (e.seed*13 + 5*i.i) % 1000 AS sj
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+),
+px AS (
+  SELECT g.event_id, g.i,
+         sum(CASE WHEN g.is_png = 1
+             THEN (g.sj + y.y*31 + x.x*7 + c.c*13) % 256
+             ELSE (g.seed + 9*x.x + 23*y.y + 11*c.c + 7*g.i) % 256
+             END) AS s,
+         sum(CASE WHEN g.is_png = 0 AND c.c = 0
+                  AND (g.seed + x.x + y.y) % 5 = 0
+             THEN 1 ELSE 0 END) AS ntr
+  FROM img g,
+       LATERAL (SELECT unnest(range(0, 8)) AS y) y,
+       LATERAL (SELECT unnest(range(0, 8)) AS x) x,
+       LATERAL (SELECT unnest(range(0, 3)) AS c) c
+  GROUP BY 1, 2
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.n AS INTEGER) AS n_images,
+       CAST((SELECT sum(g.is_png) FROM img g
+              WHERE g.event_id = e.event_id) AS INTEGER) AS n_png,
+       CAST((SELECT sum(1 - g.is_png) FROM img g
+              WHERE g.event_id = e.event_id) AS INTEGER) AS n_dib,
+       CAST(8 * e.n AS BIGINT) AS width_sum,
+       CAST(8 * e.n AS BIGINT) AS height_sum,
+       CAST((SELECT sum(px.s) FROM px
+              WHERE px.event_id = e.event_id) AS BIGINT) AS rgb_sum,
+       CAST((SELECT sum(px.ntr) FROM px
+              WHERE px.event_id = e.event_id) AS BIGINT)
+         AS transparent_sum
+FROM e
+"""
+
+QUERIES_R10["ico_decode"] = q_ico_decode
+ORACLES_R10["ico_decode"] = SQL_ICO_DECODE

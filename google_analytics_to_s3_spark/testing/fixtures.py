@@ -3756,3 +3756,63 @@ def make_warc_dedup(seed: int) -> bytes:
                          ("Content-Type",
                           "application/http;msgtype=response")], http))
     return b"".join(recs)
+
+
+def ico_rules(seed: int) -> dict:
+    """Planted ICO: 2-3 images; image i is a real PNG (make_png 8x8
+    RGB, seed (seed*13 + 5i) % 1000) when (seed + i) % 2 == 0, else a
+    24-bit doubled-height DIB whose RGB pixel (x, y, c) =
+    (seed + 9x + 23y + 11c + 7i) % 256 and whose AND mask sets
+    (x, y) transparent when (seed + x + y) % 5 == 0."""
+    n = 2 + seed % 2
+    return {
+        "n": n,
+        "kinds": [("png" if (seed + i) % 2 == 0 else "dib")
+                  for i in range(n)],
+        "png_seed": [(seed * 13 + 5 * i) % 1000 for i in range(n)],
+    }
+
+
+def ico_dib_pixel_rule(seed: int, i: int, x: int, y: int,
+                       c: int) -> int:
+    return (seed + 9 * x + 23 * y + 11 * c + 7 * i) % 256
+
+
+def make_ico(seed: int, w: int = 8, h: int = 8) -> bytes:
+    r = ico_rules(seed)
+    blobs = []
+    for i in range(r["n"]):
+        if r["kinds"][i] == "png":
+            blobs.append(make_png(w, h, r["png_seed"][i], channels=3))
+        else:
+            xor_stride = (w * 3 + 3) & ~3
+            and_stride = ((w + 31) // 32) * 4
+            info = _struct.pack("<IiihhIIiiII", 40, w, 2 * h, 1, 24,
+                                0, 0, 0, 0, 0, 0)
+            body = bytearray(info)
+            for y in range(h - 1, -1, -1):  # bottom-up XOR rows
+                row = bytearray()
+                for x in range(w):
+                    rr, gg, bb = (ico_dib_pixel_rule(seed, i, x, y, c)
+                                  for c in range(3))
+                    row += bytes([bb, gg, rr])
+                row += b"\x00" * (xor_stride - len(row))
+                body += row
+            for y in range(h - 1, -1, -1):  # bottom-up AND mask
+                bits = 0
+                for x in range(w):
+                    bits <<= 1
+                    if (seed + x + y) % 5 == 0:
+                        bits |= 1
+                bits <<= (and_stride * 8 - w)
+                body += bits.to_bytes(and_stride, "big")
+            blobs.append(bytes(body))
+    out = bytearray(_struct.pack("<HHH", 0, 1, r["n"]))
+    off = 6 + 16 * r["n"]
+    for i, blob in enumerate(blobs):
+        out += _struct.pack("<BBBBHHII", w % 256, h % 256, 0, 0, 1,
+                            24, len(blob), off)
+        off += len(blob)
+    for blob in blobs:
+        out += blob
+    return bytes(out)

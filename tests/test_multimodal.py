@@ -1897,3 +1897,64 @@ class TestTiff:
                 except (ValueError, IndexError):
                     pass
                 assert time.monotonic() - t0 < 5.0
+
+
+class TestIco:
+    def test_png_and_dib_members_pixel_exact(self):
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_ico,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            ico_dib_pixel_rule,
+            ico_rules,
+            make_ico,
+        )
+        for seed in (0, 9, 250, 999):
+            r = ico_rules(seed)
+            imgs = _parse_ico(make_ico(seed))
+            assert [im["kind"] for im in imgs] == r["kinds"]
+            for i, im in enumerate(imgs):
+                if im["kind"] == "png":
+                    sj = r["png_seed"][i]
+                    exp = sum((sj + y * 31 + x * 7 + c * 13) % 256
+                              for y in range(8) for x in range(8)
+                              for c in range(3))
+                    assert im["rgb_sum"] == exp
+                    assert im["n_transparent"] == 0
+                else:
+                    exp = sum(ico_dib_pixel_rule(seed, i, x, y, c)
+                              for x in range(8) for y in range(8)
+                              for c in range(3))
+                    assert im["rgb_sum"] == exp
+                    assert im["n_transparent"] == sum(
+                        1 for x in range(8) for y in range(8)
+                        if (seed + x + y) % 5 == 0)
+
+    def test_gates_and_corruption(self):
+        import random
+        import time
+
+        import pytest as _pt
+
+        from google_analytics_to_s3_spark.operators.multimodal import (
+            _parse_ico,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_ico,
+        )
+        raw = bytearray(make_ico(5))
+        raw[2] = 2  # cursor resource
+        with _pt.raises(ValueError, match="cursor"):
+            _parse_ico(bytes(raw))
+        rng = random.Random(0xCCCC)
+        base = make_ico(17)
+        for _ in range(200):
+            b = bytearray(base)
+            for _m in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            t0 = time.monotonic()
+            try:
+                _parse_ico(bytes(b))
+            except (ValueError, IndexError):
+                pass
+            assert time.monotonic() - t0 < 5.0
