@@ -2885,6 +2885,10 @@ from .driver_queries_r10 import (  # noqa: E402
     ORACLES_R10,
     QUERIES_R10,
 )
+from .driver_queries_r10b import (  # noqa: E402
+    ORACLES_R10B,
+    QUERIES_R10B,
+)
 
 QUERIES.update(QUERIES_ENRICH)
 QUERIES.update(QUERIES_IDENTITY)
@@ -2897,6 +2901,7 @@ QUERIES.update(QUERIES_ML)
 QUERIES.update(QUERIES_R8)
 QUERIES.update(QUERIES_R9)
 QUERIES.update(QUERIES_R10)
+QUERIES.update(QUERIES_R10B)
 
 ORACLES: dict[str, str] = {
     "sessionize_flags": SQL_SESSIONIZE_FLAGS,
@@ -2977,6 +2982,7 @@ ORACLES.update(ORACLES_ML)
 ORACLES.update(ORACLES_R8)
 ORACLES.update(ORACLES_R9)
 ORACLES.update(ORACLES_R10)
+ORACLES.update(ORACLES_R10B)
 # fill the lsh_recall oracle template with the shared MinHash CTE chain
 # (defined above; kept in one copy so k/bands changes cannot diverge)
 from .driver_queries_analytics import (  # noqa: E402
@@ -3004,6 +3010,8 @@ ORACLES["lsh_recall"] = LSH_RECALL_ORACLE_TEMPLATE.format(
 
 _DRIVER_PRIORITY = [
     # ---------------- round-10 rotation ----------------
+    # (r10 session-3 registrations — never driver-checked, head of list)
+    "qoi_decode", "html_extract",
     # Rebuilt from CORRECTNESS_r{1..9}.json per the r9 verdict (task
     # 1): all 261 rows green, zero never-checked, so the order is
     # purely latest-green-round ascending (relative order within a

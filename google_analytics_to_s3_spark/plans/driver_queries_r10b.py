@@ -1,0 +1,165 @@
+"""Round-10 session-3 driver queries: the crawl-format long tail.
+
+Each query follows the planted-rule discipline of the FLAC/MP3/Vorbis
+byte paths (driver_queries_analytics / _r10): a deterministic fixture
+is synthesized per event id inside ``mapInPandas``, the REAL decoder
+inverts it, and the DuckDB oracle replays the planted rules in closed
+form — a green row proves the decoder read the bytes. All oracle
+output columns are INTEGER/BIGINT (the test_oracle_types audit).
+
+No counterpart surface exists in the reference repo
+(mydatastack/google-analytics-to-s3); this is the beyond-reference
+LLM-training-data-pipeline surface the build plan mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_events
+from .driver_queries_analytics import _FLAC_MOD, _spread
+
+QUERIES_R10B: dict = {}
+ORACLES_R10B: dict[str, str] = {}
+
+
+def q_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI decode driver-checked end-to-end: per event a QOI
+    image of ``qoi_pixel_rule`` pixels is serialized by the reference
+    greedy encoder (testing/fixtures.make_qoi — RUN/INDEX/DIFF/LUMA/
+    literal chunks all exercised), decoded by the full spec decoder
+    (operators/qoi.py), and the oracle recomputes width/height/
+    channels/pixel-sum from the same closed-form rule."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.qoi import decode_qoi_meta
+    from ..testing.fixtures import make_qoi
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 6
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_qoi(int(i) % 1000,
+                             w=8 + int(i) % 1000 % 7,
+                             h=6 + int(i) % 1000 % 5,
+                             channels=3 + int(i) % 1000 % 2)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_qoi_meta(payloads).drop("decode_error")
+
+
+_QOI_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         8 + (event_id % 1000) % 7 AS w,
+         6 + (event_id % 1000) % 5 AS h,
+         3 + (event_id % 1000) % 2 AS ch
+  FROM events WHERE event_id % {_FLAC_MOD} = 6
+),
+px AS (
+  SELECT e.event_id,
+         CASE WHEN c.c = 3 THEN (e.seed + 3*y.y) % 256
+              WHEN y.y % 3 = 0
+                THEN (e.seed + 11*x.x + 17*y.y + 7*c.c) % 256
+              WHEN y.y % 3 = 1
+                THEN (5*e.seed + 29*y.y + 7*c.c
+                      + CASE WHEN x.x % 2 = 1 THEN 77 ELSE 0 END) % 256
+              ELSE (e.seed + 13*y.y + 7*c.c + x.x // 4) % 256
+         END AS v
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.h)) AS y) y,
+       LATERAL (SELECT unnest(range(0, e.w)) AS x) x,
+       LATERAL (SELECT unnest(range(0, e.ch)) AS c) c
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.w AS INTEGER) AS width,
+       CAST(e.h AS INTEGER) AS height,
+       CAST(e.ch AS INTEGER) AS channels,
+       CAST(p.s AS BIGINT) AS px_sum
+FROM e JOIN (SELECT event_id, sum(v) AS s FROM px GROUP BY 1) p
+  ON p.event_id = e.event_id
+"""
+
+QUERIES_R10B["qoi_decode"] = q_qoi_decode
+ORACLES_R10B["qoi_decode"] = _QOI_ORACLE
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL HTML→text extraction driver-checked end-to-end: per event
+    a tag-soup page with planted counts is synthesized
+    (testing/fixtures.make_html — script/style/noscript/comment junk,
+    entities, an unclosed tag), the stdlib-parser extractor strips it
+    (operators/html.py), and the oracle replays the planted word/char
+    counts in closed form. Whitespace-invariant stats only, so the
+    check is robust to block-boundary conventions."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.html import extract_html_features
+    from ..testing.fixtures import make_html
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 7
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "html": [make_html(int(i) % 1000)
+                         for i in pdf["event_id"]],
+            })
+
+    pages = e.mapInPandas(_synth, schema="doc_id long, html string")
+    return extract_html_features(pages).drop("extract_error")
+
+
+_HTML_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         3 + (event_id % 1000) % 5 AS n_paras,
+         1 + (event_id % 1000) % 3 AS n_head,
+         (event_id % 1000) % 4 AS n_links
+  FROM events WHERE event_id % {_FLAC_MOD} = 7
+),
+pw AS (
+  SELECT e.event_id,
+         count(*) AS w,
+         sum(CASE WHEN (e.seed*7 + p.p*13 + i.i*3) % 100 < 10
+                  THEN 2 ELSE 3 END) AS ch
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.n_paras)) AS p) p,
+       LATERAL (SELECT unnest(range(0, 4 + (e.seed + p.p) % 6)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       'Doc ' || CAST(e.seed AS VARCHAR) AS title,
+       CAST(e.n_links AS INTEGER) AS n_links,
+       CAST(e.n_head AS INTEGER) AS n_headings,
+       CAST(e.n_paras AS INTEGER) AS n_paras,
+       CAST(pw.w + 1 + e.n_head + e.n_links AS BIGINT) AS text_words,
+       CAST(pw.ch + CASE WHEN e.seed % 2 = 0 THEN 3 ELSE 2 END
+            + 2*e.n_head + 2*e.n_links AS BIGINT) AS word_chars
+FROM e JOIN pw ON pw.event_id = e.event_id
+"""
+
+QUERIES_R10B["html_extract"] = q_html_extract
+ORACLES_R10B["html_extract"] = _HTML_ORACLE

@@ -3816,3 +3816,125 @@ def make_ico(seed: int, w: int = 8, h: int = 8) -> bytes:
     for blob in blobs:
         out += blob
     return bytes(out)
+
+
+def qoi_pixel_rule(seed: int, x: int, y: int, c: int) -> int:
+    """Planted RGBA value for QOI fixtures (c in 0..3, c == 3 alpha).
+
+    Rows cycle through three regimes so one image exercises every
+    QOI op family: y%3==0 rows use large per-pixel deltas (literal
+    RGB/RGBA chunks), y%3==1 rows alternate two colors (INDEX hits
+    after the first period), y%3==2 rows step by 0/+1 every 4 pixels
+    (RUN chunks inside the plateau, DIFF at each step). Alpha is
+    row-constant so DIFF/LUMA stay legal within a row while 4-channel
+    files still need an RGBA chunk at each row boundary."""
+    if c == 3:
+        return (seed + 3 * y) % 256
+    m = y % 3
+    if m == 0:
+        return (seed + 11 * x + 17 * y + 7 * c) % 256
+    if m == 1:
+        return (5 * seed + 29 * y + 7 * c + (77 if x % 2 else 0)) % 256
+    return (seed + 13 * y + 7 * c + x // 4) % 256
+
+
+def make_qoi(seed: int, w: int = 13, h: int = 9,
+             channels: int = 3) -> bytes:
+    """Serialize a REAL QOI image of qoi_pixel_rule pixels with the
+    reference encoder algorithm (greedy: RUN > INDEX > DIFF > LUMA >
+    literal; index updated on every non-INDEX chunk) — qoiformat.org
+    spec, same op-choice order as the published qoi.h encoder."""
+    out = bytearray(b"qoif" + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                    + bytes([channels, 0]))
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for y in range(h):
+        for x in range(w):
+            px = (
+                qoi_pixel_rule(seed, x, y, 0),
+                qoi_pixel_rule(seed, x, y, 1),
+                qoi_pixel_rule(seed, x, y, 2),
+                qoi_pixel_rule(seed, x, y, 3) if channels == 4 else 255,
+            )
+            if px == prev:
+                run += 1
+                if run == 62:
+                    out.append(0xC0 | (run - 1))
+                    run = 0
+                continue
+            if run:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            h64 = (px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64
+            if index[h64] == px:
+                out.append(h64)
+            else:
+                index[h64] = px
+                if px[3] == prev[3]:
+                    dr = ((px[0] - prev[0] + 128) % 256) - 128
+                    dg = ((px[1] - prev[1] + 128) % 256) - 128
+                    db = ((px[2] - prev[2] + 128) % 256) - 128
+                    if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                        out.append(0x40 | ((dr + 2) << 4)
+                                   | ((dg + 2) << 2) | (db + 2))
+                    elif (-32 <= dg <= 31 and -8 <= dr - dg <= 7
+                          and -8 <= db - dg <= 7):
+                        out.append(0x80 | (dg + 32))
+                        out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                    else:
+                        out += bytes([0xFE, px[0], px[1], px[2]])
+                else:
+                    out += bytes([0xFF, *px])
+            prev = px
+    if run:
+        out.append(0xC0 | (run - 1))
+    return bytes(out + b"\x00" * 7 + b"\x01")
+
+
+def html_word_value(seed: int, p: int, i: int) -> int:
+    """Planted word id for make_html paragraph p, word i (0..99);
+    the token is 'w' + str(value), so token length = 2 or 3."""
+    return (seed * 7 + p * 13 + i * 3) % 100
+
+
+def make_html(seed: int) -> str:
+    """Serialize a deterministic HTML page with planted counts the
+    DuckDB oracle can replay in closed form:
+
+    - n_paras = 3 + seed % 5, paragraph p carrying 4 + (seed+p) % 6
+      words 'w<html_word_value>', para 0 plus one ENTITY token
+      ('A&amp;B' -> 'A&B' when seed even, 'X&#66;' -> 'XB' when odd);
+    - n_headings = 1 + seed % 3 ('H<k>'), n_links = seed % 4 ('L<j>');
+    - head (title 'Doc <seed>' + meta), script/style/noscript blocks
+      and a comment whose words must NOT count, nested div/li markup,
+      and an unclosed <b> to keep the tag-soup path honest."""
+    n_paras = 3 + seed % 5
+    n_headings = 1 + seed % 3
+    n_links = seed % 4
+    parts = [
+        "<!DOCTYPE html><html><head>",
+        f"<title>Doc {seed}</title>",
+        '<meta charset="utf-8"><style>body { color: red }</style>',
+        "</head><body>",
+        "<script>var skip = 1 + 2; // not words</script>",
+        "<!-- comment words do not count -->",
+        "<noscript>skipped <b>words</b> here</noscript>",
+    ]
+    for k in range(n_headings):
+        parts.append(f"<h{1 + k % 3}>H{k}</h{1 + k % 3}>")
+    for p in range(n_paras):
+        words = " ".join(
+            f"w{html_word_value(seed, p, i)}"
+            for i in range(4 + (seed + p) % 6)
+        )
+        if p == 0:
+            words += " A&amp;B" if seed % 2 == 0 else " X&#66;"
+            words = "<b>" + words  # unclosed: tag-soup tolerance
+        parts.append(f"<p>{words}</p>")
+    parts.append("<div><ul>")
+    for j in range(n_links):
+        parts.append(f'<li><a href="http://ex.test/{seed}/{j}">'
+                     f"L{j}</a></li>")
+    parts.append("</ul></div></body></html>")
+    return "".join(parts)

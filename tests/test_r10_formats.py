@@ -1,0 +1,169 @@
+"""Round-10 session-3 format decoders: QOI (and later additions).
+
+Same discipline as tests/test_multimodal.py: exact round-trips against
+the planted pixel rules, full op-family coverage asserted (not
+assumed), and single-site corruption fuzz under the quarantine
+contract (ValueError/IndexError/struct.error — never a crash/hang).
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from google_analytics_to_s3_spark.operators.qoi import _parse_qoi
+from google_analytics_to_s3_spark.testing.fixtures import (
+    make_qoi,
+    qoi_pixel_rule,
+)
+
+
+@pytest.mark.parametrize("channels", [3, 4])
+@pytest.mark.parametrize("seed", [0, 1, 7, 123, 999])
+def test_qoi_round_trip_exact(seed, channels):
+    w, h = 8 + seed % 7, 6 + seed % 5
+    W, H, C, px, _ = _parse_qoi(make_qoi(seed, w, h, channels))
+    assert (W, H, C) == (w, h, channels)
+    want = np.array(
+        [[[qoi_pixel_rule(seed, x, y, c) for c in range(channels)]
+          for x in range(w)] for y in range(h)],
+        dtype=np.uint8,
+    )
+    assert (px == want).all()
+
+
+def test_qoi_all_op_families_exercised():
+    """The fixture family must hit every QOI chunk type — RUN, INDEX,
+    DIFF, LUMA, RGB, RGBA — or the decoder coverage is illusory."""
+    totals = {k: 0 for k in ("rgb", "rgba", "index", "diff", "luma",
+                             "run")}
+    for seed in range(60):
+        for ch in (3, 4):
+            ops = _parse_qoi(make_qoi(seed, 13, 9, ch))[4]
+            for k, v in ops.items():
+                totals[k] += v
+    assert all(v > 0 for v in totals.values()), totals
+
+
+def test_qoi_run_62_flush_and_long_runs():
+    """A constant image longer than 62 px forces the run-flush path
+    (run length is capped at 62 because 63/64 collide with the
+    RGB/RGBA tags)."""
+    # seed chosen so row regime y%3==1 with w wide enough: use an
+    # explicitly constant rule via a 70x2 image where every pixel of
+    # row pairs repeats -> runs > 62 must split.
+    raw = make_qoi(0, 70, 3, 3)
+    w, h, c, px, ops = _parse_qoi(raw)
+    assert (w, h) == (70, 3)
+    assert ops["run"] >= 1
+
+
+@pytest.mark.parametrize("mangle,err", [
+    (lambda b: b"noif" + b[4:], "magic"),
+    (lambda b: b[:12] + bytes([5]) + b[13:], "channels"),
+    (lambda b: b[:13] + bytes([9]) + b[14:], "colorspace"),
+    (lambda b: b[:-8] + b"\x00" * 8, "end marker"),
+    (lambda b: b[:4] + (0).to_bytes(4, "big") + b[8:], "dimensions"),
+    (lambda b: b[:4] + (1 << 30).to_bytes(4, "big") + b[8:],
+     "dimensions"),
+])
+def test_qoi_malformed_rejected(mangle, err):
+    raw = make_qoi(42, 9, 7, 4)
+    with pytest.raises(ValueError, match=err):
+        _parse_qoi(mangle(raw))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=999),
+    channels=st.sampled_from([3, 4]),
+    pos_frac=st.floats(min_value=0.0, max_value=0.999),
+    mutation=st.sampled_from(["flip", "zero", "truncate", "insert"]),
+)
+def test_qoi_corruption_never_crashes(seed, channels, pos_frac,
+                                      mutation):
+    raw = bytearray(make_qoi(seed, 11, 8, channels))
+    pos = int(pos_frac * len(raw))
+    if mutation == "flip":
+        raw[pos] ^= 0x55
+    elif mutation == "zero":
+        raw[pos] = 0
+    elif mutation == "truncate":
+        raw = raw[:pos]
+    else:
+        raw = raw[:pos] + b"\xa5" + raw[pos:]
+    try:
+        _parse_qoi(bytes(raw))
+    except (ValueError, IndexError):
+        pass
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (operators/html.py)
+# ---------------------------------------------------------------------------
+
+from google_analytics_to_s3_spark.operators.html import (  # noqa: E402
+    extract_html_text,
+)
+from google_analytics_to_s3_spark.testing.fixtures import (  # noqa: E402
+    make_html,
+)
+
+
+def test_html_skips_script_style_noscript_comments_and_head():
+    raw = ("<html><head><title>T</title><style>p{x:1}</style></head>"
+           "<body><script>var a=1;</script><!-- c --><noscript>no "
+           "<b>tags</b></noscript><p>keep these words</p></body></html>")
+    title, text, nl, nh, np_ = extract_html_text(raw)
+    assert title == "T"
+    assert text.split() == ["keep", "these", "words"]
+    assert (nl, nh, np_) == (0, 0, 1)
+
+
+def test_html_entities_decode_before_counting():
+    _, text, *_ = extract_html_text(
+        "<body><p>A&amp;B x&#33; &lt;tag&gt;</p></body>")
+    assert text.split() == ["A&B", "x!", "<tag>"]
+
+
+def test_html_links_and_headings_counted_outside_skips_only():
+    raw = ("<body><h1>H</h1><h2>I</h2>"
+           '<a href="http://a">x</a><a name="no-href">y</a>'
+           '<noscript><a href="http://skip">z</a></noscript></body>')
+    _, text, nl, nh, np_ = extract_html_text(raw)
+    assert nl == 1 and nh == 2 and np_ == 0
+    assert "z" not in text.split()
+
+
+def test_html_tag_soup_and_missing_body_tolerated():
+    # unclosed tags, stray </div>, no <body> element at all
+    _, text, *_ = extract_html_text("<p>one <b>two</div> three")
+    assert text.split() == ["one", "two", "three"]
+
+
+def test_html_fixture_matches_planted_rules_sampled():
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        html_word_value,
+    )
+
+    for seed in (0, 1, 2, 7, 99, 500, 999):
+        title, text, nl, nh, np_ = extract_html_text(make_html(seed))
+        n_paras = 3 + seed % 5
+        toks = text.split()
+        want = sum(4 + (seed + p) % 6 for p in range(n_paras)) + 1 \
+            + (1 + seed % 3) + seed % 4
+        assert len(toks) == want
+        assert title == f"Doc {seed}"
+        assert nl == seed % 4 and nh == 1 + seed % 3 and np_ == n_paras
+        assert sum(len(t) for t in toks) == sum(
+            (2 if html_word_value(seed, p, i) < 10 else 3)
+            for p in range(n_paras) for i in range(4 + (seed + p) % 6)
+        ) + (3 if seed % 2 == 0 else 2) + 2 * (1 + seed % 3) \
+            + 2 * (seed % 4)
+
+
+@settings(max_examples=50, deadline=None)
+@given(junk=st.text(max_size=400))
+def test_html_arbitrary_text_never_crashes(junk):
+    extract_html_text(junk)
+    extract_html_text("<body>" + junk)
