@@ -163,3 +163,64 @@ FROM e JOIN pw ON pw.event_id = e.event_id
 
 QUERIES_R10B["html_extract"] = q_html_extract
 ORACLES_R10B["html_extract"] = _HTML_ORACLE
+
+
+def q_lz4_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZ4 frame decode driver-checked end-to-end: per event a
+    frame of lz4_content_rule bytes (a repeated segment — real LZ77
+    matches — plus an incompressible tail) is compressed by the
+    fixture's greedy block compressor and framed with xxh32 HC/block/
+    content checksums (testing/fixtures.make_lz4, every 3rd block via
+    the stored escape), decoded by the full frame+block parser
+    (operators/lz4.py, checksums verified), and the oracle replays
+    content length/sum and block count in closed form."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.lz4 import decode_lz4_meta
+    from ..testing.fixtures import make_lz4
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 8
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_lz4(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_lz4_meta(payloads).drop("decode_error")
+
+
+_LZ4_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         200 + (event_id % 1000) % 100 AS n_a,
+         50 + (event_id % 1000) % 20 AS n_t
+  FROM events WHERE event_id % {_FLAC_MOD} = 8
+),
+sums AS (
+  SELECT e.event_id,
+         (SELECT sum((e.seed + 7*i.i) % 251)
+          FROM (SELECT unnest(range(0, e.n_a)) AS i) i) AS s_a,
+         (SELECT sum((3*e.seed + 11*i.i) % 251)
+          FROM (SELECT unnest(range(0, e.n_t)) AS i) i) AS s_t
+  FROM e
+)
+SELECT e.event_id AS doc_id,
+       CAST((3*e.n_a + e.n_t + 511) // 512 AS INTEGER) AS n_blocks,
+       CAST(3*e.n_a + e.n_t AS BIGINT) AS content_len,
+       CAST(3*s.s_a + s.s_t AS BIGINT) AS content_sum
+FROM e JOIN sums s ON s.event_id = e.event_id
+"""
+
+QUERIES_R10B["lz4_extract"] = q_lz4_extract
+ORACLES_R10B["lz4_extract"] = _LZ4_ORACLE

@@ -3938,3 +3938,95 @@ def make_html(seed: int) -> str:
                      f"L{j}</a></li>")
     parts.append("</ul></div></body></html>")
     return "".join(parts)
+
+
+def _lz4_compress_block(data: bytes) -> bytes:
+    """Real greedy LZ4 block compressor (block-format spec): 4-byte
+    hash-table matcher, 65535-offset window, spec end restrictions
+    (last 5 bytes literal, no match starting past len-12)."""
+    n = len(data)
+    out = bytearray()
+    table: dict[bytes, int] = {}
+    anchor = 0
+    i = 0
+
+    def _emit(lit_end: int, match_len: int, offset: int) -> None:
+        lit_len = lit_end - anchor
+        tok_lit = min(lit_len, 15)
+        tok_mat = min(match_len - 4, 15) if match_len else 0
+        out.append((tok_lit << 4) | tok_mat)
+        rem = lit_len - 15
+        while rem >= 0:
+            out.append(min(rem, 255))
+            if rem < 255:
+                break
+            rem -= 255
+        out.extend(data[anchor:lit_end])
+        if match_len:
+            out.extend(offset.to_bytes(2, "little"))
+            rem = match_len - 4 - 15
+            while rem >= 0:
+                out.append(min(rem, 255))
+                if rem < 255:
+                    break
+                rem -= 255
+
+    while i <= n - 12:
+        key = data[i:i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is not None and i - cand <= 65535 \
+                and data[cand:cand + 4] == key:
+            mlen = 4
+            limit = n - 5
+            while i + mlen < limit \
+                    and data[cand + mlen] == data[i + mlen]:
+                mlen += 1
+            _emit(i, mlen, i - cand)
+            i += mlen
+            anchor = i
+        else:
+            i += 1
+    _emit(n, 0, 0)
+    return bytes(out)
+
+
+def lz4_content_rule(seed: int) -> bytes:
+    """Planted frame content: a 200-299-byte segment repeated 3x
+    (real LZ77 matches) plus a 50-69-byte incompressible-ish tail."""
+    n_a = 200 + seed % 100
+    n_t = 50 + seed % 20
+    seg = bytes((seed + 7 * i) % 251 for i in range(n_a))
+    tail = bytes((3 * seed + 11 * i) % 251 for i in range(n_t))
+    return seg * 3 + tail
+
+
+def make_lz4(seed: int) -> bytes:
+    """Serialize a REAL LZ4 frame of lz4_content_rule bytes: FLG with
+    content-size + block-checksum + content-checksum + independent
+    blocks, BD 64KB, xxh32 HC byte, 512-byte block segmentation with
+    every 3rd block forced to the stored (uncompressed-bit) escape,
+    per-block xxh32, end mark, content xxh32."""
+    from google_analytics_to_s3_spark.operators.lz4 import xxh32
+
+    content = lz4_content_rule(seed)
+    flg = (0b01 << 6) | (1 << 5) | (1 << 4) | (1 << 3) | (1 << 2)
+    bd = 4 << 4
+    desc = bytes([flg, bd]) + len(content).to_bytes(8, "little")
+    out = bytearray((0x184D2204).to_bytes(4, "little"))
+    out += desc
+    out.append((xxh32(desc) >> 8) & 0xFF)
+    for bi, off in enumerate(range(0, len(content), 512)):
+        raw = content[off:off + 512]
+        comp = _lz4_compress_block(raw)
+        if bi % 3 == 2 or len(comp) >= len(raw):
+            out += (0x80000000 | len(raw)).to_bytes(4, "little")
+            out += raw
+            out += xxh32(raw).to_bytes(4, "little")
+        else:
+            out += len(comp).to_bytes(4, "little")
+            out += comp
+            out += xxh32(comp).to_bytes(4, "little")
+    out += (0).to_bytes(4, "little")
+    out += xxh32(content).to_bytes(4, "little")
+    return bytes(out)

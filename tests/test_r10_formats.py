@@ -167,3 +167,110 @@ def test_html_fixture_matches_planted_rules_sampled():
 def test_html_arbitrary_text_never_crashes(junk):
     extract_html_text(junk)
     extract_html_text("<body>" + junk)
+
+
+# ---------------------------------------------------------------------------
+# LZ4 frame + block + xxh32 (operators/lz4.py)
+# ---------------------------------------------------------------------------
+
+from google_analytics_to_s3_spark.operators.lz4 import (  # noqa: E402
+    _decode_lz4_block,
+    parse_lz4_frame,
+    xxh32,
+)
+from google_analytics_to_s3_spark.testing.fixtures import (  # noqa: E402
+    _lz4_compress_block,
+    lz4_content_rule,
+    make_lz4,
+)
+
+
+def test_xxh32_published_vectors():
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"abc") == 0x32D153FF
+    assert xxh32(b"Nobody inspects the spammish repetition") \
+        == 0xE2293B2F
+    assert xxh32(b"The quick brown fox jumps over the lazy dog") \
+        == 0xE85EA4DE
+
+
+@pytest.mark.parametrize("seed", [0, 1, 99, 511, 999])
+def test_lz4_frame_round_trip(seed):
+    content, nb = parse_lz4_frame(make_lz4(seed))
+    assert content == lz4_content_rule(seed)
+    assert nb == (len(content) + 511) // 512
+
+
+def test_lz4_overlap_copy_rle_idiom():
+    rle = b"\x07" * 300
+    comp = _lz4_compress_block(rle)
+    assert len(comp) < 20  # the matcher actually compressed it
+    assert _decode_lz4_block(comp, 1000) == rle
+
+
+def test_lz4_long_lengths_255_saturation():
+    # > 15+255 literals and a > 19+255 match both need extension bytes
+    lits = bytes((i * 37) % 256 for i in range(300))
+    data = lits + b"\x42" * 300 + lits[:50]
+    comp = _lz4_compress_block(data)
+    assert _decode_lz4_block(comp, 1 << 16) == data
+
+
+@pytest.mark.parametrize("tamper,err", [
+    ("magic", "magic"),
+    ("hc", "descriptor checksum"),
+    ("block_ck", "block checksum"),
+    ("content_ck", "content checksum"),
+    ("end", "truncated"),
+])
+def test_lz4_checksums_actually_verified(tamper, err):
+    raw = bytearray(make_lz4(7))
+    if tamper == "magic":
+        raw[0] ^= 1
+    elif tamper == "hc":
+        raw[14] ^= 0xFF  # HC byte (after 4 magic + 2 FLG/BD + 8 size)
+    elif tamper == "block_ck":
+        raw[40] ^= 1  # inside first block's data -> its xxh32 fails
+    elif tamper == "content_ck":
+        raw[-1] ^= 1
+    else:
+        raw = raw[:-9]  # drop end mark + content checksum
+    with pytest.raises(ValueError, match=err):
+        parse_lz4_frame(bytes(raw))
+
+
+def test_lz4_match_offset_bounds_rejected():
+    # token: 0 literals, match len 4, offset 5 into an empty buffer
+    with pytest.raises(ValueError, match="offset out of range"):
+        _decode_lz4_block(b"\x00\x05\x00", 100)
+
+
+def test_lz4_expansion_bound_enforced():
+    # crafted run: 4 literals then an overlapping match of ~1 MB
+    block = b"\x4f\xaa\xbb\xcc\xdd\x04\x00" + b"\xff" * 4000 + b"\x00"
+    with pytest.raises(ValueError, match="expansion bound"):
+        _decode_lz4_block(block, 10_000)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=999),
+    pos_frac=st.floats(min_value=0.0, max_value=0.999),
+    mutation=st.sampled_from(["flip", "zero", "truncate", "insert"]),
+)
+def test_lz4_corruption_never_crashes(seed, pos_frac, mutation):
+    raw = bytearray(make_lz4(seed))
+    pos = int(pos_frac * len(raw))
+    if mutation == "flip":
+        raw[pos] ^= 0x55
+    elif mutation == "zero":
+        raw[pos] = 0
+    elif mutation == "truncate":
+        raw = raw[:pos]
+    else:
+        raw = raw[:pos] + b"\xa5" + raw[pos:]
+    try:
+        parse_lz4_frame(bytes(raw))
+    except (ValueError, IndexError):
+        pass
