@@ -224,3 +224,65 @@ FROM e JOIN sums s ON s.event_id = e.event_id
 
 QUERIES_R10B["lz4_extract"] = q_lz4_extract
 ORACLES_R10B["lz4_extract"] = _LZ4_ORACLE
+
+
+def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF text extraction driver-checked end-to-end: per event
+    a PDF 1.4 with planted words is serialized (testing/fixtures.
+    make_pdf — FlateDecode streams, an indirect /Length, kerned TJ
+    arrays splitting a token mid-word, octal + hex string tokens,
+    incremental-update /Prev chains on seed%4==0), parsed by the real
+    xref/COS/content-lexer path (operators/pdf.py), and the oracle
+    replays page/object/word/char counts in closed form."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.pdf import extract_pdf_features
+    from ..testing.fixtures import make_pdf
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 9
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_pdf(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return extract_pdf_features(payloads).drop("extract_error")
+
+
+_PDF_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         2 + (event_id % 1000) % 3 AS n_pages
+  FROM events WHERE event_id % {_FLAC_MOD} = 9
+),
+pw AS (
+  SELECT e.event_id,
+         count(*) AS w,
+         sum(CASE WHEN (e.seed*7 + p.p*13 + i.i*3) % 100 < 10
+                  THEN 2 ELSE 3 END) AS ch
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.n_pages)) AS p) p,
+       LATERAL (SELECT unnest(range(0, 5 + (e.seed + p.p) % 7)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.n_pages AS INTEGER) AS n_pages,
+       CAST(4 + 2*e.n_pages AS INTEGER) AS n_objects,
+       CAST(pw.w + 2 AS BIGINT) AS text_words,
+       CAST(pw.ch + 5 AS BIGINT) AS word_chars
+FROM e JOIN pw ON pw.event_id = e.event_id
+"""
+
+QUERIES_R10B["pdf_text"] = q_pdf_text
+ORACLES_R10B["pdf_text"] = _PDF_ORACLE

@@ -4030,3 +4030,90 @@ def make_lz4(seed: int) -> bytes:
     out += (0).to_bytes(4, "little")
     out += xxh32(content).to_bytes(4, "little")
     return bytes(out)
+
+
+def pdf_word_value(seed: int, p: int, i: int) -> int:
+    """Planted word id for make_pdf page p, word i (0..99); the token
+    is 'w' + str(value) -> length 2 or 3."""
+    return (seed * 7 + p * 13 + i * 3) % 100
+
+
+def make_pdf(seed: int) -> bytes:
+    """Serialize a REAL PDF 1.4 with planted text the oracle can
+    replay: n_pages = 2 + seed%3 pages, page p carrying 5+(seed+p)%7
+    words 'w<pdf_word_value>' split across Tj, a kerned TJ array
+    (one word split mid-token — concatenation is part of the spec
+    being tested), and the ' (move-show) operator; page 0 adds an
+    OCTAL-escape token (A\\051B -> 'A)B') and a HEX-string token
+    (<4858> -> 'HX'). Content streams are zlib FlateDecode except
+    seed%5==0 (raw), page 0's /Length is an INDIRECT reference, and
+    seed%4==0 appends an incremental update (second xref + /Prev
+    chain). Object count is 4 + 2*n_pages ('n' xref entries)."""
+    import zlib as _zlib
+
+    n_pages = 2 + seed % 3
+    objs: dict[int, bytes] = {}
+    kids = " ".join(f"{4 + 2*p} 0 R" for p in range(n_pages))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+               ).encode()
+    objs[3] = (b"<< /Type /Font /Subtype /Type1 "
+               b"/BaseFont /Helvetica >>")
+    len_obj = 4 + 2 * n_pages
+    for p in range(n_pages):
+        nw = 5 + (seed + p) % 7
+        words = [f"w{pdf_word_value(seed, p, i)}" for i in range(nw)]
+        split = words[2]
+        lines = [
+            b"BT /F1 12 Tf 72 720 Td",
+            b"(" + " ".join(words[:2]).encode() + b") Tj",
+            b"0 -14 Td",
+            b"[(" + split[:2].encode() + b") -250 ("
+            + split[2:].encode() + b")] TJ",
+            b"(" + " ".join(words[3:]).encode() + b") '",
+        ]
+        if p == 0:
+            lines += [b"0 -14 Td", b"(A\\051B) Tj",
+                      b"0 -14 Td", b"<4858> Tj"]
+        lines.append(b"ET")
+        content = b"\n".join(lines)
+        if seed % 5 == 0:
+            filt, data = b"", content
+        else:
+            filt, data = b" /Filter /FlateDecode", \
+                _zlib.compress(content)
+        if p == 0:
+            objs[len_obj] = str(len(data)).encode()
+            hdr = (f"<< /Length {len_obj} 0 R".encode() + filt
+                   + b" >>")
+        else:
+            hdr = f"<< /Length {len(data)}".encode() + filt + b" >>"
+        objs[5 + 2 * p] = (hdr + b"\nstream\n" + data
+                           + b"\nendstream")
+        objs[4 + 2 * p] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {5 + 2*p} 0 R >>").encode()
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref1 = len(out)
+    size = len_obj + 1
+    out += f"xref\n0 {size}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, size):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {size} /Root 1 0 R >>\n"
+            f"startxref\n{xref1}\n%%EOF\n").encode()
+    if seed % 4 == 0:  # incremental update: re-write the catalog
+        newoff = len(out)
+        out += b"1 0 obj\n" + objs[1] + b"\nendobj\n"
+        xref2 = len(out)
+        out += (b"xref\n0 2\n0000000000 65535 f \n"
+                + f"{newoff:010d} 00000 n \n".encode())
+        out += (f"trailer\n<< /Size {size} /Root 1 0 R "
+                f"/Prev {xref1} >>\nstartxref\n{xref2}\n%%EOF\n"
+                ).encode()
+    return bytes(out)

@@ -274,3 +274,97 @@ def test_lz4_corruption_never_crashes(seed, pos_frac, mutation):
         parse_lz4_frame(bytes(raw))
     except (ValueError, IndexError):
         pass
+
+
+# ---------------------------------------------------------------------------
+# PDF text extraction (operators/pdf.py)
+# ---------------------------------------------------------------------------
+
+from google_analytics_to_s3_spark.operators.pdf import (  # noqa: E402
+    _parse_string,
+    extract_pdf_text,
+)
+from google_analytics_to_s3_spark.testing.fixtures import (  # noqa: E402
+    make_pdf,
+    pdf_word_value,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 4, 5, 20, 999])
+def test_pdf_planted_rules(seed):
+    # seeds cover: raw + Flate streams (seed%5), /Prev chains
+    # (seed%4), all page counts
+    np_, no, text = extract_pdf_text(make_pdf(seed))
+    n_pages = 2 + seed % 3
+    assert np_ == n_pages and no == 4 + 2 * n_pages
+    toks = text.split()
+    assert len(toks) == sum(5 + (seed + p) % 7
+                            for p in range(n_pages)) + 2
+    assert sum(len(t) for t in toks) == sum(
+        (2 if pdf_word_value(seed, p, i) < 10 else 3)
+        for p in range(n_pages) for i in range(5 + (seed + p) % 7)
+    ) + 5
+    assert "A)B" in toks and "HX" in toks  # octal + hex string paths
+
+
+def test_pdf_string_escapes():
+    s, _ = _parse_string(rb"(a\nb\051c\\d\
+e)", 0)
+    # \n newline, \051 = ')', \\ backslash, backslash-newline = continuation
+    assert s == b"a\nb)c\\de"
+
+
+def test_pdf_nested_parens_in_strings():
+    s, _ = _parse_string(b"(a(b)c)", 0)
+    assert s == b"a(b)c"
+
+
+def test_pdf_tj_array_concatenates_without_splitting():
+    seed = 3
+    _, _, text = extract_pdf_text(make_pdf(seed))
+    # word index 2 of each page was split across TJ elements; it must
+    # come back whole
+    for p in range(2 + seed % 3):
+        w = f"w{pdf_word_value(seed, p, 2)}"
+        assert w in text.split()
+
+
+def test_pdf_honest_gates_named():
+    raw = make_pdf(1)
+    enc = raw.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    with pytest.raises(ValueError, match="encrypted"):
+        extract_pdf_text(enc)
+    # equal-length name swap so the xref offsets stay valid
+    lzw = make_pdf(1).replace(b"/Filter /FlateDecode",
+                              b"/Filter /LZWDecode  ")
+    with pytest.raises(ValueError, match="LZWDecode unsupported"):
+        extract_pdf_text(lzw)
+
+
+def test_pdf_missing_startxref_rejected():
+    raw = make_pdf(2)
+    with pytest.raises(ValueError, match="startxref"):
+        extract_pdf_text(raw[:raw.rfind(b"startxref")])
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=999),
+    pos_frac=st.floats(min_value=0.0, max_value=0.999),
+    mutation=st.sampled_from(["flip", "zero", "truncate", "insert"]),
+)
+def test_pdf_corruption_never_crashes(seed, pos_frac, mutation):
+    raw = bytearray(make_pdf(seed))
+    pos = int(pos_frac * len(raw))
+    if mutation == "flip":
+        raw[pos] ^= 0x55
+    elif mutation == "zero":
+        raw[pos] = 0
+    elif mutation == "truncate":
+        raw = raw[:pos]
+    else:
+        raw = raw[:pos] + b"\xa5" + raw[pos:]
+    try:
+        extract_pdf_text(bytes(raw))
+    except (ValueError, IndexError, RecursionError):
+        pass
