@@ -286,3 +286,82 @@ FROM e JOIN pw ON pw.event_id = e.event_id
 
 QUERIES_R10B["pdf_text"] = q_pdf_text
 ORACLES_R10B["pdf_text"] = _PDF_ORACLE
+
+
+def q_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP (VP8L lossless) decode driver-checked end-to-end:
+    per event a VP8L bitstream is serialized by the fixture encoder
+    (testing/fixtures.make_webp — canonical prefix codes with the
+    19-slot code-length code and 17/18 zero runs, 6-bit color cache,
+    LZ77 row copies, and per-variant SUBTRACT_GREEN / PREDICTOR (all
+    14 modes) / delta-coded COLOR_INDEXING transforms), decoded by
+    the real bit path (operators/webp.py), and the oracle replays the
+    planted pixel/palette rules in closed form."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.webp import decode_webp_meta
+    from ..testing.fixtures import make_webp
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 0
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_webp(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_webp_meta(payloads).drop("decode_error")
+
+
+_WEBP_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         10 + (event_id % 1000) % 9 AS w,
+         8 + (event_id % 1000) % 7 AS h,
+         (event_id % 1000) % 4 AS variant
+  FROM events WHERE event_id % {_FLAC_MOD} = 0
+),
+px AS (
+  SELECT e.event_id,
+         CASE WHEN e.variant = 3 THEN
+             (e.seed + 31*((x.x + 2*y.y) % (17 + e.seed % 8))) % 256
+           + (5*e.seed + 13*((x.x + 2*y.y) % (17 + e.seed % 8))) % 256
+           + (e.seed + 7*((x.x + 2*y.y) % (17 + e.seed % 8))) % 256
+         ELSE
+             (e.seed + 11*x.x
+              + 17*(y.y - CASE WHEN y.y % 4 = 3 THEN 1 ELSE 0 END))
+             % 256
+           + (3*e.seed + 7*x.x
+              + 5*(y.y - CASE WHEN y.y % 4 = 3 THEN 1 ELSE 0 END))
+             % 256
+           + (e.seed
+              + 13*(y.y - CASE WHEN y.y % 4 = 3 THEN 1 ELSE 0 END)
+              + x.x // 3) % 256
+         END AS v
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.h)) AS y) y,
+       LATERAL (SELECT unnest(range(0, e.w)) AS x) x
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.w AS INTEGER) AS width,
+       CAST(e.h AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS lossless,
+       CAST(CASE WHEN e.variant = 0 THEN 0 ELSE 1 END AS INTEGER)
+           AS n_transforms,
+       CAST(p.s AS BIGINT) AS rgb_sum
+FROM e JOIN (SELECT event_id, sum(v) AS s FROM px GROUP BY 1) p
+  ON p.event_id = e.event_id
+"""
+
+QUERIES_R10B["webp_decode"] = q_webp_decode
+ORACLES_R10B["webp_decode"] = _WEBP_ORACLE

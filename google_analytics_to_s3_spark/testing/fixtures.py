@@ -4117,3 +4117,358 @@ def make_pdf(seed: int) -> bytes:
                 f"/Prev {xref1} >>\nstartxref\n{xref2}\n%%EOF\n"
                 ).encode()
     return bytes(out)
+
+
+class _BitWriterLSB:
+    """LSB-first bit writer (VP8L convention)."""
+
+    def __init__(self) -> None:
+        self._bits: list[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n):
+            self._bits.append((value >> i) & 1)
+
+    def write_code_msb(self, code: int, length: int) -> None:
+        """Canonical prefix codewords are consumed MSB-first by the
+        tree-walking decoder."""
+        for i in range(length - 1, -1, -1):
+            self._bits.append((code >> i) & 1)
+
+    def tobytes(self) -> bytes:
+        out = bytearray()
+        for i in range(0, len(self._bits), 8):
+            b = 0
+            for j, bit in enumerate(self._bits[i:i + 8]):
+                b |= bit << j
+            out.append(b)
+        return bytes(out)
+
+
+def _vp8l_complete_code(symbols: list[int]) -> dict[int, int]:
+    """Complete canonical code lengths over k>=2 symbols: 2^L - k
+    symbols at depth L-1, the rest at depth L (Kraft-exact)."""
+    k = len(symbols)
+    lg = (k - 1).bit_length()
+    n_short = (1 << lg) - k
+    return {s: (lg - 1 if i < n_short else lg)
+            for i, s in enumerate(sorted(symbols))}
+
+
+def _vp8l_canonical(lengths: dict[int, int]) -> dict[int, tuple]:
+    """Symbol -> (code, length), canonical by (length, symbol)."""
+    out = {}
+    code = 0
+    prev = 0
+    for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
+        ln = lengths[sym]
+        code <<= ln - prev
+        prev = ln
+        out[sym] = (code, ln)
+        code += 1
+    return out
+
+
+_VP8L_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12,
+                  13, 14, 15, 16]
+
+
+def _vp8l_write_code(bw: "_BitWriterLSB", lengths: dict[int, int],
+                     alphabet_size: int) -> dict[int, tuple]:
+    """Serialize one prefix-code definition; returns the canonical
+    codebook for emission. Uses the SIMPLE form for 1-2 symbols <=
+    255, else the NORMAL code-length-code form with 17/18 zero runs."""
+    used = sorted(s for s, l in lengths.items() if l > 0)
+    if 1 <= len(used) <= 2 and max(used) <= 255:
+        bw.write(1, 1)  # simple
+        bw.write(len(used) - 1, 1)
+        first_8bit = 1 if used[0] > 1 else 0
+        bw.write(first_8bit, 1)
+        bw.write(used[0], 8 if first_8bit else 1)
+        if len(used) == 2:
+            bw.write(used[1], 8)
+        if len(used) == 1:
+            return {used[0]: (0, 0)}
+        return {used[0]: (0, 1), used[1]: (1, 1)}
+    bw.write(0, 1)  # normal
+    # code-length symbol stream with zero runs
+    stream: list[tuple[int, int, int]] = []  # (cl_sym, extra_n, extra_v)
+    sym = 0
+    while sym < alphabet_size:
+        ln = lengths.get(sym, 0)
+        if ln == 0:
+            run = 0
+            while sym + run < alphabet_size \
+                    and lengths.get(sym + run, 0) == 0:
+                run += 1
+            left = run
+            while left >= 11:
+                take = min(left, 138)
+                stream.append((18, 7, take - 11))
+                left -= take
+            while left >= 3:
+                take = min(left, 10)
+                stream.append((17, 3, take - 3))
+                left -= take
+            for _ in range(left):
+                stream.append((0, 0, 0))
+            sym += run
+        else:
+            stream.append((ln, 0, 0))
+            sym += 1
+    cl_used = sorted({s for s, _, _ in stream})
+    if len(cl_used) == 1:
+        cl_lengths = {cl_used[0]: 1}
+    else:
+        cl_lengths = _vp8l_complete_code(cl_used)
+    max_pos = max(_VP8L_CL_ORDER.index(s) for s in cl_used)
+    num_codes = max(4, max_pos + 1)
+    bw.write(num_codes - 4, 4)
+    for i in range(num_codes):
+        bw.write(cl_lengths.get(_VP8L_CL_ORDER[i], 0), 3)
+    bw.write(0, 1)  # use_max_symbol = 0
+    cl_book = _vp8l_canonical(cl_lengths) if len(cl_used) > 1 else \
+        {cl_used[0]: (0, 0)}
+    for s, extra_n, extra_v in stream:
+        code, ln = cl_book[s]
+        bw.write_code_msb(code, ln)
+        if extra_n:
+            bw.write(extra_v, extra_n)
+    return _vp8l_canonical(lengths) if len(used) > 1 else \
+        {used[0]: (0, 0)}
+
+
+def _vp8l_prefix_encode(v: int) -> tuple[int, int, int]:
+    """Inverse of the LZ77 length/distance prefix decode: value ->
+    (code, extra_bits, extra_value)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    code = 4
+    while code < 40:
+        extra_bits = (code - 2) >> 1
+        offset = (2 + (code & 1)) << extra_bits
+        if offset + 1 <= v <= offset + (1 << extra_bits):
+            return code, extra_bits, v - offset - 1
+        code += 1
+    raise ValueError("value out of prefix-code range")
+
+
+def _vp8l_tokenize(pixels: list[int], w: int, h: int,
+                   cache_bits: int, rowcopy: bool) -> list[tuple]:
+    """Greedy literal/cache/row-copy tokenizer mirroring the decoder's
+    cache-insertion semantics exactly (every emitted pixel inserts)."""
+    cache = [0] * (1 << cache_bits) if cache_bits else []
+    shift = 32 - cache_bits if cache_bits else 0
+    toks: list[tuple] = []
+
+    def _insert(px: int) -> None:
+        if cache_bits:
+            cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> shift] = px
+
+    i = 0
+    n = w * h
+    while i < n:
+        y, x = divmod(i, w)
+        if rowcopy and x == 0 and y > 0 \
+                and pixels[i:i + w] == pixels[i - w:i]:
+            toks.append(("copy", w, w))
+            for j in range(w):
+                _insert(pixels[i + j])
+            i += w
+            continue
+        px = pixels[i]
+        if cache_bits and cache[(0x1E35A7BD * px & 0xFFFFFFFF)
+                                >> shift] == px:
+            toks.append(("cache",
+                         (0x1E35A7BD * px & 0xFFFFFFFF) >> shift))
+        else:
+            toks.append(("lit", px))
+        _insert(px)
+        i += 1
+    return toks
+
+
+def _vp8l_write_image(bw: "_BitWriterLSB", pixels: list[int], w: int,
+                      h: int, level0: bool, cache_bits: int,
+                      rowcopy: bool) -> None:
+    """Serialize one entropy-coded ARGB image (single prefix-code
+    group): cache info, meta bit (level 0), 5 code definitions, then
+    the token stream."""
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    if level0:
+        bw.write(0, 1)  # no meta prefix codes
+    toks = _vp8l_tokenize(pixels, w, h, cache_bits, rowcopy)
+    greens: set[int] = set()
+    reds: set[int] = set()
+    blues: set[int] = set()
+    alphas: set[int] = set()
+    dists: set[int] = set()
+    for t in toks:
+        if t[0] == "lit":
+            px = t[1]
+            greens.add((px >> 8) & 0xFF)
+            reds.add((px >> 16) & 0xFF)
+            blues.add(px & 0xFF)
+            alphas.add((px >> 24) & 0xFF)
+        elif t[0] == "copy":
+            greens.add(256 + _vp8l_prefix_encode(t[1])[0])
+            dists.add(_vp8l_prefix_encode(t[2] + 120)[0])
+        else:
+            greens.add(280 + t[1])
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    def _code(symbols: set[int], alphabet: int) -> dict[int, tuple]:
+        syms = sorted(symbols) if symbols else [0]
+        lengths = {s: 1 for s in syms} if len(syms) == 1 \
+            else _vp8l_complete_code(syms)
+        return _vp8l_write_code(bw, lengths, alphabet)
+
+    g_book = _code(greens, 256 + 24 + cache_size)
+    r_book = _code(reds, 256)
+    b_book = _code(blues, 256)
+    a_book = _code(alphas, 256)
+    d_book = _code(dists, 40)
+    for t in toks:
+        if t[0] == "lit":
+            px = t[1]
+            code, ln = g_book[(px >> 8) & 0xFF]
+            bw.write_code_msb(code, ln)
+            code, ln = r_book[(px >> 16) & 0xFF]
+            bw.write_code_msb(code, ln)
+            code, ln = b_book[px & 0xFF]
+            bw.write_code_msb(code, ln)
+            code, ln = a_book[(px >> 24) & 0xFF]
+            bw.write_code_msb(code, ln)
+        elif t[0] == "copy":
+            lcode, lbits, lval = _vp8l_prefix_encode(t[1])
+            code, ln = g_book[256 + lcode]
+            bw.write_code_msb(code, ln)
+            bw.write(lval, lbits)
+            dcode, dbits, dval = _vp8l_prefix_encode(t[2] + 120)
+            code, ln = d_book[dcode]
+            bw.write_code_msb(code, ln)
+            bw.write(dval, dbits)
+        else:
+            code, ln = g_book[280 + t[1]]
+            bw.write_code_msb(code, ln)
+
+
+def webp_pixel_rule(seed: int, x: int, y: int) -> tuple[int, int, int]:
+    """Planted RGB for make_webp variants 0-2; rows with y%4==3
+    duplicate the previous row (real LZ77 row copies)."""
+    ye = y - 1 if y % 4 == 3 else y
+    return ((seed + 11 * x + 17 * ye) % 256,
+            (3 * seed + 7 * x + 5 * ye) % 256,
+            (seed + 13 * ye + x // 3) % 256)
+
+
+def webp_palette_rule(seed: int, i: int) -> tuple[int, int, int]:
+    """Planted palette color i for make_webp variant 3."""
+    return ((seed + 31 * i) % 256, (5 * seed + 13 * i) % 256,
+            (seed + 7 * i) % 256)
+
+
+def make_webp(seed: int) -> bytes:
+    """Serialize a REAL WebP (VP8L lossless) file: variant seed%4 =
+    0 plain, 1 SUBTRACT_GREEN, 2 PREDICTOR (4x4 blocks, mode =
+    (seed+bx+3*by)%14 — all 14 modes exercised across seeds), 3
+    COLOR_INDEXING (17-24 entry delta-coded palette). All variants
+    use a 6-bit color cache; variants 0-2 add LZ77 row copies via the
+    y%4==3 duplicate rows. seed%5==0 wraps the stream in a VP8X
+    extended header. The token stream mirrors the decoder's cache
+    semantics exactly (operators/webp.py)."""
+    from google_analytics_to_s3_spark.operators.webp import (
+        _sub_px,
+        predict_px,
+    )
+
+    variant = seed % 4
+    w = 10 + seed % 9
+    h = 8 + seed % 7
+    bw = _BitWriterLSB()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    if variant == 3:
+        pal_n = 17 + seed % 8
+        palette = [(0xFF << 24) | (r << 16) | (g << 8) | b
+                   for r, g, b in (webp_palette_rule(seed, i)
+                                   for i in range(pal_n))]
+        coded = [0xFF000000 | ((((x + 2 * y) % pal_n) & 0xFF) << 8)
+                 for y in range(h) for x in range(w)]
+        deltas = []
+        prev = 0
+        for p in palette:
+            deltas.append(_sub_px(p, prev))
+            prev = p
+        bw.write(1, 1)
+        bw.write(3, 2)
+        bw.write(pal_n - 1, 8)
+        _vp8l_write_image(bw, deltas, pal_n, 1, False, 0, False)
+    else:
+        argb = [0xFF000000 | (r << 16) | (g << 8) | b
+                for y in range(h) for x in range(w)
+                for r, g, b in (webp_pixel_rule(seed, x, y),)]
+        if variant == 1:
+            coded = []
+            for p in argb:
+                g = (p >> 8) & 0xFF
+                r = (((p >> 16) & 0xFF) - g) & 0xFF
+                b = ((p & 0xFF) - g) & 0xFF
+                coded.append((p & 0xFF00FF00) | (r << 16) | b)
+            bw.write(1, 1)
+            bw.write(2, 2)
+        elif variant == 2:
+            size_bits = 2
+            bw_blocks = (w + 3) >> 2
+            bh_blocks = (h + 3) >> 2
+            modes = [(seed + bx + 3 * by) % 14
+                     for by in range(bh_blocks)
+                     for bx in range(bw_blocks)]
+            coded = []
+            for y in range(h):
+                for x in range(w):
+                    i = y * w + x
+                    if x == 0 and y == 0:
+                        pred = 0xFF000000
+                    elif y == 0:
+                        pred = argb[i - 1]
+                    elif x == 0:
+                        pred = argb[i - w]
+                    else:
+                        mode = modes[(y >> size_bits) * bw_blocks
+                                     + (x >> size_bits)]
+                        tr = argb[i - w + 1] if x + 1 < w \
+                            else argb[y * w]
+                        pred = predict_px(mode, argb[i - 1],
+                                          argb[i - w],
+                                          argb[i - w - 1], tr)
+                    coded.append(_sub_px(argb[i], pred))
+            mode_px = [0xFF000000 | (m << 8) for m in modes]
+            bw.write(1, 1)
+            bw.write(0, 2)
+            bw.write(size_bits - 2, 3)
+            _vp8l_write_image(bw, mode_px, bw_blocks, bh_blocks,
+                              False, 0, False)
+        else:
+            coded = argb
+    bw.write(0, 1)  # end of transforms
+    _vp8l_write_image(bw, coded, w, h, True, 6,
+                      rowcopy=variant != 3)
+    payload = b"\x2f" + bw.tobytes()
+    chunks = bytearray()
+    if seed % 5 == 0:
+        body = (bytes([0]) + b"\x00\x00\x00"
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little"))
+        chunks += b"VP8X" + len(body).to_bytes(4, "little") + body
+    chunks += b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunks += b"\x00"
+    return bytes(b"RIFF" + (4 + len(chunks)).to_bytes(4, "little")
+                 + b"WEBP" + chunks)

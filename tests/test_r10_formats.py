@@ -368,3 +368,128 @@ def test_pdf_corruption_never_crashes(seed, pos_frac, mutation):
         extract_pdf_text(bytes(raw))
     except (ValueError, IndexError, RecursionError):
         pass
+
+
+# ---------------------------------------------------------------------------
+# WebP / VP8L (operators/webp.py)
+# ---------------------------------------------------------------------------
+
+from google_analytics_to_s3_spark.operators.webp import (  # noqa: E402
+    _BitsLSB,
+    _prefix_decode_extra,
+    parse_webp,
+)
+from google_analytics_to_s3_spark.testing.fixtures import (  # noqa: E402
+    _vp8l_prefix_encode,
+    make_webp,
+    webp_palette_rule,
+    webp_pixel_rule,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 5, 6, 7, 40, 999])
+def test_webp_vp8l_variants_exact(seed):
+    # seeds cover all four variants, the VP8X wrapper (seed%5==0),
+    # and assorted dims
+    m = parse_webp(make_webp(seed))
+    w, h, variant = 10 + seed % 9, 8 + seed % 7, seed % 4
+    assert (m["width"], m["height"], m["lossless"]) == (w, h, 1)
+    assert m["n_transforms"] == (0 if variant == 0 else 1)
+    if variant == 3:
+        P = 17 + seed % 8
+        want = [webp_palette_rule(seed, (x + 2 * y) % P)
+                for y in range(h) for x in range(w)]
+    else:
+        want = [webp_pixel_rule(seed, x, y)
+                for y in range(h) for x in range(w)]
+    got = [((p >> 16) & 255, (p >> 8) & 255, p & 255)
+           for p in m["pixels"]]
+    assert got == want
+
+
+def test_webp_all_predictor_modes_covered_by_fixture_family():
+    modes = set()
+    for seed in range(2, 1000, 4):  # variant-2 seeds
+        w, h = 10 + seed % 9, 8 + seed % 7
+        bwb, bhb = (w + 3) >> 2, (h + 3) >> 2
+        modes |= {(seed + bx + 3 * by) % 14
+                  for by in range(bhb) for bx in range(bwb)}
+    assert modes == set(range(14))
+
+
+def test_webp_lz77_prefix_code_round_trip():
+    for v in list(range(1, 300)) + [1000, 4000]:
+        code, bits, val = _vp8l_prefix_encode(v)
+        br = _BitsLSB(val.to_bytes(4, "little"))
+        got = code + 1 if code < 4 else None
+        if code < 4:
+            assert got == v and bits == 0
+        else:
+            assert _prefix_decode_extra_with(code, val, bits) == v
+
+
+def _prefix_decode_extra_with(code, val, bits):
+    br = _BitsLSB(val.to_bytes(4, "little"))
+    extra_bits = (code - 2) >> 1
+    assert extra_bits == bits
+    offset = (2 + (code & 1)) << extra_bits
+    return offset + br.read(extra_bits) + 1
+
+
+def test_webp_vp8_lossy_header_parsed_and_gated():
+    # minimal VP8 keyframe header: frame tag (keyframe bit 0), start
+    # code, 14-bit dims
+    body = bytes([0x00, 0x00, 0x00]) + b"\x9d\x01\x2a" \
+        + (320).to_bytes(2, "little") + (240).to_bytes(2, "little")
+    raw = (b"RIFF" + (4 + 8 + len(body)).to_bytes(4, "little")
+           + b"WEBP" + b"VP8 " + len(body).to_bytes(4, "little")
+           + body)
+    m = parse_webp(raw)
+    assert (m["width"], m["height"], m["lossless"]) == (320, 240, 0)
+    assert m["pixels"] is None
+
+
+def test_webp_honest_gates_named():
+    with pytest.raises(ValueError, match="RIFF header"):
+        parse_webp(b"RIFX" + b"\x00" * 20)
+    # color transform (type 1) gate: craft header + transform bits
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        _BitWriterLSB,
+    )
+
+    bw = _BitWriterLSB()
+    bw.write(9, 14)
+    bw.write(7, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)
+    bw.write(1, 2)  # COLOR_TRANSFORM
+    payload = b"\x2f" + bw.tobytes() + b"\x00" * 8
+    raw = (b"RIFF" + (4 + 8 + len(payload)).to_bytes(4, "little")
+           + b"WEBP" + b"VP8L" + len(payload).to_bytes(4, "little")
+           + payload)
+    with pytest.raises(ValueError, match="color transform"):
+        parse_webp(raw)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=999),
+    pos_frac=st.floats(min_value=0.0, max_value=0.999),
+    mutation=st.sampled_from(["flip", "zero", "truncate", "insert"]),
+)
+def test_webp_corruption_never_crashes(seed, pos_frac, mutation):
+    raw = bytearray(make_webp(seed))
+    pos = int(pos_frac * len(raw))
+    if mutation == "flip":
+        raw[pos] ^= 0x55
+    elif mutation == "zero":
+        raw[pos] = 0
+    elif mutation == "truncate":
+        raw = raw[:pos]
+    else:
+        raw = raw[:pos] + b"\xa5" + raw[pos:]
+    try:
+        parse_webp(bytes(raw))
+    except (ValueError, IndexError):
+        pass
