@@ -365,3 +365,333 @@ FROM e JOIN (SELECT event_id, sum(v) AS s FROM px GROUP BY 1) p
 
 QUERIES_R10B["webp_decode"] = q_webp_decode
 ORACLES_R10B["webp_decode"] = _WEBP_ORACLE
+
+
+def q_mkv_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Matroska/WebM demux driver-checked end-to-end: per event
+    an EBML container with planted track/cluster/block counts is
+    serialized (testing/fixtures.make_mkv — SimpleBlock AND
+    BlockGroup>Block paths, interleaved video/audio), walked by the
+    real vint/element parser (operators/mkv.py), and the oracle
+    replays every count and per-track byte total in closed form."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.mkv import demux_mkv_features
+    from ..testing.fixtures import make_mkv
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 1
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_mkv(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return demux_mkv_features(payloads).drop("decode_error")
+
+
+_MKV_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         2 + (event_id % 1000) % 2 AS nc
+  FROM events WHERE event_id % {_FLAC_MOD} = 1
+),
+v AS (
+  SELECT e.event_id, count(*) AS nb,
+         sum(40 + (e.seed + 7*c.c + 3*j.j) % 13) AS vb
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.nc)) AS c) c,
+       LATERAL (SELECT unnest(range(0, 3 + (e.seed + c.c) % 3)) AS j) j
+  GROUP BY 1
+),
+a AS (
+  SELECT e.event_id, count(*) AS nb,
+         sum(30 + (e.seed + 5*c.c + 7*j.j) % 17) AS ab
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.nc)) AS c) c,
+       LATERAL (SELECT unnest(range(0, 2 + (e.seed + c.c) % 2)) AS j) j
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(1000000 AS INTEGER) AS timecode_scale,
+       CAST(2 AS INTEGER) AS n_tracks,
+       CAST(e.nc AS INTEGER) AS n_clusters,
+       CAST(v.nb + a.nb AS INTEGER) AS n_blocks,
+       CAST(v.vb AS BIGINT) AS video_bytes,
+       CAST(a.ab AS BIGINT) AS audio_bytes
+FROM e JOIN v ON v.event_id = e.event_id
+       JOIN a ON a.event_id = e.event_id
+"""
+
+QUERIES_R10B["mkv_demux"] = q_mkv_demux
+ORACLES_R10B["mkv_demux"] = _MKV_ORACLE
+
+
+def q_mkv_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska -> MP3 chained decode (the MP4/AVI chain discipline):
+    per event a WebM-style container whose A_MPEG/L3 track carries a
+    REAL MP3 stream split into 150-byte SimpleBlocks
+    (testing/fixtures.make_mkv_mp3), the demuxer reassembles the
+    elementary stream byte-exactly (operators/mkv.py), and the real
+    Layer III decoder (operators/mp3.py) inverts it — verified by the
+    same closed-form MP3 oracle as mp3_decode."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.mkv import extract_mkv_track_df
+    from ..operators.mp3 import decode_mp3_features
+    from ..testing.fixtures import make_mkv_mp3
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 2
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_mkv_mp3(int(i) % 1000,
+                                 n_frames=2 + int(i) % 3)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    containers = e.mapInPandas(_synth,
+                               schema="doc_id long, payload binary")
+    streams = extract_mkv_track_df(containers, "A_MPEG")
+    return decode_mp3_features(streams).drop("decode_error")
+
+
+QUERIES_R10B["mkv_decode_audio"] = q_mkv_decode_audio
+
+
+def _register_mkv_audio_oracle() -> None:
+    from .driver_queries_r10 import _mp3_oracle_sql
+
+    ORACLES_R10B["mkv_decode_audio"] = _mp3_oracle_sql(2, 1)
+
+
+_register_mkv_audio_oracle()
+
+
+def q_ts_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-TS demux driver-checked end-to-end: per event a
+    transport stream (testing/fixtures.make_mpegts — PAT/PMT with
+    real CRC-32/MPEG-2, PES packetization, adaptation-field stuffing,
+    continuity counters) is walked by the real packet parser
+    (operators/mpegts.py); the oracle replays program/stream counts
+    and the reassembled private-stream byte total in closed form."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.mpegts import demux_ts_features
+    from ..testing.fixtures import make_mpegts
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 3
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_mpegts(int(i) % 1000,
+                                n_frames=2 + int(i) % 3)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    # n_packets varies with the MP3 stream's encoded byte length
+    # (reservoir-dependent), which has no closed form — drop it from
+    # the graded surface; the MP3 chain is value-checked by
+    # ts_decode_audio
+    return demux_ts_features(payloads).drop("decode_error",
+                                            "n_packets")
+
+
+_TS_ORACLE = f"""
+SELECT event_id AS doc_id,
+       CAST(1 AS INTEGER) AS n_programs,
+       CAST(2 AS INTEGER) AS n_streams,
+       CAST(400 + (event_id % 1000) % 200 AS BIGINT) AS private_bytes
+FROM events WHERE event_id % {_FLAC_MOD} = 3
+"""
+
+QUERIES_R10B["ts_demux"] = q_ts_demux
+ORACLES_R10B["ts_demux"] = _TS_ORACLE
+
+
+def q_ts_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-TS -> MP3 chained decode: the PES reassembly must be
+    byte-exact for the real Layer III decoder to invert the planted
+    spectra — verified by the same closed-form MP3 oracle as
+    mp3_decode (the MP4/AVI/MKV chain discipline)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.mp3 import decode_mp3_features
+    from ..operators.mpegts import extract_ts_audio_df
+    from ..testing.fixtures import make_mpegts
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 4
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_mpegts(int(i) % 1000,
+                                n_frames=2 + int(i) % 3)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    containers = e.mapInPandas(_synth,
+                               schema="doc_id long, payload binary")
+    streams = extract_ts_audio_df(containers)
+    return decode_mp3_features(streams).drop("decode_error")
+
+
+QUERIES_R10B["ts_decode_audio"] = q_ts_decode_audio
+
+
+def _register_ts_audio_oracle() -> None:
+    from .driver_queries_r10 import _mp3_oracle_sql
+
+    ORACLES_R10B["ts_decode_audio"] = _mp3_oracle_sql(4, 1)
+
+
+_register_ts_audio_oracle()
+
+
+def q_flv_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLV demux driver-checked end-to-end: per event an FLV
+    with interleaved MP3 audio and planted video tags is serialized
+    (testing/fixtures.make_flv — PreviousTagSize back-pointers all
+    correct), walked by the real tag parser (operators/flv.py), and
+    the oracle replays the planted video counts/bytes/timestamps."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.flv import demux_flv_features
+    from ..testing.fixtures import make_flv
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 5
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_flv(int(i) % 1000, n_frames=2 + int(i) % 3)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return demux_flv_features(payloads).drop("decode_error")
+
+
+_FLV_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         4 + (event_id % 1000) % 3 AS nv
+  FROM events WHERE event_id % {_FLAC_MOD} = 5
+),
+v AS (
+  SELECT e.event_id,
+         sum(50 + (e.seed + j.j) % 23) AS vb
+  FROM e, LATERAL (SELECT unnest(range(0, e.nv)) AS j) j
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(1 AS INTEGER) AS has_audio,
+       CAST(1 AS INTEGER) AS has_video,
+       CAST(e.nv AS INTEGER) AS n_video,
+       CAST(v.vb AS BIGINT) AS video_bytes,
+       CAST(1000 + 33*(e.nv - 1) AS INTEGER) AS max_ts
+FROM e JOIN v ON v.event_id = e.event_id
+"""
+
+QUERIES_R10B["flv_demux"] = q_flv_demux
+ORACLES_R10B["flv_demux"] = _FLV_ORACLE
+
+
+def q_flv_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLV -> MP3 chained decode: sound-format-2 tag payloads
+    reassemble byte-exactly and the real Layer III decoder inverts
+    the planted spectra — verified by the shared MP3 oracle."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.flv import extract_flv_audio_df
+    from ..operators.mp3 import decode_mp3_features
+    from ..testing.fixtures import make_flv
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 6
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_flv(int(i) % 1000, n_frames=2 + int(i) % 3)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    containers = e.mapInPandas(_synth,
+                               schema="doc_id long, payload binary")
+    streams = extract_flv_audio_df(containers)
+    return decode_mp3_features(streams).drop("decode_error")
+
+
+QUERIES_R10B["flv_decode_audio"] = q_flv_decode_audio
+
+
+def _register_flv_audio_oracle() -> None:
+    from .driver_queries_r10 import _mp3_oracle_sql
+
+    ORACLES_R10B["flv_decode_audio"] = _mp3_oracle_sql(6, 1)
+
+
+_register_flv_audio_oracle()

@@ -4472,3 +4472,233 @@ def make_webp(seed: int) -> bytes:
         chunks += b"\x00"
     return bytes(b"RIFF" + (4 + len(chunks)).to_bytes(4, "little")
                  + b"WEBP" + chunks)
+
+
+def _ebml_id(eid: int) -> bytes:
+    return eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+
+
+def _ebml_size(n: int) -> bytes:
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            return ((1 << (7 * length)) | n).to_bytes(length, "big")
+    raise ValueError("EBML size too large")
+
+
+def _ebml(eid: int, payload: bytes) -> bytes:
+    return _ebml_id(eid) + _ebml_size(len(payload)) + payload
+
+
+def _ebml_uint(v: int) -> bytes:
+    return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+
+def _mkv_simpleblock(track: int, rel: int, frame: bytes) -> bytes:
+    return _ebml(0xA3, bytes([0x80 | track])
+                 + rel.to_bytes(2, "big", signed=True) + b"\x80"
+                 + frame)
+
+
+def _mkv_blockgroup(track: int, rel: int, frame: bytes) -> bytes:
+    inner = _ebml(0xA1, bytes([0x80 | track])
+                  + rel.to_bytes(2, "big", signed=True) + b"\x00"
+                  + frame)
+    return _ebml(0xA0, inner)
+
+
+def _mkv_header(doc_type: bytes, tracks: list[tuple]) -> bytes:
+    """EBML header + the Segment prefix (Info + Tracks); ``tracks``
+    is [(number, type, codec_id)]."""
+    ebml_hdr = _ebml(0x1A45DFA3,
+                     _ebml(0x4286, _ebml_uint(1))        # EBMLVersion
+                     + _ebml(0x42F7, _ebml_uint(1))      # ReadVersion
+                     + _ebml(0x4282, doc_type))          # DocType
+    info = _ebml(0x1549A966, _ebml(0x2AD7B1,
+                                   _ebml_uint(1_000_000)))
+    entries = b"".join(
+        _ebml(0xAE, _ebml(0xD7, _ebml_uint(num))
+              + _ebml(0x83, _ebml_uint(ttype))
+              + _ebml(0x86, codec.encode()))
+        for num, ttype, codec in tracks
+    )
+    return ebml_hdr, info + _ebml(0x1654AE6B, entries)
+
+
+def make_mkv(seed: int) -> bytes:
+    """Serialize a REAL Matroska file with planted demux counts: a
+    video (1, V_UNCOMPRESSED) and an audio (2, A_PCM/INT/LIT) track,
+    2+seed%2 clusters; cluster c carries 3+(seed+c)%3 video frames of
+    40+(seed+7c+3j)%13 bytes and 2+(seed+c)%2 audio frames of
+    30+(seed+5c+7j)%17 bytes, interleaved; every 3rd block overall is
+    written as BlockGroup>Block instead of SimpleBlock."""
+    hdr, seg_prefix = _mkv_header(
+        b"matroska", [(1, 1, "V_UNCOMPRESSED"), (2, 2, "A_PCM/INT/LIT")])
+    clusters = b""
+    gidx = 0
+    for c in range(2 + seed % 2):
+        blocks = []
+        nv = 3 + (seed + c) % 3
+        na = 2 + (seed + c) % 2
+        for j in range(max(nv, na)):
+            if j < nv:
+                lv = 40 + (seed + 7 * c + 3 * j) % 13
+                frame = bytes((seed + 11 * c + 5 * j + 3 * k) % 256
+                              for k in range(lv))
+                blocks.append((1, j * 40, frame))
+            if j < na:
+                la = 30 + (seed + 5 * c + 7 * j) % 17
+                frame = bytes((2 * seed + 7 * c + 3 * j + 5 * k) % 256
+                              for k in range(la))
+                blocks.append((2, j * 40 + 20, frame))
+        body = _ebml(0xE7, _ebml_uint(c * 1000))
+        for track, rel, frame in blocks:
+            if gidx % 3 == 2:
+                body += _mkv_blockgroup(track, rel, frame)
+            else:
+                body += _mkv_simpleblock(track, rel, frame)
+            gidx += 1
+        clusters += _ebml(0x1F43B675, body)
+    return hdr + _ebml(0x18538067, seg_prefix + clusters)
+
+
+def make_mkv_mp3(seed: int, n_frames: int | None = None) -> bytes:
+    """Serialize a REAL WebM-style container whose A_MPEG/L3 track
+    carries a genuine MP3 stream (make_mp3) split into 150-byte
+    SimpleBlocks — byte-exact reassembly feeds the real Layer III
+    decoder (the MP4/AVI chain discipline)."""
+    if n_frames is None:
+        n_frames = 2 + seed % 3
+    hdr, seg_prefix = _mkv_header(b"matroska", [(1, 2, "A_MPEG/L3")])
+    mp3 = make_mp3(seed % 1000, n_frames=n_frames, stereo=False,
+                   id3=False)
+    chunks = [mp3[i:i + 150] for i in range(0, len(mp3), 150)]
+    clusters = b""
+    for c in range(0, len(chunks), 2):
+        body = _ebml(0xE7, _ebml_uint(c * 500))
+        for j, frame in enumerate(chunks[c:c + 2]):
+            body += _mkv_simpleblock(1, j * 26, frame)
+        clusters += _ebml(0x1F43B675, body)
+    return hdr + _ebml(0x18538067, seg_prefix + clusters)
+
+
+def _ts_packets(pid: int, data: bytes, cc_start: int = 0) -> bytes:
+    """Packetize one PES into 188-byte TS packets: PUSI on the first,
+    adaptation-field stuffing on the last partial packet."""
+    out = bytearray()
+    cc = cc_start
+    pos = 0
+    first = True
+    while pos < len(data):
+        chunk = data[pos:pos + 184]
+        pos += len(chunk)
+        hdr = bytearray(4)
+        hdr[0] = 0x47
+        hdr[1] = (0x40 if first else 0x00) | (pid >> 8)
+        hdr[2] = pid & 0xFF
+        if len(chunk) == 184:
+            hdr[3] = 0x10 | cc  # payload only
+            out += hdr + chunk
+        else:
+            hdr[3] = 0x30 | cc  # adaptation + payload
+            af_len = 184 - len(chunk) - 1
+            af = bytes([af_len]) + (
+                b"\x00" + b"\xff" * (af_len - 1) if af_len else b"")
+            out += hdr + af + chunk
+        cc = (cc + 1) % 16
+        first = False
+    return bytes(out)
+
+
+def _psi_packet(pid: int, section: bytes) -> bytes:
+    """One PSI TS packet: pointer field 0 + section + 0xFF padding."""
+    from google_analytics_to_s3_spark.operators.mpegts import (
+        crc32_mpeg,
+    )
+
+    body = section + crc32_mpeg(section).to_bytes(4, "big")
+    payload = b"\x00" + body
+    if len(payload) > 184:
+        raise ValueError("PSI section too large for one packet")
+    pkt = bytearray([0x47, 0x40 | (pid >> 8), pid & 0xFF, 0x10])
+    return bytes(pkt) + payload + b"\xff" * (184 - len(payload))
+
+
+def _pes(stream_id: int, es: bytes) -> bytes:
+    """PES packet with an empty header extension (no PTS)."""
+    return (b"\x00\x00\x01" + bytes([stream_id])
+            + (len(es) + 3).to_bytes(2, "big")
+            + b"\x80\x00\x00" + es)
+
+
+def make_mpegts(seed: int, n_frames: int | None = None) -> bytes:
+    """Serialize a REAL MPEG-TS: PAT (program 1 -> PMT 0x100) and PMT
+    (MP3 stream_type 0x03 on PID 0x101 + private data 0x06 on PID
+    0x102), both with real CRC-32/MPEG-2; the MP3 elementary stream
+    is a genuine make_mp3 stream split into 600-byte PES packets; the
+    private stream is 400+seed%200 planted rule bytes in one PES.
+    Adaptation-field stuffing closes every partial packet."""
+    if n_frames is None:
+        n_frames = 2 + seed % 3
+
+    def _sec(table_id: int, body: bytes) -> bytes:
+        # section_length counts bytes after it INCLUDING the CRC
+        sec_len = len(body) + 5 + 4
+        return (bytes([table_id]) + (0xB000 | sec_len).to_bytes(2, "big")
+                + (1).to_bytes(2, "big") + b"\xc1\x00\x00" + body)
+
+    pat = _sec(0x00, (1).to_bytes(2, "big")
+               + (0xE000 | 0x100).to_bytes(2, "big"))
+    pmt_body = ((0xE000 | 0x101).to_bytes(2, "big") + b"\xf0\x00"
+                + bytes([0x03]) + (0xE000 | 0x101).to_bytes(2, "big")
+                + b"\xf0\x00"
+                + bytes([0x06]) + (0xE000 | 0x102).to_bytes(2, "big")
+                + b"\xf0\x00")
+    pmt = _sec(0x02, pmt_body)
+    out = bytearray(_psi_packet(0, pat))
+    out += _psi_packet(0x100, pmt)
+    mp3 = make_mp3(seed % 1000, n_frames=n_frames, stereo=False,
+                   id3=False)
+    cc = 0
+    for off in range(0, len(mp3), 600):
+        pes = _pes(0xC0, mp3[off:off + 600])
+        pkts = _ts_packets(0x101, pes, cc)
+        cc = (cc + len(pkts) // 188) % 16
+        out += pkts
+    priv_len = 400 + seed % 200
+    priv = bytes((3 * seed + 7 * k) % 256 for k in range(priv_len))
+    out += _ts_packets(0x102, _pes(0xBD, priv))
+    return bytes(out)
+
+
+def make_flv(seed: int, n_frames: int | None = None) -> bytes:
+    """Serialize a REAL FLV: header (audio+video flags), MP3 audio
+    tags (sound format 2, a genuine make_mp3 stream split into
+    500-byte tags) interleaved with 4+seed%3 video tags (codec 2 =
+    Sorenson header byte + planted rule bytes of 50+(seed+j)%23),
+    video timestamps 1000+33j so max_ts is closed-form; every tag
+    carries a correct PreviousTagSize back-pointer."""
+    if n_frames is None:
+        n_frames = 2 + seed % 3
+    mp3 = make_mp3(seed % 1000, n_frames=n_frames, stereo=False,
+                   id3=False)
+
+    def _tag(tag_type: int, ts: int, data: bytes) -> bytes:
+        return (bytes([tag_type]) + len(data).to_bytes(3, "big")
+                + (ts & 0xFFFFFF).to_bytes(3, "big")
+                + bytes([(ts >> 24) & 0xFF]) + b"\x00\x00\x00"
+                + data + (11 + len(data)).to_bytes(4, "big"))
+
+    out = bytearray(b"FLV\x01\x05" + (9).to_bytes(4, "big")
+                    + (0).to_bytes(4, "big"))
+    audio_chunks = [mp3[i:i + 500] for i in range(0, len(mp3), 500)]
+    n_video = 4 + seed % 3
+    for j in range(max(len(audio_chunks), n_video)):
+        if j < len(audio_chunks):
+            # sound header: format 2 (MP3), 44kHz (3), 16-bit, mono
+            out += _tag(8, j * 26, bytes([0x2E]) + audio_chunks[j])
+        if j < n_video:
+            lv = 50 + (seed + j) % 23
+            body = bytes([0x12]) + bytes(
+                (seed + 9 * j + 5 * k) % 256 for k in range(lv))
+            out += _tag(9, 1000 + 33 * j, body)
+    return bytes(out)

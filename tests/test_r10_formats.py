@@ -493,3 +493,177 @@ def test_webp_corruption_never_crashes(seed, pos_frac, mutation):
         parse_webp(bytes(raw))
     except (ValueError, IndexError):
         pass
+
+
+# ---------------------------------------------------------------------------
+# Matroska/WebM, MPEG-TS, FLV demux (operators/mkv.py, mpegts.py, flv.py)
+# ---------------------------------------------------------------------------
+
+from google_analytics_to_s3_spark.operators.flv import (  # noqa: E402
+    extract_flv_audio,
+    parse_flv,
+)
+from google_analytics_to_s3_spark.operators.mkv import (  # noqa: E402
+    _read_vint,
+    extract_mkv_track,
+    parse_mkv,
+)
+from google_analytics_to_s3_spark.operators.mpegts import (  # noqa: E402
+    crc32_mpeg,
+    extract_ts_audio,
+    parse_mpegts,
+)
+from google_analytics_to_s3_spark.testing.fixtures import (  # noqa: E402
+    make_flv,
+    make_mkv,
+    make_mkv_mp3,
+    make_mp3,
+    make_mpegts,
+)
+
+
+def test_ebml_vint_widths():
+    # 1-byte: 0x81 -> 1; 2-byte: 0x40 0x7F -> 127 (needs width 2)
+    assert _read_vint(b"\x81", 0, False) == (1, 1)
+    assert _read_vint(b"\x40\x7f", 0, False) == (127, 2)
+    assert _read_vint(b"\x20\x00\x01", 0, False) == (1, 3)
+    # ID keeps the marker
+    assert _read_vint(b"\x1a\x45\xdf\xa3", 0, True) == (0x1A45DFA3, 4)
+    with pytest.raises(ValueError, match="unknown-size"):
+        _read_vint(b"\xff", 0, False)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 17, 999])
+def test_mkv_planted_counts(seed):
+    m = parse_mkv(make_mkv(seed))
+    nc = 2 + seed % 2
+    assert m["doc_type"] == "matroska"
+    assert len(m["clusters"]) == nc
+    vb = sum(len(f) for cl in m["clusters"]
+             for t, _, f in cl["blocks"] if t == 1)
+    assert vb == sum(40 + (seed + 7 * c + 3 * j) % 13
+                     for c in range(nc)
+                     for j in range(3 + (seed + c) % 3))
+
+
+def test_mkv_blockgroup_and_simpleblock_both_parsed():
+    # make_mkv writes every 3rd block as BlockGroup>Block
+    m = parse_mkv(make_mkv(5))
+    total = sum(len(cl["blocks"]) for cl in m["clusters"])
+    assert total >= 9  # gidx%3==2 occurred; parse found all blocks
+
+
+def test_mkv_mp3_track_reassembles_byte_exact():
+    for seed in (0, 7, 123):
+        got = extract_mkv_track(make_mkv_mp3(seed), "A_MPEG")
+        assert got == make_mp3(seed % 1000, n_frames=2 + seed % 3,
+                               stereo=False, id3=False)
+
+
+def test_mkv_lacing_gate_named():
+    raw = bytearray(make_mkv_mp3(3))
+    # flip a lacing bit in the first SimpleBlock's flags byte; the
+    # SimpleBlock id (0xA3) must be located after the first Cluster
+    # id (the EBML magic itself ends in 0xA3)
+    cluster = raw.find(b"\x1f\x43\xb6\x75")
+    idx = raw.find(b"\xa3", cluster + 4)
+    # payload = [size vint][track vint 0x81][2b rel][flags]
+    # locate flags: id(1) + size vint (find its width)
+    from google_analytics_to_s3_spark.operators.mkv import (
+        _read_vint as rv,
+    )
+
+    _, p = rv(bytes(raw), idx + 1, False)
+    flags_pos = p + 1 + 2
+    raw[flags_pos] |= 0x06
+    with pytest.raises(ValueError, match="lacing"):
+        parse_mkv(bytes(raw))
+
+
+def test_crc32_mpeg_known_vector():
+    # CRC-32/MPEG-2 of "123456789" is 0x0376E6E7 (published check)
+    assert crc32_mpeg(b"123456789") == 0x0376E6E7
+
+
+@pytest.mark.parametrize("seed", [0, 1, 42, 999])
+def test_mpegts_psi_and_streams(seed):
+    m = parse_mpegts(make_mpegts(seed))
+    assert m["programs"] == {1: 0x100}
+    assert [(t, p) for t, p in m["streams"]] == [(0x03, 0x101),
+                                                 (0x06, 0x102)]
+    assert extract_ts_audio(make_mpegts(seed)) == make_mp3(
+        seed % 1000, n_frames=2 + seed % 3, stereo=False, id3=False)
+
+
+def test_mpegts_crc_actually_verified():
+    raw = bytearray(make_mpegts(7))
+    # corrupt one byte inside the PAT section body (packet 0,
+    # after TS header + pointer)
+    raw[8] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC-32"):
+        parse_mpegts(bytes(raw))
+
+
+def test_mpegts_continuity_verified():
+    raw = bytearray(make_mpegts(3))
+    # find two consecutive payload packets of PID 0x101 and break cc
+    for i in range(len(raw) // 188):
+        pkt = i * 188
+        pid = int.from_bytes(raw[pkt + 1:pkt + 3], "big") & 0x1FFF
+        pusi = raw[pkt + 1] & 0x40
+        if pid == 0x101 and not pusi:
+            raw[pkt + 3] = (raw[pkt + 3] & 0xF0) | \
+                ((raw[pkt + 3] + 5) & 0x0F)
+            break
+    with pytest.raises(ValueError, match="continuity"):
+        parse_mpegts(bytes(raw))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 42, 999])
+def test_flv_planted_and_chain(seed):
+    m = parse_flv(make_flv(seed))
+    n_video = 4 + seed % 3
+    vids = [(ts, d) for t, ts, d in m["tags"] if t == 9]
+    assert len(vids) == n_video
+    assert extract_flv_audio(make_flv(seed)) == make_mp3(
+        seed % 1000, n_frames=2 + seed % 3, stereo=False, id3=False)
+
+
+def test_flv_prev_tag_size_verified():
+    raw = bytearray(make_flv(5))
+    # corrupt the first PreviousTagSize after a tag
+    # header(9) + pts0(4) + tag header(11) + first tag data...
+    ds = int.from_bytes(raw[13 + 1:13 + 4], "big")
+    pts_pos = 13 + 11 + ds
+    raw[pts_pos + 3] ^= 1
+    with pytest.raises(ValueError, match="PreviousTagSize"):
+        parse_flv(bytes(raw))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=999),
+    fmt=st.sampled_from(["mkv", "mkv_mp3", "ts", "flv"]),
+    pos_frac=st.floats(min_value=0.0, max_value=0.999),
+    mutation=st.sampled_from(["flip", "zero", "truncate", "insert"]),
+)
+def test_containers_corruption_never_crashes(seed, fmt, pos_frac,
+                                             mutation):
+    build = {"mkv": make_mkv, "mkv_mp3": make_mkv_mp3,
+             "ts": make_mpegts, "flv": make_flv}[fmt]
+    parser = {"mkv": parse_mkv, "mkv_mp3": parse_mkv,
+              "ts": parse_mpegts, "flv": parse_flv}[fmt]
+    raw = bytearray(build(seed))
+    pos = int(pos_frac * len(raw))
+    if mutation == "flip":
+        raw[pos] ^= 0x55
+    elif mutation == "zero":
+        raw[pos] = 0
+    elif mutation == "truncate":
+        raw = raw[:pos]
+    else:
+        raw = raw[:pos] + b"\xa5" + raw[pos:]
+    try:
+        parser(bytes(raw))
+    except (ValueError, IndexError):
+        pass
