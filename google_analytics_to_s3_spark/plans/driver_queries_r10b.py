@@ -695,3 +695,138 @@ def _register_flv_audio_oracle() -> None:
 
 
 _register_flv_audio_oracle()
+
+
+def _q_subtitles(spark: SparkSession, sf_dir: str, mod: int,
+                 fmt: str) -> DataFrame:
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.subtitles import extract_subtitle_features
+    from ..testing.fixtures import make_srt, make_vtt
+
+    make = make_srt if fmt == "srt" else make_vtt
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == mod
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    pages = e.mapInPandas(_synth, schema="doc_id long, payload string")
+    return extract_subtitle_features(pages, fmt=fmt).drop(
+        "extract_error")
+
+
+def q_srt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL SubRip extraction driver-checked: planted cues with CRLF,
+    split payload lines and a junk block (testing/fixtures.make_srt)
+    through the real cue parser (operators/subtitles.py); the oracle
+    replays cue count, summed durations, and word/char counts."""
+    return _q_subtitles(spark, sf_dir, 7, "srt")
+
+
+def q_vtt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebVTT extraction driver-checked: the SAME planted cues
+    as make_srt but wrapped in NOTE/STYLE blocks, cue ids, cue
+    settings and inline <b>/<c>/<v>/karaoke markup — the tag stripper
+    must recover identical counts (testing/fixtures.make_vtt)."""
+    return _q_subtitles(spark, sf_dir, 8, "vtt")
+
+
+def _subtitle_oracle(mod: int) -> str:
+    return f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         4 + (event_id % 1000) % 5 AS nc
+  FROM events WHERE event_id % {_FLAC_MOD} = {mod}
+),
+w AS (
+  SELECT e.event_id,
+         count(*) AS words,
+         sum(1 + CASE WHEN (e.seed*3 + i.i*7 + j.j*5) % 100 < 10
+                      THEN 1 ELSE 2 END) AS chars
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.nc)) AS i) i,
+       LATERAL (SELECT unnest(range(0, 3 + (e.seed + i.i) % 4)) AS j) j
+  GROUP BY 1
+),
+d AS (
+  SELECT e.event_id,
+         sum(500 + (e.seed + i.i) % 1500) AS dur
+  FROM e, LATERAL (SELECT unnest(range(0, e.nc)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.nc AS INTEGER) AS n_cues,
+       CAST(d.dur AS BIGINT) AS duration_ms,
+       CAST(w.words AS BIGINT) AS text_words,
+       CAST(w.chars AS BIGINT) AS word_chars
+FROM e JOIN w ON w.event_id = e.event_id
+       JOIN d ON d.event_id = e.event_id
+"""
+
+
+QUERIES_R10B["srt_extract"] = q_srt_extract
+ORACLES_R10B["srt_extract"] = _subtitle_oracle(7)
+QUERIES_R10B["vtt_extract"] = q_vtt_extract
+ORACLES_R10B["vtt_extract"] = _subtitle_oracle(8)
+
+
+def q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Robots Exclusion Protocol evaluation driver-checked: per
+    event a planted robots.txt (testing/fixtures.make_robots —
+    comments, junk lines, mixed field case, wildcard + $-anchored
+    rules, crawl delay, * fallback group, sitemaps) is parsed and the
+    fixed ROBOTS_PROBES path set scored for ua 'bot-a' under RFC 9309
+    longest-match/allow-tie semantics (operators/robots.py); the
+    oracle replays every count in closed form."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.robots import evaluate_robots
+    from ..testing.fixtures import ROBOTS_PROBES, make_robots
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 9
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_robots(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    pages = e.mapInPandas(_synth, schema="doc_id long, payload string")
+    return evaluate_robots(pages, "bot-a", ROBOTS_PROBES).drop(
+        "extract_error")
+
+
+_ROBOTS_ORACLE = f"""
+SELECT event_id AS doc_id,
+       CAST(2 AS INTEGER) AS n_groups,
+       CAST(2 + (event_id % 1000) % 3 + 3 AS INTEGER) AS n_rules,
+       CAST(1 + (event_id % 1000) % 2 AS INTEGER) AS n_sitemaps,
+       CAST(5 - (2 + (event_id % 1000) % 3) + 3 AS INTEGER)
+           AS n_allowed,
+       CAST(1 + (event_id % 1000) % 5 AS INTEGER) AS crawl_delay
+FROM events WHERE event_id % {_FLAC_MOD} = 9
+"""
+
+QUERIES_R10B["robots_eval"] = q_robots_eval
+ORACLES_R10B["robots_eval"] = _ROBOTS_ORACLE

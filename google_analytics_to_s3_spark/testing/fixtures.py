@@ -4702,3 +4702,97 @@ def make_flv(seed: int, n_frames: int | None = None) -> bytes:
                 (seed + 9 * j + 5 * k) % 256 for k in range(lv))
             out += _tag(9, 1000 + 33 * j, body)
     return bytes(out)
+
+
+def subtitle_word_value(seed: int, i: int, j: int) -> int:
+    """Planted word id for subtitle cue i, word j (0..99)."""
+    return (seed * 3 + i * 7 + j * 5) % 100
+
+
+def _subtitle_cues(seed: int) -> list[tuple[int, int, list[str]]]:
+    """Planted cues: 4+seed%5 cues, cue i at start i*2000+seed%1000
+    for 500+(seed+i)%1500 ms carrying 3+(seed+i)%4 words."""
+    cues = []
+    for i in range(4 + seed % 5):
+        start = i * 2000 + seed % 1000
+        dur = 500 + (seed + i) % 1500
+        words = [f"s{subtitle_word_value(seed, i, j)}"
+                 for j in range(3 + (seed + i) % 4)]
+        cues.append((start, start + dur, words))
+    return cues
+
+
+def _fmt_ts(ms: int, sep: str) -> str:
+    h, rem = divmod(ms, 3600_000)
+    m, rem = divmod(rem, 60_000)
+    s, ms = divmod(rem, 1000)
+    return f"{h:02d}:{m:02d}:{s:02d}{sep}{ms:03d}"
+
+
+def make_srt(seed: int) -> str:
+    """Planted SubRip file: numbered cues, comma-millisecond timing
+    lines, multi-line payloads (words split across two lines), CRLF
+    endings, and a junk block the parser must tolerate."""
+    blocks = []
+    for n, (start, end, words) in enumerate(_subtitle_cues(seed), 1):
+        half = max(1, len(words) // 2)
+        body = " ".join(words[:half]) + "\r\n" + " ".join(words[half:])
+        blocks.append(f"{n}\r\n{_fmt_ts(start, ',')} --> "
+                      f"{_fmt_ts(end, ',')}\r\n{body}")
+    blocks.append("this block has no timing line")
+    return "\r\n\r\n".join(blocks) + "\r\n"
+
+
+def make_vtt(seed: int) -> str:
+    """Planted WebVTT file: magic + NOTE/STYLE blocks, optional cue
+    identifiers, dot-millisecond timings with cue settings, and
+    inline <b>/<c.yellow>/<v Speaker>/karaoke markup wrapped around
+    the SAME planted words as make_srt — the tag stripper must
+    recover identical counts."""
+    out = ["WEBVTT - planted fixture", "",
+           "NOTE these words never count", "",
+           "STYLE\n::cue { color: lime }", ""]
+    for n, (start, end, words) in enumerate(_subtitle_cues(seed), 1):
+        deco = list(words)
+        deco[0] = f"<v Speaker{n}>{deco[0]}"
+        if len(deco) > 1:
+            deco[1] = f"<b>{deco[1]}</b>"
+        if len(deco) > 2:
+            deco[2] = f"<c.yellow>{deco[2]}</c>"
+        body = f"<{_fmt_ts(start, '.')}>" + " ".join(deco)
+        out.append(f"cue-{n}")
+        out.append(f"{_fmt_ts(start, '.')} --> {_fmt_ts(end, '.')} "
+                   f"align:start position:10%")
+        out.append(body)
+        out.append("")
+    return "\n".join(out)
+
+
+ROBOTS_PROBES = ["/p0/x", "/p1/x", "/p2/x", "/p3/x", "/p4/x",
+                 "/p0/pub/page", "/other", "/doc.pdf", "/doc.pdfx"]
+
+
+def make_robots(seed: int) -> str:
+    """Planted robots.txt: a bot-a group with nk = 2+seed%3 prefix
+    Disallows (/p0/ .. /p{nk-1}/), one longer Allow (/p0/pub*), one
+    wildcard+anchor Disallow (*.pdf$) and Crawl-delay 1+seed%5; a *
+    fallback group; 1+seed%2 sitemaps; comments, junk lines, mixed
+    field case and CRLF throughout. Against ROBOTS_PROBES and ua
+    'bot-a': allowed = (5 - nk) + 3."""
+    nk = 2 + seed % 3
+    lines = ["# planted robots fixture", "",
+             "Disallow: /ignored-before-any-group/",
+             "User-Agent: bot-a"]
+    for k in range(nk):
+        lines.append(f"disallow: /p{k}/  # inline comment")
+    lines.append("Allow: /p0/pub*")
+    lines.append("DISALLOW: *.pdf$")
+    lines.append(f"Crawl-Delay: {1 + seed % 5}")
+    lines.append("")
+    lines.append("User-agent: *")
+    lines.append("Disallow: /tmp/")
+    lines.append("")
+    for s in range(1 + seed % 2):
+        lines.append(f"Sitemap: https://ex.test/sitemap{s}.xml")
+    lines.append("not a field line")
+    return "\r\n".join(lines) + "\r\n"

@@ -667,3 +667,122 @@ def test_containers_corruption_never_crashes(seed, fmt, pos_frac,
         parser(bytes(raw))
     except (ValueError, IndexError):
         pass
+
+
+# ---------------------------------------------------------------------------
+# SRT/WebVTT subtitles + robots.txt (operators/subtitles.py, robots.py)
+# ---------------------------------------------------------------------------
+
+from google_analytics_to_s3_spark.operators.robots import (  # noqa: E402
+    is_allowed,
+    parse_robots,
+)
+from google_analytics_to_s3_spark.operators.subtitles import (  # noqa: E402
+    parse_srt,
+    parse_vtt,
+)
+from google_analytics_to_s3_spark.testing.fixtures import (  # noqa: E402
+    ROBOTS_PROBES,
+    _subtitle_cues,
+    make_robots,
+    make_srt,
+    make_vtt,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 7, 999])
+def test_srt_vtt_same_planted_counts(seed):
+    cues = _subtitle_cues(seed)
+    want_words = sum(len(w) for _, _, w in cues)
+    for parser, make in ((parse_srt, make_srt), (parse_vtt, make_vtt)):
+        got = parser(make(seed))
+        assert len(got) == len(cues)
+        assert sum(len(p.split()) for _, _, p in got) == want_words
+        assert [(s, e) for s, e, _ in got] == \
+            [(s, e) for s, e, _ in cues]
+
+
+def test_srt_tolerates_junk_blocks_and_bom():
+    text = "﻿1\n00:00:01,000 --> 00:00:02,000\nhi there\n\nnonsense\n"
+    cues = parse_srt(text)
+    assert len(cues) == 1 and cues[0][2].split() == ["hi", "there"]
+
+
+def test_vtt_strips_inline_markup_and_skips_note_style():
+    text = ("WEBVTT\n\nNOTE skip me\n\n"
+            "00:00.000 --> 00:01.000\n<v Ann><b>bold</b> <i>it</i>\n")
+    # no-hours timing form
+    cues = parse_vtt(text)
+    assert cues[0][2].split() == ["bold", "it"]
+    assert cues[0][:2] == (0, 1000)
+
+
+def test_vtt_requires_magic():
+    with pytest.raises(ValueError, match="WEBVTT"):
+        parse_vtt("1\n00:00:01.000 --> 00:00:02.000\nx\n")
+
+
+def test_srt_rejects_reversed_cue():
+    with pytest.raises(ValueError, match="ends before"):
+        parse_srt("1\n00:00:05,000 --> 00:00:01,000\nx\n")
+
+
+def test_robots_rfc9309_precedence():
+    groups, _ = parse_robots(
+        "User-agent: bot\nDisallow: /a/\nAllow: /a/b\n")
+    assert not is_allowed(groups, "bot", "/a/x")
+    assert is_allowed(groups, "bot", "/a/b/c")  # longer allow wins
+
+
+def test_robots_allow_wins_length_tie():
+    groups, _ = parse_robots(
+        "User-agent: bot\nDisallow: /xy\nAllow: /x*\n")
+    # patterns '/xy' (len 3) and '/x*' (len 3) both match '/xy'
+    assert is_allowed(groups, "bot", "/xy")
+
+
+def test_robots_wildcard_and_anchor():
+    groups, _ = parse_robots("User-agent: *\nDisallow: /*.pdf$\n")
+    assert not is_allowed(groups, "any", "/doc.pdf")
+    assert is_allowed(groups, "any", "/doc.pdfx")
+
+
+def test_robots_group_selection_longest_agent():
+    groups, _ = parse_robots(
+        "User-agent: bot\nDisallow: /a\n\n"
+        "User-agent: bot-special\nDisallow: /b\n\n"
+        "User-agent: *\nDisallow: /c\n")
+    assert not is_allowed(groups, "bot-special/1.0", "/b/x")
+    assert is_allowed(groups, "bot-special/1.0", "/a/x")
+    assert not is_allowed(groups, "unknown", "/c/x")
+
+
+def test_robots_shared_agent_run():
+    # two consecutive user-agent lines share one rule block
+    groups, _ = parse_robots(
+        "User-agent: a\nUser-agent: b\nDisallow: /x\n")
+    assert len(groups) == 1 and groups[0].agents == ["a", "b"]
+    assert not is_allowed(groups, "b", "/x/1")
+
+
+def test_robots_planted_probe_counts():
+    for seed in (0, 1, 2, 500, 999):
+        groups, _ = parse_robots(make_robots(seed))
+        nk = 2 + seed % 3
+        allowed = sum(1 for p in ROBOTS_PROBES
+                      if is_allowed(groups, "bot-a", p))
+        assert allowed == (5 - nk) + 3
+
+
+@settings(max_examples=40, deadline=None)
+@given(junk=st.text(max_size=300))
+def test_subtitles_robots_arbitrary_text_never_crashes(junk):
+    for fn in (parse_srt, parse_robots):
+        try:
+            fn(junk)
+        except ValueError:
+            pass
+    try:
+        parse_vtt("WEBVTT\n\n" + junk)
+    except ValueError:
+        pass
