@@ -3014,7 +3014,7 @@ _DRIVER_PRIORITY = [
     "qoi_decode", "html_extract", "lz4_extract", "pdf_text",
     "webp_decode", "mkv_demux", "mkv_decode_audio", "ts_demux",
     "ts_decode_audio", "flv_demux", "flv_decode_audio", "srt_extract",
-    "vtt_extract", "robots_eval",
+    "vtt_extract", "robots_eval", "jpeg_exif", "id3_tags",
     # Rebuilt from CORRECTNESS_r{1..9}.json per the r9 verdict (task
     # 1): all 261 rows green, zero never-checked, so the order is
     # purely latest-green-round ascending (relative order within a

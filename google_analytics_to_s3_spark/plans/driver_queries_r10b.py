@@ -830,3 +830,106 @@ FROM events WHERE event_id % {_FLAC_MOD} = 9
 
 QUERIES_R10B["robots_eval"] = q_robots_eval
 ORACLES_R10B["robots_eval"] = _ROBOTS_ORACLE
+
+
+def q_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EXIF extraction driver-checked: per event a JPEG marker
+    stream with a planted APP1 TIFF tree (testing/fixtures.
+    make_jpeg_exif — both byte orders, IFD0 ASCII/SHORT tags and the
+    Exif sub-IFD pointer) is walked by the real marker+IFD parser
+    (operators/exif.py); the oracle replays every planted field."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.exif import extract_exif
+    from ..testing.fixtures import make_jpeg_exif
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 0
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_jpeg_exif(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return extract_exif(payloads).drop("extract_error")
+
+
+_EXIF_ORACLE = f"""
+SELECT event_id AS doc_id,
+       'Cam' || CAST((event_id % 1000) % 50 AS VARCHAR) AS make,
+       CAST(1 + (event_id % 1000) % 8 AS INTEGER) AS orientation,
+       CAST(2010 + (event_id % 1000) % 15 AS INTEGER) AS year,
+       CAST(640 + (event_id % 1000) % 100 AS INTEGER) AS pixel_x,
+       CAST(480 + (event_id % 1000) % 100 AS INTEGER) AS pixel_y,
+       CAST(100 * (1 + (event_id % 1000) % 8) AS INTEGER) AS iso
+FROM events WHERE event_id % {_FLAC_MOD} = 0
+"""
+
+QUERIES_R10B["jpeg_exif"] = q_jpeg_exif
+ORACLES_R10B["jpeg_exif"] = _EXIF_ORACLE
+
+
+def q_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ID3v2 extraction driver-checked: per event a v2.3 (plain
+    frame sizes) or v2.4 (syncsafe) tag with latin-1/utf-8/utf-16
+    text frames over a genuine MP3 stream (testing/fixtures.
+    make_id3_mp3), read by the real tag parser (operators/id3.py);
+    the oracle replays version, frame count, the decoded strings, the
+    TYER/TDRC year, and the summed text length."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.id3 import extract_id3
+    from ..testing.fixtures import make_id3_mp3
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 1
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_id3_mp3(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return extract_id3(payloads).drop("extract_error")
+
+
+_ID3_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 1
+)
+SELECT event_id AS doc_id,
+       CAST(CASE WHEN seed % 2 = 1 THEN 4 ELSE 3 END AS INTEGER)
+           AS version,
+       CAST(4 AS INTEGER) AS n_frames,
+       'Title ' || CAST(seed AS VARCHAR) AS title,
+       'Artist ' || CAST(seed % 100 AS VARCHAR) AS artist,
+       CAST(1990 + seed % 35 AS INTEGER) AS year,
+       CAST(6 + length(CAST(seed AS VARCHAR))
+            + 7 + length(CAST(seed % 100 AS VARCHAR))
+            + 6 + length(CAST(seed % 20 AS VARCHAR))
+            + 4 AS BIGINT) AS text_chars
+FROM e
+"""
+
+QUERIES_R10B["id3_tags"] = q_id3_tags
+ORACLES_R10B["id3_tags"] = _ID3_ORACLE

@@ -4796,3 +4796,83 @@ def make_robots(seed: int) -> str:
         lines.append(f"Sitemap: https://ex.test/sitemap{s}.xml")
     lines.append("not a field line")
     return "\r\n".join(lines) + "\r\n"
+
+
+def make_jpeg_exif(seed: int) -> bytes:
+    """Serialize a REAL JPEG marker stream whose APP1 carries a
+    planted EXIF TIFF tree: byte order II (even seeds) / MM (odd),
+    IFD0 with Make 'Cam<seed%50>', Orientation 1+(seed%8), DateTime
+    year 2010+seed%15, and an Exif sub-IFD with PixelXDimension
+    640+seed%100, PixelYDimension 480+seed%100, ISO 100*(1+seed%8).
+    An APP0/JFIF segment precedes APP1 and an SOS stub + EOI follow,
+    so the marker walk is exercised for real."""
+    bo = "little" if seed % 2 == 0 else "big"
+    make = f"Cam{seed % 50}".encode() + b"\x00"
+    dt = f"{2010 + seed % 15}:06:15 12:30:45".encode() + b"\x00"
+
+    def w(v: int, n: int) -> bytes:
+        return v.to_bytes(n, bo)
+
+    def entry(tag: int, typ: int, count: int, value: bytes) -> bytes:
+        return w(tag, 2) + w(typ, 2) + w(count, 4) \
+            + value.ljust(4, b"\x00")
+
+    ifd0_off = 8
+    data_off = ifd0_off + 2 + 4 * 12 + 4
+    make_off = data_off
+    dt_off = make_off + len(make)
+    sub_off = dt_off + len(dt)
+    ifd0 = w(4, 2)
+    ifd0 += entry(0x010F, 2, len(make), w(make_off, 4))
+    ifd0 += entry(0x0112, 3, 1, w(1 + seed % 8, 2))
+    ifd0 += entry(0x0132, 2, len(dt), w(dt_off, 4))
+    ifd0 += entry(0x8769, 4, 1, w(sub_off, 4))
+    ifd0 += w(0, 4)
+    sub = w(3, 2)
+    sub += entry(0xA002, 4, 1, w(640 + seed % 100, 4))
+    sub += entry(0xA003, 4, 1, w(480 + seed % 100, 4))
+    sub += entry(0x8827, 3, 1, w(100 * (1 + seed % 8), 2))
+    sub += w(0, 4)
+    tiff = ((b"II" if bo == "little" else b"MM") + w(42, 2)
+            + w(ifd0_off, 4) + ifd0 + make + dt + sub)
+    app1 = b"Exif\x00\x00" + tiff
+    jfif = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    out = (b"\xff\xd8"
+           + b"\xff\xe0" + (len(jfif) + 2).to_bytes(2, "big") + jfif
+           + b"\xff\xe1" + (len(app1) + 2).to_bytes(2, "big") + app1
+           + b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01\x01\x00\x3f\x00\x00"
+           + b"\x12\x34" + b"\xff\xd9")
+    return out
+
+
+def make_id3_mp3(seed: int) -> bytes:
+    """A REAL ID3v2 tag (v2.3 on even seeds — plain frame sizes —
+    v2.4 on odd — syncsafe frame sizes) followed by a genuine MP3
+    stream. Frames: TIT2 'Title <seed>' (latin-1), TPE1
+    'Artist <seed%100>' (utf-8), TALB 'Album <seed%20>' (utf-16 with
+    BOM), and TYER/TDRC year 1990+seed%35; 17 padding bytes."""
+    v4 = seed % 2 == 1
+
+    def frame(fid: bytes, body: bytes) -> bytes:
+        if v4:
+            n = len(body)
+            size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                          (n >> 7) & 0x7F, n & 0x7F])
+        else:
+            size = len(body).to_bytes(4, "big")
+        return fid + size + b"\x00\x00" + body
+
+    frames = frame(b"TIT2", b"\x00" + f"Title {seed}".encode("latin-1"))
+    frames += frame(b"TPE1", b"\x03"
+                    + f"Artist {seed % 100}".encode("utf-8"))
+    frames += frame(b"TALB", b"\x01"
+                    + f"Album {seed % 20}".encode("utf-16"))
+    year = str(1990 + seed % 35).encode()
+    frames += frame(b"TDRC" if v4 else b"TYER", b"\x00" + year)
+    frames += b"\x00" * 17  # padding
+    n = len(frames)
+    tag_size = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                      (n >> 7) & 0x7F, n & 0x7F])
+    tag = b"ID3" + bytes([4 if v4 else 3, 0, 0]) + tag_size + frames
+    return tag + make_mp3(seed % 1000, n_frames=2, stereo=False,
+                          id3=False)

@@ -786,3 +786,96 @@ def test_subtitles_robots_arbitrary_text_never_crashes(junk):
         parse_vtt("WEBVTT\n\n" + junk)
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# EXIF + ID3v2 metadata (operators/exif.py, id3.py)
+# ---------------------------------------------------------------------------
+
+from google_analytics_to_s3_spark.operators.exif import (  # noqa: E402
+    parse_exif,
+)
+from google_analytics_to_s3_spark.operators.id3 import (  # noqa: E402
+    parse_id3,
+)
+from google_analytics_to_s3_spark.testing.fixtures import (  # noqa: E402
+    make_id3_mp3,
+    make_jpeg_exif,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 7, 49, 998, 999])
+def test_exif_planted_both_byte_orders(seed):
+    m = parse_exif(make_jpeg_exif(seed))
+    assert m["make"] == f"Cam{seed % 50}"
+    assert m["orientation"] == 1 + seed % 8
+    assert m["pixel_x"] == 640 + seed % 100
+    assert m["iso"] == 100 * (1 + seed % 8)
+
+
+def test_exif_missing_app1_named():
+    # a JPEG with only JFIF has no Exif segment
+    raw = make_jpeg_exif(3)
+    no_app1 = raw.replace(b"\xff\xe1", b"\xff\xef", 1)  # APP15
+    with pytest.raises(ValueError, match="no Exif APP1"):
+        parse_exif(no_app1)
+
+
+def test_exif_real_jpeg_fixture_has_no_exif():
+    # the raster fixtures (make_jpeg_baseline) carry no APP1: the
+    # marker walk must terminate at SOS, not scan entropy data
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_jpeg_baseline,
+    )
+
+    with pytest.raises(ValueError, match="no Exif APP1"):
+        parse_exif(make_jpeg_baseline(5, 16, 16, 3))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 999])
+def test_id3_planted_versions_and_encodings(seed):
+    m = parse_id3(make_id3_mp3(seed))
+    assert m["version"] == (4 if seed % 2 else 3)
+    assert m["frames"]["TIT2"] == f"Title {seed}"
+    assert m["frames"]["TALB"] == f"Album {seed % 20}"  # utf-16
+
+
+def test_id3_syncsafe_rejects_high_bit():
+    raw = bytearray(make_id3_mp3(2))
+    raw[6] |= 0x80  # tag size byte with bit 7
+    with pytest.raises(ValueError, match="syncsafe"):
+        parse_id3(bytes(raw))
+
+
+def test_id3_gates_named():
+    raw = bytearray(make_id3_mp3(2))
+    raw[5] |= 0x80
+    with pytest.raises(ValueError, match="unsynchronisation"):
+        parse_id3(bytes(raw))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=999),
+    fmt=st.sampled_from(["exif", "id3"]),
+    pos_frac=st.floats(min_value=0.0, max_value=0.999),
+    mutation=st.sampled_from(["flip", "zero", "truncate", "insert"]),
+)
+def test_metadata_corruption_never_crashes(seed, fmt, pos_frac,
+                                           mutation):
+    build = make_jpeg_exif if fmt == "exif" else make_id3_mp3
+    parser = parse_exif if fmt == "exif" else parse_id3
+    raw = bytearray(build(seed))
+    pos = int(pos_frac * len(raw))
+    if mutation == "flip":
+        raw[pos] ^= 0x55
+    elif mutation == "zero":
+        raw[pos] = 0
+    elif mutation == "truncate":
+        raw = raw[:pos]
+    else:
+        raw = raw[:pos] + b"\xa5" + raw[pos:]
+    try:
+        parser(bytes(raw))
+    except (ValueError, IndexError, UnicodeDecodeError):
+        pass
