@@ -137,6 +137,7 @@ def parse_warc(raw: bytes) -> list[dict]:
                     == "chunked":
                 raise ValueError("chunked transfer encoding unsupported")
             rec["http_header_count"] = len(http_headers)
+            rec["content_type"] = http_headers.get("content-type", "")
             rec["body"] = payload[split + 4:]
         records.append(rec)
         pos = body_start + length
@@ -256,4 +257,51 @@ def warc_documents(
         _run,
         schema=("doc_id long, rec_no long, uri string, status long, "
                 "body_len long, body_byte_sum long"),
+    )
+
+
+def warc_html_rows(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """The 1→N crawl explode for HTML payloads: one row per text/html
+    RESPONSE record — (row_id = archive_id * 10 + ordinal, archive_id,
+    uri, html). Feeds operators/html.extract_html_features; everything
+    downstream (quality, dedup, aggregation) is declarative
+    DataFrame code. Archives that fail to parse contribute zero
+    rows."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "row_id", "archive_id", "uri", "html")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    recs = parse_warc(bytes(payload))
+                except (ValueError, IndexError, zlib.error):
+                    continue
+                rn = 0
+                for r in recs:
+                    if r["type"] != "response":
+                        continue
+                    ctype = r.get("content_type", "")
+                    if "text/html" in ctype:
+                        out["row_id"].append(int(doc_id) * 10 + rn)
+                        out["archive_id"].append(doc_id)
+                        out["uri"].append(r["uri"])
+                        out["html"].append(
+                            r["body"].decode("utf-8", "replace"))
+                    rn += 1
+            yield pd.DataFrame({
+                "row_id": pd.Series(out["row_id"], dtype="int64"),
+                "archive_id": pd.Series(out["archive_id"],
+                                        dtype="int64"),
+                "uri": pd.Series(out["uri"], dtype=object),
+                "html": pd.Series(out["html"], dtype=object),
+            })
+
+    return df.select(
+        df[id_col].cast("long").alias(id_col), payload_col
+    ).mapInPandas(
+        _run,
+        schema="row_id long, archive_id long, uri string, html string",
     )

@@ -933,3 +933,178 @@ FROM e
 
 QUERIES_R10B["id3_tags"] = q_id3_tags
 ORACLES_R10B["id3_tags"] = _ID3_ORACLE
+
+
+def q_crawl_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl composition end-to-end: WARC archives whose
+    responses carry REAL HTML (testing/fixtures.make_warc_html, gzip
+    members on odd seeds) explode 1→N through the content-type-aware
+    row reader (operators/warc.warc_html_rows), each page runs the
+    real tag-soup extractor (operators/html.py), and the per-archive
+    rollup is DECLARATIVE DataFrame code (groupBy + sum/count/max —
+    Catalyst plans the partial aggregation). The oracle replays the
+    planted per-page word/link counts in closed form."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.html import extract_html_features
+    from ..operators.warc import warc_html_rows
+    from ..testing.fixtures import make_warc_html
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 2
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_warc_html(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    containers = e.mapInPandas(_synth,
+                               schema="doc_id long, payload binary")
+    rows = warc_html_rows(containers)
+    feats = extract_html_features(rows, id_col="row_id",
+                                  html_col="html")
+    return (
+        feats
+        .withColumn("archive_id", F.expr("doc_id div 10"))
+        .groupBy("archive_id")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum("text_words").cast("long").alias("total_words"),
+            F.sum("n_links").cast("long").alias("total_links"),
+            F.max("n_headings").cast("int").alias("max_headings"),
+        )
+        .withColumnRenamed("archive_id", "doc_id")
+    )
+
+
+_CRAWL_HTML_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         2 + (event_id % 1000) % 3 AS nd
+  FROM events WHERE event_id % {_FLAC_MOD} = 2
+),
+pages AS (
+  SELECT e.event_id, (e.seed*17 + 31*i.i) % 1000 AS ps
+  FROM e, LATERAL (SELECT unnest(range(0, e.nd)) AS i) i
+),
+pw AS (
+  SELECT p.event_id, p.ps,
+         (SELECT count(*) + 0
+          FROM (SELECT unnest(range(0, 3 + p.ps % 5)) AS pp) pp,
+               LATERAL (SELECT unnest(range(0, 4 + (p.ps + pp.pp) % 6))
+                        AS w) w)
+         + 1 + (1 + p.ps % 3) + (p.ps % 4) AS words
+  FROM pages p
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.nd AS INTEGER) AS n_docs,
+       CAST((SELECT sum(pw.words) FROM pw
+              WHERE pw.event_id = e.event_id) AS BIGINT) AS total_words,
+       CAST((SELECT sum(p.ps % 4) FROM pages p
+              WHERE p.event_id = e.event_id) AS BIGINT) AS total_links,
+       CAST((SELECT max(1 + p.ps % 3) FROM pages p
+              WHERE p.event_id = e.event_id) AS INTEGER)
+           AS max_headings
+FROM e
+"""
+
+QUERIES_R10B["crawl_html_pipeline"] = q_crawl_html_pipeline
+ORACLES_R10B["crawl_html_pipeline"] = _CRAWL_HTML_ORACLE
+
+
+def q_lz4_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-then-declarative: LZ4 frames wrapping planted JSONL
+    (testing/fixtures.make_lz4_jsonl) decompress in one Arrow map
+    (operators/lz4.py, checksums verified); everything after is
+    JVM-side Spark — split/explode lines, ``from_json`` with an
+    explicit schema, groupBy aggregation. The oracle replays the
+    planted records in closed form."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.lz4 import parse_lz4_frame
+    from ..testing.fixtures import make_lz4_jsonl
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 3
+        ),
+        spark,
+    )
+
+    def _synth_and_decode(
+            batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            texts: list = []
+            for i in pdf["event_id"]:
+                content, _ = parse_lz4_frame(
+                    make_lz4_jsonl(int(i) % 1000))
+                ids.append(int(i))
+                texts.append(content.decode("utf-8"))
+            yield _pd.DataFrame({
+                "doc_id": _pd.Series(ids, dtype="int64"),
+                "text": _pd.Series(texts, dtype=object),
+            })
+
+    docs = e.mapInPandas(_synth_and_decode,
+                         schema="doc_id long, text string")
+    lines = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), "\n")).alias("line"),
+    )
+    parsed = lines.select(
+        "doc_id",
+        F.from_json(
+            F.col("line"),
+            "id INT, lang STRING, tokens INT, quality INT",
+        ).alias("r"),
+    )
+    return (
+        parsed
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_lines"),
+            F.sum("r.tokens").cast("long").alias("tokens_sum"),
+            F.sum(F.when(F.col("r.quality") >= 50, 1).otherwise(0))
+             .cast("int").alias("high_quality"),
+            F.countDistinct("r.lang").cast("int").alias("langs"),
+        )
+    )
+
+
+_LZ4_DOCS_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         5 + (event_id % 1000) % 5 AS nr
+  FROM events WHERE event_id % {_FLAC_MOD} = 3
+),
+r AS (
+  SELECT e.event_id,
+         10 + (e.seed + i.i) % 90 AS tokens,
+         (e.seed*7 + i.i*13) % 100 AS q,
+         (e.seed + 2*i.i) % 4 AS lang
+  FROM e, LATERAL (SELECT unnest(range(0, e.nr)) AS i) i
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.nr AS INTEGER) AS n_lines,
+       CAST(sum(r.tokens) AS BIGINT) AS tokens_sum,
+       CAST(sum(CASE WHEN r.q >= 50 THEN 1 ELSE 0 END) AS INTEGER)
+           AS high_quality,
+       CAST(count(DISTINCT r.lang) AS INTEGER) AS langs
+FROM e JOIN r ON r.event_id = e.event_id
+GROUP BY e.event_id, e.nr
+"""
+
+QUERIES_R10B["lz4_documents"] = q_lz4_documents
+ORACLES_R10B["lz4_documents"] = _LZ4_DOCS_ORACLE

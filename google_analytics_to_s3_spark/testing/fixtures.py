@@ -4876,3 +4876,88 @@ def make_id3_mp3(seed: int) -> bytes:
     tag = b"ID3" + bytes([4 if v4 else 3, 0, 0]) + tag_size + frames
     return tag + make_mp3(seed % 1000, n_frames=2, stereo=False,
                           id3=False)
+
+
+def make_warc_html(seed: int) -> bytes:
+    """A REAL WARC whose responses carry text/html bodies: 2+seed%3
+    HTML pages (make_html with page seed (seed*17 + 31*i) % 1000)
+    plus one non-HTML response the pipeline must skip; gzip-member
+    framing on odd seeds."""
+    import gzip as _gzip
+    import io as _io
+
+    def record(rtype: str, extra: "list[tuple[str, str]]",
+               payload: bytes) -> bytes:
+        head = [b"WARC/1.0",
+                f"WARC-Type: {rtype}".encode(),
+                f"WARC-Record-ID: <urn:uuid:h{seed:08x}>".encode(),
+                b"WARC-Date: 2026-08-16T00:00:00Z"]
+        head += [f"{k}: {v}".encode() for k, v in extra]
+        head.append(f"Content-Length: {len(payload)}".encode())
+        return b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+    def response(uri: str, ctype: str, body: bytes) -> bytes:
+        http = (f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+        return record("response",
+                      [("WARC-Target-URI", uri),
+                       ("Content-Type",
+                        "application/http;msgtype=response")], http)
+
+    recs = [record("warcinfo",
+                   [("Content-Type", "application/warc-fields")],
+                   b"software: fixture\r\n")]
+    for i in range(2 + seed % 3):
+        page_seed = (seed * 17 + 31 * i) % 1000
+        recs.append(response(f"https://ex.test/{seed}/{i}",
+                             "text/html; charset=utf-8",
+                             make_html(page_seed).encode()))
+    recs.append(response(f"https://ex.test/{seed}/bin",
+                         "application/octet-stream", b"\x00" * 32))
+    if seed % 2 == 0:
+        return b"".join(recs)
+    out = bytearray()
+    for rec in recs:
+        buf = _io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(rec)
+        out += buf.getvalue()
+    return bytes(out)
+
+
+def _lz4_frame(content: bytes) -> bytes:
+    """Frame arbitrary content with the make_lz4 discipline (512-byte
+    blocks, every 3rd stored, all checksums)."""
+    from google_analytics_to_s3_spark.operators.lz4 import xxh32
+
+    flg = (0b01 << 6) | (1 << 5) | (1 << 4) | (1 << 3) | (1 << 2)
+    desc = bytes([flg, 4 << 4]) + len(content).to_bytes(8, "little")
+    out = bytearray((0x184D2204).to_bytes(4, "little"))
+    out += desc
+    out.append((xxh32(desc) >> 8) & 0xFF)
+    for bi, off in enumerate(range(0, len(content), 512)):
+        raw = content[off:off + 512]
+        comp = _lz4_compress_block(raw)
+        if bi % 3 == 2 or len(comp) >= len(raw):
+            out += (0x80000000 | len(raw)).to_bytes(4, "little") + raw
+            out += xxh32(raw).to_bytes(4, "little")
+        else:
+            out += len(comp).to_bytes(4, "little") + comp
+            out += xxh32(comp).to_bytes(4, "little")
+    out += (0).to_bytes(4, "little")
+    out += xxh32(content).to_bytes(4, "little")
+    return bytes(out)
+
+
+def make_lz4_jsonl(seed: int) -> bytes:
+    """An LZ4 frame wrapping planted JSONL: 5+seed%5 records, record
+    r = {"id": r, "lang": one of en/de/fr/es by (seed+2r)%4,
+    "tokens": 10+(seed+r)%90, "quality": (seed*7+r*13)%100}."""
+    langs = ["en", "de", "fr", "es"]
+    lines = []
+    for r in range(5 + seed % 5):
+        lines.append(
+            '{"id": %d, "lang": "%s", "tokens": %d, "quality": %d}'
+            % (r, langs[(seed + 2 * r) % 4], 10 + (seed + r) % 90,
+               (seed * 7 + r * 13) % 100))
+    return _lz4_frame("\n".join(lines).encode())
