@@ -107,8 +107,14 @@ def _walk_ifd(tiff: bytes, bo: str, ifd_off: int) -> "dict[int, object]":
 
 def parse_exif(raw: bytes) -> dict:
     """Returns make, orientation, datetime_str, pixel_x, pixel_y,
-    iso (missing tags -> None)."""
-    tiff = _find_app1_exif(raw)
+    iso (missing tags -> None) from a JPEG's APP1."""
+    return parse_exif_tiff(_find_app1_exif(raw))
+
+
+def parse_exif_tiff(tiff: bytes) -> dict:
+    """The container-independent EXIF TIFF walk (JPEG APP1 strips the
+    ``Exif\\0\\0`` preamble first; PNG ``eXIf`` chunks carry these
+    bytes directly)."""
     if len(tiff) < 8:
         raise ValueError("truncated EXIF TIFF header")
     if tiff[:2] == b"II":

@@ -3015,7 +3015,8 @@ _DRIVER_PRIORITY = [
     "webp_decode", "mkv_demux", "mkv_decode_audio", "ts_demux",
     "ts_decode_audio", "flv_demux", "flv_decode_audio", "srt_extract",
     "vtt_extract", "robots_eval", "jpeg_exif", "id3_tags",
-    "crawl_html_pipeline", "lz4_documents",
+    "crawl_html_pipeline", "lz4_documents", "png_metadata",
+    "svg_features", "jsonld_harvest",
     # Rebuilt from CORRECTNESS_r{1..9}.json per the r9 verdict (task
     # 1): all 261 rows green, zero never-checked, so the order is
     # purely latest-green-round ascending (relative order within a

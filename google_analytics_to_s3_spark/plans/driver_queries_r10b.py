@@ -1108,3 +1108,187 @@ GROUP BY e.event_id, e.nr
 
 QUERIES_R10B["lz4_documents"] = q_lz4_documents
 ORACLES_R10B["lz4_documents"] = _LZ4_DOCS_ORACLE
+
+
+def q_png_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG metadata extraction driver-checked: per event a real
+    PNG raster with planted tEXt/zTXt/iTXt (latin-1, zlib, UTF-8 with
+    both compression flags) and an eXIf chunk (testing/fixtures.
+    make_png_meta, all CRCs real) is walked by the chunk parser
+    (operators/pngmeta.py, CRC-verified, shared EXIF TIFF walk); the
+    oracle replays every planted field."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.pngmeta import extract_png_metadata
+    from ..testing.fixtures import make_png_meta
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 4
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_png_meta(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return extract_png_metadata(payloads).drop("extract_error")
+
+
+_PNG_META_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 4
+)
+SELECT event_id AS doc_id,
+       CAST(3 AS INTEGER) AS n_texts,
+       'Img ' || CAST(seed AS VARCHAR) AS title,
+       CAST(30 + seed % 40 AS BIGINT) AS desc_chars,
+       CAST(2 * (5 + seed % 7) AS BIGINT) AS comment_chars,
+       CAST(1 + seed % 8 AS INTEGER) AS exif_orientation,
+       CAST(100 * (1 + seed % 8) AS INTEGER) AS exif_iso
+FROM e
+"""
+
+QUERIES_R10B["png_metadata"] = q_png_metadata
+ORACLES_R10B["png_metadata"] = _PNG_META_ORACLE
+
+
+def q_svg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL SVG feature extraction driver-checked: per event a
+    planted vector document (testing/fixtures.make_svg — shapes,
+    paths, text nodes, nested groups, comments, a script element on
+    seed%3==0) is parsed namespace-agnostically (operators/svg.py);
+    the oracle replays dimensions, element tallies and text stats."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.svg import extract_svg_features
+    from ..testing.fixtures import make_svg
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 5
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_svg(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    pages = e.mapInPandas(_synth, schema="doc_id long, payload string")
+    return extract_svg_features(pages).drop("extract_error")
+
+
+_SVG_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         3 + (event_id % 1000) % 4 AS nr,
+         2 + (event_id % 1000) % 3 AS np,
+         1 + (event_id % 1000) % 2 AS nt
+  FROM events WHERE event_id % {_FLAC_MOD} = 5
+),
+w AS (
+  SELECT e.event_id,
+         sum(1 + CASE WHEN (e.seed*3 + 63 + (3*t.t + j.j)*5) % 100
+                      < 10 THEN 1 ELSE 2 END) AS chars
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.nt)) AS t) t,
+       LATERAL (SELECT unnest(range(0, 3)) AS j) j
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(100 + e.seed % 50 AS INTEGER) AS width,
+       CAST(80 + e.seed % 40 AS INTEGER) AS height,
+       CAST(3 + e.nr + e.np + e.nt
+            + CASE WHEN e.seed % 3 = 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS n_elements,
+       CAST(e.np AS INTEGER) AS n_paths,
+       CAST(e.nr AS INTEGER) AS n_shapes,
+       CAST(e.nt AS INTEGER) AS n_text,
+       CAST(CASE WHEN e.seed % 3 = 0 THEN 1 ELSE 0 END AS INTEGER)
+           AS has_script,
+       CAST(3 * e.nt AS BIGINT) AS text_words,
+       CAST(w.chars AS BIGINT) AS word_chars
+FROM e JOIN w ON w.event_id = e.event_id
+"""
+
+QUERIES_R10B["svg_features"] = q_svg_features
+ORACLES_R10B["svg_features"] = _SVG_ORACLE
+
+
+def q_jsonld_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD harvest driver-checked: per event an HTML
+    page with planted ld+json blocks (testing/fixtures.
+    make_html_jsonld — Article/Product/Person cycle, one broken-JSON
+    block on even seeds, a plain script that must not count) runs the
+    collector + JSON typing (operators/html.extract_jsonld); the
+    oracle replays block/type/name-length tallies."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.html import extract_jsonld
+    from ..testing.fixtures import make_html_jsonld
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 6
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "html": [make_html_jsonld(int(i) % 1000)
+                         for i in pdf["event_id"]],
+            })
+
+    pages = e.mapInPandas(_synth, schema="doc_id long, html string")
+    return extract_jsonld(pages).drop("extract_error")
+
+
+_JSONLD_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         1 + (event_id % 1000) % 3 AS nv
+  FROM events WHERE event_id % {_FLAC_MOD} = 6
+),
+t AS (
+  SELECT e.event_id,
+         sum(CASE WHEN (e.seed + b.b) % 3 = 0 THEN 1 ELSE 0 END)
+             AS arts,
+         sum(CASE WHEN (e.seed + b.b) % 3 = 1 THEN 1 ELSE 0 END)
+             AS prods
+  FROM e, LATERAL (SELECT unnest(range(0, e.nv)) AS b) b
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.nv + CASE WHEN e.seed % 2 = 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS n_blocks,
+       CAST(e.nv AS INTEGER) AS n_valid,
+       CAST(t.arts AS INTEGER) AS n_articles,
+       CAST(t.prods AS INTEGER) AS n_products,
+       CAST(e.nv * (7 + length(CAST(e.seed AS VARCHAR))) AS BIGINT)
+           AS name_chars
+FROM e JOIN t ON t.event_id = e.event_id
+"""
+
+QUERIES_R10B["jsonld_harvest"] = q_jsonld_harvest
+ORACLES_R10B["jsonld_harvest"] = _JSONLD_ORACLE

@@ -4798,14 +4798,13 @@ def make_robots(seed: int) -> str:
     return "\r\n".join(lines) + "\r\n"
 
 
-def make_jpeg_exif(seed: int) -> bytes:
-    """Serialize a REAL JPEG marker stream whose APP1 carries a
-    planted EXIF TIFF tree: byte order II (even seeds) / MM (odd),
-    IFD0 with Make 'Cam<seed%50>', Orientation 1+(seed%8), DateTime
-    year 2010+seed%15, and an Exif sub-IFD with PixelXDimension
-    640+seed%100, PixelYDimension 480+seed%100, ISO 100*(1+seed%8).
-    An APP0/JFIF segment precedes APP1 and an SOS stub + EOI follow,
-    so the marker walk is exercised for real."""
+def _exif_tiff(seed: int) -> bytes:
+    """The planted EXIF TIFF tree shared by make_jpeg_exif (APP1) and
+    make_png_meta (eXIf chunk): byte order II (even seeds) / MM
+    (odd), IFD0 with Make 'Cam<seed%50>', Orientation 1+(seed%8),
+    DateTime year 2010+seed%15, and an Exif sub-IFD with
+    PixelXDimension 640+seed%100, PixelYDimension 480+seed%100,
+    ISO 100*(1+seed%8)."""
     bo = "little" if seed % 2 == 0 else "big"
     make = f"Cam{seed % 50}".encode() + b"\x00"
     dt = f"{2010 + seed % 15}:06:15 12:30:45".encode() + b"\x00"
@@ -4833,9 +4832,15 @@ def make_jpeg_exif(seed: int) -> bytes:
     sub += entry(0xA003, 4, 1, w(480 + seed % 100, 4))
     sub += entry(0x8827, 3, 1, w(100 * (1 + seed % 8), 2))
     sub += w(0, 4)
-    tiff = ((b"II" if bo == "little" else b"MM") + w(42, 2)
+    return ((b"II" if bo == "little" else b"MM") + w(42, 2)
             + w(ifd0_off, 4) + ifd0 + make + dt + sub)
-    app1 = b"Exif\x00\x00" + tiff
+
+
+def make_jpeg_exif(seed: int) -> bytes:
+    """A REAL JPEG marker stream whose APP1 carries the _exif_tiff
+    planted tree; APP0/JFIF precedes APP1 and an SOS stub + EOI
+    follow, so the marker walk is exercised for real."""
+    app1 = b"Exif\x00\x00" + _exif_tiff(seed)
     jfif = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
     out = (b"\xff\xd8"
            + b"\xff\xe0" + (len(jfif) + 2).to_bytes(2, "big") + jfif
@@ -4961,3 +4966,79 @@ def make_lz4_jsonl(seed: int) -> bytes:
             % (r, langs[(seed + 2 * r) % 4], 10 + (seed + r) % 90,
                (seed * 7 + r * 13) % 100))
     return _lz4_frame("\n".join(lines).encode())
+
+
+def make_png_meta(seed: int) -> bytes:
+    """A REAL PNG (make_png raster) with planted metadata spliced
+    before IEND: tEXt Title 'Img <seed>', zTXt Description of
+    30+seed%40 'd's (zlib), iTXt Comment of (5+seed%7) 'cé' pairs in
+    UTF-8 (deflated on odd seeds), and an eXIf chunk carrying the
+    shared _exif_tiff tree. All chunk CRCs are real."""
+    import struct as _s
+    import zlib as _z
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF))
+
+    png = make_png(6, 5, seed)
+    iend = png.rindex(b"IEND") - 4
+    desc = b"d" * (30 + seed % 40)
+    comment = ("cé" * (5 + seed % 7)).encode("utf-8")
+    extra = chunk(b"tEXt", b"Title\x00" + f"Img {seed}".encode())
+    extra += chunk(b"zTXt", b"Description\x00\x00" + _z.compress(desc))
+    if seed % 2 == 1:
+        extra += chunk(b"iTXt", b"Comment\x00\x01\x00en\x00\x00"
+                       + _z.compress(comment))
+    else:
+        extra += chunk(b"iTXt", b"Comment\x00\x00\x00en\x00\x00"
+                       + comment)
+    extra += chunk(b"eXIf", _exif_tiff(seed))
+    return png[:iend] + extra + png[iend:]
+
+
+def make_svg(seed: int) -> str:
+    """Planted SVG: width 100+seed%50, height 80+seed%40, 3+seed%4
+    rects, 2+seed%3 paths, 1+seed%2 text nodes carrying words
+    't<subtitle_word_value(seed, 9, j)>' (3 words each), a <script>
+    element on seed%3==0, comments and nested <g> groups."""
+    nr = 3 + seed % 4
+    np_ = 2 + seed % 3
+    nt = 1 + seed % 2
+    parts = [f'<svg xmlns="http://www.w3.org/2000/svg" '
+             f'width="{100 + seed % 50}px" height="{80 + seed % 40}">',
+             "<!-- planted fixture -->", "<g>"]
+    for r in range(nr):
+        parts.append(f'<rect x="{r}" y="{r}" width="10" height="5"/>')
+    parts.append("</g><g>")
+    for p in range(np_):
+        parts.append(f'<path d="M {p} 0 L 10 10 Z"/>')
+    for t in range(nt):
+        words = " ".join(f"t{subtitle_word_value(seed, 9, 3*t + j)}"
+                         for j in range(3))
+        parts.append(f'<text x="0" y="{t}">{words}</text>')
+    if seed % 3 == 0:
+        parts.append("<script>var x = 1;</script>")
+    parts.append("</g></svg>")
+    return "".join(parts)
+
+
+def make_html_jsonld(seed: int) -> str:
+    """HTML with planted schema.org JSON-LD: 1+seed%3 valid blocks
+    (block b @type cycles Article/Product/Person via (seed+b)%3, name
+    'Item <seed>-<b>'), plus one BROKEN block on even seeds; a plain
+    <script> that must not count."""
+    types = ["Article", "Product", "Person"]
+    parts = ["<html><head><title>x</title></head><body>",
+             "<script>var notLd = 1;</script>"]
+    for b in range(1 + seed % 3):
+        t = types[(seed + b) % 3]
+        parts.append(
+            '<script type="application/ld+json">'
+            '{"@context": "https://schema.org", "@type": "%s", '
+            '"name": "Item %d-%d"}</script>' % (t, seed, b))
+    if seed % 2 == 0:
+        parts.append('<script type="application/ld+json">'
+                     '{"broken": </script>')
+    parts.append("<p>body text</p></body></html>")
+    return "".join(parts)

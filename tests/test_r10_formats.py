@@ -879,3 +879,96 @@ def test_metadata_corruption_never_crashes(seed, fmt, pos_frac,
         parser(bytes(raw))
     except (ValueError, IndexError, UnicodeDecodeError):
         pass
+
+
+# ---------------------------------------------------------------------------
+# PNG metadata, SVG, JSON-LD (operators/pngmeta.py, svg.py, html.py)
+# ---------------------------------------------------------------------------
+
+import json as _json  # noqa: E402
+
+from google_analytics_to_s3_spark.operators.html import (  # noqa: E402
+    _JsonLdCollector,
+)
+from google_analytics_to_s3_spark.operators.pngmeta import (  # noqa: E402
+    parse_png_metadata,
+)
+from google_analytics_to_s3_spark.operators.svg import (  # noqa: E402
+    parse_svg,
+)
+from google_analytics_to_s3_spark.testing.fixtures import (  # noqa: E402
+    make_html_jsonld,
+    make_png_meta,
+    make_svg,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 999])
+def test_png_metadata_planted(seed):
+    m = parse_png_metadata(make_png_meta(seed))
+    kv = dict(m["texts"])
+    assert kv["Title"] == f"Img {seed}"
+    assert kv["Description"] == "d" * (30 + seed % 40)
+    assert kv["Comment"] == "cé" * (5 + seed % 7)  # both iTXt flags
+    assert m["exif"]["orientation"] == 1 + seed % 8
+
+
+def test_png_metadata_crc_actually_verified():
+    raw = bytearray(make_png_meta(5))
+    i = raw.find(b"tEXt")
+    raw[i + 6] ^= 1  # corrupt a data byte without fixing the CRC
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        parse_png_metadata(bytes(raw))
+
+
+def test_png_metadata_raster_still_decodes():
+    from google_analytics_to_s3_spark.operators.multimodal import (
+        _parse_png,
+    )
+
+    out = _parse_png(make_png_meta(9))
+    assert out[0] == 6 and out[1] == 5  # spliced chunks are ancillary
+
+
+@pytest.mark.parametrize("seed", [0, 1, 3, 6, 999])
+def test_svg_planted(seed):
+    m = parse_svg(make_svg(seed))
+    assert m["width"] == 100 + seed % 50  # 'px' suffix stripped
+    assert m["n_paths"] == 2 + seed % 3
+    assert m["has_script"] == (1 if seed % 3 == 0 else 0)
+
+
+def test_svg_viewbox_fallback_and_bad_root():
+    m = parse_svg('<svg xmlns="http://www.w3.org/2000/svg" '
+                  'viewBox="0 0 320 240"/>')
+    assert (m["width"], m["height"]) == (320, 240)
+    with pytest.raises(ValueError, match="not <svg>"):
+        parse_svg("<div/>")
+    with pytest.raises(ValueError, match="parse error"):
+        parse_svg("<svg><unclosed></svg")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 5, 999])
+def test_jsonld_planted(seed):
+    c = _JsonLdCollector()
+    c.feed(make_html_jsonld(seed))
+    c.close()
+    nv = 1 + seed % 3
+    valid = []
+    for b in c.blocks:
+        try:
+            valid.append(_json.loads(b))
+        except _json.JSONDecodeError:
+            pass
+    assert len(valid) == nv
+    assert len(c.blocks) == nv + (1 if seed % 2 == 0 else 0)
+    assert all(v["name"] == f"Item {seed}-{i}"
+               for i, v in enumerate(valid))
+
+
+def test_jsonld_ignores_plain_scripts():
+    c = _JsonLdCollector()
+    c.feed('<script>var x=1;</script>'
+           '<script type="application/ld+json">{"@type":"X"}</script>')
+    c.close()
+    assert len(c.blocks) == 1
