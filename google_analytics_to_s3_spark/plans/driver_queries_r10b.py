@@ -1292,3 +1292,85 @@ FROM e JOIN t ON t.event_id = e.event_id
 
 QUERIES_R10B["jsonld_harvest"] = q_jsonld_harvest
 ORACLES_R10B["jsonld_harvest"] = _JSONLD_ORACLE
+
+
+def q_apng_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL APNG decode driver-checked (the GIF-animation check shape
+    applied to PNG): 4-frame streams with nested frame rects where
+    frame 1 disposes to BACKGROUND, frame 2 to PREVIOUS and frame 3's
+    data spans two fdAT chunks (testing/fixtures.make_apng); each
+    frame decodes through the full PNG raster path and composites per
+    the fcTL ops (operators/apng.py). One row per (doc, display
+    time) with the exact BIGINT RGB sum of the COMPOSITED canvas; the
+    oracle computes each pixel's visible writer from the dispose
+    semantics — inside frame 1's rect the canvas is ZERO at display
+    times 2 and 3 except where frames 2/3 cover it."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.apng import decode_apng_frames
+    from ..testing.fixtures import make_apng
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 7
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_apng(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_apng_frames(payloads)
+
+
+_APNG_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         8 + (event_id % 1000) % 6 AS w,
+         6 + (event_id % 1000) % 5 AS h
+  FROM events WHERE event_id % {_FLAC_MOD} = 7
+),
+px AS (
+  SELECT e.event_id, e.w, e.h, e.seed, f.f,
+         CASE WHEN g.g = -1 THEN 0 ELSE
+           (e.seed + 17*g.g + 31*y.y + 7*x.x) % 256
+           + (e.seed + 17*g.g + 31*y.y + 7*x.x + 13) % 256
+           + (e.seed + 17*g.g + 31*y.y + 7*x.x + 26) % 256
+         END AS v
+  FROM e,
+       LATERAL (SELECT unnest(range(0, 4)) AS f) f,
+       LATERAL (SELECT unnest(range(0, e.h)) AS y) y,
+       LATERAL (SELECT unnest(range(0, e.w)) AS x) x,
+       LATERAL (SELECT CASE
+           WHEN f.f = 0 THEN 0
+           WHEN f.f = 1 THEN
+             CASE WHEN y.y >= 1 AND x.x >= 2 THEN 1 ELSE 0 END
+           WHEN f.f = 2 THEN
+             CASE WHEN y.y >= 2 AND x.x >= 4 THEN 2
+                  WHEN y.y >= 1 AND x.x >= 2 THEN -1 ELSE 0 END
+           ELSE
+             CASE WHEN y.y >= 3 AND x.x >= 6 THEN 3
+                  WHEN y.y >= 1 AND x.x >= 2 THEN -1 ELSE 0 END
+         END AS g) g
+)
+SELECT event_id AS doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(4 AS INTEGER) AS n_frames,
+       CAST(seed % 3 AS INTEGER) AS n_plays,
+       CAST(2 + f AS INTEGER) AS delay_num,
+       CAST(sum(v) AS BIGINT) AS rgb_sum
+FROM px GROUP BY event_id, w, h, seed, f
+"""
+
+QUERIES_R10B["apng_decode"] = q_apng_decode
+ORACLES_R10B["apng_decode"] = _APNG_ORACLE

@@ -5042,3 +5042,68 @@ def make_html_jsonld(seed: int) -> str:
                      '{"broken": </script>')
     parts.append("<p>body text</p></body></html>")
     return "".join(parts)
+
+
+def apng_rule(seed: int, g: int, x: int, y: int, c: int) -> int:
+    """Planted RGB value for make_apng frame g at CANVAS coords."""
+    return (seed + 17 * g + 31 * y + 7 * x + 13 * c) % 256
+
+
+def make_apng(seed: int) -> bytes:
+    """Serialize a REAL APNG: canvas 8+seed%6 x 6+seed%5 RGB8, acTL
+    (4 frames, num_plays seed%3), frame 0 full-canvas in IDAT with a
+    preceding fcTL, frames 1-3 as nested rects (offset (2g, g)) via
+    fdAT — frame 3 split across TWO fdAT chunks; dispose ops exercise
+    all three semantics (frame 1 BACKGROUND, frame 2 PREVIOUS, others
+    NONE); sequence numbers consecutive; all CRCs real."""
+    import struct as _s
+    import zlib as _z
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF))
+
+    w, h = 8 + seed % 6, 6 + seed % 5
+
+    def frame_data(g: int, xo: int, yo: int, fw: int, fh: int) -> bytes:
+        rows = bytearray()
+        for yy in range(fh):
+            rows.append(0)  # filter None
+            for xx in range(fw):
+                for c in range(3):
+                    rows.append(apng_rule(seed, g, xo + xx, yo + yy, c))
+        return _z.compress(bytes(rows))
+
+    seq = [0]
+
+    def fctl(g: int, xo: int, yo: int, fw: int, fh: int,
+             dispose: int) -> bytes:
+        s = seq[0]
+        seq[0] += 1
+        return chunk(b"fcTL", _s.pack(
+            ">IIIIIHHBB", s, fw, fh, xo, yo, 2 + g, 100, dispose, 0))
+
+    def fdat(data: bytes) -> bytes:
+        s = seq[0]
+        seq[0] += 1
+        return chunk(b"fdAT", _s.pack(">I", s) + data)
+
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    out += chunk(b"acTL", _s.pack(">II", 4, seed % 3))
+    out += fctl(0, 0, 0, w, h, 0)
+    out += chunk(b"IDAT", frame_data(0, 0, 0, w, h))
+    dispose = {1: 1, 2: 2, 3: 0}
+    for g in (1, 2, 3):
+        xo, yo = 2 * g, g
+        fw, fh = w - xo, h - yo
+        out += fctl(g, xo, yo, fw, fh, dispose[g])
+        data = frame_data(g, xo, yo, fw, fh)
+        if g == 3:  # split across two fdAT chunks
+            half = len(data) // 2
+            out += fdat(data[:half])
+            out += fdat(data[half:])
+        else:
+            out += fdat(data)
+    out += chunk(b"IEND", b"")
+    return bytes(out)

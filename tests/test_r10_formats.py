@@ -972,3 +972,120 @@ def test_jsonld_ignores_plain_scripts():
            '<script type="application/ld+json">{"@type":"X"}</script>')
     c.close()
     assert len(c.blocks) == 1
+
+
+# ---------------------------------------------------------------------------
+# APNG (operators/apng.py)
+# ---------------------------------------------------------------------------
+
+from google_analytics_to_s3_spark.operators.apng import (  # noqa: E402
+    parse_apng,
+)
+from google_analytics_to_s3_spark.testing.fixtures import (  # noqa: E402
+    apng_rule,
+    make_apng,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 7, 999])
+def test_apng_compositing_all_dispose_ops(seed):
+    m = parse_apng(make_apng(seed))
+    w, h = 8 + seed % 6, 6 + seed % 5
+    assert len(m["frames"]) == 4 and m["n_plays"] == seed % 3
+    # display time 3: frame 2 disposed to PREVIOUS (which frame 1's
+    # BACKGROUND dispose had zeroed), so inside frame-1's rect but
+    # outside frame-3's rect every channel must be 0
+    canvas = m["frames"][3].reshape(h, w, 3)
+    assert (canvas[1, 2] == 0).all()
+    # outside frame-1's rect frame 0 is still visible
+    assert canvas[0, 0, 0] == apng_rule(seed, 0, 0, 0, 0)
+    # inside frame-3's rect
+    assert canvas[3, 6, 0] == apng_rule(seed, 3, 6, 3, 0)
+
+
+def test_apng_sequence_validation():
+    raw = bytearray(make_apng(3))
+    i = raw.find(b"fdAT")
+    raw[i + 7] ^= 1  # bump a sequence number
+    # CRC breaks first (verified), so recompute it after the edit
+    import struct
+    import zlib
+
+    length = int.from_bytes(raw[i - 4:i], "big")
+    data = bytes(raw[i + 4:i + 4 + length])
+    raw[i + 4 + length:i + 8 + length] = struct.pack(
+        ">I", zlib.crc32(b"fdAT" + data) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="sequence numbers"):
+        parse_apng(bytes(raw))
+
+
+def test_apng_actl_frame_count_enforced():
+    raw = make_apng(2)
+    # find acTL and claim 5 frames (with a fixed CRC)
+    import struct
+    import zlib
+
+    i = raw.find(b"acTL")
+    data = struct.pack(">II", 5, 0)
+    patched = (raw[:i - 4] + struct.pack(">I", 8) + b"acTL" + data
+               + struct.pack(">I", zlib.crc32(b"acTL" + data)
+                             & 0xFFFFFFFF) + raw[i + 16:])
+    with pytest.raises(ValueError, match="num_frames mismatch"):
+        parse_apng(patched)
+
+
+def test_apng_default_image_excluded_without_fctl():
+    # strip frame 0's fcTL: the IDAT becomes a non-animated default
+    # image, and acTL must then claim 3 frames
+    import struct
+    import zlib
+
+    raw = make_apng(4)
+    i = raw.find(b"fcTL")
+    raw2 = raw[:i - 4] + raw[i + 34:]
+    # fix acTL count 4 -> 3 and RENUMBER remaining sequence numbers
+    j = raw2.find(b"acTL")
+    data = struct.pack(">II", 3, 4 % 3)
+    raw2 = (raw2[:j - 4] + struct.pack(">I", 8) + b"acTL" + data
+            + struct.pack(">I", zlib.crc32(b"acTL" + data)
+                          & 0xFFFFFFFF) + raw2[j + 16:])
+    # renumber: walk chunks, rewrite fcTL/fdAT seq to 0..n-1
+    out = bytearray(raw2[:8])
+    pos = 8
+    seq = 0
+    while pos + 8 <= len(raw2):
+        length = int.from_bytes(raw2[pos:pos + 4], "big")
+        ctype = raw2[pos + 4:pos + 8]
+        data = bytearray(raw2[pos + 8:pos + 8 + length])
+        if ctype in (b"fcTL", b"fdAT"):
+            data[0:4] = struct.pack(">I", seq)
+            seq += 1
+        out += struct.pack(">I", length) + ctype + data
+        out += struct.pack(">I", zlib.crc32(bytes(ctype + data))
+                           & 0xFFFFFFFF)
+        pos += 12 + length
+    m = parse_apng(bytes(out))
+    assert len(m["frames"]) == 3  # default image excluded
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=999),
+    pos_frac=st.floats(min_value=0.0, max_value=0.999),
+    mutation=st.sampled_from(["flip", "zero", "truncate", "insert"]),
+)
+def test_apng_corruption_never_crashes(seed, pos_frac, mutation):
+    raw = bytearray(make_apng(seed))
+    pos = int(pos_frac * len(raw))
+    if mutation == "flip":
+        raw[pos] ^= 0x55
+    elif mutation == "zero":
+        raw[pos] = 0
+    elif mutation == "truncate":
+        raw = raw[:pos]
+    else:
+        raw = raw[:pos] + b"\xa5" + raw[pos:]
+    try:
+        parse_apng(bytes(raw))
+    except (ValueError, IndexError):
+        pass
