@@ -1374,3 +1374,169 @@ FROM px GROUP BY event_id, w, h, seed, f
 
 QUERIES_R10B["apng_decode"] = q_apng_decode
 ORACLES_R10B["apng_decode"] = _APNG_ORACLE
+
+
+def q_email_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RFC 5322 / MIME extraction driver-checked: per event a
+    nested multipart message (testing/fixtures.make_eml —
+    quoted-printable body with soft line breaks and =C3=A9 escapes,
+    a text/html alternative, base64 attachments) is parsed
+    (operators/mime.py) and the oracle replays headers, part/
+    attachment counts and the decoded text stats in closed form."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.mime import extract_email_features
+    from ..testing.fixtures import make_eml
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 8
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_eml(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return extract_email_features(payloads).drop("extract_error")
+
+
+_EMAIL_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         6 + (event_id % 1000) % 5 AS nw
+  FROM events WHERE event_id % {_FLAC_MOD} = 8
+),
+w AS (
+  SELECT e.event_id,
+         sum(1 + CASE WHEN (e.seed*3 + 28 + 5*j.j) % 100 < 10
+                      THEN 1 ELSE 2 END) AS chars
+  FROM e, LATERAL (SELECT unnest(range(0, e.nw)) AS j) j
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       'Re: Msg ' || CAST(e.seed AS VARCHAR) AS subject,
+       'ex' || CAST(e.seed % 10 AS VARCHAR) || '.test' AS from_domain,
+       CAST(2 + e.seed % 3 AS INTEGER) AS n_parts,
+       CAST(e.seed % 3 AS INTEGER) AS n_attachments,
+       CAST(1 AS INTEGER) AS has_html,
+       CAST(e.nw + 1 AS BIGINT) AS text_words,
+       CAST(w.chars + 4 AS BIGINT) AS word_chars
+FROM e JOIN w ON w.event_id = e.event_id
+"""
+
+QUERIES_R10B["email_extract"] = q_email_extract
+ORACLES_R10B["email_extract"] = _EMAIL_ORACLE
+
+
+def _q_feeds(spark: SparkSession, sf_dir: str, mod: int,
+             which: str) -> DataFrame:
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.feeds import (
+        extract_feed_features,
+        extract_sitemap_features,
+    )
+    from ..testing.fixtures import make_feed, make_sitemap
+
+    make = make_sitemap if which == "sitemap" else make_feed
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == mod
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    pages = e.mapInPandas(_synth, schema="doc_id long, payload string")
+    fn = extract_sitemap_features if which == "sitemap" \
+        else extract_feed_features
+    return fn(pages).drop("extract_error")
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sitemap parsing driver-checked: urlset entries with
+    lastmod on even indices, sitemapindex files on seed%5==0
+    (testing/fixtures.make_sitemap), parsed namespace-agnostically
+    (operators/feeds.py); the oracle replays counts and the latest
+    lastmod year."""
+    return _q_feeds(spark, sf_dir, 9, "sitemap")
+
+
+def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RSS 2.0 / Atom parsing driver-checked: the SAME planted
+    items flow through both grammars (Atom on odd seeds); the oracle
+    replays item/link counts and title text stats."""
+    return _q_feeds(spark, sf_dir, 3, "feed")
+
+
+_SITEMAP_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 9
+),
+u AS (
+  SELECT e.event_id,
+         count(*) FILTER (WHERE i.i % 2 = 0) AS n_lm,
+         max(CASE WHEN i.i % 2 = 0
+                  THEN 2015 + (e.seed + i.i) % 10 END) AS yr
+  FROM e, LATERAL (SELECT unnest(range(0, 5 + e.seed % 6)) AS i) i
+  WHERE e.seed % 5 <> 0
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(CASE WHEN e.seed % 5 = 0 THEN 1 ELSE 0 END AS INTEGER)
+           AS is_index,
+       CAST(CASE WHEN e.seed % 5 = 0 THEN 3 + e.seed % 3
+                 ELSE 5 + e.seed % 6 END AS INTEGER) AS n_urls,
+       CAST(CASE WHEN e.seed % 5 = 0 THEN 0 ELSE u.n_lm END
+            AS INTEGER) AS n_with_lastmod,
+       CAST(u.yr AS INTEGER) AS latest_year
+FROM e LEFT JOIN u ON u.event_id = e.event_id
+"""
+
+_FEED_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         3 + (event_id % 1000) % 4 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 3
+),
+w AS (
+  SELECT e.event_id,
+         sum(1 + CASE WHEN (e.seed*3 + 42 + 5*i.i) % 100 < 10
+                      THEN 1 ELSE 2 END) AS wchars
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.seed % 2 AS INTEGER) AS is_atom,
+       'Feed ' || CAST(e.seed AS VARCHAR) AS feed_title,
+       CAST(e.n AS INTEGER) AS n_items,
+       CAST(e.n AS INTEGER) AS n_links,
+       CAST(3 * e.n AS BIGINT) AS title_words,
+       CAST(e.n * (4 + length(CAST(e.seed AS VARCHAR))) + w.wchars
+            AS BIGINT) AS title_chars
+FROM e JOIN w ON w.event_id = e.event_id
+"""
+
+QUERIES_R10B["sitemap_parse"] = q_sitemap_parse
+ORACLES_R10B["sitemap_parse"] = _SITEMAP_ORACLE
+QUERIES_R10B["feed_parse"] = q_feed_parse
+ORACLES_R10B["feed_parse"] = _FEED_ORACLE

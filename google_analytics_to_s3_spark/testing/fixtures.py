@@ -5107,3 +5107,105 @@ def make_apng(seed: int) -> bytes:
             out += fdat(data)
     out += chunk(b"IEND", b"")
     return bytes(out)
+
+
+def make_eml(seed: int) -> bytes:
+    """A REAL multipart/mixed RFC 5322 message: a multipart/
+    alternative body (text/plain in QUOTED-PRINTABLE — soft line
+    breaks + an =C3=A9 escape per é — and a text/html alternative)
+    plus seed%3 BASE64 attachments. Planted text: 6+seed%5 words
+    'm<subtitle_word_value(seed, 4, j)>' plus one 'café' token (4
+    chars after QP decode). Subject 'Re: Msg <seed>', sender
+    u<seed>@ex<seed%10>.test."""
+    import base64 as _b64
+
+    n_words = 6 + seed % 5
+    words = [f"m{subtitle_word_value(seed, 4, j)}"
+             for j in range(n_words)] + ["café"]
+    text = " ".join(words)
+    qp = text.encode("utf-8").replace(b"\xc3\xa9", b"=C3=A9")
+    # force a soft line break mid-stream (QP decoder must join)
+    half = len(qp) // 2
+    qp = qp[:half] + b"=\r\n" + qp[half:]
+    html = b"<p>" + text.encode("utf-8") + b"</p>"
+    lines = [
+        f"From: User <u{seed}@ex{seed % 10}.test>".encode(),
+        b"To: list@ex.test",
+        f"Subject: Re: Msg {seed}".encode(),
+        b"MIME-Version: 1.0",
+        b'Content-Type: multipart/mixed; boundary="OUTER"',
+        b"",
+        b"--OUTER",
+        b'Content-Type: multipart/alternative; boundary="INNER"',
+        b"",
+        b"--INNER",
+        b'Content-Type: text/plain; charset="utf-8"',
+        b"Content-Transfer-Encoding: quoted-printable",
+        b"",
+        qp,
+        b"--INNER",
+        b'Content-Type: text/html; charset="utf-8"',
+        b"",
+        html,
+        b"--INNER--",
+    ]
+    for a in range(seed % 3):
+        blob = bytes((seed + 7 * a + k) % 256 for k in range(40))
+        lines += [
+            b"--OUTER",
+            b"Content-Type: application/octet-stream",
+            b"Content-Transfer-Encoding: base64",
+            f'Content-Disposition: attachment; filename="f{a}.bin"'
+            .encode(),
+            b"",
+            _b64.encodebytes(blob).strip(),
+        ]
+    lines.append(b"--OUTER--")
+    return b"\r\n".join(lines) + b"\r\n"
+
+
+def make_sitemap(seed: int) -> str:
+    """Planted sitemap: sitemapindex on seed%5==0 (3+seed%3 child
+    refs, no lastmod), else urlset with 5+seed%6 urls where EVEN
+    entries carry lastmod 2015+(seed+i)%10."""
+    if seed % 5 == 0:
+        refs = "".join(
+            f"<sitemap><loc>https://ex.test/s{seed}/{i}.xml</loc>"
+            f"</sitemap>" for i in range(3 + seed % 3))
+        return ('<?xml version="1.0"?><sitemapindex xmlns='
+                '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                + refs + "</sitemapindex>")
+    urls = []
+    for i in range(5 + seed % 6):
+        lastmod = (f"<lastmod>{2015 + (seed + i) % 10}-03-01"
+                   f"</lastmod>" if i % 2 == 0 else "")
+        urls.append(f"<url><loc>https://ex.test/{seed}/{i}</loc>"
+                    f"{lastmod}</url>")
+    return ('<?xml version="1.0"?><urlset xmlns='
+            '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + "".join(urls) + "</urlset>")
+
+
+def make_feed(seed: int) -> str:
+    """Planted feed: Atom on odd seeds, RSS 2.0 on even; 3+seed%4
+    items titled 'Post <seed> n<item_word>' (2 words each) with one
+    link per item."""
+    n = 3 + seed % 4
+    titles = [f"Post {seed} n{subtitle_word_value(seed, 6, i)}"
+              for i in range(n)]
+    if seed % 2 == 1:
+        entries = "".join(
+            f"<entry><title>{t}</title>"
+            f'<link href="https://ex.test/{seed}/{i}"/>'
+            f"<id>urn:{seed}:{i}</id></entry>"
+            for i, t in enumerate(titles))
+        return ('<?xml version="1.0"?>'
+                '<feed xmlns="http://www.w3.org/2005/Atom">'
+                f"<title>Feed {seed}</title>" + entries + "</feed>")
+    items = "".join(
+        f"<item><title>{t}</title>"
+        f"<link>https://ex.test/{seed}/{i}</link></item>"
+        for i, t in enumerate(titles))
+    return ('<?xml version="1.0"?><rss version="2.0"><channel>'
+            f"<title>Feed {seed}</title>" + items
+            + "</channel></rss>")

@@ -1089,3 +1089,87 @@ def test_apng_corruption_never_crashes(seed, pos_frac, mutation):
         parse_apng(bytes(raw))
     except (ValueError, IndexError):
         pass
+
+
+# ---------------------------------------------------------------------------
+# Email/MIME + sitemaps/feeds (operators/mime.py, feeds.py)
+# ---------------------------------------------------------------------------
+
+from google_analytics_to_s3_spark.operators.feeds import (  # noqa: E402
+    parse_feed,
+    parse_sitemap,
+)
+from google_analytics_to_s3_spark.operators.mime import (  # noqa: E402
+    parse_email,
+)
+from google_analytics_to_s3_spark.testing.fixtures import (  # noqa: E402
+    make_eml,
+    make_feed,
+    make_sitemap,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 5, 999])
+def test_email_planted(seed):
+    m = parse_email(make_eml(seed))
+    assert m["subject"] == f"Re: Msg {seed}"
+    assert m["n_attachments"] == seed % 3
+    assert m["has_html"] == 1
+    toks = m["text"].split()
+    assert toks[-1] == "café"  # QP =C3=A9 decoded, soft break joined
+
+
+def test_email_qp_soft_break_does_not_split_tokens():
+    raw = make_eml(7)
+    # the fixture puts "=\r\n" mid-stream; the decoded text must have
+    # exactly 6 + 7%5 + 1 = 9 tokens
+    assert len(parse_email(raw)["text"].split()) == 9
+
+
+def test_email_empty_message_is_one_empty_part():
+    # RFC 5322 tolerance: a bare/empty message parses as one empty
+    # text/plain part (the stdlib default content type), not an error
+    m = parse_email(b"")
+    assert m["n_parts"] == 1 and m["text"].split() == []
+
+
+@pytest.mark.parametrize("seed", [0, 1, 5, 10, 999])
+def test_sitemap_planted(seed):
+    s = parse_sitemap(make_sitemap(seed))
+    if seed % 5 == 0:
+        assert s["is_index"] == 1
+    else:
+        nu = 5 + seed % 6
+        assert len(s["urls"]) == nu
+        assert len([l for _, l in s["urls"] if l]) == (nu + 1) // 2
+
+
+def test_sitemap_rejects_foreign_xml():
+    with pytest.raises(ValueError, match="urlset"):
+        parse_sitemap("<rss version='2.0'/>")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_feed_rss_atom_same_counts(seed):
+    f = parse_feed(make_feed(seed))
+    assert f["n_items"] == 3 + seed % 4
+    assert f["kind"] == ("feed" if seed % 2 else "rss")
+
+
+def test_feed_rejects_foreign_xml():
+    with pytest.raises(ValueError, match="rss/feed"):
+        parse_feed("<urlset/>")
+
+
+@settings(max_examples=40, deadline=None)
+@given(junk=st.text(max_size=300))
+def test_feeds_email_arbitrary_input_never_crashes(junk):
+    for fn in (parse_sitemap, parse_feed):
+        try:
+            fn(junk)
+        except ValueError:
+            pass
+    try:
+        parse_email(junk.encode("utf-8", "replace"))
+    except Exception:
+        pass  # quarantine net in the wrapper is Exception-wide
