@@ -133,3 +133,62 @@ def extract_email_features(
     return df.select(id_col, payload_col).mapInPandas(
         _extract, schema=EMAIL_SCHEMA
     )
+
+
+def split_mbox(raw: bytes) -> "list[bytes]":
+    """Split an mbox archive into messages on RFC 4155 ``From ``
+    separator lines, reversing ``>From `` quoting in bodies."""
+    if not raw.startswith(b"From "):
+        raise ValueError("mbox From_ separator missing")
+    msgs: list[bytes] = []
+    current: list[bytes] = []
+    for line in raw.split(b"\n"):
+        if line.startswith(b"From "):
+            if current:
+                msgs.append(b"\n".join(current))
+            current = []
+            continue  # the From_ line itself is not part of the msg
+        if line.startswith(b">From "):
+            line = line[1:]
+        current.append(line)
+        if len(msgs) > 1_000_000:
+            raise ValueError("mbox message count exceeds bound")
+    if current:
+        msgs.append(b"\n".join(current))
+    return msgs
+
+
+def mbox_rows(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """The 1→N mailing-list explode: one row per message —
+    (row_id = archive_id * 100 + ordinal, archive_id, message bytes)
+    — feeding :func:`extract_email_features`; the per-archive rollup
+    downstream is declarative DataFrame code. Archives that fail to
+    split contribute zero rows."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "row_id", "archive_id", "payload")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    msgs = split_mbox(bytes(payload))
+                except (ValueError, IndexError):
+                    continue
+                for i, msg in enumerate(msgs):
+                    out["row_id"].append(int(doc_id) * 100 + i)
+                    out["archive_id"].append(doc_id)
+                    out["payload"].append(msg)
+            yield pd.DataFrame({
+                "row_id": pd.Series(out["row_id"], dtype="int64"),
+                "archive_id": pd.Series(out["archive_id"],
+                                        dtype="int64"),
+                "payload": pd.Series(out["payload"], dtype=object),
+            })
+
+    return df.select(
+        df[id_col].cast("long").alias(id_col), payload_col
+    ).mapInPandas(
+        _run, schema="row_id long, archive_id long, payload binary"
+    )

@@ -1540,3 +1540,79 @@ QUERIES_R10B["sitemap_parse"] = q_sitemap_parse
 ORACLES_R10B["sitemap_parse"] = _SITEMAP_ORACLE
 QUERIES_R10B["feed_parse"] = q_feed_parse
 ORACLES_R10B["feed_parse"] = _FEED_ORACLE
+
+
+def q_mbox_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mailing-list composition end-to-end: RFC 4155 mbox
+    archives (testing/fixtures.make_mbox — From_ separators, >From
+    body quoting) explode 1→N (operators/mime.mbox_rows), each
+    message runs the real MIME extractor, and the per-archive rollup
+    (message count, word totals, attachment totals, distinct sender
+    domains) is DECLARATIVE groupBy code. The oracle replays the
+    per-message planted rules in closed form."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.mime import extract_email_features, mbox_rows
+    from ..testing.fixtures import make_mbox
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 1
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_mbox(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    archives = e.mapInPandas(_synth,
+                             schema="doc_id long, payload binary")
+    rows = mbox_rows(archives)
+    feats = extract_email_features(rows, id_col="row_id")
+    return (
+        feats
+        .withColumn("archive_id", F.expr("doc_id div 100"))
+        .groupBy("archive_id")
+        .agg(
+            F.count("*").cast("int").alias("n_messages"),
+            F.sum("text_words").cast("long").alias("total_words"),
+            F.sum("n_attachments").cast("int")
+             .alias("total_attachments"),
+            F.countDistinct("from_domain").cast("int")
+             .alias("n_domains"),
+        )
+        .withColumnRenamed("archive_id", "doc_id")
+    )
+
+
+_MBOX_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         2 + (event_id % 1000) % 3 AS nm
+  FROM events WHERE event_id % {_FLAC_MOD} = 1
+),
+m AS (
+  SELECT e.event_id, (e.seed*13 + 7*mm.m) % 1000 AS ms
+  FROM e, LATERAL (SELECT unnest(range(0, e.nm)) AS m) mm
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.nm AS INTEGER) AS n_messages,
+       CAST((SELECT sum(7 + m.ms % 5) FROM m
+              WHERE m.event_id = e.event_id) AS BIGINT) AS total_words,
+       CAST((SELECT sum(m.ms % 3) FROM m
+              WHERE m.event_id = e.event_id) AS INTEGER)
+           AS total_attachments,
+       CAST((SELECT count(DISTINCT m.ms % 10) FROM m
+              WHERE m.event_id = e.event_id) AS INTEGER) AS n_domains
+FROM e
+"""
+
+QUERIES_R10B["mbox_pipeline"] = q_mbox_pipeline
+ORACLES_R10B["mbox_pipeline"] = _MBOX_ORACLE

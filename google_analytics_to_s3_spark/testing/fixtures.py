@@ -5209,3 +5209,17 @@ def make_feed(seed: int) -> str:
     return ('<?xml version="1.0"?><rss version="2.0"><channel>'
             f"<title>Feed {seed}</title>" + items
             + "</channel></rss>")
+
+
+def make_mbox(seed: int) -> bytes:
+    """An RFC 4155 mbox of 2+seed%3 make_eml messages (message m uses
+    planted seed (seed*13 + 7*m) % 1000), From_ separator lines, and
+    one '>From ' quoted body line per message."""
+    parts = []
+    for m in range(2 + seed % 3):
+        msg_seed = (seed * 13 + 7 * m) % 1000
+        msg = make_eml(msg_seed).replace(b"\r\n", b"\n")
+        msg += b">From quoting survives\n"
+        parts.append(b"From sender@ex.test Sat Aug 16 00:00:00 2026\n"
+                     + msg)
+    return b"".join(parts)

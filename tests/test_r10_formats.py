@@ -1173,3 +1173,20 @@ def test_feeds_email_arbitrary_input_never_crashes(junk):
         parse_email(junk.encode("utf-8", "replace"))
     except Exception:
         pass  # quarantine net in the wrapper is Exception-wide
+
+
+def test_mbox_split_and_from_quoting():
+    from google_analytics_to_s3_spark.operators.mime import split_mbox
+    from google_analytics_to_s3_spark.testing.fixtures import make_mbox
+
+    for seed in (0, 1, 5, 999):
+        msgs = split_mbox(make_mbox(seed))
+        assert len(msgs) == 2 + seed % 3
+        # the separator lines never leak into message bodies...
+        assert all(b"From sender@ex.test" not in m for m in msgs)
+        # ...while >From quoting is reversed (so bodies MAY start
+        # lines with 'From ' again — that is the point of the quote)
+        assert all(b"\nFrom quoting survives" in m for m in msgs)
+        assert all(b">From quoting" not in m for m in msgs)
+    with pytest.raises(ValueError, match="From_ separator"):
+        split_mbox(b"not an mbox")
