@@ -1616,3 +1616,66 @@ FROM e
 
 QUERIES_R10B["mbox_pipeline"] = q_mbox_pipeline
 ORACLES_R10B["mbox_pipeline"] = _MBOX_ORACLE
+
+
+def q_protobuf_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-less protobuf wire-format walk driver-checked: planted
+    messages with two-byte varints, a text field whose first byte
+    forms a group-type key (submessage heuristic can never
+    false-positive), a genuine nested message, fixed32/64 fields and
+    a multi-byte field-200 key (testing/fixtures.make_protobuf),
+    walked by operators/protowire.py; the oracle replays every
+    tally."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.protowire import extract_protobuf_features
+    from ..testing.fixtures import make_protobuf
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 2
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_protobuf(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return extract_protobuf_features(payloads).drop("extract_error")
+
+
+_PROTO_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         2 + (event_id % 1000) % 3 AS nrep
+  FROM events WHERE event_id % {_FLAC_MOD} = 2
+),
+r AS (
+  SELECT e.event_id, sum((e.seed + j.j) % 128) AS rep_sum
+  FROM e, LATERAL (SELECT unnest(range(0, e.nrep)) AS j) j
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(5 + e.nrep AS INTEGER) AS n_fields,
+       CAST(200 AS INTEGER) AS max_field,
+       CAST(2 + e.nrep AS INTEGER) AS n_varint,
+       CAST(1 AS INTEGER) AS n_len,
+       CAST(1 AS INTEGER) AS n_sub,
+       CAST(100 + e.seed % 900 + r.rep_sum + e.seed % 32 AS BIGINT)
+           AS varint_sum,
+       CAST(5 + length(CAST(e.seed AS VARCHAR)) AS BIGINT)
+           AS len_bytes,
+       CAST(2 AS INTEGER) AS depth_max
+FROM e JOIN r ON r.event_id = e.event_id
+"""
+
+QUERIES_R10B["protobuf_walk"] = q_protobuf_walk
+ORACLES_R10B["protobuf_walk"] = _PROTO_ORACLE

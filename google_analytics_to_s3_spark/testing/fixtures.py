@@ -5223,3 +5223,41 @@ def make_mbox(seed: int) -> bytes:
         parts.append(b"From sender@ex.test Sat Aug 16 00:00:00 2026\n"
                      + msg)
     return b"".join(parts)
+
+
+def make_protobuf(seed: int) -> bytes:
+    """A REAL protobuf wire-format message, schema-less-walkable:
+    field 1 varint 100+seed%900 (two-byte varints), field 2 a text
+    payload 'text <seed>' (first byte 0x74 decodes as a GROUP key, so
+    the submessage heuristic can never false-positive), field 3 a
+    genuine SUBMESSAGE (varint + fixed32), field 5 fixed64, repeated
+    field 7 single-byte varints (2+seed%3 of them), field 200 varint
+    seed%32 (multi-byte key)."""
+
+    def varint(v: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    def key(field: int, wtype: int) -> bytes:
+        return varint((field << 3) | wtype)
+
+    sub = (key(1, 0) + varint(seed % 128)
+           + key(2, 5) + ((seed * 3) & 0xFFFFFFFF).to_bytes(4,
+                                                            "little"))
+    text = f"text {seed}".encode()
+    out = bytearray()
+    out += key(1, 0) + varint(100 + seed % 900)
+    out += key(2, 2) + varint(len(text)) + text
+    out += key(3, 2) + varint(len(sub)) + sub
+    out += key(5, 1) + (seed * 7 % (1 << 64)).to_bytes(8, "little")
+    for j in range(2 + seed % 3):
+        out += key(7, 0) + varint((seed + j) % 128)
+    out += key(200, 0) + varint(seed % 32)
+    return bytes(out)

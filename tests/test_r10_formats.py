@@ -1190,3 +1190,24 @@ def test_mbox_split_and_from_quoting():
         assert all(b">From quoting" not in m for m in msgs)
     with pytest.raises(ValueError, match="From_ separator"):
         split_mbox(b"not an mbox")
+
+
+def test_protobuf_wire_walk():
+    from google_analytics_to_s3_spark.operators.protowire import (
+        _stats,
+        walk_protobuf,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_protobuf,
+    )
+
+    for seed in (0, 1, 127, 999):
+        s = _stats(walk_protobuf(make_protobuf(seed)))
+        assert s["n_sub"] == 1 and s["depth_max"] == 2
+        assert s["max_field"] == 200
+    # group wire types invalidate a parse
+    with pytest.raises(ValueError, match="not a valid protobuf"):
+        walk_protobuf(bytes([0x0B]))  # field 1, wire type 3 (SGROUP)
+    # a text field is bytes, never a false-positive submessage
+    s = _stats(walk_protobuf(make_protobuf(5)))
+    assert s["n_len"] == 1
