@@ -1679,3 +1679,67 @@ FROM e JOIN r ON r.event_id = e.event_id
 
 QUERIES_R10B["protobuf_walk"] = q_protobuf_walk
 ORACLES_R10B["protobuf_walk"] = _PROTO_ORACLE
+
+
+def q_cbor_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL CBOR decode driver-checked: planted documents exercising
+    every definite-length major type — multi-byte uints, negatives,
+    nested arrays/maps, text/byte strings, a bool, tag(1), float64
+    (testing/fixtures.make_cbor) — decoded per RFC 8949
+    (operators/cbor.py); the oracle replays integer sums, text
+    lengths (map keys included) and structure tallies."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.cbor import extract_cbor_features
+    from ..testing.fixtures import make_cbor
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 4
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_cbor(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return extract_cbor_features(payloads).drop("extract_error")
+
+
+_CBOR_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         2 + (event_id % 1000) % 4 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 4
+),
+it AS (
+  SELECT e.event_id,
+         sum((e.seed*7 + i.i) % 1000) AS vsum,
+         sum(2 + 1 + CASE WHEN (3*e.seed + 5*i.i) % 100 < 10
+                          THEN 1 ELSE 2 END) AS chars
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.seed - (1 + e.seed % 50) + it.vsum + e.seed % 100000
+            AS BIGINT) AS int_sum,
+       CAST(20 + it.chars AS BIGINT) AS text_chars,
+       CAST(1 AS INTEGER) AS n_arrays,
+       CAST(1 + e.n AS INTEGER) AS n_maps,
+       CAST(1 AS INTEGER) AS n_tags,
+       CAST(CASE WHEN e.seed % 2 = 0 THEN 1 ELSE 0 END AS INTEGER)
+           AS n_true,
+       CAST(4 AS INTEGER) AS depth_max
+FROM e JOIN it ON it.event_id = e.event_id
+"""
+
+QUERIES_R10B["cbor_decode"] = q_cbor_decode
+ORACLES_R10B["cbor_decode"] = _CBOR_ORACLE

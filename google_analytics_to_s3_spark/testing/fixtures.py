@@ -5261,3 +5261,61 @@ def make_protobuf(seed: int) -> bytes:
         out += key(7, 0) + varint((seed + j) % 128)
     out += key(200, 0) + varint(seed % 32)
     return bytes(out)
+
+
+def _cbor_encode(v) -> bytes:
+    """Minimal-argument definite-length CBOR encoder (RFC 8949)."""
+
+    def head(major: int, n: int) -> bytes:
+        if n < 24:
+            return bytes([(major << 5) | n])
+        for info, size in ((24, 1), (25, 2), (26, 4), (27, 8)):
+            if n < 1 << (8 * size):
+                return bytes([(major << 5) | info]) \
+                    + n.to_bytes(size, "big")
+        raise ValueError("CBOR integer too large")
+
+    if isinstance(v, bool):
+        return bytes([0xF5 if v else 0xF4])
+    if isinstance(v, int):
+        return head(0, v) if v >= 0 else head(1, -1 - v)
+    if isinstance(v, bytes):
+        return head(2, len(v)) + v
+    if isinstance(v, str):
+        enc = v.encode("utf-8")
+        return head(3, len(enc)) + enc
+    if isinstance(v, list):
+        return head(4, len(v)) + b"".join(_cbor_encode(x) for x in v)
+    if isinstance(v, dict):
+        return head(5, len(v)) + b"".join(
+            _cbor_encode(k) + _cbor_encode(x) for k, x in v.items())
+    if isinstance(v, tuple) and v and v[0] == "tag":
+        return head(6, v[1]) + _cbor_encode(v[2])
+    if isinstance(v, float):
+        import struct as _s
+        return b"\xfb" + _s.pack(">d", v)
+    if v is None:
+        return b"\xf6"
+    raise TypeError(type(v))
+
+
+def make_cbor(seed: int) -> bytes:
+    """Planted CBOR document: multi-byte uints, a negative int, a
+    nested array of maps with planted strings, a bool, a tag(1)
+    timestamp, a float64 and a byte string — every definite-length
+    major type."""
+    n_items = 2 + seed % 4
+    doc = {
+        "id": seed,
+        "neg": -(1 + seed % 50),
+        "items": [
+            {"v": (seed * 7 + i) % 1000,
+             "s": f"w{(3 * seed + 5 * i) % 100}"}
+            for i in range(n_items)
+        ],
+        "flag": seed % 2 == 0,
+        "tag": ("tag", 1, seed % 100000),
+        "pi": 3.5,
+        "b": bytes((seed + k) % 256 for k in range(3 + seed % 5)),
+    }
+    return _cbor_encode(doc)

@@ -1211,3 +1211,62 @@ def test_protobuf_wire_walk():
     # a text field is bytes, never a false-positive submessage
     s = _stats(walk_protobuf(make_protobuf(5)))
     assert s["n_len"] == 1
+
+
+def test_cbor_major_types_and_gates():
+    from google_analytics_to_s3_spark.operators.cbor import (
+        _cbor_stats,
+        parse_cbor,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_cbor,
+    )
+
+    for seed in (0, 1, 23, 24, 255, 256, 999):
+        s = _cbor_stats(parse_cbor(make_cbor(seed)))
+        assert s["depth_max"] == 4 and s["n_tags"] == 1
+    # float16 decoded by hand
+    assert parse_cbor(bytes([0xF9, 0x3C, 0x00])) == 1.0
+    assert parse_cbor(bytes([0xF9, 0x00, 0x01])) == 2.0 ** -24
+    # indefinite length gate
+    with pytest.raises(ValueError, match="indefinite"):
+        parse_cbor(bytes([0x9F, 0x01, 0xFF]))
+    # trailing bytes rejected
+    with pytest.raises(ValueError, match="trailing"):
+        parse_cbor(bytes([0x01, 0x02]))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=999),
+    fmt=st.sampled_from(["cbor", "proto"]),
+    pos_frac=st.floats(min_value=0.0, max_value=0.999),
+    mutation=st.sampled_from(["flip", "zero", "truncate", "insert"]),
+)
+def test_binary_formats_corruption_never_crashes(seed, fmt, pos_frac,
+                                                 mutation):
+    from google_analytics_to_s3_spark.operators.cbor import parse_cbor
+    from google_analytics_to_s3_spark.operators.protowire import (
+        walk_protobuf,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_cbor,
+        make_protobuf,
+    )
+
+    build = make_cbor if fmt == "cbor" else make_protobuf
+    parser = parse_cbor if fmt == "cbor" else walk_protobuf
+    raw = bytearray(build(seed))
+    pos = int(pos_frac * len(raw))
+    if mutation == "flip":
+        raw[pos] ^= 0x55
+    elif mutation == "zero":
+        raw[pos] = 0
+    elif mutation == "truncate":
+        raw = raw[:pos]
+    else:
+        raw = raw[:pos] + b"\xa5" + raw[pos:]
+    try:
+        parser(bytes(raw))
+    except (ValueError, IndexError):
+        pass
