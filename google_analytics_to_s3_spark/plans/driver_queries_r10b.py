@@ -1743,3 +1743,67 @@ FROM e JOIN it ON it.event_id = e.event_id
 
 QUERIES_R10B["cbor_decode"] = q_cbor_decode
 ORACLES_R10B["cbor_decode"] = _CBOR_ORACLE
+
+
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode dispatcher driver-checked on a MIXED corpus: each
+    event synthesizes one of 12 real formats (by seed%12, using the
+    same fixture writers the per-format queries verify), and the
+    magic-byte sniffer (operators/sniff.py) must route every payload
+    to its family — the oracle is the routing rule itself."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.sniff import sniff_formats
+    from ..testing import fixtures as fx
+
+    makers = [
+        lambda s: fx.make_png(6, 5, s),
+        fx.make_jpeg_exif,
+        lambda s: fx.make_qoi(s, 8, 6, 3),
+        lambda s: fx.make_bmp(s, 0),
+        lambda s: fx.make_tiff(s, 0),
+        fx.make_pdf,
+        fx.make_lz4,
+        lambda s: fx.make_html(s).encode(),
+        lambda s: fx.make_vtt(s).encode(),
+        lambda s: fx.make_sitemap(s).encode(),
+        lambda s: fx.make_svg(s).encode(),
+        fx.make_mbox,
+    ]
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 5
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    makers[int(i) % 1000 % 12](int(i) % 1000)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return sniff_formats(payloads)
+
+
+_SNIFF_ORACLE = f"""
+SELECT event_id AS doc_id,
+       CASE (event_id % 1000) % 12
+         WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'qoi'
+         WHEN 3 THEN 'bmp' WHEN 4 THEN 'tiff' WHEN 5 THEN 'pdf'
+         WHEN 6 THEN 'lz4' WHEN 7 THEN 'html' WHEN 8 THEN 'webvtt'
+         WHEN 9 THEN 'sitemap' WHEN 10 THEN 'svg' ELSE 'mbox'
+       END AS format
+FROM events WHERE event_id % {_FLAC_MOD} = 5
+"""
+
+QUERIES_R10B["mime_sniff"] = q_mime_sniff
+ORACLES_R10B["mime_sniff"] = _SNIFF_ORACLE

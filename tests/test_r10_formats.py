@@ -1270,3 +1270,46 @@ def test_binary_formats_corruption_never_crashes(seed, fmt, pos_frac,
         parser(bytes(raw))
     except (ValueError, IndexError):
         pass
+
+
+def test_mime_sniffer_routes_every_family():
+    from google_analytics_to_s3_spark.operators.sniff import (
+        detect_format,
+    )
+    from google_analytics_to_s3_spark.testing import fixtures as fx
+
+    cases = [
+        (fx.make_png(6, 5, 3), "png"),
+        (fx.make_png_meta(3), "png"),
+        (fx.make_apng(3), "apng"),
+        (fx.make_jpeg_exif(3), "jpeg"),
+        (fx.make_gif(6, 5, 3), "gif"),
+        (fx.make_qoi(3, 8, 6, 3), "qoi"),
+        (fx.make_webp(3), "webp"),
+        (fx.make_wav(40, 3), "wav"),
+        (fx.make_bmp(3, 0), "bmp"),
+        (fx.make_tiff(3, 0), "tiff"),
+        (fx.make_ico(3), "ico"),
+        (fx.make_pdf(3), "pdf"),
+        (fx.make_lz4(3), "lz4"),
+        (fx.make_flv(3), "flv"),
+        (fx.make_mkv(3), "matroska"),
+        (fx.make_mpegts(3), "mpegts"),
+        (fx.make_mp3(3, n_frames=2), "mp3"),
+        (fx.make_ogg_vorbis(3, n_packets=2), "ogg"),
+        (fx.make_warc(3), None),  # gzipped on some seeds
+        (fx.make_html(3).encode(), "html"),
+        (fx.make_vtt(3).encode(), "webvtt"),
+        (fx.make_sitemap(3).encode(), "sitemap"),
+        (fx.make_feed(2).encode(), "feed"),
+        (fx.make_svg(3).encode(), "svg"),
+        (fx.make_mbox(3), "mbox"),
+        (fx.make_cbor(3), "unknown"),  # CBOR has no magic
+        (b"\x00\x01", "unknown"),
+    ]
+    for raw, want in cases:
+        got = detect_format(raw)
+        if want is None:
+            assert got in ("warc", "gzip")
+        else:
+            assert got == want, (want, got)
