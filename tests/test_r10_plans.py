@@ -30,7 +30,8 @@ _EXTRACT_QUERIES = [
     "ts_decode_audio", "flv_demux", "flv_decode_audio", "srt_extract",
     "vtt_extract", "robots_eval", "jpeg_exif", "id3_tags",
     "png_metadata", "svg_features", "jsonld_harvest", "apng_decode",
-    "email_extract", "sitemap_parse", "feed_parse",
+    "email_extract", "sitemap_parse", "feed_parse", "protobuf_walk",
+    "cbor_decode", "mime_sniff",
 ]
 
 _COMPOSITIONS = ["crawl_html_pipeline", "lz4_documents",
