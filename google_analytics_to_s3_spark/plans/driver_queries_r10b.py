@@ -1807,3 +1807,79 @@ FROM events WHERE event_id % {_FLAC_MOD} = 5
 
 QUERIES_R10B["mime_sniff"] = q_mime_sniff
 ORACLES_R10B["mime_sniff"] = _SNIFF_ORACLE
+
+
+def q_h264_ipcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 structural decode driver-checked: Annex B streams
+    (testing/fixtures.make_h264 — baseline SPS, PPS with deblocking
+    control, IDR all-I_PCM slices whose planted (0,0,1) PCM prefixes
+    force genuine 0x000003 emulation-prevention bytes) run the full
+    NAL/exp-Golomb/SPS/PPS/slice-header path and exact I_PCM sample
+    readout (operators/h264.py); CAVLC/CABAC residuals stay honest
+    named gates. The oracle replays dimensions and sample sums."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.h264 import decode_h264_ipcm
+    from ..testing.fixtures import make_h264
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 6
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_h264(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_h264_ipcm(payloads).drop("decode_error")
+
+
+_H264_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         1 + (event_id % 1000) % 2 AS wm,
+         1 + ((event_id % 1000) // 2) % 2 AS hm
+  FROM events WHERE event_id % {_FLAC_MOD} = 6
+),
+luma AS (
+  SELECT e.event_id,
+         sum(CASE WHEN j.j = 2 THEN 1
+                  WHEN j.j < 2 THEN 0
+                  ELSE (e.seed + 31*m.m + 7*j.j) % 256 END) AS s
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.wm * e.hm)) AS m) m,
+       LATERAL (SELECT unnest(range(0, 256)) AS j) j
+  GROUP BY 1
+),
+chroma AS (
+  SELECT e.event_id,
+         sum((3*e.seed + 17*m.m + 5*j.j) % 256) AS s
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.wm * e.hm)) AS m) m,
+       LATERAL (SELECT unnest(range(0, 128)) AS j) j
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(16 * e.wm AS INTEGER) AS width,
+       CAST(16 * e.hm AS INTEGER) AS height,
+       CAST(e.wm * e.hm AS INTEGER) AS n_mbs,
+       CAST(3 AS INTEGER) AS n_nals,
+       CAST(66 AS INTEGER) AS profile,
+       CAST(30 AS INTEGER) AS level,
+       CAST(l.s AS BIGINT) AS luma_sum,
+       CAST(c.s AS BIGINT) AS chroma_sum
+FROM e JOIN luma l ON l.event_id = e.event_id
+       JOIN chroma c ON c.event_id = e.event_id
+"""
+
+QUERIES_R10B["h264_ipcm"] = q_h264_ipcm
+ORACLES_R10B["h264_ipcm"] = _H264_ORACLE

@@ -5319,3 +5319,136 @@ def make_cbor(seed: int) -> bytes:
         "b": bytes((seed + k) % 256 for k in range(3 + seed % 5)),
     }
     return _cbor_encode(doc)
+
+
+class _BitWriterMSB:
+    """MSB-first bit writer with exp-Golomb (H.264 RBSP syntax)."""
+
+    def __init__(self) -> None:
+        self._bits: list[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self._bits.append((value >> i) & 1)
+
+    def ue(self, v: int) -> None:
+        zeros = (v + 1).bit_length() - 1
+        self.write(0, zeros)
+        self.write(v + 1, zeros + 1)
+
+    def se(self, v: int) -> None:
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def byte_align_zero(self) -> None:
+        while len(self._bits) & 7:
+            self._bits.append(0)
+
+    def trailing(self) -> None:
+        self._bits.append(1)
+        self.byte_align_zero()
+
+    def tobytes(self) -> bytes:
+        out = bytearray()
+        for i in range(0, len(self._bits), 8):
+            b = 0
+            for bit in self._bits[i:i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def _h264_escape(rbsp: bytes) -> bytes:
+    """Insert emulation_prevention_three_byte per §7.4.1.1."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _h264_nal(ntype: int, ref: int, rbsp: bytes) -> bytes:
+    return (b"\x00\x00\x00\x01" + bytes([(ref << 5) | ntype])
+            + _h264_escape(rbsp))
+
+
+def h264_luma_rule(seed: int, mb: int, j: int) -> int:
+    """Planted I_PCM luma sample; the first three samples of every
+    macroblock are (0, 0, 1) so the escaped stream MUST carry
+    emulation-prevention bytes."""
+    if j < 3:
+        return (0, 0, 1)[j]
+    return (seed + 31 * mb + 7 * j) % 256
+
+
+def h264_chroma_rule(seed: int, mb: int, j: int) -> int:
+    return (3 * seed + 17 * mb + 5 * j) % 256
+
+
+def make_h264(seed: int) -> bytes:
+    """A REAL Annex B H.264 stream: baseline SPS (POC type 0, frame
+    MBs only), PPS with deblocking control on, and an IDR I-slice of
+    all-I_PCM macroblocks ((1+seed%2) x (1+(seed//2)%2) MBs) with
+    deblocking disabled, per the planted sample rules. The (0,0,1)
+    PCM prefix forces real 0x000003 escaping."""
+    w_mbs = 1 + seed % 2
+    h_mbs = 1 + (seed // 2) % 2
+    sps = _BitWriterMSB()
+    sps.write(66, 8)   # baseline
+    sps.write(0, 8)    # constraints/reserved
+    sps.write(30, 8)   # level 3.0
+    sps.ue(0)          # sps_id
+    sps.ue(0)          # log2_max_frame_num_minus4
+    sps.ue(0)          # pic_order_cnt_type 0
+    sps.ue(0)          # log2_max_poc_lsb_minus4
+    sps.ue(1)          # max_num_ref_frames
+    sps.write(0, 1)    # gaps allowed
+    sps.ue(w_mbs - 1)
+    sps.ue(h_mbs - 1)
+    sps.write(1, 1)    # frame_mbs_only
+    sps.write(0, 1)    # direct_8x8
+    sps.write(0, 1)    # no crop
+    sps.write(0, 1)    # no VUI
+    sps.trailing()
+    pps = _BitWriterMSB()
+    pps.ue(0)          # pps_id
+    pps.ue(0)          # sps_id
+    pps.write(0, 1)    # CAVLC
+    pps.write(0, 1)    # bottom_field_pic_order
+    pps.ue(0)          # one slice group
+    pps.ue(0)          # num_ref_idx_l0_minus1
+    pps.ue(0)          # num_ref_idx_l1_minus1
+    pps.write(0, 1)    # weighted_pred
+    pps.write(0, 2)    # weighted_bipred
+    pps.se(0)          # pic_init_qp - 26
+    pps.se(0)          # pic_init_qs
+    pps.se(0)          # chroma_qp_offset
+    pps.write(1, 1)    # deblocking_filter_control_present
+    pps.write(0, 1)    # constrained_intra
+    pps.write(0, 1)    # redundant_pic_cnt
+    pps.trailing()
+    sl = _BitWriterMSB()
+    sl.ue(0)           # first_mb_in_slice
+    sl.ue(7)           # slice_type I (all slices)
+    sl.ue(0)           # pps_id
+    sl.write(0, 4)     # frame_num
+    sl.ue(seed % 4)    # idr_pic_id
+    sl.write(seed % 16, 4)  # pic_order_cnt_lsb
+    sl.write(0, 1)     # no_output_of_prior_pics
+    sl.write(0, 1)     # long_term_reference
+    sl.se(0)           # slice_qp_delta
+    sl.ue(1)           # disable_deblocking_filter_idc = 1
+    for mb in range(w_mbs * h_mbs):
+        sl.ue(25)      # I_PCM
+        sl.byte_align_zero()
+        for j in range(256):
+            sl.write(h264_luma_rule(seed, mb, j), 8)
+        for j in range(128):
+            sl.write(h264_chroma_rule(seed, mb, j), 8)
+    sl.trailing()
+    return (_h264_nal(7, 3, sps.tobytes())
+            + _h264_nal(8, 3, pps.tobytes())
+            + _h264_nal(5, 3, sl.tobytes()))

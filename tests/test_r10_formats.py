@@ -1313,3 +1313,87 @@ def test_mime_sniffer_routes_every_family():
             assert got in ("warc", "gzip")
         else:
             assert got == want, (want, got)
+
+
+# ---------------------------------------------------------------------------
+# H.264 structural layer (operators/h264.py)
+# ---------------------------------------------------------------------------
+
+from google_analytics_to_s3_spark.operators.h264 import (  # noqa: E402
+    decode_idr_ipcm,
+    rbsp_unescape,
+    split_annexb,
+)
+from google_analytics_to_s3_spark.testing.fixtures import (  # noqa: E402
+    _h264_escape,
+    h264_chroma_rule,
+    h264_luma_rule,
+    make_h264,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 999])
+def test_h264_ipcm_planted(seed):
+    m = decode_idr_ipcm(make_h264(seed))
+    n = (1 + seed % 2) * (1 + (seed // 2) % 2)
+    assert m["n_mbs"] == n and m["profile"] == 66
+    assert m["luma_sum"] == sum(
+        h264_luma_rule(seed, mb, j)
+        for mb in range(n) for j in range(256))
+    assert m["chroma_sum"] == sum(
+        h264_chroma_rule(seed, mb, j)
+        for mb in range(n) for j in range(128))
+
+
+def test_h264_emulation_prevention_round_trip():
+    for payload in (b"\x00\x00\x01", b"\x00\x00\x00", b"\x00\x00\x02",
+                    b"\x00\x00\x03", b"ab\x00\x00\x01cd",
+                    b"\x00\x00\x00\x00\x01"):
+        esc = _h264_escape(payload)
+        assert b"\x00\x00\x01" not in esc
+        assert b"\x00\x00\x00" not in esc
+        assert rbsp_unescape(esc) == payload
+    # the fixture streams genuinely carry EP bytes
+    assert b"\x00\x00\x03" in make_h264(0)
+
+
+def test_h264_annexb_split():
+    raw = make_h264(5)
+    nals = split_annexb(raw)
+    assert [n[0] & 0x1F for n in nals] == [7, 8, 5]
+
+
+def test_h264_gates_named():
+    raw = bytearray(make_h264(2))
+    # flip PPS entropy_coding_mode bit: first bit after pps_id/sps_id
+    # ue(0) ue(0) = bits '1','1' -> entropy bit is bit 2 of the PPS
+    # rbsp (byte 0, mask 0x20)
+    i = raw.find(b"\x00\x00\x00\x01\x68")
+    raw[i + 5] |= 0x20
+    with pytest.raises(ValueError, match="CABAC"):
+        decode_idr_ipcm(bytes(raw))
+    with pytest.raises(ValueError, match="start code"):
+        decode_idr_ipcm(b"\x01\x02\x03\x04")
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=999),
+    pos_frac=st.floats(min_value=0.0, max_value=0.999),
+    mutation=st.sampled_from(["flip", "zero", "truncate", "insert"]),
+)
+def test_h264_corruption_never_crashes(seed, pos_frac, mutation):
+    raw = bytearray(make_h264(seed))
+    pos = int(pos_frac * len(raw))
+    if mutation == "flip":
+        raw[pos] ^= 0x55
+    elif mutation == "zero":
+        raw[pos] = 0
+    elif mutation == "truncate":
+        raw = raw[:pos]
+    else:
+        raw = raw[:pos] + b"\xa5" + raw[pos:]
+    try:
+        decode_idr_ipcm(bytes(raw))
+    except (ValueError, IndexError):
+        pass
