@@ -309,3 +309,57 @@ def decode_h264_ipcm(
     return df.select(id_col, payload_col).mapInPandas(
         _decode, schema=H264_SCHEMA
     )
+
+
+def parse_avcc(data: bytes) -> dict:
+    """AVCDecoderConfigurationRecord (ISO 14496-15 §5.3.3.1): the
+    CodecPrivate / stsd 'avcC' box carrying SPS/PPS out-of-band plus
+    the NAL length-prefix size used by MP4/Matroska samples."""
+    if len(data) < 7 or data[0] != 1:
+        raise ValueError("avcC configurationVersion != 1")
+    out = {"profile": data[1], "level": data[3],
+           "nal_length_size": (data[4] & 3) + 1,
+           "sps": [], "pps": []}
+    pos = 5
+    n_sps = data[pos] & 0x1F
+    pos += 1
+    for _ in range(n_sps):
+        ln = int.from_bytes(data[pos:pos + 2], "big")
+        pos += 2
+        if pos + ln > len(data):
+            raise ValueError("avcC SPS overruns record")
+        out["sps"].append(data[pos:pos + ln])
+        pos += ln
+    if pos >= len(data):
+        raise ValueError("avcC missing PPS count")
+    n_pps = data[pos]
+    pos += 1
+    for _ in range(n_pps):
+        ln = int.from_bytes(data[pos:pos + 2], "big")
+        pos += 2
+        if pos + ln > len(data):
+            raise ValueError("avcC PPS overruns record")
+        out["pps"].append(data[pos:pos + ln])
+        pos += ln
+    return out
+
+
+def avcc_to_annexb(avcc: dict, samples: "list[bytes]") -> bytes:
+    """Rewrap out-of-band parameter sets + length-prefixed sample
+    NALs as one Annex B stream for :func:`decode_idr_ipcm`."""
+    size = avcc["nal_length_size"]
+    out = bytearray()
+    for ps in avcc["sps"] + avcc["pps"]:
+        out += b"\x00\x00\x00\x01" + ps
+    for sample in samples:
+        pos = 0
+        while pos < len(sample):
+            if pos + size > len(sample):
+                raise ValueError("truncated NAL length prefix")
+            ln = int.from_bytes(sample[pos:pos + size], "big")
+            pos += size
+            if pos + ln > len(sample):
+                raise ValueError("NAL overruns its sample")
+            out += b"\x00\x00\x00\x01" + sample[pos:pos + ln]
+            pos += ln
+    return bytes(out)

@@ -141,7 +141,7 @@ def parse_mkv(raw: bytes) -> dict:
                         if tid != _TRACK_ENTRY:
                             continue
                         tr = {"number": None, "type": None,
-                              "codec_id": None}
+                              "codec_id": None, "codec_private": None}
                         for fid, fp in _walk(tp, 0, len(tp), budget):
                             if fid == _TRACK_NUMBER:
                                 tr["number"] = _uint(fp)
@@ -150,6 +150,8 @@ def parse_mkv(raw: bytes) -> dict:
                             elif fid == _CODEC_ID:
                                 tr["codec_id"] = fp.decode(
                                     "ascii", "replace")
+                            elif fid == 0x63A2:  # CodecPrivate
+                                tr["codec_private"] = bytes(fp)
                         out["tracks"].append(tr)
                 elif sid == _CLUSTER:
                     cl = {"timecode": 0, "blocks": []}
@@ -281,6 +283,58 @@ def extract_mkv_track_df(
                 try:
                     payloads.append(
                         extract_mkv_track(bytes(payload), codec_prefix))
+                    ids.append(doc_id)
+                except (ValueError, IndexError):
+                    continue
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "payload": pd.Series(payloads, dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _extract, schema="doc_id long, payload binary"
+    )
+
+
+def extract_mkv_avc_annexb(raw: bytes) -> bytes:
+    """Matroska AVC chain: the V_MPEG4/ISO/AVC track's avcC
+    CodecPrivate (out-of-band SPS/PPS) plus its length-prefixed
+    SimpleBlock frames, rewrapped as one Annex B stream for the real
+    H.264 path (operators/h264.py) — the MP4/MKV convention."""
+    from .h264 import avcc_to_annexb, parse_avcc
+
+    m = parse_mkv(raw)
+    track = None
+    for tr in m["tracks"]:
+        if (tr["codec_id"] or "").startswith("V_MPEG4/ISO/AVC"):
+            track = tr
+            break
+    if track is None or track.get("codec_private") is None:
+        raise ValueError("no AVC track with CodecPrivate present")
+    avcc = parse_avcc(track["codec_private"])
+    samples = [
+        frame
+        for cl in m["clusters"]
+        for tnum, _, frame in cl["blocks"]
+        if tnum == track["number"]
+    ]
+    return avcc_to_annexb(avcc, samples)
+
+
+def extract_mkv_avc_df(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(doc_id, container) -> (doc_id, Annex B stream); failed
+    payloads are dropped."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            payloads: list = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    payloads.append(
+                        extract_mkv_avc_annexb(bytes(payload)))
                     ids.append(doc_id)
                 except (ValueError, IndexError):
                     continue

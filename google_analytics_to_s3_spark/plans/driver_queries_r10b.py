@@ -1843,12 +1843,13 @@ def q_h264_ipcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_h264_ipcm(payloads).drop("decode_error")
 
 
-_H264_ORACLE = f"""
+def _h264_oracle(mod: int) -> str:
+    return f"""
 WITH e AS (
   SELECT event_id, event_id % 1000 AS seed,
          1 + (event_id % 1000) % 2 AS wm,
          1 + ((event_id % 1000) // 2) % 2 AS hm
-  FROM events WHERE event_id % {_FLAC_MOD} = 6
+  FROM events WHERE event_id % {_FLAC_MOD} = {mod}
 ),
 luma AS (
   SELECT e.event_id,
@@ -1881,5 +1882,47 @@ FROM e JOIN luma l ON l.event_id = e.event_id
        JOIN chroma c ON c.event_id = e.event_id
 """
 
+
 QUERIES_R10B["h264_ipcm"] = q_h264_ipcm
-ORACLES_R10B["h264_ipcm"] = _H264_ORACLE
+ORACLES_R10B["h264_ipcm"] = _h264_oracle(6)
+
+
+def q_mkv_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska -> H.264 chained decode (the MP4/MKV convention done
+    for real): the V_MPEG4/ISO/AVC track ships SPS/PPS OUT-OF-BAND in
+    an avcC CodecPrivate and its SimpleBlock frames as 4-byte
+    length-prefixed NALs (testing/fixtures.make_mkv_h264); the chain
+    parses the avcC record, rewraps to Annex B (operators/mkv.
+    extract_mkv_avc_annexb), and the real H.264 path decodes the
+    I_PCM samples — verified by the shared closed-form oracle."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.h264 import decode_h264_ipcm
+    from ..operators.mkv import extract_mkv_avc_df
+    from ..testing.fixtures import make_mkv_h264
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 7
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_mkv_h264(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    containers = e.mapInPandas(_synth,
+                               schema="doc_id long, payload binary")
+    streams = extract_mkv_avc_df(containers)
+    return decode_h264_ipcm(streams).drop("decode_error")
+
+
+QUERIES_R10B["mkv_decode_video"] = q_mkv_decode_video
+ORACLES_R10B["mkv_decode_video"] = _h264_oracle(7)

@@ -5452,3 +5452,32 @@ def make_h264(seed: int) -> bytes:
     return (_h264_nal(7, 3, sps.tobytes())
             + _h264_nal(8, 3, pps.tobytes())
             + _h264_nal(5, 3, sl.tobytes()))
+
+
+def make_mkv_h264(seed: int) -> bytes:
+    """A REAL Matroska file whose V_MPEG4/ISO/AVC track carries the
+    make_h264 IDR slice as a 4-byte-length-prefixed SimpleBlock
+    frame, with SPS/PPS delivered out-of-band in an avcC
+    CodecPrivate (the MP4/MKV convention, not Annex B)."""
+    annexb = make_h264(seed)
+    from google_analytics_to_s3_spark.operators.h264 import (
+        split_annexb,
+    )
+
+    sps_nal, pps_nal, idr_nal = split_annexb(annexb)
+    avcc = bytes([1, 66, 0, 30, 0xFC | 3, 0xE0 | 1])
+    avcc += len(sps_nal).to_bytes(2, "big") + sps_nal
+    avcc += bytes([1]) + len(pps_nal).to_bytes(2, "big") + pps_nal
+    frame = len(idr_nal).to_bytes(4, "big") + idr_nal
+    hdr, seg_prefix = _mkv_header(b"matroska", [])
+    entry = _ebml(0xAE, _ebml(0xD7, _ebml_uint(1))
+                  + _ebml(0x83, _ebml_uint(1))
+                  + _ebml(0x86, b"V_MPEG4/ISO/AVC")
+                  + _ebml(0x63A2, avcc))  # CodecPrivate
+    # rebuild segment prefix with the AVC track
+    info = _ebml(0x1549A966, _ebml(0x2AD7B1, _ebml_uint(1_000_000)))
+    tracks = _ebml(0x1654AE6B, entry)
+    cluster = _ebml(0x1F43B675,
+                    _ebml(0xE7, _ebml_uint(0))
+                    + _mkv_simpleblock(1, 0, frame))
+    return hdr + _ebml(0x18538067, info + tracks + cluster)

@@ -1397,3 +1397,32 @@ def test_h264_corruption_never_crashes(seed, pos_frac, mutation):
         decode_idr_ipcm(bytes(raw))
     except (ValueError, IndexError):
         pass
+
+
+def test_mkv_avc_chain_and_avcc():
+    from google_analytics_to_s3_spark.operators.h264 import (
+        decode_idr_ipcm,
+        parse_avcc,
+    )
+    from google_analytics_to_s3_spark.operators.mkv import (
+        extract_mkv_avc_annexb,
+        parse_mkv,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        h264_luma_rule,
+        make_mkv_h264,
+    )
+
+    for seed in (0, 1, 2, 3, 999):
+        raw = make_mkv_h264(seed)
+        tr = parse_mkv(raw)["tracks"][0]
+        avcc = parse_avcc(tr["codec_private"])
+        assert avcc["nal_length_size"] == 4
+        assert len(avcc["sps"]) == 1 and len(avcc["pps"]) == 1
+        m = decode_idr_ipcm(extract_mkv_avc_annexb(raw))
+        n = (1 + seed % 2) * (1 + (seed // 2) % 2)
+        assert m["luma_sum"] == sum(
+            h264_luma_rule(seed, mb, j)
+            for mb in range(n) for j in range(256))
+    with pytest.raises(ValueError, match="configurationVersion"):
+        parse_avcc(b"\x02\x42\x00\x1e\xff\xe1")
