@@ -31,7 +31,7 @@ _EXTRACT_QUERIES = [
     "vtt_extract", "robots_eval", "jpeg_exif", "id3_tags",
     "png_metadata", "svg_features", "jsonld_harvest", "apng_decode",
     "email_extract", "sitemap_parse", "feed_parse", "protobuf_walk",
-    "cbor_decode", "mime_sniff",
+    "cbor_decode", "mime_sniff", "h264_ipcm", "mkv_decode_video",
 ]
 
 _COMPOSITIONS = ["crawl_html_pipeline", "lz4_documents",
