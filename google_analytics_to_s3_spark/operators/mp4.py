@@ -166,6 +166,33 @@ def _parse_stsd(raw: bytes, s: int, e: int) -> list[str]:
     return formats
 
 
+def _parse_stsd_avcc(raw: bytes, s: int, e: int) -> "bytes | None":
+    """Extract the avcC AVCDecoderConfigurationRecord from an avc1
+    VisualSampleEntry (ISO 14496-15 §5.4.2.1.2: the config box
+    follows the 78-byte visual sample-entry fields)."""
+    _v, _fl, p = _fullbox(raw, s)
+    count = _u(raw, p, 4)
+    p += 4
+    for _ in range(count):
+        if e - p < 8:
+            raise ValueError("truncated stsd entry")
+        esize = _u(raw, p, 4)
+        if esize < 8 or p + esize > e:
+            raise ValueError("invalid stsd entry size")
+        if _fourcc(raw, p + 4) == "avc1" and esize >= 86:
+            q = p + 8 + 78
+            entry_end = p + esize
+            while q + 8 <= entry_end:
+                bsize = _u(raw, q, 4)
+                if bsize < 8 or q + bsize > entry_end:
+                    break
+                if _fourcc(raw, q + 4) == "avcC":
+                    return raw[q + 8:q + bsize]
+                q += bsize
+        p += esize
+    return None
+
+
 def _parse_stts(raw: bytes, s: int, e: int) -> list[tuple[int, int]]:
     _v, _fl, p = _fullbox(raw, s)
     count = _u(raw, p, 4)
@@ -427,9 +454,11 @@ def _parse_trak(raw: bytes, s: int, e: int) -> dict:
     stsz = None
     chunk_offs = None
     used_co64 = False
+    avcc = None
     for typ, bs, be in _iter_boxes(raw, *stbl_span):
         if typ == "stsd":
             stsd = _parse_stsd(raw, bs, be)
+            avcc = _parse_stsd_avcc(raw, bs, be)
         elif typ == "stts":
             stts = _parse_stts(raw, bs, be)
         elif typ == "stsc":
@@ -460,6 +489,7 @@ def _parse_trak(raw: bytes, s: int, e: int) -> dict:
         "height": tkhd["height"], "timescale": mdhd["timescale"],
         "duration": mdhd["duration"], "handler": handler,
         "format": stsd[0] if stsd else "",
+        "avcc": avcc,
         "n_chunks": len(chunk_offs), "used_co64": used_co64,
         "samples": samples,
         "stts_time": sum(c * d for c, d in stts),
@@ -731,3 +761,48 @@ def decode_mp4_av_features(
     return df.select(
         df[id_col].cast("long").alias(id_col), payload_col
     ).mapInPandas(_go, schema=schema)
+
+
+def extract_mp4_avc_annexb(raw: bytes) -> bytes:
+    """MP4 AVC chain: the avc1 track's avcC record (out-of-band
+    SPS/PPS from the VisualSampleEntry) plus its length-prefixed
+    samples, rewrapped as Annex B for the real H.264 path
+    (operators/h264.py) — the same convention as the Matroska
+    chain."""
+    from .h264 import avcc_to_annexb, parse_avcc
+
+    m = parse_mp4(raw)
+    for tr in m["tracks"]:
+        if tr.get("format") == "avc1" and tr.get("avcc"):
+            avcc = parse_avcc(tr["avcc"])
+            samples = [raw[off:off + size]
+                       for off, size in tr["samples"]]
+            return avcc_to_annexb(avcc, samples)
+    raise ValueError("no avc1 track with an avcC record present")
+
+
+def extract_mp4_avc_df(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(doc_id, container) -> (doc_id, Annex B stream); failed
+    payloads are dropped."""
+
+    def _extract(batches):
+        for pdf in batches:
+            ids: list = []
+            payloads: list = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    payloads.append(
+                        extract_mp4_avc_annexb(bytes(payload)))
+                    ids.append(doc_id)
+                except (ValueError, IndexError):
+                    continue
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "payload": pd.Series(payloads, dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _extract, schema="doc_id long, payload binary"
+    )

@@ -1843,7 +1843,7 @@ def q_h264_ipcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_h264_ipcm(payloads).drop("decode_error")
 
 
-def _h264_oracle(mod: int) -> str:
+def _h264_oracle(mod: int, n_nals: int = 3) -> str:
     return f"""
 WITH e AS (
   SELECT event_id, event_id % 1000 AS seed,
@@ -1873,7 +1873,7 @@ SELECT e.event_id AS doc_id,
        CAST(16 * e.wm AS INTEGER) AS width,
        CAST(16 * e.hm AS INTEGER) AS height,
        CAST(e.wm * e.hm AS INTEGER) AS n_mbs,
-       CAST(3 AS INTEGER) AS n_nals,
+       CAST({n_nals} AS INTEGER) AS n_nals,
        CAST(66 AS INTEGER) AS profile,
        CAST(30 AS INTEGER) AS level,
        CAST(l.s AS BIGINT) AS luma_sum,
@@ -1926,3 +1926,43 @@ def q_mkv_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_R10B["mkv_decode_video"] = q_mkv_decode_video
 ORACLES_R10B["mkv_decode_video"] = _h264_oracle(7)
+
+
+def q_mp4_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 -> H.264 chained decode: the avc1 VisualSampleEntry's
+    avcC box (out-of-band SPS/PPS per ISO 14496-15) plus the track's
+    length-prefixed samples (one IDR + one SEI the decoder skips)
+    rewrap to Annex B (operators/mp4.extract_mp4_avc_annexb) and the
+    real I_PCM path inverts the planted samples — verified by the
+    shared closed-form oracle (n_nals = 4: SPS, PPS, IDR, SEI)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.h264 import decode_h264_ipcm
+    from ..operators.mp4 import extract_mp4_avc_df
+    from ..testing.fixtures import make_mp4_avc
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 8
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_mp4_avc(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    containers = e.mapInPandas(_synth,
+                               schema="doc_id long, payload binary")
+    streams = extract_mp4_avc_df(containers)
+    return decode_h264_ipcm(streams).drop("decode_error")
+
+
+QUERIES_R10B["mp4_decode_video"] = q_mp4_decode_video
+ORACLES_R10B["mp4_decode_video"] = _h264_oracle(8, n_nals=4)

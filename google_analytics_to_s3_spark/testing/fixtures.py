@@ -2715,8 +2715,24 @@ def _mp4_moov(rules: dict, tracks: "list[dict]",
         hdlr = _mfull("hdlr", 0, b"\x00" * 4
                       + tr["handler"].encode("ascii") + b"\x00" * 12
                       + b"fixture\x00")
-        entry = (_struct.pack(">I", 16) + tr["format"].encode("ascii")
-                 + b"\x00" * 6 + _struct.pack(">H", 1))
+        if tr.get("avcc") is not None:
+            # real VisualSampleEntry (78 fixed bytes) + avcC box
+            avcc_box = (_struct.pack(">I", 8 + len(tr["avcc"]))
+                        + b"avcC" + tr["avcc"])
+            visual = (b"\x00" * 6 + _struct.pack(">H", 1)
+                      + b"\x00" * 16
+                      + _struct.pack(">HH", tr["width"], tr["height"])
+                      + _struct.pack(">II", 0x00480000, 0x00480000)
+                      + b"\x00" * 4 + _struct.pack(">H", 1)
+                      + b"\x00" * 32
+                      + _struct.pack(">Hh", 24, -1))
+            entry = (_struct.pack(
+                ">I", 8 + len(visual) + len(avcc_box))
+                + tr["format"].encode("ascii") + visual + avcc_box)
+        else:
+            entry = (_struct.pack(">I", 16)
+                     + tr["format"].encode("ascii")
+                     + b"\x00" * 6 + _struct.pack(">H", 1))
         stsd = _mfull("stsd", 0, _struct.pack(">I", 1) + entry)
         stts = _mfull("stts", 0, _struct.pack(">I", len(tr["stts"]))
                       + b"".join(_struct.pack(">II", c, d)
@@ -5481,3 +5497,44 @@ def make_mkv_h264(seed: int) -> bytes:
                     _ebml(0xE7, _ebml_uint(0))
                     + _mkv_simpleblock(1, 0, frame))
     return hdr + _ebml(0x18538067, info + tracks + cluster)
+
+
+def make_mp4_avc(seed: int) -> bytes:
+    """A REAL MP4 whose avc1 track carries the make_h264 IDR slice as
+    one 4-byte-length-prefixed sample, SPS/PPS out-of-band in the
+    VisualSampleEntry's avcC box (ISO 14496-15), plus a planted
+    filler audio track so multi-track resolution stays exercised."""
+    from google_analytics_to_s3_spark.operators.h264 import (
+        split_annexb,
+    )
+
+    sps_nal, pps_nal, idr_nal = split_annexb(make_h264(seed))
+    avcc = bytes([1, 66, 0, 30, 0xFC | 3, 0xE0 | 1])
+    avcc += len(sps_nal).to_bytes(2, "big") + sps_nal
+    avcc += bytes([1]) + len(pps_nal).to_bytes(2, "big") + pps_nal
+    sample = len(idr_nal).to_bytes(4, "big") + idr_nal
+    # second sample: an SEI NAL (type 6) the I_PCM decoder skips —
+    # the fixture chunk layout wants >= 2 samples per track
+    sei_nal = bytes([0x06, 0x05, 0x02, seed % 256, (seed * 3) % 256,
+                     0x80])
+    sample2 = len(sei_nal).to_bytes(4, "big") + sei_nal
+    w_mbs = 1 + seed % 2
+    h_mbs = 1 + (seed // 2) % 2
+    filler = [bytes((seed + j) % 256 for j in range(40 + seed % 20))
+              for _ in range(2)]
+    tracks = [
+        {"ns": 2, "sizes": [len(sample), len(sample2)],
+         "const": False,
+         "stts": [(2, 3000)], "handler": "vide", "track_id": 1,
+         "timescale": 90000, "duration": 6000,
+         "width": 16 * w_mbs, "height": 16 * h_mbs,
+         "format": "avc1", "avcc": avcc},
+        {"ns": 2, "sizes": [len(p) for p in filler], "const": False,
+         "stts": [(2, 1152)], "handler": "soun", "track_id": 2,
+         "timescale": 44100, "duration": 2304, "width": 0,
+         "height": 0, "format": ".mp3"},
+    ]
+    rules = {"ntr": 2, "tracks": tracks, "co64": False, "v1": False,
+             "moov_first": seed % 2 == 0, "movie_timescale": 600,
+             "movie_duration": 1000 + seed}
+    return _mp4_assemble(rules, tracks, [[sample, sample2], filler])

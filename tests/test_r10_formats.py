@@ -1426,3 +1426,28 @@ def test_mkv_avc_chain_and_avcc():
             for mb in range(n) for j in range(256))
     with pytest.raises(ValueError, match="configurationVersion"):
         parse_avcc(b"\x02\x42\x00\x1e\xff\xe1")
+
+
+def test_mp4_avc_chain():
+    from google_analytics_to_s3_spark.operators.h264 import (
+        decode_idr_ipcm,
+    )
+    from google_analytics_to_s3_spark.operators.mp4 import (
+        extract_mp4_avc_annexb,
+        parse_mp4,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        h264_luma_rule,
+        make_mp4_avc,
+    )
+
+    for seed in (0, 1, 2, 3, 999):
+        raw = make_mp4_avc(seed)
+        tr = parse_mp4(raw)["tracks"][0]
+        assert tr["format"] == "avc1" and tr["avcc"] is not None
+        m = decode_idr_ipcm(extract_mp4_avc_annexb(raw))
+        n = (1 + seed % 2) * (1 + (seed // 2) % 2)
+        assert m["n_nals"] == 4  # SEI sample rides along, skipped
+        assert m["luma_sum"] == sum(
+            h264_luma_rule(seed, mb, j)
+            for mb in range(n) for j in range(256))
