@@ -1966,3 +1966,65 @@ def q_mp4_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_R10B["mp4_decode_video"] = q_mp4_decode_video
 ORACLES_R10B["mp4_decode_video"] = _h264_oracle(8, n_nals=4)
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode cleanup driver-checked: planted dirty text
+    (testing/fixtures.make_mojibake — UTF-8-as-Latin-1 'Ã©'
+    mojibake, embedded C0 controls, NFD combining sequences) runs the
+    ftfy-class repair (operators/textnorm.py: per-token latin-1/utf-8
+    round trip, control/zero-width strip, TR#15 NFC); the oracle
+    replays every repair count and the exact output length."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.textnorm import normalize_text_features
+    from ..testing.fixtures import make_mojibake
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 9
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_mojibake(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    pages = e.mapInPandas(_synth, schema="doc_id long, payload string")
+    return normalize_text_features(pages).drop("extract_error")
+
+
+_TEXTNORM_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         4 + (event_id % 1000) % 4 AS nc,
+         1 + (event_id % 1000) % 3 AS nm,
+         (event_id % 1000) % 4 AS nk,
+         1 + (event_id % 1000) % 2 AS nn
+  FROM events WHERE event_id % {_FLAC_MOD} = 9
+),
+w AS (
+  SELECT e.event_id,
+         sum(1 + length(CAST((3*e.seed + 5*j.j) % 100 AS VARCHAR)))
+             AS clean_chars
+  FROM e, LATERAL (SELECT unnest(range(0, e.nc)) AS j) j
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.nm AS INTEGER) AS repaired_tokens,
+       CAST(e.nk AS INTEGER) AS stripped_controls,
+       CAST(e.nn AS INTEGER) AS composed_points,
+       CAST(w.clean_chars + 5*e.nm + 2*e.nk + 2*e.nn
+            + (e.nc + e.nm + e.nk + e.nn - 1) AS BIGINT) AS out_chars
+FROM e JOIN w ON w.event_id = e.event_id
+"""
+
+QUERIES_R10B["text_normalize"] = q_text_normalize
+ORACLES_R10B["text_normalize"] = _TEXTNORM_ORACLE

@@ -5538,3 +5538,21 @@ def make_mp4_avc(seed: int) -> bytes:
              "moov_first": seed % 2 == 0, "movie_timescale": 600,
              "movie_duration": 1000 + seed}
     return _mp4_assemble(rules, tracks, [[sample, sample2], filler])
+
+
+def make_mojibake(seed: int) -> str:
+    """Planted dirty text: 4+seed%4 clean ASCII tokens
+    'w<(3seed+5j)%100>', 1+seed%3 MOJIBAKE tokens ('café<k>' whose é
+    arrives as the UTF-8-read-as-Latin-1 pair 'Ã©'), seed%4 tokens
+    with an embedded BEL control, and 1+seed%2 NFD tokens
+    ('e' + COMBINING ACUTE + digit) that NFC must compose."""
+    toks = [f"w{(3 * seed + 5 * j) % 100}"
+            for j in range(4 + seed % 4)]
+    for i in range(1 + seed % 3):
+        good = f"café{(seed + i) % 10}"
+        toks.append(good.encode("utf-8").decode("latin-1"))
+    for i in range(seed % 4):
+        toks.append(f"x\x07y")
+    for i in range(1 + seed % 2):
+        toks.append("é" + str((seed + i) % 10))
+    return " ".join(toks)

