@@ -2028,3 +2028,123 @@ FROM e JOIN w ON w.event_id = e.event_id
 
 QUERIES_R10B["text_normalize"] = q_text_normalize
 ORACLES_R10B["text_normalize"] = _TEXTNORM_ORACLE
+
+
+def q_opus_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL OggOpus metadata driver-checked: CRC-verified Ogg pages
+    (the shared RFC 3533 walk) feed the RFC 7845 OpusHead parse
+    (both channel-mapping families) and OpusTags VorbisComment
+    (testing/fixtures.make_oggopus); the oracle replays every field.
+    SILK/CELT audio decode stays an honest named gate."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.audiometa import extract_opus_meta
+    from ..testing.fixtures import make_oggopus
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 0
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_oggopus(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return extract_opus_meta(payloads).drop("extract_error")
+
+
+_OPUS_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 0
+)
+SELECT event_id AS doc_id,
+       CAST(CASE WHEN seed % 2 = 0 THEN 1 + (seed // 2) % 2
+                 ELSE 3 + seed % 3 END AS INTEGER) AS channels,
+       CAST(312 + seed % 100 AS INTEGER) AS pre_skip,
+       CAST(48000 AS INTEGER) AS input_rate,
+       CAST(3 AS INTEGER) AS n_comments,
+       'Track ' || CAST(seed AS VARCHAR) AS title,
+       CAST(29 + length(CAST(seed AS VARCHAR))
+            + length(CAST(seed % 50 AS VARCHAR)) AS BIGINT)
+           AS comment_chars,
+       CAST(2 + seed % 3 AS INTEGER) AS n_audio_packets
+FROM e
+"""
+
+QUERIES_R10B["opus_meta"] = q_opus_meta
+ORACLES_R10B["opus_meta"] = _OPUS_ORACLE
+
+
+def q_flac_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC metadata driver-checked: streams whose audio still
+    decodes (the splice keeps make_flac's frames intact) gain
+    VorbisComment, SEEKTABLE (real + placeholder points), PADDING and
+    on even seeds a PNG PICTURE block whose cover chains through the
+    REAL raster decoder for an exact pixel sum
+    (testing/fixtures.make_flac_tagged, operators/audiometa.py)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.audiometa import extract_flac_tags
+    from ..testing.fixtures import make_flac_tagged
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 1
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_flac_tagged(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return extract_flac_tags(payloads).drop("extract_error")
+
+
+_FLAC_TAGS_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 1
+),
+px AS (
+  SELECT e.event_id,
+         sum((e.seed + 31*y.y + 7*x.x + 13*c.c) % 256) AS s
+  FROM e,
+       LATERAL (SELECT unnest(range(0, 3)) AS y) y,
+       LATERAL (SELECT unnest(range(0, 4)) AS x) x,
+       LATERAL (SELECT unnest(range(0, 3)) AS c) c
+  WHERE e.seed % 2 = 0
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(4 + CASE WHEN e.seed % 2 = 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS n_blocks,
+       CAST(2 AS INTEGER) AS n_comments,
+       'Song ' || CAST(e.seed AS VARCHAR) AS title,
+       CAST(2 + e.seed % 3 AS INTEGER) AS seekpoints,
+       CAST(e.seed % 2 AS INTEGER) AS placeholder_points,
+       CAST(10 + e.seed % 50 AS BIGINT) AS padding_bytes,
+       CASE WHEN e.seed % 2 = 0 THEN 'image/png' END AS picture_mime,
+       CAST(px.s AS BIGINT) AS picture_rgb_sum
+FROM e LEFT JOIN px ON px.event_id = e.event_id
+"""
+
+QUERIES_R10B["flac_tags"] = q_flac_tags
+ORACLES_R10B["flac_tags"] = _FLAC_TAGS_ORACLE

@@ -5556,3 +5556,91 @@ def make_mojibake(seed: int) -> str:
     for i in range(1 + seed % 2):
         toks.append("é" + str((seed + i) % 10))
     return " ".join(toks)
+
+
+def _vorbis_comment_block(comments: "list[str]") -> bytes:
+    out = bytearray()
+    vendor = b"fixture"
+    out += len(vendor).to_bytes(4, "little") + vendor
+    out += len(comments).to_bytes(4, "little")
+    for c in comments:
+        e = c.encode("utf-8")
+        out += len(e).to_bytes(4, "little") + e
+    return bytes(out)
+
+
+def make_oggopus(seed: int) -> bytes:
+    """A REAL OggOpus file: OpusHead (mapping family seed%2 — family
+    1 carries stream/coupled counts + a mapping table), OpusTags
+    (VorbisComment: TITLE/ARTIST/DATE), and 2+seed%3 opaque audio
+    packets (SILK/CELT decode is gated; the framing is real and
+    CRC'd)."""
+    fam = seed % 2
+    if fam == 0:
+        ch = 1 + (seed // 2) % 2
+        mapping = b""
+    else:
+        ch = 3 + seed % 3
+        streams = ch - 1
+        coupled = 1
+        mapping = bytes([streams, coupled]
+                        + [i % ch for i in range(ch)])
+    head = (b"OpusHead" + bytes([1, ch])
+            + (312 + seed % 100).to_bytes(2, "little")
+            + (48000).to_bytes(4, "little")
+            + ((seed % 200) - 100).to_bytes(2, "little", signed=True)
+            + bytes([fam]) + mapping)
+    tags = b"OpusTags" + _vorbis_comment_block([
+        f"TITLE=Track {seed}",
+        f"ARTIST=A{seed % 50}",
+        f"DATE={1990 + seed % 30}",
+    ])
+    audio = [bytes((seed + 7 * p + j) % 256
+                   for j in range(40 + (seed + p) % 30))
+             for p in range(2 + seed % 3)]
+    out = _ogg_page([head], 0, bos=True, serial=0x4F505553)
+    out += _ogg_page([tags], 1, serial=0x4F505553)
+    out += _ogg_page(audio, 2, eos=True, serial=0x4F505553,
+                     granule=960 * len(audio))
+    return out
+
+
+def make_flac_tagged(seed: int) -> bytes:
+    """A REAL FLAC stream (make_flac audio frames, still decodable)
+    whose metadata section gains a VorbisComment (TITLE/ALBUM), a
+    SEEKTABLE (2+seed%3 real points + seed%2 placeholders), a PNG
+    PICTURE block on even seeds (cover decodes through the real PNG
+    path), and 10+seed%50 PADDING bytes."""
+    base = make_flac(seed % 1000, n_samples=600)
+    # STREAMINFO is the first block; clear its last-flag
+    hdr = base[4]
+    blen = int.from_bytes(base[5:8], "big")
+    streaminfo = bytes([hdr & 0x7F]) + base[5:8 + blen]
+    audio = base[8 + blen:]
+
+    def block(btype: int, body: bytes, last: bool = False) -> bytes:
+        return bytes([btype | (0x80 if last else 0)]) \
+            + len(body).to_bytes(3, "big") + body
+
+    vc = block(4, _vorbis_comment_block(
+        [f"TITLE=Song {seed}", f"ALBUM=L{seed % 20}"]))
+    pts = bytearray()
+    for i in range(2 + seed % 3):
+        pts += (i * 512).to_bytes(8, "big")
+        pts += (i * 100).to_bytes(8, "big") + (512).to_bytes(2, "big")
+    for _ in range(seed % 2):
+        pts += ((1 << 64) - 1).to_bytes(8, "big") + b"\x00" * 10
+    seek = block(3, bytes(pts))
+    pic = b""
+    if seed % 2 == 0:
+        png = make_png(4, 3, seed)
+        mime = b"image/png"
+        body = ((3).to_bytes(4, "big")
+                + len(mime).to_bytes(4, "big") + mime
+                + (0).to_bytes(4, "big")
+                + (4).to_bytes(4, "big") + (3).to_bytes(4, "big")
+                + (24).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                + len(png).to_bytes(4, "big") + png)
+        pic = block(6, body)
+    pad = block(1, b"\x00" * (10 + seed % 50), last=True)
+    return b"fLaC" + streaminfo + vc + seek + pic + pad + audio

@@ -1474,3 +1474,70 @@ def test_text_normalize_semantics():
     assert m["text"] == "é" and m["composed_points"] == 1
     # zero-width stripped
     assert normalize_text("a​b")["text"] == "ab"
+
+
+def test_oggopus_and_flac_tags():
+    from google_analytics_to_s3_spark.operators.audiometa import (
+        parse_flac_blocks,
+        parse_oggopus,
+        parse_vorbis_comment,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_flac_tagged,
+        make_oggopus,
+    )
+
+    for seed in (0, 1, 2, 3, 999):
+        m = parse_oggopus(make_oggopus(seed))
+        assert dict(m["comments"])["TITLE"] == f"Track {seed}"
+        if seed % 2 == 1:  # mapping family 1
+            assert m["mapping_family"] == 1
+            assert m["stream_count"] == m["channels"] - 1
+        f = parse_flac_blocks(make_flac_tagged(seed))
+        assert dict(f["comments"])["ALBUM"] == f"L{seed % 20}"
+    # comment parse bounds
+    with pytest.raises(ValueError, match="overruns"):
+        parse_vorbis_comment(b"\xff\xff\xff\xff" + b"x" * 8)
+    # a plain make_flac has no comment block but still walks
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_flac,
+    )
+
+    f = parse_flac_blocks(make_flac(5, n_samples=600))
+    assert f["n_blocks"] == 1 and f["comments"] == []
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=999),
+    fmt=st.sampled_from(["opus", "flactags"]),
+    pos_frac=st.floats(min_value=0.0, max_value=0.999),
+    mutation=st.sampled_from(["flip", "zero", "truncate", "insert"]),
+)
+def test_audiometa_corruption_never_crashes(seed, fmt, pos_frac,
+                                            mutation):
+    from google_analytics_to_s3_spark.operators.audiometa import (
+        parse_flac_blocks,
+        parse_oggopus,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_flac_tagged,
+        make_oggopus,
+    )
+
+    build = make_oggopus if fmt == "opus" else make_flac_tagged
+    parser = parse_oggopus if fmt == "opus" else parse_flac_blocks
+    raw = bytearray(build(seed))
+    pos = int(pos_frac * len(raw))
+    if mutation == "flip":
+        raw[pos] ^= 0x55
+    elif mutation == "zero":
+        raw[pos] = 0
+    elif mutation == "truncate":
+        raw = raw[:pos]
+    else:
+        raw = raw[:pos] + b"\xa5" + raw[pos:]
+    try:
+        parser(bytes(raw))
+    except (ValueError, IndexError):
+        pass

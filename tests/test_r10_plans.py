@@ -32,7 +32,7 @@ _EXTRACT_QUERIES = [
     "png_metadata", "svg_features", "jsonld_harvest", "apng_decode",
     "email_extract", "sitemap_parse", "feed_parse", "protobuf_walk",
     "cbor_decode", "mime_sniff", "h264_ipcm", "mkv_decode_video",
-    "mp4_decode_video", "text_normalize",
+    "mp4_decode_video", "text_normalize", "opus_meta", "flac_tags",
 ]
 
 _COMPOSITIONS = ["crawl_html_pipeline", "lz4_documents",
