@@ -2148,3 +2148,93 @@ FROM e LEFT JOIN px ON px.event_id = e.event_id
 
 QUERIES_R10B["flac_tags"] = q_flac_tags
 ORACLES_R10B["flac_tags"] = _FLAC_TAGS_ORACLE
+
+
+def q_multi_format_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dispatcher end-to-end: a MIXED image corpus (PNG / QOI /
+    BMP by seed%3, each format's own planted rule) runs sniff +
+    route + REAL per-format decode in ONE Arrow pass
+    (operators/sniff.route_and_decode_images); the oracle replays
+    each format's pixel rule behind the same seed%3 routing — a green
+    row proves detection AND all three decoders agree with their
+    rules in a single mixed scan."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.sniff import route_and_decode_images
+    from ..testing.fixtures import make_bmp, make_png, make_qoi
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 2
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        makers = [lambda s: make_png(6, 5, s),
+                  lambda s: make_qoi(s, 8, 6, 3),
+                  lambda s: make_bmp(s, 0)]
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [makers[int(i) % 1000 % 3](int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return route_and_decode_images(payloads).drop("decode_error")
+
+
+_MULTI_FORMAT_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         (event_id % 1000) % 3 AS fmt
+  FROM events WHERE event_id % {_FLAC_MOD} = 2
+),
+png AS (
+  SELECT e.event_id,
+         sum((e.seed + 31*y.y + 7*x.x + 13*c.c) % 256) AS s
+  FROM e,
+       LATERAL (SELECT unnest(range(0, 5)) AS y) y,
+       LATERAL (SELECT unnest(range(0, 6)) AS x) x,
+       LATERAL (SELECT unnest(range(0, 3)) AS c) c
+  WHERE e.fmt = 0 GROUP BY 1
+),
+qoi AS (
+  SELECT e.event_id,
+         sum(CASE WHEN y.y % 3 = 0
+                THEN (e.seed + 11*x.x + 17*y.y + 7*c.c) % 256
+              WHEN y.y % 3 = 1
+                THEN (5*e.seed + 29*y.y + 7*c.c
+                      + CASE WHEN x.x % 2 = 1 THEN 77 ELSE 0 END)
+                     % 256
+              ELSE (e.seed + 13*y.y + 7*c.c + x.x // 4) % 256
+         END) AS s
+  FROM e,
+       LATERAL (SELECT unnest(range(0, 6)) AS y) y,
+       LATERAL (SELECT unnest(range(0, 8)) AS x) x,
+       LATERAL (SELECT unnest(range(0, 3)) AS c) c
+  WHERE e.fmt = 1 GROUP BY 1
+),
+bmp AS (
+  SELECT e.event_id,
+         sum((e.seed + 7*x.x + 13*y.y + 5*c.c) % 256) AS s
+  FROM e,
+       LATERAL (SELECT unnest(range(0, 7)) AS y) y,
+       LATERAL (SELECT unnest(range(0, 13)) AS x) x,
+       LATERAL (SELECT unnest(range(0, 3)) AS c) c
+  WHERE e.fmt = 2 GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CASE e.fmt WHEN 0 THEN 'png' WHEN 1 THEN 'qoi'
+                  ELSE 'bmp' END AS format,
+       CAST(coalesce(p.s, q.s, b.s) AS BIGINT) AS px_sum
+FROM e LEFT JOIN png p ON p.event_id = e.event_id
+       LEFT JOIN qoi q ON q.event_id = e.event_id
+       LEFT JOIN bmp b ON b.event_id = e.event_id
+"""
+
+QUERIES_R10B["multi_format_pipeline"] = q_multi_format_pipeline
+ORACLES_R10B["multi_format_pipeline"] = _MULTI_FORMAT_ORACLE

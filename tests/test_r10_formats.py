@@ -1541,3 +1541,28 @@ def test_audiometa_corruption_never_crashes(seed, fmt, pos_frac,
         parser(bytes(raw))
     except (ValueError, IndexError):
         pass
+
+
+def test_route_and_decode_dispatch():
+    from google_analytics_to_s3_spark.operators.sniff import (
+        detect_format,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        bmp_pixel_rule,
+        make_bmp,
+        make_png,
+        make_qoi,
+        qoi_pixel_rule,
+    )
+
+    # router-level consistency: detection labels agree with the
+    # format each fixture writer produced
+    assert detect_format(make_png(6, 5, 3)) == "png"
+    assert detect_format(make_qoi(3, 8, 6, 3)) == "qoi"
+    assert detect_format(make_bmp(3, 0)) == "bmp"
+    # rules used by the multi_format_pipeline oracle are the real ones
+    assert bmp_pixel_rule(3, 1, 2, 0) == (3 + 7 + 26) % 256
+    # y=3 is regime 0 (y%3==0): the large-delta rule
+    assert qoi_pixel_rule(3, 4, 3, 0) == (3 + 11 * 4 + 17 * 3) % 256
+    # y=2 is regime 2: the x//4 plateau rule
+    assert qoi_pixel_rule(3, 4, 2, 0) == (3 + 13 * 2 + 1) % 256
