@@ -17,12 +17,15 @@ Real byte path from the PUBLIC ustar layout only:
   parses on ``.cls`` labels, giving one row per sample — the shape
   an image-text training loader consumes.
 
-Honest gates (named ValueError, per-payload quarantine in the Spark
-wrappers): GNU long-name/long-link extensions (typeflag L/K), PAX
-extended headers (x/g), sparse members (S), and non-regular-file
-members other than directories (which are skipped). No TAR surface
-exists in the reference repo (beyond-reference LLM-pipeline surface,
-SURVEY §2.12).
+GNU long-name/long-link extensions (typeflag L/K) and PAX extended
+headers (x per-file, g global — decimal-length ``key=value\\n``
+records with path/size overrides) read for REAL as of r10s3,
+cross-validated against archives CPython's tarfile writes in both
+GNU_FORMAT and PAX_FORMAT. Honest gates (named ValueError,
+per-payload quarantine in the Spark wrappers): sparse members (S)
+and non-regular-file members other than directories (which are
+skipped). No TAR surface exists in the reference repo
+(beyond-reference LLM-pipeline surface, SURVEY §2.12).
 """
 
 from __future__ import annotations
@@ -53,6 +56,9 @@ def parse_tar(raw: bytes) -> list[dict]:
     members = []
     pos = 0
     zero_blocks = 0
+    pending_name = None
+    pending_pax = None
+    global_pax: dict[str, str] = {}
     while pos + 512 <= len(raw):
         hdr = raw[pos:pos + 512]
         if hdr == b"\x00" * 512:
@@ -72,25 +78,68 @@ def parse_tar(raw: bytes) -> list[dict]:
                 f"tar header checksum mismatch at offset {pos}"
             )
         typeflag = chr(hdr[156])
-        if typeflag in ("L", "K"):
-            raise ValueError("GNU long-name extensions unsupported")
-        if typeflag in ("x", "g"):
-            raise ValueError("PAX extended headers unsupported")
         if typeflag == "S":
             raise ValueError("sparse tar members unsupported")
+        size = _octal(hdr[124:136])
+        data_start = pos + 512
+        if data_start + size > len(raw):
+            raise ValueError("tar member data overruns the archive")
+        data = raw[data_start:data_start + size]
+        if typeflag == "L":
+            # GNU long name: the data block names the NEXT member
+            pending_name = data.split(b"\x00")[0].decode(
+                "utf-8", "replace")
+            pos = data_start + ((size + 511) // 512) * 512
+            continue
+        if typeflag == "K":
+            # GNU long linkname: applies to the next link; consumed
+            pos = data_start + ((size + 511) // 512) * 512
+            continue
+        if typeflag in ("x", "g"):
+            # PAX records: "<len> key=value\n", len counts itself
+            recs: dict[str, str] = {}
+            at = 0
+            while at < len(data):
+                sp = data.find(b" ", at)
+                nl_len = int(data[at:sp])
+                rec = data[at + len(str(nl_len).encode()) + 1:
+                           at + nl_len - 1]
+                key, _, value = rec.decode("utf-8",
+                                           "replace").partition("=")
+                recs[key] = value
+                if nl_len <= 0:
+                    raise ValueError("PAX record length invalid")
+                at += nl_len
+            if typeflag == "x":
+                pending_pax = recs
+            else:
+                global_pax.update(recs)
+            pos = data_start + ((size + 511) // 512) * 512
+            continue
         name = hdr[0:100].split(b"\x00")[0].decode("utf-8", "replace")
         prefix = hdr[345:500].split(b"\x00")[0].decode("utf-8",
                                                        "replace")
         if prefix:
             name = prefix + "/" + name
-        size = _octal(hdr[124:136])
-        data_start = pos + 512
-        if data_start + size > len(raw):
-            raise ValueError("tar member data overruns the archive")
+        eff = dict(global_pax)
+        if pending_pax is not None:
+            eff.update(pending_pax)
+            pending_pax = None
+        if pending_name is not None:
+            name = pending_name
+            pending_name = None
+        if "path" in eff:
+            name = eff["path"]
+        if "size" in eff:
+            new_size = int(eff["size"])
+            if data_start + new_size > len(raw):
+                raise ValueError("PAX size overruns the archive")
+            size = new_size
+            data = raw[data_start:data_start + size]
         if typeflag in ("0", "\x00"):
             members.append({
                 "name": name, "size": size, "typeflag": typeflag,
-                "data": raw[data_start:data_start + size],
+                "data": data,
             })
         # directories ('5') and links carry no data blocks the way
         # regular members do (size 0 by convention) — skip them

@@ -2238,3 +2238,76 @@ FROM e LEFT JOIN png p ON p.event_id = e.event_id
 
 QUERIES_R10B["multi_format_pipeline"] = q_multi_format_pipeline
 ORACLES_R10B["multi_format_pipeline"] = _MULTI_FORMAT_ORACLE
+
+
+def q_tar_longnames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNU/PAX long-name tar support driver-checked: archives with
+    >100-char member names written by CPython's tarfile (an
+    INDEPENDENT writer — GNU typeflag-L headers on even seeds, PAX x
+    extended headers on odd) read by the real ustar walk
+    (operators/tar.py); the oracle replays member counts, name
+    lengths, sizes and byte sums."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.tar import extract_tar_features
+    from ..testing.fixtures import make_tar_longnames
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 3
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_tar_longnames(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    out = extract_tar_features(payloads)
+    drop = [c for c in out.columns
+            if c not in ("doc_id", "n_members", "size_sum",
+                         "byte_sum", "name_len_sum")]
+    return out.drop(*drop)
+
+
+_TAR_LONG_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         2 + (event_id % 1000) % 3 AS nm
+  FROM events WHERE event_id % {_FLAC_MOD} = 3
+),
+m AS (
+  SELECT e.event_id,
+         sum(2 + length(CAST(e.seed AS VARCHAR)) + 110
+             + (e.seed + mm.m) % 40 + 6) AS names,
+         sum(20 + (e.seed + mm.m) % 30) AS sizes
+  FROM e, LATERAL (SELECT unnest(range(0, e.nm)) AS m) mm
+  GROUP BY 1
+),
+b AS (
+  SELECT e.event_id,
+         sum((e.seed + 5*mm.m + j.j) % 256) AS bytes
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.nm)) AS m) mm,
+       LATERAL (SELECT unnest(range(0, 20 + (e.seed + mm.m) % 30))
+                AS j) j
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.nm AS BIGINT) AS n_members,
+       CAST(m.sizes AS BIGINT) AS size_sum,
+       CAST(b.bytes AS BIGINT) AS byte_sum,
+       CAST(m.names AS BIGINT) AS name_len_sum
+FROM e JOIN m ON m.event_id = e.event_id
+       JOIN b ON b.event_id = e.event_id
+"""
+
+QUERIES_R10B["tar_longnames"] = q_tar_longnames
+ORACLES_R10B["tar_longnames"] = _TAR_LONG_ORACLE

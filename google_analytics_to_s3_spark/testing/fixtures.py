@@ -5644,3 +5644,27 @@ def make_flac_tagged(seed: int) -> bytes:
         pic = block(6, body)
     pad = block(1, b"\x00" * (10 + seed % 50), last=True)
     return b"fLaC" + streaminfo + vc + seek + pic + pad + audio
+
+
+def make_tar_longnames(seed: int) -> bytes:
+    """A tar with >100-char member names written by CPython's tarfile
+    (an INDEPENDENT implementation): GNU_FORMAT (typeflag-L headers)
+    on even seeds, PAX_FORMAT (x extended headers) on odd; 2+seed%3
+    members with planted name lengths and data rules."""
+    import io as _io
+    import tarfile as _tarfile
+
+    fmt = (_tarfile.GNU_FORMAT if seed % 2 == 0
+           else _tarfile.PAX_FORMAT)
+    buf = _io.BytesIO()
+    with _tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
+        for m in range(2 + seed % 3):
+            name = (f"d{seed}/" + "n" * (110 + (seed + m) % 40)
+                    + f"/{m}.bin")
+            data = bytes((seed + 5 * m + j) % 256
+                         for j in range(20 + (seed + m) % 30))
+            info = _tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            tf.addfile(info, _io.BytesIO(data))
+    return buf.getvalue()

@@ -1566,3 +1566,30 @@ def test_route_and_decode_dispatch():
     assert qoi_pixel_rule(3, 4, 3, 0) == (3 + 11 * 4 + 17 * 3) % 256
     # y=2 is regime 2: the x//4 plateau rule
     assert qoi_pixel_rule(3, 4, 2, 0) == (3 + 13 * 2 + 1) % 256
+
+
+def test_tar_gnu_pax_longnames_cross_impl():
+    import io
+    import tarfile
+
+    from google_analytics_to_s3_spark.operators.tar import parse_tar
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_tar_longnames,
+    )
+
+    # our parser reads archives tarfile WRITES (both dialects)...
+    for seed in (0, 1, 2, 3):
+        members = parse_tar(make_tar_longnames(seed))
+        assert len(members) == 2 + seed % 3
+        assert all(len(m["name"]) > 100 for m in members)
+    # ...and PAX size overrides are honored
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.PAX_FORMAT) as tf:
+        info = tarfile.TarInfo("n" * 120)
+        payload = b"z" * 9000  # > 8 GiB would force PAX size; any
+        info.size = len(payload)
+        tf.addfile(info, io.BytesIO(payload))
+    members = parse_tar(buf.getvalue())
+    assert members[0]["size"] == 9000
+    assert members[0]["data"] == payload
