@@ -136,3 +136,88 @@ def normalize_text_features(
     return df.select(id_col, text_col).mapInPandas(
         _run, schema=TEXTNORM_SCHEMA
     )
+
+
+def _char_script(ch: str) -> "str | None":
+    """Script bucket from the Unicode character name's leading word
+    (stdlib unicodedata exposes names, not the Script property; the
+    leading word — LATIN, CYRILLIC, GREEK, ARABIC, CJK, HANGUL,
+    HIRAGANA, KATAKANA, DEVANAGARI, ... — is the standard stdlib-only
+    approximation). Non-alphabetic characters are script-neutral."""
+    if not ch.isalpha():
+        return None
+    try:
+        return unicodedata.name(ch).split(" ", 1)[0]
+    except ValueError:
+        return None
+
+
+def script_mix(text: str) -> dict:
+    """Per-token script analysis: mixed-script tokens are the IDN
+    homograph / spam signal (a Latin word with one Cyrillic 'а'
+    passes visual review and fails string match)."""
+    n_tokens = 0
+    n_mixed = 0
+    n_nonlatin = 0
+    scripts: set[str] = set()
+    for tok in text.split():
+        tok_scripts = {s for s in (_char_script(c) for c in tok)
+                       if s is not None}
+        if not tok_scripts:
+            continue  # digits/punctuation only: script-neutral
+        n_tokens += 1
+        scripts |= tok_scripts
+        if len(tok_scripts) > 1:
+            n_mixed += 1
+        elif "LATIN" not in tok_scripts:
+            n_nonlatin += 1
+    return {"n_tokens": n_tokens, "n_mixed": n_mixed,
+            "n_nonlatin": n_nonlatin,
+            "n_scripts": len(scripts)}
+
+
+SCRIPT_MIX_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_tokens", IntegerType()),
+    StructField("n_mixed", IntegerType()),
+    StructField("n_nonlatin", IntegerType()),
+    StructField("n_scripts", IntegerType()),
+    StructField("extract_error", StringType()),
+])
+
+
+def script_mix_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "payload"
+) -> DataFrame:
+    """Arrow ``mapInPandas`` over :func:`script_mix`."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "doc_id", "n_tokens", "n_mixed", "n_nonlatin",
+                "n_scripts", "extract_error")}
+            for doc_id, raw in zip(pdf[id_col], pdf[text_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    m = script_mix(str(raw))
+                    for k in ("n_tokens", "n_mixed", "n_nonlatin",
+                              "n_scripts"):
+                        rows[k].append(m[k])
+                    rows["extract_error"].append(None)
+                except (ValueError, IndexError) as e:
+                    for k in ("n_tokens", "n_mixed", "n_nonlatin",
+                              "n_scripts"):
+                        rows[k].append(None)
+                    rows["extract_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k], dtype="Int32")
+                   for k in ("n_tokens", "n_mixed", "n_nonlatin",
+                             "n_scripts")},
+                "extract_error": pd.Series(rows["extract_error"],
+                                           dtype=object),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        _run, schema=SCRIPT_MIX_SCHEMA
+    )

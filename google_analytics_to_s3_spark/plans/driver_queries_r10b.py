@@ -2311,3 +2311,55 @@ FROM e JOIN m ON m.event_id = e.event_id
 
 QUERIES_R10B["tar_longnames"] = q_tar_longnames
 ORACLES_R10B["tar_longnames"] = _TAR_LONG_ORACLE
+
+
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homograph / script-mix screening driver-checked: planted
+    multi-script text (testing/fixtures.make_script_mix — Latin,
+    Cyrillic and Greek tokens, Latin tokens carrying one Cyrillic
+    'а', a script-neutral digits token) runs the per-token script
+    analysis (operators/textnorm.script_mix); the oracle replays the
+    token/mixed/non-Latin/script tallies."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.textnorm import script_mix_features
+    from ..testing.fixtures import make_script_mix
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 4
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_script_mix(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    pages = e.mapInPandas(_synth, schema="doc_id long, payload string")
+    return script_mix_features(pages).drop("extract_error")
+
+
+_SCRIPT_MIX_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 4
+)
+SELECT event_id AS doc_id,
+       CAST((3 + seed % 4) + (1 + seed % 3) + (seed % 3)
+            + (1 + seed % 2) AS INTEGER) AS n_tokens,
+       CAST(1 + seed % 2 AS INTEGER) AS n_mixed,
+       CAST((1 + seed % 3) + (seed % 3) AS INTEGER) AS n_nonlatin,
+       CAST(2 + CASE WHEN seed % 3 > 0 THEN 1 ELSE 0 END AS INTEGER)
+           AS n_scripts
+FROM e
+"""
+
+QUERIES_R10B["script_mix"] = q_script_mix
+ORACLES_R10B["script_mix"] = _SCRIPT_MIX_ORACLE

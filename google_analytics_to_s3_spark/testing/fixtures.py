@@ -5668,3 +5668,17 @@ def make_tar_longnames(seed: int) -> bytes:
             info.mtime = 0
             tf.addfile(info, _io.BytesIO(data))
     return buf.getvalue()
+
+
+def make_script_mix(seed: int) -> str:
+    """Planted multi-script text: 3+seed%4 Latin tokens, 1+seed%3
+    Cyrillic tokens, seed%3 Greek tokens, 1+seed%2 HOMOGRAPH tokens
+    (Latin words with one Cyrillic 'а' U+0430 inside), and one
+    digits-only token that is script-neutral."""
+    toks = [f"word{(seed + j) % 100}" for j in range(3 + seed % 4)]
+    toks += [f"слово{(seed + j) % 10}" for j in range(1 + seed % 3)]
+    toks += [f"λογος{(seed + j) % 10}" for j in range(seed % 3)]
+    toks += ["pаy" + str((seed + j) % 10)
+             for j in range(1 + seed % 2)]
+    toks.append(str(1000 + seed))
+    return " ".join(toks)

@@ -1593,3 +1593,16 @@ def test_tar_gnu_pax_longnames_cross_impl():
     members = parse_tar(buf.getvalue())
     assert members[0]["size"] == 9000
     assert members[0]["data"] == payload
+
+
+def test_script_mix_semantics():
+    from google_analytics_to_s3_spark.operators.textnorm import (
+        script_mix,
+    )
+
+    m = script_mix("hello мир pаy1 123 λόγος")
+    # 'pаy1' mixes Latin p/y with Cyrillic а; '123' is neutral
+    assert m["n_tokens"] == 4
+    assert m["n_mixed"] == 1
+    assert m["n_nonlatin"] == 2  # мир + λόγος
+    assert m["n_scripts"] == 3

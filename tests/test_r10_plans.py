@@ -33,7 +33,7 @@ _EXTRACT_QUERIES = [
     "email_extract", "sitemap_parse", "feed_parse", "protobuf_walk",
     "cbor_decode", "mime_sniff", "h264_ipcm", "mkv_decode_video",
     "mp4_decode_video", "text_normalize", "opus_meta", "flac_tags",
-    "multi_format_pipeline", "tar_longnames",
+    "multi_format_pipeline", "tar_longnames", "script_mix",
 ]
 
 _COMPOSITIONS = ["crawl_html_pipeline", "lz4_documents",
