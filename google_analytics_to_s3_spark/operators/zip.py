@@ -14,7 +14,10 @@ bundle format for crawled corpora. Real byte path:
   ``zipfile`` in pytest (same discipline as the tar reader).
 
 Honest gates (named ValueError, per-payload quarantine in the Spark
-wrappers): encrypted entries (flag bit 0), ZIP64, compression
+wrappers): encrypted entries (flag bit 0), compression
+methods other than stored/deflate. ZIP64 reads for REAL as of
+r10s3 (EOCD locator + ZIP64 EOCD record + 0x0001 extra fields,
+cross-validated against CPython zipfile both directions);
 methods other than stored/deflate. No ZIP surface exists in the
 reference repo (beyond-reference LLM-pipeline surface, SURVEY §2.12).
 """
@@ -44,8 +47,25 @@ def parse_zip(raw: bytes) -> list[dict]:
     n_entries, cd_size, cd_off = struct.unpack(
         "<HII", raw[eocd + 10:eocd + 20])
     total_entries = struct.unpack("<H", raw[eocd + 8:eocd + 10])[0]
-    if total_entries == 0xFFFF or cd_off == 0xFFFFFFFF:
-        raise ValueError("ZIP64 archives unsupported")
+    if total_entries == 0xFFFF or cd_off == 0xFFFFFFFF \
+            or cd_size == 0xFFFFFFFF:
+        # ZIP64: the EOCD locator (PK\x06\x07) sits right before the
+        # EOCD and points at the ZIP64 EOCD record (PK\x06\x06)
+        loc = eocd - 20
+        if loc < 0 or raw[loc:loc + 4] != b"PK\x06\x07":
+            raise ValueError("ZIP64 EOCD locator missing")
+        z64_off = struct.unpack("<Q", raw[loc + 8:loc + 16])[0]
+        if z64_off + 56 > len(raw) \
+                or raw[z64_off:z64_off + 4] != b"PK\x06\x06":
+            raise ValueError("ZIP64 EOCD record missing")
+        n_entries = struct.unpack(
+            "<Q", raw[z64_off + 32:z64_off + 40])[0]
+        cd_size = struct.unpack(
+            "<Q", raw[z64_off + 40:z64_off + 48])[0]
+        cd_off = struct.unpack(
+            "<Q", raw[z64_off + 48:z64_off + 56])[0]
+        if n_entries > 10_000_000:
+            raise ValueError("ZIP64 entry count exceeds bound")
     if cd_off + cd_size > len(raw):
         raise ValueError("central directory overruns the file")
     entries = []
@@ -63,8 +83,31 @@ def parse_zip(raw: bytes) -> list[dict]:
         if method not in (0, 8):
             raise ValueError(f"ZIP compression method {method} "
                              "unsupported")
-        if csize == 0xFFFFFFFF or usize == 0xFFFFFFFF:
-            raise ValueError("ZIP64 entry sizes unsupported")
+        if 0xFFFFFFFF in (csize, usize, lho):
+            # ZIP64 extra field 0x0001: 8-byte values in the fixed
+            # order usize, csize, lho — present only for the fields
+            # whose 32-bit slots are saturated
+            extra = raw[pos - elen - clen:pos - clen]
+            at = 0
+            z64 = None
+            while at + 4 <= len(extra):
+                hid, hlen = struct.unpack("<HH", extra[at:at + 4])
+                if hid == 0x0001:
+                    z64 = extra[at + 4:at + 4 + hlen]
+                    break
+                at += 4 + hlen
+            if z64 is None:
+                raise ValueError("ZIP64 sizes without a 0x0001 extra")
+            zat = 0
+            if usize == 0xFFFFFFFF:
+                usize = struct.unpack("<Q", z64[zat:zat + 8])[0]
+                zat += 8
+            if csize == 0xFFFFFFFF:
+                csize = struct.unpack("<Q", z64[zat:zat + 8])[0]
+                zat += 8
+            if lho == 0xFFFFFFFF:
+                lho = struct.unpack("<Q", z64[zat:zat + 8])[0]
+                zat += 8
         # the LOCAL header's own name/extra lengths position the data
         if raw[lho:lho + 4] != b"PK\x03\x04":
             raise ValueError("local-header signature missing")

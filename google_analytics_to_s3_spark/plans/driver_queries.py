@@ -3021,6 +3021,7 @@ _DRIVER_PRIORITY = [
     "cbor_decode", "mime_sniff", "h264_ipcm", "mkv_decode_video",
     "mp4_decode_video", "text_normalize", "opus_meta", "flac_tags",
     "multi_format_pipeline", "tar_longnames", "script_mix",
+    "zip64_extract",
     # Rebuilt from CORRECTNESS_r{1..9}.json per the r9 verdict (task
     # 1): all 261 rows green, zero never-checked, so the order is
     # purely latest-green-round ascending (relative order within a

@@ -2363,3 +2363,72 @@ FROM e
 
 QUERIES_R10B["script_mix"] = q_script_mix
 ORACLES_R10B["script_mix"] = _SCRIPT_MIX_ORACLE
+
+
+def q_zip64_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP64 reading driver-checked: archives whose central entries
+    saturate their 32-bit size/offset slots (0x0001 extra fields)
+    and whose EOCD defers to a ZIP64 EOCD record via the locator
+    (testing/fixtures.make_zip64 — the layout any >4 GiB archive
+    uses, exercised at fixture scale as the spec allows; CPython
+    zipfile reads the same fixtures in pytest). Same planted entry
+    rules as zip_extract on a disjoint lane."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.zip import extract_zip_features
+    from ..testing.fixtures import make_zip64
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 5
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_zip64(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return extract_zip_features(payloads).drop("decode_error")
+
+
+_ZIP64_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         3 + (event_id % 1000) % 3 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 5
+),
+m AS (
+  SELECT e.event_id, e.seed, i.i,
+         25 + (e.seed + 9*i.i) % 120 AS len,
+         CASE WHEN (e.seed + i.i) % 2 = 0 THEN 1 ELSE 0 END AS defl
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+),
+b AS (
+  SELECT m.event_id, sum((m.seed + 17*m.i + j.j) % 251) AS bsum
+  FROM m, LATERAL (SELECT unnest(range(0, m.len)) AS j) j
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.n AS BIGINT) AS n_entries,
+       CAST((SELECT sum(m.defl) FROM m
+              WHERE m.event_id = e.event_id) AS BIGINT) AS n_deflated,
+       CAST((SELECT sum(1 - m.defl) FROM m
+              WHERE m.event_id = e.event_id) AS BIGINT) AS n_stored,
+       CAST((SELECT sum(m.len) FROM m
+              WHERE m.event_id = e.event_id) AS BIGINT)
+         AS uncompressed_sum,
+       CAST(b.bsum AS BIGINT) AS byte_sum,
+       CAST(10 * e.n AS BIGINT) AS name_len_sum
+FROM e JOIN b ON b.event_id = e.event_id
+"""
+
+QUERIES_R10B["zip64_extract"] = q_zip64_extract
+ORACLES_R10B["zip64_extract"] = _ZIP64_ORACLE

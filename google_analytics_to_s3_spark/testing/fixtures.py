@@ -5682,3 +5682,49 @@ def make_script_mix(seed: int) -> str:
              for j in range(1 + seed % 2)]
     toks.append(str(1000 + seed))
     return " ".join(toks)
+
+
+def make_zip64(seed: int) -> bytes:
+    """A REAL ZIP64 archive (writers may use ZIP64 regardless of
+    size): central entries saturate their 32-bit usize/csize/lho
+    slots and carry 0x0001 extra fields, the EOCD saturates its
+    counts/offsets, and a ZIP64 EOCD record + locator close the file.
+    Entry rules mirror make_zip (zip_rules)."""
+    import zlib as _zlib
+
+    r = zip_rules(seed)
+    out = bytearray()
+    cd = bytearray()
+    for i in range(r["n"]):
+        name = f"doc{i:03d}.txt".encode()
+        data = bytes((seed + 17 * i + j) % 251
+                     for j in range(r["lens"][i]))
+        crc = _zlib.crc32(data) & 0xFFFFFFFF
+        if r["deflated"][i]:
+            co = _zlib.compressobj(9, _zlib.DEFLATED, -_zlib.MAX_WBITS)
+            blob = co.compress(data) + co.flush()
+            method = 8
+        else:
+            blob = data
+            method = 0
+        lho = len(out)
+        out += (b"PK\x03\x04" + _struct.pack(
+            "<HHHHHIIIHH", 45, 0, method, 0, 0, crc, len(blob),
+            len(data), len(name), 0) + name + blob)
+        z64 = _struct.pack("<HHQQQ", 0x0001, 24, len(data),
+                           len(blob), lho)
+        cd += (b"PK\x01\x02" + _struct.pack(
+            "<HHHHHHIIIHHHHHII", 45, 45, 0, method, 0, 0, crc,
+            0xFFFFFFFF, 0xFFFFFFFF, len(name), len(z64), 0, 0, 0, 0,
+            0xFFFFFFFF) + name + z64)
+    cd_off = len(out)
+    out += cd
+    z64_eocd_off = len(out)
+    out += (b"PK\x06\x06" + _struct.pack(
+        "<QHHIIQQQQ", 44, 45, 45, 0, 0, r["n"], r["n"], len(cd),
+        cd_off))
+    out += (b"PK\x06\x07" + _struct.pack(
+        "<IQI", 0, z64_eocd_off, 1))
+    out += (b"PK\x05\x06" + _struct.pack(
+        "<HHHHIIH", 0, 0, 0xFFFF, 0xFFFF, 0xFFFFFFFF, 0xFFFFFFFF, 0))
+    return bytes(out)

@@ -1606,3 +1606,29 @@ def test_script_mix_semantics():
     assert m["n_mixed"] == 1
     assert m["n_nonlatin"] == 2  # мир + λόγος
     assert m["n_scripts"] == 3
+
+
+def test_zip64_both_directions():
+    import io
+    import zipfile
+
+    from google_analytics_to_s3_spark.operators.zip import parse_zip
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_zip64,
+        zip_rules,
+    )
+
+    for seed in (0, 1, 7, 999):
+        raw = make_zip64(seed)
+        r = zip_rules(seed)
+        ours = parse_zip(raw)
+        assert len(ours) == r["n"]
+        with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+            for i, info in enumerate(zf.infolist()):
+                assert zf.read(info) == ours[i]["data"]
+    # a zip64 file with the locator stripped is rejected by name
+    raw = bytearray(make_zip64(3))
+    i = raw.rfind(b"PK\x06\x07")
+    broken = raw[:i] + raw[i + 20:]
+    with pytest.raises(ValueError, match="locator"):
+        parse_zip(bytes(broken))

@@ -34,6 +34,7 @@ _EXTRACT_QUERIES = [
     "cbor_decode", "mime_sniff", "h264_ipcm", "mkv_decode_video",
     "mp4_decode_video", "text_normalize", "opus_meta", "flac_tags",
     "multi_format_pipeline", "tar_longnames", "script_mix",
+    "zip64_extract",
 ]
 
 _COMPOSITIONS = ["crawl_html_pipeline", "lz4_documents",
