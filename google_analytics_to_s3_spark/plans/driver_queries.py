@@ -3009,56 +3009,40 @@ ORACLES["lsh_recall"] = LSH_RECALL_ORACLE_TEMPLATE.format(
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # ---------------- round-10 rotation ----------------
-    # (r10 session-3 registrations — never driver-checked, head of list)
-    "qoi_decode", "html_extract", "lz4_extract", "pdf_text",
-    "webp_decode", "mkv_demux", "mkv_decode_audio", "ts_demux",
-    "ts_decode_audio", "flv_demux", "flv_decode_audio", "srt_extract",
-    "vtt_extract", "robots_eval", "jpeg_exif", "id3_tags",
-    "crawl_html_pipeline", "lz4_documents", "png_metadata",
-    "svg_features", "jsonld_harvest", "apng_decode", "email_extract",
-    "sitemap_parse", "feed_parse", "mbox_pipeline", "protobuf_walk",
-    "cbor_decode", "mime_sniff", "h264_ipcm", "mkv_decode_video",
-    "mp4_decode_video", "text_normalize", "opus_meta", "flac_tags",
-    "multi_format_pipeline", "tar_longnames", "script_mix",
-    "zip64_extract",
-    # Rebuilt from CORRECTNESS_r{1..9}.json per the r9 verdict (task
-    # 1): all 261 rows green, zero never-checked, so the order is
-    # purely latest-green-round ascending (relative order within a
-    # round block preserved from the r9 list). New r10 registrations
-    # slot in at the HEAD below as they are added.
-    # (r10-new) queries registered or materially changed during r10:
-    # gif_decode_ext grew disposal-3 coverage (4 frames now), so its
-    # r9 green no longer certifies the current query — re-check first.
-    "mp4_demux", "mp4_decode_av", "mp3_decode_synth",
-    "vorbis_decode_pcm_stereo", "vorbis_decode_pcm_trans",
-    "vorbis_decode_pcm_floor0", "flac_decode_32bit",
-    "mp4_demux_frag", "mp4_decode_av_frag", "mp3_decode_lsf", "mp3_decode_ms", "bmp_decode", "tiff_decode", "warc_extract", "warc_documents", "webdataset_decode", "avi_demux", "avi_decode_av", "zip_extract", "crawl_dedup", "ico_decode",
-    "mp3_decode", "mp3_decode_stereo", "vorbis_decode_pcm",
-    "gif_decode_ext",
-    # (r10-queue) 16 r4-green rows.
-    "kmv_overlap", "weighted_sample", "zorder_keys", "snapshot_diff",
-    "rolling_features", "ab_lift", "dq_report", "hopping_distinct",
-    "basket_rules", "boilerplate_fraction", "dataset_card",
-    "event_anomalies", "session_paths", "shot_boundaries", "url_dedup",
-    "markov_attribution",
-    # (r10-queue) 50 r5-green rows.
+    # ---------------- round-11 rotation ----------------
+    # Head per the r10 verdict (task 1): the 13 never-driver-checked
+    # rows, gif_decode_ext (query grew disposal-3 coverage after its
+    # r9 green), then the 16 r4-stale rows. New r11 registrations are
+    # appended right after this mandated block (slots 31-50) so they
+    # get first-check driver rows this round instead of accruing debt.
+    "bmp_decode", "tiff_decode", "warc_extract", "warc_documents",
+    "webdataset_decode", "avi_demux", "avi_decode_av", "zip_extract",
+    "crawl_dedup", "ico_decode", "mp3_decode", "mp3_decode_stereo",
+    "vorbis_decode_pcm", "gif_decode_ext", "kmv_overlap",
+    "weighted_sample", "zorder_keys", "snapshot_diff", "rolling_features",
+    "ab_lift", "dq_report", "hopping_distinct", "basket_rules",
+    "boilerplate_fraction", "dataset_card", "event_anomalies",
+    "session_paths", "shot_boundaries", "url_dedup", "markov_attribution",
+    # (r11-new) registrations made during round 11 go here:
+    # R11_NEW_MARKER
+    # (queue) rows last driver-checked in r5 (50).
     "identity_stitching", "user_erasure", "phrase_search", "bootstrap_ci",
-    "scd2_asof_enrich", "word_pmi", "item_similarity", "cusum_changepoints",
-    "k_anonymity", "seasonal_anomalies", "daily_engagement",
-    "session_revenue", "export_sessions", "hit_type_mapping",
-    "union_active_users", "events_pivot", "events_cube", "anonymize_ip",
-    "asof_join", "geo_enrich", "multimodal_decode", "streaming_sessions",
-    "char_entropy", "corpus_curation", "cosine_dup_pairs",
-    "customer_order_ranks", "customers_without_orders", "dedup_exact",
-    "forecast_revenue", "knn_cosine", "knn_ivf", "large_volume_customers",
+    "scd2_asof_enrich", "word_pmi", "item_similarity",
+    "cusum_changepoints", "k_anonymity", "seasonal_anomalies",
+    "daily_engagement", "session_revenue", "export_sessions",
+    "hit_type_mapping", "union_active_users", "events_pivot",
+    "events_cube", "anonymize_ip", "asof_join", "geo_enrich",
+    "multimodal_decode", "streaming_sessions", "char_entropy",
+    "corpus_curation", "cosine_dup_pairs", "customer_order_ranks",
+    "customers_without_orders", "dedup_exact", "forecast_revenue",
+    "knn_cosine", "knn_ivf", "large_volume_customers",
     "late_shipment_priority", "local_supplier_volume", "market_share",
     "minhash_lsh_pairs", "moving_revenue", "neardup_ledger",
     "ngram_jaccard_pairs", "ngram_jaccard_thresholded", "order_gaps",
     "order_lineitem_left_join", "order_percentiles", "pricing_summary",
     "promo_revenue", "returned_items", "sales_rollup", "shipping_priority",
     "simhash", "simhash_dup_pairs",
-    # (r10-queue) 49 r6-green rows.
+    # (queue) rows last driver-checked in r6 (49).
     "stratified_sample", "string_funcs", "table_profile", "text_quality",
     "text_stats", "token_counts", "volume_shipping", "winnow_fingerprints",
     "winnow_dup_pairs", "sequence_mining", "rfm_segments", "dataset_split",
@@ -3073,37 +3057,38 @@ _DRIVER_PRIORITY = [
     "export_pageviews", "export_events_mart", "export_products",
     "export_transactions", "export_items", "json_props",
     "user_event_arrays",
-    # (r10-queue) 48 r7-green rows.
-    "wav_decode", "robust_outliers", "shapley_attribution", "msprt_monitor",
-    "binary_auc", "calibration_report", "png_decode", "ua_parse_families",
-    "gif_frames", "spatial_radius_pairs", "spatial_nearest", "feature_chi2",
-    "revenue_acf", "benford_dq", "fs_linkage", "ks_drift",
-    "gini_concentration", "holt_forecast", "funnel_conversion",
-    "retention_cohorts", "event_transitions", "pq_codes", "pq_adc_topk",
-    "time_to_conversion", "chunk_documents", "incremental_attribution",
-    "session_window_rollup", "customer_distribution", "top_supplier",
-    "small_qty_revenue", "brand_disjunction_revenue", "sales_opportunity",
-    "knn_components", "knn_components_star", "gap_fill_ffill",
-    "order_rank_stats", "salted_event_totals", "embedding_lsh_pairs",
-    "dedup_keep_best", "events_grouping_sets", "hopping_window", "pii_scan",
-    "quality_filter", "contamination_screen", "lm_typicality",
-    "mixture_sample", "vocab_oov", "curation_pipeline",
-    # (r10-queue) 48 r8-green rows.
+    # (queue) rows last driver-checked in r7 (48).
+    "wav_decode", "robust_outliers", "shapley_attribution",
+    "msprt_monitor", "binary_auc", "calibration_report", "png_decode",
+    "ua_parse_families", "gif_frames", "spatial_radius_pairs",
+    "spatial_nearest", "feature_chi2", "revenue_acf", "benford_dq",
+    "fs_linkage", "ks_drift", "gini_concentration", "holt_forecast",
+    "funnel_conversion", "retention_cohorts", "event_transitions",
+    "pq_codes", "pq_adc_topk", "time_to_conversion", "chunk_documents",
+    "incremental_attribution", "session_window_rollup",
+    "customer_distribution", "top_supplier", "small_qty_revenue",
+    "brand_disjunction_revenue", "sales_opportunity", "knn_components",
+    "knn_components_star", "gap_fill_ffill", "order_rank_stats",
+    "salted_event_totals", "embedding_lsh_pairs", "dedup_keep_best",
+    "events_grouping_sets", "hopping_window", "pii_scan", "quality_filter",
+    "contamination_screen", "lm_typicality", "mixture_sample", "vocab_oov",
+    "curation_pipeline",
+    # (queue) rows last driver-checked in r8 (48).
     "covariance_matrix", "did_lift", "heavy_hitters", "dp_release",
     "ols_regression", "hll_rollup", "ndcg_eval", "label_propagation",
     "jpeg_decode", "holt_winters", "theil_sen", "offline_policy",
     "phrase_index_search", "hilbert_keys", "conformal_intervals",
     "ab_ztest", "neyman_sample", "logrank_test", "mann_whitney",
-    "textrank_keywords", "community_modularity", "l_diversity", "dr_policy",
-    "flac_decode", "als_rank1", "rrf_fusion", "linkage_clusters",
-    "centroid_classify", "isotonic_calibration", "eb_smoothing",
-    "forecast_backtest", "frequent_triples", "did_event_study",
-    "survival_curve", "jpeg_decode_420", "phash_dedup", "fdr_screen",
-    "good_turing", "zipf_alpha", "burst_detection", "wasserstein_drift",
-    "hourly_seasonality", "user_entropy", "flac_decode_stereo",
-    "jpeg_decode_progressive", "lm_backoff_score", "phash_near_dups",
-    "image_dedup_clusters",
-    # (r10-queue) 50 r9-green rows.
+    "textrank_keywords", "community_modularity", "l_diversity",
+    "dr_policy", "flac_decode", "als_rank1", "rrf_fusion",
+    "linkage_clusters", "centroid_classify", "isotonic_calibration",
+    "eb_smoothing", "forecast_backtest", "frequent_triples",
+    "did_event_study", "survival_curve", "jpeg_decode_420", "phash_dedup",
+    "fdr_screen", "good_turing", "zipf_alpha", "burst_detection",
+    "wasserstein_drift", "hourly_seasonality", "user_entropy",
+    "flac_decode_stereo", "jpeg_decode_progressive", "lm_backoff_score",
+    "phash_near_dups", "image_dedup_clusters",
+    # (queue) rows last driver-checked in r9 (49).
     "trimmed_stats", "ts_decompose", "cumulative_gains", "flac_decode_lpc",
     "wav_decode_g711", "vorbis_decode", "png_decode_ext",
     "jpeg_decode_12bit", "vorbis_decode_stereo", "wav_decode_adpcm",
@@ -3117,6 +3102,21 @@ _DRIVER_PRIORITY = [
     "dsir_weights", "knn_recall", "dup_spans", "dup_spans_removed",
     "fuzzy_dedup", "dedup_incremental", "embedding_project", "salted_join",
     "upsample_mixture", "logreg_quality", "global_index", "shuffle_shards",
+    # (queue) rows last driver-checked in r10 (50).
+    "qoi_decode", "html_extract", "lz4_extract", "pdf_text", "webp_decode",
+    "mkv_demux", "mkv_decode_audio", "ts_demux", "ts_decode_audio",
+    "flv_demux", "flv_decode_audio", "srt_extract", "vtt_extract",
+    "robots_eval", "jpeg_exif", "id3_tags", "crawl_html_pipeline",
+    "lz4_documents", "png_metadata", "svg_features", "jsonld_harvest",
+    "apng_decode", "email_extract", "sitemap_parse", "feed_parse",
+    "mbox_pipeline", "protobuf_walk", "cbor_decode", "mime_sniff",
+    "h264_ipcm", "mkv_decode_video", "mp4_decode_video", "text_normalize",
+    "opus_meta", "flac_tags", "multi_format_pipeline", "tar_longnames",
+    "script_mix", "zip64_extract", "mp4_demux", "mp4_decode_av",
+    "mp3_decode_synth", "vorbis_decode_pcm_stereo",
+    "vorbis_decode_pcm_trans", "vorbis_decode_pcm_floor0",
+    "flac_decode_32bit", "mp4_demux_frag", "mp4_decode_av_frag",
+    "mp3_decode_lsf", "mp3_decode_ms",
 ]
 
 
