@@ -235,7 +235,7 @@ class _Document:
 
     def __init__(self, raw: bytes) -> None:
         self.raw = raw
-        self.offsets: dict[int, int] = {}
+        self.offsets: "dict[int, int | None]" = {}
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._parse_xref_chain()
@@ -278,9 +278,16 @@ class _Document:
                     ent = raw[p:p + 20]
                     if len(ent) < 18:
                         raise ValueError("truncated PDF xref entry")
-                    if ent[17:18] == b"n" and start + i not in \
-                            self.offsets:
-                        self.offsets[start + i] = int(ent[:10])
+                    # First-seen wins across the /Prev chain (newest
+                    # revision first). Free ('f') entries are recorded
+                    # as None so an object deleted in the newest
+                    # revision shadows its stale offset in an older
+                    # section instead of being resurrected.
+                    if start + i not in self.offsets and \
+                            ent[17:18] in (b"n", b"f"):
+                        self.offsets[start + i] = (
+                            int(ent[:10]) if ent[17:18] == b"n"
+                            else None)
                     p += 20 if len(ent) >= 20 and ent[18] in _WS \
                         else 18
             trailer, _ = _parse_value(raw, p)
@@ -456,7 +463,8 @@ def extract_pdf_text(raw: bytes) -> "tuple[int, int, str]":
             doc.stream_data(doc.resolve(s)) for s in streams)
         texts.extend(_extract_content_text(data))
         texts.append("\n")
-    return len(pages), len(doc.offsets), "".join(texts)
+    n_live = sum(1 for off in doc.offsets.values() if off is not None)
+    return len(pages), n_live, "".join(texts)
 
 
 PDF_TEXT_SCHEMA = StructType([

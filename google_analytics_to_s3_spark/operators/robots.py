@@ -98,32 +98,38 @@ def _pattern_matches(pattern: str, path: str) -> bool:
     return re.match(rx, path) is not None
 
 
-def _select_group(groups: "list[RobotsGroup]",
-                  ua: str) -> "RobotsGroup | None":
+def _matching_groups(groups: "list[RobotsGroup]",
+                     ua: str) -> "list[RobotsGroup]":
+    """RFC 9309 §2.2.1: pick the most specific (longest) matching
+    user-agent token, then return ALL groups naming that token — the
+    spec requires their rules be merged into one logical group, so a
+    Disallow in a second ``User-agent: foo`` block still binds. Falls
+    back to every ``*`` group when no named token matches."""
     ua = ua.lower()
-    best = None
+    best_agent = None
     best_len = -1
     for g in groups:
         for agent in g.agents:
-            if agent == "*":
-                if best_len < 0:
-                    best = g
-            elif agent in ua and len(agent) > best_len:
-                best = g
+            if agent != "*" and agent in ua and len(agent) > best_len:
+                best_agent = agent
                 best_len = len(agent)
-    return best
+    token = best_agent if best_agent is not None else "*"
+    return [g for g in groups if token in g.agents]
 
 
 def is_allowed(groups: "list[RobotsGroup]", ua: str,
                path: str) -> bool:
     """RFC 9309 §2.2.2: most-specific (longest) matching rule wins;
-    allow wins length ties; no matching rule means allowed."""
-    g = _select_group(groups, ua)
-    if g is None:
+    allow wins length ties; no matching rule means allowed. Rules are
+    the union across every group matching the selected user-agent
+    token (§2.2.1 merge)."""
+    matched = _matching_groups(groups, ua)
+    if not matched:
         return True
+    merged_rules = [r for g in matched for r in g.rules]
     best_len = -1
     best_allow = True
-    for allow, pattern in g.rules:
+    for allow, pattern in merged_rules:
         if _pattern_matches(pattern, path):
             if len(pattern) > best_len or (
                     len(pattern) == best_len and allow
@@ -161,7 +167,9 @@ def evaluate_robots(
                 rows["doc_id"].append(doc_id)
                 try:
                     groups, sitemaps = parse_robots(str(raw))
-                    g = _select_group(groups, ua)
+                    delays = [g.crawl_delay
+                              for g in _matching_groups(groups, ua)
+                              if g.crawl_delay is not None]
                     rows["n_groups"].append(len(groups))
                     rows["n_rules"].append(
                         sum(len(x.rules) for x in groups))
@@ -170,7 +178,7 @@ def evaluate_robots(
                         sum(1 for p in probes
                             if is_allowed(groups, ua, p)))
                     rows["crawl_delay"].append(
-                        g.crawl_delay if g is not None else None)
+                        delays[0] if delays else None)
                     rows["extract_error"].append(None)
                 except (ValueError, IndexError) as e:
                     for k in ("n_groups", "n_rules", "n_sitemaps",

@@ -101,14 +101,19 @@ def parse_tar(raw: bytes) -> list[dict]:
             at = 0
             while at < len(data):
                 sp = data.find(b" ", at)
+                if sp < 0:
+                    raise ValueError("PAX record length delimiter missing")
                 nl_len = int(data[at:sp])
-                rec = data[at + len(str(nl_len).encode()) + 1:
-                           at + nl_len - 1]
+                # prefix width = bytes actually consumed by the length
+                # field + the space (sp - at + 1) — NOT len(str(nl_len)),
+                # which misaligns on zero-padded fields like b"027 k=v\n"
+                prefix = sp - at + 1
+                if nl_len <= prefix + 1 or at + nl_len > len(data):
+                    raise ValueError("PAX record length invalid")
+                rec = data[sp + 1:at + nl_len - 1]
                 key, _, value = rec.decode("utf-8",
                                            "replace").partition("=")
                 recs[key] = value
-                if nl_len <= 0:
-                    raise ValueError("PAX record length invalid")
                 at += nl_len
             if typeflag == "x":
                 pending_pax = recs

@@ -264,11 +264,15 @@ def warc_html_rows(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
 ) -> DataFrame:
     """The 1→N crawl explode for HTML payloads: one row per text/html
-    RESPONSE record — (row_id = archive_id * 10 + ordinal, archive_id,
-    uri, html). Feeds operators/html.extract_html_features; everything
-    downstream (quality, dedup, aggregation) is declarative
-    DataFrame code. Archives that fail to parse contribute zero
-    rows."""
+    RESPONSE record — (row_id = archive_id * 1_000_000 + ordinal,
+    archive_id, uri, html). The 1e6 stride keeps row_ids collision-free
+    for any real archive (Common Crawl WARCs hold ~30-50k records; an
+    archive with ≥1e6 responses raises rather than silently colliding
+    with the next archive's ids). archive_id is also emitted as its own
+    column, so downstream grouping never needs to invert row_id. Feeds
+    operators/html.extract_html_features; everything downstream
+    (quality, dedup, aggregation) is declarative DataFrame code.
+    Archives that fail to parse contribute zero rows."""
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -283,9 +287,14 @@ def warc_html_rows(
                 for r in recs:
                     if r["type"] != "response":
                         continue
+                    if rn >= 1_000_000:
+                        raise ValueError(
+                            "warc_html_rows: archive %d has >=1e6 "
+                            "response records; row_id stride exhausted"
+                            % int(doc_id))
                     ctype = r.get("content_type", "")
                     if "text/html" in ctype:
-                        out["row_id"].append(int(doc_id) * 10 + rn)
+                        out["row_id"].append(int(doc_id) * 1_000_000 + rn)
                         out["archive_id"].append(doc_id)
                         out["uri"].append(r["uri"])
                         out["html"].append(

@@ -14,11 +14,10 @@ bundle format for crawled corpora. Real byte path:
   ``zipfile`` in pytest (same discipline as the tar reader).
 
 Honest gates (named ValueError, per-payload quarantine in the Spark
-wrappers): encrypted entries (flag bit 0), compression
-methods other than stored/deflate. ZIP64 reads for REAL as of
-r10s3 (EOCD locator + ZIP64 EOCD record + 0x0001 extra fields,
-cross-validated against CPython zipfile both directions);
-methods other than stored/deflate. No ZIP surface exists in the
+wrappers): encrypted entries (flag bit 0) and compression methods
+other than stored/deflate. ZIP64 reads for REAL as of r10s3 (EOCD
+locator + ZIP64 EOCD record + 0x0001 extra fields, cross-validated
+against CPython zipfile both directions). No ZIP surface exists in the
 reference repo (beyond-reference LLM-pipeline surface, SURVEY §2.12).
 """
 

@@ -974,7 +974,7 @@ def q_crawl_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   html_col="html")
     return (
         feats
-        .withColumn("archive_id", F.expr("doc_id div 10"))
+        .withColumn("archive_id", F.expr("doc_id div 1000000"))
         .groupBy("archive_id")
         .agg(
             F.count("*").cast("int").alias("n_docs"),
