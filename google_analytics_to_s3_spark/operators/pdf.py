@@ -25,14 +25,22 @@ implements the real byte path, not a metadata stub:
   skipped by a real content lexer (strings/hex/arrays/names/numbers/
   operators), so graphics mixed into the stream cannot corrupt text.
 
+- **PDF 1.5 compressed xref** (r11, ISO 32000-1 §7.5.7/§7.5.8):
+  cross-reference STREAMS (/Type /XRef; /W field widths, /Index
+  subsections, type 0/1/2 entries, /Prev chains, and the PNG
+  Up/Sub/Avg/Paeth + TIFF row predictors via /DecodeParms) and
+  OBJECT streams (/Type /ObjStm; /N+/First header walk, objects
+  materialized lazily per stream with the decoded header cached) —
+  plus hybrid-reference files (/XRefStm in a classic trailer, whose
+  stream entries take precedence over that section's table rows).
+
 Untrusted-input discipline matches the other byte paths: resource
 bounds (object count, recursion depth, decompressed size), truncation
 checks, ValueError on malformed input, per-payload quarantine in the
-Arrow wrapper. Honest gates (named errors, never wrong output): xref
-STREAMS (PDF 1.5 compressed xref), object streams (/ObjStm), filters
-other than FlateDecode, encrypted documents, and CID/Type0 multibyte
-text (tokens here are latin-1 byte text as written by the fixture
-generation and the vast majority of simple PDFs).
+Arrow wrapper. Honest gates (named errors, never wrong output):
+filters other than FlateDecode, encrypted documents, and CID/Type0
+multibyte text (tokens here are latin-1 byte text as written by the
+fixture generation and the vast majority of simple PDFs).
 
 No PDF surface exists in the reference repo
 (mydatastack/google-analytics-to-s3).
@@ -238,6 +246,7 @@ class _Document:
         self.offsets: "dict[int, int | None]" = {}
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, tuple] = {}
         self._parse_xref_chain()
 
     def _parse_xref_chain(self) -> None:
@@ -255,44 +264,13 @@ class _Document:
                 raise ValueError("PDF xref /Prev chain loops")
             seen.add(pos)
             pos = _skip_ws(raw, pos)
-            if raw[pos:pos + 4] != b"xref":
-                raise ValueError(
-                    "PDF xref stream (1.5 compressed xref) unsupported"
-                    if raw[pos:pos + 1].isdigit() else
-                    "PDF xref table missing")
-            p = pos + 4
-            while True:
-                p = _skip_ws(raw, p)
-                if raw[p:p + 7] == b"trailer":
-                    p += 7
-                    break
-                m2 = re.match(rb"(\d+)\s+(\d+)", raw[p:p + 40])
-                if not m2:
-                    raise ValueError("PDF xref subsection header bad")
-                start, count = int(m2.group(1)), int(m2.group(2))
-                if count > _MAX_OBJECTS:
-                    raise ValueError("PDF xref count exceeds bound")
-                p += m2.end()
-                p = _skip_ws(raw, p)
-                for i in range(count):
-                    ent = raw[p:p + 20]
-                    if len(ent) < 18:
-                        raise ValueError("truncated PDF xref entry")
-                    # First-seen wins across the /Prev chain (newest
-                    # revision first). Free ('f') entries are recorded
-                    # as None so an object deleted in the newest
-                    # revision shadows its stale offset in an older
-                    # section instead of being resurrected.
-                    if start + i not in self.offsets and \
-                            ent[17:18] in (b"n", b"f"):
-                        self.offsets[start + i] = (
-                            int(ent[:10]) if ent[17:18] == b"n"
-                            else None)
-                    p += 20 if len(ent) >= 20 and ent[18] in _WS \
-                        else 18
-            trailer, _ = _parse_value(raw, p)
-            if not isinstance(trailer, dict):
-                raise ValueError("PDF trailer is not a dictionary")
+            if raw[pos:pos + 4] == b"xref":
+                trailer = self._read_xref_table(pos)
+            elif raw[pos:pos + 1].isdigit():
+                # PDF 1.5+: the section is a cross-reference STREAM
+                trailer = self._read_xref_stream(pos)
+            else:
+                raise ValueError("PDF xref table missing")
             for k, v in trailer.items():
                 self.trailer.setdefault(k, v)
             if "Encrypt" in trailer:
@@ -304,6 +282,177 @@ class _Document:
         if "Root" not in self.trailer:
             raise ValueError("PDF trailer /Root missing")
 
+    def _read_xref_table(self, pos: int) -> dict:
+        """Classic ``xref`` table section at ``pos``; merges entries
+        (first-seen wins across the /Prev chain; 'f' free entries are
+        recorded as None so a deletion in a newer revision shadows a
+        stale /Prev offset) and returns the trailer dict. Hybrid-
+        reference files (§7.5.8.4): when the trailer carries
+        /XRefStm, that stream's entries take precedence over this
+        section's table rows, so they are merged FIRST."""
+        raw = self.raw
+        local: "dict[int, int | None]" = {}
+        p = pos + 4
+        while True:
+            p = _skip_ws(raw, p)
+            if raw[p:p + 7] == b"trailer":
+                p += 7
+                break
+            m2 = re.match(rb"(\d+)\s+(\d+)", raw[p:p + 40])
+            if not m2:
+                raise ValueError("PDF xref subsection header bad")
+            start, count = int(m2.group(1)), int(m2.group(2))
+            if count > _MAX_OBJECTS:
+                raise ValueError("PDF xref count exceeds bound")
+            p += m2.end()
+            p = _skip_ws(raw, p)
+            for i in range(count):
+                ent = raw[p:p + 20]
+                if len(ent) < 18:
+                    raise ValueError("truncated PDF xref entry")
+                if start + i not in local and \
+                        ent[17:18] in (b"n", b"f"):
+                    local[start + i] = (
+                        int(ent[:10]) if ent[17:18] == b"n"
+                        else None)
+                p += 20 if len(ent) >= 20 and ent[18] in _WS \
+                    else 18
+        trailer, _ = _parse_value(raw, p)
+        if not isinstance(trailer, dict):
+            raise ValueError("PDF trailer is not a dictionary")
+        if "XRefStm" in trailer:
+            stm_pos = trailer["XRefStm"]
+            if not isinstance(stm_pos, int) or not \
+                    (0 <= stm_pos < len(raw)):
+                raise ValueError("PDF /XRefStm offset invalid")
+            self._read_xref_stream(_skip_ws(raw, stm_pos))
+        for num, off in local.items():
+            self.offsets.setdefault(num, off)
+        return trailer
+
+    def _read_xref_stream(self, pos: int) -> dict:
+        """Cross-reference STREAM (§7.5.8) at ``pos`` (``N G obj``).
+        Decodes the stream (FlateDecode + /DecodeParms predictors),
+        walks /Index subsections with /W field widths, and merges
+        type 0 (free → None), type 1 (byte offset) and type 2
+        (('objstm', container, index)) entries with first-seen-wins.
+        Returns the stream dictionary (it doubles as the trailer)."""
+        raw = self.raw
+        m = re.match(rb"(\d+)\s+(\d+)\s+obj", raw[pos:pos + 40])
+        if not m:
+            raise ValueError("PDF xref stream object header bad")
+        val, p = _parse_value(raw, pos + m.end())
+        if not isinstance(val, dict):
+            raise ValueError("PDF xref stream dict missing")
+        if self.resolve(val.get("Type")) != "XRef":
+            raise ValueError("PDF xref stream /Type is not /XRef")
+        p = _skip_ws(raw, p)
+        if raw[p:p + 6] != b"stream":
+            raise ValueError("PDF xref stream body missing")
+        p += 6
+        if raw[p:p + 2] == b"\r\n":
+            p += 2
+        elif raw[p:p + 1] in (b"\n", b"\r"):
+            p += 1
+        length = val.get("Length")
+        if not isinstance(length, int) or length < 0 \
+                or p + length > len(raw):
+            # /Length in an xref stream must be direct (§7.5.8.2) —
+            # references cannot be resolved before the xref exists
+            raise ValueError("PDF xref stream /Length invalid")
+        data = self.stream_data(("stream", val, raw[p:p + length]))
+        w = val.get("W")
+        size = val.get("Size")
+        if not (isinstance(w, list) and len(w) == 3
+                and all(isinstance(x, int) and 0 <= x <= 8 for x in w)
+                and sum(w) > 0):
+            raise ValueError("PDF xref stream /W invalid")
+        if not isinstance(size, int) or not \
+                (0 < size <= _MAX_OBJECTS):
+            raise ValueError("PDF xref stream /Size invalid")
+        index = val.get("Index", [0, size])
+        if not (isinstance(index, list) and len(index) % 2 == 0
+                and all(isinstance(x, int) and x >= 0 for x in index)):
+            raise ValueError("PDF xref stream /Index invalid")
+        ew = sum(w)
+        at = 0
+        for s in range(0, len(index), 2):
+            start, count = index[s], index[s + 1]
+            if count > _MAX_OBJECTS:
+                raise ValueError("PDF xref count exceeds bound")
+            for i in range(count):
+                ent = data[at:at + ew]
+                if len(ent) < ew:
+                    raise ValueError("truncated PDF xref stream entry")
+                at += ew
+                f = []
+                o = 0
+                for width in w:
+                    f.append(int.from_bytes(ent[o:o + width], "big"))
+                    o += width
+                etype = f[0] if w[0] else 1  # w1=0 → type defaults 1
+                num = start + i
+                if num in self.offsets:
+                    continue
+                if etype == 0:
+                    self.offsets[num] = None
+                elif etype == 1:
+                    self.offsets[num] = f[1]
+                elif etype == 2:
+                    self.offsets[num] = ("objstm", f[1], f[2])
+                # other types: reserved, treated as absent (§7.5.8.3)
+        return val
+
+    def _objstm_parse(self, stm_num: int, depth: int):
+        """Decode object stream ``stm_num`` once: returns the list of
+        (objnum, parse-offset) header pairs plus the decoded bytes;
+        cached — a 100-object /ObjStm inflates once, not per lookup."""
+        cached = self._objstm_cache.get(stm_num)
+        if cached is not None:
+            return cached
+        stm = self.resolve(_Ref(stm_num), depth + 1)
+        if not (isinstance(stm, tuple) and stm[0] == "stream"):
+            raise ValueError("PDF /ObjStm container is not a stream")
+        d = stm[1]
+        if self.resolve(d.get("Type")) != "ObjStm":
+            raise ValueError("PDF /ObjStm /Type invalid")
+        n = self.resolve(d.get("N"))
+        first = self.resolve(d.get("First"))
+        data = self.stream_data(stm)
+        if not isinstance(n, int) or not (0 < n <= _MAX_OBJECTS):
+            raise ValueError("PDF /ObjStm /N invalid")
+        if not isinstance(first, int) or not (0 <= first <= len(data)):
+            raise ValueError("PDF /ObjStm /First invalid")
+        pairs: "list[tuple[int, int]]" = []
+        hp = 0
+        for _ in range(n):
+            mh = re.match(rb"\s*(\d+)\s+(\d+)", data[hp:first])
+            if not mh:
+                raise ValueError("PDF /ObjStm header truncated")
+            pairs.append((int(mh.group(1)), int(mh.group(2))))
+            hp += mh.end()
+        out = (pairs, data, first)
+        self._objstm_cache[stm_num] = out
+        return out
+
+    def _resolve_in_objstm(self, num: int, stm_num: int, idx: int,
+                           depth: int):
+        pairs, data, first = self._objstm_parse(stm_num, depth)
+        if idx < len(pairs) and pairs[idx][0] == num:
+            objnum, rel = pairs[idx]
+        else:  # tolerate a stale index: find by object number
+            match = [pr for pr in pairs if pr[0] == num]
+            if not match:
+                raise ValueError(
+                    f"PDF object {num} not in /ObjStm {stm_num}")
+            objnum, rel = match[0]
+        if first + rel > len(data):
+            raise ValueError("PDF /ObjStm object offset out of range")
+        val, _ = _parse_value(data, first + rel)
+        # objects inside an /ObjStm cannot be streams (§7.5.7)
+        self._cache[num] = val
+        return val
+
     def resolve(self, v, depth: int = 0):
         if not isinstance(v, _Ref):
             return v
@@ -312,6 +461,9 @@ class _Document:
         if v.num in self._cache:
             return self._cache[v.num]
         off = self.offsets.get(v.num)
+        if isinstance(off, tuple):  # type-2 entry: lives in an /ObjStm
+            return self._resolve_in_objstm(v.num, off[1], off[2],
+                                           depth)
         if off is None or off >= len(self.raw):
             raise ValueError(f"PDF object {v.num} not in xref")
         m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj",
@@ -344,7 +496,10 @@ class _Document:
         if filt is None:
             return data
         filters = filt if isinstance(filt, list) else [filt]
-        for f in filters:
+        parms = self.resolve(d.get("DecodeParms"))
+        if not isinstance(parms, list):
+            parms = [parms] * len(filters)
+        for f, pm in zip(filters, parms):
             f = self.resolve(f)
             if f == "FlateDecode":
                 try:
@@ -355,9 +510,77 @@ class _Document:
                             "PDF stream exceeds decompression bound")
                 except zlib.error as e:
                     raise ValueError(f"PDF Flate error: {e}") from e
+                pm = self.resolve(pm)
+                if isinstance(pm, dict):
+                    data = self._unpredict(data, pm)
             else:
                 raise ValueError(f"PDF filter {f} unsupported")
         return data
+
+    def _unpredict(self, data: bytes, pm: dict) -> bytes:
+        """/DecodeParms row predictors (§7.4.4.4): 1 = none,
+        2 = TIFF horizontal differencing, >=10 = the PNG filter set
+        (each row led by its filter-type byte; Up is what xref
+        streams almost always use). bpp derives from /Colors and
+        /BitsPerComponent (both default 1 component × 8 bits)."""
+        pred = self.resolve(pm.get("Predictor", 1))
+        if pred in (None, 1):
+            return data
+        columns = self.resolve(pm.get("Columns", 1))
+        colors = self.resolve(pm.get("Colors", 1))
+        bpc = self.resolve(pm.get("BitsPerComponent", 8))
+        if not all(isinstance(x, int) for x in (pred, columns,
+                                                colors, bpc)) or \
+                columns <= 0 or not (0 < colors <= 32) or \
+                bpc not in (1, 2, 4, 8, 16):
+            raise ValueError("PDF /DecodeParms invalid")
+        bpp = max(1, colors * bpc // 8)
+        rowlen = (columns * colors * bpc + 7) // 8
+        if pred == 2:
+            if bpc != 8 or len(data) % rowlen:
+                raise ValueError("PDF TIFF predictor shape invalid")
+            out = bytearray(data)
+            for r in range(0, len(out), rowlen):
+                for i in range(r + bpp, r + rowlen):
+                    out[i] = (out[i] + out[i - bpp]) & 0xFF
+            return bytes(out)
+        if pred < 10:
+            raise ValueError(f"PDF predictor {pred} unsupported")
+        stride = rowlen + 1
+        if len(data) % stride:
+            raise ValueError("PDF PNG predictor shape invalid")
+        out = bytearray()
+        prev = bytearray(rowlen)
+        for r in range(0, len(data), stride):
+            ft = data[r]
+            row = bytearray(data[r + 1:r + stride])
+            if ft == 0:
+                pass
+            elif ft == 1:  # Sub
+                for i in range(bpp, rowlen):
+                    row[i] = (row[i] + row[i - bpp]) & 0xFF
+            elif ft == 2:  # Up
+                for i in range(rowlen):
+                    row[i] = (row[i] + prev[i]) & 0xFF
+            elif ft == 3:  # Average
+                for i in range(rowlen):
+                    left = row[i - bpp] if i >= bpp else 0
+                    row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+            elif ft == 4:  # Paeth
+                for i in range(rowlen):
+                    a = row[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else \
+                        (b if pb <= pc else c)
+                    row[i] = (row[i] + pr) & 0xFF
+            else:
+                raise ValueError(f"PNG filter type {ft} invalid")
+            out += row
+            prev = row
+        return bytes(out)
 
 
 _OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")

@@ -2889,6 +2889,10 @@ from .driver_queries_r10b import (  # noqa: E402
     ORACLES_R10B,
     QUERIES_R10B,
 )
+from .driver_queries_r11 import (  # noqa: E402
+    ORACLES_R11,
+    QUERIES_R11,
+)
 
 QUERIES.update(QUERIES_ENRICH)
 QUERIES.update(QUERIES_IDENTITY)
@@ -2902,6 +2906,7 @@ QUERIES.update(QUERIES_R8)
 QUERIES.update(QUERIES_R9)
 QUERIES.update(QUERIES_R10)
 QUERIES.update(QUERIES_R10B)
+QUERIES.update(QUERIES_R11)
 
 ORACLES: dict[str, str] = {
     "sessionize_flags": SQL_SESSIONIZE_FLAGS,
@@ -2983,6 +2988,7 @@ ORACLES.update(ORACLES_R8)
 ORACLES.update(ORACLES_R9)
 ORACLES.update(ORACLES_R10)
 ORACLES.update(ORACLES_R10B)
+ORACLES.update(ORACLES_R11)
 # fill the lsh_recall oracle template with the shared MinHash CTE chain
 # (defined above; kept in one copy so k/bands changes cannot diverge)
 from .driver_queries_analytics import (  # noqa: E402
@@ -3024,6 +3030,7 @@ _DRIVER_PRIORITY = [
     "boilerplate_fraction", "dataset_card", "event_anomalies",
     "session_paths", "shot_boundaries", "url_dedup", "markov_attribution",
     # (r11-new) registrations made during round 11 go here:
+    "pdf_text_xrefstream",
     # R11_NEW_MARKER
     # (queue) rows last driver-checked in r5 (50).
     "identity_stitching", "user_erasure", "phrase_search", "bootstrap_ci",

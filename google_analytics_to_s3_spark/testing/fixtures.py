@@ -4135,6 +4135,154 @@ def make_pdf(seed: int) -> bytes:
     return bytes(out)
 
 
+def make_pdf_xrefstream(seed: int) -> bytes:
+    """Serialize a REAL PDF 1.5 with the same planted text as
+    :func:`make_pdf` (same pages/words, so the oracle replay is
+    shared) but modern cross-reference plumbing: every non-stream
+    object (catalog, page tree, font, page dicts, page 0's indirect
+    /Length integer) is packed into a FlateDecode /ObjStm, the
+    content streams stay top-level, and the file ends in a cross-
+    reference STREAM (/Type /XRef) instead of a table. Variants:
+    /W is [1 3 1] on even seeds and [1 2 1] on odd; the xref stream
+    is raw on seed%3==0, PNG-Up-predicted (/Predictor 12) on
+    seed%3==1, PNG-Paeth-predicted (/Predictor 14) on seed%3==2;
+    /Index is split into two subsections on seed%5==0 (default [0
+    Size] otherwise). Live object count = 6 + 2*n_pages (make_pdf's
+    4+2n plus the /ObjStm container and the xref stream itself)."""
+    import zlib as _zlib
+
+    n_pages = 2 + seed % 3
+    len_obj = 4 + 2 * n_pages
+    stm_obj = len_obj + 1   # the /ObjStm container
+    xref_obj = len_obj + 2  # the /XRef stream
+    kids = " ".join(f"{4 + 2*p} 0 R" for p in range(n_pages))
+    packed: "list[tuple[int, bytes]]" = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+             ).encode()),
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    streams: dict[int, bytes] = {}
+    for p in range(n_pages):
+        nw = 5 + (seed + p) % 7
+        words = [f"w{pdf_word_value(seed, p, i)}" for i in range(nw)]
+        split = words[2]
+        lines = [
+            b"BT /F1 12 Tf 72 720 Td",
+            b"(" + " ".join(words[:2]).encode() + b") Tj",
+            b"0 -14 Td",
+            b"[(" + split[:2].encode() + b") -250 ("
+            + split[2:].encode() + b")] TJ",
+            b"(" + " ".join(words[3:]).encode() + b") '",
+        ]
+        if p == 0:
+            lines += [b"0 -14 Td", b"(A\\051B) Tj",
+                      b"0 -14 Td", b"<4858> Tj"]
+        lines.append(b"ET")
+        content = b"\n".join(lines)
+        if seed % 5 == 0:
+            filt, data = b"", content
+        else:
+            filt, data = b" /Filter /FlateDecode", \
+                _zlib.compress(content)
+        if p == 0:
+            packed.append((len_obj, str(len(data)).encode()))
+            hdr = (f"<< /Length {len_obj} 0 R".encode() + filt
+                   + b" >>")
+        else:
+            hdr = f"<< /Length {len(data)}".encode() + filt + b" >>"
+        streams[5 + 2 * p] = (hdr + b"\nstream\n" + data
+                              + b"\nendstream")
+        packed.append((4 + 2 * p, (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {5 + 2*p} 0 R >>").encode()))
+    packed.sort()
+    bodies = [b for _, b in packed]
+    rel = []
+    at = 0
+    for b in bodies:
+        rel.append(at)
+        at += len(b) + 1
+    header = " ".join(f"{num} {off}"
+                      for (num, _), off in zip(packed, rel)).encode()
+    header += b"\n"
+    objstm_payload = header + b"\n".join(bodies)
+    objstm_z = _zlib.compress(objstm_payload)
+    objstm = (
+        f"<< /Type /ObjStm /N {len(packed)} /First {len(header)} "
+        f"/Length {len(objstm_z)} /Filter /FlateDecode >>".encode()
+        + b"\nstream\n" + objstm_z + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(streams):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + streams[num] + b"\nendobj\n"
+    offsets[stm_obj] = len(out)
+    out += f"{stm_obj} 0 obj\n".encode() + objstm + b"\nendobj\n"
+    xref_off = len(out)
+    offsets[xref_obj] = xref_off
+
+    # xref entries for 0..xref_obj: [type, field2, field3]
+    idx_of = {num: i for i, (num, _) in enumerate(packed)}
+    entries: "list[tuple[int, int, int]]" = []
+    for num in range(xref_obj + 1):
+        if num == 0:
+            # gen 255 fits the 1-byte field-3 width of /W [1 3 1]
+            entries.append((0, 0, 255))
+        elif num in idx_of:
+            entries.append((2, stm_obj, idx_of[num]))
+        else:
+            entries.append((1, offsets[num], 0))
+    w = (1, 3, 1) if seed % 2 == 0 else (1, 2, 1)
+    rows = [b"".join(f.to_bytes(width, "big")
+                     for f, width in zip(e, w)) for e in entries]
+    size = xref_obj + 1
+    if seed % 5 == 0:
+        k = 2 + seed % 3
+        index = f" /Index [0 {k} {k} {size - k}]"
+    else:
+        index = ""
+    pred = seed % 3
+    rowlen = sum(w)
+    if pred == 0:
+        body = b"".join(rows)
+        parms = ""
+    else:
+        ft = 2 if pred == 1 else 4  # PNG Up / Paeth
+        body = bytearray()
+        prev = bytes(rowlen)
+        for row in rows:
+            enc = bytearray([ft])
+            for i in range(rowlen):
+                if ft == 2:
+                    pr = prev[i]
+                else:
+                    a = row[i - 1] if i >= 1 else 0
+                    b_ = prev[i]
+                    c = prev[i - 1] if i >= 1 else 0
+                    q = a + b_ - c
+                    pa, pb, pc = abs(q - a), abs(q - b_), abs(q - c)
+                    pr = a if pa <= pb and pa <= pc else \
+                        (b_ if pb <= pc else c)
+                enc.append((row[i] - pr) & 0xFF)
+            body += enc
+            prev = row
+        body = bytes(body)
+        parms = (f" /DecodeParms << /Predictor {10 + ft} "
+                 f"/Columns {rowlen} >>")
+    body_z = _zlib.compress(body)
+    xref_dict = (
+        f"<< /Type /XRef /Size {size} /Root 1 0 R{index} "
+        f"/W [{w[0]} {w[1]} {w[2]}]{parms} "
+        f"/Length {len(body_z)} /Filter /FlateDecode >>").encode()
+    out += (f"{xref_obj} 0 obj\n".encode() + xref_dict
+            + b"\nstream\n" + body_z + b"\nendstream\nendobj\n")
+    out += f"startxref\n{xref_off}\n%%EOF\n".encode()
+    return bytes(out)
+
+
 class _BitWriterLSB:
     """LSB-first bit writer (VP8L convention)."""
 
