@@ -19,11 +19,14 @@ training data. Real byte path, public structure only:
   feeds downstream (dedup, language ID, quality filters all operate
   on these rows).
 
-Honest gates (named ValueError, quarantined per payload by the Spark
-wrappers): versions other than WARC/0.17/0.18/1.0/1.1, chunked
-transfer encodings, records whose Content-Length overruns the file,
-and malformed header blocks. No WARC surface exists in the reference
-repo (beyond-reference LLM-pipeline surface, SURVEY §2.12).
+Chunked transfer-encoded response bodies decode for REAL as of r11
+(RFC 9112 §7.1: hex size lines with extensions, trailer fields,
+terminating blank line — malformed framing quarantines, never yields
+a silently-wrong body). Honest gates (named ValueError, quarantined
+per payload by the Spark wrappers): versions other than
+WARC/0.17/0.18/1.0/1.1, records whose Content-Length overruns the
+file, and malformed header blocks. No WARC surface exists in the
+reference repo (beyond-reference LLM-pipeline surface, SURVEY §2.12).
 """
 
 from __future__ import annotations
@@ -77,6 +80,46 @@ def _parse_headers(block: bytes) -> dict[str, str]:
         except UnicodeDecodeError as e:
             raise ValueError("non-ASCII header name") from e
     return headers
+
+
+def _dechunk(body: bytes) -> bytes:
+    """HTTP/1.1 chunked transfer decoding (RFC 9112 §7.1): each chunk
+    is ``<hex-size>[;ext]\\r\\n <data> \\r\\n``, terminated by a
+    zero-size chunk; trailer fields after the last chunk (through the
+    final blank line) are consumed and discarded. Truncated or
+    malformed framing is a named ValueError (quarantine), never a
+    silently-wrong body."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("chunked body: unterminated size line")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError as e:
+            raise ValueError("chunked body: bad chunk size") from e
+        if size < 0 or size > n:
+            raise ValueError("chunked body: chunk size out of range")
+        pos = eol + 2
+        if size == 0:
+            # trailer section: zero or more header lines, then CRLF
+            while True:
+                eol = body.find(b"\r\n", pos)
+                if eol < 0:
+                    raise ValueError(
+                        "chunked body: unterminated trailer")
+                if eol == pos:  # blank line ends the message
+                    return bytes(out)
+                pos = eol + 2
+        if pos + size + 2 > n:
+            raise ValueError("chunked body: chunk data truncated")
+        out += body[pos:pos + size]
+        if body[pos + size:pos + size + 2] != b"\r\n":
+            raise ValueError("chunked body: chunk CRLF missing")
+        pos += size + 2
 
 
 def parse_warc(raw: bytes) -> list[dict]:
@@ -133,12 +176,14 @@ def parse_warc(raw: bytes) -> list[dict]:
             except ValueError as e:
                 raise ValueError("non-numeric HTTP status") from e
             http_headers = _parse_headers(payload[line_end + 2:split])
-            if http_headers.get("transfer-encoding", "").lower() \
-                    == "chunked":
-                raise ValueError("chunked transfer encoding unsupported")
             rec["http_header_count"] = len(http_headers)
             rec["content_type"] = http_headers.get("content-type", "")
-            rec["body"] = payload[split + 4:]
+            body = payload[split + 4:]
+            te = http_headers.get("transfer-encoding", "").lower()
+            if "chunked" in te:
+                # RFC 9112 §7.1 — common in Common Crawl responses
+                body = _dechunk(body)
+            rec["body"] = body
         records.append(rec)
         pos = body_start + length
         if raw[pos:pos + 4] == b"\r\n\r\n":

@@ -3498,10 +3498,32 @@ def make_warc(seed: int) -> bytes:
         body = bytes((seed + 13 * i + j) % 256
                      for j in range(r["body_len"][i]))
         status = r["status"][i]
-        http = (f"HTTP/1.1 {status} X\r\n"
-                f"Content-Type: application/octet-stream\r\n"
-                f"Content-Length: {len(body)}\r\n\r\n"
-                ).encode() + body
+        if (seed + i) % 3 == 0:
+            # chunked transfer framing (RFC 9112 §7.1): split the
+            # planted body into 1-3 chunks (+ a chunk extension and a
+            # trailer field on some) — the decoder must recover the
+            # SAME bytes, so the oracle replay is unchanged
+            nch = 1 + (seed + i) % 3
+            cuts = sorted({(len(body) * k) // nch
+                           for k in range(1, nch)} | {0, len(body)})
+            wire = bytearray()
+            for a, b in zip(cuts, cuts[1:]):
+                ext = b";ext=1" if (seed + a) % 2 else b""
+                wire += (b"%x" % (b - a)) + ext + b"\r\n" \
+                    + body[a:b] + b"\r\n"
+            wire += b"0\r\n"
+            if i % 2:
+                wire += b"X-Trailer: t\r\n"
+            wire += b"\r\n"
+            http = (f"HTTP/1.1 {status} X\r\n"
+                    f"Content-Type: application/octet-stream\r\n"
+                    f"Transfer-Encoding: chunked\r\n\r\n"
+                    ).encode() + bytes(wire)
+        else:
+            http = (f"HTTP/1.1 {status} X\r\n"
+                    f"Content-Type: application/octet-stream\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n"
+                    ).encode() + body
         recs.append(record(
             "response", [("WARC-Target-URI", uri),
                          ("Content-Type",

@@ -59,14 +59,13 @@ class TestParse:
         patched = raw[:idx] + b"Content-Length: 99999" + raw[end:]
         with pytest.raises(ValueError, match="overruns"):
             parse_warc(bytes(patched))
-        # chunked transfer encoding
+        # chunked transfer encoding decodes for real (r11)
         body = (b"HTTP/1.1 200 X\r\nTransfer-Encoding: chunked\r\n"
                 b"\r\n0\r\n\r\n")
         rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
                + b"Content-Length: " + str(len(body)).encode()
                + b"\r\n\r\n" + body + b"\r\n\r\n")
-        with pytest.raises(ValueError, match="chunked"):
-            parse_warc(rec)
+        assert parse_warc(rec)[0]["body"] == b""
 
     def test_corruption_fuzz_bounded(self):
         import random
