@@ -3155,6 +3155,69 @@ def _packbits_decode(data: bytes, expect: int) -> bytes:
     return bytes(out)
 
 
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF 6.0 §13 LZW: codes packed MSB-first starting at 9 bits,
+    fixed clear=256/EOI=257, and the EARLY-CHANGE width bump (the
+    code width grows when the NEXT entry to be added would be
+    2^width - 1 — one code earlier than the GIF convention, which is
+    the whole reason this is a separate function from
+    :func:`_gif_lzw_decode`). Table semantics otherwise identical
+    (string table, KwKwK case, CLEAR resets)."""
+    clear, eoi = 256, 257
+    base = _lzw_base_table(clear)
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = 9
+    table: "list[bytes]" = list(base)
+    prev: "bytes | None" = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended before EOI")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == clear:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1  # early change: bump BEFORE code 2^w - 1
+        prev = entry
+        if len(out) > expected:
+            raise ValueError("LZW produced more bytes than the strip")
+    if len(out) != expected:
+        raise ValueError(
+            f"LZW produced {len(out)} bytes, expected {expected}")
+    return bytes(out)
+
+
+def _tiff_unpredict2(data: bytes, row_bytes: int, spp: int) -> bytes:
+    """TIFF Predictor 2 (horizontal differencing, 8-bit): add the
+    previous sample of the same channel within each row."""
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, row_bytes)
+    arr = np.cumsum(arr.reshape(arr.shape[0], -1, spp), axis=1,
+                    dtype=np.int64) % 256
+    return arr.astype(np.uint8).tobytes()
+
+
 def _parse_tiff(raw: bytes) -> "tuple[int, int, int, np.ndarray]":
     """Returns (width, height, channels, HxWxC uint8 raster)."""
     if len(raw) < 8:
@@ -3217,8 +3280,11 @@ def _parse_tiff(raw: bytes) -> "tuple[int, int, int, np.ndarray]":
         raise ValueError(f"TIFF bit depths {bits} unsupported (8 only)")
     if photo not in (1, 2):
         raise ValueError(f"TIFF photometric {photo} unsupported")
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError(f"TIFF compression {comp} unsupported")
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF predictor {predictor} unsupported")
     if spp not in (1, 3) or (photo == 2) != (spp == 3):
         raise ValueError("TIFF samples/photometric mismatch")
     if w <= 0 or h <= 0 or w * h > 50_000_000:
@@ -3235,9 +3301,14 @@ def _parse_tiff(raw: bytes) -> "tuple[int, int, int, np.ndarray]":
         data = raw[off:off + cnt]
         if comp == 32773:
             data = _packbits_decode(data, strip_rows * row_bytes)
+        elif comp == 5:
+            data = _tiff_lzw_decode(data, strip_rows * row_bytes)
         if len(data) < strip_rows * row_bytes:
             raise ValueError("TIFF strip shorter than its rows")
-        body += data[:strip_rows * row_bytes]
+        data = data[:strip_rows * row_bytes]
+        if predictor == 2:
+            data = _tiff_unpredict2(data, row_bytes, spp)
+        body += data
         rows_left -= strip_rows
     if rows_left != 0:
         raise ValueError("TIFF strips do not cover the image height")

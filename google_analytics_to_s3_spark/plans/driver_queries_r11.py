@@ -88,3 +88,71 @@ FROM e JOIN pw ON pw.event_id = e.event_id
 
 QUERIES_R11["pdf_text_xrefstream"] = q_pdf_text_xrefstream
 ORACLES_R11["pdf_text_xrefstream"] = _PDF_XREFSTREAM_ORACLE
+
+
+def q_tiff_decode_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF LZW decode driver-checked end-to-end (TIFF 6.0 §13):
+    per event a 40x9 TIFF — grayscale LE LZW + Predictor 2
+    (horizontal differencing, the libtiff default pairing) on even
+    ids, RGB BIG-endian LZW without predictor on odd — is serialized
+    by the real early-change MSB-first encoder
+    (testing/fixtures._tiff_lzw_encode) and inverted by
+    operators/multimodal._tiff_lzw_decode (early-change width bumps
+    pinned against the GIF convention in tests/test_r11_formats).
+    The oracle replays the planted sample rule exactly."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.multimodal import decode_tiff_meta
+    from ..testing.fixtures import make_tiff
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 4
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_tiff(int(i) % 1000, variant=4 + int(i) % 2,
+                              w=40, h=9)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_tiff_meta(payloads).drop("decode_error")
+
+
+_TIFF_LZW_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         CASE WHEN event_id % 2 = 1 THEN 3 ELSE 1 END AS spp
+  FROM events WHERE event_id % {_FLAC_MOD} = 4
+),
+px AS (
+  SELECT e.event_id,
+         (e.seed + 11*x.x + 17*y.y + 7*c.c) % 256 AS v
+  FROM e,
+       LATERAL (SELECT unnest(range(0, 9)) AS y) y,
+       LATERAL (SELECT unnest(range(0, 40)) AS x) x,
+       LATERAL (SELECT unnest(range(0, e.spp)) AS c) c
+)
+SELECT e.event_id AS doc_id,
+       CAST(40 AS INTEGER) AS width,
+       CAST(9 AS INTEGER) AS height,
+       CAST(e.spp AS INTEGER) AS channels,
+       CAST(sum(px.v) AS BIGINT) AS px_sum,
+       round(CAST(sum(px.v) AS DOUBLE) / (360.0 * e.spp), 6)
+           AS mean_px
+FROM e JOIN px ON px.event_id = e.event_id
+GROUP BY e.event_id, e.spp
+"""
+
+QUERIES_R11["tiff_decode_lzw"] = q_tiff_decode_lzw
+ORACLES_R11["tiff_decode_lzw"] = _TIFF_LZW_ORACLE

@@ -3368,16 +3368,72 @@ def _packbits_encode(row: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Real TIFF 6.0 §13 LZW encoder (fixture side): MSB-first code
+    packing from 9 bits, clear=256/EOI=257, EARLY-CHANGE width bumps
+    (switch after ADDING table entry 511/1023/2047 — TIFF spec: "you
+    must increase the code size if the code value you just added is
+    equal to 511, 1023 or 2047"), CLEAR re-emitted when the table
+    fills to 4094."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    emit(256)
+    omega = b""
+    for b in data:
+        cand = omega + bytes([b])
+        if cand in table:
+            omega = cand
+            continue
+        emit(table[omega])
+        table[cand] = nxt
+        if nxt in (511, 1023, 2047):
+            width += 1
+        nxt += 1
+        omega = bytes([b])
+        if nxt == 4094:
+            emit(table[omega])
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+            omega = b""
+    if omega:
+        emit(table[omega])
+    emit(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def make_tiff(seed: int, variant: int, w: int = 11, h: int = 7) -> bytes:
     """Serialize a REAL baseline TIFF per tiff_pixel_rule: variant 0 =
     grayscale uncompressed little-endian, 1 = RGB uncompressed
     BIG-endian, 2 = grayscale PackBits little-endian, 3 = RGB
-    PackBits big-endian. RowsPerStrip = 3 -> three strips, so strip
-    assembly is exercised; the MM variants exercise endian-aware
-    field reads throughout."""
-    bo = "big" if variant in (1, 3) else "little"
-    spp = 3 if variant in (1, 3) else 1
+    PackBits big-endian, 4 = grayscale LZW little-endian with
+    Predictor 2 (horizontal differencing — the libtiff default
+    pairing), 5 = RGB LZW BIG-endian without predictor.
+    RowsPerStrip = 3 -> three strips, so strip assembly is
+    exercised; the MM variants exercise endian-aware field reads
+    throughout."""
+    bo = "big" if variant in (1, 3, 5) else "little"
+    spp = 3 if variant in (1, 3, 5) else 1
     packed = variant in (2, 3)
+    lzw = variant in (4, 5)
+    pred2 = variant == 4
     rps = 3
 
     def b2(v):
@@ -3389,10 +3445,17 @@ def make_tiff(seed: int, variant: int, w: int = 11, h: int = 7) -> bytes:
     rows = [bytes(tiff_pixel_rule(seed, x, y, c)
                   for x in range(w) for c in range(spp))
             for y in range(h)]
+    if pred2:
+        rows = [bytes((r[i] - (r[i - spp] if i >= spp else 0)) & 0xFF
+                      for i in range(len(r))) for r in rows]
     strips = []
     for y0 in range(0, h, rps):
         data = b"".join(rows[y0:y0 + rps])
-        strips.append(_packbits_encode(data) if packed else data)
+        if packed:
+            data = _packbits_encode(data)
+        elif lzw:
+            data = _tiff_lzw_encode(data)
+        strips.append(data)
     n_strips = len(strips)
 
     def entry(tag, typ, count, value_bytes):
@@ -3400,7 +3463,7 @@ def make_tiff(seed: int, variant: int, w: int = 11, h: int = 7) -> bytes:
         return b2(tag) + b2(typ) + b4(count) + pad[:4]
 
     # layout: header(8) + IFD + [bits offset area][strip tables][strips]
-    n_entries = 10
+    n_entries = 11
     ifd_off = 8
     ifd_size = 2 + 12 * n_entries + 4
     extra_off = ifd_off + ifd_size
@@ -3438,13 +3501,14 @@ def make_tiff(seed: int, variant: int, w: int = 11, h: int = 7) -> bytes:
         entry(256, 3, 1, b2(w)),
         entry(257, 3, 1, b2(h)),
         bits_entry,
-        entry(259, 3, 1, b2(32773 if packed else 1)),
+        entry(259, 3, 1, b2(32773 if packed else (5 if lzw else 1))),
         entry(262, 3, 1, b2(2 if spp == 3 else 1)),
         entry(273, 4, n_strips, b4(offsets_off)),
         entry(277, 3, 1, b2(spp)),
         entry(278, 3, 1, b2(rps)),
         entry(279, 4, n_strips, b4(counts_off)),
         entry(284, 3, 1, b2(1)),
+        entry(317, 3, 1, b2(2 if pred2 else 1)),
     ])
     hdr = (b"II" if bo == "little" else b"MM") + b2(42) + b4(ifd_off)
     ifd = b2(n_entries) + entries + b4(0)

@@ -104,6 +104,7 @@ AUDITED_DOUBLE_COLUMNS = {
     # never land on a tie; expression verbatim-identical both engines
     'bmp_decode': ['mean_px'],
     'tiff_decode': ['mean_px'],
+    'tiff_decode_lzw': ['mean_px'],
     'jpeg_decode': ['mean_px'],
     'jpeg_decode_420': ['mean_px'],
     'jpeg_decode_progressive': ['mean_px'],

@@ -91,11 +91,10 @@ def test_pdf_xrefstream_bad_type_rejected():
         extract_pdf_text(bad)
 
 
-def test_pdf_objstm_missing_object_named_error():
-    # point a type-2 entry at an /ObjStm that doesn't contain it:
-    # corrupt the objstm header's first object number
-    raw = make_pdf_xrefstream(2)  # /W [1 3 1], no predictor... seed2: pred=2
-    # instead: oversized /First is a clean named error
+def test_pdf_objstm_bad_first_named_error():
+    # an /ObjStm whose /First points past the decoded data is a named
+    # quarantine, not a crash
+    raw = make_pdf_xrefstream(2)
     bad = re.sub(rb"/First \d+", b"/First 99999", raw)
     with pytest.raises(ValueError):
         extract_pdf_text(bad)
@@ -117,3 +116,75 @@ def test_pdf_xrefstream_corruption_never_crashes(seed, frac, mut):
         extract_pdf_text(bytes(raw))
     except ValueError:
         pass  # named quarantine is the contract; crashes are not
+
+
+# ---------------------------------------------------------- TIFF LZW
+
+from google_analytics_to_s3_spark.operators.multimodal import (  # noqa: E402
+    _parse_tiff,
+    _tiff_lzw_decode,
+)
+from google_analytics_to_s3_spark.testing.fixtures import (  # noqa: E402
+    _tiff_lzw_encode,
+    make_tiff,
+    tiff_pixel_rule,
+)
+
+
+def _pack_msb(codes, widths):
+    bits = "".join(format(c, f"0{w}b") for c, w in zip(codes, widths))
+    bits += "0" * (-len(bits) % 8)
+    return bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+
+
+def test_tiff_lzw_golden_bits_ababab():
+    # hand-derived code stream for b"ABABAB": CLEAR, A, B, AB, AB, EOI
+    # all at 9 bits, MSB-first — pins the packing convention
+    golden = _pack_msb([256, 65, 66, 258, 258, 257], [9] * 6)
+    assert _tiff_lzw_encode(b"ABABAB") == golden
+    assert _tiff_lzw_decode(golden, 6) == b"ABABAB"
+
+
+def test_tiff_lzw_early_change_is_load_bearing():
+    # data with no repeats grows the table by one entry per input
+    # byte; past 253 additions the encoder crosses the 511-entry
+    # early-change boundary. A GIF-convention decode (bump at 512)
+    # must FAIL on this stream while the TIFF decode inverts it.
+    import numpy as np
+    rng = np.random.RandomState(3)
+    data = bytes(rng.randint(0, 256, 1200, dtype=np.uint8))
+    enc = _tiff_lzw_encode(data)
+    assert _tiff_lzw_decode(enc, len(data)) == data
+    import pytest as _pt
+    from google_analytics_to_s3_spark.operators.multimodal import (
+        _gif_lzw_decode,
+    )
+    with _pt.raises(ValueError):
+        _gif_lzw_decode(8, enc, len(data))  # late-change misreads
+
+
+@pytest.mark.parametrize("variant", [4, 5])
+@pytest.mark.parametrize("seed", [0, 1, 7, 999])
+def test_tiff_lzw_variants_planted(seed, variant):
+    import numpy as np
+    w_, h_, c, px = _parse_tiff(make_tiff(seed, variant, w=40, h=9))
+    spp = 3 if variant == 5 else 1
+    assert (w_, h_, c) == (40, 9, spp)
+    exp = np.array([[[tiff_pixel_rule(seed, x, y, ch)
+                      for ch in range(spp)]
+                     for x in range(40)] for y in range(9)],
+                   dtype=np.uint8)
+    assert (px == exp).all()
+
+
+def test_tiff_lzw_truncation_and_overrun_named():
+    raw = make_tiff(5, 4)
+    from google_analytics_to_s3_spark.operators.multimodal import (
+        _tiff_lzw_decode as dec,
+    )
+    enc = _tiff_lzw_encode(b"hello world hello world")
+    with pytest.raises(ValueError):
+        dec(enc[:-3], 23)
+    with pytest.raises(ValueError):
+        dec(enc, 5)  # more bytes than expected
+    assert _parse_tiff(raw)[0] == 11
