@@ -38,14 +38,33 @@ side-info sizes, pinning the layout), the first scalefac_compress
 class (< 400: slen quadruple over (6,5,5,5) band groups) and the
 22.05 kHz Table B.2 band widths.
 
+WINDOW SWITCHING decodes as of r11 (closing the r10 verdict's
+short-block gate): the §2.4.1.7 side-info branch (block_type,
+mixed_block_flag, two table_selects, three subblock_gains, the
+dist10 implicit region rule region0_count = 8 pure-short else 7),
+short and mixed scalefactor layouts (§2.4.2.7 — long 0-7 then short
+(band, window) from band 3 for mixed; bands 0-11 x3 pure), the
+(sfb, window, position) spectral order with per-window requant
+exponents E = global_gain - 210 - 8*subblock_gain[w] -
+2*(scalefac_scale+1)*sf[b][w], and the full short synthesis chain:
+§2.4.3.4 reorder, mixed-block single-boundary alias reduction,
+windowed IMDCT-12 triplets overlapped at 6-sample offsets, and the
+start (1) / stop (3) block windows on the long IMDCT — all
+closed-form trig, DuckDB/pytest-replayable.
+
 Honestly gated (named ValueError, quarantined by the Spark wrapper —
 one bad payload never fails the batch): MPEG-2.5 headers, Layers
 I/II, free-form and reserved bitrates, CRC-protected frames,
-joint/dual-channel stereo, short/mixed blocks (window_switching),
-big-value Huffman tables other than 0/1 (the spec's other 30 code
-tables incl. the linbits ESC tables), count1 table A, LSF
-scalefac_compress classes >= 400 (intensity-oriented), and sfb-width
-tables for rates other than 44.1/22.05 kHz.
+joint/dual-channel stereo, LSF short blocks, big-value Huffman
+tables other than 0/1 (the spec's other 30 code tables incl. the
+linbits ESC tables), count1 table A (revisited in r11 per the
+verdict: the builder's best-recalled code lengths FAIL the Kraft
+completeness check, demonstrating corrupted memory — embedding an
+unverifiable reconstruction would decode planted fixtures while
+producing garbage on real streams, exactly the failure mode the
+Table B.3 polyphase-window policy exists to prevent, so the gate
+stands), LSF scalefac_compress classes >= 400 (intensity-oriented),
+and sfb-width tables for rates other than 44.1/22.05 kHz.
 
 Payloads are synthesized by testing/fixtures.make_mp3, which PLANTS
 deterministic integer spectra/scalefactors; the DuckDB oracle
@@ -143,6 +162,19 @@ for _wd in _SFB_WIDTHS_22050:
 assert _SFB_BOUNDS_22050[-1] == 576
 
 _SFB_BOUNDS = {44100: _SFB_BOUNDS_44100, 22050: _SFB_BOUNDS_22050}
+
+# Table B.8: SHORT-block scalefactor band boundaries at 44.1 kHz (in
+# per-window lines; 12 scalefactored bands + the rest region). The
+# structural self-checks mirror the long table's: boundaries are
+# strictly increasing, widths non-decreasing, and 3x the last bound
+# covers exactly the 576-line granule.
+_SFB_SHORT_44100 = [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106,
+                    136, 192]
+assert _SFB_SHORT_44100[-1] * 3 == 576
+assert all(b < a for b, a in zip(_SFB_SHORT_44100,
+                                 _SFB_SHORT_44100[1:]))
+
+_SFB_SHORT = {44100: _SFB_SHORT_44100}
 
 # Table B.6 pretab (preflag emphasis per band, bands 0-21).
 _PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3,
@@ -265,12 +297,33 @@ def _parse_side_info(b: bytes, nch: int, lsf: bool = False) -> dict:
             g["scalefac_compress"] = br.read(9 if lsf else 4)
             ws = br.read1()
             if ws:
-                raise ValueError(
-                    "window_switching (short/mixed blocks) unsupported"
-                )
-            g["table_select"] = [br.read(5) for _ in range(3)]
-            g["region0_count"] = br.read(4)
-            g["region1_count"] = br.read(3)
+                # §2.4.1.7 window-switching branch: block_type,
+                # mixed_block_flag, TWO table_selects, 3 subblock
+                # gains; region counts are implicit (dist10 rule:
+                # region0_count = 8 for pure short else 7, region1
+                # extends to the end of big_values).
+                if lsf:
+                    raise ValueError(
+                        "LSF short/mixed blocks unsupported")
+                bt = br.read(2)
+                if bt == 0:
+                    raise ValueError(
+                        "window_switching with block_type 0 invalid")
+                g["block_type"] = bt
+                g["mixed_block_flag"] = br.read1()
+                g["table_select"] = [br.read(5) for _ in range(2)] + [0]
+                g["subblock_gain"] = [br.read(3) for _ in range(3)]
+                pure_short = bt == 2 and not g["mixed_block_flag"]
+                g["region0_count"] = 8 if pure_short else 7
+                g["region1_count"] = 20 - g["region0_count"]
+            else:
+                g["block_type"] = 0
+                g["mixed_block_flag"] = 0
+                g["subblock_gain"] = [0, 0, 0]
+                g["table_select"] = [br.read(5) for _ in range(3)]
+                g["region0_count"] = br.read(4)
+                g["region1_count"] = br.read(3)
+            g["window_switching"] = ws
             g["preflag"] = 0 if lsf else br.read1()
             g["scalefac_scale"] = br.read1()
             g["count1table_select"] = br.read1()
@@ -306,6 +359,33 @@ def _read_scalefactors(br: _MBits, g: dict, scfsi_ch: list[int],
                 sf[b] = br.read(slen) if slen else 0
                 bits += slen
     return sf, bits
+
+
+def _read_scalefactors_short(br: _MBits, g: dict
+                             ) -> "tuple[list[int], list[list[int]], int]":
+    """Window-switching granule scalefactors (§2.4.2.7). Pure short
+    (block_type 2, mixed 0): short sfbs 0-5 at slen1 and 6-11 at
+    slen2, three windows each, in (sfb, window) transmission order.
+    Mixed: long sfbs 0-7 at slen1, then short sfbs 3-5 at slen1 and
+    6-11 at slen2 x3 (part2 = 17*slen1 + 18*slen2 bits, the spec's
+    mixed-block bit count). Returns (sf_long[8 or 0],
+    sf_short[12][3] with unused leading bands zero, bits)."""
+    slen1, slen2 = _SLEN[g["scalefac_compress"]]
+    mixed = g["mixed_block_flag"]
+    sf_long = [0] * (8 if mixed else 0)
+    sf_short = [[0, 0, 0] for _ in range(12)]
+    bits = 0
+    if mixed:
+        for b in range(8):
+            sf_long[b] = br.read(slen1) if slen1 else 0
+            bits += slen1
+    first_short = 3 if mixed else 0
+    for b in range(first_short, 12):
+        slen = slen1 if b < 6 else slen2
+        for w in range(3):
+            sf_short[b][w] = br.read(slen) if slen else 0
+            bits += slen
+    return sf_long, sf_short, bits
 
 
 def _read_scalefactors_lsf(br: _MBits, g: dict) -> tuple[list[int], int]:
@@ -381,7 +461,13 @@ def _decode_granule(br: _MBits, g: dict, scfsi_ch: list[int], gr: int,
     big_values / count1 Huffman spectrum, exactly part2_3_length
     bits. Returns integer features + the scalefactors (for scfsi)."""
     start = br.pos
-    if lsf:
+    short = g.get("window_switching") and g.get("block_type") == 2
+    sf_short: "list[list[int]] | None" = None
+    if short:
+        if gr == 1 and any(scfsi_ch):
+            raise ValueError("scfsi set for a short-block granule")
+        sf, sf_short, _sf_bits = _read_scalefactors_short(br, g)
+    elif lsf:
         sf, _sf_bits = _read_scalefactors_lsf(br, g)
     else:
         sf, _sf_bits = _read_scalefactors(br, g, scfsi_ch, gr, prev_sf)
@@ -391,11 +477,22 @@ def _decode_granule(br: _MBits, g: dict, scfsi_ch: list[int], gr: int,
             f"sfb width table for {rate} Hz not embedded"
             " (44.1/22.05 kHz only)"
         )
-    r0 = g["region0_count"] + 1
-    r1 = r0 + g["region1_count"] + 1
-    if r1 >= len(bounds):
-        raise ValueError("region counts exceed the sfb table")
-    region_end = (bounds[r0], bounds[r1], 576)
+    if short:
+        sbounds = _SFB_SHORT.get(rate)
+        if sbounds is None:
+            raise ValueError(
+                f"short sfb width table for {rate} Hz not embedded")
+    if short and not g["mixed_block_flag"]:
+        # dist10 region rule for pure short: region 0 ends at the
+        # third short sfb boundary (36 lines at 44.1 kHz), region 1
+        # runs to the end of big_values
+        region_end = (3 * sbounds[3], 576, 576)
+    else:
+        r0 = g["region0_count"] + 1
+        r1 = r0 + g["region1_count"] + 1
+        if r1 >= len(bounds):
+            raise ValueError("region counts exceed the sfb table")
+        region_end = (bounds[r0], min(bounds[r1], 576), 576)
     nlines = 2 * g["big_values"]
     spectrum = [0] * 576
     line = 0
@@ -431,27 +528,49 @@ def _decode_granule(br: _MBits, g: dict, scfsi_ch: list[int], gr: int,
     gg = g["global_gain"]
     mult = 2 * (g["scalefac_scale"] + 1)
     pre = g["preflag"]
+    sbg = g.get("subblock_gain", (0, 0, 0))
     exp_sum = 0
     abs_sum = 0
     signed_sum = 0
     nonzero = 0
     band = 0
+    mixed = short and g["mixed_block_flag"]
+    n_long = 36 if mixed else (0 if short else 576)
     for i in range(line):
-        while bounds[band + 1] <= i:
-            band += 1
         v = spectrum[i]
-        if v == 0:
-            continue
-        sfac = sf[band] if band < 21 else 0
-        e = (gg - 210) - mult * (sfac + pre * _PRETAB[band])
+        if short and i >= n_long:
+            if v == 0:
+                continue
+            # (sfb, window, position) transmission order: find the
+            # short band holding line i, then the window within it
+            sb_i = 0
+            while 3 * sbounds[sb_i + 1] <= i:
+                sb_i += 1
+            width = sbounds[sb_i + 1] - sbounds[sb_i]
+            w = (i - 3 * sbounds[sb_i]) // width
+            sfac = sf_short[sb_i][w] if sb_i < 12 else 0
+            e = (gg - 210) - 8 * sbg[w] - mult * sfac
+        else:
+            while bounds[band + 1] <= i:
+                band += 1
+            if v == 0:
+                continue
+            if mixed:
+                sfac = sf[band] if band < 8 else 0
+            else:
+                sfac = sf[band] if band < 21 else 0
+            e = (gg - 210) - mult * (sfac + pre * _PRETAB[band])
         sign = 1 if v > 0 else -1
         exp_sum += sign * e
         abs_sum += abs(v)
         signed_sum += v
         nonzero += 1
+    sf_total = sum(sf) + (
+        sum(x for row in sf_short for x in row) if short else 0)
     return {
         "sf": sf,
-        "sf_sum": sum(sf),
+        "sf_short": sf_short,
+        "sf_sum": sf_total,
         "abs_sum": abs_sum,
         "signed_sum": signed_sum,
         "count1_abs": count1_abs,
@@ -460,6 +579,9 @@ def _decode_granule(br: _MBits, g: dict, scfsi_ch: list[int], gr: int,
         "n_lines": line,
         "spectrum": spectrum,
         "gg": gg, "mult": mult, "pre": pre,
+        "block_type": g["block_type"],
+        "mixed": bool(mixed),
+        "sbg": list(sbg),
     }
 
 
@@ -525,7 +647,8 @@ def _walk_granules(raw: bytes):
                 d = _decode_granule(br, g, side["scfsi"][ch], gr,
                                     prev_sf[ch], hdr["rate"],
                                     lsf=hdr["lsf"])
-                prev_sf[ch] = d["sf"]
+                # short-block granules cannot seed scfsi sharing
+                prev_sf[ch] = None if d["block_type"] == 2 else d["sf"]
                 yield hdr, mdb if (gr, ch) == (0, 0) else 0, gr, ch, g, d
         n_frames += 1
         pos += hdr["frame_len"]
@@ -655,51 +778,128 @@ _ALIAS_CI = (-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142,
 _ALIAS_CS = tuple(1.0 / math.sqrt(1.0 + c * c) for c in _ALIAS_CI)
 _ALIAS_CA = tuple(c / math.sqrt(1.0 + c * c) for c in _ALIAS_CI)
 
-_IMDCT36 = None
-_IMDCT_WIN = None
+_IMDCT36 = {}
+_IMDCT12 = None
 
 
-def _imdct36_matrix():
-    """36x18 long-block IMDCT basis, window folded in:
-    A[i, k] = cos(pi/72 (2i+1+18)(2k+1)) * sin(pi/36 (i+1/2))."""
-    global _IMDCT36, _IMDCT_WIN
-    if _IMDCT36 is None:
+def _block_window(bt: int):
+    """§2.4.3.4 block windows over 36 samples: 0 = normal
+    sin(pi/36 (i+1/2)); 1 = start (long rise, flat, short fall,
+    zeros); 3 = stop (zeros, short rise, flat, long fall). All
+    closed-form trig."""
+    import numpy as np
+    i = np.arange(36.0)
+    if bt == 0:
+        return np.sin(math.pi / 36.0 * (i + 0.5))
+    if bt == 1:
+        w = np.sin(math.pi / 36.0 * (i + 0.5))
+        w[18:24] = 1.0
+        w[24:30] = np.sin(math.pi / 12.0 * (i[24:30] - 18.0 + 0.5))
+        w[30:] = 0.0
+        return w
+    if bt == 3:
+        w = np.sin(math.pi / 36.0 * (i + 0.5))
+        w[:6] = 0.0
+        w[6:12] = np.sin(math.pi / 12.0 * (i[6:12] - 6.0 + 0.5))
+        w[12:18] = 1.0
+        return w
+    raise ValueError(f"block window {bt} invalid")
+
+
+def _imdct36_matrix(bt: int = 0):
+    """36x18 IMDCT basis with the block window folded in:
+    A[i, k] = cos(pi/72 (2i+1+18)(2k+1)) * win_bt[i] — bt 0/1/3."""
+    A = _IMDCT36.get(bt)
+    if A is None:
         import numpy as np
         i = np.arange(36.0)[:, None]
         k = np.arange(18.0)[None, :]
-        _IMDCT_WIN = np.sin(math.pi / 36.0 * (np.arange(36.0) + 0.5))
-        _IMDCT36 = (np.cos(math.pi / 72.0 * (2 * i + 1 + 18) * (2 * k + 1))
-                    * _IMDCT_WIN[:, None])
-    return _IMDCT36
+        A = (np.cos(math.pi / 72.0 * (2 * i + 1 + 18) * (2 * k + 1))
+             * _block_window(bt)[:, None])
+        _IMDCT36[bt] = A
+    return A
+
+
+def _imdct12_matrix():
+    """12x6 short-block IMDCT basis, short window folded in:
+    B[p, m] = cos(pi/24 (2p+1+6)(2m+1)) * sin(pi/12 (p+1/2))."""
+    global _IMDCT12
+    if _IMDCT12 is None:
+        import numpy as np
+        p = np.arange(12.0)[:, None]
+        m = np.arange(6.0)[None, :]
+        _IMDCT12 = (np.cos(math.pi / 24.0 * (2 * p + 1 + 6) * (2 * m + 1))
+                    * np.sin(math.pi / 12.0 * (np.arange(12.0) + 0.5)
+                             )[:, None])
+    return _IMDCT12
+
+
+def _reorder_short(xr, mixed: bool):
+    """§2.4.3.4 short-block reorder: transmitted (sfb, window,
+    position) order -> (position-interleaved) order so each
+    subband's 18 lines read [w0m0 w1m0 w2m0 w0m1 ...] for the three
+    IMDCT-12s. Applies to every short region incl. the
+    un-scalefactored rest band; mixed blocks keep lines 0-35 long."""
+    out = xr.copy()
+    sb = _SFB_SHORT_44100
+    first = 3 if mixed else 0
+    for s in range(first, 13):
+        base = 3 * sb[s]
+        width = sb[s + 1] - sb[s]
+        for w in range(3):
+            for p in range(width):
+                out[base + p * 3 + w] = xr[base + w * width + p]
+    return out
 
 
 def _requantize(d: dict) -> "object":
     """xr = sign(is) |is|^(4/3) 2^(E/4) over the decoded lines
-    (§2.4.3.4), E the exact integer exponent parse_mp3 reports."""
+    (§2.4.3.4), E the exact integer exponent parse_mp3 reports —
+    short lines use the per-window exponent (subblock_gain + the
+    (sfb, window) scalefactor), long lines the band exponent."""
     import numpy as np
 
     xr = np.zeros(576)
     sf = d["sf"]
+    sf_short = d["sf_short"]
     gg, mult, pre = d["gg"], d["mult"], d["pre"]
+    sbg = d["sbg"]
+    short = d["block_type"] == 2
+    mixed = d["mixed"]
     bounds = _SFB_BOUNDS_44100
+    sbounds = _SFB_SHORT_44100
+    n_long = 36 if (short and mixed) else (0 if short else 576)
     band = 0
     for i in range(d["n_lines"]):
-        while bounds[band + 1] <= i:
-            band += 1
         v = d["spectrum"][i]
-        if v == 0:
-            continue
-        sfac = sf[band] if band < 21 else 0
-        e = (gg - 210) - mult * (sfac + pre * _PRETAB[band])
+        if short and i >= n_long:
+            if v == 0:
+                continue
+            sb_i = 0
+            while 3 * sbounds[sb_i + 1] <= i:
+                sb_i += 1
+            width = sbounds[sb_i + 1] - sbounds[sb_i]
+            w = (i - 3 * sbounds[sb_i]) // width
+            sfac = sf_short[sb_i][w] if sb_i < 12 else 0
+            e = (gg - 210) - 8 * sbg[w] - mult * sfac
+        else:
+            while bounds[band + 1] <= i:
+                band += 1
+            if v == 0:
+                continue
+            lim = 8 if mixed else 21
+            sfac = sf[band] if band < lim else 0
+            e = (gg - 210) - mult * (sfac + pre * _PRETAB[band])
         mag = float(abs(v)) ** (4.0 / 3.0) * 2.0 ** (e / 4.0)
         xr[i] = mag if v > 0 else -mag
     return xr
 
 
-def _alias_reduce(xr) -> None:
-    """§2.4.3.4 butterflies across each of the 31 long-block subband
-    boundaries, in place."""
-    for sb in range(1, 32):
+def _alias_reduce(xr, n_boundaries: int = 31) -> None:
+    """§2.4.3.4 butterflies across long-block subband boundaries, in
+    place. Long granules reduce all 31; mixed blocks only the one
+    boundary inside their two long subbands; pure short none."""
+    for sb in range(1, n_boundaries + 1):
         base = 18 * sb
         for i in range(8):
             a = xr[base - 1 - i]
@@ -719,7 +919,6 @@ def parse_mp3_synth(raw: bytes, grid: float = 1e4) -> dict:
     gates short/mixed blocks upstream)."""
     import numpy as np
 
-    A = _imdct36_matrix()
     first = None
     n_granules = 0
     prev: dict[int, object] = {}
@@ -732,8 +931,32 @@ def parse_mp3_synth(raw: bytes, grid: float = 1e4) -> dict:
         if first is None:
             first = hdr
         xr = _requantize(d)
-        _alias_reduce(xr)
-        z = (A @ xr.reshape(32, 18).T).T  # (32 subbands, 36 samples)
+        bt = d["block_type"]
+        short = bt == 2
+        mixed = d["mixed"]
+        if short:
+            xr = _reorder_short(xr, mixed)
+            if mixed:
+                _alias_reduce(xr, n_boundaries=1)
+        else:
+            _alias_reduce(xr)
+        if short:
+            # hybrid: mixed keeps subbands 0-1 long (normal window);
+            # short subbands run three windowed IMDCT-12s overlapped
+            # at 6-sample offsets into the 36-sample block
+            B = _imdct12_matrix()
+            z = np.zeros((32, 36))
+            first_sb = 2 if mixed else 0
+            if mixed:
+                A0 = _imdct36_matrix(0)
+                z[:2] = (A0 @ xr[:36].reshape(2, 18).T).T
+            blk = xr[18 * first_sb:].reshape(32 - first_sb, 6, 3)
+            for w in range(3):
+                s12 = blk[:, :, w] @ B.T  # (n_sb, 12)
+                z[first_sb:, 6 + 6 * w:18 + 6 * w] += s12
+        else:
+            A = _imdct36_matrix(bt)
+            z = (A @ xr.reshape(32, 18).T).T  # (32 sb, 36 samples)
         tail = prev.get(ch)
         if tail is None:
             tail = np.zeros((32, 18))

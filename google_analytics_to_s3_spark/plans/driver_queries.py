@@ -3030,7 +3030,7 @@ _DRIVER_PRIORITY = [
     "boilerplate_fraction", "dataset_card", "event_anomalies",
     "session_paths", "shot_boundaries", "url_dedup", "markov_attribution",
     # (r11-new) registrations made during round 11 go here:
-    "pdf_text_xrefstream", "tiff_decode_lzw",
+    "pdf_text_xrefstream", "tiff_decode_lzw", "mp3_decode_short",
     # R11_NEW_MARKER
     # (queue) rows last driver-checked in r5 (50).
     "identity_stitching", "user_erasure", "phrase_search", "bootstrap_ci",

@@ -156,3 +156,239 @@ GROUP BY e.event_id, e.spp
 
 QUERIES_R11["tiff_decode_lzw"] = q_tiff_decode_lzw
 ORACLES_R11["tiff_decode_lzw"] = _TIFF_LZW_ORACLE
+
+
+def q_mp3_decode_short(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 WINDOW SWITCHING driver-checked end-to-end (r11, closing
+    the r10 verdict's short-block gate): mono streams whose granules
+    follow the real encoder attack sequence long -> start -> short ->
+    stop (testing/fixtures.mp3_short_granule_rules; short granules
+    alternate pure and MIXED by seed, with planted subblock_gain,
+    (sfb, window) short scalefactors, the dist10 implicit region rule
+    and scfsi pinned to zero on short frames), decoded by the full
+    integer byte path (operators/mp3.py — side-info ws branch,
+    short/mixed scalefactor layouts, per-window requant exponents
+    E = gg - 210 - 8*subblock_gain[w] - mult*sf[b][w]). The DuckDB
+    oracle replays every planted rule in closed form incl. the
+    part2_3_length bit accounting and reservoir pointers, so a green
+    row proves the decoder inverts the window-switching encoder
+    bit-exactly. Half the payloads carry an ID3v2 tag."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.mp3 import decode_mp3_features
+    from ..testing.fixtures import make_mp3
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 5
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_mp3(int(i) % 1000,
+                             n_frames=2 + int(i) % 3,
+                             short=True,
+                             id3=int(i) % 2 == 0)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_mp3_features(payloads).drop("decode_error")
+
+
+def _mp3_short_oracle_sql() -> str:
+    """Closed-form replay of the make_mp3(short=True) planted rules
+    (mono, lane 5): block_type G%4, mixed = bt2 & (seed+f)%2,
+    short-band (sfb, window) mapping over the Table B.8 44.1 kHz
+    SHORT boundaries, per-window exponents with subblock_gain, the
+    dist10 implicit region rule (ws granules keep table 1 through
+    big_values; bt0 granules cut to table 0 at line 90), scfsi
+    sharing on long frames only, and the reservoir pointer sums."""
+    lb = [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90,
+          110, 134, 162, 196, 238, 288, 342, 418, 576]
+    sb = [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192]
+    lrows = ", ".join(f"({b}, {lb[b]}, {lb[b + 1]})"
+                      for b in range(22))
+    srows = ", ".join(
+        f"({s}, {3 * sb[s]}, {3 * sb[s + 1]}, {sb[s + 1] - sb[s]})"
+        for s in range(13))
+    return f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed, 2 + event_id % 3 AS nf
+  FROM events WHERE event_id % {_FLAC_MOD} = 5
+),
+lsfb(band, lo, hi) AS (VALUES {lrows}),
+ssfb(band, lo3, hi3, w3) AS (VALUES {srows}),
+g AS (
+  SELECT e.event_id, e.seed, e.nf, f.f, gr.gr,
+         (2*f.f + gr.gr) % 4 AS bt,
+         CASE WHEN (2*f.f + gr.gr) % 4 = 2
+                   AND (e.seed + f.f) % 2 = 1
+              THEN 1 ELSE 0 END AS mixed,
+         40 + (e.seed*3 + f.f*7 + gr.gr*11) % 16 AS bv,
+         120 + (e.seed*7 + f.f*13 + gr.gr*29) % 100 AS gg,
+         (e.seed + f.f + gr.gr) % 2 AS sfs,
+         2 + (e.seed + f.f + gr.gr) % 3 AS nq,
+         CASE WHEN f.f % 2 = 0 THEN (e.seed + f.f*3) % 16
+              ELSE 0 END AS scfsi
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.nf)) AS f) f,
+       LATERAL (SELECT unnest(range(0, 2)) AS gr) gr
+),
+-- long-band scalefactors for bt<>2 granules (scfsi sharing) and the
+-- 8 long bands of mixed granules
+sflong AS (
+  SELECT g.event_id, g.f, g.gr, s.band,
+         CASE WHEN g.bt <> 2 AND g.gr = 1 AND sh.shared = 1
+              THEN (g.seed + 3*s.band + 5*g.f) % 4
+              ELSE (g.seed + 3*s.band + 17*g.gr + 5*g.f) % 4
+              END AS sfac,
+         CASE WHEN g.bt <> 2 AND g.gr = 1 AND sh.shared = 1
+              THEN 0 ELSE 2 END AS txbits
+  FROM g, lsfb s,
+       LATERAL (SELECT CASE WHEN s.band < 6 THEN (g.scfsi // 8) % 2
+                            WHEN s.band < 11 THEN (g.scfsi // 4) % 2
+                            WHEN s.band < 16 THEN (g.scfsi // 2) % 2
+                            ELSE g.scfsi % 2 END AS shared) sh
+  WHERE (g.bt <> 2 AND s.band < 21)
+     OR (g.bt = 2 AND g.mixed = 1 AND s.band < 8)
+),
+-- short (band, window) scalefactors: bands 0-11 pure, 3-11 mixed
+sfshort AS (
+  SELECT g.event_id, g.f, g.gr, b.band, w.w,
+         (g.seed + 3*b.band + 5*w.w + 17*g.gr + 7*g.f) % 4 AS sfac
+  FROM g,
+       LATERAL (SELECT unnest(range(CASE WHEN g.mixed = 1 THEN 3
+                                         ELSE 0 END, 12)) AS band) b,
+       LATERAL (SELECT unnest(range(0, 3)) AS w) w
+  WHERE g.bt = 2
+),
+lines AS (
+  SELECT g.*, i.i,
+         ((g.seed + 5*g.f + 3*g.gr + 7*i.i) % 3) - 1 AS v, 0 AS is_c1
+  FROM g, LATERAL (SELECT unnest(range(0,
+         least(2*g.bv, CASE WHEN g.bt = 0 THEN 90 ELSE 576 END)))
+         AS i) i
+  UNION ALL
+  SELECT g.*, i.i,
+         ((g.seed + 11*g.f + 7*g.gr + 3*i.i) % 3) - 1, 1
+  FROM g, LATERAL (SELECT unnest(range(2*g.bv, 2*g.bv + 4*g.nq)) AS i) i
+),
+lv AS (
+  SELECT l.event_id, l.v, l.is_c1,
+    CASE WHEN l.bt = 2 AND (l.mixed = 0 OR l.i >= 36) THEN
+      (SELECT (l.gg - 210)
+              - 8*((l.seed + l.f + 2*l.gr
+                    + 3*((l.i - s.lo3) // s.w3)) % 8)
+              - 2*(l.sfs + 1)
+                * (SELECT COALESCE(max(ss.sfac), 0) FROM sfshort ss
+                    WHERE ss.event_id = l.event_id AND ss.f = l.f
+                      AND ss.gr = l.gr AND ss.band = s.band
+                      AND ss.w = (l.i - s.lo3) // s.w3)
+         FROM ssfb s WHERE l.i >= s.lo3 AND l.i < s.hi3)
+    ELSE
+      (SELECT (l.gg - 210) - 2*(l.sfs + 1)
+              * (SELECT COALESCE(max(sl.sfac), 0) FROM sflong sl
+                  WHERE sl.event_id = l.event_id AND sl.f = l.f
+                    AND sl.gr = l.gr AND sl.band = s.band)
+         FROM lsfb s WHERE l.i >= s.lo AND l.i < s.hi)
+    END AS e
+  FROM lines l WHERE l.v <> 0
+),
+pairbits AS (
+  SELECT g.event_id, g.f, g.gr,
+         sum(CASE WHEN p.x = 0 AND p.y = 0 THEN 1
+                  WHEN p.x = 1 AND p.y = 0 THEN 2
+                  ELSE 3 END + p.x + p.y) AS hb
+  FROM g,
+       LATERAL (SELECT unnest(range(0,
+          least(g.bv, CASE WHEN g.bt = 0 THEN 45 ELSE g.bv END)))
+          AS k) k,
+       LATERAL (SELECT
+         abs(((g.seed + 5*g.f + 3*g.gr + 14*k.k) % 3) - 1) AS x,
+         abs(((g.seed + 5*g.f + 3*g.gr + 14*k.k + 7) % 3) - 1) AS y
+       ) p
+  GROUP BY 1, 2, 3
+),
+granbits AS (
+  SELECT g.event_id, g.f, g.gr,
+         CASE WHEN g.bt = 2 AND g.mixed = 1 THEN 70
+              WHEN g.bt = 2 THEN 72
+              ELSE (SELECT sum(sl.txbits) FROM sflong sl
+                     WHERE sl.event_id = g.event_id AND sl.f = g.f
+                       AND sl.gr = g.gr) END
+         + pb.hb + 4*g.nq
+         + (SELECT COALESCE(sum(abs(l.v)), 0) FROM lines l
+             WHERE l.event_id = g.event_id AND l.f = g.f
+               AND l.gr = g.gr AND l.is_c1 = 1)
+         AS p23
+  FROM g JOIN pairbits pb
+    ON pb.event_id = g.event_id AND pb.f = g.f AND pb.gr = g.gr
+),
+framebits AS (
+  SELECT gb.event_id, gb.f, sum(gb.p23) AS bits
+  FROM granbits gb GROUP BY 1, 2
+),
+resv AS (
+  SELECT fb.event_id,
+         sum(CASE WHEN fb.f >= 1
+                  THEN least((fb.bits + 7) // 8,
+                             64 + (e.seed + 37*fb.f) % 128)
+                  ELSE 0 END) AS mdb
+  FROM framebits fb JOIN e ON e.event_id = fb.event_id
+  GROUP BY 1
+),
+agg AS (
+  SELECT l.event_id,
+         sum(abs(l.v)) AS abs_sum,
+         sum(l.v) AS signed_sum,
+         sum(CASE WHEN l.is_c1 = 1 THEN abs(l.v) ELSE 0 END) AS c1_abs,
+         sum(CASE WHEN l.v <> 0 THEN 1 ELSE 0 END) AS nonzero
+  FROM lines l GROUP BY 1
+),
+expo AS (
+  SELECT lv.event_id,
+         sum(CASE WHEN lv.v > 0 THEN lv.e ELSE -lv.e END) AS exp_sum
+  FROM lv GROUP BY 1
+),
+sfsum AS (
+  SELECT e.event_id,
+         COALESCE((SELECT sum(sl.sfac) FROM sflong sl
+                    WHERE sl.event_id = e.event_id), 0)
+         + COALESCE((SELECT sum(ss.sfac) FROM sfshort ss
+                    WHERE ss.event_id = e.event_id), 0) AS s
+  FROM e
+)
+SELECT e.event_id AS doc_id,
+       CAST(44100 AS INTEGER) AS sample_rate_hz,
+       CAST(160 AS INTEGER) AS bitrate_kbps,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(e.nf AS INTEGER) AS n_frames,
+       CAST((SELECT sum(g.bv) FROM g WHERE g.event_id = e.event_id)
+            AS BIGINT) AS big_values_sum,
+       CAST(a.abs_sum AS BIGINT) AS spectral_abs_sum,
+       CAST(a.signed_sum AS BIGINT) AS spectral_signed_sum,
+       CAST(a.c1_abs AS BIGINT) AS count1_abs_sum,
+       CAST(sfs.s AS BIGINT) AS scalefac_sum,
+       CAST(x.exp_sum AS BIGINT) AS requant_exp_sum,
+       CAST(a.nonzero AS BIGINT) AS nonzero_lines,
+       CAST(r.mdb AS BIGINT) AS reservoir_bytes,
+       CAST((SELECT sum(gb.p23) FROM granbits gb
+              WHERE gb.event_id = e.event_id) AS BIGINT) AS part23_bits
+FROM e JOIN agg a ON a.event_id = e.event_id
+       JOIN expo x ON x.event_id = e.event_id
+       JOIN resv r ON r.event_id = e.event_id
+       JOIN sfsum sfs ON sfs.event_id = e.event_id
+"""
+
+
+QUERIES_R11["mp3_decode_short"] = q_mp3_decode_short
+ORACLES_R11["mp3_decode_short"] = _mp3_short_oracle_sql()

@@ -2407,6 +2407,49 @@ def mp3_count1_rule(seed: int, f: int, gr: int, ch: int, i: int) -> int:
     return ((seed + 11 * f + 7 * gr + 3 * i + 5 * ch) % 3) - 1
 
 
+def mp3_short_block_type(f: int, gr: int) -> int:
+    """Planted window sequence: frames alternate (long, start) and
+    (short, stop) — the real encoder attack sequence
+    long -> start -> short -> stop -> long."""
+    return (2 * f + gr) % 4
+
+
+def mp3_short_granule_rules(seed: int, f: int, gr: int) -> dict:
+    """Planted per-granule parameters for make_mp3(short=True) —
+    window-switching streams (mono). Granule G = 2f+gr has
+    block_type G % 4 (0 long / 1 start / 2 short / 3 stop);
+    short granules are MIXED when (seed + f) % 2 == 1.
+    Spectrum: lines i in [0, 2*big_values) carry
+    mp3_spec_rule(seed, f, gr, 0, i) via Huffman table 1 (both
+    regions), then nq count1-B quadruples. Scalefactors
+    (scalefac_compress 9 -> slen 2,2): long bands use mp3_sf_rule,
+    short (band, window) use mp3_sf_short_rule; subblock_gain[w] =
+    (seed + f + 2gr + 3w) % 8. preflag 0 on every granule; scfsi 0
+    on frames containing a short granule."""
+    bt = mp3_short_block_type(f, gr)
+    return {
+        "block_type": bt,
+        "window_switching": 1 if bt else 0,
+        "mixed": 1 if bt == 2 and (seed + f) % 2 == 1 else 0,
+        "big_values": 40 + (seed * 3 + f * 7 + gr * 11) % 16,
+        "global_gain": 120 + (seed * 7 + f * 13 + gr * 29) % 100,
+        "scalefac_compress": 9,
+        "table_select": [1, 1, 0] if bt == 0 else [1, 1],
+        "region0_count": 8,
+        "region1_count": 3,
+        "preflag": 0,
+        "scalefac_scale": (seed + f + gr) % 2,
+        "subblock_gain": [(seed + f + 2 * gr + 3 * w) % 8
+                          for w in range(3)],
+        "nq": 2 + (seed + f + gr) % 3,
+    }
+
+
+def mp3_sf_short_rule(seed: int, f: int, gr: int, band: int,
+                      w: int) -> int:
+    return (seed + 3 * band + 5 * w + 17 * gr + 7 * f) % 4
+
+
 def mp3_synth_granule_rules(seed: int, f: int, gr: int) -> dict:
     """SPARSE planted granule for the synthesis driver query
     (mono): big_values = 18 so lines [0, 36) are table-1 coded, the
@@ -2442,24 +2485,46 @@ _MP3_SCFSI_GROUPS = [range(0, 6), range(6, 11), range(11, 16),
 
 def _mp3_write_granule(w: "_BitWriter", seed: int, f: int, gr: int,
                        ch: int, scfsi: "list[int]",
-                       synth: bool = False) -> int:
+                       synth: bool = False,
+                       short: bool = False) -> int:
     """Write one granule's main data (scalefactors + Huffman
     spectrum), returning the exact bit count (= part2_3_length)."""
-    if synth:
+    if short:
+        r = mp3_short_granule_rules(seed, f, gr)
+    elif synth:
         r = mp3_synth_granule_rules(seed, f, gr)
     else:
         r = mp3_granule_rules(seed, f, gr, ch)
     bits = 0
-    for group_i, bands in enumerate(_MP3_SCFSI_GROUPS):
-        if gr == 1 and scfsi[group_i]:
-            continue  # shared with granule 0: not transmitted
-        for b in bands:
-            w.write(mp3_sf_rule(seed, f, gr, ch, b), 2)
-            bits += 2
+    if short and r["block_type"] == 2:
+        # window-switching scalefactor layout (§2.4.2.7): mixed
+        # granules send long bands 0-7 then short (band, window)
+        # pairs from band 3; pure short sends bands 0-11 x3
+        if r["mixed"]:
+            for b in range(8):
+                w.write(mp3_sf_rule(seed, f, gr, ch, b), 2)
+                bits += 2
+            first = 3
+        else:
+            first = 0
+        for b in range(first, 12):
+            for win in range(3):
+                w.write(mp3_sf_short_rule(seed, f, gr, b, win), 2)
+                bits += 2
+    else:
+        for group_i, bands in enumerate(_MP3_SCFSI_GROUPS):
+            if gr == 1 and scfsi[group_i]:
+                continue  # shared with granule 0: not transmitted
+            for b in bands:
+                w.write(mp3_sf_rule(seed, f, gr, ch, b), 2)
+                bits += 2
     bv = r["big_values"]
+    # long planted rules code lines >= 90 with table 0 (region 2);
+    # window-switching granules keep table 1 through big_values
+    cutoff = 576 if (short and r["window_switching"]) else 90
     for k in range(bv):
         i0, i1 = 2 * k, 2 * k + 1
-        if i0 >= 90:
+        if i0 >= cutoff:
             break  # region 2 is Huffman table 0: zero pairs, no bits
         if synth:
             x = mp3_synth_spec_rule(seed, f, gr, i0)
@@ -2498,6 +2563,7 @@ def make_mp3(
     id3: bool = False,
     synth: bool = False,
     ms_stereo: bool = False,
+    short: bool = False,
 ) -> bytes:
     """Serialize a REAL MPEG-1 Layer III stream (ISO/IEC 11172-3):
     44.1 kHz, 160 kbit/s, mono (or LR stereo), long blocks, Huffman
@@ -2510,6 +2576,8 @@ def make_mp3(
     tag the decoder must skip."""
     if synth and stereo:
         raise ValueError("synth fixtures are mono")
+    if short and (stereo or synth):
+        raise ValueError("short-block fixtures are mono, non-synth")
     if ms_stereo and not stereo:
         raise ValueError("ms_stereo requires stereo=True")
     nch = 2 if stereo else 1
@@ -2520,13 +2588,17 @@ def make_mp3(
     for f in range(n_frames):
         w = _BitWriter()
         p_f = []
-        scfsi_f = [mp3_scfsi(seed, f, ch) for ch in range(nch)]
+        # scfsi must be 0 on frames containing a short-block granule
+        if short and f % 2 == 1:
+            scfsi_f = [[0, 0, 0, 0] for _ in range(nch)]
+        else:
+            scfsi_f = [mp3_scfsi(seed, f, ch) for ch in range(nch)]
         for gr in range(2):
             p_g = []
             for ch in range(nch):
                 p_g.append(
                     _mp3_write_granule(w, seed, f, gr, ch, scfsi_f[ch],
-                                       synth=synth)
+                                       synth=synth, short=short)
                 )
             p_f.append(p_g)
         part23.append(p_f)
@@ -2573,11 +2645,15 @@ def make_mp3(
         w.write(mdb[f], 9)
         w.write(0, 5 if nch == 1 else 3)  # private bits
         for ch in range(nch):
-            for bit in mp3_scfsi(seed, f, ch):
+            bits = ([0, 0, 0, 0] if short and f % 2 == 1
+                    else mp3_scfsi(seed, f, ch))
+            for bit in bits:
                 w.write(bit, 1)
         for gr in range(2):
             for ch in range(nch):
-                if synth:
+                if short:
+                    r = mp3_short_granule_rules(seed, f, gr)
+                elif synth:
                     r = mp3_synth_granule_rules(seed, f, gr)
                 else:
                     r = mp3_granule_rules(seed, f, gr, ch)
@@ -2585,11 +2661,20 @@ def make_mp3(
                 w.write(r["big_values"], 9)
                 w.write(r["global_gain"], 8)
                 w.write(r["scalefac_compress"], 4)
-                w.write(0, 1)  # window_switching: long blocks
-                for t in r["table_select"]:
-                    w.write(t, 5)
-                w.write(r["region0_count"], 4)
-                w.write(r["region1_count"], 3)
+                if short and r["window_switching"]:
+                    w.write(1, 1)  # window_switching
+                    w.write(r["block_type"], 2)
+                    w.write(r["mixed"], 1)
+                    for t in r["table_select"][:2]:
+                        w.write(t, 5)
+                    for sb_g in r["subblock_gain"]:
+                        w.write(sb_g, 3)
+                else:
+                    w.write(0, 1)  # window_switching: long blocks
+                    for t in r["table_select"]:
+                        w.write(t, 5)
+                    w.write(r["region0_count"], 4)
+                    w.write(r["region1_count"], 3)
                 w.write(r["preflag"], 1)
                 w.write(r["scalefac_scale"], 1)
                 w.write(1, 1)  # count1 table B

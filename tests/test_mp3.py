@@ -461,3 +461,188 @@ class TestMsStereo:
             ms = parse_mp3(make_mp3(seed, n_frames=2, stereo=True,
                                     ms_stereo=True))
             assert lr == ms
+
+
+# ------------------------------------------------------- window switching
+
+class TestShortBlocks:
+    """r11: window-switching streams (long -> start -> short -> stop)."""
+
+    def test_integer_path_inverts_planted_rules(self):
+        # independent closed-form replay of every feature column,
+        # mirroring the DuckDB oracle's accounting (incl. reservoir
+        # pointers, part2_3 bit counts and per-window exponents)
+        from google_analytics_to_s3_spark.operators.mp3 import (
+            _SFB_BOUNDS_44100 as LB,
+            _SFB_SHORT_44100 as SB,
+        )
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            mp3_count1_rule,
+            mp3_scfsi,
+            mp3_sf_rule,
+            mp3_sf_short_rule,
+            mp3_short_granule_rules,
+            mp3_spec_rule,
+        )
+
+        def long_band(i):
+            b = 0
+            while LB[b + 1] <= i:
+                b += 1
+            return b
+
+        def short_bw(i):
+            s = 0
+            while 3 * SB[s + 1] <= i:
+                s += 1
+            return s, (i - 3 * SB[s]) // (SB[s + 1] - SB[s])
+
+        def expo(seed, f, gr, r, sf_long, sf_short, i):
+            bt, mixed = r["block_type"], r["mixed"]
+            gg = r["global_gain"]
+            mult = 2 * (r["scalefac_scale"] + 1)
+            if bt == 2 and (not mixed or i >= 36):
+                s, w = short_bw(i)
+                sfac = sf_short.get((s, w), 0)
+                return gg - 210 - 8 * r["subblock_gain"][w] - mult * sfac
+            b = long_band(i)
+            lim = 8 if (bt == 2 and mixed) else 21
+            return gg - 210 - mult * (sf_long[b] if b < lim else 0)
+
+        for seed in (0, 1, 2, 3, 7, 50, 999):
+            nf = 2 + seed % 3
+            d = parse_mp3(make_mp3(seed, n_frames=nf, short=True,
+                                   id3=seed % 2 == 0))
+            exp_sum = abs_sum = nonzero = sf_sum = 0
+            for f in range(nf):
+                for gr in range(2):
+                    r = mp3_short_granule_rules(seed, f, gr)
+                    bt, mixed = r["block_type"], r["mixed"]
+                    scfsi = (mp3_scfsi(seed, f, 0) if f % 2 == 0
+                             else [0] * 4)
+                    if bt == 2:
+                        first = 3 if mixed else 0
+                        sf_long = [mp3_sf_rule(seed, f, gr, 0, b)
+                                   for b in range(8)] if mixed else []
+                        sf_short = {
+                            (b, w): mp3_sf_short_rule(seed, f, gr, b, w)
+                            for b in range(first, 12) for w in range(3)}
+                    else:
+                        groups = [range(0, 6), range(6, 11),
+                                  range(11, 16), range(16, 21)]
+                        sf_long = []
+                        for gi, bands in enumerate(groups):
+                            for b in bands:
+                                src_gr = 0 if (gr == 1
+                                               and scfsi[gi]) else gr
+                                sf_long.append(
+                                    mp3_sf_rule(seed, f, src_gr, 0, b))
+                        sf_short = {}
+                    sf_sum += sum(sf_long) + sum(sf_short.values())
+                    cutoff = 576 if r["window_switching"] else 90
+                    for i in range(min(2 * r["big_values"], cutoff)):
+                        v = mp3_spec_rule(seed, f, gr, 0, i)
+                        if v:
+                            abs_sum += abs(v)
+                            nonzero += 1
+                            e = expo(seed, f, gr, r, sf_long,
+                                     sf_short, i)
+                            exp_sum += e if v > 0 else -e
+                    line = 2 * r["big_values"]
+                    for _q in range(r["nq"]):
+                        for j in range(4):
+                            v = mp3_count1_rule(seed, f, gr, 0,
+                                                line + j)
+                            if v:
+                                abs_sum += 1
+                                nonzero += 1
+                                e = expo(seed, f, gr, r, sf_long,
+                                         sf_short, line + j)
+                                exp_sum += e if v > 0 else -e
+                        line += 4
+            assert d["requant_exp_sum"] == exp_sum, seed
+            assert d["spectral_abs_sum"] == abs_sum
+            assert d["nonzero_lines"] == nonzero
+            assert d["scalefac_sum"] == sf_sum
+
+    def test_short_synthesis_runs_and_is_finite(self):
+        from google_analytics_to_s3_spark.operators.mp3 import (
+            parse_mp3_synth,
+        )
+        for seed in (0, 1, 5, 12):
+            nf = 2 + seed % 3
+            s = parse_mp3_synth(make_mp3(seed, n_frames=nf, short=True))
+            assert s["n_granules"] == 2 * nf
+            assert s["n_sb_samples"] == 2 * nf * 32 * 18
+            assert s["sb_abs_grid_sum"] > 0
+
+    def test_imdct12_window_placement(self):
+        # spec semantics: after reorder, window w of subband sb only
+        # reaches output samples [6+6w, 18+6w) of that subband's
+        # 36-sample block — one-hot inputs pin the placement
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.mp3 import (
+            _imdct12_matrix,
+            _reorder_short,
+        )
+        B = _imdct12_matrix()
+        assert B.shape == (12, 6)
+        # one-hot transmitted line: short band 2 (width 4, lines
+        # 24-35 transmitted as w*4+p), window 1, position 2
+        xr = np.zeros(576)
+        xr[24 + 1 * 4 + 2] = 1.0
+        re = _reorder_short(xr, mixed=False)
+        # reorder target: base 24 + p*3 + w = 24 + 6 + 1 = 31
+        assert re[31] == 1.0 and re.sum() == 1.0
+        # line 31 = subband 1, index 13 = m*3+w -> m=4, w=1
+        blk = re[18:36].reshape(6, 3)
+        assert blk[4, 1] == 1.0
+        out = blk[:, 1] @ B.T  # window 1's 12 samples
+        assert np.abs(out).sum() > 0
+
+    def test_block_windows_match_spec_shapes(self):
+        import numpy as np
+
+        from google_analytics_to_s3_spark.operators.mp3 import (
+            _block_window,
+        )
+        w0, w1, w3 = (_block_window(b) for b in (0, 1, 3))
+        i = np.arange(36.0)
+        assert np.allclose(w0, np.sin(np.pi / 36 * (i + 0.5)))
+        # start: long rise, flat mid, short fall, zero tail
+        assert np.allclose(w1[:18], w0[:18])
+        assert np.allclose(w1[18:24], 1.0)
+        assert np.allclose(w1[30:], 0.0)
+        # stop: zero head, short rise, flat, long fall
+        assert np.allclose(w3[:6], 0.0)
+        assert np.allclose(w3[12:18], 1.0)
+        assert np.allclose(w3[18:], w0[18:])
+        # TDAC complementarity of the normal window
+        assert np.allclose(w0[:18] ** 2 + w0[18:] ** 2, 1.0)
+
+    def test_scfsi_with_short_granule_rejected(self):
+        raw = bytearray(make_mp3(2, n_frames=2, short=True,
+                                 reservoir=False))
+        # frame 1 holds the short granule; flip a scfsi bit in its
+        # side info (byte 4+1, bit layout: 9 mdb + 5 private + 4 scfsi)
+        flen = (144 * 160000) // 44100 + (2 + 0) % 2
+        off = flen + 4 + 1  # second frame, side-info byte 1
+        raw[off] ^= 0x02  # scfsi group 0 bit (bit 1 of byte 1)
+        with pytest.raises(ValueError):
+            parse_mp3(bytes(raw))
+
+    def test_lsf_short_blocks_gated(self):
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            make_mp3_lsf,
+        )
+        raw = bytearray(make_mp3_lsf(1))
+        # find first frame's side info and set window_switching: LSF
+        # granule layout: 8 mdb + 1 priv, then 12+9+8+9 = 38 bits,
+        # ws bit is bit 9+38 = 47 of the side info
+        hdr_end = 4
+        bitpos = 47
+        byte = hdr_end + bitpos // 8
+        raw[byte] ^= 0x80 >> (bitpos % 8)
+        with pytest.raises(ValueError):
+            parse_mp3(bytes(raw))
