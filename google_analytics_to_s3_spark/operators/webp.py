@@ -27,11 +27,15 @@ module implements the real VP8L byte path:
 - **Transforms** (applied in reverse read order): SUBTRACT_GREEN
   (full), PREDICTOR (all 14 modes incl. Select and the
   ClampAddSubtract pair, block-mapped via an entropy-coded predictor
-  subimage), COLOR_INDEXING for palettes of >= 17 entries
-  (delta-coded palette subimage; pixel-bundled small palettes and
-  COLOR_TRANSFORM are honest named gates).
-- Meta prefix codes (spatially varying code groups) are an honest
-  named gate; single-group images decode for real.
+  subimage), COLOR_TRANSFORM (r11 — per-block
+  ColorTransformElements, (int8 multiplier * int8 channel) >> 5
+  deltas, red restored before the red_to_blue term), and
+  COLOR_INDEXING for palettes of >= 17 entries (delta-coded palette
+  subimage; pixel-bundled small palettes remain an honest named
+  gate).
+- **Meta prefix codes** (r11): spatially varying prefix-code groups
+  via an entropy subimage ((red << 8) | green = group index, shared
+  color cache), selected per token start position.
 
 Untrusted-input discipline matches the other byte paths: resource
 bounds on dimensions/symbol counts, truncation checks in the bit
@@ -193,8 +197,12 @@ def _prefix_decode_extra(br: _BitsLSB, code: int) -> int:
 
 def _decode_image(br: _BitsLSB, w: int, h: int,
                   is_level0: bool) -> "list[int]":
-    """Decode one VP8L entropy-coded ARGB image (spatially uniform
-    prefix-code group). Returns a flat row-major list of ARGB ints."""
+    """Decode one VP8L entropy-coded ARGB image. Returns a flat
+    row-major list of ARGB ints. Supports META PREFIX CODES (r11):
+    at level 0 an entropy subimage may partition the canvas into
+    2^bits-sized blocks, each selecting its own 5-code prefix group
+    ((red << 8) | green of the subimage pixel is the group index);
+    the color cache is shared across groups per the spec."""
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
@@ -202,14 +210,29 @@ def _decode_image(br: _BitsLSB, w: int, h: int,
             raise ValueError("VP8L color cache bits invalid")
     # meta prefix bit follows the cache info (spec read order) and is
     # only present at level 0
+    meta = None
+    meta_bits = 0
+    meta_w = 0
+    n_groups = 1
     if is_level0 and br.read(1):
-        raise ValueError("VP8L meta prefix codes unsupported")
+        meta_bits = br.read(3) + 2
+        meta_w = (w + (1 << meta_bits) - 1) >> meta_bits
+        meta_h = (h + (1 << meta_bits) - 1) >> meta_bits
+        entropy = _decode_image(br, meta_w, meta_h, False)
+        meta = [(p >> 8) & 0xFFFF for p in entropy]
+        n_groups = max(meta) + 1
+        if n_groups > 1024:
+            raise ValueError("VP8L meta prefix group count exceeds bound")
     cache_size = (1 << cache_bits) if cache_bits else 0
-    green_code = _read_prefix_code(br, 256 + 24 + cache_size)
-    red_code = _read_prefix_code(br, 256)
-    blue_code = _read_prefix_code(br, 256)
-    alpha_code = _read_prefix_code(br, 256)
-    dist_code = _read_prefix_code(br, 40)
+    groups = []
+    for _gi in range(n_groups):
+        groups.append((
+            _read_prefix_code(br, 256 + 24 + cache_size),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 40),
+        ))
     cache = [0] * cache_size
     shift = 32 - cache_bits if cache_bits else 0
     n_px = w * h
@@ -220,6 +243,15 @@ def _decode_image(br: _BitsLSB, w: int, h: int,
             cache[(_CACHE_MULT * px & 0xFFFFFFFF) >> shift] = px
 
     while len(out) < n_px:
+        if meta is None:
+            green_code, red_code, blue_code, alpha_code, dist_code = \
+                groups[0]
+        else:
+            pos = len(out)
+            gx = (pos % w) >> meta_bits
+            gy = (pos // w) >> meta_bits
+            green_code, red_code, blue_code, alpha_code, dist_code = \
+                groups[meta[gy * meta_w + gx]]
         g = green_code.decode(br)
         if g < 256:
             r = red_code.decode(br)
@@ -402,8 +434,12 @@ def _parse_vp8l(data: bytes) -> "tuple[int, int, int, list[int]]":
             sub = _decode_image(br, bw, bh, False)
             transforms.append(("predictor", size_bits,
                                [(p >> 8) & 0xFF for p in sub]))
-        elif ttype == 1:
-            raise ValueError("VP8L color transform unsupported")
+        elif ttype == 1:  # COLOR_TRANSFORM
+            size_bits = br.read(3) + 2
+            bw = (w + (1 << size_bits) - 1) >> size_bits
+            bh = (h + (1 << size_bits) - 1) >> size_bits
+            sub = _decode_image(br, bw, bh, False)
+            transforms.append(("color", size_bits, sub))
         elif ttype == 2:  # SUBTRACT_GREEN
             transforms.append(("subtract_green",))
         else:  # COLOR_INDEXING
@@ -424,6 +460,8 @@ def _parse_vp8l(data: bytes) -> "tuple[int, int, int, list[int]]":
             px = [_restore_subtract_green(p) for p in px]
         elif t[0] == "predictor":
             px = _apply_predictor_inverse(px, w, h, t[1], t[2])
+        elif t[0] == "color":
+            px = _apply_color_inverse(px, w, h, t[1], t[2])
         else:
             palette = t[1]
             out = []
@@ -434,6 +472,41 @@ def _parse_vp8l(data: bytes) -> "tuple[int, int, int, list[int]]":
                 out.append(palette[idx])
             px = out
     return w, h, len(transforms), px
+
+
+def _i8(v: int) -> int:
+    """Signed 8-bit view of a channel byte (spec ColorTransformDelta
+    operates on int8 values; Python's >> on negatives is arithmetic,
+    matching C's signed shift)."""
+    return v - 256 if v >= 128 else v
+
+
+def _apply_color_inverse(px: "list[int]", w: int, h: int,
+                         size_bits: int,
+                         ctes: "list[int]") -> "list[int]":
+    """Inverse COLOR_TRANSFORM (VP8L spec / RFC 9649 §4.3): per
+    2^size_bits block, a ColorTransformElement pixel stores
+    green_to_red in its BLUE channel, green_to_blue in GREEN and
+    red_to_blue in RED; the decoder adds (int8(t) * int8(c)) >> 5
+    deltas — red first, then blue using the RESTORED red."""
+    bw = (w + (1 << size_bits) - 1) >> size_bits
+    out = px[:]
+    for y in range(h):
+        row = (y >> size_bits) * bw
+        for x in range(w):
+            i = y * w + x
+            cte = ctes[row + (x >> size_bits)]
+            g2r = _i8(cte & 0xFF)
+            g2b = _i8((cte >> 8) & 0xFF)
+            r2b = _i8((cte >> 16) & 0xFF)
+            p = out[i]
+            g = _i8((p >> 8) & 0xFF)
+            r = ((p >> 16) & 0xFF) + ((g2r * g) >> 5)
+            r &= 0xFF
+            b = (p & 0xFF) + ((g2b * g) >> 5) + ((r2b * _i8(r)) >> 5)
+            b &= 0xFF
+            out[i] = (p & 0xFF00FF00) | (r << 16) | b
+    return out
 
 
 def _restore_subtract_green(p: int) -> int:

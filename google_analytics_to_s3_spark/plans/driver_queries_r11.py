@@ -392,3 +392,80 @@ FROM e JOIN agg a ON a.event_id = e.event_id
 
 QUERIES_R11["mp3_decode_short"] = q_mp3_decode_short
 ORACLES_R11["mp3_decode_short"] = _mp3_short_oracle_sql()
+
+
+def q_webp_decode_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VP8L COLOR_TRANSFORM + META PREFIX CODES driver-checked (r11,
+    closing two of the r10 verdict's VP8L-corner gates): per event a
+    lossless stream from testing/fixtures.make_webp_ext — variant 0
+    applies the per-block color transform (planted
+    ColorTransformElement bytes, int8 delta math), variant 1 codes
+    the image with TWO spatially-varying prefix groups via an entropy
+    subimage, variant 2 chains COLOR_TRANSFORM with SUBTRACT_GREEN —
+    decoded by operators/webp.py and replayed per-pixel by the
+    shared webp_pixel_rule oracle (the transforms must invert to the
+    same planted raster as webp_decode)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.webp import decode_webp_meta
+    from ..testing.fixtures import make_webp_ext
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 6
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_webp_ext(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_webp_meta(payloads).drop("decode_error")
+
+
+_WEBP_EXT_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         10 + (event_id % 1000) % 9 AS w,
+         8 + (event_id % 1000) % 7 AS h,
+         (event_id % 1000) % 3 AS variant
+  FROM events WHERE event_id % {_FLAC_MOD} = 6
+),
+px AS (
+  SELECT e.event_id,
+           (e.seed + 11*x.x
+            + 17*(y.y - CASE WHEN y.y % 4 = 3 THEN 1 ELSE 0 END))
+           % 256
+         + (3*e.seed + 7*x.x
+            + 5*(y.y - CASE WHEN y.y % 4 = 3 THEN 1 ELSE 0 END))
+           % 256
+         + (e.seed
+            + 13*(y.y - CASE WHEN y.y % 4 = 3 THEN 1 ELSE 0 END)
+            + x.x // 3) % 256
+         AS v
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.h)) AS y) y,
+       LATERAL (SELECT unnest(range(0, e.w)) AS x) x
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.w AS INTEGER) AS width,
+       CAST(e.h AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS lossless,
+       CAST(CASE WHEN e.variant = 0 THEN 1
+                 WHEN e.variant = 1 THEN 0
+                 ELSE 2 END AS INTEGER) AS n_transforms,
+       CAST(p.s AS BIGINT) AS rgb_sum
+FROM e JOIN (SELECT event_id, sum(v) AS s FROM px GROUP BY 1) p
+  ON p.event_id = e.event_id
+"""
+
+QUERIES_R11["webp_decode_ext"] = q_webp_decode_ext
+ORACLES_R11["webp_decode_ext"] = _WEBP_EXT_ORACLE

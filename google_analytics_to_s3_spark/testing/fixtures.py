@@ -4692,6 +4692,171 @@ def _vp8l_write_image(bw: "_BitWriterLSB", pixels: list[int], w: int,
             bw.write_code_msb(code, ln)
 
 
+def _vp8l_write_image_meta(bw: "_BitWriterLSB", pixels: list[int],
+                           w: int, h: int, cache_bits: int,
+                           meta_bits: int) -> None:
+    """Serialize a level-0 entropy-coded image with META PREFIX
+    CODES: a 2-group entropy subimage (group = (bx + by) % 2), two
+    full 5-code prefix groups, and a token stream that switches
+    books by the block of each token's start position."""
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    bw.write(1, 1)  # meta prefix codes present
+    bw.write(meta_bits - 2, 3)
+    mw = (w + (1 << meta_bits) - 1) >> meta_bits
+    mh = (h + (1 << meta_bits) - 1) >> meta_bits
+    idx_px = [0xFF000000 | ((((bx + by) % 2) & 0xFF) << 8)
+              for by in range(mh) for bx in range(mw)]
+    _vp8l_write_image(bw, idx_px, mw, mh, False, 0, False)
+    toks = _vp8l_tokenize(pixels, w, h, cache_bits, True)
+    # assign each token to the prefix group of its START position
+    grouped: "list[tuple[int, tuple]]" = []
+    pos = 0
+    for t in toks:
+        y, x = divmod(pos, w)
+        grouped.append((((x >> meta_bits) + (y >> meta_bits)) % 2, t))
+        pos += t[1] if t[0] == "copy" else 1
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    books = []
+    for gi in range(2):
+        greens: set[int] = set()
+        reds: set[int] = set()
+        blues: set[int] = set()
+        alphas: set[int] = set()
+        dists: set[int] = set()
+        for g, t in grouped:
+            if g != gi:
+                continue
+            if t[0] == "lit":
+                px = t[1]
+                greens.add((px >> 8) & 0xFF)
+                reds.add((px >> 16) & 0xFF)
+                blues.add(px & 0xFF)
+                alphas.add((px >> 24) & 0xFF)
+            elif t[0] == "copy":
+                greens.add(256 + _vp8l_prefix_encode(t[1])[0])
+                dists.add(_vp8l_prefix_encode(t[2] + 120)[0])
+            else:
+                greens.add(280 + t[1])
+
+        def _code(symbols: set[int], alphabet: int) -> dict[int, tuple]:
+            syms = sorted(symbols) if symbols else [0]
+            lengths = {s: 1 for s in syms} if len(syms) == 1 \
+                else _vp8l_complete_code(syms)
+            return _vp8l_write_code(bw, lengths, alphabet)
+
+        books.append((
+            _code(greens, 256 + 24 + cache_size),
+            _code(reds, 256), _code(blues, 256), _code(alphas, 256),
+            _code(dists, 40),
+        ))
+    for g, t in grouped:
+        g_book, r_book, b_book, a_book, d_book = books[g]
+        if t[0] == "lit":
+            px = t[1]
+            for book, val in ((g_book, (px >> 8) & 0xFF),
+                              (r_book, (px >> 16) & 0xFF),
+                              (b_book, px & 0xFF),
+                              (a_book, (px >> 24) & 0xFF)):
+                code, ln = book[val]
+                bw.write_code_msb(code, ln)
+        elif t[0] == "copy":
+            lcode, lbits, lval = _vp8l_prefix_encode(t[1])
+            code, ln = g_book[256 + lcode]
+            bw.write_code_msb(code, ln)
+            bw.write(lval, lbits)
+            dcode, dbits, dval = _vp8l_prefix_encode(t[2] + 120)
+            code, ln = d_book[dcode]
+            bw.write_code_msb(code, ln)
+            bw.write(dval, dbits)
+        else:
+            code, ln = g_book[280 + t[1]]
+            bw.write_code_msb(code, ln)
+
+
+def webp_cte_rule(seed: int, bx: int, by: int) -> tuple[int, int, int]:
+    """Planted ColorTransformElement bytes (g2r, g2b, r2b) for
+    make_webp_ext blocks — interpreted as int8 by the transform."""
+    return ((seed + bx + 2 * by) % 256,
+            (3 * seed + 5 * bx + by) % 256,
+            (7 * seed + 3 * bx + 2 * by) % 256)
+
+
+def make_webp_ext(seed: int) -> bytes:
+    """VP8L streams exercising the r11 gates: variant seed%3 = 0
+    COLOR_TRANSFORM (4x4 blocks, planted webp_cte_rule elements), 1
+    META PREFIX CODES (two prefix groups over 4x4 blocks, group =
+    (bx+by)%2), 2 COLOR_TRANSFORM chained with SUBTRACT_GREEN
+    (stream order [COLOR, SG]; the decoder inverts SG first). Same
+    planted webp_pixel_rule raster as make_webp, so the oracle's
+    rgb_sum replay is shared; 6-bit color cache + row copies
+    throughout."""
+    from google_analytics_to_s3_spark.operators.webp import _i8
+
+    variant = seed % 3
+    w = 10 + seed % 9
+    h = 8 + seed % 7
+    bw = _BitWriterLSB()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    argb = [0xFF000000 | (r << 16) | (g << 8) | b
+            for y in range(h) for x in range(w)
+            for r, g, b in (webp_pixel_rule(seed, x, y),)]
+    coded = argb
+    if variant in (0, 2):  # COLOR_TRANSFORM forward
+        size_bits = 2
+        bwb = (w + 3) >> 2
+        bhb = (h + 3) >> 2
+        ctes = [webp_cte_rule(seed, bx, by)
+                for by in range(bhb) for bx in range(bwb)]
+        out = []
+        for i, p in enumerate(coded):
+            y, x = divmod(i, w)
+            g2r, g2b, r2b = ctes[(y >> 2) * bwb + (x >> 2)]
+            g8 = _i8((p >> 8) & 0xFF)
+            r = (p >> 16) & 0xFF
+            b = p & 0xFF
+            nr = (r - ((_i8(g2r) * g8) >> 5)) & 0xFF
+            nb = (b - ((_i8(g2b) * g8) >> 5)
+                  - ((_i8(r2b) * _i8(r)) >> 5)) & 0xFF
+            out.append((p & 0xFF00FF00) | (nr << 16) | nb)
+        coded = out
+        bw.write(1, 1)
+        bw.write(1, 2)  # COLOR_TRANSFORM
+        bw.write(size_bits - 2, 3)
+        cte_px = [0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+                  for g2r, g2b, r2b in ctes]
+        _vp8l_write_image(bw, cte_px, bwb, bhb, False, 0, False)
+    if variant == 2:  # SUBTRACT_GREEN on top (read after COLOR)
+        out = []
+        for p in coded:
+            g = (p >> 8) & 0xFF
+            r = (((p >> 16) & 0xFF) - g) & 0xFF
+            b = ((p & 0xFF) - g) & 0xFF
+            out.append((p & 0xFF00FF00) | (r << 16) | b)
+        coded = out
+        bw.write(1, 1)
+        bw.write(2, 2)  # SUBTRACT_GREEN
+    bw.write(0, 1)  # end of transforms
+    if variant == 1:
+        _vp8l_write_image_meta(bw, coded, w, h, cache_bits=6,
+                               meta_bits=2)
+    else:
+        _vp8l_write_image(bw, coded, w, h, True, 6, rowcopy=True)
+    payload = b"\x2f" + bw.tobytes()
+    chunks = bytearray(b"VP8L" + len(payload).to_bytes(4, "little")
+                       + payload)
+    if len(payload) & 1:
+        chunks += b"\x00"
+    return bytes(b"RIFF" + (4 + len(chunks)).to_bytes(4, "little")
+                 + b"WEBP" + chunks)
+
+
 def webp_pixel_rule(seed: int, x: int, y: int) -> tuple[int, int, int]:
     """Planted RGB for make_webp variants 0-2; rows with y%4==3
     duplicate the previous row (real LZ77 row copies)."""

@@ -452,7 +452,8 @@ def test_webp_vp8_lossy_header_parsed_and_gated():
 def test_webp_honest_gates_named():
     with pytest.raises(ValueError, match="RIFF header"):
         parse_webp(b"RIFX" + b"\x00" * 20)
-    # color transform (type 1) gate: craft header + transform bits
+    # pixel-bundled small-palette gate (color transform and meta
+    # prefix codes decode for real as of r11)
     from google_analytics_to_s3_spark.testing.fixtures import (
         _BitWriterLSB,
     )
@@ -463,12 +464,13 @@ def test_webp_honest_gates_named():
     bw.write(0, 1)
     bw.write(0, 3)
     bw.write(1, 1)
-    bw.write(1, 2)  # COLOR_TRANSFORM
+    bw.write(3, 2)  # COLOR_INDEXING
+    bw.write(3, 8)  # 4-entry palette -> pixel bundling
     payload = b"\x2f" + bw.tobytes() + b"\x00" * 8
     raw = (b"RIFF" + (4 + 8 + len(payload)).to_bytes(4, "little")
            + b"WEBP" + b"VP8L" + len(payload).to_bytes(4, "little")
            + payload)
-    with pytest.raises(ValueError, match="color transform"):
+    with pytest.raises(ValueError, match="bundled palette"):
         parse_webp(raw)
 
 

@@ -188,3 +188,50 @@ def test_tiff_lzw_truncation_and_overrun_named():
     with pytest.raises(ValueError):
         dec(enc, 5)  # more bytes than expected
     assert _parse_tiff(raw)[0] == 11
+
+
+# ------------------------------------------- VP8L color transform / meta
+
+from google_analytics_to_s3_spark.operators.webp import (  # noqa: E402
+    parse_webp,
+)
+from google_analytics_to_s3_spark.testing.fixtures import (  # noqa: E402
+    make_webp_ext,
+    webp_pixel_rule,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 30, 999])
+def test_webp_ext_per_pixel_exact(seed):
+    d = parse_webp(make_webp_ext(seed))
+    w, h = 10 + seed % 9, 8 + seed % 7
+    assert (d["width"], d["height"], d["lossless"]) == (w, h, 1)
+    for i, p in enumerate(d["pixels"]):
+        y, x = divmod(i, w)
+        assert ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF) \
+            == webp_pixel_rule(seed, x, y)
+
+
+def test_webp_color_inverse_int8_semantics():
+    # the delta is (int8 * int8) >> 5 with ARITHMETIC shift: a
+    # multiplier of 0x80 (-128) on green 0x7f (+127) adds
+    # (-16256 >> 5) = -508 -> wraps mod 256
+    from google_analytics_to_s3_spark.operators.webp import (
+        _apply_color_inverse,
+    )
+    px = [0xFF000000 | (10 << 16) | (0x7F << 8) | 20]
+    cte = [0xFF000000 | 0x80]  # g2r = -128, g2b = r2b = 0
+    out = _apply_color_inverse(px, 1, 1, 2, cte)
+    assert (out[0] >> 16) & 0xFF == (10 + ((-128 * 127) >> 5)) % 256
+
+
+def test_webp_meta_group_count_bound():
+    raw = make_webp_ext(1)  # variant 1: meta prefix stream
+    d = parse_webp(raw)
+    assert d["n_transforms"] == 0
+    # corrupting the stream never crashes (named quarantine)
+    for cut in (20, len(raw) // 2, len(raw) - 4):
+        try:
+            parse_webp(raw[:cut])
+        except ValueError:
+            pass
