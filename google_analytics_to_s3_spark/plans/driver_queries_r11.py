@@ -469,3 +469,110 @@ FROM e JOIN (SELECT event_id, sum(v) AS s FROM px GROUP BY 1) p
 
 QUERIES_R11["webp_decode_ext"] = q_webp_decode_ext
 ORACLES_R11["webp_decode_ext"] = _WEBP_EXT_ORACLE
+
+
+def q_mp3_decode_synth_short(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """SHORT-BLOCK MP3 synthesis driver-checked end-to-end (r11):
+    sparse pure-short granules (testing/fixtures.
+    mp3_synth_short_granule_rules — nonzero lines only at the three
+    (band 0, window w) slots that reorder to single IMDCT-12 inputs,
+    each a pure ±2^(E/4) with per-window subblock_gain/scalefactor
+    exponents) run the full short synthesis chain — §2.4.3.4
+    reorder, three windowed IMDCT-12s overlapped at 6-sample
+    offsets, inter-granule overlap-add — and the DuckDB oracle
+    recomputes EVERY subband-0 output sample with its own trig in
+    the same operation order (2-term IEEE sums are exactly
+    commutative; the 1000-seed margin sweep in tests/test_mp3.py
+    pins every sample > 2.9e-4 lattice units from a rounding
+    boundary)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.mp3 import decode_mp3_synth_features
+    from ..testing.fixtures import make_mp3
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 7
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_mp3(int(i) % 1000, n_frames=2 + int(i) % 3,
+                             synth_short=True)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_mp3_synth_features(payloads).drop("decode_error")
+
+
+_MP3_SYNTH_SHORT_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed, 2 + event_id % 3 AS nf
+  FROM events WHERE event_id % {_FLAC_MOD} = 7
+),
+gg AS (
+  SELECT e.event_id, e.seed, e.nf, G.G, G.G // 2 AS f, G.G % 2 AS gr
+  FROM e, LATERAL (SELECT unnest(range(0, 2*e.nf)) AS G) G
+),
+par AS (
+  SELECT gg.*, 198 + (seed*7 + f*13 + gr*29) % 12 AS g_gain,
+         2 * ((seed + f + gr) % 2 + 1) AS mult
+  FROM gg
+),
+-- the three planted (line, window, m) slots; every one is nonzero
+contrib AS (
+  SELECT par.event_id, par.G, c.w, c.m,
+         CASE WHEN (par.seed + par.f + par.gr + c.i) % 2 = 0
+              THEN 1.0 ELSE -1.0 END
+         * pow(2.0, (par.g_gain - 210
+                     - 8*((par.seed + par.f + 2*par.gr + 3*c.w) % 4)
+                     - par.mult
+                       * ((par.seed + 5*c.w + 17*par.gr
+                           + 7*par.f) % 4)) / 4.0) AS xr
+  FROM par, (VALUES (0, 0, 0), (5, 1, 1), (9, 2, 1)) c(i, w, m)
+),
+sv AS (
+  SELECT contrib.event_id, contrib.G, j.j,
+         sum(CASE WHEN j.j >= 6 + 6*contrib.w
+                   AND j.j < 18 + 6*contrib.w THEN
+             contrib.xr
+             * (cos(pi()/24.0*(2*(j.j - 6 - 6*contrib.w) + 7)
+                    *(2*contrib.m + 1))
+                * sin(pi()/12.0*((j.j - 6 - 6*contrib.w) + 0.5)))
+             ELSE 0.0 END) AS s
+  FROM contrib, LATERAL (SELECT unnest(range(0, 36)) AS j) j
+  GROUP BY 1, 2, 3
+),
+o AS (
+  SELECT cur.event_id,
+         CAST(floor((cur.s + COALESCE(pv.s, 0)) * 10000.0 + 0.5)
+              AS BIGINT) AS q
+  FROM sv cur LEFT JOIN sv pv
+    ON pv.event_id = cur.event_id AND pv.G = cur.G - 1
+   AND pv.j = cur.j + 18
+  WHERE cur.j < 18
+)
+SELECT e.event_id AS doc_id,
+       CAST(44100 AS BIGINT) AS sample_rate_hz,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(2*e.nf AS BIGINT) AS n_granules,
+       CAST(2*e.nf*32*18 AS BIGINT) AS n_sb_samples,
+       CAST(sum(o.q) AS BIGINT) AS sb_grid_sum,
+       CAST(sum(abs(o.q)) AS BIGINT) AS sb_abs_grid_sum,
+       CAST(max(abs(o.q)) AS BIGINT) AS sb_peak_grid
+FROM e JOIN o ON o.event_id = e.event_id
+GROUP BY e.event_id, e.nf
+"""
+
+QUERIES_R11["mp3_decode_synth_short"] = q_mp3_decode_synth_short
+ORACLES_R11["mp3_decode_synth_short"] = _MP3_SYNTH_SHORT_ORACLE

@@ -2478,6 +2478,42 @@ def mp3_synth_spec_rule(seed: int, f: int, gr: int, i: int) -> int:
     return 1 if (seed + f + gr + i // 9) % 2 == 0 else -1
 
 
+def mp3_synth_short_granule_rules(seed: int, f: int, gr: int) -> dict:
+    """SPARSE pure-short granule for the short-synthesis driver
+    query (mono): every granule is block_type 2 (no start/stop mix —
+    the windows are pinned separately by mp3_decode_short), the only
+    nonzero lines are i in {0, 5, 9} — transmitted (band 0, window
+    w, position p) slots (w0 p0), (w1 p1), (w2 p1), which reorder to
+    subband-0 inputs (m=0 w=0), (m=1 w=1), (m=1 w=2) — so each of
+    the three IMDCT-12s has exactly ONE input, a pure ±2^(E/4), and
+    the DuckDB oracle replays every output subband sample with its
+    own trig. global_gain pinned near 210; subblock gains %4 keep
+    |xr| well above the 1e-4 readout lattice."""
+    return {
+        "block_type": 2,
+        "window_switching": 1,
+        "mixed": 0,
+        "big_values": 6,
+        "global_gain": 198 + (seed * 7 + f * 13 + gr * 29) % 12,
+        "scalefac_compress": 9,
+        "table_select": [1, 1],
+        "region0_count": 8,
+        "region1_count": 3,
+        "preflag": 0,
+        "scalefac_scale": (seed + f + gr) % 2,
+        "subblock_gain": [(seed + f + 2 * gr + 3 * w) % 4
+                          for w in range(3)],
+        "nq": 0,
+    }
+
+
+def mp3_synth_short_spec_rule(seed: int, f: int, gr: int,
+                              i: int) -> int:
+    if i not in (0, 5, 9):
+        return 0
+    return 1 if (seed + f + gr + i) % 2 == 0 else -1
+
+
 _MP3_HUFF1 = {(0, 0): "1", (1, 0): "01", (0, 1): "001", (1, 1): "000"}
 _MP3_SCFSI_GROUPS = [range(0, 6), range(6, 11), range(11, 16),
                      range(16, 21)]
@@ -2486,17 +2522,20 @@ _MP3_SCFSI_GROUPS = [range(0, 6), range(6, 11), range(11, 16),
 def _mp3_write_granule(w: "_BitWriter", seed: int, f: int, gr: int,
                        ch: int, scfsi: "list[int]",
                        synth: bool = False,
-                       short: bool = False) -> int:
+                       short: bool = False,
+                       synth_short: bool = False) -> int:
     """Write one granule's main data (scalefactors + Huffman
     spectrum), returning the exact bit count (= part2_3_length)."""
-    if short:
+    if synth_short:
+        r = mp3_synth_short_granule_rules(seed, f, gr)
+    elif short:
         r = mp3_short_granule_rules(seed, f, gr)
     elif synth:
         r = mp3_synth_granule_rules(seed, f, gr)
     else:
         r = mp3_granule_rules(seed, f, gr, ch)
     bits = 0
-    if short and r["block_type"] == 2:
+    if (short or synth_short) and r["block_type"] == 2:
         # window-switching scalefactor layout (§2.4.2.7): mixed
         # granules send long bands 0-7 then short (band, window)
         # pairs from band 3; pure short sends bands 0-11 x3
@@ -2521,12 +2560,16 @@ def _mp3_write_granule(w: "_BitWriter", seed: int, f: int, gr: int,
     bv = r["big_values"]
     # long planted rules code lines >= 90 with table 0 (region 2);
     # window-switching granules keep table 1 through big_values
-    cutoff = 576 if (short and r["window_switching"]) else 90
+    cutoff = 576 if ((short or synth_short)
+                     and r["window_switching"]) else 90
     for k in range(bv):
         i0, i1 = 2 * k, 2 * k + 1
         if i0 >= cutoff:
             break  # region 2 is Huffman table 0: zero pairs, no bits
-        if synth:
+        if synth_short:
+            x = mp3_synth_short_spec_rule(seed, f, gr, i0)
+            y = mp3_synth_short_spec_rule(seed, f, gr, i1)
+        elif synth:
             x = mp3_synth_spec_rule(seed, f, gr, i0)
             y = mp3_synth_spec_rule(seed, f, gr, i1)
         else:
@@ -2564,6 +2607,7 @@ def make_mp3(
     synth: bool = False,
     ms_stereo: bool = False,
     short: bool = False,
+    synth_short: bool = False,
 ) -> bytes:
     """Serialize a REAL MPEG-1 Layer III stream (ISO/IEC 11172-3):
     44.1 kHz, 160 kbit/s, mono (or LR stereo), long blocks, Huffman
@@ -2576,7 +2620,7 @@ def make_mp3(
     tag the decoder must skip."""
     if synth and stereo:
         raise ValueError("synth fixtures are mono")
-    if short and (stereo or synth):
+    if (short or synth_short) and (stereo or synth):
         raise ValueError("short-block fixtures are mono, non-synth")
     if ms_stereo and not stereo:
         raise ValueError("ms_stereo requires stereo=True")
@@ -2589,7 +2633,7 @@ def make_mp3(
         w = _BitWriter()
         p_f = []
         # scfsi must be 0 on frames containing a short-block granule
-        if short and f % 2 == 1:
+        if synth_short or (short and f % 2 == 1):
             scfsi_f = [[0, 0, 0, 0] for _ in range(nch)]
         else:
             scfsi_f = [mp3_scfsi(seed, f, ch) for ch in range(nch)]
@@ -2598,7 +2642,8 @@ def make_mp3(
             for ch in range(nch):
                 p_g.append(
                     _mp3_write_granule(w, seed, f, gr, ch, scfsi_f[ch],
-                                       synth=synth, short=short)
+                                       synth=synth, short=short,
+                                       synth_short=synth_short)
                 )
             p_f.append(p_g)
         part23.append(p_f)
@@ -2645,13 +2690,16 @@ def make_mp3(
         w.write(mdb[f], 9)
         w.write(0, 5 if nch == 1 else 3)  # private bits
         for ch in range(nch):
-            bits = ([0, 0, 0, 0] if short and f % 2 == 1
+            bits = ([0, 0, 0, 0]
+                    if synth_short or (short and f % 2 == 1)
                     else mp3_scfsi(seed, f, ch))
             for bit in bits:
                 w.write(bit, 1)
         for gr in range(2):
             for ch in range(nch):
-                if short:
+                if synth_short:
+                    r = mp3_synth_short_granule_rules(seed, f, gr)
+                elif short:
                     r = mp3_short_granule_rules(seed, f, gr)
                 elif synth:
                     r = mp3_synth_granule_rules(seed, f, gr)
@@ -2661,7 +2709,7 @@ def make_mp3(
                 w.write(r["big_values"], 9)
                 w.write(r["global_gain"], 8)
                 w.write(r["scalefac_compress"], 4)
-                if short and r["window_switching"]:
+                if (short or synth_short) and r["window_switching"]:
                     w.write(1, 1)  # window_switching
                     w.write(r["block_type"], 2)
                     w.write(r["mixed"], 1)

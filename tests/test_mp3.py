@@ -646,3 +646,60 @@ class TestShortBlocks:
         raw[byte] ^= 0x80 >> (bitpos % 8)
         with pytest.raises(ValueError):
             parse_mp3(bytes(raw))
+
+
+class TestSynthShort:
+    """Sparse pure-short synthesis fixtures (mp3_decode_synth_short)."""
+
+    def test_replay_and_margin_sweep(self):
+        # independent trig replay of every subband-0 sample + margin
+        # sweep: every reachable sample must sit clear of the 1e-4
+        # lattice rounding boundary (same discipline as the long
+        # synth fixture's sweep)
+        import math
+
+        from google_analytics_to_s3_spark.testing.fixtures import (
+            mp3_sf_short_rule,
+            mp3_synth_short_granule_rules,
+            mp3_synth_short_spec_rule,
+        )
+        from google_analytics_to_s3_spark.operators.mp3 import (
+            parse_mp3_synth,
+        )
+        LINE_WM = {0: (0, 0), 5: (1, 1), 9: (2, 1)}
+        min_margin = 1.0
+        for seed in range(0, 1000, 7):
+            nf = 2 + seed % 3
+            d = parse_mp3_synth(make_mp3(seed, n_frames=nf,
+                                         synth_short=True))
+            tails = [0.0] * 36
+            gs = ags = peak = 0
+            for G in range(2 * nf):
+                f, gr = divmod(G, 2)
+                r = mp3_synth_short_granule_rules(seed, f, gr)
+                mult = 2 * (r["scalefac_scale"] + 1)
+                z = [0.0] * 36
+                for i, (w, m) in LINE_WM.items():
+                    v = mp3_synth_short_spec_rule(seed, f, gr, i)
+                    sfac = mp3_sf_short_rule(seed, f, gr, 0, w)
+                    E = (r["global_gain"] - 210
+                         - 8 * r["subblock_gain"][w] - mult * sfac)
+                    xr = (1.0 if v > 0 else -1.0) * 2.0 ** (E / 4.0)
+                    for p in range(12):
+                        z[6 + 6 * w + p] += xr * (
+                            math.cos(math.pi / 24.0 * (2 * p + 7)
+                                     * (2 * m + 1))
+                            * math.sin(math.pi / 12.0 * (p + 0.5)))
+                for i in range(18):
+                    x = (z[i] + tails[18 + i]) * 1e4
+                    q = math.floor(x + 0.5)
+                    gs += q
+                    ags += abs(q)
+                    peak = max(peak, abs(q))
+                    min_margin = min(
+                        min_margin,
+                        abs((x + 0.5) - round(x + 0.5)))
+                tails = z
+            assert (d["sb_grid_sum"], d["sb_abs_grid_sum"],
+                    d["sb_peak_grid"]) == (gs, ags, peak), seed
+        assert min_margin > 1e-4, min_margin
