@@ -13,9 +13,12 @@ implements the real byte path, not a metadata stub:
   escapes), literal strings (octal escapes, nested parens, line
   continuations), hex strings, numbers, booleans, null, and
   ``n g R`` indirect references resolved through the xref;
-- **streams**: ``/Length`` (direct or indirect), ``/Filter
-  /FlateDecode`` via zlib (raw streams pass through); other filters
-  are honest named gates;
+- **streams**: ``/Length`` (direct or indirect); filters
+  FlateDecode (zlib), LZWDecode (r11 — the TIFF §13 algorithm with
+  /EarlyChange 0/1), ASCIIHexDecode, ASCII85Decode and
+  RunLengthDecode, chained per the /Filter array, with /DecodeParms
+  predictors after Flate/LZW; raw streams pass through; remaining
+  filters (DCT/JBIG2/JPX/CCITT/Crypt) are honest named gates;
 - **page tree**: ``/Pages`` → ``/Kids`` recursion (inner nodes
   allowed), per-page ``/Contents`` as a single stream or an array;
 - **text operators**: ``BT``/``ET``, ``Tj``, ``TJ`` (array elements
@@ -236,6 +239,131 @@ def _parse_value(data: bytes, pos: int, depth: int = 0):
                 return _Ref(int(tok)), la2 + 1
         return int(tok), end
     return float(tok), end
+
+
+def _pdf_lzw_decode(data: bytes, early: int) -> bytes:
+    """§7.4.4 LZWDecode: MSB-first codes from 9 bits, clear 256 /
+    EOD 257 — the TIFF §13 algorithm. /EarlyChange 1 (default) bumps
+    the code width when the NEXT entry would be 2^width - 1; 0 bumps
+    one code later (the GIF convention)."""
+    clear, eod = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    acc = nbits = pos = 0
+    width = 9
+    table = list(base)
+    prev: "bytes | None" = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("PDF LZW stream ended before EOD")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == clear:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == eod:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"PDF LZW code {code} out of range")
+        out.extend(entry)
+        if len(out) > _MAX_DECOMPRESSED:
+            raise ValueError("PDF LZW exceeds decompression bound")
+        if prev is not None:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) - (1 if early else 0) \
+                and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """§7.4.2: hex pairs, whitespace ignored, '>' is EOD, an odd
+    final digit implies a trailing 0."""
+    end = data.find(b">")
+    hx = re.sub(rb"[\x00\t\n\x0c\r ]", b"",
+                data[:end if end >= 0 else len(data)])
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as e:
+        raise ValueError("PDF ASCIIHex invalid digit") from e
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """§7.4.3: base-85 groups of 5 chars ('!'..'u') -> 4 bytes, 'z'
+    = four zero bytes at a group boundary, '~>' EOD, partial final
+    group of n chars -> n-1 bytes."""
+    end = data.find(b"~>")
+    body = re.sub(rb"[\x00\t\n\x0c\r ]", b"",
+                  data[:end if end >= 0 else len(data)])
+    out = bytearray()
+    group: list[int] = []
+    for c in body:
+        if c == 0x7A:  # 'z'
+            if group:
+                raise ValueError("PDF ASCII85 'z' inside a group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise ValueError("PDF ASCII85 character out of range")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for d in group:
+                v = v * 85 + d
+            if v > 0xFFFFFFFF:
+                raise ValueError("PDF ASCII85 group overflows")
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("PDF ASCII85 single trailing character")
+        n = len(group)
+        v = 0
+        for d in group + [84] * (5 - n):
+            v = v * 85 + d
+        if v > 0xFFFFFFFF:
+            raise ValueError("PDF ASCII85 group overflows")
+        out += v.to_bytes(4, "big")[:n - 1]
+    return bytes(out)
+
+
+def _run_length_decode(data: bytes) -> bytes:
+    """§7.4.5: length byte 0-127 copies the next L+1 bytes; 129-255
+    repeats the next byte 257-L times; 128 is EOD."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        ln = data[pos]
+        pos += 1
+        if ln == 128:
+            return bytes(out)
+        if ln < 128:
+            if pos + ln + 1 > len(data):
+                raise ValueError("PDF RunLength literal truncated")
+            out += data[pos:pos + ln + 1]
+            pos += ln + 1
+        else:
+            if pos >= len(data):
+                raise ValueError("PDF RunLength repeat truncated")
+            out += bytes([data[pos]]) * (257 - ln)
+            pos += 1
+        if len(out) > _MAX_DECOMPRESSED:
+            raise ValueError("PDF RunLength exceeds bound")
+    raise ValueError("PDF RunLength stream ended before EOD")
 
 
 class _Document:
@@ -501,6 +629,7 @@ class _Document:
             parms = [parms] * len(filters)
         for f, pm in zip(filters, parms):
             f = self.resolve(f)
+            pm = self.resolve(pm)
             if f == "FlateDecode":
                 try:
                     dec = zlib.decompressobj()
@@ -510,9 +639,21 @@ class _Document:
                             "PDF stream exceeds decompression bound")
                 except zlib.error as e:
                     raise ValueError(f"PDF Flate error: {e}") from e
-                pm = self.resolve(pm)
                 if isinstance(pm, dict):
                     data = self._unpredict(data, pm)
+            elif f == "LZWDecode":
+                early = 1
+                if isinstance(pm, dict):
+                    early = self.resolve(pm.get("EarlyChange", 1))
+                data = _pdf_lzw_decode(data, early)
+                if isinstance(pm, dict):
+                    data = self._unpredict(data, pm)
+            elif f == "ASCIIHexDecode":
+                data = _ascii_hex_decode(data)
+            elif f == "ASCII85Decode":
+                data = _ascii85_decode(data)
+            elif f == "RunLengthDecode":
+                data = _run_length_decode(data)
             else:
                 raise ValueError(f"PDF filter {f} unsupported")
         return data

@@ -576,3 +576,68 @@ GROUP BY e.event_id, e.nf
 
 QUERIES_R11["mp3_decode_synth_short"] = q_mp3_decode_synth_short
 ORACLES_R11["mp3_decode_synth_short"] = _MP3_SYNTH_SHORT_ORACLE
+
+
+def q_pdf_text_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF filter-chain extraction driver-checked (r11): page
+    content streams rotate through LZWDecode (real early-change
+    encoder), ASCIIHexDecode, ASCII85Decode (encoded by stdlib
+    base64.a85encode — an INDEPENDENT encoder, so the decoder is
+    cross-validated, not round-tripped against itself) and
+    RunLengthDecode, with page 0 chaining [ASCII85Decode,
+    FlateDecode] (testing/fixtures.make_pdf_filters). The planted
+    words are make_pdf's, so the oracle replays the same closed-form
+    counts with the filter-fixture object count (3 + 2*n_pages: no
+    indirect /Length object)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.pdf import extract_pdf_features
+    from ..testing.fixtures import make_pdf_filters
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 8
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_pdf_filters(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return extract_pdf_features(payloads).drop("extract_error")
+
+
+_PDF_FILTERS_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         2 + (event_id % 1000) % 3 AS n_pages
+  FROM events WHERE event_id % {_FLAC_MOD} = 8
+),
+pw AS (
+  SELECT e.event_id,
+         count(*) AS w,
+         sum(CASE WHEN (e.seed*7 + p.p*13 + i.i*3) % 100 < 10
+                  THEN 2 ELSE 3 END) AS ch
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.n_pages)) AS p) p,
+       LATERAL (SELECT unnest(range(0, 5 + (e.seed + p.p) % 7)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.n_pages AS INTEGER) AS n_pages,
+       CAST(3 + 2*e.n_pages AS INTEGER) AS n_objects,
+       CAST(pw.w + 2 AS BIGINT) AS text_words,
+       CAST(pw.ch + 5 AS BIGINT) AS word_chars
+FROM e JOIN pw ON pw.event_id = e.event_id
+"""
+
+QUERIES_R11["pdf_text_filters"] = q_pdf_text_filters
+ORACLES_R11["pdf_text_filters"] = _PDF_FILTERS_ORACLE

@@ -4354,6 +4354,109 @@ def make_pdf(seed: int) -> bytes:
     return bytes(out)
 
 
+def _pdf_rl_encode(data: bytes) -> bytes:
+    """RunLengthDecode inverse (PDF §7.4.5): repeat runs for >= 3
+    equal bytes, literal runs otherwise, 128 EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            lit = i
+            while (i < n and i - lit < 128
+                   and not (i + 2 < n and data[i] == data[i + 1]
+                            == data[i + 2])):
+                i += 1
+            out += bytes([i - lit - 1]) + data[lit:i]
+    out.append(128)
+    return bytes(out)
+
+
+def make_pdf_filters(seed: int) -> bytes:
+    """A make_pdf-style PDF whose page content streams exercise the
+    r11 filter set: page p uses filter p % 4 of [LZWDecode (the real
+    early-change encoder), ASCIIHexDecode, ASCII85Decode (stdlib
+    base64.a85encode — an INDEPENDENT encoder cross-validating the
+    decoder), RunLengthDecode]; page 0 additionally chains
+    [ASCII85Decode, FlateDecode] (decode order: A85 first). Same
+    planted words as make_pdf, so extract_pdf_text output matches
+    make_pdf's text exactly."""
+    import base64 as _b64
+    import zlib as _zlib
+
+    n_pages = 2 + seed % 3
+    objs: dict[int, bytes] = {}
+    kids = " ".join(f"{4 + 2*p} 0 R" for p in range(n_pages))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+               ).encode()
+    objs[3] = (b"<< /Type /Font /Subtype /Type1 "
+               b"/BaseFont /Helvetica >>")
+    for p in range(n_pages):
+        nw = 5 + (seed + p) % 7
+        words = [f"w{pdf_word_value(seed, p, i)}" for i in range(nw)]
+        split = words[2]
+        lines = [
+            b"BT /F1 12 Tf 72 720 Td",
+            b"(" + " ".join(words[:2]).encode() + b") Tj",
+            b"0 -14 Td",
+            b"[(" + split[:2].encode() + b") -250 ("
+            + split[2:].encode() + b")] TJ",
+            b"(" + " ".join(words[3:]).encode() + b") '",
+        ]
+        if p == 0:
+            lines += [b"0 -14 Td", b"(A\\051B) Tj",
+                      b"0 -14 Td", b"<4858> Tj"]
+        lines.append(b"ET")
+        content = b"\n".join(lines)
+        if p == 0:
+            # chained: written as Flate THEN a85 wrapping; decoder
+            # applies /Filter [ASCII85Decode FlateDecode] in order
+            data = _b64.a85encode(_zlib.compress(content)) + b"~>"
+            filt = b" /Filter [/ASCII85Decode /FlateDecode]"
+        elif p % 4 == 0:
+            data = _tiff_lzw_encode(content)
+            filt = b" /Filter /LZWDecode"
+        elif p % 4 == 1:
+            data = content.hex().encode() + b">"
+            filt = b" /Filter /ASCIIHexDecode"
+        elif p % 4 == 2:
+            data = _b64.a85encode(content) + b"~>"
+            filt = b" /Filter /ASCII85Decode"
+        else:
+            data = _pdf_rl_encode(content)
+            filt = b" /Filter /RunLengthDecode"
+        hdr = f"<< /Length {len(data)}".encode() + filt + b" >>"
+        objs[5 + 2 * p] = (hdr + b"\nstream\n" + data
+                           + b"\nendstream")
+        objs[4 + 2 * p] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {5 + 2*p} 0 R >>").encode()
+    # page 0's indirect length object slot is unused here; keep the
+    # object count at 3 + 2*n_pages
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref1 = len(out)
+    size = max(objs) + 1
+    out += f"xref\n0 {size}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, size):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {size} /Root 1 0 R >>\n"
+            f"startxref\n{xref1}\n%%EOF\n").encode()
+    return bytes(out)
+
+
 def make_pdf_xrefstream(seed: int) -> bytes:
     """Serialize a REAL PDF 1.5 with the same planted text as
     :func:`make_pdf` (same pages/words, so the oracle replay is

@@ -235,3 +235,77 @@ def test_webp_meta_group_count_bound():
             parse_webp(raw[:cut])
         except ValueError:
             pass
+
+
+# ------------------------------------------------------ PDF filter set
+
+from google_analytics_to_s3_spark.operators.pdf import (  # noqa: E402
+    _ascii85_decode,
+    _ascii_hex_decode,
+    _pdf_lzw_decode,
+    _run_length_decode,
+)
+from google_analytics_to_s3_spark.testing.fixtures import (  # noqa: E402
+    make_pdf_filters,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 7, 11, 999])
+def test_pdf_filters_text_matches_flate(seed):
+    np1, _no1, t1 = extract_pdf_text(make_pdf_filters(seed))
+    np0, _no0, t0 = extract_pdf_text(make_pdf(seed))
+    assert (np1, t1) == (np0, t0)
+
+
+def test_pdf_ascii85_cross_validated_with_stdlib():
+    import base64
+    for blob in (b"", b"a", b"ab", b"abc", b"abcd", b"abcde",
+                 bytes(range(256)) * 3, b"\x00" * 9):
+        enc = base64.a85encode(blob) + b"~>"
+        assert _ascii85_decode(enc) == blob
+
+
+def test_pdf_ascii85_z_shortcut_and_errors():
+    assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError):
+        _ascii85_decode(b"!z~>")  # z inside a group
+    with pytest.raises(ValueError):
+        _ascii85_decode(b"v~>")  # out of range
+    with pytest.raises(ValueError):
+        _ascii85_decode(b"!~>")  # single trailing char
+    with pytest.raises(ValueError):
+        _ascii85_decode(b"uuuuu~>")  # > 2^32 - 1
+
+
+def test_pdf_asciihex_whitespace_and_odd_digit():
+    assert _ascii_hex_decode(b"48 65 6c\n6c 6F>") == b"Hello"
+    assert _ascii_hex_decode(b"7>") == b"\x70"
+    with pytest.raises(ValueError):
+        _ascii_hex_decode(b"4g>")
+
+
+def test_pdf_runlength_roundtrip_and_eod():
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        _pdf_rl_encode,
+    )
+    for blob in (b"", b"x", b"aaaaabbbbb", bytes(range(200)),
+                 b"ab" * 300, b"\xff" * 1000):
+        assert _run_length_decode(_pdf_rl_encode(blob)) == blob
+    with pytest.raises(ValueError):
+        _run_length_decode(b"\x05abc")  # literal truncated
+    with pytest.raises(ValueError):
+        _run_length_decode(b"\x00a")  # no EOD
+
+
+def test_pdf_lzw_earlychange_variants():
+    import numpy as np
+
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        _tiff_lzw_encode,
+    )
+    rng = np.random.RandomState(5)
+    data = bytes(rng.randint(0, 256, 1500, dtype=np.uint8))
+    enc = _tiff_lzw_encode(data)  # early-change encoder
+    assert _pdf_lzw_decode(enc, 1) == data
+    with pytest.raises(ValueError):
+        _pdf_lzw_decode(enc, 0)  # late-change decode must misread
