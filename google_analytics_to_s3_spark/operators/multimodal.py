@@ -3262,8 +3262,11 @@ def _parse_tiff(raw: bytes) -> "tuple[int, int, int, np.ndarray]":
     try:
         w = tags[256][0]
         h = tags[257][0]
-        offsets = tags[273]
-        counts = tags[279]
+        if 322 in tags or 323 in tags:
+            offsets = counts = None  # tile tables read below
+        else:
+            offsets = tags[273]
+            counts = tags[279]
     except KeyError as e:
         raise ValueError(f"TIFF missing required tag {e}") from e
     spp = tags.get(277, [1])[0]
@@ -3272,8 +3275,7 @@ def _parse_tiff(raw: bytes) -> "tuple[int, int, int, np.ndarray]":
     photo = tags.get(262, [1])[0]
     rps = tags.get(278, [h])[0]
     planar = tags.get(284, [1])[0]
-    if tags.get(322) or tags.get(323):
-        raise ValueError("tiled TIFF unsupported")
+    tiled = bool(tags.get(322) or tags.get(323))
     if planar != 1:
         raise ValueError("PlanarConfiguration 2 unsupported")
     if any(b != 8 for b in bits):
@@ -3289,6 +3291,47 @@ def _parse_tiff(raw: bytes) -> "tuple[int, int, int, np.ndarray]":
         raise ValueError("TIFF samples/photometric mismatch")
     if w <= 0 or h <= 0 or w * h > 50_000_000:
         raise ValueError("TIFF dimensions invalid or exceed bound")
+    if tiled:
+        # TIFF 6.0 §15: TileWidth/TileLength multiples of 16; tiles
+        # are full-size (edge tiles padded), row-major tile order
+        try:
+            tw = tags[322][0]
+            th = tags[323][0]
+            offsets = tags[324]
+            counts = tags[325]
+        except KeyError as e:
+            raise ValueError(f"TIFF missing required tile tag {e}") \
+                from e
+        if tw <= 0 or th <= 0 or tw % 16 or th % 16:
+            raise ValueError("TIFF tile dimensions invalid")
+        ta = (w + tw - 1) // tw
+        td = (h + th - 1) // th
+        if len(offsets) != ta * td or len(counts) != ta * td:
+            raise ValueError("TIFF tile table length mismatch")
+        trow = tw * spp
+        raster = np.zeros((h, w * spp), dtype=np.uint8)
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(raw):
+                raise ValueError("TIFF tile beyond end of file")
+            data = raw[off:off + cnt]
+            if comp == 32773:
+                data = _packbits_decode(data, th * trow)
+            elif comp == 5:
+                data = _tiff_lzw_decode(data, th * trow)
+            if len(data) < th * trow:
+                raise ValueError("TIFF tile shorter than its rows")
+            data = data[:th * trow]
+            if predictor == 2:
+                data = _tiff_unpredict2(data, trow, spp)
+            ty, tx = divmod(ti, ta)
+            y0 = ty * th
+            x0 = tx * trow
+            rows_n = min(th, h - y0)
+            cols_n = min(trow, w * spp - x0)
+            tile = np.frombuffer(data, dtype=np.uint8).reshape(th, trow)
+            raster[y0:y0 + rows_n, x0:x0 + cols_n] = \
+                tile[:rows_n, :cols_n]
+        return w, h, spp, raster.reshape(h, w, spp)
     if len(offsets) != len(counts):
         raise ValueError("StripOffsets/StripByteCounts length mismatch")
     row_bytes = w * spp

@@ -641,3 +641,67 @@ FROM e JOIN pw ON pw.event_id = e.event_id
 
 QUERIES_R11["pdf_text_filters"] = q_pdf_text_filters
 ORACLES_R11["pdf_text_filters"] = _PDF_FILTERS_ORACLE
+
+
+def q_tiff_decode_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TILED TIFF decode driver-checked (TIFF 6.0 §15): per event a
+    40x20 image in 16x16 tiles (edge tiles padded and cropped) —
+    grayscale LE LZW + Predictor 2 on even ids, RGB BIG-endian
+    PackBits on odd — reassembled by operators/multimodal._parse_tiff
+    and replayed per-sample by the planted rule."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.multimodal import decode_tiff_meta
+    from ..testing.fixtures import make_tiff
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 9
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [
+                    make_tiff(int(i) % 1000, variant=6 + int(i) % 2,
+                              w=40, h=20)
+                    for i in pdf["event_id"]
+                ],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_tiff_meta(payloads).drop("decode_error")
+
+
+_TIFF_TILED_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         CASE WHEN event_id % 2 = 1 THEN 3 ELSE 1 END AS spp
+  FROM events WHERE event_id % {_FLAC_MOD} = 9
+),
+px AS (
+  SELECT e.event_id,
+         (e.seed + 11*x.x + 17*y.y + 7*c.c) % 256 AS v
+  FROM e,
+       LATERAL (SELECT unnest(range(0, 20)) AS y) y,
+       LATERAL (SELECT unnest(range(0, 40)) AS x) x,
+       LATERAL (SELECT unnest(range(0, e.spp)) AS c) c
+)
+SELECT e.event_id AS doc_id,
+       CAST(40 AS INTEGER) AS width,
+       CAST(20 AS INTEGER) AS height,
+       CAST(e.spp AS INTEGER) AS channels,
+       CAST(sum(px.v) AS BIGINT) AS px_sum,
+       round(CAST(sum(px.v) AS DOUBLE) / (800.0 * e.spp), 6)
+           AS mean_px
+FROM e JOIN px ON px.event_id = e.event_id
+GROUP BY e.event_id, e.spp
+"""
+
+QUERIES_R11["tiff_decode_tiled"] = q_tiff_decode_tiled
+ORACLES_R11["tiff_decode_tiled"] = _TIFF_TILED_ORACLE

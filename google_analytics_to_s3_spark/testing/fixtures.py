@@ -3558,15 +3558,18 @@ def make_tiff(seed: int, variant: int, w: int = 11, h: int = 7) -> bytes:
     BIG-endian, 2 = grayscale PackBits little-endian, 3 = RGB
     PackBits big-endian, 4 = grayscale LZW little-endian with
     Predictor 2 (horizontal differencing — the libtiff default
-    pairing), 5 = RGB LZW BIG-endian without predictor.
-    RowsPerStrip = 3 -> three strips, so strip assembly is
-    exercised; the MM variants exercise endian-aware field reads
+    pairing), 5 = RGB LZW BIG-endian without predictor, 6 = TILED
+    grayscale LZW+Predictor 2 little-endian (16x16 tiles, edge
+    tiles padded per TIFF 6.0 §15), 7 = TILED RGB PackBits
+    BIG-endian. RowsPerStrip = 3 -> three strips, so strip assembly
+    is exercised; the MM variants exercise endian-aware field reads
     throughout."""
-    bo = "big" if variant in (1, 3, 5) else "little"
-    spp = 3 if variant in (1, 3, 5) else 1
-    packed = variant in (2, 3)
-    lzw = variant in (4, 5)
-    pred2 = variant == 4
+    bo = "big" if variant in (1, 3, 5, 7) else "little"
+    spp = 3 if variant in (1, 3, 5, 7) else 1
+    packed = variant in (2, 3, 7)
+    lzw = variant in (4, 5, 6)
+    pred2 = variant in (4, 6)
+    tiled = variant in (6, 7)
     rps = 3
 
     def b2(v):
@@ -3578,25 +3581,56 @@ def make_tiff(seed: int, variant: int, w: int = 11, h: int = 7) -> bytes:
     rows = [bytes(tiff_pixel_rule(seed, x, y, c)
                   for x in range(w) for c in range(spp))
             for y in range(h)]
-    if pred2:
-        rows = [bytes((r[i] - (r[i - spp] if i >= spp else 0)) & 0xFF
-                      for i in range(len(r))) for r in rows]
-    strips = []
-    for y0 in range(0, h, rps):
-        data = b"".join(rows[y0:y0 + rps])
-        if packed:
-            data = _packbits_encode(data)
-        elif lzw:
-            data = _tiff_lzw_encode(data)
-        strips.append(data)
-    n_strips = len(strips)
+    if tiled:
+        tw = th = 16
+        ta = (w + tw - 1) // tw
+        td = (h + th - 1) // th
+        strips = []
+        for ty in range(td):
+            for tx in range(ta):
+                tile_rows = []
+                for dy in range(th):
+                    y = ty * th + dy
+                    if y < h:
+                        seg = rows[y][tx * tw * spp:
+                                      (tx + 1) * tw * spp]
+                        seg = seg + b"\x00" * (tw * spp - len(seg))
+                    else:
+                        seg = b"\x00" * (tw * spp)
+                    if pred2:
+                        seg = bytes(
+                            (seg[i] - (seg[i - spp] if i >= spp
+                                       else 0)) & 0xFF
+                            for i in range(len(seg)))
+                    tile_rows.append(seg)
+                data = b"".join(tile_rows)
+                if packed:
+                    data = _packbits_encode(data)
+                elif lzw:
+                    data = _tiff_lzw_encode(data)
+                strips.append(data)
+        n_strips = len(strips)
+    else:
+        if pred2:
+            rows = [bytes((r[i] - (r[i - spp] if i >= spp else 0))
+                          & 0xFF for i in range(len(r)))
+                    for r in rows]
+        strips = []
+        for y0 in range(0, h, rps):
+            data = b"".join(rows[y0:y0 + rps])
+            if packed:
+                data = _packbits_encode(data)
+            elif lzw:
+                data = _tiff_lzw_encode(data)
+            strips.append(data)
+        n_strips = len(strips)
 
     def entry(tag, typ, count, value_bytes):
         pad = value_bytes + b"\x00" * (4 - len(value_bytes))
         return b2(tag) + b2(typ) + b4(count) + pad[:4]
 
     # layout: header(8) + IFD + [bits offset area][strip tables][strips]
-    n_entries = 11
+    n_entries = 12 if tiled else 11
     ifd_off = 8
     ifd_size = 2 + 12 * n_entries + 4
     extra_off = ifd_off + ifd_size
@@ -3630,19 +3664,42 @@ def make_tiff(seed: int, variant: int, w: int = 11, h: int = 7) -> bytes:
     table = b"".join(b4(o) for o in strip_offsets)
     extra[offsets_off - extra_off:offsets_off - extra_off + len(table)] \
         = table
-    entries = b"".join([
-        entry(256, 3, 1, b2(w)),
-        entry(257, 3, 1, b2(h)),
-        bits_entry,
-        entry(259, 3, 1, b2(32773 if packed else (5 if lzw else 1))),
-        entry(262, 3, 1, b2(2 if spp == 3 else 1)),
-        entry(273, 4, n_strips, b4(offsets_off)),
-        entry(277, 3, 1, b2(spp)),
-        entry(278, 3, 1, b2(rps)),
-        entry(279, 4, n_strips, b4(counts_off)),
-        entry(284, 3, 1, b2(1)),
-        entry(317, 3, 1, b2(2 if pred2 else 1)),
-    ])
+    if tiled:
+        entries = b"".join([
+            entry(256, 3, 1, b2(w)),
+            entry(257, 3, 1, b2(h)),
+            bits_entry,
+            entry(259, 3, 1,
+                  b2(32773 if packed else (5 if lzw else 1))),
+            entry(262, 3, 1, b2(2 if spp == 3 else 1)),
+            entry(277, 3, 1, b2(spp)),
+            entry(284, 3, 1, b2(1)),
+            entry(317, 3, 1, b2(2 if pred2 else 1)),
+            entry(322, 3, 1, b2(16)),
+            entry(323, 3, 1, b2(16)),
+            # LONG arrays inline when a single tile (count*4 <= 4)
+            entry(324, 4, n_strips,
+                  b4(strip_offsets[0] if n_strips == 1
+                     else offsets_off)),
+            entry(325, 4, n_strips,
+                  b4(len(strips[0]) if n_strips == 1
+                     else counts_off)),
+        ])
+    else:
+        entries = b"".join([
+            entry(256, 3, 1, b2(w)),
+            entry(257, 3, 1, b2(h)),
+            bits_entry,
+            entry(259, 3, 1,
+                  b2(32773 if packed else (5 if lzw else 1))),
+            entry(262, 3, 1, b2(2 if spp == 3 else 1)),
+            entry(273, 4, n_strips, b4(offsets_off)),
+            entry(277, 3, 1, b2(spp)),
+            entry(278, 3, 1, b2(rps)),
+            entry(279, 4, n_strips, b4(counts_off)),
+            entry(284, 3, 1, b2(1)),
+            entry(317, 3, 1, b2(2 if pred2 else 1)),
+        ])
     hdr = (b"II" if bo == "little" else b"MM") + b2(42) + b4(ifd_off)
     ifd = b2(n_entries) + entries + b4(0)
     return hdr + ifd + bytes(extra) + b"".join(strips)

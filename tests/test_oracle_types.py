@@ -105,6 +105,7 @@ AUDITED_DOUBLE_COLUMNS = {
     'bmp_decode': ['mean_px'],
     'tiff_decode': ['mean_px'],
     'tiff_decode_lzw': ['mean_px'],
+    'tiff_decode_tiled': ['mean_px'],
     'jpeg_decode': ['mean_px'],
     'jpeg_decode_420': ['mean_px'],
     'jpeg_decode_progressive': ['mean_px'],

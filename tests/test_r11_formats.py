@@ -309,3 +309,33 @@ def test_pdf_lzw_earlychange_variants():
     assert _pdf_lzw_decode(enc, 1) == data
     with pytest.raises(ValueError):
         _pdf_lzw_decode(enc, 0)  # late-change decode must misread
+
+
+@pytest.mark.parametrize("variant", [6, 7])
+@pytest.mark.parametrize("geom", [(11, 7), (40, 20), (33, 17)])
+def test_tiff_tiled_variants_planted(variant, geom):
+    # tiled TIFFs (TIFF 6.0 §15): 16x16 tiles, edge padding cropped,
+    # LZW+Predictor2 (6) and PackBits big-endian RGB (7)
+    import numpy as np
+    w, h = geom
+    for seed in (0, 3, 999):
+        w_, h_, c, px = _parse_tiff(make_tiff(seed, variant, w=w, h=h))
+        spp = 3 if variant == 7 else 1
+        assert (w_, h_, c) == (w, h, spp)
+        exp = np.array([[[tiff_pixel_rule(seed, x, y, ch)
+                          for ch in range(spp)]
+                         for x in range(w)] for y in range(h)],
+                       dtype=np.uint8)
+        assert (px == exp).all()
+
+
+def test_tiff_tiled_bad_dimensions_named():
+    raw = make_tiff(1, 6, w=40, h=20)
+    # TileWidth not a multiple of 16 -> named error (flip 16 -> 17)
+    import re as _re
+    # locate the 322 entry value: little-endian (v6): tag bytes 42 01
+    idx = raw.find(b"\x42\x01")
+    bad = bytearray(raw)
+    bad[idx + 8] = 17
+    with pytest.raises(ValueError):
+        _parse_tiff(bytes(bad))
