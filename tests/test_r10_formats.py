@@ -335,10 +335,11 @@ def test_pdf_honest_gates_named():
     with pytest.raises(ValueError, match="encrypted"):
         extract_pdf_text(enc)
     # equal-length name swap so the xref offsets stay valid
-    lzw = make_pdf(1).replace(b"/Filter /FlateDecode",
-                              b"/Filter /LZWDecode  ")
-    with pytest.raises(ValueError, match="LZWDecode unsupported"):
-        extract_pdf_text(lzw)
+    # (LZWDecode decodes for real as of r11; DCTDecode stays gated)
+    dct = make_pdf(1).replace(b"/Filter /FlateDecode",
+                              b"/Filter /DCTDecode  ")
+    with pytest.raises(ValueError, match="DCTDecode unsupported"):
+        extract_pdf_text(dct)
 
 
 def test_pdf_missing_startxref_rejected():
