@@ -705,3 +705,99 @@ GROUP BY e.event_id, e.spp
 
 QUERIES_R11["tiff_decode_tiled"] = q_tiff_decode_tiled
 ORACLES_R11["tiff_decode_tiled"] = _TIFF_TILED_ORACLE
+
+
+def q_snappy_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL snappy decode driver-checked end-to-end (r11; the
+    Hadoop/Parquet-ecosystem codec): per event a FRAMING-format
+    stream (testing/fixtures.make_snappy — compressed + uncompressed
+    data chunks with masked CRC-32C verified, padding chunks,
+    mid-stream repeated identifiers) whose block payloads come from
+    the real greedy hash-table compressor, decoded by
+    operators/snappy.py (tag stream: literals, copy-1/2/4,
+    byte-serial overlap copies), with the planted per-chunk payload
+    rules replayed byte-exactly by the oracle. The CRC-32C
+    implementation is pinned against published check vectors in
+    tests/test_r11_formats.py."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.snappy import decode_snappy_meta
+    from ..testing.fixtures import make_snappy
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 2
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_snappy(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    # crc32c_payload is pinned by pytest golden vectors; a closed-form
+    # SQL replay of CRC-32C would need a 256-entry table fold per byte
+    return decode_snappy_meta(payloads).drop("decode_error",
+                                             "crc32c_payload")
+
+
+_SNAPPY_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed, 2 + (event_id % 1000) % 4 AS nk
+  FROM events WHERE event_id % {_FLAC_MOD} = 2
+),
+ck AS (
+  SELECT e.event_id, e.seed, k.k,
+         200 + (e.seed*13 + 29*k.k) % 400 AS n
+  FROM e, LATERAL (SELECT unnest(range(0, e.nk)) AS k) k
+),
+-- regime k%3=0: unit-7 repetition; k%3=1: arithmetic bytes;
+-- k%3=2: 'tokNN' words joined by spaces, truncated to n
+b01 AS (
+  SELECT ck.event_id, ck.n AS nb,
+         sum(CASE WHEN ck.k % 3 = 0
+                  THEN (ck.seed + ck.k + (j.j % 7)) % 256
+                  ELSE (ck.seed*31 + ck.k*7 + j.j*11
+                        + (j.j*j.j) % 251) % 256 END) AS s
+  FROM ck, LATERAL (SELECT unnest(range(0, ck.n)) AS j) j
+  WHERE ck.k % 3 < 2
+  GROUP BY 1, ck.k, 2
+),
+txt AS (
+  SELECT ck.event_id, ck.k, ck.n,
+         left(string_agg('tok' || CAST((ck.seed + ck.k*5 + w.w) % 50
+                                       AS VARCHAR), ' '
+                         ORDER BY w.w), ck.n) AS s
+  FROM ck, LATERAL (SELECT unnest(range(0, ck.n // 6)) AS w) w
+  WHERE ck.k % 3 = 2
+  GROUP BY 1, 2, 3
+),
+b2 AS (
+  SELECT txt.event_id, length(txt.s) AS nb,
+         sum(ord(substr(txt.s, CAST(p.p + 1 AS INTEGER), 1))) AS s
+  FROM txt, LATERAL (SELECT unnest(range(0, length(txt.s))) AS p) p
+  GROUP BY 1, txt.k, 2
+),
+allb AS (
+  SELECT event_id, nb, s FROM b01
+  UNION ALL SELECT event_id, nb, s FROM b2
+)
+SELECT e.event_id AS doc_id,
+       CAST(sum(a.nb) AS BIGINT) AS n_bytes,
+       CAST(e.nk AS BIGINT) AS n_data_chunks,
+       CAST(e.nk // 2 + CASE WHEN e.seed % 5 = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS n_skipped_chunks,
+       CAST(sum(a.s) AS BIGINT) AS byte_sum
+FROM e JOIN allb a ON a.event_id = e.event_id
+GROUP BY e.event_id, e.nk, e.seed
+"""
+
+QUERIES_R11["snappy_extract"] = q_snappy_extract
+ORACLES_R11["snappy_extract"] = _SNAPPY_ORACLE

@@ -4411,6 +4411,119 @@ def make_pdf(seed: int) -> bytes:
     return bytes(out)
 
 
+def _snappy_uvarint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def snappy_compress_block(data: bytes) -> bytes:
+    """Real greedy snappy BLOCK compressor (hash-table 4-byte
+    matcher): emits copy-1 when len 4-11 fits an offset < 2048,
+    copy-2 otherwise; literals split at 64 KiB. Inverse of
+    operators/snappy.snappy_uncompress."""
+    out = bytearray(_snappy_uvarint(len(data)))
+    n = len(data)
+    i = 0
+    lit_start = 0
+    table: dict[bytes, int] = {}
+
+    def emit_literal(lo: int, hi: int) -> None:
+        while lo < hi:
+            ln = min(hi - lo, 65536)
+            lm1 = ln - 1
+            if lm1 < 60:
+                out.append(lm1 << 2)
+            elif lm1 < 256:
+                out.append(60 << 2)
+                out.append(lm1)
+            else:
+                out.append(61 << 2)
+                out.extend(lm1.to_bytes(2, "little"))
+            out.extend(data[lo:lo + ln])
+            lo += ln
+
+    while i + 4 <= n:
+        key = data[i:i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and i - j <= 65535:
+            length = 4
+            while i + length < n and length < 64 and \
+                    data[j + length] == data[i + length]:
+                length += 1
+            emit_literal(lit_start, i)
+            offset = i - j
+            if 4 <= length <= 11 and offset < 2048:
+                out.append(1 | ((length - 4) << 2)
+                           | ((offset >> 8) << 5))
+                out.append(offset & 0xFF)
+            else:
+                out.append(2 | ((length - 1) << 2))
+                out.extend(offset.to_bytes(2, "little"))
+            i += length
+            lit_start = i
+        else:
+            i += 1
+    emit_literal(lit_start, n)
+    return bytes(out)
+
+
+def snappy_payload_rule(seed: int, k: int) -> bytes:
+    """Planted chunk payload k for make_snappy: regime by k%3 —
+    repetitive (copy-heavy), pseudo-random bytes (literal-heavy),
+    text-ish with planted token ids."""
+    n = 200 + (seed * 13 + 29 * k) % 400
+    if k % 3 == 0:
+        unit = bytes((seed + k + j) % 256 for j in range(7))
+        return (unit * (n // 7 + 1))[:n]
+    if k % 3 == 1:
+        return bytes((seed * 31 + k * 7 + j * 11 + (j * j) % 251) % 256
+                     for j in range(n))
+    words = [f"tok{(seed + k * 5 + w) % 50}" for w in range(n // 6)]
+    return (" ".join(words)).encode()[:n]
+
+
+def make_snappy(seed: int) -> bytes:
+    """Serialize a REAL snappy FRAMING-format stream: 2 + seed%4
+    data chunks of snappy_payload_rule payloads (chunk k compressed
+    when (seed + k) % 3 != 0, stored uncompressed otherwise — both
+    carry the masked CRC-32C), a padding chunk after every 2nd data
+    chunk, and a repeated stream identifier mid-stream on
+    seed%5==0 (legal; readers skip it)."""
+    from google_analytics_to_s3_spark.operators.snappy import crc32c
+
+    def masked(b: bytes) -> int:
+        c = crc32c(b)
+        return (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+    out = bytearray(b"\xff\x06\x00\x00sNaPpY")
+    nk = 2 + seed % 4
+    for k in range(nk):
+        blob = snappy_payload_rule(seed, k)
+        if (seed + k) % 3 != 0:
+            body = masked(blob).to_bytes(4, "little") \
+                + snappy_compress_block(blob)
+            out += bytes([0x00]) + len(body).to_bytes(3, "little") \
+                + body
+        else:
+            body = masked(blob).to_bytes(4, "little") + blob
+            out += bytes([0x01]) + len(body).to_bytes(3, "little") \
+                + body
+        if k % 2 == 1:
+            out += bytes([0xFE]) + (3).to_bytes(3, "little") \
+                + b"\x00\x00\x00"
+    if seed % 5 == 0:
+        out += b"\xff\x06\x00\x00sNaPpY"
+    return bytes(out)
+
+
 def _pdf_rl_encode(data: bytes) -> bytes:
     """RunLengthDecode inverse (PDF §7.4.5): repeat runs for >= 3
     equal bytes, literal runs otherwise, 128 EOD."""

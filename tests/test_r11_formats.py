@@ -339,3 +339,96 @@ def test_tiff_tiled_bad_dimensions_named():
     bad[idx + 8] = 17
     with pytest.raises(ValueError):
         _parse_tiff(bytes(bad))
+
+
+# --------------------------------------------------------------- snappy
+
+from google_analytics_to_s3_spark.operators.snappy import (  # noqa: E402
+    crc32c,
+    parse_snappy_frame,
+    snappy_uncompress,
+)
+from google_analytics_to_s3_spark.testing.fixtures import (  # noqa: E402
+    make_snappy,
+    snappy_compress_block,
+    snappy_payload_rule,
+)
+
+
+def test_crc32c_published_vectors():
+    # RFC 3720 B.4 / Castagnoli check values
+    assert crc32c(b"") == 0
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"\xff" * 32) == 0x62A8AB43
+
+
+def test_snappy_golden_rle_bytes():
+    # hand-built stream: varint(11), literal 'a', copy-1 len 10 off 1
+    golden = bytes([11, 0, ord("a"), 1 | (6 << 2), 1])
+    assert snappy_uncompress(golden) == b"a" * 11
+
+
+def test_snappy_block_roundtrip_regimes():
+    import numpy as np
+    rng = np.random.RandomState(0)
+    for n in (0, 1, 4, 100, 5000, 120000):
+        for mode in range(3):
+            if mode == 0:
+                data = bytes(rng.randint(0, 256, n, dtype=np.uint8))
+            elif mode == 1:
+                data = (b"abcde" * (n // 5 + 1))[:n]
+            else:
+                data = (b"the quick brown fox " * (n // 20 + 1))[:n]
+            assert snappy_uncompress(
+                snappy_compress_block(data)) == data
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 11, 999])
+def test_snappy_frame_planted(seed):
+    payload, nd, ns = parse_snappy_frame(make_snappy(seed))
+    nk = 2 + seed % 4
+    assert payload == b"".join(snappy_payload_rule(seed, k)
+                               for k in range(nk))
+    assert nd == nk
+    assert ns == nk // 2 + (1 if seed % 5 == 0 else 0)
+
+
+def test_snappy_crc_mismatch_named():
+    raw = bytearray(make_snappy(1))
+    raw[14] ^= 0xFF  # first data chunk's CRC field
+    with pytest.raises(ValueError, match="CRC|snappy"):
+        parse_snappy_frame(bytes(raw))
+
+
+def test_snappy_gates_and_corruption():
+    with pytest.raises(ValueError, match="identifier"):
+        parse_snappy_frame(b"\xff\x06\x00\x00sNaPpX")
+    raw = make_snappy(2)
+    bad = bytearray(raw)
+    bad[10:11] = b"\x27"  # reserved unskippable chunk type
+    with pytest.raises(ValueError, match="unskippable"):
+        parse_snappy_frame(bytes(bad))
+    for cut in (11, len(raw) // 2, len(raw) - 2):
+        try:
+            parse_snappy_frame(raw[:cut])
+        except ValueError:
+            pass
+
+
+@settings(max_examples=50, deadline=None)
+@given(seed=st.integers(0, 999), frac=st.floats(0.02, 0.98),
+       mut=st.integers(0, 2))
+def test_snappy_corruption_never_crashes(seed, frac, mut):
+    raw = bytearray(make_snappy(seed))
+    pos = int(len(raw) * frac)
+    if mut == 0:
+        raw[pos] ^= 0xFF
+    elif mut == 1:
+        del raw[pos:pos + 5]
+    else:
+        raw[pos:pos] = b"\x00\xff"
+    try:
+        parse_snappy_frame(bytes(raw))
+    except ValueError:
+        pass
