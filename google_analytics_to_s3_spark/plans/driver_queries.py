@@ -3031,7 +3031,7 @@ _DRIVER_PRIORITY = [
     "session_paths", "shot_boundaries", "url_dedup", "markov_attribution",
     # (r11-new) registrations made during round 11 go here:
     "pdf_text_xrefstream", "tiff_decode_lzw", "mp3_decode_short",
-    "webp_decode_ext", "mp3_decode_synth_short", "pdf_text_filters", "tiff_decode_tiled", "snappy_extract",
+    "webp_decode_ext", "mp3_decode_synth_short", "pdf_text_filters", "tiff_decode_tiled", "snappy_extract", "charset_transcode",
     # R11_NEW_MARKER
     # (queue) rows last driver-checked in r5 (50).
     "identity_stitching", "user_erasure", "phrase_search", "bootstrap_ci",

@@ -801,3 +801,91 @@ GROUP BY e.event_id, e.nk, e.seed
 
 QUERIES_R11["snappy_extract"] = q_snappy_extract
 ORACLES_R11["snappy_extract"] = _SNAPPY_ORACLE
+
+
+def q_charset_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniffing + transcoding driver-checked (r11; the
+    WHATWG-style crawl front door): per event the same planted text
+    serialized in encoding variant seed%6 — UTF-8 bare / UTF-8+BOM /
+    UTF-16-LE+BOM / UTF-16-BE+BOM / bare windows-1252 (heuristic
+    fallback) / windows-1252 behind an HTML meta charset prescan —
+    decoded by operators/charset.py (BOM > header > meta > UTF-16
+    zero-stripe > UTF-8 trial > cp1252 fallback ladder), with the
+    oracle rebuilding the text character-for-character in SQL and
+    replaying encoding/evidence ids, char count, exact codepoint sum
+    and the non-ASCII tally."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.charset import extract_transcoded
+    from ..testing.fixtures import make_encoded_doc
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 0
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_encoded_doc(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return extract_transcoded(payloads).drop("decode_error")
+
+
+_CHARSET_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         10 + (event_id % 1000) % 10 AS nw,
+         (event_id % 1000) % 6 AS v
+  FROM events WHERE event_id % {_FLAC_MOD} = 0
+),
+toks AS (
+  SELECT e.event_id, w.w,
+         'w' || CAST((e.seed*7 + 3*w.w) % 100 AS VARCHAR)
+         || CASE WHEN w.w % 3 = 0
+                 THEN chr(CAST(224 + (e.seed + w.w) % 20 AS INTEGER))
+                 ELSE '' END AS tok
+  FROM e, LATERAL (SELECT unnest(range(0, e.nw)) AS w) w
+),
+body AS (
+  SELECT t.event_id, string_agg(t.tok, ' ' ORDER BY t.w) AS s
+  FROM toks t GROUP BY 1
+),
+doc AS (
+  SELECT e.event_id, e.v, e.nw,
+         CASE WHEN e.v = 5 THEN
+           '<html><head><meta charset=windows-1252></head><body>'
+           || b.s || '</body></html>'
+         ELSE b.s END AS s
+  FROM e JOIN body b ON b.event_id = e.event_id
+),
+cps AS (
+  SELECT d.event_id,
+         sum(ord(substr(d.s, CAST(p.p + 1 AS INTEGER), 1))) AS cp
+  FROM doc d, LATERAL (SELECT unnest(range(0, length(d.s))) AS p) p
+  GROUP BY 1
+)
+SELECT d.event_id AS doc_id,
+       CAST(CASE WHEN d.v IN (0, 1) THEN 1 WHEN d.v = 2 THEN 2
+                 WHEN d.v = 3 THEN 3 ELSE 6 END AS BIGINT)
+           AS encoding_id,
+       CAST(CASE WHEN d.v = 0 THEN 4 WHEN d.v IN (1, 2, 3) THEN 1
+                 WHEN d.v = 4 THEN 6 ELSE 3 END AS BIGINT)
+           AS evidence_id,
+       CAST(length(d.s) AS BIGINT) AS n_chars,
+       CAST(c.cp AS BIGINT) AS cp_sum,
+       CAST(0 AS BIGINT) AS n_replacements,
+       CAST((d.nw + 2) // 3 AS BIGINT) AS n_non_ascii
+FROM doc d JOIN cps c ON c.event_id = d.event_id
+"""
+
+QUERIES_R11["charset_transcode"] = q_charset_transcode
+ORACLES_R11["charset_transcode"] = _CHARSET_ORACLE

@@ -4411,6 +4411,44 @@ def make_pdf(seed: int) -> bytes:
     return bytes(out)
 
 
+def charset_doc_text(seed: int) -> str:
+    """Planted text for make_encoded_doc: nw = 10 + seed%10 tokens
+    'w<(seed*7+3w)%100>', every third token (w%3==0) carrying one
+    trailing non-ASCII char chr(0xE0 + (seed+w)%20) — valid in
+    UTF-8/16/32 and windows-1252 alike. Variant 5 wraps the words in
+    an HTML shell with a meta charset declaration."""
+    nw = 10 + seed % 10
+    toks = []
+    for w in range(nw):
+        t = f"w{(seed * 7 + 3 * w) % 100}"
+        if w % 3 == 0:
+            t += chr(0xE0 + (seed + w) % 20)
+        toks.append(t)
+    body = " ".join(toks)
+    if seed % 6 == 5:
+        return ("<html><head><meta charset=windows-1252></head>"
+                "<body>" + body + "</body></html>")
+    return body
+
+
+def make_encoded_doc(seed: int) -> bytes:
+    """Serialize charset_doc_text(seed) in encoding variant seed%6:
+    0 UTF-8 bare, 1 UTF-8 + BOM, 2 UTF-16-LE + BOM, 3 UTF-16-BE +
+    BOM, 4 windows-1252 bare (heuristic fallback), 5 windows-1252
+    with an HTML meta charset declaration (prescan)."""
+    text = charset_doc_text(seed)
+    v = seed % 6
+    if v == 0:
+        return text.encode("utf-8")
+    if v == 1:
+        return b"\xef\xbb\xbf" + text.encode("utf-8")
+    if v == 2:
+        return b"\xff\xfe" + text.encode("utf-16-le")
+    if v == 3:
+        return b"\xfe\xff" + text.encode("utf-16-be")
+    return text.encode("cp1252")
+
+
 def _snappy_uvarint(n: int) -> bytes:
     out = bytearray()
     while True:

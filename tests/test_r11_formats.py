@@ -432,3 +432,68 @@ def test_snappy_corruption_never_crashes(seed, frac, mut):
         parse_snappy_frame(bytes(raw))
     except ValueError:
         pass
+
+
+# -------------------------------------------------------------- charset
+
+from google_analytics_to_s3_spark.operators.charset import (  # noqa: E402
+    sniff_charset,
+    transcode,
+)
+from google_analytics_to_s3_spark.testing.fixtures import (  # noqa: E402
+    charset_doc_text,
+    make_encoded_doc,
+)
+
+_EXP_ENC = {0: "utf-8", 1: "utf-8", 2: "utf-16-le", 3: "utf-16-be",
+            4: "windows-1252", 5: "windows-1252"}
+_EXP_EV = {0: "utf8", 1: "bom", 2: "bom", 3: "bom", 4: "fallback",
+           5: "meta"}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 17, 999])
+def test_charset_planted_variants(seed):
+    text, enc, ev, nrep = transcode(make_encoded_doc(seed))
+    v = seed % 6
+    assert (text, enc, ev, nrep) == (charset_doc_text(seed),
+                                     _EXP_ENC[v], _EXP_EV[v], 0)
+
+
+def test_charset_evidence_ladder():
+    # header beats meta beats heuristics; BOM beats everything
+    cp = "h\xe9llo".encode("cp1252")
+    assert sniff_charset(cp, "text/html; charset=ISO-8859-1") \
+        == ("windows-1252", "header")
+    meta = (b"<html><meta charset=utf-8><body>" + cp)
+    assert sniff_charset(meta)[1] == "meta"
+    assert sniff_charset(b"\xef\xbb\xbf" + meta,
+                         "x; charset=utf-16")[1] == "bom"
+
+
+def test_charset_bomless_utf16_stripe_beats_utf8_trial():
+    # NULs are valid UTF-8, so the stripe test must win
+    for codec, enc in (("utf-16-le", "utf-16-le"),
+                       ("utf-16-be", "utf-16-be")):
+        raw = "plain ascii text only here".encode(codec)
+        got_enc, ev = sniff_charset(raw)
+        assert (got_enc, ev) == (enc, "utf16-stripe")
+        assert transcode(raw)[0] == "plain ascii text only here"
+
+
+def test_charset_cp1252_holes_latin1_positions():
+    text, enc, ev, nrep = transcode(b"ab\x81cd\x90")
+    assert nrep == 0 and text == "ab\x81cd\x90"
+    assert (enc, ev) == ("windows-1252", "fallback")
+
+
+def test_charset_utf32_boms():
+    raw_le = b"\xff\xfe\x00\x00" + "hi".encode("utf-32-le")
+    raw_be = b"\x00\x00\xfe\xff" + "hi".encode("utf-32-be")
+    assert transcode(raw_le)[:2] == ("hi", "utf-32-le")
+    assert transcode(raw_be)[:2] == ("hi", "utf-32-be")
+
+
+def test_charset_replacement_counting():
+    # invalid utf-16 tail after a BOM: replacement counted
+    text, enc, ev, nrep = transcode(b"\xff\xfe" + b"a\x00b")
+    assert enc == "utf-16-le" and nrep == 1 and "�" in text
