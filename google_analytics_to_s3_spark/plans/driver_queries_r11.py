@@ -889,3 +889,68 @@ FROM doc d JOIN cps c ON c.event_id = d.event_id
 
 QUERIES_R11["charset_transcode"] = q_charset_transcode
 ORACLES_R11["charset_transcode"] = _CHARSET_ORACLE
+
+
+def q_zstd_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL zstd decode driver-checked end-to-end (r11; the dominant
+    data-lake / Common Crawl codec): per event a frame set produced
+    by *libzstd itself* (pyarrow inside the synth map — levels 1/3/
+    9/19, multi-frame + skippable-frame variants, a 4-stream-Huffman
+    size regime) is decoded by the pure-Python RFC 8878 path
+    (operators/zstd.py: FSE table descriptions, Huffman literals,
+    interleaved sequence states, repeat offsets, XXH64 checksums),
+    and the oracle replays the planted content rules in closed form.
+    Cross-validation, not self-round-trip: libzstd wrote the bytes."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.zstd import decode_zstd_meta
+    from ..testing.fixtures import make_zstd
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 4
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_zstd(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_zstd_meta(payloads).drop("decode_error")
+
+
+_ZSTD_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         180 + (event_id % 1000) % 120
+           + CASE WHEN (event_id % 1000) % 5 = 4 THEN 1400 ELSE 0 END
+           AS n_a,
+         40 + (event_id % 1000) % 30 AS n_t
+  FROM events WHERE event_id % {_FLAC_MOD} = 4
+),
+sums AS (
+  SELECT e.event_id,
+         (SELECT sum((5*e.seed + 13*i.i) % 251)
+          FROM (SELECT unnest(range(0, e.n_a)) AS i) i) AS s_a,
+         (SELECT sum((7*e.seed + 17*i.i) % 253)
+          FROM (SELECT unnest(range(0, e.n_t)) AS i) i) AS s_t
+  FROM e
+)
+SELECT e.event_id AS doc_id,
+       CAST(CASE WHEN e.seed % 3 = 0 THEN 2 ELSE 1 END AS INTEGER)
+           AS n_frames,
+       CAST(3*e.n_a + e.n_t AS BIGINT) AS content_len,
+       CAST(3*s.s_a + s.s_t AS BIGINT) AS content_sum
+FROM e JOIN sums s ON s.event_id = e.event_id
+"""
+
+QUERIES_R11["zstd_extract"] = q_zstd_extract
+ORACLES_R11["zstd_extract"] = _ZSTD_ORACLE

@@ -6571,3 +6571,39 @@ def make_zip64(seed: int) -> bytes:
     out += (b"PK\x05\x06" + _struct.pack(
         "<HHHHIIH", 0, 0, 0xFFFF, 0xFFFF, 0xFFFFFFFF, 0xFFFFFFFF, 0))
     return bytes(out)
+
+
+def make_zstd(seed: int) -> bytes:
+    """Deterministic zstd payload for the ``zstd_extract`` driver
+    query — the frames are produced by *libzstd itself* (via
+    ``pyarrow.Codec('zstd')``), so the query's green row certifies
+    that operators/zstd.py inverts real zstd streams, not its own
+    fixtures.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - segment ``a``: ``n_a = 180 + seed % 120`` bytes (plus 1400 on
+      ``seed % 5 == 4`` to force 4-stream Huffman literals and
+      FSE-described sequence tables), byte ``i = (5*seed + 13*i) % 251``
+    - tail ``t``: ``n_t = 40 + seed % 30`` bytes of
+      ``(7*seed + 17*i) % 253``
+    - content = ``a*3 + t`` (the triple repeat plants real LZ77
+      matches at offset ``n_a``)
+    - compression level cycles [1, 3, 9, 19] with ``seed % 4``
+    - ``seed % 3 == 0``: content split across TWO frames with a
+      skippable frame between them (frame-concatenation + skip path);
+      else one frame
+    """
+    import pyarrow as _pa
+
+    n_a = 180 + seed % 120 + (1400 if seed % 5 == 4 else 0)
+    n_t = 40 + seed % 30
+    a = bytes((5 * seed + 13 * i) % 251 for i in range(n_a))
+    t = bytes((7 * seed + 17 * i) % 253 for i in range(n_t))
+    codec = _pa.Codec("zstd", compression_level=[1, 3, 9, 19][seed % 4])
+    if seed % 3 == 0:
+        skip = ((0x184D2A50 + seed % 16).to_bytes(4, "little")
+                + (seed % 17).to_bytes(4, "little") + b"\x5A" * (seed % 17))
+        return (codec.compress(a * 3, asbytes=True) + skip
+                + codec.compress(t, asbytes=True))
+    return codec.compress(a * 3 + t, asbytes=True)
