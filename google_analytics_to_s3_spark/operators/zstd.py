@@ -54,6 +54,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -62,7 +63,7 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["xxh64", "decompress_zstd", "parse_zstd_frames",
-           "decode_zstd_meta"]
+           "decode_zstd_meta", "unwrap_zstd"]
 
 _MAGIC = 0xFD2FB528
 _SKIP_MAGIC_LO = 0x184D2A50
@@ -916,3 +917,38 @@ def decode_zstd_meta(
     return df.select(id_col, payload_col).mapInPandas(
         _decode, schema=ZSTD_META_SCHEMA
     )
+
+
+def unwrap_zstd(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Replace a zstd-framed ``payload`` column with its decompressed
+    bytes (Arrow ``mapInPandas``, per-payload quarantine via a
+    ``decode_error`` column carrying the named gate message).  This is
+    the front door for the ``.tar.zst`` / ``.warc.zst`` container
+    chains: unwrap, then hand the bytes to the tar/WARC walkers."""
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("decode_error", StringType()),
+    ])
+
+    def _unwrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs, errs = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(doc_id)
+                try:
+                    outs.append(parse_zstd_frames(bytes(payload))[0])
+                    errs.append(None)
+                except (ValueError, IndexError) as e:
+                    outs.append(None)
+                    errs.append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "payload": pd.Series(outs, dtype=object),
+                "decode_error": pd.Series(errs, dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _unwrap, schema=schema)

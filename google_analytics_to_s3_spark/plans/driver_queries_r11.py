@@ -954,3 +954,92 @@ FROM e JOIN sums s ON s.event_id = e.event_id
 
 QUERIES_R11["zstd_extract"] = q_zstd_extract
 ORACLES_R11["zstd_extract"] = _ZSTD_ORACLE
+
+
+def q_webdataset_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``.tar.zst`` WebDataset shard chain driver-checked (r11): the
+    r10 WebDataset fixture (real ustar members, real baseline JPEGs)
+    is compressed by *libzstd* (pyarrow, level cycling 1/3/9/19) in
+    the synth map; the query then chains the pure-Python RFC 8878
+    unwrap (operators/zstd.py) into the existing tar/JPEG sample
+    walker (operators/tar.decode_webdataset) — the exact read path a
+    training loader uses on zstd-compressed shards.  Both maps are
+    Arrow mapInPandas; no shuffle enters the chain.  Lane
+    id % 10 == 9."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.tar import decode_webdataset
+    from ..operators.zstd import unwrap_zstd
+    from ..testing.fixtures import make_webdataset
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 9
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        import pyarrow as _pa
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["event_id"]:
+                seed = int(i) % 1000
+                codec = _pa.Codec("zstd",
+                                  compression_level=[1, 3, 9, 19][seed % 4])
+                payloads.append(codec.compress(make_webdataset(seed),
+                                               asbytes=True))
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": payloads,
+            })
+
+    shards = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_webdataset(unwrap_zstd(shards).drop("decode_error"))
+
+
+def _webdataset_zst_oracle_sql() -> str:
+    from ..testing.fixtures import (
+        JPEG_AC_TEMPLATES,
+        jpeg_template_round_sums,
+    )
+
+    rs = jpeg_template_round_sums()
+    n_t = len(JPEG_AC_TEMPLATES)
+    rs_arr = "[" + ", ".join(f"{v}::BIGINT" for v in rs) + "]"
+    return f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed, 2 + event_id % 1000 % 3 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 9
+),
+smp AS (
+  SELECT e.event_id, e.seed, i.i,
+         (e.seed*41 + 9*i.i) % 1000 AS sj,
+         (e.seed + 7*i.i) % 1000 AS label,
+         20 + (e.seed + 5*i.i) % 60 AS txt_len
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+),
+jp AS (
+  SELECT s.event_id, s.i,
+         sum(64 * (128 + ((s.sj*7 + b.b*13) % 121) - 60)
+             + {rs_arr}[(s.sj + b.b) % {n_t} + 1]) AS ysum
+  FROM smp s, LATERAL (SELECT unnest(range(0, 4)) AS b) b
+  GROUP BY 1, 2
+)
+SELECT s.event_id AS doc_id,
+       printf('sample%04d', s.i) AS sample_key,
+       CAST(3 AS BIGINT) AS n_parts,
+       CAST(s.label AS BIGINT) AS label,
+       CAST(16 AS INTEGER) AS jpeg_width,
+       CAST(16 AS INTEGER) AS jpeg_height,
+       CAST(jp.ysum AS BIGINT) AS jpeg_y_sum,
+       CAST(s.txt_len AS BIGINT) AS text_bytes
+FROM smp s JOIN jp ON jp.event_id = s.event_id AND jp.i = s.i
+"""
+
+
+QUERIES_R11["webdataset_zst"] = q_webdataset_zst
+ORACLES_R11["webdataset_zst"] = _webdataset_zst_oracle_sql()
