@@ -1,0 +1,623 @@
+"""Raw Parquet reading from first principles — public parquet-format
+spec (Thrift compact protocol metadata, RLE/bit-packing hybrid,
+PLAIN / RLE_DICTIONARY encodings).
+
+A 100 TB engine should be able to introspect its own storage format
+from bytes: footer metadata (row counts, row-group layout, per-chunk
+codecs/encodings/statistics) without a reader library, and — for the
+flat columns that dominate analytics tables — materialize values
+straight from the page bytes.  This module implements:
+
+- **Thrift compact protocol** (public Apache Thrift spec): varint,
+  zigzag, short/long-form field headers, bool-in-type encoding,
+  nested structs, lists (short/long size), maps, binaries.  A
+  generic walker produces ``{field_id: value}`` trees, so unknown /
+  future fields are carried, not crashed on (same philosophy as
+  operators/protowire.py).
+- **Footer parse**: trailing ``PAR1`` magic + footer length,
+  FileMetaData → version, schema elements, num_rows, row groups,
+  column chunks (codec, encodings, num_values, sizes, offsets,
+  Statistics min/max/null_count).
+- **Column materialization** for flat (non-nested) columns, v1 data
+  pages: page-header thrift walk, definition levels (RLE/bit-packed
+  hybrid, 4-byte length prefix), PLAIN values (int32/int64/float/
+  double/byte_array/boolean) and RLE_DICTIONARY indices over a PLAIN
+  dictionary page; page codecs UNCOMPRESSED, GZIP (stdlib zlib),
+  SNAPPY (operators/snappy.py) and ZSTD (operators/zstd.py) — the
+  engine's own decoders in the hot path.
+
+Cross-validation: tests read files written by *pyarrow/parquet-cpp*
+(including the driver's own ``/root/testdata`` tables) and compare
+against pyarrow's metadata and values — a green test proves this
+reads real Parquet, not a private dialect.
+
+Honest gates (named ValueError, quarantined by wrappers): nested
+schemas (repetition levels > 0), v2 data pages, DELTA_* encodings,
+BYTE_STREAM_SPLIT, LZ4/BROTLI codecs, encrypted files.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["thrift_compact_struct", "parquet_file_meta",
+           "parquet_read_column", "decode_parquet_meta",
+           "decode_parquet_column_sum"]
+
+_MAGIC = b"PAR1"
+
+
+# --------------------------------------------------------------------------
+# Thrift compact protocol (generic).
+
+_CT_STOP = 0
+_CT_TRUE = 1
+_CT_FALSE = 2
+_CT_BYTE = 3
+_CT_I16 = 4
+_CT_I32 = 5
+_CT_I64 = 6
+_CT_DOUBLE = 7
+_CT_BINARY = 8
+_CT_LIST = 9
+_CT_SET = 10
+_CT_MAP = 11
+_CT_STRUCT = 12
+
+
+def _varint(data: bytes, pos: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("parquet: truncated thrift varint")
+        b = data[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("parquet: thrift varint too long")
+
+
+def _zigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _read_value(data: bytes, pos: int, ctype: int) -> tuple[object, int]:
+    if ctype == _CT_TRUE:
+        return True, pos
+    if ctype == _CT_FALSE:
+        return False, pos
+    if ctype == _CT_BYTE:
+        if pos >= len(data):
+            raise ValueError("parquet: truncated thrift byte")
+        v = data[pos]
+        return (v - 256 if v > 127 else v), pos + 1
+    if ctype in (_CT_I16, _CT_I32, _CT_I64):
+        raw, pos = _varint(data, pos)
+        return _zigzag(raw), pos
+    if ctype == _CT_DOUBLE:
+        import struct as _struct
+
+        if pos + 8 > len(data):
+            raise ValueError("parquet: truncated thrift double")
+        return _struct.unpack("<d", data[pos:pos + 8])[0], pos + 8
+    if ctype == _CT_BINARY:
+        n, pos = _varint(data, pos)
+        if pos + n > len(data):
+            raise ValueError("parquet: truncated thrift binary")
+        return bytes(data[pos:pos + n]), pos + n
+    if ctype in (_CT_LIST, _CT_SET):
+        if pos >= len(data):
+            raise ValueError("parquet: truncated thrift list header")
+        hdr = data[pos]
+        pos += 1
+        etype = hdr & 0x0F
+        size = hdr >> 4
+        if size == 15:
+            size, pos = _varint(data, pos)
+        if size > len(data):
+            raise ValueError("parquet: thrift list size overruns input")
+        out = []
+        for _ in range(size):
+            if etype in (_CT_TRUE, _CT_FALSE):
+                # bools in collections: one byte each
+                if pos >= len(data):
+                    raise ValueError("parquet: truncated thrift bool")
+                out.append(data[pos] == 1)
+                pos += 1
+            else:
+                v, pos = _read_value(data, pos, etype)
+                out.append(v)
+        return out, pos
+    if ctype == _CT_MAP:
+        size, pos = _varint(data, pos)
+        if size == 0:
+            return {}, pos
+        if pos >= len(data):
+            raise ValueError("parquet: truncated thrift map header")
+        kt = data[pos] >> 4
+        vt = data[pos] & 0x0F
+        pos += 1
+        out = {}
+        for _ in range(size):
+            k, pos = _read_value(data, pos, kt)
+            v, pos = _read_value(data, pos, vt)
+            out[k] = v
+        return out, pos
+    if ctype == _CT_STRUCT:
+        return thrift_compact_struct(data, pos)
+    raise ValueError(f"parquet: unknown thrift compact type {ctype}")
+
+
+def thrift_compact_struct(data: bytes, pos: int = 0) -> tuple[dict, int]:
+    """Parse one Thrift-compact struct at ``pos`` → ``({field_id:
+    value}, new_pos)``.  Nested structs become dicts, lists become
+    lists — field names are the parquet.thrift field ids."""
+    fields: dict[int, object] = {}
+    fid = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("parquet: truncated thrift struct")
+        b = data[pos]
+        pos += 1
+        if b == _CT_STOP:
+            return fields, pos
+        delta = b >> 4
+        ctype = b & 0x0F
+        if delta:
+            fid += delta
+        else:
+            raw, pos = _varint(data, pos)
+            fid = _zigzag(raw)
+        v, pos = _read_value(data, pos, ctype)
+        fields[fid] = v
+
+
+# --------------------------------------------------------------------------
+# Footer metadata.
+
+# parquet.thrift physical types
+_PT_BOOLEAN = 0
+_PT_INT32 = 1
+_PT_INT64 = 2
+_PT_INT96 = 3
+_PT_FLOAT = 4
+_PT_DOUBLE = 5
+_PT_BYTE_ARRAY = 6
+_PT_FIXED = 7
+
+_CODEC_NAMES = {0: "UNCOMPRESSED", 1: "SNAPPY", 2: "GZIP", 3: "LZO",
+                4: "BROTLI", 5: "LZ4", 6: "ZSTD", 7: "LZ4_RAW"}
+_ENC_NAMES = {0: "PLAIN", 2: "PLAIN_DICTIONARY", 3: "RLE",
+              4: "BIT_PACKED", 5: "DELTA_BINARY_PACKED",
+              6: "DELTA_LENGTH_BYTE_ARRAY", 7: "DELTA_BYTE_ARRAY",
+              8: "RLE_DICTIONARY", 9: "BYTE_STREAM_SPLIT"}
+
+
+def parquet_file_meta(data: bytes) -> dict:
+    """Parse the trailing footer of a parquet file (bytes) into a
+    plain dict: version, num_rows, created_by, schema (name/type/
+    repetition per leaf), row groups with per-chunk codec/encodings/
+    num_values/sizes/offsets and int statistics where present."""
+    if len(data) < 12 or data[:4] != _MAGIC or data[-4:] != _MAGIC:
+        raise ValueError("parquet: missing PAR1 magic")
+    flen = int.from_bytes(data[-8:-4], "little")
+    if flen + 8 > len(data):
+        raise ValueError("parquet: footer length overruns file")
+    footer = data[-8 - flen:-8]
+    fmd, _ = thrift_compact_struct(footer)
+    try:
+        return _build_meta(fmd)
+    except (TypeError, AttributeError, KeyError) as e:
+        # a corrupted footer parses into the wrong tree shape — the
+        # generic thrift walker cannot catch that, this boundary does
+        raise ValueError(f"parquet: malformed footer tree ({e})") \
+            from None
+
+
+def _build_meta(fmd: dict) -> dict:
+    schema_elems = fmd.get(2) or []
+    schema = []
+    for el in schema_elems:
+        schema.append({
+            "name": (el.get(4) or b"").decode("utf-8", "replace"),
+            "type": el.get(1),
+            "repetition": el.get(3),
+            "num_children": el.get(5, 0),
+        })
+    row_groups = []
+    for rg in fmd.get(4) or []:
+        cols = []
+        for cc in rg.get(1) or []:
+            md = cc.get(3) or {}
+            stats = md.get(12) or {}
+            cols.append({
+                "path": [p.decode("utf-8", "replace")
+                         for p in md.get(3) or []],
+                "type": md.get(1),
+                "codec": md.get(4),
+                "codec_name": _CODEC_NAMES.get(md.get(4), "UNKNOWN"),
+                "encodings": md.get(2) or [],
+                "num_values": md.get(5),
+                "total_uncompressed_size": md.get(6),
+                "total_compressed_size": md.get(7),
+                "data_page_offset": md.get(9),
+                "dictionary_page_offset": md.get(11),
+                "stat_min": stats.get(6), "stat_max": stats.get(5),
+                "stat_null_count": stats.get(3),
+            })
+        row_groups.append({
+            "num_rows": rg.get(3),
+            "total_byte_size": rg.get(2),
+            "columns": cols,
+        })
+    return {
+        "version": fmd.get(1),
+        "num_rows": fmd.get(3),
+        "created_by": (fmd.get(6) or b"").decode("utf-8", "replace"),
+        "schema": schema,
+        "row_groups": row_groups,
+    }
+
+
+# --------------------------------------------------------------------------
+# RLE / bit-packing hybrid (parquet-format Encodings.md).
+
+
+def _rle_bp_hybrid(data: bytes, pos: int, end: int, bit_width: int,
+                   count: int) -> list[int]:
+    out: list[int] = []
+    byte_w = (bit_width + 7) // 8
+    while len(out) < count:
+        if pos >= end:
+            raise ValueError("parquet: RLE/BP stream underrun")
+        hdr, pos = _varint(data, pos)
+        if hdr & 1:  # bit-packed groups of 8
+            ngroups = hdr >> 1
+            nbytes = ngroups * bit_width
+            if pos + nbytes > end:
+                raise ValueError("parquet: bit-packed run overrun")
+            chunk = int.from_bytes(data[pos:pos + nbytes], "little")
+            pos += nbytes
+            mask = (1 << bit_width) - 1
+            n = min(ngroups * 8, count - len(out))
+            for i in range(n):
+                out.append((chunk >> (i * bit_width)) & mask)
+        else:  # RLE run
+            run = hdr >> 1
+            if byte_w:
+                if pos + byte_w > end:
+                    raise ValueError("parquet: RLE run overrun")
+                v = int.from_bytes(data[pos:pos + byte_w], "little")
+                pos += byte_w
+            else:
+                v = 0
+            out.extend([v] * min(run, count - len(out)))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Page decode.
+
+
+def _decompress_page(codec: int, data: bytes, uncompressed: int) -> bytes:
+    if codec == 0:
+        return data
+    if codec == 2:  # GZIP
+        try:
+            return zlib.decompress(data, 31)
+        except zlib.error as e:
+            raise ValueError(f"parquet: corrupt gzip page ({e})") from None
+    if codec == 1:  # SNAPPY (block format)
+        from .snappy import snappy_uncompress
+
+        return snappy_uncompress(data)
+    if codec == 6:  # ZSTD
+        from .zstd import decompress_zstd
+
+        return decompress_zstd(data)
+    raise ValueError(
+        f"parquet: codec {_CODEC_NAMES.get(codec, codec)} gated")
+
+
+def _plain_values(ptype: int, data: bytes, n: int) -> list:
+    import struct as _struct
+
+    width = {_PT_INT32: 4, _PT_INT64: 8, _PT_FLOAT: 4,
+             _PT_DOUBLE: 8}.get(ptype)
+    if width is not None and len(data) < width * n:
+        raise ValueError("parquet: PLAIN values overrun page")
+    if ptype == _PT_INT32:
+        return list(_struct.unpack(f"<{n}i", data[:4 * n]))
+    if ptype == _PT_INT64:
+        return list(_struct.unpack(f"<{n}q", data[:8 * n]))
+    if ptype == _PT_FLOAT:
+        return list(_struct.unpack(f"<{n}f", data[:4 * n]))
+    if ptype == _PT_DOUBLE:
+        return list(_struct.unpack(f"<{n}d", data[:8 * n]))
+    if ptype == _PT_BOOLEAN:
+        bits = int.from_bytes(data[:(n + 7) // 8], "little")
+        return [(bits >> i) & 1 == 1 for i in range(n)]
+    if ptype == _PT_BYTE_ARRAY:
+        out = []
+        pos = 0
+        for _ in range(n):
+            ln = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4
+            if pos + ln > len(data):
+                raise ValueError("parquet: PLAIN byte_array overrun")
+            out.append(bytes(data[pos:pos + ln]))
+            pos += ln
+        return out
+    raise ValueError(f"parquet: PLAIN decode for type {ptype} gated")
+
+
+def parquet_read_column(data: bytes, column: str) -> list:
+    """Materialize one flat column from raw parquet bytes: walks every
+    row group's chunk for ``column``, decodes v1 data pages (PLAIN or
+    RLE_DICTIONARY over a PLAIN dictionary page) with definition
+    levels; nulls come back as None.  Nested columns, v2 pages and
+    DELTA/BYTE_STREAM_SPLIT encodings are named gates."""
+    import struct as _struct
+
+    try:
+        return _read_column(data, column)
+    except (TypeError, AttributeError, KeyError, _struct.error) as e:
+        # corrupted metadata parses into wrong tree shapes; convert to
+        # the named quarantine class at the public boundary
+        raise ValueError(f"parquet: malformed structure ({e})") from None
+
+
+def _read_column(data: bytes, column: str) -> list:
+    meta = parquet_file_meta(data)
+    # max definition level for a flat column: 1 if optional else 0;
+    # any repeated ancestor is a gate
+    sch = {s["name"]: s for s in meta["schema"][1:]}
+    if column not in sch:
+        raise ValueError(f"parquet: no column {column!r}")
+    if sch[column].get("num_children"):
+        raise ValueError("parquet: nested columns gated")
+    if sch[column].get("repetition") == 2:
+        raise ValueError("parquet: repeated columns gated")
+    max_def = 1 if sch[column].get("repetition") == 1 else 0
+    values: list = []
+    for rg in meta["row_groups"]:
+        chunk = None
+        for cc in rg["columns"]:
+            if cc["path"] == [column]:
+                chunk = cc
+                break
+        if chunk is None:
+            raise ValueError(f"parquet: column {column!r} missing "
+                             "from a row group")
+        start = chunk["dictionary_page_offset"]
+        if start is None:
+            start = chunk["data_page_offset"]
+        if not all(isinstance(chunk[k], int) and chunk[k] >= 0
+                   for k in ("total_compressed_size", "num_values")) \
+                or not isinstance(start, int) or start < 0:
+            raise ValueError("parquet: corrupt column-chunk metadata")
+        pos = start
+        end = start + chunk["total_compressed_size"]
+        if end > len(data):
+            raise ValueError("parquet: column chunk overruns file")
+        remaining = chunk["num_values"]
+        dictionary: list | None = None
+        ptype = chunk["type"]
+        while remaining > 0:
+            ph, pos = thrift_compact_struct(data, pos)
+            page_type = ph.get(1)
+            comp_size = ph.get(3)
+            unc_size = ph.get(2)
+            if not (isinstance(comp_size, int) and comp_size >= 0
+                    and isinstance(unc_size, int) and unc_size >= 0):
+                raise ValueError("parquet: corrupt page header sizes")
+            if page_type == 3:
+                raise ValueError("parquet: v2 data pages gated")
+            if page_type not in (0, 2):
+                raise ValueError(f"parquet: page type {page_type} gated")
+            body = bytes(data[pos:pos + comp_size])
+            if len(body) != comp_size:
+                raise ValueError("parquet: truncated page body")
+            pos += comp_size
+            raw = _decompress_page(chunk["codec"], body, unc_size)
+            if len(raw) != unc_size:
+                raise ValueError("parquet: page size mismatch")
+            if page_type == 2:  # DICTIONARY_PAGE
+                dph = ph.get(7) or {}
+                nvals = dph.get(1)
+                if dph.get(2) not in (0, 2):  # PLAIN(_DICTIONARY)
+                    raise ValueError("parquet: non-PLAIN dictionary gated")
+                dictionary = _plain_values(ptype, raw, nvals)
+                continue
+            dh = ph.get(5) or {}
+            nvals = dh.get(1)
+            enc = dh.get(2)
+            rpos = 0
+            if max_def:
+                dlen = int.from_bytes(raw[0:4], "little")
+                rpos = 4 + dlen
+                defs = _rle_bp_hybrid(raw, 4, rpos, 1, nvals)
+            else:
+                defs = [1] * nvals
+            npresent = sum(defs)
+            if enc == 0:  # PLAIN
+                present = _plain_values(ptype, raw[rpos:], npresent)
+            elif enc in (2, 8):  # (PLAIN_/RLE_)DICTIONARY
+                if dictionary is None:
+                    raise ValueError("parquet: dictionary page missing")
+                if rpos >= len(raw):
+                    raise ValueError("parquet: truncated index stream")
+                bw = raw[rpos]
+                idx = _rle_bp_hybrid(raw, rpos + 1, len(raw), bw,
+                                     npresent)
+                try:
+                    present = [dictionary[i] for i in idx]
+                except IndexError:
+                    raise ValueError(
+                        "parquet: dictionary index out of range"
+                    ) from None
+            else:
+                raise ValueError(
+                    f"parquet: encoding {_ENC_NAMES.get(enc, enc)} gated")
+            it = iter(present)
+            values.extend(next(it) if d == max_def else None
+                          for d in defs)
+            remaining -= nvals
+    return values
+
+
+# --------------------------------------------------------------------------
+# Spark surfaces.
+
+PARQUET_META_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("num_rows", LongType()),
+    StructField("n_row_groups", IntegerType()),
+    StructField("n_leaf_columns", IntegerType()),
+    StructField("chunk_values_sum", LongType()),
+    StructField("codec_id", IntegerType()),
+    StructField("stat_min_i64", LongType()),
+    StructField("stat_max_i64", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def _first_int_stats(meta: dict) -> tuple[int | None, int | None]:
+    """min/max of the first INT64 leaf across row groups (from the
+    footer Statistics, PLAIN little-endian)."""
+    lo = hi = None
+    for rg in meta["row_groups"]:
+        for cc in rg["columns"]:
+            if cc["type"] != _PT_INT64:
+                continue
+            mn, mx = cc["stat_min"], cc["stat_max"]
+            if mn is None or mx is None:
+                continue
+            mn = int.from_bytes(mn, "little", signed=True)
+            mx = int.from_bytes(mx, "little", signed=True)
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+            break
+    return lo, hi
+
+
+def decode_parquet_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over :func:`parquet_file_meta` —
+    footer-only introspection (row counts, layout, first-INT64-column
+    statistics); per-payload quarantine, no shuffle."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("num_rows", "n_row_groups", "n_leaf_columns",
+                "chunk_values_sum", "codec_id", "stat_min_i64",
+                "stat_max_i64")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    m = parquet_file_meta(bytes(payload))
+                    leaves = [s for s in m["schema"][1:]
+                              if not s["num_children"]]
+                    chunks = [cc for rg in m["row_groups"]
+                              for cc in rg["columns"]]
+                    lo, hi = _first_int_stats(m)
+                    rows["num_rows"].append(m["num_rows"])
+                    rows["n_row_groups"].append(len(m["row_groups"]))
+                    rows["n_leaf_columns"].append(len(leaves))
+                    rows["chunk_values_sum"].append(
+                        sum(cc["num_values"] or 0 for cc in chunks))
+                    rows["codec_id"].append(
+                        chunks[0]["codec"] if chunks else None)
+                    rows["stat_min_i64"].append(lo)
+                    rows["stat_max_i64"].append(hi)
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "num_rows": pd.Series(rows["num_rows"], dtype="Int64"),
+                "n_row_groups": pd.Series(rows["n_row_groups"],
+                                          dtype="Int32"),
+                "n_leaf_columns": pd.Series(rows["n_leaf_columns"],
+                                            dtype="Int32"),
+                "chunk_values_sum": pd.Series(rows["chunk_values_sum"],
+                                              dtype="Int64"),
+                "codec_id": pd.Series(rows["codec_id"], dtype="Int32"),
+                "stat_min_i64": pd.Series(rows["stat_min_i64"],
+                                          dtype="Int64"),
+                "stat_max_i64": pd.Series(rows["stat_max_i64"],
+                                          dtype="Int64"),
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _decode, schema=PARQUET_META_SCHEMA)
+
+
+PARQUET_COLSUM_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_values", LongType()),
+    StructField("n_nulls", LongType()),
+    StructField("value_sum", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_parquet_column_sum(
+    df: DataFrame, column: str,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over :func:`parquet_read_column`
+    for an integer column — count/nulls/sum straight from the raw
+    page bytes (dictionary + plain, all supported codecs)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "doc_id", "n_values", "n_nulls", "value_sum",
+                "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    vals = parquet_read_column(bytes(payload), column)
+                    present = [v for v in vals if v is not None]
+                    rows["n_values"].append(len(vals))
+                    rows["n_nulls"].append(len(vals) - len(present))
+                    rows["value_sum"].append(sum(present))
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError) as e:
+                    for k in ("n_values", "n_nulls", "value_sum"):
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_values": pd.Series(rows["n_values"], dtype="Int64"),
+                "n_nulls": pd.Series(rows["n_nulls"], dtype="Int64"),
+                "value_sum": pd.Series(rows["value_sum"], dtype="Int64"),
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _decode, schema=PARQUET_COLSUM_SCHEMA)

@@ -1043,3 +1043,129 @@ FROM smp s JOIN jp ON jp.event_id = s.event_id AND jp.i = s.i
 
 QUERIES_R11["webdataset_zst"] = q_webdataset_zst
 ORACLES_R11["webdataset_zst"] = _webdataset_zst_oracle_sql()
+
+
+def q_parquet_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer introspection driver-checked (r11): per event a
+    REAL parquet file written by parquet-cpp (pyarrow in the synth
+    map — codecs none/snappy/gzip/zstd, dictionary on/off, 40-row
+    row groups) whose footer is parsed by the pure-Python Thrift
+    compact protocol walker (operators/parquet_raw.py), and the
+    oracle replays row counts, layout and the first-INT64-column
+    min/max statistics in closed form.  The same reader round-trips
+    the driver's own /root/testdata tables in pytest.  Lane
+    id % 10 == 1."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.parquet_raw import decode_parquet_meta
+    from ..testing.fixtures import make_parquet_file
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 1
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_parquet_file(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_parquet_meta(payloads).drop("decode_error")
+
+
+_PARQUET_FOOTER_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         50 + (event_id % 1000) % 100 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 1
+),
+vals AS (
+  SELECT e.event_id,
+         min((e.seed*7 + 11*i.i) % 1000) AS mn,
+         max((e.seed*7 + 11*i.i) % 1000) AS mx
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+  WHERE i.i % 9 <> 8
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.n AS BIGINT) AS num_rows,
+       CAST((e.n + 39) // 40 AS INTEGER) AS n_row_groups,
+       CAST(2 AS INTEGER) AS n_leaf_columns,
+       CAST(2 * e.n AS BIGINT) AS chunk_values_sum,
+       CAST(CASE e.seed % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+                            WHEN 2 THEN 2 ELSE 6 END AS INTEGER)
+           AS codec_id,
+       CAST(v.mn AS BIGINT) AS stat_min_i64,
+       CAST(v.mx AS BIGINT) AS stat_max_i64
+FROM e JOIN vals v ON v.event_id = e.event_id
+"""
+
+QUERIES_R11["parquet_footer"] = q_parquet_footer
+ORACLES_R11["parquet_footer"] = _PARQUET_FOOTER_ORACLE
+
+
+def q_parquet_scan_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw parquet COLUMN materialization driver-checked (r11): the
+    same parquet-cpp files as ``parquet_footer``, but the query reads
+    the planted int64 column straight from the page bytes —
+    page-header thrift, RLE/bit-packed definition levels, PLAIN or
+    RLE_DICTIONARY values, pages decompressed by the engine's own
+    snappy/zstd/gzip byte paths — and the oracle replays count /
+    null-count / sum in closed form.  Lane id % 10 == 3."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.parquet_raw import decode_parquet_column_sum
+    from ..testing.fixtures import make_parquet_file
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 3
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_parquet_file(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_parquet_column_sum(payloads, "v").drop("decode_error")
+
+
+_PARQUET_SCAN_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         50 + (event_id % 1000) % 100 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 3
+),
+vals AS (
+  SELECT e.event_id,
+         sum(CASE WHEN i.i % 9 = 8 THEN 0
+                  ELSE (e.seed*7 + 11*i.i) % 1000 END) AS s,
+         sum(CASE WHEN i.i % 9 = 8 THEN 1 ELSE 0 END) AS nn
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.n AS BIGINT) AS n_values,
+       CAST(v.nn AS BIGINT) AS n_nulls,
+       CAST(v.s AS BIGINT) AS value_sum
+FROM e JOIN vals v ON v.event_id = e.event_id
+"""
+
+QUERIES_R11["parquet_scan_raw"] = q_parquet_scan_raw
+ORACLES_R11["parquet_scan_raw"] = _PARQUET_SCAN_ORACLE

@@ -6607,3 +6607,37 @@ def make_zstd(seed: int) -> bytes:
         return (codec.compress(a * 3, asbytes=True) + skip
                 + codec.compress(t, asbytes=True))
     return codec.compress(a * 3 + t, asbytes=True)
+
+
+def make_parquet_file(seed: int) -> bytes:
+    """Deterministic parquet bytes for the ``parquet_footer`` /
+    ``parquet_scan_raw`` driver queries — written by *parquet-cpp*
+    (pyarrow), so green rows certify operators/parquet_raw.py reads
+    real Parquet (thrift footers, RLE/bit-packed levels, dictionary
+    or plain pages, real codecs incl. our own snappy/zstd byte paths).
+
+    Planted rules (replayed in closed form by the oracles):
+
+    - ``n = 50 + seed % 100`` rows, row_group_size 40
+    - column ``v`` (int64, optional): NULL when ``i % 9 == 8`` else
+      ``(seed*7 + 11*i) % 1000``
+    - column ``w`` (string): ``'tok' || (seed + i) % 13``
+    - codec cycles [none, snappy, gzip, zstd] with ``seed % 4``;
+      dictionary encoding on for even seeds
+    """
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    n = 50 + seed % 100
+    v = [None if i % 9 == 8 else (seed * 7 + 11 * i) % 1000
+         for i in range(n)]
+    w = [f"tok{(seed + i) % 13}" for i in range(n)]
+    table = _pa.table({"v": _pa.array(v, _pa.int64()),
+                       "w": _pa.array(w, _pa.string())})
+    buf = _pa.BufferOutputStream()
+    _pq.write_table(
+        table, buf,
+        compression=["none", "snappy", "gzip", "zstd"][seed % 4],
+        use_dictionary=(seed % 2 == 0),
+        row_group_size=40)
+    return buf.getvalue().to_pybytes()

@@ -21,7 +21,8 @@ _R11_EXTRACT_QUERIES = [
     "pdf_text_xrefstream", "tiff_decode_lzw", "mp3_decode_short",
     "webp_decode_ext", "mp3_decode_synth_short", "pdf_text_filters",
     "tiff_decode_tiled", "snappy_extract", "charset_transcode",
-    "zstd_extract", "webdataset_zst",
+    "zstd_extract", "webdataset_zst", "parquet_footer",
+    "parquet_scan_raw",
 ]
 
 
