@@ -1,0 +1,330 @@
+"""ORC file metadata from raw bytes — public Apache ORC spec
+(orc.apache.org/specification): postscript + footer protobufs and
+the ORC chunked-compression framing.
+
+The second pillar of the columnar data-lake (Hive/Trino ecosystems)
+next to Parquet; the engine reads its layout without an ORC library:
+
+- **Postscript** (always uncompressed, its length in the file's last
+  byte): footerLength, compression kind, compressionBlockSize,
+  version, metadataLength, the trailing ``ORC`` magic.
+- **Compression framing**: each compressed section is a sequence of
+  chunks with a 3-byte little-endian header ``(length << 1) |
+  is_original``; chunk codecs ZLIB (raw deflate, stdlib), SNAPPY
+  (operators/snappy.py block format), LZ4 (operators/lz4.py raw
+  block), ZSTD (operators/zstd.py frames) — the engine's own byte
+  decoders; LZO stays a named gate.
+- **Footer protobuf**: a deterministic wire-format reader (varints,
+  zigzag where the .proto says ``sint64``, length-delimited
+  submessages — schema-directed, unlike the heuristic
+  operators/protowire.py walker) extracts content length, stripe
+  list (offset/index/data/footer lengths, row counts), the type
+  tree (kinds, packed-or-not subtypes), file row count, and per-
+  column statistics (IntegerStatistics min/max/sum).
+
+Cross-validation: tests compare against pyarrow's ORC reader (the
+Apache ORC C++ library) across compression kinds and multi-stripe
+layouts — a green test proves this reads real ORC.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["pb_message", "parse_orc_meta", "decode_orc_meta"]
+
+_MAX_SECTION = 64 * 1024 * 1024
+
+
+# --------------------------------------------------------------------------
+# Minimal deterministic protobuf wire reader: field id -> list of raw
+# values (ints for varint/fixed, bytes for length-delimited).
+
+
+def _pb_varint(data: bytes, pos: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("orc: truncated protobuf varint")
+        b = data[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("orc: protobuf varint too long")
+
+
+def pb_message(data: bytes) -> dict[int, list]:
+    """Decode one protobuf message's wire fields: ``{field_id:
+    [values...]}`` — ints for wire types 0/1/5, bytes for 2."""
+    fields: dict[int, list] = {}
+    pos = 0
+    while pos < len(data):
+        key, pos = _pb_varint(data, pos)
+        fid = key >> 3
+        wt = key & 7
+        if fid == 0:
+            raise ValueError("orc: protobuf field 0")
+        if wt == 0:
+            v, pos = _pb_varint(data, pos)
+        elif wt == 1:
+            if pos + 8 > len(data):
+                raise ValueError("orc: truncated fixed64")
+            v = int.from_bytes(data[pos:pos + 8], "little")
+            pos += 8
+        elif wt == 5:
+            if pos + 4 > len(data):
+                raise ValueError("orc: truncated fixed32")
+            v = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4
+        elif wt == 2:
+            n, pos = _pb_varint(data, pos)
+            if pos + n > len(data):
+                raise ValueError("orc: truncated length-delimited field")
+            v = bytes(data[pos:pos + n])
+            pos += n
+        else:
+            raise ValueError(f"orc: unsupported wire type {wt}")
+        fields.setdefault(fid, []).append(v)
+    return fields
+
+
+def _pb_zigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _pb_one(fields: dict, fid: int, default=None):
+    vals = fields.get(fid)
+    return vals[-1] if vals else default
+
+
+def _pb_packed_varints(fields: dict, fid: int) -> list[int]:
+    """A proto2 repeated integer field: either unpacked (wire type 0
+    per element) or packed (one length-delimited blob)."""
+    out: list[int] = []
+    for v in fields.get(fid, []):
+        if isinstance(v, int):
+            out.append(v)
+        else:
+            pos = 0
+            while pos < len(v):
+                x, pos = _pb_varint(v, pos)
+                out.append(x)
+    return out
+
+
+# --------------------------------------------------------------------------
+# ORC sections.
+
+_COMP_NAMES = {0: "NONE", 1: "ZLIB", 2: "SNAPPY", 3: "LZO", 4: "LZ4",
+               5: "ZSTD"}
+
+
+def _decompress_section(data: bytes, kind: int) -> bytes:
+    if kind == 0:
+        return data
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        if pos + 3 > len(data):
+            raise ValueError("orc: truncated chunk header")
+        h = int.from_bytes(data[pos:pos + 3], "little")
+        pos += 3
+        is_orig = h & 1
+        n = h >> 1
+        chunk = data[pos:pos + n]
+        if len(chunk) != n:
+            raise ValueError("orc: truncated chunk body")
+        pos += n
+        if is_orig:
+            out += chunk
+        elif kind == 1:
+            try:
+                out += zlib.decompress(chunk, -15)
+            except zlib.error as e:
+                raise ValueError(f"orc: corrupt zlib chunk ({e})") \
+                    from None
+        elif kind == 2:
+            from .snappy import snappy_uncompress
+
+            out += snappy_uncompress(chunk)
+        elif kind == 4:
+            from .lz4 import _decode_lz4_block
+
+            out += _decode_lz4_block(chunk, _MAX_SECTION)
+        elif kind == 5:
+            from .zstd import decompress_zstd
+
+            out += decompress_zstd(chunk)
+        else:
+            raise ValueError(
+                f"orc: codec {_COMP_NAMES.get(kind, kind)} gated")
+        if len(out) > _MAX_SECTION:
+            raise ValueError("orc: section exceeds size cap")
+    return bytes(out)
+
+
+def parse_orc_meta(data: bytes) -> dict:
+    """Parse postscript + footer of an ORC file (bytes) into a plain
+    dict: row count, compression, stripes, type kinds, per-column
+    IntegerStatistics."""
+    if len(data) < 16 or data[:3] != b"ORC":
+        raise ValueError("orc: missing ORC magic")
+    psl = data[-1]
+    if psl == 0 or psl + 1 > len(data):
+        raise ValueError("orc: bad postscript length")
+    ps = pb_message(data[-1 - psl:-1])
+    footer_len = _pb_one(ps, 1, 0)
+    compression = _pb_one(ps, 2, 0)
+    block_size = _pb_one(ps, 3)
+    metadata_len = _pb_one(ps, 5, 0)
+    magic = _pb_one(ps, 8000)
+    if magic is not None and magic != b"ORC":
+        raise ValueError("orc: postscript magic mismatch")
+    if not isinstance(footer_len, int) or footer_len <= 0 \
+            or footer_len + psl + 1 > len(data):
+        raise ValueError("orc: footer length overruns file")
+    fstart = len(data) - 1 - psl - footer_len
+    footer = pb_message(_decompress_section(
+        data[fstart:fstart + footer_len], compression))
+    stripes = []
+    for raw in footer.get(3, []):
+        if not isinstance(raw, bytes):
+            raise ValueError("orc: malformed stripe information")
+        si = pb_message(raw)
+        stripes.append({
+            "offset": _pb_one(si, 1),
+            "index_length": _pb_one(si, 2),
+            "data_length": _pb_one(si, 3),
+            "footer_length": _pb_one(si, 4),
+            "num_rows": _pb_one(si, 5),
+        })
+    types = []
+    for raw in footer.get(4, []):
+        if not isinstance(raw, bytes):
+            raise ValueError("orc: malformed type node")
+        ty = pb_message(raw)
+        types.append({
+            "kind": _pb_one(ty, 1, 0),
+            "subtypes": _pb_packed_varints(ty, 2),
+            "field_names": [n.decode("utf-8", "replace")
+                            for n in ty.get(3, [])
+                            if isinstance(n, bytes)],
+        })
+    stats = []
+    for raw in footer.get(7, []):
+        if not isinstance(raw, bytes):
+            raise ValueError("orc: malformed column statistics")
+        cs = pb_message(raw)
+        ints = _pb_one(cs, 2)
+        entry = {"num_values": _pb_one(cs, 1),
+                 "int_min": None, "int_max": None, "int_sum": None}
+        if isinstance(ints, bytes):
+            s = pb_message(ints)
+            for key, fid in (("int_min", 1), ("int_max", 2),
+                             ("int_sum", 3)):
+                v = _pb_one(s, fid)
+                if isinstance(v, int):
+                    entry[key] = _pb_zigzag(v)
+        stats.append(entry)
+    return {
+        "compression": compression,
+        "compression_name": _COMP_NAMES.get(compression, "UNKNOWN"),
+        "compression_block_size": block_size,
+        "footer_length": footer_len,
+        "metadata_length": metadata_len,
+        "content_length": _pb_one(footer, 2),
+        "num_rows": _pb_one(footer, 6),
+        "row_index_stride": _pb_one(footer, 8),
+        "stripes": stripes,
+        "types": types,
+        "statistics": stats,
+    }
+
+
+# --------------------------------------------------------------------------
+# Spark surface.
+
+ORC_META_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("num_rows", LongType()),
+    StructField("n_stripes", IntegerType()),
+    StructField("compression_id", IntegerType()),
+    StructField("n_types", IntegerType()),
+    StructField("stripe_rows_sum", LongType()),
+    StructField("int_min", LongType()),
+    StructField("int_max", LongType()),
+    StructField("int_sum", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_orc_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over :func:`parse_orc_meta` —
+    layout plus first-integer-column statistics; per-payload
+    quarantine, no shuffle."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("num_rows", "n_stripes", "compression_id", "n_types",
+                "stripe_rows_sum", "int_min", "int_max", "int_sum")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    m = parse_orc_meta(bytes(payload))
+                    ints = next(
+                        (s for s in m["statistics"]
+                         if s["int_min"] is not None), None)
+                    rows["num_rows"].append(m["num_rows"])
+                    rows["n_stripes"].append(len(m["stripes"]))
+                    rows["compression_id"].append(m["compression"])
+                    rows["n_types"].append(len(m["types"]))
+                    rows["stripe_rows_sum"].append(
+                        sum(s["num_rows"] or 0 for s in m["stripes"]))
+                    rows["int_min"].append(
+                        ints["int_min"] if ints else None)
+                    rows["int_max"].append(
+                        ints["int_max"] if ints else None)
+                    rows["int_sum"].append(
+                        ints["int_sum"] if ints else None)
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, TypeError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "num_rows": pd.Series(rows["num_rows"], dtype="Int64"),
+                "n_stripes": pd.Series(rows["n_stripes"], dtype="Int32"),
+                "compression_id": pd.Series(rows["compression_id"],
+                                            dtype="Int32"),
+                "n_types": pd.Series(rows["n_types"], dtype="Int32"),
+                "stripe_rows_sum": pd.Series(rows["stripe_rows_sum"],
+                                             dtype="Int64"),
+                "int_min": pd.Series(rows["int_min"], dtype="Int64"),
+                "int_max": pd.Series(rows["int_max"], dtype="Int64"),
+                "int_sum": pd.Series(rows["int_sum"], dtype="Int64"),
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _decode, schema=ORC_META_SCHEMA)

@@ -1169,3 +1169,71 @@ FROM e JOIN vals v ON v.event_id = e.event_id
 
 QUERIES_R11["parquet_scan_raw"] = q_parquet_scan_raw
 ORACLES_R11["parquet_scan_raw"] = _PARQUET_SCAN_ORACLE
+
+
+def q_orc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC metadata introspection driver-checked (r11): per event a
+    REAL ORC file written by the Apache ORC C++ writer (pyarrow in
+    the synth map — codecs uncompressed/zlib/snappy/lz4/zstd, the
+    compressed chunks decoded by the engine's own byte paths), whose
+    postscript/footer protobufs are read by the deterministic wire
+    reader (operators/orc_meta.py), and the oracle replays row
+    counts, type-tree size, codec id and the signed
+    IntegerStatistics min/max/sum in closed form.  Lane
+    id % 10 == 5."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.orc_meta import decode_orc_meta
+    from ..testing.fixtures import make_orc_file
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 5
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_orc_file(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_orc_meta(payloads).drop("decode_error")
+
+
+_ORC_META_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         100 + (event_id % 1000) % 200 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 5
+),
+vals AS (
+  SELECT e.event_id,
+         min((e.seed*11 + 13*i.i) % 5000 - 1000) AS mn,
+         max((e.seed*11 + 13*i.i) % 5000 - 1000) AS mx,
+         sum((e.seed*11 + 13*i.i) % 5000 - 1000) AS s
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.n AS BIGINT) AS num_rows,
+       CAST(1 AS INTEGER) AS n_stripes,
+       CAST(CASE e.seed % 5 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                            WHEN 3 THEN 4 ELSE 5 END AS INTEGER)
+           AS compression_id,
+       CAST(3 AS INTEGER) AS n_types,
+       CAST(e.n AS BIGINT) AS stripe_rows_sum,
+       CAST(v.mn AS BIGINT) AS int_min,
+       CAST(v.mx AS BIGINT) AS int_max,
+       CAST(v.s AS BIGINT) AS int_sum
+FROM e JOIN vals v ON v.event_id = e.event_id
+"""
+
+QUERIES_R11["orc_meta"] = q_orc_meta
+ORACLES_R11["orc_meta"] = _ORC_META_ORACLE

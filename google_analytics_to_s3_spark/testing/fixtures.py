@@ -6641,3 +6641,35 @@ def make_parquet_file(seed: int) -> bytes:
         use_dictionary=(seed % 2 == 0),
         row_group_size=40)
     return buf.getvalue().to_pybytes()
+
+
+def make_orc_file(seed: int) -> bytes:
+    """Deterministic ORC bytes for the ``orc_meta`` driver query —
+    written by the Apache ORC C++ writer (pyarrow.orc), so a green
+    row certifies operators/orc_meta.py reads real ORC postscripts,
+    chunked-compression framing and footer protobufs.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - ``n = 100 + seed % 200`` rows
+    - column ``v`` (int64): ``(seed*11 + 13*i) % 5000 - 1000``
+      (negative values exercise the sint64 zigzag statistics)
+    - column ``w`` (string): ``'tok' || (seed + i) % 7``
+    - compression cycles [uncompressed, zlib, snappy, lz4, zstd]
+      with ``seed % 5`` — the zlib/snappy/lz4/zstd chunks decode
+      through the engine's own byte paths
+    """
+    import pyarrow as _pa
+    from pyarrow import orc as _orc
+
+    n = 100 + seed % 200
+    v = [(seed * 11 + 13 * i) % 5000 - 1000 for i in range(n)]
+    w = [f"tok{(seed + i) % 7}" for i in range(n)]
+    table = _pa.table({"v": _pa.array(v, _pa.int64()),
+                       "w": _pa.array(w, _pa.string())})
+    buf = _pa.BufferOutputStream()
+    _orc.write_table(
+        table, buf,
+        compression=["uncompressed", "zlib", "snappy", "lz4",
+                     "zstd"][seed % 5])
+    return buf.getvalue().to_pybytes()

@@ -1,0 +1,138 @@
+"""ORC metadata reader (operators/orc_meta.py).
+
+Cross-validation against the Apache ORC C++ writer/reader (pyarrow):
+postscript, chunked-compression framing (zlib/snappy/lz4/zstd through
+the engine's own byte decoders), footer protobuf, stripes, type tree,
+signed IntegerStatistics.
+"""
+
+from __future__ import annotations
+
+import io
+import random
+
+import pyarrow as pa
+import pytest
+from pyarrow import orc
+
+from google_analytics_to_s3_spark.operators.orc_meta import (
+    parse_orc_meta,
+    pb_message,
+)
+
+_COMPS = ["uncompressed", "zlib", "snappy", "lz4", "zstd"]
+
+
+def _orc_bytes(table: pa.Table, **kw) -> bytes:
+    buf = pa.BufferOutputStream()
+    orc.write_table(table, buf, **kw)
+    return buf.getvalue().to_pybytes()
+
+
+# --------------------------------------------------------------------------
+# protobuf wire reader pins
+
+
+def test_pb_message_wire_types():
+    raw = bytes([0x08, 150, 1])          # field 1 varint 150
+    raw += bytes([0x11]) + (7).to_bytes(8, "little")   # field 2 fixed64
+    raw += bytes([0x1D]) + (9).to_bytes(4, "little")   # field 3 fixed32
+    raw += bytes([0x22, 3]) + b"abc"     # field 4 bytes
+    raw += bytes([0x08, 1])              # field 1 again (repeated)
+    fields = pb_message(raw)
+    assert fields == {1: [150, 1], 2: [7], 3: [9], 4: [b"abc"]}
+
+
+def test_pb_message_truncation_named():
+    with pytest.raises(ValueError, match="orc"):
+        pb_message(bytes([0x08]))
+    with pytest.raises(ValueError, match="orc"):
+        pb_message(bytes([0x22, 200, 1]))
+    with pytest.raises(ValueError, match="wire type"):
+        pb_message(bytes([0x0B]))  # deprecated group type
+
+
+# --------------------------------------------------------------------------
+# Cross-validation matrix
+
+
+@pytest.mark.parametrize("comp", _COMPS)
+def test_meta_matches_pyarrow(comp):
+    t = pa.table({
+        "v": pa.array([i * 7 - 50 for i in range(5000)], pa.int64()),
+        "w": [f"s{i % 5}" for i in range(5000)],
+        "f": pa.array([i * 0.5 for i in range(5000)], pa.float64()),
+    })
+    data = _orc_bytes(t, compression=comp)
+    m = parse_orc_meta(data)
+    f = orc.ORCFile(io.BytesIO(data))
+    assert m["num_rows"] == f.nrows == 5000
+    assert len(m["stripes"]) == f.nstripes
+    assert sum(s["num_rows"] for s in m["stripes"]) == 5000
+    assert m["compression_name"] == str(f.compression).upper().replace(
+        "UNCOMPRESSED", "NONE")
+    # type tree: struct root + 3 children
+    assert len(m["types"]) == 4
+    assert m["types"][0]["subtypes"] == [1, 2, 3]
+    assert m["types"][0]["field_names"] == ["v", "w", "f"]
+    ints = next(s for s in m["statistics"] if s["int_min"] is not None)
+    assert ints["int_min"] == -50
+    assert ints["int_max"] == 4999 * 7 - 50
+    assert ints["int_sum"] == sum(i * 7 - 50 for i in range(5000))
+
+
+def test_multi_stripe_layout():
+    t = pa.table({"v": pa.array(range(50000), pa.int64())})
+    data = _orc_bytes(t, compression="uncompressed", stripe_size=4096)
+    m = parse_orc_meta(data)
+    f = orc.ORCFile(io.BytesIO(data))
+    assert f.nstripes > 1
+    assert len(m["stripes"]) == f.nstripes
+    assert sum(s["num_rows"] for s in m["stripes"]) == 50000
+    # stripes tile the content region in order
+    offs = [s["offset"] for s in m["stripes"]]
+    assert offs == sorted(offs)
+
+
+def test_negative_sint_statistics_zigzag():
+    t = pa.table({"v": pa.array([-1000000, 5, -3], pa.int64())})
+    m = parse_orc_meta(_orc_bytes(t, compression="zstd"))
+    ints = next(s for s in m["statistics"] if s["int_min"] is not None)
+    assert ints["int_min"] == -1000000
+    assert ints["int_max"] == 5
+    assert ints["int_sum"] == -999998
+
+
+def test_empty_table():
+    t = pa.table({"v": pa.array([], pa.int64())})
+    m = parse_orc_meta(_orc_bytes(t))
+    assert m["num_rows"] == 0
+    assert m["stripes"] == []
+
+
+# --------------------------------------------------------------------------
+# Corruption discipline
+
+
+def test_bad_magic_and_postscript():
+    with pytest.raises(ValueError, match="magic"):
+        parse_orc_meta(b"NOPE" + b"\x00" * 64)
+    good = _orc_bytes(pa.table({"v": pa.array(range(10), pa.int64())}))
+    with pytest.raises((ValueError, IndexError)):
+        parse_orc_meta(good[:-1] + b"\xff")  # absurd postscript length
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_corruption_never_crashes(seed):
+    base = _orc_bytes(
+        pa.table({"v": pa.array(range(2000), pa.int64()),
+                  "w": [f"x{i % 9}" for i in range(2000)]}),
+        compression="snappy")
+    r = random.Random(seed)
+    for _ in range(60):
+        b = bytearray(base)
+        b[r.randrange(len(b))] ^= 1 << r.randrange(8)
+        try:
+            parse_orc_meta(bytes(b))
+        except (ValueError, IndexError, TypeError):
+            pass
