@@ -1,0 +1,360 @@
+"""Avro object container files — public Apache Avro 1.11 spec
+(binary encoding + object container file format).
+
+Avro is the row-major interchange format of the lake stack (Kafka
+payloads, Iceberg manifests, Hive exports); the engine reads it from
+bytes:
+
+- **Container**: ``Obj\\x01`` magic, file-metadata map
+  (``avro.schema`` JSON, ``avro.codec``), 16-byte sync marker, then
+  blocks of (record count, byte size, data, sync) with sync markers
+  verified; codecs ``null`` and ``deflate`` (raw DEFLATE, stdlib
+  zlib) — ``snappy`` blocks (CRC-32 suffixed) via
+  operators/snappy.py; others are named gates.
+- **Binary encoding**: zigzag-varint int/long, little-endian
+  float/double, length-prefixed bytes/string, 1-byte boolean,
+  unions (varint branch index), records (field order), enums
+  (varint symbol index), fixed, and block-encoded arrays/maps
+  (negative counts carry a byte size per the spec).
+- **Schema**: the JSON declaration is parsed into a resolver tree
+  (records/enums/fixed by name, nullable unions, nested arrays and
+  maps).  Recursive named-type references resolve through the
+  parse-time registry; unsupported logical shapes fail as named
+  gates, never mis-decode.
+
+Validation honesty: no independent Avro implementation ships in this
+environment (no fastavro/avro, and pyarrow carries no Avro codec),
+so unlike parquet/ORC/zstd these tests validate against hand-pinned
+golden byte sequences derived from the public spec plus planted-rule
+fixtures (the same discipline as the tar path before CPython
+cross-validation was added).  The spec's worked examples — e.g.
+``long(1) == 0x02``, ``long(-2) == 0x03``, the two-entry array
+``[3, 27] == 0x04 0x06 0x36 0x00`` — are pinned directly.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["avro_decode_container", "decode_avro_meta"]
+
+_MAX_ITEMS = 10_000_000
+_MAX_DEPTH = 32
+
+
+# --------------------------------------------------------------------------
+# Binary primitives.
+
+
+class _Reader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+
+    def long(self) -> int:
+        out = 0
+        shift = 0
+        while True:
+            if self.pos >= len(self.data):
+                raise ValueError("avro: truncated varint")
+            b = self.data[self.pos]
+            self.pos += 1
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return (out >> 1) ^ -(out & 1)
+            shift += 7
+            if shift > 70:
+                raise ValueError("avro: varint too long")
+
+    def raw(self, n: int) -> bytes:
+        if n < 0 or self.pos + n > len(self.data):
+            raise ValueError("avro: truncated bytes")
+        v = self.data[self.pos:self.pos + n]
+        self.pos += n
+        return bytes(v)
+
+
+# --------------------------------------------------------------------------
+# Schema resolution.
+
+
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double",
+               "bytes", "string"}
+
+
+def _resolve_schema(sch, named: dict, depth: int = 0):
+    """Normalize a parsed-JSON Avro schema into a tuple tree the
+    decoder walks.  Named types register in ``named`` so later
+    references (including recursive ones) resolve."""
+    if depth > _MAX_DEPTH:
+        raise ValueError("avro: schema nesting too deep")
+    if isinstance(sch, str):
+        if sch in _PRIMITIVES:
+            return ("prim", sch)
+        if sch in named:
+            return ("ref", sch)
+        raise ValueError(f"avro: unknown type name {sch!r}")
+    if isinstance(sch, list):
+        return ("union", [_resolve_schema(s, named, depth + 1)
+                          for s in sch])
+    if not isinstance(sch, dict):
+        raise ValueError("avro: malformed schema node")
+    t = sch.get("type")
+    if t in _PRIMITIVES:
+        return ("prim", t)
+    if t == "record":
+        name = sch.get("name")
+        if not name:
+            raise ValueError("avro: record without a name")
+        named[name] = None  # placeholder enables recursive refs
+        fields = [(f.get("name"),
+                   _resolve_schema(f.get("type"), named, depth + 1))
+                  for f in sch.get("fields", [])]
+        node = ("record", name, fields)
+        named[name] = node
+        return node
+    if t == "enum":
+        node = ("enum", sch.get("name"), list(sch.get("symbols", [])))
+        named[sch.get("name")] = node
+        return node
+    if t == "fixed":
+        node = ("fixed", sch.get("name"), int(sch.get("size", 0)))
+        named[sch.get("name")] = node
+        return node
+    if t == "array":
+        return ("array", _resolve_schema(sch.get("items"), named,
+                                         depth + 1))
+    if t == "map":
+        return ("map", _resolve_schema(sch.get("values"), named,
+                                       depth + 1))
+    raise ValueError(f"avro: unsupported schema type {t!r}")
+
+
+def _decode(r: _Reader, node, named: dict, depth: int = 0):
+    if depth > _MAX_DEPTH:
+        raise ValueError("avro: value nesting too deep")
+    kind = node[0]
+    if kind == "ref":
+        target = named.get(node[1])
+        if target is None:
+            raise ValueError(f"avro: unresolved type {node[1]!r}")
+        return _decode(r, target, named, depth + 1)
+    if kind == "prim":
+        t = node[1]
+        if t == "null":
+            return None
+        if t == "boolean":
+            return r.raw(1) == b"\x01"
+        if t in ("int", "long"):
+            return r.long()
+        if t == "float":
+            return struct.unpack("<f", r.raw(4))[0]
+        if t == "double":
+            return struct.unpack("<d", r.raw(8))[0]
+        if t == "bytes":
+            return r.raw(r.long())
+        # string
+        return r.raw(r.long()).decode("utf-8", "replace")
+    if kind == "union":
+        idx = r.long()
+        branches = node[1]
+        if not 0 <= idx < len(branches):
+            raise ValueError("avro: union branch out of range")
+        return _decode(r, branches[idx], named, depth + 1)
+    if kind == "record":
+        return {fname: _decode(r, fnode, named, depth + 1)
+                for fname, fnode in node[2]}
+    if kind == "enum":
+        idx = r.long()
+        syms = node[2]
+        if not 0 <= idx < len(syms):
+            raise ValueError("avro: enum index out of range")
+        return syms[idx]
+    if kind == "fixed":
+        return r.raw(node[2])
+    if kind in ("array", "map"):
+        out_l: list = []
+        out_m: dict = {}
+        total = 0
+        while True:
+            n = r.long()
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                r.long()  # byte size of the block — skippable hint
+            total += n
+            if total > _MAX_ITEMS:
+                raise ValueError("avro: collection too large")
+            for _ in range(n):
+                if kind == "map":
+                    k = r.raw(r.long()).decode("utf-8", "replace")
+                    out_m[k] = _decode(r, node[1], named, depth + 1)
+                else:
+                    out_l.append(_decode(r, node[1], named, depth + 1))
+        return out_m if kind == "map" else out_l
+    raise ValueError(f"avro: undecodable node {kind!r}")
+
+
+# --------------------------------------------------------------------------
+# Container.
+
+
+def avro_decode_container(data: bytes) -> tuple[dict, list]:
+    """Decode an Avro object container → (info, records).  ``info``
+    carries the schema JSON, codec name and block count; ``records``
+    are plain Python trees (dicts/lists/primitives)."""
+    r = _Reader(data)
+    if r.raw(4) != b"Obj\x01":
+        raise ValueError("avro: missing Obj1 magic")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            r.long()
+        for _ in range(n):
+            if len(meta) > 1000:
+                raise ValueError("avro: oversized metadata map")
+            k = r.raw(r.long()).decode("utf-8", "replace")
+            meta[k] = r.raw(r.long())
+    sync = r.raw(16)
+    schema_json = meta.get("avro.schema")
+    if not schema_json:
+        raise ValueError("avro: missing avro.schema")
+    try:
+        schema = json.loads(schema_json)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"avro: bad schema JSON ({e})") from None
+    codec = (meta.get("avro.codec") or b"null").decode("ascii", "replace")
+    named: dict = {}
+    root = _resolve_schema(schema, named)
+    records: list = []
+    n_blocks = 0
+    while r.pos < len(r.data):
+        count = r.long()
+        size = r.long()
+        if count < 0 or size < 0:
+            raise ValueError("avro: negative block header")
+        block = r.raw(size)
+        if r.raw(16) != sync:
+            raise ValueError("avro: sync marker mismatch")
+        if codec == "null":
+            payload = block
+        elif codec == "deflate":
+            try:
+                payload = zlib.decompress(block, -15)
+            except zlib.error as e:
+                raise ValueError(f"avro: corrupt deflate block ({e})") \
+                    from None
+        elif codec == "snappy":
+            from .snappy import crc32c as _unused_guard  # noqa: F401
+            from .snappy import snappy_uncompress
+
+            if len(block) < 4:
+                raise ValueError("avro: snappy block too short")
+            payload = snappy_uncompress(block[:-4])
+            want = int.from_bytes(block[-4:], "big")
+            if zlib.crc32(payload) & 0xFFFFFFFF != want:
+                raise ValueError("avro: snappy block CRC mismatch")
+        else:
+            raise ValueError(f"avro: codec {codec!r} gated")
+        br = _Reader(payload)
+        for _ in range(count):
+            records.append(_decode(br, root, named))
+            if len(records) > _MAX_ITEMS:
+                raise ValueError("avro: too many records")
+        if br.pos != len(payload):
+            raise ValueError("avro: trailing bytes in block")
+        n_blocks += 1
+    info = {"codec": codec, "n_blocks": n_blocks,
+            "schema": schema, "sync": sync}
+    return info, records
+
+
+# --------------------------------------------------------------------------
+# Spark surface.
+
+AVRO_META_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_records", LongType()),
+    StructField("n_blocks", IntegerType()),
+    StructField("codec_id", IntegerType()),
+    StructField("long_sum", LongType()),
+    StructField("str_bytes", LongType()),
+    StructField("n_nulls", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+_CODEC_IDS = {"null": 0, "deflate": 1, "snappy": 2}
+
+
+def decode_avro_meta(
+    df: DataFrame, long_field: str, str_field: str,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over
+    :func:`avro_decode_container` for flat record schemas: record/
+    block counts, the sum of a long field (None-skipping, so
+    nullable unions tally into ``n_nulls``), and the UTF-8 byte
+    tally of a string field."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("n_records", "n_blocks", "codec_id", "long_sum",
+                "str_bytes", "n_nulls")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    info, recs = avro_decode_container(bytes(payload))
+                    longs = [rec.get(long_field) for rec in recs]
+                    strs = [rec.get(str_field) or "" for rec in recs]
+                    rows["n_records"].append(len(recs))
+                    rows["n_blocks"].append(info["n_blocks"])
+                    rows["codec_id"].append(
+                        _CODEC_IDS.get(info["codec"], -1))
+                    rows["long_sum"].append(
+                        sum(v for v in longs if v is not None))
+                    rows["str_bytes"].append(
+                        sum(len(s.encode("utf-8")) for s in strs))
+                    rows["n_nulls"].append(
+                        sum(1 for v in longs if v is None))
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, TypeError,
+                        AttributeError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_records": pd.Series(rows["n_records"], dtype="Int64"),
+                "n_blocks": pd.Series(rows["n_blocks"], dtype="Int32"),
+                "codec_id": pd.Series(rows["codec_id"], dtype="Int32"),
+                "long_sum": pd.Series(rows["long_sum"], dtype="Int64"),
+                "str_bytes": pd.Series(rows["str_bytes"], dtype="Int64"),
+                "n_nulls": pd.Series(rows["n_nulls"], dtype="Int64"),
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=AVRO_META_SCHEMA)

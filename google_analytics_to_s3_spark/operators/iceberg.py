@@ -1,0 +1,158 @@
+"""Apache Iceberg snapshot walking — public Iceberg table spec
+(iceberg.apache.org/spec): table-metadata JSON → manifest list
+(Avro) → manifest files (Avro) → live data-file inventory.
+
+Lakehouse tables don't list directories; readers resolve the current
+snapshot through a metadata chain.  This operator walks that chain
+with the engine's own byte paths — JSON (stdlib), the tar bundle
+walk (operators/tar.py) standing in for the object store's key space,
+and the Avro container reader (operators/avro.py) for manifest lists
+and manifests:
+
+- ``metadata.json``: ``current-snapshot-id`` resolved against the
+  ``snapshots`` array; the winning snapshot's ``manifest-list`` key.
+- Manifest list entries (Avro records): ``manifest_path`` +
+  ``manifest_length`` per manifest.
+- Manifest entries (Avro records): ``status`` (0 EXISTING / 1 ADDED
+  / 2 DELETED) and the nested ``data_file`` record (``file_path``,
+  ``record_count``, ``file_size_in_bytes``).  DELETED entries drop
+  out of the live inventory, exactly like a real scan planner.
+
+The Avro schemas here are the spec's field subset sufficient for
+scan planning; extra fields pass through the schema-directed reader
+untouched.  Missing keys, dangling snapshot ids, and manifest-length
+mismatches raise named ``ValueError``s (quarantined by the wrapper).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .avro import avro_decode_container
+from .tar import parse_tar
+
+__all__ = ["parse_iceberg_snapshot", "decode_iceberg_snapshot"]
+
+
+def parse_iceberg_snapshot(bundle: bytes) -> dict:
+    """Walk an Iceberg metadata bundle (tar of metadata.json +
+    manifest-list/manifest Avro files) to the live data-file set."""
+    files = {m["name"]: m["data"] for m in parse_tar(bundle)}
+    meta_raw = files.get("metadata.json")
+    if meta_raw is None:
+        raise ValueError("iceberg: bundle missing metadata.json")
+    try:
+        meta = json.loads(meta_raw)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"iceberg: bad metadata JSON ({e})") from None
+    cur = meta.get("current-snapshot-id")
+    snap = next((s for s in meta.get("snapshots", [])
+                 if s.get("snapshot-id") == cur), None)
+    if snap is None:
+        raise ValueError("iceberg: current snapshot id not found")
+    ml_key = snap.get("manifest-list")
+    ml_raw = files.get(ml_key)
+    if ml_raw is None:
+        raise ValueError(f"iceberg: manifest list {ml_key!r} missing")
+    _, ml_entries = avro_decode_container(ml_raw)
+    n_live = n_deleted = 0
+    total_records = total_bytes = 0
+    n_manifests = 0
+    for entry in ml_entries:
+        path = entry.get("manifest_path")
+        man_raw = files.get(path)
+        if man_raw is None:
+            raise ValueError(f"iceberg: manifest {path!r} missing")
+        if entry.get("manifest_length") not in (None, len(man_raw)):
+            raise ValueError("iceberg: manifest length mismatch")
+        n_manifests += 1
+        _, man_entries = avro_decode_container(man_raw)
+        for me in man_entries:
+            status = me.get("status")
+            df = me.get("data_file") or {}
+            if status == 2:
+                n_deleted += 1
+                continue
+            if status not in (0, 1):
+                raise ValueError(f"iceberg: bad entry status {status!r}")
+            n_live += 1
+            total_records += int(df.get("record_count") or 0)
+            total_bytes += int(df.get("file_size_in_bytes") or 0)
+    return {
+        "snapshot_id": cur,
+        "n_manifests": n_manifests,
+        "n_live_files": n_live,
+        "n_deleted_files": n_deleted,
+        "total_records": total_records,
+        "total_bytes": total_bytes,
+    }
+
+
+ICEBERG_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("snapshot_id", LongType()),
+    StructField("n_manifests", IntegerType()),
+    StructField("n_live_files", IntegerType()),
+    StructField("n_deleted_files", IntegerType()),
+    StructField("total_records", LongType()),
+    StructField("total_bytes", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_iceberg_snapshot(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over
+    :func:`parse_iceberg_snapshot`; per-payload quarantine, no
+    shuffle."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("snapshot_id", "n_manifests", "n_live_files",
+                "n_deleted_files", "total_records", "total_bytes")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    m = parse_iceberg_snapshot(bytes(payload))
+                    for k in cols:
+                        rows[k].append(m[k])
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, TypeError,
+                        AttributeError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "snapshot_id": pd.Series(rows["snapshot_id"],
+                                         dtype="Int64"),
+                "n_manifests": pd.Series(rows["n_manifests"],
+                                         dtype="Int32"),
+                "n_live_files": pd.Series(rows["n_live_files"],
+                                          dtype="Int32"),
+                "n_deleted_files": pd.Series(rows["n_deleted_files"],
+                                             dtype="Int32"),
+                "total_records": pd.Series(rows["total_records"],
+                                           dtype="Int64"),
+                "total_bytes": pd.Series(rows["total_bytes"],
+                                         dtype="Int64"),
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=ICEBERG_SCHEMA)

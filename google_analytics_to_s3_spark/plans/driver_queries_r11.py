@@ -1237,3 +1237,137 @@ FROM e JOIN vals v ON v.event_id = e.event_id
 
 QUERIES_R11["orc_meta"] = q_orc_meta
 ORACLES_R11["orc_meta"] = _ORC_META_ORACLE
+
+
+def q_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro object-container decode driver-checked (r11): per event a
+    container with planted records (nullable-union longs, strings,
+    25-record blocks, codecs null/deflate/snappy with the big-endian
+    CRC-32 suffix) is decoded by the schema-directed binary reader
+    (operators/avro.py — container grammar and primitives pinned
+    against the Avro spec's worked examples in tests/test_avro.py),
+    and the oracle replays record/block/null counts and sums in
+    closed form.  Lane id % 10 == 7."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.avro import decode_avro_meta
+    from ..testing.fixtures import make_avro
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 7
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_avro(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_avro_meta(payloads, "u", "label").drop("decode_error")
+
+
+_AVRO_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         60 + (event_id % 1000) % 90 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 7
+),
+vals AS (
+  SELECT e.event_id,
+         sum(CASE WHEN i.i % 6 = 5 THEN 0
+                  ELSE (e.seed + 3*i.i) % 500 END) AS us,
+         sum(CASE WHEN i.i % 6 = 5 THEN 1 ELSE 0 END) AS nn,
+         sum(3 + length(CAST((e.seed + i.i) % 23 AS VARCHAR))) AS sb
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.n AS BIGINT) AS n_records,
+       CAST((e.n + 24) // 25 AS INTEGER) AS n_blocks,
+       CAST(e.seed % 3 AS INTEGER) AS codec_id,
+       CAST(v.us AS BIGINT) AS long_sum,
+       CAST(v.sb AS BIGINT) AS str_bytes,
+       CAST(v.nn AS BIGINT) AS n_nulls
+FROM e JOIN vals v ON v.event_id = e.event_id
+"""
+
+QUERIES_R11["avro_decode"] = q_avro_decode
+ORACLES_R11["avro_decode"] = _AVRO_ORACLE
+
+
+def q_iceberg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg snapshot walk driver-checked (r11): per event a
+    metadata bundle (metadata.json + Avro manifest list + Avro
+    manifests in a checksummed tar standing in for the object
+    store) is resolved current-snapshot-first through THREE engine
+    byte paths chained — tar walk, JSON, schema-directed Avro —
+    dropping DELETED entries exactly like a scan planner, and the
+    oracle replays the live-file inventory in closed form.  A stale
+    snapshot is planted to force real id resolution.  Lane
+    id % 10 == 8."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.iceberg import decode_iceberg_snapshot
+    from ..testing.fixtures import make_iceberg
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 8
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_iceberg(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_iceberg_snapshot(payloads).drop("decode_error")
+
+
+_ICEBERG_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         1 + (event_id % 1000) % 3 AS nm
+  FROM events WHERE event_id % {_FLAC_MOD} = 8
+),
+entries AS (
+  SELECT e.event_id, e.seed, e.nm, m.m, f.f,
+         (e.seed + m.m + f.f) % 5 = 4 AS deleted,
+         100 + (e.seed*7 + 31*m.m + 13*f.f) % 900 AS rc,
+         1000 + (e.seed*11 + 17*m.m + 7*f.f) % 9000 AS fs
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.nm)) AS m) m,
+       LATERAL (SELECT unnest(range(0, 2 + (e.seed + m.m) % 4)) AS f) f
+)
+SELECT en.event_id AS doc_id,
+       CAST(1000 + en.seed AS BIGINT) AS snapshot_id,
+       CAST(en.nm AS INTEGER) AS n_manifests,
+       CAST(sum(CASE WHEN en.deleted THEN 0 ELSE 1 END) AS INTEGER)
+           AS n_live_files,
+       CAST(sum(CASE WHEN en.deleted THEN 1 ELSE 0 END) AS INTEGER)
+           AS n_deleted_files,
+       CAST(sum(CASE WHEN en.deleted THEN 0 ELSE en.rc END) AS BIGINT)
+           AS total_records,
+       CAST(sum(CASE WHEN en.deleted THEN 0 ELSE en.fs END) AS BIGINT)
+           AS total_bytes
+FROM entries en
+GROUP BY en.event_id, en.seed, en.nm
+"""
+
+QUERIES_R11["iceberg_snapshot"] = q_iceberg_snapshot
+ORACLES_R11["iceberg_snapshot"] = _ICEBERG_ORACLE

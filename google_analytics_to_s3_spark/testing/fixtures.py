@@ -6673,3 +6673,179 @@ def make_orc_file(seed: int) -> bytes:
         compression=["uncompressed", "zlib", "snappy", "lz4",
                      "zstd"][seed % 5])
     return buf.getvalue().to_pybytes()
+
+
+def _avro_zigzag(v: int) -> bytes:
+    u = (v << 1) ^ (v >> 63) if v < 0 else v << 1
+    u &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_str(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return _avro_zigzag(len(b)) + b
+
+
+_AVRO_SCHEMA_JSON = (
+    '{"type":"record","name":"Doc","fields":['
+    '{"name":"id","type":"long"},'
+    '{"name":"u","type":["null","long"]},'
+    '{"name":"label","type":"string"}]}'
+)
+
+
+def make_avro(seed: int) -> bytes:
+    """Deterministic Avro object container for the ``avro_decode``
+    driver query (spec-golden encoder; the container grammar and the
+    binary primitives are pinned against the Avro spec's worked
+    examples in tests/test_avro.py).
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - ``n = 60 + seed % 90`` records in blocks of 25
+    - ``id = (seed*13 + 7*i) % 10000`` (long)
+    - ``u`` (nullable long union): NULL when ``i % 6 == 5`` else
+      ``(seed + 3*i) % 500``
+    - ``label = 'lab' || (seed + i) % 23`` (string)
+    - codec cycles [null, deflate, snappy] with ``seed % 3``
+    """
+    import zlib as _zlib
+
+    n = 60 + seed % 90
+    codec = ["null", "deflate", "snappy"][seed % 3]
+    recs = []
+    for i in range(n):
+        row = _avro_zigzag((seed * 13 + 7 * i) % 10000)
+        if i % 6 == 5:
+            row += _avro_zigzag(0)  # union branch 0: null
+        else:
+            row += _avro_zigzag(1) + _avro_zigzag((seed + 3 * i) % 500)
+        row += _avro_str(f"lab{(seed + i) % 23}")
+        recs.append(row)
+    sync = bytes((seed * 31 + j * 17) % 256 for j in range(16))
+    out = bytearray(b"Obj\x01")
+    out += _avro_zigzag(2)  # metadata map: one block, two entries
+    out += _avro_str("avro.schema") + _avro_str(_AVRO_SCHEMA_JSON)
+    out += _avro_str("avro.codec") + _avro_str(codec)
+    out += _avro_zigzag(0)
+    out += sync
+    for at in range(0, n, 25):
+        chunk = recs[at:at + 25]
+        payload = b"".join(chunk)
+        if codec == "deflate":
+            co = _zlib.compressobj(6, _zlib.DEFLATED, -15)
+            payload = co.compress(payload) + co.flush()
+        elif codec == "snappy":
+            comp = snappy_compress_block(payload)
+            payload = comp + (_zlib.crc32(b"".join(chunk))
+                              & 0xFFFFFFFF).to_bytes(4, "big")
+        out += _avro_zigzag(len(chunk)) + _avro_zigzag(len(payload))
+        out += payload + sync
+    return bytes(out)
+
+
+_ICEBERG_ML_SCHEMA = (
+    '{"type":"record","name":"manifest_file","fields":['
+    '{"name":"manifest_path","type":"string"},'
+    '{"name":"manifest_length","type":"long"}]}'
+)
+_ICEBERG_MAN_SCHEMA = (
+    '{"type":"record","name":"manifest_entry","fields":['
+    '{"name":"status","type":"int"},'
+    '{"name":"data_file","type":{"type":"record","name":"data_file",'
+    '"fields":['
+    '{"name":"file_path","type":"string"},'
+    '{"name":"record_count","type":"long"},'
+    '{"name":"file_size_in_bytes","type":"long"}]}}]}'
+)
+
+
+def _avro_container(schema_json: str, rows: "list[bytes]", seed: int,
+                    codec: str) -> bytes:
+    """Frame pre-encoded Avro record bodies as an object container."""
+    import zlib as _zlib
+
+    sync = bytes((seed * 29 + j * 13 + 7) % 256 for j in range(16))
+    out = bytearray(b"Obj\x01")
+    out += _avro_zigzag(2)
+    out += _avro_str("avro.schema") + _avro_str(schema_json)
+    out += _avro_str("avro.codec") + _avro_str(codec)
+    out += _avro_zigzag(0)
+    out += sync
+    payload = b"".join(rows)
+    if codec == "deflate":
+        co = _zlib.compressobj(6, _zlib.DEFLATED, -15)
+        payload = co.compress(payload) + co.flush()
+    out += _avro_zigzag(len(rows)) + _avro_zigzag(len(payload))
+    out += payload + sync
+    return bytes(out)
+
+
+def make_iceberg(seed: int) -> bytes:
+    """Deterministic Iceberg metadata bundle (tar of metadata.json +
+    Avro manifest list + Avro manifests) for the ``iceberg_snapshot``
+    driver query.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - snapshot id ``1000 + seed`` (a stale snapshot with a different
+      id is planted first, so the walk must resolve
+      ``current-snapshot-id``)
+    - ``n_manifests = 1 + seed % 3``; manifest ``m`` holds
+      ``2 + (seed + m) % 4`` entries
+    - entry ``(m, f)``: DELETED (status 2) when
+      ``(seed + m + f) % 5 == 4``; else ADDED/EXISTING alternating;
+      ``record_count = 100 + (seed*7 + 31*m + 13*f) % 900``;
+      ``file_size_in_bytes = 1000 + (seed*11 + 17*m + 7*f) % 9000``
+    - Avro codec: deflate for odd seeds, null for even
+    """
+    import json as _json
+
+    codec = "deflate" if seed % 2 else "null"
+    nm = 1 + seed % 3
+    manifests = {}
+    ml_rows = []
+    for m in range(nm):
+        nf = 2 + (seed + m) % 4
+        rows = []
+        for f in range(nf):
+            deleted = (seed + m + f) % 5 == 4
+            status = 2 if deleted else (1 if f % 2 == 0 else 0)
+            body = _avro_zigzag(status)
+            body += _avro_str(f"data/m{m}-f{f}.parquet")
+            body += _avro_zigzag(100 + (seed * 7 + 31 * m + 13 * f) % 900)
+            body += _avro_zigzag(1000 + (seed * 11 + 17 * m + 7 * f)
+                                 % 9000)
+            rows.append(body)
+        name = f"manifest-{m}.avro"
+        manifests[name] = _avro_container(_ICEBERG_MAN_SCHEMA, rows,
+                                          seed + m, codec)
+        ml_rows.append(_avro_str(name)
+                       + _avro_zigzag(len(manifests[name])))
+    ml = _avro_container(_ICEBERG_ML_SCHEMA, ml_rows, seed, codec)
+    meta = _json.dumps({
+        "format-version": 2,
+        "table-uuid": f"0000-{seed:04d}",
+        "current-snapshot-id": 1000 + seed,
+        "snapshots": [
+            {"snapshot-id": 999 - seed,
+             "manifest-list": "stale-manifest-list.avro"},
+            {"snapshot-id": 1000 + seed,
+             "manifest-list": "manifest-list.avro"},
+        ],
+    }).encode()
+    out = bytearray()
+    out += _tar_member("metadata.json", meta)
+    out += _tar_member("manifest-list.avro", ml)
+    for name, data in manifests.items():
+        out += _tar_member(name, data)
+    out += b"\x00" * 1024
+    return bytes(out)
