@@ -1371,3 +1371,70 @@ GROUP BY en.event_id, en.seed, en.nm
 
 QUERIES_R11["iceberg_snapshot"] = q_iceberg_snapshot
 ORACLES_R11["iceberg_snapshot"] = _ICEBERG_ORACLE
+
+
+def q_delta_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style transaction-log fold driver-checked (r11): every
+    event becomes one JSON action line (add or remove, built
+    JVM-side with format_string — no Python anywhere in this query),
+    and operators/lakehouse.delta_log_snapshot reconciles per-table
+    live file sets with the protocol's latest-action-wins replay
+    rule (from_json + window argmax + hash aggregation, fully
+    declarative).  The oracle replays the same fold with SQL window
+    functions."""
+    from ..operators.lakehouse import delta_log_snapshot
+
+    e = load_events(spark, sf_dir).select("event_id")
+    log = e.select(
+        (F.col("event_id") % 37).cast("long").alias("table_id"),
+        F.col("event_id").cast("long").alias("version"),
+        F.when(
+            (F.col("event_id") % 1000) % 4 == 3,
+            F.format_string(
+                '{"remove":{"path":"f%d","deletionTimestamp":1}}',
+                (F.col("event_id") / F.lit(37)).cast("long") % 25),
+        ).otherwise(
+            F.format_string(
+                '{"add":{"path":"f%d","size":%d,"dataChange":true}}',
+                (F.col("event_id") / F.lit(37)).cast("long") % 25,
+                F.lit(10) + (F.col("event_id") % 1000) % 90),
+        ).alias("line"),
+    )
+    return delta_log_snapshot(log)
+
+
+_DELTA_ORACLE = """
+WITH log AS (
+  SELECT event_id % 37 AS table_id,
+         event_id AS version,
+         (event_id // 37) % 25 AS path_id,
+         (event_id % 1000) % 4 = 3 AS is_remove,
+         10 + (event_id % 1000) % 90 AS sz
+  FROM events
+),
+latest AS (
+  SELECT table_id, path_id, is_remove, sz,
+         row_number() OVER (PARTITION BY table_id, path_id
+                            ORDER BY version DESC) AS rn
+  FROM log
+),
+live AS (
+  SELECT table_id,
+         sum(CASE WHEN NOT is_remove THEN 1 ELSE 0 END) AS n_live,
+         sum(CASE WHEN NOT is_remove THEN sz ELSE 0 END) AS lb
+  FROM latest WHERE rn = 1 GROUP BY 1
+),
+tot AS (
+  SELECT table_id, max(version) AS lv, count(*) AS na
+  FROM log GROUP BY 1
+)
+SELECT t.table_id,
+       CAST(coalesce(l.n_live, 0) AS BIGINT) AS n_live_files,
+       CAST(coalesce(l.lb, 0) AS BIGINT) AS live_bytes,
+       CAST(t.lv AS BIGINT) AS last_version,
+       CAST(t.na AS BIGINT) AS n_actions
+FROM tot t LEFT JOIN live l ON l.table_id = t.table_id
+"""
+
+QUERIES_R11["delta_log_snapshot"] = q_delta_log_snapshot
+ORACLES_R11["delta_log_snapshot"] = _DELTA_ORACLE
