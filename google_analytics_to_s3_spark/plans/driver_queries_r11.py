@@ -1438,3 +1438,96 @@ FROM tot t LEFT JOIN live l ON l.table_id = t.table_id
 
 QUERIES_R11["delta_log_snapshot"] = q_delta_log_snapshot
 ORACLES_R11["delta_log_snapshot"] = _DELTA_ORACLE
+
+
+def q_warc_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``.warc.zst`` chain driver-checked (r11; the Common Crawl
+    export format): a plain WARC archive (the r10 fixture's
+    concatenated layout) is split at a frame boundary and compressed
+    as TWO independent zstd frames by libzstd (pyarrow in the synth
+    map) behind a skippable frame standing in the spec's dictionary
+    slot — exactly the multi-frame shape real ``.warc.zst`` readers
+    see — then the query chains the RFC 8878 unwrap into the full
+    WARC record/HTTP parser.  Lane id % 10 == 6 (seed remapped to
+    the fixture's plain layout: ``2*(seed % 500) + 1``)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.warc import extract_warc_features
+    from ..operators.zstd import unwrap_zstd
+    from ..testing.fixtures import make_warc
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 6
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        import pyarrow as _pa
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["event_id"]:
+                seed = int(i) % 1000
+                plain = make_warc(2 * (seed % 500) + 1)
+                codec = _pa.Codec("zstd",
+                                  compression_level=[1, 3, 9, 19][seed % 4])
+                cut = len(plain) // 2
+                skip = ((0x184D2A5D).to_bytes(4, "little")
+                        + (4).to_bytes(4, "little") + b"DICT")
+                payloads.append(
+                    skip + codec.compress(plain[:cut], asbytes=True)
+                    + codec.compress(plain[cut:], asbytes=True))
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": payloads,
+            })
+
+    shards = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return extract_warc_features(
+        unwrap_zstd(shards).drop("decode_error")).drop("decode_error")
+
+
+_WARC_ZSTD_ORACLE = f"""
+WITH e AS (
+  SELECT event_id,
+         2*((event_id % 1000) % 500) + 1 AS seed,
+         2 + (2*((event_id % 1000) % 500) + 1) % 3 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 6
+),
+resp AS (
+  SELECT e.event_id, e.seed, i.i,
+         CASE (e.seed + i.i) % 3 WHEN 0 THEN 200 WHEN 1 THEN 404
+              ELSE 301 END AS status,
+         50 + (e.seed + 11*i.i) % 100 AS blen
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+),
+bbytes AS (
+  SELECT r.event_id, sum((r.seed + 13*r.i + j.j) % 256) AS bsum
+  FROM resp r, LATERAL (SELECT unnest(range(0, r.blen)) AS j) j
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(1 + 2*e.n AS BIGINT) AS n_records,
+       CAST(e.n AS BIGINT) AS n_responses,
+       CAST(e.n AS BIGINT) AS n_requests,
+       CAST(1 AS BIGINT) AS n_warcinfo,
+       CAST((SELECT sum(r.status) FROM resp r
+              WHERE r.event_id = e.event_id) AS BIGINT) AS status_sum,
+       CAST((SELECT sum(r.blen) FROM resp r
+              WHERE r.event_id = e.event_id) AS BIGINT) AS body_len_sum,
+       CAST(b.bsum AS BIGINT) AS body_byte_sum,
+       CAST(2 * (SELECT sum(20 + length(CAST(e.seed AS VARCHAR))
+                            + 1 + length(CAST(r.i AS VARCHAR)))
+                  FROM resp r WHERE r.event_id = e.event_id)
+            AS BIGINT) AS uri_len_sum,
+       CAST(5 + 12*e.n AS BIGINT) AS header_count_sum,
+       CAST(2*e.n AS BIGINT) AS http_header_sum
+FROM e JOIN bbytes b ON b.event_id = e.event_id
+"""
+
+QUERIES_R11["warc_zstd"] = q_warc_zstd
+ORACLES_R11["warc_zstd"] = _WARC_ZSTD_ORACLE
