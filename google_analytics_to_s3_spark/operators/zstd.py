@@ -166,9 +166,14 @@ class _FwdBits:
 class _BackBits:
     """Backward bit reader.  ``remaining`` may go negative: reads past
     the start return zero-padded bits (the RFC's overflow semantics —
-    callers check ``remaining`` to detect stream end)."""
+    callers check ``remaining`` to detect stream end).
 
-    __slots__ = ("val", "remaining")
+    Bytes load lazily into a SMALL sliding buffer (never more than
+    ``n + 7`` bits wide), so per-read cost is O(1) regardless of
+    stream length — a whole-stream big integer would make every read
+    O(len) and the decode quadratic."""
+
+    __slots__ = ("data", "pos_byte", "buf", "nbits", "remaining")
 
     def __init__(self, data: bytes) -> None:
         if not data:
@@ -176,21 +181,36 @@ class _BackBits:
         last = data[-1]
         if last == 0:
             raise ValueError("zstd: backward bitstream missing start bit")
-        self.val = int.from_bytes(data, "little")
-        # drop the padding: total bits = 8*(len-1) + position of the
-        # highest set bit of the last byte
-        self.remaining = 8 * (len(data) - 1) + last.bit_length() - 1
+        bl = last.bit_length() - 1  # drop the 1-8 padding bits
+        self.data = data
+        self.pos_byte = len(data) - 1
+        self.buf = last & ((1 << bl) - 1)
+        self.nbits = bl
+        self.remaining = 8 * (len(data) - 1) + bl
 
     def read(self, n: int) -> int:
         if n == 0:
             return 0
         self.remaining -= n
-        p = self.remaining
-        if p >= 0:
-            return (self.val >> p) & ((1 << n) - 1)
-        if p <= -n:
-            return 0
-        return (self.val << -p) & ((1 << n) - 1)
+        buf = self.buf
+        nbits = self.nbits
+        pos = self.pos_byte
+        data = self.data
+        while nbits < n and pos > 0:
+            pos -= 1
+            buf = (buf << 8) | data[pos]
+            nbits += 8
+        self.pos_byte = pos
+        if nbits >= n:
+            nbits -= n
+            self.nbits = nbits
+            v = buf >> nbits
+            self.buf = buf & ((1 << nbits) - 1)
+            return v
+        # past the stream start: real bits go high, zeros pad low
+        self.buf = 0
+        self.nbits = 0
+        return (buf << (n - nbits)) & ((1 << n) - 1)
 
 
 # --------------------------------------------------------------------------
@@ -423,28 +443,41 @@ def _huf_read_table(data: bytes) -> tuple[_HufTable, int]:
 def _huf_decode_stream(table: _HufTable, data: bytes, out_len: int,
                        out: bytearray) -> None:
     """Decode one backward Huffman stream into ``out`` (appends
-    exactly ``out_len`` symbols)."""
-    br = _BackBits(data)
+    exactly ``out_len`` symbols).  Same small-sliding-buffer
+    discipline as :class:`_BackBits` — O(1) per symbol."""
+    n = len(data)
+    if n == 0:
+        raise ValueError("zstd: empty Huffman stream")
+    last = data[-1]
+    if last == 0:
+        raise ValueError("zstd: Huffman stream missing start bit")
+    bl = last.bit_length() - 1
+    buf = last & ((1 << bl) - 1)
+    bits = bl
+    pos = n - 1
     log = table.log
     sym = table.sym
     nb = table.nb
-    val = br.val
-    pos = br.remaining
-    append = out.append
     mask = (1 << log) - 1
+    append = out.append
+    consumed = 0
     for _ in range(out_len):
-        p = pos - log
-        if p >= 0:
-            idx = (val >> p) & mask
-        elif p <= -log:
-            idx = 0
+        while bits < log and pos > 0:
+            pos -= 1
+            buf = (buf << 8) | data[pos]
+            bits += 8
+        if bits >= log:
+            idx = (buf >> (bits - log)) & mask
         else:
-            idx = (val << -p) & mask
-        append(sym[idx])
-        pos -= nb[idx]
-        if pos < 0:
+            idx = (buf << (log - bits)) & mask
+        k = nb[idx]
+        if k > bits:
             raise ValueError("zstd: Huffman stream underrun")
-    if pos != 0:
+        bits -= k
+        buf &= (1 << bits) - 1
+        consumed += k
+        append(sym[idx])
+    if consumed != 8 * (n - 1) + bl:
         raise ValueError("zstd: Huffman stream not fully consumed")
 
 
