@@ -18,13 +18,16 @@ straight from the page bytes.  This module implements:
   FileMetaData → version, schema elements, num_rows, row groups,
   column chunks (codec, encodings, num_values, sizes, offsets,
   Statistics min/max/null_count).
-- **Column materialization** for flat (non-nested) columns, v1 data
-  pages: page-header thrift walk, definition levels (RLE/bit-packed
-  hybrid, 4-byte length prefix), PLAIN values (int32/int64/float/
-  double/byte_array/boolean) and RLE_DICTIONARY indices over a PLAIN
-  dictionary page; page codecs UNCOMPRESSED, GZIP (stdlib zlib),
-  SNAPPY (operators/snappy.py) and ZSTD (operators/zstd.py) — the
-  engine's own decoders in the hot path.
+- **Column materialization** for flat (non-nested) columns, v1 AND
+  v2 data pages: page-header thrift walk, definition levels
+  (RLE/bit-packed hybrid — 4-byte length prefix on v1, header-sized
+  uncompressed prefix on v2), PLAIN values (int32/int64/float/
+  double/byte_array/boolean), RLE_DICTIONARY indices over a PLAIN
+  dictionary page, and DELTA_BINARY_PACKED integers (zigzag header,
+  per-miniblock bit widths, LE bit-packed deltas); page codecs
+  UNCOMPRESSED, GZIP (stdlib zlib), SNAPPY (operators/snappy.py) and
+  ZSTD (operators/zstd.py) — the engine's own decoders in the hot
+  path.
 
 Cross-validation: tests read files written by *pyarrow/parquet-cpp*
 (including the driver's own ``/root/testdata`` tables) and compare
@@ -32,7 +35,7 @@ against pyarrow's metadata and values — a green test proves this
 reads real Parquet, not a private dialect.
 
 Honest gates (named ValueError, quarantined by wrappers): nested
-schemas (repetition levels > 0), v2 data pages, DELTA_* encodings,
+schemas (repetition levels > 0), DELTA_(LENGTH_)BYTE_ARRAY,
 BYTE_STREAM_SPLIT, LZ4/BROTLI codecs, encrypted files.
 """
 
@@ -310,6 +313,64 @@ def _rle_bp_hybrid(data: bytes, pos: int, end: int, bit_width: int,
     return out
 
 
+def _uvarint(data: bytes, pos: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("parquet: truncated ULEB varint")
+        b = data[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("parquet: ULEB varint too long")
+
+
+def _delta_binary_packed(data: bytes, pos: int, n: int) -> list[int]:
+    """DELTA_BINARY_PACKED (parquet-format Encodings.md): header of
+    (block size, miniblocks/block, total count, zigzag first value),
+    then per block a zigzag min-delta, one bit-width byte per
+    miniblock, and LE bit-packed delta miniblocks."""
+    block_size, pos = _uvarint(data, pos)
+    nmini, pos = _uvarint(data, pos)
+    total, pos = _uvarint(data, pos)
+    raw_first, pos = _uvarint(data, pos)
+    first = (raw_first >> 1) ^ -(raw_first & 1)
+    if nmini <= 0 or block_size <= 0 or block_size % nmini:
+        raise ValueError("parquet: bad delta block geometry")
+    per_mini = block_size // nmini
+    if total < n:
+        raise ValueError("parquet: delta header count short of page")
+    out = [first]
+    prev = first
+    while len(out) < total:
+        raw_md, pos = _uvarint(data, pos)
+        min_delta = (raw_md >> 1) ^ -(raw_md & 1)
+        if pos + nmini > len(data):
+            raise ValueError("parquet: truncated delta bit widths")
+        widths = data[pos:pos + nmini]
+        pos += nmini
+        for w in widths:
+            if len(out) >= total:
+                break
+            if w > 64:
+                raise ValueError("parquet: delta bit width too large")
+            nbytes = per_mini * w // 8
+            if pos + nbytes > len(data):
+                raise ValueError("parquet: truncated delta miniblock")
+            chunk = int.from_bytes(data[pos:pos + nbytes], "little")
+            pos += nbytes
+            mask = (1 << w) - 1
+            take = min(per_mini, total - len(out))
+            for i in range(take):
+                prev = prev + min_delta + ((chunk >> (i * w)) & mask)
+                out.append(prev)
+    return out[:n]
+
+
 # --------------------------------------------------------------------------
 # Page decode.
 
@@ -426,51 +487,83 @@ def _read_column(data: bytes, column: str) -> list:
             if not (isinstance(comp_size, int) and comp_size >= 0
                     and isinstance(unc_size, int) and unc_size >= 0):
                 raise ValueError("parquet: corrupt page header sizes")
-            if page_type == 3:
-                raise ValueError("parquet: v2 data pages gated")
-            if page_type not in (0, 2):
+            if page_type not in (0, 2, 3):
                 raise ValueError(f"parquet: page type {page_type} gated")
             body = bytes(data[pos:pos + comp_size])
             if len(body) != comp_size:
                 raise ValueError("parquet: truncated page body")
             pos += comp_size
-            raw = _decompress_page(chunk["codec"], body, unc_size)
-            if len(raw) != unc_size:
-                raise ValueError("parquet: page size mismatch")
             if page_type == 2:  # DICTIONARY_PAGE
+                raw = _decompress_page(chunk["codec"], body, unc_size)
+                if len(raw) != unc_size:
+                    raise ValueError("parquet: page size mismatch")
                 dph = ph.get(7) or {}
                 nvals = dph.get(1)
                 if dph.get(2) not in (0, 2):  # PLAIN(_DICTIONARY)
                     raise ValueError("parquet: non-PLAIN dictionary gated")
                 dictionary = _plain_values(ptype, raw, nvals)
                 continue
-            dh = ph.get(5) or {}
-            nvals = dh.get(1)
-            enc = dh.get(2)
-            rpos = 0
-            if max_def:
-                dlen = int.from_bytes(raw[0:4], "little")
-                rpos = 4 + dlen
-                defs = _rle_bp_hybrid(raw, 4, rpos, 1, nvals)
-            else:
-                defs = [1] * nvals
+            if page_type == 0:  # v1: whole body compressed together
+                raw = _decompress_page(chunk["codec"], body, unc_size)
+                if len(raw) != unc_size:
+                    raise ValueError("parquet: page size mismatch")
+                dh = ph.get(5) or {}
+                nvals = dh.get(1)
+                enc = dh.get(2)
+                vpos = 0
+                if max_def:
+                    dlen = int.from_bytes(raw[0:4], "little")
+                    vpos = 4 + dlen
+                    defs = _rle_bp_hybrid(raw, 4, vpos, 1, nvals)
+                else:
+                    defs = [1] * nvals
+                vals_buf = raw
+            else:  # v2: levels stored up front UNCOMPRESSED
+                dh = ph.get(8) or {}
+                nvals = dh.get(1)
+                enc = dh.get(4)
+                dll = dh.get(5, 0)
+                rll = dh.get(6, 0)
+                is_comp = dh.get(7, True)
+                if rll:
+                    raise ValueError(
+                        "parquet: repetition levels gated (nested)")
+                if not isinstance(dll, int) or dll < 0 or dll > len(body):
+                    raise ValueError("parquet: bad v2 level lengths")
+                if max_def:
+                    defs = _rle_bp_hybrid(body, 0, dll, 1, nvals)
+                else:
+                    defs = [1] * nvals
+                tail = body[dll:]
+                if chunk["codec"] and is_comp:
+                    tail = _decompress_page(chunk["codec"], tail,
+                                            unc_size - dll)
+                if len(tail) != unc_size - dll:
+                    raise ValueError("parquet: v2 page size mismatch")
+                vals_buf = tail
+                vpos = 0
             npresent = sum(defs)
             if enc == 0:  # PLAIN
-                present = _plain_values(ptype, raw[rpos:], npresent)
+                present = _plain_values(ptype, vals_buf[vpos:], npresent)
             elif enc in (2, 8):  # (PLAIN_/RLE_)DICTIONARY
                 if dictionary is None:
                     raise ValueError("parquet: dictionary page missing")
-                if rpos >= len(raw):
+                if vpos >= len(vals_buf) and npresent:
                     raise ValueError("parquet: truncated index stream")
-                bw = raw[rpos]
-                idx = _rle_bp_hybrid(raw, rpos + 1, len(raw), bw,
-                                     npresent)
+                bw = vals_buf[vpos] if npresent else 0
+                idx = _rle_bp_hybrid(vals_buf, vpos + 1, len(vals_buf),
+                                     bw, npresent)
                 try:
                     present = [dictionary[i] for i in idx]
                 except IndexError:
                     raise ValueError(
                         "parquet: dictionary index out of range"
                     ) from None
+            elif enc == 5:  # DELTA_BINARY_PACKED
+                if ptype not in (_PT_INT32, _PT_INT64):
+                    raise ValueError(
+                        "parquet: DELTA_BINARY_PACKED non-int gated")
+                present = _delta_binary_packed(vals_buf, vpos, npresent)
             else:
                 raise ValueError(
                     f"parquet: encoding {_ENC_NAMES.get(enc, enc)} gated")

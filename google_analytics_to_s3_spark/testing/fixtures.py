@@ -6624,6 +6624,9 @@ def make_parquet_file(seed: int) -> bytes:
     - column ``w`` (string): ``'tok' || (seed + i) % 13``
     - codec cycles [none, snappy, gzip, zstd] with ``seed % 4``;
       dictionary encoding on for even seeds
+    - ``seed % 3 == 2``: v2 data pages (levels-uncompressed layout);
+      ``seed % 7 == 3``: v2 + DELTA_BINARY_PACKED on ``v``
+      (dictionary forced off) — both decode paths driver-covered
     """
     import pyarrow as _pa
     import pyarrow.parquet as _pq
@@ -6635,11 +6638,17 @@ def make_parquet_file(seed: int) -> bytes:
     table = _pa.table({"v": _pa.array(v, _pa.int64()),
                        "w": _pa.array(w, _pa.string())})
     buf = _pa.BufferOutputStream()
-    _pq.write_table(
-        table, buf,
+    kw = dict(
         compression=["none", "snappy", "gzip", "zstd"][seed % 4],
         use_dictionary=(seed % 2 == 0),
         row_group_size=40)
+    if seed % 3 == 2:
+        kw["data_page_version"] = "2.0"
+    if seed % 7 == 3:
+        kw.update(data_page_version="2.0", use_dictionary=False,
+                  column_encoding={"v": "DELTA_BINARY_PACKED",
+                                   "w": "PLAIN"})
+    _pq.write_table(table, buf, **kw)
     return buf.getvalue().to_pybytes()
 
 

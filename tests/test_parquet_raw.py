@@ -155,11 +155,42 @@ def test_reads_driver_testdata_metadata_and_values():
 # Gates and corruption
 
 
-def test_v2_pages_gated():
-    data = _pq_bytes(pa.table({"v": pa.array(range(10), pa.int64())}),
-                     data_page_version="2.0")
-    with pytest.raises(ValueError, match="v2 data pages gated"):
-        parquet_read_column(data, "v")
+@pytest.mark.parametrize("codec", ["none", "snappy", "gzip", "zstd"])
+@pytest.mark.parametrize("use_dict", [True, False])
+def test_v2_pages_match_pyarrow(codec, use_dict):
+    t = pa.table({
+        "v": pa.array([i * 37 - 5000 if i % 6 else None
+                       for i in range(3000)], pa.int64()),
+        "w": [f"str{i % 9}" for i in range(3000)],
+    })
+    data = _pq_bytes(t, compression=codec, use_dictionary=use_dict,
+                     data_page_version="2.0", row_group_size=700)
+    assert parquet_read_column(data, "v") == t.column("v").to_pylist()
+    assert parquet_read_column(data, "w") == [
+        x.encode() for x in t.column("w").to_pylist()]
+
+
+def test_delta_binary_packed_matches_pyarrow():
+    t = pa.table({"v": pa.array(
+        [i * 37 - 5000 if i % 6 else None for i in range(3000)],
+        pa.int64())})
+    for codec in ("none", "zstd"):
+        data = _pq_bytes(t, compression=codec, use_dictionary=False,
+                         data_page_version="2.0",
+                         column_encoding={"v": "DELTA_BINARY_PACKED"})
+        assert parquet_read_column(data, "v") == t.column("v").to_pylist()
+    t32 = pa.table({"v": pa.array(range(100000), pa.int32())})
+    data = _pq_bytes(t32, use_dictionary=False, data_page_version="2.0",
+                     column_encoding={"v": "DELTA_BINARY_PACKED"})
+    assert parquet_read_column(data, "v") == list(range(100000))
+
+
+def test_delta_byte_array_still_gated():
+    t = pa.table({"w": pa.array([f"s{i}" for i in range(50)])})
+    data = _pq_bytes(t, use_dictionary=False, data_page_version="2.0",
+                     column_encoding={"w": "DELTA_BYTE_ARRAY"})
+    with pytest.raises(ValueError, match="gated"):
+        parquet_read_column(data, "w")
 
 
 def test_nested_column_gated():
