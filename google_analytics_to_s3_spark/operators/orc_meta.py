@@ -42,7 +42,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["pb_message", "parse_orc_meta", "decode_orc_meta"]
+__all__ = ["pb_message", "parse_orc_meta", "decode_orc_meta",
+           "rlev2_decode", "orc_read_int_column",
+           "decode_orc_column_sum"]
 
 _MAX_SECTION = 64 * 1024 * 1024
 
@@ -328,3 +330,314 @@ def decode_orc_meta(
 
     return df.select(id_col, payload_col).mapInPandas(
         _decode, schema=ORC_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Column data: RLEv2 integer streams (ORC spec "Run Length Encoding
+# version 2") + boolean-RLE present streams.  Cross-validated against
+# the Apache ORC C++ writer in tests/test_orc_meta.py across data
+# shapes that force each sub-encoding (SHORT_REPEAT / DIRECT / DELTA
+# / PATCHED_BASE).
+
+_RLE_WIDTHS = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+               17, 18, 19, 20, 21, 22, 23, 24, 26, 28, 30, 32, 40, 48,
+               56, 64]
+
+
+class _BitsBE:
+    """MSB-first bit reader over a byte window (ORC packs big-endian)."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        out = 0
+        data = self.data
+        pos = self.pos
+        bit = self.bit
+        while n > 0:
+            if pos >= len(data):
+                raise ValueError("orc: bit stream underrun")
+            avail = 8 - bit
+            take = min(avail, n)
+            b = data[pos]
+            out = (out << take) | ((b >> (avail - take))
+                                   & ((1 << take) - 1))
+            bit += take
+            n -= take
+            if bit == 8:
+                bit = 0
+                pos += 1
+        self.pos = pos
+        self.bit = bit
+        return out
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _orc_varint(data: bytes, pos: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("orc: truncated varint")
+        b = data[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("orc: varint too long")
+
+
+def _orc_svarint(data: bytes, pos: int) -> tuple[int, int]:
+    u, pos = _orc_varint(data, pos)
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def rlev2_decode(data: bytes, count: int, signed: bool) -> list[int]:
+    """Decode ``count`` integers from an ORC RLEv2 stream."""
+    out: list[int] = []
+    pos = 0
+    while len(out) < count:
+        if pos >= len(data):
+            raise ValueError("orc: RLEv2 stream underrun")
+        h = data[pos]
+        kind = h >> 6
+        if kind == 0:  # SHORT_REPEAT
+            width = ((h >> 3) & 7) + 1
+            rep = (h & 7) + 3
+            if pos + 1 + width > len(data):
+                raise ValueError("orc: truncated short repeat")
+            v = int.from_bytes(data[pos + 1:pos + 1 + width], "big")
+            if signed:
+                v = (v >> 1) ^ -(v & 1)
+            out.extend([v] * rep)
+            pos += 1 + width
+        elif kind == 1:  # DIRECT
+            if pos + 2 > len(data):
+                raise ValueError("orc: truncated direct header")
+            w = _RLE_WIDTHS[(h >> 1) & 0x1F]
+            ln = (((h & 1) << 8) | data[pos + 1]) + 1
+            br = _BitsBE(data, pos + 2)
+            vals = [br.read(w) for _ in range(ln)]
+            br.align()
+            pos = br.pos
+            if signed:
+                vals = [(v >> 1) ^ -(v & 1) for v in vals]
+            out.extend(vals)
+        elif kind == 3:  # DELTA
+            if pos + 2 > len(data):
+                raise ValueError("orc: truncated delta header")
+            wcode = (h >> 1) & 0x1F
+            ln = (((h & 1) << 8) | data[pos + 1]) + 1
+            p = pos + 2
+            if signed:
+                base, p = _orc_svarint(data, p)
+            else:
+                base, p = _orc_varint(data, p)
+            dbase, p = _orc_svarint(data, p)
+            vals = [base]
+            if ln > 1:
+                vals.append(base + dbase)
+            if wcode == 0:  # fixed delta
+                for _ in range(ln - 2):
+                    vals.append(vals[-1] + dbase)
+                pos = p
+            else:
+                w = _RLE_WIDTHS[wcode]
+                br = _BitsBE(data, p)
+                sign = 1 if dbase >= 0 else -1
+                for _ in range(ln - 2):
+                    vals.append(vals[-1] + sign * br.read(w))
+                br.align()
+                pos = br.pos
+            out.extend(vals)
+        else:  # PATCHED_BASE
+            if pos + 4 > len(data):
+                raise ValueError("orc: truncated patched-base header")
+            w = _RLE_WIDTHS[(h >> 1) & 0x1F]
+            ln = (((h & 1) << 8) | data[pos + 1]) + 1
+            b3 = data[pos + 2]
+            bw = ((b3 >> 5) & 7) + 1
+            pw = _RLE_WIDTHS[b3 & 0x1F]
+            b4 = data[pos + 3]
+            pgw = ((b4 >> 5) & 7) + 1
+            pll = b4 & 0x1F
+            p = pos + 4
+            if p + bw > len(data):
+                raise ValueError("orc: truncated patched base value")
+            base = int.from_bytes(data[p:p + bw], "big")
+            # MSB of the base is its sign bit
+            msb = 1 << (bw * 8 - 1)
+            if base & msb:
+                base = -(base & (msb - 1))
+            p += bw
+            br = _BitsBE(data, p)
+            vals = [br.read(w) for _ in range(ln)]
+            br.align()
+            br2 = _BitsBE(data, br.pos)
+            # patch entries are (gap, patch) pairs; the gap width is
+            # 1-8 BITS (not bytes — hand-verified against the C++
+            # writer's stream length); gaps accumulate from index 0,
+            # and a (gap=255, patch=0) entry is a pure gap extension
+            pat_w = pgw + pw
+            idx = 0
+            for _ in range(pll):
+                entry = br2.read(pat_w)
+                gap = entry >> pw
+                patch = entry & ((1 << pw) - 1)
+                idx += gap
+                if idx >= ln:
+                    raise ValueError("orc: patch index out of range")
+                vals[idx] |= patch << w
+            br2.align()
+            pos = br2.pos
+            out.extend(base + v for v in vals)
+    if len(out) != count:
+        raise ValueError("orc: RLEv2 produced extra values")
+    return out
+
+
+def _bool_rle(data: bytes, nbits: int) -> list[int]:
+    """ORC boolean stream: byte-RLE over MSB-first bit bytes."""
+    bits: list[int] = []
+    pos = 0
+    while len(bits) < nbits:
+        if pos >= len(data):
+            raise ValueError("orc: boolean stream underrun")
+        h = data[pos]
+        pos += 1
+        if h < 128:  # run: h+3 copies of next byte
+            if pos >= len(data):
+                raise ValueError("orc: truncated boolean run")
+            b = data[pos]
+            pos += 1
+            for _ in range(h + 3):
+                for k in range(7, -1, -1):
+                    bits.append((b >> k) & 1)
+        else:  # literal: 256-h bytes
+            n = 256 - h
+            if pos + n > len(data):
+                raise ValueError("orc: truncated boolean literals")
+            for b in data[pos:pos + n]:
+                for k in range(7, -1, -1):
+                    bits.append((b >> k) & 1)
+            pos += n
+    return bits[:nbits]
+
+
+def orc_read_int_column(data: bytes, column: str) -> list:
+    """Materialize one top-level integer column (DIRECT_V2 encoding)
+    from raw ORC bytes: stripe footers located via the file footer,
+    PRESENT (boolean RLE) + DATA (RLEv2 signed) streams decoded with
+    the engine's section decompressor.  Nulls come back as None."""
+    meta = parse_orc_meta(data)
+    types = meta["types"]
+    if not types or types[0]["kind"] != 12:  # STRUCT root
+        raise ValueError("orc: root is not a struct")
+    try:
+        field_ix = types[0]["field_names"].index(column)
+    except ValueError:
+        raise ValueError(f"orc: no column {column!r}") from None
+    col_id = types[0]["subtypes"][field_ix]
+    kind = types[col_id]["kind"]
+    if kind not in (2, 3, 4):  # SHORT, INT, LONG
+        raise ValueError("orc: non-integer column gated")
+    comp = meta["compression"]
+    out: list = []
+    for st in meta["stripes"]:
+        off = st["offset"]
+        ilen = st["index_length"] or 0
+        dlen = st["data_length"] or 0
+        flen = st["footer_length"] or 0
+        if not all(isinstance(x, int) for x in (off, ilen, dlen, flen)):
+            raise ValueError("orc: corrupt stripe information")
+        sf_raw = _decompress_section(
+            data[off + ilen + dlen:off + ilen + dlen + flen], comp)
+        sf = pb_message(sf_raw)
+        # streams: kind=1, column=2, length=3 — data region follows
+        # the index region in declaration order
+        spos = off
+        present_raw = None
+        data_raw = None
+        for s_raw in sf.get(1, []):
+            srec = pb_message(s_raw)
+            s_kind = _pb_one(srec, 1, 0)
+            s_col = _pb_one(srec, 2, 0)
+            s_len = _pb_one(srec, 3, 0)
+            if s_col == col_id and s_kind in (0, 1):
+                seg = data[spos:spos + s_len]
+                if s_kind == 0:  # PRESENT
+                    present_raw = _decompress_section(seg, comp)
+                else:  # DATA
+                    data_raw = _decompress_section(seg, comp)
+            spos += s_len
+        nrows = st["num_rows"] or 0
+        if data_raw is None:
+            raise ValueError("orc: DATA stream missing for column")
+        if present_raw is not None:
+            present = _bool_rle(present_raw, nrows)
+        else:
+            present = [1] * nrows
+        nvals = sum(present)
+        vals = rlev2_decode(data_raw, nvals, signed=True)
+        it = iter(vals)
+        out.extend(next(it) if p else None for p in present)
+    return out
+
+
+ORC_COLSUM_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_values", LongType()),
+    StructField("n_nulls", LongType()),
+    StructField("value_sum", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_orc_column_sum(
+    df: DataFrame, column: str,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over :func:`orc_read_int_column`
+    — count/nulls/sum straight from the RLEv2 page bytes (all
+    supported chunk codecs); per-payload quarantine, no shuffle."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "doc_id", "n_values", "n_nulls", "value_sum",
+                "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    vals = orc_read_int_column(bytes(payload), column)
+                    present = [v for v in vals if v is not None]
+                    rows["n_values"].append(len(vals))
+                    rows["n_nulls"].append(len(vals) - len(present))
+                    rows["value_sum"].append(sum(present))
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, TypeError) as e:
+                    for k in ("n_values", "n_nulls", "value_sum"):
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_values": pd.Series(rows["n_values"], dtype="Int64"),
+                "n_nulls": pd.Series(rows["n_nulls"], dtype="Int64"),
+                "value_sum": pd.Series(rows["value_sum"], dtype="Int64"),
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=ORC_COLSUM_SCHEMA)

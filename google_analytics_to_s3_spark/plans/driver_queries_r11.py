@@ -1219,6 +1219,7 @@ vals AS (
          max((e.seed*11 + 13*i.i) % 5000 - 1000) AS mx,
          sum((e.seed*11 + 13*i.i) % 5000 - 1000) AS s
   FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+  WHERE i.i % 11 <> 10
   GROUP BY 1
 )
 SELECT e.event_id AS doc_id,
@@ -1531,3 +1532,63 @@ FROM e JOIN bbytes b ON b.event_id = e.event_id
 
 QUERIES_R11["warc_zstd"] = q_warc_zstd
 ORACLES_R11["warc_zstd"] = _WARC_ZSTD_ORACLE
+
+
+def q_orc_scan_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw ORC COLUMN materialization driver-checked (r11): the same
+    Apache-ORC-written files as ``orc_meta``, but the query decodes
+    the planted int64 column from the stripe bytes — stripe-footer
+    protobufs, PRESENT boolean-RLE (planted nulls), RLEv2
+    SHORT_REPEAT/DIRECT/DELTA/PATCHED_BASE runs, chunks decompressed
+    by the engine's own zlib/snappy/lz4/zstd paths — and the oracle
+    replays count / null-count / sum in closed form.  Lane
+    id % 10 == 2 (shared payload rules with lane-5 ``orc_meta``)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.orc_meta import decode_orc_column_sum
+    from ..testing.fixtures import make_orc_file
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 2
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_orc_file(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_orc_column_sum(payloads, "v").drop("decode_error")
+
+
+_ORC_SCAN_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         100 + (event_id % 1000) % 200 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 2
+),
+vals AS (
+  SELECT e.event_id,
+         sum(CASE WHEN i.i % 11 = 10 THEN 0
+                  ELSE (e.seed*11 + 13*i.i) % 5000 - 1000 END) AS s,
+         sum(CASE WHEN i.i % 11 = 10 THEN 1 ELSE 0 END) AS nn
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.n AS BIGINT) AS n_values,
+       CAST(v.nn AS BIGINT) AS n_nulls,
+       CAST(v.s AS BIGINT) AS value_sum
+FROM e JOIN vals v ON v.event_id = e.event_id
+"""
+
+QUERIES_R11["orc_scan_raw"] = q_orc_scan_raw
+ORACLES_R11["orc_scan_raw"] = _ORC_SCAN_ORACLE

@@ -6661,7 +6661,8 @@ def make_orc_file(seed: int) -> bytes:
     Planted rules (replayed in closed form by the oracle):
 
     - ``n = 100 + seed % 200`` rows
-    - column ``v`` (int64): ``(seed*11 + 13*i) % 5000 - 1000``
+    - column ``v`` (int64, optional): NULL when ``i % 11 == 10``
+      (PRESENT-stream coverage) else ``(seed*11 + 13*i) % 5000 - 1000``
       (negative values exercise the sint64 zigzag statistics)
     - column ``w`` (string): ``'tok' || (seed + i) % 7``
     - compression cycles [uncompressed, zlib, snappy, lz4, zstd]
@@ -6672,7 +6673,8 @@ def make_orc_file(seed: int) -> bytes:
     from pyarrow import orc as _orc
 
     n = 100 + seed % 200
-    v = [(seed * 11 + 13 * i) % 5000 - 1000 for i in range(n)]
+    v = [None if i % 11 == 10 else (seed * 11 + 13 * i) % 5000 - 1000
+         for i in range(n)]
     w = [f"tok{(seed + i) % 7}" for i in range(n)]
     table = _pa.table({"v": _pa.array(v, _pa.int64()),
                        "w": _pa.array(w, _pa.string())})

@@ -136,3 +136,75 @@ def test_corruption_never_crashes(seed):
             parse_orc_meta(bytes(b))
         except (ValueError, IndexError, TypeError):
             pass
+
+
+# --------------------------------------------------------------------------
+# RLEv2 column materialization (cross-validated per data shape)
+
+
+_SHAPES = {
+    "monotonic_delta": list(range(5000)),
+    "constant_short_repeat": [42] * 5000,
+    "random_direct": [(i * 2654435761) % 100000 - 50000
+                      for i in range(5000)],
+    "outliers_patched_base": [((i * 37) % 100)
+                              + (10**9 if i % 97 == 0 else 0)
+                              for i in range(5000)],
+    "negative_run": [-7] * 1000 + list(range(-500, 500)),
+    "with_nulls_present_stream": [i * 3 - 100 if i % 5 else None
+                                  for i in range(5000)],
+    "descending_delta": list(range(10000, 0, -1)),
+    "tiny_widths": [random.Random(i).randrange(0, 8)
+                    for i in range(5000)],
+}
+
+
+@pytest.mark.parametrize("shape", sorted(_SHAPES))
+@pytest.mark.parametrize("comp", _COMPS)
+def test_int_column_matches_pyarrow(shape, comp):
+    from google_analytics_to_s3_spark.operators.orc_meta import (
+        orc_read_int_column,
+    )
+
+    vals = _SHAPES[shape]
+    t = pa.table({"v": pa.array(vals, pa.int64())})
+    data = _orc_bytes(t, compression=comp)
+    assert orc_read_int_column(data, "v") == vals
+
+
+def test_int_column_multi_stripe():
+    from google_analytics_to_s3_spark.operators.orc_meta import (
+        orc_read_int_column,
+    )
+
+    vals = list(range(60000))
+    data = _orc_bytes(pa.table({"v": pa.array(vals, pa.int64())}),
+                      compression="uncompressed", stripe_size=4096)
+    assert orc_read_int_column(data, "v") == vals
+
+
+def test_int_column_big_values_and_dense_patches():
+    from google_analytics_to_s3_spark.operators.orc_meta import (
+        orc_read_int_column,
+    )
+
+    big = [random.Random(i).randrange(-2**62, 2**62) for i in range(3000)]
+    dense = [random.Random(i).randrange(100)
+             + (2**40 if random.Random(i * 7).random() < 0.08 else 0)
+             for i in range(20000)]
+    for vals in (big, dense):
+        data = _orc_bytes(pa.table({"v": pa.array(vals, pa.int64())}),
+                          compression="zstd")
+        assert orc_read_int_column(data, "v") == vals
+
+
+def test_non_int_column_gated():
+    from google_analytics_to_s3_spark.operators.orc_meta import (
+        orc_read_int_column,
+    )
+
+    data = _orc_bytes(pa.table({"w": pa.array(["a", "b"])}))
+    with pytest.raises(ValueError, match="non-integer"):
+        orc_read_int_column(data, "w")
+    with pytest.raises(ValueError, match="no column"):
+        orc_read_int_column(data, "nope")
