@@ -44,7 +44,8 @@ from pyspark.sql.types import (
 
 __all__ = ["pb_message", "parse_orc_meta", "decode_orc_meta",
            "rlev2_decode", "orc_read_int_column",
-           "decode_orc_column_sum"]
+           "decode_orc_column_sum", "orc_read_string_column",
+           "decode_orc_string_sum"]
 
 _MAX_SECTION = 64 * 1024 * 1024
 
@@ -641,3 +642,153 @@ def decode_orc_column_sum(
 
     return df.select(id_col, payload_col).mapInPandas(
         _run, schema=ORC_COLSUM_SCHEMA)
+
+
+def _stripe_column_streams(data: bytes, comp: int, st: dict,
+                           col_id: int) -> tuple[dict, int]:
+    """Collect a column's decompressed streams for one stripe →
+    ``({stream_kind: bytes}, column_encoding_kind, dictionarySize)``."""
+    off = st["offset"]
+    ilen = st["index_length"] or 0
+    dlen = st["data_length"] or 0
+    flen = st["footer_length"] or 0
+    if not all(isinstance(x, int)
+               for x in (off, ilen, dlen, flen)):
+        raise ValueError("orc: corrupt stripe information")
+    sf_raw = _decompress_section(
+        data[off + ilen + dlen:off + ilen + dlen + flen], comp)
+    sf = pb_message(sf_raw)
+    streams: dict[int, bytes] = {}
+    spos = off
+    for s_raw in sf.get(1, []):
+        srec = pb_message(s_raw)
+        s_kind = _pb_one(srec, 1, 0)
+        s_col = _pb_one(srec, 2, 0)
+        s_len = _pb_one(srec, 3, 0)
+        if not isinstance(s_len, int) or s_len < 0:
+            raise ValueError("orc: corrupt stream length")
+        if s_col == col_id and s_kind in (0, 1, 2, 3):
+            streams[s_kind] = _decompress_section(
+                data[spos:spos + s_len], comp)
+        spos += s_len
+    enc_kind = 0
+    dict_size = 0
+    encs = sf.get(2, [])
+    if col_id < len(encs) and isinstance(encs[col_id], bytes):
+        enc = pb_message(encs[col_id])
+        enc_kind = _pb_one(enc, 1, 0)
+        dict_size = _pb_one(enc, 2, 0)
+    return streams, enc_kind, dict_size
+
+
+def orc_read_string_column(data: bytes, column: str) -> list:
+    """Materialize one top-level string column from raw ORC bytes:
+    DIRECT_V2 (DATA utf-8 bytes + LENGTH RLEv2) and DICTIONARY_V2
+    (RLEv2 indices over DICTIONARY_DATA + LENGTH) encodings, with
+    PRESENT boolean-RLE nulls.  Nulls come back as None."""
+    meta = parse_orc_meta(data)
+    types = meta["types"]
+    if not types or types[0]["kind"] != 12:
+        raise ValueError("orc: root is not a struct")
+    try:
+        field_ix = types[0]["field_names"].index(column)
+    except ValueError:
+        raise ValueError(f"orc: no column {column!r}") from None
+    col_id = types[0]["subtypes"][field_ix]
+    if types[col_id]["kind"] not in (7, 16, 17):  # STRING/VARCHAR/CHAR
+        raise ValueError("orc: non-string column gated")
+    comp = meta["compression"]
+    out: list = []
+    for st in meta["stripes"]:
+        streams, enc_kind, dict_size = _stripe_column_streams(
+            data, comp, st, col_id)
+        nrows = st["num_rows"] or 0
+        present = (_bool_rle(streams[0], nrows) if 0 in streams
+                   else [1] * nrows)
+        nvals = sum(present)
+        if enc_kind in (2, 0):  # DIRECT(_V2)
+            if nvals and (1 not in streams or 2 not in streams):
+                raise ValueError("orc: string streams missing")
+            lengths = rlev2_decode(streams.get(2, b""), nvals,
+                                   signed=False)
+            blob = streams.get(1, b"")
+            vals = []
+            at = 0
+            for ln in lengths:
+                if ln < 0 or at + ln > len(blob):
+                    raise ValueError("orc: string data overrun")
+                vals.append(blob[at:at + ln].decode("utf-8", "replace"))
+                at += ln
+        elif enc_kind in (3, 1):  # DICTIONARY(_V2)
+            if 1 not in streams or 2 not in streams or 3 not in streams:
+                raise ValueError("orc: dictionary streams missing")
+            lens = rlev2_decode(streams[2], dict_size, signed=False)
+            blob = streams[3]
+            dic = []
+            at = 0
+            for ln in lens:
+                if ln < 0 or at + ln > len(blob):
+                    raise ValueError("orc: dictionary data overrun")
+                dic.append(blob[at:at + ln].decode("utf-8", "replace"))
+                at += ln
+            idx = rlev2_decode(streams[1], nvals, signed=False)
+            try:
+                vals = [dic[i] for i in idx]
+            except IndexError:
+                raise ValueError("orc: dictionary index out of range") \
+                    from None
+        else:
+            raise ValueError(f"orc: string encoding {enc_kind} gated")
+        it = iter(vals)
+        out.extend(next(it) if p else None for p in present)
+    return out
+
+
+ORC_STRSUM_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_values", LongType()),
+    StructField("n_distinct", LongType()),
+    StructField("char_sum", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_orc_string_sum(
+    df: DataFrame, column: str,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over
+    :func:`orc_read_string_column` — count/distinct/char tally from
+    the raw LENGTH/DATA/DICTIONARY streams."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "doc_id", "n_values", "n_distinct", "char_sum",
+                "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    vals = orc_read_string_column(bytes(payload), column)
+                    present = [v for v in vals if v is not None]
+                    rows["n_values"].append(len(vals))
+                    rows["n_distinct"].append(len(set(present)))
+                    rows["char_sum"].append(
+                        sum(len(v) for v in present))
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, TypeError, KeyError) as e:
+                    for k in ("n_values", "n_distinct", "char_sum"):
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_values": pd.Series(rows["n_values"], dtype="Int64"),
+                "n_distinct": pd.Series(rows["n_distinct"],
+                                        dtype="Int64"),
+                "char_sum": pd.Series(rows["char_sum"], dtype="Int64"),
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=ORC_STRSUM_SCHEMA)

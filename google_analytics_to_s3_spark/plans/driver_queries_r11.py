@@ -1592,3 +1592,59 @@ FROM e JOIN vals v ON v.event_id = e.event_id
 
 QUERIES_R11["orc_scan_raw"] = q_orc_scan_raw
 ORACLES_R11["orc_scan_raw"] = _ORC_SCAN_ORACLE
+
+
+def q_orc_scan_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw ORC STRING column materialization driver-checked (r11):
+    the shared ORC fixture's ``w`` column decoded from LENGTH/DATA
+    streams (DIRECT_V2, even seeds) or index/LENGTH/DICTIONARY_DATA
+    streams (DICTIONARY_V2, odd seeds — forced via the writer's
+    dictionary threshold), and the oracle replays count / distinct /
+    character tally in closed form.  Lane id % 10 == 3."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.orc_meta import decode_orc_string_sum
+    from ..testing.fixtures import make_orc_file
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 3
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_orc_file(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_orc_string_sum(payloads, "w").drop("decode_error")
+
+
+_ORC_STR_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         100 + (event_id % 1000) % 200 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 3
+),
+toks AS (
+  SELECT e.event_id, (e.seed*3 + 7*i.i) % 29 AS t
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.n AS BIGINT) AS n_values,
+       CAST((SELECT count(DISTINCT t.t) FROM toks t
+              WHERE t.event_id = e.event_id) AS BIGINT) AS n_distinct,
+       CAST((SELECT sum(3 + length(CAST(t.t AS VARCHAR))) FROM toks t
+              WHERE t.event_id = e.event_id) AS BIGINT) AS char_sum
+FROM e
+"""
+
+QUERIES_R11["orc_scan_strings"] = q_orc_scan_strings
+ORACLES_R11["orc_scan_strings"] = _ORC_STR_ORACLE

@@ -6664,7 +6664,9 @@ def make_orc_file(seed: int) -> bytes:
     - column ``v`` (int64, optional): NULL when ``i % 11 == 10``
       (PRESENT-stream coverage) else ``(seed*11 + 13*i) % 5000 - 1000``
       (negative values exercise the sint64 zigzag statistics)
-    - column ``w`` (string): ``'tok' || (seed + i) % 7``
+    - column ``w`` (string): ``'tok' || (seed*3 + 7*i) % 29``
+      (mixed 4/5-char tokens; dictionary encoding forced on for odd
+      seeds via dictionary_key_size_threshold, direct for even)
     - compression cycles [uncompressed, zlib, snappy, lz4, zstd]
       with ``seed % 5`` — the zlib/snappy/lz4/zstd chunks decode
       through the engine's own byte paths
@@ -6675,14 +6677,15 @@ def make_orc_file(seed: int) -> bytes:
     n = 100 + seed % 200
     v = [None if i % 11 == 10 else (seed * 11 + 13 * i) % 5000 - 1000
          for i in range(n)]
-    w = [f"tok{(seed + i) % 7}" for i in range(n)]
+    w = [f"tok{(seed * 3 + 7 * i) % 29}" for i in range(n)]
     table = _pa.table({"v": _pa.array(v, _pa.int64()),
                        "w": _pa.array(w, _pa.string())})
     buf = _pa.BufferOutputStream()
     _orc.write_table(
         table, buf,
         compression=["uncompressed", "zlib", "snappy", "lz4",
-                     "zstd"][seed % 5])
+                     "zstd"][seed % 5],
+        dictionary_key_size_threshold=1.0 if seed % 2 else 0.0)
     return buf.getvalue().to_pybytes()
 
 

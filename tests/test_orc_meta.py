@@ -208,3 +208,38 @@ def test_non_int_column_gated():
         orc_read_int_column(data, "w")
     with pytest.raises(ValueError, match="no column"):
         orc_read_int_column(data, "nope")
+
+
+_STR_SHAPES = {
+    "few_distinct": [f"cat{i % 7}" for i in range(5000)],
+    "unique": [f"id-{i:06d}" for i in range(5000)],
+    "with_nulls": [f"v{i % 13}" if i % 4 else None for i in range(5000)],
+    "unicode": [["один", "δύο", "三", "チカ", "é"][i % 5]
+                for i in range(3000)],
+    "empty_strings": ["" if i % 3 else "x" * i for i in range(900)],
+}
+
+
+@pytest.mark.parametrize("shape", sorted(_STR_SHAPES))
+@pytest.mark.parametrize("thr", [0.0, 1.0])  # direct vs dictionary
+def test_string_column_matches_pyarrow(shape, thr):
+    from google_analytics_to_s3_spark.operators.orc_meta import (
+        orc_read_string_column,
+    )
+
+    vals = _STR_SHAPES[shape]
+    t = pa.table({"w": pa.array(vals, pa.string())})
+    for comp in ("uncompressed", "zstd"):
+        data = _orc_bytes(t, compression=comp,
+                          dictionary_key_size_threshold=thr)
+        assert orc_read_string_column(data, "w") == vals
+
+
+def test_string_column_gates():
+    from google_analytics_to_s3_spark.operators.orc_meta import (
+        orc_read_string_column,
+    )
+
+    data = _orc_bytes(pa.table({"v": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(ValueError, match="non-string"):
+        orc_read_string_column(data, "v")
