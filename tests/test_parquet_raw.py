@@ -185,12 +185,33 @@ def test_delta_binary_packed_matches_pyarrow():
     assert parquet_read_column(data, "v") == list(range(100000))
 
 
-def test_delta_byte_array_still_gated():
-    t = pa.table({"w": pa.array([f"s{i}" for i in range(50)])})
-    data = _pq_bytes(t, use_dictionary=False, data_page_version="2.0",
-                     column_encoding={"w": "DELTA_BYTE_ARRAY"})
-    with pytest.raises(ValueError, match="gated"):
-        parquet_read_column(data, "w")
+@pytest.mark.parametrize(
+    "enc", ["DELTA_LENGTH_BYTE_ARRAY", "DELTA_BYTE_ARRAY"])
+def test_delta_string_encodings_match_pyarrow(enc):
+    strs = [f"prefix-common/{i % 17}/suffix-{i}" if i % 5 else None
+            for i in range(3000)]
+    t = pa.table({"w": pa.array(strs, pa.string())})
+    for codec in ("none", "zstd"):
+        data = _pq_bytes(t, use_dictionary=False,
+                         data_page_version="2.0", compression=codec,
+                         column_encoding={"w": enc})
+        assert parquet_read_column(data, "w") == [
+            s.encode() if s is not None else None for s in strs]
+
+
+def test_byte_stream_split_matches_pyarrow():
+    t = pa.table({
+        "f": pa.array([i * 0.37 for i in range(5000)], pa.float64()),
+        "g": pa.array([float(i) for i in range(5000)], pa.float32()),
+    })
+    for codec in ("none", "zstd"):
+        data = _pq_bytes(
+            t, use_dictionary=False, data_page_version="2.0",
+            compression=codec,
+            column_encoding={"f": "BYTE_STREAM_SPLIT",
+                             "g": "BYTE_STREAM_SPLIT"})
+        assert parquet_read_column(data, "f") == t.column("f").to_pylist()
+        assert parquet_read_column(data, "g") == t.column("g").to_pylist()
 
 
 def test_nested_column_gated():
