@@ -1,0 +1,499 @@
+"""Arrow IPC (Feather v2) reading from raw bytes — public Apache
+Arrow columnar specification (File.fbs / Schema.fbs / Message.fbs and
+the FlatBuffers wire format).
+
+Arrow IPC is the interchange spine of the modern data stack (Flight,
+Feather, dataframe spill files, UDF shuttles); the engine reads it
+without the Arrow library:
+
+- **FlatBuffers**: a from-scratch walker for the public wire format
+  — root uoffset, vtables (u16 size/table-size + per-slot offsets),
+  scalar fields with defaults, strings, vectors (inline scalars,
+  structs, and offset tables), unions (type byte + table).
+- **File format**: ``ARROW1\\0\\0`` magic both ends, trailing footer
+  flatbuffer (schema + record-batch Block structs), encapsulated
+  messages (0xFFFFFFFF continuation, metadata length, Message
+  flatbuffer, 8-byte-aligned body).
+- **Stream format**: the same messages walked sequentially (schema
+  first, EOS marker last) when the file magic is absent.
+- **Record batches**: FieldNode/Buffer structs resolved per column —
+  validity bitmaps (LSB), fixed-width data (int 8/16/32/64 signed
+  and unsigned, float16-less single/double, bool bits), Utf8/Binary
+  offset+data buffers; **BodyCompression** bodies (each buffer
+  framed with an i64 uncompressed length) inflated through the
+  engine's OWN zstd frame / LZ4 frame decoders.
+
+Cross-validation: every test decodes bytes produced by pyarrow's IPC
+writer (file + stream, compressed + raw) and compares against
+pyarrow's own reads.  Dictionary-encoded columns, nested types, and
+run-end encoding are named gates.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["arrow_file_meta", "arrow_read_column",
+           "decode_arrow_meta"]
+
+_FILE_MAGIC = b"ARROW1"
+_MAX_OUT = 512 * 1024 * 1024
+
+
+# --------------------------------------------------------------------------
+# FlatBuffers walker.
+
+
+class _Fb:
+    """One flatbuffer table at position ``pos`` in ``data``."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        if pos < 0 or pos + 4 > len(data):
+            raise ValueError("arrow: flatbuffer table out of range")
+        self.data = data
+        self.pos = pos
+
+    def _field_pos(self, slot: int) -> int | None:
+        data = self.data
+        t = self.pos
+        soff = struct.unpack_from("<i", data, t)[0]
+        vt = t - soff
+        if vt < 0 or vt + 4 > len(data):
+            raise ValueError("arrow: vtable out of range")
+        vt_size = struct.unpack_from("<H", data, vt)[0]
+        field_off = 4 + 2 * slot
+        if field_off + 2 > vt_size:
+            return None
+        voff = struct.unpack_from("<H", data, vt + field_off)[0]
+        if voff == 0:
+            return None
+        return t + voff
+
+    def scalar(self, slot: int, fmt: str, default=0):
+        p = self._field_pos(slot)
+        if p is None:
+            return default
+        return struct.unpack_from(fmt, self.data, p)[0]
+
+    def string(self, slot: int) -> str | None:
+        p = self._field_pos(slot)
+        if p is None:
+            return None
+        sp = p + struct.unpack_from("<I", self.data, p)[0]
+        n = struct.unpack_from("<I", self.data, sp)[0]
+        if sp + 4 + n > len(self.data):
+            raise ValueError("arrow: string out of range")
+        return self.data[sp + 4:sp + 4 + n].decode("utf-8", "replace")
+
+    def table(self, slot: int) -> "_Fb | None":
+        p = self._field_pos(slot)
+        if p is None:
+            return None
+        return _Fb(self.data, p + struct.unpack_from("<I", self.data,
+                                                     p)[0])
+
+    def _vector(self, slot: int) -> tuple[int, int] | None:
+        p = self._field_pos(slot)
+        if p is None:
+            return None
+        vp = p + struct.unpack_from("<I", self.data, p)[0]
+        n = struct.unpack_from("<I", self.data, vp)[0]
+        return vp + 4, n
+
+    def vector_tables(self, slot: int) -> "list[_Fb]":
+        v = self._vector(slot)
+        if v is None:
+            return []
+        base, n = v
+        out = []
+        for i in range(n):
+            off = struct.unpack_from("<I", self.data, base + 4 * i)[0]
+            out.append(_Fb(self.data, base + 4 * i + off))
+        return out
+
+    def vector_structs(self, slot: int, width: int) -> list[int]:
+        """Returns flat positions of each ``width``-byte struct."""
+        v = self._vector(slot)
+        if v is None:
+            return []
+        base, n = v
+        if base + n * width > len(self.data):
+            raise ValueError("arrow: struct vector out of range")
+        return [base + i * width for i in range(n)]
+
+
+def _fb_root(data: bytes, pos: int = 0) -> _Fb:
+    if pos + 4 > len(data):
+        raise ValueError("arrow: truncated flatbuffer root")
+    return _Fb(data, pos + struct.unpack_from("<I", data, pos)[0])
+
+
+# --------------------------------------------------------------------------
+# Schema / message walking.
+
+# Type union member indices, Schema.fbs declaration order
+_T_INT = 2
+_T_FLOAT = 3
+_T_BINARY = 4
+_T_UTF8 = 5
+_T_BOOL = 6
+_T_LARGE_BINARY = 19
+_T_LARGE_UTF8 = 20
+
+
+def _parse_schema(schema_tbl: _Fb) -> list[dict]:
+    fields = []
+    for f in schema_tbl.vector_tables(1):  # Schema.fields
+        type_type = f.scalar(2, "<B", 0)
+        type_tbl = f.table(3)
+        info = {"name": f.string(0) or "",
+                "nullable": bool(f.scalar(1, "<b", 0)),
+                "type_type": type_type,
+                "bit_width": None, "signed": None, "precision": None}
+        if f.table(4) is not None:
+            info["dictionary"] = True
+        if f.vector_tables(5):
+            info["children"] = True
+        if type_type == _T_INT and type_tbl is not None:
+            info["bit_width"] = type_tbl.scalar(0, "<i", 0)
+            info["signed"] = bool(type_tbl.scalar(1, "<b", 0))
+        elif type_type == _T_FLOAT and type_tbl is not None:
+            info["precision"] = type_tbl.scalar(0, "<h", 0)
+        fields.append(info)
+    return fields
+
+
+def _iter_messages(data: bytes) -> Iterator[tuple[_Fb, bytes]]:
+    """Walk encapsulated IPC messages (stream layout) → (Message
+    flatbuffer, body bytes)."""
+    pos = 0
+    if data[:6] == _FILE_MAGIC:
+        pos = 8  # file layout: magic + padding, messages follow
+    while pos + 8 <= len(data):
+        cont = struct.unpack_from("<I", data, pos)[0]
+        if cont != 0xFFFFFFFF:
+            # legacy layout without continuation marker
+            meta_len = cont
+            meta_start = pos + 4
+        else:
+            meta_len = struct.unpack_from("<I", data, pos + 4)[0]
+            meta_start = pos + 8
+        if meta_len == 0:
+            return  # EOS
+        if meta_start + meta_len > len(data):
+            raise ValueError("arrow: truncated message metadata")
+        msg = _fb_root(data, meta_start)
+        body_len = msg.scalar(3, "<q", 0)
+        body_start = meta_start + meta_len
+        if body_start + body_len > len(data):
+            raise ValueError("arrow: truncated message body")
+        yield msg, data[body_start:body_start + body_len]
+        pos = body_start + body_len
+
+
+def _file_blocks(data: bytes) -> tuple[_Fb, list[tuple[int, int, int]]]:
+    """File-format footer → (schema table, record-batch blocks)."""
+    if len(data) < 20 or data[:6] != _FILE_MAGIC \
+            or data[-6:] != _FILE_MAGIC:
+        raise ValueError("arrow: missing ARROW1 magic")
+    flen = struct.unpack_from("<i", data, len(data) - 10)[0]
+    fstart = len(data) - 10 - flen
+    if flen <= 0 or fstart < 8:
+        raise ValueError("arrow: bad footer length")
+    footer = _fb_root(data, fstart)
+    schema = footer.table(1)
+    if schema is None:
+        raise ValueError("arrow: footer missing schema")
+    if footer.vector_structs(2, 24):
+        raise ValueError("arrow: dictionary batches gated")
+    blocks = []
+    for sp in footer.vector_structs(3, 24):
+        # Block struct: i64 offset, i32 metaDataLength, pad, i64 body
+        off = struct.unpack_from("<q", data, sp)[0]
+        mlen = struct.unpack_from("<i", data, sp + 8)[0]
+        blen = struct.unpack_from("<q", data, sp + 16)[0]
+        blocks.append((off, mlen, blen))
+    return schema, blocks
+
+
+def _decompress_body(body: bytes, buffers: list[tuple[int, int]],
+                     codec: int) -> list[bytes]:
+    """BodyCompression: each buffer is an i64 uncompressed length
+    followed by a frame (-1 length = stored raw)."""
+    out = []
+    for off, ln in buffers:
+        seg = body[off:off + ln]
+        if ln == 0:
+            out.append(b"")
+            continue
+        if len(seg) < 8:
+            raise ValueError("arrow: compressed buffer too short")
+        unc = struct.unpack_from("<q", seg, 0)[0]
+        payload = seg[8:]
+        if unc == -1:
+            out.append(bytes(payload))
+            continue
+        if unc > _MAX_OUT:
+            raise ValueError("arrow: buffer exceeds size cap")
+        if codec == 0:  # LZ4_FRAME
+            from .lz4 import parse_lz4_frame
+
+            raw = parse_lz4_frame(bytes(payload))[0]
+        elif codec == 1:  # ZSTD
+            from .zstd import decompress_zstd
+
+            raw = decompress_zstd(bytes(payload))
+        else:
+            raise ValueError(f"arrow: compression codec {codec} gated")
+        if len(raw) != unc:
+            raise ValueError("arrow: buffer size mismatch")
+        out.append(raw)
+    return out
+
+
+def _batch_columns(msg: _Fb, body: bytes,
+                   fields: list[dict]) -> list[tuple[int, list[bytes]]]:
+    """One RecordBatch message → [(row_count, column buffers)] per
+    field, buffers assigned in spec order (validity, then offsets for
+    varsize, then data)."""
+    if msg.scalar(1, "<B", 0) != 3:  # MessageHeader.RecordBatch
+        raise ValueError("arrow: not a record batch message")
+    rb = msg.table(2)
+    if rb is None:
+        raise ValueError("arrow: message missing RecordBatch header")
+    length = rb.scalar(0, "<q", 0)
+    nodes = rb.vector_structs(1, 16)
+    bufs = []
+    for bp in rb.vector_structs(2, 16):
+        off = struct.unpack_from("<q", msg.data, bp)[0]
+        ln = struct.unpack_from("<q", msg.data, bp + 8)[0]
+        bufs.append((off, ln))
+    comp = rb.table(3)
+    if comp is not None:
+        codec = comp.scalar(0, "<b", 0)
+        raw_bufs = _decompress_body(body, bufs, codec)
+    else:
+        raw_bufs = [bytes(body[off:off + ln]) for off, ln in bufs]
+    # assign buffers per field
+    out = []
+    bi = 0
+    for fi, field in enumerate(fields):
+        if fi >= len(nodes):
+            raise ValueError("arrow: field nodes short of schema")
+        node_len = struct.unpack_from("<q", msg.data, nodes[fi])[0]
+        tt = field["type_type"]
+        nbuf = 3 if tt in (_T_UTF8, _T_BINARY, _T_LARGE_UTF8,
+                           _T_LARGE_BINARY) else 2
+        cols = raw_bufs[bi:bi + nbuf]
+        if len(cols) != nbuf:
+            raise ValueError("arrow: buffer list short of schema")
+        bi += nbuf
+        out.append((node_len, cols))
+    if length and nodes and not out:
+        raise ValueError("arrow: empty batch decode")
+    return out
+
+
+def _materialize(field: dict, n: int, bufs: list[bytes]) -> list:
+    tt = field["type_type"]
+    validity = bufs[0]
+    if validity:
+        valid = [(validity[i >> 3] >> (i & 7)) & 1 for i in range(n)]
+    else:
+        valid = [1] * n
+    if tt == _T_BOOL:
+        data = bufs[1]
+        vals = [bool((data[i >> 3] >> (i & 7)) & 1) if i >> 3 <
+                len(data) else False for i in range(n)]
+    elif tt == _T_INT:
+        bw = field["bit_width"] or 0
+        fmt = {8: "b", 16: "h", 32: "i", 64: "q"}.get(bw)
+        if fmt is None:
+            raise ValueError("arrow: int bit width gated")
+        if not field["signed"]:
+            fmt = fmt.upper()
+        need = n * bw // 8
+        if len(bufs[1]) < need:
+            raise ValueError("arrow: int data buffer short")
+        vals = list(struct.unpack_from(f"<{n}{fmt}", bufs[1], 0))
+    elif tt == _T_FLOAT:
+        prec = field["precision"]
+        fmt = {1: "f", 2: "d"}.get(prec)
+        if fmt is None:
+            raise ValueError("arrow: float precision gated")
+        width = 4 if prec == 1 else 8
+        if len(bufs[1]) < n * width:
+            raise ValueError("arrow: float data buffer short")
+        vals = list(struct.unpack_from(f"<{n}{fmt}", bufs[1], 0))
+    elif tt in (_T_UTF8, _T_BINARY, _T_LARGE_UTF8, _T_LARGE_BINARY):
+        wide = tt in (_T_LARGE_UTF8, _T_LARGE_BINARY)
+        osz = 8 if wide else 4
+        ofmt = "<q" if wide else "<i"
+        offs_raw = bufs[1]
+        if len(offs_raw) < (n + 1) * osz:
+            raise ValueError("arrow: offsets buffer short")
+        offs = [struct.unpack_from(ofmt, offs_raw, i * osz)[0]
+                for i in range(n + 1)]
+        blob = bufs[2]
+        vals = []
+        for i in range(n):
+            a, b = offs[i], offs[i + 1]
+            if a < 0 or b < a or b > len(blob):
+                raise ValueError("arrow: string offsets out of range")
+            seg = blob[a:b]
+            vals.append(seg.decode("utf-8", "replace")
+                        if tt in (_T_UTF8, _T_LARGE_UTF8) else bytes(seg))
+    else:
+        raise ValueError(f"arrow: type union member {tt} gated")
+    return [v if ok else None for v, ok in zip(vals, valid)]
+
+
+def _schema_and_batches(data: bytes) -> tuple[list[dict],
+                                              list[tuple[_Fb, bytes]]]:
+    if data[:6] == _FILE_MAGIC:
+        schema_tbl, blocks = _file_blocks(data)
+        fields = _parse_schema(schema_tbl)
+        batches = []
+        for off, mlen, blen in blocks:
+            sub = data[off:off + mlen + blen]
+            got = next(iter(_iter_messages(b"\x00" * 0 + sub)), None)
+            if got is None:
+                raise ValueError("arrow: empty record batch block")
+            batches.append(got)
+        return fields, batches
+    # stream format: first message is the schema
+    it = _iter_messages(data)
+    first = next(it, None)
+    if first is None:
+        raise ValueError("arrow: empty IPC stream")
+    msg, _ = first
+    if msg.scalar(1, "<B", 0) != 1:  # MessageHeader.Schema
+        raise ValueError("arrow: stream does not start with a schema")
+    schema_tbl = msg.table(2)
+    if schema_tbl is None:
+        raise ValueError("arrow: schema message missing header")
+    fields = _parse_schema(schema_tbl)
+    batches = []
+    for msg, body in it:
+        ht = msg.scalar(1, "<B", 0)
+        if ht == 2:
+            raise ValueError("arrow: dictionary batches gated")
+        if ht != 3:
+            raise ValueError(f"arrow: message header {ht} gated")
+        batches.append((msg, body))
+    return fields, batches
+
+
+def arrow_file_meta(data: bytes) -> dict:
+    """Schema + layout of an Arrow IPC file or stream."""
+    fields, batches = _schema_and_batches(data)
+    total = 0
+    for msg, _body in batches:
+        rb = msg.table(2)
+        if rb is None:
+            raise ValueError("arrow: batch missing header")
+        total += rb.scalar(0, "<q", 0)
+    return {
+        "n_fields": len(fields),
+        "field_names": [f["name"] for f in fields],
+        "n_batches": len(batches),
+        "num_rows": total,
+        "is_file": data[:6] == _FILE_MAGIC,
+    }
+
+
+def arrow_read_column(data: bytes, column: str) -> list:
+    """Materialize one flat column (int/float/bool/utf8/binary,
+    nullable) from Arrow IPC bytes, across all record batches."""
+    fields, batches = _schema_and_batches(data)
+    names = [f["name"] for f in fields]
+    if column not in names:
+        raise ValueError(f"arrow: no column {column!r}")
+    fi = names.index(column)
+    field = fields[fi]
+    if field.get("dictionary"):
+        raise ValueError("arrow: dictionary-encoded columns gated")
+    if field.get("children"):
+        raise ValueError("arrow: nested columns gated")
+    out: list = []
+    for msg, body in batches:
+        cols = _batch_columns(msg, body, fields)
+        n, bufs = cols[fi]
+        out.extend(_materialize(field, n, bufs))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Spark surface.
+
+ARROW_META_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("num_rows", LongType()),
+    StructField("n_batches", IntegerType()),
+    StructField("n_fields", IntegerType()),
+    StructField("n_values", LongType()),
+    StructField("n_nulls", LongType()),
+    StructField("value_sum", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_arrow_meta(
+    df: DataFrame, column: str,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper: IPC layout plus one integer
+    column's count/nulls/sum straight from the record-batch buffers."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("num_rows", "n_batches", "n_fields", "n_values",
+                "n_nulls", "value_sum")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    raw = bytes(payload)
+                    m = arrow_file_meta(raw)
+                    vals = arrow_read_column(raw, column)
+                    present = [v for v in vals if v is not None]
+                    rows["num_rows"].append(m["num_rows"])
+                    rows["n_batches"].append(m["n_batches"])
+                    rows["n_fields"].append(m["n_fields"])
+                    rows["n_values"].append(len(vals))
+                    rows["n_nulls"].append(len(vals) - len(present))
+                    rows["value_sum"].append(sum(present))
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, TypeError,
+                        struct.error) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "num_rows": pd.Series(rows["num_rows"], dtype="Int64"),
+                "n_batches": pd.Series(rows["n_batches"], dtype="Int32"),
+                "n_fields": pd.Series(rows["n_fields"], dtype="Int32"),
+                "n_values": pd.Series(rows["n_values"], dtype="Int64"),
+                "n_nulls": pd.Series(rows["n_nulls"], dtype="Int64"),
+                "value_sum": pd.Series(rows["value_sum"], dtype="Int64"),
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=ARROW_META_SCHEMA)

@@ -1648,3 +1648,67 @@ FROM e
 
 QUERIES_R11["orc_scan_strings"] = q_orc_scan_strings
 ORACLES_R11["orc_scan_strings"] = _ORC_STR_ORACLE
+
+
+def q_arrow_ipc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC (Feather v2) decode driver-checked (r11): per event
+    real pyarrow-written IPC bytes (FILE format on even seeds with
+    the trailing FlatBuffers footer, STREAM format on odd; bodies
+    raw / zstd / lz4 — compressed buffers inflate through the
+    engine's own frame decoders) are walked by the from-scratch
+    FlatBuffers reader (operators/arrow_ipc.py: vtables, unions,
+    struct vectors, record-batch buffer assembly), and the oracle
+    replays layout and the nullable int column's count/nulls/sum in
+    closed form.  Lane id % 10 == 0."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.arrow_ipc import decode_arrow_meta
+    from ..testing.fixtures import make_arrow_ipc
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 0
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_arrow_ipc(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_arrow_meta(payloads, "v").drop("decode_error")
+
+
+_ARROW_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         80 + (event_id % 1000) % 150 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 0
+),
+vals AS (
+  SELECT e.event_id,
+         sum(CASE WHEN i.i % 8 = 7 THEN 0
+                  ELSE (e.seed*5 + 9*i.i) % 3000 - 500 END) AS s,
+         sum(CASE WHEN i.i % 8 = 7 THEN 1 ELSE 0 END) AS nn
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.n AS BIGINT) AS num_rows,
+       CAST((e.n + 39) // 40 AS INTEGER) AS n_batches,
+       CAST(2 AS INTEGER) AS n_fields,
+       CAST(e.n AS BIGINT) AS n_values,
+       CAST(v.nn AS BIGINT) AS n_nulls,
+       CAST(v.s AS BIGINT) AS value_sum
+FROM e JOIN vals v ON v.event_id = e.event_id
+"""
+
+QUERIES_R11["arrow_ipc_scan"] = q_arrow_ipc_scan
+ORACLES_R11["arrow_ipc_scan"] = _ARROW_ORACLE

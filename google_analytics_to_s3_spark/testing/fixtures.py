@@ -6863,3 +6863,39 @@ def make_iceberg(seed: int) -> bytes:
         out += _tar_member(name, data)
     out += b"\x00" * 1024
     return bytes(out)
+
+
+def make_arrow_ipc(seed: int) -> bytes:
+    """Deterministic Arrow IPC bytes for the ``arrow_ipc_scan`` driver
+    query — written by pyarrow's IPC writer, so a green row certifies
+    operators/arrow_ipc.py walks real FlatBuffers metadata and
+    record-batch buffers.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - ``n = 80 + seed % 150`` rows in 40-row record batches
+    - column ``v`` (int64, nullable): NULL when ``i % 8 == 7`` else
+      ``(seed*5 + 9*i) % 3000 - 500``
+    - column ``s`` (utf8): ``'tag' || (seed + 2*i) % 19``
+    - FILE format for even seeds, STREAM format for odd
+    - body compression cycles [none, zstd, lz4] with ``seed % 3`` —
+      compressed buffers decode through the engine's own frame paths
+    """
+    import pyarrow as _pa
+
+    n = 80 + seed % 150
+    v = [None if i % 8 == 7 else (seed * 5 + 9 * i) % 3000 - 500
+         for i in range(n)]
+    s = [f"tag{(seed + 2 * i) % 19}" for i in range(n)]
+    table = _pa.table({"v": _pa.array(v, _pa.int64()),
+                       "s": _pa.array(s, _pa.string())})
+    comp = [None, "zstd", "lz4"][seed % 3]
+    opts = _pa.ipc.IpcWriteOptions(compression=comp)
+    sink = _pa.BufferOutputStream()
+    opener = _pa.ipc.new_file if seed % 2 == 0 else _pa.ipc.new_stream
+    with opener(sink, table.schema, options=opts) as w:
+        for at in range(0, n, 40):
+            w.write_batch(
+                _pa.record_batch(table.slice(at, 40).to_pydict(),
+                                 schema=table.schema))
+    return sink.getvalue().to_pybytes()

@@ -1,0 +1,129 @@
+"""Arrow IPC reader (operators/arrow_ipc.py).
+
+Cross-validation against pyarrow's IPC writer/reader: file + stream
+layouts, every supported type, multi-batch, nullable columns, and
+zstd / lz4-frame compressed bodies inflated through the engine's own
+decoders.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+import pytest
+
+from google_analytics_to_s3_spark.operators.arrow_ipc import (
+    arrow_file_meta,
+    arrow_read_column,
+)
+
+_T = pa.table({
+    "i": pa.array([i * 7 - 100 if i % 4 else None for i in range(3000)],
+                  pa.int64()),
+    "i32": pa.array(range(3000), pa.int32()),
+    "i16": pa.array([i % 30000 for i in range(3000)], pa.int16()),
+    "u16": pa.array([i % 65000 for i in range(3000)], pa.uint16()),
+    "u8": pa.array([i % 250 for i in range(3000)], pa.uint8()),
+    "f": pa.array([i * 0.5 for i in range(3000)], pa.float64()),
+    "f32": pa.array([float(i) for i in range(3000)], pa.float32()),
+    "b": pa.array([i % 3 == 0 for i in range(3000)]),
+    "s": pa.array([f"str-{i % 11}" if i % 7 else None
+                   for i in range(3000)]),
+    "bin": pa.array([bytes([i % 256, (i * 3) % 256])
+                     for i in range(3000)], pa.binary()),
+})
+
+
+def _file_bytes(table: pa.Table, compression=None, chunks=1) -> bytes:
+    sink = pa.BufferOutputStream()
+    opts = pa.ipc.IpcWriteOptions(compression=compression)
+    with pa.ipc.new_file(sink, table.schema, options=opts) as w:
+        for batch in table.to_batches(
+                max_chunksize=len(table) // chunks + 1):
+            w.write_batch(batch)
+    return sink.getvalue().to_pybytes()
+
+
+def _stream_bytes(table: pa.Table, compression=None) -> bytes:
+    sink = pa.BufferOutputStream()
+    opts = pa.ipc.IpcWriteOptions(compression=compression)
+    with pa.ipc.new_stream(sink, table.schema, options=opts) as w:
+        w.write_table(table)
+    return sink.getvalue().to_pybytes()
+
+
+@pytest.mark.parametrize("comp", [None, "zstd", "lz4"])
+@pytest.mark.parametrize("layout", ["file", "stream"])
+def test_matches_pyarrow(comp, layout):
+    data = (_file_bytes(_T, comp, chunks=3) if layout == "file"
+            else _stream_bytes(_T, comp))
+    m = arrow_file_meta(data)
+    assert m["num_rows"] == 3000
+    assert m["field_names"] == _T.column_names
+    assert m["is_file"] == (layout == "file")
+    for name in _T.column_names:
+        assert arrow_read_column(data, name) == \
+            _T.column(name).to_pylist(), name
+
+
+def test_empty_table_and_empty_batches():
+    t = pa.table({"v": pa.array([], pa.int64())})
+    for data in (_file_bytes(t), _stream_bytes(t)):
+        m = arrow_file_meta(data)
+        assert m["num_rows"] == 0
+        assert arrow_read_column(data, "v") == []
+
+
+def test_all_null_column():
+    t = pa.table({"v": pa.array([None] * 100, pa.int64())})
+    data = _file_bytes(t, "zstd")
+    assert arrow_read_column(data, "v") == [None] * 100
+
+
+def test_gates_named():
+    # dictionary-encoded column
+    t = pa.table({"d": pa.array(["a", "b", "a"]).dictionary_encode()})
+    with pytest.raises(ValueError, match="dictionar"):
+        arrow_read_column(_file_bytes(t), "d")
+    # nested column
+    t = pa.table({"l": pa.array([[1], [2, 3]], pa.list_(pa.int64()))})
+    with pytest.raises(ValueError, match="gated|no column"):
+        arrow_read_column(_file_bytes(t), "l")
+    # unknown column
+    t = pa.table({"v": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError, match="no column"):
+        arrow_read_column(_file_bytes(t), "nope")
+
+
+def test_bad_magic_and_truncation():
+    with pytest.raises(ValueError, match="arrow"):
+        arrow_file_meta(b"NOTARROW" + b"\x00" * 64)
+    good = _file_bytes(pa.table({"v": pa.array(range(100), pa.int64())}))
+    for cut in (10, len(good) // 2, len(good) - 3):
+        with pytest.raises((ValueError, IndexError)):
+            arrow_file_meta(good[:cut])
+            arrow_read_column(good[:cut], "v")
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_corruption_never_crashes(seed):
+    base = _file_bytes(
+        pa.table({"v": pa.array(range(500), pa.int64()),
+                  "s": pa.array([f"x{i}" for i in range(500)])}),
+        "zstd")
+    r = random.Random(seed)
+    for _ in range(60):
+        b = bytearray(base)
+        b[r.randrange(len(b))] ^= 1 << r.randrange(8)
+        for fn in (arrow_file_meta,
+                   lambda d: arrow_read_column(d, "v")):
+            try:
+                fn(bytes(b))
+            except (ValueError, IndexError, TypeError, MemoryError,
+                    OverflowError):
+                pass
+            except Exception as e:  # struct.error etc must be wrapped
+                import struct as _s
+
+                assert isinstance(e, _s.error), type(e)
