@@ -36,8 +36,13 @@ Cross-validation: tests read files written by *pyarrow/parquet-cpp*
 against pyarrow's metadata and values — a green test proves this
 reads real Parquet, not a private dialect.
 
-Honest gates (named ValueError, quarantined by wrappers): nested
-schemas (repetition levels > 0), INT96, LZ4/BROTLI codecs,
+One-level LIST columns (the standard 3-level layout) materialize
+too: repetition levels segment records, definition levels
+distinguish value / null element / empty list / null list (Dremel
+record assembly, ``parquet_read_list_column``).
+
+Honest gates (named ValueError, quarantined by wrappers): deeper
+nesting (maps, list-of-list, structs), INT96, LZ4/BROTLI codecs,
 encrypted files.
 """
 
@@ -57,8 +62,9 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["thrift_compact_struct", "parquet_file_meta",
-           "parquet_read_column", "decode_parquet_meta",
-           "decode_parquet_column_sum"]
+           "parquet_read_column", "parquet_read_list_column",
+           "decode_parquet_meta", "decode_parquet_column_sum",
+           "decode_parquet_list_sum"]
 
 _MAGIC = b"PAR1"
 
@@ -532,43 +538,60 @@ def parquet_read_column(data: bytes, column: str) -> list:
         raise ValueError(f"parquet: malformed structure ({e})") from None
 
 
-def _read_column(data: bytes, column: str) -> list:
-    meta = parquet_file_meta(data)
-    # max definition level for a flat column: 1 if optional else 0;
-    # any repeated ancestor is a gate
-    sch = {s["name"]: s for s in meta["schema"][1:]}
-    if column not in sch:
-        raise ValueError(f"parquet: no column {column!r}")
-    if sch[column].get("num_children"):
-        raise ValueError("parquet: nested columns gated")
-    if sch[column].get("repetition") == 2:
-        raise ValueError("parquet: repeated columns gated")
-    max_def = 1 if sch[column].get("repetition") == 1 else 0
+def _leaf_levels(schema: list[dict]) -> dict:
+    """Walk the preorder-flattened schema tree → ``{leaf path:
+    (max_def, max_rep, element)}`` per the Dremel level rules
+    (optional adds a definition level, repeated adds both)."""
+    leaves: dict = {}
+
+    def walk(idx: int, path: list, d: int, r: int) -> int:
+        if idx >= len(schema):
+            raise ValueError("parquet: schema tree short")
+        el = schema[idx]
+        nc = el.get("num_children") or 0
+        if idx > 0:
+            rep = el.get("repetition")
+            if rep == 1:
+                d += 1
+            elif rep == 2:
+                d += 1
+                r += 1
+            path = path + [el["name"]]
+        nxt = idx + 1
+        if nc == 0 and idx > 0:
+            leaves[tuple(path)] = (d, r, el)
+            return nxt
+        for _ in range(nc):
+            nxt = walk(nxt, path, d, r)
+        return nxt
+
+    walk(0, [], 0, 0)
+    return leaves
+
+
+def _read_chunk(data: bytes, chunk: dict, max_def: int,
+                max_rep: int) -> tuple[list, list, list]:
+    """Walk one column chunk's pages → (defs, reps, present values)."""
+    start = chunk["dictionary_page_offset"]
+    if start is None:
+        start = chunk["data_page_offset"]
+    if not all(isinstance(chunk[k], int) and chunk[k] >= 0
+               for k in ("total_compressed_size", "num_values")) \
+            or not isinstance(start, int) or start < 0:
+        raise ValueError("parquet: corrupt column-chunk metadata")
+    pos = start
+    end = start + chunk["total_compressed_size"]
+    if end > len(data):
+        raise ValueError("parquet: column chunk overruns file")
+    remaining = chunk["num_values"]
+    dictionary: list | None = None
+    ptype = chunk["type"]
+    def_w = max_def.bit_length()
+    rep_w = max_rep.bit_length()
+    all_defs: list = []
+    all_reps: list = []
     values: list = []
-    for rg in meta["row_groups"]:
-        chunk = None
-        for cc in rg["columns"]:
-            if cc["path"] == [column]:
-                chunk = cc
-                break
-        if chunk is None:
-            raise ValueError(f"parquet: column {column!r} missing "
-                             "from a row group")
-        start = chunk["dictionary_page_offset"]
-        if start is None:
-            start = chunk["data_page_offset"]
-        if not all(isinstance(chunk[k], int) and chunk[k] >= 0
-                   for k in ("total_compressed_size", "num_values")) \
-                or not isinstance(start, int) or start < 0:
-            raise ValueError("parquet: corrupt column-chunk metadata")
-        pos = start
-        end = start + chunk["total_compressed_size"]
-        if end > len(data):
-            raise ValueError("parquet: column chunk overruns file")
-        remaining = chunk["num_values"]
-        dictionary: list | None = None
-        ptype = chunk["type"]
-        while remaining > 0:
+    while remaining > 0:
             ph, pos = thrift_compact_struct(data, pos)
             page_type = ph.get(1)
             comp_size = ph.get(3)
@@ -600,12 +623,18 @@ def _read_column(data: bytes, column: str) -> list:
                 nvals = dh.get(1)
                 enc = dh.get(2)
                 vpos = 0
+                reps = [0] * nvals
+                if max_rep:  # repetition levels first, length-prefixed
+                    rlen = int.from_bytes(raw[0:4], "little")
+                    reps = _rle_bp_hybrid(raw, 4, 4 + rlen, rep_w, nvals)
+                    vpos = 4 + rlen
                 if max_def:
-                    dlen = int.from_bytes(raw[0:4], "little")
-                    vpos = 4 + dlen
-                    defs = _rle_bp_hybrid(raw, 4, vpos, 1, nvals)
+                    dlen = int.from_bytes(raw[vpos:vpos + 4], "little")
+                    defs = _rle_bp_hybrid(raw, vpos + 4,
+                                          vpos + 4 + dlen, def_w, nvals)
+                    vpos += 4 + dlen
                 else:
-                    defs = [1] * nvals
+                    defs = [max_def] * nvals
                 vals_buf = raw
             else:  # v2: levels stored up front UNCOMPRESSED
                 dh = ph.get(8) or {}
@@ -614,24 +643,24 @@ def _read_column(data: bytes, column: str) -> list:
                 dll = dh.get(5, 0)
                 rll = dh.get(6, 0)
                 is_comp = dh.get(7, True)
-                if rll:
-                    raise ValueError(
-                        "parquet: repetition levels gated (nested)")
-                if not isinstance(dll, int) or dll < 0 or dll > len(body):
+                if not isinstance(dll, int) or dll < 0 \
+                        or not isinstance(rll, int) or rll < 0 \
+                        or dll + rll > len(body):
                     raise ValueError("parquet: bad v2 level lengths")
-                if max_def:
-                    defs = _rle_bp_hybrid(body, 0, dll, 1, nvals)
-                else:
-                    defs = [1] * nvals
-                tail = body[dll:]
+                reps = ([0] * nvals if not max_rep else
+                        _rle_bp_hybrid(body, 0, rll, rep_w, nvals))
+                defs = ([max_def] * nvals if not max_def else
+                        _rle_bp_hybrid(body, rll, rll + dll, def_w,
+                                       nvals))
+                tail = body[rll + dll:]
                 if chunk["codec"] and is_comp:
                     tail = _decompress_page(chunk["codec"], tail,
-                                            unc_size - dll)
-                if len(tail) != unc_size - dll:
+                                            unc_size - dll - rll)
+                if len(tail) != unc_size - dll - rll:
                     raise ValueError("parquet: v2 page size mismatch")
                 vals_buf = tail
                 vpos = 0
-            npresent = sum(defs)
+            npresent = sum(1 for d in defs if d == max_def)
             if enc == 0:  # PLAIN
                 present = _plain_values(ptype, vals_buf[vpos:], npresent)
             elif enc in (2, 8):  # (PLAIN_/RLE_)DICTIONARY
@@ -675,11 +704,101 @@ def _read_column(data: bytes, column: str) -> list:
             else:
                 raise ValueError(
                     f"parquet: encoding {_ENC_NAMES.get(enc, enc)} gated")
-            it = iter(present)
-            values.extend(next(it) if d == max_def else None
-                          for d in defs)
+            if len(present) != npresent:
+                raise ValueError("parquet: value count mismatch")
+            all_defs.extend(defs)
+            all_reps.extend(reps)
+            values.extend(present)
             remaining -= nvals
+    return all_defs, all_reps, values
+
+
+def _find_chunk(rg: dict, pred) -> dict:
+    for cc in rg["columns"]:
+        if pred(cc["path"]):
+            return cc
+    raise ValueError("parquet: column missing from a row group")
+
+
+def _read_column(data: bytes, column: str) -> list:
+    meta = parquet_file_meta(data)
+    leaves = _leaf_levels(meta["schema"])
+    leaf = leaves.get((column,))
+    if leaf is None:
+        if any(p[0] == column for p in leaves):
+            raise ValueError("parquet: nested columns gated "
+                             "(use parquet_read_list_column for lists)")
+        raise ValueError(f"parquet: no column {column!r}")
+    max_def, max_rep, _el = leaf
+    if max_rep:
+        raise ValueError("parquet: repeated columns gated")
+    values: list = []
+    for rg in meta["row_groups"]:
+        chunk = _find_chunk(rg, lambda p: p == [column])
+        defs, _reps, present = _read_chunk(data, chunk, max_def,
+                                           max_rep)
+        it = iter(present)
+        values.extend(next(it) if d == max_def else None for d in defs)
     return values
+
+
+def parquet_read_list_column(data: bytes, column: str) -> list:
+    """Materialize a ONE-LEVEL list column (``list<primitive>``, the
+    standard 3-level parquet layout) from raw bytes: repetition
+    levels segment rows, definition levels distinguish value / null
+    element / empty list / null list (Dremel record assembly)."""
+    import struct as _struct
+
+    try:
+        return _read_list_column(data, column)
+    except (TypeError, AttributeError, KeyError, _struct.error) as e:
+        raise ValueError(f"parquet: malformed structure ({e})") from None
+
+
+def _read_list_column(data: bytes, column: str) -> list:
+    meta = parquet_file_meta(data)
+    leaves = _leaf_levels(meta["schema"])
+    leaf_path = None
+    for p, (d, r, el) in leaves.items():
+        if p[0] == column:
+            leaf_path = p
+            max_def, max_rep, elem = d, r, el
+    if leaf_path is None:
+        raise ValueError(f"parquet: no column {column!r}")
+    if max_rep == 0:
+        raise ValueError("parquet: not a list column")
+    if max_rep > 1:
+        raise ValueError("parquet: multi-level nesting gated")
+    elem_nullable = elem.get("repetition") == 1
+    d_value = max_def
+    d_null_elem = max_def - 1 if elem_nullable else None
+    d_empty = max_def - 1 - (1 if elem_nullable else 0)
+    rows: list = []
+    for rg in meta["row_groups"]:
+        chunk = _find_chunk(rg, lambda p: list(p) == list(leaf_path))
+        defs, reps, present = _read_chunk(data, chunk, max_def,
+                                          max_rep)
+        it = iter(present)
+        for d, r in zip(defs, reps):
+            if r == 0:  # new record
+                if d == d_value:
+                    rows.append([next(it)])
+                elif d_null_elem is not None and d == d_null_elem:
+                    rows.append([None])
+                elif d == d_empty:
+                    rows.append([])
+                else:
+                    rows.append(None)
+            else:  # continuation of the current record's list
+                if not rows or rows[-1] is None:
+                    raise ValueError("parquet: repetition underflow")
+                if d == d_value:
+                    rows[-1].append(next(it))
+                elif d_null_elem is not None and d == d_null_elem:
+                    rows[-1].append(None)
+                else:
+                    raise ValueError("parquet: bad def level mid-list")
+    return rows
 
 
 # --------------------------------------------------------------------------
@@ -822,3 +941,61 @@ def decode_parquet_column_sum(
 
     return df.select(id_col, payload_col).mapInPandas(
         _decode, schema=PARQUET_COLSUM_SCHEMA)
+
+
+PARQUET_LISTSUM_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_rows", LongType()),
+    StructField("n_null_lists", LongType()),
+    StructField("n_empty_lists", LongType()),
+    StructField("n_elems", LongType()),
+    StructField("n_null_elems", LongType()),
+    StructField("elem_sum", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_parquet_list_sum(
+    df: DataFrame, column: str,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over
+    :func:`parquet_read_list_column` — null-list / empty-list /
+    element tallies straight from the rep/def level streams."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("n_rows", "n_null_lists", "n_empty_lists", "n_elems",
+                "n_null_elems", "elem_sum")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    lists = parquet_read_list_column(bytes(payload),
+                                                     column)
+                    elems = [e for x in lists if x for e in x]
+                    rows["n_rows"].append(len(lists))
+                    rows["n_null_lists"].append(
+                        sum(1 for x in lists if x is None))
+                    rows["n_empty_lists"].append(
+                        sum(1 for x in lists if x == []))
+                    rows["n_elems"].append(len(elems))
+                    rows["n_null_elems"].append(
+                        sum(1 for e in elems if e is None))
+                    rows["elem_sum"].append(
+                        sum(e for e in elems if e is not None))
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k], dtype="Int64") for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=PARQUET_LISTSUM_SCHEMA)

@@ -1712,3 +1712,79 @@ FROM e JOIN vals v ON v.event_id = e.event_id
 
 QUERIES_R11["arrow_ipc_scan"] = q_arrow_ipc_scan
 ORACLES_R11["arrow_ipc_scan"] = _ARROW_ORACLE
+
+
+def q_parquet_scan_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet LIST column assembly driver-checked (r11): per event a
+    parquet-cpp file whose one-level list column (null lists, empty
+    lists, null elements planted) is rebuilt from the repetition/
+    definition level streams by the Dremel record assembler
+    (operators/parquet_raw.parquet_read_list_column — v1 AND v2
+    pages, snappy/zstd, dictionary on/off), and the oracle replays
+    every tally in closed form.  Lane id % 10 == 1."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.parquet_raw import decode_parquet_list_sum
+    from ..testing.fixtures import make_parquet_lists
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 1
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_parquet_lists(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_parquet_list_sum(payloads, "v").drop("decode_error")
+
+
+_PARQUET_LISTS_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         60 + (event_id % 1000) % 120 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 1
+),
+rows_ AS (
+  SELECT e.event_id, e.seed, i.i,
+         (e.seed + 3*i.i) % 6 AS kind,
+         1 + (e.seed + i.i) % 4 AS len
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+),
+elems AS (
+  SELECT r.event_id, r.i, j.j,
+         (r.i + j.j) % 7 = 6 AS isnull,
+         (r.seed*7 + 13*r.i + 5*j.j) % 2000 - 300 AS v
+  FROM rows_ r, LATERAL (SELECT unnest(range(0, r.len)) AS j) j
+  WHERE r.kind >= 2
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.n AS BIGINT) AS n_rows,
+       CAST((SELECT count(*) FROM rows_ r
+              WHERE r.event_id = e.event_id AND r.kind = 0)
+            AS BIGINT) AS n_null_lists,
+       CAST((SELECT count(*) FROM rows_ r
+              WHERE r.event_id = e.event_id AND r.kind = 1)
+            AS BIGINT) AS n_empty_lists,
+       CAST(coalesce((SELECT count(*) FROM elems x
+              WHERE x.event_id = e.event_id), 0) AS BIGINT) AS n_elems,
+       CAST(coalesce((SELECT count(*) FROM elems x
+              WHERE x.event_id = e.event_id AND x.isnull), 0)
+            AS BIGINT) AS n_null_elems,
+       CAST(coalesce((SELECT sum(x.v) FROM elems x
+              WHERE x.event_id = e.event_id AND NOT x.isnull), 0)
+            AS BIGINT) AS elem_sum
+FROM e
+"""
+
+QUERIES_R11["parquet_scan_lists"] = q_parquet_scan_lists
+ORACLES_R11["parquet_scan_lists"] = _PARQUET_LISTS_ORACLE

@@ -6899,3 +6899,44 @@ def make_arrow_ipc(seed: int) -> bytes:
                 _pa.record_batch(table.slice(at, 40).to_pydict(),
                                  schema=table.schema))
     return sink.getvalue().to_pybytes()
+
+
+def make_parquet_lists(seed: int) -> bytes:
+    """Deterministic parquet bytes with a one-level LIST column for
+    the ``parquet_scan_lists`` driver query (written by parquet-cpp;
+    the reader assembles records from rep/def levels).
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - ``n = 60 + seed % 120`` rows
+    - row ``i``: kind ``(seed + 3*i) % 6`` — 0 ⇒ NULL list, 1 ⇒
+      empty list, else ``L = 1 + (seed + i) % 4`` elements where
+      element ``j`` is NULL when ``(i + j) % 7 == 6`` else
+      ``(seed*7 + 13*i + 5*j) % 2000 - 300``
+    - codec snappy/zstd by ``seed % 2``; v2 pages when
+      ``seed % 3 == 0``; dictionary when ``seed % 5 < 2``
+    """
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    n = 60 + seed % 120
+    lists = []
+    for i in range(n):
+        kind = (seed + 3 * i) % 6
+        if kind == 0:
+            lists.append(None)
+        elif kind == 1:
+            lists.append([])
+        else:
+            lists.append([
+                None if (i + j) % 7 == 6
+                else (seed * 7 + 13 * i + 5 * j) % 2000 - 300
+                for j in range(1 + (seed + i) % 4)])
+    table = _pa.table({"v": _pa.array(lists, _pa.list_(_pa.int64()))})
+    buf = _pa.BufferOutputStream()
+    kw = dict(compression=["snappy", "zstd"][seed % 2],
+              use_dictionary=(seed % 5 < 2), row_group_size=50)
+    if seed % 3 == 0:
+        kw["data_page_version"] = "2.0"
+    _pq.write_table(table, buf, **kw)
+    return buf.getvalue().to_pybytes()

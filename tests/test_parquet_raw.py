@@ -254,3 +254,60 @@ def test_corruption_never_crashes(seed):
     # zlib.error / struct.error must have been converted to named
     # ValueErrors by the operator — anything else fails the test
     assert zlib is not None
+
+
+# --------------------------------------------------------------------------
+# One-level list columns (Dremel assembly)
+
+
+def _mk_lists(n=3000, seed=5):
+    r = random.Random(seed)
+    lists = []
+    for _ in range(n):
+        k = r.randrange(6)
+        if k == 0:
+            lists.append(None)
+        elif k == 1:
+            lists.append([])
+        else:
+            lists.append([None if r.random() < 0.2
+                          else r.randrange(-1000, 1000)
+                          for _ in range(r.randrange(1, 6))])
+    return lists
+
+
+@pytest.mark.parametrize("codec", ["none", "snappy", "zstd"])
+@pytest.mark.parametrize("ver", ["1.0", "2.0"])
+def test_list_column_matches_pyarrow(codec, ver):
+    from google_analytics_to_s3_spark.operators.parquet_raw import (
+        parquet_read_list_column,
+    )
+
+    lists = _mk_lists()
+    t = pa.table({"v": pa.array(lists, pa.list_(pa.int64()))})
+    for dic in (True, False):
+        data = _pq_bytes(t, compression=codec, use_dictionary=dic,
+                         data_page_version=ver, row_group_size=700)
+        assert parquet_read_list_column(data, "v") == lists
+
+
+def test_list_of_strings_and_gates():
+    from google_analytics_to_s3_spark.operators.parquet_raw import (
+        parquet_read_list_column,
+    )
+
+    slists = [None if i % 7 == 0 else [f"x{j}" for j in range(i % 4)]
+              for i in range(1000)]
+    t = pa.table({"v": pa.array(slists, pa.list_(pa.string()))})
+    data = _pq_bytes(t, compression="zstd")
+    assert parquet_read_list_column(data, "v") == [
+        None if x is None else [s.encode() for s in x] for x in slists]
+    # flat column is not a list
+    flat = _pq_bytes(pa.table({"v": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(ValueError, match="not a list"):
+        parquet_read_list_column(flat, "v")
+    # multi-level nesting stays gated
+    nested = pa.table({"v": pa.array([[[1]], [[2, 3]]],
+                                     pa.list_(pa.list_(pa.int64())))})
+    with pytest.raises(ValueError, match="gated"):
+        parquet_read_list_column(_pq_bytes(nested), "v")
