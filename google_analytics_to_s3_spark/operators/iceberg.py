@@ -42,7 +42,8 @@ from pyspark.sql.types import (
 from .avro import avro_decode_container
 from .tar import parse_tar
 
-__all__ = ["parse_iceberg_snapshot", "decode_iceberg_snapshot"]
+__all__ = ["parse_iceberg_snapshot", "decode_iceberg_snapshot",
+           "parse_iceberg_scan", "decode_iceberg_scan"]
 
 
 def parse_iceberg_snapshot(bundle: bytes) -> dict:
@@ -156,3 +157,122 @@ def decode_iceberg_snapshot(
 
     return df.select(id_col, payload_col).mapInPandas(
         _run, schema=ICEBERG_SCHEMA)
+
+
+def parse_iceberg_scan(bundle: bytes, column: str) -> dict:
+    """The full lakehouse read path in one walk: resolve the current
+    snapshot (metadata JSON), read Avro manifests, and for every LIVE
+    data file open its REAL parquet bytes — validating the manifest's
+    ``record_count`` against the footer and materializing ``column``
+    through the raw page reader (operators/parquet_raw).  Five engine
+    byte paths chained: tar, JSON, Avro, Thrift footers, RLE/PLAIN
+    pages (snappy/zstd through our own codecs)."""
+    from .parquet_raw import parquet_file_meta, parquet_read_column
+
+    files = {m["name"]: m["data"] for m in parse_tar(bundle)}
+    meta_raw = files.get("metadata.json")
+    if meta_raw is None:
+        raise ValueError("iceberg: bundle missing metadata.json")
+    meta = json.loads(meta_raw)
+    cur = meta.get("current-snapshot-id")
+    snap = next((s for s in meta.get("snapshots", [])
+                 if s.get("snapshot-id") == cur), None)
+    if snap is None:
+        raise ValueError("iceberg: current snapshot id not found")
+    ml_raw = files.get(snap.get("manifest-list"))
+    if ml_raw is None:
+        raise ValueError("iceberg: manifest list missing")
+    _, ml_entries = avro_decode_container(ml_raw)
+    n_live = 0
+    records_manifest = 0
+    records_footer = 0
+    mismatches = 0
+    value_sum = 0
+    for entry in ml_entries:
+        man_raw = files.get(entry.get("manifest_path"))
+        if man_raw is None:
+            raise ValueError("iceberg: manifest missing")
+        _, man_entries = avro_decode_container(man_raw)
+        for me in man_entries:
+            if me.get("status") == 2:
+                continue
+            df = me.get("data_file") or {}
+            path = df.get("file_path")
+            blob = files.get(path)
+            if blob is None:
+                raise ValueError(f"iceberg: data file {path!r} missing")
+            n_live += 1
+            rc = int(df.get("record_count") or 0)
+            records_manifest += rc
+            fm = parquet_file_meta(blob)
+            records_footer += fm["num_rows"]
+            if fm["num_rows"] != rc:
+                mismatches += 1
+            vals = parquet_read_column(blob, column)
+            value_sum += sum(v for v in vals if v is not None)
+    return {
+        "snapshot_id": cur,
+        "n_live_files": n_live,
+        "records_manifest": records_manifest,
+        "records_footer": records_footer,
+        "n_mismatches": mismatches,
+        "value_sum": value_sum,
+    }
+
+
+ICEBERG_SCAN_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("snapshot_id", LongType()),
+    StructField("n_live_files", IntegerType()),
+    StructField("records_manifest", LongType()),
+    StructField("records_footer", LongType()),
+    StructField("n_mismatches", IntegerType()),
+    StructField("value_sum", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_iceberg_scan(
+    df: DataFrame, column: str,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over :func:`parse_iceberg_scan`;
+    per-payload quarantine, no shuffle."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("snapshot_id", "n_live_files", "records_manifest",
+                "records_footer", "n_mismatches", "value_sum")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    m = parse_iceberg_scan(bytes(payload), column)
+                    for k in cols:
+                        rows[k].append(m[k])
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, TypeError,
+                        AttributeError, KeyError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "snapshot_id": pd.Series(rows["snapshot_id"],
+                                         dtype="Int64"),
+                "n_live_files": pd.Series(rows["n_live_files"],
+                                          dtype="Int32"),
+                "records_manifest": pd.Series(rows["records_manifest"],
+                                              dtype="Int64"),
+                "records_footer": pd.Series(rows["records_footer"],
+                                            dtype="Int64"),
+                "n_mismatches": pd.Series(rows["n_mismatches"],
+                                          dtype="Int32"),
+                "value_sum": pd.Series(rows["value_sum"], dtype="Int64"),
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=ICEBERG_SCAN_SCHEMA)

@@ -1788,3 +1788,75 @@ FROM e
 
 QUERIES_R11["parquet_scan_lists"] = q_parquet_scan_lists
 ORACLES_R11["parquet_scan_lists"] = _PARQUET_LISTS_ORACLE
+
+
+def q_iceberg_scan_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL lakehouse read path driver-checked (r11): per event an
+    Iceberg bundle whose manifests reference REAL parquet-cpp data
+    files; the query resolves the current snapshot, reads Avro
+    manifests, validates each live file's manifest record_count
+    against its thrift footer, and sums the data column through the
+    raw page reader — FIVE engine byte paths chained (tar, JSON,
+    Avro, Thrift, RLE/PLAIN pages with snappy/zstd), zero reader
+    libraries.  The oracle replays the live inventory and column sum
+    in closed form.  Lane id % 10 == 4."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.iceberg import decode_iceberg_scan
+    from ..testing.fixtures import make_iceberg_scan_bundle
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 4
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_iceberg_scan_bundle(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_iceberg_scan(payloads, "v").drop("decode_error")
+
+
+_ICEBERG_SCAN_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         1 + (event_id % 1000) % 2 AS nm
+  FROM events WHERE event_id % {_FLAC_MOD} = 4
+),
+live AS (
+  SELECT e.event_id, e.seed, m.m, f.f,
+         30 + (e.seed*5 + 7*m.m + 11*f.f) % 50 AS n
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.nm)) AS m) m,
+       LATERAL (SELECT unnest(range(0, 2 + (e.seed + m.m) % 3)) AS f) f
+  WHERE (e.seed + m.m + f.f) % 4 <> 3
+),
+sums AS (
+  SELECT lv.event_id,
+         count(*) AS nl,
+         sum(lv.n) AS recs,
+         sum((SELECT sum((lv.seed*3 + 17*lv.m + 23*lv.f + 9*i.i) % 1000)
+              FROM (SELECT unnest(range(0, lv.n)) AS i) i)) AS vs
+  FROM live lv GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(5000 + e.seed AS BIGINT) AS snapshot_id,
+       CAST(s.nl AS INTEGER) AS n_live_files,
+       CAST(s.recs AS BIGINT) AS records_manifest,
+       CAST(s.recs AS BIGINT) AS records_footer,
+       CAST(0 AS INTEGER) AS n_mismatches,
+       CAST(s.vs AS BIGINT) AS value_sum
+FROM e JOIN sums s ON s.event_id = e.event_id
+"""
+
+QUERIES_R11["iceberg_scan_chain"] = q_iceberg_scan_chain
+ORACLES_R11["iceberg_scan_chain"] = _ICEBERG_SCAN_ORACLE

@@ -6940,3 +6940,71 @@ def make_parquet_lists(seed: int) -> bytes:
         kw["data_page_version"] = "2.0"
     _pq.write_table(table, buf, **kw)
     return buf.getvalue().to_pybytes()
+
+
+def make_iceberg_scan_bundle(seed: int) -> bytes:
+    """Iceberg bundle whose manifests point at REAL parquet data
+    files (written by parquet-cpp inside the bundle) for the
+    ``iceberg_scan_chain`` driver query.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - ``nm = 1 + seed % 2`` manifests; manifest ``m`` lists
+      ``2 + (seed + m) % 3`` files; entry DELETED when
+      ``(seed + m + f) % 4 == 3``
+    - data file ``(m, f)``: ``n = 30 + (seed*5 + 7*m + 11*f) % 50``
+      rows of ``v = (seed*3 + 17*m + 23*f + 9*i) % 1000``; parquet
+      codec snappy/zstd by ``(seed + f) % 2``; the manifest's
+      record_count matches the footer (the chain validates it)
+    """
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    codec_avro = "deflate" if seed % 2 else "null"
+    nm = 1 + seed % 2
+    members: "dict[str, bytes]" = {}
+    ml_rows = []
+    for m in range(nm):
+        nf = 2 + (seed + m) % 3
+        rows = []
+        for f in range(nf):
+            n = 30 + (seed * 5 + 7 * m + 11 * f) % 50
+            v = [(seed * 3 + 17 * m + 23 * f + 9 * i) % 1000
+                 for i in range(n)]
+            buf = _pa.BufferOutputStream()
+            _pq.write_table(
+                _pa.table({"v": _pa.array(v, _pa.int64())}), buf,
+                compression=["snappy", "zstd"][(seed + f) % 2])
+            blob = buf.getvalue().to_pybytes()
+            name = f"data/m{m}-f{f}.parquet"
+            members[name] = blob
+            status = 2 if (seed + m + f) % 4 == 3 else 1
+            body = _avro_zigzag(status)
+            body += _avro_str(name)
+            body += _avro_zigzag(n)
+            body += _avro_zigzag(len(blob))
+            rows.append(body)
+        mname = f"manifest-{m}.avro"
+        members[mname] = _avro_container(_ICEBERG_MAN_SCHEMA, rows,
+                                         seed + m, codec_avro)
+        ml_rows.append(_avro_str(mname)
+                       + _avro_zigzag(len(members[mname])))
+    members["manifest-list.avro"] = _avro_container(
+        _ICEBERG_ML_SCHEMA, ml_rows, seed, codec_avro)
+    members["metadata.json"] = _json.dumps({
+        "format-version": 2,
+        "current-snapshot-id": 5000 + seed,
+        "snapshots": [
+            {"snapshot-id": 4999 - seed,
+             "manifest-list": "stale.avro"},
+            {"snapshot-id": 5000 + seed,
+             "manifest-list": "manifest-list.avro"},
+        ],
+    }).encode()
+    out = bytearray()
+    for name, data in members.items():
+        out += _tar_member(name, data)
+    out += b"\x00" * 1024
+    return bytes(out)
