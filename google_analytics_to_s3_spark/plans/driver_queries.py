@@ -3032,7 +3032,7 @@ _DRIVER_PRIORITY = [
     # (r11-new) registrations made during round 11 go here:
     "pdf_text_xrefstream", "tiff_decode_lzw", "mp3_decode_short",
     "webp_decode_ext", "mp3_decode_synth_short", "pdf_text_filters", "tiff_decode_tiled", "snappy_extract", "charset_transcode",
-    "zstd_extract", "webdataset_zst", "parquet_footer", "parquet_scan_raw", "orc_meta", "avro_decode", "iceberg_snapshot", "delta_log_snapshot", "warc_zstd", "orc_scan_raw", "orc_scan_strings", "arrow_ipc_scan", "parquet_scan_lists", "iceberg_scan_chain",
+    "zstd_extract", "webdataset_zst", "parquet_footer", "parquet_scan_raw", "orc_meta", "avro_decode", "iceberg_snapshot", "delta_log_snapshot", "warc_zstd", "orc_scan_raw", "orc_scan_strings", "arrow_ipc_scan", "parquet_scan_lists", "iceberg_scan_chain", "msgpack_decode",
     # R11_NEW_MARKER
     # (queue) rows last driver-checked in r5 (50).
     "identity_stitching", "user_erasure", "phrase_search", "bootstrap_ci",

@@ -1860,3 +1860,69 @@ FROM e JOIN sums s ON s.event_id = e.event_id
 
 QUERIES_R11["iceberg_scan_chain"] = q_iceberg_scan_chain
 ORACLES_R11["iceberg_scan_chain"] = _ICEBERG_SCAN_ORACLE
+
+
+def q_msgpack_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MessagePack decode driver-checked (r11; the third schema-less
+    serialization next to CBOR and protobuf): planted documents
+    exercising fixints, int8, over-wide uint32/uint64, fixstr/str8,
+    fixarray/array16, nested fixmaps, bin8, fixext4, float64 and
+    both booleans (testing/fixtures.make_msgpack), decoded by the
+    full-tag-space reader (operators/msgpack.py), with the oracle
+    replaying integer sums, key/text chars, and structure tallies.
+    Lane id % 10 == 9."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.msgpack import extract_msgpack_features
+    from ..testing.fixtures import make_msgpack
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 9
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_msgpack(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return extract_msgpack_features(payloads).drop("extract_error")
+
+
+_MSGPACK_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         2 + (event_id % 1000) % 4 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 9
+),
+it AS (
+  SELECT e.event_id, sum((e.seed*7 + i.i) % 1000) AS vsum
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.seed - (1 + e.seed % 50) + it.vsum
+            + 4294967296 + e.seed % 100000 AS BIGINT) AS int_sum,
+       CAST(33 + length(CAST((3*e.seed) % 100 AS VARCHAR))
+            AS BIGINT) AS text_chars,
+       CAST(1 AS INTEGER) AS n_arrays,
+       CAST(2 AS INTEGER) AS n_maps,
+       CAST(1 AS INTEGER) AS n_exts,
+       CAST(CASE WHEN e.seed % 2 = 0 THEN 1 ELSE 0 END AS INTEGER)
+           AS n_true,
+       CAST(5 + e.seed % 9 AS BIGINT) AS bin_bytes,
+       CAST(1 AS INTEGER) AS n_floats,
+       CAST(3 AS INTEGER) AS depth_max
+FROM e JOIN it ON it.event_id = e.event_id
+"""
+
+QUERIES_R11["msgpack_decode"] = q_msgpack_decode
+ORACLES_R11["msgpack_decode"] = _MSGPACK_ORACLE

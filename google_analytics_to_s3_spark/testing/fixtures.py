@@ -7008,3 +7008,60 @@ def make_iceberg_scan_bundle(seed: int) -> bytes:
         out += _tar_member(name, data)
     out += b"\x00" * 1024
     return bytes(out)
+
+
+def make_msgpack(seed: int) -> bytes:
+    """Deterministic MessagePack document for the ``msgpack_decode``
+    driver query — covers positive/negative fixints, int8, uint16/
+    32/64 (deliberately over-wide "id" exercises non-canonical
+    acceptance), fixstr + str8, fixarray + array16, fixmaps, bin8,
+    fixext4, float64, and both booleans.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - ``id = seed`` (uint32), ``neg = -(1 + seed % 50)``
+    - ``items``: ``n = 2 + seed % 4`` uint16s ``(seed*7 + i) % 1000``
+      (array16 framing when ``seed % 5 == 0``)
+    - ``meta.name = 'doc' || (3*seed) % 100`` (str8 when
+      ``seed % 3 == 0``), ``meta.big = 2^32 + seed % 100000``
+      (uint64), ``meta.ok = (seed % 2 == 0)``
+    - ``blob``: bin8 of ``5 + seed % 9`` bytes; ``ts``: fixext4;
+      ``f``: float64 ``(seed % 64) / 16``
+    """
+    import struct as _struct
+
+    def key(s: str) -> bytes:
+        return bytes([0xA0 | len(s)]) + s.encode()
+
+    out = bytearray([0x87])  # fixmap, 7 entries
+    out += key("id") + b"\xce" + _struct.pack(">I", seed)
+    neg = -(1 + seed % 50)
+    out += key("neg")
+    if neg >= -32:
+        out += _struct.pack("b", neg)
+    else:
+        out += b"\xd0" + _struct.pack(">b", neg)
+    n = 2 + seed % 4
+    out += key("items")
+    if seed % 5 == 0:
+        out += b"\xdc" + _struct.pack(">H", n)
+    else:
+        out += bytes([0x90 | n])
+    for i in range(n):
+        out += b"\xcd" + _struct.pack(">H", (seed * 7 + i) % 1000)
+    out += key("meta") + bytes([0x83])
+    name = f"doc{(3 * seed) % 100}"
+    out += key("name")
+    if seed % 3 == 0:
+        out += b"\xd9" + bytes([len(name)]) + name.encode()
+    else:
+        out += bytes([0xA0 | len(name)]) + name.encode()
+    out += key("big") + b"\xcf" + _struct.pack(
+        ">Q", (1 << 32) + seed % 100000)
+    out += key("ok") + (b"\xc3" if seed % 2 == 0 else b"\xc2")
+    nb = 5 + seed % 9
+    out += key("blob") + b"\xc4" + bytes([nb])
+    out += bytes((seed + 3 * j) % 256 for j in range(nb))
+    out += key("ts") + b"\xd6\x01" + _struct.pack(">I", seed % 65536)
+    out += key("f") + b"\xcb" + _struct.pack(">d", (seed % 64) / 16.0)
+    return bytes(out)

@@ -23,7 +23,7 @@ _R11_EXTRACT_QUERIES = [
     "tiff_decode_tiled", "snappy_extract", "charset_transcode",
     "zstd_extract", "webdataset_zst", "parquet_footer",
     "parquet_scan_raw", "orc_meta", "avro_decode", "iceberg_snapshot", "warc_zstd", "orc_scan_raw",
-    "orc_scan_strings", "arrow_ipc_scan", "parquet_scan_lists", "iceberg_scan_chain",
+    "orc_scan_strings", "arrow_ipc_scan", "parquet_scan_lists", "iceberg_scan_chain", "msgpack_decode",
 ]
 
 
