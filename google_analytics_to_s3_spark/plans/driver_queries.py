@@ -3029,10 +3029,23 @@ _DRIVER_PRIORITY = [
     "ab_lift", "dq_report", "hopping_distinct", "basket_rules",
     "boilerplate_fraction", "dataset_card", "event_anomalies",
     "session_paths", "shot_boundaries", "url_dedup", "markov_attribution",
-    # (r11-new) registrations made during round 11 go here:
+    # (r11-new) 24 registrations > the 20 slots left in the 50-row
+    # driver window, so FOUR spill past slot 50 by choice: the pytest
+    # twins of queries that DO get checked this round
+    # (mp3_decode_synth_short / tiff_decode_tiled / pdf_text_filters /
+    # orc_scan_strings follow mp3_decode_short / tiff_decode_lzw /
+    # pdf_text_xrefstream / orc_scan_raw through the same decoders) —
+    # queue them FIRST in the r12 head.
     "pdf_text_xrefstream", "tiff_decode_lzw", "mp3_decode_short",
-    "webp_decode_ext", "mp3_decode_synth_short", "pdf_text_filters", "tiff_decode_tiled", "snappy_extract", "charset_transcode",
-    "zstd_extract", "webdataset_zst", "parquet_footer", "parquet_scan_raw", "orc_meta", "avro_decode", "iceberg_snapshot", "delta_log_snapshot", "warc_zstd", "orc_scan_raw", "orc_scan_strings", "arrow_ipc_scan", "parquet_scan_lists", "iceberg_scan_chain", "msgpack_decode",
+    "webp_decode_ext", "snappy_extract", "charset_transcode",
+    "zstd_extract", "webdataset_zst", "parquet_footer",
+    "parquet_scan_raw", "orc_meta", "avro_decode", "iceberg_snapshot",
+    "delta_log_snapshot", "warc_zstd", "orc_scan_raw",
+    "arrow_ipc_scan", "parquet_scan_lists", "iceberg_scan_chain",
+    "msgpack_decode",
+    # --- slots 51+: the four deliberate spills (r12 head) ---
+    "mp3_decode_synth_short", "pdf_text_filters", "tiff_decode_tiled",
+    "orc_scan_strings",
     # R11_NEW_MARKER
     # (queue) rows last driver-checked in r5 (50).
     "identity_stitching", "user_erasure", "phrase_search", "bootstrap_ci",
