@@ -551,7 +551,7 @@ def orc_read_int_column(data: bytes, column: str) -> list:
         raise ValueError(f"orc: no column {column!r}") from None
     col_id = types[0]["subtypes"][field_ix]
     kind = types[col_id]["kind"]
-    if kind not in (2, 3, 4):  # SHORT, INT, LONG
+    if kind not in (0, 2, 3, 4, 15):  # BOOL, SHORT, INT, LONG, DATE
         raise ValueError("orc: non-integer column gated")
     comp = meta["compression"]
     out: list = []
@@ -590,7 +590,10 @@ def orc_read_int_column(data: bytes, column: str) -> list:
         else:
             present = [1] * nrows
         nvals = sum(present)
-        vals = rlev2_decode(data_raw, nvals, signed=True)
+        if kind == 0:  # BOOLEAN: bit stream, not RLEv2
+            vals = [bool(b) for b in _bool_rle(data_raw, nvals)]
+        else:
+            vals = rlev2_decode(data_raw, nvals, signed=True)
         it = iter(vals)
         out.extend(next(it) if p else None for p in present)
     return out

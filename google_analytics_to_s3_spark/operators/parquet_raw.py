@@ -247,6 +247,7 @@ def _build_meta(fmd: dict) -> dict:
         schema.append({
             "name": (el.get(4) or b"").decode("utf-8", "replace"),
             "type": el.get(1),
+            "type_length": el.get(2),
             "repetition": el.get(3),
             "num_children": el.get(5, 0),
         })
@@ -490,7 +491,8 @@ def _decompress_page(codec: int, data: bytes, uncompressed: int) -> bytes:
         f"parquet: codec {_CODEC_NAMES.get(codec, codec)} gated")
 
 
-def _plain_values(ptype: int, data: bytes, n: int) -> list:
+def _plain_values(ptype: int, data: bytes, n: int,
+                  type_length: int | None = None) -> list:
     import struct as _struct
 
     width = {_PT_INT32: 4, _PT_INT64: 8, _PT_FLOAT: 4,
@@ -519,6 +521,13 @@ def _plain_values(ptype: int, data: bytes, n: int) -> list:
             out.append(bytes(data[pos:pos + ln]))
             pos += ln
         return out
+    if ptype == _PT_FIXED:
+        if not type_length or type_length <= 0:
+            raise ValueError("parquet: FLBA without type_length")
+        if len(data) < n * type_length:
+            raise ValueError("parquet: PLAIN FLBA overrun")
+        return [bytes(data[i * type_length:(i + 1) * type_length])
+                for i in range(n)]
     raise ValueError(f"parquet: PLAIN decode for type {ptype} gated")
 
 
@@ -570,7 +579,8 @@ def _leaf_levels(schema: list[dict]) -> dict:
 
 
 def _read_chunk(data: bytes, chunk: dict, max_def: int,
-                max_rep: int) -> tuple[list, list, list]:
+                max_rep: int,
+                type_length: int | None = None) -> tuple[list, list, list]:
     """Walk one column chunk's pages → (defs, reps, present values)."""
     start = chunk["dictionary_page_offset"]
     if start is None:
@@ -613,7 +623,8 @@ def _read_chunk(data: bytes, chunk: dict, max_def: int,
                 nvals = dph.get(1)
                 if dph.get(2) not in (0, 2):  # PLAIN(_DICTIONARY)
                     raise ValueError("parquet: non-PLAIN dictionary gated")
-                dictionary = _plain_values(ptype, raw, nvals)
+                dictionary = _plain_values(ptype, raw, nvals,
+                                           type_length)
                 continue
             if page_type == 0:  # v1: whole body compressed together
                 raw = _decompress_page(chunk["codec"], body, unc_size)
@@ -662,7 +673,8 @@ def _read_chunk(data: bytes, chunk: dict, max_def: int,
                 vpos = 0
             npresent = sum(1 for d in defs if d == max_def)
             if enc == 0:  # PLAIN
-                present = _plain_values(ptype, vals_buf[vpos:], npresent)
+                present = _plain_values(ptype, vals_buf[vpos:], npresent,
+                                        type_length)
             elif enc in (2, 8):  # (PLAIN_/RLE_)DICTIONARY
                 if dictionary is None:
                     raise ValueError("parquet: dictionary page missing")
@@ -729,14 +741,15 @@ def _read_column(data: bytes, column: str) -> list:
             raise ValueError("parquet: nested columns gated "
                              "(use parquet_read_list_column for lists)")
         raise ValueError(f"parquet: no column {column!r}")
-    max_def, max_rep, _el = leaf
+    max_def, max_rep, el = leaf
     if max_rep:
         raise ValueError("parquet: repeated columns gated")
     values: list = []
     for rg in meta["row_groups"]:
         chunk = _find_chunk(rg, lambda p: p == [column])
         defs, _reps, present = _read_chunk(data, chunk, max_def,
-                                           max_rep)
+                                           max_rep,
+                                           el.get("type_length"))
         it = iter(present)
         values.extend(next(it) if d == max_def else None for d in defs)
     return values
@@ -777,7 +790,8 @@ def _read_list_column(data: bytes, column: str) -> list:
     for rg in meta["row_groups"]:
         chunk = _find_chunk(rg, lambda p: list(p) == list(leaf_path))
         defs, reps, present = _read_chunk(data, chunk, max_def,
-                                          max_rep)
+                                          max_rep,
+                                          elem.get("type_length"))
         it = iter(present)
         for d, r in zip(defs, reps):
             if r == 0:  # new record

@@ -243,3 +243,23 @@ def test_string_column_gates():
     data = _orc_bytes(pa.table({"v": pa.array([1, 2], pa.int64())}))
     with pytest.raises(ValueError, match="non-string"):
         orc_read_string_column(data, "v")
+
+
+def test_date_and_bool_columns_match_pyarrow():
+    import datetime
+
+    from google_analytics_to_s3_spark.operators.orc_meta import (
+        orc_read_int_column,
+    )
+
+    dates = [datetime.date(2020, 1, 1) + datetime.timedelta(days=i * 3)
+             if i % 5 else None for i in range(2000)]
+    bools = [bool(i % 3 == 0) if i % 7 else None for i in range(2000)]
+    t = pa.table({"d": pa.array(dates, pa.date32()),
+                  "b": pa.array(bools, pa.bool_())})
+    epoch = datetime.date(1970, 1, 1)
+    for comp in ("uncompressed", "zstd"):
+        raw = _orc_bytes(t, compression=comp)
+        assert orc_read_int_column(raw, "d") == [
+            None if d is None else (d - epoch).days for d in dates]
+        assert orc_read_int_column(raw, "b") == bools

@@ -311,3 +311,18 @@ def test_list_of_strings_and_gates():
                                      pa.list_(pa.list_(pa.int64())))})
     with pytest.raises(ValueError, match="gated"):
         parquet_read_list_column(_pq_bytes(nested), "v")
+
+
+def test_fixed_len_byte_array_matches_pyarrow():
+    from google_analytics_to_s3_spark.operators.parquet_raw import (
+        parquet_read_column,
+    )
+
+    t = pa.table({"u": pa.array(
+        [bytes([i % 256] * 12) if i % 4 else None for i in range(500)],
+        pa.binary(12))})
+    for codec in ("none", "zstd"):
+        for dic in (True, False):
+            data = _pq_bytes(t, compression=codec, use_dictionary=dic)
+            assert parquet_read_column(data, "u") == \
+                t.column("u").to_pylist()
