@@ -23,10 +23,14 @@ without the Arrow library:
   framed with an i64 uncompressed length) inflated through the
   engine's OWN zstd frame / LZ4 frame decoders.
 
+Dictionary-encoded columns decode too: DictionaryBatch messages
+(file-footer dictionary blocks or in-stream type-2 messages) are
+materialized per id and record-batch index columns map through them.
+
 Cross-validation: every test decodes bytes produced by pyarrow's IPC
 writer (file + stream, compressed + raw) and compares against
-pyarrow's own reads.  Dictionary-encoded columns, nested types, and
-run-end encoding are named gates.
+pyarrow's own reads.  Delta dictionaries, nested types, and run-end
+encoding are named gates.
 """
 
 from __future__ import annotations
@@ -163,8 +167,15 @@ def _parse_schema(schema_tbl: _Fb) -> list[dict]:
                 "nullable": bool(f.scalar(1, "<b", 0)),
                 "type_type": type_type,
                 "bit_width": None, "signed": None, "precision": None}
-        if f.table(4) is not None:
+        denc = f.table(4)
+        if denc is not None:  # DictionaryEncoding: id + index Int type
             info["dictionary"] = True
+            info["dict_id"] = denc.scalar(0, "<q", 0)
+            idx = denc.table(1)
+            info["dict_index_bw"] = (idx.scalar(0, "<i", 0)
+                                     if idx is not None else 32)
+            info["dict_index_signed"] = (bool(idx.scalar(1, "<b", 0))
+                                         if idx is not None else True)
         if f.vector_tables(5):
             info["children"] = True
         if type_type == _T_INT and type_tbl is not None:
@@ -217,8 +228,12 @@ def _file_blocks(data: bytes) -> tuple[_Fb, list[tuple[int, int, int]]]:
     schema = footer.table(1)
     if schema is None:
         raise ValueError("arrow: footer missing schema")
-    if footer.vector_structs(2, 24):
-        raise ValueError("arrow: dictionary batches gated")
+    dict_blocks = []
+    for sp in footer.vector_structs(2, 24):
+        off = struct.unpack_from("<q", data, sp)[0]
+        mlen = struct.unpack_from("<i", data, sp + 8)[0]
+        blen = struct.unpack_from("<q", data, sp + 16)[0]
+        dict_blocks.append((off, mlen, blen))
     blocks = []
     for sp in footer.vector_structs(3, 24):
         # Block struct: i64 offset, i32 metaDataLength, pad, i64 body
@@ -226,7 +241,7 @@ def _file_blocks(data: bytes) -> tuple[_Fb, list[tuple[int, int, int]]]:
         mlen = struct.unpack_from("<i", data, sp + 8)[0]
         blen = struct.unpack_from("<q", data, sp + 16)[0]
         blocks.append((off, mlen, blen))
-    return schema, blocks
+    return schema, blocks, dict_blocks
 
 
 def _decompress_body(body: bytes, buffers: list[tuple[int, int]],
@@ -274,12 +289,17 @@ def _batch_columns(msg: _Fb, body: bytes,
     rb = msg.table(2)
     if rb is None:
         raise ValueError("arrow: message missing RecordBatch header")
+    return _rb_columns(rb, body, fields)
+
+
+def _rb_columns(rb: _Fb, body: bytes,
+                fields: list[dict]) -> list[tuple[int, list[bytes]]]:
     length = rb.scalar(0, "<q", 0)
     nodes = rb.vector_structs(1, 16)
     bufs = []
     for bp in rb.vector_structs(2, 16):
-        off = struct.unpack_from("<q", msg.data, bp)[0]
-        ln = struct.unpack_from("<q", msg.data, bp + 8)[0]
+        off = struct.unpack_from("<q", rb.data, bp)[0]
+        ln = struct.unpack_from("<q", rb.data, bp + 8)[0]
         bufs.append((off, ln))
     comp = rb.table(3)
     if comp is not None:
@@ -293,10 +313,15 @@ def _batch_columns(msg: _Fb, body: bytes,
     for fi, field in enumerate(fields):
         if fi >= len(nodes):
             raise ValueError("arrow: field nodes short of schema")
-        node_len = struct.unpack_from("<q", msg.data, nodes[fi])[0]
+        node_len = struct.unpack_from("<q", rb.data, nodes[fi])[0]
         tt = field["type_type"]
-        nbuf = 3 if tt in (_T_UTF8, _T_BINARY, _T_LARGE_UTF8,
-                           _T_LARGE_BINARY) else 2
+        # dictionary-encoded columns store fixed-width INDICES in the
+        # record batch (2 buffers) regardless of the value type
+        if field.get("dictionary"):
+            nbuf = 2
+        else:
+            nbuf = 3 if tt in (_T_UTF8, _T_BINARY, _T_LARGE_UTF8,
+                               _T_LARGE_BINARY) else 2
         cols = raw_bufs[bi:bi + nbuf]
         if len(cols) != nbuf:
             raise ValueError("arrow: buffer list short of schema")
@@ -361,19 +386,52 @@ def _materialize(field: dict, n: int, bufs: list[bytes]) -> list:
     return [v if ok else None for v, ok in zip(vals, valid)]
 
 
-def _schema_and_batches(data: bytes) -> tuple[list[dict],
-                                              list[tuple[_Fb, bytes]]]:
+def _decode_dictionary(msg: _Fb, body: bytes, fields: list[dict],
+                       dicts: dict) -> None:
+    """A DictionaryBatch message: id + a one-column RecordBatch of
+    the VALUE type shared by every field carrying that id."""
+    db = msg.table(2)
+    if db is None:
+        raise ValueError("arrow: dictionary message missing header")
+    did = db.scalar(0, "<q", 0)
+    if db.scalar(2, "<b", 0):
+        raise ValueError("arrow: delta dictionaries gated")
+    rb = db.table(1)
+    if rb is None:
+        raise ValueError("arrow: dictionary batch missing data")
+    field = next((f for f in fields
+                  if f.get("dictionary") and f.get("dict_id") == did),
+                 None)
+    if field is None:
+        raise ValueError(f"arrow: dictionary id {did} unused")
+    value_field = dict(field)
+    value_field["dictionary"] = False
+    cols = _rb_columns(rb, body, [value_field])
+    n, bufs = cols[0]
+    dicts[did] = _materialize(value_field, n, bufs)
+
+
+def _schema_and_batches(
+    data: bytes,
+) -> tuple[list[dict], list[tuple[_Fb, bytes]], dict]:
+    dicts: dict = {}
     if data[:6] == _FILE_MAGIC:
-        schema_tbl, blocks = _file_blocks(data)
+        schema_tbl, blocks, dict_blocks = _file_blocks(data)
         fields = _parse_schema(schema_tbl)
+        for off, mlen, blen in dict_blocks:
+            sub = data[off:off + mlen + blen]
+            got = next(iter(_iter_messages(sub)), None)
+            if got is None:
+                raise ValueError("arrow: empty dictionary block")
+            _decode_dictionary(got[0], got[1], fields, dicts)
         batches = []
         for off, mlen, blen in blocks:
             sub = data[off:off + mlen + blen]
-            got = next(iter(_iter_messages(b"\x00" * 0 + sub)), None)
+            got = next(iter(_iter_messages(sub)), None)
             if got is None:
                 raise ValueError("arrow: empty record batch block")
             batches.append(got)
-        return fields, batches
+        return fields, batches, dicts
     # stream format: first message is the schema
     it = _iter_messages(data)
     first = next(it, None)
@@ -390,16 +448,17 @@ def _schema_and_batches(data: bytes) -> tuple[list[dict],
     for msg, body in it:
         ht = msg.scalar(1, "<B", 0)
         if ht == 2:
-            raise ValueError("arrow: dictionary batches gated")
+            _decode_dictionary(msg, body, fields, dicts)
+            continue
         if ht != 3:
             raise ValueError(f"arrow: message header {ht} gated")
         batches.append((msg, body))
-    return fields, batches
+    return fields, batches, dicts
 
 
 def arrow_file_meta(data: bytes) -> dict:
     """Schema + layout of an Arrow IPC file or stream."""
-    fields, batches = _schema_and_batches(data)
+    fields, batches, _dicts = _schema_and_batches(data)
     total = 0
     for msg, _body in batches:
         rb = msg.table(2)
@@ -418,17 +477,34 @@ def arrow_file_meta(data: bytes) -> dict:
 def arrow_read_column(data: bytes, column: str) -> list:
     """Materialize one flat column (int/float/bool/utf8/binary,
     nullable) from Arrow IPC bytes, across all record batches."""
-    fields, batches = _schema_and_batches(data)
+    fields, batches, dicts = _schema_and_batches(data)
     names = [f["name"] for f in fields]
     if column not in names:
         raise ValueError(f"arrow: no column {column!r}")
     fi = names.index(column)
     field = fields[fi]
-    if field.get("dictionary"):
-        raise ValueError("arrow: dictionary-encoded columns gated")
     if field.get("children"):
         raise ValueError("arrow: nested columns gated")
-    out: list = []
+    if field.get("dictionary"):
+        dic = dicts.get(field.get("dict_id"))
+        if dic is None:
+            raise ValueError("arrow: dictionary batch missing")
+        idx_field = {"type_type": _T_INT,
+                     "bit_width": field.get("dict_index_bw", 32),
+                     "signed": field.get("dict_index_signed", True)}
+        out: list = []
+        for msg, body in batches:
+            cols = _batch_columns(msg, body, fields)
+            n, bufs = cols[fi]
+            for i in _materialize(idx_field, n, bufs):
+                if i is None:
+                    out.append(None)
+                elif 0 <= i < len(dic):
+                    out.append(dic[i])
+                else:
+                    raise ValueError("arrow: dictionary index range")
+        return out
+    out = []
     for msg, body in batches:
         cols = _batch_columns(msg, body, fields)
         n, bufs = cols[fi]

@@ -81,11 +81,24 @@ def test_all_null_column():
     assert arrow_read_column(data, "v") == [None] * 100
 
 
+@pytest.mark.parametrize("comp", [None, "zstd"])
+@pytest.mark.parametrize("layout", ["file", "stream"])
+def test_dictionary_columns_match_pyarrow(comp, layout):
+    t = pa.table({
+        "d": pa.array(["a", "b", "a", None, "c"] * 600)
+              .dictionary_encode(),
+        "di": pa.array([i % 9 for i in range(3000)], pa.int64())
+               .dictionary_encode(),
+        "plain": pa.array(range(3000), pa.int64()),
+    })
+    data = (_file_bytes(t, comp) if layout == "file"
+            else _stream_bytes(t, comp))
+    for col in t.column_names:
+        assert arrow_read_column(data, col) == \
+            t.column(col).to_pylist(), col
+
+
 def test_gates_named():
-    # dictionary-encoded column
-    t = pa.table({"d": pa.array(["a", "b", "a"]).dictionary_encode()})
-    with pytest.raises(ValueError, match="dictionar"):
-        arrow_read_column(_file_bytes(t), "d")
     # nested column
     t = pa.table({"l": pa.array([[1], [2, 3]], pa.list_(pa.int64()))})
     with pytest.raises(ValueError, match="gated|no column"):
