@@ -3015,39 +3015,16 @@ ORACLES["lsh_recall"] = LSH_RECALL_ORACLE_TEMPLATE.format(
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # ---------------- round-11 rotation ----------------
-    # Head per the r10 verdict (task 1): the 13 never-driver-checked
-    # rows, gif_decode_ext (query grew disposal-3 coverage after its
-    # r9 green), then the 16 r4-stale rows. New r11 registrations are
-    # appended right after this mandated block (slots 31-50) so they
-    # get first-check driver rows this round instead of accruing debt.
-    "bmp_decode", "tiff_decode", "warc_extract", "warc_documents",
-    "webdataset_decode", "avi_demux", "avi_decode_av", "zip_extract",
-    "crawl_dedup", "ico_decode", "mp3_decode", "mp3_decode_stereo",
-    "vorbis_decode_pcm", "gif_decode_ext", "kmv_overlap",
-    "weighted_sample", "zorder_keys", "snapshot_diff", "rolling_features",
-    "ab_lift", "dq_report", "hopping_distinct", "basket_rules",
-    "boilerplate_fraction", "dataset_card", "event_anomalies",
-    "session_paths", "shot_boundaries", "url_dedup", "markov_attribution",
-    # (r11-new) 24 registrations > the 20 slots left in the 50-row
-    # driver window, so FOUR spill past slot 50 by choice: the pytest
-    # twins of queries that DO get checked this round
-    # (mp3_decode_synth_short / tiff_decode_tiled / pdf_text_filters /
-    # orc_scan_strings follow mp3_decode_short / tiff_decode_lzw /
-    # pdf_text_xrefstream / orc_scan_raw through the same decoders) —
-    # queue them FIRST in the r12 head.
-    "pdf_text_xrefstream", "tiff_decode_lzw", "mp3_decode_short",
-    "webp_decode_ext", "snappy_extract", "charset_transcode",
-    "zstd_extract", "webdataset_zst", "parquet_footer",
-    "parquet_scan_raw", "orc_meta", "avro_decode", "iceberg_snapshot",
-    "delta_log_snapshot", "warc_zstd", "orc_scan_raw",
-    "arrow_ipc_scan", "parquet_scan_lists", "iceberg_scan_chain",
-    "msgpack_decode",
-    # --- slots 51+: the four deliberate spills (r12 head) ---
+    # ---------------- round-12 rotation ----------------
+    # Head per the r11 verdict (task 1): the 4 r11 registrations that
+    # deliberately spilled past the r11 window (never driver-checked),
+    # then the 46 oldest r5-stale rows. The 4 remaining r5 rows
+    # (sales_rollup / shipping_priority / simhash / simhash_dup_pairs)
+    # head the r13 queue together with new r12 registrations — the
+    # two-round drain the r11 verdict prescribes.
     "mp3_decode_synth_short", "pdf_text_filters", "tiff_decode_tiled",
     "orc_scan_strings",
-    # R11_NEW_MARKER
-    # (queue) rows last driver-checked in r5 (50).
+    # (r5-stale drain, 46 of 50)
     "identity_stitching", "user_erasure", "phrase_search", "bootstrap_ci",
     "scd2_asof_enrich", "word_pmi", "item_similarity",
     "cusum_changepoints", "k_anonymity", "seasonal_anomalies",
@@ -3062,8 +3039,26 @@ _DRIVER_PRIORITY = [
     "minhash_lsh_pairs", "moving_revenue", "neardup_ledger",
     "ngram_jaccard_pairs", "ngram_jaccard_thresholded", "order_gaps",
     "order_lineitem_left_join", "order_percentiles", "pricing_summary",
-    "promo_revenue", "returned_items", "sales_rollup", "shipping_priority",
-    "simhash", "simhash_dup_pairs",
+    "promo_revenue", "returned_items",
+    # --- slots 51+: r13 head = last 4 r5-stale rows, then r12-new ---
+    "sales_rollup", "shipping_priority", "simhash", "simhash_dup_pairs",
+    # R12_NEW_MARKER
+    # (queue) rows last driver-checked in r11 (50).
+    "bmp_decode", "tiff_decode", "warc_extract", "warc_documents",
+    "webdataset_decode", "avi_demux", "avi_decode_av", "zip_extract",
+    "crawl_dedup", "ico_decode", "mp3_decode", "mp3_decode_stereo",
+    "vorbis_decode_pcm", "gif_decode_ext", "kmv_overlap",
+    "weighted_sample", "zorder_keys", "snapshot_diff", "rolling_features",
+    "ab_lift", "dq_report", "hopping_distinct", "basket_rules",
+    "boilerplate_fraction", "dataset_card", "event_anomalies",
+    "session_paths", "shot_boundaries", "url_dedup", "markov_attribution",
+    "pdf_text_xrefstream", "tiff_decode_lzw", "mp3_decode_short",
+    "webp_decode_ext", "snappy_extract", "charset_transcode",
+    "zstd_extract", "webdataset_zst", "parquet_footer",
+    "parquet_scan_raw", "orc_meta", "avro_decode", "iceberg_snapshot",
+    "delta_log_snapshot", "warc_zstd", "orc_scan_raw",
+    "arrow_ipc_scan", "parquet_scan_lists", "iceberg_scan_chain",
+    "msgpack_decode",
     # (queue) rows last driver-checked in r6 (49).
     "stratified_sample", "string_funcs", "table_profile", "text_quality",
     "text_stats", "token_counts", "volume_shipping", "winnow_fingerprints",
