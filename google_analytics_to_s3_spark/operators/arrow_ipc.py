@@ -149,6 +149,7 @@ def _fb_root(data: bytes, pos: int = 0) -> _Fb:
 # Schema / message walking.
 
 # Type union member indices, Schema.fbs declaration order
+_T_NULL = 1
 _T_INT = 2
 _T_FLOAT = 3
 _T_BINARY = 4
@@ -215,8 +216,10 @@ def _iter_messages(data: bytes) -> Iterator[tuple[_Fb, bytes]]:
         pos = body_start + body_len
 
 
-def _file_blocks(data: bytes) -> tuple[_Fb, list[tuple[int, int, int]]]:
-    """File-format footer → (schema table, record-batch blocks)."""
+def _file_blocks(data: bytes) -> tuple[
+        _Fb, list[tuple[int, int, int]], list[tuple[int, int, int]]]:
+    """File-format footer → (schema table, record-batch blocks,
+    dictionary-batch blocks)."""
     if len(data) < 20 or data[:6] != _FILE_MAGIC \
             or data[-6:] != _FILE_MAGIC:
         raise ValueError("arrow: missing ARROW1 magic")
@@ -319,6 +322,8 @@ def _rb_columns(rb: _Fb, body: bytes,
         # record batch (2 buffers) regardless of the value type
         if field.get("dictionary"):
             nbuf = 2
+        elif tt == _T_NULL:
+            nbuf = 0  # Null arrays carry no buffers at all
         else:
             nbuf = 3 if tt in (_T_UTF8, _T_BINARY, _T_LARGE_UTF8,
                                _T_LARGE_BINARY) else 2
@@ -334,6 +339,8 @@ def _rb_columns(rb: _Fb, body: bytes,
 
 def _materialize(field: dict, n: int, bufs: list[bytes]) -> list:
     tt = field["type_type"]
+    if tt == _T_NULL:
+        return [None] * n
     validity = bufs[0]
     if validity:
         valid = [(validity[i >> 3] >> (i & 7)) & 1 for i in range(n)]
@@ -486,9 +493,9 @@ def arrow_read_column(data: bytes, column: str) -> list:
     if field.get("children"):
         raise ValueError("arrow: nested columns gated")
     if field.get("dictionary"):
+        # a missing dictionary batch only matters for reads that need
+        # an index mapping — 0-row / all-null columns come back empty
         dic = dicts.get(field.get("dict_id"))
-        if dic is None:
-            raise ValueError("arrow: dictionary batch missing")
         idx_field = {"type_type": _T_INT,
                      "bit_width": field.get("dict_index_bw", 32),
                      "signed": field.get("dict_index_signed", True)}
@@ -499,6 +506,8 @@ def arrow_read_column(data: bytes, column: str) -> list:
             for i in _materialize(idx_field, n, bufs):
                 if i is None:
                     out.append(None)
+                elif dic is None:
+                    raise ValueError("arrow: dictionary batch missing")
                 elif 0 <= i < len(dic):
                     out.append(dic[i])
                 else:

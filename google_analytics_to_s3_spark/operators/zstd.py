@@ -735,22 +735,25 @@ def _decompress_block(data: bytes, ctx: _FrameCtx, window: list[bytearray],
             raise ValueError("zstd: block output exceeds maximum")
         back = offset - len(out)
         if back > 0:
-            # reaches into earlier blocks: copy the prefix from there
+            # reaches into earlier blocks: the match starts `back`
+            # bytes before this block's output, i.e. at win_len - back
+            # in the concatenated window.  Copy only the `take` bytes
+            # actually needed, walking blocks FORWARD from the match
+            # start — never materializing the full back-span (which is
+            # O(window) per sequence, quadratic on adversarial frames)
             take = min(back, ml)
-            need = take
-            # walk earlier blocks from the end
-            src = bytearray()
-            rem = back
-            for blk in reversed(window):
-                if rem <= len(blk):
-                    seg = blk[len(blk) - rem:]
-                    src[0:0] = seg
+            skip = win_len - back
+            for blk in window:
+                if take <= 0:
                     break
-                src[0:0] = blk
-                rem -= len(blk)
-            out += src[:need]
-            ml -= need
-            offset = offset  # unchanged; rest now resolvable locally
+                if skip >= len(blk):
+                    skip -= len(blk)
+                    continue
+                seg = blk[skip:skip + take]
+                out += seg
+                ml -= len(seg)
+                take -= len(seg)
+                skip = 0
         while ml > 0:
             start = len(out) - offset
             chunk = min(ml, offset)

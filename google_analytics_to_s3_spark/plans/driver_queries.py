@@ -2893,6 +2893,10 @@ from .driver_queries_r11 import (  # noqa: E402
     ORACLES_R11,
     QUERIES_R11,
 )
+from .driver_queries_r12 import (  # noqa: E402
+    ORACLES_R12,
+    QUERIES_R12,
+)
 
 QUERIES.update(QUERIES_ENRICH)
 QUERIES.update(QUERIES_IDENTITY)
@@ -2907,6 +2911,7 @@ QUERIES.update(QUERIES_R9)
 QUERIES.update(QUERIES_R10)
 QUERIES.update(QUERIES_R10B)
 QUERIES.update(QUERIES_R11)
+QUERIES.update(QUERIES_R12)
 
 ORACLES: dict[str, str] = {
     "sessionize_flags": SQL_SESSIONIZE_FLAGS,
@@ -2989,6 +2994,7 @@ ORACLES.update(ORACLES_R9)
 ORACLES.update(ORACLES_R10)
 ORACLES.update(ORACLES_R10B)
 ORACLES.update(ORACLES_R11)
+ORACLES.update(ORACLES_R12)
 # fill the lsh_recall oracle template with the shared MinHash CTE chain
 # (defined above; kept in one copy so k/bands changes cannot diverge)
 from .driver_queries_analytics import (  # noqa: E402
@@ -3043,6 +3049,7 @@ _DRIVER_PRIORITY = [
     # --- slots 51+: r13 head = last 4 r5-stale rows, then r12-new ---
     "sales_rollup", "shipping_priority", "simhash", "simhash_dup_pairs",
     # R12_NEW_MARKER
+    "parquet_scan_nested",
     # (queue) rows last driver-checked in r11 (50).
     "bmp_decode", "tiff_decode", "warc_extract", "warc_documents",
     "webdataset_decode", "avi_demux", "avi_decode_av", "zip_extract",

@@ -6942,6 +6942,71 @@ def make_parquet_lists(seed: int) -> bytes:
     return buf.getvalue().to_pybytes()
 
 
+def make_parquet_nested(seed: int) -> bytes:
+    """Deterministic parquet bytes with a fully NESTED column for the
+    ``parquet_scan_nested`` driver query (written by parquet-cpp; the
+    reader rebuilds records by general Dremel assembly).
+
+    Column ``v``: struct { a: int64, tags: list<string>,
+    pts: list<struct{x:int64, y:int64}>, m: map<string,int64> }.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - ``n = 40 + seed % 80`` rows
+    - row ``i`` NULL struct when ``(seed + 5*i) % 7 == 0``; else:
+      - ``a``: NULL when ``i % 5 == 3`` else ``(seed*3 + 11*i) % 1000``
+      - ``tags``: NULL list when ``(seed + i) % 6 == 0``; else
+        ``(seed + 2*i) % 4`` elements, element ``j`` NULL when
+        ``(i + j) % 5 == 4`` else ``'t' || ((seed + 7*i + 3*j) % 50)``
+      - ``pts``: ``(seed + 3*i) % 3`` elements; element ``k`` has
+        ``x = (seed + 13*i + 7*k) % 500`` and ``y`` NULL when
+        ``(i + k) % 3 == 0`` else ``(i*k) % 100``
+      - ``m``: ``(seed + i) % 3`` entries; entry ``e`` is
+        ``'k' || e → NULL if (i+e) % 7 == 6 else
+        (seed + 9*i + 4*e) % 300``
+    - codec snappy/zstd by ``seed % 2``; v2 pages when
+      ``seed % 3 == 0``; dictionary when ``seed % 5 < 2``
+    """
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    n = 40 + seed % 80
+    rows = []
+    for i in range(n):
+        if (seed + 5 * i) % 7 == 0:
+            rows.append(None)
+            continue
+        a = None if i % 5 == 3 else (seed * 3 + 11 * i) % 1000
+        if (seed + i) % 6 == 0:
+            tags = None
+        else:
+            tags = [None if (i + j) % 5 == 4
+                    else "t" + str((seed + 7 * i + 3 * j) % 50)
+                    for j in range((seed + 2 * i) % 4)]
+        pts = [{"x": (seed + 13 * i + 7 * k) % 500,
+                "y": None if (i + k) % 3 == 0 else (i * k) % 100}
+               for k in range((seed + 3 * i) % 3)]
+        m = [("k" + str(e),
+              None if (i + e) % 7 == 6 else (seed + 9 * i + 4 * e) % 300)
+             for e in range((seed + i) % 3)]
+        rows.append({"a": a, "tags": tags, "pts": pts, "m": m})
+    typ = _pa.struct([
+        ("a", _pa.int64()),
+        ("tags", _pa.list_(_pa.string())),
+        ("pts", _pa.list_(_pa.struct([("x", _pa.int64()),
+                                      ("y", _pa.int64())]))),
+        ("m", _pa.map_(_pa.string(), _pa.int64())),
+    ])
+    table = _pa.table({"v": _pa.array(rows, typ)})
+    buf = _pa.BufferOutputStream()
+    kw = dict(compression=["snappy", "zstd"][seed % 2],
+              use_dictionary=(seed % 5 < 2), row_group_size=32)
+    if seed % 3 == 0:
+        kw["data_page_version"] = "2.0"
+    _pq.write_table(table, buf, **kw)
+    return buf.getvalue().to_pybytes()
+
+
 def make_iceberg_scan_bundle(seed: int) -> bytes:
     """Iceberg bundle whose manifests point at REAL parquet data
     files (written by parquet-cpp inside the bundle) for the

@@ -140,3 +140,30 @@ def test_corruption_never_crashes(seed):
                 import struct as _s
 
                 assert isinstance(e, _s.error), type(e)
+
+
+# --------------------------------------------------------------------------
+# r12 ADVICE regressions: Null-type columns and dictionary corners.
+
+
+@pytest.mark.parametrize("layout", ["file", "stream"])
+def test_null_type_column(layout):
+    """A Null column (e.g. pyarrow-inferred from an all-null input)
+    carries ZERO buffers — it must materialize as Nones, not derail
+    buffer assignment for the rest of the file."""
+    t = pa.table({"n": pa.array([None, None, None], pa.null()),
+                  "v": pa.array([1, 2, 3], pa.int64())})
+    data = _file_bytes(t) if layout == "file" else _stream_bytes(t)
+    assert arrow_read_column(data, "n") == [None] * 3
+    assert arrow_read_column(data, "v") == [1, 2, 3]
+
+
+@pytest.mark.parametrize("layout", ["file", "stream"])
+def test_zero_row_dictionary_column(layout):
+    """An empty dictionary column needs zero index mappings — the
+    read returns [] instead of 'dictionary batch missing'."""
+    t = pa.table({"d": pa.array([], pa.string()).dictionary_encode(),
+                  "v": pa.array([], pa.int64())})
+    data = _file_bytes(t) if layout == "file" else _stream_bytes(t)
+    assert arrow_read_column(data, "d") == []
+    assert arrow_read_column(data, "v") == []

@@ -326,3 +326,159 @@ def test_fixed_len_byte_array_matches_pyarrow():
             data = _pq_bytes(t, compression=codec, use_dictionary=dic)
             assert parquet_read_column(data, "u") == \
                 t.column("u").to_pylist()
+
+
+# --------------------------------------------------------------------------
+# General Dremel assembly (r12): arbitrary nesting vs parquet-cpp.
+
+
+def _norm(v, typ):
+    """pyarrow's to_pylist → the assembler's representation (maps as
+    dicts, everything else structural)."""
+    if v is None:
+        return None
+    if pa.types.is_map(typ):
+        return {k: _norm(x, typ.item_type) for k, x in v}
+    if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        return [_norm(x, typ.value_type) for x in v]
+    if pa.types.is_struct(typ):
+        return {f.name: _norm(v[f.name], f.type) for f in typ}
+    return v
+
+
+def _assert_nested_matches(table: pa.Table, **kw):
+    from google_analytics_to_s3_spark.operators.parquet_raw import (
+        parquet_read_nested,
+    )
+
+    data = _pq_bytes(table, **kw)
+    typ = table.schema.field("v").type
+    want = [_norm(x, typ) for x in table.column("v").to_pylist()]
+    assert parquet_read_nested(data, "v") == want
+
+
+_NESTED_SHAPES = {
+    "struct": pa.array(
+        [{"a": 1, "b": "x"}, None, {"a": None, "b": "y"},
+         {"a": 4, "b": None}],
+        pa.struct([("a", pa.int64()), ("b", pa.string())])),
+    "list_of_list": pa.array(
+        [[[1, 2], [3]], None, [[], None, [4, None]], []],
+        pa.list_(pa.list_(pa.int64()))),
+    "list_of_struct": pa.array(
+        [[{"x": 1, "y": None}, {"x": 2, "y": 5}], [], None,
+         [{"x": None, "y": 9}]],
+        pa.list_(pa.struct([("x", pa.int64()), ("y", pa.int64())]))),
+    "map": pa.array(
+        [[("a", 1), ("b", 2)], [], None, [("c", None)]],
+        pa.map_(pa.string(), pa.int64())),
+    "struct_of_everything": pa.array(
+        [{"tags": ["p", None], "m": [("k", 7)], "s": {"q": 3}},
+         {"tags": None, "m": [], "s": None},
+         None,
+         {"tags": [], "m": [("a", 1), ("b", None)], "s": {"q": None}}],
+        pa.struct([("tags", pa.list_(pa.string())),
+                   ("m", pa.map_(pa.string(), pa.int64())),
+                   ("s", pa.struct([("q", pa.int64())]))])),
+    "list3": pa.array(
+        [[[["d"]], [["e", None], []]], None, [[]], [None]],
+        pa.list_(pa.list_(pa.list_(pa.string())))),
+    "map_of_list": pa.array(
+        [[("a", [1, None])], None, [("b", []), ("c", [2, 3])]],
+        pa.map_(pa.string(), pa.list_(pa.int64()))),
+}
+
+
+@pytest.mark.parametrize("shape", sorted(_NESTED_SHAPES))
+def test_nested_assembly_matches_pyarrow(shape):
+    t = pa.table({"v": _NESTED_SHAPES[shape]})
+    for kw in (dict(), dict(compression="zstd"),
+               dict(data_page_version="2.0", compression="snappy"),
+               dict(use_dictionary=False), dict(row_group_size=2)):
+        _assert_nested_matches(t, **kw)
+
+
+def test_nested_assembly_randomized_vs_pyarrow():
+    """Property-style: random nested rows (deterministic seed) over a
+    struct{list<string>, map, list<struct>} shape, every codec/page
+    combination, multiple row groups — exact match vs parquet-cpp."""
+    rng = random.Random(7)
+    typ = pa.struct([
+        ("a", pa.int64()),
+        ("tags", pa.list_(pa.string())),
+        ("pts", pa.list_(pa.struct([("x", pa.int64()),
+                                    ("y", pa.int64())]))),
+        ("m", pa.map_(pa.string(), pa.int64())),
+    ])
+    rows = []
+    for i in range(400):
+        if rng.random() < 0.1:
+            rows.append(None)
+            continue
+        rows.append({
+            "a": None if rng.random() < 0.2 else rng.randrange(10**6),
+            "tags": None if rng.random() < 0.15 else [
+                None if rng.random() < 0.2 else
+                "s%d" % rng.randrange(50)
+                for _ in range(rng.randrange(4))],
+            "pts": [{"x": rng.randrange(1000),
+                     "y": None if rng.random() < 0.3
+                     else rng.randrange(100)}
+                    for _ in range(rng.randrange(3))],
+            "m": [("k%d" % k, None if rng.random() < 0.2
+                   else rng.randrange(300))
+                  for k in range(rng.randrange(3))],
+        })
+    t = pa.table({"v": pa.array(rows, typ)})
+    for kw in (dict(compression="zstd"),
+               dict(data_page_version="2.0", row_group_size=64),
+               dict(use_dictionary=False, compression="snappy")):
+        _assert_nested_matches(t, **kw)
+
+
+def test_nested_fixture_exact_match():
+    from google_analytics_to_s3_spark.operators.parquet_raw import (
+        parquet_read_nested,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_parquet_nested,
+    )
+
+    for seed in (0, 1, 2, 3, 4, 5, 30, 77, 999):
+        data = make_parquet_nested(seed)
+        t = pq.read_table(pa.BufferReader(data))
+        typ = t.schema.field("v").type
+        want = [_norm(x, typ) for x in t.column("v").to_pylist()]
+        assert parquet_read_nested(data, "v") == want
+
+
+def test_nested_int96_gated():
+    import pandas as pd
+
+    t = pa.Table.from_pandas(pd.DataFrame(
+        {"v": pd.to_datetime(["2020-01-01", "2021-06-01"])}))
+    data = _pq_bytes(t, use_deprecated_int96_timestamps=True)
+    from google_analytics_to_s3_spark.operators.parquet_raw import (
+        parquet_read_nested,
+    )
+    with pytest.raises(ValueError, match="INT96"):
+        parquet_read_nested(data, "v")
+
+
+def test_nested_unknown_column_named():
+    from google_analytics_to_s3_spark.operators.parquet_raw import (
+        parquet_read_nested,
+    )
+
+    t = pa.table({"v": pa.array([1, 2], pa.int64())})
+    with pytest.raises(ValueError, match="no column"):
+        parquet_read_nested(_pq_bytes(t), "nope")
+
+
+def test_nested_flat_column_degenerates_to_values():
+    from google_analytics_to_s3_spark.operators.parquet_raw import (
+        parquet_read_nested,
+    )
+
+    t = pa.table({"v": pa.array([1, None, 3], pa.int64())})
+    assert parquet_read_nested(_pq_bytes(t), "v") == [1, None, 3]
