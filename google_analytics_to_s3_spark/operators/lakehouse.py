@@ -34,7 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["delta_log_snapshot"]
+__all__ = ["delta_log_snapshot", "parse_delta_checkpoint",
+           "decode_delta_checkpoint"]
 
 _ACTION_SCHEMA = ("add struct<path:string,size:bigint,"
                   "dataChange:boolean>, "
@@ -87,3 +88,159 @@ def delta_log_snapshot(
         F.count(F.lit(1)).alias("n_actions"),
     )
     return per_table.join(totals, table_col)
+
+
+# --------------------------------------------------------------------------
+# Checkpoint bootstrap (r12) — the real reader path for large logs.
+#
+# A reader of a big Delta table never folds the whole JSON log: it
+# reads `_last_checkpoint`, loads `<v>.checkpoint.parquet` (the folded
+# state at version v), and replays only the JSON commits AFTER v
+# (delta.io PROTOCOL.md "Checkpoints").  The checkpoint parquet's
+# add/remove columns are NESTED structs — read here through the
+# engine's OWN raw-parquet Dremel assembler (operators/parquet_raw.
+# parquet_read_nested), composing two from-scratch byte paths.
+#
+# Scale: one bundle is one table's *_delta_log* — planning state is
+# O(live files), done in a single Arrow map task per table, no
+# shuffle.  The declarative `delta_log_snapshot` above remains the
+# full-log-fold path; this is the bootstrap a real reader uses so the
+# fold length is O(commits since last checkpoint), not O(history).
+
+_CKPT_NAME = "_delta_log/_last_checkpoint"
+
+
+def parse_delta_checkpoint(bundle: bytes) -> dict:
+    """Bootstrap a Delta snapshot from a tar bundle of its
+    ``_delta_log``: ``_last_checkpoint`` JSON → checkpoint parquet
+    (engine's own nested reader) → fold the JSON commits after the
+    checkpoint version with last-writer-wins replay."""
+    import json
+
+    from .parquet_raw import parquet_read_nested
+    from .tar import parse_tar
+
+    files = {m["name"]: m["data"] for m in parse_tar(bundle)}
+    lc_raw = files.get(_CKPT_NAME)
+    if lc_raw is None:
+        raise ValueError("delta: bundle missing _last_checkpoint")
+    try:
+        lc = json.loads(lc_raw)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"delta: bad _last_checkpoint ({e})") from None
+    v = lc.get("version")
+    if not isinstance(v, int) or v < 0:
+        raise ValueError("delta: bad checkpoint version")
+    ckpt_key = f"_delta_log/{v:020d}.checkpoint.parquet"
+    ckpt = files.get(ckpt_key)
+    if ckpt is None:
+        raise ValueError(f"delta: checkpoint {ckpt_key!r} missing")
+    adds = parquet_read_nested(ckpt, "add")
+    removes = parquet_read_nested(ckpt, "remove")
+    if lc.get("size") not in (None, len(adds)):
+        raise ValueError("delta: _last_checkpoint size mismatch")
+    state: dict[str, int | None] = {}
+    for add_s, rem_s in zip(adds, removes):
+        if add_s is not None and add_s.get("path") is not None:
+            state[add_s["path"]] = add_s.get("size") or 0
+        elif rem_s is not None and rem_s.get("path") is not None:
+            state[rem_s["path"]] = None
+    n_ckpt_rows = len(adds)
+    # replay JSON commits strictly after the checkpoint version
+    commits = []
+    for name, data in files.items():
+        if not name.startswith("_delta_log/") \
+                or not name.endswith(".json"):
+            continue
+        stem = name[len("_delta_log/"):-len(".json")]
+        if not stem.isdigit():
+            continue
+        w = int(stem)
+        if w > v:
+            commits.append((w, data))
+    commits.sort()
+    if commits and commits[0][0] != v + 1:
+        raise ValueError("delta: commit gap after checkpoint")
+    for i in range(1, len(commits)):
+        if commits[i][0] != commits[i - 1][0] + 1:
+            raise ValueError("delta: commit gap after checkpoint")
+    n_json_actions = 0
+    for w, data in commits:
+        for line in data.splitlines():
+            if not line.strip():
+                continue
+            try:
+                a = json.loads(line)
+            except json.JSONDecodeError as e:
+                raise ValueError(f"delta: bad commit line ({e})") \
+                    from None
+            if a.get("add"):
+                state[a["add"]["path"]] = a["add"].get("size") or 0
+                n_json_actions += 1
+            elif a.get("remove"):
+                state[a["remove"]["path"]] = None
+                n_json_actions += 1
+    live = {p: s for p, s in state.items() if s is not None}
+    return {
+        "checkpoint_version": v,
+        "last_version": commits[-1][0] if commits else v,
+        "n_ckpt_rows": n_ckpt_rows,
+        "n_json_actions": n_json_actions,
+        "n_live_files": len(live),
+        "live_bytes": sum(live.values()),
+    }
+
+
+def decode_delta_checkpoint(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over
+    :func:`parse_delta_checkpoint`; per-bundle quarantine, no
+    shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("checkpoint_version", LongType()),
+        StructField("last_version", LongType()),
+        StructField("n_ckpt_rows", LongType()),
+        StructField("n_json_actions", LongType()),
+        StructField("n_live_files", LongType()),
+        StructField("live_bytes", LongType()),
+        StructField("decode_error", StringType()),
+    ])
+    cols = ("checkpoint_version", "last_version", "n_ckpt_rows",
+            "n_json_actions", "n_live_files", "live_bytes")
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    r = parse_delta_checkpoint(bytes(payload))
+                    for k in cols:
+                        rows[k].append(r[k])
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, KeyError,
+                        TypeError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k], dtype="Int64") for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)

@@ -3049,7 +3049,7 @@ _DRIVER_PRIORITY = [
     # --- slots 51+: r13 head = last 4 r5-stale rows, then r12-new ---
     "sales_rollup", "shipping_priority", "simhash", "simhash_dup_pairs",
     # R12_NEW_MARKER
-    "parquet_scan_nested",
+    "parquet_scan_nested", "delta_checkpoint_snapshot",
     # (queue) rows last driver-checked in r11 (50).
     "bmp_decode", "tiff_decode", "warc_extract", "warc_documents",
     "webdataset_decode", "avi_demux", "avi_decode_av", "zip_extract",

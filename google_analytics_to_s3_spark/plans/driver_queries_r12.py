@@ -131,3 +131,90 @@ LEFT JOIN ments m ON m.event_id = e.event_id
 
 QUERIES_R12["parquet_scan_nested"] = q_parquet_scan_nested
 ORACLES_R12["parquet_scan_nested"] = _PARQUET_NESTED_ORACLE
+
+
+def q_delta_checkpoint_snapshot(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Delta CHECKPOINT bootstrap driver-checked (r12): per event a
+    tar bundle of a ``_delta_log`` whose checkpoint is a REAL parquet
+    file written by parquet-cpp (add/remove as nested struct columns,
+    two all-null protocol/metaData rows planted) — the real reader
+    path for large logs: ``_last_checkpoint`` JSON → checkpoint
+    parquet through the engine's OWN Dremel assembler
+    (operators/parquet_raw.parquet_read_nested) → fold only the JSON
+    commits after the checkpoint version
+    (operators/lakehouse.parse_delta_checkpoint).  The oracle replays
+    the full-log fold in closed form — green means bootstrap-from-
+    checkpoint and fold-from-genesis agree, which is the protocol's
+    correctness condition for checkpoints.  Lane id % 10 == 7."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.lakehouse import decode_delta_checkpoint
+    from ..testing.fixtures import make_delta_checkpoint_bundle
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 7
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_delta_checkpoint_bundle(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_delta_checkpoint(payloads).drop("decode_error")
+
+
+_DELTA_CKPT_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         10 + (event_id % 1000) % 5 AS v,
+         13 + (event_id % 1000) % 5 + (event_id % 1000) % 4 AS last
+  FROM events WHERE event_id % {_FLAC_MOD} = 7
+),
+acts AS (
+  SELECT e.event_id, e.v, e.last, w.w, j.j,
+         (e.seed + 5*w.w + 3*j.j) % 20 AS pid,
+         (e.seed + w.w + j.j) % 4 = 3 AS is_rm,
+         100 + (e.seed + 7*w.w + j.j) % 900 AS sz
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.last + 1)) AS w) w,
+       LATERAL (SELECT unnest(range(0, 2)) AS j) j
+),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id, pid
+                               ORDER BY w DESC, j DESC) AS rn
+  FROM acts
+),
+live AS (
+  SELECT event_id,
+         sum(CASE WHEN NOT is_rm THEN 1 ELSE 0 END) AS nl,
+         sum(CASE WHEN NOT is_rm THEN sz ELSE 0 END) AS lb
+  FROM latest WHERE rn = 1 GROUP BY 1
+),
+ckpt AS (
+  SELECT event_id, count(DISTINCT pid) AS np
+  FROM acts WHERE w <= v GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.v AS BIGINT) AS checkpoint_version,
+       CAST(e.last AS BIGINT) AS last_version,
+       CAST(c.np + 2 AS BIGINT) AS n_ckpt_rows,
+       CAST(2 * (e.last - e.v) AS BIGINT) AS n_json_actions,
+       CAST(l.nl AS BIGINT) AS n_live_files,
+       CAST(l.lb AS BIGINT) AS live_bytes
+FROM e
+JOIN live l ON l.event_id = e.event_id
+JOIN ckpt c ON c.event_id = e.event_id
+"""
+
+QUERIES_R12["delta_checkpoint_snapshot"] = q_delta_checkpoint_snapshot
+ORACLES_R12["delta_checkpoint_snapshot"] = _DELTA_CKPT_ORACLE

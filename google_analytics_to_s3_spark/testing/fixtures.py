@@ -7007,6 +7007,92 @@ def make_parquet_nested(seed: int) -> bytes:
     return buf.getvalue().to_pybytes()
 
 
+def make_delta_checkpoint_bundle(seed: int) -> bytes:
+    """Tar bundle of a Delta ``_delta_log`` with a REAL parquet
+    checkpoint (written by parquet-cpp; add/remove are nested struct
+    columns read back by the engine's Dremel assembler) for the
+    ``delta_checkpoint_snapshot`` driver query.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - checkpoint version ``v = 10 + seed % 5``; last version
+      ``last = v + 3 + seed % 4``; paths ``f0..f19``
+    - commit ``w`` (0..last) holds two actions ``j ∈ {0,1}``:
+      ``path_id = (seed + 5*w + 3*j) % 20``, remove when
+      ``(seed + w + j) % 4 == 3`` else add with
+      ``size = 100 + (seed + 7*w + j) % 900``
+    - the checkpoint parquet folds commits ``w ≤ v`` (latest action
+      per path by ``(w, j)``), one row per touched path sorted by
+      path id, plus TWO all-null rows standing in for protocol/
+      metaData actions; ``_last_checkpoint`` records its row count
+    - JSON commits exist only for ``w > v``
+    - checkpoint codec snappy/zstd by ``seed % 2``; v2 pages when
+      ``seed % 3 == 0``; dictionary when ``seed % 5 < 2``
+    """
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    v = 10 + seed % 5
+    last = v + 3 + seed % 4
+
+    def action(w: int, j: int) -> tuple[int, bool, int]:
+        return ((seed + 5 * w + 3 * j) % 20,
+                (seed + w + j) % 4 == 3,
+                100 + (seed + 7 * w + j) % 900)
+
+    state: "dict[int, tuple[int, int, bool, int]]" = {}
+    for w in range(v + 1):
+        for j in (0, 1):
+            pid, is_rm, size = action(w, j)
+            state[pid] = (w, j, is_rm, size)
+    add_rows: list = [None, None]
+    rem_rows: list = [None, None]
+    for pid in sorted(state):
+        _w, _j, is_rm, size = state[pid]
+        if is_rm:
+            add_rows.append(None)
+            rem_rows.append({"path": f"f{pid}"})
+        else:
+            add_rows.append({"path": f"f{pid}", "size": size})
+            rem_rows.append(None)
+    table = _pa.table({
+        "add": _pa.array(add_rows, _pa.struct(
+            [("path", _pa.string()), ("size", _pa.int64())])),
+        "remove": _pa.array(rem_rows, _pa.struct(
+            [("path", _pa.string())])),
+    })
+    buf = _pa.BufferOutputStream()
+    kw = dict(compression=["snappy", "zstd"][seed % 2],
+              use_dictionary=(seed % 5 < 2))
+    if seed % 3 == 0:
+        kw["data_page_version"] = "2.0"
+    _pq.write_table(table, buf, **kw)
+    ckpt = buf.getvalue().to_pybytes()
+
+    out = bytearray()
+    lc = _json.dumps({"version": v, "size": len(add_rows)}).encode()
+    out += _tar_member("_delta_log/_last_checkpoint", lc)
+    out += _tar_member(f"_delta_log/{v:020d}.checkpoint.parquet", ckpt)
+    for w in range(v + 1, last + 1):
+        lines = []
+        for j in (0, 1):
+            pid, is_rm, size = action(w, j)
+            if is_rm:
+                lines.append(_json.dumps(
+                    {"remove": {"path": f"f{pid}",
+                                "deletionTimestamp": w}}))
+            else:
+                lines.append(_json.dumps(
+                    {"add": {"path": f"f{pid}", "size": size,
+                             "dataChange": True}}))
+        out += _tar_member(f"_delta_log/{w:020d}.json",
+                           ("\n".join(lines) + "\n").encode())
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
 def make_iceberg_scan_bundle(seed: int) -> bytes:
     """Iceberg bundle whose manifests point at REAL parquet data
     files (written by parquet-cpp inside the bundle) for the

@@ -50,3 +50,84 @@ def test_remove_only_table(spark):
     assert row["n_live_files"] == 0
     assert row["live_bytes"] == 0
     assert row["n_actions"] == 1
+
+
+# --------------------------------------------------------------------------
+# Checkpoint bootstrap (r12).
+
+
+def _full_json_log(seed: int):
+    """The same planted action stream as make_delta_checkpoint_bundle,
+    but as a pure JSON log from genesis — the reference fold."""
+    v = 10 + seed % 5
+    last = v + 3 + seed % 4
+    rows = []
+    for w in range(last + 1):
+        for j in (0, 1):
+            pid = (seed + 5 * w + 3 * j) % 20
+            is_rm = (seed + w + j) % 4 == 3
+            size = 100 + (seed + 7 * w + j) % 900
+            line = _remove(f"f{pid}") if is_rm else _add(f"f{pid}", size)
+            rows.append((seed, w, j, line))
+    return rows
+
+
+def test_checkpoint_bootstrap_matches_pure_json_fold(spark):
+    """The protocol's correctness condition for checkpoints: reading
+    _last_checkpoint + checkpoint parquet (through the engine's own
+    nested raw-parquet reader) + post-checkpoint JSON commits must
+    land on the SAME live set as folding the full JSON log from
+    genesis with the declarative delta_log_snapshot."""
+    from google_analytics_to_s3_spark.operators.lakehouse import (
+        parse_delta_checkpoint,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_delta_checkpoint_bundle,
+    )
+
+    seeds = [0, 1, 2, 3, 4, 5, 17, 444]
+    rows = [r for s in seeds for r in _full_json_log(s)]
+    log = spark.createDataFrame(
+        rows, "table_id long, version long, line_no long, line string")
+    folded = {r["table_id"]: r for r in
+              delta_log_snapshot(log, line_no_col="line_no").collect()}
+    for seed in seeds:
+        boot = parse_delta_checkpoint(make_delta_checkpoint_bundle(seed))
+        ref = folded[seed]
+        assert boot["n_live_files"] == ref["n_live_files"], seed
+        assert boot["live_bytes"] == ref["live_bytes"], seed
+        assert boot["last_version"] == ref["last_version"], seed
+
+
+def test_checkpoint_bundle_gates(spark):
+    import json
+
+    import pytest
+
+    from google_analytics_to_s3_spark.operators.lakehouse import (
+        parse_delta_checkpoint,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        _tar_member,
+        make_delta_checkpoint_bundle,
+    )
+
+    with pytest.raises(ValueError, match="_last_checkpoint"):
+        parse_delta_checkpoint(_tar_member("x.json", b"{}") + b"\0" * 1024)
+    # commit gap after checkpoint quarantines (a reader must not skip
+    # versions silently)
+    bundle = make_delta_checkpoint_bundle(3)
+    v = 10 + 3 % 5
+    from google_analytics_to_s3_spark.operators.tar import parse_tar
+    members = {m["name"]: m["data"] for m in parse_tar(bundle)}
+    del members[f"_delta_log/{v + 1:020d}.json"]
+    rebuilt = b"".join(_tar_member(n, d) for n, d in members.items())
+    with pytest.raises(ValueError, match="commit gap"):
+        parse_delta_checkpoint(rebuilt + b"\0" * 1024)
+    # _last_checkpoint size mismatch quarantines
+    lc = json.loads(members[f"_delta_log/_last_checkpoint"])
+    lc["size"] += 1
+    members[f"_delta_log/_last_checkpoint"] = json.dumps(lc).encode()
+    rebuilt = b"".join(_tar_member(n, d) for n, d in members.items())
+    with pytest.raises(ValueError, match="size mismatch"):
+        parse_delta_checkpoint(rebuilt + b"\0" * 1024)
