@@ -43,7 +43,8 @@ from .avro import avro_decode_container
 from .tar import parse_tar
 
 __all__ = ["parse_iceberg_snapshot", "decode_iceberg_snapshot",
-           "parse_iceberg_scan", "decode_iceberg_scan"]
+           "parse_iceberg_scan", "decode_iceberg_scan",
+           "parse_iceberg_scan_deletes", "decode_iceberg_scan_deletes"]
 
 
 def parse_iceberg_snapshot(bundle: bytes) -> dict:
@@ -276,3 +277,169 @@ def decode_iceberg_scan(
 
     return df.select(id_col, payload_col).mapInPandas(
         _run, schema=ICEBERG_SCAN_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Format v2: positional row-level deletes (r12).
+#
+# Iceberg v2 snapshots carry TWO kinds of manifests (spec §Manifests):
+# the manifest-list entry's ``content`` field is 0 for data manifests
+# and 1 for delete manifests.  A position-delete file is itself a
+# real parquet file with columns ``file_path`` (string) and ``pos``
+# (long), sorted by (file_path, pos); at scan time a reader drops the
+# listed row positions from the matching data files.  Equality
+# deletes (content=2 data_file entries) remain a named gate.
+
+
+def parse_iceberg_scan_deletes(bundle: bytes, column: str) -> dict:
+    """The v2 read path: resolve the snapshot, split manifests by
+    ``content``, build the position-delete map from REAL parquet
+    delete files (engine's own raw reader), then scan live data files
+    with deleted positions dropped."""
+    from .parquet_raw import parquet_file_meta, parquet_read_column
+
+    files = {m["name"]: m["data"] for m in parse_tar(bundle)}
+    meta_raw = files.get("metadata.json")
+    if meta_raw is None:
+        raise ValueError("iceberg: bundle missing metadata.json")
+    meta = json.loads(meta_raw)
+    cur = meta.get("current-snapshot-id")
+    snap = next((s for s in meta.get("snapshots", [])
+                 if s.get("snapshot-id") == cur), None)
+    if snap is None:
+        raise ValueError("iceberg: current snapshot id not found")
+    ml_raw = files.get(snap.get("manifest-list"))
+    if ml_raw is None:
+        raise ValueError("iceberg: manifest list missing")
+    _, ml_entries = avro_decode_container(ml_raw)
+    data_manifests: list[bytes] = []
+    delete_manifests: list[bytes] = []
+    for entry in ml_entries:
+        man_raw = files.get(entry.get("manifest_path"))
+        if man_raw is None:
+            raise ValueError("iceberg: manifest missing")
+        content = entry.get("content") or 0
+        if content == 0:
+            data_manifests.append(man_raw)
+        elif content == 1:
+            delete_manifests.append(man_raw)
+        else:
+            raise ValueError(f"iceberg: manifest content {content} gated")
+    # pass 1: position-delete map (path -> set of row positions)
+    deletes: dict[str, set[int]] = {}
+    n_delete_files = 0
+    n_positions = 0
+    for man_raw in delete_manifests:
+        _, man_entries = avro_decode_container(man_raw)
+        for me in man_entries:
+            if me.get("status") == 2:
+                continue
+            df = me.get("data_file") or {}
+            blob = files.get(df.get("file_path"))
+            if blob is None:
+                raise ValueError("iceberg: delete file missing")
+            n_delete_files += 1
+            paths = parquet_read_column(blob, "file_path")
+            poss = parquet_read_column(blob, "pos")
+            if len(paths) != len(poss):
+                raise ValueError("iceberg: ragged position-delete file")
+            rc = df.get("record_count")
+            if rc is not None and int(rc) != len(paths):
+                raise ValueError("iceberg: delete record_count mismatch")
+            for p, pos in zip(paths, poss):
+                if p is None or pos is None:
+                    raise ValueError("iceberg: null in position delete")
+                key = p.decode() if isinstance(p, bytes) else p
+                deletes.setdefault(key, set()).add(int(pos))
+                n_positions += 1
+    # pass 2: scan live data files, dropping deleted positions
+    n_data_files = 0
+    records_after = 0
+    value_sum = 0
+    n_deleted_applied = 0
+    for man_raw in data_manifests:
+        _, man_entries = avro_decode_container(man_raw)
+        for me in man_entries:
+            if me.get("status") == 2:
+                continue
+            df = me.get("data_file") or {}
+            path = df.get("file_path")
+            blob = files.get(path)
+            if blob is None:
+                raise ValueError(f"iceberg: data file {path!r} missing")
+            n_data_files += 1
+            fm = parquet_file_meta(blob)
+            if fm["num_rows"] != int(df.get("record_count") or 0):
+                raise ValueError("iceberg: record_count mismatch")
+            dead = deletes.get(path, ())
+            vals = parquet_read_column(blob, column)
+            for i, v in enumerate(vals):
+                if i in dead:
+                    n_deleted_applied += 1
+                    continue
+                records_after += 1
+                if v is not None:
+                    value_sum += v
+    return {
+        "snapshot_id": cur,
+        "n_data_files": n_data_files,
+        "n_delete_files": n_delete_files,
+        "n_positions": n_positions,
+        "n_deleted_applied": n_deleted_applied,
+        "records_after": records_after,
+        "value_sum": value_sum,
+    }
+
+
+ICEBERG_DELETES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("snapshot_id", LongType()),
+    StructField("n_data_files", IntegerType()),
+    StructField("n_delete_files", IntegerType()),
+    StructField("n_positions", LongType()),
+    StructField("n_deleted_applied", LongType()),
+    StructField("records_after", LongType()),
+    StructField("value_sum", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_iceberg_scan_deletes(
+    df: DataFrame, column: str,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over
+    :func:`parse_iceberg_scan_deletes`; per-payload quarantine, no
+    shuffle."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("snapshot_id", "n_data_files", "n_delete_files",
+                "n_positions", "n_deleted_applied", "records_after",
+                "value_sum")
+        i32 = {"n_data_files", "n_delete_files"}
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    m = parse_iceberg_scan_deletes(bytes(payload), column)
+                    for k in cols:
+                        rows[k].append(m[k])
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, TypeError,
+                        AttributeError, KeyError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k],
+                                dtype="Int32" if k in i32 else "Int64")
+                   for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=ICEBERG_DELETES_SCHEMA)

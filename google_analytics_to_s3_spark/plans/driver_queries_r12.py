@@ -218,3 +218,84 @@ JOIN ckpt c ON c.event_id = e.event_id
 
 QUERIES_R12["delta_checkpoint_snapshot"] = q_delta_checkpoint_snapshot
 ORACLES_R12["delta_checkpoint_snapshot"] = _DELTA_CKPT_ORACLE
+
+
+def q_iceberg_scan_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg FORMAT-V2 positional deletes driver-checked (r12): per
+    event a bundle whose manifest list carries ``content`` (0 data /
+    1 deletes) and whose delete manifest points at a REAL parquet
+    position-delete file (file_path/pos, engine-read) — the scan
+    builds the delete map, drops deleted positions from live data
+    files, and must NOT apply dangling deletes planted against
+    status-2 (dead) files.  The oracle replays file layout, delete
+    positions and the post-delete column sum in closed form; the
+    post-delete sum provably differs from the no-delete scan on every
+    seed (pytest).  Lane id % 10 == 9."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.iceberg import decode_iceberg_scan_deletes
+    from ..testing.fixtures import make_iceberg_v2_bundle
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 9
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_iceberg_v2_bundle(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_iceberg_scan_deletes(payloads, "v").drop("decode_error")
+
+
+_ICEBERG_DELETES_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 9
+),
+mf AS (
+  SELECT e.event_id, e.seed, m.m, f.f,
+         30 + (e.seed*5 + 7*m.m + 11*f.f) % 50 AS n,
+         (e.seed + m.m + f.f) % 4 <> 3 AS live,
+         (e.seed + m.m + f.f) % 5 AS dm
+  FROM e,
+       LATERAL (SELECT unnest(range(0, 1 + e.seed % 2)) AS m) m,
+       LATERAL (SELECT unnest(range(0, 2 + (e.seed + m.m) % 3)) AS f) f
+),
+rows_ AS (
+  SELECT mf.event_id, mf.live, i.i % 5 = mf.dm AS del_,
+         (mf.seed*3 + 17*mf.m + 23*mf.f + 9*i.i) % 1000 AS v
+  FROM mf, LATERAL (SELECT unnest(range(0, mf.n)) AS i) i
+)
+SELECT e.event_id AS doc_id,
+       CAST(7000 + e.seed AS BIGINT) AS snapshot_id,
+       CAST((SELECT count(*) FROM mf
+              WHERE mf.event_id = e.event_id AND mf.live)
+            AS INTEGER) AS n_data_files,
+       CAST(1 AS INTEGER) AS n_delete_files,
+       CAST((SELECT count(*) FROM rows_ r
+              WHERE r.event_id = e.event_id AND r.del_)
+            AS BIGINT) AS n_positions,
+       CAST((SELECT count(*) FROM rows_ r
+              WHERE r.event_id = e.event_id AND r.del_ AND r.live)
+            AS BIGINT) AS n_deleted_applied,
+       CAST((SELECT count(*) FROM rows_ r
+              WHERE r.event_id = e.event_id AND NOT r.del_ AND r.live)
+            AS BIGINT) AS records_after,
+       CAST((SELECT sum(r.v) FROM rows_ r
+              WHERE r.event_id = e.event_id AND NOT r.del_ AND r.live)
+            AS BIGINT) AS value_sum
+FROM e
+"""
+
+QUERIES_R12["iceberg_scan_deletes"] = q_iceberg_scan_deletes
+ORACLES_R12["iceberg_scan_deletes"] = _ICEBERG_DELETES_ORACLE

@@ -7161,6 +7161,112 @@ def make_iceberg_scan_bundle(seed: int) -> bytes:
     return bytes(out)
 
 
+_ICEBERG_ML_V2_SCHEMA = (
+    '{"type":"record","name":"manifest_file","fields":['
+    '{"name":"manifest_path","type":"string"},'
+    '{"name":"manifest_length","type":"long"},'
+    '{"name":"content","type":"int"}]}'
+)
+
+
+def make_iceberg_v2_bundle(seed: int) -> bytes:
+    """Iceberg FORMAT-V2 bundle with a position-delete manifest for
+    the ``iceberg_scan_deletes`` driver query: the manifest list
+    carries ``content`` (0 data / 1 deletes) and the delete manifest
+    points at a REAL parquet position-delete file
+    (``file_path``/``pos`` columns, sorted), per the public spec.
+
+    Planted rules (replayed in closed form by the oracle) — the data
+    layout matches :func:`make_iceberg_scan_bundle`:
+
+    - ``nm = 1 + seed % 2`` data manifests; manifest ``m`` lists
+      ``2 + (seed + m) % 3`` files; entry DELETED (status 2) when
+      ``(seed + m + f) % 4 == 3``
+    - data file ``(m, f)``: ``n = 30 + (seed*5 + 7*m + 11*f) % 50``
+      rows of ``v = (seed*3 + 17*m + 23*f + 9*i) % 1000``
+    - position deletes target EVERY file (m, f) — live or dead — at
+      rows ``i % 5 == (seed + m + f) % 5``; dangling deletes against
+      dead files must NOT be applied (they prove the reader keys the
+      delete map by path)
+    - all parquet codecs snappy/zstd as in the data layout
+    """
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    codec_avro = "deflate" if seed % 2 else "null"
+    nm = 1 + seed % 2
+    members: "dict[str, bytes]" = {}
+    ml_rows = []
+    del_rows: "list[tuple[str, int]]" = []
+    for m in range(nm):
+        nf = 2 + (seed + m) % 3
+        rows = []
+        for f in range(nf):
+            n = 30 + (seed * 5 + 7 * m + 11 * f) % 50
+            v = [(seed * 3 + 17 * m + 23 * f + 9 * i) % 1000
+                 for i in range(n)]
+            buf = _pa.BufferOutputStream()
+            _pq.write_table(
+                _pa.table({"v": _pa.array(v, _pa.int64())}), buf,
+                compression=["snappy", "zstd"][(seed + f) % 2])
+            blob = buf.getvalue().to_pybytes()
+            name = f"data/m{m}-f{f}.parquet"
+            members[name] = blob
+            status = 2 if (seed + m + f) % 4 == 3 else 1
+            body = _avro_zigzag(status)
+            body += _avro_str(name)
+            body += _avro_zigzag(n)
+            body += _avro_zigzag(len(blob))
+            rows.append(body)
+            del_rows.extend(
+                (name, i) for i in range(n)
+                if i % 5 == (seed + m + f) % 5)
+        mname = f"manifest-{m}.avro"
+        members[mname] = _avro_container(_ICEBERG_MAN_SCHEMA, rows,
+                                         seed + m, codec_avro)
+        ml_rows.append(_avro_str(mname)
+                       + _avro_zigzag(len(members[mname]))
+                       + _avro_zigzag(0))
+    del_rows.sort()
+    buf = _pa.BufferOutputStream()
+    _pq.write_table(
+        _pa.table({
+            "file_path": _pa.array([p for p, _ in del_rows],
+                                   _pa.string()),
+            "pos": _pa.array([i for _, i in del_rows], _pa.int64()),
+        }), buf, compression=["snappy", "zstd"][seed % 2])
+    dblob = buf.getvalue().to_pybytes()
+    members["deletes/d0.parquet"] = dblob
+    dbody = _avro_zigzag(1)
+    dbody += _avro_str("deletes/d0.parquet")
+    dbody += _avro_zigzag(len(del_rows))
+    dbody += _avro_zigzag(len(dblob))
+    members["manifest-del.avro"] = _avro_container(
+        _ICEBERG_MAN_SCHEMA, [dbody], seed + 50, codec_avro)
+    ml_rows.append(_avro_str("manifest-del.avro")
+                   + _avro_zigzag(len(members["manifest-del.avro"]))
+                   + _avro_zigzag(1))
+    members["manifest-list.avro"] = _avro_container(
+        _ICEBERG_ML_V2_SCHEMA, ml_rows, seed, codec_avro)
+    members["metadata.json"] = _json.dumps({
+        "format-version": 2,
+        "current-snapshot-id": 7000 + seed,
+        "snapshots": [
+            {"snapshot-id": 6999 - seed,
+             "manifest-list": "stale.avro"},
+            {"snapshot-id": 7000 + seed,
+             "manifest-list": "manifest-list.avro"},
+        ],
+    }).encode()
+    out = bytearray()
+    for name, data in members.items():
+        out += _tar_member(name, data)
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
 def make_msgpack(seed: int) -> bytes:
     """Deterministic MessagePack document for the ``msgpack_decode``
     driver query — covers positive/negative fixints, int8, uint16/

@@ -214,3 +214,71 @@ def test_iceberg_named_failures():
     raw = bytes(bundle).replace(b"manifest-0.avro", b"manifest-9.avro", 1)
     with pytest.raises(ValueError, match="iceberg"):
         parse_iceberg_snapshot(raw)
+
+
+def test_iceberg_v2_positional_deletes():
+    """v2 scan: delete map built from a REAL parquet position-delete
+    file, applied by path — dangling deletes against dead files must
+    not count, and the post-delete sum must differ from the plain
+    scan's (the delete is actually exercised)."""
+    from google_analytics_to_s3_spark.operators.iceberg import (
+        parse_iceberg_scan_deletes,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_iceberg_v2_bundle,
+    )
+
+    for seed in (0, 1, 2, 3, 7, 12, 999):
+        bundle = make_iceberg_v2_bundle(seed)
+        got = parse_iceberg_scan_deletes(bundle, "v")
+        # reference replay of the planted rules
+        nm = 1 + seed % 2
+        n_data = n_pos = n_applied = rec_after = vsum = vsum_nodel = 0
+        for m in range(nm):
+            for f in range(2 + (seed + m) % 3):
+                n = 30 + (seed * 5 + 7 * m + 11 * f) % 50
+                live = (seed + m + f) % 4 != 3
+                dm = (seed + m + f) % 5
+                pos = sum(1 for i in range(n) if i % 5 == dm)
+                n_pos += pos
+                if not live:
+                    continue
+                n_data += 1
+                n_applied += pos
+                for i in range(n):
+                    v = (seed * 3 + 17 * m + 23 * f + 9 * i) % 1000
+                    vsum_nodel += v
+                    if i % 5 != dm:
+                        rec_after += 1
+                        vsum += v
+        assert got == {
+            "snapshot_id": 7000 + seed, "n_data_files": n_data,
+            "n_delete_files": 1, "n_positions": n_pos,
+            "n_deleted_applied": n_applied,
+            "records_after": rec_after, "value_sum": vsum}
+        assert got["n_positions"] > got["n_deleted_applied"] or \
+            all((seed + m + f) % 4 != 3
+                for m in range(nm) for f in range(2 + (seed + m) % 3))
+        assert got["value_sum"] != vsum_nodel
+
+
+def test_iceberg_v2_delete_gates():
+    import pytest
+
+    from google_analytics_to_s3_spark.operators.iceberg import (
+        parse_iceberg_scan_deletes,
+    )
+    from google_analytics_to_s3_spark.operators.tar import parse_tar
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        _tar_member,
+        make_iceberg_v2_bundle,
+    )
+
+    bundle = make_iceberg_v2_bundle(4)
+    members = {m["name"]: m["data"] for m in parse_tar(bundle)}
+    # missing delete file quarantines
+    cut = {n: d for n, d in members.items()
+           if n != "deletes/d0.parquet"}
+    rebuilt = b"".join(_tar_member(n, d) for n, d in cut.items())
+    with pytest.raises(ValueError, match="delete file missing"):
+        parse_iceberg_scan_deletes(rebuilt + b"\0" * 1024, "v")
