@@ -45,7 +45,8 @@ from pyspark.sql.types import (
 __all__ = ["pb_message", "parse_orc_meta", "decode_orc_meta",
            "rlev2_decode", "orc_read_int_column",
            "decode_orc_column_sum", "orc_read_string_column",
-           "decode_orc_string_sum"]
+           "decode_orc_string_sum", "orc_read_timestamp_column",
+           "orc_read_decimal_column", "decode_orc_ts_dec"]
 
 _MAX_SECTION = 64 * 1024 * 1024
 
@@ -227,6 +228,8 @@ def parse_orc_meta(data: bytes) -> dict:
             "field_names": [n.decode("utf-8", "replace")
                             for n in ty.get(3, [])
                             if isinstance(n, bytes)],
+            "precision": _pb_one(ty, 5),
+            "scale": _pb_one(ty, 6),
         })
     stats = []
     for raw in footer.get(7, []):
@@ -343,6 +346,15 @@ def decode_orc_meta(
 _RLE_WIDTHS = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
                17, 18, 19, 20, 21, 22, 23, 24, 26, 28, 30, 32, 40, 48,
                56, 64]
+
+
+def _closest_fixed_bits(n: int) -> int:
+    """Smallest entry of the RLEv2 width table ≥ n (the reference
+    readers' closestFixedBits)."""
+    for w in _RLE_WIDTHS:
+        if w >= n:
+            return w
+    return 64
 
 
 class _BitsBE:
@@ -487,10 +499,13 @@ def rlev2_decode(data: bytes, count: int, signed: bool) -> list[int]:
             br.align()
             br2 = _BitsBE(data, br.pos)
             # patch entries are (gap, patch) pairs; the gap width is
-            # 1-8 BITS (not bytes — hand-verified against the C++
-            # writer's stream length); gaps accumulate from index 0,
-            # and a (gap=255, patch=0) entry is a pure gap extension
-            pat_w = pgw + pw
+            # 1-8 BITS, and each packed entry is widened to the
+            # CLOSEST FIXED width from the RLE table (the reference
+            # readers' closestFixedBits rule — raw pgw+pw misaligns
+            # whenever the sum falls between table widths, e.g. 33).
+            # Gaps accumulate from index 0; a (gap=max, patch=0)
+            # entry is a pure gap extension.
+            pat_w = _closest_fixed_bits(pgw + pw)
             idx = 0
             for _ in range(pll):
                 entry = br2.read(pat_w)
@@ -670,7 +685,7 @@ def _stripe_column_streams(data: bytes, comp: int, st: dict,
         s_len = _pb_one(srec, 3, 0)
         if not isinstance(s_len, int) or s_len < 0:
             raise ValueError("orc: corrupt stream length")
-        if s_col == col_id and s_kind in (0, 1, 2, 3):
+        if s_col == col_id and s_kind in (0, 1, 2, 3, 5):
             streams[s_kind] = _decompress_section(
                 data[spos:spos + s_len], comp)
         spos += s_len
@@ -832,3 +847,213 @@ def orc_read_double_column(data: bytes, column: str) -> list:
         it = iter(vals)
         out.extend(next(it) if p else None for p in present)
     return out
+
+
+# --------------------------------------------------------------------------
+# Timestamp and decimal columns (r12) — the two most common types not
+# yet scanned (orc-format spec: TIMESTAMP/TIMESTAMP_INSTANT store
+# seconds-from-2015 in DATA + scaled nanoseconds in SECONDARY; DECIMAL
+# stores unbounded zigzag-varint significands in DATA + per-value
+# scales in SECONDARY).
+
+_ORC_EPOCH = 1420070400  # 2015-01-01T00:00:00Z, the spec's base
+
+
+def _resolve_column(meta: dict, column: str, kinds: tuple) -> int:
+    types = meta["types"]
+    if not types or types[0]["kind"] != 12:
+        raise ValueError("orc: root is not a struct")
+    try:
+        field_ix = types[0]["field_names"].index(column)
+    except ValueError:
+        raise ValueError(f"orc: no column {column!r}") from None
+    col_id = types[0]["subtypes"][field_ix]
+    if types[col_id]["kind"] not in kinds:
+        raise ValueError("orc: column kind "
+                         f"{types[col_id]['kind']} gated here")
+    return col_id
+
+
+def orc_read_timestamp_column(data: bytes, column: str) -> list:
+    """Materialize one top-level TIMESTAMP / TIMESTAMP_INSTANT column
+    from raw ORC bytes as int64 NANOSECONDS since the Unix epoch:
+    DATA = signed RLEv2 seconds relative to 2015-01-01, SECONDARY =
+    unsigned RLEv2 nanoseconds whose low 3 bits z (when non-zero)
+    mean the value was divided by 10^(z+1) — the reference readers'
+    ``parseNanos`` rule — plus the spec's negative-second borrow when
+    sub-second digits are present.  TIMESTAMP (kind 9) is
+    writer-timezone-relative — accepted only when the stripe's
+    writerTimezone is GMT/UTC (a named gate otherwise, honest rather
+    than silently wrong); TIMESTAMP_INSTANT (18) is always UTC."""
+    meta = parse_orc_meta(data)
+    col_id = _resolve_column(meta, column, (9, 18))
+    is_local = meta["types"][col_id]["kind"] == 9
+    comp = meta["compression"]
+    out: list = []
+    for st in meta["stripes"]:
+        off = st["offset"]
+        ilen = st["index_length"] or 0
+        dlen = st["data_length"] or 0
+        flen = st["footer_length"] or 0
+        sf = pb_message(_decompress_section(
+            data[off + ilen + dlen:off + ilen + dlen + flen], comp))
+        if is_local:
+            tz = sf.get(3, [b"GMT"])
+            tzname = tz[0] if tz and isinstance(tz[0], bytes) else b"GMT"
+            if tzname not in (b"GMT", b"UTC", b"Etc/UTC", b"Etc/GMT"):
+                raise ValueError(
+                    f"orc: writer timezone {tzname!r} gated")
+        streams, _enc, _ds = _stripe_column_streams(data, comp, st,
+                                                    col_id)
+        nrows = st["num_rows"] or 0
+        present = (_bool_rle(streams[0], nrows) if 0 in streams
+                   else [1] * nrows)
+        nvals = sum(present)
+        if nvals and (1 not in streams or 5 not in streams):
+            raise ValueError("orc: timestamp streams missing")
+        secs = rlev2_decode(streams.get(1, b""), nvals, signed=True)
+        nenc = rlev2_decode(streams.get(5, b""), nvals, signed=False)
+        vals = []
+        for s, ne in zip(secs, nenc):
+            # the ORC C++ writer stores TRUNCATED seconds + SIGNED
+            # nanoseconds (negative for pre-1970 sub-second parts,
+            # two's complement in the unsigned stream) — verified
+            # against its own read-back; the scale bits survive the
+            # sign because Python's & and >> are arithmetic
+            if ne >= 1 << 63:
+                ne -= 1 << 64
+            z = ne & 7
+            n = ne >> 3
+            if z:
+                n *= 10 ** (z + 1)
+            if abs(n) > 999_999_999:
+                raise ValueError("orc: nanoseconds out of range")
+            vals.append((s + _ORC_EPOCH) * 1_000_000_000 + n)
+        it = iter(vals)
+        out.extend(next(it) if p else None for p in present)
+    return out
+
+
+def _orc_decimal_varints(blob: bytes, n: int) -> list[int]:
+    """n unbounded base-128 zigzag varints (the DECIMAL significand
+    stream)."""
+    out = []
+    pos = 0
+    for _ in range(n):
+        v = 0
+        shift = 0
+        while True:
+            if pos >= len(blob):
+                raise ValueError("orc: truncated decimal varint")
+            b = blob[pos]
+            pos += 1
+            v |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+            if shift > 140:  # decimal128 max
+                raise ValueError("orc: decimal varint too long")
+        out.append((v >> 1) ^ -(v & 1))
+    return out
+
+
+def orc_read_decimal_column(data: bytes, column: str) -> list:
+    """Materialize one top-level DECIMAL column from raw ORC bytes as
+    UNSCALED int64 at the column's declared scale (e.g. 12.34 at
+    scale 2 → 1234): DATA = unbounded zigzag varint significands,
+    SECONDARY = signed RLEv2 per-value scales, rescaled to the
+    declared scale (a value whose rescale would truncate is a named
+    error, not a silent rounding)."""
+    meta = parse_orc_meta(data)
+    col_id = _resolve_column(meta, column, (14,))
+    decl_scale = meta["types"][col_id]["scale"] or 0
+    comp = meta["compression"]
+    out: list = []
+    for st in meta["stripes"]:
+        streams, _enc, _ds = _stripe_column_streams(data, comp, st,
+                                                    col_id)
+        nrows = st["num_rows"] or 0
+        present = (_bool_rle(streams[0], nrows) if 0 in streams
+                   else [1] * nrows)
+        nvals = sum(present)
+        if nvals and (1 not in streams or 5 not in streams):
+            raise ValueError("orc: decimal streams missing")
+        sigs = _orc_decimal_varints(streams.get(1, b""), nvals)
+        scales = rlev2_decode(streams.get(5, b""), nvals, signed=True)
+        vals = []
+        for sig, sc in zip(sigs, scales):
+            d = decl_scale - sc
+            if d >= 0:
+                vals.append(sig * 10 ** d)
+            else:
+                q, r = divmod(sig, 10 ** (-d))
+                if r:
+                    raise ValueError("orc: decimal rescale truncates")
+                vals.append(q)
+        it = iter(vals)
+        out.extend(next(it) if p else None for p in present)
+    return out
+
+
+ORC_TSDEC_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_values", LongType()),
+    StructField("n_nulls", LongType()),
+    StructField("ts_min_ns", LongType()),
+    StructField("ts_max_ns", LongType()),
+    StructField("ts_subsec", LongType()),
+    StructField("subsec_sum", LongType()),
+    StructField("dec_sum", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_orc_ts_dec(
+    df: DataFrame, ts_column: str, dec_column: str,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over
+    :func:`orc_read_timestamp_column` + :func:`orc_read_decimal_column`
+    — timestamp range, sub-second tallies (int64-safe: min/max and
+    the sum of sub-second nanosecond parts, never a sum of full
+    epoch-nanos) and unscaled decimal sums straight from the
+    DATA/SECONDARY streams."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("n_values", "n_nulls", "ts_min_ns", "ts_max_ns",
+                "ts_subsec", "subsec_sum", "dec_sum")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    blob = bytes(payload)
+                    ts = orc_read_timestamp_column(blob, ts_column)
+                    dec = orc_read_decimal_column(blob, dec_column)
+                    pts = [v for v in ts if v is not None]
+                    pdc = [v for v in dec if v is not None]
+                    subs = [v % 1_000_000_000 for v in pts]
+                    rows["n_values"].append(len(ts))
+                    rows["n_nulls"].append(
+                        len(ts) - len(pts) + len(dec) - len(pdc))
+                    rows["ts_min_ns"].append(min(pts) if pts else None)
+                    rows["ts_max_ns"].append(max(pts) if pts else None)
+                    rows["ts_subsec"].append(
+                        sum(1 for v in subs if v))
+                    rows["subsec_sum"].append(sum(subs))
+                    rows["dec_sum"].append(sum(pdc))
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, TypeError, KeyError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k], dtype="Int64") for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=ORC_TSDEC_SCHEMA)

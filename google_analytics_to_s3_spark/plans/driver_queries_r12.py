@@ -299,3 +299,81 @@ FROM e
 
 QUERIES_R12["iceberg_scan_deletes"] = q_iceberg_scan_deletes
 ORACLES_R12["iceberg_scan_deletes"] = _ICEBERG_DELETES_ORACLE
+
+
+def q_orc_scan_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC TIMESTAMP + DECIMAL scan driver-checked (r12): per event
+    an ORC file written by the Apache ORC C++ writer whose timestamp
+    column straddles the spec's 2015 epoch (negative relative
+    seconds) with the full nanosecond scale-bit menu, and whose
+    decimal column carries signed unscaled varint significands +
+    per-value scales — both read straight from the DATA/SECONDARY
+    streams (operators/orc_meta.orc_read_timestamp_column /
+    orc_read_decimal_column; this round's closestFixedBits
+    PATCHED_BASE fix is on this path).  The oracle replays range,
+    sub-second tallies and the unscaled decimal sum in closed form.
+    Lane id % 10 == 2."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.orc_meta import decode_orc_ts_dec
+    from ..testing.fixtures import make_orc_ts_dec
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 2
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_orc_ts_dec(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_orc_ts_dec(payloads, "ts", "d").drop("decode_error")
+
+
+_ORC_TSDEC_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         50 + (event_id % 1000) % 100 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 2
+),
+rows_ AS (
+  SELECT e.event_id, i.i,
+         (e.seed + i.i) % 9 = 8 AS is_null,
+         1400000000 + (e.seed*13 + 7*i.i) % 500000000 AS sec,
+         CASE (e.seed + 3*i.i) % 5
+           WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1000
+           WHEN 3 THEN 123000000 ELSE 987654321 END AS nanos,
+         (e.seed*7 + 11*i.i) % 2000000 - 1000000 AS cents
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+),
+live AS (SELECT * FROM rows_ WHERE NOT is_null)
+SELECT e.event_id AS doc_id,
+       CAST(e.n AS BIGINT) AS n_values,
+       CAST(2 * (SELECT count(*) FROM rows_ r
+                  WHERE r.event_id = e.event_id AND r.is_null)
+            AS BIGINT) AS n_nulls,
+       CAST((SELECT min(l.sec * 1000000000 + l.nanos) FROM live l
+              WHERE l.event_id = e.event_id) AS BIGINT) AS ts_min_ns,
+       CAST((SELECT max(l.sec * 1000000000 + l.nanos) FROM live l
+              WHERE l.event_id = e.event_id) AS BIGINT) AS ts_max_ns,
+       CAST((SELECT count(*) FROM live l
+              WHERE l.event_id = e.event_id AND l.nanos > 0)
+            AS BIGINT) AS ts_subsec,
+       CAST((SELECT sum(l.nanos) FROM live l
+              WHERE l.event_id = e.event_id) AS BIGINT) AS subsec_sum,
+       CAST((SELECT sum(l.cents) FROM live l
+              WHERE l.event_id = e.event_id) AS BIGINT) AS dec_sum
+FROM e
+"""
+
+QUERIES_R12["orc_scan_timestamps"] = q_orc_scan_timestamps
+ORACLES_R12["orc_scan_timestamps"] = _ORC_TSDEC_ORACLE

@@ -7322,3 +7322,50 @@ def make_msgpack(seed: int) -> bytes:
     out += key("ts") + b"\xd6\x01" + _struct.pack(">I", seed % 65536)
     out += key("f") + b"\xcb" + _struct.pack(">d", (seed % 64) / 16.0)
     return bytes(out)
+
+
+def make_orc_ts_dec(seed: int) -> bytes:
+    """Deterministic ORC bytes with TIMESTAMP + DECIMAL columns for
+    the ``orc_scan_timestamps`` driver query (written by the Apache
+    ORC C++ writer via pyarrow; read back from the raw DATA/SECONDARY
+    streams).
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - ``n = 50 + seed % 100`` rows; row ``i`` NULL (both columns)
+      when ``(seed + i) % 9 == 8``
+    - ``ts``: seconds ``1400000000 + (seed*13 + 7*i) % 500000000``
+      (straddles the ORC 2015 epoch), nanos
+      ``[0, 1, 1000, 123000000, 987654321][(seed + 3*i) % 5]``
+    - ``d``: decimal(12,2) with unscaled value
+      ``(seed*7 + 11*i) % 2000000 - 1000000``
+    - codec UNCOMPRESSED/ZLIB/SNAPPY/ZSTD by ``seed % 4``
+    """
+    import decimal as _decimal
+
+    import pyarrow as _pa
+    from pyarrow import orc as _orc
+
+    n = 50 + seed % 100
+    nanos_menu = (0, 1, 1000, 123000000, 987654321)
+    ts_vals, dec_vals = [], []
+    for i in range(n):
+        if (seed + i) % 9 == 8:
+            ts_vals.append(None)
+            dec_vals.append(None)
+            continue
+        sec = 1400000000 + (seed * 13 + 7 * i) % 500000000
+        ts_vals.append(sec * 1_000_000_000
+                       + nanos_menu[(seed + 3 * i) % 5])
+        dec_vals.append(_decimal.Decimal(
+            (seed * 7 + 11 * i) % 2000000 - 1000000) / 100)
+    t = _pa.table({
+        "ts": _pa.array(ts_vals, _pa.timestamp("ns")),
+        "d": _pa.array(dec_vals, _pa.decimal128(12, 2)),
+    })
+    buf = _pa.BufferOutputStream()
+    _orc.write_table(
+        t, buf,
+        compression=["UNCOMPRESSED", "ZLIB", "SNAPPY",
+                     "ZSTD"][seed % 4])
+    return buf.getvalue().to_pybytes()

@@ -263,3 +263,134 @@ def test_date_and_bool_columns_match_pyarrow():
         assert orc_read_int_column(raw, "d") == [
             None if d is None else (d - epoch).days for d in dates]
         assert orc_read_int_column(raw, "b") == bools
+
+
+# --------------------------------------------------------------------------
+# r12: TIMESTAMP + DECIMAL columns, and the closestFixedBits
+# PATCHED_BASE regression.
+
+
+def _ts_dec_table(n=400, seed=3, tz=None):
+    import decimal
+    import random
+
+    rng = random.Random(seed)
+    ts_vals, dec_vals = [], []
+    for _ in range(n):
+        if rng.random() < 0.15:
+            ts_vals.append(None)
+            dec_vals.append(None)
+            continue
+        base = rng.choice([0, 1_000_000_000, 1420070400, 1577836800,
+                           999999999, -1, -1420070400, -999999999])
+        nanos = rng.choice([0, 1, 10, 100, 1000, 123000000,
+                            987654321, 500_000_000])
+        ts_vals.append(base * 1_000_000_000
+                       + (nanos if base >= 0 else -nanos))
+        dec_vals.append(
+            decimal.Decimal(rng.randrange(-10**9, 10**9)) / 100)
+    return pa.table({
+        "ts": pa.array(ts_vals, pa.timestamp("ns", tz=tz)),
+        "d": pa.array(dec_vals, pa.decimal128(12, 2)),
+    })
+
+
+@pytest.mark.parametrize("codec", ["UNCOMPRESSED", "ZLIB", "SNAPPY",
+                                   "ZSTD", "LZ4"])
+def test_timestamp_decimal_match_orc_cpp(codec):
+    """Raw-stream timestamp/decimal reads == the ORC C++ library's
+    own read-back, across codecs, nulls, multi-stripe, pre/post-2015
+    and pre-1970 values (signed nanoseconds)."""
+    from google_analytics_to_s3_spark.operators.orc_meta import (
+        orc_read_decimal_column,
+        orc_read_timestamp_column,
+    )
+
+    t = _ts_dec_table()
+    buf = pa.BufferOutputStream()
+    orc.write_table(t, buf, compression=codec, stripe_size=4096)
+    data = buf.getvalue().to_pybytes()
+    assert orc_read_timestamp_column(data, "ts") == \
+        t.column("ts").cast(pa.int64()).to_pylist()
+    want_d = [None if v is None else int(v.scaleb(2))
+              for v in t.column("d").to_pylist()]
+    assert orc_read_decimal_column(data, "d") == want_d
+
+
+def test_timestamp_instant_kind18():
+    from google_analytics_to_s3_spark.operators.orc_meta import (
+        orc_read_timestamp_column,
+    )
+
+    t = _ts_dec_table(tz="UTC")
+    buf = pa.BufferOutputStream()
+    orc.write_table(t, buf, compression="ZSTD")
+    data = buf.getvalue().to_pybytes()
+    assert orc_read_timestamp_column(data, "ts") == \
+        t.column("ts").cast(pa.int64()).to_pylist()
+
+
+def test_patched_base_closest_fixed_bits():
+    """Regression for the r12 fix: PATCHED_BASE entries whose
+    gap+patch width falls BETWEEN the RLE width-table entries (e.g.
+    33 → 40) misaligned the patch list — mixed-magnitude nanosecond
+    streams are exactly the trigger."""
+    from google_analytics_to_s3_spark.operators.orc_meta import (
+        orc_read_int_column,
+    )
+
+    # small values with rare ~2^25 outliers force PATCHED_BASE whose
+    # gap+patch width is off the table (verified: the pre-fix raw
+    # pgw+pw read decodes this WRONG, the closestFixedBits read is
+    # exact)
+    rng = random.Random(2)
+    vals = [rng.randrange(0, 16) for _ in range(250)]
+    for i in (5, 99, 200):
+        vals[i] = (1 << 25) + 12345
+    t = pa.table({"v": pa.array(vals, pa.int64())})
+    buf = pa.BufferOutputStream()
+    orc.write_table(t, buf, compression="UNCOMPRESSED")
+    data = buf.getvalue().to_pybytes()
+    assert orc_read_int_column(data, "v") == vals
+
+
+def test_orc_ts_dec_fixture_inverts():
+    from google_analytics_to_s3_spark.operators.orc_meta import (
+        orc_read_decimal_column,
+        orc_read_timestamp_column,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_orc_ts_dec,
+    )
+
+    nanos_menu = (0, 1, 1000, 123000000, 987654321)
+    for seed in (0, 1, 2, 3, 17, 999):
+        data = make_orc_ts_dec(seed)
+        ts = orc_read_timestamp_column(data, "ts")
+        dec = orc_read_decimal_column(data, "d")
+        for i in range(50 + seed % 100):
+            if (seed + i) % 9 == 8:
+                assert ts[i] is None and dec[i] is None
+            else:
+                sec = 1400000000 + (seed * 13 + 7 * i) % 500000000
+                assert ts[i] == sec * 10**9 \
+                    + nanos_menu[(seed + 3 * i) % 5]
+                assert dec[i] == (seed * 7 + 11 * i) % 2000000 - 1000000
+
+
+def test_timestamp_decimal_gates():
+    from google_analytics_to_s3_spark.operators.orc_meta import (
+        orc_read_decimal_column,
+        orc_read_timestamp_column,
+    )
+
+    t = pa.table({"v": pa.array([1, 2], pa.int64())})
+    buf = pa.BufferOutputStream()
+    orc.write_table(t, buf)
+    data = buf.getvalue().to_pybytes()
+    with pytest.raises(ValueError, match="gated"):
+        orc_read_timestamp_column(data, "v")
+    with pytest.raises(ValueError, match="gated"):
+        orc_read_decimal_column(data, "v")
+    with pytest.raises(ValueError, match="no column"):
+        orc_read_timestamp_column(data, "nope")
