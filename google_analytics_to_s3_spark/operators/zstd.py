@@ -38,8 +38,13 @@ literals — so a green test proves this decoder inverts real zstd
 streams, not merely its own fixtures.  XXH64 is implemented from
 the public algorithm and pinned on the published empty-input vector.
 
-Honest gate: frames whose header carries a non-zero Dictionary_ID
-require an external dictionary and raise a named ``ValueError``
+Dictionary frames (r12): RFC 8878 §5 dictionaries — entropy tables
+(Huffman literals + FSE offset/match-length/literals-length), rep
+offsets and window-seeding content — decode via ``parse_zstd_dict``
++ the ``dictionaries={id: bytes}`` parameter, cross-validated
+against frames libzstd compressed with its own ZDICT-trained
+dictionaries at levels 1..22.  A frame whose Dictionary_ID has no
+provided dictionary still raises the named ``ValueError``
 (quarantined by the Arrow wrapper, never garbage).  Untrusted-input
 discipline as in operators/lz4.py / snappy.py: bounds checks,
 output caps, named-error quarantine.  No zstd surface exists in the
@@ -63,7 +68,7 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["xxh64", "decompress_zstd", "parse_zstd_frames",
-           "decode_zstd_meta", "unwrap_zstd"]
+           "parse_zstd_dict", "decode_zstd_meta", "unwrap_zstd"]
 
 _MAGIC = 0xFD2FB528
 _SKIP_MAGIC_LO = 0x184D2A50
@@ -766,9 +771,11 @@ def _decompress_block(data: bytes, ctx: _FrameCtx, window: list[bytearray],
     return out
 
 
-def _decompress_frame(data: bytes, pos: int) -> tuple[bytes, int]:
+def _decompress_frame(data: bytes, pos: int,
+                      dicts: dict | None = None) -> tuple[bytes, int]:
     """Decode one zstd data frame starting at ``pos`` (after magic).
-    Returns (content, new position)."""
+    ``dicts`` maps Dictionary_ID → parsed dictionary
+    (:func:`parse_zstd_dict`).  Returns (content, new position)."""
     if pos >= len(data):
         raise ValueError("zstd: truncated frame header")
     fhd = data[pos]
@@ -790,13 +797,16 @@ def _decompress_frame(data: bytes, pos: int) -> tuple[bytes, int]:
         base = 1 << (10 + exp)
         window_size = base + (base // 8) * mant
     did_len = (0, 1, 2, 4)[did_flag]
+    zdict = None
     if did_len:
         did = int.from_bytes(data[pos:pos + did_len], "little")
         pos += did_len
         if did != 0:
-            raise ValueError(
-                "zstd: frame requires external dictionary "
-                f"(Dictionary_ID={did}) — gated")
+            zdict = (dicts or {}).get(did)
+            if zdict is None:
+                raise ValueError(
+                    "zstd: frame requires external dictionary "
+                    f"(Dictionary_ID={did}) — not provided")
     fcs = None
     fcs_len = (1 if single else 0, 2, 4, 8)[fcs_flag]
     if fcs_len:
@@ -814,7 +824,19 @@ def _decompress_frame(data: bytes, pos: int) -> tuple[bytes, int]:
 
     blocks: list[bytearray] = []
     total = 0
+    seeded = 0
     ctx = _FrameCtx()
+    if zdict is not None:
+        # RFC 8878 §5: the dictionary seeds the window (content is
+        # match history), the entropy tables (usable via the repeat /
+        # treeless modes from the first block) and the rep offsets
+        blocks.append(bytearray(zdict["content"]))
+        total = seeded = len(zdict["content"])
+        ctx.rep = list(zdict["rep"])
+        ctx.huf = zdict["huf"]
+        ctx.ll = zdict["ll"]
+        ctx.of = zdict["of"]
+        ctx.ml = zdict["ml"]
     while True:
         if pos + 3 > len(data):
             raise ValueError("zstd: truncated block header")
@@ -849,11 +871,12 @@ def _decompress_frame(data: bytes, pos: int) -> tuple[bytes, int]:
             raise ValueError("zstd: reserved block type")
         blocks.append(blk)
         total += len(blk)
-        if total > _MAX_OUT:
+        if total - seeded > _MAX_OUT:
             raise ValueError("zstd: output exceeds cap")
         if last:
             break
-    content = b"".join(bytes(b) for b in blocks)
+    content = b"".join(bytes(b) for b in
+                       (blocks[1:] if seeded else blocks))
     if fcs is not None and len(content) != fcs:
         raise ValueError("zstd: frame content size mismatch")
     if checksum:
@@ -866,9 +889,16 @@ def _decompress_frame(data: bytes, pos: int) -> tuple[bytes, int]:
     return content, pos
 
 
-def parse_zstd_frames(raw: bytes) -> tuple[bytes, int]:
+def parse_zstd_frames(raw: bytes,
+                      dictionaries: dict | None = None
+                      ) -> tuple[bytes, int]:
     """Decode a concatenation of zstd data frames and skippable
-    frames.  Returns (content, data frame count)."""
+    frames.  ``dictionaries`` maps Dictionary_ID → raw dictionary
+    bytes (parsed once here).  Returns (content, data frame count)."""
+    dicts = None
+    if dictionaries:
+        dicts = {k: (v if isinstance(v, dict) else parse_zstd_dict(v))
+                 for k, v in dictionaries.items()}
     pos = 0
     parts: list[bytes] = []
     n_frames = 0
@@ -889,7 +919,7 @@ def parse_zstd_frames(raw: bytes) -> tuple[bytes, int]:
             continue
         if magic != _MAGIC:
             raise ValueError("zstd: bad magic number")
-        content, pos = _decompress_frame(raw, pos)
+        content, pos = _decompress_frame(raw, pos, dicts)
         parts.append(content)
         n_frames += 1
     if n_frames == 0:
@@ -897,9 +927,46 @@ def parse_zstd_frames(raw: bytes) -> tuple[bytes, int]:
     return b"".join(parts), n_frames
 
 
-def decompress_zstd(raw: bytes) -> bytes:
-    """Decode ``raw`` (one or more concatenated zstd frames)."""
-    return parse_zstd_frames(raw)[0]
+def decompress_zstd(raw: bytes,
+                    dictionaries: dict | None = None) -> bytes:
+    """Decode ``raw`` (one or more concatenated zstd frames),
+    optionally with external dictionaries keyed by Dictionary_ID."""
+    return parse_zstd_frames(raw, dictionaries)[0]
+
+
+_DICT_MAGIC = 0xEC30A437
+
+
+def parse_zstd_dict(raw: bytes) -> dict:
+    """Parse a zstd dictionary (RFC 8878 §5).  A magic-framed
+    dictionary carries Dictionary_ID, entropy tables (Huffman
+    literals, then FSE offsets / match-lengths / literals-lengths),
+    three 4-byte rep offsets, and the content; anything else is a
+    raw-content dictionary (history only)."""
+    if len(raw) >= 8 and \
+            int.from_bytes(raw[0:4], "little") == _DICT_MAGIC:
+        did = int.from_bytes(raw[4:8], "little")
+        pos = 8
+        huf, used = _huf_read_table(raw[pos:])
+        pos += used
+        of, used = _fse_read_header(raw[pos:], 8, 31)
+        pos += used
+        ml, used = _fse_read_header(raw[pos:], 9, 52)
+        pos += used
+        ll, used = _fse_read_header(raw[pos:], 9, 35)
+        pos += used
+        if pos + 12 > len(raw):
+            raise ValueError("zstd: dictionary missing rep offsets")
+        rep = [int.from_bytes(raw[pos + 4 * i:pos + 4 * i + 4],
+                              "little") for i in range(3)]
+        pos += 12
+        content = raw[pos:]
+        if any(r == 0 or r > len(content) for r in rep):
+            raise ValueError("zstd: dictionary rep offset invalid")
+        return {"dict_id": did, "huf": huf, "of": of, "ml": ml,
+                "ll": ll, "rep": rep, "content": content}
+    return {"dict_id": 0, "huf": None, "of": None, "ml": None,
+            "ll": None, "rep": [1, 4, 8], "content": bytes(raw)}
 
 
 # --------------------------------------------------------------------------
@@ -915,7 +982,8 @@ ZSTD_META_SCHEMA = StructType([
 
 
 def decode_zstd_meta(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    dictionaries: dict | None = None,
 ) -> DataFrame:
     """Arrow ``mapInPandas`` wrapper over :func:`parse_zstd_frames` —
     exact byte sum of the decompressed content plus data-frame count;
@@ -930,7 +998,8 @@ def decode_zstd_meta(
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 rows["doc_id"].append(doc_id)
                 try:
-                    content, nf = parse_zstd_frames(bytes(payload))
+                    content, nf = parse_zstd_frames(bytes(payload),
+                                                    dictionaries)
                     rows["n_frames"].append(nf)
                     rows["content_len"].append(len(content))
                     rows["content_sum"].append(sum(content))
@@ -956,7 +1025,8 @@ def decode_zstd_meta(
 
 
 def unwrap_zstd(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    dictionaries: dict | None = None,
 ) -> DataFrame:
     """Replace a zstd-framed ``payload`` column with its decompressed
     bytes (Arrow ``mapInPandas``, per-payload quarantine via a
@@ -975,7 +1045,8 @@ def unwrap_zstd(
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 ids.append(doc_id)
                 try:
-                    outs.append(parse_zstd_frames(bytes(payload))[0])
+                    outs.append(parse_zstd_frames(bytes(payload),
+                                                   dictionaries)[0])
                     errs.append(None)
                 except (ValueError, IndexError) as e:
                     outs.append(None)

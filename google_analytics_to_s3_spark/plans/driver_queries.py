@@ -3050,7 +3050,7 @@ _DRIVER_PRIORITY = [
     "sales_rollup", "shipping_priority", "simhash", "simhash_dup_pairs",
     # R12_NEW_MARKER
     "parquet_scan_nested", "delta_checkpoint_snapshot",
-    "iceberg_scan_deletes", "orc_scan_timestamps",
+    "iceberg_scan_deletes", "orc_scan_timestamps", "zstd_dict_extract",
     # (queue) rows last driver-checked in r11 (50).
     "bmp_decode", "tiff_decode", "warc_extract", "warc_documents",
     "webdataset_decode", "avi_demux", "avi_decode_av", "zip_extract",

@@ -377,3 +377,71 @@ FROM e
 
 QUERIES_R12["orc_scan_timestamps"] = q_orc_scan_timestamps
 ORACLES_R12["orc_scan_timestamps"] = _ORC_TSDEC_ORACLE
+
+
+def q_zstd_dict_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zstd DICTIONARY frames driver-checked (r12; the Kafka/parquet
+    trained-dictionary shape that previously quarantined): libzstd
+    trains a REAL dictionary (ZDICT via ctypes, deterministic
+    samples) and compresses each event's planted content against it
+    (ZSTD_compress_usingDict, levels 3/9/19) — the pure-Python RFC
+    8878 §5 path (operators/zstd.parse_zstd_dict) parses the entropy
+    tables / rep offsets / content, seeds the frame context, and
+    decodes; every frame provably reaches into the dictionary window
+    (pytest blanks the content and all frames fail).  The oracle
+    replays the planted bytes in closed form.  Lane id % 10 == 8."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.zstd import decode_zstd_meta, parse_zstd_dict
+    from ..testing.fixtures import make_zstd_dict_frame, zstd_training_dict
+
+    dict_bytes = zstd_training_dict()
+    did = parse_zstd_dict(dict_bytes)["dict_id"]
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 8
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_zstd_dict_frame(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_zstd_meta(
+        payloads, dictionaries={did: dict_bytes}).drop("decode_error")
+
+
+def _zstd_dict_oracle_sql() -> str:
+    from ..testing.fixtures import ZSTD_DICT_SENTINEL
+
+    return f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         50 + (event_id % 1000) % 120 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 8
+),
+sums AS (
+  SELECT e.event_id,
+         (SELECT sum((5*e.seed + 13*i.i) % 251)
+          FROM (SELECT unnest(range(0, e.n)) AS i) i) AS s
+  FROM e
+)
+SELECT e.event_id AS doc_id,
+       CAST(1 AS INTEGER) AS n_frames,
+       CAST({len(ZSTD_DICT_SENTINEL)} + e.n AS BIGINT) AS content_len,
+       CAST({sum(ZSTD_DICT_SENTINEL)} + s.s AS BIGINT) AS content_sum
+FROM e JOIN sums s ON s.event_id = e.event_id
+"""
+
+
+QUERIES_R12["zstd_dict_extract"] = q_zstd_dict_extract
+ORACLES_R12["zstd_dict_extract"] = _zstd_dict_oracle_sql()

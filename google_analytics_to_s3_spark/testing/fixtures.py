@@ -7369,3 +7369,92 @@ def make_orc_ts_dec(seed: int) -> bytes:
         compression=["UNCOMPRESSED", "ZLIB", "SNAPPY",
                      "ZSTD"][seed % 4])
     return buf.getvalue().to_pybytes()
+
+
+# --------------------------------------------------------------------------
+# zstd dictionary frames (r12).  libzstd (baked into this environment,
+# loaded via ctypes) is the PRODUCER: ZDICT trains a real dictionary
+# over deterministic samples, ZSTD_compress_usingDict emits real
+# dictionary frames; the engine's pure-Python RFC 8878 path is the
+# consumer under test.
+
+ZSTD_DICT_SENTINEL = (
+    b"--spark-graft-zstd-dict-sentinel:the-common-prefix-all-docs-"
+    b"see-")
+assert len(ZSTD_DICT_SENTINEL) == 64
+
+
+def _zstd_lib():
+    import ctypes
+    import ctypes.util
+
+    name = ctypes.util.find_library("zstd")
+    if name is None:
+        raise RuntimeError("libzstd not available in this environment")
+    z = ctypes.CDLL(name)
+    z.ZDICT_trainFromBuffer.restype = ctypes.c_size_t
+    z.ZDICT_isError.restype = ctypes.c_uint
+    z.ZSTD_compressBound.restype = ctypes.c_size_t
+    z.ZSTD_isError.restype = ctypes.c_uint
+    z.ZSTD_createCCtx.restype = ctypes.c_void_p
+    z.ZSTD_compress_usingDict.restype = ctypes.c_size_t
+    z.ZSTD_compress_usingDict.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int]
+    return z, ctypes
+
+
+def zstd_dict_content(seed: int) -> bytes:
+    """The planted payload for ``zstd_dict_extract`` (replayed in
+    closed form by the oracle): the 64-byte sentinel + ``n = 50 +
+    seed % 120`` bytes of ``(5*seed + 13*i) % 251``."""
+    n = 50 + seed % 120
+    return ZSTD_DICT_SENTINEL + bytes(
+        (5 * seed + 13 * i) % 251 for i in range(n))
+
+
+_ZSTD_DICT_CACHE: "list[bytes | None]" = [None]
+
+
+def zstd_training_dict() -> bytes:
+    """A REAL zstd dictionary trained by libzstd's ZDICT over
+    deterministic samples sharing the sentinel prefix (so frames
+    compressed against it match into the dictionary window)."""
+    if _ZSTD_DICT_CACHE[0] is None:
+        z, ctypes = _zstd_lib()
+        samples = [zstd_dict_content(s) for s in range(400)]
+        blob = b"".join(samples)
+        sizes = (ctypes.c_size_t * len(samples))(
+            *[len(x) for x in samples])
+        buf = ctypes.create_string_buffer(16 * 1024)
+        n = z.ZDICT_trainFromBuffer(
+            buf, ctypes.c_size_t(len(buf)), blob, sizes,
+            ctypes.c_uint(len(samples)))
+        if z.ZDICT_isError(ctypes.c_size_t(n)):
+            raise RuntimeError("ZDICT training failed")
+        _ZSTD_DICT_CACHE[0] = buf.raw[:n]
+    return _ZSTD_DICT_CACHE[0]
+
+
+def make_zstd_dict_frame(seed: int) -> bytes:
+    """One REAL dictionary frame: libzstd compresses
+    :func:`zstd_dict_content` against :func:`zstd_training_dict`
+    (level 3/9/19 by ``seed % 3``), stamping the trained
+    Dictionary_ID into the frame header."""
+    z, ctypes = _zstd_lib()
+    d = zstd_training_dict()
+    msg = zstd_dict_content(seed)
+    bound = z.ZSTD_compressBound(ctypes.c_size_t(len(msg)))
+    out = ctypes.create_string_buffer(bound)
+    cctx = z.ZSTD_createCCtx()
+    try:
+        n = z.ZSTD_compress_usingDict(
+            cctx, out, ctypes.c_size_t(bound),
+            msg, ctypes.c_size_t(len(msg)),
+            d, ctypes.c_size_t(len(d)), (3, 9, 19)[seed % 3])
+        if z.ZSTD_isError(ctypes.c_size_t(n)):
+            raise RuntimeError("ZSTD_compress_usingDict failed")
+        return out.raw[:n]
+    finally:
+        z.ZSTD_freeCCtx(ctypes.c_void_p(cctx))

@@ -230,3 +230,98 @@ def test_rle_and_raw_blocks_hand_framed():
     frame += ((8 << 3) | 1).to_bytes(3, "little")  # raw, 8, last
     frame += b"yzyzyzyz"
     assert decompress_zstd(bytes(frame)) == b"xxxxx" + b"yzyzyzyz"
+
+
+# --------------------------------------------------------------------------
+# r12: RFC 8878 §5 dictionary frames, cross-validated against
+# libzstd's own ZDICT-trained dictionaries.
+
+
+def _libzstd_available() -> bool:
+    import ctypes.util
+
+    return ctypes.util.find_library("zstd") is not None
+
+
+@pytest.mark.skipif(not _libzstd_available(),
+                    reason="libzstd not loadable via ctypes")
+def test_dictionary_frames_cross_validated():
+    from google_analytics_to_s3_spark.operators.zstd import (
+        decompress_zstd,
+        parse_zstd_dict,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_zstd_dict_frame,
+        zstd_dict_content,
+        zstd_training_dict,
+    )
+
+    d = zstd_training_dict()
+    pd_ = parse_zstd_dict(d)
+    assert pd_["dict_id"] != 0
+    for seed in range(0, 120, 7):
+        frame = make_zstd_dict_frame(seed)
+        assert decompress_zstd(frame, {pd_["dict_id"]: d}) == \
+            zstd_dict_content(seed)
+
+
+@pytest.mark.skipif(not _libzstd_available(),
+                    reason="libzstd not loadable via ctypes")
+def test_dictionary_window_actually_used():
+    """Blanking the dictionary CONTENT (keeping tables + rep offsets)
+    must break every frame — proof the frames match into the
+    dictionary window rather than merely carrying its id."""
+    from google_analytics_to_s3_spark.operators.zstd import (
+        decompress_zstd,
+        parse_zstd_dict,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_zstd_dict_frame,
+        zstd_dict_content,
+        zstd_training_dict,
+    )
+
+    d = zstd_training_dict()
+    pd_ = parse_zstd_dict(d)
+    blank = dict(pd_)
+    blank["content"] = b"\x00" * len(pd_["content"])
+    broken = 0
+    for seed in range(20):
+        frame = make_zstd_dict_frame(seed)
+        try:
+            if decompress_zstd(frame, {pd_["dict_id"]: blank}) != \
+                    zstd_dict_content(seed):
+                broken += 1
+        except ValueError:
+            broken += 1
+    assert broken == 20
+
+
+@pytest.mark.skipif(not _libzstd_available(),
+                    reason="libzstd not loadable via ctypes")
+def test_dictionary_gate_without_dict():
+    from google_analytics_to_s3_spark.operators.zstd import (
+        decompress_zstd,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_zstd_dict_frame,
+    )
+
+    with pytest.raises(ValueError, match="Dictionary_ID"):
+        decompress_zstd(make_zstd_dict_frame(1))
+
+
+def test_parse_dict_raw_content_and_corrupt():
+    from google_analytics_to_s3_spark.operators.zstd import (
+        parse_zstd_dict,
+    )
+
+    raw = parse_zstd_dict(b"just history bytes")
+    assert raw["dict_id"] == 0
+    assert raw["content"] == b"just history bytes"
+    assert raw["huf"] is None
+    # magic + garbage entropy section quarantines
+    bad = (0xEC30A437).to_bytes(4, "little") + (7).to_bytes(4, "little") \
+        + b"\xff" * 4
+    with pytest.raises(ValueError):
+        parse_zstd_dict(bad)
