@@ -43,9 +43,12 @@ record assembly, ``parquet_read_list_column``) — and arbitrary
 nesting (structs, multi-level lists, maps, any composition)
 assembles via the general Dremel algorithm in
 ``parquet_read_nested`` (r12), exact-matched against parquet-cpp.
+INT96 legacy timestamps decode to int64 ns since the Unix epoch
+(Julian-day + nanos-of-day layout); LZ4_RAW pages decode through
+operators/lz4.py.
 
-Honest gates (named ValueError, quarantined by wrappers): INT96,
-LZO/BROTLI/LZ4 codecs, encrypted files.
+Honest gates (named ValueError, quarantined by wrappers): LZO /
+BROTLI / legacy Hadoop-framed LZ4 codecs, encrypted files.
 """
 
 from __future__ import annotations
@@ -67,7 +70,7 @@ __all__ = ["thrift_compact_struct", "parquet_file_meta",
            "parquet_read_column", "parquet_read_list_column",
            "parquet_read_nested", "decode_parquet_meta",
            "decode_parquet_column_sum", "decode_parquet_list_sum",
-           "decode_parquet_nested_stats"]
+           "decode_parquet_nested_stats", "decode_parquet_ts96"]
 
 _MAGIC = b"PAR1"
 
@@ -491,6 +494,11 @@ def _decompress_page(codec: int, data: bytes, uncompressed: int) -> bytes:
         from .zstd import decompress_zstd
 
         return decompress_zstd(data)
+    if codec == 7:  # LZ4_RAW (parquet-format 2.9+; one raw LZ4 block)
+        from .lz4 import _decode_lz4_block
+
+        out = _decode_lz4_block(data, uncompressed)
+        return bytes(out)
     raise ValueError(
         f"parquet: codec {_CODEC_NAMES.get(codec, codec)} gated")
 
@@ -532,6 +540,22 @@ def _plain_values(ptype: int, data: bytes, n: int,
             raise ValueError("parquet: PLAIN FLBA overrun")
         return [bytes(data[i * type_length:(i + 1) * type_length])
                 for i in range(n)]
+    if ptype == _PT_INT96:
+        # legacy Hive/Impala/Spark timestamps: 8-byte LE nanos-of-day
+        # + 4-byte LE Julian day; decoded to int64 ns since Unix epoch
+        # (Julian day 2440588 = 1970-01-01)
+        if len(data) < 12 * n:
+            raise ValueError("parquet: PLAIN INT96 overrun")
+        out = []
+        for i in range(n):
+            # both halves signed: parquet-cpp emits negative
+            # nanos-of-day (two's complement) for pre-1970 values
+            nanos = int.from_bytes(data[12 * i:12 * i + 8], "little",
+                                   signed=True)
+            jday = int.from_bytes(data[12 * i + 8:12 * i + 12],
+                                  "little", signed=True)
+            out.append((jday - 2440588) * 86_400_000_000_000 + nanos)
+        return out
     raise ValueError(f"parquet: PLAIN decode for type {ptype} gated")
 
 
@@ -542,7 +566,7 @@ def parquet_read_column(data: bytes, column: str) -> list:
     family, BYTE_STREAM_SPLIT) with definition levels; nulls come
     back as None.  Nested columns route to
     :func:`parquet_read_nested` / :func:`parquet_read_list_column`;
-    the real gates are INT96, LZO/BROTLI/LZ4 codecs and encrypted
+    the real gates are LZO/BROTLI/legacy-LZ4 codecs and encrypted
     files."""
     import struct as _struct
 
@@ -997,9 +1021,6 @@ def _read_nested(data: bytes, column: str) -> list:
     _logical_paths(col_node, [], [column], leaf_specs, map_prefixes)
     if not leaf_specs:
         raise ValueError("parquet: column has no leaves")
-    for _steps, _path, leaf_el in leaf_specs:
-        if leaf_el.get("type") == _PT_INT96:
-            raise ValueError("parquet: INT96 gated")
     records: list = []
     for rg in meta["row_groups"]:
         nrows = rg["num_rows"]
@@ -1348,3 +1369,57 @@ def decode_parquet_nested_stats(
 
     return df.select(id_col, payload_col).mapInPandas(
         _run, schema=PARQUET_NESTED_SCHEMA)
+
+
+PARQUET_TS96_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_values", LongType()),
+    StructField("n_nulls", LongType()),
+    StructField("ts_min_ns", LongType()),
+    StructField("ts_max_ns", LongType()),
+    StructField("ts_subsec", LongType()),
+    StructField("subsec_sum", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_parquet_ts96(
+    df: DataFrame, column: str,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over :func:`parquet_read_column`
+    for a legacy INT96 timestamp column — range and sub-second
+    tallies (int64-safe, as in orc_meta.decode_orc_ts_dec)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("n_values", "n_nulls", "ts_min_ns", "ts_max_ns",
+                "ts_subsec", "subsec_sum")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    vals = parquet_read_column(bytes(payload), column)
+                    pts = [v for v in vals if v is not None]
+                    subs = [v % 1_000_000_000 for v in pts]
+                    rows["n_values"].append(len(vals))
+                    rows["n_nulls"].append(len(vals) - len(pts))
+                    rows["ts_min_ns"].append(min(pts) if pts else None)
+                    rows["ts_max_ns"].append(max(pts) if pts else None)
+                    rows["ts_subsec"].append(sum(1 for v in subs if v))
+                    rows["subsec_sum"].append(sum(subs))
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k], dtype="Int64") for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=PARQUET_TS96_SCHEMA)

@@ -445,3 +445,78 @@ FROM e JOIN sums s ON s.event_id = e.event_id
 
 QUERIES_R12["zstd_dict_extract"] = q_zstd_dict_extract
 ORACLES_R12["zstd_dict_extract"] = _zstd_dict_oracle_sql()
+
+
+def q_parquet_scan_int96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy INT96 timestamps driver-checked (r12; the Hive/Spark-1.x
+    layout real lakehouses still carry): per event a parquet-cpp file
+    written with ``use_deprecated_int96_timestamps`` — Julian day +
+    SIGNED nanos-of-day, decoded to int64 ns since the Unix epoch by
+    the raw reader (gate opened this round; pre-1970 rows planted),
+    across none/snappy/gzip/zstd/LZ4_RAW pages (the LZ4_RAW codec
+    gate also opened this round), v1+v2 pages, dictionary on/off.
+    The oracle replays range and sub-second tallies in closed form.
+    Lane id % 10 == 6."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.parquet_raw import decode_parquet_ts96
+    from ..testing.fixtures import make_parquet_int96
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 6
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_parquet_int96(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_parquet_ts96(payloads, "ts").drop("decode_error")
+
+
+_PARQUET_INT96_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         40 + (event_id % 1000) % 80 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 6
+),
+rows_ AS (
+  SELECT e.event_id, i.i,
+         (e.seed + i.i) % 9 = 8 AS is_null,
+         1300000000 + (e.seed*11 + 13*i.i) % 700000000
+           - CASE WHEN (e.seed + i.i) % 7 = 3
+                  THEN 1600000000 ELSE 0 END AS sec,
+         CASE (e.seed + 3*i.i) % 5
+           WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1000
+           WHEN 3 THEN 123000000 ELSE 987654321 END AS nanos
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+),
+live AS (SELECT * FROM rows_ WHERE NOT is_null)
+SELECT e.event_id AS doc_id,
+       CAST(e.n AS BIGINT) AS n_values,
+       CAST((SELECT count(*) FROM rows_ r
+              WHERE r.event_id = e.event_id AND r.is_null)
+            AS BIGINT) AS n_nulls,
+       CAST((SELECT min(l.sec * 1000000000 + l.nanos) FROM live l
+              WHERE l.event_id = e.event_id) AS BIGINT) AS ts_min_ns,
+       CAST((SELECT max(l.sec * 1000000000 + l.nanos) FROM live l
+              WHERE l.event_id = e.event_id) AS BIGINT) AS ts_max_ns,
+       CAST((SELECT count(*) FROM live l
+              WHERE l.event_id = e.event_id AND l.nanos > 0)
+            AS BIGINT) AS ts_subsec,
+       CAST((SELECT sum(l.nanos) FROM live l
+              WHERE l.event_id = e.event_id) AS BIGINT) AS subsec_sum
+FROM e
+"""
+
+QUERIES_R12["parquet_scan_int96"] = q_parquet_scan_int96
+ORACLES_R12["parquet_scan_int96"] = _PARQUET_INT96_ORACLE

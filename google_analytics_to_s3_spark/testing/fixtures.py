@@ -7458,3 +7458,45 @@ def make_zstd_dict_frame(seed: int) -> bytes:
         return out.raw[:n]
     finally:
         z.ZSTD_freeCCtx(ctypes.c_void_p(cctx))
+
+
+def make_parquet_int96(seed: int) -> bytes:
+    """Deterministic parquet bytes with a legacy INT96 timestamp
+    column for the ``parquet_scan_int96`` driver query (written by
+    parquet-cpp with ``use_deprecated_int96_timestamps`` — the
+    Hive/Spark-1.x layout real lakehouses still carry).
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - ``n = 40 + seed % 80`` rows; row ``i`` NULL when
+      ``(seed + i) % 9 == 8``
+    - seconds ``1300000000 + (seed*11 + 13*i) % 700000000``, minus
+      ``1600000000`` (pre-1970) when ``(seed + i) % 7 == 3``; nanos
+      ``[0, 1, 1000, 123000000, 987654321][(seed + 3*i) % 5]``
+    - codec none/snappy/gzip/zstd/lz4 by ``seed % 5``; v2 pages when
+      ``seed % 3 == 0``; dictionary when ``seed % 5 < 2``
+    """
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    n = 40 + seed % 80
+    menu = (0, 1, 1000, 123000000, 987654321)
+    vals = []
+    for i in range(n):
+        if (seed + i) % 9 == 8:
+            vals.append(None)
+            continue
+        sec = 1300000000 + (seed * 11 + 13 * i) % 700000000
+        if (seed + i) % 7 == 3:
+            sec -= 1600000000
+        vals.append(sec * 1_000_000_000 + menu[(seed + 3 * i) % 5])
+    t = _pa.table({"ts": _pa.array(vals, _pa.timestamp("ns"))})
+    buf = _pa.BufferOutputStream()
+    kw = dict(
+        use_deprecated_int96_timestamps=True,
+        compression=["none", "snappy", "gzip", "zstd", "lz4"][seed % 5],
+        use_dictionary=(seed % 5 < 2))
+    if seed % 3 == 0:
+        kw["data_page_version"] = "2.0"
+    _pq.write_table(t, buf, **kw)
+    return buf.getvalue().to_pybytes()

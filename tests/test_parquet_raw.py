@@ -452,17 +452,44 @@ def test_nested_fixture_exact_match():
         assert parquet_read_nested(data, "v") == want
 
 
-def test_nested_int96_gated():
-    import pandas as pd
-
-    t = pa.Table.from_pandas(pd.DataFrame(
-        {"v": pd.to_datetime(["2020-01-01", "2021-06-01"])}))
-    data = _pq_bytes(t, use_deprecated_int96_timestamps=True)
+@pytest.mark.parametrize("comp", ["none", "snappy", "zstd", "lz4",
+                                  "gzip"])
+def test_int96_timestamps_match_pyarrow(comp):
+    """Legacy Hive/Spark INT96 timestamps (Julian day + SIGNED
+    nanos-of-day) decode to int64 ns since the Unix epoch — gate
+    opened r12, cross-validated against parquet-cpp's own read-back
+    incl. pre-1970 values and LZ4_RAW pages."""
     from google_analytics_to_s3_spark.operators.parquet_raw import (
+        parquet_read_column,
         parquet_read_nested,
     )
-    with pytest.raises(ValueError, match="INT96"):
-        parquet_read_nested(data, "v")
+
+    ts_vals = [1577882096_789_000_123, -1_000_000_000, 0,
+               1420070400_000_000_000, -(10**15) + 123,
+               86_399_999_999_999, None]
+    t = pa.table({"v": pa.array(ts_vals, pa.timestamp("ns"))})
+    for dic in (True, False):
+        data = _pq_bytes(t, use_deprecated_int96_timestamps=True,
+                         compression=comp, use_dictionary=dic)
+        want = pq.read_table(pa.BufferReader(data)) \
+            .column("v").cast(pa.int64()).to_pylist()
+        assert parquet_read_column(data, "v") == want
+        assert parquet_read_nested(data, "v") == want
+
+
+def test_lz4_raw_pages_match_pyarrow():
+    from google_analytics_to_s3_spark.operators.parquet_raw import (
+        parquet_read_column,
+    )
+
+    t = pa.table({
+        "v": pa.array(list(range(5000)) + [None] * 50, pa.int64()),
+        "s": pa.array([f"x{i % 97}" for i in range(5050)], pa.string()),
+    })
+    data = _pq_bytes(t, compression="lz4")
+    assert parquet_read_column(data, "v") == t.column("v").to_pylist()
+    assert parquet_read_column(data, "s") == \
+        [x.encode() for x in t.column("s").to_pylist()]
 
 
 def test_nested_unknown_column_named():

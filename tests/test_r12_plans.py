@@ -18,6 +18,7 @@ from google_analytics_to_s3_spark.plans import driver_queries as dq
 from .conftest import SF_SMOKE
 
 _R12_EXTRACT_QUERIES = [
+    "parquet_scan_int96",
     "parquet_scan_nested",
     "delta_checkpoint_snapshot",
     "iceberg_scan_deletes",
