@@ -46,7 +46,8 @@ __all__ = ["pb_message", "parse_orc_meta", "decode_orc_meta",
            "rlev2_decode", "orc_read_int_column",
            "decode_orc_column_sum", "orc_read_string_column",
            "decode_orc_string_sum", "orc_read_timestamp_column",
-           "orc_read_decimal_column", "decode_orc_ts_dec"]
+           "orc_read_decimal_column", "decode_orc_ts_dec",
+           "orc_read_nested_column", "decode_orc_nested_stats"]
 
 _MAX_SECTION = 64 * 1024 * 1024
 
@@ -1057,3 +1058,198 @@ def decode_orc_ts_dec(
 
     return df.select(id_col, payload_col).mapInPandas(
         _run, schema=ORC_TSDEC_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Nested columns (r12): struct / list / map composed over the same
+# stream decoders.  ORC nests by COLUMN TREE (each child is its own
+# column id): a STRUCT child carries one slot per present struct, a
+# LIST/MAP column adds a LENGTH stream (unsigned RLEv2) and its
+# children carry the flattened elements (orc-format spec §Column
+# Encodings).
+
+
+def _stripe_nested_value(data: bytes, meta: dict, st: dict,
+                         col_id: int, count: int) -> list:
+    """Materialize ``count`` slots of column ``col_id`` within one
+    stripe, recursing into children for compound kinds."""
+    import struct as _struct
+
+    types = meta["types"]
+    kind = types[col_id]["kind"]
+    comp = meta["compression"]
+    streams, enc_kind, dict_size = _stripe_column_streams(
+        data, comp, st, col_id)
+    present = (_bool_rle(streams[0], count) if 0 in streams
+               else [1] * count)
+    nvals = sum(present)
+
+    def weave(vals: list) -> list:
+        it = iter(vals)
+        return [next(it) if p else None for p in present]
+
+    if kind == 12:  # STRUCT
+        names = types[col_id]["field_names"]
+        kids = [
+            _stripe_nested_value(data, meta, st, child, nvals)
+            for child in types[col_id]["subtypes"]]
+        vals = [dict(zip(names, row)) for row in zip(*kids)] \
+            if kids else [{} for _ in range(nvals)]
+        return weave(vals)
+    if kind in (10, 11):  # LIST / MAP
+        lengths = rlev2_decode(streams.get(2, b""), nvals,
+                               signed=False)
+        total = sum(lengths)
+        subs = types[col_id]["subtypes"]
+        if kind == 10:
+            if len(subs) != 1:
+                raise ValueError("orc: malformed list type")
+            elems = _stripe_nested_value(data, meta, st, subs[0],
+                                         total)
+            vals = []
+            at = 0
+            for ln in lengths:
+                vals.append(elems[at:at + ln])
+                at += ln
+            return weave(vals)
+        if len(subs) != 2:
+            raise ValueError("orc: malformed map type")
+        keys = _stripe_nested_value(data, meta, st, subs[0], total)
+        mvals = _stripe_nested_value(data, meta, st, subs[1], total)
+        vals = []
+        at = 0
+        for ln in lengths:
+            vals.append(dict(zip(keys[at:at + ln],
+                                 mvals[at:at + ln])))
+            at += ln
+        return weave(vals)
+    if kind == 0:  # BOOLEAN
+        return weave([bool(b) for b in _bool_rle(streams.get(1, b""),
+                                                 nvals)])
+    if kind in (2, 3, 4, 15):  # SHORT/INT/LONG/DATE
+        return weave(rlev2_decode(streams.get(1, b""), nvals,
+                                  signed=True))
+    if kind in (5, 6):  # FLOAT/DOUBLE
+        width, fmt = (4, "f") if kind == 5 else (8, "d")
+        blob = streams.get(1, b"")
+        if len(blob) < nvals * width:
+            raise ValueError("orc: floating DATA stream short")
+        return weave(list(_struct.unpack_from(f"<{nvals}{fmt}",
+                                              blob, 0)))
+    if kind in (7, 16, 17, 8):  # STRING/VARCHAR/CHAR/BINARY
+        as_bytes = kind == 8
+        if enc_kind in (2, 0):  # DIRECT(_V2)
+            lens = rlev2_decode(streams.get(2, b""), nvals,
+                                signed=False)
+            blob = streams.get(1, b"")
+            vals = []
+            at = 0
+            for ln in lens:
+                if ln < 0 or at + ln > len(blob):
+                    raise ValueError("orc: string data overrun")
+                seg = blob[at:at + ln]
+                vals.append(bytes(seg) if as_bytes
+                            else seg.decode("utf-8", "replace"))
+                at += ln
+            return weave(vals)
+        if enc_kind in (3, 1):  # DICTIONARY(_V2)
+            lens = rlev2_decode(streams.get(2, b""), dict_size,
+                                signed=False)
+            blob = streams.get(3, b"")
+            dic = []
+            at = 0
+            for ln in lens:
+                if ln < 0 or at + ln > len(blob):
+                    raise ValueError("orc: dictionary data overrun")
+                seg = blob[at:at + ln]
+                dic.append(bytes(seg) if as_bytes
+                           else seg.decode("utf-8", "replace"))
+                at += ln
+            idx = rlev2_decode(streams.get(1, b""), nvals,
+                               signed=False)
+            try:
+                return weave([dic[i] for i in idx])
+            except IndexError:
+                raise ValueError(
+                    "orc: dictionary index out of range") from None
+        raise ValueError(f"orc: string encoding {enc_kind} gated")
+    raise ValueError(f"orc: nested column kind {kind} gated")
+
+
+def orc_read_nested_column(data: bytes, column: str) -> list:
+    """Materialize an arbitrarily nested top-level ``column`` from raw
+    ORC bytes — struct → dict, list → list, map → dict, across all
+    chunk codecs and multi-stripe layouts.  TIMESTAMP/DECIMAL inside
+    nesting and BYTE/UNION remain named gates (use the flat readers
+    for top-level timestamp/decimal)."""
+    meta = parse_orc_meta(data)
+    types = meta["types"]
+    if not types or types[0]["kind"] != 12:
+        raise ValueError("orc: root is not a struct")
+    try:
+        field_ix = types[0]["field_names"].index(column)
+    except ValueError:
+        raise ValueError(f"orc: no column {column!r}") from None
+    col_id = types[0]["subtypes"][field_ix]
+    out: list = []
+    for st in meta["stripes"]:
+        out.extend(_stripe_nested_value(data, meta, st, col_id,
+                                        st["num_rows"] or 0))
+    return out
+
+
+ORC_NESTED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_rows", LongType()),
+    StructField("n_null_rows", LongType()),
+    StructField("a_sum", LongType()),
+    StructField("n_tags", LongType()),
+    StructField("tags_chars", LongType()),
+    StructField("pts_n", LongType()),
+    StructField("x_sum", LongType()),
+    StructField("y_nulls", LongType()),
+    StructField("m_entries", LongType()),
+    StructField("m_val_sum", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_orc_nested_stats(
+    df: DataFrame, column: str = "v",
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over
+    :func:`orc_read_nested_column` for the shared struct{a, tags,
+    pts, m} nested-fixture shape (same tallies as the parquet twin —
+    both readers materialize the identical representation)."""
+    from .parquet_raw import nested_struct_tallies
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("n_rows", "n_null_rows", "a_sum", "n_tags",
+                "tags_chars", "pts_n", "x_sum", "y_nulls",
+                "m_entries", "m_val_sum")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    recs = orc_read_nested_column(bytes(payload),
+                                                  column)
+                    t = nested_struct_tallies(recs)
+                    for k in cols:
+                        rows[k].append(t[k])
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, TypeError, KeyError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k], dtype="Int64") for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=ORC_NESTED_SCHEMA)

@@ -70,7 +70,8 @@ __all__ = ["thrift_compact_struct", "parquet_file_meta",
            "parquet_read_column", "parquet_read_list_column",
            "parquet_read_nested", "decode_parquet_meta",
            "decode_parquet_column_sum", "decode_parquet_list_sum",
-           "decode_parquet_nested_stats", "decode_parquet_ts96"]
+           "decode_parquet_nested_stats", "decode_parquet_ts96",
+           "nested_struct_tallies"]
 
 _MAGIC = b"PAR1"
 
@@ -1311,6 +1312,29 @@ PARQUET_NESTED_SCHEMA = StructType([
 ])
 
 
+def nested_struct_tallies(recs: list) -> dict:
+    """Tallies for the shared struct{a, tags, pts, m} nested-fixture
+    shape — used by the parquet AND orc nested driver queries (both
+    readers materialize the identical dict/list representation)."""
+    live = [r for r in recs if r is not None]
+    tags = [t for r in live if r["tags"] is not None
+            for t in r["tags"]]
+    pts = [p for r in live for p in r["pts"]]
+    ments = [v for r in live for v in r["m"].values()]
+    return {
+        "n_rows": len(recs),
+        "n_null_rows": len(recs) - len(live),
+        "a_sum": sum(r["a"] for r in live if r["a"] is not None),
+        "n_tags": len(tags),
+        "tags_chars": sum(len(t) for t in tags if t is not None),
+        "pts_n": len(pts),
+        "x_sum": sum(p["x"] for p in pts),
+        "y_nulls": sum(1 for p in pts if p["y"] is None),
+        "m_entries": len(ments),
+        "m_val_sum": sum(v for v in ments if v is not None),
+    }
+
+
 def decode_parquet_nested_stats(
     df: DataFrame, column: str = "v",
     id_col: str = "doc_id", payload_col: str = "payload",
@@ -1333,28 +1357,9 @@ def decode_parquet_nested_stats(
                 rows["doc_id"].append(doc_id)
                 try:
                     recs = parquet_read_nested(bytes(payload), column)
-                    live = [r for r in recs if r is not None]
-                    tags = [t for r in live if r["tags"] is not None
-                            for t in r["tags"]]
-                    pts = [p for r in live for p in r["pts"]]
-                    ments = [v for r in live for v in r["m"].values()]
-                    rows["n_rows"].append(len(recs))
-                    rows["n_null_rows"].append(
-                        len(recs) - len(live))
-                    rows["a_sum"].append(
-                        sum(r["a"] for r in live
-                            if r["a"] is not None))
-                    rows["n_tags"].append(len(tags))
-                    rows["tags_chars"].append(
-                        sum(len(t) for t in tags if t is not None))
-                    rows["pts_n"].append(len(pts))
-                    rows["x_sum"].append(
-                        sum(p["x"] for p in pts))
-                    rows["y_nulls"].append(
-                        sum(1 for p in pts if p["y"] is None))
-                    rows["m_entries"].append(len(ments))
-                    rows["m_val_sum"].append(
-                        sum(v for v in ments if v is not None))
+                    t = nested_struct_tallies(recs)
+                    for k in cols:
+                        rows[k].append(t[k])
                     rows["decode_error"].append(None)
                 except (ValueError, IndexError) as e:
                     for k in cols:

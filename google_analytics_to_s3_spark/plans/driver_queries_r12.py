@@ -66,11 +66,11 @@ def q_parquet_scan_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_parquet_nested_stats(payloads, "v").drop("decode_error")
 
 
-_PARQUET_NESTED_ORACLE = f"""
+_NESTED_ORACLE_TEMPLATE = """
 WITH e AS (
   SELECT event_id, event_id % 1000 AS seed,
          40 + (event_id % 1000) % 80 AS n
-  FROM events WHERE event_id % {_FLAC_MOD} = 5
+  FROM events WHERE event_id % {mod} = {lane}
 ),
 rows_ AS (
   SELECT e.event_id, e.seed, i.i,
@@ -130,7 +130,8 @@ LEFT JOIN ments m ON m.event_id = e.event_id
 """
 
 QUERIES_R12["parquet_scan_nested"] = q_parquet_scan_nested
-ORACLES_R12["parquet_scan_nested"] = _PARQUET_NESTED_ORACLE
+ORACLES_R12["parquet_scan_nested"] = _NESTED_ORACLE_TEMPLATE.format(
+    mod=_FLAC_MOD, lane=5)
 
 
 def q_delta_checkpoint_snapshot(spark: SparkSession,
@@ -520,3 +521,45 @@ FROM e
 
 QUERIES_R12["parquet_scan_int96"] = q_parquet_scan_int96
 ORACLES_R12["parquet_scan_int96"] = _PARQUET_INT96_ORACLE
+
+
+def q_orc_scan_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC NESTED columns driver-checked (r12): the SAME planted
+    struct{a, tags: list<string>, pts: list<struct>, m: map} rows as
+    ``parquet_scan_nested``, written by the Apache ORC C++ writer and
+    rebuilt by the recursive column-tree materializer
+    (operators/orc_meta.orc_read_nested_column — PRESENT bool-RLE at
+    every level, LENGTH RLEv2 for lists/maps, string DIRECT/
+    DICTIONARY leaves, 5 chunk codecs).  One closed-form oracle thus
+    exercises two independent byte paths; pytest additionally pins
+    the ORC and parquet readers record-for-record equal on every
+    seed.  Lane id % 10 == 3."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.orc_meta import decode_orc_nested_stats
+    from ..testing.fixtures import make_orc_nested
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 3
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_orc_nested(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_orc_nested_stats(payloads, "v").drop("decode_error")
+
+
+QUERIES_R12["orc_scan_nested"] = q_orc_scan_nested
+ORACLES_R12["orc_scan_nested"] = _NESTED_ORACLE_TEMPLATE.format(
+    mod=_FLAC_MOD, lane=3)

@@ -6942,6 +6942,33 @@ def make_parquet_lists(seed: int) -> bytes:
     return buf.getvalue().to_pybytes()
 
 
+def _nested_fixture_rows(seed: int) -> list:
+    """The shared struct{a, tags, pts, m} planted rows used by BOTH
+    the parquet and orc nested driver queries (one oracle, two byte
+    paths)."""
+    n = 40 + seed % 80
+    rows = []
+    for i in range(n):
+        if (seed + 5 * i) % 7 == 0:
+            rows.append(None)
+            continue
+        a = None if i % 5 == 3 else (seed * 3 + 11 * i) % 1000
+        if (seed + i) % 6 == 0:
+            tags = None
+        else:
+            tags = [None if (i + j) % 5 == 4
+                    else "t" + str((seed + 7 * i + 3 * j) % 50)
+                    for j in range((seed + 2 * i) % 4)]
+        pts = [{"x": (seed + 13 * i + 7 * k) % 500,
+                "y": None if (i + k) % 3 == 0 else (i * k) % 100}
+               for k in range((seed + 3 * i) % 3)]
+        m = [("k" + str(e),
+              None if (i + e) % 7 == 6 else (seed + 9 * i + 4 * e) % 300)
+             for e in range((seed + i) % 3)]
+        rows.append({"a": a, "tags": tags, "pts": pts, "m": m})
+    return rows
+
+
 def make_parquet_nested(seed: int) -> bytes:
     """Deterministic parquet bytes with a fully NESTED column for the
     ``parquet_scan_nested`` driver query (written by parquet-cpp; the
@@ -6970,26 +6997,7 @@ def make_parquet_nested(seed: int) -> bytes:
     import pyarrow as _pa
     import pyarrow.parquet as _pq
 
-    n = 40 + seed % 80
-    rows = []
-    for i in range(n):
-        if (seed + 5 * i) % 7 == 0:
-            rows.append(None)
-            continue
-        a = None if i % 5 == 3 else (seed * 3 + 11 * i) % 1000
-        if (seed + i) % 6 == 0:
-            tags = None
-        else:
-            tags = [None if (i + j) % 5 == 4
-                    else "t" + str((seed + 7 * i + 3 * j) % 50)
-                    for j in range((seed + 2 * i) % 4)]
-        pts = [{"x": (seed + 13 * i + 7 * k) % 500,
-                "y": None if (i + k) % 3 == 0 else (i * k) % 100}
-               for k in range((seed + 3 * i) % 3)]
-        m = [("k" + str(e),
-              None if (i + e) % 7 == 6 else (seed + 9 * i + 4 * e) % 300)
-             for e in range((seed + i) % 3)]
-        rows.append({"a": a, "tags": tags, "pts": pts, "m": m})
+    rows = _nested_fixture_rows(seed)
     typ = _pa.struct([
         ("a", _pa.int64()),
         ("tags", _pa.list_(_pa.string())),
@@ -7499,4 +7507,29 @@ def make_parquet_int96(seed: int) -> bytes:
     if seed % 3 == 0:
         kw["data_page_version"] = "2.0"
     _pq.write_table(t, buf, **kw)
+    return buf.getvalue().to_pybytes()
+
+
+def make_orc_nested(seed: int) -> bytes:
+    """The SAME planted nested rows as :func:`make_parquet_nested`
+    written as ORC by the Apache ORC C++ writer — one closed-form
+    oracle exercises two independent byte paths
+    (``orc_scan_nested``).  Codec UNCOMPRESSED/ZLIB/SNAPPY/ZSTD/LZ4
+    by ``seed % 5``."""
+    import pyarrow as _pa
+    from pyarrow import orc as _orc
+
+    rows = _nested_fixture_rows(seed)
+    typ = _pa.struct([
+        ("a", _pa.int64()),
+        ("tags", _pa.list_(_pa.string())),
+        ("pts", _pa.list_(_pa.struct([("x", _pa.int64()),
+                                      ("y", _pa.int64())]))),
+        ("m", _pa.map_(_pa.string(), _pa.int64())),
+    ])
+    t = _pa.table({"v": _pa.array(rows, typ)})
+    buf = _pa.BufferOutputStream()
+    _orc.write_table(
+        t, buf, compression=["UNCOMPRESSED", "ZLIB", "SNAPPY", "ZSTD",
+                             "LZ4"][seed % 5])
     return buf.getvalue().to_pybytes()

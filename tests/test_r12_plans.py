@@ -19,6 +19,7 @@ from .conftest import SF_SMOKE
 
 _R12_EXTRACT_QUERIES = [
     "parquet_scan_int96",
+    "orc_scan_nested",
     "parquet_scan_nested",
     "delta_checkpoint_snapshot",
     "iceberg_scan_deletes",
