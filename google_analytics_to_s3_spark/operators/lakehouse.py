@@ -113,8 +113,10 @@ _CKPT_NAME = "_delta_log/_last_checkpoint"
 def parse_delta_checkpoint(bundle: bytes) -> dict:
     """Bootstrap a Delta snapshot from a tar bundle of its
     ``_delta_log``: ``_last_checkpoint`` JSON → checkpoint parquet
-    (engine's own nested reader) → fold the JSON commits after the
-    checkpoint version with last-writer-wins replay."""
+    (single-file OR the protocol's multi-part
+    ``<v>.checkpoint.<i>.<parts>.parquet`` layout, engine's own
+    nested reader) → fold the JSON commits after the checkpoint
+    version with last-writer-wins replay."""
     import json
 
     from .parquet_raw import parquet_read_nested
@@ -131,12 +133,25 @@ def parse_delta_checkpoint(bundle: bytes) -> dict:
     v = lc.get("version")
     if not isinstance(v, int) or v < 0:
         raise ValueError("delta: bad checkpoint version")
-    ckpt_key = f"_delta_log/{v:020d}.checkpoint.parquet"
-    ckpt = files.get(ckpt_key)
-    if ckpt is None:
-        raise ValueError(f"delta: checkpoint {ckpt_key!r} missing")
-    adds = parquet_read_nested(ckpt, "add")
-    removes = parquet_read_nested(ckpt, "remove")
+    parts = lc.get("parts")
+    if parts is None:
+        ckpt_keys = [f"_delta_log/{v:020d}.checkpoint.parquet"]
+    else:
+        # multi-part checkpoint: <v>.checkpoint.<i>.<parts>.parquet,
+        # 1-based part index (the protocol's large-table layout)
+        if not isinstance(parts, int) or parts <= 0:
+            raise ValueError("delta: bad checkpoint parts")
+        ckpt_keys = [
+            f"_delta_log/{v:020d}.checkpoint.{i:010d}.{parts:010d}"
+            ".parquet" for i in range(1, parts + 1)]
+    adds: list = []
+    removes: list = []
+    for ckpt_key in ckpt_keys:
+        ckpt = files.get(ckpt_key)
+        if ckpt is None:
+            raise ValueError(f"delta: checkpoint {ckpt_key!r} missing")
+        adds.extend(parquet_read_nested(ckpt, "add"))
+        removes.extend(parquet_read_nested(ckpt, "remove"))
     if lc.get("size") not in (None, len(adds)):
         raise ValueError("delta: _last_checkpoint size mismatch")
     state: dict[str, int | None] = {}

@@ -7033,6 +7033,8 @@ def make_delta_checkpoint_bundle(seed: int) -> bytes:
       per path by ``(w, j)``), one row per touched path sorted by
       path id, plus TWO all-null rows standing in for protocol/
       metaData actions; ``_last_checkpoint`` records its row count
+    - when ``seed % 3 == 2`` the checkpoint is MULTI-PART (2 parts,
+      ``<v>.checkpoint.<i>.<parts>.parquet``, rows split in half)
     - JSON commits exist only for ``w > v``
     - checkpoint codec snappy/zstd by ``seed % 2``; v2 pages when
       ``seed % 3 == 0``; dictionary when ``seed % 5 < 2``
@@ -7080,9 +7082,30 @@ def make_delta_checkpoint_bundle(seed: int) -> bytes:
     ckpt = buf.getvalue().to_pybytes()
 
     out = bytearray()
-    lc = _json.dumps({"version": v, "size": len(add_rows)}).encode()
+    lc_doc: dict = {"version": v, "size": len(add_rows)}
+    if seed % 3 == 2:
+        # the protocol's multi-part layout: split the checkpoint rows
+        # across 2 parts (<v>.checkpoint.<i>.<parts>.parquet)
+        lc_doc["parts"] = 2
+        half = len(add_rows) // 2
+        for i, (lo, hi) in enumerate(((0, half),
+                                      (half, len(add_rows))), 1):
+            pt = _pa.table({
+                "add": _pa.array(add_rows[lo:hi], _pa.struct(
+                    [("path", _pa.string()), ("size", _pa.int64())])),
+                "remove": _pa.array(rem_rows[lo:hi], _pa.struct(
+                    [("path", _pa.string())])),
+            })
+            pbuf = _pa.BufferOutputStream()
+            _pq.write_table(pt, pbuf, **kw)
+            out += _tar_member(
+                f"_delta_log/{v:020d}.checkpoint.{i:010d}.{2:010d}"
+                ".parquet", pbuf.getvalue().to_pybytes())
+    else:
+        out += _tar_member(f"_delta_log/{v:020d}.checkpoint.parquet",
+                           ckpt)
+    lc = _json.dumps(lc_doc).encode()
     out += _tar_member("_delta_log/_last_checkpoint", lc)
-    out += _tar_member(f"_delta_log/{v:020d}.checkpoint.parquet", ckpt)
     for w in range(v + 1, last + 1):
         lines = []
         for j in (0, 1):

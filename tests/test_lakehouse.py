@@ -131,3 +131,36 @@ def test_checkpoint_bundle_gates(spark):
     rebuilt = b"".join(_tar_member(n, d) for n, d in members.items())
     with pytest.raises(ValueError, match="size mismatch"):
         parse_delta_checkpoint(rebuilt + b"\0" * 1024)
+
+
+def test_multipart_checkpoint_and_missing_part(spark):
+    from google_analytics_to_s3_spark.operators.lakehouse import (
+        parse_delta_checkpoint,
+    )
+    from google_analytics_to_s3_spark.operators.tar import parse_tar
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        _tar_member,
+        make_delta_checkpoint_bundle,
+    )
+    import pytest
+
+    # seed % 3 == 2 → 2-part checkpoint; same fold as the JSON log
+    bundle = make_delta_checkpoint_bundle(5)
+    names = [m["name"] for m in parse_tar(bundle)]
+    assert any(".checkpoint.0000000001.0000000002.parquet" in n
+               for n in names)
+    boot = parse_delta_checkpoint(make_delta_checkpoint_bundle(5))
+    rows = _full_json_log(5)
+    log = spark.createDataFrame(
+        rows, "table_id long, version long, line_no long, line string")
+    ref = delta_log_snapshot(log, line_no_col="line_no").collect()[0]
+    assert boot["n_live_files"] == ref["n_live_files"]
+    assert boot["live_bytes"] == ref["live_bytes"]
+    # a missing part quarantines
+    members = {m["name"]: m["data"] for m in parse_tar(bundle)}
+    part2 = next(n for n in members
+                 if n.endswith(".0000000002.0000000002.parquet"))
+    del members[part2]
+    rebuilt = b"".join(_tar_member(n, d) for n, d in members.items())
+    with pytest.raises(ValueError, match="checkpoint .* missing"):
+        parse_delta_checkpoint(rebuilt + b"\0" * 1024)
