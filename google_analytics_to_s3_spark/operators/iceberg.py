@@ -44,7 +44,8 @@ from .tar import parse_tar
 
 __all__ = ["parse_iceberg_snapshot", "decode_iceberg_snapshot",
            "parse_iceberg_scan", "decode_iceberg_scan",
-           "parse_iceberg_scan_deletes", "decode_iceberg_scan_deletes"]
+           "parse_iceberg_scan_deletes", "decode_iceberg_scan_deletes",
+           "parse_iceberg_scan_eq", "decode_iceberg_scan_eq"]
 
 
 def parse_iceberg_snapshot(bundle: bytes) -> dict:
@@ -443,3 +444,148 @@ def decode_iceberg_scan_deletes(
 
     return df.select(id_col, payload_col).mapInPandas(
         _run, schema=ICEBERG_DELETES_SCHEMA)
+
+
+def parse_iceberg_scan_eq(bundle: bytes, column: str) -> dict:
+    """Iceberg v2 EQUALITY deletes: delete manifests whose entries
+    carry ``content=2`` data files list VALUES (columns named by
+    ``equality_ids``, resolved through the table schema's field ids);
+    a data row is deleted when its values match — but only in data
+    files whose ``sequence_number`` is strictly LOWER than the delete
+    file's (the spec's ordering rule).  Multi-column equality keys
+    remain a named gate."""
+    from .parquet_raw import parquet_file_meta, parquet_read_column
+
+    files = {m["name"]: m["data"] for m in parse_tar(bundle)}
+    meta_raw = files.get("metadata.json")
+    if meta_raw is None:
+        raise ValueError("iceberg: bundle missing metadata.json")
+    meta = json.loads(meta_raw)
+    cur = meta.get("current-snapshot-id")
+    snap = next((s for s in meta.get("snapshots", [])
+                 if s.get("snapshot-id") == cur), None)
+    if snap is None:
+        raise ValueError("iceberg: current snapshot id not found")
+    field_names = {f.get("id"): f.get("name")
+                   for f in (meta.get("schema") or {}).get("fields", [])}
+    ml_raw = files.get(snap.get("manifest-list"))
+    if ml_raw is None:
+        raise ValueError("iceberg: manifest list missing")
+    _, ml_entries = avro_decode_container(ml_raw)
+    data_entries: list = []
+    eq_deletes: list = []  # (delete_seq, frozenset(values))
+    n_delete_files = 0
+    for entry in ml_entries:
+        man_raw = files.get(entry.get("manifest_path"))
+        if man_raw is None:
+            raise ValueError("iceberg: manifest missing")
+        content = entry.get("content") or 0
+        _, man_entries = avro_decode_container(man_raw)
+        for me in man_entries:
+            if me.get("status") == 2:
+                continue
+            df = me.get("data_file") or {}
+            seq = me.get("sequence_number") or 0
+            if content == 0:
+                data_entries.append((seq, df))
+                continue
+            if df.get("content") != 2:
+                raise ValueError(
+                    "iceberg: non-equality entry in delete manifest "
+                    "gated here (use parse_iceberg_scan_deletes)")
+            ids = df.get("equality_ids") or []
+            if len(ids) != 1:
+                raise ValueError(
+                    "iceberg: multi-column equality key gated")
+            col = field_names.get(ids[0])
+            if col is None:
+                raise ValueError("iceberg: equality field id unknown")
+            blob = files.get(df.get("file_path"))
+            if blob is None:
+                raise ValueError("iceberg: delete file missing")
+            n_delete_files += 1
+            vals = parquet_read_column(blob, col)
+            if any(v is None for v in vals):
+                raise ValueError("iceberg: null equality delete value")
+            eq_deletes.append((seq, frozenset(vals)))
+    n_data_files = 0
+    n_eq_deleted = 0
+    records_after = 0
+    value_sum = 0
+    for seq, df in data_entries:
+        path = df.get("file_path")
+        blob = files.get(path)
+        if blob is None:
+            raise ValueError(f"iceberg: data file {path!r} missing")
+        n_data_files += 1
+        fm = parquet_file_meta(blob)
+        if fm["num_rows"] != int(df.get("record_count") or 0):
+            raise ValueError("iceberg: record_count mismatch")
+        dead_sets = [s for dseq, s in eq_deletes if seq < dseq]
+        for v in parquet_read_column(blob, column):
+            if v is not None and any(v in s for s in dead_sets):
+                n_eq_deleted += 1
+                continue
+            records_after += 1
+            if v is not None:
+                value_sum += v
+    return {
+        "snapshot_id": cur,
+        "n_data_files": n_data_files,
+        "n_delete_files": n_delete_files,
+        "n_eq_deleted": n_eq_deleted,
+        "records_after": records_after,
+        "value_sum": value_sum,
+    }
+
+
+ICEBERG_EQ_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("snapshot_id", LongType()),
+    StructField("n_data_files", IntegerType()),
+    StructField("n_delete_files", IntegerType()),
+    StructField("n_eq_deleted", LongType()),
+    StructField("records_after", LongType()),
+    StructField("value_sum", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_iceberg_scan_eq(
+    df: DataFrame, column: str,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over
+    :func:`parse_iceberg_scan_eq`; per-payload quarantine, no
+    shuffle."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("snapshot_id", "n_data_files", "n_delete_files",
+                "n_eq_deleted", "records_after", "value_sum")
+        i32 = {"n_data_files", "n_delete_files"}
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    m = parse_iceberg_scan_eq(bytes(payload), column)
+                    for k in cols:
+                        rows[k].append(m[k])
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, TypeError,
+                        AttributeError, KeyError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k],
+                                dtype="Int32" if k in i32 else "Int64")
+                   for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=ICEBERG_EQ_SCHEMA)

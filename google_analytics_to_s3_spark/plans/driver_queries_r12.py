@@ -563,3 +563,84 @@ def q_orc_scan_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_R12["orc_scan_nested"] = q_orc_scan_nested
 ORACLES_R12["orc_scan_nested"] = _NESTED_ORACLE_TEMPLATE.format(
     mod=_FLAC_MOD, lane=3)
+
+
+def q_iceberg_scan_eq_deletes(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY deletes driver-checked (r12): the delete
+    manifest's content=2 entry lists VALUES in a REAL parquet file
+    (column resolved through the table schema's field ids), and the
+    scan drops matching rows ONLY from data files whose
+    sequence_number is strictly lower than the delete's — the spec's
+    ordering rule, exercised by planting matchable values in
+    later-sequence files that must survive (93 such files across the
+    pytest seeds).  The oracle replays layout, sequence rule and the
+    post-delete sum in closed form.  Lane id % 10 == 0."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.iceberg import decode_iceberg_scan_eq
+    from ..testing.fixtures import make_iceberg_eq_bundle
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 0
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_iceberg_eq_bundle(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_iceberg_scan_eq(payloads, "v").drop("decode_error")
+
+
+_ICEBERG_EQ_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 0
+),
+mf AS (
+  SELECT e.event_id, e.seed, m.m, f.f,
+         30 + (e.seed*5 + 7*m.m + 11*f.f) % 50 AS n,
+         (e.seed + m.m + f.f) % 4 <> 3 AS live,
+         1 + (e.seed + m.m + f.f) % 4 AS seq
+  FROM e,
+       LATERAL (SELECT unnest(range(0, 1 + e.seed % 2)) AS m) m,
+       LATERAL (SELECT unnest(range(0, 2 + (e.seed + m.m) % 3)) AS f) f
+),
+rows_ AS (
+  SELECT mf.event_id, mf.live,
+         mf.seq < 3 AND
+           (mf.seed*3 + 17*mf.m + 23*mf.f + 9*i.i) % 1000 % 13
+             = mf.seed % 13 AS del_,
+         (mf.seed*3 + 17*mf.m + 23*mf.f + 9*i.i) % 1000 AS v
+  FROM mf, LATERAL (SELECT unnest(range(0, mf.n)) AS i) i
+)
+SELECT e.event_id AS doc_id,
+       CAST(8000 + e.seed AS BIGINT) AS snapshot_id,
+       CAST((SELECT count(*) FROM mf
+              WHERE mf.event_id = e.event_id AND mf.live)
+            AS INTEGER) AS n_data_files,
+       CAST(1 AS INTEGER) AS n_delete_files,
+       CAST((SELECT count(*) FROM rows_ r
+              WHERE r.event_id = e.event_id AND r.del_ AND r.live)
+            AS BIGINT) AS n_eq_deleted,
+       CAST((SELECT count(*) FROM rows_ r
+              WHERE r.event_id = e.event_id AND NOT r.del_ AND r.live)
+            AS BIGINT) AS records_after,
+       CAST((SELECT sum(r.v) FROM rows_ r
+              WHERE r.event_id = e.event_id AND NOT r.del_ AND r.live)
+            AS BIGINT) AS value_sum
+FROM e
+"""
+
+QUERIES_R12["iceberg_scan_eq_deletes"] = q_iceberg_scan_eq_deletes
+ORACLES_R12["iceberg_scan_eq_deletes"] = _ICEBERG_EQ_ORACLE

@@ -7556,3 +7556,113 @@ def make_orc_nested(seed: int) -> bytes:
         t, buf, compression=["UNCOMPRESSED", "ZLIB", "SNAPPY", "ZSTD",
                              "LZ4"][seed % 5])
     return buf.getvalue().to_pybytes()
+
+
+_ICEBERG_MAN_EQ_SCHEMA = (
+    '{"type":"record","name":"manifest_entry","fields":['
+    '{"name":"status","type":"int"},'
+    '{"name":"sequence_number","type":"long"},'
+    '{"name":"data_file","type":{"type":"record","name":"data_file",'
+    '"fields":['
+    '{"name":"content","type":"int"},'
+    '{"name":"file_path","type":"string"},'
+    '{"name":"record_count","type":"long"},'
+    '{"name":"file_size_in_bytes","type":"long"},'
+    '{"name":"equality_ids","type":{"type":"array","items":"int"}}'
+    ']}}]}'
+)
+
+
+def make_iceberg_eq_bundle(seed: int) -> bytes:
+    """Iceberg v2 bundle with an EQUALITY-delete manifest for the
+    ``iceberg_scan_eq_deletes`` driver query: manifest entries carry
+    ``sequence_number`` and the delete file lists VALUES (field id 1
+    = column ``v``) that delete matching rows — but ONLY in data
+    files whose sequence number is strictly LOWER than the delete's
+    (the spec's ordering rule; files at/after the delete's sequence
+    must be untouched).
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - data layout as :func:`make_iceberg_scan_bundle` (nm manifests,
+      files, status-2 entries, ``v = (seed*3 + 17*m + 23*f + 9*i)
+      % 1000``); data file (m, f) has
+      ``seq = 1 + (seed + m + f) % 4``
+    - ONE equality-delete file at ``seq = 3`` listing every value
+      ``x in [0, 1000)`` with ``x % 13 == seed % 13``
+    - codec snappy/zstd by ``(seed + f) % 2``; avro deflate on odd
+      seeds
+    """
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    codec_avro = "deflate" if seed % 2 else "null"
+    nm = 1 + seed % 2
+    members: "dict[str, bytes]" = {}
+    ml_rows = []
+    for m in range(nm):
+        nf = 2 + (seed + m) % 3
+        rows = []
+        for f in range(nf):
+            n = 30 + (seed * 5 + 7 * m + 11 * f) % 50
+            v = [(seed * 3 + 17 * m + 23 * f + 9 * i) % 1000
+                 for i in range(n)]
+            buf = _pa.BufferOutputStream()
+            _pq.write_table(
+                _pa.table({"v": _pa.array(v, _pa.int64())}), buf,
+                compression=["snappy", "zstd"][(seed + f) % 2])
+            blob = buf.getvalue().to_pybytes()
+            name = f"data/m{m}-f{f}.parquet"
+            members[name] = blob
+            status = 2 if (seed + m + f) % 4 == 3 else 1
+            body = _avro_zigzag(status)
+            body += _avro_zigzag(1 + (seed + m + f) % 4)  # seq
+            body += _avro_zigzag(0)  # content: data
+            body += _avro_str(name)
+            body += _avro_zigzag(n)
+            body += _avro_zigzag(len(blob))
+            body += _avro_zigzag(0)  # empty equality_ids array
+            rows.append(body)
+        mname = f"manifest-{m}.avro"
+        members[mname] = _avro_container(_ICEBERG_MAN_EQ_SCHEMA, rows,
+                                         seed + m, codec_avro)
+        ml_rows.append(_avro_str(mname)
+                       + _avro_zigzag(len(members[mname]))
+                       + _avro_zigzag(0))
+    del_vals = [x for x in range(1000) if x % 13 == seed % 13]
+    buf = _pa.BufferOutputStream()
+    _pq.write_table(_pa.table({"v": _pa.array(del_vals, _pa.int64())}),
+                    buf, compression=["snappy", "zstd"][seed % 2])
+    dblob = buf.getvalue().to_pybytes()
+    members["deletes/eq0.parquet"] = dblob
+    dbody = _avro_zigzag(1)           # status ADDED
+    dbody += _avro_zigzag(3)          # delete sequence number
+    dbody += _avro_zigzag(2)          # content: equality deletes
+    dbody += _avro_str("deletes/eq0.parquet")
+    dbody += _avro_zigzag(len(del_vals))
+    dbody += _avro_zigzag(len(dblob))
+    dbody += _avro_zigzag(1) + _avro_zigzag(1) + _avro_zigzag(0)  # [1]
+    members["manifest-del.avro"] = _avro_container(
+        _ICEBERG_MAN_EQ_SCHEMA, [dbody], seed + 50, codec_avro)
+    ml_rows.append(_avro_str("manifest-del.avro")
+                   + _avro_zigzag(len(members["manifest-del.avro"]))
+                   + _avro_zigzag(1))
+    members["manifest-list.avro"] = _avro_container(
+        _ICEBERG_ML_V2_SCHEMA, ml_rows, seed, codec_avro)
+    members["metadata.json"] = _json.dumps({
+        "format-version": 2,
+        "current-snapshot-id": 8000 + seed,
+        "snapshots": [
+            {"snapshot-id": 8000 + seed,
+             "manifest-list": "manifest-list.avro"},
+        ],
+        "schema": {"fields": [
+            {"id": 1, "name": "v", "type": "long"}]},
+    }).encode()
+    out = bytearray()
+    for name, data in members.items():
+        out += _tar_member(name, data)
+    out += b"\x00" * 1024
+    return bytes(out)

@@ -282,3 +282,45 @@ def test_iceberg_v2_delete_gates():
     rebuilt = b"".join(_tar_member(n, d) for n, d in cut.items())
     with pytest.raises(ValueError, match="delete file missing"):
         parse_iceberg_scan_deletes(rebuilt + b"\0" * 1024, "v")
+
+
+def test_iceberg_v2_equality_deletes():
+    """Equality deletes: values matched through the schema's field
+    ids delete rows ONLY in data files with sequence_number strictly
+    below the delete's — later-sequence files containing matchable
+    values must survive."""
+    from google_analytics_to_s3_spark.operators.iceberg import (
+        parse_iceberg_scan_eq,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_iceberg_eq_bundle,
+    )
+
+    any_deleted = any_protected = False
+    for seed in (0, 1, 2, 3, 7, 12, 999):
+        got = parse_iceberg_scan_eq(make_iceberg_eq_bundle(seed), "v")
+        nm = 1 + seed % 2
+        delset = {x for x in range(1000) if x % 13 == seed % 13}
+        nd = ndel = after = vsum = 0
+        for m in range(nm):
+            for f in range(2 + (seed + m) % 3):
+                if (seed + m + f) % 4 == 3:
+                    continue
+                nd += 1
+                seq = 1 + (seed + m + f) % 4
+                n = 30 + (seed * 5 + 7 * m + 11 * f) % 50
+                for i in range(n):
+                    v = (seed * 3 + 17 * m + 23 * f + 9 * i) % 1000
+                    if seq < 3 and v in delset:
+                        ndel += 1
+                    else:
+                        after += 1
+                        vsum += v
+                        if seq >= 3 and v in delset:
+                            any_protected = True
+        assert got == {
+            "snapshot_id": 8000 + seed, "n_data_files": nd,
+            "n_delete_files": 1, "n_eq_deleted": ndel,
+            "records_after": after, "value_sum": vsum}
+        any_deleted = any_deleted or ndel > 0
+    assert any_deleted and any_protected

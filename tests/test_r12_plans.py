@@ -23,6 +23,7 @@ _R12_EXTRACT_QUERIES = [
     "parquet_scan_nested",
     "delta_checkpoint_snapshot",
     "iceberg_scan_deletes",
+    "iceberg_scan_eq_deletes",
     "orc_scan_timestamps",
     "zstd_dict_extract",
 ]
