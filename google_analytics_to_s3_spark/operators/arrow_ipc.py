@@ -49,6 +49,7 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["arrow_file_meta", "arrow_read_column",
+           "arrow_read_nested", "decode_arrow_nested_stats",
            "decode_arrow_meta"]
 
 _FILE_MAGIC = b"ARROW1"
@@ -157,35 +158,46 @@ _T_UTF8 = 5
 _T_BOOL = 6
 _T_LARGE_BINARY = 19
 _T_LARGE_UTF8 = 20
+_T_LIST = 12
+_T_STRUCT = 13
+_T_FIXED_SIZE_LIST = 16
+_T_MAP = 17
+_T_LARGE_LIST = 21
+
+
+def _parse_field(f: _Fb) -> dict:
+    type_type = f.scalar(2, "<B", 0)
+    type_tbl = f.table(3)
+    info = {"name": f.string(0) or "",
+            "nullable": bool(f.scalar(1, "<b", 0)),
+            "type_type": type_type,
+            "bit_width": None, "signed": None, "precision": None}
+    denc = f.table(4)
+    if denc is not None:  # DictionaryEncoding: id + index Int type
+        info["dictionary"] = True
+        info["dict_id"] = denc.scalar(0, "<q", 0)
+        idx = denc.table(1)
+        info["dict_index_bw"] = (idx.scalar(0, "<i", 0)
+                                 if idx is not None else 32)
+        info["dict_index_signed"] = (bool(idx.scalar(1, "<b", 0))
+                                     if idx is not None else True)
+    kids = f.vector_tables(5)
+    if kids:
+        # a non-empty children list is truthy, so existing
+        # `field.get("children")` nested-gates keep working
+        info["children"] = [_parse_field(c) for c in kids]
+    if type_type == _T_INT and type_tbl is not None:
+        info["bit_width"] = type_tbl.scalar(0, "<i", 0)
+        info["signed"] = bool(type_tbl.scalar(1, "<b", 0))
+    elif type_type == _T_FLOAT and type_tbl is not None:
+        info["precision"] = type_tbl.scalar(0, "<h", 0)
+    elif type_type == _T_FIXED_SIZE_LIST and type_tbl is not None:
+        info["list_size"] = type_tbl.scalar(0, "<i", 0)
+    return info
 
 
 def _parse_schema(schema_tbl: _Fb) -> list[dict]:
-    fields = []
-    for f in schema_tbl.vector_tables(1):  # Schema.fields
-        type_type = f.scalar(2, "<B", 0)
-        type_tbl = f.table(3)
-        info = {"name": f.string(0) or "",
-                "nullable": bool(f.scalar(1, "<b", 0)),
-                "type_type": type_type,
-                "bit_width": None, "signed": None, "precision": None}
-        denc = f.table(4)
-        if denc is not None:  # DictionaryEncoding: id + index Int type
-            info["dictionary"] = True
-            info["dict_id"] = denc.scalar(0, "<q", 0)
-            idx = denc.table(1)
-            info["dict_index_bw"] = (idx.scalar(0, "<i", 0)
-                                     if idx is not None else 32)
-            info["dict_index_signed"] = (bool(idx.scalar(1, "<b", 0))
-                                         if idx is not None else True)
-        if f.vector_tables(5):
-            info["children"] = True
-        if type_type == _T_INT and type_tbl is not None:
-            info["bit_width"] = type_tbl.scalar(0, "<i", 0)
-            info["signed"] = bool(type_tbl.scalar(1, "<b", 0))
-        elif type_type == _T_FLOAT and type_tbl is not None:
-            info["precision"] = type_tbl.scalar(0, "<h", 0)
-        fields.append(info)
-    return fields
+    return [_parse_field(f) for f in schema_tbl.vector_tables(1)]
 
 
 def _iter_messages(data: bytes) -> Iterator[tuple[_Fb, bytes]]:
@@ -310,31 +322,57 @@ def _rb_columns(rb: _Fb, body: bytes,
         raw_bufs = _decompress_body(body, bufs, codec)
     else:
         raw_bufs = [bytes(body[off:off + ln]) for off, ln in bufs]
-    # assign buffers per field
+    # assign nodes + buffers by DEPTH-FIRST tree walk (the spec's
+    # RecordBatch layout) — per-top-level-field indexing misaligns as
+    # soon as any nested column precedes a flat one
     out = []
-    bi = 0
-    for fi, field in enumerate(fields):
-        if fi >= len(nodes):
-            raise ValueError("arrow: field nodes short of schema")
-        node_len = struct.unpack_from("<q", rb.data, nodes[fi])[0]
-        tt = field["type_type"]
-        # dictionary-encoded columns store fixed-width INDICES in the
-        # record batch (2 buffers) regardless of the value type
-        if field.get("dictionary"):
-            nbuf = 2
-        elif tt == _T_NULL:
-            nbuf = 0  # Null arrays carry no buffers at all
-        else:
-            nbuf = 3 if tt in (_T_UTF8, _T_BINARY, _T_LARGE_UTF8,
-                               _T_LARGE_BINARY) else 2
-        cols = raw_bufs[bi:bi + nbuf]
-        if len(cols) != nbuf:
-            raise ValueError("arrow: buffer list short of schema")
-        bi += nbuf
-        out.append((node_len, cols))
+    ni = bi = 0
+    for field in fields:
+        tree, ni, bi = _assign_tree(field, rb.data, nodes, raw_bufs,
+                                    ni, bi)
+        out.append((tree["len"], tree))
     if length and nodes and not out:
         raise ValueError("arrow: empty batch decode")
     return out
+
+
+def _node_nbuf(field: dict) -> int:
+    tt = field["type_type"]
+    if field.get("dictionary"):
+        # dictionary columns store fixed-width INDICES (2 buffers);
+        # their children describe the VALUE type and carry no nodes
+        return 2
+    if tt == _T_NULL:
+        return 0
+    if tt in (_T_UTF8, _T_BINARY, _T_LARGE_UTF8, _T_LARGE_BINARY):
+        return 3
+    if tt in (_T_STRUCT, _T_FIXED_SIZE_LIST):
+        return 1
+    # List / LargeList / Map: validity + offsets
+    return 2
+
+
+def _assign_tree(field: dict, rb_data: bytes, nodes: list[int],
+                 raw_bufs: list[bytes], ni: int,
+                 bi: int) -> tuple[dict, int, int]:
+    """Consume this field's node + buffers (+ children, depth-first)
+    → ``{"len", "bufs", "children"}``."""
+    if ni >= len(nodes):
+        raise ValueError("arrow: field nodes short of schema")
+    node_len = struct.unpack_from("<q", rb_data, nodes[ni])[0]
+    ni += 1
+    nbuf = _node_nbuf(field)
+    bufs = raw_bufs[bi:bi + nbuf]
+    if len(bufs) != nbuf:
+        raise ValueError("arrow: buffer list short of schema")
+    bi += nbuf
+    kids = []
+    if not field.get("dictionary"):
+        for ch in (field.get("children") or []):
+            sub, ni, bi = _assign_tree(ch, rb_data, nodes, raw_bufs,
+                                       ni, bi)
+            kids.append(sub)
+    return {"len": node_len, "bufs": bufs, "children": kids}, ni, bi
 
 
 def _materialize(field: dict, n: int, bufs: list[bytes]) -> list:
@@ -406,16 +444,23 @@ def _decode_dictionary(msg: _Fb, body: bytes, fields: list[dict],
     rb = db.table(1)
     if rb is None:
         raise ValueError("arrow: dictionary batch missing data")
-    field = next((f for f in fields
-                  if f.get("dictionary") and f.get("dict_id") == did),
-                 None)
+    def _find(fs):
+        for f in fs:
+            if f.get("dictionary") and f.get("dict_id") == did:
+                return f
+            got = _find(f.get("children") or [])
+            if got is not None:
+                return got
+        return None
+
+    field = _find(fields)
     if field is None:
         raise ValueError(f"arrow: dictionary id {did} unused")
     value_field = dict(field)
     value_field["dictionary"] = False
     cols = _rb_columns(rb, body, [value_field])
-    n, bufs = cols[0]
-    dicts[did] = _materialize(value_field, n, bufs)
+    n, tree = cols[0]
+    dicts[did] = _materialize(value_field, n, tree["bufs"])
 
 
 def _schema_and_batches(
@@ -502,8 +547,8 @@ def arrow_read_column(data: bytes, column: str) -> list:
         out: list = []
         for msg, body in batches:
             cols = _batch_columns(msg, body, fields)
-            n, bufs = cols[fi]
-            for i in _materialize(idx_field, n, bufs):
+            n, tree = cols[fi]
+            for i in _materialize(idx_field, n, tree["bufs"]):
                 if i is None:
                     out.append(None)
                 elif dic is None:
@@ -516,8 +561,8 @@ def arrow_read_column(data: bytes, column: str) -> list:
     out = []
     for msg, body in batches:
         cols = _batch_columns(msg, body, fields)
-        n, bufs = cols[fi]
-        out.extend(_materialize(field, n, bufs))
+        n, tree = cols[fi]
+        out.extend(_materialize(field, n, tree["bufs"]))
     return out
 
 
@@ -582,3 +627,164 @@ def decode_arrow_meta(
 
     return df.select(id_col, payload_col).mapInPandas(
         _run, schema=ARROW_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Nested columns (r12): List / LargeList / FixedSizeList / Struct /
+# Map assembled recursively from the depth-first node/buffer tree.
+
+
+def _materialize_tree(field: dict, tree: dict, dicts: dict) -> list:
+    tt = field["type_type"]
+    n = tree["len"]
+    if field.get("dictionary"):
+        dic = dicts.get(field.get("dict_id"))
+        idx_field = {"type_type": _T_INT,
+                     "bit_width": field.get("dict_index_bw", 32),
+                     "signed": field.get("dict_index_signed", True)}
+        out = []
+        for i in _materialize(idx_field, n, tree["bufs"]):
+            if i is None:
+                out.append(None)
+            elif dic is None:
+                raise ValueError("arrow: dictionary batch missing")
+            elif 0 <= i < len(dic):
+                out.append(dic[i])
+            else:
+                raise ValueError("arrow: dictionary index range")
+        return out
+    if tt in (_T_LIST, _T_LARGE_LIST, _T_MAP):
+        validity = tree["bufs"][0]
+        offs_buf = tree["bufs"][1]
+        width, fmt = (8, "q") if tt == _T_LARGE_LIST else (4, "i")
+        if len(offs_buf) < (n + 1) * width:
+            raise ValueError("arrow: offsets buffer short")
+        offs = list(struct.unpack_from(f"<{n + 1}{fmt}", offs_buf, 0))
+        if any(b < a for a, b in zip(offs, offs[1:])):
+            raise ValueError("arrow: offsets not monotonic")
+        if not tree["children"]:
+            raise ValueError("arrow: list node missing child")
+        child_field = (field.get("children") or [None])[0]
+        child = _materialize_tree(child_field, tree["children"][0],
+                                  dicts)
+        if offs[-1] > len(child):
+            raise ValueError("arrow: offsets overrun child")
+        valid = ([(validity[i >> 3] >> (i & 7)) & 1 for i in range(n)]
+                 if validity else [1] * n)
+        out = []
+        for i in range(n):
+            if not valid[i]:
+                out.append(None)
+                continue
+            seg = child[offs[i]:offs[i + 1]]
+            if tt == _T_MAP:
+                out.append({e["key"] if isinstance(e, dict) and
+                            "key" in e else None:
+                            e.get("value") if isinstance(e, dict)
+                            else None for e in seg})
+            else:
+                out.append(seg)
+        return out
+    if tt == _T_FIXED_SIZE_LIST:
+        validity = tree["bufs"][0]
+        size = field.get("list_size") or 0
+        if size <= 0:
+            raise ValueError("arrow: bad fixed list size")
+        child_field = (field.get("children") or [None])[0]
+        if not tree["children"]:
+            raise ValueError("arrow: list node missing child")
+        child = _materialize_tree(child_field, tree["children"][0],
+                                  dicts)
+        valid = ([(validity[i >> 3] >> (i & 7)) & 1 for i in range(n)]
+                 if validity else [1] * n)
+        return [child[i * size:(i + 1) * size] if valid[i] else None
+                for i in range(n)]
+    if tt == _T_STRUCT:
+        validity = tree["bufs"][0]
+        names = [c["name"] for c in (field.get("children") or [])]
+        kids = [_materialize_tree(cf, ct, dicts)
+                for cf, ct in zip(field.get("children") or [],
+                                  tree["children"])]
+        valid = ([(validity[i >> 3] >> (i & 7)) & 1 for i in range(n)]
+                 if validity else [1] * n)
+        out = []
+        for i in range(n):
+            if not valid[i]:
+                out.append(None)
+            else:
+                out.append({nm: col[i] for nm, col in zip(names, kids)})
+        return out
+    return _materialize(field, n, tree["bufs"])
+
+
+def arrow_read_nested(data: bytes, column: str) -> list:
+    """Materialize an arbitrarily nested top-level ``column`` (lists,
+    large/fixed-size lists, structs → dict, maps → dict, dictionary
+    leaves through their DictionaryBatches) from Arrow IPC bytes,
+    across all record batches and both layouts."""
+    fields, batches, dicts = _schema_and_batches(data)
+    names = [f["name"] for f in fields]
+    if column not in names:
+        raise ValueError(f"arrow: no column {column!r}")
+    fi = names.index(column)
+    out: list = []
+    for msg, body in batches:
+        cols = _batch_columns(msg, body, fields)
+        _n, tree = cols[fi]
+        out.extend(_materialize_tree(fields[fi], tree, dicts))
+    return out
+
+
+ARROW_NESTED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_rows", LongType()),
+    StructField("n_null_rows", LongType()),
+    StructField("a_sum", LongType()),
+    StructField("n_tags", LongType()),
+    StructField("tags_chars", LongType()),
+    StructField("pts_n", LongType()),
+    StructField("x_sum", LongType()),
+    StructField("y_nulls", LongType()),
+    StructField("m_entries", LongType()),
+    StructField("m_val_sum", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_arrow_nested_stats(
+    df: DataFrame, column: str = "v",
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over :func:`arrow_read_nested`
+    for the shared struct{a, tags, pts, m} nested-fixture shape (same
+    tallies as the parquet/orc twins)."""
+    from .parquet_raw import nested_struct_tallies
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("n_rows", "n_null_rows", "a_sum", "n_tags",
+                "tags_chars", "pts_n", "x_sum", "y_nulls",
+                "m_entries", "m_val_sum")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    recs = arrow_read_nested(bytes(payload), column)
+                    t = nested_struct_tallies(recs)
+                    for k in cols:
+                        rows[k].append(t[k])
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, TypeError, KeyError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k], dtype="Int64") for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=ARROW_NESTED_SCHEMA)

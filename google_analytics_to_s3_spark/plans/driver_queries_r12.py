@@ -644,3 +644,45 @@ FROM e
 
 QUERIES_R12["iceberg_scan_eq_deletes"] = q_iceberg_scan_eq_deletes
 ORACLES_R12["iceberg_scan_eq_deletes"] = _ICEBERG_EQ_ORACLE
+
+
+def q_arrow_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC NESTED columns driver-checked (r12): the SAME
+    planted struct{a, tags, pts, m} rows as ``parquet_scan_nested`` /
+    ``orc_scan_nested``, written as Arrow IPC (file AND stream
+    layouts, none/zstd/lz4 body compression, 32-row batches) and
+    rebuilt by the depth-first node/buffer tree materializer
+    (operators/arrow_ipc.arrow_read_nested — this round's tree walk
+    also fixed a latent misalignment where a flat column AFTER a
+    nested one silently decoded the wrong buffers).  One closed-form
+    oracle now exercises THREE independent byte paths; pytest pins
+    all three readers record-for-record equal.  Lane id % 10 == 1."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.arrow_ipc import decode_arrow_nested_stats
+    from ..testing.fixtures import make_arrow_nested
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 1
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_arrow_nested(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_arrow_nested_stats(payloads, "v").drop("decode_error")
+
+
+QUERIES_R12["arrow_nested_scan"] = q_arrow_nested_scan
+ORACLES_R12["arrow_nested_scan"] = _NESTED_ORACLE_TEMPLATE.format(
+    mod=_FLAC_MOD, lane=1)

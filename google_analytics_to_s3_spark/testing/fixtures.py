@@ -7666,3 +7666,30 @@ def make_iceberg_eq_bundle(seed: int) -> bytes:
         out += _tar_member(name, data)
     out += b"\x00" * 1024
     return bytes(out)
+
+
+def make_arrow_nested(seed: int) -> bytes:
+    """The SAME planted nested rows as :func:`make_parquet_nested` /
+    :func:`make_orc_nested` written as Arrow IPC by pyarrow — a THIRD
+    independent byte path under the one closed-form oracle
+    (``arrow_nested_scan``).  File/stream layout by ``seed % 2``,
+    body compression none/zstd/lz4 by ``seed % 3``, 32-row batches."""
+    import pyarrow as _pa
+
+    rows = _nested_fixture_rows(seed)
+    typ = _pa.struct([
+        ("a", _pa.int64()),
+        ("tags", _pa.list_(_pa.string())),
+        ("pts", _pa.list_(_pa.struct([("x", _pa.int64()),
+                                      ("y", _pa.int64())]))),
+        ("m", _pa.map_(_pa.string(), _pa.int64())),
+    ])
+    t = _pa.table({"v": _pa.array(rows, typ)})
+    sink = _pa.BufferOutputStream()
+    opts = _pa.ipc.IpcWriteOptions(
+        compression=[None, "zstd", "lz4"][seed % 3])
+    new = _pa.ipc.new_file if seed % 2 == 0 else _pa.ipc.new_stream
+    with new(sink, t.schema, options=opts) as w:
+        for batch in t.to_batches(max_chunksize=32):
+            w.write_batch(batch)
+    return sink.getvalue().to_pybytes()

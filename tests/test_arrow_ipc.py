@@ -167,3 +167,84 @@ def test_zero_row_dictionary_column(layout):
     data = _file_bytes(t) if layout == "file" else _stream_bytes(t)
     assert arrow_read_column(data, "d") == []
     assert arrow_read_column(data, "v") == []
+
+
+# --------------------------------------------------------------------------
+# r12: nested columns (depth-first node/buffer tree).
+
+
+def _norm_nested(v, typ):
+    if v is None:
+        return None
+    if pa.types.is_map(typ):
+        return {k: _norm_nested(x, typ.item_type) for k, x in v}
+    if pa.types.is_list(typ) or pa.types.is_large_list(typ) \
+            or pa.types.is_fixed_size_list(typ):
+        return [_norm_nested(x, typ.value_type) for x in v]
+    if pa.types.is_struct(typ):
+        return {f.name: _norm_nested(v[f.name], f.type) for f in typ}
+    return v
+
+
+_NESTED = {
+    "list": pa.array([[1, None], None, []], pa.list_(pa.int64())),
+    "large_list": pa.array([["a"], None, ["b", None]],
+                           pa.large_list(pa.string())),
+    "fixed_list": pa.array([[1, 2], None, [3, 4]],
+                           pa.list_(pa.int64(), 2)),
+    "struct": pa.array([{"a": 1, "b": "x"}, None,
+                        {"a": None, "b": None}],
+                       pa.struct([("a", pa.int64()),
+                                  ("b", pa.string())])),
+    "map": pa.array([[("k", 1)], [], None],
+                    pa.map_(pa.string(), pa.int64())),
+    "deep": pa.array(
+        [{"tags": ["p", None], "m": [("k", 7)], "s": {"q": [3, None]}},
+         None, {"tags": None, "m": [], "s": None}],
+        pa.struct([("tags", pa.list_(pa.string())),
+                   ("m", pa.map_(pa.string(), pa.int64())),
+                   ("s", pa.struct([("q", pa.list_(pa.int64()))]))])),
+    "list_of_dict": pa.array(
+        [["a", "a", None], ["b"]],
+        pa.list_(pa.dictionary(pa.int32(), pa.string()))),
+}
+
+
+@pytest.mark.parametrize("shape", sorted(_NESTED))
+@pytest.mark.parametrize("layout", ["file", "stream"])
+@pytest.mark.parametrize("comp", [None, "zstd", "lz4"])
+def test_nested_matches_pyarrow(shape, layout, comp):
+    from google_analytics_to_s3_spark.operators.arrow_ipc import (
+        arrow_read_column,
+        arrow_read_nested,
+    )
+
+    arr = _NESTED[shape]
+    t = pa.table({"v": arr,
+                  "after": pa.array(range(len(arr)), pa.int64())})
+    data = (_file_bytes(t, comp) if layout == "file"
+            else _stream_bytes(t, comp))
+    typ = t.schema.field("v").type
+    want = [_norm_nested(x, typ) for x in t.column("v").to_pylist()]
+    assert arrow_read_nested(data, "v") == want
+    # the r12 regression: a FLAT column after a nested one must not
+    # decode the nested column's buffers (pre-fix code returned wrong
+    # values silently)
+    assert arrow_read_column(data, "after") == list(range(len(arr)))
+
+
+def test_nested_arrow_equals_nested_parquet():
+    from google_analytics_to_s3_spark.operators.arrow_ipc import (
+        arrow_read_nested,
+    )
+    from google_analytics_to_s3_spark.operators.parquet_raw import (
+        parquet_read_nested,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_arrow_nested,
+        make_parquet_nested,
+    )
+
+    for seed in (0, 1, 2, 3, 4, 17, 999):
+        assert arrow_read_nested(make_arrow_nested(seed), "v") == \
+            parquet_read_nested(make_parquet_nested(seed), "v")
