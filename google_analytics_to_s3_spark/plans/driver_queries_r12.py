@@ -686,3 +686,89 @@ def q_arrow_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_R12["arrow_nested_scan"] = q_arrow_nested_scan
 ORACLES_R12["arrow_nested_scan"] = _NESTED_ORACLE_TEMPLATE.format(
     mod=_FLAC_MOD, lane=1)
+
+
+def q_sqlite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite database-file scan driver-checked (r12): per event a
+    REAL database built by the stdlib sqlite3 module (an independent
+    in-env producer) whose table b-tree — interior pages, cell
+    pointer arrays, the spilled-payload U/X/M/K rule with overflow
+    chains at 512-byte pages, all serial types, the INTEGER PRIMARY
+    KEY rowid alias — is walked from raw bytes by
+    operators/sqlite.py.  The oracle replays the planted typed
+    tallies in closed form.  Lane id % 10 == 4."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.sqlite import decode_sqlite_scan
+    from ..testing.fixtures import make_sqlite_db
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 4
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_sqlite_db(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_sqlite_scan(payloads, "t").drop("decode_error")
+
+
+_SQLITE_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         30 + (event_id % 1000) % 60 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 4
+),
+rows_ AS (
+  SELECT e.event_id, e.seed, i.i,
+         CASE WHEN (e.seed + i.i) % 9 = 8 THEN NULL
+              ELSE (e.seed*7 + 13*i.i) % 100000 - 50000 END AS v,
+         CASE WHEN (e.seed + i.i) % 7 = 6 THEN NULL
+              WHEN i.i % 10 = 5 THEN 2000 + e.seed % 100
+              ELSE (e.seed + 3*i.i) % 40 END AS slen,
+         CASE WHEN (e.seed + i.i) % 11 = 10 THEN NULL
+              ELSE (e.seed + 2*i.i) % 30 END AS blen,
+         CASE WHEN (e.seed + i.i) % 5 = 4 THEN NULL
+              ELSE (e.seed + 11*i.i) % 4000 - 2000 END AS f4
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+)
+SELECT e.event_id AS doc_id,
+       CAST(2 AS BIGINT) AS n_tables,
+       CAST(e.n AS BIGINT) AS n_rows,
+       CAST(e.n * (e.n + 1) / 2
+            + coalesce((SELECT sum(r.v) FROM rows_ r
+                         WHERE r.event_id = e.event_id), 0)
+            AS BIGINT) AS int_sum,
+       CAST(coalesce((SELECT sum(r.slen) FROM rows_ r
+                       WHERE r.event_id = e.event_id), 0)
+            AS BIGINT) AS text_chars,
+       CAST(coalesce((SELECT sum(r.blen) FROM rows_ r
+                       WHERE r.event_id = e.event_id), 0)
+            AS BIGINT) AS blob_bytes,
+       CAST((SELECT count(*) FROM rows_ r
+              WHERE r.event_id = e.event_id AND r.v IS NULL)
+            + (SELECT count(*) FROM rows_ r
+                WHERE r.event_id = e.event_id AND r.slen IS NULL)
+            + (SELECT count(*) FROM rows_ r
+                WHERE r.event_id = e.event_id AND r.blen IS NULL)
+            + (SELECT count(*) FROM rows_ r
+                WHERE r.event_id = e.event_id AND r.f4 IS NULL)
+            AS BIGINT) AS n_nulls,
+       CAST(coalesce((SELECT sum(r.f4) FROM rows_ r
+                       WHERE r.event_id = e.event_id), 0)
+            AS BIGINT) AS f_sum_x4
+FROM e
+"""
+
+QUERIES_R12["sqlite_scan"] = q_sqlite_scan
+ORACLES_R12["sqlite_scan"] = _SQLITE_ORACLE

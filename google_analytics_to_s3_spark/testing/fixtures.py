@@ -7693,3 +7693,64 @@ def make_arrow_nested(seed: int) -> bytes:
         for batch in t.to_batches(max_chunksize=32):
             w.write_batch(batch)
     return sink.getvalue().to_pybytes()
+
+
+def make_sqlite_db(seed: int) -> bytes:
+    """A REAL SQLite database built by the stdlib ``sqlite3`` module
+    for the ``sqlite_scan`` driver query — page size 512/1024/4096 by
+    ``seed % 3`` (512 forces overflow chains for the long texts),
+    two tables + an index (the reader must walk only ``t``'s b-tree).
+
+    Planted rules for table ``t(id INTEGER PRIMARY KEY, v INTEGER,
+    s TEXT, b BLOB, f REAL)``, replayed in closed form by the oracle
+    (row ``i`` in 0..n-1, rowid ``i+1``):
+
+    - ``n = 30 + seed % 60``
+    - ``v``: NULL when ``(seed + i) % 9 == 8`` else
+      ``(seed*7 + 13*i) % 100000 - 50000``
+    - ``s``: NULL when ``(seed + i) % 7 == 6`` else ``'t'`` repeated
+      ``2000 + seed % 100`` times when ``i % 10 == 5`` (overflow)
+      else ``(seed + 3*i) % 40`` times
+    - ``b``: NULL when ``(seed + i) % 11 == 10`` else
+      ``(seed + 2*i) % 30`` bytes
+    - ``f``: NULL when ``(seed + i) % 5 == 4`` else
+      ``((seed + 11*i) % 4000 - 2000) / 4``
+    """
+    import os as _os
+    import sqlite3 as _sqlite3
+    import tempfile as _tempfile
+
+    path = _tempfile.mktemp(suffix=".db")
+    try:
+        con = _sqlite3.connect(path)
+        con.execute(f"PRAGMA page_size={[512, 1024, 4096][seed % 3]}")
+        con.execute(
+            "CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER, "
+            "s TEXT, b BLOB, f REAL)")
+        con.execute("CREATE TABLE u (x)")
+        con.execute("CREATE INDEX ix ON t(v)")
+        n = 30 + seed % 60
+        rows = []
+        for i in range(n):
+            v = (None if (seed + i) % 9 == 8
+                 else (seed * 7 + 13 * i) % 100000 - 50000)
+            if (seed + i) % 7 == 6:
+                s = None
+            elif i % 10 == 5:
+                s = "t" * (2000 + seed % 100)
+            else:
+                s = "t" * ((seed + 3 * i) % 40)
+            b = (None if (seed + i) % 11 == 10
+                 else bytes((seed + j) % 256
+                            for j in range((seed + 2 * i) % 30)))
+            f = (None if (seed + i) % 5 == 4
+                 else ((seed + 11 * i) % 4000 - 2000) / 4)
+            rows.append((v, s, b, f))
+        con.executemany("INSERT INTO t (v, s, b, f) VALUES (?,?,?,?)",
+                        rows)
+        con.commit()
+        con.close()
+        return open(path, "rb").read()
+    finally:
+        if _os.path.exists(path):
+            _os.unlink(path)

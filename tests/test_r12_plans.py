@@ -21,6 +21,7 @@ _R12_EXTRACT_QUERIES = [
     "parquet_scan_int96",
     "orc_scan_nested",
     "arrow_nested_scan",
+    "sqlite_scan",
     "parquet_scan_nested",
     "delta_checkpoint_snapshot",
     "iceberg_scan_deletes",

@@ -1,0 +1,190 @@
+"""SQLite file-format reader (operators/sqlite.py), cross-validated
+against the stdlib sqlite3 module — a REAL independent producer."""
+
+from __future__ import annotations
+
+import os
+import random
+import sqlite3
+import tempfile
+
+import pytest
+
+from google_analytics_to_s3_spark.operators.sqlite import (
+    sqlite_file_meta,
+    sqlite_table_rows,
+)
+
+
+def _db_bytes(build, page_size=4096):
+    path = tempfile.mktemp(suffix=".db")
+    try:
+        con = sqlite3.connect(path)
+        con.execute(f"PRAGMA page_size={page_size}")
+        build(con)
+        con.commit()
+        con.close()
+        data = open(path, "rb").read()
+        con = sqlite3.connect(path)
+        yield_con = con
+        return data, yield_con
+    finally:
+        if os.path.exists(path):
+            os.unlink(path)
+
+
+def _roundtrip(page_size, n, seed):
+    rng = random.Random(seed)
+    path = tempfile.mktemp(suffix=".db")
+    try:
+        con = sqlite3.connect(path)
+        con.execute(f"PRAGMA page_size={page_size}")
+        con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, "
+                    "v INTEGER, s TEXT, b BLOB, f REAL)")
+        con.execute("CREATE TABLE u (x)")
+        con.execute("CREATE INDEX ix ON t(v)")
+        rows = []
+        for _ in range(n):
+            rows.append((
+                rng.randrange(-10**14, 10**14)
+                if rng.random() > .1 else None,
+                "x" * rng.choice([0, 5, 50, 3000])
+                if rng.random() > .1 else None,
+                bytes(rng.randrange(256)
+                      for _ in range(rng.choice([0, 8, 2000])))
+                if rng.random() > .1 else None,
+                rng.choice([2.0, -5.0, 0.25, 1e18, -0.0, 3.5])
+                if rng.random() > .1 else None,
+            ))
+        con.executemany("INSERT INTO t (v,s,b,f) VALUES (?,?,?,?)",
+                        rows)
+        con.commit()
+        con.close()
+        data = open(path, "rb").read()
+        con = sqlite3.connect(path)
+        want = [list(r) for r in
+                con.execute("SELECT id,v,s,b,f FROM t ORDER BY id")]
+        con.close()
+        return data, want
+    finally:
+        if os.path.exists(path):
+            os.unlink(path)
+
+
+@pytest.mark.parametrize("page_size", [512, 1024, 4096, 8192])
+@pytest.mark.parametrize("n", [5, 300, 2500])
+def test_rows_match_sqlite3(page_size, n):
+    """All serial types, interior trees (2500 rows), overflow chains
+    (3000-char texts at 512-byte pages), the rowid alias and REAL
+    affinity (integral reals stored as ints on disk) — byte-for-byte
+    against sqlite3's own SELECT."""
+    data, want = _roundtrip(page_size, n, seed=page_size * n)
+    names, rows = sqlite_table_rows(data, "t")
+    assert names == ["id", "v", "s", "b", "f"]
+    assert rows == want
+
+
+def test_meta_and_second_table():
+    data, _ = _roundtrip(1024, 50, seed=9)
+    m = sqlite_file_meta(data)
+    assert m["page_size"] == 1024
+    assert [t["name"] for t in m["tables"]] == ["t", "u"]
+    names, rows = sqlite_table_rows(data, "u")
+    assert names == ["x"]
+    assert rows == []
+
+
+def test_wal_checkpointed_file_reads():
+    path = tempfile.mktemp(suffix=".db")
+    try:
+        con = sqlite3.connect(path)
+        con.execute("PRAGMA journal_mode=wal")
+        con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER)")
+        con.executemany("INSERT INTO t (v) VALUES (?)",
+                        [(i * 3,) for i in range(500)])
+        con.commit()
+        con.execute("PRAGMA wal_checkpoint(TRUNCATE)")
+        con.close()
+        data = open(path, "rb").read()
+        _names, rows = sqlite_table_rows(data, "t")
+        assert rows == [[i + 1, i * 3] for i in range(500)]
+    finally:
+        if os.path.exists(path):
+            os.unlink(path)
+
+
+def test_alter_table_add_column_pads_nulls():
+    path = tempfile.mktemp(suffix=".db")
+    try:
+        con = sqlite3.connect(path)
+        con.execute("CREATE TABLE t (a INTEGER)")
+        con.execute("INSERT INTO t VALUES (1)")
+        con.commit()
+        con.execute("ALTER TABLE t ADD COLUMN b TEXT")
+        con.execute("INSERT INTO t VALUES (2, 'x')")
+        con.commit()
+        con.close()
+        data = open(path, "rb").read()
+        names, rows = sqlite_table_rows(data, "t")
+        assert names == ["a", "b"]
+        assert rows == [[1, None], [2, "x"]]
+    finally:
+        if os.path.exists(path):
+            os.unlink(path)
+
+
+def test_gates_named():
+    path = tempfile.mktemp(suffix=".db")
+    try:
+        con = sqlite3.connect(path)
+        con.execute("CREATE TABLE w (k TEXT PRIMARY KEY, v INTEGER) "
+                    "WITHOUT ROWID")
+        con.execute("INSERT INTO w VALUES ('a', 1)")
+        con.execute("CREATE TABLE t (a INTEGER)")
+        con.commit()
+        con.close()
+        data = open(path, "rb").read()
+        with pytest.raises(ValueError, match="WITHOUT ROWID"):
+            sqlite_table_rows(data, "w")
+        with pytest.raises(ValueError, match="no table"):
+            sqlite_table_rows(data, "nope")
+    finally:
+        if os.path.exists(path):
+            os.unlink(path)
+    with pytest.raises(ValueError, match="magic"):
+        sqlite_file_meta(b"not a database" + b"\0" * 100)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_corruption_never_crashes(seed):
+    data, _ = _roundtrip(1024, 200, seed=5)
+    rng = random.Random(seed)
+    for _ in range(40):
+        b = bytearray(data)
+        b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        try:
+            sqlite_table_rows(bytes(b), "t")
+        except (ValueError, IndexError, TypeError):
+            pass
+
+
+def test_fixture_inverts():
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_sqlite_db,
+    )
+
+    for seed in (0, 1, 2, 3, 17, 999):
+        data = make_sqlite_db(seed)
+        names, rows = sqlite_table_rows(data, "t")
+        n = 30 + seed % 60
+        assert len(rows) == n
+        for i, r in enumerate(rows):
+            assert r[0] == i + 1
+            if (seed + i) % 9 == 8:
+                assert r[1] is None
+            else:
+                assert r[1] == (seed * 7 + 13 * i) % 100000 - 50000
+            if (seed + i) % 5 == 4:
+                assert r[4] is None
+            else:
+                assert r[4] == ((seed + 11 * i) % 4000 - 2000) / 4
