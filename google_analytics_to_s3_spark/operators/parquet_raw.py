@@ -71,7 +71,8 @@ __all__ = ["thrift_compact_struct", "parquet_file_meta",
            "parquet_read_nested", "decode_parquet_meta",
            "decode_parquet_column_sum", "decode_parquet_list_sum",
            "decode_parquet_nested_stats", "decode_parquet_ts96",
-           "nested_struct_tallies"]
+           "nested_struct_tallies", "parquet_page_index",
+           "parquet_read_int_range", "decode_parquet_range_scan"]
 
 _MAGIC = b"PAR1"
 
@@ -279,6 +280,10 @@ def _build_meta(fmd: dict) -> dict:
                 "dictionary_page_offset": md.get(11),
                 "stat_min": stats.get(6), "stat_max": stats.get(5),
                 "stat_null_count": stats.get(3),
+                "offset_index_offset": cc.get(4),
+                "offset_index_length": cc.get(5),
+                "column_index_offset": cc.get(6),
+                "column_index_length": cc.get(7),
             })
         row_groups.append({
             "num_rows": rg.get(3),
@@ -1428,3 +1433,222 @@ def decode_parquet_ts96(
 
     return df.select(id_col, payload_col).mapInPandas(
         _run, schema=PARQUET_TS96_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Page indexes (r12): ColumnIndex / OffsetIndex (parquet-format
+# PageIndex.md) and an index-driven range scan that decodes ONLY the
+# pages whose [min, max] overlaps the predicate — the real machinery
+# behind page-level predicate pushdown.
+
+
+def parquet_page_index(data: bytes, column: str) -> list[dict]:
+    """Per row group: the column's ColumnIndex (null_pages,
+    min/max binaries, boundary_order, null_counts) and OffsetIndex
+    (page offset / compressed size / first_row_index)."""
+    meta = parquet_file_meta(data)
+    out = []
+    for rg in meta["row_groups"]:
+        chunk = _find_chunk(rg, lambda p: p == [column])
+        cio, cil = chunk.get("column_index_offset"), \
+            chunk.get("column_index_length")
+        oio, oil = chunk.get("offset_index_offset"), \
+            chunk.get("offset_index_length")
+        if cio is None or oio is None:
+            raise ValueError("parquet: page index absent")
+        if cio + cil > len(data) or oio + oil > len(data):
+            raise ValueError("parquet: page index overruns file")
+        ci, _ = thrift_compact_struct(data[cio:cio + cil])
+        oi, _ = thrift_compact_struct(data[oio:oio + oil])
+        pages = []
+        for loc in oi.get(1) or []:
+            pages.append({"offset": loc.get(1),
+                          "compressed_page_size": loc.get(2),
+                          "first_row_index": loc.get(3)})
+        out.append({
+            "null_pages": ci.get(1) or [],
+            "min_values": ci.get(2) or [],
+            "max_values": ci.get(3) or [],
+            "boundary_order": ci.get(4, 0),
+            "null_counts": ci.get(5) or [],
+            "pages": pages,
+        })
+    return out
+
+
+def _decode_page_at(data: bytes, pos: int, chunk: dict, max_def: int,
+                    dictionary: list | None,
+                    type_length: int | None) -> tuple[list, list]:
+    """Decode the single data page at ``pos`` → (defs, present
+    values).  Flat columns only (the range scan's domain)."""
+    ph, body_pos = thrift_compact_struct(data, pos)
+    page_type = ph.get(1)
+    comp_size = ph.get(3)
+    unc_size = ph.get(2)
+    if not (isinstance(comp_size, int) and comp_size >= 0
+            and isinstance(unc_size, int) and unc_size >= 0):
+        raise ValueError("parquet: corrupt page header sizes")
+    body = bytes(data[body_pos:body_pos + comp_size])
+    if len(body) != comp_size:
+        raise ValueError("parquet: truncated page body")
+    ptype = chunk["type"]
+    def_w = max_def.bit_length()
+    if page_type == 0:  # v1
+        raw = _decompress_page(chunk["codec"], body, unc_size)
+        dh = ph.get(5) or {}
+        nvals = dh.get(1)
+        enc = dh.get(2)
+        vpos = 0
+        if max_def:
+            dlen = int.from_bytes(raw[0:4], "little")
+            defs = _rle_bp_hybrid(raw, 4, 4 + dlen, def_w, nvals)
+            vpos = 4 + dlen
+        else:
+            defs = [max_def] * nvals
+        vals_buf = raw
+    elif page_type == 3:  # v2
+        dh = ph.get(8) or {}
+        nvals = dh.get(1)
+        enc = dh.get(4)
+        dll = dh.get(5, 0)
+        rll = dh.get(6, 0)
+        is_comp = dh.get(7, True)
+        defs = ([max_def] * nvals if not max_def else
+                _rle_bp_hybrid(body, rll, rll + dll, def_w, nvals))
+        tail = body[rll + dll:]
+        if chunk["codec"] and is_comp:
+            tail = _decompress_page(chunk["codec"], tail,
+                                    unc_size - dll - rll)
+        vals_buf = tail
+        vpos = 0
+    else:
+        raise ValueError(f"parquet: page type {page_type} at offset")
+    npresent = sum(1 for d in defs if d == max_def)
+    if enc == 0:
+        present = _plain_values(ptype, vals_buf[vpos:], npresent,
+                                type_length)
+    elif enc in (2, 8):
+        if dictionary is None:
+            raise ValueError("parquet: dictionary page missing")
+        bw = vals_buf[vpos] if npresent else 0
+        idx = _rle_bp_hybrid(vals_buf, vpos + 1, len(vals_buf),
+                             bw, npresent)
+        try:
+            present = [dictionary[i] for i in idx]
+        except IndexError:
+            raise ValueError("parquet: dictionary index out of "
+                             "range") from None
+    else:
+        raise ValueError("parquet: range scan supports PLAIN/"
+                         "DICTIONARY pages")
+    return defs, present
+
+
+def parquet_read_int_range(data: bytes, column: str, lo: int,
+                           hi: int) -> dict:
+    """Index-driven range scan of a flat INT32/INT64 column: the
+    ColumnIndex min/max prunes pages, the OffsetIndex seeks straight
+    to the survivors, and only those decode.  Returns matching count/
+    sum plus pages_read/pages_total — the pruning evidence."""
+    meta = parquet_file_meta(data)
+    leaves = _leaf_levels(meta["schema"])
+    leaf = leaves.get((column,))
+    if leaf is None:
+        raise ValueError(f"parquet: no column {column!r}")
+    max_def, max_rep, el = leaf
+    if max_rep:
+        raise ValueError("parquet: repeated columns gated")
+    if el.get("type") not in (_PT_INT32, _PT_INT64):
+        raise ValueError("parquet: range scan is for int columns")
+    width = 4 if el["type"] == _PT_INT32 else 8
+    idx = parquet_page_index(data, column)
+    n_match = 0
+    v_sum = 0
+    pages_read = 0
+    pages_total = 0
+    for rg, rgidx in zip(meta["row_groups"], idx):
+        chunk = _find_chunk(rg, lambda p: p == [column])
+        dictionary = None
+        dpo = chunk.get("dictionary_page_offset")
+        if dpo is not None:
+            ph, pos = thrift_compact_struct(data, dpo)
+            if ph.get(1) == 2:
+                raw = _decompress_page(
+                    chunk["codec"],
+                    bytes(data[pos:pos + ph.get(3, 0)]), ph.get(2, 0))
+                dph = ph.get(7) or {}
+                dictionary = _plain_values(chunk["type"], raw,
+                                           dph.get(1),
+                                           el.get("type_length"))
+        pages = rgidx["pages"]
+        pages_total += len(pages)
+        for i, page in enumerate(pages):
+            if i < len(rgidx["null_pages"]) and rgidx["null_pages"][i]:
+                continue  # all-null page: nothing can match
+            mn = rgidx["min_values"][i]
+            mx = rgidx["max_values"][i]
+            pmin = int.from_bytes(mn[:width], "little", signed=True)
+            pmax = int.from_bytes(mx[:width], "little", signed=True)
+            if pmax < lo or pmin > hi:
+                continue  # pruned without touching the page bytes
+            pages_read += 1
+            _defs, present = _decode_page_at(
+                data, page["offset"], chunk, max_def, dictionary,
+                el.get("type_length"))
+            for v in present:
+                if lo <= v <= hi:
+                    n_match += 1
+                    v_sum += v
+    return {"n_match": n_match, "value_sum": v_sum,
+            "pages_read": pages_read, "pages_total": pages_total}
+
+
+PARQUET_RANGE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_match", LongType()),
+    StructField("value_sum", LongType()),
+    StructField("skipped_pages", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_parquet_range_scan(
+    df: DataFrame, column: str,
+    id_col: str = "doc_id", payload_col: str = "payload",
+    lo_col: str = "lo", hi_col: str = "hi",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over
+    :func:`parquet_read_int_range` — per-payload predicate ranges
+    from ``lo``/``hi`` columns; ``skipped_pages`` counts the pages
+    the ColumnIndex pruned away without touching their bytes."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("n_match", "value_sum", "skipped_pages")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload, lo, hi in zip(
+                    pdf[id_col], pdf[payload_col], pdf[lo_col],
+                    pdf[hi_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    r = parquet_read_int_range(bytes(payload), column,
+                                               int(lo), int(hi))
+                    rows["n_match"].append(r["n_match"])
+                    rows["value_sum"].append(r["value_sum"])
+                    rows["skipped_pages"].append(
+                        r["pages_total"] - r["pages_read"])
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k], dtype="Int64") for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col, lo_col, hi_col).mapInPandas(
+        _run, schema=PARQUET_RANGE_SCHEMA)

@@ -772,3 +772,76 @@ FROM e
 
 QUERIES_R12["sqlite_scan"] = q_sqlite_scan
 ORACLES_R12["sqlite_scan"] = _SQLITE_ORACLE
+
+
+def q_parquet_page_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet PAGE-INDEX pruning driver-checked (r12): per event a
+    parquet-cpp file written WITH ColumnIndex/OffsetIndex (4 KiB
+    pages, 3 row groups), scanned with a per-event range predicate —
+    the reader prunes pages by the index min/max and seeks straight
+    to the survivors (operators/parquet_raw.parquet_read_int_range),
+    never touching pruned page bytes.  The oracle replays the
+    filtered count/sum in closed form; ``skipped_pages > 0`` is
+    asserted per row (the layout guarantees ~85% of pages prune).
+    Lane id % 10 == 9."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.parquet_raw import decode_parquet_range_scan
+    from ..testing.fixtures import make_parquet_paged
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 9
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            seeds = [int(i) % 1000 for i in pdf["event_id"]]
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_parquet_paged(s) for s in seeds],
+                "lo": [(s % 10) * 74000 for s in seeds],
+                "hi": [(s % 10) * 74000 + 111000 for s in seeds],
+            })
+
+    payloads = e.mapInPandas(
+        _synth, schema="doc_id long, payload binary, lo long, hi long")
+    scanned = decode_parquet_range_scan(payloads, "v")
+    return scanned.select(
+        "doc_id", "n_match", "value_sum",
+        (F.col("skipped_pages") > 0).cast("int").alias("pruned"),
+    )
+
+
+_PAGE_PRUNE_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         ((event_id % 1000) % 10) * 74000 AS lo,
+         ((event_id % 1000) % 10) * 74000 + 111000 AS hi
+  FROM events WHERE event_id % {_FLAC_MOD} = 9
+),
+rows_ AS (
+  SELECT e.event_id,
+         37*i.i + e.seed % 37 AS v
+  FROM e, LATERAL (SELECT unnest(range(0, 20000)) AS i) i
+  WHERE (e.seed + i.i) % 53 <> 0
+)
+SELECT e.event_id AS doc_id,
+       CAST((SELECT count(*) FROM rows_ r
+              WHERE r.event_id = e.event_id
+                AND r.v BETWEEN e.lo AND e.hi)
+            AS BIGINT) AS n_match,
+       CAST(coalesce((SELECT sum(r.v) FROM rows_ r
+              WHERE r.event_id = e.event_id
+                AND r.v BETWEEN e.lo AND e.hi), 0)
+            AS BIGINT) AS value_sum,
+       CAST(1 AS INTEGER) AS pruned
+FROM e
+"""
+
+QUERIES_R12["parquet_page_prune"] = q_parquet_page_prune
+ORACLES_R12["parquet_page_prune"] = _PAGE_PRUNE_ORACLE

@@ -7754,3 +7754,31 @@ def make_sqlite_db(seed: int) -> bytes:
     finally:
         if _os.path.exists(path):
             _os.unlink(path)
+
+
+def make_parquet_paged(seed: int) -> bytes:
+    """Parquet bytes WITH PAGE INDEXES (parquet-cpp
+    ``write_page_index=True``) for the ``parquet_page_prune`` driver
+    query — a sorted int64 column across many small pages and three
+    row groups, so a selective range predicate must prune most pages.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - 20000 rows; row ``i`` NULL when ``(seed + i) % 53 == 0`` else
+      ``v = 37*i + seed % 37`` (strictly increasing)
+    - codec none/snappy/zstd by ``seed % 3``; dictionary when
+      ``seed % 5 < 2``; 4 KiB pages, 8000-row row groups
+    """
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    vals = [None if (seed + i) % 53 == 0 else 37 * i + seed % 37
+            for i in range(20000)]
+    t = _pa.table({"v": _pa.array(vals, _pa.int64())})
+    buf = _pa.BufferOutputStream()
+    _pq.write_table(
+        t, buf, write_page_index=True, data_page_size=4096,
+        row_group_size=8000,
+        compression=["none", "snappy", "zstd"][seed % 3],
+        use_dictionary=(seed % 5 < 2))
+    return buf.getvalue().to_pybytes()

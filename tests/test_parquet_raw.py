@@ -509,3 +509,68 @@ def test_nested_flat_column_degenerates_to_values():
 
     t = pa.table({"v": pa.array([1, None, 3], pa.int64())})
     assert parquet_read_nested(_pq_bytes(t), "v") == [1, None, 3]
+
+
+# --------------------------------------------------------------------------
+# r12: page indexes + index-driven range scan.
+
+
+@pytest.mark.parametrize("comp", ["none", "snappy", "zstd"])
+@pytest.mark.parametrize("dic", [False, True])
+def test_page_index_range_scan(comp, dic):
+    """ColumnIndex min/max prunes pages, OffsetIndex seeks to the
+    survivors; results equal the brute filter and most pages never
+    decode."""
+    import random
+
+    from google_analytics_to_s3_spark.operators.parquet_raw import (
+        parquet_read_int_range,
+    )
+
+    rng = random.Random(3)
+    vals = sorted(rng.randrange(0, 10**9) for _ in range(100000))
+    col = [None if rng.random() < 0.02 else v for v in vals]
+    t = pa.table({"v": pa.array(col, pa.int64())})
+    data = _pq_bytes(t, write_page_index=True, data_page_size=8192,
+                     row_group_size=40000, compression=comp,
+                     use_dictionary=dic)
+    lo, hi = 3 * 10**8, 4 * 10**8
+    r = parquet_read_int_range(data, "v", lo, hi)
+    want = [v for v in col if v is not None and lo <= v <= hi]
+    assert r["n_match"] == len(want)
+    assert r["value_sum"] == sum(want)
+    assert 0 < r["pages_read"] < r["pages_total"]
+    # an empty range prunes EVERY page
+    r0 = parquet_read_int_range(data, "v", -10, -1)
+    assert r0["n_match"] == 0 and r0["pages_read"] == 0
+
+
+def test_page_index_absent_named():
+    from google_analytics_to_s3_spark.operators.parquet_raw import (
+        parquet_page_index,
+    )
+
+    t = pa.table({"v": pa.array(range(100), pa.int64())})
+    with pytest.raises(ValueError, match="page index absent"):
+        parquet_page_index(_pq_bytes(t), "v")
+
+
+def test_page_prune_fixture_inverts():
+    from google_analytics_to_s3_spark.operators.parquet_raw import (
+        parquet_read_int_range,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_parquet_paged,
+    )
+
+    for seed in (0, 1, 2, 5, 999):
+        data = make_parquet_paged(seed)
+        lo = (seed % 10) * 74000
+        hi = lo + 111000
+        r = parquet_read_int_range(data, "v", lo, hi)
+        want = [37 * i + seed % 37 for i in range(20000)
+                if (seed + i) % 53 != 0
+                and lo <= 37 * i + seed % 37 <= hi]
+        assert r["n_match"] == len(want)
+        assert r["value_sum"] == sum(want)
+        assert r["pages_read"] < r["pages_total"] // 2

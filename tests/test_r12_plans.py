@@ -22,6 +22,7 @@ _R12_EXTRACT_QUERIES = [
     "orc_scan_nested",
     "arrow_nested_scan",
     "sqlite_scan",
+    "parquet_page_prune",
     "parquet_scan_nested",
     "delta_checkpoint_snapshot",
     "iceberg_scan_deletes",
