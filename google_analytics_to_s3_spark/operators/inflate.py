@@ -1,0 +1,416 @@
+"""DEFLATE decompression from first principles — RFC 1951 (deflate),
+RFC 1950 (zlib wrapper, Adler-32), RFC 1952 (gzip wrapper, CRC-32),
+pure Python.
+
+Deflate is the substrate under half the formats this engine reads
+(gzip WARC members, zip entries, PNG IDAT, PDF FlateDecode, Avro
+``deflate`` blocks, ORC ZLIB chunks, parquet GZIP pages); this module
+re-derives the byte path from the public RFCs instead of the stdlib:
+
+- **Blocks** (§3.2.3): stored (LEN/NLEN complement check), fixed
+  Huffman (the §3.2.6 code-length ranges), dynamic Huffman — the
+  code-length code with its 3-bit lengths in the spec's scrambled
+  order, repeats 16/17/18, then the literal/length and distance
+  codes.
+- **Canonical Huffman** (§3.2.2): codes assigned from bit-length
+  counts exactly as the RFC's algorithm; over-subscribed or empty
+  codes are named errors.
+- **LZ77** (§3.2.5): the published length/extra-bits and
+  distance/extra-bits tables; matches may overlap; the 32 KiB window
+  spans blocks.
+- **zlib wrapper**: CMF/FLG sanity (method 8, window ≤ 32K, the
+  31-divisibility check), FDICT gated, Adler-32 verified (from the
+  spec's definition, modulo 65521).
+- **gzip wrapper**: magic/method, FEXTRA/FNAME/FCOMMENT/FHCRC
+  fields, multi-member streams, CRC-32 (table-driven, polynomial
+  0xEDB88320 from the RFC) and ISIZE verified per member.
+
+Cross-validation: tests inflate streams produced by the stdlib
+``zlib``/``gzip`` modules (a REAL independent producer baked into
+this environment) across every compression level 0..9, strategies
+(filtered/huffman-only/RLE/fixed), random + highly-repetitive +
+incompressible payloads, and flip-byte fuzz — plus parity with
+``zlib.decompress`` on every format fixture corpus the engine already
+carries.  A green suite proves this inverts real deflate streams,
+not a private dialect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["inflate", "zlib_decompress", "gzip_decompress",
+           "adler32", "crc32", "decode_gzip_members"]
+
+_MAX_OUT = 256 * 1024 * 1024
+
+# RFC 1951 §3.2.5 — length codes 257..285: (extra bits, base length)
+_LEN_EXTRA = [0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2,
+              3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0]
+_LEN_BASE = [3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27,
+             31, 35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195,
+             227, 258]
+# distance codes 0..29
+_DIST_EXTRA = [0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6,
+               7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13]
+_DIST_BASE = [1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97,
+              129, 193, 257, 385, 513, 769, 1025, 1537, 2049, 3073,
+              4097, 6145, 8193, 12289, 16385, 24577]
+# §3.2.7 — the code-length code's scrambled length order
+_CLC_ORDER = [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13,
+              2, 14, 1, 15]
+
+
+class _Bits:
+    """LSB-first bit reader over bytes (the deflate bit order)."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        out = 0
+        got = 0
+        data = self.data
+        while got < n:
+            if self.pos >= len(data):
+                raise ValueError("deflate: bitstream underrun")
+            avail = 8 - self.bit
+            take = min(n - got, avail)
+            out |= ((data[self.pos] >> self.bit)
+                    & ((1 << take) - 1)) << got
+            got += take
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return out
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+class _Huf:
+    """Canonical Huffman decoder built from code lengths (RFC 1951
+    §3.2.2), decoded MSB-first within the LSB-first bitstream."""
+
+    __slots__ = ("counts", "symbols", "max_len")
+
+    def __init__(self, lengths: list[int]) -> None:
+        max_len = max(lengths) if lengths else 0
+        if max_len == 0:
+            raise ValueError("deflate: empty Huffman code")
+        counts = [0] * (max_len + 1)
+        for ln in lengths:
+            if ln:
+                counts[ln] += 1
+        # completeness: left-justified code space must not overflow
+        left = 1
+        for ln in range(1, max_len + 1):
+            left = (left << 1) - counts[ln]
+            if left < 0:
+                raise ValueError("deflate: over-subscribed Huffman "
+                                 "code")
+        offs = [0] * (max_len + 2)
+        for ln in range(1, max_len + 1):
+            offs[ln + 1] = offs[ln] + counts[ln]
+        symbols = [0] * sum(counts[1:])
+        for sym, ln in enumerate(lengths):
+            if ln:
+                symbols[offs[ln]] = sym
+                offs[ln] += 1
+        self.counts = counts
+        self.symbols = symbols
+        self.max_len = max_len
+
+    def decode(self, br: _Bits) -> int:
+        code = 0
+        first = 0
+        index = 0
+        for ln in range(1, self.max_len + 1):
+            code |= br.read(1)
+            count = self.counts[ln]
+            if code - first < count:
+                return self.symbols[index + (code - first)]
+            index += count
+            first = (first + count) << 1
+            code <<= 1
+        raise ValueError("deflate: invalid Huffman code")
+
+
+_FIXED_LIT = None
+_FIXED_DIST = None
+
+
+def _fixed_tables() -> tuple[_Huf, _Huf]:
+    global _FIXED_LIT, _FIXED_DIST
+    if _FIXED_LIT is None:
+        lens = [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8
+        _FIXED_LIT = _Huf(lens)
+        _FIXED_DIST = _Huf([5] * 30)
+    return _FIXED_LIT, _FIXED_DIST
+
+
+def inflate(data: bytes, pos: int = 0,
+            max_out: int = _MAX_OUT) -> tuple[bytes, int]:
+    """Raw-deflate decode starting at byte ``pos`` → (output, next
+    byte position after the final block)."""
+    br = _Bits(data, pos)
+    out = bytearray()
+    while True:
+        final = br.read(1)
+        btype = br.read(2)
+        if btype == 0:  # stored
+            br.align()
+            p = br.pos
+            if p + 4 > len(data):
+                raise ValueError("deflate: truncated stored header")
+            ln = int.from_bytes(data[p:p + 2], "little")
+            nln = int.from_bytes(data[p + 2:p + 4], "little")
+            if ln != (~nln & 0xFFFF):
+                raise ValueError("deflate: stored LEN/NLEN mismatch")
+            seg = data[p + 4:p + 4 + ln]
+            if len(seg) != ln:
+                raise ValueError("deflate: truncated stored block")
+            out += seg
+            br.pos = p + 4 + ln
+            br.bit = 0
+        elif btype in (1, 2):
+            if btype == 1:
+                lit, dist = _fixed_tables()
+            else:
+                hlit = br.read(5) + 257
+                hdist = br.read(5) + 1
+                hclen = br.read(4) + 4
+                clc_len = [0] * 19
+                for i in range(hclen):
+                    clc_len[_CLC_ORDER[i]] = br.read(3)
+                clc = _Huf(clc_len)
+                lens: list[int] = []
+                while len(lens) < hlit + hdist:
+                    sym = clc.decode(br)
+                    if sym < 16:
+                        lens.append(sym)
+                    elif sym == 16:
+                        if not lens:
+                            raise ValueError("deflate: repeat with no "
+                                             "previous length")
+                        lens.extend([lens[-1]] * (3 + br.read(2)))
+                    elif sym == 17:
+                        lens.extend([0] * (3 + br.read(3)))
+                    else:
+                        lens.extend([0] * (11 + br.read(7)))
+                if len(lens) != hlit + hdist:
+                    raise ValueError("deflate: code lengths overrun")
+                lit = _Huf(lens[:hlit])
+                dist = _Huf(lens[hlit:])
+            while True:
+                sym = lit.decode(br)
+                if sym < 256:
+                    out.append(sym)
+                elif sym == 256:
+                    break
+                else:
+                    if sym > 285:
+                        raise ValueError("deflate: bad length symbol")
+                    i = sym - 257
+                    length = _LEN_BASE[i] + br.read(_LEN_EXTRA[i])
+                    dsym = dist.decode(br)
+                    if dsym > 29:
+                        raise ValueError("deflate: bad distance "
+                                         "symbol")
+                    d = _DIST_BASE[dsym] + br.read(_DIST_EXTRA[dsym])
+                    if d > len(out):
+                        raise ValueError("deflate: distance beyond "
+                                         "output start")
+                    start = len(out) - d
+                    for k in range(length):  # overlap-safe
+                        out.append(out[start + k])
+                if len(out) > max_out:
+                    raise ValueError("deflate: output exceeds cap")
+        else:
+            raise ValueError("deflate: reserved block type")
+        if len(out) > max_out:
+            raise ValueError("deflate: output exceeds cap")
+        if final:
+            break
+    br.align()
+    return bytes(out), br.pos
+
+
+def adler32(data: bytes, start: int = 1) -> int:
+    """Adler-32 per RFC 1950 §8 (mod 65521)."""
+    a = start & 0xFFFF
+    b = (start >> 16) & 0xFFFF
+    for i in range(0, len(data), 5552):  # largest n with no overflow
+        for byte in data[i:i + 5552]:
+            a += byte
+            b += a
+        a %= 65521
+        b %= 65521
+    return (b << 16) | a
+
+
+_CRC_TABLE = None
+
+
+def crc32(data: bytes, start: int = 0) -> int:
+    """CRC-32 per RFC 1952 §8 (reflected polynomial 0xEDB88320),
+    table-driven."""
+    global _CRC_TABLE
+    if _CRC_TABLE is None:
+        table = []
+        for n in range(256):
+            c = n
+            for _ in range(8):
+                c = (0xEDB88320 ^ (c >> 1)) if c & 1 else c >> 1
+            table.append(c)
+        _CRC_TABLE = table
+    crc = start ^ 0xFFFFFFFF
+    table = _CRC_TABLE
+    for byte in data:
+        crc = table[(crc ^ byte) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def zlib_decompress(data: bytes) -> bytes:
+    """RFC 1950: CMF/FLG + raw deflate + Adler-32 trailer."""
+    if len(data) < 6:
+        raise ValueError("zlib: stream too short")
+    cmf, flg = data[0], data[1]
+    if cmf & 0x0F != 8:
+        raise ValueError("zlib: compression method is not deflate")
+    if (cmf >> 4) > 7:
+        raise ValueError("zlib: window size exceeds 32K")
+    if (cmf * 256 + flg) % 31:
+        raise ValueError("zlib: FCHECK failed")
+    if flg & 0x20:
+        raise ValueError("zlib: preset dictionary (FDICT) gated")
+    out, pos = inflate(data, 2)
+    if pos + 4 > len(data):
+        raise ValueError("zlib: truncated Adler-32 trailer")
+    want = int.from_bytes(data[pos:pos + 4], "big")
+    if adler32(out) != want:
+        raise ValueError("zlib: Adler-32 mismatch")
+    return out
+
+
+def gzip_decompress(data: bytes) -> tuple[bytes, int]:
+    """RFC 1952, multi-member: → (concatenated content, n_members).
+    CRC-32 and ISIZE verified per member."""
+    pos = 0
+    parts = []
+    members = 0
+    if len(data) < 18:
+        raise ValueError("gzip: stream too short")
+    while pos < len(data):
+        if pos + 10 > len(data):
+            raise ValueError("gzip: truncated member header")
+        if data[pos:pos + 2] != b"\x1f\x8b":
+            raise ValueError("gzip: bad magic")
+        if data[pos + 2] != 8:
+            raise ValueError("gzip: compression method is not deflate")
+        flg = data[pos + 3]
+        if flg & 0xE0:
+            raise ValueError("gzip: reserved flag bits set")
+        p = pos + 10
+        if flg & 0x04:  # FEXTRA
+            if p + 2 > len(data):
+                raise ValueError("gzip: truncated FEXTRA")
+            xlen = int.from_bytes(data[p:p + 2], "little")
+            p += 2 + xlen
+        if flg & 0x08:  # FNAME
+            end = data.find(b"\x00", p)
+            if end < 0:
+                raise ValueError("gzip: unterminated FNAME")
+            p = end + 1
+        if flg & 0x10:  # FCOMMENT
+            end = data.find(b"\x00", p)
+            if end < 0:
+                raise ValueError("gzip: unterminated FCOMMENT")
+            p = end + 1
+        if flg & 0x02:  # FHCRC
+            if p + 2 > len(data):
+                raise ValueError("gzip: truncated FHCRC")
+            want = int.from_bytes(data[p:p + 2], "little")
+            if crc32(data[pos:p]) & 0xFFFF != want:
+                raise ValueError("gzip: header CRC mismatch")
+            p += 2
+        out, p = inflate(data, p)
+        if p + 8 > len(data):
+            raise ValueError("gzip: truncated member trailer")
+        want_crc = int.from_bytes(data[p:p + 4], "little")
+        want_size = int.from_bytes(data[p + 4:p + 8], "little")
+        if crc32(out) != want_crc:
+            raise ValueError("gzip: CRC-32 mismatch")
+        if len(out) & 0xFFFFFFFF != want_size:
+            raise ValueError("gzip: ISIZE mismatch")
+        parts.append(out)
+        members += 1
+        pos = p + 8
+    return b"".join(parts), members
+
+
+GZIP_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_members", IntegerType()),
+    StructField("content_len", LongType()),
+    StructField("content_sum", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_gzip_members(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over :func:`gzip_decompress` —
+    the from-scratch RFC 1951/1952 path (same contract as
+    decode_zstd_meta); per-payload quarantine, no shuffle."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "doc_id", "n_members", "content_len", "content_sum",
+                "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    content, nm = gzip_decompress(bytes(payload))
+                    rows["n_members"].append(nm)
+                    rows["content_len"].append(len(content))
+                    rows["content_sum"].append(sum(content))
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError) as e:
+                    for k in ("n_members", "content_len",
+                              "content_sum"):
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_members": pd.Series(rows["n_members"],
+                                       dtype="Int32"),
+                "content_len": pd.Series(rows["content_len"],
+                                         dtype="Int64"),
+                "content_sum": pd.Series(rows["content_sum"],
+                                         dtype="Int64"),
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=GZIP_SCHEMA)

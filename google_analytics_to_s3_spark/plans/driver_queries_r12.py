@@ -845,3 +845,65 @@ FROM e
 
 QUERIES_R12["parquet_page_prune"] = q_parquet_page_prune
 ORACLES_R12["parquet_page_prune"] = _PAGE_PRUNE_ORACLE
+
+
+def q_gzip_extract_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch DEFLATE driver-checked (r12): per event gzip
+    members produced by the stdlib zlib (levels 0-9, FNAME/FHCRC/
+    FEXTRA header fields, multi-member streams) are inverted by the
+    pure-Python RFC 1951/1950/1952 path (operators/inflate.py —
+    canonical Huffman from bit-length counts, dynamic code-length
+    codes with 16/17/18 repeats, overlap-safe LZ77, Adler-32 and
+    CRC-32 from their spec definitions).  Cross-validation, not
+    self-round-trip: the stdlib wrote every byte.  The oracle replays
+    the planted content in closed form.  Lane id % 10 == 2."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.inflate import decode_gzip_members
+    from ..testing.fixtures import make_gzip_members
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 2
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_gzip_members(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_gzip_members(payloads).drop("decode_error")
+
+
+_GZIP_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         180 + (event_id % 1000) % 120 AS n_a,
+         100 + (event_id % 1000) % 200 AS n_b,
+         CASE WHEN (event_id % 1000) % 3 = 0 THEN 2 ELSE 1 END AS nm
+  FROM events WHERE event_id % {_FLAC_MOD} = 2
+),
+sums AS (
+  SELECT e.event_id,
+         (SELECT sum((7*e.seed + 11*i.i) % 251)
+          FROM (SELECT unnest(range(0, e.n_a)) AS i) i) AS s_a
+  FROM e
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.nm AS INTEGER) AS n_members,
+       CAST(e.nm * (e.n_a + e.n_b) AS BIGINT) AS content_len,
+       CAST(e.nm * (s.s_a + e.n_b * (e.seed % 251)) AS BIGINT)
+           AS content_sum
+FROM e JOIN sums s ON s.event_id = e.event_id
+"""
+
+QUERIES_R12["gzip_extract_raw"] = q_gzip_extract_raw
+ORACLES_R12["gzip_extract_raw"] = _GZIP_ORACLE

@@ -7782,3 +7782,50 @@ def make_parquet_paged(seed: int) -> bytes:
         compression=["none", "snappy", "zstd"][seed % 3],
         use_dictionary=(seed % 5 < 2))
     return buf.getvalue().to_pybytes()
+
+
+def make_gzip_members(seed: int) -> bytes:
+    """REAL gzip bytes produced by the stdlib zlib/gzip producer for
+    the ``gzip_extract_raw`` driver query (decoded back by the
+    from-scratch RFC 1951/1952 path in operators/inflate.py).
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - content = ``n_a = 180 + seed % 120`` bytes of
+      ``(7*seed + 11*i) % 251`` followed by ``n_b = 100 + seed % 200``
+      repeats of ``seed % 251`` (a long match run)
+    - level ``seed % 10``; TWO members when ``seed % 3 == 0`` (the
+      same content twice); FNAME on odd seeds, FHCRC when
+      ``seed % 5 == 1``, FEXTRA when ``seed % 7 == 2``
+    """
+    import struct as _struct
+    import zlib as _zlib
+
+    n_a = 180 + seed % 120
+    n_b = 100 + seed % 200
+    content = bytes((7 * seed + 11 * i) % 251 for i in range(n_a)) \
+        + bytes([seed % 251]) * n_b
+
+    def member() -> bytes:
+        flg = 0
+        extra = b""
+        if seed % 2 == 1:
+            flg |= 0x08
+        if seed % 5 == 1:
+            flg |= 0x02
+        if seed % 7 == 2:
+            flg |= 0x04
+            xfield = b"AB" + _struct.pack("<H", 4) + b"meta"
+            extra = _struct.pack("<H", len(xfield)) + xfield
+        hdr = b"\x1f\x8b\x08" + bytes([flg]) + b"\x00\x00\x00\x00" \
+            + b"\x00\x03" + extra
+        if flg & 0x08:
+            hdr += b"doc%d.bin\x00" % (seed % 100)
+        if flg & 0x02:
+            hdr += _struct.pack("<H", _zlib.crc32(hdr) & 0xFFFF)
+        co = _zlib.compressobj(seed % 10, _zlib.DEFLATED, -15)
+        body = co.compress(content) + co.flush()
+        return hdr + body + _struct.pack(
+            "<II", _zlib.crc32(content), len(content) & 0xFFFFFFFF)
+
+    return member() * (2 if seed % 3 == 0 else 1)

@@ -23,6 +23,7 @@ _R12_EXTRACT_QUERIES = [
     "arrow_nested_scan",
     "sqlite_scan",
     "parquet_page_prune",
+    "gzip_extract_raw",
     "parquet_scan_nested",
     "delta_checkpoint_snapshot",
     "iceberg_scan_deletes",
