@@ -907,3 +907,66 @@ FROM e JOIN sums s ON s.event_id = e.event_id
 
 QUERIES_R12["gzip_extract_raw"] = q_gzip_extract_raw
 ORACLES_R12["gzip_extract_raw"] = _GZIP_ORACLE
+
+
+def q_bzip2_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch bzip2 driver-checked (r12; the Wikipedia-dump
+    container): per event streams produced by the stdlib bz2 module
+    (levels 1-9, multi-stream concatenation) are inverted by the
+    pure-Python BWT/MTF/RLE/Huffman path (operators/bzip2.py — unary
+    MTF selectors, delta-coded group tables with 50-symbol switching,
+    bijective RUNA/RUNB runs, successor-vector inverse BWT, RLE1,
+    both the block and combined-stream bzip2 CRCs verified).
+    Cross-validation, not self-round-trip: the stdlib wrote every
+    byte.  The oracle replays the planted content in closed form.
+    Lane id % 10 == 5."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.bzip2 import decode_bzip2_meta
+    from ..testing.fixtures import make_bzip2
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 5
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_bzip2(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_bzip2_meta(payloads).drop("decode_error")
+
+
+_BZIP2_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         200 + (event_id % 1000) % 150 AS n_a,
+         120 + (event_id % 1000) % 99 AS n_b,
+         CASE WHEN (event_id % 1000) % 4 = 0 THEN 2 ELSE 1 END AS nm
+  FROM events WHERE event_id % {_FLAC_MOD} = 5
+),
+sums AS (
+  SELECT e.event_id,
+         (SELECT sum((9*e.seed + 17*i.i) % 253)
+          FROM (SELECT unnest(range(0, e.n_a)) AS i) i) AS s_a
+  FROM e
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.nm AS INTEGER) AS n_blocks,
+       CAST(e.nm * (e.n_a + e.n_b) AS BIGINT) AS content_len,
+       CAST(e.nm * (s.s_a + e.n_b * (e.seed % 253)) AS BIGINT)
+           AS content_sum
+FROM e JOIN sums s ON s.event_id = e.event_id
+"""
+
+QUERIES_R12["bzip2_extract"] = q_bzip2_extract
+ORACLES_R12["bzip2_extract"] = _BZIP2_ORACLE

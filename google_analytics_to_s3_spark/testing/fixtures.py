@@ -7829,3 +7829,26 @@ def make_gzip_members(seed: int) -> bytes:
             "<II", _zlib.crc32(content), len(content) & 0xFFFFFFFF)
 
     return member() * (2 if seed % 3 == 0 else 1)
+
+
+def make_bzip2(seed: int) -> bytes:
+    """REAL bzip2 bytes produced by the stdlib ``bz2`` module for the
+    ``bzip2_extract`` driver query (decoded back by the from-scratch
+    BWT/MTF/RLE/Huffman path in operators/bzip2.py).
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - content = ``n_a = 200 + seed % 150`` bytes of
+      ``(9*seed + 17*i) % 253`` followed by ``n_b = 120 + seed % 99``
+      repeats of ``seed % 253`` (exercises RLE1 + RUNA/RUNB runs)
+    - level ``1 + seed % 9``; TWO concatenated streams when
+      ``seed % 4 == 0`` (same content twice)
+    """
+    import bz2 as _bz2
+
+    n_a = 200 + seed % 150
+    n_b = 120 + seed % 99
+    content = bytes((9 * seed + 17 * i) % 253 for i in range(n_a)) \
+        + bytes([seed % 253]) * n_b
+    z = _bz2.compress(content, 1 + seed % 9)
+    return z * (2 if seed % 4 == 0 else 1)

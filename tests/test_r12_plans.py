@@ -24,6 +24,7 @@ _R12_EXTRACT_QUERIES = [
     "sqlite_scan",
     "parquet_page_prune",
     "gzip_extract_raw",
+    "bzip2_extract",
     "parquet_scan_nested",
     "delta_checkpoint_snapshot",
     "iceberg_scan_deletes",
