@@ -130,18 +130,12 @@ class _Huf:
         limit = [0] * (self.max_len + 2)
         base = [0] * (self.max_len + 2)
         vec = 0
-        cum = 0
-        for ln in range(self.min_len, self.max_len + 1):
-            vec += counts[ln]
-            limit[ln] = vec - 1
-            base[ln] = vec - cum - counts[ln]  # filled below properly
-            vec <<= 1
-            cum += counts[ln]
-        # recompute base the canonical way
-        base = [0] * (self.max_len + 2)
         code = 0
         total = 0
         for ln in range(self.min_len, self.max_len + 1):
+            vec += counts[ln]
+            limit[ln] = vec - 1
+            vec <<= 1
             base[ln] = code - total
             code = (code + counts[ln]) << 1
             total += counts[ln]
@@ -337,8 +331,8 @@ def bzip2_decompress(data: bytes) -> tuple[bytes, int]:
                 break
             else:
                 raise ValueError("bzip2: bad block magic")
-    if n_blocks == 0:
-        raise ValueError("bzip2: no blocks")
+    # an empty input compresses to a stream with ZERO blocks (the
+    # stdlib producer emits exactly that) — valid, returns empty
     return b"".join(parts), n_blocks
 
 

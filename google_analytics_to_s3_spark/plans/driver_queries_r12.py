@@ -970,3 +970,64 @@ FROM e JOIN sums s ON s.event_id = e.event_id
 
 QUERIES_R12["bzip2_extract"] = q_bzip2_extract
 ORACLES_R12["bzip2_extract"] = _BZIP2_ORACLE
+
+
+def q_xz_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch XZ/LZMA driver-checked (r12; the kernel/Debian/
+    research-mirror dump container, completing the gzip/bzip2/zstd/xz
+    family): per event streams produced by the stdlib lzma module
+    (presets 0-9, all four check types, custom lc/lp/pb) are inverted
+    by the pure-Python range-coder path (operators/xz.py — 11-bit
+    adaptive probabilities, the full 12-state LZMA machine with
+    matched literals and rep history, LZMA2 chunk resets, xz block
+    headers with CRC32/CRC64/SHA-256 verification and index/footer
+    validation).  Cross-validation, not self-round-trip.  The oracle
+    replays the planted content in closed form.  Lane id % 10 == 7."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.xz import decode_xz_meta
+    from ..testing.fixtures import make_xz
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 7
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_xz(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_xz_meta(payloads).drop("decode_error")
+
+
+_XZ_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         220 + (event_id % 1000) % 180 AS n_a,
+         90 + (event_id % 1000) % 77 AS n_b
+  FROM events WHERE event_id % {_FLAC_MOD} = 7
+),
+sums AS (
+  SELECT e.event_id,
+         (SELECT sum((11*e.seed + 23*i.i) % 249)
+          FROM (SELECT unnest(range(0, e.n_a)) AS i) i) AS s_a
+  FROM e
+)
+SELECT e.event_id AS doc_id,
+       CAST(1 AS INTEGER) AS n_blocks,
+       CAST(e.n_a + e.n_b AS BIGINT) AS content_len,
+       CAST(s.s_a + e.n_b * (e.seed % 249) AS BIGINT) AS content_sum
+FROM e JOIN sums s ON s.event_id = e.event_id
+"""
+
+QUERIES_R12["xz_extract"] = q_xz_extract
+ORACLES_R12["xz_extract"] = _XZ_ORACLE

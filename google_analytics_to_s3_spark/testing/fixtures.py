@@ -7852,3 +7852,34 @@ def make_bzip2(seed: int) -> bytes:
         + bytes([seed % 253]) * n_b
     z = _bz2.compress(content, 1 + seed % 9)
     return z * (2 if seed % 4 == 0 else 1)
+
+
+def make_xz(seed: int) -> bytes:
+    """REAL xz bytes produced by the stdlib ``lzma`` module for the
+    ``xz_extract`` driver query (decoded back by the from-scratch
+    range-coder path in operators/xz.py).
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - content = ``n_a = 220 + seed % 180`` bytes of
+      ``(11*seed + 23*i) % 249`` followed by ``n_b = 90 + seed % 77``
+      repeats of ``seed % 249``
+    - preset ``seed % 10``; check type none/CRC32/CRC64/SHA-256 by
+      ``seed % 4``; custom (lc, lp, pb) = (0, 2, 2) when
+      ``seed % 7 == 3``
+    """
+    import lzma as _lzma
+
+    n_a = 220 + seed % 180
+    n_b = 90 + seed % 77
+    content = bytes((11 * seed + 23 * i) % 249 for i in range(n_a)) \
+        + bytes([seed % 249]) * n_b
+    check = [_lzma.CHECK_NONE, _lzma.CHECK_CRC32, _lzma.CHECK_CRC64,
+             _lzma.CHECK_SHA256][seed % 4]
+    if seed % 7 == 3:
+        filters = [{"id": _lzma.FILTER_LZMA2, "preset": seed % 10,
+                    "lc": 0, "lp": 2, "pb": 2}]
+        return _lzma.compress(content, format=_lzma.FORMAT_XZ,
+                              check=check, filters=filters)
+    return _lzma.compress(content, format=_lzma.FORMAT_XZ,
+                          check=check, preset=seed % 10)

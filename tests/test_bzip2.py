@@ -81,3 +81,8 @@ def test_named_errors():
     good = bz2.compress(b"hello bzip2", 9)
     with pytest.raises(ValueError, match="bzip2"):
         bzip2_decompress(good[:10])
+
+
+def test_empty_stream_zero_blocks():
+    out, nb = bzip2_decompress(bz2.compress(b""))
+    assert out == b"" and nb == 0

@@ -25,6 +25,7 @@ _R12_EXTRACT_QUERIES = [
     "parquet_page_prune",
     "gzip_extract_raw",
     "bzip2_extract",
+    "xz_extract",
     "parquet_scan_nested",
     "delta_checkpoint_snapshot",
     "iceberg_scan_deletes",
