@@ -3046,7 +3046,10 @@ _DRIVER_PRIORITY = [
     "ngram_jaccard_pairs", "ngram_jaccard_thresholded", "order_gaps",
     "order_lineitem_left_join", "order_percentiles", "pricing_summary",
     "promo_revenue", "returned_items",
-    # --- slots 51+: r13 head = last 4 r5-stale rows, then r12-new ---
+    # --- slots 51+: r13 head = last 4 r5-stale rows, then the 14
+    # r12 registrations (never driver-checked; every one is green in
+    # the pytest oracle sweep) — 4 + 14 = 18 of the r13 window, the
+    # remaining 32 slots should drain the oldest r6-stale rows ---
     "sales_rollup", "shipping_priority", "simhash", "simhash_dup_pairs",
     # R12_NEW_MARKER
     "parquet_scan_nested", "delta_checkpoint_snapshot",

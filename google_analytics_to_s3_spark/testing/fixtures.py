@@ -3809,6 +3809,9 @@ def webdataset_rules(seed: int) -> dict:
     }
 
 
+import functools as _functools
+
+
 def _tar_member(name: str, data: bytes) -> bytes:
     hdr = bytearray(512)
     nb = name.encode()
@@ -7695,6 +7698,7 @@ def make_arrow_nested(seed: int) -> bytes:
     return sink.getvalue().to_pybytes()
 
 
+@_functools.lru_cache(maxsize=256)
 def make_sqlite_db(seed: int) -> bytes:
     """A REAL SQLite database built by the stdlib ``sqlite3`` module
     for the ``sqlite_scan`` driver query — page size 512/1024/4096 by
@@ -7716,13 +7720,10 @@ def make_sqlite_db(seed: int) -> bytes:
     - ``f``: NULL when ``(seed + i) % 5 == 4`` else
       ``((seed + 11*i) % 4000 - 2000) / 4``
     """
-    import os as _os
     import sqlite3 as _sqlite3
-    import tempfile as _tempfile
 
-    path = _tempfile.mktemp(suffix=".db")
-    try:
-        con = _sqlite3.connect(path)
+    con = _sqlite3.connect(":memory:")
+    if True:
         con.execute(f"PRAGMA page_size={[512, 1024, 4096][seed % 3]}")
         con.execute(
             "CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER, "
@@ -7749,13 +7750,12 @@ def make_sqlite_db(seed: int) -> bytes:
         con.executemany("INSERT INTO t (v, s, b, f) VALUES (?,?,?,?)",
                         rows)
         con.commit()
+        data = bytes(con.serialize())
         con.close()
-        return open(path, "rb").read()
-    finally:
-        if _os.path.exists(path):
-            _os.unlink(path)
+        return data
 
 
+@_functools.lru_cache(maxsize=256)
 def make_parquet_paged(seed: int) -> bytes:
     """Parquet bytes WITH PAGE INDEXES (parquet-cpp
     ``write_page_index=True``) for the ``parquet_page_prune`` driver
@@ -7784,6 +7784,7 @@ def make_parquet_paged(seed: int) -> bytes:
     return buf.getvalue().to_pybytes()
 
 
+@_functools.lru_cache(maxsize=256)
 def make_gzip_members(seed: int) -> bytes:
     """REAL gzip bytes produced by the stdlib zlib/gzip producer for
     the ``gzip_extract_raw`` driver query (decoded back by the
@@ -7831,6 +7832,7 @@ def make_gzip_members(seed: int) -> bytes:
     return member() * (2 if seed % 3 == 0 else 1)
 
 
+@_functools.lru_cache(maxsize=256)
 def make_bzip2(seed: int) -> bytes:
     """REAL bzip2 bytes produced by the stdlib ``bz2`` module for the
     ``bzip2_extract`` driver query (decoded back by the from-scratch
@@ -7854,6 +7856,7 @@ def make_bzip2(seed: int) -> bytes:
     return z * (2 if seed % 4 == 0 else 1)
 
 
+@_functools.lru_cache(maxsize=256)
 def make_xz(seed: int) -> bytes:
     """REAL xz bytes produced by the stdlib ``lzma`` module for the
     ``xz_extract`` driver query (decoded back by the from-scratch
