@@ -28,9 +28,14 @@ module (a REAL independent producer baked into this environment) and
 compare every row against its own SELECT across page sizes 512..8192,
 multi-level interior trees, overflow chains and all serial types.
 
+WITHOUT ROWID tables (r12, same session) walk their index b-tree
+in-order — interior cells are real entries — with the index-page
+overflow threshold, and records re-map from PK-first storage order
+to declared column order.
+
 Honest gates (named ValueError): WAL-mode files with a non-empty WAL
-(the main file alone may be stale), UTF-16 encodings, WITHOUT ROWID
-(index-b-tree) tables, virtual tables.
+(the main file alone may be stale), UTF-16 encodings, virtual
+tables.
 """
 
 from __future__ import annotations
@@ -107,6 +112,75 @@ class _Db:
         if len(pg) != self.page_size:
             raise ValueError("sqlite: truncated page")
         return pg
+
+
+def _payload_at(db: _Db, pg: bytes, pos: int, plen: int,
+                x: int) -> bytes:
+    """Assemble one cell payload with the spilled-payload rule
+    (``x`` is the page-type-specific local-payload maximum)."""
+    u = db.usable
+    if plen <= x:
+        payload = bytes(pg[pos:pos + plen])
+        if len(payload) != plen:
+            raise ValueError("sqlite: truncated local payload")
+        return payload
+    m = ((u - 12) * 32) // 255 - 23
+    k = m + (plen - m) % (u - 4)
+    local = k if k <= x else m
+    payload = bytearray(pg[pos:pos + local])
+    if len(payload) != local:
+        raise ValueError("sqlite: truncated local payload")
+    nxt = struct.unpack_from(">I", pg, pos + local)[0]
+    remaining = plen - local
+    seen = set()
+    while remaining > 0:
+        if nxt == 0 or nxt in seen:
+            raise ValueError("sqlite: broken overflow chain")
+        seen.add(nxt)
+        opg = db.page(nxt)
+        nxt = struct.unpack_from(">I", opg, 0)[0]
+        take = min(remaining, db.usable - 4)
+        payload += opg[4:4 + take]
+        remaining -= take
+    return bytes(payload)
+
+
+def _cells_index(db: _Db, page_num: int) -> Iterator[bytes]:
+    """In-order walk of an INDEX b-tree (page types 2/10 — the
+    storage of WITHOUT ROWID tables), yielding key-record payloads in
+    key order.  Interior cells carry REAL entries (unlike table
+    trees), interleaved between their children."""
+    pg = db.page(page_num)
+    hdr = 100 if page_num == 1 else 0
+    ptype = pg[hdr]
+    x = ((db.usable - 12) * 64) // 255 - 23  # index-page threshold
+    if ptype == 2:  # interior index page
+        ncells = struct.unpack_from(">H", pg, hdr + 3)[0]
+        right = struct.unpack_from(">I", pg, hdr + 8)[0]
+        for i in range(ncells):
+            if hdr + 12 + 2 * i + 2 > len(pg):
+                raise ValueError("sqlite: cell pointers overrun")
+            cp = struct.unpack_from(">H", pg, hdr + 12 + 2 * i)[0]
+            if cp + 4 > len(pg):
+                raise ValueError("sqlite: cell pointer out of range")
+            child = struct.unpack_from(">I", pg, cp)[0]
+            yield from _cells_index(db, child)
+            plen, pos = _varint(pg, cp + 4)
+            yield _payload_at(db, pg, pos, plen, x)
+        yield from _cells_index(db, right)
+        return
+    if ptype != 10:
+        raise ValueError(f"sqlite: page type {ptype} is not an index "
+                         "b-tree")
+    ncells = struct.unpack_from(">H", pg, hdr + 3)[0]
+    for i in range(ncells):
+        if hdr + 8 + 2 * i + 2 > len(pg):
+            raise ValueError("sqlite: cell pointers overrun")
+        cp = struct.unpack_from(">H", pg, hdr + 8 + 2 * i)[0]
+        if cp + 2 > db.page_size:
+            raise ValueError("sqlite: cell pointer out of range")
+        plen, pos = _varint(pg, cp)
+        yield _payload_at(db, pg, pos, plen, x)
 
 
 def _cells(db: _Db, page_num: int) -> Iterator[tuple[int, bytes]]:
@@ -253,9 +327,10 @@ def _parse_columns(sql: str) -> tuple[list[str], int | None,
     statement — tolerant split on top-level commas inside the
     outermost parens."""
     lp = sql.find("(")
-    if lp < 0 or not sql.rstrip().endswith(")"):
+    rp = sql.rfind(")")
+    if lp < 0 or rp < lp:  # e.g. "... ) WITHOUT ROWID" suffixes
         raise ValueError("sqlite: unparsable CREATE statement")
-    inner = sql[lp + 1:sql.rfind(")")]
+    inner = sql[lp + 1:rp]
     parts = []
     depth = 0
     cur = []
@@ -322,11 +397,55 @@ def _file_meta(data: bytes) -> dict:
     }
 
 
+_PK_TABLE_RE = re.compile(r"\bPRIMARY\s+KEY\s*\(([^)]*)\)",
+                          re.IGNORECASE)
+_PK_COL_RE = re.compile(r"\bPRIMARY\s+KEY\b", re.IGNORECASE)
+
+
+def _pk_columns(sql: str, names: list[str]) -> list[str]:
+    """Primary-key column order from a CREATE statement (table-level
+    ``PRIMARY KEY (a, b)`` or a column-level constraint)."""
+    m = _PK_TABLE_RE.search(sql)
+    if m:
+        cols = []
+        for part in m.group(1).split(","):
+            name = part.strip().strip('"`[]').split()[0].strip('"`[]')
+            cols.append(name)
+        return cols
+    lp = sql.find("(")
+    inner = sql[lp + 1:sql.rfind(")")]
+    depth = 0
+    cur: list[str] = []
+    parts = []
+    for ch in inner:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    for part in parts:
+        mm = _COLDEF_RE.match(part)
+        if mm and _PK_COL_RE.search(part):
+            name = next(g for g in mm.groups() if g is not None)
+            if name.upper() not in _CONSTRAINT_KW:
+                return [name]
+    raise ValueError("sqlite: WITHOUT ROWID table without a primary "
+                     "key parse")
+
+
 def sqlite_table_rows(data: bytes, table: str) -> tuple[list[str],
                                                         list[list]]:
-    """All rows of ``table`` in rowid order → (column names, rows).
-    An INTEGER PRIMARY KEY column materializes from the rowid (the
-    record stores NULL there, per the spec)."""
+    """All rows of ``table`` in key order → (column names, rows).
+    Ordinary tables walk the table b-tree (an INTEGER PRIMARY KEY
+    column materializes from the rowid); WITHOUT ROWID tables walk
+    their index b-tree in-order — records store the PRIMARY KEY
+    columns first, so values re-map to declared order."""
     try:
         return _table_rows(data, table)
     except struct.error as e:
@@ -345,8 +464,6 @@ def _table_rows(data: bytes, table: str) -> tuple[list[str],
     if entry is None:
         raise ValueError(f"sqlite: no table {table!r}")
     sql = entry[4] or ""
-    if "WITHOUT ROWID" in sql.upper():
-        raise ValueError("sqlite: WITHOUT ROWID tables gated")
     if re.search(r"\bUSING\b", sql, re.IGNORECASE) \
             and re.search(r"\bVIRTUAL\b", sql, re.IGNORECASE):
         raise ValueError("sqlite: virtual tables gated")
@@ -354,6 +471,23 @@ def _table_rows(data: bytes, table: str) -> tuple[list[str],
     root = entry[3]
     if not isinstance(root, int) or root < 1:
         raise ValueError("sqlite: bad root page in schema")
+    if "WITHOUT ROWID" in sql.upper():
+        pk = _pk_columns(sql, names)
+        rest = [n for n in names if n not in pk]
+        stored = pk + rest
+        order = [stored.index(n) for n in names]
+        rows = []
+        for payload in _cells_index(db, root):
+            vals = _record(payload)
+            if len(vals) < len(names):
+                vals = vals + [None] * (len(names) - len(vals))
+            vals = [vals[i] for i in order]
+            for ci, aff in enumerate(affs):
+                if aff == "real" and isinstance(vals[ci], int) \
+                        and not isinstance(vals[ci], bool):
+                    vals[ci] = float(vals[ci])
+            rows.append(vals)
+        return names, rows
     rows = []
     for rowid, payload in _cells(db, root):
         vals = _record(payload)

@@ -137,15 +137,10 @@ def test_gates_named():
     path = tempfile.mktemp(suffix=".db")
     try:
         con = sqlite3.connect(path)
-        con.execute("CREATE TABLE w (k TEXT PRIMARY KEY, v INTEGER) "
-                    "WITHOUT ROWID")
-        con.execute("INSERT INTO w VALUES ('a', 1)")
         con.execute("CREATE TABLE t (a INTEGER)")
         con.commit()
         con.close()
         data = open(path, "rb").read()
-        with pytest.raises(ValueError, match="WITHOUT ROWID"):
-            sqlite_table_rows(data, "w")
         with pytest.raises(ValueError, match="no table"):
             sqlite_table_rows(data, "nope")
     finally:
@@ -153,6 +148,47 @@ def test_gates_named():
             os.unlink(path)
     with pytest.raises(ValueError, match="magic"):
         sqlite_file_meta(b"not a database" + b"\0" * 100)
+
+
+def _without_rowid(pk_sql, n, seed, order_by):
+    rng = random.Random(seed)
+    con = sqlite3.connect(":memory:")
+    con.execute("PRAGMA page_size=512")
+    con.execute(pk_sql)
+    rows = [(f"k{rng.randrange(10**9):010d}", rng.randrange(10**6),
+             "x" * rng.choice([0, 10, 2500]),
+             None if rng.random() < .1 else rng.randrange(100))
+            for _ in range(n)]
+    con.executemany("INSERT OR IGNORE INTO w VALUES (?,?,?,?)", rows)
+    con.commit()
+    data = bytes(con.serialize())
+    want = [list(r) for r in con.execute(
+        f"SELECT k, a, s, v FROM w ORDER BY {order_by}")]
+    con.close()
+    return data, want
+
+
+def test_without_rowid_tables():
+    """Index b-trees (page types 2/10): in-order walk with interior
+    cells as real entries, the index-page overflow threshold, and
+    PK-first storage-order remap — single, composite (storage order
+    differs from declared) and column-level PRIMARY KEYs, vs
+    sqlite3's own ordered SELECT."""
+    for n in (10, 400, 3000):
+        data, want = _without_rowid(
+            "CREATE TABLE w (k TEXT, a INTEGER, s TEXT, v INTEGER, "
+            "PRIMARY KEY (k)) WITHOUT ROWID", n, n, "k")
+        names, rows = sqlite_table_rows(data, "w")
+        assert names == ["k", "a", "s", "v"]
+        assert rows == want
+    data, want = _without_rowid(
+        "CREATE TABLE w (k TEXT, a INTEGER, s TEXT, v INTEGER, "
+        "PRIMARY KEY (a, k)) WITHOUT ROWID", 800, 9, "a, k")
+    assert sqlite_table_rows(data, "w")[1] == want
+    data, want = _without_rowid(
+        "CREATE TABLE w (k TEXT PRIMARY KEY, a INTEGER, s TEXT, "
+        "v INTEGER) WITHOUT ROWID", 300, 5, "k")
+    assert sqlite_table_rows(data, "w")[1] == want
 
 
 @pytest.mark.parametrize("seed", range(8))
