@@ -35,7 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["delta_log_snapshot", "parse_delta_checkpoint",
-           "decode_delta_checkpoint"]
+           "decode_delta_checkpoint", "parse_delta_scan_dv",
+           "decode_delta_scan_dv"]
 
 _ACTION_SCHEMA = ("add struct<path:string,size:bigint,"
                   "dataChange:boolean>, "
@@ -254,6 +255,126 @@ def decode_delta_checkpoint(
             yield pd.DataFrame({
                 "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
                 **{k: pd.Series(rows[k], dtype="Int64") for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+
+
+def parse_delta_scan_dv(bundle: bytes, column: str) -> dict:
+    """Scan a Delta table WITH DELETION VECTORS (PROTOCOL.md): fold
+    the JSON log, and for every live add action carrying a
+    ``deletionVector`` descriptor decode the inline Z85 →
+    RoaringBitmapArray positions (operators/roaring.py) and drop
+    those rows from the REAL parquet file before aggregating — the
+    read path of a modern (Databricks-writer) Delta table."""
+    import json
+
+    from .parquet_raw import parquet_file_meta, parquet_read_column
+    from .roaring import parse_deletion_vector
+    from .tar import parse_tar
+
+    files = {m["name"]: m["data"] for m in parse_tar(bundle)}
+    adds: dict[str, dict] = {}
+    commits = sorted((name, data) for name, data in files.items()
+                     if name.startswith("_delta_log/")
+                     and name.endswith(".json"))
+    if not commits:
+        raise ValueError("delta: bundle has no commits")
+    for _name, data in commits:
+        for line in data.splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if a.get("add"):
+                adds[a["add"]["path"]] = a["add"]
+            elif a.get("remove"):
+                adds.pop(a["remove"]["path"], None)
+    n_files = n_dv = n_deleted = records_after = value_sum = 0
+    for path, add in adds.items():
+        blob = files.get(path)
+        if blob is None:
+            raise ValueError(f"delta: data file {path!r} missing")
+        n_files += 1
+        fm = parquet_file_meta(blob)
+        dead: set[int] = set()
+        dv = add.get("deletionVector")
+        if dv:
+            n_dv += 1
+            dead = parse_deletion_vector(
+                dv.get("storageType"), dv.get("pathOrInlineDv"),
+                dv.get("sizeInBytes"), dv.get("cardinality"))
+            if dead and max(dead) >= fm["num_rows"]:
+                raise ValueError("delta: deletion vector position "
+                                 "beyond file rows")
+        for i, v in enumerate(parquet_read_column(blob, column)):
+            if i in dead:
+                n_deleted += 1
+                continue
+            records_after += 1
+            if v is not None:
+                value_sum += v
+    return {
+        "n_files": n_files,
+        "n_dv": n_dv,
+        "n_deleted": n_deleted,
+        "records_after": records_after,
+        "value_sum": value_sum,
+    }
+
+
+def decode_delta_scan_dv(
+    df: DataFrame, column: str,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over :func:`parse_delta_scan_dv`;
+    per-bundle quarantine, no shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("n_files", IntegerType()),
+        StructField("n_dv", IntegerType()),
+        StructField("n_deleted", LongType()),
+        StructField("records_after", LongType()),
+        StructField("value_sum", LongType()),
+        StructField("decode_error", StringType()),
+    ])
+    cols = ("n_files", "n_dv", "n_deleted", "records_after",
+            "value_sum")
+    i32 = {"n_files", "n_dv"}
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    r = parse_delta_scan_dv(bytes(payload), column)
+                    for k in cols:
+                        rows[k].append(r[k])
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, KeyError,
+                        TypeError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k],
+                                dtype="Int32" if k in i32 else "Int64")
+                   for k in cols},
                 "decode_error": pd.Series(rows["decode_error"],
                                           dtype=object),
             })

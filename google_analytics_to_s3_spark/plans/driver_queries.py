@@ -3056,7 +3056,7 @@ _DRIVER_PRIORITY = [
     "iceberg_scan_deletes", "orc_scan_timestamps", "zstd_dict_extract",
     "parquet_scan_int96", "orc_scan_nested", "iceberg_scan_eq_deletes",
     "arrow_nested_scan", "sqlite_scan", "parquet_page_prune",
-    "gzip_extract_raw", "bzip2_extract", "xz_extract",
+    "gzip_extract_raw", "bzip2_extract", "xz_extract", "delta_scan_dv",
     # (queue) rows last driver-checked in r11 (50).
     "bmp_decode", "tiff_decode", "warc_extract", "warc_documents",
     "webdataset_decode", "avi_demux", "avi_decode_av", "zip_extract",

@@ -1031,3 +1031,77 @@ FROM e JOIN sums s ON s.event_id = e.event_id
 
 QUERIES_R12["xz_extract"] = q_xz_extract
 ORACLES_R12["xz_extract"] = _XZ_ORACLE
+
+
+def q_delta_scan_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DELETION VECTORS driver-checked (r12; the modern
+    Databricks-writer read path): per event a Delta log whose add
+    actions carry inline ("u") deletion vectors — Z85 (pinned on the
+    ZeroMQ RFC's own vector) wrapping RoaringBitmapArray bitmaps
+    (array AND run containers planted; the roaring spec has no
+    independent in-env producer, honesty-noted in
+    operators/roaring.py) — applied to REAL parquet files before
+    aggregation.  Size and cardinality descriptor fields are
+    validated; positions beyond the file quarantine.  The oracle
+    replays the planted deletions in closed form.  Lane
+    id % 10 == 3."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.lakehouse import decode_delta_scan_dv
+    from ..testing.fixtures import make_delta_dv_bundle
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 3
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_delta_dv_bundle(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_delta_scan_dv(payloads, "v").drop("decode_error")
+
+
+_DELTA_DV_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         2 + (event_id % 1000) % 3 AS nf
+  FROM events WHERE event_id % {_FLAC_MOD} = 3
+),
+rows_ AS (
+  SELECT e.event_id, f.f, i.i,
+         (e.seed*7 + 13*f.f + 9*i.i) % 1000 AS v,
+         i.i % 5 = (e.seed + f.f) % 5
+           OR (f.f = 1 AND i.i >= 10
+               AND i.i < 10 + e.seed % 8) AS del_
+  FROM e,
+       LATERAL (SELECT unnest(range(0, e.nf)) AS f) f,
+       LATERAL (SELECT unnest(range(
+           0, 40 + (e.seed*3 + 11*f.f) % 60)) AS i) i
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.nf AS INTEGER) AS n_files,
+       CAST(e.nf AS INTEGER) AS n_dv,
+       CAST((SELECT count(*) FROM rows_ r
+              WHERE r.event_id = e.event_id AND r.del_)
+            AS BIGINT) AS n_deleted,
+       CAST((SELECT count(*) FROM rows_ r
+              WHERE r.event_id = e.event_id AND NOT r.del_)
+            AS BIGINT) AS records_after,
+       CAST((SELECT sum(r.v) FROM rows_ r
+              WHERE r.event_id = e.event_id AND NOT r.del_)
+            AS BIGINT) AS value_sum
+FROM e
+"""
+
+QUERIES_R12["delta_scan_dv"] = q_delta_scan_dv
+ORACLES_R12["delta_scan_dv"] = _DELTA_DV_ORACLE

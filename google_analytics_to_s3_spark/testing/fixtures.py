@@ -7886,3 +7886,157 @@ def make_xz(seed: int) -> bytes:
                               check=check, filters=filters)
     return _lzma.compress(content, format=_lzma.FORMAT_XZ,
                           check=check, preset=seed % 10)
+
+
+# --------------------------------------------------------------------------
+# Roaring / deletion-vector fixture encoders (r12).  A SEPARATE
+# spec-following implementation from the decoder in
+# operators/roaring.py — no independent roaring producer exists in
+# this environment (honesty note in that module's docstring).
+
+_Z85_CHARS = ("0123456789abcdefghijklmnopqrstuvwxyz"
+              "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#")
+
+
+def z85_encode(data: bytes) -> str:
+    """ZeroMQ Z85 (zero-pads to a 4-byte multiple)."""
+    if len(data) % 4:
+        data = data + b"\x00" * (4 - len(data) % 4)
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i:i + 4], "big")
+        grp = []
+        for _ in range(5):
+            v, r = divmod(v, 85)
+            grp.append(_Z85_CHARS[r])
+        out.extend(reversed(grp))
+    return "".join(out)
+
+
+def roaring32_encode(vals: "list[int]", runs: bool = False) -> bytes:
+    """Spec-following 32-bit roaring serialization: array containers,
+    bitmap containers past 4096 values, run containers for
+    consecutive spans when ``runs`` (cookie 12347)."""
+    import struct as _struct
+
+    chunks: "dict[int, list[int]]" = {}
+    for v in sorted(set(vals)):
+        chunks.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(chunks)
+    size = len(keys)
+    bodies = []
+    run_flags = bytearray((size + 7) // 8)
+    for i, k in enumerate(keys):
+        lows = chunks[k]
+        spans = []
+        if runs:
+            start = prev = lows[0]
+            for v in lows[1:]:
+                if v == prev + 1:
+                    prev = v
+                    continue
+                spans.append((start, prev))
+                start = prev = v
+            spans.append((start, prev))
+        if runs and 4 * len(spans) + 2 < min(2 * len(lows), 8192):
+            run_flags[i >> 3] |= 1 << (i & 7)
+            body = _struct.pack("<H", len(spans))
+            for a, b in spans:
+                body += _struct.pack("<HH", a, b - a)
+        elif len(lows) <= 4096:
+            body = _struct.pack(f"<{len(lows)}H", *lows)
+        else:
+            words = [0] * 1024
+            for v in lows:
+                words[v >> 6] |= 1 << (v & 63)
+            body = _struct.pack("<1024Q", *words)
+        bodies.append(body)
+    use_run_cookie = any(run_flags)
+    out = bytearray()
+    if use_run_cookie:
+        out += _struct.pack("<I", 12347 | ((size - 1) << 16))
+        out += run_flags
+        has_offsets = size >= 4
+    else:
+        out += _struct.pack("<I", 12346)
+        out += _struct.pack("<I", size)
+        has_offsets = True
+    for k, lows in ((k, chunks[k]) for k in keys):
+        out += _struct.pack("<HH", k, len(lows) - 1)
+    if has_offsets:
+        off = len(out) + 4 * size
+        for body in bodies:
+            out += _struct.pack("<I", off)
+            off += len(body)
+    for body in bodies:
+        out += body
+    return bytes(out)
+
+
+def roaring64_encode(vals: "list[int]", runs: bool = False) -> bytes:
+    import struct as _struct
+
+    groups: "dict[int, list[int]]" = {}
+    for v in sorted(set(vals)):
+        groups.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
+    out = _struct.pack("<q", len(groups))
+    for key in sorted(groups):
+        out += _struct.pack("<I", key)
+        out += roaring32_encode(groups[key], runs)
+    return out
+
+
+def make_delta_dv_bundle(seed: int) -> bytes:
+    """Delta log bundle with DELETION VECTORS for the
+    ``delta_scan_dv`` driver query: add actions carry inline ("u")
+    z85-encoded RoaringBitmapArray DVs (PROTOCOL.md), data files are
+    REAL parquet.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - ``nf = 2 + seed % 3`` files; file ``f``:
+      ``n = 40 + (seed*3 + 11*f) % 60`` rows of
+      ``v = (seed*7 + 13*f + 9*i) % 1000``
+    - DV of file ``f`` deletes positions ``i % 5 == (seed + f) % 5``;
+      file ``f == 1`` additionally deletes the consecutive span
+      ``[10, 10 + seed % 8)`` (a run container, cookie 12347)
+    - parquet codec snappy/zstd by ``(seed + f) % 2``
+    """
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    nf = 2 + seed % 3
+    lines = []
+    members: "dict[str, bytes]" = {}
+    for f in range(nf):
+        n = 40 + (seed * 3 + 11 * f) % 60
+        vals = [(seed * 7 + 13 * f + 9 * i) % 1000 for i in range(n)]
+        buf = _pa.BufferOutputStream()
+        _pq.write_table(
+            _pa.table({"v": _pa.array(vals, _pa.int64())}), buf,
+            compression=["snappy", "zstd"][(seed + f) % 2])
+        blob = buf.getvalue().to_pybytes()
+        name = f"data/f{f}.parquet"
+        members[name] = blob
+        dead = {i for i in range(n) if i % 5 == (seed + f) % 5}
+        if f == 1:
+            dead |= set(range(10, 10 + seed % 8))
+        dv = (1681511377).to_bytes(4, "little") \
+            + roaring64_encode(sorted(dead), runs=(f == 1))
+        lines.append(_json.dumps({"add": {
+            "path": name, "size": len(blob), "dataChange": True,
+            "deletionVector": {
+                "storageType": "u",
+                "pathOrInlineDv": z85_encode(dv),
+                "sizeInBytes": len(dv),
+                "cardinality": len(dead),
+            }}}))
+    out = bytearray()
+    out += _tar_member("_delta_log/00000000000000000000.json",
+                       ("\n".join(lines) + "\n").encode())
+    for name, blob in members.items():
+        out += _tar_member(name, blob)
+    out += b"\x00" * 1024
+    return bytes(out)

@@ -26,6 +26,7 @@ _R12_EXTRACT_QUERIES = [
     "gzip_extract_raw",
     "bzip2_extract",
     "xz_extract",
+    "delta_scan_dv",
     "parquet_scan_nested",
     "delta_checkpoint_snapshot",
     "iceberg_scan_deletes",
