@@ -6972,6 +6972,7 @@ def _nested_fixture_rows(seed: int) -> list:
     return rows
 
 
+@_functools.lru_cache(maxsize=256)
 def make_parquet_nested(seed: int) -> bytes:
     """Deterministic parquet bytes with a fully NESTED column for the
     ``parquet_scan_nested`` driver query (written by parquet-cpp; the
@@ -7018,6 +7019,7 @@ def make_parquet_nested(seed: int) -> bytes:
     return buf.getvalue().to_pybytes()
 
 
+@_functools.lru_cache(maxsize=256)
 def make_delta_checkpoint_bundle(seed: int) -> bytes:
     """Tar bundle of a Delta ``_delta_log`` with a REAL parquet
     checkpoint (written by parquet-cpp; add/remove are nested struct
@@ -7203,6 +7205,7 @@ _ICEBERG_ML_V2_SCHEMA = (
 )
 
 
+@_functools.lru_cache(maxsize=256)
 def make_iceberg_v2_bundle(seed: int) -> bytes:
     """Iceberg FORMAT-V2 bundle with a position-delete manifest for
     the ``iceberg_scan_deletes`` driver query: the manifest list
@@ -7358,6 +7361,7 @@ def make_msgpack(seed: int) -> bytes:
     return bytes(out)
 
 
+@_functools.lru_cache(maxsize=256)
 def make_orc_ts_dec(seed: int) -> bytes:
     """Deterministic ORC bytes with TIMESTAMP + DECIMAL columns for
     the ``orc_scan_timestamps`` driver query (written by the Apache
@@ -7471,6 +7475,7 @@ def zstd_training_dict() -> bytes:
     return _ZSTD_DICT_CACHE[0]
 
 
+@_functools.lru_cache(maxsize=256)
 def make_zstd_dict_frame(seed: int) -> bytes:
     """One REAL dictionary frame: libzstd compresses
     :func:`zstd_dict_content` against :func:`zstd_training_dict`
@@ -7494,6 +7499,7 @@ def make_zstd_dict_frame(seed: int) -> bytes:
         z.ZSTD_freeCCtx(ctypes.c_void_p(cctx))
 
 
+@_functools.lru_cache(maxsize=256)
 def make_parquet_int96(seed: int) -> bytes:
     """Deterministic parquet bytes with a legacy INT96 timestamp
     column for the ``parquet_scan_int96`` driver query (written by
@@ -7536,6 +7542,7 @@ def make_parquet_int96(seed: int) -> bytes:
     return buf.getvalue().to_pybytes()
 
 
+@_functools.lru_cache(maxsize=256)
 def make_orc_nested(seed: int) -> bytes:
     """The SAME planted nested rows as :func:`make_parquet_nested`
     written as ORC by the Apache ORC C++ writer — one closed-form
@@ -7576,6 +7583,7 @@ _ICEBERG_MAN_EQ_SCHEMA = (
 )
 
 
+@_functools.lru_cache(maxsize=256)
 def make_iceberg_eq_bundle(seed: int) -> bytes:
     """Iceberg v2 bundle with an EQUALITY-delete manifest for the
     ``iceberg_scan_eq_deletes`` driver query: manifest entries carry
@@ -7671,6 +7679,7 @@ def make_iceberg_eq_bundle(seed: int) -> bytes:
     return bytes(out)
 
 
+@_functools.lru_cache(maxsize=256)
 def make_arrow_nested(seed: int) -> bytes:
     """The SAME planted nested rows as :func:`make_parquet_nested` /
     :func:`make_orc_nested` written as Arrow IPC by pyarrow — a THIRD
@@ -7986,6 +7995,7 @@ def roaring64_encode(vals: "list[int]", runs: bool = False) -> bytes:
     return out
 
 
+@_functools.lru_cache(maxsize=256)
 def make_delta_dv_bundle(seed: int) -> bytes:
     """Delta log bundle with DELETION VECTORS for the
     ``delta_scan_dv`` driver query: add actions carry inline ("u")
