@@ -33,9 +33,11 @@ in-order — interior cells are real entries — with the index-page
 overflow threshold, and records re-map from PK-first storage order
 to declared column order.
 
+UTF-16le/be text encodings decode per the header field (r12, same
+session — the stdlib producer emits both via PRAGMA encoding).
+
 Honest gates (named ValueError): WAL-mode files with a non-empty WAL
-(the main file alone may be stale), UTF-16 encodings, virtual
-tables.
+(the main file alone may be stale), virtual tables.
 """
 
 from __future__ import annotations
@@ -93,9 +95,9 @@ class _Db:
             raise ValueError("sqlite: usable page size too small")
         self.n_pages = struct.unpack_from(">I", data, 28)[0]
         enc = struct.unpack_from(">I", data, 56)[0]
-        if enc not in (0, 1):  # 0 appears in never-written files
-            raise ValueError("sqlite: non-UTF8 text encoding gated")
-        self.enc = enc
+        if enc not in (0, 1, 2, 3):  # 0: never-written file
+            raise ValueError(f"sqlite: text encoding {enc} unknown")
+        self.enc = enc  # 1 UTF-8, 2 UTF-16le, 3 UTF-16be
         # journal mode: header bytes 18/19 are the read/write version
         # (2 = WAL).  A WAL database's main file may be stale, but an
         # empty/checkpointed WAL is fine — gating on the mere flag
@@ -250,9 +252,14 @@ def _cells(db: _Db, page_num: int) -> Iterator[tuple[int, bytes]]:
             yield rowid, payload
 
 
-def _record(payload: bytes) -> list:
+_TEXT_CODECS = {0: "utf-8", 1: "utf-8", 2: "utf-16-le",
+                3: "utf-16-be"}
+
+
+def _record(payload: bytes, enc: int = 1) -> list:
     """Decode one record payload → list of values (None / int /
-    float / str / bytes)."""
+    float / str / bytes); text decodes per the header's encoding
+    (UTF-8 / UTF-16le / UTF-16be)."""
     hlen, pos = _varint(payload, 0)
     if hlen > len(payload):
         raise ValueError("sqlite: record header overruns payload")
@@ -287,8 +294,8 @@ def _record(payload: bytes) -> list:
             seg = payload[body:body + n]
             if len(seg) != n:
                 raise ValueError("sqlite: truncated text/blob value")
-            out.append(seg.decode("utf-8", "replace") if st % 2
-                       else bytes(seg))
+            out.append(seg.decode(_TEXT_CODECS[enc], "replace")
+                       if st % 2 else bytes(seg))
             body += n
         else:
             raise ValueError(f"sqlite: serial type {st} reserved")
@@ -296,7 +303,7 @@ def _record(payload: bytes) -> list:
 
 
 def _schema_rows(db: _Db) -> list[list]:
-    return [_record(p) for _rid, p in _cells(db, 1)]
+    return [_record(p, db.enc) for _rid, p in _cells(db, 1)]
 
 
 _COLDEF_RE = re.compile(
@@ -478,7 +485,7 @@ def _table_rows(data: bytes, table: str) -> tuple[list[str],
         order = [stored.index(n) for n in names]
         rows = []
         for payload in _cells_index(db, root):
-            vals = _record(payload)
+            vals = _record(payload, db.enc)
             if len(vals) < len(names):
                 vals = vals + [None] * (len(names) - len(vals))
             vals = [vals[i] for i in order]
@@ -490,7 +497,7 @@ def _table_rows(data: bytes, table: str) -> tuple[list[str],
         return names, rows
     rows = []
     for rowid, payload in _cells(db, root):
-        vals = _record(payload)
+        vals = _record(payload, db.enc)
         # pad/truncate to schema width (ALTER TABLE ADD COLUMN keeps
         # old records short — missing trailing columns read as NULL)
         if len(vals) < len(names):

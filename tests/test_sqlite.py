@@ -224,3 +224,23 @@ def test_fixture_inverts():
                 assert r[4] is None
             else:
                 assert r[4] == ((seed + 11 * i) % 4000 - 2000) / 4
+
+
+@pytest.mark.parametrize("enc", ["UTF-8", "UTF-16le", "UTF-16be"])
+def test_text_encodings(enc):
+    """The header's text-encoding field drives record text decode —
+    sqlite3 produces all three via PRAGMA encoding."""
+    con = sqlite3.connect(":memory:")
+    con.execute(f"PRAGMA encoding='{enc}'")
+    con.execute("PRAGMA page_size=512")
+    con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, s TEXT, "
+                "v INTEGER)")
+    rows = [("héllo wörld 世界 %d" % i
+             * (40 if i % 9 == 5 else 1), i * 7) for i in range(800)]
+    con.executemany("INSERT INTO t (s, v) VALUES (?,?)", rows)
+    con.commit()
+    data = bytes(con.serialize())
+    want = [list(r) for r in
+            con.execute("SELECT id, s, v FROM t ORDER BY id")]
+    con.close()
+    assert sqlite_table_rows(data, "t")[1] == want
