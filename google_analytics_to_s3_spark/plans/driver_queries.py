@@ -3021,59 +3021,20 @@ ORACLES["lsh_recall"] = LSH_RECALL_ORACLE_TEMPLATE.format(
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # ---------------- round-12 rotation ----------------
-    # Head per the r11 verdict (task 1): the 4 r11 registrations that
-    # deliberately spilled past the r11 window (never driver-checked),
-    # then the 46 oldest r5-stale rows. The 4 remaining r5 rows
-    # (sales_rollup / shipping_priority / simhash / simhash_dup_pairs)
-    # head the r13 queue together with new r12 registrations — the
-    # two-round drain the r11 verdict prescribes.
-    "mp3_decode_synth_short", "pdf_text_filters", "tiff_decode_tiled",
-    "orc_scan_strings",
-    # (r5-stale drain, 46 of 50)
-    "identity_stitching", "user_erasure", "phrase_search", "bootstrap_ci",
-    "scd2_asof_enrich", "word_pmi", "item_similarity",
-    "cusum_changepoints", "k_anonymity", "seasonal_anomalies",
-    "daily_engagement", "session_revenue", "export_sessions",
-    "hit_type_mapping", "union_active_users", "events_pivot",
-    "events_cube", "anonymize_ip", "asof_join", "geo_enrich",
-    "multimodal_decode", "streaming_sessions", "char_entropy",
-    "corpus_curation", "cosine_dup_pairs", "customer_order_ranks",
-    "customers_without_orders", "dedup_exact", "forecast_revenue",
-    "knn_cosine", "knn_ivf", "large_volume_customers",
-    "late_shipment_priority", "local_supplier_volume", "market_share",
-    "minhash_lsh_pairs", "moving_revenue", "neardup_ledger",
-    "ngram_jaccard_pairs", "ngram_jaccard_thresholded", "order_gaps",
-    "order_lineitem_left_join", "order_percentiles", "pricing_summary",
-    "promo_revenue", "returned_items",
-    # --- slots 51+: r13 head = last 4 r5-stale rows, then the 14
-    # r12 registrations (never driver-checked; every one is green in
-    # the pytest oracle sweep) — 4 + 14 = 18 of the r13 window, the
-    # remaining 32 slots should drain the oldest r6-stale rows ---
+    # ---------------- round-13 rotation ----------------
+    # Head per the r12 verdict (task 1): the 4 remaining r5-stale rows,
+    # then all 15 r12 registrations (never driver-checked; every one is
+    # green in the pytest oracle sweep), then the 31 oldest r6-stale
+    # rows — 4 + 15 + 31 = exactly the 50-slot window. The remaining 18
+    # r6 rows queue right behind new r13 registrations for the r14 head.
     "sales_rollup", "shipping_priority", "simhash", "simhash_dup_pairs",
-    # R12_NEW_MARKER
+    # (the 15 r12 registrations)
     "parquet_scan_nested", "delta_checkpoint_snapshot",
     "iceberg_scan_deletes", "orc_scan_timestamps", "zstd_dict_extract",
     "parquet_scan_int96", "orc_scan_nested", "iceberg_scan_eq_deletes",
     "arrow_nested_scan", "sqlite_scan", "parquet_page_prune",
     "gzip_extract_raw", "bzip2_extract", "xz_extract", "delta_scan_dv",
-    # (queue) rows last driver-checked in r11 (50).
-    "bmp_decode", "tiff_decode", "warc_extract", "warc_documents",
-    "webdataset_decode", "avi_demux", "avi_decode_av", "zip_extract",
-    "crawl_dedup", "ico_decode", "mp3_decode", "mp3_decode_stereo",
-    "vorbis_decode_pcm", "gif_decode_ext", "kmv_overlap",
-    "weighted_sample", "zorder_keys", "snapshot_diff", "rolling_features",
-    "ab_lift", "dq_report", "hopping_distinct", "basket_rules",
-    "boilerplate_fraction", "dataset_card", "event_anomalies",
-    "session_paths", "shot_boundaries", "url_dedup", "markov_attribution",
-    "pdf_text_xrefstream", "tiff_decode_lzw", "mp3_decode_short",
-    "webp_decode_ext", "snappy_extract", "charset_transcode",
-    "zstd_extract", "webdataset_zst", "parquet_footer",
-    "parquet_scan_raw", "orc_meta", "avro_decode", "iceberg_snapshot",
-    "delta_log_snapshot", "warc_zstd", "orc_scan_raw",
-    "arrow_ipc_scan", "parquet_scan_lists", "iceberg_scan_chain",
-    "msgpack_decode",
-    # (queue) rows last driver-checked in r6 (49).
+    # (r6-stale drain, 31 of 49)
     "stratified_sample", "string_funcs", "table_profile", "text_quality",
     "text_stats", "token_counts", "volume_shipping", "winnow_fingerprints",
     "winnow_dup_pairs", "sequence_mining", "rfm_segments", "dataset_split",
@@ -3082,6 +3043,15 @@ _DRIVER_PRIORITY = [
     "incremental_rollup", "variant_extract", "session_hit_cap",
     "skew_report", "dau_wau_mau", "new_vs_returning", "ltv_curve",
     "label_centroids", "ppm_decode", "y4m_shots", "session_timelines",
+    # --- slots 51+: r14 head = new r13 registrations (below the
+    # marker), then the remaining 18 r6-stale rows ---
+    # R13_NEW_MARKER
+    "iceberg_scan_eq_multi", "delta_column_mapping", "sqlite_scan_wal",
+    "parquet_bloom_probe", "orc_scan_tz", "avro_container",
+    "parquet_scan_fixed", "arrow_dict_delta", "delta_partition_prune",
+    "lz4_frame_extract", "brotli_extract", "orc_scan_unions",
+    "csv_inference_scan", "iceberg_metrics_prune", "parquet_crc_scan",
+    # (queue) rows last driver-checked in r6 (remaining 18).
     "target_encoding", "quantile_normalize", "hashed_features",
     "langid_eval", "sessionize_flags", "sessionize_full", "session_stats",
     "traffic_attribution", "touchpoints", "unpivot_products", "ua_parse",
@@ -3148,6 +3118,40 @@ _DRIVER_PRIORITY = [
     "vorbis_decode_pcm_trans", "vorbis_decode_pcm_floor0",
     "flac_decode_32bit", "mp4_demux_frag", "mp4_decode_av_frag",
     "mp3_decode_lsf", "mp3_decode_ms",
+    # (queue) rows last driver-checked in r11 (50).
+    "bmp_decode", "tiff_decode", "warc_extract", "warc_documents",
+    "webdataset_decode", "avi_demux", "avi_decode_av", "zip_extract",
+    "crawl_dedup", "ico_decode", "mp3_decode", "mp3_decode_stereo",
+    "vorbis_decode_pcm", "gif_decode_ext", "kmv_overlap",
+    "weighted_sample", "zorder_keys", "snapshot_diff", "rolling_features",
+    "ab_lift", "dq_report", "hopping_distinct", "basket_rules",
+    "boilerplate_fraction", "dataset_card", "event_anomalies",
+    "session_paths", "shot_boundaries", "url_dedup", "markov_attribution",
+    "pdf_text_xrefstream", "tiff_decode_lzw", "mp3_decode_short",
+    "webp_decode_ext", "snappy_extract", "charset_transcode",
+    "zstd_extract", "webdataset_zst", "parquet_footer",
+    "parquet_scan_raw", "orc_meta", "avro_decode", "iceberg_snapshot",
+    "delta_log_snapshot", "warc_zstd", "orc_scan_raw",
+    "arrow_ipc_scan", "parquet_scan_lists", "iceberg_scan_chain",
+    "msgpack_decode",
+    # (queue) rows driver-checked in r12 (50, the freshest).
+    "mp3_decode_synth_short", "pdf_text_filters", "tiff_decode_tiled",
+    "orc_scan_strings",
+    "identity_stitching", "user_erasure", "phrase_search", "bootstrap_ci",
+    "scd2_asof_enrich", "word_pmi", "item_similarity",
+    "cusum_changepoints", "k_anonymity", "seasonal_anomalies",
+    "daily_engagement", "session_revenue", "export_sessions",
+    "hit_type_mapping", "union_active_users", "events_pivot",
+    "events_cube", "anonymize_ip", "asof_join", "geo_enrich",
+    "multimodal_decode", "streaming_sessions", "char_entropy",
+    "corpus_curation", "cosine_dup_pairs", "customer_order_ranks",
+    "customers_without_orders", "dedup_exact", "forecast_revenue",
+    "knn_cosine", "knn_ivf", "large_volume_customers",
+    "late_shipment_priority", "local_supplier_volume", "market_share",
+    "minhash_lsh_pairs", "moving_revenue", "neardup_ledger",
+    "ngram_jaccard_pairs", "ngram_jaccard_thresholded", "order_gaps",
+    "order_lineitem_left_join", "order_percentiles", "pricing_summary",
+    "promo_revenue", "returned_items",
 ]
 
 
