@@ -289,7 +289,8 @@ def decode_iceberg_scan(
 # real parquet file with columns ``file_path`` (string) and ``pos``
 # (long), sorted by (file_path, pos); at scan time a reader drops the
 # listed row positions from the matching data files.  Equality
-# deletes (content=2 data_file entries) remain a named gate.
+# deletes (content=2 data_file entries) are handled by
+# parse_iceberg_scan_eq below (single and composite keys).
 
 
 def parse_iceberg_scan_deletes(bundle: bytes, column: str) -> dict:
@@ -449,11 +450,14 @@ def decode_iceberg_scan_deletes(
 def parse_iceberg_scan_eq(bundle: bytes, column: str) -> dict:
     """Iceberg v2 EQUALITY deletes: delete manifests whose entries
     carry ``content=2`` data files list VALUES (columns named by
-    ``equality_ids``, resolved through the table schema's field ids);
-    a data row is deleted when its values match — but only in data
+    ``equality_ids``, resolved through the table schema's field ids —
+    single OR composite keys, the Flink-CDC default shape); a data
+    row is deleted when its key tuple matches — but only in data
     files whose ``sequence_number`` is strictly LOWER than the delete
-    file's (the spec's ordering rule).  Multi-column equality keys
-    remain a named gate."""
+    file's (the spec's ordering rule).  A null ``sequence_number`` on
+    a manifest entry inherits the manifest-list entry's sequence
+    number, per the v2 inheritance rule — never defaulted to 0, which
+    would over-apply equality deletes."""
     from .parquet_raw import parquet_file_meta, parquet_read_column
 
     files = {m["name"]: m["data"] for m in parse_tar(bundle)}
@@ -473,7 +477,8 @@ def parse_iceberg_scan_eq(bundle: bytes, column: str) -> dict:
         raise ValueError("iceberg: manifest list missing")
     _, ml_entries = avro_decode_container(ml_raw)
     data_entries: list = []
-    eq_deletes: list = []  # (delete_seq, frozenset(values))
+    # (delete_seq, key column names, set of key value tuples)
+    eq_deletes: list = []
     n_delete_files = 0
     for entry in ml_entries:
         man_raw = files.get(entry.get("manifest_path"))
@@ -485,7 +490,14 @@ def parse_iceberg_scan_eq(bundle: bytes, column: str) -> dict:
             if me.get("status") == 2:
                 continue
             df = me.get("data_file") or {}
-            seq = me.get("sequence_number") or 0
+            seq = me.get("sequence_number")
+            if seq is None:
+                # v2 inheritance: ADDED entries written with a null
+                # sequence number take the manifest's own.
+                seq = entry.get("sequence_number")
+            if seq is None:
+                raise ValueError(
+                    "iceberg: no sequence number on entry or manifest")
             if content == 0:
                 data_entries.append((seq, df))
                 continue
@@ -494,20 +506,26 @@ def parse_iceberg_scan_eq(bundle: bytes, column: str) -> dict:
                     "iceberg: non-equality entry in delete manifest "
                     "gated here (use parse_iceberg_scan_deletes)")
             ids = df.get("equality_ids") or []
-            if len(ids) != 1:
-                raise ValueError(
-                    "iceberg: multi-column equality key gated")
-            col = field_names.get(ids[0])
-            if col is None:
-                raise ValueError("iceberg: equality field id unknown")
+            if not ids:
+                raise ValueError("iceberg: delete file missing "
+                                 "equality_ids")
+            key_cols = []
+            for fid in ids:
+                col = field_names.get(fid)
+                if col is None:
+                    raise ValueError("iceberg: equality field id unknown")
+                key_cols.append(col)
             blob = files.get(df.get("file_path"))
             if blob is None:
                 raise ValueError("iceberg: delete file missing")
             n_delete_files += 1
-            vals = parquet_read_column(blob, col)
-            if any(v is None for v in vals):
+            key_vals = [parquet_read_column(blob, c) for c in key_cols]
+            if len({len(v) for v in key_vals}) > 1:
+                raise ValueError("iceberg: ragged equality delete file")
+            tuples = set(zip(*key_vals))
+            if any(None in t for t in tuples):
                 raise ValueError("iceberg: null equality delete value")
-            eq_deletes.append((seq, frozenset(vals)))
+            eq_deletes.append((seq, tuple(key_cols), tuples))
     n_data_files = 0
     n_eq_deleted = 0
     records_after = 0
@@ -521,9 +539,16 @@ def parse_iceberg_scan_eq(bundle: bytes, column: str) -> dict:
         fm = parquet_file_meta(blob)
         if fm["num_rows"] != int(df.get("record_count") or 0):
             raise ValueError("iceberg: record_count mismatch")
-        dead_sets = [s for dseq, s in eq_deletes if seq < dseq]
-        for v in parquet_read_column(blob, column):
-            if v is not None and any(v in s for s in dead_sets):
+        live = [(cols, s) for dseq, cols, s in eq_deletes if seq < dseq]
+        needed = {c for cols, _ in live for c in cols}
+        needed.add(column)
+        col_data = {c: parquet_read_column(blob, c) for c in needed}
+        vals = col_data[column]
+        for i, v in enumerate(vals):
+            dead = any(
+                tuple(col_data[c][i] for c in cols) in s
+                for cols, s in live)
+            if dead:
                 n_eq_deleted += 1
                 continue
             records_after += 1

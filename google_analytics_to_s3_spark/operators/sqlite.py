@@ -7,8 +7,8 @@ engine ingesting heterogeneous corpora needs the byte path.  This
 module implements the read side:
 
 - **File header** (100 bytes): magic, page size (u16 BE, 1 ⇒ 65536),
-  reserved-space byte, text encoding (UTF-8 only; UTF-16 is a named
-  gate), page count.
+  reserved-space byte, text encoding (UTF-8 / UTF-16le / UTF-16be,
+  decoded per the header field), page count.
 - **Table b-trees**: interior (type 5) / leaf (type 13) pages, cell
   pointer arrays, left-child + right-most pointer walk in key order.
 - **Cells**: varint payload length + varint rowid; the spilled-
@@ -76,6 +76,10 @@ def _varint(data: bytes, pos: int) -> tuple[int, int]:
     if pos >= len(data):
         raise ValueError("sqlite: truncated varint")
     out = (out << 8) | data[pos]
+    # 9-byte varints carry a full two's-complement 64-bit value
+    # (negative rowids / INTEGER PRIMARY KEYs); sign-fold it.
+    if out >= 1 << 63:
+        out -= 1 << 64
     return out, pos + 1
 
 

@@ -2897,6 +2897,10 @@ from .driver_queries_r12 import (  # noqa: E402
     ORACLES_R12,
     QUERIES_R12,
 )
+from .driver_queries_r13 import (  # noqa: E402
+    ORACLES_R13,
+    QUERIES_R13,
+)
 
 QUERIES.update(QUERIES_ENRICH)
 QUERIES.update(QUERIES_IDENTITY)
@@ -2912,6 +2916,7 @@ QUERIES.update(QUERIES_R10)
 QUERIES.update(QUERIES_R10B)
 QUERIES.update(QUERIES_R11)
 QUERIES.update(QUERIES_R12)
+QUERIES.update(QUERIES_R13)
 
 ORACLES: dict[str, str] = {
     "sessionize_flags": SQL_SESSIONIZE_FLAGS,
@@ -2995,6 +3000,7 @@ ORACLES.update(ORACLES_R10)
 ORACLES.update(ORACLES_R10B)
 ORACLES.update(ORACLES_R11)
 ORACLES.update(ORACLES_R12)
+ORACLES.update(ORACLES_R13)
 # fill the lsh_recall oracle template with the shared MinHash CTE chain
 # (defined above; kept in one copy so k/bands changes cannot diverge)
 from .driver_queries_analytics import (  # noqa: E402

@@ -1,0 +1,108 @@
+"""Round-13 driver queries: lakehouse gate-openings (Iceberg
+composite equality-delete keys, Delta column mapping, SQLite WAL
+replay, Parquet bloom filters, ORC writer timezones) — each one a
+REAL byte path cross-validated against an independent in-env
+producer, registered with a closed-form DuckDB oracle.
+
+Reference scope note: the reference engine (sessionization/main.py)
+reads only JSON/parquet; this module is the SURVEY §2.12 extension
+surface a 100 TB training-data pipeline needs (modern lakehouse
+tables arrive as Iceberg/Delta with deletes, app exports as SQLite,
+columnar files with bloom filters/page indexes to exploit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_events
+from .driver_queries_analytics import _FLAC_MOD, _spread
+
+QUERIES_R13: dict = {}
+ORACLES_R13: dict = {}
+
+
+def q_iceberg_scan_eq_multi(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Iceberg v2 COMPOSITE-KEY equality deletes (r13): the delete
+    file's ``equality_ids`` names TWO schema fields (k1, k2 — the
+    Flink-CDC default shape) whose value PAIRS delete matching rows;
+    the planted pair rule ``(k1 + k2) % 4 == seed % 4`` is not
+    expressible on either column alone, so a reader that compares a
+    single column fails the oracle.  Manifest entries additionally
+    carry NULL sequence numbers that must inherit the manifest-list
+    entry's sequence (the v2 inheritance rule) — defaulting null to 0
+    would over-apply the delete and shift every sum.  Lane
+    id % 10 == 2."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.iceberg import decode_iceberg_scan_eq
+    from ..testing.fixtures import make_iceberg_eq_multi_bundle
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 2
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_iceberg_eq_multi_bundle(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_iceberg_scan_eq(payloads, "v").drop("decode_error")
+
+
+_ICEBERG_EQM_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 2
+),
+mf AS (
+  SELECT e.event_id, e.seed, m.m, f.f,
+         30 + (e.seed*5 + 7*m.m + 11*f.f) % 50 AS n,
+         (e.seed + m.m + f.f) % 4 <> 3 AS live,
+         CASE WHEN (e.seed + f.f) % 2 = 0
+              THEN 1 + (e.seed + m.m) % 4
+              ELSE 1 + (e.seed + m.m + f.f) % 4 END AS seq
+  FROM e,
+       LATERAL (SELECT unnest(range(0, 1 + e.seed % 2)) AS m) m,
+       LATERAL (SELECT unnest(range(0, 2 + (e.seed + m.m) % 3)) AS f) f
+),
+rows_ AS (
+  SELECT mf.event_id, mf.live,
+         mf.seq < 3 AND
+           (((mf.seed + 5*i.i + mf.f) % 20)
+            + ((mf.seed*2 + 3*i.i + mf.m) % 15)) % 4 = mf.seed % 4
+           AS del_,
+         (mf.seed*3 + 17*mf.m + 23*mf.f + 9*i.i) % 1000 AS v
+  FROM mf, LATERAL (SELECT unnest(range(0, mf.n)) AS i) i
+)
+SELECT e.event_id AS doc_id,
+       CAST(8100 + e.seed AS BIGINT) AS snapshot_id,
+       CAST((SELECT count(*) FROM mf
+              WHERE mf.event_id = e.event_id AND mf.live)
+            AS INTEGER) AS n_data_files,
+       CAST(1 AS INTEGER) AS n_delete_files,
+       CAST((SELECT count(*) FROM rows_ r
+              WHERE r.event_id = e.event_id AND r.del_ AND r.live)
+            AS BIGINT) AS n_eq_deleted,
+       CAST((SELECT count(*) FROM rows_ r
+              WHERE r.event_id = e.event_id AND NOT r.del_ AND r.live)
+            AS BIGINT) AS records_after,
+       CAST((SELECT sum(r.v) FROM rows_ r
+              WHERE r.event_id = e.event_id AND NOT r.del_ AND r.live)
+            AS BIGINT) AS value_sum
+FROM e
+"""
+
+QUERIES_R13["iceberg_scan_eq_multi"] = q_iceberg_scan_eq_multi
+ORACLES_R13["iceberg_scan_eq_multi"] = _ICEBERG_EQM_ORACLE

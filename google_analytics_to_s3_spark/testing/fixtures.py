@@ -7679,6 +7679,153 @@ def make_iceberg_eq_bundle(seed: int) -> bytes:
     return bytes(out)
 
 
+_ICEBERG_MAN_EQM_SCHEMA = (
+    '{"type":"record","name":"manifest_entry","fields":['
+    '{"name":"status","type":"int"},'
+    '{"name":"sequence_number","type":["null","long"]},'
+    '{"name":"data_file","type":{"type":"record","name":"data_file",'
+    '"fields":['
+    '{"name":"content","type":"int"},'
+    '{"name":"file_path","type":"string"},'
+    '{"name":"record_count","type":"long"},'
+    '{"name":"file_size_in_bytes","type":"long"},'
+    '{"name":"equality_ids","type":{"type":"array","items":"int"}}'
+    ']}}]}'
+)
+
+_ICEBERG_ML_V2S_SCHEMA = (
+    '{"type":"record","name":"manifest_file","fields":['
+    '{"name":"manifest_path","type":"string"},'
+    '{"name":"manifest_length","type":"long"},'
+    '{"name":"content","type":"int"},'
+    '{"name":"sequence_number","type":"long"}]}'
+)
+
+
+@_functools.lru_cache(maxsize=256)
+def make_iceberg_eq_multi_bundle(seed: int) -> bytes:
+    """Iceberg v2 bundle with a COMPOSITE-KEY equality delete (the
+    Flink-CDC default shape) for the ``iceberg_scan_eq_multi`` driver
+    query, plus the v2 sequence-number INHERITANCE rule: manifest
+    entries whose ``sequence_number`` is null (a ``["null","long"]``
+    Avro union) inherit the manifest-list entry's sequence number —
+    defaulting to 0 instead would over-apply the delete, which the
+    oracle would catch.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - ``nm = 1 + seed % 2`` data manifests; manifest ``m`` carries
+      manifest-list ``sequence_number = 1 + (seed + m) % 4``
+    - files per manifest ``nf = 2 + (seed + m) % 3``; file (m, f) has
+      ``n = 30 + (seed*5 + 7*m + 11*f) % 50`` rows; row ``i``:
+      ``k1 = (seed + 5*i + f) % 20``, ``k2 = (seed*2 + 3*i + m) % 15``,
+      ``v = (seed*3 + 17*m + 23*f + 9*i) % 1000``
+    - entry status 2 (dropped) iff ``(seed + m + f) % 4 == 3``
+    - entry sequence: NULL (inherits ``1 + (seed + m) % 4``) when
+      ``(seed + f) % 2 == 0``, else explicit
+      ``1 + (seed + m + f) % 4``
+    - ONE delete file, ``equality_ids = [1, 2]`` (columns k1, k2),
+      listing every pair ``(a, b), a<20, b<15`` with
+      ``(a + b) % 4 == seed % 4`` — NOT expressible on either column
+      alone; its manifest entry's sequence is NULL, inheriting the
+      delete manifest's list sequence 3
+    - codec snappy/zstd by ``(seed + f) % 2``; avro deflate on odd
+      seeds
+    """
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    codec_avro = "deflate" if seed % 2 else "null"
+    nm = 1 + seed % 2
+    members: "dict[str, bytes]" = {}
+    ml_rows = []
+    for m in range(nm):
+        ml_seq = 1 + (seed + m) % 4
+        nf = 2 + (seed + m) % 3
+        rows = []
+        for f in range(nf):
+            n = 30 + (seed * 5 + 7 * m + 11 * f) % 50
+            k1 = [(seed + 5 * i + f) % 20 for i in range(n)]
+            k2 = [(seed * 2 + 3 * i + m) % 15 for i in range(n)]
+            v = [(seed * 3 + 17 * m + 23 * f + 9 * i) % 1000
+                 for i in range(n)]
+            buf = _pa.BufferOutputStream()
+            _pq.write_table(
+                _pa.table({"k1": _pa.array(k1, _pa.int64()),
+                           "k2": _pa.array(k2, _pa.int64()),
+                           "v": _pa.array(v, _pa.int64())}), buf,
+                compression=["snappy", "zstd"][(seed + f) % 2])
+            blob = buf.getvalue().to_pybytes()
+            name = f"data/m{m}-f{f}.parquet"
+            members[name] = blob
+            status = 2 if (seed + m + f) % 4 == 3 else 1
+            body = _avro_zigzag(status)
+            if (seed + f) % 2 == 0:
+                body += _avro_zigzag(0)  # union branch: null (inherit)
+            else:
+                body += _avro_zigzag(1)  # union branch: long
+                body += _avro_zigzag(1 + (seed + m + f) % 4)
+            body += _avro_zigzag(0)  # content: data
+            body += _avro_str(name)
+            body += _avro_zigzag(n)
+            body += _avro_zigzag(len(blob))
+            body += _avro_zigzag(0)  # empty equality_ids array
+            rows.append(body)
+        mname = f"manifest-{m}.avro"
+        members[mname] = _avro_container(_ICEBERG_MAN_EQM_SCHEMA, rows,
+                                         seed + m, codec_avro)
+        ml_rows.append(_avro_str(mname)
+                       + _avro_zigzag(len(members[mname]))
+                       + _avro_zigzag(0)
+                       + _avro_zigzag(ml_seq))
+    del_pairs = [(a, b) for a in range(20) for b in range(15)
+                 if (a + b) % 4 == seed % 4]
+    buf = _pa.BufferOutputStream()
+    _pq.write_table(
+        _pa.table({"k1": _pa.array([p[0] for p in del_pairs],
+                                   _pa.int64()),
+                   "k2": _pa.array([p[1] for p in del_pairs],
+                                   _pa.int64())}),
+        buf, compression=["snappy", "zstd"][seed % 2])
+    dblob = buf.getvalue().to_pybytes()
+    members["deletes/eqm.parquet"] = dblob
+    dbody = _avro_zigzag(1)           # status ADDED
+    dbody += _avro_zigzag(0)          # union branch: null (inherit 3)
+    dbody += _avro_zigzag(2)          # content: equality deletes
+    dbody += _avro_str("deletes/eqm.parquet")
+    dbody += _avro_zigzag(len(del_pairs))
+    dbody += _avro_zigzag(len(dblob))
+    dbody += (_avro_zigzag(2) + _avro_zigzag(1) + _avro_zigzag(2)
+              + _avro_zigzag(0))  # equality_ids [1, 2]
+    members["manifest-del.avro"] = _avro_container(
+        _ICEBERG_MAN_EQM_SCHEMA, [dbody], seed + 50, codec_avro)
+    ml_rows.append(_avro_str("manifest-del.avro")
+                   + _avro_zigzag(len(members["manifest-del.avro"]))
+                   + _avro_zigzag(1)
+                   + _avro_zigzag(3))  # delete manifest sequence 3
+    members["manifest-list.avro"] = _avro_container(
+        _ICEBERG_ML_V2S_SCHEMA, ml_rows, seed, codec_avro)
+    members["metadata.json"] = _json.dumps({
+        "format-version": 2,
+        "current-snapshot-id": 8100 + seed,
+        "snapshots": [
+            {"snapshot-id": 8100 + seed,
+             "manifest-list": "manifest-list.avro"},
+        ],
+        "schema": {"fields": [
+            {"id": 1, "name": "k1", "type": "long"},
+            {"id": 2, "name": "k2", "type": "long"},
+            {"id": 3, "name": "v", "type": "long"}]},
+    }).encode()
+    out = bytearray()
+    for name, data in members.items():
+        out += _tar_member(name, data)
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
 @_functools.lru_cache(maxsize=256)
 def make_arrow_nested(seed: int) -> bytes:
     """The SAME planted nested rows as :func:`make_parquet_nested` /

@@ -244,3 +244,30 @@ def test_text_encodings(enc):
             con.execute("SELECT id, s, v FROM t ORDER BY id")]
     con.close()
     assert sqlite_table_rows(data, "t")[1] == want
+
+
+def test_negative_rowid_and_values_sign_fold():
+    """9-byte varints carry two's-complement 64-bit values: negative
+    rowids / INTEGER PRIMARY KEYs must sign-fold, not decode as huge
+    unsigned ints (ADVICE r12: id=-5 read back as 2**64-5)."""
+    path = tempfile.mktemp(suffix=".db")
+    try:
+        con = sqlite3.connect(path)
+        con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER)")
+        rows = [(-5, -1), (-(2**62), 7), (-1, None), (3, -(2**40)),
+                (-9223372036854775808, 9223372036854775807)]
+        con.executemany("INSERT INTO t VALUES (?,?)", rows)
+        con.commit()
+        con.close()
+        data = open(path, "rb").read()
+        con = sqlite3.connect(path)
+        want = [list(r) for r in
+                con.execute("SELECT id, v FROM t ORDER BY id")]
+        con.close()
+        names, got = sqlite_table_rows(data, "t")
+        assert names == ["id", "v"]
+        assert got == want
+        assert got[0][0] == -9223372036854775808
+    finally:
+        if os.path.exists(path):
+            os.unlink(path)
