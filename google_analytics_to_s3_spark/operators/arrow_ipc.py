@@ -295,10 +295,10 @@ def _decompress_body(body: bytes, buffers: list[tuple[int, int]],
 
 
 def _batch_columns(msg: _Fb, body: bytes,
-                   fields: list[dict]) -> list[tuple[int, list[bytes]]]:
-    """One RecordBatch message → [(row_count, column buffers)] per
+                   fields: list[dict]) -> list[tuple[int, dict]]:
+    """One RecordBatch message → [(row_count, node/buffer tree)] per
     field, buffers assigned in spec order (validity, then offsets for
-    varsize, then data)."""
+    varsize, then data); each tree is {"len", "bufs", "children"}."""
     if msg.scalar(1, "<B", 0) != 3:  # MessageHeader.RecordBatch
         raise ValueError("arrow: not a record batch message")
     rb = msg.table(2)
@@ -308,7 +308,7 @@ def _batch_columns(msg: _Fb, body: bytes,
 
 
 def _rb_columns(rb: _Fb, body: bytes,
-                fields: list[dict]) -> list[tuple[int, list[bytes]]]:
+                fields: list[dict]) -> list[tuple[int, dict]]:
     length = rb.scalar(0, "<q", 0)
     nodes = rb.vector_structs(1, 16)
     bufs = []
@@ -431,6 +431,16 @@ def _materialize(field: dict, n: int, bufs: list[bytes]) -> list:
     return [v if ok else None for v, ok in zip(vals, valid)]
 
 
+class _DictError:
+    """Per-dictionary quarantine marker: decoding this dictionary's
+    values failed; only reads of columns referencing it raise."""
+
+    __slots__ = ("msg",)
+
+    def __init__(self, msg: str) -> None:
+        self.msg = msg
+
+
 def _decode_dictionary(msg: _Fb, body: bytes, fields: list[dict],
                        dicts: dict) -> None:
     """A DictionaryBatch message: id + a one-column RecordBatch of
@@ -440,7 +450,9 @@ def _decode_dictionary(msg: _Fb, body: bytes, fields: list[dict],
         raise ValueError("arrow: dictionary message missing header")
     did = db.scalar(0, "<q", 0)
     if db.scalar(2, "<b", 0):
-        raise ValueError("arrow: delta dictionaries gated")
+        # quarantine only COLUMNS carrying this dictionary, not the file
+        dicts[did] = _DictError("arrow: delta dictionaries gated")
+        return
     rb = db.table(1)
     if rb is None:
         raise ValueError("arrow: dictionary batch missing data")
@@ -458,9 +470,15 @@ def _decode_dictionary(msg: _Fb, body: bytes, fields: list[dict],
         raise ValueError(f"arrow: dictionary id {did} unused")
     value_field = dict(field)
     value_field["dictionary"] = False
-    cols = _rb_columns(rb, body, [value_field])
-    n, tree = cols[0]
-    dicts[did] = _materialize(value_field, n, tree["bufs"])
+    try:
+        cols = _rb_columns(rb, body, [value_field])
+        n, tree = cols[0]
+        dicts[did] = _materialize(value_field, n, tree["bufs"])
+    except ValueError as e:
+        # an undecodable VALUE type (e.g. Null) poisons only the
+        # columns that reference this dictionary id — other columns
+        # of the file must stay readable (ADVICE r12)
+        dicts[did] = _DictError(str(e))
 
 
 def _schema_and_batches(
@@ -553,6 +571,8 @@ def arrow_read_column(data: bytes, column: str) -> list:
                     out.append(None)
                 elif dic is None:
                     raise ValueError("arrow: dictionary batch missing")
+                elif isinstance(dic, _DictError):
+                    raise ValueError(dic.msg)
                 elif 0 <= i < len(dic):
                     out.append(dic[i])
                 else:
@@ -648,6 +668,8 @@ def _materialize_tree(field: dict, tree: dict, dicts: dict) -> list:
                 out.append(None)
             elif dic is None:
                 raise ValueError("arrow: dictionary batch missing")
+            elif isinstance(dic, _DictError):
+                raise ValueError(dic.msg)
             elif 0 <= i < len(dic):
                 out.append(dic[i])
             else:

@@ -153,6 +153,18 @@ class _Huf:
         raise ValueError("deflate: invalid Huffman code")
 
 
+class _NoDist:
+    """RFC 1951 §3.2.7: a dynamic block may declare ZERO distance
+    codes (HDIST=1, single 0-length code) when the data is all
+    literals; any distance decode attempt is then invalid."""
+
+    def decode(self, br: "_Bits") -> int:
+        raise ValueError("deflate: distance code used but none "
+                         "defined")
+
+
+_NO_DIST = _NoDist()
+
 _FIXED_LIT = None
 _FIXED_DIST = None
 
@@ -218,7 +230,8 @@ def inflate(data: bytes, pos: int = 0,
                 if len(lens) != hlit + hdist:
                     raise ValueError("deflate: code lengths overrun")
                 lit = _Huf(lens[:hlit])
-                dist = _Huf(lens[hlit:])
+                dlens = lens[hlit:]
+                dist = _Huf(dlens) if any(dlens) else _NO_DIST
             while True:
                 sym = lit.decode(br)
                 if sym < 256:

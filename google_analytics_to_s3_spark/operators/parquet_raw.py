@@ -1366,7 +1366,8 @@ def decode_parquet_nested_stats(
                     for k in cols:
                         rows[k].append(t[k])
                     rows["decode_error"].append(None)
-                except (ValueError, IndexError) as e:
+                except (ValueError, IndexError, TypeError,
+                        KeyError) as e:
                     for k in cols:
                         rows[k].append(None)
                     rows["decode_error"].append(str(e))

@@ -425,22 +425,45 @@ _CHECK_SIZES = {0: 0, 1: 4, 4: 8, 10: 32}
 
 
 def xz_decompress(data: bytes) -> tuple[bytes, int]:
-    """Decode one xz stream → (content, n_blocks); block checks
-    (none/CRC32/CRC64/SHA-256), index records, and both header and
-    footer CRCs are verified."""
+    """Decode an xz FILE → (content, n_blocks): one or more
+    concatenated streams, each fully verified (block checks
+    none/CRC32/CRC64/SHA-256, index records, header and footer
+    CRCs), with optional 4-byte-aligned zero stream padding between
+    streams per spec §2.2 — matching stdlib lzma.  Non-zero trailing
+    bytes raise a named error instead of being silently ignored."""
+    content = bytearray()
+    total_blocks = 0
+    pos = 0
+    while True:
+        part, nb, pos = _xz_stream(data, pos)
+        content += part
+        total_blocks += nb
+        while (pos + 4 <= len(data)
+               and data[pos:pos + 4] == b"\x00\x00\x00\x00"):
+            pos += 4  # stream padding
+        if pos == len(data):
+            return bytes(content), total_blocks
+        if data[pos:pos + 6] != _XZ_MAGIC:
+            raise ValueError("xz: trailing bytes after stream")
+
+
+def _xz_stream(data: bytes, base: int) -> tuple[bytes, int, int]:
+    """Decode ONE xz stream starting at ``base`` → (content,
+    n_blocks, position just past the stream footer)."""
     from .inflate import crc32 as _crc32
 
-    if len(data) < 32 or data[:6] != _XZ_MAGIC:
+    if len(data) - base < 32 or data[base:base + 6] != _XZ_MAGIC:
         raise ValueError("xz: missing stream magic")
-    flags = data[6:8]
+    flags = data[base + 6:base + 8]
     if flags[0] != 0 or flags[1] & 0xF0:
         raise ValueError("xz: reserved stream flags")
     check_type = flags[1] & 0x0F
     if check_type not in _CHECK_SIZES:
         raise ValueError(f"xz: check type {check_type} gated")
-    if _crc32(flags) != int.from_bytes(data[8:12], "little"):
+    if _crc32(flags) != int.from_bytes(data[base + 8:base + 12],
+                                       "little"):
         raise ValueError("xz: stream header CRC mismatch")
-    pos = 12
+    pos = base + 12
     parts: list[bytes] = []
     blocks: list[tuple[int, int]] = []  # (unpadded size, usize)
     while True:
@@ -546,7 +569,7 @@ def xz_decompress(data: bytes) -> tuple[bytes, int]:
         raise ValueError("xz: backward size mismatch")
     if foot[8:10] != flags:
         raise ValueError("xz: footer flags mismatch")
-    return b"".join(parts), len(blocks)
+    return b"".join(parts), len(blocks), pos + 12
 
 
 XZ_SCHEMA = StructType([

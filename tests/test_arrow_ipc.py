@@ -248,3 +248,47 @@ def test_nested_arrow_equals_nested_parquet():
     for seed in (0, 1, 2, 3, 4, 17, 999):
         assert arrow_read_nested(make_arrow_nested(seed), "v") == \
             parquet_read_nested(make_parquet_nested(seed), "v")
+
+
+def test_undecodable_dictionary_quarantines_only_its_column():
+    """A dictionary whose VALUE type the reader gates (decimal128
+    here) must poison only columns referencing that dictionary id —
+    the file's other columns stay readable (ADVICE r12: the whole
+    file was quarantined)."""
+    import decimal
+
+    import pyarrow as pa
+
+    d = pa.DictionaryArray.from_arrays(
+        pa.array([0, None, 1], pa.int32()),
+        pa.array([decimal.Decimal("1.5"), decimal.Decimal("2.5")],
+                 pa.decimal128(10, 2)))
+    t = pa.table({"good": pa.array([1, 2, 3], pa.int64()), "d": d})
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_file(sink, t.schema) as w:
+        w.write_table(t)
+    data = sink.getvalue().to_pybytes()
+    # the good column reads despite the undecodable dictionary
+    assert arrow_read_column(data, "good") == [1, 2, 3]
+    # the dictionary column itself raises a named error on first use
+    with pytest.raises(ValueError, match="gated"):
+        arrow_read_column(data, "d")
+    # a Null-type dictionary decodes clean (all values None)
+    dn = pa.DictionaryArray.from_arrays(
+        pa.array([0, None, 1], pa.int32()), pa.array([None, None]))
+    tn = pa.table({"d": dn})
+    sinkn = pa.BufferOutputStream()
+    with pa.ipc.new_file(sinkn, tn.schema) as w:
+        w.write_table(tn)
+    assert arrow_read_column(sinkn.getvalue().to_pybytes(),
+                             "d") == [None, None, None]
+    # an ALL-NULL-INDEX dictionary column never needs the values and
+    # reads clean
+    d2 = pa.array([None, None, None]).dictionary_encode()
+    t2 = pa.table({"good": pa.array([7, 8, 9], pa.int64()), "d": d2})
+    sink2 = pa.BufferOutputStream()
+    with pa.ipc.new_file(sink2, t2.schema) as w:
+        w.write_table(t2)
+    data2 = sink2.getvalue().to_pybytes()
+    assert arrow_read_column(data2, "d") == [None, None, None]
+    assert arrow_read_column(data2, "good") == [7, 8, 9]

@@ -132,3 +132,36 @@ def test_parity_on_engine_corpora():
     for seed in range(0, 100, 7):
         data = make_gzip_members(seed)
         assert gzip_decompress(data)[0] == gzip.decompress(data)
+
+
+def test_zero_distance_code_block_is_valid():
+    """RFC 1951 §3.2.7 explicitly allows a dynamic block declaring
+    ZERO distance codes (HDIST=1, one 0-length code) for all-literal
+    data; zlib accepts such streams and so must inflate() (ADVICE
+    r12: these were quarantined as 'empty Huffman code').  The
+    fixture is a hand-assembled dynamic block emitting b'AAA',
+    pre-validated against zlib.decompress in its construction."""
+    import zlib
+
+    raw = bytes.fromhex("05c081080000000020b6fda50e01")
+    assert zlib.decompress(raw, -15) == b"AAA"  # RFC-valid per zlib
+    out, _ = inflate(raw)
+    assert out == b"AAA"
+
+
+def test_distance_symbol_without_distance_codes_errors():
+    """A block that declares no distance codes but then USES a
+    length/distance pair must error, not crash — flip the fixture's
+    data bits to hit the sentinel table."""
+    import zlib
+
+    raw = bytearray.fromhex("05c081080000000020b6fda50e01")
+    # corrupt the tail so decode paths vary; whatever happens must be
+    # a ValueError or a clean decode, never another exception type
+    for i in range(len(raw) - 3, len(raw)):
+        for mask in (0x01, 0x10, 0xFF):
+            c = bytes(raw[:i] + bytes([raw[i] ^ mask]) + raw[i + 1:])
+            try:
+                inflate(c)
+            except ValueError:
+                pass

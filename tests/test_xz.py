@@ -104,3 +104,29 @@ def test_named_errors():
                       filters=filt)
     with pytest.raises(ValueError, match="gated"):
         xz_decompress(z)
+
+
+def test_multi_stream_concatenation_and_padding():
+    """Concatenated .xz streams (valid per spec §2.2, accepted by
+    stdlib lzma) decode fully — including 4-byte-aligned zero stream
+    padding between them; trailing garbage raises a named error
+    instead of silently truncating (ADVICE r12)."""
+    import lzma
+
+    a = lzma.compress(b"first stream " * 40, format=lzma.FORMAT_XZ)
+    b = lzma.compress(b"second!" * 11, format=lzma.FORMAT_XZ,
+                      check=lzma.CHECK_CRC32)
+    c = lzma.compress(b"third", format=lzma.FORMAT_XZ,
+                      check=lzma.CHECK_SHA256)
+    got, n_blocks = xz_decompress(a + b + c)
+    assert got == lzma.decompress(a + b + c)
+    assert n_blocks == 3
+    # stream padding (spec §2.2): stdlib lzma.decompress stops at
+    # padding (silently!), the xz CLI decodes through it — we follow
+    # the spec and decode every stream
+    got_pad, n_pad = xz_decompress(a + b + b"\x00" * 12 + c)
+    assert got_pad == got and n_pad == 3
+    with pytest.raises(ValueError, match="trailing"):
+        xz_decompress(a + b"XYZ")
+    with pytest.raises(ValueError):
+        xz_decompress(a + b"\x00\x00\x00")  # padding not 4-aligned
