@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["delta_log_snapshot", "parse_delta_checkpoint",
            "decode_delta_checkpoint", "parse_delta_scan_dv",
-           "decode_delta_scan_dv"]
+           "decode_delta_scan_dv", "parse_delta_column_mapping",
+           "decode_delta_column_mapping"]
 
 _ACTION_SCHEMA = ("add struct<path:string,size:bigint,"
                   "dataChange:boolean>, "
@@ -375,6 +376,200 @@ def decode_delta_scan_dv(
                 **{k: pd.Series(rows[k],
                                 dtype="Int32" if k in i32 else "Int64")
                    for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Column mapping + protocol gating (r13).
+#
+# Modern Databricks-written tables default to
+# `delta.columnMapping.mode = name`: parquet data files store columns
+# under stable PHYSICAL names (`col-<uuid>`), and the table schema
+# (metaData.schemaString) carries each field's
+# `delta.columnMapping.physicalName` / `delta.columnMapping.id`
+# metadata.  A reader that looks up logical names directly reads
+# nothing — or worse, a stale column after a rename.  `id` mode
+# resolves through the parquet schema's field_id instead.
+#
+# PROTOCOL.md "Reader Requirements": a reader MUST refuse tables whose
+# `protocol.minReaderVersion` (or, at version 3, any listed
+# readerFeatures entry) it does not implement — reading on is silent
+# corruption.  Supported here: minReaderVersion 1 (basic), 2 (column
+# mapping), 3 with readerFeatures ⊆ {columnMapping, deletionVectors}.
+
+_SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
+
+
+def parse_delta_column_mapping(bundle: bytes, column: str) -> dict:
+    """Scan a Delta table under ``delta.columnMapping.mode`` name/id:
+    fold the JSON log (metaData + protocol + add/remove), GATE on an
+    unsupported protocol, resolve the logical ``column`` to its
+    physical parquet column (by physicalName metadata in name mode,
+    by parquet field_id in id mode), and aggregate the live files."""
+    import json
+
+    from .parquet_raw import parquet_file_meta, parquet_read_column
+    from .tar import parse_tar
+
+    files = {m["name"]: m["data"] for m in parse_tar(bundle)}
+    adds: dict[str, dict] = {}
+    meta = None
+    protocol = None
+    commits = sorted((name, data) for name, data in files.items()
+                     if name.startswith("_delta_log/")
+                     and name.endswith(".json"))
+    if not commits:
+        raise ValueError("delta: bundle has no commits")
+    for _name, data in commits:
+        for line in data.splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if a.get("add"):
+                adds[a["add"]["path"]] = a["add"]
+            elif a.get("remove"):
+                adds.pop(a["remove"]["path"], None)
+            elif a.get("metaData"):
+                meta = a["metaData"]
+            elif a.get("protocol"):
+                protocol = a["protocol"]
+    # ---- protocol gating (PROTOCOL.md Reader Requirements) ----
+    if protocol is not None:
+        mrv = protocol.get("minReaderVersion") or 1
+        if mrv not in (1, 2, 3):
+            raise ValueError(
+                f"delta: minReaderVersion {mrv} unsupported")
+        if mrv == 3:
+            feats = set(protocol.get("readerFeatures") or [])
+            extra = feats - _SUPPORTED_READER_FEATURES
+            if extra:
+                raise ValueError(
+                    "delta: unsupported readerFeatures "
+                    f"{sorted(extra)}")
+    # ---- logical -> physical column resolution ----
+    if meta is None:
+        raise ValueError("delta: no metaData action in log")
+    conf = meta.get("configuration") or {}
+    mode = conf.get("delta.columnMapping.mode", "none")
+    try:
+        schema_fields = json.loads(
+            meta.get("schemaString") or "{}").get("fields") or []
+    except json.JSONDecodeError as e:
+        raise ValueError(f"delta: bad schemaString ({e})") from None
+    field = next((f for f in schema_fields
+                  if f.get("name") == column), None)
+    if field is None:
+        raise ValueError(f"delta: no column {column!r} in schema")
+    fmeta = field.get("metadata") or {}
+    if mode == "none":
+        physical = column
+        field_id = None
+    elif mode == "name":
+        physical = fmeta.get("delta.columnMapping.physicalName")
+        if not physical:
+            raise ValueError(
+                "delta: columnMapping=name but field has no "
+                "physicalName")
+        field_id = None
+    elif mode == "id":
+        field_id = fmeta.get("delta.columnMapping.id")
+        if not isinstance(field_id, int):
+            raise ValueError(
+                "delta: columnMapping=id but field has no id")
+        physical = None
+    else:
+        raise ValueError(f"delta: columnMapping mode {mode!r} gated")
+    n_files = records = 0
+    value_sum = 0
+    for path, _add in adds.items():
+        blob = files.get(path)
+        if blob is None:
+            raise ValueError(f"delta: data file {path!r} missing")
+        n_files += 1
+        fm = parquet_file_meta(blob)
+        phys = physical
+        if phys is None:  # id mode: match parquet field_id
+            matches = [s["name"] for s in fm["schema"]
+                       if not s["num_children"]
+                       and s.get("field_id") == field_id]
+            if len(matches) != 1:
+                raise ValueError(
+                    f"delta: field id {field_id} matches "
+                    f"{len(matches)} parquet columns")
+            phys = matches[0]
+        for v in parquet_read_column(blob, phys):
+            records += 1
+            if v is not None:
+                value_sum += v
+    return {
+        "mapping_mode": mode,
+        "min_reader_version": (protocol or {}).get(
+            "minReaderVersion", 1),
+        "n_files": n_files,
+        "records": records,
+        "value_sum": value_sum,
+    }
+
+
+def decode_delta_column_mapping(
+    df: DataFrame, column: str,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over
+    :func:`parse_delta_column_mapping`; per-bundle quarantine, no
+    shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("mapping_mode", StringType()),
+        StructField("min_reader_version", IntegerType()),
+        StructField("n_files", IntegerType()),
+        StructField("records", LongType()),
+        StructField("value_sum", LongType()),
+        StructField("decode_error", StringType()),
+    ])
+    cols = ("mapping_mode", "min_reader_version", "n_files",
+            "records", "value_sum")
+    i32 = {"min_reader_version", "n_files"}
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    r = parse_delta_column_mapping(bytes(payload),
+                                                   column)
+                    for k in cols:
+                        rows[k].append(r[k])
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, KeyError,
+                        TypeError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "mapping_mode": pd.Series(rows["mapping_mode"],
+                                          dtype=object),
+                **{k: pd.Series(rows[k],
+                                dtype="Int32" if k in i32 else "Int64")
+                   for k in cols if k != "mapping_mode"},
                 "decode_error": pd.Series(rows["decode_error"],
                                           dtype=object),
             })

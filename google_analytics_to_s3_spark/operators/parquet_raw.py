@@ -259,6 +259,7 @@ def _build_meta(fmd: dict) -> dict:
             "repetition": el.get(3),
             "num_children": el.get(5, 0),
             "converted_type": el.get(6),
+            "field_id": el.get(9),
         })
     row_groups = []
     for rg in fmd.get(4) or []:

@@ -106,3 +106,75 @@ FROM e
 
 QUERIES_R13["iceberg_scan_eq_multi"] = q_iceberg_scan_eq_multi
 ORACLES_R13["iceberg_scan_eq_multi"] = _ICEBERG_EQM_ORACLE
+
+
+def q_delta_column_mapping(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Delta COLUMN MAPPING driver-checked (r13): data files store
+    columns under physical ``col-<n>`` names resolved through
+    metaData.schemaString's ``delta.columnMapping.physicalName``
+    (name mode, even seeds) or the parquet schema's ``field_id``
+    (id mode, odd seeds, protocol minReaderVersion 3 +
+    readerFeatures=[columnMapping] — the protocol gate path); each
+    file also plants a DECOY column under the LOGICAL name whose
+    values (+1000) would shift the sum if the reader skipped the
+    mapping, and a tombstoned file that must not be scanned.  Lane
+    id % 10 == 3."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.lakehouse import decode_delta_column_mapping
+    from ..testing.fixtures import make_delta_cm_bundle
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 3
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_delta_cm_bundle(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_delta_column_mapping(payloads, "v") \
+        .drop("decode_error")
+
+
+_DELTA_CM_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 3
+),
+ff AS (
+  SELECT e.event_id, e.seed, f.f,
+         20 + (e.seed*3 + 7*f.f) % 40 AS n
+  FROM e, LATERAL (SELECT unnest(range(0, 1 + e.seed % 3)) AS f) f
+),
+rows_ AS (
+  SELECT ff.event_id,
+         CASE WHEN (ff.seed + ff.f + i.i) % 11 = 10 THEN NULL
+              ELSE (ff.seed*5 + 11*ff.f + 3*i.i) % 500 END AS v
+  FROM ff, LATERAL (SELECT unnest(range(0, ff.n)) AS i) i
+)
+SELECT e.event_id AS doc_id,
+       CASE WHEN e.seed % 2 = 0 THEN 'name' ELSE 'id' END
+         AS mapping_mode,
+       CAST(CASE WHEN e.seed % 2 = 0 THEN 2 ELSE 3 END AS INTEGER)
+         AS min_reader_version,
+       CAST(1 + e.seed % 3 AS INTEGER) AS n_files,
+       CAST((SELECT count(*) FROM rows_ r
+              WHERE r.event_id = e.event_id) AS BIGINT) AS records,
+       CAST((SELECT sum(r.v) FROM rows_ r
+              WHERE r.event_id = e.event_id) AS BIGINT) AS value_sum
+FROM e
+"""
+
+QUERIES_R13["delta_column_mapping"] = q_delta_column_mapping
+ORACLES_R13["delta_column_mapping"] = _DELTA_CM_ORACLE

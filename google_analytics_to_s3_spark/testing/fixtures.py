@@ -8197,3 +8197,111 @@ def make_delta_dv_bundle(seed: int) -> bytes:
         out += _tar_member(name, blob)
     out += b"\x00" * 1024
     return bytes(out)
+
+
+@_functools.lru_cache(maxsize=256)
+def make_delta_cm_bundle(seed: int) -> bytes:
+    """Delta log bundle with COLUMN MAPPING for the
+    ``delta_column_mapping`` driver query: data files store columns
+    under PHYSICAL names, the metaData schemaString carries
+    ``delta.columnMapping.physicalName`` / ``.id`` per field, and the
+    protocol action requires the columnMapping reader capability —
+    reading the logical name directly would find nothing, and the
+    planted DECOY column (physical name = the logical name ``v``,
+    values +1000) makes that failure loud in the oracle sum.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - mode ``name`` on even seeds (protocol minReaderVersion 2) /
+      ``id`` on odd seeds (minReaderVersion 3 +
+      readerFeatures=[columnMapping]); id mode resolves through the
+      parquet schema's ``field_id`` (= 7), written by pyarrow's
+      ``PARQUET:field_id`` metadata
+    - ``nf = 1 + seed % 3`` live files; file ``f``:
+      ``n = 20 + (seed*3 + 7*f) % 40`` rows of
+      ``v = (seed*5 + 11*f + 3*i) % 500``, null when
+      ``(seed + f + i) % 11 == 10``
+    - one extra file added in commit 1 then REMOVED in commit 2
+      (its values would shift the sum if the tombstone is ignored)
+    - parquet codec snappy/zstd by ``(seed + f) % 2``
+    """
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    mode = "name" if seed % 2 == 0 else "id"
+    phys_v = f"col-{seed:04d}"
+    nf = 1 + seed % 3
+
+    def _file_bytes(f: int, n: int) -> bytes:
+        vals = [None if (seed + f + i) % 11 == 10
+                else (seed * 5 + 11 * f + 3 * i) % 500
+                for i in range(n)]
+        decoy = [(v or 0) + 1000 for v in vals]
+        fields = [
+            _pa.field(phys_v, _pa.int64(),
+                      metadata={b"PARQUET:field_id": b"7"}),
+            # decoy stored under the LOGICAL name "v"
+            _pa.field("v", _pa.int64(),
+                      metadata={b"PARQUET:field_id": b"8"}),
+        ]
+        t = _pa.table({phys_v: _pa.array(vals, _pa.int64()),
+                       "v": _pa.array(decoy, _pa.int64())},
+                      schema=_pa.schema(fields))
+        buf = _pa.BufferOutputStream()
+        _pq.write_table(t, buf,
+                        compression=["snappy", "zstd"][(seed + f) % 2])
+        return buf.getvalue().to_pybytes()
+
+    members: "dict[str, bytes]" = {}
+    add_lines = []
+    for f in range(nf):
+        n = 20 + (seed * 3 + 7 * f) % 40
+        blob = _file_bytes(f, n)
+        name = f"data/f{f}.parquet"
+        members[name] = blob
+        add_lines.append(_json.dumps({"add": {
+            "path": name, "size": len(blob), "dataChange": True}}))
+    # a file added then tombstoned
+    dead_blob = _file_bytes(nf, 25)
+    members["data/dead.parquet"] = dead_blob
+    schema_string = _json.dumps({"type": "struct", "fields": [
+        {"name": "v", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 7,
+                      "delta.columnMapping.physicalName": phys_v}},
+        {"name": "w", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 8,
+                      "delta.columnMapping.physicalName": "v"}},
+    ]})
+    if mode == "name":
+        protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
+    else:
+        protocol = {"minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": ["columnMapping"],
+                    "writerFeatures": ["columnMapping"]}
+    commit0 = [
+        _json.dumps({"protocol": protocol}),
+        _json.dumps({"metaData": {
+            "id": f"tbl-{seed}",
+            "format": {"provider": "parquet"},
+            "schemaString": schema_string,
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": mode,
+                              "delta.columnMapping.maxColumnId": "8"},
+        }}),
+    ]
+    commit1 = add_lines + [_json.dumps({"add": {
+        "path": "data/dead.parquet", "size": len(dead_blob),
+        "dataChange": True}})]
+    commit2 = [_json.dumps({"remove": {
+        "path": "data/dead.parquet",
+        "deletionTimestamp": 1700000000000 + seed}})]
+    out = bytearray()
+    for i, lines in enumerate((commit0, commit1, commit2)):
+        out += _tar_member(f"_delta_log/{i:020d}.json",
+                           ("\n".join(lines) + "\n").encode())
+    for name, blob in members.items():
+        out += _tar_member(name, blob)
+    out += b"\x00" * 1024
+    return bytes(out)

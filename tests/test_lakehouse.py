@@ -2,6 +2,8 @@
 semantics — last action wins, re-add resurrects, in-commit line
 order breaks version ties."""
 
+import pytest
+
 from google_analytics_to_s3_spark.operators.lakehouse import (
     delta_log_snapshot,
 )
@@ -164,3 +166,80 @@ def test_multipart_checkpoint_and_missing_part(spark):
     rebuilt = b"".join(_tar_member(n, d) for n, d in members.items())
     with pytest.raises(ValueError, match="checkpoint .* missing"):
         parse_delta_checkpoint(rebuilt + b"\0" * 1024)
+
+
+def test_delta_column_mapping_name_and_id_modes():
+    """Column mapping: logical 'v' resolves to the physical parquet
+    column (physicalName in name mode, field_id in id mode); the
+    planted decoy column stored UNDER the logical name must not be
+    read (its +1000 values would shift the sum)."""
+    from google_analytics_to_s3_spark.operators.lakehouse import (
+        parse_delta_column_mapping,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_delta_cm_bundle,
+    )
+
+    for seed in (0, 1, 2, 3, 10, 999):
+        got = parse_delta_column_mapping(make_delta_cm_bundle(seed), "v")
+        nf = 1 + seed % 3
+        rec = vsum = 0
+        for f in range(nf):
+            n = 20 + (seed * 3 + 7 * f) % 40
+            for i in range(n):
+                rec += 1
+                if (seed + f + i) % 11 != 10:
+                    vsum += (seed * 5 + 11 * f + 3 * i) % 500
+        assert got == {
+            "mapping_mode": "name" if seed % 2 == 0 else "id",
+            "min_reader_version": 2 if seed % 2 == 0 else 3,
+            "n_files": nf,
+            "records": rec,
+            "value_sum": vsum,
+        }
+
+
+def test_delta_unsupported_protocol_quarantines():
+    """PROTOCOL.md Reader Requirements: a table demanding a reader
+    capability we don't implement must raise a named error, never
+    silently mis-read."""
+    import json
+
+    from google_analytics_to_s3_spark.operators.lakehouse import (
+        parse_delta_column_mapping,
+    )
+    from google_analytics_to_s3_spark.operators.tar import parse_tar
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        _tar_member,
+        make_delta_cm_bundle,
+    )
+
+    members = {m["name"]: m["data"]
+               for m in parse_tar(make_delta_cm_bundle(1))}
+    c0 = members["_delta_log/00000000000000000000.json"].decode()
+    lines = c0.splitlines()
+
+    def rebuild(new_first_line):
+        mm = dict(members)
+        mm["_delta_log/00000000000000000000.json"] = (
+            "\n".join([new_first_line] + lines[1:]) + "\n").encode()
+        return (b"".join(_tar_member(n, d) for n, d in mm.items())
+                + b"\0" * 1024)
+
+    # v3 with an unknown reader feature
+    bad = json.dumps({"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["columnMapping", "v2Checkpoint"]}})
+    with pytest.raises(ValueError, match="readerFeatures"):
+        parse_delta_column_mapping(rebuild(bad), "v")
+    # a future reader version
+    bad4 = json.dumps({"protocol": {"minReaderVersion": 4,
+                                    "minWriterVersion": 9}})
+    with pytest.raises(ValueError, match="minReaderVersion"):
+        parse_delta_column_mapping(rebuild(bad4), "v")
+    # supported features pass
+    ok = json.dumps({"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["columnMapping", "deletionVectors"]}})
+    got = parse_delta_column_mapping(rebuild(ok), "v")
+    assert got["n_files"] == 2  # seed 1: nf = 2
