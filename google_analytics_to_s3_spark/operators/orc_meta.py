@@ -29,6 +29,7 @@ layouts — a green test proves this reads real ORC.
 
 from __future__ import annotations
 
+import functools as _functools
 import zlib
 from collections.abc import Iterator
 
@@ -47,7 +48,8 @@ __all__ = ["pb_message", "parse_orc_meta", "decode_orc_meta",
            "decode_orc_column_sum", "orc_read_string_column",
            "decode_orc_string_sum", "orc_read_timestamp_column",
            "orc_read_decimal_column", "decode_orc_ts_dec",
-           "orc_read_nested_column", "decode_orc_nested_stats"]
+           "orc_read_nested_column", "decode_orc_nested_stats",
+           "decode_orc_ts_utc"]
 
 _MAX_SECTION = 64 * 1024 * 1024
 
@@ -875,6 +877,23 @@ def _resolve_column(meta: dict, column: str, kinds: tuple) -> int:
     return col_id
 
 
+@_functools.lru_cache(maxsize=64)
+def _writer_tz(tzname: str):
+    """(base_seconds, ZoneInfo) for a writer timezone: base = the ORC
+    epoch 2015-01-01 00:00:00 parsed IN the writer zone (the Java
+    reader's base_timestamp)."""
+    from datetime import datetime
+    from zoneinfo import ZoneInfo, ZoneInfoNotFoundError
+
+    try:
+        tz = ZoneInfo(tzname)
+    except (ZoneInfoNotFoundError, ValueError, KeyError):
+        raise ValueError(
+            f"orc: writer timezone {tzname!r} unknown") from None
+    base = int(datetime(2015, 1, 1, tzinfo=tz).timestamp())
+    return base, tz
+
+
 def orc_read_timestamp_column(data: bytes, column: str) -> list:
     """Materialize one top-level TIMESTAMP / TIMESTAMP_INSTANT column
     from raw ORC bytes as int64 NANOSECONDS since the Unix epoch:
@@ -882,10 +901,19 @@ def orc_read_timestamp_column(data: bytes, column: str) -> list:
     unsigned RLEv2 nanoseconds whose low 3 bits z (when non-zero)
     mean the value was divided by 10^(z+1) — the reference readers'
     ``parseNanos`` rule — plus the spec's negative-second borrow when
-    sub-second digits are present.  TIMESTAMP (kind 9) is
-    writer-timezone-relative — accepted only when the stripe's
-    writerTimezone is GMT/UTC (a named gate otherwise, honest rather
-    than silently wrong); TIMESTAMP_INSTANT (18) is always UTC."""
+    sub-second digits are present.
+
+    TIMESTAMP (kind 9) is writer-timezone-relative: the stripe
+    footer's writerTimezone resolves through the IANA database and
+    values convert by the Java ORC reader's rule — with base =
+    2015-01-01 00:00:00 parsed in the writer zone,
+    ``utc = m + writer_offset(m)`` for ``m = stored + base`` — so a
+    constant-offset zone reads back unchanged and a DST zone shifts
+    by the DST delta, pinned against Spark's own JVM ORC reader
+    (tests/test_orc_meta.py).  TIMESTAMP_INSTANT (18) is always
+    UTC."""
+    from datetime import datetime, timezone as _tzu
+
     meta = parse_orc_meta(data)
     col_id = _resolve_column(meta, column, (9, 18))
     is_local = meta["types"][col_id]["kind"] == 9
@@ -898,12 +926,19 @@ def orc_read_timestamp_column(data: bytes, column: str) -> list:
         flen = st["footer_length"] or 0
         sf = pb_message(_decompress_section(
             data[off + ilen + dlen:off + ilen + dlen + flen], comp))
+        base = _ORC_EPOCH
+        conv = None
         if is_local:
             tz = sf.get(3, [b"GMT"])
             tzname = tz[0] if tz and isinstance(tz[0], bytes) else b"GMT"
             if tzname not in (b"GMT", b"UTC", b"Etc/UTC", b"Etc/GMT"):
-                raise ValueError(
-                    f"orc: writer timezone {tzname!r} gated")
+                base, zone = _writer_tz(
+                    tzname.decode("utf-8", "replace"))
+
+                def conv(m, _zone=zone):
+                    offs = datetime.fromtimestamp(
+                        m, _tzu.utc).astimezone(_zone).utcoffset()
+                    return m + int(offs.total_seconds())
         streams, _enc, _ds = _stripe_column_streams(data, comp, st,
                                                     col_id)
         nrows = st["num_rows"] or 0
@@ -929,7 +964,10 @@ def orc_read_timestamp_column(data: bytes, column: str) -> list:
                 n *= 10 ** (z + 1)
             if abs(n) > 999_999_999:
                 raise ValueError("orc: nanoseconds out of range")
-            vals.append((s + _ORC_EPOCH) * 1_000_000_000 + n)
+            sec = s + base
+            if conv is not None:
+                sec = conv(sec)
+            vals.append(sec * 1_000_000_000 + n)
         it = iter(vals)
         out.extend(next(it) if p else None for p in present)
     return out
@@ -1253,3 +1291,60 @@ def decode_orc_nested_stats(
 
     return df.select(id_col, payload_col).mapInPandas(
         _run, schema=ORC_NESTED_SCHEMA)
+
+
+ORC_TS_UTC_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_values", LongType()),
+    StructField("n_nulls", LongType()),
+    StructField("ts_min_ns", LongType()),
+    StructField("ts_max_ns", LongType()),
+    StructField("sec_sum", LongType()),
+    StructField("subsec_sum", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_orc_ts_utc(
+    df: DataFrame, ts_column: str,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over
+    :func:`orc_read_timestamp_column` alone — the writer-timezone
+    path (r13): per-payload UTC-instant tallies (count/nulls/min/max
+    ns, int64-safe sum of epoch SECONDS + sum of sub-second ns)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("n_values", "n_nulls", "ts_min_ns", "ts_max_ns",
+                "sec_sum", "subsec_sum")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    ts = orc_read_timestamp_column(bytes(payload),
+                                                   ts_column)
+                    pts = [v for v in ts if v is not None]
+                    rows["n_values"].append(len(ts))
+                    rows["n_nulls"].append(len(ts) - len(pts))
+                    rows["ts_min_ns"].append(min(pts) if pts else None)
+                    rows["ts_max_ns"].append(max(pts) if pts else None)
+                    rows["sec_sum"].append(
+                        sum(v // 1_000_000_000 for v in pts))
+                    rows["subsec_sum"].append(
+                        sum(v % 1_000_000_000 for v in pts))
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, TypeError, KeyError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k], dtype="Int64") for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=ORC_TS_UTC_SCHEMA)

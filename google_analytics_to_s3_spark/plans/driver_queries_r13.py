@@ -178,3 +178,76 @@ FROM e
 
 QUERIES_R13["delta_column_mapping"] = q_delta_column_mapping
 ORACLES_R13["delta_column_mapping"] = _DELTA_CM_ORACLE
+
+
+def q_orc_scan_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC NON-UTC writer timezones driver-checked (r13): stripe
+    footers carry writerTimezone PRC (constant +8) or EET (DST), and
+    the reader applies the Java ORC conversion rule — base =
+    2015-01-01 in the writer zone, utc = m + writer_offset(m) — so
+    PRC reads back unchanged while EET summer values shift +3600 s,
+    pinned against Spark's own JVM ORC reader and replayed in closed
+    form by the oracle.  Lane id % 10 == 4."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.orc_meta import decode_orc_ts_utc
+    from ..testing.fixtures import make_orc_tz
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 4
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_orc_tz(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_orc_ts_utc(payloads, "ts").drop("decode_error")
+
+
+_ORC_TZ_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 4
+),
+rows_ AS (
+  SELECT e.event_id,
+         (seed + i.i) % 13 = 12 AS isnull_,
+         (CASE WHEN (seed + 7*i.i) % 3 = 0 THEN 1591315200
+               ELSE 1578182400 END
+          + (seed*13 + 11*i.i) % 1000000
+          + CASE WHEN seed % 3 <> 0 AND (seed + 7*i.i) % 3 = 0
+                 THEN 3600 ELSE 0 END) AS sec,
+         ((seed*3 + 17*i.i) % 1000000) * 1000 AS subns
+  FROM e, LATERAL (SELECT unnest(range(0, 25 + e.seed % 40)) AS i) i
+)
+SELECT e.event_id AS doc_id,
+       CAST(25 + e.seed % 40 AS BIGINT) AS n_values,
+       CAST((SELECT count(*) FROM rows_ r
+              WHERE r.event_id = e.event_id AND r.isnull_)
+            AS BIGINT) AS n_nulls,
+       (SELECT min(r.sec * 1000000000 + r.subns) FROM rows_ r
+         WHERE r.event_id = e.event_id AND NOT r.isnull_)
+         AS ts_min_ns,
+       (SELECT max(r.sec * 1000000000 + r.subns) FROM rows_ r
+         WHERE r.event_id = e.event_id AND NOT r.isnull_)
+         AS ts_max_ns,
+       (SELECT sum(r.sec) FROM rows_ r
+         WHERE r.event_id = e.event_id AND NOT r.isnull_) AS sec_sum,
+       (SELECT sum(r.subns) FROM rows_ r
+         WHERE r.event_id = e.event_id AND NOT r.isnull_)
+         AS subsec_sum
+FROM e
+"""
+
+QUERIES_R13["orc_scan_tz"] = q_orc_scan_tz
+ORACLES_R13["orc_scan_tz"] = _ORC_TZ_ORACLE

@@ -8305,3 +8305,59 @@ def make_delta_cm_bundle(seed: int) -> bytes:
         out += _tar_member(name, blob)
     out += b"\x00" * 1024
     return bytes(out)
+
+
+@_functools.lru_cache(maxsize=256)
+def make_orc_tz(seed: int) -> bytes:
+    """ORC file with a NON-UTC writer timezone for the ``orc_scan_tz``
+    driver query: pyarrow's ORC writer (Apache ORC C++) always stamps
+    writerTimezone=GMT, so the stripe footer's 3-byte zone name is
+    byte-patched in place ("GMT" → "PRC"/"EET", equal length,
+    uncompressed file — lengths and offsets untouched); the result is
+    exactly the file a PRC/EET-pinned legacy Hive writer produces for
+    these stored values.  Conversion ground truth is Spark's own JVM
+    ORC reader (pinned in tests/test_orc_meta.py): a constant-offset
+    zone (PRC) reads back unchanged, a DST zone (EET) shifts summer
+    values by +3600 s — both replayed in closed form by the oracle.
+
+    Planted rules (row ``i`` in 0..n-1, ``n = 25 + seed % 40``):
+
+    - null when ``(seed + i) % 13 == 12``
+    - summer bucket when ``(seed + 7*i) % 3 == 0`` (2020-06-05 base
+      1591315200) else winter (2020-01-05 base 1578182400) — both
+      windows > 1 month from the EET DST transitions
+    - ``wall = base + (seed*13 + 11*i) % 1000000``,
+      ``micros = (seed*3 + 17*i) % 1000000``
+    - zone PRC when ``seed % 3 == 0`` else EET; utc = wall + 3600
+      iff EET and summer, else wall
+    """
+    import pyarrow as _pa
+    from pyarrow import orc as _orc
+
+    from ..operators.orc_meta import parse_orc_meta as _pom
+
+    tz = b"PRC" if seed % 3 == 0 else b"EET"
+    n = 25 + seed % 40
+    vals = []
+    for i in range(n):
+        if (seed + i) % 13 == 12:
+            vals.append(None)
+            continue
+        base = 1591315200 if (seed + 7 * i) % 3 == 0 else 1578182400
+        wall = base + (seed * 13 + 11 * i) % 1000000
+        micros = (seed * 3 + 17 * i) % 1000000
+        vals.append(wall * 1_000_000_000 + micros * 1000)
+    t = _pa.table({"ts": _pa.array(vals, _pa.timestamp("ns"))})
+    buf = _pa.BufferOutputStream()
+    _orc.write_table(t, buf, compression="uncompressed")
+    data = bytearray(buf.getvalue().to_pybytes())
+    meta = _pom(bytes(data))
+    for st in meta["stripes"]:
+        lo = (st["offset"] + (st["index_length"] or 0)
+              + (st["data_length"] or 0))
+        seg = bytes(data[lo:lo + (st["footer_length"] or 0)])
+        k = seg.find(b"GMT")
+        if k < 0:
+            raise ValueError("orc_tz fixture: GMT not in stripe footer")
+        data[lo + k:lo + k + 3] = tz
+    return bytes(data)

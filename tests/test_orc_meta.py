@@ -470,3 +470,65 @@ def test_nested_orc_gates():
         orc_read_nested_column(buf.getvalue().to_pybytes(), "v")
     with pytest.raises(ValueError, match="no column"):
         orc_read_nested_column(buf.getvalue().to_pybytes(), "nope")
+
+
+def test_writer_timezone_conversion_pinned_vs_spark(spark):
+    """Non-UTC writerTimezone (r13): PRC (constant +8) reads back
+    unchanged, EET (DST) shifts summer instants by +3600 s — the
+    Java ORC reader's conversion rule, pinned here against Spark's
+    OWN JVM ORC reader on the same patched bytes."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from google_analytics_to_s3_spark.operators.orc_meta import (
+        orc_read_timestamp_column,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import make_orc_tz
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        for seed in (0, 1, 2, 3, 7, 12):  # seeds 0,3,12: PRC; rest EET
+            data = make_orc_tz(seed)
+            path = tempfile.mktemp(suffix=".orc")
+            try:
+                with open(path, "wb") as fh:
+                    fh.write(data)
+                df = spark.read.orc(path)
+                jvm = [
+                    None if r["us"] is None else r["us"] * 1000
+                    for r in df.select(
+                        (F.unix_timestamp("ts").cast("long") * 1000000
+                         + (F.col("ts").cast("decimal(30,6)") * 1000000
+                            % 1000000).cast("long")).alias("us")
+                    ).collect()
+                ]
+            finally:
+                if os.path.exists(path):
+                    os.unlink(path)
+            ours = orc_read_timestamp_column(data, "ts")
+            assert ours == jvm, seed
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_writer_timezone_unknown_zone_named_error():
+    from google_analytics_to_s3_spark.operators.orc_meta import (
+        orc_read_timestamp_column,
+        parse_orc_meta,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import make_orc_tz
+
+    data = bytearray(make_orc_tz(1))
+    meta = parse_orc_meta(bytes(data))
+    st = meta["stripes"][0]
+    lo = (st["offset"] + (st["index_length"] or 0)
+          + (st["data_length"] or 0))
+    seg = bytes(data[lo:lo + st["footer_length"]])
+    k = seg.find(b"EET")
+    assert k >= 0
+    data[lo + k:lo + k + 3] = b"XXB"
+    with pytest.raises(ValueError, match="timezone"):
+        orc_read_timestamp_column(bytes(data), "ts")
