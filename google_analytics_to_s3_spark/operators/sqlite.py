@@ -36,8 +36,12 @@ to declared column order.
 UTF-16le/be text encodings decode per the header field (r12, same
 session — the stdlib producer emits both via PRAGMA encoding).
 
-Honest gates (named ValueError): WAL-mode files with a non-empty WAL
-(the main file alone may be stale), virtual tables.
+WAL replay (r13, same session): committed ``<db>-wal`` frames —
+cumulative checksums in either word endianness, salt generations,
+last-valid-commit recovery — overlay the main image before the
+b-tree walk, so live WAL-mode databases read their true state.
+
+Honest gates (named ValueError): virtual tables.
 """
 
 from __future__ import annotations
@@ -56,7 +60,8 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["sqlite_file_meta", "sqlite_table_rows",
-           "decode_sqlite_scan"]
+           "parse_sqlite_wal", "decode_sqlite_scan",
+           "decode_sqlite_wal_scan"]
 
 _MAGIC = b"SQLite format 3\x00"
 
@@ -103,11 +108,10 @@ class _Db:
             raise ValueError(f"sqlite: text encoding {enc} unknown")
         self.enc = enc  # 1 UTF-8, 2 UTF-16le, 3 UTF-16be
         # journal mode: header bytes 18/19 are the read/write version
-        # (2 = WAL).  A WAL database's main file may be stale, but an
-        # empty/checkpointed WAL is fine — gating on the mere flag
-        # would reject every `PRAGMA journal_mode=wal` database ever
-        # checkpointed.  We read the main file; callers providing a
-        # live WAL must replay it (named gate in sqlite_table_rows).
+        # (2 = WAL).  A live WAL database's main file may be stale —
+        # callers pass the ``<db>-wal`` bytes to the public readers,
+        # which replay committed frames over this image (_apply_wal)
+        # before the walk, matching sqlite3's own recovery.
         self.data = data
 
     def page(self, num: int) -> bytes:
@@ -384,11 +388,116 @@ def _parse_columns(sql: str) -> tuple[list[str], int | None,
     return names, ipk, affs
 
 
-def sqlite_file_meta(data: bytes) -> dict:
+# --------------------------------------------------------------------------
+# WAL replay (r13) — sqlite.org/fileformat2.html §"WAL Format".
+#
+# A live WAL-mode database's main file may be STALE: committed pages
+# live in ``<db>-wal`` until a checkpoint copies them back.  The WAL
+# is a 32-byte header (magic 0x377f0682/83 — the low bit selects
+# little/big-endian CHECKSUM words — version, page size, checkpoint
+# sequence, two salts, a header checksum) followed by frames: a
+# 24-byte header (page number, commit size, the header's salts, a
+# CUMULATIVE checksum over the frame's first 8 header bytes + page
+# image, seeded from the previous frame or the WAL header) + the
+# page image.  Replay applies frames up to the LAST VALID COMMIT
+# frame (commit size != 0); a salt or checksum mismatch ends the log
+# (a torn write), exactly sqlite3's own recovery rule.
+
+
+def _wal_cksum(data: bytes, s1: int, s2: int,
+               big: bool) -> tuple[int, int]:
+    fmt = ">%dI" % (len(data) // 4) if big else "<%dI" % (len(data) // 4)
+    words = struct.unpack(fmt, data)
+    for i in range(0, len(words), 2):
+        s1 = (s1 + words[i] + s2) & 0xFFFFFFFF
+        s2 = (s2 + words[i + 1] + s1) & 0xFFFFFFFF
+    return s1, s2
+
+
+def parse_sqlite_wal(wal: bytes, page_size: int) -> tuple[dict, int]:
+    """Validated WAL replay → ({page_number: page bytes} for all
+    COMMITTED frames, database size in pages after the last commit).
+    Raises named errors on a malformed header; a bad frame merely
+    ends the log per the recovery rule."""
+    if len(wal) < 32:
+        raise ValueError("sqlite: WAL shorter than its header")
+    magic = struct.unpack_from(">I", wal, 0)[0]
+    if magic not in (0x377F0682, 0x377F0683):
+        raise ValueError("sqlite: bad WAL magic")
+    big = bool(magic & 1)
+    version = struct.unpack_from(">I", wal, 4)[0]
+    if version != 3007000:
+        raise ValueError(f"sqlite: WAL version {version} gated")
+    ps = struct.unpack_from(">I", wal, 8)[0]
+    if ps != page_size:
+        raise ValueError("sqlite: WAL page size mismatch")
+    salt1, salt2 = struct.unpack_from(">II", wal, 16)
+    h1, h2 = struct.unpack_from(">II", wal, 24)
+    s1, s2 = _wal_cksum(wal[:24], 0, 0, big)
+    if (s1, s2) != (h1, h2):
+        raise ValueError("sqlite: WAL header checksum mismatch")
+    committed: dict[int, bytes] = {}
+    pending: dict[int, bytes] = {}
+    db_size = 0
+    cs1, cs2 = h1, h2
+    pos = 32
+    fsize = 24 + page_size
+    while pos + fsize <= len(wal):
+        hdr = wal[pos:pos + 24]
+        page = wal[pos + 24:pos + fsize]
+        pgno, dbsz, fsalt1, fsalt2, f1, f2 = struct.unpack(">6I", hdr)
+        if (fsalt1, fsalt2) != (salt1, salt2):
+            break  # frame from an earlier checkpoint generation
+        t1, t2 = _wal_cksum(hdr[:8], cs1, cs2, big)
+        t1, t2 = _wal_cksum(page, t1, t2, big)
+        if (t1, t2) != (f1, f2):
+            break  # torn write: recovery ends the log here
+        cs1, cs2 = t1, t2
+        if pgno < 1:
+            raise ValueError("sqlite: WAL frame page number 0")
+        pending[pgno] = bytes(page)
+        if dbsz:
+            committed.update(pending)
+            pending.clear()
+            db_size = dbsz
+        pos += fsize
+    return committed, db_size
+
+
+def _apply_wal(data: bytes, wal: bytes | None) -> bytes:
+    """Overlay committed WAL frames over the main file image (and
+    truncate/extend to the last commit's database size)."""
+    if not wal:
+        return data
+    if len(data) < 100 or data[:16] != _MAGIC:
+        raise ValueError("sqlite: missing file magic")
+    ps = struct.unpack_from(">H", data, 16)[0]
+    ps = 65536 if ps == 1 else ps
+    overlay, db_size = parse_sqlite_wal(wal, ps)
+    if not overlay:
+        return data
+    img = bytearray(data)
+    want = db_size * ps
+    if len(img) < want:
+        img.extend(b"\x00" * (want - len(img)))
+    elif len(img) > want:
+        del img[want:]
+    for pgno, page in overlay.items():
+        if pgno <= db_size:
+            img[(pgno - 1) * ps:pgno * ps] = page
+    # WAL-mode readers trust the commit's db size over the header's
+    # in-header page count (which is only valid when the change
+    # counters match) — reflect it so range checks hold
+    struct.pack_into(">I", img, 28, db_size)
+    return bytes(img)
+
+
+def sqlite_file_meta(data: bytes, wal: bytes | None = None) -> dict:
     """Header + schema summary: page size/count, encoding, tables
-    with root pages."""
+    with root pages.  ``wal`` (the ``<db>-wal`` file, optional)
+    replays committed frames over the main image first."""
     try:
-        return _file_meta(data)
+        return _file_meta(_apply_wal(data, wal))
     except struct.error as e:
         raise ValueError(f"sqlite: malformed structure ({e})") \
             from None
@@ -450,15 +559,19 @@ def _pk_columns(sql: str, names: list[str]) -> list[str]:
                      "key parse")
 
 
-def sqlite_table_rows(data: bytes, table: str) -> tuple[list[str],
-                                                        list[list]]:
+def sqlite_table_rows(data: bytes, table: str,
+                      wal: bytes | None = None) -> tuple[list[str],
+                                                         list[list]]:
     """All rows of ``table`` in key order → (column names, rows).
     Ordinary tables walk the table b-tree (an INTEGER PRIMARY KEY
     column materializes from the rowid); WITHOUT ROWID tables walk
     their index b-tree in-order — records store the PRIMARY KEY
-    columns first, so values re-map to declared order."""
+    columns first, so values re-map to declared order.  ``wal`` (the
+    ``<db>-wal`` file, optional) replays committed frames over the
+    main image first — the read path for a LIVE WAL-mode database
+    whose main file is stale."""
     try:
-        return _table_rows(data, table)
+        return _table_rows(_apply_wal(data, wal), table)
     except struct.error as e:
         raise ValueError(f"sqlite: malformed structure ({e})") \
             from None
@@ -554,6 +667,75 @@ def decode_sqlite_scan(
                     blob = bytes(payload)
                     meta = sqlite_file_meta(blob)
                     _names, trs = sqlite_table_rows(blob, table)
+                    int_sum = chars = bbytes = nulls = 0
+                    f4 = 0.0
+                    for r in trs:
+                        for v in r:
+                            if v is None:
+                                nulls += 1
+                            elif isinstance(v, bool):
+                                int_sum += int(v)
+                            elif isinstance(v, int):
+                                int_sum += v
+                            elif isinstance(v, float):
+                                f4 += v * 4
+                            elif isinstance(v, str):
+                                chars += len(v)
+                            else:
+                                bbytes += len(v)
+                    rows["n_tables"].append(len(meta["tables"]))
+                    rows["n_rows"].append(len(trs))
+                    rows["int_sum"].append(int_sum)
+                    rows["text_chars"].append(chars)
+                    rows["blob_bytes"].append(bbytes)
+                    rows["n_nulls"].append(nulls)
+                    rows["f_sum_x4"].append(round(f4))
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, TypeError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k], dtype="Int64") for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=SQLITE_SCAN_SCHEMA)
+
+
+def decode_sqlite_wal_scan(
+    df: DataFrame, table: str,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over WAL-replayed
+    :func:`sqlite_table_rows` — the payload is a tar bundle with
+    members ``main.db`` + ``wal`` (the live database pair); same
+    typed tallies as :func:`decode_sqlite_scan`, per-payload
+    quarantine, no shuffle."""
+    from .tar import parse_tar
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("n_tables", "n_rows", "int_sum", "text_chars",
+                "blob_bytes", "n_nulls", "f_sum_x4")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    members = {m["name"]: m["data"]
+                               for m in parse_tar(bytes(payload))}
+                    main = members.get("main.db")
+                    wal = members.get("wal")
+                    if main is None or wal is None:
+                        raise ValueError("sqlite: bundle missing "
+                                         "main.db/wal members")
+                    meta = sqlite_file_meta(main, wal=wal)
+                    _names, trs = sqlite_table_rows(main, table,
+                                                    wal=wal)
                     int_sum = chars = bbytes = nulls = 0
                     f4 = 0.0
                     for r in trs:

@@ -251,3 +251,81 @@ FROM e
 
 QUERIES_R13["orc_scan_tz"] = q_orc_scan_tz
 ORACLES_R13["orc_scan_tz"] = _ORC_TZ_ORACLE
+
+
+def q_sqlite_scan_wal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite WAL replay driver-checked (r13): a LIVE WAL-mode
+    database pair (main file + non-empty ``-wal``) built by the
+    stdlib sqlite3 producer — phase-2 inserts/update/delete live only
+    in committed WAL frames (cumulative checksums, salt generations,
+    last-valid-commit recovery), so a main-file-only read returns the
+    stale phase-1 state and fails the oracle.  Lane id % 10 == 5."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.sqlite import decode_sqlite_wal_scan
+    from ..testing.fixtures import make_sqlite_wal_bundle
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 5
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_sqlite_wal_bundle(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_sqlite_wal_scan(payloads, "t").drop("decode_error")
+
+
+_SQLITE_WAL_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 5
+),
+p1 AS (
+  SELECT e.event_id,
+         i.i + 1 AS id,
+         (e.seed*7 + 3*i.i) % 1000
+           + CASE WHEN (i.i + 1) % 7 = e.seed % 7
+                  THEN 10000 ELSE 0 END AS v,
+         (e.seed + i.i) % 5 AS chars,
+         (i.i + 1) % 13 = e.seed % 13 AS deleted
+  FROM e, LATERAL (SELECT unnest(range(0, 30 + e.seed % 20)) AS i) i
+),
+p2 AS (
+  SELECT e.event_id,
+         1000 + i.i AS id,
+         (e.seed*11 + 5*i.i) % 1000 AS v,
+         1 AS chars
+  FROM e, LATERAL (SELECT unnest(range(0, 10 + e.seed % 10)) AS i) i
+),
+allrows AS (
+  SELECT event_id, id, v, chars FROM p1 WHERE NOT deleted
+  UNION ALL
+  SELECT event_id, id, v, chars FROM p2
+)
+SELECT e.event_id AS doc_id,
+       CAST(1 AS BIGINT) AS n_tables,
+       CAST((SELECT count(*) FROM allrows a
+              WHERE a.event_id = e.event_id) AS BIGINT) AS n_rows,
+       CAST((SELECT sum(a.id + a.v) FROM allrows a
+              WHERE a.event_id = e.event_id) AS BIGINT) AS int_sum,
+       CAST((SELECT sum(a.chars) FROM allrows a
+              WHERE a.event_id = e.event_id) AS BIGINT) AS text_chars,
+       CAST(0 AS BIGINT) AS blob_bytes,
+       CAST(0 AS BIGINT) AS n_nulls,
+       CAST(0 AS BIGINT) AS f_sum_x4
+FROM e
+"""
+
+QUERIES_R13["sqlite_scan_wal"] = q_sqlite_scan_wal
+ORACLES_R13["sqlite_scan_wal"] = _SQLITE_WAL_ORACLE

@@ -8361,3 +8361,73 @@ def make_orc_tz(seed: int) -> bytes:
             raise ValueError("orc_tz fixture: GMT not in stripe footer")
         data[lo + k:lo + k + 3] = tz
     return bytes(data)
+
+
+@_functools.lru_cache(maxsize=256)
+def make_sqlite_wal_bundle(seed: int) -> bytes:
+    """A LIVE WAL-mode SQLite database pair (tar members ``main.db``
+    + ``wal``) for the ``sqlite_scan_wal`` driver query, built by the
+    stdlib ``sqlite3`` producer: phase 1 commits under the rollback
+    journal (checkpointed into the main file), then the connection
+    switches to WAL with autocheckpoint off and phase 2 mutates —
+    inserts, an UPDATE, a DELETE — leaving the main file STALE and
+    the truth only reachable by replaying committed WAL frames.  The
+    pair is captured while the connection is still open (closing
+    would checkpoint).  WAL salts are randomized by sqlite3, so the
+    BYTES vary run to run while the planted VALUES are deterministic
+    — the oracle replays values, not bytes.
+
+    Planted rules for ``t(id INTEGER PRIMARY KEY, v INTEGER,
+    s TEXT)``, replayed in closed form by the oracle:
+
+    - page size 512/1024/4096 by ``seed % 3``
+    - phase 1: ``n1 = 30 + seed % 20`` rows, ``id = i+1``,
+      ``v = (seed*7 + 3*i) % 1000``, ``s = 'x' * ((seed + i) % 5)``
+    - phase 2 (WAL): ``n2 = 10 + seed % 10`` rows ``id = 1000+i``,
+      ``v = (seed*11 + 5*i) % 1000``, ``s = 'y'``; then
+      ``UPDATE .. SET v = v + 10000 WHERE id % 7 = seed % 7 AND
+      id < 1000``; then ``DELETE .. WHERE id % 13 = seed % 13 AND
+      id < 1000``
+    """
+    import os as _os
+    import shutil as _shutil
+    import sqlite3 as _sqlite3
+    import tempfile as _tempfile
+
+    d = _tempfile.mkdtemp()
+    try:
+        path = _os.path.join(d, "t.db")
+        con = _sqlite3.connect(path)
+        con.execute(f"PRAGMA page_size={[512, 1024, 4096][seed % 3]}")
+        con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, "
+                    "v INTEGER, s TEXT)")
+        n1 = 30 + seed % 20
+        con.executemany(
+            "INSERT INTO t VALUES (?,?,?)",
+            [(i + 1, (seed * 7 + 3 * i) % 1000,
+              "x" * ((seed + i) % 5)) for i in range(n1)])
+        con.commit()
+        con.execute("PRAGMA journal_mode=WAL")
+        con.execute("PRAGMA wal_autocheckpoint=0")
+        n2 = 10 + seed % 10
+        con.executemany(
+            "INSERT INTO t VALUES (?,?,?)",
+            [(1000 + i, (seed * 11 + 5 * i) % 1000, "y")
+             for i in range(n2)])
+        con.execute("UPDATE t SET v = v + 10000 "
+                    f"WHERE id % 7 = {seed % 7} AND id < 1000")
+        con.execute("DELETE FROM t "
+                    f"WHERE id % 13 = {seed % 13} AND id < 1000")
+        con.commit()
+        main = open(path, "rb").read()
+        wal = open(path + "-wal", "rb").read()
+        con.close()
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+    if len(wal) <= 32:
+        raise ValueError("sqlite_wal fixture: WAL unexpectedly empty")
+    out = bytearray()
+    out += _tar_member("main.db", main)
+    out += _tar_member("wal", wal)
+    out += b"\x00" * 1024
+    return bytes(out)

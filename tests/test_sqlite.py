@@ -271,3 +271,73 @@ def test_negative_rowid_and_values_sign_fold():
     finally:
         if os.path.exists(path):
             os.unlink(path)
+
+
+def test_wal_replay_matches_sqlite3_own_recovery():
+    """A live WAL-mode pair: our replay (checksums, salts, commit
+    frames) must equal what sqlite3 itself recovers from the same
+    pair — and the stale main file alone must NOT."""
+    import shutil
+
+    from google_analytics_to_s3_spark.operators.sqlite import (
+        sqlite_table_rows,
+    )
+    from google_analytics_to_s3_spark.operators.tar import parse_tar
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_sqlite_wal_bundle,
+    )
+
+    for seed in (0, 1, 2, 5, 12, 999):
+        members = {m["name"]: m["data"]
+                   for m in parse_tar(make_sqlite_wal_bundle(seed))}
+        main, wal = members["main.db"], members["wal"]
+        # independent recovery: hand the pair to sqlite3 itself
+        d = tempfile.mkdtemp()
+        try:
+            path = os.path.join(d, "x.db")
+            with open(path, "wb") as fh:
+                fh.write(main)
+            with open(path + "-wal", "wb") as fh:
+                fh.write(wal)
+            con = sqlite3.connect(path)
+            want = [list(r) for r in
+                    con.execute("SELECT id, v, s FROM t ORDER BY id")]
+            con.close()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        names, got = sqlite_table_rows(main, "t", wal=wal)
+        assert names == ["id", "v", "s"]
+        assert got == want, seed
+        _, stale = sqlite_table_rows(main, "t")
+        assert stale != want, "main alone must be stale"
+
+
+def test_wal_torn_tail_and_salt_mismatch_end_log():
+    """Recovery rule: a frame with a corrupted checksum (torn write)
+    ends the log at the last valid commit — earlier commits still
+    replay; a corrupt WAL header is a named error."""
+    from google_analytics_to_s3_spark.operators.sqlite import (
+        parse_sqlite_wal,
+        sqlite_table_rows,
+    )
+    from google_analytics_to_s3_spark.operators.tar import parse_tar
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_sqlite_wal_bundle,
+    )
+
+    members = {m["name"]: m["data"]
+               for m in parse_tar(make_sqlite_wal_bundle(3))}
+    main, wal = members["main.db"], members["wal"]
+    names, full = sqlite_table_rows(main, "t", wal=wal)
+    # corrupt the LAST frame's page image: the log ends before it
+    page_size = 4096 if 3 % 3 == 2 else [512, 1024, 4096][3 % 3]
+    torn = bytearray(wal)
+    torn[-1] ^= 0xFF
+    got_pages, _size = parse_sqlite_wal(bytes(torn), page_size)
+    all_pages, _ = parse_sqlite_wal(wal, page_size)
+    assert len(got_pages) < len(all_pages) or got_pages != all_pages
+    # corrupt header -> named error
+    bad = bytearray(wal)
+    bad[5] ^= 0xFF
+    with pytest.raises(ValueError, match="WAL"):
+        parse_sqlite_wal(bytes(bad), page_size)
