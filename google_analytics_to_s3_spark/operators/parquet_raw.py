@@ -279,6 +279,8 @@ def _build_meta(fmd: dict) -> dict:
                 "total_compressed_size": md.get(7),
                 "data_page_offset": md.get(9),
                 "dictionary_page_offset": md.get(11),
+                "bloom_offset": md.get(14),
+                "bloom_length": md.get(15),
                 "stat_min": stats.get(6), "stat_max": stats.get(5),
                 "stat_null_count": stats.get(3),
                 "offset_index_offset": cc.get(4),
@@ -1654,3 +1656,203 @@ def decode_parquet_range_scan(
 
     return df.select(id_col, payload_col, lo_col, hi_col).mapInPandas(
         _run, schema=PARQUET_RANGE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Bloom filters (r13) — parquet-format BloomFilter.md: split-block
+# bloom (SBBF).  Each filter is a thrift BloomFilterHeader (numBytes,
+# algorithm=BLOCK, hash=XXHASH, compression=UNCOMPRESSED) followed by
+# a bitset of 32-byte blocks (8 little-endian u32 words).  A value
+# hashes with xxhash64 (seed 0) over its PLAIN encoding; the high 32
+# hash bits pick the block (multiply-shift), the low 32 set one bit
+# per word via the 8 published salt constants.  Point lookups skip
+# entire row groups whose filter proves the value absent — no false
+# negatives, bounded false positives.
+
+_BLOOM_SALT = (0x47B6137B, 0x44974D91, 0x8824AD5B, 0xA2B7289D,
+               0x705495C7, 0x2DF1424B, 0x9EFC4947, 0x5C6BFB31)
+
+
+def bloom_block_check(bitset: bytes, block_ix: int, h: int) -> bool:
+    """True iff all 8 salted bits of ``h``'s low word are set in
+    block ``block_ix``."""
+    import struct as _struct
+
+    base = block_ix * 32
+    words = _struct.unpack_from("<8I", bitset, base)
+    hl = h & 0xFFFFFFFF
+    for i in range(8):
+        bit = ((hl * _BLOOM_SALT[i]) & 0xFFFFFFFF) >> 27
+        if not (words[i] >> bit) & 1:
+            return False
+    return True
+
+
+def bloom_insert(bitset: bytearray, h: int) -> None:
+    """Set ``h``'s 8 salted bits (the SBBF insert — used by the
+    fixture producer and pinned byte-for-byte against parquet-mr's
+    own filters in tests/test_parquet_bloom.py)."""
+    import struct as _struct
+
+    nblocks = len(bitset) // 32
+    block_ix = ((h >> 32) * nblocks) >> 32
+    base = block_ix * 32
+    hl = h & 0xFFFFFFFF
+    for i in range(8):
+        bit = ((hl * _BLOOM_SALT[i]) & 0xFFFFFFFF) >> 27
+        w = _struct.unpack_from("<I", bitset, base + 4 * i)[0]
+        _struct.pack_into("<I", bitset, base + 4 * i, w | (1 << bit))
+
+
+def bloom_hash_int64(v: int) -> int:
+    """xxhash64 (seed 0) over the PLAIN encoding of an INT64."""
+    from .zstd import xxh64
+
+    return xxh64(int(v).to_bytes(8, "little", signed=True))
+
+
+def parquet_read_bloom(data: bytes, column: str) -> list:
+    """Per row group: (num_bytes, bitset bytes) of ``column``'s bloom
+    filter, or None when the chunk carries none."""
+    meta = parquet_file_meta(data)
+    out = []
+    for rg in meta["row_groups"]:
+        chunk = _find_chunk(rg, lambda p: p == [column])
+        off = chunk.get("bloom_offset")
+        if off is None:
+            out.append(None)
+            continue
+        hdr, pos = thrift_compact_struct(data, off)
+        nbytes = hdr.get(1)
+        if not isinstance(nbytes, int) or nbytes <= 0:
+            raise ValueError("parquet: bad bloom numBytes")
+        if nbytes % 32:
+            raise ValueError("parquet: bloom bitset not block-aligned")
+        if 2 not in hdr or 3 not in hdr or 4 not in hdr:
+            raise ValueError("parquet: bloom header missing unions")
+        if not isinstance(hdr[2], dict) or 1 not in hdr[2]:
+            raise ValueError("parquet: bloom algorithm gated")
+        if not isinstance(hdr[3], dict) or 1 not in hdr[3]:
+            raise ValueError("parquet: bloom hash gated")
+        if not isinstance(hdr[4], dict) or 1 not in hdr[4]:
+            raise ValueError("parquet: compressed bloom gated")
+        bitset = data[pos:pos + nbytes]
+        if len(bitset) != nbytes:
+            raise ValueError("parquet: truncated bloom bitset")
+        length = chunk.get("bloom_length")
+        if length is not None and pos + nbytes - off != length:
+            raise ValueError("parquet: bloom length mismatch")
+        out.append((nbytes, bitset))
+    return out
+
+
+def parquet_bloom_lookup(data: bytes, column: str,
+                         probes: list[int]) -> dict:
+    """Point lookups over an INT64 column using bloom-based row-group
+    skipping: each probe reads ONLY the row groups whose filter says
+    maybe-present.  Returns deterministic tallies (groups, probes,
+    per-probe occurrence counts summed) plus the bloom-pass pair
+    count — the skipping evidence (pass_pairs < n_probes * n_groups
+    proves groups were skipped; a false negative would drop
+    found_sum and fail the oracle)."""
+    meta = parquet_file_meta(data)
+    leaves = _leaf_levels(meta["schema"])
+    leaf = leaves.get((column,))
+    if leaf is None:
+        raise ValueError(f"parquet: no column {column!r}")
+    max_def, max_rep, el = leaf
+    if max_rep:
+        raise ValueError("parquet: repeated columns gated")
+    blooms = parquet_read_bloom(data, column)
+    if any(b is None for b in blooms):
+        raise ValueError("parquet: row group without a bloom filter")
+    hashes = [bloom_hash_int64(p) for p in probes]
+    group_vals: dict[int, list] = {}
+    pass_pairs = 0
+    present_pairs = 0
+    found_sum = 0
+    for pi, (probe, h) in enumerate(zip(probes, hashes)):
+        for gi, rg in enumerate(meta["row_groups"]):
+            nbytes, bitset = blooms[gi]
+            nblocks = nbytes // 32
+            block_ix = ((h >> 32) * nblocks) >> 32
+            if not bloom_block_check(bitset, block_ix, h):
+                continue  # proven absent: the row group is skipped
+            pass_pairs += 1
+            if gi not in group_vals:
+                chunk = _find_chunk(rg, lambda p: p == [column])
+                defs, _reps, present = _read_chunk(
+                    data, chunk, max_def, max_rep,
+                    el.get("type_length"))
+                it = iter(present)
+                group_vals[gi] = [next(it) if d == max_def else None
+                                  for d in defs]
+            hits = sum(1 for v in group_vals[gi] if v == probe)
+            if hits:
+                present_pairs += 1
+                found_sum += hits
+    return {
+        "n_groups": len(meta["row_groups"]),
+        "n_probes": len(probes),
+        "pass_pairs": pass_pairs,
+        "present_pairs": present_pairs,
+        "found_sum": found_sum,
+        "groups_read": len(group_vals),
+    }
+
+
+PARQUET_BLOOM_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_groups", IntegerType()),
+    StructField("n_probes", IntegerType()),
+    StructField("present_pairs", LongType()),
+    StructField("found_sum", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_parquet_bloom_probe(
+    df: DataFrame, column: str,
+    id_col: str = "doc_id", payload_col: str = "payload",
+    probes_col: str = "probes",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over
+    :func:`parquet_bloom_lookup`; the probe values arrive as an
+    array column next to the payload.  Only the DETERMINISTIC
+    tallies surface here (bloom false-positive counts vary with the
+    hash layout and are pinned in pytest instead); a false NEGATIVE
+    — the correctness failure mode — drops found_sum and fails the
+    DuckDB oracle.  Per-payload quarantine, no shuffle."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("n_groups", "n_probes", "present_pairs", "found_sum")
+        i32 = {"n_groups", "n_probes"}
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload, probes in zip(
+                    pdf[id_col], pdf[payload_col], pdf[probes_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    r = parquet_bloom_lookup(
+                        bytes(payload), column,
+                        [int(p) for p in probes])
+                    for k in cols:
+                        rows[k].append(r[k])
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, TypeError,
+                        KeyError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k],
+                                dtype="Int32" if k in i32 else "Int64")
+                   for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col, probes_col).mapInPandas(
+        _run, schema=PARQUET_BLOOM_SCHEMA)

@@ -329,3 +329,69 @@ FROM e
 
 QUERIES_R13["sqlite_scan_wal"] = q_sqlite_scan_wal
 ORACLES_R13["sqlite_scan_wal"] = _SQLITE_WAL_ORACLE
+
+
+def q_parquet_bloom_probe(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Parquet BLOOM FILTERS driver-checked (r13): split-block bloom
+    bitsets (XXHASH over PLAIN int64, the published salt constants —
+    insert logic pinned byte-for-byte against Spark's parquet-mr in
+    pytest) skip row groups during point lookups; per event the probe
+    list carries one present + one absent value per group, and a
+    false NEGATIVE (wrong hash/block/salt math) would drop found_sum
+    and fail the oracle.  Lane id % 10 == 6."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.parquet_raw import decode_parquet_bloom_probe
+    from ..testing.fixtures import make_parquet_bloom
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 6
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            payloads, probes = [], []
+            for i in pdf["event_id"]:
+                data, pr = make_parquet_bloom(int(i) % 1000)
+                payloads.append(data)
+                probes.append(list(pr))
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": payloads,
+                "probes": probes,
+            })
+
+    payloads = e.mapInPandas(
+        _synth, schema="doc_id long, payload binary, probes array<long>")
+    return decode_parquet_bloom_probe(payloads, "v") \
+        .drop("decode_error")
+
+
+_PARQUET_BLOOM_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 6
+),
+g AS (
+  SELECT e.event_id, e.seed, gg.g,
+         CASE WHEN ((e.seed + gg.g) % 40) % 25 < 15
+              THEN 2 ELSE 1 END AS mult
+  FROM e, LATERAL (SELECT unnest(range(0, 3 + e.seed % 2)) AS g) gg
+)
+SELECT e.event_id AS doc_id,
+       CAST(3 + e.seed % 2 AS INTEGER) AS n_groups,
+       CAST(2 * (3 + e.seed % 2) AS INTEGER) AS n_probes,
+       CAST(3 + e.seed % 2 AS BIGINT) AS present_pairs,
+       CAST((SELECT sum(g.mult) FROM g
+              WHERE g.event_id = e.event_id) AS BIGINT) AS found_sum
+FROM e
+"""
+
+QUERIES_R13["parquet_bloom_probe"] = q_parquet_bloom_probe
+ORACLES_R13["parquet_bloom_probe"] = _PARQUET_BLOOM_ORACLE

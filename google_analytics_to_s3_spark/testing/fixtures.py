@@ -8431,3 +8431,170 @@ def make_sqlite_wal_bundle(seed: int) -> bytes:
     out += _tar_member("wal", wal)
     out += b"\x00" * 1024
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Minimal thrift-compact ENCODER (r13) — enough of parquet.thrift to
+# write a real single-column file with bloom filters (pyarrow 16
+# reads blooms but cannot write them; parquet-mr via Spark pins our
+# SBBF insert byte-for-byte in tests/test_parquet_bloom.py).
+
+_TC_I32, _TC_I64, _TC_BINARY, _TC_LIST, _TC_STRUCT = 5, 6, 8, 9, 12
+
+
+def _tc_uvarint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tc_zig(v: int) -> bytes:
+    return _tc_uvarint((v << 1) ^ (v >> 63) if v >= 0
+                       else ((v << 1) ^ (v >> 63)) & ((1 << 70) - 1))
+
+
+def _tc_value(tp: int, val) -> bytes:
+    if tp in (_TC_I32, _TC_I64):
+        return _tc_zig(int(val))
+    if tp == _TC_BINARY:
+        return _tc_uvarint(len(val)) + bytes(val)
+    if tp == _TC_STRUCT:
+        return _tc_struct(val)
+    if tp == _TC_LIST:
+        etype, items = val
+        if len(items) >= 15:
+            head = bytes([0xF0 | etype]) + _tc_uvarint(len(items))
+        else:
+            head = bytes([(len(items) << 4) | etype])
+        return head + b"".join(_tc_value(etype, it) for it in items)
+    raise ValueError(f"thrift encoder: type {tp}")
+
+
+def _tc_struct(fields: "list[tuple[int, int, object]]") -> bytes:
+    """Encode one struct from [(field_id, compact_type, value)];
+    field ids must ascend with deltas <= 15."""
+    out = bytearray()
+    prev = 0
+    for fid, tp, val in fields:
+        delta = fid - prev
+        if not 1 <= delta <= 15:
+            raise ValueError("thrift encoder: field delta out of range")
+        prev = fid
+        out.append((delta << 4) | tp)
+        out += _tc_value(tp, val)
+    out.append(0)
+    return bytes(out)
+
+
+@_functools.lru_cache(maxsize=256)
+def make_parquet_bloom(seed: int) -> tuple:
+    """A REAL parquet file with per-row-group split-block BLOOM
+    FILTERS for the ``parquet_bloom_probe`` driver query, plus its
+    probe list — written by the engine's own thrift-compact encoder
+    (pyarrow 16 cannot write blooms; the SBBF insert is pinned
+    byte-for-byte against Spark's parquet-mr, and pyarrow/DuckDB
+    read the file back, validating the hand-written footer).
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - ``ng = 3 + seed % 2`` row groups of 40 rows; group ``g`` row
+      ``i``: ``v = 10000*g + (seed*3 + 7*(i % 25)) % 5000`` (rows i
+      and i+25 duplicate for i < 15; group domains are disjoint)
+    - per group one PRESENT probe ``v`` at ``i = (seed + g) % 40``
+      (occurrence count 2 when ``(seed + g) % 40 % 25 < 15`` else 1)
+      and one ABSENT probe ``10000*g + 5000 + (seed*5 + 11*g) %
+      4000`` (outside every group's value domain)
+    - blooms: 256-byte bitsets, XXHASH over PLAIN int64
+
+    Returns ``(file bytes, probes tuple)``.
+    """
+    import struct as _struct
+
+    from ..operators.parquet_raw import (
+        bloom_hash_int64 as _bh,
+        bloom_insert as _bi,
+    )
+
+    ng = 3 + seed % 2
+    groups = []
+    for g in range(ng):
+        groups.append([10000 * g + (seed * 3 + 7 * (i % 25)) % 5000
+                       for i in range(40)])
+    probes = []
+    for g in range(ng):
+        probes.append(groups[g][(seed + g) % 40])
+        probes.append(10000 * g + 5000 + (seed * 5 + 11 * g) % 4000)
+    out = bytearray(b"PAR1")
+    rg_fields = []
+    page_meta = []
+    for g, vals in enumerate(groups):
+        data_off = len(out)
+        payload = b"".join(
+            _struct.pack("<q", v) for v in vals)
+        page_hdr = _tc_struct([
+            (1, _TC_I32, 0),                 # DATA_PAGE
+            (2, _TC_I32, len(payload)),
+            (3, _TC_I32, len(payload)),
+            (5, _TC_STRUCT, [                # DataPageHeader
+                (1, _TC_I32, len(vals)),
+                (2, _TC_I32, 0),             # PLAIN
+                (3, _TC_I32, 3),             # RLE
+                (4, _TC_I32, 3),             # RLE
+            ]),
+        ])
+        out += page_hdr + payload
+        page_meta.append((data_off, len(page_hdr) + len(payload)))
+    bloom_meta = []
+    for g, vals in enumerate(groups):
+        bitset = bytearray(256)
+        for v in set(vals):
+            _bi(bitset, _bh(v))
+        hdr = _tc_struct([
+            (1, _TC_I32, 256),
+            (2, _TC_STRUCT, [(1, _TC_STRUCT, [])]),  # BLOCK
+            (3, _TC_STRUCT, [(1, _TC_STRUCT, [])]),  # XXHASH
+            (4, _TC_STRUCT, [(1, _TC_STRUCT, [])]),  # UNCOMPRESSED
+        ])
+        bloom_meta.append((len(out), len(hdr) + 256))
+        out += hdr + bitset
+    for g, vals in enumerate(groups):
+        data_off, chunk_len = page_meta[g]
+        boff, blen = bloom_meta[g]
+        col_md = [
+            (1, _TC_I32, 2),                      # INT64
+            (2, _TC_LIST, (_TC_I32, [0])),        # encodings: PLAIN
+            (3, _TC_LIST, (_TC_BINARY, [b"v"])),  # path_in_schema
+            (4, _TC_I32, 0),                      # UNCOMPRESSED
+            (5, _TC_I64, len(vals)),
+            (6, _TC_I64, chunk_len),
+            (7, _TC_I64, chunk_len),
+            (9, _TC_I64, data_off),
+            (14, _TC_I64, boff),
+            (15, _TC_I32, blen),
+        ]
+        rg_fields.append([
+            (1, _TC_LIST, (_TC_STRUCT, [[
+                (2, _TC_I64, data_off),
+                (3, _TC_STRUCT, col_md),
+            ]])),
+            (2, _TC_I64, chunk_len),
+            (3, _TC_I64, len(vals)),
+        ])
+    footer = _tc_struct([
+        (1, _TC_I32, 1),
+        (2, _TC_LIST, (_TC_STRUCT, [
+            [(4, _TC_BINARY, b"schema"), (5, _TC_I32, 1)],
+            [(1, _TC_I32, 2), (3, _TC_I32, 0), (4, _TC_BINARY, b"v")],
+        ])),
+        (3, _TC_I64, sum(len(v) for v in groups)),
+        (4, _TC_LIST, (_TC_STRUCT, rg_fields)),
+    ])
+    out += footer
+    out += _struct.pack("<I", len(footer)) + b"PAR1"
+    return bytes(out), tuple(probes)
