@@ -29,8 +29,10 @@ materialized per id and record-batch index columns map through them.
 
 Cross-validation: every test decodes bytes produced by pyarrow's IPC
 writer (file + stream, compressed + raw) and compares against
-pyarrow's own reads.  Delta dictionaries, nested types, and run-end
-encoding are named gates.
+pyarrow's own reads.  Nested types (r12) assemble via the node/buffer
+tree; DELTA dictionaries (r13) append per the spec.  Run-end encoding
+and undecodable dictionary VALUE types are named gates (the latter
+quarantine only their column).
 """
 
 from __future__ import annotations
@@ -50,7 +52,7 @@ from pyspark.sql.types import (
 
 __all__ = ["arrow_file_meta", "arrow_read_column",
            "arrow_read_nested", "decode_arrow_nested_stats",
-           "decode_arrow_meta"]
+           "decode_arrow_meta", "decode_arrow_dict_stats"]
 
 _FILE_MAGIC = b"ARROW1"
 _MAX_OUT = 512 * 1024 * 1024
@@ -449,9 +451,10 @@ def _decode_dictionary(msg: _Fb, body: bytes, fields: list[dict],
     if db is None:
         raise ValueError("arrow: dictionary message missing header")
     did = db.scalar(0, "<q", 0)
-    if db.scalar(2, "<b", 0):
-        # quarantine only COLUMNS carrying this dictionary, not the file
-        dicts[did] = _DictError("arrow: delta dictionaries gated")
+    is_delta = bool(db.scalar(2, "<b", 0))
+    if is_delta and not isinstance(dicts.get(did), list):
+        # a delta with no base dictionary: poison only its columns
+        dicts[did] = _DictError("arrow: delta dictionary without base")
         return
     rb = db.table(1)
     if rb is None:
@@ -473,7 +476,14 @@ def _decode_dictionary(msg: _Fb, body: bytes, fields: list[dict],
     try:
         cols = _rb_columns(rb, body, [value_field])
         n, tree = cols[0]
-        dicts[did] = _materialize(value_field, n, tree["bufs"])
+        vals = _materialize(value_field, n, tree["bufs"])
+        if is_delta:
+            # delta batches APPEND values; earlier indices stay valid
+            # (the spec forbids deltas from rewriting existing slots),
+            # so final-state application is exact for every batch
+            dicts[did] = dicts[did] + vals
+        else:
+            dicts[did] = vals
     except ValueError as e:
         # an undecodable VALUE type (e.g. Null) poisons only the
         # columns that reference this dictionary id — other columns
@@ -810,3 +820,57 @@ def decode_arrow_nested_stats(
 
     return df.select(id_col, payload_col).mapInPandas(
         _run, schema=ARROW_NESTED_SCHEMA)
+
+
+ARROW_DICT_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_rows", LongType()),
+    StructField("cat_sum", LongType()),
+    StructField("n_distinct", LongType()),
+    StructField("x_sum", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_arrow_dict_stats(
+    df: DataFrame, dict_col: str, val_col: str,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper for DELTA-dictionary streams
+    (r13): materialize the dictionary column (categories named
+    ``c<j>``) through base + delta batches and tally the numeric
+    suffixes — a reader that drops or mis-orders delta values shifts
+    cat_sum / n_distinct; per-payload quarantine, no shuffle."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("n_rows", "cat_sum", "n_distinct", "x_sum")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    blob = bytes(payload)
+                    cats = arrow_read_column(blob, dict_col)
+                    xs = arrow_read_column(blob, val_col)
+                    if len(cats) != len(xs):
+                        raise ValueError("arrow: ragged columns")
+                    js = [int(c[1:]) for c in cats]
+                    rows["n_rows"].append(len(cats))
+                    rows["cat_sum"].append(sum(js))
+                    rows["n_distinct"].append(len(set(js)))
+                    rows["x_sum"].append(sum(xs))
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, TypeError, KeyError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k], dtype="Int64") for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=ARROW_DICT_SCHEMA)

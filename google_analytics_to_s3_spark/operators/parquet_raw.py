@@ -259,6 +259,8 @@ def _build_meta(fmd: dict) -> dict:
             "repetition": el.get(3),
             "num_children": el.get(5, 0),
             "converted_type": el.get(6),
+            "scale": el.get(7),
+            "precision": el.get(8),
             "field_id": el.get(9),
         })
     row_groups = []
@@ -1856,3 +1858,188 @@ def decode_parquet_bloom_probe(
 
     return df.select(id_col, payload_col, probes_col).mapInPandas(
         _run, schema=PARQUET_BLOOM_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# DECIMAL columns (r13) — parquet LogicalTypes.md: DECIMAL annotates
+# INT32/INT64 (unscaled little-int) or FIXED_LEN_BYTE_ARRAY /
+# BYTE_ARRAY (unscaled BIG-ENDIAN two's complement, the layout
+# parquet-cpp writes for decimal128).
+
+
+def parquet_read_decimal_column(data: bytes,
+                                column: str) -> tuple[list, int]:
+    """Materialize one DECIMAL column as (unscaled ints with None for
+    null, declared scale): converted_type must be DECIMAL(5); FLBA /
+    BYTE_ARRAY payloads sign-decode big-endian."""
+    meta = parquet_file_meta(data)
+    el = next((s for s in meta["schema"]
+               if s["name"] == column and not s["num_children"]), None)
+    if el is None:
+        raise ValueError(f"parquet: no column {column!r}")
+    if el.get("converted_type") != 5:
+        raise ValueError(f"parquet: column {column!r} is not DECIMAL")
+    scale = el.get("scale") or 0
+    raw = parquet_read_column(data, column)
+    ptype = el["type"]
+    if ptype in (1, 2):  # INT32 / INT64 carry the unscaled value
+        return raw, scale
+    if ptype in (6, 7):  # BYTE_ARRAY / FLBA: big-endian signed
+        out = [None if v is None
+               else int.from_bytes(v, "big", signed=True) for v in raw]
+        return out, scale
+    raise ValueError(f"parquet: DECIMAL physical type {ptype} gated")
+
+
+PARQUET_DECIMAL_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_values", LongType()),
+    StructField("n_nulls", LongType()),
+    StructField("scale", IntegerType()),
+    StructField("unscaled_sum", LongType()),
+    StructField("unscaled_min", LongType()),
+    StructField("unscaled_max", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_parquet_decimal(
+    df: DataFrame, column: str,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over
+    :func:`parquet_read_decimal_column`; per-payload quarantine, no
+    shuffle."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("n_values", "n_nulls", "scale", "unscaled_sum",
+                "unscaled_min", "unscaled_max")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    vals, scale = parquet_read_decimal_column(
+                        bytes(payload), column)
+                    pv = [v for v in vals if v is not None]
+                    rows["n_values"].append(len(vals))
+                    rows["n_nulls"].append(len(vals) - len(pv))
+                    rows["scale"].append(scale)
+                    rows["unscaled_sum"].append(sum(pv))
+                    rows["unscaled_min"].append(min(pv) if pv else None)
+                    rows["unscaled_max"].append(max(pv) if pv else None)
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, TypeError,
+                        KeyError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k],
+                                dtype="Int32" if k == "scale"
+                                else "Int64")
+                   for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=PARQUET_DECIMAL_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Page CRCs (r13) — PageHeader.crc: CRC-32 (zlib polynomial) over the
+# page's COMPRESSED bytes; written by parquet-mr and by parquet-cpp
+# under write_page_checksum, verified by readers to catch torn or
+# bit-rotted pages before decode propagates garbage.
+
+
+def parquet_verify_page_crcs(data: bytes, column: str) -> dict:
+    """Walk every page of ``column``'s chunks verifying stored CRCs →
+    {n_pages, n_crc, n_row_groups}; a mismatch is a named error."""
+    import zlib as _zlib
+
+    meta = parquet_file_meta(data)
+    n_pages = n_crc = 0
+    for rg in meta["row_groups"]:
+        chunk = _find_chunk(rg, lambda p: p == [column])
+        start = chunk["dictionary_page_offset"]
+        if start is None:
+            start = chunk["data_page_offset"]
+        total = chunk["total_compressed_size"]
+        pos = start
+        end = start + total
+        while pos < end:
+            hdr, body = thrift_compact_struct(data, pos)
+            comp_size = hdr.get(3)
+            if not isinstance(comp_size, int) or comp_size < 0:
+                raise ValueError("parquet: bad page compressed size")
+            page = data[body:body + comp_size]
+            if len(page) != comp_size:
+                raise ValueError("parquet: truncated page body")
+            n_pages += 1
+            crc = hdr.get(4)
+            if crc is not None:
+                n_crc += 1
+                if _zlib.crc32(page) != crc & 0xFFFFFFFF:
+                    raise ValueError(
+                        f"parquet: page CRC mismatch in {column!r}")
+            pos = body + comp_size
+    return {"n_pages": n_pages, "n_crc": n_crc,
+            "n_row_groups": len(meta["row_groups"])}
+
+
+PARQUET_CRC_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_pages", IntegerType()),
+    StructField("n_crc", IntegerType()),
+    StructField("n_values", LongType()),
+    StructField("value_sum", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_parquet_crc_scan(
+    df: DataFrame, column: str,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper: verify every page CRC of
+    ``column`` (named error on mismatch), then read the column —
+    integrity-checked scan; per-payload quarantine, no shuffle."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("n_pages", "n_crc", "n_values", "value_sum")
+        i32 = {"n_pages", "n_crc"}
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    blob = bytes(payload)
+                    v = parquet_verify_page_crcs(blob, column)
+                    vals = parquet_read_column(blob, column)
+                    pv = [x for x in vals if x is not None]
+                    rows["n_pages"].append(v["n_pages"])
+                    rows["n_crc"].append(v["n_crc"])
+                    rows["n_values"].append(len(vals))
+                    rows["value_sum"].append(sum(pv))
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, TypeError,
+                        KeyError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k],
+                                dtype="Int32" if k in i32 else "Int64")
+                   for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=PARQUET_CRC_SCHEMA)

@@ -395,3 +395,196 @@ FROM e
 
 QUERIES_R13["parquet_bloom_probe"] = q_parquet_bloom_probe
 ORACLES_R13["parquet_bloom_probe"] = _PARQUET_BLOOM_ORACLE
+
+
+def q_arrow_dict_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC DELTA dictionaries driver-checked (r13): pyarrow's
+    stream writer ships growing dictionaries as isDelta=1 APPEND
+    batches (a REAL producer path — the categorical-column shape of
+    long-running feeds); the reader must append, never replace, or
+    every post-delta index mis-maps and cat_sum shifts.  Lane
+    id % 10 == 7."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.arrow_ipc import decode_arrow_dict_stats
+    from ..testing.fixtures import make_arrow_dict_delta
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 7
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_arrow_dict_delta(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_arrow_dict_stats(payloads, "d", "x") \
+        .drop("decode_error")
+
+
+_ARROW_DICT_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 7
+),
+rows_ AS (
+  SELECT e.event_id,
+         (e.seed + 5*i.i + b.b) % (3 + 2*b.b) AS j,
+         (e.seed*3 + 7*i.i + 11*b.b) % 500 AS x
+  FROM e,
+       LATERAL (SELECT unnest(range(0, 2 + e.seed % 3)) AS b) b,
+       LATERAL (SELECT unnest(range(0, 20)) AS i) i
+)
+SELECT e.event_id AS doc_id,
+       CAST(20 * (2 + e.seed % 3) AS BIGINT) AS n_rows,
+       CAST((SELECT sum(r.j) FROM rows_ r
+              WHERE r.event_id = e.event_id) AS BIGINT) AS cat_sum,
+       CAST((SELECT count(DISTINCT r.j) FROM rows_ r
+              WHERE r.event_id = e.event_id) AS BIGINT) AS n_distinct,
+       CAST((SELECT sum(r.x) FROM rows_ r
+              WHERE r.event_id = e.event_id) AS BIGINT) AS x_sum
+FROM e
+"""
+
+QUERIES_R13["arrow_dict_delta"] = q_arrow_dict_delta
+ORACLES_R13["arrow_dict_delta"] = _ARROW_DICT_ORACLE
+
+
+def q_parquet_scan_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet DECIMAL over FIXED_LEN_BYTE_ARRAY driver-checked
+    (r13): parquet-cpp's decimal128 layout — big-endian
+    two's-complement FLBA at widths 4/8/13 (precision 9/18/30) —
+    sign-decodes to unscaled ints at the declared scale; negative
+    values prove the sign fold.  Lane id % 10 == 8."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.parquet_raw import decode_parquet_decimal
+    from ..testing.fixtures import make_parquet_decimal
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 8
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_parquet_decimal(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_parquet_decimal(payloads, "d").drop("decode_error")
+
+
+_PARQUET_DEC_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 8
+),
+rows_ AS (
+  SELECT e.event_id,
+         (e.seed + i.i) % 9 = 8 AS isnull_,
+         (e.seed*13 + 7*i.i) % 200000 - 100000 AS u
+  FROM e, LATERAL (SELECT unnest(range(0, 30 + e.seed % 30)) AS i) i
+)
+SELECT e.event_id AS doc_id,
+       CAST(30 + e.seed % 30 AS BIGINT) AS n_values,
+       CAST((SELECT count(*) FROM rows_ r
+              WHERE r.event_id = e.event_id AND r.isnull_)
+            AS BIGINT) AS n_nulls,
+       CAST(2 + e.seed % 3 AS INTEGER) AS scale,
+       CAST((SELECT sum(r.u) FROM rows_ r
+              WHERE r.event_id = e.event_id AND NOT r.isnull_)
+            AS BIGINT) AS unscaled_sum,
+       CAST((SELECT min(r.u) FROM rows_ r
+              WHERE r.event_id = e.event_id AND NOT r.isnull_)
+            AS BIGINT) AS unscaled_min,
+       CAST((SELECT max(r.u) FROM rows_ r
+              WHERE r.event_id = e.event_id AND NOT r.isnull_)
+            AS BIGINT) AS unscaled_max
+FROM e
+"""
+
+QUERIES_R13["parquet_scan_fixed"] = q_parquet_scan_fixed
+ORACLES_R13["parquet_scan_fixed"] = _PARQUET_DEC_ORACLE
+
+
+def q_parquet_crc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet PAGE CRCs driver-checked (r13): every page of the
+    chunk (parquet-cpp ``write_page_checksum``, 1 KB pages → many
+    pages, dictionary pages included) verifies its CRC-32 over the
+    compressed bytes BEFORE decode — a mismatch quarantines the
+    payload (pytest proves a single flipped page byte is caught) —
+    then the column reads.  ``crc_complete`` pins that every page
+    actually carried a checksum.  Lane id % 10 == 9."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.parquet_raw import decode_parquet_crc_scan
+    from ..testing.fixtures import make_parquet_crc
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 9
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_parquet_crc(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    out = decode_parquet_crc_scan(payloads, "v").drop("decode_error")
+    # page COUNTS are a writer detail (not closed-form); the oracle
+    # pins the deterministic facts: every page checksummed + values
+    return out.select(
+        "doc_id",
+        ((F.col("n_pages") == F.col("n_crc"))
+         & (F.col("n_pages") > 0)).alias("crc_complete"),
+        "n_values", "value_sum",
+    )
+
+
+_PARQUET_CRC_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 9
+),
+rows_ AS (
+  SELECT e.event_id,
+         (e.seed + i.i) % 11 = 10 AS isnull_,
+         (e.seed*3 + 7*i.i) % 1000 AS v
+  FROM e, LATERAL (SELECT unnest(range(0, 3000)) AS i) i
+)
+SELECT e.event_id AS doc_id,
+       TRUE AS crc_complete,
+       CAST(3000 AS BIGINT) AS n_values,
+       CAST((SELECT sum(r.v) FROM rows_ r
+              WHERE r.event_id = e.event_id AND NOT r.isnull_)
+            AS BIGINT) AS value_sum
+FROM e
+"""
+
+QUERIES_R13["parquet_crc_scan"] = q_parquet_crc_scan
+ORACLES_R13["parquet_crc_scan"] = _PARQUET_CRC_ORACLE

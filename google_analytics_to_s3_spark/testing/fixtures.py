@@ -8598,3 +8598,99 @@ def make_parquet_bloom(seed: int) -> tuple:
     out += footer
     out += _struct.pack("<I", len(footer)) + b"PAR1"
     return bytes(out), tuple(probes)
+
+
+@_functools.lru_cache(maxsize=256)
+def make_arrow_dict_delta(seed: int) -> bytes:
+    """Arrow IPC STREAM with DELTA dictionary batches for the
+    ``arrow_dict_delta`` driver query: each record batch's dictionary
+    grows (categories ``c0..c{k_b-1}``, ``k_b = 3 + 2*b``), and
+    pyarrow's writer (``emit_dictionary_deltas=True``) ships the
+    growth as isDelta=1 APPEND batches — a reader that replaces
+    instead of appends, or drops deltas, mis-maps every later index.
+
+    Planted rules (batch ``b`` of ``nb = 2 + seed % 3``, row ``i`` of
+    20): category index ``(seed + 5*i + b) % k_b``, anchor
+    ``x = (seed*3 + 7*i + 11*b) % 500``.
+    """
+    import pyarrow as _pa
+
+    nb = 2 + seed % 3
+    schema = _pa.schema([
+        ("d", _pa.dictionary(_pa.int32(), _pa.string())),
+        ("x", _pa.int64()),
+    ])
+    opts = _pa.ipc.IpcWriteOptions(emit_dictionary_deltas=True)
+    sink = _pa.BufferOutputStream()
+    w = _pa.ipc.new_stream(sink, schema, options=opts)
+    for b in range(nb):
+        k = 3 + 2 * b
+        cats = _pa.array([f"c{j}" for j in range(k)])
+        idx = _pa.array([(seed + 5 * i + b) % k for i in range(20)],
+                        _pa.int32())
+        d = _pa.DictionaryArray.from_arrays(idx, cats)
+        x = _pa.array([(seed * 3 + 7 * i + 11 * b) % 500
+                       for i in range(20)], _pa.int64())
+        w.write_batch(_pa.record_batch([d, x], schema=schema))
+    w.close()
+    return sink.getvalue().to_pybytes()
+
+
+@_functools.lru_cache(maxsize=256)
+def make_parquet_decimal(seed: int) -> bytes:
+    """Parquet DECIMAL column (FLBA big-endian two's complement, the
+    parquet-cpp decimal128 layout) for the ``parquet_scan_fixed``
+    driver query — precision 9/18/30 by ``seed % 3`` exercises FLBA
+    widths 4/8/13.
+
+    Planted rules (row ``i`` of ``n = 30 + seed % 30``): null when
+    ``(seed + i) % 9 == 8``, else unscaled
+    ``u = (seed*13 + 7*i) % 200000 - 100000`` at scale
+    ``2 + seed % 3``; codec snappy/zstd/gzip by ``seed % 3``.
+    """
+    import decimal as _decimal
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    precision = [9, 18, 30][seed % 3]
+    scale = 2 + seed % 3
+    n = 30 + seed % 30
+    vals = []
+    for i in range(n):
+        if (seed + i) % 9 == 8:
+            vals.append(None)
+            continue
+        u = (seed * 13 + 7 * i) % 200000 - 100000
+        vals.append(_decimal.Decimal(u).scaleb(-scale))
+    t = _pa.table({"d": _pa.array(vals,
+                                  _pa.decimal128(precision, scale))})
+    buf = _pa.BufferOutputStream()
+    _pq.write_table(t, buf,
+                    compression=["snappy", "zstd", "gzip"][seed % 3],
+                    use_dictionary=(seed % 2 == 0))
+    return buf.getvalue().to_pybytes()
+
+
+@_functools.lru_cache(maxsize=256)
+def make_parquet_crc(seed: int) -> bytes:
+    """Parquet file with PAGE CRCs (``write_page_checksum``,
+    parquet-cpp) for the ``parquet_crc_scan`` driver query — small
+    data pages force multiple checksummed pages per chunk.
+
+    Planted rules (row ``i`` of 3000): null when
+    ``(seed + i) % 11 == 10``, else ``v = (seed*3 + 7*i) % 1000``;
+    codec snappy/zstd/gzip by ``seed % 3``.
+    """
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    vals = [None if (seed + i) % 11 == 10
+            else (seed * 3 + 7 * i) % 1000 for i in range(3000)]
+    t = _pa.table({"v": _pa.array(vals, _pa.int64())})
+    buf = _pa.BufferOutputStream()
+    _pq.write_table(t, buf, write_page_checksum=True,
+                    data_page_size=1024,
+                    compression=["snappy", "zstd", "gzip"][seed % 3],
+                    use_dictionary=(seed % 2 == 0))
+    return buf.getvalue().to_pybytes()

@@ -292,3 +292,77 @@ def test_undecodable_dictionary_quarantines_only_its_column():
     data2 = sink2.getvalue().to_pybytes()
     assert arrow_read_column(data2, "d") == [None, None, None]
     assert arrow_read_column(data2, "good") == [7, 8, 9]
+
+
+def test_delta_dictionaries_append(spark_unused=None):
+    """pyarrow's stream writer with emit_dictionary_deltas ships
+    dictionary growth as isDelta=1 APPEND batches; the reader must
+    extend, never replace — pinned against pyarrow's own read."""
+    import pyarrow as pa
+
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_arrow_dict_delta,
+    )
+
+    for seed in (0, 1, 2, 5, 12, 999):
+        data = make_arrow_dict_delta(seed)
+        t = pa.ipc.open_stream(pa.BufferReader(data)).read_all()
+        want = [str(v) for v in t["d"].to_pylist()]
+        assert arrow_read_column(data, "d") == want, seed
+        # at least one delta message actually present
+        from google_analytics_to_s3_spark.operators.arrow_ipc import (
+            _iter_messages,
+        )
+        deltas = sum(
+            1 for msg, _ in _iter_messages(data)
+            if msg.scalar(1, "<B", 0) == 2
+            and msg.table(2).scalar(2, "<b", 0))
+        assert deltas >= 1
+
+
+def test_delta_dictionary_without_base_quarantines_column():
+    import pyarrow as pa
+
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_arrow_dict_delta,
+    )
+    from google_analytics_to_s3_spark.operators.arrow_ipc import (
+        _iter_messages,
+    )
+
+    data = make_arrow_dict_delta(1)
+    # excise the FIRST dictionary message (the base), keeping schema,
+    # deltas and record batches — the delta then has no base
+    out = bytearray()
+    pos = 0
+    first_dict_dropped = False
+    view = memoryview(data)
+    while pos + 8 <= len(data):
+        cont = int.from_bytes(view[pos:pos + 4], "little")
+        if cont != 0xFFFFFFFF:
+            break
+        mlen = int.from_bytes(view[pos + 4:pos + 8], "little")
+        if mlen == 0:
+            out += view[pos:pos + 8]
+            pos += 8
+            continue
+        from google_analytics_to_s3_spark.operators.arrow_ipc import (
+            _fb_root,
+        )
+        msg = _fb_root(data, pos + 8)
+        blen = msg.scalar(3, "<q", 0)
+        whole = view[pos:pos + 8 + mlen + blen]
+        is_base_dict = (msg.scalar(1, "<B", 0) == 2
+                        and not msg.table(2).scalar(2, "<b", 0))
+        if is_base_dict and not first_dict_dropped:
+            first_dict_dropped = True
+        else:
+            out += whole
+        pos += 8 + mlen + blen
+    assert first_dict_dropped
+    with pytest.raises(ValueError, match="without base|missing"):
+        arrow_read_column(bytes(out), "d")
+    # the flat column still reads
+    import pyarrow as pa2
+    assert arrow_read_column(bytes(out), "x") == \
+        arrow_read_column(data, "x")

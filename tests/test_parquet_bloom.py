@@ -89,3 +89,60 @@ def test_bloom_header_gates():
     assert parquet_read_bloom(plain, "v") == [None]
     with pytest.raises(ValueError, match="without a bloom"):
         parquet_bloom_lookup(plain, "v", [1])
+
+
+# --------------------------------------------------------------------------
+# r13 companions in parquet_raw: FLBA decimals + page CRCs.
+
+
+def test_decimal_flba_sign_and_widths():
+    import decimal
+
+    from google_analytics_to_s3_spark.operators.parquet_raw import (
+        parquet_read_decimal_column,
+    )
+
+    for precision in (9, 18, 30):
+        t = pa.table({"d": pa.array(
+            [decimal.Decimal("12.34"), None, decimal.Decimal("-0.07"),
+             decimal.Decimal("-99999.99")],
+            pa.decimal128(precision, 2))})
+        buf = pa.BufferOutputStream()
+        pq.write_table(t, buf)
+        vals, scale = parquet_read_decimal_column(
+            buf.getvalue().to_pybytes(), "d")
+        assert scale == 2
+        assert vals == [1234, None, -7, -9999999], precision
+
+
+def test_page_crc_verify_and_corruption():
+    from google_analytics_to_s3_spark.operators.parquet_raw import (
+        parquet_file_meta,
+        parquet_verify_page_crcs,
+        thrift_compact_struct,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_parquet_crc,
+    )
+
+    for seed in (0, 1, 2, 5, 999):
+        data = make_parquet_crc(seed)
+        r = parquet_verify_page_crcs(data, "v")
+        assert r["n_crc"] == r["n_pages"] >= 2, (seed, r)
+        # a single flipped byte in the first page BODY is caught
+        m = parquet_file_meta(data)
+        chunk = m["row_groups"][0]["columns"][0]
+        off = chunk["dictionary_page_offset"]
+        if off is None:
+            off = chunk["data_page_offset"]
+        _hdr, body = thrift_compact_struct(data, off)
+        bad = bytearray(data)
+        bad[body + 3] ^= 0x40
+        with pytest.raises(ValueError, match="CRC"):
+            parquet_verify_page_crcs(bytes(bad), "v")
+    # files WITHOUT checksums verify trivially (n_crc = 0)
+    buf = pa.BufferOutputStream()
+    pq.write_table(pa.table({"v": pa.array(range(100), pa.int64())}),
+                   buf, write_page_checksum=False)
+    r = parquet_verify_page_crcs(buf.getvalue().to_pybytes(), "v")
+    assert r["n_crc"] == 0 and r["n_pages"] >= 1
