@@ -45,7 +45,9 @@ from .tar import parse_tar
 __all__ = ["parse_iceberg_snapshot", "decode_iceberg_snapshot",
            "parse_iceberg_scan", "decode_iceberg_scan",
            "parse_iceberg_scan_deletes", "decode_iceberg_scan_deletes",
-           "parse_iceberg_scan_eq", "decode_iceberg_scan_eq"]
+           "parse_iceberg_scan_eq", "decode_iceberg_scan_eq",
+           "parse_iceberg_metrics_prune",
+           "decode_iceberg_metrics_prune"]
 
 
 def parse_iceberg_snapshot(bundle: bytes) -> dict:
@@ -614,3 +616,131 @@ def decode_iceberg_scan_eq(
 
     return df.select(id_col, payload_col).mapInPandas(
         _run, schema=ICEBERG_EQ_SCHEMA)
+
+
+def parse_iceberg_metrics_prune(bundle: bytes, column: str,
+                                lo: int, hi: int) -> dict:
+    """Iceberg scan planning with COLUMN METRICS (spec §Manifests):
+    each data-file entry carries per-field ``lower_bounds`` /
+    ``upper_bounds`` (the spec's single-value binary serialization —
+    8-byte little-endian for longs); a file whose [lower, upper]
+    range misses [lo, hi] is PRUNED without touching its bytes, and a
+    file with no bound for the field is conservatively scanned.
+    Returns files_total / files_read plus the matched row count and
+    sum over survivors — true bounds make pruning lossless, so the
+    tallies equal a full scan's and the oracle replays them in
+    closed form."""
+    from .parquet_raw import parquet_read_column
+
+    files = {m["name"]: m["data"] for m in parse_tar(bundle)}
+    meta_raw = files.get("metadata.json")
+    if meta_raw is None:
+        raise ValueError("iceberg: bundle missing metadata.json")
+    meta = json.loads(meta_raw)
+    cur = meta.get("current-snapshot-id")
+    snap = next((s for s in meta.get("snapshots", [])
+                 if s.get("snapshot-id") == cur), None)
+    if snap is None:
+        raise ValueError("iceberg: current snapshot id not found")
+    field_id = next((f.get("id") for f in
+                     (meta.get("schema") or {}).get("fields", [])
+                     if f.get("name") == column), None)
+    if field_id is None:
+        raise ValueError(f"iceberg: no schema field {column!r}")
+    ml_raw = files.get(snap.get("manifest-list"))
+    if ml_raw is None:
+        raise ValueError("iceberg: manifest list missing")
+    _, ml_entries = avro_decode_container(ml_raw)
+    files_total = files_read = 0
+    matched_rows = 0
+    matched_sum = 0
+
+    def _bound(df: dict, which: str):
+        for kv in df.get(which) or []:
+            if kv.get("key") == field_id:
+                raw = kv.get("value")
+                if not isinstance(raw, bytes) or len(raw) != 8:
+                    raise ValueError("iceberg: bad bound value")
+                return int.from_bytes(raw, "little", signed=True)
+        return None
+
+    for entry in ml_entries:
+        man_raw = files.get(entry.get("manifest_path"))
+        if man_raw is None:
+            raise ValueError("iceberg: manifest missing")
+        if (entry.get("content") or 0) != 0:
+            raise ValueError("iceberg: delete manifests gated here")
+        _, man_entries = avro_decode_container(man_raw)
+        for me in man_entries:
+            if me.get("status") == 2:
+                continue
+            df = me.get("data_file") or {}
+            files_total += 1
+            lower = _bound(df, "lower_bounds")
+            upper = _bound(df, "upper_bounds")
+            if lower is not None and upper is not None \
+                    and (upper < lo or lower > hi):
+                continue  # pruned: file bytes never touched
+            blob = files.get(df.get("file_path"))
+            if blob is None:
+                raise ValueError("iceberg: data file missing")
+            files_read += 1
+            for v in parquet_read_column(blob, column):
+                if v is not None and lo <= v <= hi:
+                    matched_rows += 1
+                    matched_sum += v
+    return {
+        "files_total": files_total,
+        "files_read": files_read,
+        "matched_rows": matched_rows,
+        "matched_sum": matched_sum,
+    }
+
+
+def decode_iceberg_metrics_prune(
+    df: DataFrame, column: str, lo_mod: int, width: int,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over
+    :func:`parse_iceberg_metrics_prune` with the per-document window
+    ``lo = (doc_id % lo_mod) * 100 + 10, hi = lo + width``;
+    per-bundle quarantine, no shuffle."""
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("files_total", IntegerType()),
+        StructField("files_read", IntegerType()),
+        StructField("matched_rows", LongType()),
+        StructField("matched_sum", LongType()),
+        StructField("decode_error", StringType()),
+    ])
+    cols = ("files_total", "files_read", "matched_rows", "matched_sum")
+    i32 = {"files_total", "files_read"}
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                lo = (int(doc_id) % lo_mod) * 100 + 10
+                try:
+                    r = parse_iceberg_metrics_prune(
+                        bytes(payload), column, lo, lo + width)
+                    for k in cols:
+                        rows[k].append(r[k])
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, KeyError, TypeError,
+                        AttributeError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k],
+                                dtype="Int32" if k in i32 else "Int64")
+                   for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)

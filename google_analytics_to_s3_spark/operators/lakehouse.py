@@ -37,7 +37,9 @@ from pyspark.sql import functions as F
 __all__ = ["delta_log_snapshot", "parse_delta_checkpoint",
            "decode_delta_checkpoint", "parse_delta_scan_dv",
            "decode_delta_scan_dv", "parse_delta_column_mapping",
-           "decode_delta_column_mapping"]
+           "decode_delta_column_mapping",
+           "parse_delta_partition_prune",
+           "decode_delta_partition_prune"]
 
 _ACTION_SCHEMA = ("add struct<path:string,size:bigint,"
                   "dataChange:boolean>, "
@@ -570,6 +572,124 @@ def decode_delta_column_mapping(
                 **{k: pd.Series(rows[k],
                                 dtype="Int32" if k in i32 else "Int64")
                    for k in cols if k != "mapping_mode"},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+
+
+def parse_delta_partition_prune(bundle: bytes, column: str,
+                                part_col: str, lo: int,
+                                hi: int) -> dict:
+    """Partition pruning over a Delta log: fold add/remove actions,
+    keep only live files whose ``partitionValues[part_col]`` (stored
+    as a STRING in the log, per PROTOCOL.md) falls in [lo, hi], and
+    scan ONLY those parquet files — partition columns are not stored
+    in the data files, so the log is the only place this predicate
+    can be evaluated, and a reader that scans everything reads
+    files_total > files_read bytes for nothing."""
+    import json
+
+    from .parquet_raw import parquet_read_column
+    from .tar import parse_tar
+
+    files = {m["name"]: m["data"] for m in parse_tar(bundle)}
+    adds: dict[str, dict] = {}
+    commits = sorted((name, data) for name, data in files.items()
+                     if name.startswith("_delta_log/")
+                     and name.endswith(".json"))
+    if not commits:
+        raise ValueError("delta: bundle has no commits")
+    for _name, data in commits:
+        for line in data.splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if a.get("add"):
+                adds[a["add"]["path"]] = a["add"]
+            elif a.get("remove"):
+                adds.pop(a["remove"]["path"], None)
+    files_total = len(adds)
+    files_read = records = 0
+    value_sum = 0
+    for path, add in adds.items():
+        pv = (add.get("partitionValues") or {}).get(part_col)
+        if pv is None:
+            raise ValueError(
+                f"delta: add without partition value {part_col!r}")
+        p = int(pv)
+        if not lo <= p <= hi:
+            continue  # pruned: the file's bytes are never touched
+        blob = files.get(path)
+        if blob is None:
+            raise ValueError(f"delta: data file {path!r} missing")
+        files_read += 1
+        for v in parquet_read_column(blob, column):
+            records += 1
+            if v is not None:
+                value_sum += v
+    return {
+        "files_total": files_total,
+        "files_read": files_read,
+        "records": records,
+        "value_sum": value_sum,
+    }
+
+
+def decode_delta_partition_prune(
+    df: DataFrame, column: str, part_col: str, lo_mod: int,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over
+    :func:`parse_delta_partition_prune` with the per-document window
+    ``lo = doc_id % lo_mod, hi = lo + 3``; per-bundle quarantine, no
+    shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("files_total", IntegerType()),
+        StructField("files_read", IntegerType()),
+        StructField("records", LongType()),
+        StructField("value_sum", LongType()),
+        StructField("decode_error", StringType()),
+    ])
+    cols = ("files_total", "files_read", "records", "value_sum")
+    i32 = {"files_total", "files_read"}
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                lo = int(doc_id) % lo_mod
+                try:
+                    r = parse_delta_partition_prune(
+                        bytes(payload), column, part_col, lo, lo + 3)
+                    for k in cols:
+                        rows[k].append(r[k])
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, KeyError,
+                        TypeError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k],
+                                dtype="Int32" if k in i32 else "Int64")
+                   for k in cols},
                 "decode_error": pd.Series(rows["decode_error"],
                                           dtype=object),
             })

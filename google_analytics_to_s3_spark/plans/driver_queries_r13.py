@@ -588,3 +588,148 @@ FROM e
 
 QUERIES_R13["parquet_crc_scan"] = q_parquet_crc_scan
 ORACLES_R13["parquet_crc_scan"] = _PARQUET_CRC_ORACLE
+
+
+def q_delta_partition_prune(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Delta PARTITION PRUNING driver-checked (r13): the per-document
+    predicate ``p ∈ [doc_id % 5, +3]`` evaluates against the log's
+    ``partitionValues`` strings only (partition columns are absent
+    from the data files), tombstoned partitions stay pruned, and
+    files_read < files_total proves bytes were skipped — all in
+    closed form.  Lane id % 10 == 0."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.lakehouse import decode_delta_partition_prune
+    from ..testing.fixtures import make_delta_pp_bundle
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 0
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_delta_pp_bundle(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_delta_partition_prune(payloads, "v", "p", 5) \
+        .drop("decode_error")
+
+
+_DELTA_PP_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed, event_id % 5 AS lo
+  FROM events WHERE event_id % {_FLAC_MOD} = 0
+),
+parts AS (
+  SELECT e.event_id, e.seed, e.lo, pp.p,
+         15 + (e.seed + pp.p) % 10 AS n,
+         pp.p <> e.seed % 8 AS live,
+         pp.p BETWEEN e.lo AND e.lo + 3 AS hit
+  FROM e, LATERAL (SELECT unnest(range(0, 8)) AS p) pp
+),
+rows_ AS (
+  SELECT parts.event_id,
+         (parts.seed*5 + 7*parts.p + 3*i.i) % 500 AS v
+  FROM parts, LATERAL (SELECT unnest(range(0, parts.n)) AS i) i
+  WHERE parts.live AND parts.hit
+)
+SELECT e.event_id AS doc_id,
+       CAST(7 AS INTEGER) AS files_total,
+       CAST((SELECT count(*) FROM parts
+              WHERE parts.event_id = e.event_id
+                AND parts.live AND parts.hit)
+            AS INTEGER) AS files_read,
+       CAST((SELECT count(*) FROM rows_ r
+              WHERE r.event_id = e.event_id) AS BIGINT) AS records,
+       CAST((SELECT sum(r.v) FROM rows_ r
+              WHERE r.event_id = e.event_id) AS BIGINT) AS value_sum
+FROM e
+"""
+
+QUERIES_R13["delta_partition_prune"] = q_delta_partition_prune
+ORACLES_R13["delta_partition_prune"] = _DELTA_PP_ORACLE
+
+
+def q_iceberg_metrics_prune(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Iceberg COLUMN-METRICS pruning driver-checked (r13): manifest
+    entries carry lower/upper bounds (the spec's 8-byte-LE
+    single-value serialization per field id); the per-document window
+    ``v ∈ [(doc_id % 6)*100 + 10, +150]`` prunes files whose bounds
+    miss it WITHOUT touching their bytes, a bounds-less file is
+    conservatively scanned, and true bounds make the matched tallies
+    equal a full scan's — all closed-form.  Lane id % 10 == 1."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.iceberg import decode_iceberg_metrics_prune
+    from ..testing.fixtures import make_iceberg_mp_bundle
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 1
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_iceberg_mp_bundle(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_iceberg_metrics_prune(payloads, "v", 6, 150) \
+        .drop("decode_error")
+
+
+_ICEBERG_MP_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         (event_id % 6) * 100 + 10 AS lo
+  FROM events WHERE event_id % {_FLAC_MOD} = 1
+),
+ff AS (
+  SELECT e.event_id, e.seed, e.lo, f.f,
+         20 + (e.seed + f.f) % 10 AS n,
+         f.f = 5 OR NOT (100*f.f + 79 < e.lo OR 100*f.f > e.lo + 150)
+           AS read_
+  FROM e, LATERAL (SELECT unnest(range(0, 6)) AS f) f
+),
+rows_ AS (
+  SELECT ff.event_id, ff.lo,
+         100*ff.f + (ff.seed*3 + 7*i.i) % 80 AS v
+  FROM ff, LATERAL (SELECT unnest(range(0, ff.n)) AS i) i
+  WHERE ff.read_
+)
+SELECT e.event_id AS doc_id,
+       CAST(6 AS INTEGER) AS files_total,
+       CAST((SELECT count(*) FROM ff
+              WHERE ff.event_id = e.event_id AND ff.read_)
+            AS INTEGER) AS files_read,
+       CAST((SELECT count(*) FROM rows_ r
+              WHERE r.event_id = e.event_id
+                AND r.v BETWEEN r.lo AND r.lo + 150)
+            AS BIGINT) AS matched_rows,
+       CAST(coalesce((SELECT sum(r.v) FROM rows_ r
+              WHERE r.event_id = e.event_id
+                AND r.v BETWEEN r.lo AND r.lo + 150), 0)
+            AS BIGINT) AS matched_sum
+FROM e
+"""
+
+QUERIES_R13["iceberg_metrics_prune"] = q_iceberg_metrics_prune
+ORACLES_R13["iceberg_metrics_prune"] = _ICEBERG_MP_ORACLE

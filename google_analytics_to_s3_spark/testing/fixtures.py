@@ -8694,3 +8694,151 @@ def make_parquet_crc(seed: int) -> bytes:
                     compression=["snappy", "zstd", "gzip"][seed % 3],
                     use_dictionary=(seed % 2 == 0))
     return buf.getvalue().to_pybytes()
+
+
+@_functools.lru_cache(maxsize=256)
+def make_delta_pp_bundle(seed: int) -> bytes:
+    """Delta log bundle with PARTITIONED adds for the
+    ``delta_partition_prune`` driver query: one data file per
+    partition ``p = 0..7`` (``partitionValues`` strings, per
+    PROTOCOL.md — the partition column is NOT in the data files),
+    plus one partition whose file is added then tombstoned.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - partition ``p``'s file: ``n = 15 + (seed + p) % 10`` rows of
+      ``v = (seed*5 + 7*p + 3*i) % 500``
+    - partition ``seed % 8``'s file is REMOVED in commit 2 —
+      files_total = 7
+    - codec snappy/zstd by ``(seed + p) % 2``
+    """
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    members: "dict[str, bytes]" = {}
+    add_lines = []
+    for p in range(8):
+        n = 15 + (seed + p) % 10
+        vals = [(seed * 5 + 7 * p + 3 * i) % 500 for i in range(n)]
+        buf = _pa.BufferOutputStream()
+        _pq.write_table(
+            _pa.table({"v": _pa.array(vals, _pa.int64())}), buf,
+            compression=["snappy", "zstd"][(seed + p) % 2])
+        blob = buf.getvalue().to_pybytes()
+        name = f"data/p={p}/f.parquet"
+        members[name] = blob
+        add_lines.append(_json.dumps({"add": {
+            "path": name, "size": len(blob), "dataChange": True,
+            "partitionValues": {"p": str(p)}}}))
+    commit1 = "\n".join(add_lines) + "\n"
+    commit2 = _json.dumps({"remove": {
+        "path": f"data/p={seed % 8}/f.parquet",
+        "deletionTimestamp": 1700000000000}}) + "\n"
+    out = bytearray()
+    out += _tar_member("_delta_log/00000000000000000000.json",
+                       commit1.encode())
+    out += _tar_member("_delta_log/00000000000000000001.json",
+                       commit2.encode())
+    for name, blob in members.items():
+        out += _tar_member(name, blob)
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+_ICEBERG_MAN_MP_SCHEMA = (
+    '{"type":"record","name":"manifest_entry","fields":['
+    '{"name":"status","type":"int"},'
+    '{"name":"sequence_number","type":"long"},'
+    '{"name":"data_file","type":{"type":"record","name":"data_file",'
+    '"fields":['
+    '{"name":"content","type":"int"},'
+    '{"name":"file_path","type":"string"},'
+    '{"name":"record_count","type":"long"},'
+    '{"name":"file_size_in_bytes","type":"long"},'
+    '{"name":"lower_bounds","type":{"type":"array","items":'
+    '{"type":"record","name":"k_v_lower","fields":['
+    '{"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}},'
+    '{"name":"upper_bounds","type":{"type":"array","items":'
+    '{"type":"record","name":"k_v_upper","fields":['
+    '{"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}}'
+    ']}}]}'
+)
+
+
+@_functools.lru_cache(maxsize=256)
+def make_iceberg_mp_bundle(seed: int) -> bytes:
+    """Iceberg bundle with per-file COLUMN METRICS for the
+    ``iceberg_metrics_prune`` driver query: data-file manifest
+    entries carry ``lower_bounds`` / ``upper_bounds`` maps (field id
+    → the spec's 8-byte little-endian single-value serialization);
+    file 5 carries NO bounds for the field and must be scanned
+    conservatively.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - 6 files; file ``f``: ``n = 20 + (seed + f) % 10`` rows of
+      ``v = 100*f + (seed*3 + 7*i) % 80``; bounds = the exact domain
+      ``[100*f, 100*f + 79]`` (except file 5: bounds absent)
+    - codec snappy/zstd by ``(seed + f) % 2``; avro deflate on odd
+      seeds
+    """
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    codec_avro = "deflate" if seed % 2 else "null"
+    members: "dict[str, bytes]" = {}
+    rows = []
+    for f in range(6):
+        n = 20 + (seed + f) % 10
+        vals = [100 * f + (seed * 3 + 7 * i) % 80 for i in range(n)]
+        buf = _pa.BufferOutputStream()
+        _pq.write_table(
+            _pa.table({"v": _pa.array(vals, _pa.int64())}), buf,
+            compression=["snappy", "zstd"][(seed + f) % 2])
+        blob = buf.getvalue().to_pybytes()
+        name = f"data/f{f}.parquet"
+        members[name] = blob
+        body = _avro_zigzag(1)   # status ADDED
+        body += _avro_zigzag(1)  # sequence number
+        body += _avro_zigzag(0)  # content: data
+        body += _avro_str(name)
+        body += _avro_zigzag(n)
+        body += _avro_zigzag(len(blob))
+        if f == 5:
+            body += _avro_zigzag(0)  # lower_bounds: empty
+            body += _avro_zigzag(0)  # upper_bounds: empty
+        else:
+            lo_raw = (100 * f).to_bytes(8, "little", signed=True)
+            hi_raw = (100 * f + 79).to_bytes(8, "little", signed=True)
+            for raw in (lo_raw, hi_raw):
+                body += _avro_zigzag(1)          # one entry
+                body += _avro_zigzag(1)          # key: field id 1
+                body += _avro_zigzag(len(raw)) + raw
+                body += _avro_zigzag(0)          # array end
+        rows.append(body)
+    members["manifest-0.avro"] = _avro_container(
+        _ICEBERG_MAN_MP_SCHEMA, rows, seed, codec_avro)
+    ml_rows = [_avro_str("manifest-0.avro")
+               + _avro_zigzag(len(members["manifest-0.avro"]))
+               + _avro_zigzag(0)]
+    members["manifest-list.avro"] = _avro_container(
+        _ICEBERG_ML_V2_SCHEMA, ml_rows, seed, codec_avro)
+    members["metadata.json"] = _json.dumps({
+        "format-version": 2,
+        "current-snapshot-id": 8200 + seed,
+        "snapshots": [
+            {"snapshot-id": 8200 + seed,
+             "manifest-list": "manifest-list.avro"},
+        ],
+        "schema": {"fields": [
+            {"id": 1, "name": "v", "type": "long"}]},
+    }).encode()
+    out = bytearray()
+    for name, data in members.items():
+        out += _tar_member(name, data)
+    out += b"\x00" * 1024
+    return bytes(out)

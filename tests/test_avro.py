@@ -418,3 +418,39 @@ def test_iceberg_eq_single_column_mismatched_scan_column():
                + b"\0" * 1024)
     with pytest.raises(ValueError):
         parse_iceberg_scan_eq(rebuilt, "v")
+
+
+def test_iceberg_metrics_prune_bounds_and_conservative_scan():
+    """Column-metrics pruning: files whose [lower, upper] miss the
+    window are skipped byte-free; a file WITHOUT bounds for the field
+    is conservatively scanned; true bounds keep the matched tallies
+    equal to a full scan's."""
+    from google_analytics_to_s3_spark.operators.iceberg import (
+        parse_iceberg_metrics_prune,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_iceberg_mp_bundle,
+    )
+
+    pruned = False
+    for seed in (0, 1, 5, 999):
+        for w in range(6):
+            lo = w * 100 + 10
+            got = parse_iceberg_metrics_prune(
+                make_iceberg_mp_bundle(seed), "v", lo, lo + 150)
+            fr = mr = ms = 0
+            for f in range(6):
+                overlap = not (100 * f + 79 < lo or 100 * f > lo + 150)
+                if f != 5 and not overlap:
+                    continue
+                fr += 1
+                for i in range(20 + (seed + f) % 10):
+                    v = 100 * f + (seed * 3 + 7 * i) % 80
+                    if lo <= v <= lo + 150:
+                        mr += 1
+                        ms += v
+            assert got == {"files_total": 6, "files_read": fr,
+                           "matched_rows": mr, "matched_sum": ms}
+            if fr < 6:
+                pruned = True
+    assert pruned

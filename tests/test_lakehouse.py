@@ -243,3 +243,32 @@ def test_delta_unsupported_protocol_quarantines():
         "readerFeatures": ["columnMapping", "deletionVectors"]}})
     got = parse_delta_column_mapping(rebuild(ok), "v")
     assert got["n_files"] == 2  # seed 1: nf = 2
+
+
+def test_delta_partition_prune_closed_form_and_tombstone():
+    """Partition pruning evaluates partitionValues strings from the
+    log (the data files lack the column); tombstoned partitions stay
+    out of files_total, and out-of-window files are never read."""
+    from google_analytics_to_s3_spark.operators.lakehouse import (
+        parse_delta_partition_prune,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_delta_pp_bundle,
+    )
+
+    for seed in (0, 1, 5, 12, 999):
+        for lo in (0, 2, 4):
+            got = parse_delta_partition_prune(
+                make_delta_pp_bundle(seed), "v", "p", lo, lo + 3)
+            fr = rec = vs = 0
+            for p in range(8):
+                if p == seed % 8 or not lo <= p <= lo + 3:
+                    continue
+                fr += 1
+                n = 15 + (seed + p) % 10
+                for i in range(n):
+                    rec += 1
+                    vs += (seed * 5 + 7 * p + 3 * i) % 500
+            assert got == {"files_total": 7, "files_read": fr,
+                           "records": rec, "value_sum": vs}, (seed, lo)
+            assert got["files_read"] < got["files_total"]
