@@ -49,7 +49,7 @@ __all__ = ["pb_message", "parse_orc_meta", "decode_orc_meta",
            "decode_orc_string_sum", "orc_read_timestamp_column",
            "orc_read_decimal_column", "decode_orc_ts_dec",
            "orc_read_nested_column", "decode_orc_nested_stats",
-           "decode_orc_ts_utc"]
+           "decode_orc_ts_utc", "decode_orc_union_stats"]
 
 _MAX_SECTION = 64 * 1024 * 1024
 
@@ -524,6 +524,31 @@ def rlev2_decode(data: bytes, count: int, signed: bool) -> list[int]:
     if len(out) != count:
         raise ValueError("orc: RLEv2 produced extra values")
     return out
+
+
+def _byte_rle(data: bytes, n: int) -> list[int]:
+    """ORC Byte RLE (spec §Byte Run Length Encoding) — also the
+    UNION tag stream: header < 128 → run of (h+3) copies of the next
+    byte, else literal run of (256-h) bytes."""
+    out: list[int] = []
+    pos = 0
+    while len(out) < n:
+        if pos >= len(data):
+            raise ValueError("orc: byte-RLE stream underrun")
+        h = data[pos]
+        pos += 1
+        if h < 128:
+            if pos >= len(data):
+                raise ValueError("orc: truncated byte-RLE run")
+            out.extend([data[pos]] * (h + 3))
+            pos += 1
+        else:
+            k = 256 - h
+            if pos + k > len(data):
+                raise ValueError("orc: truncated byte-RLE literals")
+            out.extend(data[pos:pos + k])
+            pos += k
+    return out[:n]
 
 
 def _bool_rle(data: bytes, nbits: int) -> list[int]:
@@ -1211,6 +1236,20 @@ def _stripe_nested_value(data: bytes, meta: dict, st: dict,
                 raise ValueError(
                     "orc: dictionary index out of range") from None
         raise ValueError(f"orc: string encoding {enc_kind} gated")
+    if kind == 13:  # UNION (r13): DATA = byte-RLE tag stream
+        subs = types[col_id]["subtypes"]
+        tags = _byte_rle(streams.get(1, b""), nvals)
+        if any(t >= len(subs) for t in tags):
+            raise ValueError("orc: union tag out of range")
+        counts = [sum(1 for t in tags if t == b)
+                  for b in range(len(subs))]
+        kids = [_stripe_nested_value(data, meta, st, child, cnt)
+                for child, cnt in zip(subs, counts)]
+        its = [iter(k) for k in kids]
+        # the reader surfaces (tag, value) so callers can distinguish
+        # branches whose value spaces overlap
+        vals = [(t, next(its[t])) for t in tags]
+        return weave(vals)
     raise ValueError(f"orc: nested column kind {kind} gated")
 
 
@@ -1348,3 +1387,63 @@ def decode_orc_ts_utc(
 
     return df.select(id_col, payload_col).mapInPandas(
         _run, schema=ORC_TS_UTC_SCHEMA)
+
+
+ORC_UNION_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_rows", LongType()),
+    StructField("n_tag0", LongType()),
+    StructField("long_sum", LongType()),
+    StructField("str_chars", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_orc_union_stats(
+    df: DataFrame, column: str,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over UNION columns (r13): the
+    tag stream routes each row to its branch — tallies of the long
+    branch's sum and the string branch's chars catch tag or slot
+    misrouting; per-payload quarantine, no shuffle."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("n_rows", "n_tag0", "long_sum", "str_chars")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    vals = orc_read_nested_column(bytes(payload),
+                                                  column)
+                    n_tag0 = lsum = chars = 0
+                    for v in vals:
+                        if v is None:
+                            raise ValueError("orc: unexpected null "
+                                             "union slot")
+                        tag, inner = v
+                        if tag == 0:
+                            n_tag0 += 1
+                            lsum += inner
+                        else:
+                            chars += len(inner)
+                    rows["n_rows"].append(len(vals))
+                    rows["n_tag0"].append(n_tag0)
+                    rows["long_sum"].append(lsum)
+                    rows["str_chars"].append(chars)
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, TypeError, KeyError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k], dtype="Int64") for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=ORC_UNION_SCHEMA)

@@ -733,3 +733,65 @@ FROM e
 
 QUERIES_R13["iceberg_metrics_prune"] = q_iceberg_metrics_prune
 ORACLES_R13["iceberg_metrics_prune"] = _ICEBERG_MP_ORACLE
+
+
+def q_orc_scan_unions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC UNION columns driver-checked (r13): the byte-RLE tag
+    stream routes rows between a long branch and a string branch
+    (dense child slots, per the spec) — misrouted tags or slot
+    misalignment shift long_sum/str_chars.  Written by the Apache
+    ORC C++ writer.  Lane id % 10 == 4."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.orc_meta import decode_orc_union_stats
+    from ..testing.fixtures import make_orc_union
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 4
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_orc_union(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_orc_union_stats(payloads, "u").drop("decode_error")
+
+
+_ORC_UNION_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 4
+),
+rows_ AS (
+  SELECT e.event_id,
+         (e.seed + 3*i.i) % 2 AS tag,
+         (e.seed*7 + 5*i.i) % 1000 AS v,
+         1 + (e.seed + i.i) % 3 AS chars
+  FROM e, LATERAL (SELECT unnest(range(0, 60 + e.seed % 40)) AS i) i
+)
+SELECT e.event_id AS doc_id,
+       CAST(60 + e.seed % 40 AS BIGINT) AS n_rows,
+       CAST((SELECT count(*) FROM rows_ r
+              WHERE r.event_id = e.event_id AND r.tag = 0)
+            AS BIGINT) AS n_tag0,
+       CAST((SELECT sum(r.v) FROM rows_ r
+              WHERE r.event_id = e.event_id AND r.tag = 0)
+            AS BIGINT) AS long_sum,
+       CAST((SELECT sum(r.chars) FROM rows_ r
+              WHERE r.event_id = e.event_id AND r.tag = 1)
+            AS BIGINT) AS str_chars
+FROM e
+"""
+
+QUERIES_R13["orc_scan_unions"] = q_orc_scan_unions
+ORACLES_R13["orc_scan_unions"] = _ORC_UNION_ORACLE

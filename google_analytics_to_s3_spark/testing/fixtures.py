@@ -8842,3 +8842,32 @@ def make_iceberg_mp_bundle(seed: int) -> bytes:
         out += _tar_member(name, data)
     out += b"\x00" * 1024
     return bytes(out)
+
+
+@_functools.lru_cache(maxsize=256)
+def make_orc_union(seed: int) -> bytes:
+    """ORC UNION column (kind 13 — long | string branches, tag
+    stream byte-RLE) written by the Apache ORC C++ writer via
+    pyarrow sparse unions, for the ``orc_scan_unions`` driver query.
+
+    Planted rules (row ``i`` of ``n = 60 + seed % 40``): tag
+    ``(seed + 3*i) % 2``; branch 0 value ``(seed*7 + 5*i) % 1000``;
+    branch 1 value ``'x' * (1 + (seed + i) % 3)``; codec
+    UNCOMPRESSED/ZLIB/SNAPPY/ZSTD by ``seed % 4``.
+    """
+    import pyarrow as _pa
+    from pyarrow import orc as _orc
+
+    n = 60 + seed % 40
+    tags = _pa.array([(seed + 3 * i) % 2 for i in range(n)],
+                     _pa.int8())
+    longs = _pa.array([(seed * 7 + 5 * i) % 1000 for i in range(n)],
+                      _pa.int64())
+    strs = _pa.array(["x" * (1 + (seed + i) % 3) for i in range(n)])
+    t = _pa.table({"u": _pa.UnionArray.from_sparse(tags,
+                                                   [longs, strs])})
+    buf = _pa.BufferOutputStream()
+    _orc.write_table(
+        t, buf, compression=["UNCOMPRESSED", "ZLIB", "SNAPPY",
+                             "ZSTD"][seed % 4])
+    return buf.getvalue().to_pybytes()

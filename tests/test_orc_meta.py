@@ -532,3 +532,27 @@ def test_writer_timezone_unknown_zone_named_error():
     data[lo + k:lo + k + 3] = b"XXB"
     with pytest.raises(ValueError, match="timezone"):
         orc_read_timestamp_column(bytes(data), "ts")
+
+
+def test_union_columns_match_orc_cpp():
+    """UNION columns (kind 13): the byte-RLE tag stream routes rows
+    between dense child slots — pinned against pyarrow's own read of
+    the same bytes across codecs."""
+    import pyarrow as pa
+    from pyarrow import orc as pa_orc
+
+    from google_analytics_to_s3_spark.operators.orc_meta import (
+        orc_read_nested_column,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_orc_union,
+    )
+
+    for seed in (0, 1, 2, 3, 5, 12, 999):
+        data = make_orc_union(seed)
+        rb = pa_orc.ORCFile(pa.BufferReader(data)).read()["u"]
+        got = orc_read_nested_column(data, "u")
+        n = 60 + seed % 40
+        tags = [(seed + 3 * i) % 2 for i in range(n)]
+        want = [(t, rb.to_pylist()[i]) for i, t in enumerate(tags)]
+        assert got == want, seed
