@@ -10,7 +10,11 @@ bytes:
   blocks of (record count, byte size, data, sync) with sync markers
   verified; codecs ``null`` and ``deflate`` (raw DEFLATE, stdlib
   zlib) — ``snappy`` blocks (CRC-32 suffixed) via
-  operators/snappy.py; others are named gates.
+  operators/snappy.py, and (r13) ``bzip2`` / ``xz`` / ``zstandard``
+  through the engine's own from-scratch decoders
+  (operators/bzip2.py, operators/xz.py, operators/zstd.py), so one
+  Avro block exercises the full dump-codec family; unknown codec
+  names remain named gates.
 - **Binary encoding**: zigzag-varint int/long, little-endian
   float/double, length-prefixed bytes/string, 1-byte boolean,
   unions (varint branch index), records (field order), enums
@@ -274,6 +278,18 @@ def avro_decode_container(data: bytes) -> tuple[dict, list]:
             want = int.from_bytes(block[-4:], "big")
             if zlib.crc32(payload) & 0xFFFFFFFF != want:
                 raise ValueError("avro: snappy block CRC mismatch")
+        elif codec == "bzip2":
+            from .bzip2 import bzip2_decompress
+
+            payload = bzip2_decompress(block)[0]
+        elif codec == "xz":
+            from .xz import xz_decompress
+
+            payload = xz_decompress(block)[0]
+        elif codec == "zstandard":
+            from .zstd import decompress_zstd
+
+            payload = decompress_zstd(block)
         else:
             raise ValueError(f"avro: codec {codec!r} gated")
         br = _Reader(payload)
@@ -303,7 +319,8 @@ AVRO_META_SCHEMA = StructType([
     StructField("decode_error", StringType()),
 ])
 
-_CODEC_IDS = {"null": 0, "deflate": 1, "snappy": 2}
+_CODEC_IDS = {"null": 0, "deflate": 1, "snappy": 2,
+              "bzip2": 3, "xz": 4, "zstandard": 5}
 
 
 def decode_avro_meta(

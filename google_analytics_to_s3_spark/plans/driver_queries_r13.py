@@ -795,3 +795,68 @@ FROM e
 
 QUERIES_R13["orc_scan_unions"] = q_orc_scan_unions
 ORACLES_R13["orc_scan_unions"] = _ORC_UNION_ORACLE
+
+
+def q_avro_codec_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro heavy-codec containers (r13): the object-container codec
+    gate opens for ``bzip2`` / ``xz`` / ``zstandard`` — each block's
+    payload is produced by an INDEPENDENT real compressor (stdlib
+    bz2, stdlib lzma FORMAT_XZ with CRC32/CRC64/none checks, libzstd
+    via pyarrow) and inverted by the engine's own from-scratch
+    decoders (operators/bzip2.py, xz.py, zstd.py) inside the Avro
+    container walk (operators/avro.py).  The oracle replays record /
+    block / null counts, the nullable-union long sum, and the UTF-8
+    string byte tally in closed form.  Lane id % 10 == 4."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.avro import decode_avro_meta
+    from ..testing.fixtures import make_avro_heavy
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 4
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_avro_heavy(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_avro_meta(payloads, "u", "label").drop("decode_error")
+
+
+_AVRO_HEAVY_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         40 + (event_id % 1000) % 70 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 4
+),
+vals AS (
+  SELECT e.event_id,
+         sum(CASE WHEN i.i % 5 = 4 THEN 0
+                  ELSE (2*e.seed + 7*i.i) % 400 END) AS us,
+         sum(CASE WHEN i.i % 5 = 4 THEN 1 ELSE 0 END) AS nn,
+         sum(2 + length(CAST((e.seed + 2*i.i) % 19 AS VARCHAR))) AS sb
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.n AS BIGINT) AS n_records,
+       CAST((e.n + 19) // 20 AS INTEGER) AS n_blocks,
+       CAST(3 + e.seed % 3 AS INTEGER) AS codec_id,
+       CAST(v.us AS BIGINT) AS long_sum,
+       CAST(v.sb AS BIGINT) AS str_bytes,
+       CAST(v.nn AS BIGINT) AS n_nulls
+FROM e JOIN vals v ON v.event_id = e.event_id
+"""
+
+QUERIES_R13["avro_codec_family"] = q_avro_codec_family
+ORACLES_R13["avro_codec_family"] = _AVRO_HEAVY_ORACLE

@@ -8871,3 +8871,69 @@ def make_orc_union(seed: int) -> bytes:
         t, buf, compression=["UNCOMPRESSED", "ZLIB", "SNAPPY",
                              "ZSTD"][seed % 4])
     return buf.getvalue().to_pybytes()
+
+
+# --------------------------------------------------------------------------
+# Avro heavy-codec containers (r13): the ``avro_codec_family`` driver
+# query.  The COMPRESSORS are independent real producers — stdlib bz2,
+# stdlib lzma (FORMAT_XZ), and libzstd via pyarrow.Codec — so a green
+# row certifies that operators/avro.py's container walk feeds real
+# bzip2/xz/zstandard streams through the engine's own from-scratch
+# decoders (operators/bzip2.py, xz.py, zstd.py) and recovers the
+# planted records exactly.
+
+@_functools.lru_cache(maxsize=1024)
+def make_avro_heavy(seed: int) -> bytes:
+    """Deterministic Avro object container whose codec cycles the
+    r13-opened trio.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - ``n = 40 + seed % 70`` records in blocks of 20
+    - ``id = (seed*11 + 5*i) % 9000`` (long)
+    - ``u`` (nullable long union): NULL when ``i % 5 == 4`` else
+      ``(2*seed + 7*i) % 400``
+    - ``label = 'cx' || (seed + 2*i) % 19`` (string)
+    - codec cycles [bzip2, xz, zstandard] with ``seed % 3``
+    """
+    import bz2 as _bz2
+    import lzma as _lzma
+
+    import pyarrow as _pa
+
+    n = 40 + seed % 70
+    codec = ["bzip2", "xz", "zstandard"][seed % 3]
+    recs = []
+    for i in range(n):
+        row = _avro_zigzag((seed * 11 + 5 * i) % 9000)
+        if i % 5 == 4:
+            row += _avro_zigzag(0)  # union branch 0: null
+        else:
+            row += _avro_zigzag(1) + _avro_zigzag((2 * seed + 7 * i) % 400)
+        row += _avro_str(f"cx{(seed + 2 * i) % 19}")
+        recs.append(row)
+    sync = bytes((seed * 37 + j * 19 + 3) % 256 for j in range(16))
+    out = bytearray(b"Obj\x01")
+    out += _avro_zigzag(2)
+    out += _avro_str("avro.schema") + _avro_str(_AVRO_SCHEMA_JSON)
+    out += _avro_str("avro.codec") + _avro_str(codec)
+    out += _avro_zigzag(0)
+    out += sync
+    for at in range(0, n, 20):
+        chunk = recs[at:at + 20]
+        payload = b"".join(chunk)
+        if codec == "bzip2":
+            payload = _bz2.compress(payload, compresslevel=1 + seed % 9)
+        elif codec == "xz":
+            payload = _lzma.compress(
+                payload, format=_lzma.FORMAT_XZ,
+                preset=seed % 7,
+                check=[_lzma.CHECK_CRC32, _lzma.CHECK_CRC64,
+                       _lzma.CHECK_NONE][seed % 3])
+        else:
+            payload = _pa.Codec(
+                "zstd", compression_level=[1, 3, 9][seed % 3]
+            ).compress(payload, asbytes=True)
+        out += _avro_zigzag(len(chunk)) + _avro_zigzag(len(payload))
+        out += payload + sync
+    return bytes(out)

@@ -454,3 +454,45 @@ def test_iceberg_metrics_prune_bounds_and_conservative_scan():
             if fr < 6:
                 pruned = True
     assert pruned
+
+
+# --------------------------------------------------------------------------
+# r13: heavy-codec containers — bzip2 / xz / zstandard blocks produced
+# by stdlib bz2, stdlib lzma, and libzstd (pyarrow), inverted by the
+# engine's own from-scratch decoders inside the container walk.
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 70, 711, 999])
+def test_container_heavy_codecs(seed):
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_avro_heavy,
+    )
+
+    info, recs = avro_decode_container(make_avro_heavy(seed))
+    n = 40 + seed % 70
+    assert len(recs) == n
+    assert info["n_blocks"] == (n + 19) // 20
+    assert info["codec"] == ["bzip2", "xz", "zstandard"][seed % 3]
+    for i, rec in enumerate(recs):
+        assert rec["id"] == (seed * 11 + 5 * i) % 9000
+        assert rec["u"] == (None if i % 5 == 4
+                            else (2 * seed + 7 * i) % 400)
+        assert rec["label"] == f"cx{(seed + 2 * i) % 19}"
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_container_heavy_codec_corrupt_block_named(seed):
+    """A flipped byte inside a compressed block surfaces as a named
+    ValueError (checksum / stream error), never silent wrong data.
+    bzip2 (block CRC) and xz (CRC64 check) only — a zstd frame from
+    pyarrow carries no content checksum, so corruption there is the
+    format's documented blind spot, not the decoder's."""
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_avro_heavy,
+    )
+
+    raw = bytearray(make_avro_heavy(seed))
+    # flip a byte ~24 bytes before the end: inside the final block's
+    # compressed payload (the trailing 16 bytes are the sync marker)
+    raw[-24] ^= 0x5A
+    with pytest.raises(ValueError):
+        avro_decode_container(bytes(raw))
