@@ -47,7 +47,10 @@ __all__ = ["parse_iceberg_snapshot", "decode_iceberg_snapshot",
            "parse_iceberg_scan_deletes", "decode_iceberg_scan_deletes",
            "parse_iceberg_scan_eq", "decode_iceberg_scan_eq",
            "parse_iceberg_metrics_prune",
-           "decode_iceberg_metrics_prune"]
+           "decode_iceberg_metrics_prune",
+           "parse_iceberg_time_travel", "decode_iceberg_time_travel",
+           "murmur3_32", "iceberg_bucket",
+           "parse_iceberg_bucket_prune", "decode_iceberg_bucket_prune"]
 
 
 def parse_iceberg_snapshot(bundle: bytes) -> dict:
@@ -731,6 +734,319 @@ def decode_iceberg_metrics_prune(
                     rows["decode_error"].append(None)
                 except (ValueError, IndexError, KeyError, TypeError,
                         AttributeError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k],
+                                dtype="Int32" if k in i32 else "Int64")
+                   for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Time travel (r13) — snapshot resolution via the snapshot log.
+#
+# The spec's `snapshot-log` is the table's linear history:
+# [{timestamp-ms, snapshot-id}] appended per commit.  A
+# `TIMESTAMP AS OF t` read resolves the LATEST log entry with
+# timestamp-ms <= t and scans THAT snapshot's manifest list — the
+# current snapshot must not leak in.
+
+def parse_iceberg_time_travel(bundle: bytes, column: str,
+                              as_of_ts: int) -> dict:
+    """Walk an Iceberg bundle AS OF ``as_of_ts`` (epoch millis):
+    resolve the snapshot through ``snapshot-log``, then scan that
+    snapshot's data files through the engine's own parquet reader,
+    summing ``column``."""
+    from .parquet_raw import parquet_read_column
+
+    files = {m["name"]: m["data"] for m in parse_tar(bundle)}
+    meta_raw = files.get("metadata.json")
+    if meta_raw is None:
+        raise ValueError("iceberg: bundle missing metadata.json")
+    meta = json.loads(meta_raw)
+    log = meta.get("snapshot-log") or []
+    resolved_id = None
+    for entry in log:
+        ts = entry.get("timestamp-ms")
+        if not isinstance(ts, int):
+            raise ValueError("iceberg: snapshot-log entry lacks "
+                             "timestamp-ms")
+        if ts <= as_of_ts:
+            resolved_id = entry.get("snapshot-id")
+    if resolved_id is None:
+        raise ValueError("iceberg: timestamp precedes table history")
+    snap = next((s for s in meta.get("snapshots", [])
+                 if s.get("snapshot-id") == resolved_id), None)
+    if snap is None:
+        raise ValueError("iceberg: resolved snapshot id not found")
+    ml_raw = files.get(snap.get("manifest-list"))
+    if ml_raw is None:
+        raise ValueError("iceberg: manifest list missing")
+    _, ml_entries = avro_decode_container(ml_raw)
+    n_files = 0
+    records = 0
+    value_sum = 0
+    for entry in ml_entries:
+        man_raw = files.get(entry.get("manifest_path"))
+        if man_raw is None:
+            raise ValueError("iceberg: manifest missing")
+        _, man_entries = avro_decode_container(man_raw)
+        for me in man_entries:
+            if me.get("status") == 2:
+                continue
+            df = me.get("data_file") or {}
+            blob = files.get(df.get("file_path"))
+            if blob is None:
+                raise ValueError("iceberg: data file missing")
+            n_files += 1
+            for v in parquet_read_column(blob, column):
+                records += 1
+                if v is not None:
+                    value_sum += v
+    return {
+        "resolved_snapshot": resolved_id,
+        "n_snapshots": len(meta.get("snapshots", [])),
+        "n_files": n_files,
+        "records": records,
+        "value_sum": value_sum,
+    }
+
+
+def decode_iceberg_time_travel(
+    df: DataFrame, column: str, ts_base: int, ts_step: int,
+    n_points: int,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over
+    :func:`parse_iceberg_time_travel` — per document the as-of
+    instant is ``ts_base + ts_step*(doc_id % n_points) +
+    ts_step//2``; per-bundle quarantine, no shuffle."""
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("resolved_snapshot", LongType()),
+        StructField("n_snapshots", IntegerType()),
+        StructField("n_files", IntegerType()),
+        StructField("records", LongType()),
+        StructField("value_sum", LongType()),
+        StructField("decode_error", StringType()),
+    ])
+    cols = ("resolved_snapshot", "n_snapshots", "n_files",
+            "records", "value_sum")
+    i32 = {"n_snapshots", "n_files"}
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                as_of = (ts_base + ts_step * (int(doc_id) % n_points)
+                         + ts_step // 2)
+                try:
+                    r = parse_iceberg_time_travel(
+                        bytes(payload), column, as_of)
+                    for k in cols:
+                        rows[k].append(r[k])
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, KeyError,
+                        TypeError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k],
+                                dtype="Int32" if k in i32 else "Int64")
+                   for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Bucket-transform partition pruning (r13).
+#
+# Iceberg's `bucket[N]` partition transform (spec §Partition
+# Transforms + Appendix B): the partition value is
+# `(murmur3_x86_32(serialized v) & Integer.MAX_VALUE) % N`, where
+# int/long sources serialize as 8-byte little-endian (ints hash as
+# longs so the transform is widening-stable).  A point lookup
+# `v = t` plans ONLY the files whose partition tuple carries
+# bucket(t) — the hash function is part of the on-disk contract, so
+# a reader with the wrong murmur3 plans the wrong file set and finds
+# zero matches (the oracle's multiplicity check catches exactly
+# that).
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 (public domain algorithm; Iceberg Appendix B
+    requires it with seed 0).  Returns a SIGNED 32-bit int, matching
+    Java's int so the `& Integer.MAX_VALUE` idiom reads literally."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    for off in range(0, n - 3, 4):
+        k = int.from_bytes(data[off:off + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = n & ~3
+    k = 0
+    rem = n - tail
+    if rem >= 3:
+        k ^= data[tail + 2] << 16
+    if rem >= 2:
+        k ^= data[tail + 1] << 8
+    if rem >= 1:
+        k ^= data[tail]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def iceberg_bucket(value: int, n_buckets: int) -> int:
+    """`bucket[N]` of an int/long value per the Iceberg spec:
+    murmur3_x86_32 over the 8-byte little-endian two's-complement
+    serialization, `& Integer.MAX_VALUE`, `% N`."""
+    raw = (value & ((1 << 64) - 1)).to_bytes(8, "little")
+    return (murmur3_32(raw) & 0x7FFFFFFF) % n_buckets
+
+
+def parse_iceberg_bucket_prune(bundle: bytes, column: str,
+                               target: int) -> dict:
+    """Point-lookup scan planning over a bucket-partitioned Iceberg
+    table: read the default partition spec, compute ``bucket(target)``
+    with the spec's murmur3, and scan ONLY manifest entries whose
+    partition tuple matches — pruned files' bytes are never
+    touched."""
+    from .parquet_raw import parquet_read_column
+
+    files = {m["name"]: m["data"] for m in parse_tar(bundle)}
+    meta_raw = files.get("metadata.json")
+    if meta_raw is None:
+        raise ValueError("iceberg: bundle missing metadata.json")
+    meta = json.loads(meta_raw)
+    spec_id = meta.get("default-spec-id", 0)
+    spec = next((s for s in meta.get("partition-specs", [])
+                 if s.get("spec-id") == spec_id), None)
+    if spec is None:
+        raise ValueError("iceberg: default partition spec missing")
+    pfields = spec.get("fields") or []
+    if len(pfields) != 1:
+        raise ValueError("iceberg: multi-field partition spec gated")
+    pf = pfields[0]
+    tr = pf.get("transform") or ""
+    if not (tr.startswith("bucket[") and tr.endswith("]")):
+        raise ValueError(f"iceberg: transform {tr!r} gated")
+    n_buckets = int(tr[len("bucket["):-1])
+    if n_buckets <= 0:
+        raise ValueError("iceberg: bad bucket count")
+    field_id = next((f.get("id") for f in
+                     (meta.get("schema") or {}).get("fields", [])
+                     if f.get("name") == column), None)
+    if pf.get("source-id") != field_id:
+        raise ValueError("iceberg: partition source is not the "
+                         "lookup column")
+    pname = pf.get("name")
+    want = iceberg_bucket(target, n_buckets)
+    cur = meta.get("current-snapshot-id")
+    snap = next((s for s in meta.get("snapshots", [])
+                 if s.get("snapshot-id") == cur), None)
+    if snap is None:
+        raise ValueError("iceberg: current snapshot id not found")
+    ml_raw = files.get(snap.get("manifest-list"))
+    if ml_raw is None:
+        raise ValueError("iceberg: manifest list missing")
+    _, ml_entries = avro_decode_container(ml_raw)
+    files_total = files_read = 0
+    matched_rows = 0
+    matched_sum = 0
+    for entry in ml_entries:
+        man_raw = files.get(entry.get("manifest_path"))
+        if man_raw is None:
+            raise ValueError("iceberg: manifest missing")
+        _, man_entries = avro_decode_container(man_raw)
+        for me in man_entries:
+            if me.get("status") == 2:
+                continue
+            df = me.get("data_file") or {}
+            files_total += 1
+            part = df.get("partition") or {}
+            b = part.get(pname)
+            if not isinstance(b, int):
+                raise ValueError("iceberg: partition tuple missing "
+                                 f"{pname!r}")
+            if b != want:
+                continue  # pruned: file bytes never touched
+            blob = files.get(df.get("file_path"))
+            if blob is None:
+                raise ValueError("iceberg: data file missing")
+            files_read += 1
+            for v in parquet_read_column(blob, column):
+                if v == target:
+                    matched_rows += 1
+                    matched_sum += v
+    return {
+        "files_total": files_total,
+        "files_read": files_read,
+        "matched_rows": matched_rows,
+        "matched_sum": matched_sum,
+    }
+
+
+def decode_iceberg_bucket_prune(
+    df: DataFrame, column: str, target_mul: int, target_mod: int,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over
+    :func:`parse_iceberg_bucket_prune` — per document the lookup
+    target is ``2*((doc_id*target_mul) % target_mod)`` (the fixture's
+    planted-even domain); per-bundle quarantine, no shuffle."""
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("files_total", IntegerType()),
+        StructField("files_read", IntegerType()),
+        StructField("matched_rows", LongType()),
+        StructField("matched_sum", LongType()),
+        StructField("decode_error", StringType()),
+    ])
+    cols = ("files_total", "files_read", "matched_rows", "matched_sum")
+    i32 = {"files_total", "files_read"}
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                t = 2 * ((int(doc_id) * target_mul) % target_mod)
+                try:
+                    r = parse_iceberg_bucket_prune(
+                        bytes(payload), column, t)
+                    for k in cols:
+                        rows[k].append(r[k])
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, KeyError,
+                        TypeError) as e:
                     for k in cols:
                         rows[k].append(None)
                     rows["decode_error"].append(str(e))

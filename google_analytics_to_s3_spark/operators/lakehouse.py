@@ -39,7 +39,8 @@ __all__ = ["delta_log_snapshot", "parse_delta_checkpoint",
            "decode_delta_scan_dv", "parse_delta_column_mapping",
            "decode_delta_column_mapping",
            "parse_delta_partition_prune",
-           "decode_delta_partition_prune"]
+           "decode_delta_partition_prune",
+           "parse_delta_time_travel", "decode_delta_time_travel"]
 
 _ACTION_SCHEMA = ("add struct<path:string,size:bigint,"
                   "dataChange:boolean>, "
@@ -677,6 +678,160 @@ def decode_delta_partition_prune(
                 try:
                     r = parse_delta_partition_prune(
                         bytes(payload), column, part_col, lo, lo + 3)
+                    for k in cols:
+                        rows[k].append(r[k])
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, KeyError,
+                        TypeError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k],
+                                dtype="Int32" if k in i32 else "Int64")
+                   for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Time travel (r13) — version resolution by commit timestamp.
+#
+# Delta's `VERSION AS OF` / `TIMESTAMP AS OF` (PROTOCOL.md + the
+# delta.io time-travel docs): a timestamp query resolves to the
+# LATEST commit whose commitInfo timestamp is <= the requested
+# instant, then reads the snapshot folded at that version — later
+# commits must not leak into the scan.  A reader that folds the whole
+# log (ignoring the as-of bound) returns today's table, which the
+# oracle distinguishes whenever any file was added or removed after
+# the resolved version.
+
+def parse_delta_time_travel(bundle: bytes, column: str,
+                            as_of_ts: int) -> dict:
+    """Fold a Delta log bundle AS OF ``as_of_ts`` (epoch millis):
+    resolve the version via commitInfo timestamps, replay add/remove
+    actions up to it, and scan the live files' parquet bytes through
+    the engine's own reader, summing ``column``."""
+    import json
+
+    from .parquet_raw import parquet_read_column
+    from .tar import parse_tar
+
+    files = {m["name"]: m["data"] for m in parse_tar(bundle)}
+    commits: list[tuple[int, bytes]] = []
+    for name, data in files.items():
+        if not name.startswith("_delta_log/") \
+                or not name.endswith(".json"):
+            continue
+        stem = name[len("_delta_log/"):-len(".json")]
+        if stem.isdigit():
+            commits.append((int(stem), data))
+    commits.sort()
+    if not commits:
+        raise ValueError("delta: bundle has no commits")
+    # resolve: latest version whose commitInfo.timestamp <= as_of_ts
+    resolved = None
+    for v, data in commits:
+        ts = None
+        for line in data.splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            ci = a.get("commitInfo")
+            if ci is not None:
+                ts = ci.get("timestamp")
+                break
+        if not isinstance(ts, int):
+            raise ValueError(f"delta: commit {v} lacks commitInfo "
+                             "timestamp")
+        if ts <= as_of_ts:
+            resolved = v
+    if resolved is None:
+        raise ValueError("delta: timestamp precedes first commit")
+    state: dict[str, dict] = {}
+    for v, data in commits:
+        if v > resolved:
+            break
+        for line in data.splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if a.get("add"):
+                state[a["add"]["path"]] = a["add"]
+            elif a.get("remove"):
+                state.pop(a["remove"]["path"], None)
+    records = 0
+    value_sum = 0
+    live_bytes = 0
+    for path, add in state.items():
+        blob = files.get(path)
+        if blob is None:
+            raise ValueError(f"delta: data file {path!r} missing")
+        live_bytes += add.get("size") or 0
+        for v in parquet_read_column(blob, column):
+            records += 1
+            if v is not None:
+                value_sum += v
+    return {
+        "resolved_version": resolved,
+        "last_version": commits[-1][0],
+        "n_live_files": len(state),
+        "live_bytes": live_bytes,
+        "records": records,
+        "value_sum": value_sum,
+    }
+
+
+def decode_delta_time_travel(
+    df: DataFrame, column: str, ts_base: int, ts_step: int,
+    n_versions: int,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over
+    :func:`parse_delta_time_travel` — each document's as-of instant
+    is ``ts_base + ts_step*(doc_id % n_versions) + ts_step//2``
+    (mid-commit, so resolution must round DOWN); per-bundle
+    quarantine, no shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("resolved_version", IntegerType()),
+        StructField("last_version", IntegerType()),
+        StructField("n_live_files", IntegerType()),
+        StructField("live_bytes", LongType()),
+        StructField("records", LongType()),
+        StructField("value_sum", LongType()),
+        StructField("decode_error", StringType()),
+    ])
+    cols = ("resolved_version", "last_version", "n_live_files",
+            "live_bytes", "records", "value_sum")
+    i32 = {"resolved_version", "last_version", "n_live_files"}
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                as_of = (ts_base + ts_step * (int(doc_id) % n_versions)
+                         + ts_step // 2)
+                try:
+                    r = parse_delta_time_travel(
+                        bytes(payload), column, as_of)
                     for k in cols:
                         rows[k].append(r[k])
                     rows["decode_error"].append(None)

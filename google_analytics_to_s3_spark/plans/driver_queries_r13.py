@@ -860,3 +860,211 @@ FROM e JOIN vals v ON v.event_id = e.event_id
 
 QUERIES_R13["avro_codec_family"] = q_avro_codec_family
 ORACLES_R13["avro_codec_family"] = _AVRO_HEAVY_ORACLE
+
+
+def q_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta TIMESTAMP AS OF (r13): six timestamped commits per
+    bundle; each document resolves a mid-commit instant to its
+    version (round DOWN per the protocol), folds add/remove actions
+    only up to it, and scans the surviving files' parquet bytes with
+    the engine's own reader (operators/lakehouse.py:
+    parse_delta_time_travel).  A reader that folds the whole log
+    returns today's live set and misses every planted
+    resolved-version row.  Lane id % 10 == 5."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.lakehouse import decode_delta_time_travel
+    from ..testing.fixtures import (
+        _DELTA_TT_BASE,
+        _DELTA_TT_STEP,
+        _DELTA_TT_VERSIONS,
+        make_delta_tt_bundle,
+    )
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 5
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_delta_tt_bundle(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_delta_time_travel(
+        payloads, "x", _DELTA_TT_BASE, _DELTA_TT_STEP,
+        _DELTA_TT_VERSIONS).drop("live_bytes", "decode_error")
+
+
+_DELTA_TT_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed, event_id % 6 AS r
+  FROM events WHERE event_id % {_FLAC_MOD} = 5
+),
+live AS (
+  SELECT e.event_id, e.seed, e.r, v.v, 10 + (e.seed + v.v) % 6 AS n
+  FROM e, LATERAL (SELECT unnest(range(0, e.r + 1)) AS v) v
+  WHERE NOT (v.v + 2 <= e.r AND (e.seed + v.v + 2) % 3 = 0)
+),
+vals AS (
+  SELECT l.event_id,
+         count(DISTINCT l.v) AS nf,
+         count(*) AS recs,
+         sum((l.seed*3 + 5*l.v + 7*i.i) % 400) AS vs
+  FROM live l, LATERAL (SELECT unnest(range(0, l.n)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.r AS INTEGER) AS resolved_version,
+       CAST(5 AS INTEGER) AS last_version,
+       CAST(v.nf AS INTEGER) AS n_live_files,
+       CAST(v.recs AS BIGINT) AS records,
+       CAST(v.vs AS BIGINT) AS value_sum
+FROM e JOIN vals v ON v.event_id = e.event_id
+"""
+
+QUERIES_R13["delta_time_travel"] = q_delta_time_travel
+ORACLES_R13["delta_time_travel"] = _DELTA_TT_ORACLE
+
+
+def q_iceberg_time_travel(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Iceberg TIMESTAMP AS OF (r13): the bundle's ``snapshot-log``
+    holds five timestamped history entries; each document resolves a
+    mid-step instant to its snapshot ordinal, walks THAT snapshot's
+    manifest list (not the current one), and scans its files through
+    the engine's own Avro + parquet byte paths
+    (operators/iceberg.py:parse_iceberg_time_travel).  Snapshots
+    both add files and drop one (ordinal s drops file s-2 on even
+    seed+s), so reading the current snapshot fails the oracle in
+    both directions.  Lane id % 10 == 6."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.iceberg import decode_iceberg_time_travel
+    from ..testing.fixtures import (
+        _ICEBERG_TT_BASE,
+        _ICEBERG_TT_SNAPSHOTS,
+        _ICEBERG_TT_STEP,
+        make_iceberg_tt_bundle,
+    )
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 6
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_iceberg_tt_bundle(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_iceberg_time_travel(
+        payloads, "x", _ICEBERG_TT_BASE, _ICEBERG_TT_STEP,
+        _ICEBERG_TT_SNAPSHOTS).drop("decode_error")
+
+
+_ICEBERG_TT_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed, event_id % 5 AS r
+  FROM events WHERE event_id % {_FLAC_MOD} = 6
+),
+live AS (
+  SELECT e.event_id, e.seed, f.f, 12 + (e.seed + f.f) % 5 AS n
+  FROM e, LATERAL (SELECT unnest(range(0, e.r + 1)) AS f) f
+  WHERE NOT (f.f = e.r - 2 AND (e.seed + e.r) % 2 = 0)
+),
+vals AS (
+  SELECT l.event_id,
+         count(DISTINCT l.f) AS nf,
+         count(*) AS recs,
+         sum((l.seed*5 + 3*l.f + 11*i.i) % 300) AS vs
+  FROM live l, LATERAL (SELECT unnest(range(0, l.n)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(9000 + e.r AS BIGINT) AS resolved_snapshot,
+       CAST(5 AS INTEGER) AS n_snapshots,
+       CAST(v.nf AS INTEGER) AS n_files,
+       CAST(v.recs AS BIGINT) AS records,
+       CAST(v.vs AS BIGINT) AS value_sum
+FROM e JOIN vals v ON v.event_id = e.event_id
+"""
+
+QUERIES_R13["iceberg_time_travel"] = q_iceberg_time_travel
+ORACLES_R13["iceberg_time_travel"] = _ICEBERG_TT_ORACLE
+
+
+def q_iceberg_bucket_prune(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Iceberg bucket[4] partition pruning (r13): a point lookup
+    hashes the target with the SPEC's murmur3_x86_32 (pinned against
+    Appendix B's hash(34L)=2017239379 in tests/test_iceberg.py) and
+    plans ONLY the matching bucket's file — files_read is 1 of 4 and
+    the planted multiplicity k = 1 + seed % 3 of the (even) target
+    value proves the RIGHT file was read: the fixture routes values
+    with an independently re-coded murmur3, so a hash bug reads a
+    wrong bucket and tallies zero matches.  Lane id % 10 == 8."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.iceberg import decode_iceberg_bucket_prune
+    from ..testing.fixtures import (
+        _ICEBERG_BK_MOD,
+        _ICEBERG_BK_MUL,
+        make_iceberg_bucket_bundle,
+    )
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 8
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_iceberg_bucket_bundle(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_iceberg_bucket_prune(
+        payloads, "v", _ICEBERG_BK_MUL,
+        _ICEBERG_BK_MOD).drop("decode_error")
+
+
+_ICEBERG_BK_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         2 * ((event_id * 7) % 500) AS t
+  FROM events WHERE event_id % {_FLAC_MOD} = 8
+)
+SELECT event_id AS doc_id,
+       CAST(4 AS INTEGER) AS files_total,
+       CAST(1 AS INTEGER) AS files_read,
+       CAST(1 + seed % 3 AS BIGINT) AS matched_rows,
+       CAST((1 + seed % 3) * t AS BIGINT) AS matched_sum
+FROM e
+"""
+
+QUERIES_R13["iceberg_bucket_prune"] = q_iceberg_bucket_prune
+ORACLES_R13["iceberg_bucket_prune"] = _ICEBERG_BK_ORACLE

@@ -8937,3 +8937,269 @@ def make_avro_heavy(seed: int) -> bytes:
         out += _avro_zigzag(len(chunk)) + _avro_zigzag(len(payload))
         out += payload + sync
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Delta time travel (r13): the ``delta_time_travel`` driver query.
+# Data files are written by parquet-cpp (pyarrow); the log's
+# commitInfo timestamps are the resolution input.
+
+_DELTA_TT_BASE = 1_700_000_000_000
+_DELTA_TT_STEP = 60_000
+_DELTA_TT_VERSIONS = 6
+
+
+@_functools.lru_cache(maxsize=1024)
+def make_delta_tt_bundle(seed: int) -> bytes:
+    """Delta log bundle with six timestamped commits for time travel.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - commit ``v`` (0..5) has ``commitInfo.timestamp =
+      1_700_000_000_000 + 60_000*v`` and adds file ``d<v>.parquet``
+      with ``n = 10 + (seed+v) % 6`` rows of
+      ``x = (seed*3 + 5*v + 7*i) % 400``
+    - commit ``v >= 2`` ALSO removes ``d<v-2>.parquet`` when
+      ``(seed+v) % 3 == 0`` — so the live set AS OF version R is
+      ``{v <= R : NOT (v+2 <= R AND (seed+v+2) % 3 == 0)}``
+    - codec snappy/zstd by ``(seed + v) % 2``
+    """
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    members: "dict[str, bytes]" = {}
+    out = bytearray()
+    for v in range(_DELTA_TT_VERSIONS):
+        n = 10 + (seed + v) % 6
+        vals = [(seed * 3 + 5 * v + 7 * i) % 400 for i in range(n)]
+        buf = _pa.BufferOutputStream()
+        _pq.write_table(
+            _pa.table({"x": _pa.array(vals, _pa.int64())}), buf,
+            compression=["snappy", "zstd"][(seed + v) % 2])
+        blob = buf.getvalue().to_pybytes()
+        name = f"d{v}.parquet"
+        members[name] = blob
+        lines = [_json.dumps({"commitInfo": {
+            "timestamp": _DELTA_TT_BASE + _DELTA_TT_STEP * v,
+            "operation": "WRITE"}})]
+        lines.append(_json.dumps({"add": {
+            "path": name, "size": len(blob), "dataChange": True}}))
+        if v >= 2 and (seed + v) % 3 == 0:
+            lines.append(_json.dumps({"remove": {
+                "path": f"d{v - 2}.parquet",
+                "deletionTimestamp": _DELTA_TT_BASE
+                + _DELTA_TT_STEP * v}}))
+        out += _tar_member(f"_delta_log/{v:020d}.json",
+                           ("\n".join(lines) + "\n").encode())
+    for name, blob in members.items():
+        out += _tar_member(name, blob)
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Iceberg time travel (r13): the ``iceberg_time_travel`` driver query.
+
+_ICEBERG_TT_BASE = 3_000_000_000_000
+_ICEBERG_TT_STEP = 1_000
+_ICEBERG_TT_SNAPSHOTS = 5
+
+
+@_functools.lru_cache(maxsize=1024)
+def make_iceberg_tt_bundle(seed: int) -> bytes:
+    """Iceberg bundle with five snapshots + ``snapshot-log`` history.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - snapshot ordinal ``s`` (0..4): id ``9000+s``, log timestamp
+      ``3e12 + 1000*s``; its manifest lists files
+      ``{f <= s : NOT (f == s-2 AND (seed+s) % 2 == 0)}``
+    - file ``f``: ``n = 12 + (seed+f) % 5`` rows of
+      ``x = (seed*5 + 3*f + 11*i) % 300``
+    - parquet codec snappy/zstd by ``(seed+f) % 2``; avro deflate on
+      odd seeds
+    """
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    codec_avro = "deflate" if seed % 2 else "null"
+    members: "dict[str, bytes]" = {}
+    blobs: "dict[int, bytes]" = {}
+    for f in range(_ICEBERG_TT_SNAPSHOTS):
+        n = 12 + (seed + f) % 5
+        vals = [(seed * 5 + 3 * f + 11 * i) % 300 for i in range(n)]
+        buf = _pa.BufferOutputStream()
+        _pq.write_table(
+            _pa.table({"x": _pa.array(vals, _pa.int64())}), buf,
+            compression=["snappy", "zstd"][(seed + f) % 2])
+        blobs[f] = buf.getvalue().to_pybytes()
+        members[f"data/t{f}.parquet"] = blobs[f]
+    snapshots = []
+    slog = []
+    for s in range(_ICEBERG_TT_SNAPSHOTS):
+        live = [f for f in range(s + 1)
+                if not (f == s - 2 and (seed + s) % 2 == 0)]
+        rows = []
+        for f in live:
+            n = 12 + (seed + f) % 5
+            body = _avro_zigzag(1)  # status ADDED
+            body += _avro_str(f"data/t{f}.parquet")
+            body += _avro_zigzag(n)
+            body += _avro_zigzag(len(blobs[f]))
+            rows.append(body)
+        man = _avro_container(_ICEBERG_MAN_SCHEMA, rows, seed + s,
+                              codec_avro)
+        members[f"manifest-s{s}.avro"] = man
+        ml_rows = [_avro_str(f"manifest-s{s}.avro")
+                   + _avro_zigzag(len(man))]
+        members[f"ml-s{s}.avro"] = _avro_container(
+            _ICEBERG_ML_SCHEMA, ml_rows, seed + s, codec_avro)
+        snapshots.append({"snapshot-id": 9000 + s,
+                          "manifest-list": f"ml-s{s}.avro"})
+        slog.append({"timestamp-ms": _ICEBERG_TT_BASE
+                     + _ICEBERG_TT_STEP * s,
+                     "snapshot-id": 9000 + s})
+    members["metadata.json"] = _json.dumps({
+        "format-version": 2,
+        "current-snapshot-id": 9000 + _ICEBERG_TT_SNAPSHOTS - 1,
+        "snapshots": snapshots,
+        "snapshot-log": slog,
+        "schema": {"fields": [{"id": 1, "name": "x",
+                               "type": "long"}]},
+    }).encode()
+    out = bytearray()
+    for name, data in members.items():
+        out += _tar_member(name, data)
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Iceberg bucket-transform pruning (r13): the ``iceberg_bucket_prune``
+# driver query.  The fixture carries its OWN murmur3_x86_32 (an
+# independent re-coding of the public algorithm over struct-unpacked
+# words) so a bug in the engine's hash cannot cancel out — the
+# engine would plan the wrong bucket's file and the multiplicity
+# check would read 0.
+
+def _fx_murmur3_32(data: bytes) -> int:
+    h = 0
+    nblocks = len(data) // 4
+    for (k,) in _struct.iter_unpack("<I", data[:nblocks * 4]):
+        k = (k * 0xCC9E2D51) % 4294967296
+        k = ((k << 15) % 4294967296) | (k >> 17)
+        k = (k * 0x1B873593) % 4294967296
+        h ^= k
+        h = ((h << 13) % 4294967296) | (h >> 19)
+        h = (h * 5 + 0xE6546B64) % 4294967296
+    tail = data[nblocks * 4:]
+    if tail:
+        k = int.from_bytes(tail.ljust(4, b"\x00"), "little")
+        k = (k * 0xCC9E2D51) % 4294967296
+        k = ((k << 15) % 4294967296) | (k >> 17)
+        k = (k * 0x1B873593) % 4294967296
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) % 4294967296
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) % 4294967296
+    h ^= h >> 16
+    return h
+
+
+_ICEBERG_BK_N = 4
+_ICEBERG_BK_MUL = 7
+_ICEBERG_BK_MOD = 500
+
+_ICEBERG_MAN_BK_SCHEMA = (
+    '{"type":"record","name":"manifest_entry","fields":['
+    '{"name":"status","type":"int"},'
+    '{"name":"data_file","type":{"type":"record","name":"data_file",'
+    '"fields":['
+    '{"name":"file_path","type":"string"},'
+    '{"name":"partition","type":{"type":"record","name":"r102",'
+    '"fields":[{"name":"v_bucket","type":"int"}]}},'
+    '{"name":"record_count","type":"long"},'
+    '{"name":"file_size_in_bytes","type":"long"}]}}]}'
+)
+
+
+@_functools.lru_cache(maxsize=1024)
+def make_iceberg_bucket_bundle(seed: int) -> bytes:
+    """Bucket-partitioned Iceberg bundle (``bucket[4]`` on long
+    column ``v``; spec-style partition tuple in each manifest
+    entry).
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - base values (all ODD): ``v_j = 2*((seed*11 + 13*j) % 480) + 1``
+      for ``j < 40 + seed % 20``, routed to the file of their bucket
+    - target (EVEN, so never a base value):
+      ``t = 2*((seed*7) % 500)``; its bucket's file carries
+      ``k = 1 + seed % 3`` extra rows of ``t``
+    - parquet codec snappy/zstd by ``(seed + b) % 2``; avro deflate
+      on odd seeds
+    """
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    codec_avro = "deflate" if seed % 2 else "null"
+    per_bucket: "dict[int, list[int]]" = {b: []
+                                          for b in range(_ICEBERG_BK_N)}
+    for j in range(40 + seed % 20):
+        v = 2 * ((seed * 11 + 13 * j) % 480) + 1
+        raw = (v & ((1 << 64) - 1)).to_bytes(8, "little")
+        per_bucket[(_fx_murmur3_32(raw) & 0x7FFFFFFF)
+                   % _ICEBERG_BK_N].append(v)
+    t = 2 * ((seed * _ICEBERG_BK_MUL) % _ICEBERG_BK_MOD)
+    traw = (t & ((1 << 64) - 1)).to_bytes(8, "little")
+    tb = (_fx_murmur3_32(traw) & 0x7FFFFFFF) % _ICEBERG_BK_N
+    per_bucket[tb].extend([t] * (1 + seed % 3))
+    members: "dict[str, bytes]" = {}
+    rows = []
+    for b in range(_ICEBERG_BK_N):
+        vals = per_bucket[b]
+        buf = _pa.BufferOutputStream()
+        _pq.write_table(
+            _pa.table({"v": _pa.array(vals, _pa.int64())}), buf,
+            compression=["snappy", "zstd"][(seed + b) % 2])
+        blob = buf.getvalue().to_pybytes()
+        name = f"data/b{b}.parquet"
+        members[name] = blob
+        body = _avro_zigzag(1)       # status ADDED
+        body += _avro_str(name)
+        body += _avro_zigzag(b)      # partition.v_bucket
+        body += _avro_zigzag(len(vals))
+        body += _avro_zigzag(len(blob))
+        rows.append(body)
+    man = _avro_container(_ICEBERG_MAN_BK_SCHEMA, rows, seed,
+                          codec_avro)
+    members["manifest-bk.avro"] = man
+    ml_rows = [_avro_str("manifest-bk.avro") + _avro_zigzag(len(man))]
+    members["manifest-list.avro"] = _avro_container(
+        _ICEBERG_ML_SCHEMA, ml_rows, seed, codec_avro)
+    members["metadata.json"] = _json.dumps({
+        "format-version": 2,
+        "current-snapshot-id": 7100 + seed,
+        "snapshots": [{"snapshot-id": 7100 + seed,
+                       "manifest-list": "manifest-list.avro"}],
+        "schema": {"fields": [{"id": 1, "name": "v",
+                               "type": "long"}]},
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "v_bucket", "transform":
+             f"bucket[{_ICEBERG_BK_N}]", "source-id": 1,
+             "field-id": 1000}]}],
+    }).encode()
+    out = bytearray()
+    for name, data in members.items():
+        out += _tar_member(name, data)
+    out += b"\x00" * 1024
+    return bytes(out)

@@ -272,3 +272,174 @@ def test_delta_partition_prune_closed_form_and_tombstone():
             assert got == {"files_total": 7, "files_read": fr,
                            "records": rec, "value_sum": vs}, (seed, lo)
             assert got["files_read"] < got["files_total"]
+
+
+# --------------------------------------------------------------------------
+# r13: time travel + bucket pruning.
+
+def test_delta_time_travel_resolution_and_fold():
+    from google_analytics_to_s3_spark.operators.lakehouse import (
+        parse_delta_time_travel,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        _DELTA_TT_BASE,
+        _DELTA_TT_STEP,
+        make_delta_tt_bundle,
+    )
+
+    for seed in (0, 1, 2, 5, 999):
+        for R in range(6):
+            r = parse_delta_time_travel(
+                make_delta_tt_bundle(seed), "x",
+                _DELTA_TT_BASE + _DELTA_TT_STEP * R
+                + _DELTA_TT_STEP // 2)
+            assert r["resolved_version"] == R
+            assert r["last_version"] == 5
+            live = [v for v in range(R + 1)
+                    if not (v + 2 <= R and (seed + v + 2) % 3 == 0)]
+            assert r["n_live_files"] == len(live)
+            assert r["records"] == sum(10 + (seed + v) % 6
+                                       for v in live)
+            assert r["value_sum"] == sum(
+                (seed * 3 + 5 * v + 7 * i) % 400 for v in live
+                for i in range(10 + (seed + v) % 6))
+
+
+def test_delta_time_travel_before_history_named():
+    import pytest as _pytest
+
+    from google_analytics_to_s3_spark.operators.lakehouse import (
+        parse_delta_time_travel,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        _DELTA_TT_BASE,
+        make_delta_tt_bundle,
+    )
+
+    with _pytest.raises(ValueError, match="precedes"):
+        parse_delta_time_travel(make_delta_tt_bundle(3), "x",
+                                _DELTA_TT_BASE - 1)
+
+
+def test_delta_time_travel_exact_boundary_inclusive():
+    """AS OF exactly a commit's timestamp includes that commit
+    (<=, not <)."""
+    from google_analytics_to_s3_spark.operators.lakehouse import (
+        parse_delta_time_travel,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        _DELTA_TT_BASE,
+        _DELTA_TT_STEP,
+        make_delta_tt_bundle,
+    )
+
+    r = parse_delta_time_travel(
+        make_delta_tt_bundle(4), "x",
+        _DELTA_TT_BASE + _DELTA_TT_STEP * 3)
+    assert r["resolved_version"] == 3
+
+
+def test_iceberg_time_travel_snapshot_log():
+    from google_analytics_to_s3_spark.operators.iceberg import (
+        parse_iceberg_time_travel,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        _ICEBERG_TT_BASE,
+        _ICEBERG_TT_STEP,
+        make_iceberg_tt_bundle,
+    )
+
+    for seed in (0, 1, 2, 7, 999):
+        for R in range(5):
+            r = parse_iceberg_time_travel(
+                make_iceberg_tt_bundle(seed), "x",
+                _ICEBERG_TT_BASE + _ICEBERG_TT_STEP * R + 500)
+            assert r["resolved_snapshot"] == 9000 + R
+            live = [f for f in range(R + 1)
+                    if not (f == R - 2 and (seed + R) % 2 == 0)]
+            assert r["n_files"] == len(live)
+            assert r["value_sum"] == sum(
+                (seed * 5 + 3 * f + 11 * i) % 300 for f in live
+                for i in range(12 + (seed + f) % 5))
+
+
+def test_iceberg_time_travel_before_history_named():
+    import pytest as _pytest
+
+    from google_analytics_to_s3_spark.operators.iceberg import (
+        parse_iceberg_time_travel,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        _ICEBERG_TT_BASE,
+        make_iceberg_tt_bundle,
+    )
+
+    with _pytest.raises(ValueError, match="precedes"):
+        parse_iceberg_time_travel(make_iceberg_tt_bundle(0), "x",
+                                  _ICEBERG_TT_BASE - 1)
+
+
+def test_murmur3_spec_vectors():
+    """Pins against PUBLIC vectors: the canonical murmur3_x86_32
+    test values and the Iceberg spec Appendix B bucket-hash example
+    (hash of int/long 34 = 2017239379 — ints hash as 8-byte longs so
+    the transform is widening-stable)."""
+    from google_analytics_to_s3_spark.operators.iceberg import (
+        iceberg_bucket,
+        murmur3_32,
+    )
+
+    assert murmur3_32(b"") == 0
+    assert murmur3_32(b"hello") & 0xFFFFFFFF == 0x248BFA47
+    assert murmur3_32((34).to_bytes(8, "little")) == 2017239379
+    assert iceberg_bucket(34, 16) == 2017239379 % 16
+
+
+def test_iceberg_bucket_prune_point_lookup():
+    from google_analytics_to_s3_spark.operators.iceberg import (
+        parse_iceberg_bucket_prune,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_iceberg_bucket_bundle,
+    )
+
+    for seed in (0, 1, 2, 3, 11, 999):
+        t = 2 * ((seed * 7) % 500)
+        r = parse_iceberg_bucket_prune(
+            make_iceberg_bucket_bundle(seed), "v", t)
+        k = 1 + seed % 3
+        assert r == {"files_total": 4, "files_read": 1,
+                     "matched_rows": k, "matched_sum": k * t}
+
+
+def test_iceberg_bucket_prune_absent_value_reads_one_file():
+    """A lookup for a value present in NO file still reads exactly
+    its bucket's file (planning can't know the value is absent) and
+    tallies zero matches."""
+    from google_analytics_to_s3_spark.operators.iceberg import (
+        parse_iceberg_bucket_prune,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_iceberg_bucket_bundle,
+    )
+
+    # 1000003 is outside both the odd base domain and the even
+    # target domain of every seed
+    r = parse_iceberg_bucket_prune(
+        make_iceberg_bucket_bundle(5), "v", 1000003)
+    assert r["files_read"] == 1 and r["matched_rows"] == 0
+
+
+def test_iceberg_bucket_prune_wrong_column_named():
+    import pytest as _pytest
+
+    from google_analytics_to_s3_spark.operators.iceberg import (
+        parse_iceberg_bucket_prune,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_iceberg_bucket_bundle,
+    )
+
+    with _pytest.raises(ValueError, match="no schema field|source"):
+        parse_iceberg_bucket_prune(
+            make_iceberg_bucket_bundle(0), "nope", 4)
