@@ -1068,3 +1068,77 @@ FROM e
 
 QUERIES_R13["iceberg_bucket_prune"] = q_iceberg_bucket_prune
 ORACLES_R13["iceberg_bucket_prune"] = _ICEBERG_BK_ORACLE
+
+
+def q_hudi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi Copy-on-Write snapshot read (r13) — the lakehouse trio
+    completes next to Delta and Iceberg: the .hoodie timeline is
+    folded to the completed-commit set (an inflight commit's
+    already-written base file carries poison values that must be
+    skipped), base files group by fileId, and ONLY each group's
+    latest completed file slice is scanned through the engine's own
+    parquet reader (operators/hudi.py).  Ignoring the timeline
+    tallies the poison; ignoring slice selection double-counts every
+    rewritten group — the oracle distinguishes both.  Lane
+    id % 10 == 9."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.hudi import decode_hudi_snapshot
+    from ..testing.fixtures import make_hudi_bundle
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 9
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_hudi_bundle(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_hudi_snapshot(payloads, "v").drop("decode_error")
+
+
+_HUDI_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 9
+),
+grp AS (
+  SELECT e.event_id, e.seed, g.g,
+         CASE WHEN (e.seed + g.g) % 2 = 1 THEN 1 ELSE 2 END AS cmax
+  FROM e, LATERAL (SELECT unnest(range(0, 4)) AS g) g
+),
+sl AS (
+  SELECT event_id, seed, g, cmax,
+         8 + (seed + g + cmax) % 5 AS n
+  FROM grp
+),
+vals AS (
+  SELECT s.event_id,
+         count(*) AS recs,
+         sum((s.seed*7 + 11*s.g + 5*s.cmax + 3*i.i) % 600) AS vs
+  FROM sl s, LATERAL (SELECT unnest(range(0, s.n)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(3 AS INTEGER) AS n_commits,
+       CAST(1 AS INTEGER) AS n_pending,
+       CAST(9 AS INTEGER) AS n_base_files,
+       CAST(4 AS INTEGER) AS n_file_groups,
+       CAST(1 AS INTEGER) AS n_skipped_pending,
+       CAST(v.recs AS BIGINT) AS records,
+       CAST(v.vs AS BIGINT) AS value_sum
+FROM e JOIN vals v ON v.event_id = e.event_id
+"""
+
+QUERIES_R13["hudi_snapshot"] = q_hudi_snapshot
+ORACLES_R13["hudi_snapshot"] = _HUDI_ORACLE

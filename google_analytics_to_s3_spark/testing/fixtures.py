@@ -9203,3 +9203,80 @@ def make_iceberg_bucket_bundle(seed: int) -> bytes:
         out += _tar_member(name, data)
     out += b"\x00" * 1024
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Hudi CoW snapshot (r13): the ``hudi_snapshot`` driver query.
+# Base files are written by parquet-cpp (pyarrow); the timeline is
+# the real .hoodie file-per-state layout.
+
+_HUDI_TS0 = 20240101000000000
+
+
+@_functools.lru_cache(maxsize=1024)
+def make_hudi_bundle(seed: int) -> bytes:
+    """Hudi Copy-on-Write table bundle: 3 completed commits + 1
+    inflight (whose already-written base file carries POISON values
+    that must be skipped), 4 file groups, each rewritten by exactly
+    one later commit (copy-on-write file slices).
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - commits ``c = 0,1,2`` complete (timeline keeps their
+      requested/inflight markers too, as real tables do); commit 3
+      is requested+inflight only
+    - commit 0 writes all 4 groups; commit ``c in {1,2}`` rewrites
+      group ``g`` iff ``(seed+g+c) % 2 == 0`` — exactly one of the
+      two, so the latest slice is ``cmax(g) = 1`` if ``(seed+g)``
+      odd else ``2``
+    - slice (g, c): ``n = 8 + (seed+g+c) % 5`` rows of
+      ``v = (seed*7 + 11*g + 5*c + 3*i) % 600``
+    - the inflight file (group 0) holds values ``1_000_000 + i``
+    - parquet codec snappy/zstd by ``(seed + g + c) % 2``
+    """
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    def _pq_bytes(vals, codec):
+        buf = _pa.BufferOutputStream()
+        _pq.write_table(
+            _pa.table({"v": _pa.array(vals, _pa.int64())}), buf,
+            compression=codec)
+        return buf.getvalue().to_pybytes()
+
+    members: "dict[str, bytes]" = {}
+    members[".hoodie/hoodie.properties"] = (
+        b"hoodie.table.name=events_cow\n"
+        b"hoodie.table.type=COPY_ON_WRITE\n"
+        b"hoodie.table.version=6\n")
+    stats: "dict[str, list]" = {}
+    for c in range(3):
+        ts = str(_HUDI_TS0 + c)
+        for g in range(4):
+            if c > 0 and (seed + g + c) % 2 != 0:
+                continue
+            n = 8 + (seed + g + c) % 5
+            vals = [(seed * 7 + 11 * g + 5 * c + 3 * i) % 600
+                    for i in range(n)]
+            name = (f"part={g % 2}/fg{g}-0000_1-0-1_{ts}.parquet")
+            members[name] = _pq_bytes(
+                vals, ["snappy", "zstd"][(seed + g + c) % 2])
+            stats.setdefault(ts, []).append(
+                {"path": name, "numWrites": n})
+        members[f".hoodie/{ts}.commit.requested"] = b""
+        members[f".hoodie/{ts}.inflight"] = b""
+        members[f".hoodie/{ts}.commit"] = _json.dumps(
+            {"partitionToWriteStats": stats[ts],
+             "operationType": "UPSERT"}).encode()
+    ts3 = str(_HUDI_TS0 + 3)
+    members[f".hoodie/{ts3}.commit.requested"] = b""
+    members[f".hoodie/{ts3}.inflight"] = b""
+    members[f"part=0/fg0-0000_1-0-1_{ts3}.parquet"] = _pq_bytes(
+        [1_000_000 + i for i in range(5)], "snappy")
+    out = bytearray()
+    for name, data in members.items():
+        out += _tar_member(name, data)
+    out += b"\x00" * 1024
+    return bytes(out)

@@ -1,0 +1,84 @@
+"""Hudi CoW snapshot reader (operators/hudi.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from google_analytics_to_s3_spark.operators.hudi import (
+    parse_hudi_snapshot,
+)
+from google_analytics_to_s3_spark.testing.fixtures import (
+    _tar_member,
+    make_hudi_bundle,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 9, 42, 999])
+def test_snapshot_planted(seed):
+    r = parse_hudi_snapshot(make_hudi_bundle(seed), "v")
+    assert r["n_commits"] == 3 and r["n_pending"] == 1
+    assert r["n_base_files"] == 9 and r["n_file_groups"] == 4
+    assert r["n_skipped_pending"] == 1
+    recs = vs = 0
+    for g in range(4):
+        cmax = 1 if (seed + g) % 2 == 1 else 2
+        n = 8 + (seed + g + cmax) % 5
+        recs += n
+        vs += sum((seed * 7 + 11 * g + 5 * cmax + 3 * i) % 600
+                  for i in range(n))
+    assert r["records"] == recs and r["value_sum"] == vs
+
+
+def test_poison_guard_actually_poisons():
+    """The inflight file's values are big enough that including it
+    would shift value_sum by >= 5e6 — the oracle's guard is real."""
+    r = parse_hudi_snapshot(make_hudi_bundle(0), "v")
+    assert r["value_sum"] < 1_000_000
+
+
+def test_gated_timeline_actions():
+    raw = make_hudi_bundle(1)
+    extra = _tar_member(
+        ".hoodie/20240101000000009.replacecommit", b"{}")
+    # append before the tar end-of-archive zero blocks
+    data = raw[:-1024] + extra + b"\x00" * 1024
+    with pytest.raises(ValueError, match="gated"):
+        parse_hudi_snapshot(data, "v")
+
+
+def test_mor_table_type_gated():
+    raw = make_hudi_bundle(2)
+    data = raw.replace(b"COPY_ON_WRITE", b"MERGE_ON_READ")
+    with pytest.raises(ValueError, match="gated"):
+        parse_hudi_snapshot(data, "v")
+
+
+def test_orphan_base_file_named():
+    """A base file whose instant is on NO timeline state is a
+    corruption signal, not silently readable."""
+    raw = make_hudi_bundle(3)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    buf = pa.BufferOutputStream()
+    pq.write_table(pa.table({"v": pa.array([1], pa.int64())}), buf)
+    extra = _tar_member(
+        "part=0/zz-0000_1-0-1_20230101000000000.parquet",
+        buf.getvalue().to_pybytes())
+    data = raw[:-1024] + extra + b"\x00" * 1024
+    with pytest.raises(ValueError, match="not on timeline"):
+        parse_hudi_snapshot(data, "v")
+
+
+def test_no_completed_commits_named():
+    raw = make_hudi_bundle(4)
+    # strip the completed-commit members (keep requested/inflight)
+    from google_analytics_to_s3_spark.operators.tar import parse_tar
+    members = [m for m in parse_tar(raw)
+               if not (m["name"].startswith(".hoodie/")
+                       and m["name"].endswith(".commit"))]
+    out = bytearray()
+    for m in members:
+        out += _tar_member(m["name"], m["data"])
+    out += b"\x00" * 1024
+    with pytest.raises(ValueError, match="no completed"):
+        parse_hudi_snapshot(bytes(out), "v")

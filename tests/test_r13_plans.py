@@ -32,6 +32,7 @@ _R13_EXTRACT_QUERIES = [
     "delta_time_travel",
     "iceberg_time_travel",
     "iceberg_bucket_prune",
+    "hudi_snapshot",
 ]
 
 
