@@ -53,7 +53,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["avro_decode_container", "decode_avro_meta"]
+__all__ = ["avro_decode_container", "decode_avro_meta",
+           "decode_avro_evolution"]
 
 _MAX_ITEMS = 10_000_000
 _MAX_DEPTH = 32
@@ -129,11 +130,14 @@ def _resolve_schema(sch, named: dict, depth: int = 0):
         fields = [(f.get("name"),
                    _resolve_schema(f.get("type"), named, depth + 1))
                   for f in sch.get("fields", [])]
-        node = ("record", name, fields)
+        defaults = {f.get("name"): f["default"]
+                    for f in sch.get("fields", []) if "default" in f}
+        node = ("record", name, fields, defaults)
         named[name] = node
         return node
     if t == "enum":
-        node = ("enum", sch.get("name"), list(sch.get("symbols", [])))
+        node = ("enum", sch.get("name"), list(sch.get("symbols", [])),
+                sch.get("default"))
         named[sch.get("name")] = node
         return node
     if t == "fixed":
@@ -216,13 +220,228 @@ def _decode(r: _Reader, node, named: dict, depth: int = 0):
 
 
 # --------------------------------------------------------------------------
+# Schema resolution (r13) — the spec's "Schema Resolution" section.
+#
+# A consumer reads data written under an OLD schema with its own NEW
+# one: fields match by name (writer order drives the byte walk),
+# writer-only fields are decoded-and-discarded, reader-only fields
+# take their declared default (error if none), and the spec's
+# promotions apply (int→long/float/double, long→float/double,
+# float→double, string↔bytes).  Unions resolve by actual branch;
+# a non-union writer against a reader union takes the first
+# matching reader branch; enums fall back to the reader's enum
+# ``default`` symbol (Avro 1.9+) when the writer symbol is gone.
+# This is the RESOLVED-DECODING algorithm (branch identity is known
+# during the byte walk), not a decode-then-coerce approximation.
+
+_PROMOTIONS = {
+    ("int", "long"), ("int", "float"), ("int", "double"),
+    ("long", "float"), ("long", "double"), ("float", "double"),
+    ("string", "bytes"), ("bytes", "string"),
+}
+
+
+def _deref(node, named: dict):
+    while node[0] == "ref":
+        target = named.get(node[1])
+        if target is None:
+            raise ValueError(f"avro: unresolved type {node[1]!r}")
+        node = target
+    return node
+
+
+def _schema_match(w, r, w_named: dict, r_named: dict) -> bool:
+    """Can writer node ``w`` resolve against reader node ``r``?
+    (The spec's compatibility test used for reader-union branch
+    selection.)"""
+    w = _deref(w, w_named)
+    r = _deref(r, r_named)
+    if w[0] == "union" or r[0] == "union":
+        return True  # branch-level checks happen during decode
+    if w[0] != r[0]:
+        return (w[0] == "prim" and r[0] == "prim"
+                and (w[1], r[1]) in _PROMOTIONS)
+    if w[0] == "prim":
+        return w[1] == r[1] or (w[1], r[1]) in _PROMOTIONS
+    if w[0] in ("record", "enum"):
+        return w[1] == r[1]  # full-name match per the spec
+    if w[0] == "fixed":
+        return w[1] == r[1] and w[2] == r[2]
+    return True  # array/map: item compatibility checked recursively
+
+
+def _default_value(node, named: dict, dflt, depth: int = 0):
+    """Materialize a reader field's JSON default per its type
+    (bytes/fixed defaults are JSON strings of codepoints 0-255)."""
+    if depth > _MAX_DEPTH:
+        raise ValueError("avro: default nesting too deep")
+    node = _deref(node, named)
+    kind = node[0]
+    if kind == "union":
+        # the default matches the FIRST branch, per the spec
+        return _default_value(node[1][0], named, dflt, depth + 1)
+    if kind == "prim":
+        t = node[1]
+        if t == "null":
+            return None
+        if t in ("bytes",):
+            return str(dflt).encode("latin-1")
+        if t == "string":
+            return str(dflt)
+        if t in ("float", "double"):
+            return float(dflt)
+        if t == "boolean":
+            return bool(dflt)
+        return int(dflt)
+    if kind == "fixed":
+        return str(dflt).encode("latin-1")
+    if kind == "enum":
+        return str(dflt)
+    if kind == "array":
+        return [_default_value(node[1], named, v, depth + 1)
+                for v in (dflt or [])]
+    if kind == "map":
+        return {k: _default_value(node[1], named, v, depth + 1)
+                for k, v in (dflt or {}).items()}
+    if kind == "record":
+        out = {}
+        defaults = node[3] if len(node) > 3 else {}
+        for fname, fnode in node[2]:
+            if fname not in (dflt or {}) and fname not in defaults:
+                raise ValueError(
+                    f"avro: record default missing field {fname!r}")
+            v = (dflt or {}).get(fname, defaults.get(fname))
+            out[fname] = _default_value(fnode, named, v, depth + 1)
+        return out
+    raise ValueError(f"avro: undecodable default {kind!r}")
+
+
+def _promote(value, wt: str, rt: str):
+    if wt == rt:
+        return value
+    if (wt, rt) not in _PROMOTIONS:
+        raise ValueError(f"avro: cannot resolve writer {wt!r} "
+                         f"against reader {rt!r}")
+    if rt in ("float", "double"):
+        return float(value)
+    if rt == "bytes":
+        return value.encode("utf-8")
+    if rt == "string":
+        return value.decode("utf-8", "replace")
+    return value  # int -> long
+
+
+def _decode_resolved(r: _Reader, w, rd, w_named: dict, r_named: dict,
+                     depth: int = 0):
+    """Decode bytes written under writer node ``w``, shaped by
+    reader node ``rd``."""
+    if depth > _MAX_DEPTH:
+        raise ValueError("avro: value nesting too deep")
+    w = _deref(w, w_named)
+    rd = _deref(rd, r_named)
+    if w[0] == "union":
+        idx = r.long()
+        branches = w[1]
+        if not 0 <= idx < len(branches):
+            raise ValueError("avro: union branch out of range")
+        return _decode_resolved(r, branches[idx], rd, w_named,
+                                r_named, depth + 1)
+    if rd[0] == "union":
+        for branch in rd[1]:
+            if _schema_match(w, branch, w_named, r_named):
+                return _decode_resolved(r, w, branch, w_named,
+                                        r_named, depth + 1)
+        raise ValueError("avro: no matching reader union branch")
+    if w[0] == "prim" and rd[0] == "prim":
+        return _promote(_decode(r, w, w_named, depth + 1), w[1],
+                        rd[1])
+    if w[0] != rd[0]:
+        raise ValueError(f"avro: cannot resolve writer {w[0]!r} "
+                         f"against reader {rd[0]!r}")
+    if w[0] == "record":
+        if w[1] != rd[1]:
+            raise ValueError(f"avro: record name {w[1]!r} does not "
+                             f"match reader {rd[1]!r}")
+        r_fields = dict(rd[2])
+        out: dict = {}
+        for fname, fnode in w[2]:
+            if fname in r_fields:
+                out[fname] = _decode_resolved(
+                    r, fnode, r_fields[fname], w_named, r_named,
+                    depth + 1)
+            else:
+                _decode(r, fnode, w_named, depth + 1)  # skip
+        defaults = rd[3] if len(rd) > 3 else {}
+        w_names = {fname for fname, _ in w[2]}
+        for fname, fnode in rd[2]:
+            if fname in w_names:
+                continue
+            if fname not in defaults:
+                raise ValueError(f"avro: reader field {fname!r} "
+                                 "missing and has no default")
+            out[fname] = _default_value(fnode, r_named,
+                                        defaults[fname], depth + 1)
+        return out
+    if w[0] == "enum":
+        if w[1] != rd[1]:
+            raise ValueError(f"avro: enum name {w[1]!r} does not "
+                             f"match reader {rd[1]!r}")
+        idx = r.long()
+        syms = w[2]
+        if not 0 <= idx < len(syms):
+            raise ValueError("avro: enum index out of range")
+        sym = syms[idx]
+        if sym in rd[2]:
+            return sym
+        edflt = rd[3] if len(rd) > 3 else None
+        if edflt is not None:
+            return edflt
+        raise ValueError(f"avro: enum symbol {sym!r} unknown to "
+                         "reader and no default")
+    if w[0] == "fixed":
+        if w[1] != rd[1] or w[2] != rd[2]:
+            raise ValueError("avro: fixed name/size mismatch")
+        return r.raw(w[2])
+    if w[0] in ("array", "map"):
+        out_l: list = []
+        out_m: dict = {}
+        total = 0
+        while True:
+            n = r.long()
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                r.long()
+            total += n
+            if total > _MAX_ITEMS:
+                raise ValueError("avro: collection too large")
+            for _ in range(n):
+                if w[0] == "map":
+                    k = r.raw(r.long()).decode("utf-8", "replace")
+                    out_m[k] = _decode_resolved(
+                        r, w[1], rd[1], w_named, r_named, depth + 1)
+                else:
+                    out_l.append(_decode_resolved(
+                        r, w[1], rd[1], w_named, r_named, depth + 1))
+        return out_m if w[0] == "map" else out_l
+    raise ValueError(f"avro: undecodable node {w[0]!r}")
+
+
+# --------------------------------------------------------------------------
 # Container.
 
 
-def avro_decode_container(data: bytes) -> tuple[dict, list]:
+def avro_decode_container(
+        data: bytes,
+        reader_schema: str | None = None) -> tuple[dict, list]:
     """Decode an Avro object container → (info, records).  ``info``
     carries the schema JSON, codec name and block count; ``records``
-    are plain Python trees (dicts/lists/primitives)."""
+    are plain Python trees (dicts/lists/primitives).  With
+    ``reader_schema`` (a JSON schema string), records are decoded
+    under the spec's SCHEMA RESOLUTION rules — written bytes walk
+    the embedded writer schema, values take the reader's shape
+    (promotions, dropped writer fields, reader defaults)."""
     r = _Reader(data)
     if r.raw(4) != b"Obj\x01":
         raise ValueError("avro: missing Obj1 magic")
@@ -250,6 +469,15 @@ def avro_decode_container(data: bytes) -> tuple[dict, list]:
     codec = (meta.get("avro.codec") or b"null").decode("ascii", "replace")
     named: dict = {}
     root = _resolve_schema(schema, named)
+    r_named: dict = {}
+    r_root = None
+    if reader_schema is not None:
+        try:
+            r_schema = json.loads(reader_schema)
+        except json.JSONDecodeError as e:
+            raise ValueError(
+                f"avro: bad reader schema JSON ({e})") from None
+        r_root = _resolve_schema(r_schema, r_named)
     records: list = []
     n_blocks = 0
     while r.pos < len(r.data):
@@ -294,7 +522,11 @@ def avro_decode_container(data: bytes) -> tuple[dict, list]:
             raise ValueError(f"avro: codec {codec!r} gated")
         br = _Reader(payload)
         for _ in range(count):
-            records.append(_decode(br, root, named))
+            if r_root is None:
+                records.append(_decode(br, root, named))
+            else:
+                records.append(_decode_resolved(
+                    br, root, r_root, named, r_named))
             if len(records) > _MAX_ITEMS:
                 raise ValueError("avro: too many records")
         if br.pos != len(payload):
@@ -375,3 +607,69 @@ def decode_avro_meta(
 
     return df.select(id_col, payload_col).mapInPandas(
         _run, schema=AVRO_META_SCHEMA)
+
+
+AVRO_EVO_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_records", LongType()),
+    StructField("id_sum", LongType()),
+    StructField("x4_sum", LongType()),
+    StructField("tag_bytes", LongType()),
+    StructField("bonus_sum", LongType()),
+    StructField("u_sum", LongType()),
+    StructField("n_nulls", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_avro_evolution(
+    df: DataFrame, reader_schema: str,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over schema-resolved container
+    decoding: each payload's embedded WRITER schema walks the bytes,
+    ``reader_schema`` shapes the records (promotions int→long /
+    float→double / string→bytes, a dropped writer field, a
+    defaulted reader field, union member promotion)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("n_records", "id_sum", "x4_sum", "tag_bytes",
+                "bonus_sum", "u_sum", "n_nulls")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    _info, recs = avro_decode_container(
+                        bytes(payload), reader_schema=reader_schema)
+                    us = [rec.get("u") for rec in recs]
+                    rows["n_records"].append(len(recs))
+                    rows["id_sum"].append(
+                        sum(rec["id"] for rec in recs))
+                    rows["x4_sum"].append(
+                        sum(int(round(rec["x"] * 4)) for rec in recs))
+                    rows["tag_bytes"].append(
+                        sum(len(rec["tag"]) for rec in recs))
+                    rows["bonus_sum"].append(
+                        sum(rec["bonus"] for rec in recs))
+                    rows["u_sum"].append(
+                        sum(v for v in us if v is not None))
+                    rows["n_nulls"].append(
+                        sum(1 for v in us if v is None))
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, TypeError,
+                        KeyError, AttributeError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k], dtype="Int64")
+                   for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=AVRO_EVO_SCHEMA)

@@ -1142,3 +1142,78 @@ FROM e JOIN vals v ON v.event_id = e.event_id
 
 QUERIES_R13["hudi_snapshot"] = q_hudi_snapshot
 ORACLES_R13["hudi_snapshot"] = _HUDI_ORACLE
+
+
+def q_avro_schema_evolution(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Avro SCHEMA RESOLUTION (r13) — the Kafka-consumer path: each
+    container is written under an outgrown WRITER schema and decoded
+    under the service's current READER schema
+    (operators/avro.py:_decode_resolved, the spec's resolved-decoding
+    algorithm).  One query exercises field reordering (match by
+    name, walk in writer order), int→long + float→double +
+    string→bytes promotions, a dropped writer-only field, a
+    defaulted reader-only field, and union-member promotion — a
+    reader that ignores resolution either crashes on the reordered
+    walk or returns writer-typed values that fail the oracle's
+    sums.  Lane id % 10 == 3."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.avro import decode_avro_evolution
+    from ..testing.fixtures import (
+        _AVRO_READER_SCHEMA_JSON,
+        make_avro_evolved,
+    )
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 3
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_avro_evolved(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_avro_evolution(
+        payloads, _AVRO_READER_SCHEMA_JSON).drop("decode_error")
+
+
+_AVRO_EVO_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         30 + (event_id % 1000) % 50 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 3
+),
+vals AS (
+  SELECT e.event_id,
+         sum((e.seed*13 + 9*i.i) % 8000) AS ids,
+         sum((e.seed + 3*i.i) % 40) AS x4,
+         sum(1 + (e.seed + i.i) % 4) AS tb,
+         sum(CASE WHEN i.i % 7 = 6 THEN 0
+                  ELSE (e.seed + 2*i.i) % 300 END) AS us,
+         sum(CASE WHEN i.i % 7 = 6 THEN 1 ELSE 0 END) AS nn
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.n AS BIGINT) AS n_records,
+       CAST(v.ids AS BIGINT) AS id_sum,
+       CAST(v.x4 AS BIGINT) AS x4_sum,
+       CAST(v.tb AS BIGINT) AS tag_bytes,
+       CAST(7 * e.n AS BIGINT) AS bonus_sum,
+       CAST(v.us AS BIGINT) AS u_sum,
+       CAST(v.nn AS BIGINT) AS n_nulls
+FROM e JOIN vals v ON v.event_id = e.event_id
+"""
+
+QUERIES_R13["avro_schema_evolution"] = q_avro_schema_evolution
+ORACLES_R13["avro_schema_evolution"] = _AVRO_EVO_ORACLE

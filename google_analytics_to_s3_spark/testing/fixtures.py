@@ -9280,3 +9280,83 @@ def make_hudi_bundle(seed: int) -> bytes:
         out += _tar_member(name, data)
     out += b"\x00" * 1024
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Avro schema evolution (r13): the ``avro_schema_evolution`` driver
+# query.  Containers are written under a WRITER schema the reader
+# has outgrown.
+
+_AVRO_WRITER_SCHEMA_JSON = (
+    '{"type":"record","name":"Doc2","fields":['
+    '{"name":"id","type":"int"},'
+    '{"name":"x","type":"float"},'
+    '{"name":"tag","type":"string"},'
+    '{"name":"extra","type":"string"},'
+    '{"name":"u","type":["null","int"]}]}'
+)
+
+# reader: fields REORDERED (resolution matches by name, the byte walk
+# stays in writer order), id int→long, x float→double, tag
+# string→bytes, writer-only `extra` dropped, reader-only `bonus`
+# defaulted, union member int→long
+_AVRO_READER_SCHEMA_JSON = (
+    '{"type":"record","name":"Doc2","fields":['
+    '{"name":"bonus","type":"long","default":7},'
+    '{"name":"u","type":["null","long"]},'
+    '{"name":"x","type":"double"},'
+    '{"name":"id","type":"long"},'
+    '{"name":"tag","type":"bytes"}]}'
+)
+
+
+@_functools.lru_cache(maxsize=1024)
+def make_avro_evolved(seed: int) -> bytes:
+    """Container under the writer schema above.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - ``n = 30 + seed % 50`` records in blocks of 25
+    - ``id = (seed*13 + 9*i) % 8000`` (int)
+    - ``x = ((seed + 3*i) % 40) / 4`` (float; exact in fp32)
+    - ``tag = 't' * (1 + (seed+i) % 4)``; ``extra = 'e' * (1 + i%3)``
+      (dropped by the reader)
+    - ``u``: NULL when ``i % 7 == 6`` else ``(seed + 2*i) % 300``
+    - codec cycles [null, deflate, snappy] with ``seed % 3``
+    """
+    import struct as _st
+    import zlib as _zlib
+
+    n = 30 + seed % 50
+    codec = ["null", "deflate", "snappy"][seed % 3]
+    recs = []
+    for i in range(n):
+        row = _avro_zigzag((seed * 13 + 9 * i) % 8000)
+        row += _st.pack("<f", ((seed + 3 * i) % 40) / 4)
+        row += _avro_str("t" * (1 + (seed + i) % 4))
+        row += _avro_str("e" * (1 + i % 3))
+        if i % 7 == 6:
+            row += _avro_zigzag(0)
+        else:
+            row += _avro_zigzag(1) + _avro_zigzag((seed + 2 * i) % 300)
+        recs.append(row)
+    sync = bytes((seed * 41 + j * 23 + 11) % 256 for j in range(16))
+    out = bytearray(b"Obj\x01")
+    out += _avro_zigzag(2)
+    out += _avro_str("avro.schema") + _avro_str(_AVRO_WRITER_SCHEMA_JSON)
+    out += _avro_str("avro.codec") + _avro_str(codec)
+    out += _avro_zigzag(0)
+    out += sync
+    for at in range(0, n, 25):
+        chunk = recs[at:at + 25]
+        payload = b"".join(chunk)
+        if codec == "deflate":
+            co = _zlib.compressobj(6, _zlib.DEFLATED, -15)
+            payload = co.compress(payload) + co.flush()
+        elif codec == "snappy":
+            comp = snappy_compress_block(payload)
+            payload = comp + (_zlib.crc32(b"".join(chunk))
+                              & 0xFFFFFFFF).to_bytes(4, "big")
+        out += _avro_zigzag(len(chunk)) + _avro_zigzag(len(payload))
+        out += payload + sync
+    return bytes(out)

@@ -496,3 +496,162 @@ def test_container_heavy_codec_corrupt_block_named(seed):
     raw[-24] ^= 0x5A
     with pytest.raises(ValueError):
         avro_decode_container(bytes(raw))
+
+
+# --------------------------------------------------------------------------
+# r13: schema resolution (the spec's "Schema Resolution" section).
+
+def _container_for(schema_json, rows, codec="null"):
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        _avro_container,
+    )
+
+    return _avro_container(schema_json, rows, 5, codec)
+
+
+def _zz(v):
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        _avro_zigzag,
+    )
+
+    return _avro_zigzag(v)
+
+
+def _s(x):
+    from google_analytics_to_s3_spark.testing.fixtures import _avro_str
+
+    return _avro_str(x)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 50, 999])
+def test_resolution_planted(seed):
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        _AVRO_READER_SCHEMA_JSON,
+        make_avro_evolved,
+    )
+
+    _info, recs = avro_decode_container(
+        make_avro_evolved(seed),
+        reader_schema=_AVRO_READER_SCHEMA_JSON)
+    n = 30 + seed % 50
+    assert len(recs) == n
+    for i, rec in enumerate(recs):
+        assert set(rec) == {"bonus", "u", "x", "id", "tag"}
+        assert rec["id"] == (seed * 13 + 9 * i) % 8000
+        assert rec["x"] == ((seed + 3 * i) % 40) / 4
+        assert rec["tag"] == b"t" * (1 + (seed + i) % 4)
+        assert rec["bonus"] == 7
+        assert rec["u"] == (None if i % 7 == 6
+                            else (seed + 2 * i) % 300)
+
+
+def test_resolution_missing_default_named():
+    w = ('{"type":"record","name":"R","fields":['
+         '{"name":"a","type":"long"}]}')
+    r = ('{"type":"record","name":"R","fields":['
+         '{"name":"a","type":"long"},'
+         '{"name":"b","type":"long"}]}')
+    data = _container_for(w, [_zz(1)])
+    with pytest.raises(ValueError, match="no default"):
+        avro_decode_container(data, reader_schema=r)
+
+
+def test_resolution_record_name_mismatch_named():
+    w = ('{"type":"record","name":"R","fields":['
+         '{"name":"a","type":"long"}]}')
+    r = ('{"type":"record","name":"Other","fields":['
+         '{"name":"a","type":"long"}]}')
+    data = _container_for(w, [_zz(1)])
+    with pytest.raises(ValueError, match="does not match"):
+        avro_decode_container(data, reader_schema=r)
+
+
+def test_resolution_illegal_demotion_named():
+    """double → float is NOT a spec promotion."""
+    w = ('{"type":"record","name":"R","fields":['
+         '{"name":"a","type":"double"}]}')
+    r = ('{"type":"record","name":"R","fields":['
+         '{"name":"a","type":"float"}]}')
+    data = _container_for(w, [struct.pack("<d", 1.5)])
+    with pytest.raises(ValueError, match="cannot resolve"):
+        avro_decode_container(data, reader_schema=r)
+
+
+def test_resolution_enum_default_symbol():
+    """A writer symbol unknown to the reader falls back to the
+    reader enum's `default` (Avro 1.9+), else errors."""
+    w = ('{"type":"record","name":"R","fields":[{"name":"c","type":'
+         '{"type":"enum","name":"E","symbols":["A","B","NEW"]}}]}')
+    r_with = ('{"type":"record","name":"R","fields":[{"name":"c",'
+              '"type":{"type":"enum","name":"E","symbols":["A","B"],'
+              '"default":"A"}}]}')
+    r_without = ('{"type":"record","name":"R","fields":[{"name":"c",'
+                 '"type":{"type":"enum","name":"E",'
+                 '"symbols":["A","B"]}}]}')
+    data = _container_for(w, [_zz(2)])  # symbol NEW
+    _i, recs = avro_decode_container(data, reader_schema=r_with)
+    assert recs[0]["c"] == "A"
+    with pytest.raises(ValueError, match="unknown to reader"):
+        avro_decode_container(data, reader_schema=r_without)
+
+
+def test_resolution_writer_union_against_reader_plain():
+    """Writer union [null,long] resolves against a plain reader
+    long when the actual branch matches; the null branch then
+    cannot resolve."""
+    w = ('{"type":"record","name":"R","fields":['
+         '{"name":"a","type":["null","long"]}]}')
+    r = ('{"type":"record","name":"R","fields":['
+         '{"name":"a","type":"long"}]}')
+    ok = _container_for(w, [_zz(1) + _zz(42)])
+    _i, recs = avro_decode_container(ok, reader_schema=r)
+    assert recs[0]["a"] == 42
+    bad = _container_for(w, [_zz(0)])
+    with pytest.raises(ValueError, match="cannot resolve"):
+        avro_decode_container(bad, reader_schema=r)
+
+
+def test_resolution_reader_union_first_match():
+    """Plain writer long against reader union picks the first
+    matching branch (the spec's rule), honoring promotions."""
+    w = ('{"type":"record","name":"R","fields":['
+         '{"name":"a","type":"int"}]}')
+    r = ('{"type":"record","name":"R","fields":['
+         '{"name":"a","type":["null","double"]}]}')
+    data = _container_for(w, [_zz(3)])
+    _i, recs = avro_decode_container(data, reader_schema=r)
+    assert recs[0]["a"] == 3.0 and isinstance(recs[0]["a"], float)
+
+
+def test_resolution_bytes_to_string_promotion():
+    w = ('{"type":"record","name":"R","fields":['
+         '{"name":"a","type":"bytes"}]}')
+    r = ('{"type":"record","name":"R","fields":['
+         '{"name":"a","type":"string"}]}')
+    data = _container_for(w, [_zz(2) + b"hi"])
+    _i, recs = avro_decode_container(data, reader_schema=r)
+    assert recs[0]["a"] == "hi"
+
+
+def test_resolution_array_items_promote():
+    w = ('{"type":"record","name":"R","fields":[{"name":"a","type":'
+         '{"type":"array","items":"int"}}]}')
+    r = ('{"type":"record","name":"R","fields":[{"name":"a","type":'
+         '{"type":"array","items":"double"}}]}')
+    body = _zz(2) + _zz(4) + _zz(5) + _zz(0)
+    data = _container_for(w, [body])
+    _i, recs = avro_decode_container(data, reader_schema=r)
+    assert recs[0]["a"] == [4.0, 5.0]
+
+
+def test_resolution_identity_reader_schema_is_noop():
+    """reader == writer must reproduce plain decoding exactly."""
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_avro,
+    )
+
+    raw = make_avro(7)
+    info, plain = avro_decode_container(raw)
+    _i2, resolved = avro_decode_container(
+        raw, reader_schema=json.dumps(info["schema"]))
+    assert plain == resolved

@@ -33,6 +33,7 @@ _R13_EXTRACT_QUERIES = [
     "iceberg_time_travel",
     "iceberg_bucket_prune",
     "hudi_snapshot",
+    "avro_schema_evolution",
 ]
 
 
