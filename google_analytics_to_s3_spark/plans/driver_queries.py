@@ -3053,10 +3053,12 @@ _DRIVER_PRIORITY = [
     # marker), then the remaining 18 r6-stale rows ---
     # R13_NEW_MARKER
     "iceberg_scan_eq_multi", "delta_column_mapping", "sqlite_scan_wal",
-    "parquet_bloom_probe", "orc_scan_tz", "avro_container",
+    "parquet_bloom_probe", "orc_scan_tz",
     "parquet_scan_fixed", "arrow_dict_delta", "delta_partition_prune",
-    "lz4_frame_extract", "brotli_extract", "orc_scan_unions",
-    "csv_inference_scan", "iceberg_metrics_prune", "parquet_crc_scan",
+    "lz4_frame_extract", "orc_scan_unions",
+    "iceberg_metrics_prune", "parquet_crc_scan",
+    "avro_codec_family", "delta_time_travel", "iceberg_time_travel",
+    "iceberg_bucket_prune", "hudi_snapshot", "avro_schema_evolution",
     # (queue) rows last driver-checked in r6 (remaining 18).
     "target_encoding", "quantile_normalize", "hashed_features",
     "langid_eval", "sessionize_flags", "sessionize_full", "session_stats",

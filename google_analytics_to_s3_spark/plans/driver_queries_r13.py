@@ -1217,3 +1217,69 @@ FROM e JOIN vals v ON v.event_id = e.event_id
 
 QUERIES_R13["avro_schema_evolution"] = q_avro_schema_evolution
 ORACLES_R13["avro_schema_evolution"] = _AVRO_EVO_ORACLE
+
+
+def q_lz4_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZ4 frames from the REAL producer (r13): liblz4 (pyarrow's
+    LZ4F codec) compresses planted content; the engine's own frame
+    walker + block decoder + XXH32 (operators/lz4.py) inverts it.
+    Complements ``lz4_extract`` (fixture's spec encoder) with
+    production frames — frame-descriptor flags as liblz4 emits them.
+    The oracle replays content length and exact byte sum in closed
+    form.  Lane id % 10 == 1."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.lz4 import decode_lz4_meta
+    from ..testing.fixtures import make_lz4_real
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 1
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_lz4_real(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_lz4_meta(payloads).drop("decode_error")
+
+
+_LZ4_REAL_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         150 + (event_id % 1000) % 100 AS na,
+         30 + (event_id % 1000) % 40 AS nt
+  FROM events WHERE event_id % {_FLAC_MOD} = 1
+),
+sa AS (
+  SELECT e.event_id,
+         sum((3*e.seed + 11*i.i) % 251) AS s_a
+  FROM e, LATERAL (SELECT unnest(range(0, e.na)) AS i) i
+  GROUP BY 1
+),
+st AS (
+  SELECT e.event_id,
+         sum((5*e.seed + 7*i.i) % 253) AS s_t
+  FROM e, LATERAL (SELECT unnest(range(0, e.nt)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(1 AS INTEGER) AS n_blocks,
+       CAST(3*e.na + e.nt AS BIGINT) AS content_len,
+       CAST(3*sa.s_a + st.s_t AS BIGINT) AS content_sum
+FROM e
+JOIN sa ON sa.event_id = e.event_id
+JOIN st ON st.event_id = e.event_id
+"""
+
+QUERIES_R13["lz4_frame_extract"] = q_lz4_frame_extract
+ORACLES_R13["lz4_frame_extract"] = _LZ4_REAL_ORACLE

@@ -9360,3 +9360,30 @@ def make_avro_evolved(seed: int) -> bytes:
         out += _avro_zigzag(len(chunk)) + _avro_zigzag(len(payload))
         out += payload + sync
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# LZ4 frames from the REAL producer (r13): make_lz4 above exercises
+# the fixture's own spec encoder; these frames come from liblz4
+# itself (pyarrow Codec 'lz4' = LZ4F), so `lz4_frame_extract` green
+# rows certify operators/lz4.py inverts production LZ4 frames.
+
+@_functools.lru_cache(maxsize=1024)
+def make_lz4_real(seed: int) -> bytes:
+    """liblz4-produced frame.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - segment ``a``: ``n_a = 150 + seed % 100`` bytes of
+      ``(3*seed + 11*i) % 251``; tail ``t``: ``n_t = 30 + seed % 40``
+      bytes of ``(5*seed + 7*i) % 253``
+    - content = ``a*3 + t`` (repeats plant real LZ77 matches),
+      single block (content < LZ4F's 64 KiB minimum block size)
+    """
+    import pyarrow as _pa
+
+    n_a = 150 + seed % 100
+    n_t = 30 + seed % 40
+    a = bytes((3 * seed + 11 * i) % 251 for i in range(n_a))
+    t = bytes((5 * seed + 7 * i) % 253 for i in range(n_t))
+    return _pa.Codec("lz4").compress(a * 3 + t, asbytes=True)

@@ -34,6 +34,7 @@ _R13_EXTRACT_QUERIES = [
     "iceberg_bucket_prune",
     "hudi_snapshot",
     "avro_schema_evolution",
+    "lz4_frame_extract",
 ]
 
 
