@@ -50,7 +50,9 @@ __all__ = ["parse_iceberg_snapshot", "decode_iceberg_snapshot",
            "decode_iceberg_metrics_prune",
            "parse_iceberg_time_travel", "decode_iceberg_time_travel",
            "murmur3_32", "iceberg_bucket",
-           "parse_iceberg_bucket_prune", "decode_iceberg_bucket_prune"]
+           "parse_iceberg_bucket_prune", "decode_iceberg_bucket_prune",
+           "iceberg_truncate", "parse_iceberg_truncate_prune",
+           "decode_iceberg_truncate_prune"]
 
 
 def parse_iceberg_snapshot(bundle: bytes) -> dict:
@@ -1042,6 +1044,150 @@ def decode_iceberg_bucket_prune(
                 try:
                     r = parse_iceberg_bucket_prune(
                         bytes(payload), column, t)
+                    for k in cols:
+                        rows[k].append(r[k])
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, KeyError,
+                        TypeError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k],
+                                dtype="Int32" if k in i32 else "Int64")
+                   for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Truncate-transform pruning (r13).
+#
+# `truncate[W]` on an integer source (spec §Partition Transforms):
+# the partition value is `v - (((v % W) + W) % W)` (floor to the
+# bucket start, correct for negatives).  A range predicate
+# `lo <= v <= hi` keeps exactly the files whose partition value `p`
+# satisfies `p <= hi AND p + W - 1 >= lo` — contiguous-range
+# pruning, the complement of bucket[N]'s point-lookup hashing.
+
+def iceberg_truncate(value: int, width: int) -> int:
+    """`truncate[W]` of an int/long value per the Iceberg spec."""
+    return value - (((value % width) + width) % width)
+
+
+def parse_iceberg_truncate_prune(bundle: bytes, column: str,
+                                 lo: int, hi: int) -> dict:
+    """Range-scan planning over a truncate-partitioned Iceberg
+    table: keep only files whose `truncate[W]` partition value can
+    intersect [lo, hi], scan survivors through the engine's own
+    parquet reader, and tally matches."""
+    from .parquet_raw import parquet_read_column
+
+    files = {m["name"]: m["data"] for m in parse_tar(bundle)}
+    meta_raw = files.get("metadata.json")
+    if meta_raw is None:
+        raise ValueError("iceberg: bundle missing metadata.json")
+    meta = json.loads(meta_raw)
+    spec_id = meta.get("default-spec-id", 0)
+    spec = next((s for s in meta.get("partition-specs", [])
+                 if s.get("spec-id") == spec_id), None)
+    if spec is None:
+        raise ValueError("iceberg: default partition spec missing")
+    pfields = spec.get("fields") or []
+    if len(pfields) != 1:
+        raise ValueError("iceberg: multi-field partition spec gated")
+    pf = pfields[0]
+    tr = pf.get("transform") or ""
+    if not (tr.startswith("truncate[") and tr.endswith("]")):
+        raise ValueError(f"iceberg: transform {tr!r} gated")
+    width = int(tr[len("truncate["):-1])
+    if width <= 0:
+        raise ValueError("iceberg: bad truncate width")
+    field_id = next((f.get("id") for f in
+                     (meta.get("schema") or {}).get("fields", [])
+                     if f.get("name") == column), None)
+    if pf.get("source-id") != field_id:
+        raise ValueError("iceberg: partition source is not the "
+                         "scan column")
+    pname = pf.get("name")
+    cur = meta.get("current-snapshot-id")
+    snap = next((s for s in meta.get("snapshots", [])
+                 if s.get("snapshot-id") == cur), None)
+    if snap is None:
+        raise ValueError("iceberg: current snapshot id not found")
+    ml_raw = files.get(snap.get("manifest-list"))
+    if ml_raw is None:
+        raise ValueError("iceberg: manifest list missing")
+    _, ml_entries = avro_decode_container(ml_raw)
+    files_total = files_read = 0
+    matched_rows = 0
+    matched_sum = 0
+    for entry in ml_entries:
+        man_raw = files.get(entry.get("manifest_path"))
+        if man_raw is None:
+            raise ValueError("iceberg: manifest missing")
+        _, man_entries = avro_decode_container(man_raw)
+        for me in man_entries:
+            if me.get("status") == 2:
+                continue
+            df = me.get("data_file") or {}
+            files_total += 1
+            part = df.get("partition") or {}
+            p = part.get(pname)
+            if not isinstance(p, int):
+                raise ValueError("iceberg: partition tuple missing "
+                                 f"{pname!r}")
+            if p > hi or p + width - 1 < lo:
+                continue  # pruned: file bytes never touched
+            blob = files.get(df.get("file_path"))
+            if blob is None:
+                raise ValueError("iceberg: data file missing")
+            files_read += 1
+            for v in parquet_read_column(blob, column):
+                if v is not None and lo <= v <= hi:
+                    matched_rows += 1
+                    matched_sum += v
+    return {
+        "files_total": files_total,
+        "files_read": files_read,
+        "matched_rows": matched_rows,
+        "matched_sum": matched_sum,
+    }
+
+
+def decode_iceberg_truncate_prune(
+    df: DataFrame, column: str, lo_mod: int, span: int,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over
+    :func:`parse_iceberg_truncate_prune` with the per-document
+    window ``lo = (doc_id % lo_mod)*100 + 10, hi = lo + span``;
+    per-bundle quarantine, no shuffle."""
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("files_total", IntegerType()),
+        StructField("files_read", IntegerType()),
+        StructField("matched_rows", LongType()),
+        StructField("matched_sum", LongType()),
+        StructField("decode_error", StringType()),
+    ])
+    cols = ("files_total", "files_read", "matched_rows", "matched_sum")
+    i32 = {"files_total", "files_read"}
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                lo = (int(doc_id) % lo_mod) * 100 + 10
+                try:
+                    r = parse_iceberg_truncate_prune(
+                        bytes(payload), column, lo, lo + span)
                     for k in cols:
                         rows[k].append(r[k])
                     rows["decode_error"].append(None)

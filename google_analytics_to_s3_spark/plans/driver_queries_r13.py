@@ -1283,3 +1283,77 @@ JOIN st ON st.event_id = e.event_id
 
 QUERIES_R13["lz4_frame_extract"] = q_lz4_frame_extract
 ORACLES_R13["lz4_frame_extract"] = _LZ4_REAL_ORACLE
+
+
+def q_iceberg_truncate_prune(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Iceberg truncate[100] partition pruning (r13) — the
+    contiguous-range complement of ``iceberg_bucket_prune``: a range
+    predicate keeps only the files whose truncate partition value
+    can intersect it (``p <= hi AND p+W-1 >= lo``), survivors are
+    scanned through the engine's own parquet reader, and true
+    in-bucket data makes the pruning lossless so the oracle replays
+    files_read and the matched tallies in closed form.  Lane
+    id % 10 == 7."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.iceberg import decode_iceberg_truncate_prune
+    from ..testing.fixtures import make_iceberg_trunc_bundle
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 7
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_iceberg_trunc_bundle(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_iceberg_truncate_prune(
+        payloads, "v", 6, 150).drop("decode_error")
+
+
+_ICEBERG_TR_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         (event_id % 6) * 100 + 10 AS lo,
+         (event_id % 6) * 100 + 160 AS hi
+  FROM events WHERE event_id % {_FLAC_MOD} = 7
+),
+f AS (
+  SELECT e.*, ff.f, 18 + (e.seed + ff.f) % 8 AS n,
+         (100*ff.f <= e.hi AND 100*ff.f + 99 >= e.lo) AS survives
+  FROM e, LATERAL (SELECT unnest(range(0, 6)) AS f) ff
+),
+m AS (
+  SELECT f.event_id,
+         count(*) FILTER (WHERE f.survives
+           AND 100*f.f + (f.seed*3 + 7*i.i) % 100 BETWEEN f.lo AND f.hi)
+           AS mr,
+         COALESCE(sum(100*f.f + (f.seed*3 + 7*i.i) % 100)
+           FILTER (WHERE f.survives
+             AND 100*f.f + (f.seed*3 + 7*i.i) % 100
+                 BETWEEN f.lo AND f.hi), 0) AS ms,
+         count(DISTINCT f.f) FILTER (WHERE f.survives) AS fr
+  FROM f, LATERAL (SELECT unnest(range(0, f.n)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(6 AS INTEGER) AS files_total,
+       CAST(m.fr AS INTEGER) AS files_read,
+       CAST(m.mr AS BIGINT) AS matched_rows,
+       CAST(m.ms AS BIGINT) AS matched_sum
+FROM e JOIN m ON m.event_id = e.event_id
+"""
+
+QUERIES_R13["iceberg_truncate_prune"] = q_iceberg_truncate_prune
+ORACLES_R13["iceberg_truncate_prune"] = _ICEBERG_TR_ORACLE

@@ -9387,3 +9387,85 @@ def make_lz4_real(seed: int) -> bytes:
     a = bytes((3 * seed + 11 * i) % 251 for i in range(n_a))
     t = bytes((5 * seed + 7 * i) % 253 for i in range(n_t))
     return _pa.Codec("lz4").compress(a * 3 + t, asbytes=True)
+
+
+# --------------------------------------------------------------------------
+# Iceberg truncate[100] pruning (r13): the ``iceberg_truncate_prune``
+# driver query.
+
+_ICEBERG_TRUNC_W = 100
+
+_ICEBERG_MAN_TR_SCHEMA = (
+    '{"type":"record","name":"manifest_entry","fields":['
+    '{"name":"status","type":"int"},'
+    '{"name":"data_file","type":{"type":"record","name":"data_file",'
+    '"fields":['
+    '{"name":"file_path","type":"string"},'
+    '{"name":"partition","type":{"type":"record","name":"r103",'
+    '"fields":[{"name":"v_trunc","type":"long"}]}},'
+    '{"name":"record_count","type":"long"},'
+    '{"name":"file_size_in_bytes","type":"long"}]}}]}'
+)
+
+
+@_functools.lru_cache(maxsize=1024)
+def make_iceberg_trunc_bundle(seed: int) -> bytes:
+    """Iceberg bundle partitioned by ``truncate[100]`` on long
+    column ``v``: 6 files for partition values 0,100,...,500.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - partition ``p = 100*f``'s file: ``n = 18 + (seed + f) % 8``
+      rows of ``v = 100*f + (seed*3 + 7*i) % 100`` (all inside the
+      bucket, so transform pruning is lossless)
+    - parquet codec snappy/zstd by ``(seed + f) % 2``; avro deflate
+      on odd seeds
+    """
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    codec_avro = "deflate" if seed % 2 else "null"
+    members: "dict[str, bytes]" = {}
+    rows = []
+    for f in range(6):
+        n = 18 + (seed + f) % 8
+        vals = [100 * f + (seed * 3 + 7 * i) % 100 for i in range(n)]
+        buf = _pa.BufferOutputStream()
+        _pq.write_table(
+            _pa.table({"v": _pa.array(vals, _pa.int64())}), buf,
+            compression=["snappy", "zstd"][(seed + f) % 2])
+        blob = buf.getvalue().to_pybytes()
+        name = f"data/tr{f}.parquet"
+        members[name] = blob
+        body = _avro_zigzag(1)
+        body += _avro_str(name)
+        body += _avro_zigzag(100 * f)   # partition.v_trunc
+        body += _avro_zigzag(n)
+        body += _avro_zigzag(len(blob))
+        rows.append(body)
+    man = _avro_container(_ICEBERG_MAN_TR_SCHEMA, rows, seed,
+                          codec_avro)
+    members["manifest-tr.avro"] = man
+    ml_rows = [_avro_str("manifest-tr.avro") + _avro_zigzag(len(man))]
+    members["manifest-list.avro"] = _avro_container(
+        _ICEBERG_ML_SCHEMA, ml_rows, seed, codec_avro)
+    members["metadata.json"] = _json.dumps({
+        "format-version": 2,
+        "current-snapshot-id": 7300 + seed,
+        "snapshots": [{"snapshot-id": 7300 + seed,
+                       "manifest-list": "manifest-list.avro"}],
+        "schema": {"fields": [{"id": 1, "name": "v",
+                               "type": "long"}]},
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "v_trunc",
+             "transform": f"truncate[{_ICEBERG_TRUNC_W}]",
+             "source-id": 1, "field-id": 1001}]}],
+    }).encode()
+    out = bytearray()
+    for name, data in members.items():
+        out += _tar_member(name, data)
+    out += b"\x00" * 1024
+    return bytes(out)

@@ -443,3 +443,60 @@ def test_iceberg_bucket_prune_wrong_column_named():
     with _pytest.raises(ValueError, match="no schema field|source"):
         parse_iceberg_bucket_prune(
             make_iceberg_bucket_bundle(0), "nope", 4)
+
+
+def test_iceberg_truncate_transform_and_prune():
+    from google_analytics_to_s3_spark.operators.iceberg import (
+        iceberg_truncate,
+        parse_iceberg_truncate_prune,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_iceberg_trunc_bundle,
+    )
+
+    # spec semantics incl. negatives: truncate floors to bucket start
+    assert iceberg_truncate(17, 10) == 10
+    assert iceberg_truncate(-7, 10) == -10
+    assert iceberg_truncate(-10, 10) == -10
+    pruned = False
+    for seed in (0, 1, 5, 999):
+        for w in range(6):
+            lo = w * 100 + 10
+            r = parse_iceberg_truncate_prune(
+                make_iceberg_trunc_bundle(seed), "v", lo, lo + 150)
+            fr = mr = ms = 0
+            for f in range(6):
+                if 100 * f > lo + 150 or 100 * f + 99 < lo:
+                    continue
+                fr += 1
+                for i in range(18 + (seed + f) % 8):
+                    v = 100 * f + (seed * 3 + 7 * i) % 100
+                    if lo <= v <= lo + 150:
+                        mr += 1
+                        ms += v
+            assert r == {"files_total": 6, "files_read": fr,
+                         "matched_rows": mr, "matched_sum": ms}
+            if fr < 6:
+                pruned = True
+    assert pruned
+
+
+def test_iceberg_truncate_wrong_transform_gated():
+    import pytest as _pytest
+
+    from google_analytics_to_s3_spark.operators.iceberg import (
+        parse_iceberg_bucket_prune,
+        parse_iceberg_truncate_prune,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_iceberg_bucket_bundle,
+        make_iceberg_trunc_bundle,
+    )
+
+    # truncate parser on a bucket table (and vice versa) gates
+    with _pytest.raises(ValueError, match="gated"):
+        parse_iceberg_truncate_prune(
+            make_iceberg_bucket_bundle(0), "v", 0, 10)
+    with _pytest.raises(ValueError, match="gated"):
+        parse_iceberg_bucket_prune(
+            make_iceberg_trunc_bundle(0), "v", 42)

@@ -35,6 +35,7 @@ _R13_EXTRACT_QUERIES = [
     "hudi_snapshot",
     "avro_schema_evolution",
     "lz4_frame_extract",
+    "iceberg_truncate_prune",
 ]
 
 
