@@ -40,7 +40,8 @@ __all__ = ["delta_log_snapshot", "parse_delta_checkpoint",
            "decode_delta_column_mapping",
            "parse_delta_partition_prune",
            "decode_delta_partition_prune",
-           "parse_delta_time_travel", "decode_delta_time_travel"]
+           "parse_delta_time_travel", "decode_delta_time_travel",
+           "parse_delta_checkpoint_v2", "decode_delta_checkpoint_v2"]
 
 _ACTION_SCHEMA = ("add struct<path:string,size:bigint,"
                   "dataChange:boolean>, "
@@ -844,6 +845,182 @@ def decode_delta_time_travel(
                 "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
                 **{k: pd.Series(rows[k],
                                 dtype="Int32" if k in i32 else "Int64")
+                   for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# V2 checkpoints (r13) — the sidecar layout (PROTOCOL.md "V2
+# Checkpoints").
+#
+# Large tables split checkpoint state out of the top-level file: a
+# UUID-named `<v>.checkpoint.<u>.parquet` carries a
+# `checkpointMetadata` action (whose `version` MUST equal the
+# resolved checkpoint version) plus `sidecar` action rows pointing
+# into `_delta_log/_sidecars/`; the sidecar parquets hold the actual
+# add/remove state.  The fold is: sidecar state (+ any top-level
+# add/remove rows) → replay JSON commits AFTER the checkpoint
+# version.  All parquet bytes go through the engine's OWN nested
+# reader (operators/parquet_raw.parquet_read_nested).
+
+def parse_delta_checkpoint_v2(bundle: bytes) -> dict:
+    """Bootstrap a Delta snapshot from a V2 (sidecar) checkpoint
+    bundle."""
+    import json
+    import re as _re
+
+    from .parquet_raw import parquet_read_nested
+    from .tar import parse_tar
+
+    files = {m["name"]: m["data"] for m in parse_tar(bundle)}
+    lc_raw = files.get(_CKPT_NAME)
+    if lc_raw is None:
+        raise ValueError("delta: bundle missing _last_checkpoint")
+    try:
+        lc = json.loads(lc_raw)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"delta: bad _last_checkpoint ({e})") from None
+    v = lc.get("version")
+    if not isinstance(v, int) or v < 0:
+        raise ValueError("delta: bad checkpoint version")
+    pat = _re.compile(rf"^_delta_log/{v:020d}\.checkpoint\."
+                      r"[A-Za-z0-9-]+\.parquet$")
+    tops = sorted(name for name in files if pat.match(name))
+    if not tops:
+        raise ValueError("delta: v2 checkpoint file missing")
+    if len(tops) > 1:
+        raise ValueError("delta: ambiguous v2 checkpoint files")
+    top = files[tops[0]]
+    cms = [c for c in parquet_read_nested(top, "checkpointMetadata")
+           if c is not None]
+    if len(cms) != 1:
+        raise ValueError("delta: checkpointMetadata row count != 1")
+    if cms[0].get("version") != v:
+        raise ValueError("delta: checkpointMetadata version mismatch")
+    sidecars = [s for s in parquet_read_nested(top, "sidecar")
+                if s is not None and s.get("path") is not None]
+    state: dict[str, int | None] = {}
+    n_state_rows = 0
+
+    def _fold_state(blob: bytes) -> None:
+        nonlocal n_state_rows
+        adds = parquet_read_nested(blob, "add")
+        removes = parquet_read_nested(blob, "remove")
+        for add_s, rem_s in zip(adds, removes):
+            if add_s is not None and add_s.get("path") is not None:
+                state[add_s["path"]] = add_s.get("size") or 0
+                n_state_rows += 1
+            elif rem_s is not None and rem_s.get("path") is not None:
+                state[rem_s["path"]] = None
+                n_state_rows += 1
+
+    for sc in sidecars:
+        blob = files.get(f"_delta_log/_sidecars/{sc['path']}")
+        if blob is None:
+            raise ValueError(f"delta: sidecar {sc['path']!r} missing")
+        if sc.get("sizeInBytes") not in (None, len(blob)):
+            raise ValueError("delta: sidecar sizeInBytes mismatch")
+        _fold_state(blob)
+    _fold_state(top)  # top-level add/remove rows participate too
+    # replay JSON commits strictly after the checkpoint version
+    commits = []
+    for name, data in files.items():
+        if not name.startswith("_delta_log/") \
+                or not name.endswith(".json"):
+            continue
+        stem = name[len("_delta_log/"):-len(".json")]
+        if stem.isdigit() and int(stem) > v:
+            commits.append((int(stem), data))
+    commits.sort()
+    for i, (w, _d) in enumerate(commits):
+        if w != v + 1 + i:
+            raise ValueError("delta: commit gap after checkpoint")
+    n_json_actions = 0
+    for _w, data in commits:
+        for line in data.splitlines():
+            if not line.strip():
+                continue
+            try:
+                a = json.loads(line)
+            except json.JSONDecodeError as e:
+                raise ValueError(f"delta: bad commit line ({e})") \
+                    from None
+            if a.get("add"):
+                state[a["add"]["path"]] = a["add"].get("size") or 0
+                n_json_actions += 1
+            elif a.get("remove"):
+                state[a["remove"]["path"]] = None
+                n_json_actions += 1
+    live = {p: s for p, s in state.items() if s is not None}
+    return {
+        "checkpoint_version": v,
+        "last_version": commits[-1][0] if commits else v,
+        "n_sidecars": len(sidecars),
+        "n_state_rows": n_state_rows,
+        "n_json_actions": n_json_actions,
+        "n_live_files": len(live),
+        "live_bytes": sum(live.values()),
+    }
+
+
+def decode_delta_checkpoint_v2(
+    df: DataFrame,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over
+    :func:`parse_delta_checkpoint_v2`; per-bundle quarantine, no
+    shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("checkpoint_version", IntegerType()),
+        StructField("last_version", IntegerType()),
+        StructField("n_sidecars", IntegerType()),
+        StructField("n_state_rows", IntegerType()),
+        StructField("n_json_actions", IntegerType()),
+        StructField("n_live_files", IntegerType()),
+        StructField("live_bytes", LongType()),
+        StructField("decode_error", StringType()),
+    ])
+    cols = ("checkpoint_version", "last_version", "n_sidecars",
+            "n_state_rows", "n_json_actions", "n_live_files",
+            "live_bytes")
+    i64 = {"live_bytes"}
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    r = parse_delta_checkpoint_v2(bytes(payload))
+                    for k in cols:
+                        rows[k].append(r[k])
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, KeyError,
+                        TypeError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k],
+                                dtype="Int64" if k in i64 else "Int32")
                    for k in cols},
                 "decode_error": pd.Series(rows["decode_error"],
                                           dtype=object),

@@ -1357,3 +1357,77 @@ FROM e JOIN m ON m.event_id = e.event_id
 
 QUERIES_R13["iceberg_truncate_prune"] = q_iceberg_truncate_prune
 ORACLES_R13["iceberg_truncate_prune"] = _ICEBERG_TR_ORACLE
+
+
+def q_delta_checkpoint_v2(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Delta V2 (sidecar) checkpoints (r13): the top-level
+    UUID-named checkpoint parquet carries checkpointMetadata (whose
+    version must equal the resolved checkpoint version), sidecar
+    pointers with byte-size verification, and its own state rows;
+    the add/remove state lives in ``_delta_log/_sidecars/`` parquets
+    — ALL read through the engine's own nested Dremel reader — then
+    JSON commits after the checkpoint version replay on top
+    (operators/lakehouse.py:parse_delta_checkpoint_v2).  The oracle
+    replays the fold in closed form.  Lane id % 10 == 0."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.lakehouse import decode_delta_checkpoint_v2
+    from ..testing.fixtures import make_delta_v2ckpt_bundle
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 0
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_delta_v2ckpt_bundle(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_delta_checkpoint_v2(payloads).drop("decode_error")
+
+
+_DELTA_V2_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 0
+),
+base AS (
+  SELECT e.event_id, e.seed,
+         count(*) FILTER (WHERE (e.seed + i.i) % 4 <> 1) AS n_base,
+         COALESCE(sum(1000 + 37*i.i + e.seed % 7)
+           FILTER (WHERE (e.seed + i.i) % 4 <> 1), 0) AS b_base,
+         max(CASE WHEN i.i = e.seed % 10
+                   AND (e.seed + i.i) % 4 <> 1
+              THEN 1000 + 37*i.i + e.seed % 7 END) AS removed_size
+  FROM e, LATERAL (SELECT unnest(range(0, 10)) AS i) i
+  GROUP BY 1, 2
+)
+SELECT b.event_id AS doc_id,
+       CAST(5 AS INTEGER) AS checkpoint_version,
+       CAST(7 AS INTEGER) AS last_version,
+       CAST(2 AS INTEGER) AS n_sidecars,
+       CAST(11 AS INTEGER) AS n_state_rows,
+       CAST(2 + b.seed % 2 AS INTEGER) AS n_json_actions,
+       CAST(b.n_base + 2 + b.seed % 2
+            - CASE WHEN b.removed_size IS NOT NULL THEN 1 ELSE 0 END
+            AS INTEGER) AS n_live_files,
+       CAST(b.b_base - COALESCE(b.removed_size, 0)
+            + 777 + b.seed % 5 + 1500 + b.seed % 9
+            + CASE WHEN b.seed % 2 = 1
+                   THEN 2000 + b.seed % 3 ELSE 0 END
+            AS BIGINT) AS live_bytes
+FROM base b
+"""
+
+QUERIES_R13["delta_checkpoint_v2"] = q_delta_checkpoint_v2
+ORACLES_R13["delta_checkpoint_v2"] = _DELTA_V2_ORACLE

@@ -9469,3 +9469,103 @@ def make_iceberg_trunc_bundle(seed: int) -> bytes:
         out += _tar_member(name, data)
     out += b"\x00" * 1024
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Delta V2 (sidecar) checkpoints (r13): the ``delta_checkpoint_v2``
+# driver query.  Checkpoint + sidecar parquets are written by
+# parquet-cpp (pyarrow); the engine reads them back through its own
+# nested reader.
+
+@_functools.lru_cache(maxsize=1024)
+def make_delta_v2ckpt_bundle(seed: int) -> bytes:
+    """Delta log bundle with a V2 checkpoint at version 5.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - state rows for files ``d0..d9``: ADD with
+      ``size = 1000 + 37*i + seed % 7`` when ``(seed+i) % 4 != 1``,
+      else a REMOVE tombstone; rows i<5 in sidecar 0, i>=5 in
+      sidecar 1
+    - the top-level checkpoint carries checkpointMetadata(version 5),
+      the two sidecar pointers, and ONE top-level add
+      ``dtop.parquet`` with ``size = 777 + seed % 5``
+    - commit 6 adds ``d10`` (``size = 1500 + seed % 9``); commit 7
+      removes ``d<seed%10>`` and, on odd seeds, adds ``d11``
+      (``size = 2000 + seed % 3``)
+    - parquet codec snappy/zstd by ``seed % 2``
+    """
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    codec = ["snappy", "zstd"][seed % 2]
+    add_t = _pa.struct([("path", _pa.string()), ("size", _pa.int64())])
+    rem_t = _pa.struct([("path", _pa.string())])
+    cm_t = _pa.struct([("version", _pa.int64())])
+    sc_t = _pa.struct([("path", _pa.string()),
+                       ("sizeInBytes", _pa.int64())])
+
+    def _write(add_rows, rem_rows, cm_rows, sc_rows):
+        n = len(add_rows)
+        t = _pa.table({
+            "add": _pa.array(add_rows, add_t),
+            "remove": _pa.array(rem_rows, rem_t),
+            "checkpointMetadata": _pa.array(cm_rows, cm_t),
+            "sidecar": _pa.array(sc_rows, sc_t),
+        })
+        assert len(rem_rows) == n and len(cm_rows) == n \
+            and len(sc_rows) == n
+        buf = _pa.BufferOutputStream()
+        _pq.write_table(t, buf, compression=codec)
+        return buf.getvalue().to_pybytes()
+
+    side_blobs = []
+    for half in range(2):
+        adds, rems, cms, scs = [], [], [], []
+        for i in range(5 * half, 5 * half + 5):
+            if (seed + i) % 4 != 1:
+                adds.append({"path": f"d{i}.parquet",
+                             "size": 1000 + 37 * i + seed % 7})
+                rems.append(None)
+            else:
+                adds.append(None)
+                rems.append({"path": f"d{i}.parquet"})
+            cms.append(None)
+            scs.append(None)
+        side_blobs.append(_write(adds, rems, cms, scs))
+    top = _write(
+        [None, None, None,
+         {"path": "dtop.parquet", "size": 777 + seed % 5}],
+        [None] * 4,
+        [{"version": 5}, None, None, None],
+        [None,
+         {"path": "sc0.parquet", "sizeInBytes": len(side_blobs[0])},
+         {"path": "sc1.parquet", "sizeInBytes": len(side_blobs[1])},
+         None])
+    uuid = f"{seed:08d}-aaaa-bbbb-cccc-000000000000"
+    commit6 = _json.dumps({"add": {
+        "path": "d10.parquet", "size": 1500 + seed % 9,
+        "dataChange": True}}) + "\n"
+    lines7 = [_json.dumps({"remove": {
+        "path": f"d{seed % 10}.parquet",
+        "deletionTimestamp": 1700000000000}})]
+    if seed % 2 == 1:
+        lines7.append(_json.dumps({"add": {
+            "path": "d11.parquet", "size": 2000 + seed % 3,
+            "dataChange": True}}))
+    out = bytearray()
+    out += _tar_member("_delta_log/_last_checkpoint",
+                       _json.dumps({"version": 5}).encode())
+    out += _tar_member(
+        f"_delta_log/{5:020d}.checkpoint.{uuid}.parquet", top)
+    out += _tar_member("_delta_log/_sidecars/sc0.parquet",
+                       side_blobs[0])
+    out += _tar_member("_delta_log/_sidecars/sc1.parquet",
+                       side_blobs[1])
+    out += _tar_member(f"_delta_log/{6:020d}.json", commit6.encode())
+    out += _tar_member(f"_delta_log/{7:020d}.json",
+                       ("\n".join(lines7) + "\n").encode())
+    out += b"\x00" * 1024
+    return bytes(out)

@@ -500,3 +500,70 @@ def test_iceberg_truncate_wrong_transform_gated():
     with _pytest.raises(ValueError, match="gated"):
         parse_iceberg_bucket_prune(
             make_iceberg_trunc_bundle(0), "v", 42)
+
+
+def test_delta_checkpoint_v2_fold():
+    from google_analytics_to_s3_spark.operators.lakehouse import (
+        parse_delta_checkpoint_v2,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_delta_v2ckpt_bundle,
+    )
+
+    for seed in (0, 1, 2, 3, 7, 999):
+        r = parse_delta_checkpoint_v2(make_delta_v2ckpt_bundle(seed))
+        live = {}
+        for i in range(10):
+            if (seed + i) % 4 != 1:
+                live[f"d{i}"] = 1000 + 37 * i + seed % 7
+        live["dtop"] = 777 + seed % 5
+        live["d10"] = 1500 + seed % 9
+        live.pop(f"d{seed % 10}", None)
+        if seed % 2 == 1:
+            live["d11"] = 2000 + seed % 3
+        assert r["checkpoint_version"] == 5
+        assert r["n_sidecars"] == 2 and r["n_state_rows"] == 11
+        assert r["n_live_files"] == len(live)
+        assert r["live_bytes"] == sum(live.values())
+
+
+def test_delta_checkpoint_v2_metadata_version_mismatch_named():
+    """checkpointMetadata.version != _last_checkpoint.version is a
+    corruption signal."""
+    import pytest as _pytest
+
+    from google_analytics_to_s3_spark.operators.lakehouse import (
+        parse_delta_checkpoint_v2,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_delta_v2ckpt_bundle,
+    )
+
+    raw = make_delta_v2ckpt_bundle(0)
+    bad = raw.replace(b'{"version": 5}', b'{"version": 6}', 1)
+    with _pytest.raises(ValueError,
+                        match="version|checkpoint file missing"):
+        parse_delta_checkpoint_v2(bad)
+
+
+def test_delta_checkpoint_v2_missing_sidecar_named():
+    import pytest as _pytest
+
+    from google_analytics_to_s3_spark.operators.lakehouse import (
+        parse_delta_checkpoint_v2,
+    )
+    from google_analytics_to_s3_spark.operators.tar import parse_tar
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        _tar_member,
+        make_delta_v2ckpt_bundle,
+    )
+
+    raw = make_delta_v2ckpt_bundle(1)
+    members = [m for m in parse_tar(raw)
+               if m["name"] != "_delta_log/_sidecars/sc1.parquet"]
+    out = bytearray()
+    for m in members:
+        out += _tar_member(m["name"], m["data"])
+    out += b"\x00" * 1024
+    with _pytest.raises(ValueError, match="sidecar.*missing"):
+        parse_delta_checkpoint_v2(bytes(out))

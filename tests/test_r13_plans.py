@@ -36,6 +36,7 @@ _R13_EXTRACT_QUERIES = [
     "avro_schema_evolution",
     "lz4_frame_extract",
     "iceberg_truncate_prune",
+    "delta_checkpoint_v2",
 ]
 
 
