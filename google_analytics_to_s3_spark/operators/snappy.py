@@ -33,7 +33,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["crc32c", "snappy_uncompress", "parse_snappy_frame",
+__all__ = ["crc32c", "snappy_uncompress", "snappy_compress_block",
+           "parse_snappy_frame",
            "decode_snappy_meta"]
 
 _MAX_OUT = 256 * 1024 * 1024
@@ -223,3 +224,72 @@ def decode_snappy_meta(
     return df.select(
         df[id_col].cast("long").alias(id_col), payload_col
     ).mapInPandas(_run, schema=schema)
+
+
+# ------------------------------------------------------------------
+# Block COMPRESSOR (promoted from the fixture encoder in r13 —
+# the from-scratch parquet writer emits snappy pages with it;
+# foreign readers of those pages cross-validate every emit).
+
+def _snappy_uvarint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def snappy_compress_block(data: bytes) -> bytes:
+    """Real greedy snappy BLOCK compressor (hash-table 4-byte
+    matcher): emits copy-1 when len 4-11 fits an offset < 2048,
+    copy-2 otherwise; literals split at 64 KiB. Inverse of
+    operators/snappy.snappy_uncompress."""
+    out = bytearray(_snappy_uvarint(len(data)))
+    n = len(data)
+    i = 0
+    lit_start = 0
+    table: dict[bytes, int] = {}
+
+    def emit_literal(lo: int, hi: int) -> None:
+        while lo < hi:
+            ln = min(hi - lo, 65536)
+            lm1 = ln - 1
+            if lm1 < 60:
+                out.append(lm1 << 2)
+            elif lm1 < 256:
+                out.append(60 << 2)
+                out.append(lm1)
+            else:
+                out.append(61 << 2)
+                out.extend(lm1.to_bytes(2, "little"))
+            out.extend(data[lo:lo + ln])
+            lo += ln
+
+    while i + 4 <= n:
+        key = data[i:i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and i - j <= 65535:
+            length = 4
+            while i + length < n and length < 64 and \
+                    data[j + length] == data[i + length]:
+                length += 1
+            emit_literal(lit_start, i)
+            offset = i - j
+            if 4 <= length <= 11 and offset < 2048:
+                out.append(1 | ((length - 4) << 2)
+                           | ((offset >> 8) << 5))
+                out.append(offset & 0xFF)
+            else:
+                out.append(2 | ((length - 1) << 2))
+                out.extend(offset.to_bytes(2, "little"))
+            i += length
+            lit_start = i
+        else:
+            i += 1
+    emit_literal(lit_start, n)
+    return bytes(out)

@@ -1431,3 +1431,66 @@ FROM base b
 
 QUERIES_R13["delta_checkpoint_v2"] = q_delta_checkpoint_v2
 ORACLES_R13["delta_checkpoint_v2"] = _DELTA_V2_ORACLE
+
+
+def q_parquet_write_roundtrip(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """From-scratch parquet WRITER (r13) — the read/write symmetry
+    closes: per document the engine writes planted nullable
+    int64/double/string/boolean columns as a complete parquet file
+    (operators/parquet_write.py — hand-written thrift-compact
+    footer, RLE def-levels, PLAIN v1 pages, the engine's OWN snappy
+    compressor on odd seeds, two row groups on odd seeds) and
+    parquet-cpp (pyarrow) — the INDEPENDENT reader — reads it back
+    in the same Arrow map; ``own_agree`` additionally pins the
+    engine's own reader to the identical id column.  A wrong byte
+    anywhere (footer, levels, page, snappy frame) fails the foreign
+    read-back and thus the oracle.  Lane id % 10 == 2."""
+    from ..operators.parquet_write import decode_parquet_roundtrip
+    from ..testing.fixtures import parquet_rt_codec, parquet_rt_columns
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 2
+        ).withColumnRenamed("event_id", "doc_id"),
+        spark,
+    )
+    return decode_parquet_roundtrip(
+        e, parquet_rt_columns, parquet_rt_codec).drop(
+        "n_bytes", "decode_error")
+
+
+_PQ_WRITE_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         40 + (event_id % 1000) % 30 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 2
+),
+vals AS (
+  SELECT e.event_id,
+         sum(CASE WHEN (e.seed + i.i) % 8 = 7 THEN 0
+                  ELSE (e.seed*9 + 5*i.i) % 7000 END) AS ids,
+         sum(CASE WHEN (e.seed + i.i) % 8 = 7 THEN 1 ELSE 0 END) AS nn,
+         sum(CASE WHEN (e.seed + i.i) % 10 = 9 THEN 0
+                  ELSE (e.seed + 3*i.i) % 50 END) AS x2,
+         sum(CASE WHEN i.i % 6 = 5 THEN 0
+                  ELSE 1 + (e.seed + i.i) % 4 END) AS sb,
+         sum(CASE WHEN (e.seed + i.i) % 7 <> 6
+                   AND (e.seed + i.i) % 3 = 0
+              THEN 1 ELSE 0 END) AS bt
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.n AS BIGINT) AS n_rows,
+       CAST(v.ids AS BIGINT) AS id_sum,
+       CAST(v.x2 AS BIGINT) AS x2_sum,
+       CAST(v.sb AS BIGINT) AS s_bytes,
+       CAST(v.bt AS BIGINT) AS b_true,
+       CAST(v.nn AS BIGINT) AS n_nulls,
+       CAST(1 AS INTEGER) AS own_agree
+FROM e JOIN vals v ON v.event_id = e.event_id
+"""
+
+QUERIES_R13["parquet_write_roundtrip"] = q_parquet_write_roundtrip
+ORACLES_R13["parquet_write_roundtrip"] = _PQ_WRITE_ORACLE

@@ -4452,68 +4452,10 @@ def make_encoded_doc(seed: int) -> bytes:
     return text.encode("cp1252")
 
 
-def _snappy_uvarint(n: int) -> bytes:
-    out = bytearray()
-    while True:
-        b = n & 0x7F
-        n >>= 7
-        if n:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
-
-
-def snappy_compress_block(data: bytes) -> bytes:
-    """Real greedy snappy BLOCK compressor (hash-table 4-byte
-    matcher): emits copy-1 when len 4-11 fits an offset < 2048,
-    copy-2 otherwise; literals split at 64 KiB. Inverse of
-    operators/snappy.snappy_uncompress."""
-    out = bytearray(_snappy_uvarint(len(data)))
-    n = len(data)
-    i = 0
-    lit_start = 0
-    table: dict[bytes, int] = {}
-
-    def emit_literal(lo: int, hi: int) -> None:
-        while lo < hi:
-            ln = min(hi - lo, 65536)
-            lm1 = ln - 1
-            if lm1 < 60:
-                out.append(lm1 << 2)
-            elif lm1 < 256:
-                out.append(60 << 2)
-                out.append(lm1)
-            else:
-                out.append(61 << 2)
-                out.extend(lm1.to_bytes(2, "little"))
-            out.extend(data[lo:lo + ln])
-            lo += ln
-
-    while i + 4 <= n:
-        key = data[i:i + 4]
-        j = table.get(key)
-        table[key] = i
-        if j is not None and i - j <= 65535:
-            length = 4
-            while i + length < n and length < 64 and \
-                    data[j + length] == data[i + length]:
-                length += 1
-            emit_literal(lit_start, i)
-            offset = i - j
-            if 4 <= length <= 11 and offset < 2048:
-                out.append(1 | ((length - 4) << 2)
-                           | ((offset >> 8) << 5))
-                out.append(offset & 0xFF)
-            else:
-                out.append(2 | ((length - 1) << 2))
-                out.extend(offset.to_bytes(2, "little"))
-            i += length
-            lit_start = i
-        else:
-            i += 1
-    emit_literal(lit_start, n)
-    return bytes(out)
+# snappy_compress_block moved to operators/snappy.py (r13): the
+# from-scratch parquet writer needs it production-side; fixtures
+# keep using the same single implementation.
+from ..operators.snappy import snappy_compress_block  # noqa: E402,F401
 
 
 def snappy_payload_rule(seed: int, k: int) -> bytes:
@@ -9569,3 +9511,38 @@ def make_delta_v2ckpt_bundle(seed: int) -> bytes:
                        ("\n".join(lines7) + "\n").encode())
     out += b"\x00" * 1024
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Parquet writer round-trip (r13): the ``parquet_write_roundtrip``
+# driver query's planted columns.
+
+def parquet_rt_columns(seed: int) -> "list[tuple[str, str, list]]":
+    """Planted nullable columns for the from-scratch writer.
+
+    Rules (replayed in closed form by the oracle):
+
+    - ``n = 40 + seed % 30`` rows
+    - ``id``: NULL when ``(seed+i) % 8 == 7`` else
+      ``(seed*9 + 5*i) % 7000``
+    - ``x``: NULL when ``(seed+i) % 10 == 9`` else
+      ``((seed + 3*i) % 50) / 2`` (exact halves)
+    - ``s``: NULL when ``i % 6 == 5`` else ``'s' * (1 + (seed+i)%4)``
+    - ``b``: NULL when ``(seed+i) % 7 == 6`` else
+      ``(seed+i) % 3 == 0``
+    """
+    n = 40 + seed % 30
+    ids = [None if (seed + i) % 8 == 7 else (seed * 9 + 5 * i) % 7000
+           for i in range(n)]
+    xs = [None if (seed + i) % 10 == 9 else ((seed + 3 * i) % 50) / 2
+          for i in range(n)]
+    ss = [None if i % 6 == 5 else "s" * (1 + (seed + i) % 4)
+          for i in range(n)]
+    bs = [None if (seed + i) % 7 == 6 else ((seed + i) % 3 == 0)
+          for i in range(n)]
+    return [("id", "int64", ids), ("x", "double", xs),
+            ("s", "string", ss), ("b", "boolean", bs)]
+
+
+def parquet_rt_codec(seed: int) -> str:
+    return ["uncompressed", "snappy"][seed % 2]

@@ -37,6 +37,7 @@ _R13_EXTRACT_QUERIES = [
     "lz4_frame_extract",
     "iceberg_truncate_prune",
     "delta_checkpoint_v2",
+    "parquet_write_roundtrip",
 ]
 
 
