@@ -1494,3 +1494,67 @@ FROM e JOIN vals v ON v.event_id = e.event_id
 
 QUERIES_R13["parquet_write_roundtrip"] = q_parquet_write_roundtrip
 ORACLES_R13["parquet_write_roundtrip"] = _PQ_WRITE_ORACLE
+
+
+def q_arrow_write_roundtrip(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """From-scratch Arrow IPC STREAM writer (r13) — the engine
+    BUILDS FlatBuffers without the Arrow library (bottom-up builder:
+    vtables, alignment-stable front insertion, encapsulated-message
+    framing with EOS; operators/arrow_write.py) and pyarrow — the
+    INDEPENDENT consumer — reads every stream back inside the same
+    Arrow map; ``own_agree`` pins the engine's own FlatBuffers
+    walker to the identical id column.  Odd seeds split rows across
+    multiple record batches.  A wrong vtable slot, misaligned
+    buffer, or bad offset fails the foreign read-back and thus the
+    oracle.  Lane id % 10 == 6."""
+    from ..operators.arrow_write import decode_arrow_roundtrip
+    from ..testing.fixtures import arrow_rt_batch, arrow_rt_columns
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 6
+        ).withColumnRenamed("event_id", "doc_id"),
+        spark,
+    )
+    return decode_arrow_roundtrip(
+        e, arrow_rt_columns, arrow_rt_batch).drop("decode_error")
+
+
+_ARROW_WRITE_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         30 + (event_id % 1000) % 25 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 6
+),
+vals AS (
+  SELECT e.event_id,
+         sum(CASE WHEN (e.seed + i.i) % 8 = 7 THEN 0
+                  ELSE (e.seed*9 + 5*i.i) % 7000 END) AS ids,
+         sum(CASE WHEN (e.seed + i.i) % 8 = 7 THEN 1 ELSE 0 END) AS nn,
+         sum(CASE WHEN (e.seed + i.i) % 10 = 9 THEN 0
+                  ELSE (e.seed + 3*i.i) % 50 END) AS x2,
+         sum(CASE WHEN i.i % 6 = 5 THEN 0
+                  ELSE 2 * (1 + (e.seed + i.i) % 3) END) AS sb,
+         sum(CASE WHEN (e.seed + i.i) % 7 <> 6
+                   AND (e.seed + i.i) % 3 = 0
+              THEN 1 ELSE 0 END) AS bt
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.n AS BIGINT) AS n_rows,
+       CAST(CASE WHEN e.seed % 2 = 1
+                 THEN (e.n + 9) // 10 ELSE 1 END
+            AS INTEGER) AS n_batches,
+       CAST(v.ids AS BIGINT) AS id_sum,
+       CAST(v.x2 AS BIGINT) AS x2_sum,
+       CAST(v.sb AS BIGINT) AS s_bytes,
+       CAST(v.bt AS BIGINT) AS b_true,
+       CAST(v.nn AS BIGINT) AS n_nulls,
+       CAST(1 AS INTEGER) AS own_agree
+FROM e JOIN vals v ON v.event_id = e.event_id
+"""
+
+QUERIES_R13["arrow_write_roundtrip"] = q_arrow_write_roundtrip
+ORACLES_R13["arrow_write_roundtrip"] = _ARROW_WRITE_ORACLE

@@ -9546,3 +9546,40 @@ def parquet_rt_columns(seed: int) -> "list[tuple[str, str, list]]":
 
 def parquet_rt_codec(seed: int) -> str:
     return ["uncompressed", "snappy"][seed % 2]
+
+
+# --------------------------------------------------------------------------
+# Arrow IPC writer round-trip (r13): the ``arrow_write_roundtrip``
+# driver query's planted columns.
+
+def arrow_rt_columns(seed: int) -> "list[tuple[str, str, list]]":
+    """Planted nullable columns for the from-scratch Arrow stream
+    writer.
+
+    Rules (replayed in closed form by the oracle):
+
+    - ``n = 30 + seed % 25`` rows
+    - ``id``: NULL when ``(seed+i) % 8 == 7`` else
+      ``(seed*9 + 5*i) % 7000``
+    - ``x``: NULL when ``(seed+i) % 10 == 9`` else
+      ``((seed + 3*i) % 50) / 2``
+    - ``s``: NULL when ``i % 6 == 5`` else ``'α' * (1 + (seed+i)%3)``
+      (two UTF-8 bytes per char)
+    - ``b``: NULL when ``(seed+i) % 7 == 6`` else
+      ``(seed+i) % 3 == 0``
+    """
+    n = 30 + seed % 25
+    ids = [None if (seed + i) % 8 == 7 else (seed * 9 + 5 * i) % 7000
+           for i in range(n)]
+    xs = [None if (seed + i) % 10 == 9 else ((seed + 3 * i) % 50) / 2
+          for i in range(n)]
+    ss = [None if i % 6 == 5 else "α" * (1 + (seed + i) % 3)
+          for i in range(n)]
+    bs = [None if (seed + i) % 7 == 6 else ((seed + i) % 3 == 0)
+          for i in range(n)]
+    return [("id", "int64", ids), ("x", "double", xs),
+            ("s", "string", ss), ("b", "boolean", bs)]
+
+
+def arrow_rt_batch(seed: int) -> "int | None":
+    return [None, 10][seed % 2]

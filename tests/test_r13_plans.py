@@ -38,6 +38,7 @@ _R13_EXTRACT_QUERIES = [
     "iceberg_truncate_prune",
     "delta_checkpoint_v2",
     "parquet_write_roundtrip",
+    "arrow_write_roundtrip",
 ]
 
 
