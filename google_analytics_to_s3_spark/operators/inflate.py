@@ -50,7 +50,8 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["inflate", "zlib_decompress", "gzip_decompress",
-           "adler32", "crc32", "decode_gzip_members"]
+           "adler32", "crc32", "decode_gzip_members",
+           "deflate_compress", "gzip_compress", "zlib_compress"]
 
 _MAX_OUT = 256 * 1024 * 1024
 
@@ -427,3 +428,235 @@ def decode_gzip_members(
 
     return df.select(id_col, payload_col).mapInPandas(
         _run, schema=GZIP_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# DEFLATE COMPRESSOR (r13) — fixed-Huffman blocks (RFC 1951 §3.2.6)
+# with a real greedy LZ77 matcher (hash-4 chains, lengths 3-258,
+# distances to 32 KiB), plus the gzip (RFC 1952) and zlib (RFC 1950)
+# wrappers over the module's own CRC-32 / Adler-32.
+#
+# The inverse of `inflate` above: every emitted stream is
+# decompressed by STDLIB ZLIB (the independent consumer) in
+# tests/test_inflate_write.py and inside the
+# `gzip_write_roundtrip` driver query, and by this module's own
+# decoder.  Fixed Huffman needs no code-length transmission, so the
+# emitted bytes are spec-minimal while still exercising real match
+# encoding; dynamic-Huffman writing is a named non-goal (the READER
+# handles it).
+
+def _len_code(length: int) -> tuple[int, int, int]:
+    """(symbol, extra_bits, extra_value) for a match length."""
+    if length == 258:
+        return 285, 0, 0
+    if length < 11:
+        return 254 + length, 0, 0
+    extra = 1
+    base = 11
+    span = 4 * 2
+    code = 265
+    while length >= base + span:
+        base += span
+        code += 4
+        extra += 1
+        span = 4 * (1 << extra)
+    step = 1 << extra
+    return (code + (length - base) // step, extra,
+            (length - base) % step)
+
+
+def _dist_code(dist: int) -> tuple[int, int, int]:
+    """(symbol, extra_bits, extra_value) for a match distance."""
+    if dist <= 4:
+        return dist - 1, 0, 0
+    extra = 1
+    base = 5
+    code = 4
+    while dist >= base + (2 << extra):
+        base += 2 << extra
+        code += 2
+        extra += 1
+    step = 1 << extra
+    return (code + (dist - base) // step, extra,
+            (dist - base) % step)
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, value: int, n: int) -> None:
+        """LSB-first packing (RFC 1951 §3.1.1)."""
+        self.acc |= value << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def huff(self, code: int, n: int) -> None:
+        """Huffman codes are packed MSB-of-code first."""
+        rev = 0
+        for _ in range(n):
+            rev = (rev << 1) | (code & 1)
+            code >>= 1
+        self.bits(rev, n)
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _put_litlen(w: _BitWriter, sym: int) -> None:
+    if sym <= 143:
+        w.huff(0x30 + sym, 8)
+    elif sym <= 255:
+        w.huff(0x190 + sym - 144, 9)
+    elif sym <= 279:
+        w.huff(sym - 256, 7)
+    else:
+        w.huff(0xC0 + sym - 280, 8)
+
+
+def deflate_compress(data: bytes) -> bytes:
+    """Compress ``data`` as one fixed-Huffman DEFLATE block."""
+    w = _BitWriter()
+    w.bits(1, 1)   # BFINAL
+    w.bits(1, 2)   # BTYPE 01: fixed Huffman
+    n = len(data)
+    table: dict[bytes, int] = {}
+    i = 0
+    while i < n:
+        match_len = 0
+        match_dist = 0
+        if i + 3 <= n:
+            key = data[i:i + 3]
+            j = table.get(key)
+            table[key] = i
+            if j is not None and i - j <= 32768:
+                length = 3
+                cap = min(258, n - i)
+                while length < cap and \
+                        data[j + length] == data[i + length]:
+                    length += 1
+                match_len = length
+                match_dist = i - j
+        if match_len >= 3:
+            sym, eb, ev = _len_code(match_len)
+            _put_litlen(w, sym)
+            if eb:
+                w.bits(ev, eb)
+            dsym, deb, dev = _dist_code(match_dist)
+            w.huff(dsym, 5)
+            if deb:
+                w.bits(dev, deb)
+            # index the skipped positions so later matches can
+            # anchor inside this run
+            end = i + match_len
+            i += 1
+            while i < end:
+                if i + 3 <= n:
+                    table[data[i:i + 3]] = i
+                i += 1
+        else:
+            _put_litlen(w, data[i])
+            i += 1
+    _put_litlen(w, 256)  # end of block
+    return w.finish()
+
+
+def gzip_compress(data: bytes) -> bytes:
+    """A complete RFC 1952 gzip member over
+    :func:`deflate_compress` (own CRC-32 trailer)."""
+    head = b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
+    return (head + deflate_compress(data)
+            + (crc32(data) & 0xFFFFFFFF).to_bytes(4, "little")
+            + (len(data) & 0xFFFFFFFF).to_bytes(4, "little"))
+
+
+def zlib_compress(data: bytes) -> bytes:
+    """A complete RFC 1950 zlib stream over
+    :func:`deflate_compress` (own Adler-32 trailer)."""
+    return (b"\x78\x01" + deflate_compress(data)
+            + adler32(data).to_bytes(4, "big"))
+
+
+CODEC_WRITE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("content_len", LongType()),
+    StructField("content_sum", LongType()),
+    StructField("zstd_foreign_ok", IntegerType()),
+    StructField("gzip_foreign_ok", IntegerType()),
+    StructField("zlib_foreign_ok", IntegerType()),
+    StructField("own_ok", IntegerType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_codec_write_roundtrip(
+    df: DataFrame, make_content,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` sink-and-check for the r13 compressor
+    family: per document, compress the planted content with the
+    engine's own zstd store/RLE frame writer, DEFLATE fixed-Huffman
+    gzip member, and zlib stream — then decompress each with the
+    INDEPENDENT consumer (libzstd via pyarrow, stdlib zlib) and with
+    the engine's own decoders, and report parity flags."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib as _zlib
+
+        import pyarrow as _pa
+
+        from .zstd import compress_zstd_store, decompress_zstd
+
+        zc = _pa.Codec("zstd")
+        cols = ("content_len", "content_sum", "zstd_foreign_ok",
+                "gzip_foreign_ok", "zlib_foreign_ok", "own_ok")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id in pdf[id_col]:
+                rows["doc_id"].append(doc_id)
+                try:
+                    d = make_content(int(doc_id) % 1000)
+                    zfr = compress_zstd_store(d, checksum=True)
+                    gz = gzip_compress(d)
+                    zl = zlib_compress(d)
+                    rows["content_len"].append(len(d))
+                    rows["content_sum"].append(sum(d))
+                    rows["zstd_foreign_ok"].append(int(
+                        zc.decompress(zfr, decompressed_size=len(d),
+                                      asbytes=True) == d))
+                    rows["gzip_foreign_ok"].append(int(
+                        _zlib.decompress(gz, 16 + 15) == d))
+                    rows["zlib_foreign_ok"].append(int(
+                        _zlib.decompress(zl) == d))
+                    rows["own_ok"].append(int(
+                        decompress_zstd(zfr) == d
+                        and gzip_decompress(gz)[0] == d
+                        and zlib_decompress(zl) == d))
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, KeyError, TypeError,
+                        OSError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(
+                    rows[k],
+                    dtype="Int64" if k.startswith("content")
+                    else "Int32")
+                   for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col).mapInPandas(_run, schema=CODEC_WRITE_SCHEMA)

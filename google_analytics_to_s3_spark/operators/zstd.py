@@ -67,7 +67,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["xxh64", "decompress_zstd", "parse_zstd_frames",
+__all__ = ["xxh64", "decompress_zstd", "compress_zstd_store",
+           "parse_zstd_frames",
            "parse_zstd_dict", "decode_zstd_meta", "unwrap_zstd"]
 
 _MAGIC = 0xFD2FB528
@@ -1059,3 +1060,78 @@ def unwrap_zstd(
 
     return df.select(id_col, payload_col).mapInPandas(
         _unwrap, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Frame WRITER (r13) — the store/RLE subset of RFC 8878.
+#
+# Raw_Block and RLE_Block need no entropy coding, so a writer that
+# emits them produces fully spec-valid zstd frames any decoder must
+# accept (libzstd's own `--format=zstd` store path does the same at
+# level 0 for incompressible data).  The writer RLE-collapses byte
+# runs >= 16, appends the XXH64 content checksum, and splits content
+# at the 128 KiB block ceiling.  tests/test_zstd.py and the
+# `zstd_write_roundtrip` driver query decompress every emitted frame
+# with LIBZSTD (pyarrow) — the independent consumer — and with the
+# engine's own decoder.
+
+_WRITE_BLOCK_MAX = 128 * 1024
+
+
+def compress_zstd_store(data: bytes, checksum: bool = True) -> bytes:
+    """Emit ``data`` as one zstd frame of Raw/RLE blocks."""
+    out = bytearray(_MAGIC.to_bytes(4, "little"))
+    # frame header: FCS field size by content length, no window
+    # descriptor needed when Single_Segment is set
+    n = len(data)
+    if n < 256:
+        out.append((0 << 6) | (0x20) | (0x04 if checksum else 0))
+        out.append(n)
+    elif n < 65536 + 256:
+        out.append((1 << 6) | 0x20 | (0x04 if checksum else 0))
+        out += (n - 256).to_bytes(2, "little")
+    else:
+        out.append((2 << 6) | 0x20 | (0x04 if checksum else 0))
+        out += n.to_bytes(4, "little")
+    # blocks: RLE-collapse runs, raw otherwise, 128 KiB ceiling
+    blocks: list[tuple[int, bytes]] = []   # (type, payload)
+    i = 0
+    lit_start = 0
+
+    def _flush_raw(lo: int, hi: int) -> None:
+        while lo < hi:
+            chunk = data[lo:min(hi, lo + _WRITE_BLOCK_MAX)]
+            blocks.append((0, chunk))
+            lo += len(chunk)
+
+    while i < n:
+        j = i
+        while j < n and data[j] == data[i] \
+                and j - i < _WRITE_BLOCK_MAX:
+            j += 1
+        if j - i >= 16:
+            _flush_raw(lit_start, i)
+            blocks.append((1, bytes([data[i]]) + (j - i).to_bytes(
+                3, "little")))  # payload: byte + run length
+            i = j
+            lit_start = i
+        else:
+            i = j
+    _flush_raw(lit_start, n)
+    if not blocks:
+        blocks.append((0, b""))
+    for k, (btype, payload) in enumerate(blocks):
+        last = 1 if k == len(blocks) - 1 else 0
+        if btype == 0:
+            size = len(payload)
+            out += (last | (0 << 1) | (size << 3)).to_bytes(
+                3, "little")
+            out += payload
+        else:
+            run = int.from_bytes(payload[1:], "little")
+            out += (last | (1 << 1) | (run << 3)).to_bytes(
+                3, "little")
+            out.append(payload[0])
+    if checksum:
+        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)

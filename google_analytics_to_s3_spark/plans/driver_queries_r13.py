@@ -1558,3 +1558,56 @@ FROM e JOIN vals v ON v.event_id = e.event_id
 
 QUERIES_R13["arrow_write_roundtrip"] = q_arrow_write_roundtrip
 ORACLES_R13["arrow_write_roundtrip"] = _ARROW_WRITE_ORACLE
+
+
+def q_codec_write_roundtrip(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Compressor family WRITE path (r13): the engine emits zstd
+    frames (store/RLE blocks + XXH64 checksum,
+    operators/zstd.py:compress_zstd_store), gzip members and zlib
+    streams (REAL fixed-Huffman DEFLATE with greedy hash-chain LZ77,
+    own CRC-32/Adler-32 trailers, operators/inflate.py) — and the
+    INDEPENDENT consumers (libzstd via pyarrow, stdlib zlib) plus
+    the engine's own decoders decompress every emission in the same
+    Arrow map.  Planted content mixes byte runs, pseudo-random
+    spans and far copies so real matches are emitted, and the
+    oracle pins content length/sum and all parity flags.  Lane
+    id % 10 == 8."""
+    from ..operators.inflate import decode_codec_write_roundtrip
+    from ..testing.fixtures import codec_rt_content
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 8
+        ).withColumnRenamed("event_id", "doc_id"),
+        spark,
+    )
+    return decode_codec_write_roundtrip(
+        e, codec_rt_content).drop("decode_error")
+
+
+_CODEC_WRITE_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         60 + (event_id % 1000) % 50 AS na,
+         120 + (event_id % 1000) % 80 AS nb
+  FROM events WHERE event_id % {_FLAC_MOD} = 8
+),
+sb AS (
+  SELECT e.event_id, sum((3*e.seed + 7*i.i) % 251) AS s_b
+  FROM e, LATERAL (SELECT unnest(range(0, e.nb)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(2*e.na + 2*e.nb AS BIGINT) AS content_len,
+       CAST(2*e.na*(e.seed % 251) + 2*sb.s_b AS BIGINT)
+         AS content_sum,
+       CAST(1 AS INTEGER) AS zstd_foreign_ok,
+       CAST(1 AS INTEGER) AS gzip_foreign_ok,
+       CAST(1 AS INTEGER) AS zlib_foreign_ok,
+       CAST(1 AS INTEGER) AS own_ok
+FROM e JOIN sb ON sb.event_id = e.event_id
+"""
+
+QUERIES_R13["codec_write_roundtrip"] = q_codec_write_roundtrip
+ORACLES_R13["codec_write_roundtrip"] = _CODEC_WRITE_ORACLE

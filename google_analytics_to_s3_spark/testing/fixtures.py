@@ -9583,3 +9583,23 @@ def arrow_rt_columns(seed: int) -> "list[tuple[str, str, list]]":
 
 def arrow_rt_batch(seed: int) -> "int | None":
     return [None, 10][seed % 2]
+
+
+# --------------------------------------------------------------------------
+# Codec writer round-trip (r13): planted content for the
+# ``codec_write_roundtrip`` driver query.
+
+def codec_rt_content(seed: int) -> bytes:
+    """Mixed content: a byte run (RLE/match-heavy), a pseudo-random
+    segment, a far copy of it (plants real LZ77 matches beyond the
+    run), and the run again.
+
+    Closed form: ``len = 2*(60 + seed%50) + 2*(120 + seed%80)``,
+    ``sum = 2*(60 + seed%50)*(seed%251) +
+    2*sum_i (3*seed + 7*i) % 251``.
+    """
+    na = 60 + seed % 50
+    nb = 120 + seed % 80
+    a = bytes([seed % 251]) * na
+    b = bytes((3 * seed + 7 * i) % 251 for i in range(nb))
+    return a + b + b + a

@@ -1,0 +1,102 @@
+"""Compressor write paths (r13): zstd store/RLE frames
+(operators/zstd.py) and fixed-Huffman DEFLATE + gzip/zlib wrappers
+(operators/inflate.py), cross-validated against libzstd and stdlib
+zlib."""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import os
+import random
+import zlib as _zlib
+
+import pytest
+
+from google_analytics_to_s3_spark.operators.inflate import (
+    deflate_compress,
+    gzip_compress,
+    gzip_decompress,
+    inflate,
+    zlib_compress,
+    zlib_decompress,
+)
+from google_analytics_to_s3_spark.operators.zstd import (
+    compress_zstd_store,
+    decompress_zstd,
+)
+
+
+def _mixed(seed: int, n: int) -> bytes:
+    rng = random.Random(seed)
+    d = bytearray()
+    while len(d) < n:
+        r = rng.random()
+        if r < 0.3:
+            d += bytes([rng.randrange(256)]) * rng.randrange(1, 400)
+        elif r < 0.6 and d:
+            st = rng.randrange(0, len(d))
+            d += bytes(d[st:st + rng.randrange(1, 500)])
+        else:
+            d += bytes(rng.randrange(256)
+                       for _ in range(rng.randrange(1, 200)))
+    return bytes(d[:n])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("n", [0, 1, 17, 4096, 70000])
+def test_deflate_stdlib_and_own_agree(seed, n):
+    d = _mixed(seed, n)
+    raw = deflate_compress(d)
+    assert _zlib.decompress(raw, -15) == d
+    assert inflate(raw)[0] == d
+    g = gzip_compress(d)
+    assert _gzip.decompress(g) == d
+    assert gzip_decompress(g)[0] == d
+    z = zlib_compress(d)
+    assert _zlib.decompress(z) == d
+    assert zlib_decompress(z) == d
+
+
+def test_deflate_actually_compresses():
+    d = b"the quick brown fox " * 500
+    assert len(deflate_compress(d)) < len(d) // 5
+
+
+def test_deflate_match_boundaries():
+    # lengths 3 and 258 (the code-table extremes) and distance 32768
+    base = os.urandom(300)
+    d = base + b"XYZ" + base[:3] + b"Q" * 258 + b"Q" * 258
+    assert _zlib.decompress(deflate_compress(d), -15) == d
+    far = os.urandom(32768 - 10) + b"ABCDEFGHIJ"
+    d2 = b"ABCDEFGHIJ" + far  # distance exactly 32768 for the tail
+    assert _zlib.decompress(deflate_compress(d2), -15) == d2
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("n", [1, 15, 16, 4096, 200000])
+def test_zstd_store_libzstd_and_own_agree(seed, n):
+    import pyarrow as pa
+
+    d = _mixed(seed, n)
+    for ck in (True, False):
+        fr = compress_zstd_store(d, checksum=ck)
+        assert pa.Codec("zstd").decompress(
+            fr, decompressed_size=len(d), asbytes=True) == d
+        assert decompress_zstd(fr) == d
+
+
+def test_zstd_store_empty_and_corrupt_checksum():
+    assert decompress_zstd(compress_zstd_store(b"")) == b""
+    fr = bytearray(compress_zstd_store(b"hello world, hello"))
+    fr[-1] ^= 0xFF  # flip checksum byte
+    with pytest.raises(ValueError):
+        decompress_zstd(bytes(fr))
+
+
+def test_zstd_block_splitting_at_128k():
+    import pyarrow as pa
+
+    d = os.urandom(300_000)
+    fr = compress_zstd_store(d)
+    assert pa.Codec("zstd").decompress(
+        fr, decompressed_size=len(d), asbytes=True) == d

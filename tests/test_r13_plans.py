@@ -39,6 +39,7 @@ _R13_EXTRACT_QUERIES = [
     "delta_checkpoint_v2",
     "parquet_write_roundtrip",
     "arrow_write_roundtrip",
+    "codec_write_roundtrip",
 ]
 
 
