@@ -3061,7 +3061,7 @@ _DRIVER_PRIORITY = [
     "iceberg_bucket_prune", "hudi_snapshot", "avro_schema_evolution",
     "iceberg_truncate_prune", "delta_checkpoint_v2",
     "parquet_write_roundtrip", "arrow_write_roundtrip",
-    "codec_write_roundtrip",
+    "codec_write_roundtrip", "csv_sniff_scan",
     # (queue) rows last driver-checked in r6 (remaining 18).
     "target_encoding", "quantile_normalize", "hashed_features",
     "langid_eval", "sessionize_flags", "sessionize_full", "session_stats",

@@ -1611,3 +1611,73 @@ FROM e JOIN sb ON sb.event_id = e.event_id
 
 QUERIES_R13["codec_write_roundtrip"] = q_codec_write_roundtrip
 ORACLES_R13["codec_write_roundtrip"] = _CODEC_WRITE_ORACLE
+
+
+def q_csv_sniff_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV dialect sniffing + RFC 4180 parse (r13): stdlib
+    csv.writer — the independent producer — emits documents across
+    four delimiters, CRLF/LF, minimal quoting with embedded
+    delimiters / doubled quotes / in-field newlines, nullable int
+    cells, and a planted ragged row; the engine sniffs the dialect
+    (field-count-consistency scoring), detects the header by type
+    dissonance, parses with a byte-level quote state machine, and
+    type-infers columns (operators/csvx.py).  The oracle replays
+    dialect, shape, per-type column counts and the id-column sum in
+    closed form.  Lane id % 10 == 4."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.csvx import decode_csv_stats
+    from ..testing.fixtures import make_csv_doc
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 4
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_csv_doc(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_csv_stats(payloads, "id").drop("decode_error")
+
+
+_CSV_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         20 + (event_id % 1000) % 30 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 4
+),
+vals AS (
+  SELECT e.event_id,
+         sum(CASE WHEN (e.seed + i.i) % 9 = 8 THEN 0
+                  ELSE (e.seed*7 + 3*i.i) % 5000 END) AS ids,
+         sum(CASE WHEN (e.seed + i.i) % 9 = 8 THEN 1 ELSE 0 END) AS nn
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.seed % 4 AS INTEGER) AS delim_id,
+       CAST(1 AS INTEGER) AS quoted,
+       CAST(4 AS INTEGER) AS n_columns,
+       CAST(e.n AS BIGINT) AS n_rows,
+       CAST(CASE WHEN e.seed % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_ragged,
+       CAST(1 AS INTEGER) AS n_int_cols,
+       CAST(1 AS INTEGER) AS n_double_cols,
+       CAST(2 AS INTEGER) AS n_string_cols,
+       CAST(v.ids AS BIGINT) AS int_sum,
+       CAST(v.nn AS BIGINT) AS int_nulls
+FROM e JOIN vals v ON v.event_id = e.event_id
+"""
+
+QUERIES_R13["csv_sniff_scan"] = q_csv_sniff_scan
+ORACLES_R13["csv_sniff_scan"] = _CSV_ORACLE

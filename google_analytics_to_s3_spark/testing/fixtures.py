@@ -9603,3 +9603,55 @@ def codec_rt_content(seed: int) -> bytes:
     a = bytes([seed % 251]) * na
     b = bytes((3 * seed + 7 * i) % 251 for i in range(nb))
     return a + b + b + a
+
+
+# --------------------------------------------------------------------------
+# CSV dialect sniffing (r13): the ``csv_sniff_scan`` driver query.
+# The PRODUCER is stdlib csv.writer (QUOTE_MINIMAL, real dialects),
+# so green rows certify operators/csvx.py sniffs and parses real
+# writer output, not its own fixtures.
+
+_CSV_DELIMS = [",", ";", "\t", "|"]
+
+
+@_functools.lru_cache(maxsize=1024)
+def make_csv_doc(seed: int) -> bytes:
+    """Deterministic CSV document.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - delimiter cycles ``, ; \\t |`` with ``seed % 4``; line ending
+      CRLF on odd seeds; header ``id,name,score,note``
+    - ``n = 20 + seed % 30`` body rows; ``id`` empty (null) when
+      ``(seed+i) % 9 == 8`` else ``(seed*7 + 3*i) % 5000``
+    - ``name`` embeds the active delimiter on ``i % 4 == 0`` (forces
+      quoting), a doubled quote on ``i % 5 == 3``, an embedded
+      newline on ``i % 7 == 5``
+    - ``score = ((seed + 2*i) % 40) / 4`` (double column);
+      ``note = 'w' || (seed+i) % 12`` (string column)
+    - on ``seed % 5 == 0`` one trailing RAGGED 3-field row
+    """
+    import csv as _csv
+    import io as _io
+
+    d = _CSV_DELIMS[seed % 4]
+    buf = _io.StringIO()
+    w = _csv.writer(buf, delimiter=d, quoting=_csv.QUOTE_MINIMAL,
+                    lineterminator="\r\n" if seed % 2 else "\n")
+    w.writerow(["id", "name", "score", "note"])
+    n = 20 + seed % 30
+    for i in range(n):
+        idv = "" if (seed + i) % 9 == 8 else str((seed * 7 + 3 * i)
+                                                 % 5000)
+        name = f"n{i}"
+        if i % 4 == 0:
+            name = f"n{d}x{i}"
+        if i % 5 == 3:
+            name += '"q'
+        if i % 7 == 5:
+            name += "\nz"
+        w.writerow([idv, name, ((seed + 2 * i) % 40) / 4,
+                    f"w{(seed + i) % 12}"])
+    if seed % 5 == 0:
+        w.writerow(["9", "z", "1.5"])
+    return buf.getvalue().encode()

@@ -40,6 +40,7 @@ _R13_EXTRACT_QUERIES = [
     "parquet_write_roundtrip",
     "arrow_write_roundtrip",
     "codec_write_roundtrip",
+    "csv_sniff_scan",
 ]
 
 
