@@ -593,6 +593,7 @@ CODEC_WRITE_SCHEMA = StructType([
     StructField("zstd_foreign_ok", IntegerType()),
     StructField("gzip_foreign_ok", IntegerType()),
     StructField("zlib_foreign_ok", IntegerType()),
+    StructField("lz4_foreign_ok", IntegerType()),
     StructField("own_ok", IntegerType()),
     StructField("decode_error", StringType()),
 ])
@@ -614,11 +615,14 @@ def decode_codec_write_roundtrip(
 
         import pyarrow as _pa
 
+        from .lz4 import parse_lz4_frame, write_lz4_frame
         from .zstd import compress_zstd_store, decompress_zstd
 
         zc = _pa.Codec("zstd")
+        lc = _pa.Codec("lz4")
         cols = ("content_len", "content_sum", "zstd_foreign_ok",
-                "gzip_foreign_ok", "zlib_foreign_ok", "own_ok")
+                "gzip_foreign_ok", "zlib_foreign_ok",
+                "lz4_foreign_ok", "own_ok")
         for pdf in batches:
             rows: dict[str, list] = {k: [] for k in
                                      ("doc_id", *cols, "decode_error")}
@@ -638,10 +642,15 @@ def decode_codec_write_roundtrip(
                         _zlib.decompress(gz, 16 + 15) == d))
                     rows["zlib_foreign_ok"].append(int(
                         _zlib.decompress(zl) == d))
+                    l4 = write_lz4_frame(d)
+                    rows["lz4_foreign_ok"].append(int(
+                        lc.decompress(l4, decompressed_size=len(d),
+                                      asbytes=True) == d))
                     rows["own_ok"].append(int(
                         decompress_zstd(zfr) == d
                         and gzip_decompress(gz)[0] == d
-                        and zlib_decompress(zl) == d))
+                        and zlib_decompress(zl) == d
+                        and parse_lz4_frame(l4)[0] == d))
                     rows["decode_error"].append(None)
                 except (ValueError, IndexError, KeyError, TypeError,
                         OSError) as e:

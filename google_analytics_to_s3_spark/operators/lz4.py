@@ -286,3 +286,93 @@ def decode_lz4_meta(
     return df.select(id_col, payload_col).mapInPandas(
         _decode, schema=LZ4_META_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# Frame WRITER (r13) — real LZ4 block compression (greedy hash-4
+# matcher, token/literal/offset sequences, the spec's end-of-block
+# restrictions: last 5 bytes literal, no match within the final 12)
+# framed per the LZ4F spec (FLG/BD + header checksum byte, 64 KiB
+# independent blocks, XXH32 content checksum).  Every emitted frame
+# is decompressed by LIBLZ4 (pyarrow Codec 'lz4') — the independent
+# consumer — and by parse_lz4_frame above, in
+# tests/test_codec_write.py and the `codec_write_roundtrip` family.
+
+def _lz4_compress_block(data: bytes) -> bytes:
+    """One LZ4 block.  Greedy: 4-byte hash matches, offsets to
+    64 KiB, honoring the spec's end restrictions."""
+    n = len(data)
+    out = bytearray()
+    table: dict[bytes, int] = {}
+    i = 0
+    anchor = 0
+
+    def _emit(lit_hi: int, match_len: int, offset: int) -> None:
+        lit_len = lit_hi - anchor
+        tok_lit = min(lit_len, 15)
+        tok_mat = min(match_len - 4, 15) if match_len else 0
+        out.append((tok_lit << 4) | tok_mat)
+        rem = lit_len - 15
+        while rem >= 0:
+            out.append(min(rem, 255))
+            if rem < 255:
+                break
+            rem -= 255
+        out.extend(data[anchor:lit_hi])
+        if match_len:
+            out.extend(offset.to_bytes(2, "little"))
+            rem = match_len - 4 - 15
+            while rem >= 0:
+                out.append(min(rem, 255))
+                if rem < 255:
+                    break
+                rem -= 255
+
+    # matches may not cover the last 12 bytes; the final 5+ bytes
+    # must be literals (spec end-of-block restrictions)
+    limit = n - 12
+    while i < limit:
+        key = data[i:i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and i - j <= 65535 and data[j:j + 4] == key:
+            length = 4
+            cap = min(n - 5 - i, limit + 12 - 5 - i)
+            cap = n - 5 - i
+            while length < cap and data[j + length] == data[i + length]:
+                length += 1
+            _emit(i, length, i - j)
+            end = i + length
+            i += 1
+            while i < end and i < limit:
+                table[data[i:i + 4]] = i
+                i += 1
+            i = end
+            anchor = i
+        else:
+            i += 1
+    _emit(n, 0, 0)  # trailing literals
+    return bytes(out)
+
+
+def write_lz4_frame(data: bytes) -> bytes:
+    """A complete LZ4 frame over :func:`_lz4_compress_block` —
+    64 KiB independent blocks (stored uncompressed when compression
+    does not help, per the spec's high-bit escape), XXH32 content
+    checksum."""
+    out = bytearray((0x184D2204).to_bytes(4, "little"))
+    flg_bd = bytes([0x64, 0x40])     # v01, indep, C.Checksum; 64 KiB
+    out += flg_bd
+    out.append((xxh32(flg_bd) >> 8) & 0xFF)
+    for at in range(0, len(data), 65536):
+        chunk = data[at:at + 65536]
+        comp = _lz4_compress_block(chunk)
+        if len(comp) < len(chunk):
+            out += len(comp).to_bytes(4, "little")
+            out += comp
+        else:
+            out += (0x80000000 | len(chunk)).to_bytes(4, "little")
+            out += chunk
+    out += (0).to_bytes(4, "little")  # EndMark
+    out += xxh32(data).to_bytes(4, "little")
+    return bytes(out)

@@ -100,3 +100,33 @@ def test_zstd_block_splitting_at_128k():
     fr = compress_zstd_store(d)
     assert pa.Codec("zstd").decompress(
         fr, decompressed_size=len(d), asbytes=True) == d
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("n", [0, 1, 13, 65536, 200000])
+def test_lz4_frame_liblz4_and_own_agree(seed, n):
+    import pyarrow as pa
+
+    from google_analytics_to_s3_spark.operators.lz4 import (
+        parse_lz4_frame,
+        write_lz4_frame,
+    )
+
+    d = _mixed(seed, n)
+    fr = write_lz4_frame(d)
+    if n:
+        assert pa.Codec("lz4").decompress(
+            fr, decompressed_size=n, asbytes=True) == d
+    assert parse_lz4_frame(fr)[0] == d
+
+
+def test_lz4_incompressible_blocks_stored():
+    from google_analytics_to_s3_spark.operators.lz4 import (
+        parse_lz4_frame,
+        write_lz4_frame,
+    )
+
+    d = os.urandom(70000)  # spans two blocks, both stored
+    fr = write_lz4_frame(d)
+    assert parse_lz4_frame(fr)[0] == d
+    assert len(fr) < len(d) + 100  # stored, not inflated
