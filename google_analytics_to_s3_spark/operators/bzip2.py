@@ -383,3 +383,221 @@ def decode_bzip2_meta(
 
     return df.select(id_col, payload_col).mapInPandas(
         _run, schema=BZIP2_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# COMPRESSOR (r13) — the full bzip2 pipeline in reverse: RLE1 →
+# Block-Sorting Transform (prefix-doubling rotation sort) → MTF →
+# RLE2 (RUNA/RUNB bijective base 2) → canonical Huffman (2 groups,
+# delta-coded lengths, unary-MTF selectors), MSB-first bit packing,
+# per-block and combined stream CRCs.  Every emitted stream is
+# decompressed by STDLIB BZ2 (the independent consumer) and by
+# `bzip2_decompress` above in tests/test_codec_write.py; the
+# `codec_write_roundtrip` driver query carries the foreign-ok flag.
+
+class _MsbBitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
+        return bytes(self.out)
+
+
+def _rle1_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        j = i
+        while j < n and j - i < 259 and data[j] == b:
+            j += 1
+        run = j - i
+        if run >= 4:
+            out += bytes([b]) * 4
+            out.append(run - 4)
+        else:
+            out += bytes([b]) * run
+        i = j
+    return bytes(out)
+
+
+def _bwt(s: bytes) -> tuple[bytes, int]:
+    """Rotation sort by prefix doubling → (last column, origPtr)."""
+    n = len(s)
+    if n == 0:
+        return b"", 0
+    rank = list(s)
+    order = sorted(range(n), key=lambda i: rank[i])
+    k = 1
+    while k < n:
+        key = [(rank[i], rank[(i + k) % n]) for i in range(n)]
+        order.sort(key=lambda i: key[i])
+        new_rank = [0] * n
+        for x in range(1, n):
+            new_rank[order[x]] = new_rank[order[x - 1]] + (
+                1 if key[order[x]] != key[order[x - 1]] else 0)
+        rank = new_rank
+        if rank[order[-1]] == n - 1:
+            break
+        k <<= 1
+    last = bytes(s[(i - 1) % n] for i in order)
+    return last, order.index(0)
+
+
+def _huff_lengths(freqs: "list[int]", max_len: int = 17) -> "list[int]":
+    """Huffman code lengths (every symbol gets one, min length 1),
+    length-limited by frequency flattening on overflow."""
+    import heapq
+
+    n = len(freqs)
+    while True:
+        heap = [(max(f, 1), i, None) for i, f in enumerate(freqs)]
+        heapq.heapify(heap)
+        if len(heap) == 1:
+            return [1]
+        while len(heap) > 1:
+            a = heapq.heappop(heap)
+            bq = heapq.heappop(heap)
+            heapq.heappush(heap, (a[0] + bq[0], n, (a, bq)))
+            n += 1
+        lengths = [0] * len(freqs)
+        stack = [(heap[0], 0)]
+        while stack:
+            (f, i, kids), depth = stack.pop()
+            if kids is None:
+                lengths[i] = max(depth, 1)
+            else:
+                stack.append((kids[0], depth + 1))
+                stack.append((kids[1], depth + 1))
+        if max(lengths) <= max_len:
+            return lengths
+        # flatten: halve frequencies (classic bzip2 strategy)
+        freqs = [max(f // 2, 1) for f in freqs]
+        n = len(freqs)
+
+
+def _huff_codes(lengths: "list[int]") -> "list[tuple[int, int]]":
+    """Canonical (code, length) per symbol — codes assigned in
+    (length, symbol-index) order, matching the decoder's
+    limit/base/perm walk."""
+    order = sorted(range(len(lengths)), key=lambda s: (lengths[s], s))
+    codes: list[tuple[int, int]] = [(0, 0)] * len(lengths)
+    code = 0
+    prev_len = lengths[order[0]]
+    for sym in order:
+        code <<= lengths[sym] - prev_len
+        prev_len = lengths[sym]
+        codes[sym] = (code, lengths[sym])
+        code += 1
+    return codes
+
+
+def bzip2_compress(data: bytes, level: int = 1) -> bytes:
+    """Compress ``data`` as a complete single-stream bzip2 file."""
+    if not 1 <= level <= 9:
+        raise ValueError("bzip2: bad level")
+    w = _MsbBitWriter()
+    for c in b"BZh":
+        w.write(c, 8)
+    w.write(0x30 + level, 8)
+    combined = 0
+    block_cap = level * 100_000 - 20
+    at = 0
+    while at < len(data):
+        # take plain bytes whose RLE1 form fits the block
+        plain = data[at:at + block_cap]
+        rle1 = _rle1_encode(plain)
+        while len(rle1) > block_cap:
+            plain = plain[:len(plain) * 9 // 10]
+            rle1 = _rle1_encode(plain)
+        at += len(plain)
+        crc = _bz_crc(bytes(plain))
+        combined = (((combined << 1) | (combined >> 31)) ^ crc) \
+            & 0xFFFFFFFF
+        w.write(_BLOCK_MAGIC >> 24, 24)
+        w.write(_BLOCK_MAGIC & 0xFFFFFF, 24)
+        w.write(crc, 32)
+        w.write(0, 1)                         # not randomised
+        last, orig_ptr = _bwt(rle1)
+        w.write(orig_ptr, 24)
+        used = sorted(set(last))
+        sectors = 0
+        for b in used:
+            sectors |= 0x8000 >> (b >> 4)
+        w.write(sectors, 16)
+        for i in range(16):
+            if sectors & (0x8000 >> i):
+                bits = 0
+                for b in used:
+                    if b >> 4 == i:
+                        bits |= 0x8000 >> (b & 15)
+                w.write(bits, 16)
+        # MTF + RLE2
+        n_sym = len(used) + 2
+        eob = n_sym - 1
+        mtf = list(used)
+        syms: list[int] = []
+        run = 0
+
+        def _flush_run() -> None:
+            nonlocal run
+            while run > 0:
+                d = (run - 1) % 2           # 0 -> RUNA, 1 -> RUNB
+                syms.append(d)
+                run = (run - (d + 1)) // 2
+
+        for b in last:
+            idx = mtf.index(b)
+            if idx == 0:
+                run += 1
+                continue
+            _flush_run()
+            mtf.pop(idx)
+            mtf.insert(0, b)
+            syms.append(idx + 1)
+        _flush_run()
+        syms.append(eob)
+        # Huffman: 2 identical groups, all selectors -> group 0
+        freqs = [0] * n_sym
+        for s in syms:
+            freqs[s] += 1
+        lengths = _huff_lengths(freqs)
+        codes = _huff_codes(lengths)
+        n_sel = (len(syms) + 49) // 50
+        w.write(2, 3)                        # nGroups
+        w.write(n_sel, 15)
+        for _ in range(n_sel):
+            w.write(0, 1)                    # selector 0, unary-MTF
+        for _g in range(2):
+            cur = lengths[0]
+            w.write(cur, 5)
+            for ln in lengths:
+                while cur < ln:
+                    w.write(2, 2)            # 10: increment
+                    cur += 1
+                while cur > ln:
+                    w.write(3, 2)            # 11: decrement
+                    cur -= 1
+                w.write(0, 1)
+        for s in syms:
+            code, ln = codes[s]
+            w.write(code, ln)
+    w.write(_EOS_MAGIC >> 24, 24)
+    w.write(_EOS_MAGIC & 0xFFFFFF, 24)
+    w.write(combined, 32)
+    return w.finish()

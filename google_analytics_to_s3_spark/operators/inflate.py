@@ -594,6 +594,7 @@ CODEC_WRITE_SCHEMA = StructType([
     StructField("gzip_foreign_ok", IntegerType()),
     StructField("zlib_foreign_ok", IntegerType()),
     StructField("lz4_foreign_ok", IntegerType()),
+    StructField("bz2_foreign_ok", IntegerType()),
     StructField("own_ok", IntegerType()),
     StructField("decode_error", StringType()),
 ])
@@ -615,6 +616,7 @@ def decode_codec_write_roundtrip(
 
         import pyarrow as _pa
 
+        from .bzip2 import bzip2_compress, bzip2_decompress
         from .lz4 import parse_lz4_frame, write_lz4_frame
         from .zstd import compress_zstd_store, decompress_zstd
 
@@ -622,7 +624,7 @@ def decode_codec_write_roundtrip(
         lc = _pa.Codec("lz4")
         cols = ("content_len", "content_sum", "zstd_foreign_ok",
                 "gzip_foreign_ok", "zlib_foreign_ok",
-                "lz4_foreign_ok", "own_ok")
+                "lz4_foreign_ok", "bz2_foreign_ok", "own_ok")
         for pdf in batches:
             rows: dict[str, list] = {k: [] for k in
                                      ("doc_id", *cols, "decode_error")}
@@ -646,11 +648,16 @@ def decode_codec_write_roundtrip(
                     rows["lz4_foreign_ok"].append(int(
                         lc.decompress(l4, decompressed_size=len(d),
                                       asbytes=True) == d))
+                    import bz2 as _bz2
+                    bzc = bzip2_compress(d)
+                    rows["bz2_foreign_ok"].append(int(
+                        _bz2.decompress(bzc) == d))
                     rows["own_ok"].append(int(
                         decompress_zstd(zfr) == d
                         and gzip_decompress(gz)[0] == d
                         and zlib_decompress(zl) == d
-                        and parse_lz4_frame(l4)[0] == d))
+                        and parse_lz4_frame(l4)[0] == d
+                        and bzip2_decompress(bzc)[0] == d))
                     rows["decode_error"].append(None)
                 except (ValueError, IndexError, KeyError, TypeError,
                         OSError) as e:

@@ -1566,7 +1566,9 @@ def q_codec_write_roundtrip(spark: SparkSession,
     frames (store/RLE blocks + XXH64 checksum,
     operators/zstd.py:compress_zstd_store), LZ4 frames (real
     block sequences, LZ4F framing, liblz4-validated —
-    operators/lz4.py:write_lz4_frame), gzip members and zlib
+    operators/lz4.py:write_lz4_frame), full bzip2 streams (RLE1 → prefix-doubling BWT → MTF → RLE2 →
+    canonical Huffman, operators/bzip2.py:bzip2_compress,
+    stdlib-bz2-validated), gzip members and zlib
     streams (REAL fixed-Huffman DEFLATE with greedy hash-chain LZ77,
     own CRC-32/Adler-32 trailers, operators/inflate.py) — and the
     INDEPENDENT consumers (libzstd via pyarrow, stdlib zlib) plus
@@ -1608,6 +1610,7 @@ SELECT e.event_id AS doc_id,
        CAST(1 AS INTEGER) AS gzip_foreign_ok,
        CAST(1 AS INTEGER) AS zlib_foreign_ok,
        CAST(1 AS INTEGER) AS lz4_foreign_ok,
+       CAST(1 AS INTEGER) AS bz2_foreign_ok,
        CAST(1 AS INTEGER) AS own_ok
 FROM e JOIN sb ON sb.event_id = e.event_id
 """

@@ -130,3 +130,47 @@ def test_lz4_incompressible_blocks_stored():
     fr = write_lz4_frame(d)
     assert parse_lz4_frame(fr)[0] == d
     assert len(fr) < len(d) + 100  # stored, not inflated
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("n", [1, 100, 8192, 40000])
+def test_bzip2_stdlib_and_own_agree(seed, n):
+    import bz2 as _bz2
+
+    from google_analytics_to_s3_spark.operators.bzip2 import (
+        bzip2_compress,
+        bzip2_decompress,
+    )
+
+    d = _mixed(seed, n)
+    c = bzip2_compress(d)
+    assert _bz2.decompress(c) == d
+    assert bzip2_decompress(c)[0] == d
+
+
+def test_bzip2_edges():
+    import bz2 as _bz2
+
+    from google_analytics_to_s3_spark.operators.bzip2 import (
+        bzip2_compress,
+        bzip2_decompress,
+    )
+
+    assert _bz2.decompress(bzip2_compress(b"")) == b""
+    assert bzip2_decompress(bzip2_compress(b""))[1] == 0
+    z = b"\x00" * 30000                    # all-zero: MTF run block
+    assert _bz2.decompress(bzip2_compress(z)) == z
+    d = b"The quick brown fox. " * 9000    # multi-block at level 1
+    c = bzip2_compress(d, level=1)
+    assert _bz2.decompress(c) == d
+    assert bzip2_decompress(c)[1] >= 2
+    assert bzip2_decompress(bzip2_compress(d, level=9))[1] == 1
+
+
+def test_bzip2_compresses_text():
+    from google_analytics_to_s3_spark.operators.bzip2 import (
+        bzip2_compress,
+    )
+
+    d = b"compression ratio sanity check " * 1000
+    assert len(bzip2_compress(d)) < len(d) // 10
