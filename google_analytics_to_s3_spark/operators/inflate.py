@@ -595,6 +595,7 @@ CODEC_WRITE_SCHEMA = StructType([
     StructField("zlib_foreign_ok", IntegerType()),
     StructField("lz4_foreign_ok", IntegerType()),
     StructField("bz2_foreign_ok", IntegerType()),
+    StructField("xz_foreign_ok", IntegerType()),
     StructField("own_ok", IntegerType()),
     StructField("decode_error", StringType()),
 ])
@@ -617,6 +618,12 @@ def decode_codec_write_roundtrip(
         import pyarrow as _pa
 
         from .bzip2 import bzip2_compress, bzip2_decompress
+        from .xz import (
+            lzma_alone_compress,
+            lzma_alone_decompress,
+            xz_decompress,
+            xz_store_compress,
+        )
         from .lz4 import parse_lz4_frame, write_lz4_frame
         from .zstd import compress_zstd_store, decompress_zstd
 
@@ -624,7 +631,8 @@ def decode_codec_write_roundtrip(
         lc = _pa.Codec("lz4")
         cols = ("content_len", "content_sum", "zstd_foreign_ok",
                 "gzip_foreign_ok", "zlib_foreign_ok",
-                "lz4_foreign_ok", "bz2_foreign_ok", "own_ok")
+                "lz4_foreign_ok", "bz2_foreign_ok",
+                "xz_foreign_ok", "own_ok")
         for pdf in batches:
             rows: dict[str, list] = {k: [] for k in
                                      ("doc_id", *cols, "decode_error")}
@@ -649,15 +657,23 @@ def decode_codec_write_roundtrip(
                         lc.decompress(l4, decompressed_size=len(d),
                                       asbytes=True) == d))
                     import bz2 as _bz2
+                    import lzma as _lzma
                     bzc = bzip2_compress(d)
                     rows["bz2_foreign_ok"].append(int(
                         _bz2.decompress(bzc) == d))
+                    al = lzma_alone_compress(d)
+                    xs = xz_store_compress(d)
+                    rows["xz_foreign_ok"].append(int(
+                        _lzma.decompress(al) == d
+                        and _lzma.decompress(xs) == d))
                     rows["own_ok"].append(int(
                         decompress_zstd(zfr) == d
                         and gzip_decompress(gz)[0] == d
                         and zlib_decompress(zl) == d
                         and parse_lz4_frame(l4)[0] == d
-                        and bzip2_decompress(bzc)[0] == d))
+                        and bzip2_decompress(bzc)[0] == d
+                        and lzma_alone_decompress(al) == d
+                        and xz_decompress(xs)[0] == d))
                     rows["decode_error"].append(None)
                 except (ValueError, IndexError, KeyError, TypeError,
                         OSError) as e:

@@ -618,3 +618,197 @@ def decode_xz_meta(
 
     return df.select(id_col, payload_col).mapInPandas(
         _run, schema=XZ_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# WRITERS (r13).
+#
+# Two emit paths close the xz family's write direction:
+#
+# - `lzma_alone_compress` — a REAL LZMA range ENCODER (shift-low
+#   carry propagation, adaptive 11-bit probabilities, the exact
+#   update rule the decoder above inverts) coding every byte as a
+#   context-modeled literal (lc=3: order-1 entropy coding — genuine
+#   compression on text) and terminating with the spec's
+#   end-of-stream match (dist 0xFFFFFFFF), in the legacy ALONE
+#   container.
+# - `xz_store_compress` — the full .xz CONTAINER (stream header,
+#   block header with the LZMA2 filter, LZMA2 *uncompressed* chunks,
+#   CRC32 check, index, footer) — the store path every xz reader
+#   must accept.
+#
+# Both are decompressed by STDLIB LZMA (the independent consumer)
+# and by this module's own decoders in tests/test_codec_write.py and
+# the `codec_write_roundtrip` driver query.
+
+class _REnc:
+    __slots__ = ("low", "rng", "cache", "cache_size", "out")
+
+    def __init__(self) -> None:
+        self.low = 0
+        self.rng = 0xFFFFFFFF
+        self.cache = 0
+        self.cache_size = 1
+        self.out = bytearray()
+
+    def _shift_low(self) -> None:
+        if self.low < 0xFF000000 or self.low > 0xFFFFFFFF:
+            carry = self.low >> 32
+            self.out.append((self.cache + carry) & 0xFF)
+            for _ in range(self.cache_size - 1):
+                self.out.append((0xFF + carry) & 0xFF)
+            self.cache = (self.low >> 24) & 0xFF
+            self.cache_size = 0
+        self.cache_size += 1
+        self.low = (self.low << 8) & 0xFFFFFFFF
+
+    def bit(self, probs: list[int], i: int, b: int) -> None:
+        bound = (self.rng >> 11) * probs[i]
+        if b == 0:
+            self.rng = bound
+            probs[i] += (2048 - probs[i]) >> 5
+        else:
+            self.low += bound
+            self.rng -= bound
+            probs[i] -= probs[i] >> 5
+        while self.rng < _K_TOP:
+            self.rng = (self.rng << 8) & 0xFFFFFFFF
+            self._shift_low()
+
+    def direct(self, value: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            self.rng >>= 1
+            if (value >> k) & 1:
+                self.low += self.rng
+            while self.rng < _K_TOP:
+                self.rng = (self.rng << 8) & 0xFFFFFFFF
+                self._shift_low()
+
+    def tree(self, probs: list[int], nbits: int, value: int,
+             off: int = 0) -> None:
+        m = 1
+        for k in range(nbits - 1, -1, -1):
+            b = (value >> k) & 1
+            self.bit(probs, off + m, b)
+            m = (m << 1) + b
+
+    def tree_rev(self, probs: list[int], nbits: int, value: int,
+                 off: int = 0) -> None:
+        m = 1
+        for k in range(nbits):
+            b = (value >> k) & 1
+            self.bit(probs, off + m, b)
+            m = (m << 1) + b
+
+    def flush(self) -> bytes:
+        for _ in range(5):
+            self._shift_low()
+        return bytes(self.out)
+
+
+def lzma_alone_compress(data: bytes, lc: int = 3) -> bytes:
+    """LZMA1 stream (ALONE container): every byte a context-modeled
+    literal, EOS-terminated (unknown-size header)."""
+    # the format allows lc<=8, but liblzma only decodes lc+lp<=4 —
+    # stay inside what the ecosystem's reference decoder accepts
+    if not 0 <= lc <= 4:
+        raise ValueError("lzma: lc out of liblzma-supported range")
+    enc = _REnc()
+    is_match = [_PROB_INIT] * (12 << 4)
+    is_rep = [_PROB_INIT] * 12
+    lit = [_PROB_INIT] * (0x300 << lc)
+    len_choice = [_PROB_INIT] * 2
+    len_low = [_PROB_INIT] * 8
+    pos_slot = [_PROB_INIT] * 64
+    align = [_PROB_INIT] * 16
+    state = 0
+    prev = 0
+    for pos, byte in enumerate(data):
+        # pb=0, lp=0 → pos_state 0, single literal row keyed by prev
+        enc.bit(is_match, state << 4, 0)
+        ctx = prev >> (8 - lc) if lc else 0
+        base = 0x300 * ctx
+        sym = 1
+        for k in range(7, -1, -1):
+            b = (byte >> k) & 1
+            enc.bit(lit, base + sym, b)
+            sym = (sym << 1) | b
+        state = 0 if state < 4 else (state - 3 if state < 10
+                                     else state - 6)
+        prev = byte
+    # end-of-stream: match with dist 0xFFFFFFFF, len 2
+    enc.bit(is_match, state << 4, 1)
+    enc.bit(is_rep, state, 0)
+    enc.bit(len_choice, 0, 0)
+    enc.tree(len_low, 3, 0)                  # len = 2
+    enc.tree(pos_slot, 6, 63)                # slot 63
+    enc.direct(0x03FFFFFF, 26)               # high distance bits
+    enc.tree_rev(align, 4, 0xF)              # align bits
+    body = enc.flush()
+    props = bytes([((0 * 5 + 0) * 9) + lc])
+    header = (props + (1 << 20).to_bytes(4, "little")
+              + (0xFFFFFFFFFFFFFFFF).to_bytes(8, "little"))
+    return header + body
+
+
+def _xz_enc_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def xz_store_compress(data: bytes) -> bytes:
+    """A complete .xz stream storing ``data`` in LZMA2 uncompressed
+    chunks (CRC32 check, verified index/footer)."""
+    from .inflate import crc32 as _crc32
+
+    flags = b"\x00\x01"                      # check: CRC32
+    out = bytearray(b"\xfd7zXZ\x00" + flags)
+    out += _crc32(flags).to_bytes(4, "little")
+    # block header: one filter (LZMA2), dict-size prop 1 MiB
+    bh = bytearray([0x00])                   # flags: 1 filter
+    bh += _xz_enc_varint(0x21)               # LZMA2
+    bh += _xz_enc_varint(1)
+    bh.append(0x14)                          # dict size 1 MiB
+    size = len(bh) + 1 + 4
+    pad = (-size) % 4
+    real = size + pad
+    header = (bytes([(real // 4) - 1]) + bytes(bh) + b"\x00" * pad)
+    header += _crc32(header).to_bytes(4, "little")
+    out += header
+    comp = bytearray()
+    at = 0
+    first = True
+    while at < len(data) or first:
+        chunk = data[at:at + 65536]
+        at += len(chunk)
+        if chunk:
+            comp.append(0x01 if first else 0x02)  # uncompressed
+            comp += (len(chunk) - 1).to_bytes(2, "big")
+            comp += chunk
+        first = False
+    comp.append(0x00)                        # LZMA2 end marker
+    out += comp
+    bpad = (-len(comp)) % 4
+    out += b"\x00" * bpad
+    out += _crc32(data).to_bytes(4, "little")
+    unpadded = len(header) + len(comp) + 4
+    index = bytearray(b"\x00")               # indicator
+    index += _xz_enc_varint(1)               # one record
+    index += _xz_enc_varint(unpadded)
+    index += _xz_enc_varint(len(data))
+    ipad = (-len(index)) % 4
+    index += b"\x00" * ipad
+    index += _crc32(index).to_bytes(4, "little")
+    out += index
+    backward = (len(index) // 4 - 1).to_bytes(4, "little")
+    out += _crc32(backward + flags).to_bytes(4, "little")
+    out += backward + flags
+    out += b"YZ"
+    return bytes(out)

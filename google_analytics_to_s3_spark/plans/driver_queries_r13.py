@@ -1566,7 +1566,10 @@ def q_codec_write_roundtrip(spark: SparkSession,
     frames (store/RLE blocks + XXH64 checksum,
     operators/zstd.py:compress_zstd_store), LZ4 frames (real
     block sequences, LZ4F framing, liblz4-validated —
-    operators/lz4.py:write_lz4_frame), full bzip2 streams (RLE1 → prefix-doubling BWT → MTF → RLE2 →
+    operators/lz4.py:write_lz4_frame), LZMA range-encoded ALONE streams (real shift-low carry
+    encoder, order-1 literal contexts) + stored .xz containers
+    (operators/xz.py, stdlib-lzma-validated), full bzip2 streams
+    (RLE1 → prefix-doubling BWT → MTF → RLE2 →
     canonical Huffman, operators/bzip2.py:bzip2_compress,
     stdlib-bz2-validated), gzip members and zlib
     streams (REAL fixed-Huffman DEFLATE with greedy hash-chain LZ77,
@@ -1611,6 +1614,7 @@ SELECT e.event_id AS doc_id,
        CAST(1 AS INTEGER) AS zlib_foreign_ok,
        CAST(1 AS INTEGER) AS lz4_foreign_ok,
        CAST(1 AS INTEGER) AS bz2_foreign_ok,
+       CAST(1 AS INTEGER) AS xz_foreign_ok,
        CAST(1 AS INTEGER) AS own_ok
 FROM e JOIN sb ON sb.event_id = e.event_id
 """

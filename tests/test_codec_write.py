@@ -174,3 +174,46 @@ def test_bzip2_compresses_text():
 
     d = b"compression ratio sanity check " * 1000
     assert len(bzip2_compress(d)) < len(d) // 10
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("n", [0, 1, 1000, 40000])
+def test_lzma_alone_and_xz_store_stdlib_agree(seed, n):
+    import lzma as _lzma
+
+    from google_analytics_to_s3_spark.operators.xz import (
+        lzma_alone_compress,
+        lzma_alone_decompress,
+        xz_decompress,
+        xz_store_compress,
+    )
+
+    d = _mixed(seed, n)
+    al = lzma_alone_compress(d)
+    assert _lzma.decompress(al) == d
+    assert lzma_alone_decompress(al) == d
+    xs = xz_store_compress(d)
+    assert _lzma.decompress(xs) == d
+    assert xz_decompress(xs)[0] == d
+
+
+def test_lzma_literal_coder_actually_compresses_text():
+    from google_analytics_to_s3_spark.operators.xz import (
+        lzma_alone_compress,
+    )
+
+    text = b"the quick brown fox jumps over the lazy dog " * 500
+    assert len(lzma_alone_compress(text)) < len(text) * 0.6
+
+
+def test_lzma_lc_variants():
+    import lzma as _lzma
+
+    from google_analytics_to_s3_spark.operators.xz import (
+        lzma_alone_compress,
+    )
+
+    d = b"abcabcabc banana banana" * 50
+    # liblzma (and thus stdlib) caps lc+lp at 4
+    for lc in (0, 1, 2, 4):
+        assert _lzma.decompress(lzma_alone_compress(d, lc=lc)) == d
