@@ -52,7 +52,8 @@ __all__ = ["parse_iceberg_snapshot", "decode_iceberg_snapshot",
            "murmur3_32", "iceberg_bucket",
            "parse_iceberg_bucket_prune", "decode_iceberg_bucket_prune",
            "iceberg_truncate", "parse_iceberg_truncate_prune",
-           "decode_iceberg_truncate_prune"]
+           "decode_iceberg_truncate_prune",
+           "parse_iceberg_day_prune", "decode_iceberg_day_prune"]
 
 
 def parse_iceberg_snapshot(bundle: bytes) -> dict:
@@ -1188,6 +1189,146 @@ def decode_iceberg_truncate_prune(
                 try:
                     r = parse_iceberg_truncate_prune(
                         bytes(payload), column, lo, lo + span)
+                    for k in cols:
+                        rows[k].append(r[k])
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, KeyError,
+                        TypeError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k],
+                                dtype="Int32" if k in i32 else "Int64")
+                   for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Date-transform pruning (r13) — `day[ts]` (spec §Partition
+# Transforms): the partition value of a timestamp-micros source is
+# its epoch-day ordinal; daily partitioning is the highest-volume
+# real-world Iceberg layout, and a time-range scan keeps exactly
+# the files whose day window can intersect it.
+
+_MICROS_PER_DAY = 86_400_000_000
+
+
+def parse_iceberg_day_prune(bundle: bytes, column: str,
+                            lo: int, hi: int) -> dict:
+    """Range-scan planning over a day-partitioned Iceberg table:
+    keep files whose ``day`` partition value can intersect the
+    [lo, hi] timestamp-micros window, scan survivors with the
+    engine's own parquet reader, tally matches."""
+    from .parquet_raw import parquet_read_column
+
+    files = {m["name"]: m["data"] for m in parse_tar(bundle)}
+    meta_raw = files.get("metadata.json")
+    if meta_raw is None:
+        raise ValueError("iceberg: bundle missing metadata.json")
+    meta = json.loads(meta_raw)
+    spec_id = meta.get("default-spec-id", 0)
+    spec = next((s for s in meta.get("partition-specs", [])
+                 if s.get("spec-id") == spec_id), None)
+    if spec is None:
+        raise ValueError("iceberg: default partition spec missing")
+    pfields = spec.get("fields") or []
+    if len(pfields) != 1:
+        raise ValueError("iceberg: multi-field partition spec gated")
+    pf = pfields[0]
+    if (pf.get("transform") or "") != "day":
+        raise ValueError(
+            f"iceberg: transform {pf.get('transform')!r} gated")
+    field_id = next((f.get("id") for f in
+                     (meta.get("schema") or {}).get("fields", [])
+                     if f.get("name") == column), None)
+    if pf.get("source-id") != field_id:
+        raise ValueError("iceberg: partition source is not the "
+                         "scan column")
+    pname = pf.get("name")
+    cur = meta.get("current-snapshot-id")
+    snap = next((s for s in meta.get("snapshots", [])
+                 if s.get("snapshot-id") == cur), None)
+    if snap is None:
+        raise ValueError("iceberg: current snapshot id not found")
+    ml_raw = files.get(snap.get("manifest-list"))
+    if ml_raw is None:
+        raise ValueError("iceberg: manifest list missing")
+    _, ml_entries = avro_decode_container(ml_raw)
+    files_total = files_read = 0
+    matched_rows = 0
+    matched_sum = 0
+    for entry in ml_entries:
+        man_raw = files.get(entry.get("manifest_path"))
+        if man_raw is None:
+            raise ValueError("iceberg: manifest missing")
+        _, man_entries = avro_decode_container(man_raw)
+        for me in man_entries:
+            if me.get("status") == 2:
+                continue
+            df = me.get("data_file") or {}
+            files_total += 1
+            part = df.get("partition") or {}
+            p = part.get(pname)
+            if not isinstance(p, int):
+                raise ValueError("iceberg: partition tuple missing "
+                                 f"{pname!r}")
+            day_lo = p * _MICROS_PER_DAY
+            day_hi = day_lo + _MICROS_PER_DAY - 1
+            if day_lo > hi or day_hi < lo:
+                continue  # pruned: file bytes never touched
+            blob = files.get(df.get("file_path"))
+            if blob is None:
+                raise ValueError("iceberg: data file missing")
+            files_read += 1
+            for v in parquet_read_column(blob, column):
+                if v is not None and lo <= v <= hi:
+                    matched_rows += 1
+                    matched_sum += v
+    return {
+        "files_total": files_total,
+        "files_read": files_read,
+        "matched_rows": matched_rows,
+        "matched_sum": matched_sum,
+    }
+
+
+def decode_iceberg_day_prune(
+    df: DataFrame, column: str, base_day: int, n_days: int,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over
+    :func:`parse_iceberg_day_prune` — per document the window is
+    1.5 days starting mid-day ``base_day + doc_id % n_days``;
+    per-bundle quarantine, no shuffle."""
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("files_total", IntegerType()),
+        StructField("files_read", IntegerType()),
+        StructField("matched_rows", LongType()),
+        StructField("matched_sum", LongType()),
+        StructField("decode_error", StringType()),
+    ])
+    cols = ("files_total", "files_read", "matched_rows", "matched_sum")
+    i32 = {"files_total", "files_read"}
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                d0 = base_day + int(doc_id) % n_days
+                lo = d0 * _MICROS_PER_DAY + _MICROS_PER_DAY // 2
+                hi = lo + (3 * _MICROS_PER_DAY) // 2 - 1
+                try:
+                    r = parse_iceberg_day_prune(
+                        bytes(payload), column, lo, hi)
                     for k in cols:
                         rows[k].append(r[k])
                     rows["decode_error"].append(None)

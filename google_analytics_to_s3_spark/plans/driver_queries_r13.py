@@ -1691,3 +1691,74 @@ FROM e JOIN vals v ON v.event_id = e.event_id
 
 QUERIES_R13["csv_sniff_scan"] = q_csv_sniff_scan
 ORACLES_R13["csv_sniff_scan"] = _CSV_ORACLE
+
+
+def q_iceberg_day_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg day-transform pruning (r13) — daily partitioning is
+    the highest-volume real Iceberg layout: a 1.5-day timestamp
+    window plans exactly 2 of 6 daily files (the spec's day
+    transform maps timestamp-micros to epoch-day ordinals), and the
+    in-file predicate then drops the first day's rows (all before
+    the window start) so only the second day's rows tally — the
+    oracle distinguishes transform pruning from row filtering.
+    Lane id % 10 == 0."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.iceberg import decode_iceberg_day_prune
+    from ..testing.fixtures import (
+        _ICEBERG_DAY_BASE,
+        _ICEBERG_DAY_N,
+        make_iceberg_day_bundle,
+    )
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 0
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_iceberg_day_bundle(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_iceberg_day_prune(
+        payloads, "ts", _ICEBERG_DAY_BASE,
+        _ICEBERG_DAY_N).drop("decode_error")
+
+
+_ICEBERG_DAY_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         event_id % 5 AS w
+  FROM events WHERE event_id % {_FLAC_MOD} = 0
+),
+nf AS (
+  SELECT e.event_id, e.seed, e.w,
+         16 + (e.seed + e.w + 1) % 8 AS n1
+  FROM e
+),
+vals AS (
+  SELECT f.event_id,
+         sum((19701 + f.w) * 86400000000
+             + ((f.seed*3 + 7*i.i) % 1000) * 1000) AS s1
+  FROM nf f, LATERAL (SELECT unnest(range(0, f.n1)) AS i) i
+  GROUP BY 1
+)
+SELECT f.event_id AS doc_id,
+       CAST(6 AS INTEGER) AS files_total,
+       CAST(2 AS INTEGER) AS files_read,
+       CAST(f.n1 AS BIGINT) AS matched_rows,
+       CAST(v.s1 AS BIGINT) AS matched_sum
+FROM nf f JOIN vals v ON v.event_id = f.event_id
+"""
+
+QUERIES_R13["iceberg_day_prune"] = q_iceberg_day_prune
+ORACLES_R13["iceberg_day_prune"] = _ICEBERG_DAY_ORACLE

@@ -9655,3 +9655,89 @@ def make_csv_doc(seed: int) -> bytes:
     if seed % 5 == 0:
         w.writerow(["9", "z", "1.5"])
     return buf.getvalue().encode()
+
+
+# --------------------------------------------------------------------------
+# Iceberg day-transform pruning (r13): the ``iceberg_day_prune``
+# driver query.
+
+_ICEBERG_DAY_BASE = 19_700  # epoch-day ordinal (2023-12-08)
+_ICEBERG_DAY_N = 5
+_MICROS_PER_DAY_FX = 86_400_000_000
+
+_ICEBERG_MAN_DAY_SCHEMA = (
+    '{"type":"record","name":"manifest_entry","fields":['
+    '{"name":"status","type":"int"},'
+    '{"name":"data_file","type":{"type":"record","name":"data_file",'
+    '"fields":['
+    '{"name":"file_path","type":"string"},'
+    '{"name":"partition","type":{"type":"record","name":"r104",'
+    '"fields":[{"name":"ts_day","type":"long"}]}},'
+    '{"name":"record_count","type":"long"},'
+    '{"name":"file_size_in_bytes","type":"long"}]}}]}'
+)
+
+
+@_functools.lru_cache(maxsize=1024)
+def make_iceberg_day_bundle(seed: int) -> bytes:
+    """Iceberg bundle partitioned by ``day(ts)``: 6 daily files for
+    epoch days 19700..19705.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - day ``19700+f``'s file: ``n = 16 + (seed + f) % 8`` rows of
+      ``ts = (19700+f) * 86400e6 + ((seed*3 + 7*i) % 1000) * 1000``
+      (all within the day's first second)
+    - parquet codec snappy/zstd by ``(seed + f) % 2``; avro deflate
+      on odd seeds
+    """
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    codec_avro = "deflate" if seed % 2 else "null"
+    members: "dict[str, bytes]" = {}
+    rows = []
+    for f in range(6):
+        n = 16 + (seed + f) % 8
+        day = _ICEBERG_DAY_BASE + f
+        vals = [day * _MICROS_PER_DAY_FX
+                + ((seed * 3 + 7 * i) % 1000) * 1000
+                for i in range(n)]
+        buf = _pa.BufferOutputStream()
+        _pq.write_table(
+            _pa.table({"ts": _pa.array(vals, _pa.int64())}), buf,
+            compression=["snappy", "zstd"][(seed + f) % 2])
+        blob = buf.getvalue().to_pybytes()
+        name = f"data/day{f}.parquet"
+        members[name] = blob
+        body = _avro_zigzag(1)
+        body += _avro_str(name)
+        body += _avro_zigzag(day)    # partition.ts_day
+        body += _avro_zigzag(n)
+        body += _avro_zigzag(len(blob))
+        rows.append(body)
+    man = _avro_container(_ICEBERG_MAN_DAY_SCHEMA, rows, seed,
+                          codec_avro)
+    members["manifest-day.avro"] = man
+    ml_rows = [_avro_str("manifest-day.avro") + _avro_zigzag(len(man))]
+    members["manifest-list.avro"] = _avro_container(
+        _ICEBERG_ML_SCHEMA, ml_rows, seed, codec_avro)
+    members["metadata.json"] = _json.dumps({
+        "format-version": 2,
+        "current-snapshot-id": 7400 + seed,
+        "snapshots": [{"snapshot-id": 7400 + seed,
+                       "manifest-list": "manifest-list.avro"}],
+        "schema": {"fields": [{"id": 1, "name": "ts",
+                               "type": "timestamptz"}]},
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "ts_day", "transform": "day",
+             "source-id": 1, "field-id": 1002}]}],
+    }).encode()
+    out = bytearray()
+    for name, data in members.items():
+        out += _tar_member(name, data)
+    out += b"\x00" * 1024
+    return bytes(out)

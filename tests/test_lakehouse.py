@@ -567,3 +567,43 @@ def test_delta_checkpoint_v2_missing_sidecar_named():
     out += b"\x00" * 1024
     with _pytest.raises(ValueError, match="sidecar.*missing"):
         parse_delta_checkpoint_v2(bytes(out))
+
+
+def test_iceberg_day_prune_daily_window():
+    from google_analytics_to_s3_spark.operators.iceberg import (
+        parse_iceberg_day_prune,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        _ICEBERG_DAY_BASE,
+        _MICROS_PER_DAY_FX as DAY,
+        make_iceberg_day_bundle,
+    )
+
+    for seed in (0, 1, 5, 999):
+        for w in range(5):
+            d0 = _ICEBERG_DAY_BASE + w
+            lo = d0 * DAY + DAY // 2
+            r = parse_iceberg_day_prune(
+                make_iceberg_day_bundle(seed), "ts", lo,
+                lo + (3 * DAY) // 2 - 1)
+            n1 = 16 + (seed + w + 1) % 8
+            s1 = sum((d0 + 1) * DAY
+                     + ((seed * 3 + 7 * i) % 1000) * 1000
+                     for i in range(n1))
+            assert r == {"files_total": 6, "files_read": 2,
+                         "matched_rows": n1, "matched_sum": s1}
+
+
+def test_iceberg_day_prune_wrong_transform_gated():
+    import pytest as _pytest
+
+    from google_analytics_to_s3_spark.operators.iceberg import (
+        parse_iceberg_day_prune,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_iceberg_trunc_bundle,
+    )
+
+    with _pytest.raises(ValueError, match="gated"):
+        parse_iceberg_day_prune(
+            make_iceberg_trunc_bundle(0), "v", 0, 10)

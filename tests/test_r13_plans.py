@@ -41,6 +41,7 @@ _R13_EXTRACT_QUERIES = [
     "arrow_write_roundtrip",
     "codec_write_roundtrip",
     "csv_sniff_scan",
+    "iceberg_day_prune",
 ]
 
 
