@@ -14,16 +14,19 @@ Scope (a deliberate, spec-clean subset):
 
 - columns: int64 / double / string (BYTE_ARRAY + UTF8
   converted_type) / boolean, all OPTIONAL with nullable values
-- one PLAIN v1 data page per column chunk per row group;
-  definition levels RLE-run encoded (4-byte length prefix, as the
-  spec requires for data-page levels)
+- one v1 data page per column chunk per row group; definition
+  levels RLE-run encoded (4-byte length prefix, as the spec
+  requires for data-page levels); values PLAIN, or (r13,
+  ``dictionary=True``) the PLAIN_DICTIONARY page pair — a PLAIN
+  dictionary page plus RLE-run index pages — for int64/string
+  columns
 - codecs: UNCOMPRESSED and SNAPPY — snappy frames come from the
   engine's OWN compressor (operators/snappy.py), so every foreign
   read-back of a snappy page re-validates that byte path
 - int64 statistics (min_value/max_value, null_count) per chunk
 - multiple row groups via ``row_group_size``
 
-Unsupported shapes (nested, dictionary pages, v2 pages) raise named
+Unsupported shapes (nested columns, v2 pages) raise named
 ``ValueError``s — the reader handles those; the writer stays small.
 
 Scale note: the writer is a per-partition sink primitive — each task
@@ -141,9 +144,34 @@ def _plain(typ: str, present: "list") -> bytes:
     raise ValueError(f"parquet-write: type {typ!r} gated")
 
 
+def _rle_indices(indices: "list[int]", bit_width: int) -> bytes:
+    """Dictionary indices as RLE runs (the hybrid encoding's RLE
+    arm), prefixed by the 1-byte bit width as data pages require."""
+    out = bytearray([bit_width])
+    nbytes = (bit_width + 7) // 8
+    i = 0
+    n = len(indices)
+    while i < n:
+        j = i
+        while j < n and indices[j] == indices[i]:
+            j += 1
+        run = j - i
+        v = (run << 1)
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            out.append(b | 0x80 if v else b)
+            if not v:
+                break
+        out += indices[i].to_bytes(nbytes, "little")
+        i = j
+    return bytes(out)
+
+
 def write_parquet(columns: "list[tuple[str, str, list]]",
                   codec: str = "snappy",
-                  row_group_size: int | None = None) -> bytes:
+                  row_group_size: int | None = None,
+                  dictionary: bool = False) -> bytes:
     """Write ``[(name, type, values), ...]`` (types int64 / double /
     string / boolean; values may contain None) as a complete parquet
     file.  Returns the file bytes."""
@@ -174,7 +202,41 @@ def write_parquet(columns: "list[tuple[str, str, list]]",
             window = vals[rows]
             levels = [0 if v is None else 1 for v in window]
             present = [v for v in window if v is not None]
-            raw = _rle_levels(levels) + _plain(typ, present)
+            use_dict = (dictionary and present
+                        and typ in ("int64", "string"))
+            chunk_off = len(out)
+            dict_off = None
+            uncomp_total = 0
+            if use_dict:
+                # dictionary page: PLAIN uniques, then a data page
+                # of RLE-run indices (PLAIN_DICTIONARY, the
+                # everywhere-compatible legacy pair)
+                uniq: dict = {}
+                for v in present:
+                    if v not in uniq:
+                        uniq[v] = len(uniq)
+                idx = [uniq[v] for v in present]
+                bw = max(1, (len(uniq) - 1).bit_length())
+                draw = _plain(typ, list(uniq))
+                dbody = (snappy_compress_block(draw)
+                         if codec_id == 1 else draw)
+                dict_hdr = _struct([
+                    (1, _I32, 2),            # DICTIONARY_PAGE
+                    (2, _I32, len(draw)),
+                    (3, _I32, len(dbody)),
+                    (7, _STRUCT, [           # DictionaryPageHeader
+                        (1, _I32, len(uniq)),
+                        (2, _I32, 2),        # PLAIN_DICTIONARY
+                    ]),
+                ])
+                dict_off = len(out)
+                out += dict_hdr + dbody
+                uncomp_total += len(dict_hdr) + len(draw)
+                raw = _rle_levels(levels) + _rle_indices(idx, bw)
+                enc = 2                      # PLAIN_DICTIONARY
+            else:
+                raw = _rle_levels(levels) + _plain(typ, present)
+                enc = 0                      # PLAIN
             body = (snappy_compress_block(raw) if codec_id == 1
                     else raw)
             hdr_fields = [
@@ -183,7 +245,7 @@ def write_parquet(columns: "list[tuple[str, str, list]]",
                 (3, _I32, len(body)),        # compressed_page_size
                 (5, _STRUCT, [               # DataPageHeader
                     (1, _I32, nrg),          # num_values incl. nulls
-                    (2, _I32, 0),            # PLAIN
+                    (2, _I32, enc),
                     (3, _I32, 3),            # def levels: RLE
                     (4, _I32, 3),            # rep levels: RLE
                 ]),
@@ -191,18 +253,21 @@ def write_parquet(columns: "list[tuple[str, str, list]]",
             page_hdr = _struct(hdr_fields)
             data_off = len(out)
             out += page_hdr + body
-            chunk_len = len(page_hdr) + len(body)
+            chunk_len = len(out) - chunk_off
+            uncomp_total += len(page_hdr) + len(raw)
             total_comp += chunk_len
             col_md = [
                 (1, _I32, _PHYS[typ]),
-                (2, _LIST, (_I32, [0, 3])),   # PLAIN, RLE
+                (2, _LIST, (_I32, ([2, 3] if use_dict else [0, 3]))),
                 (3, _LIST, (_BINARY, [name.encode()])),
                 (4, _I32, codec_id),
                 (5, _I64, nrg),
-                (6, _I64, len(page_hdr) + len(raw)),
+                (6, _I64, uncomp_total),
                 (7, _I64, chunk_len),
                 (9, _I64, data_off),
             ]
+            if dict_off is not None:
+                col_md.append((11, _I64, dict_off))
             if typ == "int64" and present:
                 col_md.append((12, _STRUCT, [
                     (3, _I64, nrg - len(present)),    # null_count
@@ -289,7 +354,8 @@ def decode_parquet_roundtrip(
                     columns = make_columns(seed)
                     blob = write_parquet(
                         columns, codec=codec_for(seed),
-                        row_group_size=25 if seed % 2 else None)
+                        row_group_size=25 if seed % 2 else None,
+                        dictionary=(seed % 3 == 0))
                     t = pq.read_table(io.BytesIO(blob))
                     ids = t.column("id").to_pylist()
                     xs = t.column("x").to_pylist()

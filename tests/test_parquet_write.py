@@ -99,3 +99,50 @@ def test_unicode_strings_roundtrip():
     blob = write_parquet([("s", "string", vals)], codec="snappy")
     t = pq.read_table(io.BytesIO(blob))
     assert t.column("s").to_pylist() == vals
+
+
+# --------------------------------------------------------------------------
+# r13: dictionary encoding (PLAIN_DICTIONARY page pair).
+
+@pytest.mark.parametrize("seed", [0, 1, 3, 7])
+@pytest.mark.parametrize("codec", ["uncompressed", "snappy"])
+@pytest.mark.parametrize("rgs", [None, 25])
+def test_dictionary_three_readers_agree(seed, codec, rgs):
+    import pyarrow.parquet as pq
+
+    cols = parquet_rt_columns(seed)
+    blob = write_parquet(cols, codec=codec, row_group_size=rgs,
+                         dictionary=True)
+    t = pq.read_table(io.BytesIO(blob))
+    for name, _typ, vals in cols:
+        assert t.column(name).to_pylist() == vals
+    assert parquet_read_column(blob, "id") == cols[0][2]
+    # the raw reader returns BYTE_ARRAY columns as bytes
+    assert parquet_read_column(blob, "s") == [
+        None if v is None else v.encode() for v in cols[2][2]]
+
+
+def test_dictionary_metadata_and_size():
+    import duckdb
+    import pyarrow.parquet as pq
+
+    vals = (["ab"] * 60 + ["cd"] * 60) * 10
+    blob = write_parquet([("s", "string", vals)], dictionary=True,
+                         codec="uncompressed")
+    md = pq.read_metadata(io.BytesIO(blob))
+    encs = md.row_group(0).column(0).encodings
+    assert "PLAIN_DICTIONARY" in encs
+    plain = write_parquet([("s", "string", vals)],
+                          codec="uncompressed")
+    assert len(blob) < len(plain) // 5
+    with tempfile.NamedTemporaryFile(suffix=".parquet",
+                                     delete=False) as f:
+        f.write(blob)
+        path = f.name
+    try:
+        r = duckdb.sql(
+            f"SELECT count(*), count(DISTINCT s) "
+            f"FROM read_parquet('{path}')").fetchall()
+        assert r[0] == (len(vals), 2)
+    finally:
+        os.unlink(path)
