@@ -241,11 +241,12 @@ SELECT e.event_id AS doc_id,
        (SELECT max(r.sec * 1000000000 + r.subns) FROM rows_ r
          WHERE r.event_id = e.event_id AND NOT r.isnull_)
          AS ts_max_ns,
-       (SELECT sum(r.sec) FROM rows_ r
-         WHERE r.event_id = e.event_id AND NOT r.isnull_) AS sec_sum,
-       (SELECT sum(r.subns) FROM rows_ r
-         WHERE r.event_id = e.event_id AND NOT r.isnull_)
-         AS subsec_sum
+       CAST((SELECT sum(r.sec) FROM rows_ r
+              WHERE r.event_id = e.event_id AND NOT r.isnull_)
+            AS BIGINT) AS sec_sum,
+       CAST((SELECT sum(r.subns) FROM rows_ r
+              WHERE r.event_id = e.event_id AND NOT r.isnull_)
+            AS BIGINT) AS subsec_sum
 FROM e
 """
 
