@@ -1763,3 +1763,94 @@ FROM nf f JOIN vals v ON v.event_id = f.event_id
 
 QUERIES_R13["iceberg_day_prune"] = q_iceberg_day_prune
 ORACLES_R13["iceberg_day_prune"] = _ICEBERG_DAY_ORACLE
+
+
+def q_hudi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi INCREMENTAL query (r13) — the format's signature
+    consumption pattern: per document a two-commit window
+    ``(begin, end]`` is resolved against the timeline, each
+    in-window commit's HoodieCommitMetadata enumerates exactly the
+    base files it wrote, in-window file slices collapse to the
+    latest per file group, and only those parquet bytes are scanned
+    (operators/hudi.py:parse_hudi_incremental).  A reader that
+    re-scans the whole table (snapshot semantics) or ignores
+    in-window slice collapse fails the closed-form oracle.  Lane
+    id % 10 == 9."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.hudi import decode_hudi_incremental
+    from ..testing.fixtures import _HUDI_TS0, make_hudi_bundle
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 9
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_hudi_bundle(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_hudi_incremental(
+        payloads, "v", _HUDI_TS0, 3).drop("decode_error")
+
+
+_HUDI_INC_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed, event_id % 3 AS w
+  FROM events WHERE event_id % {_FLAC_MOD} = 9
+),
+grp AS (
+  -- latest in-window slice per group; window commits are
+  -- {{w, w+1}} ∩ {{0,1,2}}; commit 0 writes all groups, commit
+  -- c>0 writes g iff (seed+g+c) % 2 == 0
+  SELECT e.event_id, e.seed, e.w, g.g,
+         CASE
+           WHEN e.w = 0 THEN
+             CASE WHEN (e.seed + g.g + 1) % 2 = 0 THEN 1 ELSE 0 END
+           WHEN e.w = 1 THEN
+             CASE WHEN (e.seed + g.g + 1) % 2 = 0 THEN 1 ELSE 2 END
+           ELSE
+             CASE WHEN (e.seed + g.g + 2) % 2 = 0 THEN 2 END
+         END AS cmax
+  FROM e, LATERAL (SELECT unnest(range(0, 4)) AS g) g
+),
+touched AS (
+  SELECT * FROM grp WHERE cmax IS NOT NULL
+),
+sl AS (
+  SELECT event_id, seed, g, cmax,
+         8 + (seed + g + cmax) % 5 AS n
+  FROM touched
+),
+vals AS (
+  SELECT s.event_id,
+         count(DISTINCT s.g) AS ng,
+         count(*) AS recs,
+         sum((s.seed*7 + 11*s.g + 5*s.cmax + 3*i.i) % 600) AS vs
+  FROM sl s, LATERAL (SELECT unnest(range(0, s.n)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(3 AS INTEGER) AS n_commits_total,
+       CAST(CASE WHEN e.w = 2 THEN 1 ELSE 2 END AS INTEGER)
+         AS n_commits_window,
+       CAST(CASE WHEN e.w = 0 THEN 6 WHEN e.w = 1 THEN 4
+                 ELSE 2 END AS INTEGER) AS n_window_files,
+       CAST(CASE WHEN e.w = 2 THEN 2 ELSE 4 END AS INTEGER)
+         AS n_groups_touched,
+       CAST(v.recs AS BIGINT) AS records,
+       CAST(v.vs AS BIGINT) AS value_sum
+FROM e JOIN vals v ON v.event_id = e.event_id
+"""
+
+QUERIES_R13["hudi_incremental"] = q_hudi_incremental
+ORACLES_R13["hudi_incremental"] = _HUDI_INC_ORACLE

@@ -82,3 +82,75 @@ def test_no_completed_commits_named():
     out += b"\x00" * 1024
     with pytest.raises(ValueError, match="no completed"):
         parse_hudi_snapshot(bytes(out), "v")
+
+
+# --------------------------------------------------------------------------
+# r13: incremental queries.
+
+def test_incremental_windows():
+    from google_analytics_to_s3_spark.operators.hudi import (
+        parse_hudi_incremental,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        _HUDI_TS0,
+        make_hudi_bundle,
+    )
+
+    for seed in (0, 1, 2, 7, 999):
+        for w in range(3):
+            begin = str(_HUDI_TS0 + w - 1)
+            end = str(_HUDI_TS0 + w + 1)
+            wins = [c for c in range(3) if w - 1 < c <= w + 1]
+            r = parse_hudi_incremental(
+                make_hudi_bundle(seed), "v", begin, end)
+
+            def writes(c):
+                return list(range(4)) if c == 0 else \
+                    [g for g in range(4) if (seed + g + c) % 2 == 0]
+
+            latest = {}
+            for c in wins:
+                for g in writes(c):
+                    latest[g] = c
+            assert r["n_commits_total"] == 3
+            assert r["n_commits_window"] == len(wins)
+            assert r["n_window_files"] == sum(
+                len(writes(c)) for c in wins)
+            assert r["n_groups_touched"] == len(latest)
+            recs = sum(8 + (seed + g + c) % 5
+                       for g, c in latest.items())
+            assert r["records"] == recs
+
+
+def test_incremental_empty_window():
+    from google_analytics_to_s3_spark.operators.hudi import (
+        parse_hudi_incremental,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        _HUDI_TS0,
+        make_hudi_bundle,
+    )
+
+    r = parse_hudi_incremental(
+        make_hudi_bundle(4), "v",
+        str(_HUDI_TS0 + 50), str(_HUDI_TS0 + 60))
+    assert r["n_commits_window"] == 0 and r["records"] == 0
+
+
+def test_incremental_never_reads_inflight():
+    """The inflight commit (ts0+3) has no completed metadata, so
+    even a window covering it contributes nothing — the poison
+    values stay invisible."""
+    from google_analytics_to_s3_spark.operators.hudi import (
+        parse_hudi_incremental,
+    )
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        _HUDI_TS0,
+        make_hudi_bundle,
+    )
+
+    r = parse_hudi_incremental(
+        make_hudi_bundle(0), "v",
+        str(_HUDI_TS0 + 2), str(_HUDI_TS0 + 9))
+    assert r["n_commits_window"] == 0
+    assert r["value_sum"] == 0

@@ -42,6 +42,7 @@ _R13_EXTRACT_QUERIES = [
     "codec_write_roundtrip",
     "csv_sniff_scan",
     "iceberg_day_prune",
+    "hudi_incremental",
 ]
 
 
