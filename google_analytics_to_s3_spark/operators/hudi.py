@@ -24,9 +24,11 @@ A reader that ignores the timeline tallies poison rows from
 inflight writes; one that ignores slice selection double-counts
 every rewritten group — the driver oracle distinguishes both.
 
-``replacecommit`` / ``rollback`` / ``clean`` instants change
-file-group visibility in ways this subset does not model; their
-presence raises a named gate rather than mis-reading.
+``replacecommit`` instants (clustering / insert-overwrite) are
+modeled (r13): a completed replacecommit writes new file groups
+like any commit AND retires the file groups named in its
+``partitionToReplaceFileIds`` — their older slices become
+invisible.  ``rollback`` / ``clean`` remain named gates.
 
 Scale: one bundle is one table (or one partition's) listing — the
 walk is a single Arrow map task, O(files) planning state, payload
@@ -58,7 +60,7 @@ __all__ = ["parse_hudi_snapshot", "decode_hudi_snapshot",
 _INSTANT_RE = re.compile(r"^\.hoodie/(\d+)\.(\w+)(?:\.(\w+))?$")
 _BASE_RE = re.compile(r"^(?P<fid>[^_/]+)_(?P<tok>[^_/]+)_"
                       r"(?P<ts>\d+)\.parquet$")
-_GATED_ACTIONS = {"replacecommit", "rollback", "clean"}
+_GATED_ACTIONS = {"rollback", "clean"}
 
 
 def parse_hudi_snapshot(bundle: bytes, column: str) -> dict:
@@ -82,7 +84,9 @@ def parse_hudi_snapshot(bundle: bytes, column: str) -> dict:
         raise ValueError(f"hudi: table type {ttype!r} gated")
     completed: set[str] = set()
     pending: set[str] = set()
-    for name in files:
+    replaced: dict[str, str] = {}   # fileId -> replace instant
+    n_replacecommits = 0
+    for name, data in files.items():
         m = _INSTANT_RE.match(name)
         if not m:
             continue
@@ -91,9 +95,24 @@ def parse_hudi_snapshot(bundle: bytes, column: str) -> dict:
             raise ValueError(f"hudi: timeline action {action!r} gated")
         if action == "commit" and state is None:
             completed.add(ts)
-        elif action in ("commit", "inflight"):
-            # <ts>.commit.requested / <ts>.commit.inflight /
-            # the legacy bare <ts>.inflight marker
+        elif action == "replacecommit" and state is None:
+            # clustering / insert-overwrite: new files participate,
+            # replaced file groups retire
+            completed.add(ts)
+            n_replacecommits += 1
+            try:
+                md = json.loads(data or b"{}")
+            except ValueError as e:
+                raise ValueError(
+                    f"hudi: bad replacecommit metadata ({e})")                     from None
+            for _part, fids in (md.get("partitionToReplaceFileIds")
+                                or {}).items():
+                for fid in fids:
+                    if fid not in replaced or replaced[fid] < ts:
+                        replaced[fid] = ts
+        elif action in ("commit", "replacecommit", "inflight"):
+            # <ts>.<action>.requested / .inflight / the legacy bare
+            # <ts>.inflight marker
             pending.add(ts)
     if not completed:
         raise ValueError("hudi: no completed commits")
@@ -121,6 +140,14 @@ def parse_hudi_snapshot(bundle: bytes, column: str) -> dict:
         cur = latest.get(fid)
         if cur is None or ts > cur[0]:
             latest[fid] = (ts, name)
+    # retire replaced file groups (their newest slice must not
+    # postdate the replacement)
+    n_replaced_groups = 0
+    for fid, rts in replaced.items():
+        cur = latest.get(fid)
+        if cur is not None and cur[0] <= rts:
+            del latest[fid]
+            n_replaced_groups += 1
     records = 0
     value_sum = 0
     for _fid, (_ts, name) in latest.items():
@@ -134,6 +161,7 @@ def parse_hudi_snapshot(bundle: bytes, column: str) -> dict:
         "n_base_files": n_base_files,
         "n_file_groups": len(latest),
         "n_skipped_pending": n_skipped_pending,
+        "n_replaced_groups": n_replaced_groups,
         "records": records,
         "value_sum": value_sum,
     }
@@ -153,13 +181,14 @@ def decode_hudi_snapshot(
         StructField("n_base_files", IntegerType()),
         StructField("n_file_groups", IntegerType()),
         StructField("n_skipped_pending", IntegerType()),
+        StructField("n_replaced_groups", IntegerType()),
         StructField("records", LongType()),
         StructField("value_sum", LongType()),
         StructField("decode_error", StringType()),
     ])
     cols = ("n_commits", "n_pending", "n_base_files",
-            "n_file_groups", "n_skipped_pending", "records",
-            "value_sum")
+            "n_file_groups", "n_skipped_pending",
+            "n_replaced_groups", "records", "value_sum")
     i64 = {"records", "value_sum"}
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -216,7 +245,7 @@ def parse_hudi_incremental(bundle: bytes, column: str,
         ts, action, state = m.groups()
         if action in _GATED_ACTIONS:
             raise ValueError(f"hudi: timeline action {action!r} gated")
-        if action == "commit" and state is None:
+        if action in ("commit", "replacecommit") and state is None:
             import json as _json
 
             try:

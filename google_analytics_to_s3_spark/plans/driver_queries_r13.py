@@ -1136,6 +1136,7 @@ SELECT e.event_id AS doc_id,
        CAST(9 AS INTEGER) AS n_base_files,
        CAST(4 AS INTEGER) AS n_file_groups,
        CAST(1 AS INTEGER) AS n_skipped_pending,
+       CAST(0 AS INTEGER) AS n_replaced_groups,
        CAST(v.recs AS BIGINT) AS records,
        CAST(v.vs AS BIGINT) AS value_sum
 FROM e JOIN vals v ON v.event_id = e.event_id
@@ -1854,3 +1855,84 @@ FROM e JOIN vals v ON v.event_id = e.event_id
 
 QUERIES_R13["hudi_incremental"] = q_hudi_incremental
 ORACLES_R13["hudi_incremental"] = _HUDI_INC_ORACLE
+
+
+def q_hudi_cluster_snapshot(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Hudi CLUSTERING (r13): a completed ``replacecommit``
+    rewrites file groups 0+1 into one clustered file and retires
+    the originals via ``partitionToReplaceFileIds`` — the snapshot
+    must include the clustered file, keep groups 2+3's latest
+    slices, hide BOTH replaced groups, and still skip the inflight
+    poison (operators/hudi.py:parse_hudi_snapshot, replacecommit
+    gate opened).  A reader that ignores replacement double-counts
+    two groups; one that drops the clustering commit loses rows —
+    the oracle distinguishes all of it.  Lane id % 10 == 3."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.hudi import decode_hudi_snapshot
+    from ..testing.fixtures import make_hudi_cluster_bundle
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 3
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_hudi_cluster_bundle(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_hudi_snapshot(payloads, "v").drop("decode_error")
+
+
+_HUDI_CL_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed
+  FROM events WHERE event_id % {_FLAC_MOD} = 3
+),
+cl AS (
+  SELECT e.event_id, count(*) AS n_cl,
+         sum((e.seed*11 + 9*i.i) % 700) AS s_cl
+  FROM e, LATERAL (SELECT unnest(range(0, 20 + e.seed % 6)) AS i) i
+  GROUP BY 1
+),
+grp AS (
+  SELECT e.event_id, e.seed, g.g,
+         CASE WHEN (e.seed + g.g) % 2 = 1 THEN 1 ELSE 2 END AS cmax
+  FROM e, LATERAL (SELECT unnest(range(2, 4)) AS g) g
+),
+sl AS (
+  SELECT event_id, seed, g, cmax, 8 + (seed + g + cmax) % 5 AS n
+  FROM grp
+),
+keep AS (
+  SELECT s.event_id, count(*) AS recs,
+         sum((s.seed*7 + 11*s.g + 5*s.cmax + 3*i.i) % 600) AS vs
+  FROM sl s, LATERAL (SELECT unnest(range(0, s.n)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(4 AS INTEGER) AS n_commits,
+       CAST(1 AS INTEGER) AS n_pending,
+       CAST(10 AS INTEGER) AS n_base_files,
+       CAST(3 AS INTEGER) AS n_file_groups,
+       CAST(1 AS INTEGER) AS n_skipped_pending,
+       CAST(2 AS INTEGER) AS n_replaced_groups,
+       CAST(c.n_cl + k.recs AS BIGINT) AS records,
+       CAST(c.s_cl + k.vs AS BIGINT) AS value_sum
+FROM e
+JOIN cl c ON c.event_id = e.event_id
+JOIN keep k ON k.event_id = e.event_id
+"""
+
+QUERIES_R13["hudi_cluster_snapshot"] = q_hudi_cluster_snapshot
+ORACLES_R13["hudi_cluster_snapshot"] = _HUDI_CL_ORACLE

@@ -9741,3 +9741,53 @@ def make_iceberg_day_bundle(seed: int) -> bytes:
         out += _tar_member(name, data)
     out += b"\x00" * 1024
     return bytes(out)
+
+
+@_functools.lru_cache(maxsize=1024)
+def make_hudi_cluster_bundle(seed: int) -> bytes:
+    """Hudi CoW bundle WITH a completed ``replacecommit``
+    (clustering): the base table of :func:`make_hudi_bundle` plus a
+    4th instant that clusters file groups 0 and 1 into one new
+    file group.
+
+    Planted rules (replayed in closed form by the oracle):
+
+    - commits 0..2 + inflight 3 exactly as make_hudi_bundle
+    - instant ``ts0+4`` is a completed replacecommit: writes
+      ``cl0-0000`` with ``n = 20 + seed % 6`` rows of
+      ``v = (seed*11 + 9*i) % 700`` and replaces fileIds
+      ``fg0-0000``/``fg1-0000``
+    - snapshot = clustered file + groups 2,3's latest pre-cluster
+      slices
+    """
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from ..operators.tar import parse_tar
+
+    base = make_hudi_bundle(seed)
+    members = {m["name"]: m["data"] for m in parse_tar(base)}
+    ts4 = str(_HUDI_TS0 + 4)
+    n = 20 + seed % 6
+    vals = [(seed * 11 + 9 * i) % 700 for i in range(n)]
+    buf = _pa.BufferOutputStream()
+    _pq.write_table(
+        _pa.table({"v": _pa.array(vals, _pa.int64())}), buf,
+        compression=["snappy", "zstd"][seed % 2])
+    blob = buf.getvalue().to_pybytes()
+    cname = f"part=0/cl0-0000_1-0-1_{ts4}.parquet"
+    members[cname] = blob
+    members[f".hoodie/{ts4}.replacecommit.requested"] = b""
+    members[f".hoodie/{ts4}.replacecommit"] = _json.dumps({
+        "partitionToWriteStats": [
+            {"path": cname, "numWrites": n}],
+        "partitionToReplaceFileIds": {
+            "part=0": ["fg0-0000"], "part=1": ["fg1-0000"]},
+        "operationType": "CLUSTER"}).encode()
+    out = bytearray()
+    for name, data in members.items():
+        out += _tar_member(name, data)
+    out += b"\x00" * 1024
+    return bytes(out)

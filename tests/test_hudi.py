@@ -39,7 +39,7 @@ def test_poison_guard_actually_poisons():
 def test_gated_timeline_actions():
     raw = make_hudi_bundle(1)
     extra = _tar_member(
-        ".hoodie/20240101000000009.replacecommit", b"{}")
+        ".hoodie/20240101000000009.rollback", b"{}")
     # append before the tar end-of-archive zero blocks
     data = raw[:-1024] + extra + b"\x00" * 1024
     with pytest.raises(ValueError, match="gated"):
@@ -154,3 +154,51 @@ def test_incremental_never_reads_inflight():
         str(_HUDI_TS0 + 2), str(_HUDI_TS0 + 9))
     assert r["n_commits_window"] == 0
     assert r["value_sum"] == 0
+
+
+# --------------------------------------------------------------------------
+# r13: clustering (replacecommit).
+
+def test_cluster_snapshot_planted():
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_hudi_cluster_bundle,
+    )
+
+    for seed in (0, 1, 2, 9, 999):
+        r = parse_hudi_snapshot(make_hudi_cluster_bundle(seed), "v")
+        assert r["n_commits"] == 4
+        assert r["n_replaced_groups"] == 2
+        assert r["n_file_groups"] == 3
+        recs = 20 + seed % 6
+        for g in (2, 3):
+            cmax = 1 if (seed + g) % 2 == 1 else 2
+            recs += 8 + (seed + g + cmax) % 5
+        assert r["records"] == recs
+
+
+def test_plain_snapshot_reports_zero_replaced():
+    r = parse_hudi_snapshot(make_hudi_bundle(5), "v")
+    assert r["n_replaced_groups"] == 0
+
+
+def test_inflight_replacecommit_is_invisible():
+    """A replacecommit that never completed must neither retire
+    groups nor contribute files."""
+    from google_analytics_to_s3_spark.operators.tar import parse_tar
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_hudi_cluster_bundle,
+    )
+
+    raw = make_hudi_cluster_bundle(3)
+    members = [m for m in parse_tar(raw)
+               if not m["name"].endswith(".replacecommit")]
+    out = bytearray()
+    for m in members:
+        out += _tar_member(m["name"], m["data"])
+    out += b"\x00" * 1024
+    r = parse_hudi_snapshot(bytes(out), "v")
+    # requested marker remains -> instant pending; clustered file
+    # skipped; all four original groups visible again
+    assert r["n_replaced_groups"] == 0
+    assert r["n_file_groups"] == 4
+    assert r["n_skipped_pending"] == 2  # inflight + clustered file

@@ -43,6 +43,7 @@ _R13_EXTRACT_QUERIES = [
     "csv_sniff_scan",
     "iceberg_day_prune",
     "hudi_incremental",
+    "hudi_cluster_snapshot",
 ]
 
 
