@@ -121,7 +121,12 @@ def _resolve_schema(sch, named: dict, depth: int = 0):
         raise ValueError("avro: malformed schema node")
     t = sch.get("type")
     if t in _PRIMITIVES:
-        return ("prim", t)
+        lt = sch.get("logicalType")
+        if lt is None:
+            return ("prim", t)
+        return ("prim", t, {"logicalType": lt,
+                            "precision": sch.get("precision"),
+                            "scale": sch.get("scale", 0)})
     if t == "record":
         name = sch.get("name")
         if not name:
@@ -141,7 +146,11 @@ def _resolve_schema(sch, named: dict, depth: int = 0):
         named[sch.get("name")] = node
         return node
     if t == "fixed":
-        node = ("fixed", sch.get("name"), int(sch.get("size", 0)))
+        node = ("fixed", sch.get("name"), int(sch.get("size", 0)),
+                ({"logicalType": "decimal",
+                  "precision": sch.get("precision"),
+                  "scale": sch.get("scale", 0)}
+                 if sch.get("logicalType") == "decimal" else None))
         named[sch.get("name")] = node
         return node
     if t == "array":
@@ -151,6 +160,55 @@ def _resolve_schema(sch, named: dict, depth: int = 0):
         return ("map", _resolve_schema(sch.get("values"), named,
                                        depth + 1))
     raise ValueError(f"avro: unsupported schema type {t!r}")
+
+
+def _logical_int(v: int, logical: dict):
+    """Materialize the spec's int/long logical types (Avro 1.11
+    §Logical Types): date (epoch days), time-millis/micros,
+    timestamp-millis/micros (UTC).  Unknown names fall back to the
+    raw value, as the spec requires."""
+    import datetime as _dt
+
+    lt = logical.get("logicalType")
+    if lt == "date":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+    if lt == "time-millis":
+        return (_dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                + _dt.timedelta(milliseconds=v)).timetz()
+    if lt == "time-micros":
+        return (_dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                + _dt.timedelta(microseconds=v)).timetz()
+    if lt == "timestamp-millis":
+        return _dt.datetime.fromtimestamp(v / 1000,
+                                          tz=_dt.timezone.utc)
+    if lt == "timestamp-micros":
+        return (_dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                + _dt.timedelta(microseconds=v))
+    return v
+
+
+def _logical_bytes(raw: bytes, logical: dict):
+    """decimal over bytes/fixed: big-endian two's-complement
+    unscaled value at the declared scale."""
+    import decimal as _decimal
+
+    if logical.get("logicalType") == "decimal":
+        unscaled = int.from_bytes(raw, "big", signed=True)
+        return _decimal.Decimal(unscaled).scaleb(
+            -int(logical.get("scale") or 0))
+    return raw
+
+
+def _logical_str(v: str, logical: dict):
+    import uuid as _uuid
+
+    if logical.get("logicalType") == "uuid":
+        try:
+            return _uuid.UUID(v)
+        except ValueError:
+            raise ValueError("avro: malformed uuid literal") \
+                from None
+    return v
 
 
 def _decode(r: _Reader, node, named: dict, depth: int = 0):
@@ -164,20 +222,24 @@ def _decode(r: _Reader, node, named: dict, depth: int = 0):
         return _decode(r, target, named, depth + 1)
     if kind == "prim":
         t = node[1]
+        logical = node[2] if len(node) > 2 else None
         if t == "null":
             return None
         if t == "boolean":
             return r.raw(1) == b"\x01"
         if t in ("int", "long"):
-            return r.long()
+            v = r.long()
+            return _logical_int(v, logical) if logical else v
         if t == "float":
             return struct.unpack("<f", r.raw(4))[0]
         if t == "double":
             return struct.unpack("<d", r.raw(8))[0]
         if t == "bytes":
-            return r.raw(r.long())
+            raw = r.raw(r.long())
+            return _logical_bytes(raw, logical) if logical else raw
         # string
-        return r.raw(r.long()).decode("utf-8", "replace")
+        sv = r.raw(r.long()).decode("utf-8", "replace")
+        return _logical_str(sv, logical) if logical else sv
     if kind == "union":
         idx = r.long()
         branches = node[1]
@@ -194,7 +256,9 @@ def _decode(r: _Reader, node, named: dict, depth: int = 0):
             raise ValueError("avro: enum index out of range")
         return syms[idx]
     if kind == "fixed":
-        return r.raw(node[2])
+        raw = r.raw(node[2])
+        logical = node[3] if len(node) > 3 else None
+        return _logical_bytes(raw, logical) if logical else raw
     if kind in ("array", "map"):
         out_l: list = []
         out_m: dict = {}
@@ -673,3 +737,73 @@ def decode_avro_evolution(
 
     return df.select(id_col, payload_col).mapInPandas(
         _run, schema=AVRO_EVO_SCHEMA)
+
+
+AVRO_LOGICAL_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_records", LongType()),
+    StructField("day_sum", LongType()),
+    StructField("ts_us_sum", LongType()),
+    StructField("dec_unscaled_sum", LongType()),
+    StructField("fx_unscaled_sum", LongType()),
+    StructField("uuid_tl_sum", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_avro_logical(
+    df: DataFrame,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper tallying LOGICAL-typed fields
+    (date / timestamp-micros / decimal over bytes and fixed / uuid)
+    as exact integers — the materialized Python types
+    (datetime.date/datetime/Decimal/UUID) are converted back, so a
+    reader that skips materialization or mis-scales fails."""
+    import datetime as _dt
+
+    _EPOCH_D = _dt.date(1970, 1, 1)
+    _EPOCH_TS = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("n_records", "day_sum", "ts_us_sum",
+                "dec_unscaled_sum", "fx_unscaled_sum", "uuid_tl_sum")
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    _info, recs = avro_decode_container(bytes(payload))
+                    day = tsu = dec = fx = tl = 0
+                    for rec in recs:
+                        day += (rec["d"] - _EPOCH_D).days
+                        td = rec["ts"] - _EPOCH_TS
+                        tsu += (td.days * 86_400_000_000
+                                + td.seconds * 1_000_000
+                                + td.microseconds)
+                        dec += int(rec["dec"].scaleb(2))
+                        fx += int(rec["fx"].scaleb(3))
+                        tl += rec["u"].time_low
+                    rows["n_records"].append(len(recs))
+                    rows["day_sum"].append(day)
+                    rows["ts_us_sum"].append(tsu)
+                    rows["dec_unscaled_sum"].append(dec)
+                    rows["fx_unscaled_sum"].append(fx)
+                    rows["uuid_tl_sum"].append(tl)
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, TypeError, KeyError,
+                        AttributeError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k], dtype="Int64")
+                   for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=AVRO_LOGICAL_SCHEMA)

@@ -1936,3 +1936,69 @@ JOIN keep k ON k.event_id = e.event_id
 
 QUERIES_R13["hudi_cluster_snapshot"] = q_hudi_cluster_snapshot
 ORACLES_R13["hudi_cluster_snapshot"] = _HUDI_CL_ORACLE
+
+
+def q_avro_logical_types(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Avro LOGICAL TYPES (r13): date / timestamp-micros / decimal
+    over bytes AND fixed / uuid materialize into real Python values
+    during the schema-directed walk (operators/avro.py:_logical_*,
+    the fastavro-compatible layer) and the wrapper converts them
+    back to exact integers — a reader that skips materialization,
+    mis-scales a decimal, or drops a fixed-decimal annotation fails
+    the closed-form oracle.  Lane id % 10 == 1."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.avro import decode_avro_logical
+    from ..testing.fixtures import make_avro_logical
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 1
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_avro_logical(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_avro_logical(payloads).drop("decode_error")
+
+
+_AVRO_LOGICAL_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         25 + (event_id % 1000) % 30 AS n
+  FROM events WHERE event_id % {_FLAC_MOD} = 1
+),
+vals AS (
+  SELECT e.event_id,
+         sum(19000 + (e.seed + 3*i.i) % 2000) AS days_,
+         sum(1600000000000000 +
+             (e.seed*7 + 11*i.i) % 1000000000) AS tsu,
+         sum((e.seed*13 + 9*i.i) % 200000 - 100000) AS dec_,
+         sum((e.seed*3 + 5*i.i) % 1000000) AS fx,
+         sum((e.seed*5 + 13*i.i) % 100000000) AS tl
+  FROM e, LATERAL (SELECT unnest(range(0, e.n)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(e.n AS BIGINT) AS n_records,
+       CAST(v.days_ AS BIGINT) AS day_sum,
+       CAST(v.tsu AS BIGINT) AS ts_us_sum,
+       CAST(v.dec_ AS BIGINT) AS dec_unscaled_sum,
+       CAST(v.fx AS BIGINT) AS fx_unscaled_sum,
+       CAST(v.tl AS BIGINT) AS uuid_tl_sum
+FROM e JOIN vals v ON v.event_id = e.event_id
+"""
+
+QUERIES_R13["avro_logical_types"] = q_avro_logical_types
+ORACLES_R13["avro_logical_types"] = _AVRO_LOGICAL_ORACLE

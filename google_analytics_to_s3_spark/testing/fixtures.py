@@ -9791,3 +9791,77 @@ def make_hudi_cluster_bundle(seed: int) -> bytes:
         out += _tar_member(name, data)
     out += b"\x00" * 1024
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Avro logical types (r13): the ``avro_logical_types`` driver query.
+
+_AVRO_LOGICAL_SCHEMA_JSON = (
+    '{"type":"record","name":"L","fields":['
+    '{"name":"d","type":{"type":"int","logicalType":"date"}},'
+    '{"name":"ts","type":{"type":"long",'
+    '"logicalType":"timestamp-micros"}},'
+    '{"name":"dec","type":{"type":"bytes","logicalType":"decimal",'
+    '"precision":9,"scale":2}},'
+    '{"name":"u","type":{"type":"string","logicalType":"uuid"}},'
+    '{"name":"fx","type":{"type":"fixed","name":"F4","size":4,'
+    '"logicalType":"decimal","precision":9,"scale":3}}]}'
+)
+
+
+@_functools.lru_cache(maxsize=1024)
+def make_avro_logical(seed: int) -> bytes:
+    """Container with every common logical type.
+
+    Planted rules (replayed in closed form by the oracle; row ``i``
+    of ``n = 25 + seed % 30``):
+
+    - ``d``: epoch day ``19000 + (seed + 3*i) % 2000``
+    - ``ts``: micros ``1_600_000_000_000_000 +
+      (seed*7 + 11*i) % 1_000_000_000``
+    - ``dec`` (bytes decimal, scale 2): unscaled
+      ``(seed*13 + 9*i) % 200000 - 100000`` (4-byte big-endian)
+    - ``u``: uuid ``{tl:08x}-0000-4000-8000-{i:012x}`` with
+      ``tl = (seed*5 + 13*i) % 100000000``
+    - ``fx`` (fixed(4) decimal, scale 3): unscaled
+      ``(seed*3 + 5*i) % 1000000``
+    - codec cycles [null, deflate, snappy] with ``seed % 3``
+    """
+    import zlib as _zlib
+
+    n = 25 + seed % 30
+    codec = ["null", "deflate", "snappy"][seed % 3]
+    recs = []
+    for i in range(n):
+        row = _avro_zigzag(19000 + (seed + 3 * i) % 2000)
+        row += _avro_zigzag(1_600_000_000_000_000
+                            + (seed * 7 + 11 * i) % 1_000_000_000)
+        unscaled = (seed * 13 + 9 * i) % 200000 - 100000
+        raw = unscaled.to_bytes(4, "big", signed=True)
+        row += _avro_zigzag(len(raw)) + raw
+        tl = (seed * 5 + 13 * i) % 100000000
+        row += _avro_str(f"{tl:08x}-0000-4000-8000-{i:012x}")
+        row += ((seed * 3 + 5 * i) % 1000000).to_bytes(
+            4, "big", signed=True)
+        recs.append(row)
+    sync = bytes((seed * 43 + j * 29 + 5) % 256 for j in range(16))
+    out = bytearray(b"Obj\x01")
+    out += _avro_zigzag(2)
+    out += _avro_str("avro.schema") + _avro_str(
+        _AVRO_LOGICAL_SCHEMA_JSON)
+    out += _avro_str("avro.codec") + _avro_str(codec)
+    out += _avro_zigzag(0)
+    out += sync
+    for at in range(0, n, 20):
+        chunk = recs[at:at + 20]
+        payload = b"".join(chunk)
+        if codec == "deflate":
+            co = _zlib.compressobj(6, _zlib.DEFLATED, -15)
+            payload = co.compress(payload) + co.flush()
+        elif codec == "snappy":
+            comp = snappy_compress_block(payload)
+            payload = comp + (_zlib.crc32(b"".join(chunk))
+                              & 0xFFFFFFFF).to_bytes(4, "big")
+        out += _avro_zigzag(len(chunk)) + _avro_zigzag(len(payload))
+        out += payload + sync
+    return bytes(out)

@@ -655,3 +655,65 @@ def test_resolution_identity_reader_schema_is_noop():
     _i2, resolved = avro_decode_container(
         raw, reader_schema=json.dumps(info["schema"]))
     assert plain == resolved
+
+
+# --------------------------------------------------------------------------
+# r13: logical types (Avro 1.11 §Logical Types).
+
+def test_logical_types_planted():
+    import datetime as _dt
+    import decimal as _decimal
+    import uuid as _uuid
+
+    from google_analytics_to_s3_spark.testing.fixtures import (
+        make_avro_logical,
+    )
+
+    _i, recs = avro_decode_container(make_avro_logical(3))
+    r = recs[0]
+    assert isinstance(r["d"], _dt.date)
+    assert isinstance(r["ts"], _dt.datetime) \
+        and r["ts"].tzinfo is _dt.timezone.utc
+    assert isinstance(r["dec"], _decimal.Decimal)
+    assert isinstance(r["fx"], _decimal.Decimal)
+    assert isinstance(r["u"], _uuid.UUID)
+
+
+def test_logical_decimal_negative_and_scale():
+    import decimal as _decimal
+
+    w = ('{"type":"record","name":"R","fields":[{"name":"a","type":'
+         '{"type":"bytes","logicalType":"decimal","precision":9,'
+         '"scale":2}}]}')
+    raw = (-12345).to_bytes(3, "big", signed=True)
+    data = _container_for(w, [_zz(len(raw)) + raw])
+    _i, recs = avro_decode_container(data)
+    assert recs[0]["a"] == _decimal.Decimal("-123.45")
+
+
+def test_logical_unknown_name_falls_back_to_raw():
+    """The spec: readers MUST ignore unknown logical types and use
+    the underlying type."""
+    w = ('{"type":"record","name":"R","fields":[{"name":"a","type":'
+         '{"type":"long","logicalType":"duration-of-nap"}}]}')
+    data = _container_for(w, [_zz(42)])
+    _i, recs = avro_decode_container(data)
+    assert recs[0]["a"] == 42
+
+
+def test_logical_malformed_uuid_named():
+    w = ('{"type":"record","name":"R","fields":[{"name":"a","type":'
+         '{"type":"string","logicalType":"uuid"}}]}')
+    data = _container_for(w, [_s("not-a-uuid")])
+    with pytest.raises(ValueError, match="uuid"):
+        avro_decode_container(data)
+
+
+def test_logical_date_example():
+    import datetime as _dt
+
+    w = ('{"type":"record","name":"R","fields":[{"name":"a","type":'
+         '{"type":"int","logicalType":"date"}}]}')
+    data = _container_for(w, [_zz(19723)])
+    _i, recs = avro_decode_container(data)
+    assert recs[0]["a"] == _dt.date(2024, 1, 1)

@@ -44,6 +44,7 @@ _R13_EXTRACT_QUERIES = [
     "iceberg_day_prune",
     "hudi_incremental",
     "hudi_cluster_snapshot",
+    "avro_logical_types",
 ]
 
 
