@@ -419,8 +419,12 @@ def _orc_svarint(data: bytes, pos: int) -> tuple[int, int]:
     return (u >> 1) ^ -(u & 1), pos
 
 
-def rlev2_decode(data: bytes, count: int, signed: bool) -> list[int]:
-    """Decode ``count`` integers from an ORC RLEv2 stream."""
+def rlev2_decode(data: bytes, count: int, signed: bool,
+                 exact: bool = True) -> list[int]:
+    """Decode ``count`` integers from an ORC RLEv2 stream.  With
+    ``exact=False`` the final run may overshoot (a mid-stream seek
+    via row-index positions rarely lands on a count boundary) and
+    the result is truncated to ``count``."""
     out: list[int] = []
     pos = 0
     while len(out) < count:
@@ -522,7 +526,9 @@ def rlev2_decode(data: bytes, count: int, signed: bool) -> list[int]:
             pos = br2.pos
             out.extend(base + v for v in vals)
     if len(out) != count:
-        raise ValueError("orc: RLEv2 produced extra values")
+        if exact:
+            raise ValueError("orc: RLEv2 produced extra values")
+        del out[count:]
     return out
 
 
@@ -1447,3 +1453,166 @@ def decode_orc_union_stats(
 
     return df.select(id_col, payload_col).mapInPandas(
         _run, schema=ORC_UNION_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Row-index (row-group) pruning (r13) — ORC's analog of the parquet
+# page index: each stripe's ROW_INDEX stream (kind 6) carries one
+# entry per rowIndexStride rows with POSITIONS (for an uncompressed
+# RLEv2 data stream: [byte offset into the stream, values to skip
+# inside the run starting there]) and per-group Integer min/max
+# (sint64 → zigzag).  A range scan decodes ONLY the surviving row
+# groups, seeking straight to each group's run boundary — bytes of
+# pruned groups are never RLE-decoded.
+
+def orc_read_int_range(data: bytes, column: str,
+                       lo: int, hi: int) -> dict:
+    """Row-group-pruned range scan of a NULL-free int64 column in an
+    UNCOMPRESSED ORC file: returns groups_total / groups_read and
+    the matched row count / sum, with values_decoded as evidence
+    that pruned groups' values were never materialized."""
+    meta = parse_orc_meta(data)
+    if meta["compression"] != 0:
+        raise ValueError("orc: row-index seek on compressed "
+                         "streams gated")
+    stride = meta.get("row_index_stride") or 0
+    if stride <= 0:
+        raise ValueError("orc: no row index stride")
+    types = meta["types"]
+    if not types or types[0]["kind"] != 12:
+        raise ValueError("orc: root is not a struct")
+    names = types[0]["field_names"]
+    if column not in names:
+        raise ValueError(f"orc: no column {column!r}")
+    col_id = types[0]["subtypes"][names.index(column)]
+    if types[col_id]["kind"] not in (2, 3, 4):
+        raise ValueError("orc: non-integer column gated")
+    groups_total = groups_read = 0
+    matched_rows = 0
+    matched_sum = 0
+    values_decoded = 0
+    for st in meta["stripes"]:
+        # stripe footer: stream directory
+        foot_off = st["offset"] + st["index_length"] \
+            + st["data_length"]
+        sf = pb_message(_decompress_section(
+            data[foot_off:foot_off + st["footer_length"]], 0))
+        at = st["offset"]
+        ri_raw = None
+        data_stream = None
+        for srec_raw in sf.get(1, []):
+            srec = pb_message(srec_raw)
+            s_kind = _pb_one(srec, 1, 0)
+            s_col = _pb_one(srec, 2, 0)
+            s_len = _pb_one(srec, 3, 0)
+            if s_col == col_id and s_kind == 6:
+                ri_raw = data[at:at + s_len]
+            if s_col == col_id and s_kind == 0:
+                raise ValueError("orc: PRESENT stream gated here "
+                                 "(null-free columns only)")
+            if s_col == col_id and s_kind == 1:
+                data_stream = data[at:at + s_len]
+            at += s_len
+        if ri_raw is None or data_stream is None:
+            raise ValueError("orc: row index or data stream missing")
+        ri = pb_message(_decompress_section(ri_raw, 0))
+        entries = []
+        for e_raw in ri.get(1, []):
+            e = pb_message(e_raw)
+            positions = _pb_packed_varints(e, 1)
+            mn = mx = None
+            if e.get(2):
+                cstat = pb_message(e[2][0])
+                if cstat.get(2):
+                    istat = pb_message(cstat[2][0])
+                    raw_mn = _pb_one(istat, 1)
+                    raw_mx = _pb_one(istat, 2)
+                    mn = _pb_zigzag(raw_mn) if raw_mn is not None \
+                        else None
+                    mx = _pb_zigzag(raw_mx) if raw_mx is not None \
+                        else None
+            entries.append((positions, mn, mx))
+        n_rows = st["num_rows"] or 0
+        for g, (positions, mn, mx) in enumerate(entries):
+            rows_here = min(stride, n_rows - g * stride)
+            if rows_here <= 0:
+                continue
+            groups_total += 1
+            if mn is not None and mx is not None \
+                    and (mx < lo or mn > hi):
+                continue  # pruned: group bytes never RLE-decoded
+            groups_read += 1
+            if len(positions) < 2:
+                raise ValueError("orc: short position list")
+            byte_off, skip = positions[0], positions[1]
+            vals = rlev2_decode(data_stream[byte_off:],
+                               skip + rows_here, signed=True,
+                               exact=False)
+            window = vals[skip:skip + rows_here]
+            values_decoded += len(window)
+            for v in window:
+                if lo <= v <= hi:
+                    matched_rows += 1
+                    matched_sum += v
+    return {
+        "groups_total": groups_total,
+        "groups_read": groups_read,
+        "values_decoded": values_decoded,
+        "matched_rows": matched_rows,
+        "matched_sum": matched_sum,
+    }
+
+
+ORC_RI_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("groups_total", IntegerType()),
+    StructField("groups_read", IntegerType()),
+    StructField("values_decoded", LongType()),
+    StructField("matched_rows", LongType()),
+    StructField("matched_sum", LongType()),
+    StructField("decode_error", StringType()),
+])
+
+
+def decode_orc_row_prune(
+    df: DataFrame, column: str, n_groups: int, group_span: int,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` wrapper over :func:`orc_read_int_range`
+    with the per-document window ``lo = (doc_id % n_groups) *
+    group_span + 10, hi = lo + group_span // 2``; per-payload
+    quarantine, no shuffle."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("groups_total", "groups_read", "values_decoded",
+                "matched_rows", "matched_sum")
+        i32 = {"groups_total", "groups_read"}
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", *cols, "decode_error")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                lo = (int(doc_id) % n_groups) * group_span + 10
+                try:
+                    r = orc_read_int_range(
+                        bytes(payload), column, lo,
+                        lo + group_span // 2)
+                    for k in cols:
+                        rows[k].append(r[k])
+                    rows["decode_error"].append(None)
+                except (ValueError, IndexError, KeyError,
+                        TypeError) as e:
+                    for k in cols:
+                        rows[k].append(None)
+                    rows["decode_error"].append(str(e))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                **{k: pd.Series(rows[k],
+                                dtype="Int32" if k in i32 else "Int64")
+                   for k in cols},
+                "decode_error": pd.Series(rows["decode_error"],
+                                          dtype=object),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=ORC_RI_SCHEMA)

@@ -3051,8 +3051,8 @@ _DRIVER_PRIORITY = [
     "label_centroids", "ppm_decode", "y4m_shots", "session_timelines",
     # --- slots 51+: r14 head = new r13 registrations (below the
     # marker), then the remaining 18 r6-stale rows ---
-    # R13_NEW_MARKER — the 28 r13 registrations (11 session-1 +
-    # 17 session-2), all pytest-oracle-green, none driver-checked
+    # R13_NEW_MARKER — the 29 r13 registrations (11 session-1 +
+    # 18 session-2), all pytest-oracle-green, none driver-checked
     # yet: these are the r14 window head, followed by the remaining
     # r6-stale rows below.
     "iceberg_scan_eq_multi", "delta_column_mapping", "sqlite_scan_wal",
@@ -3064,7 +3064,7 @@ _DRIVER_PRIORITY = [
     "iceberg_bucket_prune", "hudi_snapshot", "avro_schema_evolution",
     "iceberg_truncate_prune", "delta_checkpoint_v2",
     "parquet_write_roundtrip", "arrow_write_roundtrip",
-    "codec_write_roundtrip", "csv_sniff_scan", "iceberg_day_prune", "hudi_incremental", "hudi_cluster_snapshot", "avro_logical_types",
+    "codec_write_roundtrip", "csv_sniff_scan", "iceberg_day_prune", "hudi_incremental", "hudi_cluster_snapshot", "avro_logical_types", "orc_row_prune",
     # (queue) rows last driver-checked in r6 (remaining 18).
     "target_encoding", "quantile_normalize", "hashed_features",
     "langid_eval", "sessionize_flags", "sessionize_full", "session_stats",

@@ -2002,3 +2002,75 @@ FROM e JOIN vals v ON v.event_id = e.event_id
 
 QUERIES_R13["avro_logical_types"] = q_avro_logical_types
 ORACLES_R13["avro_logical_types"] = _AVRO_LOGICAL_ORACLE
+
+
+def q_orc_row_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC row-index pruning (r13) — the ORC analog of parquet's
+    page index: the stripe's ROW_INDEX stream (one entry per
+    1000-row group: seek positions + zigzag Integer min/max) prunes
+    a range scan to 1 of 4 row groups, and the survivor is decoded
+    by SEEKING straight to its run boundary (byte offset + in-run
+    skip) — ``values_decoded`` proves pruned groups' values were
+    never materialized.  Files come from the Apache ORC C++ writer.
+    Lane id % 10 == 5."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..operators.orc_meta import decode_orc_row_prune
+    from ..testing.fixtures import (
+        _ORC_RI_GROUPS,
+        _ORC_RI_SPAN,
+        make_orc_ri,
+    )
+
+    e = _spread(
+        load_events(spark, sf_dir).select("event_id").filter(
+            F.col("event_id") % _FLAC_MOD == 5
+        ),
+        spark,
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["event_id"].astype("int64"),
+                "payload": [make_orc_ri(int(i) % 1000)
+                            for i in pdf["event_id"]],
+            })
+
+    payloads = e.mapInPandas(_synth, schema="doc_id long, payload binary")
+    return decode_orc_row_prune(
+        payloads, "v", _ORC_RI_GROUPS, _ORC_RI_SPAN).drop(
+        "decode_error")
+
+
+_ORC_RI_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_id % 1000 AS seed,
+         event_id % 4 AS w
+  FROM events WHERE event_id % {_FLAC_MOD} = 5
+),
+vals AS (
+  SELECT e.event_id,
+         count(*) FILTER (WHERE (e.seed*3 + 7*i.i) % 900 >= 10
+                            AND (e.seed*3 + 7*i.i) % 900 <= 50010)
+           AS mr,
+         COALESCE(sum(e.w*100000 + (e.seed*3 + 7*i.i) % 900)
+           FILTER (WHERE (e.seed*3 + 7*i.i) % 900 >= 10
+                     AND (e.seed*3 + 7*i.i) % 900 <= 50010), 0)
+           AS ms
+  FROM e, LATERAL (SELECT unnest(range(0, 1000)) AS i) i
+  GROUP BY 1
+)
+SELECT e.event_id AS doc_id,
+       CAST(4 AS INTEGER) AS groups_total,
+       CAST(1 AS INTEGER) AS groups_read,
+       CAST(1000 AS BIGINT) AS values_decoded,
+       CAST(v.mr AS BIGINT) AS matched_rows,
+       CAST(v.ms AS BIGINT) AS matched_sum
+FROM e JOIN vals v ON v.event_id = e.event_id
+"""
+
+QUERIES_R13["orc_row_prune"] = q_orc_row_prune
+ORACLES_R13["orc_row_prune"] = _ORC_RI_ORACLE

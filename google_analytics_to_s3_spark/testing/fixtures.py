@@ -9865,3 +9865,33 @@ def make_avro_logical(seed: int) -> bytes:
         out += _avro_zigzag(len(chunk)) + _avro_zigzag(len(payload))
         out += payload + sync
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# ORC row-index pruning (r13): the ``orc_row_prune`` driver query.
+# Files are written by the Apache ORC C++ writer (pyarrow) with a
+# 1000-row index stride.
+
+_ORC_RI_GROUPS = 4
+_ORC_RI_SPAN = 100_000
+
+
+@_functools.lru_cache(maxsize=1024)
+def make_orc_ri(seed: int) -> bytes:
+    """UNCOMPRESSED ORC file with 4 row groups of 1000 rows.
+
+    Planted rules (replayed in closed form by the oracle): row ``i``
+    of group ``g`` holds ``v = g*100000 + (seed*3 + 7*i) % 900``.
+    Group domains are disjoint, so row-index min/max pruning is
+    lossless.
+    """
+    import pyarrow as _pa
+    from pyarrow import orc as _orc
+
+    vals = [g * _ORC_RI_SPAN + (seed * 3 + 7 * i) % 900
+            for g in range(_ORC_RI_GROUPS) for i in range(1000)]
+    buf = _pa.BufferOutputStream()
+    _orc.write_table(
+        _pa.table({"v": _pa.array(vals, _pa.int64())}), buf,
+        compression="UNCOMPRESSED", row_index_stride=1000)
+    return buf.getvalue().to_pybytes()

@@ -45,6 +45,7 @@ _R13_EXTRACT_QUERIES = [
     "hudi_incremental",
     "hudi_cluster_snapshot",
     "avro_logical_types",
+    "orc_row_prune",
 ]
 
 
