@@ -1467,14 +1467,15 @@ def decode_orc_union_stats(
 
 def orc_read_int_range(data: bytes, column: str,
                        lo: int, hi: int) -> dict:
-    """Row-group-pruned range scan of a NULL-free int64 column in an
-    UNCOMPRESSED ORC file: returns groups_total / groups_read and
-    the matched row count / sum, with values_decoded as evidence
-    that pruned groups' values were never materialized."""
+    """Row-group-pruned range scan of a NULL-free int64 column:
+    returns groups_total / groups_read and the matched row count /
+    sum, with values_decoded as evidence that pruned groups' values
+    were never materialized.  Uncompressed streams seek via
+    [byte, run-skip] positions; compressed streams (zlib / snappy /
+    lz4 / zstd chunks) via the spec's [chunk byte, decompressed
+    byte, run-skip] triple."""
     meta = parse_orc_meta(data)
-    if meta["compression"] != 0:
-        raise ValueError("orc: row-index seek on compressed "
-                         "streams gated")
+    comp = meta["compression"]
     stride = meta.get("row_index_stride") or 0
     if stride <= 0:
         raise ValueError("orc: no row index stride")
@@ -1496,7 +1497,7 @@ def orc_read_int_range(data: bytes, column: str,
         foot_off = st["offset"] + st["index_length"] \
             + st["data_length"]
         sf = pb_message(_decompress_section(
-            data[foot_off:foot_off + st["footer_length"]], 0))
+            data[foot_off:foot_off + st["footer_length"]], comp))
         at = st["offset"]
         ri_raw = None
         data_stream = None
@@ -1515,7 +1516,7 @@ def orc_read_int_range(data: bytes, column: str,
             at += s_len
         if ri_raw is None or data_stream is None:
             raise ValueError("orc: row index or data stream missing")
-        ri = pb_message(_decompress_section(ri_raw, 0))
+        ri = pb_message(_decompress_section(ri_raw, comp))
         entries = []
         for e_raw in ri.get(1, []):
             e = pb_message(e_raw)
@@ -1542,10 +1543,22 @@ def orc_read_int_range(data: bytes, column: str,
                     and (mx < lo or mn > hi):
                 continue  # pruned: group bytes never RLE-decoded
             groups_read += 1
-            if len(positions) < 2:
-                raise ValueError("orc: short position list")
-            byte_off, skip = positions[0], positions[1]
-            vals = rlev2_decode(data_stream[byte_off:],
+            # positions: uncompressed = [stream byte, run skip];
+            # compressed = [chunk byte, byte inside the chunk's
+            # decompressed form, run skip] (the spec's seek triple)
+            if comp == 0:
+                if len(positions) < 2:
+                    raise ValueError("orc: short position list")
+                run_bytes = data_stream[positions[0]:]
+                skip = positions[1]
+            else:
+                if len(positions) < 3:
+                    raise ValueError("orc: short position list")
+                run_bytes = _decompress_section(
+                    data_stream[positions[0]:],
+                    comp)[positions[1]:]
+                skip = positions[2]
+            vals = rlev2_decode(run_bytes,
                                skip + rows_here, signed=True,
                                exact=False)
             window = vals[skip:skip + rows_here]

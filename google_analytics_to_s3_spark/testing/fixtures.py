@@ -9878,7 +9878,9 @@ _ORC_RI_SPAN = 100_000
 
 @_functools.lru_cache(maxsize=1024)
 def make_orc_ri(seed: int) -> bytes:
-    """UNCOMPRESSED ORC file with 4 row groups of 1000 rows.
+    """ORC file with 4 row groups of 1000 rows; codec cycles
+    UNCOMPRESSED/ZLIB/SNAPPY/ZSTD/LZ4 with ``seed % 5`` (compressed
+    streams exercise the 3-entry seek triple).
 
     Planted rules (replayed in closed form by the oracle): row ``i``
     of group ``g`` holds ``v = g*100000 + (seed*3 + 7*i) % 900``.
@@ -9893,5 +9895,7 @@ def make_orc_ri(seed: int) -> bytes:
     buf = _pa.BufferOutputStream()
     _orc.write_table(
         _pa.table({"v": _pa.array(vals, _pa.int64())}), buf,
-        compression="UNCOMPRESSED", row_index_stride=1000)
+        compression=["UNCOMPRESSED", "ZLIB", "SNAPPY", "ZSTD",
+                     "LZ4"][seed % 5],
+        row_index_stride=1000)
     return buf.getvalue().to_pybytes()

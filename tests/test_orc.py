@@ -51,6 +51,30 @@ def test_row_index_fixture_planted():
             assert r["values_decoded"] == 1000
 
 
+def test_row_index_compressed_codecs():
+    """The 3-entry seek triple works across every chunk codec the
+    ORC C++ writer emits."""
+    import pyarrow as pa
+    from pyarrow import orc as pa_orc
+
+    from google_analytics_to_s3_spark.operators.orc_meta import (
+        orc_read_int_range,
+    )
+
+    vals = [g * 100000 + (7 * i) % 5000 for g in range(3)
+            for i in range(2000)]
+    for codec in ("ZLIB", "SNAPPY", "ZSTD", "LZ4"):
+        buf = pa.BufferOutputStream()
+        pa_orc.write_table(
+            pa.table({"v": pa.array(vals, pa.int64())}), buf,
+            compression=codec, row_index_stride=1000)
+        r = orc_read_int_range(buf.getvalue().to_pybytes(), "v",
+                               0, 4000)
+        assert r["matched_rows"] == sum(1 for v in vals
+                                        if v <= 4000)
+        assert r["groups_read"] < r["groups_total"]
+
+
 def test_row_index_gates():
     import pyarrow as pa
     import pytest
@@ -60,13 +84,6 @@ def test_row_index_gates():
         orc_read_int_range,
     )
 
-    # compressed streams gated (seek positions are 3-entry there)
-    buf = pa.BufferOutputStream()
-    pa_orc.write_table(
-        pa.table({"v": pa.array(range(3000), pa.int64())}), buf,
-        compression="ZLIB", row_index_stride=1000)
-    with pytest.raises(ValueError, match="gated"):
-        orc_read_int_range(buf.getvalue().to_pybytes(), "v", 0, 10)
     # nullable column gated (PRESENT stream seek not modeled)
     buf2 = pa.BufferOutputStream()
     pa_orc.write_table(
