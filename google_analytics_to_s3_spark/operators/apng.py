@@ -43,6 +43,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from .multimodal import _parse_png
+from .payload_memo import dedup_payload_batches
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -217,7 +218,7 @@ def decode_apng_frames(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _decode,
+        dedup_payload_batches(_decode, id_col, payload_col),
         schema="doc_id long, frame_idx int, width int, height int, "
                "n_frames int, n_plays int, delay_num int, "
                "rgb_sum long",

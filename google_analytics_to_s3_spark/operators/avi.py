@@ -30,6 +30,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from .payload_memo import dedup_payload_batches
 
 __all__ = ["parse_avi", "avi_features", "demux_avi_features",
            "avi_decode_av", "decode_avi_av_features"]
@@ -281,7 +282,8 @@ def demux_avi_features(
               + ", handlers string, decode_error string")
     return df.select(
         df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(_go, schema=schema)
+    ).mapInPandas(
+        dedup_payload_batches(_go, id_col, payload_col), schema=schema)
 
 
 def decode_avi_av_features(
@@ -298,4 +300,5 @@ def decode_avi_av_features(
               + ", decode_error string")
     return df.select(
         df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(_go, schema=schema)
+    ).mapInPandas(
+        dedup_payload_batches(_go, id_col, payload_col), schema=schema)

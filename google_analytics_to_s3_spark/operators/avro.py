@@ -52,6 +52,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 __all__ = ["avro_decode_container", "decode_avro_meta",
            "decode_avro_evolution"]
@@ -670,7 +671,8 @@ def decode_avro_meta(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=AVRO_META_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=AVRO_META_SCHEMA)
 
 
 AVRO_EVO_SCHEMA = StructType([
@@ -736,7 +738,8 @@ def decode_avro_evolution(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=AVRO_EVO_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=AVRO_EVO_SCHEMA)
 
 
 AVRO_LOGICAL_SCHEMA = StructType([
@@ -806,4 +809,5 @@ def decode_avro_logical(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=AVRO_LOGICAL_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=AVRO_LOGICAL_SCHEMA)

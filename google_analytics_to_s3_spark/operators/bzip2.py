@@ -44,6 +44,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 __all__ = ["bzip2_decompress", "decode_bzip2_meta"]
 
@@ -382,7 +383,8 @@ def decode_bzip2_meta(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=BZIP2_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=BZIP2_SCHEMA)
 
 
 # --------------------------------------------------------------------------

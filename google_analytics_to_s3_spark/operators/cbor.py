@@ -32,6 +32,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 _MAX_DEPTH = 32
 _MAX_ITEMS = 1_000_000
@@ -234,5 +235,6 @@ def extract_cbor_features(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _extract, schema=CBOR_SCHEMA
+        dedup_payload_batches(_extract, id_col, payload_col),
+        schema=CBOR_SCHEMA
     )

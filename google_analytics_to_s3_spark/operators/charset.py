@@ -195,7 +195,13 @@ def extract_transcoded(
     schema = ("doc_id long, "
               + ", ".join(f"{k} long" for k in _INT_COLS)
               + ", decode_error string")
+    # payload-dedup (r13 opt): key on payload plus the optional
+    # content-type hint — both drive the transcode, id passes through
+    from .payload_memo import dedup_payload_batches
     cols = [df[id_col].cast("long").alias(id_col), payload_col]
+    key_cols = [payload_col]
     if content_type_col:
         cols.append(content_type_col)
-    return df.select(*cols).mapInPandas(_run, schema=schema)
+        key_cols.append(content_type_col)
+    return df.select(*cols).mapInPandas(
+        dedup_payload_batches(_run, id_col, key_cols), schema=schema)

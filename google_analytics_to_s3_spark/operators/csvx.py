@@ -38,6 +38,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 __all__ = ["parse_csv", "sniff_csv_dialect", "csv_table_stats",
            "decode_csv_stats"]
@@ -269,4 +270,5 @@ def decode_csv_stats(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=CSV_STATS_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=CSV_STATS_SCHEMA)

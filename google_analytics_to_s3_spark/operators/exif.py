@@ -36,6 +36,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}
 
@@ -197,5 +198,6 @@ def extract_exif(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _extract, schema=EXIF_SCHEMA
+        dedup_payload_batches(_extract, id_col, payload_col),
+        schema=EXIF_SCHEMA
     )

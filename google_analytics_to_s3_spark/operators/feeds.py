@@ -31,6 +31,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 _MAX_XML = 32 * 1024 * 1024
 
@@ -154,7 +155,7 @@ def extract_sitemap_features(
             })
 
     return df.select(id_col, text_col).mapInPandas(
-        _extract, schema=SITEMAP_SCHEMA
+        dedup_payload_batches(_extract, id_col, text_col), schema=SITEMAP_SCHEMA
     )
 
 
@@ -217,5 +218,5 @@ def extract_feed_features(
             })
 
     return df.select(id_col, text_col).mapInPandas(
-        _extract, schema=FEED_SCHEMA
+        dedup_payload_batches(_extract, id_col, text_col), schema=FEED_SCHEMA
     )

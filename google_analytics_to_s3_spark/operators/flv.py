@@ -29,6 +29,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 
 def parse_flv(raw: bytes) -> dict:
@@ -139,7 +140,8 @@ def demux_flv_features(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _demux, schema=FLV_DEMUX_SCHEMA
+        dedup_payload_batches(_demux, id_col, payload_col),
+        schema=FLV_DEMUX_SCHEMA
     )
 
 
@@ -165,5 +167,6 @@ def extract_flv_audio_df(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _extract, schema="doc_id long, payload binary"
+        dedup_payload_batches(_extract, id_col, payload_col),
+        schema="doc_id long, payload binary"
     )

@@ -52,11 +52,14 @@ def connected_components(
         .repartition("a")
         .persist()
     )
+    # lazy checkpoints: the per-round convergence aggregate is the
+    # action that materializes the round's label table, so each round
+    # costs ONE job instead of checkpoint-job + aggregate-job (r13 opt)
     labels = (
         bidir.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("comp")).first()[0]
     for _ in range(max_iters):
@@ -67,7 +70,7 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
@@ -111,11 +114,12 @@ def connected_components_star(
     Output contract matches :func:`connected_components`: (id,
     component = min reachable node id) for every node in ``edges``.
     """
+    # lazy checkpoint + count: one materializing job, not two (r13 opt)
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     e_cnt = e.count()
     for _ in range(max_iters):
@@ -148,7 +152,7 @@ def connected_components_star(
                 ).distinct()
             )
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # both sides are DISTINCT sets: equal counts + empty one-sided
         # except ⟺ set equality, so the (joining) except runs only on
@@ -509,13 +513,18 @@ def label_propagation(
             .groupBy(F.col("_b").alias("_n"), "_lbl")
             .agg(F.count(F.lit(1)).alias("_votes"))
         )
-        w = Window.partitionBy("_n").orderBy(
-            F.col("_votes").desc(), F.col("_lbl").asc()
-        )
+        # argmax as a hash aggregation instead of a row_number window:
+        # min(struct(-votes, lbl)) picks (max votes, then smallest
+        # label) — the identical deterministic tie-break — with
+        # map-side partial aggregation and NO sort (r13 opt: the
+        # window needed an extra exchange + per-partition sort)
         picks = (
-            votes.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select("_n", F.col("_lbl").alias("_pick"))
+            votes.groupBy("_n")
+            .agg(F.min(F.struct(
+                (-F.col("_votes")).alias("_nv"),
+                F.col("_lbl"),
+            )).alias("_m"))
+            .select("_n", F.col("_m._lbl").alias("_pick"))
         )
         labels = (
             seeds.join(

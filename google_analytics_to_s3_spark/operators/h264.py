@@ -49,6 +49,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 
 class _BitsMSB:
@@ -307,7 +308,8 @@ def decode_h264_ipcm(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _decode, schema=H264_SCHEMA
+        dedup_payload_batches(_decode, id_col, payload_col),
+        schema=H264_SCHEMA
     )
 
 

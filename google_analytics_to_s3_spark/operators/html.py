@@ -44,6 +44,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 _SKIP_TAGS = {"script", "style", "noscript", "template"}
 _VOID_TAGS = {"br", "img", "hr", "meta", "link", "input", "area",
@@ -189,7 +190,7 @@ def extract_html_features(
             })
 
     return df.select(id_col, html_col).mapInPandas(
-        _extract, schema=HTML_FEATURES_SCHEMA
+        dedup_payload_batches(_extract, id_col, html_col), schema=HTML_FEATURES_SCHEMA
     )
 
 
@@ -294,5 +295,5 @@ def extract_jsonld(
             })
 
     return df.select(id_col, html_col).mapInPandas(
-        _extract, schema=JSONLD_SCHEMA
+        dedup_payload_batches(_extract, id_col, html_col), schema=JSONLD_SCHEMA
     )

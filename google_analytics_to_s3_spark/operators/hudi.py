@@ -53,6 +53,7 @@ from pyspark.sql.types import (
 )
 
 from .tar import parse_tar
+from .payload_memo import dedup_payload_batches
 
 __all__ = ["parse_hudi_snapshot", "decode_hudi_snapshot",
            "parse_hudi_incremental", "decode_hudi_incremental"]
@@ -216,7 +217,7 @@ def decode_hudi_snapshot(
                                           dtype=object),
             })
 
-    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+    return df.select(id_col, payload_col).mapInPandas(dedup_payload_batches(_run, id_col, payload_col), schema=schema)
 
 
 # --------------------------------------------------------------------------
@@ -346,4 +347,4 @@ def decode_hudi_incremental(
                                           dtype=object),
             })
 
-    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+    return df.select(id_col, payload_col).mapInPandas(dedup_payload_batches(_run, id_col, payload_col, key_of_id=lambda i: i % n_points), schema=schema)

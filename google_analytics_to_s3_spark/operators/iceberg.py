@@ -41,6 +41,7 @@ from pyspark.sql.types import (
 
 from .avro import avro_decode_container
 from .tar import parse_tar
+from .payload_memo import dedup_payload_batches
 
 __all__ = ["parse_iceberg_snapshot", "decode_iceberg_snapshot",
            "parse_iceberg_scan", "decode_iceberg_scan",
@@ -166,7 +167,8 @@ def decode_iceberg_snapshot(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=ICEBERG_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=ICEBERG_SCHEMA)
 
 
 def parse_iceberg_scan(bundle: bytes, column: str) -> dict:
@@ -285,7 +287,8 @@ def decode_iceberg_scan(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=ICEBERG_SCAN_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=ICEBERG_SCAN_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -452,7 +455,8 @@ def decode_iceberg_scan_deletes(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=ICEBERG_DELETES_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=ICEBERG_DELETES_SCHEMA)
 
 
 def parse_iceberg_scan_eq(bundle: bytes, column: str) -> dict:
@@ -621,7 +625,8 @@ def decode_iceberg_scan_eq(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=ICEBERG_EQ_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=ICEBERG_EQ_SCHEMA)
 
 
 def parse_iceberg_metrics_prune(bundle: bytes, column: str,
@@ -749,7 +754,7 @@ def decode_iceberg_metrics_prune(
                                           dtype=object),
             })
 
-    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+    return df.select(id_col, payload_col).mapInPandas(dedup_payload_batches(_run, id_col, payload_col, key_of_id=lambda i: i % lo_mod), schema=schema)
 
 
 # --------------------------------------------------------------------------
@@ -872,7 +877,7 @@ def decode_iceberg_time_travel(
                                           dtype=object),
             })
 
-    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+    return df.select(id_col, payload_col).mapInPandas(dedup_payload_batches(_run, id_col, payload_col, key_of_id=lambda i: i % n_points), schema=schema)
 
 
 # --------------------------------------------------------------------------
@@ -1062,7 +1067,7 @@ def decode_iceberg_bucket_prune(
                                           dtype=object),
             })
 
-    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+    return df.select(id_col, payload_col).mapInPandas(dedup_payload_batches(_run, id_col, payload_col, key_of_id=lambda i: (i * target_mul) % target_mod), schema=schema)
 
 
 # --------------------------------------------------------------------------
@@ -1206,7 +1211,7 @@ def decode_iceberg_truncate_prune(
                                           dtype=object),
             })
 
-    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+    return df.select(id_col, payload_col).mapInPandas(dedup_payload_batches(_run, id_col, payload_col, key_of_id=lambda i: i % lo_mod), schema=schema)
 
 
 # --------------------------------------------------------------------------
@@ -1346,4 +1351,4 @@ def decode_iceberg_day_prune(
                                           dtype=object),
             })
 
-    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+    return df.select(id_col, payload_col).mapInPandas(dedup_payload_batches(_run, id_col, payload_col, key_of_id=lambda i: i % n_days), schema=schema)

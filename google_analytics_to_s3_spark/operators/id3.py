@@ -34,6 +34,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 
 def _syncsafe(data: bytes) -> int:
@@ -165,5 +166,6 @@ def extract_id3(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _extract, schema=ID3_SCHEMA
+        dedup_payload_batches(_extract, id_col, payload_col),
+        schema=ID3_SCHEMA
     )

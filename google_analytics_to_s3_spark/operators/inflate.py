@@ -48,6 +48,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 __all__ = ["inflate", "zlib_decompress", "gzip_decompress",
            "adler32", "crc32", "decode_gzip_members",
@@ -427,7 +428,8 @@ def decode_gzip_members(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=GZIP_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=GZIP_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -691,4 +693,10 @@ def decode_codec_write_roundtrip(
                                           dtype=object),
             })
 
-    return df.select(id_col).mapInPandas(_run, schema=CODEC_WRITE_SCHEMA)
+    # id-driven operator: every output column is a pure function of the
+    # synthesis seed (id % 1000) — dedup per batch on that key (r13 opt)
+    from .payload_memo import dedup_key_batches
+    return df.select(id_col).mapInPandas(
+        dedup_key_batches(_run, key_of_id=lambda i: i % 1000,
+                          id_col=id_col),
+        schema=CODEC_WRITE_SCHEMA)

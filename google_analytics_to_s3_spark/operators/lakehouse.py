@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .payload_memo import dedup_payload_batches
 
 __all__ = ["delta_log_snapshot", "parse_delta_checkpoint",
            "decode_delta_checkpoint", "parse_delta_scan_dv",
@@ -264,7 +265,7 @@ def decode_delta_checkpoint(
                                           dtype=object),
             })
 
-    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+    return df.select(id_col, payload_col).mapInPandas(dedup_payload_batches(_run, id_col, payload_col), schema=schema)
 
 
 def parse_delta_scan_dv(bundle: bytes, column: str) -> dict:
@@ -384,7 +385,7 @@ def decode_delta_scan_dv(
                                           dtype=object),
             })
 
-    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+    return df.select(id_col, payload_col).mapInPandas(dedup_payload_batches(_run, id_col, payload_col), schema=schema)
 
 
 # --------------------------------------------------------------------------
@@ -578,7 +579,7 @@ def decode_delta_column_mapping(
                                           dtype=object),
             })
 
-    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+    return df.select(id_col, payload_col).mapInPandas(dedup_payload_batches(_run, id_col, payload_col), schema=schema)
 
 
 def parse_delta_partition_prune(bundle: bytes, column: str,
@@ -696,7 +697,7 @@ def decode_delta_partition_prune(
                                           dtype=object),
             })
 
-    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+    return df.select(id_col, payload_col).mapInPandas(dedup_payload_batches(_run, id_col, payload_col, key_of_id=lambda i: i % lo_mod), schema=schema)
 
 
 # --------------------------------------------------------------------------
@@ -850,7 +851,7 @@ def decode_delta_time_travel(
                                           dtype=object),
             })
 
-    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+    return df.select(id_col, payload_col).mapInPandas(dedup_payload_batches(_run, id_col, payload_col, key_of_id=lambda i: i % n_versions), schema=schema)
 
 
 # --------------------------------------------------------------------------
@@ -1026,4 +1027,4 @@ def decode_delta_checkpoint_v2(
                                           dtype=object),
             })
 
-    return df.select(id_col, payload_col).mapInPandas(_run, schema=schema)
+    return df.select(id_col, payload_col).mapInPandas(dedup_payload_batches(_run, id_col, payload_col), schema=schema)

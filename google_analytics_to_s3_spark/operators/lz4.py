@@ -42,6 +42,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 _MAGIC = 0x184D2204
 _P1, _P2, _P3, _P4, _P5 = (2654435761, 2246822519, 3266489917,
@@ -284,7 +285,8 @@ def decode_lz4_meta(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _decode, schema=LZ4_META_SCHEMA
+        dedup_payload_batches(_decode, id_col, payload_col),
+        schema=LZ4_META_SCHEMA
     )
 
 

@@ -34,6 +34,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 _MAX_MSG = 64 * 1024 * 1024
 
@@ -131,7 +132,8 @@ def extract_email_features(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _extract, schema=EMAIL_SCHEMA
+        dedup_payload_batches(_extract, id_col, payload_col),
+        schema=EMAIL_SCHEMA
     )
 
 
@@ -187,8 +189,21 @@ def mbox_rows(
                 "payload": pd.Series(out["payload"], dtype=object),
             })
 
+    # payload-dedup (r13 opt): outputs are payload-pure except the two
+    # id columns — archive_id is the pass-through, and row_id is
+    # rebuilt from it on replicated rows (ordinal survives mod 100)
+    from .payload_memo import dedup_payload_batches
+
+    def _fix_row_id(sub):
+        sub["row_id"] = (sub["archive_id"] * 100
+                         + sub["row_id"] % 100).astype("int64")
+        return sub
+
     return df.select(
         df[id_col].cast("long").alias(id_col), payload_col
     ).mapInPandas(
-        _run, schema="row_id long, archive_id long, payload binary"
+        dedup_payload_batches(_run, id_col, payload_col,
+                              out_id_col="archive_id",
+                              fixup=_fix_row_id),
+        schema="row_id long, archive_id long, payload binary"
     )

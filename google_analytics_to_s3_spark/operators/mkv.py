@@ -41,6 +41,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 _EBML = 0x1A45DFA3
 _SEGMENT = 0x18538067
@@ -261,7 +262,8 @@ def demux_mkv_features(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _demux, schema=MKV_DEMUX_SCHEMA
+        dedup_payload_batches(_demux, id_col, payload_col),
+        schema=MKV_DEMUX_SCHEMA
     )
 
 
@@ -292,7 +294,8 @@ def extract_mkv_track_df(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _extract, schema="doc_id long, payload binary"
+        dedup_payload_batches(_extract, id_col, payload_col),
+        schema="doc_id long, payload binary"
     )
 
 
@@ -344,5 +347,6 @@ def extract_mkv_avc_df(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _extract, schema="doc_id long, payload binary"
+        dedup_payload_batches(_extract, id_col, payload_col),
+        schema="doc_id long, payload binary"
     )

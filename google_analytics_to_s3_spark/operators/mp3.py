@@ -753,7 +753,8 @@ def decode_mp3_features(
               + ", decode_error string")
     return df.select(
         df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(_run, schema=schema)
+    ).mapInPandas(
+        dedup_payload_batches(_run, id_col, payload_col), schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -772,6 +773,7 @@ def decode_mp3_features(
 # ---------------------------------------------------------------------------
 
 import math
+from .payload_memo import dedup_payload_batches
 
 _ALIAS_CI = (-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142,
              -0.0037)  # Table B.9
@@ -1020,4 +1022,5 @@ def decode_mp3_synth_features(
               + ", decode_error string")
     return df.select(
         df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(_run, schema=schema)
+    ).mapInPandas(
+        dedup_payload_batches(_run, id_col, payload_col), schema=schema)

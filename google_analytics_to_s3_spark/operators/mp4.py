@@ -47,6 +47,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from .payload_memo import dedup_payload_batches
 
 __all__ = ["parse_mp4", "mp4_features", "mp4_decode_av",
            "mp4_frag_features", "demux_mp4_features",
@@ -724,7 +725,8 @@ def demux_mp4_features(
               + ", brand string, handlers string, decode_error string")
     return df.select(
         df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(_go, schema=schema)
+    ).mapInPandas(
+        dedup_payload_batches(_go, id_col, payload_col), schema=schema)
 
 
 def demux_mp4_frag_features(
@@ -742,7 +744,8 @@ def demux_mp4_frag_features(
               + ", brand string, decode_error string")
     return df.select(
         df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(_go, schema=schema)
+    ).mapInPandas(
+        dedup_payload_batches(_go, id_col, payload_col), schema=schema)
 
 
 def decode_mp4_av_features(
@@ -760,7 +763,8 @@ def decode_mp4_av_features(
               + ", decode_error string")
     return df.select(
         df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(_go, schema=schema)
+    ).mapInPandas(
+        dedup_payload_batches(_go, id_col, payload_col), schema=schema)
 
 
 def extract_mp4_avc_annexb(raw: bytes) -> bytes:
@@ -804,5 +808,6 @@ def extract_mp4_avc_df(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _extract, schema="doc_id long, payload binary"
+        dedup_payload_batches(_extract, id_col, payload_col),
+        schema="doc_id long, payload binary"
     )

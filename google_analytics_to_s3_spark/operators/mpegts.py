@@ -40,6 +40,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 _PKT = 188
 
@@ -263,7 +264,8 @@ def demux_ts_features(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _demux, schema=TS_DEMUX_SCHEMA
+        dedup_payload_batches(_demux, id_col, payload_col),
+        schema=TS_DEMUX_SCHEMA
     )
 
 
@@ -289,5 +291,6 @@ def extract_ts_audio_df(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _extract, schema="doc_id long, payload binary"
+        dedup_payload_batches(_extract, id_col, payload_col),
+        schema="doc_id long, payload binary"
     )

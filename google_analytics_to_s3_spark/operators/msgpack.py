@@ -32,6 +32,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 __all__ = ["msgpack_decode", "extract_msgpack_features"]
 
@@ -261,4 +262,5 @@ def extract_msgpack_features(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=MSGPACK_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=MSGPACK_SCHEMA)

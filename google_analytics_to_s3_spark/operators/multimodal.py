@@ -151,7 +151,8 @@ def decode_image_meta(
             )
 
     return df.select(id_col, payload_col).mapInPandas(
-        _decode, schema=IMAGE_META_SCHEMA
+        dedup_payload_batches(_decode, id_col, payload_col),
+        schema=IMAGE_META_SCHEMA
     )
 
 
@@ -193,7 +194,8 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(
-        _sample, schema=FRAME_SCHEMA
+        dedup_payload_batches(_sample, id_col, payload_col),
+        schema=FRAME_SCHEMA
     )
 
 
@@ -253,7 +255,8 @@ def resize_image(
             )
 
     return df.select(id_col, payload_col).mapInPandas(
-        _resize, schema=RESIZED_SCHEMA
+        dedup_payload_batches(_resize, id_col, payload_col),
+        schema=RESIZED_SCHEMA
     )
 
 
@@ -319,7 +322,8 @@ def extract_audio_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(
-        _extract, schema=AUDIO_FEATURE_SCHEMA
+        dedup_payload_batches(_extract, id_col, payload_col),
+        schema=AUDIO_FEATURE_SCHEMA
     )
 
 
@@ -378,6 +382,7 @@ def detect_shot_boundaries(
 import struct
 
 import numpy as np
+from .payload_memo import dedup_payload_batches
 
 
 def _parse_ppm(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
@@ -487,7 +492,8 @@ def decode_ppm_meta(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _decode, schema=PPM_META_SCHEMA
+        dedup_payload_batches(_decode, id_col, payload_col),
+        schema=PPM_META_SCHEMA
     )
 
 
@@ -533,7 +539,8 @@ def resize_ppm(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _resize, schema=RESIZED_SCHEMA
+        dedup_payload_batches(_resize, id_col, payload_col),
+        schema=RESIZED_SCHEMA
     )
 
 
@@ -845,7 +852,8 @@ def decode_wav_features(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _extract, schema=WAV_FEATURE_SCHEMA
+        dedup_payload_batches(_extract, id_col, payload_col),
+        schema=WAV_FEATURE_SCHEMA
     )
 
 
@@ -968,7 +976,8 @@ def sample_y4m_frames(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _sample, schema=Y4M_FRAME_SCHEMA
+        dedup_payload_batches(_sample, id_col, payload_col),
+        schema=Y4M_FRAME_SCHEMA
     )
 
 
@@ -1231,7 +1240,8 @@ def decode_png_meta(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _decode, schema=PNG_META_SCHEMA
+        dedup_payload_batches(_decode, id_col, payload_col),
+        schema=PNG_META_SCHEMA
     )
 
 
@@ -1518,7 +1528,7 @@ def sample_gif_frames(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _sample,
+        dedup_payload_batches(_sample, id_col, payload_col),
         schema=(
             "doc_id long, frame_idx int, width int, height int, "
             "n_frames int, delay_cs int, rgb_mean double, "
@@ -2261,7 +2271,8 @@ def decode_jpeg_meta(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _decode, schema=JPEG_META_SCHEMA
+        dedup_payload_batches(_decode, id_col, payload_col),
+        schema=JPEG_META_SCHEMA
     )
 
 
@@ -2784,7 +2795,8 @@ def decode_flac_features(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _extract, schema=WAV_FEATURE_SCHEMA
+        dedup_payload_batches(_extract, id_col, payload_col),
+        schema=WAV_FEATURE_SCHEMA
     )
 
 
@@ -2872,7 +2884,8 @@ def dhash_images(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _hash, schema=DHASH_SCHEMA
+        dedup_payload_batches(_hash, id_col, payload_col),
+        schema=DHASH_SCHEMA
     )
 
 
@@ -3113,7 +3126,8 @@ def decode_bmp_meta(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _decode, schema=BMP_META_SCHEMA
+        dedup_payload_batches(_decode, id_col, payload_col),
+        schema=BMP_META_SCHEMA
     )
 
 
@@ -3409,7 +3423,8 @@ def decode_tiff_meta(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _decode, schema=TIFF_META_SCHEMA
+        dedup_payload_batches(_decode, id_col, payload_col),
+        schema=TIFF_META_SCHEMA
     )
 
 
@@ -3573,5 +3588,6 @@ def decode_ico_meta(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _decode, schema=ICO_META_SCHEMA
+        dedup_payload_batches(_decode, id_col, payload_col),
+        schema=ICO_META_SCHEMA
     )

@@ -42,6 +42,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 __all__ = ["pb_message", "parse_orc_meta", "decode_orc_meta",
            "rlev2_decode", "orc_read_int_column",
@@ -336,7 +337,8 @@ def decode_orc_meta(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _decode, schema=ORC_META_SCHEMA)
+        dedup_payload_batches(_decode, id_col, payload_col),
+        schema=ORC_META_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -693,7 +695,8 @@ def decode_orc_column_sum(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=ORC_COLSUM_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=ORC_COLSUM_SCHEMA)
 
 
 def _stripe_column_streams(data: bytes, comp: int, st: dict,
@@ -843,7 +846,8 @@ def decode_orc_string_sum(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=ORC_STRSUM_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=ORC_STRSUM_SCHEMA)
 
 
 def orc_read_double_column(data: bytes, column: str) -> list:
@@ -1126,7 +1130,8 @@ def decode_orc_ts_dec(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=ORC_TSDEC_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=ORC_TSDEC_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -1335,7 +1340,8 @@ def decode_orc_nested_stats(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=ORC_NESTED_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=ORC_NESTED_SCHEMA)
 
 
 ORC_TS_UTC_SCHEMA = StructType([
@@ -1392,7 +1398,8 @@ def decode_orc_ts_utc(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=ORC_TS_UTC_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=ORC_TS_UTC_SCHEMA)
 
 
 ORC_UNION_SCHEMA = StructType([
@@ -1452,7 +1459,8 @@ def decode_orc_union_stats(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=ORC_UNION_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=ORC_UNION_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -1628,4 +1636,5 @@ def decode_orc_row_prune(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=ORC_RI_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col, key_of_id=lambda i: i % n_groups),
+        schema=ORC_RI_SCHEMA)

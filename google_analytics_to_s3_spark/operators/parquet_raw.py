@@ -65,6 +65,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 __all__ = ["thrift_compact_struct", "parquet_file_meta",
            "parquet_read_column", "parquet_read_list_column",
@@ -1197,7 +1198,8 @@ def decode_parquet_meta(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _decode, schema=PARQUET_META_SCHEMA)
+        dedup_payload_batches(_decode, id_col, payload_col),
+        schema=PARQUET_META_SCHEMA)
 
 
 PARQUET_COLSUM_SCHEMA = StructType([
@@ -1245,7 +1247,8 @@ def decode_parquet_column_sum(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _decode, schema=PARQUET_COLSUM_SCHEMA)
+        dedup_payload_batches(_decode, id_col, payload_col),
+        schema=PARQUET_COLSUM_SCHEMA)
 
 
 PARQUET_LISTSUM_SCHEMA = StructType([
@@ -1303,7 +1306,8 @@ def decode_parquet_list_sum(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=PARQUET_LISTSUM_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=PARQUET_LISTSUM_SCHEMA)
 
 
 PARQUET_NESTED_SCHEMA = StructType([
@@ -1384,7 +1388,8 @@ def decode_parquet_nested_stats(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=PARQUET_NESTED_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=PARQUET_NESTED_SCHEMA)
 
 
 PARQUET_TS96_SCHEMA = StructType([
@@ -1438,7 +1443,8 @@ def decode_parquet_ts96(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=PARQUET_TS96_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=PARQUET_TS96_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -1657,7 +1663,9 @@ def decode_parquet_range_scan(
             })
 
     return df.select(id_col, payload_col, lo_col, hi_col).mapInPandas(
-        _run, schema=PARQUET_RANGE_SCHEMA)
+        dedup_payload_batches(
+            _run, id_col, [payload_col, lo_col, hi_col]),
+        schema=PARQUET_RANGE_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -1857,7 +1865,9 @@ def decode_parquet_bloom_probe(
             })
 
     return df.select(id_col, payload_col, probes_col).mapInPandas(
-        _run, schema=PARQUET_BLOOM_SCHEMA)
+        dedup_payload_batches(
+            _run, id_col, [payload_col, probes_col]),
+        schema=PARQUET_BLOOM_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -1946,7 +1956,8 @@ def decode_parquet_decimal(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=PARQUET_DECIMAL_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=PARQUET_DECIMAL_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -2042,4 +2053,5 @@ def decode_parquet_crc_scan(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=PARQUET_CRC_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=PARQUET_CRC_SCHEMA)

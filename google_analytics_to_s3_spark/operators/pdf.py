@@ -64,6 +64,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
@@ -883,5 +884,6 @@ def extract_pdf_features(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _extract, schema=PDF_TEXT_SCHEMA
+        dedup_payload_batches(_extract, id_col, payload_col),
+        schema=PDF_TEXT_SCHEMA
     )

@@ -39,6 +39,7 @@ from pyspark.sql.types import (
 )
 
 from .exif import parse_exif_tiff
+from .payload_memo import dedup_payload_batches
 
 _MAGIC = b"\x89PNG\r\n\x1a\n"
 _MAX_TEXT = 16 * 1024 * 1024
@@ -176,5 +177,6 @@ def extract_png_metadata(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _extract, schema=PNG_META_SCHEMA
+        dedup_payload_batches(_extract, id_col, payload_col),
+        schema=PNG_META_SCHEMA
     )

@@ -35,6 +35,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 _MAX_DEPTH = 8
 _MAX_FIELDS = 1_000_000
@@ -201,5 +202,6 @@ def extract_protobuf_features(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _extract, schema=PROTO_SCHEMA
+        dedup_payload_batches(_extract, id_col, payload_col),
+        schema=PROTO_SCHEMA
     )

@@ -43,6 +43,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 _END_MARKER = b"\x00" * 7 + b"\x01"
 
@@ -184,5 +185,6 @@ def decode_qoi_meta(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _decode, schema=QOI_META_SCHEMA
+        dedup_payload_batches(_decode, id_col, payload_col),
+        schema=QOI_META_SCHEMA
     )

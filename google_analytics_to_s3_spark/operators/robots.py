@@ -39,6 +39,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 
 class RobotsGroup:
@@ -200,5 +201,5 @@ def evaluate_robots(
             })
 
     return df.select(id_col, text_col).mapInPandas(
-        _eval, schema=ROBOTS_SCHEMA
+        dedup_payload_batches(_eval, id_col, text_col), schema=ROBOTS_SCHEMA
     )

@@ -32,6 +32,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from .payload_memo import dedup_payload_batches
 
 __all__ = ["crc32c", "snappy_uncompress", "snappy_compress_block",
            "parse_snappy_frame",
@@ -223,7 +224,8 @@ def decode_snappy_meta(
               + ", decode_error string")
     return df.select(
         df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(_run, schema=schema)
+    ).mapInPandas(
+        dedup_payload_batches(_run, id_col, payload_col), schema=schema)
 
 
 # ------------------------------------------------------------------

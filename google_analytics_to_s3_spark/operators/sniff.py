@@ -21,6 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from .payload_memo import dedup_payload_batches
 
 
 def detect_format(raw: bytes) -> str:
@@ -116,7 +117,8 @@ def sniff_formats(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _sniff, schema="doc_id long, format string"
+        dedup_payload_batches(_sniff, id_col, payload_col),
+        schema="doc_id long, format string"
     )
 
 
@@ -169,7 +171,7 @@ def route_and_decode_images(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _route,
+        dedup_payload_batches(_route, id_col, payload_col),
         schema="doc_id long, format string, px_sum long, "
                "decode_error string",
     )

@@ -58,6 +58,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 __all__ = ["sqlite_file_meta", "sqlite_table_rows",
            "parse_sqlite_wal", "decode_sqlite_scan",
@@ -703,7 +704,8 @@ def decode_sqlite_scan(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=SQLITE_SCAN_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=SQLITE_SCAN_SCHEMA)
 
 
 def decode_sqlite_wal_scan(
@@ -772,4 +774,5 @@ def decode_sqlite_wal_scan(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=SQLITE_SCAN_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=SQLITE_SCAN_SCHEMA)

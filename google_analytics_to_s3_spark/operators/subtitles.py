@@ -37,6 +37,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 _SRT_TIME = re.compile(
     r"(\d+):(\d{2}):(\d{2}),(\d{3})\s*-->\s*(\d+):(\d{2}):(\d{2}),(\d{3})"
@@ -170,5 +171,5 @@ def extract_subtitle_features(
             })
 
     return df.select(id_col, text_col).mapInPandas(
-        _extract, schema=SUBTITLE_SCHEMA
+        dedup_payload_batches(_extract, id_col, text_col), schema=SUBTITLE_SCHEMA
     )

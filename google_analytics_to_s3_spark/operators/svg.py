@@ -36,6 +36,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 _MAX_SVG = 16 * 1024 * 1024
 _NUM = re.compile(r"[-+]?\d*\.?\d+")
@@ -158,5 +159,5 @@ def extract_svg_features(
             })
 
     return df.select(id_col, text_col).mapInPandas(
-        _extract, schema=SVG_SCHEMA
+        dedup_payload_batches(_extract, id_col, text_col), schema=SVG_SCHEMA
     )

@@ -35,6 +35,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from .payload_memo import dedup_payload_batches
 
 __all__ = ["parse_tar", "tar_features", "extract_tar_features",
            "decode_webdataset"]
@@ -200,7 +201,8 @@ def extract_tar_features(
               + ", decode_error string")
     return df.select(
         df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(_run, schema=schema)
+    ).mapInPandas(
+        dedup_payload_batches(_run, id_col, payload_col), schema=schema)
 
 
 def decode_webdataset(
@@ -279,7 +281,7 @@ def decode_webdataset(
     return df.select(
         df[id_col].cast("long").alias(id_col), payload_col
     ).mapInPandas(
-        _run,
+        dedup_payload_batches(_run, id_col, payload_col),
         schema=("doc_id long, sample_key string, n_parts long, "
                 "label long, jpeg_width int, jpeg_height int, "
                 "jpeg_y_sum long, text_bytes long"),

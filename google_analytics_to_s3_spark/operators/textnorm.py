@@ -38,6 +38,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 _ZERO_WIDTH = {"​", "‌", "‍", "﻿"}
 
@@ -134,7 +135,7 @@ def normalize_text_features(
             })
 
     return df.select(id_col, text_col).mapInPandas(
-        _run, schema=TEXTNORM_SCHEMA
+        dedup_payload_batches(_run, id_col, text_col), schema=TEXTNORM_SCHEMA
     )
 
 
@@ -219,5 +220,5 @@ def script_mix_features(
             })
 
     return df.select(id_col, text_col).mapInPandas(
-        _run, schema=SCRIPT_MIX_SCHEMA
+        dedup_payload_batches(_run, id_col, text_col), schema=SCRIPT_MIX_SCHEMA
     )

@@ -57,6 +57,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 __all__ = [
     "decode_vorbis_features",
@@ -1059,7 +1060,8 @@ def decode_vorbis_features(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _extract, schema=VORBIS_FEATURE_SCHEMA
+        dedup_payload_batches(_extract, id_col, payload_col),
+        schema=VORBIS_FEATURE_SCHEMA
     )
 
 
@@ -1359,4 +1361,5 @@ def decode_vorbis_pcm(
               + ", decode_error string")
     return df.select(
         df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(_run, schema=schema)
+    ).mapInPandas(
+        dedup_payload_batches(_run, id_col, payload_col), schema=schema)

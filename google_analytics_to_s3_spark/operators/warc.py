@@ -37,6 +37,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from .payload_memo import dedup_payload_batches
 
 __all__ = ["parse_warc", "warc_features", "extract_warc_features",
            "warc_documents"]
@@ -251,7 +252,8 @@ def extract_warc_features(
               + ", decode_error string")
     return df.select(
         df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(_run, schema=schema)
+    ).mapInPandas(
+        dedup_payload_batches(_run, id_col, payload_col), schema=schema)
 
 
 def warc_documents(
@@ -299,7 +301,7 @@ def warc_documents(
     return df.select(
         df[id_col].cast("long").alias(id_col), payload_col
     ).mapInPandas(
-        _run,
+        dedup_payload_batches(_run, id_col, payload_col),
         schema=("doc_id long, rec_no long, uri string, status long, "
                 "body_len long, body_byte_sum long"),
     )
@@ -353,9 +355,18 @@ def warc_html_rows(
                 "html": pd.Series(out["html"], dtype=object),
             })
 
+    # payload-dedup (r13 opt): archive_id is the pass-through id;
+    # row_id is rebuilt from it on replicated rows (ordinal < 1e6)
+    def _fix_row_id(sub):
+        sub["row_id"] = (sub["archive_id"] * 1_000_000
+                         + sub["row_id"] % 1_000_000).astype("int64")
+        return sub
+
     return df.select(
         df[id_col].cast("long").alias(id_col), payload_col
     ).mapInPandas(
-        _run,
+        dedup_payload_batches(_run, id_col, payload_col,
+                              out_id_col="archive_id",
+                              fixup=_fix_row_id),
         schema="row_id long, archive_id long, uri string, html string",
     )

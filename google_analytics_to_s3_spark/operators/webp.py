@@ -58,6 +58,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 _CODE_LENGTH_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,
                       12, 13, 14, 15, 16]
@@ -621,5 +622,6 @@ def decode_webp_meta(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _decode, schema=WEBP_META_SCHEMA
+        dedup_payload_batches(_decode, id_col, payload_col),
+        schema=WEBP_META_SCHEMA
     )

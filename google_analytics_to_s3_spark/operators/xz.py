@@ -51,6 +51,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 __all__ = ["lzma_alone_decompress", "xz_decompress", "crc64",
            "decode_xz_meta"]
@@ -617,7 +618,8 @@ def decode_xz_meta(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _run, schema=XZ_SCHEMA)
+        dedup_payload_batches(_run, id_col, payload_col),
+        schema=XZ_SCHEMA)
 
 
 # --------------------------------------------------------------------------

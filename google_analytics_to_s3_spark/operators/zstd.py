@@ -66,6 +66,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .payload_memo import dedup_payload_batches
 
 __all__ = ["xxh64", "decompress_zstd", "compress_zstd_store",
            "parse_zstd_frames",
@@ -1021,7 +1022,8 @@ def decode_zstd_meta(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _decode, schema=ZSTD_META_SCHEMA
+        dedup_payload_batches(_decode, id_col, payload_col),
+        schema=ZSTD_META_SCHEMA
     )
 
 
@@ -1059,7 +1061,8 @@ def unwrap_zstd(
             })
 
     return df.select(id_col, payload_col).mapInPandas(
-        _unwrap, schema=schema)
+        dedup_payload_batches(_unwrap, id_col, payload_col),
+        schema=schema)
 
 
 # --------------------------------------------------------------------------

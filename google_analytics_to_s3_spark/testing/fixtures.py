@@ -13,6 +13,7 @@ Deterministic: fixed base epoch, no randomness.
 from __future__ import annotations
 
 import base64
+import functools as _functools
 import json
 
 BASE_MS = 1565251200000  # 2019-08-08 10:00:00 +02:00 (Europe/Berlin)
@@ -150,6 +151,7 @@ def write_jsonl(hits: list[dict], path: str) -> None:
             f.write(json.dumps(h) + "\n")
 
 
+@_functools.lru_cache(maxsize=512)
 def make_ppm(width: int, height: int, seed: int, channels: int = 3) -> bytes:
     """Deterministic binary NetPBM payload (P6 RGB / P5 gray): pixel
     (y, x, c) = (seed + y*31 + x*7 + c*13) % 256 — pure arithmetic, so
@@ -166,6 +168,7 @@ def make_ppm(width: int, height: int, seed: int, channels: int = 3) -> bytes:
     return encode_ppm(px.reshape(-1), width, height, channels)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_wav_pcm16(
     n_samples: int, seed: int, sample_rate_hz: int = 16_000
 ) -> bytes:
@@ -191,6 +194,7 @@ def make_wav_pcm16(
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
+@_functools.lru_cache(maxsize=512)
 def make_wav(
     n_samples: int, seed: int, sample_rate_hz: int = 16_000,
     fmt: str = "pcm16", extensible: bool = False,
@@ -300,6 +304,7 @@ def make_wav(
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
+@_functools.lru_cache(maxsize=512)
 def make_y4m(
     width: int, height: int, n_frames: int, seed: int,
     fps: tuple[int, int] = (25, 1),
@@ -482,6 +487,7 @@ def _png_filter_row(
     return bytes([ft]) + out.tobytes()
 
 
+@_functools.lru_cache(maxsize=512)
 def make_png(
     w: int,
     h: int,
@@ -530,6 +536,7 @@ def make_png(
     )
 
 
+@_functools.lru_cache(maxsize=512)
 def make_gif(w: int, h: int, seed: int, n_frames: int = 3) -> bytes:
     """Serialize a REAL GIF89a animation (valid LZW per the public
     spec — clear-code-per-pixel streams, so no compressor dictionary
@@ -767,6 +774,7 @@ class _JpegBitWriter:
 
 
 
+@_functools.lru_cache(maxsize=512)
 def make_jpeg_baseline(
     seed: int, w: int = 16, h: int = 16, channels: int = 1,
     subsampling: str = "444", chroma_dc: "tuple[int, int] | None" = None,
@@ -1180,6 +1188,7 @@ def _flac_write_subframe(
         raise ValueError(f"unknown fixture subframe kind {kind!r}")
 
 
+@_functools.lru_cache(maxsize=512)
 def make_flac(
     seed: int,
     n_samples: int = 1200,
@@ -1341,6 +1350,7 @@ def make_flac(
     return bytes(out)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_jpeg_progressive(
     seed: int, w: int = 16, h: int = 16, channels: int = 1,
     subsampling: str = "444", chroma_dc: "tuple[int, int] | None" = None,
@@ -2056,6 +2066,7 @@ def _vorbis_audio_packet(
     return bytes(w.bytes())
 
 
+@_functools.lru_cache(maxsize=512)
 def make_ogg_vorbis(
     seed: int, n_packets: int = 6, span_page: bool = False,
     stereo: bool = False, residue_type: int = 2,
@@ -2137,6 +2148,7 @@ def png_palette_rules(seed: int, depth: int) -> "tuple":
     return size, pal
 
 
+@_functools.lru_cache(maxsize=512)
 def make_png_ext(
     w: int,
     h: int,
@@ -2263,6 +2275,7 @@ def gif_ext_palette(seed: int, f: int, local: bool) -> "list[tuple]":
              (i * 41 + seed * 7 + f) % 256) for i in range(256)]
 
 
+@_functools.lru_cache(maxsize=512)
 def make_gif_ext(
     w: int,
     h: int,
@@ -2598,6 +2611,7 @@ def _mp3_write_granule(w: "_BitWriter", seed: int, f: int, gr: int,
     return bits
 
 
+@_functools.lru_cache(maxsize=512)
 def make_mp3(
     seed: int,
     n_frames: int = 3,
@@ -2932,6 +2946,7 @@ def _mp4_assemble(rules: dict, tracks: "list[dict]",
     return ftyp + unk + mdat + free + moov
 
 
+@_functools.lru_cache(maxsize=512)
 def make_mp4(seed: int) -> bytes:
     """Serialize a REAL ISO-BMFF container per :func:`mp4_rules`,
     with deterministic filler sample payloads (content is irrelevant
@@ -2962,6 +2977,7 @@ def mp4_av_rules(seed: int) -> dict:
     }
 
 
+@_functools.lru_cache(maxsize=512)
 def make_mp4_av(seed: int) -> bytes:
     """A REAL MP4 whose video samples are real baseline JPEGs and
     audio samples are real single-frame MP3s (reservoir off — each
@@ -3046,6 +3062,7 @@ def mp4_frag_rules(seed: int) -> dict:
             "tfdt_v1": seed % 3 == 0}
 
 
+@_functools.lru_cache(maxsize=512)
 def make_mp4_frag(seed: int) -> bytes:
     """Serialize a REAL fragmented MP4 per :func:`mp4_frag_rules`:
     ftyp, moov (empty sample tables + mvex/trex defaults), then
@@ -3175,6 +3192,7 @@ def mp4_av_frag_rules(seed: int) -> dict:
     }
 
 
+@_functools.lru_cache(maxsize=512)
 def make_mp4_av_frag(seed: int) -> bytes:
     r = mp4_av_frag_rules(seed)
     v_payloads = [make_jpeg_baseline(sj) for sj in r["v_seed"]]
@@ -3336,6 +3354,7 @@ def _mp3_lsf_write_granule(w: "_BitWriter", seed: int, f: int) -> int:
     return bits
 
 
+@_functools.lru_cache(maxsize=512)
 def make_mp3_lsf(seed: int, n_frames: int = 3,
                  reservoir: bool = True) -> bytes:
     """Serialize a REAL MPEG-2 (LSF) Layer III stream: 22.05 kHz,
@@ -3415,6 +3434,7 @@ def bmp_palette_rule(seed: int, i: int) -> "tuple[int, int, int]":
             (seed * 7 + 23 * i) % 256)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_bmp(seed: int, variant: int, w: int = 13, h: int = 7) -> bytes:
     """Serialize a REAL BMP: variant 0 = 24-bit bottom-up, 1 = 24-bit
     TOP-DOWN (negative height), 2 = 8-bit paletted, 3 = RLE8 (rows
@@ -3552,6 +3572,7 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_tiff(seed: int, variant: int, w: int = 11, h: int = 7) -> bytes:
     """Serialize a REAL baseline TIFF per tiff_pixel_rule: variant 0 =
     grayscale uncompressed little-endian, 1 = RGB uncompressed
@@ -3722,6 +3743,7 @@ def warc_rules(seed: int) -> dict:
     }
 
 
+@_functools.lru_cache(maxsize=512)
 def make_warc(seed: int) -> bytes:
     import gzip as _gzip
     import io as _io
@@ -3809,8 +3831,6 @@ def webdataset_rules(seed: int) -> dict:
     }
 
 
-import functools as _functools
-
 
 def _tar_member(name: str, data: bytes) -> bytes:
     hdr = bytearray(512)
@@ -3831,6 +3851,7 @@ def _tar_member(name: str, data: bytes) -> bytes:
     return bytes(hdr) + data + b"\x00" * pad
 
 
+@_functools.lru_cache(maxsize=512)
 def make_webdataset(seed: int) -> bytes:
     """A REAL ustar WebDataset shard per :func:`webdataset_rules`."""
     r = webdataset_rules(seed)
@@ -3925,6 +3946,7 @@ def _make_avi_from(streams: "list[dict]", us_per_frame: int,
     return _riff_chunk(b"RIFF", body)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_avi(seed: int) -> bytes:
     """Structural AVI per :func:`avi_rules` (filler chunk payloads;
     sizes/offsets are the planted truth)."""
@@ -3958,6 +3980,7 @@ def avi_av_rules(seed: int) -> dict:
     }
 
 
+@_functools.lru_cache(maxsize=512)
 def make_avi_av(seed: int) -> bytes:
     r = avi_av_rules(seed)
     streams = [
@@ -3986,6 +4009,7 @@ def zip_rules(seed: int) -> dict:
     }
 
 
+@_functools.lru_cache(maxsize=512)
 def make_zip(seed: int) -> bytes:
     import zlib as _zlib
 
@@ -4019,6 +4043,7 @@ def make_zip(seed: int) -> bytes:
     return bytes(out)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_warc_dedup(seed: int) -> bytes:
     """WARC variant with PLANTED CROSS-ARCHIVE DUPLICATES for the
     crawl-dedup integration query: response i's body depends only on
@@ -4073,6 +4098,7 @@ def ico_dib_pixel_rule(seed: int, i: int, x: int, y: int,
     return (seed + 9 * x + 23 * y + 11 * c + 7 * i) % 256
 
 
+@_functools.lru_cache(maxsize=512)
 def make_ico(seed: int, w: int = 8, h: int = 8) -> bytes:
     r = ico_rules(seed)
     blobs = []
@@ -4133,6 +4159,7 @@ def qoi_pixel_rule(seed: int, x: int, y: int, c: int) -> int:
     return (seed + 13 * y + 7 * c + x // 4) % 256
 
 
+@_functools.lru_cache(maxsize=512)
 def make_qoi(seed: int, w: int = 13, h: int = 9,
              channels: int = 3) -> bytes:
     """Serialize a REAL QOI image of qoi_pixel_rule pixels with the
@@ -4193,6 +4220,7 @@ def html_word_value(seed: int, p: int, i: int) -> int:
     return (seed * 7 + p * 13 + i * 3) % 100
 
 
+@_functools.lru_cache(maxsize=512)
 def make_html(seed: int) -> str:
     """Serialize a deterministic HTML page with planted counts the
     DuckDB oracle can replay in closed form:
@@ -4296,6 +4324,7 @@ def lz4_content_rule(seed: int) -> bytes:
     return seg * 3 + tail
 
 
+@_functools.lru_cache(maxsize=512)
 def make_lz4(seed: int) -> bytes:
     """Serialize a REAL LZ4 frame of lz4_content_rule bytes: FLG with
     content-size + block-checksum + content-checksum + independent
@@ -4333,6 +4362,7 @@ def pdf_word_value(seed: int, p: int, i: int) -> int:
     return (seed * 7 + p * 13 + i * 3) % 100
 
 
+@_functools.lru_cache(maxsize=512)
 def make_pdf(seed: int) -> bytes:
     """Serialize a REAL PDF 1.4 with planted text the oracle can
     replay: n_pages = 2 + seed%3 pages, page p carrying 5+(seed+p)%7
@@ -4414,6 +4444,7 @@ def make_pdf(seed: int) -> bytes:
     return bytes(out)
 
 
+@_functools.lru_cache(maxsize=512)
 def charset_doc_text(seed: int) -> str:
     """Planted text for make_encoded_doc: nw = 10 + seed%10 tokens
     'w<(seed*7+3w)%100>', every third token (w%3==0) carrying one
@@ -4434,6 +4465,7 @@ def charset_doc_text(seed: int) -> str:
     return body
 
 
+@_functools.lru_cache(maxsize=512)
 def make_encoded_doc(seed: int) -> bytes:
     """Serialize charset_doc_text(seed) in encoding variant seed%6:
     0 UTF-8 bare, 1 UTF-8 + BOM, 2 UTF-16-LE + BOM, 3 UTF-16-BE +
@@ -4473,6 +4505,7 @@ def snappy_payload_rule(seed: int, k: int) -> bytes:
     return (" ".join(words)).encode()[:n]
 
 
+@_functools.lru_cache(maxsize=512)
 def make_snappy(seed: int) -> bytes:
     """Serialize a REAL snappy FRAMING-format stream: 2 + seed%4
     data chunks of snappy_payload_rule payloads (chunk k compressed
@@ -4531,6 +4564,7 @@ def _pdf_rl_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_pdf_filters(seed: int) -> bytes:
     """A make_pdf-style PDF whose page content streams exercise the
     r11 filter set: page p uses filter p % 4 of [LZWDecode (the real
@@ -4610,6 +4644,7 @@ def make_pdf_filters(seed: int) -> bytes:
     return bytes(out)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_pdf_xrefstream(seed: int) -> bytes:
     """Serialize a REAL PDF 1.5 with the same planted text as
     :func:`make_pdf` (same pages/words, so the oracle replay is
@@ -5089,6 +5124,7 @@ def webp_cte_rule(seed: int, bx: int, by: int) -> tuple[int, int, int]:
             (7 * seed + 3 * bx + 2 * by) % 256)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_webp_ext(seed: int) -> bytes:
     """VP8L streams exercising the r11 gates: variant seed%3 = 0
     COLOR_TRANSFORM (4x4 blocks, planted webp_cte_rule elements), 1
@@ -5176,6 +5212,7 @@ def webp_palette_rule(seed: int, i: int) -> tuple[int, int, int]:
             (seed + 7 * i) % 256)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_webp(seed: int) -> bytes:
     """Serialize a REAL WebP (VP8L lossless) file: variant seed%4 =
     0 plain, 1 SUBTRACT_GREEN, 2 PREDICTOR (4x4 blocks, mode =
@@ -5328,6 +5365,7 @@ def _mkv_header(doc_type: bytes, tracks: list[tuple]) -> bytes:
     return ebml_hdr, info + _ebml(0x1654AE6B, entries)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_mkv(seed: int) -> bytes:
     """Serialize a REAL Matroska file with planted demux counts: a
     video (1, V_UNCOMPRESSED) and an audio (2, A_PCM/INT/LIT) track,
@@ -5365,6 +5403,7 @@ def make_mkv(seed: int) -> bytes:
     return hdr + _ebml(0x18538067, seg_prefix + clusters)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_mkv_mp3(seed: int, n_frames: int | None = None) -> bytes:
     """Serialize a REAL WebM-style container whose A_MPEG/L3 track
     carries a genuine MP3 stream (make_mp3) split into 150-byte
@@ -5434,6 +5473,7 @@ def _pes(stream_id: int, es: bytes) -> bytes:
             + b"\x80\x00\x00" + es)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_mpegts(seed: int, n_frames: int | None = None) -> bytes:
     """Serialize a REAL MPEG-TS: PAT (program 1 -> PMT 0x100) and PMT
     (MP3 stream_type 0x03 on PID 0x101 + private data 0x06 on PID
@@ -5474,6 +5514,7 @@ def make_mpegts(seed: int, n_frames: int | None = None) -> bytes:
     return bytes(out)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_flv(seed: int, n_frames: int | None = None) -> bytes:
     """Serialize a REAL FLV: header (audio+video flags), MP3 audio
     tags (sound format 2, a genuine make_mp3 stream split into
@@ -5533,6 +5574,7 @@ def _fmt_ts(ms: int, sep: str) -> str:
     return f"{h:02d}:{m:02d}:{s:02d}{sep}{ms:03d}"
 
 
+@_functools.lru_cache(maxsize=512)
 def make_srt(seed: int) -> str:
     """Planted SubRip file: numbered cues, comma-millisecond timing
     lines, multi-line payloads (words split across two lines), CRLF
@@ -5547,6 +5589,7 @@ def make_srt(seed: int) -> str:
     return "\r\n\r\n".join(blocks) + "\r\n"
 
 
+@_functools.lru_cache(maxsize=512)
 def make_vtt(seed: int) -> str:
     """Planted WebVTT file: magic + NOTE/STYLE blocks, optional cue
     identifiers, dot-millisecond timings with cue settings, and
@@ -5576,6 +5619,7 @@ ROBOTS_PROBES = ["/p0/x", "/p1/x", "/p2/x", "/p3/x", "/p4/x",
                  "/p0/pub/page", "/other", "/doc.pdf", "/doc.pdfx"]
 
 
+@_functools.lru_cache(maxsize=512)
 def make_robots(seed: int) -> str:
     """Planted robots.txt: a bot-a group with nk = 2+seed%3 prefix
     Disallows (/p0/ .. /p{nk-1}/), one longer Allow (/p0/pub*), one
@@ -5640,6 +5684,7 @@ def _exif_tiff(seed: int) -> bytes:
             + w(ifd0_off, 4) + ifd0 + make + dt + sub)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_jpeg_exif(seed: int) -> bytes:
     """A REAL JPEG marker stream whose APP1 carries the _exif_tiff
     planted tree; APP0/JFIF precedes APP1 and an SOS stub + EOI
@@ -5654,6 +5699,7 @@ def make_jpeg_exif(seed: int) -> bytes:
     return out
 
 
+@_functools.lru_cache(maxsize=512)
 def make_id3_mp3(seed: int) -> bytes:
     """A REAL ID3v2 tag (v2.3 on even seeds — plain frame sizes —
     v2.4 on odd — syncsafe frame sizes) followed by a genuine MP3
@@ -5687,6 +5733,7 @@ def make_id3_mp3(seed: int) -> bytes:
                           id3=False)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_warc_html(seed: int) -> bytes:
     """A REAL WARC whose responses carry text/html bodies: 2+seed%3
     HTML pages (make_html with page seed (seed*17 + 31*i) % 1000)
@@ -5758,6 +5805,7 @@ def _lz4_frame(content: bytes) -> bytes:
     return bytes(out)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_lz4_jsonl(seed: int) -> bytes:
     """An LZ4 frame wrapping planted JSONL: 5+seed%5 records, record
     r = {"id": r, "lang": one of en/de/fr/es by (seed+2r)%4,
@@ -5772,6 +5820,7 @@ def make_lz4_jsonl(seed: int) -> bytes:
     return _lz4_frame("\n".join(lines).encode())
 
 
+@_functools.lru_cache(maxsize=512)
 def make_png_meta(seed: int) -> bytes:
     """A REAL PNG (make_png raster) with planted metadata spliced
     before IEND: tEXt Title 'Img <seed>', zTXt Description of
@@ -5801,6 +5850,7 @@ def make_png_meta(seed: int) -> bytes:
     return png[:iend] + extra + png[iend:]
 
 
+@_functools.lru_cache(maxsize=512)
 def make_svg(seed: int) -> str:
     """Planted SVG: width 100+seed%50, height 80+seed%40, 3+seed%4
     rects, 2+seed%3 paths, 1+seed%2 text nodes carrying words
@@ -5827,6 +5877,7 @@ def make_svg(seed: int) -> str:
     return "".join(parts)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_html_jsonld(seed: int) -> str:
     """HTML with planted schema.org JSON-LD: 1+seed%3 valid blocks
     (block b @type cycles Article/Product/Person via (seed+b)%3, name
@@ -5853,6 +5904,7 @@ def apng_rule(seed: int, g: int, x: int, y: int, c: int) -> int:
     return (seed + 17 * g + 31 * y + 7 * x + 13 * c) % 256
 
 
+@_functools.lru_cache(maxsize=512)
 def make_apng(seed: int) -> bytes:
     """Serialize a REAL APNG: canvas 8+seed%6 x 6+seed%5 RGB8, acTL
     (4 frames, num_plays seed%3), frame 0 full-canvas in IDAT with a
@@ -5913,6 +5965,7 @@ def make_apng(seed: int) -> bytes:
     return bytes(out)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_eml(seed: int) -> bytes:
     """A REAL multipart/mixed RFC 5322 message: a multipart/
     alternative body (text/plain in QUOTED-PRINTABLE — soft line
@@ -5968,6 +6021,7 @@ def make_eml(seed: int) -> bytes:
     return b"\r\n".join(lines) + b"\r\n"
 
 
+@_functools.lru_cache(maxsize=512)
 def make_sitemap(seed: int) -> str:
     """Planted sitemap: sitemapindex on seed%5==0 (3+seed%3 child
     refs, no lastmod), else urlset with 5+seed%6 urls where EVEN
@@ -5990,6 +6044,7 @@ def make_sitemap(seed: int) -> str:
             + "".join(urls) + "</urlset>")
 
 
+@_functools.lru_cache(maxsize=512)
 def make_feed(seed: int) -> str:
     """Planted feed: Atom on odd seeds, RSS 2.0 on even; 3+seed%4
     items titled 'Post <seed> n<item_word>' (2 words each) with one
@@ -6015,6 +6070,7 @@ def make_feed(seed: int) -> str:
             + "</channel></rss>")
 
 
+@_functools.lru_cache(maxsize=512)
 def make_mbox(seed: int) -> bytes:
     """An RFC 4155 mbox of 2+seed%3 make_eml messages (message m uses
     planted seed (seed*13 + 7*m) % 1000), From_ separator lines, and
@@ -6029,6 +6085,7 @@ def make_mbox(seed: int) -> bytes:
     return b"".join(parts)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_protobuf(seed: int) -> bytes:
     """A REAL protobuf wire-format message, schema-less-walkable:
     field 1 varint 100+seed%900 (two-byte varints), field 2 a text
@@ -6103,6 +6160,7 @@ def _cbor_encode(v) -> bytes:
     raise TypeError(type(v))
 
 
+@_functools.lru_cache(maxsize=512)
 def make_cbor(seed: int) -> bytes:
     """Planted CBOR document: multi-byte uints, a negative int, a
     nested array of maps with planted strings, a bool, a tag(1)
@@ -6192,6 +6250,7 @@ def h264_chroma_rule(seed: int, mb: int, j: int) -> int:
     return (3 * seed + 17 * mb + 5 * j) % 256
 
 
+@_functools.lru_cache(maxsize=512)
 def make_h264(seed: int) -> bytes:
     """A REAL Annex B H.264 stream: baseline SPS (POC type 0, frame
     MBs only), PPS with deblocking control on, and an IDR I-slice of
@@ -6258,6 +6317,7 @@ def make_h264(seed: int) -> bytes:
             + _h264_nal(5, 3, sl.tobytes()))
 
 
+@_functools.lru_cache(maxsize=512)
 def make_mkv_h264(seed: int) -> bytes:
     """A REAL Matroska file whose V_MPEG4/ISO/AVC track carries the
     make_h264 IDR slice as a 4-byte-length-prefixed SimpleBlock
@@ -6287,6 +6347,7 @@ def make_mkv_h264(seed: int) -> bytes:
     return hdr + _ebml(0x18538067, info + tracks + cluster)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_mp4_avc(seed: int) -> bytes:
     """A REAL MP4 whose avc1 track carries the make_h264 IDR slice as
     one 4-byte-length-prefixed sample, SPS/PPS out-of-band in the
@@ -6328,6 +6389,7 @@ def make_mp4_avc(seed: int) -> bytes:
     return _mp4_assemble(rules, tracks, [[sample, sample2], filler])
 
 
+@_functools.lru_cache(maxsize=512)
 def make_mojibake(seed: int) -> str:
     """Planted dirty text: 4+seed%4 clean ASCII tokens
     'w<(3seed+5j)%100>', 1+seed%3 MOJIBAKE tokens ('café<k>' whose é
@@ -6357,6 +6419,7 @@ def _vorbis_comment_block(comments: "list[str]") -> bytes:
     return bytes(out)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_oggopus(seed: int) -> bytes:
     """A REAL OggOpus file: OpusHead (mapping family seed%2 — family
     1 carries stream/coupled counts + a mapping table), OpusTags
@@ -6434,6 +6497,7 @@ def make_flac_tagged(seed: int) -> bytes:
     return b"fLaC" + streaminfo + vc + seek + pic + pad + audio
 
 
+@_functools.lru_cache(maxsize=512)
 def make_tar_longnames(seed: int) -> bytes:
     """A tar with >100-char member names written by CPython's tarfile
     (an INDEPENDENT implementation): GNU_FORMAT (typeflag-L headers)
@@ -6458,6 +6522,7 @@ def make_tar_longnames(seed: int) -> bytes:
     return buf.getvalue()
 
 
+@_functools.lru_cache(maxsize=512)
 def make_script_mix(seed: int) -> str:
     """Planted multi-script text: 3+seed%4 Latin tokens, 1+seed%3
     Cyrillic tokens, seed%3 Greek tokens, 1+seed%2 HOMOGRAPH tokens
@@ -6472,6 +6537,7 @@ def make_script_mix(seed: int) -> str:
     return " ".join(toks)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_zip64(seed: int) -> bytes:
     """A REAL ZIP64 archive (writers may use ZIP64 regardless of
     size): central entries saturate their 32-bit usize/csize/lho
@@ -6518,6 +6584,7 @@ def make_zip64(seed: int) -> bytes:
     return bytes(out)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_zstd(seed: int) -> bytes:
     """Deterministic zstd payload for the ``zstd_extract`` driver
     query — the frames are produced by *libzstd itself* (via
@@ -6554,6 +6621,7 @@ def make_zstd(seed: int) -> bytes:
     return codec.compress(a * 3 + t, asbytes=True)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_parquet_file(seed: int) -> bytes:
     """Deterministic parquet bytes for the ``parquet_footer`` /
     ``parquet_scan_raw`` driver queries — written by *parquet-cpp*
@@ -6597,6 +6665,7 @@ def make_parquet_file(seed: int) -> bytes:
     return buf.getvalue().to_pybytes()
 
 
+@_functools.lru_cache(maxsize=512)
 def make_orc_file(seed: int) -> bytes:
     """Deterministic ORC bytes for the ``orc_meta`` driver query —
     written by the Apache ORC C++ writer (pyarrow.orc), so a green
@@ -6661,6 +6730,7 @@ _AVRO_SCHEMA_JSON = (
 )
 
 
+@_functools.lru_cache(maxsize=512)
 def make_avro(seed: int) -> bytes:
     """Deterministic Avro object container for the ``avro_decode``
     driver query (spec-golden encoder; the container grammar and the
@@ -6748,6 +6818,7 @@ def _avro_container(schema_json: str, rows: "list[bytes]", seed: int,
     return bytes(out)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_iceberg(seed: int) -> bytes:
     """Deterministic Iceberg metadata bundle (tar of metadata.json +
     Avro manifest list + Avro manifests) for the ``iceberg_snapshot``
@@ -6846,6 +6917,7 @@ def make_arrow_ipc(seed: int) -> bytes:
     return sink.getvalue().to_pybytes()
 
 
+@_functools.lru_cache(maxsize=512)
 def make_parquet_lists(seed: int) -> bytes:
     """Deterministic parquet bytes with a one-level LIST column for
     the ``parquet_scan_lists`` driver query (written by parquet-cpp;
@@ -7071,6 +7143,7 @@ def make_delta_checkpoint_bundle(seed: int) -> bytes:
     return bytes(out)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_iceberg_scan_bundle(seed: int) -> bytes:
     """Iceberg bundle whose manifests point at REAL parquet data
     files (written by parquet-cpp inside the bundle) for the
@@ -7246,6 +7319,7 @@ def make_iceberg_v2_bundle(seed: int) -> bytes:
     return bytes(out)
 
 
+@_functools.lru_cache(maxsize=512)
 def make_msgpack(seed: int) -> bytes:
     """Deterministic MessagePack document for the ``msgpack_decode``
     driver query — covers positive/negative fixints, int8, uint16/
@@ -9589,6 +9663,7 @@ def arrow_rt_batch(seed: int) -> "int | None":
 # Codec writer round-trip (r13): planted content for the
 # ``codec_write_roundtrip`` driver query.
 
+@_functools.lru_cache(maxsize=512)
 def codec_rt_content(seed: int) -> bytes:
     """Mixed content: a byte run (RLE/match-heavy), a pseudo-random
     segment, a far copy of it (plants real LZ77 matches beyond the
