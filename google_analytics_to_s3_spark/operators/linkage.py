@@ -121,6 +121,49 @@ def fs_field_u(df: DataFrame, field: str) -> "tuple[int, int]":
     return num, n * (n - 1)
 
 
+def fs_field_u_multi(
+    df: DataFrame, fields: "list[str]"
+) -> "dict[str, tuple[int, int]]":
+    """All fields' u-probability rationals in ONE job (r13 opt).
+
+    :func:`fs_field_u` costs one scan + two aggregations per field —
+    a per-field driver action. Stacking the fields into (field, value)
+    rows computes every field's ``sum c_v*(c_v-1)`` / ``n*(n-1)`` in a
+    single pass with one small collect; values group by their exact
+    string form (distinct values stay distinct under CAST to string
+    for the string/integer fields this engine scores), and NULL keeps
+    its own agreement class exactly as the per-field path. Returns the
+    same exact integer rationals as ``{f: fs_field_u(df, f) for f}``.
+    """
+    stacked = df.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(f).alias("_f"),
+            F.col(f).cast("string").alias("_v"),
+        )
+        for f in fields
+    ])).alias("_s")).select("_s._f", "_s._v")
+    rows = (
+        stacked.groupBy("_f", "_v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("_f")
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1)).alias("num"),
+            F.sum("c").alias("n"),
+        )
+        .collect()
+    )
+    out: dict[str, tuple[int, int]] = {}
+    for r in rows:
+        num, n = int(r["num"]), int(r["n"])
+        if n < 2:
+            raise ValueError(f"u-probability needs >= 2 rows, got {n}")
+        out[r["_f"]] = (num, n * (n - 1))
+    missing = set(fields) - set(out)
+    if missing:
+        raise ValueError(f"u estimation returned no rows for {missing}")
+    return out
+
+
 def fs_link_scores(
     records: DataFrame,
     block_col: str,

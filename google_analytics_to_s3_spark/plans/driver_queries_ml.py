@@ -435,10 +435,10 @@ def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation-blocked candidate pairs scored on segment / balance-bucket
     / name-digit agreement with data-estimated u-probabilities; pairs
     at log2-odds >= 2 survive."""
-    from ..operators.linkage import fs_field_u, fs_link_scores
+    from ..operators.linkage import fs_field_u_multi, fs_link_scores
 
     r = _fs_records(spark, sf_dir)
-    u = {f: fs_field_u(r, f) for f in _FS_M}
+    u = fs_field_u_multi(r, list(_FS_M))
     return fs_link_scores(
         r, "blk", _FS_M, u,
         id_col="id", threshold=_FS_THRESHOLD,
@@ -2179,10 +2179,10 @@ def q_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     member of a non-singleton cluster (entity_id, component,
     cluster_size)."""
     from ..operators.graph import connected_components_star
-    from ..operators.linkage import fs_field_u, fs_link_scores
+    from ..operators.linkage import fs_field_u_multi, fs_link_scores
 
     r = _fs_records(spark, sf_dir)
-    u = {f: fs_field_u(r, f) for f in _FS_M}
+    u = fs_field_u_multi(r, list(_FS_M))
     pairs = fs_link_scores(
         r, "blk", _FS_M, u,
         id_col="id", threshold=_FS_THRESHOLD,
