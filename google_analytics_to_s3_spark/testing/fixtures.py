@@ -487,13 +487,27 @@ def _png_filter_row(
     return bytes([ft]) + out.tobytes()
 
 
-@_functools.lru_cache(maxsize=512)
 def make_png(
     w: int,
     h: int,
     seed: int,
     channels: int = 3,
     filters: list[int] | None = None,
+) -> bytes:
+    # Normalize the (possibly unhashable) filter list so the cached
+    # implementation only ever sees hashable arguments.
+    return _make_png_cached(
+        w, h, seed, channels, None if filters is None else tuple(filters)
+    )
+
+
+@_functools.lru_cache(maxsize=512)
+def _make_png_cached(
+    w: int,
+    h: int,
+    seed: int,
+    channels: int = 3,
+    filters: tuple[int, ...] | None = None,
 ) -> bytes:
     """Serialize a REAL 8-bit PNG (stdlib zlib; correct CRCs) with the
     same deterministic pixel rule as make_ppm — pixel (y, x, c) =
@@ -2148,7 +2162,6 @@ def png_palette_rules(seed: int, depth: int) -> "tuple":
     return size, pal
 
 
-@_functools.lru_cache(maxsize=512)
 def make_png_ext(
     w: int,
     h: int,
@@ -2156,6 +2169,23 @@ def make_png_ext(
     mode: str = "rgb16",
     channels: int = 3,
     filters: "list[int] | None" = None,
+) -> bytes:
+    # Normalize the (possibly unhashable) filter list so the cached
+    # implementation only ever sees hashable arguments.
+    return _make_png_ext_cached(
+        w, h, seed, mode, channels,
+        None if filters is None else tuple(filters),
+    )
+
+
+@_functools.lru_cache(maxsize=512)
+def _make_png_ext_cached(
+    w: int,
+    h: int,
+    seed: int,
+    mode: str = "rgb16",
+    channels: int = 3,
+    filters: "tuple[int, ...] | None" = None,
 ) -> bytes:
     """Serialize a REAL PNG exercising the r9-widened decoder paths.
 
