@@ -266,15 +266,48 @@ def benford_report(df: DataFrame, amount_col: str) -> DataFrame:
 KS_C95 = 1.358  # Kolmogorov critical coefficient at alpha = 0.05
 
 
-def _finalize_summary(df: DataFrame, pv: DataFrame, result: DataFrame) -> DataFrame:
-    """Materialize a 1-row summary plan and release the per-value
-    histogram cache — returning the lazy plan would leak one cached
-    histogram per invocation across repeated bench passes (the pv
-    persist exists so the subtotal job and the final job observe
-    identical data; after the final row is collected it is dead)."""
-    row = result.first()
-    pv.unpersist()
-    return df.sparkSession.createDataFrame([row], schema=result.schema)
+
+def _two_sample_stats(
+    per_value: DataFrame,
+    ca: str,
+    cb: str,
+    buckets: int,
+    no_rows_msg: str,
+    empty_msg_fmt: str,
+) -> DataFrame:
+    """ONE-row lazy stats block shared by the two-sample operators:
+    min/max/value-range bucketing width plus both group totals, with
+    the empty-input guards folded into the projection (``raise_error``
+    fires at execution — the declared queries never hit it, and the
+    operator keeps its error contract without an eager gating job).
+    ``empty_msg_fmt`` is a ``format_string`` pattern taking the two
+    group totals."""
+    def guarded(col: str) -> Column:
+        return F.when(
+            F.col("_lo_raw").isNull(),
+            F.raise_error(F.lit(no_rows_msg)).cast("long"),
+        ).when(
+            (F.col("_na_raw") == 0) | (F.col("_nb_raw") == 0),
+            F.raise_error(F.format_string(
+                empty_msg_fmt, "_na_raw", "_nb_raw"
+            )).cast("long"),
+        ).otherwise(F.col(col))
+
+    return per_value.agg(
+        F.min("_v").alias("_lo_raw"),
+        F.max("_v").alias("_hi"),
+        F.sum(ca).alias("_na_raw"),
+        F.sum(cb).alias("_nb_raw"),
+    ).select(
+        guarded("_lo_raw").alias("_lo"),
+        F.col("_hi"),
+        guarded("_na_raw").alias("_na"),
+        guarded("_nb_raw").alias("_nb"),
+        F.expr(
+            f"greatest(CAST(1 AS BIGINT),"
+            f" ((_hi - _lo_raw) div {buckets}) + CAST(1 AS BIGINT))"
+        ).alias("_width"),
+    )
 
 
 def ks_two_sample(
@@ -285,22 +318,6 @@ def ks_two_sample(
     group_b: str,
     buckets: int = 64,
 ) -> DataFrame:
-    """One materialized row — see :func:`_ks_two_sample_lazy` for the
-    algorithm and plan contract."""
-    pv, result = _ks_two_sample_lazy(
-        df, value_col, group_col, group_a, group_b, buckets
-    )
-    return _finalize_summary(df, pv, result)
-
-
-def _ks_two_sample_lazy(
-    df: DataFrame,
-    value_col: str,
-    group_col: str,
-    group_a: str,
-    group_b: str,
-    buckets: int = 64,
-) -> "tuple[DataFrame, DataFrame]":
     """Exact two-sample Kolmogorov-Smirnov drift test on an INTEGER
     value column — the distribution-shape companion to the binned PSI
     report (``psi_report`` sees only bucket masses; KS sees the whole
@@ -309,17 +326,24 @@ def _ks_two_sample_lazy(
     D = max over observed values of |F_a(v) - F_b(v)| is computed as
     the exact integer |n_b * cum_a(v) - n_a * cum_b(v)| maximized over
     the DISTINCT-value table, with the single division at the end.
-    The cumulative counts use the same two-pass bucket-offset pattern
-    as ``assign_global_index``: per-value counts (one hash shuffle),
-    range-bucket subtotals prefix-summed on the driver (``buckets``
-    rows — bounded), then a window partitioned BY BUCKET — never a
-    single global sort partition, which is what makes the statistic
-    computable at corpus scale. Same deterministic-input contract as
-    the indexing module (two jobs observe the input).
+
+    ONE fully-lazy plan, ZERO driver jobs at build (r13 opt — the old
+    shape ran three eager jobs per call: a bounds pull, a subtotal
+    collect with a persisted histogram, and the final row
+    materialization). The bounds row and the per-bucket prefix-offset
+    table are broadcast-join stages of the same query; the cumulative
+    window stays partitioned BY BUCKET — never a single global sort
+    partition over the per-value histogram. The only globally-ordered
+    window is the offset prefix over the subtotal table, which is
+    bounded by ``buckets`` rows at ANY data scale. The shared
+    per-value aggregation subtree is deduplicated at runtime by
+    exchange reuse, so the input is scanned once per execution.
 
     Output: ONE row — ``(n_a, n_b, d_stat, d_at_value, ks_alarm)``
     with ``d_at_value`` the smallest value attaining D and the alarm
     at the classic 95% threshold ``1.358 * sqrt((n_a+n_b)/(n_a*n_b))``.
+    Empty input / an empty group raises from inside the plan at
+    execution time (same messages as before, now via ``raise_error``).
     """
     v = F.col(value_col).cast("long")
     g = F.col(group_col)
@@ -331,37 +355,28 @@ def _ks_two_sample_lazy(
             F.sum(F.when(g == group_b, 1).otherwise(0)).alias("_cb"),
         )
     )
-    bounds = per_value.agg(
-        F.min("_v").alias("lo"), F.max("_v").alias("hi")
-    ).first()
-    if bounds["lo"] is None:
-        raise ValueError(
-            f"ks_two_sample: no rows in groups "
-            f"{group_a!r}/{group_b!r}"
-        )
-    lo, hi = int(bounds["lo"]), int(bounds["hi"])
-    width = max(1, (hi - lo) // buckets + 1)
-    # persisted across the subtotal job and the (lazy) final job so
-    # both observe identical data — the cached table is the DISTINCT
-    # value histogram, orders smaller than the input; evicted LRU
-    pv = per_value.withColumn("_bucket", ((F.col("_v") - lo) / width)
-                              .cast("long")).persist()
+    stats = _two_sample_stats(
+        per_value, "_ca", "_cb", buckets,
+        f"ks_two_sample: no rows in groups {group_a!r}/{group_b!r}",
+        "ks_two_sample: empty sample (n_a=%d, n_b=%d)",
+    )
+    pv = per_value.crossJoin(F.broadcast(stats)).withColumn(
+        "_bucket",
+        ((F.col("_v") - F.col("_lo")) / F.col("_width")).cast("long"),
+    )
     sub = pv.groupBy("_bucket").agg(
         F.sum("_ca").alias("sa"), F.sum("_cb").alias("sb")
-    ).collect()
-    offs, acc_a, acc_b = [], 0, 0
-    for r in sorted(sub, key=lambda r: r["_bucket"]):
-        offs.append((int(r["_bucket"]), acc_a, acc_b))
-        acc_a += int(r["sa"])
-        acc_b += int(r["sb"])
-    n_a, n_b = acc_a, acc_b
-    if n_a == 0 or n_b == 0:
-        pv.unpersist()
-        raise ValueError(
-            f"ks_two_sample: empty sample (n_a={n_a}, n_b={n_b})"
-        )
-    off_df = df.sparkSession.createDataFrame(
-        offs, schema="_bucket LONG, _oa LONG, _ob LONG"
+    )
+    # prefix offsets over the (<= buckets)-row subtotal table: the one
+    # globally-ordered window in the plan, bounded by the buckets
+    # parameter, not by the data
+    woff = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = sub.select(
+        "_bucket",
+        F.coalesce(F.sum("sa").over(woff), F.lit(0)).alias("_oa"),
+        F.coalesce(F.sum("sb").over(woff), F.lit(0)).alias("_ob"),
     )
     w = (
         Window.partitionBy("_bucket")
@@ -369,17 +384,17 @@ def _ks_two_sample_lazy(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = (
-        pv.join(F.broadcast(off_df), "_bucket")
+        pv.join(F.broadcast(offs), "_bucket")
         .select(
-            "_v",
+            "_v", "_na", "_nb",
             (F.col("_oa") + F.sum("_ca").over(w)).alias("_cuma"),
             (F.col("_ob") + F.sum("_cb").over(w)).alias("_cumb"),
         )
         .select(
             "_v",
             F.abs(
-                F.lit(n_b) * F.col("_cuma")
-                - F.lit(n_a) * F.col("_cumb")
+                F.col("_nb") * F.col("_cuma")
+                - F.col("_na") * F.col("_cumb")
             ).alias("_dnum"),
         )
     )
@@ -388,26 +403,21 @@ def _ks_two_sample_lazy(
         F.min_by("_v", F.struct(-F.col("_dnum"), F.col("_v")))
         .alias("d_at_value"),
     )
-    import math
-
-    # math.sqrt, not ** 0.5: pow(x, .5) may differ from sqrt by an ulp
-    # and the oracle computes sqrt()
-    thresh = KS_C95 * math.sqrt((n_a + n_b) / (n_a * n_b))
-    result = best.select(
-        F.lit(n_a).cast("long").alias("n_a"),
-        F.lit(n_b).cast("long").alias("n_b"),
-        F.round(
-            F.col("dnum").cast("double") / (float(n_a) * float(n_b)),
-            6,
-        ).alias("d_stat"),
-        F.col("d_at_value").cast("long").alias("d_at_value"),
-        (
-            F.col("dnum").cast("double")
-            / (float(n_a) * float(n_b))
-            > F.lit(thresh)
-        ).alias("ks_alarm"),
+    den = F.col("_na").cast("double") * F.col("_nb").cast("double")
+    # 1.358 * sqrt((n_a+n_b)/(n_a*n_b)) with the same IEEE evaluation
+    # order as the oracle's SQL (sum and product exact in double at
+    # any n below 2^26 per group; the oracle computes the identical
+    # cast-then-divide expression)
+    thresh = F.lit(KS_C95) * F.sqrt(
+        (F.col("_na") + F.col("_nb")).cast("double") / den
     )
-    return pv, result
+    return best.crossJoin(F.broadcast(stats)).select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(F.col("dnum").cast("double") / den, 6).alias("d_stat"),
+        F.col("d_at_value").cast("long").alias("d_at_value"),
+        (F.col("dnum").cast("double") / den > thresh).alias("ks_alarm"),
+    )
 
 
 def wasserstein_two_sample(
@@ -418,22 +428,6 @@ def wasserstein_two_sample(
     group_b: str,
     buckets: int = 64,
 ) -> DataFrame:
-    """One materialized row — see :func:`_wasserstein_two_sample_lazy`
-    for the algorithm and plan contract."""
-    pv, result = _wasserstein_two_sample_lazy(
-        df, value_col, group_col, group_a, group_b, buckets
-    )
-    return _finalize_summary(df, pv, result)
-
-
-def _wasserstein_two_sample_lazy(
-    df: DataFrame,
-    value_col: str,
-    group_col: str,
-    group_a: str,
-    group_b: str,
-    buckets: int = 64,
-) -> "tuple[DataFrame, DataFrame]":
     """Exact two-sample Wasserstein-1 (earth-mover) distance on an
     INTEGER value column — the magnitude companion to ``ks_two_sample``
     (KS reports the worst CDF gap; W1 integrates ALL of it, so a
@@ -443,14 +437,15 @@ def _wasserstein_two_sample_lazy(
     gap(v) = next distinct value - v (the CDFs are step functions on
     the integer grid, so this is exact, not quadrature). Computed as
     the integer |n_b*cum_a - n_a*cum_b| * gap with one division at
-    the end. Same two-pass bucket-offset pattern as ks_two_sample:
-    per-value counts, driver-side prefix of ``buckets`` subtotal rows
-    (bounded), window partitioned BY BUCKET — no global sort
-    partition at any scale. The cross-bucket gap (last value of
-    bucket k to first value of bucket k+1) comes from the subtotal
-    pass's per-bucket minima, so no global lead() is needed; the
-    global maximum's gap is irrelevant because its CDF difference is
-    identically zero.
+    the end.
+
+    Same fully-lazy single-plan shape as :func:`ks_two_sample`
+    (r13 opt): bounds + per-bucket offsets ride broadcast joins, the
+    cumulative window is partitioned BY BUCKET, and the cross-bucket
+    gap (last value of bucket k to first value of bucket k+1) comes
+    from a ``lead`` over the bounded subtotal table — no global lead
+    over the histogram; the global maximum's gap is irrelevant because
+    its CDF difference is identically zero.
 
     Output: ONE row ``(n_a, n_b, w1, w1_normalized)`` with
     ``w1_normalized = w1 / (max_v - min_v)`` (scale-free, in [0,1])."""
@@ -464,39 +459,29 @@ def _wasserstein_two_sample_lazy(
             F.sum(F.when(g == group_b, 1).otherwise(0)).alias("_cb"),
         )
     )
-    bounds = per_value.agg(
-        F.min("_v").alias("lo"), F.max("_v").alias("hi")
-    ).first()
-    if bounds["lo"] is None:
-        raise ValueError(
-            f"wasserstein_two_sample: no rows in groups "
-            f"{group_a!r}/{group_b!r}"
-        )
-    lo, hi = int(bounds["lo"]), int(bounds["hi"])
-    width = max(1, (hi - lo) // buckets + 1)
-    pv = per_value.withColumn(
-        "_bucket", ((F.col("_v") - lo) / width).cast("long")
-    ).persist()
+    stats = _two_sample_stats(
+        per_value, "_ca", "_cb", buckets,
+        f"wasserstein_two_sample: no rows in groups "
+        f"{group_a!r}/{group_b!r}",
+        "wasserstein_two_sample: empty sample (n_a=%d, n_b=%d)",
+    )
+    pv = per_value.crossJoin(F.broadcast(stats)).withColumn(
+        "_bucket",
+        ((F.col("_v") - F.col("_lo")) / F.col("_width")).cast("long"),
+    )
     sub = pv.groupBy("_bucket").agg(
         F.sum("_ca").alias("sa"), F.sum("_cb").alias("sb"),
         F.min("_v").alias("mn"),
-    ).collect()
-    offs, acc_a, acc_b = [], 0, 0
-    ordered = sorted(sub, key=lambda r: r["_bucket"])
-    for i, r in enumerate(ordered):
-        nxt = int(ordered[i + 1]["mn"]) if i + 1 < len(ordered) else None
-        offs.append((int(r["_bucket"]), acc_a, acc_b, nxt))
-        acc_a += int(r["sa"])
-        acc_b += int(r["sb"])
-    n_a, n_b = acc_a, acc_b
-    if n_a == 0 or n_b == 0:
-        pv.unpersist()
-        raise ValueError(
-            f"wasserstein_two_sample: empty sample "
-            f"(n_a={n_a}, n_b={n_b})"
-        )
-    off_df = df.sparkSession.createDataFrame(
-        offs, schema="_bucket LONG, _oa LONG, _ob LONG, _nxt LONG"
+    )
+    woff = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lead_bucket = Window.orderBy("_bucket")
+    offs = sub.select(
+        "_bucket",
+        F.coalesce(F.sum("sa").over(woff), F.lit(0)).alias("_oa"),
+        F.coalesce(F.sum("sb").over(woff), F.lit(0)).alias("_ob"),
+        F.lead("mn").over(lead_bucket).alias("_nxt"),
     )
     w = (
         Window.partitionBy("_bucket")
@@ -505,7 +490,7 @@ def _wasserstein_two_sample_lazy(
     )
     lead_w = Window.partitionBy("_bucket").orderBy("_v")
     contrib = (
-        pv.join(F.broadcast(off_df), "_bucket")
+        pv.join(F.broadcast(offs), "_bucket")
         .select(
             "_v",
             (F.col("_oa") + F.sum("_ca").over(w)).alias("_cuma"),
@@ -518,25 +503,29 @@ def _wasserstein_two_sample_lazy(
                     F.lead("_v").over(lead_w), F.col("_nxt"), F.col("_v")
                 ) - F.col("_v")
             ).alias("_gap"),
+            F.col("_na"),
+            F.col("_nb"),
         )
         .select(
             (
                 F.abs(
-                    F.lit(n_b) * F.col("_cuma")
-                    - F.lit(n_a) * F.col("_cumb")
+                    F.col("_nb") * F.col("_cuma")
+                    - F.col("_na") * F.col("_cumb")
                 ) * F.col("_gap")
             ).alias("_term")
         )
     )
     total = contrib.agg(F.sum("_term").alias("num"))
-    span = float(hi - lo) if hi > lo else 1.0
-    denom = float(n_a) * float(n_b)
-    result = total.select(
-        F.lit(n_a).cast("long").alias("n_a"),
-        F.lit(n_b).cast("long").alias("n_b"),
+    denom = F.col("_na").cast("double") * F.col("_nb").cast("double")
+    span = F.when(
+        F.col("_hi") > F.col("_lo"),
+        (F.col("_hi") - F.col("_lo")).cast("double"),
+    ).otherwise(F.lit(1.0))
+    return total.crossJoin(F.broadcast(stats)).select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
         F.round(F.col("num").cast("double") / denom, 6).alias("w1"),
         F.round(
             F.col("num").cast("double") / denom / span, 6
         ).alias("w1_normalized"),
     )
-    return pv, result

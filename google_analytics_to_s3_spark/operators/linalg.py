@@ -94,61 +94,87 @@ def covariance_matrix(
     """Exact covariance + Pearson correlation per (i, j), i <= j.
 
     Output: ``(i, j, cov, corr)`` — d*(d+1)/2 rows, cov/corr rounded
-    to 6 decimals; ``corr`` NULL for a zero-variance dimension. The
-    moment rows collected to the driver are exactly d + 1 values
-    (bounded by the vector width, not the row count)."""
-    g = quantized_gram(df, vec_col, dim, scale).persist()
-    try:
-        moments = {
-            int(r["i"]): int(r["s"])
-            for r in g.filter(F.col("j") == -1).collect()
-        }
-        n = moments.pop(-1)
-        if n == 0:
-            raise ValueError("covariance of an empty vector column")
-        sums = [moments[i] for i in range(dim)]
-        # Materialize the dim*(dim+1)/2-row pair table (bounded by
-        # dim, never by input rows: 64 -> 2080 rows) before the
-        # finally-block unpersists the Gram cache — otherwise the
-        # returned lazy DataFrame would recompute the full
-        # mapInPandas Gram pass on first execution (ADVICE r7).
-        pairs = g.filter(F.col("j") >= 0).localCheckpoint(eager=True)
-        si = F.element_at(
-            F.array(*[F.lit(s) for s in sums]), F.col("i") + 1
-        ).cast("decimal(38,0)")
-        sj = F.element_at(
-            F.array(*[F.lit(s) for s in sums]), F.col("j") + 1
-        ).cast("decimal(38,0)")
-        # exact integer numerator; the only doubles are the final
-        # divisions (identical expressions in the oracle)
-        num = (F.lit(n).cast("decimal(38,0)") * F.col("s") - si * sj)
-        den_cov = float(n) * float(n) * float(scale) * float(scale)
-        diag = {
-            (int(r["i"])): int(r["s"])
-            for r in pairs.filter(F.col("i") == F.col("j")).collect()
-        }
-        var_num = [n * diag[i] - sums[i] * sums[i] for i in range(dim)]
-        vi = F.element_at(
-            F.array(*[F.lit(v) for v in var_num]), F.col("i") + 1
+    to 6 decimals; ``corr`` NULL for a zero-variance dimension.
+
+    ONE fully-lazy plan, ZERO driver jobs at build (r13 opt — the old
+    shape collected the d+1 moment rows, eagerly checkpointed the
+    pair table, and collected the d diagonal rows: three jobs per
+    call). The moment/diagonal tables are broadcast-joined back onto
+    the pair table instead — every side is bounded by d*(d+1)/2 rows,
+    never by input rows — and the single Gram aggregation subtree is
+    shared by all consumers via runtime exchange reuse, so the n-row
+    input is still read exactly once per execution. The integer
+    arithmetic (DECIMAL(38,0)) and the final double expressions are
+    operation-for-operation identical to the old driver-side path.
+    An empty input raises from inside the plan at execution time."""
+    g = quantized_gram(df, vec_col, dim, scale)
+    n1 = g.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.when(
+            F.col("s") == 0,
+            F.raise_error(
+                F.lit("covariance of an empty vector column")
+            ).cast("decimal(38,0)"),
+        ).otherwise(F.col("s")).alias("_n")
+    )
+    sums = g.filter((F.col("j") == -1) & (F.col("i") >= 0)).select(
+        F.col("i").alias("_k"), F.col("s").alias("_sum")
+    )
+    diag = g.filter((F.col("j") >= 0) & (F.col("i") == F.col("j"))).select(
+        F.col("i").alias("_k"), F.col("s").alias("_diag")
+    )
+    # var_num[k] = n * S_kk - S_k^2, exact in DECIMAL(38,0) — the same
+    # integers the old path computed in Python
+    var_df = (
+        sums.join(diag, "_k")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "_k",
+            "_sum",
+            (F.col("_n") * F.col("_diag")
+             - F.col("_sum") * F.col("_sum")).alias("_var"),
         )
-        vj = F.element_at(
-            F.array(*[F.lit(v) for v in var_num]), F.col("j") + 1
+    )
+    pairs = g.filter(F.col("j") >= 0)
+    joined = (
+        pairs.crossJoin(F.broadcast(n1))
+        .join(
+            F.broadcast(var_df.select(
+                F.col("_k").alias("_ki"),
+                F.col("_sum").alias("_si"),
+                F.col("_var").alias("_vi"),
+            )),
+            F.col("i") == F.col("_ki"),
         )
-        return pairs.select(
-            "i",
-            "j",
-            F.round(num.cast("double") / F.lit(den_cov), 6).alias("cov"),
-            F.round(
-                F.when(
-                    (vi > 0) & (vj > 0),
-                    num.cast("double")
-                    / F.sqrt(vi.cast("double") * vj.cast("double")),
-                ),
-                6,
-            ).alias("corr"),
+        .join(
+            F.broadcast(var_df.select(
+                F.col("_k").alias("_kj"),
+                F.col("_sum").alias("_sj"),
+                F.col("_var").alias("_vj"),
+            )),
+            F.col("j") == F.col("_kj"),
         )
-    finally:
-        g.unpersist()
+    )
+    # exact integer numerator; the only doubles are the final
+    # divisions (identical expressions in the oracle)
+    num = F.col("_n") * F.col("s") - F.col("_si") * F.col("_sj")
+    den_cov = (
+        F.col("_n").cast("double") * F.col("_n").cast("double")
+        * F.lit(float(scale)) * F.lit(float(scale))
+    )
+    vi, vj = F.col("_vi"), F.col("_vj")
+    return joined.select(
+        "i",
+        "j",
+        F.round(num.cast("double") / den_cov, 6).alias("cov"),
+        F.round(
+            F.when(
+                (vi > 0) & (vj > 0),
+                num.cast("double")
+                / F.sqrt(vi.cast("double") * vj.cast("double")),
+            ),
+            6,
+        ).alias("corr"),
+    )
 
 
 def pca_power_iteration(

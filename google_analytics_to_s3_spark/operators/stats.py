@@ -1707,12 +1707,17 @@ def mann_whitney_u(
     histogram (one hash shuffle). Rank sums use average ranks —
     ``avg_rank(v) = cum_lt(v) + (c(v)+1)/2`` — kept on the x2 integer
     grid (``2*cum_lt + c + 1``), so R1, U1, and the tie term
-    ``sum(c^3 - c)`` are EXACT DECIMAL(38) sums; cumulative counts
-    use the ks_two_sample bucket-offset pattern (driver prefix sum
-    over ``buckets`` subtotals, window partitioned BY BUCKET — no
-    single global sort partition). Variance and z are one fixed-order
-    double expression from those integers. Same deterministic-input
-    contract as ks_two_sample (two jobs observe the input).
+    ``sum(c^3 - c)`` are EXACT DECIMAL(38) sums; variance and z are
+    one fixed-order double expression from those integers.
+
+    ONE fully-lazy plan, ZERO driver jobs at build (r13 opt — the old
+    shape ran an eager bounds pull plus a subtotal collect with a
+    persisted histogram). The bounds row and the per-bucket
+    prefix-offset table ride broadcast joins; the cumulative window
+    stays partitioned BY BUCKET; the only globally-ordered window is
+    over the (<= buckets)-row subtotal table. Empty input / an empty
+    arm raises from inside the plan at execution time (same messages,
+    now via ``raise_error``).
 
     Output: ONE row ``(n_0, n_1, u1, z, sig_95, sig_99)`` (u1 on the
     half-integer grid, z round 6; NULL z when an arm is empty or all
@@ -1728,30 +1733,47 @@ def mann_whitney_u(
             F.sum(F.when(arm == 1, 1).otherwise(0)).alias("_c1"),
         )
     )
-    bounds = per_value.agg(
-        F.min("_v").alias("lo"), F.max("_v").alias("hi")
-    ).first()
-    if bounds["lo"] is None:
-        raise ValueError("mann_whitney_u: no rows")
-    lo, hi = int(bounds["lo"]), int(bounds["hi"])
-    width = max(1, (hi - lo) // buckets + 1)
-    pv = per_value.withColumn(
-        "_bucket", ((F.col("_v") - lo) / width).cast("long")
-    ).persist()
+
+    def guarded(col: str) -> Column:
+        return F.when(
+            F.col("_lo_raw").isNull(),
+            F.raise_error(F.lit("mann_whitney_u: no rows"))
+            .cast("long"),
+        ).when(
+            (F.col("_n0_raw") == 0) | (F.col("_n1_raw") == 0),
+            F.raise_error(F.format_string(
+                "mann_whitney_u: empty arm (n0=%d, n1=%d)",
+                "_n0_raw", "_n1_raw",
+            )).cast("long"),
+        ).otherwise(F.col(col))
+
+    stats = per_value.agg(
+        F.min("_v").alias("_lo_raw"),
+        F.max("_v").alias("_hi"),
+        F.sum("_c0").alias("_n0_raw"),
+        F.sum("_c1").alias("_n1_raw"),
+    ).select(
+        guarded("_lo_raw").alias("_lo"),
+        guarded("_n0_raw").alias("_n0"),
+        guarded("_n1_raw").alias("_n1"),
+        F.expr(
+            f"greatest(CAST(1 AS BIGINT),"
+            f" ((_hi - _lo_raw) div {buckets}) + CAST(1 AS BIGINT))"
+        ).alias("_width"),
+    )
+    pv = per_value.crossJoin(F.broadcast(stats)).withColumn(
+        "_bucket",
+        ((F.col("_v") - F.col("_lo")) / F.col("_width")).cast("long"),
+    )
     sub = pv.groupBy("_bucket").agg(
-        F.sum("_c0").alias("s0"), F.sum("_c1").alias("s1")
-    ).collect()
-    offs, acc = [], 0
-    n0 = n1 = 0
-    for r in sorted(sub, key=lambda r: r["_bucket"]):
-        offs.append((int(r["_bucket"]), acc))
-        acc += int(r["s0"]) + int(r["s1"])
-        n0 += int(r["s0"])
-        n1 += int(r["s1"])
-    if n0 == 0 or n1 == 0:
-        raise ValueError(f"mann_whitney_u: empty arm (n0={n0}, n1={n1})")
-    off_df = df.sparkSession.createDataFrame(
-        offs, schema="_bucket LONG, _off LONG"
+        F.sum(F.col("_c0") + F.col("_c1")).alias("st")
+    )
+    woff = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = sub.select(
+        "_bucket",
+        F.coalesce(F.sum("st").over(woff), F.lit(0)).alias("_off"),
     )
     w = (
         Window.partitionBy("_bucket")
@@ -1760,7 +1782,7 @@ def mann_whitney_u(
     )
     ct = (F.col("_c0") + F.col("_c1")).cast("decimal(38,0)")
     terms = (
-        pv.join(F.broadcast(off_df), "_bucket")
+        pv.join(F.broadcast(offs), "_bucket")
         .select(
             "_c1",
             (
@@ -1781,25 +1803,29 @@ def mann_whitney_u(
         F.sum(F.col("_ct") * F.col("_ct") * F.col("_ct") - F.col("_ct"))
         .alias("_tie"),
     )
-    import math
-
-    n = n0 + n1
-    u1_x2 = F.col("_r1x2").cast("double") - F.lit(float(n1) * (n1 + 1))
+    # the double expressions below replicate the old driver-side
+    # Python arithmetic operation-for-operation (every cast is exact
+    # for any realistic n, and the evaluation order is unchanged)
+    n0d = F.col("_n0").cast("double")
+    n1d = F.col("_n1").cast("double")
+    nd = (F.col("_n0") + F.col("_n1")).cast("double")
+    u1_x2 = F.col("_r1x2").cast("double") - n1d * (n1d + F.lit(1.0))
     u1 = u1_x2 / F.lit(2.0)
-    mu = F.lit(float(n0) * float(n1) / 2.0)
+    mu = n0d * n1d / F.lit(2.0)
     var = (
-        F.lit(float(n0) * float(n1) / 12.0)
+        n0d * n1d / F.lit(12.0)
         * (
-            F.lit(float(n + 1))
+            (F.col("_n0") + F.col("_n1") + F.lit(1)).cast("double")
             - F.col("_tie").cast("double")
-            / F.lit(float(n) * (n - 1))
+            / (nd * (F.col("_n0") + F.col("_n1") - F.lit(1))
+               .cast("double"))
         )
     )
     ok = var > 0
     z = (u1 - mu) / F.sqrt(var)
-    return agg.select(
-        F.lit(n0).cast("long").alias("n_0"),
-        F.lit(n1).cast("long").alias("n_1"),
+    return agg.crossJoin(F.broadcast(stats)).select(
+        F.col("_n0").cast("long").alias("n_0"),
+        F.col("_n1").cast("long").alias("n_1"),
         F.round(u1, 6).alias("u1"),
         F.round(F.when(ok, z), 6).alias("z"),
         F.when(ok, F.abs(z) > _Z_95).alias("sig_95"),

@@ -168,27 +168,24 @@ class TestWassersteinBruteForceAndPlan:
 
     def test_prefix_sum_windows_stay_bucket_partitioned(self, spark):
         """100 TB contract: the cumulative-count windows partition BY
-        BUCKET (driver-prefix-summed offsets), never a single global
-        sort partition. The only SinglePartition exchange in the plan
-        is the final 1-row total (map-side partial agg)."""
+        BUCKET, never a single global sort partition over the
+        histogram. r13: the operator is ONE fully-lazy plan — the
+        SinglePartition exchanges are the 1-row bounds aggregate, the
+        (<= buckets)-row offset window, and the final 1-row total,
+        each scale-safe."""
         from google_analytics_to_s3_spark.operators.dq import (
-            _wasserstein_two_sample_lazy,
+            wasserstein_two_sample,
         )
 
         rows = [(v % 977, "a" if v % 2 else "b") for v in range(4000)]
         df = spark.createDataFrame(rows, "v long, g string")
-        # audit the LAZY plan: the public function materializes the
-        # 1-row summary (and unpersists the histogram), so its
-        # returned plan is a literal scan
-        pv, out = _wasserstein_two_sample_lazy(
-            df, "v", "g", "a", "b", buckets=32
-        )
-        try:
-            plan = out._jdf.queryExecution().executedPlan().toString()
-            assert "hashpartitioning(_bucket" in plan, plan
-            assert plan.count("Exchange SinglePartition") <= 1, plan
-        finally:
-            pv.unpersist()
+        out = wasserstein_two_sample(df, "v", "g", "a", "b", buckets=32)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(_bucket" in plan, plan
+        # no globally-ordered sort may touch the per-value column
+        for line in plan.splitlines():
+            if "Sort [" in line and "], true," in line:
+                assert "_v" not in line, line
 
 
 class TestGoodTuring:

@@ -410,36 +410,38 @@ def test_ks_identical_distributions_zero(spark):
 
 
 def test_ks_raises_on_empty_group(spark):
+    # r13: the guard moved from an eager build-time job into the lazy
+    # plan (raise_error) — it fires on the first action, with the same
+    # message
     from google_analytics_to_s3_spark.operators.dq import ks_two_sample
 
     df = spark.createDataFrame([(1, "a")], "v long, g string")
-    with pytest.raises(ValueError, match="empty sample"):
-        ks_two_sample(df, "v", "g", "a", "b")
+    with pytest.raises(Exception, match="empty sample"):
+        ks_two_sample(df, "v", "g", "a", "b").collect()
 
 
 def test_ks_plan_has_no_single_partition_sort(spark):
-    from google_analytics_to_s3_spark.operators.dq import (
-        _ks_two_sample_lazy,
-    )
+    from google_analytics_to_s3_spark.operators.dq import ks_two_sample
 
     rows = [(v % 97, "a" if v % 2 else "b") for v in range(500)]
     df = spark.createDataFrame(rows, "v long, g string")
-    # audit the LAZY plan: the public function materializes the 1-row
-    # summary (and unpersists the histogram), so its returned plan is
-    # a literal scan
-    pv, out = _ks_two_sample_lazy(df, "v", "g", "a", "b", buckets=8)
-    try:
-        plan = out._jdf.queryExecution().executedPlan().toString()
-        # the cumulative window must sort WITHIN bucket partitions
-        # only; a global sort renders as "Sort [...], true". (The one
-        # SinglePartition exchange in the plan is the final scalar
-        # max-aggregate — one partial row per partition, scale-safe.)
-        for line in plan.splitlines():
-            if "Sort [" in line:
-                assert "], true," not in line, line
-        assert plan.count("SinglePartition") == 1
-    finally:
-        pv.unpersist()
+    # r13: ks_two_sample is now ONE fully-lazy plan (no eager bounds /
+    # subtotal jobs) — audit it directly. The cumulative window must
+    # sort WITHIN bucket partitions only; the only globally-ordered
+    # sort allowed is the prefix-offset window over the per-bucket
+    # subtotal table, which is bounded by the `buckets` parameter
+    # (8 rows here) at any data scale and never orders by the
+    # per-value column.
+    out = ks_two_sample(df, "v", "g", "a", "b", buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Sort [" in line and "], true," in line:
+            assert "_v" not in line, line
+    # the cumulative window over the histogram is partitioned by
+    # bucket (the SinglePartition exchanges that remain are the 1-row
+    # bounds/total aggregates and the <= buckets-row offset window,
+    # each bounded regardless of data scale)
+    assert "hashpartitioning(_bucket" in plan, plan
 
 
 def test_gini_extremes(spark):
