@@ -30,6 +30,40 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def cooccurrence_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Distinct ordered item pairs (src < dst) co-occurring within a
+    group — the co-purchase / co-click edge builder.
+
+    ONE exchange (hash-aggregate the group's item set) + an in-row
+    array pair expansion, instead of the equivalent self-join on the
+    group key (two exchanges of the full table + a join) — the
+    share-one-exchange move of guide §2.4. The set of emitted pairs is
+    identical to ``a JOIN b ON a.g = b.g AND a.item < b.item`` followed
+    by DISTINCT: collect_set dedups within the group (order-insensitive
+    — the pair set is symmetric-free by the < predicate), and the final
+    distinct dedups across groups. Pair count per group is k*(k-1)/2
+    either way, so the skew profile matches the self-join's.
+    """
+    pair_expr = (
+        f"flatten(transform(_items, x -> "
+        f"transform(filter(_items, y -> y > x), "
+        f"y -> struct(x AS {src}, y AS {dst}))))"
+    )
+    return (
+        df.groupBy(group_col)
+        .agg(F.collect_set(item_col).alias("_items"))
+        .select(F.explode(F.expr(pair_expr)).alias("_e"))
+        .select(f"_e.{src}", f"_e.{dst}")
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

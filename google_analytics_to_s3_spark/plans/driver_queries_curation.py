@@ -414,25 +414,16 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine replay every iteration bit-for-bit as chained CTEs — the
     strongest correctness check an iterative operator can get.
     """
-    from ..operators.graph import pagerank
+    from ..operators.graph import cooccurrence_pairs, pagerank
     from ..sources.testdata import load_table
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-    )
+    # r13 opt: one-exchange groupBy + array pair expansion replaces the
+    # self-join on l_orderkey (identical distinct pair set, one less
+    # full-table exchange — guide §2.4)
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -1683,25 +1674,20 @@ def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the part co-purchase graph — composition #2 on the shared
     graph (operators/graph.community_modularity): top-20 communities
     by contribution plus the exact partition-wide Q on every row."""
-    from ..operators.graph import community_modularity, label_propagation
+    from ..operators.graph import (
+        community_modularity,
+        cooccurrence_pairs,
+        label_propagation,
+    )
     from ..sources.testdata import load_table
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-    )
+    # r13 opt: one-exchange groupBy + array pair expansion replaces the
+    # self-join on l_orderkey (identical distinct pair set, one less
+    # full-table exchange — guide §2.4)
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
     nodes = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node"),
         F.when(F.col("p_partkey") % 5 == 0, F.col("p_brand"))

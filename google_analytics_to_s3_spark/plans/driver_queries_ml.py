@@ -1113,21 +1113,15 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     synchronous majority-vote rounds spread the labels
     (operators/graph.label_propagation); the oracle replays both
     rounds as chained CTEs."""
-    from ..operators.graph import label_propagation
+    from ..operators.graph import cooccurrence_pairs, label_propagation
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-    )
+    # r13 opt: one-exchange groupBy + array pair expansion replaces the
+    # self-join on l_orderkey; the operator re-distincts edges anyway,
+    # so the (already-distinct) pair set is identical (guide §2.4)
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey")
     nodes = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node"),
         F.when(F.col("p_partkey") % 5 == 0, F.col("p_brand"))
