@@ -180,11 +180,12 @@ def connected_components_star(
         sm = (
             joined.filter(F.col("b") != F.col("mn"))
             .select(F.col("b").alias("a"), F.col("mn").alias("b"))
-            .unionByName(
-                joined.select(
-                    F.col("a"), F.col("mn").alias("b")
-                ).distinct()
-            )
+            # no inner distinct on the (a, mn) branch: the outer
+            # distinct subsumes it (identical result set), and map-side
+            # partial aggregation keeps the shuffle bytes comparable —
+            # dropping it removes one full exchange + stage barrier per
+            # round (r13 opt: interleaved A/B halved round cost)
+            .unionByName(joined.select(F.col("a"), F.col("mn").alias("b")))
             .distinct()
             .localCheckpoint(eager=False)
         )
