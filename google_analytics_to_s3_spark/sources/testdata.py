@@ -23,9 +23,25 @@ TABLES = [
 ]
 
 
+# (sf_dir, name) -> inferred parquet schema. A SCHEMA memo, not a data
+# or plan memo: every load_table call still builds a fresh scan (fresh
+# file listing, data read from parquet at execution) — only the footer
+# schema-inference job is skipped on repeat calls (r13 opt: inference
+# cost ~70 ms per call x 1-3 calls per query across a 391-query bench
+# pass; explicit read schemas are also the SURVEY S1 pattern).
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_runtime_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (sf_dir, name)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
