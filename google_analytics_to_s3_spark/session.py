@@ -31,7 +31,27 @@ RUNTIME_CONFS = {
     # GA querystrings can repeat keys; Python's dict(parse_qsl(...)) in the
     # reference keeps the last occurrence — mirror that in str_to_map.
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+    # PySpark 4's DataFrame-debugging call-site capture wraps EVERY
+    # DataFrame/Column API call with getActiveSession + conf.get +
+    # origin set/clear — ~5 extra py4j round trips per operation, which
+    # profiled as ~70% of all driver py4j traffic during plan
+    # construction (r13, guide §7.3: driver-side single-threaded work).
+    # Costs only call-site enrichment of error messages; plans,
+    # results and executor behavior are unchanged.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
+
+
+def _reset_debugging_cache() -> None:
+    """PySpark caches the dataFrameDebugging flag process-wide on first
+    use; clear it so a conf applied to an externally created session
+    (ensure_runtime_confs) still takes effect in that process."""
+    try:
+        from pyspark.errors import utils as _eu
+
+        _eu._enable_debugging_cache = None
+    except Exception:
+        pass
 
 
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
@@ -43,6 +63,7 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
             # Not runtime-settable in this deployment — keep going; the
             # query-level fallbacks (explicit schemas) still work.
             pass
+    _reset_debugging_cache()
     return spark
 
 
