@@ -437,14 +437,27 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = minhash_lsh_pairs(
         d, k=MINHASH_K, bands=MINHASH_BANDS
     ).select("id_a", "id_b")
-    hits = truth.join(
-        cand.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left"
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_true"),
-        F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hits"),
+    # r13 opt: ONE full-outer join + one aggregate replaces the
+    # left-join + separate n_cand aggregate — the old shape evaluated
+    # the entire LSH candidate pipeline twice (53-Exchange plan, zero
+    # ReusedExchange); n_true/n_cand/n_hits are the same exact counts
+    # (truth and cand are distinct pair sets, so sums of the 0/1 flags
+    # equal the old count/count/hit-sum)
+    hits = (
+        truth.withColumn("_t", F.lit(1))
+        .join(
+            cand.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "full"
+        )
+        .agg(
+            F.sum(F.coalesce("_t", F.lit(0))).cast("long").alias("n_true"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long")
+            .alias("n_cand"),
+            F.sum(
+                F.coalesce("_t", F.lit(0)) * F.coalesce("_hit", F.lit(0))
+            ).cast("long").alias("n_hits"),
+        )
     )
-    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
-    return hits.crossJoin(F.broadcast(nc)).select(
+    return hits.select(
         "n_true", "n_cand", "n_hits",
         F.when(
             F.col("n_true") > 0,
@@ -1157,10 +1170,19 @@ def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
     co-location survives any parallelism. Locally (<=50 cores) K=1000;
     on a 1000-core cluster K=20000 — same results either way, only the
     dedup ratio changes. On a real corpus the payload scan arrives
-    multi-split and this stays a near-no-op id shuffle."""
+    multi-split and this stays a near-no-op id shuffle.
+
+    r13 opt wave 4: the returned DataFrame is ``fusable`` — chained
+    ``mapInPandas`` stages built on it (synth → unwrap → decode, plus
+    name-only projections) collapse into ONE Arrow map, so
+    intermediate payload bytes never round-trip Python→JVM→Python
+    (operators/fuse.py; guide §4.1). Identical results and pinned plan
+    shape, one Python-worker hop per chain instead of per stage."""
+    from ..operators.fuse import fusable
+
     p = spark.sparkContext.defaultParallelism
     groups = ((20 * p + 999) // 1000) * 1000
-    return df.repartition(p, F.col(df.columns[0]) % groups)
+    return fusable(df.repartition(p, F.col(df.columns[0]) % groups))
 
 
 def q_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

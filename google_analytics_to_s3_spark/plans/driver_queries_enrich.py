@@ -212,11 +212,12 @@ def q_ua_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Regex-heavy map work: spread the single-file scan across cores
     # (on a cluster, large inputs split naturally and this is a no-op
     # choice — see sources/testdata.load_parallel).
-    e = (
-        load_events(spark, sf_dir)
-        .select("event_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # hash-partition on the bounded ua seed instead of keyless
+    # round-robin: same single exchange, no sort-before-repartition
+    # pass (guide §2.5), and rows with one ua_idx co-locate
+    from .driver_queries_analytics import _spread
+
+    e = _spread(load_events(spark, sf_dir).select("event_id"), spark)
     uas = F.array(*[F.lit(s) for s in UA_STRINGS])
     d = e.withColumn("ua_idx", (F.col("event_id") % 8).cast("int")).withColumn(
         "user_agent", F.element_at(uas, F.col("ua_idx") + 1)
@@ -241,11 +242,12 @@ def q_ua_parse_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement with the reference's ``user_agents`` lib to 27/29 on
     the parity corpus (reference enrichment/filters/
     user_agent.py:14-32)."""
-    e = (
-        load_events(spark, sf_dir)
-        .select("event_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # hash-partition on the bounded ua seed instead of keyless
+    # round-robin: same single exchange, no sort-before-repartition
+    # pass (guide §2.5), and rows with one ua_idx co-locate
+    from .driver_queries_analytics import _spread
+
+    e = _spread(load_events(spark, sf_dir).select("event_id"), spark)
     uas = F.array(*[F.lit(s) for s in UA_STRINGS])
     d = e.withColumn("ua_idx", (F.col("event_id") % 8).cast("int")).withColumn(
         "user_agent", F.element_at(uas, F.col("ua_idx") + 1)

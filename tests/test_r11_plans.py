@@ -43,11 +43,14 @@ def test_r11_extractors_have_no_payload_shuffle(spark, name):
 
 
 def test_zstd_chain_is_back_to_back_arrow_maps(spark):
-    # unwrap_zstd → decode_webdataset must appear as two MapInPandas
-    # nodes with no Exchange between them (the only exchange allowed
-    # anywhere is the fixture id spread, which precedes the synth map)
+    # unwrap_zstd → decode_webdataset runs inside the Arrow map chain
+    # with no Exchange between the stages (the only exchange allowed
+    # anywhere is the fixture id spread, which precedes the synth map).
+    # Since the r13 fusion (operators/fuse.py) the synth → unwrap →
+    # walk chain collapses into ONE MapInPandas node — payload bytes
+    # now cross the Python↔JVM boundary zero times mid-chain.
     df = dq.QUERIES["webdataset_zst"](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("MapInPandas") >= 3  # synth, unwrap, walk
+    assert plan.count("MapInPandas") >= 1  # fused synth+unwrap+walk
     ex = _exchanges(plan)
     assert len(ex) <= 1, ex
