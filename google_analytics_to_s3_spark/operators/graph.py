@@ -148,14 +148,26 @@ def connected_components_star(
     Output contract matches :func:`connected_components`: (id,
     component = min reachable node id) for every node in ``edges``.
     """
-    # lazy checkpoint + count: one materializing job, not two (r13 opt)
+    # lazy checkpoint + one materializing agg per round (r13 opt): the
+    # count AND an order-independent set checksum (bit_xor of the row
+    # hash) come from the SAME job, so the exact exceptAll equality
+    # check only runs on rounds where count and checksum both match —
+    # the checksum is a negative filter (different checksum ⟹ sets
+    # differ), never a positive proof, so convergence stays exact.
+    def _cnt_sig(df: DataFrame) -> "tuple[int, int]":
+        row = df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("_sig"),
+        ).first()
+        return int(row["_n"]), (0 if row["_sig"] is None else int(row["_sig"]))
+
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    e_cnt = e.count()
+    e_cnt, e_sig = _cnt_sig(e)
     for _ in range(max_iters):
         # large-star: group the full neighborhood of u, hang larger
         # neighbors onto the local min
@@ -190,15 +202,17 @@ def connected_components_star(
             .localCheckpoint(eager=False)
         )
         # both sides are DISTINCT sets: equal counts + empty one-sided
-        # except ⟺ set equality, so the (joining) except runs only on
-        # the final round(s) where counts already match
-        sm_cnt = sm.count()
+        # except ⟺ set equality. The (count, checksum) pair from the
+        # materializing agg skips the joining except on every round
+        # where either differs; the except still CONFIRMS equality on
+        # the final round (checksum equality alone proves nothing).
+        sm_cnt, sm_sig = _cnt_sig(sm)
         changed = (
             1
-            if sm_cnt != e_cnt
+            if sm_cnt != e_cnt or sm_sig != e_sig
             else sm.exceptAll(e).limit(1).count()
         )
-        e, e_cnt = sm, sm_cnt
+        e, e_cnt, e_sig = sm, sm_cnt, sm_sig
         if changed == 0:
             labels = (
                 e.select(F.col("a").alias("id"), F.col("b").alias("comp"))
@@ -499,6 +513,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     rounds: int = 2,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Semi-supervised label propagation (Zhu & Ghahramani 2002 in its
     discrete majority-vote form): seed labels spread over the graph
@@ -522,11 +537,14 @@ def label_propagation(
     Synchronous updates make the result independent of partitioning —
     what lets a SQL oracle replay every round verbatim.
     """
-    und = (
-        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
-        .filter(F.col("_a") != F.col("_b"))
-        .distinct()
-    )
+    und = edges.select(
+        F.col(src).alias("_a"), F.col(dst).alias("_b")
+    ).filter(F.col("_a") != F.col("_b"))
+    # vote counts assume one row per undirected edge; skip the
+    # (full-exchange) dedup only when the caller guarantees it — e.g.
+    # cooccurrence_pairs output is distinct by construction (r13 opt)
+    if not assume_distinct:
+        und = und.distinct()
     und = und.union(
         und.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
     ).localCheckpoint(eager=False)
@@ -573,6 +591,12 @@ def label_propagation(
                 .otherwise(F.coalesce("_pick", "_prev"))
                 .alias("_lbl"),
             )
+            # each round's labels feed BOTH the next round's vote join
+            # and its previous-label join — without a checkpoint the
+            # round subtree (edge-sized vote aggregation included) is
+            # evaluated once per consumer, doubling work per unrolled
+            # round (r13 opt; same pattern as connected_components)
+            .localCheckpoint(eager=False)
         )
     return labels.select(
         F.col("_n").alias(node_col), F.col("_lbl").alias(label_col)
@@ -586,6 +610,7 @@ def community_modularity(
     label_col: str = "label",
     src: str = "src",
     dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Newman modularity of a community assignment over an undirected
     graph — the quality score that says whether a partition (label
@@ -607,15 +632,18 @@ def community_modularity(
     deg_sum, contribution)`` plus the partition-wide ``modularity`` on
     every row (an exact integer window total divided once).
     """
-    und = (
-        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
-        .filter(F.col("_a") != F.col("_b"))
-        .select(
+    und = edges.select(
+        F.col(src).alias("_a"), F.col(dst).alias("_b")
+    ).filter(F.col("_a") != F.col("_b"))
+    # m / e_in / deg_sum count one row per undirected edge; the
+    # canonicalize + dedup exchange is skipped only when the caller
+    # guarantees distinct (low, high) pairs — cooccurrence_pairs
+    # emits exactly that shape (r13 opt)
+    if not assume_canonical:
+        und = und.select(
             F.least("_a", "_b").alias("_a"),
             F.greatest("_a", "_b").alias("_b"),
-        )
-        .distinct()
-    )
+        ).distinct()
     lab = assignment.select(
         F.col(node_col).alias("_n"), F.col(label_col).alias("_l")
     ).filter(F.col("_l").isNotNull())

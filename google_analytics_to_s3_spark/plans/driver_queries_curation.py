@@ -1697,10 +1697,13 @@ def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side of the edge join), and the LPA label chain is consumed by
     # both endpoint joins: checkpoint both once, lazily
     edges = edges.localCheckpoint(eager=False)
-    labels = label_propagation(nodes, edges, rounds=2).localCheckpoint(
-        eager=False
-    )
-    out = community_modularity(edges, labels)
+    labels = label_propagation(
+        nodes, edges, rounds=2, assume_distinct=True
+    ).localCheckpoint(eager=False)
+    # cooccurrence_pairs emits distinct (low, high) pairs, so both the
+    # propagation dedup and the modularity canonicalize+dedup exchanges
+    # are provably redundant here (r13 opt)
+    out = community_modularity(edges, labels, assume_canonical=True)
     return out.orderBy(
         F.col("contribution").desc(), F.col("label").asc()
     ).limit(20)

@@ -1127,7 +1127,9 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_partkey") % 5 == 0, F.col("p_brand"))
         .alias("label"),
     )
-    return label_propagation(nodes, edges, rounds=2).orderBy("node")
+    return label_propagation(
+        nodes, edges, rounds=2, assume_distinct=True
+    ).orderBy("node")
 
 
 SQL_LABEL_PROPAGATION = """
