@@ -399,11 +399,25 @@ def pagerank(
         F.col(src).alias("c_src"), F.col(dst).alias("c_dst"),
         "_w", "deg",
     ).persist()
-    n = nodes.count()
-    init_q = PR_SCALE // n
-    base_q = int(0.15 * PR_SCALE / n)
-    r = nodes.select(
-        "node", "is_dang", F.lit(init_q).cast("long").alias("rank_q")
+    # node count as a broadcast 1-row stats table instead of a driver
+    # count job (r13): init_q = PR_SCALE div n (integer div, both
+    # positive — identical to Python's //), base_q = the same
+    # double-multiply/divide/truncate as int(0.15 * PR_SCALE / n), so
+    # every grid value is bit-for-bit what the literal path baked in,
+    # with one less materializing action before the iterations
+    nstats = (
+        nodes.agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "_n",
+            F.expr(f"{PR_SCALE} div _n").cast("long").alias("_init_q"),
+            (
+                F.lit(0.15 * PR_SCALE) / F.col("_n").cast("double")
+            ).cast("long").alias("_base_q"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    r = nodes.crossJoin(F.broadcast(nstats)).select(
+        "node", "is_dang", F.col("_init_q").alias("rank_q")
     )
     for i in range(n_iters):
         contrib = ed.join(
@@ -419,7 +433,11 @@ def pagerank(
         share = (
             r.filter("is_dang")
             .agg(F.coalesce(F.sum("rank_q"), F.lit(0)).alias("dmass"))
-            .select(F.expr(f"dmass div {n}").cast("long").alias("d_share"))
+            .crossJoin(F.broadcast(nstats))
+            .select(
+                F.expr("dmass div _n").cast("long").alias("d_share"),
+                "_base_q",
+            )
         )
         r = (
             nodes.join(summed, nodes.node == summed.node_out, "left")
@@ -428,7 +446,7 @@ def pagerank(
                 "node",
                 "is_dang",
                 (
-                    F.lit(base_q)
+                    F.col("_base_q")
                     + F.floor(
                         F.lit(PR_DAMP)
                         * (

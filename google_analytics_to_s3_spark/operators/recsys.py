@@ -69,21 +69,27 @@ def item_cosine_topk(
             .filter(F.col("_nu") <= max_items_per_user)
             .select("u", "i")
         )
-    # the pruned interaction set feeds BOTH pair-join sides and the
+    # the pruned interaction set feeds BOTH the pair expansion and the
     # item-count aggregate — persist so the prune lineage runs once
-    # (without this the plan re-derives it 4×; caller-owned cache,
-    # released by spark.catalog.clearCache() as with rhp_dup_pairs)
+    # (caller-owned cache, released by spark.catalog.clearCache() as
+    # with rhp_dup_pairs)
     ui = ui.persist()
-    a, b = ui.alias("a"), ui.alias("b")
+    # r13 opt: per-user in-row pair expansion (one groupBy on u, which
+    # reuses the truncation window's partitioning) replaces the u-key
+    # self-join — the emitted (ia < ib) pair multiset is identical
+    # (items are distinct per user, filter y > x mirrors a.i < b.i),
+    # so the co_users counts match row-for-row (guide §2.4)
+    pair_expr = (
+        "flatten(transform(_items, x -> "
+        "transform(filter(_items, y -> y > x), "
+        "y -> struct(x AS ia, y AS ib))))"
+    )
     co = (
-        a.join(
-            b,
-            (F.col("a.u") == F.col("b.u"))
-            & (F.col("a.i") < F.col("b.i")),
-        )
-        .groupBy(
-            F.col("a.i").alias("ia"), F.col("b.i").alias("ib")
-        )
+        ui.groupBy("u")
+        .agg(F.collect_set("i").alias("_items"))
+        .select(F.explode(F.expr(pair_expr)).alias("_p"))
+        .select("_p.ia", "_p.ib")
+        .groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).cast("long").alias("co_users"))
         .filter(F.col("co_users") >= min_co)
     )
@@ -165,8 +171,14 @@ def als_rank1(
     )
     u = None
     for _ in range(rounds):
+        # r13 opt (guide §3): factor tables are entity-grain and
+        # per-partition tiny at any scale, but their lazy-checkpoint
+        # lineage hides stats from the planner, which falls back to
+        # SortMergeJoin — the SHUFFLE_HASH hint keeps the exchange and
+        # drops BOTH sides' sorts (ratings re-sort every half-round was
+        # the dominant cost). Same rows, exact decimal aggregation.
         num_den_u = (
-            r.join(v, "_i")
+            r.join(v.hint("SHUFFLE_HASH"), "_i")
             .groupBy("_u")
             .agg(
                 F.sum(
@@ -191,7 +203,7 @@ def als_rank1(
             ).cast("long").alias("_uq"),
         ).localCheckpoint(eager=False)
         num_den_v = (
-            r.join(u, "_u")
+            r.join(u.hint("SHUFFLE_HASH"), "_u")
             .groupBy("_i")
             .agg(
                 F.sum(
@@ -214,7 +226,8 @@ def als_rank1(
         ).localCheckpoint(eager=False)
     # training RMSE of the final (u, v): residuals on the 10^12 grid
     pred = (
-        r.join(u, "_u").join(v, "_i")
+        r.join(u.hint("SHUFFLE_HASH"), "_u")
+        .join(v.hint("SHUFFLE_HASH"), "_i")
         .select(
             (
                 F.col("_r").cast("decimal(38,0)")

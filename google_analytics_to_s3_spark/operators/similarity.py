@@ -261,6 +261,52 @@ def _topk_block_scorer(k: int, ansi: bool):
     return score_block
 
 
+def _cogroup_topk(
+    c: DataFrame,
+    q: DataFrame,
+    key: str,
+    k: int,
+    qid_type,
+    nid_type,
+) -> DataFrame:
+    """Shared tail of the Arrow kNN paths: cogroup (neighbor_id, c_vec)
+    × (query_id, q_vec) on ``key``, score each group's pair matrix with
+    the bit-exact fold scorer, take the group-local top-k, then one
+    global window over the per-group survivors. Exact because the
+    group-local selection applies the same order law as the window."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("query_id", qid_type),
+            StructField("neighbor_id", nid_type),
+            StructField("score", DoubleType()),
+        ]
+    )
+    ansi = (
+        c.sparkSession.conf.get("spark.sql.ansi.enabled", "true") == "true"
+    )
+    cand = (
+        c.groupBy(key)
+        .cogroup(q.groupBy(key))
+        .applyInPandas(_topk_block_scorer(k, ansi), schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn(
+            "rank", F.row_number().over(w).cast(IntegerType())
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
 def knn_brute_force(
     corpus: DataFrame,
     queries: DataFrame,
@@ -299,13 +345,6 @@ def knn_brute_force(
     Returns (query_id, neighbor_id, score, rank); ties broken by
     neighbor id for determinism.
     """
-    from pyspark.sql.types import (
-        DoubleType,
-        IntegerType,
-        StructField,
-        StructType,
-    )
-
     n = corpus.count()
     if max_corpus_rows is not None and n > max_corpus_rows:
         raise ValueError(
@@ -337,32 +376,13 @@ def knn_brute_force(
             F.array(*[F.lit(i).cast("int") for i in range(b)])
         ).alias("_blk"),
     )
-    schema = StructType(
-        [
-            StructField("query_id", queries.schema[id_col].dataType),
-            StructField("neighbor_id", corpus.schema[id_col].dataType),
-            StructField("score", DoubleType()),
-        ]
-    )
-    ansi = (
-        corpus.sparkSession.conf.get("spark.sql.ansi.enabled", "true")
-        == "true"
-    )
-    cand = (
-        c.groupBy("_blk")
-        .cogroup(q.groupBy("_blk"))
-        .applyInPandas(_topk_block_scorer(k, ansi), schema)
-    )
-    # global top-k over the B·k survivors per query: identical order
-    # law as the per-block selection, so the composition is exact
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cand.withColumn(
-            "rank", F.row_number().over(w).cast(IntegerType())
-        )
-        .filter(F.col("rank") <= k)
+    return _cogroup_topk(
+        c,
+        q,
+        "_blk",
+        k,
+        queries.schema[id_col].dataType,
+        corpus.schema[id_col].dataType,
     )
 
 
@@ -487,33 +507,24 @@ def knn_ivf_trained(
     ca = _assign_from_list(corpus, cents, vec_col, 1, "cid").select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("c_norm"),
         "cid",
     )
     qa = _assign_from_list(queries, cents, vec_col, nprobe, "cid").select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("q_norm"),
         "cid",
     )
-    scored = (
-        ca.join(F.broadcast(qa), "cid")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                _dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm"))
-            ).alias("score"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    # r13: cell-cogrouped Arrow scorer (see knn_brute_force) — the cell
+    # id IS the block key, so candidate generation still touches only
+    # probed cells and the scores/order are bit-identical to the old
+    # broadcast-join + interpreted-fold plan
+    return _cogroup_topk(
+        ca,
+        qa,
+        "cid",
+        k,
+        queries.schema[id_col].dataType,
+        corpus.schema[id_col].dataType,
     )
 
 
@@ -539,7 +550,6 @@ def knn_ivf(
     ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("c_norm"),
         "cid",
     )
     qa = assign_centroids(
@@ -547,27 +557,17 @@ def knn_ivf(
     ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("q_norm"),
         "cid",
     )
-    scored = (
-        ca.join(F.broadcast(qa), "cid")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                _dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm"))
-            ).alias("score"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    # r13: cell-cogrouped Arrow scorer — same exactness story as
+    # knn_brute_force; the cell id is the natural block key
+    return _cogroup_topk(
+        ca,
+        qa,
+        "cid",
+        k,
+        queries.schema[id_col].dataType,
+        corpus.schema[id_col].dataType,
     )
 
 
@@ -785,6 +785,66 @@ def rhp_dup_pairs(
     )
 
 
+def _group_pair_scores(pdf: pd.DataFrame, ansi: bool):
+    """Within-group pair scorer shared by cosine_pairs_blocked and
+    semdedup: yields (i, j, score_or_None) over the group's rows sorted
+    by id ascending, for every pair with id[i] < id[j] STRICTLY — the
+    old self-join's ``l.id < r.id`` predicate (null/equal ids never
+    pair). Scores are the bit-exact fold; under ANSI a zero denominator
+    on any generated pair raises like the old projection did."""
+    ids = pdf["_id"].to_numpy()
+    vs = pdf["_v"].to_numpy()
+    valid = pdf["_id"].notna().to_numpy()
+    vi = np.flatnonzero(valid)
+    if len(vi) < 2:
+        return ids, np.zeros(0, int), np.zeros(0, int), np.zeros(0), None
+    order = vi[np.argsort(ids[vi], kind="stable")]
+    sids = ids[order]
+    svs = vs[order]
+    m = len(order)
+    w = None
+    for v in svs:
+        if v is None:
+            w = -1
+            break
+        if w is None:
+            w = len(v)
+        elif len(v) != w:
+            w = -1
+            break
+    ii, jj, ss = [], [], []
+    nulls = []
+    if w is not None and w > 0:
+        V = np.stack(svs).astype(np.float64, copy=False)
+        scores, den = _fold_cosine_matrix(V, V)
+        idx_i, idx_j = np.triu_indices(m, k=1)
+        differ = sids[idx_i] != sids[idx_j]
+        idx_i, idx_j = idx_i[differ], idx_j[differ]
+        if ansi and (den[idx_i, idx_j] == 0.0).any():
+            raise ArithmeticError(
+                "[DIVIDE_BY_ZERO] Division by zero (zero-norm vector "
+                "in blocked cosine; matches spark.sql.ansi.enabled)"
+            )
+        return ids, order[idx_i], order[idx_j], scores[idx_i, idx_j], None
+    # cold path: ragged / null vectors, scalar replica
+    for a in range(m):
+        for b in range(a + 1, m):
+            if sids[a] == sids[b]:
+                continue
+            s = _pair_score_exact(svs[a], svs[b], ansi)
+            ii.append(order[a])
+            jj.append(order[b])
+            ss.append(np.nan if s is None else s)
+            nulls.append(s is None)
+    return (
+        ids,
+        np.asarray(ii, int),
+        np.asarray(jj, int),
+        np.asarray(ss, dtype=np.float64),
+        np.asarray(nulls, dtype=bool),
+    )
+
+
 def cosine_pairs_blocked(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -793,27 +853,53 @@ def cosine_pairs_blocked(
     threshold: float = 0.95,
 ) -> DataFrame:
     """Near-duplicate pairs above a cosine threshold within a blocking
-    key (equi-join: shuffle on the block key only)."""
+    key.
+
+    r13: one hash exchange on the block key + a grouped Arrow task per
+    block replaces the persisted self-join — Σ block_size² scoring work
+    unchanged (that bound comes from the blocking design), but each
+    pair costs a SIMD flop instead of an interpreted fold, and the big
+    side shuffles once instead of twice. Scores are bit-for-bit the old
+    plan's (see knn_brute_force)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    t = float(threshold)
+    ansi = (
+        df.sparkSession.conf.get("spark.sql.ansi.enabled", "true")
+        == "true"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, ii, jj, ss, null_mask = _group_pair_scores(pdf, ansi)
+        if len(ii) == 0:
+            keep = np.zeros(0, dtype=bool)
+        else:
+            with np.errstate(invalid="ignore"):
+                keep = ss >= t  # NaN (and null-scored) pairs fail >=
+            if null_mask is not None:
+                keep &= ~null_mask
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(list(ids[ii[keep]]), dtype=object),
+                "id_b": pd.Series(list(ids[jj[keep]]), dtype=object),
+                "score": pd.Series(ss[keep], dtype="float64"),
+            }
+        )
+
+    id_t = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("id_a", id_t),
+            StructField("id_b", id_t),
+            StructField("score", DoubleType()),
+        ]
+    )
     d = df.select(
-        F.col(id_col),
-        F.col(vec_col).alias("v"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
         F.col(block_col).alias("blk"),
-        _norm(F.col(vec_col)).alias("nrm"),
-    ).persist()
-    left, right = d.alias("l"), d.alias("r")
-    pairs = left.join(
-        right,
-        (F.col("l.blk") == F.col("r.blk"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
     )
-    score = _dot(F.col("l.v"), F.col("r.v")) / (
-        F.col("l.nrm") * F.col("r.nrm")
-    )
-    return pairs.select(
-        F.col(f"l.{id_col}").alias("id_a"),
-        F.col(f"r.{id_col}").alias("id_b"),
-        score.alias("score"),
-    ).filter(F.col("score") >= threshold)
+    return d.groupBy("blk").applyInPandas(fn, schema)
 
 
 def semdedup(
@@ -842,37 +928,56 @@ def semdedup(
     corpus². Raise k as the corpus grows (same invariant as the LSH
     band count, plans/driver_queries_extra.py:28-33).
     """
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    t = float(threshold)
+    ansi = (
+        df.sparkSession.conf.get("spark.sql.ansi.enabled", "true")
+        == "true"
+    )
+
+    # r13: one hash exchange on the cluster id + a grouped Arrow task
+    # per cluster replaces self-join + distinct + join-back — the
+    # Σ cluster_size² work bound is unchanged; per-pair cost drops to a
+    # SIMD flop and the drop-flag attaches in place (zero joins).
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, ii, jj, ss, null_mask = _group_pair_scores(pdf, ansi)
+        dup = np.zeros(len(pdf), dtype=bool)
+        if len(ii):
+            with np.errstate(invalid="ignore"):
+                near = ss >= t
+            if null_mask is not None:
+                near &= ~null_mask
+            # the HIGHER id of each qualifying pair is dropped (jj is
+            # the strictly-greater-id side by construction)
+            dup[jj[near]] = True
+        return pd.DataFrame(
+            {
+                "_id": pd.Series(list(ids), dtype=object),
+                "cid": pdf["cid"].reset_index(drop=True),
+                "is_kept": pd.Series(~dup, dtype=bool),
+            }
+        )
+
     a = assign_centroids(
         df, centroids, id_col=id_col, vec_col=vec_col, out_col="cid"
     )
     d = a.select(
-        F.col(id_col),
+        F.col(id_col).alias("_id"),
         F.col("cid"),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nrm"),
-    ).persist()
-    left, right = d.alias("l"), d.alias("r")
-    score = _dot(F.col("l.v"), F.col("r.v")) / (
-        F.col("l.nrm") * F.col("r.nrm")
+        F.col(vec_col).alias("_v"),
     )
-    dropped = (
-        left.join(
-            right,
-            (F.col("l.cid") == F.col("r.cid"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .filter(score >= threshold)
-        .select(F.col(f"r.{id_col}").alias(id_col))
-        .distinct()
-        .withColumn("_dup", F.lit(True))
+    schema = StructType(
+        [
+            StructField("_id", df.schema[id_col].dataType),
+            StructField("cid", a.schema["cid"].dataType),
+            StructField("is_kept", BooleanType()),
+        ]
     )
     return (
-        d.join(dropped, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("cid"),
-            F.coalesce(~F.col("_dup"), F.lit(True)).alias("is_kept"),
-        )
+        d.groupBy("cid")
+        .applyInPandas(fn, schema)
+        .withColumnRenamed("_id", id_col)
     )
 
 
