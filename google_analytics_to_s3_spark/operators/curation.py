@@ -282,8 +282,16 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
         lambda i: c.substr(i, F.lit(2)),
     )
     bi = df.select(F.col(id_col), F.explode(grams).alias("bg"))
-    doc_bi = bi.groupBy(id_col, "bg").agg(F.count("*").alias("c"))
-    model = bi.groupBy("bg").agg(F.count("*").alias("bg_cnt"))
+    # r13 opt: the corpus model is derivable from the per-doc counts
+    # (sum of c per bigram == count over the raw explode), so the
+    # expensive explode pass runs ONCE behind a checkpoint of the
+    # compact (doc, bigram, c) aggregate instead of once per consumer
+    doc_bi = (
+        bi.groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    model = doc_bi.groupBy("bg").agg(F.sum("c").alias("bg_cnt"))
     first_totals = model.groupBy(
         F.substring("bg", 1, 1).alias("c1")
     ).agg(F.sum("bg_cnt").alias("c1_cnt"))

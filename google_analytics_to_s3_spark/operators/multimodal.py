@@ -2905,10 +2905,16 @@ def phash_near_pairs(
     Output: one row per near pair, ``(phash_hi_a, phash_lo_a,
     phash_hi_b, phash_lo_b, hamming, docs_a, docs_b)`` with pair
     order fixed by (hi, lo)."""
+    # the distinct-hash table feeds all four band branches on BOTH join
+    # sides (8 consumers): without a checkpoint each consumer replays
+    # the entire upstream decode pipeline — the r13 before-plan carried
+    # 32 MapInPandas nodes for one synth+dhash pass. Rows are three
+    # longs per visually distinct image, so the cache stays tiny.
     hh = (
         hashed.filter(F.col("phash_hi").isNotNull())
         .groupBy("phash_hi", "phash_lo")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .localCheckpoint(eager=False)
     )
     bands = []
     for i, (col, sh) in enumerate([

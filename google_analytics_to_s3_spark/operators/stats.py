@@ -329,8 +329,14 @@ def kmv_overlap(
     (type_a, type_b, est_a, est_b, n_union, matches, est_union,
     est_jaccard, est_intersection).
     """
-    sk = sketches.select("grp", "h")
-    singles = sketches.groupBy("grp").agg(
+    # the sketch table is consumed SIX times below (per-side stats,
+    # both membership probes, the union merge twice); without a
+    # checkpoint the entire upstream sketch construction — the one
+    # data-sized distinct + window — replays per consumer (the r13
+    # before-plan held 90 Exchanges / 104 Windows). Sketches are
+    # groups × k rows, so the cache is trivially bounded.
+    sk = sketches.select("grp", "h").localCheckpoint(eager=False)
+    singles = sk.groupBy("grp").agg(
         F.count("*").alias("n"), F.max("h").alias("hk")
     )
     gs = singles.select("grp", _kmv_est(F.col("n"), F.col("hk"), k).alias("est"))
@@ -357,9 +363,11 @@ def kmv_overlap(
         mem_b.select("ta", "tb", "h")
     ).distinct()
     wu = Window.partitionBy("ta", "tb").orderBy("h")
+    # pairs × k rows, consumed by the membership chain AND the union
+    # stats — checkpoint for the same replay reason as sk above
     uni = merged.withColumn("r", F.row_number().over(wu)).filter(
         F.col("r") <= k
-    )
+    ).localCheckpoint(eager=False)
 
     in_a = uni.join(
         F.broadcast(sk.select(F.col("grp").alias("ta"), "h")), ["ta", "h"],
@@ -1455,6 +1463,16 @@ def split_conformal_intervals(
     score = F.abs(
         F.col(actual_col).cast("double") - F.col(pred_col).cast("double")
     )
+    # the base (typically a mean-predictor join plus per-row md5 split
+    # arithmetic) feeds the calibration chain TWICE (rank + group
+    # count) and the test chain once — checkpoint the minimal
+    # projection so the upstream plan runs once (the r13 before-plan
+    # replayed it into 40 Exchanges)
+    df = df.select(
+        *dict.fromkeys(
+            [*gcols, pred_col, actual_col, split_col, tie_col]
+        )
+    ).localCheckpoint(eager=False)
     cal = df.filter(F.col(split_col) == 0).select(
         *gcols, score.alias("_s"), F.col(tie_col).alias("_tie")
     )
@@ -1484,9 +1502,10 @@ def split_conformal_intervals(
     # groups whose calibration set is too small never match the rank
     # filter; recover them with NULL q_hat via a left join from the
     # full group list
+    # group-sized; consumed by the coverage join AND the final select
     qhat_full = ncal_only.join(
         qhat.drop("n_cal"), gcols, "left"
-    )
+    ).localCheckpoint(eager=False)
     test = df.filter(F.col(split_col) == 1).select(
         *gcols, score.alias("_s")
     )

@@ -762,20 +762,25 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..sources.testdata import load_table
 
+    # r13 opt: the distinct basket table feeds the pair expansion, the
+    # per-part counts AND the order total — checkpoint so the scan +
+    # distinct run once instead of four times; and the order-key
+    # self-join becomes the per-order in-row pair expansion (identical
+    # (part_a < part_b) pair multiset per order, guide §2.4)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
-    ).distinct()
-    a, b = li.alias("a"), li.alias("b")
+    ).distinct().localCheckpoint(eager=False)
+    pair_expr = (
+        "flatten(transform(_items, x -> "
+        "transform(filter(_items, y -> y > x), "
+        "y -> struct(x AS part_a, y AS part_b))))"
+    )
     co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("_items"))
+        .select(F.explode(F.expr(pair_expr)).alias("_p"))
+        .select("_p.part_a", "_p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("co_cnt"))
         .filter(F.col("co_cnt") >= 2)
     )

@@ -848,7 +848,11 @@ def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = e.mapInPandas(
         _synth, schema="doc_id long, payload binary"
     )
-    hashed = dhash_images(payloads)
+    # the hash table feeds the outer doc-count agg AND the near-pair
+    # banding (which fans it out 8 more ways) — checkpoint so the
+    # synth+decode Arrow pass runs ONCE (r13: 8 MapInPandas plan nodes
+    # collapse to 1; hash rows are a few longs per doc)
+    hashed = dhash_images(payloads).localCheckpoint(eager=False)
     hh = (
         hashed.filter(F.col("decode_error").isNull())
         .groupBy("phash_hi", "phash_lo")
@@ -866,13 +870,14 @@ def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
          + F.col("phash_lo_b")).alias("dst"),
     )
     labels = connected_components_star(pairs)
+    # hash-grain; consumed by the size rollup AND the final join
     clustered = hh.join(
         labels, hh.node == labels.id, "left"
     ).select(
         "phash_hi", "phash_lo", "n_docs",
         F.coalesce(F.col("component"), F.col("node"))
         .alias("cluster_id"),
-    )
+    ).localCheckpoint(eager=False)
     sizes = clustered.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_hashes"),
         F.sum("n_docs").cast("long").alias("cluster_docs"),
