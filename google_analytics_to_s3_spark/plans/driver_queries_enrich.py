@@ -333,6 +333,9 @@ def q_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # array_join to scalars: the driver's oracle canonicalizer cannot hash
     # numpy arrays (same failure class as user_event_arrays in r1).
+    # (r13 audit: the `.distinct()` already reuses the window's
+    # user_id hash partitioning — a subset of the distinct keys — so
+    # it costs no second exchange; left as is.)
     return out.select(
         "user_id",
         F.array_join("touchpoints", ",").alias("touchpoints"),
@@ -1024,7 +1027,15 @@ def q_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode never shuffles."""
     from ..sources.ga import decode_envelope
 
-    e = load_events(spark, sf_dir)
+    # The per-row work (to_json → base64 → from_json → str_to_map with
+    # url_decode) dominates; the testdata scan is one unsplittable row
+    # group, so without a spread it all runs on one core (guide §2.5
+    # input skew: repartition right after an unsplittable read). The
+    # exchange carries only the 4 narrow input columns — the envelope
+    # synthesis/decode expansion happens after it.
+    e = load_events(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, F.col("event_id")
+    )
     body = F.concat(
         F.lit("v=1&t="), F.col("event_type"),
         F.lit("&cid=u"), F.col("user_id").cast("string"),

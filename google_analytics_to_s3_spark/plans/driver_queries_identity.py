@@ -77,7 +77,14 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle never runs a URL parser: it recomputes the canonical
     form directly from the synthesis arithmetic, so the parser path is
     verified end-to-end against an independent derivation."""
-    e = load_events(spark, sf_dir).select("event_id", "ts_ms")
+    # canonical_url is a large parse_url + higher-order-function
+    # expression per row; the testdata scan is one unsplittable row
+    # group, so spread the 2-column event rows across cores before the
+    # URL synthesis + parse (guide §2.5 input skew). The groupBy
+    # exchange after it is unchanged.
+    e = load_events(spark, sf_dir).select("event_id", "ts_ms").repartition(
+        spark.sparkContext.defaultParallelism, F.col("event_id")
+    )
     raw = e.withColumn("url", _messy_url())
     return (
         raw.withColumn("canon", canonical_url("url"))
@@ -564,9 +571,17 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary value grid, one double division per replicate."""
     from ..operators.stats import bootstrap_mean_ci
 
+    # The 64× replicate fan-out computes an md5 per (event, rep) —
+    # the heavy step. The testdata scan is one unsplittable row group,
+    # so spread the (narrow) purchase rows across cores BEFORE the
+    # fan-out (guide §2.5 input skew; §8 shuffle the light proxy, then
+    # expand). The exchange carries 2 columns of the filtered rows.
     e = load_events(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
     ).select("event_id", "value")
+    e = e.repartition(
+        spark.sparkContext.defaultParallelism, F.col("event_id")
+    )
     return bootstrap_mean_ci(e, "event_id", "value")
 
 
