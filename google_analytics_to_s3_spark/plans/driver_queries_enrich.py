@@ -645,7 +645,18 @@ GOLDEN_PAGE_L2 = ["/shoes", "", "", "", "/post", "", "", ""]
 
 
 def q_traffic_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_events(spark, sf_dir).select("event_id", "user_id", "ts_ms")
+    # r13: the giant per-row when-chain/parse_url projection runs AFTER
+    # the session window. With the implicit ENSURE_REQUIREMENTS
+    # exchange, AQE coalesces the tiny-by-bytes shuffle to ~1 partition
+    # and the compute-dense projection serializes. An explicit
+    # repartition on the same key is still exactly ONE exchange (it
+    # satisfies the window's clustering), but user-specified
+    # partitioning is exempt from AQE coalescing — the projection keeps
+    # full parallelism. Identical rows either way (measured 2.0→0.8 s).
+    p = spark.sparkContext.defaultParallelism
+    e = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts_ms"
+    ).repartition(p, F.col("user_id"))
     flagged = with_session_flags(
         e, visitor_col="user_id", ts_col="ts_ms", tiebreak_cols=("event_id",)
     )
