@@ -30,6 +30,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from .fuse import id_payload_projection
 from .payload_memo import dedup_payload_batches
 
 __all__ = ["parse_avi", "avi_features", "demux_avi_features",
@@ -280,9 +281,7 @@ def demux_avi_features(
 
     schema = ("doc_id long, " + ", ".join(f"{k} long" for k in _AVI_INT)
               + ", handlers string, decode_error string")
-    return df.select(
-        df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(
+    return id_payload_projection(df, id_col, payload_col).mapInPandas(
         dedup_payload_batches(_go, id_col, payload_col), schema=schema)
 
 
@@ -298,7 +297,5 @@ def decode_avi_av_features(
     schema = ("doc_id long, "
               + ", ".join(f"{k} long" for k in _AVI_AV_INT)
               + ", decode_error string")
-    return df.select(
-        df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(
+    return id_payload_projection(df, id_col, payload_col).mapInPandas(
         dedup_payload_batches(_go, id_col, payload_col), schema=schema)

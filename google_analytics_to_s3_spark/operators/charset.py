@@ -197,11 +197,14 @@ def extract_transcoded(
               + ", decode_error string")
     # payload-dedup (r13 opt): key on payload plus the optional
     # content-type hint — both drive the transcode, id passes through
+    from .fuse import id_payload_projection
     from .payload_memo import dedup_payload_batches
-    cols = [df[id_col].cast("long").alias(id_col), payload_col]
     key_cols = [payload_col]
+    extra = ()
     if content_type_col:
-        cols.append(content_type_col)
+        extra = (content_type_col,)
         key_cols.append(content_type_col)
-    return df.select(*cols).mapInPandas(
+    return id_payload_projection(
+        df, id_col, payload_col, extra
+    ).mapInPandas(
         dedup_payload_batches(_run, id_col, key_cols), schema=schema)

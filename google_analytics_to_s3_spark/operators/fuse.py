@@ -113,3 +113,20 @@ def fusable(df) -> _ClassicDataFrame:
     if isinstance(df, _FusingBase):
         return df
     return _FusingSource(df)
+
+
+def id_payload_projection(
+    df, id_col: str, payload_col: str, extra: tuple = ()
+) -> _ClassicDataFrame:
+    """The decode wrappers' standard ``(id, payload[, extra…])``
+    projection with the id normalized to BIGINT.
+
+    When the id column is already BIGINT the cast is a no-op, and a
+    Column-expression select would needlessly break mapInPandas chain
+    fusion (``_FusedMap.select`` only composes name-only projections).
+    Select by name in that case; otherwise keep the explicit cast."""
+    if dict(df.dtypes).get(id_col) == "bigint":
+        return df.select(id_col, payload_col, *extra)
+    return df.select(
+        df[id_col].cast("long").alias(id_col), payload_col, *extra
+    )

@@ -34,6 +34,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .fuse import id_payload_projection
 from .payload_memo import dedup_payload_batches
 
 _MAX_MSG = 64 * 1024 * 1024
@@ -199,9 +200,7 @@ def mbox_rows(
                          + sub["row_id"] % 100).astype("int64")
         return sub
 
-    return df.select(
-        df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(
+    return id_payload_projection(df, id_col, payload_col).mapInPandas(
         dedup_payload_batches(_run, id_col, payload_col,
                               out_id_col="archive_id",
                               fixup=_fix_row_id),

@@ -751,9 +751,7 @@ def decode_mp3_features(
                   f"{k} {'int' if k in _SMALL_INT else 'long'}"
                   for k in _INT_COLS)
               + ", decode_error string")
-    return df.select(
-        df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(
+    return id_payload_projection(df, id_col, payload_col).mapInPandas(
         dedup_payload_batches(_run, id_col, payload_col), schema=schema)
 
 
@@ -773,6 +771,7 @@ def decode_mp3_features(
 # ---------------------------------------------------------------------------
 
 import math
+from .fuse import id_payload_projection
 from .payload_memo import dedup_payload_batches
 
 _ALIAS_CI = (-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142,
@@ -1020,7 +1019,5 @@ def decode_mp3_synth_features(
     schema = ("doc_id long, "
               + ", ".join(f"{k} long" for k in _SYNTH_INT)
               + ", decode_error string")
-    return df.select(
-        df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(
+    return id_payload_projection(df, id_col, payload_col).mapInPandas(
         dedup_payload_batches(_run, id_col, payload_col), schema=schema)

@@ -47,6 +47,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from .fuse import id_payload_projection
 from .payload_memo import dedup_payload_batches
 
 __all__ = ["parse_mp4", "mp4_features", "mp4_decode_av",
@@ -723,9 +724,7 @@ def demux_mp4_features(
     schema = ("doc_id long, "
               + ", ".join(f"{k} long" for k in _DEMUX_INT)
               + ", brand string, handlers string, decode_error string")
-    return df.select(
-        df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(
+    return id_payload_projection(df, id_col, payload_col).mapInPandas(
         dedup_payload_batches(_go, id_col, payload_col), schema=schema)
 
 
@@ -742,9 +741,7 @@ def demux_mp4_frag_features(
     schema = ("doc_id long, "
               + ", ".join(f"{k} long" for k in _FRAG_INT)
               + ", brand string, decode_error string")
-    return df.select(
-        df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(
+    return id_payload_projection(df, id_col, payload_col).mapInPandas(
         dedup_payload_batches(_go, id_col, payload_col), schema=schema)
 
 
@@ -761,9 +758,7 @@ def decode_mp4_av_features(
     schema = ("doc_id long, "
               + ", ".join(f"{k} long" for k in _AV_INT)
               + ", decode_error string")
-    return df.select(
-        df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(
+    return id_payload_projection(df, id_col, payload_col).mapInPandas(
         dedup_payload_batches(_go, id_col, payload_col), schema=schema)
 
 

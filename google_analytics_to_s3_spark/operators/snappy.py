@@ -32,6 +32,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from .fuse import id_payload_projection
 from .payload_memo import dedup_payload_batches
 
 __all__ = ["crc32c", "snappy_uncompress", "snappy_compress_block",
@@ -222,9 +223,7 @@ def decode_snappy_meta(
     schema = ("doc_id long, "
               + ", ".join(f"{k} long" for k in _INT_COLS)
               + ", decode_error string")
-    return df.select(
-        df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(
+    return id_payload_projection(df, id_col, payload_col).mapInPandas(
         dedup_payload_batches(_run, id_col, payload_col), schema=schema)
 
 

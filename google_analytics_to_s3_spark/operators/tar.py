@@ -35,6 +35,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from .fuse import id_payload_projection
 from .payload_memo import dedup_payload_batches
 
 __all__ = ["parse_tar", "tar_features", "extract_tar_features",
@@ -199,9 +200,7 @@ def extract_tar_features(
 
     schema = ("doc_id long, " + ", ".join(f"{k} long" for k in _TAR_INT)
               + ", decode_error string")
-    return df.select(
-        df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(
+    return id_payload_projection(df, id_col, payload_col).mapInPandas(
         dedup_payload_batches(_run, id_col, payload_col), schema=schema)
 
 
@@ -278,9 +277,7 @@ def decode_webdataset(
                                         dtype="int64"),
             })
 
-    return df.select(
-        df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(
+    return id_payload_projection(df, id_col, payload_col).mapInPandas(
         dedup_payload_batches(_run, id_col, payload_col),
         schema=("doc_id long, sample_key string, n_parts long, "
                 "label long, jpeg_width int, jpeg_height int, "

@@ -57,6 +57,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from .fuse import id_payload_projection
 from .payload_memo import dedup_payload_batches
 
 __all__ = [
@@ -1359,7 +1360,5 @@ def decode_vorbis_pcm(
               + ", ".join(f"{k} int" for k in _PCM_INT32) + ", "
               + ", ".join(f"{k} long" for k in _PCM_INT64)
               + ", decode_error string")
-    return df.select(
-        df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(
+    return id_payload_projection(df, id_col, payload_col).mapInPandas(
         dedup_payload_batches(_run, id_col, payload_col), schema=schema)

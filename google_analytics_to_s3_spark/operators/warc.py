@@ -37,6 +37,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from .fuse import id_payload_projection
 from .payload_memo import dedup_payload_batches
 
 __all__ = ["parse_warc", "warc_features", "extract_warc_features",
@@ -250,9 +251,7 @@ def extract_warc_features(
 
     schema = ("doc_id long, " + ", ".join(f"{k} long" for k in _WARC_INT)
               + ", decode_error string")
-    return df.select(
-        df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(
+    return id_payload_projection(df, id_col, payload_col).mapInPandas(
         dedup_payload_batches(_run, id_col, payload_col), schema=schema)
 
 
@@ -298,9 +297,7 @@ def warc_documents(
                                            dtype="int64"),
             })
 
-    return df.select(
-        df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(
+    return id_payload_projection(df, id_col, payload_col).mapInPandas(
         dedup_payload_batches(_run, id_col, payload_col),
         schema=("doc_id long, rec_no long, uri string, status long, "
                 "body_len long, body_byte_sum long"),
@@ -362,9 +359,7 @@ def warc_html_rows(
                          + sub["row_id"] % 1_000_000).astype("int64")
         return sub
 
-    return df.select(
-        df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(
+    return id_payload_projection(df, id_col, payload_col).mapInPandas(
         dedup_payload_batches(_run, id_col, payload_col,
                               out_id_col="archive_id",
                               fixup=_fix_row_id),

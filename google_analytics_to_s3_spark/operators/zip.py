@@ -29,6 +29,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from .fuse import id_payload_projection
 from .payload_memo import dedup_payload_batches
 
 __all__ = ["parse_zip", "zip_features", "extract_zip_features"]
@@ -178,7 +179,5 @@ def extract_zip_features(
 
     schema = ("doc_id long, " + ", ".join(f"{k} long" for k in _ZIP_INT)
               + ", decode_error string")
-    return df.select(
-        df[id_col].cast("long").alias(id_col), payload_col
-    ).mapInPandas(
+    return id_payload_projection(df, id_col, payload_col).mapInPandas(
         dedup_payload_batches(_run, id_col, payload_col), schema=schema)

@@ -129,10 +129,12 @@ class TestIdentityPlans:
 
         plan = _plan(dq.QUERIES["url_dedup"](spark, sf_smoke))
         # map-side canonicalization + ONE hash aggregation: the only
-        # exchanges are the partial→final agg pair (2 with distinct
-        # expansion), never a join
+        # exchanges are the r13 input spread (the testdata scan is one
+        # unsplittable row group, so the parse_url canonicalization is
+        # repartitioned onto every core first) plus the partial→final
+        # agg pair (2 with distinct expansion), never a join
         assert "Join" not in plan, plan
-        assert plan.count("Exchange") <= 2, plan
+        assert plan.count("Exchange") <= 3, plan
 
     def test_user_erasure_broadcasts_requests(self, spark, sf_smoke):
         from google_analytics_to_s3_spark.plans import driver_queries as dq

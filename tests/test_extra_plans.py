@@ -352,7 +352,9 @@ def test_r4_prefix_newcomer_plan_shapes(spark, sf_smoke):
     from google_analytics_to_s3_spark.plans import driver_queries as dq
 
     bounds = {
-        "envelope_decode": 0,   # L1-L4 decode: pure projection
+        "envelope_decode": 1,   # L1-L4 decode: pure projection after
+                                # the r13 input spread (unsplittable
+                                # single-row-group scan)
         "action_revenue": 1,    # enum + revenue rollup
         "source_caps": 1,       # per-source keep-rank + cap
         "page_path_levels": 2,  # URL rollup w/ count_distinct expand
