@@ -92,6 +92,18 @@ class _FusedMap(_FusingBase):
             return _FusedMap(self._fuse_src, projected, sub)
         return _ClassicDataFrame.select(self, *cols)
 
+    def drop(self, *cols):
+        # a string-only drop is a name-only projection of the kept
+        # columns — route through the fusing select so chains like
+        # decode(unwrap(x).drop("decode_error")) stay one Arrow map.
+        # (Spark's drop ignores unknown names; the keep-list does too.)
+        if cols and all(isinstance(c, str) for c in cols):
+            gone = set(cols)
+            keep = [c for c in self.columns if c not in gone]
+            if keep:
+                return self.select(*keep)
+        return _ClassicDataFrame.drop(self, *cols)
+
 
 class _FusingSource(_FusingBase):
     """Marks a DataFrame as the head of a fusable chain."""
