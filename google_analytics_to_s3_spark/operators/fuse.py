@@ -73,11 +73,17 @@ class _FusedMap(_FusingBase):
 
     def select(self, *cols):
         names = list(cols)
+        have = self.columns
         if (
             names
             and all(isinstance(c, str) for c in names)
             and "*" not in names
-            and set(names) <= set(self.columns)
+            and set(names) <= set(have)
+            # pandas frame[names] and StructType lookup are exact-name /
+            # single-match operations; with duplicate or casefold-
+            # colliding columns Spark's analyzer semantics differ, so
+            # only fuse when every name resolves unambiguously
+            and len({c.casefold() for c in have}) == len(have)
         ):
             from pyspark.sql import types as T
 
@@ -97,11 +103,25 @@ class _FusedMap(_FusingBase):
         # columns — route through the fusing select so chains like
         # decode(unwrap(x).drop("decode_error")) stay one Arrow map.
         # (Spark's drop ignores unknown names; the keep-list does too.)
+        # Classic drop resolves names case-insensitively under the
+        # default spark.sql.caseSensitive=false and removes EVERY
+        # occurrence of a duplicated name; the fused keep-list is an
+        # exact-name single-occurrence projection. Fuse only when the
+        # two agree: unambiguous columns, and each dropped name either
+        # matches a column exactly or is unknown to both resolutions.
         if cols and all(isinstance(c, str) for c in cols):
-            gone = set(cols)
-            keep = [c for c in self.columns if c not in gone]
-            if keep:
-                return self.select(*keep)
+            have = self.columns
+            exact = set(have)
+            folded = [c.casefold() for c in have]
+            unambiguous = len(set(folded)) == len(folded)
+            agree = unambiguous and all(
+                (c in exact) or (c.casefold() not in folded) for c in cols
+            )
+            if agree:
+                gone = set(cols)
+                keep = [c for c in have if c not in gone]
+                if keep:
+                    return self.select(*keep)
         return _ClassicDataFrame.drop(self, *cols)
 
 
@@ -117,6 +137,21 @@ class _FusingSource(_FusingBase):
                 self, func, schema, barrier, profile
             )
         return _FusedMap(self, func, schema)
+
+    # A name-only projection before the first mapInPandas is still a
+    # valid fusable chain head — re-wrap so the projection does not
+    # silently demote the chain to classic (unfused) execution.
+    def select(self, *cols):
+        res = _ClassicDataFrame.select(self, *cols)
+        if cols and all(isinstance(c, str) for c in cols) and "*" not in cols:
+            return _FusingSource(res)
+        return res
+
+    def drop(self, *cols):
+        res = _ClassicDataFrame.drop(self, *cols)
+        if cols and all(isinstance(c, str) for c in cols):
+            return _FusingSource(res)
+        return res
 
 
 def fusable(df) -> _ClassicDataFrame:
@@ -136,8 +171,15 @@ def id_payload_projection(
     When the id column is already BIGINT the cast is a no-op, and a
     Column-expression select would needlessly break mapInPandas chain
     fusion (``_FusedMap.select`` only composes name-only projections).
-    Select by name in that case; otherwise keep the explicit cast."""
-    if dict(df.dtypes).get(id_col) == "bigint":
+    Select by name in that case; otherwise keep the explicit cast.
+
+    The fast path requires ``id_col`` to appear exactly once —
+    ``dict(df.dtypes)`` silently collapses duplicate names and could
+    consult the wrong column's dtype."""
+    if (
+        df.columns.count(id_col) == 1
+        and dict(df.dtypes).get(id_col) == "bigint"
+    ):
         return df.select(id_col, payload_col, *extra)
     return df.select(
         df[id_col].cast("long").alias(id_col), payload_col, *extra

@@ -37,7 +37,9 @@ from ..operators.attribution import with_touchpoints
 from ..operators.multimodal import decode_image_meta, with_binary_payload
 from ..operators.sessionize import with_session_flags
 from ..operators.unpivot import unpivot_products
-from ..sources.testdata import load_events, load_parallel, load_table
+from ..sources.testdata import (
+    load_events, load_parallel, load_table, spread_if_narrow,
+)
 
 # --------------------------------------------------------------------------
 # Shared synthetic-input helpers (Knuth multiplicative hash — identical
@@ -1041,12 +1043,11 @@ def q_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The per-row work (to_json → base64 → from_json → str_to_map with
     # url_decode) dominates; the testdata scan is one unsplittable row
     # group, so without a spread it all runs on one core (guide §2.5
-    # input skew: repartition right after an unsplittable read). The
-    # exchange carries only the 4 narrow input columns — the envelope
-    # synthesis/decode expansion happens after it.
-    e = load_events(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, F.col("event_id")
-    )
+    # input skew: repartition right after an unsplittable read; gated
+    # on the scan being narrow — ADVICE r13). The exchange carries
+    # only the 4 narrow input columns — the envelope synthesis/decode
+    # expansion happens after it.
+    e = spread_if_narrow(load_events(spark, sf_dir), F.col("event_id"))
     body = F.concat(
         F.lit("v=1&t="), F.col("event_type"),
         F.lit("&cid=u"), F.col("user_id").cast("string"),

@@ -19,7 +19,9 @@ from ..operators.similarity import (
     rhp_dup_pairs,
     rhp_planes,
 )
-from ..sources.testdata import load_events, load_parallel, load_table
+from ..sources.testdata import (
+    load_events, load_parallel, load_table, spread_if_narrow,
+)
 
 # --------------------------------------------------------------------------
 # Embedding near-dup via random-hyperplane LSH (sign-LSH)
@@ -1875,8 +1877,9 @@ def q_hopping_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("user_id"),
         F.expr("ts_ms div 86400000").alias("day"),
-    ).repartition(
-        spark.sparkContext.defaultParallelism, F.col("user_id"), F.col("day")
+    )
+    e = spread_if_narrow(
+        e, F.col("user_id"), F.col("day")
     ).withColumn("b", bucket)
     fan = e.select(
         "event_type", "user_id", "day", "b",

@@ -25,7 +25,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.url import canonical_url
-from ..sources.testdata import load_events, load_parallel, load_table
+from ..sources.testdata import (
+    load_events, load_parallel, load_table, spread_if_narrow,
+)
 
 __all__ = ["QUERIES_IDENTITY", "ORACLES_IDENTITY"]
 
@@ -80,10 +82,12 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonical_url is a large parse_url + higher-order-function
     # expression per row; the testdata scan is one unsplittable row
     # group, so spread the 2-column event rows across cores before the
-    # URL synthesis + parse (guide §2.5 input skew). The groupBy
-    # exchange after it is unchanged.
-    e = load_events(spark, sf_dir).select("event_id", "ts_ms").repartition(
-        spark.sparkContext.defaultParallelism, F.col("event_id")
+    # URL synthesis + parse (guide §2.5 input skew; gated on the scan
+    # actually being narrow — ADVICE r13). The groupBy exchange after
+    # it is unchanged.
+    e = spread_if_narrow(
+        load_events(spark, sf_dir).select("event_id", "ts_ms"),
+        F.col("event_id"),
     )
     raw = e.withColumn("url", _messy_url())
     return (
@@ -575,13 +579,12 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the heavy step. The testdata scan is one unsplittable row group,
     # so spread the (narrow) purchase rows across cores BEFORE the
     # fan-out (guide §2.5 input skew; §8 shuffle the light proxy, then
-    # expand). The exchange carries 2 columns of the filtered rows.
+    # expand; gated on the scan being narrow — ADVICE r13). The
+    # exchange carries 2 columns of the filtered rows.
     e = load_events(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
     ).select("event_id", "value")
-    e = e.repartition(
-        spark.sparkContext.defaultParallelism, F.col("event_id")
-    )
+    e = spread_if_narrow(e, F.col("event_id"))
     return bootstrap_mean_ci(e, "event_id", "value")
 
 

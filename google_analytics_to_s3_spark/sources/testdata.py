@@ -70,6 +70,30 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.withColumn("ts_ms", ts_ms)
 
 
+def spread_if_narrow(df: DataFrame, *keys) -> DataFrame:
+    """Hash-repartition ``df`` across the default parallelism — but only
+    when its current plan yields fewer partitions than that.
+
+    The compute-dense queries spread their narrow input rows before an
+    expansion-class projection because the testdata scan is ONE
+    unsplittable row group (guide §2.5 input skew). On an input that is
+    already parallel — a real cluster scan, an upstream shuffle — the
+    extra exchange is pure overhead (ADVICE r13), so the spread is
+    gated on the actual partition count instead of applied blindly.
+    Driver-side metadata only: ``getNumPartitions`` plans but never
+    runs the query.
+    """
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - planning quirk: keep old path
+        cur = 1
+    if cur >= p:
+        return df
+    return df.repartition(p, *keys) if keys else df.repartition(p)
+
+
 def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a table and spread it across all cores.
 
