@@ -97,7 +97,14 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("comp")).first()[0]
     for _ in range(max_iters):
-        msgs = bidir.join(labels, bidir.a == labels.id).select(
+        # SHUFFLE_HASH: the label table is an RDD checkpoint whose
+        # hidden stats made the planner re-SORT the persisted edge
+        # table every round under SortMergeJoin; the hash build side
+        # is the node-grain label slice, bounded per partition at any
+        # scale (r14, same fix as label_propagation)
+        msgs = bidir.join(
+            labels.hint("shuffle_hash"), bidir.a == labels.id
+        ).select(
             F.col("b").alias("id"), "comp"
         )
         labels = (
@@ -175,8 +182,12 @@ def connected_components_star(
             e.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         mins = bidir.groupBy("a").agg(F.min("b").alias("mn"))
+        # SHUFFLE_HASH on the node-grain min tables: the edge tables
+        # are RDD checkpoints with hidden stats, so SortMergeJoin
+        # re-sorted them every round; the hash build side is bounded
+        # per partition at any scale (r14)
         lg = (
-            bidir.join(mins, "a")
+            bidir.join(mins.hint("shuffle_hash"), "a")
             .withColumn("m", F.least("a", "mn"))
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
@@ -188,7 +199,7 @@ def connected_components_star(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
         mins_d = d.groupBy("a").agg(F.min("b").alias("mn"))
-        joined = d.join(mins_d, "a")
+        joined = d.join(mins_d.hint("shuffle_hash"), "a")
         sm = (
             joined.filter(F.col("b") != F.col("mn"))
             .select(F.col("b").alias("a"), F.col("mn").alias("b"))
@@ -420,8 +431,13 @@ def pagerank(
         "node", "is_dang", F.col("_init_q").alias("rank_q")
     )
     for i in range(n_iters):
+        # SHUFFLE_HASH: r is an RDD checkpoint (hidden stats), so the
+        # planner re-sorted the persisted degree-joined edge table
+        # every round under SortMergeJoin; hash-building the
+        # node-grain rank table is bounded per partition at any scale
+        # (r14, same fix as label_propagation)
         contrib = ed.join(
-            r, ed.c_src == F.col("node")
+            r.hint("shuffle_hash"), ed.c_src == F.col("node")
         ).select(
             F.col("c_dst").alias("node_out"),
             F.expr("(rank_q * _w) div deg").alias("c"),
@@ -440,7 +456,10 @@ def pagerank(
             )
         )
         r = (
-            nodes.join(summed, nodes.node == summed.node_out, "left")
+            nodes.join(
+                summed.hint("shuffle_hash"),
+                nodes.node == summed.node_out, "left",
+            )
             .crossJoin(F.broadcast(share))
             .select(
                 "node",
@@ -510,9 +529,18 @@ def k_core(
             .agg(F.count("*").alias("d"))
         )
         keep = deg.filter(F.col("d") >= k).select("n")
+        # SHUFFLE_HASH on the surviving-node set: e is an RDD
+        # checkpoint (hidden stats → SortMergeJoin re-sorted it twice
+        # per round); the build side is node-grain (r14)
         e = (
-            e.join(keep.select(F.col("n").alias("a")), "a", "left_semi")
-            .join(keep.select(F.col("n").alias("b")), "b", "left_semi")
+            e.join(
+                keep.select(F.col("n").alias("a")).hint("shuffle_hash"),
+                "a", "left_semi",
+            )
+            .join(
+                keep.select(F.col("n").alias("b")).hint("shuffle_hash"),
+                "b", "left_semi",
+            )
             .localCheckpoint()
         )
     return (
@@ -563,22 +591,35 @@ def label_propagation(
     # cooccurrence_pairs output is distinct by construction (r13 opt)
     if not assume_distinct:
         und = und.distinct()
-    und = und.union(
-        und.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
-    ).localCheckpoint(eager=False)
+    # r14: partition the mirrored edge table ON THE VOTE-JOIN KEY and
+    # persist (instead of an RDD checkpoint) — every round's vote join
+    # then reuses the cached layout and the planner keeps real
+    # statistics. The per-round label tables are lineage-truncated
+    # RDD checkpoints, which hide their stats, so the vote and pick
+    # joins carry SHUFFLE_HASH hints: without them the planner fell
+    # back to SortMergeJoin and re-sorted the edge table EVERY round
+    # (interleaved A/B: 7.0 → 4.4 s at sf0.1, byte-identical labels).
+    # Build sides are node-grain slices — per-partition hash tables
+    # stay bounded at any scale.
+    und = (
+        und.union(
+            und.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+        )
+        .repartition("_a")
+        .persist()
+    )
 
-    seeds = nodes.select(
+    # the seed rides INSIDE the label table (one less node-grain join
+    # per round than re-joining the seed table each time; r14)
+    labels = nodes.select(
         F.col(node_col).alias("_n"), F.col(label_col).alias("_seed")
-    )
-    labels = seeds.select(
-        "_n", F.col("_seed").alias("_lbl")
-    )
+    ).withColumn("_lbl", F.col("_seed"))
     for _ in range(rounds):
         votes = (
             und.join(
                 labels.filter(F.col("_lbl").isNotNull()).select(
                     F.col("_n").alias("_a"), "_lbl"
-                ),
+                ).hint("shuffle_hash"),
                 "_a",
             )
             .groupBy(F.col("_b").alias("_n"), "_lbl")
@@ -598,22 +639,19 @@ def label_propagation(
             .select("_n", F.col("_m._lbl").alias("_pick"))
         )
         labels = (
-            seeds.join(
-                labels.select("_n", F.col("_lbl").alias("_prev")),
-                "_n", "left",
-            )
-            .join(picks, "_n", "left")
+            labels.join(picks.hint("shuffle_hash"), "_n", "left")
             .select(
                 "_n",
+                "_seed",
                 F.when(F.col("_seed").isNotNull(), F.col("_seed"))
-                .otherwise(F.coalesce("_pick", "_prev"))
+                .otherwise(F.coalesce("_pick", "_lbl"))
                 .alias("_lbl"),
             )
             # each round's labels feed BOTH the next round's vote join
-            # and its previous-label join — without a checkpoint the
-            # round subtree (edge-sized vote aggregation included) is
-            # evaluated once per consumer, doubling work per unrolled
-            # round (r13 opt; same pattern as connected_components)
+            # and its previous-label reference — without a checkpoint
+            # the round subtree (edge-sized vote aggregation included)
+            # is evaluated once per consumer, doubling work per
+            # unrolled round (r13 opt; same as connected_components)
             .localCheckpoint(eager=False)
         )
     return labels.select(
@@ -667,7 +705,13 @@ def community_modularity(
     ).filter(F.col("_l").isNotNull())
     la = lab.select(F.col("_n").alias("_a"), F.col("_l").alias("_la"))
     lb = lab.select(F.col("_n").alias("_b"), F.col("_l").alias("_lb"))
-    e = und.join(la, "_a").join(lb, "_b")
+    # SHUFFLE_HASH on the node-grain label sides: edge list and
+    # assignment typically arrive as RDD checkpoints (hidden stats →
+    # SortMergeJoin sorted the edge table twice); hash-building the
+    # label slice is bounded per partition at any scale (r14)
+    e = und.join(la.hint("shuffle_hash"), "_a").join(
+        lb.hint("shuffle_hash"), "_b"
+    )
     m_row = und.agg(F.count(F.lit(1)).cast("long").alias("_m"))
     # per-community internal edges
     e_in = (

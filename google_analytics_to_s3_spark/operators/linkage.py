@@ -221,6 +221,20 @@ def fs_link_scores(
     )
     a = sides[0].join(F.broadcast(counts), "_blk")
     b = sides[1].join(F.broadcast(counts), "_blk")
+    # The block join broadcasts side b, so the quadratic pair expansion
+    # + scoring runs at the STREAMED side's parallelism — on a narrow
+    # scan (one unsplittable row group) that is one core for up to
+    # n_blocks × max_block_size² pair-rows (guide §2.5 input skew).
+    # Spread the (id, block, fields) rows — never the pairs — across
+    # cores first; gated so an already-parallel input skips the
+    # exchange (r14).
+    sc = records.sparkSession.sparkContext
+    try:
+        narrow = a.rdd.getNumPartitions() < sc.defaultParallelism
+    except Exception:  # pragma: no cover - planning quirk: keep old path
+        narrow = False
+    if narrow:
+        a = a.repartition(sc.defaultParallelism, F.col("_id_a"))
     pairs = a.join(b, "_blk").filter(F.col("_id_a") < F.col("_id_b"))
     score = F.lit(0.0)
     agree_cols = []

@@ -46,11 +46,28 @@ def item_cosine_topk(
     if recency_col is not None:
         if keep_per_user is None:
             raise ValueError("keep_per_user required with recency_col")
-        ui0 = interactions.select(
+        base = interactions.select(
             F.col(user_col).alias("u"),
             F.col(item_col).alias("i"),
             F.col(recency_col).alias("_ts"),
-        ).groupBy("u", "i").agg(F.max("_ts").alias("_ts"))
+        )
+        # When the interactions subtree bottoms out in a narrow scan
+        # (one unsplittable row group) the (u, i) partial aggregation
+        # runs on ONE core; pre-exchanging on the SAME grouping key
+        # keeps the exchange count identical (the groupBy reuses the
+        # partitioning) while the aggregation runs parallel. Gated so
+        # an already-parallel input keeps map-side partial aggregation
+        # (guide §2.5 input skew; r14).
+        sc = interactions.sparkSession.sparkContext
+        try:
+            narrow = base.rdd.getNumPartitions() < sc.defaultParallelism
+        except Exception:  # pragma: no cover - planning quirk
+            narrow = False
+        if narrow:
+            base = base.repartition(
+                sc.defaultParallelism, F.col("u"), F.col("i")
+            )
+        ui0 = base.groupBy("u", "i").agg(F.max("_ts").alias("_ts"))
         w = Window.partitionBy("u").orderBy(
             F.col("_ts").desc(), F.col("i").asc()
         )
@@ -104,6 +121,12 @@ def item_cosine_topk(
             / F.sqrt((F.col("_na") * F.col("_nb")).cast("double"))
         ).alias("_cos"),
     )
+    # scored feeds BOTH branches of the symmetric union below; without
+    # a pin the whole pair expansion + count joins are evaluated once
+    # per branch (r14: plan showed the subtree duplicated under Union).
+    # The table is item-pair grain (bounded by min_co), tiny at any
+    # scale next to the interaction table.
+    scored = scored.localCheckpoint(eager=False)
     sym = scored.select(
         F.col("ia").alias("item"), F.col("ib").alias("rec_item"),
         "co_users", "_cos",
