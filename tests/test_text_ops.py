@@ -220,3 +220,42 @@ class TestPositionalIndex:
         got = {(r.doc_id, r.n_matches) for r in q.collect()}
         want = {(i, 1) for i in range(200) if i % 40 == 3}
         assert got == want
+
+
+def test_char_entropy_stats_matches_hof(spark):
+    """r14: the Arrow char_entropy_stats rewrite must stay
+    value-identical to the higher-order-function expression form it
+    replaced (same sorted-distinct fold order, same round(6))."""
+    from pyspark.sql import functions as F
+
+    from google_analytics_to_s3_spark.operators.text import (
+        char_entropy,
+        char_entropy_stats,
+    )
+    from google_analytics_to_s3_spark.sources.testdata import load_parallel
+
+    d = load_parallel(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    # empty strings excluded: there the HOF form's sequence(1,0) quirk
+    # (n_distinct=1) diverges from the SQL oracle's range(1,1) (0) and
+    # the Arrow op follows the oracle
+    extra = spark.createDataFrame(
+        [(100002, None), (100003, "aaaa"), (100004, "ab☃☃")],
+        "doc_id long, text string",
+    )
+    d = d.unionByName(extra)
+    n = F.length("text")
+    chars = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.substr(F.col("text"), i, F.lit(1)),
+    )
+    hof = d.select(
+        "doc_id",
+        n.alias("n_chars"),
+        F.size(F.array_distinct(chars)).alias("n_distinct_chars"),
+        F.round(char_entropy("text"), 6).alias("entropy_bits"),
+    )
+    arrow = char_entropy_stats(d, "doc_id", "text")
+    assert hof.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(hof).count() == 0
