@@ -974,6 +974,16 @@ def semdedup(
             StructField("is_kept", BooleanType()),
         ]
     )
+    # r14: pin the cluster exchange's partition count — the grouped
+    # scoring is compute-dense but tiny by BYTES, so AQE coalesced it
+    # to one task and the Σ cluster_size² pair work serialized (stage
+    # trace: 1 task, ~2.6 s of the query). An explicit numPartitions
+    # repartition on the same key is the identical single exchange,
+    # exempt from coalescing; parallelism stays bounded by the number
+    # of clusters at any scale.
+    d = d.repartition(
+        d.sparkSession.sparkContext.defaultParallelism, F.col("cid")
+    )
     return (
         d.groupBy("cid")
         .applyInPandas(fn, schema)

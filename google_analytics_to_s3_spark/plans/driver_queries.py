@@ -55,7 +55,9 @@ from ..operators.text import (
     winnow_signature,
     with_text_quality,
 )
-from ..sources.testdata import load_events, load_parallel, load_table
+from ..sources.testdata import (
+    load_events, load_parallel, load_table, spread_if_narrow,
+)
 
 GAP_MS = 30 * 60 * 1000
 
@@ -96,6 +98,13 @@ def _sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value", "ts_ms"
     )
+    # r14: the session windows' implicit user_id exchange is tiny by
+    # bytes, so AQE coalesced it to ~1 partition and the window +
+    # md5/typed-column work ran single-threaded (stage trace: 1 task,
+    # ~1.1 s). Explicit repartition on the window key keeps exactly
+    # one exchange but is exempt from AQE coalescing; gated so an
+    # already-parallel input skips it.
+    e = spread_if_narrow(e, F.col("user_id"))
     return sessionize(
         e, visitor_col="user_id", ts_col="ts_ms", tiebreak_cols=("event_id",)
     )

@@ -32,6 +32,7 @@ from ..sources.testdata import (
     load_events,
     load_parallel,
     load_table,
+    spread_if_narrow,
 )
 
 __all__ = ["QUERIES_ANALYTICS", "ORACLES_ANALYTICS"]
@@ -238,6 +239,15 @@ def q_bounce_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
     page-grain conditional aggregation — no join, no second pass
     (plan-asserted)."""
     e = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts_ms", "props"
+    )
+    # r14: spread on the window key BEFORE the JSON parse — the scan
+    # is one row group, so both the get_json_object projection and the
+    # session windows otherwise run on the single partition AQE
+    # coalesces the tiny exchange to (same fix as touchpoints; the
+    # explicit repartition still satisfies the window clustering, so
+    # the one-user-exchange plan assertion is unchanged).
+    e = spread_if_narrow(e, F.col("user_id")).select(
         "event_id", "user_id", "ts_ms",
         (F.get_json_object("props", "$.k").cast("int") % 10)
         .alias("page"),

@@ -321,6 +321,15 @@ TP_SOURCES = ["google", "(direct)", "facebook", "newsletter", "(direct)"]
 
 def q_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir).select("user_id", "event_id", "ts_ms")
+    # r14 (same as traffic_attribution's r13 fix): the window's
+    # implicit exchange is tiny by BYTES, so AQE coalesced it to one
+    # partition and the compute-dense touchpoint windows + array
+    # builds ran single-threaded (stage trace: 1 task, ~2.3 s of the
+    # query's 2.5). An explicit repartition on the window key is still
+    # exactly ONE exchange — it satisfies the window clustering — but
+    # user-specified partitioning is exempt from AQE coalescing.
+    # Gated: an already-parallel input skips it.
+    e = spread_if_narrow(e, F.col("user_id"))
     src = F.element_at(
         F.array(*[F.lit(s) for s in TP_SOURCES]),
         (F.col("event_id") % len(TP_SOURCES)).cast("int") + 1,
@@ -392,6 +401,11 @@ def q_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir).select(
         "user_id", "event_id", "ts_ms", "event_type", "value"
     )
+    # r14: same AQE-coalescing fix as touchpoints — the per-visitor
+    # window work ran on the 2 partitions the tiny-bytes exchange
+    # coalesced to; an explicit repartition on the window key keeps
+    # the single exchange but full parallelism (gated).
+    e = spread_if_narrow(e, F.col("user_id"))
     src = F.element_at(
         F.array(*[F.lit(s) for s in TP_SOURCES]),
         (F.col("event_id") % len(TP_SOURCES)).cast("int") + 1,

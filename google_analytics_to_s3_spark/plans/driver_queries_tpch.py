@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, spread_if_narrow
 
 _DEC = "decimal(38,6)"
 
@@ -328,6 +328,11 @@ def q_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
+    # r14: the order-key window shuffle is small by bytes, so AQE
+    # coalesced it to ~8 partitions and the collect_set windows ran
+    # there; an explicit repartition on the same key is the identical
+    # single exchange at full parallelism (gated on a narrow scan).
+    l = spread_if_narrow(l, F.col("l_orderkey"))
     wo = Window.partitionBy("l_orderkey")
     ctx = l.select(
         "l_orderkey", "l_suppkey", "l_shipdate",
